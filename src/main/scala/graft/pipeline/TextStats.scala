@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) so they
+  * run at full scan speed over 100 TB of documents and push down through
+  * Catalyst untouched.
+  */
+object TextStats {
+
+  /** Whitespace-token count (robust to leading/trailing/multiple spaces). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", ""))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** BPE-ish subword count estimate: words + punctuation marks, digits
+    * counted separately (a cheap deterministic proxy for tokenizer load). */
+  def subwordEstimate(text: Column): Column =
+    tokenCount(text) +
+      size(filter(split(text, ""), c => c.rlike("[0-9.,;:!?]"))) -
+      when(length(text) === 0, 0).otherwise(0)
+
+  /** Punctuation ratio: fraction of non-space chars that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val punct = nonSpace - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))
+    when(nonSpace === 0, 0.0).otherwise(punct.cast("double") / nonSpace.cast("double"))
+  }
+
+  /** Digit ratio over all characters. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Uppercase ratio over letters. */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val uppers = letters - length(regexp_replace(text, "[^\\p{Ll}\\P{L}]", "")) // heuristic
+    when(letters === 0, 0.0).otherwise(uppers.cast("double") / letters.cast("double"))
+  }
+
+  private val enStop = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+
+  /** Stopword ratio against a tiny English list — the n-gram-free core of a
+    * fastText-style language heuristic. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+    when(size(toks) === 0, 0.0)
+      .otherwise(stops.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: long enough, low punctuation/digit
+    * noise, some stopwords (Gopher/C4-style filters, scaled to a score). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = lit(1.0) - least(digitRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + digitPenalty * 0.3), 6)
+  }
+
+  /** Deterministic 64-bit document fingerprint (content-defined identity for
+    * exact dedup & provenance): first 16 hex chars of md5 of the
+    * whitespace-normalised lowercase text. */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** 1..m as an array, empty when m < 1 (Spark's sequence(1,0) counts DOWN,
+    * so guard before generating). */
+  private def indices(m: Column): Column =
+    filter(sequence(lit(1), greatest(m, lit(1))), i => i <= m)
+
+  /** Character n-gram shingle array (basis for MinHash). */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    transform(indices(length(norm) - (n - 1)), i => norm.substr(i, lit(n)))
+  }
+
+  /** Word n-grams as an array column (for n-gram Jaccard dedup). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    transform(indices(size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import graft.core.{Runs, Stats, Time}
+import graft.indices.Generic
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-backed operator tests with hand-computed expectations (the
+  * reference's synthetic-series test pattern, SURVEY §5.1). */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def daily(values: Seq[Double], start: String = "2000-07-01"): DataFrame = {
+    import spark.implicits._
+    val s = java.time.LocalDate.parse(start)
+    values.zipWithIndex.map { case (v, i) =>
+      (0L, java.sql.Timestamp.valueOf(s.plusDays(i).atStartOfDay), v)
+    }.toDF("location_id", "time", "value")
+  }
+
+  test("resamplePeriod: anchored frequencies") {
+    import spark.implicits._
+    val df = Seq("2000-06-30 12:00:00", "2000-07-01 00:00:00", "2001-02-28 05:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("t")
+    val got = df.select(
+      Time.resamplePeriod(col("t"), "YS-JUL").cast("string").as("ys_jul"),
+      Time.resamplePeriod(col("t"), "QS-DEC").cast("string").as("qs_dec"),
+      Time.resamplePeriod(col("t"), "MS").cast("string").as("ms"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got(0) == ("1999-07-01 00:00:00", "2000-06-01 00:00:00", "2000-06-01 00:00:00"))
+    assert(got(1) == ("2000-07-01 00:00:00", "2000-06-01 00:00:00", "2000-07-01 00:00:00"))
+    assert(got(2) == ("2000-07-01 00:00:00", "2000-12-01 00:00:00", "2001-02-01 00:00:00"))
+  }
+
+  test("periodEnd / expectedDays handles leap February") {
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.valueOf("2000-02-15 00:00:00")).toDF("t")
+    val got = df.select(
+      Time.expectedDays(Time.resamplePeriod(col("t"), "MS"), "MS")).head.getInt(0)
+    assert(got == 29)
+  }
+
+  test("runs toolkit: longest run, events, bounds on planted mask") {
+    // mask: 1 1 0 1 1 1 0 0 1 -> runs of 2, 3, 1
+    val vals = Seq(1, 1, 0, 1, 1, 1, 0, 0, 1).map(_.toDouble)
+    val df = daily(vals)
+    val cond = col("value") > 0.5
+    val longest = Runs.longestRun(df, Seq("location_id"), None, col("time"), cond)
+      .head.getLong(1)
+    assert(longest == 3)
+    val nRuns2 = Runs.windowedRunEvents(df, Seq("location_id"), None, col("time"), cond, 2)
+      .head.getLong(1)
+    assert(nRuns2 == 2)
+    val daysIn2 = Runs.windowedRunCount(df, Seq("location_id"), None, col("time"), cond, 2)
+      .head.getLong(1)
+    assert(daysIn2 == 5)
+    val bounds = Runs.runTable(df, Seq("location_id"), col("time"), cond)
+      .orderBy("run_start").collect()
+    assert(bounds.length == 3)
+    assert(bounds.map(_.getAs[Long]("run_len")).toSeq == Seq(2L, 3L, 1L))
+  }
+
+  test("first/last run with window") {
+    val vals = Seq(1, 0, 1, 1, 1, 0, 1, 1).map(_.toDouble)
+    val df = daily(vals) // runs: [d0], [d2-d4], [d6-d7]
+    val first2 = Runs.firstRun(df, Seq("location_id"), col("time"), col("value") > 0.5, 2)
+      .head.getTimestamp(1).toString
+    assert(first2.startsWith("2000-07-03"))
+    val last2 = Runs.lastRun(df, Seq("location_id"), col("time"), col("value") > 0.5, 2)
+      .head.getTimestamp(1).toString
+    assert(last2.startsWith("2000-07-07"))
+  }
+
+  test("runsWithHoles state machine") {
+    // start after 2 consecutive start-cond, stop after 2 consecutive stop-cond
+    val vals = Seq(5, 5, 2, 2, 5, 0, 0, 0).map(_.toDouble)
+    val df = daily(vals)
+    val out = Runs.runsWithHoles(df, Seq("location_id"), col("time"),
+        col("value") >= 5, 2, col("value") < 1, 2)
+      .orderBy("time").select("in_event").collect().map(_.getBoolean(0)).toSeq
+    // enters at day1 (2nd five), survives the 2/2 dip and the single 0? no:
+    // stop needs two consecutive <1: days 5,6 -> off from day6 onward
+    assert(out == Seq(false, true, true, true, true, true, false, false))
+  }
+
+  test("find_events emits per-event records") {
+    val vals = Seq(5, 5, 0, 0, 6, 6, 6, 0).map(_.toDouble)
+    val df = daily(vals)
+    val ev = Runs.findEvents(df, Seq("location_id"), col("time"),
+        col("value") >= 5, 1, col("value") < 5, 1, col("value"))
+      .orderBy("event_start").collect()
+    assert(ev.length == 2)
+    assert(ev(0).getAs[Long]("event_length") == 2)
+    assert(ev(0).getAs[Double]("event_sum") == 10.0)
+    assert(ev(1).getAs[Long]("event_length") == 3)
+    assert(ev(1).getAs[Double]("event_sum") == 18.0)
+  }
+
+  test("hfQuantile types 7 and 8 against known values") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val t7 = df.agg(Stats.hfQuantile(col("v"), 0.9, 1.0, 1.0)).head.getDouble(0)
+    assert(math.abs(t7 - 9.1) < 1e-9) // numpy linear / type 7
+    val t8 = df.agg(Stats.hfQuantile(col("v"), 0.9)).head.getDouble(0)
+    assert(math.abs(t8 - 9.633333333333333) < 1e-9) // scipy/h&f type 8
+    val med = df.agg(Stats.hfQuantile(col("v"), 0.5, 1.0, 1.0)).head.getDouble(0)
+    assert(math.abs(med - 5.5) < 1e-9)
+  }
+
+  test("rollingThenResample: max 3-day sum") {
+    val df = daily(Seq(1, 2, 3, 4, 0, 0, 1).map(_.toDouble))
+    val got = Generic.rollingThenResample(df, Seq("location_id"), col("time"), "MS",
+      col("value"), 3, "sum", "max", "mx").head.getDouble(2)
+    assert(got == 9.0) // 2+3+4
+  }
+
+  test("doyOfExtreme picks earliest tie") {
+    val df = daily(Seq(1, 7, 7, 2).map(_.toDouble)) // 2000-07-01..04 -> doy 183..186
+    val got = Generic.doyOfExtreme(df, Seq("location_id"), col("time"), "YS",
+      col("value"), maximum = true).head.getInt(2)
+    assert(got == 184) // first of the two 7s (2000-07-02)
+  }
+
+  test("dedup primitives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "completely different text about spark and scala engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(df, "doc_id", "text", ngram = 2,
+      threshold = 0.5, numHashes = 16, bands = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // simhash: near-identical texts within small hamming distance
+    val sh = df.select(Dedup.simhash(col("text")).as("h")).collect().map(_.getLong(0))
+    val d12 = java.lang.Long.bitCount(sh(0) ^ sh(1))
+    val d13 = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    assert(d12 < d13)
+  }
+
+  test("similarity: cosine and top-k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, "id", "vec", q, "qid", "qvec", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
+  test("text stats") {
+    import spark.implicits._
+    val df = Seq("  the quick  brown fox ", "").toDF("text")
+    val got = df.select(TextStats.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(4, 0))
+    val ng = df.select(TextStats.wordNgrams(col("text"), 2)).head.getSeq[String](0)
+    assert(ng == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("select_time indexers") {
+    import spark.implicits._
+    val df = Seq("2000-01-15 00:00:00", "2000-07-15 00:00:00", "2000-12-15 00:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("t")
+    assert(df.filter(Time.Select.season(col("t"), "DJF")).count() == 2)
+    assert(df.filter(Time.Select.months(col("t"), Seq(7))).count() == 1)
+    assert(df.filter(Time.Select.doyBounds(col("t"), 340, 40)).count() == 2) // wrap
+  }
+
+  test("SparkEntry smoke at sf0.001: every query executes") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name failed")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
