@@ -43,7 +43,10 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
+
+  private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core -------------------------------------------------
     "q_agg_pricing_summary" -> ((s, dir) => {
@@ -228,24 +231,222 @@ object SparkEntry {
     })
   )
 
+  // ---- batch 2: doy climatology, seasons, recursion, sessions, streaming --
+  private def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_doy_percentile_exceedance" -> ((s, dir) => {
+      // percentile_doy (+-2d pool, p90) joined back; count exceedance days
+      val daily = dailyTotals(s, dir)
+      val pct = graft.indices.Season.doyPercentile(daily, Seq("user_id"), "d", "total", 2, 0.9)
+      daily.join(pct, Seq("user_id", "d"))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("total") > col("doy_pct"), 1L)), lit(0L)).as("n_days_over"))
+    }),
+
+    "q_season_bounds" -> ((s, dir) => {
+      // growing-season analog: open at first 3-day active run, close at first
+      // 3-day inactive run on/after Jan 15 (row-run semantics)
+      graft.indices.Season.seasonBounds(
+          dailyTotals(s, dir), Seq("user_id"), col("d"),
+          col("total") > 50, 3, to_date(lit("2024-01-15")))
+        .select(col("user_id"), col("season_start"), col("season_end"),
+          col("season_length"))
+    }),
+
+    "q_api_recursive" -> ((s, dir) => {
+      // antecedent precipitation index: sequential decay recursion (mapGroups)
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id").as("key"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total").as("v"))
+      graft.plans.Recursive.decayAccumulate(daily, 0.9)
+        .select(col("key").as("user_id"), col("t"), round(col("out"), 3).as("api"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      // session = events separated by <= 30 min per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(wAll))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("n_events")), 6).as("avg_events"),
+          max(col("n_events")).as("max_events"))
+    }),
+
+    "q_asof_last_error" -> ((s, dir) => {
+      // as-of self join: for each purchase, the user's latest strictly-prior error
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("last_error_ts",
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("last_error_ts"))
+    }),
+
+    "q_pivot_user_type" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def cnt(tp: String) = coalesce(sum(when(col("event_type") === tp, 1L)), lit(0L))
+      e.groupBy(col("user_id")).agg(
+        cnt("view").as("n_view"), cnt("click").as("n_click"),
+        cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"))
+    }),
+
+    "q_running_monthly_revenue" -> ((s, dir) => {
+      val monthly = Generic.resampleOp(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_shipdate"), "MS",
+        Seq(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("period"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      monthly.withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+    }),
+
+    "q_time_bnds" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(Time.resamplePeriod(col("o_orderdate"), "MS").as("period"))
+        .distinct()
+        .withColumn("period_end", Time.periodEnd(col("period"), "MS"))
+        .withColumn("n_days", Time.expectedDays(col("period"), "MS"))
+    }),
+
+    "q_zones_totalprice" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(Generic.zones(col("o_totalprice"), 50000.0).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
+
+    "q_missing_days" -> ((s, dir) => {
+      // expected_count-style missing mask: 31 calendar days in Jan 2024
+      dailyTotals(s, dir)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("d")).as("n_present"))
+        .withColumn("n_missing", lit(31L) - col("n_present"))
+        .withColumn("missing_any", col("n_missing") > 0)
+    }),
+
+    "q_dry_spell_rolling" -> ((s, dir) => {
+      // dry_spell_total_length analog: days covered by any 3-row window with sum < 40
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val daily = dailyTotals(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wsum", sum(col("total")).over(w.rowsBetween(-2, 0)))
+        .withColumn("qual", when(col("rn") >= 3 && col("wsum") < 40, 1).otherwise(0))
+        .withColumn("covered", max(col("qual")).over(w.rowsBetween(0, 2)))
+      daily.groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("covered") === 1, 1L)), lit(0L)).as("days_in_dry_spells"))
+    }),
+
+    "q_max_3day_total" -> ((s, dir) => {
+      Generic.rollingThenResample(dailyTotals(s, dir).withColumn("t", col("d").cast("timestamp")),
+          Seq("user_id"), col("t"), "MS", col("total"), 3, "sum", "max", "mx")
+        .select(col("user_id"), col("period"), round(col("mx"), 6).as("max_3d_total"))
+    }),
+
+    "q_dtr_variability" -> ((s, dir) => {
+      // interday variability: mean |delta| of daily totals per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      dailyTotals(s, dir)
+        .withColumn("dlt", abs(col("total") - lag(col("total"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("dlt")), 6).as("dtr_var"))
+    }),
+
+    "q_cum_exceedance_date" -> ((s, dir) => {
+      // degree_days_exceedance_date analog: first day cumulative total >= 2000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dailyTotals(s, dir)
+        .withColumn("cum", sum(col("total")).over(w))
+        .filter(col("cum") >= 2000)
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("exceedance_date"))
+    }),
+
+    "q_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_langid_heuristic" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextStats.stopwordRatio(col("text")), 6).as("stop_ratio"))
+        .withColumn("pred", when(col("stop_ratio") >= 0.02, "en").otherwise("other"))
+    }),
+
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      // blocked pairwise token-set jaccard (n=1 shingles) within (lang, source)
+      val g = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextStats.wordNgrams(col("text"), 1)).as("grams"))
+      val a = g.alias("a"); val b = g.alias("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.85)
+    }),
+
+    "q_knn_top3" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "query_id", "qvec", 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
+    "q_centroid_dims" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("e").cast("double")), 6).as("dim_avg"))
+    }),
+
+    "q_stream_tumbling" -> ((s, dir) => {
+      graft.streaming.Streams.tumblingAgg(s, dir, "6 hours",
+        s"stream_tumbling_${System.nanoTime()}")
+    }),
+
+    "q_simhash_buckets" -> ((s, dir) => {
+      // rows-only check (xxhash64 not available in the oracle engine)
+      t(s, dir, "documents")
+        .select(Dedup.simhash(col("text")).as("sh"))
+        .groupBy(shiftrightunsigned(col("sh"), 56).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    })
+  )
+
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2
+
+  private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
       """select l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) sum_qty,
-        | round(sum(l_extendedprice),2) sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) sum_disc_price,
-        | round(avg(l_quantity),4) avg_qty,
-        | round(avg(l_extendedprice),4) avg_price,
+        | cast(cast(sum(l_quantity) as decimal(38,2)) as double) sum_qty,
+        | cast(cast(sum(l_extendedprice) as decimal(38,2)) as double) sum_base_price,
+        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) sum_disc_price,
+        | cast(cast(avg(l_quantity) as decimal(38,4)) as double) avg_qty,
+        | cast(cast(avg(l_extendedprice) as decimal(38,4)) as double) avg_price,
         | count(*) count_order
         |from lineitem where l_shipdate <= timestamp '1998-09-02'
         |group by 1,2""".stripMargin,
 
     "q_join_revenue_by_nation" ->
       """select r_name, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) revenue, count(*) n_lines
+        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue, count(*) n_lines
         |from lineitem
         | join orders on l_orderkey = o_orderkey
         | join customer on o_custkey = c_custkey
@@ -254,7 +455,7 @@ object SparkEntry {
         |group by 1,2""".stripMargin,
 
     "q_topk_orders_per_segment" ->
-      """select c_mktsegment, rk, o_orderkey, round(o_totalprice,2) o_totalprice
+      """select c_mktsegment, rk, o_orderkey, cast(cast(o_totalprice as decimal(38,2)) as double) o_totalprice
         |from (select c_mktsegment, o_orderkey, o_totalprice,
         |  row_number() over (partition by c_mktsegment
         |    order by o_totalprice desc, o_orderkey) rk
@@ -272,13 +473,13 @@ object SparkEntry {
 
     "q_resample_daily_by_type" ->
       """select event_type, cast(date_trunc('day', ts) as timestamp) period,
-        | count(*) n, round(sum(value),6) total from events group by 1,2""".stripMargin,
+        | count(*) n, cast(cast(sum(value) as decimal(38,6)) as double) total from events group by 1,2""".stripMargin,
 
     "q_resample_ys_jul_lineitem" ->
       """select l_returnflag,
         | cast(make_timestamp(case when month(l_shipdate) >= 7 then year(l_shipdate)
         |   else year(l_shipdate)-1 end, 7, 1, 0, 0, 0.0) as timestamp) period,
-        | round(sum(l_quantity),2) sum_qty, count(*) n_lines
+        | cast(cast(sum(l_quantity) as decimal(38,2)) as double) sum_qty, count(*) n_lines
         |from lineitem group by 1,2""".stripMargin,
 
     "q_resample_qs_dec_orders" ->
@@ -286,21 +487,21 @@ object SparkEntry {
         |  year(o_orderdate)*12 + (month(o_orderdate)-1) - 11 rel from orders)
         |select cast(make_timestamp(((cast(floor(rel/3.0)*3 as int) + 11) // 12),
         |  ((cast(floor(rel/3.0)*3 as int) + 11) % 12) + 1, 1, 0, 0, 0.0) as timestamp) period,
-        | round(sum(o_totalprice),2) sum_price, count(*) n_orders
+        | cast(cast(sum(o_totalprice) as decimal(38,2)) as double) sum_price, count(*) n_orders
         |from b group by 1""".stripMargin,
 
     "q_resample_7d_events" ->
       """select cast(date '1970-01-01' + to_days(cast(floor(
         |  date_diff('day', date '1970-01-01', ts)/7.0)*7 as int)) as timestamp) period,
-        | count(*) n, round(avg(value),6) avg_value
+        | count(*) n, cast(cast(avg(value) as decimal(38,6)) as double) avg_value
         |from events group by 1""".stripMargin,
 
     "q_rolling_mean_7" ->
       """select user_id, event_id, rmean from (
         | select user_id, event_id,
         |  row_number() over (partition by user_id order by ts) rn,
-        |  round(avg(value) over (partition by user_id order by ts
-        |    rows between 6 preceding and current row),6) rmean
+        |  cast(cast(avg(value) over (partition by user_id order by ts
+        |    rows between 6 preceding and current row) as decimal(38,6)) as double) rmean
         | from events) t where rn >= 7""".stripMargin,
 
     "q_threshold_wet_days" ->
@@ -311,7 +512,7 @@ object SparkEntry {
 
     "q_degree_days" ->
       s"""with daily as ($dailySql)
-         |select user_id, round(sum(greatest(total - 100, 0)),6) dd
+         |select user_id, cast(cast(sum(greatest(total - 100, 0)) as decimal(38,6)) as double) dd
          |from daily group by 1""".stripMargin,
 
     "q_first_occurrence_over_300" ->
@@ -352,13 +553,13 @@ object SparkEntry {
         |from runs where repeat_len >= 4 group by 1""".stripMargin,
 
     "q_percentile_by_type" ->
-      """select event_type, round(quantile_cont(value, 0.9),6) p90,
-        | round(quantile_cont(value, 0.5),6) p50 from events group by 1""".stripMargin,
+      """select event_type, cast(cast(quantile_cont(value, 0.9) as decimal(38,6)) as double) p90,
+        | cast(cast(quantile_cont(value, 0.5) as decimal(38,6)) as double) p50 from events group by 1""".stripMargin,
 
     "q_ensemble_daily_stats" ->
       s"""with daily as ($dailySql)
-         |select d, round(avg(total),6) ens_mean, round(stddev_samp(total),6) ens_std,
-         | round(min(total),6) ens_min, round(max(total),6) ens_max,
+         |select d, cast(cast(avg(total) as decimal(38,6)) as double) ens_mean, cast(cast(stddev_samp(total) as decimal(38,6)) as double) ens_std,
+         | cast(cast(min(total) as decimal(38,6)) as double) ens_min, cast(cast(max(total) as decimal(38,6)) as double) ens_max,
          | count(*) n_members
          |from daily group by 1""".stripMargin,
 
@@ -366,8 +567,8 @@ object SparkEntry {
       """select doc_id,
         | case when length(trim(text)) = 0 then 0
         |   else len(string_split_regex(trim(text), '\s+')) end n_tokens,
-        | round(cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
-        |   / len(string_split_regex(trim(text), '\s+')), 6) mean_tok_len,
+        | cast(cast(cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+        |   / len(string_split_regex(trim(text), '\s+')) as decimal(38,6)) as double) mean_tok_len,
         | substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
         |from documents""".stripMargin,
 
@@ -380,14 +581,205 @@ object SparkEntry {
     "q_cosine_to_query" ->
       """with q as (select embedding qvec from embeddings where vec_id = 0)
         |select vec_id, cosine from (
-        | select e.vec_id, round(
+        | select e.vec_id, cast(cast(
         |  list_sum(list_transform(range(1,65),
         |    i -> cast(e.embedding[i] as double) * cast(q.qvec[i] as double)))
         |  / (sqrt(list_sum(list_transform(range(1,65),
         |      i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))
         |   * sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(q.qvec[i] as double) * cast(q.qvec[i] as double))))), 4) cosine
+        |      i -> cast(q.qvec[i] as double) * cast(q.qvec[i] as double))))) as decimal(38,4)) as double) cosine
         | from embeddings e, q) t
         |where cosine > 0.2""".stripMargin
+  )
+
+  private def oracle2: Map[String, String] = Map(
+    "q_doy_percentile_exceedance" ->
+      s"""with daily as ($dailySql),
+         |pool as (select d1.user_id, d1.d, quantile_cont(d2.total, 0.9) p90
+         | from daily d1 join daily d2 on d1.user_id = d2.user_id
+         |  and d2.d between d1.d - 2 and d1.d + 2
+         | group by 1,2)
+         |select d.user_id,
+         | cast(coalesce(sum(case when d.total > p.p90 then 1 end),0) as bigint) n_days_over
+         |from daily d join pool p on d.user_id = p.user_id and d.d = p.d
+         |group by 1""".stripMargin,
+
+    "q_season_bounds" ->
+      s"""with daily as ($dailySql),
+         |base as (select user_id, d, (total > 50) q,
+         |  row_number() over (partition by user_id order by d) rn from daily),
+         |op as (select user_id, d,
+         |  rn - row_number() over (partition by user_id order by d) grp
+         | from base where q),
+         |openruns as (select user_id, grp, min(d) rs, count(*) len from op group by 1,2),
+         |starts as (select user_id, min(rs) season_start from openruns where len >= 3 group by 1),
+         |clbase as (select user_id, d, q,
+         |  row_number() over (partition by user_id order by d) rn2
+         | from base where d >= date '2024-01-15'),
+         |cl as (select user_id, d,
+         |  rn2 - row_number() over (partition by user_id order by d) grp
+         | from clbase where not q),
+         |closeruns as (select user_id, grp, min(d) re, count(*) len from cl group by 1,2),
+         |ends as (select user_id, min(re) season_end from closeruns where len >= 3 group by 1),
+         |lastd as (select user_id, max(d) ld from daily group by 1)
+         |select s.user_id, s.season_start, e.season_end,
+         | cast(case when e.season_end is not null
+         |   then date_diff('day', s.season_start, e.season_end)
+         |   else date_diff('day', s.season_start, l.ld) + 1 end as int) season_length
+         |from starts s left join ends e using (user_id) join lastd l using (user_id)""".stripMargin,
+
+    "q_api_recursive" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t, total from daily)
+         |select d1.user_id, cast(d1.t as int) t,
+         | cast(cast(sum(d2.total * pow(0.9, d1.t - d2.t)) as decimal(38,3)) as double) api
+         |from dd d1 join dd d2 on d1.user_id = d2.user_id and d2.t <= d1.t
+         |group by 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """with e as (select user_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts) gap
+        | from events),
+        |s1 as (select user_id, ts,
+        |  case when gap is null or gap > 1800000000 then 1 else 0 end ns from e),
+        |s2 as (select user_id, sum(ns) over (partition by user_id order by ts
+        |  rows between unbounded preceding and current row) sess_id from s1),
+        |sess as (select user_id, sess_id, count(*) n_events from s2 group by 1,2)
+        |select user_id, count(*) n_sessions, cast(cast(avg(n_events) as decimal(38,6)) as double) avg_events,
+        | cast(max(n_events) as bigint) max_events
+        |from sess group by 1""".stripMargin,
+
+    "q_asof_last_error" ->
+      """select user_id, event_id, last_error_ts from (
+        | select user_id, event_id, event_type,
+        |  last_value(case when event_type='error' then ts end ignore nulls) over
+        |   (partition by user_id order by ts
+        |    rows between unbounded preceding and 1 preceding) last_error_ts
+        | from events) t where event_type = 'purchase'""".stripMargin,
+
+    "q_pivot_user_type" ->
+      """select user_id,
+        | cast(coalesce(sum(case when event_type='view' then 1 end),0) as bigint) n_view,
+        | cast(coalesce(sum(case when event_type='click' then 1 end),0) as bigint) n_click,
+        | cast(coalesce(sum(case when event_type='purchase' then 1 end),0) as bigint) n_purchase,
+        | cast(coalesce(sum(case when event_type='signup' then 1 end),0) as bigint) n_signup,
+        | cast(coalesce(sum(case when event_type='error' then 1 end),0) as bigint) n_error
+        |from events group by 1""".stripMargin,
+
+    "q_running_monthly_revenue" ->
+      """with monthly as (select l_returnflag,
+        |  cast(date_trunc('month', l_shipdate) as timestamp) period,
+        |  cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue
+        | from lineitem group by 1,2)
+        |select l_returnflag, period, revenue,
+        | cast(cast(sum(revenue) over (partition by l_returnflag order by period
+        |   rows between unbounded preceding and current row) as decimal(38,2)) as double) cum_revenue
+        |from monthly""".stripMargin,
+
+    "q_time_bnds" ->
+      """select distinct cast(date_trunc('month', o_orderdate) as timestamp) period,
+        | cast(date_trunc('month', o_orderdate) + interval 1 month as timestamp) period_end,
+        | cast(date_diff('day', cast(date_trunc('month', o_orderdate) as date),
+        |   cast(date_trunc('month', o_orderdate) + interval 1 month as date)) as int) n_days
+        |from orders""".stripMargin,
+
+    "q_zones_totalprice" ->
+      """select cast(floor(o_totalprice/50000) as int) bin, count(*) n,
+        | cast(cast(min(o_totalprice) as decimal(38,2)) as double) min_price, cast(cast(max(o_totalprice) as decimal(38,2)) as double) max_price
+        |from orders group by 1""".stripMargin,
+
+    "q_missing_days" ->
+      s"""with daily as ($dailySql)
+         |select user_id, count(distinct d) n_present,
+         | 31 - count(distinct d) n_missing,
+         | (31 - count(distinct d)) > 0 missing_any
+         |from daily group by 1""".stripMargin,
+
+    "q_dry_spell_rolling" ->
+      s"""with daily as ($dailySql),
+         |w1 as (select user_id, d, row_number() over (partition by user_id order by d) rn,
+         |  sum(total) over (partition by user_id order by d
+         |    rows between 2 preceding and current row) wsum from daily),
+         |w2 as (select user_id, d, case when rn >= 3 and wsum < 40 then 1 else 0 end qual from w1),
+         |w3 as (select user_id, max(qual) over (partition by user_id order by d
+         |  rows between current row and 2 following) covered from w2)
+         |select user_id,
+         | cast(coalesce(sum(case when covered = 1 then 1 end),0) as bigint) days_in_dry_spells
+         |from w3 group by 1""".stripMargin,
+
+    "q_max_3day_total" ->
+      s"""with daily as ($dailySql),
+         |r as (select user_id, d, row_number() over (partition by user_id order by d) rn,
+         |  sum(total) over (partition by user_id order by d
+         |    rows between 2 preceding and current row) w3 from daily)
+         |select user_id, cast(date_trunc('month', d) as timestamp) period,
+         | cast(cast(max(case when rn >= 3 then w3 end) as decimal(38,6)) as double) max_3d_total
+         |from r group by 1,2""".stripMargin,
+
+    "q_dtr_variability" ->
+      s"""with daily as ($dailySql),
+         |l as (select user_id,
+         |  abs(total - lag(total) over (partition by user_id order by d)) dlt
+         | from daily)
+         |select user_id, cast(cast(avg(dlt) as decimal(38,6)) as double) dtr_var from l group by 1""".stripMargin,
+
+    "q_cum_exceedance_date" ->
+      s"""with daily as ($dailySql),
+         |c as (select user_id, d, sum(total) over (partition by user_id order by d
+         |  rows between unbounded preceding and current row) cum from daily)
+         |select user_id, min(d) exceedance_date from c where cum >= 2000 group by 1""".stripMargin,
+
+    "q_token_freq" ->
+      """select token, count(*) n from (
+        | select unnest(string_split_regex(lower(trim(text)), '\s+')) token
+        | from documents) t group by 1""".stripMargin,
+
+    "q_langid_heuristic" ->
+      """select doc_id, stop_ratio,
+        | case when stop_ratio >= 0.02 then 'en' else 'other' end pred
+        |from (select doc_id, cast(cast(cast(len(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> x in ('the','a','of','to','and','in','is','that'))) as double)
+        |  / len(string_split_regex(lower(trim(text)), '\s+')) as decimal(38,6)) as double) stop_ratio
+        | from documents) t""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      """with g as (select doc_id, lang, source,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) grams
+        | from documents)
+        |select id_a, id_b, jaccard from (
+        | select a.doc_id id_a, b.doc_id id_b,
+        |  cast(cast(cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
+        | from g a join g b on a.lang = b.lang and a.source = b.source
+        |  and a.doc_id < b.doc_id) t
+        |where jaccard >= 0.85""".stripMargin,
+
+    "q_knn_top3" ->
+      """with q as (select vec_id query_id, embedding qvec from embeddings where vec_id < 5),
+        |sims as (select q.query_id, e.vec_id,
+        |  list_sum(list_transform(range(1,65),
+        |    i -> cast(e.embedding[i] as double) * cast(q.qvec[i] as double)))
+        |  / (sqrt(list_sum(list_transform(range(1,65),
+        |      i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))
+        |   * sqrt(list_sum(list_transform(range(1,65),
+        |      i -> cast(q.qvec[i] as double) * cast(q.qvec[i] as double))))) cosine
+        | from embeddings e, q),
+        |ranked as (select query_id, vec_id, cosine,
+        |  row_number() over (partition by query_id order by cosine desc, vec_id) rank
+        | from sims)
+        |select query_id, cast(rank as int) rank, vec_id, cast(cast(cosine as decimal(38,4)) as double) cosine
+        |from ranked where rank <= 3""".stripMargin,
+
+    "q_centroid_dims" ->
+      """select label, cast(i as int) pos,
+        | cast(cast(avg(cast(embedding[i+1] as double)) as decimal(38,6)) as double) dim_avg
+        |from embeddings, (select unnest(range(0,64)) i) t group by 1,2""".stripMargin,
+
+    "q_stream_tumbling" ->
+      """select make_timestamp(cast(floor(epoch_us(ts)/(21600*1000000.0))
+        |   *21600*1000000 as bigint)) w_start,
+        | event_type, count(*) n, cast(cast(sum(value) as decimal(38,6)) as double) total
+        |from events group by 1,2""".stripMargin
   )
 }

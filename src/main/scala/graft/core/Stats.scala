@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Round a double like C/DuckDB `round(x, n)` does: multiply, round half
+    * away from zero IN DOUBLE, divide. Spark's own `round(c, n)` rounds the
+    * exact decimal expansion of the double instead, which disagrees with the
+    * multiply-based rounding exactly at representable .5 boundaries (e.g.
+    * 493.75130049999996 at scale 6). Use this wherever results must be
+    * bit-comparable with a C-rounding engine. */
+  def rd(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    round(c * f) / f
+  }
+
   /** Exact H&F quantile of `c` at probability `p` with plotting positions
     * (alpha, beta). alpha=beta=1 reproduces Spark/numpy type 7;
     * alpha=beta=1/3 is type 8 (the reference's percentile_doy default).

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Sequential per-entity recursions — the engine's home for the reference's
+  * numba-kernel class of operators (Canadian FWI codes `fire/_cffwis.py:209-530`,
+  * Keetch-Byram drought index `_ffdi.py:188`, chill portions `_agro.py:1442`,
+  * antecedent precipitation index `_hydrology.py:673`): day n depends on
+  * day n-1, so no window/agg formulation exists.
+  *
+  * Spark mapping (SURVEY §4): hash-partition by entity, sort each group by
+  * time, run the recursion as a JVM-jitted loop via
+  * `groupByKey(...).flatMapGroups`. ONE shuffle keyed on the entity; state is
+  * O(1) per group and series length is bounded by the time span, so this
+  * scales linearly as long as entity cardinality >> cores — exactly the
+  * regime of a 100 TB grid (millions of cells x thousands of days).
+  *
+  * Rows inside a group are sorted in-memory here (series lengths are
+  * bounded); for unbounded series use repartition+sortWithinPartitions and
+  * mapPartitions instead.
+  */
+object Recursive {
+
+  /** Generic scan: out_t = f(state_{t-1}, in_t), emitting one output per row.
+    * Input frame columns: key LONG, t INT (sort key, e.g. days since epoch),
+    * v DOUBLE. Output: (key, t, out).
+    */
+  def scanPerKey(df: DataFrame, init: Double)(f: (Double, Double, Int) => Double): Dataset[(Long, Int, Double)] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("key").cast("long"), col("t").cast("int"), col("v").cast("double"))
+      .as[(Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var state = init
+        var prevT = Integer.MIN_VALUE
+        rows.iterator.map { case (_, t, v) =>
+          val gap = if (prevT == Integer.MIN_VALUE) 1 else t - prevT
+          state = f(state, v, gap)
+          prevT = t
+          (key, t, state)
+        }
+      }
+  }
+
+  /** Antecedent-precipitation-style exponential decay accumulator
+    * (`_hydrology.py:673`): state = state * k^gap + v, where gap is the
+    * number of time steps since the previous observation (missing steps keep
+    * decaying). Closed form sum v_j * k^(t-j) — used by the DuckDB oracle. */
+  def decayAccumulate(df: DataFrame, k: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    scanPerKey(df, 0.0)((state, v, gap) => state * math.pow(k, gap) + v)
+      .toDF("key", "t", "out")
+  }
+
+  /** Keetch-Byram-flavoured bounded recursion demo kernel: drought index in
+    * [0, cap] decaying towards cap by `dry` per step, reduced by the step's
+    * value (rain): state = min(cap, max(0, state + dry*gap - v)). */
+  def boundedDeficit(df: DataFrame, dry: Double, cap: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    scanPerKey(df, 0.0)((state, v, gap) =>
+      math.min(cap, math.max(0.0, state + dry * gap - v)))
+      .toDF("key", "t", "out")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY §2.7);
+  * this is the engine's forward-looking stream path for the `events`-shaped
+  * feed: tumbling/sliding window aggregations with watermarked state, the
+  * exact streaming twin of the batch `Time.resamplePeriod` grouping.
+  *
+  * At scale: the aggregation state is keyed on (window, type-keys); the
+  * watermark bounds state size; sink partitioning follows the agg keys.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums over a parquet directory replayed as a
+    * stream (one file = one micro-batch class). Synchronous: runs the whole
+    * backlog via processAllAvailable into an in-memory table and returns it
+    * as a batch DataFrame — used by the correctness gate, where the oracle
+    * is the equivalent batch GROUP BY. */
+  def tumblingAgg(s: SparkSession, dir: String, windowLen: String,
+                  queryName: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a DIRECTORY; stage a symlink to the table
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(queryName)
+  }
+}
