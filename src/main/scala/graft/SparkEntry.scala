@@ -386,15 +386,10 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
-      // blocked pairwise token-set jaccard (n=1 shingles) within (lang, source)
-      val g = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextStats.wordNgrams(col("text"), 1)).as("grams"))
-      val a = g.alias("a"); val b = g.alias("b")
-      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(Dedup.jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.85)
+      // blocked token-set jaccard with size-ratio pruning (tiny-vocab corpus;
+      // Zipfian corpora use Dedup.jaccardPairsByIndex + df-cut instead)
+      Dedup.jaccardPairsBlocked(t(s, dir, "documents"),
+        "doc_id", "text", Seq("lang", "source"), 1, 0.85)
     }),
 
     "q_knn_top3" -> ((s, dir) => {

@@ -98,17 +98,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over token hashes: sign of the per-bit weighted sum.
-    * Pure expression: for each bit position, count tokens with the bit set
-    * vs unset; bit in the fingerprint = majority. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << bit)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Pairwise n-gram Jaccard via an INVERTED-INDEX equi-join instead of
+    * nested array intersections: explode distinct shingles to (block, token,
+    * id) postings, self-join on (block, token), count common tokens per
+    * pair, and derive |union| = |A| + |B| - common. This keeps everything in
+    * codegen'd joins/aggregates (no interpreted array lambdas) and is the
+    * formulation that scales: the shuffle is keyed on (block, token), and
+    * high-document-frequency tokens can be dropped up front (df-cut) to
+    * bound the postings blow-up at corpus scale.
+    */
+  def jaccardPairsByIndex(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], ngram: Int,
+                          threshold: Double): DataFrame = {
+    val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
+    val sizes = grams.select(col("id") +: blockCols.map(col) :+ size(col("grams")).as("sz"): _*)
+    val postings = grams.select(col("id") +: blockCols.map(col) :+
+      explode(col("grams")).as("tok"): _*)
+    val a = postings.alias("a"); val b = postings.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val common = a.join(b, blockCond && col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sa = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
+    common.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Blocked pairwise Jaccard with a size-ratio prefilter. For corpora whose
+    * vocabulary is Zipfian, prefer `jaccardPairsByIndex` + a df-cut; the
+    * postings join degenerates when every token appears in most documents
+    * (tiny synthetic vocabularies), and this direct pairwise form with the
+    * J <= min(|A|,|B|)/max(|A|,|B|) pruning bound wins there. */
+  def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], ngram: Int,
+                          threshold: Double): DataFrame = {
+    val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
+      .withColumn("sz", size(col("grams")))
+      .cache()
+    val a = grams.alias("a"); val b = grams.alias("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, blockCond && col("a.id") < col("b.id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens — delegates to the native
+    * codegen'd `SimHash64` Catalyst expression (single pass over the token
+    * array; a Column-lambda formulation would make 64 interpreted passes). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(split(lower(trim(text)), "\\s+"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
