@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2
+    queries1 ++ queries2 ++ queries3
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -776,5 +776,207 @@ object SparkEntry {
         |   *21600*1000000 as bigint)) w_start,
         | event_type, count(*) n, cast(cast(sum(value) as decimal(38,6)) as double) total
         |from events group by 1,2""".stripMargin
+  )
+
+  // ---- batch 3: converters, fits, robustness, analogs, QA flags ----------
+  private def queries3: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_converters_bioclim" -> ((s, dir) => {
+      // physics converters on synthesised inputs: tas degC, dewpoint, wind km/h
+      import graft.indices.Converters._
+      val e = t(s, dir, "events")
+        .withColumn("tas", col("value") / 10.0 - 10.0)
+        .withColumn("tdps", col("value") / 10.0 - 15.0)
+        .withColumn("wind", col("value") / 10.0 + 5.0)
+      e.select(col("event_id"),
+        round(humidex(col("tas"), col("tdps")), 6).as("humidex"),
+        round(relativeHumidity(col("tas"), col("tdps")), 6).as("hurs"),
+        round(windChill(col("tas"), col("wind")), 6).as("wind_chill"),
+        round(dayLength(col("user_id") - lit(60.0), dayofyear(col("ts"))), 6).as("day_len"))
+    }),
+
+    "q_heat_index" -> ((s, dir) => {
+      import graft.indices.Converters._
+      val e = t(s, dir, "events")
+        .withColumn("tas", col("value") / 12.0 + 26.0)
+        .withColumn("hurs", pmod(col("value"), lit(60.0)) + 40.0)
+      e.select(col("event_id"), round(heatIndex(col("tas"), col("hurs")), 6).as("heat_index"))
+    }),
+
+    "q_fit_gamma_mm" -> ((s, dir) => {
+      // stats.fit, method-of-moments gamma: alpha = mean^2/var, scale = var/mean
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(pow(avg(col("value")), 2) / var_pop(col("value")), 6).as("alpha"),
+          round(var_pop(col("value")) / avg(col("value")), 6).as("scale"))
+    }),
+
+    "q_parametric_quantile_normal" -> ((s, dir) => {
+      // parametric_quantile: normal ppf at p=0.9 from fitted (mean, std)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("value")) + lit(1.2815515655446004) * stddev_samp(col("value")), 6)
+          .as("q90_normal"))
+    }),
+
+    "q_lmoments" -> ((s, dir) => {
+      // L-moment sample statistics (PWM basis of stats.fit)
+      val sorted = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("value"))).as("arr"))
+      val (l1, l2, t3) = Stats.lMoments(col("arr"))
+      sorted.select(col("event_type"), round(l1, 6).as("l1"),
+        round(l2, 6).as("l2"), round(t3, 6).as("t3"))
+    }),
+
+    "q_robustness_fractions" -> ((s, dir) => {
+      // ensembles.robustness_fractions: users = members, Jan 1-15 ref vs 16-31 fut
+      val e = t(s, dir, "events")
+        .withColumn("fut", col("ts").cast("date") >= lit("2024-01-16"))
+      val per = e.groupBy(col("event_type"), col("user_id")).agg(
+        avg(when(!col("fut"), col("value"))).as("m1"),
+        var_samp(when(!col("fut"), col("value"))).as("v1"),
+        count(when(!col("fut"), 1)).as("n1"),
+        avg(when(col("fut"), col("value"))).as("m2"),
+        var_samp(when(col("fut"), col("value"))).as("v2"),
+        count(when(col("fut"), 1)).as("n2"))
+      val tstat = Stats.welchT(col("m2"), col("v2"), col("n2"), col("m1"), col("v1"), col("n1"))
+      per.withColumn("tv", tstat)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"),
+          round(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"))
+    }),
+
+    "q_ks_analog" -> ((s, dir) => {
+      // spatial_analogs with kolmogorov_smirnov metric: each type vs 'view'
+      val e = t(s, dir, "events")
+      graft.analog.Analog.ksStatistic(
+          e.select(col("event_type"), col("value")), "event_type", "value",
+          e.filter(col("event_type") === "view").select(col("value")))
+        .select(col("event_type"), round(col("ks"), 6).as("ks"))
+    }),
+
+    "q_data_flags" -> ((s, dir) => {
+      // dataflags battery: negative values, > mean+3sigma, < p01 per type
+      val e = t(s, dir, "events")
+      val stats = e.groupBy(col("event_type").as("et")).agg(
+        (avg(col("value")) + lit(3.0) * stddev_samp(col("value"))).as("hi"),
+        percentile(col("value"), lit(0.01)).as("lo"))
+      e.join(broadcast(stats), col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(coalesce(sum(when(col("value") <= 0, 1L)), lit(0L)).as("n_neg"),
+          coalesce(sum(when(col("value") > col("hi"), 1L)), lit(0L)).as("n_hi"),
+          coalesce(sum(when(col("value") < col("lo"), 1L)), lit(0L)).as("n_lo"))
+    })
+  )
+
+  private def oracle3: Map[String, String] = Map(
+    "q_converters_bioclim" ->
+      """with e as (select event_id, user_id, ts,
+        |  value/10.0 - 10.0 tas, value/10.0 - 15.0 tdps, value/10.0 + 5.0 wind
+        | from events),
+        |f as (select event_id,
+        |  tas + (5.0/9.0) * (6.112 * exp(17.62 * tdps / (243.12 + tdps)) - 10.0) humidex,
+        |  100.0 * (6.112 * exp(17.62 * tdps / (243.12 + tdps)))
+        |       / (6.112 * exp(17.62 * tas / (243.12 + tas))) hurs,
+        |  13.12 + 0.6215 * tas - 11.37 * pow(wind, 0.16)
+        |       + 0.3965 * tas * pow(wind, 0.16) wind_chill,
+        |  (24.0/pi()) * acos(greatest(-1.0, least(1.0,
+        |    -tan(radians(user_id - 60.0)) *
+        |     tan(0.409 * sin(2.0*pi()/365.0 * dayofyear(ts) - 1.39))))) day_len
+        | from e)
+        |select event_id,
+        | cast(cast(humidex as decimal(38,6)) as double) humidex,
+        | cast(cast(hurs as decimal(38,6)) as double) hurs,
+        | cast(cast(wind_chill as decimal(38,6)) as double) wind_chill,
+        | cast(cast(day_len as decimal(38,6)) as double) day_len
+        |from f""".stripMargin,
+
+    "q_heat_index" ->
+      """with e as (select event_id, value/12.0 + 26.0 tas, (value % 60.0) + 40.0 hurs
+        | from events),
+        |f as (select event_id, tas * 1.8 + 32.0 tf, hurs from e),
+        |g as (select event_id,
+        |  -42.379 + 2.04901523*tf + 10.14333127*hurs - 0.22475541*tf*hurs
+        |  - 6.83783e-3*tf*tf - 5.481717e-2*hurs*hurs + 1.22874e-3*tf*tf*hurs
+        |  + 8.5282e-4*tf*hurs*hurs - 1.99e-6*tf*tf*hurs*hurs hif
+        | from f)
+        |select event_id, cast(cast((hif - 32.0) / 1.8 as decimal(38,6)) as double) heat_index
+        |from g""".stripMargin,
+
+    "q_fit_gamma_mm" ->
+      """select event_type, count(*) n,
+        | cast(cast(pow(avg(value), 2) / var_pop(value) as decimal(38,6)) as double) alpha,
+        | cast(cast(var_pop(value) / avg(value) as decimal(38,6)) as double) scale
+        |from events group by 1""".stripMargin,
+
+    "q_parametric_quantile_normal" ->
+      """select event_type,
+        | cast(cast(avg(value) + 1.2815515655446004 * stddev_samp(value)
+        |   as decimal(38,6)) as double) q90_normal
+        |from events group by 1""".stripMargin,
+
+    "q_lmoments" ->
+      """with r as (select event_type, value v,
+        |  row_number() over (partition by event_type order by value) rk,
+        |  count(*) over (partition by event_type) n from events),
+        |b as (select event_type,
+        |  avg(v) b0,
+        |  sum(v * (rk - 1.0) / (n - 1.0)) / any_value(n) b1,
+        |  sum(v * (rk - 1.0) * (rk - 2.0) / ((n - 1.0) * (n - 2.0))) / any_value(n) b2
+        | from r group by 1)
+        |select event_type,
+        | cast(cast(b0 as decimal(38,6)) as double) l1,
+        | cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
+        | cast(cast((6*b2 - 6*b1 + b0) / (2*b1 - b0) as decimal(38,6)) as double) t3
+        |from b""".stripMargin,
+
+    "q_robustness_fractions" ->
+      """with per as (select event_type, user_id,
+        |  avg(case when cast(ts as date) < date '2024-01-16' then value end) m1,
+        |  var_samp(case when cast(ts as date) < date '2024-01-16' then value end) v1,
+        |  count(case when cast(ts as date) < date '2024-01-16' then 1 end) n1,
+        |  avg(case when cast(ts as date) >= date '2024-01-16' then value end) m2,
+        |  var_samp(case when cast(ts as date) >= date '2024-01-16' then value end) v2,
+        |  count(case when cast(ts as date) >= date '2024-01-16' then 1 end) n2
+        | from events group by 1,2),
+        |w as (select event_type, m1, m2,
+        |  (m2 - m1) / sqrt(v2/n2 + v1/n1) tv from per)
+        |select event_type, count(*) n_members,
+        | cast(cast(avg(case when m2 > m1 then 1.0 else 0.0 end) as decimal(38,6)) as double) frac_pos,
+        | cast(cast(avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end) as decimal(38,6)) as double) frac_sig
+        |from w group by 1""".stripMargin,
+
+    "q_ks_analog" ->
+      """with g as (select distinct event_type from events),
+        |u as (select event_type, value v, 1 a, 0 b from events
+        |      union all
+        |      select g.event_type, e.value v, 0 a, 1 b
+        |      from events e cross join g where e.event_type = 'view'),
+        |c as (select event_type, v,
+        |  sum(a) over (partition by event_type order by v
+        |    range between unbounded preceding and current row) ca,
+        |  sum(b) over (partition by event_type order by v
+        |    range between unbounded preceding and current row) cb,
+        |  sum(a) over (partition by event_type) na,
+        |  sum(b) over (partition by event_type) nb
+        | from u)
+        |select event_type,
+        | cast(cast(max(abs(cast(ca as double)/na - cast(cb as double)/nb))
+        |   as decimal(38,6)) as double) ks
+        |from c group by 1""".stripMargin,
+
+    "q_data_flags" ->
+      """with st as (select event_type et,
+        |  avg(value) + 3.0 * stddev_samp(value) hi,
+        |  quantile_cont(value, 0.01) lo
+        | from events group by 1)
+        |select event_type,
+        | cast(coalesce(sum(case when value <= 0 then 1 end),0) as bigint) n_neg,
+        | cast(coalesce(sum(case when value > hi then 1 end),0) as bigint) n_hi,
+        | cast(coalesce(sum(case when value < lo then 1 end),0) as bigint) n_lo
+        |from events join st on event_type = et group by 1""".stripMargin
   )
 }

@@ -1,0 +1,108 @@
+package graft.indices
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Row-wise physical converters — the engine's equivalent of
+  * `xclim/indices/converters.py` (2902 LoC of scalar formulas): every one is
+  * a pure codegen'd Column expression (no UDFs), so they run at scan speed
+  * and cost nothing extra at 100 TB. Temperatures are degC unless noted;
+  * pressures hPa; winds km/h unless noted.
+  */
+object Converters {
+
+  /** Saturation vapour pressure [hPa] over water, August–Roche–Magnus form
+    * (method "its90" family; converters.py:492 `saturation_vapor_pressure`). */
+  def saturationVaporPressure(tasC: Column): Column =
+    lit(6.112) * exp(lit(17.62) * tasC / (lit(243.12) + tasC))
+
+  /** Same over ice (Magnus coefficients for ice; converters.py:452). */
+  def saturationVaporPressureIce(tasC: Column): Column =
+    lit(6.112) * exp(lit(22.46) * tasC / (lit(272.62) + tasC))
+
+  /** Actual vapour pressure [hPa] from dewpoint (converters.py:607). */
+  def vaporPressure(tdpsC: Column): Column = saturationVaporPressure(tdpsC)
+
+  /** Relative humidity [%] from temperature + dewpoint (converters.py:702). */
+  def relativeHumidity(tasC: Column, tdpsC: Column): Column =
+    lit(100.0) * vaporPressure(tdpsC) / saturationVaporPressure(tasC)
+
+  /** Dewpoint [degC] from vapour pressure [hPa] (inverse Magnus;
+    * converters.py:1025 `dewpoint_from_specific_humidity` family). */
+  def dewpointFromVaporPressure(eHpa: Column): Column = {
+    val lnRatio = log(eHpa / 6.112)
+    lit(243.12) * lnRatio / (lit(17.62) - lnRatio)
+  }
+
+  /** Humidex (Masterton & Richardson 1979; converters.py:76): tas +
+    * 5/9 * (e - 10), e in hPa from dewpoint. */
+  def humidex(tasC: Column, tdpsC: Column): Column =
+    tasC + lit(5.0 / 9.0) * (vaporPressure(tdpsC) - 10.0)
+
+  /** US NWS heat index [degC] (Rothfusz 1990 regression, applied unguarded;
+    * converters.py:176 `heat_index`). Inputs degC, RH %. */
+  def heatIndex(tasC: Column, hurs: Column): Column = {
+    val tF = tasC * 1.8 + 32.0
+    val hiF = lit(-42.379) + lit(2.04901523) * tF + lit(10.14333127) * hurs -
+      lit(0.22475541) * tF * hurs - lit(6.83783e-3) * tF * tF -
+      lit(5.481717e-2) * hurs * hurs + lit(1.22874e-3) * tF * tF * hurs +
+      lit(8.5282e-4) * tF * hurs * hurs - lit(1.99e-6) * tF * tF * hurs * hurs
+    (hiF - 32.0) / 1.8
+  }
+
+  /** Wind chill index [degC], Environment Canada / NWS 2001 formulation
+    * (converters.py:1663): tas degC, wind km/h at 10 m. */
+  def windChill(tasC: Column, sfcWindKmh: Column): Column = {
+    val v016 = pow(sfcWindKmh, 0.16)
+    lit(13.12) + lit(0.6215) * tasC - lit(11.37) * v016 + lit(0.3965) * tasC * v016
+  }
+
+  /** Daily mean from min/max (converters.py:243 `tas_from_tasmin_tasmax`). */
+  def tasMidpoint(tasmin: Column, tasmax: Column): Column = (tasmin + tasmax) / 2.0
+
+  /** Wind speed [m/s] + direction [deg] from u/v components
+    * (converters.py:273 `uas_vas_to_sfcwind`). */
+  def windSpeedFromUV(uas: Column, vas: Column): Column = sqrt(uas * uas + vas * vas)
+  def windDirFromUV(uas: Column, vas: Column): Column =
+    pmod(lit(180.0) + degrees(atan2(uas, vas)), lit(360.0))
+
+  /** Binary-threshold snowfall approximation (converters.py:1088, method
+    * "binary"): all precip is snow below tasC <= 0. */
+  def snowfallApproxBinary(pr: Column, tasC: Column): Column =
+    when(tasC <= 0.0, pr).otherwise(0.0)
+
+  def rainApproxBinary(pr: Column, tasC: Column): Column =
+    when(tasC > 0.0, pr).otherwise(0.0)
+
+  /** Snow depth <-> snow water equivalent via bulk density [kg/m3]
+    * (converters.py:1377 `snd_to_snw` / :1420 `snw_to_snd`). */
+  def sndToSnw(sndM: Column, density: Column): Column = sndM * density
+  def snwToSnd(snwKgM2: Column, density: Column): Column = snwKgM2 / density
+
+  /** Clearness index: surface / extraterrestrial shortwave
+    * (converters.py:1589). */
+  def clearnessIndex(rsds: Column, extra: Column): Column = rsds / extra
+
+  /** Power-law wind profile extrapolation (converters.py:2743). */
+  def windProfile(windRef: Column, hRef: Column, h: Column, alpha: Column): Column =
+    windRef * pow(h / hRef, alpha)
+
+  /** Water budget precip - evapotranspiration (converters.py:2652). */
+  def waterBudget(pr: Column, evspsbl: Column): Column = pr - evspsbl
+
+  /** Solar declination [rad] by day-of-year (helpers.py:119, simple
+    * Cooper/spencer form). */
+  def solarDeclination(doy: Column): Column =
+    lit(0.409) * sin(lit(2.0 * math.Pi / 365.0) * doy - lit(1.39))
+
+  /** Astronomical day length [h] for latitude [deg] and day-of-year
+    * (helpers.py:450 `day_lengths`): 24/pi * hourAngle, with the sunset hour
+    * angle clamped for polar day/night. */
+  def dayLength(latDeg: Column, doy: Column): Column = {
+    val decl = solarDeclination(doy)
+    val latR = radians(latDeg)
+    val cosH = -tan(latR) * tan(decl)
+    val h = acos(greatest(lit(-1.0), least(lit(1.0), cosH)))
+    lit(24.0 / math.Pi) * h
+  }
+}

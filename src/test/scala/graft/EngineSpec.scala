@@ -176,6 +176,31 @@ class EngineSpec extends AnyFunSuite {
     assert(df.filter(Time.Select.doyBounds(col("t"), 340, 40)).count() == 2) // wrap
   }
 
+  test("converters: known physical values") {
+    import spark.implicits._
+    import graft.indices.Converters._
+    val df = Seq((30.0, 25.0, -10.0, 30.0)).toDF("tas", "tdps", "tcold", "wind")
+    val r = df.select(
+      humidex(col("tas"), col("tdps")).as("hmdx"),
+      windChill(col("tcold"), col("wind")).as("wc"),
+      dayLength(lit(0.0), lit(80)).as("dl_equator"),
+      relativeHumidity(col("tas"), col("tas")).as("rh_sat")).head
+    assert(math.abs(r.getAs[Double]("hmdx") - 42.3) < 0.5)     // ~42 humidex
+    assert(math.abs(r.getAs[Double]("wc") - (-19.5)) < 0.5)    // EC table value
+    assert(math.abs(r.getAs[Double]("dl_equator") - 12.0) < 0.2)
+    assert(math.abs(r.getAs[Double]("rh_sat") - 100.0) < 1e-9)
+  }
+
+  test("analog KS: identical samples -> 0, disjoint -> 1") {
+    import spark.implicits._
+    val cand = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)).toDF("g", "v")
+    val tgt = Seq(1.0, 2.0).toDF("v")
+    val ks = graft.analog.Analog.ksStatistic(cand, "g", "v", tgt)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ks("a") == 0.0)
+    assert(ks("b") == 1.0)
+  }
+
   test("SparkEntry smoke at sf0.001: every query executes") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
