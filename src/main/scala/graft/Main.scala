@@ -1,0 +1,44 @@
+package graft
+
+import graft.indicator.{Registry, VirtualModules}
+import org.apache.spark.sql.SparkSession
+
+/** CLI — the engine's equivalent of the reference's click front-end
+  * (`xclim/cli.py`: one command per registry indicator, `indices` listing,
+  * NetCDF in/out). Here: parquet in / parquet out.
+  *
+  * Usage:
+  *   graft.Main list
+  *   graft.Main run <indicator> <input.parquet> <output.parquet> [freq] [yamlModule]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    Registry.registerBuiltins()
+    args.toList match {
+      case "list" :: rest =>
+        rest.foreach(VirtualModules.loadYamlFile)
+        Registry.names.foreach { n =>
+          val s = Registry(n).spec
+          println(f"$n%-28s ${s.units}%-6s ${s.title}")
+        }
+      case "run" :: name :: in :: out :: rest =>
+        val freq = rest.headOption.getOrElse("MS")
+        rest.drop(1).foreach(VirtualModules.loadYamlFile)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val df = spark.read.parquet(in)
+        val result = Registry(name)(df, freq)
+        result.write.mode("overwrite").parquet(out)
+        println(s"$name @ $freq -> $out (${result.columns.mkString(", ")})")
+        spark.stop()
+      case other =>
+        System.err.println(s"usage: list | run <indicator> <in> <out> [freq] [module.yml]; got: $other")
+        sys.exit(2)
+    }
+  }
+}

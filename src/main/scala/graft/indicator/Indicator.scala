@@ -1,0 +1,131 @@
+package graft.indicator
+
+import graft.core.{Time, Units}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** The indicator layer — the engine's equivalent of
+  * `xclim/core/indicator.py` (`Indicator.__call__` staging, indicator.py:865-944):
+  * input validation (frequency datacheck, CF attr check), input unit
+  * conversion to the compute function's canonical units, the compute plan,
+  * output metadata stamping, and missing-period masking
+  * (`CheckMissingIndicator._postprocess`, indicator.py:1522).
+  *
+  * Data model: the canonical long frame `(location_id LONG, time TIMESTAMP,
+  * <var> DOUBLE ...)` with per-column `units` carried in StructField
+  * metadata (SURVEY §1.2). All staging is driver-side plan construction —
+  * zero extra executors work beyond the compute plan itself.
+  */
+final case class VarReq(
+    name: String,            // canonical variable name (tas, pr, ...)
+    dimensionality: String,  // "[temperature]", "[precipitation]", ...
+    canonicalUnits: String)  // units the compute body expects
+
+final case class IndicatorSpec(
+    identifier: String,
+    title: String,
+    units: String,                    // output units (post to_agg_units)
+    standardName: String = "",
+    cellMethods: String = "",
+    inputs: Seq[VarReq] = Seq(VarReq("value", "[]", "1")),
+    srcFreq: String = "D",            // expected input sampling
+    missing: String = "any",          // any | pct | at_least_n | skip
+    missingOptions: Map[String, Double] = Map.empty)
+
+final class IndicatorValidationException(msg: String) extends IllegalArgumentException(msg)
+
+abstract class Indicator(val spec: IndicatorSpec) {
+
+  /** The compute body: canonical-unit inputs -> resampled output frame with
+    * columns (location_id, period, value). */
+  protected def compute(df: DataFrame, freq: String, params: Map[String, String]): DataFrame
+
+  /** Full indicator pipeline. `df` columns must include location_id, time
+    * and each input var column (by canonical name). */
+  def apply(df: DataFrame, freq: String, params: Map[String, String] = Map.empty): DataFrame = {
+    datacheck(df)
+    val converted = spec.inputs.foldLeft(df) { (acc, v) =>
+      val unit = columnUnits(acc, v.name).getOrElse(v.canonicalUnits)
+      if (!Units.checkDimension(unit, v.dimensionality))
+        throw new IndicatorValidationException(
+          s"${spec.identifier}: ${v.name} has units '$unit', expected ${v.dimensionality}")
+      acc.withColumn(v.name, Units.convert(col(v.name), unit, v.canonicalUnits))
+    }
+    val out = compute(converted, freq, params)
+    val masked = Missing.mask(spec, converted, out, freq)
+    stampMetadata(masked, freq)
+  }
+
+  /** Frequency datacheck (`datachecks.check_freq`, datachecks.py:20):
+    * sample the modal time step and compare against srcFreq. Driver-side on
+    * a bounded sample — never a full scan. */
+  private def datacheck(df: DataFrame): Unit = {
+    if (spec.srcFreq.isEmpty || !df.columns.contains("time")) return
+    val expected: Option[Long] = spec.srcFreq match {
+      case "D" => Some(86400L)
+      case "h" => Some(3600L)
+      case _   => None
+    }
+    expected.foreach { secs =>
+      val sample = df.select(col("location_id"), col("time")).limit(1000)
+        .groupBy(col("location_id"))
+        .agg(sort_array(collect_list(col("time"))).as("ts"))
+        .select(explode(expr(
+          "transform(slice(ts, 2, 999), (x, i) -> unix_timestamp(x) - unix_timestamp(ts[i]))")).as("step"))
+        .groupBy(col("step")).count().orderBy(col("count").desc).limit(1)
+        .collect()
+      sample.headOption.foreach { r =>
+        val modal = r.getLong(0)
+        if (modal != secs)
+          throw new IndicatorValidationException(
+            s"${spec.identifier}: expected ${spec.srcFreq} sampling (${secs}s), got modal step ${modal}s")
+      }
+    }
+  }
+
+  private def columnUnits(df: DataFrame, name: String): Option[String] = {
+    val f = df.schema.fields.find(_.name == name)
+    f.flatMap(x => if (x.metadata.contains("units")) Some(x.metadata.getString("units")) else None)
+  }
+
+  /** Output CF metadata (AttrFormatter equivalent, formatting.py:42). */
+  private def stampMetadata(df: DataFrame, freq: String): DataFrame = {
+    val md = new MetadataBuilder()
+      .putString("units", spec.units)
+      .putString("standard_name", spec.standardName)
+      .putString("cell_methods", spec.cellMethods)
+      .putString("long_name", s"${spec.title} (${freq})")
+      .build()
+    if (df.columns.contains("value")) df.withColumn("value", col("value").as("value", md))
+    else df
+  }
+}
+
+/** Missing-period policies (`xclim/core/missing.py`): a period's output is
+  * nulled when its input coverage fails the policy. Computed as one extra
+  * aggregate over the same (location, period) grouping and joined back —
+  * Catalyst shares the shuffle with the compute plan. */
+object Missing {
+  def mask(spec: IndicatorSpec, input: DataFrame, out: DataFrame, freq: String): DataFrame = {
+    if (spec.missing == "skip" || !out.columns.contains("value") ||
+      !input.columns.contains("time")) return out
+    val counts = input
+      .groupBy(col("location_id"), Time.resamplePeriod(col("time"), freq).as("period"))
+      .agg(count(col(spec.inputs.head.name)).as("_valid"))
+      .withColumn("_expected", Time.expectedDays(col("period"), freq))
+    val bad: Column = spec.missing match {
+      case "any"        => col("_valid") < col("_expected")
+      case "pct"        =>
+        val tol = spec.missingOptions.getOrElse("tolerance", 0.1)
+        (col("_expected") - col("_valid")).cast("double") / col("_expected") > tol
+      case "at_least_n" =>
+        val n = spec.missingOptions.getOrElse("n", 20.0)
+        col("_valid") < n
+      case other        => throw new IllegalArgumentException(s"bad missing policy: $other")
+    }
+    out.join(counts, Seq("location_id", "period"), "left")
+      .withColumn("value", when(coalesce(bad, lit(true)), lit(null)).otherwise(col("value")))
+      .drop("_valid", "_expected")
+  }
+}

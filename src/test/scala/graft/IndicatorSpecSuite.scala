@@ -1,0 +1,99 @@
+package graft
+
+import graft.indicator.{IndicatorSpec, Registry, VarReq, VirtualModules}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Indicator pipeline behavior tests (the reference's test_indicators.py
+  * pattern: metadata, unit conversion, missing masking, virtual modules). */
+class IndicatorSpecSuite extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  Registry.registerBuiltins()
+
+  /** Full July 2000 of daily tas in degC, one location; value = 20 + doy%5. */
+  private def julyTas = {
+    import spark.implicits._
+    val md = new MetadataBuilder().putString("units", "degC").build()
+    (1 to 31).map { d =>
+      (0L, java.sql.Timestamp.valueOf(f"2000-07-$d%02d 00:00:00"), 20.0 + d % 5)
+    }.toDF("location_id", "time", "value")
+      .withColumn("value", col("value").as("value", md))
+  }
+
+  test("tg_mean converts degC input to K and stamps metadata") {
+    val out = Registry("tg_mean")(julyTas, "MS")
+    val row = out.head
+    // mean of 20 + (1..31 % 5) in K
+    val expected = (1 to 31).map(d => 20.0 + d % 5).sum / 31 + 273.15
+    assert(math.abs(row.getAs[Double]("value") - expected) < 1e-9)
+    val md = out.schema.fields.find(_.name == "value").get.metadata
+    assert(md.getString("units") == "K")
+    assert(md.getString("cell_methods") == "time: mean")
+  }
+
+  test("missing=any masks incomplete periods") {
+    val missingDay = julyTas.filter(dayofmonth(col("time")) =!= 15)
+    val out = Registry("tg_mean")(missingDay, "MS")
+    assert(out.head.isNullAt(out.columns.indexOf("value")))
+    // complete input is not masked
+    assert(!Registry("tg_mean")(julyTas, "MS").head.isNullAt(2))
+  }
+
+  test("dimensionality validation rejects wrong units") {
+    val md = new MetadataBuilder().putString("units", "mm/d").build()
+    val bad = julyTas.withColumn("value", col("value").as("value", md))
+    assertThrows[graft.indicator.IndicatorValidationException] {
+      Registry("tg_mean")(bad, "MS")
+    }
+  }
+
+  test("threshold indicator counts days (unit-converted threshold)") {
+    // tx_days_above: > 298.15 K == 25 degC; July values 20..24 -> 0 days,
+    // so shift +3: values 23/24 cross at d%5 in {3,4} -> none >25; use 22+
+    val out = Registry("tx_days_above")(julyTas, "MS")
+    assert(out.head.getAs[Long]("value") == 0L)
+  }
+
+  test("YAML virtual module registers and runs") {
+    val yaml =
+      """module: icclim
+        |indicators:
+        |  SU:
+        |    base: threshold_count
+        |    title: Summer days
+        |    units: d
+        |    parameters: { op: ">", thresh: "295.15" }
+        |    input: { var: tas, dimensionality: "[temperature]", units: K }
+        |    missing: skip
+        |  GD4:
+        |    base: cumulative_difference
+        |    title: Growing degree days over 4 degC
+        |    units: "K d"
+        |    parameters: { op: ">", thresh: "277.15" }
+        |    input: { var: tas, dimensionality: "[temperature]", units: K }
+        |    missing: skip
+        |""".stripMargin
+    val ids = VirtualModules.loadYaml(yaml)
+    assert(ids.toSet == Set("icclim.SU", "icclim.GD4"))
+    // SU: days with tas > 22 degC: d%5 in {3,4} -> 12 days in July (d=3,4,8,9,...)
+    val su = Registry("icclim.SU")(julyTas, "MS").head.getAs[Long]("value")
+    assert(su == (1 to 31).count(d => 20.0 + d % 5 > 22.0))
+    val gd4 = Registry("icclim.GD4")(julyTas, "MS").head.getAs[Double]("value")
+    val expected = (1 to 31).map(d => (20.0 + d % 5) - 4.0).sum
+    assert(math.abs(gd4 - expected) < 1e-9)
+  }
+
+  test("registry listing includes builtins") {
+    assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days")
+      .forall(Registry.names.contains))
+  }
+}
