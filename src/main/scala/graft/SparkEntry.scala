@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3
+    queries1 ++ queries2 ++ queries3 ++ queries4
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -978,5 +978,53 @@ object SparkEntry {
         | cast(coalesce(sum(case when value > hi then 1 end),0) as bigint) n_hi,
         | cast(coalesce(sum(case when value < lo then 1 end),0) as bigint) n_lo
         |from events join st on event_type = et group by 1""".stripMargin
+  )
+
+  // ---- batch 4: sequential drought kernel, ensemble percentiles ----------
+  private def queries4: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_kbdi_recursive" -> ((s, dir) => {
+      // Keetch-Byram-class bounded deficit recursion (fire/_ffdi.py:188):
+      // state = clamp(state + dry*gap - rain, 0, cap); mapGroups kernel,
+      // oracle is a step-identical recursive CTE
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id").as("key"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total").as("v"))
+      graft.plans.Recursive.boundedDeficit(daily, dry = 10.0, cap = 800.0)
+        .select(col("key").as("user_id"), col("t"), round(col("out"), 6).as("kbdi"))
+    }),
+
+    "q_ensemble_percentiles" -> ((s, dir) => {
+      graft.ensembles.Ensembles.percentiles(
+          dailyTotals(s, dir), Seq("d"), col("total"), Seq(0.1, 0.5, 0.9))
+        .select(col("d"), round(col("p10"), 6).as("p10"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+    })
+  )
+
+  private def oracle4: Map[String, String] = Map(
+    "q_kbdi_recursive" ->
+      s"""with recursive daily as ($dailySql),
+         |r as (select user_id, date_diff('day', date '1970-01-01', d) t, total,
+         |  row_number() over (partition by user_id order by d) rn from daily),
+         |rec as (
+         |  select user_id, t, rn,
+         |    least(800.0, greatest(0.0, 0.0 + 10.0*1 - total)) st
+         |  from r where rn = 1
+         |  union all
+         |  select n.user_id, n.t, n.rn,
+         |    least(800.0, greatest(0.0, p.st + 10.0*(n.t - p.t) - n.total)) st
+         |  from rec p join r n on n.user_id = p.user_id and n.rn = p.rn + 1)
+         |select user_id, cast(t as int) t,
+         | cast(cast(st as decimal(38,6)) as double) kbdi from rec""".stripMargin,
+
+    "q_ensemble_percentiles" ->
+      s"""with daily as ($dailySql)
+         |select d,
+         | cast(cast(quantile_cont(total, 0.1) as decimal(38,6)) as double) p10,
+         | cast(cast(quantile_cont(total, 0.5) as decimal(38,6)) as double) p50,
+         | cast(cast(quantile_cont(total, 0.9) as decimal(38,6)) as double) p90
+         |from daily group by 1""".stripMargin
   )
 }
