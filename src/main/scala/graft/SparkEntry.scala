@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1026,5 +1026,86 @@ object SparkEntry {
          | cast(cast(quantile_cont(total, 0.5) as decimal(38,6)) as double) p50,
          | cast(cast(quantile_cont(total, 0.9) as decimal(38,6)) as double) p90
          |from daily group by 1""".stripMargin
+  )
+
+  // ---- batch 5: Sen slope, bivariate spells, overlapping periods ---------
+  private def queries5: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_sen_slope" -> ((s, dir) => {
+      // Theil-Sen slope (hydrology.sen_slope, _hydrology.py:894): median of
+      // pairwise slopes per entity; exact type-7 median over the pair cloud
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id"), datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      a.join(b, col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .select(col("a.user_id").as("user_id"),
+          ((col("b.total") - col("a.total")) / (col("b.t") - col("a.t"))).as("slope"))
+        .groupBy(col("user_id"))
+        // lower median as a discrete order statistic: interpolated medians
+        // differ between engines in the last ulp exactly at .5 boundaries
+        .agg(element_at(sort_array(collect_list(col("slope"))),
+            ceil(count(lit(1)) / 2.0).cast("int")).as("sen_slope"),
+          count(lit(1)).as("n_pairs"))
+    }),
+
+    "q_bivariate_spell" -> ((s, dir) => {
+      // bivariate_spell_length_statistics (generic.py:690): calendar-
+      // consecutive runs where BOTH daily conditions hold
+      val daily = dailyTotals(s, dir)
+        .withColumn("dnum", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      daily.filter(col("total") > 50 && col("n_events") >= 2)
+        .withColumn("grp", col("dnum") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .filter(col("len") >= 2)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spells"), max(col("len")).as("max_spell"))
+    }),
+
+    "q_stack_periods" -> ((s, dir) => {
+      // stack_periods (calendar.py:1396): overlapping 7-day windows, stride 3,
+      // origin 2024-01-01 (dnum 19723) - row explosion, same layout as the
+      // reference's stacked period dim
+      val daily = dailyTotals(s, dir)
+        .withColumn("dnum", datediff(col("d"), to_date(lit("1970-01-01"))))
+      daily
+        .withColumn("pstart", explode(sequence(lit(19723), lit(19753), lit(3))))
+        .filter(col("pstart") <= col("dnum") && col("dnum") < col("pstart") + 7)
+        .groupBy(col("user_id"), col("pstart"))
+        .agg(count(lit(1)).as("n_days"), round(avg(col("total")), 6).as("avg_total"))
+    })
+  )
+
+  private def oracle5: Map[String, String] = Map(
+    "q_sen_slope" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t, total from daily),
+         |pairs as (select a.user_id,
+         |   (b.total - a.total) / (b.t - a.t) slope
+         | from dd a join dd b on a.user_id = b.user_id and a.t < b.t),
+         |arrs as (select user_id, list_sort(list(slope)) a, count(*) n
+         | from pairs group by 1)
+         |select user_id, a[cast(ceil(n/2.0) as int)] sen_slope, n n_pairs
+         |from arrs""".stripMargin,
+
+    "q_bivariate_spell" ->
+      s"""with daily as ($dailySql),
+         |q as (select user_id, d, date_diff('day', date '1970-01-01', d)
+         |    - row_number() over (partition by user_id order by d) grp
+         |  from daily where total > 50 and n_events >= 2),
+         |runs as (select user_id, grp, count(*) len from q group by 1,2)
+         |select user_id, count(*) n_spells, max(len) max_spell
+         |from runs where len >= 2 group by 1""".stripMargin,
+
+    "q_stack_periods" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) dnum, total from daily),
+         |st as (select unnest(range(19723, 19754, 3)) pstart)
+         |select user_id, cast(pstart as int) pstart, count(*) n_days,
+         | cast(cast(avg(total) as decimal(38,6)) as double) avg_total
+         |from dd join st on pstart <= dnum and dnum < pstart + 7
+         |group by 1,2""".stripMargin
   )
 }
