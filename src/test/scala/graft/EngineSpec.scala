@@ -201,6 +201,36 @@ class EngineSpec extends AnyFunSuite {
     assert(ks("b") == 1.0)
   }
 
+  test("multimodal plumbing: batch decode schema, frame sampling, resize plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val rows = Seq(
+      Row(1L, "image", "fakejpegbytes".getBytes, 4000, 3000, null, null),
+      Row(2L, "audio", "fakewavbytes".getBytes, null, null, 16000, 2500L),
+      Row(3L, "image", null, 100, 80, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r.toSeq: _*))),
+      graft.pipeline.Multimodal.mediaSchema)
+    val feats = graft.pipeline.Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    val f1 = feats.find(_.getLong(0) == 1L).get
+    assert(f1.getAs[Long]("n_bytes") == 13L)
+    assert(f1.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    assert(feats.find(_.getLong(0) == 3L).get.getAs[scala.collection.Seq[Float]]("feature") == null)
+    // deterministic stub: same payload -> same feature
+    val again = graft.pipeline.Multimodal.extractFeatures(media).collect()
+      .find(_.getLong(0) == 1L).get.getAs[scala.collection.Seq[Float]]("feature")
+    assert(again == f1.getAs[scala.collection.Seq[Float]]("feature"))
+    // frame sampling: 2500 ms at 1000 ms -> frames 0,1000,2000
+    val frames = graft.pipeline.Multimodal.sampleFrames(media.filter($"media_id" === 2), 1000L)
+      .select("frame_ms").collect().map(_.getLong(0)).toSeq
+    assert(frames == Seq(0L, 1000L, 2000L))
+    // resize: 4000x3000 -> cap 1024 keeps aspect
+    val rp = graft.pipeline.Multimodal.resizePlan(media.filter($"media_id" === 1), 1024)
+      .select("out_width", "out_height").head
+    assert(rp.getInt(0) == 1024 && rp.getInt(1) == 768)
+  }
+
   test("SparkEntry smoke at sf0.001: every query executes") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
