@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1107,5 +1107,80 @@ object SparkEntry {
          | cast(cast(avg(total) as decimal(38,6)) as double) avg_total
          |from dd join st on pstart <= dnum and dnum < pstart + 7
          |group by 1,2""".stripMargin
+  )
+
+  // ---- batch 6: IVF ANN, standardized index ------------------------------
+  private def queries6: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ivf_topk" -> ((s, dir) => {
+      // IVF-partitioned ANN: label-mean centroids, probe 3 cells, top-5
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", "label", q, k = 5, nprobe = 3)
+        .select(col("rank"), col("vec_id"), col("label"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
+    "q_standardized_index" -> ((s, dir) => {
+      // standardized_index machinery (stats.py:770-1035), z-score form:
+      // 3-day rolling totals standardized against the entity's own
+      // climatology (the SPI pipeline shape with a normal backbone)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val wu = Window.partitionBy(col("user_id"))
+      dailyTotals(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("w3", sum(col("total")).over(w.rowsBetween(-2, 0)))
+        .filter(col("rn") >= 3)
+        .withColumn("z", (col("w3") - avg(col("w3")).over(wu)) /
+          stddev_samp(col("w3")).over(wu))
+        .select(col("user_id"), col("d"),
+          round(greatest(least(col("z"), lit(8.21)), lit(-8.21)), 6).as("spi3"))
+    })
+  )
+
+  private def oracle6: Map[String, String] = Map(
+    "q_ivf_topk" ->
+      """with cent as (
+        |  select label, i, avg(cast(embedding[i+1] as double)) m
+        |  from embeddings, (select unnest(range(0,64)) i) t group by 1,2),
+        |q as (select embedding qv from embeddings where vec_id = 0),
+        |qd as (select c.label, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+        |  from cent c, q group by c.label),
+        |probe as (select label from qd order by d2, label limit 3),
+        |ad as (select e.vec_id, c.label,
+        |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+        |  from embeddings e, cent c group by 1, 2),
+        |assign as (select vec_id, label from (
+        |  select vec_id, label, row_number() over (partition by vec_id
+        |    order by d2, label) rn from ad) x where rn = 1),
+        |cand as (select a.vec_id, a.label, e.embedding
+        |  from assign a join probe using (label)
+        |  join embeddings e on e.vec_id = a.vec_id),
+        |scored as (select vec_id, label,
+        |  list_sum(list_transform(range(1,65),
+        |    i -> cast(embedding[i] as double) * cast(q.qv[i] as double)))
+        |  / (sqrt(list_sum(list_transform(range(1,65),
+        |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))))
+        |   * sqrt(list_sum(list_transform(range(1,65),
+        |      i -> cast(q.qv[i] as double) * cast(q.qv[i] as double))))) cosine
+        | from cand, q),
+        |ranked as (select *, row_number() over (order by cosine desc, vec_id) rank
+        | from scored)
+        |select cast(rank as int) rank, vec_id, label,
+        | cast(cast(cosine as decimal(38,4)) as double) cosine
+        |from ranked where rank <= 5""".stripMargin,
+
+    "q_standardized_index" ->
+      s"""with daily as ($dailySql),
+         |r as (select user_id, d, row_number() over (partition by user_id order by d) rn,
+         |  sum(total) over (partition by user_id order by d
+         |    rows between 2 preceding and current row) w3 from daily),
+         |f as (select user_id, d, w3 from r where rn >= 3),
+         |z as (select user_id, d,
+         |  (w3 - avg(w3) over (partition by user_id))
+         |    / stddev_samp(w3) over (partition by user_id) z from f)
+         |select user_id, d,
+         | cast(cast(greatest(least(z, 8.21), -8.21) as decimal(38,6)) as double) spi3
+         |from z""".stripMargin
   )
 }

@@ -63,6 +63,53 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) approximate top-k: quantize the corpus onto
+    * centroids, probe only the `nprobe` centroid cells nearest the query,
+    * brute-force cosine inside the probed cells. This is the 100 TB path:
+    * the corpus is scanned once to build assignments (or stored partitioned
+    * by `centroid`), and each query touches ~nprobe/k of the data.
+    *
+    * Centroids here are the per-`labelCol` dimension means (a k-means-lite
+    * with data-provided classes); swap in trained centroids by passing any
+    * (label, cvec) frame. Ties break on (distance, label) and
+    * (cosine desc, id) for determinism.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+              queryVec: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    // centroids: per-label dimension means as ARRAY<DOUBLE>
+    val cent = corpus
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+    // probe the nprobe nearest centroids to the query
+    val probed = cent.crossJoin(broadcast(queryVec))
+      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("qd2"), col("label"))
+      .limit(nprobe)
+      .select(col("label"))
+    // quantize the corpus (one pass; at scale this is precomputed/partitioned)
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("label"))
+    val assigned = corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(cent))
+      .withColumn("d2", dist2(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("label"))
+    // search only the probed cells
+    val wRank = Window.orderBy(col("cosine").desc, col(idCol))
+    assigned.join(broadcast(probed), "label")
+      .crossJoin(broadcast(queryVec))
+      .withColumn("cosine", cosine(col(vecCol), col("qvec")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("label"), col("cosine"))
+  }
+
   /** Assign each vector to the nearest of `centroids` (broadcast list) —
     * the IVF coarse quantizer. Returns centroid index (int). */
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
