@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the engine's native expressions, two ways:
+  *  - `GraftFunctions.register(spark)` on a live session;
+  *  - `--conf spark.sql.extensions=graft.GraftSessionExtensions` at launch
+  *    (the `SparkSessionExtensions` injection path).
+  * After either, `SELECT simhash64(tokens), gamma_cdf(x, shape),
+  * probit(p)` work from plain SQL.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
+    "probit"    -> (exprs => Probit(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}

@@ -39,6 +39,25 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs((32.0 * f + o) - 0.0) < 1e-9)
   }
 
+  test("special functions: gamma CDF and probit against known values") {
+    import graft.functions.SpecialMath._
+    // P(1, x) = 1 - e^-x exactly
+    for (x <- Seq(0.1, 1.0, 2.5, 10.0))
+      assert(math.abs(gammaP(1.0, x) - (1.0 - math.exp(-x))) < 1e-12)
+    // P(1/2, x) = erf(sqrt(x)): erf(sqrt(0.5)) = 0.6826894921370859
+    assert(math.abs(gammaP(0.5, 0.5) - 0.6826894921370859) < 1e-10)
+    // scipy.special.gammainc(3.0, 2.0) = 0.32332358381693654
+    assert(math.abs(gammaP(3.0, 2.0) - 0.32332358381693654) < 1e-10)
+    assert(gammaP(2.0, 0.0) == 0.0)
+    // probit
+    assert(math.abs(probit(0.5)) < 1e-12)
+    assert(math.abs(probit(0.975) - 1.959963984540054) < 1e-8)
+    assert(math.abs(probit(0.025) + 1.959963984540054) < 1e-8)
+    assert(probit(0.0).isNegInfinity && probit(1.0).isPosInfinity)
+    // logGamma: ln((5-1)!) = ln 24
+    assert(math.abs(logGamma(5.0) - math.log(24.0)) < 1e-12)
+  }
+
   test("agg units rules") {
     assert(Units.aggUnits("K", "count") == "d")
     assert(Units.aggUnits("K", "integral") == "K d")

@@ -231,6 +231,24 @@ class EngineSpec extends AnyFunSuite {
     assert(rp.getInt(0) == 1024 && rp.getInt(1) == 768)
   }
 
+  test("SPI pipeline: standardized output is centred and clipped") {
+    import spark.implicits._
+    // gamma-ish positive daily series over 120 days, one location
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(120)(math.pow(rng.nextDouble() + 0.2, 2) * 10)
+    val df = daily(vals)
+    val out = graft.indices.Standardized.spi(df, Seq("location_id"), "time", "value", 3)
+    val spis = out.select("spi").collect().map(_.getDouble(0))
+    assert(spis.length == 118)
+    assert(spis.forall(s => s >= -8.21 && s <= 8.21))
+    val mean = spis.sum / spis.length
+    assert(math.abs(mean) < 0.3, s"SPI mean should be near 0, got $mean")
+    // monotone: larger accumulation -> larger spi
+    val pairs = out.select("accumulated", "spi").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(pairs.sliding(2).forall(p => p(1)._2 >= p(0)._2 - 1e-12))
+  }
+
   test("SparkEntry smoke at sf0.001: every query executes") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
