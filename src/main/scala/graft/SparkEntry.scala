@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1182,5 +1182,93 @@ object SparkEntry {
          |select user_id, d,
          | cast(cast(greatest(least(z, 8.21), -8.21) as decimal(38,6)) as double) spi3
          |from z""".stripMargin
+  )
+
+  // ---- batch 7: rollup, correlated agg, FIR smoothing, JSON --------------
+  private def queries7: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_rollup_revenue" -> ((s, dir) => {
+      // hierarchical subtotals (grouping-sets family)
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "q_small_quantity_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: correlated per-part average via self-agg join
+      val li = t(s, dir, "lineitem")
+      val avgs = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgs, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_weighted_rolling" -> ((s, dir) => {
+      // qian_weighted_mean_average (_agro.py:1245): centred FIR smoothing
+      // [0.1,0.2,0.4,0.2,0.1] as a lag/lead dot product (the jetstream
+      // Lanczos-filter pattern, _synoptic.py)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val sm = lag(col("total"), 2).over(w) * 0.1 + lag(col("total"), 1).over(w) * 0.2 +
+        col("total") * 0.4 + lead(col("total"), 1).over(w) * 0.2 +
+        lead(col("total"), 2).over(w) * 0.1
+      dailyTotals(s, dir)
+        .withColumn("smoothed", round(sm, 6))
+        .filter(col("smoothed").isNotNull)
+        .select(col("user_id"), col("d"), col("smoothed"))
+    }),
+
+    "q_json_props" -> ((s, dir) => {
+      // semi-structured sidecar column: extract props.k per event
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(coalesce(sum(col("k")), lit(0L)).as("k_sum"),
+          countDistinct(col("k")).as("k_distinct"),
+          round(avg(col("k")), 6).as("k_avg"))
+    })
+  )
+
+  private def oracle7: Map[String, String] = Map(
+    "q_rollup_revenue" ->
+      """select r_name, n_name,
+        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue
+        |from lineitem
+        | join orders on l_orderkey = o_orderkey
+        | join customer on o_custkey = c_custkey
+        | join nation on c_nationkey = n_nationkey
+        | join region on n_regionkey = r_regionkey
+        |group by rollup(r_name, n_name)""".stripMargin,
+
+    "q_small_quantity_revenue" ->
+      """with avgs as (select l_partkey pk, avg(l_quantity) avg_qty
+        | from lineitem group by 1)
+        |select cast(cast(sum(l_extendedprice) / 7.0 as decimal(38,2)) as double) avg_yearly,
+        | count(*) n_lines
+        |from lineitem join avgs on l_partkey = pk
+        |where l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "q_weighted_rolling" ->
+      s"""with daily as ($dailySql),
+         |sm as (select user_id, d,
+         |  lag(total, 2) over w * 0.1 + lag(total, 1) over w * 0.2
+         |  + total * 0.4 + lead(total, 1) over w * 0.2 + lead(total, 2) over w * 0.1 v
+         | from daily window w as (partition by user_id order by d))
+         |select user_id, d, cast(cast(v as decimal(38,6)) as double) smoothed
+         |from sm where v is not null""".stripMargin,
+
+    "q_json_props" ->
+      """select event_type,
+        | cast(coalesce(sum(cast(json_extract_string(props, '$.k') as bigint)), 0) as bigint) k_sum,
+        | count(distinct cast(json_extract_string(props, '$.k') as bigint)) k_distinct,
+        | cast(cast(avg(cast(json_extract_string(props, '$.k') as bigint))
+        |   as decimal(38,6)) as double) k_avg
+        |from events group by 1""".stripMargin
   )
 }
