@@ -1,0 +1,73 @@
+package graft
+
+import graft.core.{Bootstrap, Calendars}
+import graft.ensembles.Reduce
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Calendars, bootstrap plan builder, ensemble reduction. */
+class LibrarySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("360_day calendar month math") {
+    import spark.implicits._
+    val df = Seq((2000, 1), (2000, 30), (2000, 31), (2000, 360)).toDF("year", "doy")
+    val got = df.select(Calendars.monthFromDoy(Calendars.Day360, col("doy"), col("year")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 2, 12))
+  }
+
+  test("noleap month cuts and doy conversion") {
+    import spark.implicits._
+    val df = Seq((2001, 59), (2001, 60), (2001, 365)).toDF("year", "doy")
+    val months = df.select(Calendars.monthFromDoy(Calendars.NoLeap, col("doy"), col("year")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(months == Seq(2, 3, 12)) // feb 28 cut: doy 59 = Feb 28, doy 60 = Mar 1
+    // 365 -> 360 day rescale: doy 365 -> 360
+    val conv = df.select(Calendars.convertDoy(col("doy"), col("year"),
+      Calendars.NoLeap, Calendars.Day360)).collect().map(_.getInt(0)).toSeq
+    assert(conv.last == 360)
+    assert(conv.head == 58) // 59/365 -> ~58/360
+  }
+
+  test("bootstrap replicas: year replacement bookkeeping") {
+    import spark.implicits._
+    // 3 base years, 2 rows each
+    val df = (for (y <- 2000 to 2002; i <- 1 to 2) yield (y, i)).toDF("year", "i")
+    val reps = Bootstrap.replicas(df, col("year"), Seq(2000, 2001, 2002))
+    // 6 replicas; each keeps 3 years' worth of rows (one replaced)
+    val counts = reps.groupBy("bootstrap_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 6)
+    assert(counts.values.forall(_ == 6L)) // 3 years x 2 rows
+    // in replica "2000<-2001", year 2000 absent and 2001 doubled
+    val r01 = reps.filter(col("bootstrap_id") === "2000<-2001")
+      .groupBy("year").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r01 == Map(2001 -> 4L, 2002 -> 2L))
+    // averaging collapses the replica dim
+    val idx = reps.groupBy(col("bootstrap_id")).agg(avg(col("i")).as("v"))
+    val out = Bootstrap.average(idx, "v")
+    assert(out.count() == 1 && out.head.getAs[Long]("n_replicas") == 6L)
+  }
+
+  test("KKZ and k-means reduction pick spread members") {
+    // two tight clusters + one outlier; k=3 must cover all three
+    val crit = Seq(
+      (0, Array(0.0, 0.0)), (1, Array(0.1, 0.0)), (2, Array(0.0, 0.1)),
+      (3, Array(10.0, 10.0)), (4, Array(10.1, 10.0)),
+      (5, Array(-20.0, 5.0)))
+    val kkz = Reduce.kkz(crit, 3)
+    assert(kkz.size == 3)
+    assert(kkz.contains(5) && kkz.exists(Set(3, 4)) && kkz.exists(Set(0, 1, 2)))
+    val km = Reduce.kmeansSelect(crit, 3)
+    assert(km.size == 3)
+    assert(km.contains(5) && km.exists(Set(3, 4)) && km.exists(Set(0, 1, 2)))
+  }
+}
