@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1270,5 +1270,41 @@ object SparkEntry {
         | cast(cast(avg(cast(json_extract_string(props, '$.k') as bigint))
         |   as decimal(38,6)) as double) k_avg
         |from events group by 1""".stripMargin
+  )
+
+  // ---- batch 8: exact dedup, argmax-day ----------------------------------
+  private def queries8: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q_doy_of_max" -> ((s, dir) => {
+      // doymax (generic.py:177): date of each user's max daily total,
+      // deterministic earliest-date tie-break
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("total").desc, col("d"))
+      dailyTotals(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("d").as("max_day"),
+          round(col("total"), 6).as("max_total"))
+    })
+  )
+
+  private def oracle8: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """select md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) content_key,
+        | min(doc_id) keeper_id, count(*) n_members
+        |from documents group by 1""".stripMargin,
+
+    "q_doy_of_max" ->
+      s"""with daily as ($dailySql),
+         |r as (select user_id, d, total,
+         |  row_number() over (partition by user_id order by total desc, d) rn
+         | from daily)
+         |select user_id, d max_day,
+         | cast(cast(total as decimal(38,6)) as double) max_total
+         |from r where rn = 1""".stripMargin
   )
 }
