@@ -138,17 +138,24 @@ object Dedup {
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], ngram: Int,
                           threshold: Double): DataFrame = {
+    // shingle sets as SORTED distinct xxhash64 arrays: the per-pair kernel
+    // becomes a primitive codegen'd merge (SortedIntersectCount) instead of
+    // a per-pair string hash set; 64-bit collisions are negligible
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-        array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
+        sort_array(array_distinct(transform(
+          TextStats.wordNgrams(col(textCol), ngram), g => xxhash64(g)))).as("grams"): _*)
       .withColumn("sz", size(col("grams")))
       .cache()
     val a = grams.alias("a"); val b = grams.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val common = graft.functions.SortedIntersectCount
+      .sortedIntersectCount(col("a.grams"), col("b.grams"))
     a.join(b, blockCond && col("a.id") < col("b.id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(jaccard(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+        round(common.cast("double") /
+          (col("a.sz") + col("b.sz") - common).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
