@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1306,5 +1306,119 @@ object SparkEntry {
          |select user_id, d max_day,
          | cast(cast(total as decimal(38,6)) as double) max_total
          |from r where rn = 1""".stripMargin
+  )
+
+  // ---- batch 9: hydrology + bioclim breadth ------------------------------
+  private def queries9: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_base_flow_index" -> ((s, dir) => {
+      // base_flow_index (_hydrology.py:50): min 7-day rolling mean / mean
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val wu = Window.partitionBy(col("user_id"))
+      dailyTotals(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("r7", avg(col("total")).over(w.rowsBetween(-6, 0)))
+        .withColumn("bfi7", when(col("rn") >= 7, col("r7")))
+        .groupBy(col("user_id"))
+        .agg(round(min(col("bfi7")) / avg(col("total")), 6).as("bfi"))
+    }),
+
+    "q_rb_flashiness" -> ((s, dir) => {
+      // Richards-Baker flashiness (_hydrology.py:94): sum|dQ| / sumQ
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      dailyTotals(s, dir)
+        .withColumn("dq", abs(col("total") - lag(col("total"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("dq")) / sum(col("total")), 6).as("rbi"))
+    }),
+
+    "q_flow_frequency" -> ((s, dir) => {
+      // high/low_flow_frequency (_hydrology.py:607,:640) with mean-scaled
+      // thresholds (self-join of per-entity climatology)
+      val wu = Window.partitionBy(col("user_id"))
+      dailyTotals(s, dir)
+        .withColumn("m", avg(col("total")).over(wu))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("total") > col("m") * 2.0, 1L)), lit(0L)).as("high_days"),
+          coalesce(sum(when(col("total") < col("m") * 0.2, 1L)), lit(0L)).as("low_days"))
+    }),
+
+    "q_cv_seasonality" -> ((s, dir) => {
+      // precip_seasonality (_anuclim.py:158): 100 * population CV
+      dailyTotals(s, dir)
+        .groupBy(col("user_id"))
+        .agg(round(stddev_pop(col("total")) / avg(col("total")) * 100.0, 6).as("cv"))
+    }),
+
+    "q_between_dates" -> ((s, dir) => {
+      // aggregate_between_dates (generic.py:1417): doy-window reduction
+      dailyTotals(s, dir)
+        .filter(dayofmonth(col("d")).between(10, 20))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("total")), 6).as("total_10_20"), count(lit(1)).as("n_days"))
+    }),
+
+    "q_level_crossings" -> ((s, dir) => {
+      // count_level_crossings (generic.py:914): days whose min crosses below
+      // and max crosses above the level
+      t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("d"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("lo") < 50.0 && col("hi") >= 50.0, 1L)), lit(0L))
+          .as("crossing_days"))
+    })
+  )
+
+  private def oracle9: Map[String, String] = Map(
+    "q_base_flow_index" ->
+      s"""with daily as ($dailySql),
+         |r as (select user_id, total,
+         |  row_number() over (partition by user_id order by d) rn,
+         |  avg(total) over (partition by user_id order by d
+         |    rows between 6 preceding and current row) r7 from daily)
+         |select user_id,
+         | cast(cast(min(case when rn >= 7 then r7 end) / avg(total)
+         |   as decimal(38,6)) as double) bfi
+         |from r group by 1""".stripMargin,
+
+    "q_rb_flashiness" ->
+      s"""with daily as ($dailySql),
+         |l as (select user_id, total,
+         |  abs(total - lag(total) over (partition by user_id order by d)) dq
+         | from daily)
+         |select user_id,
+         | cast(cast(sum(dq) / sum(total) as decimal(38,6)) as double) rbi
+         |from l group by 1""".stripMargin,
+
+    "q_flow_frequency" ->
+      s"""with daily as ($dailySql),
+         |m as (select user_id, total, avg(total) over (partition by user_id) m
+         | from daily)
+         |select user_id,
+         | cast(coalesce(sum(case when total > m * 2.0 then 1 end), 0) as bigint) high_days,
+         | cast(coalesce(sum(case when total < m * 0.2 then 1 end), 0) as bigint) low_days
+         |from m group by 1""".stripMargin,
+
+    "q_cv_seasonality" ->
+      s"""with daily as ($dailySql)
+         |select user_id,
+         | cast(cast(stddev_pop(total) / avg(total) * 100.0 as decimal(38,6)) as double) cv
+         |from daily group by 1""".stripMargin,
+
+    "q_between_dates" ->
+      s"""with daily as ($dailySql)
+         |select user_id,
+         | cast(cast(sum(total) as decimal(38,6)) as double) total_10_20,
+         | count(*) n_days
+         |from daily where day(d) between 10 and 20 group by 1""".stripMargin,
+
+    "q_level_crossings" ->
+      """with daily as (select user_id, cast(date_trunc('day', ts) as date) d,
+        |  min(value) lo, max(value) hi from events group by 1, 2)
+        |select user_id,
+        | cast(coalesce(sum(case when lo < 50.0 and hi >= 50.0 then 1 end), 0)
+        |   as bigint) crossing_days
+        |from daily group by 1""".stripMargin
   )
 }
