@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.Skew
+import graft.sources.Lake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout-level scale mechanics: bucketed joins without shuffles, salted
+  * aggregation equivalence. */
+class LakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed tables join with zero shuffles") {
+    import spark.implicits._
+    // runtime confs (sessions are shared across suites in one JVM):
+    // force the SMJ path and static plans so ShuffleExchange nodes are
+    // visible (AdaptiveSparkPlanExec hides children until materialisation)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+    Lake.writeBucketed(facts, "facts_b", "k", 8, Seq("k"))
+    Lake.writeBucketed(dims, "dims_b", "k", 8, Seq("k"))
+    val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+    assert(joined.count() == 1000)
+    assert(Lake.countShuffles(joined) == 0,
+      "bucketed co-located join must not shuffle")
+    // same join on unbucketed frames shuffles both sides
+    val unbucketed = facts.join(dims, "k")
+    assert(unbucketed.count() == 1000)
+    assert(Lake.countShuffles(unbucketed) >= 2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    // heavily skewed: 90% of rows on one key
+    val df = ((1 to 9000).map(i => ("hot", i.toDouble)) ++
+      (1 to 1000).map(i => (s"k${i % 17}", i.toDouble))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), salt = 8, Map(
+        "s" -> ("sum", col("v")), "n" -> ("count", lit(1)), "mx" -> ("max", col("v"))))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(salted.keySet == direct.keySet)
+    for (k <- direct.keys) {
+      assert(math.abs(salted(k)._1 - direct(k)._1) < 1e-6)
+      assert(salted(k)._2 == direct(k)._2)
+      assert(salted(k)._3 == direct(k)._3)
+    }
+  }
+}
