@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1420,5 +1420,45 @@ object SparkEntry {
         | cast(coalesce(sum(case when lo < 50.0 and hi >= 50.0 then 1 end), 0)
         |   as bigint) crossing_days
         |from daily group by 1""".stripMargin
+  )
+
+  // ---- batch 10: ANUCLIM quarter selection -------------------------------
+  private def queries10: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_warmest_window_events" -> ((s, dir) => {
+      // prcptot_warmcold_quarter pattern (_anuclim.py:389 _from_other_arg):
+      // the value of one rolling series at the argmax of another
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val pick = Window.partitionBy(col("user_id"))
+        .orderBy(col("wavg").desc, col("d"))
+      dailyTotals(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("wavg", avg(col("total")).over(w.rowsBetween(-6, 0)))
+        .withColumn("wevents", sum(col("n_events")).over(w.rowsBetween(-6, 0)))
+        .filter(col("rn") >= 7)
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("d").as("window_end"),
+          round(col("wavg"), 6).as("warmest_avg"), col("wevents").as("events_in_window"))
+    })
+  )
+
+  private def oracle10: Map[String, String] = Map(
+    "q_warmest_window_events" ->
+      s"""with daily as ($dailySql),
+         |r as (select user_id, d,
+         |  row_number() over (partition by user_id order by d) rn,
+         |  avg(total) over (partition by user_id order by d
+         |    rows between 6 preceding and current row) wavg,
+         |  sum(n_events) over (partition by user_id order by d
+         |    rows between 6 preceding and current row) wevents
+         | from daily),
+         |f as (select user_id, d, wavg, wevents,
+         |  row_number() over (partition by user_id order by wavg desc, d) rk
+         | from r where rn >= 7)
+         |select user_id, d window_end,
+         | cast(cast(wavg as decimal(38,6)) as double) warmest_avg,
+         | cast(wevents as bigint) events_in_window
+         |from f where rk = 1""".stripMargin
   )
 }

@@ -17,7 +17,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
-    "probit"    -> (exprs => Probit(exprs.head)))
+    "probit"    -> (exprs => Probit(exprs.head)),
+    "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

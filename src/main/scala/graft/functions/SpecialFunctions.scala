@@ -77,6 +77,50 @@ object SpecialMath {
     }
   }
 
+  /** Digamma psi(x) via recurrence to x >= 8 + asymptotic series (through
+    * the B10 term; |err| < 1e-12 for x > 0). */
+  def digamma(xIn: Double): Double = {
+    var x = xIn
+    var result = 0.0
+    while (x < 8.0) { result -= 1.0 / x; x += 1.0 }
+    val inv = 1.0 / x
+    val inv2 = inv * inv
+    result + math.log(x) - 0.5 * inv -
+      inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 * (1.0 / 252.0 -
+        inv2 * (1.0 / 240.0 - inv2 / 132.0))))
+  }
+
+  /** Trigamma psi'(x), same scheme (through the B10 term). */
+  def trigamma(xIn: Double): Double = {
+    var x = xIn
+    var result = 0.0
+    while (x < 8.0) { result += 1.0 / (x * x); x += 1.0 }
+    val inv = 1.0 / x
+    val inv2 = inv * inv
+    result + inv * (1.0 + 0.5 * inv +
+      inv2 * (1.0 / 6.0 - inv2 * (1.0 / 30.0 - inv2 * (1.0 / 42.0 -
+        inv2 * (1.0 / 30.0 - inv2 * 5.0 / 66.0)))))
+  }
+
+  /** Gamma maximum-likelihood shape given s = ln(mean) - mean(ln x):
+    * Minka (2002) closed-form initialisation + Newton steps on
+    * ln(a) - psi(a) = s. Pure scalar math — callable per aggregated row, so
+    * a distributed MLE needs only avg(x) and avg(ln x). */
+  def gammaMleShape(s: Double): Double = {
+    if (!(s > 0.0)) return Double.NaN
+    var a = (3.0 - s + math.sqrt((s - 3.0) * (s - 3.0) + 24.0 * s)) / (12.0 * s)
+    var i = 0
+    while (i < 10) {
+      val f = math.log(a) - digamma(a) - s
+      val fp = 1.0 / a - trigamma(a)
+      val next = a - f / fp
+      if (next > 0 && math.abs(next - a) < 1e-12 * a) { a = next; i = 10 }
+      else if (next > 0) a = next
+      i += 1
+    }
+    a
+  }
+
   /** Inverse standard normal CDF (Acklam 2003 rational approximation). */
   def probit(p: Double): Double = {
     if (p <= 0.0) return Double.NegativeInfinity
@@ -130,6 +174,18 @@ case class Probit(child: Expression) extends org.apache.spark.sql.catalyst.expre
   override protected def withNewChildInternal(c: Expression): Probit = copy(child = c)
 }
 
+/** gamma_mle_shape(s): MLE gamma shape from s = ln(mean) - mean(ln x). */
+case class GammaMleShape(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(s: Any): Any = SpecialMath.gammaMleShape(s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SpecialMath.gammaMleShape($s)")
+  override protected def withNewChildInternal(c: Expression): GammaMleShape = copy(child = c)
+}
+
 object SpecialFunctions {
   /** Gamma CDF with shape/scale: P(shape, x/scale). */
   def gammaCdf(x: Column, shape: Column, scale: Column): Column =
@@ -138,4 +194,11 @@ object SpecialFunctions {
 
   def probit(p: Column): Column =
     ColumnBridge.column(Probit(ColumnBridge.expression(p)))
+
+  /** Distributed gamma MLE: feed avg(x) and avg(ln x) aggregates; shape
+    * solves ln(a) - psi(a) = ln(mean) - meanLog, scale = mean / shape
+    * (stats.py:115 `fit`, method="ML", gamma). */
+  def gammaMleShape(mean: Column, meanLog: Column): Column =
+    ColumnBridge.column(GammaMleShape(
+      ColumnBridge.expression(org.apache.spark.sql.functions.log(mean) - meanLog)))
 }

@@ -58,6 +58,19 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(logGamma(5.0) - math.log(24.0)) < 1e-12)
   }
 
+  test("digamma / trigamma / gamma MLE shape") {
+    import graft.functions.SpecialMath._
+    assert(math.abs(digamma(1.0) + 0.5772156649015329) < 1e-12)   // -Euler gamma
+    assert(math.abs(digamma(2.0) - (1.0 - 0.5772156649015329)) < 1e-12)
+    assert(math.abs(trigamma(1.0) - math.Pi * math.Pi / 6.0) < 1e-10)
+    // MLE stationarity: ln(a) - psi(a) = s at the returned shape
+    for (s <- Seq(0.01, 0.1, 0.5, 2.0)) {
+      val a = gammaMleShape(s)
+      assert(math.abs(math.log(a) - digamma(a) - s) < 1e-9, s"s=$s a=$a")
+    }
+    assert(gammaMleShape(-1.0).isNaN)
+  }
+
   test("agg units rules") {
     assert(Units.aggUnits("K", "count") == "d")
     assert(Units.aggUnits("K", "integral") == "K d")
