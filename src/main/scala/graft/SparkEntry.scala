@@ -44,7 +44,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -425,7 +425,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1460,5 +1460,84 @@ object SparkEntry {
          | cast(cast(wavg as decimal(38,6)) as double) warmest_avg,
          | cast(wevents as bigint) events_in_window
          |from f where rk = 1""".stripMargin
+  )
+
+  // ---- batch 11: detrend/regression, ratios, constrained runs ------------
+  private def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_detrend" -> ((s, dir) => {
+      // detrend deg-1 (generic.py:1711): per-entity OLS fit + residual std
+      val daily = dailyTotals(s, dir)
+        .withColumn("t", datediff(col("d"), to_date(lit("2024-01-01"))).cast("double"))
+      val fits = daily.groupBy(col("user_id"))
+        .agg(regr_slope(col("total"), col("t")).as("slope"),
+          regr_intercept(col("total"), col("t")).as("intercept"))
+      daily.join(fits, "user_id")
+        .withColumn("resid", col("total") - (col("intercept") + col("slope") * col("t")))
+        .groupBy(col("user_id"))
+        .agg(round(first(col("slope")), 6).as("slope"),
+          round(first(col("intercept")), 6).as("intercept"),
+          round(stddev_samp(col("resid")), 6).as("resid_std"))
+    }),
+
+    "q_type_ratio" -> ((s, dir) => {
+      // liquid_precip_ratio family (_multivariate.py:871): phase-partitioned
+      // share of the total, per entity
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          / sum(col("value")), 6).as("purchase_ratio"))
+    }),
+
+    "q_first_run_after_date" -> ((s, dir) => {
+      // first_run_after_date (run_length.py:1148): first 3-day qualifying
+      // streak starting on/after Jan 10
+      val daily = dailyTotals(s, dir)
+        .filter(col("d") >= lit("2024-01-10"))
+        .withColumn("dnum", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      daily.filter(col("total") > 50)
+        .withColumn("grp", col("dnum") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("d")).as("run_start"), count(lit(1)).as("len"))
+        .filter(col("len") >= 3)
+        .groupBy(col("user_id"))
+        .agg(min(col("run_start")).as("first_run_start"))
+    })
+  )
+
+  private def oracle11: Map[String, String] = Map(
+    "q_detrend" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, total,
+         |  cast(date_diff('day', date '2024-01-01', d) as double) t from daily),
+         |fits as (select user_id, regr_slope(total, t) slope,
+         |  regr_intercept(total, t) intercept from dd group by 1),
+         |r as (select dd.user_id, slope, intercept,
+         |  total - (intercept + slope * t) resid
+         | from dd join fits using (user_id))
+         |select user_id,
+         | cast(cast(any_value(slope) as decimal(38,6)) as double) slope,
+         | cast(cast(any_value(intercept) as decimal(38,6)) as double) intercept,
+         | cast(cast(stddev_samp(resid) as decimal(38,6)) as double) resid_std
+         |from r group by 1""".stripMargin,
+
+    "q_type_ratio" ->
+      """select user_id,
+        | cast(cast(sum(case when event_type = 'purchase' then value else 0.0 end)
+        |   / sum(value) as decimal(38,6)) as double) purchase_ratio
+        |from events group by 1""".stripMargin,
+
+    "q_first_run_after_date" ->
+      s"""with daily as ($dailySql),
+         |f as (select user_id, d,
+         |  date_diff('day', date '1970-01-01', d) dnum
+         | from daily where d >= date '2024-01-10' and total > 50),
+         |q as (select user_id, d,
+         |  dnum - row_number() over (partition by user_id order by d) grp from f),
+         |runs as (select user_id, grp, min(d) run_start, count(*) len
+         | from q group by 1,2)
+         |select user_id, min(run_start) first_run_start
+         |from runs where len >= 3 group by 1""".stripMargin
   )
 }
