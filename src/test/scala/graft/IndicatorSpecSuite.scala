@@ -93,7 +93,36 @@ class IndicatorSpecSuite extends AnyFunSuite {
   }
 
   test("registry listing includes builtins") {
-    assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days")
-      .forall(Registry.names.contains))
+    assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days", "wetdays",
+      "maximum_consecutive_dry_days", "frost_days", "cooling_degree_days",
+      "first_day_temperature_above").forall(Registry.names.contains))
+    assert(Registry.names.size >= 40)
+  }
+
+  test("catalogue spot-checks: frost_days, degree days, consecutive dry days") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.MetadataBuilder
+    val md = new MetadataBuilder().putString("units", "degC").build()
+    // full July (missing=any would mask a partial month): every 3rd day -2,
+    // the rest 5 degC -> 11 frost days, gdd = 20 days x 1 K
+    val df = (0 until 31).map { i =>
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2000-07-01")
+        .plusDays(i).atStartOfDay), if (i % 3 == 0) -2.0 else 5.0)
+    }.toDF("location_id", "time", "value")
+      .withColumn("value", col("value").as("value", md))
+    val frost = Registry("frost_days")(df, "MS", Map.empty).head.getAs[Long]("value")
+    assert(frost == 11)
+    val gdd = Registry("growing_degree_days")(df, "MS", Map.empty).head.getAs[Double]("value")
+    assert(math.abs(gdd - 20.0) < 1e-9)
+    // precip: rain every 5th day -> longest dry run 4
+    val mdPr = new MetadataBuilder().putString("units", "mm/d").build()
+    val pr = (0 until 31).map { i =>
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2000-07-01")
+        .plusDays(i).atStartOfDay), if (i % 5 == 4) 5.0 else 0.0)
+    }.toDF("location_id", "time", "value")
+      .withColumn("value", col("value").as("value", mdPr))
+    val cdd = Registry("maximum_consecutive_dry_days")(pr, "MS", Map.empty)
+      .head.getAs[Long]("value")
+    assert(cdd == 4)
   }
 }
