@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
 object Main {
   def main(args: Array[String]): Unit = {
     Registry.registerBuiltins()
+    VirtualModules.loadBundled("icclim")
     args.toList match {
       case "list" :: rest =>
         rest.foreach(VirtualModules.loadYamlFile)

@@ -61,4 +61,12 @@ object VirtualModules {
   def loadYamlFile(path: String): Seq[String] =
     loadYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Load a catalogue bundled on the classpath (src/main/resources/modules). */
+  def loadBundled(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/modules/$name.yml")
+    require(in != null, s"no bundled module '$name'")
+    try loadYaml(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
 }

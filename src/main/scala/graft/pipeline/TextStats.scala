@@ -85,9 +85,11 @@ object TextStats {
     transform(indices(length(norm) - (n - 1)), i => norm.substr(i, lit(n)))
   }
 
-  /** Word n-grams as an array column (for n-gram Jaccard dedup). */
+  /** Word n-grams as an array column (for n-gram Jaccard dedup).
+    * n=1 short-circuits to the token array (no per-token slice/concat). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    transform(indices(size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n))))
+    if (n == 1) toks
+    else transform(indices(size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 }

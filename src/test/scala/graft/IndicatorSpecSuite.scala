@@ -92,6 +92,22 @@ class IndicatorSpecSuite extends AnyFunSuite {
     assert(math.abs(gd4 - expected) < 1e-9)
   }
 
+  test("bundled icclim catalogue loads and runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.MetadataBuilder
+    val ids = VirtualModules.loadBundled("icclim")
+    assert(ids.size >= 20)
+    assert(ids.contains("icclim.CDD") && ids.contains("icclim.TXx"))
+    val mdPr = new MetadataBuilder().putString("units", "mm/d").build()
+    val pr = (0 until 31).map { i =>
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2000-07-01")
+        .plusDays(i).atStartOfDay), if (i % 5 == 4) 5.0 else 0.0)
+    }.toDF("location_id", "time", "value")
+      .withColumn("value", col("value").as("value", mdPr))
+    assert(Registry("icclim.CDD")(pr, "MS", Map.empty).head.getAs[Long]("value") == 4)
+    assert(Registry("icclim.RR1")(pr, "MS", Map.empty).head.getAs[Long]("value") == 6)
+  }
+
   test("registry listing includes builtins") {
     assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days", "wetdays",
       "maximum_consecutive_dry_days", "frost_days", "cooling_degree_days",
