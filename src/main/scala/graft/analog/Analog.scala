@@ -44,4 +44,67 @@ object Analog {
     * std (analog.py:182 `seuclidean`, 1-D form). */
   def seuclidean(candMean: Column, tgtMean: Column, tgtStd: Column): Column =
     abs(candMean - tgtMean) / tgtStd
+
+  /** Sample-vs-sample dissimilarity metrics that need the full candidate
+    * sample in memory: Székely–Rizzo energy distance (analog.py:323
+    * `szekely_rizzo`) and the nearest-neighbour class-purity metric
+    * (analog.py:217 `nearest_neighbor`). One `mapGroups` pass per candidate
+    * group with the (bounded) target sample broadcast in the closure —
+    * candidate cells stream through executors, so candidate COUNT scales
+    * freely; per-cell sample size is the O(n^2) bound, as in the reference.
+    *
+    * Input: (groupCol, features ARRAY<DOUBLE>); output per group:
+    * (group, energy_distance, nn_metric).
+    */
+  def sampleMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
+                    target: Array[Array[Double]]): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    def d(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+    candidates
+      .select(col(groupCol).cast("string"), col(featuresCol))
+      .as[(String, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val xs = it.map(_._2.toArray).toArray
+        val ys = target
+        var dxy = 0.0
+        for (x <- xs; y <- ys) dxy += d(x, y)
+        dxy /= (xs.length.toLong * ys.length)
+        def meanWithin(zs: Array[Array[Double]]): Double = {
+          if (zs.length < 2) 0.0
+          else {
+            var acc = 0.0; var n = 0L
+            var i = 0
+            while (i < zs.length) {
+              var j = i + 1
+              while (j < zs.length) { acc += d(zs(i), zs(j)); n += 1; j += 1 }
+              i += 1
+            }
+            2.0 * acc / (zs.length.toLong * zs.length) // includes both orders
+          }
+        }
+        val energy = 2.0 * dxy - meanWithin(xs) - meanWithin(ys)
+        // NN purity: for each candidate point, is its nearest pooled
+        // neighbour (excluding itself) also a candidate point?
+        var same = 0
+        for (i <- xs.indices) {
+          var best = Double.MaxValue; var bestIsCand = false
+          for (j <- xs.indices if j != i) {
+            val dd = d(xs(i), xs(j)); if (dd < best) { best = dd; bestIsCand = true }
+          }
+          for (y <- ys) {
+            val dd = d(xs(i), y); if (dd < best) { best = dd; bestIsCand = false }
+          }
+          if (bestIsCand) same += 1
+        }
+        val nn = if (xs.isEmpty) Double.NaN else same.toDouble / xs.length
+        (g, energy, nn)
+      }
+      .toDF(groupCol, "energy_distance", "nn_metric")
+  }
 }

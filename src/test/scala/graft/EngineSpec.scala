@@ -249,6 +249,22 @@ class EngineSpec extends AnyFunSuite {
     assert(pairs.sliding(2).forall(p => p(1)._2 >= p(0)._2 - 1e-12))
   }
 
+  test("analog sample metrics: identical vs shifted candidate") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val tgt = Array.fill(40)(Array(rng.nextGaussian(), rng.nextGaussian()))
+    val same = tgt.map(v => ("same", Seq(v(0), v(1))))
+    val far = Array.fill(40)(Array(rng.nextGaussian() + 8, rng.nextGaussian() + 8))
+      .map(v => ("far", Seq(v(0), v(1))))
+    val cand = (same ++ far).toSeq.toDF("g", "features")
+    val got = graft.analog.Analog.sampleMetrics(cand, "g", "features", tgt)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got("same")._1) < 0.05)        // identical sample -> ~0
+    assert(got("far")._1 > 5.0)                    // shifted -> large energy
+    assert(got("same")._2 < 0.7)                   // mixed neighbourhoods
+    assert(got("far")._2 > 0.95)                   // pure candidate cluster
+  }
+
   test("SparkEntry smoke at sf0.001: every query executes") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
