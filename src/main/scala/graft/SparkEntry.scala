@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -432,7 +432,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1546,5 +1546,58 @@ object SparkEntry {
          | from q group by 1,2)
          |select user_id, min(run_start) first_run_start
          |from runs where len >= 3 group by 1""".stripMargin
+  )
+
+  // ---- batch 12: max run sum, rank family --------------------------------
+  private def queries12: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_max_run_sum" -> ((s, dir) => {
+      // windowed_max_run_sum (run_length.py:491): max over qualifying runs
+      // of the within-run value sum
+      val daily = dailyTotals(s, dir)
+        .withColumn("dnum", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      daily.filter(col("total") > 50)
+        .withColumn("grp", col("dnum") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(sum(col("total")).as("run_sum"), count(lit(1)).as("len"))
+        .filter(col("len") >= 2)
+        .groupBy(col("user_id"))
+        .agg(round(max(col("run_sum")), 6).as("max_run_sum"))
+    }),
+
+    "q_ntile_deciles" -> ((s, dir) => {
+      // rank-family ops (basis of Mann-Whitney robustness tests): decile
+      // assignment with deterministic tie-break, per event type
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("decile_mean"))
+    })
+  )
+
+  private def oracle12: Map[String, String] = Map(
+    "q_max_run_sum" ->
+      s"""with daily as ($dailySql),
+         |f as (select user_id, d, total,
+         |  date_diff('day', date '1970-01-01', d) dnum
+         | from daily where total > 50),
+         |q as (select user_id, total,
+         |  dnum - row_number() over (partition by user_id order by d) grp from f),
+         |runs as (select user_id, grp, sum(total) run_sum, count(*) len
+         | from q group by 1,2)
+         |select user_id,
+         | cast(cast(max(run_sum) as decimal(38,6)) as double) max_run_sum
+         |from runs where len >= 2 group by 1""".stripMargin,
+
+    "q_ntile_deciles" ->
+      """with r as (select event_type, event_id, value,
+        |  ntile(10) over (partition by event_type
+        |    order by value, event_id) decile
+        | from events)
+        |select event_type, cast(decile as int) decile, count(*) n,
+        | cast(cast(avg(value) as decimal(38,6)) as double) decile_mean
+        |from r group by 1,2""".stripMargin
   )
 }

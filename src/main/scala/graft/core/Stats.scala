@@ -60,6 +60,36 @@ object Stats {
     * _anuclim.py:105): population-std / mean. */
   def cv(c: Column): Column = stddev_pop(c) / avg(c)
 
+  /** Weighted quantile (ensemble_percentiles with member weights,
+    * _base.py:214): linear interpolation on the cumulative-weight grid
+    * w_cum_i - w_i/2 (the "weighted type-7" convention). Aggregate
+    * expression over (value, weight) pairs; weights need not be normalised.
+    */
+  def weightedQuantile(value: Column, weight: Column, p: Double): Column = {
+    val pairs = sort_array(collect_list(struct(value.as("v"), weight.as("w"))))
+    val ws = transform(pairs, x => x.getField("w"))
+    val total = aggregate(ws, lit(0.0), (a, b) => a + b)
+    // cumulative weights minus half own weight, normalised
+    val n = size(pairs)
+    val idx = sequence(lit(1), n)
+    val cums = transform(idx, i =>
+      aggregate(slice(ws, lit(1), i), lit(0.0), (a, b) => a + b)
+        - element_at(ws, i) / 2.0)
+    val grid = transform(cums, c => c / total)
+    // find bracketing grid points and interpolate
+    val target = lit(p)
+    val below = size(filter(grid, g => g <= target))
+    when(n === 0, lit(null).cast("double"))
+      .when(below === 0, element_at(pairs, 1).getField("v"))
+      .when(below === n, element_at(pairs, n).getField("v"))
+      .otherwise {
+        val g0 = element_at(grid, below); val g1 = element_at(grid, below + 1)
+        val v0 = element_at(pairs, below).getField("v")
+        val v1 = element_at(pairs, below + 1).getField("v")
+        v0 + (target - g0) / (g1 - g0) * (v1 - v0)
+      }
+  }
+
   /** Rank-based quantile membership: fraction of rows where cond holds. */
   def fraction(cond: Column): Column =
     avg(when(cond, 1.0).otherwise(0.0))

@@ -115,6 +115,18 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(med - 5.5) < 1e-9)
   }
 
+  test("weightedQuantile: equal weights reduce to midpoint interpolation") {
+    import spark.implicits._
+    val eq = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("v", "w")
+    val m = eq.agg(Stats.weightedQuantile(col("v"), col("w"), 0.5)).head.getDouble(0)
+    assert(math.abs(m - 2.5) < 1e-9)
+    val wt = Seq((1.0, 3.0), (10.0, 1.0)).toDF("v", "w")
+    val mw = wt.agg(Stats.weightedQuantile(col("v"), col("w"), 0.5)).head.getDouble(0)
+    assert(math.abs(mw - 3.25) < 1e-9) // grid 0.375/0.875 -> 1 + .25/.5*9? no: (0.5-0.375)/0.5*9
+    val lo = wt.agg(Stats.weightedQuantile(col("v"), col("w"), 0.1)).head.getDouble(0)
+    assert(lo == 1.0) // below the first grid point -> min
+  }
+
   test("rollingThenResample: max 3-day sum") {
     val df = daily(Seq(1, 2, 3, 4, 0, 0, 1).map(_.toDouble))
     val got = Generic.rollingThenResample(df, Seq("location_id"), col("time"), "MS",
