@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -432,7 +432,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1599,5 +1599,34 @@ object SparkEntry {
         |select event_type, cast(decile as int) decile, count(*) n,
         | cast(cast(avg(value) as decimal(38,6)) as double) decile_mean
         |from r group by 1,2""".stripMargin
+  )
+
+  // ---- batch 13: uncertainty partitioning --------------------------------
+  private def queries13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_uncertainty_partition" -> ((s, dir) => {
+      // hawkins_sutton (_partitioning.py:57): event_type plays the model
+      // dim; per-day variance split via the law of total variance
+      graft.ensembles.Partitioning.hawkinsSutton(
+          t(s, dir, "events")
+            .withColumn("d", date_trunc("DAY", col("ts")).cast("date")),
+          "d", "event_type", "value")
+        .select(col("d"),
+          round(col("model_uncertainty"), 6).as("model_uncertainty"),
+          round(col("internal_uncertainty"), 6).as("internal_uncertainty"),
+          round(col("total_uncertainty"), 6).as("total_uncertainty"))
+    })
+  )
+
+  private def oracle13: Map[String, String] = Map(
+    "q_uncertainty_partition" ->
+      """with pm as (select cast(date_trunc('day', ts) as date) d, event_type,
+        |  avg(value) m, var_pop(value) v from events group by 1,2),
+        |agg as (select d, var_pop(m) mu, avg(v) iu from pm group by 1)
+        |select d,
+        | cast(cast(mu as decimal(38,6)) as double) model_uncertainty,
+        | cast(cast(iu as decimal(38,6)) as double) internal_uncertainty,
+        | cast(cast(mu + iu as decimal(38,6)) as double) total_uncertainty
+        |from agg""".stripMargin
   )
 }
