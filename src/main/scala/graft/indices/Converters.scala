@@ -105,4 +105,22 @@ object Converters {
     val h = acos(greatest(lit(-1.0), least(lit(1.0), cosH)))
     lit(24.0 / math.Pi) * h
   }
+
+  /** Daily -> hourly temperature upsampling (helpers.py:1059
+    * `make_hourly_temperature`, used by the chill models): explode 24 rows
+    * per day with a sine ramp from tasmin (sunrise) to tasmax (mid-
+    * afternoon) and a linear night decay — the row-generator pattern for
+    * frequency upsampling. Input frame needs (tasmin, tasmax) columns; adds
+    * `hour` and `tas_hourly`. */
+  def hourlyTemperature(df: org.apache.spark.sql.DataFrame,
+                        tasmin: String, tasmax: String): org.apache.spark.sql.DataFrame = {
+    val h = col("hour").cast("double")
+    val tmin = col(tasmin); val tmax = col(tasmax)
+    val day = sin(lit(math.Pi) * (h - 6.0) / 12.0) // 0 at 6h, 1 at 12h... sine arc 6h-18h
+    df.withColumn("hour", explode(sequence(lit(0), lit(23))))
+      .withColumn("tas_hourly",
+        when(h.between(6.0, 18.0), tmin + (tmax - tmin) * day)
+          .otherwise(tmin + (tmax - tmin) * 0.1 * greatest(lit(0.0),
+            lit(1.0) - abs(h - 18.0) / 12.0)))
+  }
 }

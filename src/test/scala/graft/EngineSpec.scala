@@ -261,6 +261,18 @@ class EngineSpec extends AnyFunSuite {
     assert(pairs.sliding(2).forall(p => p(1)._2 >= p(0)._2 - 1e-12))
   }
 
+  test("hourly temperature upsampling: 24 rows, bounded by tasmin/tasmax") {
+    import spark.implicits._
+    val df = Seq((0L, 10.0, 20.0)).toDF("location_id", "tasmin", "tasmax")
+    val out = graft.indices.Converters.hourlyTemperature(df, "tasmin", "tasmax")
+    assert(out.count() == 24)
+    val temps = out.select("hour", "tas_hourly").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(temps.values.forall(t => t >= 10.0 - 1e-9 && t <= 20.0 + 1e-9))
+    assert(math.abs(temps(12) - 20.0) < 1e-9)  // solar-noon peak
+    assert(temps(3) < 12.0)                    // cool night
+  }
+
   test("analog sample metrics: identical vs shifted candidate") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
