@@ -273,6 +273,24 @@ class EngineSpec extends AnyFunSuite {
     assert(temps(3) < 12.0)                    // cool night
   }
 
+  test("agro: corn heat units and Utah chill bands") {
+    import spark.implicits._
+    val df = Seq((10.0, 25.0)).toDF("tasmin", "tasmax")
+    val chu = df.select(graft.indices.Agro.cornHeatUnits(col("tasmin"), col("tasmax")))
+      .head.getDouble(0)
+    // ymin = 1.8*(10-4.44)=10.008; ymax = 3.33*15 - 0.084*225 = 31.05
+    assert(math.abs(chu - (10.008 + 31.05) / 2) < 1e-9)
+    val w = Seq(0.0, 2.0, 5.0, 11.0, 14.0, 17.0, 25.0).toDF("t")
+      .select(graft.indices.Agro.utahChillWeight(col("t")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(w == Seq(0.0, 0.5, 1.0, 0.5, 0.0, -0.5, -1.0))
+    // full pipeline: one cool day accumulates positive chill
+    val day = Seq((0L, 2.0, 8.0)).toDF("location_id", "tasmin", "tasmax")
+    val cu = graft.indices.Agro.chillUnitsUtah(day, Seq("location_id"))
+      .head.getDouble(1)
+    assert(cu > 12.0, s"cool day should accumulate chill, got $cu")
+  }
+
   test("analog sample metrics: identical vs shifted candidate") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
