@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -432,7 +432,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1628,5 +1628,86 @@ object SparkEntry {
         | cast(cast(iu as decimal(38,6)) as double) internal_uncertainty,
         | cast(cast(mu + iu as decimal(38,6)) as double) total_uncertainty
         |from agg""".stripMargin
+  )
+
+  // ---- batch 14: rank-sum test, robustness categories --------------------
+  private def queries14: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_mannwhitney_u" -> ((s, dir) => {
+      // Mann-Whitney U (robustness test "mannwhitney-utest",
+      // _robustness.py:585): pooled ranking per type, U for the fut half;
+      // deterministic tie-break on event_id (values are continuous)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("fut", col("ts").cast("date") >= lit("2024-01-16"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg((sum(when(col("fut"), col("rk").cast("long")))
+            - (sum(when(col("fut"), 1L)) * (sum(when(col("fut"), 1L)) + 1L)) / 2L)
+          .cast("long").as("u_stat"),
+          sum(when(col("fut"), 1L)).as("n_fut"),
+          sum(when(!col("fut"), 1L)).as("n_ref"))
+    }),
+
+    "q_robustness_categories" -> ((s, dir) => {
+      // robustness_categories (_robustness.py:336): IPCC-style advice labels
+      // from the (significance, agreement) fractions
+      val e = t(s, dir, "events")
+        .withColumn("fut", col("ts").cast("date") >= lit("2024-01-16"))
+      val per = e.groupBy(col("event_type"), col("user_id")).agg(
+        avg(when(!col("fut"), col("value"))).as("m1"),
+        var_samp(when(!col("fut"), col("value"))).as("v1"),
+        count(when(!col("fut"), 1)).as("n1"),
+        avg(when(col("fut"), col("value"))).as("m2"),
+        var_samp(when(col("fut"), col("value"))).as("v2"),
+        count(when(col("fut"), 1)).as("n2"))
+      val tstat = (col("m2") - col("m1")) / sqrt(col("v2") / col("n2") + col("v1") / col("n1"))
+      per.withColumn("tv", tstat)
+        .groupBy(col("event_type"))
+        .agg(round(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"),
+          round(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+        .withColumn("category",
+          when(col("frac_sig") < 0.66, "low agreement on significance")
+            .when(col("frac_pos") >= 0.8 || col("frac_pos") <= 0.2, "robust signal")
+            .otherwise("conflicting signal"))
+    })
+  )
+
+  private def oracle14: Map[String, String] = Map(
+    "q_mannwhitney_u" ->
+      """with r as (select event_type,
+        |  cast(ts as date) >= date '2024-01-16' fut,
+        |  row_number() over (partition by event_type order by value, event_id) rk
+        | from events)
+        |select event_type,
+        | cast(sum(case when fut then rk end)
+        |   - (sum(case when fut then 1 end) * (sum(case when fut then 1 end) + 1)) // 2
+        |   as bigint) u_stat,
+        | cast(sum(case when fut then 1 end) as bigint) n_fut,
+        | cast(sum(case when not fut then 1 end) as bigint) n_ref
+        |from r group by 1""".stripMargin,
+
+    "q_robustness_categories" ->
+      """with per as (select event_type, user_id,
+        |  avg(case when cast(ts as date) < date '2024-01-16' then value end) m1,
+        |  var_samp(case when cast(ts as date) < date '2024-01-16' then value end) v1,
+        |  count(case when cast(ts as date) < date '2024-01-16' then 1 end) n1,
+        |  avg(case when cast(ts as date) >= date '2024-01-16' then value end) m2,
+        |  var_samp(case when cast(ts as date) >= date '2024-01-16' then value end) v2,
+        |  count(case when cast(ts as date) >= date '2024-01-16' then 1 end) n2
+        | from events group by 1,2),
+        |w as (select event_type, m1, m2,
+        |  (m2 - m1) / sqrt(v2/n2 + v1/n1) tv from per),
+        |f as (select event_type,
+        |  cast(cast(avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end)
+        |    as decimal(38,6)) as double) frac_sig,
+        |  cast(cast(avg(case when m2 > m1 then 1.0 else 0.0 end)
+        |    as decimal(38,6)) as double) frac_pos
+        | from w group by 1)
+        |select event_type, frac_sig, frac_pos,
+        | case when frac_sig < 0.66 then 'low agreement on significance'
+        |      when frac_pos >= 0.8 or frac_pos <= 0.2 then 'robust signal'
+        |      else 'conflicting signal' end category
+        |from f""".stripMargin
   )
 }
