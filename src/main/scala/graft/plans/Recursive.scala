@@ -45,6 +45,46 @@ object Recursive {
       }
   }
 
+  /** Generic-state scan: like `scanPerKey` but with arbitrary state S and
+    * per-row emitted value — the shape of multi-code recursions (the FWI
+    * system carries (ffmc, dmc, dc) + season flags; the Dynamic chill model
+    * carries (portions, intermediate)). S stays in the executor closure; the
+    * output column is whatever `emit` projects. */
+  def scanPerKeyState[S](df: DataFrame, init: S)(
+      step: (S, Double, Int) => S)(emit: S => Double): Dataset[(Long, Int, Double)] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("key").cast("long"), col("t").cast("int"), col("v").cast("double"))
+      .as[(Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var state = init
+        var prevT = Integer.MIN_VALUE
+        rows.iterator.map { case (_, t, v) =>
+          val gap = if (prevT == Integer.MIN_VALUE) 1 else t - prevT
+          state = step(state, v, gap)
+          prevT = t
+          (key, t, emit(state))
+        }
+      }
+  }
+
+  /** Two-state demo kernel in the Dynamic-chill shape: an intermediate pool
+    * accumulates and, on crossing `cap`, converts one unit into the
+    * persistent total (Fishman-style two-compartment dynamics). */
+  def thresholdConversion(df: DataFrame, gain: Double, decay: Double,
+                          cap: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    scanPerKeyState(df, (0.0, 0.0)) { case ((total, pool), v, gap) =>
+      var p = pool * math.pow(decay, gap) + gain * v
+      var tot = total
+      while (p >= cap) { p -= cap; tot += 1.0 }
+      (tot, p)
+    }(_._1).toDF("key", "t", "out")
+  }
+
   /** Antecedent-precipitation-style exponential decay accumulator
     * (`_hydrology.py:673`): state = state * k^gap + v, where gap is the
     * number of time steps since the previous observation (missing steps keep

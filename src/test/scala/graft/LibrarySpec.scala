@@ -57,6 +57,18 @@ class LibrarySpec extends AnyFunSuite {
     assert(out.count() == 1 && out.head.getAs[Long]("n_replicas") == 6L)
   }
 
+  test("two-state recursion: threshold conversion accumulates units") {
+    import spark.implicits._
+    // key 0: steady input 0.6/step, cap 1.0, no decay -> a unit every 2 steps
+    val df = (1 to 10).map(t => (0L, t, 0.6)).toDF("key", "t", "v")
+    val out = graft.plans.Recursive.thresholdConversion(df, gain = 1.0,
+        decay = 1.0, cap = 1.0)
+      .orderBy("t").collect().map(_.getDouble(2)).toSeq
+    // pool: .6 1.2->unit(.2) .8 1.4->unit(.4) 1.0->unit ... totals:
+    assert(out.last == 6.0 - 1.0) // 10*0.6 = 6.0 accumulated, pool holds <1
+    assert(out == out.sorted)     // monotone non-decreasing totals
+  }
+
   test("KKZ and k-means reduction pick spread members") {
     // two tight clusters + one outlier; k=3 must cover all three
     val crit = Seq(
