@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -432,7 +432,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -1709,5 +1709,48 @@ object SparkEntry {
         |      when frac_pos >= 0.8 or frac_pos <= 0.2 then 'robust signal'
         |      else 'conflicting signal' end category
         |from f""".stripMargin
+  )
+
+  // ---- batch 15: percentile bootstrap over the oracle gate ---------------
+  private def queries15: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_bootstrap_percentile" -> ((s, dir) => {
+      // Zhang-2005 percentile bootstrap (core.Bootstrap): p90 of l_quantity
+      // per returnflag, recomputed under each in-base year replacement
+      // (1995-1997) as ONE unioned plan, then replica-averaged
+      val base = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).between(1995, 1997))
+        .select(col("l_returnflag"), col("l_quantity"),
+          year(col("l_shipdate")).as("yr"))
+      val reps = graft.core.Bootstrap.replicas(base, col("yr"), Seq(1995, 1996, 1997))
+      val perReplica = reps.groupBy(col("l_returnflag"), col("bootstrap_id"))
+        .agg(percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      perReplica.groupBy(col("l_returnflag"))
+        .agg(round(avg(col("p90")), 6).as("p90_bootstrap"),
+          count(lit(1)).as("n_replicas"))
+    })
+  )
+
+  private def oracle15: Map[String, String] = Map(
+    "q_bootstrap_percentile" ->
+      """with base as (select l_returnflag, l_quantity, year(l_shipdate) yr
+        | from lineitem where year(l_shipdate) between 1995 and 1997),
+        |pairs as (select a.y y_out, b.y y_in
+        | from (values (1995),(1996),(1997)) a(y), (values (1995),(1996),(1997)) b(y)
+        | where a.y <> b.y),
+        |reps as (
+        | select l_returnflag, l_quantity,
+        |  cast(y_out as varchar) || '<-' || cast(y_in as varchar) bootstrap_id
+        | from base join pairs on yr <> y_out
+        | union all
+        | select l_returnflag, l_quantity,
+        |  cast(y_out as varchar) || '<-' || cast(y_in as varchar) bootstrap_id
+        | from base join pairs on yr = y_in),
+        |per as (select l_returnflag, bootstrap_id,
+        |  quantile_cont(l_quantity, 0.9) p90 from reps group by 1,2)
+        |select l_returnflag,
+        | cast(cast(avg(p90) as decimal(38,6)) as double) p90_bootstrap,
+        | count(*) n_replicas
+        |from per group by 1""".stripMargin
   )
 }

@@ -121,6 +121,32 @@ object SpecialMath {
     a
   }
 
+  /** Inverse regularized incomplete gamma: x with P(a, x) = p, by Newton on
+    * gammaP with the gamma pdf as derivative (gamma ppf at scale 1 — the
+    * return-period quantile of `fa`/`frequency_analysis`, stats.py:429). */
+  def gammaPInv(a: Double, p: Double): Double = {
+    if (p <= 0.0) return 0.0
+    if (p >= 1.0) return Double.PositiveInfinity
+    // Wilson-Hilferty initial guess
+    val g = probit(p)
+    var x = a * math.pow(1.0 - 1.0 / (9.0 * a) + g / (3.0 * math.sqrt(a)), 3)
+    if (!(x > 0)) x = a * p // fallback for tiny a
+    var i = 0
+    while (i < 60) {
+      val f = gammaP(a, x) - p
+      val pdf = math.exp((a - 1.0) * math.log(x) - x - logGamma(a))
+      if (pdf <= 0) i = 60
+      else {
+        var next = x - f / pdf
+        if (next <= 0) next = x / 2.0
+        if (math.abs(next - x) < 1e-12 * (1.0 + x)) { x = next; i = 60 }
+        else { x = next }
+      }
+      i += 1
+    }
+    x
+  }
+
   /** Inverse standard normal CDF (Acklam 2003 rational approximation). */
   def probit(p: Double): Double = {
     if (p <= 0.0) return Double.NegativeInfinity

@@ -58,6 +58,18 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(logGamma(5.0) - math.log(24.0)) < 1e-12)
   }
 
+  test("inverse gamma CDF (ppf) round-trips and hits known values") {
+    import graft.functions.SpecialMath._
+    // exponential special case: P(1, x) = 1 - e^-x -> ppf(p) = -ln(1-p)
+    for (p <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(gammaPInv(1.0, p) + math.log(1.0 - p)) < 1e-9)
+    // median of gamma(shape=2, scale=1): scipy gammaincinv(2, 0.5) = 1.67834699...
+    assert(math.abs(gammaPInv(2.0, 0.5) - 1.6783469900166605) < 1e-6)
+    // round trip across shapes
+    for (a <- Seq(0.5, 1.7, 6.0); p <- Seq(0.05, 0.5, 0.99))
+      assert(math.abs(gammaP(a, gammaPInv(a, p)) - p) < 1e-9, s"a=$a p=$p")
+  }
+
   test("digamma / trigamma / gamma MLE shape") {
     import graft.functions.SpecialMath._
     assert(math.abs(digamma(1.0) + 0.5772156649015329) < 1e-12)   // -Euler gamma
