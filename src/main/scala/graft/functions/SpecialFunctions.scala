@@ -212,6 +212,19 @@ case class GammaMleShape(child: Expression)
   override protected def withNewChildInternal(c: Expression): GammaMleShape = copy(child = c)
 }
 
+/** gamma_ppf(p, shape): inverse regularized incomplete gamma (scale 1). */
+case class GammaPInv(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(p: Any, a: Any): Any =
+    SpecialMath.gammaPInv(a.asInstanceOf[Double], p.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, a) => s"graft.functions.SpecialMath.gammaPInv($a, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GammaPInv =
+    copy(left = l, right = r)
+}
+
 object SpecialFunctions {
   /** Gamma CDF with shape/scale: P(shape, x/scale). */
   def gammaCdf(x: Column, shape: Column, scale: Column): Column =
@@ -227,4 +240,9 @@ object SpecialFunctions {
   def gammaMleShape(mean: Column, meanLog: Column): Column =
     ColumnBridge.column(GammaMleShape(
       ColumnBridge.expression(org.apache.spark.sql.functions.log(mean) - meanLog)))
+
+  /** Gamma quantile (ppf) with shape/scale. */
+  def gammaPpf(p: Column, shape: Column, scale: Column): Column =
+    ColumnBridge.column(GammaPInv(
+      ColumnBridge.expression(p), ColumnBridge.expression(shape))) * scale
 }

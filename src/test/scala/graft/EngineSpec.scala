@@ -273,6 +273,23 @@ class EngineSpec extends AnyFunSuite {
     assert(temps(3) < 12.0)                    // cool night
   }
 
+  test("frequency analysis: gamma return levels are ordered and bracket the data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // 40 years of daily-ish values; block maxima cluster near the upper tail
+    val rows = for (y <- 0 until 40; d <- 0 until 50) yield
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.of(1960 + y, 6, 1)
+        .plusDays(d).atStartOfDay), math.pow(rng.nextDouble(), 0.3) * 100.0)
+    val df = rows.toDF("location_id", "time", "value")
+    val out = Seq(2.0, 20.0, 100.0).map { t =>
+      graft.indices.FrequencyAnalysis.returnLevel(df, Seq("location_id"),
+        col("time"), col("value"), t).head.getAs[Double]("return_level")
+    }
+    assert(out(0) < out(1) && out(1) < out(2), s"return levels must increase: $out")
+    // 2-year level sits inside the annual-max range; the MLE fit is sane
+    assert(out(0) > 80.0 && out(0) < 110.0, s"2-year level implausible: ${out(0)}")
+  }
+
   test("agro: corn heat units and Utah chill bands") {
     import spark.implicits._
     val df = Seq((10.0, 25.0)).toDF("tasmin", "tasmax")
