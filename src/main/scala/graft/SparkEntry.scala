@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1753,4 +1753,34 @@ object SparkEntry {
         | count(*) n_replicas
         |from per group by 1""".stripMargin
   )
+
+  // ---- batch 16: non-SQL-expressible operator demos (rows-only checks) ---
+  private def queries16: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_energy_analog" -> ((s, dir) => {
+      // Szekely-Rizzo energy distance + NN purity per candidate event type
+      // vs the 'view' distribution (analog.sampleMetrics mapGroups kernel);
+      // 1-D feature = value/100. No DuckDB oracle (pairwise kernel).
+      // deterministic subsample (event_id mod 7) bounds the O(n^2) kernel
+      val e = t(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0)
+      val target = e.filter(col("event_type") === "view")
+        .select((col("value") / 100.0).as("f")).limit(500)
+        .collect().map(r => Array(r.getDouble(0)))
+      graft.analog.Analog.sampleMetrics(
+          e.select(col("event_type"), array(col("value") / 100.0).as("features")),
+          "event_type", "features", target)
+        .select(col("event_type"), round(col("energy_distance"), 6).as("energy_distance"),
+          round(col("nn_metric"), 6).as("nn_metric"))
+    }),
+
+    "q_hf8_percentile" -> ((s, dir) => {
+      // Hyndman-Fan type-8 percentile (the reference's percentile_doy
+      // default; alpha=beta=1/3) - not expressible in the oracle engine
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(Stats.hfQuantile(col("value"), 0.9), 6).as("p90_hf8"),
+          round(Stats.hfQuantile(col("value"), 0.1), 6).as("p10_hf8"))
+    })
+  )
+
 }
