@@ -1770,7 +1770,8 @@ object SparkEntry {
           e.select(col("event_type"), array(col("value") / 100.0).as("features")),
           "event_type", "features", target)
         .select(col("event_type"), round(col("energy_distance"), 6).as("energy_distance"),
-          round(col("nn_metric"), 6).as("nn_metric"))
+          round(col("nn_metric"), 6).as("nn_metric"),
+          round(col("fr_crossing_frac"), 6).as("fr_crossing_frac"))
     }),
 
     "q_hf8_percentile" -> ((s, dir) => {

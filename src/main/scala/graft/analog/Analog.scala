@@ -103,8 +103,34 @@ object Analog {
           if (bestIsCand) same += 1
         }
         val nn = if (xs.isEmpty) Double.NaN else same.toDouble / xs.length
-        (g, energy, nn)
+        // Friedman-Rafsky (analog.py:389): fraction of pooled-MST edges
+        // joining the two samples (Prim O(n^2)); identical distributions
+        // -> ~2nm/(n+m)/(n+m-1), disjoint clusters -> ~1/(n+m-1)
+        val pooled = xs ++ ys
+        val isCand = Array.fill(pooled.length)(false)
+        xs.indices.foreach(isCand(_) = true)
+        var frFrac = Double.NaN
+        if (pooled.length >= 2) {
+          val inTree = Array.fill(pooled.length)(false)
+          val dist = Array.fill(pooled.length)(Double.MaxValue)
+          val parent = Array.fill(pooled.length)(-1)
+          inTree(0) = true
+          for (j <- 1 until pooled.length) { dist(j) = d(pooled(0), pooled(j)); parent(j) = 0 }
+          var crossing = 0
+          for (_ <- 1 until pooled.length) {
+            var bi = -1; var bd = Double.MaxValue
+            for (j <- pooled.indices if !inTree(j) && dist(j) < bd) { bd = dist(j); bi = j }
+            inTree(bi) = true
+            if (isCand(bi) != isCand(parent(bi))) crossing += 1
+            for (j <- pooled.indices if !inTree(j)) {
+              val dd = d(pooled(bi), pooled(j))
+              if (dd < dist(j)) { dist(j) = dd; parent(j) = bi }
+            }
+          }
+          frFrac = crossing.toDouble / (pooled.length - 1)
+        }
+        (g, energy, nn, frFrac)
       }
-      .toDF(groupCol, "energy_distance", "nn_metric")
+      .toDF(groupCol, "energy_distance", "nn_metric", "fr_crossing_frac")
   }
 }

@@ -317,11 +317,13 @@ class EngineSpec extends AnyFunSuite {
       .map(v => ("far", Seq(v(0), v(1))))
     val cand = (same ++ far).toSeq.toDF("g", "features")
     val got = graft.analog.Analog.sampleMetrics(cand, "g", "features", tgt)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(math.abs(got("same")._1) < 0.05)        // identical sample -> ~0
     assert(got("far")._1 > 5.0)                    // shifted -> large energy
     assert(got("same")._2 < 0.7)                   // mixed neighbourhoods
     assert(got("far")._2 > 0.95)                   // pure candidate cluster
+    assert(got("same")._3 > 0.3)                   // FR: well-mixed MST
+    assert(got("far")._3 < 0.05)                   // FR: single bridge edge
   }
 
   test("SparkEntry smoke at sf0.001: every query executes") {
