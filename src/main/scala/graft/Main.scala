@@ -15,6 +15,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     Registry.registerBuiltins()
     VirtualModules.loadBundled("icclim")
+    VirtualModules.loadBundled("anuclim")
     args.toList match {
       case "list" :: rest =>
         rest.foreach(VirtualModules.loadYamlFile)

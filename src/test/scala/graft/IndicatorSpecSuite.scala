@@ -96,6 +96,7 @@ class IndicatorSpecSuite extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.types.MetadataBuilder
     val ids = VirtualModules.loadBundled("icclim")
+    assert(VirtualModules.loadBundled("anuclim").size >= 5)
     assert(ids.size >= 20)
     assert(ids.contains("icclim.CDD") && ids.contains("icclim.TXx"))
     val mdPr = new MetadataBuilder().putString("units", "mm/d").build()
