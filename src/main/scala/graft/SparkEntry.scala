@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -432,7 +432,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -991,15 +991,17 @@ object SparkEntry {
   private def queries4: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_kbdi_recursive" -> ((s, dir) => {
-      // Keetch-Byram-class bounded deficit recursion (fire/_ffdi.py:188):
-      // state = clamp(state + dry*gap - rain, 0, cap); mapGroups kernel,
-      // oracle is a step-identical recursive CTE
-      val daily = dailyTotals(s, dir)
-        .select(col("user_id").as("key"),
-          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
-          col("total").as("v"))
-      graft.plans.Recursive.boundedDeficit(daily, dry = 10.0, cap = 800.0)
-        .select(col("key").as("user_id"), col("t"), round(col("out"), 6).as("kbdi"))
+      // Real Keetch-Byram drought index (fire/_ffdi.py:44, Finkele 2006
+      // s2.1.1): runoff-aware two-state recursion with the published ET
+      // term, capped at 203.2 mm; oracle is a step-identical recursive CTE.
+      val wx = weatherDaily(s, dir)
+      // pa: quantize the (order-dependent) float sum FIRST — rain sums are
+      // exactly 4-decimal so the round can't tie — then scale by a constant.
+      val in = wx.select(col("user_id").as("key"), col("t"), col("rain"),
+          (col("airt") + 5.0).as("tmax"),
+          (round(sum(col("rain")).over(Window.partitionBy("user_id")), 4) * 12.175).as("pa"))
+      graft.indices.Fire.keetchByramDroughtIndex(in)
+        .select(col("key").as("user_id"), col("t"), round(col("kbdi"), 4).as("kbdi"))
     }),
 
     "q_ensemble_percentiles" -> ((s, dir) => {
@@ -1012,19 +1014,10 @@ object SparkEntry {
 
   private def oracle4: Map[String, String] = Map(
     "q_kbdi_recursive" ->
-      s"""with recursive daily as ($dailySql),
-         |r as (select user_id, date_diff('day', date '1970-01-01', d) t, total,
-         |  row_number() over (partition by user_id order by d) rn from daily),
-         |rec as (
-         |  select user_id, t, rn,
-         |    least(800.0, greatest(0.0, 0.0 + 10.0*1 - total)) st
-         |  from r where rn = 1
-         |  union all
-         |  select n.user_id, n.t, n.rn,
-         |    least(800.0, greatest(0.0, p.st + 10.0*(n.t - p.t) - n.total)) st
-         |  from rec p join r n on n.user_id = p.user_id and n.rn = p.rn + 1)
-         |select user_id, cast(t as int) t,
-         | cast(cast(st as decimal(38,6)) as double) kbdi from rec""".stripMargin,
+      s"""with recursive $wxSql, $kbSql
+         |select user_id, t,
+         | cast(cast(kbdi as decimal(38,4)) as double) kbdi
+         |from kb where rn > 0""".stripMargin,
 
     "q_ensemble_percentiles" ->
       s"""with daily as ($dailySql)
@@ -1782,6 +1775,320 @@ object SparkEntry {
         .agg(round(Stats.hfQuantile(col("value"), 0.9), 6).as("p90_hf8"),
           round(Stats.hfQuantile(col("value"), 0.1), 6).as("p10_hf8"))
     })
+  )
+
+  // ---- batch 17: the Canadian FWI system + McArthur Mark 5 ---------------
+
+  /** Synthetic daily fire-weather frame derived deterministically from the
+    * per-user daily event totals (noon temperature degC, 24 h rain mm, wind
+    * km/h, RH %, plus month/latitude for the day-length tables). The daily
+    * total is quantized to 2 decimals first so Spark's and the oracle's
+    * float summation order cannot diverge the branchy FWI recursion. */
+  private def weatherDaily(s: SparkSession, dir: String): DataFrame = {
+    val tot2 = round(col("total"), 2)
+    dailyTotals(s, dir).select(
+      col("user_id"),
+      datediff(col("d"), to_date(lit("1970-01-01"))).cast("int").as("t"),
+      month(col("d")).as("mth"),
+      (col("user_id") % 140 - 70).cast("double").as("lat"),
+      least(lit(35.0), greatest(lit(-5.0), tot2 / 10.0 - 5.0)).as("airt"),
+      when(col("n_events") >= 4, tot2 / 20.0).otherwise(0.0).as("rain"),
+      least(lit(40.0), col("n_events").cast("double") * 7.0).as("wind"),
+      least(lit(95.0), greatest(lit(20.0), lit(100.0) - tot2 / 6.0)).as("hum"))
+  }
+
+  /** Oracle twin of [[weatherDaily]] + day-length lookups (CTE body). */
+  private val wxSql =
+    s"""daily as ($dailySql),
+       |wx as (
+       |  select user_id, d,
+       |    cast(date_diff('day', date '1970-01-01', d) as int) t,
+       |    cast(month(d) as int) mth,
+       |    cast(user_id % 140 - 70 as double) lat,
+       |    least(35.0, greatest(-5.0, tot2/10.0 - 5.0)) airt,
+       |    case when n_events >= 4 then tot2/20.0 else 0.0 end rain,
+       |    least(40.0, cast(n_events as double)*7.0) wind,
+       |    least(95.0, greatest(20.0, 100.0 - tot2/6.0)) hum,
+       |    row_number() over (partition by user_id order by d) rn
+       |  from (select user_id, d, cast(cast(total as decimal(38,2)) as double) tot2,
+       |        n_events from daily)
+       |),
+       |wx2 as (
+       |  select *,
+       |    case when lat < -30.0 then cast([11.5,10.5,9.2,7.9,6.8,6.2,6.5,7.4,8.7,10.0,11.2,11.8][mth] as double)
+       |         when lat < -15.0 then cast([10.1,9.6,9.1,8.5,8.1,7.8,7.9,8.3,8.9,9.4,9.9,10.2][mth] as double)
+       |         when lat < 15.0 then 9.0
+       |         when lat < 30.0 then cast([7.9,8.4,8.9,9.5,9.9,10.2,10.1,9.7,9.1,8.6,8.1,7.8][mth] as double)
+       |         else cast([6.5,7.5,9.0,12.8,13.9,13.9,12.4,10.9,9.4,8.0,7.0,6.0][mth] as double) end dl,
+       |    case when lat < -15.0 then cast([6.4,5.0,2.4,0.4,-1.6,-1.6,-1.6,-1.6,-1.6,0.9,3.8,5.8][mth] as double)
+       |         when lat < 15.0 then 1.39
+       |         else cast([-1.6,-1.6,-1.6,0.9,3.8,5.8,6.4,5.0,2.4,0.4,-1.6,-1.6][mth] as double) end flf
+       |  from wx
+       |)""".stripMargin
+
+  /** Step-identical recursive-CTE twin of `Fire.keetchByramDroughtIndex`
+    * (two-component state: kbdi + remaining runoff; per-step HALF_UP
+    * quantization at 8 decimals on both sides). */
+  private val kbSql =
+    """wxk as (
+      |  select user_id, t, rn, rain, airt + 5.0 tmax,
+      |    cast(cast(sum(rain) over (partition by user_id)
+      |      as decimal(38,4)) as double) * 12.175 pa
+      |  from wx
+      |),
+      |kb as (
+      |  select user_id, cast(null as int) t, 0 rn,
+      |    cast(0.0 as double) kbdi, cast(5.0 as double) rr
+      |  from (select distinct user_id from wxk)
+      |  union all
+      |  select user_id, t, rn,
+      |    cast(cast(least(greatest(kbdi0 + et - peff, 0.0), 203.2)
+      |      as decimal(38,8)) as double) kbdi,
+      |    rr_new rr
+      |  from (
+      |    select *, rain - r peff,
+      |      1e-3*(203.2 - kbdi0)*(0.968*exp(0.0875*tmax + 1.5552) - 8.3)
+      |        /(1.0 + 10.88*exp(-0.00173*pa)) et
+      |    from (
+      |      select n.user_id, n.t, n.rn, n.rain, n.tmax, n.pa, p.kbdi kbdi0,
+      |        case when n.rain <= 0.0 then n.rain else least(n.rain, p.rr) end r,
+      |        case when n.rain <= 0.0 then 5.0 else p.rr - least(n.rain, p.rr) end rr_new
+      |      from kb p join wxk n on n.user_id = p.user_id and n.rn = p.rn + 1
+      |    ) s1
+      |  ) s2
+      |)""".stripMargin
+
+  /** Step-identical recursive-CTE twin of `Fire.cffwisCodes` (per-step
+    * HALF_UP quantization at 8 decimals on both sides). */
+  private val fwiRecSql =
+    s"""$wxSql,
+       |rec as (
+       |  select user_id, cast(null as int) t, 0 rn,
+       |    cast(85.0 as double) ffmc, cast(6.0 as double) dmc, cast(15.0 as double) dc
+       |  from (select distinct user_id from wx2)
+       |  union all
+       |  select user_id, t, rn,
+       |    cast(cast(greatest(0.0, least(101.0, 59.5*(250.0-m)/(147.2+m))) as decimal(38,8)) as double) ffmc,
+       |    cast(cast(greatest(0.0, greatest(prr, 0.0) + rk) as decimal(38,8)) as double) dmc,
+       |    cast(cast(case when rain > 2.8 then (case when dr > 0.0 then dr + pe else pe end)
+       |              else dc0 + pe end as decimal(38,8)) as double) dc
+       |  from (
+       |    select *,
+       |      case when mo < ed then (case when mo < ew then ew - (ew-mo)/pow(10.0, kw_wet) else mo end)
+       |           when mo = ed then mo
+       |           else ed + (mo-ed)/pow(10.0, kw_dry) end m,
+       |      case when rain > 1.5 then 43.43*(5.6348 - ln(wmi + 1000.0*rw_dmc/(48.77 + b*rw_dmc) - 20.0))
+       |           else dmc0 end prr,
+       |      dc0 - 400.0*ln(1.0 + 3.937*rw_dc/smi) dr
+       |    from (
+       |      select *,
+       |        case when rain > 0.5 then least(250.0,
+       |          case when mo0 > 150.0
+       |            then mo0 + 42.5*rf*exp(-100.0/(251.0-mo0))*(1.0-exp(-6.93/rf)) + 0.0015*(mo0-150.0)*(mo0-150.0)*sqrt(rf)
+       |            else mo0 + 42.5*rf*exp(-100.0/(251.0-mo0))*(1.0-exp(-6.93/rf)) end)
+       |        else mo0 end mo
+       |      from (
+       |        select n.user_id, n.t, n.rn, n.airt, n.rain, n.wind, n.hum, n.dl, n.flf,
+       |          p.ffmc ffmc0, p.dmc dmc0, p.dc dc0,
+       |          147.2*(101.0-p.ffmc)/(59.5+p.ffmc) mo0,
+       |          n.rain - 0.5 rf,
+       |          0.942*pow(n.hum, 0.679) + 11.0*exp((n.hum-100.0)/10.0) + 0.18*(21.1-n.airt)*(1.0-1.0/exp(0.115*n.hum)) ed,
+       |          0.618*pow(n.hum, 0.753) + 10.0*exp((n.hum-100.0)/10.0) + 0.18*(21.1-n.airt)*(1.0-1.0/exp(0.115*n.hum)) ew,
+       |          (0.424*(1.0-pow((100.0-n.hum)/100.0, 1.7)) + 0.0694*sqrt(n.wind)*(1.0-pow((100.0-n.hum)/100.0, 8.0))) * 0.581*exp(0.0365*n.airt) kw_wet,
+       |          (0.424*(1.0-pow(n.hum/100.0, 1.7)) + 0.0694*sqrt(n.wind)*(1.0-pow(n.hum/100.0, 8.0))) * 0.581*exp(0.0365*n.airt) kw_dry,
+       |          case when n.airt < -1.1 then 0.0 else 1.894*(n.airt+1.1)*(100.0-n.hum)*n.dl*0.0001 end rk,
+       |          20.0 + 280.0/exp(0.023*p.dmc) wmi,
+       |          case when p.dmc <= 33.0 then 100.0/(0.5+0.3*p.dmc)
+       |               when p.dmc <= 65.0 then 14.0-1.3*ln(p.dmc)
+       |               else 6.2*ln(p.dmc)-17.2 end b,
+       |          0.92*n.rain - 1.27 rw_dmc,
+       |          greatest((0.36*(greatest(n.airt,-2.8)+2.8)+n.flf)/2.0, 0.0) pe,
+       |          0.83*n.rain - 1.27 rw_dc,
+       |          800.0*exp(-p.dc/400.0) smi
+       |        from rec p join wx2 n on n.user_id = p.user_id and n.rn = p.rn + 1
+       |      ) s1
+       |    ) s2
+       |  ) s3
+       |)""".stripMargin
+
+  private def queries17: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_fwi_codes" -> ((s, dir) => {
+      // Canadian FWI system (fire/_cffwis.py:246-530): the three moisture-
+      // code recursions in one per-entity kernel pass, derived ISI/BUI/FWI
+      // as codegen'd Column expressions over the codes.
+      import graft.indices.Fire
+      val wx = weatherDaily(s, dir)
+      val codes = Fire.cffwisCodes(
+        wx.select(col("user_id").as("key"), col("t"), col("airt").as("temp"),
+          col("rain"), col("wind"), col("hum"), col("mth"), col("lat")))
+      val wind = wx.select(col("user_id").as("wk"), col("t").as("wt"), col("wind"))
+      codes.join(wind, codes("key") === wind("wk") && codes("t") === wind("wt"))
+        .withColumn("isi", Fire.initialSpreadIndex(col("wind"), col("ffmc")))
+        .withColumn("bui", Fire.buildUpIndex(col("dmc"), col("dc")))
+        .withColumn("fwi", Fire.fireWeatherIndex(col("isi"), col("bui")))
+        .select(col("key").as("user_id"), col("t"),
+          round(col("ffmc"), 4).as("ffmc"), round(col("dmc"), 4).as("dmc"),
+          round(col("dc"), 4).as("dc"), round(col("isi"), 4).as("isi"),
+          round(col("bui"), 4).as("bui"), round(col("fwi"), 4).as("fwi"))
+    }),
+
+    "q_fire_season" -> ((s, dir) => {
+      // WF93 fire-season mask (fire/_cffwis.py:570): pure window algebra,
+      // no kernel — flip signal + last-flip-wins carry.
+      val wx = weatherDaily(s, dir)
+        .select(col("user_id").as("key"), col("t"), col("airt").as("temp"))
+      graft.indices.Fire.fireSeasonWF93(wx)
+        .select(col("key").as("user_id"), col("t"), col("fire_season"))
+    }),
+
+    "q_griffiths_ffdi" -> ((s, dir) => {
+      // McArthur Mark 5 chain (fire/_ffdi.py): real KBDI -> Griffiths
+      // drought factor (20-day rainfall-event window) -> FFDI. The two
+      // kernels share the per-entity partitioning; FFDI is a codegen'd
+      // scalar over the drought factor.
+      import graft.indices.Fire
+      val wx = weatherDaily(s, dir)
+      val kin = wx.select(col("user_id").as("key"), col("t"), col("rain"),
+        (col("airt") + 5.0).as("tmax"),
+        (round(sum(col("rain")).over(Window.partitionBy("user_id")), 4) * 12.175).as("pa"))
+      val kbdi = graft.indices.Fire.keetchByramDroughtIndex(kin)
+      val rain = wx.select(col("user_id").as("rk"), col("t").as("rt"), col("rain"))
+      val gin = kbdi.join(rain, kbdi("key") === rain("rk") && kbdi("t") === rain("rt"))
+        .select(col("key"), col("t"), col("rain"), col("kbdi").as("smd"))
+      val df = Fire.griffithsDroughtFactor(gin)
+      val met = wx.select(col("user_id").as("mk"), col("t").as("mt"),
+        (col("airt") + 5.0).as("tmax"), col("hum"), col("wind"))
+      df.join(met, df("key") === met("mk") && df("t") === met("mt"))
+        .select(col("key").as("user_id"), col("t"),
+          round(col("df"), 4).as("df"),
+          round(Fire.mcarthurFfdi(col("df"), col("tmax"), col("hum"), col("wind")), 4).as("ffdi"))
+    }),
+
+    "q_overwintering_dc" -> ((s, dir) => {
+      // Overwintered drought code (fire/_cffwis.py:529): fall DC = last DC
+      // of each entity's series, winter precipitation = 0.35 x total rain.
+      import graft.indices.Fire
+      val wx = weatherDaily(s, dir)
+      val codes = Fire.cffwisCodes(
+        wx.select(col("user_id").as("key"), col("t"), col("airt").as("temp"),
+          col("rain"), col("wind"), col("hum"), col("mth"), col("lat")))
+      val dcf = codes.groupBy(col("key").as("user_id"))
+        .agg(max_by(col("dc"), col("t")).as("dcf"))
+      val wpr = wx.groupBy("user_id")
+        .agg((round(sum(col("rain")), 4) * 0.35).as("wpr"))
+      dcf.join(wpr, "user_id")
+        .select(col("user_id"),
+          round(Fire.overwinteringDroughtCode(col("dcf"), col("wpr")), 4).as("dc_spring"))
+    })
+  )
+
+  private def oracle17: Map[String, String] = Map(
+    "q_fwi_codes" ->
+      s"""with recursive $fwiRecSql,
+         |codes as (
+         |  select r.user_id, r.t, r.ffmc, r.dmc, r.dc, w.wind
+         |  from rec r join wx2 w on w.user_id = r.user_id and w.rn = r.rn
+         |  where r.rn > 0
+         |),
+         |derived as (
+         |  select *,
+         |    19.1152*exp(mo * -0.1386)*(1.0 + pow(mo, 5.31)/49300000.0) * exp(0.05039*wind) isi,
+         |    greatest(case when dmc = 0.0 and dc = 0.0 then 0.0
+         |      when dmc <= 0.4*dc then 0.8*dc*dmc/(dmc + 0.4*dc)
+         |      else dmc - (1.0 - 0.8*dc/(dmc + 0.4*dc))*(0.92 + pow(0.0114*dmc, 1.7)) end, 0.0) bui
+         |  from (select *, 147.2*(101.0-ffmc)/(59.5+ffmc) mo from codes)
+         |),
+         |fwi0 as (
+         |  select *,
+         |    case when bui <= 80.0 then 0.1*isi*(0.626*pow(bui, 0.809) + 2.0)
+         |         else 0.1*isi*(1000.0/(25.0 + 108.64/exp(0.023*bui))) end f
+         |  from derived
+         |)
+         |select user_id, t,
+         |  cast(cast(ffmc as decimal(38,4)) as double) ffmc,
+         |  cast(cast(dmc as decimal(38,4)) as double) dmc,
+         |  cast(cast(dc as decimal(38,4)) as double) dc,
+         |  cast(cast(isi as decimal(38,4)) as double) isi,
+         |  cast(cast(bui as decimal(38,4)) as double) bui,
+         |  cast(cast(case when f > 1.0 then exp(2.72*pow(0.434*ln(f), 0.647)) else f end as decimal(38,4)) as double) fwi
+         |from fwi0""".stripMargin,
+
+    "q_fire_season" ->
+      s"""with $wxSql
+         |select user_id, t,
+         |  coalesce(last_value(sig ignore nulls) over (
+         |    partition by user_id order by rn
+         |    rows between unbounded preceding and current row), 0) = 1 fire_season
+         |from (
+         |  select user_id, t, rn,
+         |    case when rn >= 5 and max(airt) over w3 < 5.0 then 0
+         |         when rn >= 5 and min(airt) over w3 > 12.0 then 1
+         |         end sig
+         |  from wx
+         |  window w3 as (partition by user_id order by rn rows between 3 preceding and 1 preceding)
+         |) flips""".stripMargin,
+
+    "q_griffiths_ffdi" ->
+      s"""with recursive $wxSql, $kbSql,
+         |win as (
+         |  select d.user_id, d.rn drn, w.rn - (d.rn - 20) iw1, w.rain
+         |  from wx d join wx w on w.user_id = d.user_id and w.rn between d.rn - 19 and d.rn
+         |  where d.rn >= 20
+         |),
+         |ev as (
+         |  select user_id, drn, iw1, rain,
+         |    iw1 - row_number() over (partition by user_id, drn order by iw1) grp
+         |  from win where rain > 2.0
+         |),
+         |evg as (
+         |  select user_id, drn, grp, sum(rain) psum, max(rain) pmax
+         |  from ev group by 1,2,3
+         |),
+         |evn as (
+         |  select g.user_id, g.drn, g.grp, g.psum, 21 - max(e.iw1) nn
+         |  from evg g join ev e on e.user_id = g.user_id and e.drn = g.drn
+         |    and e.grp = g.grp and e.rain = g.pmax
+         |  group by 1,2,3,4
+         |),
+         |xev as (
+         |  select user_id, drn,
+         |    min(pow(nn, 1.3)/(pow(nn, 1.3) + psum - 2.0)) xraw
+         |  from evn group by 1,2
+         |),
+         |dfd as (
+         |  select k.user_id, k.t, k.rn, k.kbdi smd,
+         |    least(coalesce(x.xraw, 1.0), 1.0) x0
+         |  from kb k left join xev x on x.user_id = k.user_id and x.drn = k.rn
+         |  where k.rn >= 20
+         |),
+         |dfx as (
+         |  select user_id, t, rn, smd,
+         |    least(x0, case when smd < 20.0 then 1.0/(1.0 + 0.1135*smd)
+         |                   else 75.0/(270.525 - 1.267*smd) end) x
+         |  from dfd
+         |),
+         |dfr as (
+         |  select user_id, t, rn,
+         |    cast(cast(least(10.5*(1.0 - exp(-(smd + 30.0)/40.0))
+         |      *(41.0*x*x + x)/(40.0*x*x + x + 1.0), 10.0) as decimal(38,8)) as double) df
+         |  from dfx
+         |)
+         |select f.user_id, f.t,
+         |  cast(cast(f.df as decimal(38,4)) as double) df,
+         |  cast(cast(pow(f.df, 0.987)*exp(0.0338*(w.airt+5.0) - 0.0345*w.hum + 0.0234*w.wind + 0.243147)
+         |    as decimal(38,4)) as double) ffdi
+         |from dfr f join wx w on w.user_id = f.user_id and w.rn = f.rn""".stripMargin,
+
+    "q_overwintering_dc" ->
+      s"""with recursive $fwiRecSql,
+         |dcf as (select user_id, max_by(dc, rn) dcf from rec where rn > 0 group by 1),
+         |wpr as (select user_id, cast(cast(sum(rain) as decimal(38,4)) as double)*0.35 wpr
+         |        from wx group by 1)
+         |select d.user_id,
+         |  cast(cast(greatest(400.0*ln(800.0/(0.75*(800.0*exp(-d.dcf/400.0)) + 0.75*(3.94*w.wpr))), 15.0)
+         |    as decimal(38,4)) as double) dc_spring
+         |from dcf d join wpr w on d.user_id = w.user_id""".stripMargin
   )
 
 }
