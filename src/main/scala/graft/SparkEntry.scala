@@ -94,8 +94,11 @@ object SparkEntry {
     }),
 
     "q_anti_join_customers_no_orders" -> ((s, dir) => {
+      // customers with no URGENT order (non-empty on this data, unlike the
+      // no-orders-at-all variant which is vacuously 0 rows)
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+          c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
     }),
@@ -242,10 +245,13 @@ object SparkEntry {
   private def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_doy_percentile_exceedance" -> ((s, dir) => {
-      // percentile_doy (+-2d pool, p90) joined back; count exceedance days
+      // percentile_doy (same doy across years +-2d pool, p90, type 7)
+      // joined back onto the daily series (resample_doy); count exceedances
       val daily = dailyTotals(s, dir)
-      val pct = graft.indices.Season.doyPercentile(daily, Seq("user_id"), "d", "total", 2, 0.9)
-      daily.join(pct, Seq("user_id", "d"))
+      val pct = graft.indices.Season.doyPercentile(daily, Seq("user_id"), "d", "total", 2, 0.9,
+        alpha = 1.0, beta = 1.0)
+      daily.withColumn("doy", dayofyear(col("d")))
+        .join(pct, Seq("user_id", "doy"))
         .groupBy(col("user_id"))
         .agg(coalesce(sum(when(col("total") > col("doy_pct"), 1L)), lit(0L)).as("n_days_over"))
     }),
@@ -421,11 +427,13 @@ object SparkEntry {
     }),
 
     "q_simhash_buckets" -> ((s, dir) => {
-      // rows-only check (xxhash64 not available in the oracle engine)
-      t(s, dir, "documents")
-        .select(Dedup.simhash(col("text")).as("sh"))
-        .groupBy(shiftrightunsigned(col("sh"), 56).as("bucket"))
-        .agg(count(lit(1)).as("n"))
+      // portable md5-nibble SimHash (Dedup.simhashPortable): doc-level
+      // fingerprint + coarse bucket, integer-exact vs the oracle. The
+      // xxhash64 native expression (functions/SimHash64) is the fast path
+      // and is unit-tested against this semantics.
+      Dedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fp"),
+          shiftrightunsigned(col("fp"), 28).as("bucket"))
     })
   )
 
@@ -466,7 +474,8 @@ object SparkEntry {
 
     "q_anti_join_customers_no_orders" ->
       """select c_mktsegment, count(*) n_customers from customer
-        |where not exists (select 1 from orders where o_custkey = c_custkey)
+        |where not exists (select 1 from orders
+        |  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
         |group by 1""".stripMargin,
 
     "q_distinct_custs_per_priority" ->
@@ -1751,31 +1760,72 @@ object SparkEntry {
   private def queries16: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_energy_analog" -> ((s, dir) => {
-      // Szekely-Rizzo energy distance + NN purity per candidate event type
-      // vs the 'view' distribution (analog.sampleMetrics mapGroups kernel);
-      // 1-D feature = value/100. No DuckDB oracle (pairwise kernel).
-      // deterministic subsample (event_id mod 7) bounds the O(n^2) kernel
+      // Szekely-Rizzo energy distance per candidate event type vs the
+      // 'view' distribution (analog.sampleMetrics mapGroups kernel);
+      // 1-D feature = value/100, deterministic subsample (event_id mod 7)
+      // bounds the O(n^2) kernel; oracle = double self-join pair means.
+      // (NN purity + Friedman-Rafsky stay kernel-only: unit-tested.)
       val e = t(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0)
       val target = e.filter(col("event_type") === "view")
-        .select((col("value") / 100.0).as("f")).limit(500)
+        .select((col("value") / 100.0).as("f"))
         .collect().map(r => Array(r.getDouble(0)))
       graft.analog.Analog.sampleMetrics(
           e.select(col("event_type"), array(col("value") / 100.0).as("features")),
-          "event_type", "features", target)
-        .select(col("event_type"), round(col("energy_distance"), 6).as("energy_distance"),
-          round(col("nn_metric"), 6).as("nn_metric"),
-          round(col("fr_crossing_frac"), 6).as("fr_crossing_frac"))
+          "event_type", "features", target,
+          maxPerGroup = 4000, withGraphStats = false)
+        .select(col("event_type"), round(col("energy_distance"), 6).as("energy_distance"))
     }),
 
     "q_hf8_percentile" -> ((s, dir) => {
       // Hyndman-Fan type-8 percentile (the reference's percentile_doy
-      // default; alpha=beta=1/3) - not expressible in the oracle engine
+      // default; alpha=beta=1/3); list-based H&F-8 oracle
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(round(Stats.hfQuantile(col("value"), 0.9), 6).as("p90_hf8"),
           round(Stats.hfQuantile(col("value"), 0.1), 6).as("p10_hf8"))
+    }),
+
+    "q_percentile_doy" -> ((s, dir) => {
+      // true percentile_doy (calendar.py:396-494): same day-of-year pooled
+      // ACROSS YEARS +-2 days with wraparound, H&F type-8 — lineitem spans
+      // 7 years so this exercises the multi-year semantics
+      graft.indices.Season.doyPercentile(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_shipdate", "l_quantity",
+          halfWindow = 2, p = 0.9)
+        .select(col("l_returnflag"), col("doy"),
+          round(col("doy_pct"), 6).as("p90"))
+    }),
+
+    "q_tx90p" -> ((s, dir) => {
+      // tx90p shape (_multivariate.py:1300): occurrences above the doy-p90
+      // climatology per year — multi-year percentile join + resample count
+      graft.indices.PercentileIndicators.doyExceedance(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_shipdate", "l_quantity",
+          p = 0.9, op = ">", halfWindow = 2, freq = "YS")
+        .select(col("l_returnflag"), col("period"), col("value").as("n_over"))
+    }),
+
+    "q_doy_spell_duration" -> ((s, dir) => {
+      // WSDI/CSDI shape (_multivariate.py:69): days inside runs of >= 3
+      // consecutive calendar days above the doy-p25 climatology
+      graft.indices.PercentileIndicators.doySpellDuration(
+          dailyTotals(s, dir), Seq("user_id"), "d", "total",
+          p = 0.25, op = ">", halfWindow = 2, window = 3, freq = "MS")
+        .select(col("user_id"), col("period"), col("value").as("days_in_spells"))
     })
   )
+
+  /** DuckDB H&F quantile over a sorted list column `a` with count `n`
+    * (type 8 at alpha=beta=1/3) — expression mirror of
+    * `Stats.hfQuantileOfSorted`. */
+  private def hfSql(p: Double): String = {
+    val h = s"greatest(1.0, least((n - 1.0/3.0 - 1.0/3.0 + 1.0)*$p + 1.0/3.0, n))"
+    s"""case when n < 1 then null else
+       |  a[cast(floor($h) as int)]
+       |  + ($h - floor($h))
+       |    * (a[least(cast(floor($h) as int) + 1, cast(n as int))]
+       |       - a[cast(floor($h) as int)]) end""".stripMargin
+  }
 
   // ---- batch 17: the Canadian FWI system + McArthur Mark 5 ---------------
 
@@ -2013,6 +2063,103 @@ object SparkEntry {
          |  cast(cast(bui as decimal(38,4)) as double) bui,
          |  cast(cast(case when f > 1.0 then exp(2.72*pow(0.434*ln(f), 0.647)) else f end as decimal(38,4)) as double) fwi
          |from fwi0""".stripMargin,
+
+    "q_hf8_percentile" ->
+      s"""with s as (select event_type, list_sort(list(value)) a,
+         |           cast(count(value) as double) n from events group by 1)
+         |select event_type,
+         |  cast(cast(${hfSql(0.9)} as decimal(38,6)) as double) p90_hf8,
+         |  cast(cast(${hfSql(0.1)} as decimal(38,6)) as double) p10_hf8
+         |from s""".stripMargin,
+
+    "q_percentile_doy" ->
+      s"""with base as (
+         |  select l_returnflag k, cast(dayofyear(l_shipdate) as int) doy, l_quantity v
+         |  from lineitem
+         |),
+         |contrib as (
+         |  select k, ((doy - 1 + off + 365) % 365) + 1 doy2, v
+         |  from base, unnest(generate_series(-2, 2)) as u(off)
+         |),
+         |s as (select k, doy2 doy, list_sort(list(v)) a, cast(count(v) as double) n
+         |      from contrib group by 1, 2)
+         |select k l_returnflag, doy,
+         |  cast(cast(${hfSql(0.9)} as decimal(38,6)) as double) p90
+         |from s""".stripMargin,
+
+    "q_energy_analog" ->
+      """with e as (select event_type, value/100.0 f from events where event_id % 7 = 0),
+        |tgt as (select f from e where event_type = 'view'),
+        |dxy as (select c.event_type, sum(abs(c.f - t.f))/count(*) m
+        |        from e c cross join tgt t group by 1),
+        |wx as (select a.event_type, sum(abs(a.f - b.f))/count(*) m
+        |       from e a join e b on a.event_type = b.event_type group by 1),
+        |wy as (select sum(abs(a.f - b.f))/count(*) m from tgt a cross join tgt b)
+        |select d.event_type,
+        |  cast(cast(2.0*d.m - x.m - y.m as decimal(38,6)) as double) energy_distance
+        |from dxy d join wx x on x.event_type = d.event_type cross join wy y""".stripMargin,
+
+    "q_simhash_buckets" ->
+      """with toks as (
+        |  select doc_id, md5(tok) h
+        |  from (select doc_id, unnest(string_split(text, ' ')) tok from documents)
+        |  where length(tok) > 0
+        |),
+        |bits as (
+        |  select doc_id, b,
+        |    sum(case when substr(h, b, 1) >= '8' then 1 else -1 end) s
+        |  from toks, unnest(generate_series(1, 32)) as u(b)
+        |  group by 1, 2
+        |)
+        |select doc_id,
+        |  cast(sum(case when s > 0 then 1::bigint << (32 - b) else 0 end) as bigint) fp,
+        |  cast(sum(case when s > 0 then 1::bigint << (32 - b) else 0 end) as bigint) >> 28 bucket
+        |from bits group by 1""".stripMargin,
+
+    "q_tx90p" ->
+      s"""with base as (
+         |  select l_returnflag k, cast(dayofyear(l_shipdate) as int) doy,
+         |    l_quantity v, l_shipdate
+         |  from lineitem
+         |),
+         |contrib as (
+         |  select k, ((doy - 1 + off + 365) % 365) + 1 doy2, v
+         |  from base, unnest(generate_series(-2, 2)) as u(off)
+         |),
+         |s as (select k, doy2 doy, list_sort(list(v)) a, cast(count(v) as double) n
+         |      from contrib group by 1, 2),
+         |pctl as (select k, doy, ${hfSql(0.9)} pct from s)
+         |select b.k l_returnflag,
+         |  cast(make_timestamp(year(b.l_shipdate), 1, 1, 0, 0, 0.0) as timestamp) period,
+         |  cast(coalesce(sum(case when b.v > p.pct then 1 end), 0) as bigint) n_over
+         |from base b join pctl p on p.k = b.k and p.doy = ((b.doy - 1) % 365) + 1
+         |group by 1, 2""".stripMargin,
+
+    "q_doy_spell_duration" ->
+      s"""with daily as ($dailySql),
+         |pool as (select user_id, cast(dayofyear(d) as int) doy, total from daily),
+         |contrib as (
+         |  select user_id, ((doy - 1 + off + 365) % 365) + 1 doy2, total v
+         |  from pool, unnest(generate_series(-2, 2)) as u(off)
+         |),
+         |s as (select user_id, doy2 doy, list_sort(list(v)) a, cast(count(v) as double) n
+         |      from contrib group by 1, 2),
+         |pctl as (select user_id, doy, ${hfSql(0.25)} pct from s),
+         |qual as (
+         |  select d.user_id, d.d,
+         |    date_diff('day', date '1970-01-01', d.d)
+         |      - row_number() over (partition by d.user_id order by d.d) grp
+         |  from (select user_id, d, total, ((cast(dayofyear(d) as int) - 1) % 365) + 1 doy
+         |        from daily) d
+         |  join pctl p on p.user_id = d.user_id and p.doy = d.doy
+         |  where d.total > p.pct
+         |),
+         |runs as (select user_id, grp, min(d) run_start, count(*) len
+         |         from qual group by 1, 2)
+         |select user_id,
+         |  cast(make_timestamp(year(run_start), month(run_start), 1, 0, 0, 0.0) as timestamp) period,
+         |  cast(sum(len) as bigint) days_in_spells
+         |from runs where len >= 3 group by 1, 2""".stripMargin,
 
     "q_fire_season" ->
       s"""with $wxSql

@@ -55,9 +55,18 @@ object Analog {
     *
     * Input: (groupCol, features ARRAY<DOUBLE>); output per group:
     * (group, energy_distance, nn_metric).
+    *
+    * `maxPerGroup` bounds the O(n^2) kernel at scale: groups larger than
+    * the cap are deterministically thinned to `maxPerGroup` points (sorted
+    * by first feature, evenly strided — a quantile-preserving subsample
+    * that is stable across partitionings, unlike reservoir sampling).
+    * `withGraphStats = false` skips the NN-purity and Friedman-Rafsky MST
+    * passes (the expensive part) when only the energy term is needed.
     */
   def sampleMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
-                    target: Array[Array[Double]]): DataFrame = {
+                    target: Array[Array[Double]],
+                    maxPerGroup: Int = Int.MaxValue,
+                    withGraphStats: Boolean = true): DataFrame = {
     val s = candidates.sparkSession
     import s.implicits._
     def d(a: Array[Double], b: Array[Double]): Double = {
@@ -70,7 +79,14 @@ object Analog {
       .as[(String, Seq[Double])]
       .groupByKey(_._1)
       .mapGroups { (g, it) =>
-        val xs = it.map(_._2.toArray).toArray
+        val xsAll = it.map(_._2.toArray).toArray
+        val xs =
+          if (xsAll.length <= maxPerGroup) xsAll
+          else {
+            val sorted = xsAll.sortBy(x => (x.headOption.getOrElse(0.0), x.length))
+            val stride = sorted.length.toDouble / maxPerGroup
+            Array.tabulate(maxPerGroup)(i => sorted(math.min((i * stride).toInt, sorted.length - 1)))
+          }
         val ys = target
         var dxy = 0.0
         for (x <- xs; y <- ys) dxy += d(x, y)
@@ -92,7 +108,7 @@ object Analog {
         // NN purity: for each candidate point, is its nearest pooled
         // neighbour (excluding itself) also a candidate point?
         var same = 0
-        for (i <- xs.indices) {
+        if (withGraphStats) for (i <- xs.indices) {
           var best = Double.MaxValue; var bestIsCand = false
           for (j <- xs.indices if j != i) {
             val dd = d(xs(i), xs(j)); if (dd < best) { best = dd; bestIsCand = true }
@@ -102,7 +118,7 @@ object Analog {
           }
           if (bestIsCand) same += 1
         }
-        val nn = if (xs.isEmpty) Double.NaN else same.toDouble / xs.length
+        val nn = if (!withGraphStats || xs.isEmpty) Double.NaN else same.toDouble / xs.length
         // Friedman-Rafsky (analog.py:389): fraction of pooled-MST edges
         // joining the two samples (Prim O(n^2)); identical distributions
         // -> ~2nm/(n+m)/(n+m-1), disjoint clusters -> ~1/(n+m-1)
@@ -110,7 +126,7 @@ object Analog {
         val isCand = Array.fill(pooled.length)(false)
         xs.indices.foreach(isCand(_) = true)
         var frFrac = Double.NaN
-        if (pooled.length >= 2) {
+        if (withGraphStats && pooled.length >= 2) {
           val inTree = Array.fill(pooled.length)(false)
           val dist = Array.fill(pooled.length)(Double.MaxValue)
           val parent = Array.fill(pooled.length)(-1)

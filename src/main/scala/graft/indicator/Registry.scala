@@ -57,7 +57,17 @@ object Registry {
     "first_occurrence" -> ((df, freq, p) =>
       Generic.firstOccurrence(df, Seq("location_id"), col("time"), freq,
           Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
-            lit(p.getOrElse("thresh", "0").toDouble)), "value")))
+            lit(p.getOrElse("thresh", "0").toDouble)), "value")),
+    "doy_percentile_count" -> ((df, freq, p) =>
+      graft.indices.PercentileIndicators.doyExceedance(df, Seq("location_id"), "time",
+        p.getOrElse("var", "value"), p.getOrElse("per", "0.9").toDouble,
+        p.getOrElse("op", ">"), p.getOrElse("half_window", "2").toInt, freq,
+        asPercent = p.getOrElse("percent", "false").toBoolean)),
+    "doy_percentile_spell" -> ((df, freq, p) =>
+      graft.indices.PercentileIndicators.doySpellDuration(df, Seq("location_id"), "time",
+        p.getOrElse("var", "value"), p.getOrElse("per", "0.9").toDouble,
+        p.getOrElse("op", ">"), p.getOrElse("half_window", "2").toInt,
+        p.getOrElse("window", "6").toInt, freq)))
 
   /** Instantiate + register an indicator from a spec and a compute-base
     * name with bound parameters (the `Indicator.from_dict` path). */
@@ -147,6 +157,26 @@ object Registry {
     spell("maximum_consecutive_dry_days", "Max consecutive dry days", prec, "<", mmd, 1)
     spell("maximum_consecutive_wet_days", "Max consecutive wet days", prec, ">=", mmd, 1)
     spell("maximum_consecutive_frost_days", "Max consecutive frost days", temp, "<", 273.15, 1)
+
+    // percentile-based (tx90p family, _multivariate.py:1300-1654; WSDI/CSDI
+    // :69,:1719) — doy climatology pool +-2d (reference default 5-day window)
+    def pctl(id: String, title: String, per: Double, op: String): Unit =
+      fromConfig(IndicatorSpec(id, title, "d", inputs = temp, missing = "skip"),
+        "doy_percentile_count", Map("per" -> per.toString, "op" -> op))
+    pctl("tx90p", "Days with tasmax above the 90th doy percentile", 0.9, ">")
+    pctl("tx10p", "Days with tasmax below the 10th doy percentile", 0.1, "<")
+    pctl("tn90p", "Days with tasmin above the 90th doy percentile", 0.9, ">")
+    pctl("tn10p", "Days with tasmin below the 10th doy percentile", 0.1, "<")
+    pctl("tg90p", "Days with tas above the 90th doy percentile", 0.9, ">")
+    pctl("tg10p", "Days with tas below the 10th doy percentile", 0.1, "<")
+    fromConfig(IndicatorSpec("warm_spell_duration_index",
+      "Days in spells of >= 6 days with tasmax above the 90th doy percentile",
+      "d", inputs = temp, missing = "skip"),
+      "doy_percentile_spell", Map("per" -> "0.9", "op" -> ">", "window" -> "6"))
+    fromConfig(IndicatorSpec("cold_spell_duration_index",
+      "Days in spells of >= 6 days with tasmin below the 10th doy percentile",
+      "d", inputs = temp, missing = "skip"),
+      "doy_percentile_spell", Map("per" -> "0.1", "op" -> "<", "window" -> "6"))
 
     // occurrences
     fromConfig(IndicatorSpec("first_day_temperature_above",

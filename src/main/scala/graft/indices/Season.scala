@@ -40,21 +40,33 @@ object Season {
       .drop("_last_day")
   }
 
-  /** Climatological per-day-of-year percentile over a +-halfWindow day pool
-    * (`percentile_doy`, calendar.py:396-494): for each (entity, day) the
-    * p-quantile of `value` over all rows within the window. Self-join
-    * formulation; the pool per group is bounded (window x years), so the
-    * aggregate state stays small at any scale. Quantile is exact type 7
-    * (alpha=beta=1) to match SQL engines; use Stats.hfQuantile for the
-    * reference's type-8 default. */
+  /** Climatological day-of-year percentile (`percentile_doy`,
+    * calendar.py:396-494): for each (entity, doy) the p-quantile of `value`
+    * pooled over the SAME day-of-year across ALL years, +-halfWindow days,
+    * with year-boundary wraparound (doy 1 pools 364..365 and 1..3 at w=2;
+    * leap doy 366 folds onto doy 1).
+    *
+    * Spark mapping: each row fans out to the 2w+1 target doys it
+    * contributes to (`explode(sequence)`), then ONE hash-agg shuffle keyed
+    * (entity, doy). Pool size per group is years x (2w+1) — bounded at any
+    * corpus scale, so the aggregation buffer stays small; no window over the
+    * full series, no per-date self-join.
+    *
+    * alpha=beta=1/3 is Hyndman-Fan type 8 (the reference default);
+    * alpha=beta=1 is type 7, computed with the built-in `percentile` for
+    * exact SQL-engine parity. Output: keys..., doy INT, doy_pct DOUBLE. */
   def doyPercentile(daily: DataFrame, keys: Seq[String], dateCol: String,
-                    value: String, halfWindow: Int, p: Double): DataFrame = {
-    val pool = daily.select((keys.map(col) :+ col(dateCol).as("_pool_d") :+ col(value).as("_pool_v")): _*)
-    val anchor = daily.select((keys.map(col) :+ col(dateCol)).distinct: _*).distinct()
-    anchor.join(pool, keys)
-      .filter(col("_pool_d").between(date_sub(col(dateCol), halfWindow),
-        date_add(col(dateCol), halfWindow)))
-      .groupBy((keys.map(col) :+ col(dateCol)): _*)
-      .agg(percentile(col("_pool_v"), lit(p)).as("doy_pct"))
+                    value: String, halfWindow: Int, p: Double,
+                    alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
+    val contrib = daily
+      .select((keys.map(col) :+ dayofyear(col(dateCol)).as("_doy") :+ col(value).as("_v")): _*)
+      .withColumn("_tdoy",
+        explode(sequence(col("_doy") - halfWindow, col("_doy") + halfWindow)))
+      .withColumn("doy", ((col("_tdoy") + 364) % 365) + 1)
+    val agg =
+      if (alpha == 1.0 && beta == 1.0) percentile(col("_v"), lit(p))
+      else graft.core.Stats.hfQuantile(col("_v"), p, alpha, beta)
+    contrib.groupBy((keys.map(col) :+ col("doy")): _*)
+      .agg(agg.as("doy_pct"))
   }
 }

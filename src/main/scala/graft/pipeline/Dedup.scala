@@ -168,4 +168,28 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Portable 32-bit SimHash: token hash = md5, bit b of the hash = top bit
+    * of the b-th hex nibble, fingerprint bit = sign of the (count-weighted)
+    * sum of +-1 over tokens. Same semantics as [[simhash]] but built only
+    * from engine-portable primitives (md5 + integer aggregation), so any
+    * SQL engine reproduces it bit-exactly — the oracle-checkable twin of
+    * the xxhash64 native expression.
+    *
+    * One explode + one hash-agg: partial aggregation collapses each doc's
+    * token rows map-side (docs are never split across partitions before the
+    * explode), so the shuffle carries one 32-column row per document. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol), md5(col("tok").cast("binary")).as("h"))
+    val bitSums = (1 to 32).map(b =>
+      sum(when(substring(col("h"), b, 1) >= "8", 1).otherwise(-1)).as(s"_b$b"))
+    val fp = (1 to 32).map(b =>
+      when(col(s"_b$b") > 0, lit(1L << (32 - b))).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("fp"))
+  }
 }

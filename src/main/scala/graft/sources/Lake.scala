@@ -15,9 +15,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Lake {
 
-  /** Write as a bucketed, in-bucket-sorted managed table. */
+  /** Write as a bucketed, in-bucket-sorted managed table. Drops any stale
+    * table AND its warehouse location first: with an in-memory catalog a
+    * previous JVM's managed-table directory survives on disk while the
+    * table entry does not, and `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
