@@ -93,20 +93,30 @@ object Similarity {
       .orderBy(col("qd2"), col("label"))
       .limit(nprobe)
       .select(col("label"))
-    // quantize the corpus (one pass; at scale this is precomputed/partitioned)
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("label"))
-    val assigned = corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(cent))
-      .withColumn("d2", dist2(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // quantize the corpus: pack ALL centroids into one array-of-structs row,
+    // broadcast it onto every corpus row, and take the per-row arg-min via
+    // array_min over (d2, label) structs — a pure projection: NO shuffle,
+    // NO per-id window, no driver collect (at scale the assignment is
+    // precomputed and stored as a partition column).
+    val centPacked = cent.agg(collect_list(struct(col("label"), col("cvec"))).as("cents"))
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centPacked))
+      .withColumn("label",
+        array_min(transform(col("cents"),
+          c => struct(dist2(col(vecCol), c.getField("cvec")).as("d2"),
+            c.getField("label").as("label")))).getField("label"))
       .select(col(idCol), col(vecCol), col("label"))
-    // search only the probed cells
-    val wRank = Window.orderBy(col("cosine").desc, col(idCol))
-    assigned.join(broadcast(probed), "label")
+    // search only the probed cells; global top-k via orderBy+limit
+    // (TakeOrderedAndProject: partition-local heaps + driver merge of k),
+    // never a global single-partition Window. The rank window below runs
+    // AFTER the limit, over exactly k rows.
+    val topk = assigned.join(broadcast(probed), "label")
       .crossJoin(broadcast(queryVec))
       .withColumn("cosine", cosine(col(vecCol), col("qvec")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+    val wRank = Window.orderBy(col("cosine").desc, col(idCol))
+    topk.withColumn("rank", row_number().over(wRank))
       .select(col("rank"), col(idCol), col("label"), col("cosine"))
   }
 

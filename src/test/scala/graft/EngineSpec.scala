@@ -170,6 +170,29 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-6)
   }
 
+  test("ivf topk: correct result, no per-id exchange, TakeOrderedAndProject top-k") {
+    import spark.implicits._
+    val corpus = (1 to 40).map { i =>
+      val cls = if (i % 2 == 0) "a" else "b"
+      (i.toLong, Array((if (cls == "a") 1.0f else 0.0f) + i * 1e-3f,
+        (if (cls == "a") 0.0f else 1.0f)), cls)
+    }.toDF("id", "vec", "cls")
+    val q = Seq(Tuple1(Array(1.0f, 0.05f))).toDF("qvec")
+    val top = Similarity.ivfTopK(corpus, "id", "vec", "cls", q, k = 3, nprobe = 1)
+    val rows = top.orderBy("rank").collect()
+    assert(rows.length == 3)
+    // probing cell 'a' only: all hits even ids (class a)
+    assert(rows.forall(_.getAs[Long]("id") % 2 == 0))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must be TakeOrderedAndProject, not a single-partition Window")
+    // the corpus->centroid assignment must be a projection: the only
+    // row_number Window allowed is the final rank over k rows
+    assert(!plan.contains("Window [row_number")
+      || plan.indexOf("TakeOrderedAndProject") > plan.indexOf("Window [row_number"),
+      "no Window may run before the top-k limit")
+  }
+
   test("text stats") {
     import spark.implicits._
     val df = Seq("  the quick  brown fox ", "").toDF("text")
