@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2236,6 +2236,247 @@ object SparkEntry {
          |  cast(cast(greatest(400.0*ln(800.0/(0.75*(800.0*exp(-d.dcf/400.0)) + 0.75*(3.94*w.wpr))), 15.0)
          |    as decimal(38,4)) as double) dc_spring
          |from dcf d join wpr w on d.user_id = w.user_id""".stripMargin
+  )
+
+  // ---- batch 18: potential evapotranspiration + SPEI ----------------------
+
+  /** Multi-year daily climate series derived deterministically from
+    * lineitem (7 years of l_shipdate, 3 entities = l_returnflag): daily
+    * precipitation [mm], mean temperature [degC] and a per-entity latitude.
+    * Aggregates are quantized to 2 decimals BEFORE the nonlinear solar/PET
+    * chains so Spark and the oracle cannot diverge on summation order. */
+  private def climateDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("k"), col("l_shipdate").cast("date").as("d"))
+      // prices summed as exact integer cents (l_extendedprice has 2
+      // decimals; a float avg lands exactly ON .005 rounding boundaries,
+      // where engine summation order flips the rounded value — integer
+      // summation is order-free), quantities are integer-valued -> exact
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("epc"),
+        count(lit(1)).as("nli"),
+        sum(col("l_quantity")).as("prsum"))
+      .select(col("k"), col("d"),
+        (ascii(col("k")) - 70).cast("double").as("lat"),
+        (col("prsum") / 25.0).as("pr"),
+        (col("epc").cast("double") / col("nli") / 200000.0 - 10.0).as("tas"))
+
+  /** Oracle twin of [[climateDaily]] (CTE body). */
+  private val climSql =
+    """clim as (
+      |  select l_returnflag k, cast(l_shipdate as date) d,
+      |    cast(ascii(l_returnflag) - 70 as double) lat,
+      |    cast(sum(l_quantity) as double)/25.0 pr,
+      |    cast(cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) as double)
+      |      /count(*)/200000.0 - 10.0 tas
+      |  from lineitem group by 1, 2
+      |)""".stripMargin
+
+  /** Spencer solar-geometry CTE chain over a source CTE exposing (d, lat):
+    * day angle, declination, eccentricity, sunset hour angle, and daily
+    * extraterrestrial radiation `ra` [J m-2 d-1] at the 1361 W/m2 solar
+    * constant (helpers.py:119/:195/:400 twins). */
+  private def solarSql(src: String): String =
+    s"""sol as (
+       |  select *,
+       |    2.0*pi()*(cast(dayofyear(d) as double) - 1.0)
+       |      /cast(dayofyear(make_date(year(d), 12, 31)) as double) da,
+       |    radians(lat) latr
+       |  from $src
+       |),
+       |dec_ as (
+       |  select *,
+       |    0.006918 - 0.399912*cos(da) + 0.070257*sin(da) - 0.006758*cos(2*da)
+       |      + 0.000907*sin(2*da) - 0.002697*cos(3*da) + 0.001480*sin(3*da) decl,
+       |    1.0001100 + 0.034221*cos(da) + 0.001280*sin(da) + 0.000719*cos(2*da)
+       |      + 0.000077*sin(2*da) ecc
+       |  from sol
+       |),
+       |hs_ as (
+       |  select *, acos(greatest(-1.0, least(1.0, -tan(latr)*tan(decl)))) hss
+       |  from dec_
+       |),
+       |ra_ as (
+       |  select *,
+       |    1361.0*86400.0/pi()*ecc*(hss*sin(latr)*sin(decl)
+       |      + cos(latr)*cos(decl)*sin(hss)) ra
+       |  from hs_
+       |)""".stripMargin
+
+  /** Acklam inverse-normal-CDF rational approximation as a SQL CASE over a
+    * probability-valued column expression (mirrors `SpecialMath.probit`). */
+  private def probitSql(p: String): String = {
+    def horner(cs: Seq[Double], x: String): String =
+      cs.tail.foldLeft(cs.head.toString)((acc, ci) => s"($acc*$x + $ci)")
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+    val qLo = s"sqrt(-2.0*ln($p))"
+    val qHi = s"sqrt(-2.0*ln(1.0 - $p))"
+    def tailExpr(q: String): String =
+      s"(${horner(c, q)}) / ((${horner(d, q)})*$q + 1.0)"
+    val centerQ = s"($p - 0.5)"
+    val centerR = s"($centerQ*$centerQ)"
+    s"""case when $p < 0.02425 then ${tailExpr(qLo)}
+       | when $p <= 0.97575 then
+       |   (${horner(a, centerR)})*$centerQ / ((${horner(b, centerR)})*$centerR + 1.0)
+       | else -${tailExpr(qHi)} end""".stripMargin
+  }
+
+  private def queries18: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_pet_daily" -> ((s, dir) => {
+      // potential_evapotranspiration (converters.py:1890), the four daily
+      // methods side by side — pure codegen'd projections over the synthetic
+      // fire-weather frame (solar geometry recomputed per row; no shuffle
+      // beyond the shared daily rollup).
+      import graft.indices.Evapotranspiration
+      val wx = weatherDaily(s, dir)
+        .withColumn("d", date_add(to_date(lit("1970-01-01")), col("t")))
+        .withColumn("tasmin", col("airt") - 5.0)
+        .withColumn("tasmax", col("airt") + 5.0)
+      val rnMj = Evapotranspiration.extraterrestrialRadiation(col("lat"), col("d")) / 1e6 * 0.75
+      wx.select(col("user_id"), col("t"),
+        round(Evapotranspiration.petBaierRobertson65(
+          col("tasmin"), col("tasmax"), col("lat"), col("d")), 4).as("pet_br65"),
+        round(Evapotranspiration.petHargreaves85(
+          col("tasmin"), col("tasmax"), col("lat"), col("d")), 4).as("pet_hg85"),
+        round(Evapotranspiration.petMcGuinnessBordne05(
+          col("airt"), col("lat"), col("d")), 4).as("pet_mb05"),
+        round(Evapotranspiration.petFaoAllen98(
+          col("tasmin"), col("tasmax"), col("hum") / 100.0, rnMj,
+          Evapotranspiration.windSpeed2m(col("wind") / 3.6)), 4).as("pet_fao98"))
+    }),
+
+    "q_pet_thornthwaite" -> ((s, dir) => {
+      // Thornthwaite 1948 monthly PET (converters.py:2082): monthly rollup
+      // -> yearly heat-index broadcast join -> projection.
+      graft.indices.Evapotranspiration
+        .petThornthwaite48(climateDaily(s, dir), Seq("k"), "d", "tas", "lat", quantize = 6)
+        .select(col("k").as("l_returnflag"), col("m").as("period"),
+          round(col("pet_mm"), 4).as("pet_mm"))
+    }),
+
+    "q_spei" -> ((s, dir) => {
+      // SPEI (_agro.py:1148): wb = pr - PET(HG85), monthly means, 3-month
+      // rolling, month-of-year pools, fisk APP fit (stats.py:653) + probit.
+      import graft.indices.Evapotranspiration
+      val clim = climateDaily(s, dir)
+      val wb = clim.withColumn("wb", col("pr") -
+        Evapotranspiration.petHargreaves85(
+          col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
+      Evapotranspiration.spei(wb, Seq("k"), "d", "wb",
+          window = 3, floc = -50.0, quantize = 6)
+        .select(col("k").as("l_returnflag"), col("m").as("period"),
+          round(col("wb"), 4).as("wb3"), round(col("spei"), 4).as("spei"))
+    })
+  )
+
+  private def oracle18: Map[String, String] = Map(
+
+    "q_pet_daily" ->
+      s"""with $wxSql,
+         |${solarSql(
+           """(select user_id, d, t, lat, airt tas, airt - 5.0 tasmin,
+             |   airt + 5.0 tasmax, hum/100.0 hurs, wind/3.6 w10 from wx)""".stripMargin)},
+         |svp as (
+         |  select *,
+         |    (6.112*exp(17.62*tasmax/(243.12 + tasmax))
+         |     + 6.112*exp(17.62*tasmin/(243.12 + tasmin)))/2.0/10.0 es,
+         |    w10*4.87/ln(67.8*10.0 - 5.42) u2,
+         |    0.75*ra/1e6 rn
+         |  from ra_
+         |),
+         |pm as (
+         |  select *, es*hurs ea, 4098.0*es/((tas + 237.3)*(tas + 237.3)) delta,
+         |    0.665e-3*101.325 gam
+         |  from svp
+         |)
+         |select user_id, t,
+         |  cast(cast(greatest(0.0, 0.094*(-87.03 + 0.928*(tasmax*1.8 + 32.0)
+         |    + 0.933*((tasmax*1.8 + 32.0) - (tasmin*1.8 + 32.0))
+         |    + 0.0486*ra/41840.0)) as decimal(38,4)) as double) pet_br65,
+         |  cast(cast(greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
+         |    *sqrt(greatest(tasmax - tasmin, 0.0))) as decimal(38,4)) as double) pet_hg85,
+         |  cast(cast((ra*1367.0/1361.0)/(4185.5*(751.78 - 0.5655*(tas + 273.15)))
+         |    *(0.00516409319477*tas + 0.0874972822289) as decimal(38,4)) as double) pet_mb05,
+         |  cast(cast((0.408*delta*rn + gam*900.0/(tas + 273.15)*u2*(es - ea))
+         |    /(delta + gam*(1.0 + 0.34*u2)) as decimal(38,4)) as double) pet_fao98
+         |from pm""".stripMargin,
+
+    "q_pet_thornthwaite" ->
+      s"""with $climSql,
+         |${solarSql("clim")},
+         |mon as (
+         |  select k, cast(date_trunc('month', d) as timestamp) m,
+         |    cast(cast(avg(greatest(tas, 0.0)) as decimal(38,6)) as double) tas_m,
+         |    cast(cast(avg((24.0/pi())*hss/12.0) as decimal(38,6)) as double) dl_m
+         |  from ra_ group by 1, 2
+         |),
+         |yr as (
+         |  select k, year(m) y,
+         |    cast(cast(sum(cast(cast(pow(tas_m/5.0, 1.514) as decimal(38,8)) as double))
+         |      as decimal(38,6)) as double) hi
+         |  from mon group by 1, 2
+         |),
+         |ya as (
+         |  select *, 6.75e-7*hi*hi*hi - 7.71e-5*hi*hi + 0.01791*hi + 0.49239 a
+         |  from yr
+         |)
+         |select mon.k l_returnflag, mon.m period,
+         |  cast(cast(case when ya.hi > 0
+         |    then 16.0*mon.dl_m*cast(cast(pow(10.0*mon.tas_m/ya.hi, ya.a)
+         |      as decimal(38,7)) as double) else 0.0 end
+         |    as decimal(38,4)) as double) pet_mm
+         |from mon join ya on ya.k = mon.k and ya.y = year(mon.m)""".stripMargin,
+
+    "q_spei" ->
+      s"""with $climSql,
+         |${solarSql("clim")},
+         |wbd as (
+         |  select k, d,
+         |    pr - greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
+         |      *sqrt(greatest((tas + 5.0) - (tas - 5.0), 0.0))) wb
+         |  from ra_
+         |),
+         |mon as (
+         |  select k, cast(date_trunc('month', d) as timestamp) m,
+         |    cast(cast(avg(wb) as decimal(38,6)) as double) wb
+         |  from wbd group by 1, 2
+         |),
+         |rolled as (
+         |  select k, m, rn, avg(wb) over (partition by k order by m
+         |    rows between 2 preceding and current row) wb
+         |  from (select *, row_number() over (partition by k order by m) rn from mon)
+         |  qualify rn >= 3
+         |),
+         |pooled as (select k, m, wb, month(m) pool, wb - (-50.0) x from rolled),
+         |fit as (
+         |  select k, pool,
+         |    cast(cast(avg(x) as decimal(38,8)) as double) m1,
+         |    cast(cast(avg(x*x) as decimal(38,8)) as double) m2
+         |  from pooled where x > 0 group by 1, 2
+         |),
+         |par as (
+         |  select k, pool, 2.0*pow(m1, 3)/(m2 + m1*m1) scale,
+         |    pi()*m1/(sqrt(3.0)*sqrt(m2 - m1*m1)) c
+         |  from fit
+         |),
+         |cdf_ as (
+         |  select p.k, p.m, p.wb,
+         |    1.0/(1.0 + pow(p.x/f.scale, -f.c)) cdf, p.x
+         |  from pooled p join par f on f.k = p.k and f.pool = p.pool
+         |)
+         |select k l_returnflag, m period,
+         |  cast(cast(wb as decimal(38,4)) as double) wb3,
+         |  cast(cast(case when x <= 0 then -8.21
+         |    else greatest(least(${probitSql("cdf")}, 8.21), -8.21) end
+         |    as decimal(38,4)) as double) spei
+         |from cdf_""".stripMargin
   )
 
 }

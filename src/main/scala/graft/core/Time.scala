@@ -74,9 +74,10 @@ object Time {
     f match {
       case Freq(1, "h", _)  => date_trunc("HOUR", ts)
       case Freq(n, "h", _)  =>
-        // n-hourly: bucket on hours since epoch
-        val hrs = floor(unix_timestamp(ts) / 3600L)
-        to_timestamp(from_unixtime((floor(hrs / n) * n) * 3600L))
+        // n-hourly: integer epoch arithmetic (no string round-trip, no
+        // session-timezone dependence — DST-safe for multi-hour buckets)
+        val hrs = floor(unix_timestamp(ts).cast("double") / 3600d)
+        timestamp_seconds((floor(hrs / n) * n).cast("long") * 3600L)
       case Freq(1, "D", _)  => date_trunc("DAY", ts)
       case Freq(n, "D", _)  =>
         val days = datediff(ts.cast("date"), epoch)
