@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2375,6 +2375,126 @@ object SparkEntry {
           round(col("wb"), 4).as("wb3"), round(col("spei"), 4).as("spei"))
     })
   )
+
+  // ---- batch 19: distribution fits (PWM GEV/Gumbel, ML lognorm) ----------
+
+  private def queries19: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_return_level_gev" -> ((s, dir) => {
+      // fa(dist="genextreme", method="PWM") (stats.py:429): monthly-max
+      // blocks of the exact climate pr series, Hosking L-moment parameter
+      // map, T-year return levels. One bounded collect per entity.
+      graft.indices.FrequencyAnalysis.returnLevelLmom(
+          climateDaily(s, dir), Seq("k"), col("d").cast("timestamp"), col("pr"),
+          ts = Seq(10.0, 50.0), dist = "genextreme", freq = "MS", quantize = 6)
+        .select(col("k").as("l_returnflag"), col("n_blocks"),
+          round(col("shape"), 6).as("shape"), round(col("scale"), 4).as("scale"),
+          round(col("loc"), 4).as("loc"), col("t_years"),
+          round(col("return_level"), 4).as("return_level"))
+    }),
+
+    "q_return_level_gumbel" -> ((s, dir) => {
+      // fa(dist="gumbel_r", method="PWM"): same blocks, Gumbel map.
+      graft.indices.FrequencyAnalysis.returnLevelLmom(
+          climateDaily(s, dir), Seq("k"), col("d").cast("timestamp"), col("pr"),
+          ts = Seq(20.0), dist = "gumbel_r", freq = "MS", quantize = 6)
+        .select(col("k").as("l_returnflag"), col("n_blocks"),
+          round(col("scale"), 4).as("scale"), round(col("loc"), 4).as("loc"),
+          col("t_years"), round(col("return_level"), 4).as("return_level"))
+    }),
+
+    "q_lognorm_quantiles" -> ((s, dir) => {
+      // fit(dist="lognorm", method="ML", floc=0) + parametric_quantile:
+      // closed-form mu/sigma of ln x — two partial-aggregable scalars, no
+      // collected sample at any scale.
+      import graft.indices.Distributions
+      val e = t(s, dir, "events").filter(col("value") > 0)
+      val (sig, mu) = Distributions.lognormMl(col("value"))
+      e.groupBy(col("event_type"))
+        .agg(round(sig, 6).as("sigma"), round(mu, 6).as("mu"))
+        .select(col("event_type"), col("sigma"), col("mu"),
+          round(Distributions.lognormQuantile(lit(0.9), col("sigma"), col("mu")), 4)
+            .as("q90_lognorm"))
+    })
+  )
+
+  private def oracle19: Map[String, String] = {
+    // L-moment CTE over monthly maxima of the climate series (rank trick)
+    val blocksLmom =
+      s"""$climSql,
+         |blocks as (
+         |  select k, date_trunc('month', d) m, max(pr) x
+         |  from clim group by 1, 2
+         |),
+         |r as (select k, x, row_number() over (partition by k order by x) rk,
+         |  count(*) over (partition by k) n from blocks),
+         |lm as (
+         |  select k, any_value(n) n_blocks, avg(x) b0,
+         |    sum(x*(rk-1.0)/(n-1.0))/any_value(n) b1,
+         |    sum(x*(rk-1.0)*(rk-2.0)/((n-1.0)*(n-2.0)))/any_value(n) b2
+         |  from r group by k
+         |),
+         |lmom as (
+         |  select k, n_blocks,
+         |    cast(cast(b0 as decimal(38,6)) as double) l1,
+         |    cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
+         |    cast(cast((6*b2 - 6*b1 + b0)/(2*b1 - b0) as decimal(38,6)) as double) t3
+         |  from lm
+         |)""".stripMargin
+    Map(
+
+      "q_return_level_gev" ->
+        s"""with $blocksLmom,
+           |par as (
+           |  select k, n_blocks, l1, l2,
+           |    cast(cast(7.8590*z + 2.9554*z*z as decimal(38,6)) as double) kk
+           |  from (select *, 2.0/(3.0 + t3) - 0.6309297535714574 z from lmom)
+           |),
+           |par2 as (
+           |  select k, n_blocks, kk,
+           |    l2*kk/(gk*(1.0 - pow(2.0, -kk))) alpha,
+           |    l1 - l2*kk/(gk*(1.0 - pow(2.0, -kk)))*(1.0 - gk)/kk xi
+           |  from (select *, cast(cast(gamma(1.0 + kk) as decimal(38,8)) as double) gk
+           |        from par)
+           |),
+           |ex as (
+           |  select par2.*, t_years from par2,
+           |    (select unnest([cast(10.0 as double), cast(50.0 as double)]) t_years)
+           |)
+           |select k l_returnflag, n_blocks,
+           |  cast(cast(kk as decimal(38,6)) as double) shape,
+           |  cast(cast(alpha as decimal(38,4)) as double) scale,
+           |  cast(cast(xi as decimal(38,4)) as double) loc, t_years,
+           |  cast(cast(xi + alpha/kk*(1.0 - pow(-ln(1.0 - 1.0/t_years), kk))
+           |    as decimal(38,4)) as double) return_level
+           |from ex""".stripMargin,
+
+      "q_return_level_gumbel" ->
+        s"""with $blocksLmom,
+           |par as (
+           |  select k, n_blocks, l2/0.6931471805599453 alpha,
+           |    l1 - 0.5772156649015329*(l2/0.6931471805599453) xi
+           |  from lmom
+           |)
+           |select k l_returnflag, n_blocks,
+           |  cast(cast(alpha as decimal(38,4)) as double) scale,
+           |  cast(cast(xi as decimal(38,4)) as double) loc,
+           |  cast(20.0 as double) t_years,
+           |  cast(cast(xi - alpha*ln(-ln(1.0 - 1.0/20.0)) as decimal(38,4)) as double) return_level
+           |from par""".stripMargin,
+
+      "q_lognorm_quantiles" ->
+        s"""with f as (
+           |  select event_type,
+           |    cast(cast(stddev_pop(ln(value)) as decimal(38,6)) as double) sigma,
+           |    cast(cast(avg(ln(value)) as decimal(38,6)) as double) mu
+           |  from events where value > 0 group by 1
+           |)
+           |select event_type, sigma, mu,
+           |  cast(cast(exp(mu + sigma*(${probitSql("cast(0.9 as double)")})) as decimal(38,4)) as double) q90_lognorm
+           |from f""".stripMargin
+    )
+  }
 
   private def oracle18: Map[String, String] = Map(
 

@@ -212,6 +212,19 @@ case class GammaMleShape(child: Expression)
   override protected def withNewChildInternal(c: Expression): GammaMleShape = copy(child = c)
 }
 
+/** log_gamma(x): Lanczos log-Gamma (needed by the GEV/Pearson-III L-moment
+  * parameter maps, stats.py:115 `fit` method="PWM"). */
+case class LogGamma(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(x: Any): Any = SpecialMath.logGamma(x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SpecialMath.logGamma($x)")
+  override protected def withNewChildInternal(c: Expression): LogGamma = copy(child = c)
+}
+
 /** gamma_ppf(p, shape): inverse regularized incomplete gamma (scale 1). */
 case class GammaPInv(left: Expression, right: Expression) extends BinaryExpression
     with ImplicitCastInputTypes {
@@ -245,4 +258,12 @@ object SpecialFunctions {
   def gammaPpf(p: Column, shape: Column, scale: Column): Column =
     ColumnBridge.column(GammaPInv(
       ColumnBridge.expression(p), ColumnBridge.expression(shape))) * scale
+
+  /** ln Γ(x) (Lanczos g=7 n=9). */
+  def logGamma(x: Column): Column =
+    ColumnBridge.column(LogGamma(ColumnBridge.expression(x)))
+
+  /** Γ(x) = exp(ln Γ(x)). */
+  def gammaFn(x: Column): Column =
+    org.apache.spark.sql.functions.exp(logGamma(x))
 }
