@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2374,6 +2374,74 @@ object SparkEntry {
         .select(col("k").as("l_returnflag"), col("m").as("period"),
           round(col("wb"), 4).as("wb3"), round(col("spei"), 4).as("spei"))
     })
+  )
+
+  // ---- batch 20: agro composites ------------------------------------------
+
+  private def queries20: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_rain_season" -> ((s, dir) => {
+      // rain_season (_agro.py:796): wet-start trigger + no-dry-hole state
+      // machine (runs_with_holes), first qualifying event >= 33 days from
+      // May on; season end = first 4-day dry run after the start from Sep
+      // on. The acid test for the Runs.runsWithHoles window plan.
+      graft.indices.Agro.rainSeason(climateDaily(s, dir), Seq("k"), "d", "pr",
+          threshWetStart = 6.0, windowWetStart = 3, windowNotDryStart = 30,
+          threshDryStart = 1.0, windowDryStart = 7,
+          threshDryEnd = 1.0, windowDryEnd = 4,
+          startMonth = 5, endMonth = 9)
+        .select(col("k").as("l_returnflag"), col("y"),
+          col("rain_season_start"), col("rain_season_end"), col("rain_season_length"))
+    })
+  )
+
+  private def oracle20: Map[String, String] = Map(
+
+    "q_rain_season" ->
+      s"""with $climSql,
+         |cy as (select k, d, pr, year(d) y from clim),
+         |sl as (
+         |  select *, row_number() over (partition by k, y order by d) rn,
+         |    sum(pr) over (partition by k, y order by d
+         |      rows between 2 preceding and current row) w3
+         |  from cy where month(d) >= 5
+         |),
+         |m as (
+         |  select *, case
+         |    when rn >= 7 and max(case when pr <= 1.0 then 0 else 1 end)
+         |      over (partition by k, y order by d
+         |            rows between 6 preceding and current row) = 0 then 0
+         |    when w3 >= 6.0 and rn >= 3 then 1 end marker
+         |  from sl
+         |),
+         |st as (
+         |  select *, coalesce(last_value(marker ignore nulls)
+         |    over (partition by k, y order by d
+         |          rows between unbounded preceding and current row), 0) in_event
+         |  from m
+         |),
+         |runid as (select *, sum(case when in_event = 1 then 0 else 1 end)
+         |  over (partition by k, y order by d) rid from st),
+         |runs as (select k, y, rid, min(d) run_start, count(*) run_len
+         |  from runid where in_event = 1 group by 1, 2, 3),
+         |starts as (select k, y, min(run_start) start_d
+         |  from runs where run_len >= 33 group by 1, 2),
+         |wy as (select cy.k, cy.y, cy.d, cy.pr, s.start_d
+         |  from cy join starts s on s.k = cy.k and s.y = cy.y),
+         |did as (select *, case when pr <= 1.0 and d > start_d then 1 else 0 end dry from wy),
+         |did2 as (select *, sum(1 - dry) over (partition by k, y order by d) rid from did),
+         |druns as (select k, y, rid, min(d) run_start, count(*) run_len
+         |  from did2 where dry = 1 group by 1, 2, 3),
+         |ends as (select k, y, min(run_start) end_d
+         |  from druns where run_len >= 4 and month(run_start) >= 9 group by 1, 2),
+         |lastobs as (select k, y, max(d) last_d from cy group by 1, 2)
+         |select s.k l_returnflag, s.y, dayofyear(s.start_d) rain_season_start,
+         |  dayofyear(e.end_d) rain_season_end,
+         |  coalesce(date_diff('day', s.start_d, e.end_d),
+         |    date_diff('day', s.start_d, l.last_d) + 1) rain_season_length
+         |from starts s
+         |left join ends e on e.k = s.k and e.y = s.y
+         |join lastobs l on l.k = s.k and l.y = s.y""".stripMargin
   )
 
   // ---- batch 19: distribution fits (PWM GEV/Gumbel, ML lognorm) ----------

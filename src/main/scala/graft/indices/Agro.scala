@@ -1,6 +1,7 @@
 package graft.indices
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Agrometeorology (`xclim/indices/_agro.py`): crop heat accumulation and
@@ -43,4 +44,64 @@ object Agro {
   def latitudeTemperatureIndex(meanWarmestMonthC: Column, latDeg: Column,
                                latFactor: Double = 75.0): Column =
     meanWarmestMonthC * (lit(latFactor) - abs(latDeg)) / lit(latFactor)
+
+  /** `rain_season` (_agro.py:796, Sivakumar 1998): per (keys, year), the
+    * start / end / length of the rain season.
+    *
+    * Start: the first day on or after `startMonth`-01 that begins a
+    * [[graft.core.Runs.runsWithHoles]] event of length >=
+    * `windowWetStart + windowNotDryStart`, where the event turns on when the
+    * trailing `windowWetStart`-day precipitation total reaches
+    * `threshWetStart` and turns off after `windowDryStart` consecutive days
+    * <= `threshDryStart` (the reference's per_day method).
+    * End: the first day after the start (and on or after `endMonth`-01)
+    * beginning a run of `windowDryEnd` consecutive days <= `threshDryEnd`.
+    * Length: end - start days, or days to the last observed day of the year
+    * + 1 when the season never ends.
+    *
+    * Two window passes over one (keys, year) partitioning (exchange reused)
+    * + a broadcast of the one-row-per-entity-year start table: scale-safe.
+    * Runs are over rows present, like every `Runs` operator.
+    */
+  def rainSeason(daily: DataFrame, keys: Seq[String], dateCol: String, prCol: String,
+                 threshWetStart: Double = 25.0, windowWetStart: Int = 3,
+                 windowNotDryStart: Int = 30,
+                 threshDryStart: Double = 1.0, windowDryStart: Int = 7,
+                 threshDryEnd: Double = 0.0, windowDryEnd: Int = 20,
+                 startMonth: Int = 5, endMonth: Int = 9): DataFrame = {
+    import graft.core.Runs
+    val d = col(dateCol)
+    val yKeys = keys :+ "y"
+    val withY = daily.withColumn("y", year(d))
+    // --- start: wet trigger / dry-hole state machine on the sliced series
+    val sliced = withY.filter(month(d) >= startMonth)
+    val wOrd = Window.partitionBy(yKeys.map(col): _*).orderBy(d)
+    val wWet = wOrd.rowsBetween(-(windowWetStart - 1), 0)
+    val wet = sliced
+      .withColumn("_w3", sum(col(prCol)).over(wWet))
+      .withColumn("_rn", row_number().over(wOrd))
+    val daStart = col("_w3") >= threshWetStart && col("_rn") >= windowWetStart
+    val events = Runs.runsWithHoles(wet, yKeys, d,
+      daStart, 1, col(prCol) <= threshDryStart, windowDryStart)
+    val starts = Runs.runTable(events, yKeys, d, col("in_event"))
+      .filter(col("run_len") >= windowWetStart + windowNotDryStart)
+      .groupBy(yKeys.map(col): _*)
+      .agg(min(col("run_start")).as("start_d"))
+    // --- end: first qualifying dry run strictly after the start
+    val withStart = withY.join(broadcast(starts), yKeys)
+    val dryRuns = Runs.runTable(withStart, yKeys, d,
+        col(prCol) <= threshDryEnd && d > col("start_d"))
+      .filter(col("run_len") >= windowDryEnd && month(col("run_start")) >= endMonth)
+      .groupBy(yKeys.map(col): _*)
+      .agg(min(col("run_start")).as("end_d"))
+    val lastObs = withY.groupBy(yKeys.map(col): _*).agg(max(d).as("_last_d"))
+    starts
+      .join(broadcast(dryRuns), yKeys, "left")
+      .join(broadcast(lastObs), yKeys)
+      .select((yKeys.map(col) :+
+        dayofyear(col("start_d")).as("rain_season_start") :+
+        dayofyear(col("end_d")).as("rain_season_end") :+
+        coalesce(datediff(col("end_d"), col("start_d")),
+          datediff(col("_last_d"), col("start_d")) + 1).as("rain_season_length")): _*)
+  }
 }
