@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2442,6 +2442,107 @@ object SparkEntry {
          |from starts s
          |left join ends e on e.k = s.k and e.y = s.y
          |join lastobs l on l.k = s.k and l.y = s.y""".stripMargin
+  )
+
+  // ---- batch 21: UTCI + mean radiant temperature --------------------------
+
+  private def queries21: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_utci" -> ((s, dir) => {
+      // universal_thermal_climate_index (converters.py:2389): the 210-term
+      // Broede polynomial over synthesized (tas, hurs, wind, mrt), with the
+      // reference's validity mask (null outside it). Pure projection.
+      import graft.indices.Utci
+      val e = t(s, dir, "events").select(col("event_id"),
+        (col("value") / 12.0 - 20.0).as("tas"),
+        ((col("value") % 60.0) + 30.0).as("hurs_pct"),
+        ((col("value") % 16.0) + 0.4).as("wind"),
+        (col("value") / 12.0 - 20.0 + (col("value") % 50.0) / 2.0 - 12.5).as("mrt"))
+      e.select(col("event_id"), round(col("tas"), 6).as("tas"),
+        round(Utci.utci(col("tas"), col("hurs_pct") / 100.0, col("wind"), col("mrt")), 4)
+          .as("utci"))
+    }),
+
+    "q_mrt" -> ((s, dir) => {
+      // mean_radiant_temperature (converters.py:2538): direct/diffuse split
+      // of shortwave via the fdir ratio, fp beam projection, SB inversion;
+      // csza = daily sunlit average from the Spencer solar chain.
+      import graft.indices.Utci
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("date").as("d"),
+        (col("user_id") - 60.0).cast("double").as("lat"),
+        col("value").as("rsds"),
+        (col("value") * 0.15).as("rsus"),
+        (lit(300.0) + col("value") / 10.0).as("rlds"),
+        (lit(350.0) + col("value") / 8.0).as("rlus"))
+      e.select(col("event_id"),
+        round(Utci.meanRadiantTemperature(col("rsds"), col("rsus"), col("rlds"),
+          col("rlus"), col("lat"), col("d")), 4).as("mrt_k"))
+    })
+  )
+
+  private def oracle21: Map[String, String] = Map(
+
+    "q_utci" -> {
+      val poly = graft.indices.Utci.utciPolySql("tas", "wind", "dt", "pa")
+      val esat = graft.indices.Utci.satVpIts90Sql("(tas + 273.15)")
+      s"""with e as (
+         |  select event_id, value/12.0 - 20.0 tas,
+         |    (value % 60.0) + 30.0 hurs_pct,
+         |    (value % 16.0) + 0.4 wind,
+         |    value/12.0 - 20.0 + (value % 50.0)/2.0 - 12.5 mrt
+         |  from events
+         |),
+         |f as (
+         |  select event_id, tas, wind, mrt - tas dt,
+         |    $esat/1000.0*(hurs_pct/100.0) pa
+         |  from e
+         |)
+         |select event_id,
+         |  cast(cast(tas as decimal(38,6)) as double) tas,
+         |  cast(cast(case when tas > -50.0 and tas < 50.0 and dt > -30.0
+         |    and dt < 30.0 and wind >= 0.5 and wind < 17.0
+         |    then $poly end as decimal(38,4)) as double) utci
+         |from f""".stripMargin
+    },
+
+    "q_mrt" ->
+      s"""with e0 as (
+         |  select event_id, cast(ts as date) d,
+         |    cast(user_id - 60.0 as double) lat,
+         |    value rsds, value*0.15 rsus,
+         |    300.0 + value/10.0 rlds, 350.0 + value/8.0 rlus
+         |  from events
+         |),
+         |${solarSql("e0")},
+         |cz as (
+         |  select *, case when hss > 0.0
+         |    then (hss*sin(latr)*sin(decl) + cos(latr)*cos(decl)*sin(hss))/hss
+         |    else 0.0 end csza
+         |  from ra_
+         |),
+         |fd as (
+         |  select *, least(rsds/(1367.0*csza*ecc), 0.85) sstar from cz
+         |),
+         |fr as (
+         |  select *, case when least(exp(3.0 - 1.34*sstar - 1.65/sstar), 0.9) <= 0.0
+         |      or csza <= cos(89.5/180.0*pi()) or rsds <= 0.0 then 0.0
+         |    else least(exp(3.0 - 1.34*sstar - 1.65/sstar), 0.9) end fdir
+         |  from fd
+         |),
+         |mr as (
+         |  select event_id,
+         |    rsds - fdir*rsds rsds_diffuse, fdir*rsds rsds_direct,
+         |    asin(csza) gam, csza, rsus, rlds, rlus
+         |  from fr
+         |)
+         |select event_id,
+         |  cast(cast(pow((1.0/5.67e-8)*(0.5*rlds + 0.5*rlus
+         |    + (0.7/0.97)*(0.5*rsds_diffuse + 0.5*rsus
+         |      + (0.308*cos(gam*0.988 - gam*gam/50000.0))
+         |        *(case when csza > 0.001 then rsds_direct/csza else 0.0 end))),
+         |    0.25) as decimal(38,4)) as double) mrt_k
+         |from mr""".stripMargin
   )
 
   // ---- batch 19: distribution fits (PWM GEV/Gumbel, ML lognorm) ----------
