@@ -308,8 +308,10 @@ object Utci {
   def fdirRatio(rsds: Column, csza: Column, eccentricity: Column): Column = {
     val sStar = least(rsds / (lit(1367.0) * csza * eccentricity), lit(0.85))
     val ratio = least(exp(lit(3.0) - lit(1.34) * sStar - lit(1.65) / sStar), lit(0.9))
-    when(ratio <= 0.0 || csza <= math.cos(89.5 / 180.0 * math.Pi) || rsds <= 0.0, 0.0)
-      .otherwise(ratio)
+    // dark test first: the branches below divide by csza/sStar (ANSI-safe
+    // only because CaseWhen evaluates lazily)
+    when(csza <= math.cos(89.5 / 180.0 * math.Pi) || rsds <= 0.0, 0.0)
+      .otherwise(when(ratio <= 0.0, 0.0).otherwise(ratio))
   }
 
   /** Mean radiant temperature [K] (converters.py:2538): partition global
