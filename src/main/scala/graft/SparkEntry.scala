@@ -2392,6 +2392,19 @@ object SparkEntry {
           startMonth = 5, endMonth = 9)
         .select(col("k").as("l_returnflag"), col("y"),
           col("rain_season_start"), col("rain_season_end"), col("rain_season_length"))
+    }),
+
+    "q_minhash_candidates" -> ((s, dir) => {
+      // MinHash-LSH near-dup end to end (Dedup.nearDuplicates): banded
+      // signatures -> bucket-local candidate pairs -> exact-Jaccard verify.
+      // bands=16/rows=1 pins recall at ~1 for J>=0.7 (miss prob (1-J)^16
+      // <= 4e-9) so the LSH output EQUALS the oracle's exhaustive
+      // all-pairs truth; production tuning (e.g. 16x4) trades that recall
+      // for fewer candidates. The O(n^2) comparison never materialises —
+      // only bucket-local pairs are generated.
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          ngram = 1, threshold = 0.7, numHashes = 16, bands = 16)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
 
@@ -2441,7 +2454,18 @@ object SparkEntry {
          |    date_diff('day', s.start_d, l.last_d) + 1) rain_season_length
          |from starts s
          |left join ends e on e.k = s.k and e.y = s.y
-         |join lastobs l on l.k = s.k and l.y = s.y""".stripMargin
+         |join lastobs l on l.k = s.k and l.y = s.y""".stripMargin,
+
+    "q_minhash_candidates" ->
+      """with g as (select doc_id,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) grams
+        | from documents)
+        |select id_a, id_b, jaccard from (
+        | select a.doc_id id_a, b.doc_id id_b,
+        |  cast(cast(cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
+        | from g a join g b on a.doc_id < b.doc_id) t
+        |where jaccard >= 0.7""".stripMargin
   )
 
   // ---- batch 21: UTCI + mean radiant temperature --------------------------
