@@ -1047,15 +1047,22 @@ object SparkEntry {
         .select(col("user_id"), datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
           col("total"))
       val a = daily.alias("a"); val b = daily.alias("b")
-      a.join(b, col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      val slopes = a
+        .join(b, col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
         .select(col("a.user_id").as("user_id"),
           ((col("b.total") - col("a.total")) / (col("b.t") - col("a.t"))).as("slope"))
-        .groupBy(col("user_id"))
-        // lower median as a discrete order statistic: interpolated medians
-        // differ between engines in the last ulp exactly at .5 boundaries
-        .agg(element_at(sort_array(collect_list(col("slope"))),
-            ceil(count(lit(1)) / 2.0).cast("int")).as("sen_slope"),
-          count(lit(1)).as("n_pairs"))
+      // lower median as a discrete order statistic (interpolated medians
+      // differ between engines in the last ulp exactly at .5 boundaries),
+      // selected with a spill-able window sort over the distributed pair
+      // cloud — no collect_list, so executor memory stays bounded by the
+      // sort spill buffer however large n^2 grows per entity
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("slope"))
+      val wAll = Window.partitionBy(col("user_id"))
+      slopes
+        .withColumn("_rn", row_number().over(wOrd))
+        .withColumn("n_pairs", count(lit(1)).over(wAll))
+        .filter(col("_rn") === ceil(col("n_pairs") / 2.0).cast("int"))
+        .select(col("user_id"), col("slope").as("sen_slope"), col("n_pairs"))
     }),
 
     "q_bivariate_spell" -> ((s, dir) => {
