@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2473,6 +2473,162 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
         | from g a join g b on a.doc_id < b.doc_id) t
         |where jaccard >= 0.7""".stripMargin
+  )
+
+  // ---- batch 22: breadth-catalogue base shapes + sea ice ------------------
+
+  /** climateDaily mapped onto the indicator frame contract
+    * (location_id, time, value[, value2]). */
+  private def climInd(s: SparkSession, dir: String): DataFrame =
+    climateDaily(s, dir).select(col("k").as("location_id"),
+      col("d").cast("timestamp").as("time"),
+      col("tas").as("value"), col("pr").as("value2"))
+
+  private val climIndSql =
+    """ind as (select k location_id, cast(d as timestamp) time_, tas value_, pr value2_
+      |  from clim)""".stripMargin
+
+  private def queries22: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_sdii" -> ((s, dir) => {
+      // sdii (_threshold.py:680) through the registry's thresholded_stat
+      // base: mean precip over wet days per year.
+      graft.indicator.Registry.computeBases("thresholded_stat")(
+          climInd(s, dir).withColumn("value", col("value2")), "YS",
+          Map("op" -> ">=", "thresh" -> "1.0", "reducer" -> "mean"))
+        .select(col("location_id"), col("period"), round(col("value"), 6).as("sdii"))
+    }),
+
+    "q_storm_days" -> ((s, dir) => {
+      // snd_storm_days shape (_threshold.py:600): days whose day-over-day
+      // increase >= 2 per month (lag crosses month bounds, like the
+      // reference's un-resampled diff).
+      graft.indicator.Registry.computeBases("lag_diff_count")(
+          climInd(s, dir).withColumn("value", col("value2")), "MS",
+          Map("op" -> ">=", "thresh" -> "2.0"))
+        .select(col("location_id"), col("period"), col("value").as("storm_days"))
+    }),
+
+    "q_days_with_snow" -> ((s, dir) => {
+      // days_with_snow (_threshold.py:1817): domain_count low < v <= high.
+      graft.indicator.Registry.computeBases("domain_count")(
+          climInd(s, dir).withColumn("value", col("value2")), "YS",
+          Map("low" -> "0.5", "high" -> "3.0"))
+        .select(col("location_id"), col("period"), col("value").as("n_days"))
+    }),
+
+    "q_growing_season_length" -> ((s, dir) => {
+      // growing_season_length (_threshold.py:1096): first 6-day run with
+      // tas >= thresh to first 6-day failing run after Jul 1, per year.
+      graft.indicator.Registry.computeBases("season_bound")(
+          climInd(s, dir), "YS",
+          Map("op" -> ">=", "thresh" -> "10.0", "window" -> "6",
+            "mid_month" -> "7", "bound" -> "length"))
+        .select(col("location_id"), col("period").as("y"), col("value").as("gsl"))
+    }),
+
+    "q_cold_dry_quadrant" -> ((s, dir) => {
+      // cold_and_dry_days (_multivariate.py:252): both-variable day count.
+      graft.indicator.Registry.computeBases("bivariate_count")(
+          climInd(s, dir), "MS",
+          Map("op" -> "<", "thresh" -> "10.0", "op2" -> "<", "thresh2" -> "1.0"))
+        .select(col("location_id"), col("period"), col("value").as("cd_days"))
+    }),
+
+    "q_isothermality" -> ((s, dir) => {
+      // isothermality BIO3 (_anuclim.py:51): mean diurnal range over
+      // extreme range x100.
+      graft.indicator.Registry.computeBases("isothermality")(
+          climInd(s, dir)
+            .withColumn("valuemin", col("value") - col("value2"))
+            .withColumn("valuemax", col("value") + 3.0 + col("value2")), "YS",
+          Map.empty)
+        .select(col("location_id"), col("period"), round(col("value"), 6).as("bio3"))
+    }),
+
+    "q_sea_ice" -> ((s, dir) => {
+      // sea_ice_area/extent (_threshold.py:3058,:3097): weighted spatial
+      // aggregation, cells = users, concentration/area synthesized.
+      val e = t(s, dir, "events").select(
+        date_trunc("DAY", col("ts")).cast("date").as("d"),
+        ((col("value") % 100.0) / 100.0).as("siconc"),
+        ((col("user_id") % 50) + 1).cast("double").as("cell_area"))
+      graft.indices.SeaIce.seaIce(e, Seq("d"), col("siconc"), col("cell_area"))
+        .select(col("d"), round(col("sea_ice_area"), 6).as("sea_ice_area"),
+          round(col("sea_ice_extent"), 6).as("sea_ice_extent"))
+    })
+  )
+
+  private def oracle22: Map[String, String] = Map(
+
+    "q_sdii" ->
+      s"""with $climSql
+         |select k location_id, cast(date_trunc('year', d) as timestamp) period,
+         |  cast(cast(avg(case when pr >= 1.0 then pr end) as decimal(38,6)) as double) sdii
+         |from clim group by 1, 2""".stripMargin,
+
+    "q_storm_days" ->
+      s"""with $climSql,
+         |l as (select k, d, pr - lag(pr) over (partition by k order by d) dd
+         |  from clim)
+         |select k location_id, cast(date_trunc('month', d) as timestamp) period,
+         |  cast(coalesce(sum(case when dd >= 2.0 then 1 end), 0) as bigint) storm_days
+         |from l group by 1, 2""".stripMargin,
+
+    "q_days_with_snow" ->
+      s"""with $climSql
+         |select k location_id, cast(date_trunc('year', d) as timestamp) period,
+         |  cast(coalesce(sum(case when pr > 0.5 and pr <= 3.0 then 1 end), 0) as bigint) n_days
+         |from clim group by 1, 2""".stripMargin,
+
+    "q_growing_season_length" ->
+      s"""with $climSql,
+         |cy as (select k, d, tas, year(d) y from clim),
+         |q as (select *, case when tas >= 10.0 then 1 else 0 end ok from cy),
+         |rid as (select *, sum(1 - ok) over (partition by k, y order by d) r1,
+         |  sum(ok) over (partition by k, y order by d) r0 from q),
+         |runs as (select k, y, r1, min(d) run_start, count(*) run_len
+         |  from rid where ok = 1 group by 1, 2, 3),
+         |starts as (select k, y, min(run_start) start_d from runs
+         |  where run_len >= 6 group by 1, 2),
+         |aft as (select * from rid where d >= make_date(y, 7, 1)),
+         |rid2 as (select *, sum(ok) over (partition by k, y order by d) r2 from aft),
+         |eruns as (select k, y, r2, min(d) run_start, count(*) run_len
+         |  from rid2 where ok = 0 group by 1, 2, 3),
+         |ends as (select k, y, min(run_start) end_d from eruns
+         |  where run_len >= 6 group by 1, 2),
+         |lastd as (select k, y, max(d) last_d from cy group by 1, 2)
+         |select s.k location_id, s.y,
+         |  coalesce(date_diff('day', s.start_d, e.end_d),
+         |    date_diff('day', s.start_d, l.last_d) + 1) gsl
+         |from starts s
+         |left join ends e on e.k = s.k and e.y = s.y
+         |join lastd l on l.k = s.k and l.y = s.y""".stripMargin,
+
+    "q_cold_dry_quadrant" ->
+      s"""with $climSql
+         |select k location_id, cast(date_trunc('month', d) as timestamp) period,
+         |  cast(coalesce(sum(case when tas < 10.0 and pr < 1.0 then 1 end), 0) as bigint) cd_days
+         |from clim group by 1, 2""".stripMargin,
+
+    "q_isothermality" ->
+      s"""with $climSql
+         |select k location_id, cast(date_trunc('year', d) as timestamp) period,
+         |  cast(cast(avg((tas + 3.0 + pr) - (tas - pr))
+         |    / (max(tas + 3.0 + pr) - min(tas - pr)) * 100.0
+         |    as decimal(38,6)) as double) bio3
+         |from clim group by 1, 2""".stripMargin,
+
+    "q_sea_ice" ->
+      """with e as (select cast(date_trunc('day', ts) as date) d,
+        |  (value % 100.0)/100.0 siconc,
+        |  cast((user_id % 50) + 1 as double) cell_area from events)
+        |select d,
+        | cast(cast(coalesce(sum(case when siconc >= 0.15 then siconc*cell_area end), 0.0)
+        |   as decimal(38,6)) as double) sea_ice_area,
+        | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
+        |   as decimal(38,6)) as double) sea_ice_extent
+        |from e group by 1""".stripMargin
   )
 
   // ---- batch 21: UTCI + mean radiant temperature --------------------------

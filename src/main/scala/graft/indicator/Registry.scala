@@ -67,7 +67,128 @@ object Registry {
       graft.indices.PercentileIndicators.doySpellDuration(df, Seq("location_id"), "time",
         p.getOrElse("var", "value"), p.getOrElse("per", "0.9").toDouble,
         p.getOrElse("op", ">"), p.getOrElse("half_window", "2").toInt,
-        p.getOrElse("window", "6").toInt, freq)))
+        p.getOrElse("window", "6").toInt, freq)),
+    // fraction of period days meeting the condition (wetdays_prop,
+    // snowfall_frequency — _threshold.py:2792,:1878)
+    "threshold_prop" -> ((df, freq, p) =>
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq(avg(when(Generic.compare(col(p.getOrElse("var", "value")),
+          p.getOrElse("op", ">"), lit(p.getOrElse("thresh", "0").toDouble)), 1.0)
+          .otherwise(0.0)).as("value")))),
+    // share of the period total carried by qualifying days (rprctot,
+    // _threshold.py:2634)
+    "threshold_sum_fraction" -> ((df, freq, p) => {
+      val v = col(p.getOrElse("var", "value"))
+      val cond = Generic.compare(v, p.getOrElse("op", ">="),
+        lit(p.getOrElse("thresh", "0").toDouble))
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq((sum(when(cond, v)) / sum(v)).as("value")))
+    }),
+    // mean/sum/max/min of v over qualifying days (sdii _threshold.py:680,
+    // snowfall_intensity :1925)
+    "thresholded_stat" -> ((df, freq, p) =>
+      Generic.thresholdedStat(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")),
+        Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">="),
+          lit(p.getOrElse("thresh", "0").toDouble)),
+        p.getOrElse("reducer", "mean"), "value")),
+    // rolling window reduce then period reduce (max_n_day_precipitation,
+    // _simple.py:485)
+    "rolling_resample" -> ((df, freq, p) =>
+      Generic.rollingThenResample(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")), p.getOrElse("window", "3").toInt,
+        p.getOrElse("win_reducer", "sum"), p.getOrElse("reducer", "max"), "value")),
+    // days whose day-over-day increase meets the threshold (snd_storm_days
+    // _threshold.py:600, winter_storm :3003)
+    "lag_diff_count" -> ((df, freq, p) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("location_id")).orderBy(col("time"))
+      val v = col(p.getOrElse("var", "value"))
+      val d = v - lag(v, 1).over(w)
+      Generic.resampleOp(df.withColumn("_d", d), Seq("location_id"), col("time"), freq,
+        Seq(coalesce(sum(when(Generic.compare(col("_d"), p.getOrElse("op", ">="),
+          lit(p.getOrElse("thresh", "0").toDouble)), 1L)), lit(0L)).as("value")))
+    }),
+    // period max of the day-over-day DECREASE (snow_melt_we_max
+    // _hydrology.py:696; negate for accumulation max)
+    "lag_drop_max" -> ((df, freq, p) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("location_id")).orderBy(col("time"))
+      val v = col(p.getOrElse("var", "value"))
+      Generic.resampleOp(df.withColumn("_d", lag(v, 1).over(w) - v),
+        Seq("location_id"), col("time"), freq, Seq(max(col("_d")).as("value")))
+    }),
+    "last_occurrence" -> ((df, freq, p) =>
+      Generic.lastOccurrence(df, Seq("location_id"), col("time"), freq,
+          Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
+            lit(p.getOrElse("thresh", "0").toDouble)), "value")),
+    "doy_of_max" -> ((df, freq, p) =>
+      Generic.doyOfExtreme(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")), maximum = true, "value")),
+    "doy_of_min" -> ((df, freq, p) =>
+      Generic.doyOfExtreme(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")), maximum = false, "value")),
+    // spell-length statistic with a selectable reducer (cold_spell_days,
+    // hot_spell_frequency, dry/wet_spell_* — generic.py:589 family)
+    "spell_stat" -> ((df, freq, p) => {
+      val red = p.getOrElse("reducer", "max")
+      Generic.spellLengthStatistics(df, Seq("location_id"), col("time"), freq,
+          Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
+            lit(p.getOrElse("thresh", "0").toDouble)),
+          red, p.getOrElse("window", "1").toInt)
+        .withColumnRenamed(s"run_$red", "value")
+    }),
+    // spells qualified on BOTH variables (heat_wave_* — _multivariate.py:170)
+    "bivariate_spell_stat" -> ((df, freq, p) => {
+      val red = p.getOrElse("reducer", "max")
+      val cond =
+        Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
+          lit(p.getOrElse("thresh", "0").toDouble)) &&
+        Generic.compare(col(p.getOrElse("var2", "value2")), p.getOrElse("op2", ">"),
+          lit(p.getOrElse("thresh2", "0").toDouble))
+      Generic.spellLengthStatistics(df, Seq("location_id"), col("time"), freq,
+          cond, red, p.getOrElse("window", "1").toInt)
+        .withColumnRenamed(s"run_$red", "value")
+    }),
+    // days qualifying on BOTH variables (rain_on_frozen_ground
+    // _multivariate.py:944, cold_and_dry quadrants :252-426,
+    // tx_tn_days_above :1604)
+    "bivariate_count" -> ((df, freq, p) => {
+      val cond =
+        Generic.compare(col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
+          lit(p.getOrElse("thresh", "0").toDouble)) &&
+        Generic.compare(col(p.getOrElse("var2", "value2")), p.getOrElse("op2", ">"),
+          lit(p.getOrElse("thresh2", "0").toDouble))
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq(coalesce(sum(when(cond, 1L)), lit(0L)).as("value")))
+    }),
+    // season bounds per calendar year with a mid-date qualifier
+    // (growing_season_length _threshold.py:1096, frost/snow season families)
+    "season_bound" -> ((df, freq, p) => {
+      val cond = Generic.compare(col(p.getOrElse("var", "value")),
+        p.getOrElse("op", ">="), lit(p.getOrElse("thresh", "0").toDouble))
+      val mid = make_date(year(col("time")),
+        lit(p.getOrElse("mid_month", "7").toInt), lit(p.getOrElse("mid_day", "1").toInt))
+      val withY = df.withColumn("_y", year(col("time")))
+        .withColumn("_date", col("time").cast("date"))
+      val bounds = graft.indices.Season.seasonBounds(withY,
+        Seq("location_id", "_y"), col("_date"), cond,
+        p.getOrElse("window", "6").toInt, mid)
+      val out = p.getOrElse("bound", "length") match {
+        case "start"  => dayofyear(col("season_start"))
+        case "end"    => dayofyear(col("season_end"))
+        case "length" => col("season_length")
+      }
+      bounds.select(col("location_id"), col("_y").as("period"), out.as("value"))
+    }),
+    // isothermality (_anuclim.py:51): mean diurnal range / extreme range
+    // x100; needs varmin/varmax columns
+    "isothermality" -> ((df, freq, p) => {
+      val vmin = col(p.getOrElse("varmin", "valuemin"))
+      val vmax = col(p.getOrElse("varmax", "valuemax"))
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq((avg(vmax - vmin) / (max(vmax) - min(vmin)) * 100.0).as("value")))
+    }))
 
   /** Instantiate + register an indicator from a spec and a compute-base
     * name with bound parameters (the `Indicator.from_dict` path). */
@@ -185,5 +306,172 @@ object Registry {
     fromConfig(IndicatorSpec("first_day_temperature_below",
       "First day with tas below 0 degC", "1", inputs = temp, missing = "skip"),
       "first_occurrence", Map("op" -> "<", "thresh" -> "273.15"))
+
+    registerExtended()
+  }
+
+  /** The breadth catalogue: named indicators of `_simple.py`,
+    * `_threshold.py`, `_multivariate.py`, `_hydrology.py` and `_anuclim.py`
+    * that are pure configurations over the generic bases (each entry is the
+    * reference's documented default thresholds in canonical units). */
+  def registerExtended(): Unit = {
+    val mmd = 1.0 / 86400.0
+    def temp = Seq(VarReq("value", "[temperature]", "K"))
+    def prec = Seq(VarReq("value", "[precipitation]", "kg m-2 s-1"))
+    def wind = Seq(VarReq("value", "[speed]", "m/s"))
+    def leng = Seq(VarReq("value", "[length]", "m"))
+    def swe  = Seq(VarReq("value", "[mass]/[area]", "kg m-2"))
+
+    def cfg(id: String, title: String, units: String, v: Seq[VarReq], base: String,
+            p: (String, String)*): Unit =
+      fromConfig(IndicatorSpec(id, title, units, inputs = v, missing = "skip"),
+        base, p.toMap)
+
+    // --- remaining simple reducers (_simple.py) ---
+    cfg("sfcWind_min", "Minimum wind speed", "m/s", wind, "resample_min")
+    cfg("sfcWindmax_max", "Maximum daily max wind", "m/s", wind, "resample_max")
+    cfg("sfcWindmax_mean", "Mean daily max wind", "m/s", wind, "resample_mean")
+    cfg("sfcWindmax_min", "Minimum daily max wind", "m/s", wind, "resample_min")
+    cfg("max_pr_intensity", "Max hourly precipitation intensity", "kg m-2 s-1",
+      prec, "resample_max")
+    cfg("snw_max", "Maximum snow water equivalent", "kg m-2", swe, "resample_max")
+    cfg("snd_max", "Maximum snow depth", "m", leng, "resample_max")
+    cfg("max_n_day_precipitation_amount", "Max 3-day precipitation total",
+      "kg m-2 s-1 d", prec, "rolling_resample",
+      "window" -> "3", "win_reducer" -> "sum", "reducer" -> "max")
+
+    // --- remaining threshold counts / fractions (_threshold.py) ---
+    cfg("wetdays_prop", "Fraction of days with precip >= 1 mm/d", "1", prec,
+      "threshold_prop", "op" -> ">=", "thresh" -> mmd.toString)
+    cfg("rprctot", "Share of total precip from days >= 1 mm/d", "1", prec,
+      "threshold_sum_fraction", "op" -> ">=", "thresh" -> mmd.toString)
+    cfg("warm_day_frequency", "Days with tasmax > 30 degC", "d", temp,
+      "threshold_count", "op" -> ">", "thresh" -> "303.15")
+    cfg("warm_night_frequency", "Days with tasmin > 22 degC", "d", temp,
+      "threshold_count", "op" -> ">", "thresh" -> "295.15")
+    cfg("snw_days_above", "Days with SWE > 4 kg m-2", "d", swe,
+      "threshold_count", "op" -> ">", "thresh" -> "4.0")
+    cfg("sdii", "Simple daily intensity index (mean precip on wet days)",
+      "kg m-2 s-1", prec, "thresholded_stat",
+      "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "mean")
+
+    // --- spell family (_threshold.py:760-1090, generic spell stats) ---
+    def spellStat(id: String, title: String, v: Seq[VarReq], op: String,
+                  thresh: Double, window: Int, red: String): Unit =
+      cfg(id, title, if (red == "count") "1" else "d", v, "spell_stat",
+        "op" -> op, "thresh" -> thresh.toString,
+        "window" -> window.toString, "reducer" -> red)
+    spellStat("cold_spell_days", "Days in cold spells (tas < -10 degC, 5d)",
+      temp, "<", 263.15, 5, "sum")
+    spellStat("cold_spell_frequency", "Number of cold spells", temp, "<", 263.15, 5, "count")
+    spellStat("hot_spell_max_length", "Longest hot spell (tasmax > 30 degC, 3d)",
+      temp, ">", 303.15, 3, "max")
+    spellStat("hot_spell_frequency", "Number of hot spells", temp, ">", 303.15, 3, "count")
+    spellStat("hot_spell_total_length", "Days in hot spells", temp, ">", 303.15, 3, "sum")
+    spellStat("dry_spell_frequency", "Number of dry spells (< 1 mm/d, 3d)",
+      prec, "<", mmd, 3, "count")
+    spellStat("dry_spell_total_length", "Days in dry spells", prec, "<", mmd, 3, "sum")
+    spellStat("wet_spell_frequency", "Number of wet spells (>= 1 mm/d, 3d)",
+      prec, ">=", mmd, 3, "count")
+    spellStat("wet_spell_total_length", "Days in wet spells", prec, ">=", mmd, 3, "sum")
+    spellStat("wet_spell_max_length", "Longest wet spell", prec, ">=", mmd, 3, "max")
+    spellStat("consecutive_frost_free_days", "Longest run with tasmin >= 0 degC",
+      temp, ">=", 273.15, 1, "max")
+    spellStat("frost_free_spell_max_length", "Longest frost-free spell",
+      temp, ">=", 273.15, 3, "max")
+
+    // --- heat waves (bivariate tn/tx, _multivariate.py:170-470) ---
+    def hw(id: String, title: String, red: String): Unit =
+      cfg(id, title, if (red == "count") "1" else "d",
+        Seq(VarReq("value", "[temperature]", "K"), VarReq("value2", "[temperature]", "K")),
+        "bivariate_spell_stat", "op" -> ">", "thresh" -> "295.15",
+        "op2" -> ">", "thresh2" -> "303.15", "window" -> "3", "reducer" -> red)
+    hw("heat_wave_max_length", "Longest heat wave (tn > 22 & tx > 30 degC, 3d)", "max")
+    hw("heat_wave_frequency", "Number of heat waves", "count")
+    hw("heat_wave_total_length", "Days in heat waves", "sum")
+
+    // --- snow / precip events (_threshold.py:366-700, 1817-3003) ---
+    cfg("snd_storm_days", "Days with snow-depth growth >= 10 cm", "d", leng,
+      "lag_diff_count", "op" -> ">=", "thresh" -> "0.1")
+    cfg("snw_storm_days", "Days with SWE growth >= 10 kg m-2", "d", swe,
+      "lag_diff_count", "op" -> ">=", "thresh" -> "10.0")
+    cfg("winter_storm", "Days with snow-depth growth >= 25 cm", "d", leng,
+      "lag_diff_count", "op" -> ">=", "thresh" -> "0.25")
+    cfg("days_with_snow", "Days with snowfall in (low, high]", "d", prec,
+      "domain_count", "low" -> (0.5 * mmd).toString, "high" -> (100.0 * mmd).toString)
+    cfg("snowfall_frequency", "Fraction of days with snowfall >= 1 mm/d", "1", prec,
+      "threshold_prop", "op" -> ">=", "thresh" -> mmd.toString)
+    cfg("snowfall_intensity", "Mean snowfall on snowfall days", "kg m-2 s-1", prec,
+      "thresholded_stat", "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "mean")
+    cfg("snow_melt_we_max", "Max day-over-day SWE loss", "kg m-2", swe, "lag_drop_max")
+
+    // --- bivariate day counts (_multivariate.py:252-426, 944, 1604) ---
+    def biv(id: String, title: String, op1: String, t1: Double, op2: String,
+            t2: Double): Unit =
+      cfg(id, title, "d",
+        Seq(VarReq("value", "[temperature]", "K"), VarReq("value2", "[precipitation]", "kg m-2 s-1")),
+        "bivariate_count", "op" -> op1, "thresh" -> t1.toString,
+        "op2" -> op2, "thresh2" -> t2.toString)
+    biv("cold_and_dry_days", "Days tas < 0 degC and pr < 1 mm/d", "<", 273.15, "<", mmd)
+    biv("cold_and_wet_days", "Days tas < 0 degC and pr >= 1 mm/d", "<", 273.15, ">=", mmd)
+    biv("warm_and_dry_days", "Days tas > 20 degC and pr < 1 mm/d", ">", 293.15, "<", mmd)
+    biv("warm_and_wet_days", "Days tas > 20 degC and pr >= 1 mm/d", ">", 293.15, ">=", mmd)
+    biv("rain_on_frozen_ground_days", "Days pr > 1 mm/d on frozen ground",
+      "<", 273.15, ">", mmd)
+    biv("high_precip_low_temp", "Days pr >= 10 mm/d and tas < -0.2 degC",
+      "<", 272.95, ">=", 10 * mmd)
+    cfg("tx_tn_days_above", "Days tn > 22 and tx > 30 degC", "d",
+      Seq(VarReq("value", "[temperature]", "K"), VarReq("value2", "[temperature]", "K")),
+      "bivariate_count", "op" -> ">", "thresh" -> "295.15",
+      "op2" -> ">", "thresh2" -> "303.15")
+
+    // --- season bounds (_threshold.py:1096-1500, snow season :366-561) ---
+    def season(id: String, title: String, v: Seq[VarReq], op: String, thresh: Double,
+               window: Int, midM: Int, bound: String): Unit =
+      cfg(id, title, if (bound == "length") "d" else "1", v, "season_bound",
+        "op" -> op, "thresh" -> thresh.toString, "window" -> window.toString,
+        "mid_month" -> midM.toString, "bound" -> bound)
+    season("growing_season_start", "Start of growing season (tas >= 5 degC, 6d)",
+      temp, ">=", 278.15, 6, 7, "start")
+    season("growing_season_end", "End of growing season", temp, ">=", 278.15, 6, 7, "end")
+    season("growing_season_length", "Length of growing season", temp, ">=", 278.15, 6, 7, "length")
+    season("frost_free_season_start", "Start of frost-free season (tasmin >= 0, 5d)",
+      temp, ">=", 273.15, 5, 7, "start")
+    season("frost_free_season_end", "End of frost-free season", temp, ">=", 273.15, 5, 7, "end")
+    season("frost_free_season_length", "Length of frost-free season", temp, ">=", 273.15, 5, 7, "length")
+    season("frost_season_length", "Length of frost season (tasmin < 0, 5d)",
+      temp, "<", 273.15, 5, 1, "length")
+    season("snd_season_start", "Start of snow-depth season (snd >= 2 cm, 3d)",
+      leng, ">=", 0.02, 3, 7, "start")
+    season("snd_season_end", "End of snow-depth season", leng, ">=", 0.02, 3, 7, "end")
+    season("snd_season_length", "Length of snow-depth season", leng, ">=", 0.02, 3, 7, "length")
+    season("snw_season_start", "Start of SWE season (snw >= 4 kg m-2, 3d)",
+      swe, ">=", 4.0, 3, 7, "start")
+    season("snw_season_end", "End of SWE season", swe, ">=", 4.0, 3, 7, "end")
+    season("snw_season_length", "Length of SWE season", swe, ">=", 4.0, 3, 7, "length")
+
+    // --- occurrences / doy-of-extreme (_threshold.py, _hydrology.py) ---
+    cfg("last_spring_frost", "Last day with tasmin < 0 degC", "1", temp,
+      "last_occurrence", "op" -> "<", "thresh" -> "273.15")
+    cfg("first_snowfall", "First day with snowfall >= 1 mm/d", "1", prec,
+      "first_occurrence", "op" -> ">=", "thresh" -> mmd.toString)
+    cfg("last_snowfall", "Last day with snowfall >= 1 mm/d", "1", prec,
+      "last_occurrence", "op" -> ">=", "thresh" -> mmd.toString)
+    cfg("snd_max_doy", "Day of year of max snow depth", "1", leng, "doy_of_max")
+    cfg("snw_max_doy", "Day of year of max SWE", "1", swe, "doy_of_max")
+    cfg("doy_qmax", "Day of year of max streamflow", "1",
+      Seq(VarReq("value", "[discharge]", "m3 s-1")), "doy_of_max")
+    cfg("doy_qmin", "Day of year of min streamflow", "1",
+      Seq(VarReq("value", "[discharge]", "m3 s-1")), "doy_of_min")
+
+    // --- anuclim leftovers (_anuclim.py:51, 360) ---
+    fromConfig(IndicatorSpec("isothermality", "Isothermality (BIO3)", "%",
+      inputs = Seq(VarReq("valuemin", "[temperature]", "K"),
+        VarReq("valuemax", "[temperature]", "K")), missing = "skip"),
+      "isothermality", Map.empty)
+    cfg("prcptot", "Total precipitation (ANUCLIM P12)", "kg m-2 s-1 d", prec,
+      "resample_sum")
+    cfg("prcptot_wet_period", "Precip total of wet days", "kg m-2 s-1 d", prec,
+      "thresholded_stat", "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "sum")
   }
 }
