@@ -188,6 +188,77 @@ object Registry {
       val vmax = col(p.getOrElse("varmax", "valuemax"))
       Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
         Seq((avg(vmax - vmin) / (max(vmax) - min(vmin)) * 100.0).as("value")))
+    }),
+    // extreme temperature range ETR (generic.py:1388): value=tasmax,
+    // value2=tasmin
+    "etr" -> ((df, freq, p) =>
+      Generic.extremeRange(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")), col(p.getOrElse("var2", "value2")), "value")),
+    // mean daily temperature range DTR (_multivariate.py:615)
+    "daily_range_mean" -> ((df, freq, p) =>
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq(avg(col(p.getOrElse("var", "value")) - col(p.getOrElse("var2", "value2")))
+          .as("value")))),
+    // vDTR (_multivariate.py:675): mean |DTR_d - DTR_{d-1}|
+    "daily_range_variability" -> ((df, freq, p) =>
+      Generic.lagDiffStat(
+        df.withColumn("_r", col(p.getOrElse("var", "value")) - col(p.getOrElse("var2", "value2"))),
+        Seq("location_id"), col("time"), freq, col("_r"), "value")),
+    // R75p family (icclim): days above the entity's base-period wet-day
+    // percentile; exact type-7 percentile + broadcast join back
+    "wetday_percentile_count" -> ((df, freq, p) => {
+      val v = col(p.getOrElse("var", "value"))
+      val wet = v >= lit(p.getOrElse("wet_thresh", "1.0").toDouble)
+      val q = df.filter(wet).groupBy(col("location_id").as("_lid"))
+        .agg(percentile(v, lit(p.getOrElse("per", "0.75").toDouble)).as("_q"))
+      Generic.resampleOp(
+        df.join(broadcast(q), col("location_id") === col("_lid")),
+        Seq("location_id"), col("time"), freq,
+        Seq(coalesce(sum(when(wet && v > col("_q"), 1L)), lit(0L)).as("value")))
+    }),
+    // RxxpTOT family (icclim): share of wet-day precip from days above the
+    // wet-day percentile, x100
+    "wetday_percentile_fraction" -> ((df, freq, p) => {
+      val v = col(p.getOrElse("var", "value"))
+      val wet = v >= lit(p.getOrElse("wet_thresh", "1.0").toDouble)
+      val q = df.filter(wet).groupBy(col("location_id").as("_lid"))
+        .agg(percentile(v, lit(p.getOrElse("per", "0.75").toDouble)).as("_q"))
+      Generic.resampleOp(
+        df.join(broadcast(q), col("location_id") === col("_lid")),
+        Seq("location_id"), col("time"), freq,
+        Seq((sum(when(wet && v > col("_q"), v)) / sum(when(wet, v)) * 100.0).as("value")))
+    }),
+    // CD/CW/WD/WW (icclim, _multivariate.py:252-426 with percentile
+    // thresholds): tas side vs its whole-series percentile, pr side vs the
+    // wet-day percentile (pr must also be wet)
+    "quadrant_percentile_count" -> ((df, freq, p) => {
+      val t = col(p.getOrElse("var", "value"))
+      val pr = col(p.getOrElse("var2", "value2"))
+      val wet = pr >= lit(p.getOrElse("wet_thresh", "1.0").toDouble)
+      val q = df.groupBy(col("location_id").as("_lid")).agg(
+        percentile(t, lit(p.getOrElse("per_t", "0.25").toDouble)).as("_qt"))
+      val qp = df.filter(wet).groupBy(col("location_id").as("_lid2")).agg(
+        percentile(pr, lit(p.getOrElse("per_p", "0.75").toDouble)).as("_qp"))
+      val cond = Generic.compare(t, p.getOrElse("op_t", "<"), col("_qt")) &&
+        wet && Generic.compare(pr, p.getOrElse("op_p", ">"), col("_qp"))
+      Generic.resampleOp(
+        df.join(broadcast(q), col("location_id") === col("_lid"))
+          .join(broadcast(qp), col("location_id") === col("_lid2")),
+        Seq("location_id"), col("time"), freq,
+        Seq(coalesce(sum(when(cond, 1L)), lit(0L)).as("value")))
+    }),
+    // HI / BEDD (icclim; _agro.py huglin/BEDD simplified to their
+    // month-window degree-day cores): capped clipped degree-days over a
+    // month window
+    "dd_capped_between" -> ((df, freq, p) => {
+      val v = col(p.getOrElse("var", "value"))
+      val m = month(col("time"))
+      val inWin = m >= p.getOrElse("month_start", "4").toInt &&
+        m <= p.getOrElse("month_end", "9").toInt
+      val dd0 = greatest(v - lit(p.getOrElse("thresh", "283.15").toDouble), lit(0.0))
+      val dd = p.get("cap").map(c => least(dd0, lit(c.toDouble))).getOrElse(dd0)
+      Generic.resampleOp(df.withColumn("_dd", when(inWin, dd).otherwise(0.0)),
+        Seq("location_id"), col("time"), freq, Seq(sum(col("_dd")).as("value")))
     }))
 
   /** Instantiate + register an indicator from a spec and a compute-base

@@ -97,7 +97,8 @@ class IndicatorSpecSuite extends AnyFunSuite {
     import org.apache.spark.sql.types.MetadataBuilder
     val ids = VirtualModules.loadBundled("icclim")
     assert(VirtualModules.loadBundled("anuclim").size >= 5)
-    assert(ids.size >= 20)
+    assert(ids.size >= 55, s"icclim catalogue has ${ids.size} entries")
+    assert(Registry.names.size >= 150, s"registry has ${Registry.names.size} names")
     assert(ids.contains("icclim.CDD") && ids.contains("icclim.TXx"))
     val mdPr = new MetadataBuilder().putString("units", "mm/d").build()
     val pr = (0 until 31).map { i =>
