@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2629,6 +2629,89 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 23: full data-flags battery ----------------------------------
+
+  private def queries23: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_data_flags_battery" -> ((s, dir) => {
+      // dataflags.py:127-554 battery + ecad_compliant (:749): 10 QC flags
+      // over the synthetic weather frame, counted per entity. Row-local
+      // flags are projections; repeats share one entity-window; the
+      // climatology flag joins a broadcast (entity, doy+-2) table.
+      import graft.indicator.DataFlags
+      val wx = weatherDaily(s, dir)
+        .withColumn("d", date_add(to_date(lit("1970-01-01")), col("t")))
+        .withColumn("tx", col("airt") + (col("rain") - 5.0) / 2.0)
+        .withColumn("tn", col("airt") - 2.0)
+      val withClim = DataFlags.outsideClimatology(wx, Seq("user_id"), col("d"),
+        col("airt"), nSigma = 2.5, window = 5)
+      val flags = Map(
+        "tasmax_below_tasmin" -> DataFlags.tasmaxBelowTasmin(col("tx"), col("tn")),
+        "temperature_extremely_low" -> DataFlags.temperatureExtremelyLow(col("airt"), -4.9),
+        "temperature_extremely_high" -> DataFlags.temperatureExtremelyHigh(col("airt"), 34.5),
+        "negative_accumulation" -> DataFlags.negativeAccumulation(col("rain")),
+        "very_large_precipitation" -> DataFlags.veryLargePrecipitation(col("rain"), 25.0),
+        "wind_outside_bounds" -> DataFlags.windOutsideBounds(col("wind"), 0.0, 39.0),
+        "percentage_outside_bounds" -> DataFlags.percentageOutsideBounds(col("hum")),
+        "repeating_values" -> DataFlags.repeatingValues(Seq("user_id"), col("d"), col("rain"), 3),
+        "zero_repeating" -> DataFlags.threshRepeating(Seq("user_id"), col("d"), col("rain"), 0.0, 5),
+        "outside_climatology" -> col("_clim_flag"))
+      DataFlags.battery(withClim, Seq("user_id"), flags)
+    })
+  )
+
+  private def oracle23: Map[String, String] = Map(
+
+    "q_data_flags_battery" ->
+      s"""with $wxSql,
+         |base as (select user_id, d, airt, rain, wind, hum,
+         |  airt + (rain - 5.0)/2.0 tx, airt - 2.0 tn from wx),
+         |rr as (select *, case when rain = lag(rain) over
+         |  (partition by user_id order by d) then 0 else 1 end nr from base),
+         |rid as (select *, sum(nr) over (partition by user_id order by d) rid from rr),
+         |rlen as (select *, count(*) over (partition by user_id, rid) rl from rid),
+         |contrib as (select user_id, airt v,
+         |  unnest(range(dayofyear(d) - 2, dayofyear(d) + 3)) tdoy from base),
+         |contribw as (select user_id, v,
+         |  case when tdoy < 1 then tdoy + 365
+         |       when tdoy > 365 then tdoy - 365 else tdoy end tdoy from contrib),
+         |clim as (select user_id, tdoy, avg(v) cm, stddev_pop(v) cs
+         |  from contribw group by 1, 2),
+         |j as (select r.*, c.cm, c.cs from rlen r left join clim c
+         |  on c.user_id = r.user_id and c.tdoy = least(dayofyear(r.d), 365)),
+         |f as (select user_id,
+         |  case when tx < tn then 1 end f_txtn,
+         |  case when airt < -4.9 then 1 end f_tlow,
+         |  case when airt > 34.5 then 1 end f_thigh,
+         |  case when rain < 0 then 1 end f_negacc,
+         |  case when rain > 25.0 then 1 end f_bigpr,
+         |  case when wind < 0 or wind > 39.0 then 1 end f_wind,
+         |  case when hum < 0 or hum > 100 then 1 end f_pct,
+         |  case when rl >= 3 then 1 end f_rep,
+         |  case when rl >= 5 and rain = 0.0 then 1 end f_zrep,
+         |  case when cast(cast(abs(airt - cm) as decimal(38,6)) as double)
+         |     > cast(cast(2.5*cs as decimal(38,6)) as double) then 1 end f_clim
+         | from j)
+         |select user_id,
+         |  cast(coalesce(sum(f_negacc), 0) as bigint) n_negative_accumulation,
+         |  cast(coalesce(sum(f_clim), 0) as bigint) n_outside_climatology,
+         |  cast(coalesce(sum(f_pct), 0) as bigint) n_percentage_outside_bounds,
+         |  cast(coalesce(sum(f_rep), 0) as bigint) n_repeating_values,
+         |  cast(coalesce(sum(f_txtn), 0) as bigint) n_tasmax_below_tasmin,
+         |  cast(coalesce(sum(f_thigh), 0) as bigint) n_temperature_extremely_high,
+         |  cast(coalesce(sum(f_tlow), 0) as bigint) n_temperature_extremely_low,
+         |  cast(coalesce(sum(f_bigpr), 0) as bigint) n_very_large_precipitation,
+         |  cast(coalesce(sum(f_wind), 0) as bigint) n_wind_outside_bounds,
+         |  cast(coalesce(sum(f_zrep), 0) as bigint) n_zero_repeating,
+         |  (coalesce(sum(f_negacc), 0) = 0 and coalesce(sum(f_clim), 0) = 0
+         |   and coalesce(sum(f_pct), 0) = 0 and coalesce(sum(f_rep), 0) = 0
+         |   and coalesce(sum(f_txtn), 0) = 0 and coalesce(sum(f_thigh), 0) = 0
+         |   and coalesce(sum(f_tlow), 0) = 0 and coalesce(sum(f_bigpr), 0) = 0
+         |   and coalesce(sum(f_wind), 0) = 0 and coalesce(sum(f_zrep), 0) = 0)
+         |    ecad_qc_flag
+         |from f group by 1""".stripMargin
   )
 
   // ---- batch 21: UTCI + mean radiant temperature --------------------------

@@ -110,6 +110,7 @@ object Missing {
   def mask(spec: IndicatorSpec, input: DataFrame, out: DataFrame, freq: String): DataFrame = {
     if (spec.missing == "skip" || !out.columns.contains("value") ||
       !input.columns.contains("time")) return out
+    if (spec.missing == "wmo") return maskWmo(spec, input, out, freq)
     val counts = input
       .groupBy(col("location_id"), Time.resamplePeriod(col("time"), freq).as("period"))
       .agg(count(col(spec.inputs.head.name)).as("_valid"))
@@ -122,10 +123,49 @@ object Missing {
       case "at_least_n" =>
         val n = spec.missingOptions.getOrElse("n", 20.0)
         col("_valid") < n
+      case "some_but_not_all" =>
+        !(col("_valid") === col("_expected") || col("_valid") === 0)
       case other        => throw new IllegalArgumentException(s"bad missing policy: $other")
     }
     out.join(counts, Seq("location_id", "period"), "left")
       .withColumn("value", when(coalesce(bad, lit(true)), lit(null)).otherwise(col("value")))
       .drop("_valid", "_expected")
+  }
+
+  /** MissingWMO (missing.py:395): a MONTH is missing when >= nm days are
+    * missing in total or >= nc CONSECUTIVE days are missing; a target period
+    * is missing when any of its months is (the MissingTwoSteps "any"
+    * collapse). Daily input. Consecutive absences are computed from the
+    * present-row date gaps (lag + leading/trailing month edges) — no
+    * densify, one window pass + two hash-aggs. */
+  private def maskWmo(spec: IndicatorSpec, input: DataFrame, out: DataFrame,
+                      freq: String): DataFrame = {
+    val nm = spec.missingOptions.getOrElse("nm", 11.0)
+    val nc = spec.missingOptions.getOrElse("nc", 5.0)
+    val v = col(spec.inputs.head.name)
+    val d = col("time").cast("date")
+    val valid = input.filter(v.isNotNull)
+      .withColumn("_m", date_trunc("MONTH", col("time")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("location_id"), col("_m")).orderBy(d)
+    val monthly = valid
+      .withColumn("_gap", datediff(d, lag(d, 1).over(w)) - 1)
+      .groupBy(col("location_id"), col("_m"))
+      .agg(count(lit(1)).as("_valid"), max(col("_gap")).as("_midgap"),
+        min(d).as("_first"), max(d).as("_last"))
+      .withColumn("_dim", dayofmonth(last_day(col("_first"))))
+      .withColumn("_maxmiss", greatest(
+        coalesce(col("_midgap"), lit(0)),
+        dayofmonth(col("_first")) - 1,
+        col("_dim") - dayofmonth(col("_last"))))
+      .withColumn("_badm",
+        (col("_dim") - col("_valid")) >= nm || col("_maxmiss") >= nc)
+    val byPeriod = monthly
+      .groupBy(col("location_id"), Time.resamplePeriod(col("_m"), freq).as("period"))
+      .agg(max(col("_badm")).as("_bad"))
+    out.join(byPeriod, Seq("location_id", "period"), "left")
+      .withColumn("value", when(coalesce(col("_bad"), lit(true)), lit(null))
+        .otherwise(col("value")))
+      .drop("_bad")
   }
 }

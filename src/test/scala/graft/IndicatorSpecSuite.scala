@@ -48,6 +48,52 @@ class IndicatorSpecSuite extends AnyFunSuite {
     assert(!Registry("tg_mean")(julyTas, "MS").head.isNullAt(2))
   }
 
+  test("missing=wmo masks on 11 total or 5 consecutive missing days") {
+    import graft.indicator.{Indicator, IndicatorSpec, Missing}
+    val spec = IndicatorSpec("wmo_mean", "t", "K",
+      inputs = Seq(VarReq("value", "[temperature]", "K")),
+      missing = "wmo")
+    val ind = new Indicator(spec) {
+      protected def compute(df: org.apache.spark.sql.DataFrame, freq: String,
+                            params: Map[String, String]): org.apache.spark.sql.DataFrame =
+        graft.indices.Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+          Seq(avg(col("value")).as("value")))
+    }
+    def vIdx(df: org.apache.spark.sql.DataFrame) = df.columns.indexOf("value")
+    // 4 scattered missing days (< 11 total, < 5 consecutive): keep
+    val scattered = julyTas.filter(!dayofmonth(col("time")).isin(2, 9, 16, 23))
+    val keep = ind(scattered, "MS")
+    assert(!keep.head.isNullAt(vIdx(keep)))
+    // 5 consecutive missing days: mask
+    val consec = julyTas.filter(!dayofmonth(col("time")).between(10, 14))
+    val gone = ind(consec, "MS")
+    assert(gone.head.isNullAt(vIdx(gone)))
+    // 11 missing days in runs of <= 2 (total criterion, not consecutive;
+    // days 17-31 stay contiguous so daily sampling remains modal): mask
+    val eleven = julyTas.filter(!dayofmonth(col("time"))
+      .isin(1, 2, 4, 5, 7, 8, 10, 11, 13, 14, 16))
+    assert(eleven.count() == 20)
+    val gone2 = ind(eleven, "MS")
+    assert(gone2.head.isNullAt(vIdx(gone2)))
+  }
+
+  test("missing=some_but_not_all keeps complete and fully-empty periods") {
+    import graft.indicator.{Indicator, IndicatorSpec}
+    val spec = IndicatorSpec("sbna_mean", "t", "K",
+      inputs = Seq(VarReq("value", "[temperature]", "K")),
+      missing = "some_but_not_all")
+    val ind = new Indicator(spec) {
+      protected def compute(df: org.apache.spark.sql.DataFrame, freq: String,
+                            params: Map[String, String]): org.apache.spark.sql.DataFrame =
+        graft.indices.Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+          Seq(avg(col("value")).as("value")))
+    }
+    val full = ind(julyTas, "MS")
+    assert(!full.head.isNullAt(full.columns.indexOf("value")))
+    val partial = ind(julyTas.filter(dayofmonth(col("time")) =!= 15), "MS")
+    assert(partial.head.isNullAt(partial.columns.indexOf("value")))
+  }
+
   test("dimensionality validation rejects wrong units") {
     val md = new MetadataBuilder().putString("units", "mm/d").build()
     val bad = julyTas.withColumn("value", col("value").as("value", md))
