@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2629,6 +2629,95 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 24: remaining analog metrics ---------------------------------
+
+  private def queries24: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_analog_metrics" -> ((s, dir) => {
+      // zech_aslan (analog.py:255), kldiv k=1 (:499) and mahalanobis (:591)
+      // per candidate type vs the 'view' sample: 2-D features, id-jittered
+      // so kNN distances never hit the r=0 pole. Target-side NN/std/cov
+      // precomputed once; one mapGroups kernel per group (O(n m + n^2)
+      // bounded by the subsample, like the reference).
+      val e = t(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") / 100.0 + pmod(col("event_id"), lit(997)) / 1e7).as("f1"),
+          (pmod(col("value"), lit(50.0)) / 10.0 + pmod(col("event_id"), lit(991)) / 1e7).as("f2"))
+      val target = e.filter(col("event_type") === "view")
+        .select(col("f1"), col("f2")).collect()
+        .map(r => Array(r.getDouble(0), r.getDouble(1)))
+      graft.analog.Analog.extendedMetrics(
+          e.filter(col("event_type") =!= "view")
+            .select(col("event_type"), array(col("f1"), col("f2")).as("features")),
+          "event_type", "features", target, maxPerGroup = 4000)
+        .select(col("event_type"), round(col("zech_aslan"), 5).as("zech_aslan"),
+          round(col("kldiv"), 5).as("kldiv"),
+          round(col("mahalanobis"), 5).as("mahalanobis"))
+    })
+  )
+
+  private def oracle24: Map[String, String] = Map(
+
+    "q_analog_metrics" ->
+      """with e as (select event_id, event_type,
+        |  value/100.0 + (event_id % 997)/1e7 f1,
+        |  (value % 50.0)/10.0 + (event_id % 991)/1e7 f2
+        | from events where event_id % 7 = 0),
+        |tgt as (select * from e where event_type = 'view'),
+        |cand as (select * from e where event_type <> 'view'),
+        |ts as (select stddev_samp(f1) s1, stddev_samp(f2) s2,
+        |  avg(f1) m1, avg(f2) m2, var_samp(f1) c11, covar_samp(f1, f2) c12,
+        |  var_samp(f2) c22, count(*) m from tgt),
+        |gs as (select event_type, stddev_samp(f1) s1, stddev_samp(f2) s2,
+        |  avg(f1) m1, avg(f2) m2, count(*) n from cand group by 1),
+        |vv as (select g.event_type, g.n, g.m1 gm1, g.m2 gm2,
+        |  g.s1*t.s1 v1, g.s2*t.s2 v2, t.m, t.m1 tm1, t.m2 tm2,
+        |  t.c11, t.c12, t.c22 from gs g cross join ts t),
+        |pxx as (select v.event_type,
+        |  sum(-ln(greatest(sqrt((a.f1-b.f1)*(a.f1-b.f1)/v.v1
+        |    + (a.f2-b.f2)*(a.f2-b.f2)/v.v2), 1e-12)))/v.n/v.n s
+        | from vv v join cand a on a.event_type = v.event_type
+        |  join cand b on b.event_type = v.event_type and a.event_id < b.event_id
+        | group by v.event_type, v.n),
+        |pyy as (select v.event_type,
+        |  sum(-ln(greatest(sqrt((a.f1-b.f1)*(a.f1-b.f1)/v.v1
+        |    + (a.f2-b.f2)*(a.f2-b.f2)/v.v2), 1e-12)))/v.m/v.m s
+        | from vv v cross join tgt a join tgt b on a.event_id < b.event_id
+        | group by v.event_type, v.m),
+        |pxy as (select v.event_type,
+        |  sum(-ln(greatest(sqrt((a.f1-b.f1)*(a.f1-b.f1)/v.v1
+        |    + (a.f2-b.f2)*(a.f2-b.f2)/v.v2), 1e-12)))/v.n/v.m s
+        | from vv v join cand a on a.event_type = v.event_type cross join tgt b
+        | where b.event_type = 'view'
+        | group by v.event_type, v.n, v.m),
+        |tnn as (select a.event_id,
+        |  min(sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2))) r1
+        | from tgt a join tgt b on a.event_id <> b.event_id group by 1),
+        |snn as (select v.event_type, a.event_id,
+        |  min(sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2))) s1
+        | from vv v cross join tgt a join cand b on b.event_type = v.event_type
+        | where a.event_type = 'view'
+        | group by 1, 2),
+        |kl as (select s.event_type,
+        |  2.0/any_value(v.m)*sum(ln(t.r1/s.s1))
+        |    + ln(any_value(v.n)*1.0/(any_value(v.m) - 1)) kldiv
+        | from snn s join tnn t on t.event_id = s.event_id
+        |  join vv v on v.event_type = s.event_type
+        | group by 1),
+        |mh as (select event_type,
+        |  sqrt(((gm1-tm1)*(gm1-tm1)*c22 - 2*(gm1-tm1)*(gm2-tm2)*c12
+        |    + (gm2-tm2)*(gm2-tm2)*c11)/(c11*c22 - c12*c12)) md
+        | from vv)
+        |select x.event_type,
+        | cast(cast(x.s + y.s - z.s as decimal(38,5)) as double) zech_aslan,
+        | cast(cast(k.kldiv as decimal(38,5)) as double) kldiv,
+        | cast(cast(m.md as decimal(38,5)) as double) mahalanobis
+        |from pxx x join pyy y on y.event_type = x.event_type
+        | join pxy z on z.event_type = x.event_type
+        | join kl k on k.event_type = x.event_type
+        | join mh m on m.event_type = x.event_type""".stripMargin
   )
 
   // ---- batch 23: full data-flags battery ----------------------------------

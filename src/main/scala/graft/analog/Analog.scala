@@ -149,4 +149,107 @@ object Analog {
       }
       .toDF(groupCol, "energy_distance", "nn_metric", "fr_crossing_frac")
   }
+
+  /** The remaining sample-vs-sample metrics (analog.py:255 `zech_aslan`,
+    * :499 `kldiv`, :591 `mahalanobis`) — same execution shape as
+    * [[sampleMetrics]]: target-side quantities (NN distances, per-dim stds,
+    * covariance inverse) are computed ONCE on the driver from the bounded
+    * target sample, then each candidate group streams through one
+    * `mapGroups` kernel. O(n*m + n^2) per group like the reference.
+    */
+  def extendedMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
+                      target: Array[Array[Double]], dmin: Double = 1e-12,
+                      maxPerGroup: Int = Int.MaxValue): DataFrame = {
+    val s = candidates.sparkSession
+    import s.implicits._
+    val dims = target.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); acc += x * x; i += 1 }
+      acc
+    }
+    def std(zs: Array[Array[Double]], k: Int): Double = { // ddof = 1
+      val n = zs.length
+      val m = zs.map(_(k)).sum / n
+      math.sqrt(zs.map(z => (z(k) - m) * (z(k) - m)).sum / (n - 1))
+    }
+    // target-side precomputation (bounded sample, like the energy target)
+    val ny = target.length
+    val tgtStd = Array.tabulate(dims)(std(target, _))
+    val tgtMean = Array.tabulate(dims)(k => target.map(_(k)).sum / ny)
+    val tgtNn = target.indices.map { i =>
+      var best = Double.MaxValue
+      for (j <- target.indices if j != i) best = math.min(best, d2(target(i), target(j)))
+      math.sqrt(best)
+    }.toArray
+    // covariance (ddof=1) of the target + Gauss-Jordan inverse
+    val cov = Array.tabulate(dims, dims) { (a, b) =>
+      target.map(z => (z(a) - tgtMean(a)) * (z(b) - tgtMean(b))).sum / (ny - 1)
+    }
+    val vi = {
+      val m = Array.tabulate(dims)(i =>
+        Array.tabulate(2 * dims)(j => if (j < dims) cov(i)(j)
+          else if (j - dims == i) 1.0 else 0.0))
+      for (c <- 0 until dims) {
+        val p = (c until dims).maxBy(r => math.abs(m(r)(c)))
+        val t = m(c); m(c) = m(p); m(p) = t
+        val pv = m(c)(c)
+        for (j <- 0 until 2 * dims) m(c)(j) /= pv
+        for (r <- 0 until dims if r != c) {
+          val f = m(r)(c)
+          for (j <- 0 until 2 * dims) m(r)(j) -= f * m(c)(j)
+        }
+      }
+      Array.tabulate(dims, dims)((i, j) => m(i)(j + dims))
+    }
+    def rWeight(r: Double): Double = -math.log(math.max(r, dmin))
+    candidates
+      .select(col(groupCol).cast("string"), col(featuresCol))
+      .as[(String, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val xsAll = it.map(_._2.toArray).toArray
+        val xs =
+          if (xsAll.length <= maxPerGroup) xsAll
+          else {
+            val sorted = xsAll.sortBy(x => (x.headOption.getOrElse(0.0), x.length))
+            val stride = sorted.length.toDouble / maxPerGroup
+            Array.tabulate(maxPerGroup)(i => sorted(math.min((i * stride).toInt, sorted.length - 1)))
+          }
+        val nx = xs.length
+        val xStd = Array.tabulate(dims)(std(xs, _))
+        val v = Array.tabulate(dims)(k => xStd(k) * tgtStd(k))
+        def sed(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var k = 0
+          while (k < dims) { val x = a(k) - b(k); acc += x * x / v(k); k += 1 }
+          math.sqrt(acc)
+        }
+        // zech_aslan: phi_xx + phi_yy - phi_xy with the -ln weight
+        var pxx = 0.0
+        for (i <- 0 until nx; j <- i + 1 until nx) pxx += rWeight(sed(xs(i), xs(j)))
+        pxx /= nx.toLong * nx
+        var pyy = 0.0
+        for (i <- 0 until ny; j <- i + 1 until ny) pyy += rWeight(sed(target(i), target(j)))
+        pyy /= ny.toLong * ny
+        var pxy = 0.0
+        for (x <- xs; y <- target) pxy += rWeight(sed(x, y))
+        pxy /= nx.toLong * ny
+        val zechAslan = pxx + pyy - pxy
+        // kldiv (k=1): P = target, Q = candidate group
+        var klSum = 0.0
+        for (i <- target.indices) {
+          var sBest = Double.MaxValue
+          for (x <- xs) sBest = math.min(sBest, d2(target(i), x))
+          klSum += math.log(tgtNn(i) / math.sqrt(sBest))
+        }
+        val kldiv = dims.toDouble / ny * klSum + math.log(nx.toDouble / (ny - 1))
+        // mahalanobis between sample means with the target covariance inverse
+        val xMean = Array.tabulate(dims)(k => xs.map(_(k)).sum / nx)
+        val diff = Array.tabulate(dims)(k => xMean(k) - tgtMean(k))
+        var md = 0.0
+        for (i <- 0 until dims; j <- 0 until dims) md += diff(i) * vi(i)(j) * diff(j)
+        (g, zechAslan, kldiv, math.sqrt(md))
+      }
+      .toDF(groupCol, "zech_aslan", "kldiv", "mahalanobis")
+  }
 }
