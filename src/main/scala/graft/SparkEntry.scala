@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2629,6 +2629,203 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 25: partitioning + robustness --------------------------------
+
+  /** Annual ensemble frame for partitioning: (y, scenario, model,
+    * downscaling, v) from lineitem, member means quantized to 6 digits. */
+  private def ensembleAnnual(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("y"), col("l_returnflag").as("scenario"),
+        col("l_linestatus").as("model"), pmod(col("l_partkey"), lit(2)).as("downscaling"))
+      .agg(round(avg(col("l_quantity")), 6).as("v"))
+
+  private val ensembleAnnualSql =
+    """ens as (
+      |  select year(l_shipdate) y, l_returnflag scenario, l_linestatus model,
+      |    l_partkey % 2 downscaling,
+      |    cast(cast(avg(l_quantity) as decimal(38,6)) as double) v
+      |  from lineitem group by 1, 2, 3, 4
+      |)""".stripMargin
+
+  private def queries25: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_lafferty_sriver" -> ((s, dir) => {
+      // lafferty_sriver (_partitioning.py:192): 4-component variance
+      // partition of the annual (scenario, model, downscaling) ensemble;
+      // rolling-3 smoother (the reference accepts any smoother).
+      graft.ensembles.Partitioning.laffertySriver(
+          ensembleAnnual(s, dir), "y", "scenario", "model", "downscaling", "v",
+          smoothWindow = 3)
+        .select(col("y"), col("uncertainty"), round(col("variance"), 6).as("variance"))
+    }),
+
+    "q_brownforsythe" -> ((s, dir) => {
+      // Brown-Forsythe change test (_robustness.py:614): Levene W with
+      // median centering between the Jan 1-15 and Jan 16-31 samples.
+      val e = t(s, dir, "events")
+        .withColumn("fut", col("ts").cast("date") >= lit("2024-01-16"))
+      graft.ensembles.Ensembles.brownForsythe(e, Seq("event_type"), col("fut"),
+          col("value"))
+        .select(col("event_type"), round(col("bf_w"), 6).as("bf_w"), col("changed"))
+    }),
+
+    "q_ipcc_ar6" -> ((s, dir) => {
+      // IPCC AR6 Atlas significance (_robustness.py:637): gamma from the
+      // linearly detrended annual reference series, delta vs gamma.
+      val annual = climateDaily(s, dir)
+        .groupBy(col("k"), year(col("d")).as("y"))
+        .agg(round(avg(col("tas")), 6).as("v"))
+      val refm = annual.filter(col("y") <= 1998)
+        .groupBy(col("k").as("_k1")).agg(avg(col("v")).as("_rm"))
+      val futm = annual.filter(col("y") > 1998)
+        .groupBy(col("k").as("_k2")).agg(avg(col("v")).as("_fm"))
+      val ref = annual.filter(col("y") <= 1998)
+        .join(broadcast(refm), col("k") === col("_k1"))
+        .join(broadcast(futm), col("k") === col("_k2"))
+        .withColumn("delta_in", col("_fm") - col("_rm"))
+      graft.ensembles.Ensembles.ipccAr6C(ref, Seq("k"), col("y"), col("v"),
+          col("delta_in"))
+        .select(col("k").as("l_returnflag"), round(col("gamma"), 6).as("gamma"),
+          round(col("delta"), 6).as("delta"), col("changed"))
+    }),
+
+    "q_robustness_coeff" -> ((s, dir) => {
+      // robustness_coefficient (_robustness.py:430, Knutti-Sedlacek):
+      // R = 1 - A1/A2 from exact squared-area CDF integrals (window plan).
+      val e = t(s, dir, "events")
+        .withColumn("day", dayofmonth(col("ts")))
+        .withColumn("rz", pmod(col("user_id"), lit(5)))
+      val fut = e.filter(col("day") >= 16)
+        .groupBy(col("event_type"), col("rz"), col("day"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val ref = e.filter(col("day") <= 15)
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      graft.ensembles.Ensembles.robustnessCoefficient(
+          fut, Seq("event_type"), "rz", "day", "v", ref.drop("day"))
+        .select(col("event_type"), round(col("robustness"), 6).as("robustness"))
+    })
+  )
+
+  private def oracle25: Map[String, String] = Map(
+
+    "q_lafferty_sriver" ->
+      s"""with $ensembleAnnualSql,
+         |sm as (select *, avg(v) over w sm from ens
+         |  window w as (partition by scenario, model, downscaling order by y
+         |    rows between 1 preceding and 1 following)),
+         |nvr as (select *, var_pop(v - sm) over w nv from sm
+         |  window w as (partition by scenario, model, downscaling order by y
+         |    rows between 1 preceding and 1 following)),
+         |c_var as (select y, avg(nv) variance from nvr group by 1),
+         |scen1 as (select y, scenario, avg(sm) m from sm group by 1, 2),
+         |c_scen as (select y, var_pop(m) variance from scen1 group by 1),
+         |mod1 as (select y, scenario, downscaling, var_pop(sm) vv, count(*) w
+         |  from sm group by 1, 2, 3),
+         |c_mod as (select y, sum(vv*w)/sum(w) variance from mod1 group by 1),
+         |dwn1 as (select y, scenario, model, var_pop(sm) vv, count(*) w
+         |  from sm group by 1, 2, 3),
+         |c_dwn as (select y, sum(vv*w)/sum(w) variance from dwn1 group by 1),
+         |lng as (
+         |  select y, 'variability' uncertainty, variance from c_var
+         |  union all select y, 'scenario', variance from c_scen
+         |  union all select y, 'model', variance from c_mod
+         |  union all select y, 'downscaling', variance from c_dwn
+         |  union all
+         |  select v.y, 'total', v.variance + s.variance + m.variance + d.variance
+         |  from c_var v join c_scen s on s.y = v.y join c_mod m on m.y = v.y
+         |   join c_dwn d on d.y = v.y
+         |)
+         |select y, uncertainty,
+         |  cast(cast(variance as decimal(38,6)) as double) variance from lng""".stripMargin,
+
+    "q_brownforsythe" ->
+      """with e as (select event_type,
+        |  cast(ts as date) >= date '2024-01-16' fut, value from events),
+        |g as (select event_type, case when fut then 1 else 0 end g, value v from e),
+        |r as (select *, row_number() over (partition by event_type, g order by v) rn,
+        |  count(*) over (partition by event_type, g) n from g),
+        |med as (select event_type, g, min(case when rn = cast(ceil(n/2.0) as int)
+        |  then v end) md from r group by 1, 2),
+        |z as (select g.event_type, g.g, abs(g.v - m.md) z
+        |  from g join med m on m.event_type = g.event_type and m.g = g.g),
+        |per as (select event_type, g, avg(z) zm, count(*) n, sum(z*z) zss
+        |  from z group by 1, 2),
+        |agg as (select event_type, sum(n) nt,
+        |  sum(n*zm*zm) nzm2, sum(zss - n*zm*zm) ssw, sum(n*zm) nzm
+        | from per group by 1)
+        |select event_type,
+        |  cast(cast((nt - 2)*(nzm2 - nzm*nzm/nt)/ssw as decimal(38,6)) as double) bf_w,
+        |  (nt - 2)*(nzm2 - nzm*nzm/nt)/ssw > 3.84 changed
+        |from agg""".stripMargin,
+
+    "q_ipcc_ar6" ->
+      s"""with $climSql,
+         |annual as (select k, year(d) y,
+         |  cast(cast(avg(tas) as decimal(38,6)) as double) v
+         | from clim group by 1, 2),
+         |refm as (select k, avg(v) rm from annual where y <= 1998 group by 1),
+         |futm as (select k, avg(v) fm from annual where y > 1998 group by 1),
+         |agg as (select a.k,
+         |  avg(cast(a.y as double)) tm, avg(a.v) vm,
+         |  avg(cast(a.y as double)*a.v) tvm,
+         |  avg(cast(a.y as double)*cast(a.y as double)) t2m,
+         |  var_pop(a.v) vv, avg(f.fm - r.rm) delta
+         | from annual a join refm r on r.k = a.k join futm f on f.k = a.k
+         | where a.y <= 1998 group by 1),
+         |fin as (select k, delta,
+         |  sqrt(2.0/20.0)*1.645*sqrt(vv - pow((tvm - tm*vm)/(t2m - tm*tm), 2)
+         |    *(t2m - tm*tm)) gamma
+         | from agg)
+         |select k l_returnflag,
+         |  cast(cast(gamma as decimal(38,6)) as double) gamma,
+         |  cast(cast(delta as decimal(38,6)) as double) delta,
+         |  abs(delta) > gamma changed
+         |from fin""".stripMargin,
+
+    "q_robustness_coeff" ->
+      """with e as (select event_type, user_id % 5 rz, dayofmonth(ts) d_, value
+        | from events),
+        |fut as (select event_type, rz, d_,
+        |  cast(cast(avg(value) as decimal(38,6)) as double) v
+        | from e where d_ >= 16 group by 1, 2, 3),
+        |refs as (select event_type,
+        |  cast(cast(avg(value) as decimal(38,6)) as double) v
+        | from e where d_ <= 15 group by event_type, d_),
+        |mp as (select event_type, d_, avg(v) v from fut group by 1, 2),
+        |u1 as (
+        |  select event_type, rz, v, 1 a, 0 b from fut
+        |  union all
+        |  select m.event_type, r.rz, m.v, 0, 1
+        |  from mp m join (select distinct event_type, rz from fut) r
+        |    on r.event_type = m.event_type),
+        |w1 as (select *, sum(a) over w ca, sum(b) over w cb,
+        |  sum(a) over (partition by event_type, rz) na,
+        |  sum(b) over (partition by event_type, rz) nb,
+        |  lead(v) over w - v dx
+        | from u1 window w as (partition by event_type, rz order by v, a
+        |   rows between unbounded preceding and current row)),
+        |a1 as (select event_type, avg(sq) a1 from (
+        |  select event_type, rz, coalesce(sum(
+        |    (ca*1.0/na - cb*1.0/nb)*(ca*1.0/na - cb*1.0/nb)*dx), 0.0) sq
+        |  from w1 group by 1, 2) t group by 1),
+        |u2 as (
+        |  select event_type, v, 1 a, 0 b from refs
+        |  union all select event_type, v, 0, 1 from mp),
+        |w2 as (select *, sum(a) over w ca, sum(b) over w cb,
+        |  sum(a) over (partition by event_type) na,
+        |  sum(b) over (partition by event_type) nb,
+        |  lead(v) over w - v dx
+        | from u2 window w as (partition by event_type order by v, a
+        |   rows between unbounded preceding and current row)),
+        |a2 as (select event_type, coalesce(sum(
+        |    (ca*1.0/na - cb*1.0/nb)*(ca*1.0/na - cb*1.0/nb)*dx), 0.0) a2
+        |  from w2 group by 1)
+        |select a1.event_type,
+        |  cast(cast(1.0 - a1.a1/a2.a2 as decimal(38,6)) as double) robustness
+        |from a1 join a2 on a2.event_type = a1.event_type""".stripMargin
   )
 
   // ---- batch 24: remaining analog metrics ---------------------------------

@@ -64,4 +64,111 @@ object Ensembles {
     when(fracSig < 0.66, lit("robust signal"))
       .when(fracAgree >= 0.8, lit("robust signal"))
       .otherwise(lit("conflicting signal"))
+
+  /** Brown-Forsythe change test (_robustness.py:614, Levene with median
+    * centering, k=2 groups): W = (N-2) * [n1(Z1-Z)^2 + n2(Z2-Z)^2] /
+    * [SS_within], Z_ij = |x_ij - median_group|. Input: a long frame with a
+    * boolean `futCol`; output per (keys): the W statistic and the change
+    * verdict at `wCrit` (3.84 = the F(1, inf) 95% point — the exact F
+    * p-value needs an incomplete beta; at climate sample sizes the
+    * asymptote is the documented approximation).
+    * Medians are discrete lower order statistics (engine-portable). */
+  def brownForsythe(df: DataFrame, keys: Seq[String], futCol: Column,
+                    value: Column, wCrit: Double = 3.84): DataFrame = {
+    val grp = df.withColumn("_g", when(futCol, 1).otherwise(0))
+    val med = grp.groupBy((keys.map(col) :+ col("_g")): _*)
+      .agg(element_at(sort_array(collect_list(value)),
+        ceil(count(lit(1)) / 2.0).cast("int")).as("_med"))
+    val z = grp.join(med, keys :+ "_g")
+      .withColumn("_z", abs(value - col("_med")))
+    val per = z.groupBy((keys.map(col) :+ col("_g")): _*)
+      .agg(avg(col("_z")).as("_zm"), count(lit(1)).as("_n"),
+        sum(col("_z") * col("_z")).as("_zss"))
+    per.groupBy(keys.map(col): _*)
+      .agg(sum(col("_n")).as("_nt"),
+        (sum(col("_n") * col("_zm")) / sum(col("_n"))).as("_zbar"),
+        sum(col("_n") * col("_zm") * col("_zm")).as("_nzm2"),
+        sum(col("_zss") - col("_n") * col("_zm") * col("_zm")).as("_ssw"),
+        sum(col("_n") * col("_zm")).as("_nzm"))
+      .withColumn("bf_w",
+        (col("_nt") - 2) * (col("_nzm2") - col("_nzm") * col("_nzm") / col("_nt")) / col("_ssw"))
+      .withColumn("changed", col("bf_w") > wCrit)
+      .select((keys.map(col) :+ col("bf_w") :+ col("changed")): _*)
+  }
+
+  /** IPCC AR6 Atlas "advanced approach" significance (_robustness.py:637,
+    * no pre-industrial control): gamma = sqrt(2/20)*1.645*sigma of the
+    * LINEARLY DETRENDED annual reference means; change is significant when
+    * |mean(fut) - mean(ref)| > gamma. Detrending is closed-form OLS on
+    * aggregates — everything stays in two hash-aggs + a projection. */
+  def ipccAr6C(annualRef: DataFrame, keys: Seq[String], yearCol: Column,
+               refValue: Column, futMinusRefMean: Column): DataFrame = {
+    val agg = annualRef.groupBy(keys.map(col): _*).agg(
+      avg(yearCol.cast("double")).as("_tm"), avg(refValue).as("_vm"),
+      avg(yearCol.cast("double") * refValue).as("_tvm"),
+      avg(yearCol.cast("double") * yearCol.cast("double")).as("_t2m"),
+      var_pop(refValue).as("_vv"), avg(futMinusRefMean).as("_delta"))
+    agg
+      .withColumn("_slope",
+        (col("_tvm") - col("_tm") * col("_vm")) / (col("_t2m") - col("_tm") * col("_tm")))
+      // var of detrended residuals = var(v) - slope^2 * var(t)
+      .withColumn("_sigma", sqrt(col("_vv") -
+        col("_slope") * col("_slope") * (col("_t2m") - col("_tm") * col("_tm"))))
+      .withColumn("gamma", lit(math.sqrt(2.0 / 20.0) * 1.645) * col("_sigma"))
+      .withColumn("changed", abs(col("_delta")) > col("gamma"))
+      .select((keys.map(col) :+ col("gamma") :+ col("_delta").as("delta") :+ col("changed")): _*)
+  }
+
+  /** robustness_coefficient (_robustness.py:430, Knutti & Sedlacek 2013):
+    * R = 1 - A1/A2 with A1 = mean over realizations of the squared-area
+    * integral between each member's future CDF and the ensemble-mean
+    * projection CDF, A2 = the integral between the mean projection CDF and
+    * the reference CDF.
+    *
+    * The squared-area integral between two empirical CDFs is computed as a
+    * pure window plan over the pooled sorted sample (cumulative fractions +
+    * lead-gap), the KS-statistic pattern with a width term — one shuffle
+    * per pairing, samples never collected. */
+  def robustnessCoefficient(fut: DataFrame, keys: Seq[String], realizationCol: String,
+                            timeCol: String, valueCol: String,
+                            ref: DataFrame): DataFrame = {
+    // ensemble-mean projection series (per keys, time)
+    val meanProj = fut.groupBy((keys.map(col) :+ col(timeCol)): _*)
+      .agg(avg(col(valueCol)).as("_v")).select(keys.map(col) :+ col("_v"): _*)
+    def sqAreaVsMean(sample: DataFrame, sampleKeys: Seq[String], out: String): DataFrame = {
+      // union sample (a) with the broadcast mean projection (b) per keys
+      val a = sample.select((sampleKeys.map(col) :+ col("_v") :+
+        lit(1L).as("_a") :+ lit(0L).as("_b")): _*)
+      val extraKeys = sampleKeys.filterNot(keys.contains)
+      val reps = sample.select(sampleKeys.map(col): _*).distinct()
+        .select((keys.map(col) :+ struct(extraKeys.map(col): _*).as("_ek")): _*)
+      val b = meanProj.join(broadcast(reps), keys)
+        .select((keys.map(col) :+ col("_ek.*") :+ col("_v") :+
+          lit(0L).as("_a") :+ lit(1L).as("_b")): _*)
+      val u = a.unionByName(b)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sampleKeys.map(col): _*).orderBy(col("_v"), col("_a"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(sampleKeys.map(col): _*)
+      u.withColumn("_ca", sum(col("_a")).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("_cb", sum(col("_b")).over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("_na", sum(col("_a")).over(wAll))
+        .withColumn("_nb", sum(col("_b")).over(wAll))
+        .withColumn("_dx", lead(col("_v"), 1).over(w) - col("_v"))
+        .withColumn("_sq",
+          (col("_ca") / col("_na") - col("_cb") / col("_nb")) *
+            (col("_ca") / col("_na") - col("_cb") / col("_nb")) * col("_dx"))
+        .groupBy(sampleKeys.map(col): _*)
+        .agg(coalesce(sum(col("_sq")), lit(0.0)).as(out))
+    }
+    val a1 = sqAreaVsMean(
+        fut.select((keys.map(col) :+ col(realizationCol) :+ col(valueCol).as("_v")): _*),
+        keys :+ realizationCol, "_sq1")
+      .groupBy(keys.map(col): _*).agg(avg(col("_sq1")).as("_a1"))
+    val a2 = sqAreaVsMean(
+      ref.select((keys.map(col) :+ col(valueCol).as("_v")): _*), keys, "_a2")
+    a1.join(a2, keys)
+      .withColumn("robustness", lit(1.0) - col("_a1") / col("_a2"))
+      .select((keys.map(col) :+ col("robustness")): _*)
+  }
 }
