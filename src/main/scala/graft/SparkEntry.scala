@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2629,6 +2629,65 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 26: converters batch 2 + sea-ice companions ------------------
+
+  private def queries26: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_converters_extended" -> ((s, dir) => {
+      // specific_humidity (+from_dewpoint, +inverse), Clausius-Clapeyron
+      // scaling, wind_power_potential, prsn<->prsnd, rain_approximation
+      // (converters.py:847-2804) — one codegen'd projection.
+      import graft.indices.Converters
+      val e = t(s, dir, "events").select(col("event_id"), col("value"),
+        (col("value") / 10.0 - 10.0).as("tas"),
+        (((col("value") % 60.0) + 30.0) / 100.0).as("hurs"),
+        (lit(101325.0) - col("value") * 5.0).as("ps"),
+        (col("value") / 15.0).as("wind"),
+        (col("value") / 10.0 - 13.0).as("tdps"),
+        (lit(0.004) + col("value") / 1e5).as("huss"),
+        (col("value") / 25.0).as("pr"))
+      e.select(col("event_id"),
+        round(Converters.specificHumidity(col("tas"), col("hurs"), col("ps")), 8).as("huss_wmo"),
+        round(Converters.specificHumidityFromDewpoint(col("tdps"), col("ps")), 8).as("huss_td"),
+        round(Converters.dewpointFromSpecificHumidity(col("huss"), col("ps")), 5).as("td_back"),
+        round(Converters.clausiusClapeyronScaledPrecipitation(
+          col("pr"), pmod(col("value"), lit(10.0)) - 5.0), 5).as("pr_cc"),
+        round(Converters.windPowerPotential(col("wind")), 6).as("wind_power"),
+        round(Converters.prsnToPrsnd(col("pr") / 1000.0), 9).as("prsnd"),
+        round(Converters.rainApproximation(col("pr"), col("tas")), 5).as("rain_liquid"))
+    })
+  )
+
+  private def oracle26: Map[String, String] = Map(
+
+    "q_converters_extended" ->
+      """with e as (select event_id, value,
+        |  value/10.0 - 10.0 tas, ((value % 60.0) + 30.0)/100.0 hurs,
+        |  101325.0 - value*5.0 ps, value/15.0 wind, value/10.0 - 13.0 tdps,
+        |  0.004 + value/1e5 huss, value/25.0 pr
+        | from events),
+        |f as (select *,
+        |  6.112*exp(17.62*tas/(243.12 + tas))*100.0 esat,
+        |  6.112*exp(17.62*tdps/(243.12 + tdps))*100.0 etd
+        | from e),
+        |g as (select *,
+        |  0.62198*esat/(ps - esat) wsat,
+        |  0.62198*etd/(ps - etd*(1.0 - 0.62198)) q_td,
+        |  huss*ps/(0.62198 + huss*(1.0 - 0.62198)) einv
+        | from f)
+        |select event_id,
+        | cast(cast(wsat*hurs/(1.0 + wsat*hurs) as decimal(38,8)) as double) huss_wmo,
+        | cast(cast(q_td as decimal(38,8)) as double) huss_td,
+        | cast(cast(243.12*ln(einv/611.2)/(17.62 - ln(einv/611.2)) as decimal(38,5)) as double) td_back,
+        | cast(cast(pr*pow(1.07, (value % 10.0) - 5.0) as decimal(38,5)) as double) pr_cc,
+        | cast(cast(case when wind < 3.5 then 0.0
+        |   when wind < 13.0 then (pow(wind, 3.0) - 42.875)/(2197.0 - 42.875)
+        |   when wind < 25.0 then 1.0 else 0.0 end as decimal(38,6)) as double) wind_power,
+        | cast(cast(pr/1000.0/100.0 as decimal(38,9)) as double) prsnd,
+        | cast(cast(case when tas >= 0.0 then pr else 0.0 end as decimal(38,5)) as double) rain_liquid
+        |from g""".stripMargin
   )
 
   // ---- batch 25: partitioning + robustness --------------------------------

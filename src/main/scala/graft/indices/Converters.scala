@@ -106,6 +106,71 @@ object Converters {
     lit(24.0 / math.Pi) * h
   }
 
+  /** specific_humidity (converters.py:847, WMO 2008): q = w/(1+w) with
+    * w = 0.62198 e_sat/(ps − e_sat) · hurs. Inputs: tas degC, hurs 0-1,
+    * ps Pa; e_sat from the Magnus form (hPa -> Pa x100). */
+  def specificHumidity(tasC: Column, hursFrac: Column, psPa: Column): Column = {
+    val eSat = saturationVaporPressure(tasC) * 100.0
+    val wSat = lit(0.62198) * eSat / (psPa - eSat)
+    val w = wSat * hursFrac
+    w / (lit(1.0) + w)
+  }
+
+  /** specific_humidity_from_dewpoint (converters.py:952):
+    * q = ε e/(ps − e(1−ε)), e = e_sat(tdps). */
+  def specificHumidityFromDewpoint(tdpsC: Column, psPa: Column): Column = {
+    val e = saturationVaporPressure(tdpsC) * 100.0
+    lit(0.62198) * e / (psPa - e * (1.0 - 0.62198))
+  }
+
+  /** dewpoint_from_specific_humidity (converters.py:1040): invert the
+    * Magnus form: e = q ps/(ε + q(1−ε)), td = 243.12 x/(17.62 − x),
+    * x = ln(e/611.2). Output degC. */
+  def dewpointFromSpecificHumidity(huss: Column, psPa: Column): Column = {
+    val e = huss * psPa / (lit(0.62198) + huss * (1.0 - 0.62198))
+    val x = log(e / 611.2)
+    lit(243.12) * x / (lit(17.62) - x)
+  }
+
+  /** clausius_clapeyron_scaled_precipitation (converters.py:1751):
+    * pr · factor^Δtas (default 7 %/K). */
+  def clausiusClapeyronScaledPrecipitation(prBaseline: Column, deltaTasK: Column,
+                                           ccScaleFactor: Double = 1.07): Column =
+    prBaseline * pow(lit(ccScaleFactor), deltaTasK)
+
+  /** longwave/shortwave upwelling from net downwelling
+    * (converters.py:1543,:1566): rlus = rlds − rls, rsus = rsds − rss. */
+  def upwellingFromNetDownwelling(down: Column, net: Column): Column = down - net
+
+  /** shortwave_downwelling_radiation_from_clearness_index
+    * (converters.py:1627): rsds = ci · extraterrestrial. */
+  def shortwaveFromClearness(ci: Column, extra: Column): Column = ci * extra
+
+  /** wind_power_potential (converters.py:2804, Tobin 2018): idealized
+    * 4-regime power curve; optional air-density speed scaling
+    * (ρ/1.225)^(1/3). */
+  def windPowerPotential(windMs: Column, cutIn: Double = 3.5, rated: Double = 13.0,
+                         cutOut: Double = 25.0, airDensity: Option[Column] = None): Column = {
+    val v = airDensity.map(rho => windMs * pow(rho / 1.225, 1.0 / 3.0)).getOrElse(windMs)
+    when(v < cutIn, 0.0)
+      .when(v < rated,
+        (pow(v, 3.0) - math.pow(cutIn, 3)) / (math.pow(rated, 3) - math.pow(cutIn, 3)))
+      .when(v < cutOut, 1.0)
+      .otherwise(0.0)
+  }
+
+  /** prsn (mass flux) <-> prsnd (liquid-water-equivalent snowfall rate):
+    * converters.py:1461,:1502; fixed snow density [kg m-3]. */
+  def prsnToPrsnd(prsn: Column, snowDensity: Double = 100.0): Column =
+    prsn / snowDensity
+  def prsndToPrsn(prsnd: Column, snowDensity: Double = 100.0): Column =
+    prsnd * snowDensity
+
+  /** rain_approximation (converters.py:1255): liquid part of total precip
+    * under the binary-phase split at `threshC`. */
+  def rainApproximation(pr: Column, tasC: Column, threshC: Double = 0.0): Column =
+    when(tasC >= threshC, pr).otherwise(0.0)
+
   /** Daily -> hourly temperature upsampling (helpers.py:1059
     * `make_hourly_temperature`, used by the chill models): explode 24 rows
     * per day with a sine ramp from tasmin (sunrise) to tasmax (mid-
