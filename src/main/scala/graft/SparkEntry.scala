@@ -2403,14 +2403,15 @@ object SparkEntry {
 
     "q_minhash_candidates" -> ((s, dir) => {
       // MinHash-LSH near-dup end to end (Dedup.nearDuplicates): banded
-      // signatures -> bucket-local candidate pairs -> exact-Jaccard verify.
-      // bands=16/rows=1 pins recall at ~1 for J>=0.7 (miss prob (1-J)^16
-      // <= 4e-9) so the LSH output EQUALS the oracle's exhaustive
-      // all-pairs truth; production tuning (e.g. 16x4) trades that recall
-      // for fewer candidates. The O(n^2) comparison never materialises —
-      // only bucket-local pairs are generated.
+      // signatures over word-3-gram shingles -> bucket-local candidate
+      // pairs -> exact-Jaccard verify. bands=16/rows=1 pins recall at ~1
+      // for J>=0.7 (miss prob (1-J)^16 <= 4e-9) so the LSH output EQUALS
+      // the oracle's exhaustive all-pairs truth; 3-gram shingling keeps
+      // buckets discriminative (unigram sets on a small vocabulary would
+      // collapse every document into one bucket). The O(n^2) comparison
+      // never materialises — only bucket-local pairs are generated.
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          ngram = 1, threshold = 0.7, numHashes = 16, bands = 16)
+          ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
@@ -2464,15 +2465,18 @@ object SparkEntry {
          |join lastobs l on l.k = s.k and l.y = s.y""".stripMargin,
 
     "q_minhash_candidates" ->
-      """with g as (select doc_id,
-        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) grams
-        | from documents)
-        |select id_a, id_b, jaccard from (
+      """with toks as (select doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') t from documents),
+        |g as (select doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) grams
+        | from toks),
+        |pairs as (
         | select a.doc_id id_a, b.doc_id id_b,
         |  cast(cast(cast(len(list_intersect(a.grams, b.grams)) as double)
         |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
-        | from g a join g b on a.doc_id < b.doc_id) t
-        |where jaccard >= 0.7""".stripMargin
+        | from g a join g b on a.doc_id < b.doc_id)
+        |select id_a, id_b, jaccard from pairs where jaccard >= 0.7""".stripMargin
   )
 
   // ---- batch 22: breadth-catalogue base shapes + sea ice ------------------

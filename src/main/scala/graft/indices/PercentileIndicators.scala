@@ -28,11 +28,15 @@ object PercentileIndicators {
   def doyExceedance(df: DataFrame, keys: Seq[String], dateCol: String, value: String,
                     p: Double, op: String, halfWindow: Int, freq: String,
                     asPercent: Boolean = false,
-                    alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
+                    alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0,
+                    broadcastDim: Boolean = true): DataFrame = {
     val pct = Season.doyPercentile(df, keys, dateCol, value, halfWindow, p, alpha, beta)
     // fold leap doy 366 onto the 365-day percentile grid (as the pool does)
     val joined = df.withColumn("doy", ((dayofyear(col(dateCol)) - 1) % 365) + 1)
-      .join(pct, keys :+ "doy")
+      // the (entity x 365) percentile table broadcasts when entities are
+      // station-scale; pass broadcastDim=false at grid scale (millions of
+      // cells) to let AQE pick a co-partitioned join instead
+      .join(if (broadcastDim) broadcast(pct) else pct, keys :+ "doy")
     val cond = Generic.compare(col(value), op, col("doy_pct"))
     val agg =
       if (asPercent) (sum(when(cond, 1.0)).cast("double") / count(lit(1)) * 100.0).as("value")
@@ -47,10 +51,14 @@ object PercentileIndicators {
     * (resample-then-runlength order). */
   def doySpellDuration(df: DataFrame, keys: Seq[String], dateCol: String, value: String,
                        p: Double, op: String, halfWindow: Int, window: Int, freq: String,
-                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
+                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0,
+                       broadcastDim: Boolean = true): DataFrame = {
     val pct = Season.doyPercentile(df, keys, dateCol, value, halfWindow, p, alpha, beta)
     val joined = df.withColumn("doy", ((dayofyear(col(dateCol)) - 1) % 365) + 1)
-      .join(pct, keys :+ "doy")
+      // the (entity x 365) percentile table broadcasts when entities are
+      // station-scale; pass broadcastDim=false at grid scale (millions of
+      // cells) to let AQE pick a co-partitioned join instead
+      .join(if (broadcastDim) broadcast(pct) else pct, keys :+ "doy")
     val cond = Generic.compare(col(value), op, col("doy_pct"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
     val runs = joined.filter(cond)

@@ -58,15 +58,27 @@ object Season {
   def doyPercentile(daily: DataFrame, keys: Seq[String], dateCol: String,
                     value: String, halfWindow: Int, p: Double,
                     alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
-    val contrib = daily
+    // two-phase pooling: collapse to one array per (entity, exact doy)
+    // FIRST (the only full-data shuffle, map-side combinable), then fan the
+    // 365-row-per-entity doy table out +-halfWindow and merge arrays. The
+    // +-w fan-out never touches full-resolution rows, so shuffle volume is
+    // 1x the data instead of (2w+1)x — the difference at 100 TB.
+    val byDoy = daily
       .select((keys.map(col) :+ dayofyear(col(dateCol)).as("_doy") :+ col(value).as("_v")): _*)
+      .groupBy((keys.map(col) :+ col("_doy")): _*)
+      .agg(collect_list(col("_v")).as("_arr"))
+    val contrib = byDoy
       .withColumn("_tdoy",
         explode(sequence(col("_doy") - halfWindow, col("_doy") + halfWindow)))
       .withColumn("doy", ((col("_tdoy") + 364) % 365) + 1)
-    val agg =
-      if (alpha == 1.0 && beta == 1.0) percentile(col("_v"), lit(p))
-      else graft.core.Stats.hfQuantile(col("_v"), p, alpha, beta)
-    contrib.groupBy((keys.map(col) :+ col("doy")): _*)
-      .agg(agg.as("doy_pct"))
+    val pooled = contrib.groupBy((keys.map(col) :+ col("doy")): _*)
+      .agg(sort_array(flatten(collect_list(col("_arr")))).as("_all"))
+    val q =
+      if (alpha == 1.0 && beta == 1.0)
+        // Spark `percentile` type-7 formula: lower + d*(higher - lower),
+        // which hfQuantileOfSorted reproduces exactly at alpha=beta=1
+        graft.core.Stats.hfQuantileOfSorted(col("_all"), p, 1.0, 1.0)
+      else graft.core.Stats.hfQuantileOfSorted(col("_all"), p, alpha, beta)
+    pooled.select((keys.map(col) :+ col("doy") :+ q.as("doy_pct")): _*)
   }
 }

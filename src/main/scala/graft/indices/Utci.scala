@@ -277,6 +277,37 @@ object Utci {
       s" + 7.0229056e-10*$tasK*$tasK*$tasK - 1.8680009e-13*$tasK*$tasK*$tasK*$tasK" +
       s" + 2.7150305*ln($tasK))"
 
+  /** Scalar twin of [[utciPoly]] — the SAME 32-term-chunked left-assoc
+    * operation order, evaluated in one JIT-compiled loop. The Column form
+    * builds a 1000+-node expression tree that blows past whole-stage
+    * codegen's method limits (falling back to interpreted eval and
+    * spending seconds in the optimizer); this static call keeps the plan
+    * tree at one node. Invoked by the native [[UtciOffset]] expression. */
+  def utciOffset(tas: Double, va: Double, dt: Double, pa: Double): Double = {
+    var total = tas
+    var idx = 0
+    val n = terms.length
+    while (idx < n) {
+      var chunk = 0.0
+      var first = true
+      val end = math.min(idx + ChunkSize, n)
+      while (idx < end) {
+        val (c, i, j, k, l) = terms(idx)
+        var e = c
+        var r = 0
+        while (r < i) { e *= tas; r += 1 }; r = 0
+        while (r < j) { e *= va; r += 1 }; r = 0
+        while (r < k) { e *= dt; r += 1 }; r = 0
+        while (r < l) { e *= pa; r += 1 }
+        chunk = if (first) e else chunk + e
+        first = false
+        idx += 1
+      }
+      total += chunk
+    }
+    total
+  }
+
   /** UTCI [degC] with the reference's default invalid-input mask:
     * null outside -50<tas<50, -30<mrt-tas<30, 0.5<=wind<17. `hurs` is a
     * 0-1 fraction; mrt/tas degC. */
@@ -285,7 +316,7 @@ object Utci {
     val pa = saturationVaporPressureIts90(tasC + 273.15) / 1000.0 * hursFrac
     when(tasC > -50.0 && tasC < 50.0 && dt > -30.0 && dt < 30.0 &&
       windMs >= 0.5 && windMs < 17.0,
-      utciPoly(tasC, windMs, dt, pa))
+      UtciOffset.column(tasC, windMs, dt, pa))
   }
 
   /** Sunlit-average cosine of the solar zenith angle over a day: the closed
@@ -333,4 +364,44 @@ object Utci {
         lit(0.7 / 0.97) * (lit(0.5) * rsdsDiffuse + lit(0.5) * rsus + fp * iStar)),
       0.25)
   }
+}
+
+/** utci_offset(tas, va, dt, pa): the Broede polynomial as ONE plan node —
+  * nullSafeEval and codegen both dispatch to the static
+  * `Utci.utciOffset` loop (op-order-identical to the SQL twin). */
+case class UtciOffset(first: org.apache.spark.sql.catalyst.expressions.Expression,
+                      second: org.apache.spark.sql.catalyst.expressions.Expression,
+                      third: org.apache.spark.sql.catalyst.expressions.Expression,
+                      fourth: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{DataType, DoubleType}
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(t: Any, v: Any, d: Any, p: Any): Any =
+    Utci.utciOffset(t.asInstanceOf[Double], v.asInstanceOf[Double],
+      d.asInstanceOf[Double], p.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (t, v, d, p) =>
+      s"graft.indices.Utci.utciOffset($t, $v, $d, $p)")
+  override protected def withNewChildrenInternal(
+      f: org.apache.spark.sql.catalyst.expressions.Expression,
+      s: org.apache.spark.sql.catalyst.expressions.Expression,
+      t: org.apache.spark.sql.catalyst.expressions.Expression,
+      q: org.apache.spark.sql.catalyst.expressions.Expression): UtciOffset =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object UtciOffset {
+  import org.apache.spark.sql.graft.ColumnBridge
+  def column(tas: org.apache.spark.sql.Column, va: org.apache.spark.sql.Column,
+             dt: org.apache.spark.sql.Column, pa: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    ColumnBridge.column(UtciOffset(ColumnBridge.expression(tas),
+      ColumnBridge.expression(va), ColumnBridge.expression(dt),
+      ColumnBridge.expression(pa)))
 }

@@ -62,10 +62,28 @@ object Dedup {
     * doc, then pairs are generated inside buckets.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                        ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashCandidatesFromHashes(
+      hashedShingles(df, idCol, textCol, ngram)
+        .withColumnRenamed("grams", "hashes"),
+      numHashes, bands)
+
+  /** (id, grams): sorted distinct xxhash64 shingle sets. Tokens are
+    * materialised in their own projection first — see
+    * [[TextStats.tokens]] for why that matters. */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             ngram: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), sort_array(array_distinct(transform(
+        TextStats.ngramsOfTokens(col("_toks"), ngram), g => xxhash64(g)))).as("grams"))
+
+  /** Same, over a frame of (id, hashes ARRAY<BIGINT>) pre-hashed shingle
+    * sets — the signature is the native one-pass [[MinHashSig]] kernel. */
+  private[pipeline] def minhashCandidatesFromHashes(hashed: DataFrame, numHashes: Int,
+                                                    bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(TextStats.wordNgrams(col(textCol), ngram), numHashes).as("sig"))
+    val sigs = hashed.select(col("id"),
+        graft.functions.MinHashSig.minhashSig(col("hashes"), numHashes).as("sig"))
       .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_hash"))
     val a = sigs.alias("a"); val b = sigs.alias("b")
@@ -83,17 +101,28 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
-  /** Near-dup pairs with verified n-gram Jaccard >= threshold. */
+  /** Near-dup pairs with verified n-gram Jaccard >= threshold. The shingle
+    * sets are hashed (xxhash64) ONCE: the same sorted distinct hash array
+    * feeds the MinHash signature, a size-ratio candidate prune
+    * (J <= min/max of set sizes), and the codegen'd sorted-merge
+    * intersection of the verify step — no string array ever joins. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      ngram: Int = 3, threshold: Double = 0.8,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, ngram, numHashes, bands)
-    val grams = df.select(col(idCol).as("id"),
-      array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"))
-    cands
-      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("grams_a"), col("grams_b")))
+    val grams = hashedShingles(df, idCol, textCol, ngram)
+    val cands = minhashCandidatesFromHashes(
+      grams.select(col("id"), col("grams").as("hashes")), numHashes, bands)
+    val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      size(col("grams")).as("sz_a"))
+    val gb = grams.select(col("id").as("id_b"), col("grams").as("grams_b"),
+      size(col("grams")).as("sz_b"))
+    val common = graft.functions.SortedIntersectCount
+      .sortedIntersectCount(col("grams_a"), col("grams_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .withColumn("jaccard", common.cast("double") /
+        (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
