@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2633,6 +2633,106 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 27: hydrology leftovers + huglin -----------------------------
+
+  private def queries27: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_huglin" -> ((s, dir) => {
+      // huglin_index (_agro.py:151): Apr-Sep heat summation with the
+      // stepwise day-length latitude coefficient (helpers.py:528).
+      graft.indices.Agro.huglinIndex(
+          climateDaily(s, dir)
+            .withColumn("tasmax", col("tas") + 5.0)
+            .withColumn("lat6", col("lat") * 6.0),
+          Seq("k"), "d", "tas", "tasmax", "lat6")
+        .select(col("k").as("l_returnflag"), col("y"),
+          round(col("huglin_index"), 4).as("huglin_index"))
+    }),
+
+    "q_hydro_ratios" -> ((s, dir) => {
+      // flow_index (_hydrology.py:577: p95/median over the series),
+      // runoff_ratio (:711: mean(q/area)/mean(pr) per period collapsed),
+      // aridity_index (:772: mean pr / mean PET).
+      import graft.indices.Evapotranspiration
+      val c = climateDaily(s, dir)
+        .withColumn("q_flow", col("pr") * 3.0 + 1.0)
+        .withColumn("pet", Evapotranspiration.petHargreaves85(
+          col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
+      c.groupBy(col("k"))
+        .agg(
+          round(percentile(col("q_flow"), lit(0.95)) /
+            percentile(col("q_flow"), lit(0.5)), 6).as("flow_index"),
+          round(avg(col("q_flow") / 1000.0) / avg(col("pr")), 6).as("runoff_ratio"),
+          round(avg(col("pr")) / avg(col("pet")), 6).as("aridity_index"))
+        .withColumnRenamed("k", "l_returnflag")
+    }),
+
+    "q_snowmelt" -> ((s, dir) => {
+      // snow_melt_we_max (_hydrology.py:371) + melt_and_precip_max (:404):
+      // rolling-3 sums of the negative SWE diff (+ precip), period max.
+      val wx = weatherDaily(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val w3 = w.rowsBetween(-2, 0)
+      val melted = wx
+        .withColumn("melt", (lag(col("hum"), 1).over(w) - col("hum")))
+        .withColumn("mp", col("melt") + col("rain"))
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("melt3", when(col("_rn") >= 4, sum(col("melt")).over(w3)))
+        .withColumn("mp3", when(col("_rn") >= 4, sum(col("mp")).over(w3)))
+      melted.groupBy(col("user_id"))
+        .agg(round(max(col("melt3")), 4).as("snow_melt_we_max"),
+          round(max(col("mp3")), 4).as("melt_and_precip_max"))
+    })
+  )
+
+  private def oracle27: Map[String, String] = Map(
+
+    "q_huglin" ->
+      s"""with $climSql,
+         |h as (select k, d, year(d) y, tas, tas + 5.0 tasmax, lat*6.0 lat6 from clim),
+         |f as (select *, case when abs(lat6) <= 40.0 then 1.0
+         |    when abs(lat6) <= 42.0 then 1.02 when abs(lat6) <= 44.0 then 1.03
+         |    when abs(lat6) <= 46.0 then 1.04 when abs(lat6) <= 48.0 then 1.05
+         |    when abs(lat6) <= 50.0 then 1.06 else 1.0 end kk,
+         |  greatest(0.0, ((tas - 10.0) + (tasmax - 10.0))/2.0) dd
+         | from h)
+         |select k l_returnflag, y,
+         |  cast(cast(sum(case when month(d) between 4 and 9 then kk*dd else 0.0 end)
+         |    as decimal(38,4)) as double) huglin_index
+         |from f group by 1, 2""".stripMargin,
+
+    "q_hydro_ratios" ->
+      s"""with $climSql,
+         |${solarSql("clim")},
+         |c as (select k, pr*3.0 + 1.0 q_flow, pr,
+         |  greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
+         |    *sqrt(greatest((tas + 5.0) - (tas - 5.0), 0.0))) pet
+         | from ra_)
+         |select k l_returnflag,
+         |  cast(cast(quantile_cont(q_flow, 0.95)/quantile_cont(q_flow, 0.5)
+         |    as decimal(38,6)) as double) flow_index,
+         |  cast(cast(avg(q_flow/1000.0)/avg(pr) as decimal(38,6)) as double) runoff_ratio,
+         |  cast(cast(avg(pr)/avg(pet) as decimal(38,6)) as double) aridity_index
+         |from c group by 1""".stripMargin,
+
+    "q_snowmelt" ->
+      s"""with $wxSql,
+         |m as (select user_id, t, rain,
+         |  lag(hum) over (partition by user_id order by t) - hum melt,
+         |  row_number() over (partition by user_id order by t) rn2
+         | from wx),
+         |r as (select user_id, t, rn2,
+         |  case when rn2 >= 4 then sum(melt) over (partition by user_id order by t
+         |    rows between 2 preceding and current row) end melt3,
+         |  case when rn2 >= 4 then sum(melt + rain) over (partition by user_id order by t
+         |    rows between 2 preceding and current row) end mp3
+         | from m)
+         |select user_id,
+         |  cast(cast(max(melt3) as decimal(38,4)) as double) snow_melt_we_max,
+         |  cast(cast(max(mp3) as decimal(38,4)) as double) melt_and_precip_max
+         |from r group by 1""".stripMargin
   )
 
   // ---- batch 26: converters batch 2 + sea-ice companions ------------------

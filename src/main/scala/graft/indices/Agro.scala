@@ -45,6 +45,31 @@ object Agro {
                                latFactor: Double = 75.0): Column =
     meanWarmestMonthC * (lit(latFactor) - abs(latDeg)) / lit(latFactor)
 
+  /** Huglin heliothermal index (_agro.py:151, Huglin 1978): Apr-Sep sum of
+    * k(lat) * max(0, ((tas - 10) + (tasmax - 10))/2), with the stepwise
+    * day-length latitude coefficient (helpers.py:528, method="huglin"):
+    * 1.0 up to |lat| 40, then 1.02/1.03/1.04/1.05/1.06 per 2-degree band
+    * to 50, `capValue` beyond. Pure projection + one period hash-agg. */
+  def huglinK(latDeg: Column, capValue: Double = 1.0): Column = {
+    val a = abs(latDeg)
+    when(a <= 40.0, 1.0).when(a <= 42.0, 1.02).when(a <= 44.0, 1.03)
+      .when(a <= 46.0, 1.04).when(a <= 48.0, 1.05).when(a <= 50.0, 1.06)
+      .otherwise(capValue)
+  }
+
+  def huglinIndex(daily: DataFrame, keys: Seq[String], dateCol: String,
+                  tasC: String, tasmaxC: String, latDeg: String,
+                  threshC: Double = 10.0, capValue: Double = 1.0): DataFrame = {
+    val m = month(col(dateCol))
+    val dd = greatest(lit(0.0),
+      ((col(tasC) - threshC) + (col(tasmaxC) - threshC)) / 2.0)
+    daily
+      .withColumn("_hi",
+        when(m >= 4 && m <= 9, huglinK(col(latDeg), capValue) * dd).otherwise(0.0))
+      .groupBy((keys.map(col) :+ year(col(dateCol)).as("y")): _*)
+      .agg(sum(col("_hi")).as("huglin_index"))
+  }
+
   /** `rain_season` (_agro.py:796, Sivakumar 1998): per (keys, year), the
     * start / end / length of the rain season.
     *
