@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2633,6 +2633,83 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 28: e_sat method family + parametric CDFs --------------------
+
+  private def queries28: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_esat_methods" -> ((s, dir) => {
+      // saturation_vapor_pressure (converters.py:340): all 7 published
+      // formulations + the ice-phase interp dispatch, one projection.
+      import graft.indices.Converters.saturationVaporPressureMethod
+      val e = t(s, dir, "events")
+        .select(col("event_id"), (col("value") / 8.0 + 230.0).as("tk"))
+      def m(name: String) = round(saturationVaporPressureMethod(col("tk"), name), 4)
+      e.select(col("event_id"),
+        m("tetens30").as("esat_tetens30"), m("wmo08").as("esat_wmo08"),
+        m("buck81").as("esat_buck81"), m("aerk96").as("esat_aerk96"),
+        m("sonntag90").as("esat_sonntag90"), m("goffgratch46").as("esat_goffgratch46"),
+        m("its90").as("esat_its90"),
+        round(saturationVaporPressureMethod(col("tk"), "wmo08",
+          iceThreshK = Some(273.16), interpPower = Some(2)), 4).as("esat_mixed"))
+    }),
+
+    "q_dist_cdfs" -> ((s, dir) => {
+      // dist_method / parametric_cdf (stats.py:221,:506) for the round-2
+      // distributions: Gumbel, GEV and fisk CDFs at fixed fitted params.
+      import graft.indices.Distributions
+      val e = t(s, dir, "events").select(col("event_id"), (col("value") / 50.0).as("x"))
+      e.select(col("event_id"),
+        round(Distributions.distMethod("cdf", "gumbel_r", col("x"),
+          Map("scale" -> lit(2.0), "loc" -> lit(3.0))), 6).as("cdf_gumbel"),
+        round(Distributions.distMethod("cdf", "genextreme", col("x"),
+          Map("shape" -> lit(0.1), "scale" -> lit(2.0), "loc" -> lit(3.0))), 6).as("cdf_gev"),
+        round(Distributions.distMethod("cdf", "fisk", col("x") + 0.1,
+          Map("c" -> lit(3.0), "scale" -> lit(4.0))), 6).as("cdf_fisk"))
+    })
+  )
+
+  private def oracle28: Map[String, String] = Map(
+
+    "q_esat_methods" ->
+      """with e as (select event_id, value/8.0 + 230.0 tk from events),
+        |f as (select event_id, tk,
+        |  610.78*exp(17.269388*(tk - 273.16)/(tk - 35.86)) tet,
+        |  611.2*exp(17.62*(tk - 273.16)/(tk - 30.04)) wmo,
+        |  611.21*exp(17.502*(tk - 273.16)/(tk - 32.19)) buck,
+        |  610.94*exp(17.625*(tk - 273.16)/(tk - 30.12)) aerk,
+        |  100.0*exp(-6096.9385/tk + 16.635794 - 2.711193e-2*tk
+        |    + 1.673952e-5*tk*tk + 2.433502*ln(tk)) son,
+        |  101325.0*pow(10.0, -7.90298*(373.16/tk - 1.0) + 5.02808*log10(373.16/tk)
+        |    - 1.3817e-7*(pow(10.0, 11.344*(1.0 - tk/373.16)) - 1.0)
+        |    + 8.1328e-3*(pow(10.0, -3.49149*(373.16/tk - 1.0)) - 1.0)) gg,
+        |  exp(-2836.5744/(tk*tk) - 6028.076559/tk + 19.54263612
+        |    - 2.737830188e-2*tk + 1.6261698e-5*tk*tk + 7.0229056e-10*tk*tk*tk
+        |    - 1.8680009e-13*tk*tk*tk*tk + 2.7150305*ln(tk)) its,
+        |  611.2*exp(22.46*(tk - 273.16)/(tk - 0.54)) wmo_ice,
+        |  pow(greatest(0.0, least((tk - (273.16 - 23.15))/23.15, 1.0)), 2) frac
+        | from e)
+        |select event_id,
+        | cast(cast(tet as decimal(38,4)) as double) esat_tetens30,
+        | cast(cast(wmo as decimal(38,4)) as double) esat_wmo08,
+        | cast(cast(buck as decimal(38,4)) as double) esat_buck81,
+        | cast(cast(aerk as decimal(38,4)) as double) esat_aerk96,
+        | cast(cast(son as decimal(38,4)) as double) esat_sonntag90,
+        | cast(cast(gg as decimal(38,4)) as double) esat_goffgratch46,
+        | cast(cast(its as decimal(38,4)) as double) esat_its90,
+        | cast(cast(frac*wmo + (1.0 - frac)*wmo_ice as decimal(38,4)) as double) esat_mixed
+        |from f""".stripMargin,
+
+    "q_dist_cdfs" ->
+      """with e as (select event_id, value/50.0 x from events)
+        |select event_id,
+        | cast(cast(exp(-exp(-(x - 3.0)/2.0)) as decimal(38,6)) as double) cdf_gumbel,
+        | cast(cast(case when 1.0 - 0.1*(x - 3.0)/2.0 > 0.0
+        |   then exp(-pow(1.0 - 0.1*(x - 3.0)/2.0, 1.0/0.1)) else 1.0 end
+        |   as decimal(38,6)) as double) cdf_gev,
+        | cast(cast(1.0/(1.0 + pow((x + 0.1)/4.0, -3.0)) as decimal(38,6)) as double) cdf_fisk
+        |from e""".stripMargin
   )
 
   // ---- batch 27: hydrology leftovers + huglin -----------------------------

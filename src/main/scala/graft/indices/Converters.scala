@@ -106,6 +106,83 @@ object Converters {
     lit(24.0 / math.Pi) * h
   }
 
+  /** The full saturation-vapour-pressure method family
+    * (converters.py:390-490): Magnus-form coefficient table
+    * (tetens30/wmo08/buck81/aerk96 incl. "ecmwf" = buck81), plus the
+    * series forms sonntag90 / goffgratch46 / its90, each over water or
+    * ice, with the `ice_thresh` phase dispatch and the `interp_power`
+    * water-fraction mixing. tas in K, output Pa; pure scalar Columns. */
+  private val esatMagnus: Map[String, Map[String, (Double, Double, Double)]] = Map(
+    "tetens30" -> Map("water" -> (610.78, 17.269388, -35.86), "ice" -> (610.78, 21.8745584, -7.66)),
+    "wmo08"    -> Map("water" -> (611.2, 17.62, -30.04),      "ice" -> (611.2, 22.46, -0.54)),
+    "buck81"   -> Map("water" -> (611.21, 17.502, -32.19),    "ice" -> (611.15, 22.542, 0.32)),
+    "aerk96"   -> Map("water" -> (610.94, 17.625, -30.12),    "ice" -> (611.21, 22.587, 0.7)))
+
+  def esatOverWater(tasK: Column, method: String): Column = method match {
+    case "ecmwf" => esatOverWater(tasK, "buck81")
+    case "sonntag90" =>
+      lit(100.0) * exp(lit(-6096.9385) / tasK + lit(16.635794)
+        - lit(2.711193e-2) * tasK + lit(1.673952e-5) * tasK * tasK
+        + lit(2.433502) * log(tasK))
+    case "goffgratch46" =>
+      val tb = 373.16
+      lit(101325.0) * pow(lit(10.0),
+        lit(-7.90298) * (lit(tb) / tasK - 1.0) + lit(5.02808) * log10(lit(tb) / tasK)
+          - lit(1.3817e-7) * (pow(lit(10.0), lit(11.344) * (lit(1.0) - tasK / tb)) - 1.0)
+          + lit(8.1328e-3) * (pow(lit(10.0), lit(-3.49149) * (lit(tb) / tasK - 1.0)) - 1.0))
+    case "its90" =>
+      exp(lit(-2836.5744) / (tasK * tasK) - lit(6028.076559) / tasK + lit(19.54263612)
+        - lit(2.737830188e-2) * tasK + lit(1.6261698e-5) * tasK * tasK
+        + lit(7.0229056e-10) * tasK * tasK * tasK
+        - lit(1.8680009e-13) * tasK * tasK * tasK * tasK + lit(2.7150305) * log(tasK))
+    case m =>
+      val (a, b, c) = esatMagnus(m)("water")
+      lit(a) * exp(lit(b) * (tasK - 273.16) / (tasK + c))
+  }
+
+  def esatOverIce(tasK: Column, method: String): Column = method match {
+    case "ecmwf" => esatOverIce(tasK, "aerk96")
+    case "sonntag90" =>
+      lit(100.0) * exp(lit(-6024.5282) / tasK + lit(24.7219)
+        + lit(1.0613868e-2) * tasK - lit(1.3198825e-5) * tasK * tasK
+        - lit(0.49382577) * log(tasK))
+    case "goffgratch46" =>
+      val tp = 273.16
+      lit(611.73) * pow(lit(10.0),
+        lit(-9.09718) * (lit(tp) / tasK - 1.0) - lit(3.56654) * log10(lit(tp) / tasK)
+          + lit(0.876793) * (lit(1.0) - tasK / tp))
+    case "its90" =>
+      exp(lit(-5866.6426) / tasK + lit(22.32870244) + lit(1.39387003e-2) * tasK
+        - lit(3.4262402e-5) * tasK * tasK + lit(2.7040955e-8) * tasK * tasK * tasK
+        + lit(6.7063522e-1) * log(tasK))
+    case m =>
+      val (a, b, c) = esatMagnus(m)("ice")
+      lit(a) * exp(lit(b) * (tasK - 273.16) / (tasK + c))
+  }
+
+  /** Phase-dispatched e_sat (converters.py:340 `saturation_vapor_pressure`):
+    * water above `iceThreshK`, ice below; with `interpPower` n, a smooth
+    * mix over [iceThreshK - interpRange, iceThreshK] using the
+    * water-fraction ((t - ti)/range)^n. */
+  def saturationVaporPressureMethod(tasK: Column, method: String,
+                                    iceThreshK: Option[Double] = None,
+                                    interpPower: Option[Int] = None,
+                                    interpRangeK: Double = 23.15): Column = {
+    val water = esatOverWater(tasK, method)
+    iceThreshK match {
+      case None => water
+      case Some(ti) =>
+        val ice = esatOverIce(tasK, method)
+        interpPower match {
+          case None => when(tasK >= ti, water).otherwise(ice)
+          case Some(n) =>
+            val frac = pow(greatest(lit(0.0),
+              least((tasK - (ti - interpRangeK)) / interpRangeK, lit(1.0))), n)
+            frac * water + (lit(1.0) - frac) * ice
+        }
+    }
+  }
+
   /** specific_humidity (converters.py:847, WMO 2008): q = w/(1+w) with
     * w = 0.62198 e_sat/(ps − e_sat) · hurs. Inputs: tas degC, hurs 0-1,
     * ps Pa; e_sat from the Magnus form (hPa -> Pa x100). */

@@ -77,4 +77,50 @@ object Distributions {
   /** Fisk quantile: scale · (p/(1−p))^(1/c). */
   def fiskQuantile(p: Column, c: Column, scale: Column): Column =
     scale * pow(p / (lit(1.0) - p), lit(1.0) / c)
+
+  // --- parametric_cdf (stats.py:221 dist_method dispatch targets) ---
+
+  /** Gumbel CDF: exp(−exp(−(x−loc)/scale)). */
+  def gumbelCdf(x: Column, scale: Column, loc: Column): Column =
+    exp(-exp(-(x - loc) / scale))
+
+  /** GEV CDF (scipy `genextreme.c` sign convention, k ≠ 0):
+    * exp(−(1 − k z)^(1/k)), z = (x−loc)/scale, on the support. */
+  def gevCdf(x: Column, shape: Column, scale: Column, loc: Column): Column = {
+    val z = (x - loc) / scale
+    val t = lit(1.0) - shape * z
+    when(t > 0.0, exp(-pow(t, lit(1.0) / shape)))
+      .otherwise(when(shape > 0.0, 1.0).otherwise(0.0))
+  }
+
+  /** Fisk CDF: 1/(1 + (x/scale)^(−c)). */
+  def fiskCdf(x: Column, c: Column, scale: Column): Column =
+    lit(1.0) / (lit(1.0) + pow(x / scale, -c))
+
+  /** Lognormal CDF via the regularized incomplete gamma identity
+    * Phi(z) = (1 + sign(z) P(1/2, z^2/2))/2. */
+  def lognormCdf(x: Column, sigma: Column, mu: Column): Column = {
+    val z = (log(x) - mu) / sigma
+    (lit(1.0) + signum(z) *
+      graft.functions.SpecialFunctions.gammaCdf(z * z / 2.0, lit(0.5), lit(1.0))) / 2.0
+  }
+
+  /** `dist_method` (stats.py:506): string-dispatched quantile/cdf for the
+    * supported distributions — the generic entry config files use. */
+  def distMethod(method: String, dist: String, x: Column,
+                 params: Map[String, Column]): Column = (method, dist) match {
+    case ("ppf", "gumbel_r")   => gumbelQuantile(x, params("scale"), params("loc"))
+    case ("cdf", "gumbel_r")   => gumbelCdf(x, params("scale"), params("loc"))
+    case ("ppf", "genextreme") => gevQuantile(x, params("shape"), params("scale"), params("loc"))
+    case ("cdf", "genextreme") => gevCdf(x, params("shape"), params("scale"), params("loc"))
+    case ("ppf", "fisk")       => fiskQuantile(x, params("c"), params("scale"))
+    case ("cdf", "fisk")       => fiskCdf(x, params("c"), params("scale"))
+    case ("ppf", "lognorm")    => lognormQuantile(x, params("sigma"), params("mu"))
+    case ("cdf", "lognorm")    => lognormCdf(x, params("sigma"), params("mu"))
+    case ("ppf", "gamma") =>
+      graft.functions.SpecialFunctions.gammaPpf(x, params("shape"), params("scale"))
+    case ("cdf", "gamma") =>
+      graft.functions.SpecialFunctions.gammaCdf(x, params("shape"), params("scale"))
+    case (m, d) => throw new IllegalArgumentException(s"dist_method: no $m for $d")
+  }
 }
