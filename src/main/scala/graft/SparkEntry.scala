@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2633,6 +2633,112 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 29: hydrology seasonal + snowfall methods --------------------
+
+  private def queries29: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_snowfall_methods" -> ((s, dir) => {
+      // snowfall_approximation (converters.py:1097): binary / brown / auer
+      // phase-partition fractions side by side.
+      import graft.indices.Converters
+      val e = t(s, dir, "events").select(col("event_id"),
+        (col("value") / 40.0 - 8.0).as("tas"), (col("value") / 25.0).as("pr"))
+      e.select(col("event_id"),
+        round(Converters.snowfallApproximation(col("pr"), col("tas"), "binary"), 6).as("prsn_binary"),
+        round(Converters.snowfallApproximation(col("pr"), col("tas"), "brown"), 6).as("prsn_brown"),
+        round(Converters.snowfallApproximation(col("pr"), col("tas"), "auer"), 6).as("prsn_auer"))
+    }),
+
+    "q_bfi_seasonal" -> ((s, dir) => {
+      // base_flow_index_seasonal_ratio (_hydrology.py:997): per
+      // (entity, season-year) min 7-day-average flow / mean flow, then the
+      // winter/summer (DJF/JJA) ratio per year.
+      val c = climateDaily(s, dir).withColumn("q", col("pr") * 3.0 + 1.0)
+      val w = Window.partitionBy(col("k"), col("p")).orderBy(col("d"))
+      val seasoned = c
+        .withColumn("p", Time.resamplePeriod(col("d").cast("timestamp"), "QS-DEC"))
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("q7", when(col("_rn") >= 7,
+          avg(col("q")).over(w.rowsBetween(-6, 0))))
+      val bfi = seasoned.groupBy(col("k"), col("p"))
+        .agg((min(col("q7")) / avg(col("q"))).as("bfi"))
+        .withColumn("season", when(month(col("p")) === 12, "DJF")
+          .when(month(col("p")) === 3, "MAM")
+          .when(month(col("p")) === 6, "JJA").otherwise("SON"))
+        .withColumn("sy", when(month(col("p")) === 12, year(col("p")) + 1)
+          .otherwise(year(col("p"))))
+      val djf = bfi.filter(col("season") === "DJF")
+        .select(col("k").as("_k"), col("sy").as("_sy"), col("bfi").as("bfi_djf"))
+      bfi.filter(col("season") === "JJA")
+        .join(djf, col("k") === col("_k") && col("sy") === col("_sy"))
+        .select(col("k").as("l_returnflag"), col("sy"),
+          round(col("bfi_djf"), 6).as("bfi_djf"),
+          round(col("bfi"), 6).as("bfi_jja"),
+          round(when(col("bfi") > 0, col("bfi_djf") / col("bfi")), 6).as("bfi_ratio"))
+    }),
+
+    "q_snowpack_flow_lag" -> ((s, dir) => {
+      // lag_snowpack_flow_peaks (_hydrology.py:826): days between the
+      // annual max snowpack date and the mean date of >= p90 flows.
+      val wx = weatherDaily(s, dir).withColumn("q", col("rain") + 0.1)
+      val perY = wx.groupBy(col("user_id"))
+        // tie-break encoded numerically (hum has 2 decimals -> *1e6 exact;
+        // earlier day wins on equal snowpack)
+        .agg(max_by(col("t"), col("hum") * 1e6 - col("t")).as("t_snwmax"),
+          percentile(col("q"), lit(0.9)).as("_q90"))
+      wx.join(broadcast(perY), "user_id")
+        .groupBy(col("user_id"))
+        .agg(round(avg(when(col("q") >= col("_q90"), col("t").cast("double"))) -
+          max(col("t_snwmax")), 6).as("lag_days"))
+    })
+  )
+
+  private def oracle29: Map[String, String] = Map(
+
+    "q_snowfall_methods" ->
+      """with e as (select event_id, value/40.0 - 8.0 tas, value/25.0 pr from events)
+        |select event_id,
+        | cast(cast(case when tas < 0.0 then pr else 0.0 end as decimal(38,6)) as double) prsn_binary,
+        | cast(cast(pr*greatest(0.0, least(1.0, 1.0 - tas/2.0)) as decimal(38,6)) as double) prsn_brown,
+        | cast(cast(pr*(case when tas < 0.0 then 1.0 when tas >= 6.0 then 0.0
+        |   else greatest(0.0, least(100.0, 100.0 + 4.6664*tas - 15.038*tas*tas
+        |     - 1.5089*tas*tas*tas + 2.0399*tas*tas*tas*tas
+        |     - 0.366*tas*tas*tas*tas*tas + 0.0202*tas*tas*tas*tas*tas*tas))/100.0 end)
+        |   as decimal(38,6)) as double) prsn_auer
+        |from e""".stripMargin,
+
+    "q_bfi_seasonal" ->
+      s"""with $climSql,
+         |c as (select k, d, pr*3.0 + 1.0 q,
+         |  cast(date_trunc('quarter', d + interval 1 month) - interval 1 month as timestamp) p
+         | from clim),
+         |r as (select *, row_number() over (partition by k, p order by d) rn from c),
+         |q7 as (select *, case when rn >= 7 then avg(q) over (partition by k, p order by d
+         |  rows between 6 preceding and current row) end q7 from r),
+         |bfi as (select k, p, min(q7)/avg(q) bfi from q7 group by 1, 2),
+         |lab as (select k, p, bfi,
+         |  case when month(p) = 12 then 'DJF' when month(p) = 3 then 'MAM'
+         |       when month(p) = 6 then 'JJA' else 'SON' end season,
+         |  case when month(p) = 12 then year(p) + 1 else year(p) end sy
+         | from bfi)
+         |select j.k l_returnflag, j.sy,
+         |  cast(cast(d.bfi as decimal(38,6)) as double) bfi_djf,
+         |  cast(cast(j.bfi as decimal(38,6)) as double) bfi_jja,
+         |  cast(cast(case when j.bfi > 0 then d.bfi/j.bfi end as decimal(38,6)) as double) bfi_ratio
+         |from lab j join lab d on d.k = j.k and d.sy = j.sy and d.season = 'DJF'
+         |where j.season = 'JJA'""".stripMargin,
+
+    "q_snowpack_flow_lag" ->
+      s"""with $wxSql,
+         |wq as (select user_id, t, hum, rain + 0.1 q from wx),
+         |py as (select user_id, max_by(t, hum*1e6 - t) t_snwmax,
+         |  quantile_cont(q, 0.9) q90 from wq group by 1)
+         |select w.user_id,
+         |  cast(cast(avg(case when w.q >= p.q90 then cast(w.t as double) end)
+         |    - max(p.t_snwmax) as decimal(38,6)) as double) lag_days
+         |from wq w join py p on p.user_id = w.user_id group by 1""".stripMargin
   )
 
   // ---- batch 28: e_sat method family + parametric CDFs --------------------

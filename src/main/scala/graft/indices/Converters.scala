@@ -248,6 +248,30 @@ object Converters {
   def rainApproximation(pr: Column, tasC: Column, threshC: Double = 0.0): Column =
     when(tasC >= threshC, pr).otherwise(0.0)
 
+  /** snowfall_approximation (converters.py:1097) solid-phase fraction:
+    * "binary" step at the threshold, "brown" linear ramp over
+    * [thresh, thresh+2], "auer" degree-6 CLASS polynomial over
+    * [thresh, thresh+6] (evaluated directly rather than through the
+    * reference's interpolation nodes — same curve). */
+  def snowfallFraction(tasC: Column, method: String, threshC: Double = 0.0): Column = {
+    val d = tasC - threshC
+    method match {
+      case "binary" => when(d < 0.0, 1.0).otherwise(0.0)
+      case "brown"  => greatest(lit(0.0), least(lit(1.0), lit(1.0) - d / 2.0))
+      case "auer" =>
+        val poly = lit(100.0) + lit(4.6664) * d - lit(15.038) * d * d -
+          lit(1.5089) * d * d * d + lit(2.0399) * d * d * d * d -
+          lit(0.366) * d * d * d * d * d + lit(0.0202) * d * d * d * d * d * d
+        when(d < 0.0, 1.0).when(d >= 6.0, 0.0)
+          .otherwise(greatest(lit(0.0), least(lit(100.0), poly)) / 100.0)
+      case other => throw new IllegalArgumentException(s"bad method: $other")
+    }
+  }
+
+  def snowfallApproximation(pr: Column, tasC: Column, method: String = "binary",
+                            threshC: Double = 0.0): Column =
+    pr * snowfallFraction(tasC, method, threshC)
+
   /** Daily -> hourly temperature upsampling (helpers.py:1059
     * `make_hourly_temperature`, used by the chill models): explode 24 rows
     * per day with a sine ramp from tasmin (sunrise) to tasmax (mid-
