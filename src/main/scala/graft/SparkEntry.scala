@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2634,6 +2634,114 @@ object SparkEntry {
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
   )
+
+  // ---- batch 30: viticulture + water-cycle multivariates ------------------
+
+  private def queries30: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dryness_index" -> ((s, dir) => {
+      // dryness_index (_agro.py:532): monthly water balance with the vine
+      // radiative-absorption coefficients, Apr-Sep, Wo = 200 mm.
+      import graft.indices.Evapotranspiration
+      val monthly = climateDaily(s, dir)
+        .withColumn("pet", Evapotranspiration.petHargreaves85(
+          col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
+        .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS")
+          .cast("date").as("m"))
+        .agg(round(sum(col("pr")), 6).as("pr_mm"), round(sum(col("pet")), 6).as("etp_mm"))
+      graft.indices.Agro.drynessIndex(monthly, Seq("k"), "m", "pr_mm", "etp_mm")
+        .select(col("k").as("l_returnflag"), col("y"),
+          round(col("dryness_index"), 4).as("dryness_index"))
+    }),
+
+    "q_annual_climate_misc" -> ((s, dir) => {
+      // cool_night_index (_agro.py:447), water_cycle_intensity
+      // (_multivariate.py:1888) and precip_average (:994) on one grain.
+      import graft.indices.Evapotranspiration
+      val c = climateDaily(s, dir)
+        .withColumn("pet", Evapotranspiration.petHargreaves85(
+          col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
+      val cni = graft.indices.Agro.coolNightIndex(c, Seq("k"), "d", "tas")
+      c.groupBy(col("k"), year(col("d")).as("y"))
+        .agg(round(sum(col("pr") + col("pet")), 4).as("water_cycle_intensity"),
+          round(avg(col("pr")), 6).as("precip_average"))
+        .join(cni, Seq("k", "y"))
+        .select(col("k").as("l_returnflag"), col("y"),
+          col("water_cycle_intensity"), col("precip_average"),
+          round(col("cool_night_index"), 6).as("cool_night_index"))
+    }),
+
+    "q_winter_rain_ratio" -> ((s, dir) => {
+      // winter_rain_ratio (_multivariate.py:1797): liquid_precip_ratio per
+      // QS-DEC quarter, December-anchored periods only.
+      import graft.indices.Converters
+      val c = climateDaily(s, dir)
+        .withColumn("rain", Converters.rainApproximation(col("pr"), col("tas"), 8.0))
+        .withColumn("p", Time.resamplePeriod(col("d").cast("timestamp"), "QS-DEC"))
+      c.filter(month(col("p")) === 12)
+        .groupBy(col("k"), col("p"))
+        .agg(round(sum(col("rain")) / sum(col("pr")), 6).as("winter_rain_ratio"))
+        .select(col("k").as("l_returnflag"), col("p").as("period"),
+          col("winter_rain_ratio"))
+    })
+  )
+
+  private def oracle30: Map[String, String] = {
+    val petMonthly =
+      s"""${solarSql("clim")},
+         |petd as (select k, d, pr,
+         |  greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
+         |    *sqrt(greatest((tas + 5.0) - (tas - 5.0), 0.0))) pet
+         | from ra_)""".stripMargin
+    Map(
+
+      "q_dryness_index" ->
+        s"""with $climSql,
+           |$petMonthly,
+           |mon as (select k, cast(date_trunc('month', d) as date) m,
+           |  cast(cast(sum(pr) as decimal(38,6)) as double) pr_mm,
+           |  cast(cast(sum(pet) as decimal(38,6)) as double) etp_mm
+           | from petd group by 1, 2),
+           |w as (select k, m, year(m) y,
+           |  case when month(m) = 4 then 0.1 when month(m) = 5 then 0.3
+           |       when month(m) between 6 and 9 then 0.5 else 0.0 end kk,
+           |  cast(dayofmonth(last_day(m)) as double) n, pr_mm, etp_mm
+           | from mon),
+           |t as (select k, y,
+           |  (case when kk > 0 then pr_mm else 0.0 end)
+           |    - etp_mm*kk
+           |    - etp_mm/n*(1.0 - kk)*least((case when kk > 0 then pr_mm else 0.0 end)/5.0, n) w
+           | from w)
+           |select k l_returnflag, y,
+           |  cast(cast(200.0 + sum(w) as decimal(38,4)) as double) dryness_index
+           |from t group by 1, 2""".stripMargin,
+
+      "q_annual_climate_misc" ->
+        s"""with $climSql,
+           |$petMonthly,
+           |ann as (select k, year(d) y,
+           |  cast(cast(sum(pr + pet) as decimal(38,4)) as double) water_cycle_intensity,
+           |  cast(cast(avg(pr) as decimal(38,6)) as double) precip_average
+           | from petd group by 1, 2),
+           |cni as (select k, year(d) y,
+           |  cast(cast(avg(tas) as decimal(38,6)) as double) cool_night_index
+           | from clim where month(d) = 9 group by 1, 2)
+           |select a.k l_returnflag, a.y, a.water_cycle_intensity, a.precip_average,
+           |  c.cool_night_index
+           |from ann a join cni c on c.k = a.k and c.y = a.y""".stripMargin,
+
+      "q_winter_rain_ratio" ->
+        s"""with $climSql,
+           |q as (select k, d, pr, tas,
+           |  cast(date_trunc('quarter', d + interval 1 month) - interval 1 month
+           |    as timestamp) p
+           | from clim)
+           |select k l_returnflag, p period,
+           |  cast(cast(sum(case when tas >= 8.0 then pr else 0.0 end)/sum(pr)
+           |    as decimal(38,6)) as double) winter_rain_ratio
+           |from q where month(p) = 12 group by 1, 2""".stripMargin
+    )
+  }
 
   // ---- batch 29: hydrology seasonal + snowfall methods --------------------
 

@@ -45,6 +45,34 @@ object Agro {
                                latFactor: Double = 75.0): Column =
     meanWarmestMonthC * (lit(latFactor) - abs(latDeg)) / lit(latFactor)
 
+  /** Dryness Index (_agro.py:532, Tonietto & Carbonneau 2004, northern
+    * anchor): DI = Wo + sum over the Apr-Sep season of (P - Tv - Es) on
+    * MONTHLY totals [mm], where k = 0.1 (Apr) / 0.3 (May) / 0.5 (Jun-Sep),
+    * Tv = ETP k, Es = ETP/N (1-k) min(P/5, N), N = days in month. Input: a
+    * monthly frame (keys, monthStart DATE, prMm, etpMm); one hash-agg. */
+  def drynessIndex(monthly: DataFrame, keys: Seq[String], monthCol: String,
+                   prMm: String, etpMm: String, woMm: Double = 200.0): DataFrame = {
+    val m = month(col(monthCol))
+    val k = when(m === 4, 0.1).when(m === 5, 0.3)
+      .when(m >= 6 && m <= 9, 0.5).otherwise(0.0)
+    val n = dayofmonth(last_day(col(monthCol))).cast("double")
+    val prm = when(k > 0, col(prMm)).otherwise(0.0)
+    val tv = col(etpMm) * k
+    val es = col(etpMm) / n * (lit(1.0) - k) * least(prm / 5.0, n)
+    monthly
+      .withColumn("_w", prm - tv - es)
+      .groupBy((keys.map(col) :+ year(col(monthCol)).as("y")): _*)
+      .agg((lit(woMm) + sum(col("_w"))).as("dryness_index"))
+  }
+
+  /** Cool night index (_agro.py:447): mean tasmin of September (northern
+    * anchor) per year. */
+  def coolNightIndex(daily: DataFrame, keys: Seq[String], dateCol: String,
+                     tasminC: String, anchorMonth: Int = 9): DataFrame =
+    daily.filter(month(col(dateCol)) === anchorMonth)
+      .groupBy((keys.map(col) :+ year(col(dateCol)).as("y")): _*)
+      .agg(avg(col(tasminC)).as("cool_night_index"))
+
   /** Huglin heliothermal index (_agro.py:151, Huglin 1978): Apr-Sep sum of
     * k(lat) * max(0, ((tas - 10) + (tasmax - 10))/2), with the stepwise
     * day-length latitude coefficient (helpers.py:528, method="huglin"):
