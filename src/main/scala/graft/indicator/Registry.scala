@@ -199,6 +199,11 @@ object Registry {
       Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
         Seq(avg(col(p.getOrElse("var", "value")) - col(p.getOrElse("var2", "value2")))
           .as("value")))),
+    // maxdtr (cf catalogue): period max of the daily range
+    "daily_range_max" -> ((df, freq, p) =>
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq(max(col(p.getOrElse("var", "value")) - col(p.getOrElse("var2", "value2")))
+          .as("value")))),
     // vDTR (_multivariate.py:675): mean |DTR_d - DTR_{d-1}|
     "daily_range_variability" -> ((df, freq, p) =>
       Generic.lagDiffStat(
@@ -246,6 +251,56 @@ object Registry {
           .join(broadcast(qp), col("location_id") === col("_lid2")),
         Seq("location_id"), col("time"), freq,
         Seq(coalesce(sum(when(cond, 1L)), lit(0L)).as("value")))
+    }),
+    // ANUCLIM seasonality CVs (_anuclim.py:105 P4/P15): coefficient of
+    // variation of the monthly means (temperature) / totals (precip), x100
+    "temp_seasonality_cv" -> ((df, freq, p) =>
+      df.groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("time"), "MS").as("_m"))
+        .agg(avg(col(p.getOrElse("var", "value"))).as("_mv"))
+        .groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("_m"), freq).as("period"))
+        .agg((stddev_pop(col("_mv")) / avg(col("_mv")) * 100.0).as("value"))),
+    "precip_seasonality_cv" -> ((df, freq, p) =>
+      df.groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("time"), "MS").as("_m"))
+        .agg(sum(col(p.getOrElse("var", "value"))).as("_mv"))
+        .groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("_m"), freq).as("period"))
+        .agg((stddev_pop(col("_mv")) / avg(col("_mv")) * 100.0).as("value"))),
+    // ANUCLIM quarter selection (_anuclim.py P8-P19): monthly rollup, 3-month
+    // rolling windows, per-period argmax/argmin of the selector statistic,
+    // returning the output statistic of the selected quarter. Ties resolve
+    // to the earliest window (struct-ordered max_by/min_by).
+    "quarter_select" -> ((df, freq, p) => {
+      val selVar = col(p.getOrElse("sel_var", "value2"))
+      val outVar = col(p.getOrElse("out_var", "value"))
+      def monthlyAgg(kind: String, c: org.apache.spark.sql.Column) =
+        if (kind == "sum") sum(c) else avg(c)
+      val monthly = df.groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("time"), "MS").as("_m"))
+        .agg(monthlyAgg(p.getOrElse("sel_agg", "sum"), selVar).as("_sel"),
+          monthlyAgg(p.getOrElse("out_agg", "mean"), outVar).as("_out"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("location_id")).orderBy(col("_m"))
+      val w3 = w.rowsBetween(-2, 0)
+      val windows = monthly
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_sel3", when(col("_rn") >= 3,
+          monthlyAgg(p.getOrElse("sel_agg", "sum"), col("_sel")).over(w3)))
+        .withColumn("_out3", when(col("_rn") >= 3,
+          monthlyAgg(p.getOrElse("out_agg", "mean"), col("_out")).over(w3)))
+        .filter(col("_sel3").isNotNull)
+      val pick =
+        if (p.getOrElse("sel_op", "max") == "max")
+          max_by(col("_out3"), // earliest window wins ties
+            struct(col("_sel3"), (lit(0L) - unix_timestamp(col("_m"))).as("_t")))
+        else
+          min_by(col("_out3"),
+            struct(col("_sel3"), unix_timestamp(col("_m")).as("_t")))
+      windows.groupBy(col("location_id"),
+          graft.core.Time.resamplePeriod(col("_m"), freq).as("period"))
+        .agg(pick.as("value"))
     }),
     // HI / BEDD (icclim; _agro.py huglin/BEDD simplified to their
     // month-window degree-day cores): capped clipped degree-days over a

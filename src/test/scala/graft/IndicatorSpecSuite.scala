@@ -142,9 +142,23 @@ class IndicatorSpecSuite extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.types.MetadataBuilder
     val ids = VirtualModules.loadBundled("icclim")
-    assert(VirtualModules.loadBundled("anuclim").size >= 5)
+    assert(VirtualModules.loadBundled("anuclim").size >= 19)
+    assert(VirtualModules.loadBundled("cf").size >= 54)
     assert(ids.size >= 55, s"icclim catalogue has ${ids.size} entries")
-    assert(Registry.names.size >= 150, s"registry has ${Registry.names.size} names")
+    assert(Registry.names.size >= 240, s"registry has ${Registry.names.size} names")
+    // a quarter-selection bioclim runs end to end: wettest-quarter mean temp
+    import spark.implicits._
+    val md = new MetadataBuilder().putString("units", "degC").build()
+    val twoVar = (0 until 365).map { i =>
+      val m = i / 31 + 1
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2001-01-01")
+        .plusDays(i).atStartOfDay), 10.0 + m, if (m == 6 || m == 7 || m == 8) 9.0 else 1.0)
+    }.toDF("location_id", "time", "value", "value2")
+      .withColumn("value", col("value").as("value", md))
+    val p8 = Registry("anuclim.P8_MeanTempWettestQuarter")(twoVar, "YS", Map.empty)
+    val v = p8.head.getAs[Double]("value")
+    // wettest 3-month window sits in Jun-Aug (values 16..18 degC -> K)
+    assert(v > 273.15 + 15.5 && v < 273.15 + 18.5, s"P8 = $v")
     assert(ids.contains("icclim.CDD") && ids.contains("icclim.TXx"))
     val mdPr = new MetadataBuilder().putString("units", "mm/d").build()
     val pr = (0 until 31).map { i =>
