@@ -2550,6 +2550,18 @@ object SparkEntry {
         .select(col("location_id"), col("period"), round(col("value"), 6).as("bio3"))
     }),
 
+    "q_wettest_quarter_temp" -> ((s, dir) => {
+      // ANUCLIM P8 (quarter_select base): mean temperature of the wettest
+      // 3-month window per year — monthly rollup + rolling windows +
+      // per-period argmax selection.
+      graft.indicator.Registry.computeBases("quarter_select")(
+          climInd(s, dir), "YS",
+          Map("sel_var" -> "value2", "sel_agg" -> "sum", "sel_op" -> "max",
+            "out_var" -> "value", "out_agg" -> "mean"))
+        .select(col("location_id"), col("period"),
+          round(col("value"), 4).as("wettest_quarter_tas"))
+    }),
+
     "q_sea_ice" -> ((s, dir) => {
       // sea_ice_area/extent (_threshold.py:3058,:3097): weighted spatial
       // aggregation, cells = users, concentration/area synthesized.
@@ -2622,6 +2634,20 @@ object SparkEntry {
          |    / (max(tas + 3.0 + pr) - min(tas - pr)) * 100.0
          |    as decimal(38,6)) as double) bio3
          |from clim group by 1, 2""".stripMargin,
+
+    "q_wettest_quarter_temp" ->
+      s"""with $climSql,
+         |mon as (select k location_id, cast(date_trunc('month', d) as timestamp) m,
+         |  sum(pr) selv, avg(tas) outv from clim group by 1, 2),
+         |win as (select *, row_number() over (partition by location_id order by m) rn,
+         |  sum(selv) over (partition by location_id order by m
+         |    rows between 2 preceding and current row) sel3,
+         |  avg(outv) over (partition by location_id order by m
+         |    rows between 2 preceding and current row) out3
+         | from mon)
+         |select location_id, cast(date_trunc('year', m) as timestamp) period,
+         |  cast(cast(max_by(out3, sel3) as decimal(38,4)) as double) wettest_quarter_tas
+         |from win where rn >= 3 group by 1, 2""".stripMargin,
 
     "q_sea_ice" ->
       """with e as (select cast(date_trunc('day', ts) as date) d,

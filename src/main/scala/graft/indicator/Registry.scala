@@ -546,6 +546,10 @@ object Registry {
       "<", 273.15, ">", mmd)
     biv("high_precip_low_temp", "Days pr >= 10 mm/d and tas < -0.2 degC",
       "<", 272.95, ">=", 10 * mmd)
+    cfg("blowing_snow", "Days with snd >= 5 cm and wind >= 15 km/h", "d",
+      Seq(VarReq("value", "[length]", "m"), VarReq("value2", "[speed]", "m/s")),
+      "bivariate_count", "op" -> ">=", "thresh" -> "0.05",
+      "op2" -> ">=", "thresh2" -> (15.0 / 3.6).toString)
     cfg("tx_tn_days_above", "Days tn > 22 and tx > 30 degC", "d",
       Seq(VarReq("value", "[temperature]", "K"), VarReq("value2", "[temperature]", "K")),
       "bivariate_count", "op" -> ">", "thresh" -> "295.15",
