@@ -19,7 +19,13 @@ object GraftFunctions {
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),
-    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))))
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    "gamma_ppf" -> (exprs => GammaPInv(exprs.head, exprs(1))),
+    "log_gamma" -> (exprs => LogGamma(exprs.head)),
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())),
+    "utci_offset" -> (exprs => graft.indices.UtciOffset(
+      exprs.head, exprs(1), exprs(2), exprs(3))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -47,5 +47,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(0) != 0L)
     assert(math.abs(r.getDouble(1) - (1 - math.exp(-2.0))) < 1e-12)
     assert(math.abs(r.getDouble(2) - 1.959963984540054) < 1e-8)
+    val r2 = spark.sql(
+      "select log_gamma(5.0) lg, gamma_ppf(0.5, 1.0) gp, " +
+        "minhash_sig(array(1L, 2L, 3L), 4) mh, utci_offset(20.0, 2.0, 1.0, 1.5) u")
+      .head
+    assert(math.abs(r2.getDouble(0) - math.log(24.0)) < 1e-10)
+    assert(math.abs(r2.getDouble(1) - math.log(2.0)) < 1e-9) // exp(1) median
+    assert(r2.getSeq[Long](2).length == 4)
+    assert(r2.getDouble(3) > 15.0 && r2.getDouble(3) < 30.0)
   }
 }
