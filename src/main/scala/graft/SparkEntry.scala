@@ -2550,6 +2550,15 @@ object SparkEntry {
         .select(col("location_id"), col("period"), round(col("value"), 6).as("bio3"))
     }),
 
+    "q_embedding_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup (the 5th dedup modality): exhaustive
+      // verified pairs; threshold 0.35 sits at ~p99.9 of this corpus's pair
+      // cosines so the output is non-trivial. Sign-LSH bucketing is the
+      // documented scale path, identical verify step.
+      Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     "q_wettest_quarter_temp" -> ((s, dir) => {
       // ANUCLIM P8 (quarter_select base): mean temperature of the wettest
       // 3-month window per year — monthly rollup + rolling windows +
@@ -2634,6 +2643,19 @@ object SparkEntry {
          |    / (max(tas + 3.0 + pr) - min(tas - pr)) * 100.0
          |    as decimal(38,6)) as double) bio3
          |from clim group by 1, 2""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """with n as (select vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> cast(x as double)*cast(x as double)))) nrm
+        | from embeddings)
+        |select a.vec_id id_a, b.vec_id id_b,
+        |  cast(cast(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> cast(a.embedding[i] as double)*cast(b.embedding[i] as double)))
+        |    /(a.nrm*b.nrm) as decimal(38,6)) as double) cosine
+        |from n a join n b on a.vec_id < b.vec_id
+        |where list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> cast(a.embedding[i] as double)*cast(b.embedding[i] as double)))
+        |    /(a.nrm*b.nrm) >= 0.35""".stripMargin,
 
     "q_wettest_quarter_temp" ->
       s"""with $climSql,

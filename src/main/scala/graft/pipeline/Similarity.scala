@@ -52,6 +52,28 @@ object Similarity {
   /** Random-hyperplane LSH signature (`nbits` sign bits packed in a long):
     * cosine-preserving bucketing for near-neighbour pair mining without the
     * quadratic join. Hyperplanes are deterministic from `seed`. */
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    * cosine >= threshold. This is the exhaustive baseline (a blocked
+    * cross-join over pre-normalised vectors); at corpus scale bucket first
+    * with [[hyperplaneSignature]] (sign-LSH) or [[ivfTopK]]'s centroid
+    * assignment and run this form bucket-locally — the verification step is
+    * identical. Norms are precomputed once; the pair kernel is a single
+    * interpreted dot product per surviving pair. */
+  def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val normed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def hyperplaneSignature(vec: Column, dim: Int, nbits: Int = 16, seed: Int = 42): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
