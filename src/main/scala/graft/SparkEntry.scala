@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2682,6 +2682,46 @@ object SparkEntry {
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
   )
+
+  // ---- batch 31: synoptic jetstream ---------------------------------------
+
+  private def queries31: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_jetstream" -> ((s, dir) => {
+      // jetstream_metric_woollings (_synoptic.py:33): 21-point Lanczos
+      // low-pass (cutoff 0.1/day) of the wind proxy per latitude band, then
+      // the daily latitude/strength of the filtered maximum.
+      import graft.indices.Synoptic
+      val weights = Synoptic.lanczosWeights(21, 0.1)
+      val filtered = Synoptic.lanczosLowPass(
+        climateDaily(s, dir), Seq("k"), col("d"), col("tas"), weights, "ua_f")
+      Synoptic.jetLatitudeStrength(filtered, "d", "lat", "ua_f")
+        .select(col("d"), col("jet_lat"),
+          round(col("jet_strength"), 4).as("jet_strength"))
+    })
+  )
+
+  private def oracle31: Map[String, String] = {
+    val weights = graft.indices.Synoptic.lanczosWeights(21, 0.1)
+    val n = 10
+    val fir = weights.zipWithIndex.map { case (wk, i) =>
+      val k = i - n
+      val shifted =
+        if (k < 0) s"lag(tas, ${-k}) over w" else if (k > 0) s"lead(tas, $k) over w" else "tas"
+      f"$wk%.17e*($shifted)"
+    }.mkString(" + ")
+    Map(
+      "q_jetstream" ->
+        s"""with $climSql,
+           |f as (select k, d, lat,
+           |  row_number() over w rn, count(*) over (partition by k) cnt,
+           |  $fir ua_f
+           | from clim window w as (partition by k order by d)),
+           |g as (select * from f where rn > $n and rn <= cnt - $n)
+           |select d, max_by(lat, ua_f) jet_lat,
+           |  cast(cast(max(ua_f) as decimal(38,4)) as double) jet_strength
+           |from g group by 1""".stripMargin)
+  }
 
   // ---- batch 30: viticulture + water-cycle multivariates ------------------
 
