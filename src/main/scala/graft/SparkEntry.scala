@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2681,6 +2681,78 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 32: effective GDD + hardiness zones --------------------------
+
+  private def queries32: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_effective_gdd" -> ((s, dir) => {
+      // effective_growing_degree_days (_agro.py:1292, method="bootsma"):
+      // season = (first day tas > thresh) + 10 .. day before the first
+      // sub-zero tasmin after Jul 1; degree-day integral between the dates
+      // (thresholds tuned to this substrate's range).
+      val c = climateDaily(s, dir).withColumn("y", year(col("d")))
+        .withColumn("tasmin", col("tas") - 5.0)
+      val fda = c.filter(col("tas") > 12.0)
+        .groupBy(col("k"), col("y"))
+        .agg(date_add(min(col("d")), 10).as("start_d"))
+      val fdb = c.filter(month(col("d")) >= 7 && col("tasmin") < 2.5)
+        .groupBy(col("k").as("_k2"), col("y").as("_y2"))
+        .agg(date_add(min(col("d")), -1).as("end_d"))
+      val lastd = c.groupBy(col("k").as("_k3"), col("y").as("_y3"))
+        .agg(max(col("d")).as("last_d"))
+      c.join(broadcast(fda), Seq("k", "y"))
+        .join(broadcast(fdb), col("k") === col("_k2") && col("y") === col("_y2"), "left")
+        .join(broadcast(lastd), col("k") === col("_k3") && col("y") === col("_y3"))
+        .filter(col("d") >= col("start_d") &&
+          col("d") <= coalesce(col("end_d"), col("last_d")))
+        .groupBy(col("k"), col("y"))
+        .agg(round(sum(greatest(col("tas") - 12.0, lit(0.0))), 4).as("egdd"))
+        .withColumnRenamed("k", "l_returnflag")
+    }),
+
+    "q_hardiness_zone" -> ((s, dir) => {
+      // hardiness_zones (_agro.py:1407, USDA): mean over years of the
+      // annual tasmin minimum, banded in 5degF steps from -60degF.
+      climateDaily(s, dir).withColumn("tasmin", col("tas") - 5.0)
+        .groupBy(col("k"), year(col("d")).as("y"))
+        .agg(min(col("tasmin")).as("_tnn"))
+        .groupBy(col("k"))
+        .agg(avg(col("_tnn")).as("_mean_tnn"))
+        .select(col("k").as("l_returnflag"),
+          round(col("_mean_tnn"), 6).as("mean_annual_min"),
+          floor((col("_mean_tnn") * 1.8 + 32.0 + 60.0) / 5.0).cast("int").as("usda_zone"))
+    })
+  )
+
+  private def oracle32: Map[String, String] = Map(
+
+    "q_effective_gdd" ->
+      s"""with $climSql,
+         |cy as (select k, d, year(d) y, tas, tas - 5.0 tasmin from clim),
+         |fda as (select k, y, min(d) + interval 10 day start_d
+         |  from cy where tas > 12.0 group by 1, 2),
+         |fdb as (select k, y, min(d) - interval 1 day end_d
+         |  from cy where month(d) >= 7 and tasmin < 2.5 group by 1, 2),
+         |lastd as (select k, y, max(d) last_d from cy group by 1, 2)
+         |select c.k l_returnflag, c.y,
+         |  cast(cast(sum(greatest(c.tas - 12.0, 0.0)) as decimal(38,4)) as double) egdd
+         |from cy c
+         |join fda a on a.k = c.k and a.y = c.y
+         |left join fdb b on b.k = c.k and b.y = c.y
+         |join lastd l on l.k = c.k and l.y = c.y
+         |where c.d >= a.start_d and c.d <= coalesce(b.end_d, l.last_d)
+         |group by 1, 2""".stripMargin,
+
+    "q_hardiness_zone" ->
+      s"""with $climSql,
+         |ann as (select k, year(d) y, min(tas - 5.0) tnn from clim group by 1, 2),
+         |m as (select k, avg(tnn) mt from ann group by 1)
+         |select k l_returnflag,
+         |  cast(cast(mt as decimal(38,6)) as double) mean_annual_min,
+         |  cast(floor((mt*1.8 + 32.0 + 60.0)/5.0) as int) usda_zone
+         |from m""".stripMargin
   )
 
   // ---- batch 31: synoptic jetstream ---------------------------------------
