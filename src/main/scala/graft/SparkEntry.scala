@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2681,6 +2681,80 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 33: standardized streamflow index ----------------------------
+
+  private def queries33: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ssi" -> ((s, dir) => {
+      // standardized_streamflow_index (_hydrology.py:136): monthly mean
+      // flow, calendar-month pools, GEV fit (Hosking L-moments), CDF ->
+      // probit, clipped +-8.21. The SPI pipeline with the GEV backbone.
+      import graft.indices.Distributions
+      import graft.functions.SpecialFunctions
+      val monthly = climateDaily(s, dir)
+        .withColumn("q", col("pr") * 3.0 + 1.0)
+        .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS").as("m"))
+        .agg(round(avg(col("q")), 6).as("qm"))
+        .withColumn("pool", month(col("m")))
+      val sorted = monthly.groupBy(col("k"), col("pool"))
+        .agg(sort_array(collect_list(col("qm"))).as("_arr"))
+      val (l1, l2, t3) = Stats.lMoments(col("_arr"))
+      val lm = sorted.select(col("k").as("_k"), col("pool").as("_p"),
+        round(l1, 6).as("l1"), round(l2, 6).as("l2"), round(t3, 6).as("t3"))
+      val (kk, alpha, xi) = Distributions.gevLmom(col("l1"), col("l2"), col("t3"), quantize = 6)
+      val fit = lm.select(col("_k"), col("_p"),
+        kk.as("shape"), alpha.as("scale"), xi.as("loc"))
+      monthly.join(broadcast(fit), col("k") === col("_k") && col("pool") === col("_p"))
+        .withColumn("cdf", greatest(least(
+          Distributions.gevCdf(col("qm"), col("shape"), col("scale"), col("loc")),
+          lit(1.0 - 1e-12)), lit(1e-12))) // open interval: probit tails stay finite
+        .withColumn("ssi", greatest(least(
+          SpecialFunctions.probit(col("cdf")), lit(8.21)), lit(-8.21)))
+        .select(col("k").as("l_returnflag"), col("m").as("period"),
+          round(col("qm"), 6).as("qm"), round(col("ssi"), 4).as("ssi"))
+    })
+  )
+
+  private def oracle33: Map[String, String] = Map(
+
+    "q_ssi" ->
+      s"""with $climSql,
+         |mon as (select k, cast(date_trunc('month', d) as timestamp) m,
+         |  cast(cast(avg(pr*3.0 + 1.0) as decimal(38,6)) as double) qm
+         | from clim group by 1, 2),
+         |pooled as (select *, month(m) pool from mon),
+         |r as (select k, pool, qm x, row_number() over (partition by k, pool order by qm) rk,
+         |  count(*) over (partition by k, pool) n from pooled),
+         |lm as (select k, pool, any_value(n) n, avg(x) b0,
+         |  sum(x*(rk-1.0)/(n-1.0))/any_value(n) b1,
+         |  sum(x*(rk-1.0)*(rk-2.0)/((n-1.0)*(n-2.0)))/any_value(n) b2
+         | from r group by 1, 2),
+         |lmom as (select k, pool,
+         |  cast(cast(b0 as decimal(38,6)) as double) l1,
+         |  cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
+         |  cast(cast((6*b2 - 6*b1 + b0)/(2*b1 - b0) as decimal(38,6)) as double) t3
+         | from lm),
+         |par as (select k, pool, l1, l2,
+         |  cast(cast(7.8590*z + 2.9554*z*z as decimal(38,6)) as double) kk
+         | from (select *, 2.0/(3.0 + t3) - 0.6309297535714574 z from lmom)),
+         |par2 as (select k, pool, kk,
+         |  l2*kk/(gk*(1.0 - pow(2.0, -kk))) alpha,
+         |  l1 - l2*kk/(gk*(1.0 - pow(2.0, -kk)))*(1.0 - gk)/kk xi
+         | from (select *, cast(cast(gamma(1.0 + kk) as decimal(38,8)) as double) gk
+         |       from par)),
+         |j as (select p.k, p.m, p.qm,
+         |  1.0 - f.kk*(p.qm - f.xi)/f.alpha tt, f.kk
+         | from pooled p join par2 f on f.k = p.k and f.pool = p.pool),
+         |cdf_ as (select k, m, qm,
+         |  greatest(least(case when tt > 0.0 then exp(-pow(tt, 1.0/kk))
+         |       when kk > 0.0 then 1.0 else 0.0 end, 1.0 - 1e-12), 1e-12) cdf
+         | from j)
+         |select k l_returnflag, m period, qm,
+         |  cast(cast(greatest(least(${probitSql("cdf")}, 8.21), -8.21)
+         |    as decimal(38,4)) as double) ssi
+         |from cdf_""".stripMargin
   )
 
   // ---- batch 32: effective GDD + hardiness zones --------------------------
