@@ -69,6 +69,60 @@ object Time {
     * Reference behaviour: xarray `resample(time=freq)` bin assignment for
     * start-anchored offsets (used by every index in SURVEY §2.2).
     */
+  /** Approximate period length in seconds (the `compare_offsets` basis,
+    * calendar.py:516: lengths for a period starting after 1970-01-01). */
+  def approxSeconds(f: Freq): Long = {
+    val unitSecs: Map[String, Long] = Map(
+      "h" -> 3600L, "D" -> 86400L, "W" -> 7L * 86400L,
+      "MS" -> 2678400L /* 31 d */, "QS" -> 7948800L /* 92 d */,
+      "YS" -> 31536000L /* 365 d */)
+    f.n * unitSecs(f.unit)
+  }
+
+  /** `compare_offsets` (calendar.py:516): compare two offset strings by
+    * approximate length; same-unit offsets compare only multipliers
+    * (QS-DEC == QS-JAN, MS < 2MS). */
+  def compareOffsets(freqA: String, op: String, freqB: String): Boolean = {
+    val (a, b) = (parse(freqA), parse(freqB))
+    val (la, lb) =
+      if (a.unit == b.unit) (a.n.toLong, b.n.toLong)
+      else (approxSeconds(a), approxSeconds(b))
+    op match {
+      case ">" | "gt"  => la > lb
+      case "<" | "lt"  => la < lb
+      case ">=" | "ge" => la >= lb
+      case "<=" | "le" => la <= lb
+      case "==" | "eq" => la == lb
+      case "!=" | "ne" => la != lb
+      case other       => throw new IllegalArgumentException(s"bad op: $other")
+    }
+  }
+
+  /** `is_offset_divisor` (calendar.py:629): a whole number of `divisor`
+    * periods fit in one `offset` period AND their boundaries align.
+    * Sub-monthly units divide by exact length; month-based units divide
+    * when the month counts divide and the anchors align modulo the
+    * divisor's width. */
+  def isOffsetDivisor(divisor: String, offset: String): Boolean = {
+    if (compareOffsets(divisor, ">", offset)) return false
+    val (a, b) = (parse(divisor), parse(offset))
+    val monthsOf = Map("MS" -> 1, "QS" -> 3, "YS" -> 12)
+    (monthsOf.get(a.unit), monthsOf.get(b.unit)) match {
+      case (Some(ma), Some(mb)) =>
+        val wa = a.n * ma; val wb = b.n * mb
+        // every period start of `offset` must land on a `divisor` boundary:
+        // anchors congruent modulo the divisor width
+        wb % wa == 0 && ((b.anchor - a.anchor) % wa + wa) % wa == 0
+      case (Some(_), None) => false // month-based can't divide fixed-length
+      case (None, Some(_)) =>
+        // fixed-length divisor under a month-based offset: only exact-day
+        // units divide every possible month length (h and D do; W doesn't)
+        a.unit == "h" && 24 % a.n == 0 || a.unit == "D" && a.n == 1
+      case (None, None) =>
+        approxSeconds(b) % approxSeconds(a) == 0
+    }
+  }
+
   def resamplePeriod(ts: Column, freq: String): Column = {
     val f = parse(freq)
     f match {

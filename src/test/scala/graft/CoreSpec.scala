@@ -18,6 +18,23 @@ class CoreSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Time.parse("D-JUL"))
   }
 
+  test("offset algebra: compare_offsets and is_offset_divisor") {
+    assert(Time.compareOffsets("YS", ">", "MS"))
+    assert(Time.compareOffsets("MS", "<", "2MS"))
+    assert(Time.compareOffsets("QS-DEC", "==", "QS-JAN")) // same-unit: multiplier only
+    assert(Time.compareOffsets("D", "<=", "W"))
+    assert(Time.compareOffsets("YS", "!=", "QS"))
+    // the reference's doc examples (calendar.py:649-656)
+    assert(Time.isOffsetDivisor("QS-JAN", "YS"))
+    assert(!Time.isOffsetDivisor("QS-DEC", "YS-JUL"))
+    assert(Time.isOffsetDivisor("D", "M"))
+    assert(Time.isOffsetDivisor("MS", "QS-JAN"))
+    assert(Time.isOffsetDivisor("QS-OCT", "YS-JUL")) // anchors congruent mod 3
+    assert(!Time.isOffsetDivisor("YS", "MS"))        // bigger than the offset
+    assert(Time.isOffsetDivisor("h", "D"))
+    assert(!Time.isOffsetDivisor("W", "MS"))         // weeks never tile months
+  }
+
   test("unit conversions: linear, offset, hydro context") {
     val (f1, o1) = Units.conversion("degC", "K")
     assert(f1 == 1.0 && o1 == 273.15)
