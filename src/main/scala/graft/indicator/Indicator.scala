@@ -89,17 +89,71 @@ abstract class Indicator(val spec: IndicatorSpec) {
     f.flatMap(x => if (x.metadata.contains("units")) Some(x.metadata.getString("units")) else None)
   }
 
-  /** Output CF metadata (AttrFormatter equivalent, formatting.py:42). */
+  /** Output CF metadata (AttrFormatter equivalent, formatting.py:42):
+    * `{freq}` / `{identifier}` / parameter placeholders are substituted in
+    * the title, and per-locale long_name variants are stamped for every
+    * locale registered in [[Options]] (the reference's `locales` option +
+    * `xclim.core.locales` translation path). */
   private def stampMetadata(df: DataFrame, freq: String): DataFrame = {
-    val md = new MetadataBuilder()
+    val fmt = AttrFormatter.format(spec.title,
+      Map("freq" -> freq, "identifier" -> spec.identifier))
+    val b = new MetadataBuilder()
       .putString("units", spec.units)
       .putString("standard_name", spec.standardName)
       .putString("cell_methods", spec.cellMethods)
-      .putString("long_name", s"${spec.title} (${freq})")
-      .build()
+      .putString("long_name", s"$fmt ($freq)")
+    Options.get.locales.foreach { loc =>
+      AttrFormatter.translate(loc, spec.identifier).foreach(t =>
+        b.putString(s"long_name_$loc", s"$t ($freq)"))
+    }
+    val md = b.build()
     if (df.columns.contains("value")) df.withColumn("value", col("value").as("value", md))
     else df
   }
+}
+
+/** `set_options` (xclim/core/options.py): process-wide knobs consulted by
+  * the indicator pipeline. Scoped overrides via `Options.withOptions`. */
+object Options {
+  final case class Opts(
+      checkMissing: String = "any",     // default missing policy when a spec says "default"
+      dataValidation: String = "raise", // raise | warn | log on datacheck failure
+      locales: Seq[String] = Nil)
+  private val current = new java.util.concurrent.atomic.AtomicReference(Opts())
+  def get: Opts = current.get()
+  def set(o: Opts): Unit = current.set(o)
+  def withOptions[T](o: Opts)(body: => T): T = {
+    val prev = current.get()
+    current.set(o)
+    try body finally current.set(prev)
+  }
+}
+
+/** Metadata templating + locale catalogue (formatting.py:42 AttrFormatter,
+  * core/locales). The bundled catalogue carries the French long_names of
+  * the most-used indicators (the reference ships fr.json); callers extend
+  * via [[AttrFormatter.addLocale]]. */
+object AttrFormatter {
+  def format(template: String, params: Map[String, String]): String =
+    params.foldLeft(template) { case (s, (k, v)) => s.replace(s"{$k}", v) }
+
+  private val locales =
+    scala.collection.concurrent.TrieMap[(String, String), String](
+      ("fr", "tg_mean") -> "Moyenne de la température moyenne quotidienne",
+      ("fr", "tx_max") -> "Maximum de la température maximale quotidienne",
+      ("fr", "tn_min") -> "Minimum de la température minimale quotidienne",
+      ("fr", "frost_days") -> "Nombre de jours de gel",
+      ("fr", "growing_degree_days") -> "Degrés-jours de croissance",
+      ("fr", "wetdays") -> "Nombre de jours pluvieux",
+      ("fr", "maximum_consecutive_dry_days") -> "Durée maximale d'une période sèche",
+      ("fr", "tropical_nights") -> "Nombre de nuits tropicales",
+      ("fr", "heat_wave_index") -> "Indice de vague de chaleur",
+      ("fr", "precip_accumulation") -> "Précipitations totales accumulées")
+
+  def translate(locale: String, identifier: String): Option[String] =
+    locales.get((locale, identifier))
+  def addLocale(locale: String, identifier: String, longName: String): Unit =
+    locales.put((locale, identifier), longName)
 }
 
 /** Missing-period policies (`xclim/core/missing.py`): a period's output is

@@ -170,6 +170,21 @@ class IndicatorSpecSuite extends AnyFunSuite {
     assert(Registry("icclim.RR1")(pr, "MS", Map.empty).head.getAs[Long]("value") == 6)
   }
 
+  test("set_options locales stamp translated long_names") {
+    import graft.indicator.{AttrFormatter, Options}
+    assert(AttrFormatter.format("Days over {thresh} per {freq}",
+      Map("thresh" -> "25 degC", "freq" -> "YS")) == "Days over 25 degC per YS")
+    Options.withOptions(Options.Opts(locales = Seq("fr"))) {
+      val out = Registry("tg_mean")(julyTas, "MS")
+      val md = out.schema.fields.find(_.name == "value").get.metadata
+      assert(md.getString("long_name_fr").startsWith("Moyenne de la température"))
+    }
+    // outside the scope, no locale stamping
+    val out2 = Registry("tg_mean")(julyTas, "MS")
+    val md2 = out2.schema.fields.find(_.name == "value").get.metadata
+    assert(!md2.contains("long_name_fr"))
+  }
+
   test("registry listing includes builtins") {
     assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days", "wetdays",
       "maximum_consecutive_dry_days", "frost_days", "cooling_degree_days",
