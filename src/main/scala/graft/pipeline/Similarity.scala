@@ -61,15 +61,13 @@ object Similarity {
     * interpreted dot product per surviving pair. */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
+    import graft.functions.FloatDotProduct.floatDot
     val normed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("n", sqrt(aggregate(col("v"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("n", sqrt(floatDot(col("v"), col("v"))))
     val a = normed.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = normed.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot / (col("na") * col("nb")))
+      .withColumn("cosine", floatDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
