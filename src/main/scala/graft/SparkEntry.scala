@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2681,6 +2681,62 @@ object SparkEntry {
         | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
         |   as decimal(38,6)) as double) sea_ice_extent
         |from e group by 1""".stripMargin
+  )
+
+  // ---- batch 34: bootstrapped percentile indicator ------------------------
+
+  private def queries34: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_tx90p_bootstrap" -> ((s, dir) => {
+      // tx90p with @percentile_bootstrap (Zhang 2005): in-base years
+      // 1995-1998, each year scored against its 3 replica climatologies
+      // (H&F-8 doy pools +-2) and averaged.
+      graft.indices.PercentileIndicators.doyExceedanceBootstrap(
+          t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_shipdate").as("d"), col("l_quantity").cast("double").as("v")),
+          Seq("l_returnflag"), "d", "v", p = 0.9, op = ">", halfWindow = 2,
+          baseYears = Seq(1995, 1996, 1997, 1998))
+        .select(col("l_returnflag"), col("y"),
+          round(col("value"), 4).as("n_over_bootstrap"), col("n_replicas"))
+    })
+  )
+
+  private def oracle34: Map[String, String] = Map(
+
+    "q_tx90p_bootstrap" ->
+      s"""with base as (
+         |  select l_returnflag k, l_shipdate d, cast(l_quantity as double) v,
+         |    year(l_shipdate) y, cast(dayofyear(l_shipdate) as int) doy
+         |  from lineitem where year(l_shipdate) between 1995 and 1998
+         |),
+         |pairs as (
+         |  select a.y y_out, b.y y_in
+         |  from (select distinct y from base) a
+         |  join (select distinct y from base) b on b.y <> a.y
+         |),
+         |reps as (
+         |  select p.y_out, p.y_in, b.* from pairs p join base b on b.y <> p.y_out
+         |  union all
+         |  select p.y_out, p.y_in, b.* from pairs p join base b on b.y = p.y_in
+         |),
+         |contrib as (
+         |  select k, y_out, y_in, ((doy - 1 + off + 365) % 365) + 1 doy2, v
+         |  from reps, unnest(generate_series(-2, 2)) as u(off)
+         |),
+         |s as (select k, y_out, y_in, doy2, list_sort(list(v)) a,
+         |  cast(count(v) as double) n from contrib group by 1, 2, 3, 4),
+         |pctl as (select k, y_out, y_in, doy2, ${hfSql(0.9)} pct from s),
+         |cnt as (
+         |  select b.k, b.y, p.y_in,
+         |    coalesce(sum(case when b.v > p.pct then 1 end), 0) c
+         |  from base b join pctl p
+         |    on p.k = b.k and p.y_out = b.y and p.doy2 = ((b.doy - 1) % 365) + 1
+         |  group by 1, 2, 3
+         |)
+         |select k l_returnflag, y,
+         |  cast(cast(avg(c) as decimal(38,4)) as double) n_over_bootstrap,
+         |  count(*) n_replicas
+         |from cnt group by 1, 2""".stripMargin
   )
 
   // ---- batch 33: standardized streamflow index ----------------------------

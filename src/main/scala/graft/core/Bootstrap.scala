@@ -45,6 +45,8 @@ object Bootstrap {
       .withColumn("_dup", explode(sequence(lit(1), col("_copies"))))
       .withColumn("bootstrap_id",
         concat(col("_pair.y_out").cast("string"), lit("<-"), col("_pair.y_in").cast("string")))
+      .withColumn("bootstrap_y_out", col("_pair.y_out"))
+      .withColumn("bootstrap_y_in", col("_pair.y_in"))
       .drop("_pair", "_copies", "_dup")
   }
 

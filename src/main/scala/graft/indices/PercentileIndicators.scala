@@ -44,6 +44,38 @@ object PercentileIndicators {
     Generic.resampleOp(joined, keys, col(dateCol), freq, Seq(agg))
   }
 
+  /** tx90p with the Zhang-2005 in-base bootstrap (`@percentile_bootstrap`,
+    * core/bootstrapping.py:22-211): for each base-period year y the
+    * exceedance count is recomputed against n-1 replica climatologies (y's
+    * data replaced by each other base year in turn) and averaged. One
+    * unioned replica plan: the percentile table is built per
+    * (entity, y_out, y_in, doy) in a single two-phase pooled aggregation;
+    * the exceedance join fans each daily row to its n-1 replicas — the
+    * quadratic replica cost is inherent to the method (the reference warns
+    * the same) and bounded by the base-period length, never the data. */
+  def doyExceedanceBootstrap(df: DataFrame, keys: Seq[String], dateCol: String,
+                             value: String, p: Double, op: String, halfWindow: Int,
+                             baseYears: Seq[Int],
+                             alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
+    val base = df.filter(year(col(dateCol)).isin(baseYears.map(Integer.valueOf): _*))
+    val reps = graft.core.Bootstrap.replicas(base, year(col(dateCol)), baseYears)
+    val pct = Season.doyPercentile(reps,
+      keys ++ Seq("bootstrap_y_out", "bootstrap_y_in"), dateCol, value,
+      halfWindow, p, alpha, beta)
+    val rows = base
+      .withColumn("doy", ((dayofyear(col(dateCol)) - 1) % 365) + 1)
+      .withColumn("_y", year(col(dateCol)))
+    val joined = rows.join(pct,
+      keys.map(k => rows(k) === pct(k)).reduce(_ && _) &&
+        col("_y") === col("bootstrap_y_out") && rows("doy") === pct("doy"))
+    val cond = Generic.compare(rows(value), op, col("doy_pct"))
+    joined
+      .groupBy((keys.map(rows(_)) :+ col("_y") :+ col("bootstrap_y_in")): _*)
+      .agg(coalesce(sum(when(cond, 1L)), lit(0L)).as("_cnt"))
+      .groupBy((keys.map(col) :+ col("_y").as("y")): _*)
+      .agg(avg(col("_cnt")).as("value"), count(lit(1)).as("n_replicas"))
+  }
+
   /** WSDI/CSDI: per (entity, period) total days inside runs of at least
     * `window` CONSECUTIVE CALENDAR days with `value` `op` its
     * doy-percentile. Runs are keyed on day-number minus row-number so gaps
