@@ -56,4 +56,65 @@ class PropertySpec extends AnyFunSuite {
       assert(bad == 0, s"freq $freq violated period invariants")
     }
   }
+  test("distribution quantile/cdf round-trips (GEV, Gumbel, fisk, lognorm)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.indices.Distributions
+    val ps = Seq(0.05, 0.2, 0.5, 0.8, 0.95).toDF("p")
+    def maxErr(c: org.apache.spark.sql.Column): Double =
+      ps.select(max(abs(c - col("p")))).head.getDouble(0)
+    val gev = Distributions.gevCdf(
+      Distributions.gevQuantile(col("p"), lit(0.12), lit(2.0), lit(3.0)),
+      lit(0.12), lit(2.0), lit(3.0))
+    assert(maxErr(gev) < 1e-10)
+    val gum = Distributions.gumbelCdf(
+      Distributions.gumbelQuantile(col("p"), lit(2.0), lit(3.0)), lit(2.0), lit(3.0))
+    assert(maxErr(gum) < 1e-10)
+    val fisk = Distributions.fiskCdf(
+      Distributions.fiskQuantile(col("p"), lit(3.0), lit(4.0)), lit(3.0), lit(4.0))
+    assert(maxErr(fisk) < 1e-10)
+    // lognorm round trip crosses probit (Acklam, |eps| < 1.15e-9) and the
+    // incomplete-gamma normal CDF; tolerance reflects those approximations
+    val ln = Distributions.lognormCdf(
+      Distributions.lognormQuantile(col("p"), lit(0.8), lit(1.2)), lit(0.8), lit(1.2))
+    assert(maxErr(ln) < 1e-7)
+  }
+
+  test("GEV L-moment fit recovers parameters from its own quantiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.indices.Distributions
+    // sample = exact GEV quantiles at plotting positions -> the PWM fit
+    // must recover (k, alpha, xi) closely (Hosking's approximation error)
+    val (k0, a0, x0) = (0.15, 2.0, 10.0)
+    val n = 2000
+    val sample = (1 to n).map(i => (i - 0.35) / n)
+      .map(p => x0 + a0 / k0 * (1.0 - math.pow(-math.log(p), k0)))
+    val df = sample.toDF("x").agg(sort_array(collect_list(col("x"))).as("arr"))
+    val (l1, l2, t3) = graft.core.Stats.lMoments(col("arr"))
+    val (kk, alpha, xi) = Distributions.gevLmom(l1, l2, t3)
+    val r = df.select(kk.as("k"), alpha.as("a"), xi.as("x")).head
+    assert(math.abs(r.getAs[Double]("k") - k0) < 0.02, s"k = ${r.getAs[Double]("k")}")
+    assert(math.abs(r.getAs[Double]("a") - a0) < 0.05)
+    assert(math.abs(r.getAs[Double]("x") - x0) < 0.05)
+  }
+
+  test("Lanczos weights: symmetric, normalised, low-pass gain") {
+    val w = graft.indices.Synoptic.lanczosWeights(21, 0.1)
+    assert(w.length == 21)
+    assert(math.abs(w.sum - 1.0) < 1e-12)
+    assert(w.zip(w.reverse).forall { case (a, b) => math.abs(a - b) < 1e-15 })
+    assert(w(10) == w.max) // peak at the center
+  }
+
+  test("UTCI polynomial: neutral conditions stay near air temperature") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // at mrt = tas, moderate humidity and light wind the offset is small
+    val r = Seq((20.0, 0.5, 0.5, 20.0)).toDF("tas", "hurs", "wind", "mrt")
+      .select(graft.indices.Utci.utci(col("tas"), col("hurs"), col("wind"), col("mrt")).as("u"))
+      .head.getDouble(0)
+    assert(math.abs(r - 20.0) < 3.0, s"UTCI(20C neutral) = $r")
+  }
+
 }
