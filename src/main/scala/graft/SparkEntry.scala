@@ -2689,13 +2689,13 @@ object SparkEntry {
 
     "q_tx90p_bootstrap" -> ((s, dir) => {
       // tx90p with @percentile_bootstrap (Zhang 2005): in-base years
-      // 1995-1998, each year scored against its 3 replica climatologies
+      // 1995-1997, each year scored against its 2 replica climatologies
       // (H&F-8 doy pools +-2) and averaged.
       graft.indices.PercentileIndicators.doyExceedanceBootstrap(
           t(s, dir, "lineitem").select(col("l_returnflag"),
             col("l_shipdate").as("d"), col("l_quantity").cast("double").as("v")),
           Seq("l_returnflag"), "d", "v", p = 0.9, op = ">", halfWindow = 2,
-          baseYears = Seq(1995, 1996, 1997, 1998))
+          baseYears = Seq(1995, 1996, 1997))
         .select(col("l_returnflag"), col("y"),
           round(col("value"), 4).as("n_over_bootstrap"), col("n_replicas"))
     })
@@ -2707,7 +2707,7 @@ object SparkEntry {
       s"""with base as (
          |  select l_returnflag k, l_shipdate d, cast(l_quantity as double) v,
          |    year(l_shipdate) y, cast(dayofyear(l_shipdate) as int) doy
-         |  from lineitem where year(l_shipdate) between 1995 and 1998
+         |  from lineitem where year(l_shipdate) between 1995 and 1997
          |),
          |pairs as (
          |  select a.y y_out, b.y y_in

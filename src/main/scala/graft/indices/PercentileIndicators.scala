@@ -58,10 +58,37 @@ object PercentileIndicators {
                              baseYears: Seq[Int],
                              alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): DataFrame = {
     val base = df.filter(year(col(dateCol)).isin(baseYears.map(Integer.valueOf): _*))
-    val reps = graft.core.Bootstrap.replicas(base, year(col(dateCol)), baseYears)
-    val pct = Season.doyPercentile(reps,
-      keys ++ Seq("bootstrap_y_out", "bootstrap_y_in"), dateCol, value,
-      halfWindow, p, alpha, beta)
+    // ONE full-data shuffle: per (keys, year, doy) value arrays. The
+    // replica x (2w+1) fan-out then runs over this aggregated table
+    // (years x 365 rows per entity), never over raw rows — the quadratic
+    // bootstrap cost multiplies kilobytes, not the dataset.
+    val byDoy = base
+      .select((keys.map(col) :+ year(col(dateCol)).as("_y") :+
+        dayofyear(col(dateCol)).as("_doy") :+ col(value).as("_v")): _*)
+      .groupBy((keys.map(col) :+ col("_y") :+ col("_doy")): _*)
+      .agg(collect_list(col("_v")).as("_arr"))
+    val fanned = byDoy
+      .withColumn("_tdoy",
+        explode(sequence(col("_doy") - halfWindow, col("_doy") + halfWindow)))
+      .withColumn("doy", ((col("_tdoy") + 364) % 365) + 1)
+    val pairs = for { o <- baseYears; i <- baseYears if i != o } yield (o, i)
+    val pairArr = array(pairs.map { case (o, i) =>
+      struct(lit(o).as("y_out"), lit(i).as("y_in"))
+    }: _*)
+    val reps = fanned
+      .withColumn("_pair", explode(pairArr))
+      .withColumn("_copies",
+        when(col("_y") === col("_pair.y_out"), 0)
+          .when(col("_y") === col("_pair.y_in"), 2).otherwise(1))
+      .filter(col("_copies") > 0)
+      .withColumn("_dup", explode(sequence(lit(1), col("_copies"))))
+    val pooled = reps
+      .groupBy((keys.map(col) :+ col("_pair.y_out").as("bootstrap_y_out") :+
+        col("_pair.y_in").as("bootstrap_y_in") :+ col("doy")): _*)
+      .agg(sort_array(flatten(collect_list(col("_arr")))).as("_all"))
+    val pct = pooled.select((keys.map(col) :+ col("bootstrap_y_out") :+
+      col("bootstrap_y_in") :+ col("doy") :+
+      graft.core.Stats.hfQuantileOfSorted(col("_all"), p, alpha, beta).as("doy_pct")): _*)
     val rows = base
       .withColumn("doy", ((dayofyear(col(dateCol)) - 1) % 365) + 1)
       .withColumn("_y", year(col(dateCol)))
