@@ -3067,14 +3067,16 @@ object SparkEntry {
           .when(month(col("p")) === 6, "JJA").otherwise("SON"))
         .withColumn("sy", when(month(col("p")) === 12, year(col("p")) + 1)
           .otherwise(year(col("p"))))
-      val djf = bfi.filter(col("season") === "DJF")
-        .select(col("k").as("_k"), col("sy").as("_sy"), col("bfi").as("bfi_djf"))
-      bfi.filter(col("season") === "JJA")
-        .join(djf, col("k") === col("_k") && col("sy") === col("_sy"))
+      // conditional-aggregation pivot: one pass, no self-join (a join would
+      // recompute the whole upstream lineage for each side)
+      bfi.groupBy(col("k"), col("sy"))
+        .agg(max(when(col("season") === "DJF", col("bfi"))).as("_djf"),
+          max(when(col("season") === "JJA", col("bfi"))).as("_jja"))
+        .filter(col("_djf").isNotNull && col("_jja").isNotNull)
         .select(col("k").as("l_returnflag"), col("sy"),
-          round(col("bfi_djf"), 6).as("bfi_djf"),
-          round(col("bfi"), 6).as("bfi_jja"),
-          round(when(col("bfi") > 0, col("bfi_djf") / col("bfi")), 6).as("bfi_ratio"))
+          round(col("_djf"), 6).as("bfi_djf"),
+          round(col("_jja"), 6).as("bfi_jja"),
+          round(when(col("_jja") > 0, col("_djf") / col("_jja")), 6).as("bfi_ratio"))
     }),
 
     "q_snowpack_flow_lag" -> ((s, dir) => {
