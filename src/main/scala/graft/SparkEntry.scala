@@ -3677,10 +3677,13 @@ object SparkEntry {
         .withColumn("d", date_add(to_date(lit("1970-01-01")), col("t")))
         .withColumn("tx", col("airt") + (col("rain") - 5.0) / 2.0)
         .withColumn("tn", col("airt") - 2.0)
+        .withColumn("tmean", col("airt") + (col("wind") - 20.0) / 8.0)
       val withClim = DataFlags.outsideClimatology(wx, Seq("user_id"), col("d"),
         col("airt"), nSigma = 2.5, window = 5)
       val flags = Map(
         "tasmax_below_tasmin" -> DataFlags.tasmaxBelowTasmin(col("tx"), col("tn")),
+        "tas_exceeds_tasmax" -> DataFlags.tasExceedsTasmax(col("tmean"), col("tx")),
+        "tas_below_tasmin" -> DataFlags.tasBelowTasmin(col("tmean"), col("tn")),
         "temperature_extremely_low" -> DataFlags.temperatureExtremelyLow(col("airt"), -4.9),
         "temperature_extremely_high" -> DataFlags.temperatureExtremelyHigh(col("airt"), 34.5),
         "negative_accumulation" -> DataFlags.negativeAccumulation(col("rain")),
@@ -3699,7 +3702,8 @@ object SparkEntry {
     "q_data_flags_battery" ->
       s"""with $wxSql,
          |base as (select user_id, d, airt, rain, wind, hum,
-         |  airt + (rain - 5.0)/2.0 tx, airt - 2.0 tn from wx),
+         |  airt + (rain - 5.0)/2.0 tx, airt - 2.0 tn,
+         |  airt + (wind - 20.0)/8.0 tmean from wx),
          |rr as (select *, case when rain = lag(rain) over
          |  (partition by user_id order by d) then 0 else 1 end nr from base),
          |rid as (select *, sum(nr) over (partition by user_id order by d) rid from rr),
@@ -3715,6 +3719,8 @@ object SparkEntry {
          |  on c.user_id = r.user_id and c.tdoy = least(dayofyear(r.d), 365)),
          |f as (select user_id,
          |  case when tx < tn then 1 end f_txtn,
+        |  case when tmean > tx then 1 end f_ttx,
+        |  case when tmean < tn then 1 end f_ttn,
          |  case when airt < -4.9 then 1 end f_tlow,
          |  case when airt > 34.5 then 1 end f_thigh,
          |  case when rain < 0 then 1 end f_negacc,
@@ -3731,13 +3737,16 @@ object SparkEntry {
          |  cast(coalesce(sum(f_clim), 0) as bigint) n_outside_climatology,
          |  cast(coalesce(sum(f_pct), 0) as bigint) n_percentage_outside_bounds,
          |  cast(coalesce(sum(f_rep), 0) as bigint) n_repeating_values,
-         |  cast(coalesce(sum(f_txtn), 0) as bigint) n_tasmax_below_tasmin,
+         |  cast(coalesce(sum(f_ttn), 0) as bigint) n_tas_below_tasmin,
+        |  cast(coalesce(sum(f_ttx), 0) as bigint) n_tas_exceeds_tasmax,
+        |  cast(coalesce(sum(f_txtn), 0) as bigint) n_tasmax_below_tasmin,
          |  cast(coalesce(sum(f_thigh), 0) as bigint) n_temperature_extremely_high,
          |  cast(coalesce(sum(f_tlow), 0) as bigint) n_temperature_extremely_low,
          |  cast(coalesce(sum(f_bigpr), 0) as bigint) n_very_large_precipitation,
          |  cast(coalesce(sum(f_wind), 0) as bigint) n_wind_outside_bounds,
          |  cast(coalesce(sum(f_zrep), 0) as bigint) n_zero_repeating,
-         |  (coalesce(sum(f_negacc), 0) = 0 and coalesce(sum(f_clim), 0) = 0
+         |  (coalesce(sum(f_ttx), 0) = 0 and coalesce(sum(f_ttn), 0) = 0
+        |   and coalesce(sum(f_negacc), 0) = 0 and coalesce(sum(f_clim), 0) = 0
          |   and coalesce(sum(f_pct), 0) = 0 and coalesce(sum(f_rep), 0) = 0
          |   and coalesce(sum(f_txtn), 0) = 0 and coalesce(sum(f_thigh), 0) = 0
          |   and coalesce(sum(f_tlow), 0) = 0 and coalesce(sum(f_bigpr), 0) = 0
