@@ -3786,9 +3786,9 @@ object SparkEntry {
         (col("value") * 0.15).as("rsus"),
         (lit(300.0) + col("value") / 10.0).as("rlds"),
         (lit(350.0) + col("value") / 8.0).as("rlus"))
-      e.select(col("event_id"),
-        round(Utci.meanRadiantTemperature(col("rsds"), col("rsus"), col("rlds"),
-          col("rlus"), col("lat"), col("d")), 4).as("mrt_k"))
+      Utci.withMeanRadiantTemperature(e, col("rsds"), col("rsus"), col("rlds"),
+          col("rlus"), col("lat"), col("d"), "_mrt")
+        .select(col("event_id"), round(col("_mrt"), 4).as("mrt_k"))
     })
   )
 

@@ -345,6 +345,34 @@ object Utci {
       .otherwise(when(ratio <= 0.0, 0.0).otherwise(ratio))
   }
 
+  /** Staged [[meanRadiantTemperature]]: materialises the solar
+    * intermediates (day angle, declination, csza, eccentricity, fdir) as
+    * their own projection columns before the final formula. The inlined
+    * Column form repeats the Spencer trig chain once per reference (~5x
+    * csza, 2x fdir) and conditional branches defeat codegen's common-
+    * subexpression elimination — staging runs the trig once per row.
+    * Adds `as` [K] to the frame; same values as the inline form. */
+  def withMeanRadiantTemperature(df: org.apache.spark.sql.DataFrame,
+                                 rsds: Column, rsus: Column, rlds: Column, rlus: Column,
+                                 latDeg: Column, date: Column,
+                                 as: String): org.apache.spark.sql.DataFrame = {
+    val da = Evapotranspiration.dayAngle(date)
+    val staged = df
+      .withColumn("_ecc", Evapotranspiration.eccentricityCorrection(da))
+      .withColumn("_csza", cosZenithSunlitAvg(latDeg, date))
+      .withColumn("_fdir", fdirRatio(rsds, col("_csza"), col("_ecc")))
+      .withColumn("_gamma", asin(col("_csza")))
+    val rsdsDirect = col("_fdir") * rsds
+    val fp = lit(0.308) * cos(col("_gamma") * 0.988 - col("_gamma") * col("_gamma") / 50000.0)
+    val iStar = when(col("_csza") > 0.001, rsdsDirect / col("_csza")).otherwise(0.0)
+    staged
+      .withColumn(as, pow(
+        lit(1.0 / 5.67e-8) * (lit(0.5) * rlds + lit(0.5) * rlus +
+          lit(0.7 / 0.97) * (lit(0.5) * (rsds - rsdsDirect) + lit(0.5) * rsus + fp * iStar)),
+        0.25))
+      .drop("_ecc", "_csza", "_fdir", "_gamma")
+  }
+
   /** Mean radiant temperature [K] (converters.py:2538): partition global
     * shortwave into direct/diffuse via [[fdirRatio]], project the direct
     * beam (fp factor), Stefan-Boltzmann-invert the absorbed flux. All
