@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -440,7 +440,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2684,6 +2684,318 @@ object SparkEntry {
   )
 
   // ---- batch 34: bootstrapped percentile indicator ------------------------
+
+  // ---- batch 35: round-3 catalogue tail ----------------------------------
+  // hot-spell magnitude, Spinoni degree-day approximations, freeze-thaw
+  // swing, holiday snow, windowed first-day, VPD + wind components, the
+  // real Dynamic-Model chill portions, Sen-slope ratio, ANUCLIM P13/P14.
+
+  private def queries35: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_hot_spell_magnitude" -> ((s, dir) => {
+      // hot_spell_max_magnitude (_threshold.py:2019, Russo 2014): per year,
+      // the max over >=3-day exceedance spells of the spell's summed excess.
+      // Excess kept in integer quantity units (prsum - 750) so run sums are
+      // order-free; scaled back to the pr scale (/25) at the end.
+      val daily = climateDaily(s, dir)
+        .select(col("k"), col("d"), (col("pr") * 25.0).as("prsum"))
+        .withColumn("period", year(col("d")))
+      graft.core.Runs.windowedMaxRunSum(daily, Seq("k", "period"), col("d"),
+          col("prsum") > 250.0, round(col("prsum") - 250.0, 0), window = 3)
+        .select(col("k").as("l_returnflag"), col("period").as("y"),
+          round(col("max_run_sum") / 25.0, 4).as("max_magnitude"))
+    }),
+
+    "q_dd_approximation" -> ((s, dir) => {
+      // cooling/heating_degree_days_approximation (_threshold.py:844,:2070,
+      // Spinoni 2018): piecewise daily-cycle formulas from (tas, tas+5,
+      // tas-5), summed per year. Daily contributions quantized to 4
+      // decimals in both engines before the order-dependent sum.
+      val c = graft.indicator.Registry.computeBases("dd_approximation")
+      val base = climateDaily(s, dir).select(col("k").as("location_id"),
+        col("d").cast("timestamp").as("time"),
+        round(col("tas"), 4).as("value"),
+        (round(col("tas"), 4) + 5.0).as("valuemax"),
+        (round(col("tas"), 4) - 5.0).as("valuemin"))
+      val cool = c(base, "YS", Map("kind" -> "cooling", "thresh" -> "2.0"))
+        .withColumnRenamed("value", "cdd_approx")
+      val heat = c(base, "YS", Map("kind" -> "heating", "thresh" -> "2.0"))
+        .withColumnRenamed("value", "hdd_approx")
+      cool.join(heat, Seq("location_id", "period"))
+        .select(col("location_id").as("l_returnflag"), year(col("period")).as("y"),
+          round(col("cdd_approx"), 2).as("cdd_approx"),
+          round(col("hdd_approx"), 2).as("hdd_approx"))
+    }),
+
+    "q_multiday_swing" -> ((s, dir) => {
+      // multiday_temperature_swing (_multivariate.py:426): freeze-thaw days
+      // (tasmax > 0 and tasmin <= 0 under the +-5 daily cycle), mean and
+      // count of event lengths per year (op="mean" default + "count").
+      val daily = climateDaily(s, dir)
+        .withColumn("period", year(col("d")))
+      val cond = (col("tas") + 5.0 > 0.0) && (col("tas") - 5.0 <= 0.0)
+      graft.core.Runs.rleStatistics(daily, Seq("k", "period"), None, col("d"),
+          cond, "mean", window = 1)
+        .join(graft.core.Runs.rleStatistics(daily, Seq("k", "period"), None,
+          col("d"), cond, "count", window = 1), Seq("k", "period"))
+        .select(col("k").as("l_returnflag"), col("period").as("y"),
+          round(col("run_mean"), 4).as("mean_spell"),
+          col("run_count").as("n_spells"))
+    }),
+
+    "q_holiday_snow" -> ((s, dir) => {
+      // holiday_snow_days (_threshold.py:3743): days inside the fixed
+      // holiday date window (Dec 20-31) with snow cover above threshold,
+      // per year (calendar predicate + count — partition-prunable).
+      val c = graft.indicator.Registry.computeBases("holiday_count")
+      c(climateDaily(s, dir).select(col("k").as("location_id"),
+          col("d").cast("timestamp").as("time"), (col("pr") / 100.0).as("value")),
+        "YS", Map("op" -> ">=", "thresh" -> "0.08",
+          "date_start" -> "12-20", "date_end" -> "12-31"))
+        .select(col("location_id").as("l_returnflag"),
+          year(col("period")).as("y"), col("value").as("holiday_days"))
+    }),
+
+    "q_first_day_reached" -> ((s, dir) => {
+      // first_day_threshold_reached (generic.py:1556): doy of the first
+      // >=3-day wet run starting at/after doy 180, per year.
+      val c = graft.indicator.Registry.computeBases("first_day_reached")
+      c(climateDaily(s, dir).select(col("k").as("location_id"),
+          col("d").cast("timestamp").as("time"), col("pr").as("value")),
+        "YS", Map("op" -> ">=", "thresh" -> "8.0",
+          "window" -> "3", "after_doy" -> "180"))
+        .select(col("location_id").as("l_returnflag"),
+          year(col("period")).as("y"), col("value").as("first_doy"))
+    }),
+
+    "q_converters_round3" -> ((s, dir) => {
+      // vapor_pressure_deficit (converters.py:642) + sfcwind_to_uas_vas
+      // (:337) + round-trip back through uas_vas_to_sfcwind — pure
+      // projections, no shuffle beyond the daily rollup.
+      import graft.indices.Converters
+      val d = climateDaily(s, dir).select(col("k"), col("d"),
+        (col("tas") + 288.15).as("tasK"),
+        least(lit(95.0), greatest(lit(5.0), col("pr"))).as("hurs"),
+        (col("pr") / 5.0).as("wind"),
+        (round(col("pr") * 25.0, 0) * 7.0 % 360.0).as("dir"))
+      val uas = Converters.uasFromWindDir(col("wind"), col("dir"))
+      val vas = Converters.vasFromWindDir(col("wind"), col("dir"))
+      d.select(col("k").as("l_returnflag"), col("d"),
+          round(Converters.vaporPressureDeficit(col("tasK"), col("hurs")), 4).as("vpd"),
+          round(uas, 6).as("uas"), round(vas, 6).as("vas"),
+          round(Converters.windSpeedFromUV(uas, vas), 6).as("wind_rt"))
+        .filter(col("d") < lit("1995-06-01").cast("date"))
+    }),
+
+    "q_chill_portions" -> ((s, dir) => {
+      // chill_portions (_agro.py:1483, Fishman/Luedeling Dynamic Model):
+      // two-compartment sequential recursion per entity over the ordered
+      // temperature series; running chill-portion total per step. Oracle is
+      // a step-identical recursive CTE (per-step HALF_UP quantization at 8
+      // decimals on both sides, the FWI/KBDI pattern).
+      val ser = climateDaily(s, dir)
+        .filter(col("d") < lit("1997-01-01").cast("date"))
+        .select((ascii(col("k")) - 65).cast("long").as("key"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).cast("int").as("t"),
+          least(lit(285.0), greatest(lit(268.0),
+            round(col("tas"), 4) + 276.0)).as("v"))
+      graft.indices.Agro.chillPortionsDynamic(ser)
+        .select(col("key"), col("t"),
+          round(col("chill_portions"), 4).as("chill_portions"))
+    }),
+
+    "q_sen_slope_ratio" -> ((s, dir) => {
+      // sen_slope_ratio (_hydrology.py:949, Sauquet 2025): Theil-Sen slope
+      // of observed vs simulated series and their ratio; both medians
+      // selected from one distributed pair cloud (metric column), no
+      // collect_list.
+      val daily = dailyTotals(s, dir)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"), datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total"), (sqrt(col("total") + 1.0) * 5.0).as("sim"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      val pairs = a.join(b, col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+      val slopes = pairs.select(col("a.user_id").as("user_id"), lit("obs").as("m"),
+          ((col("b.total") - col("a.total")) / (col("b.t") - col("a.t"))).as("slope"))
+        .unionByName(pairs.select(col("a.user_id").as("user_id"), lit("sim").as("m"),
+          ((col("b.sim") - col("a.sim")) / (col("b.t") - col("a.t"))).as("slope")))
+      val wOrd = Window.partitionBy(col("user_id"), col("m")).orderBy(col("slope"))
+      val wAll = Window.partitionBy(col("user_id"), col("m"))
+      val med = slopes
+        .withColumn("_rn", row_number().over(wOrd))
+        .withColumn("_n", count(lit(1)).over(wAll))
+        .filter(col("_rn") === ceil(col("_n") / 2.0).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("m") === "obs", col("slope"))).as("sen_slope"),
+          max(when(col("m") === "sim", col("slope"))).as("sen_slope_sim"))
+      med.select(col("user_id"), round(col("sen_slope"), 6).as("sen_slope"),
+        round(col("sen_slope_sim"), 6).as("sen_slope_sim"),
+        round(col("sen_slope") / col("sen_slope_sim"), 4).as("slope_ratio"))
+    }),
+
+    "q_prcptot_wetdry_period" -> ((s, dir) => {
+      // prcptot_wetdry_period (_anuclim.py:474, P13/P14): monthly precip
+      // amounts, then the wettest and driest month's total per year.
+      // Monthly totals stay in integer quantity units until the final /25.
+      val monthly = climateDaily(s, dir)
+        .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS").as("m"))
+        .agg(sum(round(col("pr") * 25.0, 0)).as("pru"))
+      monthly.groupBy(col("k"), Time.resamplePeriod(col("m"), "YS").as("period"))
+        .agg(round(max(col("pru")) / 25.0, 4).as("wettest"),
+          round(min(col("pru")) / 25.0, 4).as("driest"))
+        .select(col("k").as("l_returnflag"), year(col("period")).as("y"),
+          col("wettest"), col("driest"))
+    })
+  )
+
+  private def oracle35: Map[String, String] = Map(
+
+    "q_hot_spell_magnitude" ->
+      s"""with $climSql,
+         |q as (select k, year(d) y, cast(pr*25.0 as double) prsum, d,
+         |    date_diff('day', date '1970-01-01', d)
+         |      - row_number() over (partition by k, year(d) order by d) grp
+         |  from clim where pr*25.0 > 250.0),
+         |runs as (select k, y, grp, count(*) len,
+         |    sum(round(prsum - 250.0, 0)) mag
+         |  from q group by 1, 2, 3)
+         |select k l_returnflag, y,
+         |  cast(cast(max(mag)/25.0 as decimal(38,4)) as double) max_magnitude
+         |from runs where len >= 3 group by 1, 2""".stripMargin,
+
+    "q_dd_approximation" ->
+      s"""with $climSql,
+         |base as (select k, d, cast(cast(tas as decimal(38,4)) as double) tas4
+         |  from clim),
+         |daily as (select k, year(d) y,
+         |  case when tas4 + 5.0 < 2.0 then 0.0
+         |       when tas4 - 5.0 < 2.0 then
+         |         case when tas4 <= 2.0 then (tas4 + 5.0 - 2.0)/4.0
+         |              else (tas4 + 5.0 - 2.0)/2.0 - (2.0 - (tas4 - 5.0))/4.0 end
+         |       else tas4 - 2.0 end cdd,
+         |  case when tas4 + 5.0 <= 2.0 then 2.0 - tas4
+         |       when tas4 <= 2.0 then (2.0 - (tas4 - 5.0))/2.0 - (tas4 + 5.0 - 2.0)/4.0
+         |       when tas4 - 5.0 <= 2.0 then (2.0 - (tas4 - 5.0))/4.0
+         |       else 0.0 end hdd
+         | from base)
+         |select k l_returnflag, y,
+         |  cast(cast(sum(cdd) as decimal(38,2)) as double) cdd_approx,
+         |  cast(cast(sum(hdd) as decimal(38,2)) as double) hdd_approx
+         |from daily group by 1, 2""".stripMargin,
+
+    "q_multiday_swing" ->
+      s"""with $climSql,
+         |q as (select k, year(d) y, d,
+         |    date_diff('day', date '1970-01-01', d)
+         |      - row_number() over (partition by k, year(d) order by d) grp
+         |  from clim where tas + 5.0 > 0.0 and tas - 5.0 <= 0.0),
+         |runs as (select k, y, grp, count(*) len from q group by 1, 2, 3)
+         |select k l_returnflag, y,
+         |  cast(cast(avg(len) as decimal(38,4)) as double) mean_spell,
+         |  count(*) n_spells
+         |from runs group by 1, 2""".stripMargin,
+
+    "q_holiday_snow" ->
+      s"""with $climSql
+         |select k l_returnflag, year(d) y,
+         |  cast(coalesce(sum(case when month(d)*100 + day(d) between 1220 and 1231
+         |    and pr/100.0 >= 0.08 then 1 end), 0) as bigint) holiday_days
+         |from clim group by 1, 2""".stripMargin,
+
+    "q_first_day_reached" ->
+      s"""with $climSql,
+         |q as (select k, year(d) y, d,
+         |    date_diff('day', date '1970-01-01', d)
+         |      - row_number() over (partition by k, year(d) order by d) grp
+         |  from clim where dayofyear(d) >= 180 and pr >= 8.0),
+         |runs as (select k, y, grp, min(d) run_start, count(*) len
+         |  from q group by 1, 2, 3)
+         |select k l_returnflag, y,
+         |  cast(dayofyear(min(run_start)) as int) first_doy
+         |from runs where len >= 3 group by 1, 2""".stripMargin,
+
+    "q_converters_round3" ->
+      s"""with $climSql,
+         |base as (select k, d, tas + 288.15 task,
+         |    least(95.0, greatest(5.0, pr)) hurs, pr/5.0 wind,
+         |    round(pr*25.0, 0)*7.0 % 360.0 dir
+         |  from clim where d < date '1995-06-01'),
+         |c as (select k, d,
+         |  611.2*exp(17.62*(task - 273.16)/(task - 30.04))*(1.0 - hurs/100.0) vpd,
+         |  wind*cos(radians((270.0 - dir) % 360.0)) uas,
+         |  wind*sin(radians((270.0 - dir) % 360.0)) vas
+         | from base)
+         |select k l_returnflag, d,
+         |  cast(cast(vpd as decimal(38,4)) as double) vpd,
+         |  cast(cast(uas as decimal(38,6)) as double) uas,
+         |  cast(cast(vas as decimal(38,6)) as double) vas,
+         |  cast(cast(sqrt(uas*uas + vas*vas) as decimal(38,6)) as double) wind_rt
+         |from c""".stripMargin,
+
+    "q_chill_portions" -> {
+      // step-identical Dynamic-Model recursion; q8() = HALF_UP at 8
+      // decimals via decimal cast (same as the Scala kernel's BigDecimal)
+      def q8(e: String) = s"cast(cast($e as decimal(38,8)) as double)"
+      val xi = q8("exp(1.6*277.0*(s.v - 277.0)/s.v)/(1.0 + exp(1.6*277.0*(s.v - 277.0)/s.v))")
+      val xs = "(139500.0/2.567e18)*exp((12888.8 - 4153.5)/s.v)"
+      val ak1 = "2.567e18*exp(-12888.8/s.v)"
+      val sPrev = "case when c.intere < 1.0 then c.intere else c.intere - c.intere*c.xi end"
+      val interE = q8(s"$xs - ($xs - ($sPrev))*exp(-($ak1))")
+      s"""with recursive $climSql,
+         |ser as (select cast(ascii(k) - 65 as bigint) "key",
+         |    cast(date_diff('day', date '1970-01-01', d) as int) t,
+         |    least(285.0, greatest(268.0,
+         |      cast(cast(tas as decimal(38,4)) as double) + 276.0)) v,
+         |    row_number() over (partition by k order by d) rn
+         |  from clim where d < date '1997-01-01'),
+         |ch as (
+         |  select "key", 0 rn, cast(null as int) t,
+         |    cast(0.0 as double) intere, cast(0.0 as double) xi,
+         |    cast(0.0 as double) total
+         |  from (select distinct "key" from ser)
+         |  union all
+         |  select s."key", s.rn, s.t,
+         |    case when c.rn = 0 then cast(0.0 as double) else $interE end,
+         |    $xi,
+         |    case when c.rn = 0 then cast(0.0 as double)
+         |         else ${q8(s"c.total + (case when $interE >= 1.0 then ($interE)*($xi) else 0.0 end)")} end
+         |  from ch c join ser s on s."key" = c."key" and s.rn = c.rn + 1
+         |)
+         |select "key", t,
+         |  cast(cast(total as decimal(38,4)) as double) chill_portions
+         |from ch where rn > 0""".stripMargin
+    },
+
+    "q_sen_slope_ratio" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total, sqrt(total + 1.0)*5.0 sim
+         | from daily where user_id % 10 = 0),
+         |pairs as (select a.user_id,
+         |   (b.total - a.total)/(b.t - a.t) s_obs,
+         |   (b.sim - a.sim)/(b.t - a.t) s_sim
+         | from dd a join dd b on a.user_id = b.user_id and a.t < b.t),
+         |arrs as (select user_id, list_sort(list(s_obs)) ao,
+         |   list_sort(list(s_sim)) asim, count(*) n
+         | from pairs group by 1),
+         |med as (select user_id, ao[cast(ceil(n/2.0) as int)] mo,
+         |   asim[cast(ceil(n/2.0) as int)] ms from arrs)
+         |select user_id,
+         |  cast(cast(mo as decimal(38,6)) as double) sen_slope,
+         |  cast(cast(ms as decimal(38,6)) as double) sen_slope_sim,
+         |  cast(cast(mo/ms as decimal(38,4)) as double) slope_ratio
+         |from med""".stripMargin,
+
+    "q_prcptot_wetdry_period" ->
+      s"""with $climSql,
+         |mon as (select k, date_trunc('month', d) m,
+         |   sum(round(pr*25.0, 0)) pru
+         | from clim group by 1, 2)
+         |select k l_returnflag, year(m) y,
+         |  cast(cast(max(pru)/25.0 as decimal(38,4)) as double) wettest,
+         |  cast(cast(min(pru)/25.0 as decimal(38,4)) as double) driest
+         |from mon group by 1, 2""".stripMargin
+  )
 
   private def queries34: Map[String, (SparkSession, String) => DataFrame] = Map(
 

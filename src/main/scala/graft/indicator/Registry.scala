@@ -302,6 +302,70 @@ object Registry {
           graft.core.Time.resamplePeriod(col("_m"), freq).as("period"))
         .agg(pick.as("value"))
     }),
+    // hot_spell_max_magnitude (_threshold.py:2019, Russo 2014): max over
+    // spells >= window of the spell's summed exceedance (tasmax - thresh)
+    "spell_max_magnitude" -> ((df, freq, p) => {
+      val v = col(p.getOrElse("var", "value"))
+      val thr = lit(p.getOrElse("thresh", "0").toDouble)
+      val keyed = df.withColumn("period", graft.core.Time.resamplePeriod(col("time"), freq))
+      graft.core.Runs.windowedMaxRunSum(keyed, Seq("location_id", "period"),
+          col("time"), v > thr, greatest(v - thr, lit(0.0)),
+          p.getOrElse("window", "3").toInt)
+        .withColumnRenamed("max_run_sum", "value")
+    }),
+    // Spinoni 2018 degree-day approximations from the daily cycle
+    // (_threshold.py:844 cooling, :2070 heating). Inputs: value=tas,
+    // valuemax=tasmax, valuemin=tasmin.
+    "dd_approximation" -> ((df, freq, p) => {
+      val tas = col(p.getOrElse("var", "value"))
+      val tx = col(p.getOrElse("varmax", "valuemax"))
+      val tn = col(p.getOrElse("varmin", "valuemin"))
+      val thr = lit(p.getOrElse("thresh", "291.15").toDouble)
+      val daily = p.getOrElse("kind", "cooling") match {
+        case "cooling" =>
+          when(tx < thr, 0.0)
+            .otherwise(when(tn < thr,
+              when(tas <= thr, (tx - thr) / 4.0)
+                .otherwise((tx - thr) / 2.0 - (thr - tn) / 4.0))
+              .otherwise(tas - thr))
+        case "heating" =>
+          when(tx <= thr, thr - tas)
+            .otherwise(when(tas <= thr, (thr - tn) / 2.0 - (tx - thr) / 4.0)
+              .otherwise(when(tn <= thr, (thr - tn) / 4.0).otherwise(0.0)))
+      }
+      Generic.resampleOp(df.withColumn("_dd", daily), Seq("location_id"),
+        col("time"), freq, Seq(sum(col("_dd")).as("value")))
+    }),
+    // holiday_snow_days / holiday_snow_and_snowfall_days
+    // (_threshold.py:3743,:3799): count of qualifying days inside a fixed
+    // month-day window (pure calendar predicate — partition-prunable)
+    "holiday_count" -> ((df, freq, p) => {
+      val md = month(col("time")) * 100 + dayofmonth(col("time"))
+      val lo = p.getOrElse("date_start", "12-25").split("-")
+      val hi = p.getOrElse("date_end", p.getOrElse("date_start", "12-25")).split("-")
+      val inWin = md >= (lo(0).toInt * 100 + lo(1).toInt) &&
+        md <= (hi(0).toInt * 100 + hi(1).toInt)
+      val cond0 = Generic.compare(col(p.getOrElse("var", "value")),
+        p.getOrElse("op", ">="), lit(p.getOrElse("thresh", "0").toDouble))
+      val cond = p.get("thresh2").map { t2 =>
+        cond0 && Generic.compare(col(p.getOrElse("var2", "value2")),
+          p.getOrElse("op2", ">="), lit(t2.toDouble))
+      }.getOrElse(cond0)
+      Generic.resampleOp(df, Seq("location_id"), col("time"), freq,
+        Seq(coalesce(sum(when(inWin && cond, 1L)), lit(0L)).as("value")))
+    }),
+    // first_day_threshold_reached (generic.py:1556): doy of the first run of
+    // >= window qualifying days starting at/after `after_doy`
+    "first_day_reached" -> ((df, freq, p) => {
+      val cond = Generic.compare(col(p.getOrElse("var", "value")),
+        p.getOrElse("op", ">="), lit(p.getOrElse("thresh", "0").toDouble))
+      val keyed = df.withColumn("period", graft.core.Time.resamplePeriod(col("time"), freq))
+        .filter(dayofyear(col("time")) >= p.getOrElse("after_doy", "1").toInt)
+      graft.core.Runs.firstRun(keyed, Seq("location_id", "period"), col("time"),
+          cond, p.getOrElse("window", "1").toInt)
+        .withColumn("value", dayofyear(col("first_run_start")))
+        .drop("first_run_start")
+    }),
     // HI / BEDD (icclim; _agro.py huglin/BEDD simplified to their
     // month-window degree-day cores): capped clipped degree-days over a
     // month window
@@ -603,5 +667,57 @@ object Registry {
       "resample_sum")
     cfg("prcptot_wet_period", "Precip total of wet days", "kg m-2 s-1 d", prec,
       "thresholded_stat", "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "sum")
+    // P13/P14 (_anuclim.py:474): precip of the wettest/driest sub-period;
+    // inputs are pre-aggregated period amounts (weekly/monthly)
+    cfg("prcptot_wettest_period", "Precip of the wettest period (ANUCLIM P13)",
+      "kg m-2 s-1 d", prec, "resample_max")
+    cfg("prcptot_driest_period", "Precip of the driest period (ANUCLIM P14)",
+      "kg m-2 s-1 d", prec, "resample_min")
+
+    // --- round-3 catalogue tail ---
+    // remaining spell-family members (_threshold.py:317,:3457,:3003,:2019)
+    cfg("cold_spell_total_length", "Days in cold spells (tas < -10 degC, 3d)",
+      "d", temp, "spell_stat", "op" -> "<", "thresh" -> "263.15",
+      "window" -> "3", "reducer" -> "sum")
+    cfg("dry_spell_max_length", "Longest dry spell (< 1 mm/d, 3d)", "d", prec,
+      "spell_stat", "op" -> "<", "thresh" -> mmd.toString,
+      "window" -> "3", "reducer" -> "max")
+    cfg("maximum_consecutive_tx_days", "Longest run with tasmax > 25 degC",
+      "d", temp, "spell_stat", "op" -> ">", "thresh" -> "298.15",
+      "window" -> "1", "reducer" -> "max")
+    cfg("hot_spell_max_magnitude",
+      "Magnitude of the most intense hot spell (sum of tasmax excess, 3d)",
+      "K d", temp, "spell_max_magnitude", "thresh" -> "298.15", "window" -> "3")
+    // multiday_temperature_swing (_multivariate.py:426): freeze-thaw spells
+    // (tasmax > 0 degC and tasmin <= 0 degC), mean event length
+    cfg("multiday_temperature_swing", "Mean freeze-thaw spell length", "d",
+      Seq(VarReq("value", "[temperature]", "K"), VarReq("value2", "[temperature]", "K")),
+      "bivariate_spell_stat", "op" -> ">", "thresh" -> "273.15",
+      "op2" -> "<=", "thresh2" -> "273.15", "window" -> "1", "reducer" -> "mean")
+    // Spinoni 2018 daily-cycle degree-day approximations
+    def cyc = Seq(VarReq("value", "[temperature]", "K"),
+      VarReq("valuemax", "[temperature]", "K"), VarReq("valuemin", "[temperature]", "K"))
+    fromConfig(IndicatorSpec("cooling_degree_days_approximation",
+      "Cooling degree days (daily-cycle approximation)", "K d",
+      inputs = cyc, missing = "skip"),
+      "dd_approximation", Map("kind" -> "cooling", "thresh" -> "291.15"))
+    fromConfig(IndicatorSpec("heating_degree_days_approximation",
+      "Heating degree days (daily-cycle approximation)", "K d",
+      inputs = cyc, missing = "skip"),
+      "dd_approximation", Map("kind" -> "heating", "thresh" -> "290.15"))
+    // holiday snow (Christmas Days, _threshold.py:3743,:3799)
+    cfg("holiday_snow_days", "Christmas days with snow cover >= 20 mm", "d",
+      leng, "holiday_count", "op" -> ">=", "thresh" -> "0.02",
+      "date_start" -> "12-25")
+    fromConfig(IndicatorSpec("holiday_snow_and_snowfall_days",
+      "Christmas days with snow cover and measurable snowfall", "d",
+      inputs = Seq(VarReq("value", "[length]", "m"),
+        VarReq("value2", "[precipitation]", "kg m-2 s-1")), missing = "skip"),
+      "holiday_count", Map("op" -> ">=", "thresh" -> "0.02",
+        "op2" -> ">=", "thresh2" -> mmd.toString, "date_start" -> "12-25"))
+    // first_day_threshold_reached (generic.py:1556) with window + after-date
+    cfg("first_day_threshold_reached", "First day tas >= 5 degC for 3 days",
+      "1", temp, "first_day_reached", "op" -> ">=", "thresh" -> "278.15",
+      "window" -> "3", "after_doy" -> "1")
   }
 }

@@ -39,6 +39,41 @@ object Agro {
       .groupBy(keys.map(col): _*)
       .agg(sum(utahChillWeight(col("tas_hourly"))).as("chill_units"))
 
+  /** Chill portions after the Dynamic Model (_agro.py:1442
+    * `_chill_portion_one_season`, Fishman 1987 / Luedeling 2009 constants).
+    * Strictly sequential two-compartment recursion over an ordered
+    * temperature series: the intermediate product x accumulates towards the
+    * equilibrium xs with rate ak1 and, once x >= 1, the fraction xi is
+    * banked as a chill portion. Input frame: (key LONG, t INT order,
+    * v DOUBLE = temperature K); output (key, t, chill_portions) with the
+    * running total per step (period total = max per period). Runs as a
+    * per-key sorted scan — linear, one shuffle, state is 3 doubles. */
+  def chillPortionsDynamic(series: DataFrame): DataFrame = {
+    final case class St(interE: Double, xi: Double, total: Double, started: Boolean)
+    val E0 = 4153.5; val E1 = 12888.8; val A0 = 139500.0; val A1 = 2.567e18
+    val SLP = 1.6; val TETMLT = 277.0
+    val AA = A0 / A1; val EE = E1 - E0
+    // per-step HALF_UP quantization at 8 decimals (the Fire-kernel pattern)
+    // so libm-vs-JVM exp ulp differences cannot drift the recursion vs a
+    // step-identical SQL oracle
+    def q8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    graft.plans.Recursive.scanPerKeyState(series, St(0.0, 0.0, 0.0, started = false)) {
+      (st, tasK, _) =>
+        val sr = math.exp(SLP * TETMLT * (tasK - TETMLT) / tasK)
+        val xi = q8(sr / (1.0 + sr))
+        if (!st.started) St(0.0, xi, 0.0, started = true) // inter_E[0] = 0
+        else {
+          val xs = AA * math.exp(EE / tasK)
+          val ak1 = A1 * math.exp(-E1 / tasK)
+          val sPrev = if (st.interE < 1.0) st.interE else st.interE - st.interE * st.xi
+          val interE = q8(xs - (xs - sPrev) * math.exp(-ak1))
+          val delta = if (interE >= 1.0) interE * xi else 0.0
+          St(interE, xi, q8(st.total + delta), started = true)
+        }
+    }(_.total).toDF("key", "t", "chill_portions")
+  }
+
   /** Latitude-temperature index (_agro.py:728): mean warmest-month temp
     * scaled by a latitude factor (lat in degrees). */
   def latitudeTemperatureIndex(meanWarmestMonthC: Column, latDeg: Column,

@@ -209,6 +209,24 @@ object Converters {
     lit(243.12) * x / (lit(17.62) - x)
   }
 
+  /** vapor_pressure_deficit (converters.py:642): VPD = e_sat(tas) · (1 −
+    * hurs/100), in Pa. e_sat from the Magnus-form family (hPa → Pa ×100),
+    * optionally ice-dispatched below `iceThreshK`. */
+  def vaporPressureDeficit(tasK: Column, hursPct: Column,
+                           method: String = "wmo08",
+                           iceThreshK: Option[Double] = None): Column =
+    saturationVaporPressureMethod(tasK, method, iceThreshK) *
+      (lit(1.0) - hursPct / 100.0)
+
+  /** sfcwind_to_uas_vas (converters.py:337): wind components from speed +
+    * meteorological direction ("from", 360 = North). The math-convention
+    * angle is (270 − dir) mod 360; uas = V cos θ, vas = V sin θ. */
+  def uasFromWindDir(sfcWind: Column, fromDirDeg: Column): Column =
+    sfcWind * cos(radians((lit(270.0) - fromDirDeg) % 360.0))
+
+  def vasFromWindDir(sfcWind: Column, fromDirDeg: Column): Column =
+    sfcWind * sin(radians((lit(270.0) - fromDirDeg) % 360.0))
+
   /** clausius_clapeyron_scaled_precipitation (converters.py:1751):
     * pr · factor^Δtas (default 7 %/K). */
   def clausiusClapeyronScaledPrecipitation(prBaseline: Column, deltaTasK: Column,

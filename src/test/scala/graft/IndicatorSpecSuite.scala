@@ -218,4 +218,44 @@ class IndicatorSpecSuite extends AnyFunSuite {
       .head.getAs[Long]("value")
     assert(cdd == 4)
   }
+
+  test("round-3 catalogue registrations resolve and compute") {
+    import spark.implicits._
+    for (name <- Seq("cold_spell_total_length", "dry_spell_max_length",
+        "maximum_consecutive_tx_days", "hot_spell_max_magnitude",
+        "multiday_temperature_swing", "cooling_degree_days_approximation",
+        "heating_degree_days_approximation", "holiday_snow_days",
+        "holiday_snow_and_snowfall_days", "first_day_threshold_reached",
+        "prcptot_wettest_period", "prcptot_driest_period"))
+      Registry(name) // resolves or throws
+    // hot_spell_max_magnitude: 3 days at 28/29/30 degC over the 25 degC
+    // threshold (excess 3+4+5 = 12 K d), window 3 (_threshold.py:2019)
+    val md = new MetadataBuilder().putString("units", "degC").build()
+    val df = (0 until 31).map { i =>
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2000-07-01")
+        .plusDays(i).atStartOfDay),
+        if (i >= 10 && i <= 12) 28.0 + (i - 10) else 20.0)
+    }.toDF("location_id", "time", "value")
+      .withColumn("value", col("value").as("value", md))
+    val mag = Registry("hot_spell_max_magnitude")(df, "MS", Map.empty)
+      .head.getAs[Double]("value")
+    assert(math.abs(mag - 12.0) < 1e-9)
+  }
+
+  test("chill portions Dynamic Model: accumulates in chill range only") {
+    import spark.implicits._
+    def series(tasK: Double) =
+      (0 until 1000).map(i => (0L, i, tasK)).toDF("key", "t", "v")
+    def lastTotal(tasK: Double): Double =
+      graft.indices.Agro.chillPortionsDynamic(series(tasK))
+        .agg(max(col("chill_portions"))).head.getDouble(0)
+    // 6 degC (279 K) is prime chill weather -> portions accumulate
+    assert(lastTotal(279.0) > 5.0)
+    // 27 degC (300 K): intermediate pool equilibrates below 1 -> none
+    assert(lastTotal(300.0) == 0.0)
+    // monotone running total
+    val run = graft.indices.Agro.chillPortionsDynamic(series(279.0))
+      .orderBy(col("t")).select(col("chill_portions")).as[Double].collect()
+    assert(run.sliding(2).forall(p => p(1) >= p(0) - 1e-12))
+  }
 }
