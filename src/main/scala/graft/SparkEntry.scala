@@ -2711,20 +2711,18 @@ object SparkEntry {
       // Spinoni 2018): piecewise daily-cycle formulas from (tas, tas+5,
       // tas-5), summed per year. Daily contributions quantized to 4
       // decimals in both engines before the order-dependent sum.
-      val c = graft.indicator.Registry.computeBases("dd_approximation")
-      val base = climateDaily(s, dir).select(col("k").as("location_id"),
-        col("d").cast("timestamp").as("time"),
-        round(col("tas"), 4).as("value"),
-        (round(col("tas"), 4) + 5.0).as("valuemax"),
-        (round(col("tas"), 4) - 5.0).as("valuemin"))
-      val cool = c(base, "YS", Map("kind" -> "cooling", "thresh" -> "2.0"))
-        .withColumnRenamed("value", "cdd_approx")
-      val heat = c(base, "YS", Map("kind" -> "heating", "thresh" -> "2.0"))
-        .withColumnRenamed("value", "hdd_approx")
-      cool.join(heat, Seq("location_id", "period"))
-        .select(col("location_id").as("l_returnflag"), year(col("period")).as("y"),
-          round(col("cdd_approx"), 2).as("cdd_approx"),
-          round(col("hdd_approx"), 2).as("hdd_approx"))
+      // both approximations from ONE pass: shared piecewise projection,
+      // single hash-agg (vs two scan+agg pipelines + join)
+      import graft.indicator.Registry.ddApproxDaily
+      val base = climateDaily(s, dir).select(col("k"), col("d"),
+        round(col("tas"), 4).as("tas4"))
+      val (tas, tx, tn, thr) =
+        (col("tas4"), col("tas4") + 5.0, col("tas4") - 5.0, lit(2.0))
+      base.groupBy(col("k"), year(col("d")).as("y"))
+        .agg(round(sum(ddApproxDaily(tas, tx, tn, thr, "cooling")), 2).as("cdd_approx"),
+          round(sum(ddApproxDaily(tas, tx, tn, thr, "heating")), 2).as("hdd_approx"))
+        .select(col("k").as("l_returnflag"), col("y"),
+          col("cdd_approx"), col("hdd_approx"))
     }),
 
     "q_multiday_swing" -> ((s, dir) => {

@@ -317,22 +317,11 @@ object Registry {
     // (_threshold.py:844 cooling, :2070 heating). Inputs: value=tas,
     // valuemax=tasmax, valuemin=tasmin.
     "dd_approximation" -> ((df, freq, p) => {
-      val tas = col(p.getOrElse("var", "value"))
-      val tx = col(p.getOrElse("varmax", "valuemax"))
-      val tn = col(p.getOrElse("varmin", "valuemin"))
-      val thr = lit(p.getOrElse("thresh", "291.15").toDouble)
-      val daily = p.getOrElse("kind", "cooling") match {
-        case "cooling" =>
-          when(tx < thr, 0.0)
-            .otherwise(when(tn < thr,
-              when(tas <= thr, (tx - thr) / 4.0)
-                .otherwise((tx - thr) / 2.0 - (thr - tn) / 4.0))
-              .otherwise(tas - thr))
-        case "heating" =>
-          when(tx <= thr, thr - tas)
-            .otherwise(when(tas <= thr, (thr - tn) / 2.0 - (tx - thr) / 4.0)
-              .otherwise(when(tn <= thr, (thr - tn) / 4.0).otherwise(0.0)))
-      }
+      val daily = ddApproxDaily(col(p.getOrElse("var", "value")),
+        col(p.getOrElse("varmax", "valuemax")),
+        col(p.getOrElse("varmin", "valuemin")),
+        lit(p.getOrElse("thresh", "291.15").toDouble),
+        p.getOrElse("kind", "cooling"))
       Generic.resampleOp(df.withColumn("_dd", daily), Seq("location_id"),
         col("time"), freq, Seq(sum(col("_dd")).as("value")))
     }),
@@ -379,6 +368,24 @@ object Registry {
       Generic.resampleOp(df.withColumn("_dd", when(inWin, dd).otherwise(0.0)),
         Seq("location_id"), col("time"), freq, Seq(sum(col("_dd")).as("value")))
     }))
+
+  /** Spinoni 2018 daily-cycle degree-day contribution (_threshold.py:844
+    * cooling / :2070 heating) — shared by the `dd_approximation` base and
+    * single-pass multi-output query plans. */
+  def ddApproxDaily(tas: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column,
+                    tn: org.apache.spark.sql.Column, thr: org.apache.spark.sql.Column,
+                    kind: String): org.apache.spark.sql.Column = kind match {
+    case "cooling" =>
+      when(tx < thr, 0.0)
+        .otherwise(when(tn < thr,
+          when(tas <= thr, (tx - thr) / 4.0)
+            .otherwise((tx - thr) / 2.0 - (thr - tn) / 4.0))
+          .otherwise(tas - thr))
+    case "heating" =>
+      when(tx <= thr, thr - tas)
+        .otherwise(when(tas <= thr, (thr - tn) / 2.0 - (tx - thr) / 4.0)
+          .otherwise(when(tn <= thr, (thr - tn) / 4.0).otherwise(0.0)))
+  }
 
   /** Instantiate + register an indicator from a spec and a compute-base
     * name with bound parameters (the `Indicator.from_dict` path). */

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.NetCDF
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{DataOutputStream, FileOutputStream}
+
+/** NetCDF classic reader spec: a CDF-1 file is written byte-by-byte from
+  * the public format spec (magic, dim/att/var lists, fixed + record data),
+  * then parsed and read back through the executor-parallel path. */
+class NetCDFSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** dims: time (record), x(3); vars: x double[x] = {10,20,30},
+    * temp double[time,x], 2 records = {{1,2,3},{4,5,6}} with a
+    * _FillValue attr = -999 planted at [1][2]. */
+  private def writeSample(path: String): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    def name(s: String): Unit = {
+      out.writeInt(s.length); out.writeBytes(s)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => out.writeByte(0))
+    }
+    out.writeBytes("CDF"); out.writeByte(1) // magic CDF-1
+    out.writeInt(2) // numrecs
+    out.writeInt(0x0A); out.writeInt(2) // dim_list
+    name("time"); out.writeInt(0) // record dim
+    name("x"); out.writeInt(3)
+    out.writeInt(0); out.writeInt(0) // gatt_list ABSENT
+    out.writeInt(0x0B); out.writeInt(2) // var_list
+    // var x: double[x], no attrs — begin 164 (= header size)
+    name("x"); out.writeInt(1); out.writeInt(1)
+    out.writeInt(0); out.writeInt(0) // vatt ABSENT
+    out.writeInt(6); out.writeInt(24); out.writeInt(164)
+    // var temp: double[time, x], _FillValue = -999.0 — begin 188
+    name("temp"); out.writeInt(2); out.writeInt(0); out.writeInt(1)
+    out.writeInt(0x0C); out.writeInt(1) // one attribute
+    name("_FillValue"); out.writeInt(6); out.writeInt(1); out.writeDouble(-999.0)
+    out.writeInt(6); out.writeInt(24); out.writeInt(188)
+    // data: x then the two temp records
+    Seq(10.0, 20.0, 30.0).foreach(out.writeDouble)
+    Seq(1.0, 2.0, 3.0).foreach(out.writeDouble)
+    Seq(4.0, 5.0, -999.0).foreach(out.writeDouble)
+    out.close()
+  }
+
+  test("header parse: dims, record detection, attrs, begins") {
+    val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
+    writeSample(f.getPath)
+    val h = NetCDF.readHeader(f.getPath)
+    assert(h.version == 1 && h.numRecs == 2)
+    assert(h.dims == Seq(NetCDF.NcDim("time", 0), NetCDF.NcDim("x", 3)))
+    val temp = h.variable("temp")
+    assert(temp.isRecord(h.dims) && temp.begin == 188 && h.recSize == 24)
+    assert(temp.attrs.exists(_.name == "_FillValue"))
+  }
+
+  test("record variable reads executor-parallel, fill becomes NULL") {
+    val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
+    writeSample(f.getPath)
+    val df = NetCDF.readVariable(spark, f.getPath, "temp")
+    assert(df.columns.toSeq == Seq("time", "x", "value"))
+    val rows = df.orderBy("time", "x").collect()
+    assert(rows.length == 6)
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0), None))
+  }
+
+  test("parquet-lake conversion joins coordinate values") {
+    val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
+    writeSample(f.getPath)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val vars = NetCDF.toParquetLake(spark, f.getPath, outDir)
+    assert(vars == Seq("temp"))
+    val lake = spark.read.parquet(s"$outDir/temp")
+    assert(lake.columns.toSet == Set("time", "x", "value", "x_coord"))
+    val r = lake.where("time = 0 and x = 2").head
+    assert(r.getAs[Double]("x_coord") == 30.0 && r.getAs[Double]("value") == 3.0)
+  }
+}
