@@ -46,10 +46,31 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
-  /** STUB decoder: a real implementation would decode the payload and run a
-    * feature extractor; here the feature is a deterministic 8-dim vector
-    * derived from a rolling hash of the bytes, so tests exercise the exact
-    * batch shapes and schemas a real decoder would see. */
+  /** The decoder seam: a per-partition-lifecycle codec interface. A real
+    * implementation wraps a JNI/FFI library (libjpeg/ffmpeg/ONNX runtime):
+    * `open()` acquires the native handle once per partition, `decode()`
+    * runs per row, `close()` releases. Implementations are plain classes —
+    * the FACTORY closure ships to executors inside the task closure, so no
+    * driver-side registry needs to exist on the worker JVM. */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float]
+    def close(): Unit = ()
+  }
+
+  /** Default stub implementation (this container ships no media codecs):
+    * deterministic pseudo-features from a rolling hash — the schema,
+    * batching, and lifecycle are the real, tested surface. */
+  final class FakeDecoder extends MediaDecoder {
+    def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] =
+      fakeDecode(payload, dims)
+  }
+
+  /** STUB decoder kernel used by [[FakeDecoder]]: a real implementation
+    * would decode the payload and run a feature extractor; here the feature
+    * is a deterministic 8-dim vector derived from a rolling hash of the
+    * bytes, so tests exercise the exact batch shapes and schemas a real
+    * decoder would see. */
   def fakeDecode(payload: Array[Byte], dims: Int = 8): Array[Float] = {
     if (payload == null) return null
     val out = new Array[Float](dims)
@@ -64,16 +85,27 @@ object Multimodal {
   }
 
   /** Feature extraction as a narrow per-partition batch kernel (mapInPandas
-    * twin): no shuffle, binary column dropped from the output schema. */
-  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
+    * twin): no shuffle, binary column dropped from the output schema. The
+    * decoder factory runs once per partition (open/close lifecycle); swap
+    * in a JNI-backed [[MediaDecoder]] without touching the plan. */
+  def extractFeatures(media: DataFrame, dims: Int = 8,
+                      decoder: () => MediaDecoder = () => new FakeDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "modality", "payload").mapPartitions { rows =>
-      // per-partition init happens HERE (codec/model handles in real impl)
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
-          if (payload == null) 0L else payload.length.toLong,
-          fakeDecode(payload, dims))
+      // per-partition init: codec/model handle acquired once, closed when
+      // the partition iterator drains
+      val dec = decoder(); dec.open()
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext; if (!h) dec.close(); h
+        }
+        def next(): Row = {
+          val r = rows.next()
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+            if (payload == null) 0L else payload.length.toLong,
+            dec.decode(r.getAs[String]("modality"), payload, dims))
+        }
       }
     }(enc)
   }

@@ -264,6 +264,18 @@ class EngineSpec extends AnyFunSuite {
     val rp = graft.pipeline.Multimodal.resizePlan(media.filter($"media_id" === 1), 1024)
       .select("out_width", "out_height").head
     assert(rp.getInt(0) == 1024 && rp.getInt(1) == 768)
+    // decoder seam: a custom MediaDecoder factory plugs in without plan
+    // changes (the JNI/FFI drop-in point); constant 2-dim features prove
+    // the custom impl actually ran
+    val custom = graft.pipeline.Multimodal.extractFeatures(media, dims = 2,
+      decoder = () => new graft.pipeline.Multimodal.MediaDecoder {
+        def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] =
+          if (payload == null) null else Array.fill(dims)(if (modality == "image") 1.0f else 2.0f)
+      }).collect()
+    assert(custom.find(_.getLong(0) == 1L).get
+      .getAs[scala.collection.Seq[Float]]("feature") == Seq(1.0f, 1.0f))
+    assert(custom.find(_.getLong(0) == 2L).get
+      .getAs[scala.collection.Seq[Float]]("feature") == Seq(2.0f, 2.0f))
   }
 
   test("SPI pipeline: standardized output is centred and clipped") {
