@@ -267,7 +267,8 @@ object SparkEntry {
     }),
 
     "q_api_recursive" -> ((s, dir) => {
-      // antecedent precipitation index: sequential decay recursion (mapGroups)
+      // antecedent_precipitation_index (_hydrology.py:673): sequential
+      // decay recursion (mapGroups)
       val daily = dailyTotals(s, dir)
         .select(col("user_id").as("key"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
@@ -1340,7 +1341,8 @@ object SparkEntry {
     }),
 
     "q_rb_flashiness" -> ((s, dir) => {
-      // Richards-Baker flashiness (_hydrology.py:94): sum|dQ| / sumQ
+      // rb_flashiness_index — Richards-Baker flashiness (_hydrology.py:94):
+      // sum|dQ| / sumQ
       val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
       dailyTotals(s, dir)
         .withColumn("dq", abs(col("total") - lag(col("total"), 1).over(w)))
@@ -1349,7 +1351,8 @@ object SparkEntry {
     }),
 
     "q_flow_frequency" -> ((s, dir) => {
-      // high/low_flow_frequency (_hydrology.py:607,:640) with mean-scaled
+      // high_flow_frequency / low_flow_frequency (_hydrology.py:607,:640)
+      // with mean-scaled
       // thresholds (self-join of per-entity climatology)
       val wu = Window.partitionBy(col("user_id"))
       dailyTotals(s, dir)

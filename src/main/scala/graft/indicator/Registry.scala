@@ -355,7 +355,8 @@ object Registry {
         .withColumn("value", dayofyear(col("first_run_start")))
         .drop("first_run_start")
     }),
-    // HI / BEDD (icclim; _agro.py huglin/BEDD simplified to their
+    // HI / BEDD = biologically_effective_degree_days (_agro.py:275;
+    // icclim; _agro.py huglin/BEDD simplified to their
     // month-window degree-day cores): capped clipped degree-days over a
     // month window
     "dd_capped_between" -> ((df, freq, p) => {
@@ -726,5 +727,52 @@ object Registry {
     cfg("first_day_threshold_reached", "First day tas >= 5 degC for 3 days",
       "1", temp, "first_day_reached", "op" -> ">=", "thresh" -> "278.15",
       "window" -> "3", "after_doy" -> "1")
+
+    // --- canonical reference names over existing bases (the lookup names a
+    // reference user would reach for; same compute, documented defaults) ---
+    cfg("maximum_consecutive_frost_free_days", "Longest run with tasmin >= 0 degC",
+      "d", temp, "spell_stat", "op" -> ">=", "thresh" -> "273.15",
+      "window" -> "1", "reducer" -> "max")
+    cfg("daily_pr_intensity", "SDII: mean precip on wet days (_threshold.py:680)",
+      "kg m-2 s-1", prec, "thresholded_stat",
+      "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "mean")
+    cfg("days_over_precip_thresh", "Days over the wet-day 75th percentile (_multivariate.py:1176)",
+      "d", prec, "wetday_percentile_count", "per" -> "0.75",
+      "wet_thresh" -> mmd.toString)
+    cfg("fraction_over_precip_thresh",
+      "Fraction of wet-day precip above the wet-day 75th percentile (_multivariate.py:1238)",
+      "1", prec, "wetday_percentile_fraction", "per" -> "0.75",
+      "wet_thresh" -> mmd.toString)
+    def dtrVars = Seq(VarReq("value", "[temperature]", "K"),
+      VarReq("value2", "[temperature]", "K"))
+    cfg("daily_temperature_range", "Mean diurnal temperature range (_multivariate.py:514)",
+      "K", dtrVars, "daily_range_mean")
+    cfg("daily_temperature_range_variability",
+      "Mean absolute day-to-day DTR change (_multivariate.py:561)", "K",
+      dtrVars, "daily_range_variability")
+    cfg("extreme_temperature_range", "Period max tasmax - min tasmin (generic.py:1388)",
+      "K", dtrVars, "etr")
+    cfg("temperature_seasonality", "CV of monthly mean temperature (ANUCLIM P4)",
+      "%", temp, "temp_seasonality_cv")
+    cfg("precip_seasonality", "CV of monthly precip totals (ANUCLIM P15)",
+      "%", prec, "precip_seasonality_cv")
+    def quarterVars = Seq(VarReq("value", "[temperature]", "K"),
+      VarReq("value2", "[precipitation]", "kg m-2 s-1"))
+    cfg("tg_mean_wetdry_quarter", "Mean temp of the wettest quarter (_anuclim.py:275)",
+      "K", quarterVars, "quarter_select",
+      "sel_var" -> "value2", "sel_agg" -> "sum", "sel_op" -> "max",
+      "out_var" -> "value", "out_agg" -> "mean")
+    cfg("tg_mean_warmcold_quarter", "Mean temp of the warmest quarter (_anuclim.py:215)",
+      "K", quarterVars, "quarter_select",
+      "sel_var" -> "value", "sel_agg" -> "mean", "sel_op" -> "max",
+      "out_var" -> "value", "out_agg" -> "mean")
+    cfg("prcptot_wetdry_quarter", "Precip total of the wettest quarter (_anuclim.py:331)",
+      "kg m-2 s-1 d", quarterVars, "quarter_select",
+      "sel_var" -> "value2", "sel_agg" -> "sum", "sel_op" -> "max",
+      "out_var" -> "value2", "out_agg" -> "sum")
+    cfg("prcptot_warmcold_quarter", "Precip total of the warmest quarter (_anuclim.py:389)",
+      "kg m-2 s-1 d", quarterVars, "quarter_select",
+      "sel_var" -> "value", "sel_agg" -> "mean", "sel_op" -> "max",
+      "out_var" -> "value2", "out_agg" -> "sum")
   }
 }

@@ -233,7 +233,8 @@ object Converters {
                                            ccScaleFactor: Double = 1.07): Column =
     prBaseline * pow(lit(ccScaleFactor), deltaTasK)
 
-  /** longwave/shortwave upwelling from net downwelling
+  /** longwave_upwelling_radiation_from_net_downwelling /
+    * shortwave_upwelling_radiation_from_net_downwelling
     * (converters.py:1543,:1566): rlus = rlds − rls, rsus = rsds − rss. */
   def upwellingFromNetDownwelling(down: Column, net: Column): Column = down - net
 

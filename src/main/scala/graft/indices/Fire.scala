@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Fire-weather systems: the Canadian Forest Fire Weather Index (CFFWIS)
   * codes and the McArthur Mark 5 system (KBDI, Griffiths drought factor,
-  * FFDI).
+  * FFDI) — the public surface of `cffwis_indices`, `drought_code`,
+  * `duff_moisture_code`, `fire_season`, `overwintering_drought_code`,
+  * `keetch_byram_drought_index`, `griffiths_drought_factor` and
+  * `mcarthur_forest_fire_danger_index`.
   *
   * Reference semantics: `fire/_cffwis.py:246-530` (FFMC eqs 1-10, DMC eqs
   * 11-17, DC eqs 18-22, ISI eqs 25-26, BUI eq 27, FWI eqs 28-30, DSR),

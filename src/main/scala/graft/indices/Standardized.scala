@@ -5,7 +5,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Standardized indices — SPI / SPEI / SSI machinery (stats.py:770
+/** Standardized indices — standardized_precipitation_index (SPI,
+  * _agro.py:987), SPEI, standardized_streamflow_index and
+  * standardized_groundwater_index (_hydrology.py:136,:447 — same pipeline,
+  * different variable/distribution defaults) machinery (stats.py:770
   * `preprocess_standardized_index`, :839 `standardized_index_fit_params`,
   * :971 `standardized_index`): accumulate over a rolling window, fit a
   * zero-inflated gamma per (entity, calendar group), map through the fitted

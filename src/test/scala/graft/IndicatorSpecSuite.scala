@@ -226,7 +226,15 @@ class IndicatorSpecSuite extends AnyFunSuite {
         "multiday_temperature_swing", "cooling_degree_days_approximation",
         "heating_degree_days_approximation", "holiday_snow_days",
         "holiday_snow_and_snowfall_days", "first_day_threshold_reached",
-        "prcptot_wettest_period", "prcptot_driest_period"))
+        "prcptot_wettest_period", "prcptot_driest_period",
+        // canonical reference names over existing bases
+        "maximum_consecutive_frost_free_days", "daily_pr_intensity",
+        "days_over_precip_thresh", "fraction_over_precip_thresh",
+        "daily_temperature_range", "daily_temperature_range_variability",
+        "extreme_temperature_range", "temperature_seasonality",
+        "precip_seasonality", "tg_mean_wetdry_quarter",
+        "tg_mean_warmcold_quarter", "prcptot_wetdry_quarter",
+        "prcptot_warmcold_quarter"))
       Registry(name) // resolves or throws
     // hot_spell_max_magnitude: 3 days at 28/29/30 degC over the 25 degC
     // threshold (excess 3+4+5 = 12 K d), window 3 (_threshold.py:2019)
