@@ -50,7 +50,7 @@ object Converters {
     (hiF - 32.0) / 1.8
   }
 
-  /** Wind chill index [degC], Environment Canada / NWS 2001 formulation
+  /** wind_chill_index [degC], Environment Canada / NWS 2001 formulation
     * (converters.py:1663): tas degC, wind km/h at 10 m. */
   def windChill(tasC: Column, sfcWindKmh: Column): Column = {
     val v016 = pow(sfcWindKmh, 0.16)
