@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -441,7 +441,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2688,6 +2688,84 @@ object SparkEntry {
 
   // ---- batch 34: bootstrapped percentile indicator ------------------------
 
+  // ---- batch 36: quadratic detrend + per-entity date-window aggregation --
+
+  private def queries36: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_quadratic_detrend" -> ((s, dir) => {
+      // detrend deg-2 (generic.py:1711 polyfit degree 2): closed-form
+      // quadratic LSQ from EXACT integer moment sums (x centred to small
+      // ints, y in cents) — bit-stable under aggregation order, so the
+      // Cramer solve is hash-identical to the SQL twin. One hash-agg.
+      val daily = dailyTotals(s, dir)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total"))
+      val wu = Window.partitionBy(col("user_id"))
+      val centred = daily
+        .withColumn("x", col("t") - min(col("t")).over(wu))
+        .withColumn("y", round(col("total") * 100, 0).cast("long"))
+      Generic.quadraticFit(centred, Seq("user_id"), col("x"), col("y"))
+        .select(col("user_id"), round(col("a") / 100.0, 6).as("a"),
+          round(col("b") / 100.0, 6).as("b"), round(col("c") / 100.0, 6).as("c"))
+    }),
+
+    "q_between_dates_per_entity" -> ((s, dir) => {
+      // aggregate_between_dates (generic.py:1417) with PER-ENTITY bounds
+      // (the reference's DataArray-valued start/end): each entity's window
+      // opens at its first >= 20-unit precip doy and runs 120 days;
+      // precip totals per (entity, year) inside that window.
+      val clim = climateDaily(s, dir)
+      val bounds = clim.filter(col("pr") >= 20.0)
+        .groupBy(col("k")).agg(min(dayofyear(col("d"))).as("start_doy"))
+        .withColumn("end_doy", col("start_doy") + 120)
+      Generic.aggregateBetweenDates(
+          clim.withColumn("y", year(col("d"))), bounds,
+          joinKeys = Seq("k"), groupKeys = Seq("k", "y"), col("d"),
+          round(col("pr") * 25.0, 0), "sum", "pr_window_units")
+        .select(col("k").as("l_returnflag"), col("y"),
+          round(col("pr_window_units") / 25.0, 4).as("pr_in_window"))
+    })
+  )
+
+  private def oracle36: Map[String, String] = Map(
+
+    "q_quadratic_detrend" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t, total
+         | from daily where user_id % 7 = 0),
+         |cx as (select user_id, t - min(t) over (partition by user_id) x,
+         |   cast(round(total*100) as bigint) y from dd),
+         |m as (select user_id, cast(count(*) as double) s0,
+         |  cast(sum(x) as double) s1, cast(sum(x*x) as double) s2,
+         |  cast(sum(x*x*x) as double) s3, cast(sum(x*x*x*x) as double) s4,
+         |  cast(sum(y) as double) t0, cast(sum(x*y) as double) t1,
+         |  cast(sum(x*x*y) as double) t2
+         | from cx group by 1),
+         |sol as (select user_id,
+         |  s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) det,
+         |  t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2) na,
+         |  s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2) nb,
+         |  s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2) nc
+         | from m)
+         |select user_id,
+         |  cast(cast(na/det/100.0 as decimal(38,6)) as double) a,
+         |  cast(cast(nb/det/100.0 as decimal(38,6)) as double) b,
+         |  cast(cast(nc/det/100.0 as decimal(38,6)) as double) c
+         |from sol""".stripMargin,
+
+    "q_between_dates_per_entity" ->
+      s"""with $climSql,
+         |bounds as (select k, min(dayofyear(d)) start_doy,
+         |   min(dayofyear(d)) + 120 end_doy
+         | from clim where pr >= 20.0 group by 1)
+         |select c.k l_returnflag, year(c.d) y,
+         |  cast(cast(sum(case when dayofyear(c.d) between b.start_doy and b.end_doy
+         |    then round(c.pr*25.0) end)/25.0 as decimal(38,4)) as double) pr_in_window
+         |from clim c join bounds b on b.k = c.k
+         |group by 1, 2""".stripMargin
+  )
+
   // ---- batch 35: round-3 catalogue tail ----------------------------------
   // hot-spell magnitude, Spinoni degree-day approximations, freeze-thaw
   // swing, holiday snow, windowed first-day, VPD + wind components, the
@@ -2832,6 +2910,20 @@ object SparkEntry {
       med.select(col("user_id"), round(col("sen_slope"), 6).as("sen_slope"),
         round(col("sen_slope_sim"), 6).as("sen_slope_sim"),
         round(col("sen_slope") / col("sen_slope_sim"), 4).as("slope_ratio"))
+    }),
+
+    "q_dedup_clusters" -> ((s, dir) => {
+      // Near-dup CLUSTER assignment: MinHash-LSH candidate pairs ->
+      // connected components (min-label propagation, one label-table
+      // shuffle per round) -> (doc, component, cluster_size); the
+      // component min-id is the canonical survivor. Oracle: recursive-CTE
+      // transitive closure over the same exhaustive pair truth.
+      val pairs = Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
+      val comp = Dedup.connectedComponents(pairs)
+      val w = Window.partitionBy(col("component"))
+      comp.withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
     }),
 
     "q_prcptot_wetdry_period" -> ((s, dir) => {
@@ -2986,6 +3078,29 @@ object SparkEntry {
          |  cast(cast(ms as decimal(38,6)) as double) sen_slope_sim,
          |  cast(cast(mo/ms as decimal(38,4)) as double) slope_ratio
          |from med""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """with recursive toks as (select doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') t from documents),
+        |g as (select doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) grams
+        | from toks),
+        |pairs as (
+        | select a.doc_id id_a, b.doc_id id_b
+        | from g a join g b on a.doc_id < b.doc_id
+        | where cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e as (select id_a u, id_b v from pairs
+        |      union select id_b, id_a from pairs),
+        |reach as (
+        |  select u, u r from (select distinct u from e)
+        |  union
+        |  select e.u, reach.r from e join reach on reach.u = e.v
+        |)
+        |select u doc_id, min(r) component,
+        |  count(*) over (partition by min(r)) cluster_size
+        |from reach group by u""".stripMargin,
 
     "q_prcptot_wetdry_period" ->
       s"""with $climSql,

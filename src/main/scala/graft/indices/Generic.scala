@@ -148,6 +148,59 @@ object Generic {
     thresholdedStat(df, keys, time, freq, v, inWindow, reducer, as)
   }
 
+  /** aggregate_between_dates (generic.py:1417) with PER-ENTITY doy bounds:
+    * the bounds table (keys, start_doy, end_doy) — typically season bounds
+    * computed from another variable — broadcast-joins onto the daily frame
+    * and gates the aggregation. Covers the reference's DataArray-valued
+    * `start`/`end` arguments (per-location arrays), which the scalar
+    * [[aggregateBetweenDoys]] cannot. */
+  def aggregateBetweenDates(df: DataFrame, bounds: DataFrame, joinKeys: Seq[String],
+                            groupKeys: Seq[String], time: Column, v: Column,
+                            reducer: String, as: String): DataFrame = {
+    val joined = df.join(broadcast(bounds), joinKeys)
+    val inWin = dayofyear(time) >= col("start_doy") && dayofyear(time) <= col("end_doy")
+    val red: Column = reducer match {
+      case "sum"   => sum(when(inWin, v))
+      case "mean"  => avg(when(inWin, v))
+      case "max"   => max(when(inWin, v))
+      case "min"   => min(when(inWin, v))
+      case "count" => coalesce(sum(when(inWin, 1L)), lit(0L))
+      case other   => throw new IllegalArgumentException(s"bad reducer: $other")
+    }
+    joined.groupBy(groupKeys.map(col): _*).agg(red.as(as))
+  }
+
+  /** detrend deg-2 (generic.py:1711 `detrend` with polyfit degree 2):
+    * closed-form quadratic least squares y = a + b x + c x² from the
+    * normal-equation moment sums, solved with Cramer's rule — one
+    * hash-agg, no UDAF, no collect. `x` and `yQuantized` must be
+    * integer-valued columns (cast your float y to fixed-point first):
+    * integer moments aggregate EXACTLY in LONG, so the fit is bit-stable
+    * under partial-aggregation order — the property that makes it
+    * oracle-hashable and deterministic across cluster sizes. */
+  def quadraticFit(df: DataFrame, keys: Seq[String], x: Column,
+                   yQuantized: Column): DataFrame = {
+    val xl = x.cast("long"); val yl = yQuantized.cast("long")
+    val moments = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("s0"),
+      sum(xl).as("s1"), sum(xl * xl).as("s2"),
+      sum(xl * xl * xl).as("s3"), sum(xl * xl * xl * xl).as("s4"),
+      sum(yl).as("t0"), sum(xl * yl).as("t1"), sum(xl * xl * yl).as("t2"))
+    // Cramer on the 3x3 normal matrix [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]]
+    def d(a: Column, b: Column, c: Column, e: Column, f: Column, g: Column,
+          h: Column, i: Column, j: Column): Column =
+      a * (f * j - g * i) - b * (e * j - g * h) + c * (e * i - f * h)
+    val (s0, s1, s2, s3, s4) = (col("s0").cast("double"), col("s1").cast("double"),
+      col("s2").cast("double"), col("s3").cast("double"), col("s4").cast("double"))
+    val (t0, t1, t2) = (col("t0").cast("double"), col("t1").cast("double"),
+      col("t2").cast("double"))
+    val det = d(s0, s1, s2, s1, s2, s3, s2, s3, s4)
+    moments.select((keys.map(col) :+
+      (d(t0, s1, s2, t1, s2, s3, t2, s3, s4) / det).as("a") :+
+      (d(s0, t0, s2, s1, t1, s3, s2, t2, s4) / det).as("b") :+
+      (d(s0, s1, t0, s1, s2, t1, s2, s3, t2) / det).as("c")): _*)
+  }
+
   /** get_zones (generic.py:1611): fixed-width binning of a value. */
   def zones(v: Column, binWidth: Double, origin: Double = 0.0): Column =
     floor((v - origin) / binWidth).cast("int")

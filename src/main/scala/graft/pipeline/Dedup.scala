@@ -221,4 +221,44 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), fp.as("fp"))
   }
+
+  /** Connected components over an undirected candidate-pair edge list —
+    * the cluster-assignment step that turns near-dup PAIRS into dedup
+    * GROUPS (the component's min id is the canonical survivor).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum label among itself and its neighbours; fixed point after
+    * `diameter` rounds. Near-dup graphs are shallow (pairs and small
+    * cliques), so 2-4 rounds in practice; `maxIter` caps pathological
+    * chains. Each round is one shuffle join + one hash-agg over the LABEL
+    * table (2 longs per node, never the documents) — no driver-side graph
+    * state, so components over billions of candidate pairs are just a few
+    * joins. `localCheckpoint` keeps the iterative lineage flat (the
+    * classic iterative-DataFrame plan-explosion guard).
+    *
+    * Output: (id, component) for every node appearing in `edges`. */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(edges.select(col(idB).as("u"), col(idA).as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNbr = sym.join(labels, sym("v") === labels("id"))
+        .select(sym("u").as("id"), col("comp"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
 }

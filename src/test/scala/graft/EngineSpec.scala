@@ -158,6 +158,15 @@ class EngineSpec extends AnyFunSuite {
     assert(d12 < d13)
   }
 
+  test("connected components: chains propagate, clusters stay separate") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2 forces >1 propagation round) + pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("similarity: cosine and top-k") {
     import spark.implicits._
     val corpus = Seq(
