@@ -44,4 +44,31 @@ object Streams {
     q.stop()
     s.table(queryName)
   }
+
+  /** Sliding-window aggregation (window length + slide): the streaming twin
+    * of `rollingThenResample`. Each event lands in len/slide windows; state
+    * is (window x keys), bounded by the watermark. */
+  def slidingAgg(events: DataFrame, tsCol: String, keys: Seq[String],
+                 windowLen: String, slide: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen, slide).as("w") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select((col("w.start").as("w_start") +: keys.map(col)) :+ col("n") :+ col("total"): _*)
+
+  /** Streaming exact dedup on an id column: `dropDuplicatesWithinWatermark`
+    * keeps the dedup state bounded by the event-time watermark (the
+    * unbounded-state footgun of plain dropDuplicates on streams). The
+    * streaming half of `pipeline.Dedup.exactGroups`. */
+  def dedupStream(events: DataFrame, tsCol: String, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-static enrichment join: the static dimension is broadcast to
+    * every micro-batch (no stream-side shuffle, no state). The streaming
+    * twin of the batch dim-join discipline. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, joinKeys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinKeys)
 }

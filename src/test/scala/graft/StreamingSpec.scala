@@ -39,6 +39,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows, watermarked stream dedup, stream-static join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (id, ts-seconds, type, value); id 2 duplicated within the watermark
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val events = input.toDS()
+      .toDF("event_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val dim = Seq(("view", 1.0), ("click", 5.0)).toDF("event_type", "weight")
+    val out = graft.streaming.Streams.enrichWithDim(
+      graft.streaming.Streams.dedupStream(events, "ts", Seq("event_id"), "10 minutes"),
+      dim, Seq("event_type"))
+    val q1 = out.writeStream.format("memory").queryName("dedup_enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, "view", 2.0), (2L, 1030L, "click", 3.0),
+        (2L, 1040L, "click", 3.0)) // duplicate id within watermark
+      q1.processAllAvailable()
+      val rows = spark.table("dedup_enriched").collect()
+      assert(rows.length == 2) // duplicate dropped
+      val click = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Double]("weight") == 5.0) // dim joined
+    } finally q1.stop()
+    // sliding windows: 2-min window sliding 1 min -> each event in 2 windows
+    val input2 = MemoryStream[(Long, Long, String, Double)]
+    val ev2 = input2.toDS().toDF("event_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val slide = graft.streaming.Streams.slidingAgg(ev2, "ts", Seq("event_type"),
+      "2 minutes", "1 minute")
+    val q2 = slide.writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      input2.addData((1L, 90L, "view", 1.0)) // 01:30 -> windows [00:00,02:00) and [01:00,03:00)
+      q2.processAllAvailable()
+      val w = spark.table("sliding").collect()
+      assert(w.length == 2 && w.forall(_.getAs[Long]("n") == 1L))
+    } finally q2.stop()
+  }
+
   test("native expressions usable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
