@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.Main list
   *   graft.Main run <indicator> <input.parquet> <output.parquet> [freq] [yamlModule]
+  *   graft.Main convert-netcdf <file.nc> <outDir>   (classic CDF-1/2 → long-format lake)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -38,8 +39,19 @@ object Main {
         result.write.mode("overwrite").parquet(out)
         println(s"$name @ $freq -> $out (${result.columns.mkString(", ")})")
         spark.stop()
+      case "convert-netcdf" :: nc :: outDir :: Nil =>
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val vars = graft.sources.NetCDF.toParquetLake(spark, nc, outDir)
+        println(s"$nc -> $outDir (${vars.mkString(", ")})")
+        spark.stop()
       case other =>
-        System.err.println(s"usage: list | run <indicator> <in> <out> [freq] [module.yml]; got: $other")
+        System.err.println(
+          s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | convert-netcdf <nc> <outDir>; got: $other")
         sys.exit(2)
     }
   }

@@ -2710,6 +2710,24 @@ object SparkEntry {
           round(col("b") / 100.0, 6).as("b"), round(col("c") / 100.0, 6).as("c"))
     }),
 
+    "q_salted_hot_key" -> ((s, dir) => {
+      // Two-phase salted aggregation (core.Skew.saltedAgg) over the
+      // genuinely hot event_type key (5 values x 100k+ rows): phase 1
+      // spreads each hot key over 16 salt reducers, phase 2 combines the
+      // algebraic partials — result identical to the direct groupBy the
+      // oracle runs. Value sums stay in integer cents so the two-phase
+      // summation order cannot differ from the oracle's.
+      graft.core.Skew.saltedAgg(
+          t(s, dir, "events")
+            .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+          Seq("event_type"), salt = 16,
+          Map("n" -> ("count", lit(1)), "total_cents" -> ("sum", col("cents")),
+            "max_cents" -> ("max", col("cents"))))
+        .select(col("event_type"), col("n"),
+          (col("total_cents").cast("double") / 100.0).as("total"),
+          (col("max_cents").cast("double") / 100.0).as("max_value"))
+    }),
+
     "q_between_dates_per_entity" -> ((s, dir) => {
       // aggregate_between_dates (generic.py:1417) with PER-ENTITY bounds
       // (the reference's DataArray-valued start/end): each entity's window
@@ -2753,6 +2771,12 @@ object SparkEntry {
          |  cast(cast(nb/det/100.0 as decimal(38,6)) as double) b,
          |  cast(cast(nc/det/100.0 as decimal(38,6)) as double) c
          |from sol""".stripMargin,
+
+    "q_salted_hot_key" ->
+      """select event_type, count(*) n,
+        | cast(sum(cast(round(value*100) as bigint)) as double)/100.0 total,
+        | cast(max(cast(round(value*100) as bigint)) as double)/100.0 max_value
+        |from events group by 1""".stripMargin,
 
     "q_between_dates_per_entity" ->
       s"""with $climSql,

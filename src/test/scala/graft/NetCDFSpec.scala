@@ -71,6 +71,44 @@ class NetCDFSpec extends AnyFunSuite {
       Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), Some(5.0), None))
   }
 
+  /** Same content as [[writeSample]] but CDF-2 (64-bit `begin` offsets):
+    * header grows by 4 bytes per variable → x at 172, temp at 196. */
+  private def writeSampleV2(path: String): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    def name(s: String): Unit = {
+      out.writeInt(s.length); out.writeBytes(s)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => out.writeByte(0))
+    }
+    out.writeBytes("CDF"); out.writeByte(2) // magic CDF-2
+    out.writeInt(2)
+    out.writeInt(0x0A); out.writeInt(2)
+    name("time"); out.writeInt(0)
+    name("x"); out.writeInt(3)
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(0x0B); out.writeInt(2)
+    name("x"); out.writeInt(1); out.writeInt(1)
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(6); out.writeInt(24); out.writeLong(172L)
+    name("temp"); out.writeInt(2); out.writeInt(0); out.writeInt(1)
+    out.writeInt(0x0C); out.writeInt(1)
+    name("_FillValue"); out.writeInt(6); out.writeInt(1); out.writeDouble(-999.0)
+    out.writeInt(6); out.writeInt(24); out.writeLong(196L)
+    Seq(10.0, 20.0, 30.0).foreach(out.writeDouble)
+    Seq(1.0, 2.0, 3.0).foreach(out.writeDouble)
+    Seq(4.0, 5.0, -999.0).foreach(out.writeDouble)
+    out.close()
+  }
+
+  test("CDF-2 64-bit offsets parse and read identically") {
+    val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
+    writeSampleV2(f.getPath)
+    val h = NetCDF.readHeader(f.getPath)
+    assert(h.version == 2 && h.variable("temp").begin == 196L)
+    val rows = NetCDF.readVariable(spark, f.getPath, "temp")
+      .orderBy("time", "x").collect()
+    assert(rows.length == 6 && rows(0).getDouble(2) == 1.0 && rows(5).isNullAt(2))
+  }
+
   test("parquet-lake conversion joins coordinate values") {
     val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
     writeSample(f.getPath)
