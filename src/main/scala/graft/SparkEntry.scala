@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -441,7 +441,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2687,6 +2687,124 @@ object SparkEntry {
   )
 
   // ---- batch 34: bootstrapped percentile indicator ------------------------
+
+  // ---- batch 37: deterministic sampling, TF-IDF, dedup apply -------------
+
+  private def queries37: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_hash_sample" -> ((s, dir) => {
+      // RNG-free Bernoulli sample (pipeline.Sampling.hashSample): keep
+      // rows whose salted-md5 fraction < 0.2 — membership is a pure
+      // function of (doc_id, salt), reproducible across runs, retries and
+      // partitionings (df.sample is not). No shuffle.
+      graft.pipeline.Sampling.hashSample(
+          t(s, dir, "documents"), col("doc_id"), p = 0.2)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified sample: exactly 5 rows per l_returnflag
+      // stratum by hash rank (window sort spills -> stratum size never
+      // bounds executor memory).
+      graft.pipeline.Sampling.stratifiedSample(
+          t(s, dir, "lineitem")
+            .withColumn("sid", col("l_orderkey") * 10 + col("l_linenumber")),
+          Seq("l_returnflag"), col("sid"), k = 5)
+        .select(col("l_returnflag"), col("sid"))
+    }),
+
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      // TF-IDF (smoothed idf) + top-3 terms per document; vocabulary joins
+      // on the term key (never broadcast — corpus-scale vocabularies).
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+      val scored = TextStats.tfidf(docs, "doc_id", "text", nDocs = 50L)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+    }),
+
+    "q_dedup_apply" -> ((s, dir) => {
+      // The dedup KEEP step: near-dup components -> drop every member
+      // except the component's min id -> corpus counts. Composes
+      // nearDuplicates + connectedComponents + an anti-join back onto the
+      // corpus (the documents table never re-shuffles: the drop list
+      // broadcasts).
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
+      val comp = Dedup.connectedComponents(pairs)
+      val drop = comp.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val kept = docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_after"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("n_before", lit(docs.count()))
+        .select(col("n_before"), col("n_after"), col("n_langs"))
+    })
+  )
+
+  private def oracle37: Map[String, String] = Map(
+
+    "q_hash_sample" ->
+      """select doc_id, lang from documents
+        |where cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), 'graft')), 1, 13))
+        |  as ubigint) as double)/4503599627370496.0 < 0.2""".stripMargin,
+
+    "q_stratified_sample" ->
+      """with li as (select l_returnflag, l_orderkey*10 + l_linenumber sid from lineitem),
+        |h as (select l_returnflag, sid,
+        |  cast(cast(concat('0x', substr(md5(concat(cast(sid as varchar), 'graft')), 1, 13))
+        |    as ubigint) as double)/4503599627370496.0 f
+        | from li),
+        |r as (select l_returnflag, sid,
+        |  row_number() over (partition by l_returnflag order by f, sid) rk from h)
+        |select l_returnflag, sid from r where rk <= 5""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """with docs as (select * from documents where doc_id < 50),
+        |toks as (select doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) term
+        | from docs),
+        |tf as (select doc_id, term, count(*) tf from toks
+        | where len(term) > 0 group by 1, 2),
+        |dft as (select term, count(*) df_t from tf group by 1),
+        |scored as (select tf.doc_id, tf.term, tf.tf,
+        |  tf.tf * (ln((50 + 1.0)/(df_t + 1.0)) + 1.0) tfidf
+        | from tf join dft on dft.term = tf.term),
+        |r as (select doc_id, term, tfidf,
+        |  row_number() over (partition by doc_id order by tfidf desc, term) rk
+        | from scored)
+        |select doc_id, rk, term,
+        |  cast(cast(tfidf as decimal(38,6)) as double) tfidf
+        |from r where rk <= 3""".stripMargin,
+
+    "q_dedup_apply" ->
+      """with recursive toks as (select doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') t from documents),
+        |g as (select doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) grams
+        | from toks),
+        |pairs as (
+        | select a.doc_id id_a, b.doc_id id_b
+        | from g a join g b on a.doc_id < b.doc_id
+        | where cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e as (select id_a u, id_b v from pairs
+        |      union select id_b, id_a from pairs),
+        |reach as (
+        |  select u, u r from (select distinct u from e)
+        |  union
+        |  select e.u, reach.r from e join reach on reach.u = e.v
+        |),
+        |comp as (select u, min(r) c from reach group by u),
+        |dropids as (select u from comp where u <> c),
+        |kept as (select * from documents where doc_id not in (select u from dropids))
+        |select (select count(*) from documents) n_before,
+        |  count(*) n_after, count(distinct lang) n_langs
+        |from kept""".stripMargin
+  )
 
   // ---- batch 36: quadratic detrend + per-entity date-window aggregation --
 

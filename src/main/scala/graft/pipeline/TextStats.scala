@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -104,4 +104,24 @@ object TextStats {
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
 
   def wordNgrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  /** Per-document TF-IDF over whitespace tokens, smoothed sklearn-style:
+    * idf = ln((N+1)/(df+1)) + 1. Returns (id, term, tf, tfidf).
+    *
+    * Plan: two hash-aggs — (doc, term) counts then term document
+    * frequencies — and a shuffle join keyed on term (the vocabulary can be
+    * billions of terms at corpus scale, so it is NOT broadcast; a df-cut
+    * upstream bounds the join for Zipfian tails). `nDocs` is passed in so
+    * the caller amortises the corpus count across calls. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    tf.join(dft, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(nDocs) + 1.0) / (col("df_t") + 1.0)) + 1.0))
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
 }
