@@ -117,4 +117,52 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(r - 20.0) < 3.0, s"UTCI(20C neutral) = $r")
   }
 
+  test("quadraticFit recovers a planted parabola exactly") {
+    import spark.implicits._
+    // y = 3 - 2x + 0.5x² sampled at x = 0..40, y in integer halves x2
+    val rows = (0 to 40).map { x =>
+      (0L, x.toLong, math.round((3.0 - 2.0 * x + 0.5 * x * x) * 2).toLong)
+    }.toDF("id", "x", "y2")
+    val fit = graft.indices.Generic.quadraticFit(rows, Seq("id"), col("x"), col("y2")).head
+    // fit is on y2 = 2y: coefficients double
+    assert(math.abs(fit.getAs[Double]("a") - 6.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("b") + 4.0) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("c") - 1.0) < 1e-9)
+  }
+
+  test("connectedComponents agrees with union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(i => i -> find(i.toInt).toLong).toMap
+    val got = graft.pipeline.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == canon.keySet)
+    // same partition: two nodes share a component in got iff they do in canon
+    for (a <- got.keySet; b <- got.keySet)
+      assert((got(a) == got(b)) == (canon(a) == canon(b)), s"$a vs $b")
+  }
+
+  test("hash sampling: deterministic membership, stratified size exact") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i % 7).toString)).toDF("id", "s")
+    val s1 = graft.pipeline.Sampling.hashSample(df, col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    val s2 = graft.pipeline.Sampling.hashSample(df.repartition(13), col("id"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 300) // partitioning-invariant
+    val strat = graft.pipeline.Sampling.stratifiedSample(df, Seq("s"), col("id"), 10)
+      .groupBy("s").count().collect()
+    assert(strat.length == 7 && strat.forall(_.getLong(1) == 10L))
+  }
 }
