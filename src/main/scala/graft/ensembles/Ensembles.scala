@@ -171,4 +171,37 @@ object Ensembles {
       .withColumn("robustness", lit(1.0) - col("_a1") / col("_a2"))
       .select((keys.map(col) :+ col("robustness")): _*)
   }
+
+  // ---- ensemble frame filters (ensembles/_filters.py) -------------------
+
+  /** `_concat_hist` (_filters.py:12): splice the historical scenario's
+    * timeline in front of every future scenario — the hist rows are
+    * replicated per future scenario (a tiny broadcast of the scenario
+    * list), future rows pass through, the hist label disappears. */
+  def concatHist(df: DataFrame, scenarioCol: String, histLabel: String): DataFrame = {
+    val futures = df.filter(col(scenarioCol) =!= histLabel)
+    val scens = futures.select(col(scenarioCol)).distinct()
+    val replicatedHist = df.filter(col(scenarioCol) === histLabel)
+      .drop(scenarioCol).crossJoin(broadcast(scens))
+    futures.unionByName(replicatedHist.select(futures.columns.map(col): _*))
+  }
+
+  /** `_model_in_all_scens` (_filters.py:68): keep only models with at
+    * least one member in every scenario. */
+  def modelInAllScens(df: DataFrame, modelCol: String, scenarioCol: String): DataFrame = {
+    val nScens = df.select(col(scenarioCol)).distinct().count()
+    val complete = df.groupBy(col(modelCol))
+      .agg(countDistinct(col(scenarioCol)).as("_n"))
+      .filter(col("_n") === nScens).drop("_n")
+    df.join(broadcast(complete), Seq(modelCol), "left_semi")
+  }
+
+  /** `_single_member` (_filters.py:110): keep one member per
+    * (model, scenario) — the first by member label. */
+  def singleMember(df: DataFrame, modelCol: String, scenarioCol: String,
+                   memberCol: String): DataFrame = {
+    val first = df.groupBy(col(modelCol), col(scenarioCol))
+      .agg(min(col(memberCol)).as(memberCol))
+    df.join(broadcast(first), Seq(modelCol, scenarioCol, memberCol), "left_semi")
+  }
 }

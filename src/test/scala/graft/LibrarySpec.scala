@@ -69,6 +69,29 @@ class LibrarySpec extends AnyFunSuite {
     assert(out == out.sorted)     // monotone non-decreasing totals
   }
 
+  test("ensemble filters: concat_hist, model_in_all_scens, single_member") {
+    import spark.implicits._
+    import graft.ensembles.Ensembles
+    // (model, scenario, member, t, v)
+    val df = Seq(
+      ("m1", "historical", "r1", 0, 1.0), ("m1", "ssp245", "r1", 1, 2.0),
+      ("m1", "ssp370", "r1", 1, 3.0), ("m1", "ssp370", "r2", 1, 4.0),
+      ("m2", "historical", "r1", 0, 5.0), ("m2", "ssp245", "r1", 1, 6.0)
+    ).toDF("model", "scenario", "member", "t", "v")
+    // concat_hist: hist rows replicate under each future scenario
+    val ch = Ensembles.concatHist(df, "scenario", "historical")
+    assert(ch.filter($"scenario" === "historical").count() == 0)
+    assert(ch.filter($"model" === "m1" && $"scenario" === "ssp245").count() == 2) // hist + future
+    assert(ch.filter($"model" === "m2" && $"scenario" === "ssp370").count() == 1) // m2 hist replicated
+    // model_in_all_scens: m2 misses ssp370 -> dropped
+    val all3 = Ensembles.modelInAllScens(df, "model", "scenario")
+    assert(all3.select("model").distinct().as[String].collect().toSeq == Seq("m1"))
+    // single_member: (m1, ssp370) keeps only r1
+    val sm = Ensembles.singleMember(df, "model", "scenario", "member")
+    assert(sm.count() == 5 &&
+      sm.filter($"model" === "m1" && $"scenario" === "ssp370").count() == 1)
+  }
+
   test("KKZ and k-means reduction pick spread members") {
     // two tight clusters + one outlier; k=3 must cover all three
     val crit = Seq(
