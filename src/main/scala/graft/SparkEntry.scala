@@ -51,7 +51,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -441,7 +441,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2687,6 +2687,83 @@ object SparkEntry {
   )
 
   // ---- batch 34: bootstrapped percentile indicator ------------------------
+
+  // ---- batch 38: keep_longest_run + find_events oracles -------------------
+
+  private def queries38: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_keep_longest_run" -> ((s, dir) => {
+      // keep_longest_run (run_length.py:805): mask all but each
+      // (entity, year)'s longest qualifying run (ties -> earliest); here
+      // reduced to the kept-day count per group.
+      val clim = climateDaily(s, dir).withColumn("_y", year(col("d")))
+      graft.core.Runs.keepLongestRun(clim, Seq("k", "_y"), col("d"),
+          col("pr") >= 10.0)
+        .filter(col("in_longest_run"))
+        .groupBy(col("k"), col("_y"))
+        .agg(count(lit(1)).as("days_in_longest"), min(col("d")).as("run_start"))
+        .select(col("k").as("l_returnflag"), col("_y").as("y"),
+          col("days_in_longest"), col("run_start"))
+    }),
+
+    "q_find_events" -> ((s, dir) => {
+      // find_events / thresholded_events (run_length.py:1760,
+      // generic.py:1740): runs_with_holes state machine (enter after 2 wet
+      // days, leave after 3 dry days) -> one record per event with length,
+      // effective length, bounds and in-event precip sum. Long event table
+      // (better than the reference's padded event dimension).
+      val clim = climateDaily(s, dir)
+      graft.core.Runs.findEvents(clim, Seq("k"), col("d"),
+          col("pr") >= 15.0, 2, col("pr") < 15.0, 3,
+          round(col("pr") * 25.0, 0))
+        .select(col("k").as("l_returnflag"), col("event_start"),
+          col("event_length"), col("event_effective_length"),
+          round(col("event_sum") / 25.0, 4).as("event_sum"))
+    })
+  )
+
+  private def oracle38: Map[String, String] = Map(
+
+    "q_keep_longest_run" ->
+      s"""with $climSql,
+         |q as (select k, year(d) y, d,
+         |    date_diff('day', date '1970-01-01', d)
+         |      - row_number() over (partition by k, year(d) order by d) grp
+         |  from clim where pr >= 10.0),
+         |runs as (select k, y, grp, count(*) len, min(d) start_d
+         |  from q group by 1, 2, 3),
+         |best as (select k, y, len, start_d,
+         |  row_number() over (partition by k, y order by len desc, start_d) rk
+         | from runs)
+         |select k l_returnflag, y, len days_in_longest, start_d run_start
+         |from best where rk = 1""".stripMargin,
+
+    "q_find_events" ->
+      s"""with $climSql,
+         |sl as (select k, d, pr,
+         |    row_number() over (partition by k order by d) rn,
+         |    min(case when pr >= 15.0 then 1 else 0 end)
+         |      over (partition by k order by d rows between 1 preceding and current row) qs,
+         |    min(case when pr < 15.0 then 1 else 0 end)
+         |      over (partition by k order by d rows between 2 preceding and current row) qp
+         |  from clim),
+         |m as (select *, case when qp = 1 and rn >= 3 then 0
+         |                     when qs = 1 and rn >= 2 then 1 end marker from sl),
+         |st as (select *, coalesce(last_value(marker ignore nulls)
+         |    over (partition by k order by d
+         |          rows between unbounded preceding and current row), 0) in_event
+         |  from m),
+         |runid as (select *, sum(case when in_event = 1 then 0 else 1 end)
+         |  over (partition by k order by d) rid from st),
+         |ev as (select k, rid, min(d) event_start, count(*) event_length,
+         |    cast(sum(case when pr >= 15.0 then 1 else 0 end) as bigint) event_effective_length,
+         |    sum(round(pr*25.0)) su
+         |  from runid where in_event = 1 group by 1, 2)
+         |select k l_returnflag, event_start, event_length,
+         |  event_effective_length,
+         |  cast(cast(su/25.0 as decimal(38,4)) as double) event_sum
+         |from ev""".stripMargin
+  )
 
   // ---- batch 37: deterministic sampling, TF-IDF, dedup apply -------------
 

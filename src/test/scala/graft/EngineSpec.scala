@@ -158,6 +158,25 @@ class EngineSpec extends AnyFunSuite {
     assert(d12 < d13)
   }
 
+  test("doy percentile: broadcast and co-partitioned join paths agree") {
+    import spark.implicits._
+    // grid-scale path (broadcastDim=false) must produce the same counts as
+    // the station-scale broadcast path
+    val md = java.time.LocalDate.parse("2001-01-01")
+    val df = (0 until 2).flatMap { loc =>
+      (0 until 400).map { i =>
+        (loc.toLong, java.sql.Timestamp.valueOf(md.plusDays(i).atStartOfDay),
+          math.sin(i * 0.7 + loc) * 10 + i % 13)
+      }
+    }.toDF("location_id", "time", "value")
+    def run(bc: Boolean) =
+      graft.indices.PercentileIndicators.doyExceedance(df, Seq("location_id"),
+          "time", "value", p = 0.8, op = ">", halfWindow = 2, freq = "YS",
+          broadcastDim = bc)
+        .orderBy("location_id", "period").collect().toSeq
+    assert(run(bc = true) == run(bc = false))
+  }
+
   test("connected components: chains propagate, clusters stay separate") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2 forces >1 propagation round) + pair 10-11
