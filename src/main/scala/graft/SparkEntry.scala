@@ -43,6 +43,19 @@ object SparkEntry {
     """select user_id, cast(date_trunc('day', ts) as date) d,
       | sum(value) total, count(*) n_events from events group by 1, 2""".stripMargin
 
+  /** Near-dup components over `documents` — memoized per (session, dir)
+    * like [[dailyTotals]]: the LSH + verify + iterative-propagation
+    * pipeline is shared by the clustering and keep-step queries, so the
+    * candidate generation and component rounds are paid once per run. */
+  private val componentsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def docComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCache.getOrElseUpdate((s, dir),
+      Dedup.connectedComponents(
+        Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)).persist())
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -2809,9 +2822,7 @@ object SparkEntry {
       // corpus (the documents table never re-shuffles: the drop list
       // broadcasts).
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-        ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
-      val comp = Dedup.connectedComponents(pairs)
+      val comp = docComponents(s, dir)
       val drop = comp.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       val kept = docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
@@ -3137,9 +3148,7 @@ object SparkEntry {
       // shuffle per round) -> (doc, component, cluster_size); the
       // component min-id is the canonical survivor. Oracle: recursive-CTE
       // transitive closure over the same exhaustive pair truth.
-      val pairs = Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-        ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
-      val comp = Dedup.connectedComponents(pairs)
+      val comp = docComponents(s, dir)
       val w = Window.partitionBy(col("component"))
       comp.withColumn("cluster_size", count(lit(1)).over(w))
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"))

@@ -248,14 +248,17 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // carry the previous label through the same aggregation (each id has
+      // exactly one self row), so convergence detection costs a scan of the
+      // checkpointed result instead of an extra shuffle join per round
       val viaNbr = sym.join(labels, sym("v") === labels("id"))
-        .select(sym("u").as("id"), col("comp"))
-      val next = labels.unionByName(viaNbr)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(sym("u").as("id"), col("comp"), lit(null).cast("long").as("self"))
+      val selfRows = labels.select(col("id"), col("comp"), col("comp").as("self"))
+      val next = selfRows.unionByName(viaNbr)
+        .groupBy("id").agg(min("comp").as("comp"), max("self").as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist()
