@@ -2705,6 +2705,25 @@ object SparkEntry {
 
   private def queries38: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_corpus_pipeline" -> ((s, dir) => {
+      // End-to-end training-corpus cleaning in ONE declarative plan:
+      // quality gate (Gopher/C4-style score) -> near-dup removal (LSH ->
+      // components -> keep component minimum) -> per-language corpus
+      // stats. The quality/token scalars ride the scan (no shuffle); the
+      // drop list broadcasts; one final hash-agg.
+      val docs = t(s, dir, "documents")
+      val drop = docComponents(s, dir)
+        .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+      docs
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .withColumn("tokens", TextStats.tokenCount(col("text")))
+        .filter(col("quality") >= 0.5)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
     "q_keep_longest_run" -> ((s, dir) => {
       // keep_longest_run (run_length.py:805): mask all but each
       // (entity, year)'s longest qualifying run (ties -> earliest); here
@@ -2736,6 +2755,52 @@ object SparkEntry {
   )
 
   private def oracle38: Map[String, String] = Map(
+
+    "q_corpus_pipeline" ->
+      """with recursive toks as (select doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') t from documents),
+        |g as (select doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) grams
+        | from toks),
+        |pairs as (
+        | select a.doc_id id_a, b.doc_id id_b
+        | from g a join g b on a.doc_id < b.doc_id
+        | where cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+        |e as (select id_a u, id_b v from pairs
+        |      union select id_b, id_a from pairs),
+        |reach as (
+        |  select u, u r from (select distinct u from e)
+        |  union
+        |  select e.u, reach.r from e join reach on reach.u = e.v
+        |),
+        |dropids as (select u from (select u, min(r) c from reach group by u)
+        |            where u <> c),
+        |q as (select doc_id, lang,
+        |  case when length(trim(text)) = 0 then 0
+        |       else len(string_split_regex(trim(text), '\s+')) end n_tok,
+        |  length(regexp_replace(text, '\s', '', 'g')) nonspace,
+        |  length(regexp_replace(text, '\s', '', 'g'))
+        |    - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) punct,
+        |  length(text) ln,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) digits
+        | from documents),
+        |scored as (select doc_id, lang, n_tok,
+        |  cast(cast(
+        |    least(cast(n_tok as double)/50.0, 1.0)*0.4
+        |    + (1.0 - least((case when nonspace = 0 then 0.0
+        |        else cast(punct as double)/nonspace end)*5.0, 1.0))*0.3
+        |    + (1.0 - least((case when ln = 0 then 0.0
+        |        else cast(digits as double)/ln end)*5.0, 1.0))*0.3
+        |   as decimal(38,6)) as double) quality
+        | from q)
+        |select lang, count(*) n_docs,
+        |  cast(sum(n_tok) as bigint) total_tokens,
+        |  cast(cast(avg(quality) as decimal(38,6)) as double) avg_quality
+        |from scored
+        |where quality >= 0.5 and doc_id not in (select u from dropids)
+        |group by 1""".stripMargin,
 
     "q_keep_longest_run" ->
       s"""with $climSql,

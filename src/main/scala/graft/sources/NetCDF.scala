@@ -21,8 +21,8 @@ import java.io.{DataInputStream, EOFException, FileInputStream, RandomAccessFile
   * materialisation of data, no scan of the whole file by one process —
   * ingestion parallelism is bounded only by the record count and the
   * filesystem, which is the right contract for a 100 TB lake backfill.
-  * (CDF-5's 64-bit type extensions are out of scope; classic files are the
-  * overwhelming majority of CMIP-era archives.)
+  * CDF-5's widened counts and extended integer types are
+  * supported; HDF5-backed NetCDF-4 is out of scope.
   */
 object NetCDF {
 
@@ -46,7 +46,9 @@ object NetCDF {
         s"no variable '$name'; have: ${vars.map(_.name).mkString(", ")}"))
   }
 
-  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 4, 6 -> 8)
+  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 4, 6 -> 8,
+    // CDF-5 extended types: ubyte, ushort, uint, int64, uint64
+    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 8)
 
   /** Parse the header (driver-side, reads only the header bytes). */
   def readHeader(path: String): NcHeader = {
@@ -56,12 +58,14 @@ object NetCDF {
       require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
         s"$path is not a NetCDF classic file")
       val version = magic(3).toInt
-      require(version == 1 || version == 2,
-        s"unsupported NetCDF variant $version (CDF-1/CDF-2 only)")
-      val numRecs = in.readInt()
+      require(version == 1 || version == 2 || version == 5,
+        s"unsupported NetCDF variant $version (CDF-1/2/5 only)")
+      // CDF-5 widens every count/length field to 64 bits
+      def readSize(): Long = if (version == 5) in.readLong() else in.readInt().toLong
+      val numRecs = readSize().toInt
 
       def readName(): String = {
-        val n = in.readInt()
+        val n = readSize().toInt
         val bytes = Array.fill(n)(in.readByte())
         val pad = (4 - n % 4) % 4
         (0 until pad).foreach(_ => in.readByte())
@@ -69,40 +73,41 @@ object NetCDF {
       }
       def readAttrValues(ncType: Int, n: Int): Any = {
         val v: Any = ncType match {
-          case 1 => Array.fill(n)(in.readByte())
-          case 2 => new String(Array.fill(n)(in.readByte()), "UTF-8")
-          case 3 => Array.fill(n)(in.readShort())
-          case 4 => Array.fill(n)(in.readInt())
-          case 5 => Array.fill(n)(in.readFloat())
-          case 6 => Array.fill(n)(in.readDouble())
+          case 1 | 7  => Array.fill(n)(in.readByte())
+          case 2      => new String(Array.fill(n)(in.readByte()), "UTF-8")
+          case 3 | 8  => Array.fill(n)(in.readShort())
+          case 4 | 9  => Array.fill(n)(in.readInt())
+          case 5      => Array.fill(n)(in.readFloat())
+          case 6      => Array.fill(n)(in.readDouble())
+          case 10 | 11 => Array.fill(n)(in.readLong())
         }
         val pad = (4 - (n * TypeSizes(ncType)) % 4) % 4
         (0 until pad).foreach(_ => in.readByte())
         v
       }
       def readAttrList(): Seq[NcAttr] = {
-        val tag = in.readInt(); val n = in.readInt()
+        val tag = in.readInt(); val n = readSize().toInt
         require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
         (0 until n).map { _ =>
           val name = readName()
-          val t = in.readInt(); val cnt = in.readInt()
+          val t = in.readInt(); val cnt = readSize().toInt
           NcAttr(name, readAttrValues(t, cnt))
         }
       }
 
-      val dimTag = in.readInt(); val nDims = in.readInt()
+      val dimTag = in.readInt(); val nDims = readSize().toInt
       require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag")
-      val dims = (0 until nDims).map(_ => NcDim(readName(), in.readInt()))
+      val dims = (0 until nDims).map(_ => NcDim(readName(), readSize().toInt))
       val gattrs = readAttrList()
-      val varTag = in.readInt(); val nVars = in.readInt()
+      val varTag = in.readInt(); val nVars = readSize().toInt
       require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var_list tag $varTag")
       val vars = (0 until nVars).map { _ =>
         val name = readName()
-        val nd = in.readInt()
+        val nd = readSize().toInt
         val dimIds = (0 until nd).map(_ => in.readInt())
         val attrs = readAttrList()
         val ncType = in.readInt()
-        val vsize = in.readInt().toLong & 0xFFFFFFFFL
+        val vsize = if (version == 5) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
         val begin = if (version == 1) in.readInt().toLong & 0xFFFFFFFFL else in.readLong()
         NcVar(name, dimIds, attrs, ncType, vsize, begin)
       }
@@ -117,6 +122,11 @@ object NetCDF {
     case 4 => raf.readInt().toDouble
     case 5 => raf.readFloat().toDouble
     case 6 => raf.readDouble()
+    case 7 => (raf.readByte() & 0xFF).toDouble        // CDF-5 ubyte
+    case 8 => (raf.readShort() & 0xFFFF).toDouble     // ushort
+    case 9 => (raf.readInt().toLong & 0xFFFFFFFFL).toDouble // uint
+    case 10 => raf.readLong().toDouble                // int64
+    case 11 => raf.readLong().toDouble                // uint64 (< 2^63 assumed)
   }
 
   /** One variable as a long-format DataFrame: one INT index column per

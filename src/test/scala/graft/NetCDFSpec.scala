@@ -109,6 +109,47 @@ class NetCDFSpec extends AnyFunSuite {
     assert(rows.length == 6 && rows(0).getDouble(2) == 1.0 && rows(5).isNullAt(2))
   }
 
+  /** CDF-5 variant: 64-bit counts everywhere, temp stored as int64
+    * (nc_type 10). Header: magic 4 + numrecs 8 + dim_list (12 + 20 + 20)
+    * + gatt ABSENT 12 + var_list 12 + var x (12+8+4+12+4+8+8 = 56)
+    * + var temp (12+8+8+12+4+8+8 = 60) = 204; x at 204, temp at 228. */
+  private def writeSampleV5(path: String): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    def name(s: String): Unit = {
+      out.writeLong(s.length.toLong); out.writeBytes(s)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => out.writeByte(0))
+    }
+    out.writeBytes("CDF"); out.writeByte(5)
+    out.writeLong(2L) // numrecs
+    out.writeInt(0x0A); out.writeLong(2L)
+    name("time"); out.writeLong(0L)
+    name("x"); out.writeLong(3L)
+    out.writeInt(0); out.writeLong(0L) // gatt ABSENT
+    out.writeInt(0x0B); out.writeLong(2L)
+    name("x"); out.writeLong(1L); out.writeInt(1)
+    out.writeInt(0); out.writeLong(0L) // vatt ABSENT
+    out.writeInt(6); out.writeLong(24L); out.writeLong(204L)
+    name("temp"); out.writeLong(2L); out.writeInt(0); out.writeInt(1)
+    out.writeInt(0); out.writeLong(0L) // vatt ABSENT
+    out.writeInt(10); out.writeLong(24L); out.writeLong(228L) // int64 values
+    Seq(10.0, 20.0, 30.0).foreach(out.writeDouble)
+    Seq(100L, 200L, 300L).foreach(out.writeLong)
+    Seq(400L, 500L, 600L).foreach(out.writeLong)
+    out.close()
+  }
+
+  test("CDF-5: 64-bit counts and int64 values") {
+    val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
+    writeSampleV5(f.getPath)
+    val h = NetCDF.readHeader(f.getPath)
+    assert(h.version == 5 && h.numRecs == 2 && h.variable("temp").begin == 228L)
+    assert(h.variable("temp").ncType == 10)
+    val rows = NetCDF.readVariable(spark, f.getPath, "temp")
+      .orderBy("time", "x").collect()
+    assert(rows.map(_.getDouble(2)).toSeq ==
+      Seq(100.0, 200.0, 300.0, 400.0, 500.0, 600.0))
+  }
+
   test("parquet-lake conversion joins coordinate values") {
     val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
     writeSample(f.getPath)
