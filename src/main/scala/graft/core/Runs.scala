@@ -183,6 +183,31 @@ object Runs {
       .withColumnRenamed("run_len", "event_length")
   }
 
+  /** Date-constrained run searches (run_length.py:1148-1334
+    * `first_run_after_date` / `last_run_before_date` /
+    * `run_end_after_date` family): the doy predicate masks the search
+    * region, then the run machinery applies unchanged. */
+  def firstRunAfterDate(df: DataFrame, keys: Seq[String], order: Column,
+                        cond: Column, window: Int, afterDoy: Int): DataFrame =
+    firstRun(df.filter(dayofyear(order) >= afterDoy), keys, order, cond, window)
+
+  def lastRunBeforeDate(df: DataFrame, keys: Seq[String], order: Column,
+                        cond: Column, window: Int, beforeDoy: Int): DataFrame =
+    lastRun(df.filter(dayofyear(order) <= beforeDoy), keys, order, cond, window)
+
+  def firstRunBeforeDate(df: DataFrame, keys: Seq[String], order: Column,
+                         cond: Column, window: Int, beforeDoy: Int): DataFrame =
+    firstRun(df.filter(dayofyear(order) <= beforeDoy), keys, order, cond, window)
+
+  /** run_end_after_date (run_length.py:1148): first day AFTER the end of
+    * the first qualifying run whose end falls on/after `afterDoy`. */
+  def runEndAfterDate(df: DataFrame, keys: Seq[String], order: Column,
+                      cond: Column, window: Int, afterDoy: Int): DataFrame =
+    runTable(df, keys, order, cond)
+      .filter(col("run_len") >= window && dayofyear(col("run_end")) >= afterDoy)
+      .groupBy(keys.map(col): _*)
+      .agg(date_add(min(col("run_end")), 1).as("run_end_after_date"))
+
   /** Values repeating >= `window` times (QA flag, run_length.py:1717
     * `suspicious_run`). Returns the run table of repeats. */
   def suspiciousRuns(df: DataFrame, keys: Seq[String], order: Column, value: Column,

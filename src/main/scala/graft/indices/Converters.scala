@@ -95,6 +95,48 @@ object Converters {
   def solarDeclination(doy: Column): Column =
     lit(0.409) * sin(lit(2.0 * math.Pi / 365.0) * doy - lit(1.39))
 
+  /** distance_from_sun (helpers.py:65, Astronomical Almanac 1985):
+    * sun-earth distance [AU] from days since J2000.0 noon. */
+  def distanceFromSun(date: Column): Column = {
+    val daysSince = datediff(date, to_date(lit("2000-01-01"))).cast("double") - 0.5
+    val g = pmod(lit(357.528) + lit(0.9856003) * daysSince, lit(360.0)) * math.Pi / 180.0
+    lit(1.00014) - lit(0.01671) * cos(g) - lit(0.00014) * cos(lit(2.0) * g)
+  }
+
+  /** time_correction_for_solar_angle (helpers.py:166, Di Napoli 2020):
+    * equation-of-time correction [rad, wrapped to (−π, π]] from the day
+    * angle (1° of rotation = 4 minutes). */
+  def timeCorrectionForSolarAngle(doy: Column, daysInYear: Column): Column = {
+    val da = lit(2.0 * math.Pi) * (doy.cast("double") - 1.0) / daysInYear.cast("double")
+    val tcDeg = lit(0.004297) + lit(0.107029) * cos(da) - lit(1.837877) * sin(da) -
+      lit(0.837378) * cos(lit(2.0) * da) - lit(2.340475) * sin(lit(2.0) * da)
+    val tcRad = radians(tcDeg)
+    pmod(tcRad + math.Pi, lit(2.0 * math.Pi)) - math.Pi // wrap to (-pi, pi]
+  }
+
+  /** Growing-season day-length sum [h] over [doyStart, doyEnd] for a
+    * latitude — the Σ dayLength term of the Jones/Gladstones day-length
+    * latitude coefficients (helpers.py:688 docstring, Jday 103..284).
+    * A fold over the doy sequence: evaluate once per DISTINCT latitude
+    * (dim table) and broadcast, not per daily row. */
+  def seasonDayLengthSum(latDeg: Column, doyStart: Int = 103, doyEnd: Int = 284): Column =
+    aggregate(sequence(lit(doyStart), lit(doyEnd)), lit(0.0),
+      (acc, d) => acc + dayLength(latDeg, d.cast("int")))
+
+  /** jones_day_length_latitude_coefficient (helpers.py:688, Hall & Jones
+    * 2010): k = 2.8311e-4 · ΣdayLength + 0.30834, optionally floored at 1. */
+  def jonesDayLengthCoefficient(latDeg: Column, floorAtOne: Boolean = true): Column = {
+    val k = lit(2.8311e-4) * seasonDayLengthSum(latDeg) + lit(0.30834)
+    if (floorAtOne) greatest(k, lit(1.0)) else k
+  }
+
+  /** gladstones_day_length_latitude_coefficient (helpers.py:618):
+    * k_gladstones = 1.1135 · k_jones − 0.1352. */
+  def gladstonesDayLengthCoefficient(latDeg: Column, floorAtOne: Boolean = true): Column = {
+    val k = lit(1.1135) * jonesDayLengthCoefficient(latDeg, floorAtOne = false) - lit(0.1352)
+    if (floorAtOne) greatest(k, lit(1.0)) else k
+  }
+
   /** Astronomical day length [h] for latitude [deg] and day-of-year
     * (helpers.py:450 `day_lengths`): 24/pi * hourAngle, with the sunset hour
     * angle clamped for polar day/night. */

@@ -121,6 +121,27 @@ object Distributions {
       graft.functions.SpecialFunctions.gammaPpf(x, params("shape"), params("scale"))
     case ("cdf", "gamma") =>
       graft.functions.SpecialFunctions.gammaCdf(x, params("shape"), params("scale"))
+    case ("pdf", "gamma")   => gammaPdf(x, params("shape"), params("scale"))
+    case ("pdf", "norm")    => normPdf(x, params("loc"), params("scale"))
+    case ("pdf", "lognorm") => lognormPdf(x, params("sigma"), params("mu"))
     case (m, d) => throw new IllegalArgumentException(s"dist_method: no $m for $d")
   }
+
+  // ---- densities (stats.py:363 `parametric_pdf`) ------------------------
+
+  /** Gamma density: exp((k−1)·ln x − x/θ − lnΓ(k) − k·ln θ). */
+  def gammaPdf(x: Column, shape: Column, scale: Column): Column =
+    when(x <= 0.0, 0.0).otherwise(exp((shape - 1.0) * log(x) - x / scale
+      - graft.functions.SpecialFunctions.logGamma(shape) - shape * log(scale)))
+
+  /** Normal density. */
+  def normPdf(x: Column, mu: Column, sigma: Column): Column =
+    exp(lit(-0.5) * pow((x - mu) / sigma, 2.0)) /
+      (sigma * math.sqrt(2.0 * math.Pi))
+
+  /** Log-normal density (sigma/mu of ln x). */
+  def lognormPdf(x: Column, sigma: Column, mu: Column): Column =
+    when(x <= 0.0, 0.0).otherwise(
+      exp(lit(-0.5) * pow((log(x) - mu) / sigma, 2.0)) /
+        (x * sigma * math.sqrt(2.0 * math.Pi)))
 }

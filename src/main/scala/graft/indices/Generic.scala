@@ -201,6 +201,16 @@ object Generic {
       (d(s0, s1, t0, s1, s2, t1, s2, s3, t2) / det).as("c")): _*)
   }
 
+  /** temperature_sum (generic.py:1324): sum of (v − threshold) over days
+    * meeting the condition, negated for below-threshold sums so the result
+    * is always a positive accumulation. */
+  def temperatureSum(df: DataFrame, keys: Seq[String], time: Column, freq: String,
+                     v: Column, op: String, thr: Column, as: String): DataFrame = {
+    val sign = if (op.startsWith("<")) -1.0 else 1.0
+    resampleOp(df, keys, time, freq,
+      Seq((coalesce(sum(when(compare(v, op, thr), v - thr)), lit(0.0)) * sign).as(as)))
+  }
+
   /** get_zones (generic.py:1611): fixed-width binning of a value. */
   def zones(v: Column, binWidth: Double, origin: Double = 0.0): Column =
     floor((v - origin) / binWidth).cast("int")

@@ -397,4 +397,39 @@ class EngineSpec extends AnyFunSuite {
     }
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("solar helpers: sun distance, time correction, day-length coefficients") {
+    import spark.implicits._
+    import graft.indices.Converters
+    val df = Seq(("2000-01-03", 3, 366), ("2000-07-03", 185, 366))
+      .toDF("d", "doy", "diy").withColumn("d", col("d").cast("date"))
+    val r = df.select(
+      Converters.distanceFromSun(col("d")).as("au"),
+      Converters.timeCorrectionForSolarAngle(col("doy"), col("diy")).as("tc")).collect()
+    // perihelion (early Jan) ~0.983 AU, aphelion (early Jul) ~1.017 AU
+    assert(math.abs(r(0).getDouble(0) - 0.983) < 0.002)
+    assert(math.abs(r(1).getDouble(0) - 1.0167) < 0.002)
+    // equation of time stays within +-17 minutes = +-0.0742 rad
+    assert(r.forall(x => math.abs(x.getDouble(1)) < 0.075))
+    // day-length latitude coefficients grow with latitude; floor at 1
+    val k = Seq((30.0, 48.0)).toDF("lo", "hi").select(
+      Converters.jonesDayLengthCoefficient(col("lo")).as("k30"),
+      Converters.jonesDayLengthCoefficient(col("hi")).as("k48"),
+      Converters.gladstonesDayLengthCoefficient(col("hi")).as("g48")).head
+    assert(k.getDouble(1) > k.getDouble(0))
+    assert(k.getDouble(0) >= 1.0 && k.getDouble(2) >= 1.0)
+  }
+
+  test("parametric densities integrate against known values") {
+    import spark.implicits._
+    import graft.indices.Distributions
+    val r = Seq((1.0)).toDF("x").select(
+      Distributions.gammaPdf(col("x"), lit(1.0), lit(1.0)).as("g"),   // exp(-1)
+      Distributions.normPdf(lit(0.0), lit(0.0), lit(1.0)).as("n"),    // 1/sqrt(2pi)
+      Distributions.lognormPdf(lit(1.0), lit(1.0), lit(0.0)).as("ln") // 1/sqrt(2pi)
+    ).head
+    assert(math.abs(r.getDouble(0) - math.exp(-1.0)) < 1e-10)
+    assert(math.abs(r.getDouble(1) - 1.0 / math.sqrt(2 * math.Pi)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0 / math.sqrt(2 * math.Pi)) < 1e-12)
+  }
 }
