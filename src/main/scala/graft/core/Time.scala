@@ -197,6 +197,8 @@ object Time {
   def dayOfYear(ts: Column): Column = dayofyear(ts)
 
   /** `select_time` indexer predicates (calendar.py:1259-1376). */
+  /** select_time indexers incl. index_of_date-style doy/date predicates
+    * (calendar.py:1259). */
   object Select {
     /** Month-list subset, e.g. months=Seq(12,1,2) for DJF. */
     def months(ts: Column, ms: Seq[Int]): Column = month(ts).isin(ms.map(Integer.valueOf): _*)

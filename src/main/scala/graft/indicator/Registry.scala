@@ -150,7 +150,8 @@ object Registry {
           cond, red, p.getOrElse("window", "1").toInt)
         .withColumnRenamed(s"run_$red", "value")
     }),
-    // days qualifying on BOTH variables (rain_on_frozen_ground
+    // bivariate_count_occurrences — days qualifying on BOTH variables
+    // (generic.py:1003; rain_on_frozen_ground
     // _multivariate.py:944, cold_and_dry quadrants :252-426,
     // tx_tn_days_above :1604)
     "bivariate_count" -> ((df, freq, p) => {

@@ -112,7 +112,8 @@ object Agro {
     * k(lat) * max(0, ((tas - 10) + (tasmax - 10))/2), with the stepwise
     * day-length latitude coefficient (helpers.py:528, method="huglin"):
     * 1.0 up to |lat| 40, then 1.02/1.03/1.04/1.05/1.06 per 2-degree band
-    * to 50, `capValue` beyond. Pure projection + one period hash-agg. */
+    * to 50, `capValue` beyond — huglin_day_length_latitude_coefficient.
+    * Pure projection + one period hash-agg. */
   def huglinK(latDeg: Column, capValue: Double = 1.0): Column = {
     val a = abs(latDeg)
     when(a <= 40.0, 1.0).when(a <= 42.0, 1.02).when(a <= 44.0, 1.03)

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Generic {
 
-  /** Comparison operator registry (generic.py:255 `get_op`). */
+  /** Comparison operator registry (generic.py:255 `get_op`); the
+    * resulting mask is `get_daily_events` (generic.py:395). */
   def compare(v: Column, op: String, thr: Column): Column = op match {
     case ">" | "gt"  => v > thr
     case ">=" | "ge" => v >= thr
@@ -33,7 +34,8 @@ object Generic {
                  aggs: Seq[Column]): DataFrame =
     grouped(df, keys, time, freq).agg(aggs.head, aggs.tail: _*)
 
-  /** threshold_count (generic.py:329): #rows where op(v, thr) per period. */
+  /** threshold_count / count_occurrences (generic.py:329,:961): #rows
+    * where op(v, thr) per period. */
   def thresholdCount(df: DataFrame, keys: Seq[String], time: Column, freq: String,
                      v: Column, op: String, thr: Column, as: String = "count"): DataFrame =
     resampleOp(df, keys, time, freq,
@@ -116,7 +118,8 @@ object Generic {
     resampleOp(df2, keys, time, freq, Seq(red.as(as)))
   }
 
-  /** spell_length_statistics (generic.py:589): statistics of run lengths of
+  /** spell_length_statistics over a spell_mask condition (generic.py:589,
+    * :434): statistics of run lengths of
     * rows meeting `cond`, per period (runs break at period bounds —
     * resample-before-rl default). */
   def spellLengthStatistics(df: DataFrame, keys: Seq[String], time: Column, freq: String,

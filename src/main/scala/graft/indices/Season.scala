@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * Two passes over the same islands plan (Catalyst reuses the entity-keyed
   * exchange), joined per entity — no driver iteration.
   */
+/* Covers season / season_length_from_boundaries (generic.py:770,:856). */
 object Season {
 
   /** Per-entity (keys) season bounds from a daily frame.
