@@ -102,20 +102,47 @@ object Units {
 
   /** `declare_units`-style dimensionality check (units.py:1424): validate a
     * column's declared unit has the expected dimensionality. */
-  def checkDimension(symbol: String, expected: String): Boolean = {
-    val dims = Map(
-      "[temperature]"   -> Dim(k = 1),
-      "[precipitation]" -> Dim(m = 1, l = -2, t = -1),
-      "[length]"        -> Dim(l = 1),
-      "[speed]"         -> Dim(l = 1, t = -1),
-      "[pressure]"      -> Dim(m = 1, l = -1, t = -2),
-      "[]"              -> Dim()
-    )
-    dims.get(expected).exists { d =>
+  private val baseDims = Map(
+    "temperature"   -> Dim(k = 1),
+    "precipitation" -> Dim(m = 1, l = -2, t = -1),
+    "length"        -> Dim(l = 1),
+    "area"          -> Dim(l = 2),
+    "volume"        -> Dim(l = 3),
+    "mass"          -> Dim(m = 1),
+    "time"          -> Dim(t = 1),
+    "speed"         -> Dim(l = 1, t = -1),
+    "pressure"      -> Dim(m = 1, l = -1, t = -2),
+    "discharge"     -> Dim(l = 3, t = -1))
+
+  /** Parse a pint-style dimensionality expression — products and quotients
+    * of bracketed base dims, e.g. "[mass]/[area]" or
+    * "[precipitation]·[time]" — into a dimension vector. */
+  def parseDimensionality(expr: String): Option[Dim] = {
+    if (expr == "[]" || expr.trim.isEmpty) return Some(Dim())
+    val token = "\\[([a-z]+)\\]".r
+    var dim = Dim(); var sign = 1; var pos = 0; var ok = true
+    val s = expr.replace("·", "*").replace(" ", "")
+    while (pos < s.length && ok) s.charAt(pos) match {
+      case '*' => sign = 1; pos += 1
+      case '/' => sign = -1; pos += 1
+      case '[' =>
+        token.findPrefixMatchOf(s.substring(pos)) match {
+          case Some(mt) if baseDims.contains(mt.group(1)) =>
+            val d = baseDims(mt.group(1))
+            dim = if (sign > 0) dim * d else dim / d
+            pos += mt.end
+          case _ => ok = false
+        }
+      case _ => ok = false
+    }
+    if (ok) Some(dim) else None
+  }
+
+  def checkDimension(symbol: String, expected: String): Boolean =
+    parseDimensionality(expected).exists { d =>
       val u = lookup(symbol)
       u.dim == d || hydroBridge(u, Unit(d, 1)).isDefined
     }
-  }
 
   /** `to_agg_units` (units.py:621): output unit after an aggregation. */
   def aggUnits(inputUnit: String, op: String, sampling: String = "d"): String = op match {

@@ -44,6 +44,16 @@ object VirtualModules {
         input.flatMap(n => Option(n.get("var"))).map(_.asText).getOrElse("value"),
         input.flatMap(n => Option(n.get("dimensionality"))).map(_.asText).getOrElse("[]"),
         input.flatMap(n => Option(n.get("units"))).map(_.asText).getOrElse("1"))
+      // multi-variable entries declare their extra canonical-frame columns
+      // (value2 / valuemin / valuemax) so validation + unit staging see them
+      val extras = Seq("input2" -> "value2", "inputmin" -> "valuemin",
+        "inputmax" -> "valuemax").flatMap { case (key, cname) =>
+        Option(node.get(key)).map { n =>
+          VarReq(cname,
+            Option(n.get("dimensionality")).map(_.asText).getOrElse("[]"),
+            Option(n.get("units")).map(_.asText).getOrElse("1"))
+        }
+      }
       val id = s"$module.$name"
       val spec = IndicatorSpec(
         identifier = id,
@@ -51,7 +61,7 @@ object VirtualModules {
         units = str("units", "1"),
         standardName = str("standard_name"),
         cellMethods = str("cell_methods"),
-        inputs = Seq(vr.copy(name = "value")), // single-var canonical frame
+        inputs = vr.copy(name = "value") +: extras, // canonical frame columns
         missing = str("missing", "any"))
       Registry.fromConfig(spec, str("base", "resample_mean"), params)
       id

@@ -219,6 +219,47 @@ class IndicatorSpecSuite extends AnyFunSuite {
     assert(cdd == 4)
   }
 
+  test("every registered indicator RUNS on a canonical two-variable year") {
+    // the reference's test_modules.py twin: all builtins + all three
+    // bundled virtual catalogues must not only instantiate but execute,
+    // producing a non-empty frame with a value column
+    import spark.implicits._
+    VirtualModules.loadBundled("icclim")
+    VirtualModules.loadBundled("anuclim")
+    VirtualModules.loadBundled("cf")
+    assert(Registry.names.size >= 270, s"registry has ${Registry.names.size}")
+    // one synthetic year; each indicator gets its declared input columns
+    // stamped with their CANONICAL units (temperatures span freeze/thaw,
+    // everything else gets a positive seasonal signal)
+    val base = (0 until 366).map { i =>
+      val t = 273.15 + 15.0 * math.sin((i - 30) / 58.0)
+      val p = math.max(0.0, 12.0 * math.sin(i / 23.0))
+      (0L, java.sql.Timestamp.valueOf(java.time.LocalDate.parse("2000-01-01")
+        .plusDays(i).atStartOfDay), t, p)
+    }.toDF("location_id", "time", "_t", "_p").cache()
+    def frameFor(spec: graft.indicator.IndicatorSpec) = {
+      spec.inputs.foldLeft(base) { (df, vr) =>
+        val md = new MetadataBuilder().putString("units", vr.canonicalUnits).build()
+        val src = if (vr.dimensionality == "[temperature]") col("_t")
+          else if (vr.name == "valuemin") col("_t") - 12.0
+          else if (vr.name == "valuemax") col("_t") + 5.0
+          else col("_p")
+        val stamped = if (vr.dimensionality == "[temperature]" && vr.name != "value")
+          (if (vr.name == "value2") col("_t") - 8.0 else src) else src
+        df.withColumn(vr.name, stamped.as(vr.name, md))
+      }
+    }
+    val failures = Registry.names.flatMap { n =>
+      try {
+        val ind = Registry(n)
+        val out = ind(frameFor(ind.spec), "YS", Map.empty)
+        if (out.columns.contains("value") && out.limit(1).count() >= 0) None
+        else Some(s"$n: no value column (${out.columns.mkString(",")})")
+      } catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"${failures.size} indicators failed:\n${failures.take(12).mkString("\n")}")
+  }
+
   test("round-3 catalogue registrations resolve and compute") {
     import spark.implicits._
     for (name <- Seq("cold_spell_total_length", "dry_spell_max_length",
