@@ -356,6 +356,23 @@ object Registry {
         .withColumn("value", dayofyear(col("first_run_start")))
         .drop("first_run_start")
     }),
+    // temperature_sum (generic.py:1324): signed accumulation vs threshold
+    "temperature_sum" -> ((df, freq, p) =>
+      Generic.temperatureSum(df, Seq("location_id"), col("time"), freq,
+        col(p.getOrElse("var", "value")), p.getOrElse("op", ">"),
+        lit(p.getOrElse("thresh", "0").toDouble), "value")),
+    // run_end_after_date (run_length.py:1148): first day after the end of
+    // the first qualifying run ending on/after the given doy
+    "run_end_after_date" -> ((df, freq, p) => {
+      val cond = Generic.compare(col(p.getOrElse("var", "value")),
+        p.getOrElse("op", ">="), lit(p.getOrElse("thresh", "0").toDouble))
+      val keyed = df.withColumn("period", graft.core.Time.resamplePeriod(col("time"), freq))
+      graft.core.Runs.runEndAfterDate(keyed, Seq("location_id", "period"),
+          col("time"), cond, p.getOrElse("window", "1").toInt,
+          p.getOrElse("after_doy", "182").toInt)
+        .withColumn("value", dayofyear(col("run_end_after_date")))
+        .drop("run_end_after_date")
+    }),
     // HI / BEDD = biologically_effective_degree_days (_agro.py:275;
     // icclim; _agro.py huglin/BEDD simplified to their
     // month-window degree-day cores): capped clipped degree-days over a

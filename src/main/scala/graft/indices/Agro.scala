@@ -32,12 +32,18 @@ object Agro {
       .otherwise(-1.0)
 
   /** Utah chill units per entity: daily (tasmin, tasmax) degC -> hourly
-    * sine/decay curve -> summed hourly chill weights. */
+    * sine/decay curve -> summed hourly chill weights. `positiveOnly`
+    * clamps the negative (chill-negating) bands to 0, the reference's
+    * `chill_units(positive_only=True)` option (_agro.py:1538). */
   def chillUnitsUtah(daily: DataFrame, keys: Seq[String],
-                     tasmin: String = "tasmin", tasmax: String = "tasmax"): DataFrame =
+                     tasmin: String = "tasmin", tasmax: String = "tasmax",
+                     positiveOnly: Boolean = false): DataFrame = {
+    val w0 = utahChillWeight(col("tas_hourly"))
+    val w = if (positiveOnly) greatest(w0, lit(0.0)) else w0
     Converters.hourlyTemperature(daily, tasmin, tasmax)
       .groupBy(keys.map(col): _*)
-      .agg(sum(utahChillWeight(col("tas_hourly"))).as("chill_units"))
+      .agg(sum(w).as("chill_units"))
+  }
 
   /** Chill portions after the Dynamic Model (_agro.py:1442
     * `_chill_portion_one_season`, Fishman 1987 / Luedeling 2009 constants).
