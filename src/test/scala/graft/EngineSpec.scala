@@ -158,6 +158,33 @@ class EngineSpec extends AnyFunSuite {
     assert(d12 < d13)
   }
 
+  test("IVF recall@5 vs brute force on clustered vectors") {
+    import spark.implicits._
+    // 8 well-separated clusters x 50 vectors; IVF probing 3 of 8 cells must
+    // recover most of the exact top-5 for in-distribution queries
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val corpus = (0 until 400).map { i =>
+      val c = i % 8
+      (i.toLong, c.toString,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = queries.select($"qid", $"qvec").collect().flatMap { q =>
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", "label",
+          Seq(q.getAs[scala.collection.Seq[Float]]("qvec").toArray).toDF("qvec"),
+          k = 5, nprobe = 3)
+        .select($"vec_id").collect().map(r => (q.getLong(0), r.getLong(0)))
+    }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@5 = $recall")
+  }
+
   test("doy percentile: broadcast and co-partitioned join paths agree") {
     import spark.implicits._
     // grid-scale path (broadcastDim=false) must produce the same counts as
