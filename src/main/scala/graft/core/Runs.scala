@@ -195,18 +195,35 @@ object Runs {
                         cond: Column, window: Int, beforeDoy: Int): DataFrame =
     lastRun(df.filter(dayofyear(order) <= beforeDoy), keys, order, cond, window)
 
+  /** first_run_before_date (run_length.py:1287): the reference masks only
+    * at/after `date + window - 1` steps, so a qualifying run may BEGIN just
+    * before the date and complete up to `window - 1` steps after it — and a
+    * `window`-length run inside the kept rows necessarily begins strictly
+    * before the date, so no extra start-doy gate is needed. */
   def firstRunBeforeDate(df: DataFrame, keys: Seq[String], order: Column,
                          cond: Column, window: Int, beforeDoy: Int): DataFrame =
-    firstRun(df.filter(dayofyear(order) <= beforeDoy), keys, order, cond, window)
+    firstRun(df.filter(dayofyear(order) < beforeDoy + window - 1), keys, order, cond, window)
 
-  /** run_end_after_date (run_length.py:1148): first day AFTER the end of
-    * the first qualifying run whose end falls on/after `afterDoy`. */
+  /** run_end_after_date (run_length.py:1148): the "end of season" search.
+    * Returns the first step of the first `window`-length run of
+    * NON-qualifying rows at/after `afterDoy` (the reference's "first item
+    * after the end of a run"), but only for entities where a `window`-length
+    * qualifying run exists strictly BEFORE the date; when the qualifying
+    * state never terminates within the period, falls back to the entity's
+    * last timestep (matching `xr.where(end.isnull() & beg.notnull(), last,
+    * end)`). Entities with no pre-date qualifying run emit no row (NaN in
+    * the reference). */
   def runEndAfterDate(df: DataFrame, keys: Seq[String], order: Column,
-                      cond: Column, window: Int, afterDoy: Int): DataFrame =
-    runTable(df, keys, order, cond)
-      .filter(col("run_len") >= window && dayofyear(col("run_end")) >= afterDoy)
-      .groupBy(keys.map(col): _*)
-      .agg(date_add(min(col("run_end")), 1).as("run_end_after_date"))
+                      cond: Column, window: Int, afterDoy: Int): DataFrame = {
+    val beg = firstRun(df.filter(dayofyear(order) < afterDoy), keys, order, cond, window)
+      .select(keys.map(col): _*)
+    val end = firstRun(df.filter(dayofyear(order) >= afterDoy), keys, order, !cond, window)
+      .withColumnRenamed("first_run_start", "_end_start")
+    val lastTs = df.groupBy(keys.map(col): _*).agg(max(order).as("_last"))
+    beg.join(end, keys, "left").join(lastTs, keys, "left")
+      .select((keys.map(col) :+
+        coalesce(col("_end_start"), col("_last")).as("run_end_after_date")): _*)
+  }
 
   /** Values repeating >= `window` times (QA flag, run_length.py:1717
     * `suspicious_run`). Returns the run table of repeats. */

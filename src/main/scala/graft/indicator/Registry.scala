@@ -333,8 +333,10 @@ object Registry {
       val md = month(col("time")) * 100 + dayofmonth(col("time"))
       val lo = p.getOrElse("date_start", "12-25").split("-")
       val hi = p.getOrElse("date_end", p.getOrElse("date_start", "12-25")).split("-")
-      val inWin = md >= (lo(0).toInt * 100 + lo(1).toInt) &&
-        md <= (hi(0).toInt * 100 + hi(1).toInt)
+      val (loMd, hiMd) = (lo(0).toInt * 100 + lo(1).toInt, hi(0).toInt * 100 + hi(1).toInt)
+      // windows crossing the year boundary (e.g. 12-25 .. 01-05) wrap
+      val inWin = if (loMd <= hiMd) md >= loMd && md <= hiMd
+                  else md >= loMd || md <= hiMd
       val cond0 = Generic.compare(col(p.getOrElse("var", "value")),
         p.getOrElse("op", ">="), lit(p.getOrElse("thresh", "0").toDouble))
       val cond = p.get("thresh2").map { t2 =>

@@ -178,17 +178,25 @@ object Generic {
     * normal-equation moment sums, solved with Cramer's rule — one
     * hash-agg, no UDAF, no collect. `x` and `yQuantized` must be
     * integer-valued columns (cast your float y to fixed-point first):
-    * integer moments aggregate EXACTLY in LONG, so the fit is bit-stable
+    * integer moments aggregate EXACTLY, so the fit is bit-stable
     * under partial-aggregation order — the property that makes it
-    * oracle-hashable and deterministic across cluster sizes. */
+    * oracle-hashable and deterministic across cluster sizes.
+    *
+    * Overflow safety: per-row products stay in LONG (exact for
+    * |x| <= 55_000 — i.e. x⁴ < 2⁶³ — which covers 150 years of daily
+    * steps), but the SUMS accumulate in decimal(38,0): a 30-year daily
+    * series has per-row x⁴ ≈ 1.4e16, so a few thousand rows would
+    * silently wrap a LONG sum, while decimal matches the oracle's
+    * HUGEINT promotion exactly. */
   def quadraticFit(df: DataFrame, keys: Seq[String], x: Column,
                    yQuantized: Column): DataFrame = {
     val xl = x.cast("long"); val yl = yQuantized.cast("long")
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
     val moments = df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("s0"),
-      sum(xl).as("s1"), sum(xl * xl).as("s2"),
-      sum(xl * xl * xl).as("s3"), sum(xl * xl * xl * xl).as("s4"),
-      sum(yl).as("t0"), sum(xl * yl).as("t1"), sum(xl * xl * yl).as("t2"))
+      dsum(xl).as("s1"), dsum(xl * xl).as("s2"),
+      dsum(xl * xl * xl).as("s3"), dsum(xl * xl * xl * xl).as("s4"),
+      dsum(yl).as("t0"), dsum(xl * yl).as("t1"), dsum(xl * xl * yl).as("t2"))
     // Cramer on the 3x3 normal matrix [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]]
     def d(a: Column, b: Column, c: Column, e: Column, f: Column, g: Column,
           h: Column, i: Column, j: Column): Column =

@@ -174,7 +174,12 @@ object Dedup {
         sort_array(array_distinct(transform(
           TextStats.wordNgrams(col(textCol), ngram), g => xxhash64(g)))).as("grams"): _*)
       .withColumn("sz", size(col("grams")))
-      .cache()
+      // localCheckpoint instead of cache(): computed once, shared by both
+      // sides of the self-join, and the blocks are released by the
+      // ContextCleaner when the result is dropped — cache() would pin the
+      // plan in the shared CacheManager until an explicit unpersist, a
+      // memory leak when called repeatedly in a long-lived session
+      .localCheckpoint(false)
     val a = grams.alias("a"); val b = grams.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     val common = graft.functions.SortedIntersectCount
@@ -249,19 +254,29 @@ object Dedup {
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       // carry the previous label through the same aggregation (each id has
-      // exactly one self row), so convergence detection costs a scan of the
-      // checkpointed result instead of an extra shuffle join per round
+      // exactly one self row) and count label changes with an accumulator
+      // DURING the eager-checkpoint job — ONE action per round, no separate
+      // convergence count() pass (retries can only over-count, and we only
+      // test > 0)
+      val acc = edges.sparkSession.sparkContext.longAccumulator("cc_changed")
+      val bump = udf { (compNew: Long, prev: Long) =>
+        if (compNew != prev) acc.add(1L); compNew
+      }
       val viaNbr = sym.join(labels, sym("v") === labels("id"))
         .select(sym("u").as("id"), col("comp"), lit(null).cast("long").as("self"))
       val selfRows = labels.select(col("id"), col("comp"), col("comp").as("self"))
-      val next = selfRows.unionByName(viaNbr)
-        .groupBy("id").agg(min("comp").as("comp"), max("self").as("prev"))
+      labels = selfRows.unionByName(viaNbr)
+        .groupBy("id").agg(min("comp").as("_m"), max("self").as("_prev"))
+        .select(col("id"), bump(col("_m"), col("_prev")).as("comp"))
         .localCheckpoint(true)
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.select("id", "comp")
+      changed = acc.value
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter rounds ($changed labels still changing) — components may " +
+        s"be split; raise maxIter for graphs with diameter > $maxIter")
     labels.select(col("id"), col("comp").as("component"))
   }
 }

@@ -79,6 +79,53 @@ class EngineSpec extends AnyFunSuite {
     assert(last2.startsWith("2000-07-07"))
   }
 
+  test("runEndAfterDate: reference run_end_after_date semantics") {
+    // run_length.py:1148 — end = start of first window-run of !cond at/after
+    // the date; requires a window-run of cond strictly BEFORE the date;
+    // falls back to the last timestep when the run never terminates.
+    val cond = col("value") > 0.5
+    // doys 1..20; beg run d3-d6; after doy 10 cond holds d10-d12, breaks d13-d15
+    val v1 = Seq(0, 0, 1, 1, 1, 1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 1, 1, 1, 1, 1).map(_.toDouble)
+    val r1 = Runs.runEndAfterDate(daily(v1, "2000-01-01"), Seq("location_id"),
+      col("time"), cond, 3, 10).collect()
+    assert(r1.length == 1 && r1.head.getTimestamp(1).toString.startsWith("2000-01-13"))
+    // never terminates after the date (no 3-run of !cond) -> last timestep
+    val v2 = Seq(0, 0, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1).map(_.toDouble)
+    val r2 = Runs.runEndAfterDate(daily(v2, "2000-01-01"), Seq("location_id"),
+      col("time"), cond, 3, 10).collect()
+    assert(r2.length == 1 && r2.head.getTimestamp(1).toString.startsWith("2000-01-20"))
+    // no window-length qualifying run before the date -> no row (NaN)
+    val v3 = Seq(1, 1, 0, 1, 1, 0, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0).map(_.toDouble)
+    val r3 = Runs.runEndAfterDate(daily(v3, "2000-01-01"), Seq("location_id"),
+      col("time"), cond, 3, 10).collect()
+    assert(r3.isEmpty)
+  }
+
+  test("firstRunBeforeDate: run may finish window-1 steps after the date") {
+    // run_length.py:1287 masks only at/after date + window - 1, so a
+    // window=3 run starting the day before the date (doy 9,10,11) qualifies
+    val v = Seq(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toDouble)
+    val r = Runs.firstRunBeforeDate(daily(v, "2000-01-01"), Seq("location_id"),
+      col("time"), col("value") > 0.5, 3, 10).collect()
+    assert(r.length == 1 && r.head.getTimestamp(1).toString.startsWith("2000-01-09"))
+    // but a run confined to doy >= date + window - 1 must NOT qualify
+    val v2 = Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0).map(_.toDouble)
+    val r2 = Runs.firstRunBeforeDate(daily(v2, "2000-01-01"), Seq("location_id"),
+      col("time"), col("value") > 0.5, 3, 10).collect()
+    assert(r2.isEmpty)
+  }
+
+  test("holiday_count window wrapping the year boundary") {
+    // date_start 12-30, date_end 01-02: wrap -> md >= 1230 OR md <= 0102;
+    // a full year contains exactly 4 such days
+    val year = (0 until 366).map(_ => 1.0) // 2000 is a leap year
+    val df = daily(year, "2000-01-01")
+    val c = graft.indicator.Registry.computeBases("holiday_count")
+    val got = c(df, "YS", Map("op" -> ">=", "thresh" -> "0.5",
+      "date_start" -> "12-30", "date_end" -> "01-02")).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("value") == 4L)
+  }
+
   test("runsWithHoles state machine") {
     // start after 2 consecutive start-cond, stop after 2 consecutive stop-cond
     val vals = Seq(5, 5, 2, 2, 5, 0, 0, 0).map(_.toDouble)
