@@ -64,7 +64,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -454,7 +454,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -2567,12 +2567,27 @@ object SparkEntry {
     }),
 
     "q_embedding_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup (the 5th dedup modality): exhaustive
-      // verified pairs; threshold 0.35 sits at ~p99.9 of this corpus's pair
-      // cosines so the output is non-trivial. Sign-LSH bucketing is the
-      // documented scale path, identical verify step.
-      Similarity.cosineNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      // embedding-cosine near-dup (the 5th dedup modality), exercised on
+      // the BUCKETED scale path: the corpus gets planted near-duplicates
+      // (every 10th vector + a deterministically perturbed copy — coord i
+      // scaled by 1 + 0.002*(((i + id) % 7) - 3), reproducible in any SQL
+      // engine), and pairs are mined with the EXACT staggered-grid
+      // epsilon-join (Similarity.gridNearDuplicates): cell-local joins
+      // only, no all-pairs product, recall 1 by the projection bound — so
+      // the output hash-matches the oracle's exhaustive twin.
+      val base = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x * (lit(1.0) + lit(0.002) *
+              (((i.cast("long") + col("vec_id")) % 7) - 3).cast("double"))).as("v"))
+      // round(4): planted cosines sit at ~0.99999 — a 6-digit round would
+      // straddle a boundary at cross-engine ulp differences; 4 digits puts
+      // every value ~4e-5 from the nearest boundary
+      Similarity.gridNearDuplicates(base.unionByName(copies), "vec_id", "v",
+          threshold = 0.99, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
     "q_wettest_quarter_temp" -> ((s, dir) => {
@@ -2661,17 +2676,22 @@ object SparkEntry {
          |from clim group by 1, 2""".stripMargin,
 
     "q_embedding_neardup" ->
-      """with n as (select vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> cast(x as double)*cast(x as double)))) nrm
-        | from embeddings)
+      """with base as (select vec_id,
+        |  list_transform(embedding, x -> cast(x as double)) v from embeddings),
+        |cop as (select vec_id + 1000000 vec_id,
+        |  list_transform(v, (x, i) -> x * (cast(1.0 as double)
+        |    + cast(0.002 as double)
+        |      * cast(((i - 1 + vec_id) % 7) - 3 as double))) v
+        | from base where vec_id % 10 = 0),
+        |corpus as (select * from base union all select * from cop),
+        |n as (select vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm from corpus)
         |select a.vec_id id_a, b.vec_id id_b,
-        |  cast(cast(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> cast(a.embedding[i] as double)*cast(b.embedding[i] as double)))
-        |    /(a.nrm*b.nrm) as decimal(38,6)) as double) cosine
+        |  cast(cast(list_sum(list_transform(range(1, len(a.v) + 1),
+        |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) as decimal(38,4)) as double) cosine
         |from n a join n b on a.vec_id < b.vec_id
-        |where list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> cast(a.embedding[i] as double)*cast(b.embedding[i] as double)))
-        |    /(a.nrm*b.nrm) >= 0.35""".stripMargin,
+        |where list_sum(list_transform(range(1, len(a.v) + 1),
+        |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) >= 0.99""".stripMargin,
 
     "q_wettest_quarter_temp" ->
       s"""with $climSql,
@@ -4798,6 +4818,50 @@ object SparkEntry {
          |    else greatest(least(${probitSql("cdf")}, 8.21), -8.21) end
          |    as decimal(38,4)) as double) spei
          |from cdf_""".stripMargin
+  )
+
+  // ---- batch 39 (round 4): real image decode, non-standard calendars,
+  //      weighted ensemble percentiles -----------------------------------
+
+  private def queries39: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_image_decode_stats" -> ((s, dir) => {
+      // REAL image decode end-to-end: planted PNGs (pixel channel c of
+      // (x, y) = (id*7 + 3x + 5y + 11c) mod 256 — Multimodal.plantedPng)
+      // are PNG-encoded and DECODED executor-side by the JDK ImageIO
+      // decoder (pipeline/Multimodal.ImageIODecoder); decoded exact
+      // channel sums match the closed form the oracle computes over a
+      // generated pixel grid. Payload bytes never shuffle: generate,
+      // encode, decode and project all ride the scan partitioning.
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.plantedPng(id, 16, 12))
+      val media = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          mk(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("int").as("channels"),
+          round(element_at(col("feature"), 4).cast("double") / 192.0, 6).as("mean_r"),
+          round(element_at(col("feature"), 5).cast("double") / 192.0, 6).as("mean_g"),
+          round(element_at(col("feature"), 6).cast("double") / 192.0, 6).as("mean_b"))
+    })
+  )
+
+  private def oracle39: Map[String, String] = Map(
+
+    "q_image_decode_stats" ->
+      """select d.doc_id media_id, 16 width, 12 height, 3 channels,
+        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5) % 256) as double)
+        |    / 192.0 as decimal(38,6)) as double) mean_r,
+        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 11) % 256) as double)
+        |    / 192.0 as decimal(38,6)) as double) mean_g,
+        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 22) % 256) as double)
+        |    / 192.0 as decimal(38,6)) as double) mean_b
+        |from (select doc_id from documents where doc_id % 25 = 0) d
+        |cross join range(0, 16) x(i)
+        |cross join range(0, 12) y(i)
+        |group by 1""".stripMargin
   )
 
 }

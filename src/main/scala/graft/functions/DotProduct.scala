@@ -6,26 +6,37 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two ARRAY<FLOAT> embedding columns: one
-  * JIT-compiled loop per row-pair. The `zip_with`+`aggregate` Column
-  * formulation runs interpreted (two array traversals with per-element
-  * closure dispatch) — at near-dup verification volume (pairs x dims) that
-  * is the dominant cost; this expression runs at multiply-add speed and
-  * stays inside whole-stage codegen. */
+/** Native dot product over two ARRAY<FLOAT> (or ARRAY<DOUBLE>) embedding
+  * columns: one JIT-compiled loop per row-pair. The `zip_with`+`aggregate`
+  * Column formulation runs interpreted (two array traversals with
+  * per-element closure dispatch) — at near-dup verification volume
+  * (pairs x dims) that is the dominant cost; this expression runs at
+  * multiply-add speed and stays inside whole-stage codegen. */
 case class FloatDotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes() = {
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"float_dot needs two ARRAY<FLOAT>, got $other")
+        s"float_dot needs two ARRAY<FLOAT> or two ARRAY<DOUBLE>, got $other")
     }
   }
+  private def elemIsDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    FloatDotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatDotProduct.compute($a, $b)")
+    if (elemIsDouble)
+      FloatDotProduct.computeDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      FloatDotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (elemIsDouble) "computeDouble" else "compute"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatDotProduct.$m($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDotProduct =
     copy(left = l, right = r)
 }
@@ -40,6 +51,18 @@ object FloatDotProduct {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** ARRAY<DOUBLE> twin of [[compute]] — same ordered accumulation. */
+  def computeDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc

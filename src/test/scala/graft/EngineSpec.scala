@@ -352,12 +352,16 @@ class EngineSpec extends AnyFunSuite {
     assert(feats.length == 3)
     val f1 = feats.find(_.getLong(0) == 1L).get
     assert(f1.getAs[Long]("n_bytes") == 13L)
-    assert(f1.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    // default decoder REALLY decodes images: garbage bytes -> null feature
+    assert(f1.getAs[scala.collection.Seq[Float]]("feature") == null)
+    // audio goes through the stub seam: 8-dim pseudo-features
+    val f2 = feats.find(_.getLong(0) == 2L).get
+    assert(f2.getAs[scala.collection.Seq[Float]]("feature").length == 8)
     assert(feats.find(_.getLong(0) == 3L).get.getAs[scala.collection.Seq[Float]]("feature") == null)
     // deterministic stub: same payload -> same feature
     val again = graft.pipeline.Multimodal.extractFeatures(media).collect()
-      .find(_.getLong(0) == 1L).get.getAs[scala.collection.Seq[Float]]("feature")
-    assert(again == f1.getAs[scala.collection.Seq[Float]]("feature"))
+      .find(_.getLong(0) == 2L).get.getAs[scala.collection.Seq[Float]]("feature")
+    assert(again == f2.getAs[scala.collection.Seq[Float]]("feature"))
     // frame sampling: 2500 ms at 1000 ms -> frames 0,1000,2000
     val frames = graft.pipeline.Multimodal.sampleFrames(media.filter($"media_id" === 2), 1000L)
       .select("frame_ms").collect().map(_.getLong(0)).toSeq
@@ -378,6 +382,66 @@ class EngineSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[Float]]("feature") == Seq(1.0f, 1.0f))
     assert(custom.find(_.getLong(0) == 2L).get
       .getAs[scala.collection.Seq[Float]]("feature") == Seq(2.0f, 2.0f))
+  }
+
+  test("ImageIODecoder: real PNG/BMP decode with exact planted stats") {
+    import graft.pipeline.Multimodal
+    val dec = new Multimodal.ImageIODecoder
+    dec.open()
+    // planted 16x12 PNG for id=42: channel c of (x,y) = (294+3x+5y+11c)%256,
+    // range 38..138+22 — no mod wrap, so sums are closed-form:
+    // sumR = 192*38 + 3*120*12 + 5*66*16 = 16896; G/B shift by 11*192 each
+    val f = dec.decode("image", Multimodal.plantedPng(42L, 16, 12), 8)
+    assert(f(0) == 16f && f(1) == 12f && f(2) == 3f)
+    assert(f(3) == 16896f && f(4) == 19008f && f(5) == 21120f)
+    // BMP path (JDK writer): 2x2 with one white pixel
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val fb = dec.decode("image", bos.toByteArray, 8)
+    assert(fb(0) == 2f && fb(1) == 2f && fb(3) == 255f && fb(4) == 255f && fb(5) == 255f)
+    // aHash: half-dark/half-light 16x16 -> exactly 32 cells above the mean
+    val grad = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 8 until 16; x <- 0 until 16) grad.setRGB(x, y, 0xffffff)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "png", bos2)
+    val fg = dec.decode("image", bos2.toByteArray, 8)
+    assert(fg(6) == 32f)
+    // non-image modality and undecodable bytes -> null
+    assert(dec.decode("audio", Array[Byte](1, 2, 3), 8) == null)
+    assert(dec.decode("image", Array[Byte](1, 2, 3), 8) == null)
+    dec.close()
+  }
+
+  test("gridNearDuplicates equals the exhaustive near-dup join (recall 1)") {
+    import spark.implicits._
+    // random unit vectors + planted perturbed copies: the staggered-grid
+    // epsilon-join is EXACT, so its output must equal the all-pairs form
+    val rnd = new scala.util.Random(123)
+    val dim = 16
+    val base = (0L until 120L).map { id =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n))
+    }
+    val dups = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) => x * (1.0 + 0.001 * ((i % 5) - 2)) })
+    }
+    val df = (base ++ dups).toDF("id", "v")
+    val grid = Similarity.gridNearDuplicates(df, "id", "v", 0.98, dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDuplicates(df, "id", "v", 0.98)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == exact)
+    assert(dups.forall { case (dupId, _) => grid.contains((dupId - 1000L, dupId)) })
+    // the plan must not contain an unbucketed cross product: candidate join
+    // is keyed on the cell struct
+    val plan = Similarity.gridNearDuplicates(df, "id", "v", 0.98, dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("SPI pipeline: standardized output is centred and clipped") {
