@@ -3779,15 +3779,27 @@ object SparkEntry {
   private def queries29: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_snowfall_methods" -> ((s, dir) => {
-      // snowfall_approximation (converters.py:1097): binary / brown / auer
-      // phase-partition fractions side by side.
+      // snowfall_approximation (converters.py:1097): ALL five published
+      // phase-partition methods side by side — binary / brown / auer step
+      // or polynomial ramps plus the Dai (2008) tanh forms dai_annual and
+      // dai_seasonal (converters.py:1197, land coefficients; seasonal picks
+      // DJF/MAM/JJA/SON by month), the clip_temp rescale variant, and the
+      // dai rain-side twin (rain_approximation, converters.py:1320).
       import graft.indices.Converters
-      val e = t(s, dir, "events").select(col("event_id"),
+      val e = t(s, dir, "events").select(col("event_id"), month(col("ts")).as("m"),
         (col("value") / 40.0 - 8.0).as("tas"), (col("value") / 25.0).as("pr"))
       e.select(col("event_id"),
         round(Converters.snowfallApproximation(col("pr"), col("tas"), "binary"), 6).as("prsn_binary"),
         round(Converters.snowfallApproximation(col("pr"), col("tas"), "brown"), 6).as("prsn_brown"),
-        round(Converters.snowfallApproximation(col("pr"), col("tas"), "auer"), 6).as("prsn_auer"))
+        round(Converters.snowfallApproximation(col("pr"), col("tas"), "auer"), 6).as("prsn_auer"),
+        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual"), 6)
+          .as("prsn_dai_annual"),
+        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_seasonal",
+          monthCol = col("m")), 6).as("prsn_dai_seasonal"),
+        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual",
+          clipTempC = Some(2.0)), 6).as("prsn_dai_clip"),
+        round(col("pr") * Converters.rainFractionDai(col("tas"), "dai_annual"), 6)
+          .as("prra_dai_annual"))
     }),
 
     "q_bfi_seasonal" -> ((s, dir) => {
@@ -3839,7 +3851,25 @@ object SparkEntry {
   private def oracle29: Map[String, String] = Map(
 
     "q_snowfall_methods" ->
-      """with e as (select event_id, value/40.0 - 8.0 tas, value/25.0 pr from events)
+      """with e as (select event_id, month(ts) m, value/40.0 - 8.0 tas, value/25.0 pr
+        |  from events),
+        |sc as (select *,
+        |  case when m in (12,1,2) then -48.2372 when m between 3 and 5 then -48.2493
+        |       when m between 6 and 8 then -46.4000 else -48.3251 end sa,
+        |  case when m in (12,1,2) then 0.7449 when m between 3 and 5 then 0.6634
+        |       when m between 6 and 8 then 0.7013 else 0.7798 end sb,
+        |  case when m in (12,1,2) then 1.0919 when m between 3 and 5 then 1.3388
+        |       when m between 6 and 8 then 0.8362 else 1.1502 end sc_,
+        |  case when m in (12,1,2) then 1.0209 when m between 3 and 5 then 1.0270
+        |       when m between 6 and 8 then 1.0217 else 1.0180 end sd
+        | from e),
+        |f as (select *,
+        |  -48.2292*((1.0 - 2.0/(exp(2.0*(0.7205*(tas - 1.1662))) + 1.0)) - 1.0223)/100.0 f_ann,
+        |  -48.2292*((1.0 - 2.0/(exp(2.0*(0.7205*(2.0 - 1.1662))) + 1.0)) - 1.0223)/100.0 f_clip_lo,
+        |  -48.2292*((1.0 - 2.0/(exp(2.0*(0.7205*(-2.0 - 1.1662))) + 1.0)) - 1.0223)/100.0 f_clip_hi,
+        |  sa*((1.0 - 2.0/(exp(2.0*(sb*(tas - sc_))) + 1.0)) - sd)/100.0 f_sea,
+        |  -47.8337*((1.0 - 2.0/(exp(2.0*(-0.6866*(tas - 1.4913))) + 1.0)) - 1.0420)/100.0 f_rain
+        | from sc)
         |select event_id,
         | cast(cast(case when tas < 0.0 then pr else 0.0 end as decimal(38,6)) as double) prsn_binary,
         | cast(cast(pr*greatest(0.0, least(1.0, 1.0 - tas/2.0)) as decimal(38,6)) as double) prsn_brown,
@@ -3847,8 +3877,13 @@ object SparkEntry {
         |   else greatest(0.0, least(100.0, 100.0 + 4.6664*tas - 15.038*tas*tas
         |     - 1.5089*tas*tas*tas + 2.0399*tas*tas*tas*tas
         |     - 0.366*tas*tas*tas*tas*tas + 0.0202*tas*tas*tas*tas*tas*tas))/100.0 end)
-        |   as decimal(38,6)) as double) prsn_auer
-        |from e""".stripMargin,
+        |   as decimal(38,6)) as double) prsn_auer,
+        | cast(cast(pr*greatest(0.0, least(1.0, f_ann)) as decimal(38,6)) as double) prsn_dai_annual,
+        | cast(cast(pr*greatest(0.0, least(1.0, f_sea)) as decimal(38,6)) as double) prsn_dai_seasonal,
+        | cast(cast(pr*greatest(0.0, least(1.0,
+        |   (f_ann - f_clip_lo)/(f_clip_hi - f_clip_lo))) as decimal(38,6)) as double) prsn_dai_clip,
+        | cast(cast(pr*greatest(0.0, least(1.0, f_rain)) as decimal(38,6)) as double) prra_dai_annual
+        |from f""".stripMargin,
 
     "q_bfi_seasonal" ->
       s"""with $climSql,
@@ -3889,9 +3924,10 @@ object SparkEntry {
     "q_esat_methods" -> ((s, dir) => {
       // saturation_vapor_pressure (converters.py:340): all 7 published
       // formulations + the ice-phase interp dispatch, one projection.
-      import graft.indices.Converters.saturationVaporPressureMethod
+      import graft.indices.Converters.{saturationVaporPressureMethod, relativeHumidityBohren98}
       val e = t(s, dir, "events")
-        .select(col("event_id"), (col("value") / 8.0 + 230.0).as("tk"))
+        .select(col("event_id"), (col("value") / 8.0 + 230.0).as("tk"),
+          (col("value") / 8.0 + 230.0 - pmod(col("value"), lit(12.0))).as("td"))
       def m(name: String) = round(saturationVaporPressureMethod(col("tk"), name), 4)
       e.select(col("event_id"),
         m("tetens30").as("esat_tetens30"), m("wmo08").as("esat_wmo08"),
@@ -3899,7 +3935,10 @@ object SparkEntry {
         m("sonntag90").as("esat_sonntag90"), m("goffgratch46").as("esat_goffgratch46"),
         m("its90").as("esat_its90"),
         round(saturationVaporPressureMethod(col("tk"), "wmo08",
-          iceThreshK = Some(273.16), interpPower = Some(2)), 4).as("esat_mixed"))
+          iceThreshK = Some(273.16), interpPower = Some(2)), 4).as("esat_mixed"),
+        // relative_humidity method "bohren98" (converters.py:810): the one
+        // RH path that bypasses e_sat entirely
+        round(relativeHumidityBohren98(col("tk"), col("td")), 4).as("hurs_bohren98"))
     }),
 
     "q_dist_cdfs" -> ((s, dir) => {
@@ -3920,8 +3959,9 @@ object SparkEntry {
   private def oracle28: Map[String, String] = Map(
 
     "q_esat_methods" ->
-      """with e as (select event_id, value/8.0 + 230.0 tk from events),
-        |f as (select event_id, tk,
+      """with e as (select event_id, value/8.0 + 230.0 tk,
+        |  value/8.0 + 230.0 - mod(value, 12.0) td from events),
+        |f as (select event_id, tk, td,
         |  610.78*exp(17.269388*(tk - 273.16)/(tk - 35.86)) tet,
         |  611.2*exp(17.62*(tk - 273.16)/(tk - 30.04)) wmo,
         |  611.21*exp(17.502*(tk - 273.16)/(tk - 32.19)) buck,
@@ -3945,7 +3985,9 @@ object SparkEntry {
         | cast(cast(son as decimal(38,4)) as double) esat_sonntag90,
         | cast(cast(gg as decimal(38,4)) as double) esat_goffgratch46,
         | cast(cast(its as decimal(38,4)) as double) esat_its90,
-        | cast(cast(frac*wmo + (1.0 - frac)*wmo_ice as decimal(38,4)) as double) esat_mixed
+        | cast(cast(frac*wmo + (1.0 - frac)*wmo_ice as decimal(38,4)) as double) esat_mixed,
+        | cast(cast(greatest(0.0, least(100.0,
+        |   100.0*exp(-2.501e6*(tk - td)/(461.5*tk*td)))) as decimal(38,4)) as double) hurs_bohren98
         |from f""".stripMargin,
 
     "q_dist_cdfs" ->
@@ -4845,6 +4887,70 @@ object SparkEntry {
           round(element_at(col("feature"), 4).cast("double") / 192.0, 6).as("mean_r"),
           round(element_at(col("feature"), 5).cast("double") / 192.0, 6).as("mean_g"),
           round(element_at(col("feature"), 6).cast("double") / 192.0, 6).as("mean_b"))
+    }),
+
+    "q_calendar_360day" -> ((s, dir) => {
+      // SURVEY §7 hard-part #1 demonstrated against an independent engine:
+      // a 360_day-calendar time axis carried as companion (year, doy)
+      // integer columns (core/Calendars.scala — Spark date functions are
+      // never touched), run through an anchored YS-JUL resample, 30-day
+      // month extraction and a doy conversion to the noleap calendar, all
+      // pure integer/Column math the oracle reproduces without date types.
+      import graft.core.Calendars
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        (col("value") / 40.0 - 8.0).as("tas"),
+        (lit(2001) + ((col("event_id") % 7200) / lit(360)).cast("int")).as("yr"),
+        (pmod(col("event_id"), lit(7200)) % 360 + 1).cast("int").as("doy"))
+      val cal = e
+        .withColumn("m360", Calendars.monthFromDoy(Calendars.Day360, col("doy"), col("yr")))
+        .withColumn("ys_jul", Calendars.anchoredYearNonStandard(
+          Calendars.Day360, col("yr"), col("doy"), anchorMonth = 7))
+        .withColumn("doy_noleap", Calendars.convertDoy(
+          col("doy"), col("yr"), Calendars.Day360, Calendars.NoLeap))
+      // mean over micro-quantized values: round(tas·1e6) is an exact long,
+      // so the group sum is order-independent and the oracle's differently-
+      // ordered summation cannot straddle a rounding boundary
+      cal.groupBy(col("event_type"), col("ys_jul"), col("m360"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(round(col("tas") * 1e6).cast("long")).as("_sm"),
+          max(col("doy_noleap")).as("max_doy_noleap"),
+          min(col("doy_noleap")).as("min_doy_noleap"))
+        .select(col("event_type"), col("ys_jul"), col("m360"), col("n_days"),
+          (round(col("_sm").cast("double") / col("n_days")) / 1e6).as("mean_tas"),
+          col("max_doy_noleap"), col("min_doy_noleap"))
+    }),
+
+    "q_calendar_noleap_percentile" -> ((s, dir) => {
+      // noleap-calendar doy percentile across years — the non-standard twin
+      // of percentile_doy: every year contributes exactly one value per doy
+      // (no Feb-29 hole handling needed, that is the calendar's point), the
+      // per-doy p90 is taken across years, plus the doy mapped into the
+      // 360_day calendar (convert_doy, calendar.py:264).
+      import graft.core.Calendars
+      val e = t(s, dir, "events").select(
+        (col("value") / 40.0 - 8.0).as("tas"),
+        (lit(1991) + (pmod(col("event_id"), lit(3650)) / lit(365)).cast("int")).as("yr"),
+        (pmod(col("event_id"), lit(3650)) % 365 + 1).cast("int").as("doy"))
+      e.groupBy(col("doy"))
+        .agg(count(lit(1)).as("n_years"),
+          round(percentile(col("tas"), lit(0.9)), 6).as("p90_tas"))
+        .withColumn("doy_360", Calendars.convertDoy(
+          col("doy"), lit(1991), Calendars.NoLeap, Calendars.Day360))
+        .select(col("doy"), col("n_years"), col("p90_tas"), col("doy_360"))
+    }),
+
+    "q_ensemble_percentiles_weighted" -> ((s, dir) => {
+      // ensemble_percentiles with member weights (ensembles/_base.py:214):
+      // per-day weighted quantiles over the member axis via the
+      // cumulative-weight-grid interpolation aggregate
+      // (core/Stats.weightedQuantile) — weights deterministic per member.
+      import graft.core.Stats
+      val daily = dailyTotals(s, dir)
+        .withColumn("w", (pmod(col("user_id"), lit(3)) + 1).cast("double"))
+      daily.groupBy(col("d"))
+        .agg(round(Stats.weightedQuantile(col("total"), col("w"), 0.1), 6).as("p10"),
+          round(Stats.weightedQuantile(col("total"), col("w"), 0.5), 6).as("p50"),
+          round(Stats.weightedQuantile(col("total"), col("w"), 0.9), 6).as("p90"))
     })
   )
 
@@ -4861,7 +4967,61 @@ object SparkEntry {
         |from (select doc_id from documents where doc_id % 25 = 0) d
         |cross join range(0, 16) x(i)
         |cross join range(0, 12) y(i)
-        |group by 1""".stripMargin
+        |group by 1""".stripMargin,
+
+    "q_calendar_360day" ->
+      """with e as (select event_id, event_type, value/40.0 - 8.0 tas,
+        |  cast(2001 + ((event_id % 7200) // 360) as int) yr,
+        |  cast(((event_id % 7200) % 360) + 1 as int) doy
+        | from events),
+        |cal as (select *, cast(((doy - 1) // 30) + 1 as int) m360 from e),
+        |cal2 as (select *,
+        |  cast(case when m360 >= 7 then yr else yr - 1 end as int) ys_jul,
+        |  cast(least(greatest(cast(round((doy - 0.5)/360.0*365.0 + 0.5) as int), 1), 365)
+        |    as int) doy_noleap
+        | from cal)
+        |select event_type, ys_jul, m360, count(*) n_days,
+        | round(cast(sum(cast(round(tas*1e6) as bigint)) as double)/count(*))/1e6 mean_tas,
+        | max(doy_noleap) max_doy_noleap, min(doy_noleap) min_doy_noleap
+        |from cal2 group by 1, 2, 3""".stripMargin,
+
+    "q_calendar_noleap_percentile" ->
+      """with e as (select value/40.0 - 8.0 tas,
+        |  cast((event_id % 3650) % 365 + 1 as int) doy from events),
+        |g as (select doy, count(*) n_years,
+        |  cast(cast(quantile_cont(tas, 0.9) as decimal(38,6)) as double) p90_tas
+        | from e group by doy)
+        |select doy, n_years, p90_tas,
+        | cast(least(greatest(cast(round((doy - 0.5)/365.0*360.0 + 0.5) as int), 1), 360)
+        |   as int) doy_360
+        |from g""".stripMargin,
+
+    "q_ensemble_percentiles_weighted" ->
+      s"""with daily as ($dailySql),
+         |ww as (select d, total v, cast(user_id % 3 + 1 as double) w from daily),
+         |s as (select d, v, w,
+         |  sum(w) over (partition by d order by v, w
+         |    rows between unbounded preceding and current row) - w/2 cum,
+         |  sum(w) over (partition by d) tw,
+         |  row_number() over (partition by d order by v, w) rn
+         | from ww),
+         |g as (select d, v, rn, cum/tw grid from s),
+         |gg as (select *, lead(v) over (partition by d order by rn) nv,
+         |  lead(grid) over (partition by d order by rn) ng from g)
+         |select d,
+         | cast(cast(coalesce(
+         |   max(case when grid <= 0.1 and (ng is null or ng > 0.1) then
+         |     case when ng is null then v else v + (0.1 - grid)/(ng - grid)*(nv - v) end end),
+         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p10,
+         | cast(cast(coalesce(
+         |   max(case when grid <= 0.5 and (ng is null or ng > 0.5) then
+         |     case when ng is null then v else v + (0.5 - grid)/(ng - grid)*(nv - v) end end),
+         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p50,
+         | cast(cast(coalesce(
+         |   max(case when grid <= 0.9 and (ng is null or ng > 0.9) then
+         |     case when ng is null then v else v + (0.9 - grid)/(ng - grid)*(nv - v) end end),
+         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p90
+         |from gg group by 1""".stripMargin
   )
 
 }

@@ -333,6 +333,88 @@ object Converters {
                             threshC: Double = 0.0): Column =
     pr * snowfallFraction(tasC, method, threshC)
 
+  /** Dai (2008) hyperbolic-tangent phase fractions — the
+    * `dai_annual`/`dai_seasonal` methods of snowfall_approximation
+    * (converters.py:1197-1246) and rain_approximation (:1320-1363):
+    * f(T) = a·(tanh(b·(T − c)) − d)/100 with coefficients per land/ocean
+    * and (seasonal method) per DJF/MAM/JJA/SON. Snow and rain fractions do
+    * not sum to 1 — the remainder is sleet. With `clipTempC` Tc the snow
+    * fraction is rescaled (f(T) − f(Tc))/(f(−Tc) − f(Tc)) and the rain
+    * fraction (f(T) − f(−Tc))/(f(Tc) − f(−Tc)); both are clipped to [0,1].
+    * Seasonal selection is a when-chain on the month column, so the whole
+    * family stays a codegen'd projection. */
+  private type Dai4 = (Double, Double, Double, Double)
+  // (a, b, c, d) per season DJF/MAM/JJA/SON; annual = one row
+  private val daiSnowAnnual = Map(
+    true  -> (-48.2292, 0.7205, 1.1662, 1.0223),
+    false -> (-47.1472, 0.4049, 1.9280, 1.0203))
+  private val daiSnowSeasonal: Map[Boolean, Seq[Dai4]] = Map(
+    true -> Seq((-48.2372, 0.7449, 1.0919, 1.0209), (-48.2493, 0.6634, 1.3388, 1.0270),
+      (-46.4000, 0.7013, 0.8362, 1.0217), (-48.3251, 0.7798, 1.1502, 1.0180)),
+    false -> Seq((-47.1823, 0.4003, 2.1735, 1.0255), (-47.0035, 0.4090, 1.7372, 1.0226),
+      (-47.1472, 0.4049, 1.9280, 1.0203), (-46.8494, 0.4162, 2.0474, 1.0155)))
+  private val daiRainAnnual = Map(
+    true  -> (-47.8337, -0.6866, 1.4913, 1.0420),
+    false -> (-47.3041, -0.4263, 2.5687, 1.0784))
+  private val daiRainSeasonal: Map[Boolean, Seq[Dai4]] = Map(
+    true -> Seq((-47.5770, -0.6856, 1.3942, 1.0438), (-47.9077, -0.6603, 1.6927, 1.0358),
+      (-46.8303, -0.6595, 1.1582, 1.1056), (-48.0315, -0.7663, 1.4640, 1.0412)),
+    false -> Seq((-47.0262, -0.4360, 2.8572, 1.0731), (-47.2828, -0.4299, 2.3397, 1.0800),
+      (-47.3041, -0.4263, 2.5687, 1.0784), (-47.2107, -0.4280, 2.7118, 1.0911)))
+
+  private def daiSeasonSelect(seasonal: Seq[Dai4], month: Column,
+                              pick: Dai4 => Double): Column =
+    when(month.isin(12, 1, 2), pick(seasonal(0)))
+      .when(month.between(3, 5), pick(seasonal(1)))
+      .when(month.between(6, 8), pick(seasonal(2)))
+      .otherwise(pick(seasonal(3)))
+
+  private def daiFraction(tasC: Column, annual: Option[Dai4], seasonal: Option[(Seq[Dai4], Column)],
+                          clipTempC: Option[Double], snow: Boolean): Column = {
+    val (a, b, c, d) = (annual, seasonal) match {
+      case (Some((a0, b0, c0, d0)), _) => (lit(a0), lit(b0), lit(c0), lit(d0))
+      case (None, Some((tab, month))) =>
+        (daiSeasonSelect(tab, month, _._1), daiSeasonSelect(tab, month, _._2),
+          daiSeasonSelect(tab, month, _._3), daiSeasonSelect(tab, month, _._4))
+      case _ => throw new IllegalArgumentException("dai: need annual or seasonal coefficients")
+    }
+    def f(t: Column): Column = a * (tanh(b * (t - c)) - d) / 100.0
+    val frac = clipTempC match {
+      case None => f(tasC)
+      case Some(tc) =>
+        val (fmin, fmax) = if (snow) (f(lit(tc)), f(lit(-tc))) else (f(lit(-tc)), f(lit(tc)))
+        (f(tasC) - fmin) / (fmax - fmin)
+    }
+    greatest(lit(0.0), least(lit(1.0), frac))
+  }
+
+  /** Snow fraction of total precip, Dai methods. `monthCol` is required for
+    * `dai_seasonal` (any 1-12 month column; season = meteorological). */
+  def snowfallFractionDai(tasC: Column, method: String, land: Boolean = true,
+                          monthCol: Column = lit(1), clipTempC: Option[Double] = None): Column =
+    method match {
+      case "dai_annual"   => daiFraction(tasC, Some(daiSnowAnnual(land)), None, clipTempC, snow = true)
+      case "dai_seasonal" => daiFraction(tasC, None, Some((daiSnowSeasonal(land), monthCol)), clipTempC, snow = true)
+      case other          => throw new IllegalArgumentException(s"bad dai method: $other")
+    }
+
+  /** Rain fraction of total precip, Dai methods (converters.py:1320). */
+  def rainFractionDai(tasC: Column, method: String, land: Boolean = true,
+                      monthCol: Column = lit(1), clipTempC: Option[Double] = None): Column =
+    method match {
+      case "dai_annual"   => daiFraction(tasC, Some(daiRainAnnual(land)), None, clipTempC, snow = false)
+      case "dai_seasonal" => daiFraction(tasC, None, Some((daiRainSeasonal(land), monthCol)), clipTempC, snow = false)
+      case other          => throw new IllegalArgumentException(s"bad dai method: $other")
+    }
+
+  /** relative_humidity method "bohren98" (converters.py:810, Bohren &
+    * Albrecht 1998 via Lawrence 2005): RH = 100·exp(−L(T − Td)/(R_w·T·Td))
+    * with L = 2.501e6 J/kg, R_w = 461.5 J/(kg·K); T, Td in K; clipped to
+    * [0, 100] like the reference's `invalid_values="clip"` default. */
+  def relativeHumidityBohren98(tasK: Column, tdpsK: Column): Column =
+    greatest(lit(0.0), least(lit(100.0),
+      lit(100.0) * exp(lit(-2.501e6) * (tasK - tdpsK) / (lit(461.5) * tasK * tdpsK))))
+
   /** Daily -> hourly temperature upsampling (helpers.py:1059
     * `make_hourly_temperature`, used by the chill models): explode 24 rows
     * per day with a sine ramp from tasmin (sunrise) to tasmax (mid-
