@@ -49,9 +49,24 @@ object Main {
         val vars = graft.sources.NetCDF.toParquetLake(spark, nc, outDir)
         println(s"$nc -> $outDir (${vars.mkString(", ")})")
         spark.stop()
+      case "convert-netcdf" :: "--reverse" :: lakeDir :: nc :: rest =>
+        // lake -> classic NetCDF: the reference CLI's NetCDF->NetCDF round
+        // trip (cli.py:76-88) with the parquet lake as the middle step
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val version = rest.headOption.map(_.toInt).getOrElse(1)
+        val h = graft.sources.NetCDF.fromParquetLake(spark, lakeDir, nc, version = version)
+        println(s"$lakeDir -> $nc (CDF-$version, ${h.vars.map(_.name).mkString(", ")}, " +
+          s"${h.numRecs} records)")
+        spark.stop()
       case other =>
         System.err.println(
-          s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | convert-netcdf <nc> <outDir>; got: $other")
+          s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
+            s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2]; got: $other")
         sys.exit(2)
     }
   }

@@ -222,4 +222,213 @@ object NetCDF {
       v.name
     }
   }
+
+  // ------------------------------------------------------------------
+  // Writer: the inverse of the reader — same header layout, same pure
+  // offset functions (the reference CLI round-trips NetCDF→NetCDF,
+  // cli.py:76-88; here the lake is the middle step).
+  // ------------------------------------------------------------------
+
+  /** One variable to write: `df` in the reader's long format — one INT
+    * index column per dimension (named after the dim, 0-based, row-major)
+    * plus a `value` DOUBLE column. */
+  final case class WriteVar(name: String, dims: Seq[String], df: DataFrame,
+                            attrs: Seq[NcAttr] = Nil)
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  /** Serialise a classic header (driver-side; CDF-1 when `version`=1,
+    * CDF-2 when 2). Returns (headerBytes, begins, recSize, fileLength).
+    * Every variable is written as NC_DOUBLE — the lake's value type.
+    * `recordDim` (length written as 0) must be each record var's FIRST
+    * dim, per the spec. */
+  private def buildHeader(version: Int, dims: Seq[NcDim], numRecs: Long,
+                          vars: Seq[WriteVar], gattrs: Seq[NcAttr]): (Array[Byte], Map[String, Long], Long) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    def writeName(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
+    }
+    def writeAttrs(attrs: Seq[NcAttr]): Unit =
+      if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(0x0C); out.writeInt(attrs.size)
+        attrs.foreach { a =>
+          writeName(a.name)
+          a.values match {
+            case s: String =>
+              out.writeInt(2); out.writeInt(s.length); out.write(s.getBytes("UTF-8"))
+              (0 until ((4 - s.length % 4) % 4)).foreach(_ => out.writeByte(0))
+            case d: Array[Double] =>
+              out.writeInt(6); out.writeInt(d.length); d.foreach(out.writeDouble)
+            case i: Array[Int] =>
+              out.writeInt(4); out.writeInt(i.length); i.foreach(out.writeInt)
+            case other => throw new IllegalArgumentException(s"attr type: $other")
+          }
+        }
+      }
+
+    out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+    out.writeInt(numRecs.toInt)
+    // dim_list
+    if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+    else {
+      out.writeInt(0x0A); out.writeInt(dims.size)
+      dims.foreach { d => writeName(d.name); out.writeInt(d.length) }
+    }
+    writeAttrs(gattrs)
+
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    val isRec = dims.filter(_.isRecord).map(_.name).toSet
+    def vsizeOf(v: WriteVar): Long =
+      pad4(v.dims.filterNot(isRec).map(n => dims(dimIdx(n)).length.toLong).product * 8L)
+
+    // var_list with a two-pass begin computation: header size depends on
+    // itself only through the fixed-width begin fields, so write a first
+    // pass with zero begins to learn the length, then re-emit.
+    def emitVars(begins: Map[String, Long]): Unit = {
+      if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      else {
+        out.writeInt(0x0B); out.writeInt(vars.size)
+        vars.foreach { v =>
+          writeName(v.name)
+          out.writeInt(v.dims.size)
+          v.dims.foreach(n => out.writeInt(dimIdx(n)))
+          writeAttrs(v.attrs)
+          out.writeInt(6) // NC_DOUBLE
+          out.writeInt(vsizeOf(v).toInt)
+          if (version == 1) out.writeInt(begins.getOrElse(v.name, 0L).toInt)
+          else out.writeLong(begins.getOrElse(v.name, 0L))
+        }
+      }
+    }
+    emitVars(Map.empty)
+    val headerLen = pad4(bos.size().toLong)
+
+    // fixed vars first, then the record section, every begin 4-aligned
+    var off = headerLen
+    val (fixedVars, recVars) = vars.partition(v => !v.dims.headOption.exists(isRec))
+    val begins = scala.collection.mutable.Map.empty[String, Long]
+    fixedVars.foreach { v => begins(v.name) = off; off += vsizeOf(v) }
+    recVars.foreach { v => begins(v.name) = off; off += vsizeOf(v) }
+
+    bos.reset()
+    out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+    out.writeInt(numRecs.toInt)
+    if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
+    else {
+      out.writeInt(0x0A); out.writeInt(dims.size)
+      dims.foreach { d => writeName(d.name); out.writeInt(d.length) }
+    }
+    writeAttrs(gattrs)
+    emitVars(begins.toMap)
+    while (bos.size() < headerLen) out.writeByte(0)
+
+    val recSize = recVars.map(vsizeOf).sum
+    (bos.toByteArray, begins.toMap, recSize)
+  }
+
+  /** Write a classic NetCDF file (CDF-1/2) from long-format DataFrames.
+    *
+    * Scale design mirrors the reader: the driver writes only the tiny
+    * header and pre-sizes the file; every VALUE's byte offset is a pure
+    * function of its dim indices, so each partition seek-writes its own
+    * rows directly into the shared-filesystem file (`foreachPartition`,
+    * non-overlapping ranges, no shuffle, no driver materialisation).
+    * Dims with name == `recordDim` get length 0 (the unlimited dim);
+    * `dimLengths` fixes every other dim's extent. */
+  def writeClassic(spark: SparkSession, path: String, dimLengths: Seq[(String, Int)],
+                   vars: Seq[WriteVar], recordDim: Option[String] = None,
+                   numRecs: Long = -1L, gattrs: Seq[NcAttr] = Nil,
+                   version: Int = 1): NcHeader = {
+    val nRecs: Long = recordDim match {
+      case None => 0L
+      case Some(rd) =>
+        if (numRecs >= 0) numRecs
+        else vars.filter(_.dims.headOption.contains(rd))
+          .map(_.df.agg(max(col(rd))).head.getInt(0).toLong + 1L)
+          .foldLeft(0L)(math.max)
+    }
+    val dims = dimLengths.map { case (n, len) =>
+      NcDim(n, if (recordDim.contains(n)) 0 else len)
+    }
+    val (header, begins, recSize) = buildHeader(version, dims, nRecs, vars, gattrs)
+
+    val dimLen = dimLengths.toMap
+    val isRec = (n: String) => recordDim.contains(n)
+    // pre-size: fixed section ends at max begin+vsize; record section
+    // spans numRecs slabs
+    val fileLen = {
+      val fixedEnd = vars.filter(v => !v.dims.headOption.exists(isRec))
+        .map(v => begins(v.name) + pad4(v.dims.map(dimLen(_).toLong).product * 8L))
+      val recBegin = vars.filter(v => v.dims.headOption.exists(isRec))
+        .map(v => begins(v.name)).minOption
+      val recEnd = recBegin.map(_ + nRecs * recSize)
+      (fixedEnd ++ recEnd ++ Seq(header.length.toLong)).max
+    }
+    val raf = new RandomAccessFile(path, "rw")
+    try { raf.setLength(0); raf.setLength(fileLen); raf.write(header) }
+    finally raf.close()
+
+    vars.foreach { v =>
+      val record = v.dims.headOption.exists(isRec)
+      val innerDims = if (record) v.dims.tail else v.dims
+      val innerSizes = innerDims.map(dimLen(_).toLong).toArray
+      val begin = begins(v.name)
+      val stride = if (record) recSize else 8L // fixed vars are contiguous
+      val dimCols = v.dims
+      val rows = v.df.select((dimCols.map(col) :+ col("value").cast("double")): _*)
+      rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val out = new RandomAccessFile(path, "rw")
+        try it.foreach { r =>
+          var flat = 0L
+          var i = 0
+          while (i < innerSizes.length) {
+            val idx = r.getInt(if (record) i + 1 else i)
+            flat = flat * innerSizes(i) + idx
+            i += 1
+          }
+          val offset =
+            if (record) begin + r.getInt(0).toLong * stride + flat * 8L
+            else begin + flat * 8L
+          out.seek(offset)
+          out.writeDouble(if (r.isNullAt(dimCols.length)) Double.NaN
+            else r.getDouble(dimCols.length))
+        } finally out.close()
+      }
+    }
+    readHeader(path)
+  }
+
+  /** Reverse of [[toParquetLake]]: re-emit a long-format lake directory
+    * (`lakeDir/<var>/` with dim-index columns + value) as one classic
+    * NetCDF file. Dim extents are inferred (max index + 1); `recordDim`
+    * (default "time" when present) becomes the unlimited dimension.
+    * `*_coord` join columns from the forward conversion are dropped —
+    * coordinate variables round-trip as plain 1-D vars when present as
+    * their own subdirectories. */
+  def fromParquetLake(spark: SparkSession, lakeDir: String, ncPath: String,
+                      recordDim: Option[String] = None, version: Int = 1): NcHeader = {
+    val varDirs = new java.io.File(lakeDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
+    val frames = varDirs.map { v =>
+      val df = spark.read.parquet(s"$lakeDir/$v")
+      val dimCols = df.columns.filter(c => c != "value" && !c.endsWith("_coord")).toSeq
+      (v, dimCols, df.select((dimCols.map(c => col(c).cast("int").as(c)) :+ col("value")): _*))
+    }
+    val rd = recordDim.orElse(
+      if (frames.exists(_._2.headOption.contains("time"))) Some("time") else None)
+    val dimLengths = frames.flatMap { case (_, dimCols, df) =>
+      if (dimCols.isEmpty) Nil
+      else df.agg(dimCols.map(c => max(col(c)).as(c)).head,
+        dimCols.map(c => max(col(c)).as(c)).tail: _*)
+        .head.toSeq.zip(dimCols).map { case (m, c) => (c, m.asInstanceOf[Int] + 1) }
+    }.groupBy(_._1).map { case (n, xs) => (n, xs.map(_._2).max) }.toSeq.sortBy(_._1)
+    writeClassic(spark, ncPath, dimLengths,
+      frames.map { case (v, dimCols, df) => WriteVar(v, dimCols, df) }.toSeq,
+      recordDim = rd, version = version)
+  }
 }
