@@ -142,13 +142,57 @@ object AttrFormatter {
       ("fr", "tg_mean") -> "Moyenne de la température moyenne quotidienne",
       ("fr", "tx_max") -> "Maximum de la température maximale quotidienne",
       ("fr", "tn_min") -> "Minimum de la température minimale quotidienne",
+      ("fr", "tx_mean") -> "Moyenne de la température maximale quotidienne",
+      ("fr", "tn_mean") -> "Moyenne de la température minimale quotidienne",
+      ("fr", "tg_max") -> "Maximum de la température moyenne quotidienne",
+      ("fr", "tg_min") -> "Minimum de la température moyenne quotidienne",
       ("fr", "frost_days") -> "Nombre de jours de gel",
+      ("fr", "ice_days") -> "Nombre de jours où la température maximale quotidienne est sous {thresh}",
+      ("fr", "hot_days") -> "Nombre de jours où la température maximale quotidienne est au-dessus de {thresh}",
+      ("fr", "calm_days") -> "Nombre de jours où la vitesse du vent de surface est sous {thresh}",
+      ("fr", "windy_days") -> "Nombre de jours où la vitesse du vent de surface est au-dessus ou égale à {thresh}",
       ("fr", "growing_degree_days") -> "Degrés-jours de croissance",
       ("fr", "wetdays") -> "Nombre de jours pluvieux",
+      ("fr", "wetdays_prop") -> "Proportion de jours où la précipitation est supérieure ou égale à {thresh}",
+      ("fr", "dry_days") -> "Nombre de jours secs",
+      ("fr", "sdii") -> "Indice simple de l'intensité des précipitations",
+      ("fr", "daily_pr_intensity") -> "Moyenne de la précipitation quotidienne pour les jours pluvieux",
+      ("fr", "prcptot") -> "Précipitation totale",
+      ("fr", "max_1day_precipitation_amount") -> "Précipitation quotidienne maximale",
+      ("fr", "max_n_day_precipitation_amount") -> "Maximum du cumul sur {window} jours de la précipitation quotidienne",
       ("fr", "maximum_consecutive_dry_days") -> "Durée maximale d'une période sèche",
+      ("fr", "maximum_consecutive_wet_days") -> "Durée maximale d'une période où les précipitations sont au-dessus de {thresh}",
       ("fr", "tropical_nights") -> "Nombre de nuits tropicales",
       ("fr", "heat_wave_index") -> "Indice de vague de chaleur",
-      ("fr", "precip_accumulation") -> "Précipitations totales accumulées")
+      ("fr", "precip_accumulation") -> "Précipitations totales accumulées",
+      ("fr", "snow_depth") -> "Épaisseur de neige",
+      ("fr", "growing_season_length") -> "Durée de la saison de croissance",
+      ("fr", "cold_spell_total_length") -> "Durée totale des périodes de froid d'au moins {window} jours consécutifs",
+      ("fr", "cold_spell_max_length") -> "Série la plus longue d'au moins {window} jours consécutifs sous {thresh}",
+      ("fr", "daily_temperature_range") -> "Amplitude diurne de la température",
+      ("fr", "etr") -> "Amplitude des températures extrêmes",
+      ("fr", "tx_days_above") -> "Nombre de jours ayant une température maximale quotidienne au-dessus de {thresh}",
+      ("fr", "tn_days_below") -> "Nombre de jours ayant une température minimale quotidienne sous {thresh}",
+      ("fr", "last_spring_frost") -> "Dernier jour de gel printanier",
+      ("fr", "first_snowfall") -> "Date du premier jour où la chute de neige est au-dessus de {thresh}",
+      ("fr", "last_snowfall") -> "Date du dernier jour où la chute de neige est au-dessus de {thresh}",
+      ("fr", "snowfall_frequency") -> "Pourcentage de jours où la chute de neige est au-dessus de {thresh}",
+      ("fr", "snowfall_intensity") -> "Chute de neige moyenne au-dessus de {thresh}",
+      // second locale: proves the (locale, identifier) table and the
+      // stamping path are locale-general, not fr-shaped
+      ("de", "tg_mean") -> "Mittel der täglichen Mitteltemperatur",
+      ("de", "tx_max") -> "Maximum der täglichen Höchsttemperatur",
+      ("de", "tn_min") -> "Minimum der täglichen Tiefsttemperatur",
+      ("de", "frost_days") -> "Anzahl der Frosttage",
+      ("de", "ice_days") -> "Anzahl der Eistage",
+      ("de", "tropical_nights") -> "Anzahl der Tropennächte",
+      ("de", "dry_days") -> "Anzahl der Trockentage",
+      ("de", "wetdays") -> "Anzahl der Niederschlagstage",
+      ("de", "precip_accumulation") -> "Aufsummierter Gesamtniederschlag",
+      ("de", "growing_degree_days") -> "Wachstumsgradtage",
+      ("de", "heat_wave_index") -> "Hitzewellenindex",
+      ("de", "maximum_consecutive_dry_days") -> "Maximale Anzahl aufeinanderfolgender Trockentage",
+      ("de", "snow_depth") -> "Schneehöhe")
 
   def translate(locale: String, identifier: String): Option[String] =
     locales.get((locale, identifier))

@@ -185,6 +185,22 @@ class IndicatorSpecSuite extends AnyFunSuite {
     assert(!md2.contains("long_name_fr"))
   }
 
+  test("multiple locales stamp side by side; catalogue covers later additions") {
+    import graft.indicator.{AttrFormatter, Options}
+    Options.withOptions(Options.Opts(locales = Seq("fr", "de"))) {
+      val out = Registry("tg_mean")(julyTas, "MS")
+      val md = out.schema.fields.find(_.name == "value").get.metadata
+      assert(md.getString("long_name_fr").startsWith("Moyenne de la température"))
+      assert(md.getString("long_name_de") == "Mittel der täglichen Mitteltemperatur (MS)")
+    }
+    // r2/r3 registry additions have fr entries too (not just the round-1 ten)
+    for (id <- Seq("cold_spell_total_length", "snowfall_frequency", "etr",
+        "daily_temperature_range", "prcptot", "last_spring_frost"))
+      assert(AttrFormatter.translate("fr", id).nonEmpty, id)
+    // unknown locale/identifier degrade to no stamp, not an error
+    assert(AttrFormatter.translate("de", "nonexistent_indicator").isEmpty)
+  }
+
   test("registry listing includes builtins") {
     assert(Seq("tg_mean", "tx_max", "tn_min", "growing_degree_days", "wetdays",
       "maximum_consecutive_dry_days", "frost_days", "cooling_degree_days",
