@@ -37,6 +37,50 @@ class LibrarySpec extends AnyFunSuite {
     assert(conv.head == 58) // 59/365 -> ~58/360
   }
 
+  test("dai phase fractions: closed-form pins and clip rescale") {
+    import spark.implicits._
+    import graft.indices.Converters
+    def f(a: Double, b: Double, c: Double, d: Double)(t: Double) =
+      a * (math.tanh(b * (t - c)) - d) / 100.0
+    val df = Seq((-10.0, 1), (1.1662, 7), (15.0, 12)).toDF("tas", "m")
+    val got = df.select(
+      Converters.snowfallFractionDai(col("tas"), "dai_annual"),
+      Converters.snowfallFractionDai(col("tas"), "dai_seasonal", monthCol = col("m")),
+      Converters.rainFractionDai(col("tas"), "dai_annual"),
+      Converters.snowfallFractionDai(col("tas"), "dai_annual", clipTempC = Some(2.0)))
+      .collect()
+    // annual land snow at tas = c: tanh(0) = 0 -> f = -a*d/100
+    assert(math.abs(got(1).getDouble(0) - (48.2292 * 1.0223 / 100.0)) < 1e-12)
+    // the tanh asymptotes do NOT reach 0/1 (d > 1): the warm-end snow
+    // fraction keeps the a·(1−d)/100 "sleet" residual — pin exact values
+    val fAnn = f(-48.2292, 0.7205, 1.1662, 1.0223) _
+    assert(got(0).getDouble(0) == math.min(1.0, fAnn(-10.0)))
+    assert(math.abs(got(2).getDouble(0) - fAnn(15.0)) < 1e-12 && got(2).getDouble(0) > 0.0)
+    // seasonal at m=7 (JJA land): distinct coefficient row
+    assert(math.abs(got(1).getDouble(1) - f(-46.4000, 0.7013, 0.8362, 1.0217)(1.1662)) < 1e-12)
+    // rain fraction mirrors: small cold residual, large-but-sub-1 warm value
+    val fRain = f(-47.8337, -0.6866, 1.4913, 1.0420) _
+    assert(math.abs(got(0).getDouble(2) - fRain(-10.0)) < 1e-12 && got(0).getDouble(2) < 0.05)
+    assert(math.abs(got(2).getDouble(2) - fRain(15.0)) < 1e-12 && got(2).getDouble(2) > 0.9)
+    // clip rescale hits exactly 0 at +Tc and 1 at -Tc
+    val clip2 = Seq((2.0, 1), (-2.0, 1)).toDF("tas", "m").select(
+      Converters.snowfallFractionDai(col("tas"), "dai_annual", clipTempC = Some(2.0)))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(clip2 == Seq(0.0, 1.0))
+  }
+
+  test("bohren98 relative humidity: saturation at Td = T, clip at 100") {
+    import spark.implicits._
+    import graft.indices.Converters
+    val df = Seq((280.0, 280.0), (280.0, 270.0), (280.0, 290.0)).toDF("t", "td")
+    val got = df.select(Converters.relativeHumidityBohren98(col("t"), col("td")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got(0) == 100.0) // Td = T -> exp(0)
+    val expect = 100.0 * math.exp(-2.501e6 * 10.0 / (461.5 * 280.0 * 270.0))
+    assert(math.abs(got(1) - expect) < 1e-9 && got(1) < 100.0)
+    assert(got(2) == 100.0) // supersaturated input clips
+  }
+
   test("bootstrap replicas: year replacement bookkeeping") {
     import spark.implicits._
     // 3 base years, 2 rows each
