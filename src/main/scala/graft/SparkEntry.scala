@@ -4941,16 +4941,17 @@ object SparkEntry {
 
     "q_ensemble_percentiles_weighted" -> ((s, dir) => {
       // ensemble_percentiles with member weights (ensembles/_base.py:214):
-      // per-day weighted quantiles over the member axis via the
-      // cumulative-weight-grid interpolation aggregate
-      // (core/Stats.weightedQuantile) — weights deterministic per member.
-      import graft.core.Stats
+      // per-day weighted quantiles over the member axis via the window-based
+      // cumulative-weight-grid interpolation (Ensembles.weightedPercentiles
+      // — one member-sort shuffle, unbounded member count; the array
+      // aggregate in Stats.weightedQuantile is O(n²) and would stall at
+      // thousands of members). Weights deterministic per member.
       val daily = dailyTotals(s, dir)
         .withColumn("w", (pmod(col("user_id"), lit(3)) + 1).cast("double"))
-      daily.groupBy(col("d"))
-        .agg(round(Stats.weightedQuantile(col("total"), col("w"), 0.1), 6).as("p10"),
-          round(Stats.weightedQuantile(col("total"), col("w"), 0.5), 6).as("p50"),
-          round(Stats.weightedQuantile(col("total"), col("w"), 0.9), 6).as("p90"))
+      graft.ensembles.Ensembles.weightedPercentiles(
+          daily, Seq("d"), col("total"), col("w"), Seq(0.1, 0.5, 0.9))
+        .select(col("d"), round(col("p10"), 6).as("p10"),
+          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
     })
   )
 

@@ -64,6 +64,10 @@ object Stats {
     * _base.py:214): linear interpolation on the cumulative-weight grid
     * w_cum_i - w_i/2 (the "weighted type-7" convention). Aggregate
     * expression over (value, weight) pairs; weights need not be normalised.
+    * BOUNDED GROUPS ONLY: the cumulative grid is O(n²) interpreted
+    * higher-order-function work per group — fine for ensemble member
+    * counts (tens), a stall at thousands. The scalable window-based form
+    * is [[graft.ensembles.Ensembles.weightedPercentiles]].
     */
   def weightedQuantile(value: Column, weight: Column, p: Double): Column = {
     val pairs = sort_array(collect_list(struct(value.as("v"), weight.as("w"))))

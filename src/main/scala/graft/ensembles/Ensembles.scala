@@ -45,6 +45,39 @@ object Ensembles {
     ens.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Weighted ensemble_percentiles (_base.py:214 with `weights`): linear
+    * interpolation on the cumulative-weight grid cum_i − w_i/2 normalised
+    * by total weight (the "weighted type-7" convention — reduces to exact
+    * type 7 at equal weights). Window-based, NOT array-based: members sort
+    * within each key partition, a running-sum window builds the grid, and
+    * the bracketing pair interpolates — one shuffle on `keys`, reused by
+    * the final same-keyed groupBy; no per-group arrays, so member count is
+    * unbounded (the array form in core.Stats.weightedQuantile is O(n²)
+    * interpreted and only fit for small bounded groups). */
+  def weightedPercentiles(ens: DataFrame, keys: Seq[String], value: Column,
+                          weight: Column, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kCols = keys.map(col)
+    val ord = Window.partitionBy(kCols: _*).orderBy(col("_v").asc, col("_w").asc)
+    val all = Window.partitionBy(kCols: _*)
+    val base = ens.select(kCols :+ value.as("_v") :+ weight.as("_w"): _*)
+      .withColumn("_cum",
+        sum(col("_w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)) - col("_w") / 2)
+      .withColumn("_grid", col("_cum") / sum(col("_w")).over(all))
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_nv", lead(col("_v"), 1).over(ord))
+      .withColumn("_ng", lead(col("_grid"), 1).over(ord))
+    val aggs = ps.map { p =>
+      coalesce(
+        max(when(col("_grid") <= p && (col("_ng").isNull || col("_ng") > p),
+          when(col("_ng").isNull, col("_v")).otherwise(
+            col("_v") + (lit(p) - col("_grid")) / (col("_ng") - col("_grid"))
+              * (col("_nv") - col("_v"))))),
+        min(when(col("_rn") === 1, col("_v")))).as(s"p${(p * 100).round}")
+    }
+    base.groupBy(kCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** robustness_fractions (_robustness.py:74), test="ttest"-style: given a
     * per-member frame with (ref mean/var/n, fut mean/var/n) columns, the
     * fraction of members with significant change and with positive change. */
