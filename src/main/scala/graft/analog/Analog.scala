@@ -63,6 +63,18 @@ object Analog {
     * `withGraphStats = false` skips the NN-purity and Friedman-Rafsky MST
     * passes (the expensive part) when only the energy term is needed.
     */
+  /** Deterministic quantile-preserving subsample: sort by first feature,
+    * pick `cap` evenly-strided points. Stable across partitionings (unlike
+    * reservoir sampling) and value-determined, so an oracle can reproduce
+    * the selection from the sorted value sequence alone. */
+  private def thin(zs: Array[Array[Double]], cap: Int): Array[Array[Double]] =
+    if (zs.length <= cap) zs
+    else {
+      val sorted = zs.sortBy(x => (x.headOption.getOrElse(0.0), x.length))
+      val stride = sorted.length.toDouble / cap
+      Array.tabulate(cap)(i => sorted(math.min((i * stride).toInt, sorted.length - 1)))
+    }
+
   def sampleMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
                     target: Array[Array[Double]],
                     maxPerGroup: Int = Int.MaxValue,
@@ -74,37 +86,35 @@ object Analog {
       while (i < a.length) { val x = a(i) - b(i); acc += x * x; i += 1 }
       math.sqrt(acc)
     }
+    def meanWithin(zs: Array[Array[Double]]): Double = {
+      if (zs.length < 2) 0.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < zs.length) {
+          var j = i + 1
+          while (j < zs.length) { acc += d(zs(i), zs(j)); j += 1 }
+          i += 1
+        }
+        2.0 * acc / (zs.length.toLong * zs.length) // includes both orders
+      }
+    }
+    // the target is bounded by the SAME cap as candidate groups (an
+    // uncapped target makes every group pay O(n·m) against an m that
+    // grows with the data), and its O(m²) self-term is computed ONCE
+    // here, not once per group
+    val ys = thin(target, maxPerGroup)
+    val dyy = meanWithin(ys)
     candidates
       .select(col(groupCol).cast("string"), col(featuresCol))
       .as[(String, Seq[Double])]
       .groupByKey(_._1)
       .mapGroups { (g, it) =>
-        val xsAll = it.map(_._2.toArray).toArray
-        val xs =
-          if (xsAll.length <= maxPerGroup) xsAll
-          else {
-            val sorted = xsAll.sortBy(x => (x.headOption.getOrElse(0.0), x.length))
-            val stride = sorted.length.toDouble / maxPerGroup
-            Array.tabulate(maxPerGroup)(i => sorted(math.min((i * stride).toInt, sorted.length - 1)))
-          }
-        val ys = target
+        val xs = thin(it.map(_._2.toArray).toArray, maxPerGroup)
         var dxy = 0.0
         for (x <- xs; y <- ys) dxy += d(x, y)
         dxy /= (xs.length.toLong * ys.length)
-        def meanWithin(zs: Array[Array[Double]]): Double = {
-          if (zs.length < 2) 0.0
-          else {
-            var acc = 0.0; var n = 0L
-            var i = 0
-            while (i < zs.length) {
-              var j = i + 1
-              while (j < zs.length) { acc += d(zs(i), zs(j)); n += 1; j += 1 }
-              i += 1
-            }
-            2.0 * acc / (zs.length.toLong * zs.length) // includes both orders
-          }
-        }
-        val energy = 2.0 * dxy - meanWithin(xs) - meanWithin(ys)
+        val energy = 2.0 * dxy - meanWithin(xs) - dyy
         // NN purity: for each candidate point, is its nearest pooled
         // neighbour (excluding itself) also a candidate point?
         var same = 0
@@ -158,10 +168,12 @@ object Analog {
     * `mapGroups` kernel. O(n*m + n^2) per group like the reference.
     */
   def extendedMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
-                      target: Array[Array[Double]], dmin: Double = 1e-12,
+                      targetRaw: Array[Array[Double]], dmin: Double = 1e-12,
                       maxPerGroup: Int = Int.MaxValue): DataFrame = {
     val s = candidates.sparkSession
     import s.implicits._
+    // bound the target like the candidate groups (see sampleMetrics)
+    val target = thin(targetRaw, maxPerGroup)
     val dims = target.head.length
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
