@@ -238,7 +238,8 @@ object NetCDF {
   private def pad4(n: Long): Long = (n + 3) & ~3L
 
   /** Serialise a classic header (driver-side; CDF-1 when `version`=1,
-    * CDF-2 when 2). Returns (headerBytes, begins, recSize, fileLength).
+    * CDF-2 when 2, CDF-5 when 5 — 64-bit counts everywhere, mirroring
+    * [[readHeader]]'s `readSize`). Returns (headerBytes, begins, recSize).
     * Every variable is written as NC_DOUBLE — the lake's value type.
     * `recordDim` (length written as 0) must be each record var's FIRST
     * dim, per the spec. */
@@ -246,64 +247,69 @@ object NetCDF {
                           vars: Seq[WriteVar], gattrs: Seq[NcAttr]): (Array[Byte], Map[String, Long], Long) = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    // CDF-5 widens every count/length field to 64 bits (same dual as the
+    // reader's readSize)
+    def writeSize(n: Long): Unit =
+      if (version == 5) out.writeLong(n) else out.writeInt(n.toInt)
     def writeName(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b)
+      writeSize(b.length.toLong); out.write(b)
       (0 until ((4 - b.length % 4) % 4)).foreach(_ => out.writeByte(0))
     }
     def writeAttrs(attrs: Seq[NcAttr]): Unit =
-      if (attrs.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      if (attrs.isEmpty) { out.writeInt(0); writeSize(0L) }
       else {
-        out.writeInt(0x0C); out.writeInt(attrs.size)
+        out.writeInt(0x0C); writeSize(attrs.size.toLong)
         attrs.foreach { a =>
           writeName(a.name)
           a.values match {
             case s: String =>
-              out.writeInt(2); out.writeInt(s.length); out.write(s.getBytes("UTF-8"))
+              out.writeInt(2); writeSize(s.length.toLong); out.write(s.getBytes("UTF-8"))
               (0 until ((4 - s.length % 4) % 4)).foreach(_ => out.writeByte(0))
             case d: Array[Double] =>
-              out.writeInt(6); out.writeInt(d.length); d.foreach(out.writeDouble)
+              out.writeInt(6); writeSize(d.length.toLong); d.foreach(out.writeDouble)
             case i: Array[Int] =>
-              out.writeInt(4); out.writeInt(i.length); i.foreach(out.writeInt)
+              out.writeInt(4); writeSize(i.length.toLong); i.foreach(out.writeInt)
             case other => throw new IllegalArgumentException(s"attr type: $other")
           }
         }
       }
-
-    out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-    out.writeInt(numRecs.toInt)
-    // dim_list
-    if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
-    else {
-      out.writeInt(0x0A); out.writeInt(dims.size)
-      dims.foreach { d => writeName(d.name); out.writeInt(d.length) }
-    }
-    writeAttrs(gattrs)
 
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
     val isRec = dims.filter(_.isRecord).map(_.name).toSet
     def vsizeOf(v: WriteVar): Long =
       pad4(v.dims.filterNot(isRec).map(n => dims(dimIdx(n)).length.toLong).product * 8L)
 
+    def emitPreamble(): Unit = {
+      out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+      writeSize(numRecs)
+      if (dims.isEmpty) { out.writeInt(0); writeSize(0L) }
+      else {
+        out.writeInt(0x0A); writeSize(dims.size.toLong)
+        dims.foreach { d => writeName(d.name); writeSize(d.length.toLong) }
+      }
+      writeAttrs(gattrs)
+    }
     // var_list with a two-pass begin computation: header size depends on
     // itself only through the fixed-width begin fields, so write a first
     // pass with zero begins to learn the length, then re-emit.
     def emitVars(begins: Map[String, Long]): Unit = {
-      if (vars.isEmpty) { out.writeInt(0); out.writeInt(0) }
+      if (vars.isEmpty) { out.writeInt(0); writeSize(0L) }
       else {
-        out.writeInt(0x0B); out.writeInt(vars.size)
+        out.writeInt(0x0B); writeSize(vars.size.toLong)
         vars.foreach { v =>
           writeName(v.name)
-          out.writeInt(v.dims.size)
+          writeSize(v.dims.size.toLong)
           v.dims.foreach(n => out.writeInt(dimIdx(n)))
           writeAttrs(v.attrs)
           out.writeInt(6) // NC_DOUBLE
-          out.writeInt(vsizeOf(v).toInt)
+          writeSize(vsizeOf(v))
           if (version == 1) out.writeInt(begins.getOrElse(v.name, 0L).toInt)
           else out.writeLong(begins.getOrElse(v.name, 0L))
         }
       }
     }
+    emitPreamble()
     emitVars(Map.empty)
     val headerLen = pad4(bos.size().toLong)
 
@@ -315,14 +321,7 @@ object NetCDF {
     recVars.foreach { v => begins(v.name) = off; off += vsizeOf(v) }
 
     bos.reset()
-    out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-    out.writeInt(numRecs.toInt)
-    if (dims.isEmpty) { out.writeInt(0); out.writeInt(0) }
-    else {
-      out.writeInt(0x0A); out.writeInt(dims.size)
-      dims.foreach { d => writeName(d.name); out.writeInt(d.length) }
-    }
-    writeAttrs(gattrs)
+    emitPreamble()
     emitVars(begins.toMap)
     while (bos.size() < headerLen) out.writeByte(0)
 
@@ -330,7 +329,7 @@ object NetCDF {
     (bos.toByteArray, begins.toMap, recSize)
   }
 
-  /** Write a classic NetCDF file (CDF-1/2) from long-format DataFrames.
+  /** Write a classic NetCDF file (CDF-1/2/5) from long-format DataFrames.
     *
     * Scale design mirrors the reader: the driver writes only the tiny
     * header and pre-sizes the file; every VALUE's byte offset is a pure
@@ -343,6 +342,16 @@ object NetCDF {
                    vars: Seq[WriteVar], recordDim: Option[String] = None,
                    numRecs: Long = -1L, gattrs: Seq[NcAttr] = Nil,
                    version: Int = 1): NcHeader = {
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported NetCDF write variant $version (CDF-1/2/5)")
+    // classic-format constraint: the unlimited dim may only be a record
+    // var's OUTERMOST (first) dimension
+    recordDim.foreach { rd =>
+      vars.foreach { v =>
+        require(!v.dims.drop(1).contains(rd),
+          s"record dim '$rd' must be the FIRST dim of variable '${v.name}'")
+      }
+    }
     val nRecs: Long = recordDim match {
       case None => 0L
       case Some(rd) =>

@@ -162,12 +162,12 @@ class NetCDFSpec extends AnyFunSuite {
     assert(r.getAs[Double]("x_coord") == 30.0 && r.getAs[Double]("value") == 3.0)
   }
 
-  test("writer: executor-parallel classic round trip, CDF-1 and CDF-2") {
+  test("writer: executor-parallel classic round trip, CDF-1/2/5") {
     import spark.implicits._
     val temp = (0 until 4).flatMap(t => (0 until 3).map(x => (t, x, t * 10.0 + x)))
       .toDF("time", "x", "value").repartition(4) // cross-partition seek-writes
     val xs = Seq((0, 10.0), (1, 20.0), (2, 30.0)).toDF("x", "value")
-    for (v <- Seq(1, 2)) {
+    for (v <- Seq(1, 2, 5)) {
       val f = java.io.File.createTempFile("graft_w", ".nc"); f.deleteOnExit()
       val h = NetCDF.writeClassic(spark, f.getPath, Seq("time" -> 4, "x" -> 3),
         Seq(NetCDF.WriteVar("x", Seq("x"), xs),
