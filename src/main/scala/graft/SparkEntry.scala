@@ -1152,7 +1152,7 @@ object SparkEntry {
     }),
 
     "q_standardized_index" -> ((s, dir) => {
-      // standardized_index machinery (stats.py:770-1035), z-score form:
+      // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
       // climatology (the SPI pipeline shape with a normal backbone)
       val w = Window.partitionBy(col("user_id")).orderBy(col("d"))

@@ -45,24 +45,6 @@ object Analog {
   def seuclidean(candMean: Column, tgtMean: Column, tgtStd: Column): Column =
     abs(candMean - tgtMean) / tgtStd
 
-  /** Sample-vs-sample dissimilarity metrics that need the full candidate
-    * sample in memory: Székely–Rizzo energy distance (analog.py:323
-    * `szekely_rizzo`) and the nearest-neighbour class-purity metric
-    * (analog.py:217 `nearest_neighbor`). One `mapGroups` pass per candidate
-    * group with the (bounded) target sample broadcast in the closure —
-    * candidate cells stream through executors, so candidate COUNT scales
-    * freely; per-cell sample size is the O(n^2) bound, as in the reference.
-    *
-    * Input: (groupCol, features ARRAY<DOUBLE>); output per group:
-    * (group, energy_distance, nn_metric).
-    *
-    * `maxPerGroup` bounds the O(n^2) kernel at scale: groups larger than
-    * the cap are deterministically thinned to `maxPerGroup` points (sorted
-    * by first feature, evenly strided — a quantile-preserving subsample
-    * that is stable across partitionings, unlike reservoir sampling).
-    * `withGraphStats = false` skips the NN-purity and Friedman-Rafsky MST
-    * passes (the expensive part) when only the energy term is needed.
-    */
   /** Deterministic quantile-preserving subsample: sort by first feature,
     * pick `cap` evenly-strided points. Stable across partitionings (unlike
     * reservoir sampling) and value-determined, so an oracle can reproduce
@@ -75,6 +57,23 @@ object Analog {
       Array.tabulate(cap)(i => sorted(math.min((i * stride).toInt, sorted.length - 1)))
     }
 
+  /** Sample-vs-sample dissimilarity metrics that need the full candidate
+    * sample in memory: Székely–Rizzo energy distance (analog.py:323
+    * `szekely_rizzo`) and the nearest-neighbour class-purity metric
+    * (analog.py:217 `nearest_neighbor`). One `mapGroups` pass per candidate
+    * group with the (bounded) target sample broadcast in the closure —
+    * candidate cells stream through executors, so candidate COUNT scales
+    * freely; per-cell sample size is the O(n^2) bound, as in the reference.
+    *
+    * Input: (groupCol, features ARRAY<DOUBLE>); output per group:
+    * (group, energy_distance, nn_metric).
+    *
+    * `maxPerGroup` bounds the O(n^2) kernel at scale: BOTH the candidate
+    * groups and the target are deterministically thinned to `maxPerGroup`
+    * points; the target's O(m²) self-term is computed once driver-side.
+    * `withGraphStats = false` skips the NN-purity and Friedman-Rafsky MST
+    * passes (the expensive part) when only the energy term is needed.
+    */
   def sampleMetrics(candidates: DataFrame, groupCol: String, featuresCol: String,
                     target: Array[Array[Double]],
                     maxPerGroup: Int = Int.MaxValue,
@@ -129,7 +128,7 @@ object Analog {
           if (bestIsCand) same += 1
         }
         val nn = if (!withGraphStats || xs.isEmpty) Double.NaN else same.toDouble / xs.length
-        // Friedman-Rafsky (analog.py:389): fraction of pooled-MST edges
+        // `friedman_rafsky` (analog.py:389): fraction of pooled-MST edges
         // joining the two samples (Prim O(n^2)); identical distributions
         // -> ~2nm/(n+m)/(n+m-1), disjoint clusters -> ~1/(n+m-1)
         val pooled = xs ++ ys

@@ -573,7 +573,8 @@ object Registry {
       "kg m-2 s-1", prec, "thresholded_stat",
       "op" -> ">=", "thresh" -> mmd.toString, "reducer" -> "mean")
 
-    // --- spell family (_threshold.py:760-1090, generic spell stats) ---
+    // --- spell family (_threshold.py:760-1090; generic `spell_length` /
+    //     spell-stat reducers) ---
     def spellStat(id: String, title: String, v: Seq[VarReq], op: String,
                   thresh: Double, window: Int, red: String): Unit =
       cfg(id, title, if (red == "count") "1" else "d", v, "spell_stat",
@@ -765,7 +766,7 @@ object Registry {
       "wet_thresh" -> mmd.toString)
     def dtrVars = Seq(VarReq("value", "[temperature]", "K"),
       VarReq("value2", "[temperature]", "K"))
-    cfg("daily_temperature_range", "Mean diurnal temperature range (_multivariate.py:514)",
+    cfg("daily_temperature_range", "Mean diurnal_temperature_range (_multivariate.py:514)",
       "K", dtrVars, "daily_range_mean")
     cfg("daily_temperature_range_variability",
       "Mean absolute day-to-day DTR change (_multivariate.py:561)", "K",

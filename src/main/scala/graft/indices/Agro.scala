@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Agro {
 
-  /** Corn heat units (_agro.py:69, Ontario CHU formula): daily value from
+  /** `corn_heat_units` (_agro.py:69, Ontario CHU formula): daily value from
     * (tasmin, tasmax) in degC; negative half-terms floor at 0. */
   def cornHeatUnits(tasminC: Column, tasmaxC: Column): Column = {
     val ymin = greatest(lit(0.0), lit(1.8) * (tasminC - 4.44))
@@ -80,7 +80,7 @@ object Agro {
     }(_.total).toDF("key", "t", "chill_portions")
   }
 
-  /** Latitude-temperature index (_agro.py:728): mean warmest-month temp
+  /** `latitude_temperature_index` (_agro.py:728): mean warmest-month temp
     * scaled by a latitude factor (lat in degrees). */
   def latitudeTemperatureIndex(meanWarmestMonthC: Column, latDeg: Column,
                                latFactor: Double = 75.0): Column =

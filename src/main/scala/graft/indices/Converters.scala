@@ -20,7 +20,7 @@ object Converters {
   def saturationVaporPressureIce(tasC: Column): Column =
     lit(6.112) * exp(lit(22.46) * tasC / (lit(272.62) + tasC))
 
-  /** Actual vapour pressure [hPa] from dewpoint (converters.py:607). */
+  /** `vapor_pressure`: actual vapour pressure [hPa] from dewpoint (converters.py:607). */
   def vaporPressure(tdpsC: Column): Column = saturationVaporPressure(tdpsC)
 
   /** Relative humidity [%] from temperature + dewpoint (converters.py:702). */
@@ -79,15 +79,15 @@ object Converters {
   def sndToSnw(sndM: Column, density: Column): Column = sndM * density
   def snwToSnd(snwKgM2: Column, density: Column): Column = snwKgM2 / density
 
-  /** Clearness index: surface / extraterrestrial shortwave
+  /** `clearness_index`: surface / extraterrestrial shortwave
     * (converters.py:1589). */
   def clearnessIndex(rsds: Column, extra: Column): Column = rsds / extra
 
-  /** Power-law wind profile extrapolation (converters.py:2743). */
+  /** `wind_profile`: power-law extrapolation (converters.py:2743). */
   def windProfile(windRef: Column, hRef: Column, h: Column, alpha: Column): Column =
     windRef * pow(h / hRef, alpha)
 
-  /** Water budget precip - evapotranspiration (converters.py:2652). */
+  /** `water_budget`: precip - evapotranspiration (converters.py:2652). */
   def waterBudget(pr: Column, evspsbl: Column): Column = pr - evspsbl
 
   /** Solar declination [rad] by day-of-year (helpers.py:119, simple
@@ -297,7 +297,7 @@ object Converters {
       .otherwise(0.0)
   }
 
-  /** prsn (mass flux) <-> prsnd (liquid-water-equivalent snowfall rate):
+  /** `prsn_to_prsnd` / `prsnd_to_prsn` (mass flux <-> liquid-water-equivalent snowfall rate):
     * converters.py:1461,:1502; fixed snow density [kg m-3]. */
   def prsnToPrsnd(prsn: Column, snowDensity: Double = 100.0): Column =
     prsn / snowDensity

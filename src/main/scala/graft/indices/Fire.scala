@@ -180,14 +180,14 @@ object Fire {
 
   // ---- derived indices: pure scalar maps, kept as codegen'd Columns ----
 
-  /** Initial spread index (`_cffwis.py:441`, eqs 25-26). */
+  /** `initial_spread_index` (`_cffwis.py:441`, eqs 25-26). */
   def initialSpreadIndex(ws: Column, ffmc: Column): Column = {
     val mo = lit(147.2) * (lit(101.0) - ffmc) / (lit(59.5) + ffmc)
     val ff = lit(19.1152) * exp(mo * -0.1386) * (lit(1.0) + pow(mo, 5.31) / 49300000.0)
     ff * exp(lit(0.05039) * ws)
   }
 
-  /** Build-up index (`_cffwis.py:465`, eq 27). */
+  /** `build_up_index` (`_cffwis.py:465`, eq 27). */
   def buildUpIndex(dmc: Column, dc: Column): Column = {
     val denom = dmc + lit(0.4) * dc
     val bui = when(dmc === 0.0 && dc === 0.0, lit(0.0))
@@ -198,13 +198,13 @@ object Fire {
   }
 
   /** Fire weather index (`_cffwis.py:492`, eqs 28-30). */
-  def fireWeatherIndex(isi: Column, bui: Column): Column = {
+  def fireWeatherIndex(isi: Column, bui: Column): Column = { // `fire_weather_index`
     val fwi = when(bui <= 80.0, lit(0.1) * isi * (lit(0.626) * pow(bui, 0.809) + 2.0)) // Eq.28a
       .otherwise(lit(0.1) * isi * (lit(1000.0) / (lit(25.0) + lit(108.64) / exp(lit(0.023) * bui)))) // Eq.28b
     when(fwi > 1.0, exp(lit(2.72) * pow(lit(0.434) * log(fwi), 0.647))).otherwise(fwi) // Eq.30b
   }
 
-  /** Daily severity rating (`_cffwis.py:516`). */
+  /** `daily_severity_rating` (`_cffwis.py:516`). */
   def dailySeverityRating(fwi: Column): Column = lit(0.0272) * pow(fwi, 1.77)
 
   /** Overwintered season-start drought code (`_cffwis.py:529`): carry-over
