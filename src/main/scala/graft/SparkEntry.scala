@@ -4952,6 +4952,24 @@ object SparkEntry {
           daily, Seq("d"), col("total"), col("w"), Seq(0.1, 0.5, 0.9))
         .select(col("d"), round(col("p10"), 6).as("p10"),
           round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+    }),
+
+    "q_kkz_selection" -> ((s, dir) => {
+      // KKZ greedy max-min ensemble reduction (_reduce.py:104): the
+      // distributed part builds the (members × criteria) matrix; the
+      // bounded driver-side greedy is hash-checked against a
+      // recursive-CTE replay of the same argmax chain. Integer-valued
+      // criteria make every distance comparison exact in both engines
+      // (sums of integers are order-independent); ties break by member
+      // id (collectCriteria sorts, the CTE orders by (dist, m)).
+      import graft.ensembles.Reduce
+      val crit = t(s, dir, "events")
+        .groupBy((col("user_id") % 40).cast("int").as("m"))
+        .agg(count(lit(1)).cast("double").as("c1"),
+          sum(floor(col("value") / 7.0)).cast("double").as("c2"))
+      val sel = Reduce.kkz(Reduce.collectCriteria(crit, "m", Seq("c1", "c2")), 4)
+      import s.implicits._
+      sel.zipWithIndex.map { case (m, i) => (i + 1, m) }.toDF("rank", "member")
     })
   )
 
@@ -5022,7 +5040,26 @@ object SparkEntry {
          |   max(case when grid <= 0.9 and (ng is null or ng > 0.9) then
          |     case when ng is null then v else v + (0.9 - grid)/(ng - grid)*(nv - v) end end),
          |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p90
-         |from gg group by 1""".stripMargin
+         |from gg group by 1""".stripMargin,
+
+    "q_kkz_selection" ->
+      """with recursive crit as (
+        |  select cast(user_id % 40 as int) m,
+        |    cast(count(*) as double) c1, cast(sum(floor(value/7.0)) as double) c2
+        |  from events group by 1),
+        |cent as (select avg(c1) a1, avg(c2) a2 from crit),
+        |sel(n, ms) as (
+        |  select 1, [(select m from crit, cent
+        |              order by (c1-a1)*(c1-a1) + (c2-a2)*(c2-a2), m limit 1)]
+        |  union all
+        |  select n+1, list_append(ms, (
+        |    select c.m from crit c where not list_contains(ms, c.m)
+        |    order by (select min((c.c1-t.c1)*(c.c1-t.c1) + (c.c2-t.c2)*(c.c2-t.c2))
+        |              from crit t where list_contains(ms, t.m)) desc, c.m
+        |    limit 1))
+        |  from sel where n < 4)
+        |select cast(t.i as int) "rank", cast(ms[t.i] as int) member
+        |from (select ms from sel where n = 4), range(1, 5) t(i)""".stripMargin
   )
 
 }
