@@ -4970,6 +4970,24 @@ object SparkEntry {
       val sel = Reduce.kkz(Reduce.collectCriteria(crit, "m", Seq("c1", "c2")), 4)
       import s.implicits._
       sel.zipWithIndex.map { case (m, i) => (i + 1, m) }.toDF("rank", "member")
+    }),
+
+    "q_kmeans_selection" -> ((s, dir) => {
+      // kmeans_reduce_ensemble (_reduce.py:177): Lloyd iterations from KKZ
+      // seeds (fully deterministic — same seeds, same tie-breaks), then the
+      // member nearest each final centroid. The oracle replays all 50
+      // update steps as a single-row recursive CTE whose new centroids are
+      // correlated aggregates over the criteria table; a converged fixed
+      // point is exact (rational centroids), so extra replay steps are
+      // no-ops and early Scala termination cannot diverge.
+      import graft.ensembles.Reduce
+      val crit = t(s, dir, "events")
+        .groupBy((col("user_id") % 40).cast("int").as("m"))
+        .agg(count(lit(1)).cast("double").as("c1"),
+          sum(floor(col("value") / 7.0)).cast("double").as("c2"))
+      val sel = Reduce.kmeansSelect(Reduce.collectCriteria(crit, "m", Seq("c1", "c2")), 3)
+      import s.implicits._
+      sel.zipWithIndex.map { case (m, i) => (i + 1, m) }.toDF("rank", "member")
     })
   )
 
@@ -5059,7 +5077,58 @@ object SparkEntry {
         |    limit 1))
         |  from sel where n < 4)
         |select cast(t.i as int) "rank", cast(ms[t.i] as int) member
-        |from (select ms from sel where n = 4), range(1, 5) t(i)""".stripMargin
+        |from (select ms from sel where n = 4), range(1, 5) t(i)""".stripMargin,
+
+    "q_kmeans_selection" -> {
+      // distances from a crit row c to current centroid i (correlated on
+      // the single-row recursive relation l)
+      def d(i: Int) = s"(c.c1-l.x$i)*(c.c1-l.x$i)+(c.c2-l.y$i)*(c.c2-l.y$i)"
+      // Lloyd assignment predicates with the Scala minBy tie-break
+      // (lowest centroid index wins ties)
+      val in1 = s"${d(1)} <= ${d(2)} and ${d(1)} <= ${d(3)}"
+      val in2 = s"not ($in1) and ${d(2)} <= ${d(3)}"
+      val in3 = s"not ($in1) and not (${d(2)} <= ${d(3)})"
+      def upd(pred: String, cCol: String, keep: String) =
+        s"coalesce((select avg(c.$cCol) from crit c where $pred), l.$keep)"
+      s"""with recursive crit as (
+         |  select cast(user_id % 40 as int) m,
+         |    cast(count(*) as double) c1, cast(sum(floor(value/7.0)) as double) c2
+         |  from events group by 1),
+         |cent as (select avg(c1) a1, avg(c2) a2 from crit),
+         |kkzsel(n, ms) as (
+         |  select 1, [(select m from crit, cent
+         |              order by (c1-a1)*(c1-a1) + (c2-a2)*(c2-a2), m limit 1)]
+         |  union all
+         |  select n+1, list_append(ms, (
+         |    select c.m from crit c where not list_contains(ms, c.m)
+         |    order by (select min((c.c1-t.c1)*(c.c1-t.c1) + (c.c2-t.c2)*(c.c2-t.c2))
+         |              from crit t where list_contains(ms, t.m)) desc, c.m
+         |    limit 1))
+         |  from kkzsel where n < 3),
+         |s0 as (select
+         |  (select c1 from crit where m = ms[1]) x1, (select c2 from crit where m = ms[1]) y1,
+         |  (select c1 from crit where m = ms[2]) x2, (select c2 from crit where m = ms[2]) y2,
+         |  (select c1 from crit where m = ms[3]) x3, (select c2 from crit where m = ms[3]) y3
+         | from (select ms from kkzsel where n = 3)),
+         |lloyd(it, x1, y1, x2, y2, x3, y3) as (
+         |  select 0, x1, y1, x2, y2, x3, y3 from s0
+         |  union all
+         |  select it + 1,
+         |    ${upd(in1, "c1", "x1")}, ${upd(in1, "c2", "y1")},
+         |    ${upd(in2, "c1", "x2")}, ${upd(in2, "c2", "y2")},
+         |    ${upd(in3, "c1", "x3")}, ${upd(in3, "c2", "y3")}
+         |  from lloyd l where it < 50),
+         |lf as (select * from lloyd where it = 50),
+         |picks as (
+         |  select 1 j, (select m from crit order by (c1-x1)*(c1-x1)+(c2-y1)*(c2-y1), m limit 1) mem from lf
+         |  union all
+         |  select 2, (select m from crit order by (c1-x2)*(c1-x2)+(c2-y2)*(c2-y2), m limit 1) from lf
+         |  union all
+         |  select 3, (select m from crit order by (c1-x3)*(c1-x3)+(c2-y3)*(c2-y3), m limit 1) from lf),
+         |ded as (select mem, min(j) mj from picks group by mem)
+         |select cast(row_number() over (order by mj) as int) "rank", cast(mem as int) member
+         |from ded""".stripMargin
+    }
   )
 
 }
