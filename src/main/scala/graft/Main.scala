@@ -46,7 +46,15 @@ object Main {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val vars = graft.sources.NetCDF.toParquetLake(spark, nc, outDir)
+        // route on the magic number: classic CDF vs HDF5-backed NetCDF-4
+        val magic = {
+          val in = new java.io.FileInputStream(nc)
+          try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+        }
+        val vars =
+          if (magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F')
+            graft.sources.NetCDF.toParquetLake(spark, nc, outDir)
+          else graft.sources.Hdf5.toParquetLake(spark, nc, outDir)
         println(s"$nc -> $outDir (${vars.mkString(", ")})")
         spark.stop()
       case "convert-netcdf" :: "--reverse" :: lakeDir :: nc :: rest =>

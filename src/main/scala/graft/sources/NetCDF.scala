@@ -22,7 +22,7 @@ import java.io.{DataInputStream, EOFException, FileInputStream, RandomAccessFile
   * ingestion parallelism is bounded only by the record count and the
   * filesystem, which is the right contract for a 100 TB lake backfill.
   * CDF-5's widened counts and extended integer types are
-  * supported; HDF5-backed NetCDF-4 is out of scope.
+  * supported; HDF5-backed NetCDF-4 files are handled by [[Hdf5]].
   */
 object NetCDF {
 
