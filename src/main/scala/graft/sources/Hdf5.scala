@@ -32,7 +32,7 @@ object Hdf5 {
                            dtSize: Int, littleEndian: Boolean,
                            layoutClass: Int, dataAddress: Long, dataSize: Long,
                            chunkDims: Seq[Long], chunkBtree: Long,
-                           gzip: Boolean)
+                           gzip: Boolean, attrs: Map[String, Double] = Map.empty)
   final case class Chunk(address: Long, storedSize: Long, offsets: Seq[Long])
 
   // ---------------- driver-side metadata parse ----------------
@@ -178,6 +178,8 @@ object Hdf5 {
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false
+    val attrs = scala.collection.mutable.Map.empty[String, Double]
+    def pad8(n: Int): Int = (n + 7) & ~7
     foreachMessage(r, ohAddr) { (t, sz, body) =>
       t match {
         case 0x0001 => // dataspace
@@ -226,12 +228,40 @@ object Hdf5 {
             i += 1
           }
           require(ok, s"unsupported filter in pipeline for $name (only deflate)")
+        case 0x000C => // attribute (v1): CF scalars (_FillValue, scale, offset)
+          r.seek(body)
+          val v = r.u8()
+          if (v == 1) {
+            r.skip(1)
+            val nameSize = r.u16(); val adtSize = r.u16(); val adsSize = r.u16()
+            val aName = {
+              val b = r.bytes(nameSize)
+              r.skip(pad8(nameSize) - nameSize)
+              val z = b.indexOf(0.toByte)
+              new String(b, 0, if (z < 0) b.length else z, "UTF-8")
+            }
+            val dtStart = r.pos
+            val cv = r.u8(); val aCls = cv & 0x0F
+            val aLittle = (r.u8() & 1) == 0; r.skip(2)
+            val aSize = r.u32().toInt
+            r.seek(dtStart + pad8(adtSize))
+            val dsStart = r.pos
+            r.skip(1)
+            val aRank = r.u8()
+            r.skip(1); r.skip(5)
+            val aCount = (0 until aRank).map(_ => r.u64()).product max 1L
+            r.seek(dsStart + pad8(adsSize))
+            // numeric scalar attributes only — strings/arrays are skipped
+            if ((aCls == 0 || aCls == 1) && aCount == 1 &&
+                (aSize == 1 || aSize == 2 || aSize == 4 || aSize == 8))
+              attrs(aName) = decode(r.bytes(aSize), aCls, aSize, aLittle, 1)(0)
+          }
         case _ => ()
       }
     }
     if (dims == null || dtClass < 0 || layoutClass < 0) None
     else Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
-      dataAddr, dataSize, chunkDims, chunkBtree, gzip))
+      dataAddr, dataSize, chunkDims, chunkBtree, gzip, attrs.toMap))
   }
 
   /** Chunk table from a v1 raw-data B-tree (driver-side; a few bytes per
@@ -359,7 +389,19 @@ object Hdf5 {
       case other => throw new IllegalArgumentException(s"layout class $other")
     }
     val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(s"i$i")) :+ col("_2").as("value")
-    raw.toDF().select(cols: _*)
+    val df = raw.toDF().select(cols: _*)
+    // CF unpacking (same contract as NetCDF.readVariable): fill -> NULL,
+    // then scale/offset as a codegen'd projection on the scan output
+    val fill = ds.attrs.get("_FillValue").orElse(ds.attrs.get("missing_value"))
+    val scale = ds.attrs.getOrElse("scale_factor", 1.0)
+    val offset = ds.attrs.getOrElse("add_offset", 0.0)
+    fill match {
+      case Some(f) => df.withColumn("value",
+        when(col("value") === f, lit(null)).otherwise(col("value") * scale + offset))
+      case None if scale != 1.0 || offset != 0.0 =>
+        df.withColumn("value", col("value") * scale + offset)
+      case None => df
+    }
   }
 
   /** Convert every dataset to a long-format parquet lake (the NetCDF-4

@@ -34,12 +34,13 @@ class Hdf5Spec extends AnyFunSuite {
     out.take(n)
   }
 
-  /** dims: temp double[2,3] chunked (1,2) deflated = {{1,2,3},{4,5,6}};
+  /** dims: temp double[2,3] chunked (1,2) deflated = {{1,2,3},{4,5,-999}}
+    * with _FillValue=-999 and scale_factor=0.5 attributes;
     * x double[3] contiguous = {10,20,30}. */
   private def writeSample(path: String): Unit = {
     val chunks = Seq( // (rowOff, colOff, values incl. edge padding)
       (0L, 0L, Array(1.0, 2.0)), (0L, 2L, Array(3.0, 0.0)),
-      (1L, 0L, Array(4.0, 5.0)), (1L, 2L, Array(6.0, 0.0)))
+      (1L, 0L, Array(4.0, 5.0)), (1L, 2L, Array(-999.0, 0.0)))
     val packed = chunks.map { case (r, c, v) => (r, c, deflate(v)) }
 
     val bos = new ByteArrayOutputStream()
@@ -53,8 +54,8 @@ class Hdf5Spec extends AnyFunSuite {
 
     // addresses (fixed-size metadata laid out back to back)
     val (rootOH, gBtree, heap, heapData, snod, xOH, tempOH, cBtree) =
-      (96L, 136L, 184L, 216L, 240L, 328L, 432L, 576L)
-    val chunkAddrs = packed.scanLeft(792L) { case (a, (_, _, b)) => a + b.length }
+      (96L, 136L, 184L, 216L, 240L, 328L, 432L, 720L)
+    val chunkAddrs = packed.scanLeft(936L) { case (a, (_, _, b)) => a + b.length }
     val xData = chunkAddrs.last
     val eof = xData + 24
 
@@ -115,15 +116,34 @@ class Hdf5Spec extends AnyFunSuite {
     msg(0x0008, 24) { bos.write(3); bos.write(1); le64(xData); le64(24L) }
     at(432)
 
-    // --- temp object header: dataspace[2,3] + datatype + chunked layout + deflate
-    ohPrefix(4, 128)
+    // scalar-double attribute message (v1): name sizes include the null
+    // terminator; datatype/dataspace blocks pad to 8
+    def attr(name: String, value: Double): Unit = {
+      val nameLen = name.length + 1
+      val namePad = (nameLen + 7) & ~7
+      msg(0x000C, 8 + namePad + 24 + 8 + 8) {
+        bos.write(1); bos.write(0)
+        le(nameLen, 2); le(20, 2); le(8, 2) // name/datatype/dataspace sizes
+        ascii(name); (0 until namePad - name.length).foreach(_ => bos.write(0))
+        doubleType(); le(0, 4) // datatype (20B) padded to 24
+        bos.write(1); bos.write(0); bos.write(0); le(0, 5) // scalar dataspace
+        val vb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        vb.putDouble(value); bos.write(vb.array())
+      }
+    }
+
+    // --- temp object header: dataspace[2,3] + datatype + chunked layout +
+    //     deflate + CF attributes
+    ohPrefix(6, 272)
     msg(0x0001, 24) { bos.write(1); bos.write(2); bos.write(0); le(0, 5); le64(2L); le64(3L) }
     msg(0x0003, 24) { doubleType() }
     msg(0x0008, 24) { bos.write(3); bos.write(2); bos.write(3) // v3, chunked, rank+1
       le64(cBtree); le(1, 4); le(2, 4); le(8, 4) }
     msg(0x000B, 24) { bos.write(1); bos.write(1); le(0, 6) // v1, one filter
       le(1, 2); le(0, 2); le(1, 2); le(1, 2); le(6, 4); le(0, 4) } // deflate, 1 value + pad
-    at(576)
+    attr("_FillValue", -999.0)
+    attr("scale_factor", 0.5)
+    at(720)
 
     // --- chunk B-tree (v1, type 1): 4 entries, keys carry (size, mask, offsets)
     ascii("TREE"); bos.write(1); bos.write(0); le(4, 2)
@@ -133,8 +153,8 @@ class Hdf5Spec extends AnyFunSuite {
       le64(chunkAddrs(i))
     }
     le(0, 4); le(0, 4); le64(2L); le64(3L); le64(0L) // final key
-    at(576 + 24 + 4 * 40 + 32)
-    while (bos.size() < 792) bos.write(0) // pad metadata block to the data start
+    at(720 + 24 + 4 * 40 + 32)
+    while (bos.size() < 936) bos.write(0) // pad metadata block to the data start
     packed.foreach { case (_, _, b) => bos.write(b) }
     assert(bos.size() == xData)
     val xb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
@@ -153,19 +173,22 @@ class Hdf5Spec extends AnyFunSuite {
     val temp = meta.head; val x = meta(1)
     assert(temp.dims == Seq(2L, 3L) && temp.layoutClass == 2 && temp.gzip)
     assert(temp.chunkDims == Seq(1L, 2L, 8L))
+    assert(temp.attrs == Map("_FillValue" -> -999.0, "scale_factor" -> 0.5))
     assert(x.dims == Seq(3L) && x.layoutClass == 1 && !x.gzip)
     val chunks = Hdf5.chunkTable(f.getPath, temp)
     assert(chunks.length == 4 && chunks.map(_.offsets.take(2)).toSet ==
       Set(Seq(0L, 0L), Seq(0L, 2L), Seq(1L, 0L), Seq(1L, 2L)))
   }
 
-  test("chunked dataset reads chunk-parallel, inflates, drops edge padding") {
+  test("chunked dataset reads chunk-parallel, inflates, unpacks CF attrs") {
     val f = java.io.File.createTempFile("graft", ".h5"); f.deleteOnExit()
     writeSample(f.getPath)
     val rows = Hdf5.readVariable(spark, f.getPath, "temp")
       .orderBy("i0", "i1").collect()
     assert(rows.length == 6) // edge-chunk padding elements dropped
-    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // scale_factor applied, _FillValue -> NULL
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0), Some(2.5), None))
     assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)))
   }
@@ -184,7 +207,7 @@ class Hdf5Spec extends AnyFunSuite {
     val vars = Hdf5.toParquetLake(spark, f.getPath, outDir)
     assert(vars.toSet == Set("temp", "x"))
     val lake = spark.read.parquet(s"$outDir/temp")
-    assert(lake.count() == 6 &&
-      lake.where("i0 = 1 and i1 = 2").head.getAs[Double]("value") == 6.0)
+    assert(lake.count() == 6 && lake.where("i0 = 1 and i1 = 2").head.isNullAt(2))
+    assert(lake.where("i0 = 1 and i1 = 1").head.getAs[Double]("value") == 2.5)
   }
 }
