@@ -52,9 +52,11 @@ object SparkEntry {
 
   private def docComponents(s: SparkSession, dir: String): DataFrame =
     componentsCache.getOrElseUpdate((s, dir),
-      Dedup.connectedComponents(
-        Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)).persist())
+      // exact-collapse composition: LSH runs over distinct contents only;
+      // provably identical output to components over the raw pair list
+      // (Dedup.nearDupComponents doc) — the duplicate-heavy-corpus path
+      Dedup.nearDupComponents(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, threshold = 0.7, numHashes = 16, bands = 16).persist())
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

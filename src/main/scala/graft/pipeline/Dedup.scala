@@ -227,6 +227,53 @@ object Dedup {
       .select(col(idCol), fp.as("fp"))
   }
 
+  /** Near-dup components with EXACT-DUPLICATE COLLAPSE — the production
+    * composition for duplicate-heavy corpora: hash-group identical texts
+    * first (one shuffle on md5), run MinHash-LSH + verify over one
+    * REPRESENTATIVE per content group (min id), then star-link every
+    * member to its representative and take connected components.
+    *
+    * Output is IDENTICAL to components over the uncollapsed pair list:
+    * exact twins have Jaccard 1 (always candidates, always verified), so
+    * star edges reproduce exactly the edges collapse removed, and any
+    * cross-group near-dup pair survives as the representative pair
+    * (identical text ⇒ identical shingles ⇒ identical signatures and
+    * verify outcome). What changes is COST: LSH/verify run over distinct
+    * contents, so a corpus where every document has k exact copies pays
+    * 1/k of the signature work and 1/k² of the bucket-pair work. */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+                        ngram: Int = 3, threshold: Double = 0.8,
+                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // collapse key = the sorted distinct shingle-hash set itself (J = 1 iff
+    // sets equal, so this is exactly the class LSH would link at Jaccard 1;
+    // no content hash that could collide, and raw text never shuffles —
+    // only the same grams arrays the verify step shuffles anyway)
+    val grams = hashedShingles(df, idCol, textCol, ngram)
+    val withRep = grams.withColumn("rep",
+      min(col("id")).over(Window.partitionBy(col("grams"))))
+    val reps = withRep.filter(col("id") === col("rep")).select(col("id"), col("grams"))
+      .localCheckpoint(false) // shared by candidates AND both verify sides
+    val cands = minhashCandidatesFromHashes(
+      reps.select(col("id"), col("grams").as("hashes")), numHashes, bands)
+    val ga = reps.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      size(col("grams")).as("sz_a"))
+    val gb = reps.select(col("id").as("id_b"), col("grams").as("grams_b"),
+      size(col("grams")).as("sz_b"))
+    val common = graft.functions.SortedIntersectCount
+      .sortedIntersectCount(col("grams_a"), col("grams_b"))
+    val lshEdges = cands.join(ga, "id_a").join(gb, "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .filter((common.cast("double") /
+        (col("sz_a") + col("sz_b") - common).cast("double")) >= threshold)
+      .select("id_a", "id_b")
+    // rep = min(id) of its class, so rep < id keeps the id_a < id_b convention
+    val starEdges = withRep.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    connectedComponents(lshEdges.unionByName(starEdges))
+  }
+
   /** Connected components over an undirected candidate-pair edge list —
     * the cluster-assignment step that turns near-dup PAIRS into dedup
     * GROUPS (the component's min id is the canonical survivor).
