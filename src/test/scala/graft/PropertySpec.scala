@@ -153,6 +153,67 @@ class PropertySpec extends AnyFunSuite {
       assert((got(a) == got(b)) == (canon(a) == canon(b)), s"$a vs $b")
   }
 
+  test("exact-collapse components equal uncollapsed components on a random corpus") {
+    // executable form of the nearDupComponents equivalence argument:
+    // collapsing equal shingle sets + star edges must give the SAME
+    // partition as components over the raw verified pair list
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("sun", "rain", "snow", "wind", "heat", "cold", "dry", "wet")
+    def doc(): String = Seq.fill(8 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val base = Seq.fill(25)(doc())
+    // corpus: each base doc 1-3 exact copies + a few perturbed near-dups
+    val docs = base.zipWithIndex.flatMap { case (d, i) =>
+      val copies = 1 + rng.nextInt(3)
+      (0 until copies).map(c => (i * 100L + c, d)) ++
+        (if (rng.nextBoolean()) Seq((i * 100L + 50, d + " extra")) else Nil)
+    }
+    val df = docs.toDF("doc_id", "text")
+    def partition(res: Array[(Long, Long)]): Set[Set[Long]] =
+      res.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val uncollapsed = Dedup.connectedComponents(
+      Dedup.nearDuplicates(df, "doc_id", "text", ngram = 2, threshold = 0.6,
+        numHashes = 16, bands = 16).select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val collapsed = Dedup.nearDupComponents(df, "doc_id", "text", ngram = 2,
+        threshold = 0.6, numHashes = 16, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(partition(collapsed) == partition(uncollapsed))
+    assert(uncollapsed.nonEmpty)
+  }
+
+  test("window weighted percentiles match a brute-force grid interpolation") {
+    import spark.implicits._
+    // naive reference: sort (v, w), grid = (cum - w/2)/total, bracket + lerp
+    def brute(pairs: Seq[(Double, Double)], p: Double): Double = {
+      val s = pairs.sortBy(x => (x._1, x._2))
+      val total = s.map(_._2).sum
+      val cums = s.scanLeft(0.0)(_ + _._2).tail.zip(s).map { case (c, (_, w)) => c - w / 2 }
+      val grid = cums.map(_ / total)
+      val below = grid.count(_ <= p)
+      if (below == 0) s.head._1
+      else if (below == s.length) s.last._1
+      else {
+        val (g0, g1) = (grid(below - 1), grid(below))
+        val (v0, v1) = (s(below - 1)._1, s(below)._1)
+        v0 + (p - g0) / (g1 - g0) * (v1 - v0)
+      }
+    }
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      ((i % 5).toString, rng.nextDouble() * 100, (1 + rng.nextInt(4)).toDouble))
+    val df = rows.toDF("g", "v", "w")
+    val got = graft.ensembles.Ensembles.weightedPercentiles(
+        df, Seq("g"), col("v"), col("w"), Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byG = rows.groupBy(_._1)
+    for ((g, grp) <- byG; (p, i) <- Seq(0.1, 0.5, 0.9).zipWithIndex) {
+      val expect = brute(grp.map(x => (x._2, x._3)), p)
+      assert(math.abs(got(g)(i) - expect) < 1e-9, s"g=$g p=$p")
+    }
+  }
+
   test("hash sampling: deterministic membership, stratified size exact") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, (i % 7).toString)).toDF("id", "s")
