@@ -39,6 +39,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming spells: runs close across micro-batch boundaries like batch Runs") {
+    import graft.streaming.StatefulSpells
+    import graft.streaming.StatefulSpells.{ClosedSpell, Obs}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Obs]
+    val q = StatefulSpells.spells(input.toDS(), minLength = 2).writeStream
+      .format("memory").queryName("closed_spells").outputMode("append").start()
+    try {
+      // batch 1: entity 1 run of 2 still open at the boundary; entity 2
+      // closes a length-3 run inside the batch
+      input.addData(Obs(1, 10, cond = true), Obs(1, 11, cond = true),
+        Obs(2, 5, cond = true), Obs(2, 6, cond = true), Obs(2, 7, cond = true),
+        Obs(2, 8, cond = false))
+      q.processAllAvailable()
+      val afterB1 = spark.table("closed_spells").as[ClosedSpell].collect()
+      assert(afterB1.toSet == Set(ClosedSpell(2, 5, 3)))
+      // batch 2: entity 1 CONTINUES the run across the boundary (12, 13)
+      // then breaks it; a length-1 run (t=20) falls under minLength
+      input.addData(Obs(1, 12, cond = true), Obs(1, 13, cond = true),
+        Obs(1, 14, cond = false), Obs(1, 20, cond = true), Obs(1, 21, cond = false))
+      q.processAllAvailable()
+      val afterB2 = spark.table("closed_spells").as[ClosedSpell].collect()
+      assert(afterB2.toSet == Set(ClosedSpell(2, 5, 3), ClosedSpell(1, 10, 4)))
+      // an observation GAP (t jumps) closes the current run
+      input.addData(Obs(2, 100, cond = true), Obs(2, 101, cond = true))
+      input.addData(Obs(2, 200, cond = true))
+      q.processAllAvailable()
+      val afterB3 = spark.table("closed_spells").as[ClosedSpell].collect()
+      assert(afterB3.toSet ==
+        Set(ClosedSpell(2, 5, 3), ClosedSpell(1, 10, 4), ClosedSpell(2, 100, 2)))
+      // batch equivalence on the gap-free prefix (batch runTable treats
+      // consecutive ROWS as runs; the gap semantics above is the streaming
+      // kernel's extra contiguity contract on sparse step indices)
+      val gapFree = Seq((1L, 10L, true), (1L, 11L, true), (1L, 12L, true),
+        (1L, 13L, true), (1L, 14L, false), (1L, 20L, true), (1L, 21L, false),
+        (2L, 5L, true), (2L, 6L, true), (2L, 7L, true), (2L, 8L, false))
+        .toDF("entityId", "t", "cond")
+      val batch = graft.core.Runs.runTable(gapFree, Seq("entityId"),
+          org.apache.spark.sql.functions.col("t"),
+          org.apache.spark.sql.functions.col("cond"))
+        .filter("run_len >= 2")
+        .select("entityId", "run_start", "run_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == afterB2.map(c => (c.entityId, c.startT, c.length.toLong)).toSet)
+    } finally q.stop()
+  }
+
   test("sliding windows, watermarked stream dedup, stream-static join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
