@@ -66,7 +66,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -456,7 +456,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -5131,6 +5131,93 @@ object SparkEntry {
          |select cast(row_number() over (order by mj) as int) "rank", cast(mem as int) member
          |from ded""".stripMargin
     }
+  )
+
+  private def queries40: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_audio_decode_stats" -> ((s, dir) => {
+      // REAL audio decode end-to-end: planted stereo PCM-16 WAVs (sample
+      // of frame i, channel ch = ((id*7 + 13i + 5ch) mod 201) - 100 —
+      // Multimodal.plantedWav) are RIFF-encoded and DECODED executor-side
+      // by the pure-JVM WAV byte parser (pipeline/Multimodal.WavDecoder).
+      // Decoded exact sums / peak / zero-crossing counts match the closed
+      // form the oracle computes over a generated sample grid. Payload
+      // bytes never shuffle: generate, decode and project ride the scan.
+      val mk = udf((id: Long) =>
+        graft.pipeline.Multimodal.plantedWav(id, (300 + (id % 7) * 20).toInt, 8000, 2))
+      val media = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mk(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("sample_rate"),
+          element_at(col("feature"), 2).cast("int").as("channels"),
+          element_at(col("feature"), 3).cast("int").as("frames"),
+          element_at(col("feature"), 4).cast("long").as("sum_ch0"),
+          element_at(col("feature"), 5).cast("long").as("sum_abs_ch0"),
+          element_at(col("feature"), 6).cast("long").as("peak_abs"),
+          element_at(col("feature"), 7).cast("long").as("zero_crossings"),
+          element_at(col("feature"), 8).cast("double").as("duration_ms"))
+    }),
+
+    "q_video_frame_stats" -> ((s, dir) => {
+      // REAL video decode end-to-end: planted uncompressed AVIs (BI_RGB
+      // bottom-up DIB frames; channel c of pixel (x,y) in frame f =
+      // (id*7 + 3x + 5y + 17f + 11c) mod 256 — Multimodal.plantedAvi) are
+      // container-encoded and DECODED executor-side by the pure-JVM AVI
+      // parser (pipeline/Multimodal.AviDecoder): header walk (hdrl/strl),
+      // frame-chunk walk (movi), padded-row pixel reads. Cross-frame exact
+      // channel sums match the oracle's generated pixel grid.
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.plantedAvi(id, 16, 12, 4, 25))
+      val media = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+          mk(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("int").as("frames"),
+          element_at(col("feature"), 4).cast("double").as("fps"),
+          element_at(col("feature"), 5).cast("long").as("sum_r"),
+          element_at(col("feature"), 6).cast("long").as("sum_g"),
+          element_at(col("feature"), 7).cast("long").as("sum_b"),
+          element_at(col("feature"), 8).cast("double").as("duration_ms"))
+    })
+  )
+
+  private def oracle40: Map[String, String] = Map(
+
+    "q_audio_decode_stats" ->
+      """with d as (select doc_id, cast(300 + (doc_id % 7) * 20 as int) frames
+        |  from documents where doc_id % 25 = 0),
+        |s as (select d.doc_id, d.frames, x.i,
+        |    ((d.doc_id*7 + x.i*13) % 201) - 100 s0,
+        |    ((d.doc_id*7 + x.i*13 + 5) % 201) - 100 s1
+        |  from d cross join range(0, 420) x(i)
+        |  where x.i < d.frames),
+        |z as (select *, lag(s0) over (partition by doc_id order by i) prev from s)
+        |select doc_id media_id, 8000 sample_rate, 2 channels, max(frames) frames,
+        |  cast(sum(s0) as bigint) sum_ch0,
+        |  cast(sum(abs(s0)) as bigint) sum_abs_ch0,
+        |  cast(max(greatest(abs(s0), abs(s1))) as bigint) peak_abs,
+        |  cast(sum(case when prev is not null and
+        |      (case when s0 >= 0 then 1 else 0 end) <> (case when prev >= 0 then 1 else 0 end)
+        |    then 1 else 0 end) as bigint) zero_crossings,
+        |  cast(max(frames) / 8.0 as double) duration_ms
+        |from z group by doc_id""".stripMargin,
+
+    "q_video_frame_stats" ->
+      """select d.doc_id media_id, 16 width, 12 height, 4 frames,
+        |  cast(25 as double) fps,
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + f.i*17) % 256) as bigint) sum_r,
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + f.i*17 + 11) % 256) as bigint) sum_g,
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + f.i*17 + 22) % 256) as bigint) sum_b,
+        |  cast(160 as double) duration_ms
+        |from (select doc_id from documents where doc_id % 25 = 0) d
+        |cross join range(0, 16) x(i)
+        |cross join range(0, 12) y(i)
+        |cross join range(0, 4) f(i)
+        |group by 1""".stripMargin
   )
 
 }

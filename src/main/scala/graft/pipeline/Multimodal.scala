@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   *    happens once per partition, not per row (the mapInPandas batch
   *    contract).
   *
-  * The decode step itself is STUBBED deterministically (this container has
-  * no media codecs): `fakeDecode` derives a stable pseudo-feature vector
-  * from the payload hash. The schema, batching, and partition behavior are
-  * the real, tested surface.
+  * Decoding is REAL for every format the JDK can express: images via
+  * `javax.imageio` ([[Multimodal.ImageIODecoder]]), audio via pure-JVM
+  * RIFF/WAVE PCM parsing ([[Multimodal.WavDecoder]]), video via
+  * uncompressed RIFF/AVI parsing ([[Multimodal.AviDecoder]]). Formats
+  * needing external codecs (mp3/h264/…) return null features; a JNI/FFI
+  * codec drops into the same [[Multimodal.MediaDecoder]] seam. `fakeDecode`
+  * remains as the documented stub kernel for seam tests.
   */
 object Multimodal {
 
@@ -58,10 +61,10 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Stub implementation for NON-image modalities (this container ships no
-    * audio/video codecs): deterministic pseudo-features from a rolling
-    * hash — the schema, batching, and lifecycle are the real, tested
-    * surface. Image decoding has a REAL implementation: [[ImageIODecoder]]. */
+  /** Stub implementation kept for decoder-seam tests (deterministic
+    * pseudo-features from a rolling hash). The DEFAULT pipeline no longer
+    * uses it: [[ImageIODecoder]], [[WavDecoder]] and [[AviDecoder]] give
+    * every modality a real JDK-only decode path. */
   final class FakeDecoder extends MediaDecoder {
     def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] =
       fakeDecode(payload, dims)
@@ -160,6 +163,261 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- RIFF container parsing (WAV audio + AVI video are both RIFF) ----
+  // Layout per the public Microsoft/IBM RIFF spec: little-endian chunk
+  // stream of (fourcc, u32 size, payload, pad-to-even). WAVE holds "fmt "
+  // and "data" chunks; AVI nests LIST chunks ("hdrl" headers, "movi"
+  // frame stream).
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk a RIFF chunk sequence in `b` over [from, until), invoking
+    * `f(fourcc, dataOffset, dataSize)` per chunk. Malformed sizes stop the
+    * walk (decoders then return what they have or null). */
+  private def walkChunks(b: Array[Byte], from: Int, until: Int)
+                        (f: (String, Int, Int) => Unit): Unit = {
+    var o = from
+    while (o + 8 <= until) {
+      val id = fourcc(b, o)
+      val sz = u32(b, o + 4)
+      if (sz < 0 || o + 8 + sz > until) return
+      f(id, o + 8, sz.toInt)
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+  }
+
+  /** REAL audio decoder for RIFF/WAVE PCM payloads — pure-JVM byte parsing
+    * of the public WAVE format (canonical chunk layout: "RIFF"+"WAVE",
+    * "fmt " with audioFormat/channels/sampleRate/blockAlign/bits, "data"
+    * with interleaved frames). Supports PCM (format 1) at 16-bit signed and
+    * 8-bit unsigned depths. Feature layout (first `dims` entries):
+    *
+    *   0: sample rate (Hz)       4: sum of |channel-0| samples
+    *   1: channel count          5: peak |sample| across ALL channels
+    *   2: frame count            6: zero crossings of channel 0
+    *   3: exact channel-0 sum    7: duration (ms) = frames·1000/rate
+    *
+    * Sums are exact integers (≤ peak·frames), so small fixtures stay
+    * exactly representable in Float and an external SQL oracle reproduces
+    * them with integer arithmetic — the same property the image decode
+    * oracle relies on. A zero crossing is a sign change between consecutive
+    * channel-0 samples with sign(s) := (s >= 0). Compressed codecs (mp3,
+    * aac, …) are NOT in the JDK; those payloads return null features. */
+  final class WavDecoder extends MediaDecoder {
+    def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] = {
+      if (payload == null || modality != "audio") return null
+      val b = payload
+      if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE") return null
+      var fmtOff = -1; var dataOff = -1; var dataLen = 0
+      walkChunks(b, 12, math.min(b.length, 8 + u32(b, 4).toInt)) { (id, off, sz) =>
+        if (id == "fmt " && sz >= 16 && fmtOff < 0) fmtOff = off
+        else if (id == "data" && dataOff < 0) { dataOff = off; dataLen = sz }
+      }
+      if (fmtOff < 0 || dataOff < 0) return null
+      val audioFormat = u16(b, fmtOff)
+      val channels = u16(b, fmtOff + 2)
+      val rate = u32(b, fmtOff + 4)
+      val bits = u16(b, fmtOff + 14)
+      val blockAlign = u16(b, fmtOff + 12)
+      if (audioFormat != 1 || channels < 1 || rate <= 0 ||
+          (bits != 16 && bits != 8) || blockAlign != channels * (bits / 8)) return null
+      val frames = dataLen / blockAlign
+      var sum0 = 0L; var sumAbs0 = 0L; var peak = 0L; var zc = 0L
+      var prevNonNeg = true
+      var i = 0
+      while (i < frames) {
+        val base = dataOff + i * blockAlign
+        var ch = 0
+        while (ch < channels) {
+          val s =
+            if (bits == 16) (u16(b, base + ch * 2) << 16) >> 16 // sign-extend
+            else (b(base + ch) & 0xff) - 128                     // 8-bit is unsigned
+          if (ch == 0) {
+            sum0 += s; sumAbs0 += math.abs(s)
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+          }
+          if (math.abs(s) > peak) peak = math.abs(s)
+          ch += 1
+        }
+        i += 1
+      }
+      val out = new Array[Float](dims)
+      val feats = Array[Float](rate.toFloat, channels.toFloat, frames.toFloat,
+        sum0.toFloat, sumAbs0.toFloat, peak.toFloat, zc.toFloat,
+        frames * 1000.0f / rate)
+      System.arraycopy(feats, 0, out, 0, math.min(dims, feats.length))
+      out
+    }
+  }
+
+  /** REAL video decoder for uncompressed RIFF/AVI payloads — pure-JVM
+    * parsing of the public AVI container (LIST "hdrl" → "avih" main header
+    * + LIST "strl" → "strh"/"strf"; LIST "movi" → "00db" raw-DIB frame
+    * chunks). Frames must be BI_RGB (biCompression = 0) 24-bit bottom-up
+    * DIBs — the uncompressed layout; real codecs (h264, vp9, …) are not in
+    * the JDK and such payloads return null features. Feature layout:
+    *
+    *   0: width (px)             4: exact red sum over ALL frames
+    *   1: height (px)            5: exact green sum over ALL frames
+    *   2: decoded frame count    6: exact blue sum over ALL frames
+    *   3: fps (dwRate/dwScale)   7: duration (ms) = frames·1000·scale/rate
+    *
+    * Channel sums across frames stay exactly Float-representable for small
+    * fixtures (≤ 255·w·h·frames < 2^24), giving the same external-oracle
+    * property as the image/audio decoders. */
+  final class AviDecoder extends MediaDecoder {
+    def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] = {
+      if (payload == null || modality != "video") return null
+      val b = payload
+      if (b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return null
+      var w = 0; var h = 0; var bitCount = 0; var compression = -1L
+      var scale = 0L; var rate = 0L
+      var nFrames = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+      var ok = true
+      def parseStrl(off: Int, sz: Int): Unit = {
+        var isVideo = false
+        walkChunks(b, off, off + sz) { (id, o, s) =>
+          if (id == "strh" && s >= 28) {
+            isVideo = fourcc(b, o) == "vids"
+            if (isVideo) { scale = u32(b, o + 20); rate = u32(b, o + 24) }
+          } else if (id == "strf" && isVideo && s >= 20) {
+            w = u32(b, o + 4).toInt; h = u32(b, o + 8).toInt
+            bitCount = u16(b, o + 14); compression = u32(b, o + 16)
+          }
+        }
+      }
+      def parseFrame(o: Int, s: Int): Unit = {
+        if (!ok || w <= 0 || h <= 0) { ok = false; return }
+        val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+        if (s < rowBytes * h) { ok = false; return }
+        var y = 0
+        while (y < h) {
+          val row = o + (h - 1 - y) * rowBytes // bottom-up
+          var x = 0
+          while (x < w) {
+            sb += b(row + x * 3) & 0xff        // DIB byte order is B,G,R
+            sg += b(row + x * 3 + 1) & 0xff
+            sr += b(row + x * 3 + 2) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        nFrames += 1
+      }
+      walkChunks(b, 12, math.min(b.length, 8 + u32(b, 4).toInt)) { (id, off, sz) =>
+        if (id == "LIST" && sz >= 4) {
+          val listType = fourcc(b, off)
+          if (listType == "hdrl")
+            walkChunks(b, off + 4, off + sz) { (hid, ho, hs) =>
+              if (hid == "LIST" && hs >= 4 && fourcc(b, ho) == "strl")
+                parseStrl(ho + 4, hs - 4)
+            }
+          else if (listType == "movi")
+            walkChunks(b, off + 4, off + sz) { (fid, fo, fs) =>
+              if (fid.endsWith("db") || fid.endsWith("dc")) parseFrame(fo, fs)
+            }
+        }
+      }
+      if (!ok || w <= 0 || h <= 0 || bitCount != 24 || compression != 0L ||
+          scale <= 0 || rate <= 0 || nFrames == 0) return null
+      val out = new Array[Float](dims)
+      val feats = Array[Float](w.toFloat, h.toFloat, nFrames.toFloat,
+        rate.toFloat / scale, sr.toFloat, sg.toFloat, sb.toFloat,
+        nFrames * 1000.0f * scale / rate)
+      System.arraycopy(feats, 0, out, 0, math.min(dims, feats.length))
+      out
+    }
+  }
+
+  /** Deterministic planted stereo PCM-16 WAV: channel `ch` of frame `i` is
+    * `((id·7 + i·13 + ch·5) mod 201) − 100` — small amplitudes keep every
+    * decoder-exported sum exactly Float-representable, and the closed form
+    * is reproducible by any SQL engine with integer arithmetic. */
+  def plantedWav(id: Long, frames: Int, rate: Int = 8000, channels: Int = 2): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = frames * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      var ch = 0
+      while (ch < channels) {
+        buf.putShort((((id * 7 + i * 13 + ch * 5) % 201) - 100).toShort)
+        ch += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic planted uncompressed AVI (BI_RGB 24-bit, bottom-up DIB
+    * frames): channel (R,G,B) of pixel (x, y) in frame f is
+    * `(id·7 + 3x + 5y + 17f + (0|11|22)) mod 256` — the video twin of
+    * [[plantedPng]]'s pixel grid, plus a per-frame shift. */
+  def plantedAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int = 25): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameLen = rowBytes * h
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ bodies.flatten)
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1000000 / fps).putInt(frameLen * fps).putInt(0).putInt(0)
+      .putInt(frames).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale, dwRate: fps = rate/scale
+      .putInt(0).putInt(frames).putInt(frameLen).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val frameChunks = (0 until frames).map { f =>
+      val px = new Array[Byte](frameLen)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * rowBytes
+        var x = 0
+        while (x < w) {
+          val base = id * 7 + x * 3 + y * 5 + f * 17
+          px(row + x * 3) = ((base + 22) % 256).toByte     // B
+          px(row + x * 3 + 1) = ((base + 11) % 256).toByte // G
+          px(row + x * 3 + 2) = (base % 256).toByte        // R
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", px)
+    }
+    val hdrl = list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi", frameChunks: _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    buf.array()
+  }
+
   /** STUB decoder kernel used by [[FakeDecoder]]: a real implementation
     * would decode the payload and run a feature extractor; here the feature
     * is a deterministic 8-dim vector derived from a rolling hash of the
@@ -178,17 +436,24 @@ object Multimodal {
     out
   }
 
-  /** Default decoder: REAL ImageIO decode for images; deterministic stub
-    * for audio/video (the JDK ships no audio/video codecs — a JNI/FFI
-    * implementation drops into the same seam). */
+  /** Default decoder: REAL decode for every modality the JDK can express —
+    * ImageIO for images (PNG/BMP/GIF/JPEG), RIFF/WAVE PCM parsing for
+    * audio, uncompressed RIFF/AVI parsing for video. Payloads needing
+    * codecs the JDK lacks (mp3, h264, …) return null features; a JNI/FFI
+    * codec implementation drops into the same seam. */
   final class DefaultDecoder extends MediaDecoder {
     private val img = new ImageIODecoder
-    private val other = new FakeDecoder
-    override def open(): Unit = { img.open(); other.open() }
-    override def close(): Unit = { img.close(); other.close() }
+    private val wav = new WavDecoder
+    private val avi = new AviDecoder
+    override def open(): Unit = { img.open(); wav.open(); avi.open() }
+    override def close(): Unit = { img.close(); wav.close(); avi.close() }
     def decode(modality: String, payload: Array[Byte], dims: Int): Array[Float] =
-      if (modality == "image") img.decode(modality, payload, dims)
-      else other.decode(modality, payload, dims)
+      modality match {
+        case "image" => img.decode(modality, payload, dims)
+        case "audio" => wav.decode(modality, payload, dims)
+        case "video" => avi.decode(modality, payload, dims)
+        case _       => null
+      }
   }
 
   /** Feature extraction as a narrow per-partition batch kernel (mapInPandas

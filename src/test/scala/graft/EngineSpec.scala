@@ -341,9 +341,10 @@ class EngineSpec extends AnyFunSuite {
   test("multimodal plumbing: batch decode schema, frame sampling, resize plan") {
     import spark.implicits._
     import org.apache.spark.sql.Row
+    val wavBytes = graft.pipeline.Multimodal.plantedWav(2L, 40, 16000, 2)
     val rows = Seq(
       Row(1L, "image", "fakejpegbytes".getBytes, 4000, 3000, null, null),
-      Row(2L, "audio", "fakewavbytes".getBytes, null, null, 16000, 2500L),
+      Row(2L, "audio", wavBytes, null, null, 16000, 2500L),
       Row(3L, "image", null, 100, 80, null, null))
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(r => Row(r.toSeq: _*))),
@@ -354,14 +355,15 @@ class EngineSpec extends AnyFunSuite {
     assert(f1.getAs[Long]("n_bytes") == 13L)
     // default decoder REALLY decodes images: garbage bytes -> null feature
     assert(f1.getAs[scala.collection.Seq[Float]]("feature") == null)
-    // audio goes through the stub seam: 8-dim pseudo-features
+    // audio is REALLY decoded too: rate/channels/frames come from the WAV
     val f2 = feats.find(_.getLong(0) == 2L).get
-    assert(f2.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    val af = f2.getAs[scala.collection.Seq[Float]]("feature")
+    assert(af.length == 8 && af(0) == 16000f && af(1) == 2f && af(2) == 40f)
     assert(feats.find(_.getLong(0) == 3L).get.getAs[scala.collection.Seq[Float]]("feature") == null)
-    // deterministic stub: same payload -> same feature
+    // deterministic: same payload -> same feature
     val again = graft.pipeline.Multimodal.extractFeatures(media).collect()
       .find(_.getLong(0) == 2L).get.getAs[scala.collection.Seq[Float]]("feature")
-    assert(again == f2.getAs[scala.collection.Seq[Float]]("feature"))
+    assert(again == af)
     // frame sampling: 2500 ms at 1000 ms -> frames 0,1000,2000
     val frames = graft.pipeline.Multimodal.sampleFrames(media.filter($"media_id" === 2), 1000L)
       .select("frame_ms").collect().map(_.getLong(0)).toSeq
@@ -414,6 +416,58 @@ class EngineSpec extends AnyFunSuite {
     assert(dec.decode("audio", Array[Byte](1, 2, 3), 8) == null)
     assert(dec.decode("image", Array[Byte](1, 2, 3), 8) == null)
     dec.close()
+  }
+
+  test("WavDecoder: real RIFF/PCM byte parse with exact planted stats") {
+    import graft.pipeline.Multimodal
+    val dec = new Multimodal.WavDecoder
+    // planted stereo PCM-16: sample(i, ch) = ((42*7 + 13i + 5ch) % 201) - 100;
+    // expectations computed from the closed form, independent of the
+    // writer+parser byte chain under test
+    val frames = 50
+    val s0 = (0 until frames).map(i => ((294 + 13 * i) % 201) - 100)
+    val s1 = (0 until frames).map(i => ((294 + 13 * i + 5) % 201) - 100)
+    val zc = (1 until frames).count(i => (s0(i) >= 0) != (s0(i - 1) >= 0))
+    val f = dec.decode("audio", Multimodal.plantedWav(42L, frames, 8000, 2), 8)
+    assert(f(0) == 8000f && f(1) == 2f && f(2) == frames.toFloat)
+    assert(f(3) == s0.sum.toFloat && f(4) == s0.map(math.abs).sum.toFloat)
+    assert(f(5) == (s0 ++ s1).map(math.abs).max.toFloat)
+    assert(f(6) == zc.toFloat)
+    assert(f(7) == frames * 1000.0f / 8000) // exact: rate is a power-of-two multiple
+    // 8-bit mono path: hand-built 4-frame WAV, samples 128±{0,10,-20,127-128}
+    val b = java.nio.ByteBuffer.allocate(44 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 4).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(4000).putInt(4000).putShort(1).putShort(8)
+    b.put("data".getBytes("US-ASCII")).putInt(4)
+    b.put(128.toByte).put(138.toByte).put(108.toByte).put(255.toByte)
+    val f8 = dec.decode("audio", b.array(), 8)
+    assert(f8(1) == 1f && f8(2) == 4f && f8(3) == (0 + 10 - 20 + 127).toFloat)
+    assert(f8(5) == 127f && f8(6) == 2f) // +10 -> -20 -> +127: two sign changes
+    // compressed/garbage/truncated payloads and wrong modality -> null
+    assert(dec.decode("audio", "nonsense".getBytes, 8) == null)
+    assert(dec.decode("audio", Multimodal.plantedWav(1L, 10).take(30), 8) == null)
+    assert(dec.decode("video", Multimodal.plantedWav(1L, 10), 8) == null)
+  }
+
+  test("AviDecoder: real uncompressed-AVI byte parse with exact planted stats") {
+    import graft.pipeline.Multimodal
+    val dec = new Multimodal.AviDecoder
+    // odd width (5 px -> 16-byte padded DIB rows) exercises row padding;
+    // channel c of (x,y,f) = (7*7 + 3x + 5y + 17f + 11c) % 256
+    val (w, h, nf) = (5, 4, 3)
+    def ch(c: Int) = (for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+      yield (49 + 3 * x + 5 * y + 17 * f + 11 * c) % 256).sum
+    val f = dec.decode("video", Multimodal.plantedAvi(7L, w, h, nf, 25), 8)
+    assert(f(0) == w.toFloat && f(1) == h.toFloat && f(2) == nf.toFloat)
+    assert(f(3) == 25f)
+    assert(f(4) == ch(0).toFloat && f(5) == ch(1).toFloat && f(6) == ch(2).toFloat)
+    assert(f(7) == 120f) // 3 frames / 25 fps = 120 ms
+    // garbage and truncation -> null, never partial features
+    assert(dec.decode("video", "RIFFxxxxAVI corrupt".getBytes, 8) == null)
+    assert(dec.decode("video", Multimodal.plantedAvi(7L, w, h, nf).take(80), 8) == null)
+    assert(dec.decode("audio", Multimodal.plantedAvi(7L, w, h, nf), 8) == null)
   }
 
   test("gridNearDuplicates equals the exhaustive near-dup join (recall 1)") {
