@@ -215,7 +215,7 @@ object Multimodal {
       val b = payload
       if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE") return null
       var fmtOff = -1; var dataOff = -1; var dataLen = 0
-      walkChunks(b, 12, math.min(b.length, 8 + u32(b, 4).toInt)) { (id, off, sz) =>
+      walkChunks(b, 12, math.min(b.length.toLong, 8L + u32(b, 4)).toInt) { (id, off, sz) =>
         if (id == "fmt " && sz >= 16 && fmtOff < 0) fmtOff = off
         else if (id == "data" && dataOff < 0) { dataOff = off; dataLen = sz }
       }
@@ -295,9 +295,11 @@ object Multimodal {
         }
       }
       def parseFrame(o: Int, s: Int): Unit = {
-        if (!ok || w <= 0 || h <= 0) { ok = false; return }
-        val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
-        if (s < rowBytes * h) { ok = false; return }
+        // header dims are attacker-controlled u32s: do the size math in
+        // Long so a crafted width cannot overflow into a bogus bounds pass
+        if (!ok || w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) { ok = false; return }
+        val rowBytes = ((w.toLong * 3 + 3) & ~3L).toInt // DIB rows pad to 4 bytes
+        if (s.toLong < rowBytes.toLong * h) { ok = false; return }
         var y = 0
         while (y < h) {
           val row = o + (h - 1 - y) * rowBytes // bottom-up
@@ -312,7 +314,7 @@ object Multimodal {
         }
         nFrames += 1
       }
-      walkChunks(b, 12, math.min(b.length, 8 + u32(b, 4).toInt)) { (id, off, sz) =>
+      walkChunks(b, 12, math.min(b.length.toLong, 8L + u32(b, 4)).toInt) { (id, off, sz) =>
         if (id == "LIST" && sz >= 4) {
           val listType = fourcc(b, off)
           if (listType == "hdrl")

@@ -226,4 +226,45 @@ class PropertySpec extends AnyFunSuite {
       .groupBy("s").count().collect()
     assert(strat.length == 7 && strat.forall(_.getLong(1) == 10L))
   }
+
+  test("media decoders never throw on corrupt payloads (fuzz)") {
+    // At corpus scale a decoder that throws on one malformed file kills the
+    // task: every byte pattern must yield features or null, never an
+    // exception. Seeded fuzz over (a) pure random bytes, (b) valid planted
+    // payloads with byte flips, (c) truncations at every-ish boundary.
+    import graft.pipeline.Multimodal
+    val dec = new Multimodal.DefaultDecoder
+    dec.open()
+    val rng = new scala.util.Random(20260813)
+    def check(modality: String, payload: Array[Byte]): Unit = {
+      val f = dec.decode(modality, payload, 8) // must not throw
+      assert(f == null || f.length == 8)
+    }
+    for (_ <- 1 to 200) {
+      val junk = Array.fill(rng.nextInt(300))(rng.nextInt.toByte)
+      check("audio", junk); check("video", junk); check("image", junk)
+    }
+    val wav = Multimodal.plantedWav(5L, 64, 8000, 2)
+    val avi = Multimodal.plantedAvi(5L, 6, 5, 2, 25)
+    for (_ <- 1 to 300) {
+      def mutate(src: Array[Byte]): Array[Byte] = {
+        val m = src.clone()
+        for (_ <- 0 to rng.nextInt(4)) m(rng.nextInt(m.length)) = rng.nextInt.toByte
+        m
+      }
+      check("audio", mutate(wav)); check("video", mutate(avi))
+    }
+    for (cut <- 1 until wav.length by 3) check("audio", wav.take(cut))
+    for (cut <- 1 until avi.length by 3) check("video", avi.take(cut))
+    // header-driven overflow probe: a crafted strf claiming a 2^30-px-wide
+    // frame must be rejected, not read out of bounds
+    val evil = avi.clone()
+    // find the strf chunk and poison biWidth (offset strf_data+4)
+    val idx = evil.sliding(4).indexWhere(_.sameElements("strf".getBytes))
+    val wOff = idx + 8 + 4
+    evil(wOff) = 0; evil(wOff + 1) = 0; evil(wOff + 2) = 0; evil(wOff + 3) = 0x40
+    check("video", evil)
+    assert(dec.decode("video", evil, 8) == null)
+    dec.close()
+  }
 }
