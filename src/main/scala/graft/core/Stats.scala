@@ -56,6 +56,17 @@ object Stats {
       .otherwise(vlo + frac * (vhi - vlo))
   }
 
+  /** The 100 TB-tier fallback the exact form documents: bounded-memory
+    * approximate quantile via Spark's `percentile_approx` sketch. Exact
+    * H&F plotting-position differences are O(1/n) per group, so at the
+    * group sizes that overflow `collect_list` state they sit far below
+    * the sketch's own rank error — use [[hfQuantile]] for small bounded
+    * groups (entity × doy), this for member-unbounded ones. `accuracy`
+    * trades memory (O(accuracy) per group) for rank error (≤ 1/accuracy
+    * of the group size). */
+  def quantileAtScale(c: Column, p: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(p), lit(accuracy))
+
   /** Coefficient of variation (temperature/precip seasonality,
     * _anuclim.py:105): population-std / mean. */
   def cv(c: Column): Column = stddev_pop(c) / avg(c)

@@ -162,6 +162,22 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(med - 5.5) < 1e-9)
   }
 
+  test("quantileAtScale tracks the exact quantile within sketch error") {
+    import spark.implicits._
+    // the documented unbounded-group fallback: on 50k skewed values the
+    // approx sketch must land within ~2/accuracy rank error of exact H&F
+    val rng = new scala.util.Random(7)
+    val df = (1 to 50000).map(_ => math.exp(rng.nextGaussian())).toDF("v")
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val exact = df.agg(Stats.hfQuantile(col("v"), p, 1.0, 1.0)).head.getDouble(0)
+      val approx = df.agg(Stats.quantileAtScale(col("v"), p)).head.getDouble(0)
+      // compare in rank space: fraction of values between the two results
+      val lo = math.min(exact, approx); val hi = math.max(exact, approx)
+      val between = df.filter(col("v") > lo && col("v") <= hi).count()
+      assert(between <= 50000 * 2 / 10000 + 1, s"p=$p exact=$exact approx=$approx off by $between ranks")
+    }
+  }
+
   test("weightedQuantile: equal weights reduce to midpoint interpolation") {
     import spark.implicits._
     val eq = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 1.0)).toDF("v", "w")
