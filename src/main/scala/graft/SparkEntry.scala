@@ -5182,6 +5182,24 @@ object SparkEntry {
           element_at(col("feature"), 6).cast("long").as("sum_g"),
           element_at(col("feature"), 7).cast("long").as("sum_b"),
           element_at(col("feature"), 8).cast("double").as("duration_ms"))
+    }),
+
+    "q_missing_wmo" -> ((s, dir) => {
+      // MissingWMO monthly diagnostics (missing.py:395) promoted from
+      // lib-only to oracle-checked: gaps planted into the daily climate
+      // substrate (months ≡ 0 mod 4 lose days 10-15 — a 6-day consecutive
+      // run ≥ nc; months ≡ 2 lose every 2nd day — ≥ 11 total missing ≥ nm;
+      // months ≡ 1 lose every 3rd day — ~10 missing, under BOTH limits;
+      // months ≡ 3 keep all days). Consecutive absences are derived from
+      // present-row date gaps + month-edge distances — no densify step.
+      val cd = climateDaily(s, dir)
+      val m4 = month(col("d")) % 4
+      val dom = dayofmonth(col("d"))
+      val planted = cd.filter(!((m4 === 0 && dom.between(10, 15)) ||
+        (m4 === 1 && dom % 3 === 0) || (m4 === 2 && dom % 2 === 0)))
+      graft.indicator.Missing.wmoMonthlyFlags(
+          planted, Seq("k"), col("d"), col("tas"))
+        .withColumn("max_miss_run", col("max_miss_run").cast("int"))
     })
   )
 
@@ -5217,7 +5235,29 @@ object SparkEntry {
         |cross join range(0, 16) x(i)
         |cross join range(0, 12) y(i)
         |cross join range(0, 4) f(i)
-        |group by 1""".stripMargin
+        |group by 1""".stripMargin,
+
+    "q_missing_wmo" ->
+      s"""with $climSql,
+         |pres as (select k, d from clim
+         |  where not ((month(d) % 4 = 0 and dayofmonth(d) between 10 and 15)
+         |          or (month(d) % 4 = 1 and dayofmonth(d) % 3 = 0)
+         |          or (month(d) % 4 = 2 and dayofmonth(d) % 2 = 0))),
+         |g as (select k, cast(date_trunc('month', d) as date) m, d,
+         |        lag(d) over (partition by k, date_trunc('month', d) order by d) prev
+         |      from pres),
+         |mo as (select k, m, count(*) n_valid,
+         |         max(coalesce(date_diff('day', prev, d) - 1, 0)) midgap,
+         |         min(d) first_d, max(d) last_d
+         |       from g group by 1, 2),
+         |f as (select k, m, n_valid,
+         |        cast(dayofmonth(last_day(first_d)) as bigint) dim,
+         |        cast(greatest(midgap, dayofmonth(first_d) - 1,
+         |          dayofmonth(last_day(first_d)) - dayofmonth(last_d)) as int) maxmiss
+         |      from mo)
+         |select k, m "month", n_valid, dim - n_valid n_missing, maxmiss max_miss_run,
+         |  (dim - n_valid >= 11 or maxmiss >= 5) bad
+         |from f""".stripMargin
   )
 
 }

@@ -230,37 +230,50 @@ object Missing {
       .drop("_valid", "_expected")
   }
 
-  /** MissingWMO (missing.py:395): a MONTH is missing when >= nm days are
-    * missing in total or >= nc CONSECUTIVE days are missing; a target period
-    * is missing when any of its months is (the MissingTwoSteps "any"
-    * collapse). Daily input. Consecutive absences are computed from the
-    * present-row date gaps (lag + leading/trailing month edges) — no
-    * densify, one window pass + two hash-aggs. */
+  /** Per-(keys, month) WMO missing diagnostics (missing.py:395): a month is
+    * bad when >= nm days are missing in total or >= nc CONSECUTIVE days
+    * are. Consecutive absences come from present-row date gaps (lag +
+    * leading/trailing month edges) — no densify, one window pass + one
+    * hash-agg. Rows with null `value` count as missing. Output columns:
+    * keys..., `month` (date), `n_valid`, `n_missing`, `max_miss_run`,
+    * `bad`. Exposed standalone (and oracle-checked by `q_missing_wmo`);
+    * [[mask]]'s "wmo" policy builds its period collapse on top. */
+  def wmoMonthlyFlags(input: DataFrame, keys: Seq[String], time: Column,
+                      value: Column, nm: Double = 11, nc: Double = 5): DataFrame = {
+    val d = time.cast("date")
+    val valid = input.filter(value.isNotNull)
+      .withColumn("_m", date_trunc("MONTH", time))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col) :+ col("_m"): _*).orderBy(d)
+    valid
+      .withColumn("_gap", datediff(d, lag(d, 1).over(w)) - 1)
+      .groupBy(keys.map(col) :+ col("_m"): _*)
+      .agg(count(lit(1)).as("n_valid"), max(col("_gap")).as("_midgap"),
+        min(d).as("_first"), max(d).as("_last"))
+      .withColumn("_dim", dayofmonth(last_day(col("_first"))))
+      .withColumn("max_miss_run", greatest(
+        coalesce(col("_midgap"), lit(0)),
+        dayofmonth(col("_first")) - 1,
+        col("_dim") - dayofmonth(col("_last"))))
+      .withColumn("n_missing", col("_dim") - col("n_valid"))
+      .withColumn("bad", col("n_missing") >= nm || col("max_miss_run") >= nc)
+      .withColumn("month", col("_m").cast("date"))
+      .select(keys.map(col) ++ Seq(col("month"), col("n_valid"),
+        col("n_missing"), col("max_miss_run"), col("bad")): _*)
+  }
+
+  /** MissingWMO masking: monthly flags from [[wmoMonthlyFlags]], collapsed
+    * to the target period with the MissingTwoSteps "any" rule. */
   private def maskWmo(spec: IndicatorSpec, input: DataFrame, out: DataFrame,
                       freq: String): DataFrame = {
     val nm = spec.missingOptions.getOrElse("nm", 11.0)
     val nc = spec.missingOptions.getOrElse("nc", 5.0)
-    val v = col(spec.inputs.head.name)
-    val d = col("time").cast("date")
-    val valid = input.filter(v.isNotNull)
-      .withColumn("_m", date_trunc("MONTH", col("time")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("location_id"), col("_m")).orderBy(d)
-    val monthly = valid
-      .withColumn("_gap", datediff(d, lag(d, 1).over(w)) - 1)
-      .groupBy(col("location_id"), col("_m"))
-      .agg(count(lit(1)).as("_valid"), max(col("_gap")).as("_midgap"),
-        min(d).as("_first"), max(d).as("_last"))
-      .withColumn("_dim", dayofmonth(last_day(col("_first"))))
-      .withColumn("_maxmiss", greatest(
-        coalesce(col("_midgap"), lit(0)),
-        dayofmonth(col("_first")) - 1,
-        col("_dim") - dayofmonth(col("_last"))))
-      .withColumn("_badm",
-        (col("_dim") - col("_valid")) >= nm || col("_maxmiss") >= nc)
+    val monthly = wmoMonthlyFlags(input, Seq("location_id"), col("time"),
+      col(spec.inputs.head.name), nm, nc)
     val byPeriod = monthly
-      .groupBy(col("location_id"), Time.resamplePeriod(col("_m"), freq).as("period"))
-      .agg(max(col("_badm")).as("_bad"))
+      .groupBy(col("location_id"),
+        Time.resamplePeriod(col("month"), freq).as("period"))
+      .agg(max(col("bad")).as("_bad"))
     out.join(byPeriod, Seq("location_id", "period"), "left")
       .withColumn("value", when(coalesce(col("_bad"), lit(true)), lit(null))
         .otherwise(col("value")))
