@@ -5200,6 +5200,29 @@ object SparkEntry {
       graft.indicator.Missing.wmoMonthlyFlags(
           planted, Seq("k"), col("d"), col("tas"))
         .withColumn("max_miss_run", col("max_miss_run").cast("int"))
+    }),
+
+    "q_rate_amount_conversions" -> ((s, dir) => {
+      // The units.py converter-verb family (rate2amount :854, amount2rate
+      // :941, rate2flux :1109, amount2lwethickness :995) on a NON-UNIFORM
+      // time axis — the interesting path: each step's duration comes from
+      // the irregular event timestamps (lead diff, final step ffilled from
+      // the previous one). Both engines run the identical IEEE double
+      // sequence (rate = value/1000; x step_us/1e6), so no rounding is
+      // needed for hash parity.
+      import graft.core.Units
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events").filter(col("user_id") % 50 === 0)
+        .withColumn("rate", col("value") / 1000.0)
+        .withColumn("step_s", Units.stepSeconds(unix_micros(col("ts")), w))
+        .filter(col("step_s").isNotNull && col("step_s") > 0)
+      e.select(col("user_id"), col("event_id"), col("step_s"),
+          Units.rate2amount(col("rate"), col("step_s")).as("amount"),
+          Units.rate2flux(col("rate"), 312.0).as("flux"),
+          Units.amount2lwethickness(
+            Units.rate2amount(col("rate"), col("step_s"))).as("lwe_mm"),
+          Units.amount2rate(
+            Units.rate2amount(col("rate"), col("step_s")), col("step_s")).as("rate_rt"))
     })
   )
 
@@ -5257,7 +5280,20 @@ object SparkEntry {
          |      from mo)
          |select k, m "month", n_valid, dim - n_valid n_missing, maxmiss max_miss_run,
          |  (dim - n_valid >= 11 or maxmiss >= 5) bad
-         |from f""".stripMargin
+         |from f""".stripMargin,
+
+    "q_rate_amount_conversions" ->
+      """with e as (select user_id, event_id, value/1000.0 rate, epoch_us(ts) us
+        |  from events where user_id % 50 = 0),
+        |s as (select user_id, event_id, rate,
+        |    coalesce(lead(us) over w - us, us - lag(us) over w) step_us
+        |  from e window w as (partition by user_id order by us, event_id)),
+        |f as (select *, step_us/1e6 step_s from s
+        |      where step_us is not null and step_us > 0)
+        |select user_id, event_id, step_s,
+        |  rate*step_s amount, rate*312.0 flux, rate*step_s lwe_mm,
+        |  (rate*step_s)/step_s rate_rt
+        |from f""".stripMargin
   )
 
 }

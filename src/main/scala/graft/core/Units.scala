@@ -100,6 +100,44 @@ object Units {
     else c * factor + offset
   }
 
+  // ---- rate/amount/flux/thickness converter verbs (units.py:744-1200) ----
+
+  /** Per-step duration in SECONDS derived from the time axis — the `dt` of
+    * `rate2amount`/`amount2rate` (units.py:744 `_rate_and_amount_converter`
+    * with `sampling_rate_from_coord`): step_i = t_(i+1) − t_i (diff label
+    * "lower"), the FINAL step reusing the previous duration (the ffill
+    * reindex). Pass a microsecond epoch column and the entity window; a
+    * single-row series yields null (no inferable step). Pure window
+    * projection — one shuffle on the entity key the caller already has. */
+  def stepSeconds(timeMicros: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lag, lead}
+    coalesce(lead(timeMicros, 1).over(w) - timeMicros,
+      timeMicros - lag(timeMicros, 1).over(w)).cast("double") / 1e6
+  }
+
+  /** `rate2amount` (units.py:854): integrate a rate over each sampling
+    * step — [X s-1] × step seconds → [X]. The inverse of [[amount2rate]]. */
+  def rate2amount(rate: Column, stepS: Column): Column = rate * stepS
+
+  /** `amount2rate` (units.py:941): amount per step → mean rate. */
+  def amount2rate(amount: Column, stepS: Column): Column = amount / stepS
+
+  /** `rate2flux` (units.py:1109): thickness rate × density → mass flux,
+    * e.g. snowfall rate [m s-1] × 312 kg m-3 → prsn [kg m-2 s-1]. */
+  def rate2flux(rate: Column, density: Double): Column = rate * density
+
+  /** `flux2rate` (units.py:1159): mass flux ÷ density → thickness rate. */
+  def flux2rate(flux: Column, density: Double): Column = flux / density
+
+  /** `amount2lwethickness` (units.py:995): with water density 1000 kg m-3,
+    * 1 kg m-2 of liquid water IS 1 mm of thickness — a magnitude identity;
+    * the conversion is a units relabel (kg m-2 → mm). Kept as explicit
+    * named verbs so pipelines document the semantic step. */
+  def amount2lwethickness(amount: Column): Column = amount
+
+  /** `lwethickness2amount` (units.py:1031): inverse relabel (mm → kg m-2). */
+  def lwethickness2amount(thickness: Column): Column = thickness
+
   /** `declare_units`-style dimensionality check (units.py:1424): validate a
     * column's declared unit has the expected dimensionality. */
   private val baseDims = Map(
