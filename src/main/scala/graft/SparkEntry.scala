@@ -5223,6 +5223,19 @@ object SparkEntry {
             Units.rate2amount(col("rate"), col("step_s"))).as("lwe_mm"),
           Units.amount2rate(
             Units.rate2amount(col("rate"), col("step_s")), col("step_s")).as("rate_rt"))
+    }),
+
+    "q_fractional_uncertainty" -> ((s, dir) => {
+      // fractional_uncertainty (_partitioning.py:404) over the
+      // lafferty_sriver long frame: each component as % of total variance,
+      // total re-joined per time via a window (no extra shuffle).
+      val long = graft.ensembles.Partitioning.laffertySriver(
+        ensembleAnnual(s, dir), "y", "scenario", "model", "downscaling", "v",
+        smoothWindow = 3)
+      graft.ensembles.Partitioning.fractionalUncertainty(long, "y")
+        .select(col("y"), col("uncertainty"),
+          round(col("variance"), 6).as("variance"),
+          round(col("fraction_pct"), 4).as("fraction_pct"))
     })
   )
 
@@ -5293,7 +5306,40 @@ object SparkEntry {
         |select user_id, event_id, step_s,
         |  rate*step_s amount, rate*312.0 flux, rate*step_s lwe_mm,
         |  (rate*step_s)/step_s rate_rt
-        |from f""".stripMargin
+        |from f""".stripMargin,
+
+    "q_fractional_uncertainty" ->
+      s"""with $ensembleAnnualSql,
+         |sm as (select *, avg(v) over w sm from ens
+         |  window w as (partition by scenario, model, downscaling order by y
+         |    rows between 1 preceding and 1 following)),
+         |nvr as (select *, var_pop(v - sm) over w nv from sm
+         |  window w as (partition by scenario, model, downscaling order by y
+         |    rows between 1 preceding and 1 following)),
+         |c_var as (select y, avg(nv) variance from nvr group by 1),
+         |scen1 as (select y, scenario, avg(sm) m from sm group by 1, 2),
+         |c_scen as (select y, var_pop(m) variance from scen1 group by 1),
+         |mod1 as (select y, scenario, downscaling, var_pop(sm) vv, count(*) w
+         |  from sm group by 1, 2, 3),
+         |c_mod as (select y, sum(vv*w)/sum(w) variance from mod1 group by 1),
+         |dwn1 as (select y, scenario, model, var_pop(sm) vv, count(*) w
+         |  from sm group by 1, 2, 3),
+         |c_dwn as (select y, sum(vv*w)/sum(w) variance from dwn1 group by 1),
+         |lng as (
+         |  select y, 'variability' uncertainty, variance from c_var
+         |  union all select y, 'scenario', variance from c_scen
+         |  union all select y, 'model', variance from c_mod
+         |  union all select y, 'downscaling', variance from c_dwn
+         |  union all
+         |  select v.y, 'total', v.variance + s.variance + m.variance + d.variance
+         |  from c_var v join c_scen s on s.y = v.y join c_mod m on m.y = v.y
+         |   join c_dwn d on d.y = v.y
+         |),
+         |tot as (select y, variance tv from lng where uncertainty = 'total')
+         |select l.y, l.uncertainty,
+         |  cast(cast(l.variance as decimal(38,6)) as double) variance,
+         |  cast(cast(l.variance / t.tv * 100 as decimal(38,4)) as double) fraction_pct
+         |from lng l join tot t on t.y = l.y""".stripMargin
   )
 
 }

@@ -103,4 +103,20 @@ object Partitioning {
     val total = (dims.map(d => col(s"u_$d")) :+ col("u_internal")).reduce(_ + _)
     joined.withColumn("u_total", total)
   }
+
+  /** `fractional_uncertainty` (_partitioning.py:404): each component as a
+    * percentage of the total, over the long-form (uncertainty, variance)
+    * output of [[laffertySriver]]. The per-time total re-joins via a
+    * window over the time key — no second shuffle beyond the one the long
+    * frame already carries. */
+  def fractionalUncertainty(long: DataFrame, timeCol: String,
+                            uncertaintyCol: String = "uncertainty",
+                            varianceCol: String = "variance"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(timeCol))
+    long
+      .withColumn("_tot", max(when(col(uncertaintyCol) === "total",
+        col(varianceCol))).over(w))
+      .withColumn("fraction_pct", col(varianceCol) / col("_tot") * 100)
+      .drop("_tot")
+  }
 }
