@@ -4477,6 +4477,8 @@ object SparkEntry {
         "percentage_outside_bounds" -> DataFlags.percentageOutsideBounds(col("hum")),
         "repeating_values" -> DataFlags.repeatingValues(Seq("user_id"), col("d"), col("rain"), 3),
         "zero_repeating" -> DataFlags.threshRepeating(Seq("user_id"), col("d"), col("rain"), 0.0, 5),
+        "specific_discharge_extremely_high" ->
+          DataFlags.specificDischargeExtremelyHigh(col("rain") * 4.0, 100.0),
         "outside_climatology" -> col("_clim_flag"))
       DataFlags.battery(withClim, Seq("user_id"), flags)
     })
@@ -4514,6 +4516,7 @@ object SparkEntry {
          |  case when hum < 0 or hum > 100 then 1 end f_pct,
          |  case when rl >= 3 then 1 end f_rep,
          |  case when rl >= 5 and rain = 0.0 then 1 end f_zrep,
+         |  case when rain * 4.0 > 100.0 then 1 end f_q,
          |  case when cast(cast(abs(airt - cm) as decimal(38,6)) as double)
          |     > cast(cast(2.5*cs as decimal(38,6)) as double) then 1 end f_clim
          | from j)
@@ -4522,6 +4525,7 @@ object SparkEntry {
          |  cast(coalesce(sum(f_clim), 0) as bigint) n_outside_climatology,
          |  cast(coalesce(sum(f_pct), 0) as bigint) n_percentage_outside_bounds,
          |  cast(coalesce(sum(f_rep), 0) as bigint) n_repeating_values,
+         |  cast(coalesce(sum(f_q), 0) as bigint) n_specific_discharge_extremely_high,
          |  cast(coalesce(sum(f_ttn), 0) as bigint) n_tas_below_tasmin,
         |  cast(coalesce(sum(f_ttx), 0) as bigint) n_tas_exceeds_tasmax,
         |  cast(coalesce(sum(f_txtn), 0) as bigint) n_tasmax_below_tasmin,
@@ -4535,7 +4539,8 @@ object SparkEntry {
          |   and coalesce(sum(f_pct), 0) = 0 and coalesce(sum(f_rep), 0) = 0
          |   and coalesce(sum(f_txtn), 0) = 0 and coalesce(sum(f_thigh), 0) = 0
          |   and coalesce(sum(f_tlow), 0) = 0 and coalesce(sum(f_bigpr), 0) = 0
-         |   and coalesce(sum(f_wind), 0) = 0 and coalesce(sum(f_zrep), 0) = 0)
+         |   and coalesce(sum(f_wind), 0) = 0 and coalesce(sum(f_zrep), 0) = 0
+         |   and coalesce(sum(f_q), 0) = 0)
          |    ecad_qc_flag
          |from f group by 1""".stripMargin
   )

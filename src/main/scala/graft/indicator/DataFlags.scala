@@ -28,6 +28,10 @@ object DataFlags {
     windMs < lo || windMs > hi
   def percentageOutsideBounds(pct: Column): Column = pct < 0.0 || pct > 100.0
 
+  /** specific_discharge_extremely_high (dataflags.py:823). */
+  def specificDischargeExtremelyHigh(qMmd: Column, threshMmd: Double = 100.0): Column =
+    qMmd > threshMmd
+
   /** values_repeating_for_n_or_more_days (dataflags.py:521): flag every row
     * inside a run of >= n identical values. */
   def repeatingValues(keys: Seq[String], time: Column, v: Column, n: Int): Column = {
