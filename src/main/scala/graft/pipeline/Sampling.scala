@@ -37,4 +37,54 @@ object Sampling {
       .orderBy(hashFraction(id, salt), id)
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
   }
+
+  /** [[stratifiedSample]] for k << |stratum|: PROVABLY identical output,
+    * but the stratum-keyed shuffle carries at most k·numPartitions rows per
+    * stratum instead of the whole stratum. Phase 1 keeps each partition's
+    * k lowest hash ranks per stratum with a bounded heap (any global top-k
+    * row is top-k within its own partition, so no qualifying row is lost —
+    * TakeOrderedAndProject generalized per stratum); phase 2 is the exact
+    * window over survivors. Executor memory is O(k · strata-per-partition);
+    * use the plain window form when k is large or strata are tiny. */
+  def stratifiedSampleLarge(df: DataFrame, strata: Seq[String], id: Column, k: Int,
+                            salt: String = "graft"): DataFrame = {
+    val withRank = df.withColumn("_hf", hashFraction(id, salt))
+      .withColumn("_id", id)
+    val schema = withRank.schema
+    val hfIdx = schema.fieldIndex("_hf")
+    val idIdx = schema.fieldIndex("_id")
+    val strataIdx = strata.map(schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val pruned = withRank.mapPartitions { rows =>
+      // id tie-break must match the window's NATIVE column ordering (ties
+      // only occur on md5 collisions, but exactness must not depend on that)
+      def cmpAny(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int)       => Integer.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _                      => a.toString.compareTo(b.toString)
+      }
+      type Entry = (Double, Any, org.apache.spark.sql.Row)
+      val entryOrd: Ordering[Entry] = (x: Entry, y: Entry) => {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c else cmpAny(x._2, y._2)
+      }
+      // per-stratum bounded MAX-heap on (hash fraction, id): O(k) state each
+      val heaps = scala.collection.mutable.Map
+        .empty[Seq[Any], scala.collection.mutable.PriorityQueue[Entry]]
+      rows.foreach { r =>
+        val key = strataIdx.map(r.get)
+        val h = heaps.getOrElseUpdate(key,
+          scala.collection.mutable.PriorityQueue.empty[Entry](entryOrd))
+        val entry: Entry = (r.getDouble(hfIdx), r.get(idIdx), r)
+        if (h.size < k) h.enqueue(entry)
+        else if (entryOrd.lt(entry, h.head)) { h.dequeue(); h.enqueue(entry) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(enc)
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(col("_hf"), col("_id"))
+    pruned.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .drop("_rk", "_hf", "_id")
+  }
 }

@@ -227,6 +227,30 @@ class PropertySpec extends AnyFunSuite {
     assert(strat.length == 7 && strat.forall(_.getLong(1) == 10L))
   }
 
+  test("stratifiedSampleLarge equals the window form under any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(99)
+    val df = (1L to 800L).map(i => (i, (rng.nextInt(5)).toString, rng.nextDouble()))
+      .toDF("id", "s", "v")
+    // includes a tiny stratum ("tiny", 2 rows) to exercise k > |stratum|
+    val withTiny = df.union(Seq((9001L, "tiny", 0.5), (9002L, "tiny", 0.6)).toDF("id", "s", "v"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = canon(graft.pipeline.Sampling.stratifiedSample(withTiny, Seq("s"), col("id"), 7))
+    for (parts <- Seq(1, 3, 17)) {
+      val large = canon(graft.pipeline.Sampling.stratifiedSampleLarge(
+        withTiny.repartition(parts), Seq("s"), col("id"), 7))
+      assert(large == exact, s"parts=$parts")
+    }
+    // string ids: heap tie-break comparator must match the window ordering
+    val sdf = (1 to 200).map(i => (s"doc_$i", (i % 3).toString)).toDF("sid", "s")
+    val e2 = graft.pipeline.Sampling.stratifiedSample(sdf, Seq("s"), col("sid"), 4)
+      .select("sid").as[String].collect().toSet
+    val l2 = graft.pipeline.Sampling.stratifiedSampleLarge(sdf.repartition(11), Seq("s"), col("sid"), 4)
+      .select("sid").as[String].collect().toSet
+    assert(l2 == e2)
+  }
+
   test("media decoders never throw on corrupt payloads (fuzz)") {
     // At corpus scale a decoder that throws on one malformed file kills the
     // task: every byte pattern must yield features or null, never an
