@@ -7,32 +7,46 @@ import java.io.RandomAccessFile
 import java.util.zip.Inflater
 
 /** Minimal HDF5 reader for NetCDF-4 ingestion — the subset of the public
-  * HDF5 File Format Specification that CMIP-era NetCDF-4 files actually
-  * exercise: superblock v0, old-style (symbol-table) groups, v1 object
-  * headers, simple dataspaces, fixed-point/IEEE-float datatypes,
-  * contiguous AND chunked (v1 B-tree) data layouts, and the deflate
-  * filter (`java.util.zip.Inflater` — no native codecs).
+  * HDF5 File Format Specification that NetCDF-4 files actually exercise,
+  * in BOTH on-disk generations:
+  *
+  *  - classic: superblock v0, old-style (symbol-table) groups, v1 object
+  *    headers, chunked data behind v1 B-trees (netcdf-c default output);
+  *  - "latest": superblock v2/v3, v2 ("OHDR") object headers with compact
+  *    link-message groups, v2/v3 packed attributes, layout v4 with
+  *    single-chunk / implicit / fixed-array chunk indexes (libver=latest
+  *    producers, h5py/netcdf-c with H5Pset_libver_bounds).
+  *
+  * Plus, in both: simple dataspaces, fixed-point/IEEE-float datatypes,
+  * contiguous layouts, and the deflate filter (`java.util.zip.Inflater` —
+  * no native codecs).
   *
   * Scale design mirrors `NetCDF`: the driver parses only the metadata
-  * (superblock → group B-tree → object headers → chunk B-tree, a few KB),
+  * (superblock → group links → object headers → chunk index, a few KB),
   * producing a chunk table of (address, size, offsets). Executors then
   * seek-read-inflate their chunks in parallel (`spark.range` over the
   * chunk table → mapPartitions), so ingestion parallelism is bounded by
   * chunk count, not by a driver scan.
   *
-  * Out of scope (documented): v2 superblocks / "latest" link messages,
-  * fractal-heap groups, variable-length and compound datatypes, szip.
-  * These do not appear in netcdf-c's default output.
+  * Out of scope (documented): dense fractal-heap groups, extensible-array
+  * and v2-B-tree chunk indexes (unlimited-dimension datasets),
+  * variable-length and compound datatypes, szip; metadata checksums are
+  * not verified.
   */
 object Hdf5 {
 
   private val Undef = -1L // 0xFFFF.. addresses parse to -1
 
+  /** `chunkIndex`: how chunk addresses are found — 0 = v1 B-tree (classic
+    * files), 1 = single chunk, 2 = implicit (contiguous grid), 3 = fixed
+    * array (the "latest"-format index for fixed-size datasets).
+    * `chunkBtree` holds the index structure's address for every kind. */
   final case class Dataset(name: String, dims: Seq[Long], dtClass: Int,
                            dtSize: Int, littleEndian: Boolean,
                            layoutClass: Int, dataAddress: Long, dataSize: Long,
                            chunkDims: Seq[Long], chunkBtree: Long,
-                           gzip: Boolean, attrs: Map[String, Double] = Map.empty)
+                           gzip: Boolean, attrs: Map[String, Double] = Map.empty,
+                           chunkIndex: Int = 0)
   final case class Chunk(address: Long, storedSize: Long, offsets: Seq[Long])
 
   // ---------------- driver-side metadata parse ----------------
@@ -53,7 +67,10 @@ object Hdf5 {
   }
 
   /** Parse all datasets reachable from the root group (flat — netCDF-4
-    * classic-model files keep everything in the root group). */
+    * classic-model files keep everything in the root group). Handles both
+    * generations of the public format: superblock v0 with old-style
+    * symbol-table groups, and superblock v2/v3 ("latest") with v2 object
+    * headers and compact link-message groups. */
   def readMeta(path: String): Seq[Dataset] = {
     val r = new Reader(path)
     try {
@@ -61,28 +78,73 @@ object Hdf5 {
       require(sig.map(_ & 0xFF).sameElements(Seq(0x89, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A)),
         s"$path is not an HDF5 file")
       val sbVersion = r.u8()
-      require(sbVersion == 0, s"only superblock v0 supported (got $sbVersion)")
-      r.skip(1 + 1 + 1 + 1) // freespace ver, root sym ver, reserved, shared msg ver
-      val offSize = r.u8(); val lenSize = r.u8()
-      require(offSize == 8 && lenSize == 8, s"only 8-byte offsets/lengths (got $offSize/$lenSize)")
-      r.skip(1) // reserved
-      r.skip(2 + 2 + 4) // group leaf k, internal k, consistency flags
-      r.skip(8 * 4) // base, free space, end of file, driver info
-      // root group symbol table entry
-      r.skip(8) // link name offset
-      val rootOH = r.u64()
-      r.skip(4 + 4 + 16)
-
+      require(sbVersion == 0 || sbVersion == 2 || sbVersion == 3,
+        s"unsupported superblock version $sbVersion")
       val out = scala.collection.mutable.ArrayBuffer.empty[Dataset]
-      // root object header → symbol table message → btree + heap
-      val (btreeAddr, heapAddr) = rootSymbolTable(r, rootOH)
-      val heapData = localHeapData(r, heapAddr)
-      groupEntries(r, btreeAddr).foreach { case (nameOff, ohAddr) =>
-        val name = cString(heapData, nameOff.toInt)
-        parseDataset(r, name, ohAddr).foreach(out += _)
+      if (sbVersion == 0) {
+        r.skip(1 + 1 + 1 + 1) // freespace ver, root sym ver, reserved, shared msg ver
+        val offSize = r.u8(); val lenSize = r.u8()
+        require(offSize == 8 && lenSize == 8, s"only 8-byte offsets/lengths (got $offSize/$lenSize)")
+        r.skip(1) // reserved
+        r.skip(2 + 2 + 4) // group leaf k, internal k, consistency flags
+        r.skip(8 * 4) // base, free space, end of file, driver info
+        // root group symbol table entry
+        r.skip(8) // link name offset
+        val rootOH = r.u64()
+        r.skip(4 + 4 + 16)
+        // root object header → symbol table message → btree + heap
+        val (btreeAddr, heapAddr) = rootSymbolTable(r, rootOH)
+        val heapData = localHeapData(r, heapAddr)
+        groupEntries(r, btreeAddr).foreach { case (nameOff, ohAddr) =>
+          val name = cString(heapData, nameOff.toInt)
+          parseDataset(r, name, ohAddr).foreach(out += _)
+        }
+      } else {
+        // superblock v2/v3: offsets/lengths sizes, flags, then 4 addresses
+        val offSize = r.u8(); val lenSize = r.u8()
+        require(offSize == 8 && lenSize == 8, s"only 8-byte offsets/lengths (got $offSize/$lenSize)")
+        r.skip(1) // file consistency flags
+        r.skip(8 + 8 + 8) // base, superblock extension, EOF
+        val rootOH = r.u64() // checksum follows; not verified
+        linkEntries(r, rootOH).foreach { case (name, ohAddr) =>
+          parseDataset(r, name, ohAddr).foreach(out += _)
+        }
       }
       out.toSeq
     } finally r.close()
+  }
+
+  /** Collect (link name, object header address) pairs from a "latest"
+    * compact group: hard-link messages (0x0006) stored directly in the
+    * group's v2 object header. Dense groups (links in a fractal heap via
+    * Link Info) are rejected with a clear error. */
+  private def linkEntries(r: Reader, ohAddr: Long): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    foreachMessage(r, ohAddr) { (t, _, body) =>
+      if (t == 0x0006) {
+        r.seek(body)
+        val v = r.u8(); require(v == 1, s"link message v$v")
+        val flags = r.u8()
+        val linkType = if ((flags & 0x08) != 0) r.u8() else 0
+        if ((flags & 0x04) != 0) r.skip(8) // creation order
+        if ((flags & 0x10) != 0) r.skip(1) // charset
+        val nameLen = (flags & 0x03) match {
+          case 0 => r.u8().toLong
+          case 1 => r.u16().toLong
+          case 2 => r.u32()
+          case _ => r.u64()
+        }
+        val name = new String(r.bytes(nameLen.toInt), "UTF-8")
+        if (linkType == 0) out += ((name, r.u64())) // hard link: OH address
+      } else if (t == 0x0002) { // link info: dense storage check
+        r.seek(body)
+        r.u8(); val flags = r.u8()
+        if ((flags & 0x01) != 0) r.skip(8)
+        val fheap = r.u64()
+        require(fheap == Undef, "dense (fractal-heap) groups not supported")
+      }
+    }
+    out.toSeq
   }
 
   private def rootSymbolTable(r: Reader, ohAddr: Long): (Long, Long) = {
@@ -138,33 +200,81 @@ object Hdf5 {
     }
   }
 
-  /** Iterate v1 object-header messages (handles continuation blocks). */
+  /** Iterate object-header messages, v1 (version byte 1) or v2 ("OHDR"
+    * signature), handling continuation blocks of the matching generation.
+    * The callback receives (message type, declared size, body position). */
   private def foreachMessage(r: Reader, ohAddr: Long)(f: (Int, Int, Long) => Unit): Unit = {
     r.seek(ohAddr)
+    val first = r.u8()
+    if (first == 'O'.toInt) foreachMessageV2(r, ohAddr)(f)
+    else {
+      require(first == 1, s"unsupported object header version $first")
+      r.skip(1)
+      val nMsgs = r.u16()
+      r.skip(4) // ref count
+      val headerSize = r.u32()
+      r.skip(4) // padding to 8-byte alignment
+      var blocks = List((r.pos, headerSize))
+      var seen = 0
+      while (blocks.nonEmpty && seen < nMsgs) {
+        val (start, size) = blocks.head
+        blocks = blocks.tail
+        var p = start
+        val end = start + size
+        while (p + 8 <= end && seen < nMsgs) {
+          r.seek(p)
+          val t = r.u16(); val sz = r.u16()
+          r.skip(1 + 3) // flags + reserved
+          val bodyPos = r.pos
+          if (t == 0x0010) { // continuation
+            r.seek(bodyPos); val addr = r.u64(); val len = r.u64()
+            blocks = blocks :+ (addr, len)
+          } else f(t, sz, bodyPos)
+          seen += 1
+          p = bodyPos + sz
+        }
+      }
+    }
+  }
+
+  /** v2 ("latest") object header: "OHDR" + flags-driven optional fields,
+    * 1-byte message types, optional per-message creation order, "OCHK"
+    * continuation blocks (each trailed by a 4-byte checksum, not
+    * verified). */
+  private def foreachMessageV2(r: Reader, ohAddr: Long)(f: (Int, Int, Long) => Unit): Unit = {
+    r.seek(ohAddr)
+    require(new String(r.bytes(4), "ASCII") == "OHDR", "bad v2 object header signature")
     val version = r.u8()
-    require(version == 1, s"only v1 object headers (got $version)")
-    r.skip(1)
-    val nMsgs = r.u16()
-    r.skip(4) // ref count
-    val headerSize = r.u32()
-    r.skip(4) // padding to 8-byte alignment
-    var blocks = List((r.pos, headerSize))
-    var seen = 0
-    while (blocks.nonEmpty && seen < nMsgs) {
+    require(version == 2, s"object header v$version")
+    val flags = r.u8()
+    if ((flags & 0x20) != 0) r.skip(16) // access/mod/change/birth times
+    if ((flags & 0x10) != 0) r.skip(4)  // attr storage phase-change bounds
+    val chunk0Size = (flags & 0x03) match {
+      case 0 => r.u8().toLong
+      case 1 => r.u16().toLong
+      case 2 => r.u32()
+      case _ => r.u64()
+    }
+    val trackOrder = (flags & 0x04) != 0
+    val msgPrefix = if (trackOrder) 6 else 4 // type+size+flags(+order)
+    var blocks = List((r.pos, chunk0Size))
+    while (blocks.nonEmpty) {
       val (start, size) = blocks.head
       blocks = blocks.tail
       var p = start
       val end = start + size
-      while (p + 8 <= end && seen < nMsgs) {
+      while (p + msgPrefix <= end) {
         r.seek(p)
-        val t = r.u16(); val sz = r.u16()
-        r.skip(1 + 3) // flags + reserved
+        val t = r.u8(); val sz = r.u16()
+        r.skip(1) // message flags
+        if (trackOrder) r.skip(2)
         val bodyPos = r.pos
-        if (t == 0x0010) { // continuation
+        if (t == 0x10) { // continuation: "OCHK" + messages + checksum
           r.seek(bodyPos); val addr = r.u64(); val len = r.u64()
-          blocks = blocks :+ (addr, len)
+          r.seek(addr)
+          require(new String(r.bytes(4), "ASCII") == "OCHK", "bad continuation signature")
+          blocks = blocks :+ ((addr + 4, len - 8)) // strip signature + checksum
         } else f(t, sz, bodyPos)
-        seen += 1
         p = bodyPos + sz
       }
     }
@@ -178,6 +288,8 @@ object Hdf5 {
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false
+    var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
+    var chunkDimsNeedElem = false // layout v4 dims exclude the element size
     val attrs = scala.collection.mutable.Map.empty[String, Double]
     def pad8(n: Int): Int = (n + 7) & ~7
     foreachMessage(r, ohAddr) { (t, sz, body) =>
@@ -194,21 +306,48 @@ object Hdf5 {
           val bits0 = r.u8(); r.skip(2)
           dtSize = r.u32().toInt
           little = (bits0 & 1) == 0
-        case 0x0008 => // data layout v3
+        case 0x0008 => // data layout v3 / v4
           r.seek(body)
           val v = r.u8()
-          require(v == 3, s"only layout v3 (got $v)")
+          require(v == 3 || v == 4, s"only layout v3/v4 (got $v)")
           layoutClass = r.u8()
-          layoutClass match {
-            case 1 => // contiguous
+          (layoutClass, v) match {
+            case (1, _) => // contiguous (same body in v3 and v4)
               dataAddr = r.u64(); dataSize = r.u64()
-            case 2 => // chunked
+            case (2, 3) => // chunked, v1-btree index
               val rank = r.u8()
               chunkBtree = r.u64()
               chunkDims = (0 until rank).map(_ => r.u32())
-            case 0 => // compact
+            case (2, 4) => // chunked, "latest" index variants
+              val lflags = r.u8()
+              val rank = r.u8()
+              val encLen = r.u8()
+              chunkDims = (0 until rank).map { _ =>
+                encLen match {
+                  case 1 => r.u8().toLong
+                  case 2 => r.u16().toLong
+                  case 4 => r.u32()
+                  case 8 => r.u64()
+                  case o => throw new IllegalArgumentException(s"dim size width $o")
+                }
+              }
+              chunkDimsNeedElem = true // v4 omits the trailing element size
+              val idxType = r.u8()
+              idxType match {
+                case 1 => // single chunk
+                  if ((lflags & 0x02) != 0) { dataSize = r.u64(); r.skip(4) } // filtered size + mask
+                  chunkBtree = r.u64(); chunkIndexKind = 1
+                case 2 => // implicit: contiguous chunk grid
+                  chunkBtree = r.u64(); chunkIndexKind = 2
+                case 3 => // fixed array
+                  r.skip(1) // page bits
+                  chunkBtree = r.u64(); chunkIndexKind = 3
+                case other => throw new IllegalArgumentException(
+                  s"chunk index type $other (extensible array / v2 B-tree not supported)")
+              }
+            case (0, _) => // compact
               dataSize = r.u16().toLong; dataAddr = r.pos
-            case other => throw new IllegalArgumentException(s"layout class $other")
+            case (other, _) => throw new IllegalArgumentException(s"layout class $other")
           }
         case 0x000B => // filter pipeline
           r.seek(body)
@@ -228,15 +367,18 @@ object Hdf5 {
             i += 1
           }
           require(ok, s"unsupported filter in pipeline for $name (only deflate)")
-        case 0x000C => // attribute (v1): CF scalars (_FillValue, scale, offset)
+        case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
           r.seek(body)
           val v = r.u8()
-          if (v == 1) {
-            r.skip(1)
+          // v1 pads name/datatype/dataspace to 8; v2/v3 pack them (v3 adds
+          // a name-charset byte). Shared-datatype/-dataspace attrs skipped.
+          val aflags = if (v == 1) { r.skip(1); 0 } else r.u8()
+          if (v <= 3 && (aflags & 0x03) == 0) {
             val nameSize = r.u16(); val adtSize = r.u16(); val adsSize = r.u16()
+            if (v == 3) r.skip(1) // name character-set encoding
             val aName = {
               val b = r.bytes(nameSize)
-              r.skip(pad8(nameSize) - nameSize)
+              if (v == 1) r.skip(pad8(nameSize) - nameSize)
               val z = b.indexOf(0.toByte)
               new String(b, 0, if (z < 0) b.length else z, "UTF-8")
             }
@@ -244,13 +386,14 @@ object Hdf5 {
             val cv = r.u8(); val aCls = cv & 0x0F
             val aLittle = (r.u8() & 1) == 0; r.skip(2)
             val aSize = r.u32().toInt
-            r.seek(dtStart + pad8(adtSize))
+            r.seek(dtStart + (if (v == 1) pad8(adtSize) else adtSize))
             val dsStart = r.pos
-            r.skip(1)
+            val dsVer = r.u8()
             val aRank = r.u8()
-            r.skip(1); r.skip(5)
+            r.skip(1) // flags
+            r.skip(if (dsVer == 1) 5 else 1) // v1 reserved / v2 type byte
             val aCount = (0 until aRank).map(_ => r.u64()).product max 1L
-            r.seek(dsStart + pad8(adsSize))
+            r.seek(dsStart + (if (v == 1) pad8(adsSize) else adsSize))
             // numeric scalar attributes only — strings/arrays are skipped
             if ((aCls == 0 || aCls == 1) && aCount == 1 &&
                 (aSize == 1 || aSize == 2 || aSize == 4 || aSize == 8))
@@ -260,16 +403,86 @@ object Hdf5 {
       }
     }
     if (dims == null || dtClass < 0 || layoutClass < 0) None
-    else Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
-      dataAddr, dataSize, chunkDims, chunkBtree, gzip, attrs.toMap))
+    else {
+      // normalise v4 chunk dims to the v3 convention (trailing element size)
+      val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
+      Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
+        dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind))
+    }
   }
 
-  /** Chunk table from a v1 raw-data B-tree (driver-side; a few bytes per
-    * chunk). */
+  /** Chunk table (driver-side; a few bytes per chunk) from whichever index
+    * the layout message declared: v1 B-tree (classic), single chunk,
+    * implicit grid, or fixed array ("latest"). */
   def chunkTable(path: String, ds: Dataset): Seq[Chunk] = {
     val r = new Reader(path)
-    try collectChunks(r, ds.chunkBtree, ds.chunkDims.length)
-    finally r.close()
+    try ds.chunkIndex match {
+      case 0 => collectChunks(r, ds.chunkBtree, ds.chunkDims.length)
+      case 1 => // single chunk: whole dataspace in one chunk at the address
+        val stored =
+          if (ds.gzip) ds.dataSize // filtered size recorded in the layout msg
+          else ds.chunkDims.product // dims × element size (element incl.)
+        Seq(Chunk(ds.chunkBtree, stored, ds.chunkDims.dropRight(1).map(_ => 0L)))
+      case 2 => // implicit: unfiltered chunks laid out in grid row-major order
+        val grid = chunkGrid(ds)
+        val chunkBytes = ds.chunkDims.product // includes element size
+        grid.zipWithIndex.map { case (offs, i) =>
+          Chunk(ds.chunkBtree + i.toLong * chunkBytes, chunkBytes, offs)
+        }
+      case 3 => fixedArrayChunks(r, ds)
+      case other => throw new IllegalArgumentException(s"chunk index kind $other")
+    } finally r.close()
+  }
+
+  /** Row-major chunk-grid offsets covering the dataspace. */
+  private def chunkGrid(ds: Dataset): Seq[Seq[Long]] = {
+    val cdims = ds.chunkDims.dropRight(1)
+    val counts = ds.dims.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+    counts.foldLeft(Seq(Seq.empty[Long])) { (acc, n) =>
+      acc.flatMap(pre => (0 until n).map(i => pre :+ i.toLong))
+    }.map(_.zip(cdims).map { case (i, c) => i * c })
+  }
+
+  /** Fixed Array chunk index ("FAHD" header → "FADB" data block): the
+    * "latest"-format index for datasets with fixed maximum dims. Elements
+    * are per-chunk addresses in row-major grid order; filtered elements
+    * (client id 1) add the stored size + filter mask. Single-page data
+    * blocks only (pages appear above 2^pageBits entries). Checksums are
+    * not verified. */
+  private def fixedArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
+    r.seek(ds.chunkBtree)
+    require(new String(r.bytes(4), "ASCII") == "FAHD", "bad fixed-array header")
+    val ver = r.u8(); require(ver == 0, s"fixed array v$ver")
+    val clientId = r.u8()
+    require(clientId == 0 || clientId == 1, s"fixed-array client $clientId")
+    val entrySize = r.u8()
+    val pageBits = r.u8()
+    val maxEntries = r.u64()
+    val dataBlock = r.u64()
+    require(maxEntries <= (1L << pageBits),
+      s"paged fixed-array data blocks not supported ($maxEntries entries)")
+    r.seek(dataBlock)
+    require(new String(r.bytes(4), "ASCII") == "FADB", "bad fixed-array data block")
+    val dver = r.u8(); require(dver == 0, s"fixed array data block v$dver")
+    r.skip(1 + 8) // client id + header address
+    val grid = chunkGrid(ds)
+    require(grid.size == maxEntries, s"fixed-array entries $maxEntries != grid ${grid.size}")
+    val chunkBytes = ds.chunkDims.product
+    grid.map { offs =>
+      val addr = r.u64()
+      if (clientId == 1) {
+        val szWidth = entrySize - 8 - 4 // entry = address + stored size + mask
+        val stored = szWidth match {
+          case 1 => r.u8().toLong
+          case 2 => r.u16().toLong
+          case 4 => r.u32()
+          case 8 => r.u64()
+          case o => throw new IllegalArgumentException(s"stored-size width $o")
+        }
+        r.skip(4) // filter mask
+        Chunk(addr, stored, offs)
+      } else Chunk(addr, chunkBytes, offs)
+    }
   }
 
   private def collectChunks(r: Reader, addr: Long, rank: Int): Seq[Chunk] = {

@@ -210,4 +210,153 @@ class Hdf5Spec extends AnyFunSuite {
     assert(lake.count() == 6 && lake.where("i0 = 1 and i1 = 2").head.isNullAt(2))
     assert(lake.where("i0 = 1 and i1 = 1").head.getAs[Double]("value") == 2.5)
   }
+
+  // ------------- "latest" on-disk generation (superblock v3) -------------
+
+  /** Build the same logical file in the "latest" format: superblock v3,
+    * v2 (OHDR) object headers, compact link-message root group, layout v4
+    * with a fixed-array chunk index for the deflated 2-D dataset, an
+    * IMPLICIT chunk index for an unfiltered 1-D dataset, v3 packed
+    * attributes, v2 filter pipeline. Written byte-by-byte from the public
+    * format spec (checksum fields zeroed — the reader documents it does
+    * not verify them). */
+  private def writeLatest(path: String): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      // flags 0x01: 2-byte size-of-chunk-0; trailing checksum unverified
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    def dspace2(dims: Long*): Array[Byte] = {
+      val b = buf(4 + 8 * dims.length)
+      b.put(2.toByte).put(dims.length.toByte).put(0.toByte)
+        .put((if (dims.isEmpty) 0 else 1).toByte) // scalar vs simple
+      dims.foreach(b.putLong); b.array()
+    }
+    def attr3(name: String, value: Double): Array[Byte] = {
+      val nm = name.getBytes("ASCII") :+ 0.toByte
+      val dt = dtypeDouble; val ds = dspace2()
+      val b = buf(9 + nm.length + dt.length + ds.length + 8)
+      b.put(3.toByte).put(0.toByte).putShort(nm.length.toShort)
+        .putShort(dt.length.toShort).putShort(ds.length.toShort)
+        .put(0.toByte) // name charset: ASCII
+        .put(nm).put(dt).put(ds).putDouble(value)
+      msg2(0x0C, b.array())
+    }
+    def link(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("ASCII")
+      msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+        .put(nm.length.toByte).put(nm).putLong(addr).array())
+    }
+    def layoutV4FixedArray(chunkDims: Seq[Int], fahd: Long): Array[Byte] = {
+      val b = buf(5 + chunkDims.length + 2 + 8)
+      b.put(4.toByte).put(2.toByte).put(0.toByte) // v4, chunked, flags
+        .put(chunkDims.length.toByte).put(1.toByte) // 1-byte dim sizes
+      chunkDims.foreach(d => b.put(d.toByte))
+      b.put(3.toByte).put(10.toByte).putLong(fahd) // fixed array, 2^10 page
+      msg2(0x08, b.array())
+    }
+    def layoutV4Implicit(chunkDims: Seq[Int], addr: Long): Array[Byte] = {
+      val b = buf(5 + chunkDims.length + 1 + 8)
+      b.put(4.toByte).put(2.toByte).put(0.toByte)
+        .put(chunkDims.length.toByte).put(1.toByte)
+      chunkDims.foreach(d => b.put(d.toByte))
+      b.put(2.toByte).putLong(addr) // implicit index
+      msg2(0x08, b.array())
+    }
+    def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
+      msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
+    def filter2Deflate: Array[Byte] =
+      msg2(0x0B, buf(12).put(2.toByte).put(1.toByte)
+        .putShort(1).putShort(0).putShort(1).putInt(6).array()) // deflate, level 6
+
+    val chunks = Seq( // row-major fixed-array order, incl. edge padding
+      (0L, 0L, Array(1.0, 2.0)), (0L, 2L, Array(3.0, 0.0)),
+      (1L, 0L, Array(4.0, 5.0)), (1L, 2L, Array(-999.0, 0.0)))
+    val packed = chunks.map { case (_, _, v) => deflate(v) }
+
+    def build(cAddrs: Seq[Long], fadb: Long, fahd: Long, xData: Long, yData: Long,
+              tempOH: Long, xOH: Long, yOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val fadbBytes = {
+        val b = buf(14 + packed.length * 16 + 4)
+        b.put("FADB".getBytes("ASCII")).put(0.toByte).put(1.toByte).putLong(fahd)
+        packed.zip(cAddrs).foreach { case (p, a) =>
+          b.putLong(a).putInt(p.length).putInt(0) // addr, stored size, mask
+        }
+        b.putInt(0).array() // checksum
+      }
+      val fahdBytes = buf(28).put("FAHD".getBytes("ASCII")).put(0.toByte)
+        .put(1.toByte).put(16.toByte).put(10.toByte) // filtered client, 16B entries
+        .putLong(packed.length).putLong(fadb).putInt(0).array()
+      val xBytes = { val b = buf(24); Seq(10.0, 20.0, 30.0).foreach(b.putDouble); b.array() }
+      val yBytes = { // 3 implicit chunks of 2 doubles; last padded
+        val b = buf(48); Seq(1.0, 2.0, 3.0, 4.0, 5.0, 0.0).foreach(b.putDouble); b.array()
+      }
+      val tempBytes = ohdr2(
+        msg2(0x01, dspace2(2L, 3L)), msg2(0x03, dtypeDouble),
+        layoutV4FixedArray(Seq(1, 2), fahd), filter2Deflate,
+        attr3("_FillValue", -999.0), attr3("scale_factor", 0.5))
+      val xBytesOH = ohdr2(
+        msg2(0x01, dspace2(3L)), msg2(0x03, dtypeDouble),
+        layoutV4Contig(xData, 24L))
+      val yBytesOH = ohdr2(
+        msg2(0x01, dspace2(5L)), msg2(0x03, dtypeDouble),
+        layoutV4Implicit(Seq(2), yData))
+      val rootBytes = ohdr2(link("temp", tempOH), link("x", xOH), link("y", yOH))
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // v3, 8/8, flags
+      sb.putLong(0L).putLong(-1L) // base, superblock extension
+      val eof = rootOH + rootBytes.length
+      sb.putLong(eof).putLong(rootOH).putInt(0) // EOF, root OH, checksum
+      Seq(sb.array(), cat(packed: _*), fadbBytes, fahdBytes, xBytes, yBytes,
+        tempBytes, xBytesOH, yBytesOH, rootBytes)
+    }
+
+    // pass 1 with zero addresses fixes every block's size; pass 2 is real
+    val sizes = build(packed.map(_ => 0L), 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val cAddrs = packed.scanLeft(starts(1)) { case (a, p) => a + p.length }
+    val parts = build(cAddrs, starts(2), starts(3), starts(4), starts(5),
+      starts(6), starts(7), starts(8), starts(9))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("latest format: superblock v3, OHDR links, fixed-array + implicit chunks") {
+    val f = java.io.File.createTempFile("graft_latest", ".h5"); f.deleteOnExit()
+    writeLatest(f.getPath)
+    val meta = Hdf5.readMeta(f.getPath).sortBy(_.name)
+    assert(meta.map(_.name) == Seq("temp", "x", "y"))
+    val temp = meta.head
+    assert(temp.dims == Seq(2L, 3L) && temp.layoutClass == 2 && temp.gzip)
+    assert(temp.chunkIndex == 3 && temp.chunkDims == Seq(1L, 2L, 8L))
+    assert(temp.attrs == Map("_FillValue" -> -999.0, "scale_factor" -> 0.5))
+    val chunks = Hdf5.chunkTable(f.getPath, temp)
+    assert(chunks.length == 4 && chunks.map(_.offsets).toSet ==
+      Set(Seq(0L, 0L), Seq(0L, 2L), Seq(1L, 0L), Seq(1L, 2L)))
+    // identical logical content to the v0 file: CF-unpacked values match
+    val rows = Hdf5.readVariable(spark, f.getPath, "temp").orderBy("i0", "i1").collect()
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0), Some(2.5), None))
+    // v4 contiguous
+    val x = Hdf5.readVariable(spark, f.getPath, "x").orderBy("i0").collect()
+    assert(x.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0))
+    // implicit chunk index: grid addresses are pure offset math; the
+    // edge-chunk padding element is dropped by the dataspace bound
+    val y = Hdf5.readVariable(spark, f.getPath, "y").orderBy("i0").collect()
+    assert(y.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
 }
