@@ -5241,6 +5241,24 @@ object SparkEntry {
         .select(col("y"), col("uncertainty"),
           round(col("variance"), 6).as("variance"),
           round(col("fraction_pct"), 4).as("fraction_pct"))
+    }),
+
+    "q_missing_indexed" -> ((s, dir) => {
+      // expected_count WITH a select_time indexer (missing.py:117-150) —
+      // the hard case: a WRAP-AROUND doy window (330..40) across leap
+      // years, so the per-year expected count is 76 or 77 by the calendar
+      // itself (generated day-sequence + filter, Time.expectedDaysSelected).
+      // Nulls planted on every 5th day-of-month; absent edge days (the
+      // substrate starts 1992-01-02, ends 1998-12-01) count as missing too.
+      import graft.core.Time
+      val planted = climateDaily(s, dir)
+        .withColumn("v", when(dayofmonth(col("d")) % 5 === 0, lit(null))
+          .otherwise(col("tas")))
+      graft.indicator.Missing.missingIndexed(
+          planted, Seq("k"), col("d"), col("v"), "YS",
+          d => Time.Select.doyBounds(d, 330, 40))
+        .select(col("k"), year(col("period")).as("y"), col("n_expected"),
+          col("n_valid"), col("n_missing"), col("missing_any"))
     })
   )
 
@@ -5344,7 +5362,21 @@ object SparkEntry {
          |select l.y, l.uncertainty,
          |  cast(cast(l.variance as decimal(38,6)) as double) variance,
          |  cast(cast(l.variance / t.tv * 100 as decimal(38,4)) as double) fraction_pct
-         |from lng l join tot t on t.y = l.y""".stripMargin
+         |from lng l join tot t on t.y = l.y""".stripMargin,
+
+    "q_missing_indexed" ->
+      s"""with $climSql,
+         |p as (select k, year(d) y, dayofyear(d) doy,
+         |  case when dayofmonth(d) % 5 = 0 then null else tas end v from clim),
+         |sel as (select * from p where doy >= 330 or doy <= 40),
+         |agg as (select k, y, count(v) n_valid from sel group by 1, 2),
+         |ex as (select k, y, n_valid,
+         |  40 + (case when (y % 4 = 0 and y % 100 <> 0) or y % 400 = 0
+         |        then 366 else 365 end) - 330 + 1 n_expected
+         | from agg)
+         |select k, y, n_expected, n_valid, n_expected - n_valid n_missing,
+         |  (n_expected - n_valid) > 0 missing_any
+         |from ex""".stripMargin
   )
 
 }

@@ -192,6 +192,21 @@ object Time {
   def expectedDays(periodStart: Column, freq: String): Column =
     datediff(periodEnd(periodStart, freq).cast("date"), periodStart.cast("date"))
 
+  /** `expected_count` WITH a select_time indexer (missing.py:117-150): the
+    * number of calendar days inside [periodStart, periodEnd) matching the
+    * indexer predicate. A generated day-sequence + higher-order filter —
+    * leap years and wrap-around windows fall out of the calendar itself,
+    * exactly as the reference's dummy-time-axis count does. Interpreted
+    * array expression, but it runs on per-period AGGREGATE rows (one
+    * bounded array per period, never per observation), so the cost is a
+    * few hundred elements × periods. */
+  def expectedDaysSelected(periodStart: Column, freq: String,
+                           pred: Column => Column): Column =
+    size(filter(
+      sequence(periodStart.cast("date"),
+        date_sub(periodEnd(periodStart, freq).cast("date"), 1)),
+      d => pred(d)))
+
   /** Day-of-year column (standard calendar). Non-standard calendars carry
     * companion (year, doy) columns instead — see SURVEY §1.2. */
   def dayOfYear(ts: Column): Column = dayofyear(ts)

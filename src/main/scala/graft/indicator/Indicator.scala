@@ -230,6 +230,24 @@ object Missing {
       .drop("_valid", "_expected")
   }
 
+  /** Missing diagnostics WITH a select_time indexer (missing.py:117-150):
+    * per (keys, period): `n_expected` calendar days matching the indexer
+    * (leap years and wrap-around windows handled by the generated
+    * day-sequence count), `n_valid` non-null observations on matching
+    * days, `n_missing`, and the `missing_any` policy verdict. Periods with
+    * NO matching observations at all do not appear (join the caller's
+    * period axis to surface them as fully-missing). */
+  def missingIndexed(input: DataFrame, keys: Seq[String], time: Column,
+                     value: Column, freq: String,
+                     pred: Column => Column): DataFrame = {
+    input.filter(pred(time.cast("date")))
+      .groupBy(keys.map(col) :+ Time.resamplePeriod(time, freq).as("period"): _*)
+      .agg(count(value).as("n_valid"))
+      .withColumn("n_expected", Time.expectedDaysSelected(col("period"), freq, pred))
+      .withColumn("n_missing", col("n_expected") - col("n_valid"))
+      .withColumn("missing_any", col("n_missing") > 0)
+  }
+
   /** Per-(keys, month) WMO missing diagnostics (missing.py:395): a month is
     * bad when >= nm days are missing in total or >= nc CONSECUTIVE days
     * are. Consecutive absences come from present-row date gaps (lag +
