@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit over the ENTIRE query surface: every `SparkEntry`
+  * query must analyze and plan at sf0.001 (catches broken column refs
+  * without a full oracle run), no plan may contain a cartesian product,
+  * and nested-loop broadcast joins are allowed only where a tiny frame is
+  * intentionally broadcast against the corpus (top-k / analog targets).
+  * Scan pruning is asserted on a representative lake query.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Tiny broadcast frames joined without keys BY DESIGN: a handful of
+    * query vectors / analog target rows against the scan. */
+  private val bnljAllowed = Set(
+    "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog")
+
+  test("every query plans; no cartesian products; BNLJ only where intended") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in plan"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          failures += s"$name: unexpected BroadcastNestedLoopJoin"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name: plan build failed (${e.getClass.getSimpleName})"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("filters and projection reach the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = sources.Tables.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 5)
+      .select("l_returnflag", "l_quantity")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"),
+      s"pushdown missing:\n$formatted")
+    // pruned read schema: only the two referenced columns reach the scan
+    assert(formatted.contains("l_returnflag") && !formatted.contains("l_extendedprice"),
+      s"column pruning missing:\n$formatted")
+  }
+}
