@@ -71,10 +71,30 @@ object Main {
         println(s"$lakeDir -> $nc (CDF-$version, ${h.vars.map(_.name).mkString(", ")}, " +
           s"${h.numRecs} records)")
         spark.stop()
+      case "dataflags" :: in :: out :: rest =>
+        // QC battery command (cli.py:231): every applicable flag for the
+        // CF variable columns present, per-entity counts + ecad verdict;
+        // --raise-flags exits 1 when any entity fails (the CLI contract)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val flagged = graft.indicator.DataFlags.ecadCompliant(spark.read.parquet(in))
+        flagged.write.mode("overwrite").parquet(out)
+        val bad = flagged.filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.col("ecad_qc_flag"))).count()
+        println(s"dataflags -> $out (${flagged.columns.length - 2} checks, " +
+          s"$bad entities flagged)")
+        spark.stop()
+        if (rest.contains("--raise-flags") && bad > 0) sys.exit(1)
       case other =>
         System.err.println(
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
-            s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2]; got: $other")
+            s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
+            s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }
   }

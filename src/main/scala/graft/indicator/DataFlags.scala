@@ -80,6 +80,48 @@ object DataFlags {
     * count per flag + `ecad_qc_flag` (true only when every flag count is 0,
     * ecad_compliant dataflags.py:749). `flags` maps flag name -> row
     * condition. */
+  /** `ecad_compliant` auto-battery (dataflags.py:749 driven by the
+    * per-variable flag sets of `data/variables.yml`): apply every flag
+    * whose variables are present as columns. Daily rows keyed by `keys`
+    * with a `time` column; variables by CF name (tas, tasmax, tasmin, pr,
+    * sfcWind, hurs, q); temperatures degC, pr mm/d, wind m/s. Powers the
+    * CLI `dataflags` command (cli.py:231). */
+  def ecadCompliant(df0: DataFrame, keys: Seq[String] = Seq("location_id"),
+                    time: Column = col("time")): DataFrame = {
+    val have = df0.columns.toSet
+    var df = df0
+    val flags = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    if (have("tasmax") && have("tasmin"))
+      flags += "tasmax_below_tasmin" -> tasmaxBelowTasmin(col("tasmax"), col("tasmin"))
+    if (have("tas") && have("tasmax"))
+      flags += "tas_exceeds_tasmax" -> tasExceedsTasmax(col("tas"), col("tasmax"))
+    if (have("tas") && have("tasmin"))
+      flags += "tas_below_tasmin" -> tasBelowTasmin(col("tas"), col("tasmin"))
+    for (t <- Seq("tas", "tasmax", "tasmin") if have(t)) {
+      flags += s"${t}_extremely_low" -> temperatureExtremelyLow(col(t))
+      flags += s"${t}_extremely_high" -> temperatureExtremelyHigh(col(t))
+      flags += s"${t}_repeating_5_days" -> repeatingValues(keys, time, col(t), 5)
+    }
+    if (have("tas")) {
+      df = outsideClimatology(df, keys, time, col("tas"), nSigma = 5.0, window = 5)
+      flags += "tas_outside_5sigma_climatology" -> col("_clim_flag")
+    }
+    if (have("pr")) {
+      flags += "negative_accumulation_values" -> negativeAccumulation(col("pr"))
+      flags += "very_large_precipitation_events" -> veryLargePrecipitation(col("pr"))
+      flags += "pr_5mm_repeating_5_days" -> threshRepeating(keys, time, col("pr"), 5.0, 5)
+    }
+    if (have("sfcWind"))
+      flags += "wind_values_outside_of_bounds" -> windOutsideBounds(col("sfcWind"))
+    if (have("hurs"))
+      flags += "percentage_values_outside_of_bounds" -> percentageOutsideBounds(col("hurs"))
+    if (have("q"))
+      flags += "specific_discharge_extremely_high" -> specificDischargeExtremelyHigh(col("q"))
+    require(flags.nonEmpty,
+      s"no known CF variable columns among ${df0.columns.mkString(", ")}")
+    battery(df, keys, flags.toMap)
+  }
+
   def battery(df: DataFrame, keys: Seq[String], flags: Map[String, Column]): DataFrame = {
     val names = flags.keys.toSeq.sorted
     // project first: flag conditions may be window expressions, which can't

@@ -323,4 +323,32 @@ class IndicatorSpecSuite extends AnyFunSuite {
       .orderBy(col("t")).select(col("chill_portions")).as[Double].collect()
     assert(run.sliding(2).forall(p => p(1) >= p(0) - 1e-12))
   }
+
+  test("ecadCompliant auto-battery: flags selected by present variables") {
+    import spark.implicits._
+    import graft.indicator.DataFlags
+    // 40 clean days, then planted violations: tasmax < tasmin on day 3,
+    // pr negative on day 5, hurs 120% on day 7 — entity 1 stays clean
+    val rows = for (loc <- Seq(0L, 1L); i <- 0 until 40) yield {
+      val bad = loc == 0L
+      (loc, java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2020-${1 + i / 28}%02d-${1 + i % 28}%02d" + "T00:00:00Z")),
+        10.0 + (i % 7), 15.0 + (i % 7),
+        if (bad && i == 3) 20.0 else 5.0 + (i % 7), // tasmin above tasmax on day 3
+        if (bad && i == 5) -2.0 else 1.0 + (i % 9), // negative pr on day 5
+        if (bad && i == 7) 120.0 else 55.0)         // 120% humidity on day 7
+    }
+    val df = rows.toDF("location_id", "time", "tas", "tasmax", "tasmin", "pr", "hurs")
+    val out = DataFlags.ecadCompliant(df).collect().map(r =>
+      r.getAs[Long]("location_id") -> r).toMap
+    // variable-driven selection: temperature triplet + pr + hurs checks,
+    // no wind/discharge columns -> no wind/discharge flags
+    assert(out(0L).schema.fieldNames.exists(_.startsWith("n_tasmax_below")))
+    assert(!out(0L).schema.fieldNames.exists(_.contains("wind")))
+    assert(out(0L).getAs[Long]("n_tasmax_below_tasmin") == 1L)
+    assert(out(0L).getAs[Long]("n_negative_accumulation_values") == 1L)
+    assert(out(0L).getAs[Long]("n_percentage_values_outside_of_bounds") == 1L)
+    assert(!out(0L).getAs[Boolean]("ecad_qc_flag"))
+    assert(out(1L).getAs[Boolean]("ecad_qc_flag"))
+  }
 }
