@@ -24,6 +24,28 @@ object Main {
           val s = Registry(n).spec
           println(f"$n%-28s ${s.units}%-6s ${s.title}")
         }
+      case "info" :: name :: rest =>
+        // indicator detail card (cli.py:331 `info` / the generated
+        // docstring surface): full spec incl. inputs and missing policy
+        rest.foreach(VirtualModules.loadYamlFile)
+        val s = Registry(name).spec
+        println(s"${s.identifier}: ${s.title}")
+        println(s"  units:         ${s.units}")
+        if (s.standardName.nonEmpty) println(s"  standard_name: ${s.standardName}")
+        if (s.cellMethods.nonEmpty) println(s"  cell_methods:  ${s.cellMethods}")
+        println(s"  sampling:      ${s.srcFreq}")
+        println(s"  missing:       ${s.missing}" + (
+          if (s.missingOptions.nonEmpty)
+            s.missingOptions.map { case (k, v) => s"$k=$v" }.mkString(" (", ", ", ")")
+          else ""))
+        s.inputs.foreach { in =>
+          println(f"  input:         ${in.name}%-12s ${in.dimensionality}%-18s [${in.canonicalUnits}]")
+        }
+      case "version" :: Nil =>
+        // show_version_info twin (cli.py:159)
+        println(s"graft (Spark ${org.apache.spark.SPARK_VERSION}, " +
+          s"Scala ${scala.util.Properties.versionNumberString}, " +
+          s"Java ${System.getProperty("java.version")})")
       case "run" :: name :: in :: out :: rest =>
         val freq = rest.headOption.getOrElse("MS")
         rest.drop(1).foreach(VirtualModules.loadYamlFile)
