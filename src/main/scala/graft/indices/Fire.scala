@@ -68,7 +68,7 @@ object Fire {
   }
 
   /** HALF_UP at 8 decimals — the per-step state quantizer (see class doc). */
-  private def round8(x: Double): Double =
+  private[graft] def round8(x: Double): Double =
     BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Fine fuel moisture code, one step (`_cffwis.py:246`, eqs 1-10). */

@@ -87,6 +87,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CFFWIS equals the batch kernel across micro-batch splits") {
+    import graft.streaming.StatefulFire
+    import graft.streaming.StatefulFire.{FireCodes, WxObs}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 20-day weather for two stations (one wet, one dry)
+    def wx(key: Long): Seq[WxObs] = (0 until 20).map { i =>
+      WxObs(key, i, temp = 12.0 + (i % 9) + key, rain = if ((i + key) % 5 == 0) 6.5 else 0.0,
+        wind = 15.0 + (i % 4), hum = 40.0 + (i % 30), mth = 6, lat = 46.0)
+    }
+    val all = wx(1) ++ wx(2)
+    val input = MemoryStream[WxObs]
+    val q = StatefulFire.codes(input.toDS()).writeStream
+      .format("memory").queryName("fire_codes").outputMode("append").start()
+    try {
+      // feed the same days in three uneven micro-batches: the moisture
+      // codes must carry across boundaries
+      input.addData(all.filter(_.t < 4))
+      q.processAllAvailable()
+      input.addData(all.filter(o => o.t >= 4 && o.t < 13))
+      q.processAllAvailable()
+      input.addData(all.filter(_.t >= 13))
+      q.processAllAvailable()
+      val streamed = spark.table("fire_codes").as[FireCodes].collect()
+        .map(c => (c.key, c.t) -> (c.ffmc, c.dmc, c.dc)).toMap
+      val batch = graft.indices.Fire.cffwisCodes(
+          all.toDF("key", "t", "temp", "rain", "wind", "hum", "mth", "lat"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(streamed.size == 40 && streamed == batch)
+      // codes actually evolved (the recursion is live, not constant)
+      assert(streamed((1L, 19)) != streamed((1L, 0)))
+    } finally q.stop()
+  }
+
   test("sliding windows, watermarked stream dedup, stream-static join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
