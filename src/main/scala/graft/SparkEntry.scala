@@ -5259,6 +5259,23 @@ object SparkEntry {
           d => Time.Select.doyBounds(d, 330, 40))
         .select(col("k"), year(col("period")).as("y"), col("n_expected"),
           col("n_valid"), col("n_missing"), col("missing_any"))
+    }),
+
+    "q_unit_conversions" -> ((s, dir) => {
+      // convert_units_to (units.py:334) promoted from lib-only to
+      // oracle-checked: the driver resolves each (from, to) pair to a
+      // (factor, offset) literal — offset temperatures, compound-symbol
+      // factors, and the hydro-context bridge (mm/d ↔ kg m-2 s-1 via
+      // water density) — applied as codegen'd scalar arithmetic. The
+      // oracle spells out the same literal expressions, so both engines
+      // run identical IEEE sequences (no rounding needed).
+      import graft.core.Units
+      t(s, dir, "events").select(col("event_id"),
+        Units.convert(col("value"), "degC", "K").as("t_k"),
+        Units.convert(col("value"), "degF", "degC").as("f_c"),
+        Units.convert(col("value"), "km/h", "m/s").as("wind_ms"),
+        Units.convert(col("value"), "mm/d", "kg m-2 s-1").as("pr_flux"),
+        Units.convert(col("value"), "hPa", "Pa").as("p_pa"))
     })
   )
 
@@ -5376,7 +5393,16 @@ object SparkEntry {
          | from agg)
          |select k, y, n_expected, n_valid, n_expected - n_valid n_missing,
          |  (n_expected - n_valid) > 0 missing_any
-         |from ex""".stripMargin
+         |from ex""".stripMargin,
+
+    "q_unit_conversions" ->
+      """select event_id,
+        |  value + 273.15 t_k,
+        |  value * (5.0/9.0) + (255.372222222222 - 273.15) f_c,
+        |  value * (1000.0/3600.0) wind_ms,
+        |  value * ((0.001/86400.0) * 1000.0) pr_flux,
+        |  value * 100.0 p_pa
+        |from events""".stripMargin
   )
 
 }
