@@ -290,7 +290,40 @@ object Dedup {
     *
     * Output: (id, component) for every node appearing in `edges`. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          smallGraphEdges: Int = 2_000_000): DataFrame = {
+    // Small-edge-set fast path — the same adaptive-threshold philosophy as
+    // AQE's broadcast conversion: when the candidate-pair list fits a
+    // BOUNDED driver collect (2 longs/edge; the default caps at ~32 MB),
+    // a union-find replaces O(diameter) shuffle rounds with one job.
+    // Output is IDENTICAL (component = min id, as the propagation loop's
+    // fixed point); PropertySpec pins the equivalence on random graphs.
+    // Pass smallGraphEdges = 0 to force the distributed loop.
+    if (smallGraphEdges > 0) {
+      val sample = edges.select(col(idA).cast("long"), col(idB).cast("long"))
+        .limit(smallGraphEdges + 1).collect()
+      if (sample.length <= smallGraphEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        sample.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val spark = edges.sparkSession
+        import spark.implicits._
+        return parent.keys.toSeq.map(id => (id, find(id)))
+          .toDF("id", "component")
+      }
+      // over threshold: fall through to the distributed loop
+    }
     val sym = edges.select(col(idA).as("u"), col(idB).as("v"))
       .unionByName(edges.select(col(idB).as("u"), col(idA).as("v")))
       .persist()

@@ -145,12 +145,24 @@ class PropertySpec extends AnyFunSuite {
     }
     val canon = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(i => i -> find(i.toInt).toLong).toMap
-    val got = graft.pipeline.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.keySet == canon.keySet)
-    // same partition: two nodes share a component in got iff they do in canon
-    for (a <- got.keySet; b <- got.keySet)
-      assert((got(a) == got(b)) == (canon(a) == canon(b)), s"$a vs $b")
+    // BOTH execution paths must agree with the reference: the bounded
+    // driver fast path (default) and the distributed min-label loop
+    // (forced with smallGraphEdges = 0)
+    for (threshold <- Seq(2_000_000, 0)) {
+      val got = graft.pipeline.Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), smallGraphEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == canon.keySet, s"threshold=$threshold")
+      // same partition: two nodes share a component in got iff in canon
+      for (a <- got.keySet; b <- got.keySet)
+        assert((got(a) == got(b)) == (canon(a) == canon(b)),
+          s"$a vs $b (threshold=$threshold)")
+      // canonical representative: component id IS the member minimum on
+      // both paths (the propagation fixed point)
+      got.groupBy(_._2).foreach { case (comp, members) =>
+        assert(members.keys.min == comp, s"threshold=$threshold comp=$comp")
+      }
+    }
   }
 
   test("exact-collapse components equal uncollapsed components on a random corpus") {
