@@ -20,6 +20,7 @@ object GraftFunctions {
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    "float_dot" -> (exprs => FloatDotProduct(exprs.head, exprs(1))),
     "gamma_ppf" -> (exprs => GammaPInv(exprs.head, exprs(1))),
     "log_gamma" -> (exprs => LogGamma(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head,

@@ -178,5 +178,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(1) - math.log(2.0)) < 1e-9) // exp(1) median
     assert(r2.getSeq[Long](2).length == 4)
     assert(r2.getDouble(3) > 15.0 && r2.getDouble(3) < 30.0)
+    val r3 = spark.sql(
+      "select float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) fd").head
+    assert(math.abs(r3.getDouble(0) - 11.0) < 1e-9)
   }
 }
