@@ -5276,6 +5276,29 @@ object SparkEntry {
         Units.convert(col("value"), "km/h", "m/s").as("wind_ms"),
         Units.convert(col("value"), "mm/d", "kg m-2 s-1").as("pr_flux"),
         Units.convert(col("value"), "hPa", "Pa").as("p_pa"))
+    }),
+
+    "q_missing_policies" -> ((s, dir) => {
+      // MissingPct + MissingAtLeastN side by side (missing.py:334/:366)
+      // over the same planted gap patterns as q_missing_wmo: per month,
+      // the pct policy flags when missing/expected > 10%, at_least_n when
+      // under 20 valid days — the two scalar policies that had only unit
+      // tests. Calendar expected counts from Time.expectedDays.
+      import graft.core.Time
+      val cd = climateDaily(s, dir)
+      val m4 = month(col("d")) % 4
+      val dom = dayofmonth(col("d"))
+      val planted = cd.filter(!((m4 === 0 && dom.between(10, 15)) ||
+        (m4 === 1 && dom % 3 === 0) || (m4 === 2 && dom % 2 === 0)))
+      planted
+        .groupBy(col("k"), Time.resamplePeriod(col("d"), "MS").as("period"))
+        .agg(count(lit(1)).as("n_valid"))
+        .withColumn("n_expected", Time.expectedDays(col("period"), "MS").cast("long"))
+        .select(col("k"), col("period").cast("date").as("m"),
+          col("n_expected"), col("n_valid"),
+          ((col("n_expected") - col("n_valid")).cast("double") / col("n_expected") > 0.1)
+            .as("missing_pct10"),
+          (col("n_valid") < 20).as("missing_atleast20"))
     })
   )
 
@@ -5402,7 +5425,21 @@ object SparkEntry {
         |  value * (1000.0/3600.0) wind_ms,
         |  value * ((0.001/86400.0) * 1000.0) pr_flux,
         |  value * 100.0 p_pa
-        |from events""".stripMargin
+        |from events""".stripMargin,
+
+    "q_missing_policies" ->
+      s"""with $climSql,
+         |pres as (select k, d from clim
+         |  where not ((month(d) % 4 = 0 and dayofmonth(d) between 10 and 15)
+         |          or (month(d) % 4 = 1 and dayofmonth(d) % 3 = 0)
+         |          or (month(d) % 4 = 2 and dayofmonth(d) % 2 = 0))),
+         |mo as (select k, cast(date_trunc('month', d) as date) m,
+         |         count(*) n_valid from pres group by 1, 2)
+         |select k, m, cast(dayofmonth(last_day(m)) as bigint) n_expected, n_valid,
+         |  (cast(dayofmonth(last_day(m)) - n_valid as double)
+         |     / dayofmonth(last_day(m))) > 0.1 missing_pct10,
+         |  n_valid < 20 missing_atleast20
+         |from mo""".stripMargin
   )
 
 }
