@@ -5299,6 +5299,16 @@ object SparkEntry {
           ((col("n_expected") - col("n_valid")).cast("double") / col("n_expected") > 0.1)
             .as("missing_pct10"),
           (col("n_valid") < 20).as("missing_atleast20"))
+    }),
+
+    "q_trigram_nll" -> ((s, dir) => {
+      // CCNet-style LM quality signal: char-trigram corpus LM -> per-doc
+      // mean negative log-likelihood (pipeline/TextStats.trigramNll).
+      // Micro-quantized per-trigram log-probs make the mean order-free,
+      // so the DuckDB twin (range-join trigram explode + the same join)
+      // hash-matches exactly.
+      graft.pipeline.TextStats.trigramNll(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text")
     })
   )
 
@@ -5439,7 +5449,21 @@ object SparkEntry {
          |  (cast(dayofmonth(last_day(m)) - n_valid as double)
          |     / dayofmonth(last_day(m))) > 0.1 missing_pct10,
          |  n_valid < 20 missing_atleast20
-         |from mo""".stripMargin
+         |from mo""".stripMargin,
+
+    "q_trigram_nll" ->
+      """with base as (select doc_id, lower(text) t from documents
+        |  where doc_id % 5 = 0 and length(text) >= 3),
+        |pos as (select doc_id, t, unnest(range(1, length(t) - 1)) i from base),
+        |tri as (select doc_id, substr(t, cast(i as int), 3) tg from pos),
+        |lm as (select tg, count(*) c from tri group by 1),
+        |tot as (select sum(c) n from lm),
+        |lp as (select doc_id,
+        |    cast(round(ln(cast(c as double) / n) * 1e6) as bigint) lp
+        |  from tri join lm using (tg) cross join tot)
+        |select doc_id, count(*) n_trigrams,
+        |  -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
+        |from lp group by 1""".stripMargin
   )
 
 }

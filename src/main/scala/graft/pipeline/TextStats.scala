@@ -124,4 +124,33 @@ object TextStats {
         col("tf") * (log((lit(nDocs) + 1.0) / (col("df_t") + 1.0)) + 1.0))
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
+
+  /** Language-model quality signal, CCNet-style: a char-trigram LM is fit
+    * on the corpus itself (trigram relative frequencies), and each
+    * document scores its mean negative log-likelihood under it — low NLL =
+    * looks like the corpus, high NLL = boilerplate/garbage outlier. The
+    * per-trigram log-probs are micro-quantized (×1e6 integers) so the
+    * per-doc mean is summation-order-free — exactly reproducible by an
+    * external engine.
+    *
+    * Plan: trigram explode → one corpus-wide hash-agg (the LM) → one
+    * trigram-keyed shuffle join back (vocab ≤ alphabet³ but NOT broadcast:
+    * unicode corpora blow past any broadcast bound) → one per-doc
+    * hash-agg. No driver state; the LM "fit" is just an aggregate. */
+  def trigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= 3)
+    val tri = base
+      .withColumn("i", explode(sequence(lit(1), length(col("t")) - 2)))
+      .select(col(idCol), expr("substring(t, i, 3)").as("tg"))
+    val lm = tri.groupBy("tg").agg(count(lit(1)).as("c"))
+    val total = lm.agg(sum(col("c")).as("n"))
+    tri.join(lm, "tg")
+      .crossJoin(broadcast(total)) // one row: the corpus trigram count
+      .withColumn("lp", round(log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("_slp"))
+      .select(col(idCol), col("n_trigrams"),
+        (-round(col("_slp").cast("double") / col("n_trigrams")) / 1e6).as("mean_nll"))
+  }
 }
