@@ -5309,6 +5309,18 @@ object SparkEntry {
       // hash-matches exactly.
       graft.pipeline.TextStats.trigramNll(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination (pipeline/Dedup.decontaminate): corpus
+      // docs sharing any word 8-gram with the held-out "benchmark" slice
+      // (doc_id % 97 == 0) are flagged; every candidate appears with its
+      // collision count. Benchmark grams broadcast; corpus text never
+      // enters a shuffle.
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), n = 8)
     })
   )
 
@@ -5463,7 +5475,26 @@ object SparkEntry {
         |  from tri join lm using (tg) cross join tot)
         |select doc_id, count(*) n_trigrams,
         |  -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
-        |from lp group by 1""".stripMargin
+        |from lp group by 1""".stripMargin,
+
+    "q_decontaminate" ->
+      """with toks as (select doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') tk from documents),
+        |cg as (select doc_id,
+        |    array_to_string(tk[cast(i as int):cast(i as int)+7], ' ') g
+        |  from (select doc_id, tk, unnest(range(1, len(tk) - 6)) i
+        |        from toks where doc_id % 97 <> 0)),
+        |bg as (select distinct
+        |    array_to_string(tk[cast(i as int):cast(i as int)+7], ' ') g
+        |  from (select tk, unnest(range(1, len(tk) - 6)) i
+        |        from toks where doc_id % 97 = 0)),
+        |hits as (select doc_id, count(*) n_collisions
+        |  from (select distinct doc_id, g from cg) c join bg using (g)
+        |  group by 1)
+        |select t.doc_id, coalesce(h.n_collisions, 0) n_collisions,
+        |  coalesce(h.n_collisions, 0) > 0 contaminated
+        |from (select distinct doc_id from toks where doc_id % 97 <> 0) t
+        |left join hits h using (doc_id)""".stripMargin
   )
 
 }

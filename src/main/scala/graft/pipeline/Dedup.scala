@@ -289,6 +289,32 @@ object Dedup {
     * classic iterative-DataFrame plan-explosion guard).
     *
     * Output: (id, component) for every node appearing in `edges`. */
+  /** Benchmark decontamination — the standard pre-training hygiene step:
+    * flag corpus documents sharing any word n-gram (n = 8..13 typical)
+    * with an evaluation set. Output: (id, n_collisions, contaminated) for
+    * EVERY candidate document (clean docs carry 0/false).
+    *
+    * Plan: both sides explode to distinct n-gram rows; the benchmark side
+    * is ngrams-of-a-benchmark (thousands of docs, bounded) so its distinct
+    * grams BROADCAST into the collision join — the corpus side never
+    * shuffles on text, and the only wide op is the per-doc count. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ TextStats.tokens(col(textCol)).as("_toks"): _*)
+        .select(keep :+ explode(TextStats.ngramsOfTokens(col("_toks"), n)).as("g"): _*)
+    val bench = grams(benchmark, Seq.empty).distinct()
+    val hits = grams(docs, Seq(col(idCol)))
+      .distinct()
+      .join(broadcast(bench), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_collisions"))
+    docs.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           smallGraphEdges: Int = 2_000_000): DataFrame = {
