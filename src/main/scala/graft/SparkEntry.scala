@@ -5321,6 +5321,14 @@ object SparkEntry {
       graft.pipeline.Dedup.decontaminate(
         docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 97 === 0), n = 8)
+    }),
+
+    "q_repetition_signals" -> ((s, dir) => {
+      // Gopher repetition filters (TextStats.repetitionSignals): duplicate
+      // 3-gram fraction + top-3-gram mass per document — exact integer
+      // ratios, bit-identical across engines.
+      graft.pipeline.TextStats.repetitionSignals(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
     })
   )
 
@@ -5494,7 +5502,20 @@ object SparkEntry {
         |select t.doc_id, coalesce(h.n_collisions, 0) n_collisions,
         |  coalesce(h.n_collisions, 0) > 0 contaminated
         |from (select distinct doc_id from toks where doc_id % 97 <> 0) t
-        |left join hits h using (doc_id)""".stripMargin
+        |left join hits h using (doc_id)""".stripMargin,
+
+    "q_repetition_signals" ->
+      """with toks as (select doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') tk
+        |  from documents where doc_id % 3 = 0),
+        |grams as (select doc_id,
+        |    array_to_string(tk[cast(i as int):cast(i as int)+2], ' ') g
+        |  from (select doc_id, tk, unnest(range(1, len(tk) - 1)) i from toks)),
+        |cnt as (select doc_id, g, count(*) c from grams group by 1, 2)
+        |select doc_id, cast(sum(c) as bigint) n_ngrams,
+        |  1.0 - cast(count(*) as double) / sum(c) dup_ngram_frac,
+        |  cast(max(c) as double) / sum(c) top_ngram_frac
+        |from cnt group by 1""".stripMargin
   )
 
 }

@@ -125,6 +125,26 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Gopher/MassiveText within-document repetition signals: the duplicate
+    * n-gram fraction (1 − distinct/total) and the mass fraction of the
+    * single most frequent n-gram — the standard boilerplate/spam filters.
+    * One explode + two stacked per-doc hash-aggs; fractions are ratios of
+    * exact integers, so external engines reproduce them bit-for-bit. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(ngramsOfTokens(col("_toks"), n)).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("_top"))
+      .select(col(idCol), col("n_ngrams"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .as("dup_ngram_frac"),
+        (col("_top").cast("double") / col("n_ngrams")).as("top_ngram_frac"))
+  }
+
   /** Language-model quality signal, CCNet-style: a char-trigram LM is fit
     * on the corpus itself (trigram relative frequencies), and each
     * document scores its mean negative log-likelihood under it — low NLL =
