@@ -22,9 +22,11 @@ class PlanSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   /** Tiny broadcast frames joined without keys BY DESIGN: a handful of
-    * query vectors / analog target rows against the scan. */
+    * query vectors / analog target rows against the scan, and the
+    * single-row corpus-total frame the trigram LM broadcasts. */
   private val bnljAllowed = Set(
-    "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog")
+    "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog",
+    "q_trigram_nll")
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
