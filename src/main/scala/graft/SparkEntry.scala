@@ -5329,6 +5329,21 @@ object SparkEntry {
       // ratios, bit-identical across engines.
       graft.pipeline.TextStats.repetitionSignals(
         t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
+
+    "q_season_groups" -> ((s, dir) => {
+      // split_time_to_season_year + add_season_coord (calendar.py): group
+      // by the season-anchored year (December → the FOLLOWING year's DJF)
+      // and the season label — season resampling as a plain groupBy, no
+      // date arithmetic downstream. Means micro-quantized (order-free).
+      import graft.core.Time
+      climateDaily(s, dir)
+        .groupBy(col("k"), Time.seasonYear(col("d")).as("sy"),
+          Time.seasonCoord(col("d")).as("season"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(round(col("tas") * 1e6).cast("long")).as("_sm"))
+        .select(col("k"), col("sy"), col("season"), col("n_days"),
+          (round(col("_sm").cast("double") / col("n_days")) / 1e6).as("mean_tas"))
     })
   )
 
@@ -5515,7 +5530,19 @@ object SparkEntry {
         |select doc_id, cast(sum(c) as bigint) n_ngrams,
         |  1.0 - cast(count(*) as double) / sum(c) dup_ngram_frac,
         |  cast(max(c) as double) / sum(c) top_ngram_frac
-        |from cnt group by 1""".stripMargin
+        |from cnt group by 1""".stripMargin,
+
+    "q_season_groups" ->
+      s"""with $climSql,
+         |sg as (select k, tas,
+         |  cast(case when month(d) = 12 then year(d) + 1 else year(d) end as int) sy,
+         |  case when month(d) in (12, 1, 2) then 'DJF'
+         |       when month(d) in (3, 4, 5) then 'MAM'
+         |       when month(d) in (6, 7, 8) then 'JJA' else 'SON' end season
+         | from clim)
+         |select k, sy, season, count(*) n_days,
+         |  round(cast(sum(cast(round(tas*1e6) as bigint)) as double)/count(*))/1e6 mean_tas
+         |from sg group by 1, 2, 3""".stripMargin
   )
 
 }

@@ -211,6 +211,31 @@ object Time {
     * companion (year, doy) columns instead — see SURVEY §1.2. */
   def dayOfYear(ts: Column): Column = dayofyear(ts)
 
+  /** `add_season_coord` (calendar.py): the meteorological season label of
+    * a timestamp (DJF/MAM/JJA/SON). */
+  def seasonCoord(ts: Column): Column = {
+    val m = month(ts)
+    when(m.isin(12, 1, 2), "DJF").when(m.isin(3, 4, 5), "MAM")
+      .when(m.isin(6, 7, 8), "JJA").otherwise("SON")
+  }
+
+  /** `split_time_to_season_year` (calendar.py): the season-anchored year —
+    * DECEMBER belongs to the FOLLOWING year's DJF (the QS-DEC convention),
+    * every other month keeps its calendar year. Grouping by
+    * (seasonYear, seasonCoord) reproduces season resampling without date
+    * arithmetic downstream. */
+  def seasonYear(ts: Column): Column =
+    when(month(ts) === 12, year(ts) + 1).otherwise(year(ts))
+
+  /** `doy_to_days_since` / `days_since_to_doy` (calendar.py): day-of-year
+    * values re-based onto days since a period anchor and back. Pure
+    * datediff arithmetic; the anchor is the period start the caller
+    * already has (resamplePeriod output). */
+  def doyToDaysSince(doy: Column, yr: Column, anchor: Column): Column =
+    datediff(to_date(concat(yr, lit("-01-01"))), anchor.cast("date")) + doy - 1
+  def daysSinceToDoy(days: Column, anchor: Column): Column =
+    dayofyear(date_add(anchor.cast("date"), days.cast("int")))
+
   /** `select_time` indexer predicates (calendar.py:1259-1376). */
   /** select_time indexers incl. index_of_date-style doy/date predicates
     * (calendar.py:1259). */

@@ -162,6 +162,27 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(med - 5.5) < 1e-9)
   }
 
+  test("season coord / season year / doy re-basing helpers") {
+    import spark.implicits._
+    import graft.core.Time
+    val df = Seq("2020-12-15", "2021-01-15", "2021-03-01", "2021-07-01", "2021-10-01")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val got = df.select(Time.seasonCoord(col("ts")).as("sc"),
+        Time.seasonYear(col("ts")).as("sy")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // December belongs to the FOLLOWING year's DJF (QS-DEC convention)
+    assert(got == Seq(("DJF", 2021), ("DJF", 2021), ("MAM", 2021),
+      ("JJA", 2021), ("SON", 2021)))
+    // doy re-basing round-trips through a Jan-1 anchor
+    val rt = df
+      .withColumn("anchor", trunc(col("ts"), "year"))
+      .withColumn("ds", Time.doyToDaysSince(dayofyear(col("ts")), year(col("ts")), col("anchor")))
+      .select(Time.daysSinceToDoy(col("ds"), col("anchor")).as("doy2"),
+        dayofyear(col("ts")).as("doy"))
+      .collect()
+    assert(rt.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("quantileAtScale tracks the exact quantile within sketch error") {
     import spark.implicits._
     // the documented unbounded-group fallback: on 50k skewed values the
