@@ -320,8 +320,9 @@ object Dedup {
                           smallGraphEdges: Int = 2_000_000): DataFrame = {
     // Small-edge-set fast path — the same adaptive-threshold philosophy as
     // AQE's broadcast conversion: when the candidate-pair list fits a
-    // BOUNDED driver collect (2 longs/edge; the default caps at ~32 MB),
-    // a union-find replaces O(diameter) shuffle rounds with one job.
+    // BOUNDED driver collect (the 2M default is ~300 MB transient driver
+    // heap with Row boxing — size like a broadcast threshold), a
+    // union-find replaces O(diameter) shuffle rounds with one job.
     // Output is IDENTICAL (component = min id, as the propagation loop's
     // fixed point); PropertySpec pins the equivalence on random graphs.
     // Pass smallGraphEdges = 0 to force the distributed loop.
