@@ -97,6 +97,47 @@ object Similarity {
                          seed: Int = 7): DataFrame = {
     import graft.functions.FloatDotProduct.floatDot
     require(threshold > -1.0 && threshold < 1.0, s"bad threshold $threshold")
+    // EXACT-COLLAPSE front (the text pipeline's design #19 applied to
+    // vectors): byte-identical embeddings collapse to ONE grid participant
+    // per class, because web-scale corpora duplicate heavily and k copies
+    // of a point otherwise put k²/2 verify pairs in its cell. The ε-join
+    // runs over class representatives; member pairs are then GENERATED,
+    // not joined — within a class every pair shares the class vector's
+    // self-cosine, across classes every pair shares the representative
+    // cosine (identical vectors), so the output EQUALS the uncollapsed
+    // form row-for-row. A ×100-duplicated rehearsal corpus ran ×1000
+    // without this front; with it the join cost is duplication-invariant
+    // (the emitted pair list itself is the only quadratic-in-k term).
+    val normed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(floatDot(col("v"), col("v"))))
+    val classes = normed.groupBy(col("v"), col("nrm"))
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
+      .withColumn("rep", element_at(col("ms"), 1))
+    val selfCos = floatDot(col("v"), col("v")) / (col("nrm") * col("nrm"))
+    val within = classes.filter(size(col("ms")) >= 2)
+      .withColumn("cosine", selfCos)
+      .withColumn("id_a", explode(col("ms")))
+      .withColumn("id_b", explode(col("ms")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val repPairs = gridPairs(
+      classes.select(col("rep").as("id"), col("v"), col("nrm")),
+      threshold, dim, nProj, seed)
+    val cross = repPairs
+      .join(classes.select(col("rep").as("id_a"), col("ms").as("_ma")), "id_a")
+      .join(classes.select(col("rep").as("id_b"), col("ms").as("_mb")), "id_b")
+      .withColumn("a", explode(col("_ma")))
+      .withColumn("b", explode(col("_mb")))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("cosine"))
+    within.unionByName(cross)
+  }
+
+  /** The staggered-grid ε-join core over a deduplicated (id, v, nrm)
+    * frame — see [[gridNearDuplicates]] for the recall-1 argument. */
+  private def gridPairs(normed: DataFrame, threshold: Double, dim: Int,
+                        nProj: Int, seed: Int): DataFrame = {
+    import graft.functions.FloatDotProduct.floatDot
     val eps = math.sqrt(2.0 - 2.0 * threshold)
     val rnd = new scala.util.Random(seed)
     val dirs: Seq[Array[Double]] = Seq.fill(nProj) {
@@ -104,8 +145,6 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
-    val normed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", sqrt(floatDot(col("v"), col("v"))))
     val cellPerDir: Seq[Column] = dirs.map { u =>
       floor(aggregate(zip_with(col("v"), lit(u),
         (x, w) => x.cast("double") * w), lit(0.0), (acc, x) => acc + x)

@@ -521,7 +521,12 @@ class EngineSpec extends AnyFunSuite {
     val dups = base.filter(_._1 % 10 == 0).map { case (id, v) =>
       (id + 1000L, v.zipWithIndex.map { case (x, i) => x * (1.0 + 0.001 * ((i % 5) - 2)) })
     }
-    val df = (base ++ dups).toDF("id", "v")
+    // EXACT clones exercise the collapse front: classes of 3 identical
+    // vectors must expand to the same pairs the uncollapsed join finds
+    val clones = base.filter(_._1 % 15 == 0).flatMap { case (id, v) =>
+      Seq((id + 2000L, v), (id + 3000L, v))
+    }
+    val df = (base ++ dups ++ clones).toDF("id", "v")
     val grid = Similarity.gridNearDuplicates(df, "id", "v", 0.98, dim)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Similarity.cosineNearDuplicates(df, "id", "v", 0.98)
