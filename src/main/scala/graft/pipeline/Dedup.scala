@@ -180,17 +180,43 @@ object Dedup {
       // plan in the shared CacheManager until an explicit unpersist, a
       // memory leak when called repeatedly in a long-lived session
       .localCheckpoint(false)
-    val a = grams.alias("a"); val b = grams.alias("b")
+    // EXACT-COLLAPSE front (design #19, as in nearDupComponents and the
+    // embedding grid): docs with IDENTICAL shingle sets within a block
+    // collapse to one compare participant — k verbatim copies otherwise
+    // put k²/2 merge kernels in their block. Member pairs are GENERATED:
+    // within a class J = 1 exactly, across classes every member pair
+    // shares the representative pair's J (identical gram arrays), so the
+    // output equals the uncollapsed join row-for-row.
+    val classes = grams
+      .groupBy(blockCols.map(col) :+ col("grams"): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ms"), first(col("sz")).as("sz"))
+      .withColumn("id", element_at(col("ms"), 1))
+      .localCheckpoint(false)
+    val within = classes.filter(size(col("ms")) >= 2)
+      .withColumn("jaccard", lit(1.0)) // round(sz/(2sz−sz), 6) of equal sets
+      .withColumn("id_a", explode(col("ms")))
+      .withColumn("id_b", explode(col("ms")))
+      .filter(col("id_a") < col("id_b") && col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val a = classes.alias("a"); val b = classes.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     val common = graft.functions.SortedIntersectCount
       .sortedIntersectCount(col("a.grams"), col("b.grams"))
-    a.join(b, blockCond && col("a.id") < col("b.id") &&
+    val repPairs = a.join(b, blockCond && col("a.id") < col("b.id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(common.cast("double") /
           (col("a.sz") + col("b.sz") - common).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val cross = repPairs
+      .join(classes.select(col("id").as("id_a"), col("ms").as("_ma")), "id_a")
+      .join(classes.select(col("id").as("id_b"), col("ms").as("_mb")), "id_b")
+      .withColumn("x", explode(col("_ma")))
+      .withColumn("y", explode(col("_mb")))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   /** 64-bit SimHash over whitespace tokens — delegates to the native
