@@ -263,6 +263,29 @@ class PropertySpec extends AnyFunSuite {
     assert(l2 == e2)
   }
 
+  test("blocked Jaccard collapse expands clone classes exactly") {
+    import spark.implicits._
+    // three verbatim clones + one near-dup + one unrelated, single block:
+    // within-class pairs carry J = 1; the near-dup pairs carry the SAME
+    // representative J against every clone
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "b0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b0"),
+      (3L, "alpha beta gamma delta epsilon zeta", "b0"),
+      (4L, "alpha beta gamma delta epsilon eta", "b0"),   // near-dup
+      (5L, "one two three four five six", "b0")).toDF("id", "text", "blk")
+    val pairs = graft.pipeline.Dedup.jaccardPairsBlocked(
+        docs, "id", "text", Seq("blk"), ngram = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // clone pairs: J exactly 1
+    assert(Seq((1L, 2L), (1L, 3L), (2L, 3L)).forall(p => pairs(p) == 1.0))
+    // near-dup joins every clone with one identical J value
+    val nd = Seq((1L, 4L), (2L, 4L), (3L, 4L)).map(pairs)
+    assert(nd.distinct.size == 1 && nd.head > 0.3 && nd.head < 1.0)
+    // unrelated doc pairs with nobody
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("media decoders never throw on corrupt payloads (fuzz)") {
     // At corpus scale a decoder that throws on one malformed file kills the
     // task: every byte pattern must yield features or null, never an
