@@ -59,14 +59,48 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash-LSH over word `n`-gram shingles.
     * Output: (id_a, id_b) with id_a < id_b, distinct. The heavy join is
     * bucket-local: groupBy (band_id, band_hash) keeps only buckets with >1
-    * doc, then pairs are generated inside buckets.
-    */
+    * doc, then pairs are generated inside buckets. Carries the
+    * exact-collapse front (see [[nearDuplicates]]): identical shingle sets
+    * have identical signatures, so clone classes band as ONE participant
+    * and their pairs are generated — output unchanged, cost
+    * duplication-invariant. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    minhashCandidatesFromHashes(
-      hashedShingles(df, idCol, textCol, ngram)
-        .withColumnRenamed("grams", "hashes"),
-      numHashes, bands)
+                        ngram: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val classes = gramClasses(hashedShingles(df, idCol, textCol, ngram))
+      .localCheckpoint(false)
+    val repCands = minhashCandidatesFromHashes(
+      classes.select(col("id"), col("grams").as("hashes")), numHashes, bands)
+    classPairs(classes).unionByName(
+      expandByClass(repCands, classes, Seq.empty))
+  }
+
+  /** Equal-shingle-set classes with sorted member lists; `id` is the class
+    * representative (minimum member). */
+  private def gramClasses(grams: DataFrame): DataFrame =
+    grams.groupBy(col("grams"))
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
+      .withColumn("id", element_at(col("ms"), 1))
+
+  /** All within-class (id_a < id_b) pairs, with optional constant value
+    * columns appended. */
+  private def classPairs(classes: DataFrame, values: Seq[Column] = Seq.empty): DataFrame =
+    classes.filter(size(col("ms")) >= 2)
+      .withColumn("id_a", explode(col("ms")))
+      .withColumn("id_b", explode(col("ms")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +: values: _*)
+
+  /** Expand representative-level pairs to all member pairs, carrying the
+    * listed value columns through unchanged. */
+  private def expandByClass(repPairs: DataFrame, classes: DataFrame,
+                            valueCols: Seq[String]): DataFrame =
+    repPairs
+      .join(classes.select(col("id").as("id_a"), col("ms").as("_ma")), "id_a")
+      .join(classes.select(col("id").as("id_b"), col("ms").as("_mb")), "id_b")
+      .withColumn("x", explode(col("_ma")))
+      .withColumn("y", explode(col("_mb")))
+      .select(least(col("x"), col("y")).as("id_a") +:
+        greatest(col("x"), col("y")).as("id_b") +: valueCols.map(col): _*)
 
   /** (id, grams): sorted distinct xxhash64 shingle sets. Tokens are
     * materialised in their own projection first — see
@@ -105,26 +139,37 @@ object Dedup {
     * sets are hashed (xxhash64) ONCE: the same sorted distinct hash array
     * feeds the MinHash signature, a size-ratio candidate prune
     * (J <= min/max of set sizes), and the codegen'd sorted-merge
-    * intersection of the verify step — no string array ever joins. */
+    * intersection of the verify step — no string array ever joins.
+    *
+    * Exact-collapse front (design #19): identical shingle sets have
+    * identical MinHash signatures, so k verbatim copies would collide in
+    * EVERY band and put k²/2 verify kernels in each bucket. Classes
+    * collapse to one LSH+verify participant; within-class pairs carry
+    * J = 1 and cross-class member pairs carry the representative pair's J
+    * (identical gram arrays) — row-for-row the uncollapsed output. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      ngram: Int = 3, threshold: Double = 0.8,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val grams = hashedShingles(df, idCol, textCol, ngram)
+    val classes = gramClasses(hashedShingles(df, idCol, textCol, ngram))
+      .localCheckpoint(false)
+    val reps = classes.select(col("id"), col("grams"))
     val cands = minhashCandidatesFromHashes(
-      grams.select(col("id"), col("grams").as("hashes")), numHashes, bands)
-    val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      reps.select(col("id"), col("grams").as("hashes")), numHashes, bands)
+    val ga = reps.select(col("id").as("id_a"), col("grams").as("grams_a"),
       size(col("grams")).as("sz_a"))
-    val gb = grams.select(col("id").as("id_b"), col("grams").as("grams_b"),
+    val gb = reps.select(col("id").as("id_b"), col("grams").as("grams_b"),
       size(col("grams")).as("sz_b"))
     val common = graft.functions.SortedIntersectCount
       .sortedIntersectCount(col("grams_a"), col("grams_b"))
-    cands.join(ga, "id_a").join(gb, "id_b")
+    val repPairs = cands.join(ga, "id_a").join(gb, "id_b")
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("jaccard", common.cast("double") /
         (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    classPairs(classes, Seq(lit(1.0).as("jaccard"))) // sz/(2sz−sz) of equal sets
+      .unionByName(expandByClass(repPairs, classes, Seq("jaccard")))
   }
 
   /** Pairwise n-gram Jaccard via an INVERTED-INDEX equi-join instead of
