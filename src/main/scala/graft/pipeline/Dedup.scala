@@ -75,9 +75,13 @@ object Dedup {
   }
 
   /** Equal-shingle-set classes with sorted member lists; `id` is the class
-    * representative (minimum member). */
+    * representative (minimum member). Degenerate docs — null text or fewer
+    * than `ngram` tokens, whose shingle set is empty — are EXCLUDED: they
+    * carry no n-gram evidence, and folding them into one clone class would
+    * report J=1.0 for pairs the uncollapsed join scores 0/0 = NaN. */
   private def gramClasses(grams: DataFrame): DataFrame =
-    grams.groupBy(col("grams"))
+    grams.filter(col("grams").isNotNull && size(col("grams")) > 0)
+      .groupBy(col("grams"))
       .agg(sort_array(collect_list(col("id"))).as("ms"))
       .withColumn("id", element_at(col("ms"), 1))
 
@@ -146,7 +150,9 @@ object Dedup {
     * EVERY band and put k²/2 verify kernels in each bucket. Classes
     * collapse to one LSH+verify participant; within-class pairs carry
     * J = 1 and cross-class member pairs carry the representative pair's J
-    * (identical gram arrays) — row-for-row the uncollapsed output. */
+    * (identical gram arrays) — row-for-row the uncollapsed output, except
+    * that degenerate docs (empty shingle set) emit no pairs at all rather
+    * than the uncollapsed join's NaN-scored ones (see [[gramClasses]]). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      ngram: Int = 3, threshold: Double = 0.8,
                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
@@ -232,7 +238,9 @@ object Dedup {
     // within a class J = 1 exactly, across classes every member pair
     // shares the representative pair's J (identical gram arrays), so the
     // output equals the uncollapsed join row-for-row.
+    // degenerate docs (empty shingle set) are excluded — see [[gramClasses]]
     val classes = grams
+      .filter(col("grams").isNotNull && col("sz") > 0)
       .groupBy(blockCols.map(col) :+ col("grams"): _*)
       .agg(sort_array(collect_list(col("id"))).as("ms"), first(col("sz")).as("sz"))
       .withColumn("id", element_at(col("ms"), 1))
@@ -345,21 +353,6 @@ object Dedup {
     connectedComponents(lshEdges.unionByName(starEdges))
   }
 
-  /** Connected components over an undirected candidate-pair edge list —
-    * the cluster-assignment step that turns near-dup PAIRS into dedup
-    * GROUPS (the component's min id is the canonical survivor).
-    *
-    * Iterative min-label propagation: each round, every node takes the
-    * minimum label among itself and its neighbours; fixed point after
-    * `diameter` rounds. Near-dup graphs are shallow (pairs and small
-    * cliques), so 2-4 rounds in practice; `maxIter` caps pathological
-    * chains. Each round is one shuffle join + one hash-agg over the LABEL
-    * table (2 longs per node, never the documents) — no driver-side graph
-    * state, so components over billions of candidate pairs are just a few
-    * joins. `localCheckpoint` keeps the iterative lineage flat (the
-    * classic iterative-DataFrame plan-explosion guard).
-    *
-    * Output: (id, component) for every node appearing in `edges`. */
   /** Benchmark decontamination — the standard pre-training hygiene step:
     * flag corpus documents sharing any word n-gram (n = 8..13 typical)
     * with an evaluation set. Output: (id, n_collisions, contaminated) for
@@ -386,75 +379,111 @@ object Dedup {
         (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the cluster-assignment step that turns near-dup PAIRS into dedup
+    * GROUPS (the component's min id is the canonical survivor).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum label among itself and its neighbours; fixed point after
+    * `diameter` rounds. Near-dup graphs are shallow (pairs and small
+    * cliques), so 2-4 rounds in practice; `maxIter` caps pathological
+    * chains. Each round is one shuffle join + one hash-agg over the LABEL
+    * table (2 longs per node, never the documents) — no driver-side graph
+    * state, so components over billions of candidate pairs are just a few
+    * joins. `localCheckpoint` keeps the iterative lineage flat (the
+    * classic iterative-DataFrame plan-explosion guard).
+    *
+    * Small-edge-set fast path — the same adaptive-threshold philosophy as
+    * AQE's broadcast conversion: when BOTH id columns are integral and the
+    * edge list fits a BOUNDED driver collect (`smallGraphEdges`; the 2M
+    * default is ~300 MB transient driver heap with Row boxing — size like a
+    * broadcast threshold), a union-find replaces O(diameter) shuffle rounds
+    * with one job. Output is IDENTICAL (component = min id, as the
+    * propagation loop's fixed point); PropertySpec pins the equivalence on
+    * random graphs. Non-integral ids (strings, decimals) always take the
+    * distributed loop, whose min-label semantics are type-agnostic — a long
+    * cast would NPE on non-numeric strings and silently reorder numeric
+    * ones. Pass smallGraphEdges = 0 to force the distributed loop.
+    *
+    * Output: (id, component) for every node appearing in `edges`. */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           smallGraphEdges: Int = 2_000_000): DataFrame = {
-    // Small-edge-set fast path — the same adaptive-threshold philosophy as
-    // AQE's broadcast conversion: when the candidate-pair list fits a
-    // BOUNDED driver collect (the 2M default is ~300 MB transient driver
-    // heap with Row boxing — size like a broadcast threshold), a
-    // union-find replaces O(diameter) shuffle rounds with one job.
-    // Output is IDENTICAL (component = min id, as the propagation loop's
-    // fixed point); PropertySpec pins the equivalence on random graphs.
-    // Pass smallGraphEdges = 0 to force the distributed loop.
-    if (smallGraphEdges > 0) {
-      val sample = edges.select(col(idA).cast("long"), col(idB).cast("long"))
-        .limit(smallGraphEdges + 1).collect()
-      if (sample.length <= smallGraphEdges) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    // One persisted projection shared by the fast-path probe AND the loop's
+    // symmetrised view — without it the probe's limit().collect() partially
+    // evaluates the (expensive) upstream edge plan and the loop then
+    // recomputes it from scratch.
+    val e = edges.select(col(idA).as("u"), col(idB).as("v")).persist()
+    try {
+      val integralIds = Seq(idA, idB).forall { c =>
+        edges.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _                                             => false
         }
-        sample.foreach { r =>
-          val (a, b) = (r.getLong(0), r.getLong(1))
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      if (smallGraphEdges > 0 && integralIds) {
+        val sample = e.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(smallGraphEdges + 1).collect()
+        if (sample.length <= smallGraphEdges) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          sample.foreach { r =>
+            val (a, b) = (r.getLong(0), r.getLong(1))
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          val spark = edges.sparkSession
+          import spark.implicits._
+          return parent.keys.toSeq.map(id => (id, find(id)))
+            .toDF("id", "component")
         }
-        val spark = edges.sparkSession
-        import spark.implicits._
-        return parent.keys.toSeq.map(id => (id, find(id)))
-          .toDF("id", "component")
+        // over threshold: fall through to the distributed loop
       }
-      // over threshold: fall through to the distributed loop
-    }
-    val sym = edges.select(col(idA).as("u"), col(idB).as("v"))
-      .unionByName(edges.select(col(idB).as("u"), col(idA).as("v")))
-      .persist()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // carry the previous label through the same aggregation (each id has
-      // exactly one self row) and count label changes with an accumulator
-      // DURING the eager-checkpoint job — ONE action per round, no separate
-      // convergence count() pass (retries can only over-count, and we only
-      // test > 0)
-      val acc = edges.sparkSession.sparkContext.longAccumulator("cc_changed")
-      val bump = udf { (compNew: Long, prev: Long) =>
-        if (compNew != prev) acc.add(1L); compNew
-      }
-      val viaNbr = sym.join(labels, sym("v") === labels("id"))
-        .select(sym("u").as("id"), col("comp"), lit(null).cast("long").as("self"))
-      val selfRows = labels.select(col("id"), col("comp"), col("comp").as("self"))
-      labels = selfRows.unionByName(viaNbr)
-        .groupBy("id").agg(min("comp").as("_m"), max("self").as("_prev"))
-        .select(col("id"), bump(col("_m"), col("_prev")).as("comp"))
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      var labels = sym.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id"))
         .localCheckpoint(true)
-      changed = acc.value
-      iter += 1
-    }
-    sym.unpersist()
-    if (changed > 0)
-      System.err.println(s"[graft] connectedComponents: NOT converged after " +
-        s"$maxIter rounds ($changed labels still changing) — components may " +
-        s"be split; raise maxIter for graphs with diameter > $maxIter")
-    labels.select(col("id"), col("comp").as("component"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        // carry the previous label through the same aggregation (each id has
+        // exactly one self row) and count label changes with an accumulator
+        // DURING the eager-checkpoint job — ONE action per round, no separate
+        // convergence count() pass (retries can only over-count, and we only
+        // test > 0)
+        val acc = edges.sparkSession.sparkContext.longAccumulator("cc_changed")
+        // change detection rides a SIDE column (string-cast compare, exact
+        // for a within-id-domain value) so `comp` keeps the caller's id
+        // type — a Long-typed udf on comp itself would rewrite string ids
+        val bump = udf { (compNew: String, prev: String) =>
+          if (compNew != prev) acc.add(1L); 0
+        }
+        val idType = sym.schema("u").dataType
+        val viaNbr = sym.join(labels, sym("v") === labels("id"))
+          .select(sym("u").as("id"), col("comp"), lit(null).cast(idType).as("self"))
+        val selfRows = labels.select(col("id"), col("comp"), col("comp").as("self"))
+        labels = selfRows.unionByName(viaNbr)
+          .groupBy("id").agg(min("comp").as("_m"), max("self").as("_prev"))
+          .select(col("id"), col("_m").as("comp"),
+            bump(col("_m").cast("string"), col("_prev").cast("string")).as("_chk"))
+          .localCheckpoint(true)
+          .select(col("id"), col("comp"))
+        changed = acc.value
+        iter += 1
+      }
+      if (changed > 0)
+        System.err.println(s"[graft] connectedComponents: NOT converged after " +
+          s"$maxIter rounds ($changed labels still changing) — components may " +
+          s"be split; raise maxIter for graphs with diameter > $maxIter")
+      labels.select(col("id"), col("comp").as("component"))
+    } finally e.unpersist()
   }
 }

@@ -525,12 +525,24 @@ object Hdf5 {
     }
   }
 
-  private def inflate(in: Array[Byte], outLen: Int): Array[Byte] = {
+  private[graft] def inflate(in: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(in)
     val out = new Array[Byte](outLen)
     var off = 0
-    while (off < outLen && !inf.finished()) off += inf.inflate(out, off, outLen - off)
+    // A truncated/corrupt chunk makes Inflater return 0 with finished()
+    // still false and no more input to give — without the check the task
+    // would spin forever instead of failing.
+    while (off < outLen && !inf.finished()) {
+      val n = inf.inflate(out, off, outLen - off)
+      if (n == 0) {
+        inf.end()
+        throw new java.io.IOException(
+          s"corrupt deflate chunk: inflater stalled at $off/$outLen bytes " +
+            s"(needsInput=${inf.needsInput()}, needsDictionary=${inf.needsDictionary()})")
+      }
+      off += n
+    }
     inf.end()
     out
   }

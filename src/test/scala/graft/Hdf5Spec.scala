@@ -165,6 +165,18 @@ class Hdf5Spec extends AnyFunSuite {
     val f = new FileOutputStream(path); f.write(bos.toByteArray); f.close()
   }
 
+  test("truncated deflate chunk fails the read instead of hanging") {
+    val values = Array.tabulate(16)(_.toDouble)
+    val full = deflate(values)
+    // cut the compressed stream short: the inflater stalls (returns 0,
+    // finished() never true) — must surface as an IOException, not a spin
+    val truncated = full.take(full.length / 2)
+    val ex = intercept[java.io.IOException] {
+      Hdf5.inflate(truncated, values.length * 8)
+    }
+    assert(ex.getMessage.contains("corrupt deflate chunk"))
+  }
+
   test("metadata parse: superblock, symbol table, layouts, deflate flag") {
     val f = java.io.File.createTempFile("graft", ".h5"); f.deleteOnExit()
     writeSample(f.getPath)

@@ -165,6 +165,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents keeps string ids type-intact via the distributed loop") {
+    import spark.implicits._
+    // non-integral ids must skip the driver fast path (a long cast would NPE
+    // on "n1" and silently renumber "10" vs "9") and keep their type+values
+    val edges = Seq(("n1", "n2"), ("n2", "n3"), ("b9", "b10"), ("b10", "b2"))
+      .toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.connectedComponents(edges)
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(got.schema("component").dataType == org.apache.spark.sql.types.StringType)
+    val m = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // lexicographic min representative, per the min-label fixed point
+    assert(m == Map("n1" -> "n1", "n2" -> "n1", "n3" -> "n1",
+      "b9" -> "b10", "b10" -> "b10", "b2" -> "b10"))
+  }
+
+  test("degenerate docs (fewer tokens than ngram) emit no near-dup pairs") {
+    import spark.implicits._
+    // docs with an empty shingle set share no n-gram evidence: they must
+    // not be folded into one J=1.0 clone class (and the uncollapsed join's
+    // 0/0=NaN pairs are equally meaningless)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "x y z w x y z w"), (5L, "x y z w x y z w")).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.nearDuplicates(df, "doc_id", "text",
+      ngram = 3, threshold = 0.5, numHashes = 16, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSet == Set((4L, 5L, 1.0)))
+    val blocked = graft.pipeline.Dedup.jaccardPairsBlocked(
+      df.withColumn("blk", org.apache.spark.sql.functions.lit(1)),
+      "doc_id", "text", Seq("blk"), ngram = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(blocked.toSet == Set((4L, 5L)))
+  }
+
   test("exact-collapse components equal uncollapsed components on a random corpus") {
     // executable form of the nearDupComponents equivalence argument:
     // collapsing equal shingle sets + star edges must give the SAME
