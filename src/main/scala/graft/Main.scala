@@ -93,6 +93,18 @@ object Main {
         println(s"$lakeDir -> $nc (CDF-$version, ${h.vars.map(_.name).mkString(", ")}, " +
           s"${h.numRecs} records)")
         spark.stop()
+      case "convert-zarr" :: store :: outDir :: Nil =>
+        // Zarr v2 directory store → long-format lake (the cloud-native
+        // half of the reference's xr.open_dataset surface, cli.py:54-88)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir)
+        println(s"$store -> $outDir (${vars.mkString(", ")})")
+        spark.stop()
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -116,6 +128,7 @@ object Main {
         System.err.println(
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
             s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
+            s"convert-zarr <store> <outDir> | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }

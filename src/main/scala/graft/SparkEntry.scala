@@ -66,7 +66,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -456,7 +456,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -5543,6 +5543,46 @@ object SparkEntry {
          |select k, sy, season, count(*) n_days,
          |  round(cast(sum(cast(round(tas*1e6) as bigint)) as double)/count(*))/1e6 mean_tas
          |from sg group by 1, 2, 3""".stripMargin
+  )
+
+  // ---- batch 41 (round 5): Zarr ingest ---------------------------------
+
+  private def queries41: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_zarr_ingest" -> ((s, dir) => {
+      // Zarr v2 ingest end-to-end against an independent engine: a planted
+      // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
+      // edge chunks, one ABSENT chunk = fill, CF scale/offset/fill unpack,
+      // _ARRAY_DIMENSIONS naming) is read chunk-parallel by the Zarr
+      // source and aggregated per time step; the oracle regenerates the
+      // same grid arithmetically. Values are exact binary halves (scale
+      // 0.5), so sums compare exactly without rounding.
+      val store = java.nio.file.Files.createTempDirectory("graft_zarr_").toString
+      graft.sources.Zarr.plantedStore(store)
+      graft.sources.Zarr.readVariable(s, store, "tas")
+        .groupBy(col("time"))
+        .agg(count(col("value")).as("n_valid"),
+          sum(col("value")).as("sum_tas"),
+          min(col("value")).as("min_tas"),
+          max(col("value")).as("max_tas"))
+        .select(col("time"), col("n_valid"), col("sum_tas"),
+          col("min_tas"), col("max_tas"))
+    })
+  )
+
+  private def oracle41: Map[String, String] = Map(
+
+    "q_zarr_ingest" ->
+      """with g as (
+        |  select t.i t, y.i y, x.i x,
+        |    case when t.i between 2 and 3 and y.i >= 3 and x.i < 3 then null
+        |         else cast((t.i*100 + y.i*10 + x.i)*0.5 + 10.0 as double) end v
+        |  from range(0, 6) t(i)
+        |  cross join range(0, 5) y(i)
+        |  cross join range(0, 4) x(i))
+        |select cast(t as int) "time", count(v) n_valid, sum(v) sum_tas,
+        |  min(v) min_tas, max(v) max_tas
+        |from g group by 1""".stripMargin
   )
 
 }

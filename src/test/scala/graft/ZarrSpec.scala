@@ -1,0 +1,192 @@
+package graft
+
+import graft.sources.Zarr
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{File, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+/** Byte-level Zarr v2 fixtures (no zarr library in the container — the
+  * store is written from the public spec, like NetCDFSpec/Hdf5Spec):
+  * chunk grid with partial edge chunks, zlib/gzip/raw/blosc-memcpy
+  * codecs, an absent chunk (= fill_value), CF attrs, F-order, big-endian
+  * and integer dtypes. */
+class ZarrSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def write(f: File, bytes: Array[Byte]): Unit = {
+    f.getParentFile.mkdirs()
+    val out = new FileOutputStream(f)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def writeText(f: File, s: String): Unit =
+    write(f, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new Array[Byte](raw.length + 64)
+    val n = d.deflate(out)
+    d.end()
+    out.take(n)
+  }
+
+  private def gzip(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  private def bloscMemcpy(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put(0x4.toByte).put(typesize.toByte)
+    bb.putInt(raw.length).putInt(raw.length).putInt(16 + raw.length)
+    bb.put(raw)
+    bb.array()
+  }
+
+  private def doubles(vals: Seq[Double], little: Boolean = true): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 8)
+      .order(if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    vals.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** tas: double[5,4] chunked [2,3] zlib, C-order, v(y,x) = 10y + x;
+    * chunk (2,0) ABSENT → fill_value -999 → NULL after CF masking;
+    * scale_factor 0.5, add_offset 100, dims named (y, x). */
+  private def writeTas(root: File): Unit = {
+    val dir = new File(root, "tas")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5, 4], "chunks": [2, 3],
+        | "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+        | "fill_value": -999.0, "filters": null, "order": "C"}""".stripMargin)
+    writeText(new File(dir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["y", "x"], "_FillValue": -999.0,
+        | "scale_factor": 0.5, "add_offset": 100.0, "units": "K"}""".stripMargin)
+    // chunk grid: 3 x 2 chunks of [2,3]; chunk (cy,cx) covers y in
+    // [2cy,2cy+2), x in [3cx,3cx+3); stored full-size, C-order
+    for (cy <- 0 until 3; cx <- 0 until 2; if !(cy == 2 && cx == 0)) {
+      val vals = for (ly <- 0 until 2; lx <- 0 until 3) yield {
+        val (y, x) = (cy * 2 + ly, cx * 3 + lx)
+        if (y < 5 && x < 4) 10.0 * y + x else 7777.0 // out-of-bounds filler
+      }
+      write(new File(dir, s"$cy.$cx"), zlib(doubles(vals)))
+    }
+  }
+
+  test("zlib C-order store with absent chunk, CF unpack, named dims") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    writeTas(root)
+    val df = Zarr.readVariable(spark, root.getPath, "tas")
+    assert(df.columns.toSeq == Seq("y", "x", "value"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val expected = (for (y <- 0 until 5; x <- 0 until 4) yield {
+      // chunk (2,0) covers y=4, x in 0..2 → absent → fill → NULL
+      if (y == 4 && x <= 2) (y, x, null)
+      else (y, x, (10.0 * y + x) * 0.5 + 100.0)
+    }).toSet
+    assert(got == expected)
+  }
+
+  test("gzip, raw and blosc-memcpy codecs round-trip; F-order; big-endian; ints") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    // gz: double[4] chunked [4] gzip, one chunk
+    val gzDir = new File(root, "gz")
+    writeText(new File(gzDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": {"id": "gzip", "level": 1}, "fill_value": null,
+        | "filters": null, "order": "C"}""".stripMargin)
+    write(new File(gzDir, "0"), gzip(doubles(Seq(1.5, 2.5, 3.5, 4.5))))
+    assert(Zarr.readVariable(spark, root.getPath, "gz").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((0, 1.5), (1, 2.5), (2, 3.5), (3, 4.5)))
+    // fo: double[2,2] single chunk, F-ORDER (column-major), raw codec,
+    // big-endian: stored [a00, a10, a01, a11]
+    val foDir = new File(root, "fo")
+    writeText(new File(foDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2], "dtype": ">f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "F"}""".stripMargin)
+    write(new File(foDir, "0.0"), doubles(Seq(11.0, 21.0, 12.0, 22.0), little = false))
+    assert(Zarr.readVariable(spark, root.getPath, "fo").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet ==
+      Set((0, 0, 11.0), (1, 0, 21.0), (0, 1, 12.0), (1, 1, 22.0)))
+    // bi: int16[3] blosc-memcpy with a "/" dimension separator
+    val biDir = new File(root, "bi")
+    writeText(new File(biDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<i2",
+        | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 0,
+        |   "shuffle": 0}, "fill_value": 0, "filters": null, "order": "C",
+        | "dimension_separator": "/"}""".stripMargin)
+    val i16 = ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(-5, 0, 300).foreach(v => i16.putShort(v.toShort))
+    write(new File(biDir, "0"), bloscMemcpy(i16.array(), 2))
+    // fill_value 0 is the missing sentinel (xarray mask_and_scale
+    // semantics): the stored 0 masks to NULL
+    assert(Zarr.readVariable(spark, root.getPath, "bi").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet ==
+      Set((0, -5.0), (1, null), (2, 300.0)))
+  }
+
+  test("NaN fill_value masks to NULL; compressed blosc body rejected") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    val nanDir = new File(root, "nv")
+    writeText(new File(nanDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [3], "dtype": "<f8",
+        | "compressor": null, "fill_value": "NaN", "filters": null,
+        | "order": "C"}""".stripMargin)
+    write(new File(nanDir, "0"), doubles(Seq(1.0, Double.NaN, 3.0)))
+    val got = Zarr.readVariable(spark, root.getPath, "nv").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(got == Set((0, 1.0), (1, null), (2, 3.0)))
+    // compressed blosc body (flags without 0x4) must fail loudly
+    val cDir = new File(root, "cb")
+    writeText(new File(cDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+        |   "shuffle": 1}, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    val hdr = ByteBuffer.allocate(16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.put(2.toByte).put(1.toByte).put(0x1.toByte).put(8.toByte)
+    hdr.putInt(16).putInt(16).putInt(20).putInt(0xDEAD)
+    write(new File(cDir, "0"), hdr.array())
+    val ex = intercept[org.apache.spark.SparkException] {
+      Zarr.readVariable(spark, root.getPath, "cb").collect()
+    }
+    assert(ex.getMessage.contains("Blosc") || ex.getCause != null)
+  }
+
+  test("store-level readMeta + parquet-lake conversion") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    writeTas(root)
+    val pDir = new File(root, "pr")
+    writeText(new File(pDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [3], "chunks": [2], "dtype": "<f4",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    val f32 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    f32.putFloat(0.5f).putFloat(1.5f)
+    write(new File(pDir, "0"), f32.array())
+    val f32b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    f32b.putFloat(2.5f).putFloat(9999f) // second slot clipped (edge chunk)
+    write(new File(pDir, "1"), f32b.array())
+    assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("pr", "tas"))
+    val out = java.nio.file.Files.createTempDirectory("zarr_lake_").toString
+    assert(Zarr.toParquetLake(spark, root.getPath, out).toSet == Set("pr", "tas"))
+    assert(spark.read.parquet(s"$out/pr").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((0, 0.5), (1, 1.5), (2, 2.5)))
+    assert(spark.read.parquet(s"$out/tas").count() == 20)
+  }
+}
