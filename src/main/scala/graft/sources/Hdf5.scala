@@ -14,8 +14,10 @@ import java.util.zip.Inflater
   *    headers, chunked data behind v1 B-trees (netcdf-c default output);
   *  - "latest": superblock v2/v3, v2 ("OHDR") object headers with compact
   *    link-message groups, v2/v3 packed attributes, layout v4 with
-  *    single-chunk / implicit / fixed-array chunk indexes (libver=latest
-  *    producers, h5py/netcdf-c with H5Pset_libver_bounds).
+  *    single-chunk / implicit / fixed-array / extensible-array /
+  *    v2-B-tree chunk indexes (libver=latest producers, h5py/netcdf-c
+  *    with H5Pset_libver_bounds; the last two are the unlimited-dimension
+  *    indexes that appendable time series produce).
   *
   * Plus, in both: simple dataspaces, fixed-point/IEEE-float datatypes,
   * contiguous layouts, and the deflate filter (`java.util.zip.Inflater` —
@@ -28,10 +30,10 @@ import java.util.zip.Inflater
   * chunk table → mapPartitions), so ingestion parallelism is bounded by
   * chunk count, not by a driver scan.
   *
-  * Out of scope (documented): dense fractal-heap groups, extensible-array
-  * and v2-B-tree chunk indexes (unlimited-dimension datasets),
-  * variable-length and compound datatypes, szip; metadata checksums are
-  * not verified.
+  * Out of scope (documented): dense fractal-heap groups, paged
+  * extensible-array data blocks and v2-B-tree depths > 1 (≳10^5 chunks
+  * per dataset), variable-length and compound datatypes, szip; metadata
+  * checksums are not verified.
   */
 object Hdf5 {
 
@@ -39,7 +41,8 @@ object Hdf5 {
 
   /** `chunkIndex`: how chunk addresses are found — 0 = v1 B-tree (classic
     * files), 1 = single chunk, 2 = implicit (contiguous grid), 3 = fixed
-    * array (the "latest"-format index for fixed-size datasets).
+    * array (fixed-size "latest" datasets), 4 = extensible array (one
+    * unlimited dim), 5 = v2 B-tree (several unlimited dims).
     * `chunkBtree` holds the index structure's address for every kind. */
   final case class Dataset(name: String, dims: Seq[Long], dtClass: Int,
                            dtSize: Int, littleEndian: Boolean,
@@ -342,8 +345,17 @@ object Hdf5 {
                 case 3 => // fixed array
                   r.skip(1) // page bits
                   chunkBtree = r.u64(); chunkIndexKind = 3
+                case 4 => // extensible array (unlimited dims, appendable)
+                  // creation params (max bits, index elmts, min ptrs, min
+                  // elmts, page bits — five u8s) are repeated in the EAHD
+                  // header, which is what the chunk walk reads — skip here
+                  r.skip(5)
+                  chunkBtree = r.u64(); chunkIndexKind = 4
+                case 5 => // version-2 B-tree (>1 unlimited dim)
+                  r.skip(4 + 1 + 1) // node size, split %, merge % (also in BTHD)
+                  chunkBtree = r.u64(); chunkIndexKind = 5
                 case other => throw new IllegalArgumentException(
-                  s"chunk index type $other (extensible array / v2 B-tree not supported)")
+                  s"chunk index type $other")
               }
             case (0, _) => // compact
               dataSize = r.u16().toLong; dataAddr = r.pos
@@ -430,6 +442,8 @@ object Hdf5 {
           Chunk(ds.chunkBtree + i.toLong * chunkBytes, chunkBytes, offs)
         }
       case 3 => fixedArrayChunks(r, ds)
+      case 4 => extensibleArrayChunks(r, ds)
+      case 5 => v2BtreeChunks(r, ds)
       case other => throw new IllegalArgumentException(s"chunk index kind $other")
     } finally r.close()
   }
@@ -482,6 +496,193 @@ object Hdf5 {
         r.skip(4) // filter mask
         Chunk(addr, stored, offs)
       } else Chunk(addr, chunkBytes, offs)
+    }
+  }
+
+  private def log2Floor(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Extensible Array chunk index ("EAHD" → "EAIB" index block →
+    * "EASB"/"EADB" blocks) — the "latest"-format index for ONE unlimited
+    * (appendable/record) dimension, netcdf-4/h5py's shape for growing
+    * time series. Elements are per-chunk addresses in row-major grid
+    * order, split across the index block (first `idxBlkElmts`), data
+    * blocks of doubling sizes, and secondary blocks of data-block
+    * pointers, per the superblock doubling scheme in the public spec's
+    * extensible-array appendix: superblock `s` holds `2^((s+1)/2)` data
+    * blocks of `minElmts * 2^(s/2)` elements each. Client 0 = plain
+    * addresses; client 1 (filtered chunks) adds stored size + filter
+    * mask per element. Paged data blocks (beyond `2^pageBits` elements
+    * per block) are not supported; checksums are not verified. */
+  private def extensibleArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
+    r.seek(ds.chunkBtree)
+    require(new String(r.bytes(4), "ASCII") == "EAHD", "bad extensible-array header")
+    require(r.u8() == 0, "extensible array version")
+    val clientId = r.u8()
+    require(clientId == 0 || clientId == 1, s"extensible-array client $clientId")
+    val elemSize = r.u8()
+    val maxNelmtsBits = r.u8()
+    val idxBlkElmts = r.u8()
+    val minElmts = r.u8()      // data block min elements
+    val minPtrs = r.u8()       // secondary block min data pointers
+    val pageBits = r.u8()      // max data-block page elements (log2)
+    r.skip(6 * 8)              // stats: nsblks, sblk size, ndblks, dblk size, max idx, nelmts
+    val iblockAddr = r.u64()
+    val arrOffSize = (maxNelmtsBits + 7) / 8
+    // derived geometry (spec appendix / public H5EA layout)
+    val nsblksHdr = 1 + (maxNelmtsBits - log2Floor(minElmts)) / 2
+    val iblkNsblks = 2 * log2Floor(minPtrs)            // superblocks resolved via the index block
+    val ndblkAddrsIblk = 2 * (minPtrs - 1)             // their data-block pointers
+    val nsblkAddrs = nsblksHdr - iblkNsblks
+    def ndblks(s: Int): Int = 1 << ((s + 1) / 2)
+    def dblkNelmts(s: Int): Long = minElmts.toLong << (s / 2)
+
+    val grid = chunkGrid(ds)
+    val nChunks = grid.size
+    val chunkBytes = ds.chunkDims.product
+
+    // index block: direct elements + data block addrs + secondary blk addrs
+    r.seek(iblockAddr)
+    require(new String(r.bytes(4), "ASCII") == "EAIB", "bad extensible-array index block")
+    require(r.u8() == 0, "index block version")
+    r.skip(1 + 8) // client id + header address
+    def readElement(): Chunk = { // offsets patched by caller
+      val addr = r.u64()
+      if (clientId == 1) {
+        val szWidth = elemSize - 8 - 4
+        val stored = szWidth match {
+          case 1 => r.u8().toLong
+          case 2 => r.u16().toLong
+          case 4 => r.u32()
+          case 8 => r.u64()
+          case o => throw new IllegalArgumentException(s"chunk-size width $o")
+        }
+        r.skip(4) // filter mask
+        Chunk(addr, stored, Nil)
+      } else Chunk(addr, chunkBytes, Nil)
+    }
+    val directElems = (0 until math.min(idxBlkElmts, nChunks)).map(_ => readElement())
+    r.seek(iblockAddr + 4 + 1 + 1 + 8 + idxBlkElmts.toLong * elemSize)
+    val dblkAddrs = (0 until ndblkAddrsIblk).map(_ => r.u64())
+    val sblkAddrs = (0 until nsblkAddrs).map(_ => r.u64())
+
+    // walk data blocks on demand, caching each once
+    val dblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Chunk]]
+    val sblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Long]]
+    def readDataBlock(addr: Long, nelmts: Long): IndexedSeq[Chunk] =
+      dblkCache.getOrElseUpdate(addr, {
+        require(nelmts <= (1L << pageBits),
+          s"paged extensible-array data blocks not supported ($nelmts elements)")
+        r.seek(addr)
+        require(new String(r.bytes(4), "ASCII") == "EADB", "bad extensible-array data block")
+        require(r.u8() == 0, "data block version")
+        r.skip(1 + 8 + arrOffSize) // client id, header address, block offset
+        (0L until nelmts).map(_ => readElement()).toIndexedSeq
+      })
+    def readSecondaryBlock(addr: Long, s: Int): IndexedSeq[Long] =
+      sblkCache.getOrElseUpdate(addr, {
+        r.seek(addr)
+        require(new String(r.bytes(4), "ASCII") == "EASB", "bad extensible-array secondary block")
+        require(r.u8() == 0, "secondary block version")
+        r.skip(1 + 8 + arrOffSize) // client id, header address, block offset
+        (0 until ndblks(s)).map(_ => r.u64()).toIndexedSeq
+      })
+
+    (0 until nChunks).flatMap { idx =>
+      val c =
+        if (idx < idxBlkElmts) directElems(idx)
+        else {
+          val u = idx.toLong - idxBlkElmts
+          val sblk = log2Floor(u / minElmts + 1)
+          val within = u - minElmts.toLong * ((1L << sblk) - 1)
+          val dnel = dblkNelmts(sblk)
+          val dblkIdx = (within / dnel).toInt
+          val withinD = (within % dnel).toInt
+          val dblkAddr =
+            if (sblk < iblkNsblks) {
+              val pos = (0 until sblk).map(ndblks).sum + dblkIdx
+              dblkAddrs(pos)
+            } else {
+              readSecondaryBlock(sblkAddrs(sblk - iblkNsblks), sblk)(dblkIdx)
+            }
+          readDataBlock(dblkAddr, dnel)(withinD)
+        }
+      // address 0xFFFF.. (-1) = chunk not yet allocated -> all fill; skip
+      if (c.address == Undef) None else Some(Chunk(c.address, c.storedSize, grid(idx)))
+    }
+  }
+
+  /** Version-2 B-tree chunk index ("BTHD" header → "BTIN"/"BTLF" nodes,
+    * record types 10/11) — the "latest"-format index for datasets with
+    * MORE than one unlimited dimension. Records carry the chunk address
+    * plus SCALED offsets (grid coordinates, multiplied back to element
+    * offsets here); type 11 adds stored size + filter mask for filtered
+    * chunks. Tree depths 0 and 1 are supported (a depth-2 chunk tree
+    * needs ~10^5 chunks per file); checksums are not verified. */
+  private def v2BtreeChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
+    r.seek(ds.chunkBtree)
+    require(new String(r.bytes(4), "ASCII") == "BTHD", "bad v2 B-tree header")
+    require(r.u8() == 0, "v2 B-tree version")
+    val btType = r.u8()
+    require(btType == 10 || btType == 11, s"v2 B-tree type $btType (not a chunk index)")
+    val nodeSize = r.u32()
+    val recSize = r.u16()
+    val depth = r.u16()
+    r.skip(1 + 1) // split / merge percent
+    val rootAddr = r.u64()
+    val rootNrec = r.u16()
+    r.skip(8) // total records in tree
+    require(depth <= 1, s"v2 B-tree depth $depth not supported")
+
+    val rank = ds.chunkDims.length - 1 // chunkDims carries trailing elem size
+    val cdims = ds.chunkDims.dropRight(1)
+    val chunkBytes = ds.chunkDims.product
+    def encBytes(x: Long): Int = math.max(1, (log2Floor(math.max(x, 1)) + 8) / 8)
+    val leafCapacity = (nodeSize - 10) / recSize // sig+ver+type+checksum = 10
+    val nrecWidth = encBytes(leafCapacity)
+
+    def readRecord(): Chunk = {
+      val addr = r.u64()
+      val (stored, _) =
+        if (btType == 11) {
+          val szWidth = recSize - 8 - 4 - 8 * rank
+          val sz = szWidth match {
+            case 1 => r.u8().toLong
+            case 2 => r.u16().toLong
+            case 3 => r.u16().toLong | (r.u8().toLong << 16)
+            case 4 => r.u32()
+            case 8 => r.u64()
+            case o => throw new IllegalArgumentException(s"chunk-size width $o")
+          }
+          r.skip(4) // filter mask
+          (sz, ())
+        } else (chunkBytes, ())
+      val offs = (0 until rank).map(i => r.u64() * cdims(i))
+      Chunk(addr, stored, offs)
+    }
+    def readLeaf(addr: Long, nrec: Int): Seq[Chunk] = {
+      r.seek(addr)
+      require(new String(r.bytes(4), "ASCII") == "BTLF", "bad v2 B-tree leaf")
+      require(r.u8() == 0, "leaf version")
+      require(r.u8() == btType, "leaf type mismatch")
+      (0 until nrec).map(_ => readRecord())
+    }
+    if (depth == 0) readLeaf(rootAddr, rootNrec)
+    else {
+      r.seek(rootAddr)
+      require(new String(r.bytes(4), "ASCII") == "BTIN", "bad v2 B-tree internal node")
+      require(r.u8() == 0, "internal version")
+      require(r.u8() == btType, "internal type mismatch")
+      val records = (0 until rootNrec).map(_ => readRecord())
+      val children = (0 to rootNrec).map { _ =>
+        val addr = r.u64()
+        val n = (0 until nrecWidth).foldLeft((0L, 0)) { case ((acc, sh), _) =>
+          (acc | (r.u8().toLong << sh), sh + 8)
+        }._1
+        (addr, n.toInt)
+      }
+      children.zipWithIndex.flatMap { case ((addr, n), i) =>
+        readLeaf(addr, n) ++ (if (i < records.size) Seq(records(i)) else Nil)
+      }
     }
   }
 

@@ -347,6 +347,244 @@ class Hdf5Spec extends AnyFunSuite {
     parts.foreach(f.write); f.close()
   }
 
+  // ------- unlimited-dimension ("latest") chunk indexes: EA + v2 B-tree -------
+
+  /** A "latest" file with the two unlimited-dimension chunk indexes:
+    *  - `ts`: 1-D double[11] maxdims unlimited, chunks [2], deflated,
+    *    EXTENSIBLE-ARRAY index (EAHD/EAIB/EADB, client 1) with small
+    *    creation params so elements span the index block AND two data
+    *    blocks from different superblocks; the last chunk is
+    *    UNALLOCATED (address 0xFF..) as an appendable series leaves it.
+    *  - `grid`: 2-D double[3,4], chunks [2,2], unfiltered, V2-B-TREE
+    *    index (BTHD/BTLF, record type 10, depth 0) with scaled offsets.
+    *  - `deep`: 2-D double[2,12], chunks [1,2], unfiltered, v2 B-tree
+    *    DEPTH 1 (BTIN root, two BTLF leaves).
+    * Byte-by-byte from the public spec; checksums zeroed (unverified). */
+  private def writeUnlimited(path: String): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    def dspaceUnlimited(dims: Seq[Long]): Array[Byte] = {
+      // flags bit 0: max dims stored; every max dim = unlimited (0xFF..)
+      val b = buf(4 + 16 * dims.length)
+      b.put(2.toByte).put(dims.length.toByte).put(1.toByte).put(1.toByte)
+      dims.foreach(b.putLong)
+      dims.foreach(_ => b.putLong(-1L))
+      b.array()
+    }
+    def link(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("ASCII")
+      msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+        .put(nm.length.toByte).put(nm).putLong(addr).array())
+    }
+    def filter2Deflate: Array[Byte] =
+      msg2(0x0B, buf(12).put(2.toByte).put(1.toByte)
+        .putShort(1).putShort(0).putShort(1).putInt(6).array())
+    def layoutV4EArray(chunkDims: Seq[Int], eahd: Long): Array[Byte] = {
+      val b = buf(5 + chunkDims.length + 1 + 5 + 8)
+      b.put(4.toByte).put(2.toByte).put(0.toByte)
+        .put(chunkDims.length.toByte).put(1.toByte)
+      chunkDims.foreach(d => b.put(d.toByte))
+      b.put(4.toByte) // index type: extensible array
+      // creation params (repeated in EAHD): max bits, idx elmts, min ptrs,
+      // min elmts, page bits
+      b.put(16.toByte).put(2.toByte).put(4.toByte).put(2.toByte).put(10.toByte)
+      b.putLong(eahd)
+      msg2(0x08, b.array())
+    }
+    def layoutV4Bt2(chunkDims: Seq[Int], bthd: Long): Array[Byte] = {
+      val b = buf(5 + chunkDims.length + 1 + 6 + 8)
+      b.put(4.toByte).put(2.toByte).put(0.toByte)
+        .put(chunkDims.length.toByte).put(1.toByte)
+      chunkDims.foreach(d => b.put(d.toByte))
+      b.put(5.toByte) // index type: version-2 B-tree
+      b.putInt(512).put(100.toByte).put(40.toByte) // node size, split, merge
+      b.putLong(bthd)
+      msg2(0x08, b.array())
+    }
+
+    // --- ts: values i*1.5, chunks of 2, chunk 5 unallocated
+    val tsChunks = (0 until 5).map(c => deflate(Array(c * 3.0, c * 3.0 + 1.5)))
+    val elemSize = 14 // addr(8) + stored size(2) + filter mask(4)
+    val arrOffSize = (16 + 7) / 8 // max nelmts bits = 16
+    def eaElem(b: ByteBuffer, addr: Long, size: Int): Unit = {
+      b.putLong(addr); b.putShort(size.toShort); b.putInt(0)
+    }
+    // --- grid: v(r,c) = 10r + c, 2x2 grid of [2,2] chunks, row-major raw
+    def gridChunk(r0: Int, c0: Int): Array[Byte] = {
+      val b = buf(32)
+      for (r <- r0 until r0 + 2; c <- c0 until c0 + 2)
+        b.putDouble(if (r < 3 && c < 4) 10.0 * r + c else 7777.0)
+      b.array()
+    }
+    val gridChunks = Seq((0, 0), (0, 2), (2, 0), (2, 2)).map { case (r, c) => gridChunk(r, c) }
+    // --- deep: v(r,c) = 100r + c over [2,12], [1,2] chunks -> 12 chunks
+    def deepChunk(r0: Int, c0: Int): Array[Byte] = {
+      val b = buf(16)
+      for (c <- c0 until c0 + 2) b.putDouble(100.0 * r0 + c)
+      b.array()
+    }
+    val deepCoords = for (r <- 0 until 2; c <- 0 until 6) yield (r, c * 2)
+    val deepChunks = deepCoords.map { case (r, c) => deepChunk(r, c) }
+
+    def build(tsAddrs: Seq[Long], eadbA: Long, eadbB: Long, eaib: Long, eahd: Long,
+              gAddrs: Seq[Long], gLeaf: Long, gHd: Long,
+              dAddrs: Seq[Long], dLeafA: Long, dLeafB: Long, dIn: Long, dHd: Long,
+              tsOH: Long, gOH: Long, dOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      // EA data blocks: A = chunks 2,3 (superblock 0); B = chunks 4,5
+      // (superblock 1; chunk 5 unallocated)
+      def eadb(selfHdr: Long, elems: Seq[(Long, Int)]): Array[Byte] = {
+        val b = buf(4 + 1 + 1 + 8 + arrOffSize + elems.length * elemSize + 4)
+        b.put("EADB".getBytes("ASCII")).put(0.toByte).put(1.toByte).putLong(selfHdr)
+        b.putShort(0) // block offset (2-byte arr-off)
+        elems.foreach { case (a, s) => eaElem(b, a, s) }
+        b.putInt(0).array()
+      }
+      val eadbABytes = eadb(eahd, Seq((tsAddrs(2), tsChunks(2).length),
+        (tsAddrs(3), tsChunks(3).length)))
+      val eadbBBytes = eadb(eahd, Seq((tsAddrs(4), tsChunks(4).length), (-1L, 0)))
+      val eaibBytes = {
+        // geometry for (minPtrs=4, maxBits=16, minElmts=2): 6 data-block
+        // slots + 4 secondary-block slots in the index block
+        val b = buf(4 + 1 + 1 + 8 + 2 * elemSize + 6 * 8 + 4 * 8 + 4)
+        b.put("EAIB".getBytes("ASCII")).put(0.toByte).put(1.toByte).putLong(eahd)
+        eaElem(b, tsAddrs(0), tsChunks(0).length)
+        eaElem(b, tsAddrs(1), tsChunks(1).length)
+        b.putLong(eadbA).putLong(eadbB)
+        (0 until 4).foreach(_ => b.putLong(-1L)) // unused data-block slots
+        (0 until 4).foreach(_ => b.putLong(-1L)) // unused secondary slots
+        b.putInt(0).array()
+      }
+      val eahdBytes = {
+        val b = buf(4 + 2 + 6 + 6 * 8 + 8 + 4)
+        b.put("EAHD".getBytes("ASCII")).put(0.toByte).put(1.toByte)
+        b.put(elemSize.toByte).put(16.toByte).put(2.toByte) // elem size, max bits, idx elmts
+        b.put(2.toByte).put(4.toByte).put(10.toByte) // min elmts, min ptrs, page bits
+        (0 until 6).foreach(_ => b.putLong(0L)) // stats
+        b.putLong(eaib).putInt(0).array()
+      }
+      // grid: depth-0 v2 B-tree, record type 10 (addr + 2 scaled offsets)
+      val gLeafBytes = {
+        val b = buf(6 + 4 * 24 + 4)
+        b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        Seq((0, 0), (0, 1), (1, 0), (1, 1)).zip(gAddrs).foreach { case ((sr, sc), a) =>
+          b.putLong(a).putLong(sr.toLong).putLong(sc.toLong)
+        }
+        b.putInt(0).array()
+      }
+      val gHdBytes = {
+        val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
+        b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        b.putInt(512).putShort(24).putShort(0).put(100.toByte).put(40.toByte)
+        b.putLong(gLeaf).putShort(4).putLong(4L).putInt(0)
+        b.array()
+      }
+      // deep: depth-1 tree — leaf A (5 records), root record, leaf B (6)
+      def dLeaf(recs: Seq[((Int, Int), Long)]): Array[Byte] = {
+        val b = buf(6 + recs.length * 24 + 4)
+        b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        recs.foreach { case ((sr, sc), a) =>
+          b.putLong(a).putLong(sr.toLong).putLong(sc.toLong)
+        }
+        b.putInt(0).array()
+      }
+      val deepRecs = deepCoords.map { case (r, c) => (r, c / 2) }.zip(dAddrs)
+      val dLeafABytes = dLeaf(deepRecs.slice(0, 5))
+      val dRootRec = deepRecs(5)
+      val dLeafBBytes = dLeaf(deepRecs.slice(6, 12))
+      val dInBytes = {
+        // leaf capacity (512-10)/24 = 20 -> 1-byte record counts
+        val b = buf(6 + 24 + 2 * (8 + 1) + 4)
+        b.put("BTIN".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        b.putLong(dRootRec._2).putLong(dRootRec._1._1.toLong).putLong(dRootRec._1._2.toLong)
+        b.putLong(dLeafA).put(5.toByte)
+        b.putLong(dLeafB).put(6.toByte)
+        b.putInt(0).array()
+      }
+      val dHdBytes = {
+        val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
+        b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        b.putInt(512).putShort(24).putShort(1).put(100.toByte).put(40.toByte)
+        b.putLong(dIn).putShort(1).putLong(12L).putInt(0)
+        b.array()
+      }
+      val tsOHBytes = ohdr2(
+        msg2(0x01, dspaceUnlimited(Seq(11L))), msg2(0x03, dtypeDouble),
+        layoutV4EArray(Seq(2), eahd), filter2Deflate)
+      val gOHBytes = ohdr2(
+        msg2(0x01, dspaceUnlimited(Seq(3L, 4L))), msg2(0x03, dtypeDouble),
+        layoutV4Bt2(Seq(2, 2), gHd))
+      val dOHBytes = ohdr2(
+        msg2(0x01, dspaceUnlimited(Seq(2L, 12L))), msg2(0x03, dtypeDouble),
+        layoutV4Bt2(Seq(1, 2), dHd))
+      val rootBytes = ohdr2(link("deep", dOH), link("grid", gOH), link("ts", tsOH))
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      val eof = rootOH + rootBytes.length
+      sb.putLong(eof).putLong(rootOH).putInt(0)
+      Seq(sb.array(), cat(tsChunks: _*), eadbABytes, eadbBBytes, eaibBytes,
+        eahdBytes, cat(gridChunks: _*), gLeafBytes, gHdBytes,
+        cat(deepChunks: _*), dLeafABytes, dLeafBBytes, dInBytes, dHdBytes,
+        tsOHBytes, gOHBytes, dOHBytes, rootBytes)
+    }
+
+    val zeroTs = tsChunks.map(_ => 0L)
+    val zeroG = gridChunks.map(_ => 0L)
+    val zeroD = deepChunks.map(_ => 0L)
+    val sizes = build(zeroTs, 0, 0, 0, 0, zeroG, 0, 0, zeroD, 0, 0, 0, 0,
+      0, 0, 0, 0).map(_.length)
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val tsAddrs = tsChunks.scanLeft(starts(1)) { case (a, p) => a + p.length }
+    val gAddrs = gridChunks.indices.map(i => starts(6) + i * 32L)
+    val dAddrs = deepChunks.indices.map(i => starts(9) + i * 16L)
+    val parts = build(tsAddrs, starts(2), starts(3), starts(4), starts(5),
+      gAddrs, starts(7), starts(8), dAddrs, starts(10), starts(11),
+      starts(12), starts(13), starts(14), starts(15), starts(16), starts(17))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("unlimited dims: extensible-array index (filtered, unallocated tail chunk)") {
+    val f = java.io.File.createTempFile("graft_ul_", ".h5")
+    writeUnlimited(f.getPath)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.map(_.name).sorted == Seq("deep", "grid", "ts"))
+    val ts = meta.find(_.name == "ts").get
+    assert(ts.chunkIndex == 4 && ts.gzip)
+    val got = Hdf5.readVariable(spark, f.getPath, "ts").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    // chunk 5 (index 10) is unallocated -> absent; others exact
+    assert(got == (0 until 10).map(i => i -> i * 1.5).toMap)
+  }
+
+  test("unlimited dims: v2 B-tree index, depths 0 and 1, scaled offsets") {
+    val f = java.io.File.createTempFile("graft_ul_", ".h5")
+    writeUnlimited(f.getPath)
+    val grid = Hdf5.readVariable(spark, f.getPath, "grid").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(grid == (for (r <- 0 until 3; c <- 0 until 4)
+      yield (r, c) -> (10.0 * r + c)).toMap)
+    val deep = Hdf5.readVariable(spark, f.getPath, "deep").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(deep == (for (r <- 0 until 2; c <- 0 until 12)
+      yield (r, c) -> (100.0 * r + c)).toMap)
+  }
+
   test("latest format: superblock v3, OHDR links, fixed-array + implicit chunks") {
     val f = java.io.File.createTempFile("graft_latest", ".h5"); f.deleteOnExit()
     writeLatest(f.getPath)
