@@ -194,31 +194,69 @@ object Dedup {
     * id) postings, self-join on (block, token), count common tokens per
     * pair, and derive |union| = |A| + |B| - common. This keeps everything in
     * codegen'd joins/aggregates (no interpreted array lambdas) and is the
-    * formulation that scales: the shuffle is keyed on (block, token), and
-    * high-document-frequency tokens can be dropped up front (df-cut) to
-    * bound the postings blow-up at corpus scale.
-    */
+    * formulation that scales: the shuffle is keyed on (block, token).
+    *
+    * `dfCut > 0` bounds the postings blow-up on Zipfian corpora: tokens
+    * whose document frequency exceeds the cut are dropped from CANDIDATE
+    * GENERATION only (each surviving token contributes at most dfCut²/2
+    * pairs), and every candidate is then verified with an EXACT Jaccard
+    * over the full shingle sets (codegen'd sorted-merge intersection) — so
+    * every emitted (pair, J) is exact, J included. What the cut costs is
+    * RECALL at the margin the cut is designed to ignore: a pair whose
+    * overlap consists ONLY of above-cut (ubiquitous, stopword-like) tokens
+    * shares no posting and is never generated. PropertySpec pins both
+    * properties (exact equality on a Zipfian corpus where real near-dups
+    * share rare content; the documented miss on an all-frequent-token
+    * pair). */
   def jaccardPairsByIndex(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], ngram: Int,
-                          threshold: Double): DataFrame = {
+                          threshold: Double, dfCut: Int = 0): DataFrame = {
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
-    val sizes = grams.select(col("id") +: blockCols.map(col) :+ size(col("grams")).as("sz"): _*)
     val postings = grams.select(col("id") +: blockCols.map(col) :+
       explode(col("grams")).as("tok"): _*)
-    val a = postings.alias("a"); val b = postings.alias("b")
-    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val common = a.join(b, blockCond && col("a.tok") === col("b.tok") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    val sa = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
-    val sb = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
-    common.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (dfCut <= 0) {
+      val sizes = grams.select(col("id") +: blockCols.map(col) :+ size(col("grams")).as("sz"): _*)
+      val a = postings.alias("a"); val b = postings.alias("b")
+      val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      val common = a.join(b, blockCond && col("a.tok") === col("b.tok") &&
+          col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      val sa = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
+      val sb = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
+      common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // global document frequency over distinct postings; the rare postings
+      // drive candidate generation, the full HASHED gram arrays drive the
+      // exact verify (same kernel as jaccardPairsBlocked)
+      val rare = postings
+        .join(postings.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= dfCut).select(col("tok")), "tok")
+      val a = rare.alias("a"); val b = rare.alias("b")
+      val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      val cands = a.join(b, blockCond && col("a.tok") === col("b.tok") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val hashed = grams.select(col("id"),
+          sort_array(transform(col("grams"), g => xxhash64(g))).as("h"),
+          size(col("grams")).as("sz"))
+        .localCheckpoint(false) // shared by both verify sides; stops pushdown
+      val ha = hashed.select(col("id").as("id_a"), col("h").as("h_a"), col("sz").as("sz_a"))
+      val hb = hashed.select(col("id").as("id_b"), col("h").as("h_b"), col("sz").as("sz_b"))
+      val common = graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("h_a"), col("h_b"))
+      cands.join(ha, "id_a").join(hb, "id_b")
+        .withColumn("jaccard", round(common.cast("double") /
+          (col("sz_a") + col("sz_b") - common).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** Blocked pairwise Jaccard with a size-ratio prefilter. For corpora whose

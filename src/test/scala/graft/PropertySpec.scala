@@ -198,6 +198,57 @@ class PropertySpec extends AnyFunSuite {
     assert(blocked.toSet == Set((4L, 5L)))
   }
 
+  test("df-cut postings join: exact J on a Zipfian corpus, documented frequent-only miss") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rng = new scala.util.Random(11)
+    // Zipfian vocabulary: a handful of ubiquitous stopword-like tokens +
+    // a long tail of rare content tokens (the regime the df-cut targets)
+    val stop = Vector("the", "of", "and", "to", "in")
+    def doc(i: Int): String = {
+      val content = Seq.fill(6)(s"w${rng.nextInt(400)}")
+      val glue = Seq.fill(6)(stop(rng.nextInt(stop.length)))
+      rng.shuffle(content ++ glue).mkString(" ")
+    }
+    val base = (0 until 40).map(doc)
+    // plant near-dups: clone with one token changed (shares rare 2-grams)
+    val docs = base.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i * 10L, d)) ++ (if (i % 4 == 0)
+        Seq((i * 10L + 1, d.replaceFirst("w", "v"))) else Nil)
+    }.toDF("doc_id", "text")
+    val withBlock = docs.withColumn("lit1", org.apache.spark.sql.functions.lit(1))
+    def pairs(cut: Int) = Dedup.jaccardPairsByIndex(withBlock, "doc_id", "text",
+        Seq("lit1"), ngram = 2, threshold = 0.3, dfCut = cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(0)
+    val cut = pairs(8) // stopword 2-grams exceed df 8; content 2-grams don't
+    assert(exact.nonEmpty)
+    // every emitted pair carries the EXACT J, and on this corpus (near-dups
+    // share rare content n-grams) recall is 1: the outputs are identical
+    assert(cut == exact)
+    // the cut bounds the candidate join: rare postings are a strict subset
+    import org.apache.spark.sql.functions._
+    val postings = withBlock.select(col("doc_id"),
+      explode(array_distinct(graft.pipeline.TextStats.wordNgrams(col("text"), 2))).as("tok"))
+    val df_ = postings.groupBy("tok").count()
+    val full = postings.count()
+    val rare = postings.join(df_.filter(col("count") <= 8).select("tok"), "tok").count()
+    assert(rare < full, "df-cut must drop the ubiquitous postings")
+    // documented miss: a pair overlapping ONLY in above-cut tokens is never
+    // generated (its postings were all dropped) — the exact path finds it.
+    // "zz zz" is planted in 12 docs, so its df (12) exceeds the cut (8);
+    // 9000/9001 consist of nothing else.
+    val freqOnly = (Seq((9000L, "zz zz zz"), (9001L, "zz zz zz")) ++
+      (0 until 10).map(i => (9100L + i, s"zz zz filler$i")))
+      .toDF("doc_id", "text").withColumn("lit1", lit(1))
+    val both = withBlock.unionByName(freqOnly)
+    def pairsOn(d: org.apache.spark.sql.DataFrame, cut: Int) =
+      Dedup.jaccardPairsByIndex(d, "doc_id", "text", Seq("lit1"), 2, 0.3, cut)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOn(both, 0).contains((9000L, 9001L)))
+    assert(!pairsOn(both, 8).contains((9000L, 9001L)))
+  }
+
   test("exact-collapse components equal uncollapsed components on a random corpus") {
     // executable form of the nearDupComponents equivalence argument:
     // collapsing equal shingle sets + star edges must give the SAME
