@@ -1803,11 +1803,16 @@ object SparkEntry {
 
     "q_hf8_percentile" -> ((s, dir) => {
       // Hyndman-Fan type-8 percentile (the reference's percentile_doy
-      // default; alpha=beta=1/3); list-based H&F-8 oracle
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(round(Stats.hfQuantile(col("value"), 0.9), 6).as("p90_hf8"),
-          round(Stats.hfQuantile(col("value"), 0.1), 6).as("p10_hf8"))
+      // default; alpha=beta=1/3) — on the AT-SCALE exact plan: whole-column
+      // groups (a handful of event types over the full table) are exactly
+      // the unbounded-group regime where collect_list state grows with the
+      // data, so this query routes through Stats.hfQuantilesScale (range
+      // sort + two-pass rank selection, O(1) task memory) and still
+      // hash-matches the exact list-based H&F-8 oracle bit for bit.
+      Stats.hfQuantilesScale(t(s, dir, "events"), Seq("event_type"), "value",
+          Seq("p90_hf8" -> 0.9, "p10_hf8" -> 0.1))
+        .select(col("event_type"), round(col("p90_hf8"), 6).as("p90_hf8"),
+          round(col("p10_hf8"), 6).as("p10_hf8"))
     }),
 
     "q_percentile_doy" -> ((s, dir) => {

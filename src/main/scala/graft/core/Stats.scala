@@ -56,16 +56,131 @@ object Stats {
       .otherwise(vlo + frac * (vhi - vlo))
   }
 
-  /** The 100 TB-tier fallback the exact form documents: bounded-memory
-    * approximate quantile via Spark's `percentile_approx` sketch. Exact
-    * H&F plotting-position differences are O(1/n) per group, so at the
-    * group sizes that overflow `collect_list` state they sit far below
-    * the sketch's own rank error — use [[hfQuantile]] for small bounded
-    * groups (entity × doy), this for member-unbounded ones. `accuracy`
-    * trades memory (O(accuracy) per group) for rank error (≤ 1/accuracy
-    * of the group size). */
+  /** Bounded-memory APPROXIMATE quantile via Spark's `percentile_approx`
+    * sketch. Exact H&F plotting-position differences are O(1/n) per
+    * group, so at the group sizes that overflow `collect_list` state they
+    * sit far below the sketch's own rank error. `accuracy` trades memory
+    * (O(accuracy) per group) for rank error (≤ 1/accuracy of the group
+    * size). For EXACT quantiles over unbounded groups use
+    * [[hfQuantilesScale]] instead. */
   def quantileAtScale(c: Column, p: Double, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(p), lit(accuracy))
+
+  /** EXACT H&F quantiles for groups too large for `collect_list` state —
+    * the at-scale twin of [[hfQuantile]], bit-identical output (same
+    * selected order statistics, same interpolation arithmetic).
+    *
+    * Plan: ONE range-partitioned sort of (keys…, value) — no per-group
+    * state anywhere, a group may span many partitions — then global
+    * within-group ranks from a two-pass count (per-partition group counts
+    * are collected, a few rows per partition, and cumulative offsets are
+    * broadcast back), and finally only the two order statistics each
+    * quantile needs are joined against the per-group targets. Memory per
+    * task is O(1); driver state is O(partitions + groups).
+    *
+    * Intended for the FEW-LARGE-GROUPS regime (group count bounded by
+    * |data| / group size — it is the regime where `collect_list` breaks);
+    * many-small-groups stays on [[hfQuantile]]. [[hfQuantilesAuto]]
+    * routes between the two by measuring the max group size first.
+    *
+    * Output: one row per group in `df` (groups whose values are all null
+    * carry nulls, matching collect_list's nan-skipping), with one column
+    * per entry of `ps` (name -> probability). */
+  def hfQuantilesScale(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                       valueCol: String, ps: Seq[(String, Double)],
+                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Row, DataFrame}
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val data = df.select(keys.map(col) :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val allGroups = df.select(keys.map(col): _*).distinct()
+    val nDf = data.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    // per-group target ranks: lo/hi/frac for each requested probability
+    val targets = ps.map { case (name, p) =>
+      val n = col("_n").cast("double")
+      val h = (n - alpha - beta + 1) * p + alpha
+      val hc = greatest(lit(1.0), least(h, n))
+      val lo = floor(hc).cast("long")
+      nDf.select(keys.map(col) :+ lit(name).as("_q") :+ lo.as("_lo") :+
+        least(lo + 1, col("_n")).as("_hi") :+ (hc - lo.cast("double")).as("_frac"): _*)
+    }.reduce(_ unionByName _)
+    // one range sort; shared by the count pass and the rank pass
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = data
+      .repartitionByRange(parts, keys.map(col) :+ col("_v"): _*)
+      .sortWithinPartitions(keys.map(col) :+ col("_v"): _*)
+      .localCheckpoint(false)
+    val kWidth = keys.length
+    // pass 1: rows per (partition, group) — a few rows per partition since
+    // range partitioning keeps groups contiguous
+    val counts: Array[(Int, Seq[Any], Long)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach { r => val k = r.toSeq.take(kWidth); acc(k) = acc.getOrElse(k, 0L) + 1 }
+      acc.iterator.map { case (k, n) => (pid, k, n) }
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (k, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val off = cum; cum += n; (pid, k) -> off
+        }
+      }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: global within-group rank = broadcast offset + running local
+    val rankedRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = r.toSeq.take(kWidth)
+        val rank = local.getOrElse(k, bcOff.value.getOrElse((pid, k), 0L)) + 1
+        local(k) = rank
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    val ranked = spark.createDataFrame(rankedRdd, sorted.schema.add("_rank", LongType))
+    val hit = ranked.join(targets,
+      keys.map(k => ranked(k) === targets(k)).reduce(_ && _) &&
+        (col("_rank") === col("_lo") || col("_rank") === col("_hi")))
+      .select(keys.map(targets(_)) ++
+        Seq(col("_q"), col("_lo"), col("_hi"), col("_frac"),
+          col("_rank"), col("_v")): _*)
+    val q = hit.groupBy(keys.map(col) :+ col("_q"): _*)
+      .agg(min(when(col("_rank") === col("_lo"), col("_v"))).as("_vlo"),
+        min(when(col("_rank") === col("_hi"), col("_v"))).as("_vhi"),
+        first(col("_frac")).as("_f"))
+      .withColumn("_val", col("_vlo") + col("_f") * (col("_vhi") - col("_vlo")))
+    // pivot the quantile names into columns (names are static literals)
+    val pivoted = q.groupBy(keys.map(col): _*)
+      .agg(max(when(col("_q") === ps.head._1, col("_val"))).as(ps.head._1),
+        ps.tail.map { case (name, _) =>
+          max(when(col("_q") === name, col("_val"))).as(name)
+        }: _*)
+    allGroups.join(pivoted, keys, "left") // all-null groups emit null rows
+  }
+
+  /** Adaptive routing between the exact small-group quantile plan
+    * (`sort_array(collect_list)`) and the at-scale exact plan
+    * ([[hfQuantilesScale]]): one cheap count aggregate measures the max
+    * group size first — the same measured-threshold philosophy as AQE's
+    * broadcast conversion and the connected-components fast path. Groups
+    * whose state would stay bounded (≤ `smallGroupMax` rows ≈ tens of MB
+    * of collect_list state) keep the one-shuffle aggregate form; anything
+    * larger takes the rank-selection plan, whose per-task memory is O(1). */
+  def hfQuantilesAuto(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                      valueCol: String, ps: Seq[(String, Double)],
+                      alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0,
+                      smallGroupMax: Long = 1_000_000): org.apache.spark.sql.DataFrame = {
+    val maxN = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n"))).head().getLong(0)
+    if (maxN <= smallGroupMax)
+      df.groupBy(keys.map(col): _*)
+        .agg(hfQuantile(col(valueCol), ps.head._2, alpha, beta).as(ps.head._1),
+          ps.tail.map { case (name, p) =>
+            hfQuantile(col(valueCol), p, alpha, beta).as(name)
+          }: _*)
+    else hfQuantilesScale(df, keys, valueCol, ps, alpha, beta)
+  }
 
   /** Coefficient of variation (temperature/precip seasonality,
     * _anuclim.py:105): population-std / mean. */

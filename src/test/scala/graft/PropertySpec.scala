@@ -198,6 +198,40 @@ class PropertySpec extends AnyFunSuite {
     assert(blocked.toSet == Set((4L, 5L)))
   }
 
+  test("hfQuantilesScale is bit-identical to the collect_list H&F form") {
+    import spark.implicits._
+    import graft.core.Stats
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(13)
+    // random groups incl. ties, a null-heavy group, and an ALL-null group
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 5}"
+      val v: java.lang.Double =
+        if (g == "g4") null
+        else if (rng.nextInt(10) == 0) null
+        else math.floor(rng.nextDouble() * 50) / 2.0 // coarse grid -> ties
+      (g, v)
+    }
+    val df = rows.toDF("k", "v")
+    val ps = Seq("p90" -> 0.9, "p10" -> 0.1, "p50" -> 0.5)
+    val small = df.groupBy("k")
+      .agg(Stats.hfQuantile(col("v"), 0.9).as("p90"),
+        Stats.hfQuantile(col("v"), 0.1).as("p10"),
+        Stats.hfQuantile(col("v"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> (0 to 2).map(i =>
+        if (r.isNullAt(i + 1)) null else r.getDouble(i + 1))).toMap
+    val scale = Stats.hfQuantilesScale(df, Seq("k"), "v", ps)
+      .collect().map(r => r.getString(0) -> (0 to 2).map(i =>
+        if (r.isNullAt(i + 1)) null else r.getDouble(i + 1))).toMap
+    assert(scale.keySet == small.keySet)
+    for (k <- small.keys) assert(scale(k) == small(k), k) // bit-identical doubles
+    // the auto router takes the scale plan for big groups, small for small
+    val routedBig = Stats.hfQuantilesAuto(df, Seq("k"), "v", ps, smallGroupMax = 10)
+      .collect().map(r => r.getString(0) -> (0 to 2).map(i =>
+        if (r.isNullAt(i + 1)) null else r.getDouble(i + 1))).toMap
+    for (k <- small.keys) assert(routedBig(k) == small(k), s"auto/$k")
+  }
+
   test("df-cut postings join: exact J on a Zipfian corpus, documented frequent-only miss") {
     import spark.implicits._
     import graft.pipeline.Dedup
