@@ -162,6 +162,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dup ingest equals batch exact-dedup + LSH candidates") {
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.{CandPair, Doc, ExactDup}
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    val vocab = Vector("sun", "rain", "snow", "wind", "heat", "cold", "dry", "wet", "fog")
+    def doc(): String = Seq.fill(10)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 12).map(i => Doc(i * 10L, doc()))
+    // batch 2 re-sends exact copies and near-perturbations ACROSS the
+    // micro-batch boundary, plus fresh docs
+    val batch1 = base.take(8)
+    val batch2 = Seq(
+      Doc(900L, base(1).text),                   // exact dup of an old doc
+      Doc(901L, base(2).text + " extra"),        // near-dup of an old doc
+      Doc(902L, base(2).text + " extra")         // and its own exact twin
+    ) ++ base.drop(8)
+    val all = batch1 ++ batch2
+
+    val inExact = MemoryStream[Doc]
+    val qe = StatefulDedup.exactDedup(inExact.toDS()).writeStream
+      .format("memory").queryName("exact_dups").outputMode("append").start()
+    val inLsh = MemoryStream[Doc]
+    val ql = StatefulDedup.lshCandidates(inLsh.toDS(), ngram = 2,
+        numHashes = 16, bands = 16).writeStream
+      .format("memory").queryName("lsh_cands").outputMode("append").start()
+    try {
+      inExact.addData(batch1); qe.processAllAvailable()
+      inLsh.addData(batch1); ql.processAllAvailable()
+      inExact.addData(batch2); qe.processAllAvailable()
+      inLsh.addData(batch2); ql.processAllAvailable()
+
+      // exact dedup: keeper = first-seen (= min id under id-ordered ingest)
+      val got = spark.table("exact_dups").as[ExactDup].collect()
+        .map(e => e.docId -> e.keeperId).toMap
+      val batchKeepers = graft.pipeline.Dedup
+        .exactGroups(all.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size == all.size)
+      assert(got(900L) == base(1).docId && got(901L) == 901L && got(902L) == 901L)
+      assert(got.values.toSet == batchKeepers.values.toSet)
+
+      // LSH candidates: cumulative stream output == batch candidates
+      val streamPairs = spark.table("lsh_cands").as[CandPair].collect()
+        .map(p => (p.idA, p.idB)).toSet
+      val batchPairs = graft.pipeline.Dedup
+        .minhashCandidates(all.toDF("doc_id", "text"), "doc_id", "text",
+          ngram = 2, numHashes = 16, bands = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs)
+      assert(streamPairs.contains((base(1).docId, 900L))) // cross-batch exact dup
+      assert(streamPairs.contains((901L, 902L)))          // within-batch-2 twin
+    } finally { qe.stop(); ql.stop() }
+  }
+
   test("native expressions usable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
