@@ -5572,6 +5572,32 @@ object SparkEntry {
           max(col("value")).as("max_tas"))
         .select(col("time"), col("n_valid"), col("sum_tas"),
           col("min_tas"), col("max_tas"))
+    }),
+
+    "q_image_decode_jpeg" -> ((s, dir) => {
+      // LOSSY decode pinned by a closed-form oracle: uniform-colour JPEGs
+      // (Multimodal.plantedJpeg — channel values are id-derived multiples
+      // of 16) are encoded and DECODED executor-side by ImageIO's JPEG
+      // codec; uniform images decode within a couple of grey levels, so
+      // each channel mean quantised to round(mean/16) provably equals the
+      // planted value regardless of codec rounding. Complements
+      // q_image_decode_stats (exact PNG) with the codec real corpora
+      // actually carry.
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.plantedJpeg(id, 16, 12))
+      val media = t(s, dir, "documents").filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          mk(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("int").as("channels"),
+          round(element_at(col("feature"), 4).cast("double") / 192.0 / 16.0)
+            .cast("int").as("q_r"),
+          round(element_at(col("feature"), 5).cast("double") / 192.0 / 16.0)
+            .cast("int").as("q_g"),
+          round(element_at(col("feature"), 6).cast("double") / 192.0 / 16.0)
+            .cast("int").as("q_b"))
     })
   )
 
@@ -5587,7 +5613,14 @@ object SparkEntry {
         |  cross join range(0, 4) x(i))
         |select cast(t as int) "time", count(v) n_valid, sum(v) sum_tas,
         |  min(v) min_tas, max(v) max_tas
-        |from g group by 1""".stripMargin
+        |from g group by 1""".stripMargin,
+
+    "q_image_decode_jpeg" ->
+      """select doc_id media_id, 16 width, 12 height, 3 channels,
+        |  cast(round((64 + (doc_id % 4) * 32) / 16.0) as int) q_r,
+        |  cast(round((80 + (doc_id % 3) * 32) / 16.0) as int) q_g,
+        |  cast(round((48 + (doc_id % 5) * 32) / 16.0) as int) q_b
+        |from documents where doc_id % 40 = 0""".stripMargin
   )
 
 }

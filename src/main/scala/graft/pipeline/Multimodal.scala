@@ -163,6 +163,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Planted LOSSY fixture: a uniform-colour JPEG whose per-channel value
+    * is an id-derived multiple of 16. JPEG decode of a uniform image is
+    * near-exact (only the DC coefficient is non-zero; quantisation error
+    * on real codecs stays within a couple of grey levels), so a decoded
+    * channel mean quantised to round(mean/16) provably lands on the
+    * planted value — the tolerance is baked into the quantisation, which
+    * is what lets a closed-form oracle pin a lossy codec. */
+  def plantedJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    val r = (64 + (id % 4) * 32).toInt
+    val g = (80 + (id % 3) * 32).toInt
+    val b = (48 + (id % 5) * 32).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (r << 16) | (g << 8) | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   // ---- RIFF container parsing (WAV audio + AVI video are both RIFF) ----
   // Layout per the public Microsoft/IBM RIFF spec: little-endian chunk
   // stream of (fourcc, u32 size, payload, pad-to-even). WAVE holds "fmt "
