@@ -39,20 +39,23 @@ object Bench {
       catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Two passes: the first ("cold") is dominated by per-query Catalyst
+    // Three passes: the first ("cold") is dominated by per-query Catalyst
     // analysis + whole-stage-codegen compilation (3-4 s of one-time cost on
     // the deepest plans — q_rain_season measured 4.25 s cold vs 1.0 s warm
     // at sf0.1), which made round-over-round per-query deltas mostly
-    // JIT/janino noise. The second pass re-executes everything end to end
-    // (noop sink, no caching — data is re-read and re-shuffled) and is the
-    // canonical per-query number; the cold pass is kept in the JSON so
-    // plan-cost regressions stay visible too.
+    // JIT/janino noise. The canonical per-query number is the MIN of two
+    // warm passes (each re-executes end to end through the noop sink — no
+    // caching, data is re-read and re-shuffled; scheduling noise is
+    // one-sided additive, so min-of-k estimates the true cost). The cold
+    // pass is kept in the JSON so plan-cost regressions stay visible too.
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cold = pass()
-    val warm = pass()
+    val warm1 = pass().toMap
+    val warm2 = pass()
+    val warm = warm2.map { case (k, v) => k -> math.min(v, warm1(k)) }
     println(s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
-      s""""queries":${toJson(warm)},"mode":"warm",""" +
+      s""""queries":${toJson(warm)},"mode":"warm-min2",""" +
       s""""total_cold":${cold.map(_._2).sum},"queries_cold":${toJson(cold)},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -105,6 +105,17 @@ object Main {
         val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir)
         println(s"$store -> $outDir (${vars.mkString(", ")})")
         spark.stop()
+      case "convert-zarr" :: "--reverse" :: lakeDir :: store :: Nil =>
+        // lake -> Zarr v2 store (executors write their own chunk files)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val vars = graft.sources.Zarr.fromParquetLake(spark, lakeDir, store)
+        println(s"$lakeDir -> $store (${vars.mkString(", ")})")
+        spark.stop()
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -128,7 +139,7 @@ object Main {
         System.err.println(
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
             s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
-            s"convert-zarr <store> <outDir> | " +
+            s"convert-zarr <store> <outDir> | convert-zarr --reverse <lakeDir> <store> | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }

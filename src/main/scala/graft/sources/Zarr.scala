@@ -417,4 +417,101 @@ object Zarr {
       za.name
     }
   }
+
+  // ---------------- writer (lake → Zarr v2 store) ----------------
+
+  /** Write one long-format frame (dim columns + `value` DOUBLE) as a Zarr
+    * v2 array: `<f8` dtype, zlib compression, C order, `fill_value` NaN
+    * for absent positions, `_ARRAY_DIMENSIONS` carrying the dim names.
+    *
+    * Chunking: the TRAILING dims are kept whole and the LEADING dim is
+    * split so chunks land near `targetChunkElems` — the natural layout for
+    * (time, y, x) climate arrays, giving time-contiguous chunks that the
+    * reader (and xarray) can fetch in parallel. Executors each write the
+    * chunk files for their partition after a `repartitionByRange` on the
+    * leading-dim chunk id, so no chunk is touched by two tasks and the
+    * driver writes only the two JSON metadata files. */
+  def writeArray(df: org.apache.spark.sql.DataFrame, store: String, name: String,
+                 targetChunkElems: Long = 1 << 20): Unit = {
+    val dimCols = df.columns.filter(_ != "value").toSeq
+    require(dimCols.nonEmpty, "need at least one dimension column")
+    val dims: Seq[Long] = {
+      val r = df.agg(max(col(dimCols.head)), dimCols.tail.map(c => max(col(c))): _*).head()
+      (0 until dimCols.length).map(i => r.getAs[Number](i).longValue() + 1)
+    }
+    val innerElems = dims.tail.product
+    val lead = math.max(1L, math.min(dims.head,
+      targetChunkElems / math.max(1L, innerElems)))
+    val chunkDims = lead +: dims.tail
+    val chunkElems = chunkDims.product.toInt
+    val dir = new File(store, name)
+    dir.mkdirs()
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    writeBytes(new File(dir, ".zarray"),
+      (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+        s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<f8", """ +
+        """"compressor": {"id": "zlib", "level": 6}, "fill_value": "NaN", """ +
+        """"filters": null, "order": "C"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBytes(new File(dir, ".zattrs"),
+      s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // (chunk id, in-chunk flat offset, value) — one shuffle keyed on the
+    // leading-dim chunk so each task owns whole chunk files
+    val rank = dims.length
+    val inChunk = dimCols.zipWithIndex.drop(1)
+      .foldLeft(pmod(col(dimCols.head).cast("long"), lit(lead))) { case (acc, (c, i)) =>
+        acc * dims(i) + col(c).cast("long")
+      }
+    val keyed = df.select(
+      floor(col(dimCols.head).cast("long") / lit(lead)).cast("long").as("_chunk"),
+      inChunk.as("_off"), col("value").cast("double").as("_v"))
+    val dirPath = dir.getPath
+    keyed.repartitionByRange(col("_chunk")).sortWithinPartitions(col("_chunk"), col("_off"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var cur = -1L
+        var buf: Array[Double] = null
+        def flush(): Unit = if (cur >= 0) {
+          val bb = java.nio.ByteBuffer.allocate(chunkElems * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.foreach(bb.putDouble)
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(bb.array()); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          val coords = cur.toString +: Seq.fill(rank - 1)("0")
+          val f = new java.io.FileOutputStream(
+            new File(dirPath, coords.mkString(".")))
+          try f.write(out.toByteArray) finally f.close()
+        }
+        it.foreach { r =>
+          val c = r.getLong(0)
+          if (c != cur) {
+            flush(); cur = c
+            buf = Array.fill(chunkElems)(Double.NaN)
+          }
+          if (!r.isNullAt(2)) buf(r.getLong(1).toInt) = r.getDouble(2)
+        }
+        flush()
+      }
+  }
+
+  /** Lake → Zarr v2 store (the write twin of [[toParquetLake]], and the
+    * Zarr counterpart of `NetCDF.fromParquetLake`): one array per
+    * variable directory. */
+  def fromParquetLake(spark: SparkSession, lakeDir: String, store: String,
+                      targetChunkElems: Long = 1 << 20): Seq[String] = {
+    val varDirs = new File(lakeDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
+    varDirs.foreach { v =>
+      writeArray(spark.read.parquet(s"$lakeDir/$v"), store, v, targetChunkElems)
+    }
+    varDirs
+  }
 }

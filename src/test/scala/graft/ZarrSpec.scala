@@ -167,6 +167,29 @@ class ZarrSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Blosc") || ex.getCause != null)
   }
 
+  test("write round trip: lake -> Zarr store -> lake, nulls and absent chunks") {
+    import spark.implicits._
+    // (t, y) grid with holes: absent positions and a null value both come
+    // back as NULL through the NaN fill
+    val rows = for (t <- 0 until 7; y <- 0 until 3
+                    if !(t == 5 && y == 1)) yield
+      (t, y, if (t == 2 && y == 0) null else java.lang.Double.valueOf(t * 10.0 + y))
+    val df = rows.toDF("time", "y", "value")
+    val store = java.nio.file.Files.createTempDirectory("zarr_w_").toString
+    // tiny chunk target forces several leading-dim chunks (3 elems/chunk row)
+    Zarr.writeArray(df, store, "tas", targetChunkElems = 6)
+    val meta = Zarr.readArrayMeta(store, "tas")
+    assert(meta.shape == Seq(7L, 3L) && meta.chunks == Seq(2L, 3L))
+    assert(meta.dimNames == Seq("time", "y"))
+    val back = Zarr.readVariable(spark, store, "tas").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+    val expected = (for (t <- 0 until 7; y <- 0 until 3) yield
+      (t, y) -> (if ((t == 5 && y == 1) || (t == 2 && y == 0)) null
+        else t * 10.0 + y)).toMap
+    assert(back == expected)
+  }
+
   test("store-level readMeta + parquet-lake conversion") {
     val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
     writeTas(root)
