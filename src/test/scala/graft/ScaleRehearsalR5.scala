@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 ×10 rehearsal main (test scope, run by hand — see PLANS §34):
+  * drives the components ADDED this round at 10× the sf0.1 row counts and
+  * prints wall-clock + invariants, the same "would it survive 10×?"
+  * discipline as PLANS §18/§26.
+  *
+  *   sbt "Test/runMain graft.ScaleRehearsalR5"
+  */
+object ScaleRehearsalR5 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- events ×60: 6M rows, same group cardinality (event_type) ----
+    val events = graft.sources.Tables.events(spark, dir)
+    val x10 = (0 until 60).map(i =>
+      events.withColumn("value", col("value") + lit(i * 0.001)))
+      .reduce(_ unionByName _)
+      .select(col("event_type"), col("value"))
+      .localCheckpoint(true)
+    val n = x10.count()
+    println(s"[rehearsal] events x60 rows = $n")
+
+    // exact at-scale quantile plan vs the collect_list form at 6M rows
+    val scale = time("hfQuantilesScale (6M rows, whole-column groups)") {
+      graft.core.Stats.hfQuantilesScale(x10, Seq("event_type"), "value",
+          Seq("p90" -> 0.9, "p10" -> 0.1))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    val listForm = time("collect_list H&F form (same 6M rows)") {
+      x10.groupBy("event_type")
+        .agg(graft.core.Stats.hfQuantile(col("value"), 0.9).as("p90"),
+          graft.core.Stats.hfQuantile(col("value"), 0.1).as("p10"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    require(scale == listForm, "scale plan must be bit-identical at 6M rows")
+    println("[rehearsal] hfQuantilesScale == collect_list form at 6M rows (bit-exact)")
+
+    // auto-router picks the scale plan at this size
+    val routed = time("hfQuantilesAuto (threshold 1M)") {
+      graft.core.Stats.hfQuantilesAuto(x10, Seq("event_type"), "value",
+        Seq("p90" -> 0.9), smallGroupMax = 1_000_000).count()
+    }
+    println(s"[rehearsal] auto-routed groups = $routed")
+
+    // ---- Zarr: 6M-element array through write -> read, many chunks ----
+    val grid = spark.range(0, 6_000_000).select(
+      (col("id") / 1000).cast("int").as("time"),
+      pmod(col("id"), lit(1000)).cast("int").as("x"),
+      (col("id") % 97).cast("double").as("value"))
+    val store = java.nio.file.Files.createTempDirectory("zarr_rehearsal_").toString
+    time("Zarr write 6M elements (93 chunks)") {
+      graft.sources.Zarr.writeArray(grid, store, "v", targetChunkElems = 1 << 16)
+    }
+    val meta = graft.sources.Zarr.readArrayMeta(store, "v")
+    val nChunks = meta.shape.zip(meta.chunks)
+      .map { case (d, c) => (d + c - 1) / c }.product
+    println(s"[rehearsal] zarr chunks = $nChunks, chunkDims = ${meta.chunks}")
+    val sums = time("Zarr read 6M elements + aggregate") {
+      graft.sources.Zarr.readVariable(spark, store, "v")
+        .agg(count(lit(1)), sum("value")).head()
+    }
+    require(sums.getLong(0) == 6_000_000L, s"row count ${sums.getLong(0)}")
+    val expected = grid.agg(sum("value")).head().getDouble(0)
+    require(math.abs(sums.getDouble(1) - expected) < 1e-6, "sum mismatch")
+    println("[rehearsal] zarr round trip exact at 6M elements")
+
+    // ---- df-cut postings bound on a Zipfian ×10 corpus ----
+    val rng = new scala.util.Random(3)
+    val stop = Vector("the", "of", "and", "to", "in", "a", "is")
+    val docs = (0 until 60000).flatMap { i =>
+      val content = Seq.fill(8)(s"w${rng.nextInt(40000)}")
+      val glue = Seq.fill(8)(stop(rng.nextInt(stop.length)))
+      val text = rng.shuffle(content ++ glue).mkString(" ")
+      // 1-in-50 docs get a planted near-clone so the join has real pairs
+      if (i % 50 == 0) Seq((i.toLong, text), (i + 100000L, text + " tail"))
+      else Seq((i.toLong, text))
+    }.toDF("doc_id", "text").withColumn("blk", lit(1)).localCheckpoint(true)
+    val postings = docs.select(col("doc_id"),
+      explode(array_distinct(graft.pipeline.TextStats.wordNgrams(col("text"), 2))).as("tok"))
+    val full = postings.count()
+    val dfTab = postings.groupBy("tok").count()
+    val rare = postings.join(dfTab.filter(col("count") <= 64).select("tok"), "tok").count()
+    // the join bound: sum over tokens of df^2 ~ pair candidates
+    val pairsFull = dfTab.agg(sum(col("count") * col("count"))).head().getLong(0)
+    val pairsRare = dfTab.filter(col("count") <= 64)
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    println(s"[rehearsal] df-cut: postings $full -> $rare; " +
+      s"pair candidates bound $pairsFull -> $pairsRare " +
+      f"(${pairsFull.toDouble / pairsRare}%.0fx reduction)")
+    val t0 = System.nanoTime()
+    val cut = graft.pipeline.Dedup.jaccardPairsByIndex(
+      docs, "doc_id", "text", Seq("blk"), 2, 0.5, dfCut = 64).count()
+    println(f"[rehearsal] df-cut join (60k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s, $cut pairs")
+    spark.stop()
+  }
+}
