@@ -786,7 +786,10 @@ object Hdf5 {
         val dimArr = dims.toArray
         val gz = ds.gzip
         val chunkElems = cdims.product.toInt
-        spark.sparkContext.parallelize(chunks, math.min(chunks.size, 64).max(1))
+        // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
+        val slices = math.max(1, math.min(chunks.size,
+          math.max(64, spark.sparkContext.defaultParallelism * 2)))
+        spark.sparkContext.parallelize(chunks, slices)
           .flatMap { c =>
             val raf = new RandomAccessFile(path, "r")
             try {

@@ -217,14 +217,26 @@ object Zarr {
       order == "C", sep, attrs, dimNames)
   }
 
-  /** All arrays in a store: subdirectories holding a `.zarray`, or the
-    * store root itself for a bare-array store. Consolidated metadata
-    * (`.zmetadata`) is not required — the per-array files are always
-    * present in a v2 store. */
+  /** All arrays in a store: from consolidated metadata (`.zmetadata` —
+    * the single-fetch index cloud producers write so object stores need
+    * no LIST calls; array names are its `<name>/.zarray` keys), else by
+    * listing subdirectories holding a `.zarray`, else the store root
+    * itself for a bare-array store. The per-array `.zarray`/`.zattrs`
+    * files remain the source of truth either way (v2 stores always
+    * carry them alongside the consolidated copy). */
   def readMeta(store: String): Seq[ZArray] = {
     val root = new File(store)
     require(root.isDirectory, s"$store is not a directory")
-    if (new File(root, ".zarray").isFile) Seq(readArrayMeta(store, ""))
+    val zmeta = new File(root, ".zmetadata")
+    if (zmeta.isFile) {
+      val m = Json.parse(readText(zmeta)).asInstanceOf[Map[String, Any]]
+      require(m("zarr_consolidated_format").asInstanceOf[Double].toInt == 1,
+        "only consolidated-metadata format 1")
+      m("metadata").asInstanceOf[Map[String, Any]].keys
+        .filter(k => k.endsWith("/.zarray"))
+        .map(_.stripSuffix("/.zarray")).toSeq.sorted
+        .map(readArrayMeta(store, _))
+    } else if (new File(root, ".zarray").isFile) Seq(readArrayMeta(store, ""))
     else root.listFiles().filter(d => d.isDirectory && new File(d, ".zarray").isFile)
       .map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
   }
@@ -305,8 +317,13 @@ object Zarr {
     val fillForAbsent = za.fillValue
     val chunkElems = cdims.product.toInt
 
+    // slices scale with BOTH chunk count and cluster size: a 1M-chunk store
+    // on a large cluster must not serialise through 64 tasks, while a
+    // 4-chunk fixture must not schedule 256 empties
+    val slices = math.max(1, math.min(chunkCoords.size,
+      math.max(64, spark.sparkContext.defaultParallelism * 2)))
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Double)] =
-      spark.sparkContext.parallelize(chunkCoords, math.min(chunkCoords.size, 64).max(1))
+      spark.sparkContext.parallelize(chunkCoords, slices)
         .flatMap { cc =>
           val f = new File(dir, cc.mkString(sep))
           val data: Option[java.nio.ByteBuffer] =

@@ -167,6 +167,42 @@ class ZarrSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Blosc") || ex.getCause != null)
   }
 
+  test("consolidated .zmetadata lists arrays; corrupt chunks fail cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    writeTas(root)
+    val pDir = new File(root, "aux")
+    writeText(new File(pDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1}, "fill_value": null,
+        | "filters": null, "order": "C"}""".stripMargin)
+    write(new File(pDir, "0"), zlib(doubles(Seq(1.0, 2.0))))
+    // consolidated index (keys are what matters; bodies are the originals)
+    writeText(new File(root, ".zmetadata"),
+      """{"zarr_consolidated_format": 1, "metadata": {
+        | "tas/.zarray": {}, "tas/.zattrs": {}, "aux/.zarray": {},
+        | ".zgroup": {}}}""".stripMargin)
+    assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("aux", "tas"))
+    // truncated zlib chunk -> clean IOException through the inflate guard
+    val full = zlib(doubles(Seq(1.0, 2.0)))
+    write(new File(pDir, "0"), full.take(full.length / 2))
+    val exZ = intercept[org.apache.spark.SparkException] {
+      Zarr.readVariable(spark, root.getPath, "aux").collect()
+    }
+    assert(exZ.getMessage.contains("corrupt deflate chunk") || exZ.getCause != null)
+    // truncated gzip chunk -> clean IOException too
+    val gDir = new File(root, "gzc")
+    writeText(new File(gDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": {"id": "gzip", "level": 1}, "fill_value": null,
+        | "filters": null, "order": "C"}""".stripMargin)
+    val gz = gzip(doubles(Seq(1.0, 2.0)))
+    write(new File(gDir, "0"), gz.take(gz.length / 2)) // cuts into the deflate body
+    val exG = intercept[org.apache.spark.SparkException] {
+      Zarr.readVariable(spark, root.getPath, "gzc").collect()
+    }
+    assert(exG.getMessage.contains("gzip") || exG.getCause != null)
+  }
+
   test("write round trip: lake -> Zarr store -> lake, nulls and absent chunks") {
     import spark.implicits._
     // (t, y) grid with holes: absent positions and a null value both come
