@@ -508,8 +508,10 @@ object Hdf5 {
     * order, split across the index block (first `idxBlkElmts`), data
     * blocks of doubling sizes, and secondary blocks of data-block
     * pointers, per the superblock doubling scheme in the public spec's
-    * extensible-array appendix: superblock `s` holds `2^((s+1)/2)` data
-    * blocks of `minElmts * 2^(s/2)` elements each. Client 0 = plain
+    * extensible-array appendix: superblock `s` holds `2^(s/2)` data
+    * blocks of `minElmts * 2^((s+1)/2)` elements each (so the first
+    * `2*log2(minPtrs)` superblocks' blocks exactly fill the index
+    * block's `2*(minPtrs-1)` direct address slots). Client 0 = plain
     * addresses; client 1 (filtered chunks) adds stored size + filter
     * mask per element. Paged data blocks (beyond `2^pageBits` elements
     * per block) are not supported; checksums are not verified. */
@@ -533,8 +535,8 @@ object Hdf5 {
     val iblkNsblks = 2 * log2Floor(minPtrs)            // superblocks resolved via the index block
     val ndblkAddrsIblk = 2 * (minPtrs - 1)             // their data-block pointers
     val nsblkAddrs = nsblksHdr - iblkNsblks
-    def ndblks(s: Int): Int = 1 << ((s + 1) / 2)
-    def dblkNelmts(s: Int): Long = minElmts.toLong << (s / 2)
+    def ndblks(s: Int): Int = 1 << (s / 2)
+    def dblkNelmts(s: Int): Long = minElmts.toLong << ((s + 1) / 2)
 
     val grid = chunkGrid(ds)
     val nChunks = grid.size

@@ -454,7 +454,10 @@ class Hdf5Spec extends AnyFunSuite {
       }
       val eadbABytes = eadb(eahd, Seq((tsAddrs(2), tsChunks(2).length),
         (tsAddrs(3), tsChunks(3).length)))
-      val eadbBBytes = eadb(eahd, Seq((tsAddrs(4), tsChunks(4).length), (-1L, 0)))
+      // superblock 1's data block holds minElmts*2^((1+1)/2) = 4 element
+      // slots; chunks 4 (real), 5 (unallocated) fill the first two
+      val eadbBBytes = eadb(eahd, Seq((tsAddrs(4), tsChunks(4).length),
+        (-1L, 0), (-1L, 0), (-1L, 0)))
       val eaibBytes = {
         // geometry for (minPtrs=4, maxBits=16, minElmts=2): 6 data-block
         // slots + 4 secondary-block slots in the index block
@@ -557,6 +560,163 @@ class Hdf5Spec extends AnyFunSuite {
       starts(12), starts(13), starts(14), starts(15), starts(16), starts(17))
     val f = new FileOutputStream(path)
     parts.foreach(f.write); f.close()
+  }
+
+  /** Parameterised 1-D extensible-array file: double[2*nChunks] chunked
+    * [2], UNFILTERED (client 0), value v(i) = i + 0.25, with EA creation
+    * params (maxBits 16, idxElmts 2, minPtrs 4, minElmts 2) whose
+    * geometry crosses from index-block elements (2) through the six
+    * direct data blocks (superblocks 0-3, 30 elements) into SECONDARY
+    * blocks (superblocks 4+, 4 data blocks of 8 then 16 elements) as
+    * nChunks grows — the full addressing scheme of the spec appendix. */
+  private def writeEaN(path: String, nChunks: Int): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    // EA geometry for (maxBits=16, idxElmts=2, minPtrs=4, minElmts=2)
+    val (idxE, minE, minP, maxBits) = (2, 2, 4, 16)
+    val iblkNsblks = 4          // 2 * log2(minPtrs)
+    val nsblksHdr = 1 + (maxBits - 1) / 2 // log2(minElmts) = 1 -> 8
+    val ndblkAddrsIblk = 2 * (minP - 1)   // 6
+    val nsblkAddrs = nsblksHdr - iblkNsblks
+    def ndblks(s: Int): Int = 1 << (s / 2)
+    def dblkNelmts(s: Int): Int = minE << ((s + 1) / 2)
+    val arrOff = (maxBits + 7) / 8
+
+    // assign chunk indices to blocks
+    val direct = math.min(idxE, nChunks)
+    case class Blk(sblk: Int, elems: Seq[Int]) // chunk indices
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    var idx = idxE
+    var s = 0
+    while (idx < nChunks) {
+      for (_ <- 0 until ndblks(s) if idx < nChunks) {
+        val n = dblkNelmts(s)
+        blocks += Blk(s, (idx until math.min(idx + n, nChunks)))
+        idx += n
+      }
+      s += 1
+    }
+    val chunkBytes = 16 // [2] doubles
+    def build(chunkAddrs: Seq[Long], dblkAddrs: Seq[Long], sblkAddrs: Seq[Long],
+              eaib: Long, eahd: Long, dsOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val chunkData = (0 until nChunks).map { c =>
+        val b = buf(16); b.putDouble(2 * c + 0.25).putDouble(2 * c + 1.25); b.array()
+      }
+      val dblkBytes = blocks.zipWithIndex.map { case (blk, bi) =>
+        val n = dblkNelmts(blk.sblk)
+        val b = buf(4 + 2 + 8 + arrOff + n * 8 + 4)
+        b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
+        b.putShort(0) // block offset
+        (0 until n).foreach { i =>
+          b.putLong(if (i < blk.elems.length) chunkAddrs(blk.elems(i)) else -1L)
+        }
+        b.putInt(0).array()
+      }
+      // secondary blocks: superblocks >= iblkNsblks, each holding its
+      // data-block addresses (absent data blocks = -1)
+      val secSblks = blocks.map(_.sblk).filter(_ >= iblkNsblks).distinct.sorted
+      val sblkBytes = secSblks.map { sb =>
+        val nd = ndblks(sb)
+        val b = buf(4 + 2 + 8 + arrOff + nd * 8 + 4)
+        b.put("EASB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
+        b.putShort(0)
+        val mine = blocks.zipWithIndex.filter(_._1.sblk == sb)
+        (0 until nd).foreach { i =>
+          b.putLong(if (i < mine.length) dblkAddrs(mine(i)._2) else -1L)
+        }
+        b.putInt(0).array()
+      }
+      val eaibBytes = {
+        val b = buf(4 + 2 + 8 + idxE * 8 + ndblkAddrsIblk * 8 + nsblkAddrs * 8 + 4)
+        b.put("EAIB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
+        (0 until idxE).foreach(i => b.putLong(if (i < direct) chunkAddrs(i) else -1L))
+        val directBlks = blocks.zipWithIndex.filter(_._1.sblk < iblkNsblks)
+        (0 until ndblkAddrsIblk).foreach { i =>
+          b.putLong(if (i < directBlks.length) dblkAddrs(directBlks(i)._2) else -1L)
+        }
+        (0 until nsblkAddrs).foreach { i =>
+          b.putLong(if (i < secSblks.length) sblkAddrs(i) else -1L)
+        }
+        b.putInt(0).array()
+      }
+      val eahdBytes = {
+        val b = buf(4 + 2 + 6 + 6 * 8 + 8 + 4)
+        b.put("EAHD".getBytes("ASCII")).put(0.toByte).put(0.toByte)
+        b.put(8.toByte).put(maxBits.toByte).put(idxE.toByte)
+        b.put(minE.toByte).put(minP.toByte).put(10.toByte)
+        (0 until 6).foreach(_ => b.putLong(0L))
+        b.putLong(eaib).putInt(0).array()
+      }
+      val layout = {
+        val b = buf(5 + 1 + 1 + 5 + 8)
+        b.put(4.toByte).put(2.toByte).put(0.toByte).put(1.toByte).put(1.toByte)
+        b.put(2.toByte) // chunk dim [2]
+        b.put(4.toByte) // index type: extensible array
+        b.put(maxBits.toByte).put(idxE.toByte).put(minP.toByte)
+          .put(minE.toByte).put(10.toByte)
+        b.putLong(eahd)
+        msg2(0x08, b.array())
+      }
+      val dspace = {
+        val b = buf(4 + 16)
+        b.put(2.toByte).put(1.toByte).put(1.toByte).put(1.toByte)
+        b.putLong(2L * nChunks); b.putLong(-1L)
+        b.array()
+      }
+      val dsOHBytes = ohdr2(msg2(0x01, dspace), msg2(0x03, dtypeDouble), layout)
+      val link = {
+        val nm = "ea".getBytes("ASCII")
+        msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+          .put(nm.length.toByte).put(nm).putLong(dsOH).array())
+      }
+      val rootBytes = ohdr2(link)
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
+      Seq(sb.array()) ++ chunkData ++ dblkBytes ++ sblkBytes ++
+        Seq(eaibBytes, eahdBytes, dsOHBytes, rootBytes)
+    }
+    val nBlk = blocks.length
+    val nSec = blocks.map(_.sblk).filter(_ >= iblkNsblks).distinct.length
+    val zeros = build(Seq.fill(nChunks)(0L), Seq.fill(nBlk)(0L), Seq.fill(nSec)(0L),
+      0, 0, 0, 0)
+    val starts = zeros.map(_.length).scanLeft(0L)(_ + _)
+    val chunkAddrs = (0 until nChunks).map(i => starts(1 + i))
+    val dblkAddrs = (0 until nBlk).map(i => starts(1 + nChunks + i))
+    val sblkAddrs = (0 until nSec).map(i => starts(1 + nChunks + nBlk + i))
+    val parts = build(chunkAddrs, dblkAddrs, sblkAddrs,
+      starts(1 + nChunks + nBlk + nSec), starts(2 + nChunks + nBlk + nSec),
+      starts(3 + nChunks + nBlk + nSec), starts(4 + nChunks + nBlk + nSec))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("extensible array: geometry sweep across index block, data blocks, secondary blocks") {
+    for (nChunks <- Seq(1, 2, 3, 9, 16, 33, 60, 120)) {
+      val f = java.io.File.createTempFile(s"graft_ea${nChunks}_", ".h5")
+      writeEaN(f.getPath, nChunks)
+      val got = Hdf5.readVariable(spark, f.getPath, "ea").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val expected = (0 until 2 * nChunks).map(i => i -> (i + 0.25)).toMap
+      assert(got == expected, s"nChunks=$nChunks")
+      f.delete()
+    }
   }
 
   test("unlimited dims: extensible-array index (filtered, unallocated tail chunk)") {
