@@ -5598,6 +5598,20 @@ object SparkEntry {
             .cast("int").as("q_g"),
           round(element_at(col("feature"), 6).cast("double") / 192.0 / 16.0)
             .cast("int").as("q_b"))
+    }),
+
+    "q_jaccard_postings_dfcut" -> ((s, dir) => {
+      // the inverted-index Jaccard join with the df-cut candidate prune:
+      // tokens in more than dfCut documents are dropped from candidate
+      // generation (bounding the postings self-join on Zipfian corpora),
+      // every candidate then verified with an EXACT J over the full
+      // shingle sets. The oracle replicates the cut semantics in SQL —
+      // rare-postings candidates, full-postings exact J — so both the
+      // pruning rule and the exactness of emitted pairs are hash-checked.
+      Dedup.jaccardPairsByIndex(
+          t(s, dir, "documents").withColumn("blk", lit(1)),
+          "doc_id", "text", Seq("blk"), ngram = 3, threshold = 0.6, dfCut = 20)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     })
   )
 
@@ -5620,7 +5634,27 @@ object SparkEntry {
         |  cast(round((64 + (doc_id % 4) * 32) / 16.0) as int) q_r,
         |  cast(round((80 + (doc_id % 3) * 32) / 16.0) as int) q_g,
         |  cast(round((48 + (doc_id % 5) * 32) / 16.0) as int) q_b
-        |from documents where doc_id % 40 = 0""".stripMargin
+        |from documents where doc_id % 40 = 0""".stripMargin,
+
+    "q_jaccard_postings_dfcut" ->
+      """with toks as (select doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') tk from documents),
+        |g as (select distinct doc_id,
+        |    array_to_string(tk[cast(i as int):cast(i as int)+2], ' ') tok
+        |  from (select doc_id, tk, unnest(range(1, len(tk) - 1)) i from toks)),
+        |df as (select tok, count(*) c from g group by 1),
+        |rare as (select g.doc_id, g.tok from g join df using (tok) where c <= 20),
+        |cand as (select distinct a.doc_id id_a, b.doc_id id_b
+        |  from rare a join rare b on a.tok = b.tok and a.doc_id < b.doc_id),
+        |sz as (select doc_id, count(*) sz from g group by 1),
+        |com as (select a.doc_id id_a, b.doc_id id_b, count(*) common
+        |  from g a join g b on a.tok = b.tok and a.doc_id < b.doc_id
+        |  join cand c on c.id_a = a.doc_id and c.id_b = b.doc_id
+        |  group by 1, 2)
+        |select id_a, id_b,
+        |  round(cast(common as double)/(sa.sz + sb.sz - common), 6) jaccard
+        |from com join sz sa on sa.doc_id = id_a join sz sb on sb.doc_id = id_b
+        |where round(cast(common as double)/(sa.sz + sb.sz - common), 6) >= 0.6""".stripMargin
   )
 
 }
