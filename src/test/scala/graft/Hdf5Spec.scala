@@ -719,6 +719,145 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  /** Parameterised v2-B-tree file: double[2, nChunks] chunked [2,1]
+    * (scaled offsets (0, c)), unfiltered records (type 10), v(r,c) =
+    * 100r + c. Depth 0 while records fit one leaf
+    * ((nodeSize-10)/recSize = 20 at nodeSize 512); above that a depth-1
+    * tree with evenly split leaves — exercising the child-pointer
+    * record-count width math across leaf counts. */
+  private def writeBt2N(path: String, nChunks: Int): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    val nodeSize = 512
+    val recSize = 8 + 16 // address + 2 scaled offsets
+    val leafCap = (nodeSize - 10) / recSize // 20
+    // split records into leaves: depth 0 if they fit, else depth 1
+    val leaves: Seq[Seq[Int]] =
+      if (nChunks <= leafCap) Seq((0 until nChunks))
+      else {
+        val nLeaves = (nChunks + leafCap) / (leafCap + 1) + 1 // leaves + root recs <= total
+        val per = (nChunks - (nLeaves - 1)) / nLeaves
+        val extra = (nChunks - (nLeaves - 1)) % nLeaves
+        var at = 0
+        (0 until nLeaves).map { i =>
+          val take = per + (if (i < extra) 1 else 0)
+          val s = (at until at + take); at += take + 1; s // +1 skips the root record
+        }
+      }
+    val rootRecs: Seq[Int] =
+      if (leaves.length == 1) Nil
+      else leaves.dropRight(1).map(l => l.last + 1)
+    def build(chunkAddrs: Seq[Long], leafAddrs: Seq[Long], rootAddr: Long,
+              hd: Long, dsOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val chunkData = (0 until nChunks).map { c =>
+        val b = buf(16); b.putDouble(c.toDouble).putDouble(100.0 + c); b.array()
+      }
+      def rec(b: ByteBuffer, c: Int): Unit = {
+        b.putLong(chunkAddrs(c)); b.putLong(0L); b.putLong(c.toLong)
+      }
+      val leafBytes = leaves.map { rs =>
+        val b = buf(6 + rs.length * recSize + 4)
+        b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        rs.foreach(rec(b, _))
+        b.putInt(0).array()
+      }
+      val rootBytes0 =
+        if (leaves.length == 1) leafBytes.head
+        else {
+          // internal: records, then child pointers with 1-byte counts
+          val b = buf(6 + rootRecs.length * recSize +
+            leaves.length * (8 + 1) + 4)
+          b.put("BTIN".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+          rootRecs.foreach(rec(b, _))
+          leaves.zipWithIndex.foreach { case (l, i) =>
+            b.putLong(leafAddrs(i)); b.put(l.length.toByte)
+          }
+          b.putInt(0).array()
+        }
+      val hdBytes = {
+        val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
+        b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        b.putInt(nodeSize).putShort(recSize.toShort)
+          .putShort(if (leaves.length == 1) 0 else 1)
+          .put(100.toByte).put(40.toByte)
+        b.putLong(rootAddr)
+          .putShort((if (leaves.length == 1) nChunks else rootRecs.length).toShort)
+        b.putLong(nChunks.toLong).putInt(0)
+        b.array()
+      }
+      val layout = {
+        val b = buf(5 + 2 + 1 + 6 + 8)
+        b.put(4.toByte).put(2.toByte).put(0.toByte).put(2.toByte).put(1.toByte)
+        b.put(2.toByte).put(1.toByte) // chunk dims [2,1]
+        b.put(5.toByte) // index type: v2 B-tree
+        b.putInt(nodeSize).put(100.toByte).put(40.toByte)
+        b.putLong(hd)
+        msg2(0x08, b.array())
+      }
+      val dspace = {
+        val b = buf(4 + 32)
+        b.put(2.toByte).put(2.toByte).put(1.toByte).put(1.toByte)
+        b.putLong(2L).putLong(nChunks.toLong)
+        b.putLong(-1L).putLong(-1L)
+        b.array()
+      }
+      val dsOHBytes = ohdr2(msg2(0x01, dspace), msg2(0x03, dtypeDouble), layout)
+      val link = {
+        val nm = "bt".getBytes("ASCII")
+        msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+          .put(nm.length.toByte).put(nm).putLong(dsOH).array())
+      }
+      val rootOHBytes = ohdr2(link)
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootOHBytes.length).putLong(rootOH).putInt(0)
+      val internal = if (leaves.length == 1) Nil else Seq(rootBytes0)
+      Seq(sb.array()) ++ chunkData ++ leafBytes ++ internal ++
+        Seq(hdBytes, dsOHBytes, rootOHBytes)
+    }
+    val nL = leaves.length
+    val zeros = build(Seq.fill(nChunks)(0L), Seq.fill(nL)(0L), 0, 0, 0, 0)
+    val starts = zeros.map(_.length).scanLeft(0L)(_ + _)
+    val chunkAddrs = (0 until nChunks).map(i => starts(1 + i))
+    val leafAddrs = (0 until nL).map(i => starts(1 + nChunks + i))
+    val hasInternal = nL > 1
+    val rootAddr = if (hasInternal) starts(1 + nChunks + nL) else leafAddrs.head
+    val off = 1 + nChunks + nL + (if (hasInternal) 1 else 0)
+    val parts = build(chunkAddrs, leafAddrs, rootAddr,
+      starts(off), starts(off + 1), starts(off + 2))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("v2 B-tree: record-count sweep across depth-0 and depth-1 trees") {
+    for (nChunks <- Seq(1, 5, 20, 21, 45, 100)) {
+      val f = java.io.File.createTempFile(s"graft_bt${nChunks}_", ".h5")
+      writeBt2N(f.getPath, nChunks)
+      val got = Hdf5.readVariable(spark, f.getPath, "bt").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val expected = (for (r <- 0 until 2; c <- 0 until nChunks)
+        yield (r, c) -> (100.0 * r + c)).toMap
+      assert(got == expected, s"nChunks=$nChunks")
+      f.delete()
+    }
+  }
+
   test("unlimited dims: extensible-array index (filtered, unallocated tail chunk)") {
     val f = java.io.File.createTempFile("graft_ul_", ".h5")
     writeUnlimited(f.getPath)
