@@ -226,6 +226,24 @@ class ZarrSpec extends AnyFunSuite {
     assert(back == expected)
   }
 
+  test("zarr store through the indicator pipeline end to end") {
+    // the reference's user journey — xr.open_dataset(store) then an
+    // indicator — as: Zarr read -> long frame -> registry indicator
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
+    graft.sources.Zarr.plantedStore(root.getPath) // tas double[6,5,4], CF-unpacked
+    graft.indicator.Registry.registerBuiltins()
+    val daily = graft.sources.Zarr.readVariable(spark, root.getPath, "tas")
+      .groupBy(col("y") * 4 + col("x")).agg(avg(col("value")))
+      .toDF("location_id", "value")
+      .withColumn("time", to_timestamp(lit("2001-07-01")))
+      .select(col("location_id").cast("long"), col("time"), col("value") - 273.15)
+      .toDF("location_id", "time", "value")
+    val out = graft.indicator.Registry("tg_mean")(daily, "YS")
+    assert(out.count() == 20) // 5x4 grid cells, one annual row each
+    assert(out.columns.contains("value"))
+  }
+
   test("store-level readMeta + parquet-lake conversion") {
     val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
     writeTas(root)
