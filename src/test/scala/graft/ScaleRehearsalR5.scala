@@ -106,6 +106,44 @@ object ScaleRehearsalR5 {
     val cut = graft.pipeline.Dedup.jaccardPairsByIndex(
       docs, "doc_id", "text", Seq("blk"), 2, 0.5, dfCut = 64).count()
     println(f"[rehearsal] df-cut join (60k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s, $cut pairs")
+
+    // ---- streaming near-dup ingest: per-batch cost across a growing corpus ----
+    {
+      import graft.streaming.StatefulDedup
+      import graft.streaming.StatefulDedup.Doc
+      implicit val sqlCtx = spark.sqlContext
+      val srng = new scala.util.Random(9)
+      def sdoc(): String =
+        Seq.fill(12)(s"t${srng.nextInt(5000)}").mkString(" ")
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+      // 4 bands x 4 rows: FP rate ~ J^4 per band, so candidate volume is
+      // governed by real overlap, not corpus-squared noise
+      val q = StatefulDedup.lshCandidates(in.toDS(), ngram = 2,
+          numHashes = 16, bands = 4).writeStream
+        .format("memory").queryName("rehearsal_lsh").outputMode("append").start()
+      val qe = StatefulDedup.exactDedup(in.toDS()).writeStream
+        .format("memory").queryName("rehearsal_exact").outputMode("append").start()
+      try {
+        var id = 0L
+        for (batch <- 1 to 4) {
+          val docs = (0 until 10000).map { _ =>
+            id += 1
+            // 10% exact dups of earlier ids keep bucket state realistic
+            // 10% exact dups across 50 disjoint clone classes (class texts
+            // share no n-gram, so cross-class J = 0)
+            if (id % 10 == 0) Doc(id, Seq.fill(6)(s"c${id % 500}").mkString(" "))
+            else Doc(id, sdoc())
+          }
+          val tb = System.nanoTime()
+          in.addData(docs)
+          q.processAllAvailable(); qe.processAllAvailable()
+          println(f"[rehearsal] streaming batch $batch (10k docs, corpus ${id}): " +
+            f"${(System.nanoTime() - tb) / 1e9}%.2f s, " +
+            s"cands=${spark.table("rehearsal_lsh").count()}, " +
+            s"dups=${spark.table("rehearsal_exact").where("not isFirst").count()}")
+        }
+      } finally { q.stop(); qe.stop() }
+    }
     spark.stop()
   }
 }
