@@ -30,10 +30,16 @@ import java.util.zip.Inflater
   * chunk table → mapPartitions), so ingestion parallelism is bounded by
   * chunk count, not by a driver scan.
   *
-  * Out of scope (documented): dense fractal-heap groups, paged
-  * extensible-array data blocks and v2-B-tree depths > 1 (≳10^5 chunks
-  * per dataset), variable-length and compound datatypes, szip; metadata
-  * checksums are not verified.
+  * "Latest" groups are read in BOTH storage phases: compact (link
+  * messages in the group header) and dense (link bodies in a fractal
+  * heap behind the name-index v2 B-tree — what the library switches to
+  * past ~8 links, i.e. any real multi-variable file).
+  *
+  * Out of scope (documented): paged extensible-array data blocks and
+  * v2-B-tree depths > 1 (≳10^5 chunks per dataset), nested fractal-heap
+  * indirect blocks (≳4 MiB of link records in one group),
+  * variable-length and compound datatypes, szip; metadata checksums are
+  * not verified.
   */
 object Hdf5 {
 
@@ -118,36 +124,134 @@ object Hdf5 {
   }
 
   /** Collect (link name, object header address) pairs from a "latest"
-    * compact group: hard-link messages (0x0006) stored directly in the
-    * group's v2 object header. Dense groups (links in a fractal heap via
-    * Link Info) are rejected with a clear error. */
+    * group — compact (hard-link messages 0x0006 stored directly in the
+    * group's v2 object header) and dense (link bodies in a fractal heap,
+    * reached through the Link Info message; the storage the library
+    * switches to past ~8 links, i.e. any real multi-variable file). */
   private def linkEntries(r: Reader, ohAddr: Long): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var fheap = Undef; var nameBt = Undef
     foreachMessage(r, ohAddr) { (t, _, body) =>
       if (t == 0x0006) {
         r.seek(body)
-        val v = r.u8(); require(v == 1, s"link message v$v")
-        val flags = r.u8()
-        val linkType = if ((flags & 0x08) != 0) r.u8() else 0
-        if ((flags & 0x04) != 0) r.skip(8) // creation order
-        if ((flags & 0x10) != 0) r.skip(1) // charset
-        val nameLen = (flags & 0x03) match {
-          case 0 => r.u8().toLong
-          case 1 => r.u16().toLong
-          case 2 => r.u32()
-          case _ => r.u64()
-        }
-        val name = new String(r.bytes(nameLen.toInt), "UTF-8")
-        if (linkType == 0) out += ((name, r.u64())) // hard link: OH address
-      } else if (t == 0x0002) { // link info: dense storage check
+        parseLinkBody(r).foreach(out += _)
+      } else if (t == 0x0002) { // link info: dense storage location
         r.seek(body)
         r.u8(); val flags = r.u8()
-        if ((flags & 0x01) != 0) r.skip(8)
-        val fheap = r.u64()
-        require(fheap == Undef, "dense (fractal-heap) groups not supported")
+        if ((flags & 0x01) != 0) r.skip(8) // max creation index
+        fheap = r.u64()
+        nameBt = r.u64()
       }
     }
+    if (fheap != Undef) out ++= denseLinks(r, fheap, nameBt)
     out.toSeq
+  }
+
+  /** Link message body, shared by compact messages and dense heap
+    * objects (identical encoding per the spec). Returns None for
+    * soft/external links (never produced for netCDF-4 variables). */
+  private def parseLinkBody(r: Reader): Option[(String, Long)] = {
+    val v = r.u8(); require(v == 1, s"link message v$v")
+    val flags = r.u8()
+    val linkType = if ((flags & 0x08) != 0) r.u8() else 0
+    if ((flags & 0x04) != 0) r.skip(8) // creation order
+    if ((flags & 0x10) != 0) r.skip(1) // charset
+    val nameLen = (flags & 0x03) match {
+      case 0 => r.u8().toLong
+      case 1 => r.u16().toLong
+      case 2 => r.u32()
+      case _ => r.u64()
+    }
+    val name = new String(r.bytes(nameLen.toInt), "UTF-8")
+    if (linkType == 0) Some((name, r.u64())) else None // hard link: OH address
+  }
+
+  /** Dense group storage: link-message bodies live as MANAGED objects in
+    * a fractal heap ("FRHP" header, "FHDB" direct / "FHIB" indirect
+    * blocks) and are located via the name-index v2 B-tree (record type 5
+    * = {name hash, heap ID}). Every record is visited, so the hash — a
+    * lookup aid — is skipped, and record order is irrelevant.
+    *
+    * A managed heap ID is (flags, heap offset, object length); the
+    * offset is in HEAP space, which linearizes the doubling table's
+    * blocks including their headers, so a block with offset `bo` at file
+    * address `a` holds heap offset `o` at file `a + (o - bo)`. Direct
+    * block sizes start at `startSize` (rows 0-1 of the table) and double
+    * each row after. Supported: unfiltered heaps whose root is a direct
+    * block or an indirect block of direct blocks — with the library's
+    * 64 KiB max direct blocks that is ~4 MiB of link records, far beyond
+    * any real group; huge/tiny heap IDs and deeper nesting are rejected,
+    * not misread. */
+  private def denseLinks(r: Reader, fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
+    // fractal heap header → doubling-table geometry
+    r.seek(fheapAddr)
+    require(new String(r.bytes(4), "ASCII") == "FRHP", "bad fractal heap signature")
+    require(r.u8() == 0, "fractal heap version")
+    val idLen = r.u16()
+    require(r.u16() == 0, "filtered fractal heaps not supported") // I/O filter info length
+    r.skip(1) // flags (bit 1 = direct blocks checksummed; header size unaffected)
+    val maxManSize = r.u32()
+    r.skip(8 + 8)         // next huge id, huge-object v2 B-tree
+    r.skip(8 + 8)         // free space, free-space manager
+    r.skip(8 + 8 + 8 + 8) // managed space, allocated space, iterator offset, managed count
+    r.skip(8 + 8 + 8 + 8) // huge size, huge count, tiny size, tiny count
+    val tableWidth = r.u16()
+    val startSize = r.u64()
+    val maxDirectSize = r.u64()
+    val maxHeapBits = r.u16()
+    r.skip(2) // starting rows in root indirect block
+    val rootAddr = r.u64()
+    val curRows = r.u16()
+    // heap ID field widths, as the library computes them (H5HF hdr):
+    // offset = bytes for the heap-space address width; length = bytes for
+    // an offset inside the largest direct block, capped by the bytes the
+    // max managed object size needs.
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = math.min(log2Floor(maxDirectSize) / 8 + (if (log2Floor(maxDirectSize) % 8 == 0) 0 else 1),
+                           log2Floor(math.max(maxManSize, 1)) / 8 + 1)
+    require(1 + offSize + lenSize <= idLen, s"heap ID geometry ($idLen vs $offSize/$lenSize)")
+
+    // direct-block map: (heap-space offset, size, file address)
+    val rowSize = (row: Int) => if (row < 2) startSize else startSize << (row - 1)
+    val blocks: Seq[(Long, Long, Long)] =
+      if (curRows == 0) Seq((0L, startSize, rootAddr))
+      else {
+        val maxDirectRows = log2Floor(maxDirectSize) - log2Floor(startSize) + 2
+        require(curRows <= maxDirectRows,
+          s"nested indirect fractal-heap blocks not supported ($curRows rows)")
+        r.seek(rootAddr)
+        require(new String(r.bytes(4), "ASCII") == "FHIB", "bad fractal heap indirect block")
+        require(r.u8() == 0, "indirect block version")
+        r.skip(8 + offSize) // heap header address, block offset
+        var heapOff = 0L
+        (0 until curRows).flatMap { row =>
+          (0 until tableWidth).flatMap { _ =>
+            val addr = r.u64()
+            val bo = heapOff; heapOff += rowSize(row)
+            if (addr == Undef) None else Some((bo, rowSize(row), addr))
+          }
+        }
+      }
+    def resolve(off: Long): Long = {
+      val (bo, _, addr) = blocks.find { case (bo, sz, _) => off >= bo && off < bo + sz }
+        .getOrElse(throw new IllegalArgumentException(s"heap offset $off outside allocated blocks"))
+      addr + (off - bo)
+    }
+
+    // name-index v2 B-tree records → heap IDs → link bodies
+    val ids = v2BtreeAll(r, nameBtAddr, _ == 5) { (_, recSize) => () =>
+      r.skip(4) // name hash
+      r.bytes(recSize - 4)
+    }
+    ids.map { id =>
+      require((id(0) & 0xF0) == 0, s"non-managed heap ID (flags ${id(0)})")
+      var off = 0L
+      (0 until offSize).foreach(i => off |= (id(1 + i) & 0xFFL) << (8 * i))
+      (resolve(off), ())
+    }.flatMap { case (fileAddr, _) =>
+      r.seek(fileAddr)
+      parseLinkBody(r)
+    }
   }
 
   private def rootSymbolTable(r: Reader, ohAddr: Long): (Long, Long) = {
@@ -621,30 +725,12 @@ object Hdf5 {
     * chunks. Tree depths 0 and 1 are supported (a depth-2 chunk tree
     * needs ~10^5 chunks per file); checksums are not verified. */
   private def v2BtreeChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
-    r.seek(ds.chunkBtree)
-    require(new String(r.bytes(4), "ASCII") == "BTHD", "bad v2 B-tree header")
-    require(r.u8() == 0, "v2 B-tree version")
-    val btType = r.u8()
-    require(btType == 10 || btType == 11, s"v2 B-tree type $btType (not a chunk index)")
-    val nodeSize = r.u32()
-    val recSize = r.u16()
-    val depth = r.u16()
-    r.skip(1 + 1) // split / merge percent
-    val rootAddr = r.u64()
-    val rootNrec = r.u16()
-    r.skip(8) // total records in tree
-    require(depth <= 1, s"v2 B-tree depth $depth not supported")
-
     val rank = ds.chunkDims.length - 1 // chunkDims carries trailing elem size
     val cdims = ds.chunkDims.dropRight(1)
     val chunkBytes = ds.chunkDims.product
-    def encBytes(x: Long): Int = math.max(1, (log2Floor(math.max(x, 1)) + 8) / 8)
-    val leafCapacity = (nodeSize - 10) / recSize // sig+ver+type+checksum = 10
-    val nrecWidth = encBytes(leafCapacity)
-
-    def readRecord(): Chunk = {
+    v2BtreeAll(r, ds.chunkBtree, t => t == 10 || t == 11) { (btType, recSize) => () =>
       val addr = r.u64()
-      val (stored, _) =
+      val stored =
         if (btType == 11) {
           val szWidth = recSize - 8 - 4 - 8 * rank
           val sz = szWidth match {
@@ -656,12 +742,41 @@ object Hdf5 {
             case o => throw new IllegalArgumentException(s"chunk-size width $o")
           }
           r.skip(4) // filter mask
-          (sz, ())
-        } else (chunkBytes, ())
+          sz
+        } else chunkBytes
       val offs = (0 until rank).map(i => r.u64() * cdims(i))
       Chunk(addr, stored, offs)
     }
-    def readLeaf(addr: Long, nrec: Int): Seq[Chunk] = {
+  }
+
+  /** Generic v2-B-tree record walk ("BTHD" header → "BTIN"/"BTLF"
+    * nodes), shared by the chunk indexes (types 10/11) and the dense-
+    * group name index (type 5). `mk(btType, recSize)` builds the
+    * per-record reader, invoked with `r` positioned at each record;
+    * leaf records and internal-node separator records are all returned
+    * (order unspecified). Depths 0 and 1 only; checksums unverified. */
+  private def v2BtreeAll[A](r: Reader, hdrAddr: Long, typeOk: Int => Boolean)
+                           (mk: (Int, Int) => () => A): Seq[A] = {
+    r.seek(hdrAddr)
+    require(new String(r.bytes(4), "ASCII") == "BTHD", "bad v2 B-tree header")
+    require(r.u8() == 0, "v2 B-tree version")
+    val btType = r.u8()
+    require(typeOk(btType), s"unexpected v2 B-tree type $btType")
+    val nodeSize = r.u32()
+    val recSize = r.u16()
+    val depth = r.u16()
+    r.skip(1 + 1) // split / merge percent
+    val rootAddr = r.u64()
+    val rootNrec = r.u16()
+    r.skip(8) // total records in tree
+    require(depth <= 1, s"v2 B-tree depth $depth not supported")
+
+    def encBytes(x: Long): Int = math.max(1, (log2Floor(math.max(x, 1)) + 8) / 8)
+    val leafCapacity = (nodeSize - 10) / recSize // sig+ver+type+checksum = 10
+    val nrecWidth = encBytes(leafCapacity)
+    val readRecord = mk(btType, recSize)
+
+    def readLeaf(addr: Long, nrec: Int): Seq[A] = {
       r.seek(addr)
       require(new String(r.bytes(4), "ASCII") == "BTLF", "bad v2 B-tree leaf")
       require(r.u8() == 0, "leaf version")

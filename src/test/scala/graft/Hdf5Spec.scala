@@ -908,4 +908,199 @@ class Hdf5Spec extends AnyFunSuite {
     val y = Hdf5.readVariable(spark, f.getPath, "y").orderBy("i0").collect()
     assert(y.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
   }
+
+  // ------- dense (fractal-heap) groups: the "latest" storage past ~8 links -------
+
+  /** A "latest" file whose root group is DENSE: link bodies are managed
+    * objects in a fractal heap (FRHP; single root direct block, or a
+    * root indirect block over a doubling table of direct blocks once one
+    * fills), indexed by a name v2 B-tree (type-5 records {hash, heap
+    * ID}; depth 0, or depth 1 past one leaf's capacity). `n` contiguous
+    * double[2] datasets v000..; geometry mirrors the library defaults
+    * scaled down: width 4, 512-byte starting blocks, 64 KiB max direct,
+    * 32-bit heap offsets, 7-byte heap IDs. */
+  private def writeDenseN(path: String, n: Int): Unit = {
+    def buf(m: Int) = ByteBuffer.allocate(m).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    def dspace2(dims: Long*): Array[Byte] = {
+      val b = buf(4 + 8 * dims.length)
+      b.put(2.toByte).put(dims.length.toByte).put(0.toByte).put(1.toByte)
+      dims.foreach(b.putLong); b.array()
+    }
+    def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
+      msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
+
+    val names = (0 until n).map(i => f"v$i%03d")
+    def linkBody(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("ASCII")
+      buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+        .put(nm.length.toByte).put(nm).putLong(addr).array()
+    }
+    // ---- heap geometry (library defaults, scaled-down start size)
+    val width = 4; val startSize = 512; val fhdbHdr = 17 // sig+ver+heapHdr+4B offset
+    def rowSize(block: Int): Int = { val row = block / width; if (row < 2) startSize else startSize << (row - 1) }
+    val bodySize = names.map(nm => 3 + nm.length + 8)
+    // pack bodies into blocks in table order; (block, offset-within-block)
+    var blk = 0; var off = fhdbHdr
+    val placed = bodySize.map { sz =>
+      if (off + sz > rowSize(blk)) { blk = blk + 1; off = fhdbHdr }
+      val p = (blk, off); off += sz; p
+    }
+    val nBlocks = blk + 1
+    val blockHeapOff = (0 until nBlocks).scanLeft(0L)((acc, b) => acc + rowSize(b))
+    val curRows = if (nBlocks == 1) 0 else (nBlocks + width - 1) / width
+    // 7-byte managed heap IDs: flags, 32-bit heap offset, 16-bit length
+    val heapIds: Seq[Array[Byte]] = placed.zip(bodySize).map { case ((b, o), sz) =>
+      buf(7).put(0.toByte).putInt((blockHeapOff(b) + o).toInt).putShort(sz.toShort).array()
+    }
+    // ---- name-index v2 B-tree shape: 512-byte nodes, 11-byte records
+    val leafCap = (512 - 10) / 11 // 45
+    val recIdx = names.indices
+    val (leafIdx, sepIdx): (Seq[Seq[Int]], Seq[Int]) =
+      if (n <= leafCap) (Seq(recIdx), Nil)
+      else {
+        val ls = scala.collection.mutable.Buffer.empty[Seq[Int]]
+        val ss = scala.collection.mutable.Buffer.empty[Int]
+        var rem = recIdx: Seq[Int]
+        while (rem.nonEmpty) {
+          val take = math.min(30, rem.length)
+          ls += rem.take(take); rem = rem.drop(take)
+          if (rem.nonEmpty) { ss += rem.head; rem = rem.tail }
+        }
+        if (ls.length == ss.length) ls += Seq.empty // separator count = children - 1
+        (ls.toSeq, ss.toSeq)
+      }
+    val depth = if (sepIdx.isEmpty) 0 else 1
+
+    def build(dataA: Seq[Long], ohA: Seq[Long], fhdbA: Seq[Long], fhibA: Long,
+              frhpA: Long, leafA: Seq[Long], btinA: Long, bthdA: Long,
+              rootOH: Long): Seq[Array[Byte]] = {
+      val dataParts = names.indices.map { i =>
+        buf(16).putDouble(i * 1.0).putDouble(i + 0.5).array()
+      }
+      val ohParts = names.indices.map { i =>
+        ohdr2(msg2(0x01, dspace2(2L)), msg2(0x03, dtypeDouble),
+          layoutV4Contig(dataA(i), 16L))
+      }
+      val fhdbParts = (0 until nBlocks).map { b =>
+        val bb = buf(rowSize(b))
+        bb.put("FHDB".getBytes("ASCII")).put(0.toByte).putLong(frhpA)
+          .putInt(blockHeapOff(b).toInt)
+        placed.zip(names.indices).foreach { case ((pb, po), i) =>
+          if (pb == b) { bb.position(po); bb.put(linkBody(names(i), ohA(i))) }
+        }
+        bb.array()
+      }
+      val fhibPart =
+        if (curRows == 0) Array.empty[Byte]
+        else {
+          val bb = buf(4 + 1 + 8 + 4 + curRows * width * 8 + 4)
+          bb.put("FHIB".getBytes("ASCII")).put(0.toByte).putLong(frhpA).putInt(0)
+          (0 until curRows * width).foreach { b =>
+            bb.putLong(if (b < nBlocks) fhdbA(b) else -1L)
+          }
+          bb.putInt(0).array() // checksum
+        }
+      val frhpPart = {
+        val bb = buf(146)
+        bb.put("FRHP".getBytes("ASCII")).put(0.toByte)
+          .putShort(7).putShort(0).put(0.toByte).putInt(4096) // idLen, filters, flags, maxManSize
+          .putLong(0L).putLong(-1L)   // next huge id, huge B-tree
+          .putLong(0L).putLong(-1L)   // free space, free-space manager
+          .putLong(blockHeapOff(nBlocks)).putLong(blockHeapOff(nBlocks)) // managed, allocated
+          .putLong(blockHeapOff(nBlocks)).putLong(n.toLong) // iterator offset, managed count
+          .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny sizes+counts
+          .putShort(width.toShort).putLong(startSize.toLong).putLong(65536L)
+          .putShort(32).putShort(4) // max heap bits, starting rows
+          .putLong(if (curRows == 0) fhdbA(0) else fhibA).putShort(curRows.toShort)
+          .putInt(0) // checksum
+        bb.array()
+      }
+      def rec(bb: ByteBuffer, i: Int): Unit = {
+        bb.putInt(i * 0x61C88647) // stand-in for the Jenkins name hash (skipped on read)
+        bb.put(heapIds(i))
+      }
+      val leafParts = leafIdx.map { idxs =>
+        val bb = buf(6 + 11 * idxs.length + 4)
+        bb.put("BTLF".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+        idxs.foreach(rec(bb, _)); bb.putInt(0).array()
+      }
+      val btinPart =
+        if (depth == 0) Array.empty[Byte]
+        else {
+          val bb = buf(6 + 11 * sepIdx.length + (leafIdx.length * 9) + 4)
+          bb.put("BTIN".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+          sepIdx.foreach(rec(bb, _))
+          leafIdx.zipWithIndex.foreach { case (idxs, li) =>
+            bb.putLong(leafA(li)).put(idxs.length.toByte) // nrec width 1 (cap 45)
+          }
+          bb.putInt(0).array()
+        }
+      val bthdPart = {
+        val bb = buf(38)
+        bb.put("BTHD".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+          .putInt(512).putShort(11)
+          .putShort(depth.toShort).put(100.toByte).put(40.toByte)
+          .putLong(if (depth == 0) leafA(0) else btinA)
+          .putShort((if (depth == 0) n else sepIdx.length).toShort)
+          .putLong(n.toLong).putInt(0)
+        bb.array()
+      }
+      val rootPart = ohdr2(
+        msg2(0x02, buf(18).put(0.toByte).put(0.toByte).putLong(frhpA).putLong(bthdA).array()))
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootPart.length).putLong(rootOH).putInt(0)
+      Seq(sb.array()) ++ dataParts ++ ohParts ++ fhdbParts ++
+        Seq(fhibPart, frhpPart) ++ leafParts ++ Seq(btinPart, bthdPart, rootPart)
+    }
+
+    val zeros = Seq.fill(names.length)(0L)
+    val sizes = build(zeros, zeros, Seq.fill(nBlocks)(0L), 0L, 0L,
+      Seq.fill(leafIdx.length)(0L), 0L, 0L, 0L).map(_.length)
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val dataA = names.indices.map(i => starts(1 + i))
+    val ohA = names.indices.map(i => starts(1 + n + i))
+    val fhdbA = (0 until nBlocks).map(b => starts(1 + 2 * n + b))
+    val base = 1 + 2 * n + nBlocks
+    val leafA = leafIdx.indices.map(li => starts(base + 2 + li))
+    val parts = build(dataA, ohA, fhdbA, starts(base), starts(base + 1),
+      leafA, starts(base + 2 + leafIdx.length), starts(base + 3 + leafIdx.length),
+      starts(base + 4 + leafIdx.length))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("dense groups: fractal-heap links via the name-index v2 B-tree") {
+    // 1/9/45: root direct block, depth-0 name index (45 = one full leaf);
+    // 46: depth-1 index; 300: doubling-table indirect block (3 rows, one
+    // 1024-byte block, 3 unallocated tail entries) + multi-leaf index
+    for (n <- Seq(1, 9, 45, 46, 300)) {
+      val f = java.io.File.createTempFile(s"graft_dense${n}_", ".h5")
+      writeDenseN(f.getPath, n)
+      val meta = Hdf5.readMeta(f.getPath)
+      assert(meta.map(_.name).sorted == (0 until n).map(i => f"v$i%03d"), s"n=$n")
+      for (i <- Seq(0, n / 2, n - 1).distinct) {
+        val rows = Hdf5.readVariable(spark, f.getPath, f"v$i%03d").orderBy("i0").collect()
+        assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"n=$n v=$i")
+      }
+      f.delete()
+    }
+  }
 }
