@@ -5612,6 +5612,33 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("blk", lit(1)),
           "doc_id", "text", Seq("blk"), ngram = 3, threshold = 0.6, dfCut = 20)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    "q_media_metadata" -> ((s, dir) => {
+      // Compressed-container metadata WITHOUT a codec — the formats the
+      // JDK cannot decode still yield the fields corpus filtering keys
+      // on. Planted MPEG1 Layer-III streams (Multimodal.plantedMp3:
+      // 128 kbps / 44.1 kHz, frames = 200 + id%9·25, alternating padding
+      // bit, ID3v2 head + ID3v1 tail) and ISO-BMFF boxes (plantedMp4:
+      // timescale-1000 mvhd, 16.16 tkhd geometry) are parsed executor-
+      // side by frame-header / box-tree walks (Multimodal.mp3Meta /
+      // mp4Meta via extractMediaMeta — a narrow mapPartitions kernel, so
+      // payload bytes never shuffle). Duration, rate, nominal bitrate,
+      // byte size and geometry all match the closed forms the oracle
+      // computes from (id) alone.
+      val mkMp3 = udf((id: Long) =>
+        graft.pipeline.Multimodal.plantedMp3(id, (200 + (id % 9) * 25).toInt))
+      val mkMp4 = udf((id: Long) => graft.pipeline.Multimodal.plantedMp4(
+        id, (320 + (id % 5) * 16).toInt, (240 + (id % 3) * 16).toInt,
+        1000 + (id % 11) * 250))
+      val docs = t(s, dir, "documents")
+      val audio = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          mkMp3(col("doc_id")).as("payload"))
+      val video = docs.filter(col("doc_id") % 50 === 25)
+        .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+          mkMp4(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractMediaMeta(audio.unionByName(video))
     })
   )
 
@@ -5654,7 +5681,26 @@ object SparkEntry {
         |select id_a, id_b,
         |  round(cast(common as double)/(sa.sz + sb.sz - common), 6) jaccard
         |from com join sz sa on sa.doc_id = id_a join sz sb on sb.doc_id = id_b
-        |where round(cast(common as double)/(sa.sz + sb.sz - common), 6) >= 0.6""".stripMargin
+        |where round(cast(common as double)/(sa.sz + sb.sz - common), 6) >= 0.6""".stripMargin,
+
+    "q_media_metadata" ->
+      """select doc_id media_id, 'audio' modality, 'mpeg-audio' container,
+        |  cast((10 + (doc_id % 7) * 16)
+        |    + (200 + (doc_id % 9) * 25) * 417
+        |    + ((200 + (doc_id % 9) * 25) // 2) + 128 as bigint) n_bytes,
+        |  cast(((200 + (doc_id % 9) * 25) * 1152 * 1000) // 44100 as bigint) duration_ms,
+        |  cast(44100 as int) sample_rate, cast(128 as int) bit_rate_kbps,
+        |  cast(200 + (doc_id % 9) * 25 as bigint) frames,
+        |  cast(null as int) width, cast(null as int) height
+        |from documents where doc_id % 50 = 0
+        |union all
+        |select doc_id, 'video', 'isobmff',
+        |  cast(304 + doc_id % 32 as bigint),
+        |  cast(1000 + (doc_id % 11) * 250 as bigint),
+        |  cast(null as int), cast(null as int), cast(null as bigint),
+        |  cast(320 + (doc_id % 5) * 16 as int),
+        |  cast(240 + (doc_id % 3) * 16 as int)
+        |from documents where doc_id % 50 = 25""".stripMargin
   )
 
 }

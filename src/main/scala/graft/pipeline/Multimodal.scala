@@ -444,6 +444,214 @@ object Multimodal {
     buf.array()
   }
 
+  // ------- compressed-container metadata (no codec needed) -------
+
+  /** MPEG-audio (mp3) stream metadata WITHOUT decoding: walks Layer-III
+    * frame headers (sync pattern, version, bitrate/sample-rate indexes,
+    * padding bit) and sums per-frame sample counts — duration, rate and
+    * nominal bitrate live in the container structure, not the DCT data,
+    * so a pure-JVM header walk recovers exactly what a filtering/
+    * bucketing pipeline needs from formats the JDK cannot decode. An
+    * ID3v2 prefix is skipped via its syncsafe size, an ID3v1 "TAG" tail
+    * ends the walk, and the first corrupt sync stops parsing (never
+    * throws — crafted bytes return what was walked so far, or null).
+    * Returns [frames, sampleRate, firstFrameKbps, durationMs] or null
+    * when no valid frame exists. */
+  def mp3Meta(payload: Array[Byte]): Array[Long] = {
+    if (payload == null || payload.length < 4) return null
+    var p = 0
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+               ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      p = 10 + sz
+    }
+    // Layer III bitrate (kbps) and MPEG1 sample-rate tables; MPEG2/2.5
+    // rates are the MPEG1 rates halved/quartered.
+    val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    val srMpeg1 = Array(44100, 48000, 32000)
+    var frames = 0L; var samples = 0L; var rate = 0L; var kbps0 = 0L
+    var ok = true
+    while (ok && p + 4 <= payload.length) {
+      val b1 = payload(p) & 0xFF; val b2 = payload(p + 1) & 0xFF
+      val b3 = payload(p + 2) & 0xFF
+      if (b1 == 0xFF && (b2 & 0xE0) == 0xE0) {
+        val verBits = (b2 >> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (b2 >> 1) & 3 // 1=Layer III
+        val brIdx = (b3 >> 4) & 0xF; val srIdx = (b3 >> 2) & 3; val pad = (b3 >> 1) & 1
+        if (layerBits != 1 || verBits == 1 || brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+        else {
+          val mpeg1 = verBits == 3
+          val kbps = (if (mpeg1) brMpeg1 else brMpeg2)(brIdx)
+          val sr = srMpeg1(srIdx) / (verBits match { case 3 => 1; case 2 => 2; case _ => 4 })
+          val spf = if (mpeg1) 1152 else 576
+          val flen = spf / 8 * kbps * 1000 / sr + pad // >= 26, so the walk always advances
+          if (frames == 0) { rate = sr; kbps0 = kbps }
+          frames += 1; samples += spf
+          p += flen
+        }
+      } else if (p + 3 <= payload.length &&
+                 payload(p) == 'T' && payload(p + 1) == 'A' && payload(p + 2) == 'G') {
+        p = payload.length // ID3v1 tail
+      } else ok = false
+    }
+    if (frames == 0) null else Array(frames, rate, kbps0, samples * 1000 / rate)
+  }
+
+  /** ISO-BMFF (mp4/mov) container metadata WITHOUT decoding: walks the
+    * box tree for moov/mvhd (timescale + duration, versions 0 and 1) and
+    * trak/tkhd (track count; presentation geometry in 16.16 fixed
+    * point, max across tracks). Corrupt sizes (zero, negative 64-bit,
+    * past-the-end) stop the walk rather than throw — same fuzz posture
+    * as the RIFF decoders. Returns [durationMs, tracks, width, height]
+    * or null when neither ftyp nor moov appears at any walked level. */
+  def mp4Meta(payload: Array[Byte]): Array[Long] = {
+    if (payload == null || payload.length < 8) return null
+    val bb = java.nio.ByteBuffer.wrap(payload) // ISO-BMFF is big-endian
+    def u32(p: Int): Long = bb.getInt(p) & 0xFFFFFFFFL
+    var durMs = -1L; var tracks = 0L; var w = 0L; var h = 0L
+    var sawBmff = false
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return // real trees are ~4 deep; crafted nesting stops here
+      var p = start
+      var good = true
+      while (good && p + 8 <= end) {
+        var size = u32(p.toInt)
+        val tpe = new String(payload, p.toInt + 4, 4, "US-ASCII")
+        var hdr = 8L
+        if (size == 1 && p + 16 <= end) { size = bb.getLong(p.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - p // last box extends to end
+        if (size < hdr || p + size > end) good = false
+        else {
+          val body = p + hdr
+          tpe match {
+            case "ftyp" => sawBmff = true
+            case "moov" => sawBmff = true; walk(body, p + size, depth + 1)
+            case "trak" => tracks += 1; walk(body, p + size, depth + 1)
+            case "mvhd" =>
+              val v = if (size >= hdr + 4) payload(body.toInt) & 0xFF else -1
+              if (v == 1 && size >= hdr + 32) {
+                val ts = u32(body.toInt + 20); val dur = bb.getLong(body.toInt + 24)
+                if (ts > 0 && dur >= 0) durMs = dur * 1000 / ts
+              } else if (v == 0 && size >= hdr + 20) {
+                val ts = u32(body.toInt + 12); val dur = u32(body.toInt + 16)
+                if (ts > 0) durMs = dur * 1000 / ts
+              }
+            case "tkhd" =>
+              val v = if (size >= hdr + 4) payload(body.toInt) & 0xFF else -1
+              val woff = if (v == 1) 88 else 76 // v1 widens 3 time fields by 4 each
+              if (v >= 0 && size >= hdr + woff + 8) {
+                w = math.max(w, u32(body.toInt + woff) >> 16)
+                h = math.max(h, u32(body.toInt + woff + 4) >> 16)
+              }
+            case _ => ()
+          }
+          p += size
+        }
+      }
+    }
+    walk(0, payload.length, 0)
+    if (!sawBmff) null else Array(durMs, tracks, w, h)
+  }
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("container", StringType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bit_rate_kbps", IntegerType, nullable = true),
+    StructField("frames", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Container-level metadata for COMPRESSED media the JDK cannot
+    * decode (mp3 audio via [[mp3Meta]], mp4/mov video via [[mp4Meta]]):
+    * duration, rate, nominal bitrate and geometry — the fields corpus
+    * filtering and bucketing actually key on — recovered from container
+    * structure alone; full decode stays behind the [[MediaDecoder]] JNI
+    * seam. Sniffs by CONTENT (ID3/frame-sync → mpeg-audio; box tree
+    * with ftyp/moov → isobmff), not by the modality tag, so mislabeled
+    * rows surface as container/modality disagreement. Same scale shape
+    * as [[extractFeatures]]: a narrow mapPartitions projection, payload
+    * bytes never shuffle; unrecognized payloads keep n_bytes for
+    * triage. */
+  def extractMediaMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaMetaSchema)
+    media.select("media_id", "modality", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val n = if (payload == null) 0L else payload.length.toLong
+        val mp3 = mp3Meta(payload)
+        val mp4 = if (mp3 == null) mp4Meta(payload) else null
+        if (mp3 != null)
+          Row(r.getLong(0), r.getString(1), "mpeg-audio", n,
+            mp3(3), mp3(1).toInt, mp3(2).toInt, mp3(0), null, null)
+        else if (mp4 != null)
+          Row(r.getLong(0), r.getString(1), "isobmff", n,
+            if (mp4(0) >= 0) mp4(0) else null, null, null, null,
+            if (mp4(2) > 0) mp4(2).toInt else null,
+            if (mp4(3) > 0) mp4(3).toInt else null)
+        else Row(r.getLong(0), r.getString(1), null, n,
+          null, null, null, null, null, null)
+      }
+    }(enc)
+  }
+
+  /** Deterministic planted MPEG1 Layer-III stream: `frames` 128 kbps,
+    * 44.1 kHz frame headers (padding bit alternating, so frame f is
+    * 417 + f mod 2 bytes) with id-seeded filler bodies (mod 97, never a
+    * sync byte), behind an ID3v2 tag of 10 + (id mod 7)·16 bytes and
+    * ahead of a 128-byte ID3v1 "TAG" tail. Every field the header walk
+    * reports has a closed form in (id, frames) an external SQL engine
+    * reproduces. */
+  def plantedMp3(id: Long, frames: Int): Array[Byte] = {
+    val id3 = 10 + (id % 7).toInt * 16
+    val frameLens = (0 until frames).map(f => 417 + (f % 2))
+    val out = new Array[Byte](id3 + frameLens.sum + 128)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+    val sz = id3 - 10
+    out(6) = ((sz >> 21) & 0x7F).toByte; out(7) = ((sz >> 14) & 0x7F).toByte
+    out(8) = ((sz >> 7) & 0x7F).toByte; out(9) = (sz & 0x7F).toByte
+    var p = id3
+    (0 until frames).foreach { f =>
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xFB.toByte                     // MPEG1, Layer III, no CRC
+      out(p + 2) = (0x90 | ((f % 2) << 1)).toByte  // 128 kbps, 44.1 kHz, padding
+      var i = 4
+      while (i < frameLens(f)) { out(p + i) = ((id * 31 + f * 7 + i) % 97).toByte; i += 1 }
+      p += frameLens(f)
+    }
+    out(p) = 'T'; out(p + 1) = 'A'; out(p + 2) = 'G'
+    out
+  }
+
+  /** Deterministic planted ISO-BMFF container: ftyp + moov{mvhd
+    * (version 0, timescale 1000, duration `durMs`) + trak{tkhd with
+    * 16.16 fixed-point w×h}} + an mdat of 64 + (id mod 32) id-seeded
+    * junk bytes — box-walk metadata with no codec data, total size
+    * 304 + (id mod 32). */
+  def plantedMp4(id: Long, w: Int, h: Int, durMs: Long): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body).array()
+    val mvhd = { // version 0: timescale at body offset 12, duration at 16
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(durMs.toInt)
+      bb.array()
+    }
+    val tkhd = { // version 0: width/height 16.16 fixed at body offset 76/80
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76); bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    val mdat = Array.tabulate(64 + (id % 32).toInt)(i => ((id * 13 + i) % 251).toByte)
+    box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd))) ++
+      box("mdat", mdat)
+  }
+
   /** STUB decoder kernel used by [[FakeDecoder]]: a real implementation
     * would decode the payload and run a feature extractor; here the feature
     * is a deterministic 8-dim vector derived from a rolling hash of the

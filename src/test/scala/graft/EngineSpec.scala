@@ -488,6 +488,43 @@ class EngineSpec extends AnyFunSuite {
     assert(dec.decode("video", Multimodal.plantedWav(1L, 10), 8) == null)
   }
 
+  test("mp3/mp4 container metadata: header walks with exact planted closed forms") {
+    import graft.pipeline.Multimodal
+    // MPEG1 Layer III: id=42 -> ID3v2 = 10 + (42%7)*16 = 10 bytes; the
+    // closed forms are independent of the writer+parser byte chain
+    val frames = 75
+    val m = Multimodal.mp3Meta(Multimodal.plantedMp3(42L, frames))
+    assert(m(0) == frames && m(1) == 44100L && m(2) == 128L)
+    assert(m(3) == frames.toLong * 1152 * 1000 / 44100)
+    assert(Multimodal.plantedMp3(42L, frames).length == 10 + frames * 417 + frames / 2 + 128)
+    assert(Multimodal.plantedMp3(3L, 10).length == 10 + 3 * 16 + 10 * 417 + 5 + 128)
+    // ISO-BMFF with version-0 mvhd/tkhd (timescale 1000)
+    val v = Multimodal.mp4Meta(Multimodal.plantedMp4(7L, 320, 240, 2250))
+    assert(v.sameElements(Array(2250L, 1L, 320L, 240L)))
+    assert(Multimodal.plantedMp4(7L, 320, 240, 2250).length == 304 + 7 % 32)
+    // version-1 mvhd/tkhd (64-bit times) hand-built: ts=600, dur=1800 -> 3000 ms
+    def boxBE(tpe: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body).array()
+    val mvhd1 = { val bb = java.nio.ByteBuffer.allocate(112)
+      bb.put(0, 1.toByte); bb.putInt(20, 600); bb.putLong(24, 1800L); bb.array() }
+    val tkhd1 = { val bb = java.nio.ByteBuffer.allocate(96)
+      bb.put(0, 1.toByte); bb.putInt(88, 100 << 16); bb.putInt(92, 50 << 16); bb.array() }
+    val moov1 = boxBE("moov", boxBE("mvhd", mvhd1) ++ boxBE("trak", boxBE("tkhd", tkhd1)))
+    assert(Multimodal.mp4Meta(moov1).sameElements(Array(3000L, 1L, 100L, 50L)))
+    // 64-bit largesize box (size field = 1) ahead of the moov
+    val big = java.nio.ByteBuffer.allocate(24)
+      .putInt(1).put("mdat".getBytes("US-ASCII")).putLong(24L).putLong(0xdeadL).array()
+    assert(Multimodal.mp4Meta(big ++ moov1).sameElements(Array(3000L, 1L, 100L, 50L)))
+    // non-media payloads -> null, not garbage
+    assert(Multimodal.mp3Meta("plain text content".getBytes) == null)
+    assert(Multimodal.mp4Meta("plain text content".getBytes) == null)
+    assert(Multimodal.mp3Meta(null) == null && Multimodal.mp4Meta(null) == null)
+    // mp3 walk survives a truncated final frame (header counted, walk ends)
+    val cut = Multimodal.plantedMp3(1L, 10)
+    assert(Multimodal.mp3Meta(cut.take(cut.length - 300))(0) >= 9L)
+  }
+
   test("AviDecoder: real uncompressed-AVI byte parse with exact planted stats") {
     import graft.pipeline.Multimodal
     val dec = new Multimodal.AviDecoder

@@ -404,6 +404,34 @@ class PropertySpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("container-metadata walks never throw on corrupt payloads (fuzz)") {
+    // Same contract as the decoders: every byte pattern yields metadata or
+    // null, never an exception — one malformed file must not kill a task.
+    import graft.pipeline.Multimodal
+    val rng = new scala.util.Random(20260814)
+    def check(p: Array[Byte]): Unit = { Multimodal.mp3Meta(p); Multimodal.mp4Meta(p) }
+    for (_ <- 1 to 200) check(Array.fill(rng.nextInt(400))(rng.nextInt.toByte))
+    val mp3 = Multimodal.plantedMp3(5L, 40)
+    val mp4 = Multimodal.plantedMp4(5L, 64, 48, 1500)
+    def mutate(src: Array[Byte]): Array[Byte] = {
+      val m = src.clone()
+      for (_ <- 0 to rng.nextInt(4)) m(rng.nextInt(m.length)) = rng.nextInt.toByte
+      m
+    }
+    for (_ <- 1 to 300) { check(mutate(mp3)); check(mutate(mp4)) }
+    for (cut <- 1 until mp4.length) check(mp4.take(cut))
+    for (cut <- 1 until mp3.length by 7) check(mp3.take(cut))
+    // deep crafted nesting must hit the depth cap, not the JVM stack:
+    // 100k nested moov headers, innermost holding a v0 mvhd
+    val nest = new Array[Byte](100000 * 8 + 8 + 100)
+    val bb = java.nio.ByteBuffer.wrap(nest)
+    for (i <- 0 until 100000) {
+      bb.putInt(i * 8, nest.length - i * 8); bb.put(i * 8 + 4, 'm'.toByte)
+      bb.put(i * 8 + 5, 'o'.toByte); bb.put(i * 8 + 6, 'o'.toByte); bb.put(i * 8 + 7, 'v'.toByte)
+    }
+    assert(Multimodal.mp4Meta(nest) != null) // saw moov; walk stayed bounded
+  }
+
   test("media decoders never throw on corrupt payloads (fuzz)") {
     // At corpus scale a decoder that throws on one malformed file kills the
     // task: every byte pattern must yield features or null, never an
