@@ -5639,6 +5639,50 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"), lit("video").as("modality"),
           mkMp4(col("doc_id")).as("payload"))
       graft.pipeline.Multimodal.extractMediaMeta(audio.unionByName(video))
+    }),
+
+    "q_pii_redaction" -> ((s, dir) => {
+      // PII scrub over the corpus: emails / dashed phones / IPv4 quads
+      // planted deterministically from doc_id (the word-salad corpus has
+      // none of its own), counted and redacted with typed placeholders —
+      // pure regexp Column expressions (TextStats.piiEmails/redactPii),
+      // codegen'd, patterns portable between Java regex and RE2 so the
+      // oracle replays the identical replacement. The redacted STRING
+      // itself is hash-compared, not just the counts.
+      import graft.pipeline.TextStats
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"), lit("@mail"),
+            (col("doc_id") % 3).cast("string"), lit(".org now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+            ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), planted.as("txt"))
+        .select(col("doc_id"),
+          TextStats.piiEmails(col("txt")).as("n_emails"),
+          TextStats.piiPhones(col("txt")).as("n_phones"),
+          TextStats.piiIps(col("txt")).as("n_ips"),
+          TextStats.redactPii(col("txt")).as("redacted"))
+    }),
+
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // C4-style paragraph-level exact dedup: texts rebuilt as 4 planted
+      // '|'-separated paragraphs drawn from a 37-slot pool (slot 4 always
+      // repeats slot 1, so within-doc repeats are exercised alongside
+      // cross-doc collisions); each distinct paragraph survives only at
+      // its smallest (doc, position). Ownership travels as (id, pos,
+      // hash) triples — paragraph text never enters the dedup shuffle
+      // (pipeline/Dedup.paragraphDedup); the oracle replays the rule
+      // with a row_number window over the paragraph text itself.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("p"), (col("doc_id") % 37).cast("string"),
+          lit("|p"), ((col("doc_id") * 7) % 37).cast("string"),
+          lit("|p"), ((col("doc_id") * 13 + 5) % 37).cast("string"),
+          lit("|p"), (col("doc_id") % 37).cast("string")).as("text"))
+      Dedup.paragraphDedup(d, "doc_id", "text", "|")
     })
   )
 
@@ -5700,7 +5744,42 @@ object SparkEntry {
         |  cast(null as int), cast(null as int), cast(null as bigint),
         |  cast(320 + (doc_id % 5) * 16 as int),
         |  cast(240 + (doc_id % 3) * 16 as int)
-        |from documents where doc_id % 50 = 25""".stripMargin
+        |from documents where doc_id % 50 = 25""".stripMargin,
+
+    "q_pii_redaction" ->
+      """with d as (select doc_id, concat(text,
+        |  case when doc_id % 4 = 0 then concat(' reach user', doc_id, '@mail',
+        |    doc_id % 3, '.org now') else '' end,
+        |  case when doc_id % 5 = 0 then concat(' call 555-010-',
+        |    lpad(cast(doc_id % 10000 as varchar), 4, '0')) else '' end,
+        |  case when doc_id % 3 = 0 then concat(' from 10.', doc_id % 256, '.0.',
+        |    (doc_id * 7) % 256) else '' end) txt from documents)
+        |select doc_id,
+        |  cast(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as int) n_emails,
+        |  cast(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) as int) n_phones,
+        |  cast(len(regexp_extract_all(txt,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as int) n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') redacted
+        |from d""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """with d as (select doc_id, concat('p', doc_id % 37, '|p', (doc_id*7) % 37,
+        |  '|p', (doc_id*13+5) % 37, '|p', doc_id % 37) txt from documents),
+        |p as (select doc_id, i - 1 pos, string_split(txt, '|')[cast(i as int)] para
+        |  from d cross join range(1, 5) r(i)),
+        |rk as (select doc_id, pos, para,
+        |  row_number() over (partition by para order by doc_id, pos) rn from p),
+        |k as (select doc_id, pos, para from rk where rn = 1),
+        |agg as (select doc_id, count(*) n_kept,
+        |  string_agg(para, '|' order by pos) text_kept from k group by 1)
+        |select d.doc_id, cast(4 as int) n_paras,
+        |  cast(coalesce(a.n_kept, 0) as int) n_kept,
+        |  coalesce(a.text_kept, '') text_kept
+        |from d left join agg a on a.doc_id = d.doc_id""".stripMargin
   )
 
 }

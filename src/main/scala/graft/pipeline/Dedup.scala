@@ -355,6 +355,45 @@ object Dedup {
       .select(col(idCol), fp.as("fp"))
   }
 
+  /** PARAGRAPH-level exact dedup (the C4-style pass): each distinct
+    * paragraph is kept exactly once corpus-wide — in the document with
+    * the smallest (id, position) that contains it — and every other
+    * occurrence, across documents AND repeats within one document, is
+    * dropped from the reassembled text.
+    *
+    * Scale shape: documents are split ONCE at the scan; the dedup
+    * decision travels as (id, pos, xxhash64) triples — paragraph TEXT
+    * never enters the ownership shuffle, only 24-byte rows. Ownership is
+    * one hash-agg (min struct per hash) plus a semi-join back on the
+    * triple, and the kept positions rejoin the original row by id, where
+    * the text is split again and filtered by index — so full text
+    * crosses exactly one shuffle (the final id join), independent of
+    * paragraph count. Distinct paragraphs merging on an xxhash64
+    * collision is the usual 2^-64 exact-dedup caveat.
+    *
+    * Output: (idCol, n_paras, n_kept, text_kept) for every input row. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)).as(Seq("pos", "para")))
+      .select(col("id"), col("pos"), xxhash64(col("para")).as("h"))
+    val first = paras.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.id").as("id"), col("f.pos").as("pos"))
+    val keptPos = paras.join(first, Seq("h", "id", "pos"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("keep"))
+    df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(keptPos, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(split(col("txt"), sepRe)).as("n_paras"),
+        coalesce(size(col("keep")), lit(0)).as("n_kept"),
+        array_join(
+          filter(split(col("txt"), sepRe),
+            (_, i) => array_contains(coalesce(col("keep"), array().cast("array<int>")), i)),
+          sep).as("text_kept"))
+  }
+
   /** Near-dup components with EXACT-DUPLICATE COLLAPSE — the production
     * composition for duplicate-heavy corpora: hash-group identical texts
     * first (one shuffle on md5), run MinHash-LSH + verify over one

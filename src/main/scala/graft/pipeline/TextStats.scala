@@ -173,4 +173,32 @@ object TextStats {
       .select(col(idCol), col("n_trigrams"),
         (-round(col("_slp").cast("double") / col("n_trigrams")) / 1e6).as("mean_nll"))
   }
+
+  // ------- PII scrubbing (pretraining-pipeline redaction pass) -------
+  //
+  // Regex patterns chosen to mean the same thing in Java regex (Spark
+  // codegen) and RE2 (external engines): no lookaround, no backrefs —
+  // the portability constraint that lets the redaction be oracle-checked.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII match counts per document — pure codegen'd Column expressions
+    * (`regexp_count`), so the scan stays a narrow projection. The dotted
+    * phone form is NOT matched: it is indistinguishable from dotted
+    * quads without lookahead, which the portability rule above bans. */
+  def piiEmails(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def piiPhones(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def piiIps(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+
+  /** Redact PII in place with typed placeholders. Email first: its
+    * pattern can span dots and digits that the later numeric patterns
+    * would otherwise nibble at; after emails are gone, phones (dashed
+    * triples) and IPv4 quads cannot overlap each other. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

@@ -488,6 +488,27 @@ class EngineSpec extends AnyFunSuite {
     assert(dec.decode("video", Multimodal.plantedWav(1L, 10), 8) == null)
   }
 
+  test("paragraphDedup keeps each distinct paragraph exactly once, in place") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha"),     // within-doc repeat
+      (2L, "beta\n\ngamma"),              // cross-doc repeat of beta
+      (3L, "alpha\n\ndelta\n\ngamma"),    // loses both to 1 and 2
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1L, 3, 2, "alpha\n\nbeta")))
+    assert(out(1) == ((2L, 2, 1, "gamma")))
+    assert(out(2) == ((3L, 3, 1, "delta")))
+    assert(out(3) == ((4L, 1, 1, "epsilon")))
+    // corpus-wide invariant: kept texts hold every distinct paragraph once
+    val keptParas = out.flatMap(_._4.split("\n\n").filter(_.nonEmpty))
+    assert(keptParas.sorted.toSeq ==
+      Seq("alpha", "beta", "delta", "epsilon", "gamma"))
+  }
+
   test("mp3/mp4 container metadata: header walks with exact planted closed forms") {
     import graft.pipeline.Multimodal
     // MPEG1 Layer III: id=42 -> ID3v2 = 10 + (42%7)*16 = 10 bytes; the
