@@ -144,6 +144,30 @@ object ScaleRehearsalR5 {
         }
       } finally { q.stop(); qe.stop() }
     }
+
+    // ---- paragraph dedup: 500k docs x 6 paras, duplication-heavy pool ----
+    // 3M paragraph instances over a 60k-distinct pool (50x duplication).
+    // The ownership shuffle carries (id, pos, hash) triples only; cost
+    // should scale with INSTANCES (narrow), never instances².
+    {
+      val mult = Seq(7, 11, 13, 17, 19, 23) // each coprime with 60000: full residue coverage
+      val docs = spark.range(0, 500000).select(col("id").as("doc_id"),
+        concat_ws("\n\n", (0 until 6).map(j =>
+          concat(lit(s"paragraph body $j "),
+            ((col("id") * mult(j) + j) % 60000).cast("string"))): _*).as("text"))
+        .localCheckpoint(true)
+      val out = time("paragraphDedup (500k docs, 3M paras, 50x dup)") {
+        val o = graft.pipeline.Dedup.paragraphDedup(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("docs"), sum(col("n_paras")).as("paras"),
+            sum(col("n_kept")).as("kept")).collect()(0)
+        (o.getLong(0), o.getLong(1), o.getLong(2))
+      }
+      // kept = number of DISTINCT paragraphs corpus-wide (each survives once)
+      val distinctParas = 6L * 60000
+      println(s"[rehearsal] paragraphDedup docs=${out._1} paras=${out._2} kept=${out._3}")
+      require(out._1 == 500000 && out._2 == 3000000, "row accounting")
+      require(out._3 == distinctParas, s"kept ${out._3} != distinct pool $distinctParas")
+    }
     spark.stop()
   }
 }
