@@ -5562,16 +5562,27 @@ object SparkEntry {
       // source and aggregated per time step; the oracle regenerates the
       // same grid arithmetically. Values are exact binary halves (scale
       // 0.5), so sums compare exactly without rounding.
-      val store = java.nio.file.Files.createTempDirectory("graft_zarr_").toString
-      graft.sources.Zarr.plantedStore(store)
-      graft.sources.Zarr.readVariable(s, store, "tas")
+      // fixed tmp location, written once and reused (the bench runs this
+      // n× per round; a fresh createTempDirectory per call leaked stores)
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_store")
+      if (!new java.io.File(storeDir, "pr/.zarray").isFile)
+        graft.sources.Zarr.plantedStore(storeDir.getPath)
+      val store = storeDir.getPath
+      val tas = graft.sources.Zarr.readVariable(s, store, "tas")
         .groupBy(col("time"))
         .agg(count(col("value")).as("n_valid"),
           sum(col("value")).as("sum_tas"),
           min(col("value")).as("min_tas"),
           max(col("value")).as("max_tas"))
+      // pr is stored with the xarray-default Blosc/lz4/shuffle codec —
+      // this half of the join hash-checks the compressed-chunk decode
+      val pr = graft.sources.Zarr.readVariable(s, store, "pr")
+        .groupBy(col("time"))
+        .agg(sum(col("value")).as("sum_pr"))
+      tas.join(pr, Seq("time"))
         .select(col("time"), col("n_valid"), col("sum_tas"),
-          col("min_tas"), col("max_tas"))
+          col("min_tas"), col("max_tas"), col("sum_pr"))
     }),
 
     "q_image_decode_jpeg" -> ((s, dir) => {
@@ -5692,12 +5703,13 @@ object SparkEntry {
       """with g as (
         |  select t.i t, y.i y, x.i x,
         |    case when t.i between 2 and 3 and y.i >= 3 and x.i < 3 then null
-        |         else cast((t.i*100 + y.i*10 + x.i)*0.5 + 10.0 as double) end v
+        |         else cast((t.i*100 + y.i*10 + x.i)*0.5 + 10.0 as double) end v,
+        |    cast((t.i + y.i + x.i)*0.25 as double) p
         |  from range(0, 6) t(i)
         |  cross join range(0, 5) y(i)
         |  cross join range(0, 4) x(i))
         |select cast(t as int) "time", count(v) n_valid, sum(v) sum_tas,
-        |  min(v) min_tas, max(v) max_tas
+        |  min(v) min_tas, max(v) max_tas, sum(p) sum_pr
         |from g group by 1""".stripMargin,
 
     "q_image_decode_jpeg" ->

@@ -22,13 +22,15 @@ import java.io.{File, RandomAccessFile}
   * detected executor-side and emitted from the closed form without any
   * I/O.
   *
-  * Codecs (JDK-only, as with HDF5): `zlib` (numcodecs Zlib — raw zlib
-  * stream, `java.util.zip.Inflater`), `gzip` (numcodecs GZip), `null`
-  * (uncompressed), and Blosc frames in memcpy mode (clevel=0 / stored
-  * verbatim; the 16-byte public Blosc header is parsed, compressed
-  * blosclz/lz4 bodies are rejected with a clear error). Out of scope
-  * (documented): compressed Blosc bodies, filters (the `filters` list
-  * must be null/empty), object/string dtypes, Zarr v3 stores.
+  * Codecs: `zlib` (numcodecs Zlib — raw zlib stream,
+  * `java.util.zip.Inflater`), `gzip` (numcodecs GZip), `null`
+  * (uncompressed), and full Blosc chunks via [[Blosc]] — memcpy'ed,
+  * byte-shuffled and split bodies with blosclz/lz4/zlib/zstd/snappy
+  * stream codecs (the c-blosc framing is hand-decoded; lz4/zstd/snappy
+  * payloads go to the `lz4-java`/`zstd-jni`/`snappy-java` libraries
+  * Spark ships). Out of scope (documented, rejected loudly): Blosc
+  * bit-shuffle/delta filters, numcodecs `filters` chains (the
+  * `filters` list must be null/empty), object/string dtypes.
   */
 object Zarr {
 
@@ -243,11 +245,11 @@ object Zarr {
 
   // ---------------- executor-side chunk decode ----------------
 
-  /** Undo the codec named in `.zarray`. Blosc: the public 16-byte header
-    * is [version, versionlz, flags, typesize, nbytes u32, blocksize u32,
-    * cbytes u32]; flags bit 0x4 = memcpy mode (body is the raw buffer,
-    * what numcodecs writes at clevel=0) — compressed bodies need the
-    * native blosclz/lz4 codecs and are rejected. */
+  /** Undo the codec named in `.zarray`. Blosc chunks — the xarray
+    * `to_zarr` default — decode through [[Blosc.decode]]: memcpy'ed
+    * (flags 0x2), byte-shuffled and split bodies, with
+    * blosclz/lz4/zlib/zstd/snappy stream codecs; bit-shuffle and delta
+    * filters are rejected loudly. */
   private[sources] def decompress(comp: String, in: Array[Byte], outLen: Int): Array[Byte] =
     comp match {
       case "raw"  => in
@@ -265,17 +267,8 @@ object Zarr {
           }
           out
         } finally gz.close()
-      case "blosc" =>
-        require(in.length >= 16, s"blosc chunk shorter than its header (${in.length} bytes)")
-        val flags = in(2) & 0xFF
-        val nbytes = java.nio.ByteBuffer.wrap(in, 4, 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-        require(nbytes == outLen, s"blosc nbytes $nbytes != expected $outLen")
-        if ((flags & 0x4) != 0) java.util.Arrays.copyOfRange(in, 16, 16 + outLen)
-        else throw new UnsupportedOperationException(
-          "compressed Blosc bodies (blosclz/lz4) need native codecs — " +
-            "re-write the store with zlib/gzip or Blosc clevel=0")
-      case other => throw new IllegalArgumentException(s"codec $other")
+      case "blosc" => Blosc.decode(in, outLen)
+      case other   => throw new IllegalArgumentException(s"codec $other")
     }
 
   private[sources] def decodeAt(bb: java.nio.ByteBuffer, kind: Char, size: Int,
@@ -388,9 +381,12 @@ object Zarr {
     * query (the [[graft.pipeline.Multimodal.plantedPng]] pattern): array
     * `tas` double[6,5,4] (time, y, x) chunked [2,3,3] zlib C-order, raw
     * value `t*100 + 10y + x`, CF attrs scale 0.5 / offset 10 / fill -999,
-    * with chunk `1.1.0` ABSENT (→ fill → NULL: t∈{2,3}, y∈{3,4}, x<3).
+    * with chunk `1.1.0` ABSENT (→ fill → NULL: t∈{2,3}, y∈{3,4}, x<3);
+    * plus array `pr` double[6,5,4] single-chunk Blosc/lz4/shuffle (the
+    * xarray `to_zarr` default codec), raw value `(t + y + x)/4`.
     * Exercises every moving part the spec-level tests pin — partial edge
-    * chunks, decompression, absent-chunk fill, CF unpack, named dims. */
+    * chunks, zlib AND blosc decompression, absent-chunk fill, CF unpack,
+    * named dims. */
   def plantedStore(store: String): Unit = {
     val dir = new File(store, "tas")
     dir.mkdirs()
@@ -423,6 +419,25 @@ object Zarr {
       d.end()
       writeBytes(new File(dir, s"$ct.$cy.$cx"), out.take(n))
     }
+    // pr: the xarray-default codec shape — Blosc/lz4, byte-shuffle, split
+    // streams — double[6,5,4] in ONE chunk, raw value (t + y + x) * 0.25
+    // (exact binary quarters), no fill/scale
+    val prDir = new File(store, "pr")
+    prDir.mkdirs()
+    writeBytes(new File(prDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [6, 5, 4], "chunks": [6, 5, 4],
+         | "dtype": "<f8", "compressor": {"id": "blosc", "cname": "lz4",
+         |   "clevel": 5, "shuffle": 1, "blocksize": 0},
+         | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBytes(new File(prDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["time", "y", "x"], "units": "mm"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prBytes = java.nio.ByteBuffer.allocate(6 * 5 * 4 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (t <- 0 until 6; y <- 0 until 5; x <- 0 until 4)
+      prBytes.putDouble((t + y + x) * 0.25)
+    writeBytes(new File(prDir, "0.0.0"), Blosc.encode(prBytes.array(), typesize = 8))
   }
 
   /** Convert every array in the store to a long-format parquet lake (the

@@ -1,0 +1,231 @@
+package graft
+
+import graft.sources.Blosc
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Test-side c-blosc chunk ENCODER following the public chunk format
+  * (README_CHUNK_FORMAT.rst): 16-byte header, per-block bstarts, split
+  * streams, byte-shuffle filter. Stream bodies are compressed by the
+  * independent `lz4-java` / `zstd-jni` / `snappy-java` / `Deflater`
+  * implementations, so the decoder is not being tested against a mirror
+  * of itself for the codec payloads; the framing itself follows the
+  * spec text, and the blosclz codec is additionally pinned against
+  * hand-assembled constant byte streams in [[BloscSpec]]. */
+object BloscTestEnc {
+
+  private def compressStream(codec: Int, data: Array[Byte], off: Int, len: Int): Array[Byte] =
+    codec match {
+      case 1 =>
+        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        val out = new Array[Byte](c.maxCompressedLength(len))
+        val n = c.compress(data, off, len, out, 0, out.length)
+        java.util.Arrays.copyOf(out, n)
+      case 3 =>
+        org.xerial.snappy.Snappy.compress(java.util.Arrays.copyOfRange(data, off, off + len))
+      case 4 =>
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(data, off, len); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        bos.toByteArray
+      case 5 =>
+        com.github.luben.zstd.Zstd.compress(
+          java.util.Arrays.copyOfRange(data, off, off + len), 3)
+      case other => throw new IllegalArgumentException(s"no test encoder for codec $other")
+    }
+
+  /** shuffle filter: element-major → plane-major, verbatim tail. */
+  def shuffleBytes(typesize: Int, src: Array[Byte], off: Int, bsize: Int): Array[Byte] = {
+    val out = new Array[Byte](bsize)
+    val quot = bsize / typesize
+    for (b <- 0 until typesize; i <- 0 until quot)
+      out(b * quot + i) = src(off + i * typesize + b)
+    val done = quot * typesize
+    if (done < bsize) System.arraycopy(src, off + done, out, done, bsize - done)
+    out
+  }
+
+  /** Assemble a complete blosc chunk. `blocksize` must be a multiple of
+    * `typesize` when `split`. */
+  def chunk(raw: Array[Byte], typesize: Int, blocksize: Int, codec: Int,
+            shuffle: Boolean, split: Boolean): Array[Byte] = {
+    require(!split || blocksize % typesize == 0)
+    val nbytes = raw.length
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val leftover = nbytes % blocksize
+    val bodies = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    var pos = 16 + 4 * nblocks
+    for (j <- 0 until nblocks) {
+      bstarts(j) = pos
+      val bsize = if (j == nblocks - 1 && leftover != 0) leftover else blocksize
+      val isLeftover = bsize != blocksize
+      val blockSrc =
+        if (shuffle && typesize > 1) shuffleBytes(typesize, raw, j * blocksize, bsize)
+        else java.util.Arrays.copyOfRange(raw, j * blocksize, j * blocksize + bsize)
+      val nstreams = if (split && !isLeftover && typesize > 1) typesize else 1
+      val neblock = bsize / nstreams
+      for (s <- 0 until nstreams) {
+        val comp = compressStream(codec, blockSrc, s * neblock, neblock)
+        val (cb, payload) =
+          if (comp.length >= neblock) // stored, like c-blosc when compression doesn't help
+            (neblock, java.util.Arrays.copyOfRange(blockSrc, s * neblock, s * neblock + neblock))
+          else (comp.length, comp)
+        val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(cb)
+        bodies.write(hdr.array()); bodies.write(payload)
+        pos += 4 + cb
+      }
+    }
+    val body = bodies.toByteArray
+    val out = ByteBuffer.allocate(16 + 4 * nblocks + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var flags = codec << 5
+    if (shuffle && typesize > 1) flags |= 0x1
+    if (!split) flags |= 0x10
+    out.put(2.toByte).put(1.toByte).put(flags.toByte)
+      .put((typesize & 0xFF).toByte)
+    out.putInt(nbytes).putInt(blocksize).putInt(16 + 4 * nblocks + body.length)
+    bstarts.foreach(out.putInt)
+    out.put(body)
+    out.array()
+  }
+
+  /** memcpy'ed chunk — c-blosc flags bit 0x2 (what numcodecs writes at
+    * clevel=0 or when compression doesn't pay). */
+  def memcpy(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put(0x2.toByte).put(typesize.toByte)
+    bb.putInt(raw.length).putInt(raw.length).putInt(16 + raw.length)
+    bb.put(raw)
+    bb.array()
+  }
+}
+
+class BloscSpec extends AnyFunSuite {
+  import BloscTestEnc._
+
+  private def patterned(n: Int): Array[Byte] = {
+    // doubles with slowly-varying values: byte planes compress well after
+    // shuffle, exercising both compressed and stored streams
+    val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => bb.putDouble(1000.0 + (i % 17) * 0.25))
+    bb.array()
+  }
+
+  test("memcpy'ed chunk (flags 0x2) decodes; stray bit-shuffle flag rejected") {
+    val raw = patterned(32)
+    assert(Blosc.decode(memcpy(raw, 8), raw.length).toSeq == raw.toSeq)
+    // bit-shuffle (0x4) must be rejected, not treated as memcpy
+    val bad = memcpy(raw, 8); bad(2) = 0x4.toByte
+    val ex = intercept[UnsupportedOperationException](Blosc.decode(bad, raw.length))
+    assert(ex.getMessage.contains("bit-shuffle"))
+    val delta = memcpy(raw, 8); delta(2) = 0x8.toByte
+    assert(intercept[UnsupportedOperationException](Blosc.decode(delta, raw.length))
+      .getMessage.contains("delta"))
+  }
+
+  test("lz4 shuffle+split multi-block chunk with leftover decodes bit-exact") {
+    val raw = patterned(300) // 2400 bytes; blocksize 1024 -> blocks 1024,1024,352
+    val chunkBytes = chunk(raw, typesize = 8, blocksize = 1024, codec = 1,
+      shuffle = true, split = true)
+    assert(Blosc.decode(chunkBytes, raw.length).toSeq == raw.toSeq)
+  }
+
+  test("lz4 no-shuffle dont-split decodes; zlib/zstd/snappy codec streams decode") {
+    val raw = patterned(200)
+    for (codec <- Seq(1, 3, 4, 5)) {
+      val c = chunk(raw, typesize = 8, blocksize = 512, codec = codec,
+        shuffle = false, split = false)
+      assert(Blosc.decode(c, raw.length).toSeq == raw.toSeq, s"codec $codec")
+      val cs = chunk(raw, typesize = 8, blocksize = 512, codec = codec,
+        shuffle = true, split = true)
+      assert(Blosc.decode(cs, raw.length).toSeq == raw.toSeq, s"codec $codec split")
+    }
+  }
+
+  test("typesize 4 and odd-length tail survive the shuffle round trip") {
+    val raw = (0 until 1003).map(i => (i * 7 % 251).toByte).toArray // 1003 % 4 = 3 tail
+    val c = chunk(raw, typesize = 4, blocksize = 512, codec = 1,
+      shuffle = true, split = true)
+    assert(Blosc.decode(c, raw.length).toSeq == raw.toSeq)
+  }
+
+  test("blosclz: hand-assembled literal+match stream decodes to the spec'd bytes") {
+    // literal run "ABCDE" then match len 5 dist 5 -> "ABCDEABCDE"
+    // ctrl literal = len-1 = 4; match short: len 5 -> ctrl>>5 = 3, dist 5
+    // -> encoded 4 (ofs 0, code 4) -> ctrl (3<<5)=96, code byte 4
+    val stream = Array[Byte](4, 'A', 'B', 'C', 'D', 'E', 96.toByte, 4)
+    val out = new Array[Byte](10)
+    val n = Blosc.blosclzDecompress(stream, 0, stream.length, out, 0, 10)
+    assert(n == 10 && new String(out) == "ABCDEABCDE")
+  }
+
+  test("blosclz: distance-0 RLE escape and long-length extension decode") {
+    // "Z" then match ofs=0 code=0 ctrl>>5=5 -> memset of 4+3=7 Z's -> 8 Z's
+    val rle = Array[Byte](0, 'Z', (5 << 5).toByte, 0)
+    val out = new Array[Byte](8)
+    assert(Blosc.blosclzDecompress(rle, 0, rle.length, out, 0, 8) == 8)
+    assert(out.forall(_ == 'Z'))
+    // long length: ctrl>>5=7 -> len 6 + ext(2) -> +3 = 11; RLE of 'Q'
+    val ext = Array[Byte](0, 'Q', (7 << 5).toByte, 2, 0)
+    val out2 = new Array[Byte](12)
+    assert(Blosc.blosclzDecompress(ext, 0, ext.length, out2, 0, 12) == 12)
+    assert(out2.forall(_ == 'Q'))
+  }
+
+  test("blosclz: far match (16-bit distance escape) decodes") {
+    // 9000 literal bytes in 32-byte runs, then a match of len 6 at
+    // distance ofs16 + 8192: ctrl=(4<<5)|31, code=255, ofs16=500 -> the
+    // copy source is out[9000 - 500 - 8192 = 308]
+    val bos = new java.io.ByteArrayOutputStream()
+    val lit = new Array[Byte](9000)
+    (0 until 9000).foreach(i => lit(i) = ((i * 131) % 251).toByte)
+    var i = 0
+    while (i < 9000) {
+      val run = math.min(32, 9000 - i)
+      bos.write(run - 1)
+      bos.write(lit, i, run)
+      i += run
+    }
+    bos.write((4 << 5) | 31) // short len: (4)-1+3 = 6 bytes
+    bos.write(255)
+    bos.write(500 >> 8); bos.write(500 & 0xFF)
+    val stream = bos.toByteArray
+    val out = new Array[Byte](9006)
+    val n = Blosc.blosclzDecompress(stream, 0, stream.length, out, 0, 9006)
+    assert(n == 9006)
+    assert(out.take(9000).toSeq == lit.toSeq)
+    assert(out.slice(9000, 9006).toSeq == lit.slice(308, 314).toSeq)
+  }
+
+  test("main-scope Blosc.encode round-trips through the pinned decoder") {
+    for (n <- Seq(7, 64, 300, 8191, 65536 / 8 + 3)) {
+      val raw = patterned(n)
+      assert(Blosc.decode(Blosc.encode(raw, 8), raw.length).toSeq == raw.toSeq, s"n=$n")
+      assert(Blosc.decode(Blosc.encode(raw, 8, shuffle = false), raw.length)
+        .toSeq == raw.toSeq, s"n=$n noshuffle")
+    }
+    // typesize 1: no shuffle, no split
+    val bytes = (0 until 999).map(i => (i % 7).toByte).toArray
+    assert(Blosc.decode(Blosc.encode(bytes, 1), bytes.length).toSeq == bytes.toSeq)
+    // tiny chunk smaller than typesize
+    val tiny = Array[Byte](1, 2, 3)
+    assert(Blosc.decode(Blosc.encode(tiny, 8), 3).toSeq == tiny.toSeq)
+  }
+
+  test("corrupt chunks fail loudly: nbytes mismatch, unknown codec, truncated stream") {
+    val raw = patterned(64)
+    val ok = chunk(raw, 8, 512, 1, shuffle = true, split = true)
+    assert(intercept[IllegalArgumentException](Blosc.decode(ok, raw.length + 8))
+      .getMessage.contains("nbytes"))
+    val unk = ok.clone(); unk(2) = ((unk(2) & 0x1F) | (7 << 5)).toByte
+    assert(intercept[UnsupportedOperationException](Blosc.decode(unk, raw.length))
+      .getMessage.contains("codec"))
+    val cut = java.util.Arrays.copyOf(ok, ok.length - 10)
+    intercept[IllegalArgumentException](Blosc.decode(cut, raw.length))
+  }
+}

@@ -46,13 +46,9 @@ class ZarrSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  private def bloscMemcpy(raw: Array[Byte], typesize: Int): Array[Byte] = {
-    val bb = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(2.toByte).put(1.toByte).put(0x4.toByte).put(typesize.toByte)
-    bb.putInt(raw.length).putInt(raw.length).putInt(16 + raw.length)
-    bb.put(raw)
-    bb.array()
-  }
+  // c-blosc memcpy mode is flags bit 0x2 (0x4 is the bit-shuffle filter)
+  private def bloscMemcpy(raw: Array[Byte], typesize: Int): Array[Byte] =
+    BloscTestEnc.memcpy(raw, typesize)
 
   private def doubles(vals: Seq[Double], little: Boolean = true): Array[Byte] = {
     val bb = ByteBuffer.allocate(vals.length * 8)
@@ -139,7 +135,7 @@ class ZarrSpec extends AnyFunSuite {
       Set((0, -5.0), (1, null), (2, 300.0)))
   }
 
-  test("NaN fill_value masks to NULL; compressed blosc body rejected") {
+  test("NaN fill_value masks to NULL; blosc-lz4 compressed store reads; bit-shuffle rejected") {
     val root = java.nio.file.Files.createTempDirectory("zarr_").toFile
     val nanDir = new File(root, "nv")
     writeText(new File(nanDir, ".zarray"),
@@ -150,21 +146,40 @@ class ZarrSpec extends AnyFunSuite {
     val got = Zarr.readVariable(spark, root.getPath, "nv").collect()
       .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
     assert(got == Set((0, 1.0), (1, null), (2, 3.0)))
-    // compressed blosc body (flags without 0x4) must fail loudly
+    // the xarray `to_zarr` default shape: blosc/lz4, shuffle=1, split —
+    // double[7,64] chunked [4,64], partial edge chunk, 2 blocks per chunk
     val cDir = new File(root, "cb")
     writeText(new File(cDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [7, 64], "chunks": [4, 64], "dtype": "<f8",
+        | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+        |   "shuffle": 1, "blocksize": 0}, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    for (ct <- 0 until 2) {
+      val vals = for (lt <- 0 until 4; x <- 0 until 64)
+        yield (ct * 4 + lt) * 100.0 + x * 0.5
+      write(new File(cDir, s"$ct.0"), BloscTestEnc.chunk(doubles(vals),
+        typesize = 8, blocksize = 1024, codec = 1, shuffle = true, split = true))
+    }
+    val cb = Zarr.readVariable(spark, root.getPath, "cb").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(cb.size == 7 * 64)
+    for (t <- 0 until 7; x <- 0 until 64)
+      assert(cb((t, x)) == t * 100.0 + x * 0.5)
+    // bit-shuffle (flags 0x4) must fail loudly, not be misread as memcpy
+    val bsDir = new File(root, "bs")
+    writeText(new File(bsDir, ".zarray"),
       """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
         | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
-        |   "shuffle": 1}, "fill_value": null, "filters": null,
+        |   "shuffle": 2}, "fill_value": null, "filters": null,
         | "order": "C"}""".stripMargin)
-    val hdr = ByteBuffer.allocate(16 + 4).order(ByteOrder.LITTLE_ENDIAN)
-    hdr.put(2.toByte).put(1.toByte).put(0x1.toByte).put(8.toByte)
-    hdr.putInt(16).putInt(16).putInt(20).putInt(0xDEAD)
-    write(new File(cDir, "0"), hdr.array())
+    val raw16 = doubles(Seq(1.0, 2.0))
+    val bsChunk = BloscTestEnc.memcpy(raw16, 8)
+    bsChunk(2) = 0x4.toByte // bit-shuffle flag
+    write(new File(bsDir, "0"), bsChunk)
     val ex = intercept[org.apache.spark.SparkException] {
-      Zarr.readVariable(spark, root.getPath, "cb").collect()
+      Zarr.readVariable(spark, root.getPath, "bs").collect()
     }
-    assert(ex.getMessage.contains("Blosc") || ex.getCause != null)
+    assert(ex.getMessage.contains("bit-shuffle") || ex.getCause != null)
   }
 
   test("consolidated .zmetadata lists arrays; corrupt chunks fail cleanly") {
