@@ -88,7 +88,8 @@ object Stats {
     * per entry of `ps` (name -> probability). */
   def hfQuantilesScale(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                        valueCol: String, ps: Seq[(String, Double)],
-                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0): org.apache.spark.sql.DataFrame = {
+                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0,
+                       maxDriverGroups: Long = 5_000_000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Row, DataFrame}
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
@@ -96,6 +97,15 @@ object Stats {
       .filter(col("_v").isNotNull)
     val allGroups = df.select(keys.map(col): _*).distinct()
     val nDf = data.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    // the plan keeps O(partitions + groups) count rows on the driver —
+    // correct only in the few-large-groups regime it was built for; fail
+    // loudly before collecting rather than OOM the driver
+    val nGroups = nDf.count()
+    require(nGroups <= maxDriverGroups,
+      s"hfQuantilesScale: $nGroups groups exceeds maxDriverGroups=$maxDriverGroups — " +
+        "this rank-selection plan holds O(partitions + groups) rows on the driver " +
+        "and targets the few-large-groups regime; route small groups through " +
+        "hfQuantile / hfQuantilesAuto instead")
     // per-group target ranks: lo/hi/frac for each requested probability
     val targets = ps.map { case (name, p) =>
       val n = col("_n").cast("double")
@@ -160,26 +170,44 @@ object Stats {
 
   /** Adaptive routing between the exact small-group quantile plan
     * (`sort_array(collect_list)`) and the at-scale exact plan
-    * ([[hfQuantilesScale]]): one cheap count aggregate measures the max
-    * group size first — the same measured-threshold philosophy as AQE's
-    * broadcast conversion and the connected-components fast path. Groups
-    * whose state would stay bounded (≤ `smallGroupMax` rows ≈ tens of MB
-    * of collect_list state) keep the one-shuffle aggregate form; anything
-    * larger takes the rank-selection plan, whose per-task memory is O(1). */
+    * ([[hfQuantilesScale]]): one cheap count aggregate measures group
+    * sizes first — the same measured-threshold philosophy as AQE's
+    * broadcast conversion and the connected-components fast path.
+    *
+    * Routing is PER GROUP, not whole-frame: in a mixed regime (millions
+    * of small groups plus a handful of huge ones) only the huge groups'
+    * rows take the rank-selection plan — whose driver state is
+    * O(partitions + groups-it-sees), i.e. O(partitions + large groups)
+    * here — while every bounded group keeps the one-shuffle
+    * `collect_list` aggregate. The large-group key set is bounded by
+    * |data| / smallGroupMax, so its broadcast is always tiny. Both plans
+    * select the same order statistics with the same interpolation
+    * arithmetic, so the union is bit-identical to either plan alone. */
   def hfQuantilesAuto(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                       valueCol: String, ps: Seq[(String, Double)],
                       alpha: Double = 1.0 / 3.0, beta: Double = 1.0 / 3.0,
                       smallGroupMax: Long = 1_000_000): org.apache.spark.sql.DataFrame = {
-    val maxN = df.filter(col(valueCol).isNotNull)
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-      .agg(max(col("_n"))).head().getLong(0)
-    if (maxN <= smallGroupMax)
-      df.groupBy(keys.map(col): _*)
+    def smallPlan(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(keys.map(col): _*)
         .agg(hfQuantile(col(valueCol), ps.head._2, alpha, beta).as(ps.head._1),
           ps.tail.map { case (name, p) =>
             hfQuantile(col(valueCol), p, alpha, beta).as(name)
           }: _*)
-    else hfQuantilesScale(df, keys, valueCol, ps, alpha, beta)
+    val sizes = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    // max over an empty/all-null frame aggregates to a NULL cell
+    val maxN = Option(sizes.agg(max(col("_n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxN <= smallGroupMax) smallPlan(df)
+    else {
+      val large = sizes.filter(col("_n") > smallGroupMax).drop("_n")
+      val dfLarge = df.join(broadcast(large), keys)
+      // left_anti keeps all-null-value groups (absent from `sizes`) on the
+      // small side, where collect_list yields the null row they should get
+      val dfSmall = df.join(broadcast(large), keys, "left_anti")
+      smallPlan(dfSmall).unionByName(
+        hfQuantilesScale(dfLarge, keys, valueCol, ps, alpha, beta))
+    }
   }
 
   /** Coefficient of variation (temperature/precip seasonality,

@@ -232,6 +232,48 @@ class PropertySpec extends AnyFunSuite {
     for (k <- small.keys) assert(routedBig(k) == small(k), s"auto/$k")
   }
 
+  test("hfQuantilesAuto mixed regime: per-group routing, bounded driver state, NPE guards") {
+    import spark.implicits._
+    import graft.core.Stats
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(29)
+    // 100k tiny groups (1-3 rows) + ONE huge group + one all-null group:
+    // the regime where whole-frame routing would drag every group through
+    // the scale plan's O(total groups) driver collect
+    val smallRows = (1 to 100_000).flatMap { g =>
+      (0 until 1 + g % 3).map(i => (s"g$g", java.lang.Double.valueOf(
+        math.floor(rng.nextDouble() * 40) / 4.0)))
+    }
+    val hugeRows = (1 to 500).map(i => ("huge", java.lang.Double.valueOf(
+      math.floor(rng.nextDouble() * 40) / 4.0)))
+    val nullRows = (1 to 3).map(_ => ("allnull", null.asInstanceOf[java.lang.Double]))
+    val df = (smallRows ++ hugeRows ++ nullRows).toDF("k", "v")
+    val ps = Seq("p90" -> 0.9, "p50" -> 0.5)
+    val want = df.groupBy("k")
+      .agg(Stats.hfQuantile(col("v"), 0.9).as("p90"),
+        Stats.hfQuantile(col("v"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> (0 to 1).map(i =>
+        if (r.isNullAt(i + 1)) null else r.getDouble(i + 1))).toMap
+    val got = Stats.hfQuantilesAuto(df, Seq("k"), "v", ps, smallGroupMax = 100)
+      .collect().map(r => r.getString(0) -> (0 to 1).map(i =>
+        if (r.isNullAt(i + 1)) null else r.getDouble(i + 1))).toMap
+    assert(got.keySet == want.keySet) // every group exactly once
+    for (k <- want.keys) assert(got(k) == want(k), k) // bit-identical doubles
+    // the scale plan refuses the many-small-groups regime instead of
+    // collecting O(total groups) driver rows
+    val ex = intercept[IllegalArgumentException] {
+      Stats.hfQuantilesScale(df, Seq("k"), "v", ps, maxDriverGroups = 1000)
+    }
+    assert(ex.getMessage.contains("maxDriverGroups"))
+    // empty and all-null frames: the router's max-group-size probe sees a
+    // null aggregate and must take the small path, not NPE
+    val empty = Seq.empty[(String, java.lang.Double)].toDF("k", "v")
+    assert(Stats.hfQuantilesAuto(empty, Seq("k"), "v", ps).count() == 0)
+    val allNull = nullRows.toDF("k", "v")
+    val nr = Stats.hfQuantilesAuto(allNull, Seq("k"), "v", ps).collect()
+    assert(nr.length == 1 && nr(0).isNullAt(1) && nr(0).isNullAt(2))
+  }
+
   test("df-cut postings join: exact J on a Zipfian corpus, documented frequent-only miss") {
     import spark.implicits._
     import graft.pipeline.Dedup
