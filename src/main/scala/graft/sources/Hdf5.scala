@@ -35,11 +35,16 @@ import java.util.zip.Inflater
   * heap behind the name-index v2 B-tree — what the library switches to
   * past ~8 links, i.e. any real multi-variable file).
   *
-  * Out of scope (documented): paged extensible-array data blocks and
-  * v2-B-tree depths > 1 (≳10^5 chunks per dataset), nested fractal-heap
-  * indirect blocks (≳4 MiB of link records in one group),
-  * variable-length and compound datatypes, szip; metadata checksums are
-  * not verified.
+  * Chunk indexes scale to archive-size datasets: v2 B-trees are walked
+  * at ANY depth (the child-pointer widths follow the public H5B2
+  * capacity recurrence) and extensible-array data blocks are read in
+  * both plain and PAGED form (element pages + per-page checksums
+  * directly after the block header; secondary-block page-init bitmaps
+  * skipped) — the shapes that appear past ~10^5 chunks per dataset.
+  *
+  * Out of scope (documented): nested fractal-heap indirect blocks
+  * (≳4 MiB of link records in one group), variable-length and compound
+  * datatypes, szip; metadata checksums are not verified.
   */
 object Hdf5 {
 
@@ -617,8 +622,10 @@ object Hdf5 {
     * `2*log2(minPtrs)` superblocks' blocks exactly fill the index
     * block's `2*(minPtrs-1)` direct address slots). Client 0 = plain
     * addresses; client 1 (filtered chunks) adds stored size + filter
-    * mask per element. Paged data blocks (beyond `2^pageBits` elements
-    * per block) are not supported; checksums are not verified. */
+    * mask per element. Data blocks beyond `2^pageBits` elements are
+    * PAGED — header-only block followed by full element pages with
+    * per-page checksums, with page-init bitmaps in the owning
+    * secondary block; checksums are not verified. */
   private def extensibleArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
     r.seek(ds.chunkBtree)
     require(new String(r.bytes(4), "ASCII") == "EAHD", "bad extensible-array header")
@@ -674,15 +681,30 @@ object Hdf5 {
     // walk data blocks on demand, caching each once
     val dblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Chunk]]
     val sblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Long]]
+    val pageNelmts = 1L << pageBits
     def readDataBlock(addr: Long, nelmts: Long): IndexedSeq[Chunk] =
       dblkCache.getOrElseUpdate(addr, {
-        require(nelmts <= (1L << pageBits),
-          s"paged extensible-array data blocks not supported ($nelmts elements)")
         r.seek(addr)
         require(new String(r.bytes(4), "ASCII") == "EADB", "bad extensible-array data block")
         require(r.u8() == 0, "data block version")
         r.skip(1 + 8 + arrOffSize) // client id, header address, block offset
-        (0L until nelmts).map(_ => readElement()).toIndexedSeq
+        if (nelmts <= pageNelmts)
+          (0L until nelmts).map(_ => readElement()).toIndexedSeq
+        else {
+          // PAGED data block (the ≳10^5-chunk shape): the block proper is
+          // just the header + checksum, and the elements live in pages of
+          // `pageNelmts` elements + a 4-byte checksum each, laid out
+          // directly after the block. Both counts are powers of two, so
+          // every page is full-size.
+          val hdrSize = 4 + 1 + 1 + 8 + arrOffSize + 4
+          val pageSize = pageNelmts * elemSize + 4
+          val npages = ((nelmts + pageNelmts - 1) / pageNelmts).toInt
+          (0 until npages).iterator.flatMap { j =>
+            r.seek(addr + hdrSize + j.toLong * pageSize)
+            val inPage = math.min(pageNelmts, nelmts - j.toLong * pageNelmts)
+            (0L until inPage).map(_ => readElement())
+          }.toIndexedSeq
+        }
       })
     def readSecondaryBlock(addr: Long, s: Int): IndexedSeq[Long] =
       sblkCache.getOrElseUpdate(addr, {
@@ -690,6 +712,13 @@ object Hdf5 {
         require(new String(r.bytes(4), "ASCII") == "EASB", "bad extensible-array secondary block")
         require(r.u8() == 0, "secondary block version")
         r.skip(1 + 8 + arrOffSize) // client id, header address, block offset
+        // when this superblock's data blocks are paged, per-block
+        // page-init bitmaps (one bit per page) precede the addresses
+        val dnel = dblkNelmts(s)
+        if (dnel > pageNelmts) {
+          val npages = ((dnel + pageNelmts - 1) / pageNelmts).toInt
+          r.skip(ndblks(s) * ((npages + 7) / 8))
+        }
         (0 until ndblks(s)).map(_ => r.u64()).toIndexedSeq
       })
 
@@ -722,8 +751,8 @@ object Hdf5 {
     * MORE than one unlimited dimension. Records carry the chunk address
     * plus SCALED offsets (grid coordinates, multiplied back to element
     * offsets here); type 11 adds stored size + filter mask for filtered
-    * chunks. Tree depths 0 and 1 are supported (a depth-2 chunk tree
-    * needs ~10^5 chunks per file); checksums are not verified. */
+    * chunks. Any tree depth (see [[v2BtreeAll]]); checksums are not
+    * verified. */
   private def v2BtreeChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
     val rank = ds.chunkDims.length - 1 // chunkDims carries trailing elem size
     val cdims = ds.chunkDims.dropRight(1)
@@ -754,7 +783,17 @@ object Hdf5 {
     * group name index (type 5). `mk(btType, recSize)` builds the
     * per-record reader, invoked with `r` positioned at each record;
     * leaf records and internal-node separator records are all returned
-    * (order unspecified). Depths 0 and 1 only; checksums unverified. */
+    * (order unspecified).
+    *
+    * ANY tree depth is walked. Child-pointer field widths follow the
+    * public H5B2 capacity recurrence: the child record count is always
+    * `encBytes(leafCapacity)` wide (the leaf is the widest node), and a
+    * node at depth d > 1 adds a total-records-below field per child,
+    * `encBytes(cumCapacity(d-1))` wide, where `cumCapacity(d) =
+    * (cap(d)+1)*cumCapacity(d-1) + cap(d)` and `cap(d)` shrinks as the
+    * pointers widen: `cap(d) = (nodeSize - 10 - ptr(d)) / (recSize +
+    * ptr(d))`, `ptr(d) = 8 + encBytes(leafCap) + (d>1 ?
+    * encBytes(cumCapacity(d-1)) : 0)`. Checksums unverified. */
   private def v2BtreeAll[A](r: Reader, hdrAddr: Long, typeOk: Int => Boolean)
                            (mk: (Int, Int) => () => A): Seq[A] = {
     r.seek(hdrAddr)
@@ -769,12 +808,24 @@ object Hdf5 {
     val rootAddr = r.u64()
     val rootNrec = r.u16()
     r.skip(8) // total records in tree
-    require(depth <= 1, s"v2 B-tree depth $depth not supported")
 
     def encBytes(x: Long): Int = math.max(1, (log2Floor(math.max(x, 1)) + 8) / 8)
     val leafCapacity = (nodeSize - 10) / recSize // sig+ver+type+checksum = 10
     val nrecWidth = encBytes(leafCapacity)
+    // cumulative subtree capacities -> total-field widths per child depth
+    val cumNrecSize = new Array[Int](depth + 1)
+    var cumCap = leafCapacity.toLong
+    for (d <- 1 to depth) {
+      val ptr = 8 + nrecWidth + (if (d > 1) cumNrecSize(d - 1) else 0)
+      val cap = (nodeSize - 10 - ptr) / (recSize + ptr)
+      cumCap = (cap + 1).toLong * cumCap + cap
+      cumNrecSize(d) = encBytes(cumCap)
+    }
     val readRecord = mk(btType, recSize)
+    def readVar(w: Int): Long =
+      (0 until w).foldLeft((0L, 0)) { case ((acc, sh), _) =>
+        (acc | (r.u8().toLong << sh), sh + 8)
+      }._1
 
     def readLeaf(addr: Long, nrec: Int): Seq[A] = {
       r.seek(addr)
@@ -783,24 +834,26 @@ object Hdf5 {
       require(r.u8() == btType, "leaf type mismatch")
       (0 until nrec).map(_ => readRecord())
     }
-    if (depth == 0) readLeaf(rootAddr, rootNrec)
-    else {
-      r.seek(rootAddr)
-      require(new String(r.bytes(4), "ASCII") == "BTIN", "bad v2 B-tree internal node")
-      require(r.u8() == 0, "internal version")
-      require(r.u8() == btType, "internal type mismatch")
-      val records = (0 until rootNrec).map(_ => readRecord())
-      val children = (0 to rootNrec).map { _ =>
-        val addr = r.u64()
-        val n = (0 until nrecWidth).foldLeft((0L, 0)) { case ((acc, sh), _) =>
-          (acc | (r.u8().toLong << sh), sh + 8)
-        }._1
-        (addr, n.toInt)
+    def readNode(addr: Long, nrec: Int, d: Int): Seq[A] =
+      if (d == 0) readLeaf(addr, nrec)
+      else {
+        r.seek(addr)
+        require(new String(r.bytes(4), "ASCII") == "BTIN", "bad v2 B-tree internal node")
+        require(r.u8() == 0, "internal version")
+        require(r.u8() == btType, "internal type mismatch")
+        // read this node fully before recursing (recursion re-seeks r)
+        val records = (0 until nrec).map(_ => readRecord())
+        val children = (0 to nrec).map { _ =>
+          val a = r.u64()
+          val n = readVar(nrecWidth).toInt
+          if (d > 1) readVar(cumNrecSize(d - 1)) // total below; not needed
+          (a, n)
+        }
+        children.zipWithIndex.flatMap { case ((a, n), i) =>
+          readNode(a, n, d - 1) ++ (if (i < records.size) Seq(records(i)) else Nil)
+        }
       }
-      children.zipWithIndex.flatMap { case ((addr, n), i) =>
-        readLeaf(addr, n) ++ (if (i < records.size) Seq(records(i)) else Nil)
-      }
-    }
+    readNode(rootAddr, rootNrec, depth)
   }
 
   private def collectChunks(r: Reader, addr: Long, rank: Int): Seq[Chunk] = {

@@ -568,8 +568,13 @@ class Hdf5Spec extends AnyFunSuite {
     * geometry crosses from index-block elements (2) through the six
     * direct data blocks (superblocks 0-3, 30 elements) into SECONDARY
     * blocks (superblocks 4+, 4 data blocks of 8 then 16 elements) as
-    * nChunks grows — the full addressing scheme of the spec appendix. */
-  private def writeEaN(path: String, nChunks: Int): Unit = {
+    * nChunks grows — the full addressing scheme of the spec appendix.
+    *
+    * `pageBits` < the largest data-block size exercises PAGED data
+    * blocks: header-only EADB followed by full pages of `2^pageBits`
+    * elements + 4-byte page checksums, and page-init bitmaps ahead of
+    * the addresses in owning secondary blocks. */
+  private def writeEaN(path: String, nChunks: Int, pageBits: Int = 10): Unit = {
     def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
     def msg2(t: Int, body: Array[Byte]): Array[Byte] =
@@ -615,24 +620,43 @@ class Hdf5Spec extends AnyFunSuite {
       val chunkData = (0 until nChunks).map { c =>
         val b = buf(16); b.putDouble(2 * c + 0.25).putDouble(2 * c + 1.25); b.array()
       }
+      val pageN = 1 << pageBits
       val dblkBytes = blocks.zipWithIndex.map { case (blk, bi) =>
         val n = dblkNelmts(blk.sblk)
-        val b = buf(4 + 2 + 8 + arrOff + n * 8 + 4)
-        b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
-        b.putShort(0) // block offset
-        (0 until n).foreach { i =>
-          b.putLong(if (i < blk.elems.length) chunkAddrs(blk.elems(i)) else -1L)
+        def addrAt(i: Int): Long =
+          if (i < blk.elems.length) chunkAddrs(blk.elems(i)) else -1L
+        if (n <= pageN) {
+          val b = buf(4 + 2 + 8 + arrOff + n * 8 + 4)
+          b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
+          b.putShort(0) // block offset
+          (0 until n).foreach(i => b.putLong(addrAt(i)))
+          b.putInt(0).array()
+        } else {
+          // PAGED: header-only block (checksum right after block offset),
+          // then full pages of pageN addresses + 4-byte page checksum
+          val npages = n / pageN
+          val b = buf(4 + 2 + 8 + arrOff + 4 + npages * (pageN * 8 + 4))
+          b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
+          b.putShort(0).putInt(0) // block offset, header checksum
+          for (j <- 0 until npages) {
+            (0 until pageN).foreach(i => b.putLong(addrAt(j * pageN + i)))
+            b.putInt(0) // page checksum
+          }
+          b.array()
         }
-        b.putInt(0).array()
       }
       // secondary blocks: superblocks >= iblkNsblks, each holding its
-      // data-block addresses (absent data blocks = -1)
+      // data-block addresses (absent data blocks = -1), preceded by
+      // page-init bitmaps when this superblock's data blocks are paged
       val secSblks = blocks.map(_.sblk).filter(_ >= iblkNsblks).distinct.sorted
       val sblkBytes = secSblks.map { sb =>
         val nd = ndblks(sb)
-        val b = buf(4 + 2 + 8 + arrOff + nd * 8 + 4)
+        val dnel = dblkNelmts(sb)
+        val bitmapBytes = if (dnel > pageN) nd * ((dnel / pageN + 7) / 8) else 0
+        val b = buf(4 + 2 + 8 + arrOff + bitmapBytes + nd * 8 + 4)
         b.put("EASB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
         b.putShort(0)
+        (0 until bitmapBytes).foreach(_ => b.put(0xFF.toByte)) // all pages init
         val mine = blocks.zipWithIndex.filter(_._1.sblk == sb)
         (0 until nd).foreach { i =>
           b.putLong(if (i < mine.length) dblkAddrs(mine(i)._2) else -1L)
@@ -656,7 +680,7 @@ class Hdf5Spec extends AnyFunSuite {
         val b = buf(4 + 2 + 6 + 6 * 8 + 8 + 4)
         b.put("EAHD".getBytes("ASCII")).put(0.toByte).put(0.toByte)
         b.put(8.toByte).put(maxBits.toByte).put(idxE.toByte)
-        b.put(minE.toByte).put(minP.toByte).put(10.toByte)
+        b.put(minE.toByte).put(minP.toByte).put(pageBits.toByte)
         (0 until 6).foreach(_ => b.putLong(0L))
         b.putLong(eaib).putInt(0).array()
       }
@@ -666,7 +690,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.put(2.toByte) // chunk dim [2]
         b.put(4.toByte) // index type: extensible array
         b.put(maxBits.toByte).put(idxE.toByte).put(minP.toByte)
-          .put(minE.toByte).put(10.toByte)
+          .put(minE.toByte).put(pageBits.toByte)
         b.putLong(eahd)
         msg2(0x08, b.array())
       }
@@ -715,6 +739,22 @@ class Hdf5Spec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getDouble(1))).toMap
       val expected = (0 until 2 * nChunks).map(i => i -> (i + 0.25)).toMap
       assert(got == expected, s"nChunks=$nChunks")
+      f.delete()
+    }
+  }
+
+  test("extensible array: PAGED data blocks, direct and secondary, with page-init bitmaps") {
+    // pageBits=2 (4 elements/page) pages the 8-element blocks of
+    // superblock 3 (index-block-referenced) and the 8/16-element blocks
+    // of superblocks 4-6 (secondary-block-referenced, bitmap-prefixed) —
+    // the on-disk shapes a >=10^5-chunk dataset produces, at sweep size
+    for (nChunks <- Seq(9, 16, 33, 60, 120)) {
+      val f = java.io.File.createTempFile(s"graft_eapg${nChunks}_", ".h5")
+      writeEaN(f.getPath, nChunks, pageBits = 2)
+      val got = Hdf5.readVariable(spark, f.getPath, "ea").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toMap
+      val expected = (0 until 2 * nChunks).map(i => i -> (i + 0.25)).toMap
+      assert(got == expected, s"nChunks=$nChunks pageBits=2")
       f.delete()
     }
   }
@@ -854,6 +894,170 @@ class Hdf5Spec extends AnyFunSuite {
       val expected = (for (r <- 0 until 2; c <- 0 until nChunks)
         yield (r, c) -> (100.0 * r + c)).toMap
       assert(got == expected, s"nChunks=$nChunks")
+      f.delete()
+    }
+  }
+
+  /** Arbitrary-DEPTH v2-B-tree file: same dataset shape as [[writeBt2N]]
+    * (double[2, nChunks] chunked [2,1], type-10 records, v(r,c) = 100r+c)
+    * but with nodeSize 96 so the H5B2 capacity recurrence bites at tens
+    * of records: leafCap = (96-10)/24 = 3, internal cap = 2 at every
+    * depth, cumulative capacities 3 / 11 / 35 / 107 — a 40-chunk file is
+    * already depth 3, standing in for the >=10^5-chunk archive shape.
+    * Child pointers carry 1-byte record counts (encBytes(3)) and, at
+    * depth > 1, 1-byte total-records-below fields (encBytes(cumCap)). */
+  private def writeBt2Deep(path: String, nChunks: Int): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    val nodeSize = 96
+    val recSize = 8 + 16
+    // H5B2 capacity recurrence at this geometry (all widths 1 byte)
+    def capAt(d: Int): Int = if (d == 0) (nodeSize - 10) / recSize else {
+      val ptr = 8 + 1 + (if (d > 1) 1 else 0)
+      (nodeSize - 10 - ptr) / (recSize + ptr)
+    }
+    lazy val cumCap: Int => Long = {
+      val memo = scala.collection.mutable.Map.empty[Int, Long]
+      d => memo.getOrElseUpdate(d,
+        if (d == 0) capAt(0).toLong else (capAt(d) + 1) * cumCap(d - 1) + capAt(d))
+    }
+    val depth = Iterator.from(0).find(d => nChunks <= cumCap(d)).get
+
+    sealed trait Node { def recs: Seq[Int] }
+    case class Leaf(recs: Seq[Int]) extends Node
+    case class Internal(recs: Seq[Int], children: Seq[Node]) extends Node
+    def buildTree(ids: Seq[Int], d: Int): Node =
+      if (d == 0) Leaf(ids)
+      else {
+        val sub = cumCap(d - 1)
+        val k = math.max(2, math.ceil((ids.length + 1).toDouble / (sub + 1)).toInt)
+        val childTotal = ids.length - (k - 1)
+        val base = childTotal / k; val extra = childTotal % k
+        var at = 0
+        val parts = (0 until k).map { i =>
+          val take = base + (if (i < extra) 1 else 0)
+          val ch = ids.slice(at, at + take); at += take
+          val sep = if (i < k - 1) { val s = ids(at); at += 1; Some(s) } else None
+          (ch, sep)
+        }
+        Internal(parts.flatMap(_._2), parts.map(p => buildTree(p._1, d - 1)))
+      }
+    val tree = buildTree(0 until nChunks, depth)
+    // postorder (children before parents) with each node's depth
+    def flatten(n: Node, d: Int): Seq[(Node, Int)] = n match {
+      case l: Leaf => Seq((l, 0))
+      case i: Internal => i.children.flatMap(c => flatten(c, d - 1)) :+ ((i, d))
+    }
+    val nodes = flatten(tree, depth)
+    def totalRecs(n: Node): Long = n match {
+      case Leaf(rs) => rs.length
+      case Internal(rs, ch) => rs.length + ch.map(totalRecs).sum
+    }
+    def nodeBytes(n: Node, d: Int): Int = n match {
+      case Leaf(rs) => 6 + rs.length * recSize + 4
+      case Internal(rs, ch) =>
+        6 + rs.length * recSize + ch.length * (8 + 1 + (if (d > 1) 1 else 0)) + 4
+    }
+    def build(chunkAddrs: Seq[Long], nodeAddr: Map[Node, Long],
+              hd: Long, dsOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val chunkData = (0 until nChunks).map { c =>
+        val b = buf(16); b.putDouble(c.toDouble).putDouble(100.0 + c); b.array()
+      }
+      def rec(b: ByteBuffer, c: Int): Unit = {
+        b.putLong(chunkAddrs(c)); b.putLong(0L); b.putLong(c.toLong)
+      }
+      val nodeBufs = nodes.map {
+        case (l @ Leaf(rs), _) =>
+          val b = buf(nodeBytes(l, 0))
+          b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+          rs.foreach(rec(b, _)); b.putInt(0).array()
+        case (n @ Internal(rs, ch), d) =>
+          val b = buf(nodeBytes(n, d))
+          b.put("BTIN".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+          rs.foreach(rec(b, _))
+          ch.foreach { c =>
+            b.putLong(nodeAddr(c)).put(c.recs.length.toByte)
+            if (d > 1) b.put(totalRecs(c).toByte)
+          }
+          b.putInt(0).array()
+      }
+      val hdBytes = {
+        val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
+        b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
+        b.putInt(nodeSize).putShort(recSize.toShort).putShort(depth.toShort)
+          .put(100.toByte).put(40.toByte)
+        b.putLong(nodeAddr(tree)).putShort(tree.recs.length.toShort)
+        b.putLong(nChunks.toLong).putInt(0)
+        b.array()
+      }
+      val layout = {
+        val b = buf(5 + 2 + 1 + 6 + 8)
+        b.put(4.toByte).put(2.toByte).put(0.toByte).put(2.toByte).put(1.toByte)
+        b.put(2.toByte).put(1.toByte) // chunk dims [2,1]
+        b.put(5.toByte) // index type: v2 B-tree
+        b.putInt(nodeSize).put(100.toByte).put(40.toByte)
+        b.putLong(hd)
+        msg2(0x08, b.array())
+      }
+      val dspace = {
+        val b = buf(4 + 32)
+        b.put(2.toByte).put(2.toByte).put(1.toByte).put(1.toByte)
+        b.putLong(2L).putLong(nChunks.toLong)
+        b.putLong(-1L).putLong(-1L)
+        b.array()
+      }
+      val dsOHBytes = ohdr2(msg2(0x01, dspace), msg2(0x03, dtypeDouble), layout)
+      val link = {
+        val nm = "bt".getBytes("ASCII")
+        msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+          .put(nm.length.toByte).put(nm).putLong(dsOH).array())
+      }
+      val rootOHBytes = ohdr2(link)
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootOHBytes.length).putLong(rootOH).putInt(0)
+      Seq(sb.array()) ++ chunkData ++ nodeBufs ++ Seq(hdBytes, dsOHBytes, rootOHBytes)
+    }
+    // two-pass address resolution: sizes are address-independent
+    val zeroAddr = nodes.map(_._1).map(_ -> 0L).toMap
+    val zeros = build(Seq.fill(nChunks)(0L), zeroAddr, 0, 0, 0)
+    val starts = zeros.map(_.length).scanLeft(0L)(_ + _)
+    val chunkAddrs = (0 until nChunks).map(i => starts(1 + i))
+    val nodeAddr = nodes.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> starts(1 + nChunks + i) }.toMap
+    val off = 1 + nChunks + nodes.length
+    val parts = build(chunkAddrs, nodeAddr, starts(off), starts(off + 1), starts(off + 2))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("v2 B-tree: depth sweep 0/1/2/3 via small node size") {
+    // cumulative capacities at nodeSize 96: 3 / 11 / 35 / 107
+    for ((nChunks, wantDepth) <- Seq(3 -> 0, 4 -> 1, 11 -> 1, 12 -> 2,
+                                     35 -> 2, 36 -> 3, 80 -> 3, 107 -> 3)) {
+      val f = java.io.File.createTempFile(s"graft_btd${nChunks}_", ".h5")
+      writeBt2Deep(f.getPath, nChunks)
+      val got = Hdf5.readVariable(spark, f.getPath, "bt").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val expected = (for (r <- 0 until 2; c <- 0 until nChunks)
+        yield (r, c) -> (100.0 * r + c)).toMap
+      assert(got == expected, s"nChunks=$nChunks (expected depth $wantDepth)")
       f.delete()
     }
   }
