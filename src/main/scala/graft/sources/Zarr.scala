@@ -5,13 +5,17 @@ import org.apache.spark.sql.functions._
 
 import java.io.{File, RandomAccessFile}
 
-/** Zarr v2 directory-store reader — the cloud-native half of the
+/** Zarr v2 AND v3 directory-store reader — the cloud-native half of the
   * reference's `xr.open_dataset` I/O surface (xclim opens NetCDF *and*
   * Zarr through xarray; `cli.py:54-88`). Zarr v2 is the simplest possible
   * chunked-array layout: per-array JSON metadata (`.zarray` — shape,
   * chunk shape, dtype, compressor; `.zattrs` — CF attributes) plus one
   * flat file per chunk named by its grid coordinates (`"0.0"`,
-  * `"1.2"`, …).
+  * `"1.2"`, …). Zarr v3 (what zarr-python 3 writes) moves all metadata
+  * into one `zarr.json` per node — shape, `data_type` names, a regular
+  * `chunk_grid`, a `chunk_key_encoding` ("default": `c/0/1` keys; "v2":
+  * v2-style keys), a codec CHAIN, `dimension_names` — and both versions
+  * parse into the same [[ZArray]] model here.
   *
   * Scale design mirrors [[Hdf5]] and [[NetCDF]]: the driver reads ONLY
   * the JSON metadata (a few hundred bytes per array) and enumerates the
@@ -28,9 +32,13 @@ import java.io.{File, RandomAccessFile}
   * byte-shuffled and split bodies with blosclz/lz4/zlib/zstd/snappy
   * stream codecs (the c-blosc framing is hand-decoded; lz4/zstd/snappy
   * payloads go to the `lz4-java`/`zstd-jni`/`snappy-java` libraries
-  * Spark ships). Out of scope (documented, rejected loudly): Blosc
-  * bit-shuffle/delta filters, numcodecs `filters` chains (the
-  * `filters` list must be null/empty), object/string dtypes.
+  * Spark ships). v3 codec chains additionally support `bytes` (endian),
+  * raw `zstd` frames, identity/reversing `transpose`, and trailing
+  * `crc32c` (stripped, unverified — same policy as [[Hdf5]] checksums).
+  * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
+  * filters, numcodecs `filters` chains (the `filters` list must be
+  * null/empty), object/string dtypes, and v3 `sharding_indexed` stores
+  * (one object per chunk expected).
   */
 object Zarr {
 
@@ -130,12 +138,17 @@ object Zarr {
   // ---------------- metadata model ----------------
 
   /** `dtKind`: 'f' float, 'i' signed int, 'u' unsigned int, 'b' bool.
-    * `compressor`: "raw" | "zlib" | "gzip" | "blosc". */
+    * `compressor`: "raw" | "zlib" | "gzip" | "blosc" | "zstd".
+    * `keyPrefix` precedes the joined chunk coordinates in the chunk file
+    * key ("" for v2 / v3-v2-encoding; "c" + separator for the v3 default
+    * encoding). `crc32c` marks a trailing 4-byte checksum per chunk
+    * (v3 codec chain), stripped before decompression. */
   final case class ZArray(name: String, shape: Seq[Long], chunks: Seq[Long],
                           dtKind: Char, dtSize: Int, littleEndian: Boolean,
                           compressor: String, fillValue: Option[Double],
                           cOrder: Boolean, dimSeparator: String,
-                          attrs: Map[String, Double], dimNames: Seq[String])
+                          attrs: Map[String, Double], dimNames: Seq[String],
+                          keyPrefix: String = "", crc32c: Boolean = false)
 
   private def asLongs(v: Any): Seq[Long] = v.asInstanceOf[Vector[Any]]
     .map(x => x.asInstanceOf[Double].toLong)
@@ -161,13 +174,15 @@ object Zarr {
     } finally raf.close()
   }
 
-  /** Parse one array's `.zarray` (+ optional `.zattrs`) under
-    * `store/name` (or `store` itself when `name` is empty — a bare-array
-    * store). */
+  /** Parse one array's metadata under `store/name` (or `store` itself
+    * when `name` is empty — a bare-array store): v2 `.zarray` (+ optional
+    * `.zattrs`) when present, else v3 `zarr.json`. */
   def readArrayMeta(store: String, name: String): ZArray = {
     val dir = if (name.isEmpty) new File(store) else new File(store, name)
     val zarrayFile = new File(dir, ".zarray")
-    require(zarrayFile.isFile, s"no .zarray under $dir — not a Zarr v2 array")
+    if (!zarrayFile.isFile && new File(dir, "zarr.json").isFile)
+      return readArrayMetaV3(store, name)
+    require(zarrayFile.isFile, s"no .zarray or zarr.json under $dir — not a Zarr array")
     val m = Json.parse(readText(zarrayFile)).asInstanceOf[Map[String, Any]]
     require(m("zarr_format").asInstanceOf[Double].toInt == 2,
       s"only Zarr v2 (got zarr_format=${m("zarr_format")})")
@@ -219,6 +234,101 @@ object Zarr {
       order == "C", sep, attrs, dimNames)
   }
 
+  /** Zarr v3 `zarr.json` array metadata → the shared [[ZArray]] model.
+    * Handles the "regular" chunk grid, both chunk-key encodings
+    * ("default" `c/0/1`-style and "v2"), named data types, string-coded
+    * non-finite fill values, top-level `dimension_names`, numeric
+    * `attributes`, and codec chains of `bytes`/`transpose` (identity or
+    * full reverse)/`gzip`/`zstd`/`blosc`/`crc32c`. `sharding_indexed`
+    * and unknown codecs are rejected loudly. */
+  private def readArrayMetaV3(store: String, name: String): ZArray = {
+    val dir = if (name.isEmpty) new File(store) else new File(store, name)
+    val m = Json.parse(readText(new File(dir, "zarr.json"))).asInstanceOf[Map[String, Any]]
+    require(m("zarr_format").asInstanceOf[Double].toInt == 3,
+      s"unexpected zarr_format ${m("zarr_format")} in zarr.json")
+    require(m("node_type") == "array", s"$dir zarr.json is a ${m("node_type")}, not an array")
+    val shape = asLongs(m("shape"))
+    val (kind, size) = m("data_type").asInstanceOf[String] match {
+      case "float64" => ('f', 8); case "float32" => ('f', 4)
+      case "int64"   => ('i', 8); case "int32"   => ('i', 4)
+      case "int16"   => ('i', 2); case "int8"    => ('i', 1)
+      case "uint32"  => ('u', 4); case "uint16"  => ('u', 2)
+      case "uint8"   => ('u', 1); case "bool"    => ('b', 1)
+      case other     => throw new IllegalArgumentException(
+        s"unsupported v3 data_type '$other' (string/complex/structured out of scope)")
+    }
+    val grid = m("chunk_grid").asInstanceOf[Map[String, Any]]
+    require(grid("name") == "regular", s"only regular chunk grids (got ${grid("name")})")
+    val chunks = asLongs(grid("configuration").asInstanceOf[Map[String, Any]]("chunk_shape"))
+    val (keyPrefix, sep) = m.get("chunk_key_encoding") match {
+      case None => ("c/", "/") // spec default
+      case Some(e: Map[String @unchecked, Any @unchecked]) =>
+        val nm = e("name").asInstanceOf[String]
+        val cfg = e.getOrElse("configuration", Map.empty)
+          .asInstanceOf[Map[String, Any]]
+        val s = cfg.getOrElse("separator",
+          if (nm == "v2") "." else "/").asInstanceOf[String]
+        nm match {
+          case "default" => ("c" + s, s)
+          case "v2"      => ("", s)
+          case other     => throw new IllegalArgumentException(
+            s"unknown chunk_key_encoding '$other'")
+        }
+      case other => throw new IllegalArgumentException(s"bad chunk_key_encoding $other")
+    }
+    val fill = m.getOrElse("fill_value", null) match {
+      case null       => None
+      case d: Double  => Some(d)
+      case b: Boolean => Some(if (b) 1.0 else 0.0)
+      case s: String  => Some(s match {
+        case "NaN"       => Double.NaN
+        case "Infinity"  => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other       => other.toDouble
+      })
+      case other => throw new IllegalArgumentException(s"bad fill_value $other")
+    }
+    var little = true; var cOrder = true; var comp = "raw"; var crc = false
+    def setComp(c: String): Unit = {
+      require(comp == "raw", s"unsupported codec chain: $comp then $c")
+      comp = c
+    }
+    m.getOrElse("codecs", Vector.empty[Any]).asInstanceOf[Vector[Any]].foreach { c =>
+      val cm = c.asInstanceOf[Map[String, Any]]
+      val cfg = cm.getOrElse("configuration", Map.empty)
+        .asInstanceOf[Map[String, Any]]
+      cm("name").asInstanceOf[String] match {
+        case "bytes" => little = cfg.getOrElse("endian", "little") == "little"
+        case "transpose" =>
+          val order = cfg("order").asInstanceOf[Vector[Any]]
+            .map(_.asInstanceOf[Double].toInt)
+          if (order == shape.indices.reverse.toVector) cOrder = false
+          else require(order == shape.indices.toVector,
+            s"unsupported transpose order ${order.mkString(",")}")
+        case "gzip"   => setComp("gzip")
+        case "zstd"   => setComp("zstd")
+        case "blosc"  => setComp("blosc")
+        case "crc32c" => crc = true
+        case "sharding_indexed" => throw new UnsupportedOperationException(
+          "sharded Zarr v3 stores are not supported — rewrite with one object per chunk")
+        case other => throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
+      }
+    }
+    val dimNames = m.get("dimension_names") match {
+      case Some(v: Vector[Any @unchecked]) if v.forall(_.isInstanceOf[String]) =>
+        v.map(_.asInstanceOf[String])
+      case _ => Seq.empty[String]
+    }
+    val attrs: Map[String, Double] = m.getOrElse("attributes", Map.empty)
+      .asInstanceOf[Map[String, Any]].flatMap {
+        case (k, d: Double)  => Some(k -> d)
+        case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
+        case _               => None // string/array attrs don't affect decode
+      }
+    ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
+      little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc)
+  }
+
   /** All arrays in a store: from consolidated metadata (`.zmetadata` —
     * the single-fetch index cloud producers write so object stores need
     * no LIST calls; array names are its `<name>/.zarray` keys), else by
@@ -239,6 +349,20 @@ object Zarr {
         .map(_.stripSuffix("/.zarray")).toSeq.sorted
         .map(readArrayMeta(store, _))
     } else if (new File(root, ".zarray").isFile) Seq(readArrayMeta(store, ""))
+    else if (new File(root, "zarr.json").isFile) {
+      // v3 store: one zarr.json per node; a group's arrays are its
+      // immediate children whose zarr.json says node_type=array
+      val m = Json.parse(readText(new File(root, "zarr.json"))).asInstanceOf[Map[String, Any]]
+      m("node_type") match {
+        case "array" => Seq(readArrayMeta(store, ""))
+        case "group" => root.listFiles().filter { d =>
+            val z = new File(d, "zarr.json")
+            d.isDirectory && z.isFile &&
+              Json.parse(readText(z)).asInstanceOf[Map[String, Any]]("node_type") == "array"
+          }.map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
+        case other => throw new IllegalArgumentException(s"unknown node_type '$other'")
+      }
+    }
     else root.listFiles().filter(d => d.isDirectory && new File(d, ".zarray").isFile)
       .map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
   }
@@ -268,6 +392,10 @@ object Zarr {
           out
         } finally gz.close()
       case "blosc" => Blosc.decode(in, outLen)
+      case "zstd"  => // raw zstd frame (v3 codec; Spark ships zstd-jni)
+        val dec = com.github.luben.zstd.Zstd.decompress(in, outLen)
+        require(dec.length == outLen, s"zstd chunk decoded ${dec.length} of $outLen bytes")
+        dec
       case other   => throw new IllegalArgumentException(s"codec $other")
     }
 
@@ -307,6 +435,7 @@ object Zarr {
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (kind, size, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
+    val (keyPrefix, crc) = (za.keyPrefix, za.crc32c)
     val fillForAbsent = za.fillValue
     val chunkElems = cdims.product.toInt
 
@@ -318,14 +447,16 @@ object Zarr {
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Double)] =
       spark.sparkContext.parallelize(chunkCoords, slices)
         .flatMap { cc =>
-          val f = new File(dir, cc.mkString(sep))
+          val f = new File(dir, keyPrefix + cc.mkString(sep))
           val data: Option[java.nio.ByteBuffer] =
             if (!f.isFile) None // absent chunk = entirely fill_value
             else {
               val raf = new RandomAccessFile(f, "r")
               try {
-                val stored = new Array[Byte](raf.length().toInt)
-                raf.readFully(stored)
+                val all = new Array[Byte](raf.length().toInt)
+                raf.readFully(all)
+                // v3 crc32c codec appends 4 checksum bytes (unverified)
+                val stored = if (crc) java.util.Arrays.copyOfRange(all, 0, all.length - 4) else all
                 val bb = java.nio.ByteBuffer.wrap(decompress(comp, stored, chunkElems * size))
                 bb.order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
                   else java.nio.ByteOrder.BIG_ENDIAN)
@@ -472,6 +603,14 @@ object Zarr {
       (0 until dimCols.length).map(i => r.getAs[Number](i).longValue() + 1)
     }
     val innerElems = dims.tail.product
+    // The splitting scheme only divides the LEADING dim, so one chunk is at
+    // least innerElems * 8 bytes — which must fit a JVM byte[] / ByteBuffer.
+    // 2^28 elems = 2 GiB of doubles; beyond that the trailing dims would
+    // need splitting too, which this writer does not implement.
+    require(innerElems > 0 && innerElems <= (1L << 28),
+      s"trailing dims ${dims.tail.mkString("x")} = $innerElems elems per " +
+        "leading-index slice exceed the single-chunk 2 GiB buffer limit; " +
+        "writeArray only splits the leading dimension")
     val lead = math.max(1L, math.min(dims.head,
       targetChunkElems / math.max(1L, innerElems)))
     val chunkDims = lead +: dims.tail

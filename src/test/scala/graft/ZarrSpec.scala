@@ -281,4 +281,113 @@ class ZarrSpec extends AnyFunSuite {
       Set((0, 0.5), (1, 1.5), (2, 2.5)))
     assert(spark.read.parquet(s"$out/tas").count() == 20)
   }
+
+  /** v3 twin of [[writeTas]]: group-rooted store, array `tas`
+    * double[5,4] chunked [2,3] gzip, DEFAULT chunk-key encoding
+    * (`c/cy/cx` keys), dimension_names, CF attributes, chunk (2,0)
+    * absent → fill -999 → NULL after masking. */
+  private def writeTasV3(root: File): Unit = {
+    writeText(new File(root, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {}}""")
+    val dir = new File(root, "tas")
+    writeText(new File(dir, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [5, 4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -999.0,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "gzip", "configuration": {"level": 1}}],
+        | "dimension_names": ["y", "x"],
+        | "attributes": {"_FillValue": -999.0, "scale_factor": 0.5,
+        |                "add_offset": 100.0, "units": "K"}}""".stripMargin)
+    for (cy <- 0 until 3; cx <- 0 until 2; if !(cy == 2 && cx == 0)) {
+      val vals = for (ly <- 0 until 2; lx <- 0 until 3) yield {
+        val (y, x) = (cy * 2 + ly, cx * 3 + lx)
+        if (y < 5 && x < 4) 10.0 * y + x else 7777.0
+      }
+      write(new File(dir, s"c/$cy/$cx"), gzip(doubles(vals)))
+    }
+  }
+
+  test("v3 store: default chunk keys, gzip codec, absent chunk, CF unpack, group discovery") {
+    val root = java.nio.file.Files.createTempDirectory("zarr3_").toFile
+    writeTasV3(root)
+    val df = Zarr.readVariable(spark, root.getPath, "tas")
+    assert(df.columns.toSeq == Seq("y", "x", "value"))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val expected = (for (y <- 0 until 5; x <- 0 until 4) yield {
+      if (y == 4 && x <= 2) (y, x, null)
+      else (y, x, (10.0 * y + x) * 0.5 + 100.0)
+    }).toSet
+    assert(got == expected)
+    // group-level discovery + lake conversion runs through the same path
+    assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("tas"))
+    val out = java.nio.file.Files.createTempDirectory("zarr3_lake_").toString
+    assert(Zarr.toParquetLake(spark, root.getPath, out) == Seq("tas"))
+    assert(spark.read.parquet(s"$out/tas").count() == 20)
+  }
+
+  test("v3 codecs: zstd + crc32c, v2-style keys, big-endian int32, transpose reverse") {
+    val root = java.nio.file.Files.createTempDirectory("zarr3c_").toFile
+    writeText(new File(root, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    // zs: float64[4] chunked [2], zstd frames with trailing crc32c,
+    // v2-style chunk keys ("0", "1")
+    val zs = new File(root, "zs")
+    writeText(new File(zs, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "zstd", "configuration": {"level": 3}},
+        |            {"name": "crc32c"}]}""".stripMargin)
+    def zstdCrc(raw: Array[Byte]): Array[Byte] = {
+      val z = com.github.luben.zstd.Zstd.compress(raw)
+      z ++ Array[Byte](0, 0, 0, 0) // checksum bytes (reader strips, unverified)
+    }
+    write(new File(zs, "0"), zstdCrc(doubles(Seq(1.5, 2.5))))
+    write(new File(zs, "1"), zstdCrc(doubles(Seq(3.5, 4.5))))
+    val zsGot = Zarr.readVariable(spark, root.getPath, "zs").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(zsGot == Set((0, 1.5), (1, 2.5), (2, 3.5), (3, 4.5)))
+    // ib: int32[2,2] big-endian, raw (bytes codec only), transpose
+    // full-reverse = F order, default keys with "." separator
+    val ib = new File(root, "ib")
+    writeText(new File(ib, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2],
+        | "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}},
+        | "fill_value": 0,
+        | "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |            {"name": "bytes", "configuration": {"endian": "big"}}]}""".stripMargin)
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    // F-order: (0,0), (1,0), (0,1), (1,1) with v(r,c) = 10r + c + 1
+    // (no cell equals fill_value 0, which would mask to NULL)
+    bb.putInt(1).putInt(11).putInt(2).putInt(12)
+    write(new File(ib, "c.0.0"), bb.array())
+    val ibGot = Zarr.readVariable(spark, root.getPath, "ib").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(ibGot == Set((0, 0, 1.0), (0, 1, 2.0), (1, 0, 11.0), (1, 1, 12.0)))
+    assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("ib", "zs"))
+  }
+
+  test("v3 sharded stores and unknown codecs rejected loudly") {
+    val root = java.nio.file.Files.createTempDirectory("zarr3r_").toFile
+    val sh = new File(root, "sh")
+    writeText(new File(sh, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin)
+    val e = intercept[UnsupportedOperationException] {
+      Zarr.readArrayMeta(root.getPath, "sh")
+    }
+    assert(e.getMessage.contains("shard"))
+  }
 }
