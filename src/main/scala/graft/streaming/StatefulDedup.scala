@@ -105,4 +105,42 @@ object StatefulDedup {
       }
       .dropDuplicates("idA", "idB")
   }
+
+  /** Composed streaming ingest — the recommended default for
+    * duplicate-heavy streams (PLANS §35): exact-dedup state routes only
+    * FIRST-seen contents into the LSH banding, the streaming form of the
+    * batch exact-collapse front ([[graft.pipeline.Dedup.nearDuplicates]]'
+    * distinct-content pre-pass). Bucket state and candidate volume are
+    * then bounded by DISTINCT contents, not stream length — a stream
+    * that re-sends one document a million times adds one band-state
+    * entry total, not a million-member bucket.
+    *
+    * Emits candidate pairs between KEEPER ids only (keeper = min id of a
+    * content, as in the batch collapse front); run [[exactDedup]]
+    * alongside for the per-document keeper mapping (a streaming query
+    * has one sink, so the two outputs are two queries over the same
+    * source — their state stores are independent).
+    *
+    * State bounds: exact state ~40 B/distinct content, band state
+    * 8 B/distinct content/band, dropDuplicates one row per emitted pair. */
+  def ingest(ds: Dataset[Doc], ngram: Int = 3, numHashes: Int = 16,
+             bands: Int = 4, maxBucketMembers: Int = 10000): Dataset[CandPair] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val firsts = ds
+      .select(col("docId"), col("text"),
+        graft.pipeline.Dedup.contentKey(col("text")).as("ck"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, docs, state) =>
+        if (state.exists) Iterator.empty // content already routed
+        else {
+          val first = docs.minBy(_._1)
+          state.update(first._1)
+          Iterator.single(Doc(first._1, first._2))
+        }
+      }
+    lshCandidates(firsts, ngram, numHashes, bands, maxBucketMembers)
+  }
 }

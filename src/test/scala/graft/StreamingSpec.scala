@@ -217,6 +217,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally { qe.stop(); ql.stop() }
   }
 
+  test("composed ingest routes only first-seen contents into LSH; state distinct-bound") {
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.{CandPair, Doc}
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate-HEAVY stream: 6 distinct contents (2 of them near-dups of
+    // each other), each re-sent 10x under fresh ids across two batches
+    val contents = Vector(
+      "sun rain snow wind heat cold",
+      "sun rain snow wind heat frost",   // near-dup of [0]
+      "dry wet fog mist haze dew",
+      "alpha beta gamma delta eps zeta",
+      "one two three four five six",
+      "red green blue cyan pink grey")
+    val docs = for (rep <- 0 until 10; c <- contents.indices)
+      yield Doc(rep * 100L + c, contents(c))
+    val (batch1, batch2) = docs.splitAt(docs.length / 2)
+
+    val in = MemoryStream[Doc]
+    val q = StatefulDedup.ingest(in.toDS(), ngram = 2, numHashes = 16, bands = 16)
+      .writeStream.format("memory").queryName("ingest_cands")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val streamPairs = spark.table("ingest_cands").as[CandPair].collect()
+        .map(p => (p.idA, p.idB)).toSet
+      // batch twin: LSH candidates over the exact-collapse front (keeper =
+      // min id per distinct content, ids 0..5 here)
+      val keepers = contents.indices.map(c => (c.toLong, contents(c)))
+      val batchPairs = graft.pipeline.Dedup
+        .minhashCandidates(keepers.toDF("doc_id", "text"), "doc_id", "text",
+          ngram = 2, numHashes = 16, bands = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs)
+      assert(streamPairs.contains((0L, 1L))) // the near-dup pair, keepers only
+      // no pair may touch a non-keeper id: 60 docs collapsed to 6 keepers
+      assert(streamPairs.flatMap(p => Set(p._1, p._2)).forall(_ < contents.length))
+      // state is DISTINCT-CONTENT-bound, not stream-length-bound: exact
+      // state one row per content, band state ≤ contents x bands buckets,
+      // pair-dedup state one row per emitted pair
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val bound = contents.length * (16 + 1) + streamPairs.size
+      assert(stateRows <= bound, s"state rows $stateRows > bound $bound")
+      assert(stateRows < docs.length * 16L) // far under the unrouted shape
+    } finally q.stop()
+  }
+
   test("native expressions usable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
