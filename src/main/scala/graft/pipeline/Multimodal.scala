@@ -457,20 +457,52 @@ object Multimodal {
     * throws — crafted bytes return what was walked so far, or null).
     * Returns [frames, sampleRate, firstFrameKbps, durationMs] or null
     * when no valid frame exists. */
-  def mp3Meta(payload: Array[Byte]): Array[Long] = {
+  def mp3Meta(payload: Array[Byte]): Array[Long] = mp3Walk(payload) match {
+    case null => null
+    case (rate, kbps, samples) =>
+      Array(kbps.length, rate, kbps(0), samples * 1000 / rate)
+  }
+
+  /** Frame-level mp3 energy-envelope APPROXIMATION without audio
+    * decode — the documented alternative to a full MPEG-1 Layer III
+    * synthesis (Huffman tables + IMDCT + polyphase filterbank; out of
+    * scope in pure JVM here): a VBR encoder spends bits where the
+    * signal has entropy, so the per-frame bitrate sequence tracks the
+    * energy envelope, and frames at the stream's minimum bitrate
+    * approximate silence/low-energy passages. Same header walk (and
+    * fuzz posture) as [[mp3Meta]]. Returns [frames, sampleRate,
+    * sumKbps, minKbps, maxKbps, minKbpsFrames, durationMs] or null. */
+  def mp3FrameStats(payload: Array[Byte]): Array[Long] = mp3Walk(payload) match {
+    case null => null
+    case (rate, kbps, samples) =>
+      var sum = 0L; var mn = Int.MaxValue; var mx = 0
+      var i = 0
+      while (i < kbps.length) {
+        sum += kbps(i); if (kbps(i) < mn) mn = kbps(i); if (kbps(i) > mx) mx = kbps(i)
+        i += 1
+      }
+      Array(kbps.length, rate, sum, mn, mx, kbps.count(_ == mn), samples * 1000 / rate)
+  }
+
+  /** Shared Layer-III header walk: (sampleRate, per-frame kbps, total
+    * samples), or null when no valid frame exists. */
+  private def mp3Walk(payload: Array[Byte]): (Long, Array[Int], Long) = {
     if (payload == null || payload.length < 4) return null
     var p = 0
     if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
       val sz = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
                ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
-      p = 10 + sz
+      // ID3v2.4 footer flag (header byte 5, bit 0x10): tag = 10-byte
+      // header + size + 10-byte footer, and `size` excludes both.
+      p = 10 + sz + (if ((payload(5) & 0x10) != 0) 10 else 0)
     }
     // Layer III bitrate (kbps) and MPEG1 sample-rate tables; MPEG2/2.5
     // rates are the MPEG1 rates halved/quartered.
     val brMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     val brMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
     val srMpeg1 = Array(44100, 48000, 32000)
-    var frames = 0L; var samples = 0L; var rate = 0L; var kbps0 = 0L
+    val kbpsSeq = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var samples = 0L; var rate = 0L
     var ok = true
     while (ok && p + 4 <= payload.length) {
       val b1 = payload(p) & 0xFF; val b2 = payload(p + 1) & 0xFF
@@ -486,8 +518,8 @@ object Multimodal {
           val sr = srMpeg1(srIdx) / (verBits match { case 3 => 1; case 2 => 2; case _ => 4 })
           val spf = if (mpeg1) 1152 else 576
           val flen = spf / 8 * kbps * 1000 / sr + pad // >= 26, so the walk always advances
-          if (frames == 0) { rate = sr; kbps0 = kbps }
-          frames += 1; samples += spf
+          if (kbpsSeq.isEmpty) rate = sr
+          kbpsSeq += kbps; samples += spf
           p += flen
         }
       } else if (p + 3 <= payload.length &&
@@ -495,7 +527,7 @@ object Multimodal {
         p = payload.length // ID3v1 tail
       } else ok = false
     }
-    if (frames == 0) null else Array(frames, rate, kbps0, samples * 1000 / rate)
+    if (kbpsSeq.isEmpty) null else (rate, kbpsSeq.toArray, samples)
   }
 
   /** ISO-BMFF (mp4/mov) container metadata WITHOUT decoding: walks the
@@ -621,6 +653,32 @@ object Multimodal {
       out(p + 2) = (0x90 | ((f % 2) << 1)).toByte  // 128 kbps, 44.1 kHz, padding
       var i = 4
       while (i < frameLens(f)) { out(p + i) = ((id * 31 + f * 7 + i) % 97).toByte; i += 1 }
+      p += frameLens(f)
+    }
+    out(p) = 'T'; out(p + 1) = 'A'; out(p + 2) = 'G'
+    out
+  }
+
+  /** Deterministic planted VBR mp3: MPEG-1 Layer III 44.1 kHz frames
+    * whose bitrate index cycles `1 + (id·3 + f·5) mod 14` (so the
+    * bitrate table itself is exercised and [[mp3FrameStats]]' envelope
+    * stats have a closed form in (id, frames)), zero filler bodies,
+    * behind an ID3v2.4 tag WITH the footer flag set (10-byte header +
+    * 30-byte body + 10-byte footer — the skip the footer bit adds),
+    * ahead of an ID3v1 "TAG" tail. */
+  def plantedMp3Vbr(id: Long, frames: Int): Array[Byte] = {
+    val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val idxs = (0 until frames).map(f => 1 + ((id * 3 + f * 5L) % 14).toInt)
+    val frameLens = idxs.map(ix => 144 * br(ix) * 1000 / 44100)
+    val out = new Array[Byte](50 + frameLens.sum + 3)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+    out(5) = 0x10 // footer present
+    out(9) = 30   // syncsafe size (body only, excludes header + footer)
+    var p = 50    // 10 header + 30 body + 10 footer
+    (0 until frames).foreach { f =>
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xFB.toByte            // MPEG1, Layer III, no CRC
+      out(p + 2) = (idxs(f) << 4).toByte  // bitrate index, 44.1 kHz, no pad
       p += frameLens(f)
     }
     out(p) = 'T'; out(p + 1) = 'A'; out(p + 2) = 'G'

@@ -546,6 +546,25 @@ class EngineSpec extends AnyFunSuite {
     assert(Multimodal.mp3Meta(cut.take(cut.length - 300))(0) >= 9L)
   }
 
+  test("mp3FrameStats: VBR bitrate envelope closed form, ID3v2.4 footer skipped") {
+    import graft.pipeline.Multimodal
+    val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    for (id <- Seq(0L, 7L, 42L); frames <- Seq(1, 14, 100)) {
+      val kbps = (0 until frames).map(f => br(1 + ((id * 3 + f * 5L) % 14).toInt))
+      val s = Multimodal.mp3FrameStats(Multimodal.plantedMp3Vbr(id, frames))
+      assert(s(0) == frames && s(1) == 44100L, s"id=$id frames=$frames")
+      assert(s(2) == kbps.map(_.toLong).sum && s(3) == kbps.min && s(4) == kbps.max)
+      assert(s(5) == kbps.count(_ == kbps.min))
+      assert(s(6) == frames.toLong * 1152 * 1000 / 44100)
+    }
+    // CBR stream: envelope collapses (min = max, every frame "silentish")
+    val c = Multimodal.mp3FrameStats(Multimodal.plantedMp3(42L, 20))
+    assert(c(3) == 128L && c(4) == 128L && c(5) == 20L)
+    // same null/fuzz posture as mp3Meta
+    assert(Multimodal.mp3FrameStats("plain text".getBytes) == null)
+    assert(Multimodal.mp3FrameStats(null) == null)
+  }
+
   test("AviDecoder: real uncompressed-AVI byte parse with exact planted stats") {
     import graft.pipeline.Multimodal
     val dec = new Multimodal.AviDecoder
