@@ -54,10 +54,19 @@ object Bench {
     val warm1 = pass().toMap
     val warm2 = pass()
     val warm = warm2.map { case (k, v) => k -> math.min(v, warm1(k)) }
-    println(s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
       s""""queries":${toJson(warm)},"mode":"warm-min2",""" +
       s""""total_cold":${cold.map(_._2).sum},"queries_cold":${toJson(cold)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a tail limit, which truncated the
+    // per-query map to ~1/3 of the queries in past rounds — so the FULL
+    // line is also written to a file (committed per round as
+    // bench_full_r{N}.json) for untruncated regression tracking.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      val w = new java.io.PrintWriter(path)
+      try w.println(line) finally w.close()
+    }
     spark.stop()
   }
 }
