@@ -33,12 +33,14 @@ import java.io.{File, RandomAccessFile}
   * stream codecs (the c-blosc framing is hand-decoded; lz4/zstd/snappy
   * payloads go to the `lz4-java`/`zstd-jni`/`snappy-java` libraries
   * Spark ships). v3 codec chains additionally support `bytes` (endian),
-  * raw `zstd` frames, identity/reversing `transpose`, and trailing
-  * `crc32c` (stripped, unverified — same policy as [[Hdf5]] checksums).
+  * raw `zstd` frames, identity/reversing `transpose`, trailing `crc32c`
+  * (verified — `java.util.zip.CRC32C`), and `sharding_indexed` (each
+  * chunk-grid entry a shard of independently-coded inner chunks behind
+  * an (offset, nbytes) footer index; executors range-read the index and
+  * then only their inner chunks, mirroring object-store ranged GETs).
   * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
   * filters, numcodecs `filters` chains (the `filters` list must be
-  * null/empty), object/string dtypes, and v3 `sharding_indexed` stores
-  * (one object per chunk expected).
+  * null/empty), object/string dtypes, and nested `sharding_indexed`.
   */
 object Zarr {
 
@@ -148,7 +150,21 @@ object Zarr {
                           compressor: String, fillValue: Option[Double],
                           cOrder: Boolean, dimSeparator: String,
                           attrs: Map[String, Double], dimNames: Seq[String],
-                          keyPrefix: String = "", crc32c: Boolean = false)
+                          keyPrefix: String = "", crc32c: Boolean = false,
+                          sharding: Option[ShardMeta] = None)
+
+  /** v3 `sharding_indexed`: each chunk-grid "chunk" is a SHARD file of
+    * inner chunks (shape `innerChunks`, each encoded with its own codec
+    * chain) plus a binary index of (offset, nbytes) uint64 pairs — one
+    * per inner chunk in C order, missing = (2^64-1, 2^64-1) — at the
+    * shard's start or end, itself wrapped in `index_codecs`
+    * (bytes [+ crc32c]). Executors range-read the index then only the
+    * inner chunks they need — the same access pattern object-store
+    * ranged GETs give a real cluster. */
+  final case class ShardMeta(innerChunks: Seq[Long], innerLittle: Boolean,
+                             innerCOrder: Boolean, innerComp: String,
+                             innerCrc: Boolean, indexAtEnd: Boolean,
+                             indexCrc: Boolean, indexLittle: Boolean)
 
   private def asLongs(v: Any): Seq[Long] = v.asInstanceOf[Vector[Any]]
     .map(x => x.asInstanceOf[Double].toLong)
@@ -239,8 +255,8 @@ object Zarr {
     * ("default" `c/0/1`-style and "v2"), named data types, string-coded
     * non-finite fill values, top-level `dimension_names`, numeric
     * `attributes`, and codec chains of `bytes`/`transpose` (identity or
-    * full reverse)/`gzip`/`zstd`/`blosc`/`crc32c`. `sharding_indexed`
-    * and unknown codecs are rejected loudly. */
+    * full reverse)/`gzip`/`zstd`/`blosc`/`crc32c`/`sharding_indexed`.
+    * Nested sharding and unknown codecs are rejected loudly. */
   private def readArrayMetaV3(store: String, name: String): ZArray = {
     val dir = if (name.isEmpty) new File(store) else new File(store, name)
     val m = Json.parse(readText(new File(dir, "zarr.json"))).asInstanceOf[Map[String, Any]]
@@ -288,31 +304,16 @@ object Zarr {
       })
       case other => throw new IllegalArgumentException(s"bad fill_value $other")
     }
-    var little = true; var cOrder = true; var comp = "raw"; var crc = false
-    def setComp(c: String): Unit = {
-      require(comp == "raw", s"unsupported codec chain: $comp then $c")
-      comp = c
-    }
-    m.getOrElse("codecs", Vector.empty[Any]).asInstanceOf[Vector[Any]].foreach { c =>
-      val cm = c.asInstanceOf[Map[String, Any]]
-      val cfg = cm.getOrElse("configuration", Map.empty)
-        .asInstanceOf[Map[String, Any]]
-      cm("name").asInstanceOf[String] match {
-        case "bytes" => little = cfg.getOrElse("endian", "little") == "little"
-        case "transpose" =>
-          val order = cfg("order").asInstanceOf[Vector[Any]]
-            .map(_.asInstanceOf[Double].toInt)
-          if (order == shape.indices.reverse.toVector) cOrder = false
-          else require(order == shape.indices.toVector,
-            s"unsupported transpose order ${order.mkString(",")}")
-        case "gzip"   => setComp("gzip")
-        case "zstd"   => setComp("zstd")
-        case "blosc"  => setComp("blosc")
-        case "crc32c" => crc = true
-        case "sharding_indexed" => throw new UnsupportedOperationException(
-          "sharded Zarr v3 stores are not supported — rewrite with one object per chunk")
-        case other => throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
-      }
+    val chain = parseCodecsV3(
+      m.getOrElse("codecs", Vector.empty[Any]).asInstanceOf[Vector[Any]],
+      shape.length, allowSharding = true)
+    val (little, cOrder, comp, crc) =
+      (chain.little, chain.cOrder, chain.comp, chain.crc)
+    chain.sharding.foreach { sh =>
+      require(sh.innerChunks.length == shape.length &&
+        sh.innerChunks.zip(chunks).forall { case (i, o) => i > 0 && o % i == 0 },
+        s"inner chunk shape ${sh.innerChunks.mkString("x")} must divide " +
+          s"the shard shape ${chunks.mkString("x")}")
     }
     val dimNames = m.get("dimension_names") match {
       case Some(v: Vector[Any @unchecked]) if v.forall(_.isInstanceOf[String]) =>
@@ -326,7 +327,61 @@ object Zarr {
         case _               => None // string/array attrs don't affect decode
       }
     ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
-      little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc)
+      little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc,
+      chain.sharding)
+  }
+
+  private final case class CodecChain(little: Boolean, cOrder: Boolean,
+                                      comp: String, crc: Boolean,
+                                      sharding: Option[ShardMeta])
+
+  /** Fold one v3 codec list into (endianness, element order, compressor,
+    * trailing crc32c, sharding). Recurses once for `sharding_indexed`'s
+    * inner `codecs` and `index_codecs`; nested sharding is rejected. */
+  private def parseCodecsV3(codecs: Vector[Any], rank: Int,
+                            allowSharding: Boolean): CodecChain = {
+    var little = true; var cOrder = true; var comp = "raw"; var crc = false
+    var shard: Option[ShardMeta] = None
+    def setComp(c: String): Unit = {
+      require(comp == "raw" && shard.isEmpty, s"unsupported codec chain: $comp then $c")
+      comp = c
+    }
+    codecs.foreach { c =>
+      val cm = c.asInstanceOf[Map[String, Any]]
+      val cfg = cm.getOrElse("configuration", Map.empty)
+        .asInstanceOf[Map[String, Any]]
+      cm("name").asInstanceOf[String] match {
+        case "bytes" => little = cfg.getOrElse("endian", "little") == "little"
+        case "transpose" =>
+          val order = cfg("order").asInstanceOf[Vector[Any]]
+            .map(_.asInstanceOf[Double].toInt)
+          if (order == (0 until rank).reverse.toVector) cOrder = false
+          else require(order == (0 until rank).toVector,
+            s"unsupported transpose order ${order.mkString(",")}")
+        case "gzip"   => setComp("gzip")
+        case "zstd"   => setComp("zstd")
+        case "blosc"  => setComp("blosc")
+        case "crc32c" => crc = true
+        case "sharding_indexed" =>
+          if (!allowSharding) throw new UnsupportedOperationException(
+            "nested sharding_indexed codecs are not supported")
+          require(comp == "raw" && shard.isEmpty && cOrder,
+            "sharding_indexed must be the chain's only array->bytes codec")
+          val inner = parseCodecsV3(
+            cfg("codecs").asInstanceOf[Vector[Any]], rank, allowSharding = false)
+          val idx = parseCodecsV3(
+            cfg.getOrElse("index_codecs",
+              Vector(Map("name" -> "bytes"), Map("name" -> "crc32c")))
+              .asInstanceOf[Vector[Any]], 1, allowSharding = false)
+          require(idx.comp == "raw", "index_codecs must be bytes [+ crc32c]")
+          shard = Some(ShardMeta(asLongs(cfg("chunk_shape")),
+            inner.little, inner.cOrder, inner.comp, inner.crc,
+            cfg.getOrElse("index_location", "end") == "end",
+            idx.crc, idx.little))
+        case other => throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
+      }
+    }
+    CodecChain(little, cOrder, comp, crc, shard)
   }
 
   /** All arrays in a store: from consolidated metadata (`.zmetadata` —
@@ -399,6 +454,21 @@ object Zarr {
       case other   => throw new IllegalArgumentException(s"codec $other")
     }
 
+  /** Strip a v3 `crc32c` codec's trailing 4-byte checksum, verifying it
+    * (little-endian, per the spec) — corruption fails loudly instead of
+    * decoding garbage. */
+  private[sources] def stripCrc32c(all: Array[Byte], what: String): Array[Byte] = {
+    require(all.length >= 4, s"$what shorter than its crc32c checksum")
+    val body = java.util.Arrays.copyOfRange(all, 0, all.length - 4)
+    val c = new java.util.zip.CRC32C()
+    c.update(body, 0, body.length)
+    val stored = java.nio.ByteBuffer.wrap(all, all.length - 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    require(c.getValue == stored,
+      f"$what crc32c mismatch: computed ${c.getValue}%08x, stored $stored%08x")
+    body
+  }
+
   private[sources] def decodeAt(bb: java.nio.ByteBuffer, kind: Char, size: Int,
                                 i: Int): Double = (kind, size) match {
     case ('f', 8) => bb.getDouble(i * 8)
@@ -444,46 +514,115 @@ object Zarr {
     // 4-chunk fixture must not schedule 256 empties
     val slices = math.max(1, math.min(chunkCoords.size,
       math.max(64, spark.sparkContext.defaultParallelism * 2)))
+    val sharding = za.sharding
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Double)] =
       spark.sparkContext.parallelize(chunkCoords, slices)
         .flatMap { cc =>
+          // Emit the elements of one stored block (a whole chunk, or one
+          // inner chunk of a shard) whose global origin is
+          // cc*cdims + blockOrigin, clipping past the array bounds
+          // (edge blocks store a full grid).
+          def emit(data: Option[java.nio.ByteBuffer], edims: Array[Long],
+                   blockOrigin: Array[Long], localCOrder: Boolean):
+              Iterator[(Array[Long], Double)] = {
+            val nElems = edims.product.toInt
+            if (data.isEmpty && fillForAbsent.isEmpty) Iterator.empty
+            else (0 until nElems).iterator.flatMap { flat =>
+              // block-local unravel (C: last dim fastest; F: first fastest)
+              var rem = flat.toLong
+              val idx = new Array[Long](rank)
+              if (localCOrder) {
+                var i = rank - 1
+                while (i >= 0) { idx(i) = rem % edims(i); rem /= edims(i); i -= 1 }
+              } else {
+                var i = 0
+                while (i < rank) { idx(i) = rem % edims(i); rem /= edims(i); i += 1 }
+              }
+              var inBounds = true
+              var j = 0
+              while (j < rank) {
+                idx(j) += cc(j).toLong * cdims(j) + blockOrigin(j)
+                if (idx(j) >= dims(j)) inBounds = false
+                j += 1
+              }
+              if (!inBounds) None
+              else Some((idx, data.fold(fillForAbsent.get)(decodeAt(_, kind, size, flat))))
+            }
+          }
+          def order(bb: Array[Byte], le: Boolean): java.nio.ByteBuffer = {
+            val b = java.nio.ByteBuffer.wrap(bb)
+            b.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+            b
+          }
           val f = new File(dir, keyPrefix + cc.mkString(sep))
-          val data: Option[java.nio.ByteBuffer] =
-            if (!f.isFile) None // absent chunk = entirely fill_value
-            else {
-              val raf = new RandomAccessFile(f, "r")
-              try {
-                val all = new Array[Byte](raf.length().toInt)
-                raf.readFully(all)
-                // v3 crc32c codec appends 4 checksum bytes (unverified)
-                val stored = if (crc) java.util.Arrays.copyOfRange(all, 0, all.length - 4) else all
-                val bb = java.nio.ByteBuffer.wrap(decompress(comp, stored, chunkElems * size))
-                bb.order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
-                  else java.nio.ByteOrder.BIG_ENDIAN)
-                Some(bb)
-              } finally raf.close()
-            }
-          if (data.isEmpty && fillForAbsent.isEmpty) Iterator.empty
-          else (0 until chunkElems).iterator.flatMap { flat =>
-            // chunk-local unravel (C: last dim fastest; F: first fastest)
-            var rem = flat.toLong
-            val idx = new Array[Long](rank)
-            if (cOrder) {
-              var i = rank - 1
-              while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
-            } else {
-              var i = 0
-              while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
-            }
-            var inBounds = true
-            var j = 0
-            while (j < rank) {
-              idx(j) += cc(j).toLong * cdims(j)
-              if (idx(j) >= dims(j)) inBounds = false
-              j += 1
-            }
-            if (!inBounds) None // partial edge chunks store a full grid; clip
-            else Some((idx, data.fold(fillForAbsent.get)(decodeAt(_, kind, size, flat))))
+          val zero = new Array[Long](rank)
+          sharding match {
+            case None =>
+              val data: Option[java.nio.ByteBuffer] =
+                if (!f.isFile) None // absent chunk = entirely fill_value
+                else {
+                  val raf = new RandomAccessFile(f, "r")
+                  try {
+                    val all = new Array[Byte](raf.length().toInt)
+                    raf.readFully(all)
+                    val stored = if (crc) stripCrc32c(all, f.getName) else all
+                    Some(order(decompress(comp, stored, chunkElems * size), little))
+                  } finally raf.close()
+                }
+              emit(data, cdims.map(_.toLong), zero, cOrder)
+            case Some(sh) =>
+              // one shard file = inner chunks + (offset, nbytes) index;
+              // range-read the index, then only the present inner chunks —
+              // the executor-side analogue of object-store ranged GETs
+              val ich = sh.innerChunks.toArray
+              val innerPerDim = Array.tabulate(rank)(d => (cdims(d) / ich(d)).toInt)
+              val nInner = innerPerDim.product
+              val innerElems = ich.product.toInt
+              def innerOrigin(si: Int): Array[Long] = { // C order over the inner grid
+                val icc = new Array[Long](rank)
+                var rem = si; var i = rank - 1
+                while (i >= 0) { icc(i) = (rem % innerPerDim(i)).toLong * ich(i)
+                  rem /= innerPerDim(i); i -= 1 }
+                icc
+              }
+              if (!f.isFile) // absent shard = every inner chunk fill_value
+                (0 until nInner).iterator.flatMap(si =>
+                  emit(None, ich, innerOrigin(si), sh.innerCOrder))
+              else {
+                // I/O is EAGER (the file handle closes before the lazy
+                // element iterator is consumed); decode stays lazy, so
+                // peak memory is the compressed shard, not the elements
+                val bodies: IndexedSeq[Option[Array[Byte]]] = {
+                  val raf = new RandomAccessFile(f, "r")
+                  try {
+                    val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+                    val idxBytes = new Array[Byte](idxLen)
+                    raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
+                    raf.readFully(idxBytes)
+                    val ib = order(
+                      if (sh.indexCrc) stripCrc32c(idxBytes, s"${f.getName} index")
+                      else idxBytes, sh.indexLittle)
+                    (0 until nInner).map { si =>
+                      val off = ib.getLong(si * 16)
+                      val nb = ib.getLong(si * 16 + 8)
+                      if (off == -1L && nb == -1L) None // missing inner chunk
+                      else {
+                        val body = new Array[Byte](nb.toInt)
+                        raf.seek(off)
+                        raf.readFully(body)
+                        Some(if (sh.innerCrc) stripCrc32c(body, s"${f.getName}@$off")
+                          else body)
+                      }
+                    }
+                  } finally raf.close()
+                }
+                (0 until nInner).iterator.flatMap { si =>
+                  emit(bodies(si).map(b => order(decompress(sh.innerComp, b,
+                      innerElems * size), sh.innerLittle)),
+                    ich, innerOrigin(si), sh.innerCOrder)
+                }
+              }
           }
         }.toDS()
 

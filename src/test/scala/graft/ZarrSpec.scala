@@ -57,6 +57,13 @@ class ZarrSpec extends AnyFunSuite {
     bb.array()
   }
 
+  private def crc32c(b: Array[Byte]): Array[Byte] = {
+    val c = new java.util.zip.CRC32C()
+    c.update(b, 0, b.length)
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(c.getValue.toInt).array()
+  }
+
   /** tas: double[5,4] chunked [2,3] zlib, C-order, v(y,x) = 10y + x;
     * chunk (2,0) ABSENT → fill_value -999 → NULL after CF masking;
     * scale_factor 0.5, add_offset 100, dims named (y, x). */
@@ -347,7 +354,7 @@ class ZarrSpec extends AnyFunSuite {
         |            {"name": "crc32c"}]}""".stripMargin)
     def zstdCrc(raw: Array[Byte]): Array[Byte] = {
       val z = com.github.luben.zstd.Zstd.compress(raw)
-      z ++ Array[Byte](0, 0, 0, 0) // checksum bytes (reader strips, unverified)
+      z ++ crc32c(z) // the reader verifies the checksum before decoding
     }
     write(new File(zs, "0"), zstdCrc(doubles(Seq(1.5, 2.5))))
     write(new File(zs, "1"), zstdCrc(doubles(Seq(3.5, 4.5))))
@@ -376,7 +383,95 @@ class ZarrSpec extends AnyFunSuite {
     assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("ib", "zs"))
   }
 
-  test("v3 sharded stores and unknown codecs rejected loudly") {
+  test("v3 sharding_indexed: footer index, out-of-order bodies, missing inner " +
+    "chunks, edge shard clipping") {
+    val root = java.nio.file.Files.createTempDirectory("zarr3s_").toFile
+    writeText(new File(root, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    // sv: float64[6,4], shard (chunk-grid) [4,4], inner chunks [2,2] →
+    // 2×2 inner grid per shard; inner codecs bytes+gzip, footer index
+    // bytes+crc32c. v(r,c) = 10r + c + 1 (never the fill 0.0).
+    val sv = new File(root, "sv")
+    writeText(new File(sv, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [6, 4],
+        | "data_type": "float64", "fill_value": 0.0,
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
+        | "dimension_names": ["r", "c"],
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2, 2],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |              {"name": "gzip", "configuration": {"level": 5}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                    {"name": "crc32c"}],
+        |   "index_location": "end"}}]}""".stripMargin)
+    def v(r: Int, c: Int): Double = (10 * r + c + 1).toDouble
+    def body(r0: Int, c0: Int): Array[Byte] =
+      gzip(doubles(Seq(v(r0, c0), v(r0, c0 + 1), v(r0 + 1, c0), v(r0 + 1, c0 + 1))))
+    // shard file: inner-chunk bodies written in REVERSE index order (so the
+    // reader must honor the index offsets, not assume layout order), then
+    // the (offset, nbytes) uint64-LE index + crc32c at the end
+    def shard(entries: Seq[Option[Array[Byte]]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val offs = Array.fill[Option[(Long, Long)]](entries.length)(None)
+      entries.zipWithIndex.reverse.foreach { case (e, i) =>
+        e.foreach { b => offs(i) = Some((bos.size().toLong, b.length.toLong)); bos.write(b) }
+      }
+      val ib = ByteBuffer.allocate(entries.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+      offs.foreach {
+        case Some((o, n)) => ib.putLong(o).putLong(n)
+        case None         => ib.putLong(-1L).putLong(-1L)
+      }
+      val idx = ib.array()
+      bos.write(idx); bos.write(crc32c(idx))
+      bos.toByteArray
+    }
+    // shard (0,0) rows 0-3: inner (1,1) [rows 2-3, cols 2-3] missing → fill;
+    // shard (1,0) rows 4-5: inner row-1 chunks entirely past the array edge
+    write(new File(sv, "c/0/0"), shard(Seq(
+      Some(body(0, 0)), Some(body(0, 2)), Some(body(2, 0)), None)))
+    write(new File(sv, "c/1/0"), shard(Seq(
+      Some(body(4, 0)), Some(body(4, 2)), None, None)))
+    val got = Zarr.readVariable(spark, root.getPath, "sv").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val expected = (for (r <- 0 until 6; c <- 0 until 4) yield
+      (r, c, if (r >= 2 && r <= 3 && c >= 2) None else Some(v(r, c)))).toSet
+    assert(got == expected)
+  }
+
+  test("v3 sharding: index at start, default index_codecs, raw inner codec, " +
+    "corrupt index crc rejected") {
+    val root = java.nio.file.Files.createTempDirectory("zarr3t_").toFile
+    val ss = new File(root, "ss")
+    writeText(new File(ss, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64", "fill_value": 0.0,
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_location": "start"}}]}""".stripMargin)
+    // index (2×16 B + crc32c = 36 B) FIRST, then the single present body
+    val ib = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(36L).putLong(16L).putLong(-1L).putLong(-1L)
+    val idx = ib.array()
+    val file = idx ++ crc32c(idx) ++ doubles(Seq(1.5, 2.5))
+    write(new File(ss, "c/0"), file)
+    val got = Zarr.readVariable(spark, root.getPath, "ss").collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(got == Set((0, Some(1.5)), (1, Some(2.5)), (2, None), (3, None)))
+    // flip one index byte → verified crc32c must reject, not decode garbage
+    val bad = file.clone(); bad(3) = (bad(3) ^ 0x40).toByte
+    write(new File(ss, "c/0"), bad)
+    val e = intercept[Exception] {
+      Zarr.readVariable(spark, root.getPath, "ss").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("crc32c mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("crc32c mismatch")))
+  }
+
+  test("v3 nested sharding and unknown codecs rejected loudly") {
     val root = java.nio.file.Files.createTempDirectory("zarr3r_").toFile
     val sh = new File(root, "sh")
     writeText(new File(sh, "zarr.json"),
@@ -384,10 +479,24 @@ class ZarrSpec extends AnyFunSuite {
         | "data_type": "float64",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
         | "fill_value": 0.0,
-        | "codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin)
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2],
+        |   "codecs": [{"name": "sharding_indexed", "configuration": {
+        |     "chunk_shape": [1], "codecs": [{"name": "bytes"}]}}]}}]}""".stripMargin)
     val e = intercept[UnsupportedOperationException] {
       Zarr.readArrayMeta(root.getPath, "sh")
     }
-    assert(e.getMessage.contains("shard"))
+    assert(e.getMessage.contains("nested"))
+    val uk = new File(root, "uk")
+    writeText(new File(uk, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "bytes"}, {"name": "vlen-utf8"}]}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      Zarr.readArrayMeta(root.getPath, "uk")
+    }
+    assert(e2.getMessage.contains("vlen-utf8"))
   }
 }
