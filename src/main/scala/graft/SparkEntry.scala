@@ -5752,6 +5752,19 @@ object SparkEntry {
           lit("|p"), ((col("doc_id") * 13 + 5) % 37).cast("string"),
           lit("|p"), (col("doc_id") % 37).cast("string")).as("text"))
       Dedup.paragraphDedup(d, "doc_id", "text", "|")
+    }),
+
+    "q_substring_dedup" -> ((s, dir) => {
+      // Exact substring dedup (the distributed form of Lee et al. 2022's
+      // suffix-array pass) over the REAL documents table: any 8-token
+      // window whose content occurred earlier in (doc, pos) order marks
+      // its span duplicated; overlapping spans merge per doc. The
+      // synthetic corpus' small vocabulary makes genuine cross-doc
+      // window collisions plentiful, so the merge path is exercised.
+      // The oracle replays the rule over the window STRINGS themselves —
+      // confirming the engine's hash-before-shuffle plan loses nothing.
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
     })
   )
 
@@ -5849,7 +5862,31 @@ object SparkEntry {
         |select d.doc_id, cast(4 as int) n_paras,
         |  cast(coalesce(a.n_kept, 0) as int) n_kept,
         |  coalesce(a.text_kept, '') text_kept
-        |from d left join agg a on a.doc_id = d.doc_id""".stripMargin
+        |from d left join agg a on a.doc_id = d.doc_id""".stripMargin,
+
+    "q_substring_dedup" ->
+      """with t as (select doc_id, string_split(text, ' ') toks from documents),
+        |w as (select doc_id, unnest(range(1, greatest(len(toks) - 6, 1))) pos, toks from t),
+        |wh as (select doc_id, pos, array_to_string(toks[pos : pos + 7], ' ') win from w),
+        |rk as (select doc_id, pos,
+        |  row_number() over (partition by win order by doc_id, pos) rn from wh),
+        |dup as (select doc_id, pos s, pos + 8 e from rk where rn > 1),
+        |m0 as (select doc_id, s, e, max(e) over (partition by doc_id order by s
+        |  rows between unbounded preceding and 1 preceding) maxe from dup),
+        |m1 as (select doc_id, s, e,
+        |  case when maxe is null or s > maxe then 1 else 0 end isnew from m0),
+        |m2 as (select doc_id, s, e,
+        |  sum(isnew) over (partition by doc_id order by s) grp from m1),
+        |mi as (select doc_id, grp, min(s) s, max(e) e from m2 group by 1, 2),
+        |cov as (select doc_id, cast(sum(e - s) as bigint) ndt from mi group by 1),
+        |dw as (select doc_id, cast(count(*) as bigint) ndw from dup group by 1)
+        |select d.doc_id, cast(len(string_split(d.text, ' ')) as bigint) n_tokens,
+        |  coalesce(ndw, 0) n_dup_windows, coalesce(ndt, 0) n_dup_tokens,
+        |  cast(len(string_split(d.text, ' ')) - coalesce(ndt, 0) as bigint) n_tokens_kept
+        |from documents d
+        |left join dw on dw.doc_id = d.doc_id
+        |left join cov on cov.doc_id = d.doc_id
+        |order by d.doc_id""".stripMargin
   )
 
 }

@@ -394,6 +394,100 @@ object Dedup {
           sep).as("text_kept"))
   }
 
+  /** Exact substring dedup at token-window granularity (the distributed
+    * re-expression of Lee et al. 2022's suffix-array pass, which the
+    * single-node form cannot shard): every k-token window whose content
+    * re-occurs anywhere in the corpus marks its span duplicated at every
+    * occurrence EXCEPT the first in (id, pos) order; overlapping
+    * duplicated spans merge per document. Returns one row per input doc:
+    * (id, n_tokens, n_dup_windows, n_dup_tokens, n_tokens_kept).
+    *
+    * Plan shape (three shuffles, none carrying document text whole):
+    * tokens explode scan-side and cross shuffle #1 (by id) as single
+    * words for the sliding-window pass; windows are hashed BEFORE
+    * shuffle #2 (groupBy window hash), so the corpus-wide occurrence
+    * count moves (h, id, pos) 24-byte triples — one per token, the
+    * inherent cost of windowed dedup, linear in corpus size; shuffle #3
+    * (by id) merges the surviving duplicated spans with two window
+    * functions (running max-end → island ids), rows = duplicated windows
+    * only. A 64-bit window hash collides a pair of distinct windows at
+    * ~n²/2⁶⁵ — at 10¹³ windows expect ~a few thousand spurious 8-token
+    * spans corpus-wide, the standard accepted trade (the reference
+    * pipeline's Bloom-style passes accept far more). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val slide = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, k - 1)
+    val wins = toks
+      .withColumn("warr", collect_list(col("tok")).over(slide))
+      .filter(size(col("warr")) === k)
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", col("warr"))).as("h"))
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val dups = wins.join(firsts, Seq("h"))
+      .filter(!(col("id") === col("f.id") && col("pos") === col("f.pos")))
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+    val ord = Window.partitionBy("id").orderBy(col("s"))
+    val merged = dups
+      .withColumn("maxe", max(col("e")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isNew",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("grp", sum(col("isNew")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = dups.groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    val covered = merged.groupBy("id")
+      .agg(sum(col("e") - col("s")).as("n_dup_tokens"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        (col("n_tokens") - coalesce(col("n_dup_tokens"), lit(0L)))
+          .cast("long").as("n_tokens_kept"))
+  }
+
+  /** [[substringDedup]]'s APPLY form: the same first-occurrence window
+    * rule, materialised — tokens inside any merged duplicated span are
+    * dropped and the survivors re-joined. Text re-enters on the final
+    * by-id join only (same ownership-travels-as-triples shape as
+    * [[paragraphDedup]]). */
+  def substringDedupApply(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val slide = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, k - 1)
+    val wins = toks
+      .withColumn("warr", collect_list(col("tok")).over(slide))
+      .filter(size(col("warr")) === k)
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", col("warr"))).as("h"))
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val spans = wins.join(firsts, Seq("h"))
+      .filter(!(col("id") === col("f.id") && col("pos") === col("f.pos")))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos").as("s"),
+        (col("pos") + k).as("e")))).as("spans"))
+    df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("spans").isNull, col("txt")).otherwise(array_join(
+          filter(split(col("txt"), " "), (_, i) =>
+            !exists(col("spans"), sp => i >= sp("s") && i < sp("e"))),
+          " ")).as("text_kept"))
+  }
+
   /** Near-dup components with EXACT-DUPLICATE COLLAPSE — the production
     * composition for duplicate-heavy corpora: hash-group identical texts
     * first (one shuffle on md5), run MinHash-LSH + verify over one

@@ -509,6 +509,41 @@ class EngineSpec extends AnyFunSuite {
       Seq("alpha", "beta", "delta", "epsilon", "gamma"))
   }
 
+  test("substringDedup marks non-first k-token windows; apply drops merged spans") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    // doc 1 repeats its own opening window "a b c d" at pos 6; doc 2
+    // repeats it at pos 0 (cross-doc); doc 3 shares only sub-window
+    // fragments, so nothing in it is marked
+    val docs = Seq(
+      (1L, "a b c d x y a b c d e f"),
+      (2L, "a b c d p q r s"),
+      (3L, "m n o p q u v w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: 12 tokens; window "a b c d" recurs at pos 6 -> one span [6,10)
+    assert(out(0) == ((1L, 12L, 1L, 4L, 8L)))
+    // doc 2: 8 tokens; "a b c d" at pos 0 is a repeat -> span [0,4)
+    assert(out(1) == ((2L, 8L, 1L, 4L, 4L)))
+    // doc 3: no 4-token window repeats ("p q" bigram alone is too short)
+    assert(out(2) == ((3L, 8L, 0L, 0L, 8L)))
+    val kept = Dedup.substringDedupApply(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept(0) == ((1L, "a b c d x y e f")))
+    assert(kept(1) == ((2L, "p q r s")))
+    assert(kept(2) == ((3L, "m n o p q u v w")))
+    // overlapping-span merge: two dup windows 1 apart collapse to one
+    // 5-token span, not 8 tokens of removal
+    val ov = Seq((1L, "a b c d e z z z"), (2L, "q a b c d e w t"))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.substringDedup(ov, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(o2(1) == ((2L, 2L, 5L))) // windows at pos 1,2 -> merged [1,6)
+  }
+
   test("mp3/mp4 container metadata: header walks with exact planted closed forms") {
     import graft.pipeline.Multimodal
     // MPEG1 Layer III: id=42 -> ID3v2 = 10 + (42%7)*16 = 10 bytes; the
