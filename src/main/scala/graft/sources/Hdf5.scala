@@ -20,8 +20,9 @@ import java.util.zip.Inflater
   *    indexes that appendable time series produce).
   *
   * Plus, in both: simple dataspaces, fixed-point/IEEE-float datatypes,
-  * contiguous layouts, and the deflate filter (`java.util.zip.Inflater` —
-  * no native codecs).
+  * contiguous layouts, and the shuffle + deflate filter pipeline
+  * (`java.util.zip.Inflater` + a byte-transpose — no native codecs; the
+  * `zlib=True, shuffle=True` pairing netCDF4-python defaults to).
   *
   * Scale design mirrors `NetCDF`: the driver parses only the metadata
   * (superblock → group links → object headers → chunk index, a few KB),
@@ -60,7 +61,7 @@ object Hdf5 {
                            layoutClass: Int, dataAddress: Long, dataSize: Long,
                            chunkDims: Seq[Long], chunkBtree: Long,
                            gzip: Boolean, attrs: Map[String, Double] = Map.empty,
-                           chunkIndex: Int = 0)
+                           chunkIndex: Int = 0, shuffled: Boolean = false)
   final case class Chunk(address: Long, storedSize: Long, offsets: Seq[Long])
 
   // ---------------- driver-side metadata parse ----------------
@@ -399,7 +400,7 @@ object Hdf5 {
     var dtClass = -1; var dtSize = 0; var little = true
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
-    var gzip = false
+    var gzip = false; var shuffled = false
     var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
     var chunkDimsNeedElem = false // layout v4 dims exclude the element size
     val attrs = scala.collection.mutable.Map.empty[String, Double]
@@ -484,10 +485,12 @@ object Hdf5 {
             r.skip(nameLen)
             r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
             if (id == 1) gzip = true
-            else if (id != 2) ok = false // shuffle unsupported here; bail
+            else if (id == 2) shuffled = true // byte-shuffle, undone at decode
+            else ok = false // fletcher32/szip/nbit/unknown
             i += 1
           }
-          require(ok, s"unsupported filter in pipeline for $name (only deflate)")
+          require(ok,
+            s"unsupported filter in pipeline for $name (only shuffle+deflate)")
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
           r.seek(body)
           val v = r.u8()
@@ -528,7 +531,8 @@ object Hdf5 {
       // normalise v4 chunk dims to the v3 convention (trailing element size)
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
-        dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind))
+        dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
+        shuffled))
     }
   }
 
@@ -896,6 +900,27 @@ object Hdf5 {
     }
   }
 
+  /** Undo the HDF5 shuffle filter (id 2): stored layout is
+    * [all 1st bytes][all 2nd bytes]… of each `size`-byte element, a
+    * transposition that helps deflate find runs. netCDF4-python's
+    * `zlib=True, shuffle=True` default pairing makes this the single
+    * most common filter pipeline in the wild. */
+  private[graft] def unshuffle(in: Array[Byte], size: Int): Array[Byte] = {
+    if (size <= 1) return in
+    val n = in.length / size
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < size) {
+      var i = 0
+      while (i < n) { out(i * size + j) = in(j * n + i); i += 1 }
+      j += 1
+    }
+    // any trailing bytes (length not a multiple of size) pass through
+    var t = n * size
+    while (t < in.length) { out(t) = in(t); t += 1 }
+    out
+  }
+
   private[graft] def inflate(in: Array[Byte], outLen: Int): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(in)
@@ -955,6 +980,7 @@ object Hdf5 {
         val cdims = ds.chunkDims.dropRight(1).toArray // last entry = element size
         val dimArr = dims.toArray
         val gz = ds.gzip
+        val shuf = ds.shuffled
         val chunkElems = cdims.product.toInt
         // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
         val slices = math.max(1, math.min(chunks.size,
@@ -966,7 +992,10 @@ object Hdf5 {
               raf.seek(c.address)
               val stored = new Array[Byte](c.storedSize.toInt)
               raf.readFully(stored)
-              val bytes = if (gz) inflate(stored, chunkElems * dtSize) else stored
+              val inflated = if (gz) inflate(stored, chunkElems * dtSize) else stored
+              // read order is the write pipeline reversed: inflate, THEN
+              // undo the byte-shuffle transposition
+              val bytes = if (shuf) unshuffle(inflated, dtSize) else inflated
               val vals = decode(bytes, dtClass, dtSize, little, chunkElems)
               // chunk-local row-major unravel + global offset; rows past the
               // dataspace edge (partial edge chunks) are dropped

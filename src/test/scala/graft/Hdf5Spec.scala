@@ -23,16 +23,35 @@ class Hdf5Spec extends AnyFunSuite {
 
   private val Undef = -1L
 
-  private def deflate(values: Array[Double]): Array[Byte] = {
-    val raw = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    values.foreach(raw.putDouble)
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
-    d.setInput(raw.array()); d.finish()
+    d.setInput(raw); d.finish()
     val out = new Array[Byte](256)
     val n = d.deflate(out)
     d.end()
     out.take(n)
   }
+
+  private def doubleBytes(values: Array[Double]): Array[Byte] = {
+    val raw = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putDouble)
+    raw.array()
+  }
+
+  private def deflate(values: Array[Double]): Array[Byte] =
+    deflateBytes(doubleBytes(values))
+
+  /** The HDF5 shuffle filter's WRITE side (byte-plane transposition),
+    * independent of the reader's unshuffle. */
+  private def shuffleBytes(raw: Array[Byte], size: Int): Array[Byte] = {
+    val n = raw.length / size
+    val out = new Array[Byte](raw.length)
+    for (i <- 0 until n; j <- 0 until size) out(j * n + i) = raw(i * size + j)
+    out
+  }
+
+  private def shuffleDeflate(values: Array[Double]): Array[Byte] =
+    deflateBytes(shuffleBytes(doubleBytes(values), 8))
 
   /** dims: temp double[2,3] chunked (1,2) deflated = {{1,2,3},{4,5,-999}}
     * with _FillValue=-999 and scale_factor=0.5 attributes;
@@ -165,6 +184,17 @@ class Hdf5Spec extends AnyFunSuite {
     val f = new FileOutputStream(path); f.write(bos.toByteArray); f.close()
   }
 
+  test("unshuffle inverts the shuffle byte-transposition, remainder intact") {
+    val rnd = new scala.util.Random(7)
+    for (size <- Seq(2, 4, 8); n <- Seq(1, 5, 64)) {
+      val raw = Array.fill[Byte](n * size)(rnd.nextInt().toByte)
+      assert(Hdf5.unshuffle(shuffleBytes(raw, size), size).toSeq == raw.toSeq)
+    }
+    // size 1 and a non-multiple tail pass through untouched
+    val odd = Array[Byte](1, 2, 3, 4, 5)
+    assert(Hdf5.unshuffle(odd, 1).toSeq == odd.toSeq)
+  }
+
   test("truncated deflate chunk fails the read instead of hanging") {
     val values = Array.tabulate(16)(_.toDouble)
     val full = deflate(values)
@@ -289,14 +319,17 @@ class Hdf5Spec extends AnyFunSuite {
     }
     def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
       msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
-    def filter2Deflate: Array[Byte] =
-      msg2(0x0B, buf(12).put(2.toByte).put(1.toByte)
-        .putShort(1).putShort(0).putShort(1).putInt(6).array()) // deflate, level 6
+    // shuffle (elem size 8) THEN deflate — the netCDF4-python default
+    // pairing; the reader must invert both, in reverse order
+    def filter2ShuffleDeflate: Array[Byte] =
+      msg2(0x0B, buf(22).put(2.toByte).put(2.toByte)
+        .putShort(2).putShort(0).putShort(1).putInt(8)   // shuffle, elem 8
+        .putShort(1).putShort(0).putShort(1).putInt(6).array()) // deflate, 6
 
     val chunks = Seq( // row-major fixed-array order, incl. edge padding
       (0L, 0L, Array(1.0, 2.0)), (0L, 2L, Array(3.0, 0.0)),
       (1L, 0L, Array(4.0, 5.0)), (1L, 2L, Array(-999.0, 0.0)))
-    val packed = chunks.map { case (_, _, v) => deflate(v) }
+    val packed = chunks.map { case (_, _, v) => shuffleDeflate(v) }
 
     def build(cAddrs: Seq[Long], fadb: Long, fahd: Long, xData: Long, yData: Long,
               tempOH: Long, xOH: Long, yOH: Long, rootOH: Long): Seq[Array[Byte]] = {
@@ -317,7 +350,7 @@ class Hdf5Spec extends AnyFunSuite {
       }
       val tempBytes = ohdr2(
         msg2(0x01, dspace2(2L, 3L)), msg2(0x03, dtypeDouble),
-        layoutV4FixedArray(Seq(1, 2), fahd), filter2Deflate,
+        layoutV4FixedArray(Seq(1, 2), fahd), filter2ShuffleDeflate,
         attr3("_FillValue", -999.0), attr3("scale_factor", 0.5))
       val xBytesOH = ohdr2(
         msg2(0x01, dspace2(3L)), msg2(0x03, dtypeDouble),
@@ -1095,6 +1128,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(meta.map(_.name) == Seq("temp", "x", "y"))
     val temp = meta.head
     assert(temp.dims == Seq(2L, 3L) && temp.layoutClass == 2 && temp.gzip)
+    assert(temp.shuffled) // value asserts below pin the unshuffle itself
     assert(temp.chunkIndex == 3 && temp.chunkDims == Seq(1L, 2L, 8L))
     assert(temp.attrs == Map("_FillValue" -> -999.0, "scale_factor" -> 0.5))
     val chunks = Hdf5.chunkTable(f.getPath, temp)
