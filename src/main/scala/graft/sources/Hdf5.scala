@@ -43,9 +43,17 @@ import java.util.zip.Inflater
   * directly after the block header; secondary-block page-init bitmaps
   * skipped) — the shapes that appear past ~10^5 chunks per dataset.
   *
+  * Typed data beyond numerics: fixed-length strings, variable-length
+  * strings (descriptors resolved through global-heap collections,
+  * executor-side with per-partition caching) and compound datasets of
+  * atomic members (int/float/fixed-string, any padding — offsets come
+  * from the member table) via `readStrings` / `readCompound`;
+  * `toParquetLake` routes each dataset by class.
+  *
   * Out of scope (documented): nested fractal-heap indirect blocks
-  * (≳4 MiB of link records in one group), variable-length and compound
-  * datatypes, szip; metadata checksums are not verified.
+  * (≳4 MiB of link records in one group), VLEN non-string sequences,
+  * nested/array compound members, szip; metadata checksums are not
+  * verified.
   */
 object Hdf5 {
 
@@ -61,7 +69,12 @@ object Hdf5 {
                            layoutClass: Int, dataAddress: Long, dataSize: Long,
                            chunkDims: Seq[Long], chunkBtree: Long,
                            gzip: Boolean, attrs: Map[String, Double] = Map.empty,
-                           chunkIndex: Int = 0, shuffled: Boolean = false)
+                           chunkIndex: Int = 0, shuffled: Boolean = false,
+                           members: Seq[Member] = Nil, vlenStr: Boolean = false)
+  /** One compound-datatype member: atomic classes only (0 fixed-point,
+    * 1 IEEE float, 3 fixed string). */
+  final case class Member(name: String, offset: Int, cls: Int, size: Int,
+                          little: Boolean)
   final case class Chunk(address: Long, storedSize: Long, offsets: Seq[Long])
 
   // ---------------- driver-side metadata parse ----------------
@@ -401,6 +414,7 @@ object Hdf5 {
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false; var shuffled = false
+    var members: Seq[Member] = Nil; var vlenStr = false
     var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
     var chunkDimsNeedElem = false // layout v4 dims exclude the element size
     val attrs = scala.collection.mutable.Map.empty[String, Double]
@@ -416,9 +430,25 @@ object Hdf5 {
           r.seek(body)
           val cv = r.u8()
           dtClass = cv & 0x0F
-          val bits0 = r.u8(); r.skip(2)
+          val bits0 = r.u8(); val bits1 = r.u8(); r.skip(1)
           dtSize = r.u32().toInt
-          little = (bits0 & 1) == 0
+          // bit 0 of the class bit field is endianness ONLY for atomic
+          // classes — for compound it's the member count's low bit, for
+          // VLEN the sequence/string discriminator. Non-atomic data
+          // (VLEN descriptors) is file-metadata byte order (little).
+          little = dtClass match {
+            case 6 | 9 => true
+            case _     => (bits0 & 1) == 0
+          }
+          dtClass match {
+            case 6 => // compound: member table follows the 8-byte header
+              members = parseCompoundMembers(r, cv >> 4, bits0 | (bits1 << 8),
+                dtSize)
+            case 9 => // variable-length: low 4 bits of bits0 = 1 for string;
+              // the base datatype message follows (class 3 expected)
+              vlenStr = (bits0 & 0x0F) == 1
+            case _ =>
+          }
         case 0x0008 => // data layout v3 / v4
           r.seek(body)
           val v = r.u8()
@@ -532,7 +562,7 @@ object Hdf5 {
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
-        shuffled))
+        shuffled, members, vlenStr))
     }
   }
 
@@ -900,6 +930,246 @@ object Hdf5 {
     }
   }
 
+  /** Compound (class 6) member table, datatype-message versions 1-3:
+    * v1/v2 names are null-terminated and padded to 8, v3 names are
+    * packed; v1 carries 32 bytes of array-member fields (skipped); v3
+    * stores the byte offset in the fewest bytes that hold the compound
+    * size. Atomic members only — fixed-point, IEEE float, fixed-length
+    * string; anything else fails loudly rather than misreads. */
+  private def parseCompoundMembers(r: Reader, version: Int, n: Int,
+                                   compoundSize: Int): Seq[Member] = {
+    def cstr(padTo8: Boolean): String = {
+      val sb = new StringBuilder
+      var c = r.u8(); var len = 1
+      while (c != 0) { sb.append(c.toChar); c = r.u8(); len += 1 }
+      if (padTo8 && len % 8 != 0) r.skip(8 - len % 8)
+      sb.toString
+    }
+    val offBytes =
+      if (compoundSize < 256) 1
+      else if (compoundSize < 65536) 2
+      else if (compoundSize < (1 << 24)) 3 else 4
+    (0 until n).map { _ =>
+      val name = cstr(padTo8 = version < 3)
+      val off =
+        if (version == 3) {
+          var acc = 0L; var sh = 0
+          (0 until offBytes).foreach { _ => acc |= r.u8().toLong << sh; sh += 8 }
+          acc.toInt
+        } else r.u32().toInt
+      if (version == 1) r.skip(1 + 3 + 4 + 4 + 16) // array-member fields
+      val cv = r.u8(); val cls = cv & 0x0F
+      val b0 = r.u8(); r.skip(2)
+      val sz = r.u32().toInt
+      cls match {
+        case 0 => r.skip(4)  // bit offset + precision
+        case 1 => r.skip(12) // bit offset/precision, exp/mant layout, bias
+        case 3 =>            // string: no properties
+        case other => throw new IllegalArgumentException(
+          s"unsupported compound member class $other (atomic members only)")
+      }
+      Member(name, off, cls, sz, (b0 & 1) == 0)
+    }
+  }
+
+  // ---------------- typed reads: strings, VLEN, compound ----------------
+
+  private def unravelIdx(flat: Long, dims: Array[Long]): Array[Long] = {
+    val idx = new Array[Long](dims.length)
+    var rem = flat; var i = dims.length - 1
+    while (i >= 0) { idx(i) = rem % dims(i); rem /= dims(i); i -= 1 }
+    idx
+  }
+
+  /** Raw element bytes for every in-bounds cell, as (indices, bytes) —
+    * shared plumbing for the string/compound readers. Contiguous data is
+    * range-partitioned with one bulk read per partition; chunked data
+    * reuses the chunk table and the shuffle/deflate pipeline. */
+  private def cellBytes(spark: SparkSession, path: String, ds: Dataset):
+      org.apache.spark.rdd.RDD[(Array[Long], Array[Byte])] = {
+    val dims = ds.dims.toArray
+    val esz = ds.dtSize
+    val total = dims.product
+    ds.layoutClass match {
+      case 1 =>
+        val addr = ds.dataAddress
+        val slices = math.max(1L, math.min(total,
+          spark.sparkContext.defaultParallelism.toLong * 2)).toInt
+        spark.sparkContext.range(0L, total, numSlices = slices)
+          .mapPartitions { it =>
+            val idxs = it.toArray // one range partition = contiguous span
+            if (idxs.isEmpty) Iterator.empty
+            else {
+              val raf = new RandomAccessFile(path, "r")
+              try {
+                val lo = idxs.head
+                raf.seek(addr + lo * esz)
+                val buf = new Array[Byte](((idxs.last - lo + 1) * esz).toInt)
+                raf.readFully(buf)
+                idxs.iterator.map { flat =>
+                  val s = ((flat - lo) * esz).toInt
+                  (unravelIdx(flat, dims),
+                    java.util.Arrays.copyOfRange(buf, s, s + esz))
+                }
+              } finally raf.close()
+            }
+          }
+      case 2 =>
+        val chunks = chunkTable(path, ds)
+        val cdims = ds.chunkDims.dropRight(1).toArray
+        val chunkElems = cdims.product.toInt
+        val gz = ds.gzip; val shuf = ds.shuffled
+        val slices = math.max(1, math.min(chunks.size,
+          math.max(64, spark.sparkContext.defaultParallelism * 2)))
+        spark.sparkContext.parallelize(chunks, slices).flatMap { c =>
+          val raf = new RandomAccessFile(path, "r")
+          try {
+            raf.seek(c.address)
+            val stored = new Array[Byte](c.storedSize.toInt)
+            raf.readFully(stored)
+            val inflated = if (gz) inflate(stored, chunkElems * esz) else stored
+            val bytes = if (shuf) unshuffle(inflated, esz) else inflated
+            (0 until chunkElems).flatMap { flat =>
+              val idx = unravelIdx(flat.toLong, cdims)
+              var inBounds = true; var j = 0
+              while (j < idx.length) {
+                idx(j) += c.offsets(j)
+                if (idx(j) >= dims(j)) inBounds = false
+                j += 1
+              }
+              if (!inBounds) None
+              else Some((idx, java.util.Arrays.copyOfRange(bytes,
+                flat * esz, flat * esz + esz)))
+            }.iterator
+          } finally raf.close()
+        }
+      case other => throw new IllegalArgumentException(
+        s"layout class $other for typed read")
+    }
+  }
+
+  /** One global-heap collection (GCOL) as index → object bytes. */
+  private def readGcol(raf: RandomAccessFile, addr: Long): Map[Int, Array[Byte]] = {
+    raf.seek(addr)
+    val sig = new Array[Byte](4); raf.readFully(sig)
+    require(new String(sig, "ASCII") == "GCOL", s"no GCOL at $addr")
+    require(raf.readUnsignedByte() == 1, "global heap version")
+    raf.skipBytes(3)
+    def u64(): Long = {
+      var v = 0L
+      (0 until 8).foreach(i => v |= raf.readUnsignedByte().toLong << (8 * i))
+      v
+    }
+    val size = u64()
+    var off = 16L
+    val out = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    var done = false
+    while (!done && off + 16 <= size) {
+      val idx = raf.readUnsignedByte() | (raf.readUnsignedByte() << 8)
+      raf.skipBytes(6) // ref count + reserved
+      val osz = u64()
+      if (idx == 0) done = true // free-space object: rest of collection
+      else {
+        val data = new Array[Byte](osz.toInt)
+        raf.readFully(data)
+        val pad = ((8 - osz % 8) % 8).toInt
+        raf.skipBytes(pad)
+        out(idx) = data
+        off += 16 + osz + pad
+      }
+    }
+    out.toMap
+  }
+
+  private def fixedStr(b: Array[Byte]): String =
+    new String(b.takeWhile(_ != 0), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Fixed-length (class 3) and variable-length string (class 9 over
+    * strings) datasets as (i0…, value STRING). VLEN elements are
+    * (length u32, global-heap address, object index) descriptors; the
+    * heap collections are read executor-side and cached per partition,
+    * so the driver still touches only metadata. */
+  def readStrings(spark: SparkSession, path: String, name: String): DataFrame = {
+    val ds = readMeta(path).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no dataset $name in $path"))
+    require(ds.dtClass == 3 || (ds.dtClass == 9 && ds.vlenStr),
+      s"$name is class ${ds.dtClass}, not a string dataset")
+    val isVlen = ds.dtClass == 9
+    val little = ds.littleEndian
+    val rank = ds.dims.length
+    val rdd = cellBytes(spark, path, ds).mapPartitions { it =>
+      if (!isVlen) it.map { case (idx, b) => (idx, fixedStr(b)) }
+      else {
+        val raf = new RandomAccessFile(path, "r")
+        val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+        val mapped = it.map { case (idx, b) =>
+          val bb = java.nio.ByteBuffer.wrap(b).order(
+            if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+          val len = bb.getInt(0)
+          val addr = bb.getLong(4)
+          val gidx = bb.getInt(12)
+          val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
+          val data = col.getOrElse(gidx, throw new IllegalArgumentException(
+            s"global heap object $gidx missing in collection at $addr"))
+          (idx, new String(data, 0, math.min(len, data.length),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+        new Iterator[(Array[Long], String)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext; if (!h) raf.close(); h
+          }
+          def next(): (Array[Long], String) = mapped.next()
+        }
+      }
+    }
+    import spark.implicits._
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(s"i$i")) :+
+      col("_2").as("value")
+    rdd.toDS().toDF().select(cols: _*)
+  }
+
+  /** Compound (class 6) datasets as (i0…, one column per member):
+    * fixed-point members become LONG, floats DOUBLE, fixed strings
+    * STRING — the member offsets come straight from the datatype
+    * message, so padding/packing is irrelevant. */
+  def readCompound(spark: SparkSession, path: String, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ds = readMeta(path).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no dataset $name in $path"))
+    require(ds.dtClass == 6 && ds.members.nonEmpty,
+      s"$name is class ${ds.dtClass}, not a compound dataset")
+    val members = ds.members
+    val rank = ds.dims.length
+    val rows = cellBytes(spark, path, ds).map { case (idx, b) =>
+      val bb = java.nio.ByteBuffer.wrap(b)
+      val vals = members.map { m =>
+        bb.order(if (m.little) java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+        (m.cls, m.size) match {
+          case (1, 8) => bb.getDouble(m.offset)
+          case (1, 4) => bb.getFloat(m.offset).toDouble
+          case (0, 8) => bb.getLong(m.offset)
+          case (0, 4) => bb.getInt(m.offset).toLong
+          case (0, 2) => bb.getShort(m.offset).toLong
+          case (0, 1) => bb.get(m.offset).toLong
+          case (3, n) => fixedStr(java.util.Arrays.copyOfRange(b, m.offset, m.offset + n))
+          case other  => throw new IllegalArgumentException(s"member type $other")
+        }
+      }
+      Row.fromSeq(idx.map(_.toInt).toSeq ++ vals)
+    }
+    val schema = StructType(
+      (0 until rank).map(i => StructField(s"i$i", IntegerType, nullable = false)) ++
+      members.map(m => StructField(m.name, m.cls match {
+        case 0 => LongType
+        case 1 => DoubleType
+        case _ => StringType
+      }, nullable = false)))
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Undo the HDF5 shuffle filter (id 2): stored layout is
     * [all 1st bytes][all 2nd bytes]… of each `size`-byte element, a
     * transposition that helps deflate find runs. netCDF4-python's
@@ -1037,8 +1307,13 @@ object Hdf5 {
     * name, as in netCDF-4's dimension-scale convention). */
   def toParquetLake(spark: SparkSession, h5Path: String, outDir: String): Seq[String] = {
     readMeta(h5Path).map { ds =>
-      readVariable(spark, h5Path, ds.name)
-        .write.mode("overwrite").parquet(s"$outDir/${ds.name}")
+      val df = ds.dtClass match {
+        case 3            => readStrings(spark, h5Path, ds.name)
+        case 9 if ds.vlenStr => readStrings(spark, h5Path, ds.name)
+        case 6            => readCompound(spark, h5Path, ds.name)
+        case _            => readVariable(spark, h5Path, ds.name)
+      }
+      df.write.mode("overwrite").parquet(s"$outDir/${ds.name}")
       ds.name
     }
   }

@@ -1325,6 +1325,144 @@ class Hdf5Spec extends AnyFunSuite {
     parts.foreach(f.write); f.close()
   }
 
+  // ------- typed datasets: fixed strings, VLEN strings, compounds -------
+
+  /** superblock-v3 file with three contiguous datasets:
+    *  - `code`:    fixed string[4], size 4, null-padded
+    *  - `names`:   VLEN string[3] whose descriptors point INTO one GCOL
+    *    with out-of-index-order objects (resolution must go through the
+    *    heap index, not file order)
+    *  - `station`: compound[2] (id int32 @0, lat float64 @8,
+    *    tag string8 @16, total 24 — v1 member encoding) */
+  private def writeTyped(path: String): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dspace2(dims: Long*): Array[Byte] = {
+      val b = buf(4 + 8 * dims.length)
+      b.put(2.toByte).put(dims.length.toByte).put(0.toByte).put(1.toByte)
+      dims.foreach(b.putLong); b.array()
+    }
+    def link(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("ASCII")
+      msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+        .put(nm.length.toByte).put(nm).putLong(addr).array())
+    }
+    def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
+      msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
+    def dtypeFixedStr(size: Int): Array[Byte] = // class 3 v1, null-padded
+      buf(8).put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(size).array()
+    def dtypeVlenStr: Array[Byte] = // class 9 v1, type=string, base string(1)
+      cat(buf(8).put(0x19.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(), dtypeFixedStr(1))
+    def dtypeCompound: Array[Byte] = {
+      def member(name: String, off: Int, dt: Array[Byte]): Array[Byte] = {
+        val nm = name.getBytes("ASCII") :+ 0.toByte
+        val padded = nm ++ Array.fill[Byte]((8 - nm.length % 8) % 8)(0)
+        // v1: offset u32, dimensionality + reserved + perm + reserved +
+        // 4 dim sizes = 28 bytes of array-member fields (zeroed)
+        cat(padded, buf(4).putInt(off).array(), new Array[Byte](28), dt)
+      }
+      val int32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
+        .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
+      val f64 = buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte)
+        .put(0.toByte).putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+      cat(buf(8).put(0x16.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
+        .putInt(24).array(),
+        member("id", 0, int32), member("lat", 8, f64),
+        member("tag", 16, dtypeFixedStr(8)))
+    }
+
+    // --- data blocks ---
+    val codeData = cat(Seq("AB", "CDEF", "", "XY").map { s =>
+      val b = new Array[Byte](4); s.getBytes("ASCII").copyToArray(b); b
+    }: _*)
+    val heapStrings = Seq(1 -> "b", 2 -> "alpha", 3 -> "gamma!")
+    def gcol: Array[Byte] = {
+      val objs = cat(heapStrings.map { case (idx, s) =>
+        val data = s.getBytes("ASCII")
+        val pad = (8 - data.length % 8) % 8
+        cat(buf(16).putShort(idx.toShort).putShort(1).putInt(0)
+          .putLong(data.length.toLong).array(), data, new Array[Byte](pad))
+      }: _*)
+      val size = 16L + objs.length + 16 // header + objects + free-space obj
+      cat(buf(16).put("GCOL".getBytes("ASCII")).put(1.toByte)
+        .put(new Array[Byte](3)).putLong(size).array(), objs,
+        buf(16).putShort(0).putShort(0).putInt(0).putLong(16L).array())
+    }
+    def namesData(gcolAddr: Long): Array[Byte] =
+      cat(Seq(("alpha", 2), ("b", 1), ("gamma!", 3)).map { case (s, idx) =>
+        buf(16).putInt(s.length).putLong(gcolAddr).putInt(idx).array()
+      }: _*)
+    val stationData = {
+      val b = buf(48)
+      def row(id: Int, lat: Double, tag: String): Unit = {
+        b.putInt(id).putInt(0) // 4 bytes padding to offset 8
+        b.putDouble(lat)
+        val t = new Array[Byte](8); tag.getBytes("ASCII").copyToArray(t); b.put(t)
+      }
+      row(7, 1.5, "AB"); row(-3, -2.25, "ZQX")
+      b.array()
+    }
+
+    def build(codeAddr: Long, gcolAddr: Long, namesAddr: Long, stnAddr: Long,
+              codeOH: Long, namesOH: Long, stnOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val codeBytes = ohdr2(msg2(0x01, dspace2(4L)),
+        msg2(0x03, dtypeFixedStr(4)), layoutV4Contig(codeAddr, 16L))
+      val namesBytes = ohdr2(msg2(0x01, dspace2(3L)),
+        msg2(0x03, dtypeVlenStr), layoutV4Contig(namesAddr, 48L))
+      val stnBytes = ohdr2(msg2(0x01, dspace2(2L)),
+        msg2(0x03, dtypeCompound), layoutV4Contig(stnAddr, 48L))
+      val rootBytes = ohdr2(link("code", codeOH), link("names", namesOH),
+        link("station", stnOH))
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
+      Seq(sb.array(), codeData, gcol, namesData(gcolAddr), stationData,
+        codeBytes, namesBytes, stnBytes, rootBytes)
+    }
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val parts = build(starts(1), starts(2), starts(3), starts(4),
+      starts(5), starts(6), starts(7), starts(8))
+    val f = new FileOutputStream(path)
+    parts.foreach(f.write); f.close()
+  }
+
+  test("typed datasets: fixed strings, VLEN strings via GCOL, compounds") {
+    val f = java.io.File.createTempFile("graft_typed_", ".h5")
+    writeTyped(f.getPath)
+    val meta = Hdf5.readMeta(f.getPath).sortBy(_.name)
+    assert(meta.map(_.name) == Seq("code", "names", "station"))
+    assert(meta.find(_.name == "names").get.vlenStr)
+    val stn = meta.find(_.name == "station").get
+    assert(stn.dtClass == 6 && stn.members.map(m => (m.name, m.offset, m.cls, m.size)) ==
+      Seq(("id", 0, 0, 4), ("lat", 8, 1, 8), ("tag", 16, 3, 8)))
+    val code = Hdf5.readStrings(spark, f.getPath, "code").orderBy("i0").collect()
+    assert(code.map(_.getString(1)).toSeq == Seq("AB", "CDEF", "", "XY"))
+    val names = Hdf5.readStrings(spark, f.getPath, "names").orderBy("i0").collect()
+    assert(names.map(_.getString(1)).toSeq == Seq("alpha", "b", "gamma!"))
+    val rows = Hdf5.readCompound(spark, f.getPath, "station").orderBy("i0").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq ==
+      Seq((0, 7L, 1.5, "AB"), (1, -3L, -2.25, "ZQX")))
+    // numeric read of a string dataset fails loudly, not garbage
+    intercept[Exception] { Hdf5.readStrings(spark, f.getPath, "nope") }
+    f.delete()
+  }
+
   test("dense groups: fractal-heap links via the name-index v2 B-tree") {
     // 1/9/45: root direct block, depth-0 name index (45 = one full leaf);
     // 46: depth-1 index; 300: doubling-table indirect block (3 rows, one
