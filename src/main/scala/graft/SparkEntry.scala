@@ -5643,6 +5643,31 @@ object SparkEntry {
           col("min_tas"), col("max_tas"), col("sum_pr"))
     }),
 
+    "q_hdf5_ingest" -> ((s, dir) => {
+      // HDF5 ("latest" format) ingest under the DuckDB gate: a planted
+      // closed-form file (sources/Hdf5Planted — implicit chunk index
+      // with edge padding the reader must clip, CF fill/scale/offset,
+      // fixed-string and compound datasets) is read through all three
+      // typed paths and joined per time index; the oracle regenerates
+      // the grid arithmetically. Values are exact binary halves.
+      // Fixed tmp location, written once and reused across bench passes.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_h5.h5")
+      if (!f.isFile) graft.sources.Hdf5Planted.write(f.getPath)
+      val temp = graft.sources.Hdf5.readVariable(s, f.getPath, "temp")
+        .groupBy(col("i0"))
+        .agg(count(col("value")).as("n_valid"),
+          sum(col("value")).as("sum_temp"))
+      val label = graft.sources.Hdf5.readStrings(s, f.getPath, "label")
+        .select(col("i0"), col("value").as("label"))
+      val stn = graft.sources.Hdf5.readCompound(s, f.getPath, "station")
+        .select(col("i0"), col("id"), col("w"))
+      temp.join(label, Seq("i0")).join(stn, Seq("i0"))
+        .select(col("i0"), col("n_valid"), col("sum_temp"), col("label"),
+          col("id"), col("w"))
+        .orderBy("i0")
+    }),
+
     "q_image_decode_jpeg" -> ((s, dir) => {
       // LOSSY decode pinned by a closed-form oracle: uniform-colour JPEGs
       // (Multimodal.plantedJpeg — channel values are id-derived multiples
@@ -5769,6 +5794,17 @@ object SparkEntry {
   )
 
   private def oracle41: Map[String, String] = Map(
+
+    "q_hdf5_ingest" ->
+      """with g as (select t.i t, y.i y,
+        |  case when (t.i = 1 and y.i = 2) or (t.i = 5 and y.i = 0) then null
+        |       else cast((t.i*10 + y.i)*0.5 + 100.0 as double) end v
+        |  from range(0, 6) t(i) cross join range(0, 5) y(i)),
+        |a as (select t, count(v) n_valid, sum(v) sum_temp from g group by 1)
+        |select cast(t as int) i0, n_valid, sum_temp,
+        |  concat('L', t) as "label", cast(2*t + 1 as bigint) id,
+        |  cast(t*0.25 - 0.5 as double) w
+        |from a order by 1""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

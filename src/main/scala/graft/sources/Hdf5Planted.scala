@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.FileOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Deterministic closed-form HDF5 file for the oracle-checked ingest
+  * query (the [[Zarr.plantedStore]] pattern): written byte-by-byte from
+  * the public format spec (superblock v3, OHDR v2 headers) so the read
+  * path exercised by `q_hdf5_ingest` is the same one a real
+  * `libver=latest` producer hits. Contents:
+  *
+  *  - `temp`   double[6,5], chunked [4,5] with an IMPLICIT chunk index
+  *    (pure offset math; the second chunk carries 2 rows of edge padding
+  *    the reader must clip), raw value `t*10 + y`, CF attrs
+  *    `_FillValue` -999 (planted at (1,2) and (5,0)), `scale_factor`
+  *    0.5, `add_offset` 100
+  *  - `label`  fixed string[6], size 4, "L0".."L5" null-padded
+  *  - `station` compound[6] (id int32 @0 = 2t+1, w float64 @8 =
+  *    t*0.25 - 0.5)
+  *
+  * Spec-conformance against hand-written byte fixtures (filters, B-tree
+  * indexes, VLEN heaps, dense groups) lives in Hdf5Spec; this file's job
+  * is numeric/string fidelity under the driver's DuckDB gate. */
+object Hdf5Planted {
+
+  def write(path: String): Unit = {
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def msg2(t: Int, body: Array[Byte]): Array[Byte] =
+      buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
+        .put(0.toByte).put(body).array()
+    def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
+      val content = cat(msgs: _*)
+      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+    }
+    def dspace2(dims: Long*): Array[Byte] = {
+      val b = buf(4 + 8 * dims.length)
+      b.put(2.toByte).put(dims.length.toByte).put(0.toByte)
+        .put((if (dims.isEmpty) 0 else 1).toByte)
+      dims.foreach(b.putLong); b.array()
+    }
+    def dtypeDouble: Array[Byte] =
+      buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
+        .putInt(8).putShort(0).putShort(64)
+        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+        .putInt(1023).array()
+    def dtypeFixedStr(size: Int): Array[Byte] =
+      buf(8).put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(size).array()
+    def dtypeCompound: Array[Byte] = {
+      def member(name: String, off: Int, dt: Array[Byte]): Array[Byte] = {
+        val nm = name.getBytes("ASCII") :+ 0.toByte
+        val padded = nm ++ Array.fill[Byte]((8 - nm.length % 8) % 8)(0)
+        cat(padded, buf(4).putInt(off).array(), new Array[Byte](28), dt)
+      }
+      val int32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
+        .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
+      cat(buf(8).put(0x16.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(),
+        member("id", 0, int32), member("w", 8, dtypeDouble))
+    }
+    def attr3(name: String, value: Double): Array[Byte] = {
+      val nm = name.getBytes("ASCII") :+ 0.toByte
+      val dt = dtypeDouble; val ds = dspace2()
+      val b = buf(9 + nm.length + dt.length + ds.length + 8)
+      b.put(3.toByte).put(0.toByte).putShort(nm.length.toShort)
+        .putShort(dt.length.toShort).putShort(ds.length.toShort)
+        .put(0.toByte).put(nm).put(dt).put(ds).putDouble(value)
+      msg2(0x0C, b.array())
+    }
+    def link(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("ASCII")
+      msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
+        .put(nm.length.toByte).put(nm).putLong(addr).array())
+    }
+    def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
+      msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
+    def layoutV4Implicit(chunkDims: Seq[Int], addr: Long): Array[Byte] = {
+      val b = buf(5 + chunkDims.length + 1 + 8)
+      b.put(4.toByte).put(2.toByte).put(0.toByte)
+        .put(chunkDims.length.toByte).put(1.toByte)
+      chunkDims.foreach(d => b.put(d.toByte))
+      b.put(2.toByte).putLong(addr)
+      msg2(0x08, b.array())
+    }
+
+    // --- data blocks (closed forms mirrored by the DuckDB oracle) ---
+    def raw(t: Int, y: Int): Double =
+      if ((t == 1 && y == 2) || (t == 5 && y == 0)) -999.0 else t * 10.0 + y
+    val tempData = { // two full [4,5] chunks, rows 6-7 are edge padding
+      val b = buf(2 * 4 * 5 * 8)
+      for (c <- 0 until 2; tr <- 0 until 4; y <- 0 until 5) {
+        val t = c * 4 + tr
+        b.putDouble(if (t < 6) raw(t, y) else 0.0)
+      }
+      b.array()
+    }
+    val labelData = cat((0 until 6).map { i =>
+      val b = new Array[Byte](4)
+      s"L$i".getBytes("ASCII").copyToArray(b); b
+    }: _*)
+    val stationData = {
+      val b = buf(6 * 16)
+      for (t <- 0 until 6) { b.putInt(2 * t + 1).putInt(0); b.putDouble(t * 0.25 - 0.5) }
+      b.array()
+    }
+
+    def build(tempAddr: Long, labelAddr: Long, stnAddr: Long,
+              tempOH: Long, labelOH: Long, stnOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+      val tempBytes = ohdr2(msg2(0x01, dspace2(6L, 5L)), msg2(0x03, dtypeDouble),
+        layoutV4Implicit(Seq(4, 5), tempAddr),
+        attr3("_FillValue", -999.0), attr3("scale_factor", 0.5),
+        attr3("add_offset", 100.0))
+      val labelBytes = ohdr2(msg2(0x01, dspace2(6L)),
+        msg2(0x03, dtypeFixedStr(4)), layoutV4Contig(labelAddr, 24L))
+      val stnBytes = ohdr2(msg2(0x01, dspace2(6L)),
+        msg2(0x03, dtypeCompound), layoutV4Contig(stnAddr, 96L))
+      val rootBytes = ohdr2(link("label", labelOH), link("station", stnOH),
+        link("temp", tempOH))
+      val sb = buf(48)
+      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .foreach(v => sb.put(v.toByte))
+      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+      sb.putLong(0L).putLong(-1L)
+      sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
+      Seq(sb.array(), tempData, labelData, stationData,
+        tempBytes, labelBytes, stnBytes, rootBytes)
+    }
+    val sizes = build(0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val parts = build(starts(1), starts(2), starts(3),
+      starts(4), starts(5), starts(6), starts(7))
+    val f = new FileOutputStream(path)
+    try parts.foreach(f.write) finally f.close()
+  }
+}
