@@ -2610,6 +2610,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup: same deterministic near-identical
+      // planting as q_embedding_neardup (every 10th vector + a perturbed
+      // copy, cosine ≈ 0.9999 vs ≤ 0.48 for genuine pairs — wide
+      // cross-engine margin), clusters = the stored label column (the
+      // precomputed-assignment form the scale pipeline uses). Pairs are
+      // cluster-local; a doc survives iff no lower-id in-cluster
+      // neighbor has cosine ≥ 0.99. The oracle replays the rule with an
+      // exhaustive within-label join.
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+          transform(col("v"), (x, i) =>
+            x * (lit(1.0) + lit(0.002) *
+              (((i.cast("long") + col("vec_id")) % 7) - 3).cast("double"))).as("v"))
+      Similarity.semanticDedup(base.unionByName(copies), "vec_id", "v",
+          "label", threshold = 0.99)
+        .orderBy("vec_id")
+    }),
+
     "q_wettest_quarter_temp" -> ((s, dir) => {
       // ANUCLIM P8 (quarter_select base): mean temperature of the wettest
       // 3-month window per year — monthly rollup + rolling windows +
@@ -2712,6 +2733,27 @@ object SparkEntry {
         |from n a join n b on a.vec_id < b.vec_id
         |where list_sum(list_transform(range(1, len(a.v) + 1),
         |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) >= 0.99""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """with base as (select vec_id, label,
+        |  list_transform(embedding, x -> cast(x as double)) v from embeddings),
+        |cop as (select vec_id + 1000000 vec_id, label,
+        |  list_transform(v, (x, i) -> x * (cast(1.0 as double)
+        |    + cast(0.002 as double)
+        |      * cast(((i - 1 + vec_id) % 7) - 3 as double))) v
+        | from base where vec_id % 10 = 0),
+        |corpus as (select * from base union all select * from cop),
+        |n as (select vec_id, label, v,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm from corpus),
+        |near as (select b.vec_id, cast(count(*) as bigint) n_near
+        |  from n a join n b on a.label = b.label and a.vec_id < b.vec_id
+        |  where list_sum(list_transform(range(1, len(a.v) + 1),
+        |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) >= 0.99
+        |  group by 1)
+        |select c.vec_id, c.label as "cluster", coalesce(nn.n_near, 0) n_near,
+        |  case when nn.vec_id is null then 1 else 0 end kept
+        |from corpus c left join near nn using (vec_id)
+        |order by c.vec_id""".stripMargin,
 
     "q_wettest_quarter_temp" ->
       s"""with $climSql,

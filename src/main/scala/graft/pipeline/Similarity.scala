@@ -236,6 +236,36 @@ object Similarity {
       .select(col("rank"), col(idCol), col("label"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup (pairwise-cosine prune inside
+    * precomputed embedding clusters): a pair with cosine ≥ `threshold`
+    * marks the HIGHER id a duplicate, so a doc is kept iff no lower-id
+    * in-cluster neighbor clears the threshold — greedy min-id exemplars,
+    * fully deterministic. Returns (id, cluster, n_near, kept).
+    *
+    * The cluster assignment arrives as a COLUMN, not a model: at corpus
+    * scale the k-means step is a precomputed stored field (the
+    * [[nearestCentroid]] / [[ivfTopK]] assignment projection emits one),
+    * and the dedup pass itself is cluster-local — pairs generate behind
+    * one shuffle keyed on the cluster id, never an all-pairs product, so
+    * cost is Σ|cluster|², the quantity the clustering step exists to
+    * bound. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
+      col(vecCol).as("v"))
+    val l = base.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val r = base.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val near = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_near"))
+    base.join(near, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(col("n_near").isNull, 1).otherwise(0).as("kept"))
+  }
+
   /** Assign each vector to the nearest of `centroids` (broadcast list) —
     * the IVF coarse quantizer. Returns centroid index (int). */
   def nearestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
