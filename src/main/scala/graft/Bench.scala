@@ -6,7 +6,12 @@ import org.apache.spark.sql.SparkSession
   * Queries are materialised through the `noop` sink so every output column
   * is actually computed (a bare `count()` lets Catalyst prune the
   * projections being measured). A warm-up pass touches each table once so
-  * the first measured query isn't charged JVM/JIT/page-cache startup. */
+  * the first measured query isn't charged JVM/JIT/page-cache startup.
+  *
+  * Failure-honest: a query that throws (analysis or runtime) is recorded
+  * with `status=error` + the exception head, and is EXCLUDED from every
+  * total and from the per-query timing maps — an analysis failure takes
+  * ~50 ms and would otherwise masquerade as a 10-50× speedup. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,11 +38,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val todo = SparkEntry.queries.toSeq.sortBy(_._1) // pinned run order
       .filter(kv => only.forall(_.contains(kv._1)))
-    def pass(): Seq[(String, Double)] = todo.map { case (name, fn) =>
+    // name -> (seconds, error-head if the query threw)
+    def pass(): Seq[(String, Double, Option[String])] = todo.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some((Option(e.getMessage).getOrElse(e.getClass.getName))
+            .linesIterator.take(1).mkString.take(160))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     // Three passes: the first ("cold") is dominated by per-query Catalyst
     // analysis + whole-stage-codegen compilation (3-4 s of one-time cost on
@@ -48,25 +58,42 @@ object Bench {
     // caching, data is re-read and re-shuffled; scheduling noise is
     // one-sided additive, so min-of-k estimates the true cost). The cold
     // pass is kept in the JSON so plan-cost regressions stay visible too.
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
     def toJson(r: Seq[(String, Double)]): String =
       r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cold = pass()
-    val warm1 = pass().toMap
+    val warm1 = pass().map { case (k, v, e) => k -> ((v, e)) }.toMap
     val warm2 = pass()
-    val warm = warm2.map { case (k, v) => k -> math.min(v, warm1(k)) }
-    val line = s"""{"metric":"total","value":${warm.map(_._2).sum},"unit":"sec",""" +
-      s""""queries":${toJson(warm)},"mode":"warm-min2",""" +
-      s""""total_cold":${cold.map(_._2).sum},"queries_cold":${toJson(cold)},""" +
-      s""""sf":"$sfDir"}"""
+    // a query is ok only if every pass succeeded; min of the two warm times
+    val merged = warm2.map { case (k, v2, e2) =>
+      val (v1, e1) = warm1(k)
+      val coldErr = cold.collectFirst { case (`k`, _, e @ Some(_)) => e }.flatten
+      (k, math.min(v1, v2), e2.orElse(e1).orElse(coldErr))
+    }
+    val ok = merged.collect { case (k, v, None) => k -> v }
+    val bad = merged.collect { case (k, _, Some(e)) => k -> e }
+    val coldOk = cold.collect { case (k, v, None) if !bad.exists(_._1 == k) => k -> v }
+    val statuses = merged.map { case (k, _, e) =>
+      "\"" + k + "\":\"" + (if (e.isDefined) "error" else "ok") + "\"" }
+      .mkString("{", ",", "}")
+    val errors = bad.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec",""" +
+      s""""n_ok":${ok.size},"n_error":${bad.size},""" +
+      s""""queries":${toJson(ok)},"status":$statuses,"errors":$errors,""" +
+      s""""mode":"warm-min2","total_cold":${coldOk.map(_._2).sum},""" +
+      s""""queries_cold":${toJson(coldOk)},"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a tail limit, which truncated the
     // per-query map to ~1/3 of the queries in past rounds — so the FULL
-    // line is also written to a file (committed per round as
+    // line is ALWAYS also written to a file (bench_full_latest.json in the
+    // cwd unless SPARK_GRAFT_BENCH_OUT overrides; committed per round as
     // bench_full_r{N}.json) for untruncated regression tracking.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      val w = new java.io.PrintWriter(path)
-      try w.println(line) finally w.close()
-    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    val w = new java.io.PrintWriter(outPath)
+    try w.println(line) finally w.close()
     spark.stop()
   }
 }

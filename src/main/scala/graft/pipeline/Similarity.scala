@@ -248,15 +248,44 @@ object Similarity {
     * and the dedup pass itself is cluster-local — pairs generate behind
     * one shuffle keyed on the cluster id, never an all-pairs product, so
     * cost is Σ|cluster|², the quantity the clustering step exists to
-    * bound. */
+    * bound.
+    *
+    * Skew guard (triangle salting): clustering bounds the TYPICAL cluster,
+    * but every real corpus has a degenerate one (the all-zero-embedding
+    * junk cluster), and Σ|cluster|² behind a single shuffle key turns it
+    * into one O(k²) straggler task. Clusters larger than `clusterCap` are
+    * hash-sub-sharded into s = ceil(|c|/cap) shards; each row replicates to
+    * the s sorted shard-pairs containing its shard, the pair join keys on
+    * (cluster, shard-pair), and a post-join filter keeps each pair exactly
+    * once (same-shard pairs only under their diagonal key). All pairs are
+    * still verified — output is IDENTICAL to the unsalted form — but the
+    * hottest task now holds ~2·cap rows / cap² candidates instead of k².
+    * Cluster sizes come from a one-row-per-cluster count that broadcasts
+    * back onto the corpus. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    clusterCol: String, threshold: Double): DataFrame = {
+                    clusterCol: String, threshold: Double,
+                    clusterCap: Int = 10000): DataFrame = {
+    require(clusterCap >= 2, s"clusterCap must be >= 2, got $clusterCap")
     val base = df.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
       col(vecCol).as("v"))
-    val l = base.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
-    val r = base.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
-    val near = l.join(r, Seq("cluster"))
+    val sizes = base.groupBy(col("cluster"))
+      .agg(ceil(count(lit(1)).cast("double") / clusterCap).cast("int").as("nshard"))
+    val sharded = base.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("shard", pmod(xxhash64(col("id")), col("nshard")).cast("int"))
+      .withColumn("other", explode(sequence(lit(0), col("nshard") - 1)))
+      .withColumn("kp", struct(least(col("shard"), col("other")).as("p"),
+        greatest(col("shard"), col("other")).as("q")))
+    val l = sharded.select(col("cluster"), col("kp"), col("shard").as("sa"),
+      col("id").as("id_a"), col("v").as("va"))
+    val r = sharded.select(col("cluster"), col("kp"), col("shard").as("sb"),
+      col("id").as("id_b"), col("v").as("vb"))
+    val near = l.join(r, Seq("cluster", "kp"))
       .filter(col("id_a") < col("id_b"))
+      // same-shard pairs co-occur under every key containing their shard;
+      // keep them only under the diagonal (i,i) key. Cross-shard pairs
+      // co-occur under exactly one key, so they pass unconditionally.
+      .filter(col("sa") =!= col("sb") ||
+        (col("kp.p") === col("sa") && col("kp.q") === col("sa")))
       .filter(cosine(col("va"), col("vb")) >= threshold)
       .groupBy(col("id_b").as("id"))
       .agg(count(lit(1)).as("n_near"))

@@ -1,29 +1,41 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table readers for the engine's lake layout: one directory per
   * scale factor, one parquet file/dir per table.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects. We read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to
-  * microseconds — the same ns->us flooring DuckDB applies — so both engines
-  * see identical timestamps. The cast is a codegen'd scalar on the scan
-  * output; predicate pushdown on other columns is unaffected.
+  * `events.ts` has been written two ways by the data generator over time:
+  * parquet TIMESTAMP(NANOS) (which Spark surfaces as a raw long of
+  * ns-since-epoch) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark
+  * reads as TIMESTAMP_NTZ). A lake reader must tolerate both, so we branch on
+  * the READ dtype rather than assuming the writer: long → floor-divide to
+  * microseconds (the same ns→us flooring DuckDB applies); timestamp types →
+  * use directly, cast NTZ→TIMESTAMP (identity under the UTC session, matching
+  * DuckDB's naive-timestamp read). The normalisation is a codegen'd scalar on
+  * the scan output; pushdown on other columns is unaffected.
   */
 object Tables {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalise a raw `ts` column to a microsecond TIMESTAMP, whatever the
+    * parquet writer emitted. Integer `div`, NOT `/`, on the long branch:
+    * long/long in Spark SQL is double division and ns-since-epoch exceeds
+    * 2^53, so `/` would corrupt the low microseconds. */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType         => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.$tsCol: unsupported parquet type $other (expected long ns, TIMESTAMP or TIMESTAMP_NTZ)")
+    }
+
   /** events with `ts` normalised to a microsecond TIMESTAMP. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    // integer `div`, NOT `/`: long/long in Spark SQL is double division and
-    // ns-since-epoch exceeds 2^53, so `/` would corrupt the low microseconds
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
 }

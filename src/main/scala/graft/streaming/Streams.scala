@@ -21,15 +21,16 @@ object Streams {
     * is the equivalent batch GROUP BY. */
   def tumblingAgg(s: SparkSession, dir: String, windowLen: String,
                   queryName: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file stream source wants a DIRECTORY; stage a symlink to the table
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    // same writer-tolerant ts normalisation as the batch reader — a pure
+    // projection, so it composes with the streaming source unchanged
+    val stream = graft.sources.Tables.normalizeTs(raw)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))

@@ -514,4 +514,50 @@ class PropertySpec extends AnyFunSuite {
     assert(dec.decode("video", evil, 8) == null)
     dec.close()
   }
+
+  test("semanticDedup triangle salting: giant cluster, output unchanged, no O(k^2) key") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rng = new scala.util.Random(11)
+    val dim = 8
+    def vec(): Array[Double] = Array.fill(dim)(rng.nextGaussian())
+    // one degenerate 600-row cluster (every real corpus has one) + 20
+    // healthy 10-row clusters; plant near-duplicates in both: every 5th
+    // row's vector is reused (scaled — same direction, cosine 1) by the
+    // next row, so n_near is nonzero and threshold logic is exercised
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Double])]
+    var id = 0L
+    def emit(cluster: String, n: Int): Unit = {
+      var last: Array[Double] = null
+      for (i <- 0 until n) {
+        val v = if (i % 5 == 1 && last != null) last.map(_ * 1.7) else vec()
+        last = v; rows += ((id, cluster, v)); id += 1
+      }
+    }
+    emit("junk", 600)
+    for (c <- 0 until 20) emit(s"c$c", 10)
+    val df = rows.toSeq.toDF("id", "cluster", "v")
+    val cap = 50
+    val salted = Similarity.semanticDedup(df, "id", "v", "cluster", 0.99, clusterCap = cap)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val plain = Similarity.semanticDedup(df, "id", "v", "cluster", 0.99,
+        clusterCap = Int.MaxValue)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(salted == plain, "salted output must equal the unsalted form")
+    assert(plain.exists(_(3) == 0), "planting should produce some duplicates")
+    // the skew bound itself: reconstruct the (cluster, shard-pair) join-key
+    // histogram with the same formulas the implementation uses and check the
+    // hottest key's candidate volume is ~cap^2, NOT k^2 = 360000
+    val nshard = math.ceil(600.0 / cap).toInt // 12 shards for the junk cluster
+    val perKey = df.filter($"cluster" === "junk")
+      .withColumn("shard", pmod(xxhash64($"id"), lit(nshard)).cast("int"))
+      .withColumn("other", explode(sequence(lit(0), lit(nshard - 1))))
+      .groupBy(least($"shard", $"other"), greatest($"shard", $"other"))
+      .count().collect().map(_.getLong(2))
+    val maxPairsPerKey = perKey.map(n => n * n / 4).max // two sides of ~n/2 rows
+    assert(perKey.length == nshard * (nshard + 1) / 2,
+      "giant cluster must fan out over all shard-pair keys")
+    assert(maxPairsPerKey < 4L * cap * cap,
+      s"hottest key candidate volume $maxPairsPerKey should be ~cap^2, not k^2")
+  }
 }
