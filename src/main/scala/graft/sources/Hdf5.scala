@@ -20,9 +20,12 @@ import java.util.zip.Inflater
   *    indexes that appendable time series produce).
   *
   * Plus, in both: simple dataspaces, fixed-point/IEEE-float datatypes,
-  * contiguous layouts, and the shuffle + deflate filter pipeline
-  * (`java.util.zip.Inflater` + a byte-transpose — no native codecs; the
-  * `zlib=True, shuffle=True` pairing netCDF4-python defaults to).
+  * contiguous layouts, and the shuffle + deflate + fletcher32 filter
+  * pipeline in write order (`java.util.zip.Inflater` + a byte-transpose +
+  * a checksum verify-and-strip — no native codecs; covers netCDF4-python's
+  * `zlib=True, shuffle=True` default and its one-flag `fletcher32=True`,
+  * in either checksum position: netcdf-c checksums raw data, h5py's
+  * pipeline order checksums the compressed bytes).
   *
   * Scale design mirrors `NetCDF`: the driver parses only the metadata
   * (superblock → group links → object headers → chunk index, a few KB),
@@ -52,8 +55,8 @@ import java.util.zip.Inflater
   *
   * Out of scope (documented): nested fractal-heap indirect blocks
   * (≳4 MiB of link records in one group), VLEN non-string sequences,
-  * nested/array compound members, szip; metadata checksums are not
-  * verified.
+  * nested/array compound members, szip/nbit/scaleoffset; metadata
+  * checksums are not verified (data checksums — fletcher32 — are).
   */
 object Hdf5 {
 
@@ -70,7 +73,16 @@ object Hdf5 {
                            chunkDims: Seq[Long], chunkBtree: Long,
                            gzip: Boolean, attrs: Map[String, Double] = Map.empty,
                            chunkIndex: Int = 0, shuffled: Boolean = false,
-                           members: Seq[Member] = Nil, vlenStr: Boolean = false)
+                           members: Seq[Member] = Nil, vlenStr: Boolean = false,
+                           filters: Seq[Int] = Nil) {
+    /** Pipeline in WRITE order when parsed; empty for legacy callers that
+      * built the case class directly — fall back to the boolean flags in
+      * the canonical netCDF4 order (shuffle before deflate). */
+    def pipeline: Seq[Int] =
+      if (filters.nonEmpty) filters
+      else (if (shuffled) Seq(FilterShuffle) else Nil) ++
+           (if (gzip) Seq(FilterDeflate) else Nil)
+  }
   /** One compound-datatype member: atomic classes only (0 fixed-point,
     * 1 IEEE float, 3 fixed string). */
   final case class Member(name: String, offset: Int, cls: Int, size: Int,
@@ -414,6 +426,7 @@ object Hdf5 {
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false; var shuffled = false
+    val filterIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var members: Seq[Member] = Nil; var vlenStr = false
     var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
     var chunkDimsNeedElem = false // layout v4 dims exclude the element size
@@ -514,13 +527,14 @@ object Hdf5 {
             val nVals = r.u16()
             r.skip(nameLen)
             r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
-            if (id == 1) gzip = true
-            else if (id == 2) shuffled = true // byte-shuffle, undone at decode
-            else ok = false // fletcher32/szip/nbit/unknown
+            if (id == FilterDeflate) { gzip = true; filterIds += id }
+            else if (id == FilterShuffle) { shuffled = true; filterIds += id }
+            else if (id == FilterFletcher32) filterIds += id // checksum, verified+stripped at decode
+            else ok = false // szip/nbit/scaleoffset/unknown
             i += 1
           }
           require(ok,
-            s"unsupported filter in pipeline for $name (only shuffle+deflate)")
+            s"unsupported filter in pipeline for $name (only shuffle+deflate+fletcher32)")
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
           r.seek(body)
           val v = r.u8()
@@ -562,7 +576,7 @@ object Hdf5 {
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
-        shuffled, members, vlenStr))
+        shuffled, members, vlenStr, filterIds.toSeq))
     }
   }
 
@@ -575,7 +589,7 @@ object Hdf5 {
       case 0 => collectChunks(r, ds.chunkBtree, ds.chunkDims.length)
       case 1 => // single chunk: whole dataspace in one chunk at the address
         val stored =
-          if (ds.gzip) ds.dataSize // filtered size recorded in the layout msg
+          if (ds.pipeline.nonEmpty) ds.dataSize // filtered size recorded in the layout msg
           else ds.chunkDims.product // dims × element size (element incl.)
         Seq(Chunk(ds.chunkBtree, stored, ds.chunkDims.dropRight(1).map(_ => 0L)))
       case 2 => // implicit: unfiltered chunks laid out in grid row-major order
@@ -1018,7 +1032,7 @@ object Hdf5 {
         val chunks = chunkTable(path, ds)
         val cdims = ds.chunkDims.dropRight(1).toArray
         val chunkElems = cdims.product.toInt
-        val gz = ds.gzip; val shuf = ds.shuffled
+        val filters = ds.pipeline
         val slices = math.max(1, math.min(chunks.size,
           math.max(64, spark.sparkContext.defaultParallelism * 2)))
         spark.sparkContext.parallelize(chunks, slices).flatMap { c =>
@@ -1027,8 +1041,7 @@ object Hdf5 {
             raf.seek(c.address)
             val stored = new Array[Byte](c.storedSize.toInt)
             raf.readFully(stored)
-            val inflated = if (gz) inflate(stored, chunkElems * esz) else stored
-            val bytes = if (shuf) unshuffle(inflated, esz) else inflated
+            val bytes = defilter(stored, filters, chunkElems * esz, esz)
             (0 until chunkElems).flatMap { flat =>
               val idx = unravelIdx(flat.toLong, cdims)
               var inBounds = true; var j = 0
@@ -1170,6 +1183,92 @@ object Hdf5 {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Fletcher-32 checksum as HDF5 computes it (H5_checksum_fletcher32 in
+    * the public source): data consumed as BIG-endian 16-bit words, running
+    * 32-bit sums folded every 360 words to avoid overflow, an odd trailing
+    * byte treated as the high byte of a final word, result
+    * (sum2 << 16) | sum1. */
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    val pairs = len / 2
+    var remaining = pairs
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
+        sum2 += sum1
+        i += 2; tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xFF) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >>> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >>> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
+  /** Verify and strip the fletcher32 trailer (4 bytes after the data).
+    * The checksum is stored little-endian; pre-1.6.3 libraries wrote it
+    * byte-reversed, so (as the HDF5 filter itself does) the reversed order
+    * is accepted too. Corruption is a loud IOException, never a misread. */
+  private[graft] def stripFletcher32(buf: Array[Byte]): Array[Byte] = {
+    require(buf.length >= 4, s"fletcher32 chunk shorter than its checksum (${buf.length}B)")
+    val n = buf.length - 4
+    val stored = (buf(n) & 0xFF) | ((buf(n + 1) & 0xFF) << 8) |
+      ((buf(n + 2) & 0xFF) << 16) | ((buf(n + 3) & 0xFF) << 24)
+    val swapped = Integer.reverseBytes(stored)
+    val computed = fletcher32(buf, n)
+    if (computed != stored && computed != swapped)
+      throw new java.io.IOException(
+        f"fletcher32 checksum mismatch: stored 0x$stored%08x, computed 0x$computed%08x")
+    java.util.Arrays.copyOfRange(buf, 0, n)
+  }
+
+  private[graft] val FilterDeflate = 1
+  private[graft] val FilterShuffle = 2
+  private[graft] val FilterFletcher32 = 3
+
+  /** Reverse a chunk's filter pipeline: `filters` is the WRITE-order list
+    * from the pipeline message; reading applies the inverses back-to-front.
+    * Each fletcher32 that ran EARLIER in write order than a deflate leaves
+    * its 4-byte trailer inside that deflate's payload, so the inflate
+    * target length accounts for the trailers still buried beneath it —
+    * this handles both pipelines in the wild: netCDF4-python's
+    * [fletcher32, shuffle, deflate] (checksum over raw data) and h5py's
+    * [shuffle, deflate, fletcher32] (checksum over compressed bytes). */
+  private[graft] def defilter(stored: Array[Byte], filters: Seq[Int],
+                              rawLen: Int, esz: Int): Array[Byte] = {
+    var buf = stored
+    var i = filters.length - 1
+    while (i >= 0) {
+      filters(i) match {
+        case FilterDeflate =>
+          val buried = filters.take(i).count(_ == FilterFletcher32)
+          buf = inflate(buf, rawLen + 4 * buried)
+        case FilterShuffle =>
+          // shuffle transposed whatever it was handed — including a buried
+          // checksum trailer, whose 4 bytes join the element grid when esz
+          // divides them and ride the pass-through tail otherwise; the
+          // length-generic unshuffle reverses both cases exactly
+          buf = unshuffle(buf, esz)
+        case FilterFletcher32 =>
+          buf = stripFletcher32(buf)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported filter id $other")
+      }
+      i -= 1
+    }
+    buf
+  }
+
   /** Undo the HDF5 shuffle filter (id 2): stored layout is
     * [all 1st bytes][all 2nd bytes]… of each `size`-byte element, a
     * transposition that helps deflate find runs. netCDF4-python's
@@ -1249,8 +1348,7 @@ object Hdf5 {
         val chunks = chunkTable(path, ds)
         val cdims = ds.chunkDims.dropRight(1).toArray // last entry = element size
         val dimArr = dims.toArray
-        val gz = ds.gzip
-        val shuf = ds.shuffled
+        val filters = ds.pipeline
         val chunkElems = cdims.product.toInt
         // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
         val slices = math.max(1, math.min(chunks.size,
@@ -1262,10 +1360,10 @@ object Hdf5 {
               raf.seek(c.address)
               val stored = new Array[Byte](c.storedSize.toInt)
               raf.readFully(stored)
-              val inflated = if (gz) inflate(stored, chunkElems * dtSize) else stored
-              // read order is the write pipeline reversed: inflate, THEN
-              // undo the byte-shuffle transposition
-              val bytes = if (shuf) unshuffle(inflated, dtSize) else inflated
+              // read order is the write pipeline reversed (inflate, then
+              // unshuffle, then checksum verify+strip — or checksum first
+              // when fletcher32 was the last write-side filter)
+              val bytes = defilter(stored, filters, chunkElems * dtSize, dtSize)
               val vals = decode(bytes, dtClass, dtSize, little, chunkElems)
               // chunk-local row-major unravel + global offset; rows past the
               // dataspace edge (partial edge chunks) are dropped

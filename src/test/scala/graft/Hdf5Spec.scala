@@ -47,7 +47,15 @@ class Hdf5Spec extends AnyFunSuite {
     val n = raw.length / size
     val out = new Array[Byte](raw.length)
     for (i <- 0 until n; j <- 0 until size) out(j * n + i) = raw(i * size + j)
+    for (t <- n * size until raw.length) out(t) = raw(t) // pass-through tail
     out
+  }
+
+  /** The fletcher32 filter's WRITE side: append the checksum little-endian. */
+  private def withFletcher(b: Array[Byte]): Array[Byte] = {
+    val c = Hdf5.fletcher32(b, b.length)
+    b ++ Array[Byte]((c & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
+      ((c >> 16) & 0xFF).toByte, ((c >> 24) & 0xFF).toByte)
   }
 
   private def shuffleDeflate(values: Array[Double]): Array[Byte] =
@@ -55,12 +63,31 @@ class Hdf5Spec extends AnyFunSuite {
 
   /** dims: temp double[2,3] chunked (1,2) deflated = {{1,2,3},{4,5,-999}}
     * with _FillValue=-999 and scale_factor=0.5 attributes;
-    * x double[3] contiguous = {10,20,30}. */
-  private def writeSample(path: String): Unit = {
+    * x double[3] contiguous = {10,20,30}.
+    *
+    * `filterMode` picks temp's pipeline: 0 = deflate only (the original
+    * fixture), 1 = fletcher32→shuffle→deflate in write order (what
+    * netcdf-c emits for `fletcher32=True` — checksum over the raw
+    * data), 2 = shuffle→deflate→fletcher32 (h5py's property order —
+    * checksum over the compressed bytes). */
+  private def writeSample(path: String, filterMode: Int = 0): Unit = {
     val chunks = Seq( // (rowOff, colOff, values incl. edge padding)
       (0L, 0L, Array(1.0, 2.0)), (0L, 2L, Array(3.0, 0.0)),
       (1L, 0L, Array(4.0, 5.0)), (1L, 2L, Array(-999.0, 0.0)))
-    val packed = chunks.map { case (r, c, v) => (r, c, deflate(v)) }
+    case class Filt(id: Int, nVals: Int)
+    val pipelineFilters = filterMode match {
+      case 0 => Seq(Filt(1, 1))
+      case 1 => Seq(Filt(3, 0), Filt(2, 0), Filt(1, 1))
+      case 2 => Seq(Filt(2, 0), Filt(1, 1), Filt(3, 0))
+    }
+    val filterBody = 8 + pipelineFilters
+      .map(f => 8 + 4 * f.nVals + (if (f.nVals % 2 == 1) 4 else 0)).sum
+    def pack(v: Array[Double]): Array[Byte] = filterMode match {
+      case 0 => deflate(v)
+      case 1 => deflateBytes(shuffleBytes(withFletcher(doubleBytes(v)), 8))
+      case 2 => withFletcher(deflateBytes(shuffleBytes(doubleBytes(v), 8)))
+    }
+    val packed = chunks.map { case (r, c, v) => (r, c, pack(v)) }
 
     val bos = new ByteArrayOutputStream()
     def le(n: Int, bytes: Int): Unit = {
@@ -71,10 +98,14 @@ class Hdf5Spec extends AnyFunSuite {
     def ascii(s: String): Unit = bos.write(s.getBytes("ASCII"))
     def at(pos: Int): Unit = assert(bos.size() == pos, s"layout drift: at ${bos.size()}, expected $pos")
 
-    // addresses (fixed-size metadata laid out back to back)
-    val (rootOH, gBtree, heap, heapData, snod, xOH, tempOH, cBtree) =
-      (96L, 136L, 184L, 216L, 240L, 328L, 432L, 720L)
-    val chunkAddrs = packed.scanLeft(936L) { case (a, (_, _, b)) => a + b.length }
+    // addresses (fixed-size metadata laid out back to back; only the temp
+    // object header's size varies, with the filter-pipeline message)
+    val (rootOH, gBtree, heap, heapData, snod, xOH, tempOH) =
+      (96L, 136L, 184L, 216L, 240L, 328L, 432L)
+    val msgBytes = 248 + filterBody // 6 msg headers + dataspace/dtype/layout/attrs
+    val cBtree = tempOH + 16 + msgBytes
+    val dataStart = cBtree + 24 + 4 * 40 + 32 // v1 btree header + 4 keys + final
+    val chunkAddrs = packed.scanLeft(dataStart) { case (a, (_, _, b)) => a + b.length }
     val xData = chunkAddrs.last
     val eof = xData + 24
 
@@ -153,16 +184,20 @@ class Hdf5Spec extends AnyFunSuite {
 
     // --- temp object header: dataspace[2,3] + datatype + chunked layout +
     //     deflate + CF attributes
-    ohPrefix(6, 272)
+    ohPrefix(6, msgBytes)
     msg(0x0001, 24) { bos.write(1); bos.write(2); bos.write(0); le(0, 5); le64(2L); le64(3L) }
     msg(0x0003, 24) { doubleType() }
     msg(0x0008, 24) { bos.write(3); bos.write(2); bos.write(3) // v3, chunked, rank+1
       le64(cBtree); le(1, 4); le(2, 4); le(8, 4) }
-    msg(0x000B, 24) { bos.write(1); bos.write(1); le(0, 6) // v1, one filter
-      le(1, 2); le(0, 2); le(1, 2); le(1, 2); le(6, 4); le(0, 4) } // deflate, 1 value + pad
+    msg(0x000B, filterBody) { bos.write(1); bos.write(pipelineFilters.length); le(0, 6) // v1
+      pipelineFilters.foreach { f =>
+        le(f.id, 2); le(0, 2); le(1, 2); le(f.nVals, 2) // id, no name, optional flag
+        (0 until f.nVals).foreach(_ => le(6, 4))
+        if (f.nVals % 2 == 1) le(0, 4) // v1 pads odd value counts
+      } }
     attr("_FillValue", -999.0)
     attr("scale_factor", 0.5)
-    at(720)
+    at(cBtree.toInt)
 
     // --- chunk B-tree (v1, type 1): 4 entries, keys carry (size, mask, offsets)
     ascii("TREE"); bos.write(1); bos.write(0); le(4, 2)
@@ -172,8 +207,7 @@ class Hdf5Spec extends AnyFunSuite {
       le64(chunkAddrs(i))
     }
     le(0, 4); le(0, 4); le64(2L); le64(3L); le64(0L) // final key
-    at(720 + 24 + 4 * 40 + 32)
-    while (bos.size() < 936) bos.write(0) // pad metadata block to the data start
+    at(dataStart.toInt)
     packed.foreach { case (_, _, b) => bos.write(b) }
     assert(bos.size() == xData)
     val xb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
@@ -233,6 +267,64 @@ class Hdf5Spec extends AnyFunSuite {
       Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0), Some(2.5), None))
     assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
       Seq((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)))
+  }
+
+  test("fletcher32 round-trip, odd lengths, and loud corruption") {
+    val rnd = new scala.util.Random(3)
+    for (len <- Seq(1, 2, 7, 16, 720, 721, 4096)) { // >360 words folds the sums
+      val b = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      assert(Hdf5.stripFletcher32(withFletcher(b)).toSeq == b.toSeq, s"len $len")
+      // pre-1.6.3 files store the checksum byte-reversed; accepted too
+      val fwd = withFletcher(b)
+      val rev = b ++ fwd.takeRight(4).reverse
+      assert(Hdf5.stripFletcher32(rev).toSeq == b.toSeq, s"len $len reversed")
+    }
+    val good = withFletcher(Array.tabulate[Byte](32)(_.toByte))
+    good(5) = (good(5) ^ 0x40).toByte
+    val ex = intercept[java.io.IOException] { Hdf5.stripFletcher32(good) }
+    assert(ex.getMessage.contains("fletcher32 checksum mismatch"))
+  }
+
+  test("fletcher32 -> shuffle -> deflate pipeline (netCDF4 order) reads verified") {
+    val f = java.io.File.createTempFile("graft", ".h5"); f.deleteOnExit()
+    writeSample(f.getPath, filterMode = 1)
+    val temp = Hdf5.readMeta(f.getPath).find(_.name == "temp").get
+    assert(temp.filters == Seq(3, 2, 1) && temp.gzip)
+    val rows = Hdf5.readVariable(spark, f.getPath, "temp")
+      .orderBy("i0", "i1").collect()
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0), Some(2.5), None))
+  }
+
+  test("shuffle -> deflate -> fletcher32 pipeline (h5py order) reads verified") {
+    val f = java.io.File.createTempFile("graft", ".h5"); f.deleteOnExit()
+    writeSample(f.getPath, filterMode = 2)
+    val temp = Hdf5.readMeta(f.getPath).find(_.name == "temp").get
+    assert(temp.filters == Seq(2, 1, 3))
+    val rows = Hdf5.readVariable(spark, f.getPath, "temp")
+      .orderBy("i0", "i1").collect()
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0), Some(2.5), None))
+  }
+
+  test("corrupted fletcher32 chunk fails the read, never a silent misread") {
+    val f = java.io.File.createTempFile("graft", ".h5"); f.deleteOnExit()
+    writeSample(f.getPath, filterMode = 2)
+    // flip one bit in the FIRST chunk's stored bytes (checksum covers the
+    // compressed payload in mode 2, so corruption must trip the verify)
+    val temp = Hdf5.readMeta(f.getPath).find(_.name == "temp").get
+    val chunk = Hdf5.chunkTable(f.getPath, temp).minBy(_.address)
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(chunk.address)
+    val b0 = raf.readByte()
+    raf.seek(chunk.address); raf.writeByte(b0 ^ 0x01)
+    raf.close()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Hdf5.readVariable(spark, f.getPath, "temp").collect()
+    }
+    assert(ex.getCause != null &&
+      (ex.getCause.getMessage.contains("fletcher32") ||
+        ex.getMessage.contains("fletcher32")))
   }
 
   test("contiguous dataset reads via pure offset math") {
