@@ -416,7 +416,7 @@ object SparkEntry {
 
     "q_ngram_jaccard_pairs" -> ((s, dir) => {
       // blocked token-set jaccard with size-ratio pruning (tiny-vocab corpus;
-      // Zipfian corpora use Dedup.jaccardPairsByIndex + df-cut instead)
+      // Zipfian corpora use Dedup.jaccardPairsByIndex's prefix filter instead)
       Dedup.jaccardPairsBlocked(t(s, dir, "documents"),
         "doc_id", "text", Seq("lang", "source"), 1, 0.85)
     }),
@@ -5737,16 +5737,19 @@ object SparkEntry {
     }),
 
     "q_jaccard_postings_dfcut" -> ((s, dir) => {
-      // the inverted-index Jaccard join with the df-cut candidate prune:
-      // tokens in more than dfCut documents are dropped from candidate
-      // generation (bounding the postings self-join on Zipfian corpora),
-      // every candidate then verified with an EXACT J over the full
-      // shingle sets. The oracle replicates the cut semantics in SQL —
-      // rare-postings candidates, full-postings exact J — so both the
-      // pruning rule and the exactness of emitted pairs are hash-checked.
+      // the inverted-index Jaccard join behind the df-ordered PREFIX
+      // filter (AllPairs/SSJoin): only each doc's |d|−⌈t|d|⌉+1 rarest
+      // trigrams are indexed, the prefix-to-prefix equi-join (plus the
+      // t·max ≤ min size prune) generates candidates, and every candidate
+      // is verified with an EXACT J over the full shingle sets. The
+      // prefix filter is LOSSLESS — the r7 absolute df-cut it replaces
+      // both failed to prune at sf0.1 (df ≤ 20 kept 99.8% of postings)
+      // and lost recall as df grew with the corpus — so the oracle is
+      // simply the exhaustive Jaccard join: the hash check pins that the
+      // pruned plan emits exactly the full answer.
       Dedup.jaccardPairsByIndex(
           t(s, dir, "documents").withColumn("blk", lit(1)),
-          "doc_id", "text", Seq("blk"), ngram = 3, threshold = 0.6, dfCut = 20)
+          "doc_id", "text", Seq("blk"), ngram = 3, threshold = 0.6)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
@@ -5874,14 +5877,9 @@ object SparkEntry {
         |g as (select distinct doc_id,
         |    array_to_string(tk[cast(i as int):cast(i as int)+2], ' ') tok
         |  from (select doc_id, tk, unnest(range(1, len(tk) - 1)) i from toks)),
-        |df as (select tok, count(*) c from g group by 1),
-        |rare as (select g.doc_id, g.tok from g join df using (tok) where c <= 20),
-        |cand as (select distinct a.doc_id id_a, b.doc_id id_b
-        |  from rare a join rare b on a.tok = b.tok and a.doc_id < b.doc_id),
         |sz as (select doc_id, count(*) sz from g group by 1),
         |com as (select a.doc_id id_a, b.doc_id id_b, count(*) common
         |  from g a join g b on a.tok = b.tok and a.doc_id < b.doc_id
-        |  join cand c on c.id_a = a.doc_id and c.id_b = b.doc_id
         |  group by 1, 2)
         |select id_a, id_b,
         |  round(cast(common as double)/(sa.sz + sb.sz - common), 6) jaccard

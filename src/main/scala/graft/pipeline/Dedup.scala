@@ -196,26 +196,43 @@ object Dedup {
     * codegen'd joins/aggregates (no interpreted array lambdas) and is the
     * formulation that scales: the shuffle is keyed on (block, token).
     *
-    * `dfCut > 0` bounds the postings blow-up on Zipfian corpora: tokens
-    * whose document frequency exceeds the cut are dropped from CANDIDATE
-    * GENERATION only (each surviving token contributes at most dfCut²/2
-    * pairs), and every candidate is then verified with an EXACT Jaccard
-    * over the full shingle sets (codegen'd sorted-merge intersection) — so
-    * every emitted (pair, J) is exact, J included. What the cut costs is
-    * RECALL at the margin the cut is designed to ignore: a pair whose
-    * overlap consists ONLY of above-cut (ubiquitous, stopword-like) tokens
-    * shares no posting and is never generated. PropertySpec pins both
-    * properties (exact equality on a Zipfian corpus where real near-dups
-    * share rare content; the documented miss on an all-frequent-token
-    * pair). */
+    * `prefixFilter = true` (the default, and the form that scales) bounds
+    * the postings blow-up with the df-ordered PREFIX FILTER of
+    * AllPairs/SSJoin (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06):
+    * order every document's tokens by ascending global document frequency
+    * (rarest first, token text as the tie-break) and index ONLY the first
+    *   L = |d| − ⌈t·|d|⌉ + 1
+    * tokens. J(A,B) ≥ t implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets with
+    * |A∩B| ≥ α must share an element inside their (|x|−α+1)-prefixes under
+    * any global order, so the prefix-to-prefix equi-join generates EVERY
+    * qualifying pair — the filter is LOSSLESS, unlike an absolute df-cut,
+    * whose recall silently collapses as the corpus (and with it every
+    * token's df) grows. The df ordering is what makes the prefix cheap:
+    * the indexed tokens are each document's rarest, so Σ df² over prefix
+    * postings — the candidate bound — shrinks by orders of magnitude while
+    * correctness never depends on it. A size prune (t·max ≤ min) rides the
+    * candidate join, and every candidate is verified with an EXACT Jaccard
+    * over the full shingle sets (codegen'd sorted-merge intersection).
+    * Output therefore EQUALS the exhaustive `prefixFilter = false`
+    * count-form row-for-row; PropertySpec pins the equality at two corpus
+    * sizes. (The final filter compares round(J,6) ≥ t; with |A∪B| ≪ 10⁶ no
+    * rational J lands within 5e-7 below t without being ≥ t, so rounding
+    * cannot admit a pair the prefix lemma does not cover.) */
   def jaccardPairsByIndex(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], ngram: Int,
-                          threshold: Double, dfCut: Int = 0): DataFrame = {
+                          threshold: Double, prefixFilter: Boolean = true): DataFrame = {
+    require(threshold > 0.0, s"prefix-filtered Jaccard needs threshold > 0, got $threshold")
+    // computed ONCE and shared by postings, the df table, the prefix
+    // re-assembly and the verify side — without the checkpoint every
+    // consumer re-runs the shingle expression over the raw text (and the
+    // self-join runs it on BOTH sides); lazy localCheckpoint, blocks freed
+    // by the ContextCleaner (same rationale as jaccardPairsBlocked)
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
+        array_distinct(TextStats.wordNgrams(col(textCol), ngram)).as("grams"): _*)
+      .localCheckpoint(false)
     val postings = grams.select(col("id") +: blockCols.map(col) :+
       explode(col("grams")).as("tok"): _*)
-    if (dfCut <= 0) {
+    if (!prefixFilter) {
       val sizes = grams.select(col("id") +: blockCols.map(col) :+ size(col("grams")).as("sz"): _*)
       val a = postings.alias("a"); val b = postings.alias("b")
       val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
@@ -231,16 +248,30 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
-      // global document frequency over distinct postings; the rare postings
-      // drive candidate generation, the full HASHED gram arrays drive the
-      // exact verify (same kernel as jaccardPairsBlocked)
-      val rare = postings
-        .join(postings.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= dfCut).select(col("tok")), "tok")
-      val a = rare.alias("a"); val b = rare.alias("b")
+      // document frequency per (block, token) over distinct postings: the
+      // global order that puts each document's RAREST tokens in its prefix.
+      // The df table is one row per distinct token — broadcast-sized
+      // relative to the postings it annotates (AQE picks the strategy).
+      val dfreq = postings.groupBy(blockCols.map(col) :+ col("tok"): _*)
+        .agg(count(lit(1)).as("_df"))
+      // re-assemble each doc's tokens sorted by (df asc, tok asc) — a
+      // deterministic total order (tokens are distinct within a doc) —
+      // and keep the first |d| − ceil(t·|d|) + 1 as prefix postings
+      val pref = postings.join(dfreq, blockCols :+ "tok")
+        .groupBy(col("id") +: blockCols.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("ordered"))
+        .withColumn("sz", size(col("ordered")))
+        .withColumn("pt", explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))))
+        .select(col("id") +: blockCols.map(col) :+ col("sz") :+
+          col("pt.tok").as("tok"): _*)
+      val a = pref.alias("a"); val b = pref.alias("b")
       val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+      // size prune inside the join: J >= t forces t·max(|A|,|B|) <= min
       val cands = a.join(b, blockCond && col("a.tok") === col("b.tok") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
       val hashed = grams.select(col("id"),
@@ -260,7 +291,7 @@ object Dedup {
   }
 
   /** Blocked pairwise Jaccard with a size-ratio prefilter. For corpora whose
-    * vocabulary is Zipfian, prefer `jaccardPairsByIndex` + a df-cut; the
+    * vocabulary is Zipfian, prefer `jaccardPairsByIndex`'s prefix filter; the
     * postings join degenerates when every token appears in most documents
     * (tiny synthetic vocabularies), and this direct pairwise form with the
     * J <= min(|A|,|B|)/max(|A|,|B|) pruning bound wins there. */

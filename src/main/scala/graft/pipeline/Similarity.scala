@@ -260,25 +260,34 @@ object Similarity {
     * once (same-shard pairs only under their diagonal key). All pairs are
     * still verified — output is IDENTICAL to the unsalted form — but the
     * hottest task now holds ~2·cap rows / cap² candidates instead of k².
-    * Cluster sizes come from a one-row-per-cluster count that broadcasts
-    * back onto the corpus. */
+    * Cluster sizes come from a one-row-per-cluster count joined back onto
+    * the corpus (AQE picks broadcast when the cluster count is small; a
+    * forced hint would blow the driver on fine-grained clusterings).
+    *
+    * The per-pair kernel is the codegen'd [[graft.functions.FloatDotProduct]]
+    * with norms precomputed ONCE per row before replication — same pattern
+    * as [[cosineNearDuplicates]]/[[gridNearDuplicates]]/[[ivfTopK]]; the
+    * ordered double accumulation makes it bit-identical to the interpreted
+    * `aggregate(zip_with(...))` form it replaced. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, threshold: Double,
                     clusterCap: Int = 10000): DataFrame = {
+    import graft.functions.FloatDotProduct.floatDot
     require(clusterCap >= 2, s"clusterCap must be >= 2, got $clusterCap")
     val base = df.select(col(idCol).as("id"), col(clusterCol).as("cluster"),
       col(vecCol).as("v"))
-    val sizes = base.groupBy(col("cluster"))
+    val normed = base.withColumn("nrm", sqrt(floatDot(col("v"), col("v"))))
+    val sizes = normed.groupBy(col("cluster"))
       .agg(ceil(count(lit(1)).cast("double") / clusterCap).cast("int").as("nshard"))
-    val sharded = base.join(broadcast(sizes), Seq("cluster"))
+    val sharded = normed.join(sizes, Seq("cluster"))
       .withColumn("shard", pmod(xxhash64(col("id")), col("nshard")).cast("int"))
       .withColumn("other", explode(sequence(lit(0), col("nshard") - 1)))
       .withColumn("kp", struct(least(col("shard"), col("other")).as("p"),
         greatest(col("shard"), col("other")).as("q")))
     val l = sharded.select(col("cluster"), col("kp"), col("shard").as("sa"),
-      col("id").as("id_a"), col("v").as("va"))
+      col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val r = sharded.select(col("cluster"), col("kp"), col("shard").as("sb"),
-      col("id").as("id_b"), col("v").as("vb"))
+      col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val near = l.join(r, Seq("cluster", "kp"))
       .filter(col("id_a") < col("id_b"))
       // same-shard pairs co-occur under every key containing their shard;
@@ -286,7 +295,9 @@ object Similarity {
       // co-occur under exactly one key, so they pass unconditionally.
       .filter(col("sa") =!= col("sb") ||
         (col("kp.p") === col("sa") && col("kp.q") === col("sa")))
-      .filter(cosine(col("va"), col("vb")) >= threshold)
+      // zero-norm guard keeps the null-cosine drop semantics of cosine()
+      .filter(col("na") > 0 && col("nb") > 0 &&
+        floatDot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .groupBy(col("id_b").as("id"))
       .agg(count(lit(1)).as("n_near"))
     base.join(near, Seq("id"), "left")

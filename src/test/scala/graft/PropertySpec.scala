@@ -274,55 +274,61 @@ class PropertySpec extends AnyFunSuite {
     assert(nr.length == 1 && nr(0).isNullAt(1) && nr(0).isNullAt(2))
   }
 
-  test("df-cut postings join: exact J on a Zipfian corpus, documented frequent-only miss") {
+  test("prefix-filtered postings join: equals exhaustive at two corpus sizes, finds frequent-only pairs") {
     import spark.implicits._
     import graft.pipeline.Dedup
-    val rng = new scala.util.Random(11)
-    // Zipfian vocabulary: a handful of ubiquitous stopword-like tokens +
-    // a long tail of rare content tokens (the regime the df-cut targets)
-    val stop = Vector("the", "of", "and", "to", "in")
-    def doc(i: Int): String = {
-      val content = Seq.fill(6)(s"w${rng.nextInt(400)}")
-      val glue = Seq.fill(6)(stop(rng.nextInt(stop.length)))
-      rng.shuffle(content ++ glue).mkString(" ")
-    }
-    val base = (0 until 40).map(doc)
-    // plant near-dups: clone with one token changed (shares rare 2-grams)
-    val docs = base.zipWithIndex.flatMap { case (d, i) =>
-      Seq((i * 10L, d)) ++ (if (i % 4 == 0)
-        Seq((i * 10L + 1, d.replaceFirst("w", "v"))) else Nil)
-    }.toDF("doc_id", "text")
-    val withBlock = docs.withColumn("lit1", org.apache.spark.sql.functions.lit(1))
-    def pairs(cut: Int) = Dedup.jaccardPairsByIndex(withBlock, "doc_id", "text",
-        Seq("lit1"), ngram = 2, threshold = 0.3, dfCut = cut)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = pairs(0)
-    val cut = pairs(8) // stopword 2-grams exceed df 8; content 2-grams don't
-    assert(exact.nonEmpty)
-    // every emitted pair carries the EXACT J, and on this corpus (near-dups
-    // share rare content n-grams) recall is 1: the outputs are identical
-    assert(cut == exact)
-    // the cut bounds the candidate join: rare postings are a strict subset
     import org.apache.spark.sql.functions._
-    val postings = withBlock.select(col("doc_id"),
-      explode(array_distinct(graft.pipeline.TextStats.wordNgrams(col("text"), 2))).as("tok"))
-    val df_ = postings.groupBy("tok").count()
-    val full = postings.count()
-    val rare = postings.join(df_.filter(col("count") <= 8).select("tok"), "tok").count()
-    assert(rare < full, "df-cut must drop the ubiquitous postings")
-    // documented miss: a pair overlapping ONLY in above-cut tokens is never
-    // generated (its postings were all dropped) — the exact path finds it.
-    // "zz zz" is planted in 12 docs, so its df (12) exceeds the cut (8);
-    // 9000/9001 consist of nothing else.
+    // the recall contract the old absolute df-cut broke: df grows linearly
+    // with corpus size, so any fixed cut eventually drops ALL postings.
+    // The df-ordered prefix filter is lossless BY CONSTRUCTION — pin the
+    // output equality against the exhaustive count-form at two corpus
+    // sizes (×10 apart) over the same Zipfian generator.
+    for ((n, seed) <- Seq((40, 11), (400, 13))) {
+      val rng = new scala.util.Random(seed)
+      val stop = Vector("the", "of", "and", "to", "in")
+      def doc(): String = {
+        val content = Seq.fill(6)(s"w${rng.nextInt(400)}")
+        val glue = Seq.fill(6)(stop(rng.nextInt(stop.length)))
+        rng.shuffle(content ++ glue).mkString(" ")
+      }
+      val base = (0 until n).map(_ => doc())
+      // plant near-dups: clone with one token changed (shares rare 2-grams)
+      val docs = base.zipWithIndex.flatMap { case (d, i) =>
+        Seq((i * 10L, d)) ++ (if (i % 4 == 0)
+          Seq((i * 10L + 1, d.replaceFirst("w", "v"))) else Nil)
+      }.toDF("doc_id", "text").withColumn("lit1", lit(1))
+      def pairs(prefix: Boolean) = Dedup.jaccardPairsByIndex(docs, "doc_id",
+          "text", Seq("lit1"), ngram = 2, threshold = 0.3, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = pairs(prefix = false)
+      assert(exact.nonEmpty)
+      assert(pairs(prefix = true) == exact,
+        s"prefix filter must be lossless and exact at corpus size $n")
+    }
+    // a pair overlapping ONLY in ubiquitous tokens — the case the absolute
+    // df-cut silently missed — is generated: the prefix of a doc always
+    // contains at least one token, however frequent
     val freqOnly = (Seq((9000L, "zz zz zz"), (9001L, "zz zz zz")) ++
       (0 until 10).map(i => (9100L + i, s"zz zz filler$i")))
       .toDF("doc_id", "text").withColumn("lit1", lit(1))
-    val both = withBlock.unionByName(freqOnly)
-    def pairsOn(d: org.apache.spark.sql.DataFrame, cut: Int) =
-      Dedup.jaccardPairsByIndex(d, "doc_id", "text", Seq("lit1"), 2, 0.3, cut)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairsOn(both, 0).contains((9000L, 9001L)))
-    assert(!pairsOn(both, 8).contains((9000L, 9001L)))
+    val freqPairs = Dedup.jaccardPairsByIndex(freqOnly, "doc_id", "text",
+        Seq("lit1"), 2, 0.3, prefixFilter = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(freqPairs.contains((9000L, 9001L)))
+    // and the filter PRUNES: per-doc prefix length |d| − ceil(t|d|) + 1
+    // indexes strictly fewer postings than the full inverted index once
+    // ceil(t·|d|) ≥ 2 (t = 0.3 → any doc with ≥ 4 bigrams; 12-word docs
+    // here have ~11)
+    val rng2 = new scala.util.Random(17)
+    val longDocs = (0 until 30).map(i =>
+        (i.toLong, Seq.fill(12)(s"w${rng2.nextInt(200)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = longDocs.select(col("doc_id"), array_distinct(
+      graft.pipeline.TextStats.wordNgrams(col("text"), 2)).as("grams"))
+    val bound = g.select(size(col("grams")).as("sz"))
+      .agg(sum(col("sz")).as("full"),
+        sum(col("sz") - ceil(lit(0.3) * col("sz")) + 1).as("pref")).head()
+    assert(bound.getLong(1) < bound.getLong(0), "prefix must index fewer postings")
   }
 
   test("exact-collapse components equal uncollapsed components on a random corpus") {

@@ -79,7 +79,7 @@ object ScaleRehearsalR5 {
     require(math.abs(sums.getDouble(1) - expected) < 1e-6, "sum mismatch")
     println("[rehearsal] zarr round trip exact at 6M elements")
 
-    // ---- df-cut postings bound on a Zipfian ×10 corpus ----
+    // ---- prefix-filtered postings join on a Zipfian ×10 corpus ----
     val rng = new scala.util.Random(3)
     val stop = Vector("the", "of", "and", "to", "in", "a", "is")
     val docs = (0 until 60000).flatMap { i =>
@@ -94,18 +94,27 @@ object ScaleRehearsalR5 {
       explode(array_distinct(graft.pipeline.TextStats.wordNgrams(col("text"), 2))).as("tok"))
     val full = postings.count()
     val dfTab = postings.groupBy("tok").count()
-    val rare = postings.join(dfTab.filter(col("count") <= 64).select("tok"), "tok").count()
-    // the join bound: sum over tokens of df^2 ~ pair candidates
+    // candidate bound of the UNFILTERED postings self-join: Σ df² — vs the
+    // df-ordered prefix, which indexes each doc's |d|−⌈t|d|⌉+1 RAREST
+    // tokens, so the hot (stopword) postings never reach the join
     val pairsFull = dfTab.agg(sum(col("count") * col("count"))).head().getLong(0)
-    val pairsRare = dfTab.filter(col("count") <= 64)
+    val prefPostings = postings
+      .join(dfTab.withColumnRenamed("count", "_df"), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("o"))
+      .select(col("doc_id"), explode(slice(col("o"), lit(1),
+        (size(col("o")) - ceil(lit(0.5) * size(col("o"))) + 1).cast("int"))).as("pt"))
+      .select(col("doc_id"), col("pt.tok").as("tok"))
+    val prefCount = prefPostings.count()
+    val pairsPref = prefPostings.groupBy("tok").count()
       .agg(sum(col("count") * col("count"))).head().getLong(0)
-    println(s"[rehearsal] df-cut: postings $full -> $rare; " +
-      s"pair candidates bound $pairsFull -> $pairsRare " +
-      f"(${pairsFull.toDouble / pairsRare}%.0fx reduction)")
+    println(s"[rehearsal] prefix filter: postings $full -> $prefCount; " +
+      s"pair candidates bound $pairsFull -> $pairsPref " +
+      f"(${pairsFull.toDouble / pairsPref}%.0fx reduction)")
     val t0 = System.nanoTime()
     val cut = graft.pipeline.Dedup.jaccardPairsByIndex(
-      docs, "doc_id", "text", Seq("blk"), 2, 0.5, dfCut = 64).count()
-    println(f"[rehearsal] df-cut join (60k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s, $cut pairs")
+      docs, "doc_id", "text", Seq("blk"), 2, 0.5).count()
+    println(f"[rehearsal] prefix join (60k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s, $cut pairs")
 
     // ---- streaming near-dup ingest: per-batch cost across a growing corpus ----
     {
