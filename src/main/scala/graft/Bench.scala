@@ -66,23 +66,31 @@ object Bench {
     val cold = pass()
     val warm1 = pass().map { case (k, v, e) => k -> ((v, e)) }.toMap
     val warm2 = pass()
-    // a query is ok only if every pass succeeded; min of the two warm times
+    // warm status is authoritative for the warm totals: a query whose two
+    // warm passes both succeeded stays in `queries`/`value` even if the
+    // cold pass failed transiently (otherwise a one-off cold failure
+    // silently shrinks the warm denominator and totals stop being
+    // comparable across rounds); the cold failure is still surfaced in
+    // `cold_errors` and excluded from the cold totals.
     val merged = warm2.map { case (k, v2, e2) =>
       val (v1, e1) = warm1(k)
-      val coldErr = cold.collectFirst { case (`k`, _, e @ Some(_)) => e }.flatten
-      (k, math.min(v1, v2), e2.orElse(e1).orElse(coldErr))
+      (k, math.min(v1, v2), e2.orElse(e1))
     }
     val ok = merged.collect { case (k, v, None) => k -> v }
     val bad = merged.collect { case (k, _, Some(e)) => k -> e }
+    val coldErrs = cold.collect { case (k, _, Some(e)) => k -> e }
     val coldOk = cold.collect { case (k, v, None) if !bad.exists(_._1 == k) => k -> v }
     val statuses = merged.map { case (k, _, e) =>
       "\"" + k + "\":\"" + (if (e.isDefined) "error" else "ok") + "\"" }
       .mkString("{", ",", "}")
     val errors = bad.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
+    val coldErrors = coldErrs.map { case (k, e) => "\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec",""" +
       s""""n_ok":${ok.size},"n_error":${bad.size},""" +
       s""""queries":${toJson(ok)},"status":$statuses,"errors":$errors,""" +
+      s""""cold_errors":$coldErrors,""" +
       s""""mode":"warm-min2","total_cold":${coldOk.map(_._2).sum},""" +
       s""""queries_cold":${toJson(coldOk)},"sf":"$sfDir"}"""
     println(line)

@@ -22,6 +22,15 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spark 4 refuses TIMESTAMP(NANOS) parquet at schema inference unless
+    * this legacy conf is on (there is no per-read option); with it, NANOS
+    * columns surface as raw ns-since-epoch longs — exactly the LongType
+    * branch of [[normalizeTs]]. Setting it is a no-op for every other
+    * encoding, so the writer-tolerant reader enables it before touching
+    * `events.parquet` (shared by the batch and streaming paths). */
+  def enableNanosAsLong(s: SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** Normalise a raw `ts` column to a microsecond TIMESTAMP, whatever the
     * parquet writer emitted. Integer `div`, NOT `/`, on the long branch:
     * long/long in Spark SQL is double division and ns-since-epoch exceeds
@@ -36,6 +45,8 @@ object Tables {
     }
 
   /** events with `ts` normalised to a microsecond TIMESTAMP. */
-  def events(s: SparkSession, dir: String): DataFrame =
+  def events(s: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(s)
     normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+  }
 }

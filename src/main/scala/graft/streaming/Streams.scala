@@ -21,6 +21,7 @@ object Streams {
     * is the equivalent batch GROUP BY. */
   def tumblingAgg(s: SparkSession, dir: String, windowLen: String,
                   queryName: String): DataFrame = {
+    graft.sources.Tables.enableNanosAsLong(s)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file stream source wants a DIRECTORY; stage a symlink to the table
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")

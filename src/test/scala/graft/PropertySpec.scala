@@ -566,4 +566,56 @@ class PropertySpec extends AnyFunSuite {
     assert(maxPairsPerKey < 4L * cap * cap,
       s"hottest key candidate volume $maxPairsPerKey should be ~cap^2, not k^2")
   }
+
+  test("normalizeTs: identical output for NANOS-long, NTZ-micros and TIMESTAMP encodings") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType, LongType}
+    // the three ts encodings the events generator has actually emitted.
+    // Spark cannot WRITE TIMESTAMP(NANOS), so that fixture is planted with
+    // the parquet-java example writer directly — the same parquet type a
+    // pyarrow timestamp('ns') writer produces.
+    val micros = Seq(0L, 1_700_000_000_000_000L, 1_700_000_123_456_789L,
+      951_866_096_123_456L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_enc_")
+    // (1) TIMESTAMP(NANOS, isAdjustedToUTC=false) via parquet-java; the
+    // +999 ns sub-microsecond tail exercises the ns→us floor division
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PTypes}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      val nanosSchema = PTypes.buildMessage()
+        .required(PrimitiveTypeName.INT64)
+        .as(LTA.timestampType(false, LTA.TimeUnit.NANOS)).named("ts")
+        .named("events")
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$dir/nanos/part-0.parquet"))
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .withType(nanosSchema).build()
+      val gf = new SimpleGroupFactory(nanosSchema)
+      micros.foreach(us => w.write(gf.newGroup().append("ts", us * 1000L + 999L)))
+      w.close()
+    }
+    // (2) TIMESTAMP_NTZ (parquet MICROS, isAdjustedToUTC=false)
+    micros.toDF("us").select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$dir/ntz")
+    // (3) TIMESTAMP (parquet MICROS, isAdjustedToUTC=true)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    micros.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$dir/tstz")
+    graft.sources.Tables.enableNanosAsLong(spark)
+    def readNorm(sub: String, want: org.apache.spark.sql.types.DataType): Seq[Long] = {
+      val raw = spark.read.parquet(s"$dir/$sub")
+      assert(raw.schema("ts").dataType == want, s"$sub surfaced as ${raw.schema("ts").dataType}")
+      val norm = graft.sources.Tables.normalizeTs(raw)
+      assert(norm.schema("ts").dataType == TimestampType)
+      norm.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val fromNanos = readNorm("nanos", LongType)
+    val fromNtz = readNorm("ntz", TimestampNTZType)
+    val fromTs = readNorm("tstz", TimestampType)
+    assert(fromNanos == micros.sorted, "ns tail must floor away")
+    assert(fromNtz == micros.sorted)
+    assert(fromTs == micros.sorted)
+  }
 }
