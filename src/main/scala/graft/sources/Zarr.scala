@@ -38,9 +38,12 @@ import java.io.{File, RandomAccessFile}
   * chunk-grid entry a shard of independently-coded inner chunks behind
   * an (offset, nbytes) footer index; executors range-read the index and
   * then only their inner chunks, mirroring object-store ranged GETs).
-  * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
-  * filters, numcodecs `filters` chains (the `filters` list must be
-  * null/empty), object/string dtypes, and nested `sharding_indexed`.
+  * v2 numcodecs `filters` chains decode for `delta` and
+  * `fixedscaleoffset` — the two xarray commonly emits in `encoding`
+  * — with exact integer arithmetic on the integer paths (see
+  * [[ZFilter]]/[[unfilter]]). Out of scope (documented, rejected
+  * loudly): Blosc bit-shuffle/delta filters, other numcodecs filters,
+  * object/string dtypes, and nested `sharding_indexed`.
   */
 object Zarr {
 
@@ -151,7 +154,21 @@ object Zarr {
                           cOrder: Boolean, dimSeparator: String,
                           attrs: Map[String, Double], dimNames: Seq[String],
                           keyPrefix: String = "", crc32c: Boolean = false,
-                          sharding: Option[ShardMeta] = None)
+                          sharding: Option[ShardMeta] = None,
+                          filters: Seq[ZFilter] = Nil)
+
+  /** One numcodecs v2 `filters` entry. On ENCODE the writer ran the chain
+    * in list order (each filter reading its `dtype`, emitting its
+    * `astype`), then the compressor; decode therefore decompresses, views
+    * the bytes as the LAST filter's astype, and undoes the chain in
+    * reverse. `Delta` decodes as a cumulative sum computed in `dtype`
+    * (exact Long arithmetic for integer kinds — int64-ns timestamp
+    * cumsums exceed 2^53 and would corrupt in a double); `FixedScaleOffset`
+    * decodes as enc/scale + offset cast to `dtype` (numpy semantics:
+    * truncation for integer dtypes, float32 rounding for f4). */
+  final case class ZFilter(id: String, scale: Double, offset: Double,
+                           dtKind: Char, dtSize: Int, dtLittle: Boolean,
+                           asKind: Char, asSize: Int, asLittle: Boolean)
 
   /** v3 `sharding_indexed`: each chunk-grid "chunk" is a SHARD file of
     * inner chunks (shape `innerChunks`, each encoded with its own codec
@@ -202,9 +219,22 @@ object Zarr {
     val m = Json.parse(readText(zarrayFile)).asInstanceOf[Map[String, Any]]
     require(m("zarr_format").asInstanceOf[Double].toInt == 2,
       s"only Zarr v2 (got zarr_format=${m("zarr_format")})")
-    val filters = m.getOrElse("filters", null)
-    require(filters == null || filters.asInstanceOf[Vector[Any]].isEmpty,
-      "Zarr filters are out of scope")
+    val filters: Seq[ZFilter] = m.getOrElse("filters", null) match {
+      case null => Nil
+      case v: Vector[Any @unchecked] => v.map { fo =>
+        val f = fo.asInstanceOf[Map[String, Any]]
+        val id = f("id").asInstanceOf[String]
+        require(id == "delta" || id == "fixedscaleoffset",
+          s"unsupported numcodecs filter '$id' (delta/fixedscaleoffset only)")
+        val (dk, ds, dl) = parseDtype(f("dtype").asInstanceOf[String])
+        val (ak, asz, al) = f.get("astype")
+          .map(s => parseDtype(s.asInstanceOf[String])).getOrElse((dk, ds, dl))
+        if (id == "delta") ZFilter(id, 1.0, 0.0, dk, ds, dl, ak, asz, al)
+        else ZFilter(id, f("scale").asInstanceOf[Double],
+          f("offset").asInstanceOf[Double], dk, ds, dl, ak, asz, al)
+      }
+      case other => throw new IllegalArgumentException(s"bad filters $other")
+    }
     val (kind, size, little) = parseDtype(m("dtype").asInstanceOf[String])
     val comp = m.getOrElse("compressor", null) match {
       case null => "raw"
@@ -247,7 +277,7 @@ object Zarr {
       }
     ZArray(if (name.isEmpty) dir.getName else name, asLongs(m("shape")),
       asLongs(m("chunks")), kind, size, little, comp, fill,
-      order == "C", sep, attrs, dimNames)
+      order == "C", sep, attrs, dimNames, filters = filters)
   }
 
   /** Zarr v3 `zarr.json` array metadata → the shared [[ZArray]] model.
@@ -469,6 +499,83 @@ object Zarr {
     body
   }
 
+  /** Exact integer read (for filter arithmetic that must not round). */
+  private def readLongAt(bb: java.nio.ByteBuffer, kind: Char, size: Int,
+                         i: Int): Long = (kind, size) match {
+    case ('i', 8)            => bb.getLong(i * 8)
+    case ('i', 4)            => bb.getInt(i * 4).toLong
+    case ('i', 2)            => bb.getShort(i * 2).toLong
+    case ('i', 1)            => bb.get(i).toLong
+    case ('u', 4)            => bb.getInt(i * 4).toLong & 0xFFFFFFFFL
+    case ('u', 2)            => (bb.getShort(i * 2) & 0xFFFF).toLong
+    case ('u', 1) | ('b', 1) => (bb.get(i) & 0xFF).toLong
+    case other => throw new IllegalArgumentException(s"integer dtype $other")
+  }
+
+  private def isIntKind(k: Char): Boolean = k == 'i' || k == 'u' || k == 'b'
+
+  /** Undo a numcodecs `filters` chain: view the decompressed bytes as the
+    * LAST filter's astype, then walk the chain in reverse, each step
+    * producing values in that filter's dtype. Integer representations stay
+    * in exact Long arithmetic (wraparound = numpy's) until a float step. */
+  private[sources] def unfilter(bytes: Array[Byte], filters: Seq[ZFilter],
+                                nElems: Int): Array[Double] = {
+    val last = filters.last
+    require(bytes.length >= nElems * last.asSize,
+      s"filtered chunk has ${bytes.length} bytes, need ${nElems * last.asSize}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.order(if (last.asLittle) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    var longs: Array[Long] =
+      if (isIntKind(last.asKind))
+        Array.tabulate(nElems)(readLongAt(bb, last.asKind, last.asSize, _))
+      else null
+    var dbls: Array[Double] =
+      if (longs == null) Array.tabulate(nElems)(decodeAt(bb, last.asKind, last.asSize, _))
+      else null
+    filters.reverseIterator.foreach { f =>
+      f.id match {
+        case "delta" => // cumsum computed in dtype (numcodecs: np.cumsum(..., dtype))
+          if (isIntKind(f.dtKind)) {
+            val src: Int => Long =
+              if (longs != null) i => longs(i) else i => dbls(i).toLong
+            val out = new Array[Long](nElems)
+            var acc = 0L; var i = 0
+            while (i < nElems) { acc += src(i); out(i) = acc; i += 1 }
+            longs = out; dbls = null
+          } else {
+            val src: Int => Double =
+              if (dbls != null) i => dbls(i) else i => longs(i).toDouble
+            val out = new Array[Double](nElems)
+            var acc = 0.0; var i = 0
+            val f4 = f.dtSize == 4
+            while (i < nElems) {
+              acc += src(i)
+              if (f4) acc = acc.toFloat.toDouble // float32 cumsum rounds per step
+              out(i) = acc; i += 1
+            }
+            dbls = out; longs = null
+          }
+        case "fixedscaleoffset" => // enc/scale + offset, cast to dtype
+          val src: Int => Double =
+            if (longs != null) i => longs(i).toDouble else i => dbls(i)
+          if (isIntKind(f.dtKind)) {
+            val out = Array.tabulate(nElems)(i => (src(i) / f.scale + f.offset).toLong)
+            longs = out; dbls = null
+          } else {
+            val f4 = f.dtSize == 4
+            val out = Array.tabulate(nElems) { i =>
+              val v = src(i) / f.scale + f.offset
+              if (f4) v.toFloat.toDouble else v
+            }
+            dbls = out; longs = null
+          }
+        case other => throw new IllegalArgumentException(s"filter $other")
+      }
+    }
+    if (dbls != null) dbls else longs.map(_.toDouble)
+  }
+
   private[sources] def decodeAt(bb: java.nio.ByteBuffer, kind: Char, size: Int,
                                 i: Int): Double = (kind, size) match {
     case ('f', 8) => bb.getDouble(i * 8)
@@ -507,7 +614,11 @@ object Zarr {
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
     val (keyPrefix, crc) = (za.keyPrefix, za.crc32c)
     val fillForAbsent = za.fillValue
+    val filters = za.filters
     val chunkElems = cdims.product.toInt
+    // with a filters chain the stored element width is the LAST filter's
+    // astype, not the array dtype
+    val storedSize = if (filters.nonEmpty) filters.last.asSize else size
 
     // slices scale with BOTH chunk count and cluster size: a 1M-chunk store
     // on a large cluster must not serialise through 64 tasks, while a
@@ -522,7 +633,7 @@ object Zarr {
           // inner chunk of a shard) whose global origin is
           // cc*cdims + blockOrigin, clipping past the array bounds
           // (edge blocks store a full grid).
-          def emit(data: Option[java.nio.ByteBuffer], edims: Array[Long],
+          def emit(data: Option[Int => Double], edims: Array[Long],
                    blockOrigin: Array[Long], localCOrder: Boolean):
               Iterator[(Array[Long], Double)] = {
             val nElems = edims.product.toInt
@@ -546,7 +657,7 @@ object Zarr {
                 j += 1
               }
               if (!inBounds) None
-              else Some((idx, data.fold(fillForAbsent.get)(decodeAt(_, kind, size, flat))))
+              else Some((idx, data.fold(fillForAbsent.get)(_(flat))))
             }
           }
           def order(bb: Array[Byte], le: Boolean): java.nio.ByteBuffer = {
@@ -559,7 +670,7 @@ object Zarr {
           val zero = new Array[Long](rank)
           sharding match {
             case None =>
-              val data: Option[java.nio.ByteBuffer] =
+              val data: Option[Int => Double] =
                 if (!f.isFile) None // absent chunk = entirely fill_value
                 else {
                   val raf = new RandomAccessFile(f, "r")
@@ -567,7 +678,14 @@ object Zarr {
                     val all = new Array[Byte](raf.length().toInt)
                     raf.readFully(all)
                     val stored = if (crc) stripCrc32c(all, f.getName) else all
-                    Some(order(decompress(comp, stored, chunkElems * size), little))
+                    val plain = decompress(comp, stored, chunkElems * storedSize)
+                    if (filters.nonEmpty) {
+                      val arr = unfilter(plain, filters, chunkElems)
+                      Some(arr(_))
+                    } else {
+                      val bb = order(plain, little)
+                      Some(decodeAt(bb, kind, size, _))
+                    }
                   } finally raf.close()
                 }
               emit(data, cdims.map(_.toLong), zero, cOrder)
@@ -618,8 +736,11 @@ object Zarr {
                   } finally raf.close()
                 }
                 (0 until nInner).iterator.flatMap { si =>
-                  emit(bodies(si).map(b => order(decompress(sh.innerComp, b,
-                      innerElems * size), sh.innerLittle)),
+                  emit(bodies(si).map { b =>
+                      val bb = order(decompress(sh.innerComp, b,
+                        innerElems * size), sh.innerLittle)
+                      (i: Int) => decodeAt(bb, kind, size, i)
+                    },
                     ich, innerOrigin(si), sh.innerCOrder)
                 }
               }

@@ -499,4 +499,94 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("vlen-utf8"))
   }
+
+  private def longsLE(vals: Seq[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putLong); bb.array()
+  }
+  private def intsLE(vals: Seq[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putInt); bb.array()
+  }
+  private def shortsLE(vals: Seq[Short]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putShort); bb.array()
+  }
+
+  test("v2 numcodecs Delta filter: per-chunk int64 cumsum, exact beyond 2^53") {
+    // xarray encoding={"v": {"filters": [Delta(dtype="<i8")]}} — ns-epoch
+    // timestamps: base 1.7e18 exceeds 2^53, so a double cumsum would be
+    // off; the Long path must reproduce every value exactly
+    val root = java.nio.file.Files.createTempDirectory("zarrf_").toFile
+    val dir = new File(root, "t")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [6], "chunks": [4], "dtype": "<i8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i8"}],
+        | "fill_value": 0, "order": "C"}""".stripMargin)
+    val v = (0 until 6).map(i => 1_700_000_000_000_000_000L + 1000L * i * i)
+    // Delta encodes each CHUNK independently: enc[0]=v[0], enc[i]=v[i]-v[i-1]
+    def deltaEnc(chunk: Seq[Long]): Seq[Long] =
+      chunk.head +: chunk.sliding(2).map(p => p(1) - p(0)).toSeq
+    write(new File(dir, "0"), zlib(longsLE(deltaEnc(v.slice(0, 4)))))
+    write(new File(dir, "1"), zlib(longsLE(deltaEnc(v.slice(4, 6) ++ Seq(0L, 0L)))))
+    val got = Zarr.readVariable(spark, root.getPath, "t")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == 6)
+    got.foreach { case (i, x) => assert(x == v(i).toDouble, s"at $i") }
+  }
+
+  test("v2 numcodecs FixedScaleOffset filter: f8 stored as scaled i2") {
+    // xarray encoding FixedScaleOffset(offset=1000, scale=100, dtype="<f8",
+    // astype="<i2"): enc = round((v-offset)*scale) i2; dec = enc/scale+offset
+    val root = java.nio.file.Files.createTempDirectory("zarrf_").toFile
+    val dir = new File(root, "p")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 3], "dtype": "<f8",
+        | "compressor": null,
+        | "filters": [{"id": "fixedscaleoffset", "offset": 1000.0,
+        |   "scale": 100.0, "dtype": "<f8", "astype": "<i2"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val enc = Seq[Short](0, 13, -250, 777, 5, -1)
+    write(new File(dir, "0.0"), shortsLE(enc))
+    val got = Zarr.readVariable(spark, root.getPath, "p")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(got((y, x)) == enc(y * 3 + x) / 100.0 + 1000.0)
+  }
+
+  test("v2 filters CHAIN [fixedscaleoffset, delta] + zlib; unknown filter rejected") {
+    // encode order: FSO (f8 -> i8 ints), then Delta (i8 -> i4 diffs), then
+    // zlib; decode must reverse: inflate -> un-delta (cumsum in i8) ->
+    // un-FSO (enc/scale + offset)
+    val root = java.nio.file.Files.createTempDirectory("zarrf_").toFile
+    val dir = new File(root, "c")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [
+        |  {"id": "fixedscaleoffset", "offset": 20.0, "scale": 10.0,
+        |   "dtype": "<f8", "astype": "<i8"},
+        |  {"id": "delta", "dtype": "<i8", "astype": "<i4"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val v = Seq(20.0, 22.5, 21.7, 19.9, 25.0)
+    val ints = v.map(x => math.round((x - 20.0) * 10.0)) // FSO encode
+    val diffs = ints.head +: ints.sliding(2).map(p => p(1) - p(0)).toSeq
+    write(new File(dir, "0"), zlib(intsLE(diffs.map(_.toInt))))
+    val got = Zarr.readVariable(spark, root.getPath, "c")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    val expected = ints.map(_.toDouble / 10.0 + 20.0)
+    assert(got.toSeq == expected)
+    // unknown filters still rejected loudly
+    val bad = new File(root, "bad")
+    writeText(new File(bad, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null,
+        | "filters": [{"id": "quantize", "digits": 3, "dtype": "<f8"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Zarr.readArrayMeta(root.getPath, "bad")
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
 }
