@@ -5780,6 +5780,21 @@ object SparkEntry {
       graft.pipeline.Multimodal.extractMediaMeta(audio.unionByName(video))
     }),
 
+    "q_video_keyframes" -> ((s, dir) => {
+      // ISO-BMFF sample-table index WITHOUT a codec: stsz size envelope +
+      // stss keyframe cadence from planted containers
+      // (Multimodal.plantedMp4Indexed — sizes 200 + (id·11+k·17) mod 100
+      // over n = 30 + (id mod 7)·10 samples, sync samples every
+      // g = 5 + id mod 4), parsed executor-side by the stbl box walk
+      // (mp4SampleIndex via extractVideoIndex — narrow mapPartitions,
+      // payloads never shuffle). The oracle regenerates every feature
+      // from (id) with a generated series.
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.plantedMp4Indexed(id))
+      val vids = t(s, dir, "documents").filter(col("doc_id") % 50 === 25)
+        .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload"))
+      graft.pipeline.Multimodal.extractVideoIndex(vids)
+    }),
+
     "q_pii_redaction" -> ((s, dir) => {
       // PII scrub over the corpus: emails / dashed phones / IPv4 quads
       // planted deterministically from doc_id (the word-salad corpus has
@@ -5904,6 +5919,23 @@ object SparkEntry {
         |  cast(320 + (doc_id % 5) * 16 as int),
         |  cast(240 + (doc_id % 3) * 16 as int)
         |from documents where doc_id % 50 = 25""".stripMargin,
+
+    "q_video_keyframes" ->
+      """with par as (select doc_id media_id,
+        |    30 + (doc_id % 7) * 10 n, 5 + (doc_id % 4) g
+        |  from documents where doc_id % 50 = 25),
+        |sz as (select media_id,
+        |    cast(sum(200 + ((media_id * 11 + k * 17) % 100)) as bigint) bytes_total,
+        |    cast(min(200 + ((media_id * 11 + k * 17) % 100)) as bigint) bytes_min,
+        |    cast(max(200 + ((media_id * 11 + k * 17) % 100)) as bigint) bytes_max
+        |  from (select media_id, n, unnest(range(0, n)) k from par)
+        |  group by 1)
+        |select p.media_id, cast(p.n as bigint) n_samples,
+        |  cast(1 + (p.n - 1) // p.g as bigint) n_keyframes,
+        |  cast(case when 1 + (p.n - 1) // p.g >= 2 then p.g else 0 end
+        |    as bigint) max_key_gap,
+        |  s.bytes_total, s.bytes_min, s.bytes_max
+        |from par p join sz s using (media_id)""".stripMargin,
 
     "q_pii_redaction" ->
       """with d as (select doc_id, concat(text,

@@ -586,6 +586,100 @@ object Multimodal {
     if (!sawBmff) null else Array(durMs, tracks, w, h)
   }
 
+  /** ISO-BMFF sample-table index features WITHOUT a codec: descends
+    * moov/trak/mdia/minf/stbl and reads `stsz` (per-sample byte sizes —
+    * the size envelope corpus filters key on) and `stss` (sync-sample
+    * numbers — keyframe cadence; an ABSENT stss means every sample is a
+    * sync sample, reported as maxGap 1). First sample-table wins (one
+    * video track is the overwhelmingly common layout); the walk has the
+    * same fuzz posture as [[mp4Meta]] — corrupt sizes stop it, nothing
+    * throws. Returns [nSamples, totalBytes, minSize, maxSize,
+    * nKeyframes, maxKeyGap] or null when no stsz is found. */
+  def mp4SampleIndex(payload: Array[Byte]): Array[Long] = {
+    if (payload == null || payload.length < 8) return null
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def u32(p: Int): Long = bb.getInt(p) & 0xFFFFFFFFL
+    var nSamples = -1L; var total = 0L; var mn = -1L; var mx = -1L
+    var nKey = -1L; var maxGap = -1L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var p = start
+      var good = true
+      while (good && p + 8 <= end) {
+        var size = u32(p.toInt)
+        val tpe = new String(payload, p.toInt + 4, 4, "US-ASCII")
+        var hdr = 8L
+        if (size == 1 && p + 16 <= end) { size = bb.getLong(p.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - p
+        if (size < hdr || p + size > end) good = false
+        else {
+          val body = (p + hdr).toInt
+          tpe match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(p + hdr, p + size, depth + 1)
+            case "stsz" if nSamples < 0 && size >= hdr + 12 =>
+              val fixed = u32(body + 4)
+              val cnt = u32(body + 8)
+              if (fixed > 0) { // constant-size samples: no per-sample table
+                nSamples = cnt; total = fixed * cnt; mn = fixed; mx = fixed
+              } else if (body + 12 + cnt * 4 <= p + size) {
+                nSamples = cnt
+                var k = 0
+                while (k < cnt) {
+                  val s = u32(body + 12 + k * 4)
+                  total += s
+                  if (mn < 0 || s < mn) mn = s
+                  if (s > mx) mx = s
+                  k += 1
+                }
+              }
+            case "stss" if nKey < 0 && size >= hdr + 8 =>
+              val cnt = u32(body + 4)
+              if (body + 8 + cnt * 4 <= p + size) {
+                nKey = cnt
+                var prev = -1L; var k = 0
+                while (k < cnt) {
+                  val s = u32(body + 8 + k * 4) // 1-based sample number
+                  if (prev >= 0 && s - prev > maxGap) maxGap = s - prev
+                  prev = s; k += 1
+                }
+                if (maxGap < 0) maxGap = 0 // fewer than 2 sync samples
+              }
+            case _ => ()
+          }
+          p += size
+        }
+      }
+    }
+    walk(0, payload.length, 0)
+    if (nSamples < 0) null
+    else if (nKey < 0) // no stss: every sample is a sync sample
+      Array(nSamples, total, mn, mx, nSamples, 1L)
+    else Array(nSamples, total, mn, mx, nKey, maxGap)
+  }
+
+  val videoIndexSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("n_keyframes", LongType, nullable = true),
+    StructField("max_key_gap", LongType, nullable = true),
+    StructField("bytes_total", LongType, nullable = true),
+    StructField("bytes_min", LongType, nullable = true),
+    StructField("bytes_max", LongType, nullable = true)))
+
+  /** Sample-table features as a narrow per-partition kernel (the
+    * [[extractMediaMeta]] shape: payload bytes never shuffle). */
+  def extractVideoIndex(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoIndexSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val idx = mp4SampleIndex(r.getAs[Array[Byte]]("payload"))
+        if (idx == null) Row(r.getLong(0), null, null, null, null, null, null)
+        else Row(r.getLong(0), idx(0), idx(4), idx(5), idx(1), idx(2), idx(3))
+      }
+    }(enc)
+  }
+
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
@@ -708,6 +802,44 @@ object Multimodal {
     box("ftyp", "isom0000".getBytes("US-ASCII")) ++
       box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd))) ++
       box("mdat", mdat)
+  }
+
+  /** Deterministic planted ISO-BMFF container WITH a sample table:
+    * moov/trak/mdia/minf/stbl holding `stsz` (per-sample sizes
+    * `200 + (id·11 + k·17) mod 100`, k 0-based over
+    * `n = 30 + (id mod 7)·10` samples) and `stss` (sync samples
+    * `1, 1+g, 1+2g, …` with `g = 5 + id mod 4` → `1 + (n-1) div g`
+    * keyframes, max gap g). Every reported feature has a closed form in
+    * `id` an external SQL engine reproduces with a generated series. */
+  def plantedMp4Indexed(id: Long): Array[Byte] = {
+    val n = 30 + (id % 7).toInt * 10
+    val g = 5 + (id % 4).toInt
+    val nKey = 1 + (n - 1) / g
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body).array()
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt((n * 40).toInt)
+      bb.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + n * 4)
+      bb.putInt(0).putInt(0).putInt(n) // version/flags, sample_size=0, count
+      (0 until n).foreach(k => bb.putInt(200 + ((id * 11 + k * 17) % 100).toInt))
+      bb.array()
+    }
+    val stss = {
+      val bb = java.nio.ByteBuffer.allocate(8 + nKey * 4)
+      bb.putInt(0).putInt(nKey)
+      (0 until nKey).foreach(k => bb.putInt(1 + k * g))
+      bb.array()
+    }
+    val stbl = box("stbl", box("stsz", stsz) ++ box("stss", stss))
+    val trak = box("trak", box("mdia", box("minf", stbl)))
+    box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd) ++ trak) ++
+      box("mdat", Array.tabulate(32)(i => ((id * 7 + i) % 251).toByte))
   }
 
   /** STUB decoder kernel used by [[FakeDecoder]]: a real implementation

@@ -581,6 +581,40 @@ class EngineSpec extends AnyFunSuite {
     assert(Multimodal.mp3Meta(cut.take(cut.length - 300))(0) >= 9L)
   }
 
+  test("mp4SampleIndex: stss/stsz sample tables, fixed-size stsz, absent stss, fuzz") {
+    import graft.pipeline.Multimodal
+    // planted closed forms: n = 30 + (id%7)*10 samples, sync every 5 + id%4
+    for (id <- Seq(0L, 25L, 75L, 325L)) {
+      val n = 30 + (id % 7).toInt * 10
+      val g = 5 + (id % 4).toInt
+      val sizes = (0 until n).map(k => 200L + (id * 11 + k * 17) % 100)
+      val got = Multimodal.mp4SampleIndex(Multimodal.plantedMp4Indexed(id))
+      assert(got.sameElements(Array(n.toLong, sizes.sum, sizes.min, sizes.max,
+        (1 + (n - 1) / g).toLong, if (1 + (n - 1) / g >= 2) g.toLong else 0L)), s"id=$id")
+    }
+    def boxBE(tpe: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body).array()
+    // constant-size stsz (sample_size != 0, no table) and NO stss:
+    // every sample is a sync sample, gap 1
+    val stszFixed = java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(512).putInt(40).array()
+    val fixed = boxBE("moov", boxBE("trak", boxBE("mdia", boxBE("minf",
+      boxBE("stbl", boxBE("stsz", stszFixed))))))
+    assert(Multimodal.mp4SampleIndex(fixed)
+      .sameElements(Array(40L, 512L * 40, 512L, 512L, 40L, 1L)))
+    // no sample table at all -> null; corrupt size fields stop the walk
+    assert(Multimodal.mp4SampleIndex(Multimodal.plantedMp4(7L, 320, 240, 1000)) == null)
+    assert(Multimodal.mp4SampleIndex("plain text content".getBytes) == null)
+    assert(Multimodal.mp4SampleIndex(null) == null)
+    // stsz whose declared count overruns its box is ignored, not read OOB
+    val stszBad = java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(0).putInt(1000).array()
+    val bad = boxBE("moov", boxBE("trak", boxBE("mdia", boxBE("minf",
+      boxBE("stbl", boxBE("stsz", stszBad))))))
+    assert(Multimodal.mp4SampleIndex(bad) == null)
+  }
+
   test("mp3FrameStats: VBR bitrate envelope closed form, ID3v2.4 footer skipped") {
     import graft.pipeline.Multimodal
     val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
