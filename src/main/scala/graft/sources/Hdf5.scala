@@ -37,7 +37,10 @@ import java.util.zip.Inflater
   * "Latest" groups are read in BOTH storage phases: compact (link
   * messages in the group header) and dense (link bodies in a fractal
   * heap behind the name-index v2 B-tree — what the library switches to
-  * past ~8 links, i.e. any real multi-variable file).
+  * past ~8 links, i.e. any real multi-variable file). The fractal-heap
+  * walk recurses through indirect blocks at any depth and de-filters
+  * FILTERED heaps (per-block stored sizes from the indirect entries or
+  * the header) with the same pipeline machinery the chunks use.
   *
   * Chunk indexes scale to archive-size datasets: v2 B-trees are walked
   * at ANY depth (the child-pointer widths follow the public H5B2
@@ -53,10 +56,9 @@ import java.util.zip.Inflater
   * from the member table) via `readStrings` / `readCompound`;
   * `toParquetLake` routes each dataset by class.
   *
-  * Out of scope (documented): nested fractal-heap indirect blocks
-  * (≳4 MiB of link records in one group), VLEN non-string sequences,
-  * nested/array compound members, szip/nbit/scaleoffset; metadata
-  * checksums are not verified (data checksums — fletcher32 — are).
+  * Out of scope (documented): VLEN non-string sequences, nested/array
+  * compound members, szip/nbit/scaleoffset; metadata checksums are not
+  * verified (data checksums — fletcher32 — are).
   */
 object Hdf5 {
 
@@ -104,6 +106,20 @@ object Hdf5 {
     def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); raf.readFully(b); b }
     def skip(n: Int): Unit = raf.seek(raf.getFilePointer + n)
     def pos: Long = raf.getFilePointer
+  }
+
+  /** Little-endian cursor over an in-memory byte array — same read
+    * surface as [[Reader]], for structures that live inside decoded
+    * (possibly de-filtered) blocks rather than directly in the file. */
+  private final class Buf(a: Array[Byte], var p: Int) {
+    def u8(): Int = { val v = a(p) & 0xFF; p += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def u64(): Long = u32() | (u32() << 32)
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(a, p, p + n); p += n; b
+    }
+    def skip(n: Int): Unit = p += n
   }
 
   /** Parse all datasets reachable from the root group (flat — netCDF-4
@@ -162,10 +178,10 @@ object Hdf5 {
   private def linkEntries(r: Reader, ohAddr: Long): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var fheap = Undef; var nameBt = Undef
-    foreachMessage(r, ohAddr) { (t, _, body) =>
+    foreachMessage(r, ohAddr) { (t, sz, body) =>
       if (t == 0x0006) {
         r.seek(body)
-        parseLinkBody(r).foreach(out += _)
+        parseLinkBody(new Buf(r.bytes(sz), 0)).foreach(out += _)
       } else if (t == 0x0002) { // link info: dense storage location
         r.seek(body)
         r.u8(); val flags = r.u8()
@@ -181,7 +197,7 @@ object Hdf5 {
   /** Link message body, shared by compact messages and dense heap
     * objects (identical encoding per the spec). Returns None for
     * soft/external links (never produced for netCDF-4 variables). */
-  private def parseLinkBody(r: Reader): Option[(String, Long)] = {
+  private def parseLinkBody(r: Buf): Option[(String, Long)] = {
     val v = r.u8(); require(v == 1, s"link message v$v")
     val flags = r.u8()
     val linkType = if ((flags & 0x08) != 0) r.u8() else 0
@@ -205,21 +221,26 @@ object Hdf5 {
     *
     * A managed heap ID is (flags, heap offset, object length); the
     * offset is in HEAP space, which linearizes the doubling table's
-    * blocks including their headers, so a block with offset `bo` at file
-    * address `a` holds heap offset `o` at file `a + (o - bo)`. Direct
-    * block sizes start at `startSize` (rows 0-1 of the table) and double
-    * each row after. Supported: unfiltered heaps whose root is a direct
-    * block or an indirect block of direct blocks — with the library's
-    * 64 KiB max direct blocks that is ~4 MiB of link records, far beyond
-    * any real group; huge/tiny heap IDs and deeper nesting are rejected,
-    * not misread. */
+    * blocks including their headers, so a block with offset `bo` holds
+    * heap offset `o` at byte `o - bo` of the (de-filtered) block image.
+    * Direct block sizes start at `startSize` (rows 0-1 of the table) and
+    * double each row after, up to `maxDirectSize`; rows past the direct
+    * limit hold INDIRECT children, each spanning that row's block size —
+    * a child in row `r` has `r - log2(width)` rows of its own (the
+    * doubling-table recurrence: an n-row block spans width·start·2^(n-1))
+    * — and the walk recurses to ANY depth. FILTERED heaps store each
+    * direct block's image through the heap's I/O pipeline (encoded in
+    * the header; per-block stored sizes ride the indirect-block entries,
+    * or the header when the root is the lone direct block) and are
+    * de-filtered with the shared chunk machinery. Huge/tiny heap IDs
+    * are rejected, not misread (link bodies never take those routes). */
   private def denseLinks(r: Reader, fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
     // fractal heap header → doubling-table geometry
     r.seek(fheapAddr)
     require(new String(r.bytes(4), "ASCII") == "FRHP", "bad fractal heap signature")
     require(r.u8() == 0, "fractal heap version")
     val idLen = r.u16()
-    require(r.u16() == 0, "filtered fractal heaps not supported") // I/O filter info length
+    val filterLen = r.u16() // I/O filter info length; >0 = filtered heap
     r.skip(1) // flags (bit 1 = direct blocks checksummed; header size unaffected)
     val maxManSize = r.u32()
     r.skip(8 + 8)         // next huge id, huge-object v2 B-tree
@@ -233,6 +254,15 @@ object Hdf5 {
     r.skip(2) // starting rows in root indirect block
     val rootAddr = r.u64()
     val curRows = r.u16()
+    // filtered heaps: the root direct block's stored size + filter mask
+    // sit in the header (there is no indirect entry to carry them), then
+    // the encoded pipeline message in write order
+    var rootStoredSize = Undef
+    var filters: Seq[Int] = Nil
+    if (filterLen > 0) {
+      if (curRows == 0) { rootStoredSize = r.u64(); r.skip(4) }
+      filters = parsePipeline(r, "fractal heap")
+    }
     // heap ID field widths, as the library computes them (H5HF hdr):
     // offset = bytes for the heap-space address width; length = bytes for
     // an offset inside the largest direct block, capped by the bytes the
@@ -241,32 +271,56 @@ object Hdf5 {
     val lenSize = math.min(log2Floor(maxDirectSize) / 8 + (if (log2Floor(maxDirectSize) % 8 == 0) 0 else 1),
                            log2Floor(math.max(maxManSize, 1)) / 8 + 1)
     require(1 + offSize + lenSize <= idLen, s"heap ID geometry ($idLen vs $offSize/$lenSize)")
+    val logW = log2Floor(tableWidth)
+    require((1L << logW) == tableWidth, s"table width $tableWidth not a power of 2")
+    val maxDirectRows = log2Floor(maxDirectSize) - log2Floor(startSize) + 2
 
-    // direct-block map: (heap-space offset, size, file address)
+    // direct-block map: (heap-space offset, size, file address, stored size)
     val rowSize = (row: Int) => if (row < 2) startSize else startSize << (row - 1)
-    val blocks: Seq[(Long, Long, Long)] =
-      if (curRows == 0) Seq((0L, startSize, rootAddr))
-      else {
-        val maxDirectRows = log2Floor(maxDirectSize) - log2Floor(startSize) + 2
-        require(curRows <= maxDirectRows,
-          s"nested indirect fractal-heap blocks not supported ($curRows rows)")
-        r.seek(rootAddr)
-        require(new String(r.bytes(4), "ASCII") == "FHIB", "bad fractal heap indirect block")
-        require(r.u8() == 0, "indirect block version")
-        r.skip(8 + offSize) // heap header address, block offset
-        var heapOff = 0L
-        (0 until curRows).flatMap { row =>
-          (0 until tableWidth).flatMap { _ =>
-            val addr = r.u64()
-            val bo = heapOff; heapOff += rowSize(row)
-            if (addr == Undef) None else Some((bo, rowSize(row), addr))
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def walkIndirect(addr: Long, heapBase: Long, nrows: Int): Unit = {
+      r.seek(addr)
+      require(new String(r.bytes(4), "ASCII") == "FHIB", "bad fractal heap indirect block")
+      require(r.u8() == 0, "indirect block version")
+      r.skip(8 + offSize) // heap header address, block offset
+      // read this node's entries fully before recursing (recursion re-seeks)
+      var heapOff = heapBase
+      val children = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var row = 0
+      while (row < nrows) {
+        var col = 0
+        while (col < tableWidth) {
+          if (row < maxDirectRows) {
+            val a = r.u64()
+            val stored = if (filterLen > 0) { val s = r.u64(); r.skip(4); s } else Undef
+            if (a != Undef) blocks += ((heapOff, rowSize(row), a, stored))
+          } else {
+            val a = r.u64()
+            if (a != Undef) children += ((a, heapOff, row - logW))
           }
+          heapOff += rowSize(row)
+          col += 1
         }
+        row += 1
       }
-    def resolve(off: Long): Long = {
-      val (bo, _, addr) = blocks.find { case (bo, sz, _) => off >= bo && off < bo + sz }
+      children.foreach { case (a, hb, nr) => walkIndirect(a, hb, nr) }
+    }
+    if (curRows == 0) blocks += ((0L, startSize, rootAddr, rootStoredSize))
+    else walkIndirect(rootAddr, 0L, curRows)
+
+    // block images load on demand (a touched block is read — and for
+    // filtered heaps de-filtered — once; untouched blocks never load)
+    val images = scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+    def resolve(off: Long): Buf = {
+      val (bo, sz, addr, stored) = blocks
+        .find { case (bo, sz, _, _) => off >= bo && off < bo + sz }
         .getOrElse(throw new IllegalArgumentException(s"heap offset $off outside allocated blocks"))
-      addr + (off - bo)
+      val img = images.getOrElseUpdate(bo, {
+        r.seek(addr)
+        if (filterLen == 0) r.bytes(sz.toInt)
+        else defilter(r.bytes(stored.toInt), filters, sz.toInt, 1)
+      })
+      new Buf(img, (off - bo).toInt)
     }
 
     // name-index v2 B-tree records → heap IDs → link bodies
@@ -274,14 +328,11 @@ object Hdf5 {
       r.skip(4) // name hash
       r.bytes(recSize - 4)
     }
-    ids.map { id =>
+    ids.flatMap { id =>
       require((id(0) & 0xF0) == 0, s"non-managed heap ID (flags ${id(0)})")
       var off = 0L
       (0 until offSize).foreach(i => off |= (id(1 + i) & 0xFFL) << (8 * i))
-      (resolve(off), ())
-    }.flatMap { case (fileAddr, _) =>
-      r.seek(fileAddr)
-      parseLinkBody(r)
+      parseLinkBody(resolve(off))
     }
   }
 
@@ -516,25 +567,10 @@ object Hdf5 {
           }
         case 0x000B => // filter pipeline
           r.seek(body)
-          val v = r.u8(); val n = r.u8()
-          r.skip(if (v == 1) 6 else 0)
-          var i = 0
-          var ok = true
-          while (i < n && ok) {
-            val id = r.u16()
-            val nameLen = if (v == 1 || id >= 256) r.u16() else 0
-            r.skip(2) // flags
-            val nVals = r.u16()
-            r.skip(nameLen)
-            r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
-            if (id == FilterDeflate) { gzip = true; filterIds += id }
-            else if (id == FilterShuffle) { shuffled = true; filterIds += id }
-            else if (id == FilterFletcher32) filterIds += id // checksum, verified+stripped at decode
-            else ok = false // szip/nbit/scaleoffset/unknown
-            i += 1
-          }
-          require(ok,
-            s"unsupported filter in pipeline for $name (only shuffle+deflate+fletcher32)")
+          val ids = parsePipeline(r, name)
+          filterIds ++= ids
+          gzip = ids.contains(FilterDeflate)
+          shuffled = ids.contains(FilterShuffle)
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
           r.seek(body)
           val v = r.u8()
@@ -657,6 +693,30 @@ object Hdf5 {
   }
 
   private def log2Floor(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Decode a filter-pipeline message body (object-header message 0x000B;
+    * a filtered fractal heap embeds the same encoding in its header) at
+    * the reader's position: returns the WRITE-order filter ids, throwing
+    * on filters the pure-JVM pipeline cannot reverse. */
+  private def parsePipeline(r: Reader, what: String): Seq[Int] = {
+    val v = r.u8(); val n = r.u8()
+    r.skip(if (v == 1) 6 else 0)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < n) {
+      val id = r.u16()
+      val nameLen = if (v == 1 || id >= 256) r.u16() else 0
+      r.skip(2) // flags
+      val nVals = r.u16()
+      r.skip(nameLen)
+      r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
+      require(id == FilterDeflate || id == FilterShuffle || id == FilterFletcher32,
+        s"unsupported filter $id in pipeline for $what (only shuffle+deflate+fletcher32)")
+      ids += id
+      i += 1
+    }
+    ids.toSeq
+  }
 
   /** Extensible Array chunk index ("EAHD" → "EAIB" index block →
     * "EASB"/"EADB" blocks) — the "latest"-format index for ONE unlimited

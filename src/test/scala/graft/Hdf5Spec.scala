@@ -1249,7 +1249,19 @@ class Hdf5Spec extends AnyFunSuite {
     * double[2] datasets v000..; geometry mirrors the library defaults
     * scaled down: width 4, 512-byte starting blocks, 64 KiB max direct,
     * 32-bit heap offsets, 7-byte heap IDs. */
-  private def writeDenseN(path: String, n: Int): Unit = {
+  private def writeDenseN(path: String, n: Int): Unit =
+    writeDenseTree(path, n, maxDirect = 65536, nameLen = 4, filtered = false)
+
+  /** Generalized dense-group writer behind [[writeDenseN]]: a small
+    * `maxDirect` pushes the doubling table into indirect ROWS whose
+    * entries are NESTED indirect blocks (a child in row r spans that
+    * row's block size and has r−log2(width) rows of its own), padded
+    * link names fill heap space with few B-tree records, and `filtered`
+    * stores every direct block deflated — per-block stored sizes ride
+    * the indirect-block entries, or the FRHP header when the root is
+    * the lone direct block. Dataset i holds double[2] = [i, i+0.5]. */
+  private def writeDenseTree(path: String, n: Int, maxDirect: Int,
+                             nameLen: Int, filtered: Boolean): Unit = {
     def buf(m: Int) = ByteBuffer.allocate(m).order(ByteOrder.LITTLE_ENDIAN)
     def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
     def msg2(t: Int, body: Array[Byte]): Array[Byte] =
@@ -1272,30 +1284,121 @@ class Hdf5Spec extends AnyFunSuite {
     }
     def layoutV4Contig(addr: Long, size: Long): Array[Byte] =
       msg2(0x08, buf(18).put(4.toByte).put(1.toByte).putLong(addr).putLong(size).array())
+    def deflateFull(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
 
-    val names = (0 until n).map(i => f"v$i%03d")
+    // ---- heap geometry (library defaults, scaled-down start size)
+    val width = 4; val logW = 2; val startSize = 512
+    val fhdbHdr = 17 // sig+ver+heapHdr+4B offset
+    val mdr = (63 - java.lang.Long.numberOfLeadingZeros(maxDirect.toLong)) - 9 + 2
+    def rowSize(row: Int): Int = if (row < 2) startSize else startSize << (row - 1)
+
+    val names = (0 until n).map(i => ("v%03d".format(i) + "x" * nameLen).take(nameLen))
     def linkBody(name: String, addr: Long): Array[Byte] = {
       val nm = name.getBytes("ASCII")
       buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
         .put(nm.length.toByte).put(nm).putLong(addr).array()
     }
-    // ---- heap geometry (library defaults, scaled-down start size)
-    val width = 4; val startSize = 512; val fhdbHdr = 17 // sig+ver+heapHdr+4B offset
-    def rowSize(block: Int): Int = { val row = block / width; if (row < 2) startSize else startSize << (row - 1) }
-    val bodySize = names.map(nm => 3 + nm.length + 8)
-    // pack bodies into blocks in table order; (block, offset-within-block)
-    var blk = 0; var off = fhdbHdr
-    val placed = bodySize.map { sz =>
-      if (off + sz > rowSize(blk)) { blk = blk + 1; off = fhdbHdr }
-      val p = (blk, off); off += sz; p
+    val bodySize = 3 + nameLen + 8
+
+    // ---- pack bodies into direct blocks along the pre-order heap walk
+    // (root rows ascending; an indirect row's entries each recurse into
+    // a child's own rows — heap offsets stay contiguous in this order)
+    def subSizes(nrows: Int): Iterator[Int] =
+      (0 until nrows).iterator.flatMap { row =>
+        if (row < mdr) Iterator.fill(width)(rowSize(row))
+        else Iterator.range(0, width).flatMap(_ => subSizes(row - logW))
+      }
+    val heapWalk: Iterator[Int] = Iterator.from(0).flatMap { row =>
+      if (row < mdr) Iterator.fill(width)(rowSize(row))
+      else Iterator.range(0, width).flatMap(_ => subSizes(row - logW))
     }
-    val nBlocks = blk + 1
-    val blockHeapOff = (0 until nBlocks).scanLeft(0L)((acc, b) => acc + rowSize(b))
-    val curRows = if (nBlocks == 1) 0 else (nBlocks + width - 1) / width
-    // 7-byte managed heap IDs: flags, 32-bit heap offset, 16-bit length
-    val heapIds: Seq[Array[Byte]] = placed.zip(bodySize).map { case ((b, o), sz) =>
-      buf(7).put(0.toByte).putInt((blockHeapOff(b) + o).toInt).putShort(sz.toShort).array()
+    val blkSizes = scala.collection.mutable.ArrayBuffer[Int](heapWalk.next())
+    var off = fhdbHdr
+    val placed = (0 until n).map { _ =>
+      if (off + bodySize > blkSizes.last) { blkSizes += heapWalk.next(); off = fhdbHdr }
+      val p = (blkSizes.length - 1, off); off += bodySize; p
     }
+    val nBlocks = blkSizes.length
+    val blockHeapOff = blkSizes.scanLeft(0L)(_ + _)
+
+    // ---- block tree: direct blocks assigned pre-order, matching the walk
+    sealed trait Node
+    final case class DN(b: Int) extends Node
+    final class IN(val nrows: Int, val entries: Vector[Option[Node]]) extends Node
+    var nextB = 0
+    def mkEntry(row: Int): Option[Node] =
+      if (nextB >= nBlocks) None
+      else if (row < mdr) {
+        assert(blkSizes(nextB) == rowSize(row), s"slot/pack drift at block $nextB")
+        val d = DN(nextB); nextB += 1; Some(d)
+      } else Some(mkI(row - logW))
+    def mkI(nrows: Int): IN =
+      new IN(nrows, (for (row <- 0 until nrows; _ <- 0 until width) yield mkEntry(row)).toVector)
+    val root: Option[IN] =
+      if (nBlocks == 1) None
+      else {
+        val es = Vector.newBuilder[Option[Node]]
+        var row = 0
+        while (nextB < nBlocks) { (0 until width).foreach(_ => es += mkEntry(row)); row += 1 }
+        Some(new IN(row, es.result()))
+      }
+    val curRows = root.map(_.nrows).getOrElse(0)
+
+    // pre-order FHIB list with heap-space base offsets
+    val fhibs = scala.collection.mutable.ArrayBuffer.empty[(IN, Long)]
+    def collectI(nd: IN, base: Long): Unit = {
+      fhibs += ((nd, base))
+      var ho = base; var i = 0
+      (0 until nd.nrows).foreach { row =>
+        (0 until width).foreach { _ =>
+          nd.entries(i) match { case Some(ch: IN) => collectI(ch, ho); case _ => () }
+          ho += rowSize(row); i += 1
+        }
+      }
+    }
+    root.foreach(collectI(_, 0L))
+
+    // ---- addresses: every part before the FHDBs has a content-free size,
+    // so deflated block sizes (which need frhpA/ohA in their plaintext)
+    // resolve in one forward pass — no fix-point
+    val sbSize = 48; val dataSize = 16
+    val ohPartSize = ohdr2(msg2(0x01, dspace2(2L)), msg2(0x03, dtypeDouble),
+      layoutV4Contig(0L, 16L)).length
+    val dataA = (0 until n).map(i => sbSize + i.toLong * dataSize)
+    val ohA = (0 until n).map(i => sbSize + n.toLong * dataSize + i.toLong * ohPartSize)
+    val frhpA = sbSize + n.toLong * (dataSize + ohPartSize)
+    val filterMsg: Array[Byte] =
+      if (!filtered) Array.empty[Byte]
+      else buf(12).put(2.toByte).put(1.toByte) // pipeline v2, 1 filter
+        .putShort(1.toShort).putShort(0.toShort).putShort(1.toShort) // deflate, flags, 1 value
+        .putInt(6).array() // aggression level
+    val frhpSize = 146 + (if (filtered) (if (nBlocks == 1) 12 else 0) + filterMsg.length else 0)
+    def fhibSize(nd: IN): Int =
+      17 + (0 until nd.nrows).map(r =>
+        width * (if (r < mdr) 8 + (if (filtered) 12 else 0) else 8)).sum + 4
+    val fhibAddrs = fhibs.map { case (nd, _) => fhibSize(nd).toLong }
+      .scanLeft(frhpA + frhpSize)(_ + _)
+    def fhibAddrOf(nd: IN): Long = fhibAddrs(fhibs.indexWhere(_._1 eq nd))
+
+    val fhdbPlain = (0 until nBlocks).map { b =>
+      val bb = buf(blkSizes(b))
+      bb.put("FHDB".getBytes("ASCII")).put(0.toByte).putLong(frhpA)
+        .putInt(blockHeapOff(b).toInt)
+      placed.zipWithIndex.foreach { case ((pb, po), i) =>
+        if (pb == b) { bb.position(po); bb.put(linkBody(names(i), ohA(i))) }
+      }
+      bb.array()
+    }
+    val fhdbStored = if (filtered) fhdbPlain.map(deflateFull) else fhdbPlain
+    val fhdbAddrs = fhdbStored.map(_.length.toLong).scanLeft(fhibAddrs.last)(_ + _)
+
     // ---- name-index v2 B-tree shape: 512-byte nodes, 11-byte records
     val leafCap = (512 - 10) / 11 // 45
     val recIdx = names.indices
@@ -1314,105 +1417,100 @@ class Hdf5Spec extends AnyFunSuite {
         (ls.toSeq, ss.toSeq)
       }
     val depth = if (sepIdx.isEmpty) 0 else 1
-
-    def build(dataA: Seq[Long], ohA: Seq[Long], fhdbA: Seq[Long], fhibA: Long,
-              frhpA: Long, leafA: Seq[Long], btinA: Long, bthdA: Long,
-              rootOH: Long): Seq[Array[Byte]] = {
-      val dataParts = names.indices.map { i =>
-        buf(16).putDouble(i * 1.0).putDouble(i + 0.5).array()
-      }
-      val ohParts = names.indices.map { i =>
-        ohdr2(msg2(0x01, dspace2(2L)), msg2(0x03, dtypeDouble),
-          layoutV4Contig(dataA(i), 16L))
-      }
-      val fhdbParts = (0 until nBlocks).map { b =>
-        val bb = buf(rowSize(b))
-        bb.put("FHDB".getBytes("ASCII")).put(0.toByte).putLong(frhpA)
-          .putInt(blockHeapOff(b).toInt)
-        placed.zip(names.indices).foreach { case ((pb, po), i) =>
-          if (pb == b) { bb.position(po); bb.put(linkBody(names(i), ohA(i))) }
-        }
-        bb.array()
-      }
-      val fhibPart =
-        if (curRows == 0) Array.empty[Byte]
-        else {
-          val bb = buf(4 + 1 + 8 + 4 + curRows * width * 8 + 4)
-          bb.put("FHIB".getBytes("ASCII")).put(0.toByte).putLong(frhpA).putInt(0)
-          (0 until curRows * width).foreach { b =>
-            bb.putLong(if (b < nBlocks) fhdbA(b) else -1L)
-          }
-          bb.putInt(0).array() // checksum
-        }
-      val frhpPart = {
-        val bb = buf(146)
-        bb.put("FRHP".getBytes("ASCII")).put(0.toByte)
-          .putShort(7).putShort(0).put(0.toByte).putInt(4096) // idLen, filters, flags, maxManSize
-          .putLong(0L).putLong(-1L)   // next huge id, huge B-tree
-          .putLong(0L).putLong(-1L)   // free space, free-space manager
-          .putLong(blockHeapOff(nBlocks)).putLong(blockHeapOff(nBlocks)) // managed, allocated
-          .putLong(blockHeapOff(nBlocks)).putLong(n.toLong) // iterator offset, managed count
-          .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny sizes+counts
-          .putShort(width.toShort).putLong(startSize.toLong).putLong(65536L)
-          .putShort(32).putShort(4) // max heap bits, starting rows
-          .putLong(if (curRows == 0) fhdbA(0) else fhibA).putShort(curRows.toShort)
-          .putInt(0) // checksum
-        bb.array()
-      }
-      def rec(bb: ByteBuffer, i: Int): Unit = {
-        bb.putInt(i * 0x61C88647) // stand-in for the Jenkins name hash (skipped on read)
-        bb.put(heapIds(i))
-      }
-      val leafParts = leafIdx.map { idxs =>
-        val bb = buf(6 + 11 * idxs.length + 4)
-        bb.put("BTLF".getBytes("ASCII")).put(0.toByte).put(5.toByte)
-        idxs.foreach(rec(bb, _)); bb.putInt(0).array()
-      }
-      val btinPart =
-        if (depth == 0) Array.empty[Byte]
-        else {
-          val bb = buf(6 + 11 * sepIdx.length + (leafIdx.length * 9) + 4)
-          bb.put("BTIN".getBytes("ASCII")).put(0.toByte).put(5.toByte)
-          sepIdx.foreach(rec(bb, _))
-          leafIdx.zipWithIndex.foreach { case (idxs, li) =>
-            bb.putLong(leafA(li)).put(idxs.length.toByte) // nrec width 1 (cap 45)
-          }
-          bb.putInt(0).array()
-        }
-      val bthdPart = {
-        val bb = buf(38)
-        bb.put("BTHD".getBytes("ASCII")).put(0.toByte).put(5.toByte)
-          .putInt(512).putShort(11)
-          .putShort(depth.toShort).put(100.toByte).put(40.toByte)
-          .putLong(if (depth == 0) leafA(0) else btinA)
-          .putShort((if (depth == 0) n else sepIdx.length).toShort)
-          .putLong(n.toLong).putInt(0)
-        bb.array()
-      }
-      val rootPart = ohdr2(
-        msg2(0x02, buf(18).put(0.toByte).put(0.toByte).putLong(frhpA).putLong(bthdA).array()))
-      val sb = buf(48)
-      Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
-        .foreach(v => sb.put(v.toByte))
-      sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
-      sb.putLong(0L).putLong(-1L)
-      sb.putLong(rootOH + rootPart.length).putLong(rootOH).putInt(0)
-      Seq(sb.array()) ++ dataParts ++ ohParts ++ fhdbParts ++
-        Seq(fhibPart, frhpPart) ++ leafParts ++ Seq(btinPart, bthdPart, rootPart)
+    // 7-byte managed heap IDs: flags, 32-bit heap offset, 16-bit length
+    val heapIds: Seq[Array[Byte]] = placed.map { case (b, o) =>
+      buf(7).put(0.toByte).putInt((blockHeapOff(b) + o).toInt).putShort(bodySize.toShort).array()
     }
+    val leafAddrs = leafIdx.map(idxs => (6 + 11 * idxs.length + 4).toLong)
+      .scanLeft(fhdbAddrs.last)(_ + _)
+    val btinSize = if (depth == 0) 0 else 6 + 11 * sepIdx.length + leafIdx.length * 9 + 4
+    val btinA = leafAddrs.last
+    val bthdA = btinA + btinSize
+    val rootA = bthdA + 38
 
-    val zeros = Seq.fill(names.length)(0L)
-    val sizes = build(zeros, zeros, Seq.fill(nBlocks)(0L), 0L, 0L,
-      Seq.fill(leafIdx.length)(0L), 0L, 0L, 0L).map(_.length)
-    val starts = sizes.scanLeft(0L)(_ + _)
-    val dataA = names.indices.map(i => starts(1 + i))
-    val ohA = names.indices.map(i => starts(1 + n + i))
-    val fhdbA = (0 until nBlocks).map(b => starts(1 + 2 * n + b))
-    val base = 1 + 2 * n + nBlocks
-    val leafA = leafIdx.indices.map(li => starts(base + 2 + li))
-    val parts = build(dataA, ohA, fhdbA, starts(base), starts(base + 1),
-      leafA, starts(base + 2 + leafIdx.length), starts(base + 3 + leafIdx.length),
-      starts(base + 4 + leafIdx.length))
+    // ---- assemble
+    val dataParts = (0 until n).map(i => buf(16).putDouble(i * 1.0).putDouble(i + 0.5).array())
+    val ohParts = (0 until n).map { i =>
+      ohdr2(msg2(0x01, dspace2(2L)), msg2(0x03, dtypeDouble), layoutV4Contig(dataA(i), 16L))
+    }
+    val frhpPart = {
+      val bb = buf(frhpSize)
+      bb.put("FRHP".getBytes("ASCII")).put(0.toByte)
+        .putShort(7).putShort(filterMsg.length.toShort).put(0.toByte).putInt(4096) // idLen, filters, flags, maxManSize
+        .putLong(0L).putLong(-1L)   // next huge id, huge B-tree
+        .putLong(0L).putLong(-1L)   // free space, free-space manager
+        .putLong(blockHeapOff(nBlocks)).putLong(blockHeapOff(nBlocks)) // managed, allocated
+        .putLong(blockHeapOff(nBlocks)).putLong(n.toLong) // iterator offset, managed count
+        .putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny sizes+counts
+        .putShort(width.toShort).putLong(startSize.toLong).putLong(maxDirect.toLong)
+        .putShort(32).putShort(4) // max heap bits, starting rows
+        .putLong(if (curRows == 0) fhdbAddrs(0) else fhibAddrs(0)).putShort(curRows.toShort)
+      if (filtered && nBlocks == 1) { bb.putLong(fhdbStored(0).length.toLong); bb.putInt(0) }
+      if (filtered) bb.put(filterMsg)
+      bb.putInt(0).array() // checksum
+    }
+    val fhibParts = fhibs.map { case (nd, base) =>
+      val bb = buf(fhibSize(nd))
+      bb.put("FHIB".getBytes("ASCII")).put(0.toByte).putLong(frhpA).putInt(base.toInt)
+      var i = 0
+      (0 until nd.nrows).foreach { row =>
+        (0 until width).foreach { _ =>
+          nd.entries(i) match {
+            case Some(DN(b)) =>
+              bb.putLong(fhdbAddrs(b))
+              if (filtered) { bb.putLong(fhdbStored(b).length.toLong); bb.putInt(0) }
+            case Some(ch: IN) => bb.putLong(fhibAddrOf(ch))
+            case None =>
+              bb.putLong(-1L)
+              if (filtered && row < mdr) { bb.putLong(0L); bb.putInt(0) }
+          }
+          i += 1
+        }
+      }
+      bb.putInt(0).array() // checksum
+    }
+    def rec(bb: ByteBuffer, i: Int): Unit = {
+      bb.putInt(i * 0x61C88647) // stand-in for the Jenkins name hash (skipped on read)
+      bb.put(heapIds(i))
+    }
+    val leafParts = leafIdx.map { idxs =>
+      val bb = buf(6 + 11 * idxs.length + 4)
+      bb.put("BTLF".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+      idxs.foreach(rec(bb, _)); bb.putInt(0).array()
+    }
+    val btinPart =
+      if (depth == 0) Array.empty[Byte]
+      else {
+        val bb = buf(btinSize)
+        bb.put("BTIN".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+        sepIdx.foreach(rec(bb, _))
+        leafIdx.zipWithIndex.foreach { case (idxs, li) =>
+          bb.putLong(leafAddrs(li)).put(idxs.length.toByte) // nrec width 1 (cap 45)
+        }
+        bb.putInt(0).array()
+      }
+    val bthdPart = {
+      val bb = buf(38)
+      bb.put("BTHD".getBytes("ASCII")).put(0.toByte).put(5.toByte)
+        .putInt(512).putShort(11)
+        .putShort(depth.toShort).put(100.toByte).put(40.toByte)
+        .putLong(if (depth == 0) leafAddrs(0) else btinA)
+        .putShort((if (depth == 0) n else sepIdx.length).toShort)
+        .putLong(n.toLong).putInt(0)
+      bb.array()
+    }
+    val rootPart = ohdr2(
+      msg2(0x02, buf(18).put(0.toByte).put(0.toByte).putLong(frhpA).putLong(bthdA).array()))
+    val sb = buf(48)
+    Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      .foreach(v => sb.put(v.toByte))
+    sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    sb.putLong(0L).putLong(-1L)
+    sb.putLong(rootA + rootPart.length).putLong(rootA).putInt(0)
+
+    val parts = Seq(sb.array()) ++ dataParts ++ ohParts ++ Seq(frhpPart) ++
+      fhibParts ++ fhdbStored ++ leafParts ++ Seq(btinPart, bthdPart, rootPart)
+    assert(parts.map(_.length.toLong).sum == rootA + rootPart.length, "layout drift")
     val f = new FileOutputStream(path)
     parts.foreach(f.write); f.close()
   }
@@ -1570,5 +1668,65 @@ class Hdf5Spec extends AnyFunSuite {
       }
       f.delete()
     }
+  }
+
+  test("dense groups: nested fractal-heap indirect blocks (depth 2)") {
+    // maxDirect 1024 caps direct rows at 3; 211-byte link bodies push 300
+    // links past root rows 0-5 (256 bodies) into row 6, whose child has
+    // 4 rows > maxDirectRows — its own row 3 holds GRANDchild indirect
+    // blocks: root FHIB -> child FHIB -> grandchild FHIB -> FHDB.
+    val f = java.io.File.createTempFile("graft_dense_nested_", ".h5")
+    writeDenseTree(f.getPath, 300, maxDirect = 1024, nameLen = 200, filtered = false)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.length == 300)
+    assert(meta.map(_.name).sorted == (0 until 300)
+      .map(i => ("v%03d".format(i) + "x" * 200).take(200)).sorted)
+    for (i <- Seq(0, 150, 256, 299)) { // 256+ live under the nested rows
+      val nm = ("v%03d".format(i) + "x" * 200).take(200)
+      val rows = Hdf5.readVariable(spark, f.getPath, nm).orderBy("i0").collect()
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"v=$i")
+    }
+    f.delete()
+  }
+
+  test("dense groups: filtered fractal heap, root direct block") {
+    // one deflated direct block: its stored size + filter mask live in
+    // the FRHP header (no indirect entry to carry them)
+    val f = java.io.File.createTempFile("graft_dense_filt1_", ".h5")
+    writeDenseTree(f.getPath, 5, maxDirect = 65536, nameLen = 4, filtered = true)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.map(_.name).sorted == (0 until 5).map(i => f"v$i%03d"))
+    for (i <- 0 until 5) {
+      val rows = Hdf5.readVariable(spark, f.getPath, f"v$i%03d").orderBy("i0").collect()
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"v=$i")
+    }
+    f.delete()
+  }
+
+  test("dense groups: filtered fractal heap across indirect-block entries") {
+    // several deflated direct blocks: per-block stored sizes + masks ride
+    // the root indirect block's direct entries
+    val f = java.io.File.createTempFile("graft_dense_filtN_", ".h5")
+    writeDenseTree(f.getPath, 300, maxDirect = 65536, nameLen = 4, filtered = true)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.map(_.name).sorted == (0 until 300).map(i => f"v$i%03d"))
+    for (i <- Seq(0, 150, 299)) {
+      val rows = Hdf5.readVariable(spark, f.getPath, f"v$i%03d").orderBy("i0").collect()
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"v=$i")
+    }
+    f.delete()
+  }
+
+  test("dense groups: filtered AND nested fractal heap") {
+    val f = java.io.File.createTempFile("graft_dense_filtnest_", ".h5")
+    writeDenseTree(f.getPath, 300, maxDirect = 1024, nameLen = 200, filtered = true)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.length == 300)
+    for (i <- Seq(0, 256, 299)) {
+      val nm = ("v%03d".format(i) + "x" * 200).take(200)
+      val rows = Hdf5.readVariable(spark, f.getPath, nm).orderBy("i0").collect()
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"v=$i")
+    }
+    f.delete()
   }
 }
