@@ -116,6 +116,35 @@ object ScaleRehearsalR5 {
       docs, "doc_id", "text", Seq("blk"), 2, 0.5).count()
     println(f"[rehearsal] prefix join (60k docs): ${(System.nanoTime() - t0) / 1e9}%.2f s, $cut pairs")
 
+    // ---- semanticDedup x10: 110k vectors, one 10k-row degenerate cluster ----
+    // Unit basis vectors e_{hash(id) mod dim}: cosine is exactly 1 inside a
+    // (cluster, basis) class and 0 across, so the near-pair total has a
+    // closed form (sum n·(n−1)/2) the pair join is REQUIRED to match. The
+    // 10k junk cluster exercises the triangle-salting guard at cap 2000
+    // (5 shards — hottest task ~2·cap rows instead of 10k).
+    {
+      val dim = 16
+      val basis = pmod(xxhash64(col("id")), lit(dim)).cast("int")
+      val emb = spark.range(0, 110000).select(
+        col("id"),
+        when(col("id") < 100000, pmod(col("id"), lit(500)))
+          .otherwise(lit(9999)).cast("int").as("cluster"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => when(j.cast("int") === basis, lit(1.0f)).otherwise(lit(0.0f))).as("v"))
+        .localCheckpoint(true)
+      val expectedNear = emb.groupBy(col("cluster"), basis.as("b")).count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0) / 2
+      val tSem = System.nanoTime()
+      val res = graft.pipeline.Similarity
+        .semanticDedup(emb, "id", "v", "cluster", 0.9, clusterCap = 2000)
+        .agg(sum(col("n_near")), sum(lit(1) - col("kept"))).head()
+      println(f"[rehearsal] semanticDedup (110k vecs, 10k skew cluster, cap 2000): " +
+        f"${(System.nanoTime() - tSem) / 1e9}%.2f s, " +
+        s"nearPairs=${res.getLong(0)}, dropped=${res.getLong(1)}")
+      require(res.getLong(0) == expectedNear,
+        s"near-pair closed form: ${res.getLong(0)} vs $expectedNear")
+    }
+
     // ---- streaming near-dup ingest: per-batch cost across a growing corpus ----
     {
       import graft.streaming.StatefulDedup
