@@ -5689,12 +5689,13 @@ object SparkEntry {
       // HDF5 ("latest" format) ingest under the DuckDB gate: a planted
       // closed-form file (sources/Hdf5Planted — implicit chunk index
       // with edge padding the reader must clip, CF fill/scale/offset,
-      // fixed-string and compound datasets) is read through all three
-      // typed paths and joined per time index; the oracle regenerates
-      // the grid arithmetically. Values are exact binary halves.
+      // fixed-string, compound and VLEN-sequence datasets) is read
+      // through all four typed paths and joined per time index; the
+      // oracle regenerates the grid arithmetically. Values are exact
+      // binary halves/quarters.
       // Fixed tmp location, written once and reused across bench passes.
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_planted_h5.h5")
+        "graft_planted_h5_v2.h5")
       if (!f.isFile) graft.sources.Hdf5Planted.write(f.getPath)
       val temp = graft.sources.Hdf5.readVariable(s, f.getPath, "temp")
         .groupBy(col("i0"))
@@ -5704,9 +5705,12 @@ object SparkEntry {
         .select(col("i0"), col("value").as("label"))
       val stn = graft.sources.Hdf5.readCompound(s, f.getPath, "station")
         .select(col("i0"), col("id"), col("w"))
-      temp.join(label, Seq("i0")).join(stn, Seq("i0"))
+      val samp = graft.sources.Hdf5.readVlen(s, f.getPath, "samples")
+        .select(col("i0"), size(col("value")).as("n_samp"),
+          aggregate(col("value"), lit(0.0), (a, x) => a + x).as("sum_samp"))
+      temp.join(label, Seq("i0")).join(stn, Seq("i0")).join(samp, Seq("i0"))
         .select(col("i0"), col("n_valid"), col("sum_temp"), col("label"),
-          col("id"), col("w"))
+          col("id"), col("w"), col("n_samp"), col("sum_samp"))
         .orderBy("i0")
     }),
 
@@ -5863,7 +5867,9 @@ object SparkEntry {
         |a as (select t, count(v) n_valid, sum(v) sum_temp from g group by 1)
         |select cast(t as int) i0, n_valid, sum_temp,
         |  concat('L', t) as "label", cast(2*t + 1 as bigint) id,
-        |  cast(t*0.25 - 0.5 as double) w
+        |  cast(t*0.25 - 0.5 as double) w,
+        |  cast(t as int) n_samp,
+        |  cast(t*t + 0.125*t*(t-1) as double) sum_samp
         |from a order by 1""".stripMargin,
 
     "q_zarr_ingest" ->

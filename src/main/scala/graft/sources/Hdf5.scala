@@ -50,15 +50,16 @@ import java.util.zip.Inflater
   * skipped) — the shapes that appear past ~10^5 chunks per dataset.
   *
   * Typed data beyond numerics: fixed-length strings, variable-length
-  * strings (descriptors resolved through global-heap collections,
-  * executor-side with per-partition caching) and compound datasets of
-  * atomic members (int/float/fixed-string, any padding — offsets come
-  * from the member table) via `readStrings` / `readCompound`;
-  * `toParquetLake` routes each dataset by class.
+  * strings and variable-length NUMERIC SEQUENCES (descriptors resolved
+  * through global-heap collections, executor-side with per-partition
+  * caching; sequences land as ARRAY<LONG>/ARRAY<DOUBLE>) and compound
+  * datasets of atomic members (int/float/fixed-string, any padding —
+  * offsets come from the member table) via `readStrings` / `readVlen` /
+  * `readCompound`; `toParquetLake` routes each dataset by class.
   *
-  * Out of scope (documented): VLEN non-string sequences, nested/array
-  * compound members, szip/nbit/scaleoffset; metadata checksums are not
-  * verified (data checksums — fletcher32 — are).
+  * Out of scope (documented): nested/array compound members, VLEN
+  * bases beyond atomic numerics, szip/nbit/scaleoffset; metadata
+  * checksums are not verified (data checksums — fletcher32 — are).
   */
 object Hdf5 {
 
@@ -76,7 +77,8 @@ object Hdf5 {
                            gzip: Boolean, attrs: Map[String, Double] = Map.empty,
                            chunkIndex: Int = 0, shuffled: Boolean = false,
                            members: Seq[Member] = Nil, vlenStr: Boolean = false,
-                           filters: Seq[Int] = Nil) {
+                           filters: Seq[Int] = Nil,
+                           vlenBase: Option[Member] = None) {
     /** Pipeline in WRITE order when parsed; empty for legacy callers that
       * built the case class directly — fall back to the boolean flags in
       * the canonical netCDF4 order (shuffle before deflate). */
@@ -479,6 +481,7 @@ object Hdf5 {
     var gzip = false; var shuffled = false
     val filterIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var members: Seq[Member] = Nil; var vlenStr = false
+    var vlenBase: Option[Member] = None
     var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
     var chunkDimsNeedElem = false // layout v4 dims exclude the element size
     val attrs = scala.collection.mutable.Map.empty[String, Double]
@@ -509,8 +512,15 @@ object Hdf5 {
               members = parseCompoundMembers(r, cv >> 4, bits0 | (bits1 << 8),
                 dtSize)
             case 9 => // variable-length: low 4 bits of bits0 = 1 for string;
-              // the base datatype message follows (class 3 expected)
+              // the base datatype message follows (class 3 for strings —
+              // skipped, resolution is length-driven; atomic numerics for
+              // SEQUENCES, whose class/size/order the element decode needs)
               vlenStr = (bits0 & 0x0F) == 1
+              if (!vlenStr) {
+                val bcv = r.u8(); val bBits0 = r.u8(); r.skip(2)
+                val bSize = r.u32().toInt
+                vlenBase = Some(Member("", 0, bcv & 0x0F, bSize, (bBits0 & 1) == 0))
+              }
             case _ =>
           }
         case 0x0008 => // data layout v3 / v4
@@ -612,7 +622,7 @@ object Hdf5 {
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
-        shuffled, members, vlenStr, filterIds.toSeq))
+        shuffled, members, vlenStr, filterIds.toSeq, vlenBase))
     }
   }
 
@@ -1182,11 +1192,15 @@ object Hdf5 {
           val len = bb.getInt(0)
           val addr = bb.getLong(4)
           val gidx = bb.getInt(12)
-          val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
-          val data = col.getOrElse(gidx, throw new IllegalArgumentException(
-            s"global heap object $gidx missing in collection at $addr"))
-          (idx, new String(data, 0, math.min(len, data.length),
-            java.nio.charset.StandardCharsets.UTF_8))
+          // a 0-length VLEN has no heap object (null descriptor)
+          if (len == 0) (idx, "")
+          else {
+            val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
+            val data = col.getOrElse(gidx, throw new IllegalArgumentException(
+              s"global heap object $gidx missing in collection at $addr"))
+            (idx, new String(data, 0, math.min(len, data.length),
+              java.nio.charset.StandardCharsets.UTF_8))
+          }
         }
         new Iterator[(Array[Long], String)] {
           def hasNext: Boolean = {
@@ -1200,6 +1214,78 @@ object Hdf5 {
     val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(s"i$i")) :+
       col("_2").as("value")
     rdd.toDS().toDF().select(cols: _*)
+  }
+
+  /** Variable-length SEQUENCE (class 9 over a numeric base) datasets as
+    * (i0…, value ARRAY): integer bases become ARRAY<LONG>, float bases
+    * ARRAY<DOUBLE>. Each cell is the same 16-byte (length, global-heap
+    * collection address, object index) descriptor VLEN strings use; the
+    * heap object holds `length` base elements back to back, and a
+    * 0-length cell has a null descriptor (no heap object). Collections
+    * are read executor-side with per-partition caching, so the driver
+    * still touches only metadata. */
+  def readVlen(spark: SparkSession, path: String, name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ds = readMeta(path).find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no dataset $name in $path"))
+    require(ds.dtClass == 9 && !ds.vlenStr,
+      s"$name is not a VLEN sequence dataset (class ${ds.dtClass})")
+    val base = ds.vlenBase.getOrElse(
+      throw new IllegalArgumentException(s"$name has no parsed VLEN base type"))
+    require(base.cls == 0 || base.cls == 1,
+      s"VLEN base class ${base.cls} unsupported (atomic int/float only)")
+    require(Set(1, 2, 4, 8).contains(base.size) && (base.cls == 0 || base.size >= 4),
+      s"VLEN base size ${base.size} unsupported for class ${base.cls}")
+    val little = ds.littleEndian // descriptor order (file metadata: little)
+    val rank = ds.dims.length
+    val isFloat = base.cls == 1
+    val bSize = base.size; val bLittle = base.little
+    val rows = cellBytes(spark, path, ds).mapPartitions { it =>
+      val raf = new RandomAccessFile(path, "r")
+      val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+      val mapped = it.map { case (idx, b) =>
+        val bb = java.nio.ByteBuffer.wrap(b).order(
+          if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+        val len = bb.getInt(0)
+        val addr = bb.getLong(4)
+        val gidx = bb.getInt(12)
+        val elems: Seq[Any] =
+          if (len == 0) Nil
+          else {
+            val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
+            val data = col.getOrElse(gidx, throw new IllegalArgumentException(
+              s"global heap object $gidx missing in collection at $addr"))
+            require(data.length >= len * bSize,
+              s"heap object holds ${data.length} bytes for $len x $bSize-byte elements")
+            val eb = java.nio.ByteBuffer.wrap(data).order(
+              if (bLittle) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+            if (isFloat)
+              (0 until len).map(i =>
+                if (bSize == 8) eb.getDouble(i * 8) else eb.getFloat(i * 4).toDouble)
+            else
+              (0 until len).map(i => bSize match {
+                case 8 => eb.getLong(i * 8)
+                case 4 => eb.getInt(i * 4).toLong
+                case 2 => eb.getShort(i * 2).toLong
+                case _ => eb.get(i).toLong
+              })
+          }
+        Row.fromSeq(idx.map(_.toInt).toSeq :+ elems)
+      }
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = mapped.hasNext; if (!h) raf.close(); h
+        }
+        def next(): Row = mapped.next()
+      }
+    }
+    val schema = StructType(
+      (0 until rank).map(i => StructField(s"i$i", IntegerType, nullable = false)) :+
+        StructField("value", ArrayType(if (isFloat) DoubleType else LongType)))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Compound (class 6) datasets as (i0…, one column per member):
@@ -1468,6 +1554,7 @@ object Hdf5 {
       val df = ds.dtClass match {
         case 3            => readStrings(spark, h5Path, ds.name)
         case 9 if ds.vlenStr => readStrings(spark, h5Path, ds.name)
+        case 9            => readVlen(spark, h5Path, ds.name)
         case 6            => readCompound(spark, h5Path, ds.name)
         case _            => readVariable(spark, h5Path, ds.name)
       }

@@ -17,6 +17,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - `label`  fixed string[6], size 4, "L0".."L5" null-padded
   *  - `station` compound[6] (id int32 @0 = 2t+1, w float64 @8 =
   *    t*0.25 - 0.5)
+  *  - `samples` VLEN double[6]: cell t holds t elements t + 0.25k
+  *    (t=0 is EMPTY — a null descriptor, no heap object), resolved
+  *    through one global-heap collection
   *
   * Spec-conformance against hand-written byte fixtures (filters, B-tree
   * indexes, VLEN heaps, dense groups) lives in Hdf5Spec; this file's job
@@ -105,9 +108,30 @@ object Hdf5Planted {
       for (t <- 0 until 6) { b.putInt(2 * t + 1).putInt(0); b.putDouble(t * 0.25 - 0.5) }
       b.array()
     }
+    def dtypeVlenSeq(base: Array[Byte]): Array[Byte] = // class 9 v1, type=sequence
+      cat(buf(8).put(0x19.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(), base)
+    val gcolData = { // heap object t (t=1..5): t doubles, t + 0.25k
+      val objs = cat((1 to 5).map { t =>
+        val data = buf(8 * t)
+        (0 until t).foreach(k => data.putDouble(t + 0.25 * k))
+        buf(16 + 8 * t).putShort(t.toShort).putShort(1).putInt(0)
+          .putLong(8L * t).put(data.array()).array() // 8t is 8-aligned: no pad
+      }: _*)
+      cat(buf(16).put("GCOL".getBytes("ASCII")).put(1.toByte)
+        .put(new Array[Byte](3)).putLong(16L + objs.length + 16).array(), objs,
+        buf(16).putShort(0).putShort(0).putInt(0).putLong(16L).array())
+    }
+    def samplesData(gcolAddr: Long): Array[Byte] =
+      cat((0 until 6).map { t =>
+        if (t == 0) new Array[Byte](16) // null descriptor: empty sequence
+        else buf(16).putInt(t).putLong(gcolAddr).putInt(t).array()
+      }: _*)
 
     def build(tempAddr: Long, labelAddr: Long, stnAddr: Long,
-              tempOH: Long, labelOH: Long, stnOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+              gcolAddr: Long, sampAddr: Long,
+              tempOH: Long, labelOH: Long, stnOH: Long, sampOH: Long,
+              rootOH: Long): Seq[Array[Byte]] = {
       val tempBytes = ohdr2(msg2(0x01, dspace2(6L, 5L)), msg2(0x03, dtypeDouble),
         layoutV4Implicit(Seq(4, 5), tempAddr),
         attr3("_FillValue", -999.0), attr3("scale_factor", 0.5),
@@ -116,21 +140,25 @@ object Hdf5Planted {
         msg2(0x03, dtypeFixedStr(4)), layoutV4Contig(labelAddr, 24L))
       val stnBytes = ohdr2(msg2(0x01, dspace2(6L)),
         msg2(0x03, dtypeCompound), layoutV4Contig(stnAddr, 96L))
-      val rootBytes = ohdr2(link("label", labelOH), link("station", stnOH),
-        link("temp", tempOH))
+      val sampBytes = ohdr2(msg2(0x01, dspace2(6L)),
+        msg2(0x03, dtypeVlenSeq(dtypeDouble)), layoutV4Contig(sampAddr, 96L))
+      val rootBytes = ohdr2(link("label", labelOH), link("samples", sampOH),
+        link("station", stnOH), link("temp", tempOH))
       val sb = buf(48)
       Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
         .foreach(v => sb.put(v.toByte))
       sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
-      Seq(sb.array(), tempData, labelData, stationData,
-        tempBytes, labelBytes, stnBytes, rootBytes)
+      Seq(sb.array(), tempData, labelData, stationData, gcolData,
+        samplesData(gcolAddr), tempBytes, labelBytes, stnBytes, sampBytes,
+        rootBytes)
     }
-    val sizes = build(0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
     val starts = sizes.scanLeft(0L)(_ + _)
     val parts = build(starts(1), starts(2), starts(3),
-      starts(4), starts(5), starts(6), starts(7))
+      starts(4), starts(5), starts(6), starts(7), starts(8), starts(9),
+      starts(10))
     val f = new FileOutputStream(path)
     try parts.foreach(f.write) finally f.close()
   }

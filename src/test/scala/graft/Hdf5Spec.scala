@@ -1553,6 +1553,15 @@ class Hdf5Spec extends AnyFunSuite {
     def dtypeVlenStr: Array[Byte] = // class 9 v1, type=string, base string(1)
       cat(buf(8).put(0x19.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte)
         .putInt(16).array(), dtypeFixedStr(1))
+    val dtypeInt32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
+      .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
+    val dtypeF64 = buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte)
+      .put(0.toByte).putInt(8).putShort(0).putShort(64)
+      .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+      .putInt(1023).array()
+    def dtypeVlenSeq(base: Array[Byte]): Array[Byte] = // class 9 v1, type=sequence
+      cat(buf(8).put(0x19.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(), base)
     def dtypeCompound: Array[Byte] = {
       def member(name: String, off: Int, dt: Array[Byte]): Array[Byte] = {
         val nm = name.getBytes("ASCII") :+ 0.toByte
@@ -1561,15 +1570,9 @@ class Hdf5Spec extends AnyFunSuite {
         // 4 dim sizes = 28 bytes of array-member fields (zeroed)
         cat(padded, buf(4).putInt(off).array(), new Array[Byte](28), dt)
       }
-      val int32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
-        .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
-      val f64 = buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte)
-        .put(0.toByte).putInt(8).putShort(0).putShort(64)
-        .put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
-        .putInt(1023).array()
       cat(buf(8).put(0x16.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
         .putInt(24).array(),
-        member("id", 0, int32), member("lat", 8, f64),
+        member("id", 0, dtypeInt32), member("lat", 8, dtypeF64),
         member("tag", 16, dtypeFixedStr(8)))
     }
 
@@ -1577,10 +1580,20 @@ class Hdf5Spec extends AnyFunSuite {
     val codeData = cat(Seq("AB", "CDEF", "", "XY").map { s =>
       val b = new Array[Byte](4); s.getBytes("ASCII").copyToArray(b); b
     }: _*)
-    val heapStrings = Seq(1 -> "b", 2 -> "alpha", 3 -> "gamma!")
+    def i32s(vs: Int*): Array[Byte] = {
+      val b = buf(4 * vs.length); vs.foreach(b.putInt); b.array()
+    }
+    def f64s(vs: Double*): Array[Byte] = {
+      val b = buf(8 * vs.length); vs.foreach(b.putDouble); b.array()
+    }
+    // one GCOL holding VLEN strings AND numeric sequence payloads
+    val heapObjs: Seq[(Int, Array[Byte])] = Seq(
+      1 -> "b".getBytes("ASCII"), 2 -> "alpha".getBytes("ASCII"),
+      3 -> "gamma!".getBytes("ASCII"),
+      4 -> i32s(1, 2, 3), 5 -> i32s(40, 50),
+      6 -> f64s(0.5), 7 -> f64s(2.5, -1.25, 8.0))
     def gcol: Array[Byte] = {
-      val objs = cat(heapStrings.map { case (idx, s) =>
-        val data = s.getBytes("ASCII")
+      val objs = cat(heapObjs.map { case (idx, data) =>
         val pad = (8 - data.length % 8) % 8
         cat(buf(16).putShort(idx.toShort).putShort(1).putInt(0)
           .putLong(data.length.toLong).array(), data, new Array[Byte](pad))
@@ -1590,10 +1603,17 @@ class Hdf5Spec extends AnyFunSuite {
         .put(new Array[Byte](3)).putLong(size).array(), objs,
         buf(16).putShort(0).putShort(0).putInt(0).putLong(16L).array())
     }
-    def namesData(gcolAddr: Long): Array[Byte] =
-      cat(Seq(("alpha", 2), ("b", 1), ("gamma!", 3)).map { case (s, idx) =>
-        buf(16).putInt(s.length).putLong(gcolAddr).putInt(idx).array()
+    def vlenDesc(gcolAddr: Long, cells: (Int, Int)*): Array[Byte] =
+      cat(cells.map { case (len, idx) => // len 0 = null descriptor
+        if (len == 0) new Array[Byte](16)
+        else buf(16).putInt(len).putLong(gcolAddr).putInt(idx).array()
       }: _*)
+    def namesData(gcolAddr: Long): Array[Byte] =
+      vlenDesc(gcolAddr, (5, 2), (1, 1), (6, 3))
+    def runsData(gcolAddr: Long): Array[Byte] =    // [1,2,3], [], [40,50]
+      vlenDesc(gcolAddr, (3, 4), (0, 0), (2, 5))
+    def weightsData(gcolAddr: Long): Array[Byte] = // [0.5], [2.5,-1.25,8.0]
+      vlenDesc(gcolAddr, (1, 6), (3, 7))
     val stationData = {
       val b = buf(48)
       def row(id: Int, lat: Double, tag: String): Unit = {
@@ -1606,15 +1626,21 @@ class Hdf5Spec extends AnyFunSuite {
     }
 
     def build(codeAddr: Long, gcolAddr: Long, namesAddr: Long, stnAddr: Long,
-              codeOH: Long, namesOH: Long, stnOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+              runsAddr: Long, wtsAddr: Long,
+              codeOH: Long, namesOH: Long, stnOH: Long,
+              runsOH: Long, wtsOH: Long, rootOH: Long): Seq[Array[Byte]] = {
       val codeBytes = ohdr2(msg2(0x01, dspace2(4L)),
         msg2(0x03, dtypeFixedStr(4)), layoutV4Contig(codeAddr, 16L))
       val namesBytes = ohdr2(msg2(0x01, dspace2(3L)),
         msg2(0x03, dtypeVlenStr), layoutV4Contig(namesAddr, 48L))
       val stnBytes = ohdr2(msg2(0x01, dspace2(2L)),
         msg2(0x03, dtypeCompound), layoutV4Contig(stnAddr, 48L))
+      val runsBytes = ohdr2(msg2(0x01, dspace2(3L)),
+        msg2(0x03, dtypeVlenSeq(dtypeInt32)), layoutV4Contig(runsAddr, 48L))
+      val wtsBytes = ohdr2(msg2(0x01, dspace2(2L)),
+        msg2(0x03, dtypeVlenSeq(dtypeF64)), layoutV4Contig(wtsAddr, 32L))
       val rootBytes = ohdr2(link("code", codeOH), link("names", namesOH),
-        link("station", stnOH))
+        link("station", stnOH), link("runs", runsOH), link("weights", wtsOH))
       val sb = buf(48)
       Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
         .foreach(v => sb.put(v.toByte))
@@ -1622,12 +1648,14 @@ class Hdf5Spec extends AnyFunSuite {
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
       Seq(sb.array(), codeData, gcol, namesData(gcolAddr), stationData,
-        codeBytes, namesBytes, stnBytes, rootBytes)
+        runsData(gcolAddr), weightsData(gcolAddr),
+        codeBytes, namesBytes, stnBytes, runsBytes, wtsBytes, rootBytes)
     }
-    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
     val starts = sizes.scanLeft(0L)(_ + _)
     val parts = build(starts(1), starts(2), starts(3), starts(4),
-      starts(5), starts(6), starts(7), starts(8))
+      starts(5), starts(6), starts(7), starts(8), starts(9),
+      starts(10), starts(11), starts(12))
     val f = new FileOutputStream(path)
     parts.foreach(f.write); f.close()
   }
@@ -1636,8 +1664,13 @@ class Hdf5Spec extends AnyFunSuite {
     val f = java.io.File.createTempFile("graft_typed_", ".h5")
     writeTyped(f.getPath)
     val meta = Hdf5.readMeta(f.getPath).sortBy(_.name)
-    assert(meta.map(_.name) == Seq("code", "names", "station"))
+    assert(meta.map(_.name) == Seq("code", "names", "runs", "station", "weights"))
     assert(meta.find(_.name == "names").get.vlenStr)
+    val runsMeta = meta.find(_.name == "runs").get
+    assert(!runsMeta.vlenStr &&
+      runsMeta.vlenBase.map(b => (b.cls, b.size)) == Some((0, 4)))
+    assert(meta.find(_.name == "weights").get
+      .vlenBase.map(b => (b.cls, b.size)) == Some((1, 8)))
     val stn = meta.find(_.name == "station").get
     assert(stn.dtClass == 6 && stn.members.map(m => (m.name, m.offset, m.cls, m.size)) ==
       Seq(("id", 0, 0, 4), ("lat", 8, 1, 8), ("tag", 16, 3, 8)))
@@ -1648,8 +1681,18 @@ class Hdf5Spec extends AnyFunSuite {
     val rows = Hdf5.readCompound(spark, f.getPath, "station").orderBy("i0").collect()
     assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq ==
       Seq((0, 7L, 1.5, "AB"), (1, -3L, -2.25, "ZQX")))
+    // VLEN numeric sequences: int32 -> ARRAY<LONG> (with a null-descriptor
+    // empty cell), float64 -> ARRAY<DOUBLE>, both through the shared GCOL
+    val runs = Hdf5.readVlen(spark, f.getPath, "runs").orderBy("i0").collect()
+    assert(runs.map(_.getSeq[Long](1).toList).toList ==
+      List(List(1L, 2L, 3L), Nil, List(40L, 50L)))
+    val wts = Hdf5.readVlen(spark, f.getPath, "weights").orderBy("i0").collect()
+    assert(wts.map(_.getSeq[Double](1).toList).toList ==
+      List(List(0.5), List(2.5, -1.25, 8.0)))
     // numeric read of a string dataset fails loudly, not garbage
     intercept[Exception] { Hdf5.readStrings(spark, f.getPath, "nope") }
+    // a VLEN STRING dataset through the sequence reader fails loudly too
+    intercept[Exception] { Hdf5.readVlen(spark, f.getPath, "names") }
     f.delete()
   }
 
