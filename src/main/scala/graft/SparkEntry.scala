@@ -66,7 +66,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -456,7 +456,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -6001,6 +6001,76 @@ object SparkEntry {
         |left join dw on dw.doc_id = d.doc_id
         |left join cov on cov.doc_id = d.doc_id
         |order by d.doc_id""".stripMargin
+  )
+
+  // ---- batch 42: winnowing fingerprints (MOSS local-minima sampling) ------
+
+  private def queries42: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_winnow_fingerprints" -> ((s, dir) => {
+      // Winnowing (Schleimer/Wilkerson/Aiken) document fingerprints,
+      // oracle-EXACT: the char-5-gram polynomial hash (B=257 mod 2^31-1
+      // over normalised [a-z0-9 ] codes) and the window-min selection key
+      // are both engine-portable, so DuckDB replays hashing AND selection
+      // bit-for-bit. k=5/w=8 guarantees a shared fingerprint for any
+      // shared normalised substring of >= 12 chars while sampling ~2/9
+      // of positions. Document-local end to end (one window inside
+      // doc_id partitions) — no cross-document state at any scale.
+      graft.pipeline.TextStats.winnowFingerprints(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8)
+        .select(col("doc_id"), col("pos"), col("fp"))
+    }),
+
+    "q_winnow_overlap" -> ((s, dir) => {
+      // The MOSS overlap front over the winnowed fingerprints: pairs
+      // sharing >= 5 distinct fingerprints, with a RELATIVE df cut
+      // (fp kept iff its doc frequency <= 5% of the corpus) so
+      // boilerplate shingles shared by everything never reach the
+      // postings self-join — the contract that survives corpus growth
+      // (PLANS sec. 40), replayed exactly by the oracle.
+      graft.pipeline.Dedup.winnowOverlap(
+          t(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 8, minShared = 5, maxDfFrac = 0.05)
+        .select(col("id_a"), col("id_b"), col("shared"))
+    })
+  )
+
+  private val winnowSql: String =
+    """norm as (select doc_id, regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g') t
+      |  from documents),
+      |wp as (select doc_id, t, unnest(range(1, cast(len(t) as bigint) - 3)) p from norm),
+      |wh as (select doc_id, p,
+      |  ((((((((cast(ascii(t[p]) as bigint) % 2147483647)*257 + ascii(t[p+1])) % 2147483647)*257
+      |    + ascii(t[p+2])) % 2147483647)*257 + ascii(t[p+3])) % 2147483647)*257
+      |    + ascii(t[p+4])) % 2147483647 h
+      |  from wp),
+      |wk as (select doc_id, p, h*1048576 + (1048575 - p) kk from wh),
+      |ws as (select doc_id,
+      |  min(kk) over (partition by doc_id order by p
+      |    rows between current row and 7 following) selkey,
+      |  count(*) over (partition by doc_id order by p
+      |    rows between current row and 7 following) nw
+      |  from wk),
+      |wd as (select distinct doc_id, selkey from ws where nw = 8),
+      |wfp as (select doc_id, cast(1048575 - (selkey % 1048576) as int) pos,
+      |  selkey // 1048576 fp from wd)""".stripMargin
+
+  private def oracle42: Map[String, String] = Map(
+
+    "q_winnow_fingerprints" ->
+      s"""with $winnowSql
+         |select doc_id, pos, fp from wfp""".stripMargin,
+
+    "q_winnow_overlap" ->
+      s"""with $winnowSql,
+         |posts as (select distinct doc_id doc, fp from wfp),
+         |tot as (select count(distinct doc_id) n from documents),
+         |kept as (select fp from posts cross join tot
+         |  group by fp, n having count(*) <= n * 0.05),
+         |pk as (select doc, fp from posts where fp in (select fp from kept))
+         |select a.doc id_a, b.doc id_b, cast(count(*) as bigint) shared
+         |from pk a join pk b on a.fp = b.fp and a.doc < b.doc
+         |group by 1, 2 having count(*) >= 5""".stripMargin
   )
 
 }

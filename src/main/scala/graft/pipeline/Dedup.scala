@@ -699,4 +699,33 @@ object Dedup {
       labels.select(col("id"), col("comp").as("component"))
     } finally e.unpersist()
   }
+
+  /** Winnowing-overlap candidate pairs (the MOSS plagiarism/near-dup
+    * front): documents sharing ≥ `minShared` DISTINCT winnowed
+    * fingerprints ([[TextStats.winnowFingerprints]] — every shared
+    * substring of ≥ w+k−1 chars contributes one). Fingerprints whose
+    * document frequency exceeds `maxDfFrac`·N drop before the postings
+    * self-join: the RELATIVE cut (an absolute one fails both directions
+    * as the corpus grows — PLANS §40) bounds each posting list at
+    * `maxDfFrac`·N docs, so join cost is Σdf² over rare-only shingles
+    * while boilerplate shared by everything never generates pairs.
+    * Returns (id_a, id_b, shared). */
+  def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int, minShared: Int,
+                    maxDfFrac: Double): DataFrame = {
+    val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), col("fp")).distinct()
+    val total = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val kept = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") <= col("n_docs") * maxDfFrac)
+      .select(col("fp"))
+    val posts = fps.join(kept, Seq("fp"))
+    posts.select(col("fp"), col("doc").as("id_a"))
+      .join(posts.select(col("fp"), col("doc").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

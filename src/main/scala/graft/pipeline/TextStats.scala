@@ -118,6 +118,72 @@ object TextStats {
     if (n == 1) tokens(text)
     else letBind(tokens(text), tk => ngramsOfTokens(tk, n))
 
+  // ---- winnowing (Schleimer/Wilkerson/Aiken local-minima fingerprints) ----
+
+  private val WinnowB = 257L
+  private val WinnowM = 2147483647L // 2^31 - 1 (Mersenne: exact in any i64 SQL)
+  private val WinnowP = 1L << 20    // position field width in the selection key
+
+  /** Winnowing text normalisation: lowercase, strip every char outside
+    * [a-z0-9 ]. Keeps the k-gram character codes ASCII so the polynomial
+    * hash is bit-identical in ANY engine (the oracle replays it in SQL). */
+  def winnowNormalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "[^a-z0-9 ]", "")
+
+  /** Rolling polynomial hash of every char k-gram (1-based start
+    * positions) of the normalised text, ARRAY<BIGINT>:
+    * h(p) = fold(acc·B + code) mod M with B=257, M=2^31−1 — products stay
+    * under 2^39, exact in 64-bit integer arithmetic everywhere. The
+    * normalised text is let-bound once (HOF lambdas re-evaluate captured
+    * expressions per element — PLANS §40). */
+  def kgramHashes(text: Column, k: Int): Column = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    letBind(winnowNormalize(text), norm =>
+      transform(indices(length(norm) - (k - 1)), p =>
+        (0 until k).foldLeft(lit(0L)) { (acc, i) =>
+          (acc * WinnowB + ascii(norm.substr(p + i, lit(1))).cast("bigint")) % WinnowM
+        }))
+  }
+
+  /** Winnowed document fingerprints: slide a `w`-window over the k-gram
+    * hash sequence and keep each window's minimal hash, RIGHTMOST on ties
+    * — the standard guarantee that any shared substring of length
+    * ≥ w+k−1 chars yields a shared fingerprint while sampling ~2/(w+1)
+    * of positions. Selection is encoded portably for the oracle: one
+    * BIGINT key h·2^20 + (2^20−1−pos) makes a single `min` over the
+    * frame pick (min hash, max position); distinct selected keys decode
+    * back to (pos, fp). Documents above 2^20 normalised chars fail
+    * loudly rather than fold positions into the hash field.
+    *
+    * Scale: document-local end to end — one hash pass, one window inside
+    * doc partitions, a map-side-combining distinct. No cross-document
+    * state, so the plan is embarrassingly parallel at any corpus size.
+    * Returns (idCol, pos, fp). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    val hashed = df
+      .select(col(idCol), posexplode(kgramHashes(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("h")) // 1-based gram starts
+    val key = when(col("pos") < WinnowP,
+        col("h") * WinnowP + (lit(WinnowP) - 1 - col("pos")))
+      .otherwise(raise_error(concat(
+        lit(s"document exceeds 2^20 normalised chars for winnowing: pos "),
+        col("pos"))).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    hashed
+      .withColumn("selKey", min(key).over(win))
+      .withColumn("nw", count(lit(1)).over(win))
+      .filter(col("nw") === w) // full windows only
+      .select(col(idCol), col("selKey")).distinct()
+      .select(col(idCol),
+        (lit(WinnowP - 1) - pmod(col("selKey"), lit(WinnowP))).cast("int").as("pos"),
+        // selKey < M·2^20 < 2^51: double division by a power of two is
+        // exact, truncating cast recovers the hash field
+        (col("selKey") / lit(WinnowP)).cast("bigint").as("fp"))
+  }
+
   /** Per-document TF-IDF over whitespace tokens, smoothed sklearn-style:
     * idf = ln((N+1)/(df+1)) + 1. Returns (id, term, tf, tfidf).
     *

@@ -618,4 +618,42 @@ class PropertySpec extends AnyFunSuite {
     assert(fromNtz == micros.sorted)
     assert(fromTs == micros.sorted)
   }
+
+  test("winnowing guarantee: every shared substring >= w+k-1 chars yields a shared fingerprint") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val k = 5; val w = 8 // guarantee threshold t = w+k-1 = 12 chars
+    def noise(n: Int): String =
+      Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // 20 docs embedding the SAME 30-char substring inside distinct noise:
+    // winnowing must hand every one of the 190 pairs a common fingerprint
+    val shared = "thequickbrownfoxjumpedoverdogs"
+    assert(shared.length >= w + k - 1)
+    val docs = (0 until 20).map(i => (i.toLong, noise(40) + shared + noise(40)))
+      .toDF("doc_id", "text")
+    val fps = graft.pipeline.TextStats
+      .winnowFingerprints(docs, "doc_id", "text", k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(pairs == 190L, s"only $pairs of 190 pairs share a fingerprint")
+
+    // density: selection keeps between windows/w and all positions, and
+    // every document yields at least one fingerprint
+    val perDoc = fps.groupBy("doc_id").count().collect()
+    assert(perDoc.length == 20)
+    val n = 40 + 30 + 40 // normalised length (all lowercase letters)
+    val windows = (n - k + 1) - w + 1
+    perDoc.foreach { r =>
+      assert(r.getLong(1) >= windows / w && r.getLong(1) <= n - k + 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} fingerprints out of bounds")
+    }
+
+    // winnowOverlap with a permissive df-cut finds every planted pair too
+    val ov = graft.pipeline.Dedup
+      .winnowOverlap(docs, "doc_id", "text", k, w, minShared = 1, maxDfFrac = 1.0)
+      .count()
+    assert(ov == 190L, s"winnowOverlap found $ov of 190 pairs")
+  }
 }
