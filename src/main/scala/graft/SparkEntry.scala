@@ -6005,6 +6005,17 @@ object SparkEntry {
 
   // ---- batch 42: winnowing fingerprints (MOSS local-minima sampling) ------
 
+  /** Winnowed (k=5, w=8) fingerprints of `documents` — memoized per
+    * (session, dir) like [[climateDaily]]: the hash+window pass feeds
+    * both winnow queries, so it is paid once per run (PLANS §39). */
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    winnowCache.getOrElseUpdate((s, dir),
+      graft.pipeline.TextStats.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8).persist())
+
   private def queries42: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_winnow_fingerprints" -> ((s, dir) => {
@@ -6016,9 +6027,7 @@ object SparkEntry {
       // shared normalised substring of >= 12 chars while sampling ~2/9
       // of positions. Document-local end to end (one window inside
       // doc_id partitions) — no cross-document state at any scale.
-      graft.pipeline.TextStats.winnowFingerprints(
-          t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8)
-        .select(col("doc_id"), col("pos"), col("fp"))
+      winnowFps(s, dir).select(col("doc_id"), col("pos"), col("fp"))
     }),
 
     "q_winnow_overlap" -> ((s, dir) => {
@@ -6028,10 +6037,25 @@ object SparkEntry {
       // boilerplate shingles shared by everything never reach the
       // postings self-join — the contract that survives corpus growth
       // (PLANS sec. 40), replayed exactly by the oracle.
-      graft.pipeline.Dedup.winnowOverlap(
-          t(s, dir, "documents"), "doc_id", "text",
-          k = 5, w = 8, minShared = 5, maxDfFrac = 0.05)
+      graft.pipeline.Dedup.winnowOverlapOfFps(
+          winnowFps(s, dir).select(col("doc_id").as("doc"), col("fp")).distinct(),
+          t(s, dir, "documents").select(countDistinct(col("doc_id")).as("n_docs")),
+          minShared = 5, maxDfFrac = 0.05)
         .select(col("id_a"), col("id_b"), col("shared"))
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      // Context-window packing (Packing.packGreedy): shard-local greedy
+      // layout of whitespace token counts into 512-token bins, 16 shards.
+      // The sequential carry (bin fill) lives in an O(1)-state partition
+      // scan; the oracle replays the same recurrence with a recursive CTE
+      // per shard. Output is one row per document with its bin placement.
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Packing.packGreedy(docs, "doc_id",
+          graft.pipeline.TextStats.tokenCount(col("text")),
+          maxLen = 512, shards = 16)
+        .select(col("doc_id"), col("shard"), col("bin"),
+          col("bin_offset"), col("n_tok"))
     })
   )
 
@@ -6070,7 +6094,29 @@ object SparkEntry {
          |pk as (select doc, fp from posts where fp in (select fp from kept))
          |select a.doc id_a, b.doc id_b, cast(count(*) as bigint) shared
          |from pk a join pk b on a.fp = b.fp and a.doc < b.doc
-         |group by 1, 2 having count(*) >= 5""".stripMargin
+         |group by 1, 2 having count(*) >= 5""".stripMargin,
+
+    "q_pack_sequences" ->
+      """with recursive d as (select doc_id, cast(doc_id % 16 as int) shard,
+        |  cast(case when trim(text) = '' then 0
+        |    else len(string_split_regex(trim(text), '\s+')) end as int) nt
+        |  from documents),
+        |r as (select *, row_number() over (partition by shard order by doc_id) rn from d),
+        |rec as (
+        |  select doc_id, shard, nt, rn, 0 bin, 0 boff, nt used
+        |  from r where rn = 1
+        |  union all
+        |  select r.doc_id, r.shard, r.nt, r.rn,
+        |    case when rec.used > 0 and rec.used + r.nt > 512
+        |         then rec.bin + 1 else rec.bin end,
+        |    case when rec.used > 0 and rec.used + r.nt > 512
+        |         then 0 else rec.used end,
+        |    case when rec.used > 0 and rec.used + r.nt > 512
+        |         then r.nt else rec.used + r.nt end
+        |  from rec join r on r.shard = rec.shard and r.rn = rec.rn + 1)
+        |select doc_id, shard, cast(bin as int) bin,
+        |  cast(boff as int) bin_offset, nt n_tok
+        |from rec""".stripMargin
   )
 
 }

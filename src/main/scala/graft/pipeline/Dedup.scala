@@ -713,9 +713,22 @@ object Dedup {
   def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int, minShared: Int,
                     maxDfFrac: Double): DataFrame = {
+    // checkpoint the fingerprint table (id+hash rows only, no text): it
+    // feeds the df-cut AND both postings sides, and re-deriving the
+    // hash+window subtree three times tripled the query's cost
     val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), col("fp")).distinct()
-    val total = df.select(countDistinct(col(idCol)).as("n_docs"))
+      .localCheckpoint(true)
+    winnowOverlapOfFps(fps,
+      df.select(countDistinct(col(idCol)).as("n_docs")), minShared, maxDfFrac)
+  }
+
+  /** [[winnowOverlap]] from a prebuilt DISTINCT (doc, fp) fingerprint
+    * table and a 1-row (n_docs) frame — the memoized-subplan form
+    * (PLANS §39): callers sharing the fingerprint table across several
+    * queries pass it persisted so the hash+window pass is paid once. */
+  def winnowOverlapOfFps(fps: DataFrame, total: DataFrame,
+                         minShared: Int, maxDfFrac: Double): DataFrame = {
     val kept = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(total))
       .filter(col("_df") <= col("n_docs") * maxDfFrac)

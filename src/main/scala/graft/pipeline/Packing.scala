@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step that lays documents into
+  * fixed-capacity context windows ("bins") so a tokenised corpus ships to
+  * the trainer with minimal padding (cf. xclim's role for analysis data;
+  * this half is the pretraining twin the reference has no need for).
+  *
+  * The packing rule is the deterministic shard-local GREEDY scan: shard
+  * documents by `id mod shards` (engine-portable, so an external oracle
+  * can replay it), order by id inside a shard, and open a new bin
+  * whenever the next document does not fit the current one. Greedy is the
+  * industry default for context packing: within 1 bin of optimal per run
+  * of same-length docs, and — unlike best-fit — independent of anything
+  * but the running total, which is what makes it distributable.
+  */
+object Packing {
+
+  /** Pack documents into `maxLen`-token bins, greedy within `id % shards`
+    * shards ordered by id. A document longer than `maxLen` gets a bin of
+    * its own (truncation/splitting is the caller's policy, applied
+    * downstream); empty documents occupy zero tokens of the current bin.
+    * Returns one row per document: (idCol, shard, bin, bin_offset, n_tok)
+    * with `bin` shard-local and `bin_offset` the token start inside its bin.
+    *
+    * Scale: one hash shuffle on the shard key + an O(1)-state scan per
+    * partition (`sortWithinPartitions`, no global ordering, no driver
+    * collect). Shards are independent packing domains, so the output is
+    * invariant to the physical partitioning and parallelism is `shards`
+    * at any corpus size — pick shards ≈ corpus/10⁴ docs upstream. */
+  def packGreedy(df: DataFrame, idCol: String, nTok: Column,
+                 maxLen: Int, shards: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+        nTok.cast("int").as("n_tok"))
+      .withColumn("shard", pmod(col("id"), lit(shards.toLong)).cast("int"))
+    base.select(col("shard"), col("id"), col("n_tok")).as[(Int, Long, Int)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        // several shards may share a partition; the scan resets its O(1)
+        // state (current bin + fill) at every shard boundary
+        var curShard = -1; var bin = 0; var used = 0
+        it.map { case (sh, id, nt) =>
+          if (sh != curShard) { curShard = sh; bin = 0; used = 0 }
+          else if (used > 0 && used + nt > maxLen) { bin += 1; used = 0 }
+          val off = used
+          used += nt
+          (id, sh, bin, off, nt)
+        }
+      }
+      .toDF("id", "shard", "bin", "bin_offset", "n_tok")
+      .select(col("id").as(idCol), col("shard"), col("bin"),
+        col("bin_offset"), col("n_tok"))
+  }
+}

@@ -133,16 +133,21 @@ object TextStats {
   /** Rolling polynomial hash of every char k-gram (1-based start
     * positions) of the normalised text, ARRAY<BIGINT>:
     * h(p) = fold(acc·B + code) mod M with B=257, M=2^31−1 — products stay
-    * under 2^39, exact in 64-bit integer arithmetic everywhere. The
-    * normalised text is let-bound once (HOF lambdas re-evaluate captured
-    * expressions per element — PLANS §40). */
+    * under 2^39, exact in 64-bit integer arithmetic everywhere. The char
+    * CODES are materialised once per row as an int array and the per-gram
+    * fold reads them with O(1) `element_at`: per-position `substr` is
+    * O(position) on UTF8 strings (a codepoint seek from the front), which
+    * made the direct form quadratic per document. Both the normalised
+    * text and the codes array are let-bound (HOF lambdas re-evaluate
+    * captured expressions per element — PLANS §40). */
   def kgramHashes(text: Column, k: Int): Column = {
     require(k >= 2, s"k-gram size must be >= 2, got $k")
-    letBind(winnowNormalize(text), norm =>
-      transform(indices(length(norm) - (k - 1)), p =>
-        (0 until k).foldLeft(lit(0L)) { (acc, i) =>
-          (acc * WinnowB + ascii(norm.substr(p + i, lit(1))).cast("bigint")) % WinnowM
-        }))
+    letBind(split(winnowNormalize(text), ""), chars =>
+      letBind(transform(chars, c => ascii(c)), codes =>
+        transform(indices(size(codes) - (k - 1)), p =>
+          (0 until k).foldLeft(lit(0L)) { (acc, i) =>
+            (acc * WinnowB + element_at(codes, p + i).cast("bigint")) % WinnowM
+          })))
   }
 
   /** Winnowed document fingerprints: slide a `w`-window over the k-gram

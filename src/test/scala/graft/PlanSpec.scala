@@ -23,10 +23,11 @@ class PlanSpec extends AnyFunSuite {
 
   /** Tiny broadcast frames joined without keys BY DESIGN: a handful of
     * query vectors / analog target rows against the scan, and the
-    * single-row corpus-total frame the trigram LM broadcasts. */
+    * single-row corpus-total frames the trigram LM and the winnowing
+    * relative df-cut broadcast. */
   private val bnljAllowed = Set(
     "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog",
-    "q_trigram_nll")
+    "q_trigram_nll", "q_winnow_overlap")
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
