@@ -6044,6 +6044,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("shared"))
     }),
 
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // Bloom-prefiltered decontamination (Dedup.decontaminateBloom): the
+      // benchmark 8-grams ship as a 2^20-bit filter literal (16 KiB)
+      // instead of broadcast strings; corpus grams failing any of the 4
+      // probes drop at scan speed and survivors verify exactly, so the
+      // result EQUALS q_decontaminate row-for-row (same oracle SQL).
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), n = 8)
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // Context-window packing (Packing.packGreedy): shard-local greedy
       // layout of whitespace token counts into 512-token bins, 16 shards.
@@ -6095,6 +6107,9 @@ object SparkEntry {
          |select a.doc id_a, b.doc id_b, cast(count(*) as bigint) shared
          |from pk a join pk b on a.fp = b.fp and a.doc < b.doc
          |group by 1, 2 having count(*) >= 5""".stripMargin,
+
+    // identical output contract to the exact join by construction
+    "q_decontaminate_bloom" -> oracle40("q_decontaminate"),
 
     "q_pack_sequences" ->
       """with recursive d as (select doc_id, cast(doc_id % 16 as int) shard,

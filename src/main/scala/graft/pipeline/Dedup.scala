@@ -592,6 +592,72 @@ object Dedup {
         (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Broadcast-Bloom decontamination — the corpus-scale form of
+    * [[decontaminate]]. The exact form broadcasts the benchmark GRAMS
+    * (strings); at 100 TB the cheap thing to ship is BITS: the
+    * benchmark's distinct n-grams fold into an m-bit Bloom filter
+    * (k Kirsch–Mitzenmacher probes (h1 + i·h2) mod m over two xxhash64
+    * seeds), aggregated distributedly as `bit_or` over 64-bit words and
+    * collected as ONE dense LONG array (m/64 elements — 16 KiB per 2^20
+    * bits) into a literal the probe reads with `element_at`. Corpus
+    * grams failing any probe drop at scan speed — pure codegen'd
+    * Columns, no UDF (variable-count shifts built via the catalyst
+    * bridge); survivors (true hits + ~fpp false positives) are verified
+    * EXACTLY against the benchmark grams, so the output equals
+    * [[decontaminate]] row-for-row while the shuffled/broadcast gram
+    * volume shrinks to the Bloom survivors. Standard sizing: m ≈ 10·|bench
+    * grams| bits and k=4 gives fpp ≈ 1%. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, n: Int = 8,
+                         mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes in [1,16], got $kHashes")
+    def shl(e: Column, cnt: Column): Column =
+      ColumnBridge.column(ShiftLeft(ColumnBridge.expression(e), ColumnBridge.expression(cnt)))
+    def shr(e: Column, cnt: Column): Column =
+      ColumnBridge.column(ShiftRight(ColumnBridge.expression(e), ColumnBridge.expression(cnt)))
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ TextStats.tokens(col(textCol)).as("_toks"): _*)
+        .select(keep :+ explode(TextStats.ngramsOfTokens(col("_toks"), n)).as("g"): _*)
+    def positions(g: Column): Seq[Column] = {
+      // reduce both hashes mod m BEFORE combining: (h1 + i·h2) mod m
+      // distributes, and full-range longs would overflow ANSI arithmetic
+      val h1 = pmod(xxhash64(g), lit(mBits.toLong))
+      val h2 = pmod(xxhash64(g, lit(0x9E3779B97F4A7C15L)), lit(mBits.toLong))
+      (0 until kHashes).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong)))
+    }
+    val bench = grams(benchmark, Seq.empty).distinct().localCheckpoint(true)
+    // build: k bit positions per gram -> (word, mask) -> bit_or per word;
+    // the collect is bounded by m/64 longs, never by the benchmark size
+    val nWords = mBits / 64
+    val bits = new Array[Long](nWords)
+    bench.select(explode(array(positions(col("g")): _*)).as("bit"))
+      .select(shiftright(col("bit"), 6).cast("int").as("w"),
+        shl(lit(1L), pmod(col("bit"), lit(64L)).cast("int")).as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+      .foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bitsLit = lit(bits)
+    def mightContain(g: Column): Column =
+      positions(g).map { p =>
+        val word = element_at(bitsLit, (shiftright(p, 6) + 1).cast("int"))
+        shr(word, pmod(p, lit(64L)).cast("int")).bitwiseAND(lit(1L)) =!= lit(0L)
+      }.reduce(_ && _)
+    val hits = grams(docs, Seq(col(idCol)))
+      .filter(mightContain(col("g")))
+      .distinct()
+      .join(broadcast(bench), "g") // exact verify: false positives die here
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_collisions"))
+    docs.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        (coalesce(col("n_collisions"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected candidate-pair edge list —
     * the cluster-assignment step that turns near-dup PAIRS into dedup
     * GROUPS (the component's min id is the canonical survivor).

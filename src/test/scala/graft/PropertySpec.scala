@@ -656,4 +656,32 @@ class PropertySpec extends AnyFunSuite {
       .count()
     assert(ov == 190L, s"winnowOverlap found $ov of 190 pairs")
   }
+
+  test("decontaminateBloom equals the exact join, even with a tiny saturated filter") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def doc(words: Int): String =
+      Seq.fill(words)(s"w${rng.nextInt(400)}").mkString(" ")
+    val corpus = (0 until 120).map(i => (i.toLong, doc(30))).toDF("doc_id", "text")
+    val bench = (0 until 15).map(i => (1000L + i, doc(25))).toDF("doc_id", "text")
+    // plant contamination: docs 5,17 carry a benchmark 4-gram verbatim
+    val benchRow = bench.orderBy("doc_id").collect()(0).getString(1)
+    val planted = benchRow.split(" ").slice(3, 7).mkString(" ")
+    val corpus2 = corpus.withColumn("text",
+      when(col("doc_id").isin(5L, 17L), concat(col("text"), lit(" " + planted)))
+        .otherwise(col("text")))
+    val exact = graft.pipeline.Dedup
+      .decontaminate(corpus2, "doc_id", "text", bench, n = 4)
+      .orderBy("doc_id").collect().toSeq
+    // generous filter AND a 64-bit saturated one: false positives flood the
+    // prefilter, the exact verify must still produce identical output
+    for (m <- Seq(1 << 16, 64)) {
+      val got = graft.pipeline.Dedup
+        .decontaminateBloom(corpus2, "doc_id", "text", bench, n = 4,
+          mBits = m, kHashes = 3)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == exact, s"mBits=$m diverges from exact join")
+    }
+    assert(exact.count(_.getBoolean(2)) >= 2, "planted contamination not flagged")
+  }
 }
