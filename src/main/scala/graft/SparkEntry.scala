@@ -6056,6 +6056,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), n = 8)
     }),
 
+    "q_mixture_lang" -> ((s, dir) => {
+      // Data-mixing sample (Sampling.mixtureSample): rebalance the corpus
+      // to a target language mix (en 50%, de/fr/es/zh 12.5% each). The
+      // feasibility minimum and per-lang keep rates compose in-plan from
+      // broadcast one-row frames; membership is the salted-md5 fraction,
+      // replayed exactly by the oracle.
+      graft.pipeline.Sampling.mixtureSample(
+          t(s, dir, "documents"), "lang", col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.125, "fr" -> 0.125,
+              "es" -> 0.125, "zh" -> 0.125))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // Context-window packing (Packing.packGreedy): shard-local greedy
       // layout of whitespace token counts into 512-token bins, 16 shards.
@@ -6110,6 +6123,20 @@ object SparkEntry {
 
     // identical output contract to the exact join by construction
     "q_decontaminate_bloom" -> oracle40("q_decontaminate"),
+
+    "q_mixture_lang" ->
+      """with c as (select lang, count(*) cnt from documents group by 1),
+        |t(lang, tgt) as (select * from (values
+        |  ('en', cast(0.5 as double)), ('de', cast(0.125 as double)),
+        |  ('fr', cast(0.125 as double)), ('es', cast(0.125 as double)),
+        |  ('zh', cast(0.125 as double)))),
+        |j as (select c.lang, cnt, tgt from c join t using (lang)),
+        |mt as (select min(cnt/tgt) tt from j),
+        |r as (select lang, least(cast(1.0 as double), tt*tgt/cnt) rate
+        |  from j cross join mt)
+        |select d.doc_id, d.lang, d.source from documents d join r using (lang)
+        |where cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), 'graft-mix')), 1, 13))
+        |  as ubigint) as double)/4503599627370496.0 < rate""".stripMargin,
 
     "q_pack_sequences" ->
       """with recursive d as (select doc_id, cast(doc_id % 16 as int) shard,

@@ -38,6 +38,37 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Mixture (data-mixing) sample — rebalance a multi-source corpus to
+    * TARGET proportions, the standard step before training-mix assembly:
+    * `target` maps a key (source, language, …) to its desired share of
+    * the output. The largest feasible total is T = min over keys of
+    * count/share (the binding key keeps everything); each key then keeps
+    * a deterministic Bernoulli(T·share/count) hash sample. Keys absent
+    * from `target` are dropped.
+    *
+    * Fully in-plan: per-key counts, the feasibility minimum (one-row
+    * frame) and the per-key rates compose as broadcast joins — no
+    * driver-side counting — and membership is the salted-md5 fraction,
+    * so the mix is reproducible under any partitioning or retry. */
+  def mixtureSample(df: DataFrame, keyCol: String, id: Column,
+                    target: Map[String, Double],
+                    salt: String = "graft-mix"): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = target.toSeq.toDF(keyCol, "_target")
+    val joined = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
+      .join(tgt, Seq(keyCol))
+    val tRow = joined.select(min(col("_cnt") / col("_target")).as("_t"))
+    val rates = joined.crossJoin(broadcast(tRow))
+      .select(col(keyCol),
+        least(lit(1.0), col("_t") * col("_target") / col("_cnt")).as("_rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(hashFraction(id, salt) < col("_rate"))
+      .drop("_rate")
+  }
+
   /** [[stratifiedSample]] for k << |stratum|: PROVABLY identical output,
     * but the stratum-keyed shuffle carries at most k·numPartitions rows per
     * stratum instead of the whole stratum. Phase 1 keeps each partition's
