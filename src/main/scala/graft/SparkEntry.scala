@@ -5695,7 +5695,7 @@ object SparkEntry {
       // binary halves/quarters.
       // Fixed tmp location, written once and reused across bench passes.
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_planted_h5_v2.h5")
+        "graft_planted_h5_v4.h5")
       if (!f.isFile) graft.sources.Hdf5Planted.write(f.getPath)
       val temp = graft.sources.Hdf5.readVariable(s, f.getPath, "temp")
         .groupBy(col("i0"))
@@ -5712,6 +5712,23 @@ object SparkEntry {
         .select(col("i0"), col("n_valid"), col("sum_temp"), col("label"),
           col("id"), col("w"), col("n_samp"), col("sum_samp"))
         .orderBy("i0")
+    }),
+
+    "q_hdf5_nested" -> ((s, dir) => {
+      // NESTED compound + ARRAY members through the recursive datatype
+      // walk (Hdf5Planted `track`: {id int32, pos {x,y} struct, v
+      // double[3]}): struct members project as dotted columns, the array
+      // member folds/indexes with the array functions. Closed binary
+      // forms (halves/eighths) keep both engines exact.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_h5_v4.h5")
+      if (!f.isFile) graft.sources.Hdf5Planted.write(f.getPath)
+      graft.sources.Hdf5.readCompound(s, f.getPath, "track")
+        .select(col("i0").as("t"), col("id"),
+          col("pos.x").as("x"), col("pos.y").as("y"),
+          aggregate(col("v"), lit(0.0), (a, e) => a + e).as("v_sum"),
+          element_at(col("v"), 3).as("v_last"))
+        .orderBy("t")
     }),
 
     "q_image_decode_jpeg" -> ((s, dir) => {
@@ -5871,6 +5888,13 @@ object SparkEntry {
         |  cast(t as int) n_samp,
         |  cast(t*t + 0.125*t*(t-1) as double) sum_samp
         |from a order by 1""".stripMargin,
+
+    "q_hdf5_nested" ->
+      """select cast(t as int) t, cast(3*t + 2 as bigint) id,
+        |  cast(t*1.5 as double) x, cast(10.0 - t as double) y,
+        |  cast(3*t + 0.375 as double) v_sum,
+        |  cast(t + 0.25 as double) v_last
+        |from range(0, 6) r(t) order by 1""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

@@ -53,13 +53,22 @@ import java.util.zip.Inflater
   * strings and variable-length NUMERIC SEQUENCES (descriptors resolved
   * through global-heap collections, executor-side with per-partition
   * caching; sequences land as ARRAY<LONG>/ARRAY<DOUBLE>) and compound
-  * datasets of atomic members (int/float/fixed-string, any padding —
-  * offsets come from the member table) via `readStrings` / `readVlen` /
+  * datasets (atomic int/float/fixed-string members at any padding, plus
+  * NESTED compound members — Spark STRUCT columns — and ARRAY members
+  * flattened row-major; offsets come from the member tables, recursing
+  * per the datatype message spec) via `readStrings` / `readVlen` /
   * `readCompound`; `toParquetLake` routes each dataset by class.
   *
-  * Out of scope (documented): nested/array compound members, VLEN
-  * bases beyond atomic numerics, szip/nbit/scaleoffset; metadata
-  * checksums are not verified (data checksums — fletcher32 — are).
+  * Every checksum the format carries is verified: fletcher32 on data
+  * chunks, and the Jenkins-lookup3 metadata checksum each
+  * "latest"-format structure trails (superblock v2/v3, OHDR chunks and
+  * continuations, fractal heap header/indirect/direct blocks,
+  * fixed/extensible-array blocks and pages, v2 B-tree nodes) —
+  * corruption is a loud IOException, never a misread.
+  *
+  * Out of scope (documented): VLEN bases beyond atomic numerics,
+  * szip/nbit/scaleoffset (their chunk payload layouts live in the
+  * filter implementations, not the file format spec).
   */
 object Hdf5 {
 
@@ -87,10 +96,15 @@ object Hdf5 {
       else (if (shuffled) Seq(FilterShuffle) else Nil) ++
            (if (gzip) Seq(FilterDeflate) else Nil)
   }
-  /** One compound-datatype member: atomic classes only (0 fixed-point,
-    * 1 IEEE float, 3 fixed string). */
+  /** One compound-datatype member. Atomic classes (0 fixed-point, 1 IEEE
+    * float, 3 fixed string) stand alone; class 6 (NESTED compound)
+    * carries its own member table in `children` (offsets relative to the
+    * nested struct's start), and class 10 (ARRAY) carries its base type
+    * as `children.head` with `arrayDims` repeats, flattened row-major. */
   final case class Member(name: String, offset: Int, cls: Int, size: Int,
-                          little: Boolean)
+                          little: Boolean,
+                          children: Seq[Member] = Nil,
+                          arrayDims: Seq[Int] = Nil)
   final case class Chunk(address: Long, storedSize: Long, offsets: Seq[Long])
 
   // ---------------- driver-side metadata parse ----------------
@@ -163,7 +177,8 @@ object Hdf5 {
         require(offSize == 8 && lenSize == 8, s"only 8-byte offsets/lengths (got $offSize/$lenSize)")
         r.skip(1) // file consistency flags
         r.skip(8 + 8 + 8) // base, superblock extension, EOF
-        val rootOH = r.u64() // checksum follows; not verified
+        val rootOH = r.u64()
+        checkMeta(r, 0L, "superblock")
         linkEntries(r, rootOH).foreach { case (name, ohAddr) =>
           parseDataset(r, name, ohAddr).foreach(out += _)
         }
@@ -243,7 +258,7 @@ object Hdf5 {
     require(r.u8() == 0, "fractal heap version")
     val idLen = r.u16()
     val filterLen = r.u16() // I/O filter info length; >0 = filtered heap
-    r.skip(1) // flags (bit 1 = direct blocks checksummed; header size unaffected)
+    val heapFlags = r.u8()  // bit 1 = direct blocks carry embedded checksums
     val maxManSize = r.u32()
     r.skip(8 + 8)         // next huge id, huge-object v2 B-tree
     r.skip(8 + 8)         // free space, free-space manager
@@ -256,6 +271,7 @@ object Hdf5 {
     r.skip(2) // starting rows in root indirect block
     val rootAddr = r.u64()
     val curRows = r.u16()
+    val hdrFixedEnd = r.pos
     // filtered heaps: the root direct block's stored size + filter mask
     // sit in the header (there is no indirect entry to carry them), then
     // the encoded pipeline message in write order
@@ -265,6 +281,12 @@ object Hdf5 {
       if (curRows == 0) { rootStoredSize = r.u64(); r.skip(4) }
       filters = parsePipeline(r, "fractal heap")
     }
+    // trailing header checksum: fixed fields + the optional filtered-root
+    // size/mask + the declared filter-info length (authoritative over
+    // however many bytes parsePipeline consumed)
+    r.seek(hdrFixedEnd +
+      (if (filterLen > 0) (if (curRows == 0) 12 else 0) + filterLen else 0))
+    checkMeta(r, fheapAddr, "fractal heap header")
     // heap ID field widths, as the library computes them (H5HF hdr):
     // offset = bytes for the heap-space address width; length = bytes for
     // an offset inside the largest direct block, capped by the bytes the
@@ -305,6 +327,7 @@ object Hdf5 {
         }
         row += 1
       }
+      checkMeta(r, addr, "fractal heap indirect block")
       children.foreach { case (a, hb, nr) => walkIndirect(a, hb, nr) }
     }
     if (curRows == 0) blocks += ((0L, startSize, rootAddr, rootStoredSize))
@@ -319,8 +342,23 @@ object Hdf5 {
         .getOrElse(throw new IllegalArgumentException(s"heap offset $off outside allocated blocks"))
       val img = images.getOrElseUpdate(bo, {
         r.seek(addr)
-        if (filterLen == 0) r.bytes(sz.toInt)
-        else defilter(r.bytes(stored.toInt), filters, sz.toInt, 1)
+        val raw = if (filterLen == 0) r.bytes(sz.toInt)
+                  else defilter(r.bytes(stored.toInt), filters, sz.toInt, 1)
+        // heap flag bit 1: direct blocks embed a checksum after the block
+        // offset, computed over the WHOLE (de-filtered) image with the
+        // field zeroed — filters run over the image checksum included
+        if ((heapFlags & 0x02) != 0) {
+          val chkOff = 4 + 1 + 8 + offSize
+          val storedCk = (raw(chkOff) & 0xFF) | ((raw(chkOff + 1) & 0xFF) << 8) |
+            ((raw(chkOff + 2) & 0xFF) << 16) | ((raw(chkOff + 3) & 0xFF) << 24)
+          val save = java.util.Arrays.copyOfRange(raw, chkOff, chkOff + 4)
+          raw(chkOff) = 0; raw(chkOff + 1) = 0; raw(chkOff + 2) = 0; raw(chkOff + 3) = 0
+          val computed = lookup3(raw, 0, raw.length, 0)
+          System.arraycopy(save, 0, raw, chkOff, 4)
+          if (storedCk != computed) throw new java.io.IOException(
+            f"fractal heap direct block checksum mismatch: stored 0x$storedCk%08x, computed 0x$computed%08x")
+        }
+        raw
       })
       new Buf(img, (off - bo).toInt)
     }
@@ -430,8 +468,7 @@ object Hdf5 {
 
   /** v2 ("latest") object header: "OHDR" + flags-driven optional fields,
     * 1-byte message types, optional per-message creation order, "OCHK"
-    * continuation blocks (each trailed by a 4-byte checksum, not
-    * verified). */
+    * continuation blocks (chunk and continuation checksums verified). */
   private def foreachMessageV2(r: Reader, ohAddr: Long)(f: (Int, Int, Long) => Unit): Unit = {
     r.seek(ohAddr)
     require(new String(r.bytes(4), "ASCII") == "OHDR", "bad v2 object header signature")
@@ -448,7 +485,12 @@ object Hdf5 {
     }
     val trackOrder = (flags & 0x04) != 0
     val msgPrefix = if (trackOrder) 6 else 4 // type+size+flags(+order)
-    var blocks = List((r.pos, chunk0Size))
+    // chunk 0's trailing checksum covers everything from the OHDR
+    // signature through the last message/gap byte
+    val msgStart = r.pos
+    r.seek(msgStart + chunk0Size)
+    checkMeta(r, ohAddr, "object header")
+    var blocks = List((msgStart, chunk0Size))
     while (blocks.nonEmpty) {
       val (start, size) = blocks.head
       blocks = blocks.tail
@@ -464,6 +506,8 @@ object Hdf5 {
           r.seek(bodyPos); val addr = r.u64(); val len = r.u64()
           r.seek(addr)
           require(new String(r.bytes(4), "ASCII") == "OCHK", "bad continuation signature")
+          r.seek(addr + len - 4)
+          checkMeta(r, addr, "object header continuation")
           blocks = blocks :+ ((addr + 4, len - 8)) // strip signature + checksum
         } else f(t, sz, bodyPos)
         p = bodyPos + sz
@@ -664,8 +708,7 @@ object Hdf5 {
     * "latest"-format index for datasets with fixed maximum dims. Elements
     * are per-chunk addresses in row-major grid order; filtered elements
     * (client id 1) add the stored size + filter mask. Single-page data
-    * blocks only (pages appear above 2^pageBits entries). Checksums are
-    * not verified. */
+    * blocks only (pages appear above 2^pageBits entries). */
   private def fixedArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
     r.seek(ds.chunkBtree)
     require(new String(r.bytes(4), "ASCII") == "FAHD", "bad fixed-array header")
@@ -676,6 +719,7 @@ object Hdf5 {
     val pageBits = r.u8()
     val maxEntries = r.u64()
     val dataBlock = r.u64()
+    checkMeta(r, ds.chunkBtree, "fixed-array header")
     require(maxEntries <= (1L << pageBits),
       s"paged fixed-array data blocks not supported ($maxEntries entries)")
     r.seek(dataBlock)
@@ -685,7 +729,7 @@ object Hdf5 {
     val grid = chunkGrid(ds)
     require(grid.size == maxEntries, s"fixed-array entries $maxEntries != grid ${grid.size}")
     val chunkBytes = ds.chunkDims.product
-    grid.map { offs =>
+    val out = grid.toIndexedSeq.map { offs =>
       val addr = r.u64()
       if (clientId == 1) {
         val szWidth = entrySize - 8 - 4 // entry = address + stored size + mask
@@ -700,6 +744,8 @@ object Hdf5 {
         Chunk(addr, stored, offs)
       } else Chunk(addr, chunkBytes, offs)
     }
+    checkMeta(r, dataBlock, "fixed-array data block")
+    out
   }
 
   private def log2Floor(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
@@ -743,7 +789,7 @@ object Hdf5 {
     * mask per element. Data blocks beyond `2^pageBits` elements are
     * PAGED — header-only block followed by full element pages with
     * per-page checksums, with page-init bitmaps in the owning
-    * secondary block; checksums are not verified. */
+    * secondary block. Every block's (and page's) checksum is verified. */
   private def extensibleArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
     r.seek(ds.chunkBtree)
     require(new String(r.bytes(4), "ASCII") == "EAHD", "bad extensible-array header")
@@ -758,6 +804,7 @@ object Hdf5 {
     val pageBits = r.u8()      // max data-block page elements (log2)
     r.skip(6 * 8)              // stats: nsblks, sblk size, ndblks, dblk size, max idx, nelmts
     val iblockAddr = r.u64()
+    checkMeta(r, ds.chunkBtree, "extensible-array header")
     val arrOffSize = (maxNelmtsBits + 7) / 8
     // derived geometry (spec appendix / public H5EA layout)
     val nsblksHdr = 1 + (maxNelmtsBits - log2Floor(minElmts)) / 2
@@ -795,6 +842,7 @@ object Hdf5 {
     r.seek(iblockAddr + 4 + 1 + 1 + 8 + idxBlkElmts.toLong * elemSize)
     val dblkAddrs = (0 until ndblkAddrsIblk).map(_ => r.u64())
     val sblkAddrs = (0 until nsblkAddrs).map(_ => r.u64())
+    checkMeta(r, iblockAddr, "extensible-array index block")
 
     // walk data blocks on demand, caching each once
     val dblkCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Chunk]]
@@ -806,21 +854,27 @@ object Hdf5 {
         require(new String(r.bytes(4), "ASCII") == "EADB", "bad extensible-array data block")
         require(r.u8() == 0, "data block version")
         r.skip(1 + 8 + arrOffSize) // client id, header address, block offset
-        if (nelmts <= pageNelmts)
-          (0L until nelmts).map(_ => readElement()).toIndexedSeq
-        else {
+        if (nelmts <= pageNelmts) {
+          val elems = (0L until nelmts).map(_ => readElement()).toIndexedSeq
+          checkMeta(r, addr, "extensible-array data block")
+          elems
+        } else {
           // PAGED data block (the ≳10^5-chunk shape): the block proper is
           // just the header + checksum, and the elements live in pages of
-          // `pageNelmts` elements + a 4-byte checksum each, laid out
-          // directly after the block. Both counts are powers of two, so
-          // every page is full-size.
+          // `pageNelmts` elements + a 4-byte checksum each (over that
+          // page's elements only), laid out directly after the block.
+          // Both counts are powers of two, so every page is full-size.
+          checkMeta(r, addr, "extensible-array paged data-block header")
           val hdrSize = 4 + 1 + 1 + 8 + arrOffSize + 4
           val pageSize = pageNelmts * elemSize + 4
           val npages = ((nelmts + pageNelmts - 1) / pageNelmts).toInt
           (0 until npages).iterator.flatMap { j =>
-            r.seek(addr + hdrSize + j.toLong * pageSize)
+            val pageStart = addr + hdrSize + j.toLong * pageSize
+            r.seek(pageStart)
             val inPage = math.min(pageNelmts, nelmts - j.toLong * pageNelmts)
-            (0L until inPage).map(_ => readElement())
+            val elems = (0L until inPage).map(_ => readElement()).toIndexedSeq
+            checkMeta(r, pageStart, "extensible-array data-block page")
+            elems
           }.toIndexedSeq
         }
       })
@@ -837,7 +891,9 @@ object Hdf5 {
           val npages = ((dnel + pageNelmts - 1) / pageNelmts).toInt
           r.skip(ndblks(s) * ((npages + 7) / 8))
         }
-        (0 until ndblks(s)).map(_ => r.u64()).toIndexedSeq
+        val addrs = (0 until ndblks(s)).map(_ => r.u64()).toIndexedSeq
+        checkMeta(r, addr, "extensible-array secondary block")
+        addrs
       })
 
     (0 until nChunks).flatMap { idx =>
@@ -869,8 +925,7 @@ object Hdf5 {
     * MORE than one unlimited dimension. Records carry the chunk address
     * plus SCALED offsets (grid coordinates, multiplied back to element
     * offsets here); type 11 adds stored size + filter mask for filtered
-    * chunks. Any tree depth (see [[v2BtreeAll]]); checksums are not
-    * verified. */
+    * chunks. Any tree depth (see [[v2BtreeAll]]). */
   private def v2BtreeChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
     val rank = ds.chunkDims.length - 1 // chunkDims carries trailing elem size
     val cdims = ds.chunkDims.dropRight(1)
@@ -911,7 +966,7 @@ object Hdf5 {
     * (cap(d)+1)*cumCapacity(d-1) + cap(d)` and `cap(d)` shrinks as the
     * pointers widen: `cap(d) = (nodeSize - 10 - ptr(d)) / (recSize +
     * ptr(d))`, `ptr(d) = 8 + encBytes(leafCap) + (d>1 ?
-    * encBytes(cumCapacity(d-1)) : 0)`. Checksums unverified. */
+    * encBytes(cumCapacity(d-1)) : 0)`. Node checksums are verified. */
   private def v2BtreeAll[A](r: Reader, hdrAddr: Long, typeOk: Int => Boolean)
                            (mk: (Int, Int) => () => A): Seq[A] = {
     r.seek(hdrAddr)
@@ -926,6 +981,7 @@ object Hdf5 {
     val rootAddr = r.u64()
     val rootNrec = r.u16()
     r.skip(8) // total records in tree
+    checkMeta(r, hdrAddr, "v2 B-tree header")
 
     def encBytes(x: Long): Int = math.max(1, (log2Floor(math.max(x, 1)) + 8) / 8)
     val leafCapacity = (nodeSize - 10) / recSize // sig+ver+type+checksum = 10
@@ -950,7 +1006,9 @@ object Hdf5 {
       require(new String(r.bytes(4), "ASCII") == "BTLF", "bad v2 B-tree leaf")
       require(r.u8() == 0, "leaf version")
       require(r.u8() == btType, "leaf type mismatch")
-      (0 until nrec).map(_ => readRecord())
+      val recs = (0 until nrec).map(_ => readRecord())
+      checkMeta(r, addr, "v2 B-tree leaf")
+      recs
     }
     def readNode(addr: Long, nrec: Int, d: Int): Seq[A] =
       if (d == 0) readLeaf(addr, nrec)
@@ -967,6 +1025,7 @@ object Hdf5 {
           if (d > 1) readVar(cumNrecSize(d - 1)) // total below; not needed
           (a, n)
         }
+        checkMeta(r, addr, "v2 B-tree internal node")
         children.zipWithIndex.flatMap { case ((a, n), i) =>
           readNode(a, n, d - 1) ++ (if (i < records.size) Seq(records(i)) else Nil)
         }
@@ -1042,17 +1101,37 @@ object Hdf5 {
           acc.toInt
         } else r.u32().toInt
       if (version == 1) r.skip(1 + 3 + 4 + 4 + 16) // array-member fields
-      val cv = r.u8(); val cls = cv & 0x0F
-      val b0 = r.u8(); r.skip(2)
-      val sz = r.u32().toInt
-      cls match {
-        case 0 => r.skip(4)  // bit offset + precision
-        case 1 => r.skip(12) // bit offset/precision, exp/mant layout, bias
-        case 3 =>            // string: no properties
-        case other => throw new IllegalArgumentException(
-          s"unsupported compound member class $other (atomic members only)")
-      }
-      Member(name, off, cls, sz, (b0 & 1) == 0)
+      parseMemberType(r, name, off)
+    }
+  }
+
+  /** One member's datatype message at the cursor — atomic (fixed-point /
+    * float / fixed string), NESTED compound (class 6: the member table
+    * recurses with the nested type's own version), or ARRAY (class 10:
+    * v2 carries reserved bytes and permutation indices the library always
+    * writes as identity; v3 is just ndims + dims; the base datatype
+    * message follows and may itself be compound or array). */
+  private def parseMemberType(r: Reader, name: String, off: Int): Member = {
+    val cv = r.u8(); val cls = cv & 0x0F; val ver = cv >> 4
+    val b0 = r.u8(); val b1 = r.u8(); r.skip(1)
+    val sz = r.u32().toInt
+    cls match {
+      case 0 => r.skip(4); Member(name, off, 0, sz, (b0 & 1) == 0)  // bit offset + precision
+      case 1 => r.skip(12); Member(name, off, 1, sz, (b0 & 1) == 0) // bit/exp/mant layout, bias
+      case 3 => Member(name, off, 3, sz, little = true)             // string: no properties
+      case 6 =>
+        val kids = parseCompoundMembers(r, ver, b0 | (b1 << 8), sz)
+        Member(name, off, 6, sz, little = true, children = kids)
+      case 10 =>
+        val ndims = r.u8()
+        if (ver == 2) r.skip(3) // reserved
+        val dims = (0 until ndims).map(_ => r.u32().toInt)
+        if (ver == 2) r.skip(4 * ndims) // permutation indices (identity)
+        val base = parseMemberType(r, "", 0)
+        Member(name, off, 10, sz, little = true, children = Seq(base),
+          arrayDims = dims)
+      case other => throw new IllegalArgumentException(
+        s"unsupported compound member class $other")
     }
   }
 
@@ -1303,30 +1382,118 @@ object Hdf5 {
     val rank = ds.dims.length
     val rows = cellBytes(spark, path, ds).map { case (idx, b) =>
       val bb = java.nio.ByteBuffer.wrap(b)
-      val vals = members.map { m =>
-        bb.order(if (m.little) java.nio.ByteOrder.LITTLE_ENDIAN
-          else java.nio.ByteOrder.BIG_ENDIAN)
-        (m.cls, m.size) match {
-          case (1, 8) => bb.getDouble(m.offset)
-          case (1, 4) => bb.getFloat(m.offset).toDouble
-          case (0, 8) => bb.getLong(m.offset)
-          case (0, 4) => bb.getInt(m.offset).toLong
-          case (0, 2) => bb.getShort(m.offset).toLong
-          case (0, 1) => bb.get(m.offset).toLong
-          case (3, n) => fixedStr(java.util.Arrays.copyOfRange(b, m.offset, m.offset + n))
-          case other  => throw new IllegalArgumentException(s"member type $other")
-        }
-      }
-      Row.fromSeq(idx.map(_.toInt).toSeq ++ vals)
+      Row.fromSeq(idx.map(_.toInt).toSeq ++
+        members.map(m => decodeMember(b, bb, m, m.offset)))
     }
     val schema = StructType(
       (0 until rank).map(i => StructField(s"i$i", IntegerType, nullable = false)) ++
-      members.map(m => StructField(m.name, m.cls match {
-        case 0 => LongType
-        case 1 => DoubleType
-        case _ => StringType
-      }, nullable = false)))
+      members.map(m => StructField(m.name, memberDataType(m), nullable = false)))
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Recursive member decode (executor-side, object-level so RDD closures
+    * capture nothing beyond the member tree): nested-compound offsets are
+    * relative to their struct's start (`at` accumulates them); arrays
+    * flatten their base type row-major at stride base.size. */
+  private def decodeMember(b: Array[Byte], bb: java.nio.ByteBuffer,
+                           m: Member, at: Int): Any = {
+    import org.apache.spark.sql.Row
+    bb.order(if (m.little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    (m.cls, m.size) match {
+      case (1, 8) => bb.getDouble(at)
+      case (1, 4) => bb.getFloat(at).toDouble
+      case (0, 8) => bb.getLong(at)
+      case (0, 4) => bb.getInt(at).toLong
+      case (0, 2) => bb.getShort(at).toLong
+      case (0, 1) => bb.get(at).toLong
+      case (3, n) => fixedStr(java.util.Arrays.copyOfRange(b, at, at + n))
+      case (6, _) =>
+        Row.fromSeq(m.children.map(k => decodeMember(b, bb, k, at + k.offset)))
+      case (10, _) =>
+        val base = m.children.head
+        val n = m.arrayDims.product
+        (0 until n).map(i => decodeMember(b, bb, base, at + i * base.size))
+      case other => throw new IllegalArgumentException(s"member type $other")
+    }
+  }
+
+  private def memberDataType(m: Member): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    m.cls match {
+      case 0 => LongType
+      case 1 => DoubleType
+      case 3 => StringType
+      case 6 => StructType(m.children.map(k =>
+        StructField(k.name, memberDataType(k), nullable = false)))
+      case 10 => ArrayType(memberDataType(m.children.head), containsNull = false)
+      case other => throw new IllegalArgumentException(s"member class $other")
+    }
+  }
+
+  /** Jenkins lookup3 "hashlittle" (Bob Jenkins 2006, public domain) — the
+    * metadata checksum of every "latest"-format HDF5 structure
+    * (H5_checksum_metadata: hashlittle over the structure's bytes with
+    * initval 0, stored little-endian). 12-byte blocks consumed as three
+    * little-endian 32-bit words through the mix rounds; the 1–12-byte
+    * tail accumulates byte-by-byte and runs the final rounds, except an
+    * empty tail, which returns `c` unmixed — exactly the published
+    * reference behavior (pinned by its self-test vectors in Hdf5Spec). */
+  private[graft] def lookup3(buf: Array[Byte], off: Int, len: Int, init: Int): Int = {
+    @inline def rot(x: Int, k: Int) = Integer.rotateLeft(x, k)
+    @inline def u(i: Int) = buf(i) & 0xFF
+    var a = 0xdeadbeef + len + init
+    var b = a; var c = a
+    var p = off; var rem = len
+    while (rem > 12) {
+      a += u(p) | (u(p + 1) << 8) | (u(p + 2) << 16) | (u(p + 3) << 24)
+      b += u(p + 4) | (u(p + 5) << 8) | (u(p + 6) << 16) | (u(p + 7) << 24)
+      c += u(p + 8) | (u(p + 9) << 8) | (u(p + 10) << 16) | (u(p + 11) << 24)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; rem -= 12
+    }
+    if (rem == 0) return c
+    if (rem >= 12) c += u(p + 11) << 24
+    if (rem >= 11) c += u(p + 10) << 16
+    if (rem >= 10) c += u(p + 9) << 8
+    if (rem >= 9) c += u(p + 8)
+    if (rem >= 8) b += u(p + 7) << 24
+    if (rem >= 7) b += u(p + 6) << 16
+    if (rem >= 6) b += u(p + 5) << 8
+    if (rem >= 5) b += u(p + 4)
+    if (rem >= 4) a += u(p + 3) << 24
+    if (rem >= 3) a += u(p + 2) << 16
+    if (rem >= 2) a += u(p + 1) << 8
+    a += u(p)
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** Verify the trailing 4-byte lookup3 checksum of a "latest"-format
+    * metadata structure. Call with the cursor AT the checksum field;
+    * `start` is the structure's first byte (its signature). Corruption is
+    * loud, never a misread; leaves the cursor just past the field. */
+  private def checkMeta(r: Reader, start: Long, what: String): Unit = {
+    val end = r.pos
+    val stored = r.u32().toInt
+    val after = r.pos
+    r.seek(start)
+    val img = r.bytes((end - start).toInt)
+    val computed = lookup3(img, 0, img.length, 0)
+    if (stored != computed) throw new java.io.IOException(
+      f"$what metadata checksum mismatch: stored 0x$stored%08x, computed 0x$computed%08x")
+    r.seek(after)
   }
 
   /** Fletcher-32 checksum as HDF5 computes it (H5_checksum_fletcher32 in

@@ -20,6 +20,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - `samples` VLEN double[6]: cell t holds t elements t + 0.25k
   *    (t=0 is EMPTY — a null descriptor, no heap object), resolved
   *    through one global-heap collection
+  *  - `track`  compound[6] with a NESTED compound member and an ARRAY
+  *    member: {id int32 @0 = 3t+2, pos {x @0 = 1.5t, y @8 = 10−t} @8,
+  *    v double[3] @24 = t + k/8} — 48 B/element
   *
   * Spec-conformance against hand-written byte fixtures (filters, B-tree
   * indexes, VLEN heaps, dense groups) lives in Hdf5Spec; this file's job
@@ -32,10 +35,18 @@ object Hdf5Planted {
     def msg2(t: Int, body: Array[Byte]): Array[Byte] =
       buf(4 + body.length).put(t.toByte).putShort(body.length.toShort)
         .put(0.toByte).put(body).array()
+    def ck(img: Array[Byte]): Array[Byte] = { // trailing lookup3 checksum
+      val c = Hdf5.lookup3(img, 0, img.length - 4, 0)
+      img(img.length - 4) = (c & 0xFF).toByte
+      img(img.length - 3) = ((c >> 8) & 0xFF).toByte
+      img(img.length - 2) = ((c >> 16) & 0xFF).toByte
+      img(img.length - 1) = ((c >> 24) & 0xFF).toByte
+      img
+    }
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dspace2(dims: Long*): Array[Byte] = {
       val b = buf(4 + 8 * dims.length)
@@ -51,18 +62,33 @@ object Hdf5Planted {
     def dtypeFixedStr(size: Int): Array[Byte] =
       buf(8).put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
         .putInt(size).array()
-    def dtypeCompound: Array[Byte] = {
-      def member(name: String, off: Int, dt: Array[Byte]): Array[Byte] = {
-        val nm = name.getBytes("ASCII") :+ 0.toByte
-        val padded = nm ++ Array.fill[Byte]((8 - nm.length % 8) % 8)(0)
-        cat(padded, buf(4).putInt(off).array(), new Array[Byte](28), dt)
-      }
-      val int32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
-        .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
+    def member(name: String, off: Int, dt: Array[Byte]): Array[Byte] = {
+      val nm = name.getBytes("ASCII") :+ 0.toByte
+      val padded = nm ++ Array.fill[Byte]((8 - nm.length % 8) % 8)(0)
+      cat(padded, buf(4).putInt(off).array(), new Array[Byte](28), dt)
+    }
+    val int32 = buf(12).put(0x10.toByte).put(0x08.toByte).put(0.toByte)
+      .put(0.toByte).putInt(4).putShort(0).putShort(32).array()
+    def dtypeCompound: Array[Byte] =
       cat(buf(8).put(0x16.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
         .putInt(16).array(),
         member("id", 0, int32), member("w", 8, dtypeDouble))
-    }
+    // nested/array member shapes (v1 compound encoding, array v3):
+    // track = {id int32 @0, pos {x double @0, y double @8} @8,
+    //          v double[3] @24} — 48 bytes per element
+    def dtypeArray3: Array[Byte] =
+      cat(buf(8).put(0x3A.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .putInt(24).array(),
+        buf(5).put(1.toByte).putInt(3).array(), dtypeDouble)
+    def dtypePos: Array[Byte] =
+      cat(buf(8).put(0x16.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(),
+        member("x", 0, dtypeDouble), member("y", 8, dtypeDouble))
+    def dtypeTrack: Array[Byte] =
+      cat(buf(8).put(0x16.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
+        .putInt(48).array(),
+        member("id", 0, int32), member("pos", 8, dtypePos),
+        member("v", 24, dtypeArray3))
     def attr3(name: String, value: Double): Array[Byte] = {
       val nm = name.getBytes("ASCII") :+ 0.toByte
       val dt = dtypeDouble; val ds = dspace2()
@@ -108,6 +134,15 @@ object Hdf5Planted {
       for (t <- 0 until 6) { b.putInt(2 * t + 1).putInt(0); b.putDouble(t * 0.25 - 0.5) }
       b.array()
     }
+    val trackData = { // closed forms: id 3t+2, pos (1.5t, 10-t), v[k] t+k/8
+      val b = buf(6 * 48)
+      for (t <- 0 until 6) {
+        b.putInt(3 * t + 2).putInt(0) // id + 4B alignment pad
+        b.putDouble(t * 1.5).putDouble(10.0 - t)
+        (0 until 3).foreach(k => b.putDouble(t + 0.125 * k))
+      }
+      b.array()
+    }
     def dtypeVlenSeq(base: Array[Byte]): Array[Byte] = // class 9 v1, type=sequence
       cat(buf(8).put(0x19.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
         .putInt(16).array(), base)
@@ -129,9 +164,9 @@ object Hdf5Planted {
       }: _*)
 
     def build(tempAddr: Long, labelAddr: Long, stnAddr: Long,
-              gcolAddr: Long, sampAddr: Long,
+              gcolAddr: Long, sampAddr: Long, trackAddr: Long,
               tempOH: Long, labelOH: Long, stnOH: Long, sampOH: Long,
-              rootOH: Long): Seq[Array[Byte]] = {
+              trackOH: Long, rootOH: Long): Seq[Array[Byte]] = {
       val tempBytes = ohdr2(msg2(0x01, dspace2(6L, 5L)), msg2(0x03, dtypeDouble),
         layoutV4Implicit(Seq(4, 5), tempAddr),
         attr3("_FillValue", -999.0), attr3("scale_factor", 0.5),
@@ -142,23 +177,25 @@ object Hdf5Planted {
         msg2(0x03, dtypeCompound), layoutV4Contig(stnAddr, 96L))
       val sampBytes = ohdr2(msg2(0x01, dspace2(6L)),
         msg2(0x03, dtypeVlenSeq(dtypeDouble)), layoutV4Contig(sampAddr, 96L))
+      val trackBytes = ohdr2(msg2(0x01, dspace2(6L)),
+        msg2(0x03, dtypeTrack), layoutV4Contig(trackAddr, 288L))
       val rootBytes = ohdr2(link("label", labelOH), link("samples", sampOH),
-        link("station", stnOH), link("temp", tempOH))
+        link("station", stnOH), link("temp", tempOH), link("track", trackOH))
       val sb = buf(48)
       Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
         .foreach(v => sb.put(v.toByte))
       sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
-      Seq(sb.array(), tempData, labelData, stationData, gcolData,
-        samplesData(gcolAddr), tempBytes, labelBytes, stnBytes, sampBytes,
-        rootBytes)
+      Seq(ck(sb.array()), tempData, labelData, stationData, gcolData,
+        samplesData(gcolAddr), trackData, tempBytes, labelBytes, stnBytes,
+        sampBytes, trackBytes, rootBytes)
     }
-    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
     val starts = sizes.scanLeft(0L)(_ + _)
     val parts = build(starts(1), starts(2), starts(3),
       starts(4), starts(5), starts(6), starts(7), starts(8), starts(9),
-      starts(10))
+      starts(10), starts(11), starts(12))
     val f = new FileOutputStream(path)
     try parts.foreach(f.write) finally f.close()
   }

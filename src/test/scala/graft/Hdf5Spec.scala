@@ -58,6 +58,20 @@ class Hdf5Spec extends AnyFunSuite {
       ((c >> 16) & 0xFF).toByte, ((c >> 24) & 0xFF).toByte)
   }
 
+  /** Patch a structure's trailing 4-byte lookup3 metadata checksum
+    * (computed over every byte before the field, initval 0, little-
+    * endian) — the reader verifies it on every "latest" structure. */
+  private def ck(img: Array[Byte]): Array[Byte] = ckAt(img, img.length - 4, img.length - 4)
+  /** Mid-image checksum at `off`, computed over `img[0, covered)`. */
+  private def ckAt(img: Array[Byte], off: Int, covered: Int): Array[Byte] = {
+    val c = Hdf5.lookup3(img, 0, covered, 0)
+    img(off) = (c & 0xFF).toByte
+    img(off + 1) = ((c >> 8) & 0xFF).toByte
+    img(off + 2) = ((c >> 16) & 0xFF).toByte
+    img(off + 3) = ((c >> 24) & 0xFF).toByte
+    img
+  }
+
   private def shuffleDeflate(values: Array[Double]): Array[Byte] =
     deflateBytes(shuffleBytes(doubleBytes(values), 8))
 
@@ -352,8 +366,8 @@ class Hdf5Spec extends AnyFunSuite {
     * with a fixed-array chunk index for the deflated 2-D dataset, an
     * IMPLICIT chunk index for an unfiltered 1-D dataset, v3 packed
     * attributes, v2 filter pipeline. Written byte-by-byte from the public
-    * format spec (checksum fields zeroed — the reader documents it does
-    * not verify them). */
+    * format spec, with every metadata checksum computed for real (the
+    * reader verifies them all). */
   private def writeLatest(path: String): Unit = {
     def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
     def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
@@ -363,9 +377,9 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      // flags 0x01: 2-byte size-of-chunk-0; trailing checksum unverified
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      // flags 0x01: 2-byte size-of-chunk-0
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -431,11 +445,11 @@ class Hdf5Spec extends AnyFunSuite {
         packed.zip(cAddrs).foreach { case (p, a) =>
           b.putLong(a).putInt(p.length).putInt(0) // addr, stored size, mask
         }
-        b.putInt(0).array() // checksum
+        ck(b.putInt(0).array()) // checksum
       }
-      val fahdBytes = buf(28).put("FAHD".getBytes("ASCII")).put(0.toByte)
+      val fahdBytes = ck(buf(28).put("FAHD".getBytes("ASCII")).put(0.toByte)
         .put(1.toByte).put(16.toByte).put(10.toByte) // filtered client, 16B entries
-        .putLong(packed.length).putLong(fadb).putInt(0).array()
+        .putLong(packed.length).putLong(fadb).putInt(0).array())
       val xBytes = { val b = buf(24); Seq(10.0, 20.0, 30.0).foreach(b.putDouble); b.array() }
       val yBytes = { // 3 implicit chunks of 2 doubles; last padded
         val b = buf(48); Seq(1.0, 2.0, 3.0, 4.0, 5.0, 0.0).foreach(b.putDouble); b.array()
@@ -458,7 +472,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.putLong(0L).putLong(-1L) // base, superblock extension
       val eof = rootOH + rootBytes.length
       sb.putLong(eof).putLong(rootOH).putInt(0) // EOF, root OH, checksum
-      Seq(sb.array(), cat(packed: _*), fadbBytes, fahdBytes, xBytes, yBytes,
+      Seq(ck(sb.array()), cat(packed: _*), fadbBytes, fahdBytes, xBytes, yBytes,
         tempBytes, xBytesOH, yBytesOH, rootBytes)
     }
 
@@ -493,8 +507,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -575,7 +589,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.put("EADB".getBytes("ASCII")).put(0.toByte).put(1.toByte).putLong(selfHdr)
         b.putShort(0) // block offset (2-byte arr-off)
         elems.foreach { case (a, s) => eaElem(b, a, s) }
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val eadbABytes = eadb(eahd, Seq((tsAddrs(2), tsChunks(2).length),
         (tsAddrs(3), tsChunks(3).length)))
@@ -593,7 +607,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.putLong(eadbA).putLong(eadbB)
         (0 until 4).foreach(_ => b.putLong(-1L)) // unused data-block slots
         (0 until 4).foreach(_ => b.putLong(-1L)) // unused secondary slots
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val eahdBytes = {
         val b = buf(4 + 2 + 6 + 6 * 8 + 8 + 4)
@@ -601,7 +615,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.put(elemSize.toByte).put(16.toByte).put(2.toByte) // elem size, max bits, idx elmts
         b.put(2.toByte).put(4.toByte).put(10.toByte) // min elmts, min ptrs, page bits
         (0 until 6).foreach(_ => b.putLong(0L)) // stats
-        b.putLong(eaib).putInt(0).array()
+        ck(b.putLong(eaib).putInt(0).array())
       }
       // grid: depth-0 v2 B-tree, record type 10 (addr + 2 scaled offsets)
       val gLeafBytes = {
@@ -610,14 +624,14 @@ class Hdf5Spec extends AnyFunSuite {
         Seq((0, 0), (0, 1), (1, 0), (1, 1)).zip(gAddrs).foreach { case ((sr, sc), a) =>
           b.putLong(a).putLong(sr.toLong).putLong(sc.toLong)
         }
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val gHdBytes = {
         val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
         b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
         b.putInt(512).putShort(24).putShort(0).put(100.toByte).put(40.toByte)
         b.putLong(gLeaf).putShort(4).putLong(4L).putInt(0)
-        b.array()
+        ck(b.array())
       }
       // deep: depth-1 tree — leaf A (5 records), root record, leaf B (6)
       def dLeaf(recs: Seq[((Int, Int), Long)]): Array[Byte] = {
@@ -626,7 +640,7 @@ class Hdf5Spec extends AnyFunSuite {
         recs.foreach { case ((sr, sc), a) =>
           b.putLong(a).putLong(sr.toLong).putLong(sc.toLong)
         }
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val deepRecs = deepCoords.map { case (r, c) => (r, c / 2) }.zip(dAddrs)
       val dLeafABytes = dLeaf(deepRecs.slice(0, 5))
@@ -639,14 +653,14 @@ class Hdf5Spec extends AnyFunSuite {
         b.putLong(dRootRec._2).putLong(dRootRec._1._1.toLong).putLong(dRootRec._1._2.toLong)
         b.putLong(dLeafA).put(5.toByte)
         b.putLong(dLeafB).put(6.toByte)
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val dHdBytes = {
         val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
         b.put("BTHD".getBytes("ASCII")).put(0.toByte).put(10.toByte)
         b.putInt(512).putShort(24).putShort(1).put(100.toByte).put(40.toByte)
         b.putLong(dIn).putShort(1).putLong(12L).putInt(0)
-        b.array()
+        ck(b.array())
       }
       val tsOHBytes = ohdr2(
         msg2(0x01, dspaceUnlimited(Seq(11L))), msg2(0x03, dtypeDouble),
@@ -665,7 +679,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.putLong(0L).putLong(-1L)
       val eof = rootOH + rootBytes.length
       sb.putLong(eof).putLong(rootOH).putInt(0)
-      Seq(sb.array(), cat(tsChunks: _*), eadbABytes, eadbBBytes, eaibBytes,
+      Seq(ck(sb.array()), cat(tsChunks: _*), eadbABytes, eadbBBytes, eaibBytes,
         eahdBytes, cat(gridChunks: _*), gLeafBytes, gHdBytes,
         cat(deepChunks: _*), dLeafABytes, dLeafBBytes, dInBytes, dHdBytes,
         tsOHBytes, gOHBytes, dOHBytes, rootBytes)
@@ -707,8 +721,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -755,19 +769,30 @@ class Hdf5Spec extends AnyFunSuite {
           b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
           b.putShort(0) // block offset
           (0 until n).foreach(i => b.putLong(addrAt(i)))
-          b.putInt(0).array()
+          ck(b.putInt(0).array())
         } else {
           // PAGED: header-only block (checksum right after block offset),
           // then full pages of pageN addresses + 4-byte page checksum
           val npages = n / pageN
-          val b = buf(4 + 2 + 8 + arrOff + 4 + npages * (pageN * 8 + 4))
+          val hdrSize = 4 + 2 + 8 + arrOff + 4
+          val b = buf(hdrSize + npages * (pageN * 8 + 4))
           b.put("EADB".getBytes("ASCII")).put(0.toByte).put(0.toByte).putLong(eahd)
           b.putShort(0).putInt(0) // block offset, header checksum
           for (j <- 0 until npages) {
             (0 until pageN).foreach(i => b.putLong(addrAt(j * pageN + i)))
             b.putInt(0) // page checksum
           }
-          b.array()
+          val img = b.array()
+          ckAt(img, hdrSize - 4, hdrSize - 4) // header checksum
+          for (j <- 0 until npages) { // page checksum: that page's elements
+            val ps = hdrSize + j * (pageN * 8 + 4)
+            val c = Hdf5.lookup3(img, ps, pageN * 8, 0)
+            img(ps + pageN * 8) = (c & 0xFF).toByte
+            img(ps + pageN * 8 + 1) = ((c >> 8) & 0xFF).toByte
+            img(ps + pageN * 8 + 2) = ((c >> 16) & 0xFF).toByte
+            img(ps + pageN * 8 + 3) = ((c >> 24) & 0xFF).toByte
+          }
+          img
         }
       }
       // secondary blocks: superblocks >= iblkNsblks, each holding its
@@ -786,7 +811,7 @@ class Hdf5Spec extends AnyFunSuite {
         (0 until nd).foreach { i =>
           b.putLong(if (i < mine.length) dblkAddrs(mine(i)._2) else -1L)
         }
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val eaibBytes = {
         val b = buf(4 + 2 + 8 + idxE * 8 + ndblkAddrsIblk * 8 + nsblkAddrs * 8 + 4)
@@ -799,7 +824,7 @@ class Hdf5Spec extends AnyFunSuite {
         (0 until nsblkAddrs).foreach { i =>
           b.putLong(if (i < secSblks.length) sblkAddrs(i) else -1L)
         }
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val eahdBytes = {
         val b = buf(4 + 2 + 6 + 6 * 8 + 8 + 4)
@@ -807,7 +832,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.put(8.toByte).put(maxBits.toByte).put(idxE.toByte)
         b.put(minE.toByte).put(minP.toByte).put(pageBits.toByte)
         (0 until 6).foreach(_ => b.putLong(0L))
-        b.putLong(eaib).putInt(0).array()
+        ck(b.putLong(eaib).putInt(0).array())
       }
       val layout = {
         val b = buf(5 + 1 + 1 + 5 + 8)
@@ -838,7 +863,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
-      Seq(sb.array()) ++ chunkData ++ dblkBytes ++ sblkBytes ++
+      Seq(ck(sb.array())) ++ chunkData ++ dblkBytes ++ sblkBytes ++
         Seq(eaibBytes, eahdBytes, dsOHBytes, rootBytes)
     }
     val nBlk = blocks.length
@@ -898,8 +923,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -937,7 +962,7 @@ class Hdf5Spec extends AnyFunSuite {
         val b = buf(6 + rs.length * recSize + 4)
         b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
         rs.foreach(rec(b, _))
-        b.putInt(0).array()
+        ck(b.putInt(0).array())
       }
       val rootBytes0 =
         if (leaves.length == 1) leafBytes.head
@@ -950,7 +975,7 @@ class Hdf5Spec extends AnyFunSuite {
           leaves.zipWithIndex.foreach { case (l, i) =>
             b.putLong(leafAddrs(i)); b.put(l.length.toByte)
           }
-          b.putInt(0).array()
+          ck(b.putInt(0).array())
         }
       val hdBytes = {
         val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
@@ -961,7 +986,7 @@ class Hdf5Spec extends AnyFunSuite {
         b.putLong(rootAddr)
           .putShort((if (leaves.length == 1) nChunks else rootRecs.length).toShort)
         b.putLong(nChunks.toLong).putInt(0)
-        b.array()
+        ck(b.array())
       }
       val layout = {
         val b = buf(5 + 2 + 1 + 6 + 8)
@@ -993,7 +1018,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootOHBytes.length).putLong(rootOH).putInt(0)
       val internal = if (leaves.length == 1) Nil else Seq(rootBytes0)
-      Seq(sb.array()) ++ chunkData ++ leafBytes ++ internal ++
+      Seq(ck(sb.array())) ++ chunkData ++ leafBytes ++ internal ++
         Seq(hdBytes, dsOHBytes, rootOHBytes)
     }
     val nL = leaves.length
@@ -1039,8 +1064,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -1108,7 +1133,7 @@ class Hdf5Spec extends AnyFunSuite {
         case (l @ Leaf(rs), _) =>
           val b = buf(nodeBytes(l, 0))
           b.put("BTLF".getBytes("ASCII")).put(0.toByte).put(10.toByte)
-          rs.foreach(rec(b, _)); b.putInt(0).array()
+          rs.foreach(rec(b, _)); ck(b.putInt(0).array())
         case (n @ Internal(rs, ch), d) =>
           val b = buf(nodeBytes(n, d))
           b.put("BTIN".getBytes("ASCII")).put(0.toByte).put(10.toByte)
@@ -1117,7 +1142,7 @@ class Hdf5Spec extends AnyFunSuite {
             b.putLong(nodeAddr(c)).put(c.recs.length.toByte)
             if (d > 1) b.put(totalRecs(c).toByte)
           }
-          b.putInt(0).array()
+          ck(b.putInt(0).array())
       }
       val hdBytes = {
         val b = buf(4 + 2 + 4 + 2 + 2 + 2 + 8 + 2 + 8 + 4)
@@ -1126,7 +1151,7 @@ class Hdf5Spec extends AnyFunSuite {
           .put(100.toByte).put(40.toByte)
         b.putLong(nodeAddr(tree)).putShort(tree.recs.length.toShort)
         b.putLong(nChunks.toLong).putInt(0)
-        b.array()
+        ck(b.array())
       }
       val layout = {
         val b = buf(5 + 2 + 1 + 6 + 8)
@@ -1157,7 +1182,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootOHBytes.length).putLong(rootOH).putInt(0)
-      Seq(sb.array()) ++ chunkData ++ nodeBufs ++ Seq(hdBytes, dsOHBytes, rootOHBytes)
+      Seq(ck(sb.array())) ++ chunkData ++ nodeBufs ++ Seq(hdBytes, dsOHBytes, rootOHBytes)
     }
     // two-pass address resolution: sizes are address-independent
     val zeroAddr = nodes.map(_._1).map(_ -> 0L).toMap
@@ -1261,7 +1286,8 @@ class Hdf5Spec extends AnyFunSuite {
     * the indirect-block entries, or the FRHP header when the root is
     * the lone direct block. Dataset i holds double[2] = [i, i+0.5]. */
   private def writeDenseTree(path: String, n: Int, maxDirect: Int,
-                             nameLen: Int, filtered: Boolean): Unit = {
+                             nameLen: Int, filtered: Boolean,
+                             checksummed: Boolean = true): Unit = {
     def buf(m: Int) = ByteBuffer.allocate(m).order(ByteOrder.LITTLE_ENDIAN)
     def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
     def msg2(t: Int, body: Array[Byte]): Array[Byte] =
@@ -1269,8 +1295,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dtypeDouble: Array[Byte] =
       buf(20).put(0x11.toByte).put(0.toByte).put(0x20.toByte).put(0.toByte)
@@ -1295,7 +1321,9 @@ class Hdf5Spec extends AnyFunSuite {
 
     // ---- heap geometry (library defaults, scaled-down start size)
     val width = 4; val logW = 2; val startSize = 512
-    val fhdbHdr = 17 // sig+ver+heapHdr+4B offset
+    // sig+ver+heapHdr+4B offset (+ embedded checksum when flag bit 1 set —
+    // the library default; computed over the whole image, field zeroed)
+    val fhdbHdr = 17 + (if (checksummed) 4 else 0)
     val mdr = (63 - java.lang.Long.numberOfLeadingZeros(maxDirect.toLong)) - 9 + 2
     def rowSize(row: Int): Int = if (row < 2) startSize else startSize << (row - 1)
 
@@ -1394,7 +1422,9 @@ class Hdf5Spec extends AnyFunSuite {
       placed.zipWithIndex.foreach { case ((pb, po), i) =>
         if (pb == b) { bb.position(po); bb.put(linkBody(names(i), ohA(i))) }
       }
-      bb.array()
+      val img = bb.array()
+      if (checksummed) ckAt(img, 17, img.length) // field is zero while hashing
+      img
     }
     val fhdbStored = if (filtered) fhdbPlain.map(deflateFull) else fhdbPlain
     val fhdbAddrs = fhdbStored.map(_.length.toLong).scanLeft(fhibAddrs.last)(_ + _)
@@ -1436,7 +1466,8 @@ class Hdf5Spec extends AnyFunSuite {
     val frhpPart = {
       val bb = buf(frhpSize)
       bb.put("FRHP".getBytes("ASCII")).put(0.toByte)
-        .putShort(7).putShort(filterMsg.length.toShort).put(0.toByte).putInt(4096) // idLen, filters, flags, maxManSize
+        .putShort(7).putShort(filterMsg.length.toShort)
+        .put((if (checksummed) 2 else 0).toByte).putInt(4096) // idLen, filters, flags, maxManSize
         .putLong(0L).putLong(-1L)   // next huge id, huge B-tree
         .putLong(0L).putLong(-1L)   // free space, free-space manager
         .putLong(blockHeapOff(nBlocks)).putLong(blockHeapOff(nBlocks)) // managed, allocated
@@ -1447,7 +1478,7 @@ class Hdf5Spec extends AnyFunSuite {
         .putLong(if (curRows == 0) fhdbAddrs(0) else fhibAddrs(0)).putShort(curRows.toShort)
       if (filtered && nBlocks == 1) { bb.putLong(fhdbStored(0).length.toLong); bb.putInt(0) }
       if (filtered) bb.put(filterMsg)
-      bb.putInt(0).array() // checksum
+      ck(bb.putInt(0).array()) // checksum
     }
     val fhibParts = fhibs.map { case (nd, base) =>
       val bb = buf(fhibSize(nd))
@@ -1467,7 +1498,7 @@ class Hdf5Spec extends AnyFunSuite {
           i += 1
         }
       }
-      bb.putInt(0).array() // checksum
+      ck(bb.putInt(0).array()) // checksum
     }
     def rec(bb: ByteBuffer, i: Int): Unit = {
       bb.putInt(i * 0x61C88647) // stand-in for the Jenkins name hash (skipped on read)
@@ -1476,7 +1507,7 @@ class Hdf5Spec extends AnyFunSuite {
     val leafParts = leafIdx.map { idxs =>
       val bb = buf(6 + 11 * idxs.length + 4)
       bb.put("BTLF".getBytes("ASCII")).put(0.toByte).put(5.toByte)
-      idxs.foreach(rec(bb, _)); bb.putInt(0).array()
+      idxs.foreach(rec(bb, _)); ck(bb.putInt(0).array())
     }
     val btinPart =
       if (depth == 0) Array.empty[Byte]
@@ -1487,7 +1518,7 @@ class Hdf5Spec extends AnyFunSuite {
         leafIdx.zipWithIndex.foreach { case (idxs, li) =>
           bb.putLong(leafAddrs(li)).put(idxs.length.toByte) // nrec width 1 (cap 45)
         }
-        bb.putInt(0).array()
+        ck(bb.putInt(0).array())
       }
     val bthdPart = {
       val bb = buf(38)
@@ -1497,7 +1528,7 @@ class Hdf5Spec extends AnyFunSuite {
         .putLong(if (depth == 0) leafAddrs(0) else btinA)
         .putShort((if (depth == 0) n else sepIdx.length).toShort)
         .putLong(n.toLong).putInt(0)
-      bb.array()
+      ck(bb.array())
     }
     val rootPart = ohdr2(
       msg2(0x02, buf(18).put(0.toByte).put(0.toByte).putLong(frhpA).putLong(bthdA).array()))
@@ -1508,7 +1539,7 @@ class Hdf5Spec extends AnyFunSuite {
     sb.putLong(0L).putLong(-1L)
     sb.putLong(rootA + rootPart.length).putLong(rootA).putInt(0)
 
-    val parts = Seq(sb.array()) ++ dataParts ++ ohParts ++ Seq(frhpPart) ++
+    val parts = Seq(ck(sb.array())) ++ dataParts ++ ohParts ++ Seq(frhpPart) ++
       fhibParts ++ fhdbStored ++ leafParts ++ Seq(btinPart, bthdPart, rootPart)
     assert(parts.map(_.length.toLong).sum == rootA + rootPart.length, "layout drift")
     val f = new FileOutputStream(path)
@@ -1532,8 +1563,8 @@ class Hdf5Spec extends AnyFunSuite {
         .put(0.toByte).put(body).array()
     def ohdr2(msgs: Array[Byte]*): Array[Byte] = {
       val content = cat(msgs: _*)
-      buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
-        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array()
+      ck(buf(8 + content.length + 4).put("OHDR".getBytes("ASCII")).put(2.toByte)
+        .put(1.toByte).putShort(content.length.toShort).put(content).putInt(0).array())
     }
     def dspace2(dims: Long*): Array[Byte] = {
       val b = buf(4 + 8 * dims.length)
@@ -1647,7 +1678,7 @@ class Hdf5Spec extends AnyFunSuite {
       sb.put(3.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
-      Seq(sb.array(), codeData, gcol, namesData(gcolAddr), stationData,
+      Seq(ck(sb.array()), codeData, gcol, namesData(gcolAddr), stationData,
         runsData(gcolAddr), weightsData(gcolAddr),
         codeBytes, namesBytes, stnBytes, runsBytes, wtsBytes, rootBytes)
     }
@@ -1770,6 +1801,75 @@ class Hdf5Spec extends AnyFunSuite {
       val rows = Hdf5.readVariable(spark, f.getPath, nm).orderBy("i0").collect()
       assert(rows.map(_.getDouble(1)).toSeq == Seq(i * 1.0, i + 0.5), s"v=$i")
     }
+    f.delete()
+  }
+
+  // ------- metadata checksums (Jenkins lookup3) -------
+
+  test("lookup3 matches the published hashlittle self-test vectors") {
+    // vectors from the public-domain lookup3.c driver comments
+    def h(s: String, init: Int) = Hdf5.lookup3(s.getBytes("ASCII"), 0, s.length, init)
+    assert(h("", 0) == 0xdeadbeef)
+    assert(h("", 0xdeadbeef) == 0xbd5b7dde)
+    assert(h("Four score and seven years ago", 0) == 0x17770551)
+    assert(h("Four score and seven years ago", 1) == 0xcd628161)
+  }
+
+  test("dense groups: unchecksummed direct blocks (heap flags 0) still read") {
+    val f = java.io.File.createTempFile("graft_dense_nock_", ".h5")
+    writeDenseTree(f.getPath, 20, maxDirect = 65536, nameLen = 4,
+      filtered = false, checksummed = false)
+    val meta = Hdf5.readMeta(f.getPath)
+    assert(meta.map(_.name).sorted == (0 until 20).map(i => f"v$i%03d"))
+    val rows = Hdf5.readVariable(spark, f.getPath, "v007").orderBy("i0").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(7.0, 7.5))
+    f.delete()
+  }
+
+  test("metadata corruption is a loud checksum error, not a misread") {
+    // flip one byte inside the root OHDR's message region — the chunk-0
+    // checksum must catch it before any link is followed
+    val f = java.io.File.createTempFile("graft_meta_corrupt_", ".h5")
+    writeLatest(f.getPath)
+    val clean = java.nio.file.Files.readAllBytes(f.toPath)
+    // locate the LAST "OHDR" signature (the root group header)
+    val sig = "OHDR".getBytes("ASCII")
+    val at = clean.length - 4 to 0 by -1
+    val rootAt = at.find(i => i + 4 <= clean.length &&
+      clean.slice(i, i + 4).sameElements(sig)).get
+    clean(rootAt + 10) = (clean(rootAt + 10) ^ 0x01).toByte
+    java.nio.file.Files.write(f.toPath, clean)
+    val e = intercept[java.io.IOException](Hdf5.readMeta(f.getPath))
+    assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+    f.delete()
+  }
+
+  test("compound datasets: nested compound and array members decode recursively") {
+    val f = java.io.File.createTempFile("graft_nested_cmp_", ".h5")
+    graft.sources.Hdf5Planted.write(f.getPath)
+    val df = Hdf5.readCompound(spark, f.getPath, "track")
+    assert(df.schema("pos").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(df.schema("v").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val rows = df.orderBy("i0").collect()
+    assert(rows.length == 6)
+    for (t <- 0 until 6) {
+      val r = rows(t)
+      assert(r.getLong(1) == 3 * t + 2, s"id at t=$t")
+      val pos = r.getStruct(2)
+      assert(pos.getDouble(0) == t * 1.5 && pos.getDouble(1) == 10.0 - t, s"pos at t=$t")
+      assert(r.getSeq[Double](3) == Seq.tabulate(3)(k => t + 0.125 * k), s"v at t=$t")
+    }
+    f.delete()
+  }
+
+  test("corrupted superblock checksum is rejected") {
+    val f = java.io.File.createTempFile("graft_sb_corrupt_", ".h5")
+    writeLatest(f.getPath)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(20) = (bytes(20) ^ 0x40).toByte // inside the v3 superblock body
+    java.nio.file.Files.write(f.toPath, bytes)
+    val e = intercept[java.io.IOException](Hdf5.readMeta(f.getPath))
+    assert(e.getMessage.contains("superblock metadata checksum"), e.getMessage)
     f.delete()
   }
 }
