@@ -407,6 +407,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q_heavy_hitters" -> ((s, dir) => {
+      // sketch-pruned EXACT heavy hitters: one Misra-Gries aggregate
+      // (native TypedImperativeAggregate, k=127 counters, mergeable
+      // partials) nominates candidates, a broadcast re-count verifies —
+      // output equals the plain group-by/HAVING the oracle runs, but at
+      // corpus scale the full-vocabulary shuffle never happens. The
+      // lossless-prune condition minFrac > 1/(k+1) holds (0.02 > 1/128).
+      TextStats.heavyHitters(
+          t(s, dir, "documents")
+            .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token")),
+          "token", minFrac = 0.02, k = 127)
+        .select(col("item").as("token"), col("cnt"))
+    }),
+
     "q_langid_heuristic" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -760,6 +774,15 @@ object SparkEntry {
       """select token, count(*) n from (
         | select unnest(string_split_regex(lower(trim(text)), '\s+')) token
         | from documents) t group by 1""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """with toks as (
+        | select unnest(string_split_regex(lower(trim(text)), '\s+')) token
+        | from documents),
+        |tot as (select count(*) n from toks)
+        |select token, cast(count(*) as bigint) cnt
+        |from toks, tot group by token, n
+        |having count(*) >= ceil(0.02 * n)""".stripMargin,
 
     "q_langid_heuristic" ->
       """select doc_id, stop_ratio,
@@ -6105,6 +6128,30 @@ object SparkEntry {
           maxLen = 512, shards = 16)
         .select(col("doc_id"), col("shard"), col("bin"),
           col("bin_offset"), col("n_tok"))
+    }),
+
+    "q_embedding_quantize" -> ((s, dir) => {
+      // SQ8 embedding quantisation (Similarity.quantizeInt8): per-vector
+      // dequant step max|v|/127, integer codes in [-127,127]. The output
+      // folds the codes to scalars (sum, sum of squares) so the oracle
+      // replays the identical round(v/s) arithmetic list-wise; float
+      // inputs widen to double in BOTH engines before the divide.
+      Similarity.quantizeInt8(
+          t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("qstep"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_l2"))
+    }),
+
+    "q_chunk_sliding" -> ((s, dir) => {
+      // RAG-style sliding-window chunking (Packing.chunkTokens): 8-token
+      // windows every 4 tokens (50% overlap), one output row per chunk
+      // with its text, length and start offset. All Column expressions —
+      // the plan is a shuffle-free narrow projection off the scan.
+      graft.pipeline.Packing.chunkTokens(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", size = 8, stride = 4)
     })
   )
 
@@ -6182,7 +6229,34 @@ object SparkEntry {
         |  from rec join r on r.shard = rec.shard and r.rn = rec.rn + 1)
         |select doc_id, shard, cast(bin as int) bin,
         |  cast(boff as int) bin_offset, nt n_tok
-        |from rec""".stripMargin
+        |from rec""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """with e as (select vec_id, embedding v from embeddings where vec_id % 5 = 0),
+        |m as (select vec_id, v,
+        |  list_max(list_transform(v, x -> abs(cast(x as double)))) mx from e),
+        |q as (select vec_id, mx/127.0 s,
+        |  case when mx = 0 then list_transform(v, x -> cast(0 as bigint))
+        |       else list_transform(v,
+        |         x -> cast(round(cast(x as double) / (mx/127.0)) as bigint)) end qs
+        |  from m)
+        |select vec_id, round(s, 6) qstep,
+        |  cast(list_sum(qs) as bigint) q_sum,
+        |  cast(list_sum(list_transform(qs, x -> x*x)) as bigint) q_l2
+        |from q""".stripMargin,
+
+    "q_chunk_sliding" ->
+      """with d as (select doc_id,
+        |  case when trim(text) = '' then []::varchar[]
+        |       else string_split_regex(trim(text), '\s+') end toks
+        |  from documents where doc_id % 10 = 0),
+        |e as (select doc_id, toks, len(toks) n from d),
+        |s as (select doc_id, toks, n, unnest(range(0, n, 4)) st from e)
+        |select doc_id, cast(st // 4 as bigint) chunk_id,
+        |  array_to_string(toks[st+1:least(st+8, n)], ' ') chunk,
+        |  cast(least(8, n - st) as int) chunk_tokens,
+        |  cast(st as int) token_start
+        |from s""".stripMargin
   )
 
 }

@@ -25,6 +25,8 @@ object GraftFunctions {
     "log_gamma" -> (exprs => LogGamma(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
+    "mg_sketch" -> (exprs => MisraGries(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())),
     "utci_offset" -> (exprs => graft.indices.UtciOffset(
       exprs.head, exprs(1), exprs(2), exprs(3))))
 

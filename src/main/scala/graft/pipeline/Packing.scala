@@ -58,4 +58,37 @@ object Packing {
       .select(col("id").as(idCol), col("shard"), col("bin"),
         col("bin_offset"), col("n_tok"))
   }
+
+  /** Sliding-window document chunking — the retrieval/context-prep twin
+    * of [[packGreedy]]: split each document into `size`-token windows
+    * every `stride` tokens (stride < size ⇒ overlapping chunks, the RAG
+    * default), emitting (id, chunk_id, chunk text, chunk_tokens,
+    * token_start). Whitespace tokenisation follows
+    * [[TextStats.tokenCount]] (empty/blank text ⇒ zero tokens ⇒ no
+    * chunks); every window start < n emits, so the final chunk may be
+    * partial. Pure Column expressions — split / sequence / explode /
+    * slice / array_join all stay inside whole-stage codegen, so at
+    * corpus scale this is a narrow projection with no shuffle at all:
+    * chunk rows stream straight from the scan into the consumer. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size], got $stride (size $size)")
+    df.select(col(idCol), when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col(textCol)), "\\s+")).as("toks"))
+      .withColumn("n", size_(col("toks")))
+      .withColumn("st", explode(when(col("n") > 0,
+        sequence(lit(0), col("n") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>"))))
+      .select(col(idCol),
+        (col("st") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("st") + 1, lit(size)), " ").as("chunk"),
+        least(lit(size), col("n") - col("st")).cast("int").as("chunk_tokens"),
+        col("st").as("token_start"))
+  }
+
+  // `size` the Column function, shadowed by the `size` parameter above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

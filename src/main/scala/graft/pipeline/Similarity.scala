@@ -317,4 +317,27 @@ object Similarity {
     }
     array_min(array(dists: _*)).getField("idx")
   }
+
+  /** Symmetric per-vector int8 scalar quantisation — the embedding
+    * storage-scale path (4× smaller at rest than float32, the standard
+    * SQ8 layout ANN indexes ship). Each vector gets its own dequant step
+    * `s = max|v_i| / 127`; codes are `q_i = round(v_i / s)` ∈ [−127,127]
+    * (the all-zero vector gets s = 0 and all-zero codes). Reconstruction
+    * error is bounded by s/2 per element (PropertySpec pins it), and
+    * dequantised vectors drop into every existing cosine/IVF path. Pure
+    * Column expressions over the scan — elements widen to double before
+    * the divide so float inputs quantise exactly the same on any engine. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val m = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val step = m / 127.0
+    df.select(col(idCol),
+      when(m === 0.0, transform(col(vecCol), _ => lit(0L)))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") / step).cast("long"))).as("q"),
+      step.as("scale"))
+  }
+
+  /** Dequantise SQ8 codes back to a double array: v̂_i = q_i · scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -285,4 +285,33 @@ object TextStats {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** EXACT heavy hitters behind a Misra–Gries prune: every key whose
+    * frequency is at least `minFrac` of the non-null rows, with its
+    * exact count — without ever shuffling the full distinct-key
+    * aggregation. Pass 1 folds the column into one
+    * [[graft.functions.MisraGries]] sketch (k counters, map-side
+    * partials, mergeable); its survivors are the only possible heavy
+    * hitters because MG guarantees every key with true count > n/(k+1)
+    * a surviving counter — `minFrac > 1/(k+1)` (required) makes the
+    * prune LOSSLESS. Pass 2 re-scans with the ≤ k candidates broadcast,
+    * counts exactly, and keeps `cnt >= ceil(minFrac·n)`. Output equals
+    * the plain group-by/filter row-for-row (PropertySpec pins it under
+    * counter-eviction pressure); the 100 TB cost is two scans plus a
+    * k-row shuffle instead of a full-vocabulary hash aggregation. */
+  def heavyHitters(df: DataFrame, keyCol: String, minFrac: Double,
+                   k: Int = 1024): DataFrame = {
+    require(minFrac > 1.0 / (k + 1),
+      f"minFrac=$minFrac%.6f must exceed 1/(k+1) = ${1.0 / (k + 1)}%.6f for a lossless prune")
+    val keys = df.select(col(keyCol).as("item")).filter(col("item").isNotNull)
+    val cands = keys
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MisraGries.mgSketch(col("item"), k).as("sk"))
+      .select(col("n"), explode(col("sk.item")).as("item"))
+    keys.join(broadcast(cands), Seq("item"))
+      .groupBy(col("item"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= ceil(lit(minFrac) * col("n")))
+      .select(col("item"), col("cnt"))
+  }
 }

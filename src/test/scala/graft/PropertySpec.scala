@@ -684,4 +684,51 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(exact.count(_.getBoolean(2)) >= 2, "planted contamination not flagged")
   }
+
+  test("heavyHitters equals the exact group-by under counter-eviction pressure") {
+    import spark.implicits._
+    // Zipf-ish stream: a few planted heavy keys over a ~400-key tail,
+    // vocabulary ~16x the sketch capacity so MG evicts constantly; the
+    // sketch-prune + broadcast re-count must still equal the plain
+    // group-by/HAVING row-for-row (lossless: minFrac 0.05 > 1/(k+1))
+    val rng = new scala.util.Random(71)
+    val keys = Seq.fill(40000) {
+      val r = rng.nextInt(1000)
+      if (r < 180) "alpha" else if (r < 320) "beta"
+      else if (r < 380) "gamma" else if (r < 410) "delta"
+      else s"t${r}"
+    }
+    val df = keys.toDF("token").repartition(7) // several partials to merge
+    val got = graft.pipeline.TextStats.heavyHitters(df, "token", minFrac = 0.05, k = 24)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val thr = math.ceil(0.05 * keys.size).toLong
+    val want = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= thr).toMap
+    assert(got == want, s"got $got, want $want")
+    assert(want.nonEmpty && want.size < 8, "fixture should have a few heavy keys")
+  }
+
+  test("int8 quantisation: codes in [-127,127], reconstruction within step/2") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)((rng.nextFloat() - 0.5f) * 4f))) :+
+      (99L, Array.fill(16)(0f)) // the all-zero vector: scale 0, codes 0
+    val df = vecs.toDF("id", "v")
+    val out = graft.pipeline.Similarity.quantizeInt8(df, "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toArray, r.getDouble(2)))).toMap
+    for ((id, v) <- vecs) {
+      val (q, s) = (out(id)._1, out(id)._2)
+      if (v.forall(_ == 0f)) assert(s == 0.0 && q.forall(_ == 0L), s"zero vec $id")
+      else {
+        assert(q.forall(c => math.abs(c) <= 127), s"code range at $id")
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * s) <= s / 2 + 1e-12,
+            s"reconstruction error at $id: $x vs ${c * s} (step $s)")
+        }
+        assert(q.exists(c => math.abs(c) == 127), s"max element must hit ±127 at $id")
+      }
+    }
+  }
 }
