@@ -6130,6 +6130,24 @@ object SparkEntry {
           col("bin_offset"), col("n_tok"))
     }),
 
+    "q_c4_quality" -> ((s, dir) => {
+      // C4 page-cleaning heuristics over a deterministically STAGED
+      // multi-line corpus (the synthetic documents are single-line, so
+      // the query first injects sentence breaks and per-residue lorem/
+      // brace contamination — both engines replay the same rewrite).
+      // Flags + keep verdict come from TextStats.c4QualityFlags.
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), " a ", ".\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum filler for the page test.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nvar config = { unfinished")).otherwise(lit(""))).as("text"))
+      TextStats.c4QualityFlags(staged, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("n_sentences"), col("has_brace"), col("has_lorem"), col("keep"))
+    }),
+
     "q_embedding_quantize" -> ((s, dir) => {
       // SQ8 embedding quantisation (Similarity.quantizeInt8): per-vector
       // dequant step max|v|/127, integer codes in [-127,127]. The output
@@ -6230,6 +6248,30 @@ object SparkEntry {
         |select doc_id, shard, cast(bin as int) bin,
         |  cast(boff as int) bin_offset, nt n_tok
         |from rec""".stripMargin,
+
+    "q_c4_quality" ->
+      """with staged as (select doc_id,
+        |  regexp_replace(text, ' a ', '.' || chr(10), 'g')
+        |  || case when doc_id % 7 = 0
+        |       then chr(10) || 'lorem ipsum filler for the page test.' else '' end
+        |  || case when doc_id % 11 = 0
+        |       then chr(10) || 'var config = { unfinished' else '' end as text
+        | from documents),
+        |l as (select doc_id, text, string_split(text, chr(10)) lines from staged),
+        |k as (select doc_id, text, lines,
+        |  list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+        |    and len(string_split_regex(trim(x), '\s+')) >= 5) kept from l)
+        |select doc_id, cast(len(lines) as int) n_lines,
+        |  cast(len(kept) as int) n_kept_lines,
+        |  cast(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+        |    '[.!?]')) as int) n_sentences,
+        |  contains(text, '{') has_brace,
+        |  contains(lower(text), 'lorem ipsum') has_lorem,
+        |  (len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+        |    '[.!?]')) >= 3
+        |   and not contains(text, '{')
+        |   and not contains(lower(text), 'lorem ipsum')) keep
+        |from k""".stripMargin,
 
     "q_embedding_quantize" ->
       """with e as (select vec_id, embedding v from embeddings where vec_id % 5 = 0),

@@ -286,6 +286,31 @@ object TextStats {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** C4-style page-quality heuristics (Raffel et al. 2020, §2.2 — the
+    * standard web-corpus cleaning recipe): a line survives when it ends
+    * in terminal punctuation AND has ≥ 5 words; a page is kept when its
+    * surviving lines carry ≥ 3 sentence-final marks and the raw text has
+    * neither "lorem ipsum" nor a '{'. Emits the per-document evidence
+    * (line/sentence counts, flags, the cleaned text) plus the keep
+    * verdict so downstream policy can override any single rule. Pure
+    * Column expressions — the 100 TB plan is a narrow projection. */
+  def c4QualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") && size(split(trim(l), "\\s+")) >= 5)
+    df.select(col(idCol), lines.as("lines"), kept.as("kept"),
+        col(textCol).as("text"))
+      .select(col(idCol),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept_lines"),
+        regexp_count(array_join(col("kept"), "\n"), lit("[.!?]")).as("n_sentences"),
+        col("text").contains("{").as("has_brace"),
+        lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .withColumn("keep",
+        col("n_sentences") >= 3 && !col("has_brace") && !col("has_lorem"))
+  }
+
   /** EXACT heavy hitters behind a Misra–Gries prune: every key whose
     * frequency is at least `minFrac` of the non-null rows, with its
     * exact count — without ever shuffling the full distinct-key

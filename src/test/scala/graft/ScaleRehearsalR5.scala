@@ -206,6 +206,32 @@ object ScaleRehearsalR5 {
       require(out._1 == 500000 && out._2 == 3000000, "row accounting")
       require(out._3 == distinctParas, s"kept ${out._3} != distinct pool $distinctParas")
     }
+
+    // ---- heavy hitters: 6M Zipf-ish keys, vocab 100k >> k=256 counters ----
+    // the sketch partials evict constantly across 32 partitions; the
+    // lossless contract (minFrac 0.01 > 1/257) must still reproduce the
+    // exact group-by/HAVING answer, with only a <=256-row broadcast where
+    // the naive plan shuffles a 100k-key aggregation.
+    {
+      val n = 6000000L
+      // f(u) ~ planted heavies on a long uniform tail: key "h<j>" for
+      // j = u mod 37 < 5 (5 heavy keys ~ 1/37 each), else "t<u mod 100000>"
+      val keys = spark.range(0, n).select(
+        when(col("id") % 37 < 5, concat(lit("h"), (col("id") % 37).cast("string")))
+          .otherwise(concat(lit("t"), (col("id") % 100000).cast("string"))).as("k"))
+        .localCheckpoint(true)
+      val got = time("heavyHitters (6M rows, 100k vocab, k=256)") {
+        graft.pipeline.TextStats.heavyHitters(keys, "k", minFrac = 0.01, k = 256)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val want = time("exact group-by/HAVING (same rows)") {
+        keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= math.ceil(0.01 * n).toLong)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      require(got == want, s"sketch-pruned output diverges: $got vs $want")
+      println(s"[rehearsal] heavyHitters found ${got.size} keys (expect 5)")
+    }
     spark.stop()
   }
 }

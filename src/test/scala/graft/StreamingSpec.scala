@@ -286,4 +286,29 @@ class StreamingSpec extends AnyFunSuite {
         "array(cast(3.0 as float), cast(4.0 as float))) fd").head
     assert(math.abs(r3.getDouble(0) - 11.0) < 1e-9)
   }
+
+  test("streaming heavy hitters: MG sketch under complete-mode aggregation") {
+    // the TypedImperativeAggregate's serialize/merge path runs through the
+    // streaming state store across micro-batches; with distinct keys <= k
+    // the sketch is exact, so the final batch must carry true counts
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDS().toDF("token")
+      .agg(graft.functions.MisraGries.mgSketch(col("token"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"), col("e.lb").as("lb"))
+    val q = agg.writeStream.format("memory").queryName("stream_mg")
+      .outputMode("complete").start()
+    try {
+      input.addData("a", "b", "a")
+      q.processAllAvailable()
+      input.addData("a", "c", "b", "a")
+      q.processAllAvailable()
+      val got = spark.table("stream_mg").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), s"got $got")
+    } finally q.stop()
+  }
 }
