@@ -38,7 +38,7 @@ import java.io.{File, RandomAccessFile}
   * chunk-grid entry a shard of independently-coded inner chunks behind
   * an (offset, nbytes) footer index; executors range-read the index and
   * then only their inner chunks, mirroring object-store ranged GETs).
-  * v2 numcodecs `filters` chains decode for `delta` and
+  * v2 numcodecs `filters` chains decode for `shuffle` (trailing), `delta` and
   * `fixedscaleoffset` — the two xarray commonly emits in `encoding`
   * — with exact integer arithmetic on the integer paths (see
   * [[ZFilter]]/[[unfilter]]). Out of scope (documented, rejected
@@ -224,14 +224,20 @@ object Zarr {
       case v: Vector[Any @unchecked] => v.map { fo =>
         val f = fo.asInstanceOf[Map[String, Any]]
         val id = f("id").asInstanceOf[String]
-        require(id == "delta" || id == "fixedscaleoffset",
-          s"unsupported numcodecs filter '$id' (delta/fixedscaleoffset only)")
-        val (dk, ds, dl) = parseDtype(f("dtype").asInstanceOf[String])
-        val (ak, asz, al) = f.get("astype")
-          .map(s => parseDtype(s.asInstanceOf[String])).getOrElse((dk, ds, dl))
-        if (id == "delta") ZFilter(id, 1.0, 0.0, dk, ds, dl, ak, asz, al)
-        else ZFilter(id, f("scale").asInstanceOf[Double],
-          f("offset").asInstanceOf[Double], dk, ds, dl, ak, asz, al)
+        require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle",
+          s"unsupported numcodecs filter '$id' (delta/fixedscaleoffset/shuffle only)")
+        if (id == "shuffle") {
+          // byte transpose over the serialized stream; elementsize only
+          val esz = f.get("elementsize").map(_.asInstanceOf[Double].toInt).getOrElse(4)
+          ZFilter(id, esz.toDouble, 0.0, 'V', esz, dtLittle = true, 'V', esz, asLittle = true)
+        } else {
+          val (dk, ds, dl) = parseDtype(f("dtype").asInstanceOf[String])
+          val (ak, asz, al) = f.get("astype")
+            .map(s => parseDtype(s.asInstanceOf[String])).getOrElse((dk, ds, dl))
+          if (id == "delta") ZFilter(id, 1.0, 0.0, dk, ds, dl, ak, asz, al)
+          else ZFilter(id, f("scale").asInstanceOf[Double],
+            f("offset").asInstanceOf[Double], dk, ds, dl, ak, asz, al)
+        }
       }
       case other => throw new IllegalArgumentException(s"bad filters $other")
     }
@@ -518,20 +524,36 @@ object Zarr {
     * LAST filter's astype, then walk the chain in reverse, each step
     * producing values in that filter's dtype. Integer representations stay
     * in exact Long arithmetic (wraparound = numpy's) until a float step. */
-  private[sources] def unfilter(bytes: Array[Byte], filters: Seq[ZFilter],
-                                nElems: Int): Array[Double] = {
-    val last = filters.last
-    require(bytes.length >= nElems * last.asSize,
-      s"filtered chunk has ${bytes.length} bytes, need ${nElems * last.asSize}")
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.order(if (last.asLittle) java.nio.ByteOrder.LITTLE_ENDIAN
+  private[sources] def unfilter(bytes: Array[Byte], allFilters: Seq[ZFilter],
+                                nElems: Int, arrKind: Char = 'f', arrSize: Int = 8,
+                                arrLittle: Boolean = true): Array[Double] = {
+    // numcodecs `shuffle` is a BYTE transpose over whatever the value
+    // chain serialized — it only composes at the stream end (anything
+    // after it would see transposed bytes), so trailing entries are
+    // undone first (HDF5-identical transpose incl. pass-through tail)
+    // and anything else is rejected loudly, not misread
+    val nShuf = allFilters.reverseIterator.takeWhile(_.id == "shuffle").size
+    val (filters, shufs) = allFilters.splitAt(allFilters.length - nShuf)
+    require(filters.forall(_.id != "shuffle"),
+      "numcodecs shuffle supported only as trailing filter(s)")
+    var buf = bytes
+    shufs.reverse.foreach(f => buf = Hdf5.unshuffle(buf, f.dtSize))
+    // view as the last VALUE filter's astype — or the array dtype when
+    // the chain was shuffle-only
+    val (vKind, vSize, vLittle) = filters.lastOption
+      .map(l => (l.asKind, l.asSize, l.asLittle))
+      .getOrElse((arrKind, arrSize, arrLittle))
+    require(buf.length >= nElems * vSize,
+      s"filtered chunk has ${buf.length} bytes, need ${nElems * vSize}")
+    val bb = java.nio.ByteBuffer.wrap(buf)
+    bb.order(if (vLittle) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN)
     var longs: Array[Long] =
-      if (isIntKind(last.asKind))
-        Array.tabulate(nElems)(readLongAt(bb, last.asKind, last.asSize, _))
+      if (isIntKind(vKind))
+        Array.tabulate(nElems)(readLongAt(bb, vKind, vSize, _))
       else null
     var dbls: Array[Double] =
-      if (longs == null) Array.tabulate(nElems)(decodeAt(bb, last.asKind, last.asSize, _))
+      if (longs == null) Array.tabulate(nElems)(decodeAt(bb, vKind, vSize, _))
       else null
     filters.reverseIterator.foreach { f =>
       f.id match {
@@ -618,7 +640,10 @@ object Zarr {
     val chunkElems = cdims.product.toInt
     // with a filters chain the stored element width is the LAST filter's
     // astype, not the array dtype
-    val storedSize = if (filters.nonEmpty) filters.last.asSize else size
+    // stored element width = last VALUE filter's astype (a trailing
+    // numcodecs shuffle transposes bytes without changing the width)
+    val storedSize = filters.filterNot(_.id == "shuffle").lastOption
+      .map(_.asSize).getOrElse(size)
 
     // slices scale with BOTH chunk count and cluster size: a 1M-chunk store
     // on a large cluster must not serialise through 64 tasks, while a
@@ -680,7 +705,7 @@ object Zarr {
                     val stored = if (crc) stripCrc32c(all, f.getName) else all
                     val plain = decompress(comp, stored, chunkElems * storedSize)
                     if (filters.nonEmpty) {
-                      val arr = unfilter(plain, filters, chunkElems)
+                      val arr = unfilter(plain, filters, chunkElems, kind, size, little)
                       Some(arr(_))
                     } else {
                       val bb = order(plain, little)

@@ -589,4 +589,64 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quantize"))
   }
+
+  private def doublesLE(vals: Seq[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble); bb.array()
+  }
+
+  // numcodecs Shuffle encode: element bytes scatter into esz byte streams
+  // (identical transpose to HDF5's shuffle filter); tail bytes pass through
+  private def shuffleEnc(raw: Array[Byte], esz: Int): Array[Byte] = {
+    val count = raw.length / esz
+    val out = new Array[Byte](raw.length)
+    for (i <- 0 until count; j <- 0 until esz) out(j * count + i) = raw(i * esz + j)
+    for (t <- count * esz until raw.length) out(t) = raw(t)
+    out
+  }
+
+  test("v2 numcodecs Shuffle filter: trailing byte transpose, alone and after Delta") {
+    val root = java.nio.file.Files.createTempDirectory("zarrf_").toFile
+    // shuffle-only chain over f8 + zlib
+    val dir = new File(root, "s")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "shuffle", "elementsize": 8}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val v = Seq(1.5, -2.25, 3.75, 1e300, -0.0)
+    write(new File(dir, "0"), zlib(shuffleEnc(doublesLE(v), 8)))
+    val got = Zarr.readVariable(spark, root.getPath, "s")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == v)
+    // [delta <i8] then trailing shuffle(8), then zlib: decode must
+    // inflate -> unshuffle -> cumsum
+    val dir2 = new File(root, "ds")
+    writeText(new File(dir2, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i8"},
+        |             {"id": "shuffle", "elementsize": 8}],
+        | "fill_value": 0, "order": "C"}""".stripMargin)
+    val w = Seq(1_700_000_000_000_000_000L, 1_700_000_000_000_001_000L,
+      1_700_000_000_000_001_500L, 1_700_000_000_000_009_000L)
+    val diffs = w.head +: w.sliding(2).map(p => p(1) - p(0)).toSeq
+    write(new File(dir2, "0"), zlib(shuffleEnc(longsLE(diffs), 8)))
+    val got2 = Zarr.readVariable(spark, root.getPath, "ds")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got2.toSeq == w.map(_.toDouble))
+    // a NON-trailing shuffle is rejected loudly, never misread
+    val bad = new File(root, "sbad")
+    writeText(new File(bad, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i8",
+        | "compressor": null,
+        | "filters": [{"id": "shuffle", "elementsize": 8},
+        |             {"id": "delta", "dtype": "<i8", "astype": "<i8"}],
+        | "fill_value": 0, "order": "C"}""".stripMargin)
+    write(new File(bad, "0"), longsLE(Seq(1L, 2L, 3L, 4L)))
+    val e2 = intercept[Exception] {
+      Zarr.readVariable(spark, root.getPath, "sbad").collect()
+    }
+    assert(e2.getMessage != null)
+  }
 }
