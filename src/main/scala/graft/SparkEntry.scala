@@ -6130,6 +6130,14 @@ object SparkEntry {
           col("bin_offset"), col("n_tok"))
     }),
 
+    "q_pmi_bigrams" -> ((s, dir) => {
+      // PMI collocations (TextStats.pmiBigrams): adjacent-pair counts,
+      // slot-convention unigram margins, one-row total broadcast — the
+      // oracle replays the identical double-ratio arithmetic.
+      TextStats.pmiBigrams(t(s, dir, "documents"), "text", minCount = 20L)
+        .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
+    }),
+
     "q_c4_quality" -> ((s, dir) => {
       // C4 page-cleaning heuristics over a deterministically STAGED
       // multi-line corpus (the synthetic documents are single-line, so
@@ -6248,6 +6256,22 @@ object SparkEntry {
         |select doc_id, shard, cast(bin as int) bin,
         |  cast(boff as int) bin_offset, nt n_tok
         |from rec""".stripMargin,
+
+    "q_pmi_bigrams" ->
+      """with t as (select string_split_regex(trim(text), '\s+') toks
+        |  from documents where trim(text) <> ''),
+        |p as (select unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) pr
+        |  from t where len(toks) >= 2),
+        |b as (select pr.w1 w1, pr.w2 w2, count(*) n_ab from p group by 1, 2),
+        |l as (select pr.w1 w1, count(*) n_a from p group by 1),
+        |r as (select pr.w2 w2, count(*) n_b from p group by 1),
+        |n as (select sum(n_ab) n_total from b)
+        |select b.w1, b.w2, cast(b.n_ab as bigint) n_ab,
+        |  round(ln(cast(b.n_ab as double) * cast(n.n_total as double)
+        |    / (cast(l.n_a as double) * cast(r.n_b as double))), 6) pmi
+        |from b join l using (w1) join r using (w2), n
+        |where b.n_ab >= 20""".stripMargin,
 
     "q_c4_quality" ->
       """with staged as (select doc_id,

@@ -286,6 +286,43 @@ object TextStats {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** Pointwise-mutual-information bigram collocations — the corpus
+    * statistic behind phrase mining and tokenizer-merge candidates:
+    * PMI(a,b) = ln(n_ab · N / (n_a · n_b)) over adjacent token pairs,
+    * keeping bigrams seen ≥ `minCount` times. One narrow explode per
+    * side, one hash aggregation per table; the unigram table joins the
+    * bigram table twice on its key (Catalyst broadcasts when the vocab
+    * is small; at corpus scale both are key-partitioned hash joins —
+    * never a cross product). N is the TOTAL bigram count, carried on a
+    * one-row broadcast. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = df.select(
+      when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+        .otherwise(split(trim(col(textCol)), "\\s+")).as("toks"))
+    val pairs = toks
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), col("n") - 1).as("a"),
+        slice(col("toks"), lit(2), col("n") - 1).as("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val tot = big.agg(sum(col("n_ab")).as("n_total"))
+    // unigram margins over bigram SLOTS (each pair contributes one
+    // occurrence to each side) — the convention that makes Σ n_a = Σ n_b
+    // = N and the PMI table self-consistent
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+    big.filter(col("n_ab") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        // double products on BOTH sides of the ratio (no long mult that
+        // could overflow at corpus scale; counts < 2^53 stay exact)
+        round(log(col("n_ab").cast("double") * col("n_total").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
+  }
+
   /** C4-style page-quality heuristics (Raffel et al. 2020, §2.2 — the
     * standard web-corpus cleaning recipe): a line survives when it ends
     * in terminal punctuation AND has ≥ 5 words; a page is kept when its
