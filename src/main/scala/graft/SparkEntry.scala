@@ -6130,6 +6130,20 @@ object SparkEntry {
           col("bin_offset"), col("n_tok"))
     }),
 
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space decontamination (Similarity.crossNearDuplicates):
+      // the benchmark side is every 5th corpus vector re-labeled, so each
+      // must match exactly its own twin at cosine 1 and nothing else (the
+      // corpus max off-pair cosine is ~0.51). Broadcast nested-loop by
+      // design — the eval set ships whole, the corpus never shuffles.
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("bid"), col("embedding").as("bv"))
+      Similarity.crossNearDuplicates(e, "vec_id", "embedding",
+          bench, "bid", "bv", threshold = 0.9)
+        .select(col("corpus_id"), col("bench_id"), col("cosine"))
+    }),
+
     "q_pmi_bigrams" -> ((s, dir) => {
       // PMI collocations (TextStats.pmiBigrams): adjacent-pair counts,
       // slot-convention unigram margins, one-row total broadcast — the
@@ -6256,6 +6270,22 @@ object SparkEntry {
         |select doc_id, shard, cast(bin as int) bin,
         |  cast(boff as int) bin_offset, nt n_tok
         |from rec""".stripMargin,
+
+    "q_semantic_decontaminate" ->
+      """with c as (select vec_id, embedding cv from embeddings),
+        |b as (select vec_id + 100000 bid, embedding bv from embeddings
+        |      where vec_id % 5 = 0),
+        |p as (select c.vec_id corpus_id, b.bid bench_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> cast(cv[i] as double) * cast(bv[i] as double))) dt,
+        |  sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> cast(cv[i] as double) * cast(cv[i] as double)))) cn,
+        |  sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> cast(bv[i] as double) * cast(bv[i] as double)))) bn
+        | from c, b)
+        |select corpus_id, bench_id,
+        |  cast(cast(round(dt / (cn * bn), 6) as decimal(38,6)) as double) cosine
+        |from p where cn > 0 and bn > 0 and round(dt / (cn * bn), 6) >= 0.9""".stripMargin,
 
     "q_pmi_bigrams" ->
       """with t as (select string_split_regex(trim(text), '\s+') toks

@@ -340,4 +340,30 @@ object Similarity {
   /** Dequantise SQ8 codes back to a double array: v̂_i = q_i · scale. */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** Semantic decontamination: flag corpus vectors whose cosine against
+    * ANY benchmark vector reaches `threshold` — the embedding-space twin
+    * of [[graft.pipeline.Dedup.decontaminate]]'s n-gram flagging,
+    * catching paraphrased eval leakage that exact grams miss. The
+    * benchmark side is small and static (an eval set), so it BROADCASTS
+    * whole: at corpus scale the plan is a scan-speed broadcast
+    * nested-loop with the codegen'd dot kernel and per-row norms
+    * computed once — no shuffle of the corpus at all. The filter
+    * compares the ROUNDED cosine so borderline inclusion is identical
+    * on any engine. */
+  def crossNearDuplicates(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          bench: DataFrame, benchId: String, benchVec: String,
+                          threshold: Double): DataFrame = {
+    import graft.functions.FloatDotProduct.floatDot
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+      .withColumn("cn", sqrt(floatDot(col("cv"), col("cv"))))
+    val b = bench.select(col(benchId).as("bench_id"), col(benchVec).as("bv"))
+      .withColumn("bn", sqrt(floatDot(col("bv"), col("bv"))))
+    c.crossJoin(broadcast(b))
+      .filter(col("cn") > 0 && col("bn") > 0)
+      .withColumn("cosine",
+        round(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("bench_id"), col("cosine"))
+  }
 }

@@ -28,7 +28,8 @@ class PlanSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog",
     "q_trigram_nll", "q_winnow_overlap", "q_mixture_lang",
-    "q_pmi_bigrams") // one-row bigram-total broadcast
+    "q_pmi_bigrams", // one-row bigram-total broadcast
+    "q_semantic_decontaminate") // eval-set broadcast vs corpus scan
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
