@@ -657,6 +657,40 @@ class PropertySpec extends AnyFunSuite {
     assert(ov == 190L, s"winnowOverlap found $ov of 190 pairs")
   }
 
+  test("winnowOverlap prefix filter equals the exhaustive postings join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def noise(n: Int): String =
+      Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // a corpus with graded sharing: family f's docs all embed f's motif
+    // (high overlap within a family), plus one GLOBAL boilerplate motif in
+    // every doc (df = N — exercised both under a permissive cut that keeps
+    // it and a tight cut that drops it), plus pure-noise singletons
+    val global = "commonboilerplateheaderlineforeveryone"
+    val motifs = (0 until 6).map(f => noise(60))
+    val docs = ((0 until 6).flatMap { f =>
+      (0 until 5).map(i => ((f * 5 + i).toLong,
+        noise(30) + global + noise(20) + motifs(f) + noise(30)))
+    } ++ (30 until 40).map(i => (i.toLong, noise(150)))).toDF("doc_id", "text")
+    val fps = graft.pipeline.TextStats
+      .winnowFingerprints(docs, "doc_id", "text", 5, 8)
+      .select(col("doc_id").as("doc"), col("fp")).distinct()
+      .localCheckpoint(true)
+    val total = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    for (minShared <- Seq(1, 3, 6); dfFrac <- Seq(0.2, 1.0)) {
+      def run(prefix: Boolean) = graft.pipeline.Dedup
+        .winnowOverlapOfFps(fps, total, minShared, dfFrac, prefixFilter = prefix)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val pre = run(true); val full = run(false)
+      assert(pre == full,
+        s"prefix filter diverged at minShared=$minShared dfFrac=$dfFrac: " +
+          s"${pre.size} vs ${full.size} pairs")
+      if (minShared == 1 && dfFrac == 1.0)
+        assert(pre.size >= 6 * 10, "planted families must produce pairs")
+    }
+  }
+
   test("decontaminateBloom equals the exact join, even with a tiny saturated filter") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
