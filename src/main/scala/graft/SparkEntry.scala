@@ -66,7 +66,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42 ++ queries43
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -470,7 +470,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42 ++ oracle43
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -6353,6 +6353,208 @@ object SparkEntry {
         |  cast(least(8, n - st) as int) chunk_tokens,
         |  cast(st as int) token_start
         |from s""".stripMargin
+  )
+
+  // ---- batch 43: retrieval + quality + clustering (round-8 late) ----------
+
+  private def queries43: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_gopher_quality" -> ((s, dir) => {
+      // Gopher/MassiveText page-quality rules over a deterministically
+      // STAGED corpus (single-line synthetic docs get bullet lists,
+      // trailing-ellipsis lines, symbol spam and numeric junk injected by
+      // doc_id residue — both engines replay the identical rewrite).
+      // Signals + keep verdict from TextStats.gopherQualityFlags.
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n- bullet point list item\n- second bullet entry")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            lit("\nthis sentence trails off...")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit(" ## tag ## tag ##")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" 123 456 789 000 111 222 333 444")).otherwise(lit(""))).as("text"))
+      TextStats.gopherQualityFlags(staged, "doc_id", "text",
+          minWords = 30, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+          maxSymbolRatio = 0.05, maxBulletFrac = 0.5, maxEllipsisFrac = 0.2,
+          minAlphaFrac = 0.9, minStopwords = 1)
+        .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+          col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+          col("n_ellipsis_lines"), col("n_alpha_words"), col("n_req_stop"),
+          col("keep"))
+    }),
+
+    "q_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 top-50 for a 4-term keyword query (TextStats.bm25TopK):
+      // postings restricted to the query terms at the explode, df/corpus
+      // stats broadcast, top-k as TakeOrderedAndProject. Contributions are
+      // micro-quantized so the per-doc sum is order-free; k1=1.5/b=0.75
+      // are binary-exact so both engines fold identical constants.
+      TextStats.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "window", "merge", "vector"), topK = 50)
+        .select(col("doc").as("doc_id"), col("n_terms_hit"), col("bm25"))
+    }),
+
+    "q_ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style quality bucketing: per-language head/middle/tail
+      // terciles of the char-trigram LM mean NLL (TextStats.trigramNll —
+      // the micro-quantized, engine-exact signal). ntile(3) over
+      // (lang, nll, doc_id) is integer-exact in both engines; at corpus
+      // scale the same shape swaps ntile for broadcast quantile cutoffs
+      // (the per-lang window is the oracle-exact form).
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val nll = TextStats.trigramNll(docs, "doc_id", "text")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_nll"), col("doc_id"))
+      nll.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("_b", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("mean_nll"),
+          when(col("_b") === 1, lit("head"))
+            .when(col("_b") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    }),
+
+    "q_kmeans_embeddings" -> ((s, dir) => {
+      // Lloyd k-means, k=4, 2 update rounds (Similarity.kmeansLloyd):
+      // deterministic lowest-id seeds, integer micro-unit arithmetic end
+      // to end, so the DuckDB oracle unrolls the identical trajectory.
+      // Assignment is a per-row argmin over the broadcast centroid
+      // literal (shuffle-free); updates are one (label,pos) hash-agg.
+      Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .select(col("id").as("vec_id"), col("label"), col("d2_u"))
+    })
+  )
+
+  private def oracle43: Map[String, String] = Map(
+
+    "q_gopher_quality" ->
+      """with staged as (select doc_id, text
+        |  || case when doc_id % 4 = 0 then chr(10) || '- bullet point list item'
+        |       || chr(10) || '- second bullet entry' else '' end
+        |  || case when doc_id % 6 = 0
+        |       then chr(10) || 'this sentence trails off...' else '' end
+        |  || case when doc_id % 9 = 0 then ' ## tag ## tag ##' else '' end
+        |  || case when doc_id % 13 = 0
+        |       then ' 123 456 789 000 111 222 333 444' else '' end as text
+        | from documents),
+        |f as (select doc_id, text,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) toks,
+        |  string_split(text, chr(10)) lines from staged),
+        |m as (select doc_id,
+        |  cast(len(toks) as int) n_words,
+        |  cast(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) as bigint)
+        |    n_chars_tok,
+        |  cast(len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.')) as int) n_symbols,
+        |  cast(len(lines) as int) n_lines,
+        |  cast(len(list_filter(lines,
+        |    x -> regexp_matches(trim(x), '^[-*•‣◦]'))) as int) n_bullet_lines,
+        |  cast(len(list_filter(lines,
+        |    x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) as int) n_ellipsis_lines,
+        |  cast(len(list_filter(toks,
+        |    x -> regexp_matches(x, '[a-z]'))) as int) n_alpha_words,
+        |  cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    w -> list_contains(toks, w))) as int) n_req_stop
+        | from f)
+        |select doc_id, n_words, n_chars_tok, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_req_stop,
+        |  (n_words >= 30 and n_words <= 100000
+        |   and n_chars_tok >= 3.0 * n_words and n_chars_tok <= 10.0 * n_words
+        |   and n_symbols <= 0.05 * n_words
+        |   and n_bullet_lines <= 0.5 * n_lines
+        |   and n_ellipsis_lines <= 0.2 * n_lines
+        |   and n_alpha_words >= 0.9 * n_words
+        |   and n_req_stop >= 1) keep
+        |from m""".stripMargin,
+
+    "q_bm25_topk" ->
+      """with d as (select doc_id doc,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) toks from documents),
+        |dl as (select doc, toks, cast(len(toks) as int) dl from d),
+        |st as (select count(*) n_docs, sum(dl) sum_dl from dl),
+        |posts as (select doc, dl, term, count(*) tf
+        |  from (select doc, dl, unnest(toks) term from dl)
+        |  where term in ('spark', 'window', 'merge', 'vector')
+        |  group by 1, 2, 3),
+        |dft as (select term, count(*) df_t from posts group by 1),
+        |lp as (select doc,
+        |    cast(round(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |      * tf * 2.5
+        |      / (tf + 1.5 * (0.25 + 0.75 * (dl * n_docs / sum_dl)))
+        |      * 1e6) as bigint) lp
+        |  from posts join dft using (term) cross join st),
+        |sc as (select doc, sum(lp) score_u, count(*) n_terms_hit
+        |  from lp group by 1)
+        |select doc doc_id, cast(n_terms_hit as bigint) n_terms_hit,
+        |  cast(score_u as double) / 1e6 bm25
+        |from sc order by score_u desc, doc limit 50""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """with base as (select doc_id, lower(text) t from documents
+        |  where doc_id % 5 = 0 and length(text) >= 3),
+        |pos as (select doc_id, t, unnest(range(1, length(t) - 1)) i from base),
+        |tri as (select doc_id, substr(t, cast(i as int), 3) tg from pos),
+        |lm as (select tg, count(*) c from tri group by 1),
+        |tot as (select sum(c) n from lm),
+        |lpq as (select doc_id,
+        |    cast(round(ln(cast(c as double) / n) * 1e6) as bigint) lp
+        |  from tri join lm using (tg) cross join tot),
+        |nll as (select doc_id, count(*) n_trigrams,
+        |    -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
+        |  from lpq group by 1),
+        |j as (select n.doc_id, d.lang, n.mean_nll,
+        |    ntile(3) over (partition by d.lang
+        |      order by n.mean_nll, n.doc_id) b
+        |  from nll n join documents d using (doc_id))
+        |select doc_id, lang, mean_nll,
+        |  case b when 1 then 'head' when 2 then 'middle' else 'tail' end bucket
+        |from j""".stripMargin,
+
+    "q_kmeans_embeddings" ->
+      """with base as (select vec_id id,
+        |  list_transform(embedding,
+        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        | from embeddings),
+        |c0 as (select cast(row_number() over (order by id) - 1 as int) as label,
+        |    vq cq from (select * from base order by id limit 4)),
+        |d1 as (select b.id, b.vq, c.label,
+        |    cast(list_sum(list_transform(range(len(b.vq)),
+        |      i -> (b.vq[i+1] - c.cq[i+1]) * (b.vq[i+1] - c.cq[i+1])))
+        |      as bigint) d2
+        |  from base b cross join c0 c),
+        |a1 as (select id, vq, label, d2 from
+        |  (select *, row_number() over (partition by id order by d2, label) rn
+        |   from d1) where rn = 1),
+        |u1 as (select label, pos,
+        |    cast(round(cast(sum(v) as double) / count(*)) as bigint) cv
+        |  from (select label, unnest(vq) v, unnest(range(len(vq))) pos from a1)
+        |  group by 1, 2),
+        |c1 as (select label, list(cv order by pos) cq from u1 group by 1),
+        |d2i as (select b.id, b.vq, c.label,
+        |    cast(list_sum(list_transform(range(len(b.vq)),
+        |      i -> (b.vq[i+1] - c.cq[i+1]) * (b.vq[i+1] - c.cq[i+1])))
+        |      as bigint) d2
+        |  from base b cross join c1 c),
+        |a2 as (select id, vq, label, d2 from
+        |  (select *, row_number() over (partition by id order by d2, label) rn
+        |   from d2i) where rn = 1),
+        |u2 as (select label, pos,
+        |    cast(round(cast(sum(v) as double) / count(*)) as bigint) cv
+        |  from (select label, unnest(vq) v, unnest(range(len(vq))) pos from a2)
+        |  group by 1, 2),
+        |c2 as (select label, list(cv order by pos) cq from u2 group by 1),
+        |d3 as (select b.id, b.vq, c.label,
+        |    cast(list_sum(list_transform(range(len(b.vq)),
+        |      i -> (b.vq[i+1] - c.cq[i+1]) * (b.vq[i+1] - c.cq[i+1])))
+        |      as bigint) d2
+        |  from base b cross join c2 c)
+        |select id vec_id, label, d2 d2_u from
+        |  (select *, row_number() over (partition by id order by d2, label) rn
+        |   from d3) where rn = 1""".stripMargin
   )
 
 }

@@ -318,6 +318,63 @@ object Similarity {
     array_min(array(dists: _*)).getField("idx")
   }
 
+  /** Lloyd k-means over the embedding column, run for a FIXED iteration
+    * count with deterministic seeding (the k lowest-id vectors, labeled
+    * 0..k−1 in id order) and ALL arithmetic in integer micro-units:
+    * components quantize to round(x·1e6) once, squared distances are
+    * exact int64 sums, and centroid updates round(Σ/n) back onto the
+    * 1e-6 grid — so the whole trajectory is order-free, partitioning-
+    * invariant, and replayable bit-for-bit by an external engine (the
+    * oracle unrolls the same iterations in SQL).
+    *
+    * 100 TB shape (the classic scalable Lloyd): per iteration the k
+    * centroids collect to the driver (k·dim values — bounded, the
+    * documented driver-side small-matrix pattern) and re-enter the plan
+    * as a broadcast array literal, so ASSIGNMENT is a per-row HOF argmin
+    * over that literal — a narrow shuffle-free map over the corpus — and
+    * the UPDATE is one (label, pos) hash-agg with map-side partials.
+    * Per-iteration localCheckpoint is unnecessary: each iteration's plan
+    * starts from the literal, not the previous plan. Empty clusters drop
+    * (no re-seeding). Ties in the argmin break toward the lowest label
+    * (struct ordering). Returns (id, label, d2_u) — the final assignment
+    * and its exact squared distance in micro-unit² space. */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"kmeansLloyd: bad k=$k / iters=$iters")
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+      .localCheckpoint(false) // scanned iters+1 times; stops re-derivation
+    var cents: Array[(Int, Array[Long])] = base.orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+    def assign(): DataFrame = {
+      val centLit = array(cents.map { case (l, c) =>
+        struct(lit(l).as("label"), typedLit(c.toSeq).as("cq")) }: _*)
+      base.withColumn("_a", array_min(transform(centLit, c =>
+          struct(
+            aggregate(zip_with(col("vq"), c.getField("cq"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (s, v) => s + v).as("d2"),
+            c.getField("label").as("label")))))
+        .select(col("id"), col("vq"),
+          col("_a.label").as("label"), col("_a.d2").as("d2_u"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assign()
+        .select(col("label"), posexplode(col("vq")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .select(col("label"), col("pos"),
+          round(col("s").cast("double") / col("c")).cast("long").as("cv"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("o"))
+        .select(col("label"), expr("transform(o, x -> x.cv)").as("cq"))
+        .collect()
+      cents = upd.map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    }
+    assign().select(col("id"), col("label"), col("d2_u"))
+  }
+
   /** Symmetric per-vector int8 scalar quantisation — the embedding
     * storage-scale path (4× smaller at rest than float32, the standard
     * SQ8 layout ANN indexes ship). Each vector gets its own dequant step

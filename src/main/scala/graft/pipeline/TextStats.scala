@@ -348,6 +348,93 @@ object TextStats {
         col("n_sentences") >= 3 && !col("has_brace") && !col("has_lorem"))
   }
 
+  /** Gopher/MassiveText page-quality rules (the repetition-free subset —
+    * duplicate-n-gram mass lives in [[repetitionSignals]]): word-count
+    * window, mean-word-length window, symbol-to-word ratio (# and ...),
+    * bullet-start / ellipsis-end line fractions, fraction of words with
+    * an alphabetic character, and a required-stopword count. Emits the
+    * per-document evidence plus the composite keep verdict, mirroring
+    * [[c4QualityFlags]]. Every signal is a ratio of exact integers (or
+    * an integer), so external engines reproduce the verdict bit-for-bit.
+    * Pure Column expressions — cleaning 100 TB of pages is a narrow
+    * shuffle-free projection off the scan. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.9,
+                         maxEllipsisFrac: Double = 0.3,
+                         minAlphaFrac: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    val reqStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val lines = split(col(textCol), "\n")
+    df.select(col(idCol), toks.as("toks"), lines.as("lines"), col(textCol).as("text"))
+      .select(col(idCol),
+        size(col("toks")).as("n_words"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("n_chars_tok"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("n_symbols"),
+        size(col("lines")).as("n_lines"),
+        size(filter(col("lines"), l =>
+          trim(l).rlike("^[-*•‣◦]"))).as("n_bullet_lines"),
+        size(filter(col("lines"), l =>
+          trim(l).rlike("(\\.\\.\\.|…)$"))).as("n_ellipsis_lines"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).as("n_alpha_words"),
+        size(filter(
+          typedLit(reqStop).cast("array<string>"),
+          w => array_contains(col("toks"), w))).as("n_req_stop"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("n_chars_tok") >= lit(minMeanLen) * col("n_words") &&
+        col("n_chars_tok") <= lit(maxMeanLen) * col("n_words") &&
+        col("n_symbols") <= lit(maxSymbolRatio) * col("n_words") &&
+        col("n_bullet_lines") <= lit(maxBulletFrac) * col("n_lines") &&
+        col("n_ellipsis_lines") <= lit(maxEllipsisFrac) * col("n_lines") &&
+        col("n_alpha_words") >= lit(minAlphaFrac) * col("n_words") &&
+        col("n_req_stop") >= minStopwords)
+  }
+
+  /** Okapi BM25 top-k keyword retrieval. The postings are restricted to
+    * the query's terms IMMEDIATELY after the token explode — the only
+    * rows that ever shuffle are (doc, query-term) matches, a vanishing
+    * fraction of the corpus — and the per-term document frequencies and
+    * the corpus (N, Σdl) statistics ride one-row/k-row broadcasts. The
+    * final top-k is an `orderBy(...).limit(k)` — Spark plans it as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k·p
+    * rows), the shape that survives any corpus size.
+    *
+    * Engine parity: per-(doc,term) score contributions are quantized to
+    * integer micro-units before the per-doc sum (order-independent), and
+    * the defaults k1=1.5, b=0.75 are binary-exact so k1+1, 1−b and b fold
+    * to exact doubles in both engines. idf = ln(1 + (N−df+0.5)/(df+0.5))
+    * (the always-positive Okapi+1 form). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
+               topK: Int = 50): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val docs = df.select(col(idCol).as("doc"), toks.as("toks"))
+      .select(col("doc"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val posts = docs.select(col("doc"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col("doc"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = posts.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    posts.join(broadcast(dft), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))))
+      .withColumn("lp", round(col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl") * col("n_docs") / col("sum_dl")))) * 1e6).cast("long"))
+      .groupBy(col("doc")).agg(sum(col("lp")).as("score_u"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_u").desc, col("doc"))
+      .limit(topK)
+      .select(col("doc"), col("n_terms_hit"),
+        (col("score_u").cast("double") / 1e6).as("bm25"))
+  }
+
   /** EXACT heavy hitters behind a Misra–Gries prune: every key whose
     * frequency is at least `minFrac` of the non-null rows, with its
     * exact count — without ever shuffling the full distinct-key

@@ -691,6 +691,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansLloyd is invariant to physical partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    // three planted blobs + noise, float vectors like the live table
+    val rows = (0 until 150).map { i =>
+      val c = i % 3
+      (i.toLong, Array.fill(8)((c * 2.0 + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(parts: Int) = graft.pipeline.Similarity
+      .kmeansLloyd(df.repartition(parts), "vec_id", "embedding", k = 3, iters = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run(1); val b = run(7)
+    assert(a == b, "assignment must not depend on partitioning")
+    assert(a.map(_._2).distinct.size == 3, "blobs should occupy 3 clusters")
+    // planted structure recovered: rows of the same blob share a label
+    val byBlob = a.groupBy(_._1 % 3).values.map(_.map(_._2).distinct.size)
+    assert(byBlob.forall(_ == 1), "each blob should map to one cluster")
+  }
+
   test("decontaminateBloom equals the exact join, even with a tiny saturated filter") {
     import spark.implicits._
     val rng = new scala.util.Random(23)
