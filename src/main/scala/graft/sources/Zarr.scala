@@ -38,12 +38,14 @@ import java.io.{File, RandomAccessFile}
   * chunk-grid entry a shard of independently-coded inner chunks behind
   * an (offset, nbytes) footer index; executors range-read the index and
   * then only their inner chunks, mirroring object-store ranged GETs).
-  * v2 numcodecs `filters` chains decode for `shuffle` (trailing), `delta` and
-  * `fixedscaleoffset` — the two xarray commonly emits in `encoding`
+  * v2 numcodecs `filters` chains decode for `shuffle` (trailing), `delta`,
+  * `fixedscaleoffset` — the filters xarray commonly emits in `encoding`
   * — with exact integer arithmetic on the integer paths (see
-  * [[ZFilter]]/[[unfilter]]). Out of scope (documented, rejected
-  * loudly): Blosc bit-shuffle/delta filters, other numcodecs filters,
-  * object/string dtypes, and nested `sharding_indexed`.
+  * [[ZFilter]]/[[unfilter]]), plus the lossy-at-encode float filters
+  * `quantize` and `bitround`, whose decode is a pure dtype view/cast.
+  * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
+  * filters, other numcodecs filters, object/string dtypes, and nested
+  * `sharding_indexed`.
   */
 object Zarr {
 
@@ -224,12 +226,26 @@ object Zarr {
       case v: Vector[Any @unchecked] => v.map { fo =>
         val f = fo.asInstanceOf[Map[String, Any]]
         val id = f("id").asInstanceOf[String]
-        require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle",
-          s"unsupported numcodecs filter '$id' (delta/fixedscaleoffset/shuffle only)")
+        require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle" ||
+            id == "quantize" || id == "bitround",
+          s"unsupported numcodecs filter '$id' " +
+            "(delta/fixedscaleoffset/shuffle/quantize/bitround only)")
         if (id == "shuffle") {
           // byte transpose over the serialized stream; elementsize only
           val esz = f.get("elementsize").map(_.asInstanceOf[Double].toInt).getOrElse(4)
           ZFilter(id, esz.toDouble, 0.0, 'V', esz, dtLittle = true, 'V', esz, asLittle = true)
+        } else if (id == "quantize" || id == "bitround") {
+          // lossy-at-ENCODE float filters: Quantize rounds to `digits`
+          // decimals (np.around), BitRound zeroes mantissa bits below
+          // `keepbits` (round-half-even) — on DECODE both are a pure
+          // astype→dtype view/cast (numcodecs decode() is a view), so
+          // the reader only needs the dtypes
+          val (dk, ds, dl) = parseDtype(f("dtype").asInstanceOf[String])
+          require(dk == 'f', s"numcodecs $id needs a float dtype, got '$dk$ds'")
+          val (ak, asz, al) = f.get("astype")
+            .map(s => parseDtype(s.asInstanceOf[String])).getOrElse((dk, ds, dl))
+          require(ak == 'f', s"numcodecs $id needs a float astype, got '$ak$asz'")
+          ZFilter(id, 0.0, 0.0, dk, ds, dl, ak, asz, al)
         } else {
           val (dk, ds, dl) = parseDtype(f("dtype").asInstanceOf[String])
           val (ak, asz, al) = f.get("astype")
@@ -578,6 +594,16 @@ object Zarr {
             }
             dbls = out; longs = null
           }
+        case "quantize" | "bitround" =>
+          // decode is an astype→dtype cast only (the decimal/mantissa
+          // rounding happened at encode and is irreversible by design)
+          val src: Int => Double =
+            if (dbls != null) i => dbls(i) else i => longs(i).toDouble
+          val f4 = f.dtSize == 4
+          val out = Array.tabulate(nElems) { i =>
+            val v = src(i); if (f4) v.toFloat.toDouble else v
+          }
+          dbls = out; longs = null
         case "fixedscaleoffset" => // enc/scale + offset, cast to dtype
           val src: Int => Double =
             if (longs != null) i => longs(i).toDouble else i => dbls(i)

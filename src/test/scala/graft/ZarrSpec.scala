@@ -582,12 +582,109 @@ class ZarrSpec extends AnyFunSuite {
     writeText(new File(bad, ".zarray"),
       """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
         | "compressor": null,
-        | "filters": [{"id": "quantize", "digits": 3, "dtype": "<f8"}],
+        | "filters": [{"id": "packbits", "dtype": "|b1"}],
         | "fill_value": null, "order": "C"}""".stripMargin)
     val e = intercept[IllegalArgumentException] {
       Zarr.readArrayMeta(root.getPath, "bad")
     }
-    assert(e.getMessage.contains("quantize"))
+    assert(e.getMessage.contains("packbits"))
+  }
+
+  // numcodecs Quantize encode: np.around(x * 10^digits) / 10^digits in the
+  // dtype's precision (around = round-half-even, rint here)
+  private def quantizeEnc(v: Double, digits: Int): Double = {
+    val scale = math.pow(10.0, digits)
+    math.rint(v * scale) / scale
+  }
+
+  // numcodecs BitRound encode for float64: add the rounding increment
+  // (round-half-even on the dropped mantissa bits) then mask them to zero
+  private def bitRoundEnc64(v: Double, keepbits: Int): Double = {
+    val maskbits = 52 - keepbits
+    var b = java.lang.Double.doubleToRawLongBits(v)
+    val mask = (-1L >>> maskbits) << maskbits
+    val halfQuantum1 = (1L << (maskbits - 1)) - 1L
+    b += ((b >>> maskbits) & 1L) + halfQuantum1
+    b &= mask
+    java.lang.Double.longBitsToDouble(b)
+  }
+
+  test("v2 numcodecs Quantize filter: decode is identity over encode-rounded values") {
+    // xarray encoding={"v": Quantize(digits=2, dtype="<f8")}: the store
+    // holds np.around(v*100)/100; decode must hand those values back
+    // EXACTLY (no further transform) — the reader treats the filter as a
+    // dtype view
+    val root = java.nio.file.Files.createTempDirectory("zarrq_").toFile
+    val dir = new File(root, "q")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "quantize", "digits": 2, "dtype": "<f8"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val v = Seq(1.23456, -0.005, 2.675, 1e-8, 1234.56789)
+    val enc = v.map(quantizeEnc(_, 2))
+    write(new File(dir, "0"), zlib(doublesLE(enc)))
+    val got = Zarr.readVariable(spark, root.getPath, "q")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == enc)
+    assert(got(2) == 2.68 || got(2) == 2.67) // half-even landed on a grid point
+  }
+
+  test("v2 numcodecs Quantize with f4 astype + trailing shuffle chain") {
+    // Quantize(digits=1, dtype="<f8", astype="<f4") then Shuffle(4):
+    // stored stream is byte-transposed float32; decode un-shuffles, views
+    // f4, widens to f8 — values are the f4-rounded quantized grid
+    val root = java.nio.file.Files.createTempDirectory("zarrq_").toFile
+    val dir = new File(root, "qf")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null,
+        | "filters": [
+        |  {"id": "quantize", "digits": 1, "dtype": "<f8", "astype": "<f4"},
+        |  {"id": "shuffle", "elementsize": 4}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val v = Seq(3.14159, -2.71828, 0.05, 99.95)
+    val encF4 = v.map(x => quantizeEnc(x, 1).toFloat)
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    encF4.foreach(bb.putFloat)
+    write(new File(dir, "0"), shuffleEnc(bb.array(), 4))
+    val got = Zarr.readVariable(spark, root.getPath, "qf")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == encF4.map(_.toDouble))
+  }
+
+  test("v2 numcodecs BitRound filter: mantissa-rounded doubles read back exactly") {
+    val root = java.nio.file.Files.createTempDirectory("zarrb_").toFile
+    val dir = new File(root, "b")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "<f8",
+        | "compressor": {"id": "zlib", "level": 1},
+        | "filters": [{"id": "bitround", "keepbits": 6, "dtype": "<f8"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val v = Seq(1.0, 3.14159265358979, -273.15, 1e-12, 6.02214076e23, -0.0)
+    val enc = v.map(bitRoundEnc64(_, 6))
+    write(new File(dir, "0"), zlib(doublesLE(enc)))
+    val got = Zarr.readVariable(spark, root.getPath, "b")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == enc)
+    // rounding really dropped mantissa bits but stayed within half a quantum
+    enc.zip(v).foreach { case (e, x) =>
+      if (x != 0.0) {
+        assert((java.lang.Double.doubleToRawLongBits(e) & ((1L << 46) - 1)) == 0L)
+        assert(math.abs(e - x) <= math.abs(x) / 32.0)
+      }
+    }
+    // integer dtype rejected loudly
+    val bad = new File(root, "badb")
+    writeText(new File(bad, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+        | "compressor": null,
+        | "filters": [{"id": "bitround", "keepbits": 3, "dtype": "<i4"}],
+        | "fill_value": null, "order": "C"}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Zarr.readArrayMeta(root.getPath, "badb")
+    }
+    assert(e.getMessage.contains("float dtype"))
   }
 
   private def doublesLE(vals: Seq[Double]): Array[Byte] = {
