@@ -6424,6 +6424,17 @@ object SparkEntry {
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 4, iters = 2)
         .select(col("id").as("vec_id"), col("label"), col("d2_u"))
+    }),
+
+    "q_pq_adc" -> ((s, dir) => {
+      // Product quantisation + ADC scoring (Similarity.pqEncodeAdc):
+      // 64-dim vectors -> 8 codes from a 16-codeword sampled codebook;
+      // the ADC distance to vec 7 is a pure lookup-table sum (the table
+      // is one driver-computed literal), all in exact int64 micro-units
+      // so the oracle replays encode and scoring identically.
+      Similarity.pqEncodeAdc(t(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 8, k = 16, queryId = 7L)
+        .select(col("id").as("vec_id"), col("code_str"), col("adc_u"))
     })
   )
 
@@ -6554,7 +6565,35 @@ object SparkEntry {
         |  from base b cross join c2 c)
         |select id vec_id, label, d2 d2_u from
         |  (select *, row_number() over (partition by id order by d2, label) rn
-        |   from d3) where rn = 1""".stripMargin
+        |   from d3) where rn = 1""".stripMargin,
+
+    "q_pq_adc" ->
+      """with base as (select vec_id id,
+        |  list_transform(embedding,
+        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        | from embeddings),
+        |cb as (select cast(row_number() over (order by id) - 1 as int) as j,
+        |    vq cq from (select * from base order by id limit 16)),
+        |q as (select vq qv from base where id = 7),
+        |ss as (select unnest(range(8)) s),
+        |d as (select b.id, ss.s, c.j,
+        |    cast(list_sum(list_transform(range(8),
+        |      i -> (b.vq[ss.s*8+i+1] - c.cq[ss.s*8+i+1])
+        |         * (b.vq[ss.s*8+i+1] - c.cq[ss.s*8+i+1]))) as bigint) d2
+        |  from base b cross join ss cross join cb c),
+        |codes as (select id, s, j code from
+        |  (select *, row_number() over (partition by id, s order by d2, j) rn
+        |   from d) where rn = 1),
+        |t as (select ss.s, c.j,
+        |    cast(list_sum(list_transform(range(8),
+        |      i -> (q.qv[ss.s*8+i+1] - c.cq[ss.s*8+i+1])
+        |         * (q.qv[ss.s*8+i+1] - c.cq[ss.s*8+i+1]))) as bigint) td
+        |  from q cross join ss cross join cb c)
+        |select c.id vec_id,
+        |  array_to_string(list(c.code order by c.s), '-') code_str,
+        |  cast(sum(t.td) as bigint) adc_u
+        |from codes c join t on t.s = c.s and t.j = c.code
+        |group by c.id""".stripMargin
   )
 
 }

@@ -375,6 +375,71 @@ object Similarity {
     assign().select(col("id"), col("label"), col("d2_u"))
   }
 
+  /** Product quantisation with asymmetric-distance (ADC) scoring — the
+    * IVF-PQ memory-scale path: each vector is split into `m` subvectors,
+    * each encoded as the index of its nearest codeword (codebook =
+    * the k lowest-id vectors' subvectors — the deterministic sampled
+    * codebook; swap in [[kmeansLloyd]]-trained centroids per subspace
+    * when training cost is warranted), so a 64-dim float vector stores
+    * as m bytes. The ADC distance to `queryId`'s vector is the sum of
+    * per-subspace lookup-table entries — the table (m·k ints) is
+    * computed driver-side from the same micro-unit arithmetic and enters
+    * the plan as one literal, so scoring 100 TB of codes is a narrow
+    * shuffle-free projection (no float math per row at all).
+    *
+    * Everything is exact int64 micro-unit arithmetic (components
+    * quantized once to round(x·1e6)), ties break toward the lowest
+    * codeword index, so an external engine replays encode AND scoring
+    * bit-for-bit. Returns (id, code_str, adc_u). */
+  def pqEncodeAdc(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, queryId: Long): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+      .localCheckpoint(false)
+    val seeds: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == k, s"corpus smaller than codebook k=$k")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val qvec: Array[Long] = base.filter(col("id") === queryId)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no vector with id $queryId"))
+      .getSeq[Long](1).toArray
+    // ADC lookup table in exact micro-unit²: table(s)(j) = ||q_s - c_j,s||²
+    val table: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until k).map { j =>
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = qvec(s * sub + i) - seeds(j)(s * sub + i)
+          d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    val codeCols = (0 until m).map { s =>
+      val cands = (0 until k).map { j =>
+        struct(
+          aggregate(zip_with(
+            slice(col("vq"), s * sub + 1, sub),
+            typedLit(seeds(j).slice(s * sub, (s + 1) * sub).toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    val tableLit = typedLit(table)
+    base.withColumn("codes", array(codeCols: _*))
+      .withColumn("adc_u", aggregate(
+        zip_with(tableLit, col("codes"),
+          (row, c) => element_at(row, c + 1)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("id"),
+        array_join(transform(col("codes"), _.cast("string")), "-").as("code_str"),
+        col("adc_u"))
+  }
+
   /** Symmetric per-vector int8 scalar quantisation — the embedding
     * storage-scale path (4× smaller at rest than float32, the standard
     * SQ8 layout ANN indexes ship). Each vector gets its own dequant step
