@@ -6435,6 +6435,26 @@ object SparkEntry {
       Similarity.pqEncodeAdc(t(s, dir, "embeddings"), "vec_id", "embedding",
           m = 8, k = 16, queryId = 7L)
         .select(col("id").as("vec_id"), col("code_str"), col("adc_u"))
+    }),
+
+    "q_split_assign" -> ((s, dir) => {
+      // Deterministic 90/5/5 train/val/test assignment by salted-md5 band
+      // (Sampling.splitAssign): stable under repartitioning and corpus
+      // growth, no shuffle; thresholds accumulate 0.9, 0.9+0.05 with the
+      // same double addition the oracle folds.
+      graft.pipeline.Sampling.splitAssign(
+          t(s, dir, "documents"), col("doc_id"),
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
+    "q_kn_trigram_nll" -> ((s, dir) => {
+      // Interpolated Kneser-Ney word-trigram NLL (TextStats.knTrigramNll):
+      // continuation-count backoff with binary-exact D=0.75, all counts
+      // from the one corpus trigram table, micro-quantized logs -> the
+      // oracle replays the identical probability tree.
+      TextStats.knTrigramNll(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
     })
   )
 
@@ -6593,7 +6613,55 @@ object SparkEntry {
         |  array_to_string(list(c.code order by c.s), '-') code_str,
         |  cast(sum(t.td) as bigint) adc_u
         |from codes c join t on t.s = c.s and t.j = c.code
-        |group by c.id""".stripMargin
+        |group by c.id""".stripMargin,
+
+    "q_split_assign" ->
+      """select doc_id, lang,
+        |  case
+        |    when cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar),
+        |        'graft-split')), 1, 13)) as ubigint) as double)
+        |      / 4503599627370496.0 < 0.9 then 'train'
+        |    when cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar),
+        |        'graft-split')), 1, 13)) as ubigint) as double)
+        |      / 4503599627370496.0 < (0.9 + 0.05) then 'val'
+        |    else 'test'
+        |  end split
+        |from documents""".stripMargin,
+
+    "q_kn_trigram_nll" ->
+      """with tk as (select doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) tk
+        |  from documents where doc_id % 3 = 0),
+        |tri as (select doc_id,
+        |    tk[cast(i as int)+1] w1, tk[cast(i as int)+2] w2,
+        |    tk[cast(i as int)+3] w3
+        |  from (select doc_id, tk, unnest(range(0, len(tk)-2)) i
+        |        from tk where len(tk) >= 3)),
+        |c3t as (select w1, w2, w3, count(*) c3 from tri group by 1, 2, 3),
+        |c2t as (select w1, w2, sum(c3) c2, count(*) nf3 from c3t group by 1, 2),
+        |nmid as (select w2, w3, count(*) nm from c3t group by 1, 2),
+        |nctx2 as (select w2, count(*) nc2 from c3t group by 1),
+        |bg as (select distinct w2, w3 from c3t),
+        |nfol2 as (select w2, count(*) nf2 from bg group by 1),
+        |npre as (select w3, npre, cast(sum(npre) over () as bigint) nbg from
+        |  (select w3, count(*) npre from bg group by 1)),
+        |lp as (select doc_id, cast(round(ln(
+        |    (greatest(c3 - 0.75, 0.0) / c2) +
+        |    (((0.75 * nf3) / c2) *
+        |      ((greatest(nm - 0.75, 0.0) / nc2) +
+        |       (((0.75 * nf2) / nc2) * (npre / nbg))))
+        |  ) * 1e6) as bigint) lp
+        |  from tri
+        |  join c3t using (w1, w2, w3)
+        |  join c2t using (w1, w2)
+        |  join nmid using (w2, w3)
+        |  join nctx2 using (w2)
+        |  join nfol2 using (w2)
+        |  join npre using (w3))
+        |select doc_id, count(*) n_trigrams,
+        |  -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
+        |from lp group by 1""".stripMargin
   )
 
 }

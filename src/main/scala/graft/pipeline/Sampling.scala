@@ -38,6 +38,33 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Deterministic train/val/test split assignment: each row lands in the
+    * split whose cumulative-fraction band contains its salted-md5 hash
+    * fraction. Membership is a pure function of (id, salt) — stable
+    * under repartitioning, retries, incremental corpus growth (a new row
+    * never moves an old one) — and the band thresholds accumulate with
+    * plain double addition so an external engine folding the same
+    * literals lands every boundary identically. One scan, no shuffle. */
+  def splitAssign(df: DataFrame, id: Column,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0), s"bad splits $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val f = hashFraction(id, salt)
+    // all but the last split get an explicit upper bound; the last is the
+    // otherwise-branch so float dust on the final threshold can't drop rows
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum).foldLeft(None: Option[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val c = f < hi
+        Some(acc.map(_.when(c, name)).getOrElse(when(c, name)))
+    }
+    val expr = assigned.map(_.otherwise(splits.last._1))
+      .getOrElse(lit(splits.last._1))
+    df.withColumn("split", expr)
+  }
+
   /** Mixture (data-mixing) sample — rebalance a multi-source corpus to
     * TARGET proportions, the standard step before training-mix assembly:
     * `target` maps a key (source, language, …) to its desired share of

@@ -395,6 +395,69 @@ object TextStats {
         col("n_req_stop") >= minStopwords)
   }
 
+  /** Interpolated Kneser–Ney word-trigram LM — the step past
+    * [[trigramNll]]'s raw MLE: P(w3|w1w2) backs off through continuation
+    * counts with absolute discount D = 0.75 (binary-exact):
+    *
+    *   P3 = max(c3−D,0)/c2 + (D·nf3/c2)·P2
+    *   P2 = max(nm−D,0)/nc2 + (D·nf2/nc2)·P1
+    *   P1 = npre(w3)/n_bigram_types
+    *
+    * with every count derived from the ONE corpus trigram table (nm =
+    * distinct predecessors of (w2,w3); nc2 = distinct (w1,w3) around w2;
+    * nf3/nf2 = distinct continuations; npre = distinct predecessors of
+    * w3 over bigram types) — a self-consistent closed-vocabulary
+    * convention, documented here because edge n-grams are not padded.
+    * All inputs are exact integers and the probability is one fixed
+    * parenthesized expression tree, so external engines land identical
+    * doubles; per-trigram logs micro-quantize before the per-doc mean
+    * (order-free, [[trigramNll]]'s rule).
+    *
+    * Scale shape: count tables are vocabulary-keyed hash-aggs joined
+    * back on their own keys (never broadcast — corpus vocabulary is
+    * unbounded); only the one-row bigram-type total broadcasts. */
+  def knTrigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = lit(0.75)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    val tri = df.select(col(idCol), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(tk)-3), i -> struct(" +
+          "element_at(tk,i+1) as w1, element_at(tk,i+2) as w2, " +
+          "element_at(tk,i+3) as w3))")).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"), col("g.w3"))
+      .localCheckpoint(false) // feeds 5 count tables + the scoring join
+    val c3t = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(false) // every other table derives from it
+    val c2t = c3t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("nf3"))
+    val nmid = c3t.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("nm"))
+    val nctx2 = c3t.groupBy(col("w2")).agg(count(lit(1)).as("nc2"))
+    val bg = c3t.select(col("w2"), col("w3")).distinct()
+      .localCheckpoint(false)
+    val nfol2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("nf2"))
+    val npre = bg.groupBy(col("w3")).agg(count(lit(1)).as("npre"))
+    val nbg = bg.agg(count(lit(1)).as("nbg"))
+    val p1 = col("npre") / col("nbg")
+    val p2 = (greatest(col("nm") - d, lit(0.0)) / col("nc2")) +
+      (((d * col("nf2")) / col("nc2")) * p1)
+    val p3 = (greatest(col("c3") - d, lit(0.0)) / col("c2")) +
+      (((d * col("nf3")) / col("c2")) * p2)
+    tri.join(c3t, Seq("w1", "w2", "w3"))
+      .join(c2t, Seq("w1", "w2"))
+      .join(nmid, Seq("w2", "w3"))
+      .join(nctx2, Seq("w2"))
+      .join(nfol2, Seq("w2"))
+      .join(npre, Seq("w3"))
+      .crossJoin(broadcast(nbg))
+      .withColumn("lp", round(log(p3) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("_slp"))
+      .select(col(idCol), col("n_trigrams"),
+        (-round(col("_slp").cast("double") / col("n_trigrams")) / 1e6).as("mean_nll"))
+  }
+
   /** Okapi BM25 top-k keyword retrieval. The postings are restricted to
     * the query's terms IMMEDIATELY after the token explode — the only
     * rows that ever shuffle are (doc, query-term) matches, a vanishing

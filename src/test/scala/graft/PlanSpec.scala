@@ -29,7 +29,10 @@ class PlanSpec extends AnyFunSuite {
     "q_cosine_to_query", "q_ivf_topk", "q_knn_top3", "q_ks_analog",
     "q_trigram_nll", "q_winnow_overlap", "q_mixture_lang",
     "q_pmi_bigrams", // one-row bigram-total broadcast
-    "q_semantic_decontaminate") // eval-set broadcast vs corpus scan
+    "q_semantic_decontaminate", // eval-set broadcast vs corpus scan
+    "q_bm25_topk", // one-row (N, sum_dl) corpus-stats broadcast
+    "q_kn_trigram_nll", // one-row bigram-type-total broadcast
+    "q_ccnet_buckets") // reuses trigramNll's one-row total broadcast
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
