@@ -311,4 +311,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming ingest gate: quality flags + split assignment equal batch") {
+    // the cleaning front of a streaming ingest pipeline — Gopher quality
+    // rules and hash-band split assignment are pure narrow projections,
+    // so they must run unchanged under readStream (append mode, no state)
+    // and agree row-for-row with the batch path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "- bullet\n- bullet\nshort"),
+      (3L, "### ## # symbols everywhere ## #"),
+      (4L, Seq.fill(40)("steady flow of ordinary prose with the usual words").mkString(" ")))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Sampling.splitAssign(
+          graft.pipeline.TextStats.gopherQualityFlags(df, "doc_id", "text",
+            minWords = 5, minStopwords = 1),
+          col("doc_id"), Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select(col("doc_id"), col("n_words"), col("keep"), col("split"))
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_gate").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      val batch = gate(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(batch.map(_._3).contains(true) && batch.map(_._3).contains(false))
+    } finally q.stop()
+  }
 }
