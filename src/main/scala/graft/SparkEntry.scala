@@ -6455,6 +6455,21 @@ object SparkEntry {
       // oracle replays the identical probability tree.
       TextStats.knTrigramNll(
         t(s, dir, "documents").filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
+
+    "q_exif_metadata" -> ((s, dir) => {
+      // EXIF extraction (Multimodal.extractExifMeta): planted APP1 Exif
+      // TIFF segments — byte order alternating II/MM with id, inline
+      // SHORT + offset ASCII + offset RATIONAL + sub-IFD pointer entries
+      // — parsed executor-side by the marker/IFD walk; every recovered
+      // tag has a closed form in doc_id the oracle computes directly.
+      val mk = udf((id: Long) => graft.pipeline.Multimodal.plantedExifJpeg(
+        id, (320 + (id % 5) * 16).toInt, 240))
+      graft.pipeline.Multimodal.extractExifMeta(
+          t(s, dir, "documents").filter(col("doc_id") % 40 === 0)
+            .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload")))
+        .select(col("media_id"), col("orientation"), col("make"),
+          col("taken_at"), col("pixel_x"))
     })
   )
 
@@ -6661,7 +6676,17 @@ object SparkEntry {
         |  join npre using (w3))
         |select doc_id, count(*) n_trigrams,
         |  -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
-        |from lp group by 1""".stripMargin
+        |from lp group by 1""".stripMargin,
+
+    "q_exif_metadata" ->
+      """select doc_id media_id,
+        |  cast(1 + doc_id % 8 as int) orientation,
+        |  'cam' || cast(doc_id % 4 as varchar) make,
+        |  '2026:01:' || lpad(cast(1 + doc_id % 27 as varchar), 2, '0')
+        |    || ' ' || lpad(cast(doc_id % 24 as varchar), 2, '0')
+        |    || ':00:00' taken_at,
+        |  cast(320 + (doc_id % 5) * 16 as bigint) pixel_x
+        |from documents where doc_id % 40 = 0""".stripMargin
   )
 
 }

@@ -187,6 +187,169 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- EXIF (JPEG APP1 TIFF) metadata ------------------------------------
+  // Layout per the public JEITA CP-3451 / TIFF 6.0 specs: an APP1 segment
+  // tagged "Exif\0\0" wrapping a TIFF byte stream — byte-order mark
+  // (II/MM), 0x002A, IFD chains of 12-byte (tag, type, count, value-or-
+  // offset) entries. Only the tags corpus pipelines key on are read:
+  // Orientation, Make, the Exif sub-IFD's DateTimeOriginal and
+  // PixelXDimension.
+
+  /** Planted EXIF fixture: [[plantedJpeg]] with an APP1 Exif segment
+    * spliced after SOI. Byte order ALTERNATES with id (II even / MM odd)
+    * so both TIFF endianness paths are exercised; every tag value has a
+    * closed form in (id, w): orientation = 1 + id%8, make = "cam"+id%4,
+    * taken_at = 2026:01:(1+id%27) (id%24):00:00, pixel_x = w. IFD0 holds
+    * inline SHORT, offset ASCII, offset RATIONAL and sub-IFD pointer
+    * entries — the four value encodings a real walker must handle. */
+  def plantedExifJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    val little = id % 2 == 0
+    val tiff = new Array[Byte](126)
+    def pu16(o: Int, v: Int): Unit =
+      if (little) { tiff(o) = (v & 0xff).toByte; tiff(o + 1) = ((v >> 8) & 0xff).toByte }
+      else { tiff(o) = ((v >> 8) & 0xff).toByte; tiff(o + 1) = (v & 0xff).toByte }
+    def pu32(o: Int, v: Long): Unit =
+      if (little) { var i = 0; while (i < 4) { tiff(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 } }
+      else { var i = 0; while (i < 4) { tiff(o + 3 - i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 } }
+    def entry(o: Int, tag: Int, typ: Int, count: Long): Unit = {
+      pu16(o, tag); pu16(o + 2, typ); pu32(o + 4, count)
+    }
+    tiff(0) = (if (little) 'I' else 'M').toByte; tiff(1) = tiff(0)
+    pu16(2, 0x2A); pu32(4, 8L)
+    // IFD0 @8: 4 entries, next-IFD 0; data: make@62, xres@68, sub-IFD@76
+    pu16(8, 4)
+    entry(10, 0x010F, 2, 5L); pu32(18, 62L)           // Make: ASCII via offset
+    entry(22, 0x0112, 3, 1L); pu16(30, (1 + id % 8).toInt) // Orientation inline
+    entry(34, 0x011A, 5, 1L); pu32(42, 68L)           // XResolution RATIONAL
+    entry(46, 0x8769, 4, 1L); pu32(54, 76L)           // Exif sub-IFD pointer
+    pu32(58, 0L)
+    val make = (s"cam${id % 4}" + "\u0000").getBytes("US-ASCII")
+    System.arraycopy(make, 0, tiff, 62, 5)
+    pu32(68, 72L); pu32(72, 1L)                        // 72/1 dpi
+    // sub-IFD @76: 2 entries; datetime string @106 (19 chars + NUL)
+    pu16(76, 2)
+    entry(78, 0x9003, 2, 20L); pu32(86, 106L)          // DateTimeOriginal
+    entry(90, 0xA002, 4, 1L); pu32(98, w.toLong)       // PixelXDimension inline
+    pu32(102, 0L)
+    val dt = (f"2026:01:${1 + id % 27}%02d ${id % 24}%02d:00:00" + "\u0000")
+      .getBytes("US-ASCII")
+    System.arraycopy(dt, 0, tiff, 106, 20)
+    val base = plantedJpeg(id, w, h)
+    val app1 = new Array[Byte](4 + 6 + tiff.length)
+    app1(0) = 0xFF.toByte; app1(1) = 0xE1.toByte
+    val len = 2 + 6 + tiff.length
+    app1(2) = ((len >> 8) & 0xff).toByte; app1(3) = (len & 0xff).toByte
+    System.arraycopy(Array[Byte]('E', 'x', 'i', 'f', 0, 0), 0, app1, 4, 6)
+    System.arraycopy(tiff, 0, app1, 10, tiff.length)
+    val out = new Array[Byte](base.length + app1.length)
+    out(0) = base(0); out(1) = base(1)
+    System.arraycopy(app1, 0, out, 2, app1.length)
+    System.arraycopy(base, 2, out, 2 + app1.length, base.length - 2)
+    out
+  }
+
+  /** Parse EXIF from a JPEG byte stream: walk the marker chain to APP1
+    * "Exif\0\0", then the TIFF IFD0 (+ Exif sub-IFD). Returns
+    * (orientation, make, takenAt, pixelX) with nulls for absent tags, or
+    * null when there is no EXIF segment. Bounds-checked throughout —
+    * truncated or hostile offsets return what was parsed so far rather
+    * than reading out of range. */
+  private[graft] def exifMeta(b: Array[Byte]):
+      (Integer, String, String, java.lang.Long) = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
+    var p = 2
+    var tiffOff = -1
+    while (tiffOff < 0 && p + 4 <= b.length && (b(p) & 0xff) == 0xFF) {
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xDA || marker == 0xD9) return null // into scan data: no EXIF
+      val segLen = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (segLen < 2 || p + 2 + segLen > b.length) return null
+      if (marker == 0xE1 && segLen >= 8 &&
+        new String(b, p + 4, 4, "US-ASCII") == "Exif" &&
+        b(p + 8) == 0 && b(p + 9) == 0) tiffOff = p + 10
+      else p += 2 + segLen
+    }
+    if (tiffOff < 0 || tiffOff + 8 > b.length) return null
+    val little = (b(tiffOff) & 0xff) == 'I'
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > b.length) -1
+      else if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > b.length) -1L
+      else if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def ascii(off: Long, count: Long): String = {
+      // all bounds math in Long space: a hostile u32 offset near 2^31
+      // wraps negative through toInt and would index out of range
+      val o = tiffOff.toLong + off
+      if (off < 0 || count < 1 || count > 4096 || o < 0 || o + count > b.length) null
+      else {
+        val raw = new String(b, o.toInt, count.toInt, "US-ASCII")
+        val nul = raw.indexOf('\u0000')
+        if (nul >= 0) raw.substring(0, nul) else raw
+      }
+    }
+    var orientation: Integer = null; var make: String = null
+    var takenAt: String = null; var pixelX: java.lang.Long = null
+    def walk(ifdOff: Long, depth: Int): Unit = {
+      if (depth > 2 || ifdOff < 0 || tiffOff.toLong + ifdOff > b.length) return
+      val base = tiffOff + ifdOff.toInt
+      val n = u16(base)
+      if (n < 0 || n > 512) return
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + i * 12
+        val tag = u16(e); val typ = u16(e + 2); val count = u32(e + 4)
+        tag match {
+          case 0x0112 if typ == 3 => orientation = Integer.valueOf(u16(e + 8))
+          case 0x010F if typ == 2 =>
+            make = if (count <= 4) ascii(e + 8 - tiffOff, count)
+              else ascii(u32(e + 8), count)
+          case 0x9003 if typ == 2 =>
+            takenAt = if (count <= 4) ascii(e + 8 - tiffOff, count)
+              else ascii(u32(e + 8), count)
+          case 0xA002 if typ == 3 => pixelX = java.lang.Long.valueOf(u16(e + 8).toLong)
+          case 0xA002 if typ == 4 => pixelX = java.lang.Long.valueOf(u32(e + 8))
+          case 0x8769 if typ == 4 => walk(u32(e + 8), depth + 1)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    walk(u32(tiffOff + 4), 0)
+    if (orientation == null && make == null && takenAt == null && pixelX == null) null
+    else (orientation, make, takenAt, pixelX)
+  }
+
+  val exifMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("taken_at", StringType, nullable = true),
+    StructField("pixel_x", LongType, nullable = true)))
+
+  /** EXIF metadata extraction over a (media_id, payload) frame — the
+    * image twin of [[extractMediaMeta]]: a narrow mapPartitions kernel
+    * (payload bytes never shuffle), null-tolerant for non-JPEG or
+    * EXIF-less payloads. */
+  def extractExifMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(exifMetaSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val n = if (payload == null) 0L else payload.length.toLong
+        val m = exifMeta(payload)
+        if (m == null) Row(r.getLong(0), n, null, null, null, null)
+        else Row(r.getLong(0), n, m._1, m._2, m._3, m._4)
+      }
+    }(enc)
+  }
+
   // ---- RIFF container parsing (WAV audio + AVI video are both RIFF) ----
   // Layout per the public Microsoft/IBM RIFF spec: little-endian chunk
   // stream of (fourcc, u32 size, payload, pad-to-even). WAVE holds "fmt "

@@ -691,6 +691,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exifMeta: planted tags recovered both-endian; truncation/mutation never throws") {
+    import graft.pipeline.Multimodal
+    val rng = new scala.util.Random(53)
+    for (id <- 0L until 20L) { // ids cover II (even) and MM (odd)
+      val jpg = Multimodal.plantedExifJpeg(id, 64, 48)
+      val m = Multimodal.exifMeta(jpg)
+      assert(m != null, s"id $id: EXIF not found")
+      assert(m._1 == (1 + id % 8).toInt, s"id $id orientation")
+      assert(m._2 == s"cam${id % 4}", s"id $id make")
+      assert(m._3 == f"2026:01:${1 + id % 27}%02d ${id % 24}%02d:00:00")
+      assert(m._4 == 64L, s"id $id pixel_x")
+    }
+    // plain JPEG (no APP1) and non-JPEG payloads return null
+    assert(Multimodal.exifMeta(Multimodal.plantedJpeg(3, 32, 32)) == null)
+    assert(Multimodal.exifMeta("not a jpeg".getBytes) == null)
+    assert(Multimodal.exifMeta(null) == null)
+    // fuzz: truncations and random byte flips must never read out of
+    // bounds or throw — hostile offsets included
+    val base = Multimodal.plantedExifJpeg(5, 64, 48)
+    for (cut <- 1 until math.min(base.length, 200)) Multimodal.exifMeta(base.take(cut))
+    for (_ <- 1 to 500) {
+      val m = base.clone()
+      for (_ <- 0 to rng.nextInt(6)) m(rng.nextInt(160)) = rng.nextInt.toByte
+      Multimodal.exifMeta(m)
+    }
+  }
+
   test("kmeansLloyd is invariant to physical partitioning") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
