@@ -6470,6 +6470,26 @@ object SparkEntry {
             .select(col("doc_id").as("media_id"), mk(col("doc_id")).as("payload")))
         .select(col("media_id"), col("orientation"), col("make"),
           col("taken_at"), col("pixel_x"))
+    }),
+
+    "q_clean_text" -> ((s, dir) => {
+      // Canonical cleaning projection (TextStats.cleanText): the staged
+      // corpus injects accented tokens, non-folding letters (ss/l-stroke,
+      // proving NON-fold parity), a control char and ragged whitespace by
+      // residue; both engines rewrite then clean identically. Output
+      // carries the md5 of the cleaned text so the hash compare pins
+      // every byte.
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("  Café NAÏVE  résumé\tüber")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(" straße łódź ŚWIĘTY")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" ctrl\u0001and\u001fchars")).otherwise(lit(""))).as("text"))
+      staged.select(col("doc_id"),
+        md5(TextStats.cleanText(col("text"))).as("clean_md5"),
+        length(TextStats.cleanText(col("text"))).as("clean_len"))
     })
   )
 
@@ -6686,7 +6706,22 @@ object SparkEntry {
         |    || ' ' || lpad(cast(doc_id % 24 as varchar), 2, '0')
         |    || ':00:00' taken_at,
         |  cast(320 + (doc_id % 5) * 16 as bigint) pixel_x
-        |from documents where doc_id % 40 = 0""".stripMargin
+        |from documents where doc_id % 40 = 0""".stripMargin,
+
+    "q_clean_text" ->
+      """with staged as (select doc_id, text
+        |  || case when doc_id % 3 = 0
+        |       then '  Café NAÏVE  résumé' || chr(9) || 'über' else '' end
+        |  || case when doc_id % 5 = 0 then ' straße łódź ŚWIĘTY' else '' end
+        |  || case when doc_id % 7 = 0
+        |       then ' ctrl' || chr(1) || 'and' || chr(31) || 'chars' else '' end
+        |  as text from documents),
+        |c as (select doc_id, trim(regexp_replace(regexp_replace(
+        |    strip_accents(lower(text)), '[\x00-\x1f\x7f]', '', 'g'),
+        |    '\s+', ' ', 'g')) clean
+        |  from staged)
+        |select doc_id, md5(clean) clean_md5,
+        |  cast(length(clean) as int) clean_len from c""".stripMargin
   )
 
 }

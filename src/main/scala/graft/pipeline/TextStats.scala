@@ -395,6 +395,29 @@ object TextStats {
         col("n_req_stop") >= minStopwords)
   }
 
+  /** Latin accent fold table — the diacritic-bearing letters whose
+    * Unicode canonical decomposition carries a base letter, i.e. exactly
+    * the set utf8proc-based engines (DuckDB `strip_accents`) fold, so the
+    * pure `translate` Column below is engine-parity by construction.
+    * Letters WITHOUT a decomposition (đ, ł, ß, œ, æ) are deliberately
+    * absent: no engine folds them and neither do we. Lowercase only —
+    * [[cleanText]] lowercases first. */
+  private val AccentSrc = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñšžčřůļķņēīūģőűāăęńśźż"
+  private val AccentDst = "aaaaaaeeeeiiiiooooouuuuyycnszcrulkneiugouaaenszz"
+
+  def foldAccents(text: Column): Column = translate(text, AccentSrc, AccentDst)
+
+  /** Canonical cleaning projection for dedup/matching keys: lowercase →
+    * accent fold → strip ASCII control chars → collapse whitespace →
+    * trim. Every step is a codegen'd Column (translate + two explicit
+    * byte-class regexes — no Unicode property classes, which Java regex
+    * and RE2 disagree on), so cleaning 100 TB is a narrow shuffle-free
+    * projection the external oracle reproduces bit-for-bit. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(foldAccents(lower(text)), "[\\x00-\\x1f\\x7f]", ""),
+      "\\s+", " "))
+
   /** Interpolated Kneser–Ney word-trigram LM — the step past
     * [[trigramNll]]'s raw MLE: P(w3|w1w2) backs off through continuation
     * counts with absolute discount D = 0.75 (binary-exact):
