@@ -6490,6 +6490,50 @@ object SparkEntry {
       staged.select(col("doc_id"),
         md5(TextStats.cleanText(col("text"))).as("clean_md5"),
         length(TextStats.cleanText(col("text"))).as("clean_len"))
+    }),
+
+    "q_mann_kendall" -> ((s, dir) => {
+      // Mann-Kendall trend test - the significance companion to
+      // q_sen_slope (the reference pairs them in its trend analysis):
+      // S = sum of pairwise signs (exact integer via the same per-entity
+      // pair cloud as Sen's slope), tie-corrected variance, and the
+      // continuity-corrected z. All inputs are exact; sqrt is
+      // correctly-rounded IEEE in both engines; z rounds to 6.
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      val sTab = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.t") < col("b.t"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(sum(signum(col("b.total") - col("a.total"))).cast("long").as("s_stat"))
+      val nTab = daily.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("user_id"), col("total"))
+        .agg(count(lit(1)).as("tk"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tsum"))
+      sTab.join(nTab, "user_id").join(ties, "user_id")
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tsum")) / 18.0)
+        .withColumn("z", round(
+          when(col("var_s") <= 0.0, lit(0.0))
+            .when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 6))
+        .select(col("user_id"), col("s_stat"), col("n"),
+          round(col("var_s"), 6).as("var_s"), col("z"))
+    }),
+
+    "q_ivf_pq_topk" -> ((s, dir) => {
+      // The composed ANN scale path (Similarity.ivfPqTopK): an 8-cell
+      // coarse quantizer prunes to the query's 2 nearest cells (at lake
+      // scale the cell is a partition column -> partition pruning), then
+      // PQ codes + the broadcast ADC table score only the survivors.
+      // Exact int64 micro-units end to end; the oracle replays pruning,
+      // encode and scoring identically.
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          kCoarse = 8, m = 8, k = 16, nprobe = 2, queryId = 7L, topK = 20)
+        .select(col("id").as("vec_id"), col("cell"), col("code_str"), col("adc_u"))
     })
   )
 
@@ -6721,7 +6765,76 @@ object SparkEntry {
         |    '\s+', ' ', 'g')) clean
         |  from staged)
         |select doc_id, md5(clean) clean_md5,
-        |  cast(length(clean) as int) clean_len from c""".stripMargin
+        |  cast(length(clean) as int) clean_len from c""".stripMargin,
+
+    "q_mann_kendall" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total from daily),
+         |st as (select a.user_id,
+         |   cast(sum(sign(b.total - a.total)) as bigint) s_stat
+         | from dd a join dd b on a.user_id = b.user_id and a.t < b.t
+         | group by 1),
+         |nt as (select user_id, count(*) n from dd group by 1),
+         |ties as (select user_id,
+         |   sum(tk * (tk - 1) * (tk * 2 + 5)) tsum from
+         |   (select user_id, total, count(*) tk from dd group by 1, 2)
+         | group by 1),
+         |j as (select s.user_id, s.s_stat, n.n,
+         |   (n.n * (n.n - 1) * (n.n * 2 + 5) - t.tsum) / 18.0 var_s
+         | from st s join nt n using (user_id) join ties t using (user_id))
+         |select user_id, s_stat, n, round(var_s, 6) var_s,
+         |  round(case
+         |    when var_s <= 0.0 then 0.0
+         |    when s_stat > 0 then (s_stat - 1) / sqrt(var_s)
+         |    when s_stat < 0 then (s_stat + 1) / sqrt(var_s)
+         |    else 0.0 end, 6) z
+         |from j""".stripMargin,
+
+    "q_ivf_pq_topk" ->
+      """with base as (select vec_id id,
+        |  list_transform(embedding,
+        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        | from embeddings),
+        |cb as (select cast(row_number() over (order by id) - 1 as int) as j,
+        |    vq cq from (select * from base order by id limit 16)),
+        |q as (select vq qv from base where id = 7),
+        |cd as (select b.id, b.vq, c.j,
+        |    cast(list_sum(list_transform(range(len(b.vq)),
+        |      i -> (b.vq[i+1] - c.cq[i+1]) * (b.vq[i+1] - c.cq[i+1])))
+        |      as bigint) d2
+        |  from base b cross join (select * from cb where j < 8) c),
+        |cell as (select id, vq, j cell from
+        |  (select *, row_number() over (partition by id order by d2, j) rn
+        |   from cd) where rn = 1),
+        |pr as (select c.j from q cross join (select * from cb where j < 8) c
+        |  order by cast(list_sum(list_transform(range(len(q.qv)),
+        |    i -> (q.qv[i+1] - c.cq[i+1]) * (q.qv[i+1] - c.cq[i+1])))
+        |    as bigint), c.j limit 2),
+        |pruned as (select cell.id, cell.vq, cell.cell from cell
+        |  join pr on pr.j = cell.cell),
+        |ss as (select unnest(range(8)) s),
+        |d as (select b.id, ss.s, c.j,
+        |    cast(list_sum(list_transform(range(8),
+        |      i -> (b.vq[ss.s*8+i+1] - c.cq[ss.s*8+i+1])
+        |         * (b.vq[ss.s*8+i+1] - c.cq[ss.s*8+i+1]))) as bigint) d2
+        |  from pruned b cross join ss cross join cb c),
+        |codes as (select id, s, j code from
+        |  (select *, row_number() over (partition by id, s order by d2, j) rn
+        |   from d) where rn = 1),
+        |t as (select ss.s, c.j,
+        |    cast(list_sum(list_transform(range(8),
+        |      i -> (q.qv[ss.s*8+i+1] - c.cq[ss.s*8+i+1])
+        |         * (q.qv[ss.s*8+i+1] - c.cq[ss.s*8+i+1]))) as bigint) td
+        |  from q cross join ss cross join cb c),
+        |sc as (select c.id,
+        |    array_to_string(list(c.code order by c.s), '-') code_str,
+        |    cast(sum(t.td) as bigint) adc_u
+        |  from codes c join t on t.s = c.s and t.j = c.code
+        |  group by c.id)
+        |select sc.id vec_id, p.cell, sc.code_str, sc.adc_u
+        |from sc join (select distinct id, cell from pruned) p on p.id = sc.id
+        |order by sc.adc_u, sc.id limit 20""".stripMargin
   )
 
 }

@@ -440,6 +440,77 @@ object Similarity {
         col("adc_u"))
   }
 
+  /** IVF-PQ search — the composed ANN scale path: a coarse quantizer
+    * (kCoarse lowest-id seed centroids) prunes the corpus to the query's
+    * `nprobe` nearest cells BEFORE any per-row scoring, then
+    * [[pqEncodeAdc]]'s machinery scores only the survivors with the
+    * driver-computed ADC lookup table. At 100 TB the coarse cell id is a
+    * partition column: probing nprobe of kCoarse cells turns the scan
+    * into partition pruning and the whole query reads nprobe/kCoarse of
+    * the data, shuffles nothing, and finishes with a
+    * TakeOrderedAndProject top-k. Same exact int64 micro-unit arithmetic
+    * and lowest-index tie-breaks as [[kmeansLloyd]]/[[pqEncodeAdc]], so
+    * the oracle replays pruning, encode and scoring bit-for-bit. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                kCoarse: Int, m: Int, k: Int, nprobe: Int,
+                queryId: Long, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kCoarse, s"bad nprobe=$nprobe / kCoarse=$kCoarse")
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+      .localCheckpoint(false)
+    val seeds: Array[Array[Long]] = base.orderBy(col("id")).limit(math.max(kCoarse, k))
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length >= math.max(kCoarse, k), "corpus smaller than codebooks")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val qvec: Array[Long] = base.filter(col("id") === queryId)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no vector with id $queryId"))
+      .getSeq[Long](1).toArray
+    def d2(a: Array[Long], b: Array[Long], from: Int, len: Int): Long = {
+      var d = 0L; var i = 0
+      while (i < len) { val x = a(from + i) - b(from + i); d += x * x; i += 1 }
+      d
+    }
+    // the query's nprobe nearest coarse cells, ties to the lowest label
+    val probes: Seq[Int] = (0 until kCoarse)
+      .map(j => (d2(qvec, seeds(j), 0, dim), j)).sorted.take(nprobe).map(_._2)
+    val coarseCands = (0 until kCoarse).map { j =>
+      struct(
+        aggregate(zip_with(col("vq"), typedLit(seeds(j).toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (s, v) => s + v).as("d2"),
+        lit(j).as("j"))
+    }
+    val pruned = base
+      .withColumn("_cell", array_min(array(coarseCands: _*)).getField("j"))
+      .filter(col("_cell").isin(probes.map(x => x: Any): _*))
+    val table: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until k).map(j => d2(qvec, seeds(j), s * sub, sub))
+    }
+    val codeCols = (0 until m).map { s =>
+      val cands = (0 until k).map { j =>
+        struct(
+          aggregate(zip_with(
+            slice(col("vq"), s * sub + 1, sub),
+            typedLit(seeds(j).slice(s * sub, (s + 1) * sub).toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    pruned.withColumn("codes", array(codeCols: _*))
+      .withColumn("adc_u", aggregate(
+        zip_with(typedLit(table), col("codes"),
+          (row, c) => element_at(row, c + 1)),
+        lit(0L), (acc, v) => acc + v))
+      .orderBy(col("adc_u"), col("id")).limit(topK)
+      .select(col("id"), col("_cell").as("cell"),
+        array_join(transform(col("codes"), _.cast("string")), "-").as("code_str"),
+        col("adc_u"))
+  }
+
   /** Symmetric per-vector int8 scalar quantisation — the embedding
     * storage-scale path (4× smaller at rest than float32, the standard
     * SQ8 layout ANN indexes ship). Each vector gets its own dequant step

@@ -691,6 +691,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowOverlap prefix bounds candidate volume under corpus-wide boilerplate") {
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    def noise(n: Int): String =
+      Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // every doc embeds the SAME boilerplate motif: its ~10 fps reach
+    // df = N, and with a permissive cut (dfFrac = 1.0) the exhaustive
+    // postings join pays >= N^2 candidate rows on each. The prefix drops
+    // exactly each doc's minShared−1 MOST COMMON fps, so with minShared
+    // comfortably above the boilerplate fp count the boilerplate falls
+    // out of every prefix and the join runs on rare noise fps only.
+    // (With minShared below that count the df CUT, not the prefix, is
+    // the boilerplate guard — that regime is §57's bench case.) True
+    // pairs come from 20 mutated near-copies sharing all their fps.
+    val boiler = "sharedboilerplatefooterlineforalldocumentsinthecorpus"
+    val n = 200
+    val bodies = (0 until 180).map(_ => (noise(80), noise(80)))
+    val docs = ((0 until 180).map(i =>
+        (i.toLong, bodies(i)._1 + boiler + bodies(i)._2)) ++
+      (0 until 20).map(i =>
+        (180L + i, bodies(i)._1 + boiler + bodies(i)._2 + "tailmutation")))
+      .toDF("doc_id", "text")
+    val fps = graft.pipeline.TextStats
+      .winnowFingerprints(docs, "doc_id", "text", 5, 8)
+      .select(col("doc_id").as("doc"), col("fp")).distinct()
+      .localCheckpoint(true)
+    val minShared = 12
+    // exhaustive join volume: sum over fps of df^2
+    val fullVol = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).head.getLong(0)
+    // prefix join volume, rebuilt with the implementation's own ordering
+    // contract (df asc, fp asc; prefix length sz - minShared + 1)
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+    val pref = fps.join(dfreq, "fp")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("_df"), col("fp")))).as("o"))
+      .withColumn("sz", size(col("o")))
+      .filter(col("sz") >= minShared)
+      .select(col("doc"), explode(expr(
+        s"slice(transform(o, x -> x.fp), 1, size(o) - ${minShared - 1})")).as("fp"))
+    val prefVol = pref.groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head.getLong(0)
+    assert(fullVol >= n.toLong * n,
+      s"boilerplate should force >= N^2 exhaustive volume, got $fullVol")
+    assert(prefVol < fullVol / 5,
+      s"prefix volume $prefVol should be far below exhaustive $fullVol")
+    // and the outputs still agree — the 20 planted near-copies surface
+    val total = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val a = graft.pipeline.Dedup
+      .winnowOverlapOfFps(fps, total, minShared, 1.0, prefixFilter = true)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val b = graft.pipeline.Dedup
+      .winnowOverlapOfFps(fps, total, minShared, 1.0, prefixFilter = false)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.size >= 20, s"planted near-copies must pair up, got ${a.size}")
+  }
+
   test("exifMeta: planted tags recovered both-endian; truncation/mutation never throws") {
     import graft.pipeline.Multimodal
     val rng = new scala.util.Random(53)
