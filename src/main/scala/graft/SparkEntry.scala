@@ -6534,6 +6534,21 @@ object SparkEntry {
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           kCoarse = 8, m = 8, k = 16, nprobe = 2, queryId = 7L, topK = 20)
         .select(col("id").as("vec_id"), col("cell"), col("code_str"), col("adc_u"))
+    }),
+
+    "q_length_buckets" -> ((s, dir) => {
+      // Dynamic-batching prep (Packing.lengthBuckets): bucket docs by
+      // padded token length (16-token bands capped at 96), deterministic
+      // batch numbers of 8 inside each bucket, per-row padding waste.
+      // One shuffle on the bucket key; batch ids are id-ordered so the
+      // layout is stable under retries and partitioning.
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Packing.lengthBuckets(
+          docs.withColumn("_nt", size(filter(
+            split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))),
+          "doc_id", col("_nt"), step = 16, maxLen = 96, batchSize = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket_hi"),
+          col("batch_id"), col("pad_waste"))
     })
   )
 
@@ -6834,7 +6849,20 @@ object SparkEntry {
         |  group by c.id)
         |select sc.id vec_id, p.cell, sc.code_str, sc.adc_u
         |from sc join (select distinct id, cell from pruned) p on p.id = sc.id
-        |order by sc.adc_u, sc.id limit 20""".stripMargin
+        |order by sc.adc_u, sc.id limit 20""".stripMargin,
+
+    "q_length_buckets" ->
+      """with d as (select doc_id,
+        |  cast(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) as int) n_tokens from documents),
+        |b as (select doc_id, n_tokens,
+        |  greatest(cast(ceil(cast(least(n_tokens, 96) as double) / 16) * 16
+        |    as int), 16) bucket_hi from d)
+        |select doc_id, n_tokens, bucket_hi,
+        |  cast(floor((row_number() over (partition by bucket_hi order by doc_id)
+        |    - 1) / 8) as int) batch_id,
+        |  bucket_hi - least(n_tokens, 96) pad_waste
+        |from b""".stripMargin
   )
 
 }

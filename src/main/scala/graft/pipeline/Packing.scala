@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the training-data step that lays documents into
@@ -90,5 +91,30 @@ object Packing {
   }
 
   // `size` the Column function, shadowed by the `size` parameter above
+  /** Length-bucketed batch assignment — the dynamic-batching prep step:
+    * rows bucket by padded length (`step`-wide bands, capped at `maxLen`),
+    * then take deterministic batch numbers inside each bucket (ordered by
+    * id — stable under retries and partitioning). Each row's padding
+    * waste is its bucket ceiling minus its true length, the quantity
+    * batching exists to minimise. One shuffle on the bucket key; buckets
+    * are Zipf-ish in practice, so at extreme scale salt the dominant
+    * bucket and renumber (the §41 skew rule) — batch ids only need to be
+    * unique within a bucket, not dense. */
+  def lengthBuckets(df: DataFrame, idCol: String, nTok: Column,
+                    step: Int, maxLen: Int, batchSize: Int): DataFrame = {
+    require(step >= 1 && maxLen % step == 0 && batchSize >= 1,
+      s"bad step=$step maxLen=$maxLen batchSize=$batchSize")
+    val n = least(nTok, lit(maxLen))
+    val hi = (ceil(n.cast("double") / step) * step).cast("int")
+    val w = Window.partitionBy(col("bucket_hi")).orderBy(col(idCol))
+    df.select(col(idCol), nTok.as("n_tokens"),
+        greatest(hi, lit(step)).as("bucket_hi"))
+      .withColumn("batch_id",
+        // explicit floor: Spark's double->int cast truncates but other
+        // engines round, so the bare cast is not portable
+        floor((row_number().over(w) - 1) / batchSize).cast("int"))
+      .withColumn("pad_waste", col("bucket_hi") - least(col("n_tokens"), lit(maxLen)))
+  }
+
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }
