@@ -6549,8 +6549,32 @@ object SparkEntry {
           "doc_id", col("_nt"), step = 16, maxLen = 96, batchSize = 8)
         .select(col("doc_id"), col("n_tokens"), col("bucket_hi"),
           col("batch_id"), col("pad_waste"))
+    }),
+
+    "q_bpe_tokens" -> ((s, dir) => {
+      // Real byte-pair encoding with a fixed merge table
+      // (functions.BpeEncode — a native expression, one JVM loop per
+      // row): the standard lowest-rank-first merge loop per word,
+      // table shipped as a plan-time constant. The oracle replays the
+      // identical trajectory with a recursive CTE over the same literal
+      // merge list; the md5 over the joined token stream pins every
+      // token and its order.
+      val toks = graft.functions.BpeEncode.bpeEncode(col("text"), bpeMerges)
+      t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), toks.as("_tk"))
+        .select(col("doc_id"),
+          size(col("_tk")).as("n_bpe_tokens"),
+          md5(array_join(col("_tk"), "|")).as("tok_sig"))
     })
   )
+
+  /** GPT-2-convention merge table for [[graft.functions.BpeEncode]] —
+    * rank = position; chosen so corpus words exercise cascading merges
+    * ("data" needs rank-0's output before ranks 10/11 can fire). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("s", "p"),
+    ("a", "r"), ("sp", "ar"), ("spar", "k"), ("r", "o"), ("ro", "w"),
+    ("d", "a"), ("da", "ta"))
 
   private def oracle43: Map[String, String] = Map(
 
@@ -6862,7 +6886,46 @@ object SparkEntry {
         |  cast(floor((row_number() over (partition by bucket_hi order by doc_id)
         |    - 1) / 8) as int) batch_id,
         |  bucket_hi - least(n_tokens, 96) pad_waste
-        |from b""".stripMargin
+        |from b""".stripMargin,
+
+    "q_bpe_tokens" -> {
+      val pl = "['t a','ta b','l e','tab le','s p','a r','sp ar','spar k'," +
+        "'r o','ro w','d a','da ta']"
+      val rk = s"""list_transform(range(len(toks)-1),
+        |      i -> list_position($pl,
+        |        toks[cast(i as int)+1] || ' ' || toks[cast(i as int)+2]))""".stripMargin
+      s"""with recursive
+        |w as (select doc_id, i wi, tk[cast(i as int)+1] word from
+        |  (select doc_id, tk, unnest(range(len(tk))) i from
+        |    (select doc_id, string_split_regex(trim(text), '\\s+') tk
+        |     from documents where doc_id % 20 = 0) q0) q1
+        |  where len(tk[cast(i as int)+1]) > 0),
+        |init as (select doc_id, wi,
+        |  list_transform(range(length(word)), i -> word[cast(i as int)+1]) toks
+        | from w),
+        |rec as (
+        |  select doc_id, wi, toks, 0 it from init
+        |  union all
+        |  select doc_id, wi,
+        |    toks[1:mp-1] || [replace($pl[best], ' ', '')]
+        |      || toks[mp+2:len(toks)] toks,
+        |    it + 1
+        |  from (
+        |    select doc_id, wi, toks, it,
+        |      list_min(list_filter($rk, x -> x > 0)) best,
+        |      list_position($rk, list_min(list_filter($rk, x -> x > 0))) mp
+        |    from rec where it < 40) q
+        |  where best is not null),
+        |fin as (select doc_id, wi, toks from (
+        |  select doc_id, wi, toks,
+        |    list_min(list_filter($rk, x -> x > 0)) best
+        |  from rec) q2 where best is null),
+        |dt as (select doc_id, flatten(list(toks order by wi)) tk2
+        |  from fin group by 1)
+        |select doc_id, cast(len(tk2) as int) n_bpe_tokens,
+        |  md5(array_to_string(tk2, '|')) tok_sig
+        |from dt""".stripMargin
+    }
   )
 
 }

@@ -749,6 +749,33 @@ class PropertySpec extends AnyFunSuite {
     assert(a.size >= 20, s"planted near-copies must pair up, got ${a.size}")
   }
 
+  test("BpeEncode: hand-computed merge trajectories, cascades, edge cases") {
+    import spark.implicits._
+    import graft.functions.BpeEncode.bpeEncode
+    val merges = Seq(
+      ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"), ("s", "p"),
+      ("a", "r"), ("sp", "ar"), ("spar", "k"), ("r", "o"), ("ro", "w"),
+      ("d", "a"), ("da", "ta"))
+    def enc(s: String): Seq[String] =
+      Seq(s).toDF("t").select(bpeEncode(col("t"), merges).as("o"))
+        .head.getSeq[String](0)
+    assert(enc("table") == Seq("table"))
+    assert(enc("spark") == Seq("spark"))
+    // cascade: rank 0 must fire before ranks 10/11 can
+    assert(enc("data") == Seq("data"))
+    assert(enc("fast") == Seq("f", "a", "s", "t"))
+    // lowest rank wins over leftmost position: in "sta", (t,a) rank 0
+    // beats (s,t) absent; in "star", (t,a)=0 fires before (a,r)=5 —
+    // after which "ta r" is not a merge, so [s, ta, r]
+    assert(enc("star") == Seq("s", "ta", "r"))
+    assert(enc("table spark data") == Seq("table", "spark", "data"))
+    assert(enc("  table   spark ") == Seq("table", "spark"))
+    assert(enc("x") == Seq("x"))
+    assert(enc("") == Seq())
+    // leftmost occurrence when the same lowest-rank pair appears twice
+    assert(enc("tata") == Seq("ta", "ta"))
+  }
+
   test("exifMeta: planted tags recovered both-endian; truncation/mutation never throws") {
     import graft.pipeline.Multimodal
     val rng = new scala.util.Random(53)
