@@ -6565,6 +6565,36 @@ object SparkEntry {
         .select(col("doc_id"),
           size(col("_tk")).as("n_bpe_tokens"),
           md5(array_join(col("_tk"), "|")).as("tok_sig"))
+    }),
+
+    "q_pettitt" -> ((s, dir) => {
+      // Pettitt change-point test (the step-change companion to
+      // q_mann_kendall): U_t = sum_{i<=t, j>t} sign(x_i - x_j) computed
+      // as the running sum of per-element s_t = sum_j sign(x_t - x_j)
+      // (the within-prefix terms cancel by antisymmetry), K = max |U_t|,
+      // the change point the EARLIEST t attaining K, and the standard
+      // approximate p = 2 exp(-6K^2/(n^3+n^2)). S and K are exact
+      // integers from the same per-entity pair cloud as Sen/MK; only p
+      // is floating and rounds to 6.
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      val st = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.t") =!= col("b.t"))
+        .groupBy(col("a.user_id").as("user_id"), col("a.t").as("t"))
+        .agg(sum(signum(col("a.total") - col("b.total"))).cast("long").as("s_t"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val wAll = Window.partitionBy(col("user_id"))
+      st.withColumn("u_t", sum(col("s_t")).over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", max(abs(col("u_t"))).over(wAll))
+        .filter(abs(col("u_t")) === col("k"))
+        .groupBy(col("user_id"), col("n"), col("k"))
+        .agg(min(col("t")).as("change_t"))
+        .select(col("user_id"), col("n"), col("k"), col("change_t"),
+          round(lit(2.0) * exp(lit(-6.0) * col("k") * col("k") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))), 6).as("p_approx"))
     })
   )
 
@@ -6925,7 +6955,24 @@ object SparkEntry {
         |select doc_id, cast(len(tk2) as int) n_bpe_tokens,
         |  md5(array_to_string(tk2, '|')) tok_sig
         |from dt""".stripMargin
-    }
+    },
+
+    "q_pettitt" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total from daily),
+         |st as (select a.user_id, a.t,
+         |   cast(sum(sign(a.total - b.total)) as bigint) s_t
+         | from dd a join dd b on a.user_id = b.user_id and a.t <> b.t
+         | group by 1, 2),
+         |u as (select user_id, t,
+         |   sum(s_t) over (partition by user_id order by t) u_t from st),
+         |m as (select user_id, t, u_t,
+         |   count(*) over (partition by user_id) n,
+         |   max(abs(u_t)) over (partition by user_id) k from u)
+         |select user_id, n, k, min(t) change_t,
+         |  round(2.0 * exp(-6.0 * k * k / (n*n*n + n*n)), 6) p_approx
+         |from m where abs(u_t) = k group by user_id, n, k""".stripMargin
   )
 
 }
