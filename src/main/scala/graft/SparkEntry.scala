@@ -6595,6 +6595,45 @@ object SparkEntry {
         .select(col("user_id"), col("n"), col("k"), col("change_t"),
           round(lit(2.0) * exp(lit(-6.0) * col("k") * col("k") /
             (col("n") * col("n") * col("n") + col("n") * col("n"))), 6).as("p_approx"))
+    }),
+
+    "q_seasonal_mann_kendall" -> ((s, dir) => {
+      // Seasonal (Hirsch-Slack) Mann-Kendall: the MK statistic computed
+      // WITHIN each calendar month's subseries (pairs never cross
+      // months, so seasonality cannot masquerade as trend), then S and
+      // the tie-corrected variances SUM across months and the combined
+      // z applies the same continuity correction. Identical exact-
+      // integer machinery to q_mann_kendall, restricted per season.
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id"), month(col("d")).as("m"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      val sm = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.m") === col("b.m") && col("a.t") < col("b.t"))
+        .groupBy(col("a.user_id").as("user_id"), col("a.m").as("m"))
+        .agg(sum(signum(col("b.total") - col("a.total"))).cast("long").as("s_m"))
+      val nm = daily.groupBy(col("user_id"), col("m")).agg(count(lit(1)).as("n_m"))
+      val ties = daily.groupBy(col("user_id"), col("m"), col("total"))
+        .agg(count(lit(1)).as("tk"))
+        .groupBy(col("user_id"), col("m"))
+        .agg(sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tsum"))
+      sm.join(nm, Seq("user_id", "m")).join(ties, Seq("user_id", "m"))
+        // exact integer numerator per month; ONE division after the sum
+        // keeps the cross-month total order-free (a sum of per-month
+        // k/18.0 doubles would depend on aggregation order)
+        .withColumn("var_num",
+          col("n_m") * (col("n_m") - 1) * (col("n_m") * 2 + 5) - col("tsum"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("s_m")).as("s_total"),
+          (sum(col("var_num")) / 18.0).as("_v"),
+          count(lit(1)).as("n_seasons"))
+        .select(col("user_id"), col("s_total"), col("n_seasons"),
+          round(col("_v"), 6).as("var_s"),
+          round(
+            when(col("_v") <= 0.0, lit(0.0))
+              .when(col("s_total") > 0, (col("s_total") - 1) / sqrt(col("_v")))
+              .when(col("s_total") < 0, (col("s_total") + 1) / sqrt(col("_v")))
+              .otherwise(lit(0.0)), 6).as("z"))
     })
   )
 
@@ -6972,7 +7011,34 @@ object SparkEntry {
          |   max(abs(u_t)) over (partition by user_id) k from u)
          |select user_id, n, k, min(t) change_t,
          |  round(2.0 * exp(-6.0 * k * k / (n*n*n + n*n)), 6) p_approx
-         |from m where abs(u_t) = k group by user_id, n, k""".stripMargin
+         |from m where abs(u_t) = k group by user_id, n, k""".stripMargin,
+
+    "q_seasonal_mann_kendall" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, month(d) m,
+         |   date_diff('day', date '1970-01-01', d) t, total from daily),
+         |sm as (select a.user_id, a.m,
+         |   cast(sum(sign(b.total - a.total)) as bigint) s_m
+         | from dd a join dd b on a.user_id = b.user_id and a.m = b.m
+         |   and a.t < b.t
+         | group by 1, 2),
+         |nm as (select user_id, m, count(*) n_m from dd group by 1, 2),
+         |ties as (select user_id, m,
+         |   sum(tk * (tk - 1) * (tk * 2 + 5)) tsum from
+         |   (select user_id, m, total, count(*) tk from dd group by 1, 2, 3)
+         | group by 1, 2),
+         |j as (select s.user_id, s.s_m,
+         |   n.n_m * (n.n_m - 1) * (n.n_m * 2 + 5) - t.tsum var_num
+         | from sm s join nm n using (user_id, m) join ties t using (user_id, m)),
+         |g as (select user_id, sum(s_m) s_total,
+         |   sum(var_num) / 18.0 v, count(*) n_seasons from j group by 1)
+         |select user_id, s_total, n_seasons, round(v, 6) var_s,
+         |  round(case
+         |    when v <= 0.0 then 0.0
+         |    when s_total > 0 then (s_total - 1) / sqrt(v)
+         |    when s_total < 0 then (s_total + 1) / sqrt(v)
+         |    else 0.0 end, 6) z
+         |from g""".stripMargin
   )
 
 }

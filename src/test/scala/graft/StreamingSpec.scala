@@ -312,6 +312,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming media ingest: EXIF extraction runs stateless under readStream") {
+    // the media-metadata kernels are narrow mapPartitions projections, so
+    // they must run unchanged in a streaming ingest (append, no state)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val mk = udf((id: Long) =>
+      graft.pipeline.Multimodal.plantedExifJpeg(id, 64, 48))
+    val q = graft.pipeline.Multimodal.extractExifMeta(
+        input.toDS().toDF("media_id")
+          .withColumn("payload", mk(col("media_id"))))
+      .writeStream.format("memory").queryName("stream_exif")
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      val got = spark.table("stream_exif").collect()
+        .map(r => (r.getLong(0), r.getInt(2), r.getString(3))).sortBy(_._1).toSeq
+      assert(got == Seq((1L, 2, "cam1"), (2L, 3, "cam2"), (3L, 4, "cam3")),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest gate: quality flags + split assignment equal batch") {
     // the cleaning front of a streaming ingest pipeline — Gopher quality
     // rules and hash-band split assignment are pure narrow projections,
