@@ -265,8 +265,11 @@ object Zarr {
           case "zlib"  => "zlib"
           case "gzip"  => "gzip"
           case "blosc" => "blosc"
+          // numcodecs Zstd writes bare zstd frames — same decode path as
+          // the v3 `zstd` codec (zstd-jni ships with Spark)
+          case "zstd"  => "zstd"
           case other   => throw new IllegalArgumentException(
-            s"unsupported compressor '$other' (zlib/gzip/blosc-memcpy only)")
+            s"unsupported compressor '$other' (zlib/gzip/blosc/zstd only)")
         }
       case other => throw new IllegalArgumentException(s"bad compressor $other")
     }

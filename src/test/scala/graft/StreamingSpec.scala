@@ -312,6 +312,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals the batch fold; alarms fire on the planted shift") {
+    import graft.streaming.StatefulCusum
+    import graft.streaming.StatefulCusum.{Alarm, Sample}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // key 1: mean shifts +4 at t=30 (alarm expected shortly after);
+    // key 2: stationary (no alarm); deterministic pseudo-noise
+    def series(key: Long): Seq[Sample] = (0 until 60).map { t =>
+      val noise = ((t * 7 + key * 13) % 5) * 0.1
+      val shift = if (key == 1 && t >= 30) 4.0 else 0.0
+      Sample(key, t, 10.0 + noise + shift)
+    }
+    val all = series(1) ++ series(2)
+    val (warm, slack, h) = (10, 0.5, 5.0)
+    val input = MemoryStream[Sample]
+    val q = StatefulCusum.detect(input.toDS(), warm, slack, h).writeStream
+      .format("memory").queryName("cusum_alarms").outputMode("append").start()
+    try {
+      input.addData(all.filter(_.t < 25))
+      q.processAllAvailable()
+      input.addData(all.filter(s => s.t >= 25 && s.t < 33))
+      q.processAllAvailable()
+      input.addData(all.filter(_.t >= 33))
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_alarms").as[Alarm].collect()
+        .sortBy(a => (a.key, a.t)).toSeq
+      val batch = StatefulCusum.detectBatch(all.toDS(), warm, slack, h)
+        .collect().sortBy(a => (a.key, a.t)).toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.exists(a => a.key == 1L && a.direction == "up" && a.t >= 30),
+        s"shift at t=30 must alarm: $streamed")
+      assert(!streamed.exists(_.key == 2L), "stationary key must stay silent")
+    } finally q.stop()
+  }
+
   test("streaming media ingest: EXIF extraction runs stateless under readStream") {
     // the media-metadata kernels are narrow mapPartitions projections, so
     // they must run unchanged in a streaming ingest (append, no state)

@@ -609,6 +609,34 @@ class ZarrSpec extends AnyFunSuite {
     java.lang.Double.longBitsToDouble(b)
   }
 
+  test("v2 zstd compressor: numcodecs Zstd bare frames, plain and with Delta") {
+    val root = java.nio.file.Files.createTempDirectory("zarrz_").toFile
+    val dir = new File(root, "z")
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5], "chunks": [5], "dtype": "<f8",
+        | "compressor": {"id": "zstd", "level": 3},
+        | "fill_value": null, "filters": null, "order": "C"}""".stripMargin)
+    val v = Seq(1.5, -2.25, 1e300, 0.0, 42.0)
+    write(new File(dir, "0"), com.github.luben.zstd.Zstd.compress(doublesLE(v)))
+    val got = Zarr.readVariable(spark, root.getPath, "z")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == v)
+    // zstd composes with a filters chain exactly like zlib
+    val dir2 = new File(root, "zd")
+    writeText(new File(dir2, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i8",
+        | "compressor": {"id": "zstd", "level": 1},
+        | "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i8"}],
+        | "fill_value": 0, "order": "C"}""".stripMargin)
+    val ints = Seq(1_000_000_000_000L, 1_000_000_001_000L, 1_000_000_001_500L,
+      1_000_000_003_000L)
+    val diffs = ints.head +: ints.sliding(2).map(p => p(1) - p(0)).toSeq
+    write(new File(dir2, "0"), com.github.luben.zstd.Zstd.compress(longsLE(diffs)))
+    val got2 = Zarr.readVariable(spark, root.getPath, "zd")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(got2.toSeq == ints.map(_.toDouble))
+  }
+
   test("v2 numcodecs Quantize filter: decode is identity over encode-rounded values") {
     // xarray encoding={"v": Quantize(digits=2, dtype="<f8")}: the store
     // holds np.around(v*100)/100; decode must hand those values back
