@@ -6617,6 +6617,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("tk"))
         .groupBy(col("user_id"), col("m"))
         .agg(sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tsum"))
+      smkJoin(sm, nm, ties)
+    }),
+
+    "q_cusum_batch" -> ((s, dir) => {
+      // Batch CUSUM change detection (streaming.StatefulCusum — the SAME
+      // pure step function the live flatMapGroupsWithState form folds):
+      // warm-up mean from the first 10 days, slack 50, threshold 400 on
+      // the ~(mean 124, sd 102) daily totals. Per-step HALF_UP
+      // quantization at 8 decimals makes the fold engine-exact, so the
+      // oracle replays every state transition with a recursive CTE
+      // (KBDI's parity rule).
+      import s.implicits._
+      val samples = dailyTotals(s, dir)
+        .select(col("user_id").as("key"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          col("total").as("x"))
+        .as[graft.streaming.StatefulCusum.Sample]
+      graft.streaming.StatefulCusum
+        .detectBatch(samples, warmup = 10, slack = 50.0, h = 400.0)
+        .toDF()
+        .select(col("key").as("user_id"), col("t"), col("direction"),
+          round(col("stat"), 6).as("stat"))
+    })
+  )
+
+  private def smkJoin(sm: DataFrame, nm: DataFrame, ties: DataFrame): DataFrame = {
       sm.join(nm, Seq("user_id", "m")).join(ties, Seq("user_id", "m"))
         // exact integer numerator per month; ONE division after the sum
         // keeps the cross-month total order-free (a sum of per-month
@@ -6634,8 +6660,7 @@ object SparkEntry {
               .when(col("s_total") > 0, (col("s_total") - 1) / sqrt(col("_v")))
               .when(col("s_total") < 0, (col("s_total") + 1) / sqrt(col("_v")))
               .otherwise(lit(0.0)), 6).as("z"))
-    })
-  )
+  }
 
   /** GPT-2-convention merge table for [[graft.functions.BpeEncode]] —
     * rank = position; chosen so corpus words exercise cascading merges
@@ -7038,7 +7063,50 @@ object SparkEntry {
          |    when s_total > 0 then (s_total - 1) / sqrt(v)
          |    when s_total < 0 then (s_total + 1) / sqrt(v)
          |    else 0.0 end, 6) z
-         |from g""".stripMargin
+         |from g""".stripMargin,
+
+    "q_cusum_batch" ->
+      s"""with recursive daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total x, row_number() over (partition by user_id order by d) rn
+         | from daily),
+         |cu as (
+         |  select user_id, 0 rn, cast(0 as bigint) n, cast(0.0 as double) summ,
+         |    cast(0.0 as double) mu0, cast(0.0 as double) shi,
+         |    cast(0.0 as double) slo, cast(null as bigint) t,
+         |    cast(null as varchar) dir, cast(null as double) stat
+         |  from (select distinct user_id from dd)
+         |  union all
+         |  select user_id, rn, n2, summ2, mu02,
+         |    case when warm or shiq > 400.0 or sloq > 400.0 then 0.0
+         |         else shiq end shi,
+         |    case when warm or shiq > 400.0 or sloq > 400.0 then 0.0
+         |         else sloq end slo,
+         |    t,
+         |    case when warm then cast(null as varchar)
+         |         when shiq > 400.0 then 'up'
+         |         when sloq > 400.0 then 'down'
+         |         else cast(null as varchar) end dir,
+         |    case when warm then cast(null as double)
+         |         when shiq > 400.0 then shiq
+         |         when sloq > 400.0 then sloq
+         |         else cast(null as double) end stat
+         |  from (
+         |    select n.user_id, n.rn, n.t,
+         |      p.n < 10 warm,
+         |      case when p.n < 10 then p.n + 1 else p.n end n2,
+         |      case when p.n < 10 then p.summ + n.x else p.summ end summ2,
+         |      case when p.n < 10 then (case when p.n + 1 = 10
+         |        then cast(cast((p.summ + n.x) / 10.0 as decimal(38,8)) as double)
+         |        else 0.0 end) else p.mu0 end mu02,
+         |      cast(cast(greatest(0.0, p.shi + ((n.x - p.mu0) - 50.0))
+         |        as decimal(38,8)) as double) shiq,
+         |      cast(cast(greatest(0.0, p.slo - ((n.x - p.mu0) + 50.0))
+         |        as decimal(38,8)) as double) sloq
+         |    from cu p join dd n on n.user_id = p.user_id and n.rn = p.rn + 1
+         |  ) s1)
+         |select user_id, cast(t as int) t, dir direction, round(stat, 6) stat
+         |from cu where dir is not null""".stripMargin
   )
 
 }

@@ -34,14 +34,18 @@ object StatefulCusum {
     * exactly this. */
   def step(st: CusumState, t: Int, x: Double, warmup: Int, slack: Double,
            h: Double): (CusumState, Option[Alarm]) = {
+    // per-step HALF_UP quantization at 8 decimals (the KBDI/CFFWIS
+    // parity rule): the fold stays deterministic to the bit on any
+    // engine replaying the same recurrence
+    val r8 = graft.indices.Fire.round8 _
     if (st.n < warmup) {
       val n = st.n + 1; val sum = st.sum + x
-      (CusumState(n, sum, if (n == warmup) sum / warmup else 0.0,
+      (CusumState(n, sum, if (n == warmup) r8(sum / warmup) else 0.0,
         0.0, 0.0, t), None)
     } else {
       val dev = x - st.mu0
-      val sHi = math.max(0.0, st.sHi + (dev - slack))
-      val sLo = math.max(0.0, st.sLo - (dev + slack))
+      val sHi = r8(math.max(0.0, st.sHi + (dev - slack)))
+      val sLo = r8(math.max(0.0, st.sLo - (dev + slack)))
       if (sHi > h)
         (st.copy(sHi = 0.0, sLo = 0.0, lastT = t),
           Some(Alarm(0L, t, "up", sHi)))
