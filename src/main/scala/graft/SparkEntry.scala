@@ -6639,6 +6639,59 @@ object SparkEntry {
         .toDF()
         .select(col("key").as("user_id"), col("t"), col("direction"),
           round(col("stat"), 6).as("stat"))
+    }),
+
+    "q_gpd_pot" -> ((s, dir) => {
+      // Peaks-over-threshold GPD fit (the EVT companion to the GEV/Gumbel
+      // block-maxima fits): excesses over u = 300 per event_type, L-moment
+      // estimators in Hosking's k parameterisation (lambda1/lambda2 = 2+k,
+      // alpha = lambda1 (1+k)) and the F=0.99 return level
+      // u + alpha/k (1 - (1-F)^k). Same rank-weighted PWM sums as
+      // q_lmoments; closed forms replayed by the oracle.
+      val u = 300.0
+      val exc = dailyTotals(s, dir).filter(col("total") > u)
+        .select(col("user_id"), (col("total") - u).as("y"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("y"))).as("arr"),
+          count(lit(1)).as("n_exceed"))
+        .filter(col("n_exceed") >= 5)
+      val (l1, l2, _) = Stats.lMoments(col("arr"))
+      exc.select(col("user_id"), col("n_exceed"), l1.as("_l1"), l2.as("_l2"))
+        .withColumn("k_shape", col("_l1") / col("_l2") - 2.0)
+        .withColumn("alpha", col("_l1") * (col("k_shape") + 1.0))
+        .select(col("user_id"), col("n_exceed"),
+          round(col("k_shape"), 6).as("k_shape"),
+          round(col("alpha"), 6).as("alpha"),
+          round(lit(u) + col("alpha") / col("k_shape") *
+            (lit(1.0) - pow(lit(0.01), col("k_shape"))), 6).as("rl99"))
+    }),
+
+    "q_acf_daily" -> ((s, dir) => {
+      // Lag-1 / lag-7 autocorrelation of each entity's daily series (the
+      // serial-dependence diagnostic behind MK variance corrections).
+      // Totals quantize to EXACT milli-units once; deviations, products
+      // and both sums are then pure int64 arithmetic — order-free on any
+      // engine and partitioning — and only the final ratio is floating.
+      val daily = dailyTotals(s, dir)
+        .select(col("user_id"),
+          datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
+          round(col("total") * 1000).cast("long").as("xu"))
+      val st = daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("mu"))
+      val d = daily.join(st, "user_id")
+        .select(col("user_id"), col("t"), (col("xu") - col("mu")).as("dev"), col("n"))
+      val d0 = d.groupBy(col("user_id"), col("n"))
+        .agg(sum(col("dev") * col("dev")).as("den"))
+      def lagNum(k: Int) = d.alias("a")
+        .join(d.alias("b"), col("a.user_id") === col("b.user_id") &&
+          col("b.t") === col("a.t") + k)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(sum(col("a.dev") * col("b.dev")).as(s"num$k"))
+      d0.join(lagNum(1), "user_id").join(lagNum(7), "user_id")
+        .select(col("user_id"), col("n"),
+          round(col("num1").cast("double") / col("den"), 6).as("r1"),
+          round(col("num7").cast("double") / col("den"), 6).as("r7"))
     })
   )
 
@@ -7106,7 +7159,47 @@ object SparkEntry {
          |    from cu p join dd n on n.user_id = p.user_id and n.rn = p.rn + 1
          |  ) s1)
          |select user_id, cast(t as int) t, dir direction, round(stat, 6) stat
-         |from cu where dir is not null""".stripMargin
+         |from cu where dir is not null""".stripMargin,
+
+    "q_gpd_pot" ->
+      s"""with daily as ($dailySql),
+         |e as (select user_id, total - 300.0 y from daily where total > 300.0),
+         |r as (select user_id, y v,
+         |   row_number() over (partition by user_id order by y) rk,
+         |   count(*) over (partition by user_id) n from e),
+         |b as (select user_id, any_value(n) n_exceed, avg(v) b0,
+         |   sum(v * (rk - 1.0) / (n - 1.0)) / any_value(n) b1
+         | from r group by 1 having any_value(n) >= 5),
+         |p as (select user_id, n_exceed, b0 l1, 2*b1 - b0 l2 from b),
+         |q1 as (select user_id, n_exceed, l1, l2, l1/l2 - 2.0 k_shape from p),
+         |q2 as (select user_id, n_exceed, k_shape,
+         |   l1 * (k_shape + 1.0) alpha from q1)
+         |select user_id, n_exceed, round(k_shape, 6) k_shape,
+         |  round(alpha, 6) alpha,
+         |  round(300.0 + alpha / k_shape * (1.0 - pow(0.01, k_shape)), 6) rl99
+         |from q2""".stripMargin,
+
+    "q_acf_daily" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   cast(round(total * 1000) as bigint) xu from daily),
+         |st as (select user_id, count(*) n,
+         |   cast(round(cast(sum(xu) as double) / count(*)) as bigint) mu
+         | from dd group by 1),
+         |dv as (select dd.user_id, t, xu - mu dev, n
+         | from dd join st using (user_id)),
+         |d0 as (select user_id, any_value(n) n,
+         |   cast(sum(dev * dev) as bigint) den from dv group by 1),
+         |n1 as (select a.user_id, cast(sum(a.dev * b.dev) as bigint) num1
+         | from dv a join dv b on a.user_id = b.user_id and b.t = a.t + 1
+         | group by 1),
+         |n7 as (select a.user_id, cast(sum(a.dev * b.dev) as bigint) num7
+         | from dv a join dv b on a.user_id = b.user_id and b.t = a.t + 7
+         | group by 1)
+         |select user_id, n,
+         |  round(cast(num1 as double) / den, 6) r1,
+         |  round(cast(num7 as double) / den, 6) r7
+         |from d0 join n1 using (user_id) join n7 using (user_id)""".stripMargin
   )
 
 }
