@@ -6692,6 +6692,35 @@ object SparkEntry {
         .select(col("user_id"), col("n"),
           round(col("num1").cast("double") / col("den"), 6).as("r1"),
           round(col("num7").cast("double") / col("den"), 6).as("r7"))
+    }),
+
+    "q_zipf_slope" -> ((s, dir) => {
+      // Zipf-law diagnostic per language: least-squares slope of
+      // ln(freq) on ln(rank) over each lang's top-100 tokens. Both logs
+      // micro-quantize to int64 BEFORE the regression sums, so
+      // S_xy/S_xx accumulate exactly (order-free) and only the final
+      // ratio is floating — a healthy natural-language corpus sits
+      // near slope -1.
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+      val counts = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok"))
+      val ranked = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("lang"),
+          round(log(col("rk").cast("double")) * 1e6).cast("long").as("lx"),
+          round(log(col("c").cast("double")) * 1e6).cast("long").as("ly"))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("r_n"), sum(col("lx")).as("sx"),
+          sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
+          sum(col("lx") * col("lx")).as("sxx"))
+        .select(col("lang"), col("r_n"),
+          round((col("r_n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("r_n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"))
     })
   )
 
@@ -7199,7 +7228,26 @@ object SparkEntry {
          |select user_id, n,
          |  round(cast(num1 as double) / den, 6) r1,
          |  round(cast(num7 as double) / den, 6) r7
-         |from d0 join n1 using (user_id) join n7 using (user_id)""".stripMargin
+         |from d0 join n1 using (user_id) join n7 using (user_id)""".stripMargin,
+
+    "q_zipf_slope" ->
+      """with tk as (select lang,
+        |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> len(x) > 0)) tok from documents),
+        |c as (select lang, tok, count(*) c from tk group by 1, 2),
+        |rr as (select lang, c,
+        |   row_number() over (partition by lang order by c desc, tok) rk
+        | from c),
+        |r as (select lang,
+        |   cast(round(ln(cast(rk as double)) * 1e6) as bigint) lx,
+        |   cast(round(ln(cast(c as double)) * 1e6) as bigint) ly
+        | from rr where rk <= 100),
+        |g as (select lang, count(*) r_n, sum(lx) sx, sum(ly) sy,
+        |   sum(lx * ly) sxy, sum(lx * lx) sxx from r group by 1)
+        |select lang, r_n,
+        |  round(cast(r_n * sxy - sx * sy as double)
+        |    / cast(r_n * sxx - sx * sx as double), 6) zipf_slope
+        |from g""".stripMargin
   )
 
 }
