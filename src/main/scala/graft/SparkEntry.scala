@@ -6681,6 +6681,7 @@ object SparkEntry {
           round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("mu"))
       val d = daily.join(st, "user_id")
         .select(col("user_id"), col("t"), (col("xu") - col("mu")).as("dev"), col("n"))
+        .localCheckpoint(false) // feeds den + both lag joins (x2 sides each)
       val d0 = d.groupBy(col("user_id"), col("n"))
         .agg(sum(col("dev") * col("dev")).as("den"))
       def lagNum(k: Int) = d.alias("a")
