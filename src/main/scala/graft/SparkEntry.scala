@@ -6722,6 +6722,38 @@ object SparkEntry {
           round((col("r_n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             (col("r_n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
             .as("zipf_slope"))
+    }),
+
+    "q_winsorize" -> ((s, dir) => {
+      // Winsorized per-type value stats: clip to the DISCRETE p05/p95
+      // order statistics (rank ceil(q·n) — interpolated quantiles
+      // diverge between engines in the last ulp, order statistics are
+      // data values and exact). The window sort spills, so group size
+      // never bounds executor memory; the clipped mean goes through one
+      // micro-quantized integer sum (order-free).
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val ranked = ev.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo_i", ceil(col("n") * 0.05).cast("int"))
+        .withColumn("hi_i", ceil(col("n") * 0.95).cast("int"))
+      val bounds = ranked
+        .filter(col("rk") === col("lo_i") || col("rk") === col("hi_i"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("rk") === col("lo_i"), col("value"))).as("lo"),
+          max(when(col("rk") === col("hi_i"), col("value"))).as("hi"))
+      ev.join(bounds, "event_type")
+        .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          min(col("lo")).as("_lo"), min(col("hi")).as("_hi"),
+          sum(round(col("cv") * 1e6).cast("long")).as("_su"))
+        .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+          round(col("_lo"), 6).as("p05"), round(col("_hi"), 6).as("p95"),
+          (round(col("_su").cast("double") / col("n")) / 1e6).as("mean_winsor"))
     })
   )
 
@@ -7248,7 +7280,29 @@ object SparkEntry {
         |select lang, r_n,
         |  round(cast(r_n * sxy - sx * sy as double)
         |    / cast(r_n * sxx - sx * sx as double), 6) zipf_slope
-        |from g""".stripMargin
+        |from g""".stripMargin,
+
+    "q_winsorize" ->
+      """with r as (select event_type, value,
+        |   row_number() over (partition by event_type order by value) rk,
+        |   count(*) over (partition by event_type) n from events),
+        |ix as (select event_type, value, rk,
+        |   cast(ceil(n * 0.05) as int) lo_i,
+        |   cast(ceil(n * 0.95) as int) hi_i from r),
+        |b as (select event_type,
+        |   min(case when rk = lo_i then value end) lo,
+        |   max(case when rk = hi_i then value end) hi
+        | from ix where rk = lo_i or rk = hi_i group by 1),
+        |c as (select e.event_type, e.value,
+        |   least(greatest(e.value, b.lo), b.hi) cv, b.lo, b.hi
+        | from events e join b using (event_type))
+        |select event_type, count(*) n,
+        |  cast(sum(case when value < lo then 1 else 0 end) as bigint) n_clip_lo,
+        |  cast(sum(case when value > hi then 1 else 0 end) as bigint) n_clip_hi,
+        |  round(min(lo), 6) p05, round(min(hi), 6) p95,
+        |  round(cast(sum(cast(round(cv * 1e6) as bigint)) as double)
+        |    / count(*)) / 1e6 mean_winsor
+        |from c group by 1""".stripMargin
   )
 
 }
