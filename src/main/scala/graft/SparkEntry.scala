@@ -6754,6 +6754,42 @@ object SparkEntry {
         .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
           round(col("_lo"), 6).as("p05"), round(col("_hi"), 6).as("p95"),
           (round(col("_su").cast("double") / col("n")) / 1e6).as("mean_winsor"))
+    }),
+
+    "q_spearman_daily" -> ((s, dir) => {
+      // Spearman rank correlation between each entity's daily total and
+      // its daily event count, on TIE-BROKEN ranks (secondary key = day
+      // number, so ranks are permutations and rho = 1 - 6 sum(d^2) /
+      // (n(n^2-1)) holds exactly) - every input to the ratio is an
+      // exact integer, engine-identical under any partitioning.
+      val daily = dailyTotals(s, dir)
+        .withColumn("t", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val wTot = Window.partitionBy(col("user_id"))
+        .orderBy(col("total"), col("t"))
+      val wEv = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events"), col("t"))
+      daily
+        .withColumn("r1", row_number().over(wTot).cast("long"))
+        .withColumn("r2", row_number().over(wEv).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("_d2"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("n"),
+          round(lit(1.0) - lit(6.0) * col("_d2") /
+            (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
+    }),
+
+    "q_k_anonymity" -> ((s, dir) => {
+      // Privacy audit for training-data release: group sizes over the
+      // (lang, source) quasi-identifier, rows in groups below k = 10
+      // flagged as re-identifiable. One hash-agg; at corpus scale the
+      // audit is the same single shuffle however many rows.
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("group_n"))
+        .withColumn("at_risk", col("group_n") < 10)
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -7302,7 +7338,28 @@ object SparkEntry {
         |  round(min(lo), 6) p05, round(min(hi), 6) p95,
         |  round(cast(sum(cast(round(cv * 1e6) as bigint)) as double)
         |    / count(*)) / 1e6 mean_winsor
-        |from c group by 1""".stripMargin
+        |from c group by 1""".stripMargin,
+
+    "q_spearman_daily" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total, n_events from daily),
+         |r as (select user_id,
+         |   cast(row_number() over (partition by user_id
+         |     order by total, t) as bigint) r1,
+         |   cast(row_number() over (partition by user_id
+         |     order by n_events, t) as bigint) r2
+         | from dd),
+         |g as (select user_id, count(*) n,
+         |   sum((r1 - r2) * (r1 - r2)) d2 from r group by 1)
+         |select user_id, n,
+         |  round(1.0 - 6.0 * d2 / (n * (n * n - 1)), 6) rho
+         |from g where n >= 2""".stripMargin,
+
+    "q_k_anonymity" ->
+      """select lang, source, count(*) group_n,
+        |  count(*) < 10 at_risk
+        |from documents group by 1, 2 order by 1, 2""".stripMargin
   )
 
 }
