@@ -6790,6 +6790,74 @@ object SparkEntry {
         .agg(count(lit(1)).as("group_n"))
         .withColumn("at_risk", col("group_n") < 10)
         .orderBy(col("lang"), col("source"))
+    }),
+
+    "q_kendall_tau" -> ((s, dir) => {
+      // Kendall's tau-b between daily total and daily event count per
+      // entity: C-D = sum over pairs of sign(dx)*sign(dy) (exact
+      // integer), tie corrections n1/n2 from per-value group counts, and
+      // tau_b = (C-D)/sqrt((n0-n1)(n0-n2)). Everything under the sqrt is
+      // exact int64; only the final ratio is floating.
+      val daily = dailyTotals(s, dir)
+        .withColumn("t", datediff(col("d"), to_date(lit("1970-01-01"))))
+      val a = daily.alias("a"); val b = daily.alias("b")
+      val cd = a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("a.t") < col("b.t"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(sum(signum(col("b.total") - col("a.total")) *
+          signum(col("b.n_events") - col("a.n_events"))).cast("long").as("cmd"))
+      val nTab = daily.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      def tieSum(c: String, out: String) = daily.groupBy(col("user_id"), col(c))
+        .agg(count(lit(1)).as("tk"))
+        .groupBy(col("user_id"))
+        .agg((sum(col("tk") * (col("tk") - 1)) / 2).cast("long").as(out))
+      cd.join(nTab, "user_id")
+        .join(tieSum("total", "n1"), "user_id")
+        .join(tieSum("n_events", "n2"), "user_id")
+        .withColumn("n0", (col("n") * (col("n") - 1) / 2).cast("long"))
+        .filter(col("n0") > col("n1") && col("n0") > col("n2"))
+        .select(col("user_id"), col("n"), col("cmd"),
+          round(col("cmd") / sqrt(((col("n0") - col("n1")) *
+            (col("n0") - col("n2"))).cast("double")), 6).as("tau_b"))
+    }),
+
+    "q_js_divergence" -> ((s, dir) => {
+      // Jensen-Shannon divergence between the en and de token
+      // distributions — the corpus-drift diagnostic. Probabilities are
+      // exact count ratios; each token's contribution quantizes to
+      // nano-units BEFORE the sum (order-free), and absent-side tokens
+      // flow through the same expression with q = 0 (the 0*ln term
+      // drops via the conditional).
+      val toks = t(s, dir, "documents")
+        .filter(col("lang").isin("en", "de"))
+        .select(col("lang"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+      val counts = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("nt"))
+      val cw = counts.join(totals, "lang")
+      val en = cw.filter(col("lang") === "en")
+        .select(col("tok"), col("c").as("ca"), col("nt").as("na"))
+      val de = cw.filter(col("lang") === "de")
+        .select(col("tok"), col("c").as("cb"), col("nt").as("nb"))
+      val j = en.join(de, Seq("tok"), "full_outer")
+      // the absent side of the full-outer join loses its total: re-attach
+      // both corpus totals from a one-row broadcast
+      val filled = j.crossJoin(broadcast(totals.agg(
+          max(when(col("lang") === "en", col("nt"))).as("tna"),
+          max(when(col("lang") === "de", col("nt"))).as("tnb"))))
+        .select(col("tok"),
+          coalesce(col("ca"), lit(0L)).as("ca"), col("tna"),
+          coalesce(col("cb"), lit(0L)).as("cb"), col("tnb"))
+      val p = col("ca").cast("double") / col("tna")
+      val q = col("cb").cast("double") / col("tnb")
+      val m = (p + q) / 2.0
+      val term = when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+        when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+      filled
+        .select(round(term * 1e9).cast("long").as("tu"))
+        .agg(count(lit(1)).as("n_union_tokens"), sum(col("tu")).as("_su"))
+        .select(col("n_union_tokens"),
+          round(col("_su").cast("double") / 2e9, 6).as("js_divergence"))
     })
   )
 
@@ -7359,7 +7427,61 @@ object SparkEntry {
     "q_k_anonymity" ->
       """select lang, source, count(*) group_n,
         |  count(*) < 10 at_risk
-        |from documents group by 1, 2 order by 1, 2""".stripMargin
+        |from documents group by 1, 2 order by 1, 2""".stripMargin,
+
+    "q_kendall_tau" ->
+      s"""with daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
+         |   total, n_events from daily),
+         |cd as (select a.user_id,
+         |   cast(sum(sign(b.total - a.total) * sign(b.n_events - a.n_events))
+         |     as bigint) cmd
+         | from dd a join dd b on a.user_id = b.user_id and a.t < b.t
+         | group by 1),
+         |nt as (select user_id, count(*) n from dd group by 1),
+         |t1 as (select user_id, cast(sum(tk * (tk - 1)) / 2 as bigint) n1 from
+         |   (select user_id, total, count(*) tk from dd group by 1, 2)
+         | group by 1),
+         |t2 as (select user_id, cast(sum(tk * (tk - 1)) / 2 as bigint) n2 from
+         |   (select user_id, n_events, count(*) tk from dd group by 1, 2)
+         | group by 1),
+         |g as (select c.user_id, n.n, c.cmd, t1.n1, t2.n2,
+         |   cast(n.n * (n.n - 1) / 2 as bigint) n0
+         | from cd c join nt n using (user_id)
+         |   join t1 using (user_id) join t2 using (user_id))
+         |select user_id, n, cmd,
+         |  round(cmd / sqrt(cast((n0 - n1) * (n0 - n2) as double)), 6) tau_b
+         |from g where n0 > n1 and n0 > n2""".stripMargin,
+
+    "q_js_divergence" ->
+      """with tk as (select lang,
+        |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> len(x) > 0)) tok
+        | from documents where lang in ('en', 'de')),
+        |c as (select lang, tok, count(*) c from tk group by 1, 2),
+        |tt as (select lang, sum(c) nt from c group by 1),
+        |en as (select tok, c ca from c where lang = 'en'),
+        |de as (select tok, c cb from c where lang = 'de'),
+        |tot as (select
+        |   max(case when lang = 'en' then nt end) tna,
+        |   max(case when lang = 'de' then nt end) tnb from tt),
+        |f as (select coalesce(en.tok, de.tok) tok,
+        |   coalesce(ca, 0) ca, coalesce(cb, 0) cb, tot.tna, tot.tnb
+        | from en full outer join de on en.tok = de.tok cross join tot),
+        |u as (select
+        |   cast(round((
+        |     (case when ca > 0 then (cast(ca as double) / tna)
+        |        * ln((cast(ca as double) / tna)
+        |          / ((cast(ca as double) / tna + cast(cb as double) / tnb) / 2.0))
+        |        else 0.0 end)
+        |     + (case when cb > 0 then (cast(cb as double) / tnb)
+        |        * ln((cast(cb as double) / tnb)
+        |          / ((cast(ca as double) / tna + cast(cb as double) / tnb) / 2.0))
+        |        else 0.0 end)) * 1e9) as bigint) tu
+        | from f)
+        |select count(*) n_union_tokens,
+        |  round(cast(sum(tu) as double) / 2e9, 6) js_divergence
+        |from u""".stripMargin
   )
 
 }
