@@ -6858,6 +6858,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_union_tokens"), sum(col("tu")).as("_su"))
         .select(col("n_union_tokens"),
           round(col("_su").cast("double") / 2e9, 6).as("js_divergence"))
+    }),
+
+    "q_cramers_v" -> ((s, dir) => {
+      // Chi-square association between lang and source with Cramér's V:
+      // observed/expected from one contingency hash-agg, per-cell
+      // contributions micro-quantized before the sum (order-free), and
+      // V = sqrt(chi2 / (n * min(r-1, c-1))). Margins ride a broadcast.
+      val docs = t(s, dir, "documents")
+      val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rowM = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+      val colM = cells.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+      cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", (col("rn") * col("cn")).cast("double") / col("n"))
+        .withColumn("tu", round((col("o") - col("e")) * (col("o") - col("e"))
+          / col("e") * 1e6).cast("long"))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("tu")).as("_su"), count(lit(1)).as("n_cells"))
+        .select(col("n"), col("n_cells"),
+          round(col("_su").cast("double") / 1e6, 6).as("chi2"),
+          round(sqrt(col("_su").cast("double") / 1e6 /
+            (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+            .as("cramers_v"))
+    }),
+
+    "q_gini_tokens" -> ((s, dir) => {
+      // Gini concentration of the token-frequency distribution per lang
+      // (how head-heavy is the vocabulary): with counts ranked ascending,
+      // G = (2 sum(rank*c) - (N+1) sum(c)) / (N sum(c)) — every term an
+      // exact int64, one floating ratio at the end.
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("c"), col("tok"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+          sum(col("rk") * col("c")).as("_src"))
+        .select(col("lang"), col("n_types"), col("n_tokens"),
+          round((lit(2L) * col("_src") - (col("n_types") + 1) * col("n_tokens"))
+            .cast("double") /
+            (col("n_types") * col("n_tokens")).cast("double"), 6).as("gini"))
     })
   )
 
@@ -7481,7 +7526,40 @@ object SparkEntry {
         | from f)
         |select count(*) n_union_tokens,
         |  round(cast(sum(tu) as double) / 2e9, 6) js_divergence
-        |from u""".stripMargin
+        |from u""".stripMargin,
+
+    "q_cramers_v" ->
+      """with cells as (select lang, source, count(*) o
+        |  from documents group by 1, 2),
+        |rm as (select lang, sum(o) rn from cells group by 1),
+        |cm as (select source, sum(o) cn from cells group by 1),
+        |tt as (select sum(o) n, count(distinct lang) r,
+        |   count(distinct source) c from cells),
+        |u as (select tt.n, tt.r, tt.c,
+        |   cast(round((cells.o - cast(rm.rn * cm.cn as double) / tt.n)
+        |     * (cells.o - cast(rm.rn * cm.cn as double) / tt.n)
+        |     / (cast(rm.rn * cm.cn as double) / tt.n) * 1e6) as bigint) tu
+        | from cells join rm using (lang) join cm using (source) cross join tt)
+        |select n, count(*) n_cells,
+        |  round(cast(sum(tu) as double) / 1e6, 6) chi2,
+        |  round(sqrt(cast(sum(tu) as double) / 1e6
+        |    / cast(n * least(r - 1, c - 1) as double)), 6) cramers_v
+        |from u group by n, r, c""".stripMargin,
+
+    "q_gini_tokens" ->
+      """with tk as (select lang,
+        |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> len(x) > 0)) tok from documents),
+        |c as (select lang, tok, count(*) c from tk group by 1, 2),
+        |r as (select lang, c,
+        |   cast(row_number() over (partition by lang order by c, tok)
+        |     as bigint) rk from c),
+        |g as (select lang, count(*) n_types, sum(c) n_tokens,
+        |   sum(rk * c) src from r group by 1)
+        |select lang, n_types, n_tokens,
+        |  round(cast(2 * src - (n_types + 1) * n_tokens as double)
+        |    / cast(n_types * n_tokens as double), 6) gini
+        |from g""".stripMargin
   )
 
 }

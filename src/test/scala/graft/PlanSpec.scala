@@ -33,7 +33,8 @@ class PlanSpec extends AnyFunSuite {
     "q_bm25_topk", // one-row (N, sum_dl) corpus-stats broadcast
     "q_kn_trigram_nll", // one-row bigram-type-total broadcast
     "q_ccnet_buckets", // reuses trigramNll's one-row total broadcast
-    "q_js_divergence") // one-row (en,de) corpus-totals broadcast
+    "q_js_divergence", // one-row (en,de) corpus-totals broadcast
+    "q_cramers_v") // one-row (n,r,c) contingency-total broadcast
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
