@@ -6903,6 +6903,29 @@ object SparkEntry {
           round((lit(2L) * col("_src") - (col("n_types") + 1) * col("n_tokens"))
             .cast("double") /
             (col("n_types") * col("n_tokens")).cast("double"), 6).as("gini"))
+    }),
+
+    "q_vocab_entropy" -> ((s, dir) => {
+      // Shannon entropy of each language's token distribution plus
+      // Herdan's C (lexical richness, ln types / ln tokens). Entropy
+      // contributions -p ln p quantize to nano-units per TYPE before the
+      // sum (order-free); p is an exact count ratio against the
+      // broadcast per-lang total.
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("nt"),
+        count(lit(1)).as("n_types"))
+      val p = col("c").cast("double") / col("nt")
+      counts.join(broadcast(totals), "lang")
+        .withColumn("hu", round(-p * log(p) * 1e9).cast("long"))
+        .groupBy(col("lang"), col("nt"), col("n_types"))
+        .agg(sum(col("hu")).as("_sh"))
+        .select(col("lang"), col("n_types"), col("nt").as("n_tokens"),
+          round(col("_sh").cast("double") / 1e9, 6).as("entropy"),
+          round(log(col("n_types").cast("double")) /
+            log(col("nt").cast("double")), 6).as("herdan_c"))
     })
   )
 
@@ -7559,7 +7582,22 @@ object SparkEntry {
         |select lang, n_types, n_tokens,
         |  round(cast(2 * src - (n_types + 1) * n_tokens as double)
         |    / cast(n_types * n_tokens as double), 6) gini
-        |from g""".stripMargin
+        |from g""".stripMargin,
+
+    "q_vocab_entropy" ->
+      """with tk as (select lang,
+        |   unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> len(x) > 0)) tok from documents),
+        |c as (select lang, tok, count(*) c from tk group by 1, 2),
+        |tt as (select lang, sum(c) nt, count(*) n_types from c group by 1),
+        |u as (select c.lang, tt.nt, tt.n_types,
+        |   cast(round(-(cast(c.c as double) / tt.nt)
+        |     * ln(cast(c.c as double) / tt.nt) * 1e9) as bigint) hu
+        | from c join tt using (lang))
+        |select lang, n_types, nt n_tokens,
+        |  round(cast(sum(hu) as double) / 1e9, 6) entropy,
+        |  round(ln(cast(n_types as double)) / ln(cast(nt as double)), 6) herdan_c
+        |from u group by lang, nt, n_types""".stripMargin
   )
 
 }
