@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * over the TPC-H-ish star schema; LLM-pipeline operators over
   * `documents` / `embeddings`.
   *
-  * Numeric outputs are rounded (2-6 digits) in BOTH engines so that
-  * double-summation order differences between Spark and DuckDB cannot flip
-  * the hash compare.
+  * Numeric-output discipline (r9, after the five r8 hash fails): float
+  * sums quantize to exact int64 micro-units BEFORE aggregation
+  * (order-free), and final float columns are either (exact long)/10^k or
+  * pure-IEEE functions of exact inputs — never `round(x, d>0)`, whose
+  * tie algorithm is engine- and VERSION-dependent (Spark rounds the exact
+  * binary expansion via BigDecimal HALF_UP; DuckDB rounds a scaled double
+  * and changed behavior across releases, so the local gate passed where
+  * the driver's newer build failed). See [[q6]]/[[qln]].
   */
 object SparkEntry {
 
@@ -42,6 +47,29 @@ object SparkEntry {
   private val dailySql =
     """select user_id, cast(date_trunc('day', ts) as date) d,
       | sum(value) total, count(*) n_events from events group by 1, 2""".stripMargin
+
+  /** Engine-exact 6-decimal quantization: floor(x·1e6 + 0.5)/1e6 uses only
+    * IEEE-exact operations (multiply, add, floor, long→double cast, divide
+    * by a power of ten), so every engine and library version computes
+    * identical bits from identical input bits — unlike `round(x, 6)`,
+    * which flipped five r8 queries on the driver's DuckDB build while
+    * passing locally. `round(x)` to an INTEGER remains portable (HALF_UP
+    * and half-away-from-zero agree on every representable tie) and stays
+    * in use for intermediate micro-unit casts. Ties round toward +∞ for
+    * negatives — consistently in both engines, which is what matters. */
+  private def q6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+  private def q6Sql(e: String): String = s"(floor(($e) * 1e6 + 0.5) / 1e6)"
+
+  /** libm ln/exp/pow are not correctly rounded and differ across builds
+    * (JVM vs whatever libm the driver's DuckDB links); quantizing the
+    * transcendental's OUTPUT onto the 1e-6 grid before any further
+    * arithmetic makes everything downstream engine-exact (flip risk
+    * ulp/quantum ≈ 1e-9 per call, vs certain failure at version-dependent
+    * round() boundaries). Costs 6 decimals of precision — document at the
+    * call site when the output is a sum of many quantized terms. */
+  private def qln(c: Column): Column = q6(log(c))
+  private def qlnSql(e: String): String = q6Sql(s"ln($e)")
 
   /** Near-dup components over `documents` — memoized per (session, dir)
     * like [[dailyTotals]]: the LSH + verify + iterative-propagation
@@ -5594,7 +5622,8 @@ object SparkEntry {
     "q_unit_conversions" ->
       """select event_id,
         |  value + 273.15 t_k,
-        |  value * (5.0/9.0) + (255.372222222222 - 273.15) f_c,
+        |  value * (5.0/9.0) + (cast(255.372222222222 as double)
+        |    - cast(273.15 as double)) f_c,
         |  value * (1000.0/3600.0) wind_ms,
         |  value * ((0.001/86400.0) * 1000.0) pr_flux,
         |  value * 100.0 p_pa
@@ -6495,33 +6524,35 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) => {
       // Mann-Kendall trend test - the significance companion to
       // q_sen_slope (the reference pairs them in its trend analysis):
-      // S = sum of pairwise signs (exact integer via the same per-entity
-      // pair cloud as Sen's slope), tie-corrected variance, and the
-      // continuity-corrected z. All inputs are exact; sqrt is
-      // correctly-rounded IEEE in both engines; z rounds to 6.
+      // S = sum of pairwise signs as an exact integer — r9 swaps the
+      // per-entity O(n²) pair-cloud self-join for the O(n log n)
+      // merge-sort inversion-count kernel (functions.MannKendallS;
+      // PropertySpec pins the two forms equal on tied series). The
+      // tie-corrected variance sums exact integer numerators with ONE
+      // trailing division; sqrt is correctly-rounded IEEE in both
+      // engines, so var_s and z are bit-identical before the q6 grid.
       val daily = dailyTotals(s, dir)
         .select(col("user_id"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
-      val a = daily.alias("a"); val b = daily.alias("b")
-      val sTab = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.t") < col("b.t"))
-        .groupBy(col("a.user_id").as("user_id"))
-        .agg(sum(signum(col("b.total") - col("a.total"))).cast("long").as("s_stat"))
-      val nTab = daily.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val sTab = daily.groupBy(col("user_id"))
+        .agg(graft.functions.MannKendallS.mannKendallS(
+            transform(array_sort(collect_list(struct(col("t"), col("total")))),
+              x => x.getField("total"))).as("s_stat"),
+          count(lit(1)).as("n"))
       val ties = daily.groupBy(col("user_id"), col("total"))
         .agg(count(lit(1)).as("tk"))
         .groupBy(col("user_id"))
         .agg(sum(col("tk") * (col("tk") - 1) * (col("tk") * 2 + 5)).as("tsum"))
-      sTab.join(nTab, "user_id").join(ties, "user_id")
+      sTab.join(ties, "user_id")
         .withColumn("var_s",
           (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tsum")) / 18.0)
-        .withColumn("z", round(
+        .withColumn("z", q6(
           when(col("var_s") <= 0.0, lit(0.0))
             .when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
             .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
-            .otherwise(lit(0.0)), 6))
+            .otherwise(lit(0.0))))
         .select(col("user_id"), col("s_stat"), col("n"),
-          round(col("var_s"), 6).as("var_s"), col("z"))
+          q6(col("var_s")).as("var_s"), col("z"))
     }),
 
     "q_ivf_pq_topk" -> ((s, dir) => {
@@ -6569,32 +6600,40 @@ object SparkEntry {
 
     "q_pettitt" -> ((s, dir) => {
       // Pettitt change-point test (the step-change companion to
-      // q_mann_kendall): U_t = sum_{i<=t, j>t} sign(x_i - x_j) computed
-      // as the running sum of per-element s_t = sum_j sign(x_t - x_j)
-      // (the within-prefix terms cancel by antisymmetry), K = max |U_t|,
-      // the change point the EARLIEST t attaining K, and the standard
-      // approximate p = 2 exp(-6K^2/(n^3+n^2)). S and K are exact
-      // integers from the same per-entity pair cloud as Sen/MK; only p
-      // is floating and rounds to 6.
+      // q_mann_kendall): U_t = sum_{i<=t, j>t} sign(x_i - x_j), K =
+      // max |U_t|, change point the EARLIEST t attaining K, approximate
+      // p = 2 exp(-6K^2/(n^3+n^2)). r9: the O(n²) pair cloud is gone —
+      // with midranks r_t over the whole series, the per-element sign sum
+      // is s_t = sum_j sign(x_t - x_j) = 2 r_t - n - 1 (ties included via
+      // midranks), an exact integer from two window functions, and U_t is
+      // its running sum (within-prefix terms cancel by antisymmetry).
+      // O(n log n) per entity; PropertySpec pins rank-based == pair cloud
+      // on a tied series. p routes exp through the q6 grid (libm exp
+      // differs across builds; round(,6) flipped this query on the
+      // driver's DuckDB in r8).
       val daily = dailyTotals(s, dir)
         .select(col("user_id"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
-      val a = daily.alias("a"); val b = daily.alias("b")
-      val st = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.t") =!= col("b.t"))
-        .groupBy(col("a.user_id").as("user_id"), col("a.t").as("t"))
-        .agg(sum(signum(col("a.total") - col("b.total"))).cast("long").as("s_t"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
       val wAll = Window.partitionBy(col("user_id"))
-      st.withColumn("u_t", sum(col("s_t")).over(w))
+      // 2*midrank = 2*rank + tk - 1, so s_t = 2*rank + tk - n - 2
+      val st = daily
+        .withColumn("rnk", rank().over(
+          Window.partitionBy(col("user_id")).orderBy(col("total"))).cast("long"))
+        .withColumn("tk", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("total"))))
         .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s_t",
+          lit(2L) * col("rnk") + col("tk") - col("n") - lit(2L))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      st.withColumn("u_t", sum(col("s_t")).over(w))
         .withColumn("k", max(abs(col("u_t"))).over(wAll))
         .filter(abs(col("u_t")) === col("k"))
         .groupBy(col("user_id"), col("n"), col("k"))
         .agg(min(col("t")).as("change_t"))
         .select(col("user_id"), col("n"), col("k"), col("change_t"),
-          round(lit(2.0) * exp(lit(-6.0) * col("k") * col("k") /
-            (col("n") * col("n") * col("n") + col("n") * col("n"))), 6).as("p_approx"))
+          q6(lit(2.0) * exp(lit(-6.0) * col("k") * col("k") /
+            (col("n") * col("n") * col("n") + col("n") * col("n"))))
+            .as("p_approx"))
     }),
 
     "q_seasonal_mann_kendall" -> ((s, dir) => {
@@ -6602,16 +6641,16 @@ object SparkEntry {
       // WITHIN each calendar month's subseries (pairs never cross
       // months, so seasonality cannot masquerade as trend), then S and
       // the tie-corrected variances SUM across months and the combined
-      // z applies the same continuity correction. Identical exact-
-      // integer machinery to q_mann_kendall, restricted per season.
+      // z applies the same continuity correction. r9: per-month S comes
+      // from the same O(n log n) inversion-count kernel as
+      // q_mann_kendall instead of a pair-cloud self-join.
       val daily = dailyTotals(s, dir)
         .select(col("user_id"), month(col("d")).as("m"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"), col("total"))
-      val a = daily.alias("a"); val b = daily.alias("b")
-      val sm = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.m") === col("b.m") && col("a.t") < col("b.t"))
-        .groupBy(col("a.user_id").as("user_id"), col("a.m").as("m"))
-        .agg(sum(signum(col("b.total") - col("a.total"))).cast("long").as("s_m"))
+      val sm = daily.groupBy(col("user_id"), col("m"))
+        .agg(graft.functions.MannKendallS.mannKendallS(
+            transform(array_sort(collect_list(struct(col("t"), col("total")))),
+              x => x.getField("total"))).as("s_m"))
       val nm = daily.groupBy(col("user_id"), col("m")).agg(count(lit(1)).as("n_m"))
       val ties = daily.groupBy(col("user_id"), col("m"), col("total"))
         .agg(count(lit(1)).as("tk"))
@@ -6655,15 +6694,17 @@ object SparkEntry {
         .agg(sort_array(collect_list(col("y"))).as("arr"),
           count(lit(1)).as("n_exceed"))
         .filter(col("n_exceed") >= 5)
+      // r9 hardening: k/alpha land on the q6 grid (engine-identical given
+      // identical L-moments), pow — a libm call — is itself q6-gridded on
+      // the gridded k, and rl99 is then pure IEEE arithmetic: no round().
       val (l1, l2, _) = Stats.lMoments(col("arr"))
       exc.select(col("user_id"), col("n_exceed"), l1.as("_l1"), l2.as("_l2"))
-        .withColumn("k_shape", col("_l1") / col("_l2") - 2.0)
-        .withColumn("alpha", col("_l1") * (col("k_shape") + 1.0))
+        .withColumn("k_shape", q6(col("_l1") / col("_l2") - 2.0))
+        .withColumn("alpha", q6(col("_l1") * (col("k_shape") + 1.0)))
         .select(col("user_id"), col("n_exceed"),
-          round(col("k_shape"), 6).as("k_shape"),
-          round(col("alpha"), 6).as("alpha"),
-          round(lit(u) + col("alpha") / col("k_shape") *
-            (lit(1.0) - pow(lit(0.01), col("k_shape"))), 6).as("rl99"))
+          col("k_shape"), col("alpha"),
+          (lit(u) + col("alpha") / col("k_shape") *
+            (lit(1.0) - q6(pow(lit(0.01), col("k_shape"))))).as("rl99"))
     }),
 
     "q_acf_daily" -> ((s, dir) => {
@@ -6689,10 +6730,12 @@ object SparkEntry {
           col("b.t") === col("a.t") + k)
         .groupBy(col("a.user_id").as("user_id"))
         .agg(sum(col("a.dev") * col("b.dev")).as(s"num$k"))
+      // raw int64/int64 ratios are bit-identical in both engines; the
+      // r8 round(,6) wrapper was the only version-dependent step
       d0.join(lagNum(1), "user_id").join(lagNum(7), "user_id")
         .select(col("user_id"), col("n"),
-          round(col("num1").cast("double") / col("den"), 6).as("r1"),
-          round(col("num7").cast("double") / col("den"), 6).as("r7"))
+          (col("num1").cast("double") / col("den")).as("r1"),
+          (col("num7").cast("double") / col("den")).as("r7"))
     }),
 
     "q_zipf_slope" -> ((s, dir) => {
@@ -6711,16 +6754,18 @@ object SparkEntry {
         .orderBy(col("c").desc, col("tok"))
       val ranked = counts.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 100)
+        // floor(ln·1e6 + 0.5), not round(ln·1e6): portable across libm
+        // builds; the regression sums then accumulate exact int64s
         .select(col("lang"),
-          round(log(col("rk").cast("double")) * 1e6).cast("long").as("lx"),
-          round(log(col("c").cast("double")) * 1e6).cast("long").as("ly"))
+          floor(log(col("rk").cast("double")) * lit(1e6) + lit(0.5)).as("lx"),
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5)).as("ly"))
       ranked.groupBy(col("lang"))
         .agg(count(lit(1)).as("r_n"), sum(col("lx")).as("sx"),
           sum(col("ly")).as("sy"), sum(col("lx") * col("ly")).as("sxy"),
           sum(col("lx") * col("lx")).as("sxx"))
         .select(col("lang"), col("r_n"),
-          round((col("r_n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("r_n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          ((col("r_n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("r_n") * col("sxx") - col("sx") * col("sx")).cast("double"))
             .as("zipf_slope"))
     }),
 
@@ -6752,7 +6797,9 @@ object SparkEntry {
           min(col("lo")).as("_lo"), min(col("hi")).as("_hi"),
           sum(round(col("cv") * 1e6).cast("long")).as("_su"))
         .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
-          round(col("_lo"), 6).as("p05"), round(col("_hi"), 6).as("p95"),
+          // p05/p95 are DATA values (identical parquet doubles in both
+          // engines) — emit raw; round(,6) was the only portability risk
+          col("_lo").as("p05"), col("_hi").as("p95"),
           (round(col("_su").cast("double") / col("n")) / 1e6).as("mean_winsor"))
     }),
 
@@ -6848,16 +6895,19 @@ object SparkEntry {
         .select(col("tok"),
           coalesce(col("ca"), lit(0L)).as("ca"), col("tna"),
           coalesce(col("cb"), lit(0L)).as("cb"), col("tnb"))
+      // r9 hardening (same class as the r8 vocab-entropy fail): ln goes
+      // through the q6 grid so libm spread can't flip nano-units, and the
+      // final is (exact long)/2e9 with no round().
       val p = col("ca").cast("double") / col("tna")
       val q = col("cb").cast("double") / col("tnb")
       val m = (p + q) / 2.0
-      val term = when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) +
-        when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))
+      val term = when(col("ca") > 0, p * qln(p / m)).otherwise(lit(0.0)) +
+        when(col("cb") > 0, q * qln(q / m)).otherwise(lit(0.0))
       filled
-        .select(round(term * 1e9).cast("long").as("tu"))
+        .select(floor(term * lit(1e9) + lit(0.5)).as("tu"))
         .agg(count(lit(1)).as("n_union_tokens"), sum(col("tu")).as("_su"))
         .select(col("n_union_tokens"),
-          round(col("_su").cast("double") / 2e9, 6).as("js_divergence"))
+          (col("_su").cast("double") / lit(2e9)).as("js_divergence"))
     }),
 
     "q_cramers_v" -> ((s, dir) => {
@@ -6865,6 +6915,11 @@ object SparkEntry {
       // observed/expected from one contingency hash-agg, per-cell
       // contributions micro-quantized before the sum (order-free), and
       // V = sqrt(chi2 / (n * min(r-1, c-1))). Margins ride a broadcast.
+      // r8 lesson: the oracle must build the cell term with the IDENTICAL
+      // expression tree (e computed ONCE, then (o-e)*(o-e)/e*1e6+0.5
+      // floored) — inlining rn*cn/n three times associates differently
+      // and ±1-unit cell differences survive into the sum. Finals are
+      // (exact long)/1e6 and a correctly-rounded sqrt — no round().
       val docs = t(s, dir, "documents")
       val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
       val rowM = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
@@ -6874,14 +6929,14 @@ object SparkEntry {
       cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
         .crossJoin(broadcast(tot))
         .withColumn("e", (col("rn") * col("cn")).cast("double") / col("n"))
-        .withColumn("tu", round((col("o") - col("e")) * (col("o") - col("e"))
-          / col("e") * 1e6).cast("long"))
+        .withColumn("tu", floor((col("o") - col("e")) * (col("o") - col("e"))
+          / col("e") * lit(1e6) + lit(0.5)))
         .groupBy(col("n"), col("r"), col("c"))
         .agg(sum(col("tu")).as("_su"), count(lit(1)).as("n_cells"))
         .select(col("n"), col("n_cells"),
-          round(col("_su").cast("double") / 1e6, 6).as("chi2"),
-          round(sqrt(col("_su").cast("double") / 1e6 /
-            (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+          (col("_su").cast("double") / lit(1e6)).as("chi2"),
+          sqrt(col("_su").cast("double") / lit(1e6) /
+            (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
             .as("cramers_v"))
     }),
 
@@ -6889,7 +6944,9 @@ object SparkEntry {
       // Gini concentration of the token-frequency distribution per lang
       // (how head-heavy is the vocabulary): with counts ranked ascending,
       // G = (2 sum(rank*c) - (N+1) sum(c)) / (N sum(c)) — every term an
-      // exact int64, one floating ratio at the end.
+      // exact int64 and the single trailing division is IEEE-exact, so
+      // the raw ratio is bit-identical in both engines (the r8 round(,6)
+      // wrapper was the ONLY non-portable step — dropped).
       val counts = t(s, dir, "documents")
         .select(col("lang"), explode(filter(
           split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
@@ -6900,9 +6957,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
           sum(col("rk") * col("c")).as("_src"))
         .select(col("lang"), col("n_types"), col("n_tokens"),
-          round((lit(2L) * col("_src") - (col("n_types") + 1) * col("n_tokens"))
+          ((lit(2L) * col("_src") - (col("n_types") + 1) * col("n_tokens"))
             .cast("double") /
-            (col("n_types") * col("n_tokens")).cast("double"), 6).as("gini"))
+            (col("n_types") * col("n_tokens")).cast("double")).as("gini"))
     }),
 
     "q_vocab_entropy" -> ((s, dir) => {
@@ -6910,7 +6967,11 @@ object SparkEntry {
       // Herdan's C (lexical richness, ln types / ln tokens). Entropy
       // contributions -p ln p quantize to nano-units per TYPE before the
       // sum (order-free); p is an exact count ratio against the
-      // broadcast per-lang total.
+      // broadcast per-lang total. r9: ln routes through the q6 grid
+      // first — libm ln differs across builds, and a ±1-ulp spread
+      // ×1e9 flipped nano-units on the driver in r8. Entropy is
+      // therefore exact-by-construction but accurate to ~6 decimals
+      // (each ln carries ≤5e-7 grid error).
       val counts = t(s, dir, "documents")
         .select(col("lang"), explode(filter(
           split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
@@ -6919,13 +6980,13 @@ object SparkEntry {
         count(lit(1)).as("n_types"))
       val p = col("c").cast("double") / col("nt")
       counts.join(broadcast(totals), "lang")
-        .withColumn("hu", round(-p * log(p) * 1e9).cast("long"))
+        .withColumn("hu", floor(-p * qln(p) * lit(1e9) + lit(0.5)))
         .groupBy(col("lang"), col("nt"), col("n_types"))
         .agg(sum(col("hu")).as("_sh"))
         .select(col("lang"), col("n_types"), col("nt").as("n_tokens"),
-          round(col("_sh").cast("double") / 1e9, 6).as("entropy"),
-          round(log(col("n_types").cast("double")) /
-            log(col("nt").cast("double")), 6).as("herdan_c"))
+          (col("_sh").cast("double") / lit(1e9)).as("entropy"),
+          (qln(col("n_types").cast("double")) /
+            qln(col("nt").cast("double"))).as("herdan_c"))
     })
   )
 
@@ -6941,12 +7002,15 @@ object SparkEntry {
           (sum(col("var_num")) / 18.0).as("_v"),
           count(lit(1)).as("n_seasons"))
         .select(col("user_id"), col("s_total"), col("n_seasons"),
-          round(col("_v"), 6).as("var_s"),
-          round(
+          // q6, not round(,6): _v and z are bit-identical in both engines
+          // (exact ints, one division, correctly-rounded sqrt) but the r8
+          // round(,6) finals flipped on the driver's DuckDB build
+          q6(col("_v")).as("var_s"),
+          q6(
             when(col("_v") <= 0.0, lit(0.0))
               .when(col("s_total") > 0, (col("s_total") - 1) / sqrt(col("_v")))
               .when(col("s_total") < 0, (col("s_total") + 1) / sqrt(col("_v")))
-              .otherwise(lit(0.0)), 6).as("z"))
+              .otherwise(lit(0.0))).as("z"))
   }
 
   /** GPT-2-convention merge table for [[graft.functions.BpeEncode]] —
@@ -6985,7 +7049,7 @@ object SparkEntry {
         |  cast(len(list_filter(lines,
         |    x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) as int) n_ellipsis_lines,
         |  cast(len(list_filter(toks,
-        |    x -> regexp_matches(x, '[a-z]'))) as int) n_alpha_words,
+        |    x -> regexp_matches(x, '[a-zà-öø-ÿα-ωа-я]'))) as int) n_alpha_words,
         |  cast(len(list_filter(['the','be','to','of','and','that','have','with'],
         |    w -> list_contains(toks, w))) as int) n_req_stop
         | from f)
@@ -7203,12 +7267,13 @@ object SparkEntry {
          |j as (select s.user_id, s.s_stat, n.n,
          |   (n.n * (n.n - 1) * (n.n * 2 + 5) - t.tsum) / 18.0 var_s
          | from st s join nt n using (user_id) join ties t using (user_id))
-         |select user_id, s_stat, n, round(var_s, 6) var_s,
-         |  round(case
+         |select user_id, s_stat, n,
+         |  (floor(var_s * 1e6 + 0.5) / 1e6) var_s,
+         |  (floor((case
          |    when var_s <= 0.0 then 0.0
          |    when s_stat > 0 then (s_stat - 1) / sqrt(var_s)
          |    when s_stat < 0 then (s_stat + 1) / sqrt(var_s)
-         |    else 0.0 end, 6) z
+         |    else 0.0 end) * 1e6 + 0.5) / 1e6) z
          |from j""".stripMargin,
 
     "q_ivf_pq_topk" ->
@@ -7295,7 +7360,7 @@ object SparkEntry {
         |    select doc_id, wi, toks, it,
         |      list_min(list_filter($rk, x -> x > 0)) best,
         |      list_position($rk, list_min(list_filter($rk, x -> x > 0))) mp
-        |    from rec where it < 40) q
+        |    from rec) q
         |  where best is not null),
         |fin as (select doc_id, wi, toks from (
         |  select doc_id, wi, toks,
@@ -7312,17 +7377,20 @@ object SparkEntry {
       s"""with daily as ($dailySql),
          |dd as (select user_id, date_diff('day', date '1970-01-01', d) t,
          |   total from daily),
-         |st as (select a.user_id, a.t,
-         |   cast(sum(sign(a.total - b.total)) as bigint) s_t
-         | from dd a join dd b on a.user_id = b.user_id and a.t <> b.t
-         | group by 1, 2),
+         |st as (select user_id, t,
+         |   2 * cast(rank() over (partition by user_id order by total)
+         |     as bigint)
+         |   + count(*) over (partition by user_id, total)
+         |   - count(*) over (partition by user_id) - 2 s_t
+         | from dd),
          |u as (select user_id, t,
          |   sum(s_t) over (partition by user_id order by t) u_t from st),
          |m as (select user_id, t, u_t,
          |   count(*) over (partition by user_id) n,
          |   max(abs(u_t)) over (partition by user_id) k from u)
          |select user_id, n, k, min(t) change_t,
-         |  round(2.0 * exp(-6.0 * k * k / (n*n*n + n*n)), 6) p_approx
+         |  (floor(2.0 * exp(-6.0 * k * k / (n*n*n + n*n)) * 1e6 + 0.5)
+         |    / 1e6) p_approx
          |from m where abs(u_t) = k group by user_id, n, k""".stripMargin,
 
     "q_seasonal_mann_kendall" ->
@@ -7344,12 +7412,13 @@ object SparkEntry {
          | from sm s join nm n using (user_id, m) join ties t using (user_id, m)),
          |g as (select user_id, sum(s_m) s_total,
          |   sum(var_num) / 18.0 v, count(*) n_seasons from j group by 1)
-         |select user_id, s_total, n_seasons, round(v, 6) var_s,
-         |  round(case
+         |select user_id, s_total, n_seasons,
+         |  (floor(v * 1e6 + 0.5) / 1e6) var_s,
+         |  (floor((case
          |    when v <= 0.0 then 0.0
          |    when s_total > 0 then (s_total - 1) / sqrt(v)
          |    when s_total < 0 then (s_total + 1) / sqrt(v)
-         |    else 0.0 end, 6) z
+         |    else 0.0 end) * 1e6 + 0.5) / 1e6) z
          |from g""".stripMargin,
 
     "q_cusum_batch" ->
@@ -7405,12 +7474,13 @@ object SparkEntry {
          |   sum(v * (rk - 1.0) / (n - 1.0)) / any_value(n) b1
          | from r group by 1 having any_value(n) >= 5),
          |p as (select user_id, n_exceed, b0 l1, 2*b1 - b0 l2 from b),
-         |q1 as (select user_id, n_exceed, l1, l2, l1/l2 - 2.0 k_shape from p),
+         |q1 as (select user_id, n_exceed, l1, l2,
+         |   (floor((l1 / l2 - 2.0) * 1e6 + 0.5) / 1e6) k_shape from p),
          |q2 as (select user_id, n_exceed, k_shape,
-         |   l1 * (k_shape + 1.0) alpha from q1)
-         |select user_id, n_exceed, round(k_shape, 6) k_shape,
-         |  round(alpha, 6) alpha,
-         |  round(300.0 + alpha / k_shape * (1.0 - pow(0.01, k_shape)), 6) rl99
+         |   (floor((l1 * (k_shape + 1.0)) * 1e6 + 0.5) / 1e6) alpha from q1)
+         |select user_id, n_exceed, k_shape, alpha,
+         |  300.0 + alpha / k_shape
+         |    * (1.0 - (floor(pow(0.01, k_shape) * 1e6 + 0.5) / 1e6)) rl99
          |from q2""".stripMargin,
 
     "q_acf_daily" ->
@@ -7431,8 +7501,8 @@ object SparkEntry {
          | from dv a join dv b on a.user_id = b.user_id and b.t = a.t + 7
          | group by 1)
          |select user_id, n,
-         |  round(cast(num1 as double) / den, 6) r1,
-         |  round(cast(num7 as double) / den, 6) r7
+         |  cast(num1 as double) / den r1,
+         |  cast(num7 as double) / den r7
          |from d0 join n1 using (user_id) join n7 using (user_id)""".stripMargin,
 
     "q_zipf_slope" ->
@@ -7444,14 +7514,14 @@ object SparkEntry {
         |   row_number() over (partition by lang order by c desc, tok) rk
         | from c),
         |r as (select lang,
-        |   cast(round(ln(cast(rk as double)) * 1e6) as bigint) lx,
-        |   cast(round(ln(cast(c as double)) * 1e6) as bigint) ly
+        |   cast(floor(ln(cast(rk as double)) * 1e6 + 0.5) as bigint) lx,
+        |   cast(floor(ln(cast(c as double)) * 1e6 + 0.5) as bigint) ly
         | from rr where rk <= 100),
         |g as (select lang, count(*) r_n, sum(lx) sx, sum(ly) sy,
         |   sum(lx * ly) sxy, sum(lx * lx) sxx from r group by 1)
         |select lang, r_n,
-        |  round(cast(r_n * sxy - sx * sy as double)
-        |    / cast(r_n * sxx - sx * sx as double), 6) zipf_slope
+        |  cast(r_n * sxy - sx * sy as double)
+        |    / cast(r_n * sxx - sx * sx as double) zipf_slope
         |from g""".stripMargin,
 
     "q_winsorize" ->
@@ -7471,7 +7541,7 @@ object SparkEntry {
         |select event_type, count(*) n,
         |  cast(sum(case when value < lo then 1 else 0 end) as bigint) n_clip_lo,
         |  cast(sum(case when value > hi then 1 else 0 end) as bigint) n_clip_hi,
-        |  round(min(lo), 6) p05, round(min(hi), 6) p95,
+        |  min(lo) p05, min(hi) p95,
         |  round(cast(sum(cast(round(cv * 1e6) as bigint)) as double)
         |    / count(*)) / 1e6 mean_winsor
         |from c group by 1""".stripMargin,
@@ -7536,19 +7606,20 @@ object SparkEntry {
         |f as (select coalesce(en.tok, de.tok) tok,
         |   coalesce(ca, 0) ca, coalesce(cb, 0) cb, tot.tna, tot.tnb
         | from en full outer join de on en.tok = de.tok cross join tot),
+        |pq as (select ca, cb,
+        |   cast(ca as double) / tna p, cast(cb as double) / tnb q from f),
+        |pm as (select ca, cb, p, q, (p + q) / 2.0 m from pq),
         |u as (select
-        |   cast(round((
-        |     (case when ca > 0 then (cast(ca as double) / tna)
-        |        * ln((cast(ca as double) / tna)
-        |          / ((cast(ca as double) / tna + cast(cb as double) / tnb) / 2.0))
+        |   cast(floor((
+        |     (case when ca > 0
+        |        then p * (floor(ln(p / m) * 1e6 + 0.5) / 1e6)
         |        else 0.0 end)
-        |     + (case when cb > 0 then (cast(cb as double) / tnb)
-        |        * ln((cast(cb as double) / tnb)
-        |          / ((cast(ca as double) / tna + cast(cb as double) / tnb) / 2.0))
-        |        else 0.0 end)) * 1e9) as bigint) tu
-        | from f)
+        |     + (case when cb > 0
+        |        then q * (floor(ln(q / m) * 1e6 + 0.5) / 1e6)
+        |        else 0.0 end)) * 1e9 + 0.5) as bigint) tu
+        | from pm)
         |select count(*) n_union_tokens,
-        |  round(cast(sum(tu) as double) / 2e9, 6) js_divergence
+        |  cast(sum(tu) as double) / 2e9 js_divergence
         |from u""".stripMargin,
 
     "q_cramers_v" ->
@@ -7558,15 +7629,16 @@ object SparkEntry {
         |cm as (select source, sum(o) cn from cells group by 1),
         |tt as (select sum(o) n, count(distinct lang) r,
         |   count(distinct source) c from cells),
-        |u as (select tt.n, tt.r, tt.c,
-        |   cast(round((cells.o - cast(rm.rn * cm.cn as double) / tt.n)
-        |     * (cells.o - cast(rm.rn * cm.cn as double) / tt.n)
-        |     / (cast(rm.rn * cm.cn as double) / tt.n) * 1e6) as bigint) tu
-        | from cells join rm using (lang) join cm using (source) cross join tt)
+        |ex as (select tt.n, tt.r, tt.c, cells.o,
+        |   cast(rm.rn * cm.cn as double) / tt.n e
+        | from cells join rm using (lang) join cm using (source) cross join tt),
+        |u as (select n, r, c,
+        |   cast(floor((o - e) * (o - e) / e * 1e6 + 0.5) as bigint) tu
+        | from ex)
         |select n, count(*) n_cells,
-        |  round(cast(sum(tu) as double) / 1e6, 6) chi2,
-        |  round(sqrt(cast(sum(tu) as double) / 1e6
-        |    / cast(n * least(r - 1, c - 1) as double)), 6) cramers_v
+        |  cast(sum(tu) as double) / 1e6 chi2,
+        |  sqrt(cast(sum(tu) as double) / 1e6
+        |    / cast(n * least(r - 1, c - 1) as double)) cramers_v
         |from u group by n, r, c""".stripMargin,
 
     "q_gini_tokens" ->
@@ -7580,8 +7652,8 @@ object SparkEntry {
         |g as (select lang, count(*) n_types, sum(c) n_tokens,
         |   sum(rk * c) src from r group by 1)
         |select lang, n_types, n_tokens,
-        |  round(cast(2 * src - (n_types + 1) * n_tokens as double)
-        |    / cast(n_types * n_tokens as double), 6) gini
+        |  cast(2 * src - (n_types + 1) * n_tokens as double)
+        |    / cast(n_types * n_tokens as double) gini
         |from g""".stripMargin,
 
     "q_vocab_entropy" ->
@@ -7590,13 +7662,16 @@ object SparkEntry {
         |     x -> len(x) > 0)) tok from documents),
         |c as (select lang, tok, count(*) c from tk group by 1, 2),
         |tt as (select lang, sum(c) nt, count(*) n_types from c group by 1),
-        |u as (select c.lang, tt.nt, tt.n_types,
-        |   cast(round(-(cast(c.c as double) / tt.nt)
-        |     * ln(cast(c.c as double) / tt.nt) * 1e9) as bigint) hu
-        | from c join tt using (lang))
+        |pp as (select c.lang, tt.nt, tt.n_types,
+        |   cast(c.c as double) / tt.nt p from c join tt using (lang)),
+        |u as (select lang, nt, n_types,
+        |   cast(floor(-p * (floor(ln(p) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5)
+        |     as bigint) hu
+        | from pp)
         |select lang, n_types, nt n_tokens,
-        |  round(cast(sum(hu) as double) / 1e9, 6) entropy,
-        |  round(ln(cast(n_types as double)) / ln(cast(nt as double)), 6) herdan_c
+        |  cast(sum(hu) as double) / 1e9 entropy,
+        |  (floor(ln(cast(n_types as double)) * 1e6 + 0.5) / 1e6)
+        |    / (floor(ln(cast(nt as double)) * 1e6 + 0.5) / 1e6) herdan_c
         |from u group by lang, nt, n_types""".stripMargin
   )
 

@@ -43,7 +43,12 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        var toks = w.map(_.toString).toArray
+        // split by CODEPOINT, not UTF-16 code unit: non-BMP characters
+        // (emoji, supplementary CJK) would otherwise become unpaired
+        // surrogates that UTF8String turns into replacement bytes,
+        // diverging from a codepoint-splitting oracle
+        var toks = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
         var done = false
         while (!done && toks.length > 1) {
           var best = Int.MaxValue; var at = -1

@@ -260,15 +260,26 @@ object Multimodal {
       (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return null
     var p = 2
     var tiffOff = -1
-    while (tiffOff < 0 && p + 4 <= b.length && (b(p) & 0xff) == 0xFF) {
-      val marker = b(p + 1) & 0xff
+    while (tiffOff < 0 && p + 2 <= b.length && (b(p) & 0xff) == 0xFF) {
+      // 0xFF fill bytes may pad between segments: the marker byte is the
+      // first non-0xFF after the flag
+      var q = p + 1
+      while (q < b.length && (b(q) & 0xff) == 0xFF) q += 1
+      if (q >= b.length) return null
+      val marker = b(q) & 0xff
       if (marker == 0xDA || marker == 0xD9) return null // into scan data: no EXIF
-      val segLen = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
-      if (segLen < 2 || p + 2 + segLen > b.length) return null
-      if (marker == 0xE1 && segLen >= 8 &&
-        new String(b, p + 4, 4, "US-ASCII") == "Exif" &&
-        b(p + 8) == 0 && b(p + 9) == 0) tiffOff = p + 10
-      else p += 2 + segLen
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        // TEM / RSTn are standalone — no length field follows
+        p = q + 1
+      } else {
+        if (q + 3 > b.length) return null
+        val segLen = ((b(q + 1) & 0xff) << 8) | (b(q + 2) & 0xff)
+        if (segLen < 2 || q + 1 + segLen > b.length) return null
+        if (marker == 0xE1 && segLen >= 8 &&
+          new String(b, q + 3, 4, "US-ASCII") == "Exif" &&
+          b(q + 7) == 0 && b(q + 8) == 0) tiffOff = q + 9
+        else p = q + 1 + segLen
+      }
     }
     if (tiffOff < 0 || tiffOff + 8 > b.length) return null
     val little = (b(tiffOff) & 0xff) == 'I'

@@ -380,7 +380,15 @@ object TextStats {
           trim(l).rlike("^[-*•‣◦]"))).as("n_bullet_lines"),
         size(filter(col("lines"), l =>
           trim(l).rlike("(\\.\\.\\.|…)$"))).as("n_ellipsis_lines"),
-        size(filter(col("toks"), t => t.rlike("[a-z]"))).as("n_alpha_words"),
+        // "word contains a letter" — explicit codepoint ranges (ASCII +
+        // Latin-1 letters + Greek + Cyrillic lowercase; text is
+        // lowercased upstream) rather than \p{L}: Java regex and RE2
+        // agree on literal ranges but not on Unicode property classes.
+        // Scripts outside these ranges (CJK, Arabic...) still score 0 —
+        // run gopher AFTER language-ID routing, as the reference
+        // pipeline does.
+        size(filter(col("toks"), t =>
+          t.rlike("[a-zà-öø-ÿα-ωа-я]"))).as("n_alpha_words"),
         size(filter(
           typedLit(reqStop).cast("array<string>"),
           w => array_contains(col("toks"), w))).as("n_req_stop"))

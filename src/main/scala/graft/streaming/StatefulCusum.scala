@@ -34,6 +34,13 @@ object StatefulCusum {
     * exactly this. */
   def step(st: CusumState, t: Int, x: Double, warmup: Int, slack: Double,
            h: Double): (CusumState, Option[Alarm]) = {
+    // enforce the documented per-key time-order contract instead of
+    // assuming it: a sample arriving out of order across micro-batches
+    // would otherwise fold silently into the recurrence and corrupt the
+    // state with no signal. Dropped, not thrown — one straggler must not
+    // kill a streaming query; the dedup/sort stage upstream makes this a
+    // never-taken branch in this engine's own pipelines.
+    if (t <= st.lastT) return (st, None)
     // per-step HALF_UP quantization at 8 decimals (the KBDI/CFFWIS
     // parity rule): the fold stays deterministic to the bit on any
     // engine replaying the same recurrence

@@ -774,6 +774,11 @@ class PropertySpec extends AnyFunSuite {
     assert(enc("") == Seq())
     // leftmost occurrence when the same lowest-rank pair appears twice
     assert(enc("tata") == Seq("ta", "ta"))
+    // non-BMP codepoints split whole (surrogate pairs must never be
+    // separated — a code-unit split corrupts them into replacement bytes)
+    assert(enc("😀ta😀") ==
+      Seq("😀", "ta", "😀"))
+    assert(enc("a😀b") == Seq("a", "😀", "b"))
   }
 
   test("exifMeta: planted tags recovered both-endian; truncation/mutation never throws") {
@@ -787,6 +792,21 @@ class PropertySpec extends AnyFunSuite {
       assert(m._2 == s"cam${id % 4}", s"id $id make")
       assert(m._3 == f"2026:01:${1 + id % 27}%02d ${id % 24}%02d:00:00")
       assert(m._4 == 64L, s"id $id pixel_x")
+    }
+    // EXIF must still be found behind 0xFF fill bytes and standalone
+    // markers (TEM 0x01, RSTn) that carry no length field
+    locally {
+      val withApp1 = Multimodal.plantedExifJpeg(5, 64, 48)
+      val inject = Array[Byte](0xFF.toByte, 0xFF.toByte, // fill padding
+        0xFF.toByte, 0x01.toByte,                        // TEM, standalone
+        0xFF.toByte, 0xD0.toByte)                        // RST0, standalone
+      val padded = new Array[Byte](withApp1.length + inject.length)
+      padded(0) = withApp1(0); padded(1) = withApp1(1)
+      System.arraycopy(inject, 0, padded, 2, inject.length)
+      System.arraycopy(withApp1, 2, padded, 2 + inject.length,
+        withApp1.length - 2)
+      val m = Multimodal.exifMeta(padded)
+      assert(m != null && m._2 == "cam1", "EXIF behind standalone markers")
     }
     // plain JPEG (no APP1) and non-JPEG payloads return null
     assert(Multimodal.exifMeta(Multimodal.plantedJpeg(3, 32, 32)) == null)

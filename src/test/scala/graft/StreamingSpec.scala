@@ -347,6 +347,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CUSUM step drops out-of-order samples instead of folding them") {
+    import graft.streaming.StatefulCusum
+    // the per-key time-order contract is enforced, not assumed: a sample
+    // with t <= lastT must leave the state untouched and raise nothing
+    val (warm, slack, h) = (2, 0.5, 5.0)
+    var st = StatefulCusum.Start
+    for (t <- 0 until 6) st = StatefulCusum.step(st, t, 10.0 + t % 2,
+      warm, slack, h)._1
+    val before = st
+    val (after, alarm) = StatefulCusum.step(st, 3, 999.0, warm, slack, h)
+    assert(after == before, "stale sample must not mutate state")
+    assert(alarm.isEmpty, "stale sample must not alarm")
+    // equal t is also stale (strictly increasing contract)
+    assert(StatefulCusum.step(st, 5, 999.0, warm, slack, h)._1 == before)
+  }
+
   test("streaming media ingest: EXIF extraction runs stateless under readStream") {
     // the media-metadata kernels are narrow mapPartitions projections, so
     // they must run unchanged in a streaming ingest (append, no state)

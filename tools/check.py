@@ -19,7 +19,11 @@ def canon(rows):
                 if math.isnan(v):
                     rr.append("NaN")
                 else:
-                    rr.append(round(v, 9))
+                    # EXACT float compare (shortest round-trip repr).
+                    # The r8 gate rounded to 9 decimals here, which let
+                    # round(,6) finals pass locally while the driver's
+                    # exact hash failed them — never weaken this again.
+                    rr.append(repr(v))
             else:
                 rr.append(str(v) if v is not None else None)
         out.append(tuple(rr))
