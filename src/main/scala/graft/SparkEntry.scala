@@ -6428,20 +6428,16 @@ object SparkEntry {
     "q_ccnet_buckets" -> ((s, dir) => {
       // CCNet-style quality bucketing: per-language head/middle/tail
       // terciles of the char-trigram LM mean NLL (TextStats.trigramNll —
-      // the micro-quantized, engine-exact signal). ntile(3) over
-      // (lang, nll, doc_id) is integer-exact in both engines; at corpus
-      // scale the same shape swaps ntile for broadcast quantile cutoffs
-      // (the per-lang window is the oracle-exact form).
+      // the micro-quantized, engine-exact signal). r9: runs the SCALE
+      // path — a tiny exact cutoff table (two boundary order statistics
+      // per language) broadcast into a sort-free assignment join —
+      // which PropertySpec pins row-identical to the ntile(3) window
+      // form the oracle replays.
       val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
       val nll = TextStats.trigramNll(docs, "doc_id", "text")
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("mean_nll"), col("doc_id"))
-      nll.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        .withColumn("_b", ntile(3).over(w))
-        .select(col("doc_id"), col("lang"), col("mean_nll"),
-          when(col("_b") === 1, lit("head"))
-            .when(col("_b") === 2, lit("middle"))
-            .otherwise(lit("tail")).as("bucket"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      TextStats.ccnetBuckets(nll, TextStats.ccnetCutoffs(nll))
+        .select(col("doc_id"), col("lang"), col("mean_nll"), col("bucket"))
     }),
 
     "q_kmeans_embeddings" -> ((s, dir) => {

@@ -258,6 +258,81 @@ object TextStats {
         (-round(col("_slp").cast("double") / col("n_trigrams")) / 1e6).as("mean_nll"))
   }
 
+  // ------- CCNet-style LM-perplexity quality bucketing -------
+  //
+  // Two equivalent forms of the head/middle/tail split over the per-doc
+  // [[trigramNll]] signal. The reference CCNet pipeline sorts each
+  // language's corpus by LM perplexity and cuts it into thirds; a
+  // per-language global sort (ntile) is oracle-exact but becomes THE
+  // bottleneck at corpus scale, so the scale path separates the two
+  // concerns: a tiny cutoff table (two boundary order statistics per
+  // language — computable exactly below, or from a sample/sketch at
+  // 100 TB) and a broadcast-join assignment that never sorts.
+  // PropertySpec pins the two forms row-identical, ties included.
+
+  /** Exact per-language cutoffs: the (mean_nll, id) pairs closing
+    * ntile(3)'s first and second buckets (sizes n/3 + extras on the
+    * leading buckets, ntile semantics). Output is O(#languages) rows —
+    * broadcastable however large the corpus. The tie-break id makes the
+    * cutoff a total-order point, so ties in mean_nll split exactly like
+    * the window form. */
+  def ccnetCutoffs(nll: DataFrame, idCol: String = "doc_id",
+                   langCol: String = "lang",
+                   nllCol: String = "mean_nll"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol)).orderBy(col(nllCol), col(idCol))
+    val wAll = Window.partitionBy(col(langCol))
+    nll
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_r1", floor(col("_n") / 3) +
+        when(col("_n") % 3 >= 1, 1L).otherwise(0L))
+      .withColumn("_r2", col("_r1") + floor(col("_n") / 3) +
+        when(col("_n") % 3 >= 2, 1L).otherwise(0L))
+      .filter(col("_rk") === col("_r1") || col("_rk") === col("_r2"))
+      .groupBy(col(langCol))
+      .agg(
+        max(when(col("_rk") === col("_r1"), col(nllCol))).as("c1_nll"),
+        max(when(col("_rk") === col("_r1"), col(idCol))).as("c1_id"),
+        max(when(col("_rk") === col("_r2"), col(nllCol))).as("c2_nll"),
+        max(when(col("_rk") === col("_r2"), col(idCol))).as("c2_id"))
+  }
+
+  /** Scale-path assignment: bucket each row against the broadcast cutoff
+    * table by lexicographic (mean_nll, id) comparison — a narrow
+    * shuffle-free projection off the scan, no per-language sort. Rows of
+    * a language absent from the cutoff table keep bucket null (surface
+    * the gap rather than guessing). */
+  def ccnetBuckets(nll: DataFrame, cutoffs: DataFrame,
+                   idCol: String = "doc_id", langCol: String = "lang",
+                   nllCol: String = "mean_nll"): DataFrame = {
+    def le(nl: Column, id: Column, cn: Column, ci: Column): Column =
+      nl < cn || (nl === cn && id <= ci)
+    nll.join(broadcast(cutoffs), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(le(col(nllCol), col(idCol), col("c1_nll"), col("c1_id")),
+          lit("head"))
+        .when(le(col(nllCol), col(idCol), col("c2_nll"), col("c2_id")),
+          lit("middle"))
+        .when(col("c2_nll").isNotNull, lit("tail")))
+      .drop("c1_nll", "c1_id", "c2_nll", "c2_id")
+  }
+
+  /** Oracle-exact window form (the sf-scale twin the oracle replays):
+    * ntile(3) over (mean_nll, id) per language. */
+  def ccnetBucketsNtile(nll: DataFrame, idCol: String = "doc_id",
+                        langCol: String = "lang",
+                        nllCol: String = "mean_nll"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(langCol)).orderBy(col(nllCol), col(idCol))
+    nll.withColumn("_b", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("_b") === 1, lit("head"))
+          .when(col("_b") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("_b")
+  }
+
   // ------- PII scrubbing (pretraining-pipeline redaction pass) -------
   //
   // Regex patterns chosen to mean the same thing in Java regex (Spark

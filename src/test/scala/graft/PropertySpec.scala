@@ -823,6 +823,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ccnetBuckets cutoff path equals the ntile window form, ties included") {
+    import spark.implicits._
+    import graft.pipeline.TextStats
+    val rng = new scala.util.Random(99)
+    // heavy ties (nll on a coarse grid) + uneven language sizes, so the
+    // boundary tie-break and the n%3 bucket-size rules both get exercised
+    val rows = (0 until 400).map { i =>
+      val lang = Seq("en", "de", "fr", "xx")(rng.nextInt(4))
+      (i.toLong, lang, (rng.nextInt(12) * 0.25) + 1.0)
+    } ++ Seq((9001L, "solo", 1.0)) ++ // n=1 language
+      Seq((9002L, "duo", 1.0), (9003L, "duo", 1.0)) // n=2, tied
+    val nll = rows.toDF("doc_id", "lang", "mean_nll")
+    val viaNtile = TextStats.ccnetBucketsNtile(nll)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCutoff = TextStats.ccnetBuckets(nll, TextStats.ccnetCutoffs(nll))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCutoff == viaNtile)
+  }
+
   test("kmeansLloyd is invariant to physical partitioning") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
