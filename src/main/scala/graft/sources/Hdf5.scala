@@ -66,9 +66,11 @@ import java.util.zip.Inflater
   * fixed/extensible-array blocks and pages, v2 B-tree nodes) —
   * corruption is a loud IOException, never a misread.
   *
-  * Out of scope (documented): VLEN bases beyond atomic numerics,
-  * szip/nbit/scaleoffset (their chunk payload layouts live in the
-  * filter implementations, not the file format spec).
+  * szip (filter 4) decodes through [[Szip]] — the CCSDS 121.0 coder in
+  * H5Zszip's raw framing (r9; unblocks NASA granules). Out of scope
+  * (documented): VLEN bases beyond atomic numerics, nbit/scaleoffset
+  * (their chunk payload layouts live in the filter implementations, not
+  * the file format spec).
   */
 object Hdf5 {
 
@@ -87,7 +89,8 @@ object Hdf5 {
                            chunkIndex: Int = 0, shuffled: Boolean = false,
                            members: Seq[Member] = Nil, vlenStr: Boolean = false,
                            filters: Seq[Int] = Nil,
-                           vlenBase: Option[Member] = None) {
+                           vlenBase: Option[Member] = None,
+                           szipCd: Option[Seq[Int]] = None) {
     /** Pipeline in WRITE order when parsed; empty for legacy callers that
       * built the case class directly — fall back to the boolean flags in
       * the canonical netCDF4 order (shuffle before deflate). */
@@ -279,7 +282,9 @@ object Hdf5 {
     var filters: Seq[Int] = Nil
     if (filterLen > 0) {
       if (curRows == 0) { rootStoredSize = r.u64(); r.skip(4) }
-      filters = parsePipeline(r, "fractal heap")
+      val pl = parsePipeline(r, "fractal heap")
+      require(pl.szipCd.isEmpty, "szip-filtered fractal heap unsupported")
+      filters = pl.ids
     }
     // trailing header checksum: fixed fields + the optional filtered-root
     // size/mask + the declared filter-info length (authoritative over
@@ -523,6 +528,7 @@ object Hdf5 {
     var layoutClass = -1; var dataAddr = Undef; var dataSize = 0L
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false; var shuffled = false
+    var szipCd: Option[Seq[Int]] = None
     val filterIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var members: Seq[Member] = Nil; var vlenStr = false
     var vlenBase: Option[Member] = None
@@ -621,10 +627,11 @@ object Hdf5 {
           }
         case 0x000B => // filter pipeline
           r.seek(body)
-          val ids = parsePipeline(r, name)
-          filterIds ++= ids
-          gzip = ids.contains(FilterDeflate)
-          shuffled = ids.contains(FilterShuffle)
+          val pl = parsePipeline(r, name)
+          filterIds ++= pl.ids
+          szipCd = pl.szipCd
+          gzip = pl.ids.contains(FilterDeflate)
+          shuffled = pl.ids.contains(FilterShuffle)
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
           r.seek(body)
           val v = r.u8()
@@ -666,7 +673,7 @@ object Hdf5 {
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
-        shuffled, members, vlenStr, filterIds.toSeq, vlenBase))
+        shuffled, members, vlenStr, filterIds.toSeq, vlenBase, szipCd))
     }
   }
 
@@ -750,14 +757,22 @@ object Hdf5 {
 
   private def log2Floor(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
 
+  /** Parsed filter pipeline: ids in WRITE order plus szip's client data
+    * (options mask, bits/pixel, pixels/block, pixels/scanline) when
+    * present. */
+  private[graft] final case class Pipeline(ids: Seq[Int],
+                                           szipCd: Option[Seq[Int]])
+
   /** Decode a filter-pipeline message body (object-header message 0x000B;
     * a filtered fractal heap embeds the same encoding in its header) at
-    * the reader's position: returns the WRITE-order filter ids, throwing
-    * on filters the pure-JVM pipeline cannot reverse. */
-  private def parsePipeline(r: Reader, what: String): Seq[Int] = {
+    * the reader's position: returns the WRITE-order filter ids (and szip
+    * parameters), throwing on filters the pure-JVM pipeline cannot
+    * reverse. */
+  private def parsePipeline(r: Reader, what: String): Pipeline = {
     val v = r.u8(); val n = r.u8()
     r.skip(if (v == 1) 6 else 0)
     val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var szipCd: Option[Seq[Int]] = None
     var i = 0
     while (i < n) {
       val id = r.u16()
@@ -765,13 +780,20 @@ object Hdf5 {
       r.skip(2) // flags
       val nVals = r.u16()
       r.skip(nameLen)
-      r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
-      require(id == FilterDeflate || id == FilterShuffle || id == FilterFletcher32,
-        s"unsupported filter $id in pipeline for $what (only shuffle+deflate+fletcher32)")
+      if (id == FilterSzip) {
+        require(nVals >= 4, s"szip filter in $what carries $nVals client values")
+        szipCd = Some((0 until nVals).map(_ => r.u32().toInt))
+        if (v == 1 && nVals % 2 == 1) r.skip(4)
+      } else
+        r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
+      require(id == FilterDeflate || id == FilterShuffle ||
+          id == FilterFletcher32 || id == FilterSzip,
+        s"unsupported filter $id in pipeline for $what " +
+          "(only shuffle+deflate+fletcher32+szip)")
       ids += id
       i += 1
     }
-    ids.toSeq
+    Pipeline(ids.toSeq, szipCd)
   }
 
   /** Extensible Array chunk index ("EAHD" → "EAIB" index block →
@@ -1190,7 +1212,8 @@ object Hdf5 {
             raf.seek(c.address)
             val stored = new Array[Byte](c.storedSize.toInt)
             raf.readFully(stored)
-            val bytes = defilter(stored, filters, chunkElems * esz, esz)
+            val bytes = defilter(stored, filters, chunkElems * esz, esz,
+              ds.szipCd)
             (0 until chunkElems).flatMap { flat =>
               val idx = unravelIdx(flat.toLong, cdims)
               var inBounds = true; var j = 0
@@ -1548,6 +1571,7 @@ object Hdf5 {
   private[graft] val FilterDeflate = 1
   private[graft] val FilterShuffle = 2
   private[graft] val FilterFletcher32 = 3
+  private[graft] val FilterSzip = 4
 
   /** Reverse a chunk's filter pipeline: `filters` is the WRITE-order list
     * from the pipeline message; reading applies the inverses back-to-front.
@@ -1558,7 +1582,8 @@ object Hdf5 {
     * [fletcher32, shuffle, deflate] (checksum over raw data) and h5py's
     * [shuffle, deflate, fletcher32] (checksum over compressed bytes). */
   private[graft] def defilter(stored: Array[Byte], filters: Seq[Int],
-                              rawLen: Int, esz: Int): Array[Byte] = {
+                              rawLen: Int, esz: Int,
+                              szipCd: Option[Seq[Int]] = None): Array[Byte] = {
     var buf = stored
     var i = filters.length - 1
     while (i >= 0) {
@@ -1574,6 +1599,12 @@ object Hdf5 {
           buf = unshuffle(buf, esz)
         case FilterFletcher32 =>
           buf = stripFletcher32(buf)
+        case FilterSzip =>
+          // H5Zszip framing: [u32 LE original byte count][raw CCSDS-121
+          // stream]; parameters ride the pipeline message client data
+          buf = Szip.decodeHdf5Chunk(buf, szipCd.getOrElse(
+            throw new IllegalArgumentException(
+              "szip filter without client-data parameters")))
         case other =>
           throw new IllegalArgumentException(s"unsupported filter id $other")
       }
@@ -1662,6 +1693,7 @@ object Hdf5 {
         val cdims = ds.chunkDims.dropRight(1).toArray // last entry = element size
         val dimArr = dims.toArray
         val filters = ds.pipeline
+        val szipCd = ds.szipCd
         val chunkElems = cdims.product.toInt
         // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
         val slices = math.max(1, math.min(chunks.size,
@@ -1676,7 +1708,8 @@ object Hdf5 {
               // read order is the write pipeline reversed (inflate, then
               // unshuffle, then checksum verify+strip — or checksum first
               // when fletcher32 was the last write-side filter)
-              val bytes = defilter(stored, filters, chunkElems * dtSize, dtSize)
+              val bytes = defilter(stored, filters, chunkElems * dtSize,
+                dtSize, szipCd)
               val vals = decode(bytes, dtClass, dtSize, little, chunkElems)
               // chunk-local row-major unravel + global offset; rows past the
               // dataspace edge (partial edge chunks) are dropped
