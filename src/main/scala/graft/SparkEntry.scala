@@ -14,14 +14,22 @@ import org.apache.spark.sql.functions._
   * over the TPC-H-ish star schema; LLM-pipeline operators over
   * `documents` / `embeddings`.
   *
-  * Numeric-output discipline (r9, after the five r8 hash fails): float
-  * sums quantize to exact int64 micro-units BEFORE aggregation
-  * (order-free), and final float columns are either (exact long)/10^k or
-  * pure-IEEE functions of exact inputs — never `round(x, d>0)`, whose
-  * tie algorithm is engine- and VERSION-dependent (Spark rounds the exact
-  * binary expansion via BigDecimal HALF_UP; DuckDB rounds a scaled double
-  * and changed behavior across releases, so the local gate passed where
-  * the driver's newer build failed). See [[q6]]/[[qln]].
+  * Numeric-output discipline (r9): float sums quantize to exact int64
+  * micro-units BEFORE aggregation (order-free), and final float columns
+  * are either (exact long)/10^k or pure-IEEE functions of exact inputs —
+  * never `round(x, d>0)`, whose tie algorithm is engine-dependent. See
+  * [[q6]]/[[qln]].
+  *
+  * ORACLE OUTPUT TYPES (r10, the ACTUAL r8/r9 hash-fail mechanism): in
+  * DuckDB, `sum(BIGINT)` — plain or windowed — returns HUGEINT (int128),
+  * and a HUGEINT result column converts to float64 via pandas / to
+  * decimal128 via arrow, so the driver's hash of the oracle side can never
+  * equal Spark's int64 even when every value is identical (45 vs 45.0).
+  * The five r8/r9 red queries were EXACTLY the five oracles emitting a
+  * top-level uncast sum — the doubles were never wrong. Rule: every
+  * emitted aggregate in oracle SQL must be cast to its Spark output type
+  * (`cast(sum(x) as bigint)` / `as double`); `tools/check.py` now fails
+  * any oracle whose result schema contains HUGEINT/DECIMAL.
   */
 object SparkEntry {
 
@@ -5783,6 +5791,22 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    "q_hdf5_szip" -> ((s, dir) => {
+      // szip (CCSDS 121.0-B) filtered ingest under the DuckDB gate: the
+      // planted single-chunk file (Hdf5PlantedSzip — NN preprocessing,
+      // 13 pixels/scanline deliberately NOT a multiple of the 8-pixel
+      // block, pinning libaec's ceil-divide reference intervals) decodes
+      // through the standard defilter path; the oracle regenerates the
+      // closed form (3t²+7t) mod 97 arithmetically. Integer-valued
+      // doubles — exact in both engines.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_szip_v1.h5")
+      if (!f.isFile) graft.sources.Hdf5PlantedSzip.write(f.getPath)
+      graft.sources.Hdf5.readVariable(s, f.getPath, "counts")
+        .select(col("i0").cast("long").as("i0"), col("value"))
+        .orderBy("i0")
+    }),
+
     "q_image_decode_jpeg" -> ((s, dir) => {
       // LOSSY decode pinned by a closed-form oracle: uniform-colour JPEGs
       // (Multimodal.plantedJpeg — channel values are id-derived multiples
@@ -5947,6 +5971,11 @@ object SparkEntry {
         |  cast(3*t + 0.375 as double) v_sum,
         |  cast(t + 0.25 as double) v_last
         |from range(0, 6) r(t) order by 1""".stripMargin,
+
+    "q_hdf5_szip" ->
+      """select cast(t as bigint) i0,
+        |  cast((3*t*t + 7*t) % 97 as double) "value"
+        |from range(0, 48) r(t) order by 1""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (
@@ -6625,7 +6654,7 @@ object SparkEntry {
         .withColumn("k", max(abs(col("u_t"))).over(wAll))
         .filter(abs(col("u_t")) === col("k"))
         .groupBy(col("user_id"), col("n"), col("k"))
-        .agg(min(col("t")).as("change_t"))
+        .agg(min(col("t")).cast("long").as("change_t"))
         .select(col("user_id"), col("n"), col("k"), col("change_t"),
           q6(lit(2.0) * exp(lit(-6.0) * col("k") * col("k") /
             (col("n") * col("n") * col("n") + col("n") * col("n"))))
@@ -6940,9 +6969,9 @@ object SparkEntry {
       // Gini concentration of the token-frequency distribution per lang
       // (how head-heavy is the vocabulary): with counts ranked ascending,
       // G = (2 sum(rank*c) - (N+1) sum(c)) / (N sum(c)) — every term an
-      // exact int64 and the single trailing division is IEEE-exact, so
-      // the raw ratio is bit-identical in both engines (the r8 round(,6)
-      // wrapper was the ONLY non-portable step — dropped).
+      // exact int64 and the single trailing division is IEEE-exact.
+      // (r8/r9 hash-fails were the oracle's uncast sum(c) → HUGEINT →
+      // pandas float64 on the driver, not the values; see header note.)
       val counts = t(s, dir, "documents")
         .select(col("lang"), explode(filter(
           split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)).as("tok"))
@@ -7384,7 +7413,7 @@ object SparkEntry {
          |m as (select user_id, t, u_t,
          |   count(*) over (partition by user_id) n,
          |   max(abs(u_t)) over (partition by user_id) k from u)
-         |select user_id, n, k, min(t) change_t,
+         |select user_id, n, cast(k as bigint) k, min(t) change_t,
          |  (floor(2.0 * exp(-6.0 * k * k / (n*n*n + n*n)) * 1e6 + 0.5)
          |    / 1e6) p_approx
          |from m where abs(u_t) = k group by user_id, n, k""".stripMargin,
@@ -7408,7 +7437,7 @@ object SparkEntry {
          | from sm s join nm n using (user_id, m) join ties t using (user_id, m)),
          |g as (select user_id, sum(s_m) s_total,
          |   sum(var_num) / 18.0 v, count(*) n_seasons from j group by 1)
-         |select user_id, s_total, n_seasons,
+         |select user_id, cast(s_total as bigint) s_total, n_seasons,
          |  (floor(v * 1e6 + 0.5) / 1e6) var_s,
          |  (floor((case
          |    when v <= 0.0 then 0.0
@@ -7623,7 +7652,7 @@ object SparkEntry {
         |  from documents group by 1, 2),
         |rm as (select lang, sum(o) rn from cells group by 1),
         |cm as (select source, sum(o) cn from cells group by 1),
-        |tt as (select sum(o) n, count(distinct lang) r,
+        |tt as (select cast(sum(o) as bigint) n, count(distinct lang) r,
         |   count(distinct source) c from cells),
         |ex as (select tt.n, tt.r, tt.c, cells.o,
         |   cast(rm.rn * cm.cn as double) / tt.n e
@@ -7645,7 +7674,7 @@ object SparkEntry {
         |r as (select lang, c,
         |   cast(row_number() over (partition by lang order by c, tok)
         |     as bigint) rk from c),
-        |g as (select lang, count(*) n_types, sum(c) n_tokens,
+        |g as (select lang, count(*) n_types, cast(sum(c) as bigint) n_tokens,
         |   sum(rk * c) src from r group by 1)
         |select lang, n_types, n_tokens,
         |  cast(2 * src - (n_types + 1) * n_tokens as double)
@@ -7664,7 +7693,7 @@ object SparkEntry {
         |   cast(floor(-p * (floor(ln(p) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5)
         |     as bigint) hu
         | from pp)
-        |select lang, n_types, nt n_tokens,
+        |select lang, n_types, cast(nt as bigint) n_tokens,
         |  cast(sum(hu) as double) / 1e9 entropy,
         |  (floor(ln(cast(n_types as double)) * 1e6 + 0.5) / 1e6)
         |    / (floor(ln(cast(nt as double)) * 1e6 + 0.5) / 1e6) herdan_c

@@ -13,7 +13,10 @@ package graft.sources
   *  - samples are n-bit unsigned integers (n in [4,32] supported here —
   *    reject-loudly outside), grouped into blocks of J samples
   *    (J even, 4..32) and reference-sample intervals of
-  *    `pixels_per_scanline` samples (`rsi = scanline/J` blocks);
+  *    `rsi = ceil(pixels_per_scanline / J)` blocks — ceil, because
+  *    H5Zszip takes pixels_per_scanline from the chunk's fastest
+  *    dimension, which need not divide J (libaec convention; references
+  *    then recur every rsi·J samples);
   *  - with NN preprocessing (option bit 32) each interval starts with an
   *    absolute reference sample and the rest are unit-delay prediction
   *    residuals through the standard non-negative mapping
@@ -30,9 +33,11 @@ package graft.sources
   * reference sample (the pairing convention varies between
   * implementations; our encoder never emits it) — a loud IOException
   * beats a silent misread, the posture every other tail case in this
-  * reader takes. Unit tests pin hand-computed bitstreams for each
-  * option, and the HDF5 integration test decodes a planted szip chunk
-  * byte-for-byte.
+  * reader takes. Coverage lives in SzipSpec (hand-pinned bitstreams per
+  * block mode, encode/decode round-trips across option masks, framing)
+  * and Hdf5Spec's planted szip-filtered file read through
+  * [[Hdf5.readVariable]]; `q_hdf5_szip` puts the ingest under the
+  * driver's DuckDB gate.
   */
 object Szip {
   // public H5_SZIP_* option-mask bits
@@ -91,9 +96,17 @@ object Szip {
     require(n >= 4 && n <= 32, s"szip bits_per_pixel $n unsupported (4..32)")
     require(j >= 4 && j <= 32 && j % 2 == 0,
       s"szip pixels_per_block $j unsupported (even, 4..32)")
-    require(scanline >= j && scanline % j == 0 && scanline <= 128 * j,
-      s"szip pixels_per_scanline $scanline must be a multiple of $j up to ${128 * j}")
+    require(scanline >= 1 && scanline <= 128 * j,
+      s"szip pixels_per_scanline $scanline out of range (1..${128 * j})")
   }
+
+  /** Reference-sample interval in BLOCKS: H5Zszip sets
+    * pixels_per_scanline from the chunk's fastest dimension, which is
+    * frequently NOT a multiple of pixels_per_block — libaec's szip
+    * compat layer ceil-divides (references then recur every
+    * `rsiBlocks*j` samples, not every `scanline`). */
+  private def rsiBlocksFor(j: Int, scanline: Int): Int =
+    math.max(1, (scanline + j - 1) / j)
 
   // ---------------- decode ----------------
 
@@ -105,7 +118,7 @@ object Szip {
     val pre = (mask & NN) != 0
     val idLen = idLenFor(n)
     val idMax = (1 << idLen) - 1
-    val rsiBlocks = scanline / j
+    val rsiBlocks = rsiBlocksFor(j, scanline)
     val blocksTotal = (total + j - 1) / j
     val delta = new Array[Long](blocksTotal * j)
     val br = new BitReader(in)
@@ -170,9 +183,10 @@ object Szip {
       System.arraycopy(delta, 0, out, 0, total)
     } else {
       val xmax = if (n == 64) -1L else (1L << n) - 1
+      val period = rsiBlocks * j
       var s = 0
       while (s < total) {
-        val isRef = (s % scanline) == 0
+        val isRef = (s % period) == 0
         if (isRef) out(s) = delta(s)
         else {
           val p = out(s - 1)
@@ -200,7 +214,8 @@ object Szip {
     val pre = (mask & NN) != 0
     val idLen = idLenFor(n)
     val idMax = (1 << idLen) - 1
-    val rsiBlocks = scanline / j
+    val rsiBlocks = rsiBlocksFor(j, scanline)
+    val period = rsiBlocks * j
     val xmax = (1L << n) - 1
     val blocksTotal = (x.length + j - 1) / j
     // pad the final partial block by repeating the last sample: its
@@ -213,7 +228,7 @@ object Szip {
     val delta = new Array[Long](padded.length)
     var s = 0
     while (s < padded.length) {
-      if (!pre || s % scanline == 0) delta(s) = padded(s)
+      if (!pre || s % period == 0) delta(s) = padded(s)
       else {
         val p = padded(s - 1)
         val theta = math.min(p, xmax - p)

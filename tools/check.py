@@ -48,14 +48,43 @@ def main(sf_dir, out_dir):
         try:
             exp_rel = con.sql(sql)
             exp_cols = sorted(exp_rel.columns)
+            # Driver-faithfulness gate (the r8/r9 five-query mechanism):
+            # DuckDB sum(BIGINT) returns HUGEINT, which the driver's
+            # pandas/arrow conversion turns into float64/decimal128 —
+            # hash-incompatible with Spark's int64 even on identical
+            # values. fetchall() below is lossless, so without this
+            # check the local gate passes where the driver fails.
+            huge = [f"{c}:{t}" for c, t in zip(exp_rel.columns, exp_rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")
+                    or str(t).startswith("DECIMAL")]
+            if huge:
+                print(f"FAIL {name}: oracle emits non-portable types "
+                      f"{huge} — cast to BIGINT/DOUBLE in the SQL")
+                n_bad += 1
+                continue
             exp = canon(con.sql(
                 f"select {', '.join(exp_cols)} from exp_rel").fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
+        def family(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                     "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t
+        got_fams = {c: family(t) for c, t in zip(got_rel.columns, got_rel.types)}
+        exp_fams = {c: family(t) for c, t in zip(exp_rel.columns, exp_rel.types)}
+        fam_bad = [(c, got_fams[c], exp_fams[c]) for c in got_fams
+                   if c in exp_fams and got_fams[c] != exp_fams[c]]
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_bad += 1
+        elif fam_bad:
+            print(f"FAIL {name}: type-family mismatch spark vs oracle: {fam_bad}")
             n_bad += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
