@@ -3030,11 +3030,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val comp = docComponents(s, dir)
       val drop = comp.filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val kept = docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
-      kept.agg(count(lit(1)).as("n_after"),
-          countDistinct(col("lang")).as("n_langs"))
-        .withColumn("n_before", lit(docs.count()))
+        .select(col("id").as("doc_id"), lit(1).as("_dropped"))
+      // r10: before/after/langs from ONE broadcast-marked scan — the r9
+      // form ran docs.count() on the driver at plan time, a second full
+      // corpus scan (pointless 2× read at lake scale)
+      docs.join(broadcast(drop), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("_dropped").isNull, 1L).otherwise(0L)).as("n_after"),
+          countDistinct(when(col("_dropped").isNull, col("lang"))).as("n_langs"))
         .select(col("n_before"), col("n_after"), col("n_langs"))
     })
   )
@@ -6866,31 +6869,26 @@ object SparkEntry {
 
     "q_kendall_tau" -> ((s, dir) => {
       // Kendall's tau-b between daily total and daily event count per
-      // entity: C-D = sum over pairs of sign(dx)*sign(dy) (exact
-      // integer), tie corrections n1/n2 from per-value group counts, and
-      // tau_b = (C-D)/sqrt((n0-n1)(n0-n2)). Everything under the sqrt is
-      // exact int64; only the final ratio is floating.
-      val daily = dailyTotals(s, dir)
-        .withColumn("t", datediff(col("d"), to_date(lit("1970-01-01"))))
-      val a = daily.alias("a"); val b = daily.alias("b")
-      val cd = a.join(b, col("a.user_id") === col("b.user_id") &&
-          col("a.t") < col("b.t"))
-        .groupBy(col("a.user_id").as("user_id"))
-        .agg(sum(signum(col("b.total") - col("a.total")) *
-          signum(col("b.n_events") - col("a.n_events"))).cast("long").as("cmd"))
-      val nTab = daily.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      def tieSum(c: String, out: String) = daily.groupBy(col("user_id"), col(c))
-        .agg(count(lit(1)).as("tk"))
+      // entity. r10: Knight's O(n log n) algorithm (functions.KendallCmd
+      // — the bivariate extension of the q_mann_kendall merge kernel)
+      // replaces the last per-entity O(n²) pair-cloud self-join: sort by
+      // (x, y), count strict y-inversions, C−D = n0−n1−n2+n3−2·swaps
+      // with tie sums read off the sorted runs. One hash-agg, no join;
+      // every input to the final ratio is an exact int64, bit-identical
+      // to the pair cloud (PropertySpec pins the two forms on ties). At
+      // century-long daily series this is ~600k comparisons per entity
+      // instead of ~650M joined rows.
+      dailyTotals(s, dir)
         .groupBy(col("user_id"))
-        .agg((sum(col("tk") * (col("tk") - 1)) / 2).cast("long").as(out))
-      cd.join(nTab, "user_id")
-        .join(tieSum("total", "n1"), "user_id")
-        .join(tieSum("n_events", "n2"), "user_id")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.MannKendallS.kendallCmd(collect_list(struct(
+            col("total").as("x"),
+            col("n_events").cast("double").as("y")))).as("kt"))
         .withColumn("n0", (col("n") * (col("n") - 1) / 2).cast("long"))
-        .filter(col("n0") > col("n1") && col("n0") > col("n2"))
-        .select(col("user_id"), col("n"), col("cmd"),
-          round(col("cmd") / sqrt(((col("n0") - col("n1")) *
-            (col("n0") - col("n2"))).cast("double")), 6).as("tau_b"))
+        .filter(col("n0") > col("kt.n1") && col("n0") > col("kt.n2"))
+        .select(col("user_id"), col("n"), col("kt.cmd").as("cmd"),
+          round(col("kt.cmd") / sqrt(((col("n0") - col("kt.n1")) *
+            (col("n0") - col("kt.n2"))).cast("double")), 6).as("tau_b"))
     }),
 
     "q_js_divergence" -> ((s, dir) => {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Mann–Kendall S statistic S = Σ_{i<j} sign(x_j − x_i) of one series
   * given as ARRAY<DOUBLE> in time order, in O(n log n) — the rank-based
@@ -83,4 +83,111 @@ object MannKendallS {
   /** S over a series handed as ARRAY<DOUBLE> already in time order. */
   def mannKendallS(valuesByTime: Column): Column =
     ColumnBridge.column(MannKendallS(ColumnBridge.expression(valuesByTime)))
+
+  /** Knight's O(n log n) Kendall computation over one entity's
+    * (x, y) sample: sort by (x asc, y asc) — within an x-tie y is
+    * ascending so contributes no strict y-inversion — then the SAME
+    * merge kernel counts D = #discordant pairs as strict y-inversions,
+    * and C − D = n0 − n1 − n2 + n3 − 2·D with the tie sums read off the
+    * sorted runs (n1 x-ties, n2 y-ties, n3 joint). Every quantity is an
+    * exact integer, so the result is bit-identical to the O(n²)
+    * pair-cloud sum sign(dx)·sign(dy) under any input order. */
+  def knight(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, 2)
+      xs(i) = r.getDouble(0); ys(i) = r.getDouble(1)
+      i += 1
+    }
+    val idx = Array.range(0, n).sortBy(k => (xs(k), ys(k)))
+    val sy = new Array[Double](n)
+    i = 0
+    while (i < n) { sy(i) = ys(idx(i)); i += 1 }
+    var n1 = 0L; var n3 = 0L
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && xs(idx(j)) == xs(idx(i))) j += 1
+      var k = i
+      while (k < j) { // joint-tie runs nest inside the x-tie run
+        var l = k + 1
+        while (l < j && ys(idx(l)) == ys(idx(k))) l += 1
+        val b = (l - k).toLong
+        n3 += b * (b - 1) / 2
+        k = l
+      }
+      val t = (j - i).toLong
+      n1 += t * (t - 1) / 2
+      i = j
+    }
+    // strict inversion count of sy = D (merge kernel, `<=` keeps ties out)
+    val tmp = new Array[Double](n)
+    var inv = 0L
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n - width) {
+        val mid = lo + width
+        val hi = math.min(lo + 2 * width, n)
+        var a0 = lo; var b0 = mid; var k = lo
+        while (a0 < mid && b0 < hi) {
+          if (sy(a0) <= sy(b0)) { tmp(k) = sy(a0); a0 += 1 }
+          else { inv += (mid - a0); tmp(k) = sy(b0); b0 += 1 }
+          k += 1
+        }
+        while (a0 < mid) { tmp(k) = sy(a0); a0 += 1; k += 1 }
+        while (b0 < hi) { tmp(k) = sy(b0); b0 += 1; k += 1 }
+        System.arraycopy(tmp, lo, sy, lo, hi - lo)
+        lo += 2 * width
+      }
+      width *= 2
+    }
+    var n2 = 0L // sy is now fully sorted: y-tie runs
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && sy(j) == sy(i)) j += 1
+      val t = (j - i).toLong
+      n2 += t * (t - 1) / 2
+      i = j
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val cmd = n0 - n1 - n2 + n3 - 2L * inv
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cmd, n1, n2))
+  }
+
+  /** `STRUCT<cmd, n1, n2>` over `ARRAY<STRUCT<x double, y double>>`. */
+  def kendallCmd(pairs: Column): Column =
+    ColumnBridge.column(KendallCmd(ColumnBridge.expression(pairs)))
+}
+
+/** Kendall C−D plus marginal tie sums of one entity's paired sample
+  * (`ARRAY<STRUCT<x double, y double>>`, any order) via Knight's
+  * O(n log n) algorithm — the bivariate extension of [[MannKendallS]]'s
+  * merge kernel that replaces the last per-entity O(n²) pair-cloud
+  * self-join. τ-b = cmd / √((n0−n1)(n0−n2)) with n0 computed from the
+  * group count outside. PropertySpec pins kernel == pair cloud on tied
+  * data. */
+case class KendallCmd(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cmd", LongType, nullable = false),
+    StructField("n1", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false)))
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs.forall(_.dataType == DoubleType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kendall_cmd needs ARRAY<STRUCT<DOUBLE, DOUBLE>>, got $other")
+  }
+  override def nullSafeEval(a: Any): Any =
+    MannKendallS.knight(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.MannKendallS.knight($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

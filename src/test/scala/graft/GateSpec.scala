@@ -121,6 +121,35 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("KendallCmd Knight kernel equals the pair cloud on tied pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815)
+    for (trial <- 1 to 10) {
+      val n = 3 + rng.nextInt(60)
+      // coarse grids on BOTH margins force x-ties, y-ties and joint ties
+      val xs = Seq.fill(n)((rng.nextInt(5) * 0.5) - 1.0)
+      val ys = Seq.fill(n)(rng.nextInt(4).toDouble)
+      val brute = (for {
+        i <- 0 until n; j <- (i + 1) until n
+      } yield (math.signum(xs(j) - xs(i)) *
+        math.signum(ys(j) - ys(i))).toLong).sum
+      val bn1 = xs.groupBy(identity).values.map(g =>
+        g.size.toLong * (g.size - 1) / 2).sum
+      val bn2 = ys.groupBy(identity).values.map(g =>
+        g.size.toLong * (g.size - 1) / 2).sum
+      val row = xs.zip(ys).map { case (x, y) => (1L, x, y) }
+        .toDF("id", "x", "y")
+        .groupBy(col("id"))
+        .agg(graft.functions.MannKendallS.kendallCmd(
+          collect_list(struct(col("x"), col("y")))).as("kt"))
+        .select(col("kt.cmd"), col("kt.n1"), col("kt.n2"))
+        .collect()(0)
+      assert(row.getAs[Long]("cmd") == brute, s"trial $trial cmd")
+      assert(row.getAs[Long]("n1") == bn1, s"trial $trial n1")
+      assert(row.getAs[Long]("n2") == bn2, s"trial $trial n2")
+    }
+  }
+
   test("rank-based Pettitt s_t equals the pair-cloud sign sum on ties") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
