@@ -64,10 +64,15 @@ object SparkEntry {
     * passing locally. `round(x)` to an INTEGER remains portable (HALF_UP
     * and half-away-from-zero agree on every representable tie) and stays
     * in use for intermediate micro-unit casts. Ties round toward +∞ for
-    * negatives — consistently in both engines, which is what matters. */
+    * negatives — consistently in both engines, which is what matters.
+    * VALID RANGE |x| < 9.2e12: Spark's floor(double) returns LongType and
+    * saturates at ±2^63 where DuckDB's floor stays in double, so the two
+    * engines diverge beyond x·1e6 ≈ 2^63 (and the +0.5 is already
+    * meaningless past 2^53). Every current q6 call site is a p-value,
+    * z-score, variance or ratio far inside the range; check before
+    * quantizing anything n³-shaped at larger n. */
   private def q6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
-  private def q6Sql(e: String): String = s"(floor(($e) * 1e6 + 0.5) / 1e6)"
 
   /** libm ln/exp/pow are not correctly rounded and differ across builds
     * (JVM vs whatever libm the driver's DuckDB links); quantizing the
@@ -75,9 +80,10 @@ object SparkEntry {
     * arithmetic makes everything downstream engine-exact (flip risk
     * ulp/quantum ≈ 1e-9 per call, vs certain failure at version-dependent
     * round() boundaries). Costs 6 decimals of precision — document at the
-    * call site when the output is a sum of many quantized terms. */
+    * call site when the output is a sum of many quantized terms. The
+    * oracle SQL spells the same grid inline as floor(ln(x)*1e6+0.5)/1e6
+    * (plain string literals; keep the two spellings in sync). */
   private def qln(c: Column): Column = q6(log(c))
-  private def qlnSql(e: String): String = q6Sql(s"ln($e)")
 
   /** Near-dup components over `documents` — memoized per (session, dir)
     * like [[dailyTotals]]: the LSH + verify + iterative-propagation
@@ -268,10 +274,11 @@ object SparkEntry {
 
     // ---- text / dedup / similarity (pipeline.*) --------------------------
     "q_doc_stats" -> ((s, dir) => {
+      // raw chars/tokens ratio (r10): exact-int division, engine-exact
       t(s, dir, "documents").select(
         col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tokens"),
-        round(TextStats.meanTokenLength(col("text")), 6).as("mean_tok_len"),
+        TextStats.meanTokenLength(col("text")).as("mean_tok_len"),
         TextStats.fingerprint(col("text")).as("fp"))
     }),
 
@@ -458,9 +465,11 @@ object SparkEntry {
     }),
 
     "q_langid_heuristic" -> ((s, dir) => {
+      // raw count ratio (r10): one IEEE division of two exact ints is
+      // bit-identical in both engines — no round needed
       t(s, dir, "documents")
         .select(col("doc_id"),
-          round(TextStats.stopwordRatio(col("text")), 6).as("stop_ratio"))
+          TextStats.stopwordRatio(col("text")).as("stop_ratio"))
         .withColumn("pred", when(col("stop_ratio") >= 0.02, "en").otherwise("other"))
     }),
 
@@ -481,10 +490,13 @@ object SparkEntry {
     }),
 
     "q_centroid_dims" -> ((s, dir) => {
+      // micro-quantized mean (r10): order-free int64 sum + fixed-order
+      // divisions instead of round(avg(float), 6)
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("e").cast("double")), 6).as("dim_avg"))
+        .agg((sum(round(col("e").cast("double") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / lit(1e6)).as("dim_avg"))
     }),
 
     "q_stream_tumbling" -> ((s, dir) => {
@@ -644,8 +656,8 @@ object SparkEntry {
       """select doc_id,
         | case when length(trim(text)) = 0 then 0
         |   else len(string_split_regex(trim(text), '\s+')) end n_tokens,
-        | cast(cast(cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
-        |   / len(string_split_regex(trim(text), '\s+')) as decimal(38,6)) as double) mean_tok_len,
+        | cast(length(regexp_replace(text, '\s+', '', 'g')) as double)
+        |   / len(string_split_regex(trim(text), '\s+')) mean_tok_len,
         | substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
         |from documents""".stripMargin,
 
@@ -823,10 +835,10 @@ object SparkEntry {
     "q_langid_heuristic" ->
       """select doc_id, stop_ratio,
         | case when stop_ratio >= 0.02 then 'en' else 'other' end pred
-        |from (select doc_id, cast(cast(cast(len(list_filter(
+        |from (select doc_id, cast(len(list_filter(
         |   string_split_regex(lower(trim(text)), '\s+'),
         |   x -> x in ('the','a','of','to','and','in','is','that'))) as double)
-        |  / len(string_split_regex(lower(trim(text)), '\s+')) as decimal(38,6)) as double) stop_ratio
+        |  / len(string_split_regex(lower(trim(text)), '\s+')) stop_ratio
         | from documents) t""".stripMargin,
 
     "q_ngram_jaccard_pairs" ->
@@ -835,8 +847,8 @@ object SparkEntry {
         | from documents)
         |select id_a, id_b, jaccard from (
         | select a.doc_id id_a, b.doc_id id_b,
-        |  cast(cast(cast(len(list_intersect(a.grams, b.grams)) as double)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
+        |  cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) jaccard
         | from g a join g b on a.lang = b.lang and a.source = b.source
         |  and a.doc_id < b.doc_id) t
         |where jaccard >= 0.85""".stripMargin,
@@ -859,7 +871,8 @@ object SparkEntry {
 
     "q_centroid_dims" ->
       """select label, cast(i as int) pos,
-        | cast(cast(avg(cast(embedding[i+1] as double)) as decimal(38,6)) as double) dim_avg
+        | cast(sum(cast(round(cast(embedding[i+1] as double) * 1e6) as bigint))
+        |   as double) / count(*) / 1e6 dim_avg
         |from embeddings, (select unnest(range(0,64)) i) t group by 1,2""".stripMargin,
 
     "q_stream_tumbling" ->
@@ -1576,10 +1589,15 @@ object SparkEntry {
     "q_type_ratio" -> ((s, dir) => {
       // liquid_precip_ratio family (_multivariate.py:871): phase-partitioned
       // share of the total, per entity
+      // r10 allowlist shrink: values micro-quantize to exact int64 BEFORE
+      // the sums (order-free on any partitioning), so the ratio is one
+      // IEEE division of exact ints — bit-identical in both engines
       t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
-          / sum(col("value")), 6).as("purchase_ratio"))
+        .agg((sum(when(col("event_type") === "purchase",
+            round(col("value") * 1e6).cast("long")).otherwise(0L)).cast("double")
+          / sum(round(col("value") * 1e6).cast("long")).cast("double"))
+          .as("purchase_ratio"))
     }),
 
     "q_first_run_after_date" -> ((s, dir) => {
@@ -1617,8 +1635,10 @@ object SparkEntry {
 
     "q_type_ratio" ->
       """select user_id,
-        | cast(cast(sum(case when event_type = 'purchase' then value else 0.0 end)
-        |   / sum(value) as decimal(38,6)) as double) purchase_ratio
+        | cast(sum(case when event_type = 'purchase'
+        |     then cast(round(value * 1e6) as bigint) else 0 end) as double)
+        |   / cast(sum(cast(round(value * 1e6) as bigint)) as double)
+        |   purchase_ratio
         |from events group by 1""".stripMargin,
 
     "q_first_run_after_date" ->
@@ -1646,10 +1666,13 @@ object SparkEntry {
       daily.filter(col("total") > 50)
         .withColumn("grp", col("dnum") - row_number().over(w))
         .groupBy(col("user_id"), col("grp"))
-        .agg(sum(col("total")).as("run_sum"), count(lit(1)).as("len"))
+        // micro-quantized run sums (r10): exact int64 within each run, so
+        // max + final /1e6 are engine-exact with no round()
+        .agg(sum(round(col("total") * 1e6).cast("long")).as("run_sum_u"),
+          count(lit(1)).as("len"))
         .filter(col("len") >= 2)
         .groupBy(col("user_id"))
-        .agg(round(max(col("run_sum")), 6).as("max_run_sum"))
+        .agg((max(col("run_sum_u")).cast("double") / lit(1e6)).as("max_run_sum"))
     }),
 
     "q_ntile_deciles" -> ((s, dir) => {
@@ -1659,7 +1682,12 @@ object SparkEntry {
       t(s, dir, "events")
         .withColumn("decile", ntile(10).over(w))
         .groupBy(col("event_type"), col("decile"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("decile_mean"))
+        // micro-quantized mean (r10): exact int64 sum, two IEEE divisions
+        // in a fixed order — order-free and engine-exact, unlike the old
+        // round(avg(value), 6) whose sum order decided boundary ties
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 1e6).cast("long")).cast("double")
+            / count(lit(1)) / lit(1e6)).as("decile_mean"))
     })
   )
 
@@ -1671,10 +1699,11 @@ object SparkEntry {
          | from daily where total > 50),
          |q as (select user_id, total,
          |  dnum - row_number() over (partition by user_id order by d) grp from f),
-         |runs as (select user_id, grp, sum(total) run_sum, count(*) len
+         |runs as (select user_id, grp,
+         |  sum(cast(round(total * 1e6) as bigint)) run_sum_u, count(*) len
          | from q group by 1,2)
          |select user_id,
-         | cast(cast(max(run_sum) as decimal(38,6)) as double) max_run_sum
+         | cast(max(run_sum_u) as double) / 1e6 max_run_sum
          |from runs where len >= 2 group by 1""".stripMargin,
 
     "q_ntile_deciles" ->
@@ -1683,7 +1712,8 @@ object SparkEntry {
         |    order by value, event_id) decile
         | from events)
         |select event_type, cast(decile as int) decile, count(*) n,
-        | cast(cast(avg(value) as decimal(38,6)) as double) decile_mean
+        | cast(sum(cast(round(value * 1e6) as bigint)) as double)
+        |   / count(*) / 1e6 decile_mean
         |from r group by 1,2""".stripMargin
   )
 
@@ -2507,7 +2537,8 @@ object SparkEntry {
       // never materialises — only bucket-local pairs are generated.
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           ngram = 3, threshold = 0.7, numHashes = 16, bands = 16)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        // raw exact-int ratio (r10): bit-identical in both engines
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     })
   )
 
@@ -2568,8 +2599,8 @@ object SparkEntry {
         | from toks),
         |pairs as (
         | select a.doc_id id_a, b.doc_id id_b,
-        |  cast(cast(cast(len(list_intersect(a.grams, b.grams)) as double)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))) as decimal(38,6)) as double) jaccard
+        |  cast(len(list_intersect(a.grams, b.grams)) as double)
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) jaccard
         | from g a join g b on a.doc_id < b.doc_id)
         |select id_a, id_b, jaccard from pairs where jaccard >= 0.7""".stripMargin
   )
@@ -6011,9 +6042,9 @@ object SparkEntry {
         |  from g a join g b on a.tok = b.tok and a.doc_id < b.doc_id
         |  group by 1, 2)
         |select id_a, id_b,
-        |  round(cast(common as double)/(sa.sz + sb.sz - common), 6) jaccard
+        |  cast(common as double)/(sa.sz + sb.sz - common) jaccard
         |from com join sz sa on sa.doc_id = id_a join sz sb on sb.doc_id = id_b
-        |where round(cast(common as double)/(sa.sz + sb.sz - common), 6) >= 0.6""".stripMargin,
+        |where cast(common as double)/(sa.sz + sb.sz - common) >= 0.6""".stripMargin,
 
     "q_media_metadata" ->
       """select doc_id media_id, 'audio' modality, 'mpeg-audio' container,
@@ -6240,7 +6271,7 @@ object SparkEntry {
       Similarity.quantizeInt8(
           t(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding")
-        .select(col("vec_id"), round(col("scale"), 6).as("qstep"),
+        .select(col("vec_id"), q6(col("scale")).as("qstep"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
           aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_l2"))
     }),
@@ -6359,8 +6390,9 @@ object SparkEntry {
         |r as (select pr.w2 w2, count(*) n_b from p group by 1),
         |n as (select sum(n_ab) n_total from b)
         |select b.w1, b.w2, cast(b.n_ab as bigint) n_ab,
-        |  round(ln(cast(b.n_ab as double) * cast(n.n_total as double)
-        |    / (cast(l.n_a as double) * cast(r.n_b as double))), 6) pmi
+        |  (floor(ln(cast(b.n_ab as double) * cast(n.n_total as double)
+        |    / (cast(l.n_a as double) * cast(r.n_b as double))) * 1e6 + 0.5)
+        |   / 1e6) pmi
         |from b join l using (w1) join r using (w2), n
         |where b.n_ab >= 20""".stripMargin,
 
@@ -6397,7 +6429,7 @@ object SparkEntry {
         |       else list_transform(v,
         |         x -> cast(round(cast(x as double) / (mx/127.0)) as bigint)) end qs
         |  from m)
-        |select vec_id, round(s, 6) qstep,
+        |select vec_id, floor(s * 1e6 + 0.5) / 1e6 qstep,
         |  cast(list_sum(qs) as bigint) q_sum,
         |  cast(list_sum(list_transform(qs, x -> x*x)) as bigint) q_l2
         |from q""".stripMargin,
@@ -6850,9 +6882,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("_d2"))
         .filter(col("n") >= 2)
+        // r10 allowlist shrink: rho is a pure-IEEE function of exact ints
+        // (one mult, one div, one sub — all correctly rounded), so the raw
+        // double is bit-identical in both engines; round(,6) was the only
+        // version-dependent step
         .select(col("user_id"), col("n"),
-          round(lit(1.0) - lit(6.0) * col("_d2") /
-            (col("n") * (col("n") * col("n") - 1)), 6).as("rho"))
+          (lit(1.0) - lit(6.0) * col("_d2") /
+            (col("n") * (col("n") * col("n") - 1))).as("rho"))
     }),
 
     "q_k_anonymity" -> ((s, dir) => {
@@ -6887,8 +6923,10 @@ object SparkEntry {
         .withColumn("n0", (col("n") * (col("n") - 1) / 2).cast("long"))
         .filter(col("n0") > col("kt.n1") && col("n0") > col("kt.n2"))
         .select(col("user_id"), col("n"), col("kt.cmd").as("cmd"),
-          round(col("kt.cmd") / sqrt(((col("n0") - col("kt.n1")) *
-            (col("n0") - col("kt.n2"))).cast("double")), 6).as("tau_b"))
+          // raw ratio: exact int64s into one correctly-rounded sqrt and
+          // divide — bit-identical in both engines, no round needed
+          (col("kt.cmd") / sqrt(((col("n0") - col("kt.n1")) *
+            (col("n0") - col("kt.n2"))).cast("double"))).as("tau_b"))
     }),
 
     "q_js_divergence" -> ((s, dir) => {
@@ -7582,7 +7620,7 @@ object SparkEntry {
          |g as (select user_id, count(*) n,
          |   sum((r1 - r2) * (r1 - r2)) d2 from r group by 1)
          |select user_id, n,
-         |  round(1.0 - 6.0 * d2 / (n * (n * n - 1)), 6) rho
+         |  (1.0 - 6.0 * d2 / (n * (n * n - 1))) rho
          |from g where n >= 2""".stripMargin,
 
     "q_k_anonymity" ->
@@ -7611,7 +7649,7 @@ object SparkEntry {
          | from cd c join nt n using (user_id)
          |   join t1 using (user_id) join t2 using (user_id))
          |select user_id, n, cmd,
-         |  round(cmd / sqrt(cast((n0 - n1) * (n0 - n2) as double)), 6) tau_b
+         |  (cmd / sqrt(cast((n0 - n1) * (n0 - n2) as double))) tau_b
          |from g where n0 > n1 and n0 > n2""".stripMargin,
 
     "q_js_divergence" ->

@@ -215,9 +215,9 @@ object Dedup {
     * over the full shingle sets (codegen'd sorted-merge intersection).
     * Output therefore EQUALS the exhaustive `prefixFilter = false`
     * count-form row-for-row; PropertySpec pins the equality at two corpus
-    * sizes. (The final filter compares round(J,6) ≥ t; with |A∪B| ≪ 10⁶ no
-    * rational J lands within 5e-7 below t without being ≥ t, so rounding
-    * cannot admit a pair the prefix lemma does not cover.) */
+    * sizes. The emitted J is the RAW |∩|/|∪| division (exact ints through
+    * one correctly-rounded IEEE divide — bit-identical on any engine);
+    * the threshold compares raw J ≥ t on both the Spark and oracle sides. */
   def jaccardPairsByIndex(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], ngram: Int,
                           threshold: Double, prefixFilter: Boolean = true): DataFrame = {
@@ -243,8 +243,8 @@ object Dedup {
       val sa = sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
       val sb = sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
       common.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"), 6))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     } else {
@@ -283,8 +283,8 @@ object Dedup {
       val common = graft.functions.SortedIntersectCount
         .sortedIntersectCount(col("h_a"), col("h_b"))
       cands.join(ha, "id_a").join(hb, "id_b")
-        .withColumn("jaccard", round(common.cast("double") /
-          (col("sz_a") + col("sz_b") - common).cast("double"), 6))
+        .withColumn("jaccard", common.cast("double") /
+          (col("sz_a") + col("sz_b") - common).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }
@@ -326,7 +326,7 @@ object Dedup {
       .withColumn("id", element_at(col("ms"), 1))
       .localCheckpoint(false)
     val within = classes.filter(size(col("ms")) >= 2)
-      .withColumn("jaccard", lit(1.0)) // round(sz/(2sz−sz), 6) of equal sets
+      .withColumn("jaccard", lit(1.0)) // sz/(2sz−sz) of equal sets
       .withColumn("id_a", explode(col("ms")))
       .withColumn("id_b", explode(col("ms")))
       .filter(col("id_a") < col("id_b") && col("jaccard") >= threshold)
@@ -339,8 +339,8 @@ object Dedup {
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(threshold) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(common.cast("double") /
-          (col("a.sz") + col("b.sz") - common).cast("double"), 6).as("jaccard"))
+        (common.cast("double") /
+          (col("a.sz") + col("b.sz") - common).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val cross = repPairs
       .join(classes.select(col("id").as("id_a"), col("ms").as("_ma")), "id_a")

@@ -393,9 +393,13 @@ object TextStats {
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n_ab"),
         // double products on BOTH sides of the ratio (no long mult that
-        // could overflow at corpus scale; counts < 2^53 stay exact)
-        round(log(col("n_ab").cast("double") * col("n_total").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi"))
+        // could overflow at corpus scale; counts < 2^53 stay exact).
+        // ln routes through floor(x·1e6+0.5)/1e6 — the engine-portable
+        // quantization (libm ln differs across builds; round(,6) tie
+        // behavior differs across engine versions)
+        (floor(log(col("n_ab").cast("double") * col("n_total").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("pmi"))
   }
 
   /** C4-style page-quality heuristics (Raffel et al. 2020, §2.2 — the

@@ -16,10 +16,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * This gate freezes the pre-r9 `round(,s>0)`-over-raw-float emitters as
   * a LEGACY set (each passed the driver's oracle for multiple rounds on
-  * the fixed testdata, so their values sit off-boundary; rewriting all
-  * 119 would risk more than it buys) and fails any query OUTSIDE that set
+  * the fixed testdata, so their values sit off-boundary; rewriting all at
+  * once would risk more than it buys) and fails any query OUTSIDE that set
   * that introduces a raw-float positive-scale round — new queries must
   * quantize first. Shrink the legacy list over time; NEVER add to it.
+  * r10 shrink (119 → 106): exact-int ratios dropped round() entirely
+  * (spearman, kendall, langid, doc_stats, the three jaccard emitters),
+  * float means/sums micro-quantize before aggregation (type_ratio,
+  * ntile_deciles, max_run_sum, centroid_dims), transcendental finals
+  * route through the floor-grid (pmi_bigrams, embedding_quantize).
   */
 class GateSpec extends AnyFunSuite {
 
@@ -38,31 +43,29 @@ class GateSpec extends AnyFunSuite {
   private val legacyRawRound: Set[String] = Set(
     "q_agg_pricing_summary", "q_analog_metrics", "q_annual_climate_misc",
     "q_api_recursive", "q_base_flow_index", "q_between_dates",
-    "q_between_dates_per_entity", "q_bfi_seasonal", "q_bootstrap_percentile",
-    "q_brownforsythe", "q_calendar_noleap_percentile", "q_centroid_dims",
-    "q_chill_portions", "q_converters_bioclim", "q_converters_extended",
-    "q_converters_round3", "q_corpus_pipeline", "q_cosine_to_query",
-    "q_cusum_batch", "q_cv_seasonality", "q_data_flags_battery",
-    "q_dd_approximation", "q_degree_days", "q_detrend", "q_dist_cdfs",
-    "q_doc_stats", "q_doy_of_max", "q_dryness_index", "q_dtr_variability",
-    "q_effective_gdd", "q_embedding_neardup", "q_embedding_quantize",
-    "q_energy_analog", "q_ensemble_daily_stats", "q_ensemble_percentiles",
-    "q_ensemble_percentiles_weighted", "q_esat_methods", "q_find_events",
-    "q_fire_season", "q_fit_gamma_mm", "q_fractional_uncertainty",
-    "q_fwi_codes", "q_griffiths_ffdi", "q_hardiness_zone", "q_heat_index",
-    "q_hf8_percentile", "q_hot_spell_magnitude", "q_huglin",
-    "q_hydro_ratios", "q_image_decode_stats", "q_ipcc_ar6",
-    "q_isothermality", "q_ivf_topk", "q_jaccard_postings_dfcut",
+    "q_between_dates_per_entity", "q_bfi_seasonal",
+    "q_bootstrap_percentile", "q_brownforsythe",
+    "q_calendar_noleap_percentile", "q_chill_portions",
+    "q_converters_bioclim", "q_converters_extended", "q_converters_round3",
+    "q_corpus_pipeline", "q_cosine_to_query", "q_cusum_batch",
+    "q_cv_seasonality", "q_data_flags_battery", "q_dd_approximation",
+    "q_degree_days", "q_detrend", "q_dist_cdfs", "q_doy_of_max",
+    "q_dryness_index", "q_dtr_variability", "q_effective_gdd",
+    "q_embedding_neardup", "q_energy_analog", "q_ensemble_daily_stats",
+    "q_ensemble_percentiles", "q_ensemble_percentiles_weighted",
+    "q_esat_methods", "q_find_events", "q_fire_season", "q_fit_gamma_mm",
+    "q_fractional_uncertainty", "q_fwi_codes", "q_griffiths_ffdi",
+    "q_hardiness_zone", "q_heat_index", "q_hf8_percentile",
+    "q_hot_spell_magnitude", "q_huglin", "q_hydro_ratios",
+    "q_image_decode_stats", "q_ipcc_ar6", "q_isothermality", "q_ivf_topk",
     "q_jetstream", "q_join_revenue_by_nation", "q_json_props",
-    "q_kbdi_recursive", "q_kendall_tau", "q_knn_top3", "q_ks_analog",
-    "q_lafferty_sriver", "q_langid_heuristic", "q_lmoments",
-    "q_lognorm_quantiles", "q_max_3day_total", "q_max_run_sum",
-    "q_minhash_candidates", "q_mrt", "q_multiday_swing",
-    "q_ngram_jaccard_pairs", "q_ntile_deciles", "q_overwintering_dc",
+    "q_kbdi_recursive", "q_knn_top3", "q_ks_analog", "q_lafferty_sriver",
+    "q_lmoments", "q_lognorm_quantiles", "q_max_3day_total", "q_mrt",
+    "q_multiday_swing", "q_overwintering_dc",
     "q_parametric_quantile_normal", "q_percentile_by_type",
     "q_percentile_doy", "q_pet_daily", "q_pet_thornthwaite",
-    "q_pmi_bigrams", "q_prcptot_wetdry_period", "q_quadratic_detrend",
-    "q_rb_flashiness", "q_resample_7d_events", "q_resample_daily_by_type",
+    "q_prcptot_wetdry_period", "q_quadratic_detrend", "q_rb_flashiness",
+    "q_resample_7d_events", "q_resample_daily_by_type",
     "q_resample_qs_dec_orders", "q_resample_ys_jul_lineitem",
     "q_return_level_gev", "q_return_level_gumbel",
     "q_robustness_categories", "q_robustness_coeff",
@@ -70,9 +73,9 @@ class GateSpec extends AnyFunSuite {
     "q_running_monthly_revenue", "q_sdii", "q_sea_ice",
     "q_semantic_decontaminate", "q_sen_slope_ratio", "q_sessionize",
     "q_small_quantity_revenue", "q_snowfall_methods", "q_snowmelt",
-    "q_snowpack_flow_lag", "q_spearman_daily", "q_spei", "q_ssi",
-    "q_stack_periods", "q_standardized_index", "q_tfidf_top_terms",
-    "q_topk_orders_per_segment", "q_tx90p_bootstrap", "q_type_ratio",
+    "q_snowpack_flow_lag", "q_spei", "q_ssi", "q_stack_periods",
+    "q_standardized_index", "q_tfidf_top_terms",
+    "q_topk_orders_per_segment", "q_tx90p_bootstrap",
     "q_uncertainty_partition", "q_utci", "q_warmest_window_events",
     "q_weighted_rolling", "q_wettest_quarter_temp", "q_winter_rain_ratio",
     "q_zones_totalprice")
