@@ -5748,6 +5748,30 @@ object SparkEntry {
 
   private def queries41: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_zarr_strings" -> ((s, dir) => {
+      // Zarr v2 STRING ingest (sources/Zarr.readStrings) under the DuckDB
+      // gate: the planted store covers the three public string layouts —
+      // |O + numcodecs vlen-utf8 (zarr-python's text codec, multi-byte
+      // UTF-8), |S8 fixed bytes with edge chunks AND an absent chunk
+      // (→ NULL), >U5 big-endian UCS-4 — flattened to (src, idx, value)
+      // rows the oracle regenerates closed-form.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_strstore")
+      if (!new java.io.File(storeDir, "labels/.zarray").isFile)
+        graft.sources.Zarr.plantedStringStore(storeDir.getPath)
+      val store = storeDir.getPath
+      val labels = graft.sources.Zarr.readStrings(s, store, "labels")
+        .select(lit("labels").as("src"), col("doc").cast("long").as("idx"),
+          col("value"))
+      val tags = graft.sources.Zarr.readStrings(s, store, "tags")
+        .select(lit("tags").as("src"),
+          (col("i0").cast("long") * 3 + col("i1")).as("idx"), col("value"))
+      val names = graft.sources.Zarr.readStrings(s, store, "names")
+        .select(lit("names").as("src"), col("i0").cast("long").as("idx"),
+          col("value"))
+      labels.unionByName(tags).unionByName(names).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6010,6 +6034,20 @@ object SparkEntry {
       """select cast(t as bigint) i0,
         |  cast((3*t*t + 7*t) % 97 as double) "value"
         |from range(0, 48) r(t) order by 1""".stripMargin,
+
+    "q_zarr_strings" ->
+      """select * from (
+        |  select 'labels' src, cast(t as bigint) idx,
+        |    'doc_' || t || '_αβ' "value" from range(0, 6) r(t)
+        |  union all
+        |  select 'tags', cast(t as bigint),
+        |    case when t = 14 then null
+        |      else 's' || (t // 3) || '_' || (t % 3) end
+        |  from range(0, 15) r(t)
+        |  union all
+        |  select 'names', cast(t as bigint), 'n' || t || 'é'
+        |  from range(0, 4) r(t)
+        |) order by src, idx""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

@@ -43,8 +43,12 @@ import java.io.{File, RandomAccessFile}
   * — with exact integer arithmetic on the integer paths (see
   * [[ZFilter]]/[[unfilter]]), plus the lossy-at-encode float filters
   * `quantize` and `bitround`, whose decode is a pure dtype view/cast.
+  * String arrays read through [[readStrings]]: fixed-width `|Sn` / `Un`
+  * dtypes and `|O` + numcodecs `vlen-utf8` (the zarr-python text codec)
+  * — the corpus-in-zarr shape a document pipeline ingests.
   * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
-  * filters, other numcodecs filters, object/string dtypes, and nested
+  * filters, other numcodecs filters and object codecs
+  * (vlen-bytes/msgpack/pickle), v3/sharded string arrays, and nested
   * `sharding_indexed`.
   */
 object Zarr {
@@ -188,16 +192,22 @@ object Zarr {
   private def asLongs(v: Any): Seq[Long] = v.asInstanceOf[Vector[Any]]
     .map(x => x.asInstanceOf[Double].toLong)
 
+  /** numpy dtype string → (kind, BYTE width per element, littleEndian).
+    * Numeric kinds f/i/u/b plus the string kinds the reader handles:
+    * 'S' (fixed bytes, width = n), 'U' (fixed UCS-4, width = 4n) and
+    * 'O' (object — width 0; elements live in a vlen codec payload). */
   private def parseDtype(dt: String): (Char, Int, Boolean) = {
-    require(dt.length >= 3, s"bad dtype '$dt'")
+    require(dt.length >= 2, s"bad dtype '$dt'")
     val little = dt.charAt(0) match {
       case '<' | '|' => true
       case '>'       => false
       case c         => throw new IllegalArgumentException(s"bad byte order '$c' in dtype '$dt'")
     }
     val kind = dt.charAt(1)
-    require("fiub".indexOf(kind) >= 0, s"unsupported dtype kind '$kind' (object/string dtypes out of scope)")
-    (kind, dt.drop(2).toInt, little)
+    require("fiubSUO".indexOf(kind) >= 0,
+      s"unsupported dtype kind '$kind' in '$dt'")
+    val n = if (kind == 'O') 0 else dt.drop(2).toInt
+    (kind, if (kind == 'U') 4 * n else n, little)
   }
 
   private def readText(f: File): String = {
@@ -227,10 +237,14 @@ object Zarr {
         val f = fo.asInstanceOf[Map[String, Any]]
         val id = f("id").asInstanceOf[String]
         require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle" ||
-            id == "quantize" || id == "bitround",
+            id == "quantize" || id == "bitround" || id == "vlen-utf8",
           s"unsupported numcodecs filter '$id' " +
-            "(delta/fixedscaleoffset/shuffle/quantize/bitround only)")
-        if (id == "shuffle") {
+            "(delta/fixedscaleoffset/shuffle/quantize/bitround/vlen-utf8 only)")
+        if (id == "vlen-utf8") {
+          // object codec for |O string arrays — consumed by readStrings,
+          // never by the numeric unfilter chain
+          ZFilter(id, 0.0, 0.0, 'O', 0, dtLittle = true, 'O', 0, asLittle = true)
+        } else if (id == "shuffle") {
           // byte transpose over the serialized stream; elementsize only
           val esz = f.get("elementsize").map(_.asInstanceOf[Double].toInt).getOrElse(4)
           ZFilter(id, esz.toDouble, 0.0, 'V', esz, dtLittle = true, 'V', esz, asLittle = true)
@@ -274,6 +288,8 @@ object Zarr {
       case other => throw new IllegalArgumentException(s"bad compressor $other")
     }
     val fill = m.getOrElse("fill_value", null) match {
+      case _ if "SUO".indexOf(kind) >= 0 =>
+        None // string arrays: absent chunks yield NULL, not a numeric fill
       case null       => None
       case d: Double  => Some(d)
       case b: Boolean => Some(if (b) 1.0 else 0.0)
@@ -648,6 +664,8 @@ object Zarr {
     * the same contract as [[NetCDF.readVariable]] / [[Hdf5.readVariable]]. */
   def readVariable(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
+    require("fiub".indexOf(za.dtKind) >= 0,
+      s"${za.name}: dtype kind '${za.dtKind}' is a string array — use readStrings")
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
@@ -822,6 +840,172 @@ object Zarr {
     else masked
   }
 
+  /** String arrays (Zarr v2) as (dim…, value STRING): fixed-width `|Sn`
+    * (bytes, trailing NULs trimmed, UTF-8) and `<Un`/`>Un` (UCS-4 code
+    * points, trailing zeros trimmed), plus `|O` object arrays carrying
+    * the numcodecs `vlen-utf8` codec, whose chunk payload is the
+    * published VLen layout `[n_items u32 LE][len u32 LE + utf8 bytes]*`
+    * (zarr-python's default text encoding — the corpus-in-zarr shape a
+    * document pipeline ingests). Absent chunks yield NULL values.
+    * Same chunk-parallel plan as [[readVariable]]: the driver touches
+    * only metadata, executors read only their chunk files. Out of scope,
+    * rejected loudly: v3/sharded/crc32c string arrays, other object
+    * codecs (vlen-bytes/msgpack/pickle), F-order object chunks. */
+  def readStrings(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    require("SUO".indexOf(za.dtKind) >= 0,
+      s"${za.name}: dtype kind '${za.dtKind}' is numeric — use readVariable")
+    require(za.sharding.isEmpty && !za.crc32c,
+      s"${za.name}: string dtypes supported for plain v2 chunks only")
+    val isObj = za.dtKind == 'O'
+    if (isObj) {
+      require(za.filters.map(_.id) == Seq("vlen-utf8"),
+        s"${za.name}: |O needs exactly the vlen-utf8 object codec, " +
+          s"got [${za.filters.map(_.id).mkString(",")}]")
+      require(za.cOrder, s"${za.name}: F-order object chunks unsupported")
+    } else require(za.filters.isEmpty,
+      s"${za.name}: fixed-width string arrays take no filters, " +
+        s"got [${za.filters.map(_.id).mkString(",")}]")
+    import spark.implicits._
+    val rank = za.shape.length
+    val dims = za.shape.toArray
+    val cdims = za.chunks.toArray
+    val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
+    val chunkCoords: Seq[Array[Int]] = {
+      def expand(d: Int): Seq[List[Int]] =
+        if (d == rank) Seq(Nil)
+        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
+      expand(0).map(_.toArray)
+    }
+    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val (kind, width, little) = (za.dtKind, za.dtSize, za.littleEndian)
+    val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
+    val keyPrefix = za.keyPrefix
+    val chunkElems = cdims.product.toInt
+    val slices = math.max(1, math.min(chunkCoords.size,
+      math.max(64, spark.sparkContext.defaultParallelism * 2)))
+    val raw: org.apache.spark.sql.Dataset[(Array[Long], String)] =
+      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
+        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val data: Option[Int => String] =
+          if (!f.isFile) None // absent chunk → NULL values
+          else {
+            val raf = new RandomAccessFile(f, "r")
+            val all = try {
+              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+            } finally raf.close()
+            if (isObj) {
+              val plain = comp match {
+                case "raw"           => all
+                case "zlib" | "gzip" => inflateUnknown(comp, all)
+                case other => throw new IllegalArgumentException(
+                  s"object chunks support raw/zlib/gzip, got '$other' " +
+                    "(vlen payload length is unknown before decode)")
+              }
+              val strs = decodeVlenUtf8(plain, chunkElems, f.getName)
+              Some(strs(_))
+            } else {
+              val plain = decompress(comp, all, chunkElems * width)
+              val bb = java.nio.ByteBuffer.wrap(plain).order(
+                if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN)
+              Some { i =>
+                val off = i * width
+                if (kind == 'S') {
+                  var end = off + width
+                  while (end > off && plain(end - 1) == 0) end -= 1
+                  new String(plain, off, end - off,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                } else { // 'U': UCS-4 code points, zero-padded
+                  var n = width / 4
+                  while (n > 0 && bb.getInt(off + (n - 1) * 4) == 0) n -= 1
+                  val sb = new java.lang.StringBuilder(n)
+                  var j = 0
+                  while (j < n) { sb.appendCodePoint(bb.getInt(off + j * 4)); j += 1 }
+                  sb.toString
+                }
+              }
+            }
+          }
+        (0 until chunkElems).iterator.flatMap { flat =>
+          var rem = flat.toLong
+          val idx = new Array[Long](rank)
+          if (cOrder) {
+            var i = rank - 1
+            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+          } else {
+            var i = 0
+            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
+          }
+          var inBounds = true
+          var j = 0
+          while (j < rank) {
+            idx(j) += cc(j).toLong * cdims(j)
+            if (idx(j) >= dims(j)) inBounds = false
+            j += 1
+          }
+          if (!inBounds) None
+          else Some((idx, data.map(_(flat)).orNull))
+        }
+      }.toDS()
+    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
+      col("_2").as("value")
+    raw.toDF().select(cols: _*)
+  }
+
+  /** Inflate a zlib/gzip stream of UNKNOWN decoded length (object chunks
+    * carry no element width to size the buffer from). */
+  private[sources] def inflateUnknown(comp: String, in: Array[Byte]): Array[Byte] =
+    if (comp == "gzip") {
+      val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(in))
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 4))
+        val buf = new Array[Byte](8192)
+        var n = gz.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
+        out.toByteArray
+      } finally gz.close()
+    } else {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(in)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new java.io.IOException("truncated zlib object chunk")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+
+  /** numcodecs VLenUTF8 payload → one string per chunk element:
+    * `[n_items u32 LE][len u32 LE + utf8 bytes]*`; the item count must
+    * equal the chunk grid size (v2 edge chunks store the full grid). */
+  private[sources] def decodeVlenUtf8(plain: Array[Byte], nElems: Int,
+                                      what: String): Array[String] = {
+    require(plain.length >= 4, s"$what: vlen-utf8 chunk shorter than its header")
+    val bb = java.nio.ByteBuffer.wrap(plain).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(0)
+    require(n == nElems,
+      s"$what: vlen-utf8 header says $n items, chunk grid needs $nElems")
+    val out = new Array[String](n)
+    var off = 4
+    var i = 0
+    while (i < n) {
+      require(off + 4 <= plain.length, s"$what: truncated vlen-utf8 item $i")
+      val len = bb.getInt(off); off += 4
+      require(len >= 0 && off + len <= plain.length,
+        s"$what: vlen-utf8 item $i runs past the chunk ($len bytes at $off)")
+      out(i) = new String(plain, off, len, java.nio.charset.StandardCharsets.UTF_8)
+      off += len
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic closed-form fixture store for the oracle-checked ingest
     * query (the [[graft.pipeline.Multimodal.plantedPng]] pattern): array
     * `tas` double[6,5,4] (time, y, x) chunked [2,3,3] zlib C-order, raw
@@ -883,6 +1067,75 @@ object Zarr {
     for (t <- 0 until 6; y <- 0 until 5; x <- 0 until 4)
       prBytes.putDouble((t + y + x) * 0.25)
     writeBytes(new File(prDir, "0.0.0"), Blosc.encode(prBytes.array(), typesize = 8))
+  }
+
+  /** Closed-form STRING fixture store for [[readStrings]]: array `labels`
+    * |O + vlen-utf8 + zlib, shape [6] chunks [3], value `doc_<i>_αβ`
+    * (multi-byte UTF-8 exercised); array `tags` |S8 zlib, shape [5,3]
+    * chunks [2,2] with chunk `2.1` ABSENT (cell (4,2) → NULL), value
+    * `s<r>_<c>` NUL-padded; array `names` >U5 raw BIG-endian UCS-4,
+    * shape [4] chunks [4], value `n<i>é` zero-padded. */
+  def plantedStringStore(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out)
+      d.end(); out.take(n)
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // labels: |O vlen-utf8, zlib
+    val lDir = new File(store, "labels"); lDir.mkdirs()
+    writeBytes(new File(lDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [6], "chunks": [3],
+         | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": 0, "filters": [{"id": "vlen-utf8"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(lDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
+    for (c <- 0 until 2) {
+      val items = (0 until 3).map(j => s"doc_${c * 3 + j}_αβ".getBytes(utf8))
+      val total = 4 + items.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(items.length)
+      items.foreach { b => bb.putInt(b.length); bb.put(b) }
+      writeBytes(new File(lDir, s"$c"), deflate(bb.array()))
+    }
+    // tags: |S8 fixed bytes, zlib, edge chunks + one absent chunk
+    val tDir = new File(store, "tags"); tDir.mkdirs()
+    writeBytes(new File(tDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [5, 3], "chunks": [2, 2],
+         | "dtype": "|S8", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": "", "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    for (c0 <- 0 until 3; c1 <- 0 until 2 if !(c0 == 2 && c1 == 1)) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 2 * 8)
+      for (lr <- 0 until 2; lc <- 0 until 2) {
+        val (r, c) = (c0 * 2 + lr, c1 * 2 + lc)
+        val s = (if (r < 5 && c < 3) s"s${r}_$c" else "xx").getBytes(utf8)
+        bb.put(java.util.Arrays.copyOf(s, 8)) // NUL-padded to the width
+      }
+      writeBytes(new File(tDir, s"$c0.$c1"), deflate(bb.array()))
+    }
+    // names: >U5 big-endian UCS-4, raw
+    val nDir = new File(store, "names"); nDir.mkdirs()
+    writeBytes(new File(nDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [4], "chunks": [4],
+         | "dtype": ">U5", "compressor": null,
+         | "fill_value": "", "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    val nb = java.nio.ByteBuffer.allocate(4 * 5 * 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    for (i <- 0 until 4) {
+      val cps = s"n${i}é".codePoints().toArray
+      for (j <- 0 until 5) nb.putInt(if (j < cps.length) cps(j) else 0)
+    }
+    writeBytes(new File(nDir, "0"), nb.array())
   }
 
   /** Convert every array in the store to a long-format parquet lake (the

@@ -774,4 +774,71 @@ class ZarrSpec extends AnyFunSuite {
     }
     assert(e2.getMessage != null)
   }
+
+  test("readStrings: |O vlen-utf8, |S8 fixed bytes with absent chunk, >U5 UCS-4") {
+    val root = new File(java.nio.file.Files.createTempDirectory("zstr").toFile, "store")
+    root.mkdirs()
+    Zarr.plantedStringStore(root.getPath)
+    // |O + vlen-utf8 + zlib, multi-byte UTF-8, named dim
+    val labels = Zarr.readStrings(spark, root.getPath, "labels")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(labels.toSeq == (0 until 6).map(i => (i, s"doc_${i}_αβ")))
+    // |S8 zlib: edge chunks clip, NUL padding trims, absent chunk -> NULL
+    val tags = Zarr.readStrings(spark, root.getPath, "tags")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(tags.size == 15)
+    for (r <- 0 until 5; c <- 0 until 3) {
+      if (r == 4 && c == 2) assert(tags((r, c)) == null, s"($r,$c)")
+      else assert(tags((r, c)) == s"s${r}_$c", s"($r,$c)")
+    }
+    // >U5 big-endian UCS-4, zero-padding trims, non-ASCII code point
+    val names = Zarr.readStrings(spark, root.getPath, "names")
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(names.toSeq == (0 until 4).map(i => (i, s"n${i}é")))
+  }
+
+  test("readStrings rejects wrong dtypes, codecs and malformed vlen payloads") {
+    val root = java.nio.file.Files.createTempDirectory("zstrbad").toFile
+    // numeric array through readStrings / string array through readVariable
+    val num = new File(root, "num")
+    writeText(new File(num, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        | "compressor": null, "fill_value": 0, "filters": null,
+        | "order": "C"}""".stripMargin)
+    write(new File(num, "0"), new Array[Byte](16))
+    assert(intercept[Exception] {
+      Zarr.readStrings(spark, root.getPath, "num")
+    }.getMessage.contains("readVariable"))
+    val obj = new File(root, "obj")
+    writeText(new File(obj, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "|O",
+        | "compressor": null, "fill_value": 0,
+        | "filters": [{"id": "vlen-utf8"}], "order": "C"}""".stripMargin)
+    assert(intercept[Exception] {
+      Zarr.readVariable(spark, root.getPath, "obj").collect()
+    }.getMessage.contains("readStrings"))
+    // |O without the object codec
+    val noc = new File(root, "noc")
+    writeText(new File(noc, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "|O",
+        | "compressor": null, "fill_value": 0, "filters": null,
+        | "order": "C"}""".stripMargin)
+    assert(intercept[Exception] {
+      Zarr.readStrings(spark, root.getPath, "noc")
+    }.getMessage.contains("vlen-utf8"))
+    // item count mismatch and truncated payload fail loudly
+    val bb = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2).putInt(5).put('a'.toByte) // item 0 says 5 bytes, has 1
+    write(new File(obj, "0"), bb.array())
+    assert(intercept[Exception] {
+      Zarr.readStrings(spark, root.getPath, "obj").collect()
+    }.getMessage.contains("runs past"))
+    val bb2 = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(7) // 7 items claimed, grid needs 2
+    write(new File(obj, "0"), bb2.array())
+    assert(intercept[Exception] {
+      Zarr.readStrings(spark, root.getPath, "obj").collect()
+    }.getMessage.contains("chunk grid needs"))
+  }
 }
