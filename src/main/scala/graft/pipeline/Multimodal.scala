@@ -25,10 +25,25 @@ import org.apache.spark.sql.types._
   * Decoding is REAL for every format the JDK can express: images via
   * `javax.imageio` ([[Multimodal.ImageIODecoder]]), audio via pure-JVM
   * RIFF/WAVE PCM parsing ([[Multimodal.WavDecoder]]), video via
-  * uncompressed RIFF/AVI parsing ([[Multimodal.AviDecoder]]). Formats
-  * needing external codecs (mp3/h264/…) return null features; a JNI/FFI
-  * codec drops into the same [[Multimodal.MediaDecoder]] seam. `fakeDecode`
+  * uncompressed RIFF/AVI parsing ([[Multimodal.AviDecoder]]). `fakeDecode`
   * remains as the documented stub kernel for seam tests.
+  *
+  * SCOPE DECISION (r10, permanent): compressed-codec SAMPLE decode (mp3
+  * audio frames, h264 video frames) is OUT OF SCOPE for this library.
+  * The supported surface for compressed media is metadata + structure —
+  * [[Multimodal.mp3Meta]] (stream parameters), [[Multimodal.mp3FrameStats]]
+  * (per-frame VBR/energy envelope), mp4/mov box walks and keyframe
+  * indexing — which covers the pipeline's analytics needs (dedup keys,
+  * duration/bitrate stats, sampling decisions) without a codec. Rationale:
+  * a from-scratch JVM Layer-III/h264 decoder could only be validated
+  * against itself here (no reference codec in the container, and IMDCT/
+  * prediction floats cannot be hand-pinned the way szip's entropy-coded
+  * bitstreams were), and at lake scale sample-level feature extraction
+  * belongs in hardware-accelerated native codecs plugged into the
+  * [[Multimodal.MediaDecoder]] batch seam by the deployment — the seam is
+  * the supported integration point for THAT, not a placeholder for a
+  * future built-in decoder. Compressed payloads return null features by
+  * contract.
   */
 object Multimodal {
 
@@ -1036,9 +1051,10 @@ object Multimodal {
 
   /** Default decoder: REAL decode for every modality the JDK can express —
     * ImageIO for images (PNG/BMP/GIF/JPEG), RIFF/WAVE PCM parsing for
-    * audio, uncompressed RIFF/AVI parsing for video. Payloads needing
-    * codecs the JDK lacks (mp3, h264, …) return null features; a JNI/FFI
-    * codec implementation drops into the same seam. */
+    * audio, uncompressed RIFF/AVI parsing for video. Compressed payloads
+    * (mp3, h264, …) return null features BY CONTRACT — sample decode is
+    * permanently out of scope (see the object scaladoc); deployments plug
+    * native codecs into [[MediaDecoder]] for sample-level features. */
   final class DefaultDecoder extends MediaDecoder {
     private val img = new ImageIODecoder
     private val wav = new WavDecoder
