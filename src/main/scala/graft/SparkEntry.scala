@@ -117,12 +117,19 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // quantities are integral and prices exactly 2-decimal in this
+        // schema: integral-double sums stay exact below 2^53, cent/1e-4
+        // sums are exact int64 (order-free), and each final is one IEEE
+        // division — engine-exact with no round()
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / lit(100.0)).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 1e4).cast("long")).cast("double") / lit(1e4)).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+            / count(lit(1)) / lit(100.0)).as("avg_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -135,7 +142,11 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // revenue terms are exactly 4-decimal (2-dec price × 2-dec disc):
+        // quantize each row to an exact int64 BEFORE the sum (order-free)
+        // and divide once — engine-exact, no round()
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 1e4).cast("long")).cast("double") / lit(1e4)).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -146,8 +157,10 @@ object SparkEntry {
       o.join(c, o("o_custkey") === c("c_custkey"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
+        // o_totalprice is a raw DATA value — identical parquet bits in
+        // both engines, no round needed
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
+          col("o_totalprice"))
     }),
 
     "q_anti_join_customers_no_orders" -> ((s, dir) => {
@@ -174,18 +187,23 @@ object SparkEntry {
     }),
 
     "q_resample_ys_jul_lineitem" -> ((s, dir) => {
+      // quantities integral → the double sum is exact; raw, no round
       Generic.resampleOp(t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_shipdate"), "YS-JUL",
-        Seq(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_lines")))
+        Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines")))
     }),
 
     "q_resample_qs_dec_orders" -> ((s, dir) => {
+      // cent-exact int64 sum + one division — order-free, engine-exact
       Generic.resampleOp(t(s, dir, "orders"), Seq.empty, col("o_orderdate"), "QS-DEC",
-        Seq(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n_orders")))
+        Seq((sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+          / lit(100.0)).as("sum_price"), count(lit(1)).as("n_orders")))
     }),
 
     "q_resample_7d_events" -> ((s, dir) => {
       Generic.resampleOp(t(s, dir, "events"), Seq.empty, col("ts"), "7D",
-        Seq(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")))
+        Seq(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double")
+            / count(lit(1)) / lit(100.0)).as("avg_value")))
     }),
 
     // ---- rolling window --------------------------------------------------
@@ -193,7 +211,11 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
-        .withColumn("rmean", round(avg(col("value")).over(w.rowsBetween(-6, 0)), 6))
+        // full 7-row windows only (rn >= 7): cent-exact int64 window sum,
+        // /7/100 in a fixed order — engine-exact, no round
+        .withColumn("rmean",
+          sum(round(col("value") * 100).cast("long"))
+            .over(w.rowsBetween(-6, 0)).cast("double") / lit(7.0) / lit(100.0))
         .filter(col("rn") >= 7)
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
@@ -372,12 +394,19 @@ object SparkEntry {
     }),
 
     "q_running_monthly_revenue" -> ((s, dir) => {
+      // exact-cents discipline end to end: monthly totals are int64
+      // 1e-4-unit sums (order-free), the running total sums those exact
+      // ints in the window, and both emit one trailing division
       val monthly = Generic.resampleOp(t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_shipdate"), "MS",
-        Seq(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")))
+        Seq(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 1e4).cast("long")).as("_ru")))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("period"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      monthly.withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      monthly
+        .withColumn("cum_revenue", sum(col("_ru")).over(w).cast("double") / lit(1e4))
+        .select(col("l_returnflag"), col("period"),
+          (col("_ru").cast("double") / lit(1e4)).as("revenue"), col("cum_revenue"))
     }),
 
     "q_time_bnds" -> ((s, dir) => {
@@ -391,9 +420,10 @@ object SparkEntry {
     "q_zones_totalprice" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(Generic.zones(col("o_totalprice"), 50000.0).as("bin"))
+        // min/max are DATA values — raw, no round needed
         .agg(count(lit(1)).as("n"),
-          round(min(col("o_totalprice")), 2).as("min_price"),
-          round(max(col("o_totalprice")), 2).as("max_price"))
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
     }),
 
     "q_missing_days" -> ((s, dir) => {
@@ -523,18 +553,22 @@ object SparkEntry {
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
       """select l_returnflag, l_linestatus,
-        | cast(cast(sum(l_quantity) as decimal(38,2)) as double) sum_qty,
-        | cast(cast(sum(l_extendedprice) as decimal(38,2)) as double) sum_base_price,
-        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) sum_disc_price,
-        | cast(cast(avg(l_quantity) as decimal(38,4)) as double) avg_qty,
-        | cast(cast(avg(l_extendedprice) as decimal(38,4)) as double) avg_price,
+        | sum(l_quantity) sum_qty,
+        | cast(sum(cast(round(l_extendedprice*100) as bigint)) as double)
+        |   / 100.0 sum_base_price,
+        | cast(sum(cast(round(l_extendedprice*(1-l_discount)*1e4) as bigint))
+        |   as double) / 1e4 sum_disc_price,
+        | sum(l_quantity) / count(*) avg_qty,
+        | cast(sum(cast(round(l_extendedprice*100) as bigint)) as double)
+        |   / count(*) / 100.0 avg_price,
         | count(*) count_order
         |from lineitem where l_shipdate <= timestamp '1998-09-02'
         |group by 1,2""".stripMargin,
 
     "q_join_revenue_by_nation" ->
       """select r_name, n_name,
-        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue, count(*) n_lines
+        | cast(sum(cast(round(l_extendedprice*(1-l_discount)*1e4) as bigint))
+        |   as double) / 1e4 revenue, count(*) n_lines
         |from lineitem
         | join orders on l_orderkey = o_orderkey
         | join customer on o_custkey = c_custkey
@@ -543,7 +577,7 @@ object SparkEntry {
         |group by 1,2""".stripMargin,
 
     "q_topk_orders_per_segment" ->
-      """select c_mktsegment, rk, o_orderkey, cast(cast(o_totalprice as decimal(38,2)) as double) o_totalprice
+      """select c_mktsegment, rk, o_orderkey, o_totalprice
         |from (select c_mktsegment, o_orderkey, o_totalprice,
         |  row_number() over (partition by c_mktsegment
         |    order by o_totalprice desc, o_orderkey) rk
@@ -568,7 +602,7 @@ object SparkEntry {
       """select l_returnflag,
         | cast(make_timestamp(case when month(l_shipdate) >= 7 then year(l_shipdate)
         |   else year(l_shipdate)-1 end, 7, 1, 0, 0, 0.0) as timestamp) period,
-        | cast(cast(sum(l_quantity) as decimal(38,2)) as double) sum_qty, count(*) n_lines
+        | sum(l_quantity) sum_qty, count(*) n_lines
         |from lineitem group by 1,2""".stripMargin,
 
     "q_resample_qs_dec_orders" ->
@@ -576,21 +610,25 @@ object SparkEntry {
         |  year(o_orderdate)*12 + (month(o_orderdate)-1) - 11 rel from orders)
         |select cast(make_timestamp(((cast(floor(rel/3.0)*3 as int) + 11) // 12),
         |  ((cast(floor(rel/3.0)*3 as int) + 11) % 12) + 1, 1, 0, 0, 0.0) as timestamp) period,
-        | cast(cast(sum(o_totalprice) as decimal(38,2)) as double) sum_price, count(*) n_orders
+        | cast(sum(cast(round(o_totalprice*100) as bigint)) as double)
+        |   / 100.0 sum_price, count(*) n_orders
         |from b group by 1""".stripMargin,
 
     "q_resample_7d_events" ->
       """select cast(date '1970-01-01' + to_days(cast(floor(
         |  date_diff('day', date '1970-01-01', ts)/7.0)*7 as int)) as timestamp) period,
-        | count(*) n, cast(cast(avg(value) as decimal(38,6)) as double) avg_value
+        | count(*) n, cast(sum(cast(round(value*100) as bigint)) as double)
+        |   / count(*) / 100.0 avg_value
         |from events group by 1""".stripMargin,
 
     "q_rolling_mean_7" ->
       """select user_id, event_id, rmean from (
         | select user_id, event_id,
         |  row_number() over (partition by user_id order by ts) rn,
-        |  cast(cast(avg(value) over (partition by user_id order by ts
-        |    rows between 6 preceding and current row) as decimal(38,6)) as double) rmean
+        |  cast(sum(cast(round(value*100) as bigint)) over (
+        |    partition by user_id order by ts
+        |    rows between 6 preceding and current row) as double)
+        |    / 7.0 / 100.0 rmean
         | from events) t where rn >= 7""".stripMargin,
 
     "q_threshold_wet_days" ->
@@ -758,11 +796,13 @@ object SparkEntry {
     "q_running_monthly_revenue" ->
       """with monthly as (select l_returnflag,
         |  cast(date_trunc('month', l_shipdate) as timestamp) period,
-        |  cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue
+        |  cast(sum(cast(round(l_extendedprice*(1-l_discount)*1e4) as bigint))
+        |    as bigint) ru
         | from lineitem group by 1,2)
-        |select l_returnflag, period, revenue,
-        | cast(cast(sum(revenue) over (partition by l_returnflag order by period
-        |   rows between unbounded preceding and current row) as decimal(38,2)) as double) cum_revenue
+        |select l_returnflag, period, cast(ru as double) / 1e4 revenue,
+        | cast(sum(ru) over (partition by l_returnflag order by period
+        |   rows between unbounded preceding and current row) as double)
+        |   / 1e4 cum_revenue
         |from monthly""".stripMargin,
 
     "q_time_bnds" ->
@@ -774,7 +814,7 @@ object SparkEntry {
 
     "q_zones_totalprice" ->
       """select cast(floor(o_totalprice/50000) as int) bin, count(*) n,
-        | cast(cast(min(o_totalprice) as decimal(38,2)) as double) min_price, cast(cast(max(o_totalprice) as decimal(38,2)) as double) max_price
+        | min(o_totalprice) min_price, max(o_totalprice) max_price
         |from orders group by 1""".stripMargin,
 
     "q_missing_days" ->
@@ -1300,7 +1340,9 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // same exact-cents discipline as q_join_revenue_by_nation
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 1e4).cast("long")).cast("double") / lit(1e4)).as("revenue"))
     }),
 
     "q_small_quantity_revenue" -> ((s, dir) => {
@@ -1310,7 +1352,10 @@ object SparkEntry {
         .agg(avg(col("l_quantity")).as("avg_qty"))
       li.join(avgs, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        // prices are exactly 2-decimal: cent-quantized int64 sum, one
+        // division by 700 (= ·1/7 ÷ 100) — engine-exact
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / lit(700.0)).as("avg_yearly"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -1342,7 +1387,8 @@ object SparkEntry {
   private def oracle7: Map[String, String] = Map(
     "q_rollup_revenue" ->
       """select r_name, n_name,
-        | cast(cast(sum(l_extendedprice*(1-l_discount)) as decimal(38,2)) as double) revenue
+        | cast(sum(cast(round(l_extendedprice*(1-l_discount)*1e4) as bigint))
+        |   as double) / 1e4 revenue
         |from lineitem
         | join orders on l_orderkey = o_orderkey
         | join customer on o_custkey = c_custkey
@@ -1353,7 +1399,8 @@ object SparkEntry {
     "q_small_quantity_revenue" ->
       """with avgs as (select l_partkey pk, avg(l_quantity) avg_qty
         | from lineitem group by 1)
-        |select cast(cast(sum(l_extendedprice) / 7.0 as decimal(38,2)) as double) avg_yearly,
+        |select cast(sum(cast(round(l_extendedprice*100) as bigint)) as double)
+        |   / 700.0 avg_yearly,
         | count(*) n_lines
         |from lineitem join avgs on l_partkey = pk
         |where l_quantity < avg_qty * 0.5""".stripMargin,

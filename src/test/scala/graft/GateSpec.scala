@@ -20,11 +20,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * once would risk more than it buys) and fails any query OUTSIDE that set
   * that introduces a raw-float positive-scale round — new queries must
   * quantize first. Shrink the legacy list over time; NEVER add to it.
-  * r10 shrink (119 → 106): exact-int ratios dropped round() entirely
+  * r10 shrink (119 → 95): exact-int ratios dropped round() entirely
   * (spearman, kendall, langid, doc_stats, the three jaccard emitters),
   * float means/sums micro-quantize before aggregation (type_ratio,
   * ntile_deciles, max_run_sum, centroid_dims), transcendental finals
-  * route through the floor-grid (pmi_bigrams, embedding_quantize).
+  * route through the floor-grid (pmi_bigrams, embedding_quantize); the
+  * TPC-H money family (revenue joins/rollups/resamples, pricing summary,
+  * rolling means) rides exact cent/1e-4-unit int64 sums, and raw DATA
+  * values (topk price, zone min/max) emit unrounded.
   */
 class GateSpec extends AnyFunSuite {
 
@@ -41,10 +44,9 @@ class GateSpec extends AnyFunSuite {
     * Frozen at the r9 audit (tools.RoundScan) — additions are a gate
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
-    "q_agg_pricing_summary", "q_analog_metrics", "q_annual_climate_misc",
-    "q_api_recursive", "q_base_flow_index", "q_between_dates",
-    "q_between_dates_per_entity", "q_bfi_seasonal",
-    "q_bootstrap_percentile", "q_brownforsythe",
+    "q_analog_metrics", "q_annual_climate_misc", "q_api_recursive",
+    "q_base_flow_index", "q_between_dates", "q_between_dates_per_entity",
+    "q_bfi_seasonal", "q_bootstrap_percentile", "q_brownforsythe",
     "q_calendar_noleap_percentile", "q_chill_portions",
     "q_converters_bioclim", "q_converters_extended", "q_converters_round3",
     "q_corpus_pipeline", "q_cosine_to_query", "q_cusum_batch",
@@ -58,27 +60,21 @@ class GateSpec extends AnyFunSuite {
     "q_hardiness_zone", "q_heat_index", "q_hf8_percentile",
     "q_hot_spell_magnitude", "q_huglin", "q_hydro_ratios",
     "q_image_decode_stats", "q_ipcc_ar6", "q_isothermality", "q_ivf_topk",
-    "q_jetstream", "q_join_revenue_by_nation", "q_json_props",
-    "q_kbdi_recursive", "q_knn_top3", "q_ks_analog", "q_lafferty_sriver",
-    "q_lmoments", "q_lognorm_quantiles", "q_max_3day_total", "q_mrt",
-    "q_multiday_swing", "q_overwintering_dc",
-    "q_parametric_quantile_normal", "q_percentile_by_type",
-    "q_percentile_doy", "q_pet_daily", "q_pet_thornthwaite",
-    "q_prcptot_wetdry_period", "q_quadratic_detrend", "q_rb_flashiness",
-    "q_resample_7d_events", "q_resample_daily_by_type",
-    "q_resample_qs_dec_orders", "q_resample_ys_jul_lineitem",
-    "q_return_level_gev", "q_return_level_gumbel",
-    "q_robustness_categories", "q_robustness_coeff",
-    "q_robustness_fractions", "q_rolling_mean_7", "q_rollup_revenue",
-    "q_running_monthly_revenue", "q_sdii", "q_sea_ice",
+    "q_jetstream", "q_json_props", "q_kbdi_recursive", "q_knn_top3",
+    "q_ks_analog", "q_lafferty_sriver", "q_lmoments",
+    "q_lognorm_quantiles", "q_max_3day_total", "q_mrt", "q_multiday_swing",
+    "q_overwintering_dc", "q_parametric_quantile_normal",
+    "q_percentile_by_type", "q_percentile_doy", "q_pet_daily",
+    "q_pet_thornthwaite", "q_prcptot_wetdry_period", "q_quadratic_detrend",
+    "q_rb_flashiness", "q_resample_daily_by_type", "q_return_level_gev",
+    "q_return_level_gumbel", "q_robustness_categories",
+    "q_robustness_coeff", "q_robustness_fractions", "q_sdii", "q_sea_ice",
     "q_semantic_decontaminate", "q_sen_slope_ratio", "q_sessionize",
-    "q_small_quantity_revenue", "q_snowfall_methods", "q_snowmelt",
-    "q_snowpack_flow_lag", "q_spei", "q_ssi", "q_stack_periods",
-    "q_standardized_index", "q_tfidf_top_terms",
-    "q_topk_orders_per_segment", "q_tx90p_bootstrap",
-    "q_uncertainty_partition", "q_utci", "q_warmest_window_events",
-    "q_weighted_rolling", "q_wettest_quarter_temp", "q_winter_rain_ratio",
-    "q_zones_totalprice")
+    "q_snowfall_methods", "q_snowmelt", "q_snowpack_flow_lag", "q_spei",
+    "q_ssi", "q_stack_periods", "q_standardized_index",
+    "q_tfidf_top_terms", "q_tx90p_bootstrap", "q_uncertainty_partition",
+    "q_utci", "q_warmest_window_events", "q_weighted_rolling",
+    "q_wettest_quarter_temp", "q_winter_rain_ratio")
 
   test("no NEW query uses round(,s>0) over raw float math") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
