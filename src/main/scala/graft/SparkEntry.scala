@@ -369,7 +369,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
-          round(avg(col("n_events")), 6).as("avg_events"),
+          // exact int ratio — raw division, no round
+          (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
           max(col("n_events")).as("max_events"))
     }),
 
@@ -448,18 +449,28 @@ object SparkEntry {
     }),
 
     "q_max_3day_total" -> ((s, dir) => {
-      Generic.rollingThenResample(dailyTotals(s, dir).withColumn("t", col("d").cast("timestamp")),
-          Seq("user_id"), col("t"), "MS", col("total"), 3, "sum", "max", "mx")
-        .select(col("user_id"), col("period"), round(col("mx"), 6).as("max_3d_total"))
+      // the rolling sum runs over exact integer cents, so every 3-day sum
+      // and the monthly max are exact; one trailing division
+      Generic.rollingThenResample(dailyTotals(s, dir)
+            .withColumn("t", col("d").cast("timestamp"))
+            .withColumn("cu", round(col("total") * 100)),
+          Seq("user_id"), col("t"), "MS", col("cu"), 3, "sum", "max", "mx")
+        .select(col("user_id"), col("period"),
+          (col("mx") / lit(100.0)).as("max_3d_total"))
     }),
 
     "q_dtr_variability" -> ((s, dir) => {
       // interday variability: mean |delta| of daily totals per user
       val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
       dailyTotals(s, dir)
-        .withColumn("dlt", abs(col("total") - lag(col("total"), 1).over(w)))
+        // deltas quantize to exact cents per row; the mean is an exact
+        // int64 sum + two fixed-order divisions — engine-exact
+        .withColumn("dlt",
+          abs(round(col("total") * 100).cast("long")
+            - round(lag(col("total"), 1).over(w) * 100).cast("long")))
         .groupBy(col("user_id"))
-        .agg(round(avg(col("dlt")), 6).as("dtr_var"))
+        .agg((sum(col("dlt")).cast("double") / count(col("dlt")) / lit(100.0))
+          .as("dtr_var"))
     }),
 
     "q_cum_exceedance_date" -> ((s, dir) => {
@@ -772,7 +783,8 @@ object SparkEntry {
         |s2 as (select user_id, sum(ns) over (partition by user_id order by ts
         |  rows between unbounded preceding and current row) sess_id from s1),
         |sess as (select user_id, sess_id, count(*) n_events from s2 group by 1,2)
-        |select user_id, count(*) n_sessions, cast(cast(avg(n_events) as decimal(38,6)) as double) avg_events,
+        |select user_id, count(*) n_sessions,
+        | cast(sum(n_events) as double) / count(*) avg_events,
         | cast(max(n_events) as bigint) max_events
         |from sess group by 1""".stripMargin,
 
@@ -839,18 +851,22 @@ object SparkEntry {
     "q_max_3day_total" ->
       s"""with daily as ($dailySql),
          |r as (select user_id, d, row_number() over (partition by user_id order by d) rn,
-         |  sum(total) over (partition by user_id order by d
+         |  sum(round(total*100)) over (partition by user_id order by d
          |    rows between 2 preceding and current row) w3 from daily)
          |select user_id, cast(date_trunc('month', d) as timestamp) period,
-         | cast(cast(max(case when rn >= 3 then w3 end) as decimal(38,6)) as double) max_3d_total
+         | max(case when rn >= 3 then w3 end) / 100.0 max_3d_total
          |from r group by 1,2""".stripMargin,
 
     "q_dtr_variability" ->
       s"""with daily as ($dailySql),
          |l as (select user_id,
-         |  abs(total - lag(total) over (partition by user_id order by d)) dlt
+         |  abs(cast(round(total*100) as bigint)
+         |    - cast(round(lag(total) over (partition by user_id order by d)
+         |        * 100) as bigint)) dlt
          | from daily)
-         |select user_id, cast(cast(avg(dlt) as decimal(38,6)) as double) dtr_var from l group by 1""".stripMargin,
+         |select user_id,
+         | cast(sum(dlt) as double) / count(dlt) / 100.0 dtr_var
+         |from l group by 1""".stripMargin,
 
     "q_cum_exceedance_date" ->
       s"""with daily as ($dailySql),
@@ -1439,7 +1455,8 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("d").as("max_day"),
-          round(col("total"), 6).as("max_total"))
+          (round(col("total") * 100).cast("long").cast("double") / lit(100.0))
+            .as("max_total"))
     })
   )
 
@@ -1455,7 +1472,7 @@ object SparkEntry {
          |  row_number() over (partition by user_id order by total desc, d) rn
          | from daily)
          |select user_id, d max_day,
-         | cast(cast(total as decimal(38,6)) as double) max_total
+         | cast(cast(round(total*100) as bigint) as double) / 100.0 max_total
          |from r where rn = 1""".stripMargin
   )
 
@@ -1508,7 +1525,10 @@ object SparkEntry {
       dailyTotals(s, dir)
         .filter(dayofmonth(col("d")).between(10, 20))
         .groupBy(col("user_id"))
-        .agg(round(sum(col("total")), 6).as("total_10_20"), count(lit(1)).as("n_days"))
+        // cent-exact int64 sum (totals are near-2-decimal; the integer
+        // round is portable) + one division — engine-exact, no round()
+        .agg((sum(round(col("total") * 100).cast("long")).cast("double")
+          / lit(100.0)).as("total_10_20"), count(lit(1)).as("n_days"))
     }),
 
     "q_level_crossings" -> ((s, dir) => {
@@ -1562,7 +1582,7 @@ object SparkEntry {
     "q_between_dates" ->
       s"""with daily as ($dailySql)
          |select user_id,
-         | cast(cast(sum(total) as decimal(38,6)) as double) total_10_20,
+         | cast(sum(cast(round(total*100) as bigint)) as double) / 100.0 total_10_20,
          | count(*) n_days
          |from daily where day(d) between 10 and 20 group by 1""".stripMargin,
 
@@ -1586,13 +1606,18 @@ object SparkEntry {
         .orderBy(col("wavg").desc, col("d"))
       dailyTotals(s, dir)
         .withColumn("rn", row_number().over(w))
-        .withColumn("wavg", avg(col("total")).over(w.rowsBetween(-6, 0)))
+        // exact cent window sums make BOTH the argmax ordering and the
+        // emitted mean engine-exact (a raw float avg could flip argmax
+        // ties by summation order)
+        .withColumn("wsum", sum(round(col("total") * 100).cast("long"))
+          .over(w.rowsBetween(-6, 0)))
+        .withColumn("wavg", col("wsum").cast("double") / lit(7.0) / lit(100.0))
         .withColumn("wevents", sum(col("n_events")).over(w.rowsBetween(-6, 0)))
         .filter(col("rn") >= 7)
         .withColumn("rk", row_number().over(pick))
         .filter(col("rk") === 1)
         .select(col("user_id"), col("d").as("window_end"),
-          round(col("wavg"), 6).as("warmest_avg"), col("wevents").as("events_in_window"))
+          col("wavg").as("warmest_avg"), col("wevents").as("events_in_window"))
     })
   )
 
@@ -1601,16 +1626,17 @@ object SparkEntry {
       s"""with daily as ($dailySql),
          |r as (select user_id, d,
          |  row_number() over (partition by user_id order by d) rn,
-         |  avg(total) over (partition by user_id order by d
-         |    rows between 6 preceding and current row) wavg,
+         |  sum(cast(round(total*100) as bigint)) over (
+         |    partition by user_id order by d
+         |    rows between 6 preceding and current row) wsum,
          |  sum(n_events) over (partition by user_id order by d
          |    rows between 6 preceding and current row) wevents
          | from daily),
-         |f as (select user_id, d, wavg, wevents,
-         |  row_number() over (partition by user_id order by wavg desc, d) rk
+         |f as (select user_id, d, wsum, wevents,
+         |  row_number() over (partition by user_id order by wsum desc, d) rk
          | from r where rn >= 7)
          |select user_id, d window_end,
-         | cast(cast(wavg as decimal(38,6)) as double) warmest_avg,
+         | cast(wsum as double) / 7.0 / 100.0 warmest_avg,
          | cast(wevents as bigint) events_in_window
          |from f where rk = 1""".stripMargin
   )
@@ -3235,7 +3261,9 @@ object SparkEntry {
           joinKeys = Seq("k"), groupKeys = Seq("k", "y"), col("d"),
           round(col("pr") * 25.0, 0), "sum", "pr_window_units")
         .select(col("k").as("l_returnflag"), col("y"),
-          round(col("pr_window_units") / 25.0, 4).as("pr_in_window"))
+          // pr_window_units sums integral doubles (exact); /25.0 is one
+          // IEEE division — raw emit, no round
+          (col("pr_window_units") / 25.0).as("pr_in_window"))
     })
   )
 
@@ -3277,8 +3305,8 @@ object SparkEntry {
          |   min(dayofyear(d)) + 120 end_doy
          | from clim where pr >= 20.0 group by 1)
          |select c.k l_returnflag, year(c.d) y,
-         |  cast(cast(sum(case when dayofyear(c.d) between b.start_doy and b.end_doy
-         |    then round(c.pr*25.0) end)/25.0 as decimal(38,4)) as double) pr_in_window
+         |  sum(case when dayofyear(c.d) between b.start_doy and b.end_doy
+         |    then round(c.pr*25.0) end)/25.0 pr_in_window
          |from clim c join bounds b on b.k = c.k
          |group by 1, 2""".stripMargin
   )

@@ -20,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * once would risk more than it buys) and fails any query OUTSIDE that set
   * that introduces a raw-float positive-scale round — new queries must
   * quantize first. Shrink the legacy list over time; NEVER add to it.
-  * r10 shrink (119 → 95): exact-int ratios dropped round() entirely
+  * r10 shrink (119 → 88): exact-int ratios dropped round() entirely
   * (spearman, kendall, langid, doc_stats, the three jaccard emitters),
   * float means/sums micro-quantize before aggregation (type_ratio,
   * ntile_deciles, max_run_sum, centroid_dims), transcendental finals
@@ -45,36 +45,33 @@ class GateSpec extends AnyFunSuite {
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
     "q_analog_metrics", "q_annual_climate_misc", "q_api_recursive",
-    "q_base_flow_index", "q_between_dates", "q_between_dates_per_entity",
-    "q_bfi_seasonal", "q_bootstrap_percentile", "q_brownforsythe",
-    "q_calendar_noleap_percentile", "q_chill_portions",
+    "q_base_flow_index", "q_bfi_seasonal", "q_bootstrap_percentile",
+    "q_brownforsythe", "q_calendar_noleap_percentile", "q_chill_portions",
     "q_converters_bioclim", "q_converters_extended", "q_converters_round3",
     "q_corpus_pipeline", "q_cosine_to_query", "q_cusum_batch",
     "q_cv_seasonality", "q_data_flags_battery", "q_dd_approximation",
-    "q_degree_days", "q_detrend", "q_dist_cdfs", "q_doy_of_max",
-    "q_dryness_index", "q_dtr_variability", "q_effective_gdd",
-    "q_embedding_neardup", "q_energy_analog", "q_ensemble_daily_stats",
-    "q_ensemble_percentiles", "q_ensemble_percentiles_weighted",
-    "q_esat_methods", "q_find_events", "q_fire_season", "q_fit_gamma_mm",
-    "q_fractional_uncertainty", "q_fwi_codes", "q_griffiths_ffdi",
-    "q_hardiness_zone", "q_heat_index", "q_hf8_percentile",
-    "q_hot_spell_magnitude", "q_huglin", "q_hydro_ratios",
-    "q_image_decode_stats", "q_ipcc_ar6", "q_isothermality", "q_ivf_topk",
-    "q_jetstream", "q_json_props", "q_kbdi_recursive", "q_knn_top3",
-    "q_ks_analog", "q_lafferty_sriver", "q_lmoments",
-    "q_lognorm_quantiles", "q_max_3day_total", "q_mrt", "q_multiday_swing",
+    "q_degree_days", "q_detrend", "q_dist_cdfs", "q_dryness_index",
+    "q_effective_gdd", "q_embedding_neardup", "q_energy_analog",
+    "q_ensemble_daily_stats", "q_ensemble_percentiles",
+    "q_ensemble_percentiles_weighted", "q_esat_methods", "q_find_events",
+    "q_fire_season", "q_fit_gamma_mm", "q_fractional_uncertainty",
+    "q_fwi_codes", "q_griffiths_ffdi", "q_hardiness_zone", "q_heat_index",
+    "q_hf8_percentile", "q_hot_spell_magnitude", "q_huglin",
+    "q_hydro_ratios", "q_image_decode_stats", "q_ipcc_ar6",
+    "q_isothermality", "q_ivf_topk", "q_jetstream", "q_json_props",
+    "q_kbdi_recursive", "q_knn_top3", "q_ks_analog", "q_lafferty_sriver",
+    "q_lmoments", "q_lognorm_quantiles", "q_mrt", "q_multiday_swing",
     "q_overwintering_dc", "q_parametric_quantile_normal",
     "q_percentile_by_type", "q_percentile_doy", "q_pet_daily",
     "q_pet_thornthwaite", "q_prcptot_wetdry_period", "q_quadratic_detrend",
     "q_rb_flashiness", "q_resample_daily_by_type", "q_return_level_gev",
     "q_return_level_gumbel", "q_robustness_categories",
     "q_robustness_coeff", "q_robustness_fractions", "q_sdii", "q_sea_ice",
-    "q_semantic_decontaminate", "q_sen_slope_ratio", "q_sessionize",
-    "q_snowfall_methods", "q_snowmelt", "q_snowpack_flow_lag", "q_spei",
-    "q_ssi", "q_stack_periods", "q_standardized_index",
-    "q_tfidf_top_terms", "q_tx90p_bootstrap", "q_uncertainty_partition",
-    "q_utci", "q_warmest_window_events", "q_weighted_rolling",
-    "q_wettest_quarter_temp", "q_winter_rain_ratio")
+    "q_semantic_decontaminate", "q_sen_slope_ratio", "q_snowfall_methods",
+    "q_snowmelt", "q_snowpack_flow_lag", "q_spei", "q_ssi",
+    "q_stack_periods", "q_standardized_index", "q_tfidf_top_terms",
+    "q_tx90p_bootstrap", "q_uncertainty_partition", "q_utci",
+    "q_weighted_rolling", "q_wettest_quarter_temp", "q_winter_rain_ratio")
 
   test("no NEW query uses round(,s>0) over raw float math") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
