@@ -26,8 +26,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * ntile_deciles, max_run_sum, centroid_dims), transcendental finals
   * route through the floor-grid (pmi_bigrams, embedding_quantize); the
   * TPC-H money family (revenue joins/rollups/resamples, pricing summary,
-  * rolling means) rides exact cent/1e-4-unit int64 sums, and raw DATA
-  * values (topk price, zone min/max) emit unrounded.
+  * rolling means) rides exact cent/1e-4-unit int64 sums, raw DATA
+  * values (topk price, zone min/max) emit unrounded, and windowed daily
+  * totals (between-dates, 3-day max, warmest-window argmax, sessionize)
+  * follow the cent discipline.
+  *
+  * What remains (88) is mostly NOT the mechanical class above: (a)
+  * builtin-vs-builtin comparisons where the two engines legitimately
+  * evaluate DIFFERENT expression trees (quantile_cont/regr_slope/stddev
+  * vs our window forms — round is what makes the comparison well-posed);
+  * (b) transcendental-dense converter chains (esat/UTCI/PET/fire) where
+  * the oracle replays the formula but libm differs per call — migrating
+  * means a q6 after EVERY transcendental, a per-query rewrite; (c) float
+  * dot products whose array-fold order inside DuckDB list_sum is not
+  * ours to pin (knn/cosine/ivf/semantic). Shrink opportunistically when
+  * touching one; don't bulk-rewrite (a)–(c) — the round is load-bearing
+  * for comparison there, not a portability bug in the engine output.
   */
 class GateSpec extends AnyFunSuite {
 
