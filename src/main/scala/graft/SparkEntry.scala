@@ -5940,6 +5940,21 @@ object SparkEntry {
         .orderBy("i0")
     }),
 
+    "q_hdf5_nbit" -> ((s, dir) => {
+      // nbit (filter 5) ingest under the DuckDB gate: the planted
+      // single-chunk file (Hdf5PlantedNbit — int16 with 12-bit precision,
+      // 48·12 bits packed MSB-first so element boundaries land mid-byte
+      // every third sample) decodes through the standard defilter path;
+      // the oracle regenerates the closed form (5t²+11t) mod 83
+      // arithmetically. Integer-valued doubles — exact in both engines.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_nbit_v1.h5")
+      if (!f.isFile) graft.sources.Hdf5PlantedNbit.write(f.getPath)
+      graft.sources.Hdf5.readVariable(s, f.getPath, "sensor")
+        .select(col("i0").cast("long").as("i0"), col("value"))
+        .orderBy("i0")
+    }),
+
     "q_image_decode_jpeg" -> ((s, dir) => {
       // LOSSY decode pinned by a closed-form oracle: uniform-colour JPEGs
       // (Multimodal.plantedJpeg — channel values are id-derived multiples
@@ -6108,6 +6123,11 @@ object SparkEntry {
     "q_hdf5_szip" ->
       """select cast(t as bigint) i0,
         |  cast((3*t*t + 7*t) % 97 as double) "value"
+        |from range(0, 48) r(t) order by 1""".stripMargin,
+
+    "q_hdf5_nbit" ->
+      """select cast(t as bigint) i0,
+        |  cast((5*t*t + 11*t) % 83 as double) "value"
         |from range(0, 48) r(t) order by 1""".stripMargin,
 
     "q_zarr_strings" ->

@@ -67,9 +67,11 @@ import java.util.zip.Inflater
   * corruption is a loud IOException, never a misread.
   *
   * szip (filter 4) decodes through [[Szip]] — the CCSDS 121.0 coder in
-  * H5Zszip's raw framing (r9; unblocks NASA granules). Out of scope
-  * (documented): VLEN bases beyond atomic numerics, nbit/scaleoffset
-  * (their chunk payload layouts live in the filter implementations, not
+  * H5Zszip's raw framing (r9; unblocks NASA granules) — and nbit
+  * (filter 5) through [[Nbit]], the bit-packed reduced-precision stream
+  * for atomic types (r10). Out of scope (documented): VLEN bases beyond
+  * atomic numerics, nbit over array/compound bases, and scaleoffset
+  * (its chunk payload layout lives in the filter implementation, not
   * the file format spec).
   */
 object Hdf5 {
@@ -90,7 +92,8 @@ object Hdf5 {
                            members: Seq[Member] = Nil, vlenStr: Boolean = false,
                            filters: Seq[Int] = Nil,
                            vlenBase: Option[Member] = None,
-                           szipCd: Option[Seq[Int]] = None) {
+                           szipCd: Option[Seq[Int]] = None,
+                           nbitCd: Option[Seq[Int]] = None) {
     /** Pipeline in WRITE order when parsed; empty for legacy callers that
       * built the case class directly — fall back to the boolean flags in
       * the canonical netCDF4 order (shuffle before deflate). */
@@ -284,6 +287,7 @@ object Hdf5 {
       if (curRows == 0) { rootStoredSize = r.u64(); r.skip(4) }
       val pl = parsePipeline(r, "fractal heap")
       require(pl.szipCd.isEmpty, "szip-filtered fractal heap unsupported")
+      require(pl.nbitCd.isEmpty, "nbit-filtered fractal heap unsupported")
       filters = pl.ids
     }
     // trailing header checksum: fixed fields + the optional filtered-root
@@ -529,6 +533,7 @@ object Hdf5 {
     var chunkDims: Seq[Long] = Nil; var chunkBtree = Undef
     var gzip = false; var shuffled = false
     var szipCd: Option[Seq[Int]] = None
+    var nbitCd: Option[Seq[Int]] = None
     val filterIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var members: Seq[Member] = Nil; var vlenStr = false
     var vlenBase: Option[Member] = None
@@ -630,6 +635,7 @@ object Hdf5 {
           val pl = parsePipeline(r, name)
           filterIds ++= pl.ids
           szipCd = pl.szipCd
+          nbitCd = pl.nbitCd
           gzip = pl.ids.contains(FilterDeflate)
           shuffled = pl.ids.contains(FilterShuffle)
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
@@ -673,7 +679,8 @@ object Hdf5 {
       val cd = if (chunkDimsNeedElem) chunkDims :+ dtSize.toLong else chunkDims
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
-        shuffled, members, vlenStr, filterIds.toSeq, vlenBase, szipCd))
+        shuffled, members, vlenStr, filterIds.toSeq, vlenBase, szipCd,
+        nbitCd))
     }
   }
 
@@ -761,7 +768,8 @@ object Hdf5 {
     * (options mask, bits/pixel, pixels/block, pixels/scanline) when
     * present. */
   private[graft] final case class Pipeline(ids: Seq[Int],
-                                           szipCd: Option[Seq[Int]])
+                                           szipCd: Option[Seq[Int]],
+                                           nbitCd: Option[Seq[Int]])
 
   /** Decode a filter-pipeline message body (object-header message 0x000B;
     * a filtered fractal heap embeds the same encoding in its header) at
@@ -773,6 +781,7 @@ object Hdf5 {
     r.skip(if (v == 1) 6 else 0)
     val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
     var szipCd: Option[Seq[Int]] = None
+    var nbitCd: Option[Seq[Int]] = None
     var i = 0
     while (i < n) {
       val id = r.u16()
@@ -784,16 +793,20 @@ object Hdf5 {
         require(nVals >= 4, s"szip filter in $what carries $nVals client values")
         szipCd = Some((0 until nVals).map(_ => r.u32().toInt))
         if (v == 1 && nVals % 2 == 1) r.skip(4)
+      } else if (id == FilterNbit) {
+        require(nVals >= 4, s"nbit filter in $what carries $nVals client values")
+        nbitCd = Some((0 until nVals).map(_ => r.u32().toInt))
+        if (v == 1 && nVals % 2 == 1) r.skip(4)
       } else
         r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
       require(id == FilterDeflate || id == FilterShuffle ||
-          id == FilterFletcher32 || id == FilterSzip,
+          id == FilterFletcher32 || id == FilterSzip || id == FilterNbit,
         s"unsupported filter $id in pipeline for $what " +
-          "(only shuffle+deflate+fletcher32+szip)")
+          "(only shuffle+deflate+fletcher32+szip+nbit)")
       ids += id
       i += 1
     }
-    Pipeline(ids.toSeq, szipCd)
+    Pipeline(ids.toSeq, szipCd, nbitCd)
   }
 
   /** Extensible Array chunk index ("EAHD" → "EAIB" index block →
@@ -1213,7 +1226,7 @@ object Hdf5 {
             val stored = new Array[Byte](c.storedSize.toInt)
             raf.readFully(stored)
             val bytes = defilter(stored, filters, chunkElems * esz, esz,
-              ds.szipCd)
+              ds.szipCd, ds.nbitCd)
             (0 until chunkElems).flatMap { flat =>
               val idx = unravelIdx(flat.toLong, cdims)
               var inBounds = true; var j = 0
@@ -1572,6 +1585,7 @@ object Hdf5 {
   private[graft] val FilterShuffle = 2
   private[graft] val FilterFletcher32 = 3
   private[graft] val FilterSzip = 4
+  private[graft] val FilterNbit = 5
 
   /** Reverse a chunk's filter pipeline: `filters` is the WRITE-order list
     * from the pipeline message; reading applies the inverses back-to-front.
@@ -1583,7 +1597,8 @@ object Hdf5 {
     * [shuffle, deflate, fletcher32] (checksum over compressed bytes). */
   private[graft] def defilter(stored: Array[Byte], filters: Seq[Int],
                               rawLen: Int, esz: Int,
-                              szipCd: Option[Seq[Int]] = None): Array[Byte] = {
+                              szipCd: Option[Seq[Int]] = None,
+                              nbitCd: Option[Seq[Int]] = None): Array[Byte] = {
     var buf = stored
     var i = filters.length - 1
     while (i >= 0) {
@@ -1605,6 +1620,12 @@ object Hdf5 {
           buf = Szip.decodeHdf5Chunk(buf, szipCd.getOrElse(
             throw new IllegalArgumentException(
               "szip filter without client-data parameters")))
+        case FilterNbit =>
+          // bit-packed reduced-precision elements; all parameters ride the
+          // pipeline message client data, the chunk is pure bitstream
+          buf = Nbit.decode(buf, nbitCd.getOrElse(
+            throw new IllegalArgumentException(
+              "nbit filter without client-data parameters")), rawLen)
         case other =>
           throw new IllegalArgumentException(s"unsupported filter id $other")
       }
@@ -1694,6 +1715,7 @@ object Hdf5 {
         val dimArr = dims.toArray
         val filters = ds.pipeline
         val szipCd = ds.szipCd
+        val nbitCd = ds.nbitCd
         val chunkElems = cdims.product.toInt
         // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
         val slices = math.max(1, math.min(chunks.size,
@@ -1709,7 +1731,7 @@ object Hdf5 {
               // unshuffle, then checksum verify+strip — or checksum first
               // when fletcher32 was the last write-side filter)
               val bytes = defilter(stored, filters, chunkElems * dtSize,
-                dtSize, szipCd)
+                dtSize, szipCd, nbitCd)
               val vals = decode(bytes, dtClass, dtSize, little, chunkElems)
               // chunk-local row-major unravel + global offset; rows past the
               // dataspace edge (partial edge chunks) are dropped

@@ -371,6 +371,18 @@ class Hdf5Spec extends AnyFunSuite {
       (0 until 48).map(t => (t, graft.sources.Hdf5PlantedSzip.value(t).toDouble)))
   }
 
+  test("nbit-filtered chunk decodes through the planted single-chunk file") {
+    val f = java.io.File.createTempFile("graft_nbit", ".h5"); f.deleteOnExit()
+    graft.sources.Hdf5PlantedNbit.write(f.getPath)
+    val ds = Hdf5.readMeta(f.getPath).find(_.name == "sensor").get
+    assert(ds.filters == Seq(Hdf5.FilterNbit) && ds.dtSize == 2)
+    val rows = Hdf5.readVariable(spark, f.getPath, "sensor").orderBy("i0").collect()
+    assert(rows.length == 48)
+    // byte-for-byte: every decoded value equals the planted closed form
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      (0 until 48).map(t => (t, graft.sources.Hdf5PlantedNbit.value(t).toDouble)))
+  }
+
   // ------------- "latest" on-disk generation (superblock v3) -------------
 
   /** Build the same logical file in the "latest" format: superblock v3,
