@@ -31,9 +31,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Codecs: blosclz is decoded here (it's blosc-only — a FastLZ
   * derivative, ~50 lines); lz4, zstd and snappy bodies are raw block /
   * frame payloads handed to `lz4-java` / `zstd-jni` / `snappy-java`,
-  * which Spark already ships. Out of scope (rejected loudly, never
-  * misread): bit-shuffle (0x04), delta (0x08), lz4-frame-era codec ids
-  * 6/7.
+  * which Spark already ships. Bit-shuffle (0x04) is undone per block by
+  * [[bitunshuffle]] — the `Blosc(shuffle=BITSHUFFLE)` stores common for
+  * hard-to-compress float data. Out of scope (rejected loudly, never
+  * misread): delta (0x08), lz4-frame-era codec ids 6/7.
   *
   * Scale posture: called executor-side on one chunk at a time; all
   * buffers are chunk-sized, nothing driver-side.
@@ -62,12 +63,16 @@ object Blosc {
       require(in.length >= 16 + nbytes, s"memcpy'ed blosc chunk truncated: ${in.length} < ${16 + nbytes}")
       return java.util.Arrays.copyOfRange(in, 16, 16 + nbytes)
     }
-    if ((flags & DoBitShuffle) != 0) throw new UnsupportedOperationException(
-      "Blosc bit-shuffle filter is out of scope (byte-shuffle and no-shuffle are supported)")
     if ((flags & DoDelta) != 0) throw new UnsupportedOperationException(
       "Blosc delta filter is out of scope")
     val codec = (flags >> 5) & 0x7
     val doShuffle = (flags & DoShuffle) != 0 && typesize > 1
+    // bit-shuffle is meaningful even at typesize 1 (it transposes the
+    // 8×8 bit matrix of every 8 consecutive bytes)
+    val doBitShuffle = (flags & DoBitShuffle) != 0
+    require(!(doShuffle && doBitShuffle),
+      "blosc chunk claims both byte-shuffle and bit-shuffle")
+    val unfilter = doShuffle || doBitShuffle
     val dontSplit = (flags & DontSplit) != 0
     require(blocksize > 0, s"bad blosc blocksize $blocksize")
     val out = new Array[Byte](nbytes)
@@ -81,8 +86,8 @@ object Blosc {
       // multiple of typesize by the writer), so bsize/nstreams is exact
       val nstreams = if (!dontSplit && !isLeftover && typesize > 1) typesize else 1
       val neblock = bsize / nstreams
-      val block = if (doShuffle) new Array[Byte](bsize) else out
-      val blockOff = if (doShuffle) 0 else j * blocksize
+      val block = if (unfilter) new Array[Byte](bsize) else out
+      val blockOff = if (unfilter) 0 else j * blocksize
       var pos = bb.getInt(16 + 4 * j)
       var doff = blockOff
       var s = 0
@@ -96,6 +101,7 @@ object Blosc {
         s += 1
       }
       if (doShuffle) unshuffle(typesize, block, out, j * blocksize, bsize)
+      else if (doBitShuffle) bitunshuffle(typesize, block, out, j * blocksize, bsize)
       j += 1
     }
     out
@@ -195,6 +201,51 @@ object Blosc {
     bstarts.foreach(out.putInt)
     out.put(body)
     out.array()
+  }
+
+  /** Undo the bit-shuffle filter for one block. Layout (the bitshuffle
+    * library's `bshuf_trans_bit_elem`, which c-blosc applies per block:
+    * byte-transpose, per-8-byte 8×8 bit-transpose, then bit-row
+    * regrouping): with N = bsize/typesize elements truncated to
+    * N8 = N - N%8, the image is (typesize·8) rows of N8/8 bytes ordered
+    * by (byte-plane p, bit b); byte m of a row packs bit `b` of plane-p
+    * bytes of elements 8m..8m+7, element 8m+i at BIT POSITION i
+    * (LSB-first). The `bsize - N8·typesize` tail (non-multiple-of-8
+    * elements plus any partial element) is copied verbatim, matching
+    * c-blosc's leftover memcpy. */
+  private[graft] def bitunshuffle(typesize: Int, shuffled: Array[Byte],
+                                  out: Array[Byte], outOff: Int, bsize: Int): Unit = {
+    val n = bsize / typesize
+    val n8 = n - n % 8
+    val rowBytes = n8 / 8
+    java.util.Arrays.fill(out, outOff, outOff + n8 * typesize, 0.toByte)
+    var p = 0
+    while (p < typesize) {
+      var b = 0
+      while (b < 8) {
+        val rowOff = (p * 8 + b) * rowBytes
+        var m = 0
+        while (m < rowBytes) {
+          val v = shuffled(rowOff + m) & 0xFF
+          if (v != 0) {
+            var i = 0
+            while (i < 8) {
+              if (((v >> i) & 1) != 0) {
+                val oi = outOff + (8 * m + i) * typesize + p
+                out(oi) = (out(oi) | (1 << b)).toByte
+              }
+              i += 1
+            }
+          }
+          m += 1
+        }
+        b += 1
+      }
+      p += 1
+    }
+    val done = n8 * typesize
+    if (done < bsize)
+      System.arraycopy(shuffled, done, out, outOff + done, bsize - done)
   }
 
   /** Undo the byte-shuffle filter for one block: the shuffled image is

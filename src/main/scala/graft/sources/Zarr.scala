@@ -29,10 +29,10 @@ import java.io.{File, RandomAccessFile}
   * Codecs: `zlib` (numcodecs Zlib — raw zlib stream,
   * `java.util.zip.Inflater`), `gzip` (numcodecs GZip), `null`
   * (uncompressed), and full Blosc chunks via [[Blosc]] — memcpy'ed,
-  * byte-shuffled and split bodies with blosclz/lz4/zlib/zstd/snappy
-  * stream codecs (the c-blosc framing is hand-decoded; lz4/zstd/snappy
-  * payloads go to the `lz4-java`/`zstd-jni`/`snappy-java` libraries
-  * Spark ships). v3 codec chains additionally support `bytes` (endian),
+  * byte-shuffled, BIT-shuffled and split bodies with
+  * blosclz/lz4/zlib/zstd/snappy stream codecs (the c-blosc framing and
+  * both shuffle filters are hand-decoded; lz4/zstd/snappy payloads go
+  * to the `lz4-java`/`zstd-jni`/`snappy-java` libraries Spark ships). v3 codec chains additionally support `bytes` (endian),
   * raw `zstd` frames, identity/reversing `transpose`, trailing `crc32c`
   * (verified — `java.util.zip.CRC32C`), and `sharding_indexed` (each
   * chunk-grid entry a shard of independently-coded inner chunks behind
@@ -46,8 +46,8 @@ import java.io.{File, RandomAccessFile}
   * String arrays read through [[readStrings]]: fixed-width `|Sn` / `Un`
   * dtypes and `|O` + numcodecs `vlen-utf8` (the zarr-python text codec)
   * — the corpus-in-zarr shape a document pipeline ingests.
-  * Out of scope (documented, rejected loudly): Blosc bit-shuffle/delta
-  * filters, other numcodecs filters and object codecs
+  * Out of scope (documented, rejected loudly): the Blosc delta filter,
+  * other numcodecs filters and object codecs
   * (vlen-bytes/msgpack/pickle), v3/sharded string arrays, and nested
   * `sharding_indexed`.
   */
@@ -497,9 +497,9 @@ object Zarr {
 
   /** Undo the codec named in `.zarray`. Blosc chunks — the xarray
     * `to_zarr` default — decode through [[Blosc.decode]]: memcpy'ed
-    * (flags 0x2), byte-shuffled and split bodies, with
-    * blosclz/lz4/zlib/zstd/snappy stream codecs; bit-shuffle and delta
-    * filters are rejected loudly. */
+    * (flags 0x2), byte-shuffled, bit-shuffled and split bodies, with
+    * blosclz/lz4/zlib/zstd/snappy stream codecs; the delta filter is
+    * rejected loudly. */
   private[sources] def decompress(comp: String, in: Array[Byte], outLen: Int): Array[Byte] =
     comp match {
       case "raw"  => in

@@ -49,11 +49,36 @@ object BloscTestEnc {
     out
   }
 
+  /** bit-shuffle filter, written INDEPENDENTLY of Blosc.bitunshuffle
+    * straight from the bitshuffle layout: rows of n8/8 bytes ordered by
+    * (byte-plane p, bit b); row byte m packs bit b of plane-p bytes of
+    * elements 8m..8m+7, element 8m+i at bit position i; tail verbatim. */
+  def bitShuffleBytes(typesize: Int, src: Array[Byte], off: Int, bsize: Int): Array[Byte] = {
+    val n = bsize / typesize
+    val n8 = n - n % 8
+    val rowBytes = n8 / 8
+    val out = new Array[Byte](bsize)
+    for (p <- 0 until typesize; b <- 0 until 8; m <- 0 until rowBytes) {
+      var v = 0
+      for (i <- 0 until 8)
+        v |= (((src(off + (8 * m + i) * typesize + p) >> b) & 1) << i)
+      out((p * 8 + b) * rowBytes + m) = v.toByte
+    }
+    val done = n8 * typesize
+    if (done < bsize) System.arraycopy(src, off + done, out, done, bsize - done)
+    out
+  }
+
   /** Assemble a complete blosc chunk. `blocksize` must be a multiple of
-    * `typesize` when `split`. */
+    * `typesize` when `split`. `shuffleMode`: 0 none, 1 byte, 2 bit. */
   def chunk(raw: Array[Byte], typesize: Int, blocksize: Int, codec: Int,
-            shuffle: Boolean, split: Boolean): Array[Byte] = {
+            shuffle: Boolean, split: Boolean): Array[Byte] =
+    chunkM(raw, typesize, blocksize, codec, if (shuffle) 1 else 0, split)
+
+  def chunkM(raw: Array[Byte], typesize: Int, blocksize: Int, codec: Int,
+             shuffleMode: Int, split: Boolean): Array[Byte] = {
     require(!split || blocksize % typesize == 0)
+    val shuffle = shuffleMode == 1
     val nbytes = raw.length
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val leftover = nbytes % blocksize
@@ -66,6 +91,7 @@ object BloscTestEnc {
       val isLeftover = bsize != blocksize
       val blockSrc =
         if (shuffle && typesize > 1) shuffleBytes(typesize, raw, j * blocksize, bsize)
+        else if (shuffleMode == 2) bitShuffleBytes(typesize, raw, j * blocksize, bsize)
         else java.util.Arrays.copyOfRange(raw, j * blocksize, j * blocksize + bsize)
       val nstreams = if (split && !isLeftover && typesize > 1) typesize else 1
       val neblock = bsize / nstreams
@@ -85,6 +111,7 @@ object BloscTestEnc {
       .order(ByteOrder.LITTLE_ENDIAN)
     var flags = codec << 5
     if (shuffle && typesize > 1) flags |= 0x1
+    if (shuffleMode == 2) flags |= 0x4
     if (!split) flags |= 0x10
     out.put(2.toByte).put(1.toByte).put(flags.toByte)
       .put((typesize & 0xFF).toByte)
@@ -116,16 +143,57 @@ class BloscSpec extends AnyFunSuite {
     bb.array()
   }
 
-  test("memcpy'ed chunk (flags 0x2) decodes; stray bit-shuffle flag rejected") {
+  test("memcpy'ed chunk (flags 0x2) decodes; delta flag rejected") {
     val raw = patterned(32)
     assert(Blosc.decode(memcpy(raw, 8), raw.length).toSeq == raw.toSeq)
-    // bit-shuffle (0x4) must be rejected, not treated as memcpy
-    val bad = memcpy(raw, 8); bad(2) = 0x4.toByte
-    val ex = intercept[UnsupportedOperationException](Blosc.decode(bad, raw.length))
-    assert(ex.getMessage.contains("bit-shuffle"))
     val delta = memcpy(raw, 8); delta(2) = 0x8.toByte
     assert(intercept[UnsupportedOperationException](Blosc.decode(delta, raw.length))
       .getMessage.contains("delta"))
+    // a chunk claiming BOTH byte- and bit-shuffle is malformed, not guessed at
+    val both = memcpy(raw, 8); both(2) = 0x5.toByte
+    intercept[IllegalArgumentException](Blosc.decode(both, raw.length))
+  }
+
+  test("bit-shuffle: hand-pinned 8x1-byte vectors") {
+    // elements [0xFF,0,0xFF,0,...]: every (bit b) row byte packs
+    // 10101010 LSB-first = 0x55
+    val alt = Array.tabulate[Byte](8)(i => if (i % 2 == 0) 0xFF.toByte else 0)
+    assert(bitShuffleBytes(1, alt, 0, 8).toSeq == Seq.fill(8)(0x55.toByte))
+    // elements 1<<i: bit b of element i set iff i==b -> row b = 1<<b (identity)
+    val pow = Array.tabulate[Byte](8)(i => (1 << i).toByte)
+    assert(bitShuffleBytes(1, pow, 0, 8).toSeq == pow.toSeq)
+    // decode side inverts both
+    for (v <- Seq(alt, pow)) {
+      val out = new Array[Byte](8)
+      Blosc.bitunshuffle(1, bitShuffleBytes(1, v, 0, 8), out, 0, 8)
+      assert(out.toSeq == v.toSeq)
+    }
+  }
+
+  test("bit-shuffle: multi-byte planes, non-multiple-of-8 tail, partial element") {
+    val rnd = new scala.util.Random(11)
+    for (ts <- Seq(1, 2, 4, 8); extra <- Seq(0, 3, 7 * ts + 1)) {
+      val bsize = 16 * ts + extra // 16 full elements + leftover elements/bytes
+      val src = Array.fill[Byte](bsize)(rnd.nextInt().toByte)
+      val out = new Array[Byte](bsize)
+      Blosc.bitunshuffle(ts, bitShuffleBytes(ts, src, 0, bsize), out, 0, bsize)
+      assert(out.toSeq == src.toSeq, s"ts=$ts extra=$extra")
+    }
+  }
+
+  test("bit-shuffled lz4/zstd chunks decode end-to-end, split and not") {
+    val raw = patterned(300) // 2400 bytes, blocks 1024,1024,352
+    for (codec <- Seq(1, 5); split <- Seq(true, false)) {
+      val c = chunkM(raw, typesize = 8, blocksize = 1024, codec = codec,
+        shuffleMode = 2, split = split)
+      assert(Blosc.decode(c, raw.length).toSeq == raw.toSeq,
+        s"codec $codec split $split")
+    }
+    // typesize 1 bit-shuffle is NOT an identity — exercise it end-to-end
+    val bytes = (0 until 999).map(i => (i * 37 % 256).toByte).toArray
+    val c1 = chunkM(bytes, typesize = 1, blocksize = 256, codec = 1,
+      shuffleMode = 2, split = false)
+    assert(Blosc.decode(c1, bytes.length).toSeq == bytes.toSeq)
   }
 
   test("lz4 shuffle+split multi-block chunk with leftover decodes bit-exact") {

@@ -172,21 +172,19 @@ class ZarrSpec extends AnyFunSuite {
     assert(cb.size == 7 * 64)
     for (t <- 0 until 7; x <- 0 until 64)
       assert(cb((t, x)) == t * 100.0 + x * 0.5)
-    // bit-shuffle (flags 0x4) must fail loudly, not be misread as memcpy
+    // bit-shuffle (flags 0x4) — Blosc(shuffle=BITSHUFFLE) stores — decodes
     val bsDir = new File(root, "bs")
     writeText(new File(bsDir, ".zarray"),
-      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
-        | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+      """{"zarr_format": 2, "shape": [24], "chunks": [24], "dtype": "<f8",
+        | "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5,
         |   "shuffle": 2}, "fill_value": null, "filters": null,
         | "order": "C"}""".stripMargin)
-    val raw16 = doubles(Seq(1.0, 2.0))
-    val bsChunk = BloscTestEnc.memcpy(raw16, 8)
-    bsChunk(2) = 0x4.toByte // bit-shuffle flag
-    write(new File(bsDir, "0"), bsChunk)
-    val ex = intercept[org.apache.spark.SparkException] {
-      Zarr.readVariable(spark, root.getPath, "bs").collect()
-    }
-    assert(ex.getMessage.contains("bit-shuffle") || ex.getCause != null)
+    val bsVals = (0 until 24).map(i => 7.0 + i * 0.125)
+    write(new File(bsDir, "0"), BloscTestEnc.chunkM(doubles(bsVals),
+      typesize = 8, blocksize = 64, codec = 5, shuffleMode = 2, split = false))
+    val bs = Zarr.readVariable(spark, root.getPath, "bs").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(bs.size == 24 && (0 until 24).forall(i => bs(i) == 7.0 + i * 0.125))
   }
 
   test("consolidated .zmetadata lists arrays; corrupt chunks fail cleanly") {
