@@ -69,10 +69,11 @@ import java.util.zip.Inflater
   * szip (filter 4) decodes through [[Szip]] — the CCSDS 121.0 coder in
   * H5Zszip's raw framing (r9; unblocks NASA granules) — and nbit
   * (filter 5) through [[Nbit]], the bit-packed reduced-precision stream
-  * for atomic types (r10). Out of scope (documented): VLEN bases beyond
-  * atomic numerics, nbit over array/compound bases, and scaleoffset
-  * (its chunk payload layout lives in the filter implementation, not
-  * the file format spec).
+  * for atomic types (r10). Out of scope (documented): nested VLEN bases
+  * (vlen-of-vlen-strings; atomic numerics and fixed-string bases read),
+  * nbit over array/compound bases, and scaleoffset (its chunk payload
+  * layout lives in the filter implementation, not the file format
+  * spec).
   */
 object Hdf5 {
 
@@ -1331,14 +1332,17 @@ object Hdf5 {
     rdd.toDS().toDF().select(cols: _*)
   }
 
-  /** Variable-length SEQUENCE (class 9 over a numeric base) datasets as
-    * (i0…, value ARRAY): integer bases become ARRAY<LONG>, float bases
-    * ARRAY<DOUBLE>. Each cell is the same 16-byte (length, global-heap
-    * collection address, object index) descriptor VLEN strings use; the
-    * heap object holds `length` base elements back to back, and a
-    * 0-length cell has a null descriptor (no heap object). Collections
-    * are read executor-side with per-partition caching, so the driver
-    * still touches only metadata. */
+  /** Variable-length SEQUENCE (class 9 over a numeric or fixed-string
+    * base) datasets as (i0…, value ARRAY): integer bases become
+    * ARRAY<LONG>, float bases ARRAY<DOUBLE>, fixed-string bases
+    * ARRAY<STRING> (null-padding stripped — the `vlen_dtype(S n)` shape
+    * a list-of-tags column serialises to). Each cell is the same
+    * 16-byte (length, global-heap collection address, object index)
+    * descriptor VLEN strings use; the heap object holds `length` base
+    * elements back to back, and a 0-length cell has a null descriptor
+    * (no heap object). Collections are read executor-side with
+    * per-partition caching, so the driver still touches only metadata.
+    * Nested VLEN bases (vlen-of-vlen-strings) stay rejected loudly. */
   def readVlen(spark: SparkSession, path: String, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -1348,13 +1352,14 @@ object Hdf5 {
       s"$name is not a VLEN sequence dataset (class ${ds.dtClass})")
     val base = ds.vlenBase.getOrElse(
       throw new IllegalArgumentException(s"$name has no parsed VLEN base type"))
-    require(base.cls == 0 || base.cls == 1,
-      s"VLEN base class ${base.cls} unsupported (atomic int/float only)")
-    require(Set(1, 2, 4, 8).contains(base.size) && (base.cls == 0 || base.size >= 4),
+    require(base.cls == 0 || base.cls == 1 || base.cls == 3,
+      s"VLEN base class ${base.cls} unsupported (atomic int/float/fixed-string only)")
+    require(if (base.cls == 3) base.size >= 1
+            else Set(1, 2, 4, 8).contains(base.size) && (base.cls == 0 || base.size >= 4),
       s"VLEN base size ${base.size} unsupported for class ${base.cls}")
     val little = ds.littleEndian // descriptor order (file metadata: little)
     val rank = ds.dims.length
-    val isFloat = base.cls == 1
+    val isFloat = base.cls == 1; val isStr = base.cls == 3
     val bSize = base.size; val bLittle = base.little
     val rows = cellBytes(spark, path, ds).mapPartitions { it =>
       val raf = new RandomAccessFile(path, "r")
@@ -1377,7 +1382,14 @@ object Hdf5 {
             val eb = java.nio.ByteBuffer.wrap(data).order(
               if (bLittle) java.nio.ByteOrder.LITTLE_ENDIAN
               else java.nio.ByteOrder.BIG_ENDIAN)
-            if (isFloat)
+            if (isStr)
+              (0 until len).map { i =>
+                val s = i * bSize
+                var e = s
+                while (e < s + bSize && data(e) != 0) e += 1
+                new String(data, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+              }
+            else if (isFloat)
               (0 until len).map(i =>
                 if (bSize == 8) eb.getDouble(i * 8) else eb.getFloat(i * 4).toDouble)
             else
@@ -1399,7 +1411,8 @@ object Hdf5 {
     }
     val schema = StructType(
       (0 until rank).map(i => StructField(s"i$i", IntegerType, nullable = false)) :+
-        StructField("value", ArrayType(if (isFloat) DoubleType else LongType)))
+        StructField("value", ArrayType(
+          if (isStr) StringType else if (isFloat) DoubleType else LongType)))
     spark.createDataFrame(rows, schema)
   }
 

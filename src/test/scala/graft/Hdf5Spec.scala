@@ -1641,12 +1641,16 @@ class Hdf5Spec extends AnyFunSuite {
     def f64s(vs: Double*): Array[Byte] = {
       val b = buf(8 * vs.length); vs.foreach(b.putDouble); b.array()
     }
-    // one GCOL holding VLEN strings AND numeric sequence payloads
+    def fixedStrs(w: Int, ss: String*): Array[Byte] = cat(ss.map { s =>
+      val b = new Array[Byte](w); s.getBytes("ASCII").copyToArray(b); b
+    }: _*)
+    // one GCOL holding VLEN strings AND numeric/string sequence payloads
     val heapObjs: Seq[(Int, Array[Byte])] = Seq(
       1 -> "b".getBytes("ASCII"), 2 -> "alpha".getBytes("ASCII"),
       3 -> "gamma!".getBytes("ASCII"),
       4 -> i32s(1, 2, 3), 5 -> i32s(40, 50),
-      6 -> f64s(0.5), 7 -> f64s(2.5, -1.25, 8.0))
+      6 -> f64s(0.5), 7 -> f64s(2.5, -1.25, 8.0),
+      8 -> fixedStrs(6, "red", "blue!2"), 9 -> fixedStrs(6, "x"))
     def gcol: Array[Byte] = {
       val objs = cat(heapObjs.map { case (idx, data) =>
         val pad = (8 - data.length % 8) % 8
@@ -1669,6 +1673,8 @@ class Hdf5Spec extends AnyFunSuite {
       vlenDesc(gcolAddr, (3, 4), (0, 0), (2, 5))
     def weightsData(gcolAddr: Long): Array[Byte] = // [0.5], [2.5,-1.25,8.0]
       vlenDesc(gcolAddr, (1, 6), (3, 7))
+    def tagsData(gcolAddr: Long): Array[Byte] =    // [red,blue!2], [], [x]
+      vlenDesc(gcolAddr, (2, 8), (0, 0), (1, 9))
     val stationData = {
       val b = buf(48)
       def row(id: Int, lat: Double, tag: String): Unit = {
@@ -1681,9 +1687,10 @@ class Hdf5Spec extends AnyFunSuite {
     }
 
     def build(codeAddr: Long, gcolAddr: Long, namesAddr: Long, stnAddr: Long,
-              runsAddr: Long, wtsAddr: Long,
+              runsAddr: Long, wtsAddr: Long, tagsAddr: Long,
               codeOH: Long, namesOH: Long, stnOH: Long,
-              runsOH: Long, wtsOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+              runsOH: Long, wtsOH: Long, tagsOH: Long,
+              rootOH: Long): Seq[Array[Byte]] = {
       val codeBytes = ohdr2(msg2(0x01, dspace2(4L)),
         msg2(0x03, dtypeFixedStr(4)), layoutV4Contig(codeAddr, 16L))
       val namesBytes = ohdr2(msg2(0x01, dspace2(3L)),
@@ -1694,8 +1701,11 @@ class Hdf5Spec extends AnyFunSuite {
         msg2(0x03, dtypeVlenSeq(dtypeInt32)), layoutV4Contig(runsAddr, 48L))
       val wtsBytes = ohdr2(msg2(0x01, dspace2(2L)),
         msg2(0x03, dtypeVlenSeq(dtypeF64)), layoutV4Contig(wtsAddr, 32L))
+      val tagsBytes = ohdr2(msg2(0x01, dspace2(3L)),
+        msg2(0x03, dtypeVlenSeq(dtypeFixedStr(6))), layoutV4Contig(tagsAddr, 48L))
       val rootBytes = ohdr2(link("code", codeOH), link("names", namesOH),
-        link("station", stnOH), link("runs", runsOH), link("weights", wtsOH))
+        link("station", stnOH), link("runs", runsOH), link("weights", wtsOH),
+        link("tags", tagsOH))
       val sb = buf(48)
       Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
         .foreach(v => sb.put(v.toByte))
@@ -1703,14 +1713,15 @@ class Hdf5Spec extends AnyFunSuite {
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
       Seq(ck(sb.array()), codeData, gcol, namesData(gcolAddr), stationData,
-        runsData(gcolAddr), weightsData(gcolAddr),
-        codeBytes, namesBytes, stnBytes, runsBytes, wtsBytes, rootBytes)
+        runsData(gcolAddr), weightsData(gcolAddr), tagsData(gcolAddr),
+        codeBytes, namesBytes, stnBytes, runsBytes, wtsBytes, tagsBytes,
+        rootBytes)
     }
-    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
     val starts = sizes.scanLeft(0L)(_ + _)
     val parts = build(starts(1), starts(2), starts(3), starts(4),
       starts(5), starts(6), starts(7), starts(8), starts(9),
-      starts(10), starts(11), starts(12))
+      starts(10), starts(11), starts(12), starts(13), starts(14))
     val f = new FileOutputStream(path)
     parts.foreach(f.write); f.close()
   }
@@ -1719,7 +1730,8 @@ class Hdf5Spec extends AnyFunSuite {
     val f = java.io.File.createTempFile("graft_typed_", ".h5")
     writeTyped(f.getPath)
     val meta = Hdf5.readMeta(f.getPath).sortBy(_.name)
-    assert(meta.map(_.name) == Seq("code", "names", "runs", "station", "weights"))
+    assert(meta.map(_.name) ==
+      Seq("code", "names", "runs", "station", "tags", "weights"))
     assert(meta.find(_.name == "names").get.vlenStr)
     val runsMeta = meta.find(_.name == "runs").get
     assert(!runsMeta.vlenStr &&
@@ -1744,6 +1756,10 @@ class Hdf5Spec extends AnyFunSuite {
     val wts = Hdf5.readVlen(spark, f.getPath, "weights").orderBy("i0").collect()
     assert(wts.map(_.getSeq[Double](1).toList).toList ==
       List(List(0.5), List(2.5, -1.25, 8.0)))
+    // VLEN over a FIXED-STRING base -> ARRAY<STRING>, padding stripped
+    val tags = Hdf5.readVlen(spark, f.getPath, "tags").orderBy("i0").collect()
+    assert(tags.map(_.getSeq[String](1).toList).toList ==
+      List(List("red", "blue!2"), Nil, List("x")))
     // numeric read of a string dataset fails loudly, not garbage
     intercept[Exception] { Hdf5.readStrings(spark, f.getPath, "nope") }
     // a VLEN STRING dataset through the sequence reader fails loudly too
