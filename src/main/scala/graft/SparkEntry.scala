@@ -74,6 +74,16 @@ object SparkEntry {
   private def q6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
+  /** Micro-unit quantization to exact int64: `floor(x·s + 0.5)` — same
+    * grid as `round(x·s).cast(long)` but ~2× faster on the hot path
+    * (measured r10: Spark's Round over DoubleType allocates a
+    * java.math.BigDecimal PER ROW inside codegen; floor is a bare
+    * Math.floor). For x ≥ 0 it equals the oracle's half-away-from-zero
+    * `round(x*s)` bit-for-bit, so positive money/count sites keep their
+    * round() oracle SQL; sign-indefinite inputs must spell
+    * floor(...+0.5) on BOTH sides (ties round toward +∞). */
+  private def uq(c: Column, s: Double): Column = floor(c * lit(s) + lit(0.5))
+
   /** libm ln/exp/pow are not correctly rounded and differ across builds
     * (JVM vs whatever libm the driver's DuckDB links); quantizing the
     * transcendental's OUTPUT onto the 1e-6 grid before any further
@@ -123,12 +133,12 @@ object SparkEntry {
         // division — engine-exact with no round()
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("long"))
+          (sum(uq(col("l_extendedprice"), 100))
             .cast("double") / lit(100.0)).as("sum_base_price"),
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * 1e4).cast("long")).cast("double") / lit(1e4)).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+          (sum(uq(col("l_extendedprice"), 100)).cast("double")
             / count(lit(1)) / lit(100.0)).as("avg_price"),
           count(lit(1)).as("count_order"))
     }),
@@ -195,14 +205,14 @@ object SparkEntry {
     "q_resample_qs_dec_orders" -> ((s, dir) => {
       // cent-exact int64 sum + one division — order-free, engine-exact
       Generic.resampleOp(t(s, dir, "orders"), Seq.empty, col("o_orderdate"), "QS-DEC",
-        Seq((sum(round(col("o_totalprice") * 100).cast("long")).cast("double")
+        Seq((sum(uq(col("o_totalprice"), 100)).cast("double")
           / lit(100.0)).as("sum_price"), count(lit(1)).as("n_orders")))
     }),
 
     "q_resample_7d_events" -> ((s, dir) => {
       Generic.resampleOp(t(s, dir, "events"), Seq.empty, col("ts"), "7D",
         Seq(count(lit(1)).as("n"),
-          (sum(round(col("value") * 100).cast("long")).cast("double")
+          (sum(uq(col("value"), 100)).cast("double")
             / count(lit(1)) / lit(100.0)).as("avg_value")))
     }),
 
@@ -214,7 +224,7 @@ object SparkEntry {
         // full 7-row windows only (rn >= 7): cent-exact int64 window sum,
         // /7/100 in a fixed order — engine-exact, no round
         .withColumn("rmean",
-          sum(round(col("value") * 100).cast("long"))
+          sum(uq(col("value"), 100))
             .over(w.rowsBetween(-6, 0)).cast("double") / lit(7.0) / lit(100.0))
         .filter(col("rn") >= 7)
         .select(col("user_id"), col("event_id"), col("rmean"))
@@ -466,8 +476,8 @@ object SparkEntry {
         // deltas quantize to exact cents per row; the mean is an exact
         // int64 sum + two fixed-order divisions — engine-exact
         .withColumn("dlt",
-          abs(round(col("total") * 100).cast("long")
-            - round(lag(col("total"), 1).over(w) * 100).cast("long")))
+          abs(uq(col("total"), 100)
+            - uq(lag(col("total"), 1).over(w), 100)))
         .groupBy(col("user_id"))
         .agg((sum(col("dlt")).cast("double") / count(col("dlt")) / lit(100.0))
           .as("dtr_var"))
@@ -536,7 +546,7 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy(col("label"), col("pos"))
-        .agg((sum(round(col("e").cast("double") * 1e6).cast("long")).cast("double")
+        .agg((sum(uq(col("e").cast("double"), 1e6)).cast("double")
           / count(lit(1)) / lit(1e6)).as("dim_avg"))
     }),
 
@@ -927,7 +937,7 @@ object SparkEntry {
 
     "q_centroid_dims" ->
       """select label, cast(i as int) pos,
-        | cast(sum(cast(round(cast(embedding[i+1] as double) * 1e6) as bigint))
+        | cast(sum(cast(floor(cast(embedding[i+1] as double) * 1e6 + 0.5) as bigint))
         |   as double) / count(*) / 1e6 dim_avg
         |from embeddings, (select unnest(range(0,64)) i) t group by 1,2""".stripMargin,
 
@@ -1370,7 +1380,7 @@ object SparkEntry {
         .filter(col("l_quantity") < col("avg_qty") * 0.5)
         // prices are exactly 2-decimal: cent-quantized int64 sum, one
         // division by 700 (= ·1/7 ÷ 100) — engine-exact
-        .agg((sum(round(col("l_extendedprice") * 100).cast("long"))
+        .agg((sum(uq(col("l_extendedprice"), 100))
             .cast("double") / lit(700.0)).as("avg_yearly"),
           count(lit(1)).as("n_lines"))
     }),
@@ -1455,7 +1465,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("d").as("max_day"),
-          (round(col("total") * 100).cast("long").cast("double") / lit(100.0))
+          (uq(col("total"), 100).cast("double") / lit(100.0))
             .as("max_total"))
     })
   )
@@ -1527,7 +1537,7 @@ object SparkEntry {
         .groupBy(col("user_id"))
         // cent-exact int64 sum (totals are near-2-decimal; the integer
         // round is portable) + one division — engine-exact, no round()
-        .agg((sum(round(col("total") * 100).cast("long")).cast("double")
+        .agg((sum(uq(col("total"), 100)).cast("double")
           / lit(100.0)).as("total_10_20"), count(lit(1)).as("n_days"))
     }),
 
@@ -1609,7 +1619,7 @@ object SparkEntry {
         // exact cent window sums make BOTH the argmax ordering and the
         // emitted mean engine-exact (a raw float avg could flip argmax
         // ties by summation order)
-        .withColumn("wsum", sum(round(col("total") * 100).cast("long"))
+        .withColumn("wsum", sum(uq(col("total"), 100))
           .over(w.rowsBetween(-6, 0)))
         .withColumn("wavg", col("wsum").cast("double") / lit(7.0) / lit(100.0))
         .withColumn("wevents", sum(col("n_events")).over(w.rowsBetween(-6, 0)))
@@ -1668,8 +1678,8 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg((sum(when(col("event_type") === "purchase",
-            round(col("value") * 1e6).cast("long")).otherwise(0L)).cast("double")
-          / sum(round(col("value") * 1e6).cast("long")).cast("double"))
+            uq(col("value"), 1e6)).otherwise(0L)).cast("double")
+          / sum(uq(col("value"), 1e6)).cast("double"))
           .as("purchase_ratio"))
     }),
 
@@ -1741,7 +1751,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("grp"))
         // micro-quantized run sums (r10): exact int64 within each run, so
         // max + final /1e6 are engine-exact with no round()
-        .agg(sum(round(col("total") * 1e6).cast("long")).as("run_sum_u"),
+        .agg(sum(uq(col("total"), 1e6)).as("run_sum_u"),
           count(lit(1)).as("len"))
         .filter(col("len") >= 2)
         .groupBy(col("user_id"))
@@ -1759,7 +1769,7 @@ object SparkEntry {
         // in a fixed order — order-free and engine-exact, unlike the old
         // round(avg(value), 6) whose sum order decided boundary ties
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("value") * 1e6).cast("long")).cast("double")
+          (sum(uq(col("value"), 1e6)).cast("double")
             / count(lit(1)) / lit(1e6)).as("decile_mean"))
     })
   )
@@ -2457,7 +2467,7 @@ object SparkEntry {
       // decimals; a float avg lands exactly ON .005 rounding boundaries,
       // where engine summation order flips the rounded value — integer
       // summation is order-free), quantities are integer-valued -> exact
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("epc"),
+      .agg(sum(uq(col("l_extendedprice"), 100)).as("epc"),
         count(lit(1)).as("nli"),
         sum(col("l_quantity")).as("prsum"))
       .select(col("k"), col("d"),
@@ -3223,7 +3233,7 @@ object SparkEntry {
       val wu = Window.partitionBy(col("user_id"))
       val centred = daily
         .withColumn("x", col("t") - min(col("t")).over(wu))
-        .withColumn("y", round(col("total") * 100, 0).cast("long"))
+        .withColumn("y", uq(col("total"), 100))
       Generic.quadraticFit(centred, Seq("user_id"), col("x"), col("y"))
         .select(col("user_id"), round(col("a") / 100.0, 6).as("a"),
           round(col("b") / 100.0, 6).as("b"), round(col("c") / 100.0, 6).as("c"))
@@ -3238,7 +3248,7 @@ object SparkEntry {
       // summation order cannot differ from the oracle's.
       graft.core.Skew.saltedAgg(
           t(s, dir, "events")
-            .withColumn("cents", round(col("value") * 100, 0).cast("long")),
+            .withColumn("cents", uq(col("value"), 100)),
           Seq("event_type"), salt = 16,
           Map("n" -> ("count", lit(1)), "total_cents" -> ("sum", col("cents")),
             "max_cents" -> ("max", col("cents"))))
@@ -5147,7 +5157,7 @@ object SparkEntry {
       // ordered summation cannot straddle a rounding boundary
       cal.groupBy(col("event_type"), col("ys_jul"), col("m360"))
         .agg(count(lit(1)).as("n_days"),
-          sum(round(col("tas") * 1e6).cast("long")).as("_sm"),
+          sum(uq(col("tas"), 1e6)).as("_sm"),
           max(col("doy_noleap")).as("max_doy_noleap"),
           min(col("doy_noleap")).as("min_doy_noleap"))
         .select(col("event_type"), col("ys_jul"), col("m360"), col("n_days"),
@@ -5253,7 +5263,7 @@ object SparkEntry {
         |    as int) doy_noleap
         | from cal)
         |select event_type, ys_jul, m360, count(*) n_days,
-        | round(cast(sum(cast(round(tas*1e6) as bigint)) as double)/count(*))/1e6 mean_tas,
+        | round(cast(sum(cast(floor(tas*1e6 + 0.5) as bigint)) as double)/count(*))/1e6 mean_tas,
         | max(doy_noleap) max_doy_noleap, min(doy_noleap) min_doy_noleap
         |from cal2 group by 1, 2, 3""".stripMargin,
 
@@ -5595,7 +5605,7 @@ object SparkEntry {
         .groupBy(col("k"), Time.seasonYear(col("d")).as("sy"),
           Time.seasonCoord(col("d")).as("season"))
         .agg(count(lit(1)).as("n_days"),
-          sum(round(col("tas") * 1e6).cast("long")).as("_sm"))
+          sum(uq(col("tas"), 1e6)).as("_sm"))
         .select(col("k"), col("sy"), col("season"), col("n_days"),
           (round(col("_sm").cast("double") / col("n_days")) / 1e6).as("mean_tas"))
     })
@@ -5768,7 +5778,7 @@ object SparkEntry {
         |lm as (select tg, count(*) c from tri group by 1),
         |tot as (select sum(c) n from lm),
         |lp as (select doc_id,
-        |    cast(round(ln(cast(c as double) / n) * 1e6) as bigint) lp
+        |    cast(floor(ln(cast(c as double) / n) * 1e6 + 0.5) as bigint) lp
         |  from tri join lm using (tg) cross join tot)
         |select doc_id, count(*) n_trigrams,
         |  -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
@@ -5815,7 +5825,7 @@ object SparkEntry {
          |       when month(d) in (6, 7, 8) then 'JJA' else 'SON' end season
          | from clim)
          |select k, sy, season, count(*) n_days,
-         |  round(cast(sum(cast(round(tas*1e6) as bigint)) as double)/count(*))/1e6 mean_tas
+         |  round(cast(sum(cast(floor(tas*1e6 + 0.5) as bigint)) as double)/count(*))/1e6 mean_tas
          |from sg group by 1, 2, 3""".stripMargin
   )
 
@@ -6909,7 +6919,7 @@ object SparkEntry {
       val daily = dailyTotals(s, dir)
         .select(col("user_id"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
-          round(col("total") * 1000).cast("long").as("xu"))
+          uq(col("total"), 1000).as("xu"))
       val st = daily.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("xu")).cast("double") / count(lit(1))).cast("long").as("mu"))
@@ -6988,7 +6998,7 @@ object SparkEntry {
           sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
           sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
           min(col("lo")).as("_lo"), min(col("hi")).as("_hi"),
-          sum(round(col("cv") * 1e6).cast("long")).as("_su"))
+          sum(uq(col("cv"), 1e6)).as("_su"))
         .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
           // p05/p95 are DATA values (identical parquet doubles in both
           // engines) — emit raw; round(,6) was the only portability risk
@@ -7270,10 +7280,10 @@ object SparkEntry {
         |  group by 1, 2, 3),
         |dft as (select term, count(*) df_t from posts group by 1),
         |lp as (select doc,
-        |    cast(round(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |    cast(floor(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
         |      * tf * 2.5
         |      / (tf + 1.5 * (0.25 + 0.75 * (dl * n_docs / sum_dl)))
-        |      * 1e6) as bigint) lp
+        |      * 1e6 + 0.5) as bigint) lp
         |  from posts join dft using (term) cross join st),
         |sc as (select doc, sum(lp) score_u, count(*) n_terms_hit
         |  from lp group by 1)
@@ -7289,7 +7299,7 @@ object SparkEntry {
         |lm as (select tg, count(*) c from tri group by 1),
         |tot as (select sum(c) n from lm),
         |lpq as (select doc_id,
-        |    cast(round(ln(cast(c as double) / n) * 1e6) as bigint) lp
+        |    cast(floor(ln(cast(c as double) / n) * 1e6 + 0.5) as bigint) lp
         |  from tri join lm using (tg) cross join tot),
         |nll as (select doc_id, count(*) n_trigrams,
         |    -round(cast(sum(lp) as double) / count(*)) / 1e6 mean_nll
@@ -7305,7 +7315,7 @@ object SparkEntry {
     "q_kmeans_embeddings" ->
       """with base as (select vec_id id,
         |  list_transform(embedding,
-        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        |    x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)) vq
         | from embeddings),
         |c0 as (select cast(row_number() over (order by id) - 1 as int) as label,
         |    vq cq from (select * from base order by id limit 4)),
@@ -7347,7 +7357,7 @@ object SparkEntry {
     "q_pq_adc" ->
       """with base as (select vec_id id,
         |  list_transform(embedding,
-        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        |    x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)) vq
         | from embeddings),
         |cb as (select cast(row_number() over (order by id) - 1 as int) as j,
         |    vq cq from (select * from base order by id limit 16)),
@@ -7403,12 +7413,12 @@ object SparkEntry {
         |nfol2 as (select w2, count(*) nf2 from bg group by 1),
         |npre as (select w3, npre, cast(sum(npre) over () as bigint) nbg from
         |  (select w3, count(*) npre from bg group by 1)),
-        |lp as (select doc_id, cast(round(ln(
+        |lp as (select doc_id, cast(floor(ln(
         |    (greatest(c3 - 0.75, 0.0) / c2) +
         |    (((0.75 * nf3) / c2) *
         |      ((greatest(nm - 0.75, 0.0) / nc2) +
         |       (((0.75 * nf2) / nc2) * (npre / nbg))))
-        |  ) * 1e6) as bigint) lp
+        |  ) * 1e6 + 0.5) as bigint) lp
         |  from tri
         |  join c3t using (w1, w2, w3)
         |  join c2t using (w1, w2)
@@ -7473,7 +7483,7 @@ object SparkEntry {
     "q_ivf_pq_topk" ->
       """with base as (select vec_id id,
         |  list_transform(embedding,
-        |    x -> cast(round(cast(x as double) * 1e6) as bigint)) vq
+        |    x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)) vq
         | from embeddings),
         |cb as (select cast(row_number() over (order by id) - 1 as int) as j,
         |    vq cq from (select * from base order by id limit 16)),

@@ -343,7 +343,7 @@ object Similarity {
     require(k >= 1 && iters >= 0, s"kmeansLloyd: bad k=$k / iters=$iters")
     val base = df.select(col(idCol).as("id"),
         transform(col(vecCol),
-          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+          x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
       .localCheckpoint(false) // scanned iters+1 times; stops re-derivation
     var cents: Array[(Int, Array[Long])] = base.orderBy(col("id")).limit(k)
       .collect().zipWithIndex
@@ -395,7 +395,7 @@ object Similarity {
                   m: Int, k: Int, queryId: Long): DataFrame = {
     val base = df.select(col(idCol).as("id"),
         transform(col(vecCol),
-          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+          x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
       .localCheckpoint(false)
     val seeds: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
@@ -457,7 +457,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= kCoarse, s"bad nprobe=$nprobe / kCoarse=$kCoarse")
     val base = df.select(col(idCol).as("id"),
         transform(col(vecCol),
-          x => round(x.cast("double") * 1e6).cast("long")).as("vq"))
+          x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
       .localCheckpoint(false)
     val seeds: Array[Array[Long]] = base.orderBy(col("id")).limit(math.max(kCoarse, k))
       .collect().map(_.getSeq[Long](1).toArray)

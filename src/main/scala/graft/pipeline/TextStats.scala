@@ -251,7 +251,7 @@ object TextStats {
     val total = lm.agg(sum(col("c")).as("n"))
     tri.join(lm, "tg")
       .crossJoin(broadcast(total)) // one row: the corpus trigram count
-      .withColumn("lp", round(log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+      .withColumn("lp", floor(log(col("c").cast("double") / col("n")) * 1e6 + lit(0.5)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("_slp"))
       .select(col(idCol), col("n_trigrams"),
@@ -561,7 +561,7 @@ object TextStats {
       .join(nfol2, Seq("w2"))
       .join(npre, Seq("w3"))
       .crossJoin(broadcast(nbg))
-      .withColumn("lp", round(log(p3) * 1e6).cast("long"))
+      .withColumn("lp", floor(log(p3) * 1e6 + lit(0.5)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("_slp"))
       .select(col(idCol), col("n_trigrams"),
@@ -597,9 +597,9 @@ object TextStats {
     posts.join(broadcast(dft), Seq("term")).crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))))
-      .withColumn("lp", round(col("idf") * col("tf") * lit(k1 + 1.0) /
+      .withColumn("lp", floor(col("idf") * col("tf") * lit(k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0 - b) +
-          lit(b) * (col("dl") * col("n_docs") / col("sum_dl")))) * 1e6).cast("long"))
+          lit(b) * (col("dl") * col("n_docs") / col("sum_dl")))) * 1e6 + lit(0.5)))
       .groupBy(col("doc")).agg(sum(col("lp")).as("score_u"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_u").desc, col("doc"))
