@@ -118,7 +118,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42 ++ queries43
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42 ++ queries43 ++ queries44
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -569,7 +569,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42 ++ oracle43
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42 ++ oracle43 ++ oracle44
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -7877,6 +7877,104 @@ object SparkEntry {
         |  (floor(ln(cast(n_types as double)) * 1e6 + 0.5) / 1e6)
         |    / (floor(ln(cast(nt as double)) * 1e6 + 0.5) / 1e6) herdan_c
         |from u group by lang, nt, n_types""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // round 10: interchange-format round-trips + partitioned lake layout.
+  //
+  // Training corpora arrive as JSONL/CSV and leave as columnar lakes
+  // (parquet/ORC); each round-trip query writes `documents` with the
+  // stock Spark writer, reads it back, and aggregates a CONTENT-
+  // SENSITIVE checksum (md5-prefix sums over text and source — any
+  // quoting/escaping/encoding corruption moves it). The oracle computes
+  // the same aggregate straight from the parquet table, so a green row
+  // proves value-faithful round-trip, not just row counts. Fixture
+  // writes land under java.io.tmpdir keyed by the sf dir (the planted-
+  // HDF5 convention) and overwrite idempotently; at lake scale the same
+  // writer calls fan out per-partition with no driver involvement.
+  // ------------------------------------------------------------------
+
+  /** Per-language corpus checksum: counts, char mass, md5-prefix content
+    * sums (32-bit prefixes — sums stay far below int64 even at 1e9
+    * docs/lang), id span. Order-free, integer-only: engine-exact. */
+  private def docChecksum(back: DataFrame): DataFrame =
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sum"),
+        sum(conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long"))
+          .as("source_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  private val docChecksumSql: String =
+    """select lang, cast(count(*) as bigint) n_docs,
+      | cast(sum(n_chars) as bigint) sum_chars,
+      | cast(sum(cast(concat('0x', substr(md5(text), 1, 8)) as ubigint))
+      |   as bigint) text_sum,
+      | cast(sum(cast(concat('0x', substr(md5(source), 1, 8)) as ubigint))
+      |   as bigint) source_sum,
+      | min(doc_id) min_id, max(doc_id) max_id
+      |from documents""".stripMargin
+
+  /** Per-(sf dir, format) fixture path under the JVM tmpdir. */
+  private def rtDir(dir: String, tag: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rt_${tag}_${java.lang.Integer.toHexString(dir.hashCode)}").getPath
+
+  private def queries44: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL is the lingua franca of corpus interchange. Write with the
+      // stock JSON sink, read back under the ORIGINAL schema (inference
+      // would widen types and reorder columns), checksum per language.
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "jsonl")
+      docs.write.mode("overwrite").json(path)
+      docChecksum(s.read.schema(docs.schema).json(path))
+    }),
+
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // CSV with header; read back under the original schema so
+      // doc_id/n_chars land as BIGINT again. The md5 sums catch any
+      // quoting/escaping drift the writer/parser pair could introduce.
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "csv")
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      docChecksum(
+        s.read.schema(docs.schema).option("header", "true").csv(path))
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // ORC: the other columnar lake format (native vectorized reader);
+      // schema rides in the file, no re-declaration needed.
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "orc")
+      docs.write.mode("overwrite").orc(path)
+      docChecksum(s.read.orc(path))
+    }),
+
+    "q_lake_partition_prune" -> ((s, dir) => {
+      // Hive-style partitioned lake write + pruned read-back: lang moves
+      // into the directory key, and the lang-filtered scan must list only
+      // the matching partitions (FormatsSpec pins selectedPartitions ==
+      // filter arity — the property that makes a per-language pass over a
+      // 100 TB corpus read 1/25th of it). Checksum proves the partition
+      // column round-trips losslessly back into rows.
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "lakepart")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      docChecksum(s.read.parquet(path)
+        .filter(col("lang").isin("en", "zh")))
+    })
+  )
+
+  private def oracle44: Map[String, String] = Map(
+    "q_jsonl_roundtrip" -> s"$docChecksumSql group by lang",
+    "q_csv_roundtrip" -> s"$docChecksumSql group by lang",
+    "q_orc_roundtrip" -> s"$docChecksumSql group by lang",
+    "q_lake_partition_prune" ->
+      s"$docChecksumSql where lang in ('en', 'zh') group by lang"
   )
 
 }
