@@ -7966,6 +7966,25 @@ object SparkEntry {
       docs.write.mode("overwrite").partitionBy("lang").parquet(path)
       docChecksum(s.read.parquet(path)
         .filter(col("lang").isin("en", "zh")))
+    }),
+
+    "q_unicode_normalize" -> ((s, dir) => {
+      // NFC canonicalization in front of content keys (NfcNormalize —
+      // native codegen'd expression): the corpus is decomposed
+      // deterministically (every 'e' gains a combining acute U+0301),
+      // normalized back, and keyed by md5. composed_marks counts the
+      // code points NFC composed away; nfc_sum only matches the oracle's
+      // utf8proc-normalized md5s if JDK and DuckDB agree on TR15 for
+      // every document. Per-row and shuffle-free below the final agg.
+      val docs = t(s, dir, "documents")
+      val deco = regexp_replace(col("text"), lit("e"), lit("e\u0301"))
+      docs.select(col("lang"), deco.as("d"))
+        .withColumn("nn", graft.functions.NfcNormalize.nfcNormalize(col("d")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("nn")), 1, 8), 16, 10).cast("long"))
+            .as("nfc_sum"),
+          sum(length(col("d")) - length(col("nn"))).as("composed_marks"))
     })
   )
 
@@ -7974,7 +7993,19 @@ object SparkEntry {
     "q_csv_roundtrip" -> s"$docChecksumSql group by lang",
     "q_orc_roundtrip" -> s"$docChecksumSql group by lang",
     "q_lake_partition_prune" ->
-      s"$docChecksumSql where lang in ('en', 'zh') group by lang"
+      s"$docChecksumSql where lang in ('en', 'zh') group by lang",
+
+    // chr(769) = U+0301 combining acute; utf8proc's nfc_normalize must
+    // agree with the JDK normalizer on every document for nfc_sum to hash
+    "q_unicode_normalize" ->
+      """with d as (select lang,
+        |   regexp_replace(text, 'e', 'e' || chr(769), 'g') d from documents),
+        |n as (select lang, d, nfc_normalize(d) nn from d)
+        |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(cast(concat('0x', substr(md5(nn), 1, 8)) as ubigint))
+        |    as bigint) nfc_sum,
+        |  cast(sum(length(d) - length(nn)) as bigint) composed_marks
+        |from n group by lang""".stripMargin
   )
 
 }

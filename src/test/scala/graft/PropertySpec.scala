@@ -939,4 +939,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("nfc_normalize: composes decomposed sequences, idempotent, null-safe") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301" // Cafe + combining acute
+    val composed = "Caf\u00e9"     // single-code-point e-acute
+    val rows = Seq(
+      (1L, decomposed), (2L, composed), (3L, "plain ascii"), (4L, null)
+    ).toDF("id", "s")
+    val got = rows
+      .withColumn("n", graft.functions.NfcNormalize.nfcNormalize(col("s")))
+      .orderBy("id").collect().map(r => Option(r.getString(2)))
+    assert(got(0).contains(composed), "decomposed input must compose")
+    assert(got(1).contains(composed), "composed input must pass through")
+    assert(got(2).contains("plain ascii"))
+    assert(got(3).isEmpty, "null must stay null")
+    // idempotence over the whole column, and SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    val sqlGot = rows.filter(col("s").isNotNull)
+      .createOrReplaceTempView("nfc_rows")
+    val twice = spark.sql(
+      "select count(*) n from nfc_rows " +
+        "where nfc_normalize(nfc_normalize(s)) <> nfc_normalize(s)")
+      .collect().head.getLong(0)
+    assert(twice == 0L, "nfc must be idempotent")
+  }
 }
