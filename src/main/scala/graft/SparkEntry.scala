@@ -7985,6 +7985,39 @@ object SparkEntry {
           sum(conv(substring(md5(col("nn")), 1, 8), 16, 10).cast("long"))
             .as("nfc_sum"),
           sum(length(col("d")) - length(col("nn"))).as("composed_marks"))
+    }),
+
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // WARC (ISO 28500) export + re-ingest — the container web corpora
+      // arrive in (Common Crawl ships ~100 TB/crawl of *.warc.gz). Each
+      // document becomes a response record (URI carries source/lang/
+      // doc_id, body the UTF-8 text), one gzip member per record, one
+      // file per partition; Warc.read streams the members back and the
+      // checksum reconstructs every column from the WARC surface alone,
+      // so a green row proves byte-faithful framing (Content-Length,
+      // member boundaries, HTTP split, UTF-8 round-trip).
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "warc")
+      val d = new java.io.File(path)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())) // idempotent re-run
+      graft.sources.Warc.write(
+        docs.select(
+          concat(lit("https://"), col("source"), lit(".example.org/"),
+            col("lang"), lit("/"), col("doc_id")).as("uri"),
+          col("text").cast("binary").as("body"),
+          lit("text/plain; charset=utf-8").as("http_content_type"))
+          .repartition(8),
+        path)
+      val uriRe = "https://(src\\d+)\\.example\\.org/([a-z]+)/(\\d+)"
+      val back = graft.sources.Warc.read(s, path + "/*.warc.gz")
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), uriRe, 1).as("source"),
+          regexp_extract(col("target_uri"), uriRe, 2).as("lang"),
+          regexp_extract(col("target_uri"), uriRe, 3).cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .withColumn("n_chars", length(col("text")))
+      docChecksum(back)
     })
   )
 
@@ -8005,7 +8038,11 @@ object SparkEntry {
         |  cast(sum(cast(concat('0x', substr(md5(nn), 1, 8)) as ubigint))
         |    as bigint) nfc_sum,
         |  cast(sum(length(d) - length(nn)) as bigint) composed_marks
-        |from n group by lang""".stripMargin
+        |from n group by lang""".stripMargin,
+
+    // every column reconstructs from the WARC surface, so the oracle is
+    // the plain corpus checksum — any framing corruption moves the sums
+    "q_warc_roundtrip" -> s"$docChecksumSql group by lang"
   )
 
 }
