@@ -8018,6 +8018,91 @@ object SparkEntry {
           col("payload").cast("string").as("text"))
         .withColumn("n_chars", length(col("text")))
       docChecksum(back)
+    }),
+
+    "q_html_extract" -> ((s, dir) => {
+      // HTML → text extraction (HtmlTextExtract — native codegen'd state
+      // machine): each document is wrapped into a deterministic page
+      // (title/style/h1/comment/entities/script-with-inner-'<'), then
+      // extracted back. The oracle rebuilds the identical page in SQL and
+      // extracts with an independent regex chain — agreement on every md5
+      // proves the tokenizer's tag/script/comment/entity semantics, not
+      // just row counts. Per-row, shuffle-free below the final agg.
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style type=\"text/css\">p{color:red}</style>" +
+          "</head><body><h1>"),
+        col("source"), lit(" page</h1><!-- id "), col("doc_id"),
+        lit(" --><p>"), col("text"),
+        lit(" &amp; tail &#233;</p><script>if(1<2){alert(\"x&y\")}" +
+          "</script></body></html>"))
+      docs.select(col("lang"),
+          graft.functions.HtmlText.htmlText(page).as("txt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("txt")), 1, 8), 16, 10).cast("long"))
+            .as("text_sum"),
+          sum(length(col("txt"))).as("sum_chars"))
+    }),
+
+    "q_url_canonical" -> ((s, dir) => {
+      // URL canonicalization (UrlNormalizeExpr): each document gets a
+      // deterministically messy URL — uppercase scheme/host, default
+      // port, percent-escape, dot segments, tracking params, unsorted
+      // query, fragment — and the oracle writes the CANONICAL form
+      // directly from the contract. md5 agreement per row proves every
+      // normalization step, not just row counts.
+      val docs = t(s, dir, "documents")
+      val messy = concat(
+        lit("HTTPS://WWW."), upper(col("source")),
+        lit(".EXAMPLE.ORG:443/%7Ea/./b/../"), col("doc_id"),
+        lit("?utm_source=feed&b=2&a=1&gclid=x#sec"))
+      docs.select(col("lang"),
+          graft.functions.UrlNormalize.urlNormalize(messy).as("u"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(col("u")), 1, 8), 16, 10).cast("long"))
+            .as("url_sum"),
+          sum(length(col("u"))).as("sum_len"))
+    }),
+
+    "q_crawl_pipeline" -> ((s, dir) => {
+      // End-to-end crawl front-end: every page is fetched TWICE under
+      // different URL spellings (tracking param + default port + dot
+      // segment vs plain), exported as WARC, re-ingested, extracted
+      // (html_text), canonicalized (url_normalize), and deduplicated by
+      // (canonical URL, text) — the exact-dup key collapses each pair to
+      // one page with copies=2. This is the composed WARC → extract →
+      // canonicalize → dedup path a real corpus build runs; one shuffle
+      // for the dedup, everything upstream per-row on the WARC stream.
+      val docs = t(s, dir, "documents")
+      val body = concat(lit("<html><body><h1>"), col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>if(1<2){}</script></body></html>")).cast("binary")
+      val ct = lit("text/html; charset=utf-8").as("http_content_type")
+      val v1 = docs.select(concat(lit("HTTP://"), upper(col("source")),
+          lit(".EXAMPLE.ORG:80/"), col("lang"), lit("/./"), col("doc_id"),
+          lit("?utm_id=1")).as("uri"), body.as("body"), ct)
+      val v2 = docs.select(concat(lit("http://"), col("source"),
+          lit(".example.org/x/../"), col("lang"), lit("/"),
+          col("doc_id")).as("uri"), body.as("body"), ct)
+      val path = rtDir(dir, "crawl")
+      Option(new java.io.File(path).listFiles()).foreach(_.foreach(_.delete()))
+      graft.sources.Warc.write(v1.unionByName(v2).repartition(8), path)
+      val back = graft.sources.Warc.read(s, path + "/*.warc.gz")
+        .select(
+          graft.functions.UrlNormalize.urlNormalize(col("target_uri")).as("u"),
+          graft.functions.HtmlText.htmlText(col("payload").cast("string"))
+            .as("txt"))
+      back.groupBy(col("u"), col("txt")).agg(count(lit(1)).as("copies"))
+        .select(regexp_extract(col("u"), "example\\.org/([a-z]+)/", 1)
+          .as("lang"), col("copies"), col("txt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("copies")).as("n_fetches"),
+          sum(conv(substring(md5(col("txt")), 1, 8), 16, 10).cast("long"))
+            .as("text_sum"))
     })
   )
 
@@ -8042,7 +8127,57 @@ object SparkEntry {
 
     // every column reconstructs from the WARC surface, so the oracle is
     // the plain corpus checksum — any framing corruption moves the sums
-    "q_warc_roundtrip" -> s"$docChecksumSql group by lang"
+    "q_warc_roundtrip" -> s"$docChecksumSql group by lang",
+
+    // independent extraction path: regex chain (script/style with content
+    // -> comments -> tags -> targeted entity decode -> collapse), valid
+    // for exactly this constrained synthetic markup
+    "q_html_extract" ->
+      """with p as (select lang,
+        |  '<html><head><title>' || source ||
+        |  '</title><style type="text/css">p{color:red}</style></head><body><h1>'
+        |  || source || ' page</h1><!-- id ' || doc_id || ' --><p>' || text ||
+        |  ' &amp; tail &#233;</p><script>if(1<2){alert("x&y")}</script></body></html>' h
+        |  from documents),
+        |t2 as (select lang, trim(regexp_replace(
+        |  replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&amp;', '&'), '&#233;', chr(233)),
+        |  '\s+', ' ', 'g')) txt from p)
+        |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(cast(concat('0x', substr(md5(txt), 1, 8)) as ubigint))
+        |    as bigint) text_sum,
+        |  cast(sum(length(txt)) as bigint) sum_chars
+        |from t2 group by lang""".stripMargin,
+
+    // the oracle states the canonical form directly (independent
+    // derivation from the normalization contract, no algorithm replay)
+    "q_url_canonical" ->
+      """with u as (select lang,
+        |  'https://www.' || source || '.example.org/~a/' || doc_id
+        |    || '?a=1&b=2' u
+        |  from documents)
+        |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(cast(concat('0x', substr(md5(u), 1, 8)) as ubigint))
+        |    as bigint) url_sum,
+        |  cast(sum(length(u)) as bigint) sum_len
+        |from u group by lang""".stripMargin,
+
+    // the double-fetch collapses to one page per document; extracted text
+    // is "source + collapsed body text" by the html_text contract
+    "q_crawl_pipeline" ->
+      """with e as (select lang,
+        |  source || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g')) txt
+        |  from documents)
+        |select lang, cast(count(*) as bigint) n_pages,
+        |  cast(2 * count(*) as bigint) n_fetches,
+        |  cast(sum(cast(concat('0x', substr(md5(txt), 1, 8)) as ubigint))
+        |    as bigint) text_sum
+        |from e group by lang""".stripMargin
   )
 
 }

@@ -17,6 +17,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
+    "html_text" -> (exprs => HtmlTextExtract(exprs.head)),
+    "url_normalize" -> (exprs => UrlNormalizeExpr(exprs.head)),
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),

@@ -964,4 +964,107 @@ class PropertySpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(twice == 0L, "nfc must be idempotent")
   }
+
+  test("html_text: tags, script/style, comments, entities, nasty edges") {
+    def x(s: String): String =
+      graft.functions.HtmlText.extract(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(x("<html><body><p>hello <b>world</b></p></body></html>") ==
+      "hello world")
+    // script/style content dropped, case-insensitive, attrs, inner '<'
+    assert(x("a<SCRIPT type=\"x\">if(1<2){b('</')}</ScRiPt>z") == "a z")
+    assert(x("a<style>p{color:red}</style>b") == "a b")
+    // unclosed script eats the tail (truncated crawl page)
+    assert(x("keep<script>var x=1;") == "keep")
+    // self-closing script does NOT eat the tail
+    assert(x("a<script/>b") == "a b")
+    // comments, CDATA, doctype, processing instruction
+    assert(x("<!DOCTYPE html>a<!-- hidden <b>bold</b> -->b<![CDATA[ x<y ]]>c")
+      == "a b c")
+    // unclosed comment eats the tail
+    assert(x("a<!-- open") == "a")
+    // quoted '>' inside attribute does not end the tag
+    assert(x("<a title=\"1 > 0\" href='q>r'>link</a>") == "link")
+    // entities: named, numeric dec/hex, malformed verbatim, nbsp collapse
+    assert(x("x &amp; y &lt;tag&gt; &#233;&#xE9; &nbsp; z &unknown; &") ==
+      "x & y <tag> éé z &unknown; &")
+    // entity-encoded markup stays TEXT (decode after strip)
+    assert(x("&lt;script&gt;alert(1)&lt;/script&gt;") == "<script>alert(1)</script>")
+    // lone '<' is text; whitespace collapses; trim
+    assert(x("  2 < 3   and\t4\n> 1  ") == "2 < 3 and 4 > 1")
+    // plain text fast path returns input unchanged
+    assert(x("already plain") == "already plain")
+  }
+
+  test("html_text: expression over a DataFrame + SQL registration") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "<p>one</p>"), (2L, null.asInstanceOf[String]),
+      (3L, "<script>x</script>two &amp; three")
+    ).toDF("id", "h")
+    val got = df.withColumn("t", graft.functions.HtmlText.htmlText(col("h")))
+      .orderBy("id").select("t").collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("one"), None, Some("two & three")))
+    df.createOrReplaceTempView("html_rows")
+    val viaSql = spark.sql(
+      "select html_text(h) t from html_rows where id = 3").collect().head.getString(0)
+    assert(viaSql == "two & three")
+  }
+
+  test("url_normalize: scheme/host/port/dot-segments/percent/query/fragment") {
+    def x(s: String): String =
+      graft.functions.UrlNormalize.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(x("HTTP://Example.COM:80/a/../b?q=1#top") ==
+      "http://example.com/b?q=1")
+    assert(x("https://example.com:443/") == "https://example.com/")
+    assert(x("https://example.com:8443/x") == "https://example.com:8443/x",
+      "non-default port survives")
+    assert(x("https://example.com") == "https://example.com/",
+      "empty path becomes /")
+    // dot segments: leading .., /./, trailing /.., beyond root
+    assert(x("http://h/a/./b/../c") == "http://h/a/c")
+    assert(x("http://h/../../x") == "http://h/x")
+    assert(x("http://h/a/b/..") == "http://h/a/")
+    assert(x("http://h/a/.") == "http://h/a/")
+    // percent: unreserved decodes, reserved uppercases, malformed verbatim
+    assert(x("http://h/%7Euser/%2fx/%zz") == "http://h/~user/%2Fx/%zz")
+    // tracking params drop; survivors sort by (key, value); dup keys stable
+    assert(x("http://h/p?utm_source=a&b=2&a=1&gclid=x&a=0") ==
+      "http://h/p?a=0&a=1&b=2")
+    assert(x("http://h/p?utm_campaign=z") == "http://h/p",
+      "all-tracking query drops its ?")
+    assert(x("http://h/p?") == "http://h/p", "empty query drops")
+    // '=' vs key-prefix ordering edge: key 'a' before key 'a=' param 'ab'
+    assert(x("http://h/p?ab=1&a=2") == "http://h/p?a=2&ab=1")
+    // userinfo passes through; fragment-only URL
+    assert(x("https://u:p@Host.Org/x#frag") == "https://u:p@host.org/x")
+    // non-absolute input unchanged
+    assert(x("not a url") == "not a url")
+    assert(x("/relative/path?b=1") == "/relative/path?b=1")
+    // already-canonical fast path: same object semantics (value equality)
+    assert(x("https://example.com/a?b=1") == "https://example.com/a?b=1")
+  }
+
+  test("url_normalize: DataFrame + SQL registration, null-safe, dedup use") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "HTTP://A.com:80/x/../y?utm_source=s&k=1"),
+      (2L, "http://a.com/y?k=1"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "u")
+    val norm = df.withColumn("n",
+      graft.functions.UrlNormalize.urlNormalize(col("u")))
+    val got = norm.orderBy("id").collect().map(r => Option(r.getString(2)))
+    assert(got(0) == got(1), "the two spellings canonicalize identically")
+    assert(got(2).isEmpty)
+    val distinct = norm.filter(col("n").isNotNull)
+      .select("n").distinct().count()
+    assert(distinct == 1L)
+    df.createOrReplaceTempView("url_rows")
+    assert(spark.sql("select count(distinct url_normalize(u)) c from url_rows")
+      .collect().head.getLong(0) == 1L)
+  }
 }
