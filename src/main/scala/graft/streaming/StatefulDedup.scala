@@ -38,6 +38,9 @@ object StatefulDedup {
   case class Doc(docId: Long, text: String)
   case class ExactDup(docId: Long, keeperId: Long, isFirst: Boolean)
   case class CandPair(idA: Long, idB: Long)
+  case class Fetch(fetchId: Long, url: String)
+  case class FrontierDecision(fetchId: Long, canonicalUrl: String,
+                              isFirst: Boolean)
 
   case class BandKey(bandId: Int, bandHash: Long)
   case class BandDoc(bandId: Int, bandHash: Long, docId: Long)
@@ -60,6 +63,33 @@ object StatefulDedup {
           }
         }
         out.iterator
+      }
+  }
+
+  /** Streaming crawl-frontier dedup: canonicalize each URL
+    * ([[graft.functions.UrlNormalize]] — case/port/dot-segment/tracking-
+    * param variants collapse to one key) and admit only the FIRST fetch
+    * per canonical URL; later spellings report the fetch they collapsed
+    * onto. Within a micro-batch, ties break by fetchId for determinism.
+    * State is 8 bytes per distinct URL, sharded by the state store; a
+    * corpus-lifetime frontier backs this with RocksDB and, at crawl
+    * scale, fronts it with a Bloom pre-filter so the state store only
+    * sees probable-new URLs. */
+  def urlFrontier(ds: Dataset[Fetch]): Dataset[FrontierDecision] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.select(col("fetchId"),
+        graft.functions.UrlNormalize.urlNormalize(col("url")).as("u"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, FrontierDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (u, rows, state) =>
+        rows.map(_._1).toArray.sorted.map { id =>
+          state.getOption match {
+            case Some(_) => FrontierDecision(id, u, isFirst = false)
+            case None => state.update(id); FrontierDecision(id, u, isFirst = true)
+          }
+        }.iterator
       }
   }
 

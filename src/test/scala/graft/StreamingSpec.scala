@@ -427,4 +427,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.map(_._3).contains(true) && batch.map(_._3).contains(false))
     } finally q.stop()
   }
+
+  test("streaming URL frontier admits one fetch per canonical URL across batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.{Fetch, FrontierDecision}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Fetch]
+    val q = StatefulDedup.urlFrontier(in.toDS()).writeStream
+      .format("memory").queryName("frontier").outputMode("append").start()
+    try {
+      // batch 1: two pages, each under two spellings (within-batch dups)
+      in.addData(Seq(
+        Fetch(1L, "HTTP://A.Example.COM:80/x/../p?utm_source=s&k=1"),
+        Fetch(2L, "http://a.example.com/p?k=1"),
+        Fetch(3L, "https://b.example.com/q"),
+        Fetch(4L, "HTTPS://B.EXAMPLE.COM:443/q#frag")))
+      q.processAllAvailable()
+      // batch 2: a third spelling of page p (cross-batch dup) + a new page
+      in.addData(Seq(
+        Fetch(5L, "http://a.example.com:80/./p?k=1&gclid=z"),
+        Fetch(6L, "http://c.example.com/r")))
+      q.processAllAvailable()
+      val got = spark.table("frontier").as[FrontierDecision].collect()
+        .map(d => d.fetchId -> d).toMap
+      assert(got.size == 6)
+      assert(got(1L).isFirst && !got(2L).isFirst, "min fetchId wins in-batch")
+      assert(got(1L).canonicalUrl == "http://a.example.com/p?k=1")
+      assert(got(2L).canonicalUrl == got(1L).canonicalUrl)
+      assert(got(3L).isFirst && !got(4L).isFirst)
+      assert(!got(5L).isFirst, "cross-batch dup rejected by state")
+      assert(got(5L).canonicalUrl == got(1L).canonicalUrl)
+      assert(got(6L).isFirst)
+      assert(got.values.count(_.isFirst) == 3, "three distinct pages admitted")
+    } finally q.stop()
+  }
 }
