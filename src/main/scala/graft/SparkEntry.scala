@@ -1406,7 +1406,9 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(coalesce(sum(col("k")), lit(0L)).as("k_sum"),
           countDistinct(col("k")).as("k_distinct"),
-          round(avg(col("k")), 6).as("k_avg"))
+          // exact int64 sum / exact count: ONE correctly-rounded IEEE
+          // division — engine-exact without any rounding step
+          (sum(col("k")).cast("double") / count(col("k"))).as("k_avg"))
     })
   )
 
@@ -1444,8 +1446,8 @@ object SparkEntry {
       """select event_type,
         | cast(coalesce(sum(cast(json_extract_string(props, '$.k') as bigint)), 0) as bigint) k_sum,
         | count(distinct cast(json_extract_string(props, '$.k') as bigint)) k_distinct,
-        | cast(cast(avg(cast(json_extract_string(props, '$.k') as bigint))
-        |   as decimal(38,6)) as double) k_avg
+        | cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
+        |   / count(cast(json_extract_string(props, '$.k') as bigint)) k_avg
         |from events group by 1""".stripMargin
   )
 
@@ -3005,7 +3007,9 @@ object SparkEntry {
           round(col("pr") * 25.0, 0))
         .select(col("k").as("l_returnflag"), col("event_start"),
           col("event_length"), col("event_effective_length"),
-          round(col("event_sum") / 25.0, 4).as("event_sum"))
+          // event_sum is an exact int64 (sum of 0.04-quantized pr);
+          // one division by 25.0 is correctly rounded in any engine
+          (col("event_sum") / 25.0).as("event_sum"))
     })
   )
 
@@ -3093,8 +3097,7 @@ object SparkEntry {
          |    sum(round(pr*25.0)) su
          |  from runid where in_event = 1 group by 1, 2)
          |select k l_returnflag, event_start, event_length,
-         |  event_effective_length,
-         |  cast(cast(su/25.0 as decimal(38,4)) as double) event_sum
+         |  event_effective_length, su/25.0 event_sum
          |from ev""".stripMargin
   )
 
@@ -5129,9 +5132,11 @@ object SparkEntry {
           element_at(col("feature"), 1).cast("int").as("width"),
           element_at(col("feature"), 2).cast("int").as("height"),
           element_at(col("feature"), 3).cast("int").as("channels"),
-          round(element_at(col("feature"), 4).cast("double") / 192.0, 6).as("mean_r"),
-          round(element_at(col("feature"), 5).cast("double") / 192.0, 6).as("mean_g"),
-          round(element_at(col("feature"), 6).cast("double") / 192.0, 6).as("mean_b"))
+          // exact channel-sum ints / 192.0: single correctly-rounded
+          // division per channel — engine-exact unrounded
+          (element_at(col("feature"), 4).cast("double") / 192.0).as("mean_r"),
+          (element_at(col("feature"), 5).cast("double") / 192.0).as("mean_g"),
+          (element_at(col("feature"), 6).cast("double") / 192.0).as("mean_b"))
     }),
 
     "q_calendar_360day" -> ((s, dir) => {
@@ -5240,12 +5245,9 @@ object SparkEntry {
 
     "q_image_decode_stats" ->
       """select d.doc_id media_id, 16 width, 12 height, 3 channels,
-        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5) % 256) as double)
-        |    / 192.0 as decimal(38,6)) as double) mean_r,
-        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 11) % 256) as double)
-        |    / 192.0 as decimal(38,6)) as double) mean_g,
-        |  cast(cast(cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 22) % 256) as double)
-        |    / 192.0 as decimal(38,6)) as double) mean_b
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5) % 256) as double) / 192.0 mean_r,
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 11) % 256) as double) / 192.0 mean_g,
+        |  cast(sum((d.doc_id*7 + x.i*3 + y.i*5 + 22) % 256) as double) / 192.0 mean_b
         |from (select doc_id from documents where doc_id % 25 = 0) d
         |cross join range(0, 16) x(i)
         |cross join range(0, 12) y(i)
