@@ -8105,6 +8105,25 @@ object SparkEntry {
           sum(col("copies")).as("n_fetches"),
           sum(conv(substring(md5(col("txt")), 1, 8), 16, 10).cast("long"))
             .as("text_sum"))
+    }),
+
+    "q_domain_quota" -> ((s, dir) => {
+      // Per-domain corpus cap (Sampling.domainQuota): messy URL spellings
+      // canonicalize, the host partitions, and each host keeps its top-5
+      // docs by (n_chars desc, doc_id) — the guard against a few hosts
+      // dominating a crawl corpus. One shuffle on the host key; the
+      // oracle ranks over `source` directly, so a green row proves the
+      // canonicalize→host→rank chain end to end.
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("HTTP://"), upper(col("source")),
+        lit(".Example.ORG:80/doc/./"), col("doc_id"), lit("?utm_k=1"))
+      graft.pipeline.Sampling.domainQuota(
+          docs.withColumn("u", url), col("u"), 5,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
     })
   )
 
@@ -8179,7 +8198,18 @@ object SparkEntry {
         |  cast(2 * count(*) as bigint) n_fetches,
         |  cast(sum(cast(concat('0x', substr(md5(txt), 1, 8)) as ubigint))
         |    as bigint) text_sum
-        |from e group by lang""".stripMargin
+        |from e group by lang""".stripMargin,
+
+    // each source IS the host, so the oracle ranks over source directly
+    "q_domain_quota" ->
+      """with r as (select lang, doc_id, n_chars,
+        |  row_number() over (partition by source
+        |    order by n_chars desc, doc_id) rn
+        | from documents)
+        |select lang, cast(count(*) as bigint) n_kept,
+        |  cast(sum(doc_id) as bigint) id_sum,
+        |  cast(sum(n_chars) as bigint) chars_sum
+        |from r where rn <= 5 group by lang""".stripMargin
   )
 
 }

@@ -145,4 +145,24 @@ object Sampling {
     pruned.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .drop("_rk", "_hf", "_id")
   }
+
+  /** Per-domain quota — the crawl-pipeline guard against a handful of
+    * hosts dominating the corpus: canonicalize the URL
+    * ([[graft.functions.UrlNormalize]]), extract the host, keep the top
+    * `k` rows per host by `order` (pass deterministic tie-breaks — e.g.
+    * quality desc, doc id asc). One shuffle on the host key; the window
+    * sort spills, so mega-hosts stay memory-bounded. At extreme scale
+    * pre-trim each host with `hashSample` at a safe over-rate first,
+    * exactly like [[stratifiedSample]]. */
+  def domainQuota(df: DataFrame, urlCol: Column, k: Int,
+                  order: Seq[Column]): DataFrame = {
+    require(k > 0 && order.nonEmpty, "domainQuota needs k > 0 and an order")
+    val host = regexp_extract(
+      graft.functions.UrlNormalize.urlNormalize(urlCol),
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    val w = Window.partitionBy(col("_host")).orderBy(order: _*)
+    df.withColumn("_host", host)
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+      .drop("_rk", "_host")
+  }
 }

@@ -1067,4 +1067,27 @@ class PropertySpec extends AnyFunSuite {
     assert(spark.sql("select count(distinct url_normalize(u)) c from url_rows")
       .collect().head.getLong(0) == 1L)
   }
+
+  test("domainQuota: spelling variants share one host bucket; k caps per host") {
+    import spark.implicits._
+    // hosts h0/h1 under three URL spellings; 6 docs per host, quota 2
+    val rows = (0 until 12).map { i =>
+      val host = s"h${i % 2}"
+      val u = (i / 2) % 3 match {
+        case 0 => s"HTTP://$host.EXAMPLE.ORG:80/p/$i"
+        case 1 => s"http://$host.example.org/x/../p/$i?utm_s=1"
+        case _ => s"http://$host.example.org/p/$i"
+      }
+      (i.toLong, u, 100 - i) // score strictly decreasing in i
+    }.toDF("id", "u", "score")
+    val kept = graft.pipeline.Sampling.domainQuota(
+      rows, col("u"), 2, Seq(col("score").desc, col("id").asc))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"top-2 per host by score = ids 0-3, got ${kept.toSeq}")
+    // quota larger than any host passes everything through
+    val all = graft.pipeline.Sampling.domainQuota(
+      rows, col("u"), 100, Seq(col("id").asc)).count()
+    assert(all == 12L)
+  }
 }
