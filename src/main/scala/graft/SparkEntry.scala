@@ -8124,6 +8124,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    "q_dsir_evidence" -> ((s, dir) => {
+      // DSIR importance weighting (TextStats.dsirScores — Xie et al.
+      // 2023): every 17th doc plays the target sample; hashed-bucket
+      // unigram models (1024 buckets, broadcast) score each document.
+      // The hashed projection is INTEGER evidence only (bucket-count
+      // sums) per the engine-exactness discipline — the float
+      // log_weight exists for real resampling but is not hashed.
+      val docs = t(s, dir, "documents")
+      TextStats.dsirScores(docs, "doc_id", "text",
+          col("doc_id") % 17 === 0, buckets = 1024)
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          sum(col("target_evidence")).as("t_ev_sum"),
+          sum(col("raw_evidence")).as("r_ev_sum"))
     })
   )
 
@@ -8209,7 +8227,29 @@ object SparkEntry {
         |select lang, cast(count(*) as bigint) n_kept,
         |  cast(sum(doc_id) as bigint) id_sum,
         |  cast(sum(n_chars) as bigint) chars_sum
-        |from r where rn <= 5 group by lang""".stripMargin
+        |from r where rn <= 5 group by lang""".stripMargin,
+
+    // same md5-prefix feature hash, same Laplace-free integer evidence
+    "q_dsir_evidence" ->
+      """with toks as (select doc_id, lang, (doc_id % 17 = 0) is_t,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) tok
+        |  from documents),
+        |tk as (select doc_id, lang, is_t,
+        |    cast(cast(concat('0x', substr(md5(tok), 1, 8)) as ubigint)
+        |      % 1024 as bigint) b
+        |  from toks where length(tok) > 0),
+        |model as (select b,
+        |    cast(sum(case when is_t then 1 else 0 end) as bigint) cnt_t,
+        |    count(*) cnt_r
+        |  from tk group by 1),
+        |scored as (select doc_id, lang, count(*) n_tokens,
+        |    sum(cnt_t) t_ev, sum(cnt_r) r_ev
+        |  from tk join model using (b) group by 1, 2)
+        |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(n_tokens) as bigint) tok_sum,
+        |  cast(sum(t_ev) as bigint) t_ev_sum,
+        |  cast(sum(r_ev) as bigint) r_ev_sum
+        |from scored group by lang""".stripMargin
   )
 
 }

@@ -636,4 +636,57 @@ object TextStats {
       .filter(col("cnt") >= ceil(lit(minFrac) * col("n")))
       .select(col("item"), col("cnt"))
   }
+
+  /** Portable hashed-feature bucket for a token: md5-prefix integer mod
+    * `buckets` — identical bits in any engine with md5 (the [[dsirScores]]
+    * feature hash; xxhash would be faster but is Spark-private). */
+  def dsirBucket(token: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(buckets))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how target-like its
+    * hashed bag-of-tokens is, `log_weight = Σ_tokens log p̂_target(b) −
+    * log p̂_raw(b)` over Laplace-smoothed bucket unigram models; sampling
+    * ∝ exp(log_weight) then yields a target-matched subcorpus.
+    *
+    * Output per document: `n_tokens`, exact integer evidence sums
+    * (`target_evidence` = Σ cnt_target(bucket), `raw_evidence` =
+    * Σ cnt_raw(bucket) — engine-exact, what oracle checks pin) and the
+    * float `log_weight` for actual resampling use.
+    *
+    * Scale shape: the two bucket models are ≤`buckets`-row aggregates
+    * (map-side partial combine does the heavy lifting), broadcast onto
+    * the token stream; per-document reduce is the only corpus-sized
+    * shuffle. `isTarget` marks the in-corpus target sample; a separate
+    * target corpus unions in with a flag column first. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), isTarget.as("is_t"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc"), col("is_t"), dsirBucket(col("tok"), buckets).as("b"))
+    val model = toks
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+    val totals = model
+      .agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    val scored = toks
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt_t")).as("target_evidence"),
+        sum(col("cnt_r")).as("raw_evidence"),
+        sum(log(col("cnt_t") + lit(1.0))
+          - log(col("cnt_r") + lit(1.0))).as("lw_num"))
+    // Laplace denominators are per-token constants: fold them once from
+    // the totals instead of inside the big sum
+    scored.crossJoin(broadcast(totals))
+      .select(col("doc"), col("n_tokens"), col("target_evidence"),
+        col("raw_evidence"),
+        (col("lw_num") - col("n_tokens") *
+          (log(col("tot_t") + lit(buckets.toDouble))
+            - log(col("tot_r") + lit(buckets.toDouble)))).as("log_weight"))
+  }
 }

@@ -1090,4 +1090,44 @@ class PropertySpec extends AnyFunSuite {
       rows, col("u"), 100, Seq(col("id").asc)).count()
     assert(all == 12L)
   }
+
+  test("dsirScores: evidence sums match brute force; target-like docs score higher") {
+    import spark.implicits._
+    // target topic = "cat dog"; off-topic = "ore rock"; doc 5 mixes
+    val docs = Seq(
+      (0L, "cat dog cat", true), (1L, "dog cat dog dog", true),
+      (2L, "ore rock ore", false), (3L, "rock ore rock rock", false),
+      (4L, "cat dog dog cat", false), (5L, "cat rock", false)
+    ).toDF("doc_id", "text", "want_t")
+    val got = graft.pipeline.TextStats.dsirScores(
+        docs, "doc_id", "text", col("want_t"), buckets = 64)
+      .collect().map(r => r.getAs[Long]("doc") -> r).toMap
+    assert(got.size == 6)
+    // brute force: bucket = md5-prefix mod 64 per token
+    def bucket(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val toks = Seq((0L, "cat dog cat", true), (1L, "dog cat dog dog", true),
+      (2L, "ore rock ore", false), (3L, "rock ore rock rock", false),
+      (4L, "cat dog dog cat", false), (5L, "cat rock", false))
+      .flatMap { case (id, tx, t) => tx.split("\\s+").map(w => (id, bucket(w), t)) }
+    val cntT = toks.filter(_._3).groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val cntR = toks.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    for (id <- 0L to 5L) {
+      val mine = toks.filter(_._1 == id)
+      assert(got(id).getAs[Long]("n_tokens") == mine.size.toLong)
+      assert(got(id).getAs[Long]("target_evidence") ==
+        mine.map(x => cntT.getOrElse(x._2, 0L)).sum, s"target evidence doc $id")
+      assert(got(id).getAs[Long]("raw_evidence") ==
+        mine.map(x => cntR(x._2)).sum, s"raw evidence doc $id")
+    }
+    // per-token log weight orders docs by target-likeness
+    def perTok(id: Long) =
+      got(id).getAs[Double]("log_weight") / got(id).getAs[Long]("n_tokens")
+    assert(perTok(4L) > perTok(5L) && perTok(5L) > perTok(2L),
+      s"on-topic ${perTok(4L)} > mixed ${perTok(5L)} > off-topic ${perTok(2L)}")
+  }
 }
