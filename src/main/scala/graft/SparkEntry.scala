@@ -8142,6 +8142,37 @@ object SparkEntry {
           sum(col("n_tokens")).as("tok_sum"),
           sum(col("target_evidence")).as("t_ev_sum"),
           sum(col("raw_evidence")).as("r_ev_sum"))
+    }),
+
+    "q_robots_filter" -> ((s, dir) => {
+      // RFC 9309 robots filter (pipeline.Robots + RobotsMatch): every
+      // host publishes the same policy (block /private/ except
+      // /private/pub/, block *.tmp downloads; a separate evilbot group
+      // that must NOT apply to our agent); URLs route docs into the four
+      // path classes by doc_id. The oracle derives the expected keep set
+      // directly from the path-class arithmetic — green proves group
+      // selection, longest-match, allow-tie and $-anchor semantics on a
+      // zero-extra-shuffle plan (rules fold to a broadcast map literal).
+      val docs = t(s, dir, "documents")
+      val body = "User-agent: evilbot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n" +
+        "Disallow: /*.tmp$"
+      val robots = docs
+        .select(concat(col("source"), lit(".example.org")).as("host"))
+        .distinct().withColumn("body", lit(body))
+      val rules = graft.pipeline.Robots.rulesFor(robots, "graftbot")
+      val m4 = pmod(col("doc_id"), lit(4))
+      val urls = docs.withColumn("u",
+        concat(lit("HTTP://"), upper(col("source")), lit(".Example.ORG"),
+          when(m4 === 0, concat(lit("/public/"), col("doc_id")))
+            .when(m4 === 1, concat(lit("/private/"), col("doc_id")))
+            .when(m4 === 2, concat(lit("/private/pub/"), col("doc_id")))
+            .otherwise(concat(lit("/files/"), col("doc_id"), lit(".tmp")))))
+      graft.pipeline.Robots.filterAllowed(urls, col("u"), rules)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_allowed"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))
     })
   )
 
@@ -8249,7 +8280,15 @@ object SparkEntry {
         |  cast(sum(n_tokens) as bigint) tok_sum,
         |  cast(sum(t_ev) as bigint) t_ev_sum,
         |  cast(sum(r_ev) as bigint) r_ev_sum
-        |from scored group by lang""".stripMargin
+        |from scored group by lang""".stripMargin,
+
+    // path classes: 0=/public (no rule), 1=/private (blocked),
+    // 2=/private/pub (longer Allow wins), 3=*.tmp$ (blocked)
+    "q_robots_filter" ->
+      """select lang, cast(count(*) as bigint) n_allowed,
+        |  cast(sum(doc_id) as bigint) id_sum,
+        |  cast(sum(n_chars) as bigint) chars_sum
+        |from documents where doc_id % 4 in (0, 2) group by lang""".stripMargin
   )
 
 }

@@ -1130,4 +1130,73 @@ class PropertySpec extends AnyFunSuite {
     assert(perTok(4L) > perTok(5L) && perTok(5L) > perTok(2L),
       s"on-topic ${perTok(4L)} > mixed ${perTok(5L)} > off-topic ${perTok(2L)}")
   }
+
+  test("RobotsMatch: RFC 9309 pattern semantics") {
+    val m = graft.functions.RobotsMatch.matches _
+    // plain prefix
+    assert(m("/fish/salmon", "/fish"))
+    assert(m("/fishing", "/fish"))
+    assert(!m("/Fish", "/fish"), "matching is case-sensitive per RFC")
+    // * wildcard
+    assert(m("/foox/bar", "/foo*bar"))
+    assert(m("/foobar", "/foo*bar"))
+    assert(m("/foobarx", "/foo*bar"), "prefix continues past the match")
+    assert(!m("/fo/bar", "/foo*bar"))
+    assert(m("/a/b.tmp", "/*.tmp"))
+    // $ anchor
+    assert(m("/fish", "/fish$"))
+    assert(!m("/fishing", "/fish$"))
+    assert(m("/a/b.tmp", "/*.tmp$"))
+    assert(!m("/a/b.tmpx", "/*.tmp$"))
+    // star tails and backtracking
+    assert(m("/abc", "/a*c$"))
+    assert(!m("/abcx", "/a*c$"))
+    assert(m("/anything", "/*"))
+    assert(m("/", "/*"))
+    assert(m("/aXbXc", "/a*b*c"))
+    assert(!m("/acb", "/a*b*c"))
+  }
+
+  test("Robots: group parse, agent selection, decision precedence") {
+    import spark.implicits._
+    val body =
+      """# crawl policy
+        |User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |Disallow: /private/
+        |Allow: /private/pub/
+        |Disallow: /*.tmp$
+        |Crawl-delay: 10
+        |Disallow:
+        |""".stripMargin
+    val parsed = graft.pipeline.Robots.parseRules(body)
+    assert(parsed.contains(("evilbot", false, "/")))
+    assert(parsed.contains(("*", false, "/private/")))
+    assert(parsed.contains(("*", true, "/private/pub/")))
+    assert(!parsed.exists(_._3 == ""), "empty Disallow emits no rule")
+
+    val robots = Seq(("h1", body)).toDF("host", "body")
+    // evilbot gets its exact group only: everything blocked
+    val evil = graft.pipeline.Robots.rulesFor(robots, "EvilBot")
+    assert(evil.collect().map(_.getString(2)).toSeq == Seq("/"))
+    // other agents fall through to *
+    val rules = graft.pipeline.Robots.rulesFor(robots, "graftbot")
+    assert(rules.count() == 3)
+
+    val urls = Seq(
+      (1L, "http://h1/public/x"),       // no rule -> allowed
+      (2L, "http://h1/private/x"),      // /private/ -> blocked
+      (3L, "http://h1/private/pub/x"),  // longer Allow wins -> allowed
+      (4L, "http://h1/tmp/f.tmp"),      // /*.tmp$ -> blocked
+      (5L, "http://other.example/whatever") // unknown host -> allowed
+    ).toDF("id", "u")
+    val kept = graft.pipeline.Robots.filterAllowed(urls, col("u"), rules)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 5L), s"got ${kept.toSeq}")
+    val none = graft.pipeline.Robots.filterAllowed(urls, col("u"), evil)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(none.toSeq == Seq(5L), "evilbot may fetch nothing on h1")
+  }
 }
