@@ -8173,6 +8173,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_allowed"),
           sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_sum"))
+    }),
+
+    "q_charset_sniff" -> ((s, dir) => {
+      // Charset sniffing (CharsetSniffExpr): payloads planted in five
+      // byte shapes — plain ASCII, valid multibyte UTF-8, latin-1 high
+      // bytes, NUL-bearing binary, UTF-8 BOM — must classify exactly;
+      // the oracle derives each doc's label from the planting
+      // arithmetic. The dispatch step between Warc payloads and
+      // html_text; per-row, shuffle-free below the final agg.
+      val docs = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(5))
+      val payload = when(m === 0, col("text").cast("binary"))
+        .when(m === 1, concat(col("text"), lit(" \u00e9\u4e16")).cast("binary"))
+        .when(m === 2, encode(concat(col("text"), lit(" caf\u00e9")), "ISO-8859-1"))
+        .when(m === 3, concat(col("text").cast("binary"),
+          lit(Array[Byte](0, 1, 2))))
+        .otherwise(concat(
+          lit(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)),
+          col("text").cast("binary")))
+      docs.select(
+          graft.functions.CharsetSniff.charsetSniff(payload).as("charset"),
+          col("doc_id"))
+        .groupBy(col("charset"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -8288,7 +8312,15 @@ object SparkEntry {
       """select lang, cast(count(*) as bigint) n_allowed,
         |  cast(sum(doc_id) as bigint) id_sum,
         |  cast(sum(n_chars) as bigint) chars_sum
-        |from documents where doc_id % 4 in (0, 2) group by lang""".stripMargin
+        |from documents where doc_id % 4 in (0, 2) group by lang""".stripMargin,
+
+    // label follows the planting arithmetic exactly
+    "q_charset_sniff" ->
+      """select case doc_id % 5 when 0 then 'ascii' when 1 then 'utf-8'
+        |  when 2 then 'latin-1' when 3 then 'binary'
+        |  else 'utf-8-bom' end charset,
+        | cast(count(*) as bigint) n, cast(sum(doc_id) as bigint) id_sum
+        |from documents group by 1""".stripMargin
   )
 
 }

@@ -19,6 +19,8 @@ object GraftFunctions {
     "nfc_normalize" -> (exprs => NfcNormalize(exprs.head)),
     "html_text" -> (exprs => HtmlTextExtract(exprs.head)),
     "url_normalize" -> (exprs => UrlNormalizeExpr(exprs.head)),
+    "robots_match" -> (exprs => RobotsMatchExpr(exprs.head, exprs(1))),
+    "charset_sniff" -> (exprs => CharsetSniffExpr(exprs.head)),
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),

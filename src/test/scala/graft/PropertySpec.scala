@@ -1199,4 +1199,40 @@ class PropertySpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(none.toSeq == Seq(5L), "evilbot may fetch nothing on h1")
   }
+
+  test("CharsetSniff: BOMs, utf-8 validation, latin-1, binary, windowing") {
+    def s(bytes: Array[Byte]): String = graft.functions.CharsetSniff.sniff(bytes)
+    def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    assert(s(ascii("plain text\nwith lines\t.")) == "ascii")
+    assert(s("héllo wörld 世界".getBytes("UTF-8")) == "utf-8")
+    assert(s(Array(0xEF, 0xBB, 0xBF, 'h', 'i').map(_.toByte)) == "utf-8-bom")
+    assert(s(Array(0xFE, 0xFF, 0, 'h').map(_.toByte)) == "utf-16")
+    assert(s(Array(0xFF, 0xFE, 'h', 0).map(_.toByte)) == "utf-16")
+    assert(s("café".getBytes("ISO-8859-1")) == "latin-1")
+    // bare continuation byte and invalid lead
+    assert(s(Array('a', 0x80, 'b').map(_.toByte)) == "latin-1")
+    assert(s(Array('a', 0xC0, 0xAF).map(_.toByte)) == "latin-1", "overlong lead C0")
+    // overlong 3-byte (E0 80..9F) and surrogate (ED A0..) reject
+    assert(s(Array(0xE0, 0x80, 0x80).map(_.toByte)) == "latin-1")
+    assert(s(Array(0xED, 0xA0, 0x80).map(_.toByte)) == "latin-1")
+    // 4-byte emoji is valid utf-8
+    assert(s("ok 😀".getBytes("UTF-8")) == "utf-8")
+    // NUL and control-heavy content
+    assert(s(Array('P', 'K', 0, 1).map(_.toByte)) == "binary")
+    assert(s(Array.fill[Byte](100)(0x01)) == "binary")
+    // truncated trailing multibyte at payload end is NOT valid utf-8
+    val cut = "é".getBytes("UTF-8").take(1) // lone C3
+    assert(s(ascii("abc") ++ cut) == "latin-1")
+    assert(s(Array.emptyByteArray) == "ascii")
+    // expression + SQL registration over a DataFrame
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "plain"), (2L, "café")).toDF("id", "t")
+      .withColumn("b", when(col("id") === 1, col("t").cast("binary"))
+        .otherwise(encode(col("t"), "ISO-8859-1")))
+    val got = df.withColumn("cs",
+        graft.functions.CharsetSniff.charsetSniff(col("b")))
+      .orderBy("id").select("cs").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("ascii", "latin-1"))
+  }
 }
