@@ -8197,6 +8197,21 @@ object SparkEntry {
           col("doc_id"))
         .groupBy(col("charset"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    "q_langid_trigram" -> ((s, dir) => {
+      // Cavnar–Trenkle-style n-gram language ID (TextStats
+      // .langIdProfiles/Classify): top-100 char-trigram profiles per
+      // language from the labelled corpus (broadcast scale), then each
+      // doc scores by distinct-trigram overlap and takes the argmax.
+      // Confusion-matrix output, exact integer scores; ties break
+      // lexicographically so both engines agree row-for-row.
+      val docs = t(s, dir, "documents")
+      val prof = TextStats.langIdProfiles(docs, "lang", "text", k = 100)
+      TextStats.langIdClassify(docs, "doc_id", "text", prof)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
     })
   )
 
@@ -8320,7 +8335,29 @@ object SparkEntry {
         |  when 2 then 'latin-1' when 3 then 'binary'
         |  else 'utf-8-bom' end charset,
         | cast(count(*) as bigint) n, cast(sum(doc_id) as bigint) id_sum
-        |from documents group by 1""".stripMargin
+        |from documents group by 1""".stripMargin,
+
+    // same trigram/profile/argmax pipeline in SQL; range(1, len-1)
+    // yields 1-based positions 1..len-2 like the Spark sequence
+    "q_langid_trigram" ->
+      """with t as (select doc_id, lang, lower(trim(text)) s from documents),
+        |tri as (select doc_id, lang, substr(s, cast(i as int), 3) tri
+        |  from t, unnest(range(1, length(s) - 1)) u(i)),
+        |prof as (select lang, tri, count(*) cnt from tri group by 1, 2),
+        |topk as (select lang, tri from (select lang, tri,
+        |    row_number() over (partition by lang
+        |      order by cnt desc, tri) rk from prof) where rk <= 100),
+        |dtri as (select distinct doc_id, tri from tri),
+        |scores as (select d.doc_id, p.lang plang, count(*) score
+        |  from dtri d join topk p using (tri) group by 1, 2),
+        |best as (select doc_id, plang, score, row_number() over
+        |    (partition by doc_id order by score desc, plang) rk
+        |  from scores),
+        |sel as (select doc_id, plang pred_lang, score from best where rk = 1)
+        |select d2.lang, s.pred_lang, cast(count(*) as bigint) n,
+        |  cast(sum(s.score) as bigint) score_sum
+        |from sel s join documents d2 using (doc_id)
+        |group by 1, 2""".stripMargin
   )
 
 }

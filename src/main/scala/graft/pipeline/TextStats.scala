@@ -689,4 +689,55 @@ object TextStats {
           (log(col("tot_t") + lit(buckets.toDouble))
             - log(col("tot_r") + lit(buckets.toDouble)))).as("log_weight"))
   }
+
+  /** All character trigrams of `text` as an array (positions 1..len-2,
+    * character-based). Empty array below 3 chars. */
+  def charTrigrams(text: Column): Column =
+    filter(
+      transform(sequence(lit(1), greatest(length(text) - 2, lit(0))),
+        i => org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Substring(
+            org.apache.spark.sql.graft.ColumnBridge.expression(text),
+            org.apache.spark.sql.graft.ColumnBridge.expression(i),
+            org.apache.spark.sql.catalyst.expressions.Literal(3)))),
+      t => length(t) === 3)
+
+  /** Cavnar–Trenkle-style language-ID, step 1: per-language profiles =
+    * the top-`k` character trigrams of the labelled corpus by count
+    * (ties break by trigram for determinism). Output
+    * (lang, tri, rk) — at most `k · |langs|` rows: broadcast scale. */
+  def langIdProfiles(docs: DataFrame, langCol: String, textCol: String,
+                     k: Int = 300): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    docs.select(col(langCol).as("lang"),
+        explode(charTrigrams(lower(trim(col(textCol))))).as("tri"))
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("tri"), col("rk"))
+  }
+
+  /** Step 2: classify each document by profile overlap — the number of
+    * the document's DISTINCT trigrams present in each language profile
+    * (exact integer score; a simplification of Cavnar–Trenkle's rank
+    * distance that stays engine-exact). Prediction = max score, ties to
+    * the lexicographically first language. Output (id, pred_lang,
+    * score). Shape: trigram explode → broadcast profile join → one
+    * per-doc hash-agg; profiles never exceed k·|langs| rows. */
+  def langIdClassify(docs: DataFrame, idCol: String, textCol: String,
+                     profiles: DataFrame): DataFrame = {
+    val tri = docs.select(col(idCol).as("id"),
+        explode(array_distinct(charTrigrams(lower(trim(col(textCol))))))
+          .as("tri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("plang"))
+    tri.join(broadcast(profiles.select(col("lang").as("plang"), col("tri"))),
+        Seq("tri"))
+      .groupBy(col("id"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("id"), col("plang").as("pred_lang"), col("score"))
+  }
 }

@@ -1235,4 +1235,30 @@ class PropertySpec extends AnyFunSuite {
       .orderBy("id").select("cs").collect().map(_.getString(0))
     assert(got.toSeq == Seq("ascii", "latin-1"))
   }
+
+  test("charTrigrams + langId: trigram edges, profile determinism, argmax") {
+    import spark.implicits._
+    val df = Seq((1L, "abcde"), (2L, "ab"), (3L, ""), (4L, "xyz"))
+      .toDF("id", "t")
+    val tris = df.withColumn("g", graft.pipeline.TextStats.charTrigrams(col("t")))
+      .orderBy("id").collect().map(_.getSeq[String](2))
+    assert(tris(0) == Seq("abc", "bcd", "cde"))
+    assert(tris(1).isEmpty && tris(2).isEmpty, "short strings yield none")
+    assert(tris(3) == Seq("xyz"))
+
+    // two 'languages' with disjoint trigram vocab; classify held-out text
+    val corpus = Seq(
+      ("aa", "abc abc abd"), ("aa", "abc abd abd"),
+      ("bb", "xyz xyw xyz"), ("bb", "xyw xyz xyw")
+    ).toDF("lang", "text")
+    val prof = graft.pipeline.TextStats.langIdProfiles(corpus, "lang", "text", k = 5)
+    assert(prof.count() == 10, "5 per language")
+    val test = Seq((10L, "abc abd"), (11L, "xyz xyw"), (12L, "qqq qqq"))
+      .toDF("doc_id", "text")
+    val pred = graft.pipeline.TextStats
+      .langIdClassify(test, "doc_id", "text", prof)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred.get(10L).contains("aa") && pred.get(11L).contains("bb"))
+    assert(!pred.contains(12L), "no overlap with any profile -> no row")
+  }
 }
