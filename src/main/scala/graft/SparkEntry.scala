@@ -8212,6 +8212,35 @@ object SparkEntry {
         .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+    }),
+
+    "q_linkgraph_pagerank" -> ((s, dir) => {
+      // Link graph end to end: pages carry two <a href> links each
+      // (deterministic doc-id arithmetic; plus an href-less anchor that
+      // must NOT emit), HtmlLinksExpr extracts the edges, and
+      // Graph.pageRankExact runs three integer-exact iterations — every
+      // step int64 floor arithmetic, so the rank vector hash-matches the
+      // oracle's unrolled replay bit for bit. The quality-signal chain
+      // (extract → graph → rank) of a crawl pipeline in one plan.
+      val docs = t(s, dir, "documents")
+      val nRow = docs.agg(count(lit(1)).as("nn"))
+      val pages = docs.crossJoin(broadcast(nRow)).select(col("doc_id"),
+        concat(lit("<html><body><p>x</p><a href=\"/doc/"),
+          pmod(col("doc_id") * 7 + 1, col("nn")),
+          lit("\">l1</a> <a class='x' href='/doc/"),
+          pmod(col("doc_id") * 13 + 2, col("nn")),
+          lit("'>l2</a><a name=bare>no</a></body></html>")).as("html"))
+      val edges = pages.select(col("doc_id").as("src"),
+          explode(graft.functions.HtmlLinks.htmlLinks(col("html")))
+            .as("href"))
+        .select(col("src"),
+          regexp_extract(col("href"), "/doc/(\\d+)", 1).cast("long")
+            .as("dst"))
+      graft.pipeline.Graph.pageRankExact(edges, "src", "dst", iters = 3)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("r")).as("rank_sum"),
+          max(col("r")).as("rank_max"))
     })
   )
 
@@ -8357,7 +8386,33 @@ object SparkEntry {
         |select d2.lang, s.pred_lang, cast(count(*) as bigint) n,
         |  cast(sum(s.score) as bigint) score_sum
         |from sel s join documents d2 using (doc_id)
-        |group by 1, 2""".stripMargin
+        |group by 1, 2""".stripMargin,
+
+    // the edge arithmetic replayed directly; three unrolled integer
+    // iterations (// is floor division) — bit-exact by construction
+    "q_linkgraph_pagerank" ->
+      """with nn as (select count(*) n from documents),
+        |e as (select doc_id src, (doc_id*7+1) % n dst from documents, nn
+        |  union all
+        |  select doc_id, (doc_id*13+2) % n from documents, nn),
+        |node as (select doc_id id from documents),
+        |od as (select src, count(*) od from e group by 1),
+        |r0 as (select id, cast(1000000000 as bigint) r from node),
+        |c1 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r0 on r0.id = e.src group by 1),
+        |r1 as (select id, cast(150000000 + (85 * coalesce(cs, 0)) // 100
+        |    as bigint) r from node left join c1 on c1.dst = node.id),
+        |c2 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r1 on r1.id = e.src group by 1),
+        |r2 as (select id, cast(150000000 + (85 * coalesce(cs, 0)) // 100
+        |    as bigint) r from node left join c2 on c2.dst = node.id),
+        |c3 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r2 on r2.id = e.src group by 1),
+        |r3 as (select id, cast(150000000 + (85 * coalesce(cs, 0)) // 100
+        |    as bigint) r from node left join c3 on c3.dst = node.id)
+        |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(r) as bigint) rank_sum, cast(max(r) as bigint) rank_max
+        |from r3 join documents on id = doc_id group by lang""".stripMargin
   )
 
 }

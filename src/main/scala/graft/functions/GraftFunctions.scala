@@ -21,6 +21,7 @@ object GraftFunctions {
     "url_normalize" -> (exprs => UrlNormalizeExpr(exprs.head)),
     "robots_match" -> (exprs => RobotsMatchExpr(exprs.head, exprs(1))),
     "charset_sniff" -> (exprs => CharsetSniffExpr(exprs.head)),
+    "html_links" -> (exprs => HtmlLinksExpr(exprs.head)),
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),

@@ -136,7 +136,85 @@ object HtmlText {
     -1
   }
 
-  private def decodeEntities(in: String): String = {
+  /** Walk the markup, calling `f(name, tagStart, tagEnd)` for every real
+    * tag (open or close; name lowercased, '/' prefix kept for closes);
+    * comments/CDATA are skipped and script/style CONTENT is not entered —
+    * the same traversal [[stripMarkup]] performs, shared so link
+    * extraction and text extraction can never disagree on structure. */
+  private[functions] def forEachTag(in: String)(
+      f: (String, Int, Int) => Unit): Unit = {
+    val n = in.length
+    var i = 0
+    while (i < n) {
+      val c = in.charAt(i)
+      if (c != '<') i += 1
+      else if (startsWith(in, i + 1, "!--")) {
+        val end = in.indexOf("-->", i + 4)
+        i = if (end < 0) n else end + 3
+      } else if (startsWith(in, i + 1, "![CDATA[")) {
+        val end = in.indexOf("]]>", i + 9)
+        i = if (end < 0) n else end + 3
+      } else if (i + 1 < n &&
+          (isAsciiLetter(in.charAt(i + 1)) || in.charAt(i + 1) == '/' ||
+            in.charAt(i + 1) == '!' || in.charAt(i + 1) == '?')) {
+        val isClose = in.charAt(i + 1) == '/'
+        val nameStart = if (isClose) i + 2 else i + 1
+        val tagEnd = skipTag(in, i + 1)
+        val name = tagName(in, nameStart)
+        val selfClosing = tagEnd >= 2 && tagEnd <= n &&
+          in.charAt(tagEnd - 1) == '>' && in.charAt(tagEnd - 2) == '/'
+        f(if (isClose) "/" + name else name, i, tagEnd)
+        i = tagEnd
+        if (!isClose && !selfClosing && (name == "script" || name == "style")) {
+          val close = indexOfClose(in, i, name)
+          i = if (close < 0) n else skipTag(in, close + 1)
+        }
+      } else i += 1
+    }
+  }
+
+  /** Attribute value of `attr` (case-insensitive) inside the tag spanning
+    * `[tagStart, tagEnd)`, entity-decoded; null if absent. */
+  private[functions] def attrValue(in: String, tagStart: Int, tagEnd: Int,
+                                   attr: String): String = {
+    var j = tagStart + 1
+    // skip tag name
+    while (j < tagEnd && in.charAt(j) != ' ' && in.charAt(j) != '\t' &&
+        in.charAt(j) != '\n' && in.charAt(j) != '\r' && in.charAt(j) != '>') j += 1
+    while (j < tagEnd) {
+      while (j < tagEnd && " \t\n\r/".indexOf(in.charAt(j)) >= 0) j += 1
+      val nameStart = j
+      while (j < tagEnd && "= \t\n\r>/\"'".indexOf(in.charAt(j)) < 0) j += 1
+      if (j == nameStart) { j += 1 }
+      else {
+        val name = in.substring(nameStart, j)
+        var k = j
+        while (k < tagEnd && (in.charAt(k) == ' ' || in.charAt(k) == '\t' ||
+            in.charAt(k) == '\n' || in.charAt(k) == '\r')) k += 1
+        if (k < tagEnd && in.charAt(k) == '=') {
+          k += 1
+          while (k < tagEnd && (in.charAt(k) == ' ' || in.charAt(k) == '\t' ||
+              in.charAt(k) == '\n' || in.charAt(k) == '\r')) k += 1
+          val (value, after) =
+            if (k < tagEnd && (in.charAt(k) == '"' || in.charAt(k) == '\'')) {
+              val q = in.charAt(k)
+              val e = in.indexOf(q, k + 1)
+              val stop = if (e < 0 || e >= tagEnd) tagEnd - 1 else e
+              (in.substring(k + 1, math.max(stop, k + 1)), stop + 1)
+            } else {
+              var e = k
+              while (e < tagEnd && " \t\n\r>".indexOf(in.charAt(e)) < 0) e += 1
+              (in.substring(k, e), e)
+            }
+          if (name.equalsIgnoreCase(attr)) return decodeEntities(value)
+          j = after
+        }
+      }
+    }
+    null
+  }
+
+  private[functions] def decodeEntities(in: String): String = {
     if (in.indexOf('&') < 0) return in
     val n = in.length
     val out = new java.lang.StringBuilder(n)

@@ -1261,4 +1261,48 @@ class PropertySpec extends AnyFunSuite {
     assert(pred.get(10L).contains("aa") && pred.get(11L).contains("bb"))
     assert(!pred.contains(12L), "no overlap with any profile -> no row")
   }
+
+  test("HtmlLinks: hrefs in order, attrs/quotes/entities, no script/comment links") {
+    def links(s: String): Seq[String] = {
+      val a = graft.functions.HtmlLinks.links(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(links("""<a href="/x">a</a><a class='k' href='/y?a=1&amp;b=2'>b</a>""") ==
+      Seq("/x", "/y?a=1&b=2"))
+    assert(links("""<A HREF=/bare>up</A>""") == Seq("/bare"),
+      "case-insensitive tag/attr, unquoted value")
+    assert(links("""<a name="no">x</a><area href="/not-a"/>""") == Nil)
+    assert(links("""<!-- <a href="/c">c</a> --><script>let a='<a href="/s">'</script>""") ==
+      Nil, "comment and script bodies emit nothing")
+    assert(links("""<a title="1 > 0" href="/q">x</a>""") == Seq("/q"),
+      "quoted > inside another attribute")
+    assert(links("""<a href="">e</a><a href>f</a>""") == Nil,
+      "empty and valueless hrefs drop")
+  }
+
+  test("pageRankExact equals an integer reference fold on a small graph") {
+    import spark.implicits._
+    // 6 nodes; node 5 dangling; parallel edge 0->1 twice; self-loop 4->4
+    val edges = Seq(0L -> 1L, 0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 2L -> 5L).toDF("src", "dst")
+    val got = graft.pipeline.Graph
+      .pageRankExact(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: same integer recurrence, plain Scala
+    val es = Seq((0L, 1L), (0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L),
+      (4L, 4L), (2L, 5L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val od = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 4) {
+      val cs = es.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map(e => r(e._1) / od(e._1)).sum
+      }
+      r = nodes.map(v => v -> (150000000L + 85L * cs.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(got == r, s"spark $got vs reference $r")
+    // dangling node keeps only the base mass
+    assert(got(3L) == 150000000L)
+  }
 }
