@@ -8241,6 +8241,33 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("r")).as("rank_sum"),
           max(col("r")).as("rank_max"))
+    }),
+
+    "q_anchor_text" -> ((s, dir) => {
+      // Anchor-text extraction (HtmlAnchorsExpr): each page carries one
+      // real link whose anchor text wraps nested markup around target
+      // and source, plus an href-less anchor that must not emit. The
+      // oracle constructs the expected (href, extracted text) pair
+      // directly — green proves inner-markup stripping, entity/collapse
+      // semantics and the href pairing, per row via md5 sums.
+      val docs = t(s, dir, "documents")
+      val nRow = docs.agg(count(lit(1)).as("nn"))
+      val tgt = pmod(col("doc_id") * 7 + 1, col("nn"))
+      val pages = docs.crossJoin(broadcast(nRow)).select(col("lang"),
+        concat(lit("<p>pre</p><a href=\"/doc/"), tgt,
+          lit("\">to <b>"), tgt, lit("</b> from "), col("source"),
+          lit("</a><a name=x>skip</a>")).as("html"))
+      pages.select(col("lang"),
+          explode(graft.functions.HtmlLinks.htmlAnchors(col("html")))
+            .as("a"))
+        .select(col("lang"), col("a.href").as("href"),
+          col("a.text").as("atext"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(conv(substring(md5(col("href")), 1, 8), 16, 10).cast("long"))
+            .as("href_sum"),
+          sum(conv(substring(md5(col("atext")), 1, 8), 16, 10).cast("long"))
+            .as("text_sum"))
     })
   )
 
@@ -8412,7 +8439,21 @@ object SparkEntry {
         |    as bigint) r from node left join c3 on c3.dst = node.id)
         |select lang, cast(count(*) as bigint) n_docs,
         |  cast(sum(r) as bigint) rank_sum, cast(max(r) as bigint) rank_max
-        |from r3 join documents on id = doc_id group by lang""".stripMargin
+        |from r3 join documents on id = doc_id group by lang""".stripMargin,
+
+    // expected pair stated directly from the page construction
+    "q_anchor_text" ->
+      """with nn as (select count(*) n from documents),
+        |a as (select lang,
+        |    '/doc/' || ((doc_id*7+1) % n) href,
+        |    'to ' || ((doc_id*7+1) % n) || ' from ' || source atext
+        |  from documents, nn)
+        |select lang, cast(count(*) as bigint) n_anchors,
+        |  cast(sum(cast(concat('0x', substr(md5(href), 1, 8)) as ubigint))
+        |    as bigint) href_sum,
+        |  cast(sum(cast(concat('0x', substr(md5(atext), 1, 8)) as ubigint))
+        |    as bigint) text_sum
+        |from a group by lang""".stripMargin
   )
 
 }

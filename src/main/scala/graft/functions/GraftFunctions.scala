@@ -22,6 +22,7 @@ object GraftFunctions {
     "robots_match" -> (exprs => RobotsMatchExpr(exprs.head, exprs(1))),
     "charset_sniff" -> (exprs => CharsetSniffExpr(exprs.head)),
     "html_links" -> (exprs => HtmlLinksExpr(exprs.head)),
+    "html_anchors" -> (exprs => HtmlAnchorsExpr(exprs.head)),
     "gamma_cdf" -> (exprs => GammaCdf(exprs.head, exprs(1))),
     "probit"    -> (exprs => Probit(exprs.head)),
     "gamma_mle_shape" -> (exprs => GammaMleShape(exprs.head)),

@@ -690,6 +690,32 @@ object TextStats {
             - log(col("tot_r") + lit(buckets.toDouble)))).as("log_weight"))
   }
 
+  /** DEFLATE compression ratio of the UTF-8 text (compressed/raw bytes,
+    * level 6) — the repetition/boilerplate proxy RefinedWeb and
+    * MassiveText-style filters use: templated or highly repetitive pages
+    * compress far below ~0.4 while natural prose sits near 0.6–0.8.
+    * Implemented as a Scala UDF (a compressor is imperative by nature;
+    * same tier as the media byte decoders): per-row, shuffle-free, one
+    * reusable buffer per call. Deterministic for a given JVM zlib — a
+    * WITHIN-ENGINE quality signal, not an oracle-comparable value
+    * (DuckDB has no deflate), hence lib-green by unit test. Returns null
+    * for null/empty input. */
+  def compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) None
+      else {
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val defl = new java.util.zip.Deflater(6, true)
+        try {
+          defl.setInput(raw); defl.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!defl.finished()) total += defl.deflate(buf)
+          Some(total.toDouble / raw.length)
+        } finally defl.end()
+      }
+    }
+
   /** All character trigrams of `text` as an array (positions 1..len-2,
     * character-based). Empty array below 3 chars. */
   def charTrigrams(text: Column): Column =

@@ -36,7 +36,8 @@ class PlanSpec extends AnyFunSuite {
     "q_js_divergence", // one-row (en,de) corpus-totals broadcast
     "q_cramers_v", // one-row (n,r,c) contingency-total broadcast
     "q_dsir_evidence", // one-row (tot_t, tot_r) model-totals broadcast
-    "q_linkgraph_pagerank") // one-row corpus-count broadcast (n for % n)
+    "q_linkgraph_pagerank", // one-row corpus-count broadcast (n for % n)
+    "q_anchor_text") // one-row corpus-count broadcast (n for % n)
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1302,7 +1302,47 @@ class PropertySpec extends AnyFunSuite {
       r = nodes.map(v => v -> (150000000L + 85L * cs.getOrElse(v, 0L) / 100L)).toMap
     }
     assert(got == r, s"spark $got vs reference $r")
-    // dangling node keeps only the base mass
+    // node 3 has no inbound edges: base mass only
     assert(got(3L) == 150000000L)
+  }
+
+  test("html_anchors: (href, text) pairs; nested markup, implied close, EOF tail") {
+    def pairs(s: String): Seq[(String, String)] = {
+      val a = graft.functions.HtmlLinks.anchors(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+    }
+    assert(pairs("""<a href="/x">hello <b>bold</b> world</a>""") ==
+      Seq("/x" -> "hello bold world"))
+    assert(pairs("""<a href="/1">one</a> mid <a href='/2'>t&amp;wo</a>""") ==
+      Seq("/1" -> "one", "/2" -> "t&wo"))
+    // implied close: second <a> closes the first
+    assert(pairs("""<a href="/a">first <a href="/b">second</a>""") ==
+      Seq("/a" -> "first", "/b" -> "second"))
+    // EOF inside an anchor keeps the tail text
+    assert(pairs("""<a href="/cut">tail text""") == Seq("/cut" -> "tail text"))
+    // href-less anchors contribute nothing, even with text
+    assert(pairs("""<a name="n">skip</a>""") == Nil)
+    // empty anchor text is kept (image links)
+    assert(pairs("""<a href="/img"><img src="i.png"/></a>""") == Seq("/img" -> ""))
+  }
+
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val varied = Seq.fill(400)(rng.alphanumeric.take(6).mkString).mkString(" ")
+    val df = Seq(
+      (1L, "spam " * 500), (2L, varied), (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.withColumn("cr",
+        graft.pipeline.TextStats.compressionRatio(col("t")))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(got(0).get < 0.05, s"pure repetition ~0: ${got(0)}")
+    assert(got(1).get > 0.5, s"random text stays high: ${got(1)}")
+    assert(got(2).isEmpty && got(3).isEmpty, "empty/null -> null")
   }
 }
