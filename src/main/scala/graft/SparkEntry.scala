@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Runs, Stats, Time}
 import graft.indices.Generic
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{BpeTrain, Dedup, Similarity, TextStats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -118,7 +118,7 @@ object SparkEntry {
   // Query registry: one entry per implemented operator (SURVEY.md §2).
   // ------------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42 ++ queries43 ++ queries44
+    queries1 ++ queries2 ++ queries3 ++ queries4 ++ queries5 ++ queries6 ++ queries7 ++ queries8 ++ queries9 ++ queries10 ++ queries11 ++ queries12 ++ queries13 ++ queries14 ++ queries15 ++ queries16 ++ queries17 ++ queries18 ++ queries19 ++ queries20 ++ queries21 ++ queries22 ++ queries23 ++ queries24 ++ queries25 ++ queries26 ++ queries27 ++ queries28 ++ queries29 ++ queries30 ++ queries31 ++ queries32 ++ queries33 ++ queries34 ++ queries35 ++ queries36 ++ queries37 ++ queries38 ++ queries39 ++ queries40 ++ queries41 ++ queries42 ++ queries43 ++ queries44 ++ queries45
 
   private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -569,7 +569,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracles (column names/types must match the Spark results).
   // ------------------------------------------------------------------
-  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42 ++ oracle43 ++ oracle44
+  def oracleSql: Map[String, String] = oracle1 ++ oracle2 ++ oracle3 ++ oracle4 ++ oracle5 ++ oracle6 ++ oracle7 ++ oracle8 ++ oracle9 ++ oracle10 ++ oracle11 ++ oracle12 ++ oracle13 ++ oracle14 ++ oracle15 ++ oracle17 ++ oracle18 ++ oracle19 ++ oracle20 ++ oracle21 ++ oracle22 ++ oracle23 ++ oracle24 ++ oracle25 ++ oracle26 ++ oracle27 ++ oracle28 ++ oracle29 ++ oracle30 ++ oracle31 ++ oracle32 ++ oracle33 ++ oracle34 ++ oracle35 ++ oracle36 ++ oracle37 ++ oracle38 ++ oracle39 ++ oracle40 ++ oracle41 ++ oracle42 ++ oracle43 ++ oracle44 ++ oracle45
 
   private def oracle1: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -8454,6 +8454,167 @@ object SparkEntry {
         |  cast(sum(cast(concat('0x', substr(md5(atext), 1, 8)) as ubigint))
         |    as bigint) text_sum
         |from a group by lang""".stripMargin
+  )
+
+  // ------------------------------------------------------------------
+  // round 10 (cont.): corpus-hygiene + lake-maintenance operators.
+  // q_blocklist_filter — Aho–Corasick multi-pattern scan (C4's badwords
+  //   gate; ONE pass per doc vs P contains-scans). q_bpe_train — the
+  //   LEARNING half of the BPE tokenizer: K merge rounds over the
+  //   distinct-word table, never the corpus. q_lake_merge — Delta-style
+  //   MERGE INTO over plain parquet as one join + union plan.
+  // All three emit exact-integer evidence only.
+
+  /** Blocklist for q_blocklist_filter — single words, phrases, and
+    * boundary-crossing substrings so the automaton's fail links are
+    * actually exercised; one definition feeds Spark AND the oracle. */
+  private val blocklist: Seq[String] = Seq(
+    "spark", "table table", "agg", "merge batch", "fast order", "scan s",
+    "customer", "big big", "a a", "lorem ipsum", "vector", "slow slow")
+
+  private def queries45: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_blocklist_filter" -> ((s, dir) => {
+      // One automaton pass per document (functions/AhoCorasick.scala);
+      // counts are overlapping-occurrence counts, so the oracle can
+      // replicate them with a position scan. Narrow projection off the
+      // scan — no shuffle until the tiny per-lang rollup.
+      t(s, dir, "documents")
+        .select(col("lang"),
+          graft.functions.AhoCorasick
+            .acScan(lower(col("text")), blocklist).as("ac"))
+        .select(col("lang"), col("ac.total_hits").as("hits"),
+          col("ac.distinct_hits").as("dp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_blocked"),
+          sum(col("hits")).as("total_hits"),
+          max(col("dp")).cast("long").as("max_distinct"))
+    }),
+
+    "q_bpe_train" -> ((s, dir) => {
+      // Distributed BPE merge learning (pipeline/BpeTrain.scala): the
+      // oracle replays all 10 rounds as unrolled SQL over the same
+      // double-separator encoding, so green means pair counting, argmax
+      // tie-breaks AND merge application are engine-exact end-to-end.
+      BpeTrain.learnMerges(t(s, dir, "documents"), "text", 10)
+    }),
+
+    "q_lake_merge" -> ((s, dir) => {
+      // MERGE INTO over the orders snapshot (sources/Lake.merge): keys
+      // ≡0 (mod 7) update (+100.00), ≡1 delete, ≡2 insert under fresh
+      // keys. One outer join + union — single snapshot scan; evidence
+      // is exact key sums and micro-quantized cents.
+      val orders = t(s, dir, "orders")
+      val target = orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = pmod(col("o_orderkey"), lit(7))
+      val changes = orders.filter(m <= 2).select(
+        when(m === 2, col("o_orderkey") + lit(100000000L))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(m === 0, lit("update")).when(m === 1, lit("delete"))
+          .otherwise(lit("insert")).as("op"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      graft.sources.Lake.merge(target, changes, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(uq(col("o_totalprice"), 100)).as("cents_sum"))
+    })
+  )
+
+  /** Unrolled k-round BPE training oracle — the SQL twin of
+    * [[BpeTrain.learnMerges]], generated so both engines share one
+    * definition of the encoding and the merge rule. Every stage CTE is
+    * MATERIALIZED: each s_i is referenced twice (p_{i+1} and s_{i+1}),
+    * so default CTE inlining would expand the chain 2^k times. */
+  private def bpeTrainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """with w as materialized (select word, cast(count(*) as bigint) wc
+        | from (
+        |  select unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0 and not contains(x, chr(1)))) word
+        |  from documents) group by 1),
+        |s0 as materialized (select word, wc,
+        |  chr(1) || chr(1) ||
+        |  array_to_string(list_transform(range(1, len(word) + 1),
+        |    i -> substr(word, cast(i as int), 1)), chr(1) || chr(1)) ||
+        |  chr(1) || chr(1) enc from w)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |p$i as materialized (select sy[cast(i as int)] l,
+        |   sy[cast(i as int) + 1] r, cast(sum(wc) as bigint) c
+        | from (select wc, list_filter(string_split(enc, chr(1) || chr(1)),
+        |     x -> x <> '') sy from s${i - 1}) q,
+        |   unnest(range(1, len(sy))) u(i)
+        | group by 1, 2),
+        |b$i as materialized (select $i it, l, r, c,
+        |   (select cast(count(*) as bigint) from p$i) n_pairs
+        | from p$i order by c desc, l, r limit 1),
+        |s$i as materialized (select word, wc, replace(enc,
+        |   chr(1) || l || chr(1) || chr(1) || r || chr(1),
+        |   chr(1) || l || r || chr(1)) enc
+        | from s${i - 1} cross join b$i)""".stripMargin)
+    }
+    sb.append((1 to k)
+      .map(i => s"select it, l lhs, r rhs, c pair_count, n_pairs from b$i")
+      .mkString("\n", "\nunion all\n", ""))
+    sb.toString
+  }
+
+  private def oracle45: Map[String, String] = Map(
+
+    // overlapping-occurrence counts via an explicit position scan —
+    // the semantically honest twin of the automaton
+    "q_blocklist_filter" ->
+      s"""with pats as (select * from (values
+         |   ${blocklist.map(p => s"('$p')").mkString(", ")}) p(pat)),
+         |d as (select doc_id, lang, lower(text) t from documents),
+         |hits as (
+         |  select d.doc_id, d.lang, p.pat,
+         |    len(list_filter(range(1, len(d.t) - len(p.pat) + 2),
+         |        i -> substr(d.t, cast(i as int), len(p.pat)) = p.pat)) c
+         |  from d cross join pats p),
+         |perdoc as (select doc_id, lang, cast(sum(c) as bigint) hits,
+         |    count(distinct case when c > 0 then pat end) dp
+         |  from hits group by 1, 2)
+         |select lang, count(*) n_docs,
+         |  cast(sum(case when hits > 0 then 1 else 0 end) as bigint) n_blocked,
+         |  cast(sum(hits) as bigint) total_hits,
+         |  cast(max(dp) as bigint) max_distinct
+         |from perdoc group by lang""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainSql(10),
+
+    "q_lake_merge" ->
+      """with t0 as (select o_orderkey, o_orderstatus, o_totalprice
+        |  from orders),
+        |ch as (select
+        |   case when o_orderkey % 7 = 2 then o_orderkey + 100000000
+        |        else o_orderkey end o_orderkey,
+        |   case when o_orderkey % 7 = 0 then 'update'
+        |        when o_orderkey % 7 = 1 then 'delete'
+        |        else 'insert' end op,
+        |   o_orderstatus, o_totalprice + 100.0 o_totalprice
+        | from orders where o_orderkey % 7 <= 2),
+        |mg as (
+        |  select t0.o_orderkey,
+        |    case when ch.op = 'update' then ch.o_orderstatus
+        |         else t0.o_orderstatus end o_orderstatus,
+        |    case when ch.op = 'update' then ch.o_totalprice
+        |         else t0.o_totalprice end o_totalprice
+        |  from t0 left join ch using (o_orderkey)
+        |  where ch.op is null or ch.op <> 'delete'
+        |  union all
+        |  select o_orderkey, o_orderstatus, o_totalprice from ch
+        |  where op = 'insert')
+        |select o_orderstatus, count(*) n_rows,
+        |  cast(sum(o_orderkey) as bigint) key_sum,
+        |  cast(sum(floor(o_totalprice * 100 + 0.5)) as bigint) cents_sum
+        |from mg group by 1""".stripMargin
   )
 
 }

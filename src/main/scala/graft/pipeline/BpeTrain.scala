@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge LEARNING (Sennrich et al. 2016, ACL —
+  * "Neural Machine Translation of Rare Words with Subword Units";
+  * the training half of the tokenizer whose APPLY side is
+  * [[graft.functions.BpeEncodeExpr]]).
+  *
+  * The 100 TB shape: BPE training never iterates over the corpus — it
+  * iterates over the DISTINCT-WORD table (word, count), which is
+  * bounded by vocabulary (~10M rows for web text) no matter how many
+  * petabytes the corpus is. One corpus-wide shuffle builds that table;
+  * each of the K merge rounds is then a narrow aggregate over it
+  * (explode adjacent symbol pairs weighted by word count → one
+  * `min_by` argmax row to the driver — the same bounded-artifact
+  * driver action as k-means centroids), and the merge applies as a
+  * per-row string `replace`. K rounds = K small jobs, zero corpus
+  * re-scans.
+  *
+  * Engine-exact representation: a word's symbol sequence is encoded as
+  * `⟂⟂s1⟂⟂s2⟂⟂…⟂⟂` with ⟂ = U+0001 (double separators at every
+  * boundary). Merging pair (x, y) is then the plain substring
+  * replacement `⟂x⟂⟂y⟂ → ⟂xy⟂`: the single outer separators make the
+  * match boundary-safe (a symbol ending in x never matches, because
+  * its own chars sit where ⟂ is required) while still letting
+  * left-to-right non-overlapping replacement chain through runs
+  * (`⟂⟂a⟂⟂a⟂⟂a⟂⟂` merges (a,a) once, exactly BPE's greedy scan) —
+  * and `replace` has identical semantics in Spark and any SQL engine,
+  * so learned merges are bit-reproducible outside Spark.
+  *
+  * Pair counting counts every adjacent slot (so `a a a` yields (a,a)
+  * twice), ties break by (count desc, left asc, right asc) — the
+  * deterministic variant of the reference implementation's dict-order
+  * tiebreak.
+  */
+object BpeTrain {
+
+  private val S = ""
+  private val SS = S + S
+
+  /** Learn `k` merges over `textCol`; returns one row per merge:
+    * (it INT, lhs STRING, rhs STRING, pair_count LONG, n_pairs LONG)
+    * where n_pairs is the distinct-pair count of the state the merge
+    * was chosen from (the convergence signal a tuner watches). */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // corpus -> distinct-word table: the ONLY corpus-wide pass
+    val vocab = docs
+      .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0 && !t.contains(S))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        concat(lit(SS), array_join(filter(split(col("word"), ""),
+          c => length(c) > 0), SS), lit(SS)).as("enc"))
+      .persist()
+
+    var st = vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= k && !exhausted) {
+      val sy = filter(split(col("enc"), SS), x => length(x) > 0)
+      val best = st
+        .select(col("wc"), explode(arrays_zip(
+          slice(sy, lit(1), size(sy) - 1).as("l"),
+          slice(sy, lit(2), size(sy) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("c"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min_by(struct(col("l"), col("r"), col("c")),
+            struct((-col("c")).as("nc"), col("l"), col("r"))).as("b"))
+        .select(col("n_pairs"), col("b.l"), col("b.r"), col("b.c"))
+        .collect()
+      val row = best.head
+      if (row.isNullAt(1)) exhausted = true // every word is one symbol
+      else {
+        val l = row.getString(1)
+        val r = row.getString(2)
+        val c = row.getLong(3)
+        val np = row.getLong(0)
+        merges += ((it, l, r, c, np))
+        st = st.withColumn("enc",
+          replace(col("enc"), lit(S + l + SS + r + S), lit(S + l + r + S)))
+        it += 1
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.result().toDF("it", "lhs", "rhs", "pair_count", "n_pairs")
+  }
+}

@@ -34,6 +34,43 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** MERGE (upsert + delete) of a change batch into a snapshot — the
+    * Delta/Iceberg `MERGE INTO` semantics expressed as ONE plan over
+    * stock operators, for lakes that are plain parquet:
+    *
+    *   - matched + op='delete'  → row removed
+    *   - matched + op='update'  → source's non-key columns win
+    *   - not matched + 'insert' → row appended
+    *   - target rows never matched → carried unchanged
+    *
+    * `source` must carry `keyCol`, an `op` column and the same data
+    * columns as `target`. Shape at scale: one shuffle of each side on
+    * the key (a right_outer hash/sort-merge join — change batches are
+    * usually << snapshot, so AQE picks broadcast when it fits), then a
+    * union with the inserts, which is a scan-free reuse of the same
+    * source. No driver actions, no second pass over the snapshot; if
+    * the target is bucketed by the key ([[writeBucketed]]) the
+    * snapshot side's shuffle disappears entirely.
+    *
+    * Multiple change rows per key are a caller error (MERGE's own
+    * cardinality rule); the join would multiply rows, as in Delta. */
+  def merge(target: DataFrame, source: DataFrame, keyCol: String,
+            opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = target.columns.filter(_ != keyCol)
+    val src = source.select(
+      col(keyCol) +: col(opCol).as("_op") +:
+        dataCols.map(c => col(c).as(s"_src_$c")): _*)
+    val merged = target.join(src, Seq(keyCol), "left_outer")
+      .filter(col("_op").isNull || col("_op") =!= "delete")
+      .select(col(keyCol) +: dataCols.map(c =>
+        when(col("_op") === "update", col(s"_src_$c"))
+          .otherwise(col(c)).as(c)): _*)
+    val inserts = src.filter(col("_op") === "insert")
+      .select(col(keyCol) +: dataCols.map(c => col(s"_src_$c").as(c)): _*)
+    merged.unionByName(inserts)
+  }
+
   /** Count Exchange (shuffle) nodes in a frame's executed plan — the
     * assertion primitive for layout tests. */
   def countShuffles(df: DataFrame): Int = {

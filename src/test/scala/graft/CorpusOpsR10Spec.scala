@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.AhoCorasick
+import graft.pipeline.BpeTrain
+import graft.sources.Lake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 corpus-hygiene / lake-maintenance operators: the
+  * Aho–Corasick blocklist scan, BPE merge learning, and MERGE upsert. */
+class CorpusOpsR10Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- Aho–Corasick ------------------------------------------------
+
+  /** Brute-force overlapping position scan — the oracle's form. */
+  private def brute(text: String, pats: Seq[String]): (Long, Int) = {
+    val perPat = pats.map { p =>
+      (0 to text.length - p.length).count(i => text.startsWith(p, i))
+    }
+    (perPat.map(_.toLong).sum, perPat.count(_ > 0))
+  }
+
+  test("automaton equals brute-force position scan on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc "
+    (1 to 50).foreach { _ =>
+      val nPat = 1 + rnd.nextInt(8)
+      val pats = Iterator.continually(
+          (1 to (1 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+        .distinct.take(nPat).toSeq
+      val ac = new AhoCorasick(pats.toArray)
+      (1 to 20).foreach { _ =>
+        val text = (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(4))).mkString
+        assert(ac.scan(text) === brute(text, pats), s"pats=$pats text='$text'")
+      }
+    }
+  }
+
+  test("overlap and suffix-pattern semantics (dict links)") {
+    assert(new AhoCorasick(Array("aa")).scan("aaa") === ((2L, 1)))
+    // all three fire at position 2 via the dict-suffix chain
+    assert(new AhoCorasick(Array("abc", "bc", "c")).scan("abc") === ((3L, 3)))
+    assert(new AhoCorasick(Array("ab", "ba")).scan("abab") === ((3L, 2)))
+    assert(new AhoCorasick(Array("x")).scan("") === ((0L, 0)))
+  }
+
+  test("acScan expression emits the struct through codegen") {
+    import spark.implicits._
+    val out = Seq("spark agg spark", "nothing here", null)
+      .toDF("t")
+      .select(AhoCorasick.acScan(col("t"), Seq("spark", "agg")).as("ac"))
+      .select(col("ac.total_hits"), col("ac.distinct_hits"))
+      .collect()
+    assert(out(0).getLong(0) === 3L && out(0).getInt(1) === 2)
+    assert(out(1).getLong(0) === 0L && out(1).getInt(1) === 0)
+    assert(out(2).isNullAt(0))
+  }
+
+  // ---- BPE training ------------------------------------------------
+
+  test("learnMerges reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    // words: "aa" x2, "ab" x1 -> pairs (a,a)=2 (a,b)=1 -> merge (a,a)
+    // then only (a,b)=1 remains -> merge (a,b); then exhausted
+    val docs = Seq("aa ab", "aa").toDF("text")
+    val m = BpeTrain.learnMerges(docs, "text", 5)
+      .orderBy("it").collect()
+    assert(m.length === 2)
+    assert(m(0).getInt(0) === 1 && m(0).getString(1) === "a" &&
+      m(0).getString(2) === "a" && m(0).getLong(3) === 2L && m(0).getLong(4) === 2L)
+    assert(m(1).getInt(0) === 2 && m(1).getString(1) === "a" &&
+      m(1).getString(2) === "b" && m(1).getLong(3) === 1L && m(1).getLong(4) === 1L)
+  }
+
+  test("merge application is greedy left-to-right (runs collapse pairwise)") {
+    import spark.implicits._
+    // "aaaa": pairs (a,a)=3; merging a+a greedily gives [aa][aa], so the
+    // second round must see (aa,aa)=1 — not (a,aa) leftovers
+    val docs = Seq("aaaa").toDF("text")
+    val m = BpeTrain.learnMerges(docs, "text", 2).orderBy("it").collect()
+    assert(m(0).getString(1) === "a" && m(0).getString(2) === "a" &&
+      m(0).getLong(3) === 3L)
+    assert(m(1).getString(1) === "aa" && m(1).getString(2) === "aa" &&
+      m(1).getLong(3) === 1L)
+  }
+
+  // ---- Lake.merge --------------------------------------------------
+
+  test("MERGE applies update/delete/insert and carries the rest") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val source = Seq((1L, "update", "A", 11.0), (2L, "delete", "x", 0.0),
+      (9L, "insert", "Z", 90.0), (7L, "delete", "y", 0.0))
+      .toDF("k", "op", "s", "v")
+    val got = Lake.merge(target, source, "k").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "A", 11.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (9L, "Z", 90.0)))
+  }
+}
