@@ -8521,6 +8521,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("key_sum"),
           sum(uq(col("o_totalprice"), 100)).as("cents_sum"))
+    }),
+
+    "q_hll_shingles" -> ((s, dir) => {
+      // Engine-exact HyperLogLog (pipeline/Sketches.scala) over per-
+      // source char-5 shingles: the register table is an order-free max
+      // per (group, bucket), so nz/reg_sum/s_int — the sketch state
+      // itself — hash-match an external replay, and the estimate is one
+      // division of exact ints (or a grid-ln in the small range). The
+      // exact countDistinct rides along as the accuracy yardstick; at
+      // 100 TB only the ≤256-row-per-group sketch path would run.
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextStats.charShingles(col("text"), 5)).as("sh"))
+      val est = pipeline.Sketches.hllEstimate(
+        pipeline.Sketches.hllRegisters(sh, "source", "sh"))
+      val exact = sh.groupBy(col("source").as("grp"))
+        .agg(countDistinct(col("sh")).as("n_exact"))
+      est.join(exact, "grp")
+        .select(col("grp").as("source"), col("nz"), col("reg_sum"),
+          col("s_int"), col("est"), col("small_range"), col("n_exact"))
     })
   )
 
@@ -8614,7 +8634,47 @@ object SparkEntry {
         |select o_orderstatus, count(*) n_rows,
         |  cast(sum(o_orderkey) as bigint) key_sum,
         |  cast(sum(floor(o_totalprice * 100 + 0.5)) as bigint) cents_sum
-        |from mg group by 1""".stripMargin
+        |from mg group by 1""".stripMargin,
+
+    // full register-level replay of the pinned-hash HLL: same 60-bit
+    // md5 hash, same bucket/rho split, same exact-int indicator sum;
+    // the alpha·m² constant is interpolated from the ONE Scala
+    // definition (shortest-roundtrip repr → identical double)
+    "q_hll_shingles" -> {
+      val alphaMM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+      s"""with nrm as (select source,
+         |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t
+         | from documents),
+         |sh as (select source, substr(t, cast(i as int), 5) sh
+         | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+         |h as (select source, sh,
+         |   cast(concat('0x', substr(md5(sh), 1, 15)) as bigint) hv from sh),
+         |rb as (select source, hv % 256 bucket,
+         |   case when hv // 256 = 0 then 53
+         |        else 53 - length(bin(hv // 256)) end rho from h),
+         |reg as (select source, bucket, cast(max(rho) as bigint) r
+         | from rb group by 1, 2),
+         |agg as (select source, cast(count(*) as bigint) nz,
+         |   cast(sum(r) as bigint) reg_sum,
+         |   cast(sum(1::bigint << cast(53 - r as int)) as bigint) s_int
+         | from reg group by 1),
+         |ex as (select source, cast(count(distinct sh) as bigint) n_exact
+         | from sh group by 1),
+         |es as (select source, nz, reg_sum, s_int,
+         |   (cast($alphaMM as double) * cast(9007199254740992 as double))
+         |     / cast(s_int + (256 - nz) * 9007199254740992 as double) raw
+         | from agg)
+         |select e.source, e.nz, e.reg_sum, e.s_int,
+         |  case when e.nz < 256 and e.raw <= cast(640 as double)
+         |       then cast(256 as double) * (floor(
+         |         ln(cast(256 as double) / cast(256 - e.nz as double))
+         |           * 1e6 + 0.5) / 1e6)
+         |       else e.raw end est,
+         |  case when e.nz < 256 and e.raw <= cast(640 as double) then 1
+         |       else 0 end small_range,
+         |  x.n_exact
+         |from es e join ex x using (source)""".stripMargin
+    }
   )
 
 }

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches with ENGINE-EXACT outputs.
+  *
+  * HyperLogLog (Flajolet et al. 2007, AofA — the estimator every engine
+  * ships as `approx_count_distinct`) is, unlike most sketches,
+  * order-FREE: a register is `max(rho)` over the bucket's hashes, and
+  * max commutes with any aggregation tree. Pinning the hash
+  * (md5-derived, available in every engine) therefore makes the whole
+  * register table — and the estimate computed from it — bit-identical
+  * across engines, partitionings and merge orders. That is the
+  * property Spark's own `approx_count_distinct` does NOT give an
+  * external verifier (xxhash64 seed + private register layout), and
+  * why this implementation exists beside it.
+  *
+  * 100 TB shape: map-side partial `max` per (group, bucket) collapses
+  * the shuffle to ≤ m rows per group (m = 2^b, 256 here) no matter how
+  * many input rows — the sketch IS the aggregation state. Contrast the
+  * exact `count(distinct)`: a full shuffle of every distinct value.
+  *
+  * Numeric discipline (per SparkEntry's q6 rules): the indicator sum
+  * `Z^-1 = Σ 2^-r` is kept as the exact int64 `S = Σ 2^(53-r)`
+  * (≤ 2^61, order-free); the estimate is then ONE float division of
+  * exact integers (raw branch) or a micro-grid `ln` (linear-counting
+  * branch) — engine-exact either way.
+  */
+object Sketches {
+
+  /** 60-bit md5-derived hash — positive, identical in any engine with
+    * md5 + hex parsing (15 hex chars < 2^63, no sign pitfalls). */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v), 1, 15), 16, 10).cast("long")
+
+  /** HLL register table: one row per (group, bucket) with register
+    * value r = max over hashes of (leading-zero count of the 52-bit
+    * suffix + 1) ∈ [1, 53]. b = index bits (m = 2^b buckets). */
+  def hllRegisters(df: DataFrame, grpCol: String, valCol: String,
+                   b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"index bits out of range: $b")
+    val hv = hash60(col(valCol))
+    val w = shiftright(hv, b) // (60-b)-bit suffix
+    val suffixBits = 60 - b
+    df.select(col(grpCol).as("grp"),
+        pmod(hv, lit(1 << b)).as("bucket"),
+        when(w === 0, lit(suffixBits + 1))
+          .otherwise(lit(suffixBits + 1) - length(bin(w))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).cast("long").as("r"))
+  }
+
+  /** Collapse registers to per-group evidence + the HLL estimate with
+    * the standard small-range linear-counting switch. Emits the exact
+    * integer evidence (nz, reg_sum, s_int) beside the float estimate
+    * so external engines can verify the sketch state itself. */
+  def hllEstimate(registers: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val suffixBits = 60 - b
+    val two53 = math.pow(2, suffixBits + 1) // 2^(suffixBits+1), exact
+    val alphaMM = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    val agg = registers.groupBy(col("grp"))
+      .agg(count(lit(1)).as("nz"),
+        sum(col("r")).as("reg_sum"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${suffixBits + 1} - r AS INT))"))
+          .as("s_int"))
+    val zeros = lit(m) - col("nz")
+    val raw = (lit(alphaMM) * lit(two53)) /
+      (col("s_int") + zeros * lit(two53.toLong)).cast("double")
+    // micro-grid ln (see SparkEntry.qln): portable across libm builds
+    val lnArg = lit(m).cast("double") / zeros.cast("double")
+    val lc = lit(m) * (floor(log(lnArg) * lit(1e6) + lit(0.5)) / lit(1e6))
+    agg.select(col("grp"), col("nz"), col("reg_sum"), col("s_int"),
+      when(col("nz") < m && raw <= lit(2.5 * m), lc).otherwise(raw).as("est"),
+      when(col("nz") < m && raw <= lit(2.5 * m), lit(1)).otherwise(lit(0))
+        .as("small_range"))
+  }
+}

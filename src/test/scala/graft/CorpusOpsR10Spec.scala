@@ -92,6 +92,35 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       m(1).getLong(3) === 1L)
   }
 
+  // ---- HLL sketch --------------------------------------------------
+
+  test("HLL registers are order-free: identical under repartitioning") {
+    import spark.implicits._
+    val vals = (1 to 5000).map(i => ("g", s"value_$i")).toDF("grp", "v")
+    val a = pipeline.Sketches.hllRegisters(vals, "grp", "v")
+      .orderBy("bucket").collect().toSeq
+    val b = pipeline.Sketches.hllRegisters(vals.repartition(7), "grp", "v")
+      .orderBy("bucket").collect().toSeq
+    assert(a === b)
+  }
+
+  test("HLL estimate lands near truth; small range takes linear counting") {
+    import spark.implicits._
+    val big = (1 to 3000).map(i => ("big", s"x$i")) ++
+      (1 to 20).map(i => ("small", s"y$i"))
+    val df = big.toDF("grp", "v")
+    val est = pipeline.Sketches.hllEstimate(
+        pipeline.Sketches.hllRegisters(df, "grp", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(4), r.getInt(5))).toMap
+    val (bigEst, bigBranch) = est("big")
+    val (smallEst, smallBranch) = est("small")
+    assert(bigBranch === 0 && math.abs(bigEst - 3000) / 3000.0 < 0.15,
+      s"raw estimate $bigEst")
+    assert(smallBranch === 1 && math.abs(smallEst - 20) / 20.0 < 0.3,
+      s"lc estimate $smallEst")
+  }
+
   // ---- Lake.merge --------------------------------------------------
 
   test("MERGE applies update/delete/insert and carries the rest") {
