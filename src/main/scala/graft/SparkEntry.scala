@@ -8541,6 +8541,22 @@ object SparkEntry {
       est.join(exact, "grp")
         .select(col("grp").as("source"), col("nz"), col("reg_sum"),
           col("s_int"), col("est"), col("small_range"), col("n_exact"))
+    }),
+
+    "q_token_budget" -> ((s, dir) => {
+      // Water-filling token-budget allocation (Sampling.waterFill) at
+      // 60% of the corpus's tokens: small sources keep everything,
+      // large ones cap at the integer level, the remainder goes to the
+      // largest — all integer math over the per-source table, with the
+      // budget and the level riding one-row broadcasts.
+      val counts = t(s, dir, "documents")
+        .select(col("source"), size(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).cast("long").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("c"))
+      val budget = counts
+        .agg(expr("CAST(sum(c) * 6 DIV 10 AS BIGINT)").as("budget"))
+      pipeline.Sampling.waterFill(counts, "source", "c", budget)
     })
   )
 
@@ -8674,7 +8690,34 @@ object SparkEntry {
          |       else 0 end small_range,
          |  x.n_exact
          |from es e join ex x using (source)""".stripMargin
-    }
+    },
+
+    // window-function replay of the water-filling level search; th can
+    // be empty (budget >= total), hence the left join on true
+    "q_token_budget" ->
+      """with cnt as (select source, cast(count(*) as bigint) c from (
+        |   select source, unnest(list_filter(
+        |     string_split_regex(lower(trim(text)), '\s+'),
+        |     x -> len(x) > 0)) tok from documents) group by 1),
+        |bt as (select cast(sum(c) * 6 // 10 as bigint) b from cnt),
+        |base as (select source k, c, b,
+        |   row_number() over (order by c, source) i,
+        |   sum(c) over (order by c, source) cum,
+        |   count(*) over () n
+        | from cnt cross join bt),
+        |trg as (select i, cum - c below, n, b,
+        |    row_number() over (order by i) rk
+        |  from base where cum - c + (n - i + 1) * c > b),
+        |th as (select i i_star, (b - below) // (n - i + 1) t,
+        |    (b - below) % (n - i + 1) rem from trg where rk = 1)
+        |select base.k source, base.c,
+        |  cast(case when th.i_star is null or base.i < th.i_star then base.c
+        |       else th.t + case when base.n - base.i + 1 <= th.rem
+        |                        then 1 else 0 end
+        |  end as bigint) alloc,
+        |  case when th.i_star is not null and base.i >= th.i_star then 1
+        |       else 0 end capped
+        |from base left join th on true""".stripMargin
   )
 
 }

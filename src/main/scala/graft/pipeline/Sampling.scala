@@ -165,4 +165,50 @@ object Sampling {
       .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
       .drop("_rk", "_host")
   }
+
+  /** Capped proportional token-budget allocation (water-filling) — the
+    * training-mix planner's core step: given per-source availability
+    * `cntCol` and a global token budget, find the level t such that
+    * giving every source min(c_i, t) spends the budget, then hand the
+    * integer remainder to the largest sources one token each. Exactly
+    * the allocation a data-mix tuner applies before [[mixtureSample]]
+    * draws the per-source rows.
+    *
+    * Pure integer math end to end (level, remainder, allocations), so
+    * the plan is engine-exact. Ties in c_i share one trigger decision
+    * (the criterion is constant across a tie group), and the remainder
+    * goes to the largest (c desc, key desc) sources — all deterministic.
+    *
+    * Scale shape: this runs on the per-SOURCE table (thousands of rows
+    * for a web corpus, never corpus-sized), so the single unpartitioned
+    * window sort is bounded by source cardinality; `budget` rides a
+    * one-row broadcast. Output: (key, c, alloc, capped).
+    */
+  def waterFill(counts: DataFrame, keyCol: String, cntCol: String,
+                budget: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c"), col("k"))
+    val base = counts
+      .select(col(keyCol).as("k"), col(cntCol).cast("long").as("c"))
+      .crossJoin(broadcast(budget.select(col("budget").cast("long").as("b"))))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    // first row where filling everyone from here up to its c overshoots
+    val trigger = base
+      .filter(col("cum") - col("c") + (col("n") - col("i") + 1) * col("c")
+        > col("b"))
+      .agg(min_by(struct(col("i"), (col("cum") - col("c")).as("below"),
+        col("n"), col("b")), col("i")).as("s"))
+      .select(col("s.i").as("i_star"),
+        expr("(s.b - s.below) DIV (s.n - s.i + 1)").as("t"),
+        expr("(s.b - s.below) % (s.n - s.i + 1)").as("rem"))
+    base.crossJoin(broadcast(trigger))
+      .select(col("k").as(keyCol), col("c"),
+        when(col("i_star").isNull || col("i") < col("i_star"), col("c"))
+          .otherwise(col("t") +
+            when(col("n") - col("i") + 1 <= col("rem"), 1L).otherwise(0L))
+          .as("alloc"),
+        when(col("i_star").isNotNull && col("i") >= col("i_star"), 1)
+          .otherwise(0).as("capped"))
+  }
 }

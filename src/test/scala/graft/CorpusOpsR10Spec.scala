@@ -121,6 +121,47 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       s"lc estimate $smallEst")
   }
 
+  // ---- water-filling budget allocation -----------------------------
+
+  private def fill(counts: Seq[(String, Long)], b: Long): Map[String, (Long, Int)] = {
+    import spark.implicits._
+    val df = counts.toDF("src", "c")
+    val budget = Seq(b).toDF("budget")
+    graft.pipeline.Sampling.waterFill(df, "src", "c", budget)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+  }
+
+  test("waterFill spends the budget exactly and caps only the largest") {
+    // c = 10, 20, 70; B = 40 -> level t = floor((40-10)/2) = 15, rem 0:
+    // a=10 keeps all, b and c cap at 15
+    assert(fill(Seq(("a", 10L), ("b", 20L), ("c", 70L)), 40L) ===
+      Map("a" -> (10L, 0), "b" -> (15L, 1), "c" -> (15L, 1)))
+    // remainder goes to the largest: B = 41 -> t=15 rem 1 -> c gets 16
+    assert(fill(Seq(("a", 10L), ("b", 20L), ("c", 70L)), 41L) ===
+      Map("a" -> (10L, 0), "b" -> (15L, 1), "c" -> (16L, 1)))
+    // budget >= total: nobody capped
+    assert(fill(Seq(("a", 10L), ("b", 20L)), 100L) ===
+      Map("a" -> (10L, 0), "b" -> (20L, 0)))
+    // everything capped: B=7, n=3 -> t=2 rem 1, largest tie gets +1
+    assert(fill(Seq(("a", 5L), ("b", 5L), ("c", 5L)), 7L) ===
+      Map("a" -> (2L, 1), "b" -> (2L, 1), "c" -> (3L, 1)))
+  }
+
+  test("waterFill allocation sums to min(budget, total) on random inputs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val counts = (1 to 2 + rnd.nextInt(10))
+        .map(i => (s"s$i", 1L + rnd.nextInt(100).toLong))
+      val total = counts.map(_._2).sum
+      val b = 1L + rnd.nextInt((1.3 * total).toInt).toLong
+      val got = fill(counts, b)
+      assert(got.values.map(_._1).sum === math.min(b, total),
+        s"counts=$counts b=$b got=$got")
+      got.foreach { case (k, (a, _)) =>
+        assert(a <= counts.toMap.apply(k), s"over-allocated $k in $got") }
+    }
+  }
+
   // ---- Lake.merge --------------------------------------------------
 
   test("MERGE applies update/delete/insert and carries the rest") {

@@ -428,6 +428,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming blocklist gate: Aho-Corasick scan runs stateless under readStream") {
+    // the blocklist filter is a narrow per-row projection, so it must run
+    // unchanged in a streaming ingest (append mode, no state) and agree
+    // with the batch path row-for-row
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("bad phrase", "spam", "a a")
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.functions.AhoCorasick.acScan(lower(col("text")), pats).as("ac"))
+      .select(col("doc_id"), col("ac.total_hits").as("hits"),
+        (col("ac.total_hits") === 0).as("keep"))
+    val docs = Seq((1L, "clean text only"), (2L, "some Bad Phrase here"),
+      (3L, "spam spam a a a"), (4L, "Spam at the start"))
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_blocklist")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_blocklist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      val batch = gate(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      // "spam spam a a a": 2x spam + overlapping "a a" twice = 4 hits
+      assert(got.find(_._1 == 3L).get._2 === 4L)
+      assert(got.map(_._3) === Seq(true, false, false, false))
+    } finally q.stop()
+  }
+
   test("streaming URL frontier admits one fetch per canonical URL across batches") {
     import spark.implicits._
     import graft.streaming.StatefulDedup
