@@ -8557,6 +8557,25 @@ object SparkEntry {
       val budget = counts
         .agg(expr("CAST(sum(c) * 6 DIV 10 AS BIGINT)").as("budget"))
       pipeline.Sampling.waterFill(counts, "source", "c", budget)
+    }),
+
+    "q_quality_train" -> ((s, dir) => {
+      // In-engine logistic-regression training (QualityModel): 6 full-
+      // batch rounds of integer-quantized GD over (bias, token count,
+      // distinct-token count) centered at the label boundary; label =
+      // "has ≥ 30 tokens". The oracle replays every round unrolled, so
+      // green means the gradient sums, the 1e-6 sigmoid grid AND the
+      // truncating-division updates are engine-exact end to end.
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val feats = t(s, dir, "documents")
+        .select(toks.as("tk"))
+        .select(lit(1L).as("x0"),
+          (size(col("tk")) - 30).cast("long").as("x1"),
+          (size(array_distinct(col("tk"))) - 20).cast("long").as("x2"),
+          when(size(col("tk")) >= 30, 1L).otherwise(0L).as("y"))
+      pipeline.QualityModel.trainLogReg(
+        feats, Seq("x0", "x1", "x2"), "y", iters = 6, lrShift = 5)
     })
   )
 
@@ -8717,7 +8736,55 @@ object SparkEntry {
         |  end as bigint) alloc,
         |  case when th.i_star is not null and base.i >= th.i_star then 1
         |       else 0 end capped
-        |from base left join th on true""".stripMargin
+        |from base left join th on true""".stripMargin,
+
+    "q_quality_train" -> logRegSql(iters = 6, lrShift = 5)
   )
+
+  /** Unrolled GD-training oracle — the SQL twin of
+    * [[pipeline.QualityModel.trainLogReg]] on the q_quality_train
+    * features. Stage CTEs materialized (each weight row feeds the next
+    * gradient AND the output union). Round i's row carries the POST-
+    * update weights and the PRE-update accuracy, exactly like the Spark
+    * side; the final row iters+1 scores the final weights. */
+  private def logRegSql(iters: Int, lrShift: Int): String = {
+    val lr = 1L << lrShift
+    val sb = new StringBuilder
+    sb.append(
+      """with f as materialized (select cast(1 as bigint) x0,
+        |   cast(len(tk) - 30 as bigint) x1,
+        |   cast(len(list_distinct(tk)) - 20 as bigint) x2,
+        |   cast(case when len(tk) >= 30 then 1 else 0 end as bigint) y
+        | from (select list_filter(string_split_regex(lower(trim(text)),
+        |     '\s+'), x -> len(x) > 0) tk from documents)),
+        |wt0 as materialized (select cast(0 as bigint) w0,
+        |   cast(0 as bigint) w1, cast(0 as bigint) w2)""".stripMargin)
+    for (i <- 1 to iters + 1) {
+      sb.append(s""",
+        |gr$i as materialized (select
+        |   cast(sum(d * x0) as bigint) g0, cast(sum(d * x1) as bigint) g1,
+        |   cast(sum(d * x2) as bigint) g2, cast(count(*) as bigint) n,
+        |   cast(sum(case when (z > 0) = (y = 1) then 1 else 0 end)
+        |     as bigint) nc
+        | from (select x0, x1, x2, y, z,
+        |     cast(floor(cast(1 as double) / (cast(1 as double)
+        |         + exp(-(cast(z as double) / 1e6))) * 1e6 + 0.5) as bigint)
+        |       - y * 1000000 d
+        |   from (select f.*, x0 * w0 + x1 * w1 + x2 * w2 z
+        |     from f cross join wt${i - 1}) q1) q2)""".stripMargin)
+      if (i <= iters) sb.append(s""",
+        |wt$i as materialized (select
+        |   wt${i - 1}.w0 - gr$i.g0 // (gr$i.n * $lr) w0,
+        |   wt${i - 1}.w1 - gr$i.g1 // (gr$i.n * $lr) w1,
+        |   wt${i - 1}.w2 - gr$i.g2 // (gr$i.n * $lr) w2
+        | from wt${i - 1} cross join gr$i)""".stripMargin)
+    }
+    sb.append((1 to iters + 1).map { i =>
+      val wi = math.min(i, iters) // row iters+1 reports the final weights
+      s"""select $i it, wt$wi.w0 w_x0, wt$wi.w1 w_x1, wt$wi.w2 w_x2,
+         |  gr$i.nc n_correct, gr$i.n n from wt$wi cross join gr$i""".stripMargin
+    }.mkString("\n", "\nunion all\n", ""))
+    sb.toString
+  }
 
 }

@@ -162,6 +162,50 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     }
   }
 
+  // ---- integer-GD logistic regression ------------------------------
+
+  test("trainLogReg matches an independent scalar simulation bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 40).map { _ =>
+      val x1 = rnd.nextInt(41) - 20L
+      (1L, x1, rnd.nextInt(21) - 10L, if (x1 >= 0) 1L else 0L)
+    }
+    val df = data.toDF("x0", "x1", "x2", "y")
+    val got = graft.pipeline.QualityModel
+      .trainLogReg(df, Seq("x0", "x1", "x2"), "y", iters = 4, lrShift = 3)
+      .orderBy("it").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+    // independent replay of the documented contract
+    var w = Array(0L, 0L, 0L)
+    val n = data.length.toLong
+    val exp = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+    def pass(): (Array[Long], Long) = {
+      val g = Array(0L, 0L, 0L); var nc = 0L
+      data.foreach { case (x0, x1, x2, y) =>
+        val z = w(0) * x0 + w(1) * x1 + w(2) * x2
+        val p = math.floor(1.0 / (1.0 + math.exp(-(z.toDouble / 1e6))) * 1e6
+          + 0.5).toLong
+        val d = p - y * 1000000L
+        g(0) += d * x0; g(1) += d * x1; g(2) += d * x2
+        if ((z > 0) == (y == 1)) nc += 1
+      }
+      (g, nc)
+    }
+    (1 to 4).foreach { it =>
+      val (g, nc) = pass()
+      w = Array.tabulate(3)(j => w(j) - g(j) / (n << 3))
+      exp += ((it, w(0), w(1), w(2), nc, n))
+    }
+    val (_, ncF) = pass()
+    exp += ((5, w(0), w(1), w(2), ncF, n))
+    assert(got === exp.result())
+    // and the separable label is actually learned
+    assert(got.last._5 >= (0.9 * n).toLong, s"final accuracy row ${got.last}")
+  }
+
   // ---- Lake.merge --------------------------------------------------
 
   test("MERGE applies update/delete/insert and carries the rest") {
