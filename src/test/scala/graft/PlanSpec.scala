@@ -35,6 +35,7 @@ class PlanSpec extends AnyFunSuite {
     "q_ccnet_buckets", // reuses trigramNll's one-row total broadcast
     "q_js_divergence", // one-row (en,de) corpus-totals broadcast
     "q_cramers_v", // one-row (n,r,c) contingency-total broadcast
+    "q_cramers_v_v2", // fresh-name alias of q_cramers_v (same plan)
     "q_dsir_evidence", // one-row (tot_t, tot_r) model-totals broadcast
     "q_linkgraph_pagerank", // one-row corpus-count broadcast (n for % n)
     "q_anchor_text", // one-row corpus-count broadcast (n for % n)
