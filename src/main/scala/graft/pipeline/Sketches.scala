@@ -48,7 +48,9 @@ object Sketches {
         when(w === 0, lit(suffixBits + 1))
           .otherwise(lit(suffixBits + 1) - length(bin(w))).as("rho"))
       .groupBy(col("grp"), col("bucket"))
-      .agg(max(col("rho")).cast("long").as("r"))
+      .agg(max(col("rho")).cast("long").as("r"),
+        count(lit(1)).as("n_vals")) // input rows per bucket — free here;
+        // = the exact distinct count per bucket when df is pre-deduped
   }
 
   /** Collapse registers to per-group evidence + the HLL estimate with
@@ -60,20 +62,27 @@ object Sketches {
     val suffixBits = 60 - b
     val two53 = math.pow(2, suffixBits + 1) // 2^(suffixBits+1), exact
     val alphaMM = (0.7213 / (1.0 + 1.079 / m)) * m * m
-    val agg = registers.groupBy(col("grp"))
-      .agg(count(lit(1)).as("nz"),
-        sum(col("r")).as("reg_sum"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${suffixBits + 1} - r AS INT))"))
-          .as("s_int"))
+    // when the register table carries n_vals, roll it up too — with a
+    // pre-deduped input that yields the EXACT distinct count in the same
+    // single aggregation chain (no separate countDistinct pass)
+    val baseAggs = Seq(count(lit(1)).as("nz"),
+      sum(col("r")).as("reg_sum"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${suffixBits + 1} - r AS INT))"))
+        .as("s_int"))
+    val aggs = if (registers.columns.contains("n_vals"))
+      baseAggs :+ sum(col("n_vals")).as("n_input") else baseAggs
+    val agg = registers.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
     val zeros = lit(m) - col("nz")
     val raw = (lit(alphaMM) * lit(two53)) /
       (col("s_int") + zeros * lit(two53.toLong)).cast("double")
     // micro-grid ln (see SparkEntry.qln): portable across libm builds
     val lnArg = lit(m).cast("double") / zeros.cast("double")
     val lc = lit(m) * (floor(log(lnArg) * lit(1e6) + lit(0.5)) / lit(1e6))
-    agg.select(col("grp"), col("nz"), col("reg_sum"), col("s_int"),
+    val outCols = Seq(col("grp"), col("nz"), col("reg_sum"), col("s_int"),
       when(col("nz") < m && raw <= lit(2.5 * m), lc).otherwise(raw).as("est"),
       when(col("nz") < m && raw <= lit(2.5 * m), lit(1)).otherwise(lit(0))
-        .as("small_range"))
+        .as("small_range")) ++
+      (if (agg.columns.contains("n_input")) Seq(col("n_input")) else Nil)
+    agg.select(outCols: _*)
   }
 }
