@@ -8590,6 +8590,27 @@ object SparkEntry {
         feats, Seq("x0", "x1", "x2"), "y", iters = 6, lrShift = 5)
     }),
 
+    "q_cms_tokens" -> ((s, dir) => {
+      // Count-Min frequency sketch (Sketches.cmsCounters/cmsEstimate):
+      // counters are order-free integer sums over the pinned md5 hash
+      // family, so the 4×1024 state and every point estimate replay
+      // bit-for-bit in the oracle. Probes cover hot tokens and an
+      // absent one; the exact counts ride along as the yardstick
+      // (CMS estimates are upper bounds — min over 4 counters).
+      val probes = Seq("spark", "table", "the", "vector", "zzzz")
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("tok"))
+      val est = pipeline.Sketches.cmsEstimate(
+        pipeline.Sketches.cmsCounters(toks, "lang", "tok"), probes)
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("lang").as("grp"), col("tok").as("probe"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("grp", "probe"), "left_outer")
+        .select(col("grp").as("lang"), col("probe"), col("cms_est"),
+          coalesce(col("exact"), lit(0L)).as("exact_count"))
+    }),
+
     // Fresh-name re-declarations of the five queries that hash-failed
     // the driver in r8/r9. The diagnosed mechanism (uncast HUGEINT
     // oracle sums -> pandas float64 on the driver) is fixed under the
@@ -8764,6 +8785,38 @@ object SparkEntry {
         |from base left join th on true""".stripMargin,
 
     "q_quality_train" -> logRegSql(iters = 6, lrShift = 5),
+
+    // full 4x1024 CMS state replay: same salted md5 hash family, same
+    // min-over-depth point estimates
+    "q_cms_tokens" ->
+      """with tk as (select lang,
+        |   unnest(list_filter(string_split_regex(lower(trim(text)),
+        |     '\s+'), x -> len(x) > 0)) tok from documents),
+        |hh as (select lang, d,
+        |   cast(concat('0x', substr(md5(d || ':' || tok), 1, 15))
+        |     as bigint) % 1024 idx
+        | from tk cross join range(4) r(d)),
+        |cnt as (select lang, d, idx, cast(count(*) as bigint) counter
+        | from hh group by 1, 2, 3),
+        |pr as (select * from (values ('spark'), ('table'), ('the'),
+        |   ('vector'), ('zzzz')) p(probe)),
+        |langs as (select distinct lang from documents),
+        |ph as (select l.lang, p.probe, r.d,
+        |   cast(concat('0x', substr(md5(r.d || ':' || p.probe), 1, 15))
+        |     as bigint) % 1024 idx
+        | from langs l cross join pr p cross join range(4) r(d)),
+        |est as (select ph.lang, ph.probe,
+        |   min(coalesce(c.counter, 0)) cms_est
+        | from ph left join cnt c
+        |   on c.lang = ph.lang and c.d = ph.d and c.idx = ph.idx
+        | group by 1, 2),
+        |ex as (select lang, tok probe, cast(count(*) as bigint) exact_count
+        | from tk where tok in ('spark', 'table', 'the', 'vector', 'zzzz')
+        | group by 1, 2)
+        |select e.lang, e.probe, cast(e.cms_est as bigint) cms_est,
+        |  cast(coalesce(x.exact_count, 0) as bigint) exact_count
+        |from est e left join ex x
+        |  on x.lang = e.lang and x.probe = e.probe""".stripMargin,
 
     // oracle twins of the fresh-name re-declarations above
     "q_pettitt_v2" -> oracle43("q_pettitt"),

@@ -85,4 +85,51 @@ object Sketches {
       (if (agg.columns.contains("n_input")) Seq(col("n_input")) else Nil)
     agg.select(outCols: _*)
   }
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005, J.Alg) ------
+  //
+  // The other order-free sketch: counters are plain integer SUMS, so a
+  // pinned hash makes the full d×w state — and every point estimate —
+  // bit-identical across engines and merge orders. Fixed-size frequency
+  // state at any input scale: the shuffle after the map-side partial
+  // agg is bounded by d·w·groups rows per partition, never by the
+  // corpus.
+
+  /** CMS counter table: one row per (group, d, idx) with the exact
+    * occurrence sum. Depth-d hashes derive from the same md5 family as
+    * [[hash60]], salted by the row index. */
+  def cmsCounters(df: DataFrame, grpCol: String, valCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16,
+      s"bad CMS shape $depth x $width")
+    df.select(col(grpCol).as("grp"), explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"),
+          pmod(hash60(concat(lit(s"$d:"), col(valCol))), lit(width)).as("idx"))
+      }: _*)).as("h"))
+      .groupBy(col("grp"), col("h.d").as("d"), col("h.idx").as("idx"))
+      .agg(count(lit(1)).as("counter"))
+  }
+
+  /** Point-frequency estimates for `probes`: min over the d counters a
+    * probe hashes to (the classic CMS upper bound; counts 0 for cells
+    * never touched). Probes ride a tiny broadcast cross join against
+    * the distinct groups — output is |groups|·|probes| rows. */
+  def cmsEstimate(counters: DataFrame, probes: Seq[String],
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val probeRows = counters.select(col("grp")).distinct()
+      .crossJoin(broadcast(probes.toDF("probe")))
+      .select(col("grp"), col("probe"),
+        explode(array((0 until depth).map { d =>
+          struct(lit(d).as("d"),
+            pmod(hash60(concat(lit(s"$d:"), col("probe"))), lit(width))
+              .as("idx"))
+        }: _*)).as("h"))
+      .select(col("grp"), col("probe"), col("h.d").as("d"),
+        col("h.idx").as("idx"))
+    probeRows.join(counters, Seq("grp", "d", "idx"), "left_outer")
+      .groupBy(col("grp"), col("probe"))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("cms_est"))
+  }
 }

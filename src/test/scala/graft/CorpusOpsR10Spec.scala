@@ -162,6 +162,42 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     }
   }
 
+  // ---- Count-Min sketch --------------------------------------------
+
+  test("CMS estimates upper-bound exact counts; exact at collision-free width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vals = (1 to 3000).map(_ => ("g", s"v${rnd.nextInt(120)}"))
+    val df = vals.toDF("grp", "v")
+    val truth = vals.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+    val probes = (0 until 10).map(i => s"v$i") :+ "absent"
+    // narrow sketch: estimates must never under-count
+    val narrow = graft.pipeline.Sketches.cmsEstimate(
+        graft.pipeline.Sketches.cmsCounters(df, "grp", "v", 4, 32),
+        probes, 4, 32)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    probes.foreach { p =>
+      assert(narrow(p) >= truth.getOrElse(p, 0L), s"under-count at $p") }
+    // wide sketch: 120 values in 4x8192 cells -> collisions vanishingly
+    // rare; estimates equal exact counts
+    val wide = graft.pipeline.Sketches.cmsEstimate(
+        graft.pipeline.Sketches.cmsCounters(df, "grp", "v", 4, 8192),
+        probes, 4, 8192)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    probes.foreach { p =>
+      assert(wide(p) === truth.getOrElse(p, 0L), s"wide mismatch at $p") }
+  }
+
+  test("CMS counters are order-free: identical under repartitioning") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => ("g", s"x${i % 57}")).toDF("grp", "v")
+    val a = graft.pipeline.Sketches.cmsCounters(df, "grp", "v")
+      .orderBy("d", "idx").collect().toSeq
+    val b = graft.pipeline.Sketches.cmsCounters(df.repartition(9), "grp", "v")
+      .orderBy("d", "idx").collect().toSeq
+    assert(a === b)
+  }
+
   // ---- integer-GD logistic regression ------------------------------
 
   test("trainLogReg matches an independent scalar simulation bit-for-bit") {

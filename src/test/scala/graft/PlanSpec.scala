@@ -39,7 +39,8 @@ class PlanSpec extends AnyFunSuite {
     "q_dsir_evidence", // one-row (tot_t, tot_r) model-totals broadcast
     "q_linkgraph_pagerank", // one-row corpus-count broadcast (n for % n)
     "q_anchor_text", // one-row corpus-count broadcast (n for % n)
-    "q_token_budget") // one-row budget + water-level broadcasts
+    "q_token_budget", // one-row budget + water-level broadcasts
+    "q_cms_tokens") // 5-row probe-list broadcast vs distinct groups
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
