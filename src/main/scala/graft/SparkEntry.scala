@@ -8611,6 +8611,21 @@ object SparkEntry {
           coalesce(col("exact"), lit(0L)).as("exact_count"))
     }),
 
+    "q_kmv_overlap" -> ((s, dir) => {
+      // Bottom-k overlap planning (Sketches.kmvMins/kmvOverlap): how
+      // much do two sources' shingle sets overlap, answered from two
+      // 128-row sketches instead of a corpus join — the cross-source
+      // dedup planning primitive. Evidence integers (kth mins, common
+      // count) hash-exactly; Jaccard/cardinality are single divisions
+      // of exact ints.
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextStats.charShingles(col("text"), 5)).as("sh"))
+      val mins = pipeline.Sketches.kmvMins(sh, "source", "sh")
+      pipeline.Sketches.kmvOverlap(mins,
+        Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
+    }),
+
     // Fresh-name re-declarations of the five queries that hash-failed
     // the driver in r8/r9. The diagnosed mechanism (uncast HUGEINT
     // oracle sums -> pandas float64 on the driver) is fixed under the
@@ -8785,6 +8800,45 @@ object SparkEntry {
         |from base left join th on true""".stripMargin,
 
     "q_quality_train" -> logRegSql(iters = 6, lrShift = 5),
+
+    // bottom-k sketch replay: same hash, same dedup + window top-k,
+    // same merge-and-rerank union sketch
+    "q_kmv_overlap" ->
+      """with nrm as (select source,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        | from documents),
+        |sh as (select source, substr(t, cast(i as int), 5) sh
+        | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+        |hv as (select distinct source,
+        |   cast(concat('0x', substr(md5(sh), 1, 15)) as bigint) hv from sh),
+        |mins as (select source, hv from (select source, hv,
+        |   row_number() over (partition by source order by hv) rk from hv)
+        | where rk <= 128),
+        |pairs as (select * from (values ('src0', 'src1'), ('src0', 'src2'),
+        |   ('src2', 'src3')) p(pa, pb)),
+        |m as (select pa, pb, hv, max(ina) ina, max(inb) inb from (
+        |   select p.pa, p.pb, k.hv, 1 ina, 0 inb
+        |   from mins k join pairs p on k.source = p.pa
+        |   union all
+        |   select p.pa, p.pb, k.hv, 0, 1
+        |   from mins k join pairs p on k.source = p.pb)
+        | group by 1, 2, 3),
+        |r as (select pa, pb, hv, ina, inb,
+        |   row_number() over (partition by pa, pb order by hv) rk from m),
+        |t as (select pa, pb, cast(count(*) as bigint) n_kept,
+        |   cast(max(hv) as bigint) union_kth,
+        |   cast(sum(ina * inb) as bigint) n_common
+        | from r where rk <= 128 group by 1, 2)
+        |select pa, pb, n_kept, union_kth, n_common,
+        |  cast(n_common as double) / n_kept jaccard,
+        |  cast(n_kept - 1 as double)
+        |    * cast(1152921504606846976 as double)
+        |    / cast(union_kth as double) union_est,
+        |  (cast(n_common as double) / n_kept)
+        |    * (cast(n_kept - 1 as double)
+        |      * cast(1152921504606846976 as double)
+        |      / cast(union_kth as double)) inter_est
+        |from t""".stripMargin,
 
     // full 4x1024 CMS state replay: same salted md5 hash family, same
     // min-over-depth point estimates

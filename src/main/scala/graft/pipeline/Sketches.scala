@@ -132,4 +132,62 @@ object Sketches {
       .groupBy(col("grp"), col("probe"))
       .agg(min(coalesce(col("counter"), lit(0L))).as("cms_est"))
   }
+
+  // ---- KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
+  // SIGMOD 2007 for the unbiased estimator and set operations) -------
+  //
+  // The third order-free sketch: the k smallest hash values of a set
+  // are ORDER STATISTICS of the pinned hash — engine-exact like the
+  // HLL registers, but closed under set operations: merging two
+  // sketches' values and re-taking the bottom k IS the union's sketch,
+  // which gives cross-corpus overlap (Jaccard / intersection size)
+  // without comparing a single element pair. That is the planning
+  // primitive for cross-source dedup at 100 TB: estimate |A ∩ B| from
+  // two k-row sketches before paying for the real join.
+
+  /** Bottom-k sketch per group: the k smallest distinct 60-bit hashes
+    * with their ranks. One (grp, hv) dedup shuffle, then a spill-safe
+    * window top-k. */
+  def kmvMins(df: DataFrame, grpCol: String, valCol: String,
+              k: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("hv"))
+    df.select(col(grpCol).as("grp"), hash60(col(valCol)).as("hv")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("grp"), col("hv"))
+  }
+
+  /** Pairwise overlap estimates from bottom-k sketches: for each
+    * (pa, pb) pair, merge the two sketches, keep the union's bottom k,
+    * and read off Jaccard = |both| / |kept| plus the KMV cardinality
+    * estimate (kept−1)·2^60 / kth-min — every evidence column an exact
+    * integer, the estimates single divisions of exact ints. */
+  def kmvOverlap(mins: DataFrame, pairs: Seq[(String, String)],
+                 k: Int = 128): DataFrame = {
+    val spark = mins.sparkSession
+    import spark.implicits._
+    val two60 = math.pow(2, 60)
+    val pdf = broadcast(pairs.toDF("pa", "pb"))
+    val a = mins.join(pdf, col("grp") === col("pa"))
+      .select(col("pa"), col("pb"), col("hv"),
+        lit(1).as("ina"), lit(0).as("inb"))
+    val b = mins.join(pdf, col("grp") === col("pb"))
+      .select(col("pa"), col("pb"), col("hv"),
+        lit(0).as("ina"), lit(1).as("inb"))
+    val merged = a.unionByName(b)
+      .groupBy(col("pa"), col("pb"), col("hv"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pa"), col("pb")).orderBy(col("hv"))
+    merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("union_kth"),
+        sum((col("ina") * col("inb")).cast("long")).as("n_common"))
+      .select(col("pa"), col("pb"), col("n_kept"), col("union_kth"),
+        col("n_common"),
+        (col("n_common").cast("double") / col("n_kept")).as("jaccard"),
+        ((col("n_kept") - 1).cast("double") * lit(two60)
+          / col("union_kth").cast("double")).as("union_est"))
+      .withColumn("inter_est", col("jaccard") * col("union_est"))
+  }
 }

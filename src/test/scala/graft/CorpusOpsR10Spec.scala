@@ -198,6 +198,32 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- KMV bottom-k sketch ------------------------------------------
+
+  test("KMV overlap is exact below k and tracks Jaccard above k") {
+    import spark.implicits._
+    // below k: sketches hold the full sets -> exact Jaccard
+    val small = ((1 to 60).map(i => ("a", s"v$i")) ++
+      (31 to 90).map(i => ("b", s"v$i"))).toDF("grp", "v")
+    val s1 = graft.pipeline.Sketches.kmvOverlap(
+        graft.pipeline.Sketches.kmvMins(small, "grp", "v", 128),
+        Seq(("a", "b")), 128).collect().head
+    assert(s1.getLong(2) === 90L) // n_kept = |union|
+    assert(s1.getLong(4) === 30L) // n_common = |intersection|
+    assert(s1.getDouble(5) === 30.0 / 90.0)
+    // above k: 2000-element sets with 50% overlap, k=128
+    val big = ((1 to 2000).map(i => ("a", s"x$i")) ++
+      (1001 to 3000).map(i => ("b", s"x$i"))).toDF("grp", "v")
+    val s2 = graft.pipeline.Sketches.kmvOverlap(
+        graft.pipeline.Sketches.kmvMins(big, "grp", "v", 128),
+        Seq(("a", "b")), 128).collect().head
+    val trueJ = 1000.0 / 3000.0
+    assert(math.abs(s2.getDouble(5) - trueJ) < 0.12,
+      s"jaccard ${s2.getDouble(5)} vs $trueJ")
+    assert(math.abs(s2.getDouble(6) - 3000) / 3000.0 < 0.2,
+      s"union est ${s2.getDouble(6)}")
+  }
+
   // ---- integer-GD logistic regression ------------------------------
 
   test("trainLogReg matches an independent scalar simulation bit-for-bit") {
