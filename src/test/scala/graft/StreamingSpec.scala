@@ -463,6 +463,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: complete-mode sketch equals batch") {
+    // the production shape for streaming cardinality: the REGISTER table
+    // is the streaming aggregate (one groupBy, complete mode — max is
+    // order-free so late/re-ordered batches can't change the result);
+    // the estimate is a batch read over the register store, since
+    // chained streaming aggregations are not allowed
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 4000).map(i => ("g", s"item_${i % 1700}"))
+    val input = MemoryStream[(String, String)]
+    val q = graft.pipeline.Sketches
+      .hllRegisters(input.toDS().toDF("grp", "v"), "grp", "v")
+      .writeStream.format("memory").queryName("stream_hll")
+      .outputMode("complete").start()
+    try {
+      input.addData(vals.take(2500): _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(2500): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hll")
+        .select("grp", "bucket", "r").orderBy("bucket").collect().toSeq
+      val batch = graft.pipeline.Sketches
+        .hllRegisters(vals.toDF("grp", "v"), "grp", "v")
+        .select("grp", "bucket", "r").orderBy("bucket").collect().toSeq
+      assert(streamed === batch)
+      val est = graft.pipeline.Sketches
+        .hllEstimate(spark.table("stream_hll")).collect().head.getDouble(4)
+      assert(math.abs(est - 1700) / 1700.0 < 0.15, s"estimate $est")
+    } finally q.stop()
+  }
+
   test("streaming URL frontier admits one fetch per canonical URL across batches") {
     import spark.implicits._
     import graft.streaming.StatefulDedup
