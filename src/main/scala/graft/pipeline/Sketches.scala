@@ -168,10 +168,14 @@ object Sketches {
     import spark.implicits._
     val two60 = math.pow(2, 60)
     val pdf = broadcast(pairs.toDF("pa", "pb"))
-    val a = mins.join(pdf, col("grp") === col("pa"))
+    // both pair sides consume the sketch — checkpoint so the dedup +
+    // window top-k runs once, not once per side (house pattern, see
+    // SparkEntry's lag-join queries)
+    val mem = mins.localCheckpoint(false)
+    val a = mem.join(pdf, col("grp") === col("pa"))
       .select(col("pa"), col("pb"), col("hv"),
         lit(1).as("ina"), lit(0).as("inb"))
-    val b = mins.join(pdf, col("grp") === col("pb"))
+    val b = mem.join(pdf, col("grp") === col("pb"))
       .select(col("pa"), col("pb"), col("hv"),
         lit(0).as("ina"), lit(1).as("inb"))
     val merged = a.unionByName(b)
