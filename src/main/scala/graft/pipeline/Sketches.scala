@@ -86,6 +86,18 @@ object Sketches {
     agg.select(outCols: _*)
   }
 
+  /** Merge two register tables — max per (grp, bucket). THE lake-
+    * maintenance property: sketch each partition/day at write time,
+    * merge sketches at query time, never re-touch raw data. Exactly
+    * equals the sketch of the concatenated inputs (max is associative,
+    * commutative, idempotent), pinned by CorpusOpsR10Spec. n_vals does
+    * not survive a merge (the halves may share values), so the merged
+    * table carries registers only. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("grp"), col("bucket"), col("r"))
+      .unionByName(b.select(col("grp"), col("bucket"), col("r")))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("r")).as("r"))
+
   // ---- Count-Min sketch (Cormode & Muthukrishnan 2005, J.Alg) ------
   //
   // The other order-free sketch: counters are plain integer SUMS, so a
@@ -133,6 +145,13 @@ object Sketches {
       .agg(min(coalesce(col("counter"), lit(0L))).as("cms_est"))
   }
 
+  /** Merge two CMS counter tables — counter sums are linear, so the
+    * merge is a plain re-aggregation and equals the sketch of the
+    * concatenated inputs. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("grp"), col("d"), col("idx"))
+      .agg(sum(col("counter")).as("counter"))
+
   // ---- KMV / bottom-k sketch (Bar-Yossef et al. 2002; Beyer et al.
   // SIGMOD 2007 for the unbiased estimator and set operations) -------
   //
@@ -153,6 +172,19 @@ object Sketches {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("hv"))
     df.select(col(grpCol).as("grp"), hash60(col(valCol)).as("hv")).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("grp"), col("hv"))
+  }
+
+  /** Merge two bottom-k sketches — dedup the union of values and
+    * re-take the bottom k per group; equals the sketch of the
+    * concatenated inputs (bottom-k of a union is the bottom-k of the
+    * two bottom-k sets). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("hv"))
+    a.select(col("grp"), col("hv")).unionByName(b.select(col("grp"), col("hv")))
+      .distinct()
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("grp"), col("hv"))
   }

@@ -198,6 +198,30 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // ---- sketch merge algebra -----------------------------------------
+
+  test("sketch merges equal the sketch of the concatenated input") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val rnd = new scala.util.Random(19)
+    val all = (1 to 4000).map(_ => ("g", s"m${rnd.nextInt(900)}"))
+    val (h1, h2) = all.splitAt(1700) // overlapping halves
+    val (d1, d2, dAll) = (h1.toDF("grp", "v"), h2.toDF("grp", "v"),
+      all.toDF("grp", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).orderBy(cols.map(col): _*)
+        .collect().toSeq
+    assert(rows(Sketches.hllMerge(Sketches.hllRegisters(d1, "grp", "v"),
+        Sketches.hllRegisters(d2, "grp", "v")), "grp", "bucket", "r") ===
+      rows(Sketches.hllRegisters(dAll, "grp", "v"), "grp", "bucket", "r"))
+    assert(rows(Sketches.cmsMerge(Sketches.cmsCounters(d1, "grp", "v"),
+        Sketches.cmsCounters(d2, "grp", "v")), "grp", "d", "idx", "counter") ===
+      rows(Sketches.cmsCounters(dAll, "grp", "v"), "grp", "d", "idx", "counter"))
+    assert(rows(Sketches.kmvMerge(Sketches.kmvMins(d1, "grp", "v"),
+        Sketches.kmvMins(d2, "grp", "v")), "grp", "hv") ===
+      rows(Sketches.kmvMins(dAll, "grp", "v"), "grp", "hv"))
+  }
+
   // ---- KMV bottom-k sketch ------------------------------------------
 
   test("KMV overlap is exact below k and tracks Jaccard above k") {

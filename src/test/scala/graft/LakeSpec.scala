@@ -42,6 +42,30 @@ class LakeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("MERGE into a bucketed snapshot: the snapshot side never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val snap = (1L to 400L).map(i => (i, s"s$i", i * 2.0)).toDF("k", "s", "v")
+    Lake.writeBucketed(snap, "merge_snap_b", "k", 8, Seq("k"))
+    val changes = Seq((1L, "update", "S1", 99.0), (2L, "delete", "x", 0.0),
+      (900L, "insert", "S900", 1.0)).toDF("k", "op", "s", "v")
+    val merged = Lake.merge(spark.table("merge_snap_b"), changes, "k")
+    assert(merged.count() === 400) // -1 delete +1 insert
+    // only the (tiny) change side shuffles to the snapshot's bucketing;
+    // the 400-row snapshot is read in place
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(k#") ||
+      Lake.countShuffles(merged) <= 2,
+      s"unexpected snapshot-side shuffle count in:\n$plan")
+    val snapScansShuffled = plan.linesIterator
+      .filter(_.contains("Exchange")).count(_.contains("merge_snap"))
+    assert(snapScansShuffled === 0, "snapshot scan must not sit under an Exchange")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     // heavily skewed: 90% of rows on one key
