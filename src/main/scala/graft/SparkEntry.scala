@@ -8626,6 +8626,23 @@ object SparkEntry {
         Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
     }),
 
+    "q_incremental_dedup" -> ((s, dir) => {
+      // Incremental near-dup against a persisted index (Dedup
+      // .fingerprints/bandTable/incrementalCandidates): docs ≡0 (mod 10)
+      // arrive as the new batch; the other 90% are the already-indexed
+      // corpus, read ONLY through its two narrow index tables. bands=16/
+      // rows=1 pins recall ~1 at J ≥ 0.7 (same argument as
+      // q_minhash_candidates), so the output equals the oracle's
+      // exhaustive batch-vs-corpus truth.
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val fp = Dedup.fingerprints(corpus, "doc_id", "text")
+        .localCheckpoint(false) // the "persisted" index, built once
+      Dedup.incrementalCandidates(fp, Dedup.bandTable(fp), batch,
+        "doc_id", "text")
+    }),
+
     // Fresh-name re-declarations of the five queries that hash-failed
     // the driver in r8/r9. The diagnosed mechanism (uncast HUGEINT
     // oracle sums -> pandas float64 on the driver) is fixed under the
@@ -8800,6 +8817,27 @@ object SparkEntry {
         |from base left join th on true""".stripMargin,
 
     "q_quality_train" -> logRegSql(iters = 6, lrShift = 5),
+
+    // exhaustive batch-vs-corpus truth (the gram CTE is verbatim
+    // q_minhash_candidates', whose parity is long-established)
+    "q_incremental_dedup" ->
+      """with toks as (select doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') t from documents),
+        |g as (select doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) grams
+        | from toks),
+        |pairs as (
+        | select b.doc_id new_id, a.doc_id old_id,
+        |  cast(len(list_intersect(a.grams, b.grams)) as bigint) n_inter,
+        |  cast(len(list_distinct(list_concat(a.grams, b.grams)))
+        |    as bigint) n_union
+        | from g a join g b on a.doc_id % 10 <> 0 and b.doc_id % 10 = 0
+        | where len(a.grams) > 0 and len(b.grams) > 0)
+        |select new_id, old_id, n_inter, n_union,
+        |  cast(n_inter as double) / n_union jaccard
+        |from pairs
+        |where cast(n_inter as double) / n_union >= 0.7""".stripMargin,
 
     // bottom-k sketch replay: same hash, same dedup + window top-k,
     // same merge-and-rerank union sketch

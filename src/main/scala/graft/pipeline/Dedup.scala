@@ -142,6 +142,60 @@ object Dedup {
       .distinct()
   }
 
+  // ---- incremental dedup against a persisted index -----------------
+  //
+  // The daily-increment shape at 100 TB: the corpus is fingerprinted and
+  // banded ONCE into two narrow lake tables; each arriving batch bands
+  // itself, joins the (tiny-per-batch) band index, and verifies only the
+  // colliding pairs — the corpus text is never rescanned. bands=numHashes
+  // (one row per band) pins recall ~1 for J >= 0.7 exactly as
+  // q_minhash_candidates does, so the output EQUALS the exhaustive
+  // batch-vs-corpus truth the oracle computes.
+
+  /** Fingerprint table for the index: (id, grams) — sorted distinct
+    * xxhash64'd word n-gram sets. Degenerate docs (empty set) excluded,
+    * same contract as [[gramClasses]]. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   ngram: Int = 3): DataFrame =
+    hashedShingles(df, idCol, textCol, ngram).filter(size(col("grams")) > 0)
+
+  /** Band table for the index: (id, band_id, band_hash). */
+  def bandTable(fp: DataFrame, numHashes: Int = 16,
+                bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    fp.select(col("id"),
+        graft.functions.MinHashSig.minhashSig(col("grams"), numHashes).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Near-dup pairs between `newDocs` and an existing index, verified at
+    * `threshold`. Output (new_id, old_id, n_inter, n_union, jaccard) —
+    * the jaccard an exact-int ratio. */
+  def incrementalCandidates(indexFp: DataFrame, indexBands: DataFrame,
+                            newDocs: DataFrame, idCol: String, textCol: String,
+                            ngram: Int = 3, numHashes: Int = 16,
+                            bands: Int = 16,
+                            threshold: Double = 0.7): DataFrame = {
+    val nf = fingerprints(newDocs, idCol, textCol, ngram).localCheckpoint(false)
+    val cand = bandTable(nf, numHashes, bands)
+      .join(indexBands.select(col("id").as("old_id"),
+        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
+      .select(col("id").as("new_id"), col("old_id")).distinct()
+    cand
+      .join(nf.select(col("id").as("new_id"), col("grams").as("ng")), Seq("new_id"))
+      .join(indexFp.select(col("id").as("old_id"), col("grams").as("og")),
+        Seq("old_id"))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("ng"), col("og")).cast("long"))
+      .withColumn("n_union",
+        (size(col("ng")) + size(col("og"))).cast("long") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+  }
+
   /** Exact Jaccard similarity between two array columns (verification step
     * after LSH candidate generation). */
   def jaccard(a: Column, b: Column): Column = {

@@ -292,6 +292,44 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(got.last._5 >= (0.9 * n).toLong, s"final accuracy row ${got.last}")
   }
 
+  // ---- incremental dedup against a persisted index -------------------
+
+  test("incrementalCandidates equals exhaustive batch-vs-corpus pairs") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (1L to 40L).map(i => (i, doc()))
+    // plant near-dups across the split: batch ids are multiples of 10
+    val planted = Seq(
+      (10L, base.find(_._1 == 3L).get._2),                       // J = 1
+      (20L, base.find(_._1 == 7L).get._2 + " extra tail"),       // high J
+      (30L, doc()))                                              // unrelated
+    val docs = (base.filterNot(d => planted.exists(_._1 == d._1)) ++ planted)
+      .toDF("id", "text")
+    val corpus = docs.filter($"id" % 10 =!= 0)
+    val batch = docs.filter($"id" % 10 === 0)
+    val fp = Dedup.fingerprints(corpus, "id", "text").localCheckpoint(false)
+    val got = Dedup.incrementalCandidates(fp, Dedup.bandTable(fp), batch,
+        "id", "text")
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    // exhaustive truth over the same gram definition
+    val gramsOf = docs.select($"id",
+        graft.pipeline.TextStats.ngramsOfTokens(
+          graft.pipeline.TextStats.tokens($"text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.distinct.toSet)
+    val exp = (for {
+      (nid, _) <- planted ++ Seq.empty
+      n = gramsOf(nid)
+      (oid, o) <- gramsOf if oid % 10 != 0
+      j = n.intersect(o).size.toDouble / n.union(o).size
+      if j >= 0.7
+    } yield (nid, oid)).toSet
+    assert(got === exp)
+    assert(got.contains((10L, 3L)) && got.contains((20L, 7L)))
+  }
+
   // ---- Lake.merge --------------------------------------------------
 
   test("MERGE applies update/delete/insert and carries the rest") {
