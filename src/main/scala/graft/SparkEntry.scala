@@ -8626,6 +8626,26 @@ object SparkEntry {
         Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
     }),
 
+    "q_hll_merged" -> ((s, dir) => {
+      // Sketch-merge algebra under the driver gate: Spark sketches the
+      // even-doc and odd-doc halves SEPARATELY and merges the register
+      // tables (Sketches.hllMerge), while the oracle sketches the whole
+      // corpus in one pass — a hash match proves merge(halves) == whole,
+      // the property that lets a lake sketch per partition at write time
+      // and merge at query time. (Registers ignore duplicates, so the
+      // halves skip the distinct; estimates here are raw-branch.)
+      def half(parity: Int) = pipeline.Sketches.hllRegisters(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(col("source"),
+            explode(TextStats.charShingles(col("text"), 5)).as("sh")),
+        "source", "sh")
+      pipeline.Sketches.hllEstimate(
+          pipeline.Sketches.hllMerge(half(0), half(1)))
+        .select(col("grp").as("source"), col("nz"), col("reg_sum"),
+          col("s_int"), col("est"), col("small_range"))
+    }),
+
     "q_incremental_dedup" -> ((s, dir) => {
       // Incremental near-dup against a persisted index (Dedup
       // .fingerprints/bandTable/incrementalCandidates): docs ≡0 (mod 10)
@@ -8817,6 +8837,41 @@ object SparkEntry {
         |from base left join th on true""".stripMargin,
 
     "q_quality_train" -> logRegSql(iters = 6, lrShift = 5),
+
+    // whole-corpus one-pass sketch: hash-matching the Spark side's
+    // merge-of-halves proves the merge algebra through the driver gate
+    "q_hll_merged" -> {
+      val alphaMM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+      s"""with nrm as (select source,
+         |   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') t
+         | from documents),
+         |sh as (select source, substr(t, cast(i as int), 5) sh
+         | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+         |h as (select source,
+         |   cast(concat('0x', substr(md5(sh), 1, 15)) as bigint) hv from sh),
+         |rb as (select source, hv % 256 bucket,
+         |   case when hv // 256 = 0 then 53
+         |        else 53 - length(bin(hv // 256)) end rho from h),
+         |reg as (select source, bucket, cast(max(rho) as bigint) r
+         | from rb group by 1, 2),
+         |agg as (select source, cast(count(*) as bigint) nz,
+         |   cast(sum(r) as bigint) reg_sum,
+         |   cast(sum(1::bigint << cast(53 - r as int)) as bigint) s_int
+         | from reg group by 1),
+         |es as (select source, nz, reg_sum, s_int,
+         |   (cast($alphaMM as double) * cast(9007199254740992 as double))
+         |     / cast(s_int + (256 - nz) * 9007199254740992 as double) raw
+         | from agg)
+         |select source, nz, reg_sum, s_int,
+         |  case when nz < 256 and raw <= cast(640 as double)
+         |       then cast(256 as double) * (floor(
+         |         ln(cast(256 as double) / cast(256 - nz as double))
+         |           * 1e6 + 0.5) / 1e6)
+         |       else raw end est,
+         |  case when nz < 256 and raw <= cast(640 as double) then 1
+         |       else 0 end small_range
+         |from es""".stripMargin
+    },
 
     // exhaustive batch-vs-corpus truth (the gram CTE is verbatim
     // q_minhash_candidates', whose parity is long-established)
