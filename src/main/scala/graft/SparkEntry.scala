@@ -8626,6 +8626,32 @@ object SparkEntry {
         Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
     }),
 
+    "q_lake_diff" -> ((s, dir) => {
+      // Snapshot diff (Lake.diff) auditing exactly the q_lake_merge
+      // change batch: diff(before, merged) must recover the batch —
+      // updates as 'updated', deletes as 'deleted', fresh keys as
+      // 'inserted', everything else untouched. Integer evidence per
+      // change class.
+      val orders = t(s, dir, "orders")
+      val target = orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = pmod(col("o_orderkey"), lit(7))
+      val changes = orders.filter(m <= 2).select(
+        when(m === 2, col("o_orderkey") + lit(100000000L))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(m === 0, lit("update")).when(m === 1, lit("delete"))
+          .otherwise(lit("insert")).as("op"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      val merged = graft.sources.Lake.merge(target, changes, "o_orderkey")
+      graft.sources.Lake.diff(target, merged, "o_orderkey")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(coalesce(uq(col("after_o_totalprice"), 100), lit(0L)))
+            .as("after_cents_sum"))
+    }),
+
     "q_hll_merged" -> ((s, dir) => {
       // Sketch-merge algebra under the driver gate: Spark sketches the
       // even-doc and odd-doc halves SEPARATELY and merges the register
@@ -8837,6 +8863,45 @@ object SparkEntry {
         |from base left join th on true""".stripMargin,
 
     "q_quality_train" -> logRegSql(iters = 6, lrShift = 5),
+
+    // the merge replayed, then a full-outer comparison labels each key;
+    // recovers exactly the change batch
+    "q_lake_diff" ->
+      """with t0 as (select o_orderkey, o_orderstatus, o_totalprice
+        |  from orders),
+        |ch as (select
+        |   case when o_orderkey % 7 = 2 then o_orderkey + 100000000
+        |        else o_orderkey end o_orderkey,
+        |   case when o_orderkey % 7 = 0 then 'update'
+        |        when o_orderkey % 7 = 1 then 'delete'
+        |        else 'insert' end op,
+        |   o_orderstatus, o_totalprice + 100.0 o_totalprice
+        | from orders where o_orderkey % 7 <= 2),
+        |mg as (
+        |  select t0.o_orderkey,
+        |    case when ch.op = 'update' then ch.o_orderstatus
+        |         else t0.o_orderstatus end o_orderstatus,
+        |    case when ch.op = 'update' then ch.o_totalprice
+        |         else t0.o_totalprice end o_totalprice
+        |  from t0 left join ch using (o_orderkey)
+        |  where ch.op is null or ch.op <> 'delete'
+        |  union all
+        |  select o_orderkey, o_orderstatus, o_totalprice from ch
+        |  where op = 'insert'),
+        |d as (select coalesce(t0.o_orderkey, mg.o_orderkey) o_orderkey,
+        |   case when t0.o_orderkey is null then 'inserted'
+        |        when mg.o_orderkey is null then 'deleted'
+        |        when t0.o_orderstatus is distinct from mg.o_orderstatus
+        |          or t0.o_totalprice is distinct from mg.o_totalprice
+        |          then 'updated'
+        |        else 'unchanged' end change,
+        |   mg.o_totalprice after_price
+        | from t0 full outer join mg on t0.o_orderkey = mg.o_orderkey)
+        |select change, count(*) n_rows,
+        |  cast(sum(o_orderkey) as bigint) key_sum,
+        |  cast(sum(coalesce(floor(after_price * 100 + 0.5), 0)) as bigint)
+        |    after_cents_sum
+        |from d group by 1""".stripMargin,
 
     // whole-corpus one-pass sketch: hash-matching the Spark side's
     // merge-of-halves proves the merge algebra through the driver gate

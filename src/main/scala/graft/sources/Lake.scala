@@ -71,6 +71,36 @@ object Lake {
     merged.unionByName(inserts)
   }
 
+  /** Snapshot diff — what changed between two versions of a keyed
+    * table: one full outer join on the key, each row labelled
+    * `inserted` / `deleted` / `updated` (any non-key column differs,
+    * null-safe) / `unchanged`. The audit half of [[merge]]: diff two
+    * snapshots to recover the change batch, or diff merge output
+    * against intent. One shuffle per side (zero for bucketed
+    * snapshots), no driver actions; at 100 TB this is the cheapest
+    * possible version comparison — no hashing pre-pass, the join IS
+    * the comparison. */
+  def diff(before: DataFrame, after: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dataCols = before.columns.filter(_ != keyCol)
+    require(after.columns.sorted.sameElements(before.columns.sorted),
+      "diff requires identical schemas")
+    val b = before.select(col(keyCol) +: lit(1).as("_in_b") +:
+      dataCols.map(c => col(c).as(s"_b_$c")): _*)
+    val a = after.select(col(keyCol) +: lit(1).as("_in_a") +:
+      dataCols.map(c => col(c).as(s"_a_$c")): _*)
+    val changed = dataCols.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        when(col("_in_b").isNull, "inserted")
+          .when(col("_in_a").isNull, "deleted")
+          .when(changed, "updated")
+          .otherwise("unchanged").as("change") +:
+        dataCols.flatMap(c =>
+          Seq(col(s"_b_$c").as(s"before_$c"), col(s"_a_$c").as(s"after_$c"))): _*)
+  }
+
   /** Count Exchange (shuffle) nodes in a frame's executed plan — the
     * assertion primitive for layout tests. */
   def countShuffles(df: DataFrame): Int = {

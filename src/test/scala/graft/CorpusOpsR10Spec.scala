@@ -332,6 +332,18 @@ class CorpusOpsR10Spec extends AnyFunSuite {
 
   // ---- Lake.merge --------------------------------------------------
 
+  test("diff labels inserted/deleted/updated/unchanged against merge output") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 11.0), (3L, "c", 30.0), (9L, "z", 90.0))
+      .toDF("k", "s", "v")
+    val got = Lake.diff(before, after, "k")
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "updated", 2L -> "deleted",
+      3L -> "unchanged", 9L -> "inserted"))
+  }
+
   test("MERGE applies update/delete/insert and carries the rest") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
