@@ -8683,9 +8683,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-      val fp = Dedup.fingerprints(corpus, "doc_id", "text")
-        .localCheckpoint(false) // the "persisted" index, built once
-      Dedup.incrementalCandidates(fp, Dedup.bandTable(fp), batch,
+      val idx = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+        // (already checkpoint-backed inside — the "persisted" index)
+      Dedup.incrementalCandidates(idx,
+        Dedup.bandTable(idx.select(col("id"), col("grams"))), batch,
         "doc_id", "text")
     }),
 

@@ -152,14 +152,24 @@ object Dedup {
   // q_minhash_candidates does, so the output EQUALS the exhaustive
   // batch-vs-corpus truth the oracle computes.
 
-  /** Fingerprint table for the index: (id, grams) — sorted distinct
-    * xxhash64'd word n-gram sets. Degenerate docs (empty set) excluded,
-    * same contract as [[gramClasses]]. */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   ngram: Int = 3): DataFrame =
-    hashedShingles(df, idCol, textCol, ngram).filter(size(col("grams")) > 0)
+  /** Fingerprint-class table for the index: one row per DISTINCT gram
+    * set — (id = representative, grams, ms = sorted member ids). The
+    * exact-collapse front ([[nearDuplicates]]'s design #19) applied to
+    * the index: verbatim clones band as ONE participant, so a
+    * heavily-duplicated corpus cannot blow up the bucket join.
+    * Degenerate docs (empty set) excluded, same contract as
+    * [[gramClasses]]. */
+  def fingerprintIndex(df: DataFrame, idCol: String, textCol: String,
+                       ngram: Int = 3): DataFrame =
+    // checkpoint BEFORE dropDegenerate — its size() filter otherwise
+    // pushes below the groupBy and re-evaluates the whole interpreted
+    // shingle expression per row (the ×6 documented at [[gramClasses]])
+    dropDegenerate(gramClasses(hashedShingles(df, idCol, textCol, ngram))
+        .localCheckpoint(false))
+      .select(col("id"), col("grams"), col("ms"))
 
-  /** Band table for the index: (id, band_id, band_hash). */
+  /** Band table for the index: (id, band_id, band_hash) over the class
+    * representatives. */
   def bandTable(fp: DataFrame, numHashes: Int = 16,
                 bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
@@ -170,28 +180,34 @@ object Dedup {
   }
 
   /** Near-dup pairs between `newDocs` and an existing index, verified at
-    * `threshold`. Output (new_id, old_id, n_inter, n_union, jaccard) —
-    * the jaccard an exact-int ratio. */
-  def incrementalCandidates(indexFp: DataFrame, indexBands: DataFrame,
+    * `threshold`. Both sides collapse to gram classes first; LSH, the
+    * band join and the verify kernel all run at class level, and the
+    * class pairs expand to member pairs only at the end (identical gram
+    * sets share one verdict). Output (new_id, old_id, n_inter, n_union,
+    * jaccard) — the jaccard an exact-int ratio. */
+  def incrementalCandidates(indexClasses: DataFrame, indexBands: DataFrame,
                             newDocs: DataFrame, idCol: String, textCol: String,
                             ngram: Int = 3, numHashes: Int = 16,
                             bands: Int = 16,
                             threshold: Double = 0.7): DataFrame = {
-    val nf = fingerprints(newDocs, idCol, textCol, ngram).localCheckpoint(false)
-    val cand = bandTable(nf, numHashes, bands)
-      .join(indexBands.select(col("id").as("old_id"),
+    val nc = fingerprintIndex(newDocs, idCol, textCol, ngram)
+    val cand = bandTable(nc.select(col("id"), col("grams")), numHashes, bands)
+      .join(indexBands.select(col("id").as("old_rep"),
         col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
-      .select(col("id").as("new_id"), col("old_id")).distinct()
+      .select(col("id").as("new_rep"), col("old_rep")).distinct()
     cand
-      .join(nf.select(col("id").as("new_id"), col("grams").as("ng")), Seq("new_id"))
-      .join(indexFp.select(col("id").as("old_id"), col("grams").as("og")),
-        Seq("old_id"))
+      .join(nc.select(col("id").as("new_rep"), col("grams").as("ng"),
+        col("ms").as("new_ms")), Seq("new_rep"))
+      .join(indexClasses.select(col("id").as("old_rep"),
+        col("grams").as("og"), col("ms").as("old_ms")), Seq("old_rep"))
       .withColumn("n_inter", graft.functions.SortedIntersectCount
         .sortedIntersectCount(col("ng"), col("og")).cast("long"))
       .withColumn("n_union",
         (size(col("ng")) + size(col("og"))).cast("long") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
       .filter(col("jaccard") >= threshold)
+      .withColumn("new_id", explode(col("new_ms")))
+      .withColumn("old_id", explode(col("old_ms")))
       .select(col("new_id"), col("old_id"), col("n_inter"), col("n_union"),
         col("jaccard"))
   }

@@ -310,9 +310,9 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       .toDF("id", "text")
     val corpus = docs.filter($"id" % 10 =!= 0)
     val batch = docs.filter($"id" % 10 === 0)
-    val fp = Dedup.fingerprints(corpus, "id", "text").localCheckpoint(false)
-    val got = Dedup.incrementalCandidates(fp, Dedup.bandTable(fp), batch,
-        "id", "text")
+    val idx = Dedup.fingerprintIndex(corpus, "id", "text")
+    val got = Dedup.incrementalCandidates(idx,
+        Dedup.bandTable(idx.select(col("id"), col("grams"))), batch, "id", "text")
       .select("new_id", "old_id").as[(Long, Long)].collect().toSet
     // exhaustive truth over the same gram definition
     val gramsOf = docs.select($"id",
