@@ -8545,8 +8545,8 @@ object SparkEntry {
       // group-agg pipeline (no join, no second pass; was 2 explodes +
       // a countDistinct before, 4.3 s → 2.9 s at sf0.1)
       val sh = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextStats.charShingles(col("text"), 5)).as("sh"))
+        .select(col("source"), graft.functions.ShingleExplode.shingleExplode(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5).as("sh"))
         .distinct()
       pipeline.Sketches.hllEstimate(
           pipeline.Sketches.hllRegisters(sh, "source", "sh"))
@@ -8619,8 +8619,8 @@ object SparkEntry {
       // count) hash-exactly; Jaccard/cardinality are single divisions
       // of exact ints.
       val sh = t(s, dir, "documents")
-        .select(col("source"),
-          explode(TextStats.charShingles(col("text"), 5)).as("sh"))
+        .select(col("source"), graft.functions.ShingleExplode.shingleExplode(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5).as("sh"))
       val mins = pipeline.Sketches.kmvMins(sh, "source", "sh")
       pipeline.Sketches.kmvOverlap(mins,
         Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
@@ -8664,7 +8664,9 @@ object SparkEntry {
         t(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(2)) === parity)
           .select(col("source"),
-            explode(TextStats.charShingles(col("text"), 5)).as("sh")),
+            graft.functions.ShingleExplode.shingleExplode(
+              regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5)
+              .as("sh")),
         "source", "sh")
       pipeline.Sketches.hllEstimate(
           pipeline.Sketches.hllMerge(half(0), half(1)))

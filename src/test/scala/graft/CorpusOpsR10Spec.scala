@@ -92,6 +92,24 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       m(1).getLong(3) === 1L)
   }
 
+  // ---- native shingle generator -------------------------------------
+
+  test("shingleExplode equals explode(charShingles) incl. multi-byte text") {
+    import spark.implicits._
+    val texts = Seq("hello world", "ab", "abcde", "", "héllo wörld é",
+      "日本語のテキストです", "a  b\t c", null)
+    val df = texts.toDF("text")
+    def norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val viaGen = df.select(graft.functions.ShingleExplode
+        .shingleExplode(norm, 5).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaHof = df.select(explode(
+        graft.pipeline.TextStats.charShingles(col("text"), 5)).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaGen === viaHof)
+    assert(viaGen.nonEmpty)
+  }
+
   // ---- HLL sketch --------------------------------------------------
 
   test("HLL registers are order-free: identical under repartitioning") {
