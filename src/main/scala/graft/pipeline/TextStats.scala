@@ -168,8 +168,12 @@ object TextStats {
                          k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"winnow window must be >= 2, got $w")
+    // native generator (one JVM loop per row) — bit-identical to
+    // posexplode(kgramHashes(...)), pinned by CorpusOpsR10Spec
     val hashed = df
-      .select(col(idCol), posexplode(kgramHashes(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col(idCol), graft.functions.RollingHashExplode
+        .rollingHashExplode(winnowNormalize(col(textCol)), k, WinnowB, WinnowM)
+        .as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("h")) // 1-based gram starts
     val key = when(col("pos") < WinnowP,
         col("h") * WinnowP + (lit(WinnowP) - 1 - col("pos")))

@@ -110,6 +110,25 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(viaGen.nonEmpty)
   }
 
+  test("rollingHashExplode equals posexplode(kgramHashes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val texts = (1 to 30).map(_ => (1 to rnd.nextInt(80))
+      .map(_ => "abz019 ?!É"(rnd.nextInt(10))).mkString) :+ "" :+ "ab"
+    val df = texts.toDF("text")
+    val viaGen = df.select(graft.functions.RollingHashExplode
+        .rollingHashExplode(
+          graft.pipeline.TextStats.winnowNormalize(col("text")), 4)
+        .as(Seq("p0", "h")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val viaHof = df.select(posexplode(
+        graft.pipeline.TextStats.kgramHashes(col("text"), 4))
+        .as(Seq("p0", "h")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(viaGen === viaHof)
+    assert(viaGen.nonEmpty)
+  }
+
   // ---- HLL sketch --------------------------------------------------
 
   test("HLL registers are order-free: identical under repartitioning") {
