@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the text (lower/trim/whitespace-collapse) in the projection BEFORE
   * this generator, where it runs codegen'd once per row.
   */
-case class ShingleExplodeExpr(child: Expression, n: Int)
+case class ShingleExplodeExpr(child: Expression, n: Int,
+                              distinct: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, s"shingle length out of range: $n")
 
@@ -52,13 +53,28 @@ case class ShingleExplodeExpr(child: Expression, n: Int)
     offs(c) = bytes.length
     val chars = c
     if (chars < n) Nil
-    else new Iterator[InternalRow] {
+    else if (!distinct) new Iterator[InternalRow] {
       private var p = 0
       override def hasNext: Boolean = p <= chars - n
       override def next(): InternalRow = {
         val r = UTF8String.fromBytes(bytes, offs(p), offs(p + n) - offs(p))
         p += 1
         InternalRow(r)
+      }
+    } else {
+      // per-row dedup inside the generator: replaces
+      // explode(array_distinct(shingles)) without the array OR a
+      // downstream shuffle; row order follows first occurrence
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var p = 0
+      while (p <= chars - n) {
+        seen.add(UTF8String.fromBytes(bytes, offs(p), offs(p + n) - offs(p)))
+        p += 1
+      }
+      val it = seen.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = InternalRow(it.next())
       }
     }
   }
@@ -68,6 +84,7 @@ case class ShingleExplodeExpr(child: Expression, n: Int)
 }
 
 object ShingleExplode {
-  def shingleExplode(text: Column, n: Int): Column =
-    ColumnBridge.column(ShingleExplodeExpr(ColumnBridge.expression(text), n))
+  def shingleExplode(text: Column, n: Int, distinct: Boolean = false): Column =
+    ColumnBridge.column(
+      ShingleExplodeExpr(ColumnBridge.expression(text), n, distinct))
 }

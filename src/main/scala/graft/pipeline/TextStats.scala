@@ -746,7 +746,8 @@ object TextStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
     docs.select(col(langCol).as("lang"),
-        explode(charTrigrams(lower(trim(col(textCol))))).as("tri"))
+        graft.functions.ShingleExplode
+          .shingleExplode(lower(trim(col(textCol))), 3).as("tri"))
       .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -762,8 +763,11 @@ object TextStats {
     * per-doc hash-agg; profiles never exceed k·|langs| rows. */
   def langIdClassify(docs: DataFrame, idCol: String, textCol: String,
                      profiles: DataFrame): DataFrame = {
+    // distinct = true dedups per row inside the generator — the
+    // explode(array_distinct(...)) semantics without the array build
     val tri = docs.select(col(idCol).as("id"),
-        explode(array_distinct(charTrigrams(lower(trim(col(textCol))))))
+        graft.functions.ShingleExplode
+          .shingleExplode(lower(trim(col(textCol))), 3, distinct = true)
           .as("tri"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("plang"))

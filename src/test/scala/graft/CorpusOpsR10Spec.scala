@@ -127,6 +127,15 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
     assert(viaGen === viaHof)
     assert(viaGen.nonEmpty)
+    // distinct mode == explode(array_distinct(...))
+    val viaGenD = df.select(graft.functions.ShingleExplode
+        .shingleExplode(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+          3, distinct = true).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaHofD = df.select(explode(array_distinct(
+        graft.pipeline.TextStats.charShingles(col("text"), 3))).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaGenD === viaHofD)
   }
 
   // ---- HLL sketch --------------------------------------------------
