@@ -390,6 +390,31 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       3L -> "unchanged", 9L -> "inserted"))
   }
 
+  test("MERGE equals an in-memory reference on random change batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 8).foreach { _ =>
+      val target = (1L to 30L).map(k => (k, s"s$k", rnd.nextInt(100).toDouble))
+      val ops = Seq("update", "delete", "insert")
+      val changes = rnd.shuffle((1L to 45L).toList).take(12).map { k =>
+        val op = if (k > 30) "insert" else ops(rnd.nextInt(2)) // no bad inserts
+        (k, op, s"S$k", rnd.nextInt(100).toDouble)
+      }
+      val got = Lake.merge(target.toDF("k", "s", "v"),
+          changes.toDF("k", "op", "s", "v"), "k")
+        .as[(Long, String, Double)].collect().toSet
+      val cmap = changes.map(c => c._1 -> c).toMap
+      val ref = target.flatMap { case (k, s, v) =>
+        cmap.get(k) match {
+          case Some((_, "delete", _, _)) => None
+          case Some((_, "update", s2, v2)) => Some((k, s2, v2))
+          case _ => Some((k, s, v)) // unmatched or a no-op insert row
+        }
+      }.toSet ++ changes.collect { case (k, "insert", s2, v2) => (k, s2, v2) }
+      assert(got === ref, s"changes=$changes")
+    }
+  }
+
   test("MERGE applies update/delete/insert and carries the rest") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),

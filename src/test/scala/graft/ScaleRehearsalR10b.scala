@@ -53,9 +53,11 @@ object ScaleRehearsalR10b {
     println(s"[rehearsal] AC plan shuffles: $acShuffles " +
       "(only the 16-group rollup; AQE may fold it out of the probe)")
 
-    // 2) HLL over word 2-shingles per group: sketch-sized shuffle
-    val sh = docs.select(col("grp"), explode(
-      graft.pipeline.TextStats.charShingles(col("text"), 8)).as("sh"))
+    // 2) HLL over char 8-shingles per group: sketch-sized shuffle;
+    // shingling through the native generator (PLANS §74)
+    val sh = docs.select(col("grp"),
+      graft.functions.ShingleExplode.shingleExplode(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), 8).as("sh"))
     val hll = graft.pipeline.Sketches.hllEstimate(
       graft.pipeline.Sketches.hllRegisters(sh, "grp", "sh"))
     time("HLL 16 groups x ~20M shingle rows") {
