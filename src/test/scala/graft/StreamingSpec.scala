@@ -495,6 +495,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS counters: complete-mode sketch equals batch") {
+    // counters are order-free integer sums, so the streaming aggregate
+    // converges to the batch sketch regardless of batch boundaries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 3000).map(i => ("g", s"tok_${i % 400}"))
+    val input = MemoryStream[(String, String)]
+    val q = graft.pipeline.Sketches
+      .cmsCounters(input.toDS().toDF("grp", "v"), "grp", "v")
+      .writeStream.format("memory").queryName("stream_cms")
+      .outputMode("complete").start()
+    try {
+      input.addData(vals.take(1300): _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(1300): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_cms")
+        .orderBy("d", "idx").collect().toSeq
+      val batch = graft.pipeline.Sketches
+        .cmsCounters(vals.toDF("grp", "v"), "grp", "v")
+        .orderBy("d", "idx").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming URL frontier admits one fetch per canonical URL across batches") {
     import spark.implicits._
     import graft.streaming.StatefulDedup
