@@ -8152,7 +8152,8 @@ object SparkEntry {
       // path classes by doc_id. The oracle derives the expected keep set
       // directly from the path-class arithmetic — green proves group
       // selection, longest-match, allow-tie and $-anchor semantics on a
-      // zero-extra-shuffle plan (rules fold to a broadcast map literal).
+      // plan whose URL side never shuffles (per-host rule arrays arrive
+      // via one broadcast hash join — asserted in PlanSpec).
       val docs = t(s, dir, "documents")
       val body = "User-agent: evilbot\nDisallow: /\n\n" +
         "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n" +

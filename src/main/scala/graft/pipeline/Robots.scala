@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
   * rule means allowed. Patterns are anchored prefixes with `*` and `$`
   * ([[graft.functions.RobotsMatch]]).
   *
-  * Scale shape: a rule table is per-HOST sized (a few rules per domain —
-  * broadcast scale by nature, like the codebooks and analog targets
-  * elsewhere in this engine), so [[filterAllowed]] folds it into a
-  * host→rules map LITERAL and decides per row with zero additional
-  * shuffle: lookup, filter by match, take the lexicographic max of
-  * (plen, allow). The per-host arrays are small, so the higher-order
-  * filter/max re-evaluation cost is bounded. URLs never shuffle at all.
+  * Scale shape: [[filterAllowed]] aggregates the rule table to one
+  * (host, rules-array) row per host and LEFT-JOINs the URL frame to it
+  * on the canonical host — broadcast-hinted, since per-host rule groups
+  * are tiny relative to any crawl frontier, and a broadcast relation
+  * (unlike a plan-embedded literal) streams, spills, and ships once per
+  * executor even at millions of hosts. The per-URL decision then runs
+  * inside the join output with no further shuffle: filter the host's
+  * rules by match, take the lexicographic max of (plen, allow). If the
+  * host table outgrows broadcast (hundreds of millions of hosts), drop
+  * the hint at the call site by pre-joining yourself; the decision
+  * columns are unchanged.
   *
   * Lenient parse per RFC §2.2: unknown fields and malformed lines are
   * ignored, field names are case-insensitive, `#` starts a comment,
@@ -82,29 +86,26 @@ object Robots {
 
   /** Keep the rows of `urls` whose `urlCol` the rules permit. The URL is
     * canonicalized first so rule matching sees the dedup-normal form.
-    * `rules` must be (host, allow, pattern, plen) — it is collected into
-    * a literal host→rules map (per-host rule tables are broadcast-scale
-    * by contract; pre-trim per-host with a join first if yours is not). */
+    * `rules` must be (host, allow, pattern, plen); it is aggregated to
+    * one row per host and broadcast-joined to the URL frame — the URL
+    * side never shuffles and never widens (one array column in, dropped
+    * on the way out). */
   def filterAllowed(urls: DataFrame, urlCol: Column, rules: DataFrame): DataFrame = {
-    val perHost: Map[String, Array[(Int, Boolean, String)]] = rules
-      .select(col("host"), col("plen").cast("int"), col("allow"), col("pattern"))
-      .collect()
-      .map(r => (r.getString(0), (r.getInt(1), r.getBoolean(2), r.getString(3))))
-      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2) }
-    if (perHost.isEmpty) return urls
-    val rulesMap = map(perHost.toSeq.flatMap { case (h, rs) =>
-      Seq(lit(h), array(rs.map { case (plen, allow, pat) =>
-        struct(lit(plen).as("plen"), lit(allow).as("allow"),
-          lit(pat).as("pattern"))
-      }.toIndexedSeq: _*))
-    }: _*)
+    val perHost = rules
+      .groupBy(col("host").as("_robots_host"))
+      .agg(collect_list(struct(col("plen").cast("int").as("plen"),
+        col("allow").as("allow"), col("pattern").as("pattern"))).as("_robots_rules"))
     val u = graft.functions.UrlNormalize.urlNormalize(urlCol)
     val hostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
     val path = regexp_replace(u, "^[a-z][a-z0-9+.-]*://[^/]*", "")
-    val matched = filter(element_at(rulesMap, regexp_extract(u, hostRe, 1)),
+    val joined = urls
+      .withColumn("_robots_host", regexp_extract(u, hostRe, 1))
+      .join(broadcast(perHost), Seq("_robots_host"), "left")
+    val matched = filter(col("_robots_rules"),
       r => graft.functions.RobotsMatch.robotsMatch(path, r.getField("pattern")))
     // array_max orders structs field-by-field: longest plen first, allow
     // beating disallow on equal length; empty/missing → null → allowed
-    urls.filter(coalesce(array_max(matched).getField("allow"), lit(true)))
+    joined.filter(coalesce(array_max(matched).getField("allow"), lit(true)))
+      .drop("_robots_host", "_robots_rules")
   }
 }

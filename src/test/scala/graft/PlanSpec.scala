@@ -59,6 +59,15 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("robots filter plans as a broadcast hash join, not a plan literal") {
+    val plan = SparkEntry.queries("q_robots_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rules should reach the URLs via a broadcast join:\n$plan")
+    assert(!plan.contains("map(keys:"),
+      "host->rules must not be embedded in the plan as a map literal")
+  }
+
   test("filters and projection reach the parquet scan") {
     import org.apache.spark.sql.functions._
     val df = sources.Tables.table(spark, dir, "lineitem")

@@ -78,6 +78,30 @@ object ScaleRehearsalWeb {
     println(s"[rehearsal] pages = ${deduped.getAs[Long]("pages")}, " +
       s"fetches = ${deduped.getAs[Long]("fetches")}, " +
       f"extracted chars = ${deduped.getAs[Long]("chars") / 1e6}%.1f M")
+
+    // robots filter at 150k distinct hosts (r11): the rules frame arrives
+    // via one broadcast hash join, never a plan literal — 600k URLs, 4
+    // path classes, 3 rules/host. Expected keep rate: /public/ and
+    // /private/pub/ pass, /private/ and *.tmp are blocked -> exactly half.
+    val nHosts = 150000L
+    val robotsBody = "User-agent: *\nDisallow: /private/\n" +
+      "Allow: /private/pub/\nDisallow: /*.tmp$"
+    val robots = spark.range(nHosts).select(
+      concat(lit("d"), col("id"), lit(".example.org")).as("host"),
+      lit(robotsBody).as("body"))
+    val rules = graft.pipeline.Robots.rulesFor(robots, "graftbot")
+    val urls = spark.range(4 * nHosts).select(col("id"),
+      concat(lit("http://d"), pmod(col("id"), lit(nHosts)),
+        lit(".example.org"),
+        when(pmod(col("id"), lit(4)) === 0, lit("/public/x"))
+          .when(pmod(col("id"), lit(4)) === 1, lit("/private/x"))
+          .when(pmod(col("id"), lit(4)) === 2, lit("/private/pub/x"))
+          .otherwise(lit("/files/x.tmp"))).as("u"))
+    val kept = time(s"robots filter ($nHosts hosts, ${4 * nHosts} urls)") {
+      graft.pipeline.Robots.filterAllowed(urls, col("u"), rules).count()
+    }
+    require(kept == 2 * nHosts, s"expected ${2 * nHosts} allowed, got $kept")
+    println(s"[rehearsal] robots kept = $kept of ${4 * nHosts}")
     spark.stop()
   }
 }
