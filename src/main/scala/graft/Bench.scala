@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall-clock seconds.
+/** Benchmark main: a full JSON line with per-query wall-clock seconds
+  * (also written to bench_full_latest.json), then a compact summary line
+  * sized to survive the driver's ~2 KB stdout-tail capture.
   * Queries are materialised through the `noop` sink so every output column
   * is actually computed (a bare `count()` lets Catalyst prune the
   * projections being measured). A warm-up pass touches each table once so
@@ -102,6 +104,22 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
     val w = new java.io.PrintWriter(outPath)
     try w.println(line) finally w.close()
+    // LAST line is a compact (<1.9 KB) self-contained summary: the driver
+    // stores only the final ~2 KB of stdout, so the full line above has
+    // never survived intact (BENCH_r*.json: parsed=null every round, tail
+    // cut mid-map at an arbitrary key of the COLD map). This line carries
+    // the totals plus the slowest warm queries, fits the tail whole, and
+    // is valid JSON on its own; the full per-query maps live in the big
+    // line and in bench_full_latest.json.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slow = ok.sortBy(-_._2).take(32).map { case (k, v) => k -> r3(v) }
+    val line2 = s"""{"metric":"bench_total_warm","value":${r3(ok.map(_._2).sum)},""" +
+      s""""unit":"sec","mode":"warm-min2","n_ok":${ok.size},"n_error":${bad.size},""" +
+      s""""total_cold_sec":${r3(coldOk.map(_._2).sum)},""" +
+      s""""queries":${toJson(slow)},""" +
+      s""""note":"slowest 32 of ${ok.size}; full maps in bench_full_latest.json",""" +
+      s""""sf":"$sfDir"}"""
+    println(line2)
     spark.stop()
   }
 }

@@ -6300,6 +6300,7 @@ object SparkEntry {
       graft.pipeline.TextStats.winnowFingerprints(
         t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8).persist())
 
+
   private def queries42: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_winnow_fingerprints" -> ((s, dir) => {
@@ -6322,6 +6323,9 @@ object SparkEntry {
       // postings self-join — the contract that survives corpus growth
       // (PLANS sec. 40), replayed exactly by the oracle.
       graft.pipeline.Dedup.winnowOverlapOfFps(
+          // distinct is REQUIRED here: the generator de-dups (pos,fp)
+          // pairs, but one doc can select the same fp at several
+          // positions — (doc,fp) still needs the collapse
           winnowFps(s, dir).select(col("doc_id").as("doc"), col("fp")).distinct(),
           t(s, dir, "documents").select(countDistinct(col("doc_id")).as("n_docs")),
           minShared = 5, maxDfFrac = 0.05)

@@ -851,7 +851,9 @@ object Dedup {
                     maxDfFrac: Double): DataFrame = {
     // checkpoint the fingerprint table (id+hash rows only, no text): it
     // feeds the df-cut AND both postings sides, and re-deriving the
-    // hash+window subtree three times tripled the query's cost
+    // winnow generator pass three times tripled the query's cost.
+    // distinct stays: the generator de-dups (pos,fp) pairs, but one doc
+    // can select the same fp at several positions.
     val fps = TextStats.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), col("fp")).distinct()
       .localCheckpoint(true)

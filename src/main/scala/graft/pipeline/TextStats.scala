@@ -160,12 +160,27 @@ object TextStats {
     * back to (pos, fp). Documents above 2^20 normalised chars fail
     * loudly rather than fold positions into the hash field.
     *
-    * Scale: document-local end to end — one hash pass, one window inside
-    * doc partitions, a map-side-combining distinct. No cross-document
-    * state, so the plan is embarrassingly parallel at any corpus size.
-    * Returns (idCol, pos, fp). */
+    * Scale: document-local end to end, executed entirely inside the scan
+    * stage by [[graft.functions.WinnowExplode]] (hash + deque window-min
+    * + per-doc distinct as one generator pass) — ZERO shuffle, where the
+    * windowed plan form below sorted every k-gram of the corpus by
+    * (doc, pos) first. Returns (idCol, pos, fp). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
+    require(w >= 2, s"winnow window must be >= 2, got $w")
+    df.select(col(idCol), graft.functions.WinnowExplode
+      .winnowExplode(winnowNormalize(col(textCol)), k, w,
+        WinnowB, WinnowM, WinnowP)
+      .as(Seq("pos", "fp")))
+  }
+
+  /** The original plan-form of [[winnowFingerprints]] (explode → window
+    * min over doc partitions → distinct): kept as the independent
+    * reference implementation the generator is property-pinned against —
+    * row-identical output, one corpus-wide (doc,pos) sort slower. */
+  private[graft] def winnowFingerprintsWindowed(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"winnow window must be >= 2, got $w")
     // native generator (one JVM loop per row) — bit-identical to

@@ -138,6 +138,29 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(viaGenD === viaHofD)
   }
 
+  test("winnowExplode generator equals the windowed winnowing plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // shared-substring structure (repeated slices) + degenerate rows:
+    // empty, shorter than k, exactly one full window, multi-byte chars
+    val base = (1 to 400).map(_ => "abz019 xq"(rnd.nextInt(9))).mkString
+    val texts = (1 to 25).map { i =>
+      val a = rnd.nextInt(300); val b = a + 20 + rnd.nextInt(80)
+      (i.toLong, base.substring(a, b) + " É? " + base.substring(rnd.nextInt(200)))
+    } ++ Seq((100L, ""), (101L, "ab"), (102L, "abcdefghijkl"), (103L, null))
+    val df = texts.toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 8), (4, 2), (2, 12))) {
+      val gen = graft.pipeline.TextStats
+        .winnowFingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val win = graft.pipeline.TextStats
+        .winnowFingerprintsWindowed(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(gen === win, s"k=$k w=$w")
+      assert(gen.nonEmpty, s"k=$k w=$w produced no fingerprints")
+    }
+  }
+
   // ---- HLL sketch --------------------------------------------------
 
   test("HLL registers are order-free: identical under repartitioning") {
