@@ -8254,6 +8254,28 @@ object SparkEntry {
           max(col("r")).as("rank_max"))
     }),
 
+    "q_pagerank_dangling" -> ((s, dir) => {
+      // PageRank with dangling-mass redistribution (the variant real
+      // crawl graphs need — sinks are common): only docs outside the
+      // doc_id%5 class emit a link, so every multiple of 5 reached as a
+      // target is a sink whose rank re-enters as an equal integer share
+      // (ds div n) each round. Still int64 floor arithmetic end to end;
+      // the oracle unrolls the three rounds including the dangling term
+      // and hash-matches bit for bit.
+      val docs = t(s, dir, "documents")
+      val nRow = docs.agg(count(lit(1)).as("nn"))
+      val edges = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, col("nn")).as("dst"))
+      graft.pipeline.Graph.pageRankExact(edges, "src", "dst", iters = 3,
+          danglingRedistribute = true)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("r")).as("rank_sum"),
+          max(col("r")).as("rank_max"))
+    }),
+
     "q_anchor_text" -> ((s, dir) => {
       // Anchor-text extraction (HtmlAnchorsExpr): each page carries one
       // real link whose anchor text wraps nested markup around target
@@ -8450,6 +8472,41 @@ object SparkEntry {
         |r3 as (select id, cast(150000000 + (85 * coalesce(cs, 0)) // 100
         |    as bigint) r from node left join c3 on c3.dst = node.id)
         |select lang, cast(count(*) as bigint) n_docs,
+        |  cast(sum(r) as bigint) rank_sum, cast(max(r) as bigint) rank_max
+        |from r3 join documents on id = doc_id group by lang""".stripMargin,
+
+    // same replay with the dangling term: ds = rank mass on nodes with
+    // no out-edges, each node gets ds // n_nodes back inside the damp
+    "q_pagerank_dangling" ->
+      """with nn as (select count(*) n from documents),
+        |e as (select doc_id src, (doc_id*7+1) % n dst
+        |  from documents, nn where doc_id % 5 <> 0),
+        |node as (select src id from e union select dst from e),
+        |ncnt as (select cast(count(*) as bigint) nc from node),
+        |od as (select src, count(*) od from e group by 1),
+        |r0 as (select id, cast(1000000000 as bigint) r from node),
+        |d1 as (select cast(coalesce(sum(r), 0) as bigint) ds
+        |  from r0 left join od on od.src = r0.id where od.src is null),
+        |c1 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r0 on r0.id = e.src group by 1),
+        |r1 as (select id, cast(150000000 + (85 * (coalesce(cs, 0) +
+        |    (select ds from d1) // (select nc from ncnt))) // 100
+        |    as bigint) r from node left join c1 on c1.dst = node.id),
+        |d2 as (select cast(coalesce(sum(r), 0) as bigint) ds
+        |  from r1 left join od on od.src = r1.id where od.src is null),
+        |c2 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r1 on r1.id = e.src group by 1),
+        |r2 as (select id, cast(150000000 + (85 * (coalesce(cs, 0) +
+        |    (select ds from d2) // (select nc from ncnt))) // 100
+        |    as bigint) r from node left join c2 on c2.dst = node.id),
+        |d3 as (select cast(coalesce(sum(r), 0) as bigint) ds
+        |  from r2 left join od on od.src = r2.id where od.src is null),
+        |c3 as (select dst, cast(sum(r // od) as bigint) cs
+        |  from e join od using (src) join r2 on r2.id = e.src group by 1),
+        |r3 as (select id, cast(150000000 + (85 * (coalesce(cs, 0) +
+        |    (select ds from d3) // (select nc from ncnt))) // 100
+        |    as bigint) r from node left join c3 on c3.dst = node.id)
+        |select lang, cast(count(*) as bigint) n_nodes,
         |  cast(sum(r) as bigint) rank_sum, cast(max(r) as bigint) rank_max
         |from r3 join documents on id = doc_id group by lang""".stripMargin,
 

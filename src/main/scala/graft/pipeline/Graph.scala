@@ -14,29 +14,41 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: unnormalized damped PageRank with fixed iteration count,
   *   r_0(v) = scale
-  *   r_{t+1}(v) = scale·(den−num)/den + (num · Σ_{u→v} (r_t(u) div
-  *                outdeg(u))) div den
-  * Parallel edges contribute once each; dangling mass is dropped (the
-  * standard simple variant — documented, both engines agree). Choose
-  * `scale` so n·scale·num stays far below 2^63.
+  *   r_{t+1}(v) = scale·(den−num)/den + (num · (Σ_{u→v} (r_t(u) div
+  *                outdeg(u)) + D_t)) div den
+  * Parallel edges contribute once each. `danglingRedistribute = false`
+  * (the simple variant) drops dangling mass: D_t = 0. With `true`, each
+  * node receives the equal share D_t = (Σ_{outdeg(u)=0} r_t(u)) div n —
+  * the standard redistribute variant real crawl graphs need (sinks are
+  * common); floor division keeps it engine-exact, the ≤ n−1 remainder
+  * micro-units are dropped. Choose `scale` so n·scale·num ≪ 2^63.
   *
   * Scale shape per iteration: one broadcast-or-shuffle join of the rank
   * vector onto edges (ranks are |V|-sized; at web scale co-partition
   * edges and ranks by src so the join is zero-exchange), one hash-agg on
   * dst (map-side partial sums do the heavy lifting), one left join back
-  * to the node set. Fixed small iteration count (quality signals use
-  * 3–10); for perfect-convergence use cases checkpoint between rounds.
+  * to the node set; the dangling term adds one 1-row aggregate broadcast.
+  * `localCheckpoint` flattens the per-round lineage (edges/nodes/outdeg
+  * are checkpointed once and every rank vector truncates its history —
+  * without it the plan doubles per iteration), matching the
+  * connected-components loop. Fixed small iteration count (quality
+  * signals use 3–10).
   */
 object Graph {
 
   def pageRankExact(edges: DataFrame, srcCol: String, dstCol: String,
                     iters: Int = 3, scale: Long = 1000000000L,
-                    dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                    dampNum: Long = 85L, dampDen: Long = 100L,
+                    danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(false) // read every iteration; don't re-derive
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(false)
+    val nCnt = broadcast(nodes.agg(count(lit(1)).as("_n")))
     val base = scale * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
@@ -45,11 +57,24 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      ranks = nodes
+      val next = nodes
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+      ranks = (if (!danglingRedistribute) {
+        next.select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(cs, 0L)) div $dampDen"))
             .as("r"))
+      } else {
+        // one 1-row (dangling-mass-share) frame per round, broadcast
+        val dang = broadcast(ranks
+          .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("_ds"))
+          .crossJoin(nCnt)
+          .select(expr("_ds div _n").as("_share")))
+        next.crossJoin(dang).select(col("id"),
+          (lit(base) +
+            expr(s"($dampNum * (coalesce(cs, 0L) + _share)) div $dampDen"))
+            .as("r"))
+      }).localCheckpoint(false)
     }
     ranks
   }
