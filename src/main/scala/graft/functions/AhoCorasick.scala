@@ -41,47 +41,96 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
   require(patterns.distinct.length == patterns.length, "duplicate patterns")
   require(patterns.forall(_.nonEmpty), "empty pattern")
 
-  // Trie over exact chars (UTF-16 code units — patterns and text
-  // compare as Java strings, same contract as String.indexOf).
-  private val children = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
-  private val patEnd = mutable.ArrayBuffer(-1) // pattern id ending at node
-  private var failArr: Array[Int] = _
-  private var dictArr: Array[Int] = _ // nearest fail-chain node with output
-
-  patterns.zipWithIndex.foreach { case (p, id) =>
-    var v = 0
-    p.foreach { ch =>
-      v = children(v).getOrElseUpdate(ch, {
-        children += mutable.Map.empty[Char, Int]
-        patEnd += -1
-        children.length - 1
-      })
+  // Frozen automaton state — flat arrays only, built once below. The
+  // hot loop never touches a Map or boxes a char: ASCII transitions
+  // (the blocklist norm) read a dense fail-RESOLVED goto table (the
+  // DFA form — no fail-chasing at scan time), non-ASCII edges live in
+  // per-node sorted parallel char/next arrays walked with binary
+  // search plus fail links. Memory: 512 B/node for the ASCII table —
+  // fine for real blocklists (C4 badwords ≈ 5k nodes ≈ 2.5 MB); a
+  // multi-million-node dictionary would want the sorted-array form
+  // for ASCII too.
+  // (patEnd, fail, dict, asciiNext, hiChars, hiNexts)
+  private val (patEndArr, failArr, dictArr, asciiNext, hiChars, hiNexts) = {
+    // Build-time trie over exact chars (UTF-16 code units — patterns
+    // and text compare as Java strings, same contract as String.indexOf).
+    val children = mutable.ArrayBuffer(mutable.Map.empty[Char, Int])
+    val patEnd = mutable.ArrayBuffer(-1)
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var v = 0
+      p.foreach { ch =>
+        v = children(v).getOrElseUpdate(ch, {
+          children += mutable.Map.empty[Char, Int]
+          patEnd += -1
+          children.length - 1
+        })
+      }
+      patEnd(v) = id
     }
-    patEnd(v) = id
-  }
-
-  { // BFS fail links (Aho–Corasick construction)
     val n = children.length
-    failArr = new Array[Int](n)
-    dictArr = Array.fill(n)(-1)
-    val queue = mutable.Queue.empty[Int]
-    children(0).valuesIterator.foreach { c => failArr(c) = 0; queue += c }
-    while (queue.nonEmpty) {
-      val v = queue.dequeue()
-      dictArr(v) =
-        if (patEnd(failArr(v)) >= 0) failArr(v) else dictArr(failArr(v))
-      children(v).foreach { case (ch, c) =>
-        var f = failArr(v)
-        while (f != 0 && !children(f).contains(ch)) f = failArr(f)
-        // depth(fail(v)) < depth(v), so this target is never c itself
-        failArr(c) = children(f).getOrElse(ch, 0)
-        queue += c
+    val fail = new Array[Int](n)
+    val dict = Array.fill(n)(-1)
+    val bfs = new Array[Int](n) // BFS order: fail(v) always precedes v
+    var bfsLen = 1
+    var qh = 1 // bfs(0) = 0 (root)
+    children(0).valuesIterator.foreach { c =>
+      fail(c) = 0; bfs(bfsLen) = c; bfsLen += 1
+    }
+    while (qh < bfsLen) {
+      val v = bfs(qh); qh += 1
+      if (v != 0) {
+        dict(v) = if (patEnd(fail(v)) >= 0) fail(v) else dict(fail(v))
+        children(v).foreach { case (ch, c) =>
+          var f = fail(v)
+          while (f != 0 && !children(f).contains(ch)) f = fail(f)
+          // depth(fail(v)) < depth(v), so this target is never c itself
+          fail(c) = children(f).getOrElse(ch, 0)
+          bfs(bfsLen) = c; bfsLen += 1
+        }
       }
     }
+    // Freeze: resolved ASCII goto in BFS order (fail(v)'s row exists
+    // when v's is filled), sorted arrays for the non-ASCII residue.
+    val ascii = new Array[Int](n << 7)
+    val hc = new Array[Array[Char]](n)
+    val hn = new Array[Array[Int]](n)
+    var bi = 0
+    while (bi < bfsLen) {
+      val v = bfs(bi)
+      val base = v << 7
+      var ch = 0
+      while (ch < 128) {
+        ascii(base + ch) = children(v).get(ch.toChar) match {
+          case Some(c) => c
+          case None    => if (v == 0) 0 else ascii((fail(v) << 7) + ch)
+        }
+        ch += 1
+      }
+      val hi = children(v).iterator.filter(_._1 >= 128).toArray.sortBy(_._1)
+      hc(v) = hi.map(_._1)
+      hn(v) = hi.map(_._2)
+      bi += 1
+    }
+    (patEnd.toArray, fail, dict, ascii, hc, hn)
   }
 
   private val nPat = patterns.length
   private val bitmapWords = (nPat + 63) >>> 6
+
+  /** Raw-trie edge lookup for non-ASCII `ch` at `v`: −1 if absent. */
+  private def hiEdge(v: Int, ch: Char): Int = {
+    val ks = hiChars(v)
+    var lo = 0
+    var hi = ks.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = ks(mid)
+      if (k == ch) return hiNexts(v)(mid)
+      else if (k < ch) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
 
   /** One pass; returns (totalHits, distinctHits). Allocation per call
     * is one small long[] bitmap — safe under concurrent tasks sharing
@@ -94,11 +143,16 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
     val n = text.length
     while (i < n) {
       val ch = text.charAt(i)
-      while (v != 0 && !children(v).contains(ch)) v = failArr(v)
-      v = children(v).getOrElse(ch, 0)
-      var u = if (patEnd(v) >= 0) v else dictArr(v)
+      if (ch < 128) {
+        v = asciiNext((v << 7) | ch)
+      } else {
+        var nv = hiEdge(v, ch)
+        while (nv < 0 && v != 0) { v = failArr(v); nv = hiEdge(v, ch) }
+        v = if (nv >= 0) nv else 0
+      }
+      var u = if (patEndArr(v) >= 0) v else dictArr(v)
       while (u >= 0) {
-        val id = patEnd(u)
+        val id = patEndArr(u)
         total += 1
         seen(id >>> 6) |= 1L << (id & 63)
         u = dictArr(u)

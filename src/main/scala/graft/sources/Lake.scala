@@ -38,19 +38,21 @@ object Lake {
     * Delta/Iceberg `MERGE INTO` semantics expressed as ONE plan over
     * stock operators, for lakes that are plain parquet:
     *
-    *   - matched + op='delete'  → row removed
-    *   - matched + op='update'  → source's non-key columns win
-    *   - not matched + 'insert' → row appended
+    *   - matched + op='delete'      → row removed
+    *   - matched + op='update'     → source's non-key columns win
+    *   - matched + op='insert'     → NOT applied; target row carried
+    *     (Delta's WHEN NOT MATCHED clause simply doesn't fire)
+    *   - not matched + 'insert'    → row appended
+    *   - not matched + update/delete → no-op (nothing to hit)
     *   - target rows never matched → carried unchanged
     *
     * `source` must carry `keyCol`, an `op` column and the same data
-    * columns as `target`. Shape at scale: one shuffle of each side on
-    * the key (a right_outer hash/sort-merge join — change batches are
-    * usually << snapshot, so AQE picks broadcast when it fits), then a
-    * union with the inserts, which is a scan-free reuse of the same
-    * source. No driver actions, no second pass over the snapshot; if
-    * the target is bucketed by the key ([[writeBucketed]]) the
-    * snapshot side's shuffle disappears entirely.
+    * columns as `target`. Shape at scale: ONE full-outer join on the
+    * key, i.e. one shuffle of each side and a single pass over the
+    * snapshot (no union, no second source scan — matched/unmatched
+    * routing happens per joined row); if the target is bucketed by the
+    * key ([[writeBucketed]]) the snapshot side's shuffle disappears
+    * entirely.
     *
     * Multiple change rows per key are a caller error (MERGE's own
     * cardinality rule); the join would multiply rows, as in Delta. */
@@ -61,14 +63,15 @@ object Lake {
     val src = source.select(
       col(keyCol) +: col(opCol).as("_op") +:
         dataCols.map(c => col(c).as(s"_src_$c")): _*)
-    val merged = target.join(src, Seq(keyCol), "left_outer")
-      .filter(col("_op").isNull || col("_op") =!= "delete")
+    val tgt = target.select(
+      col(keyCol) +: lit(1).as("_tgt") +: dataCols.map(col): _*)
+    tgt.join(src, Seq(keyCol), "full_outer")
+      .filter((col("_tgt").isNotNull &&
+          (col("_op").isNull || col("_op") =!= "delete")) ||
+        (col("_tgt").isNull && col("_op") === "insert"))
       .select(col(keyCol) +: dataCols.map(c =>
-        when(col("_op") === "update", col(s"_src_$c"))
+        when(col("_tgt").isNull || col("_op") === "update", col(s"_src_$c"))
           .otherwise(col(c)).as(c)): _*)
-    val inserts = src.filter(col("_op") === "insert")
-      .select(col(keyCol) +: dataCols.map(c => col(s"_src_$c").as(c)): _*)
-    merged.unionByName(inserts)
   }
 
   /** Snapshot diff — what changed between two versions of a keyed

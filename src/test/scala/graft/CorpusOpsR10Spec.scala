@@ -44,6 +44,21 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII patterns take the sorted-edge path, same semantics") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "aé日∀ " // mixes ASCII, latin-1, CJK, math (all BMP)
+    (1 to 30).foreach { _ =>
+      val pats = Iterator.continually(
+          (1 to (1 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(5))).mkString)
+        .distinct.take(1 + rnd.nextInt(6)).toSeq
+      val ac = new AhoCorasick(pats.toArray)
+      (1 to 15).foreach { _ =>
+        val text = (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(5))).mkString
+        assert(ac.scan(text) === brute(text, pats), s"pats=$pats text='$text'")
+      }
+    }
+  }
+
   test("overlap and suffix-pattern semantics (dict links)") {
     assert(new AhoCorasick(Array("aa")).scan("aaa") === ((2L, 1)))
     // all three fire at position 2 via the dict-suffix chain
@@ -418,10 +433,13 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     val rnd = new scala.util.Random(29)
     (1 to 8).foreach { _ =>
       val target = (1L to 30L).map(k => (k, s"s$k", rnd.nextInt(100).toDouble))
+      val targetKeys = target.map(_._1).toSet
       val ops = Seq("update", "delete", "insert")
+      // every op can hit every key: matched inserts must not fire
+      // (Delta's WHEN NOT MATCHED doesn't), unmatched update/delete
+      // must be no-ops (nothing to hit)
       val changes = rnd.shuffle((1L to 45L).toList).take(12).map { k =>
-        val op = if (k > 30) "insert" else ops(rnd.nextInt(2)) // no bad inserts
-        (k, op, s"S$k", rnd.nextInt(100).toDouble)
+        (k, ops(rnd.nextInt(3)), s"S$k", rnd.nextInt(100).toDouble)
       }
       val got = Lake.merge(target.toDF("k", "s", "v"),
           changes.toDF("k", "op", "s", "v"), "k")
@@ -431,9 +449,11 @@ class CorpusOpsR10Spec extends AnyFunSuite {
         cmap.get(k) match {
           case Some((_, "delete", _, _)) => None
           case Some((_, "update", s2, v2)) => Some((k, s2, v2))
-          case _ => Some((k, s, v)) // unmatched or a no-op insert row
+          case _ => Some((k, s, v)) // unmatched target or matched insert
         }
-      }.toSet ++ changes.collect { case (k, "insert", s2, v2) => (k, s2, v2) }
+      }.toSet ++ changes.collect {
+        case (k, "insert", s2, v2) if !targetKeys(k) => (k, s2, v2)
+      }
       assert(got === ref, s"changes=$changes")
     }
   }
