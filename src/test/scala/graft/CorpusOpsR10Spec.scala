@@ -107,6 +107,55 @@ class CorpusOpsR10Spec extends AnyFunSuite {
       m(1).getLong(3) === 1L)
   }
 
+  test("incremental pair counts equal an in-memory reference trainer") {
+    import spark.implicits._
+    def refBpe(words: Seq[String], k: Int): Seq[(String, String, Long, Long)] = {
+      var state: Map[Vector[String], Long] = words.groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      val out = Seq.newBuilder[(String, String, Long, Long)]
+      var it = 0
+      var done = false
+      while (it < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (syms, c) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            counts((syms(i), syms(i + 1))) =
+              counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+            i += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c, counts.size.toLong))
+          state = state.toSeq.map { case (syms, c) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), c)
+          }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+          it += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(59)
+    (1 to 4).foreach { _ =>
+      val words = (1 to 60).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+      val got = BpeTrain.learnMerges(Seq(words.mkString(" ")).toDF("text"),
+          "text", 8).orderBy("it")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      val want = refBpe(words, 8)
+      assert(got === want, s"words=$words")
+    }
+  }
+
   // ---- native shingle generator -------------------------------------
 
   test("shingleExplode equals explode(charShingles) incl. multi-byte text") {
