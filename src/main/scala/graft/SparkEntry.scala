@@ -5967,6 +5967,26 @@ object SparkEntry {
         .orderBy("i0")
     }),
 
+    "q_hdf5_scaleoffset" -> ((s, dir) => {
+      // scaleoffset (filter 6) ingest under the DuckDB gate — the packing
+      // netCDF-4 least_significant_digit variables carry. The planted file
+      // (Hdf5PlantedScaleoffset) holds BOTH variants: packed_i16 (integer
+      // scale, auto minbits, negative minimum exercising the signed
+      // minval) and packed_f64 (D-scale, 2 digits, fill −999 riding the
+      // reserved all-ones code). Values live on the centi-grid so decode
+      // is bit-exact and the oracle replays both closed forms.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_scaleoffset_v1.h5")
+      if (!f.isFile) graft.sources.Hdf5PlantedScaleoffset.write(f.getPath)
+      val i16 = graft.sources.Hdf5.readVariable(s, f.getPath, "packed_i16")
+        .select(lit("i16").as("src"), col("i0").cast("long").as("i0"),
+          col("value"))
+      val f64 = graft.sources.Hdf5.readVariable(s, f.getPath, "packed_f64")
+        .select(lit("f64").as("src"), col("i0").cast("long").as("i0"),
+          col("value"))
+      i16.unionByName(f64).orderBy("src", "i0")
+    }),
+
     "q_image_decode_jpeg" -> ((s, dir) => {
       // LOSSY decode pinned by a closed-form oracle: uniform-colour JPEGs
       // (Multimodal.plantedJpeg — channel values are id-derived multiples
@@ -6141,6 +6161,20 @@ object SparkEntry {
       """select cast(t as bigint) i0,
         |  cast((5*t*t + 11*t) % 83 as double) "value"
         |from range(0, 48) r(t) order by 1""".stripMargin,
+
+    // both planted closed forms replayed arithmetically; the f64 grid is
+    // exact centi-values so x/100.0 is the same IEEE op in both engines
+    "q_hdf5_scaleoffset" ->
+      """select * from (
+        |  select 'i16' src, cast(t as bigint) i0,
+        |    cast((7*t*t + 3*t) % 199 - 60 as double) "value"
+        |  from range(0, 48) r(t)
+        |  union all
+        |  select 'f64', cast(t as bigint),
+        |    case when t % 9 = 0 then -999.0
+        |         else ((17*t*t + 5*t) % 731 - 200) / 100.0 end
+        |  from range(0, 40) r(t)
+        |) order by 1, 2""".stripMargin,
 
     "q_zarr_strings" ->
       """select * from (

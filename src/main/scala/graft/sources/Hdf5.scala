@@ -69,11 +69,13 @@ import java.util.zip.Inflater
   * szip (filter 4) decodes through [[Szip]] — the CCSDS 121.0 coder in
   * H5Zszip's raw framing (r9; unblocks NASA granules) — and nbit
   * (filter 5) through [[Nbit]], the bit-packed reduced-precision stream
-  * for atomic types (r10). Out of scope (documented): nested VLEN bases
-  * (vlen-of-vlen-strings; atomic numerics and fixed-string bases read),
-  * nbit over array/compound bases, and scaleoffset (its chunk payload
-  * layout lives in the filter implementation, not the file format
-  * spec).
+  * for atomic types (r10), and scaleoffset (filter 6) through
+  * [[Scaleoffset]] — integer and float-D-scale variants, the netCDF-4
+  * `least_significant_digit` packing (r11). Out of scope (documented):
+  * nested VLEN bases (vlen-of-vlen-strings; atomic numerics and
+  * fixed-string bases read), nbit over array/compound bases, and
+  * scaleoffset E-scaling (never implemented by the HDF5 library
+  * itself).
   */
 object Hdf5 {
 
@@ -94,7 +96,8 @@ object Hdf5 {
                            filters: Seq[Int] = Nil,
                            vlenBase: Option[Member] = None,
                            szipCd: Option[Seq[Int]] = None,
-                           nbitCd: Option[Seq[Int]] = None) {
+                           nbitCd: Option[Seq[Int]] = None,
+                           soCd: Option[Seq[Int]] = None) {
     /** Pipeline in WRITE order when parsed; empty for legacy callers that
       * built the case class directly — fall back to the boolean flags in
       * the canonical netCDF4 order (shuffle before deflate). */
@@ -289,6 +292,7 @@ object Hdf5 {
       val pl = parsePipeline(r, "fractal heap")
       require(pl.szipCd.isEmpty, "szip-filtered fractal heap unsupported")
       require(pl.nbitCd.isEmpty, "nbit-filtered fractal heap unsupported")
+      require(pl.soCd.isEmpty, "scaleoffset-filtered fractal heap unsupported")
       filters = pl.ids
     }
     // trailing header checksum: fixed fields + the optional filtered-root
@@ -535,6 +539,7 @@ object Hdf5 {
     var gzip = false; var shuffled = false
     var szipCd: Option[Seq[Int]] = None
     var nbitCd: Option[Seq[Int]] = None
+    var soCd: Option[Seq[Int]] = None
     val filterIds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var members: Seq[Member] = Nil; var vlenStr = false
     var vlenBase: Option[Member] = None
@@ -637,6 +642,7 @@ object Hdf5 {
           filterIds ++= pl.ids
           szipCd = pl.szipCd
           nbitCd = pl.nbitCd
+          soCd = pl.soCd
           gzip = pl.ids.contains(FilterDeflate)
           shuffled = pl.ids.contains(FilterShuffle)
         case 0x000C => // attribute v1/v2/v3: CF scalars (_FillValue, scale, offset)
@@ -681,7 +687,7 @@ object Hdf5 {
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
         shuffled, members, vlenStr, filterIds.toSeq, vlenBase, szipCd,
-        nbitCd))
+        nbitCd, soCd))
     }
   }
 
@@ -770,7 +776,8 @@ object Hdf5 {
     * present. */
   private[graft] final case class Pipeline(ids: Seq[Int],
                                            szipCd: Option[Seq[Int]],
-                                           nbitCd: Option[Seq[Int]])
+                                           nbitCd: Option[Seq[Int]],
+                                           soCd: Option[Seq[Int]] = None)
 
   /** Decode a filter-pipeline message body (object-header message 0x000B;
     * a filtered fractal heap embeds the same encoding in its header) at
@@ -783,6 +790,7 @@ object Hdf5 {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
     var szipCd: Option[Seq[Int]] = None
     var nbitCd: Option[Seq[Int]] = None
+    var soCd: Option[Seq[Int]] = None
     var i = 0
     while (i < n) {
       val id = r.u16()
@@ -798,16 +806,22 @@ object Hdf5 {
         require(nVals >= 4, s"nbit filter in $what carries $nVals client values")
         nbitCd = Some((0 until nVals).map(_ => r.u32().toInt))
         if (v == 1 && nVals % 2 == 1) r.skip(4)
+      } else if (id == FilterScaleoffset) {
+        require(nVals >= 8,
+          s"scaleoffset filter in $what carries $nVals client values")
+        soCd = Some((0 until nVals).map(_ => r.u32().toInt))
+        if (v == 1 && nVals % 2 == 1) r.skip(4)
       } else
         r.skip(4 * nVals + (if (v == 1 && nVals % 2 == 1) 4 else 0))
       require(id == FilterDeflate || id == FilterShuffle ||
-          id == FilterFletcher32 || id == FilterSzip || id == FilterNbit,
+          id == FilterFletcher32 || id == FilterSzip || id == FilterNbit ||
+          id == FilterScaleoffset,
         s"unsupported filter $id in pipeline for $what " +
-          "(only shuffle+deflate+fletcher32+szip+nbit)")
+          "(only shuffle+deflate+fletcher32+szip+nbit+scaleoffset)")
       ids += id
       i += 1
     }
-    Pipeline(ids.toSeq, szipCd, nbitCd)
+    Pipeline(ids.toSeq, szipCd, nbitCd, soCd)
   }
 
   /** Extensible Array chunk index ("EAHD" → "EAIB" index block →
@@ -1227,7 +1241,7 @@ object Hdf5 {
             val stored = new Array[Byte](c.storedSize.toInt)
             raf.readFully(stored)
             val bytes = defilter(stored, filters, chunkElems * esz, esz,
-              ds.szipCd, ds.nbitCd)
+              ds.szipCd, ds.nbitCd, ds.soCd)
             (0 until chunkElems).flatMap { flat =>
               val idx = unravelIdx(flat.toLong, cdims)
               var inBounds = true; var j = 0
@@ -1599,6 +1613,7 @@ object Hdf5 {
   private[graft] val FilterFletcher32 = 3
   private[graft] val FilterSzip = 4
   private[graft] val FilterNbit = 5
+  private[graft] val FilterScaleoffset = 6
 
   /** Reverse a chunk's filter pipeline: `filters` is the WRITE-order list
     * from the pipeline message; reading applies the inverses back-to-front.
@@ -1611,7 +1626,8 @@ object Hdf5 {
   private[graft] def defilter(stored: Array[Byte], filters: Seq[Int],
                               rawLen: Int, esz: Int,
                               szipCd: Option[Seq[Int]] = None,
-                              nbitCd: Option[Seq[Int]] = None): Array[Byte] = {
+                              nbitCd: Option[Seq[Int]] = None,
+                              soCd: Option[Seq[Int]] = None): Array[Byte] = {
     var buf = stored
     var i = filters.length - 1
     while (i >= 0) {
@@ -1639,6 +1655,12 @@ object Hdf5 {
           buf = Nbit.decode(buf, nbitCd.getOrElse(
             throw new IllegalArgumentException(
               "nbit filter without client-data parameters")), rawLen)
+        case FilterScaleoffset =>
+          // 13-byte (minbits, minval) header + MSB-first packed codes;
+          // datatype/scale/fill parameters ride the client data
+          buf = Scaleoffset.decode(buf, soCd.getOrElse(
+            throw new IllegalArgumentException(
+              "scaleoffset filter without client-data parameters")), rawLen)
         case other =>
           throw new IllegalArgumentException(s"unsupported filter id $other")
       }
@@ -1729,6 +1751,7 @@ object Hdf5 {
         val filters = ds.pipeline
         val szipCd = ds.szipCd
         val nbitCd = ds.nbitCd
+        val soCd = ds.soCd
         val chunkElems = cdims.product.toInt
         // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
         val slices = math.max(1, math.min(chunks.size,
@@ -1744,7 +1767,7 @@ object Hdf5 {
               // unshuffle, then checksum verify+strip — or checksum first
               // when fletcher32 was the last write-side filter)
               val bytes = defilter(stored, filters, chunkElems * dtSize,
-                dtSize, szipCd, nbitCd)
+                dtSize, szipCd, nbitCd, soCd)
               val vals = decode(bytes, dtClass, dtSize, little, chunkElems)
               // chunk-local row-major unravel + global offset; rows past the
               // dataspace edge (partial edge chunks) are dropped
