@@ -8606,7 +8606,7 @@ object SparkEntry {
     "q_lake_merge" -> ((s, dir) => {
       // MERGE INTO over the orders snapshot (sources/Lake.merge): keys
       // ≡0 (mod 7) update (+100.00), ≡1 delete, ≡2 insert under fresh
-      // keys. One outer join + union — single snapshot scan; evidence
+      // keys. ONE full-outer join — single scan of each side; evidence
       // is exact key sums and micro-quantized cents.
       val orders = t(s, dir, "orders")
       val target = orders
@@ -8620,6 +8620,52 @@ object SparkEntry {
         col("o_orderstatus"),
         (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
       graft.sources.Lake.merge(target, changes, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(uq(col("o_totalprice"), 100)).as("cents_sum"))
+    }),
+
+    "q_stream_merge" -> ((s, dir) => {
+      // Streaming lake upsert (streaming/Streams.mergeReplay): three
+      // change batches replayed one-per-micro-batch through a
+      // foreachBatch MERGE into a bucketed snapshot. The batches
+      // INTERACT across micro-batch boundaries — b1 inserts fresh keys
+      // (+1e8) that b2 UPDATES (+999) and b3 partially DELETES, b2's
+      // matched insert must no-op, b3 adds a second fresh class (+2e8)
+      // — so a single-merge shortcut or out-of-order application
+      // cannot reproduce the final state the oracle states in closed
+      // form. Final snapshot grouped like q_lake_merge.
+      val orders = t(s, dir, "orders")
+      val target = orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = pmod(col("o_orderkey"), lit(7))
+      def fresh(off: Long) = (col("o_orderkey") + lit(off)).as("o_orderkey")
+      val b1 = orders.filter(m === 0).select(col("o_orderkey"),
+          lit("update").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .unionByName(orders.filter(m === 2).select(fresh(100000000L),
+          lit("insert").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice")))
+      val b2 = orders.filter(m === 1).select(col("o_orderkey"),
+          lit("delete").as("op"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .unionByName(orders.filter(m === 2).select(fresh(100000000L),
+          lit("update").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 999.0).as("o_totalprice")))
+        .unionByName(orders.filter(m === 0).select(col("o_orderkey"),
+          lit("insert").as("op"), col("o_orderstatus"),
+          lit(-1.0).as("o_totalprice"))) // matched insert: must no-op
+      val b3 = orders
+        .filter(m === 2 && pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(fresh(100000000L), lit("delete").as("op"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(orders.filter(m === 3).select(fresh(200000000L),
+          lit("insert").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 20.0).as("o_totalprice")))
+      val table = s"stream_merge_${System.nanoTime()}"
+      graft.streaming.Streams
+        .mergeReplay(s, target, Seq(b1, b2, b3), table, "o_orderkey", 8)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("key_sum"),
@@ -8893,6 +8939,27 @@ object SparkEntry {
         |  cast(sum(o_orderkey) as bigint) key_sum,
         |  cast(sum(floor(o_totalprice * 100 + 0.5)) as bigint) cents_sum
         |from mg group by 1""".stripMargin,
+
+    // the sequentially-merged final state stated in closed form: m≡0
+    // updated (+100), m≡1 deleted, originals of m≡2 and m≥3 carried,
+    // b1's fresh +1e8 keys end at b2's +999 update except the k%3=0
+    // third b3 deletes, b3's +2e8 inserts land at +20; b2's matched
+    // insert and b3's unmatched update contribute nothing
+    "q_stream_merge" ->
+      """with t as (select o_orderkey k, o_orderstatus st, o_totalprice p
+        |  from orders),
+        |f as (
+        |  select k, st, p + 100 pv from t where k % 7 = 0
+        |  union all select k, st, p from t where k % 7 = 2
+        |  union all select k, st, p from t where k % 7 >= 3
+        |  union all select k + 100000000, st, p + 999 from t
+        |    where k % 7 = 2 and k % 3 <> 0
+        |  union all select k + 200000000, st, p + 20 from t where k % 7 = 3
+        |)
+        |select st o_orderstatus, count(*) n_rows,
+        |  cast(sum(k) as bigint) key_sum,
+        |  cast(sum(floor(pv * 100 + 0.5)) as bigint) cents_sum
+        |from f group by 1""".stripMargin,
 
     // full register-level replay of the pinned-hash HLL: same 60-bit
     // md5 hash, same bucket/rho split, same exact-int indicator sum;

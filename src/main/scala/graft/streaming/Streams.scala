@@ -73,4 +73,69 @@ object Streams {
     * twin of the batch dim-join discipline. */
   def enrichWithDim(events: DataFrame, dim: DataFrame, joinKeys: Seq[String]): DataFrame =
     events.join(broadcast(dim), joinKeys)
+
+  /** Streaming lake upsert: attach a foreachBatch MERGE to a stream of
+    * change batches (keyCol + `op` + data columns), each micro-batch
+    * applying [[graft.sources.Lake.merge]] against the CURRENT bucketed
+    * snapshot and rewriting it bucketed — the composition of the
+    * streaming-ingest and batch-MERGE halves that a continuously-fed
+    * lake needs. MERGE under this engine's semantics is IDEMPOTENT
+    * per batch (matched inserts no-op, update/delete re-apply to the
+    * same state), so foreachBatch's at-least-once replay on failure
+    * yields exactly-once table contents — pinned in StreamingSpec.
+    *
+    * The in-place rewrite materializes the merged snapshot
+    * (`localCheckpoint`) before the overwrite since the plan reads the
+    * table it replaces; at 100 TB the same foreachBatch body would
+    * write a NEW versioned snapshot directory and swap a pointer —
+    * the merge plan (one full-outer join, snapshot side shuffle-free
+    * when bucketed) is unchanged. */
+  def mergeSink(changes: DataFrame, table: String, keyCol: String,
+                buckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      if (!b.isEmpty) {
+        val sp = b.sparkSession
+        val merged = graft.sources.Lake
+          .merge(sp.table(table), b, keyCol).localCheckpoint(true)
+        graft.sources.Lake.writeBucketed(merged, table, keyCol, buckets,
+          Seq(keyCol))
+      }
+    }
+
+  /** Synchronous replay harness for [[mergeSink]] (the correctness-gate
+    * form, like [[tumblingAgg]]): write `initial` as the bucketed
+    * snapshot, stage each change batch as ONE parquet file with
+    * strictly increasing modification times, stream them back
+    * one-file-per-trigger through the MERGE sink, and return the final
+    * snapshot as a batch DataFrame. */
+  def mergeReplay(s: SparkSession, initial: DataFrame,
+                  batches: Seq[DataFrame], table: String, keyCol: String,
+                  buckets: Int): DataFrame = {
+    require(batches.nonEmpty, "mergeReplay needs at least one change batch")
+    graft.sources.Lake.writeBucketed(initial, table, keyCol, buckets, Seq(keyCol))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
+    val streamDir = root.resolve("stream")
+    java.nio.file.Files.createDirectory(streamDir)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = root.resolve(s"stage_$i")
+      b.coalesce(1).write.parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+      val dst = streamDir.resolve(f"batch_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // the file source orders micro-batches by (modTime, path); pin both
+      dst.toFile.setLastModified((i + 1) * 1000000L)
+    }
+    val stream = s.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = mergeSink(stream, table, keyCol, buckets)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(table)
+  }
 }

@@ -555,4 +555,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.values.count(_.isFirst) == 3, "three distinct pages admitted")
     } finally q.stop()
   }
+
+  test("streaming MERGE into a bucketed snapshot equals sequential batch MERGE") {
+    import spark.implicits._
+    import graft.sources.Lake
+    import graft.streaming.Streams
+    val initial = (1L to 300L).map(k => (k, s"s$k", k * 1.0)).toDF("k", "s", "v")
+    // cross-batch interactions force ordered application: b2 updates a row
+    // b1 inserted, b3 deletes a row b2 updated and re-inserts a b3-fresh key
+    val b1 = Seq((5L, "update", "U5", 50.0), (900L, "insert", "N900", 9.0),
+      (7L, "delete", "x", 0.0)).toDF("k", "op", "s", "v")
+    val b2 = Seq((900L, "update", "N900b", 99.0), (8L, "delete", "x", 0.0),
+      (901L, "insert", "N901", 1.0),
+      (5L, "insert", "MUSTNOOP", -1.0)).toDF("k", "op", "s", "v") // matched insert
+    val b3 = Seq((901L, "delete", "x", 0.0), (902L, "insert", "N902", 2.0),
+      (400L, "update", "nohit", 0.0), // unmatched update: no-op
+      (5L, "update", "U5c", 55.0)).toDF("k", "op", "s", "v")
+    val table = s"stream_merge_snap_${System.nanoTime()}"
+    val streamed = Streams
+      .mergeReplay(spark, initial, Seq(b1, b2, b3), table, "k", 8)
+      .as[(Long, String, Double)].collect().toSet
+    val batch = Seq(b1, b2, b3)
+      .foldLeft(initial)((t, b) => Lake.merge(t, b, "k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.contains((5L, "U5c", 55.0)), "sequential updates chained")
+    assert(streamed.contains((900L, "N900b", 99.0)), "b2 updated b1's insert")
+    assert(!streamed.exists(_._1 == 901L), "b3 deleted b2's insert")
+    assert(!streamed.exists(_._2 == "MUSTNOOP"), "matched insert did not fire")
+    // idempotency = exactly-once table contents under foreachBatch's
+    // at-least-once replay: re-applying the LAST batch changes nothing
+    val replayed = Lake.merge(spark.table(table), b3, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(replayed === streamed)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
 }
