@@ -5859,6 +5859,29 @@ object SparkEntry {
       labels.unionByName(tags).unionByName(names).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_bytes" -> ((s, dir) => {
+      // r11 codecs under the gate: |O + vlen-bytes BINARY payloads (zlib,
+      // one absent chunk → NULL, bytes deliberately not valid UTF-8 so a
+      // text-path misread cannot round-trip) evidenced as lowercase hex,
+      // and a Blosc chunk with the DELTA filter (flags 0x09: XOR against
+      // the first element, then byte-shuffle) carrying int64 counts. The
+      // oracle rebuilds hex strings and values from the closed forms.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_bytestore_v1")
+      if (!new java.io.File(storeDir, "payloads/.zarray").isFile)
+        graft.sources.Zarr.plantedBytesStore(storeDir.getPath)
+      val store = storeDir.getPath
+      val payloads = graft.sources.Zarr.readBinary(s, store, "payloads")
+        .select(lit("payloads").as("src"), col("doc").cast("long").as("idx"),
+          length(col("value")).cast("int").as("n_bytes"),
+          lower(hex(col("value"))).as("v"))
+      val counts = graft.sources.Zarr.readVariable(s, store, "counts")
+        .select(lit("counts").as("src"), col("i").cast("long").as("idx"),
+          lit(8).as("n_bytes"),
+          col("value").cast("long").cast("string").as("v"))
+      payloads.unionByName(counts).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6189,6 +6212,26 @@ object SparkEntry {
         |  select 'names', cast(t as bigint), 'n' || t || 'é'
         |  from range(0, 4) r(t)
         |) order by src, idx""".stripMargin,
+
+    // hex strings and counts rebuilt from the planted closed forms;
+    // g∈[3,6) sits in the absent chunk → NULLs
+    "q_zarr_bytes" ->
+      """with pb as (
+        |  select g, k, printf('%02x', (37*g + 11*k) % 256) h
+        |  from range(0, 7) r(g), range(0, 6) r2(k)
+        |  where k < 2 + g % 5),
+        |ph as (select g, cast(2 + g % 5 as int) nb,
+        |  string_agg(h, '' order by k) hx from pb group by 1, 2)
+        |select * from (
+        |  select 'payloads' src, cast(g as bigint) idx,
+        |    case when g between 3 and 5 then null else nb end n_bytes,
+        |    case when g between 3 and 5 then null else hx end v
+        |  from ph
+        |  union all
+        |  select 'counts', cast(i as bigint), 8,
+        |    cast((7*i*i + 3*i) % 1000 - 137 as varchar)
+        |  from range(0, 24) r(i)
+        |) order by 1, 2""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

@@ -33,8 +33,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * frame payloads handed to `lz4-java` / `zstd-jni` / `snappy-java`,
   * which Spark already ships. Bit-shuffle (0x04) is undone per block by
   * [[bitunshuffle]] — the `Blosc(shuffle=BITSHUFFLE)` stores common for
-  * hard-to-compress float data. Out of scope (rejected loudly, never
-  * misread): delta (0x08), lz4-frame-era codec ids 6/7.
+  * hard-to-compress float data. The delta filter (0x08) is undone as a
+  * whole-chunk XOR against the first element (c-blosc delta.c) after
+  * all blocks decode. Out of scope (rejected loudly, never misread):
+  * lz4-frame-era codec ids 6/7.
   *
   * Scale posture: called executor-side on one chunk at a time; all
   * buffers are chunk-sized, nothing driver-side.
@@ -63,8 +65,6 @@ object Blosc {
       require(in.length >= 16 + nbytes, s"memcpy'ed blosc chunk truncated: ${in.length} < ${16 + nbytes}")
       return java.util.Arrays.copyOfRange(in, 16, 16 + nbytes)
     }
-    if ((flags & DoDelta) != 0) throw new UnsupportedOperationException(
-      "Blosc delta filter is out of scope")
     val codec = (flags >> 5) & 0x7
     val doShuffle = (flags & DoShuffle) != 0 && typesize > 1
     // bit-shuffle is meaningful even at typesize 1 (it transposes the
@@ -104,7 +104,19 @@ object Blosc {
       else if (doBitShuffle) bitunshuffle(typesize, block, out, j * blocksize, bsize)
       j += 1
     }
+    if ((flags & DoDelta) != 0) undelta(math.max(1, typesize), out)
     out
+  }
+
+  /** Undo the delta filter (flags 0x08, c-blosc delta.c): every byte past
+    * the first element was XORed at encode with the chunk's FIRST
+    * element's corresponding byte (index mod typesize) — blocksize is a
+    * writer-enforced multiple of typesize, so the per-block form and
+    * this whole-chunk pass are the same transform. Runs after all
+    * blocks decode (the reference bytes are out[0, typesize)). */
+  private def undelta(ts: Int, out: Array[Byte]): Unit = {
+    var g = ts
+    while (g < out.length) { out(g) = (out(g) ^ out(g % ts)).toByte; g += 1 }
   }
 
   private def decodeStream(codec: Int, in: Array[Byte], off: Int, len: Int,
@@ -137,9 +149,16 @@ object Blosc {
     * [[Zarr]] blosc output and planted fixtures. `blocksize` 0 picks
     * `min(len, 64 KiB)` rounded down to a typesize multiple. */
   def encode(raw: Array[Byte], typesize: Int, blocksizeReq: Int = 0,
-             shuffle: Boolean = true): Array[Byte] = {
+             shuffle: Boolean = true, delta: Boolean = false): Array[Byte] = {
     require(raw.nonEmpty, "empty blosc chunk")
     val ts = math.max(1, typesize)
+    val src = if (!delta) raw else {
+      // delta runs before shuffle at encode: XOR against the first element
+      val d = raw.clone()
+      var g = ts
+      while (g < d.length) { d(g) = (raw(g) ^ raw(g % ts)).toByte; g += 1 }
+      d
+    }
     val blocksize = {
       val b = if (blocksizeReq > 0) blocksizeReq else math.min(raw.length, 1 << 16)
       math.max(ts, b / ts * ts)
@@ -164,14 +183,14 @@ object Blosc {
           var b = 0
           while (b < ts) {
             var i = 0
-            while (i < quot) { sh(b * quot + i) = raw(j * blocksize + i * ts + b); i += 1 }
+            while (i < quot) { sh(b * quot + i) = src(j * blocksize + i * ts + b); i += 1 }
             b += 1
           }
           val done = quot * ts
           if (done < bsize)
-            System.arraycopy(raw, j * blocksize + done, sh, done, bsize - done)
+            System.arraycopy(src, j * blocksize + done, sh, done, bsize - done)
           sh
-        } else java.util.Arrays.copyOfRange(raw, j * blocksize, j * blocksize + bsize)
+        } else java.util.Arrays.copyOfRange(src, j * blocksize, j * blocksize + bsize)
       val nstreams = if (split && !isLeftover) ts else 1
       val neblock = bsize / nstreams
       var s = 0
@@ -195,6 +214,7 @@ object Blosc {
       .order(ByteOrder.LITTLE_ENDIAN)
     var flags = 1 << 5 // lz4
     if (doShuffle) flags |= DoShuffle
+    if (delta) flags |= DoDelta
     if (!split) flags |= DontSplit
     out.put(2.toByte).put(1.toByte).put(flags.toByte).put((ts & 0xFF).toByte)
     out.putInt(raw.length).putInt(blocksize).putInt(16 + 4 * nblocks + body.length)

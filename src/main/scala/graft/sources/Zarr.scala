@@ -45,10 +45,11 @@ import java.io.{File, RandomAccessFile}
   * `quantize` and `bitround`, whose decode is a pure dtype view/cast.
   * String arrays read through [[readStrings]]: fixed-width `|Sn` / `Un`
   * dtypes and `|O` + numcodecs `vlen-utf8` (the zarr-python text codec)
-  * — the corpus-in-zarr shape a document pipeline ingests.
-  * Out of scope (documented, rejected loudly): the Blosc delta filter,
-  * other numcodecs filters and object codecs
-  * (vlen-bytes/msgpack/pickle), v3/sharded string arrays, and nested
+  * — the corpus-in-zarr shape a document pipeline ingests; binary
+  * object arrays (`|O` + `vlen-bytes`) through [[readBinary]], and
+  * Blosc delta-filtered chunks through [[Blosc]] (r11).
+  * Out of scope (documented, rejected loudly): other numcodecs object
+  * codecs (msgpack/pickle/json), v3/sharded string arrays, and nested
   * `sharding_indexed`.
   */
 object Zarr {
@@ -237,12 +238,14 @@ object Zarr {
         val f = fo.asInstanceOf[Map[String, Any]]
         val id = f("id").asInstanceOf[String]
         require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle" ||
-            id == "quantize" || id == "bitround" || id == "vlen-utf8",
+            id == "quantize" || id == "bitround" || id == "vlen-utf8" ||
+            id == "vlen-bytes",
           s"unsupported numcodecs filter '$id' " +
-            "(delta/fixedscaleoffset/shuffle/quantize/bitround/vlen-utf8 only)")
-        if (id == "vlen-utf8") {
-          // object codec for |O string arrays — consumed by readStrings,
-          // never by the numeric unfilter chain
+            "(delta/fixedscaleoffset/shuffle/quantize/bitround/vlen-utf8/" +
+            "vlen-bytes only)")
+        if (id == "vlen-utf8" || id == "vlen-bytes") {
+          // object codecs for |O arrays — consumed by readStrings /
+          // readBinary, never by the numeric unfilter chain
           ZFilter(id, 0.0, 0.0, 'O', 0, dtLittle = true, 'O', 0, asLittle = true)
         } else if (id == "shuffle") {
           // byte transpose over the serialized stream; elementsize only
@@ -954,6 +957,79 @@ object Zarr {
     raw.toDF().select(cols: _*)
   }
 
+  /** `|O` + numcodecs `vlen-bytes` object arrays → one BINARY row per
+    * element — the binary-payload-in-zarr shape (audio/image tiles,
+    * tokenized blobs) corpus stores carry next to their text columns.
+    * Same chunk walk and NULL-for-absent-chunk semantics as
+    * [[readStrings]]; each executor touches only its chunk files. */
+  def readBinary(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    require(za.dtKind == 'O',
+      s"${za.name}: dtype kind '${za.dtKind}' is not an object array — " +
+        "use readVariable/readStrings")
+    require(za.filters.map(_.id) == Seq("vlen-bytes"),
+      s"${za.name}: readBinary needs exactly the vlen-bytes object codec, " +
+        s"got [${za.filters.map(_.id).mkString(",")}]")
+    require(za.sharding.isEmpty && !za.crc32c && za.cOrder,
+      s"${za.name}: object arrays supported for plain C-order v2 chunks only")
+    import spark.implicits._
+    val rank = za.shape.length
+    val dims = za.shape.toArray
+    val cdims = za.chunks.toArray
+    val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
+    val chunkCoords: Seq[Array[Int]] = {
+      def expand(d: Int): Seq[List[Int]] =
+        if (d == rank) Seq(Nil)
+        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
+      expand(0).map(_.toArray)
+    }
+    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val (comp, sep) = (za.compressor, za.dimSeparator)
+    val keyPrefix = za.keyPrefix
+    val chunkElems = cdims.product.toInt
+    val slices = math.max(1, math.min(chunkCoords.size,
+      math.max(64, spark.sparkContext.defaultParallelism * 2)))
+    val raw: org.apache.spark.sql.Dataset[(Array[Long], Array[Byte])] =
+      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
+        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val items: Option[Array[Array[Byte]]] =
+          if (!f.isFile) None // absent chunk → NULL values
+          else {
+            val raf = new RandomAccessFile(f, "r")
+            val all = try {
+              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+            } finally raf.close()
+            val plain = comp match {
+              case "raw"           => all
+              case "zlib" | "gzip" => inflateUnknown(comp, all)
+              case other => throw new IllegalArgumentException(
+                s"object chunks support raw/zlib/gzip, got '$other' " +
+                  "(vlen payload length is unknown before decode)")
+            }
+            Some(decodeVlenItems(plain, chunkElems, f.getName))
+          }
+        (0 until chunkElems).iterator.flatMap { flat =>
+          var rem = flat.toLong
+          val idx = new Array[Long](rank)
+          var i = rank - 1
+          while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+          var inBounds = true
+          var j = 0
+          while (j < rank) {
+            idx(j) += cc(j).toLong * cdims(j)
+            if (idx(j) >= dims(j)) inBounds = false
+            j += 1
+          }
+          if (!inBounds) None
+          else Some((idx, items.map(_(flat)).orNull))
+        }
+      }.toDS()
+    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
+      col("_2").as("value")
+    raw.toDF().select(cols: _*)
+  }
+
   /** Inflate a zlib/gzip stream of UNKNOWN decoded length (object chunks
     * carry no element width to size the buffer from). */
   private[sources] def inflateUnknown(comp: String, in: Array[Byte]): Array[Byte] =
@@ -981,30 +1057,36 @@ object Zarr {
       out.toByteArray
     }
 
-  /** numcodecs VLenUTF8 payload → one string per chunk element:
-    * `[n_items u32 LE][len u32 LE + utf8 bytes]*`; the item count must
-    * equal the chunk grid size (v2 edge chunks store the full grid). */
-  private[sources] def decodeVlenUtf8(plain: Array[Byte], nElems: Int,
-                                      what: String): Array[String] = {
-    require(plain.length >= 4, s"$what: vlen-utf8 chunk shorter than its header")
+  /** numcodecs VLen payload (VLenUTF8 and VLenBytes share the framing)
+    * → one byte slice per chunk element: `[n_items u32 LE][len u32 LE +
+    * bytes]*`; the item count must equal the chunk grid size (v2 edge
+    * chunks store the full grid). */
+  private[sources] def decodeVlenItems(plain: Array[Byte], nElems: Int,
+                                       what: String): Array[Array[Byte]] = {
+    require(plain.length >= 4, s"$what: vlen chunk shorter than its header")
     val bb = java.nio.ByteBuffer.wrap(plain).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt(0)
     require(n == nElems,
-      s"$what: vlen-utf8 header says $n items, chunk grid needs $nElems")
-    val out = new Array[String](n)
+      s"$what: vlen header says $n items, chunk grid needs $nElems")
+    val out = new Array[Array[Byte]](n)
     var off = 4
     var i = 0
     while (i < n) {
-      require(off + 4 <= plain.length, s"$what: truncated vlen-utf8 item $i")
+      require(off + 4 <= plain.length, s"$what: truncated vlen item $i")
       val len = bb.getInt(off); off += 4
       require(len >= 0 && off + len <= plain.length,
-        s"$what: vlen-utf8 item $i runs past the chunk ($len bytes at $off)")
-      out(i) = new String(plain, off, len, java.nio.charset.StandardCharsets.UTF_8)
+        s"$what: vlen item $i runs past the chunk ($len bytes at $off)")
+      out(i) = java.util.Arrays.copyOfRange(plain, off, off + len)
       off += len
       i += 1
     }
     out
   }
+
+  private[sources] def decodeVlenUtf8(plain: Array[Byte], nElems: Int,
+                                      what: String): Array[String] =
+    decodeVlenItems(plain, nElems, what)
+      .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
 
   /** Deterministic closed-form fixture store for the oracle-checked ingest
     * query (the [[graft.pipeline.Multimodal.plantedPng]] pattern): array
@@ -1137,6 +1219,67 @@ object Zarr {
     }
     writeBytes(new File(nDir, "0"), nb.array())
   }
+
+  /** Fixture store for the r11 codecs: `payloads` — |O vlen-bytes, zlib,
+    * one absent chunk (binary blobs with a 0xFF/0x00-heavy closed form,
+    * NOT valid UTF-8, so a text-path misread cannot round-trip) — and
+    * `counts` — int64[24] in one Blosc/lz4 chunk with BOTH the byte-
+    * shuffle and DELTA filters set (flags 0x09), raw value
+    * (7i² + 3i) mod 1000 − 137. */
+  def plantedBytesStore(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out)
+      d.end(); out.take(n)
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val pDir = new File(store, "payloads"); pDir.mkdirs()
+    writeBytes(new File(pDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
+         | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": 0, "filters": [{"id": "vlen-bytes"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(pDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
+    for (c <- 0 until 3 if c != 1) { // chunk 1 absent -> NULL payloads
+      val items = (0 until 3).map { j =>
+        val g = c * 3 + j
+        plantedPayload(g)
+      }
+      val total = 4 + items.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(items.length)
+      items.foreach { b => bb.putInt(b.length); bb.put(b) }
+      writeBytes(new File(pDir, s"$c"), deflate(bb.array()))
+    }
+    val cDir = new File(store, "counts"); cDir.mkdirs()
+    writeBytes(new File(cDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [24], "chunks": [24],
+         | "dtype": "<i8", "compressor": {"id": "blosc", "cname": "lz4",
+         |   "clevel": 5, "shuffle": 1, "blocksize": 0},
+         | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    writeBytes(new File(cDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    val cb = java.nio.ByteBuffer.allocate(24 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 24).foreach(i => cb.putLong((7L * i * i + 3 * i) % 1000 - 137))
+    writeBytes(new File(cDir, "0"),
+      Blosc.encode(cb.array(), typesize = 8, delta = true))
+  }
+
+  /** Closed-form binary payload for element `g` of the planted
+    * vlen-bytes array: length 2+(g mod 5), byte k = (37g + 11k) mod 256
+    * — spans the full byte range, deliberately not valid UTF-8. */
+  def plantedPayload(g: Int): Array[Byte] =
+    Array.tabulate(2 + g % 5)(k => ((37 * g + 11 * k) % 256).toByte)
 
   /** Convert every array in the store to a long-format parquet lake (the
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */

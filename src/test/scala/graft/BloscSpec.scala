@@ -143,15 +143,39 @@ class BloscSpec extends AnyFunSuite {
     bb.array()
   }
 
-  test("memcpy'ed chunk (flags 0x2) decodes; delta flag rejected") {
+  test("memcpy'ed chunk (flags 0x2) decodes raw — filters never apply to memcpy") {
     val raw = patterned(32)
     assert(Blosc.decode(memcpy(raw, 8), raw.length).toSeq == raw.toSeq)
-    val delta = memcpy(raw, 8); delta(2) = 0x8.toByte
-    assert(intercept[UnsupportedOperationException](Blosc.decode(delta, raw.length))
-      .getMessage.contains("delta"))
     // a chunk claiming BOTH byte- and bit-shuffle is malformed, not guessed at
     val both = memcpy(raw, 8); both(2) = 0x5.toByte
     intercept[IllegalArgumentException](Blosc.decode(both, raw.length))
+  }
+
+  test("delta filter: hand-assembled chunk XORs against the first element") {
+    // ts=4, raw [1,2,3,4,5,6,7,8]: encode keeps the first element plain
+    // and XORs the rest with it -> [1,2,3,4, 5^1,6^2,7^3,8^4] = [..4,4,4,12]
+    val deltaed = Array[Byte](1, 2, 3, 4, 4, 4, 4, 12)
+    val bb = java.nio.ByteBuffer.allocate(16 + 4 + 4 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put((0x08 | 0x10).toByte).put(4.toByte)
+    bb.putInt(8).putInt(8).putInt(16 + 4 + 4 + 8)
+    bb.putInt(20) // bstart
+    bb.putInt(8)  // stream stored raw (cbytes == neblock)
+    bb.put(deltaed)
+    assert(Blosc.decode(bb.array(), 8).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+  }
+
+  test("delta round-trips with and without shuffle, single and multi block") {
+    for (n <- Seq(16, 300, 8200); sh <- Seq(true, false);
+         bs <- Seq(0, 256)) {
+      val raw = patterned(n)
+      val enc = Blosc.encode(raw, 8, blocksizeReq = bs, shuffle = sh, delta = true)
+      assert((enc(2) & 0x08) != 0, "delta flag set")
+      assert(Blosc.decode(enc, raw.length).toSeq == raw.toSeq, s"n=$n sh=$sh bs=$bs")
+    }
+    val b1 = (0 until 777).map(i => (i * i % 251).toByte).toArray
+    assert(Blosc.decode(Blosc.encode(b1, 1, delta = true), b1.length)
+      .toSeq == b1.toSeq)
   }
 
   test("bit-shuffle: hand-pinned 8x1-byte vectors") {

@@ -839,4 +839,26 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readStrings(spark, root.getPath, "obj").collect()
     }.getMessage.contains("chunk grid needs"))
   }
+
+  test("vlen-bytes object array reads BINARY; blosc-delta ints decode (planted store)") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_bytes_").toFile
+    Zarr.plantedBytesStore(root.getPath)
+    val pay = Zarr.readBinary(spark, root.getPath, "payloads").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]
+        .toSeq))).toMap
+    assert(pay.size == 7)
+    for (g <- 0 until 7) {
+      if (g >= 3 && g <= 5) assert(pay(g).isEmpty, s"absent chunk elem $g")
+      else assert(pay(g).contains(Zarr.plantedPayload(g).toSeq), s"elem $g")
+    }
+    val counts = Zarr.readVariable(spark, root.getPath, "counts")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    for (i <- 0 until 24)
+      assert(counts(i) == ((7L * i * i + 3 * i) % 1000 - 137).toDouble, s"i=$i")
+    // readBinary refuses text arrays and vice versa
+    intercept[IllegalArgumentException](
+      Zarr.readBinary(spark, root.getPath, "counts"))
+    intercept[IllegalArgumentException](
+      Zarr.readStrings(spark, root.getPath, "payloads"))
+  }
 }
