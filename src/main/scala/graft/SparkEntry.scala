@@ -74,6 +74,15 @@ object SparkEntry {
   private def q6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
 
+  /** [[q6]] at scale k — `round(x, k)` made engine-portable: the floor
+    * grid floor(x·10^k + 0.5)/10^k, ties toward +∞ in both engines (the
+    * oracle spells the identical expression inline). The r11 GateSpec
+    * shrink migrates legacy raw-float `round(,k)` finals here. */
+  private def qk(c: Column, k: Int): Column = {
+    val s = math.pow(10.0, k.toDouble)
+    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+  }
+
   /** Micro-unit quantization to exact int64: `floor(x·s + 0.5)` — same
     * grid as `round(x·s).cast(long)` but ~2× faster on the hot path
     * (measured r10: Spark's Round over DoubleType allocates a
@@ -193,7 +202,7 @@ object SparkEntry {
     // ---- resample (core.Time anchored frequencies) -----------------------
     "q_resample_daily_by_type" -> ((s, dir) => {
       Generic.resampleOp(t(s, dir, "events"), Seq("event_type"), col("ts"), "D",
-        Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total")))
+        Seq(count(lit(1)).as("n"), qk(sum(col("value")), 6).as("total")))
     }),
 
     "q_resample_ys_jul_lineitem" -> ((s, dir) => {
@@ -240,7 +249,7 @@ object SparkEntry {
     "q_degree_days" -> ((s, dir) => {
       dailyTotals(s, dir)
         .groupBy(col("user_id"))
-        .agg(round(sum(greatest(col("total") - 100, lit(0.0))), 6).as("dd"))
+        .agg(qk(sum(greatest(col("total") - 100, lit(0.0))), 6).as("dd"))
     }),
 
     "q_first_occurrence_over_300" -> ((s, dir) => {
@@ -289,8 +298,8 @@ object SparkEntry {
     "q_percentile_by_type" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(round(percentile(col("value"), lit(0.9)), 6).as("p90"),
-          round(percentile(col("value"), lit(0.5)), 6).as("p50"))
+        .agg(qk(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          qk(percentile(col("value"), lit(0.5)), 6).as("p50"))
     }),
 
     "q_ensemble_daily_stats" -> ((s, dir) => {
@@ -617,7 +626,7 @@ object SparkEntry {
 
     "q_resample_daily_by_type" ->
       """select event_type, cast(date_trunc('day', ts) as timestamp) period,
-        | count(*) n, cast(cast(sum(value) as decimal(38,6)) as double) total from events group by 1,2""".stripMargin,
+        | count(*) n, floor((sum(value))*1e6 + 0.5)/1e6 total from events group by 1,2""".stripMargin,
 
     "q_resample_ys_jul_lineitem" ->
       """select l_returnflag,
@@ -660,7 +669,7 @@ object SparkEntry {
 
     "q_degree_days" ->
       s"""with daily as ($dailySql)
-         |select user_id, cast(cast(sum(greatest(total - 100, 0)) as decimal(38,6)) as double) dd
+         |select user_id, floor((sum(greatest(total - 100, 0)))*1e6 + 0.5)/1e6 dd
          |from daily group by 1""".stripMargin,
 
     "q_first_occurrence_over_300" ->
@@ -701,8 +710,8 @@ object SparkEntry {
         |from runs where repeat_len >= 4 group by 1""".stripMargin,
 
     "q_percentile_by_type" ->
-      """select event_type, cast(cast(quantile_cont(value, 0.9) as decimal(38,6)) as double) p90,
-        | cast(cast(quantile_cont(value, 0.5) as decimal(38,6)) as double) p50 from events group by 1""".stripMargin,
+      """select event_type, floor((quantile_cont(value, 0.9))*1e6 + 0.5)/1e6 p90,
+        | floor((quantile_cont(value, 0.5))*1e6 + 0.5)/1e6 p50 from events group by 1""".stripMargin,
 
     "q_ensemble_daily_stats" ->
       s"""with daily as ($dailySql)
@@ -1244,7 +1253,7 @@ object SparkEntry {
         .withColumn("pstart", explode(sequence(lit(19723), lit(19753), lit(3))))
         .filter(col("pstart") <= col("dnum") && col("dnum") < col("pstart") + 7)
         .groupBy(col("user_id"), col("pstart"))
-        .agg(count(lit(1)).as("n_days"), round(avg(col("total")), 6).as("avg_total"))
+        .agg(count(lit(1)).as("n_days"), qk(avg(col("total")), 6).as("avg_total"))
     })
   )
 
@@ -1274,7 +1283,7 @@ object SparkEntry {
          |dd as (select user_id, date_diff('day', date '1970-01-01', d) dnum, total from daily),
          |st as (select unnest(range(19723, 19754, 3)) pstart)
          |select user_id, cast(pstart as int) pstart, count(*) n_days,
-         | cast(cast(avg(total) as decimal(38,6)) as double) avg_total
+         | floor((avg(total))*1e6 + 0.5)/1e6 avg_total
          |from dd join st on pstart <= dnum and dnum < pstart + 7
          |group by 1,2""".stripMargin
   )
@@ -1394,7 +1403,7 @@ object SparkEntry {
         col("total") * 0.4 + lead(col("total"), 1).over(w) * 0.2 +
         lead(col("total"), 2).over(w) * 0.1
       dailyTotals(s, dir)
-        .withColumn("smoothed", round(sm, 6))
+        .withColumn("smoothed", qk(sm, 6))
         .filter(col("smoothed").isNotNull)
         .select(col("user_id"), col("d"), col("smoothed"))
     }),
@@ -1439,7 +1448,7 @@ object SparkEntry {
          |  lag(total, 2) over w * 0.1 + lag(total, 1) over w * 0.2
          |  + total * 0.4 + lead(total, 1) over w * 0.2 + lead(total, 2) over w * 0.1 v
          | from daily window w as (partition by user_id order by d))
-         |select user_id, d, cast(cast(v as decimal(38,6)) as double) smoothed
+         |select user_id, d, floor((v)*1e6 + 0.5)/1e6 smoothed
          |from sm where v is not null""".stripMargin,
 
     "q_json_props" ->
@@ -1500,7 +1509,7 @@ object SparkEntry {
         .withColumn("r7", avg(col("total")).over(w.rowsBetween(-6, 0)))
         .withColumn("bfi7", when(col("rn") >= 7, col("r7")))
         .groupBy(col("user_id"))
-        .agg(round(min(col("bfi7")) / avg(col("total")), 6).as("bfi"))
+        .agg(qk(min(col("bfi7")) / avg(col("total")), 6).as("bfi"))
     }),
 
     "q_rb_flashiness" -> ((s, dir) => {
@@ -1510,7 +1519,7 @@ object SparkEntry {
       dailyTotals(s, dir)
         .withColumn("dq", abs(col("total") - lag(col("total"), 1).over(w)))
         .groupBy(col("user_id"))
-        .agg(round(sum(col("dq")) / sum(col("total")), 6).as("rbi"))
+        .agg(qk(sum(col("dq")) / sum(col("total")), 6).as("rbi"))
     }),
 
     "q_flow_frequency" -> ((s, dir) => {
@@ -1529,7 +1538,7 @@ object SparkEntry {
       // precip_seasonality (_anuclim.py:158): 100 * population CV
       dailyTotals(s, dir)
         .groupBy(col("user_id"))
-        .agg(round(stddev_pop(col("total")) / avg(col("total")) * 100.0, 6).as("cv"))
+        .agg(qk(stddev_pop(col("total")) / avg(col("total")) * 100.0, 6).as("cv"))
     }),
 
     "q_between_dates" -> ((s, dir) => {
@@ -1563,8 +1572,8 @@ object SparkEntry {
          |  avg(total) over (partition by user_id order by d
          |    rows between 6 preceding and current row) r7 from daily)
          |select user_id,
-         | cast(cast(min(case when rn >= 7 then r7 end) / avg(total)
-         |   as decimal(38,6)) as double) bfi
+         | floor((min(case when rn >= 7 then r7 end) / avg(total)
+         |)*1e6 + 0.5)/1e6 bfi
          |from r group by 1""".stripMargin,
 
     "q_rb_flashiness" ->
@@ -1573,7 +1582,7 @@ object SparkEntry {
          |  abs(total - lag(total) over (partition by user_id order by d)) dq
          | from daily)
          |select user_id,
-         | cast(cast(sum(dq) / sum(total) as decimal(38,6)) as double) rbi
+         | floor((sum(dq) / sum(total))*1e6 + 0.5)/1e6 rbi
          |from l group by 1""".stripMargin,
 
     "q_flow_frequency" ->
@@ -1588,7 +1597,7 @@ object SparkEntry {
     "q_cv_seasonality" ->
       s"""with daily as ($dailySql)
          |select user_id,
-         | cast(cast(stddev_pop(total) / avg(total) * 100.0 as decimal(38,6)) as double) cv
+         | floor((stddev_pop(total) / avg(total) * 100.0)*1e6 + 0.5)/1e6 cv
          |from daily group by 1""".stripMargin,
 
     "q_between_dates" ->
@@ -1666,9 +1675,9 @@ object SparkEntry {
       daily.join(fits, "user_id")
         .withColumn("resid", col("total") - (col("intercept") + col("slope") * col("t")))
         .groupBy(col("user_id"))
-        .agg(round(first(col("slope")), 6).as("slope"),
-          round(first(col("intercept")), 6).as("intercept"),
-          round(stddev_samp(col("resid")), 6).as("resid_std"))
+        .agg(qk(first(col("slope")), 6).as("slope"),
+          qk(first(col("intercept")), 6).as("intercept"),
+          qk(stddev_samp(col("resid")), 6).as("resid_std"))
     }),
 
     "q_type_ratio" -> ((s, dir) => {
@@ -1713,9 +1722,9 @@ object SparkEntry {
          |  total - (intercept + slope * t) resid
          | from dd join fits using (user_id))
          |select user_id,
-         | cast(cast(any_value(slope) as decimal(38,6)) as double) slope,
-         | cast(cast(any_value(intercept) as decimal(38,6)) as double) intercept,
-         | cast(cast(stddev_samp(resid) as decimal(38,6)) as double) resid_std
+         | floor((any_value(slope))*1e6 + 0.5)/1e6 slope,
+         | floor((any_value(intercept))*1e6 + 0.5)/1e6 intercept,
+         | floor((stddev_samp(resid))*1e6 + 0.5)/1e6 resid_std
          |from r group by 1""".stripMargin,
 
     "q_type_ratio" ->
@@ -1813,9 +1822,9 @@ object SparkEntry {
             .withColumn("d", date_trunc("DAY", col("ts")).cast("date")),
           "d", "event_type", "value")
         .select(col("d"),
-          round(col("model_uncertainty"), 6).as("model_uncertainty"),
-          round(col("internal_uncertainty"), 6).as("internal_uncertainty"),
-          round(col("total_uncertainty"), 6).as("total_uncertainty"))
+          qk(col("model_uncertainty"), 6).as("model_uncertainty"),
+          qk(col("internal_uncertainty"), 6).as("internal_uncertainty"),
+          qk(col("total_uncertainty"), 6).as("total_uncertainty"))
     })
   )
 
@@ -1825,9 +1834,9 @@ object SparkEntry {
         |  avg(value) m, var_pop(value) v from events group by 1,2),
         |agg as (select d, var_pop(m) mu, avg(v) iu from pm group by 1)
         |select d,
-        | cast(cast(mu as decimal(38,6)) as double) model_uncertainty,
-        | cast(cast(iu as decimal(38,6)) as double) internal_uncertainty,
-        | cast(cast(mu + iu as decimal(38,6)) as double) total_uncertainty
+        | floor((mu)*1e6 + 0.5)/1e6 model_uncertainty,
+        | floor((iu)*1e6 + 0.5)/1e6 internal_uncertainty,
+        | floor((mu + iu)*1e6 + 0.5)/1e6 total_uncertainty
         |from agg""".stripMargin
   )
 
@@ -1972,7 +1981,7 @@ object SparkEntry {
           e.select(col("event_type"), array(col("value") / 100.0).as("features")),
           "event_type", "features", target,
           maxPerGroup = 4000, withGraphStats = false)
-        .select(col("event_type"), round(col("energy_distance"), 6).as("energy_distance"))
+        .select(col("event_type"), qk(col("energy_distance"), 6).as("energy_distance"))
     }),
 
     "q_hf8_percentile" -> ((s, dir) => {
@@ -2300,7 +2309,7 @@ object SparkEntry {
         |       from e a join e b on a.event_type = b.event_type group by 1),
         |wy as (select sum(abs(a.f - b.f))/count(*) m from tgt a cross join tgt b)
         |select d.event_type,
-        |  cast(cast(2.0*d.m - x.m - y.m as decimal(38,6)) as double) energy_distance
+        |  floor((2.0*d.m - x.m - y.m)*1e6 + 0.5)/1e6 energy_distance
         |from dxy d join wx x on x.event_type = d.event_type cross join wy y""".stripMargin,
 
     "q_simhash_buckets" ->
@@ -2711,7 +2720,7 @@ object SparkEntry {
       graft.indicator.Registry.computeBases("thresholded_stat")(
           climInd(s, dir).withColumn("value", col("value2")), "YS",
           Map("op" -> ">=", "thresh" -> "1.0", "reducer" -> "mean"))
-        .select(col("location_id"), col("period"), round(col("value"), 6).as("sdii"))
+        .select(col("location_id"), col("period"), qk(col("value"), 6).as("sdii"))
     }),
 
     "q_storm_days" -> ((s, dir) => {
@@ -2758,7 +2767,7 @@ object SparkEntry {
             .withColumn("valuemin", col("value") - col("value2"))
             .withColumn("valuemax", col("value") + 3.0 + col("value2")), "YS",
           Map.empty)
-        .select(col("location_id"), col("period"), round(col("value"), 6).as("bio3"))
+        .select(col("location_id"), col("period"), qk(col("value"), 6).as("bio3"))
     }),
 
     "q_embedding_neardup" -> ((s, dir) => {
@@ -2815,7 +2824,7 @@ object SparkEntry {
           Map("sel_var" -> "value2", "sel_agg" -> "sum", "sel_op" -> "max",
             "out_var" -> "value", "out_agg" -> "mean"))
         .select(col("location_id"), col("period"),
-          round(col("value"), 4).as("wettest_quarter_tas"))
+          qk(col("value"), 4).as("wettest_quarter_tas"))
     }),
 
     "q_sea_ice" -> ((s, dir) => {
@@ -2826,8 +2835,8 @@ object SparkEntry {
         ((col("value") % 100.0) / 100.0).as("siconc"),
         ((col("user_id") % 50) + 1).cast("double").as("cell_area"))
       graft.indices.SeaIce.seaIce(e, Seq("d"), col("siconc"), col("cell_area"))
-        .select(col("d"), round(col("sea_ice_area"), 6).as("sea_ice_area"),
-          round(col("sea_ice_extent"), 6).as("sea_ice_extent"))
+        .select(col("d"), qk(col("sea_ice_area"), 6).as("sea_ice_area"),
+          qk(col("sea_ice_extent"), 6).as("sea_ice_extent"))
     })
   )
 
@@ -2836,7 +2845,7 @@ object SparkEntry {
     "q_sdii" ->
       s"""with $climSql
          |select k location_id, cast(date_trunc('year', d) as timestamp) period,
-         |  cast(cast(avg(case when pr >= 1.0 then pr end) as decimal(38,6)) as double) sdii
+         |  floor((avg(case when pr >= 1.0 then pr end))*1e6 + 0.5)/1e6 sdii
          |from clim group by 1, 2""".stripMargin,
 
     "q_storm_days" ->
@@ -2886,9 +2895,9 @@ object SparkEntry {
     "q_isothermality" ->
       s"""with $climSql
          |select k location_id, cast(date_trunc('year', d) as timestamp) period,
-         |  cast(cast(avg((tas + 3.0 + pr) - (tas - pr))
+         |  floor((avg((tas + 3.0 + pr) - (tas - pr))
          |    / (max(tas + 3.0 + pr) - min(tas - pr)) * 100.0
-         |    as decimal(38,6)) as double) bio3
+         |)*1e6 + 0.5)/1e6 bio3
          |from clim group by 1, 2""".stripMargin,
 
     "q_embedding_neardup" ->
@@ -2941,7 +2950,7 @@ object SparkEntry {
          |    rows between 2 preceding and current row) out3
          | from mon)
          |select location_id, cast(date_trunc('year', m) as timestamp) period,
-         |  cast(cast(max_by(out3, sel3) as decimal(38,4)) as double) wettest_quarter_tas
+         |  floor((max_by(out3, sel3))*1e4 + 0.5)/1e4 wettest_quarter_tas
          |from win where rn >= 3 group by 1, 2""".stripMargin,
 
     "q_sea_ice" ->
@@ -2949,10 +2958,10 @@ object SparkEntry {
         |  (value % 100.0)/100.0 siconc,
         |  cast((user_id % 50) + 1 as double) cell_area from events)
         |select d,
-        | cast(cast(coalesce(sum(case when siconc >= 0.15 then siconc*cell_area end), 0.0)
-        |   as decimal(38,6)) as double) sea_ice_area,
-        | cast(cast(coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
-        |   as decimal(38,6)) as double) sea_ice_extent
+        | floor((coalesce(sum(case when siconc >= 0.15 then siconc*cell_area end), 0.0)
+        |)*1e6 + 0.5)/1e6 sea_ice_area,
+        | floor((coalesce(sum(case when siconc >= 0.15 then cell_area end), 0.0)
+        |)*1e6 + 0.5)/1e6 sea_ice_extent
         |from e group by 1""".stripMargin
   )
 
@@ -2978,7 +2987,7 @@ object SparkEntry {
         .join(broadcast(drop), Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
-          round(avg(col("quality")), 6).as("avg_quality"))
+          qk(avg(col("quality")), 6).as("avg_quality"))
     }),
 
     "q_keep_longest_run" -> ((s, dir) => {
@@ -3046,17 +3055,17 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) digits
         | from documents),
         |scored as (select doc_id, lang, n_tok,
-        |  cast(cast(
+        |  floor((
         |    least(cast(n_tok as double)/50.0, 1.0)*0.4
         |    + (1.0 - least((case when nonspace = 0 then 0.0
         |        else cast(punct as double)/nonspace end)*5.0, 1.0))*0.3
         |    + (1.0 - least((case when ln = 0 then 0.0
         |        else cast(digits as double)/ln end)*5.0, 1.0))*0.3
-        |   as decimal(38,6)) as double) quality
+        |)*1e6 + 0.5)/1e6 quality
         | from q)
         |select lang, count(*) n_docs,
         |  cast(sum(n_tok) as bigint) total_tokens,
-        |  cast(cast(avg(quality) as decimal(38,6)) as double) avg_quality
+        |  floor((avg(quality))*1e6 + 0.5)/1e6 avg_quality
         |from scored
         |where quality >= 0.5 and doc_id not in (select u from dropids)
         |group by 1""".stripMargin,
@@ -3342,7 +3351,7 @@ object SparkEntry {
       graft.core.Runs.windowedMaxRunSum(daily, Seq("k", "period"), col("d"),
           col("prsum") > 250.0, round(col("prsum") - 250.0, 0), window = 3)
         .select(col("k").as("l_returnflag"), col("period").as("y"),
-          round(col("max_run_sum") / 25.0, 4).as("max_magnitude"))
+          qk(col("max_run_sum") / 25.0, 4).as("max_magnitude"))
     }),
 
     "q_dd_approximation" -> ((s, dir) => {
@@ -3376,7 +3385,7 @@ object SparkEntry {
         .join(graft.core.Runs.rleStatistics(daily, Seq("k", "period"), None,
           col("d"), cond, "count", window = 1), Seq("k", "period"))
         .select(col("k").as("l_returnflag"), col("period").as("y"),
-          round(col("run_mean"), 4).as("mean_spell"),
+          qk(col("run_mean"), 4).as("mean_spell"),
           col("run_count").as("n_spells"))
     }),
 
@@ -3465,9 +3474,9 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(when(col("m") === "obs", col("slope"))).as("sen_slope"),
           max(when(col("m") === "sim", col("slope"))).as("sen_slope_sim"))
-      med.select(col("user_id"), round(col("sen_slope"), 6).as("sen_slope"),
-        round(col("sen_slope_sim"), 6).as("sen_slope_sim"),
-        round(col("sen_slope") / col("sen_slope_sim"), 4).as("slope_ratio"))
+      med.select(col("user_id"), qk(col("sen_slope"), 6).as("sen_slope"),
+        qk(col("sen_slope_sim"), 6).as("sen_slope_sim"),
+        qk(col("sen_slope") / col("sen_slope_sim"), 4).as("slope_ratio"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -3490,8 +3499,8 @@ object SparkEntry {
         .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS").as("m"))
         .agg(sum(round(col("pr") * 25.0, 0)).as("pru"))
       monthly.groupBy(col("k"), Time.resamplePeriod(col("m"), "YS").as("period"))
-        .agg(round(max(col("pru")) / 25.0, 4).as("wettest"),
-          round(min(col("pru")) / 25.0, 4).as("driest"))
+        .agg(qk(max(col("pru")) / 25.0, 4).as("wettest"),
+          qk(min(col("pru")) / 25.0, 4).as("driest"))
         .select(col("k").as("l_returnflag"), year(col("period")).as("y"),
           col("wettest"), col("driest"))
     })
@@ -3509,7 +3518,7 @@ object SparkEntry {
          |    sum(round(prsum - 250.0, 0)) mag
          |  from q group by 1, 2, 3)
          |select k l_returnflag, y,
-         |  cast(cast(max(mag)/25.0 as decimal(38,4)) as double) max_magnitude
+         |  floor((max(mag)/25.0)*1e4 + 0.5)/1e4 max_magnitude
          |from runs where len >= 3 group by 1, 2""".stripMargin,
 
     "q_dd_approximation" ->
@@ -3540,7 +3549,7 @@ object SparkEntry {
          |  from clim where tas + 5.0 > 0.0 and tas - 5.0 <= 0.0),
          |runs as (select k, y, grp, count(*) len from q group by 1, 2, 3)
          |select k l_returnflag, y,
-         |  cast(cast(avg(len) as decimal(38,4)) as double) mean_spell,
+         |  floor((avg(len))*1e4 + 0.5)/1e4 mean_spell,
          |  count(*) n_spells
          |from runs group by 1, 2""".stripMargin,
 
@@ -3630,9 +3639,9 @@ object SparkEntry {
          |med as (select user_id, ao[cast(ceil(n/2.0) as int)] mo,
          |   asim[cast(ceil(n/2.0) as int)] ms from arrs)
          |select user_id,
-         |  cast(cast(mo as decimal(38,6)) as double) sen_slope,
-         |  cast(cast(ms as decimal(38,6)) as double) sen_slope_sim,
-         |  cast(cast(mo/ms as decimal(38,4)) as double) slope_ratio
+         |  floor((mo)*1e6 + 0.5)/1e6 sen_slope,
+         |  floor((ms)*1e6 + 0.5)/1e6 sen_slope_sim,
+         |  floor((mo/ms)*1e4 + 0.5)/1e4 slope_ratio
          |from med""".stripMargin,
 
     "q_dedup_clusters" ->
@@ -3664,8 +3673,8 @@ object SparkEntry {
          |   sum(round(pr*25.0, 0)) pru
          | from clim group by 1, 2)
          |select k l_returnflag, year(m) y,
-         |  cast(cast(max(pru)/25.0 as decimal(38,4)) as double) wettest,
-         |  cast(cast(min(pru)/25.0 as decimal(38,4)) as double) driest
+         |  floor((max(pru)/25.0)*1e4 + 0.5)/1e4 wettest,
+         |  floor((min(pru)/25.0)*1e4 + 0.5)/1e4 driest
          |from mon group by 1, 2""".stripMargin
   )
 
@@ -3822,7 +3831,7 @@ object SparkEntry {
         .filter(col("d") >= col("start_d") &&
           col("d") <= coalesce(col("end_d"), col("last_d")))
         .groupBy(col("k"), col("y"))
-        .agg(round(sum(greatest(col("tas") - 12.0, lit(0.0))), 4).as("egdd"))
+        .agg(qk(sum(greatest(col("tas") - 12.0, lit(0.0))), 4).as("egdd"))
         .withColumnRenamed("k", "l_returnflag")
     }),
 
@@ -3851,7 +3860,7 @@ object SparkEntry {
          |  from cy where month(d) >= 7 and tasmin < 2.5 group by 1, 2),
          |lastd as (select k, y, max(d) last_d from cy group by 1, 2)
          |select c.k l_returnflag, c.y,
-         |  cast(cast(sum(greatest(c.tas - 12.0, 0.0)) as decimal(38,4)) as double) egdd
+         |  floor((sum(greatest(c.tas - 12.0, 0.0)))*1e4 + 0.5)/1e4 egdd
          |from cy c
          |join fda a on a.k = c.k and a.y = c.y
          |left join fdb b on b.k = c.k and b.y = c.y
@@ -3937,12 +3946,12 @@ object SparkEntry {
           col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
       val cni = graft.indices.Agro.coolNightIndex(c, Seq("k"), "d", "tas")
       c.groupBy(col("k"), year(col("d")).as("y"))
-        .agg(round(sum(col("pr") + col("pet")), 4).as("water_cycle_intensity"),
-          round(avg(col("pr")), 6).as("precip_average"))
+        .agg(qk(sum(col("pr") + col("pet")), 4).as("water_cycle_intensity"),
+          qk(avg(col("pr")), 6).as("precip_average"))
         .join(cni, Seq("k", "y"))
         .select(col("k").as("l_returnflag"), col("y"),
           col("water_cycle_intensity"), col("precip_average"),
-          round(col("cool_night_index"), 6).as("cool_night_index"))
+          qk(col("cool_night_index"), 6).as("cool_night_index"))
     }),
 
     "q_winter_rain_ratio" -> ((s, dir) => {
@@ -3954,7 +3963,7 @@ object SparkEntry {
         .withColumn("p", Time.resamplePeriod(col("d").cast("timestamp"), "QS-DEC"))
       c.filter(month(col("p")) === 12)
         .groupBy(col("k"), col("p"))
-        .agg(round(sum(col("rain")) / sum(col("pr")), 6).as("winter_rain_ratio"))
+        .agg(qk(sum(col("rain")) / sum(col("pr")), 6).as("winter_rain_ratio"))
         .select(col("k").as("l_returnflag"), col("p").as("period"),
           col("winter_rain_ratio"))
     })
@@ -3994,11 +4003,11 @@ object SparkEntry {
         s"""with $climSql,
            |$petMonthly,
            |ann as (select k, year(d) y,
-           |  cast(cast(sum(pr + pet) as decimal(38,4)) as double) water_cycle_intensity,
-           |  cast(cast(avg(pr) as decimal(38,6)) as double) precip_average
+           |  floor((sum(pr + pet))*1e4 + 0.5)/1e4 water_cycle_intensity,
+           |  floor((avg(pr))*1e6 + 0.5)/1e6 precip_average
            | from petd group by 1, 2),
            |cni as (select k, year(d) y,
-           |  cast(cast(avg(tas) as decimal(38,6)) as double) cool_night_index
+           |  floor((avg(tas))*1e6 + 0.5)/1e6 cool_night_index
            | from clim where month(d) = 9 group by 1, 2)
            |select a.k l_returnflag, a.y, a.water_cycle_intensity, a.precip_average,
            |  c.cool_night_index
@@ -4011,8 +4020,8 @@ object SparkEntry {
            |    as timestamp) p
            | from clim)
            |select k l_returnflag, p period,
-           |  cast(cast(sum(case when tas >= 8.0 then pr else 0.0 end)/sum(pr)
-           |    as decimal(38,6)) as double) winter_rain_ratio
+           |  floor((sum(case when tas >= 8.0 then pr else 0.0 end)/sum(pr)
+           |)*1e6 + 0.5)/1e6 winter_rain_ratio
            |from q where month(p) = 12 group by 1, 2""".stripMargin
     )
   }
@@ -4032,16 +4041,16 @@ object SparkEntry {
       val e = t(s, dir, "events").select(col("event_id"), month(col("ts")).as("m"),
         (col("value") / 40.0 - 8.0).as("tas"), (col("value") / 25.0).as("pr"))
       e.select(col("event_id"),
-        round(Converters.snowfallApproximation(col("pr"), col("tas"), "binary"), 6).as("prsn_binary"),
-        round(Converters.snowfallApproximation(col("pr"), col("tas"), "brown"), 6).as("prsn_brown"),
-        round(Converters.snowfallApproximation(col("pr"), col("tas"), "auer"), 6).as("prsn_auer"),
-        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual"), 6)
+        qk(Converters.snowfallApproximation(col("pr"), col("tas"), "binary"), 6).as("prsn_binary"),
+        qk(Converters.snowfallApproximation(col("pr"), col("tas"), "brown"), 6).as("prsn_brown"),
+        qk(Converters.snowfallApproximation(col("pr"), col("tas"), "auer"), 6).as("prsn_auer"),
+        qk(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual"), 6)
           .as("prsn_dai_annual"),
-        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_seasonal",
+        qk(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_seasonal",
           monthCol = col("m")), 6).as("prsn_dai_seasonal"),
-        round(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual",
+        qk(col("pr") * Converters.snowfallFractionDai(col("tas"), "dai_annual",
           clipTempC = Some(2.0)), 6).as("prsn_dai_clip"),
-        round(col("pr") * Converters.rainFractionDai(col("tas"), "dai_annual"), 6)
+        qk(col("pr") * Converters.rainFractionDai(col("tas"), "dai_annual"), 6)
           .as("prra_dai_annual"))
     }),
 
@@ -4070,9 +4079,9 @@ object SparkEntry {
           max(when(col("season") === "JJA", col("bfi"))).as("_jja"))
         .filter(col("_djf").isNotNull && col("_jja").isNotNull)
         .select(col("k").as("l_returnflag"), col("sy"),
-          round(col("_djf"), 6).as("bfi_djf"),
-          round(col("_jja"), 6).as("bfi_jja"),
-          round(when(col("_jja") > 0, col("_djf") / col("_jja")), 6).as("bfi_ratio"))
+          qk(col("_djf"), 6).as("bfi_djf"),
+          qk(col("_jja"), 6).as("bfi_jja"),
+          qk(when(col("_jja") > 0, col("_djf") / col("_jja")), 6).as("bfi_ratio"))
     }),
 
     "q_snowpack_flow_lag" -> ((s, dir) => {
@@ -4114,18 +4123,18 @@ object SparkEntry {
         |  -47.8337*((1.0 - 2.0/(exp(2.0*(-0.6866*(tas - 1.4913))) + 1.0)) - 1.0420)/100.0 f_rain
         | from sc)
         |select event_id,
-        | cast(cast(case when tas < 0.0 then pr else 0.0 end as decimal(38,6)) as double) prsn_binary,
-        | cast(cast(pr*greatest(0.0, least(1.0, 1.0 - tas/2.0)) as decimal(38,6)) as double) prsn_brown,
-        | cast(cast(pr*(case when tas < 0.0 then 1.0 when tas >= 6.0 then 0.0
+        | floor((case when tas < 0.0 then pr else 0.0 end)*1e6 + 0.5)/1e6 prsn_binary,
+        | floor((pr*greatest(0.0, least(1.0, 1.0 - tas/2.0)))*1e6 + 0.5)/1e6 prsn_brown,
+        | floor((pr*(case when tas < 0.0 then 1.0 when tas >= 6.0 then 0.0
         |   else greatest(0.0, least(100.0, 100.0 + 4.6664*tas - 15.038*tas*tas
         |     - 1.5089*tas*tas*tas + 2.0399*tas*tas*tas*tas
         |     - 0.366*tas*tas*tas*tas*tas + 0.0202*tas*tas*tas*tas*tas*tas))/100.0 end)
-        |   as decimal(38,6)) as double) prsn_auer,
-        | cast(cast(pr*greatest(0.0, least(1.0, f_ann)) as decimal(38,6)) as double) prsn_dai_annual,
-        | cast(cast(pr*greatest(0.0, least(1.0, f_sea)) as decimal(38,6)) as double) prsn_dai_seasonal,
-        | cast(cast(pr*greatest(0.0, least(1.0,
-        |   (f_ann - f_clip_lo)/(f_clip_hi - f_clip_lo))) as decimal(38,6)) as double) prsn_dai_clip,
-        | cast(cast(pr*greatest(0.0, least(1.0, f_rain)) as decimal(38,6)) as double) prra_dai_annual
+        |)*1e6 + 0.5)/1e6 prsn_auer,
+        | floor((pr*greatest(0.0, least(1.0, f_ann)))*1e6 + 0.5)/1e6 prsn_dai_annual,
+        | floor((pr*greatest(0.0, least(1.0, f_sea)))*1e6 + 0.5)/1e6 prsn_dai_seasonal,
+        | floor((pr*greatest(0.0, least(1.0,
+        |   (f_ann - f_clip_lo)/(f_clip_hi - f_clip_lo))))*1e6 + 0.5)/1e6 prsn_dai_clip,
+        | floor((pr*greatest(0.0, least(1.0, f_rain)))*1e6 + 0.5)/1e6 prra_dai_annual
         |from f""".stripMargin,
 
     "q_bfi_seasonal" ->
@@ -4143,9 +4152,9 @@ object SparkEntry {
          |  case when month(p) = 12 then year(p) + 1 else year(p) end sy
          | from bfi)
          |select j.k l_returnflag, j.sy,
-         |  cast(cast(d.bfi as decimal(38,6)) as double) bfi_djf,
-         |  cast(cast(j.bfi as decimal(38,6)) as double) bfi_jja,
-         |  cast(cast(case when j.bfi > 0 then d.bfi/j.bfi end as decimal(38,6)) as double) bfi_ratio
+         |  floor((d.bfi)*1e6 + 0.5)/1e6 bfi_djf,
+         |  floor((j.bfi)*1e6 + 0.5)/1e6 bfi_jja,
+         |  floor((case when j.bfi > 0 then d.bfi/j.bfi end)*1e6 + 0.5)/1e6 bfi_ratio
          |from lab j join lab d on d.k = j.k and d.sy = j.sy and d.season = 'DJF'
          |where j.season = 'JJA'""".stripMargin,
 
@@ -4271,10 +4280,10 @@ object SparkEntry {
           col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
       c.groupBy(col("k"))
         .agg(
-          round(percentile(col("q_flow"), lit(0.95)) /
+          qk(percentile(col("q_flow"), lit(0.95)) /
             percentile(col("q_flow"), lit(0.5)), 6).as("flow_index"),
-          round(avg(col("q_flow") / 1000.0) / avg(col("pr")), 6).as("runoff_ratio"),
-          round(avg(col("pr")) / avg(col("pet")), 6).as("aridity_index"))
+          qk(avg(col("q_flow") / 1000.0) / avg(col("pr")), 6).as("runoff_ratio"),
+          qk(avg(col("pr")) / avg(col("pet")), 6).as("aridity_index"))
         .withColumnRenamed("k", "l_returnflag")
     }),
 
@@ -4320,10 +4329,10 @@ object SparkEntry {
          |    *sqrt(greatest((tas + 5.0) - (tas - 5.0), 0.0))) pet
          | from ra_)
          |select k l_returnflag,
-         |  cast(cast(quantile_cont(q_flow, 0.95)/quantile_cont(q_flow, 0.5)
-         |    as decimal(38,6)) as double) flow_index,
-         |  cast(cast(avg(q_flow/1000.0)/avg(pr) as decimal(38,6)) as double) runoff_ratio,
-         |  cast(cast(avg(pr)/avg(pet) as decimal(38,6)) as double) aridity_index
+         |  floor((quantile_cont(q_flow, 0.95)/quantile_cont(q_flow, 0.5)
+         |)*1e6 + 0.5)/1e6 flow_index,
+         |  floor((avg(q_flow/1000.0)/avg(pr))*1e6 + 0.5)/1e6 runoff_ratio,
+         |  floor((avg(pr)/avg(pet))*1e6 + 0.5)/1e6 aridity_index
          |from c group by 1""".stripMargin,
 
     "q_snowmelt" ->
@@ -4411,13 +4420,13 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .groupBy(year(col("l_shipdate")).as("y"), col("l_returnflag").as("scenario"),
         col("l_linestatus").as("model"), pmod(col("l_partkey"), lit(2)).as("downscaling"))
-      .agg(round(avg(col("l_quantity")), 6).as("v"))
+      .agg(qk(avg(col("l_quantity")), 6).as("v"))
 
   private val ensembleAnnualSql =
     """ens as (
       |  select year(l_shipdate) y, l_returnflag scenario, l_linestatus model,
       |    l_partkey % 2 downscaling,
-      |    cast(cast(avg(l_quantity) as decimal(38,6)) as double) v
+      |    floor((avg(l_quantity))*1e6 + 0.5)/1e6 v
       |  from lineitem group by 1, 2, 3, 4
       |)""".stripMargin
 
@@ -4430,7 +4439,7 @@ object SparkEntry {
       graft.ensembles.Partitioning.laffertySriver(
           ensembleAnnual(s, dir), "y", "scenario", "model", "downscaling", "v",
           smoothWindow = 3)
-        .select(col("y"), col("uncertainty"), round(col("variance"), 6).as("variance"))
+        .select(col("y"), col("uncertainty"), qk(col("variance"), 6).as("variance"))
     }),
 
     "q_brownforsythe" -> ((s, dir) => {
@@ -4511,7 +4520,7 @@ object SparkEntry {
          |   join c_dwn d on d.y = v.y
          |)
          |select y, uncertainty,
-         |  cast(cast(variance as decimal(38,6)) as double) variance from lng""".stripMargin,
+         |  floor((variance)*1e6 + 0.5)/1e6 variance from lng""".stripMargin,
 
     "q_brownforsythe" ->
       """with e as (select event_type,
@@ -4621,9 +4630,9 @@ object SparkEntry {
           e.filter(col("event_type") =!= "view")
             .select(col("event_type"), array(col("f1"), col("f2")).as("features")),
           "event_type", "features", target, maxPerGroup = 4000)
-        .select(col("event_type"), round(col("zech_aslan"), 5).as("zech_aslan"),
-          round(col("kldiv"), 5).as("kldiv"),
-          round(col("mahalanobis"), 5).as("mahalanobis"))
+        .select(col("event_type"), qk(col("zech_aslan"), 5).as("zech_aslan"),
+          qk(col("kldiv"), 5).as("kldiv"),
+          qk(col("mahalanobis"), 5).as("mahalanobis"))
     })
   )
 
@@ -4680,9 +4689,9 @@ object SparkEntry {
         |    + (gm2-tm2)*(gm2-tm2)*c11)/(c11*c22 - c12*c12)) md
         | from vv)
         |select x.event_type,
-        | cast(cast(x.s + y.s - z.s as decimal(38,5)) as double) zech_aslan,
-        | cast(cast(k.kldiv as decimal(38,5)) as double) kldiv,
-        | cast(cast(m.md as decimal(38,5)) as double) mahalanobis
+        | floor((x.s + y.s - z.s)*1e5 + 0.5)/1e5 zech_aslan,
+        | floor((k.kldiv)*1e5 + 0.5)/1e5 kldiv,
+        | floor((m.md)*1e5 + 0.5)/1e5 mahalanobis
         |from pxx x join pyy y on y.event_type = x.event_type
         | join pxy z on z.event_type = x.event_type
         | join kl k on k.event_type = x.event_type
@@ -5183,7 +5192,7 @@ object SparkEntry {
         (pmod(col("event_id"), lit(3650)) % 365 + 1).cast("int").as("doy"))
       e.groupBy(col("doy"))
         .agg(count(lit(1)).as("n_years"),
-          round(percentile(col("tas"), lit(0.9)), 6).as("p90_tas"))
+          qk(percentile(col("tas"), lit(0.9)), 6).as("p90_tas"))
         .withColumn("doy_360", Calendars.convertDoy(
           col("doy"), lit(1991), Calendars.NoLeap, Calendars.Day360))
         .select(col("doy"), col("n_years"), col("p90_tas"), col("doy_360"))
@@ -5273,7 +5282,7 @@ object SparkEntry {
       """with e as (select value/40.0 - 8.0 tas,
         |  cast((event_id % 3650) % 365 + 1 as int) doy from events),
         |g as (select doy, count(*) n_years,
-        |  cast(cast(quantile_cont(tas, 0.9) as decimal(38,6)) as double) p90_tas
+        |  floor((quantile_cont(tas, 0.9))*1e6 + 0.5)/1e6 p90_tas
         | from e group by doy)
         |select doy, n_years, p90_tas,
         | cast(least(greatest(cast(round((doy - 0.5)/365.0*360.0 + 0.5) as int), 1), 360)
@@ -5505,8 +5514,8 @@ object SparkEntry {
         smoothWindow = 3)
       graft.ensembles.Partitioning.fractionalUncertainty(long, "y")
         .select(col("y"), col("uncertainty"),
-          round(col("variance"), 6).as("variance"),
-          round(col("fraction_pct"), 4).as("fraction_pct"))
+          qk(col("variance"), 6).as("variance"),
+          qk(col("fraction_pct"), 4).as("fraction_pct"))
     }),
 
     "q_missing_indexed" -> ((s, dir) => {
@@ -5730,8 +5739,8 @@ object SparkEntry {
          |),
          |tot as (select y, variance tv from lng where uncertainty = 'total')
          |select l.y, l.uncertainty,
-         |  cast(cast(l.variance as decimal(38,6)) as double) variance,
-         |  cast(cast(l.variance / t.tv * 100 as decimal(38,4)) as double) fraction_pct
+         |  floor((l.variance)*1e6 + 0.5)/1e6 variance,
+         |  floor((l.variance / t.tv * 100)*1e4 + 0.5)/1e4 fraction_pct
          |from lng l join tot t on t.y = l.y""".stripMargin,
 
     "q_missing_indexed" ->
@@ -6963,7 +6972,7 @@ object SparkEntry {
         .detectBatch(samples, warmup = 10, slack = 50.0, h = 400.0)
         .toDF()
         .select(col("key").as("user_id"), col("t"), col("direction"),
-          round(col("stat"), 6).as("stat"))
+          qk(col("stat"), 6).as("stat"))
     }),
 
     "q_gpd_pot" -> ((s, dir) => {
@@ -7740,15 +7749,15 @@ object SparkEntry {
          |      case when p.n < 10 then p.n + 1 else p.n end n2,
          |      case when p.n < 10 then p.summ + n.x else p.summ end summ2,
          |      case when p.n < 10 then (case when p.n + 1 = 10
-         |        then cast(cast((p.summ + n.x) / 10.0 as decimal(38,8)) as double)
+         |        then round((p.summ + n.x) / 10.0, 8)
          |        else 0.0 end) else p.mu0 end mu02,
-         |      cast(cast(greatest(0.0, p.shi + ((n.x - p.mu0) - 50.0))
-         |        as decimal(38,8)) as double) shiq,
-         |      cast(cast(greatest(0.0, p.slo - ((n.x - p.mu0) + 50.0))
-         |        as decimal(38,8)) as double) sloq
+         |      round(greatest(0.0, p.shi + ((n.x - p.mu0) - 50.0))
+         |, 8) shiq,
+         |      round(greatest(0.0, p.slo - ((n.x - p.mu0) + 50.0))
+         |, 8) sloq
          |    from cu p join dd n on n.user_id = p.user_id and n.rn = p.rn + 1
          |  ) s1)
-         |select user_id, cast(t as int) t, dir direction, round(stat, 6) stat
+         |select user_id, cast(t as int) t, dir direction, floor((stat)*1e6 + 0.5)/1e6 stat
          |from cu where dir is not null""".stripMargin,
 
     "q_gpd_pot" ->
@@ -8866,7 +8875,11 @@ object SparkEntry {
       // corpus, read ONLY through its two narrow index tables. bands=16/
       // rows=1 pins recall ~1 at J ≥ 0.7 (same argument as
       // q_minhash_candidates), so the output equals the oracle's
-      // exhaustive batch-vs-corpus truth.
+      // exhaustive batch-vs-corpus truth. NOTE the equality is
+      // probabilistic, not an identity: a pair at exactly J = 0.7 misses
+      // all 16 bands with prob (1−0.7)^16 ≈ 4e-8 — on the FIXED testdata
+      // this has held every round, but regenerated data could in
+      // principle flake here without any code being wrong.
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)

@@ -65,7 +65,10 @@ object TextStats {
     val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val digitPenalty = lit(1.0) - least(digitRatio(text) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctPenalty * 0.3 + digitPenalty * 0.3), 6)
+    // engine-portable 1e-6 grid (not round(): positive-scale round is
+    // engine/version-dependent — see SparkEntry.q6 / GateSpec)
+    floor((lenScore * 0.4 + punctPenalty * 0.3 + digitPenalty * 0.3)
+      * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
   }
 
   /** Deterministic 64-bit document fingerprint (content-defined identity for
