@@ -306,10 +306,10 @@ object SparkEntry {
       // users as ensemble members: per-day cross-member stats
       dailyTotals(s, dir)
         .groupBy(col("d"))
-        .agg(round(avg(col("total")), 6).as("ens_mean"),
-          round(stddev_samp(col("total")), 6).as("ens_std"),
-          round(min(col("total")), 6).as("ens_min"),
-          round(max(col("total")), 6).as("ens_max"),
+        .agg(qk(avg(col("total")), 6).as("ens_mean"),
+          qk(stddev_samp(col("total")), 6).as("ens_std"),
+          qk(min(col("total")), 6).as("ens_min"),
+          qk(max(col("total")), 6).as("ens_max"),
           count(lit(1)).as("n_members"))
     }),
 
@@ -715,8 +715,8 @@ object SparkEntry {
 
     "q_ensemble_daily_stats" ->
       s"""with daily as ($dailySql)
-         |select d, cast(cast(avg(total) as decimal(38,6)) as double) ens_mean, cast(cast(stddev_samp(total) as decimal(38,6)) as double) ens_std,
-         | cast(cast(min(total) as decimal(38,6)) as double) ens_min, cast(cast(max(total) as decimal(38,6)) as double) ens_max,
+         |select d, floor((avg(total))*1e6 + 0.5)/1e6 ens_mean, floor((stddev_samp(total))*1e6 + 0.5)/1e6 ens_std,
+         | floor((min(total))*1e6 + 0.5)/1e6 ens_min, floor((max(total))*1e6 + 0.5)/1e6 ens_max,
          | count(*) n_members
          |from daily group by 1""".stripMargin,
 
@@ -987,15 +987,15 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(pow(avg(col("value")), 2) / var_pop(col("value")), 6).as("alpha"),
-          round(var_pop(col("value")) / avg(col("value")), 6).as("scale"))
+          qk(pow(avg(col("value")), 2) / var_pop(col("value")), 6).as("alpha"),
+          qk(var_pop(col("value")) / avg(col("value")), 6).as("scale"))
     }),
 
     "q_parametric_quantile_normal" -> ((s, dir) => {
       // parametric_quantile: normal ppf at p=0.9 from fitted (mean, std)
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(round(avg(col("value")) + lit(1.2815515655446004) * stddev_samp(col("value")), 6)
+        .agg(qk(avg(col("value")) + lit(1.2815515655446004) * stddev_samp(col("value")), 6)
           .as("q90_normal"))
     }),
 
@@ -1005,8 +1005,8 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sort_array(collect_list(col("value"))).as("arr"))
       val (l1, l2, t3) = Stats.lMoments(col("arr"))
-      sorted.select(col("event_type"), round(l1, 6).as("l1"),
-        round(l2, 6).as("l2"), round(t3, 6).as("t3"))
+      sorted.select(col("event_type"), qk(l1, 6).as("l1"),
+        qk(l2, 6).as("l2"), qk(t3, 6).as("t3"))
     }),
 
     "q_robustness_fractions" -> ((s, dir) => {
@@ -1024,8 +1024,8 @@ object SparkEntry {
       per.withColumn("tv", tstat)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_members"),
-          round(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"),
-          round(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"))
+          qk(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"),
+          qk(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"))
     }),
 
     "q_ks_analog" -> ((s, dir) => {
@@ -1034,7 +1034,7 @@ object SparkEntry {
       graft.analog.Analog.ksStatistic(
           e.select(col("event_type"), col("value")), "event_type", "value",
           e.filter(col("event_type") === "view").select(col("value")))
-        .select(col("event_type"), round(col("ks"), 6).as("ks"))
+        .select(col("event_type"), qk(col("ks"), 6).as("ks"))
     }),
 
     "q_data_flags" -> ((s, dir) => {
@@ -1087,14 +1087,14 @@ object SparkEntry {
 
     "q_fit_gamma_mm" ->
       """select event_type, count(*) n,
-        | cast(cast(pow(avg(value), 2) / var_pop(value) as decimal(38,6)) as double) alpha,
-        | cast(cast(var_pop(value) / avg(value) as decimal(38,6)) as double) scale
+        | floor((pow(avg(value), 2) / var_pop(value))*1e6 + 0.5)/1e6 alpha,
+        | floor((var_pop(value) / avg(value))*1e6 + 0.5)/1e6 scale
         |from events group by 1""".stripMargin,
 
     "q_parametric_quantile_normal" ->
       """select event_type,
-        | cast(cast(avg(value) + 1.2815515655446004 * stddev_samp(value)
-        |   as decimal(38,6)) as double) q90_normal
+        | floor((avg(value) + 1.2815515655446004 * stddev_samp(value)
+        |)*1e6 + 0.5)/1e6 q90_normal
         |from events group by 1""".stripMargin,
 
     "q_lmoments" ->
@@ -1107,9 +1107,9 @@ object SparkEntry {
         |  sum(v * (rk - 1.0) * (rk - 2.0) / ((n - 1.0) * (n - 2.0))) / any_value(n) b2
         | from r group by 1)
         |select event_type,
-        | cast(cast(b0 as decimal(38,6)) as double) l1,
-        | cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
-        | cast(cast((6*b2 - 6*b1 + b0) / (2*b1 - b0) as decimal(38,6)) as double) t3
+        | floor((b0)*1e6 + 0.5)/1e6 l1,
+        | floor((2*b1 - b0)*1e6 + 0.5)/1e6 l2,
+        | floor(((6*b2 - 6*b1 + b0) / (2*b1 - b0))*1e6 + 0.5)/1e6 t3
         |from b""".stripMargin,
 
     "q_robustness_fractions" ->
@@ -1124,8 +1124,8 @@ object SparkEntry {
         |w as (select event_type, m1, m2,
         |  (m2 - m1) / sqrt(v2/n2 + v1/n1) tv from per)
         |select event_type, count(*) n_members,
-        | cast(cast(avg(case when m2 > m1 then 1.0 else 0.0 end) as decimal(38,6)) as double) frac_pos,
-        | cast(cast(avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end) as decimal(38,6)) as double) frac_sig
+        | floor((avg(case when m2 > m1 then 1.0 else 0.0 end))*1e6 + 0.5)/1e6 frac_pos,
+        | floor((avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end))*1e6 + 0.5)/1e6 frac_sig
         |from w group by 1""".stripMargin,
 
     "q_ks_analog" ->
@@ -1143,8 +1143,8 @@ object SparkEntry {
         |  sum(b) over (partition by event_type) nb
         | from u)
         |select event_type,
-        | cast(cast(max(abs(cast(ca as double)/na - cast(cb as double)/nb))
-        |   as decimal(38,6)) as double) ks
+        | floor((max(abs(cast(ca as double)/na - cast(cb as double)/nb))
+        |)*1e6 + 0.5)/1e6 ks
         |from c group by 1""".stripMargin,
 
     "q_data_flags" ->
@@ -1179,8 +1179,8 @@ object SparkEntry {
     "q_ensemble_percentiles" -> ((s, dir) => {
       graft.ensembles.Ensembles.percentiles(
           dailyTotals(s, dir), Seq("d"), col("total"), Seq(0.1, 0.5, 0.9))
-        .select(col("d"), round(col("p10"), 6).as("p10"),
-          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+        .select(col("d"), qk(col("p10"), 6).as("p10"),
+          qk(col("p50"), 6).as("p50"), qk(col("p90"), 6).as("p90"))
     })
   )
 
@@ -1194,9 +1194,9 @@ object SparkEntry {
     "q_ensemble_percentiles" ->
       s"""with daily as ($dailySql)
          |select d,
-         | cast(cast(quantile_cont(total, 0.1) as decimal(38,6)) as double) p10,
-         | cast(cast(quantile_cont(total, 0.5) as decimal(38,6)) as double) p50,
-         | cast(cast(quantile_cont(total, 0.9) as decimal(38,6)) as double) p90
+         | floor((quantile_cont(total, 0.1))*1e6 + 0.5)/1e6 p10,
+         | floor((quantile_cont(total, 0.5))*1e6 + 0.5)/1e6 p50,
+         | floor((quantile_cont(total, 0.9))*1e6 + 0.5)/1e6 p90
          |from daily group by 1""".stripMargin
   )
 
@@ -1874,8 +1874,8 @@ object SparkEntry {
       val tstat = (col("m2") - col("m1")) / sqrt(col("v2") / col("n2") + col("v1") / col("n1"))
       per.withColumn("tv", tstat)
         .groupBy(col("event_type"))
-        .agg(round(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"),
-          round(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
+        .agg(qk(avg(when(abs(col("tv")) > 1.96, 1.0).otherwise(0.0)), 6).as("frac_sig"),
+          qk(avg(when(col("m2") > col("m1"), 1.0).otherwise(0.0)), 6).as("frac_pos"))
         .withColumn("category",
           when(col("frac_sig") < 0.66, "low agreement on significance")
             .when(col("frac_pos") >= 0.8 || col("frac_pos") <= 0.2, "robust signal")
@@ -1909,10 +1909,10 @@ object SparkEntry {
         |w as (select event_type, m1, m2,
         |  (m2 - m1) / sqrt(v2/n2 + v1/n1) tv from per),
         |f as (select event_type,
-        |  cast(cast(avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end)
-        |    as decimal(38,6)) as double) frac_sig,
-        |  cast(cast(avg(case when m2 > m1 then 1.0 else 0.0 end)
-        |    as decimal(38,6)) as double) frac_pos
+        |  floor((avg(case when abs(tv) > 1.96 then 1.0 else 0.0 end)
+        |)*1e6 + 0.5)/1e6 frac_sig,
+        |  floor((avg(case when m2 > m1 then 1.0 else 0.0 end)
+        |)*1e6 + 0.5)/1e6 frac_pos
         | from w group by 1)
         |select event_type, frac_sig, frac_pos,
         | case when frac_sig < 0.66 then 'low agreement on significance'
@@ -1936,7 +1936,7 @@ object SparkEntry {
       val perReplica = reps.groupBy(col("l_returnflag"), col("bootstrap_id"))
         .agg(percentile(col("l_quantity"), lit(0.9)).as("p90"))
       perReplica.groupBy(col("l_returnflag"))
-        .agg(round(avg(col("p90")), 6).as("p90_bootstrap"),
+        .agg(qk(avg(col("p90")), 6).as("p90_bootstrap"),
           count(lit(1)).as("n_replicas"))
     })
   )
@@ -1959,7 +1959,7 @@ object SparkEntry {
         |per as (select l_returnflag, bootstrap_id,
         |  quantile_cont(l_quantity, 0.9) p90 from reps group by 1,2)
         |select l_returnflag,
-        | cast(cast(avg(p90) as decimal(38,6)) as double) p90_bootstrap,
+        | floor((avg(p90))*1e6 + 0.5)/1e6 p90_bootstrap,
         | count(*) n_replicas
         |from per group by 1""".stripMargin
   )
@@ -1994,8 +1994,8 @@ object SparkEntry {
       // hash-matches the exact list-based H&F-8 oracle bit for bit.
       Stats.hfQuantilesScale(t(s, dir, "events"), Seq("event_type"), "value",
           Seq("p90_hf8" -> 0.9, "p10_hf8" -> 0.1))
-        .select(col("event_type"), round(col("p90_hf8"), 6).as("p90_hf8"),
-          round(col("p10_hf8"), 6).as("p10_hf8"))
+        .select(col("event_type"), qk(col("p90_hf8"), 6).as("p90_hf8"),
+          qk(col("p10_hf8"), 6).as("p10_hf8"))
     }),
 
     "q_percentile_doy" -> ((s, dir) => {
@@ -2006,7 +2006,7 @@ object SparkEntry {
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_shipdate", "l_quantity",
           halfWindow = 2, p = 0.9)
         .select(col("l_returnflag"), col("doy"),
-          round(col("doy_pct"), 6).as("p90"))
+          qk(col("doy_pct"), 6).as("p90"))
     }),
 
     "q_tx90p" -> ((s, dir) => {
@@ -2281,8 +2281,8 @@ object SparkEntry {
       s"""with s as (select event_type, list_sort(list(value)) a,
          |           cast(count(value) as double) n from events group by 1)
          |select event_type,
-         |  cast(cast(${hfSql(0.9)} as decimal(38,6)) as double) p90_hf8,
-         |  cast(cast(${hfSql(0.1)} as decimal(38,6)) as double) p10_hf8
+         |  floor((${hfSql(0.9)})*1e6 + 0.5)/1e6 p90_hf8,
+         |  floor((${hfSql(0.1)})*1e6 + 0.5)/1e6 p10_hf8
          |from s""".stripMargin,
 
     "q_percentile_doy" ->
@@ -2297,7 +2297,7 @@ object SparkEntry {
          |s as (select k, doy2 doy, list_sort(list(v)) a, cast(count(v) as double) n
          |      from contrib group by 1, 2)
          |select k l_returnflag, doy,
-         |  cast(cast(${hfSql(0.9)} as decimal(38,6)) as double) p90
+         |  floor((${hfSql(0.9)})*1e6 + 0.5)/1e6 p90
          |from s""".stripMargin,
 
     "q_energy_analog" ->
@@ -3144,7 +3144,7 @@ object SparkEntry {
         .orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"),
-          round(col("tfidf"), 6).as("tfidf"))
+          qk(col("tfidf"), 6).as("tfidf"))
     }),
 
     "q_dedup_apply" -> ((s, dir) => {
@@ -3199,7 +3199,7 @@ object SparkEntry {
         |  row_number() over (partition by doc_id order by tfidf desc, term) rk
         | from scored)
         |select doc_id, rk, term,
-        |  cast(cast(tfidf as decimal(38,6)) as double) tfidf
+        |  floor((tfidf)*1e6 + 0.5)/1e6 tfidf
         |from r where rk <= 3""".stripMargin,
 
     "q_dedup_apply" ->
@@ -4449,7 +4449,7 @@ object SparkEntry {
         .withColumn("fut", col("ts").cast("date") >= lit("2024-01-16"))
       graft.ensembles.Ensembles.brownForsythe(e, Seq("event_type"), col("fut"),
           col("value"))
-        .select(col("event_type"), round(col("bf_w"), 6).as("bf_w"), col("changed"))
+        .select(col("event_type"), qk(col("bf_w"), 6).as("bf_w"), col("changed"))
     }),
 
     "q_ipcc_ar6" -> ((s, dir) => {
@@ -4457,7 +4457,7 @@ object SparkEntry {
       // linearly detrended annual reference series, delta vs gamma.
       val annual = climateDaily(s, dir)
         .groupBy(col("k"), year(col("d")).as("y"))
-        .agg(round(avg(col("tas")), 6).as("v"))
+        .agg(qk(avg(col("tas")), 6).as("v"))
       val refm = annual.filter(col("y") <= 1998)
         .groupBy(col("k").as("_k1")).agg(avg(col("v")).as("_rm"))
       val futm = annual.filter(col("y") > 1998)
@@ -4468,8 +4468,8 @@ object SparkEntry {
         .withColumn("delta_in", col("_fm") - col("_rm"))
       graft.ensembles.Ensembles.ipccAr6C(ref, Seq("k"), col("y"), col("v"),
           col("delta_in"))
-        .select(col("k").as("l_returnflag"), round(col("gamma"), 6).as("gamma"),
-          round(col("delta"), 6).as("delta"), col("changed"))
+        .select(col("k").as("l_returnflag"), qk(col("gamma"), 6).as("gamma"),
+          qk(col("delta"), 6).as("delta"), col("changed"))
     }),
 
     "q_robustness_coeff" -> ((s, dir) => {
@@ -4538,14 +4538,14 @@ object SparkEntry {
         |  sum(n*zm*zm) nzm2, sum(zss - n*zm*zm) ssw, sum(n*zm) nzm
         | from per group by 1)
         |select event_type,
-        |  cast(cast((nt - 2)*(nzm2 - nzm*nzm/nt)/ssw as decimal(38,6)) as double) bf_w,
+        |  floor(((nt - 2)*(nzm2 - nzm*nzm/nt)/ssw)*1e6 + 0.5)/1e6 bf_w,
         |  (nt - 2)*(nzm2 - nzm*nzm/nt)/ssw > 3.84 changed
         |from agg""".stripMargin,
 
     "q_ipcc_ar6" ->
       s"""with $climSql,
          |annual as (select k, year(d) y,
-         |  cast(cast(avg(tas) as decimal(38,6)) as double) v
+         |  floor((avg(tas))*1e6 + 0.5)/1e6 v
          | from clim group by 1, 2),
          |refm as (select k, avg(v) rm from annual where y <= 1998 group by 1),
          |futm as (select k, avg(v) fm from annual where y > 1998 group by 1),
@@ -4561,8 +4561,8 @@ object SparkEntry {
          |    *(t2m - tm*tm)) gamma
          | from agg)
          |select k l_returnflag,
-         |  cast(cast(gamma as decimal(38,6)) as double) gamma,
-         |  cast(cast(delta as decimal(38,6)) as double) delta,
+         |  floor((gamma)*1e6 + 0.5)/1e6 gamma,
+         |  floor((delta)*1e6 + 0.5)/1e6 delta,
          |  abs(delta) > gamma changed
          |from fin""".stripMargin,
 
@@ -5209,8 +5209,8 @@ object SparkEntry {
         .withColumn("w", (pmod(col("user_id"), lit(3)) + 1).cast("double"))
       graft.ensembles.Ensembles.weightedPercentiles(
           daily, Seq("d"), col("total"), col("w"), Seq(0.1, 0.5, 0.9))
-        .select(col("d"), round(col("p10"), 6).as("p10"),
-          round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90"))
+        .select(col("d"), qk(col("p10"), 6).as("p10"),
+          qk(col("p50"), 6).as("p50"), qk(col("p90"), 6).as("p90"))
     }),
 
     "q_kkz_selection" -> ((s, dir) => {
@@ -5302,18 +5302,18 @@ object SparkEntry {
          |gg as (select *, lead(v) over (partition by d order by rn) nv,
          |  lead(grid) over (partition by d order by rn) ng from g)
          |select d,
-         | cast(cast(coalesce(
+         | floor((coalesce(
          |   max(case when grid <= 0.1 and (ng is null or ng > 0.1) then
          |     case when ng is null then v else v + (0.1 - grid)/(ng - grid)*(nv - v) end end),
-         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p10,
-         | cast(cast(coalesce(
+         |   min(case when rn = 1 then v end)))*1e6 + 0.5)/1e6 p10,
+         | floor((coalesce(
          |   max(case when grid <= 0.5 and (ng is null or ng > 0.5) then
          |     case when ng is null then v else v + (0.5 - grid)/(ng - grid)*(nv - v) end end),
-         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p50,
-         | cast(cast(coalesce(
+         |   min(case when rn = 1 then v end)))*1e6 + 0.5)/1e6 p50,
+         | floor((coalesce(
          |   max(case when grid <= 0.9 and (ng is null or ng > 0.9) then
          |     case when ng is null then v else v + (0.9 - grid)/(ng - grid)*(nv - v) end end),
-         |   min(case when rn = 1 then v end)) as decimal(38,6)) as double) p90
+         |   min(case when rn = 1 then v end)))*1e6 + 0.5)/1e6 p90
          |from gg group by 1""".stripMargin,
 
     "q_kkz_selection" ->

@@ -35,16 +35,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * channel_sum/192), so the round was pure risk and is gone from both
   * engines.
   *
-  * r11 shrink (85 → 54): 31 simple-final emitters moved to the qk floor
+  * r11 shrink (85 → 39): 46 simple-final emitters moved to the qk floor
   * grid in BOTH engines (SparkEntry.qk; oracle spells
   * floor(x·10^k+0.5)/10^k inline) — the analog metrics pair, hydrology
   * ratios (bfi/rbi/runoff), detrend slopes, sdii/sea-ice/degree-day
-  * sums, snowfall approximations, uncertainty partitions, CUSUM's
-  * FINAL stat (its per-step 8-digit HALF_UP quantization stays
-  * round(,8) in the oracle — it mirrors the kernel's BigDecimal
-  * HALF_UP, which is not the floor grid).
+  * sums, snowfall approximations, uncertainty partitions, ensemble
+  * stats/percentiles, robustness fractions, moment fits, H&F-8 and
+  * doy percentiles, KS/Brown-Forsythe statistics, CUSUM's FINAL stat
+  * (its per-step 8-digit HALF_UP quantization stays round(,8) in the
+  * oracle — it mirrors the kernel's BigDecimal HALF_UP, which is not
+  * the floor grid).
   *
-  * What remains (54) is mostly NOT the mechanical class above: (a)
+  * What remains (39) is NOT the mechanical class above: (a)
   * builtin-vs-builtin comparisons where the two engines legitimately
   * evaluate DIFFERENT expression trees (quantile_cont/regr_slope/stddev
   * vs our window forms — round is what makes the comparison well-posed);
@@ -71,31 +73,26 @@ class GateSpec extends AnyFunSuite {
     * Frozen at the r9 audit (tools.RoundScan) — additions are a gate
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
-    "q_api_recursive", "q_bootstrap_percentile",
-    "q_brownforsythe", "q_chill_portions",
+    "q_api_recursive", "q_chill_portions",
     "q_converters_bioclim", "q_converters_extended", "q_converters_round3",
     "q_cosine_to_query",
     "q_data_flags_battery", "q_dd_approximation",
     "q_dist_cdfs", "q_dryness_index",
-    "q_embedding_neardup",
-    "q_ensemble_daily_stats", "q_ensemble_percentiles",
-    "q_ensemble_percentiles_weighted", "q_esat_methods",
-    "q_fire_season", "q_fit_gamma_mm",
+    "q_embedding_neardup", "q_esat_methods",
+    "q_fire_season",
     "q_fwi_codes", "q_griffiths_ffdi", "q_hardiness_zone", "q_heat_index",
-    "q_hf8_percentile", "q_huglin",
-    "q_ipcc_ar6",
+    "q_huglin",
     "q_ivf_topk", "q_jetstream",
-    "q_kbdi_recursive", "q_knn_top3", "q_ks_analog",
-    "q_lmoments", "q_lognorm_quantiles", "q_mrt",
-    "q_overwintering_dc", "q_parametric_quantile_normal",
-    "q_percentile_doy", "q_pet_daily",
+    "q_kbdi_recursive", "q_knn_top3",
+    "q_lognorm_quantiles", "q_mrt",
+    "q_overwintering_dc", "q_pet_daily",
     "q_pet_thornthwaite", "q_quadratic_detrend",
     "q_return_level_gev",
-    "q_return_level_gumbel", "q_robustness_categories",
-    "q_robustness_coeff", "q_robustness_fractions",
+    "q_return_level_gumbel",
+    "q_robustness_coeff",
     "q_semantic_decontaminate",
     "q_snowmelt", "q_snowpack_flow_lag", "q_spei", "q_ssi",
-    "q_standardized_index", "q_tfidf_top_terms",
+    "q_standardized_index",
     "q_tx90p_bootstrap", "q_utci")
 
   test("no NEW query uses round(,s>0) over raw float math") {
