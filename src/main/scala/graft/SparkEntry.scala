@@ -6772,6 +6772,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("split"))
     }),
 
+    "q_epoch_shuffle" -> ((s, dir) => {
+      // Deterministic epoch shuffle (Sampling.epochShuffle): the global
+      // per-epoch reorder of a training corpus — rank under a salted
+      // md5 of (epoch, id), ONE balanced range-sort + two-pass
+      // zipWithIndex positions (no single-reducer window). Evidence per
+      // epoch: the position-weighted id sum, which only matches if the
+      // ENTIRE permutation matches; two epochs prove the reorder really
+      // changes with the epoch while staying bit-reproducible.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Seq(1, 2).map { ep =>
+        graft.pipeline.Sampling.epochShuffle(docs, col("doc_id"), ep)
+          .agg(lit(ep).as("epoch"), count(lit(1)).as("n"),
+            sum(col("doc_id") * col("shuffle_pos")).as("pos_weighted_sum"),
+            max(col("shuffle_pos")).as("max_pos"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q_kn_trigram_nll" -> ((s, dir) => {
       // Interpolated Kneser-Ney word-trigram NLL (TextStats.knTrigramNll):
       // continuation-count backoff with binary-exact D=0.75, all counts
@@ -7486,6 +7503,20 @@ object SparkEntry {
         |    else 'test'
         |  end split
         |from documents""".stripMargin,
+
+    // the md5 rank replayed per epoch; pos_weighted_sum pins the whole
+    // permutation (any transposition changes it)
+    "q_epoch_shuffle" ->
+      """with ranked as (
+        |  select e.epoch, doc_id,
+        |    row_number() over (partition by e.epoch
+        |      order by md5('graft:' || e.epoch || ':' || doc_id), doc_id)
+        |      - 1 pos
+        |  from documents cross join (values (1), (2)) e(epoch))
+        |select cast(epoch as int) epoch, count(*) n,
+        |  cast(sum(doc_id * pos) as bigint) pos_weighted_sum,
+        |  cast(max(pos) as bigint) max_pos
+        |from ranked group by 1""".stripMargin,
 
     "q_kn_trigram_nll" ->
       """with tk as (select doc_id,

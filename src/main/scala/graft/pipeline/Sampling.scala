@@ -25,6 +25,38 @@ object Sampling {
   def hashSample(df: DataFrame, id: Column, p: Double, salt: String = "graft"): DataFrame =
     df.filter(hashFraction(id, salt) < p)
 
+  /** Deterministic EPOCH SHUFFLE — the global reorder every training run
+    * applies per epoch: each row's position is its rank under a salted
+    * md5 of (epoch, id), so the permutation is (a) uniform, (b) a pure
+    * function of (seed, epoch, id) — any worker, any rerun, any engine
+    * reproduces it bit-for-bit, the property that makes checkpointed
+    * training resumable — and (c) different every epoch without any
+    * state. Returns the input plus `shuffle_pos` (0-based).
+    *
+    * Scale shape: ONE total sort by the hash key — Spark's range
+    * partitioner samples the (uniform) keys, so partitions are balanced
+    * by construction and the sort is the classic 100 TB epoch-shuffle
+    * job. Positions come from `zipWithIndex`'s two-pass
+    * per-partition-count + offset scheme, NOT a global window
+    * (`row_number() over (order by …)` funnels the corpus through one
+    * reducer). Hash ties break by id. */
+  def epochShuffle(df: DataFrame, id: Column, epoch: Int,
+                   salt: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    val key = md5(concat(lit(salt), lit(":"), lit(epoch), lit(":"),
+      id.cast("string")))
+    val sorted = df.withColumn("_shuffle_key", key)
+      .orderBy(col("_shuffle_key"), id)
+      .drop("_shuffle_key")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Stratified fixed-size sample: exactly min(k, |stratum|) rows per
     * stratum, chosen by hash rank (ties impossible modulo md5 collisions).
     * One shuffle on the stratum key; the window sort spills, so strata of

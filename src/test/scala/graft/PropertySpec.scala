@@ -1345,4 +1345,18 @@ class PropertySpec extends AnyFunSuite {
     assert(got(1).get > 0.5, s"random text stays high: ${got(1)}")
     assert(got(2).isEmpty && got(3).isEmpty, "empty/null -> null")
   }
+
+  test("epochShuffle: exact permutation, rerun-deterministic, epoch-distinct") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("id").repartition(7) // position must not
+    val perm = (ep: Int) => graft.pipeline.Sampling // depend on layout
+      .epochShuffle(ids, col("id"), ep)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e1 = perm(1)
+    assert(e1.map(_._2).sorted.toSeq == (0L until 500L), "exact 0..n-1 cover")
+    assert(perm(1).toMap == e1.toMap, "bit-reproducible on rerun")
+    val e2 = perm(2).toMap
+    assert(e1.count { case (id, p) => e2(id) == p } < 50,
+      "epochs 1 and 2 must be (nearly) disjoint permutations")
+  }
 }
