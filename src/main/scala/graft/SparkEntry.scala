@@ -8771,7 +8771,7 @@ object SparkEntry {
       // a countDistinct before, 4.3 s → 2.9 s at sf0.1)
       val sh = t(s, dir, "documents")
         .select(col("source"), graft.functions.ShingleExplode.shingleExplode(
-          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5).as("sh"))
+          graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5).as("sh"))
         .distinct()
       pipeline.Sketches.hllEstimate(
           pipeline.Sketches.hllRegisters(sh, "source", "sh"))
@@ -8845,7 +8845,7 @@ object SparkEntry {
       // of exact ints.
       val sh = t(s, dir, "documents")
         .select(col("source"), graft.functions.ShingleExplode.shingleExplode(
-          regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5).as("sh"))
+          graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5).as("sh"))
       val mins = pipeline.Sketches.kmvMins(sh, "source", "sh")
       pipeline.Sketches.kmvOverlap(mins,
         Seq(("src0", "src1"), ("src0", "src2"), ("src2", "src3")))
@@ -8890,7 +8890,7 @@ object SparkEntry {
           .filter(pmod(col("doc_id"), lit(2)) === parity)
           .select(col("source"),
             graft.functions.ShingleExplode.shingleExplode(
-              regexp_replace(lower(trim(col("text"))), "\\s+", " "), 5)
+              graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5)
               .as("sh")),
         "source", "sh")
       pipeline.Sketches.hllEstimate(

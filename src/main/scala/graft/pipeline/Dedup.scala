@@ -20,7 +20,7 @@ object Dedup {
 
   /** Normalised content hash for exact dedup. */
   def contentKey(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(graft.functions.WinnowNormalize.lowerCollapseWs(text))
 
   /** Exact duplicate groups: one row per distinct content with the keeper id
     * (min id), the duplicate count, and ids of members. */

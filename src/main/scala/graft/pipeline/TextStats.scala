@@ -75,7 +75,7 @@ object TextStats {
     * exact dedup & provenance): first 16 hex chars of md5 of the
     * whitespace-normalised lowercase text. */
   def fingerprint(text: Column): Column =
-    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+    substring(md5(graft.functions.WinnowNormalize.lowerCollapseWs(text)), 1, 16)
 
   /** 1..m as an array, empty when m < 1 (Spark's sequence(1,0) counts DOWN,
     * so guard before generating). */
@@ -96,7 +96,7 @@ object TextStats {
 
   /** Character n-gram shingle array (basis for MinHash). */
   def charShingles(text: Column, n: Int): Column =
-    letBind(regexp_replace(lower(trim(text)), "\\s+", " "), norm =>
+    letBind(graft.functions.WinnowNormalize.lowerCollapseWs(text), norm =>
       transform(indices(length(norm) - (n - 1)), i => norm.substr(i, lit(n))))
 
   /** Word n-grams as an array column (for n-gram Jaccard dedup).
@@ -129,8 +129,16 @@ object TextStats {
 
   /** Winnowing text normalisation: lowercase, strip every char outside
     * [a-z0-9 ]. Keeps the k-gram character codes ASCII so the polynomial
-    * hash is bit-identical in ANY engine (the oracle replays it in SQL). */
+    * hash is bit-identical in ANY engine (the oracle replays it in SQL).
+    * Native one-pass expression — the regex chain it replaces cost 45 µs
+    * per doc and dominated the fingerprint pass; [[winnowNormalizeSql]]
+    * keeps the oracle's spelling for the parity pin. */
   def winnowNormalize(text: Column): Column =
+    graft.functions.WinnowNormalize.winnowNormalize(text)
+
+  /** The SQL-replayable form of [[winnowNormalize]] (the oracle's exact
+    * spelling), retained as the property-test reference. */
+  private[graft] def winnowNormalizeSql(text: Column): Column =
     regexp_replace(lower(trim(text)), "[^a-z0-9 ]", "")
 
   /** Rolling polynomial hash of every char k-gram (1-based start

@@ -202,6 +202,36 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(viaGenD === viaHofD)
   }
 
+  test("native winnowNormalize equals the regex form (incl. Kelvin/dotted-I)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val alphabet = "aZ 09!?,é日Kİ\t" // incl. U+212A KELVIN
+    val texts = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(50)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString) ++ Seq("", "   ", "  !a b!  ", "Kİ", null)
+    val df = texts.toDF("text")
+    val native = df.select(graft.pipeline.TextStats
+      .winnowNormalize(col("text")).as("v")).collect().map(r => r.getString(0))
+    val regex = df.select(graft.pipeline.TextStats
+      .winnowNormalizeSql(col("text")).as("v")).collect().map(r => r.getString(0))
+    assert(native.toSeq === regex.toSeq)
+  }
+
+  test("native lowerCollapseWs equals the regex form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val alphabet = "aZ \t\n\r09!é日"
+    val texts = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString) ++ Seq("", " \t ", "\ta  b\nc\t", null)
+    val df = texts.toDF("text")
+    val native = df.select(graft.functions.WinnowNormalize
+      .lowerCollapseWs(col("text")).as("v")).collect().map(_.getString(0))
+    val regex = df.select(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      .as("v")).collect().map(_.getString(0))
+    assert(native.toSeq === regex.toSeq)
+  }
+
   test("winnowExplode generator equals the windowed winnowing plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
