@@ -8747,12 +8747,15 @@ object SparkEntry {
           lit("insert").as("op"), col("o_orderstatus"),
           (col("o_totalprice") + 20.0).as("o_totalprice")))
       val table = s"stream_merge_${System.nanoTime()}"
-      graft.streaming.Streams
+      val out = graft.streaming.Streams
         .mergeReplay(s, target, Seq(b1, b2, b3), table, "o_orderkey", 8)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("key_sum"),
           sum(uq(col("o_totalprice"), 100)).as("cents_sum"))
+        .localCheckpoint(true) // 3 rows, eager: the snapshot table can go
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      out
     }),
 
     "q_hll_shingles" -> ((s, dir) => {
