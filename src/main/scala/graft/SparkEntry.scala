@@ -6194,8 +6194,11 @@ object SparkEntry {
         |  cast((5*t*t + 11*t) % 83 as double) "value"
         |from range(0, 48) r(t) order by 1""".stripMargin,
 
-    // both planted closed forms replayed arithmetically; the f64 grid is
-    // exact centi-values so x/100.0 is the same IEEE op in both engines
+    // both planted closed forms replayed arithmetically. The f64 branch
+    // replays the filter's EXACT decode ops — code/100.0 + min with
+    // code = k − kmin and min = kmin/100.0 (kmin = −186 over the
+    // non-fill closed form) — the same IEEE divisions and addition the
+    // Scala decoder performs, so the lossy filter still hashes exactly
     "q_hdf5_scaleoffset" ->
       """select * from (
         |  select 'i16' src, cast(t as bigint) i0,
@@ -6204,7 +6207,8 @@ object SparkEntry {
         |  union all
         |  select 'f64', cast(t as bigint),
         |    case when t % 9 = 0 then -999.0
-        |         else ((17*t*t + 5*t) % 731 - 200) / 100.0 end
+        |         else ((17*t*t + 5*t) % 731 - 200 - (-186)) / 100.0
+        |              + (-186 / 100.0) end
         |  from range(0, 40) r(t)
         |) order by 1, 2""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE merge LEARNING (Sennrich et al. 2016, ACL —
@@ -40,12 +40,10 @@ object BpeTrain {
   private val S = ""
   private val SS = S + S
 
-  /** Signed, wc-weighted adjacent-pair counts of a symbol-state frame:
-    * (l, r, c). `sign = -1` negates — the subtraction half of the
-    * incremental pair-count update. */
-  private def pairsOf(df: DataFrame, sign: Int): DataFrame = {
+  /** wc-weighted adjacent-pair counts of a symbol-state frame: (l, r, c). */
+  private def pairsOf(df: DataFrame): DataFrame = {
     val sy = filter(split(col("enc"), SS), x => length(x) > 0)
-    df.select((col("wc") * sign).as("w"), explode(arrays_zip(
+    df.select(col("wc").as("w"), explode(arrays_zip(
         slice(sy, lit(1), size(sy) - 1).as("l"),
         slice(sy, lit(2), size(sy) - 1).as("r"))).as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -89,7 +87,7 @@ object BpeTrain {
     var it = 1
     var exhausted = false
     while (it <= k && !exhausted) {
-      val best = pairsOf(st, 1)
+      val best = pairsOf(st)
         .agg(count(lit(1)).as("n_pairs"),
           min_by(struct(col("l"), col("r"), col("c")),
             struct((-col("c")).as("nc"), col("l"), col("r"))).as("b"))

@@ -16,9 +16,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    signed min/minval path is exercised; auto minbits lands at 8.
   *  - `packed_f64` float64[40], D-scale with 2 decimal digits and fill
   *    value −999.0 (every t≡0 (mod 9) is fill — the reserved all-ones
-  *    code): closed form (((17t²+5t) mod 731) − 200)/100, exactly
-  *    representable on the centi-grid, so decode is bit-exact and the
-  *    DuckDB oracle replays both datasets arithmetically. */
+  *    code): closed form k(t)/100 with k = ((17t²+5t) mod 731) − 200.
+  *    Decoded values are `(k − kmin)/100.0 + kmin/100.0` (kmin = −186),
+  *    the filter's exact `code/10^D + min` arithmetic — replayed
+  *    op-for-op by the DuckDB oracle, so the gate stays hash-exact even
+  *    though the filter is lossy in general. */
 object Hdf5PlantedScaleoffset {
 
   /** [scaleType, scaleFactor, nelmts, class, size, sign, order,
@@ -38,6 +40,17 @@ object Hdf5PlantedScaleoffset {
 
   def valueF64(t: Int): Double =
     if (t % 9 == 0) FillF64 else ((17 * t * t + 5 * t) % 731 - 200) / 100.0
+
+  private def kOf(t: Int): Int = (17 * t * t + 5 * t) % 731 - 200
+  private val kMin: Int =
+    (0 until 40).filter(_ % 9 != 0).map(kOf).min // = -186
+
+  /** What the filter DECODES for element t: code/10^D + min, i.e.
+    * `(k − kmin)/100.0 + kmin/100.0` — not always bit-equal to the
+    * planted k/100.0 (the filter is lossy by a sub-centi ulp). */
+  def decodedF64(t: Int): Double =
+    if (t % 9 == 0) FillF64
+    else (kOf(t) - kMin).toDouble / 100.0 + kMin / 100.0
 
   def write(path: String): Unit = {
     def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)

@@ -21,7 +21,7 @@ package graft.sources
   *    per cd slot.
   *  - Chunk = 13-byte header + bitstream: bytes 0–3 `minbits` (u32 LE),
   *    byte 4 the writer's `sizeof(unsigned long long)` (always 8),
-  *    bytes 5–12 `minval` (u64 LE, the two's-complement minimum code).
+  *    bytes 5–12 `minval` (u64 LE — the typed minimum, memcpy'd).
   *    `minbits == size·8` stores the raw elements after the header;
   *    `minbits == 0` stores nothing (every code is 0). Otherwise each
   *    element contributes exactly `minbits` bits MSB-first, elements in
@@ -29,14 +29,15 @@ package graft.sources
   *    [[Nbit]] (H5Zscaleoffset's per-byte packing walks the value's
   *    used bytes most-significant-first with a partial leading byte,
   *    which is precisely the MSB-first bit field of the code).
-  *  - Integer codes: `code = v − min` (fill-defined files reserve the
-  *    all-ones code `2^minbits − 1` for the fill value; minbits is
-  *    sized by `span + 1` to keep it free). Float D-scale codes:
-  *    `code = llround(v·10^D) − llround(min·10^D)` with C `llround`
-  *    (half away from zero), the code overwriting the float slot as a
-  *    native integer before generic packing. Decode inverts:
-  *    `v = (code + minval) / 10^D` in double arithmetic, cast to the
-  *    element type.
+  *  - Integer codes: `code = v − min`, header minval = the typed min
+  *    memcpy'd (zero-extended) — decode adds it back mod 2^(8·size).
+  *    Float D-scale: header minval = the RAW IEEE BITS of the typed
+  *    float minimum (H5Z_scaleoffset_save_min memcpys the value);
+  *    codes are `rnd(10^D · (v − min))` with rounding half away from
+  *    zero, computed in the element type's own precision (float for
+  *    f4, double for f8), and decode is `code / 10^D + min` likewise.
+  *    Fill-defined files reserve the all-ones code `2^minbits − 1`;
+  *    minbits is sized by `span + 1` to keep it free.
   *
   * [[Hdf5Spec]] pins hand-computed streams and property round-trips;
   * [[Hdf5PlantedScaleoffset]] plants single-chunk HDF5 files decoded
@@ -157,10 +158,16 @@ object Scaleoffset {
       val bits =
         if (p.fillDefined && code == mask) p.fillBits
         else if (!p.isFloat) code + minval // wraps mod 2^64; low bytes written
-        else {
-          val v = (code + minval).toDouble / dScale
-          if (p.size == 4) java.lang.Float.floatToIntBits(v.toFloat) & 0xffffffffL
-          else java.lang.Double.doubleToLongBits(v)
+        else if (p.size == 4) {
+          // minval holds the RAW BITS of the float minimum (libhdf5
+          // memcpys the typed min); decode is code/10^D + min in the
+          // element type's own precision, exactly like modify_3/4
+          val minF = java.lang.Float.intBitsToFloat(minval.toInt)
+          val v = code.toInt / dScale.toFloat + minF
+          java.lang.Float.floatToIntBits(v) & 0xffffffffL
+        } else {
+          val minD = java.lang.Double.longBitsToDouble(minval)
+          java.lang.Double.doubleToLongBits(code.toDouble / dScale + minD)
         }
       writeBits(out, i * p.size, bits, p.size, p.littleEndian)
       i += 1
@@ -205,8 +212,8 @@ object Scaleoffset {
           val span = mx - mn + 1
           log2Ceil(if (p.fillDefined) span + 1 else span)
         }
-      minval = mn
-      if (minbits == p.size * 8) {
+      minval = mn & widthMask // typed-min memcpy: zero-extended, not sign-
+      if (minbits == p.size * 8) {   // extended (decode only reads low bytes)
         val out = new Array[Byte](13 + raw.length)
         writeHeader(out, minbits, minval)
         System.arraycopy(raw, 0, out, 13, raw.length)
@@ -219,6 +226,10 @@ object Scaleoffset {
         i += 1
       }
     } else {
+      // codes = rnd(10^D · (v − min)) in the element type's OWN
+      // precision (modify_1/2's float vs double paths); minval stores
+      // the raw IEEE bits of the typed minimum (save_min memcpy,
+      // zero-extended for f4)
       val d = math.pow(10.0, p.scaleFactor.toDouble)
       def value(i: Int): Double = {
         val bits = readBits(raw, i * p.size, p.size, p.littleEndian)
@@ -231,19 +242,22 @@ object Scaleoffset {
       val vals = Array.tabulate(p.nElmts)(value)
       val nonFill = if (p.fillDefined) vals.filter(_ != fill) else vals
       require(nonFill.nonEmpty, "scaleoffset encode: all elements are fill")
-      val mnR = llround(nonFill.min * d)
-      val mxR = llround(nonFill.max * d)
-      val span = mxR - mnR + 1
+      val mn = nonFill.min
+      def codeOf(v: Double): Long =
+        if (p.size == 4) llround((d.toFloat * (v.toFloat - mn.toFloat)).toDouble)
+        else llround(d * (v - mn))
+      val span = codeOf(nonFill.max) + 1
       minbits = log2Ceil(if (p.fillDefined) span + 1 else span)
-      minval = mnR
+      minval = if (p.size == 4)
+        java.lang.Float.floatToIntBits(mn.toFloat) & 0xffffffffL
+      else java.lang.Double.doubleToLongBits(mn)
       require(minbits < p.size * 8,
         "scaleoffset encode: D-scale overflowed to full precision " +
           "(pick fewer digits for the fixture)")
       val mask = if (minbits == 0) 0L else (1L << minbits) - 1
       var i = 0
       while (i < p.nElmts) {
-        codes(i) = if (p.fillDefined && vals(i) == fill) mask
-          else llround(vals(i) * d) - mnR
+        codes(i) = if (p.fillDefined && vals(i) == fill) mask else codeOf(vals(i))
         i += 1
       }
     }

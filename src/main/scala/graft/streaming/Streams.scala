@@ -114,28 +114,36 @@ object Streams {
     require(batches.nonEmpty, "mergeReplay needs at least one change batch")
     graft.sources.Lake.writeBucketed(initial, table, keyCol, buckets, Seq(keyCol))
     val root = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
-    val streamDir = root.resolve("stream")
-    java.nio.file.Files.createDirectory(streamDir)
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val stage = root.resolve(s"stage_$i")
-      b.coalesce(1).write.parquet(stage.toString)
-      val part = new java.io.File(stage.toString).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
-      val dst = streamDir.resolve(f"batch_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      // the file source orders micro-batches by (modTime, path); pin both
-      dst.toFile.setLastModified((i + 1) * 1000000L)
+    try {
+      val streamDir = root.resolve("stream")
+      java.nio.file.Files.createDirectory(streamDir)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = root.resolve(s"stage_$i")
+        b.coalesce(1).write.parquet(stage.toString)
+        val part = new java.io.File(stage.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+        val dst = streamDir.resolve(f"batch_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        // the file source orders micro-batches by (modTime, path); pin both
+        dst.toFile.setLastModified((i + 1) * 1000000L)
+      }
+      val stream = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = mergeSink(stream, table, keyCol, buckets)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(table)
+    } finally { // staged batch copies + checkpoint: delete, don't leak
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root.toFile)
     }
-    val stream = s.readStream.schema(batches.head.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
-    val q = mergeSink(stream, table, keyCol, buckets)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(table)
   }
 }

@@ -54,14 +54,19 @@ class ScaleoffsetSpec extends AnyFunSuite {
     assert(Scaleoffset.decode(expect, params, 4).toSeq == raw.toSeq)
   }
 
-  test("negative minimum: minval is the two's-complement min") {
+  test("negative minimum: minval is the typed min memcpy'd (zero-extended)") {
     val raw = le(2, -5L & 0xffff, -2L & 0xffff, 7)
     val params = cdInt(3, 2, signed = true, le = true)
     val enc = Scaleoffset.encode(raw, params)
-    // span = 7 - (-5) + 1 = 13 -> minbits 4; minval = -5 sign-extended
-    val expect = chunk(4, -5L, Seq(0, 3, 12))
+    // span = 7 - (-5) + 1 = 13 -> minbits 4; minval = int16 -5's two
+    // bytes memcpy'd into the u64 field, upper bytes zero
+    val expect = chunk(4, 0xFFFBL, Seq(0, 3, 12))
     assert(enc.toSeq == expect.toSeq)
     assert(Scaleoffset.decode(enc, params, 6).toSeq == raw.toSeq)
+    // sign-extended upper bytes (a non-libhdf5 writer) decode the same:
+    // only the low size*8 bits enter the mod-2^(8*size) addition
+    val signExt = chunk(4, -5L, Seq(0, 3, 12))
+    assert(Scaleoffset.decode(signExt, params, 6).toSeq == raw.toSeq)
   }
 
   test("fill value maps to the reserved all-ones code both ways") {
@@ -115,18 +120,28 @@ class ScaleoffsetSpec extends AnyFunSuite {
     assert(Scaleoffset.llround(2.4) == 2L)
   }
 
-  test("float64 D-scale on the centi-grid round-trips bit-exactly") {
+  test("float64 D-scale: memcpy'd min header, decode = code/10^D + min") {
     val vals = Seq(-3.17, 0.25, 1.5, -0.01, 2.44)
     val raw = java.nio.ByteBuffer.allocate(vals.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     vals.foreach(raw.putDouble)
     val params = cdF64(vals.length, 2, None)
     val enc = Scaleoffset.encode(raw.array(), params)
-    // min code = llround(-3.17*100) = -317; max 244; span 562 -> 10 bits
-    assert(enc(0) == 10 && enc.slice(5, 7).toSeq == Seq((-317 & 0xff).toByte,
-      ((-317 >> 8) & 0xff).toByte))
-    assert(Scaleoffset.decode(enc, params, vals.length * 8).toSeq ==
-      raw.array().toSeq)
+    // max code = rnd(100*(2.44-(-3.17))) = 561; span 562 -> 10 bits;
+    // minval field = the RAW BITS of the double minimum -3.17
+    val mnBits = java.lang.Double.doubleToLongBits(-3.17)
+    assert(enc(0) == 10 && (0 until 8).forall(i =>
+      enc(5 + i) == ((mnBits >>> (8 * i)) & 0xff).toByte))
+    val dec = java.nio.ByteBuffer
+      .wrap(Scaleoffset.decode(enc, params, vals.length * 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val got = dec.getDouble(i * 8)
+      // replay the exact decode arithmetic: code/100.0 + min
+      val code = Scaleoffset.llround(100.0 * (v - -3.17))
+      assert(got == code.toDouble / 100.0 + -3.17, s"i=$i")
+      assert(math.abs(got - v) < 1e-9, s"i=$i lossy beyond half a centi")
+    }
   }
 
   test("float64 fill value decodes through the reserved code") {
@@ -189,7 +204,11 @@ class ScaleoffsetSpec extends AnyFunSuite {
     val f64 = Hdf5.readVariable(spark, f.getPath, "packed_f64")
       .orderBy("i0").collect()
     assert(f64.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
-      (0 until 40).map(t => (t, Hdf5PlantedScaleoffset.valueF64(t))))
+      (0 until 40).map(t => (t, Hdf5PlantedScaleoffset.decodedF64(t))))
+    // decode stays within half a centi of the planted values (lossy)
+    (0 until 40).foreach(t => assert(math.abs(
+      Hdf5PlantedScaleoffset.decodedF64(t) -
+        Hdf5PlantedScaleoffset.valueF64(t)) < 0.005))
   }
 
   // ------------------- error paths -------------------
