@@ -33,10 +33,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * frame payloads handed to `lz4-java` / `zstd-jni` / `snappy-java`,
   * which Spark already ships. Bit-shuffle (0x04) is undone per block by
   * [[bitunshuffle]] — the `Blosc(shuffle=BITSHUFFLE)` stores common for
-  * hard-to-compress float data. The delta filter (0x08) is undone as a
-  * whole-chunk XOR against the first element (c-blosc delta.c) after
-  * all blocks decode. Out of scope (rejected loudly, never misread):
-  * lz4-frame-era codec ids 6/7.
+  * hard-to-compress float data. The delta filter (0x08) is undone after
+  * all blocks decode: block 0 is a progressive element delta (byte g
+  * XORs byte g−typesize), later blocks XOR position-wise against the
+  * decoded FIRST block (c-blosc delta.c's dref) — which is why c-blosc
+  * itself decompresses delta chunks serially. CAVEAT: this layout is
+  * reconstructed from the library source from memory and could not be
+  * verified against a real c-blosc build offline (none in the
+  * container, zero egress); fixtures round-trip through our own
+  * encoder. Practical exposure is nil — numcodecs' Blosc codec never
+  * exposes blosc_set_delta, so no Zarr writer emits these — but treat
+  * externally-produced delta chunks with suspicion until a reference
+  * vector pins the bit layout. Out of scope (rejected loudly, never
+  * misread): lz4-frame-era codec ids 6/7.
   *
   * Scale posture: called executor-side on one chunk at a time; all
   * buffers are chunk-sized, nothing driver-side.
@@ -104,19 +113,27 @@ object Blosc {
       else if (doBitShuffle) bitunshuffle(typesize, block, out, j * blocksize, bsize)
       j += 1
     }
-    if ((flags & DoDelta) != 0) undelta(math.max(1, typesize), out)
+    if ((flags & DoDelta) != 0) undelta(math.max(1, typesize), blocksize, out)
     out
   }
 
-  /** Undo the delta filter (flags 0x08, c-blosc delta.c): every byte past
-    * the first element was XORed at encode with the chunk's FIRST
-    * element's corresponding byte (index mod typesize) — blocksize is a
-    * writer-enforced multiple of typesize, so the per-block form and
-    * this whole-chunk pass are the same transform. Runs after all
-    * blocks decode (the reference bytes are out[0, typesize)). */
-  private def undelta(ts: Int, out: Array[Byte]): Unit = {
+  /** Undo the delta filter (flags 0x08, c-blosc delta.c — see the
+    * class doc's unverified-layout caveat): block 0 is a cumulative
+    * element XOR (dest[g] ^= dest[g − typesize]), later blocks XOR
+    * byte-wise against the decoded first block. Runs after all blocks
+    * decode, matching the library's serial delta decompression. */
+  private def undelta(ts: Int, blocksize: Int, out: Array[Byte]): Unit = {
+    val n = out.length
+    val b0 = math.min(blocksize, n)
     var g = ts
-    while (g < out.length) { out(g) = (out(g) ^ out(g % ts)).toByte; g += 1 }
+    while (g < b0) { out(g) = (out(g) ^ out(g - ts)).toByte; g += 1 }
+    var base = blocksize
+    while (base < n) {
+      val bsize = math.min(blocksize, n - base)
+      var i = 0
+      while (i < bsize) { out(base + i) = (out(base + i) ^ out(i)).toByte; i += 1 }
+      base += blocksize
+    }
   }
 
   private def decodeStream(codec: Int, in: Array[Byte], off: Int, len: Int,
@@ -153,10 +170,23 @@ object Blosc {
     require(raw.nonEmpty, "empty blosc chunk")
     val ts = math.max(1, typesize)
     val src = if (!delta) raw else {
-      // delta runs before shuffle at encode: XOR against the first element
+      // delta runs before shuffle at encode: block 0 progressive element
+      // XOR, later blocks XOR vs the raw first block (see undelta)
       val d = raw.clone()
+      val bsz = {
+        val b = if (blocksizeReq > 0) blocksizeReq else math.min(raw.length, 1 << 16)
+        math.max(ts, b / ts * ts)
+      }
+      val b0 = math.min(bsz, raw.length)
       var g = ts
-      while (g < d.length) { d(g) = (raw(g) ^ raw(g % ts)).toByte; g += 1 }
+      while (g < b0) { d(g) = (raw(g) ^ raw(g - ts)).toByte; g += 1 }
+      var base = bsz
+      while (base < raw.length) {
+        val bs = math.min(bsz, raw.length - base)
+        var i = 0
+        while (i < bs) { d(base + i) = (raw(base + i) ^ raw(i)).toByte; i += 1 }
+        base += bsz
+      }
       d
     }
     val blocksize = {

@@ -151,18 +151,38 @@ class BloscSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Blosc.decode(both, raw.length))
   }
 
-  test("delta filter: hand-assembled chunk XORs against the first element") {
-    // ts=4, raw [1,2,3,4,5,6,7,8]: encode keeps the first element plain
-    // and XORs the rest with it -> [1,2,3,4, 5^1,6^2,7^3,8^4] = [..4,4,4,12]
-    val deltaed = Array[Byte](1, 2, 3, 4, 4, 4, 4, 12)
-    val bb = java.nio.ByteBuffer.allocate(16 + 4 + 4 + 8)
+  test("delta filter: progressive element XOR, discriminating 3-element vector") {
+    // ts=4, raw [1,2,3,4, 5,6,7,8, 9,10,11,12] in ONE block: element 2
+    // XORs element 1 -> [4,4,4,12], element 3 XORs element 2 (the
+    // PREVIOUS element, not the first) -> [9^5,10^6,11^7,12^8] =
+    // [12,12,12,4]; an XOR-with-first-element form would give [8,8,8,8]
+    val deltaed = Array[Byte](1, 2, 3, 4, 4, 4, 4, 12, 12, 12, 12, 4)
+    val bb = java.nio.ByteBuffer.allocate(16 + 4 + 4 + 12)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put(2.toByte).put(1.toByte).put((0x08 | 0x10).toByte).put(4.toByte)
-    bb.putInt(8).putInt(8).putInt(16 + 4 + 4 + 8)
+    bb.putInt(12).putInt(12).putInt(16 + 4 + 4 + 12)
     bb.putInt(20) // bstart
-    bb.putInt(8)  // stream stored raw (cbytes == neblock)
+    bb.putInt(12) // stream stored raw (cbytes == neblock)
     bb.put(deltaed)
-    assert(Blosc.decode(bb.array(), 8).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(Blosc.decode(bb.array(), 12).toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+  }
+
+  test("delta filter: later blocks XOR against the decoded first block") {
+    // ts=2, blocksize=4, two blocks of [10,20,30,40] and [50,60,70,80]:
+    // block 0 -> [10,20, 30^10,40^20]; block 1 XORs position-wise vs the
+    // DECODED block 0 -> [50^10, 60^20, 70^30, 80^40]
+    val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val deltaed = Array[Byte](10, 20, (30 ^ 10).toByte, (40 ^ 20).toByte,
+      (50 ^ 10).toByte, (60 ^ 20).toByte, (70 ^ 30).toByte, (80 ^ 40).toByte)
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 2 * (4 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte).put((0x08 | 0x10).toByte).put(2.toByte)
+    bb.putInt(8).putInt(4).putInt(16 + 8 + 16)
+    bb.putInt(24).putInt(32) // bstarts
+    bb.putInt(4); bb.put(deltaed, 0, 4)
+    bb.putInt(4); bb.put(deltaed, 4, 4)
+    assert(Blosc.decode(bb.array(), 8).toSeq == raw.toSeq)
   }
 
   test("delta round-trips with and without shuffle, single and multi block") {
