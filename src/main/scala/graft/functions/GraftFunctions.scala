@@ -35,7 +35,25 @@ object GraftFunctions {
     "mg_sketch" -> (exprs => MisraGries(exprs.head,
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "utci_offset" -> (exprs => graft.indices.UtciOffset(
-      exprs.head, exprs(1), exprs(2), exprs(3))))
+      exprs.head, exprs(1), exprs(2), exprs(3))),
+    // r11 normalizers + generators, and the blocklist scan (its pattern
+    // list is a plan-time constant, like the Column-API form)
+    "winnow_normalize" -> (exprs => WinnowNormalizeExpr(exprs.head)),
+    "lower_collapse_ws" -> (exprs => LowerCollapseWsExpr(exprs.head)),
+    "winnow_explode" -> (exprs => WinnowExplodeExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      257L, 2147483647L, 1L << 20)),
+    "rolling_hash_explode" -> (exprs => RollingHashExplodeExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(), 257L, 2147483647L)),
+    "shingle_explode" -> (exprs => ShingleExplodeExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue(), distinct = false)),
+    "ac_scan" -> (exprs => AhoCorasickExpr(exprs.head, {
+      val arr = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until arr.numElements()).map(i =>
+        arr.getUTF8String(i).toString)
+    })))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -285,6 +285,23 @@ class StreamingSpec extends AnyFunSuite {
       "select float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) fd").head
     assert(math.abs(r3.getDouble(0) - 11.0) < 1e-9)
+    // r11 registrations: normalizers, generators, blocklist scan
+    val r4 = spark.sql(
+      "select winnow_normalize(' A b?9 ') wn, " +
+        "lower_collapse_ws('A\tB  c') lc, " +
+        "ac_scan('aa bb aa', array('aa', 'bb')).total_hits th").head
+    assert(r4.getString(0) == "a b9")
+    assert(r4.getString(1) == "a b c")
+    assert(r4.getLong(2) == 3L)
+    val r5 = spark.sql(
+      "select collect_list(fp) from (select fp from " +
+        "(select winnow_explode('abcdefghijklmnop', 5, 8) as (pos, fp)))")
+      .head.getSeq[Long](0)
+    assert(r5.nonEmpty)
+    val r6 = spark.sql(
+      "select (select count(*) from (select rolling_hash_explode('abcdef', 3) as (p, h))) nh, " +
+        "(select count(*) from (select shingle_explode('abcdef', 3) as (s))) ns").head
+    assert(r6.getLong(0) == 4L && r6.getLong(1) == 4L)
   }
 
   test("streaming heavy hitters: MG sketch under complete-mode aggregation") {
