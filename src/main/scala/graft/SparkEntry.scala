@@ -5884,10 +5884,17 @@ object SparkEntry {
         .select(lit("payloads").as("src"), col("doc").cast("long").as("idx"),
           length(col("value")).cast("int").as("n_bytes"),
           lower(hex(col("value"))).as("v"))
-      val counts = graft.sources.Zarr.readVariable(s, store, "counts")
-        .select(lit("counts").as("src"), col("i").cast("long").as("idx"),
-          lit(8).as("n_bytes"),
-          col("value").cast("long").cast("string").as("v"))
+      // the delta chunk was written by graft's own encoder, so the
+      // unverified-layout opt-in is sound here (and exercises the gate);
+      // capture happens at readVariable call time, so restoring the conf
+      // immediately after is safe
+      s.conf.set("spark.graft.blosc.allowUnverifiedDelta", "true")
+      val counts = try {
+        graft.sources.Zarr.readVariable(s, store, "counts")
+          .select(lit("counts").as("src"), col("i").cast("long").as("idx"),
+            lit(8).as("n_bytes"),
+            col("value").cast("long").cast("string").as("v"))
+      } finally s.conf.unset("spark.graft.blosc.allowUnverifiedDelta")
       payloads.unionByName(counts).orderBy(col("src"), col("idx"))
     }),
 

@@ -68,6 +68,13 @@ final class AhoCorasick(val patterns: Array[String]) extends Serializable {
       patEnd(v) = id
     }
     val n = children.length
+    // the frozen ASCII goto table is n << 7 ints (512 B/node); past 2^24
+    // nodes the shift overflows Int — fail with guidance, not a
+    // NegativeArraySizeException deep in Array.<init>
+    require(n < (1 << 24),
+      s"AhoCorasick: $n trie nodes exceeds the flat-array form's 2^24-node " +
+        "bound (the resolved ASCII goto table is 512 B/node); for " +
+        "dictionaries this large use a sorted-array transition form instead")
     val fail = new Array[Int](n)
     val dict = Array.fill(n)(-1)
     val bfs = new Array[Int](n) // BFS order: fail(v) always precedes v

@@ -91,6 +91,10 @@ object Robots {
     * side never shuffles and never widens (one array column in, dropped
     * on the way out). */
   def filterAllowed(urls: DataFrame, urlCol: Column, rules: DataFrame): DataFrame = {
+    for (c <- Seq("_robots_host", "_robots_rules"))
+      require(!urls.columns.contains(c),
+        s"Robots.filterAllowed: input already has a column named '$c' " +
+          "(reserved as join scratch — rename it before filtering)")
     val perHost = rules
       .groupBy(col("host").as("_robots_host"))
       .agg(collect_list(struct(col("plen").cast("int").as("plen"),

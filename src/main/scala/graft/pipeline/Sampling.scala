@@ -36,25 +36,51 @@ object Sampling {
     * Scale shape: ONE total sort by the hash key — Spark's range
     * partitioner samples the (uniform) keys, so partitions are balanced
     * by construction and the sort is the classic 100 TB epoch-shuffle
-    * job. Positions come from `zipWithIndex`'s two-pass
-    * per-partition-count + offset scheme, NOT a global window
-    * (`row_number() over (order by …)` funnels the corpus through one
-    * reducer). Hash ties break by id. */
+    * job. Positions come from a two-pass per-partition-count + offset
+    * scheme, NOT a global window (`row_number() over (order by …)`
+    * funnels the corpus through one reducer) — and the whole plan stays
+    * DataFrame-side (r12): local index = `monotonically_increasing_id`
+    * minus the partition's minimum (consecutive within a partition by
+    * construction), global base per partition from one tiny aggregate,
+    * glued back with a broadcast hash join. No RDD detour, so the
+    * position-assign pass keeps whole-stage codegen and the columnar
+    * exchange format. Hash ties break by id. */
   def epochShuffle(df: DataFrame, id: Column, epoch: Int,
                    salt: String = "graft"): DataFrame = {
+    val keyC = "__graft_shuffle_key"; val pidC = "__graft_pid"
+    val midC = "__graft_mid"; val baseC = "__graft_base"
+    for (c <- Seq("shuffle_pos", keyC, pidC, midC, baseC))
+      require(!df.columns.contains(c),
+        s"epochShuffle: input already has a column named '$c' " +
+          "(reserved for the output position / internal scratch)")
     val spark = df.sparkSession
+    import spark.implicits._
     val key = md5(concat(lit(salt), lit(":"), lit(epoch), lit(":"),
       id.cast("string")))
-    val sorted = df.withColumn("_shuffle_key", key)
-      .orderBy(col("_shuffle_key"), id)
-      .drop("_shuffle_key")
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
+    // localCheckpoint pins partitioning and the non-deterministic ids so
+    // the count pass and the join read identical rows
+    val sorted = df.withColumn(keyC, key)
+      .repartitionByRange(col(keyC), id)
+      .sortWithinPartitions(col(keyC), id)
+      .withColumn(pidC, spark_partition_id())
+      .withColumn(midC, monotonically_increasing_id())
+      .localCheckpoint(false)
+    // pass 1: (rows, min id) per partition — one row per partition on the
+    // driver. Range partitions are in key order, so pid order IS global
+    // order; base(pid) maps the partition-local id run onto [offset, …).
+    val perPart = sorted.groupBy(col(pidC))
+      .agg(count(lit(1)).as("_n"), min(col(midC)).as("_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var cum = 0L
+    val bases = perPart.map { case (pid, n, m) =>
+      val b = cum - m; cum += n; (pid, b)
+    }.toSeq
+    // pass 2: broadcast the per-partition bases (≤ shuffle-partitions
+    // rows) and add — stays in codegen end to end
+    sorted.join(broadcast(bases.toDF(pidC, baseC)), Seq(pidC))
+      .withColumn("shuffle_pos", col(baseC) + col(midC))
+      .select(df.columns.map(col) :+ col("shuffle_pos"): _*)
   }
 
   /** Stratified fixed-size sample: exactly min(k, |stratum|) rows per

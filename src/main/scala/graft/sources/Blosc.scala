@@ -41,10 +41,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * reconstructed from the library source from memory and could not be
   * verified against a real c-blosc build offline (none in the
   * container, zero egress); fixtures round-trip through our own
-  * encoder. Practical exposure is nil — numcodecs' Blosc codec never
-  * exposes blosc_set_delta, so no Zarr writer emits these — but treat
-  * externally-produced delta chunks with suspicion until a reference
-  * vector pins the bit layout. Out of scope (rejected loudly, never
+  * encoder, which cannot catch a systematically wrong layout. Delta
+  * chunks therefore decode ONLY behind an explicit opt-in
+  * (`allowUnverifiedDelta = true`, or
+  * `spark.graft.blosc.allowUnverifiedDelta=true` for the Zarr reader)
+  * and are otherwise rejected loudly — the engine never risks a silent
+  * misread. Practical exposure is nil anyway: numcodecs' Blosc codec
+  * never exposes blosc_set_delta, so no Zarr writer emits these. If a
+  * real c-blosc delta vector ever becomes available, pin it in
+  * BloscSpec and drop the gate. Out of scope (rejected loudly, never
   * misread): lz4-frame-era codec ids 6/7.
   *
   * Scale posture: called executor-side on one chunk at a time; all
@@ -59,11 +64,24 @@ object Blosc {
   private val DontSplit    = 0x10
 
   /** Decode one complete Blosc chunk; `expectedLen` must equal the
-    * header's nbytes (the caller knows the chunk's logical size). */
-  def decode(in: Array[Byte], expectedLen: Int): Array[Byte] = {
+    * header's nbytes (the caller knows the chunk's logical size).
+    * Delta-filtered chunks (flags 0x08) are rejected unless
+    * `allowUnverifiedDelta` — see the class doc's unverified-layout
+    * caveat. */
+  def decode(in: Array[Byte], expectedLen: Int,
+             allowUnverifiedDelta: Boolean = false): Array[Byte] = {
     require(in.length >= 16, s"blosc chunk shorter than its header (${in.length} bytes)")
     val bb = ByteBuffer.wrap(in).order(ByteOrder.LITTLE_ENDIAN)
     val flags = in(2) & 0xFF
+    if ((flags & DoDelta) != 0 && !allowUnverifiedDelta)
+      throw new UnsupportedOperationException(
+        "blosc delta filter (flags 0x08): this decoder's delta bit layout is " +
+          "reconstructed from memory and has not been verified against a real " +
+          "c-blosc vector, so external delta chunks could silently decode to " +
+          "wrong values. Refusing by default; opt in with " +
+          "Blosc.decode(..., allowUnverifiedDelta = true) (Zarr reader: set " +
+          "spark.graft.blosc.allowUnverifiedDelta=true) only for chunks known " +
+          "to come from graft's own encoder.")
     val typesize = in(3) & 0xFF
     val nbytes = bb.getInt(4)
     val blocksize = bb.getInt(8)

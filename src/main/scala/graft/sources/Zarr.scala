@@ -47,7 +47,9 @@ import java.io.{File, RandomAccessFile}
   * dtypes and `|O` + numcodecs `vlen-utf8` (the zarr-python text codec)
   * — the corpus-in-zarr shape a document pipeline ingests; binary
   * object arrays (`|O` + `vlen-bytes`) through [[readBinary]], and
-  * Blosc delta-filtered chunks through [[Blosc]] (r11).
+  * Blosc delta-filtered chunks through [[Blosc]] (r11; r12: gated
+  * behind `spark.graft.blosc.allowUnverifiedDelta` — the layout is
+  * unverified against a real c-blosc build, so default is loud reject).
   * Out of scope (documented, rejected loudly): other numcodecs object
   * codecs (msgpack/pickle/json), v3/sharded string arrays, and nested
   * `sharding_indexed`.
@@ -502,8 +504,10 @@ object Zarr {
     * `to_zarr` default — decode through [[Blosc.decode]]: memcpy'ed
     * (flags 0x2), byte-shuffled, bit-shuffled and split bodies, with
     * blosclz/lz4/zlib/zstd/snappy stream codecs; the delta filter is
-    * rejected loudly. */
-  private[sources] def decompress(comp: String, in: Array[Byte], outLen: Int): Array[Byte] =
+    * rejected loudly unless `allowDelta` (see
+    * `spark.graft.blosc.allowUnverifiedDelta`). */
+  private[sources] def decompress(comp: String, in: Array[Byte], outLen: Int,
+                                  allowDelta: Boolean = false): Array[Byte] =
     comp match {
       case "raw"  => in
       case "zlib" => Hdf5.inflate(in, outLen)
@@ -520,13 +524,21 @@ object Zarr {
           }
           out
         } finally gz.close()
-      case "blosc" => Blosc.decode(in, outLen)
+      case "blosc" => Blosc.decode(in, outLen, allowUnverifiedDelta = allowDelta)
       case "zstd"  => // raw zstd frame (v3 codec; Spark ships zstd-jni)
         val dec = com.github.luben.zstd.Zstd.decompress(in, outLen)
         require(dec.length == outLen, s"zstd chunk decoded ${dec.length} of $outLen bytes")
         dec
       case other   => throw new IllegalArgumentException(s"codec $other")
     }
+
+  /** Driver-side read of the blosc-delta opt-in (see [[Blosc.decode]]'s
+    * unverified-layout caveat): evaluated when a reader builds its plan
+    * and captured in the task closure, so it propagates to executors on
+    * a real cluster without relying on mutable shared state. */
+  private def allowUnverifiedDelta(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.blosc.allowUnverifiedDelta")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   /** Strip a v3 `crc32c` codec's trailing 4-byte checksum, verifying it
     * (little-endian, per the spec) — corruption fails loudly instead of
@@ -687,6 +699,7 @@ object Zarr {
     val (keyPrefix, crc) = (za.keyPrefix, za.crc32c)
     val fillForAbsent = za.fillValue
     val filters = za.filters
+    val allowDelta = allowUnverifiedDelta(spark)
     val chunkElems = cdims.product.toInt
     // with a filters chain the stored element width is the LAST filter's
     // astype, not the array dtype
@@ -753,7 +766,7 @@ object Zarr {
                     val all = new Array[Byte](raf.length().toInt)
                     raf.readFully(all)
                     val stored = if (crc) stripCrc32c(all, f.getName) else all
-                    val plain = decompress(comp, stored, chunkElems * storedSize)
+                    val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
                     if (filters.nonEmpty) {
                       val arr = unfilter(plain, filters, chunkElems, kind, size, little)
                       Some(arr(_))
@@ -813,7 +826,7 @@ object Zarr {
                 (0 until nInner).iterator.flatMap { si =>
                   emit(bodies(si).map { b =>
                       val bb = order(decompress(sh.innerComp, b,
-                        innerElems * size), sh.innerLittle)
+                        innerElems * size, allowDelta), sh.innerLittle)
                       (i: Int) => decodeAt(bb, kind, size, i)
                     },
                     ich, innerOrigin(si), sh.innerCOrder)
@@ -885,6 +898,7 @@ object Zarr {
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
     val keyPrefix = za.keyPrefix
     val chunkElems = cdims.product.toInt
+    val allowDelta = allowUnverifiedDelta(spark)
     val slices = math.max(1, math.min(chunkCoords.size,
       math.max(64, spark.sparkContext.defaultParallelism * 2)))
     val raw: org.apache.spark.sql.Dataset[(Array[Long], String)] =
@@ -908,7 +922,7 @@ object Zarr {
               val strs = decodeVlenUtf8(plain, chunkElems, f.getName)
               Some(strs(_))
             } else {
-              val plain = decompress(comp, all, chunkElems * width)
+              val plain = decompress(comp, all, chunkElems * width, allowDelta)
               val bb = java.nio.ByteBuffer.wrap(plain).order(
                 if (little) java.nio.ByteOrder.LITTLE_ENDIAN
                 else java.nio.ByteOrder.BIG_ENDIAN)

@@ -164,7 +164,7 @@ class BloscSpec extends AnyFunSuite {
     bb.putInt(20) // bstart
     bb.putInt(12) // stream stored raw (cbytes == neblock)
     bb.put(deltaed)
-    assert(Blosc.decode(bb.array(), 12).toSeq ==
+    assert(Blosc.decode(bb.array(), 12, allowUnverifiedDelta = true).toSeq ==
       Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
   }
 
@@ -182,7 +182,11 @@ class BloscSpec extends AnyFunSuite {
     bb.putInt(24).putInt(32) // bstarts
     bb.putInt(4); bb.put(deltaed, 0, 4)
     bb.putInt(4); bb.put(deltaed, 4, 4)
-    assert(Blosc.decode(bb.array(), 8).toSeq == raw.toSeq)
+    assert(Blosc.decode(bb.array(), 8, allowUnverifiedDelta = true).toSeq == raw.toSeq)
+    // default posture: the unverified delta layout is REJECTED loudly,
+    // never silently decoded (see Blosc's class-doc caveat)
+    val e = intercept[UnsupportedOperationException](Blosc.decode(bb.array(), 8))
+    assert(e.getMessage.contains("allowUnverifiedDelta"))
   }
 
   test("delta round-trips with and without shuffle, single and multi block") {
@@ -191,11 +195,11 @@ class BloscSpec extends AnyFunSuite {
       val raw = patterned(n)
       val enc = Blosc.encode(raw, 8, blocksizeReq = bs, shuffle = sh, delta = true)
       assert((enc(2) & 0x08) != 0, "delta flag set")
-      assert(Blosc.decode(enc, raw.length).toSeq == raw.toSeq, s"n=$n sh=$sh bs=$bs")
+      assert(Blosc.decode(enc, raw.length, allowUnverifiedDelta = true).toSeq == raw.toSeq, s"n=$n sh=$sh bs=$bs")
     }
     val b1 = (0 until 777).map(i => (i * i % 251).toByte).toArray
-    assert(Blosc.decode(Blosc.encode(b1, 1, delta = true), b1.length)
-      .toSeq == b1.toSeq)
+    assert(Blosc.decode(Blosc.encode(b1, 1, delta = true), b1.length,
+      allowUnverifiedDelta = true).toSeq == b1.toSeq)
   }
 
   test("bit-shuffle: hand-pinned 8x1-byte vectors") {

@@ -851,8 +851,17 @@ class ZarrSpec extends AnyFunSuite {
       if (g >= 3 && g <= 5) assert(pay(g).isEmpty, s"absent chunk elem $g")
       else assert(pay(g).contains(Zarr.plantedPayload(g).toSeq), s"elem $g")
     }
-    val counts = Zarr.readVariable(spark, root.getPath, "counts")
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    // default posture: the unverified blosc-delta layout is REJECTED at
+    // the reader level, never silently decoded (r12 gate)
+    val rejected = intercept[org.apache.spark.SparkException](
+      Zarr.readVariable(spark, root.getPath, "counts").collect())
+    assert(rejected.getMessage.contains("allowUnverifiedDelta") ||
+      Option(rejected.getCause).exists(_.getMessage.contains("allowUnverifiedDelta")))
+    spark.conf.set("spark.graft.blosc.allowUnverifiedDelta", "true")
+    val counts = try {
+      Zarr.readVariable(spark, root.getPath, "counts")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    } finally spark.conf.unset("spark.graft.blosc.allowUnverifiedDelta")
     for (i <- 0 until 24)
       assert(counts(i) == ((7L * i * i + 3 * i) % 1000 - 137).toDouble, s"i=$i")
     // readBinary refuses text arrays and vice versa
