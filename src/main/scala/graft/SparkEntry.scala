@@ -5898,6 +5898,29 @@ object SparkEntry {
       payloads.unionByName(counts).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_v3_strings" -> ((s, dir) => {
+      // r12: Zarr v3 string/bytes data types under the gate — plain
+      // vlen-utf8+gzip with an absent chunk, a SHARDED string array
+      // (inner vlen-utf8+zstd, crc32c'd index, one missing inner chunk),
+      // and a v3 `bytes` array (vlen-bytes+zstd+crc32c) evidenced as
+      // lowercase hex. The oracle rebuilds everything from closed forms.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_v3strstore")
+      if (!new java.io.File(storeDir, "labels/zarr.json").isFile)
+        graft.sources.Zarr.plantedStringStoreV3(storeDir.getPath)
+      val store = storeDir.getPath
+      val labels = graft.sources.Zarr.readStrings(s, store, "labels")
+        .select(lit("labels").as("src"), col("doc").cast("long").as("idx"),
+          col("value").as("v"))
+      val tags = graft.sources.Zarr.readStrings(s, store, "tags")
+        .select(lit("tags").as("src"), col("doc").cast("long").as("idx"),
+          col("value").as("v"))
+      val blobs = graft.sources.Zarr.readBinary(s, store, "blobs")
+        .select(lit("blobs").as("src"), col("doc").cast("long").as("idx"),
+          lower(hex(col("value"))).as("v"))
+      labels.unionByName(tags).unionByName(blobs).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6252,6 +6275,27 @@ object SparkEntry {
         |    cast((7*i*i + 3*i) % 1000 - 137 as varchar)
         |  from range(0, 24) r(i)
         |) order by 1, 2""".stripMargin,
+
+    // labels 3..5 sit in the absent chunk, tags 6..7 in the missing
+    // inner shard chunk → NULLs; blob hex from the plantedPayload form
+    "q_zarr_v3_strings" ->
+      """with bl as (
+        |  select i, k, printf('%02x', (37*(i+7) + 11*k) % 256) h
+        |  from range(0, 5) r(i), range(0, 8) r2(k)
+        |  where k < 2 + (i+7) % 5),
+        |bh as (select i, string_agg(h, '' order by k) hx from bl group by 1)
+        |select * from (
+        |  select 'labels' src, cast(t as bigint) idx,
+        |    case when t between 3 and 5 then null
+        |      else 'v3_' || t || '_λ' end v
+        |  from range(0, 7) r(t)
+        |  union all
+        |  select 'tags', cast(t as bigint),
+        |    case when t >= 6 then null else 't' || t || 'é' end
+        |  from range(0, 8) r(t)
+        |  union all
+        |  select 'blobs', cast(i as bigint), hx from bh
+        |) order by src, idx""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

@@ -190,7 +190,8 @@ object Zarr {
   final case class ShardMeta(innerChunks: Seq[Long], innerLittle: Boolean,
                              innerCOrder: Boolean, innerComp: String,
                              innerCrc: Boolean, indexAtEnd: Boolean,
-                             indexCrc: Boolean, indexLittle: Boolean)
+                             indexCrc: Boolean, indexLittle: Boolean,
+                             innerVlen: Option[String] = None)
 
   private def asLongs(v: Any): Seq[Long] = v.asInstanceOf[Vector[Any]]
     .map(x => x.asInstanceOf[Double].toLong)
@@ -340,14 +341,18 @@ object Zarr {
       s"unexpected zarr_format ${m("zarr_format")} in zarr.json")
     require(m("node_type") == "array", s"$dir zarr.json is a ${m("node_type")}, not an array")
     val shape = asLongs(m("shape"))
-    val (kind, size) = m("data_type").asInstanceOf[String] match {
+    val dtName = m("data_type").asInstanceOf[String]
+    val (kind, size) = dtName match {
       case "float64" => ('f', 8); case "float32" => ('f', 4)
       case "int64"   => ('i', 8); case "int32"   => ('i', 4)
       case "int16"   => ('i', 2); case "int8"    => ('i', 1)
       case "uint32"  => ('u', 4); case "uint16"  => ('u', 2)
       case "uint8"   => ('u', 1); case "bool"    => ('b', 1)
+      // variable-length string/bytes (zarr-python 3's text and raw-bytes
+      // dtypes, r12): elements live in a vlen codec payload, width 0
+      case "string"  => ('O', 0); case "bytes"   => ('O', 0)
       case other     => throw new IllegalArgumentException(
-        s"unsupported v3 data_type '$other' (string/complex/structured out of scope)")
+        s"unsupported v3 data_type '$other' (complex/structured out of scope)")
     }
     val grid = m("chunk_grid").asInstanceOf[Map[String, Any]]
     require(grid("name") == "regular", s"only regular chunk grids (got ${grid("name")})")
@@ -368,7 +373,9 @@ object Zarr {
         }
       case other => throw new IllegalArgumentException(s"bad chunk_key_encoding $other")
     }
-    val fill = m.getOrElse("fill_value", null) match {
+    // object arrays take a string/bytes fill (usually "") that the reader
+    // ignores — absent chunks yield NULL, matching the v2 object path
+    val fill = if (kind == 'O') None else m.getOrElse("fill_value", null) match {
       case null       => None
       case d: Double  => Some(d)
       case b: Boolean => Some(if (b) 1.0 else 0.0)
@@ -385,6 +392,10 @@ object Zarr {
       shape.length, allowSharding = true)
     val (little, cOrder, comp, crc) =
       (chain.little, chain.cOrder, chain.comp, chain.crc)
+    require(!(crc && chain.sharding.isDefined),
+      "crc32c wrapping a whole sharding_indexed shard is unsupported " +
+        "(it would displace the shard index; put crc32c in the inner or " +
+        "index codec chains instead)")
     chain.sharding.foreach { sh =>
       require(sh.innerChunks.length == shape.length &&
         sh.innerChunks.zip(chunks).forall { case (i, o) => i > 0 && o % i == 0 },
@@ -402,22 +413,43 @@ object Zarr {
         case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
         case _               => None // string/array attrs don't affect decode
       }
+    // vlen codec ↔ data_type consistency: string needs vlen-utf8, bytes
+    // needs vlen-bytes (directly or as the shard's inner array→bytes
+    // codec); numeric chains must not carry one. The matched codec is
+    // surfaced as a synthetic v2-style filter so readStrings/readBinary
+    // share one object-array contract across both format versions.
+    val effVlen = chain.vlen.orElse(chain.sharding.flatMap(_.innerVlen))
+    val filters: Seq[ZFilter] =
+      if (kind == 'O') {
+        val want = if (dtName == "string") "vlen-utf8" else "vlen-bytes"
+        require(effVlen.contains(want),
+          s"v3 data_type '$dtName' needs the $want codec in its chain, " +
+            s"got ${effVlen.getOrElse("none")}")
+        Seq(ZFilter(want, 0.0, 0.0, 'O', 0, dtLittle = true, 'O', 0, asLittle = true))
+      } else {
+        require(effVlen.isEmpty,
+          s"vlen codec ${effVlen.get} is only valid for string/bytes data types")
+        Nil
+      }
     ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
       little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc,
-      chain.sharding)
+      chain.sharding, filters)
   }
 
   private final case class CodecChain(little: Boolean, cOrder: Boolean,
                                       comp: String, crc: Boolean,
-                                      sharding: Option[ShardMeta])
+                                      sharding: Option[ShardMeta],
+                                      vlen: Option[String] = None)
 
   /** Fold one v3 codec list into (endianness, element order, compressor,
-    * trailing crc32c, sharding). Recurses once for `sharding_indexed`'s
-    * inner `codecs` and `index_codecs`; nested sharding is rejected. */
+    * trailing crc32c, sharding, vlen array→bytes codec). Recurses once
+    * for `sharding_indexed`'s inner `codecs` and `index_codecs`; nested
+    * sharding is rejected. */
   private def parseCodecsV3(codecs: Vector[Any], rank: Int,
                             allowSharding: Boolean): CodecChain = {
     var little = true; var cOrder = true; var comp = "raw"; var crc = false
     var shard: Option[ShardMeta] = None
+    var vlen: Option[String] = None
     def setComp(c: String): Unit = {
       require(comp == "raw" && shard.isEmpty, s"unsupported codec chain: $comp then $c")
       comp = c
@@ -428,6 +460,13 @@ object Zarr {
         .asInstanceOf[Map[String, Any]]
       cm("name").asInstanceOf[String] match {
         case "bytes" => little = cfg.getOrElse("endian", "little") == "little"
+        case v @ ("vlen-utf8" | "vlen-bytes") =>
+          // array→bytes codec for variable-length string/bytes arrays
+          // (zarr-python 3's text/bytes encoding); payload is the same
+          // published VLen layout as the numcodecs v2 object codecs
+          require(vlen.isEmpty && comp == "raw",
+            s"vlen codec '$v' must precede the compressor and appear once")
+          vlen = Some(v)
         case "transpose" =>
           val order = cfg("order").asInstanceOf[Vector[Any]]
             .map(_.asInstanceOf[Double].toInt)
@@ -453,11 +492,11 @@ object Zarr {
           shard = Some(ShardMeta(asLongs(cfg("chunk_shape")),
             inner.little, inner.cOrder, inner.comp, inner.crc,
             cfg.getOrElse("index_location", "end") == "end",
-            idx.crc, idx.little))
+            idx.crc, idx.little, inner.vlen))
         case other => throw new IllegalArgumentException(s"unsupported v3 codec '$other'")
       }
     }
-    CodecChain(little, cOrder, comp, crc, shard)
+    CodecChain(little, cOrder, comp, crc, shard, vlen)
   }
 
   /** All arrays in a store: from consolidated metadata (`.zmetadata` —
@@ -748,12 +787,6 @@ object Zarr {
               else Some((idx, data.fold(fillForAbsent.get)(_(flat))))
             }
           }
-          def order(bb: Array[Byte], le: Boolean): java.nio.ByteBuffer = {
-            val b = java.nio.ByteBuffer.wrap(bb)
-            b.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
-              else java.nio.ByteOrder.BIG_ENDIAN)
-            b
-          }
           val f = new File(dir, keyPrefix + cc.mkString(sep))
           val zero = new Array[Long](rank)
           sharding match {
@@ -799,30 +832,7 @@ object Zarr {
                 // I/O is EAGER (the file handle closes before the lazy
                 // element iterator is consumed); decode stays lazy, so
                 // peak memory is the compressed shard, not the elements
-                val bodies: IndexedSeq[Option[Array[Byte]]] = {
-                  val raf = new RandomAccessFile(f, "r")
-                  try {
-                    val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
-                    val idxBytes = new Array[Byte](idxLen)
-                    raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
-                    raf.readFully(idxBytes)
-                    val ib = order(
-                      if (sh.indexCrc) stripCrc32c(idxBytes, s"${f.getName} index")
-                      else idxBytes, sh.indexLittle)
-                    (0 until nInner).map { si =>
-                      val off = ib.getLong(si * 16)
-                      val nb = ib.getLong(si * 16 + 8)
-                      if (off == -1L && nb == -1L) None // missing inner chunk
-                      else {
-                        val body = new Array[Byte](nb.toInt)
-                        raf.seek(off)
-                        raf.readFully(body)
-                        Some(if (sh.innerCrc) stripCrc32c(body, s"${f.getName}@$off")
-                          else body)
-                      }
-                    }
-                  } finally raf.close()
-                }
+                val bodies = readShardBodies(f, nInner, sh)
                 (0 until nInner).iterator.flatMap { si =>
                   emit(bodies(si).map { b =>
                       val bb = order(decompress(sh.innerComp, b,
@@ -871,17 +881,19 @@ object Zarr {
     val za = readArrayMeta(store, name)
     require("SUO".indexOf(za.dtKind) >= 0,
       s"${za.name}: dtype kind '${za.dtKind}' is numeric — use readVariable")
-    require(za.sharding.isEmpty && !za.crc32c,
-      s"${za.name}: string dtypes supported for plain v2 chunks only")
     val isObj = za.dtKind == 'O'
     if (isObj) {
       require(za.filters.map(_.id) == Seq("vlen-utf8"),
-        s"${za.name}: |O needs exactly the vlen-utf8 object codec, " +
+        s"${za.name}: object string arrays need exactly the vlen-utf8 codec, " +
           s"got [${za.filters.map(_.id).mkString(",")}]")
       require(za.cOrder, s"${za.name}: F-order object chunks unsupported")
-    } else require(za.filters.isEmpty,
-      s"${za.name}: fixed-width string arrays take no filters, " +
-        s"got [${za.filters.map(_.id).mkString(",")}]")
+    } else {
+      require(za.sharding.isEmpty && !za.crc32c,
+        s"${za.name}: fixed-width string dtypes supported for plain v2 chunks only")
+      require(za.filters.isEmpty,
+        s"${za.name}: fixed-width string arrays take no filters, " +
+          s"got [${za.filters.map(_.id).mkString(",")}]")
+    }
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
@@ -897,6 +909,7 @@ object Zarr {
     val (kind, width, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
     val keyPrefix = za.keyPrefix
+    val (crc, sharding) = (za.crc32c, za.sharding)
     val chunkElems = cdims.product.toInt
     val allowDelta = allowUnverifiedDelta(spark)
     val slices = math.max(1, math.min(chunkCoords.size,
@@ -904,65 +917,96 @@ object Zarr {
     val raw: org.apache.spark.sql.Dataset[(Array[Long], String)] =
       spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
         val f = new File(dir, keyPrefix + cc.mkString(sep))
-        val data: Option[Int => String] =
-          if (!f.isFile) None // absent chunk → NULL values
-          else {
-            val raf = new RandomAccessFile(f, "r")
-            val all = try {
-              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-            } finally raf.close()
-            if (isObj) {
-              val plain = comp match {
-                case "raw"           => all
-                case "zlib" | "gzip" => inflateUnknown(comp, all)
-                case other => throw new IllegalArgumentException(
-                  s"object chunks support raw/zlib/gzip, got '$other' " +
-                    "(vlen payload length is unknown before decode)")
-              }
-              val strs = decodeVlenUtf8(plain, chunkElems, f.getName)
-              Some(strs(_))
+        // one sub-block of elements: `sub` dims, `origin` offset within
+        // the outer chunk, the block's own element order
+        def emit(data: Option[Int => String], sub: Array[Long],
+                 origin: Array[Long], blockCOrder: Boolean): Iterator[(Array[Long], String)] =
+          (0 until sub.product.toInt).iterator.flatMap { flat =>
+            var rem = flat.toLong
+            val idx = new Array[Long](rank)
+            if (blockCOrder) {
+              var i = rank - 1
+              while (i >= 0) { idx(i) = rem % sub(i); rem /= sub(i); i -= 1 }
             } else {
-              val plain = decompress(comp, all, chunkElems * width, allowDelta)
-              val bb = java.nio.ByteBuffer.wrap(plain).order(
-                if (little) java.nio.ByteOrder.LITTLE_ENDIAN
-                else java.nio.ByteOrder.BIG_ENDIAN)
-              Some { i =>
-                val off = i * width
-                if (kind == 'S') {
-                  var end = off + width
-                  while (end > off && plain(end - 1) == 0) end -= 1
-                  new String(plain, off, end - off,
-                    java.nio.charset.StandardCharsets.UTF_8)
-                } else { // 'U': UCS-4 code points, zero-padded
-                  var n = width / 4
-                  while (n > 0 && bb.getInt(off + (n - 1) * 4) == 0) n -= 1
-                  val sb = new java.lang.StringBuilder(n)
-                  var j = 0
-                  while (j < n) { sb.appendCodePoint(bb.getInt(off + j * 4)); j += 1 }
-                  sb.toString
+              var i = 0
+              while (i < rank) { idx(i) = rem % sub(i); rem /= sub(i); i += 1 }
+            }
+            var inBounds = true
+            var j = 0
+            while (j < rank) {
+              idx(j) += origin(j) + cc(j).toLong * cdims(j)
+              if (idx(j) >= dims(j)) inBounds = false
+              j += 1
+            }
+            if (!inBounds) None
+            else Some((idx, data.map(_(flat)).orNull))
+          }
+        val zero = new Array[Long](rank)
+        sharding match {
+          case None =>
+            val data: Option[Int => String] =
+              if (!f.isFile) None // absent chunk → NULL values
+              else {
+                val raf = new RandomAccessFile(f, "r")
+                val all = try {
+                  val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+                } finally raf.close()
+                if (isObj) {
+                  val stored = if (crc) stripCrc32c(all, f.getName) else all
+                  val plain = inflateObject(comp, stored, f.getName)
+                  val strs = decodeVlenUtf8(plain, chunkElems, f.getName)
+                  Some(strs(_))
+                } else {
+                  val plain = decompress(comp, all, chunkElems * width, allowDelta)
+                  val bb = java.nio.ByteBuffer.wrap(plain).order(
+                    if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+                    else java.nio.ByteOrder.BIG_ENDIAN)
+                  Some { i =>
+                    val off = i * width
+                    if (kind == 'S') {
+                      var end = off + width
+                      while (end > off && plain(end - 1) == 0) end -= 1
+                      new String(plain, off, end - off,
+                        java.nio.charset.StandardCharsets.UTF_8)
+                    } else { // 'U': UCS-4 code points, zero-padded
+                      var n = width / 4
+                      while (n > 0 && bb.getInt(off + (n - 1) * 4) == 0) n -= 1
+                      val sb = new java.lang.StringBuilder(n)
+                      var j = 0
+                      while (j < n) { sb.appendCodePoint(bb.getInt(off + j * 4)); j += 1 }
+                      sb.toString
+                    }
+                  }
                 }
               }
+            emit(data, cdims.map(_.toLong), zero, cOrder)
+          case Some(sh) =>
+            // v3 sharded string array: shard index → per-inner-chunk vlen
+            // payloads, same ranged-read access pattern as readVariable
+            val ich = sh.innerChunks.toArray
+            val innerPerDim = Array.tabulate(rank)(d => (cdims(d) / ich(d)).toInt)
+            val nInner = innerPerDim.product
+            val innerElems = ich.product.toInt
+            def innerOrigin(si: Int): Array[Long] = { // C order over the inner grid
+              val icc = new Array[Long](rank)
+              var rem = si; var i = rank - 1
+              while (i >= 0) { icc(i) = (rem % innerPerDim(i)).toLong * ich(i)
+                rem /= innerPerDim(i); i -= 1 }
+              icc
             }
-          }
-        (0 until chunkElems).iterator.flatMap { flat =>
-          var rem = flat.toLong
-          val idx = new Array[Long](rank)
-          if (cOrder) {
-            var i = rank - 1
-            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
-          } else {
-            var i = 0
-            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
-          }
-          var inBounds = true
-          var j = 0
-          while (j < rank) {
-            idx(j) += cc(j).toLong * cdims(j)
-            if (idx(j) >= dims(j)) inBounds = false
-            j += 1
-          }
-          if (!inBounds) None
-          else Some((idx, data.map(_(flat)).orNull))
+            if (!f.isFile) // absent shard = every inner chunk NULL
+              (0 until nInner).iterator.flatMap(si =>
+                emit(None, ich, innerOrigin(si), sh.innerCOrder))
+            else {
+              val bodies = readShardBodies(f, nInner, sh)
+              (0 until nInner).iterator.flatMap { si =>
+                emit(bodies(si).map { b =>
+                    val plain = inflateObject(sh.innerComp, b, s"${f.getName}#$si")
+                    val strs = decodeVlenUtf8(plain, innerElems, s"${f.getName}#$si")
+                    strs(_)
+                  }, ich, innerOrigin(si), sh.innerCOrder)
+              }
+            }
         }
       }.toDS()
     val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
@@ -984,8 +1028,8 @@ object Zarr {
     require(za.filters.map(_.id) == Seq("vlen-bytes"),
       s"${za.name}: readBinary needs exactly the vlen-bytes object codec, " +
         s"got [${za.filters.map(_.id).mkString(",")}]")
-    require(za.sharding.isEmpty && !za.crc32c && za.cOrder,
-      s"${za.name}: object arrays supported for plain C-order v2 chunks only")
+    require(za.sharding.isEmpty && za.cOrder,
+      s"${za.name}: binary object arrays supported for plain C-order chunks only")
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
@@ -998,7 +1042,7 @@ object Zarr {
       expand(0).map(_.toArray)
     }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
-    val (comp, sep) = (za.compressor, za.dimSeparator)
+    val (comp, sep, zCrc) = (za.compressor, za.dimSeparator, za.crc32c)
     val keyPrefix = za.keyPrefix
     val chunkElems = cdims.product.toInt
     val slices = math.max(1, math.min(chunkCoords.size,
@@ -1013,11 +1057,12 @@ object Zarr {
             val all = try {
               val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
             } finally raf.close()
+            val stored = if (zCrc) stripCrc32c(all, f.getName) else all
             val plain = comp match {
-              case "raw"           => all
-              case "zlib" | "gzip" => inflateUnknown(comp, all)
+              case "raw"                    => stored
+              case "zlib" | "gzip" | "zstd" => inflateUnknown(comp, stored)
               case other => throw new IllegalArgumentException(
-                s"object chunks support raw/zlib/gzip, got '$other' " +
+                s"object chunks support raw/zlib/gzip/zstd, got '$other' " +
                   "(vlen payload length is unknown before decode)")
             }
             Some(decodeVlenItems(plain, chunkElems, f.getName))
@@ -1044,8 +1089,61 @@ object Zarr {
     raw.toDF().select(cols: _*)
   }
 
-  /** Inflate a zlib/gzip stream of UNKNOWN decoded length (object chunks
-    * carry no element width to size the buffer from). */
+  private def order(bb: Array[Byte], le: Boolean): java.nio.ByteBuffer = {
+    val b = java.nio.ByteBuffer.wrap(bb)
+    b.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    b
+  }
+
+  /** Read a shard file's inner-chunk bodies EAGERLY (the handle closes
+    * before lazy element decode runs): the (offset, nbytes) u64-pair
+    * index — at the shard's start or end, optionally crc32c'd — then
+    * each present inner chunk's bytes, inner crc stripped. Missing
+    * inner chunks ((2^64−1, 2^64−1) entries) come back None. */
+  private[sources] def readShardBodies(f: File, nInner: Int,
+                                       sh: ShardMeta): IndexedSeq[Option[Array[Byte]]] = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+      val idxBytes = new Array[Byte](idxLen)
+      raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
+      raf.readFully(idxBytes)
+      val ib = order(
+        if (sh.indexCrc) stripCrc32c(idxBytes, s"${f.getName} index")
+        else idxBytes, sh.indexLittle)
+      (0 until nInner).map { si =>
+        val off = ib.getLong(si * 16)
+        val nb = ib.getLong(si * 16 + 8)
+        if (off == -1L && nb == -1L) None // missing inner chunk
+        else {
+          val body = new Array[Byte](nb.toInt)
+          raf.seek(off)
+          raf.readFully(body)
+          Some(if (sh.innerCrc) stripCrc32c(body, s"${f.getName}@$off")
+            else body)
+        }
+      }
+    } finally raf.close()
+  }
+
+  /** Decompress one vlen OBJECT chunk body: raw/zlib/gzip/zstd only —
+    * NOT blosc (the vlen payload length is unknown before decode, and
+    * no writer pairs blosc with a vlen codec). */
+  private[sources] def inflateObject(c: String, in: Array[Byte],
+                                     what: String): Array[Byte] =
+    c match {
+      case "raw"                    => in
+      case "zlib" | "gzip" | "zstd" => inflateUnknown(c, in)
+      case other => throw new IllegalArgumentException(
+        s"$what: object chunks support raw/zlib/gzip/zstd, got '$other' " +
+          "(vlen payload length is unknown before decode)")
+    }
+
+  /** Inflate a zlib/gzip/zstd stream of UNKNOWN decoded length (object
+    * chunks carry no element width to size the buffer from; zstd frames
+    * stream through ZstdInputStream rather than trusting the optional
+    * frame-header content size). */
   private[sources] def inflateUnknown(comp: String, in: Array[Byte]): Array[Byte] =
     if (comp == "gzip") {
       val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(in))
@@ -1056,6 +1154,16 @@ object Zarr {
         while (n >= 0) { out.write(buf, 0, n); n = gz.read(buf) }
         out.toByteArray
       } finally gz.close()
+    } else if (comp == "zstd") {
+      val zin = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(in))
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 4))
+        val buf = new Array[Byte](8192)
+        var n = zin.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
+        out.toByteArray
+      } finally zin.close()
     } else {
       val inf = new java.util.zip.Inflater()
       inf.setInput(in)
@@ -1294,6 +1402,128 @@ object Zarr {
     * — spans the full byte range, deliberately not valid UTF-8. */
   def plantedPayload(g: Int): Array[Byte] =
     Array.tabulate(2 + g % 5)(k => ((37 * g + 11 * k) % 256).toByte)
+
+  /** Fixture store for the r12 Zarr v3 string tier, covering each decode
+    * path with closed-form values:
+    *
+    *   `labels` — data_type `string`, shape [7] chunks [3], codecs
+    *   [vlen-utf8, gzip], default chunk-key encoding (`c/<i>` keys),
+    *   chunk 1 ABSENT → NULLs; value `v3_<i>_λ` (non-ASCII pins UTF-8).
+    *
+    *   `tags` — SHARDED string array, shape [8] shard [4] inner [2],
+    *   inner codecs [vlen-utf8, zstd], index [bytes, crc32c] at the
+    *   shard end; shard 1's second inner chunk is MISSING ((-1,-1)
+    *   index) → NULLs at 6,7; value `t<i>é`.
+    *
+    *   `blobs` — data_type `bytes`, codecs [vlen-bytes, zstd, crc32c],
+    *   shape [5] single chunk; payload [[plantedPayload]](i+7) (not
+    *   valid UTF-8, so a text-path misread cannot round-trip).
+    */
+  def plantedStringStoreV3(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+    def zstd(b: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(b, 3)
+    def crc32c(b: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32C()
+      c.update(b, 0, b.length)
+      val bb = java.nio.ByteBuffer.allocate(b.length + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(b).putInt(c.getValue.toInt)
+      bb.array()
+    }
+    def vlen(items: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + items.map(4 + _.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(items.length)
+      items.foreach { b => bb.putInt(b.length); bb.put(b) }
+      bb.array()
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    new File(store).mkdirs()
+    writeBytes(new File(store, "zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes(utf8))
+
+    // labels: plain v3 string, vlen-utf8 + gzip, chunk 1 absent
+    val lDir = new File(store, "labels"); new File(lDir, "c").mkdirs()
+    writeBytes(new File(lDir, "zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [7],
+         | "data_type": "string",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [3]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": "",
+         | "codecs": [{"name": "vlen-utf8"},
+         |   {"name": "gzip", "configuration": {"level": 1}}],
+         | "dimension_names": ["doc"]}""").stripMargin.getBytes(utf8))
+    for (c <- Seq(0, 2)) { // chunk 1 absent → NULLs at 3..5
+      val items = (0 until 3).map(j => s"v3_${c * 3 + j}_λ".getBytes(utf8))
+      writeBytes(new File(lDir, s"c/$c"), gzip(vlen(items)))
+    }
+
+    // tags: sharded string array, inner [vlen-utf8, zstd], index crc32c
+    val tDir = new File(store, "tags"); new File(tDir, "c").mkdirs()
+    writeBytes(new File(tDir, "zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [8],
+         | "data_type": "string",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [4]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": "",
+         | "codecs": [{"name": "sharding_indexed", "configuration": {
+         |   "chunk_shape": [2],
+         |   "codecs": [{"name": "vlen-utf8"}, {"name": "zstd",
+         |     "configuration": {"level": 3}}],
+         |   "index_codecs": [{"name": "bytes",
+         |     "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+         |   "index_location": "end"}}],
+         | "dimension_names": ["doc"]}""").stripMargin.getBytes(utf8))
+    def shard(bodies: Seq[Option[Array[Byte]]]): Array[Byte] = {
+      val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val data = new java.io.ByteArrayOutputStream()
+      bodies.foreach {
+        case Some(b) => offs += ((data.size.toLong, b.length.toLong)); data.write(b)
+        case None    => offs += ((-1L, -1L))
+      }
+      val idx = java.nio.ByteBuffer.allocate(bodies.length * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      offs.foreach { case (o, n) => idx.putLong(o).putLong(n) }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(data.toByteArray)
+      out.write(crc32c(idx.array()))
+      out.toByteArray
+    }
+    def tagBody(lo: Int): Array[Byte] =
+      zstd(vlen((lo until lo + 2).map(i => s"t${i}é".getBytes(utf8))))
+    writeBytes(new File(tDir, "c/0"), shard(Seq(Some(tagBody(0)), Some(tagBody(2)))))
+    writeBytes(new File(tDir, "c/1"), shard(Seq(Some(tagBody(4)), None)))
+
+    // blobs: v3 bytes data_type, vlen-bytes + zstd + crc32c
+    val bDir = new File(store, "blobs"); new File(bDir, "c").mkdirs()
+    writeBytes(new File(bDir, "zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [5],
+         | "data_type": "bytes",
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [5]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": "",
+         | "codecs": [{"name": "vlen-bytes"}, {"name": "zstd",
+         |   "configuration": {"level": 3}}, {"name": "crc32c"}],
+         | "dimension_names": ["doc"]}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(bDir, "c/0"),
+      crc32c(zstd(vlen((0 until 5).map(i => plantedPayload(i + 7))))))
+  }
 
   /** Convert every array in the store to a long-format parquet lake (the
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */

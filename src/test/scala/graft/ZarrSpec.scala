@@ -870,4 +870,46 @@ class ZarrSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Zarr.readStrings(spark, root.getPath, "payloads"))
   }
+
+  test("v3 string/bytes data types: plain, sharded, vlen+zstd+crc32c (planted store)") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_v3str_").toFile
+    Zarr.plantedStringStoreV3(root.getPath)
+    // labels: vlen-utf8 + gzip, chunk 1 absent → NULLs at 3..5
+    val labels = Zarr.readStrings(spark, root.getPath, "labels").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(labels.size == 7)
+    for (i <- 0 until 7) {
+      if (i >= 3 && i <= 5) assert(labels(i).isEmpty, s"absent chunk elem $i")
+      else assert(labels(i).contains(s"v3_${i}_λ"), s"elem $i: ${labels(i)}")
+    }
+    // tags: SHARDED vlen-utf8 + zstd, crc32c'd index; missing inner
+    // chunk → NULLs at 6,7
+    val tags = Zarr.readStrings(spark, root.getPath, "tags").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(tags.size == 8)
+    for (i <- 0 until 8) {
+      if (i >= 6) assert(tags(i).isEmpty, s"missing inner chunk elem $i")
+      else assert(tags(i).contains(s"t${i}é"), s"elem $i: ${tags(i)}")
+    }
+    // blobs: v3 bytes data type, vlen-bytes + zstd + crc32c
+    val blobs = Zarr.readBinary(spark, root.getPath, "blobs").collect()
+      .map(r => (r.getInt(0), r.get(1).asInstanceOf[Array[Byte]].toSeq)).toMap
+    assert(blobs.size == 5)
+    for (i <- 0 until 5)
+      assert(blobs(i) == Zarr.plantedPayload(i + 7).toSeq, s"elem $i")
+    // wrong-vlen pairings reject loudly
+    intercept[IllegalArgumentException](
+      Zarr.readBinary(spark, root.getPath, "labels"))
+    intercept[IllegalArgumentException](
+      Zarr.readStrings(spark, root.getPath, "blobs"))
+    // a corrupted blobs chunk fails its crc32c instead of decoding garbage
+    val chunk = new java.io.File(root, "blobs/c/0")
+    val bytes = java.nio.file.Files.readAllBytes(chunk.toPath)
+    bytes(2) = (bytes(2) ^ 0x40).toByte
+    java.nio.file.Files.write(chunk.toPath, bytes)
+    val err = intercept[org.apache.spark.SparkException](
+      Zarr.readBinary(spark, root.getPath, "blobs").collect())
+    assert(err.getMessage.contains("crc32c") ||
+      Option(err.getCause).exists(_.getMessage.contains("crc32c")))
+  }
 }
