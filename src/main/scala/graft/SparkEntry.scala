@@ -8813,6 +8813,59 @@ object SparkEntry {
       out
     }),
 
+    "q_stream_merge_versioned" -> ((s, dir) => {
+      // r12: the PRODUCTION streaming-lake form under the gate — the
+      // same interacting-batch scenario as q_stream_merge (different
+      // deltas, so it is independent evidence) replayed through the
+      // VERSIONED sink: each batch MERGEs v(n) → writes snapshot v(n+1)
+      // → atomically swaps the pointer file; the final frame is read
+      // THROUGH the pointer, and the pointer's (version, last_batch)
+      // ride along as evidence columns the oracle states in closed form
+      // (3 non-empty batches → v3, lastBatch 2).
+      val orders = t(s, dir, "orders")
+      val target = orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = pmod(col("o_orderkey"), lit(7))
+      def fresh(off: Long) = (col("o_orderkey") + lit(off)).as("o_orderkey")
+      val b1 = orders.filter(m === 0).select(col("o_orderkey"),
+          lit("update").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 200.0).as("o_totalprice"))
+        .unionByName(orders.filter(m === 2).select(fresh(100000000L),
+          lit("insert").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 30.0).as("o_totalprice")))
+      val b2 = orders.filter(m === 1).select(col("o_orderkey"),
+          lit("delete").as("op"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .unionByName(orders.filter(m === 2).select(fresh(100000000L),
+          lit("update").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 1111.0).as("o_totalprice")))
+        .unionByName(orders.filter(m === 0).select(col("o_orderkey"),
+          lit("insert").as("op"), col("o_orderstatus"),
+          lit(-1.0).as("o_totalprice"))) // matched insert: must no-op
+      val b3 = orders
+        .filter(m === 2 && pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(fresh(100000000L), lit("delete").as("op"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(orders.filter(m === 3).select(fresh(200000000L),
+          lit("insert").as("op"), col("o_orderstatus"),
+          (col("o_totalprice") + 40.0).as("o_totalprice")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vlake_q_").toString
+      val table = s"vlake_q_${System.nanoTime()}"
+      val fin = graft.streaming.Streams.mergeReplayVersioned(
+        s, target, Seq(b1, b2, b3), root, table, "o_orderkey", 8)
+      val p = graft.sources.VersionedLake.readPointer(root).get
+      val out = fin.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(uq(col("o_totalprice"), 100)).as("cents_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // 3 rows, eager: the snapshots can go
+      graft.sources.VersionedLake.destroy(s, root, table)
+      out
+    }),
+
     "q_hll_shingles" -> ((s, dir) => {
       // Engine-exact HyperLogLog (pipeline/Sketches.scala) over per-
       // source char-5 shingles: the register table is an order-free max
@@ -9104,6 +9157,25 @@ object SparkEntry {
         |select st o_orderstatus, count(*) n_rows,
         |  cast(sum(k) as bigint) key_sum,
         |  cast(sum(floor(pv * 100 + 0.5)) as bigint) cents_sum
+        |from f group by 1""".stripMargin,
+
+    // same replay algebra as q_stream_merge with the r12 deltas; the
+    // versioned sink's pointer lands at (v3, batch 2) — closed form
+    "q_stream_merge_versioned" ->
+      """with t as (select o_orderkey k, o_orderstatus st, o_totalprice p
+        |  from orders),
+        |f as (
+        |  select k, st, p + 200 pv from t where k % 7 = 0
+        |  union all select k, st, p from t where k % 7 = 2
+        |  union all select k, st, p from t where k % 7 >= 3
+        |  union all select k + 100000000, st, p + 1111 from t
+        |    where k % 7 = 2 and k % 3 <> 0
+        |  union all select k + 200000000, st, p + 40 from t where k % 7 = 3
+        |)
+        |select st o_orderstatus, count(*) n_rows,
+        |  cast(sum(k) as bigint) key_sum,
+        |  cast(sum(floor(pv * 100 + 0.5)) as bigint) cents_sum,
+        |  3 snap_version, cast(2 as bigint) last_batch
         |from f group by 1""".stripMargin,
 
     // full register-level replay of the pinned-hash HLL: same 60-bit

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned-snapshot lake — the PRODUCTION form of the streaming MERGE
+  * sink (the r11 in-place rewrite is demoted to a test convenience, see
+  * [[graft.streaming.Streams.mergeSink]]): every applied change batch
+  * writes a NEW bucketed snapshot `<table>_v(n+1)` and then atomically
+  * swaps a tiny pointer file, instead of rewriting the table it is
+  * reading from.
+  *
+  * Why this is the 100 TB shape:
+  *
+  *   - The merge plan reads snapshot v(n) and writes v(n+1) — different
+  *     locations — so no `localCheckpoint` materialization of the whole
+  *     table is needed (the in-place form must buffer the merged result
+  *     before overwriting its own input). Peak storage is 2 snapshots
+  *     (+ retention), peak memory is just the merge join.
+  *   - Readers pin a version: one pointer read at plan time, then the
+  *     whole query runs against an immutable directory — writers never
+  *     race readers (the swap is a rename; on an object store it would
+  *     be a conditional PUT / a transaction-log append, exactly Delta's
+  *     `_delta_log` discipline).
+  *   - Exactly-once under foreachBatch's at-least-once replay comes from
+  *     recording the last applied `batchId` IN the pointer: a replayed
+  *     batch compares ≤ and is skipped wholesale. This is the
+  *     transactional-sink idempotency pattern (Structured Streaming's
+  *     documented recipe), strictly stronger than relying on MERGE
+  *     being idempotent per batch.
+  *   - A crash BETWEEN snapshot write and pointer swap leaves an orphan
+  *     `v(n+1)` table and the pointer at (v(n), batch m−1); the replay
+  *     of batch m re-merges from v(n) and rewrites `v(n+1)` (the
+  *     bucketed writer drops the stale table + location first), then
+  *     swaps — the orphan is never observable through the pointer.
+  *     Rehearsed in StreamingSpec.
+  *
+  * Snapshots are bucketed managed tables ([[Lake.writeBucketed]]) named
+  * `<table>_vNNNNN`, so the snapshot side of every MERGE join stays
+  * shuffle-free; the pointer file lives under `root` and holds
+  * `<version> <lastBatchId>`.
+  */
+object VersionedLake {
+
+  final case class Pointer(version: Int, lastBatch: Long)
+
+  def tableName(table: String, version: Int): String = f"${table}_v$version%05d"
+
+  private def pointerFile(root: String) = new File(root, "_current")
+
+  /** Read the pointer; None when the lake is uninitialized. */
+  def readPointer(root: String): Option[Pointer] = {
+    val f = pointerFile(root)
+    if (!f.isFile) None
+    else {
+      val parts = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      require(parts.length == 2, s"corrupt pointer file $f: '${parts.mkString(" ")}'")
+      Some(Pointer(parts(0).toInt, parts(1).toLong))
+    }
+  }
+
+  /** Swap the pointer atomically: write a temp file, then ATOMIC_MOVE
+    * over `_current` — readers see either the old or the new pointer,
+    * never a torn write. (Object-store deployments replace this with a
+    * conditional PUT or a transaction-log append.) */
+  private def writePointer(root: String, p: Pointer): Unit = {
+    val tmp = Files.createTempFile(Paths.get(root), "_current_", ".tmp")
+    Files.write(tmp, s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerFile(root).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Initialize the lake: snapshot v0 + pointer. */
+  def init(initial: DataFrame, root: String, table: String, keyCol: String,
+           buckets: Int): Unit = {
+    new File(root).mkdirs()
+    Lake.writeBucketed(initial, tableName(table, 0), keyCol, buckets, Seq(keyCol))
+    writePointer(root, Pointer(0, -1L))
+  }
+
+  /** The current snapshot, pinned at read time (one pointer read; the
+    * returned frame scans an immutable versioned table). */
+  def current(spark: SparkSession, root: String, table: String): DataFrame = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"versioned lake at $root not initialized — call init first"))
+    spark.table(tableName(table, p.version))
+  }
+
+  /** Apply one change batch: MERGE v(n) + batch → write v(n+1) → swap
+    * the pointer → drop snapshots older than `retain` versions back.
+    * Replayed batches (batchId ≤ pointer's lastBatch) are skipped —
+    * exactly-once contents under at-least-once delivery. Empty batches
+    * advance only the pointer (no snapshot write). */
+  def applyBatch(changes: DataFrame, root: String, table: String,
+                 keyCol: String, buckets: Int, batchId: Long,
+                 retain: Int = 2): Unit = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"versioned lake at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // at-least-once replay: already applied
+    val spark = changes.sparkSession
+    if (changes.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
+    val next = p.version + 1
+    val merged = Lake.merge(spark.table(tableName(table, p.version)), changes, keyCol)
+    Lake.writeBucketed(merged, tableName(table, next), keyCol, buckets, Seq(keyCol))
+    writePointer(root, Pointer(next, batchId))
+    dropSnapshot(spark, table, next - 1 - retain)
+  }
+
+  /** Drop one versioned snapshot (table + warehouse location); no-op for
+    * negative versions or absent tables. */
+  def dropSnapshot(spark: SparkSession, table: String, version: Int): Unit =
+    if (version >= 0) {
+      val name = tableName(table, version)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
+  /** Drop every snapshot and the pointer — test cleanup. */
+  def destroy(spark: SparkSession, root: String, table: String): Unit = {
+    readPointer(root).foreach { p =>
+      (0 to p.version).foreach(dropSnapshot(spark, table, _))
+    }
+    pointerFile(root).delete()
+  }
+}

@@ -74,22 +74,18 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, joinKeys: Seq[String]): DataFrame =
     events.join(broadcast(dim), joinKeys)
 
-  /** Streaming lake upsert: attach a foreachBatch MERGE to a stream of
-    * change batches (keyCol + `op` + data columns), each micro-batch
-    * applying [[graft.sources.Lake.merge]] against the CURRENT bucketed
-    * snapshot and rewriting it bucketed — the composition of the
-    * streaming-ingest and batch-MERGE halves that a continuously-fed
-    * lake needs. MERGE under this engine's semantics is IDEMPOTENT
-    * per batch (matched inserts no-op, update/delete re-apply to the
-    * same state), so foreachBatch's at-least-once replay on failure
-    * yields exactly-once table contents — pinned in StreamingSpec.
-    *
-    * The in-place rewrite materializes the merged snapshot
-    * (`localCheckpoint`) before the overwrite since the plan reads the
-    * table it replaces; at 100 TB the same foreachBatch body would
-    * write a NEW versioned snapshot directory and swap a pointer —
-    * the merge plan (one full-outer join, snapshot side shuffle-free
-    * when bucketed) is unchanged. */
+  /** Streaming lake upsert, IN-PLACE form — a TEST CONVENIENCE (r12):
+    * production deployments use [[mergeSinkVersioned]], which writes a
+    * new snapshot per batch and swaps a pointer instead of rewriting
+    * the table it reads. Each micro-batch applies
+    * [[graft.sources.Lake.merge]] against the current bucketed snapshot
+    * and rewrites it bucketed. MERGE under this engine's semantics is
+    * IDEMPOTENT per batch (matched inserts no-op, update/delete
+    * re-apply to the same state), so foreachBatch's at-least-once
+    * replay on failure yields exactly-once table contents — pinned in
+    * StreamingSpec. The in-place rewrite must materialize the merged
+    * snapshot (`localCheckpoint`) before the overwrite since the plan
+    * reads the table it replaces — the cost the versioned form avoids. */
   def mergeSink(changes: DataFrame, table: String, keyCol: String,
                 buckets: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
@@ -100,6 +96,23 @@ object Streams {
         graft.sources.Lake.writeBucketed(merged, table, keyCol, buckets,
           Seq(keyCol))
       }
+    }
+
+  /** Streaming lake upsert, VERSIONED form (r12) — the production
+    * shape: each micro-batch MERGEs into the current snapshot and
+    * commits through [[graft.sources.VersionedLake.applyBatch]], which
+    * writes snapshot v(n+1) and atomically swaps a pointer file. The
+    * batchId recorded in the pointer makes replayed batches no-ops —
+    * exactly-once contents under foreachBatch's at-least-once delivery
+    * — and a crash between snapshot write and pointer swap is healed
+    * by the replay (rehearsed in StreamingSpec). The lake must be
+    * [[graft.sources.VersionedLake.init]]'d first. */
+  def mergeSinkVersioned(changes: DataFrame, root: String, table: String,
+                         keyCol: String, buckets: Int, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.VersionedLake.applyBatch(b, root, table, keyCol, buckets,
+        id, retain)
     }
 
   /** Synchronous replay harness for [[mergeSink]] (the correctness-gate
@@ -113,6 +126,33 @@ object Streams {
                   buckets: Int): DataFrame = {
     require(batches.nonEmpty, "mergeReplay needs at least one change batch")
     graft.sources.Lake.writeBucketed(initial, table, keyCol, buckets, Seq(keyCol))
+    replayThrough(s, batches) { stream =>
+      mergeSink(stream, table, keyCol, buckets)
+    }
+    s.table(table)
+  }
+
+  /** [[mergeReplay]] for the versioned sink: init the lake at `root`,
+    * replay the batches one-per-trigger through [[mergeSinkVersioned]],
+    * return the final pinned snapshot. */
+  def mergeReplayVersioned(s: SparkSession, initial: DataFrame,
+                           batches: Seq[DataFrame], root: String,
+                           table: String, keyCol: String, buckets: Int,
+                           retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "mergeReplayVersioned needs at least one change batch")
+    graft.sources.VersionedLake.init(initial, root, table, keyCol, buckets)
+    replayThrough(s, batches) { stream =>
+      mergeSinkVersioned(stream, root, table, keyCol, buckets, retain)
+    }
+    graft.sources.VersionedLake.current(s, root, table)
+  }
+
+  /** Stage `batches` as one parquet file each (strictly increasing mod
+    * times, so the file source delivers them in order, one per
+    * trigger), run them through `sink`, and clean up the staging +
+    * checkpoint directories. */
+  private def replayThrough(s: SparkSession, batches: Seq[DataFrame])(
+      sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
     try {
       val streamDir = root.resolve("stream")
@@ -131,13 +171,12 @@ object Streams {
       val stream = s.readStream.schema(batches.head.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(streamDir.toString)
-      val q = mergeSink(stream, table, keyCol, buckets)
+      val q = sink(stream)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       q.processAllAvailable()
       q.stop()
-      s.table(table)
     } finally { // staged batch copies + checkpoint: delete, don't leak
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))

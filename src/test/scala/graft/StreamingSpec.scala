@@ -607,4 +607,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === streamed)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
+
+  test("versioned streaming MERGE: pointer swap, replay skip, crash heal, retention") {
+    import spark.implicits._
+    import graft.sources.{Lake, VersionedLake}
+    import graft.streaming.Streams
+    val initial = (1L to 300L).map(k => (k, s"s$k", k * 1.0)).toDF("k", "s", "v")
+    val b1 = Seq((5L, "update", "U5", 50.0), (900L, "insert", "N900", 9.0),
+      (7L, "delete", "x", 0.0)).toDF("k", "op", "s", "v")
+    val b2 = Seq((900L, "update", "N900b", 99.0), (8L, "delete", "x", 0.0),
+      (901L, "insert", "N901", 1.0),
+      (5L, "insert", "MUSTNOOP", -1.0)).toDF("k", "op", "s", "v")
+    val b3 = Seq((901L, "delete", "x", 0.0), (902L, "insert", "N902", 2.0),
+      (400L, "update", "nohit", 0.0),
+      (5L, "update", "U5c", 55.0)).toDF("k", "op", "s", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_vlake_").toString
+    val table = s"vlake_snap_${System.nanoTime()}"
+    val streamed = Streams
+      .mergeReplayVersioned(spark, initial, Seq(b1, b2, b3), root, table, "k", 8)
+      .as[(Long, String, Double)].collect().toSet
+    val batch = Seq(b1, b2, b3)
+      .foldLeft(initial)((t, b) => Lake.merge(t, b, "k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed === batch)
+    // pointer: three applied batches → version 3, lastBatch 2
+    val p = VersionedLake.readPointer(root).get
+    assert(p.version == 3 && p.lastBatch == 2L, s"pointer $p")
+    // retention (default 2): v0 dropped, v1..v3 kept
+    assert(!spark.catalog.tableExists(VersionedLake.tableName(table, 0)))
+    assert(spark.catalog.tableExists(VersionedLake.tableName(table, 2)))
+    // at-least-once replay of an already-applied batchId is a wholesale
+    // no-op: version does not advance, contents unchanged
+    VersionedLake.applyBatch(b3, root, table, "k", 8, batchId = 2L)
+    assert(VersionedLake.readPointer(root).get == p)
+    assert(VersionedLake.current(spark, root, table)
+      .as[(Long, String, Double)].collect().toSet === streamed)
+    // crash between snapshot write and pointer swap: simulate by writing
+    // an orphan v4 with GARBAGE contents and leaving the pointer at v3 —
+    // the re-delivered batch must re-merge from v3 and OVERWRITE the
+    // orphan, never expose it
+    val b4 = Seq((902L, "update", "N902b", 22.0)).toDF("k", "op", "s", "v")
+    Lake.writeBucketed(initial.limit(1), VersionedLake.tableName(table, 4), "k", 8, Seq("k"))
+    VersionedLake.applyBatch(b4, root, table, "k", 8, batchId = 3L)
+    val p4 = VersionedLake.readPointer(root).get
+    assert(p4.version == 4 && p4.lastBatch == 3L, s"pointer $p4")
+    val healed = VersionedLake.current(spark, root, table)
+      .as[(Long, String, Double)].collect().toSet
+    assert(healed === (streamed - ((902L, "N902", 2.0)) + ((902L, "N902b", 22.0))))
+    // empty batch advances only the pointer (no snapshot write)
+    VersionedLake.applyBatch(b4.limit(0), root, table, "k", 8, batchId = 4L)
+    val p5 = VersionedLake.readPointer(root).get
+    assert(p5.version == 4 && p5.lastBatch == 4L, s"pointer $p5")
+    VersionedLake.destroy(spark, root, table)
+  }
 }
