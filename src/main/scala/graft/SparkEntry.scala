@@ -968,10 +968,10 @@ object SparkEntry {
         .withColumn("tdps", col("value") / 10.0 - 15.0)
         .withColumn("wind", col("value") / 10.0 + 5.0)
       e.select(col("event_id"),
-        round(humidex(col("tas"), col("tdps")), 6).as("humidex"),
-        round(relativeHumidity(col("tas"), col("tdps")), 6).as("hurs"),
-        round(windChill(col("tas"), col("wind")), 6).as("wind_chill"),
-        round(dayLength(col("user_id") - lit(60.0), dayofyear(col("ts"))), 6).as("day_len"))
+        qk(humidex(col("tas"), col("tdps")), 6).as("humidex"),
+        qk(relativeHumidity(col("tas"), col("tdps")), 6).as("hurs"),
+        qk(windChill(col("tas"), col("wind")), 6).as("wind_chill"),
+        qk(dayLength(col("user_id") - lit(60.0), dayofyear(col("ts"))), 6).as("day_len"))
     }),
 
     "q_heat_index" -> ((s, dir) => {
@@ -979,7 +979,7 @@ object SparkEntry {
       val e = t(s, dir, "events")
         .withColumn("tas", col("value") / 12.0 + 26.0)
         .withColumn("hurs", pmod(col("value"), lit(60.0)) + 40.0)
-      e.select(col("event_id"), round(heatIndex(col("tas"), col("hurs")), 6).as("heat_index"))
+      e.select(col("event_id"), qk(heatIndex(col("tas"), col("hurs")), 6).as("heat_index"))
     }),
 
     "q_fit_gamma_mm" -> ((s, dir) => {
@@ -1067,10 +1067,10 @@ object SparkEntry {
         |     tan(0.409 * sin(2.0*pi()/365.0 * dayofyear(ts) - 1.39))))) day_len
         | from e)
         |select event_id,
-        | cast(cast(humidex as decimal(38,6)) as double) humidex,
-        | cast(cast(hurs as decimal(38,6)) as double) hurs,
-        | cast(cast(wind_chill as decimal(38,6)) as double) wind_chill,
-        | cast(cast(day_len as decimal(38,6)) as double) day_len
+        | floor((humidex)*1e6 + 0.5)/1e6 humidex,
+        | floor((hurs)*1e6 + 0.5)/1e6 hurs,
+        | floor((wind_chill)*1e6 + 0.5)/1e6 wind_chill,
+        | floor((day_len)*1e6 + 0.5)/1e6 day_len
         |from f""".stripMargin,
 
     "q_heat_index" ->
@@ -1082,7 +1082,7 @@ object SparkEntry {
         |  - 6.83783e-3*tf*tf - 5.481717e-2*hurs*hurs + 1.22874e-3*tf*tf*hurs
         |  + 8.5282e-4*tf*hurs*hurs - 1.99e-6*tf*tf*hurs*hurs hif
         | from f)
-        |select event_id, cast(cast((hif - 32.0) / 1.8 as decimal(38,6)) as double) heat_index
+        |select event_id, floor(((hif - 32.0) / 1.8)*1e6 + 0.5)/1e6 heat_index
         |from g""".stripMargin,
 
     "q_fit_gamma_mm" ->
@@ -1313,7 +1313,7 @@ object SparkEntry {
         .withColumn("z", (col("w3") - avg(col("w3")).over(wu)) /
           stddev_samp(col("w3")).over(wu))
         .select(col("user_id"), col("d"),
-          round(greatest(least(col("z"), lit(8.21)), lit(-8.21)), 6).as("spi3"))
+          qk(greatest(least(col("z"), lit(8.21)), lit(-8.21)), 6).as("spi3"))
     })
   )
 
@@ -1359,7 +1359,7 @@ object SparkEntry {
          |  (w3 - avg(w3) over (partition by user_id))
          |    / stddev_samp(w3) over (partition by user_id) z from f)
          |select user_id, d,
-         | cast(cast(greatest(least(z, 8.21), -8.21) as decimal(38,6)) as double) spi3
+         | floor((greatest(least(z, 8.21), -8.21))*1e6 + 0.5)/1e6 spi3
          |from z""".stripMargin
   )
 
@@ -2048,7 +2048,7 @@ object SparkEntry {
     * total is quantized to 2 decimals first so Spark's and the oracle's
     * float summation order cannot diverge the branchy FWI recursion. */
   private def weatherDaily(s: SparkSession, dir: String): DataFrame = {
-    val tot2 = round(col("total"), 2)
+    val tot2 = qk(col("total"), 2)
     dailyTotals(s, dir).select(
       col("user_id"),
       datediff(col("d"), to_date(lit("1970-01-01"))).cast("int").as("t"),
@@ -2073,7 +2073,7 @@ object SparkEntry {
        |    least(40.0, cast(n_events as double)*7.0) wind,
        |    least(95.0, greatest(20.0, 100.0 - tot2/6.0)) hum,
        |    row_number() over (partition by user_id order by d) rn
-       |  from (select user_id, d, cast(cast(total as decimal(38,2)) as double) tot2,
+       |  from (select user_id, d, floor(total*1e2 + 0.5)/1e2 tot2,
        |        n_events from daily)
        |),
        |wx2 as (
@@ -2567,13 +2567,13 @@ object SparkEntry {
         .withColumn("tasmax", col("airt") + 5.0)
       val rnMj = Evapotranspiration.extraterrestrialRadiation(col("lat"), col("d")) / 1e6 * 0.75
       wx.select(col("user_id"), col("t"),
-        round(Evapotranspiration.petBaierRobertson65(
+        qk(Evapotranspiration.petBaierRobertson65(
           col("tasmin"), col("tasmax"), col("lat"), col("d")), 4).as("pet_br65"),
-        round(Evapotranspiration.petHargreaves85(
+        qk(Evapotranspiration.petHargreaves85(
           col("tasmin"), col("tasmax"), col("lat"), col("d")), 4).as("pet_hg85"),
-        round(Evapotranspiration.petMcGuinnessBordne05(
+        qk(Evapotranspiration.petMcGuinnessBordne05(
           col("airt"), col("lat"), col("d")), 4).as("pet_mb05"),
-        round(Evapotranspiration.petFaoAllen98(
+        qk(Evapotranspiration.petFaoAllen98(
           col("tasmin"), col("tasmax"), col("hum") / 100.0, rnMj,
           Evapotranspiration.windSpeed2m(col("wind") / 3.6)), 4).as("pet_fao98"))
     }),
@@ -2598,7 +2598,7 @@ object SparkEntry {
       Evapotranspiration.spei(wb, Seq("k"), "d", "wb",
           window = 3, floc = -50.0, quantize = 6)
         .select(col("k").as("l_returnflag"), col("m").as("period"),
-          round(col("wb"), 4).as("wb3"), round(col("spei"), 4).as("spei"))
+          qk(col("wb"), 4).as("wb3"), qk(col("spei"), 4).as("spei"))
     })
   )
 
@@ -3247,8 +3247,8 @@ object SparkEntry {
         .withColumn("x", col("t") - min(col("t")).over(wu))
         .withColumn("y", uq(col("total"), 100))
       Generic.quadraticFit(centred, Seq("user_id"), col("x"), col("y"))
-        .select(col("user_id"), round(col("a") / 100.0, 6).as("a"),
-          round(col("b") / 100.0, 6).as("b"), round(col("c") / 100.0, 6).as("c"))
+        .select(col("user_id"), qk(col("a") / 100.0, 6).as("a"),
+          qk(col("b") / 100.0, 6).as("b"), qk(col("c") / 100.0, 6).as("c"))
     }),
 
     "q_salted_hot_key" -> ((s, dir) => {
@@ -3310,9 +3310,9 @@ object SparkEntry {
          |  s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2) nc
          | from m)
          |select user_id,
-         |  cast(cast(na/det/100.0 as decimal(38,6)) as double) a,
-         |  cast(cast(nb/det/100.0 as decimal(38,6)) as double) b,
-         |  cast(cast(nc/det/100.0 as decimal(38,6)) as double) c
+         |  floor((na/det/100.0)*1e6 + 0.5)/1e6 a,
+         |  floor((nb/det/100.0)*1e6 + 0.5)/1e6 b,
+         |  floor((nc/det/100.0)*1e6 + 0.5)/1e6 c
          |from sol""".stripMargin,
 
     "q_salted_hot_key" ->
@@ -3363,12 +3363,12 @@ object SparkEntry {
       // single hash-agg (vs two scan+agg pipelines + join)
       import graft.indicator.Registry.ddApproxDaily
       val base = climateDaily(s, dir).select(col("k"), col("d"),
-        round(col("tas"), 4).as("tas4"))
+        qk(col("tas"), 4).as("tas4"))
       val (tas, tx, tn, thr) =
         (col("tas4"), col("tas4") + 5.0, col("tas4") - 5.0, lit(2.0))
       base.groupBy(col("k"), year(col("d")).as("y"))
-        .agg(round(sum(ddApproxDaily(tas, tx, tn, thr, "cooling")), 2).as("cdd_approx"),
-          round(sum(ddApproxDaily(tas, tx, tn, thr, "heating")), 2).as("hdd_approx"))
+        .agg(qk(sum(ddApproxDaily(tas, tx, tn, thr, "cooling")), 2).as("cdd_approx"),
+          qk(sum(ddApproxDaily(tas, tx, tn, thr, "heating")), 2).as("hdd_approx"))
         .select(col("k").as("l_returnflag"), col("y"),
           col("cdd_approx"), col("hdd_approx"))
     }),
@@ -3427,9 +3427,9 @@ object SparkEntry {
       val uas = Converters.uasFromWindDir(col("wind"), col("dir"))
       val vas = Converters.vasFromWindDir(col("wind"), col("dir"))
       d.select(col("k").as("l_returnflag"), col("d"),
-          round(Converters.vaporPressureDeficit(col("tasK"), col("hurs")), 4).as("vpd"),
-          round(uas, 6).as("uas"), round(vas, 6).as("vas"),
-          round(Converters.windSpeedFromUV(uas, vas), 6).as("wind_rt"))
+          qk(Converters.vaporPressureDeficit(col("tasK"), col("hurs")), 4).as("vpd"),
+          qk(uas, 6).as("uas"), qk(vas, 6).as("vas"),
+          qk(Converters.windSpeedFromUV(uas, vas), 6).as("wind_rt"))
         .filter(col("d") < lit("1995-06-01").cast("date"))
     }),
 
@@ -3523,7 +3523,7 @@ object SparkEntry {
 
     "q_dd_approximation" ->
       s"""with $climSql,
-         |base as (select k, d, cast(cast(tas as decimal(38,4)) as double) tas4
+         |base as (select k, d, floor((tas)*1e4 + 0.5)/1e4 tas4
          |  from clim),
          |daily as (select k, year(d) y,
          |  case when tas4 + 5.0 < 2.0 then 0.0
@@ -3537,8 +3537,8 @@ object SparkEntry {
          |       else 0.0 end hdd
          | from base)
          |select k l_returnflag, y,
-         |  cast(cast(sum(cdd) as decimal(38,2)) as double) cdd_approx,
-         |  cast(cast(sum(hdd) as decimal(38,2)) as double) hdd_approx
+         |  floor((sum(cdd))*1e2 + 0.5)/1e2 cdd_approx,
+         |  floor((sum(hdd))*1e2 + 0.5)/1e2 hdd_approx
          |from daily group by 1, 2""".stripMargin,
 
     "q_multiday_swing" ->
@@ -3584,10 +3584,10 @@ object SparkEntry {
          |  wind*sin(radians((270.0 - dir) % 360.0)) vas
          | from base)
          |select k l_returnflag, d,
-         |  cast(cast(vpd as decimal(38,4)) as double) vpd,
-         |  cast(cast(uas as decimal(38,6)) as double) uas,
-         |  cast(cast(vas as decimal(38,6)) as double) vas,
-         |  cast(cast(sqrt(uas*uas + vas*vas) as decimal(38,6)) as double) wind_rt
+         |  floor((vpd)*1e4 + 0.5)/1e4 vpd,
+         |  floor((uas)*1e6 + 0.5)/1e6 uas,
+         |  floor((vas)*1e6 + 0.5)/1e6 vas,
+         |  floor((sqrt(uas*uas + vas*vas))*1e6 + 0.5)/1e6 wind_rt
          |from c""".stripMargin,
 
     "q_chill_portions" -> {
@@ -3745,13 +3745,13 @@ object SparkEntry {
       val monthly = climateDaily(s, dir)
         .withColumn("q", col("pr") * 3.0 + 1.0)
         .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS").as("m"))
-        .agg(round(avg(col("q")), 6).as("qm"))
+        .agg(qk(avg(col("q")), 6).as("qm"))
         .withColumn("pool", month(col("m")))
       val sorted = monthly.groupBy(col("k"), col("pool"))
         .agg(sort_array(collect_list(col("qm"))).as("_arr"))
       val (l1, l2, t3) = Stats.lMoments(col("_arr"))
       val lm = sorted.select(col("k").as("_k"), col("pool").as("_p"),
-        round(l1, 6).as("l1"), round(l2, 6).as("l2"), round(t3, 6).as("t3"))
+        qk(l1, 6).as("l1"), qk(l2, 6).as("l2"), qk(t3, 6).as("t3"))
       val (kk, alpha, xi) = Distributions.gevLmom(col("l1"), col("l2"), col("t3"), quantize = 6)
       val fit = lm.select(col("_k"), col("_p"),
         kk.as("shape"), alpha.as("scale"), xi.as("loc"))
@@ -3762,7 +3762,7 @@ object SparkEntry {
         .withColumn("ssi", greatest(least(
           SpecialFunctions.probit(col("cdf")), lit(8.21)), lit(-8.21)))
         .select(col("k").as("l_returnflag"), col("m").as("period"),
-          round(col("qm"), 6).as("qm"), round(col("ssi"), 4).as("ssi"))
+          qk(col("qm"), 6).as("qm"), qk(col("ssi"), 4).as("ssi"))
     })
   )
 
@@ -3771,7 +3771,7 @@ object SparkEntry {
     "q_ssi" ->
       s"""with $climSql,
          |mon as (select k, cast(date_trunc('month', d) as timestamp) m,
-         |  cast(cast(avg(pr*3.0 + 1.0) as decimal(38,6)) as double) qm
+         |  floor((avg(pr*3.0 + 1.0))*1e6 + 0.5)/1e6 qm
          | from clim group by 1, 2),
          |pooled as (select *, month(m) pool from mon),
          |r as (select k, pool, qm x, row_number() over (partition by k, pool order by qm) rk,
@@ -3781,17 +3781,17 @@ object SparkEntry {
          |  sum(x*(rk-1.0)*(rk-2.0)/((n-1.0)*(n-2.0)))/any_value(n) b2
          | from r group by 1, 2),
          |lmom as (select k, pool,
-         |  cast(cast(b0 as decimal(38,6)) as double) l1,
-         |  cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
-         |  cast(cast((6*b2 - 6*b1 + b0)/(2*b1 - b0) as decimal(38,6)) as double) t3
+         |  floor((b0)*1e6 + 0.5)/1e6 l1,
+         |  floor((2*b1 - b0)*1e6 + 0.5)/1e6 l2,
+         |  floor(((6*b2 - 6*b1 + b0)/(2*b1 - b0))*1e6 + 0.5)/1e6 t3
          | from lm),
          |par as (select k, pool, l1, l2,
-         |  cast(cast(7.8590*z + 2.9554*z*z as decimal(38,6)) as double) kk
+         |  floor((7.8590*z + 2.9554*z*z)*1e6 + 0.5)/1e6 kk
          | from (select *, 2.0/(3.0 + t3) - 0.6309297535714574 z from lmom)),
          |par2 as (select k, pool, kk,
          |  l2*kk/(gk*(1.0 - pow(2.0, -kk))) alpha,
          |  l1 - l2*kk/(gk*(1.0 - pow(2.0, -kk)))*(1.0 - gk)/kk xi
-         | from (select *, cast(cast(gamma(1.0 + kk) as decimal(38,8)) as double) gk
+         | from (select *, floor((gamma(1.0 + kk))*1e8 + 0.5)/1e8 gk
          |       from par)),
          |j as (select p.k, p.m, p.qm,
          |  1.0 - f.kk*(p.qm - f.xi)/f.alpha tt, f.kk
@@ -3801,8 +3801,8 @@ object SparkEntry {
          |       when kk > 0.0 then 1.0 else 0.0 end, 1.0 - 1e-12), 1e-12) cdf
          | from j)
          |select k l_returnflag, m period, qm,
-         |  cast(cast(greatest(least(${probitSql("cdf")}, 8.21), -8.21)
-         |    as decimal(38,4)) as double) ssi
+         |  floor((greatest(least(${probitSql("cdf")}, 8.21), -8.21)
+         |   )*1e4 + 0.5)/1e4 ssi
          |from cdf_""".stripMargin
   )
 
@@ -3844,7 +3844,7 @@ object SparkEntry {
         .groupBy(col("k"))
         .agg(avg(col("_tnn")).as("_mean_tnn"))
         .select(col("k").as("l_returnflag"),
-          round(col("_mean_tnn"), 6).as("mean_annual_min"),
+          qk(col("_mean_tnn"), 6).as("mean_annual_min"),
           floor((col("_mean_tnn") * 1.8 + 32.0 + 60.0) / 5.0).cast("int").as("usda_zone"))
     })
   )
@@ -3873,7 +3873,7 @@ object SparkEntry {
          |ann as (select k, year(d) y, min(tas - 5.0) tnn from clim group by 1, 2),
          |m as (select k, avg(tnn) mt from ann group by 1)
          |select k l_returnflag,
-         |  cast(cast(mt as decimal(38,6)) as double) mean_annual_min,
+         |  floor(mt*1e6 + 0.5)/1e6 mean_annual_min,
          |  cast(floor((mt*1.8 + 32.0 + 60.0)/5.0) as int) usda_zone
          |from m""".stripMargin
   )
@@ -3892,7 +3892,7 @@ object SparkEntry {
         climateDaily(s, dir), Seq("k"), col("d"), col("tas"), weights, "ua_f")
       Synoptic.jetLatitudeStrength(filtered, "d", "lat", "ua_f")
         .select(col("d"), col("jet_lat"),
-          round(col("jet_strength"), 4).as("jet_strength"))
+          qk(col("jet_strength"), 4).as("jet_strength"))
     })
   )
 
@@ -3914,7 +3914,7 @@ object SparkEntry {
            | from clim window w as (partition by k order by d)),
            |g as (select * from f where rn > $n and rn <= cnt - $n)
            |select d, max_by(lat, ua_f) jet_lat,
-           |  cast(cast(max(ua_f) as decimal(38,4)) as double) jet_strength
+           |  floor((max(ua_f))*1e4 + 0.5)/1e4 jet_strength
            |from g group by 1""".stripMargin)
   }
 
@@ -3931,10 +3931,10 @@ object SparkEntry {
           col("tas") - 5.0, col("tas") + 5.0, col("lat"), col("d")))
         .groupBy(col("k"), Time.resamplePeriod(col("d").cast("timestamp"), "MS")
           .cast("date").as("m"))
-        .agg(round(sum(col("pr")), 6).as("pr_mm"), round(sum(col("pet")), 6).as("etp_mm"))
+        .agg(qk(sum(col("pr")), 6).as("pr_mm"), qk(sum(col("pet")), 6).as("etp_mm"))
       graft.indices.Agro.drynessIndex(monthly, Seq("k"), "m", "pr_mm", "etp_mm")
         .select(col("k").as("l_returnflag"), col("y"),
-          round(col("dryness_index"), 4).as("dryness_index"))
+          qk(col("dryness_index"), 4).as("dryness_index"))
     }),
 
     "q_annual_climate_misc" -> ((s, dir) => {
@@ -3982,8 +3982,8 @@ object SparkEntry {
         s"""with $climSql,
            |$petMonthly,
            |mon as (select k, cast(date_trunc('month', d) as date) m,
-           |  cast(cast(sum(pr) as decimal(38,6)) as double) pr_mm,
-           |  cast(cast(sum(pet) as decimal(38,6)) as double) etp_mm
+           |  floor((sum(pr))*1e6 + 0.5)/1e6 pr_mm,
+           |  floor((sum(pet))*1e6 + 0.5)/1e6 etp_mm
            | from petd group by 1, 2),
            |w as (select k, m, year(m) y,
            |  case when month(m) = 4 then 0.1 when month(m) = 5 then 0.3
@@ -3996,7 +3996,7 @@ object SparkEntry {
            |    - etp_mm/n*(1.0 - kk)*least((case when kk > 0 then pr_mm else 0.0 end)/5.0, n) w
            | from w)
            |select k l_returnflag, y,
-           |  cast(cast(200.0 + sum(w) as decimal(38,4)) as double) dryness_index
+           |  floor((200.0 + sum(w))*1e4 + 0.5)/1e4 dryness_index
            |from t group by 1, 2""".stripMargin,
 
       "q_annual_climate_misc" ->
@@ -4180,17 +4180,17 @@ object SparkEntry {
       val e = t(s, dir, "events")
         .select(col("event_id"), (col("value") / 8.0 + 230.0).as("tk"),
           (col("value") / 8.0 + 230.0 - pmod(col("value"), lit(12.0))).as("td"))
-      def m(name: String) = round(saturationVaporPressureMethod(col("tk"), name), 4)
+      def m(name: String) = qk(saturationVaporPressureMethod(col("tk"), name), 4)
       e.select(col("event_id"),
         m("tetens30").as("esat_tetens30"), m("wmo08").as("esat_wmo08"),
         m("buck81").as("esat_buck81"), m("aerk96").as("esat_aerk96"),
         m("sonntag90").as("esat_sonntag90"), m("goffgratch46").as("esat_goffgratch46"),
         m("its90").as("esat_its90"),
-        round(saturationVaporPressureMethod(col("tk"), "wmo08",
+        qk(saturationVaporPressureMethod(col("tk"), "wmo08",
           iceThreshK = Some(273.16), interpPower = Some(2)), 4).as("esat_mixed"),
         // relative_humidity method "bohren98" (converters.py:810): the one
         // RH path that bypasses e_sat entirely
-        round(relativeHumidityBohren98(col("tk"), col("td")), 4).as("hurs_bohren98"))
+        qk(relativeHumidityBohren98(col("tk"), col("td")), 4).as("hurs_bohren98"))
     }),
 
     "q_dist_cdfs" -> ((s, dir) => {
@@ -4199,11 +4199,11 @@ object SparkEntry {
       import graft.indices.Distributions
       val e = t(s, dir, "events").select(col("event_id"), (col("value") / 50.0).as("x"))
       e.select(col("event_id"),
-        round(Distributions.distMethod("cdf", "gumbel_r", col("x"),
+        qk(Distributions.distMethod("cdf", "gumbel_r", col("x"),
           Map("scale" -> lit(2.0), "loc" -> lit(3.0))), 6).as("cdf_gumbel"),
-        round(Distributions.distMethod("cdf", "genextreme", col("x"),
+        qk(Distributions.distMethod("cdf", "genextreme", col("x"),
           Map("shape" -> lit(0.1), "scale" -> lit(2.0), "loc" -> lit(3.0))), 6).as("cdf_gev"),
-        round(Distributions.distMethod("cdf", "fisk", col("x") + 0.1,
+        qk(Distributions.distMethod("cdf", "fisk", col("x") + 0.1,
           Map("c" -> lit(3.0), "scale" -> lit(4.0))), 6).as("cdf_fisk"))
     })
   )
@@ -4230,26 +4230,26 @@ object SparkEntry {
         |  pow(greatest(0.0, least((tk - (273.16 - 23.15))/23.15, 1.0)), 2) frac
         | from e)
         |select event_id,
-        | cast(cast(tet as decimal(38,4)) as double) esat_tetens30,
-        | cast(cast(wmo as decimal(38,4)) as double) esat_wmo08,
-        | cast(cast(buck as decimal(38,4)) as double) esat_buck81,
-        | cast(cast(aerk as decimal(38,4)) as double) esat_aerk96,
-        | cast(cast(son as decimal(38,4)) as double) esat_sonntag90,
-        | cast(cast(gg as decimal(38,4)) as double) esat_goffgratch46,
-        | cast(cast(its as decimal(38,4)) as double) esat_its90,
-        | cast(cast(frac*wmo + (1.0 - frac)*wmo_ice as decimal(38,4)) as double) esat_mixed,
-        | cast(cast(greatest(0.0, least(100.0,
-        |   100.0*exp(-2.501e6*(tk - td)/(461.5*tk*td)))) as decimal(38,4)) as double) hurs_bohren98
+        | floor((tet)*1e4 + 0.5)/1e4 esat_tetens30,
+        | floor((wmo)*1e4 + 0.5)/1e4 esat_wmo08,
+        | floor((buck)*1e4 + 0.5)/1e4 esat_buck81,
+        | floor((aerk)*1e4 + 0.5)/1e4 esat_aerk96,
+        | floor((son)*1e4 + 0.5)/1e4 esat_sonntag90,
+        | floor((gg)*1e4 + 0.5)/1e4 esat_goffgratch46,
+        | floor((its)*1e4 + 0.5)/1e4 esat_its90,
+        | floor((frac*wmo + (1.0 - frac)*wmo_ice)*1e4 + 0.5)/1e4 esat_mixed,
+        | floor((greatest(0.0, least(100.0,
+        |   100.0*exp(-2.501e6*(tk - td)/(461.5*tk*td)))))*1e4 + 0.5)/1e4 hurs_bohren98
         |from f""".stripMargin,
 
     "q_dist_cdfs" ->
       """with e as (select event_id, value/50.0 x from events)
         |select event_id,
-        | cast(cast(exp(-exp(-(x - 3.0)/2.0)) as decimal(38,6)) as double) cdf_gumbel,
-        | cast(cast(case when 1.0 - 0.1*(x - 3.0)/2.0 > 0.0
+        | floor((exp(-exp(-(x - 3.0)/2.0)))*1e6 + 0.5)/1e6 cdf_gumbel,
+        | floor((case when 1.0 - 0.1*(x - 3.0)/2.0 > 0.0
         |   then exp(-pow(1.0 - 0.1*(x - 3.0)/2.0, 1.0/0.1)) else 1.0 end
-        |   as decimal(38,6)) as double) cdf_gev,
-        | cast(cast(1.0/(1.0 + pow((x + 0.1)/4.0, -3.0)) as decimal(38,6)) as double) cdf_fisk
+        |  )*1e6 + 0.5)/1e6 cdf_gev,
+        | floor((1.0/(1.0 + pow((x + 0.1)/4.0, -3.0)))*1e6 + 0.5)/1e6 cdf_fisk
         |from e""".stripMargin
   )
 
@@ -4266,7 +4266,7 @@ object SparkEntry {
             .withColumn("lat6", col("lat") * 6.0),
           Seq("k"), "d", "tas", "tasmax", "lat6")
         .select(col("k").as("l_returnflag"), col("y"),
-          round(col("huglin_index"), 4).as("huglin_index"))
+          qk(col("huglin_index"), 4).as("huglin_index"))
     }),
 
     "q_hydro_ratios" -> ((s, dir) => {
@@ -4300,8 +4300,8 @@ object SparkEntry {
         .withColumn("melt3", when(col("_rn") >= 4, sum(col("melt")).over(w3)))
         .withColumn("mp3", when(col("_rn") >= 4, sum(col("mp")).over(w3)))
       melted.groupBy(col("user_id"))
-        .agg(round(max(col("melt3")), 4).as("snow_melt_we_max"),
-          round(max(col("mp3")), 4).as("melt_and_precip_max"))
+        .agg(qk(max(col("melt3")), 4).as("snow_melt_we_max"),
+          qk(max(col("mp3")), 4).as("melt_and_precip_max"))
     })
   )
 
@@ -4317,8 +4317,8 @@ object SparkEntry {
          |  greatest(0.0, ((tas - 10.0) + (tasmax - 10.0))/2.0) dd
          | from h)
          |select k l_returnflag, y,
-         |  cast(cast(sum(case when month(d) between 4 and 9 then kk*dd else 0.0 end)
-         |    as decimal(38,4)) as double) huglin_index
+         |  floor(sum(case when month(d) between 4 and 9 then kk*dd else 0.0 end)
+         |    *1e4 + 0.5)/1e4 huglin_index
          |from f group by 1, 2""".stripMargin,
 
     "q_hydro_ratios" ->
@@ -4348,8 +4348,8 @@ object SparkEntry {
          |    rows between 2 preceding and current row) end mp3
          | from m)
          |select user_id,
-         |  cast(cast(max(melt3) as decimal(38,4)) as double) snow_melt_we_max,
-         |  cast(cast(max(mp3) as decimal(38,4)) as double) melt_and_precip_max
+         |  floor((max(melt3))*1e4 + 0.5)/1e4 snow_melt_we_max,
+         |  floor((max(mp3))*1e4 + 0.5)/1e4 melt_and_precip_max
          |from r group by 1""".stripMargin
   )
 
@@ -4371,14 +4371,14 @@ object SparkEntry {
         (lit(0.004) + col("value") / 1e5).as("huss"),
         (col("value") / 25.0).as("pr"))
       e.select(col("event_id"),
-        round(Converters.specificHumidity(col("tas"), col("hurs"), col("ps")), 8).as("huss_wmo"),
-        round(Converters.specificHumidityFromDewpoint(col("tdps"), col("ps")), 8).as("huss_td"),
-        round(Converters.dewpointFromSpecificHumidity(col("huss"), col("ps")), 5).as("td_back"),
-        round(Converters.clausiusClapeyronScaledPrecipitation(
+        qk(Converters.specificHumidity(col("tas"), col("hurs"), col("ps")), 8).as("huss_wmo"),
+        qk(Converters.specificHumidityFromDewpoint(col("tdps"), col("ps")), 8).as("huss_td"),
+        qk(Converters.dewpointFromSpecificHumidity(col("huss"), col("ps")), 5).as("td_back"),
+        qk(Converters.clausiusClapeyronScaledPrecipitation(
           col("pr"), pmod(col("value"), lit(10.0)) - 5.0), 5).as("pr_cc"),
-        round(Converters.windPowerPotential(col("wind")), 6).as("wind_power"),
-        round(Converters.prsnToPrsnd(col("pr") / 1000.0), 9).as("prsnd"),
-        round(Converters.rainApproximation(col("pr"), col("tas")), 5).as("rain_liquid"))
+        qk(Converters.windPowerPotential(col("wind")), 6).as("wind_power"),
+        qk(Converters.prsnToPrsnd(col("pr") / 1000.0), 9).as("prsnd"),
+        qk(Converters.rainApproximation(col("pr"), col("tas")), 5).as("rain_liquid"))
     })
   )
 
@@ -4400,15 +4400,15 @@ object SparkEntry {
         |  huss*ps/(0.62198 + huss*(1.0 - 0.62198)) einv
         | from f)
         |select event_id,
-        | cast(cast(wsat*hurs/(1.0 + wsat*hurs) as decimal(38,8)) as double) huss_wmo,
-        | cast(cast(q_td as decimal(38,8)) as double) huss_td,
-        | cast(cast(243.12*ln(einv/611.2)/(17.62 - ln(einv/611.2)) as decimal(38,5)) as double) td_back,
-        | cast(cast(pr*pow(1.07, (value % 10.0) - 5.0) as decimal(38,5)) as double) pr_cc,
-        | cast(cast(case when wind < 3.5 then 0.0
+        | floor((wsat*hurs/(1.0 + wsat*hurs))*1e8 + 0.5)/1e8 huss_wmo,
+        | floor((q_td)*1e8 + 0.5)/1e8 huss_td,
+        | floor((243.12*ln(einv/611.2)/(17.62 - ln(einv/611.2)))*1e5 + 0.5)/1e5 td_back,
+        | floor((pr*pow(1.07, (value % 10.0) - 5.0))*1e5 + 0.5)/1e5 pr_cc,
+        | floor((case when wind < 3.5 then 0.0
         |   when wind < 13.0 then (pow(wind, 3.0) - 42.875)/(2197.0 - 42.875)
-        |   when wind < 25.0 then 1.0 else 0.0 end as decimal(38,6)) as double) wind_power,
-        | cast(cast(pr/1000.0/100.0 as decimal(38,9)) as double) prsnd,
-        | cast(cast(case when tas >= 0.0 then pr else 0.0 end as decimal(38,5)) as double) rain_liquid
+        |   when wind < 25.0 then 1.0 else 0.0 end)*1e6 + 0.5)/1e6 wind_power,
+        | floor((pr/1000.0/100.0)*1e9 + 0.5)/1e9 prsnd,
+        | floor((case when tas >= 0.0 then pr else 0.0 end)*1e5 + 0.5)/1e5 rain_liquid
         |from g""".stripMargin
   )
 
@@ -4480,13 +4480,13 @@ object SparkEntry {
         .withColumn("rz", pmod(col("user_id"), lit(5)))
       val fut = e.filter(col("day") >= 16)
         .groupBy(col("event_type"), col("rz"), col("day"))
-        .agg(round(avg(col("value")), 6).as("v"))
+        .agg(qk(avg(col("value")), 6).as("v"))
       val ref = e.filter(col("day") <= 15)
         .groupBy(col("event_type"), col("day"))
-        .agg(round(avg(col("value")), 6).as("v"))
+        .agg(qk(avg(col("value")), 6).as("v"))
       graft.ensembles.Ensembles.robustnessCoefficient(
           fut, Seq("event_type"), "rz", "day", "v", ref.drop("day"))
-        .select(col("event_type"), round(col("robustness"), 6).as("robustness"))
+        .select(col("event_type"), qk(col("robustness"), 6).as("robustness"))
     })
   )
 
@@ -4570,10 +4570,10 @@ object SparkEntry {
       """with e as (select event_type, user_id % 5 rz, dayofmonth(ts) d_, value
         | from events),
         |fut as (select event_type, rz, d_,
-        |  cast(cast(avg(value) as decimal(38,6)) as double) v
+        |  floor((avg(value))*1e6 + 0.5)/1e6 v
         | from e where d_ >= 16 group by 1, 2, 3),
         |refs as (select event_type,
-        |  cast(cast(avg(value) as decimal(38,6)) as double) v
+        |  floor((avg(value))*1e6 + 0.5)/1e6 v
         | from e where d_ <= 15 group by event_type, d_),
         |mp as (select event_type, d_, avg(v) v from fut group by 1, 2),
         |u1 as (
@@ -4605,7 +4605,7 @@ object SparkEntry {
         |    (ca*1.0/na - cb*1.0/nb)*(ca*1.0/na - cb*1.0/nb)*dx), 0.0) a2
         |  from w2 group by 1)
         |select a1.event_type,
-        |  cast(cast(1.0 - a1.a1/a2.a2 as decimal(38,6)) as double) robustness
+        |  floor((1.0 - a1.a1/a2.a2)*1e6 + 0.5)/1e6 robustness
         |from a1 join a2 on a2.event_type = a1.event_type""".stripMargin
   )
 
@@ -4809,8 +4809,8 @@ object SparkEntry {
         ((col("value") % 60.0) + 30.0).as("hurs_pct"),
         ((col("value") % 16.0) + 0.4).as("wind"),
         (col("value") / 12.0 - 20.0 + (col("value") % 50.0) / 2.0 - 12.5).as("mrt"))
-      e.select(col("event_id"), round(col("tas"), 6).as("tas"),
-        round(Utci.utci(col("tas"), col("hurs_pct") / 100.0, col("wind"), col("mrt")), 4)
+      e.select(col("event_id"), qk(col("tas"), 6).as("tas"),
+        qk(Utci.utci(col("tas"), col("hurs_pct") / 100.0, col("wind"), col("mrt")), 4)
           .as("utci"))
     }),
 
@@ -4828,7 +4828,7 @@ object SparkEntry {
         (lit(350.0) + col("value") / 8.0).as("rlus"))
       Utci.withMeanRadiantTemperature(e, col("rsds"), col("rsus"), col("rlds"),
           col("rlus"), col("lat"), col("d"), "_mrt")
-        .select(col("event_id"), round(col("_mrt"), 4).as("mrt_k"))
+        .select(col("event_id"), qk(col("_mrt"), 4).as("mrt_k"))
     })
   )
 
@@ -4850,10 +4850,10 @@ object SparkEntry {
          |  from e
          |)
          |select event_id,
-         |  cast(cast(tas as decimal(38,6)) as double) tas,
-         |  cast(cast(case when tas > -50.0 and tas < 50.0 and dt > -30.0
+         |  floor((tas)*1e6 + 0.5)/1e6 tas,
+         |  floor((case when tas > -50.0 and tas < 50.0 and dt > -30.0
          |    and dt < 30.0 and wind >= 0.5 and wind < 17.0
-         |    then $poly end as decimal(38,4)) as double) utci
+         |    then $poly end)*1e4 + 0.5)/1e4 utci
          |from f""".stripMargin
     },
 
@@ -4888,11 +4888,11 @@ object SparkEntry {
          |  from fr
          |)
          |select event_id,
-         |  cast(cast(pow((1.0/5.67e-8)*(0.5*rlds + 0.5*rlus
+         |  floor(pow((1.0/5.67e-8)*(0.5*rlds + 0.5*rlus
          |    + (0.7/0.97)*(0.5*rsds_diffuse + 0.5*rsus
          |      + (0.308*cos(gam*0.988 - gam*gam/50000.0))
          |        *(case when csza > 0.001 then rsds_direct/csza else 0.0 end))),
-         |    0.25) as decimal(38,4)) as double) mrt_k
+         |    0.25)*1e4 + 0.5)/1e4 mrt_k
          |from mr""".stripMargin
   )
 
@@ -4908,9 +4908,9 @@ object SparkEntry {
           climateDaily(s, dir), Seq("k"), col("d").cast("timestamp"), col("pr"),
           ts = Seq(10.0, 50.0), dist = "genextreme", freq = "MS", quantize = 6)
         .select(col("k").as("l_returnflag"), col("n_blocks"),
-          round(col("shape"), 6).as("shape"), round(col("scale"), 4).as("scale"),
-          round(col("loc"), 4).as("loc"), col("t_years"),
-          round(col("return_level"), 4).as("return_level"))
+          qk(col("shape"), 6).as("shape"), qk(col("scale"), 4).as("scale"),
+          qk(col("loc"), 4).as("loc"), col("t_years"),
+          qk(col("return_level"), 4).as("return_level"))
     }),
 
     "q_return_level_gumbel" -> ((s, dir) => {
@@ -4919,8 +4919,8 @@ object SparkEntry {
           climateDaily(s, dir), Seq("k"), col("d").cast("timestamp"), col("pr"),
           ts = Seq(20.0), dist = "gumbel_r", freq = "MS", quantize = 6)
         .select(col("k").as("l_returnflag"), col("n_blocks"),
-          round(col("scale"), 4).as("scale"), round(col("loc"), 4).as("loc"),
-          col("t_years"), round(col("return_level"), 4).as("return_level"))
+          qk(col("scale"), 4).as("scale"), qk(col("loc"), 4).as("loc"),
+          col("t_years"), qk(col("return_level"), 4).as("return_level"))
     }),
 
     "q_lognorm_quantiles" -> ((s, dir) => {
@@ -4931,9 +4931,9 @@ object SparkEntry {
       val e = t(s, dir, "events").filter(col("value") > 0)
       val (sig, mu) = Distributions.lognormMl(col("value"))
       e.groupBy(col("event_type"))
-        .agg(round(sig, 6).as("sigma"), round(mu, 6).as("mu"))
+        .agg(qk(sig, 6).as("sigma"), qk(mu, 6).as("mu"))
         .select(col("event_type"), col("sigma"), col("mu"),
-          round(Distributions.lognormQuantile(lit(0.9), col("sigma"), col("mu")), 4)
+          qk(Distributions.lognormQuantile(lit(0.9), col("sigma"), col("mu")), 4)
             .as("q90_lognorm"))
     })
   )
@@ -4967,14 +4967,14 @@ object SparkEntry {
         s"""with $blocksLmom,
            |par as (
            |  select k, n_blocks, l1, l2,
-           |    cast(cast(7.8590*z + 2.9554*z*z as decimal(38,6)) as double) kk
+           |    floor((7.8590*z + 2.9554*z*z)*1e6 + 0.5)/1e6 kk
            |  from (select *, 2.0/(3.0 + t3) - 0.6309297535714574 z from lmom)
            |),
            |par2 as (
            |  select k, n_blocks, kk,
            |    l2*kk/(gk*(1.0 - pow(2.0, -kk))) alpha,
            |    l1 - l2*kk/(gk*(1.0 - pow(2.0, -kk)))*(1.0 - gk)/kk xi
-           |  from (select *, cast(cast(gamma(1.0 + kk) as decimal(38,8)) as double) gk
+           |  from (select *, floor((gamma(1.0 + kk))*1e8 + 0.5)/1e8 gk
            |        from par)
            |),
            |ex as (
@@ -4982,11 +4982,11 @@ object SparkEntry {
            |    (select unnest([cast(10.0 as double), cast(50.0 as double)]) t_years)
            |)
            |select k l_returnflag, n_blocks,
-           |  cast(cast(kk as decimal(38,6)) as double) shape,
-           |  cast(cast(alpha as decimal(38,4)) as double) scale,
-           |  cast(cast(xi as decimal(38,4)) as double) loc, t_years,
-           |  cast(cast(xi + alpha/kk*(1.0 - pow(-ln(1.0 - 1.0/t_years), kk))
-           |    as decimal(38,4)) as double) return_level
+           |  floor((kk)*1e6 + 0.5)/1e6 shape,
+           |  floor((alpha)*1e4 + 0.5)/1e4 scale,
+           |  floor((xi)*1e4 + 0.5)/1e4 loc, t_years,
+           |  floor((xi + alpha/kk*(1.0 - pow(-ln(1.0 - 1.0/t_years), kk))
+           |   )*1e4 + 0.5)/1e4 return_level
            |from ex""".stripMargin,
 
       "q_return_level_gumbel" ->
@@ -4997,21 +4997,21 @@ object SparkEntry {
            |  from lmom
            |)
            |select k l_returnflag, n_blocks,
-           |  cast(cast(alpha as decimal(38,4)) as double) scale,
-           |  cast(cast(xi as decimal(38,4)) as double) loc,
+           |  floor((alpha)*1e4 + 0.5)/1e4 scale,
+           |  floor((xi)*1e4 + 0.5)/1e4 loc,
            |  cast(20.0 as double) t_years,
-           |  cast(cast(xi - alpha*ln(-ln(1.0 - 1.0/20.0)) as decimal(38,4)) as double) return_level
+           |  floor((xi - alpha*ln(-ln(1.0 - 1.0/20.0)))*1e4 + 0.5)/1e4 return_level
            |from par""".stripMargin,
 
       "q_lognorm_quantiles" ->
         s"""with f as (
            |  select event_type,
-           |    cast(cast(stddev_pop(ln(value)) as decimal(38,6)) as double) sigma,
-           |    cast(cast(avg(ln(value)) as decimal(38,6)) as double) mu
+           |    floor((stddev_pop(ln(value)))*1e6 + 0.5)/1e6 sigma,
+           |    floor((avg(ln(value)))*1e6 + 0.5)/1e6 mu
            |  from events where value > 0 group by 1
            |)
            |select event_type, sigma, mu,
-           |  cast(cast(exp(mu + sigma*(${probitSql("cast(0.9 as double)")})) as decimal(38,4)) as double) q90_lognorm
+           |  floor((exp(mu + sigma*(${probitSql("cast(0.9 as double)")})))*1e4 + 0.5)/1e4 q90_lognorm
            |from f""".stripMargin
     )
   }
@@ -5037,15 +5037,15 @@ object SparkEntry {
          |  from svp
          |)
          |select user_id, t,
-         |  cast(cast(greatest(0.0, 0.094*(-87.03 + 0.928*(tasmax*1.8 + 32.0)
+         |  floor((greatest(0.0, 0.094*(-87.03 + 0.928*(tasmax*1.8 + 32.0)
          |    + 0.933*((tasmax*1.8 + 32.0) - (tasmin*1.8 + 32.0))
-         |    + 0.0486*ra/41840.0)) as decimal(38,4)) as double) pet_br65,
-         |  cast(cast(greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
-         |    *sqrt(greatest(tasmax - tasmin, 0.0))) as decimal(38,4)) as double) pet_hg85,
-         |  cast(cast((ra*1367.0/1361.0)/(4185.5*(751.78 - 0.5655*(tas + 273.15)))
-         |    *(0.00516409319477*tas + 0.0874972822289) as decimal(38,4)) as double) pet_mb05,
-         |  cast(cast((0.408*delta*rn + gam*900.0/(tas + 273.15)*u2*(es - ea))
-         |    /(delta + gam*(1.0 + 0.34*u2)) as decimal(38,4)) as double) pet_fao98
+         |    + 0.0486*ra/41840.0)))*1e4 + 0.5)/1e4 pet_br65,
+         |  floor((greatest(0.0, 0.0023*(ra/1e6*0.408)*(tas + 17.8)
+         |    *sqrt(greatest(tasmax - tasmin, 0.0))))*1e4 + 0.5)/1e4 pet_hg85,
+         |  floor(((ra*1367.0/1361.0)/(4185.5*(751.78 - 0.5655*(tas + 273.15)))
+         |    *(0.00516409319477*tas + 0.0874972822289))*1e4 + 0.5)/1e4 pet_mb05,
+         |  floor(((0.408*delta*rn + gam*900.0/(tas + 273.15)*u2*(es - ea))
+         |    /(delta + gam*(1.0 + 0.34*u2)))*1e4 + 0.5)/1e4 pet_fao98
          |from pm""".stripMargin,
 
     "q_pet_thornthwaite" ->
@@ -5085,7 +5085,7 @@ object SparkEntry {
          |),
          |mon as (
          |  select k, cast(date_trunc('month', d) as timestamp) m,
-         |    cast(cast(avg(wb) as decimal(38,6)) as double) wb
+         |    floor((avg(wb))*1e6 + 0.5)/1e6 wb
          |  from wbd group by 1, 2
          |),
          |rolled as (
@@ -5097,8 +5097,8 @@ object SparkEntry {
          |pooled as (select k, m, wb, month(m) pool, wb - (-50.0) x from rolled),
          |fit as (
          |  select k, pool,
-         |    cast(cast(avg(x) as decimal(38,8)) as double) m1,
-         |    cast(cast(avg(x*x) as decimal(38,8)) as double) m2
+         |    floor((avg(x))*1e8 + 0.5)/1e8 m1,
+         |    floor((avg(x*x))*1e8 + 0.5)/1e8 m2
          |  from pooled where x > 0 group by 1, 2
          |),
          |par as (
@@ -5112,10 +5112,10 @@ object SparkEntry {
          |  from pooled p join par f on f.k = p.k and f.pool = p.pool
          |)
          |select k l_returnflag, m period,
-         |  cast(cast(wb as decimal(38,4)) as double) wb3,
-         |  cast(cast(case when x <= 0 then -8.21
+         |  floor((wb)*1e4 + 0.5)/1e4 wb3,
+         |  floor((case when x <= 0 then -8.21
          |    else greatest(least(${probitSql("cdf")}, 8.21), -8.21) end
-         |    as decimal(38,4)) as double) spei
+         |   )*1e4 + 0.5)/1e4 spei
          |from cdf_""".stripMargin
   )
 

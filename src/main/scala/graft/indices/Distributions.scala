@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Distributions {
 
+  /** floor(x·10^k + 0.5)/10^k — the engine-portable quantization grid
+    * (r12): replaces BigDecimal HALF_UP `round(x, k)` at the kernels'
+    * quantize points with the same floor expression the oracles spell
+    * inline, so both engines share ONE rounding algorithm (identical to
+    * HALF_UP for positive values; ties toward +∞ for negatives on BOTH
+    * sides). */
+  private[indices] def qGrid(c: Column, k: Int): Column = {
+    val s = math.pow(10.0, k.toDouble)
+    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+  }
+
   /** GEV parameters (shape k, scale alpha, loc xi) from sample L-moments —
     * Hosking (1990) rational approximation: z = 2/(3+t3) − ln2/ln3,
     * k = 7.8590 z + 2.9554 z². Sign convention matches scipy
@@ -27,7 +38,7 @@ object Distributions {
   def gevLmom(l1: Column, l2: Column, t3: Column,
               quantize: Int = -1): (Column, Column, Column) = {
     def q(c: Column, extra: Int): Column =
-      if (quantize >= 0) round(c, quantize + extra) else c
+      if (quantize >= 0) qGrid(c, quantize + extra) else c
     // ln2/ln3 pinned as a literal: JVM Math.log and a C libm may round the
     // quotient differently at the last ulp, and k feeds transcendentals
     val z = lit(2.0) / (lit(3.0) + t3) - lit(0.6309297535714574)

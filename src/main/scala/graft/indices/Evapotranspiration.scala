@@ -136,7 +136,7 @@ object Evapotranspiration {
                         tasCol: String, latCol: String, quantize: Int = -1): DataFrame = {
     val k = keys.map(col)
     def q(c: Column, extra: Int = 0): Column =
-      if (quantize >= 0) round(c, quantize + extra) else c
+      if (quantize >= 0) Distributions.qGrid(c, quantize + extra) else c
     val month0 = Time.resamplePeriod(col(dateCol).cast("timestamp"), "MS").as("m")
     // monthly mean of clip(tas, 0) and of day length / 12
     val monthly = daily
@@ -181,7 +181,7 @@ object Evapotranspiration {
     // many digits — pins down float-summation order so an external oracle
     // computing the same pipeline hashes identically; -1 = off.
     def q(c: Column, extra: Int = 0): Column =
-      if (quantize >= 0) round(c, quantize + extra) else c
+      if (quantize >= 0) Distributions.qGrid(c, quantize + extra) else c
     val monthly = daily
       .groupBy((k :+ Time.resamplePeriod(col(dateCol).cast("timestamp"), "MS").as("m")): _*)
       .agg(q(avg(col(wbCol))).as("wb"))

@@ -56,7 +56,8 @@ object FrequencyAnalysis {
       case "min" => min(value)
       case other => throw new IllegalArgumentException(s"bad mode: $other")
     }
-    def q(c: Column): Column = if (quantize >= 0) round(c, quantize) else c
+    def q(c: Column): Column =
+      if (quantize >= 0) Distributions.qGrid(c, quantize) else c
     val blocks = df
       .groupBy((keys.map(col) :+ Time.resamplePeriod(time, freq).as("period")): _*)
       .agg(blockRed.as("extreme"))

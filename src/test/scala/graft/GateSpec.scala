@@ -74,26 +74,18 @@ class GateSpec extends AnyFunSuite {
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
     "q_api_recursive", "q_chill_portions",
-    "q_converters_bioclim", "q_converters_extended", "q_converters_round3",
     "q_cosine_to_query",
-    "q_data_flags_battery", "q_dd_approximation",
-    "q_dist_cdfs", "q_dryness_index",
-    "q_embedding_neardup", "q_esat_methods",
+    "q_data_flags_battery",
+    "q_embedding_neardup",
     "q_fire_season",
-    "q_fwi_codes", "q_griffiths_ffdi", "q_hardiness_zone", "q_heat_index",
-    "q_huglin",
-    "q_ivf_topk", "q_jetstream",
+    "q_fwi_codes", "q_griffiths_ffdi",
+    "q_ivf_topk",
     "q_kbdi_recursive", "q_knn_top3",
-    "q_lognorm_quantiles", "q_mrt",
-    "q_overwintering_dc", "q_pet_daily",
-    "q_pet_thornthwaite", "q_quadratic_detrend",
-    "q_return_level_gev",
-    "q_return_level_gumbel",
-    "q_robustness_coeff",
+    "q_overwintering_dc",
+    "q_pet_thornthwaite",
     "q_semantic_decontaminate",
-    "q_snowmelt", "q_snowpack_flow_lag", "q_spei", "q_ssi",
-    "q_standardized_index",
-    "q_tx90p_bootstrap", "q_utci")
+    "q_snowpack_flow_lag",
+    "q_tx90p_bootstrap")
 
   test("no NEW query uses round(,s>0) over raw float math") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
