@@ -5921,6 +5921,30 @@ object SparkEntry {
       labels.unionByName(tags).unionByName(blobs).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_msgpack" -> ((s, dir) => {
+      // r12: the other two numcodecs text-capable object codecs under the
+      // gate — msgpack2 (zlib, absent chunk → NULL, a python-None nil
+      // element) and json2 (gzip, escaped-quote + é escapes), plus
+      // msgpack bin8 BINARY payloads evidenced as lowercase hex. The
+      // decoder is additionally pinned to a hand-authored spec byte
+      // vector in ZarrSpec; the oracle rebuilds all values closed-form.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_msgpackstore")
+      if (!new java.io.File(storeDir, "mlabels/.zarray").isFile)
+        graft.sources.Zarr.plantedMsgpackStore(storeDir.getPath)
+      val store = storeDir.getPath
+      val mlabels = graft.sources.Zarr.readStrings(s, store, "mlabels")
+        .select(lit("mlabels").as("src"), col("doc").cast("long").as("idx"),
+          col("value").as("v"))
+      val jlabels = graft.sources.Zarr.readStrings(s, store, "jlabels")
+        .select(lit("jlabels").as("src"), col("doc").cast("long").as("idx"),
+          col("value").as("v"))
+      val mblobs = graft.sources.Zarr.readBinary(s, store, "mblobs")
+        .select(lit("mblobs").as("src"), col("doc").cast("long").as("idx"),
+          lower(hex(col("value"))).as("v"))
+      mlabels.unionByName(jlabels).unionByName(mblobs).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6295,6 +6319,27 @@ object SparkEntry {
         |  from range(0, 8) r(t)
         |  union all
         |  select 'blobs', cast(i as bigint), hx from bh
+        |) order by src, idx""".stripMargin,
+
+    // mlabels: null at 2 (python None) and 3..5 (absent chunk); mblobs
+    // hex from the plantedPayload closed form at g+11
+    "q_zarr_msgpack" ->
+      """with bl as (
+        |  select g, k, printf('%02x', (37*(g+11) + 11*k) % 256) h
+        |  from range(0, 5) r(g), range(0, 8) r2(k)
+        |  where k < 2 + (g+11) % 5),
+        |bh as (select g, string_agg(h, '' order by k) hx from bl group by 1)
+        |select * from (
+        |  select 'mlabels' src, cast(t as bigint) idx,
+        |    case when t between 2 and 5 then null
+        |      else 'm' || t || '_π' end v
+        |  from range(0, 7) r(t)
+        |  union all
+        |  select 'jlabels', cast(t as bigint),
+        |    case when t = 1 then 'a"b' else 'j' || t || '_é' end
+        |  from range(0, 5) r(t)
+        |  union all
+        |  select 'mblobs', cast(g as bigint), hx from bh
         |) order by src, idx""".stripMargin,
 
     "q_zarr_ingest" ->

@@ -44,15 +44,18 @@ import java.io.{File, RandomAccessFile}
   * [[ZFilter]]/[[unfilter]]), plus the lossy-at-encode float filters
   * `quantize` and `bitround`, whose decode is a pure dtype view/cast.
   * String arrays read through [[readStrings]]: fixed-width `|Sn` / `Un`
-  * dtypes and `|O` + numcodecs `vlen-utf8` (the zarr-python text codec)
-  * — the corpus-in-zarr shape a document pipeline ingests; binary
-  * object arrays (`|O` + `vlen-bytes`) through [[readBinary]], and
-  * Blosc delta-filtered chunks through [[Blosc]] (r11; r12: gated
-  * behind `spark.graft.blosc.allowUnverifiedDelta` — the layout is
-  * unverified against a real c-blosc build, so default is loud reject).
-  * Out of scope (documented, rejected loudly): other numcodecs object
-  * codecs (msgpack/pickle/json), v3/sharded string arrays, and nested
-  * `sharding_indexed`.
+  * dtypes, `|O` + numcodecs `vlen-utf8` (the zarr-python text codec),
+  * `|O` + `msgpack2`/`json2` (the other two numcodecs text-capable
+  * object codecs, r12), and v3 `string` arrays incl. sharded stores
+  * (r12) — the corpus-in-zarr shapes a document pipeline ingests.
+  * Binary object arrays (`|O` + `vlen-bytes`/`msgpack2`, v3 `bytes`)
+  * read through [[readBinary]]; Blosc delta-filtered chunks through
+  * [[Blosc]] (r11; r12: gated behind
+  * `spark.graft.blosc.allowUnverifiedDelta` — the layout is unverified
+  * against a real c-blosc build, so default is loud reject).
+  * Out of scope (documented, rejected loudly): the `pickle` object
+  * codec (arbitrary python object graphs have no Spark value model)
+  * and nested `sharding_indexed`.
   */
 object Zarr {
 
@@ -242,11 +245,12 @@ object Zarr {
         val id = f("id").asInstanceOf[String]
         require(id == "delta" || id == "fixedscaleoffset" || id == "shuffle" ||
             id == "quantize" || id == "bitround" || id == "vlen-utf8" ||
-            id == "vlen-bytes",
+            id == "vlen-bytes" || id == "msgpack2" || id == "json2",
           s"unsupported numcodecs filter '$id' " +
             "(delta/fixedscaleoffset/shuffle/quantize/bitround/vlen-utf8/" +
-            "vlen-bytes only)")
-        if (id == "vlen-utf8" || id == "vlen-bytes") {
+            "vlen-bytes/msgpack2/json2 only)")
+        if (id == "vlen-utf8" || id == "vlen-bytes" ||
+            id == "msgpack2" || id == "json2") {
           // object codecs for |O arrays — consumed by readStrings /
           // readBinary, never by the numeric unfilter chain
           ZFilter(id, 0.0, 0.0, 'O', 0, dtLittle = true, 'O', 0, asLittle = true)
@@ -866,28 +870,35 @@ object Zarr {
     else masked
   }
 
-  /** String arrays (Zarr v2) as (dim…, value STRING): fixed-width `|Sn`
-    * (bytes, trailing NULs trimmed, UTF-8) and `<Un`/`>Un` (UCS-4 code
-    * points, trailing zeros trimmed), plus `|O` object arrays carrying
-    * the numcodecs `vlen-utf8` codec, whose chunk payload is the
-    * published VLen layout `[n_items u32 LE][len u32 LE + utf8 bytes]*`
-    * (zarr-python's default text encoding — the corpus-in-zarr shape a
-    * document pipeline ingests). Absent chunks yield NULL values.
-    * Same chunk-parallel plan as [[readVariable]]: the driver touches
-    * only metadata, executors read only their chunk files. Out of scope,
-    * rejected loudly: v3/sharded/crc32c string arrays, other object
-    * codecs (vlen-bytes/msgpack/pickle), F-order object chunks. */
+  /** String arrays (Zarr v2 + v3 `string`) as (dim…, value STRING):
+    * fixed-width `|Sn` (bytes, trailing NULs trimmed, UTF-8) and
+    * `<Un`/`>Un` (UCS-4 code points, trailing zeros trimmed), plus `|O`
+    * object arrays carrying one of the three numcodecs text-capable
+    * object codecs — `vlen-utf8` (the published VLen layout
+    * `[n_items u32 LE][len u32 LE + utf8 bytes]*`, zarr-python's default
+    * text encoding), `msgpack2`, or `json2` (both: values followed by
+    * dtype string + chunk shape, structure-validated — see
+    * [[Msgpack]]). v3 sharded string arrays decode through the shard
+    * index with inner vlen-utf8 chunks. Absent chunks yield NULL values;
+    * a python `None` element decodes to NULL. Same chunk-parallel plan
+    * as [[readVariable]]: the driver touches only metadata, executors
+    * read only their chunk files. Out of scope, rejected loudly: the
+    * `pickle` object codec, F-order object chunks. */
   def readStrings(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
     require("SUO".indexOf(za.dtKind) >= 0,
       s"${za.name}: dtype kind '${za.dtKind}' is numeric — use readVariable")
     val isObj = za.dtKind == 'O'
-    if (isObj) {
-      require(za.filters.map(_.id) == Seq("vlen-utf8"),
-        s"${za.name}: object string arrays need exactly the vlen-utf8 codec, " +
+    val objCodec = if (isObj) {
+      require(za.filters.length == 1 &&
+          Set("vlen-utf8", "msgpack2", "json2")(za.filters.head.id),
+        s"${za.name}: object string arrays need exactly one of the " +
+          "vlen-utf8/msgpack2/json2 object codecs, " +
           s"got [${za.filters.map(_.id).mkString(",")}]")
       require(za.cOrder, s"${za.name}: F-order object chunks unsupported")
-    } else {
+      za.filters.head.id
+    } else ""
+    if (!isObj) {
       require(za.sharding.isEmpty && !za.crc32c,
         s"${za.name}: fixed-width string dtypes supported for plain v2 chunks only")
       require(za.filters.isEmpty,
@@ -954,7 +965,7 @@ object Zarr {
                 if (isObj) {
                   val stored = if (crc) stripCrc32c(all, f.getName) else all
                   val plain = inflateObject(comp, stored, f.getName)
-                  val strs = decodeVlenUtf8(plain, chunkElems, f.getName)
+                  val strs = decodeObjectStrings(objCodec, plain, chunkElems, f.getName)
                   Some(strs(_))
                 } else {
                   val plain = decompress(comp, all, chunkElems * width, allowDelta)
@@ -1015,19 +1026,23 @@ object Zarr {
     raw.toDF().select(cols: _*)
   }
 
-  /** `|O` + numcodecs `vlen-bytes` object arrays → one BINARY row per
-    * element — the binary-payload-in-zarr shape (audio/image tiles,
-    * tokenized blobs) corpus stores carry next to their text columns.
-    * Same chunk walk and NULL-for-absent-chunk semantics as
-    * [[readStrings]]; each executor touches only its chunk files. */
+  /** `|O` + numcodecs `vlen-bytes` or `msgpack2` object arrays → one
+    * BINARY row per element — the binary-payload-in-zarr shape
+    * (audio/image tiles, tokenized blobs) corpus stores carry next to
+    * their text columns (`json2` is rejected: JSON has no binary type,
+    * so numcodecs' JSON codec cannot encode bytes). Same chunk walk and
+    * NULL-for-absent-chunk semantics as [[readStrings]]; each executor
+    * touches only its chunk files. */
   def readBinary(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
     require(za.dtKind == 'O',
       s"${za.name}: dtype kind '${za.dtKind}' is not an object array — " +
         "use readVariable/readStrings")
-    require(za.filters.map(_.id) == Seq("vlen-bytes"),
-      s"${za.name}: readBinary needs exactly the vlen-bytes object codec, " +
-        s"got [${za.filters.map(_.id).mkString(",")}]")
+    require(za.filters.length == 1 &&
+        Set("vlen-bytes", "msgpack2")(za.filters.head.id),
+      s"${za.name}: readBinary needs the vlen-bytes or msgpack2 object codec, " +
+        s"got [${za.filters.map(_.id).mkString(",")}] (json2 cannot carry bytes)")
+    val objCodec = za.filters.head.id
     require(za.sharding.isEmpty && za.cOrder,
       s"${za.name}: binary object arrays supported for plain C-order chunks only")
     import spark.implicits._
@@ -1065,7 +1080,7 @@ object Zarr {
                 s"object chunks support raw/zlib/gzip/zstd, got '$other' " +
                   "(vlen payload length is unknown before decode)")
             }
-            Some(decodeVlenItems(plain, chunkElems, f.getName))
+            Some(decodeObjectBytes(objCodec, plain, chunkElems, f.getName))
           }
         (0 until chunkElems).iterator.flatMap { flat =>
           var rem = flat.toLong
@@ -1209,6 +1224,87 @@ object Zarr {
                                       what: String): Array[String] =
     decodeVlenItems(plain, nElems, what)
       .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** numcodecs `MsgPack`/`JSON` object chunks: the payload is one
+    * top-level sequence of the chunk's values followed by the dtype
+    * string and the chunk shape (`buf.tolist() + [dtype.str, shape]`).
+    * Structure is validated, never assumed: the trailing dtype must be
+    * `|O` and the shape's product must equal the chunk grid, so a chunk
+    * whose layout differs from this model fails loudly instead of
+    * shifting values by two positions. Returns the value slots only. */
+  private def objectCodecValues(codec: String, plain: Array[Byte],
+                                nElems: Int, what: String): Vector[Any] = {
+    val top: Vector[Any] = codec match {
+      case "msgpack2" => Msgpack.decode(plain, what) match {
+        case Msgpack.MArr(items) => items
+        case other => throw new IllegalArgumentException(
+          s"$what: msgpack2 chunk is not a top-level array (${other.getClass.getSimpleName})")
+      }
+      case "json2" => Json.parse(
+        new String(plain, java.nio.charset.StandardCharsets.UTF_8)) match {
+        case v: Vector[Any @unchecked] => v
+        case other => throw new IllegalArgumentException(
+          s"$what: json2 chunk is not a top-level array (${String.valueOf(other).take(40)})")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what: unknown object codec '$other'")
+    }
+    require(top.length == nElems + 2,
+      s"$what: $codec chunk has ${top.length} entries, expected $nElems values " +
+        "+ dtype + shape")
+    val dtype = top(nElems) match {
+      case Msgpack.MStr(s) => s
+      case s: String       => s
+      case other => throw new IllegalArgumentException(
+        s"$what: $codec dtype slot is not a string ($other)")
+    }
+    require(dtype == "|O",
+      s"$what: $codec object chunk carries dtype '$dtype', expected '|O'")
+    val shape: Seq[Long] = top(nElems + 1) match {
+      case Msgpack.MArr(dims) => dims.map {
+        case Msgpack.MLong(n) => n
+        case other => throw new IllegalArgumentException(
+          s"$what: $codec shape entry is not an integer ($other)")
+      }
+      case v: Vector[Any @unchecked] => v.map {
+        case d: Double => d.toLong
+        case other => throw new IllegalArgumentException(
+          s"$what: $codec shape entry is not a number ($other)")
+      }
+      case other => throw new IllegalArgumentException(
+        s"$what: $codec shape slot is not an array ($other)")
+    }
+    require(shape.product == nElems.toLong,
+      s"$what: $codec shape [${shape.mkString(",")}] does not cover the " +
+        s"$nElems-element chunk grid")
+    top.take(nElems)
+  }
+
+  /** Object STRING chunk → per-element values (null = python None).
+    * Non-string, non-null slots are a loud error: a string reader must
+    * not silently stringify numbers a writer put in an object array. */
+  private[sources] def decodeObjectStrings(codec: String, plain: Array[Byte],
+                                           nElems: Int, what: String): Array[String] =
+    if (codec == "vlen-utf8") decodeVlenUtf8(plain, nElems, what)
+    else objectCodecValues(codec, plain, nElems, what).map {
+      case Msgpack.MStr(s) => s
+      case s: String       => s
+      case Msgpack.MNull | null => null
+      case other => throw new IllegalArgumentException(
+        s"$what: $codec value slot is not a string ($other)")
+    }.toArray
+
+  /** Object BINARY chunk → per-element byte payloads (msgpack bin
+    * family; python bytes under `use_bin_type=True`). */
+  private[sources] def decodeObjectBytes(codec: String, plain: Array[Byte],
+                                         nElems: Int, what: String): Array[Array[Byte]] =
+    if (codec == "vlen-bytes") decodeVlenItems(plain, nElems, what)
+    else objectCodecValues(codec, plain, nElems, what).map {
+      case Msgpack.MBin(b) => b
+      case Msgpack.MNull   => null
+      case other => throw new IllegalArgumentException(
+        s"$what: $codec value slot is not binary ($other)")
+    }.toArray
 
   /** Deterministic closed-form fixture store for the oracle-checked ingest
     * query (the [[graft.pipeline.Multimodal.plantedPng]] pattern): array
@@ -1402,6 +1498,89 @@ object Zarr {
     * — spans the full byte range, deliberately not valid UTF-8. */
   def plantedPayload(g: Int): Array[Byte] =
     Array.tabulate(2 + g % 5)(k => ((37 * g + 11 * k) % 256).toByte)
+
+  /** Fixture store for the r12 numcodecs object codecs, closed-form:
+    *
+    *   `mlabels` — |O + msgpack2 + zlib, shape [7] chunks [3], chunk 1
+    *   ABSENT → NULLs at 3..5; value `m<g>_π`, element 2 = python None
+    *   (msgpack nil) → NULL.
+    *
+    *   `jlabels` — |O + json2 + gzip, shape [5] chunks [2]; value
+    *   `j<g>_é`, element 1 = `a"b` (pins JSON escape decode); the edge
+    *   chunk stores the full grid with a None pad slot, as zarr writes.
+    *
+    *   `mblobs` — |O + msgpack2, uncompressed, shape [5] chunks [5];
+    *   element g = [[plantedPayload]]`(g+11)` msgpack bin8 payloads
+    *   (not valid UTF-8, so a text-path misread cannot round-trip). */
+  def plantedMsgpackStore(store: String): Unit = {
+    import Msgpack._
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out)
+      d.end(); out.take(n)
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close(); bos.toByteArray
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // mlabels: msgpack2 + zlib
+    val mDir = new File(store, "mlabels"); mDir.mkdirs()
+    writeBytes(new File(mDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
+         | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": null, "filters": [{"id": "msgpack2"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(mDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
+    for (c <- 0 until 3 if c != 1) { // chunk 1 absent → NULLs at 3..5
+      val vals = (0 until 3).map { j =>
+        val g = c * 3 + j
+        if (g == 2 || g >= 7) MNull else MStr(s"m${g}_π")
+      }
+      val items = MArr(vals.toVector ++ Vector(MStr("|O"), MArr(Vector(MLong(3)))))
+      writeBytes(new File(mDir, s"$c"), deflate(encode(items)))
+    }
+    // jlabels: json2 + gzip; numcodecs JSON writes a plain JSON array of
+    // the values + dtype + shape
+    val jDir = new File(store, "jlabels"); jDir.mkdirs()
+    writeBytes(new File(jDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [5], "chunks": [2],
+         | "dtype": "|O", "compressor": {"id": "gzip", "level": 1},
+         | "fill_value": null, "filters": [{"id": "json2"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(jDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
+    for (c <- 0 until 3) {
+      val vals = (0 until 2).map { j =>
+        val g = c * 2 + j
+        if (g >= 5) "null"
+        else if (g == 1) "\"a\\\"b\"" // escaped quote in the stored text
+        else "\"j" + g + "_\\u00e9\"" // é as a \u escape (ensure_ascii)
+      }
+      val json = vals.mkString("[", ", ", ", \"|O\", [2]]")
+      writeBytes(new File(jDir, s"$c"), gzip(json.getBytes(utf8)))
+    }
+    // mblobs: msgpack2, uncompressed, bin payloads
+    val bDir = new File(store, "mblobs"); bDir.mkdirs()
+    writeBytes(new File(bDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [5], "chunks": [5],
+         | "dtype": "|O", "compressor": null,
+         | "fill_value": null, "filters": [{"id": "msgpack2"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(bDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
+    val blobs = (0 until 5).map(g => MBin(plantedPayload(g + 11)): MValue)
+    writeBytes(new File(bDir, "0"),
+      encode(MArr(blobs.toVector ++ Vector(MStr("|O"), MArr(Vector(MLong(5)))))))
+  }
 
   /** Fixture store for the r12 Zarr v3 string tier, covering each decode
     * path with closed-form values:

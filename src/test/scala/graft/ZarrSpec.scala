@@ -912,4 +912,97 @@ class ZarrSpec extends AnyFunSuite {
     assert(err.getMessage.contains("crc32c") ||
       Option(err.getCause).exists(_.getMessage.contains("crc32c")))
   }
+
+  test("msgpack2/json2 object codecs: strings, None, bin payloads (planted store)") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_msgpack_").toFile
+    Zarr.plantedMsgpackStore(root.getPath)
+    // mlabels: msgpack2 + zlib; absent chunk → 3..5 NULL, elem 2 = None
+    val m = Zarr.readStrings(spark, root.getPath, "mlabels").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(m.size == 7)
+    for (i <- 0 until 7) {
+      if (i == 2 || (i >= 3 && i <= 5)) assert(m(i).isEmpty, s"elem $i")
+      else assert(m(i).contains(s"m${i}_π"), s"elem $i: ${m(i)}")
+    }
+    // jlabels: json2 + gzip with \" and é escapes in the stored text
+    val j = Zarr.readStrings(spark, root.getPath, "jlabels").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(j.size == 5)
+    assert(j(0) == "j0_é" && j(1) == "a\"b" && j(4) == "j4_é")
+    // mblobs: msgpack bin8 payloads, not valid UTF-8
+    val b = Zarr.readBinary(spark, root.getPath, "mblobs").collect()
+      .map(r => (r.getInt(0), r.get(1).asInstanceOf[Array[Byte]].toSeq)).toMap
+    for (i <- 0 until 5)
+      assert(b(i) == Zarr.plantedPayload(i + 11).toSeq, s"elem $i")
+    // json2 cannot carry bytes — readBinary rejects it loudly
+    intercept[IllegalArgumentException](
+      Zarr.readBinary(spark, root.getPath, "jlabels"))
+    // a string reader over bin payloads is a loud error, not a stringify
+    val e = intercept[org.apache.spark.SparkException](
+      Zarr.readStrings(spark, root.getPath, "mblobs").collect())
+    assert(e.getMessage.contains("not a string") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a string")))
+  }
+
+  test("msgpack2 decode pins to HAND-AUTHORED spec bytes, not the repo encoder") {
+    // chunk bytes written from the MessagePack spec by hand:
+    // fixarray(4) [ fixstr(3)"hé", nil, fixstr(2)"|O", fixarray(1)[2] ]
+    val handVector = Array[Int](
+      0x94, 0xA3, 0x68, 0xC3, 0xA9, 0xC0, 0xA2, 0x7C, 0x4F, 0x91, 0x02
+    ).map(_.toByte)
+    val root = java.nio.file.Files.createTempDirectory("zarr_msgpack_hand_").toFile
+    val dir = new File(root, "hand"); dir.mkdirs()
+    writeText(new File(dir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "|O",
+        | "compressor": null, "fill_value": null,
+        | "filters": [{"id": "msgpack2"}], "order": "C"}""".stripMargin)
+    writeText(new File(dir, ".zattrs"), """{"_ARRAY_DIMENSIONS": ["doc"]}""")
+    write(new File(dir, "0"), handVector)
+    val rows = Zarr.readStrings(spark, root.getPath, "hand").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(rows(0).contains("hé") && rows(1).isEmpty)
+    // wide-format coverage, still hand-authored: array16 header, str8,
+    // uint16, negative fixint, float64, bin8 — decoded values pinned
+    import graft.sources.Msgpack
+    val wide = Array[Int](
+      0xDC, 0x00, 0x06,             // array16, 6 items
+      0xD9, 0x03, 0x61, 0x62, 0x63, // str8 "abc"
+      0xCD, 0x01, 0x00,             // uint16 256
+      0xE0,                         // negative fixint -32
+      0xCB, 0x3F, 0xF8, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // float64 1.5
+      0xC4, 0x02, 0xFF, 0x00,       // bin8 [0xFF, 0x00]
+      0xC3                          // true
+    ).map(_.toByte)
+    Msgpack.decode(wide, "wide") match {
+      case Msgpack.MArr(Vector(Msgpack.MStr("abc"), Msgpack.MLong(256),
+          Msgpack.MLong(-32), Msgpack.MDouble(1.5), Msgpack.MBin(bin),
+          Msgpack.MBool(true))) => assert(bin.toSeq == Seq(0xFF.toByte, 0x00.toByte))
+      case other => fail(s"wide vector decoded to $other")
+    }
+    // maps are a loud reject (never appear in numcodecs chunks)
+    val mapChunk = Array[Int](0x81, 0xA1, 0x61, 0x01).map(_.toByte) // {"a": 1}
+    val em = intercept[IllegalArgumentException](Msgpack.decode(mapChunk, "map"))
+    assert(em.getMessage.contains("0x81"))
+    // trailing bytes are a loud reject
+    val trailing = Array[Int](0xC0, 0x00).map(_.toByte)
+    assert(intercept[IllegalArgumentException](Msgpack.decode(trailing, "t"))
+      .getMessage.contains("trailing"))
+    // structural guards: wrong dtype slot and wrong shape product
+    val badDtype = Msgpack.encode(Msgpack.MArr(Vector(
+      Msgpack.MStr("x"), Msgpack.MStr("y"), Msgpack.MStr("<f8"),
+      Msgpack.MArr(Vector(Msgpack.MLong(2))))))
+    write(new File(dir, "0"), badDtype)
+    val e1 = intercept[org.apache.spark.SparkException](
+      Zarr.readStrings(spark, root.getPath, "hand").collect())
+    assert(e1.getMessage.contains("|O") ||
+      Option(e1.getCause).exists(_.getMessage.contains("|O")))
+    val badShape = Msgpack.encode(Msgpack.MArr(Vector(
+      Msgpack.MStr("x"), Msgpack.MStr("y"), Msgpack.MStr("|O"),
+      Msgpack.MArr(Vector(Msgpack.MLong(3))))))
+    write(new File(dir, "0"), badShape)
+    val e2 = intercept[org.apache.spark.SparkException](
+      Zarr.readStrings(spark, root.getPath, "hand").collect())
+    assert(e2.getMessage.contains("chunk grid") ||
+      Option(e2.getCause).exists(_.getMessage.contains("chunk grid")))
+  }
 }
