@@ -6022,6 +6022,28 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    "q_hdf5_nested_vlen" -> ((s, dir) => {
+      // r12: one-level NESTED VLEN bases under the gate — `lists`
+      // VLEN(vlen str) reads ARRAY<STRING> (h5py vlen=str list columns),
+      // `mats` VLEN(VLEN(int32)) reads ARRAY<ARRAY<LONG>>; both planted
+      // byte-by-byte (Hdf5PlantedNestedVlen) with empty outer cells,
+      // empty inner strings and empty inner rows. Arrays are evidenced
+      // as '|'-joined text so the oracle states them literally.
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_planted_nested_vlen_v1.h5")
+      if (!f.isFile) graft.sources.Hdf5PlantedNestedVlen.write(f.getPath)
+      val lists = graft.sources.Hdf5.readVlen(s, f.getPath, "lists")
+        .select(lit("lists").as("src"), col("i0").cast("int").as("idx"),
+          size(col("value")).as("n"),
+          concat_ws("|", col("value")).as("v"))
+      val mats = graft.sources.Hdf5.readVlen(s, f.getPath, "mats")
+        .select(lit("mats").as("src"), col("i0").cast("int").as("idx"),
+          size(col("value")).as("n"),
+          concat_ws("|", transform(col("value"),
+            r => concat_ws(",", transform(r, e => e.cast("string"))))).as("v"))
+      lists.unionByName(mats).orderBy(col("src"), col("idx"))
+    }),
+
     "q_hdf5_szip" -> ((s, dir) => {
       // szip (CCSDS 121.0-B) filtered ingest under the DuckDB gate: the
       // planted single-chunk file (Hdf5PlantedSzip — NN preprocessing,
@@ -6237,6 +6259,16 @@ object SparkEntry {
         |  cast(3*t + 0.375 as double) v_sum,
         |  cast(t + 0.25 as double) v_last
         |from range(0, 6) r(t) order by 1""".stripMargin,
+
+    // literal replay of the planted nested-VLEN values
+    "q_hdf5_nested_vlen" ->
+      """select * from (values
+        |  ('lists', 0, 2, 'aa|b'),
+        |  ('lists', 1, 0, ''),
+        |  ('lists', 2, 3, 'cde||f'),
+        |  ('mats', 0, 2, '1,2|3'),
+        |  ('mats', 1, 2, '|-7,8,9')
+        |) t(src, idx, n, v) order by src, idx""".stripMargin,
 
     "q_hdf5_szip" ->
       """select cast(t as bigint) i0,

@@ -575,12 +575,28 @@ object Hdf5 {
             case 9 => // variable-length: low 4 bits of bits0 = 1 for string;
               // the base datatype message follows (class 3 for strings —
               // skipped, resolution is length-driven; atomic numerics for
-              // SEQUENCES, whose class/size/order the element decode needs)
+              // SEQUENCES, whose class/size/order the element decode
+              // needs). A NESTED VLEN base (class 9: ragged lists of
+              // vlen strings or of numeric sequences — one level) keeps
+              // its own base as a child Member; deeper nesting is the
+              // caller's loud reject.
               vlenStr = (bits0 & 0x0F) == 1
               if (!vlenStr) {
                 val bcv = r.u8(); val bBits0 = r.u8(); r.skip(2)
                 val bSize = r.u32().toInt
-                vlenBase = Some(Member("", 0, bcv & 0x0F, bSize, (bBits0 & 1) == 0))
+                val bCls = bcv & 0x0F
+                vlenBase = Some(
+                  if (bCls != 9) Member("", 0, bCls, bSize, (bBits0 & 1) == 0)
+                  else if ((bBits0 & 0x0F) == 1) // inner vlen STRING
+                    Member("", 0, 9, bSize, little = true,
+                      children = Seq(Member("", 0, 3, 0, little = true)))
+                  else { // inner vlen SEQUENCE: its base header follows
+                    val icv = r.u8(); val iBits0 = r.u8(); r.skip(2)
+                    val iSize = r.u32().toInt
+                    Member("", 0, 9, bSize, little = true,
+                      children = Seq(Member("", 0, icv & 0x0F, iSize,
+                        (iBits0 & 1) == 0)))
+                  })
               }
             case _ =>
           }
@@ -1356,7 +1372,14 @@ object Hdf5 {
     * elements back to back, and a 0-length cell has a null descriptor
     * (no heap object). Collections are read executor-side with
     * per-partition caching, so the driver still touches only metadata.
-    * Nested VLEN bases (vlen-of-vlen-strings) stay rejected loudly. */
+    *
+    * NESTED VLEN bases (r12, one level): a base of class 9 makes each
+    * cell a ragged list whose heap object holds `length` 16-byte INNER
+    * descriptors (same hvl_t layout as the cell's own). An inner
+    * vlen-STRING base reads as ARRAY<STRING> (each inner object is the
+    * string's bytes — h5py's `vlen=str` list columns); an inner vlen
+    * SEQUENCE over an atomic base reads as ARRAY<ARRAY<LONG|DOUBLE>>.
+    * Deeper nesting is rejected loudly. */
   def readVlen(spark: SparkSession, path: String, name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -1366,18 +1389,59 @@ object Hdf5 {
       s"$name is not a VLEN sequence dataset (class ${ds.dtClass})")
     val base = ds.vlenBase.getOrElse(
       throw new IllegalArgumentException(s"$name has no parsed VLEN base type"))
-    require(base.cls == 0 || base.cls == 1 || base.cls == 3,
-      s"VLEN base class ${base.cls} unsupported (atomic int/float/fixed-string only)")
-    require(if (base.cls == 3) base.size >= 1
-            else Set(1, 2, 4, 8).contains(base.size) && (base.cls == 0 || base.size >= 4),
-      s"VLEN base size ${base.size} unsupported for class ${base.cls}")
+    val nested = base.cls == 9
+    // the element-decode target: the base itself, or for nested VLEN the
+    // inner base (class 3 with size 0 marks an inner vlen STRING)
+    val elemT = if (nested) base.children.headOption.getOrElse(
+      throw new IllegalArgumentException(s"$name: nested VLEN base has no inner type"))
+    else base
+    require(elemT.cls == 0 || elemT.cls == 1 || elemT.cls == 3,
+      s"VLEN ${if (nested) "inner " else ""}base class ${elemT.cls} unsupported " +
+        "(atomic int/float/fixed-string only; deeper VLEN nesting out of scope)")
+    val innerVlenStr = nested && elemT.cls == 3 && elemT.size == 0
+    require(innerVlenStr || (
+        if (elemT.cls == 3) elemT.size >= 1
+        else Set(1, 2, 4, 8).contains(elemT.size) && (elemT.cls == 0 || elemT.size >= 4)),
+      s"VLEN base size ${elemT.size} unsupported for class ${elemT.cls}")
+    require(!nested || base.size == 16,
+      s"$name: nested VLEN descriptor size ${base.size}, expected 16")
     val little = ds.littleEndian // descriptor order (file metadata: little)
     val rank = ds.dims.length
-    val isFloat = base.cls == 1; val isStr = base.cls == 3
-    val bSize = base.size; val bLittle = base.little
+    val isFloat = elemT.cls == 1; val isStr = elemT.cls == 3
+    val bSize = elemT.size; val bLittle = elemT.little
     val rows = cellBytes(spark, path, ds).mapPartitions { it =>
       val raf = new RandomAccessFile(path, "r")
       val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+      def heapObj(addr: Long, gidx: Int): Array[Byte] = {
+        val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
+        col.getOrElse(gidx, throw new IllegalArgumentException(
+          s"global heap object $gidx missing in collection at $addr"))
+      }
+      // one FLAT sequence of `len` atomic/fixed-string elements
+      def decodeFlat(data: Array[Byte], len: Int): Seq[Any] = {
+        require(data.length >= len * bSize,
+          s"heap object holds ${data.length} bytes for $len x $bSize-byte elements")
+        val eb = java.nio.ByteBuffer.wrap(data).order(
+          if (bLittle) java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
+        if (isStr)
+          (0 until len).map { i =>
+            val s = i * bSize
+            var e = s
+            while (e < s + bSize && data(e) != 0) e += 1
+            new String(data, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+          }
+        else if (isFloat)
+          (0 until len).map(i =>
+            if (bSize == 8) eb.getDouble(i * 8) else eb.getFloat(i * 4).toDouble)
+        else
+          (0 until len).map(i => bSize match {
+            case 8 => eb.getLong(i * 8)
+            case 4 => eb.getInt(i * 4).toLong
+            case 2 => eb.getShort(i * 2).toLong
+            case _ => eb.get(i).toLong
+          })
+      }
       val mapped = it.map { case (idx, b) =>
         val bb = java.nio.ByteBuffer.wrap(b).order(
           if (little) java.nio.ByteOrder.LITTLE_ENDIAN
@@ -1387,32 +1451,29 @@ object Hdf5 {
         val gidx = bb.getInt(12)
         val elems: Seq[Any] =
           if (len == 0) Nil
+          else if (!nested) decodeFlat(heapObj(addr, gidx), len)
           else {
-            val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
-            val data = col.getOrElse(gidx, throw new IllegalArgumentException(
-              s"global heap object $gidx missing in collection at $addr"))
-            require(data.length >= len * bSize,
-              s"heap object holds ${data.length} bytes for $len x $bSize-byte elements")
-            val eb = java.nio.ByteBuffer.wrap(data).order(
-              if (bLittle) java.nio.ByteOrder.LITTLE_ENDIAN
+            // outer object = len inner hvl_t descriptors, file-endian
+            val outer = heapObj(addr, gidx)
+            require(outer.length >= len * 16,
+              s"nested VLEN object holds ${outer.length} bytes for $len descriptors")
+            val ob = java.nio.ByteBuffer.wrap(outer).order(
+              if (little) java.nio.ByteOrder.LITTLE_ENDIAN
               else java.nio.ByteOrder.BIG_ENDIAN)
-            if (isStr)
-              (0 until len).map { i =>
-                val s = i * bSize
-                var e = s
-                while (e < s + bSize && data(e) != 0) e += 1
-                new String(data, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
-              }
-            else if (isFloat)
-              (0 until len).map(i =>
-                if (bSize == 8) eb.getDouble(i * 8) else eb.getFloat(i * 4).toDouble)
-            else
-              (0 until len).map(i => bSize match {
-                case 8 => eb.getLong(i * 8)
-                case 4 => eb.getInt(i * 4).toLong
-                case 2 => eb.getShort(i * 2).toLong
-                case _ => eb.get(i).toLong
-              })
+            (0 until len).map { i =>
+              val iLen = ob.getInt(i * 16)
+              val iAddr = ob.getLong(i * 16 + 4)
+              val iIdx = ob.getInt(i * 16 + 12)
+              if (innerVlenStr) {
+                if (iLen == 0) "" // empty string: null descriptor, no object
+                else {
+                  val data = heapObj(iAddr, iIdx)
+                  new String(data, 0, math.min(iLen, data.length),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                }
+              } else if (iLen == 0) Nil
+              else decodeFlat(heapObj(iAddr, iIdx), iLen)
+            }
           }
         Row.fromSeq(idx.map(_.toInt).toSeq :+ elems)
       }
@@ -1423,10 +1484,15 @@ object Hdf5 {
         def next(): Row = mapped.next()
       }
     }
+    val elemType: DataType =
+      if (isStr) StringType else if (isFloat) DoubleType else LongType
+    val valueType: DataType =
+      if (!nested) ArrayType(elemType)
+      else if (innerVlenStr) ArrayType(StringType)
+      else ArrayType(ArrayType(elemType))
     val schema = StructType(
       (0 until rank).map(i => StructField(s"i$i", IntegerType, nullable = false)) :+
-        StructField("value", ArrayType(
-          if (isStr) StringType else if (isFloat) DoubleType else LongType)))
+        StructField("value", valueType))
     spark.createDataFrame(rows, schema)
   }
 

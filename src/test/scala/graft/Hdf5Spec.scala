@@ -1912,4 +1912,23 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("superblock metadata checksum"), e.getMessage)
     f.delete()
   }
+
+  test("nested VLEN bases: vlen-of-vlen-strings and vlen-of-vlen-int32") {
+    val f = java.io.File.createTempFile("graft_nested_vlen_", ".h5")
+    graft.sources.Hdf5PlantedNestedVlen.write(f.getPath)
+    val meta = Hdf5.readMeta(f.getPath)
+    val lm = meta.find(_.name == "lists").get
+    assert(lm.dtClass == 9 && !lm.vlenStr &&
+      lm.vlenBase.exists(b => b.cls == 9 && b.children.head.cls == 3))
+    // lists: ragged lists of vlen strings -> ARRAY<STRING>
+    val lists = Hdf5.readVlen(spark, f.getPath, "lists").orderBy("i0").collect()
+    assert(lists(0).getSeq[String](1) == Seq("aa", "b"))
+    assert(lists(1).getSeq[String](1) == Nil) // empty outer cell
+    assert(lists(2).getSeq[String](1) == Seq("cde", "", "f")) // empty inner string
+    // mats: ragged lists of ragged int rows -> ARRAY<ARRAY<LONG>>
+    val mats = Hdf5.readVlen(spark, f.getPath, "mats").orderBy("i0").collect()
+    assert(mats(0).getSeq[Seq[Long]](1) == Seq(Seq(1L, 2L), Seq(3L)))
+    assert(mats(1).getSeq[Seq[Long]](1) == Seq(Nil, Seq(-7L, 8L, 9L)))
+    f.delete()
+  }
 }
