@@ -5945,6 +5945,29 @@ object SparkEntry {
       mlabels.unionByName(jlabels).unionByName(mblobs).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_write_roundtrip" -> ((s, dir) => {
+      // r12: the corpus EXPORT path under the gate — writeStrings emits a
+      // |O + vlen-utf8 + zlib store from a closed-form frame (rows 12..15
+      // entirely absent → their chunk is never written → NULL on read;
+      // null inputs encode as "" per the numcodecs VLenUTF8 None
+      // convention), readStrings reads it back, the oracle restates the
+      // closed form.
+      import s.implicits._
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_wstr_store")
+      if (!new java.io.File(storeDir, "labels/.zarray").isFile) {
+        val rows = (0 until 20).filter(t => t < 12 || t > 15).map { t =>
+          (t, if (t % 7 == 3) null else s"w${t}_µ")
+        }
+        graft.sources.Zarr.writeStrings(
+          rows.toDF("doc", "value"), storeDir.getPath, "labels",
+          targetChunkElems = 4)
+      }
+      graft.sources.Zarr.readStrings(s, storeDir.getPath, "labels")
+        .select(col("doc").cast("long").as("idx"), col("value").as("v"))
+        .orderBy("idx")
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6373,6 +6396,15 @@ object SparkEntry {
         |  union all
         |  select 'mblobs', cast(g as bigint), hx from bh
         |) order by src, idx""".stripMargin,
+
+    // rows 12..15 sit in the never-written chunk → NULL; null inputs
+    // round-trip as "" (vlen-utf8 has no null)
+    "q_zarr_write_roundtrip" ->
+      """select cast(t as bigint) idx,
+        |  case when t between 12 and 15 then null
+        |       when t % 7 = 3 then ''
+        |       else 'w' || t || '_µ' end v
+        |from range(0, 20) r(t) order by idx""".stripMargin,
 
     "q_zarr_ingest" ->
       """with g as (

@@ -1805,16 +1805,109 @@ object Zarr {
       }
   }
 
+  /** Write one long-format frame (dim columns + `value` STRING) as a
+    * Zarr v2 `|O` + vlen-utf8 + zlib array — the export shape
+    * [[readStrings]] (and zarr-python) reads back, closing the corpus
+    * round trip: document/label columns leave the lake as the same
+    * store layout they arrive in. Chunking, the leading-dim shuffle and
+    * the one-task-per-chunk-file write are [[writeArray]]'s; NULL and
+    * absent IN-CHUNK values encode as `""` (numcodecs `VLenUTF8` writes
+    * python None the same way — vlen-utf8 has no null), while a chunk
+    * with NO rows at all is simply not written and reads back as NULL
+    * per element (the absent-chunk contract). */
+  def writeStrings(df: org.apache.spark.sql.DataFrame, store: String, name: String,
+                   targetChunkElems: Long = 1 << 18): Unit = {
+    val dimCols = df.columns.filter(_ != "value").toSeq
+    require(dimCols.nonEmpty, "need at least one dimension column")
+    val dims: Seq[Long] = {
+      val r = df.agg(max(col(dimCols.head)), dimCols.tail.map(c => max(col(c))): _*).head()
+      (0 until dimCols.length).map(i => r.getAs[Number](i).longValue() + 1)
+    }
+    val innerElems = dims.tail.product
+    require(innerElems > 0 && innerElems <= (1L << 24),
+      s"trailing dims ${dims.tail.mkString("x")} = $innerElems elems per " +
+        "leading-index slice; writeStrings only splits the leading dimension")
+    val lead = math.max(1L, math.min(dims.head,
+      targetChunkElems / math.max(1L, innerElems)))
+    val chunkDims = lead +: dims.tail
+    val chunkElems = chunkDims.product.toInt
+    val dir = new File(store, name)
+    dir.mkdirs()
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    writeBytes(new File(dir, ".zarray"),
+      (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+        s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "|O", """ +
+        """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
+        """"filters": [{"id": "vlen-utf8"}], "order": "C"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBytes(new File(dir, ".zattrs"),
+      s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val rank = dims.length
+    val inChunk = dimCols.zipWithIndex.drop(1)
+      .foldLeft(pmod(col(dimCols.head).cast("long"), lit(lead))) { case (acc, (c, i)) =>
+        acc * dims(i) + col(c).cast("long")
+      }
+    val keyed = df.select(
+      floor(col(dimCols.head).cast("long") / lit(lead)).cast("long").as("_chunk"),
+      inChunk.as("_off"), col("value").cast("string").as("_v"))
+    val dirPath = dir.getPath
+    keyed.repartitionByRange(col("_chunk")).sortWithinPartitions(col("_chunk"), col("_off"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var cur = -1L
+        var buf: Array[String] = null
+        def flush(): Unit = if (cur >= 0) {
+          val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val total = 4L + items.map(4L + _.length).sum
+          require(total <= Int.MaxValue,
+            s"chunk $cur vlen payload $total bytes exceeds the 2 GiB buffer " +
+              "limit; lower targetChunkElems")
+          val bb = java.nio.ByteBuffer.allocate(total.toInt)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(items.length)
+          items.foreach { b => bb.putInt(b.length); bb.put(b) }
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(bb.array()); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          val coords = cur.toString +: Seq.fill(rank - 1)("0")
+          val f = new java.io.FileOutputStream(
+            new File(dirPath, coords.mkString(".")))
+          try f.write(out.toByteArray) finally f.close()
+        }
+        it.foreach { r =>
+          val c = r.getLong(0)
+          if (c != cur) {
+            flush(); cur = c
+            buf = Array.fill(chunkElems)("")
+          }
+          if (!r.isNullAt(2)) buf(r.getLong(1).toInt) = r.getString(2)
+        }
+        flush()
+      }
+  }
+
   /** Lake → Zarr v2 store (the write twin of [[toParquetLake]], and the
     * Zarr counterpart of `NetCDF.fromParquetLake`): one array per
-    * variable directory. */
+    * variable directory — STRING `value` columns export through
+    * [[writeStrings]] (|O + vlen-utf8), everything numeric through
+    * [[writeArray]] (`<f8`). */
   def fromParquetLake(spark: SparkSession, lakeDir: String, store: String,
                       targetChunkElems: Long = 1 << 20): Seq[String] = {
     val varDirs = new File(lakeDir).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq
     require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
     varDirs.foreach { v =>
-      writeArray(spark.read.parquet(s"$lakeDir/$v"), store, v, targetChunkElems)
+      val df = spark.read.parquet(s"$lakeDir/$v")
+      val isStr = df.schema.fields.find(_.name == "value")
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+      if (isStr) writeStrings(df, store, v, targetChunkElems)
+      else writeArray(df, store, v, targetChunkElems)
     }
     varDirs
   }

@@ -913,6 +913,40 @@ class ZarrSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("crc32c")))
   }
 
+  test("writeStrings: corpus round trip through |O vlen-utf8, absent chunks, nulls") {
+    import spark.implicits._
+    // rows 4..7 entirely missing → chunk 1 (lead=4) never written →
+    // reads back NULL; the null at 2 encodes as "" (the numcodecs
+    // VLenUTF8 None convention)
+    val df = Seq(
+      (0, "s0_β"), (1, "s1_β"), (2, null), (3, "s3_β"),
+      (8, "s8_β"), (9, "s9_β")
+    ).toDF("doc", "value")
+    val store = java.nio.file.Files.createTempDirectory("zarr_wstr_").toString
+    Zarr.writeStrings(df, store, "labels", targetChunkElems = 4)
+    val back = Zarr.readStrings(spark, store, "labels").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(back.size == 10)
+    for (i <- Seq(0, 1, 3, 8, 9)) assert(back(i).contains(s"s${i}_β"), s"elem $i")
+    assert(back(2).contains("")) // in-chunk null → ""
+    for (i <- 4 to 7) assert(back(i).isEmpty, s"absent chunk elem $i")
+    // the store is plain v2: dtype |O, vlen-utf8 filter, zlib chunks
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "labels", ".zarray")), "UTF-8")
+    assert(meta.contains("\"|O\"") && meta.contains("vlen-utf8"))
+    // fromParquetLake dispatches on the value dtype: string → vlen-utf8,
+    // numeric → <f8
+    val lake = java.nio.file.Files.createTempDirectory("zarr_wlake_").toString
+    df.write.parquet(s"$lake/tags")
+    Seq((0, 1.5), (1, 2.5)).toDF("doc", "value").write.parquet(s"$lake/vals")
+    val store2 = java.nio.file.Files.createTempDirectory("zarr_wstore2_").toString
+    assert(Zarr.fromParquetLake(spark, lake, store2) == Seq("tags", "vals"))
+    assert(Zarr.readStrings(spark, store2, "tags").count() == 10)
+    val vals = Zarr.readVariable(spark, store2, "vals").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(vals(0) == 1.5 && vals(1) == 2.5)
+  }
+
   test("msgpack2/json2 object codecs: strings, None, bin payloads (planted store)") {
     val root = java.nio.file.Files.createTempDirectory("zarr_msgpack_").toFile
     Zarr.plantedMsgpackStore(root.getPath)
