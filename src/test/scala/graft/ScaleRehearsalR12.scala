@@ -64,6 +64,24 @@ object ScaleRehearsalR12 {
       require(agg.getLong(0) == 5000000L && agg.getLong(1) == 4999999L &&
         agg.getLong(2) == 5000000L, s"not a permutation: $agg")
     }
+
+    // 3) corpus export: 500k ~200-byte docs through writeStrings (one
+    // leading-dim range shuffle, one chunk file per 64k-element chunk,
+    // executors write in parallel, driver touches only metadata) and a
+    // full read-back count through the chunk-parallel reader
+    val docs = spark.range(500000).select(col("id").cast("int").as("doc"),
+      concat(lit("doc_"), col("id"), lit("_"),
+        sha2(col("id").cast("string"), 256)).as("value"))
+    val wstore = java.nio.file.Files.createTempDirectory("graft_wstr_reh_").toString
+    time("writeStrings: 500k docs -> |O vlen-utf8 store") {
+      graft.sources.Zarr.writeStrings(docs, wstore, "corpus",
+        targetChunkElems = 1 << 16)
+    }
+    time("readStrings: full read-back of the 500k-doc store") {
+      val n = graft.sources.Zarr.readStrings(spark, wstore, "corpus")
+        .where(col("value").isNotNull).count()
+      require(n == 500000L, s"round trip lost rows: $n")
+    }
     spark.stop()
   }
 }
