@@ -4956,9 +4956,9 @@ object SparkEntry {
          |),
          |lmom as (
          |  select k, n_blocks,
-         |    cast(cast(b0 as decimal(38,6)) as double) l1,
-         |    cast(cast(2*b1 - b0 as decimal(38,6)) as double) l2,
-         |    cast(cast((6*b2 - 6*b1 + b0)/(2*b1 - b0) as decimal(38,6)) as double) t3
+         |    floor((b0)*1e6 + 0.5)/1e6 l1,
+         |    floor((2*b1 - b0)*1e6 + 0.5)/1e6 l2,
+         |    floor(((6*b2 - 6*b1 + b0)/(2*b1 - b0))*1e6 + 0.5)/1e6 t3
          |  from lm
          |)""".stripMargin
     Map(
@@ -5053,14 +5053,14 @@ object SparkEntry {
          |${solarSql("clim")},
          |mon as (
          |  select k, cast(date_trunc('month', d) as timestamp) m,
-         |    cast(cast(avg(greatest(tas, 0.0)) as decimal(38,6)) as double) tas_m,
-         |    cast(cast(avg((24.0/pi())*hss/12.0) as decimal(38,6)) as double) dl_m
+         |    floor((avg(greatest(tas, 0.0)))*1e6 + 0.5)/1e6 tas_m,
+         |    floor((avg((24.0/pi())*hss/12.0))*1e6 + 0.5)/1e6 dl_m
          |  from ra_ group by 1, 2
          |),
          |yr as (
          |  select k, year(m) y,
-         |    cast(cast(sum(cast(cast(pow(tas_m/5.0, 1.514) as decimal(38,8)) as double))
-         |      as decimal(38,6)) as double) hi
+         |    floor((sum(floor((pow(tas_m/5.0, 1.514))*1e8 + 0.5)/1e8))
+         |      *1e6 + 0.5)/1e6 hi
          |  from mon group by 1, 2
          |),
          |ya as (
@@ -5069,8 +5069,8 @@ object SparkEntry {
          |)
          |select mon.k l_returnflag, mon.m period,
          |  cast(cast(case when ya.hi > 0
-         |    then 16.0*mon.dl_m*cast(cast(pow(10.0*mon.tas_m/ya.hi, ya.a)
-         |      as decimal(38,7)) as double) else 0.0 end
+         |    then 16.0*mon.dl_m*(floor((pow(10.0*mon.tas_m/ya.hi, ya.a))
+         |      *1e7 + 0.5)/1e7) else 0.0 end
          |    as decimal(38,4)) as double) pet_mm
          |from mon join ya on ya.k = mon.k and ya.y = year(mon.m)""".stripMargin,
 
@@ -5905,7 +5905,7 @@ object SparkEntry {
       // and a v3 `bytes` array (vlen-bytes+zstd+crc32c) evidenced as
       // lowercase hex. The oracle rebuilds everything from closed forms.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zarr_v3strstore")
+        "graft_zarr_v3strstore_v1")
       if (!new java.io.File(storeDir, "labels/zarr.json").isFile)
         graft.sources.Zarr.plantedStringStoreV3(storeDir.getPath)
       val store = storeDir.getPath
@@ -5929,7 +5929,7 @@ object SparkEntry {
       // decoder is additionally pinned to a hand-authored spec byte
       // vector in ZarrSpec; the oracle rebuilds all values closed-form.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zarr_msgpackstore")
+        "graft_zarr_msgpackstore_v1")
       if (!new java.io.File(storeDir, "mlabels/.zarray").isFile)
         graft.sources.Zarr.plantedMsgpackStore(storeDir.getPath)
       val store = storeDir.getPath
@@ -5954,7 +5954,7 @@ object SparkEntry {
       // closed form.
       import s.implicits._
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zarr_wstr_store")
+        "graft_zarr_wstr_store_v1")
       if (!new java.io.File(storeDir, "labels/.zarray").isFile) {
         val rows = (0 until 20).filter(t => t < 12 || t > 15).map { t =>
           (t, if (t % 7 == 3) null else s"w${t}_µ")

@@ -134,15 +134,25 @@ object Msgpack {
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (b.length <= 31) out.write(0xA0 | b.length)
       else if (b.length <= 0xFF) { out.write(0xD9); out.write(b.length) }
-      else { out.write(0xDA); out.write((b.length >> 8) & 0xFF); out.write(b.length & 0xFF) }
+      else if (b.length <= 0xFFFF) {
+        out.write(0xDA); out.write((b.length >> 8) & 0xFF); out.write(b.length & 0xFF)
+      } else { out.write(0xDB); u32be(b.length, out) }
       out.write(b, 0, b.length)
     case MBin(b) =>
       if (b.length <= 0xFF) { out.write(0xC4); out.write(b.length) }
-      else { out.write(0xC5); out.write((b.length >> 8) & 0xFF); out.write(b.length & 0xFF) }
+      else if (b.length <= 0xFFFF) {
+        out.write(0xC5); out.write((b.length >> 8) & 0xFF); out.write(b.length & 0xFF)
+      } else { out.write(0xC6); u32be(b.length, out) }
       out.write(b, 0, b.length)
     case MArr(items) =>
       if (items.length <= 15) out.write(0x90 | items.length)
-      else { out.write(0xDC); out.write((items.length >> 8) & 0xFF); out.write(items.length & 0xFF) }
+      else if (items.length <= 0xFFFF) {
+        out.write(0xDC); out.write((items.length >> 8) & 0xFF); out.write(items.length & 0xFF)
+      } else { out.write(0xDD); u32be(items.length, out) }
       items.foreach(enc(_, out))
+  }
+  private def u32be(n: Int, out: java.io.ByteArrayOutputStream): Unit = {
+    out.write((n >>> 24) & 0xFF); out.write((n >>> 16) & 0xFF)
+    out.write((n >>> 8) & 0xFF); out.write(n & 0xFF)
   }
 }

@@ -1013,7 +1013,8 @@ object Zarr {
               (0 until nInner).iterator.flatMap { si =>
                 emit(bodies(si).map { b =>
                     val plain = inflateObject(sh.innerComp, b, s"${f.getName}#$si")
-                    val strs = decodeVlenUtf8(plain, innerElems, s"${f.getName}#$si")
+                    val strs = decodeObjectStrings(objCodec, plain, innerElems,
+                      s"${f.getName}#$si")
                     strs(_)
                   }, ich, innerOrigin(si), sh.innerCOrder)
               }
@@ -1716,19 +1717,20 @@ object Zarr {
 
   // ---------------- writer (lake → Zarr v2 store) ----------------
 
-  /** Write one long-format frame (dim columns + `value` DOUBLE) as a Zarr
-    * v2 array: `<f8` dtype, zlib compression, C order, `fill_value` NaN
-    * for absent positions, `_ARRAY_DIMENSIONS` carrying the dim names.
-    *
-    * Chunking: the TRAILING dims are kept whole and the LEADING dim is
-    * split so chunks land near `targetChunkElems` — the natural layout for
-    * (time, y, x) climate arrays, giving time-contiguous chunks that the
-    * reader (and xarray) can fetch in parallel. Executors each write the
-    * chunk files for their partition after a `repartitionByRange` on the
-    * leading-dim chunk id, so no chunk is touched by two tasks and the
-    * driver writes only the two JSON metadata files. */
-  def writeArray(df: org.apache.spark.sql.DataFrame, store: String, name: String,
-                 targetChunkElems: Long = 1 << 20): Unit = {
+  /** Shared chunk-export scaffold for [[writeArray]]/[[writeStrings]]:
+    * derive dims from the dim columns' maxima, split only the LEADING
+    * dimension so chunks land near `targetChunkElems`, shuffle once on
+    * the leading-dim chunk id (`repartitionByRange` + in-partition sort)
+    * so each task owns whole chunk files, fill a per-chunk buffer, and
+    * write the zlib-deflated encoding. The driver writes only the two
+    * JSON metadata files. */
+  private def writeChunked[T](df: org.apache.spark.sql.DataFrame, store: String,
+      name: String, targetChunkElems: Long, maxInnerElems: Long,
+      arrayJson: (Seq[Long], Seq[Long]) => String,
+      castValue: org.apache.spark.sql.Column,
+      fillBuf: Int => Array[T],
+      setCell: (Array[T], Int, org.apache.spark.sql.Row) => Unit,
+      encodePlain: (Array[T], Long) => Array[Byte]): Unit = {
     val dimCols = df.columns.filter(_ != "value").toSeq
     require(dimCols.nonEmpty, "need at least one dimension column")
     val dims: Seq[Long] = {
@@ -1736,14 +1738,14 @@ object Zarr {
       (0 until dimCols.length).map(i => r.getAs[Number](i).longValue() + 1)
     }
     val innerElems = dims.tail.product
-    // The splitting scheme only divides the LEADING dim, so one chunk is at
-    // least innerElems * 8 bytes — which must fit a JVM byte[] / ByteBuffer.
-    // 2^28 elems = 2 GiB of doubles; beyond that the trailing dims would
-    // need splitting too, which this writer does not implement.
-    require(innerElems > 0 && innerElems <= (1L << 28),
+    // The splitting scheme only divides the LEADING dim, so one chunk is
+    // at least innerElems elements — which must fit the caller's buffer
+    // budget (2 GiB of doubles for writeArray; the vlen payload limit is
+    // re-checked per chunk for strings).
+    require(innerElems > 0 && innerElems <= maxInnerElems,
       s"trailing dims ${dims.tail.mkString("x")} = $innerElems elems per " +
-        "leading-index slice exceed the single-chunk 2 GiB buffer limit; " +
-        "writeArray only splits the leading dimension")
+        "leading-index slice exceed the single-chunk buffer limit; " +
+        "the writer only splits the leading dimension")
     val lead = math.max(1L, math.min(dims.head,
       targetChunkElems / math.max(1L, innerElems)))
     val chunkDims = lead +: dims.tail
@@ -1754,12 +1756,8 @@ object Zarr {
       val out = new java.io.FileOutputStream(f)
       try out.write(b) finally out.close()
     }
-    writeBytes(new File(dir, ".zarray"),
-      (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
-        s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<f8", """ +
-        """"compressor": {"id": "zlib", "level": 6}, "fill_value": "NaN", """ +
-        """"filters": null, "order": "C"}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBytes(new File(dir, ".zarray"), arrayJson(dims, chunkDims)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     writeBytes(new File(dir, ".zattrs"),
       s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1772,18 +1770,16 @@ object Zarr {
       }
     val keyed = df.select(
       floor(col(dimCols.head).cast("long") / lit(lead)).cast("long").as("_chunk"),
-      inChunk.as("_off"), col("value").cast("double").as("_v"))
+      inChunk.as("_off"), castValue.as("_v"))
     val dirPath = dir.getPath
     keyed.repartitionByRange(col("_chunk")).sortWithinPartitions(col("_chunk"), col("_off"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var cur = -1L
-        var buf: Array[Double] = null
+        var buf: Array[T] = null.asInstanceOf[Array[T]]
         def flush(): Unit = if (cur >= 0) {
-          val bb = java.nio.ByteBuffer.allocate(chunkElems * 8)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          buf.foreach(bb.putDouble)
+          val plain = encodePlain(buf, cur)
           val d = new java.util.zip.Deflater(6)
-          d.setInput(bb.array()); d.finish()
+          d.setInput(plain); d.finish()
           val out = new java.io.ByteArrayOutputStream()
           val tmp = new Array[Byte](8192)
           while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
@@ -1797,100 +1793,79 @@ object Zarr {
           val c = r.getLong(0)
           if (c != cur) {
             flush(); cur = c
-            buf = Array.fill(chunkElems)(Double.NaN)
+            buf = fillBuf(chunkElems)
           }
-          if (!r.isNullAt(2)) buf(r.getLong(1).toInt) = r.getDouble(2)
+          if (!r.isNullAt(2)) setCell(buf, r.getLong(1).toInt, r)
         }
         flush()
       }
   }
+
+  /** Write one long-format frame (dim columns + `value` DOUBLE) as a Zarr
+    * v2 array: `<f8` dtype, zlib compression, C order, `fill_value` NaN
+    * for absent positions, `_ARRAY_DIMENSIONS` carrying the dim names.
+    *
+    * Chunking: the TRAILING dims are kept whole and the LEADING dim is
+    * split so chunks land near `targetChunkElems` — the natural layout for
+    * (time, y, x) climate arrays, giving time-contiguous chunks that the
+    * reader (and xarray) can fetch in parallel. Executors each write the
+    * chunk files for their partition after a `repartitionByRange` on the
+    * leading-dim chunk id, so no chunk is touched by two tasks and the
+    * driver writes only the two JSON metadata files ([[writeChunked]]). */
+  def writeArray(df: org.apache.spark.sql.DataFrame, store: String, name: String,
+                 targetChunkElems: Long = 1 << 20): Unit =
+    writeChunked[Double](df, store, name, targetChunkElems,
+      maxInnerElems = 1L << 28, // 2 GiB of doubles per leading-index slice
+      arrayJson = (dims, chunkDims) =>
+        s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+          s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<f8", """ +
+          """"compressor": {"id": "zlib", "level": 6}, "fill_value": "NaN", """ +
+          """"filters": null, "order": "C"}""",
+      castValue = col("value").cast("double"),
+      fillBuf = n => Array.fill(n)(Double.NaN),
+      setCell = (buf, off, r) => buf(off) = r.getDouble(2),
+      encodePlain = (buf, _) => {
+        val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.foreach(bb.putDouble)
+        bb.array()
+      })
 
   /** Write one long-format frame (dim columns + `value` STRING) as a
     * Zarr v2 `|O` + vlen-utf8 + zlib array — the export shape
     * [[readStrings]] (and zarr-python) reads back, closing the corpus
     * round trip: document/label columns leave the lake as the same
     * store layout they arrive in. Chunking, the leading-dim shuffle and
-    * the one-task-per-chunk-file write are [[writeArray]]'s; NULL and
+    * the one-task-per-chunk-file write are [[writeChunked]]'s; NULL and
     * absent IN-CHUNK values encode as `""` (numcodecs `VLenUTF8` writes
     * python None the same way — vlen-utf8 has no null), while a chunk
     * with NO rows at all is simply not written and reads back as NULL
     * per element (the absent-chunk contract). */
   def writeStrings(df: org.apache.spark.sql.DataFrame, store: String, name: String,
-                   targetChunkElems: Long = 1 << 18): Unit = {
-    val dimCols = df.columns.filter(_ != "value").toSeq
-    require(dimCols.nonEmpty, "need at least one dimension column")
-    val dims: Seq[Long] = {
-      val r = df.agg(max(col(dimCols.head)), dimCols.tail.map(c => max(col(c))): _*).head()
-      (0 until dimCols.length).map(i => r.getAs[Number](i).longValue() + 1)
-    }
-    val innerElems = dims.tail.product
-    require(innerElems > 0 && innerElems <= (1L << 24),
-      s"trailing dims ${dims.tail.mkString("x")} = $innerElems elems per " +
-        "leading-index slice; writeStrings only splits the leading dimension")
-    val lead = math.max(1L, math.min(dims.head,
-      targetChunkElems / math.max(1L, innerElems)))
-    val chunkDims = lead +: dims.tail
-    val chunkElems = chunkDims.product.toInt
-    val dir = new File(store, name)
-    dir.mkdirs()
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    writeBytes(new File(dir, ".zarray"),
-      (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
-        s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "|O", """ +
-        """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
-        """"filters": [{"id": "vlen-utf8"}], "order": "C"}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    writeBytes(new File(dir, ".zattrs"),
-      s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val rank = dims.length
-    val inChunk = dimCols.zipWithIndex.drop(1)
-      .foldLeft(pmod(col(dimCols.head).cast("long"), lit(lead))) { case (acc, (c, i)) =>
-        acc * dims(i) + col(c).cast("long")
-      }
-    val keyed = df.select(
-      floor(col(dimCols.head).cast("long") / lit(lead)).cast("long").as("_chunk"),
-      inChunk.as("_off"), col("value").cast("string").as("_v"))
-    val dirPath = dir.getPath
-    keyed.repartitionByRange(col("_chunk")).sortWithinPartitions(col("_chunk"), col("_off"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        var cur = -1L
-        var buf: Array[String] = null
-        def flush(): Unit = if (cur >= 0) {
-          val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val total = 4L + items.map(4L + _.length).sum
-          require(total <= Int.MaxValue,
-            s"chunk $cur vlen payload $total bytes exceeds the 2 GiB buffer " +
-              "limit; lower targetChunkElems")
-          val bb = java.nio.ByteBuffer.allocate(total.toInt)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.putInt(items.length)
-          items.foreach { b => bb.putInt(b.length); bb.put(b) }
-          val d = new java.util.zip.Deflater(6)
-          d.setInput(bb.array()); d.finish()
-          val out = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-          d.end()
-          val coords = cur.toString +: Seq.fill(rank - 1)("0")
-          val f = new java.io.FileOutputStream(
-            new File(dirPath, coords.mkString(".")))
-          try f.write(out.toByteArray) finally f.close()
-        }
-        it.foreach { r =>
-          val c = r.getLong(0)
-          if (c != cur) {
-            flush(); cur = c
-            buf = Array.fill(chunkElems)("")
-          }
-          if (!r.isNullAt(2)) buf(r.getLong(1).toInt) = r.getString(2)
-        }
-        flush()
-      }
-  }
+                   targetChunkElems: Long = 1 << 18): Unit =
+    writeChunked[String](df, store, name, targetChunkElems,
+      maxInnerElems = 1L << 24,
+      arrayJson = (dims, chunkDims) =>
+        s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+          s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "|O", """ +
+          """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
+          """"filters": [{"id": "vlen-utf8"}], "order": "C"}""",
+      castValue = col("value").cast("string"),
+      fillBuf = n => Array.fill(n)(""),
+      setCell = (buf, off, r) => buf(off) = r.getString(2),
+      encodePlain = (buf, chunkId) => {
+        val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val total = 4L + items.map(4L + _.length).sum
+        require(total <= Int.MaxValue,
+          s"chunk $chunkId vlen payload $total bytes exceeds the 2 GiB " +
+            "buffer limit; lower targetChunkElems")
+        val bb = java.nio.ByteBuffer.allocate(total.toInt)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(items.length)
+        items.foreach { b => bb.putInt(b.length); bb.put(b) }
+        bb.array()
+      })
+
 
   /** Lake → Zarr v2 store (the write twin of [[toParquetLake]], and the
     * Zarr counterpart of `NetCDF.fromParquetLake`): one array per
