@@ -5968,6 +5968,35 @@ object SparkEntry {
         .orderBy("idx")
     }),
 
+    "q_zarr_write_v3" -> ((s, dir) => {
+      // r12: the Zarr V3 export twins under the gate — writeArrayV3
+      // (float64, [bytes le, gzip] codecs, c/<i> default keys, exact
+      // binary quarters so values compare exactly) and writeStringsV3
+      // (data_type string, [vlen-utf8, gzip]); both read back through
+      // the v3 reader. Rows 6..8 / 0..3 sit in never-written chunks →
+      // NULL; the t=5 null input round-trips as "".
+      import s.implicits._
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_w3_store_v1")
+      if (!new java.io.File(storeDir, "vals/zarr.json").isFile) {
+        val nums = (0 until 12).filter(t => t < 6 || t > 8)
+          .map(t => (t, (3.0 * t - 5.0) / 4.0))
+        graft.sources.Zarr.writeArrayV3(
+          nums.toDF("t", "value"), storeDir.getPath, "vals", targetChunkElems = 3)
+        val strs = (4 until 10).map(t =>
+          (t, if (t == 5) null else s"v3w_${t}_σ"))
+        graft.sources.Zarr.writeStringsV3(
+          strs.toDF("doc", "value"), storeDir.getPath, "labels", targetChunkElems = 4)
+      }
+      val vals = graft.sources.Zarr.readVariable(s, storeDir.getPath, "vals")
+        .select(lit("vals").as("src"), col("t").cast("long").as("idx"),
+          col("value").cast("string").as("v"))
+      val labels = graft.sources.Zarr.readStrings(s, storeDir.getPath, "labels")
+        .select(lit("labels").as("src"), col("doc").cast("long").as("idx"),
+          col("value").as("v"))
+      vals.unionByName(labels).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_ingest" -> ((s, dir) => {
       // Zarr v2 ingest end-to-end against an independent engine: a planted
       // closed-form store (sources/Zarr.plantedStore — zlib chunks, partial
@@ -6395,6 +6424,21 @@ object SparkEntry {
         |  from range(0, 5) r(t)
         |  union all
         |  select 'mblobs', cast(g as bigint), hx from bh
+        |) order by src, idx""".stripMargin,
+
+    // v3 writers: vals 6..8 / labels 0..3 sit in never-written chunks →
+    // NULL; the t=5 null input round-trips as ""; quarters print exactly
+    "q_zarr_write_v3" ->
+      """select * from (
+        |  select 'labels' src, cast(t as bigint) idx,
+        |    case when t < 4 then null when t = 5 then ''
+        |      else 'v3w_' || t || '_σ' end v
+        |  from range(0, 10) r(t)
+        |  union all
+        |  select 'vals', cast(t as bigint),
+        |    case when t between 6 and 8 then null
+        |      else cast((3.0*t - 5.0)/4.0 as varchar) end
+        |  from range(0, 12) r(t)
         |) order by src, idx""".stripMargin,
 
     // rows 12..15 sit in the never-written chunk → NULL; null inputs

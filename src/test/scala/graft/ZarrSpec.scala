@@ -947,6 +947,34 @@ class ZarrSpec extends AnyFunSuite {
     assert(vals(0) == 1.5 && vals(1) == 2.5)
   }
 
+  test("v3 writers: float64 and string round trips through the v3 reader") {
+    import spark.implicits._
+    // float64: values exact binary quarters; rows 4..5 missing → their
+    // chunk (lead=2) absent → NULL on read
+    val nums = Seq((0, 0.25), (1, 0.5), (2, 2.75), (3, -1.25), (6, 7.0), (7, 8.5))
+      .toDF("t", "value")
+    val store = java.nio.file.Files.createTempDirectory("zarr_v3w_").toString
+    Zarr.writeArrayV3(nums, store, "vals", targetChunkElems = 2)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "vals", "zarr.json")), "UTF-8")
+    assert(meta.contains("\"zarr_format\": 3") && meta.contains("float64"))
+    assert(new java.io.File(store, "vals/c/0").isFile) // default key encoding (1-D)
+    val back = Zarr.readVariable(spark, store, "vals").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+    assert(back.size == 8)
+    assert(back(0).contains(0.25) && back(3).contains(-1.25) && back(7).contains(8.5))
+    assert(back(4).isEmpty && back(5).isEmpty)
+    // string: null at 2 → "", rows 4..7 absent chunk → NULL
+    val strs = Seq((0, "v0_π"), (1, "v1_π"), (2, null), (3, "v3_π"),
+      (8, "v8_π"), (9, "v9_π")).toDF("doc", "value")
+    Zarr.writeStringsV3(strs, store, "labels", targetChunkElems = 4)
+    val sback = Zarr.readStrings(spark, store, "labels").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toMap
+    assert(sback.size == 10)
+    for (i <- Seq(0, 1, 3, 8, 9)) assert(sback(i).contains(s"v${i}_π"), s"elem $i")
+    assert(sback(2).contains("") && (4 to 7).forall(sback(_).isEmpty))
+  }
+
   test("msgpack2/json2 object codecs: strings, None, bin payloads (planted store)") {
     val root = java.nio.file.Files.createTempDirectory("zarr_msgpack_").toFile
     Zarr.plantedMsgpackStore(root.getPath)
