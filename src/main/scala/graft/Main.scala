@@ -105,15 +105,20 @@ object Main {
         val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir)
         println(s"$store -> $outDir (${vars.mkString(", ")})")
         spark.stop()
-      case "convert-zarr" :: "--reverse" :: lakeDir :: store :: Nil =>
-        // lake -> Zarr v2 store (executors write their own chunk files)
+      case "convert-zarr" :: "--reverse" :: rest0 if rest0.length >= 2 =>
+        // lake -> Zarr store (executors write their own chunk files);
+        // --v3 selects the zarr-python-3 default format
+        val v3 = rest0.contains("--v3")
+        val args2 = rest0.filterNot(_ == "--v3")
+        val (lakeDir, store) = (args2(0), args2(1))
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val vars = graft.sources.Zarr.fromParquetLake(spark, lakeDir, store)
+        val vars = graft.sources.Zarr.fromParquetLake(spark, lakeDir, store,
+          zarrFormat = if (v3) 3 else 2)
         println(s"$lakeDir -> $store (${vars.mkString(", ")})")
         spark.stop()
       case "dataflags" :: in :: out :: rest =>
@@ -139,7 +144,7 @@ object Main {
         System.err.println(
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
             s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
-            s"convert-zarr <store> <outDir> | convert-zarr --reverse <lakeDir> <store> | " +
+            s"convert-zarr <store> <outDir> | convert-zarr --reverse [--v3] <lakeDir> <store> | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }

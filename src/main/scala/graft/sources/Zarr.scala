@@ -1709,8 +1709,16 @@ object Zarr {
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */
   def toParquetLake(spark: SparkSession, store: String, outDir: String): Seq[String] = {
     readMeta(store).map { za =>
-      readVariable(spark, store, za.name)
-        .write.mode("overwrite").parquet(s"$outDir/${za.name}")
+      // dispatch on dtype kind: vlen-bytes object arrays → readBinary,
+      // other string/object dtypes → readStrings (msgpack2 defaults to
+      // the text reading — bin payloads fail loudly, pointing the user
+      // at readBinary), numerics → readVariable
+      val df =
+        if (za.dtKind == 'O' && za.filters.map(_.id) == Seq("vlen-bytes"))
+          readBinary(spark, store, za.name)
+        else if ("SUO".indexOf(za.dtKind) >= 0) readStrings(spark, store, za.name)
+        else readVariable(spark, store, za.name)
+      df.write.mode("overwrite").parquet(s"$outDir/${za.name}")
       za.name
     }
   }
@@ -1960,13 +1968,19 @@ object Zarr {
       },
       compress = gzipBytes)
 
-  /** Lake → Zarr v2 store (the write twin of [[toParquetLake]], and the
+  /** Lake → Zarr store (the write twin of [[toParquetLake]], and the
     * Zarr counterpart of `NetCDF.fromParquetLake`): one array per
     * variable directory — STRING `value` columns export through
-    * [[writeStrings]] (|O + vlen-utf8), everything numeric through
-    * [[writeArray]] (`<f8`). */
+    * [[writeStrings]]/[[writeStringsV3]], everything numeric through
+    * [[writeArray]]/[[writeArrayV3]]. `zarrFormat` 2 (default) also
+    * writes the `.zgroup` marker and consolidated `.zmetadata`
+    * (one-object-store-GET discovery — what `xr.open_zarr(...,
+    * consolidated=True)` expects); 3 writes the root group
+    * `zarr.json`. */
   def fromParquetLake(spark: SparkSession, lakeDir: String, store: String,
-                      targetChunkElems: Long = 1 << 20): Seq[String] = {
+                      targetChunkElems: Long = 1 << 20,
+                      zarrFormat: Int = 2): Seq[String] = {
+    require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat")
     val varDirs = new File(lakeDir).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq
     require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
@@ -1974,9 +1988,48 @@ object Zarr {
       val df = spark.read.parquet(s"$lakeDir/$v")
       val isStr = df.schema.fields.find(_.name == "value")
         .exists(_.dataType == org.apache.spark.sql.types.StringType)
-      if (isStr) writeStrings(df, store, v, targetChunkElems)
-      else writeArray(df, store, v, targetChunkElems)
+      (isStr, zarrFormat) match {
+        case (true, 2)  => writeStrings(df, store, v, targetChunkElems)
+        case (false, 2) => writeArray(df, store, v, targetChunkElems)
+        case (true, _)  => writeStringsV3(df, store, v, targetChunkElems)
+        case (false, _) => writeArrayV3(df, store, v, targetChunkElems)
+      }
     }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (zarrFormat == 2) {
+      java.nio.file.Files.write(new File(store, ".zgroup").toPath,
+        """{"zarr_format": 2}""".getBytes(utf8))
+      consolidate(store)
+    } else
+      java.nio.file.Files.write(new File(store, "zarr.json").toPath,
+        """{"zarr_format": 3, "node_type": "group"}""".getBytes(utf8))
     varDirs
+  }
+
+  /** Write v2 consolidated metadata (`.zmetadata`, format 1): every
+    * array's `.zarray`/`.zattrs` (and the root `.zgroup` if present)
+    * embedded verbatim under its store-relative key — the single-GET
+    * discovery document object-store deployments rely on, and the same
+    * shape [[readMeta]] consumes. */
+  def consolidate(store: String): Unit = {
+    val root = new File(store)
+    val arrays = root.listFiles()
+      .filter(d => d.isDirectory && new File(d, ".zarray").isFile)
+      .sortBy(_.getName)
+    require(arrays.nonEmpty, s"no v2 arrays under $store to consolidate")
+    val entries = Seq.newBuilder[(String, String)]
+    if (new File(root, ".zgroup").isFile)
+      entries += ".zgroup" -> readText(new File(root, ".zgroup"))
+    arrays.foreach { d =>
+      entries += s"${d.getName}/.zarray" -> readText(new File(d, ".zarray"))
+      val za = new File(d, ".zattrs")
+      if (za.isFile) entries += s"${d.getName}/.zattrs" -> readText(za)
+    }
+    // values are verbatim JSON documents — embed them raw
+    val json = entries.result()
+      .map { case (k, v) => "\"" + k + "\": " + v.trim }
+      .mkString("{\"zarr_consolidated_format\": 1, \"metadata\": {", ", ", "}}")
+    java.nio.file.Files.write(new File(store, ".zmetadata").toPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

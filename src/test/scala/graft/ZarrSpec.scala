@@ -945,6 +945,31 @@ class ZarrSpec extends AnyFunSuite {
     val vals = Zarr.readVariable(spark, store2, "vals").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toMap
     assert(vals(0) == 1.5 && vals(1) == 2.5)
+    // v2 export now ships .zgroup + consolidated .zmetadata, and readMeta
+    // discovers the arrays through it (single-GET discovery)
+    val zm = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store2, ".zmetadata")), "UTF-8")
+    assert(zm.contains("\"zarr_consolidated_format\": 1") &&
+      zm.contains("tags/.zarray") && zm.contains("vals/.zarray"))
+    assert(Zarr.readMeta(store2).map(_.name).sorted == Seq("tags", "vals"))
+    // v3 lake export: root group zarr.json + v3 arrays, group discovery
+    val store3 = java.nio.file.Files.createTempDirectory("zarr_wstore3_").toString
+    assert(Zarr.fromParquetLake(spark, lake, store3, zarrFormat = 3)
+      == Seq("tags", "vals"))
+    assert(Zarr.readMeta(store3).map(_.name).sorted == Seq("tags", "vals"))
+    assert(Zarr.readStrings(spark, store3, "tags").count() == 10)
+    assert(Zarr.readVariable(spark, store3, "vals").collect()
+      .map(_.getDouble(1)).sorted.toSeq == Seq(1.5, 2.5))
+    // toParquetLake dispatches back: string arrays land as STRING columns
+    val lake2 = java.nio.file.Files.createTempDirectory("zarr_wlake2_").toString
+    assert(Zarr.toParquetLake(spark, store2, lake2).sorted == Seq("tags", "vals"))
+    val tagsBack = spark.read.parquet(s"$lake2/tags")
+    assert(tagsBack.schema("value").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // one chunk covers all 10 positions, so in-chunk gaps (4..7) and the
+    // null at 2 all round-trip as "" — nothing is NULL
+    assert(tagsBack.where("value is not null").count() == 10)
+    assert(tagsBack.where("value = ''").count() == 5)
   }
 
   test("v3 writers: float64 and string round trips through the v3 reader") {
