@@ -1359,4 +1359,41 @@ class PropertySpec extends AnyFunSuite {
     assert(e1.count { case (id, p) => e2(id) == p } < 50,
       "epochs 1 and 2 must be (nearly) disjoint permutations")
   }
+
+  test("msgpack encode/decode round-trips random nested value trees") {
+    import graft.sources.Msgpack
+    import graft.sources.Msgpack._
+    val rng = new scala.util.Random(7)
+    def randStr(n: Int): String =
+      Seq.fill(n)("aβ語x ".charAt(rng.nextInt(5))).mkString
+    def gen(depth: Int): MValue = rng.nextInt(if (depth > 0) 7 else 6) match {
+      case 0 => MNull
+      case 1 => MBool(rng.nextBoolean())
+      case 2 => MLong(rng.nextLong() >> rng.nextInt(64)) // spans all widths
+      case 3 => MDouble(rng.nextDouble() * math.pow(10, rng.nextInt(20) - 10))
+      case 4 => MStr(randStr(rng.nextInt(40)))
+      case 5 =>
+        val b = new Array[Byte](rng.nextInt(40)); rng.nextBytes(b); MBin(b)
+      case _ => MArr(Vector.fill(rng.nextInt(6))(gen(depth - 1)))
+    }
+    def same(a: MValue, b: MValue): Boolean = (a, b) match {
+      case (MBin(x), MBin(y))   => java.util.Arrays.equals(x, y)
+      case (MArr(x), MArr(y))   => x.length == y.length && x.zip(y).forall((same _).tupled)
+      case (x, y)               => x == y
+    }
+    for (trial <- 1 to 200) {
+      val v = gen(3)
+      assert(same(Msgpack.decode(Msgpack.encode(v), s"trial$trial"), v), s"trial $trial: $v")
+    }
+    // width-boundary pins, incl. the 32-bit formats (review finding: the
+    // 16-bit encoder used to truncate lengths above 65535 silently)
+    for (n <- Seq(31, 32, 255, 256, 65535, 65536, 70000)) {
+      val s = MStr("x" * n)
+      assert(same(Msgpack.decode(Msgpack.encode(s), s"str$n"), s), s"str len $n")
+      val b = MBin(Array.fill(n)((n % 251).toByte))
+      assert(same(Msgpack.decode(Msgpack.encode(b), s"bin$n"), b), s"bin len $n")
+    }
+    val bigArr = MArr(Vector.fill(65537)(MLong(1)))
+    assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
+  }
 }
