@@ -895,7 +895,8 @@ object Zarr {
         s"${za.name}: object string arrays need exactly one of the " +
           "vlen-utf8/msgpack2/json2 object codecs, " +
           s"got [${za.filters.map(_.id).mkString(",")}]")
-      require(za.cOrder, s"${za.name}: F-order object chunks unsupported")
+      // C and F element orders both decode: the chunk walk's emit()
+      // unravels flat item positions in the chunk's own order
       za.filters.head.id
     } else ""
     if (!isObj) {
@@ -1044,8 +1045,8 @@ object Zarr {
       s"${za.name}: readBinary needs the vlen-bytes or msgpack2 object codec, " +
         s"got [${za.filters.map(_.id).mkString(",")}] (json2 cannot carry bytes)")
     val objCodec = za.filters.head.id
-    require(za.sharding.isEmpty && za.cOrder,
-      s"${za.name}: binary object arrays supported for plain C-order chunks only")
+    require(za.sharding.isEmpty,
+      s"${za.name}: binary object arrays supported for plain (unsharded) chunks only")
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
@@ -1059,6 +1060,7 @@ object Zarr {
     }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (comp, sep, zCrc) = (za.compressor, za.dimSeparator, za.crc32c)
+    val cOrder = za.cOrder
     val keyPrefix = za.keyPrefix
     val chunkElems = cdims.product.toInt
     val slices = math.max(1, math.min(chunkCoords.size,
@@ -1086,8 +1088,13 @@ object Zarr {
         (0 until chunkElems).iterator.flatMap { flat =>
           var rem = flat.toLong
           val idx = new Array[Long](rank)
-          var i = rank - 1
-          while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+          if (cOrder) {
+            var i = rank - 1
+            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+          } else { // F order: FIRST dim varies fastest in the payload
+            var i = 0
+            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
+          }
           var inBounds = true
           var j = 0
           while (j < rank) {

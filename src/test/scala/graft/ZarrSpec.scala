@@ -1031,6 +1031,45 @@ class ZarrSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("not a string")))
   }
 
+  test("F-order object chunks: string and binary arrays unravel column-major") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_forder_").toFile
+    // 2x3 |O vlen-utf8 array, order F: payload items run (0,0),(1,0),
+    // (0,1),(1,1),(0,2),(1,2)
+    val sDir = new File(root, "s"); sDir.mkdirs()
+    writeText(new File(sDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 3], "dtype": "|O",
+        | "compressor": null, "fill_value": null,
+        | "filters": [{"id": "vlen-utf8"}], "order": "F"}""".stripMargin)
+    val items = for (c <- 0 until 3; r <- 0 until 2) yield s"f$r$c"
+    val total = 4 + items.map(4 + _.getBytes("UTF-8").length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(items.length)
+    items.foreach { s => val b = s.getBytes("UTF-8"); bb.putInt(b.length); bb.put(b) }
+    write(new File(sDir, "0.0"), bb.array())
+    val got = Zarr.readStrings(spark, root.getPath, "s").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getString(2))).toMap
+    for (r <- 0 until 2; c <- 0 until 3)
+      assert(got((r, c)) == s"f$r$c", s"($r,$c)")
+    // same layout through readBinary (vlen-bytes, F order)
+    val bDir = new File(root, "b"); bDir.mkdirs()
+    writeText(new File(bDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 3], "dtype": "|O",
+        | "compressor": null, "fill_value": null,
+        | "filters": [{"id": "vlen-bytes"}], "order": "F"}""".stripMargin)
+    val bItems = for (c <- 0 until 3; r <- 0 until 2)
+      yield Array((10 * r + c).toByte, 0xFF.toByte)
+    val bTotal = 4 + bItems.map(4 + _.length).sum
+    val bbb = ByteBuffer.allocate(bTotal).order(ByteOrder.LITTLE_ENDIAN)
+    bbb.putInt(bItems.length)
+    bItems.foreach { b => bbb.putInt(b.length); bbb.put(b) }
+    write(new File(bDir, "0.0"), bbb.array())
+    val gotB = Zarr.readBinary(spark, root.getPath, "b").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.get(2).asInstanceOf[Array[Byte]].toSeq)).toMap
+    for (r <- 0 until 2; c <- 0 until 3)
+      assert(gotB((r, c)) == Seq((10 * r + c).toByte, 0xFF.toByte), s"bin ($r,$c)")
+  }
+
   test("msgpack2 decode pins to HAND-AUTHORED spec bytes, not the repo encoder") {
     // chunk bytes written from the MessagePack spec by hand:
     // fixarray(4) [ fixstr(3)"hé", nil, fixstr(2)"|O", fixarray(1)[2] ]
