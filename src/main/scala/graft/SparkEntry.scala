@@ -6651,6 +6651,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    "q_temperature_mixture" -> ((s, dir) => {
+      // r12: temperature-scaled rebalance (Sampling.temperatureMixture,
+      // the p_i ∝ n_i^alpha multilingual-pretraining rule) at alpha=0.5:
+      // keep rate (n_min/n_i)^0.5 per language, smallest language kept
+      // whole. sqrt/mult/div are IEEE-exact, so the oracle replays the
+      // rates and the salted-md5 membership bit-identically.
+      graft.pipeline.Sampling.temperatureMixture(
+          t(s, dir, "documents"), "lang", col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // Context-window packing (Packing.packGreedy): shard-local greedy
       // layout of whitespace token counts into 512-token bins, 16 shards.
@@ -6782,6 +6793,16 @@ object SparkEntry {
         |  from j cross join mt)
         |select d.doc_id, d.lang, d.source from documents d join r using (lang)
         |where cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), 'graft-mix')), 1, 13))
+        |  as ubigint) as double)/4503599627370496.0 < rate""".stripMargin,
+
+    "q_temperature_mixture" ->
+      """with c as (select lang, count(*) cnt from documents group by 1),
+        |mt as (select min(cast(cnt as double)/sqrt(cast(cnt as double))) tt from c),
+        |r as (select lang, least(cast(1.0 as double),
+        |  tt*sqrt(cast(cnt as double))/cast(cnt as double)) rate
+        |  from c cross join mt)
+        |select d.doc_id, d.lang, d.source from documents d join r using (lang)
+        |where cast(cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), 'graft-temp')), 1, 13))
         |  as ubigint) as double)/4503599627370496.0 < rate""".stripMargin,
 
     "q_pack_sequences" ->

@@ -89,6 +89,41 @@ object Sampling {
     * any size stay memory-bounded. For k << |stratum| at extreme scale,
     * pre-filter with `hashSample` at a safe over-rate first to shrink the
     * sort input. */
+  /** Temperature-scaled rebalance — the multilingual-pretraining mixture
+    * rule (sample share p_i ∝ n_i^alpha, alpha ∈ [0,1]; mC4/XLM-R style):
+    * derive per-key keep rates from the OBSERVED counts,
+    * rate_i = min(1, t·n_i^alpha/n_i) with t = min_j n_j^(1-alpha) — the
+    * smallest group is kept whole and larger groups are downsampled
+    * toward the tempered share (alpha=1 keeps everything, alpha=0
+    * equalizes group sizes). Wholly in-plan: one count aggregate, a
+    * 1-row feasibility broadcast, a broadcast rates join, salted-md5
+    * membership — the [[mixtureSample]] scaffold with weights computed
+    * from the data instead of a driver-side target map.
+    *
+    * alpha = 0.5 is computed via `sqrt` (IEEE-exact, so an external
+    * oracle replays rates bit-identically); other alphas go through
+    * `pow`, whose last-ulp behavior is libm-specific — fine for
+    * production sampling, not for hash-exact replay. */
+  def temperatureMixture(df: DataFrame, keyCol: String, id: Column,
+                         alpha: Double, salt: String = "graft-temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val cnt = col("_cnt").cast("double")
+    val w =
+      if (alpha == 0.5) sqrt(cnt)
+      else if (alpha == 0.0) lit(1.0)
+      else if (alpha == 1.0) cnt
+      else pow(cnt, lit(alpha))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_w", w)
+    val tRow = counts.select(min(cnt / col("_w")).as("_t"))
+    val rates = counts.crossJoin(broadcast(tRow))
+      .select(col(keyCol),
+        least(lit(1.0), col("_t") * col("_w") / cnt).as("_rate"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(hashFraction(id, salt) < col("_rate"))
+      .drop("_rate")
+  }
+
   def stratifiedSample(df: DataFrame, strata: Seq[String], id: Column, k: Int,
                        salt: String = "graft"): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*)

@@ -1360,6 +1360,29 @@ class PropertySpec extends AnyFunSuite {
       "epochs 1 and 2 must be (nearly) disjoint permutations")
   }
 
+  test("temperatureMixture: alpha=1 keeps all, alpha=0 equalizes, 0.5 tempers") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // three groups, 4000/1000/250 rows — exact 4:1 ratios so the tempered
+    // expectations are clean
+    val df = ((0 until 4000).map(i => (i.toLong, "big")) ++
+      (4000 until 5000).map(i => (i.toLong, "mid")) ++
+      (5000 until 5250).map(i => (i.toLong, "small")))
+      .toDF("id", "grp")
+    assert(Sampling.temperatureMixture(df, "grp", col("id"), alpha = 1.0)
+      .count() == 5250) // alpha=1: rates all 1
+    val eq = Sampling.temperatureMixture(df, "grp", col("id"), alpha = 0.0)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0: every group targets the smallest size (binomial noise ~±6%)
+    assert(eq("small") == 250)
+    assert(math.abs(eq("big") - 250) < 50 && math.abs(eq("mid") - 250) < 50, eq.toString)
+    val tm = Sampling.temperatureMixture(df, "grp", col("id"), alpha = 0.5)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5: rate_i = sqrt(n_min/n_i) -> big 0.25, mid 0.5, small 1
+    assert(tm("small") == 250)
+    assert(math.abs(tm("big") - 1000) < 120 && math.abs(tm("mid") - 500) < 90, tm.toString)
+  }
+
   test("msgpack encode/decode round-trips random nested value trees") {
     import graft.sources.Msgpack
     import graft.sources.Msgpack._
