@@ -5968,6 +5968,25 @@ object SparkEntry {
         .orderBy("idx")
     }),
 
+    "q_zarr_datetime" -> ((s, dir) => {
+      // r12: datetime64 ingest under the gate — <M8[ns] with a NaT and an
+      // absent chunk (both → NULL) plus >M8[s] zlib big-endian with a
+      // negative epoch value; exact Long micros conversion (the Double
+      // channel would round ns epochs past 2^53). The oracle states the
+      // instants literally.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_dt_store_v1")
+      if (!new java.io.File(storeDir, "t/.zarray").isFile)
+        graft.sources.Zarr.plantedDatetimeStore(storeDir.getPath)
+      val t = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "t")
+        .select(lit("t").as("src"), col("i").cast("long").as("idx"),
+          col("value").as("v"))
+      val ts = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "ts")
+        .select(lit("ts").as("src"), col("i").cast("long").as("idx"),
+          col("value").as("v"))
+      t.unionByName(ts).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_write_v3" -> ((s, dir) => {
       // r12: the Zarr V3 export twins under the gate — writeArrayV3
       // (float64, [bytes le, gzip] codecs, c/<i> default keys, exact
@@ -6424,6 +6443,22 @@ object SparkEntry {
         |  from range(0, 5) r(t)
         |  union all
         |  select 'mblobs', cast(g as bigint), hx from bh
+        |) order by src, idx""".stripMargin,
+
+    // t: base 2001-02-03T04:05:06.123456789 + i days, ns → micros
+    // truncation; NaT at 2 and the absent chunk 3..5 → NULL
+    "q_zarr_datetime" ->
+      """select * from (
+        |  select 't' src, cast(i as bigint) idx,
+        |    case when i = 2 or i between 3 and 5 then null
+        |      else timestamp '2001-02-03 04:05:06.123456'
+        |        + to_days(cast(i as int)) end v
+        |  from range(0, 7) r(i)
+        |  union all
+        |  select 'ts', cast(i as bigint),
+        |    case when i = 0 then timestamp '1970-01-01 00:00:00'
+        |      else timestamp '1969-12-31 23:59:59' end
+        |  from range(0, 2) r(i)
         |) order by src, idx""".stripMargin,
 
     // v3 writers: vals 6..8 / labels 0..3 sit in never-written chunks →

@@ -167,7 +167,8 @@ object Zarr {
                           attrs: Map[String, Double], dimNames: Seq[String],
                           keyPrefix: String = "", crc32c: Boolean = false,
                           sharding: Option[ShardMeta] = None,
-                          filters: Seq[ZFilter] = Nil)
+                          filters: Seq[ZFilter] = Nil,
+                          dtUnit: String = "")
 
   /** One numcodecs v2 `filters` entry. On ENCODE the writer ran the chain
     * in list order (each filter reading its `dtype`, emitting its
@@ -211,10 +212,18 @@ object Zarr {
       case c         => throw new IllegalArgumentException(s"bad byte order '$c' in dtype '$dt'")
     }
     val kind = dt.charAt(1)
-    require("fiubSUO".indexOf(kind) >= 0,
-      s"unsupported dtype kind '$kind' in '$dt'")
-    val n = if (kind == 'O') 0 else dt.drop(2).toInt
-    (kind, if (kind == 'U') 4 * n else n, little)
+    require("fiubSUOM".indexOf(kind) >= 0,
+      s"unsupported dtype kind '$kind' in '$dt' " +
+        "(timedelta64 'm' has no Spark value model)")
+    if (kind == 'M') {
+      // datetime64: '<M8[ns]' etc. — epoch int64 in the bracketed unit
+      require(dt.length > 3 && dt.charAt(2) == '8',
+        s"datetime64 dtype must be 8 bytes, got '$dt'")
+      (kind, 8, little)
+    } else {
+      val n = if (kind == 'O') 0 else dt.drop(2).toInt
+      (kind, if (kind == 'U') 4 * n else n, little)
+    }
   }
 
   private def readText(f: File): String = {
@@ -326,9 +335,15 @@ object Zarr {
         case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
         case _               => None // string/array attrs don't affect decode
       }
+    val dtUnit = if (kind == 'M') {
+      val dt = m("dtype").asInstanceOf[String]
+      val i = dt.indexOf('['); val j = dt.indexOf(']')
+      require(i > 0 && j > i, s"datetime64 dtype '$dt' lacks a [unit]")
+      dt.substring(i + 1, j)
+    } else ""
     ZArray(if (name.isEmpty) dir.getName else name, asLongs(m("shape")),
       asLongs(m("chunks")), kind, size, little, comp, fill,
-      order == "C", sep, attrs, dimNames, filters = filters)
+      order == "C", sep, attrs, dimNames, filters = filters, dtUnit = dtUnit)
   }
 
   /** Zarr v3 `zarr.json` array metadata → the shared [[ZArray]] model.
@@ -723,7 +738,8 @@ object Zarr {
   def readVariable(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
     require("fiub".indexOf(za.dtKind) >= 0,
-      s"${za.name}: dtype kind '${za.dtKind}' is a string array — use readStrings")
+      s"${za.name}: dtype kind '${za.dtKind}' is not numeric — " +
+        "use readStrings/readBinary/readDatetimes")
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
@@ -1109,6 +1125,104 @@ object Zarr {
     val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
     val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
       col("_2").as("value")
+    raw.toDF().select(cols: _*)
+  }
+
+  /** `datetime64` arrays (`<M8[ns]` … `<M8[D]`) as (dim…, value
+    * TIMESTAMP): epoch int64 in the dtype's bracketed unit, converted to
+    * microseconds with EXACT Long arithmetic (an ns timestamp exceeds
+    * 2^53 ~104 days after 1970, so the Double channel of
+    * [[readVariable]] would silently round it). numpy's NaT sentinel
+    * (Long.MinValue) and absent chunks read as NULL; sub-microsecond
+    * ns precision truncates toward -∞ (floorDiv), matching Spark's own
+    * nanosecond-parquet narrowing. Same chunk-parallel plan as the
+    * other readers. */
+  def readDatetimes(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    require(za.dtKind == 'M',
+      s"${za.name}: dtype kind '${za.dtKind}' is not datetime64 — " +
+        "use readVariable/readStrings")
+    require(za.filters.isEmpty,
+      s"${za.name}: filtered datetime64 arrays unsupported, " +
+        s"got [${za.filters.map(_.id).mkString(",")}]")
+    require(za.sharding.isEmpty,
+      s"${za.name}: sharded datetime64 arrays unsupported")
+    // unit → exact micros: (multiplier, divisor); one of them is 1
+    val (mul, div) = za.dtUnit match {
+      case "ns" => (1L, 1000L)
+      case "us" => (1L, 1L)
+      case "ms" => (1000L, 1L)
+      case "s"  => (1000000L, 1L)
+      case "m"  => (60000000L, 1L)
+      case "h"  => (3600000000L, 1L)
+      case "D"  => (86400000000L, 1L)
+      case u => throw new IllegalArgumentException(
+        s"${za.name}: datetime64 unit '$u' unsupported (ns/us/ms/s/m/h/D)")
+    }
+    import spark.implicits._
+    val rank = za.shape.length
+    val dims = za.shape.toArray
+    val cdims = za.chunks.toArray
+    val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
+    val chunkCoords: Seq[Array[Int]] = {
+      def expand(d: Int): Seq[List[Int]] =
+        if (d == rank) Seq(Nil)
+        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
+      expand(0).map(_.toArray)
+    }
+    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val (comp, sep, zCrc, little) =
+      (za.compressor, za.dimSeparator, za.crc32c, za.littleEndian)
+    val cOrder = za.cOrder
+    val keyPrefix = za.keyPrefix
+    val chunkElems = cdims.product.toInt
+    val slices = math.max(1, math.min(chunkCoords.size,
+      math.max(64, spark.sparkContext.defaultParallelism * 2)))
+    val raw: org.apache.spark.sql.Dataset[(Array[Long], Option[Long])] =
+      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
+        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val vals: Option[Int => Option[Long]] =
+          if (!f.isFile) None // absent chunk → NULL values
+          else {
+            val raf = new RandomAccessFile(f, "r")
+            val all = try {
+              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+            } finally raf.close()
+            val stored = if (zCrc) stripCrc32c(all, f.getName) else all
+            val plain = decompress(comp, stored, chunkElems * 8, allowDelta = false)
+            val bb = java.nio.ByteBuffer.wrap(plain).order(
+              if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+              else java.nio.ByteOrder.BIG_ENDIAN)
+            Some { i =>
+              val v = bb.getLong(i * 8)
+              if (v == Long.MinValue) None // numpy NaT
+              else Some(Math.floorDiv(Math.multiplyExact(v, mul), div))
+            }
+          }
+        (0 until chunkElems).iterator.flatMap { flat =>
+          var rem = flat.toLong
+          val idx = new Array[Long](rank)
+          if (cOrder) {
+            var i = rank - 1
+            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+          } else {
+            var i = 0
+            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
+          }
+          var inBounds = true
+          var j = 0
+          while (j < rank) {
+            idx(j) += cc(j).toLong * cdims(j)
+            if (idx(j) >= dims(j)) inBounds = false
+            j += 1
+          }
+          if (!inBounds) None
+          else Some((idx, vals.flatMap(_(flat))))
+        }
+      }.toDS()
+    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
+      timestamp_micros(col("_2")).as("value")
     raw.toDF().select(cols: _*)
   }
 
@@ -1507,6 +1621,55 @@ object Zarr {
   def plantedPayload(g: Int): Array[Byte] =
     Array.tabulate(2 + g % 5)(k => ((37 * g + 11 * k) % 256).toByte)
 
+  /** Fixture store for the r12 datetime64 reader, closed-form: `t` —
+    * `<M8[ns]`, shape [7] chunks [3], chunk 1 ABSENT → NULL at 3..5,
+    * element 2 = NaT (Long.MinValue) → NULL, value
+    * 2001-02-03T04:05:06.123456789Z + i days (ns precision pins the
+    * floorDiv-to-micros truncation); `ts` — `>M8[s]`, zlib, epoch and
+    * epoch−1s (big-endian + negative-value path). */
+  def plantedDatetimeStore(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val tDir = new File(store, "t"); tDir.mkdirs()
+    writeBytes(new File(tDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
+         | "dtype": "<M8[ns]", "compressor": null, "fill_value": null,
+         | "filters": null, "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(tDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    val baseSec = 981173106L // 2001-02-03T04:05:06Z
+    for (c <- Seq(0, 2)) {
+      val bb = java.nio.ByteBuffer.allocate(3 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach { j =>
+        val g = c * 3 + j
+        bb.putLong(
+          if (g == 2) Long.MinValue
+          else if (g >= 7) 0L
+          else (baseSec + g * 86400L) * 1000000000L + 123456789L)
+      }
+      writeBytes(new File(tDir, s"$c"), bb.array())
+    }
+    val sDir = new File(store, "ts"); sDir.mkdirs()
+    writeBytes(new File(sDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [2], "chunks": [2],
+         | "dtype": ">M8[s]", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    writeBytes(new File(sDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    val sb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.BIG_ENDIAN)
+    sb.putLong(0L); sb.putLong(-1L)
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(sb.array()); d.finish()
+    val out = new Array[Byte](64)
+    val n = d.deflate(out); d.end()
+    writeBytes(new File(sDir, "0"), out.take(n))
+  }
+
   /** Fixture store for the r12 numcodecs object codecs, closed-form:
     *
     *   `mlabels` — |O + msgpack2 + zlib, shape [7] chunks [3], chunk 1
@@ -1724,6 +1887,7 @@ object Zarr {
         if (za.dtKind == 'O' && za.filters.map(_.id) == Seq("vlen-bytes"))
           readBinary(spark, store, za.name)
         else if ("SUO".indexOf(za.dtKind) >= 0) readStrings(spark, store, za.name)
+        else if (za.dtKind == 'M') readDatetimes(spark, store, za.name)
         else readVariable(spark, store, za.name)
       df.write.mode("overwrite").parquet(s"$outDir/${za.name}")
       za.name

@@ -1031,6 +1031,56 @@ class ZarrSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("not a string")))
   }
 
+  test("datetime64 arrays read as TIMESTAMP: ns with NaT + absent chunk, >M8[s]") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_dt_").toFile
+    // t: <M8[ns], shape [7] chunks [3], chunk 1 absent → NULL at 3..5;
+    // element 2 = NaT; values 2001-02-03T04:05:06.123456789 + i days
+    val base = java.time.Instant.parse("2001-02-03T04:05:06.123456789Z")
+    val tDir = new File(root, "t"); tDir.mkdirs()
+    writeText(new File(tDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [7], "chunks": [3], "dtype": "<M8[ns]",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    writeText(new File(tDir, ".zattrs"), """{"_ARRAY_DIMENSIONS": ["i"]}""")
+    def nsOf(i: Int): Long =
+      Math.addExact(Math.multiplyExact(base.getEpochSecond + i * 86400L, 1000000000L),
+        base.getNano.toLong)
+    for (c <- Seq(0, 2)) {
+      val bb = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach { j =>
+        val g = c * 3 + j
+        bb.putLong(if (g == 2) Long.MinValue else if (g >= 7) 0L else nsOf(g))
+      }
+      write(new File(tDir, s"$c"), bb.array())
+    }
+    val got = Zarr.readDatetimes(spark, root.getPath, "t").collect()
+      .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toMap
+    assert(got.size == 7)
+    for (i <- Seq(0, 1, 6)) {
+      val exp = java.sql.Timestamp.from(
+        base.plusSeconds(i * 86400L).truncatedTo(java.time.temporal.ChronoUnit.MICROS))
+      assert(got(i).contains(exp), s"elem $i: ${got(i)} vs $exp")
+    }
+    assert(got(2).isEmpty, "NaT must read NULL")
+    for (i <- 3 to 5) assert(got(i).isEmpty, s"absent chunk elem $i")
+    // big-endian seconds variant
+    val sDir = new File(root, "ts"); sDir.mkdirs()
+    writeText(new File(sDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": ">M8[s]",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    val sb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+    sb.putLong(0L); sb.putLong(-1L) // epoch and one second before it
+    write(new File(sDir, "0"), sb.array())
+    val gs = Zarr.readDatetimes(spark, root.getPath, "ts").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(gs(0) == java.time.Instant.EPOCH &&
+      gs(1) == java.time.Instant.EPOCH.minusSeconds(1))
+    // numeric reader refuses the M kind loudly
+    intercept[IllegalArgumentException](
+      Zarr.readVariable(spark, root.getPath, "t"))
+  }
+
   test("F-order object chunks: string and binary arrays unravel column-major") {
     val root = java.nio.file.Files.createTempDirectory("zarr_forder_").toFile
     // 2x3 |O vlen-utf8 array, order F: payload items run (0,0),(1,0),
