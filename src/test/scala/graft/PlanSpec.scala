@@ -40,7 +40,8 @@ class PlanSpec extends AnyFunSuite {
     "q_linkgraph_pagerank", // one-row corpus-count broadcast (n for % n)
     "q_anchor_text", // one-row corpus-count broadcast (n for % n)
     "q_token_budget", // one-row budget + water-level broadcasts
-    "q_cms_tokens") // 5-row probe-list broadcast vs distinct groups
+    "q_cms_tokens", // 5-row probe-list broadcast vs distinct groups
+    "q_temperature_mixture") // one-row feasibility-min broadcast (mixture scaffold)
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
