@@ -82,6 +82,20 @@ object ScaleRehearsalR12 {
         .where(col("value").isNotNull).count()
       require(n == 500000L, s"round trip lost rows: $n")
     }
+
+    // 4) temperature mixture over 10M rows x 100 zipf-ish groups: one
+    // count aggregate + two 1-to-100-row broadcasts + a scan-side filter
+    // — no data-sized shuffle beyond the count
+    val corpus = spark.range(10000000).select(col("id"),
+      concat(lit("g"), pmod(pmod(col("id"), lit(997)) * pmod(col("id"), lit(991)),
+        lit(100))).as("grp"))
+    time("temperatureMixture alpha=0.5 over 10M rows, 100 groups") {
+      val kept = graft.pipeline.Sampling
+        .temperatureMixture(corpus, "grp", col("id"), alpha = 0.5)
+        .count()
+      require(kept > 0 && kept < 10000000L, s"degenerate sample: $kept")
+      println(s"[rehearsal]   kept $kept of 10000000")
+    }
     spark.stop()
   }
 }
