@@ -105,9 +105,12 @@ object Main {
         val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir)
         println(s"$store -> $outDir (${vars.mkString(", ")})")
         spark.stop()
-      case "convert-zarr" :: "--reverse" :: rest0 if rest0.length >= 2 =>
+      case "convert-zarr" :: "--reverse" :: rest0
+          if rest0.filterNot(_ == "--v3").length == 2 &&
+             rest0.length <= 3 =>
         // lake -> Zarr store (executors write their own chunk files);
-        // --v3 selects the zarr-python-3 default format
+        // --v3 selects the zarr-python-3 default format; any other arg
+        // shape falls through to the usage message
         val v3 = rest0.contains("--v3")
         val args2 = rest0.filterNot(_ == "--v3")
         val (lakeDir, store) = (args2(0), args2(1))

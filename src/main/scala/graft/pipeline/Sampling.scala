@@ -83,12 +83,6 @@ object Sampling {
       .select(df.columns.map(col) :+ col("shuffle_pos"): _*)
   }
 
-  /** Stratified fixed-size sample: exactly min(k, |stratum|) rows per
-    * stratum, chosen by hash rank (ties impossible modulo md5 collisions).
-    * One shuffle on the stratum key; the window sort spills, so strata of
-    * any size stay memory-bounded. For k << |stratum| at extreme scale,
-    * pre-filter with `hashSample` at a safe over-rate first to shrink the
-    * sort input. */
   /** Temperature-scaled rebalance — the multilingual-pretraining mixture
     * rule (sample share p_i ∝ n_i^alpha, alpha ∈ [0,1]; mC4/XLM-R style):
     * derive per-key keep rates from the OBSERVED counts,
@@ -99,6 +93,9 @@ object Sampling {
     * 1-row feasibility broadcast, a broadcast rates join, salted-md5
     * membership — the [[mixtureSample]] scaffold with weights computed
     * from the data instead of a driver-side target map.
+    *
+    * Rows with a NULL key are dropped (they can never match the rates
+    * join) and excluded from the feasibility minimum.
     *
     * alpha = 0.5 is computed via `sqrt` (IEEE-exact, so an external
     * oracle replays rates bit-identically); other alphas go through
@@ -113,7 +110,12 @@ object Sampling {
       else if (alpha == 0.0) lit(1.0)
       else if (alpha == 1.0) cnt
       else pow(cnt, lit(alpha))
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
+    // NULL keys: the membership join below can never match them, so they
+    // are dropped from the OUTPUT by construction — they must also be
+    // dropped from the COUNTS, or a tiny NULL group would set the
+    // feasibility minimum t and crush every real group's keep rate
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_cnt"))
       .withColumn("_w", w)
     val tRow = counts.select(min(cnt / col("_w")).as("_t"))
     val rates = counts.crossJoin(broadcast(tRow))
@@ -124,6 +126,12 @@ object Sampling {
       .drop("_rate")
   }
 
+  /** Stratified fixed-size sample: exactly min(k, |stratum|) rows per
+    * stratum, chosen by hash rank (ties impossible modulo md5 collisions).
+    * One shuffle on the stratum key; the window sort spills, so strata of
+    * any size stay memory-bounded. For k << |stratum| at extreme scale,
+    * pre-filter with `hashSample` at a safe over-rate first to shrink the
+    * sort input. */
   def stratifiedSample(df: DataFrame, strata: Seq[String], id: Column, k: Int,
                        salt: String = "graft"): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*)

@@ -898,8 +898,8 @@ object Zarr {
     * index with inner vlen-utf8 chunks. Absent chunks yield NULL values;
     * a python `None` element decodes to NULL. Same chunk-parallel plan
     * as [[readVariable]]: the driver touches only metadata, executors
-    * read only their chunk files. Out of scope, rejected loudly: the
-    * `pickle` object codec, F-order object chunks. */
+    * read only their chunk files (C and F element orders both decode).
+    * Out of scope, rejected loudly: the `pickle` object codec. */
   def readStrings(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
     require("SUO".indexOf(za.dtKind) >= 0,
@@ -1102,24 +1102,8 @@ object Zarr {
             Some(decodeObjectBytes(objCodec, plain, chunkElems, f.getName))
           }
         (0 until chunkElems).iterator.flatMap { flat =>
-          var rem = flat.toLong
-          val idx = new Array[Long](rank)
-          if (cOrder) {
-            var i = rank - 1
-            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
-          } else { // F order: FIRST dim varies fastest in the payload
-            var i = 0
-            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
-          }
-          var inBounds = true
-          var j = 0
-          while (j < rank) {
-            idx(j) += cc(j).toLong * cdims(j)
-            if (idx(j) >= dims(j)) inBounds = false
-            j += 1
-          }
-          if (!inBounds) None
-          else Some((idx, items.map(_(flat)).orNull))
+          flatChunkIdx(flat, rank, cdims, cc, dims, cOrder)
+            .map(idx => (idx, items.map(_(flat)).orNull))
         }
       }.toDS()
     val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
@@ -1147,6 +1131,7 @@ object Zarr {
         s"got [${za.filters.map(_.id).mkString(",")}]")
     require(za.sharding.isEmpty,
       s"${za.name}: sharded datetime64 arrays unsupported")
+    val allowDelta = allowUnverifiedDelta(spark)
     // unit → exact micros: (multiplier, divisor); one of them is 1
     val (mul, div) = za.dtUnit match {
       case "ns" => (1L, 1000L)
@@ -1189,7 +1174,7 @@ object Zarr {
               val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
             } finally raf.close()
             val stored = if (zCrc) stripCrc32c(all, f.getName) else all
-            val plain = decompress(comp, stored, chunkElems * 8, allowDelta = false)
+            val plain = decompress(comp, stored, chunkElems * 8, allowDelta)
             val bb = java.nio.ByteBuffer.wrap(plain).order(
               if (little) java.nio.ByteOrder.LITTLE_ENDIAN
               else java.nio.ByteOrder.BIG_ENDIAN)
@@ -1200,30 +1185,41 @@ object Zarr {
             }
           }
         (0 until chunkElems).iterator.flatMap { flat =>
-          var rem = flat.toLong
-          val idx = new Array[Long](rank)
-          if (cOrder) {
-            var i = rank - 1
-            while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
-          } else {
-            var i = 0
-            while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
-          }
-          var inBounds = true
-          var j = 0
-          while (j < rank) {
-            idx(j) += cc(j).toLong * cdims(j)
-            if (idx(j) >= dims(j)) inBounds = false
-            j += 1
-          }
-          if (!inBounds) None
-          else Some((idx, vals.flatMap(_(flat))))
+          flatChunkIdx(flat, rank, cdims, cc, dims, cOrder)
+            .map(idx => (idx, vals.flatMap(_(flat))))
         }
       }.toDS()
     val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
     val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
       timestamp_micros(col("_2")).as("value")
     raw.toDF().select(cols: _*)
+  }
+
+  /** Flat in-chunk element position → global indices (None = past the
+    * array edge): C order unravels last-dim-fastest, F order
+    * first-dim-fastest — shared by the hand-rolled chunk walks
+    * (readBinary/readDatetimes; readVariable/readStrings go through
+    * their emit closures). */
+  private def flatChunkIdx(flat: Int, rank: Int, cdims: Array[Long],
+                           cc: Array[Int], dims: Array[Long],
+                           cOrder: Boolean): Option[Array[Long]] = {
+    var rem = flat.toLong
+    val idx = new Array[Long](rank)
+    if (cOrder) {
+      var i = rank - 1
+      while (i >= 0) { idx(i) = rem % cdims(i); rem /= cdims(i); i -= 1 }
+    } else {
+      var i = 0
+      while (i < rank) { idx(i) = rem % cdims(i); rem /= cdims(i); i += 1 }
+    }
+    var inBounds = true
+    var j = 0
+    while (j < rank) {
+      idx(j) += cc(j).toLong * cdims(j)
+      if (idx(j) >= dims(j)) inBounds = false
+      j += 1
+    }
+    if (inBounds) Some(idx) else None
   }
 
   private def order(bb: Array[Byte], le: Boolean): java.nio.ByteBuffer = {
@@ -2003,12 +1999,7 @@ object Zarr {
       castValue = col("value").cast("double"),
       fillBuf = n => Array.fill(n)(Double.NaN),
       setCell = (buf, off, r) => buf(off) = r.getDouble(2),
-      encodePlain = (buf, _) => {
-        val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.foreach(bb.putDouble)
-        bb.array()
-      },
+      encodePlain = (buf, _) => doublesLE(buf),
       compress = deflateZlib)
 
   /** Write one long-format frame (dim columns + `value` STRING) as a
@@ -2037,19 +2028,33 @@ object Zarr {
       castValue = col("value").cast("string"),
       fillBuf = n => Array.fill(n)(""),
       setCell = (buf, off, r) => buf(off) = r.getString(2),
-      encodePlain = (buf, chunkId) => {
-        val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val total = 4L + items.map(4L + _.length).sum
-        require(total <= Int.MaxValue,
-          s"chunk $chunkId vlen payload $total bytes exceeds the 2 GiB " +
-            "buffer limit; lower targetChunkElems")
-        val bb = java.nio.ByteBuffer.allocate(total.toInt)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.putInt(items.length)
-        items.foreach { b => bb.putInt(b.length); bb.put(b) }
-        bb.array()
-      },
+      encodePlain = vlenEncodePlain,
       compress = deflateZlib)
+
+  /** Chunk buffer of doubles → little-endian bytes (the `<f8`/v3
+    * `bytes le` payload) — shared by the v2 and v3 array writers. */
+  private def doublesLE(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  /** Chunk buffer of strings → the published VLen layout
+    * `[n u32 LE][len u32 LE + utf8]*` — shared by the v2 and v3 string
+    * writers; payloads past 2 GiB are a loud error. */
+  private def vlenEncodePlain(buf: Array[String], chunkId: Long): Array[Byte] = {
+    val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val total = 4L + items.map(4L + _.length).sum
+    require(total <= Int.MaxValue,
+      s"chunk $chunkId vlen payload $total bytes exceeds the 2 GiB " +
+        "buffer limit; lower targetChunkElems")
+    val bb = java.nio.ByteBuffer.allocate(total.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(items.length)
+    items.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
 
   private def deflateZlib(plain: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(6)
@@ -2094,12 +2099,7 @@ object Zarr {
       castValue = col("value").cast("double"),
       fillBuf = n => Array.fill(n)(Double.NaN),
       setCell = (buf, off, r) => buf(off) = r.getDouble(2),
-      encodePlain = (buf, _) => {
-        val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.foreach(bb.putDouble)
-        bb.array()
-      },
+      encodePlain = (buf, _) => doublesLE(buf),
       compress = gzipBytes)
 
   /** [[writeStrings]]'s Zarr v3 twin: `data_type: string` with the
@@ -2117,7 +2117,7 @@ object Zarr {
             s""""chunk_grid": {"name": "regular", "configuration": """ +
             s"""{"chunk_shape": [${chunkDims.mkString(", ")}]}}, """ +
             """"chunk_key_encoding": {"name": "default", "configuration": """ +
-            """{"separator": "/"}}, "fill_value": null, """ +
+            """{"separator": "/"}}, "fill_value": "", """ +
             """"codecs": [{"name": "vlen-utf8"}, """ +
             """{"name": "gzip", "configuration": {"level": 6}}], """ +
             s""""dimension_names": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}""")),
@@ -2125,18 +2125,7 @@ object Zarr {
       castValue = col("value").cast("string"),
       fillBuf = n => Array.fill(n)(""),
       setCell = (buf, off, r) => buf(off) = r.getString(2),
-      encodePlain = (buf, chunkId) => {
-        val items = buf.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val total = 4L + items.map(4L + _.length).sum
-        require(total <= Int.MaxValue,
-          s"chunk $chunkId vlen payload $total bytes exceeds the 2 GiB " +
-            "buffer limit; lower targetChunkElems")
-        val bb = java.nio.ByteBuffer.allocate(total.toInt)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.putInt(items.length)
-        items.foreach { b => bb.putInt(b.length); bb.put(b) }
-        bb.array()
-      },
+      encodePlain = vlenEncodePlain,
       compress = gzipBytes)
 
   /** Lake → Zarr store (the write twin of [[toParquetLake]], and the

@@ -1381,6 +1381,14 @@ class PropertySpec extends AnyFunSuite {
     // alpha=0.5: rate_i = sqrt(n_min/n_i) -> big 0.25, mid 0.5, small 1
     assert(tm("small") == 250)
     assert(math.abs(tm("big") - 1000) < 120 && math.abs(tm("mid") - 500) < 90, tm.toString)
+    // a tiny NULL-key group must NOT set the feasibility minimum (review
+    // finding): rates are unchanged and the null rows are dropped
+    val withNulls = df.unionByName(
+      (90000 until 90003).map(i => (i.toLong, null: String)).toDF("id", "grp"))
+    val nm = Sampling.temperatureMixture(withNulls, "grp", col("id"), alpha = 0.5)
+      .groupBy("grp").count().collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(!nm.contains(None), "null-key rows must be dropped")
+    assert(nm(Some("small")) == 250 && nm(Some("mid")) == tm("mid"), nm.toString)
   }
 
   test("msgpack encode/decode round-trips random nested value trees") {
