@@ -124,6 +124,22 @@ object Main {
           zarrFormat = if (v3) 3 else 2)
         println(s"$lakeDir -> $store (${vars.mkString(", ")})")
         spark.stop()
+      case "lake-info" :: root :: table :: Nil =>
+        // versioned-lake pointer inspection; no SparkSession needed (the
+        // pointer is one tiny file). Also the place the deployment
+        // contract is surfaced to operators.
+        graft.sources.VersionedLake.readPointer(root) match {
+          case Some(p) =>
+            println(s"versioned lake at $root: current snapshot " +
+              s"${graft.sources.VersionedLake.tableName(table, p.version)}, " +
+              s"last applied batchId ${p.lastBatch}")
+          case None => println(s"versioned lake at $root: uninitialized")
+        }
+        println("note: the pointer swap is an atomic RENAME, which is " +
+          "atomic on POSIX/HDFS only — on an object store (S3/GCS) deploy " +
+          "the swap as a conditional PUT (If-Match) or a transaction-log " +
+          "append instead; a plain S3 'rename' is copy+delete and can " +
+          "expose a torn pointer")
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -148,6 +164,7 @@ object Main {
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
             s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
             s"convert-zarr <store> <outDir> | convert-zarr --reverse [--v3] <lakeDir> <store> | " +
+            s"lake-info <root> <table> | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }

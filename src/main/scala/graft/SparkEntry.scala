@@ -5987,6 +5987,47 @@ object SparkEntry {
       t.unionByName(ts).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_datetime_filtered" -> ((s, dir) => {
+      // r13: the two temporal ingest paths the r12 reader loud-rejected —
+      // a Delta(i8)-filtered <M8[s] array (the canonical zarr-python
+      // recipe for monotonic time coordinates; NaT at 7 pins the wrap
+      // through the sentinel, chunk 2 absent → NULL) and a v3 SHARDED
+      // numpy.datetime64[us] array (missing inner chunk, NaT, edge
+      // clipping). The oracle states the instants closed-form.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_temporal_store_v1")
+      if (!new java.io.File(storeDir, "tf/.zarray").isFile)
+        graft.sources.Zarr.plantedTemporalStore(storeDir.getPath)
+      val tf = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "tf")
+        .select(lit("tf").as("src"), col("i").cast("long").as("idx"),
+          col("value").as("v"))
+      val tsh = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "tsh")
+        .select(lit("tsh").as("src"), col("i").cast("long").as("idx"),
+          col("value").as("v"))
+      tf.unionByName(tsh).orderBy(col("src"), col("idx"))
+    }),
+
+    "q_zarr_timedelta" -> ((s, dir) => {
+      // r13: timedelta64 → DayTimeIntervalType (exact-Long micros; NaT
+      // and absent chunks → NULL). Intervals don't survive the parquet/
+      // DuckDB comparison channel, so the evidence column anchors each
+      // duration to the epoch — TIMESTAMP compares exactly and pins the
+      // interval's micros through an independent engine. The INTERVAL
+      // schema itself is asserted in ZarrSpec.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_temporal_store_v1")
+      if (!new java.io.File(storeDir, "tf/.zarray").isFile)
+        graft.sources.Zarr.plantedTemporalStore(storeDir.getPath)
+      val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
+      val td = graft.sources.Zarr.readTimedeltas(s, storeDir.getPath, "td")
+        .select(lit("td").as("src"), col("i").cast("long").as("idx"),
+          (epoch + col("value")).as("v"))
+      val tdm = graft.sources.Zarr.readTimedeltas(s, storeDir.getPath, "tdm")
+        .select(lit("tdm").as("src"), col("i").cast("long").as("idx"),
+          (epoch + col("value")).as("v"))
+      td.unionByName(tdm).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_write_v3" -> ((s, dir) => {
       // r12: the Zarr V3 export twins under the gate — writeArrayV3
       // (float64, [bytes le, gzip] codecs, c/<i> default keys, exact
@@ -6459,6 +6500,44 @@ object SparkEntry {
         |    case when i = 0 then timestamp '1970-01-01 00:00:00'
         |      else timestamp '1969-12-31 23:59:59' end
         |  from range(0, 2) r(i)
+        |) order by src, idx""".stripMargin,
+
+    // tf: 2003-05-07T08:09:10Z + g hours via Delta(i8)+zlib, NaT at 7 and
+    // the absent chunk 8..9 → NULL; tsh: 1999-12-31T23:59:58Z + i s + i µs
+    // sharded, NULL at the missing inner chunk (2,3) and the NaT (9)
+    "q_zarr_datetime_filtered" ->
+      """select * from (
+        |  select 'tf' src, cast(g as bigint) idx,
+        |    case when g >= 7 then null
+        |      else timestamp '2003-05-07 08:09:10'
+        |        + to_hours(cast(g as int)) end v
+        |  from range(0, 10) r(g)
+        |  union all
+        |  select 'tsh', cast(i as bigint),
+        |    case when i in (2, 3, 9) then null
+        |      else timestamp '1999-12-31 23:59:58'
+        |        + to_seconds(cast(i as int))
+        |        + to_microseconds(cast(i as int)) end
+        |  from range(0, 12) r(i)
+        |) order by src, idx""".stripMargin,
+
+    // durations anchored to the epoch (intervals don't survive the
+    // parquet channel): td in ms with NaT at 4, tdm in MINUTES with NaT
+    // at 1 — both signs pin the pmod/div day-carry
+    "q_zarr_timedelta" ->
+      """select * from (
+        |  select 'td' src, cast(i as bigint) idx,
+        |    case when i = 4 then null
+        |      else timestamp '1970-01-01' + to_milliseconds(
+        |        case i when 0 then 0 when 1 then 1 when 2 then -1
+        |               when 3 then 90061123 else -90061123 end) end v
+        |  from range(0, 6) r(i)
+        |  union all
+        |  select 'tdm', cast(i as bigint),
+        |    case when i = 1 then null
+        |      else timestamp '1970-01-01'
+        |        + to_minutes(case when i = 0 then 90 else -90 end) end
+        |  from range(0, 3) r(i)
         |) order by src, idx""".stripMargin,
 
     // v3 writers: vals 6..8 / labels 0..3 sit in never-written chunks →

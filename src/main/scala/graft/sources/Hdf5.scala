@@ -732,6 +732,112 @@ object Hdf5 {
     } finally r.close()
   }
 
+  /** Chunk-record RDD with executor-side record computation where the
+    * index is a REGULAR GRID — the 100 TB ingest path (r13, mirroring
+    * Zarr's range-based chunk walk):
+    *
+    *   - implicit index (kind 2): address = base + flat·chunkBytes is
+    *     pure math — `spark.range` + unravel, zero driver state;
+    *   - fixed array (kind 3): the driver parses ONLY the ~30-byte FAHD
+    *     header; each range partition bulk-reads its own contiguous
+    *     entry span from the FADB data block (one seek per task). The
+    *     whole-block checksum is NOT verified on this path (a 10^8-entry
+    *     block can't be driver-verified anyway); per-chunk decode errors
+    *     still fail loudly downstream.
+    *   - everything else (v1/v2 B-trees, extensible arrays, single
+    *     chunk): genuinely irregular driver-parsed records, shipped via
+    *     `parallelize` as before.
+    */
+  private def chunkRdd(spark: SparkSession, path: String, ds: Dataset)
+      : org.apache.spark.rdd.RDD[Chunk] = {
+    val cdims = ds.chunkDims.dropRight(1).toArray
+    val counts = ds.dims.toArray.zip(cdims).map { case (d, c) => ((d + c - 1) / c).toInt }
+    val nChunks = counts.foldLeft(1L)((a, n) => a * n)
+    val slices = math.max(1L, math.min(nChunks,
+      math.max(64, spark.sparkContext.defaultParallelism * 2).toLong)).toInt
+    def gridOffsets(flat: Long): Seq[Long] = {
+      val idx = new Array[Long](counts.length)
+      var rem = flat; var i = counts.length - 1
+      while (i >= 0) { idx(i) = (rem % counts(i)) * cdims(i); rem /= counts(i); i -= 1 }
+      idx.toSeq
+    }
+    ds.chunkIndex match {
+      case 2 => // implicit: unfiltered grid row-major from the base address
+        val base = ds.chunkBtree
+        val chunkBytes = ds.chunkDims.product
+        spark.sparkContext.range(0L, nChunks, numSlices = slices).map { flat =>
+          Chunk(base + flat * chunkBytes, chunkBytes, gridOffsets(flat))
+        }
+      case 3 => // fixed array: executors range-read their FADB entry spans
+        val r = new Reader(path)
+        val fa = try fixedArrayMeta(r, ds) finally r.close()
+        require(fa.maxEntries == nChunks,
+          s"fixed-array entries ${fa.maxEntries} != grid $nChunks")
+        val chunkBytes = ds.chunkDims.product
+        val (clientId, entrySize, dataBlock) = (fa.clientId, fa.entrySize, fa.dataBlock)
+        // FADB prefix: signature(4) + version(1) + client id(1) + header addr(8)
+        val entriesAt = dataBlock + 14L
+        spark.sparkContext.range(0L, nChunks, numSlices = slices)
+          .mapPartitions { it =>
+            val idxs = it.toArray // one range partition = contiguous span
+            if (idxs.isEmpty) Iterator.empty
+            else {
+              val raf = new RandomAccessFile(path, "r")
+              try {
+                raf.seek(entriesAt + idxs.head * entrySize)
+                val buf = new Array[Byte](idxs.length * entrySize)
+                raf.readFully(buf)
+                val bb = java.nio.ByteBuffer.wrap(buf)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                idxs.iterator.map { flat =>
+                  val p = ((flat - idxs.head) * entrySize).toInt
+                  val addr = bb.getLong(p)
+                  if (clientId == 1) {
+                    val stored = (entrySize - 8 - 4) match {
+                      case 1 => (bb.get(p + 8) & 0xFF).toLong
+                      case 2 => (bb.getShort(p + 8) & 0xFFFF).toLong
+                      case 4 => bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+                      case 8 => bb.getLong(p + 8)
+                      case o => throw new IllegalArgumentException(s"stored-size width $o")
+                    }
+                    Chunk(addr, stored, gridOffsets(flat))
+                  } else Chunk(addr, chunkBytes, gridOffsets(flat))
+                }.toArray.iterator // materialize before the handle closes
+              } finally raf.close()
+            }
+          }
+      case _ => // irregular records: driver-parsed, shipped to executors
+        val chunks = chunkTable(path, ds)
+        val s2 = math.max(1, math.min(chunks.size,
+          math.max(64, spark.sparkContext.defaultParallelism * 2)))
+        spark.sparkContext.parallelize(chunks, s2)
+    }
+  }
+
+  private final case class FixedArrayMeta(clientId: Int, entrySize: Int,
+                                          maxEntries: Long, dataBlock: Long)
+
+  /** Parse ONLY the FAHD header (checksummed, ~30 bytes) — the entry
+    * data block is left for executors ([[chunkRdd]]) or the driver
+    * ([[fixedArrayChunks]]) to read. */
+  private def fixedArrayMeta(r: Reader, ds: Dataset): FixedArrayMeta = {
+    r.seek(ds.chunkBtree)
+    require(new String(r.bytes(4), "ASCII") == "FAHD", "bad fixed-array header")
+    val ver = r.u8(); require(ver == 0, s"fixed array v$ver")
+    val clientId = r.u8()
+    require(clientId == 0 || clientId == 1, s"fixed-array client $clientId")
+    val entrySize = r.u8()
+    val pageBits = r.u8()
+    val maxEntries = r.u64()
+    val dataBlock = r.u64()
+    checkMeta(r, ds.chunkBtree, "fixed-array header")
+    require(maxEntries <= (1L << pageBits),
+      s"paged fixed-array data blocks not supported ($maxEntries entries)")
+    require(if (clientId == 1) Set(13, 14, 16, 20)(entrySize) else entrySize == 8,
+      s"fixed-array entry size $entrySize for client $clientId")
+    FixedArrayMeta(clientId, entrySize, maxEntries, dataBlock)
+  }
+
   /** Row-major chunk-grid offsets covering the dataspace. */
   private def chunkGrid(ds: Dataset): Seq[Seq[Long]] = {
     val cdims = ds.chunkDims.dropRight(1)
@@ -747,29 +853,19 @@ object Hdf5 {
     * (client id 1) add the stored size + filter mask. Single-page data
     * blocks only (pages appear above 2^pageBits entries). */
   private def fixedArrayChunks(r: Reader, ds: Dataset): Seq[Chunk] = {
-    r.seek(ds.chunkBtree)
-    require(new String(r.bytes(4), "ASCII") == "FAHD", "bad fixed-array header")
-    val ver = r.u8(); require(ver == 0, s"fixed array v$ver")
-    val clientId = r.u8()
-    require(clientId == 0 || clientId == 1, s"fixed-array client $clientId")
-    val entrySize = r.u8()
-    val pageBits = r.u8()
-    val maxEntries = r.u64()
-    val dataBlock = r.u64()
-    checkMeta(r, ds.chunkBtree, "fixed-array header")
-    require(maxEntries <= (1L << pageBits),
-      s"paged fixed-array data blocks not supported ($maxEntries entries)")
-    r.seek(dataBlock)
+    val fa = fixedArrayMeta(r, ds)
+    r.seek(fa.dataBlock)
     require(new String(r.bytes(4), "ASCII") == "FADB", "bad fixed-array data block")
     val dver = r.u8(); require(dver == 0, s"fixed array data block v$dver")
     r.skip(1 + 8) // client id + header address
     val grid = chunkGrid(ds)
-    require(grid.size == maxEntries, s"fixed-array entries $maxEntries != grid ${grid.size}")
+    require(grid.size == fa.maxEntries,
+      s"fixed-array entries ${fa.maxEntries} != grid ${grid.size}")
     val chunkBytes = ds.chunkDims.product
     val out = grid.toIndexedSeq.map { offs =>
       val addr = r.u64()
-      if (clientId == 1) {
-        val szWidth = entrySize - 8 - 4 // entry = address + stored size + mask
+      if (fa.clientId == 1) {
+        val szWidth = fa.entrySize - 8 - 4 // entry = address + stored size + mask
         val stored = szWidth match {
           case 1 => r.u8().toLong
           case 2 => r.u16().toLong
@@ -781,7 +877,7 @@ object Hdf5 {
         Chunk(addr, stored, offs)
       } else Chunk(addr, chunkBytes, offs)
     }
-    checkMeta(r, dataBlock, "fixed-array data block")
+    checkMeta(r, fa.dataBlock, "fixed-array data block")
     out
   }
 
@@ -1244,13 +1340,10 @@ object Hdf5 {
             }
           }
       case 2 =>
-        val chunks = chunkTable(path, ds)
         val cdims = ds.chunkDims.dropRight(1).toArray
         val chunkElems = cdims.product.toInt
         val filters = ds.pipeline
-        val slices = math.max(1, math.min(chunks.size,
-          math.max(64, spark.sparkContext.defaultParallelism * 2)))
-        spark.sparkContext.parallelize(chunks, slices).flatMap { c =>
+        chunkRdd(spark, path, ds).flatMap { c =>
           val raf = new RandomAccessFile(path, "r")
           try {
             raf.seek(c.address)
@@ -1810,8 +1903,9 @@ object Hdf5 {
             def next(): (Array[Long], Double) = iter.next()
           }
         }
-      case 2 => // chunked: driver parses the chunk table, executors inflate
-        val chunks = chunkTable(path, ds)
+      case 2 => // chunked: executors compute/read their own chunk records
+        // for regular-grid indexes and inflate (cf. Zarr.readVariable);
+        // irregular B-tree records stay driver-parsed inside chunkRdd
         val cdims = ds.chunkDims.dropRight(1).toArray // last entry = element size
         val dimArr = dims.toArray
         val filters = ds.pipeline
@@ -1819,10 +1913,7 @@ object Hdf5 {
         val nbitCd = ds.nbitCd
         val soCd = ds.soCd
         val chunkElems = cdims.product.toInt
-        // slices scale with chunk count AND cluster size (cf. Zarr.readVariable)
-        val slices = math.max(1, math.min(chunks.size,
-          math.max(64, spark.sparkContext.defaultParallelism * 2)))
-        spark.sparkContext.parallelize(chunks, slices)
+        chunkRdd(spark, path, ds)
           .flatMap { c =>
             val raf = new RandomAccessFile(path, "r")
             try {

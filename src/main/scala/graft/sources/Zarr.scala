@@ -18,10 +18,11 @@ import java.io.{File, RandomAccessFile}
   * parse into the same [[ZArray]] model here.
   *
   * Scale design mirrors [[Hdf5]] and [[NetCDF]]: the driver reads ONLY
-  * the JSON metadata (a few hundred bytes per array) and enumerates the
-  * chunk grid; executors open/decompress/decode their chunks in parallel
-  * (`parallelize` over chunk coordinates → flatMap), so ingest
-  * parallelism is bounded by chunk count, not a driver scan. Absent
+  * the JSON metadata (a few hundred bytes per array) — never the chunk
+  * list; executors open/decompress/decode their chunks in parallel
+  * (`sparkContext.range` over the flat chunk count → coordinate unravel
+  * → flatMap), so ingest parallelism is bounded by chunk count while
+  * driver heap stays flat even at ~10^8 chunks (100 TB / 1 MB). Absent
   * chunk files — legal in Zarr, meaning "entirely fill_value" — are
   * detected executor-side and emitted from the closed form without any
   * I/O.
@@ -212,13 +213,13 @@ object Zarr {
       case c         => throw new IllegalArgumentException(s"bad byte order '$c' in dtype '$dt'")
     }
     val kind = dt.charAt(1)
-    require("fiubSUOM".indexOf(kind) >= 0,
-      s"unsupported dtype kind '$kind' in '$dt' " +
-        "(timedelta64 'm' has no Spark value model)")
-    if (kind == 'M') {
-      // datetime64: '<M8[ns]' etc. — epoch int64 in the bracketed unit
+    require("fiubSUOMm".indexOf(kind) >= 0,
+      s"unsupported dtype kind '$kind' in '$dt'")
+    if (kind == 'M' || kind == 'm') {
+      // datetime64/timedelta64: '<M8[ns]', '<m8[ms]' etc. — int64 epoch /
+      // duration in the bracketed unit
       require(dt.length > 3 && dt.charAt(2) == '8',
-        s"datetime64 dtype must be 8 bytes, got '$dt'")
+        s"datetime64/timedelta64 dtype must be 8 bytes, got '$dt'")
       (kind, 8, little)
     } else {
       val n = if (kind == 'O') 0 else dt.drop(2).toInt
@@ -335,10 +336,10 @@ object Zarr {
         case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
         case _               => None // string/array attrs don't affect decode
       }
-    val dtUnit = if (kind == 'M') {
+    val dtUnit = if (kind == 'M' || kind == 'm') {
       val dt = m("dtype").asInstanceOf[String]
       val i = dt.indexOf('['); val j = dt.indexOf(']')
-      require(i > 0 && j > i, s"datetime64 dtype '$dt' lacks a [unit]")
+      require(i > 0 && j > i, s"datetime64/timedelta64 dtype '$dt' lacks a [unit]")
       dt.substring(i + 1, j)
     } else ""
     ZArray(if (name.isEmpty) dir.getName else name, asLongs(m("shape")),
@@ -360,7 +361,24 @@ object Zarr {
       s"unexpected zarr_format ${m("zarr_format")} in zarr.json")
     require(m("node_type") == "array", s"$dir zarr.json is a ${m("node_type")}, not an array")
     val shape = asLongs(m("shape"))
-    val dtName = m("data_type").asInstanceOf[String]
+    // data_type is a plain name for core types, or zarr-python 3's
+    // structured dtype-extension form {"name": ..., "configuration": ...}
+    // for numpy.datetime64/timedelta64 (unit in the configuration; a
+    // scale_factor other than 1 multiplies epochs and is rejected until
+    // a public vector pins its composition order)
+    val (dtName, dtUnit) = m("data_type") match {
+      case s: String => (s, "")
+      case e: Map[String @unchecked, Any @unchecked] =>
+        val nm = e("name").asInstanceOf[String]
+        require(nm == "numpy.datetime64" || nm == "numpy.timedelta64",
+          s"unsupported structured v3 data_type '$nm'")
+        val cfg = e.getOrElse("configuration", Map.empty)
+          .asInstanceOf[Map[String, Any]]
+        val sf = cfg.getOrElse("scale_factor", 1.0).asInstanceOf[Double]
+        require(sf == 1.0, s"v3 $nm scale_factor $sf unsupported (1 only)")
+        (nm, cfg.getOrElse("unit", "ns").asInstanceOf[String])
+      case other => throw new IllegalArgumentException(s"bad data_type $other")
+    }
     val (kind, size) = dtName match {
       case "float64" => ('f', 8); case "float32" => ('f', 4)
       case "int64"   => ('i', 8); case "int32"   => ('i', 4)
@@ -370,6 +388,9 @@ object Zarr {
       // variable-length string/bytes (zarr-python 3's text and raw-bytes
       // dtypes, r12): elements live in a vlen codec payload, width 0
       case "string"  => ('O', 0); case "bytes"   => ('O', 0)
+      // int64 epochs/durations in dtUnit (r13): exact-Long readers
+      case "numpy.datetime64"  => ('M', 8)
+      case "numpy.timedelta64" => ('m', 8)
       case other     => throw new IllegalArgumentException(
         s"unsupported v3 data_type '$other' (complex/structured out of scope)")
     }
@@ -393,8 +414,10 @@ object Zarr {
       case other => throw new IllegalArgumentException(s"bad chunk_key_encoding $other")
     }
     // object arrays take a string/bytes fill (usually "") that the reader
-    // ignores — absent chunks yield NULL, matching the v2 object path
-    val fill = if (kind == 'O') None else m.getOrElse("fill_value", null) match {
+    // ignores — absent chunks yield NULL, matching the v2 object path;
+    // same for datetime/timedelta (whose fill would be a NaT sentinel)
+    val fill = if (kind == 'O' || kind == 'M' || kind == 'm') None
+      else m.getOrElse("fill_value", null) match {
       case null       => None
       case d: Double  => Some(d)
       case b: Boolean => Some(if (b) 1.0 else 0.0)
@@ -452,7 +475,7 @@ object Zarr {
       }
     ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
       little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc,
-      chain.sharding, filters)
+      chain.sharding, filters, dtUnit)
   }
 
   private final case class CodecChain(little: Boolean, cOrder: Boolean,
@@ -635,6 +658,28 @@ object Zarr {
   private[sources] def unfilter(bytes: Array[Byte], allFilters: Seq[ZFilter],
                                 nElems: Int, arrKind: Char = 'f', arrSize: Int = 8,
                                 arrLittle: Boolean = true): Array[Double] = {
+    val (longs, dbls) = unfilterChannels(bytes, allFilters, nElems,
+      arrKind, arrSize, arrLittle)
+    if (dbls != null) dbls else longs.map(_.toDouble)
+  }
+
+  /** Exact-Long unfilter for int64 epoch/duration arrays
+    * (datetime64/timedelta64): same chain walk as [[unfilter]], but the
+    * chain must stay in the integer channel end-to-end — a float step
+    * (quantize/bitround/float delta) would round ns epochs past 2^53. */
+  private[sources] def unfilterInt64(bytes: Array[Byte], allFilters: Seq[ZFilter],
+                                     nElems: Int, arrLittle: Boolean): Array[Long] = {
+    val (longs, _) = unfilterChannels(bytes, allFilters, nElems, 'i', 8, arrLittle)
+    require(longs != null,
+      "datetime64/timedelta64 filter chains must stay integer end-to-end " +
+        s"(got [${allFilters.map(_.id).mkString(",")}] — a float step " +
+        "would round int64 epochs past 2^53)")
+    longs
+  }
+
+  private def unfilterChannels(bytes: Array[Byte], allFilters: Seq[ZFilter],
+                               nElems: Int, arrKind: Char, arrSize: Int,
+                               arrLittle: Boolean): (Array[Long], Array[Double]) = {
     // numcodecs `shuffle` is a BYTE transpose over whatever the value
     // chain serialized — it only composes at the stream end (anything
     // after it would see transposed bytes), so trailing entries are
@@ -713,7 +758,7 @@ object Zarr {
         case other => throw new IllegalArgumentException(s"filter $other")
       }
     }
-    if (dbls != null) dbls else longs.map(_.toDouble)
+    (longs, dbls)
   }
 
   private[sources] def decodeAt(bb: java.nio.ByteBuffer, kind: Char, size: Int,
@@ -739,19 +784,12 @@ object Zarr {
     val za = readArrayMeta(store, name)
     require("fiub".indexOf(za.dtKind) >= 0,
       s"${za.name}: dtype kind '${za.dtKind}' is not numeric — " +
-        "use readStrings/readBinary/readDatetimes")
+        "use readStrings/readBinary/readDatetimes/readTimedeltas")
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    // driver-side: just the chunk-coordinate grid (metadata math, no I/O)
-    val chunkCoords: Seq[Array[Int]] = {
-      def expand(d: Int): Seq[List[Int]] =
-        if (d == rank) Seq(Nil)
-        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
-      expand(0).map(_.toArray)
-    }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (kind, size, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
@@ -767,14 +805,9 @@ object Zarr {
     val storedSize = filters.filterNot(_.id == "shuffle").lastOption
       .map(_.asSize).getOrElse(size)
 
-    // slices scale with BOTH chunk count and cluster size: a 1M-chunk store
-    // on a large cluster must not serialise through 64 tasks, while a
-    // 4-chunk fixture must not schedule 256 empties
-    val slices = math.max(1, math.min(chunkCoords.size,
-      math.max(64, spark.sparkContext.defaultParallelism * 2)))
     val sharding = za.sharding
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Double)] =
-      spark.sparkContext.parallelize(chunkCoords, slices)
+      chunkCoordRdd(spark, nChunksPerDim)
         .flatMap { cc =>
           // Emit the elements of one stored block (a whole chunk, or one
           // inner chunk of a shard) whose global origin is
@@ -927,12 +960,6 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val chunkCoords: Seq[Array[Int]] = {
-      def expand(d: Int): Seq[List[Int]] =
-        if (d == rank) Seq(Nil)
-        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
-      expand(0).map(_.toArray)
-    }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (kind, width, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
@@ -940,10 +967,8 @@ object Zarr {
     val (crc, sharding) = (za.crc32c, za.sharding)
     val chunkElems = cdims.product.toInt
     val allowDelta = allowUnverifiedDelta(spark)
-    val slices = math.max(1, math.min(chunkCoords.size,
-      math.max(64, spark.sparkContext.defaultParallelism * 2)))
     val raw: org.apache.spark.sql.Dataset[(Array[Long], String)] =
-      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
+      chunkCoordRdd(spark, nChunksPerDim).flatMap { cc =>
         val f = new File(dir, keyPrefix + cc.mkString(sep))
         // one sub-block of elements: `sub` dims, `origin` offset within
         // the outer chunk, the block's own element order
@@ -1068,21 +1093,13 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val chunkCoords: Seq[Array[Int]] = {
-      def expand(d: Int): Seq[List[Int]] =
-        if (d == rank) Seq(Nil)
-        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
-      expand(0).map(_.toArray)
-    }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (comp, sep, zCrc) = (za.compressor, za.dimSeparator, za.crc32c)
     val cOrder = za.cOrder
     val keyPrefix = za.keyPrefix
     val chunkElems = cdims.product.toInt
-    val slices = math.max(1, math.min(chunkCoords.size,
-      math.max(64, spark.sparkContext.defaultParallelism * 2)))
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Array[Byte])] =
-      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
+      chunkCoordRdd(spark, nChunksPerDim).flatMap { cc =>
         val f = new File(dir, keyPrefix + cc.mkString(sep))
         val items: Option[Array[Array[Byte]]] =
           if (!f.isFile) None // absent chunk → NULL values
@@ -1112,87 +1129,212 @@ object Zarr {
     raw.toDF().select(cols: _*)
   }
 
-  /** `datetime64` arrays (`<M8[ns]` … `<M8[D]`) as (dim…, value
-    * TIMESTAMP): epoch int64 in the dtype's bracketed unit, converted to
-    * microseconds with EXACT Long arithmetic (an ns timestamp exceeds
-    * 2^53 ~104 days after 1970, so the Double channel of
-    * [[readVariable]] would silently round it). numpy's NaT sentinel
-    * (Long.MinValue) and absent chunks read as NULL; sub-microsecond
-    * ns precision truncates toward -∞ (floorDiv), matching Spark's own
-    * nanosecond-parquet narrowing. Same chunk-parallel plan as the
-    * other readers. */
+  /** `datetime64` arrays (`<M8[ns]` … `<M8[D]`, v2 or v3
+    * `numpy.datetime64`) as (dim…, value TIMESTAMP): epoch int64 in the
+    * dtype's unit, converted to microseconds with EXACT Long arithmetic
+    * (an ns timestamp exceeds 2^53 ~104 days after 1970, so the Double
+    * channel of [[readVariable]] would silently round it). numpy's NaT
+    * sentinel (Long.MinValue) and absent chunks read as NULL;
+    * sub-microsecond ns precision truncates toward -∞ (floorDiv),
+    * matching Spark's own nanosecond-parquet narrowing. Integer-channel
+    * numcodecs filter chains (Delta-on-i8, the canonical monotonic-time
+    * recipe) and v3 sharded stores decode through the same machinery as
+    * the numeric readers; float filter steps reject loudly. */
   def readDatetimes(spark: SparkSession, store: String, name: String): DataFrame = {
     val za = readArrayMeta(store, name)
     require(za.dtKind == 'M',
       s"${za.name}: dtype kind '${za.dtKind}' is not datetime64 — " +
-        "use readVariable/readStrings")
-    require(za.filters.isEmpty,
-      s"${za.name}: filtered datetime64 arrays unsupported, " +
-        s"got [${za.filters.map(_.id).mkString(",")}]")
-    require(za.sharding.isEmpty,
-      s"${za.name}: sharded datetime64 arrays unsupported")
-    val allowDelta = allowUnverifiedDelta(spark)
-    // unit → exact micros: (multiplier, divisor); one of them is 1
-    val (mul, div) = za.dtUnit match {
-      case "ns" => (1L, 1000L)
-      case "us" => (1L, 1L)
-      case "ms" => (1000L, 1L)
-      case "s"  => (1000000L, 1L)
-      case "m"  => (60000000L, 1L)
-      case "h"  => (3600000000L, 1L)
-      case "D"  => (86400000000L, 1L)
-      case u => throw new IllegalArgumentException(
-        s"${za.name}: datetime64 unit '$u' unsupported (ns/us/ms/s/m/h/D)")
-    }
+        "use readVariable/readStrings/readTimedeltas")
+    val (mul, div) = epochUnitToMicros(za.name, za.dtUnit, "datetime64")
+    val raw = readEpochLongs(spark, za, store, name, mul, div)
+    val rank = za.shape.length
+    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
+      timestamp_micros(col("_2")).as("value")
+    raw.toDF().select(cols: _*)
+  }
+
+  /** `timedelta64` arrays (`<m8[ns]` … `<m8[D]`, v2 or v3
+    * `numpy.timedelta64`) as (dim…, value INTERVAL DAY TO SECOND):
+    * duration int64 in the dtype's unit → exact-Long microseconds →
+    * Spark's micros-backed `DayTimeIntervalType` via `make_dt_interval`
+    * (days + exact decimal seconds, so no double rounding). NaT and
+    * absent chunks read as NULL; ns truncates toward -∞ like
+    * [[readDatetimes]]. Same filter/shard support as the datetime
+    * reader. */
+  def readTimedeltas(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    require(za.dtKind == 'm',
+      s"${za.name}: dtype kind '${za.dtKind}' is not timedelta64 — " +
+        "use readVariable/readStrings/readDatetimes")
+    val (mul, div) = epochUnitToMicros(za.name, za.dtUnit, "timedelta64")
+    val raw = readEpochLongs(spark, za, store, name, mul, div)
+    val rank = za.shape.length
+    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
+    // micros → interval without a float step: pmod keeps the seconds
+    // part in [0, 86400) so negative totals carry in the day component;
+    // `div` (not `/`) keeps the day division in exact Long arithmetic —
+    // a Long / Long goes through Double and rounds past 2^53
+    val df0 = raw.toDF()
+      .withColumn("__rem", pmod(col("_2"), lit(86400000000L)))
+      .withColumn("__days", expr("(_2 - __rem) div 86400000000").cast("int"))
+    val secs = col("__rem").cast("decimal(18,0)") / lit(1000000).cast("decimal(9,0)")
+    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
+      make_dt_interval(col("__days"), lit(0), lit(0), secs).as("value")
+    df0.select(cols: _*)
+  }
+
+  /** dtype unit → exact micros conversion: (multiplier, divisor); one of
+    * them is always 1, so `floorDiv(multiplyExact(v, mul), div)` is exact
+    * Long arithmetic end-to-end. */
+  private def epochUnitToMicros(name: String, unit: String,
+                                what: String): (Long, Long) = unit match {
+    case "ns" => (1L, 1000L)
+    case "us" => (1L, 1L)
+    case "ms" => (1000L, 1L)
+    case "s"  => (1000000L, 1L)
+    case "m"  => (60000000L, 1L)
+    case "h"  => (3600000000L, 1L)
+    case "D"  => (86400000000L, 1L)
+    case u => throw new IllegalArgumentException(
+      s"$name: $what unit '$u' unsupported (ns/us/ms/s/m/h/D)")
+  }
+
+  /** Shared exact-Long chunk walk for epoch/duration arrays: the same
+    * chunk-parallel plan, numcodecs filter chain and v3 shard-index walk
+    * as [[readVariable]], but the element channel is Long end-to-end
+    * (values land already converted to micros via `mul`/`div`). Absent
+    * chunks/shards and the numpy NaT sentinel yield None. */
+  private def readEpochLongs(spark: SparkSession, za: ZArray, store: String,
+                             name: String, mul: Long, div: Long)
+      : org.apache.spark.sql.Dataset[(Array[Long], Option[Long])] = {
     import spark.implicits._
     val rank = za.shape.length
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val chunkCoords: Seq[Array[Int]] = {
-      def expand(d: Int): Seq[List[Int]] =
-        if (d == rank) Seq(Nil)
-        else for (c <- 0 until nChunksPerDim(d); rest <- expand(d + 1)) yield c :: rest
-      expand(0).map(_.toArray)
-    }
     val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
     val (comp, sep, zCrc, little) =
       (za.compressor, za.dimSeparator, za.crc32c, za.littleEndian)
     val cOrder = za.cOrder
     val keyPrefix = za.keyPrefix
+    val filters = za.filters
+    val allowDelta = allowUnverifiedDelta(spark)
     val chunkElems = cdims.product.toInt
-    val slices = math.max(1, math.min(chunkCoords.size,
-      math.max(64, spark.sparkContext.defaultParallelism * 2)))
-    val raw: org.apache.spark.sql.Dataset[(Array[Long], Option[Long])] =
-      spark.sparkContext.parallelize(chunkCoords, slices).flatMap { cc =>
-        val f = new File(dir, keyPrefix + cc.mkString(sep))
-        val vals: Option[Int => Option[Long]] =
-          if (!f.isFile) None // absent chunk → NULL values
+    // with a filter chain the stored element width is the last VALUE
+    // filter's astype (same contract as readVariable)
+    val storedSize = filters.filterNot(_.id == "shuffle").lastOption
+      .map(_.asSize).getOrElse(8)
+    val sharding = za.sharding
+    chunkCoordRdd(spark, nChunksPerDim).flatMap { cc =>
+      // one stored block's elements, clipped past the array edge — the
+      // Long twin of readVariable's emit
+      def emit(vals: Option[Int => Option[Long]], edims: Array[Long],
+               blockOrigin: Array[Long], localCOrder: Boolean)
+          : Iterator[(Array[Long], Option[Long])] = {
+        val nElems = edims.product.toInt
+        (0 until nElems).iterator.flatMap { flat =>
+          var rem = flat.toLong
+          val idx = new Array[Long](rank)
+          if (localCOrder) {
+            var i = rank - 1
+            while (i >= 0) { idx(i) = rem % edims(i); rem /= edims(i); i -= 1 }
+          } else {
+            var i = 0
+            while (i < rank) { idx(i) = rem % edims(i); rem /= edims(i); i += 1 }
+          }
+          var inBounds = true
+          var j = 0
+          while (j < rank) {
+            idx(j) += cc(j).toLong * cdims(j) + blockOrigin(j)
+            if (idx(j) >= dims(j)) inBounds = false
+            j += 1
+          }
+          if (!inBounds) None else Some((idx, vals.flatMap(_(flat))))
+        }
+      }
+      def toMicros(v: Long): Option[Long] =
+        if (v == Long.MinValue) None // numpy NaT
+        else Some(Math.floorDiv(Math.multiplyExact(v, mul), div))
+      val f = new File(dir, keyPrefix + cc.mkString(sep))
+      val zero = new Array[Long](rank)
+      sharding match {
+        case None =>
+          val vals: Option[Int => Option[Long]] =
+            if (!f.isFile) None // absent chunk → NULL values
+            else {
+              val raf = new RandomAccessFile(f, "r")
+              val all = try {
+                val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+              } finally raf.close()
+              val stored = if (zCrc) stripCrc32c(all, f.getName) else all
+              val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
+              val get: Int => Long =
+                if (filters.nonEmpty) {
+                  val arr = unfilterInt64(plain, filters, chunkElems, little)
+                  arr(_)
+                } else {
+                  val bb = order(plain, little)
+                  i => bb.getLong(i * 8)
+                }
+              Some(i => toMicros(get(i)))
+            }
+          emit(vals, cdims.map(_.toLong), zero, cOrder)
+        case Some(sh) =>
+          val ich = sh.innerChunks.toArray
+          val innerPerDim = Array.tabulate(rank)(d => (cdims(d) / ich(d)).toInt)
+          val nInner = innerPerDim.product
+          val innerElems = ich.product.toInt
+          def innerOrigin(si: Int): Array[Long] = { // C order over the inner grid
+            val icc = new Array[Long](rank)
+            var rem = si; var i = rank - 1
+            while (i >= 0) { icc(i) = (rem % innerPerDim(i)).toLong * ich(i)
+              rem /= innerPerDim(i); i -= 1 }
+            icc
+          }
+          if (!f.isFile) // absent shard = every inner chunk NULL
+            (0 until nInner).iterator.flatMap(si =>
+              emit(None, ich, innerOrigin(si), sh.innerCOrder))
           else {
-            val raf = new RandomAccessFile(f, "r")
-            val all = try {
-              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-            } finally raf.close()
-            val stored = if (zCrc) stripCrc32c(all, f.getName) else all
-            val plain = decompress(comp, stored, chunkElems * 8, allowDelta)
-            val bb = java.nio.ByteBuffer.wrap(plain).order(
-              if (little) java.nio.ByteOrder.LITTLE_ENDIAN
-              else java.nio.ByteOrder.BIG_ENDIAN)
-            Some { i =>
-              val v = bb.getLong(i * 8)
-              if (v == Long.MinValue) None // numpy NaT
-              else Some(Math.floorDiv(Math.multiplyExact(v, mul), div))
+            val bodies = readShardBodies(f, nInner, sh)
+            (0 until nInner).iterator.flatMap { si =>
+              emit(bodies(si).map { b =>
+                  val bb = order(decompress(sh.innerComp, b,
+                    innerElems * 8, allowDelta), sh.innerLittle)
+                  (i: Int) => toMicros(bb.getLong(i * 8))
+                },
+                ich, innerOrigin(si), sh.innerCOrder)
             }
           }
-        (0 until chunkElems).iterator.flatMap { flat =>
-          flatChunkIdx(flat, rank, cdims, cc, dims, cOrder)
-            .map(idx => (idx, vals.flatMap(_(flat))))
-        }
-      }.toDS()
-    val colName = (i: Int) => if (za.dimNames.length == rank) za.dimNames(i) else s"i$i"
-    val cols = (0 until rank).map(i => col("_1")(i).cast("int").as(colName(i))) :+
-      timestamp_micros(col("_2")).as("value")
-    raw.toDF().select(cols: _*)
+      }
+    }.toDS()
+  }
+
+  /** Chunk-coordinate RDD with NO driver-side materialization: a
+    * `sparkContext.range` over the flat chunk count, unraveled to grid
+    * coordinates on executors (C order over the chunk grid, matching
+    * the store's key enumeration). A 100 TB store at ~1 MB chunks is
+    * ~10^8 coordinates — several GB of driver heap if built as a list
+    * and serialized into tasks; `range` ships only a (start, end) pair
+    * per partition, so the driver cost is flat in the chunk count.
+    * Slice count scales with BOTH chunk count and cluster size: a
+    * 1M-chunk store on a large cluster must not serialise through 64
+    * tasks, while a 4-chunk fixture must not schedule 256 empties. */
+  private def chunkCoordRdd(spark: SparkSession, nChunksPerDim: Array[Int])
+      : org.apache.spark.rdd.RDD[Array[Int]] = {
+    val rank = nChunksPerDim.length
+    val total = nChunksPerDim.foldLeft(1L)((a, n) => a * n)
+    val slices = math.max(1L, math.min(total,
+      math.max(64, spark.sparkContext.defaultParallelism * 2).toLong)).toInt
+    spark.sparkContext.range(0L, total, numSlices = slices).map { flat =>
+      val cc = new Array[Int](rank)
+      var rem = flat
+      var i = rank - 1
+      while (i >= 0) {
+        cc(i) = (rem % nChunksPerDim(i)).toInt; rem /= nChunksPerDim(i); i -= 1
+      }
+      cc
+    }
   }
 
   /** Flat in-chunk element position → global indices (None = past the
@@ -1871,6 +2013,150 @@ object Zarr {
       crc32c(zstd(vlen((0 until 5).map(i => plantedPayload(i + 7))))))
   }
 
+  /** Fixture store for the r13 temporal tier, closed-form:
+    *
+    *   `tf` — v2 `<M8[s]`, shape [10] chunks [4], zlib + numcodecs
+    *   Delta(dtype='<i8') — the canonical zarr-python recipe for
+    *   monotonic time coordinates; value 2003-05-07T08:09:10Z + g
+    *   hours, NaT at 7 (the delta encode wraps through the sentinel in
+    *   int64, pinning the exact-Long cumsum), chunk 2 ABSENT → NULL at
+    *   8..9.
+    *
+    *   `tsh` — v3 SHARDED datetime64, data_type in zarr-python 3's
+    *   structured extension form (`numpy.datetime64`, unit `us`), shape
+    *   [12] shard [8] inner [2], inner codecs [bytes le, gzip], crc32c'd
+    *   index at the shard end; inner chunk (2,3) MISSING → NULL, NaT at
+    *   9, the edge shard's past-the-end inner chunks absent; value
+    *   1999-12-31T23:59:58Z + i s + i µs (the µs term pins exactness).
+    *
+    *   `td` — v2 `<m8[ms]`, shape [6] chunks [6], zlib: millisecond
+    *   durations 0, ±1 ms, ±(1d 1h 1m 1.123s), NaT at 4.
+    *
+    *   `tdm` — v2 `<m8[m]` raw, shape [3] chunks [2]: 90 min / NaT /
+    *   −90 min (pins the minutes unit, reachable only for timedeltas). */
+  def plantedTemporalStore(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+    def crc32c(b: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32C()
+      c.update(b, 0, b.length)
+      val bb = java.nio.ByteBuffer.allocate(b.length + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(b).putInt(c.getValue.toInt)
+      bb.array()
+    }
+    def longsLE(vs: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putLong)
+      bb.array()
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+    // tf: Delta-filtered zlib'd <M8[s]
+    val fDir = new File(store, "tf"); fDir.mkdirs()
+    writeBytes(new File(fDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [10], "chunks": [4],
+         | "dtype": "<M8[s]", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": null,
+         | "filters": [{"id": "delta", "dtype": "<i8"}],
+         | "order": "C"}""").stripMargin.getBytes(utf8))
+    writeBytes(new File(fDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    val fBase = 1052294950L // 2003-05-07T08:09:10Z
+    def tfVal(g: Int): Long =
+      if (g == 7) Long.MinValue else fBase + g * 3600L
+    for (c <- Seq(0, 1)) { // chunk 2 absent → NULL at 8..9
+      val vs = (0 until 4).map(j => tfVal(c * 4 + j))
+      val diffs = vs.head +: vs.sliding(2).map(p => p(1) - p(0)).toSeq
+      writeBytes(new File(fDir, s"$c"), deflate(longsLE(diffs)))
+    }
+
+    // tsh: v3 sharded numpy.datetime64[us]
+    val sDir = new File(store, "tsh"); new File(sDir, "c").mkdirs()
+    writeBytes(new File(sDir, "zarr.json"),
+      ("""{"zarr_format": 3, "node_type": "array", "shape": [12],
+         | "data_type": {"name": "numpy.datetime64",
+         |   "configuration": {"unit": "us", "scale_factor": 1}},
+         | "chunk_grid": {"name": "regular",
+         |   "configuration": {"chunk_shape": [8]}},
+         | "chunk_key_encoding": {"name": "default",
+         |   "configuration": {"separator": "/"}},
+         | "fill_value": null,
+         | "codecs": [{"name": "sharding_indexed", "configuration": {
+         |   "chunk_shape": [2],
+         |   "codecs": [{"name": "bytes",
+         |     "configuration": {"endian": "little"}},
+         |     {"name": "gzip", "configuration": {"level": 1}}],
+         |   "index_codecs": [{"name": "bytes",
+         |     "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+         |   "index_location": "end"}}],
+         | "dimension_names": ["i"]}""").stripMargin.getBytes(utf8))
+    def shard(bodies: Seq[Option[Array[Byte]]]): Array[Byte] = {
+      val offs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val data = new java.io.ByteArrayOutputStream()
+      bodies.foreach {
+        case Some(b) => offs += ((data.size.toLong, b.length.toLong)); data.write(b)
+        case None    => offs += ((-1L, -1L))
+      }
+      val idx = java.nio.ByteBuffer.allocate(bodies.length * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      offs.foreach { case (o, n) => idx.putLong(o).putLong(n) }
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(data.toByteArray)
+      out.write(crc32c(idx.array()))
+      out.toByteArray
+    }
+    val sBaseUs = 946684798L * 1000000L // 1999-12-31T23:59:58Z
+    def tshVal(i: Int): Long =
+      if (i == 9) Long.MinValue else sBaseUs + i * 1000000L + i
+    def inner(lo: Int): Array[Byte] = gzip(longsLE(Seq(tshVal(lo), tshVal(lo + 1))))
+    writeBytes(new File(sDir, "c/0"), // inner (2,3) missing → NULL
+      shard(Seq(Some(inner(0)), None, Some(inner(4)), Some(inner(6)))))
+    writeBytes(new File(sDir, "c/1"), // inner chunks past the edge absent
+      shard(Seq(Some(inner(8)), Some(inner(10)), None, None)))
+
+    // td: zlib'd <m8[ms]
+    val dDir = new File(store, "td"); dDir.mkdirs()
+    writeBytes(new File(dDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [6], "chunks": [6],
+         | "dtype": "<m8[ms]", "compressor": {"id": "zlib", "level": 1},
+         | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    writeBytes(new File(dDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    val dayMs = 90061123L // 1d 1h 1m 1.123s
+    writeBytes(new File(dDir, "0"),
+      deflate(longsLE(Seq(0L, 1L, -1L, dayMs, Long.MinValue, -dayMs))))
+
+    // tdm: raw <m8[m] with an edge chunk (pad slot clipped)
+    val mDir = new File(store, "tdm"); mDir.mkdirs()
+    writeBytes(new File(mDir, ".zarray"),
+      ("""{"zarr_format": 2, "shape": [3], "chunks": [2],
+         | "dtype": "<m8[m]", "compressor": null,
+         | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
+        .getBytes(utf8))
+    writeBytes(new File(mDir, ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
+    writeBytes(new File(mDir, "0"), longsLE(Seq(90L, Long.MinValue)))
+    writeBytes(new File(mDir, "1"), longsLE(Seq(-90L, 0L)))
+  }
+
   /** Convert every array in the store to a long-format parquet lake (the
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */
   def toParquetLake(spark: SparkSession, store: String, outDir: String): Seq[String] = {
@@ -1884,6 +2170,7 @@ object Zarr {
           readBinary(spark, store, za.name)
         else if ("SUO".indexOf(za.dtKind) >= 0) readStrings(spark, store, za.name)
         else if (za.dtKind == 'M') readDatetimes(spark, store, za.name)
+        else if (za.dtKind == 'm') readTimedeltas(spark, store, za.name)
         else readVariable(spark, store, za.name)
       df.write.mode("overwrite").parquet(s"$outDir/${za.name}")
       za.name

@@ -660,4 +660,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(p5.version == 4 && p5.lastBatch == 4L, s"pointer $p5")
     VersionedLake.destroy(spark, root, table)
   }
+
+  test("versioned lake retention contract: exactly retain+1 snapshots, pointer always live") {
+    import spark.implicits._
+    import graft.sources.{VersionedLake => VL}
+    val initial = (1L to 50L).map(k => (k, s"s$k", k * 1.0)).toDF("k", "s", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_vlake_ret_").toString
+    val table = s"vlake_ret_${System.nanoTime()}"
+    VL.init(initial, root, table, "k", 4)
+    for (b <- 0 until 6) {
+      val ch = Seq((1000L + b, "insert", s"n$b", b * 1.0)).toDF("k", "op", "s", "v")
+      VL.applyBatch(ch, root, table, "k", 4, batchId = b.toLong, retain = 1)
+      // after EVERY batch: the pointer's version resolves and scans...
+      val p = VL.readPointer(root).get
+      assert(p.version == b + 1, s"batch $b pointer $p")
+      assert(spark.catalog.tableExists(VL.tableName(table, p.version)))
+      assert(VL.current(spark, root, table).count() == 50L + b + 1)
+      // ...and exactly retain+1 = 2 snapshot versions survive — a
+      // retention bug either leaks snapshots (storage grows per batch)
+      // or deletes the live one (pointer dangles); this pins both
+      val live = (0 to p.version)
+        .filter(v => spark.catalog.tableExists(VL.tableName(table, v)))
+      assert(live == Seq(p.version - 1, p.version), s"live snapshots $live")
+    }
+    // a replayed batchId from BEFORE the retention horizon still skips
+    // wholesale via the pointer's lastBatch — retention never weakens
+    // the exactly-once gate
+    val replay = Seq((1L, "delete", "x", 0.0)).toDF("k", "op", "s", "v")
+    val before = VL.readPointer(root).get
+    VL.applyBatch(replay, root, table, "k", 4, batchId = 0L, retain = 1)
+    assert(VL.readPointer(root).get == before)
+    assert(VL.current(spark, root, table).count() == 56)
+    // dropped versions' warehouse directories are gone (no storage leak)
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dirs = Option(new java.io.File(warehouse).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith(table.toLowerCase))
+    assert(dirs.length == 2, s"warehouse dirs: ${dirs.mkString(",")}")
+    VL.destroy(spark, root, table)
+  }
 }

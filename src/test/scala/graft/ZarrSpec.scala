@@ -1081,6 +1081,72 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readVariable(spark, root.getPath, "t"))
   }
 
+  test("r13 temporal tier: Delta-filtered + sharded datetime64, timedelta64 → INTERVAL") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_temporal_").toFile
+    Zarr.plantedTemporalStore(root.getPath)
+    // tf: <M8[s] + Delta(i8) + zlib; NaT at 7 (delta wraps through the
+    // sentinel); chunk 2 absent → NULL at 8..9
+    val tf = Zarr.readDatetimes(spark, root.getPath, "tf").collect()
+      .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toMap
+    assert(tf.size == 10)
+    val fBase = java.time.Instant.parse("2003-05-07T08:09:10Z")
+    for (g <- 0 to 6)
+      assert(tf(g).contains(java.sql.Timestamp.from(fBase.plusSeconds(g * 3600L))),
+        s"tf $g: ${tf(g)}")
+    for (g <- 7 to 9) assert(tf(g).isEmpty, s"tf $g")
+    // tsh: v3 SHARDED numpy.datetime64[us] — missing inner chunk (2,3),
+    // NaT at 9, past-the-edge inner chunks clipped
+    val ts = Zarr.readDatetimes(spark, root.getPath, "tsh").collect()
+      .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toMap
+    assert(ts.size == 12)
+    val sBase = java.time.Instant.parse("1999-12-31T23:59:58Z")
+    for (i <- Seq(0, 1, 4, 5, 6, 7, 8, 10, 11))
+      assert(ts(i).contains(java.sql.Timestamp.from(
+        sBase.plusSeconds(i).plusNanos(i * 1000L))), s"tsh $i: ${ts(i)}")
+    for (i <- Seq(2, 3, 9)) assert(ts(i).isEmpty, s"tsh $i")
+    // td: <m8[ms] → DayTimeIntervalType; NaT → NULL; negatives exact
+    val tdDf = Zarr.readTimedeltas(spark, root.getPath, "td")
+    assert(tdDf.schema("value").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+    val td = tdDf.collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[java.time.Duration])))
+      .toMap
+    assert(td(0).contains(java.time.Duration.ZERO))
+    assert(td(1).contains(java.time.Duration.ofMillis(1)))
+    assert(td(2).contains(java.time.Duration.ofMillis(-1)))
+    assert(td(3).contains(java.time.Duration.ofMillis(90061123L)))
+    assert(td(4).isEmpty, "NaT must read NULL")
+    assert(td(5).contains(java.time.Duration.ofMillis(-90061123L)))
+    // tdm: the minutes unit + an edge chunk whose pad slot is clipped
+    val tdm = Zarr.readTimedeltas(spark, root.getPath, "tdm").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[java.time.Duration])))
+      .toMap
+    assert(tdm.size == 3)
+    assert(tdm(0).contains(java.time.Duration.ofMinutes(90)))
+    assert(tdm(1).isEmpty)
+    assert(tdm(2).contains(java.time.Duration.ofMinutes(-90)))
+    // float filter steps on epoch arrays reject loudly (2^53 rounding)
+    val qDir = new File(root, "tq"); qDir.mkdirs()
+    writeText(new File(qDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<M8[s]",
+        | "compressor": null, "fill_value": null,
+        | "filters": [{"id": "quantize", "digits": 2, "dtype": "<f8"}],
+        | "order": "C"}""".stripMargin)
+    val qb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    qb.putDouble(1.0); qb.putDouble(2.0)
+    write(new File(qDir, "0"), qb.array())
+    val e = intercept[Exception](
+      Zarr.readDatetimes(spark, root.getPath, "tq").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("stay integer")), msgs(e).mkString(" | "))
+    // the timedelta reader refuses datetime kinds and vice versa
+    intercept[IllegalArgumentException](
+      Zarr.readTimedeltas(spark, root.getPath, "tf"))
+    intercept[IllegalArgumentException](
+      Zarr.readDatetimes(spark, root.getPath, "td"))
+  }
+
   test("F-order object chunks: string and binary arrays unravel column-major") {
     val root = java.nio.file.Files.createTempDirectory("zarr_forder_").toFile
     // 2x3 |O vlen-utf8 array, order F: payload items run (0,0),(1,0),
