@@ -104,6 +104,20 @@ object SparkEntry {
     * (plain string literals; keep the two spellings in sync). */
   private def qln(c: Column): Column = q6(log(c))
 
+  /** DuckDB twin of [[graft.pipeline.Similarity.dotQuantized]] over
+    * 64-dim lists: per-element products on the 1e-12 floor grid summed
+    * as integers (fold-order-free), cast to double (exact below 2^53). */
+  private def dotQSql(a: String, b: String): String =
+    s"cast(list_sum(list_transform(range(1,65), i -> " +
+      s"cast(floor(cast($a[i] as double) * cast($b[i] as double) * 1e12 + 0.5) " +
+      s"as bigint))) as double)"
+
+  /** DuckDB twin of `Similarity.cosineQuantized` — every op after the
+    * integer dots is a single IEEE correctly-rounded double op, so the
+    * result is bit-identical to Spark's. */
+  private def cosQSql(a: String, b: String): String =
+    s"(${dotQSql(a, b)} / sqrt(${dotQSql(a, a)} * ${dotQSql(b, b)}))"
+
   /** Near-dup components over `documents` — memoized per (session, dir)
     * like [[dailyTotals]]: the LSH + verify + iterative-propagation
     * pipeline is shared by the clustering and keep-step queries, so the
@@ -330,11 +344,16 @@ object SparkEntry {
     }),
 
     "q_cosine_to_query" -> ((s, dir) => {
+      // r13: integer-grid cosine (Similarity.cosineQuantized) — the
+      // per-element products land on the 1e-12 floor grid and sum as
+      // int64, so the double that reaches the filter and the output is
+      // bit-identical in any engine replaying the grid expression; the
+      // legacy round(,4) safety net is gone
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       e.crossJoin(broadcast(q))
-        .withColumn("cosine", round(Similarity.cosine(col("embedding"), col("qvec")), 4))
+        .withColumn("cosine", Similarity.cosineQuantized(col("embedding"), col("qvec")))
         .filter(col("cosine") > 0.2)
         .select(col("vec_id"), col("cosine"))
     })
@@ -541,12 +560,15 @@ object SparkEntry {
     }),
 
     "q_knn_top3" -> ((s, dir) => {
+      // r13 exactGrid: ranks AND scores ride the integer-grid cosine,
+      // so row_number ties resolve identically in both engines and the
+      // emitted double needs no round
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "query_id", "qvec", 3)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("cosine"), 4).as("cosine"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "query_id", "qvec", 3,
+          exactGrid = true)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
     }),
 
     "q_centroid_dims" -> ((s, dir) => {
@@ -736,17 +758,11 @@ object SparkEntry {
         |from documents group by 1""".stripMargin,
 
     "q_cosine_to_query" ->
-      """with q as (select embedding qvec from embeddings where vec_id = 0)
-        |select vec_id, cosine from (
-        | select e.vec_id, cast(cast(
-        |  list_sum(list_transform(range(1,65),
-        |    i -> cast(e.embedding[i] as double) * cast(q.qvec[i] as double)))
-        |  / (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))
-        |   * sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(q.qvec[i] as double) * cast(q.qvec[i] as double))))) as decimal(38,4)) as double) cosine
-        | from embeddings e, q) t
-        |where cosine > 0.2""".stripMargin
+      s"""with q as (select embedding qvec from embeddings where vec_id = 0)
+         |select vec_id, cosine from (
+         | select e.vec_id, ${cosQSql("e.embedding", "q.qvec")} cosine
+         | from embeddings e, q) t
+         |where cosine > 0.2""".stripMargin
   )
 
   private def oracle2: Map[String, String] = Map(
@@ -929,20 +945,15 @@ object SparkEntry {
         |where jaccard >= 0.85""".stripMargin,
 
     "q_knn_top3" ->
-      """with q as (select vec_id query_id, embedding qvec from embeddings where vec_id < 5),
-        |sims as (select q.query_id, e.vec_id,
-        |  list_sum(list_transform(range(1,65),
-        |    i -> cast(e.embedding[i] as double) * cast(q.qvec[i] as double)))
-        |  / (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(e.embedding[i] as double) * cast(e.embedding[i] as double))))
-        |   * sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(q.qvec[i] as double) * cast(q.qvec[i] as double))))) cosine
-        | from embeddings e, q),
-        |ranked as (select query_id, vec_id, cosine,
-        |  row_number() over (partition by query_id order by cosine desc, vec_id) rank
-        | from sims)
-        |select query_id, cast(rank as int) rank, vec_id, cast(cast(cosine as decimal(38,4)) as double) cosine
-        |from ranked where rank <= 3""".stripMargin,
+      s"""with q as (select vec_id query_id, embedding qvec from embeddings where vec_id < 5),
+         |sims as (select q.query_id, e.vec_id,
+         |  ${cosQSql("e.embedding", "q.qvec")} cosine
+         | from embeddings e, q),
+         |ranked as (select query_id, vec_id, cosine,
+         |  row_number() over (partition by query_id order by cosine desc, vec_id) rank
+         | from sims)
+         |select query_id, cast(rank as int) rank, vec_id, cosine
+         |from ranked where rank <= 3""".stripMargin,
 
     "q_centroid_dims" ->
       """select label, cast(i as int) pos,
@@ -1292,12 +1303,16 @@ object SparkEntry {
   private def queries6: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_ivf_topk" -> ((s, dir) => {
-      // IVF-partitioned ANN: label-mean centroids, probe 3 cells, top-5
+      // IVF-partitioned ANN: label-mean centroids, probe 3 cells, top-5.
+      // r13 exactGrid: the scoring cosine rides the integer grid (exact
+      // ranks + unrounded scores); centroid assignment keeps its float
+      // arithmetic — the oracle replays it and the fixed corpus sits far
+      // off assignment boundaries
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      Similarity.ivfTopK(e, "vec_id", "embedding", "label", q, k = 5, nprobe = 3)
-        .select(col("rank"), col("vec_id"), col("label"),
-          round(col("cosine"), 4).as("cosine"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", "label", q, k = 5, nprobe = 3,
+          exactGrid = true)
+        .select(col("rank"), col("vec_id"), col("label"), col("cosine"))
     }),
 
     "q_standardized_index" -> ((s, dir) => {
@@ -1319,7 +1334,7 @@ object SparkEntry {
 
   private def oracle6: Map[String, String] = Map(
     "q_ivf_topk" ->
-      """with cent as (
+      s"""with cent as (
         |  select label, i, avg(cast(embedding[i+1] as double)) m
         |  from embeddings, (select unnest(range(0,64)) i) t group by 1,2),
         |q as (select embedding qv from embeddings where vec_id = 0),
@@ -1336,17 +1351,11 @@ object SparkEntry {
         |  from assign a join probe using (label)
         |  join embeddings e on e.vec_id = a.vec_id),
         |scored as (select vec_id, label,
-        |  list_sum(list_transform(range(1,65),
-        |    i -> cast(embedding[i] as double) * cast(q.qv[i] as double)))
-        |  / (sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(embedding[i] as double) * cast(embedding[i] as double))))
-        |   * sqrt(list_sum(list_transform(range(1,65),
-        |      i -> cast(q.qv[i] as double) * cast(q.qv[i] as double))))) cosine
+        |  ${cosQSql("embedding", "q.qv")} cosine
         | from cand, q),
         |ranked as (select *, row_number() over (order by cosine desc, vec_id) rank
         | from scored)
-        |select cast(rank as int) rank, vec_id, label,
-        | cast(cast(cosine as decimal(38,4)) as double) cosine
+        |select cast(rank as int) rank, vec_id, label, cosine
         |from ranked where rank <= 5""".stripMargin,
 
     "q_standardized_index" ->
@@ -2781,17 +2790,23 @@ object SparkEntry {
       // the output hash-matches the oracle's exhaustive twin.
       val base = t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      // orig_id rename: Spark 4 lateral-alias resolution binds a lambda's
+      // col("vec_id") to the NEW alias (+1000000) while DuckDB lambdas see
+      // the ORIGINAL — the r12 round(4) masked that phase mismatch; with
+      // distinct names both engines perturb with the original id
       val copies = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select(col("vec_id").as("orig_id"), col("v"))
+        .select((col("orig_id") + 1000000L).as("vec_id"),
           transform(col("v"), (x, i) =>
             x * (lit(1.0) + lit(0.002) *
-              (((i.cast("long") + col("vec_id")) % 7) - 3).cast("double"))).as("v"))
-      // round(4): planted cosines sit at ~0.99999 — a 6-digit round would
-      // straddle a boundary at cross-engine ulp differences; 4 digits puts
-      // every value ~4e-5 from the nearest boundary
+              (((i.cast("long") + col("orig_id")) % 7) - 3).cast("double"))).as("v"))
+      // r13 exactGrid: the pair cosine rides the integer grid, so the
+      // emitted double is bit-identical across engines without a round;
+      // the 0.99-vs-~0.9999/0.51 planted margin dwarfs the grid's 1e-12
+      // membership tolerance
       Similarity.gridNearDuplicates(base.unionByName(copies), "vec_id", "v",
-          threshold = 0.99, dim = 64)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+          threshold = 0.99, dim = 64, exactGrid = true)
+        .select(col("id_a"), col("id_b"), col("cosine"))
     }),
 
     "q_semantic_dedup" -> ((s, dir) => {
@@ -2805,11 +2820,14 @@ object SparkEntry {
       // exhaustive within-label join.
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      // orig_id rename: same lateral-alias hazard as q_embedding_neardup —
+      // both engines must perturb with the ORIGINAL id
       val copies = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        .select(col("vec_id").as("orig_id"), col("label"), col("v"))
+        .select((col("orig_id") + 1000000L).as("vec_id"), col("label"),
           transform(col("v"), (x, i) =>
             x * (lit(1.0) + lit(0.002) *
-              (((i.cast("long") + col("vec_id")) % 7) - 3).cast("double"))).as("v"))
+              (((i.cast("long") + col("orig_id")) % 7) - 3).cast("double"))).as("v"))
       Similarity.semanticDedup(base.unionByName(copies), "vec_id", "v",
           "label", threshold = 0.99)
         .orderBy("vec_id")
@@ -2901,31 +2919,28 @@ object SparkEntry {
          |from clim group by 1, 2""".stripMargin,
 
     "q_embedding_neardup" ->
-      """with base as (select vec_id,
-        |  list_transform(embedding, x -> cast(x as double)) v from embeddings),
-        |cop as (select vec_id + 1000000 vec_id,
-        |  list_transform(v, (x, i) -> x * (cast(1.0 as double)
-        |    + cast(0.002 as double)
-        |      * cast(((i - 1 + vec_id) % 7) - 3 as double))) v
-        | from base where vec_id % 10 = 0),
-        |corpus as (select * from base union all select * from cop),
-        |n as (select vec_id, v,
-        |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm from corpus)
-        |select a.vec_id id_a, b.vec_id id_b,
-        |  cast(cast(list_sum(list_transform(range(1, len(a.v) + 1),
-        |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) as decimal(38,4)) as double) cosine
-        |from n a join n b on a.vec_id < b.vec_id
-        |where list_sum(list_transform(range(1, len(a.v) + 1),
-        |    i -> a.v[i]*b.v[i]))/(a.nrm*b.nrm) >= 0.99""".stripMargin,
+      s"""with base as (select vec_id,
+         |  list_transform(embedding, x -> cast(x as double)) v from embeddings),
+         |cop as (select b.vec_id + 1000000 vec_id,
+         |  list_transform(v, (x, i) -> x * (cast(1.0 as double)
+         |    + cast(0.002 as double)
+         |      * cast(((i - 1 + b.vec_id) % 7) - 3 as double))) v
+         | from base b where b.vec_id % 10 = 0),
+         |corpus as (select * from base union all select * from cop)
+         |select id_a, id_b, cosine from (
+         | select a.vec_id id_a, b.vec_id id_b,
+         |   ${cosQSql("a.v", "b.v")} cosine
+         | from corpus a join corpus b on a.vec_id < b.vec_id) t
+         |where cosine >= 0.99""".stripMargin,
 
     "q_semantic_dedup" ->
       """with base as (select vec_id, label,
         |  list_transform(embedding, x -> cast(x as double)) v from embeddings),
-        |cop as (select vec_id + 1000000 vec_id, label,
+        |cop as (select b.vec_id + 1000000 vec_id, label,
         |  list_transform(v, (x, i) -> x * (cast(1.0 as double)
         |    + cast(0.002 as double)
-        |      * cast(((i - 1 + vec_id) % 7) - 3 as double))) v
-        | from base where vec_id % 10 = 0),
+        |      * cast(((i - 1 + b.vec_id) % 7) - 3 as double))) v
+        | from base b where b.vec_id % 10 = 0),
         |corpus as (select * from base union all select * from cop),
         |n as (select vec_id, label, v,
         |  sqrt(list_sum(list_transform(v, x -> x*x))) nrm from corpus),
@@ -4093,10 +4108,15 @@ object SparkEntry {
         // earlier day wins on equal snowpack)
         .agg(max_by(col("t"), col("hum") * 1e6 - col("t")).as("t_snwmax"),
           percentile(col("q"), lit(0.9)).as("_q90"))
+      // r13: no round — every avg input is an exact-integer double (day
+      // numbers < 2^53), so any summation order gives the same exact sum
+      // and the final divide/subtract are single IEEE ops, bit-identical
+      // across engines; the quantile_cont threshold remains the (a)-class
+      // builtin comparison round(6) never protected anyway
       wx.join(broadcast(perY), "user_id")
         .groupBy(col("user_id"))
-        .agg(round(avg(when(col("q") >= col("_q90"), col("t").cast("double"))) -
-          max(col("t_snwmax")), 6).as("lag_days"))
+        .agg((avg(when(col("q") >= col("_q90"), col("t").cast("double"))) -
+          max(col("t_snwmax"))).as("lag_days"))
     })
   )
 
@@ -4164,8 +4184,8 @@ object SparkEntry {
          |py as (select user_id, max_by(t, hum*1e6 - t) t_snwmax,
          |  quantile_cont(q, 0.9) q90 from wq group by 1)
          |select w.user_id,
-         |  cast(cast(avg(case when w.q >= p.q90 then cast(w.t as double) end)
-         |    - max(p.t_snwmax) as decimal(38,6)) as double) lag_days
+         |  avg(case when w.q >= p.q90 then cast(w.t as double) end)
+         |    - max(p.t_snwmax) lag_days
          |from wq w join py p on p.user_id = w.user_id group by 1""".stripMargin
   )
 
@@ -5987,6 +6007,69 @@ object SparkEntry {
       t.unionByName(ts).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_temporal_roundtrip" -> ((s, dir) => {
+      // r13: the temporal EXPORT twins under the gate — writeDatetimes
+      // (<M8[us]; null input → NaT at 3; rows 6..8 sit in a never-written
+      // chunk → NULL; row 9 absent within a written chunk → NaT) and
+      // writeTimedeltas (<m8[us], negative + null durations), both read
+      // back through the exact-Long readers. The oracle restates the
+      // closed forms; intervals are evidenced epoch-anchored.
+      import s.implicits._
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_wtmp_store_v1")
+      if (!new java.io.File(storeDir, "ts/.zarray").isFile) {
+        val base = java.time.Instant.parse("2010-06-01T00:00:00Z")
+        val tsRows = (0 until 12).filter(t => t < 6 || t > 9).map { t =>
+          (t, if (t == 3) null
+              else java.sql.Timestamp.from(
+                base.plusSeconds(t * 3661L).plusNanos(t * 1000L)))
+        }
+        graft.sources.Zarr.writeDatetimes(
+          tsRows.toDF("i", "value"), storeDir.getPath, "ts", targetChunkElems = 3)
+        val tdRows = (0 until 6).map { t =>
+          (t, if (t == 2) null
+              else java.time.Duration.ofMillis((t - 3) * 90061123L))
+        }
+        graft.sources.Zarr.writeTimedeltas(
+          tdRows.toDF("i", "value"), storeDir.getPath, "td", targetChunkElems = 6)
+      }
+      val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
+      val ts = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "ts")
+        .select(lit("ts").as("src"), col("i").cast("long").as("idx"),
+          col("value").as("v"))
+      val td = graft.sources.Zarr.readTimedeltas(s, storeDir.getPath, "td")
+        .select(lit("td").as("src"), col("i").cast("long").as("idx"),
+          (epoch + col("value")).as("v"))
+      ts.unionByName(td).orderBy(col("src"), col("idx"))
+    }),
+
+    "q_zarr_vectors_topk" -> ((s, dir) => {
+      // r13: the embedding-matrix round trip feeding the ANN tier — the
+      // embeddings table exports to a 2-D <f8 store (writeArray over the
+      // (vec_id, pos) long format), reads back as whole-vector rows
+      // (readVectors), and scores brute-force top-5 by the integer-grid
+      // cosine. The oracle replays straight off the parquet table, so
+      // export + vector read + similarity pin each other end to end.
+      // The store is PER-SF (its contents depend on the input dir).
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_zarr_vec_store_${safe}_v1")
+      if (!new java.io.File(storeDir, "emb/.zarray").isFile) {
+        val long = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
+          .select(col("vec_id"), col("pos"), col("value").cast("double").as("value"))
+        graft.sources.Zarr.writeArray(long, storeDir.getPath, "emb")
+      }
+      val vecs = graft.sources.Zarr.readVectors(s, storeDir.getPath, "emb")
+      val q = vecs.filter(col("vec_id") === 0).select(col("vec").as("qv"))
+      vecs.crossJoin(broadcast(q))
+        .withColumn("cosine", Similarity.cosineQuantized(col("vec"), col("qv")))
+        .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("rank"), col("vec_id").cast("long").as("vec_id"), col("cosine"))
+    }),
+
     "q_zarr_datetime_filtered" -> ((s, dir) => {
       // r13: the two temporal ingest paths the r12 reader loud-rejected —
       // a Delta(i8)-filtered <M8[s] array (the canonical zarr-python
@@ -6502,6 +6585,37 @@ object SparkEntry {
         |  from range(0, 2) r(i)
         |) order by src, idx""".stripMargin,
 
+    // ts: 2010-06-01 + t*3661s + t µs; NULL at 3 (NaT), 6..8 (unwritten
+    // chunk), 9 (in-chunk absent → NaT); td: (t-3) * 90061123 ms anchored
+    // to the epoch, NULL at 2
+    "q_zarr_temporal_roundtrip" ->
+      """select * from (
+        |  select 'ts' src, cast(t as bigint) idx,
+        |    case when t = 3 or t between 6 and 9 then null
+        |      else timestamp '2010-06-01 00:00:00'
+        |        + to_seconds(cast(t*3661 as bigint))
+        |        + to_microseconds(cast(t as bigint)) end v
+        |  from range(0, 12) r(t)
+        |  union all
+        |  select 'td', cast(t as bigint),
+        |    case when t = 2 then null
+        |      else timestamp '1970-01-01'
+        |        + to_milliseconds(cast((t-3) * 90061123 as bigint)) end
+        |  from range(0, 6) r(t)
+        |) order by src, idx""".stripMargin,
+
+    // the embedding matrix round-trips through a 2-D <f8 store; the
+    // oracle scores the same integer-grid cosine off the parquet table
+    "q_zarr_vectors_topk" ->
+      s"""with v as (select vec_id,
+         |  list_transform(embedding, x -> cast(x as double)) vv from embeddings),
+         |q as (select vv qv from v where vec_id = 0),
+         |scored as (select v.vec_id, ${cosQSql("v.vv", "q.qv")} cosine from v, q),
+         |ranked as (select vec_id, cosine,
+         |  row_number() over (order by cosine desc, vec_id) rank from scored)
+         |select cast(rank as int) rank, vec_id, cosine
+         |from ranked where rank <= 5""".stripMargin,
+
     // tf: 2003-05-07T08:09:10Z + g hours via Delta(i8)+zlib, NaT at 7 and
     // the absent chunk 8..9 → NULL; tsh: 1999-12-31T23:59:58Z + i s + i µs
     // sharded, NULL at the missing inner chunk (2,3) and the NaT (9)
@@ -6796,11 +6910,13 @@ object SparkEntry {
       // must match exactly its own twin at cosine 1 and nothing else (the
       // corpus max off-pair cosine is ~0.51). Broadcast nested-loop by
       // design — the eval set ships whole, the corpus never shuffles.
+      // r13 exactGrid: integer-grid cosine, no round — self-pairs score
+      // ~1.0 vs ≤~0.51 off-pairs, so the 0.9 threshold has huge margin
       val e = t(s, dir, "embeddings")
       val bench = e.filter(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 100000).as("bid"), col("embedding").as("bv"))
       Similarity.crossNearDuplicates(e, "vec_id", "embedding",
-          bench, "bid", "bv", threshold = 0.9)
+          bench, "bid", "bv", threshold = 0.9, exactGrid = true)
         .select(col("corpus_id"), col("bench_id"), col("cosine"))
     }),
 
@@ -6942,20 +7058,14 @@ object SparkEntry {
         |from rec""".stripMargin,
 
     "q_semantic_decontaminate" ->
-      """with c as (select vec_id, embedding cv from embeddings),
-        |b as (select vec_id + 100000 bid, embedding bv from embeddings
-        |      where vec_id % 5 = 0),
-        |p as (select c.vec_id corpus_id, b.bid bench_id,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> cast(cv[i] as double) * cast(bv[i] as double))) dt,
-        |  sqrt(list_sum(list_transform(range(1, 65),
-        |    i -> cast(cv[i] as double) * cast(cv[i] as double)))) cn,
-        |  sqrt(list_sum(list_transform(range(1, 65),
-        |    i -> cast(bv[i] as double) * cast(bv[i] as double)))) bn
-        | from c, b)
-        |select corpus_id, bench_id,
-        |  cast(cast(round(dt / (cn * bn), 6) as decimal(38,6)) as double) cosine
-        |from p where cn > 0 and bn > 0 and round(dt / (cn * bn), 6) >= 0.9""".stripMargin,
+      s"""with c as (select vec_id, embedding cv from embeddings),
+         |b as (select vec_id + 100000 bid, embedding bv from embeddings
+         |      where vec_id % 5 = 0),
+         |p as (select c.vec_id corpus_id, b.bid bench_id,
+         |  ${cosQSql("cv", "bv")} cosine
+         | from c, b)
+         |select corpus_id, bench_id, cosine
+         |from p where cosine >= 0.9""".stripMargin,
 
     "q_pmi_bigrams" ->
       """with t as (select string_split_regex(trim(text), '\s+') toks

@@ -35,14 +35,43 @@ object Similarity {
     when(na === 0 || nb === 0, lit(null).cast("double")).otherwise(d / (na * nb))
   }
 
+  /** ENGINE-EXACT dot product on the integer grid: each per-element
+    * product lands on the 1e-12 floor grid (one deterministic IEEE
+    * multiply chain per element — float32→double casts are exact, and
+    * multiply/floor are correctly rounded) and sums as int64, so the
+    * FOLD ORDER cannot move an ulp. Any engine replaying the same
+    * expression produces the bit-identical integer. Grid headroom: 64
+    * products ≤ ~1e11 each keeps the sum < 2^53 ≪ Long range. */
+  def dotQuantized(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1e12) + lit(0.5))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over [[dotQuantized]] ints: the final sqrt/divide are single
+    * IEEE correctly-rounded ops over exact integers, so the DOUBLE
+    * output is bit-identical across engines — the r13 similarity kernel
+    * for oracle-gated queries (`exactGrid = true` on the pipeline
+    * operators). Production defaults keep the codegen'd
+    * [[graft.functions.FloatDotProduct]] with precomputed norms; this
+    * form trades three interpreted dots per pair for cross-engine
+    * exactness. Null-safe: non-positive self-dots → null. */
+  def cosineQuantized(a: Column, b: Column): Column = {
+    val d = dotQuantized(a, b).cast("double")
+    val na = dotQuantized(a, a)
+    val nb = dotQuantized(b, b)
+    when(na <= 0 || nb <= 0, lit(null).cast("double"))
+      .otherwise(d / sqrt(na.cast("double") * nb.cast("double")))
+  }
+
   /** Brute-force top-k: for each query row (small frame), the k most cosine-
     * similar corpus rows. Query side is broadcast; ties break on corpus id
     * for determinism. */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
-                     k: Int): DataFrame = {
+                     k: Int, exactGrid: Boolean = false): DataFrame = {
+    val sim = if (exactGrid) cosineQuantized _ else cosine _
     val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", sim(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -94,7 +123,7 @@ object Similarity {
     * extreme scale ship (id, cell) pairs and re-join payloads by id. */
   def gridNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, dim: Int, nProj: Int = 2,
-                         seed: Int = 7): DataFrame = {
+                         seed: Int = 7, exactGrid: Boolean = false): DataFrame = {
     import graft.functions.FloatDotProduct.floatDot
     require(threshold > -1.0 && threshold < 1.0, s"bad threshold $threshold")
     // EXACT-COLLAPSE front (the text pipeline's design #19 applied to
@@ -113,7 +142,15 @@ object Similarity {
     val classes = normed.groupBy(col("v"), col("nrm"))
       .agg(sort_array(collect_list(col("id"))).as("ms"))
       .withColumn("rep", element_at(col("ms"), 1))
-    val selfCos = floatDot(col("v"), col("v")) / (col("nrm") * col("nrm"))
+    // exactGrid trades the precomputed-norm float kernel for the
+    // cross-engine-exact [[cosineQuantized]]: pair MEMBERSHIP is
+    // unchanged for any threshold with > ~1e-12 relative margin (the
+    // grid cosine differs from the true cosine by at most one 1e-12
+    // grid step per element), and the emitted cosine becomes
+    // bit-identical in any engine replaying the grid expression
+    val selfCos =
+      if (exactGrid) cosineQuantized(col("v"), col("v"))
+      else floatDot(col("v"), col("v")) / (col("nrm") * col("nrm"))
     val within = classes.filter(size(col("ms")) >= 2)
       .withColumn("cosine", selfCos)
       .withColumn("id_a", explode(col("ms")))
@@ -122,7 +159,7 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
     val repPairs = gridPairs(
       classes.select(col("rep").as("id"), col("v"), col("nrm")),
-      threshold, dim, nProj, seed)
+      threshold, dim, nProj, seed, exactGrid)
     val cross = repPairs
       .join(classes.select(col("rep").as("id_a"), col("ms").as("_ma")), "id_a")
       .join(classes.select(col("rep").as("id_b"), col("ms").as("_mb")), "id_b")
@@ -136,7 +173,8 @@ object Similarity {
   /** The staggered-grid ε-join core over a deduplicated (id, v, nrm)
     * frame — see [[gridNearDuplicates]] for the recall-1 argument. */
   private def gridPairs(normed: DataFrame, threshold: Double, dim: Int,
-                        nProj: Int, seed: Int): DataFrame = {
+                        nProj: Int, seed: Int,
+                        exactGrid: Boolean = false): DataFrame = {
     import graft.functions.FloatDotProduct.floatDot
     val eps = math.sqrt(2.0 - 2.0 * threshold)
     val rnd = new scala.util.Random(seed)
@@ -160,10 +198,12 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("cell"), col("id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
+    val pairCos =
+      if (exactGrid) cosineQuantized(col("va"), col("vb"))
+      else floatDot(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (floatDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .select(col("id_a"), col("id_b"), pairCos.as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct() // a pair may co-occur in up to 2^nProj cells
   }
@@ -191,7 +231,8 @@ object Similarity {
     * (cosine desc, id) for determinism.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
-              queryVec: DataFrame, k: Int, nprobe: Int): DataFrame = {
+              queryVec: DataFrame, k: Int, nprobe: Int,
+              exactGrid: Boolean = false): DataFrame = {
     // centroids: per-label dimension means as ARRAY<DOUBLE>
     val cent = corpus
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -226,9 +267,10 @@ object Similarity {
     // (TakeOrderedAndProject: partition-local heaps + driver merge of k),
     // never a global single-partition Window. The rank window below runs
     // AFTER the limit, over exactly k rows.
+    val sim = if (exactGrid) cosineQuantized _ else cosine _
     val topk = assigned.join(broadcast(probed), "label")
       .crossJoin(broadcast(queryVec))
-      .withColumn("cosine", cosine(col(vecCol), col("qvec")))
+      .withColumn("cosine", sim(col(vecCol), col("qvec")))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
     val wRank = Window.orderBy(col("cosine").desc, col(idCol))
@@ -546,16 +588,19 @@ object Similarity {
     * on any engine. */
   def crossNearDuplicates(corpus: DataFrame, corpusId: String, corpusVec: String,
                           bench: DataFrame, benchId: String, benchVec: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          exactGrid: Boolean = false): DataFrame = {
     import graft.functions.FloatDotProduct.floatDot
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
       .withColumn("cn", sqrt(floatDot(col("cv"), col("cv"))))
     val b = bench.select(col(benchId).as("bench_id"), col(benchVec).as("bv"))
       .withColumn("bn", sqrt(floatDot(col("bv"), col("bv"))))
+    val pairCos =
+      if (exactGrid) cosineQuantized(col("cv"), col("bv")) // bit-exact, no round
+      else round(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6)
     c.crossJoin(broadcast(b))
       .filter(col("cn") > 0 && col("bn") > 0)
-      .withColumn("cosine",
-        round(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
+      .withColumn("cosine", pairCos)
       .filter(col("cosine") >= threshold)
       .select(col("corpus_id"), col("bench_id"), col("cosine"))
   }

@@ -1310,6 +1310,79 @@ object Zarr {
     }.toDS()
   }
 
+  /** 2-D numeric arrays as VECTOR rows — the embedding-matrix ingest
+    * shape the ANN tier consumes: an (n, dim) store becomes
+    * (i, vec ARRAY<DOUBLE>) with one row per leading index. Requires the
+    * trailing dimension UNCHUNKED (the layout embedding dumps use —
+    * each chunk is a batch of whole rows) and C order, so every stored
+    * chunk holds whole vectors; executors emit their own chunks' rows
+    * and the driver touches only metadata (the same range-based walk as
+    * [[readVariable]]). Absent chunks → NULL vectors. CF unpacking is
+    * NOT applied — embedding matrices don't carry fill/scale masks, and
+    * silently masking vector components would corrupt similarity math —
+    * so declared scale/offset attrs reject loudly. numcodecs filter
+    * chains and crc32c decode through the shared machinery; sharding is
+    * out of scope here. */
+  def readVectors(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    require("fiub".indexOf(za.dtKind) >= 0,
+      s"${za.name}: dtype kind '${za.dtKind}' is not numeric")
+    require(za.shape.length == 2,
+      s"${za.name}: readVectors needs a 2-D array, got rank ${za.shape.length}")
+    require(za.chunks(1) == za.shape(1),
+      s"${za.name}: the trailing dim must be unchunked for whole-vector " +
+        s"chunks (chunks ${za.chunks.mkString("x")} vs shape ${za.shape.mkString("x")})")
+    require(za.cOrder, s"${za.name}: readVectors supports C order only")
+    require(za.sharding.isEmpty, s"${za.name}: sharded vector stores unsupported")
+    require(!za.attrs.contains("scale_factor") && !za.attrs.contains("add_offset") &&
+        !za.attrs.contains("_FillValue") && !za.attrs.contains("missing_value"),
+      s"${za.name}: CF unpack attrs on a vector matrix are not applied — " +
+        "read through readVariable for masked/scaled grids")
+    import spark.implicits._
+    val n = za.shape.head
+    val dim = za.shape(1).toInt
+    val lead = za.chunks.head
+    val nLeadChunks = ((n + lead - 1) / lead).toInt
+    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val (kind, size, little) = (za.dtKind, za.dtSize, za.littleEndian)
+    val (comp, sep, crc) = (za.compressor, za.dimSeparator, za.crc32c)
+    val keyPrefix = za.keyPrefix
+    val filters = za.filters
+    val allowDelta = allowUnverifiedDelta(spark)
+    val chunkElems = (lead * dim).toInt
+    val storedSize = filters.filterNot(_.id == "shuffle").lastOption
+      .map(_.asSize).getOrElse(size)
+    val raw: org.apache.spark.sql.Dataset[(Long, Array[Double])] =
+      chunkCoordRdd(spark, Array(nLeadChunks, 1)).flatMap { cc =>
+        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val rowsHere = math.min(lead, n - cc(0).toLong * lead).toInt
+        if (!f.isFile) // absent chunk → NULL vectors
+          (0 until rowsHere).iterator.map(r =>
+            (cc(0).toLong * lead + r, null.asInstanceOf[Array[Double]]))
+        else {
+          val raf = new RandomAccessFile(f, "r")
+          val all = try {
+            val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
+          } finally raf.close()
+          val stored = if (crc) stripCrc32c(all, f.getName) else all
+          val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
+          val get: Int => Double =
+            if (filters.nonEmpty) {
+              val arr = unfilter(plain, filters, chunkElems, kind, size, little)
+              arr(_)
+            } else {
+              val bb = order(plain, little)
+              decodeAt(bb, kind, size, _)
+            }
+          (0 until rowsHere).iterator.map { r =>
+            (cc(0).toLong * lead + r, Array.tabulate(dim)(c => get(r * dim + c)))
+          }
+        }
+      }.toDS()
+    val iName = if (za.dimNames.length == 2) za.dimNames.head else "i0"
+    raw.toDF(iName, "vec")
+  }
+
   /** Chunk-coordinate RDD with NO driver-side materialization: a
     * `sparkContext.range` over the flat chunk count, unraveled to grid
     * coordinates on executors (C order over the chunk grid, matching
@@ -2317,6 +2390,68 @@ object Zarr {
       setCell = (buf, off, r) => buf(off) = r.getString(2),
       encodePlain = vlenEncodePlain,
       compress = deflateZlib)
+
+  /** Write one long-format frame (dim columns + `value` TIMESTAMP) as a
+    * Zarr v2 `<M8[us]` array — the export twin of [[readDatetimes]],
+    * closing the temporal round trip: timestamps leave the lake as exact
+    * int64 microsecond epochs (no float channel anywhere), NULL and
+    * absent in-chunk cells encode as the numpy NaT sentinel, and a chunk
+    * with no rows is simply not written (absent-chunk contract → NULL on
+    * read). Chunking/shuffle/one-task-per-chunk-file are
+    * [[writeChunked]]'s. */
+  def writeDatetimes(df: org.apache.spark.sql.DataFrame, store: String, name: String,
+                     targetChunkElems: Long = 1 << 20): Unit =
+    writeChunked[Long](df, store, name, targetChunkElems,
+      maxInnerElems = 1L << 28,
+      metaFiles = (dims, chunkDims, dimCols) => Seq(
+        ".zarray" ->
+          (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+            s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<M8[us]", """ +
+            """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
+            """"filters": null, "order": "C"}"""),
+        ".zattrs" ->
+          s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""),
+      chunkKey = _.mkString("."),
+      // timestamp → exact micros; unix_micros is TZ-free (epoch-anchored)
+      castValue = unix_micros(col("value").cast("timestamp")),
+      fillBuf = n => Array.fill(n)(Long.MinValue), // NaT
+      setCell = (buf, off, r) => buf(off) = r.getLong(2),
+      encodePlain = (buf, _) => longsLEBuf(buf),
+      compress = deflateZlib)
+
+  /** Write one long-format frame (dim columns + `value` INTERVAL DAY TO
+    * SECOND) as a Zarr v2 `<m8[us]` array — the export twin of
+    * [[readTimedeltas]]. The interval's exact micros are extracted by
+    * anchoring to the epoch (`timestamp_micros(0) + value`), which stays
+    * in Long arithmetic and is session-timezone-proof; NULL/absent cells
+    * → NaT, empty chunks unwritten. */
+  def writeTimedeltas(df: org.apache.spark.sql.DataFrame, store: String, name: String,
+                      targetChunkElems: Long = 1 << 20): Unit =
+    writeChunked[Long](df, store, name, targetChunkElems,
+      maxInnerElems = 1L << 28,
+      metaFiles = (dims, chunkDims, dimCols) => Seq(
+        ".zarray" ->
+          (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+            s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<m8[us]", """ +
+            """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
+            """"filters": null, "order": "C"}"""),
+        ".zattrs" ->
+          s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}]}"""),
+      chunkKey = _.mkString("."),
+      castValue = unix_micros(timestamp_micros(lit(0L)) + col("value")),
+      fillBuf = n => Array.fill(n)(Long.MinValue), // NaT
+      setCell = (buf, off, r) => buf(off) = r.getLong(2),
+      encodePlain = (buf, _) => longsLEBuf(buf),
+      compress = deflateZlib)
+
+  /** Chunk buffer of int64s → little-endian bytes (the `<M8`/`<m8`
+    * payload) — shared by the temporal writers. */
+  private def longsLEBuf(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
 
   /** Chunk buffer of doubles → little-endian bytes (the `<f8`/v3
     * `bytes le` payload) — shared by the v2 and v3 array writers. */

@@ -46,17 +46,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * oracle — it mirrors the kernel's BigDecimal HALF_UP, which is not
   * the floor grid).
   *
-  * What remains (39) is NOT the mechanical class above: (a)
+  * r13 shrink (16 → 10): the five float dot products moved to the
+  * INTEGER-GRID cosine (Similarity.cosineQuantized / SparkEntry.cosQSql
+  * — per-element products on the 1e-12 floor grid summed as int64, so
+  * the fold order cannot move an ulp and the final sqrt/divide are
+  * single correctly-rounded IEEE ops: the emitted doubles are
+  * bit-identical across engines, rounds gone, ranks exact). The
+  * migration also surfaced and fixed a LATENT phase mismatch the old
+  * round(4) masked: Spark 4's lateral-column-alias resolution binds a
+  * transform lambda's col("vec_id") to a same-select alias while DuckDB
+  * lambdas see the input column — planted-copy perturbations now use
+  * distinct names on both sides. q_snowpack_flow_lag dropped its round
+  * outright (exact-integer avg inputs).
+  *
+  * What remains (10) is NOT the mechanical class above: (a)
   * builtin-vs-builtin comparisons where the two engines legitimately
   * evaluate DIFFERENT expression trees (quantile_cont/regr_slope/stddev
   * vs our window forms — round is what makes the comparison well-posed);
   * (b) transcendental-dense converter chains (esat/UTCI/PET/fire) where
   * the oracle replays the formula but libm differs per call — migrating
-  * means a q6 after EVERY transcendental, a per-query rewrite; (c) float
-  * dot products whose array-fold order inside DuckDB list_sum is not
-  * ours to pin (knn/cosine/ivf/semantic). Shrink opportunistically when
-  * touching one; don't bulk-rewrite (a)–(c) — the round is load-bearing
-  * for comparison there, not a portability bug in the engine output.
+  * means a q6 after EVERY transcendental, a per-query rewrite; (c) the
+  * sequential recursions (FWI/KBDI/chill/API/DC), which per the PLANS
+  * §81 lesson migrate only with an integer-grid REDESIGN of the
+  * recursion state itself. Shrink opportunistically when touching one;
+  * don't bulk-rewrite — the round is load-bearing for comparison there,
+  * not a portability bug in the engine output.
   */
 class GateSpec extends AnyFunSuite {
 
@@ -74,17 +88,12 @@ class GateSpec extends AnyFunSuite {
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
     "q_api_recursive", "q_chill_portions",
-    "q_cosine_to_query",
     "q_data_flags_battery",
-    "q_embedding_neardup",
     "q_fire_season",
     "q_fwi_codes", "q_griffiths_ffdi",
-    "q_ivf_topk",
-    "q_kbdi_recursive", "q_knn_top3",
+    "q_kbdi_recursive",
     "q_overwintering_dc",
     "q_pet_thornthwaite",
-    "q_semantic_decontaminate",
-    "q_snowpack_flow_lag",
     "q_tx90p_bootstrap")
 
   test("no NEW query uses round(,s>0) over raw float math") {

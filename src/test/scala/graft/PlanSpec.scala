@@ -41,7 +41,8 @@ class PlanSpec extends AnyFunSuite {
     "q_anchor_text", // one-row corpus-count broadcast (n for % n)
     "q_token_budget", // one-row budget + water-level broadcasts
     "q_cms_tokens", // 5-row probe-list broadcast vs distinct groups
-    "q_temperature_mixture") // one-row feasibility-min broadcast (mixture scaffold)
+    "q_temperature_mixture", // one-row feasibility-min broadcast (mixture scaffold)
+    "q_zarr_vectors_topk") // one-row query-vector broadcast vs vector scan
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1147,6 +1147,58 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readDatetimes(spark, root.getPath, "td"))
   }
 
+  test("r13 readVectors: whole-vector rows, absent chunk -> NULL, guards") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_vec_").toFile
+    // 2-D <f8 store, shape [5,3], chunks [2,3]; chunk 1 (rows 2..3) ABSENT
+    val mDir = new File(root, "m"); mDir.mkdirs()
+    writeText(new File(mDir, ".zarray"),
+      """{"zarr_format": 2, "shape": [5, 3], "chunks": [2, 3], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    writeText(new File(mDir, ".zattrs"), """{"_ARRAY_DIMENSIONS": ["vec_id", "pos"]}""")
+    def chunk(rows: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(2 * 3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      rows.foreach(i => (0 until 3).foreach(j => bb.putDouble(i * 10.0 + j)))
+      bb.array()
+    }
+    write(new File(mDir, "0.0"), chunk(Seq(0, 1)))
+    write(new File(mDir, "2.0"), chunk(Seq(4, 99))) // row 5 = edge pad, clipped
+    val got = Zarr.readVectors(spark, root.getPath, "m").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)))
+      .toMap
+    assert(got.size == 5)
+    assert(got(0L).contains(Seq(0.0, 1.0, 2.0)) && got(1L).contains(Seq(10.0, 11.0, 12.0)))
+    assert(got(4L).contains(Seq(40.0, 41.0, 42.0)))
+    assert(got(2L).isEmpty && got(3L).isEmpty, "absent chunk must read NULL vectors")
+    // guards: chunked trailing dim, F order, wrong rank, CF attrs
+    val bad1 = new File(root, "b1"); bad1.mkdirs()
+    writeText(new File(bad1, ".zarray"),
+      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    intercept[IllegalArgumentException](Zarr.readVectors(spark, root.getPath, "b1"))
+    val bad2 = new File(root, "b2"); bad2.mkdirs()
+    writeText(new File(bad2, ".zarray"),
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    intercept[IllegalArgumentException](Zarr.readVectors(spark, root.getPath, "b2"))
+    val bad3 = new File(root, "b3"); bad3.mkdirs()
+    writeText(new File(bad3, ".zarray"),
+      """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "F"}""".stripMargin)
+    intercept[IllegalArgumentException](Zarr.readVectors(spark, root.getPath, "b3"))
+    val bad4 = new File(root, "b4"); bad4.mkdirs()
+    writeText(new File(bad4, ".zarray"),
+      """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2], "dtype": "<f8",
+        | "compressor": null, "fill_value": null, "filters": null,
+        | "order": "C"}""".stripMargin)
+    writeText(new File(bad4, ".zattrs"), """{"scale_factor": 0.5}""")
+    intercept[IllegalArgumentException](Zarr.readVectors(spark, root.getPath, "b4"))
+  }
+
   test("F-order object chunks: string and binary arrays unravel column-major") {
     val root = java.nio.file.Files.createTempDirectory("zarr_forder_").toFile
     // 2x3 |O vlen-utf8 array, order F: payload items run (0,0),(1,0),
