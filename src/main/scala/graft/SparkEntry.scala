@@ -6007,6 +6007,44 @@ object SparkEntry {
       t.unionByName(ts).orderBy(col("src"), col("idx"))
     }),
 
+    "q_cf_time_standard" -> ((s, dir) => {
+      // r13: CF-encoded time coordinates ("<step> since <epoch>" units —
+      // the encoding xarray writes for every time axis) under the gate,
+      // standard-calendar half: int days since 1850 (negative too) and
+      // fractional hours with an in-epoch time-of-day, both → TIMESTAMP
+      // via one deterministic floor-to-micros. The oracle restates the
+      // instants with the identical arithmetic.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_cftime_store_v1")
+      if (!new java.io.File(storeDir, "tstd/.zarray").isFile)
+        graft.sources.Zarr.plantedCfTimeStore(storeDir.getPath)
+      val tstd = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tstd")
+        .select(lit("tstd").as("src"), col("i").cast("long").as("idx"),
+          col("time").as("v"))
+      val thour = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "thour")
+        .select(lit("thour").as("src"), col("i").cast("long").as("idx"),
+          col("time").as("v"))
+      tstd.unionByName(thour).orderBy(col("src"), col("idx"))
+    }),
+
+    "q_cf_time_fixed" -> ((s, dir) => {
+      // r13: the fixed-length-calendar half — noleap and 360_day decode
+      // to the engine's (year, doy, us_of_day) companion columns (Spark
+      // date types can't carry these calendars); negative offsets carry
+      // into earlier years, the 360_day epoch sits mid-year at noon.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_cftime_store_v1")
+      if (!new java.io.File(storeDir, "tstd/.zarray").isFile)
+        graft.sources.Zarr.plantedCfTimeStore(storeDir.getPath)
+      val tnl = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tnl")
+        .select(lit("tnl").as("src"), col("i").cast("long").as("idx"),
+          col("year"), col("doy"), col("us_of_day"))
+      val t360 = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "t360")
+        .select(lit("t360").as("src"), col("i").cast("long").as("idx"),
+          col("year"), col("doy"), col("us_of_day"))
+      tnl.unionByName(t360).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_temporal_roundtrip" -> ((s, dir) => {
       // r13: the temporal EXPORT twins under the gate — writeDatetimes
       // (<M8[us]; null input → NaT at 3; rows 6..8 sit in a never-written
@@ -6583,6 +6621,48 @@ object SparkEntry {
         |    case when i = 0 then timestamp '1970-01-01 00:00:00'
         |      else timestamp '1969-12-31 23:59:59' end
         |  from range(0, 2) r(i)
+        |) order by src, idx""".stripMargin,
+
+    // tstd: 1850 epoch + int days (incl. negative); thour: fractional
+    // hours from an in-epoch 04:00 time of day — the same single
+    // floor-to-micros both engines replay
+    "q_cf_time_standard" ->
+      """select * from (
+        |  select 'tstd' src, cast(i as bigint) idx,
+        |    timestamp '1850-01-01' + to_days(cast(v as int)) v
+        |  from (values (0, 0), (1, 36524), (2, -365), (3, 51000)) t(i, v)
+        |  union all
+        |  select 'thour', cast(i as bigint),
+        |    timestamp '2001-02-03 04:00:00'
+        |      + to_microseconds(cast(floor(v*3600000000.0 + 0.5) as bigint))
+        |  from (values (0, 0.5), (1, 27.25)) t(i, v)
+        |) order by src, idx""".stripMargin,
+
+    // the oracle replays the fixed-calendar split arithmetic: positive
+    // mod for day/us-of-day, exact integer year carry (negatives too);
+    // t360's epoch contributes 34.5 days (doy 35 at noon)
+    "q_cf_time_fixed" ->
+      """select * from (
+        |  select 'tnl' src, cast(i as bigint) idx,
+        |    cast(2000 + (v - ((v % 365) + 365) % 365) / 365 as int) "year",
+        |    cast(((v % 365) + 365) % 365 + 1 as int) doy,
+        |    cast(0 as bigint) us_of_day
+        |  from (values (0, 0), (1, 364), (2, 365), (3, 730), (4, -1)) t(i, v)
+        |  union all
+        |  select 't360', cast(i as bigint),
+        |    cast(2000 + (dayn - ((dayn % 360) + 360) % 360) / 360 as int),
+        |    cast(((dayn % 360) + 360) % 360 + 1 as int),
+        |    cast(us_of_day as bigint)
+        |  from (
+        |    select i,
+        |      (us - ((us % 86400000000) + 86400000000) % 86400000000)
+        |        / 86400000000 dayn,
+        |      ((us % 86400000000) + 86400000000) % 86400000000 us_of_day
+        |    from (select i,
+        |        cast(floor(v*86400000000.0 + 0.5) as bigint)
+        |          + 2980800000000 us
+        |      from (values (0, 0.0), (1, 359.5), (2, 360.0), (3, -35.0))
+        |        t(i, v)) q1) q2
         |) order by src, idx""".stripMargin,
 
     // ts: 2010-06-01 + t*3661s + t µs; NULL at 3 (NaT), 6..8 (unwritten

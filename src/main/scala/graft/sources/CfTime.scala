@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CF time-coordinate decode — `units = "<step> since <epoch>"` plus a
+  * `calendar` attribute, the encoding xarray/netCDF write for every time
+  * axis (CF conventions §4.4; the reference reaches time through
+  * `xr.decode_cf`, `/root/reference/src/xclim/core/calendar.py` consumes
+  * the decoded axis). Two decode targets, matching the engine's calendar
+  * model:
+  *
+  *   - standard / gregorian / proleptic_gregorian (or no calendar attr):
+  *     value × step → exact microseconds added to the epoch instant →
+  *     TIMESTAMP. Integer-stored times stay exact end to end; float
+  *     times round to the nearest microsecond with one deterministic
+  *     `floor(v·step + 0.5)` (both engines replay it bit-identically).
+  *     2^53 guard: |v·step| as a double is exact for int64 inputs until
+  *     ~year 2255 at second resolution — far past any CF dataset.
+  *
+  *   - noleap/365_day, all_leap/366_day, 360_day: Spark date types can't
+  *     carry these, so the decode emits the engine's companion-column
+  *     form (SURVEY §1.2, [[graft.core.Calendars]]): `year` INT, `doy`
+  *     INT (1-based) and `us_of_day` LONG, computed in exact integer
+  *     arithmetic from the epoch date interpreted IN that calendar
+  *     (fixed year lengths make this closed-form — no table walk).
+  *
+  * Out of scope, rejected loudly: `julian` (pre-Gregorian leap rules) and
+  * non-zero UTC offsets in the epoch string. */
+object CfTime {
+
+  private val stepMicros: Map[String, Long] = Map(
+    "microseconds" -> 1L, "microsecond" -> 1L, "us" -> 1L,
+    "milliseconds" -> 1000L, "millisecond" -> 1000L, "ms" -> 1000L,
+    "seconds" -> 1000000L, "second" -> 1000000L, "sec" -> 1000000L, "s" -> 1000000L,
+    "minutes" -> 60000000L, "minute" -> 60000000L, "min" -> 60000000L,
+    "hours" -> 3600000000L, "hour" -> 3600000000L, "hr" -> 3600000000L, "h" -> 3600000000L,
+    "days" -> 86400000000L, "day" -> 86400000000L, "d" -> 86400000000L)
+
+  private val usPerDay = 86400000000L
+
+  /** (step micros, epoch year, month, day, micros-of-day). The epoch is
+    * parsed STRUCTURALLY (y-m-d [h:m:s[.f]] [Z|UTC|+00[:00]]) so it can
+    * be interpreted under a non-standard calendar too. */
+  final case class Units(step: Long, year: Int, month: Int, day: Int,
+                         usOfDay: Long)
+
+  private val UnitsRe =
+    ("""^\s*([A-Za-z]+)\s+since\s+(-?\d{1,5})-(\d{1,2})-(\d{1,2})""" +
+      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?""" +
+      """\s*(Z|UTC|\+0+(?::0+)?)?\s*$""").r
+
+  def parseUnits(units: String): Units = units match {
+    case UnitsRe(u, y, mo, d, h, mi, s, frac, _) =>
+      val step = stepMicros.getOrElse(u.toLowerCase,
+        throw new IllegalArgumentException(
+          s"CF unit '$u' unsupported (us/ms/seconds/minutes/hours/days)"))
+      def i(v: String): Int = Option(v).map(_.toInt).getOrElse(0)
+      val fracUs = Option(frac).map(f => (f + "0" * 6).take(6).toLong).getOrElse(0L)
+      val us = (i(h) * 3600L + i(mi) * 60L + i(s)) * 1000000L + fracUs
+      Units(step, y.toInt, mo.toInt, d.toInt, us)
+    case other => throw new IllegalArgumentException(
+      s"unparseable CF time units '$other' (expected '<step> since <date>'" +
+        "; non-zero UTC offsets are unsupported)")
+  }
+
+  private def canonCalendar(c: String): String = c.toLowerCase match {
+    case "standard" | "gregorian" | "proleptic_gregorian" | "" => "standard"
+    case "noleap" | "365_day"  => "noleap"
+    case "all_leap" | "366_day" => "all_leap"
+    case "360_day" => "360_day"
+    case other => throw new IllegalArgumentException(
+      s"CF calendar '$other' unsupported " +
+        "(standard/proleptic_gregorian/noleap/all_leap/360_day)")
+  }
+
+  private def yearDays(cal: String): Long =
+    cal match { case "noleap" => 365L; case "all_leap" => 366L; case _ => 360L }
+
+  /** Day-of-year (1-based) of a y-m-d date under a fixed-length calendar. */
+  private def fixedDoy(cal: String, month: Int, day: Int): Long = cal match {
+    case "360_day" => (month - 1) * 30L + day
+    case _ =>
+      val feb = if (cal == "all_leap") 29 else 28
+      val lens = Array(31, feb, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+      lens.take(month - 1).sum.toLong + day
+  }
+
+  /** Decode `valueCol` (the CF-encoded number) of `df` in place:
+    * standard calendars replace it with `time` TIMESTAMP; fixed-length
+    * calendars replace it with (`year`, `doy`, `us_of_day`). NULL
+    * values (masked fills) stay NULL. A pre-existing `time` column —
+    * the usual name of the coordinate's own POSITIONAL index — is
+    * renamed `time_idx` so the decoded axis takes the canonical name
+    * (mirroring xarray, where decode_cf replaces the coordinate's
+    * values). */
+  def decode(df0: DataFrame, valueCol: String, units: String,
+             calendar: String): DataFrame = {
+    val df = if (df0.columns.contains("time") && valueCol != "time")
+      df0.withColumnRenamed("time", "time_idx") else df0
+    val u = parseUnits(units)
+    val v = col(valueCol)
+    // one deterministic float→micros rounding; exact for integer inputs
+    val relUs = floor(v * lit(u.step.toDouble) + lit(0.5)).cast("long")
+    canonCalendar(calendar) match {
+      case "standard" =>
+        val epochUs = java.time.LocalDateTime
+          .of(u.year, u.month, u.day, 0, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L + u.usOfDay
+        df.withColumn("time", timestamp_micros(relUs + lit(epochUs)))
+          .drop(valueCol)
+      case cal =>
+        val yl = yearDays(cal)
+        // micros since (epochYear, doy 1, 00:00) in the fixed calendar;
+        // `div`/pmod keep the split exact on Longs (incl. negatives —
+        // pre-epoch dates carry into earlier years correctly)
+        val baseUs = (fixedDoy(cal, u.month, u.day) - 1L) * usPerDay + u.usOfDay
+        df.withColumn("__us", relUs + lit(baseUs))
+          .withColumn("__day", expr(s"(__us - pmod(__us, $usPerDay)) div $usPerDay"))
+          .withColumn("year",
+            (lit(u.year) + expr(s"(__day - pmod(__day, $yl)) div $yl")).cast("int"))
+          .withColumn("doy", (pmod(col("__day"), lit(yl)) + 1).cast("int"))
+          .withColumn("us_of_day", pmod(col("__us"), lit(usPerDay)))
+          .drop(valueCol, "__us", "__day")
+    }
+  }
+}

@@ -129,6 +129,22 @@ object NetCDF {
     case 11 => raf.readLong().toDouble                // uint64 (< 2^63 assumed)
   }
 
+  /** A CF-ENCODED time coordinate variable (`units` "<step> since
+    * <epoch>" + optional `calendar` NC_CHAR attrs — the netCDF-classic
+    * time encoding) decoded through [[CfTime.decode]]: TIMESTAMP for
+    * standard calendars, (year, doy, us_of_day) companion columns for
+    * noleap/all_leap/360_day. The Zarr twin is
+    * [[Zarr.readTimeCoordinate]]. */
+  def readTimeCoordinate(spark: SparkSession, path: String, varName: String): DataFrame = {
+    val v = readHeader(path).variable(varName)
+    val units = v.attrs.collectFirst { case NcAttr("units", s: String) => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$varName: no 'units' attribute — not a CF time coordinate"))
+    val calendar = v.attrs.collectFirst { case NcAttr("calendar", s: String) => s }
+      .getOrElse("standard")
+    CfTime.decode(readVariable(spark, path, varName), "value", units, calendar)
+  }
+
   /** One variable as a long-format DataFrame: one INT index column per
     * dimension (named after the dimension) + `value` DOUBLE. Record
     * variables are read record-parallel across executors; fixed variables

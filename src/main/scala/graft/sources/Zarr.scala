@@ -169,7 +169,8 @@ object Zarr {
                           keyPrefix: String = "", crc32c: Boolean = false,
                           sharding: Option[ShardMeta] = None,
                           filters: Seq[ZFilter] = Nil,
-                          dtUnit: String = "")
+                          dtUnit: String = "",
+                          strAttrs: Map[String, String] = Map.empty)
 
   /** One numcodecs v2 `filters` entry. On ENCODE the writer ran the chain
     * in list order (each filter reading its `dtype`, emitting its
@@ -327,6 +328,7 @@ object Zarr {
     }
     val attrsFile = new File(dir, ".zattrs")
     var dimNames = Seq.empty[String]
+    var strAttrs = Map.empty[String, String]
     val attrs: Map[String, Double] =
       if (!attrsFile.isFile) Map.empty
       else Json.parse(readText(attrsFile)).asInstanceOf[Map[String, Any]].flatMap {
@@ -334,7 +336,10 @@ object Zarr {
           dimNames = v.map(_.asInstanceOf[String]); None
         case (k, d: Double)  => Some(k -> d)
         case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
-        case _               => None // string/array attrs don't affect decode
+        // string attrs carry the CF time encoding (units/calendar) —
+        // kept for readTimeCoordinate; array attrs stay decode-inert
+        case (k, s: String)  => strAttrs += (k -> s); None
+        case _               => None
       }
     val dtUnit = if (kind == 'M' || kind == 'm') {
       val dt = m("dtype").asInstanceOf[String]
@@ -344,7 +349,8 @@ object Zarr {
     } else ""
     ZArray(if (name.isEmpty) dir.getName else name, asLongs(m("shape")),
       asLongs(m("chunks")), kind, size, little, comp, fill,
-      order == "C", sep, attrs, dimNames, filters = filters, dtUnit = dtUnit)
+      order == "C", sep, attrs, dimNames, filters = filters, dtUnit = dtUnit,
+      strAttrs = strAttrs)
   }
 
   /** Zarr v3 `zarr.json` array metadata → the shared [[ZArray]] model.
@@ -449,11 +455,13 @@ object Zarr {
         v.map(_.asInstanceOf[String])
       case _ => Seq.empty[String]
     }
+    var strAttrs = Map.empty[String, String]
     val attrs: Map[String, Double] = m.getOrElse("attributes", Map.empty)
       .asInstanceOf[Map[String, Any]].flatMap {
         case (k, d: Double)  => Some(k -> d)
         case (k, b: Boolean) => Some(k -> (if (b) 1.0 else 0.0))
-        case _               => None // string/array attrs don't affect decode
+        case (k, s: String)  => strAttrs += (k -> s); None // CF time encoding
+        case _               => None // array attrs don't affect decode
       }
     // vlen codec ↔ data_type consistency: string needs vlen-utf8, bytes
     // needs vlen-bytes (directly or as the shard's inner array→bytes
@@ -475,7 +483,7 @@ object Zarr {
       }
     ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
       little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc,
-      chain.sharding, filters, dtUnit)
+      chain.sharding, filters, dtUnit, strAttrs)
   }
 
   private final case class CodecChain(little: Boolean, cOrder: Boolean,
@@ -575,8 +583,17 @@ object Zarr {
         case other => throw new IllegalArgumentException(s"unknown node_type '$other'")
       }
     }
-    else root.listFiles().filter(d => d.isDirectory && new File(d, ".zarray").isFile)
-      .map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
+    else root.listFiles().filter(_.isDirectory).flatMap { d =>
+      // unconsolidated fallback: v2 children (.zarray) and v3 array
+      // children (zarr.json) both count — mixed stores happen when a v3
+      // array is added to a v2-era directory
+      if (new File(d, ".zarray").isFile) Some(readArrayMeta(store, d.getName))
+      else if (new File(d, "zarr.json").isFile &&
+          Json.parse(readText(new File(d, "zarr.json")))
+            .asInstanceOf[Map[String, Any]]("node_type") == "array")
+        Some(readArrayMeta(store, d.getName))
+      else None
+    }.sortBy(_.name).toSeq
   }
 
   // ---------------- executor-side chunk decode ----------------
@@ -1308,6 +1325,22 @@ object Zarr {
           }
       }
     }.toDS()
+  }
+
+  /** A CF-ENCODED time coordinate — a numeric array carrying
+    * `units = "<step> since <epoch>"` (+ optional `calendar`) attrs, the
+    * encoding xarray's `to_zarr` writes for every time axis (far more
+    * common in the wild than raw datetime64 arrays) — decoded through
+    * [[CfTime.decode]]: TIMESTAMP for standard calendars,
+    * (year, doy, us_of_day) companion columns for
+    * noleap/all_leap/360_day. Masked fills stay NULL. */
+  def readTimeCoordinate(spark: SparkSession, store: String, name: String): DataFrame = {
+    val za = readArrayMeta(store, name)
+    val units = za.strAttrs.getOrElse("units", throw new IllegalArgumentException(
+      s"${za.name}: no 'units' attribute — not a CF time coordinate " +
+        "(raw datetime64 arrays go through readDatetimes)"))
+    val calendar = za.strAttrs.getOrElse("calendar", "standard")
+    CfTime.decode(readVariable(spark, store, name), "value", units, calendar)
   }
 
   /** 2-D numeric arrays as VECTOR rows — the embedding-matrix ingest
@@ -2230,6 +2263,77 @@ object Zarr {
     writeBytes(new File(mDir, "1"), longsLE(Seq(-90L, 0L)))
   }
 
+  /** Fixture store for the r13 CF time tier, closed-form:
+    *
+    *   `tstd` — <i8 raw, `days since 1850-01-01`, NO calendar attr
+    *   (defaults standard): 0 / 36524 / −365 / 51000 days.
+    *
+    *   `thour` — <f8 zlib, `hours since 2001-02-03 04:00:00Z`,
+    *   proleptic_gregorian: 0.5 / 27.25 h (fractional → the single
+    *   deterministic micros rounding).
+    *
+    *   `tnl` — <i4 raw, `days since 2000-01-01`, noleap:
+    *   0 / 364 / 365 / 730 / −1 (year carries both ways).
+    *
+    *   `t360` — <f8 raw, `days since 2000-02-05 12:00:00`, 360_day
+    *   (mid-year noon epoch): 0 / 359.5 / 360 / −35. */
+  def plantedCfTimeStore(store: String): Unit = {
+    def writeBytes(f: File, b: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(b) finally out.close()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(1)
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def arr(name: String, dtype: String, comp: String, n: Int,
+            attrsJson: String, payload: Array[Byte]): Unit = {
+      val dir = new File(store, name); dir.mkdirs()
+      writeBytes(new File(dir, ".zarray"),
+        (s"""{"zarr_format": 2, "shape": [$n], "chunks": [$n], """ +
+          s""""dtype": "$dtype", "compressor": $comp, """ +
+          """"fill_value": null, "filters": null, "order": "C"}""").getBytes(utf8))
+      writeBytes(new File(dir, ".zattrs"), attrsJson.getBytes(utf8))
+      writeBytes(new File(dir, "0"), payload)
+    }
+    def longsLE(vs: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putLong); bb.array()
+    }
+    def intsLE(vs: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    def dblsLE(vs: Seq[Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    arr("tstd", "<i8", "null", 4,
+      """{"_ARRAY_DIMENSIONS": ["i"], "units": "days since 1850-01-01"}""",
+      longsLE(Seq(0L, 36524L, -365L, 51000L)))
+    arr("thour", "<f8", """{"id": "zlib", "level": 1}""", 2,
+      """{"_ARRAY_DIMENSIONS": ["i"],
+        | "units": "hours since 2001-02-03 04:00:00Z",
+        | "calendar": "proleptic_gregorian"}""".stripMargin,
+      deflate(dblsLE(Seq(0.5, 27.25))))
+    arr("tnl", "<i4", "null", 5,
+      """{"_ARRAY_DIMENSIONS": ["i"],
+        | "units": "days since 2000-01-01", "calendar": "noleap"}""".stripMargin,
+      intsLE(Seq(0, 364, 365, 730, -1)))
+    arr("t360", "<f8", "null", 4,
+      """{"_ARRAY_DIMENSIONS": ["i"],
+        | "units": "days since 2000-02-05 12:00:00",
+        | "calendar": "360_day"}""".stripMargin,
+      dblsLE(Seq(0.0, 359.5, 360.0, -35.0)))
+  }
+
   /** Convert every array in the store to a long-format parquet lake (the
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */
   def toParquetLake(spark: SparkSession, store: String, outDir: String): Seq[String] = {
@@ -2568,13 +2672,22 @@ object Zarr {
     require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
     varDirs.foreach { v =>
       val df = spark.read.parquet(s"$lakeDir/$v")
-      val isStr = df.schema.fields.find(_.name == "value")
-        .exists(_.dataType == org.apache.spark.sql.types.StringType)
-      (isStr, zarrFormat) match {
-        case (true, 2)  => writeStrings(df, store, v, targetChunkElems)
-        case (false, 2) => writeArray(df, store, v, targetChunkElems)
-        case (true, _)  => writeStringsV3(df, store, v, targetChunkElems)
-        case (false, _) => writeArrayV3(df, store, v, targetChunkElems)
+      import org.apache.spark.sql.types.{DayTimeIntervalType, StringType, TimestampType}
+      val vt = df.schema.fields.find(_.name == "value").map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"$v: no value column"))
+      // temporal columns must NOT fall into the double writer — a
+      // timestamp cast to double rounds micros past 2^53 silently
+      (vt, zarrFormat) match {
+        case (StringType, 2)              => writeStrings(df, store, v, targetChunkElems)
+        case (TimestampType, 2)           => writeDatetimes(df, store, v, targetChunkElems)
+        case (_: DayTimeIntervalType, 2)  => writeTimedeltas(df, store, v, targetChunkElems)
+        case (_, 2)                       => writeArray(df, store, v, targetChunkElems)
+        case (StringType, _)              => writeStringsV3(df, store, v, targetChunkElems)
+        case (TimestampType, _) | (_: DayTimeIntervalType, _) =>
+          throw new IllegalArgumentException(
+            s"$v: temporal export is v2-only (the v3 numpy dtype extension " +
+              "has no public writer vector pinned yet) — pass zarrFormat = 2")
+        case _                            => writeArrayV3(df, store, v, targetChunkElems)
       }
     }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

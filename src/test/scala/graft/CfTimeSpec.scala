@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CfTime, NetCDF, Zarr}
+
+/** r13: CF time-coordinate decode — unit-string parsing, the standard →
+  * TIMESTAMP path, fixed-length calendars → (year, doy, us_of_day),
+  * NULL propagation, loud rejects, and the NetCDF twin. The Zarr side is
+  * additionally oracle-gated (q_cf_time_standard / q_cf_time_fixed). */
+class CfTimeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parseUnits: step table, epoch forms, loud rejects") {
+    val u = CfTime.parseUnits("days since 1850-01-01")
+    assert(u.step == 86400000000L && u.year == 1850 && u.month == 1 &&
+      u.day == 1 && u.usOfDay == 0L)
+    val u2 = CfTime.parseUnits("hours since 2001-02-03T04:05:06.25Z")
+    assert(u2.step == 3600000000L &&
+      u2.usOfDay == (4 * 3600L + 5 * 60 + 6) * 1000000L + 250000L)
+    val u3 = CfTime.parseUnits("seconds since 1970-1-1 0:0:0 UTC")
+    assert(u3.step == 1000000L && u3.year == 1970)
+    assert(CfTime.parseUnits("minutes since 2000-01-01").step == 60000000L)
+    intercept[IllegalArgumentException](
+      CfTime.parseUnits("fortnights since 1850-01-01"))
+    intercept[IllegalArgumentException]( // non-zero UTC offsets unsupported
+      CfTime.parseUnits("days since 1850-01-01 00:00:00+05:30"))
+    intercept[IllegalArgumentException](CfTime.parseUnits("1850-01-01"))
+  }
+
+  test("decode: all_leap carries years both ways; julian rejects; NULLs stay NULL") {
+    import spark.implicits._
+    val df = Seq((0, Some(366.0)), (1, None), (2, Some(-1.0)))
+      .toDF("i", "value")
+    // epoch 2001-03-01 in all_leap = doy 61 (31 + 29 + 1)
+    val got = CfTime.decode(df, "value", "days since 2001-03-01", "all_leap")
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some((r.getInt(1), r.getInt(2), r.getLong(3)))))
+      .toMap
+    assert(got(0).contains((2002, 61, 0L)), got(0).toString)
+    assert(got(1).isEmpty, "masked fill must stay NULL")
+    assert(got(2).contains((2001, 60, 0L)), got(2).toString)
+    intercept[IllegalArgumentException](
+      CfTime.decode(df, "value", "days since 1850-01-01", "julian"))
+  }
+
+  test("NetCDF readTimeCoordinate: classic time var with units/calendar attrs") {
+    import spark.implicits._
+    val f = java.io.File.createTempFile("graft_cft", ".nc"); f.deleteOnExit()
+    val times = Seq((0, 0.0), (1, 1.5), (2, -0.25)).toDF("time", "value")
+    NetCDF.writeClassic(spark, f.getPath, Seq("time" -> 3),
+      Seq(NetCDF.WriteVar("time", Seq("time"), times,
+        Seq(NetCDF.NcAttr("units", "days since 2000-01-01"),
+          NetCDF.NcAttr("calendar", "standard"))),
+        NetCDF.WriteVar("plain", Seq("time"), times)))
+    val gotDf = NetCDF.readTimeCoordinate(spark, f.getPath, "time")
+    // the positional index yields to the decoded axis (xarray semantics)
+    assert(gotDf.columns.toSeq == Seq("time_idx", "time"))
+    val got = gotDf
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(got(0) == java.time.Instant.parse("2000-01-01T00:00:00Z"))
+    assert(got(1) == java.time.Instant.parse("2000-01-02T12:00:00Z"))
+    assert(got(2) == java.time.Instant.parse("1999-12-31T18:00:00Z"))
+    // a var with no units attr is not a time coordinate — loud reject
+    intercept[IllegalArgumentException](
+      NetCDF.readTimeCoordinate(spark, f.getPath, "plain"))
+  }
+
+  test("Zarr readTimeCoordinate: planted store spot checks (oracle covers the rest)") {
+    val root = java.nio.file.Files.createTempDirectory("zarr_cft_").toFile
+    Zarr.plantedCfTimeStore(root.getPath)
+    val std = Zarr.readTimeCoordinate(spark, root.getPath, "tstd")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(std(0) == java.time.Instant.parse("1850-01-01T00:00:00Z"))
+    assert(std(2) == java.time.Instant.parse("1849-01-01T00:00:00Z"))
+    val t360 = Zarr.readTimeCoordinate(spark, root.getPath, "t360")
+      .collect().map(r => (r.getInt(0), (r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(t360(0) == ((2000, 35, 43200000000L))) // the epoch itself: noon of doy 35
+    assert(t360(3) == ((1999, 360, 43200000000L))) // -35 d: last day of 1999, noon
+    // a non-time array rejects loudly instead of mis-decoding
+    intercept[IllegalArgumentException](
+      Zarr.readTimeCoordinate(spark, root.getPath, "nope"))
+  }
+}

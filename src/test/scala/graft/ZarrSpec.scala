@@ -1147,6 +1147,40 @@ class ZarrSpec extends AnyFunSuite {
       Zarr.readDatetimes(spark, root.getPath, "td"))
   }
 
+  test("r13 store-level temporal round trip: lake <-> Zarr for M8/m8 arrays") {
+    val store1 = java.nio.file.Files.createTempDirectory("zarr_tmp1_").toFile
+    Zarr.plantedTemporalStore(store1.getPath)
+    val lake = java.nio.file.Files.createTempDirectory("zarr_tmp_lake_").toFile
+    // toParquetLake must dispatch M -> readDatetimes, m -> readTimedeltas
+    // (intervals DO survive parquet: Spark round-trips DayTimeIntervalType,
+    // DuckDB reads the physical int64 micros) and discover the v3 tsh
+    // child in this mixed v2/v3 store
+    val vars = Zarr.toParquetLake(spark, store1.getPath, lake.getPath)
+    assert(vars.toSet == Set("tf", "tsh", "td", "tdm"), vars.mkString(","))
+    val store2 = java.nio.file.Files.createTempDirectory("zarr_tmp2_").toFile
+    // fromParquetLake must route temporal value dtypes to the exact-Long
+    // writers, never the double writer (2^53 silent rounding)
+    Zarr.fromParquetLake(spark, lake.getPath, store2.getPath)
+    for (arr <- Seq("tf", "tsh")) {
+      val orig = Zarr.readDatetimes(spark, store1.getPath, arr).collect()
+        .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toSet
+      val back = Zarr.readDatetimes(spark, store2.getPath, arr).collect()
+        .map(r => (r.getInt(0), Option(r.getTimestamp(1)))).toSet
+      assert(back === orig, arr)
+    }
+    for (arr <- Seq("td", "tdm")) {
+      val orig = Zarr.readTimedeltas(spark, store1.getPath, arr).collect()
+        .map(r => (r.getInt(0), Option(r.get(1)))).toSet
+      val back = Zarr.readTimedeltas(spark, store2.getPath, arr).collect()
+        .map(r => (r.getInt(0), Option(r.get(1)))).toSet
+      assert(back === orig, arr)
+    }
+    // v3 temporal export has no pinned writer vector — loud reject
+    val store3 = java.nio.file.Files.createTempDirectory("zarr_tmp3_").toFile
+    intercept[IllegalArgumentException](
+      Zarr.fromParquetLake(spark, lake.getPath, store3.getPath, zarrFormat = 3))
+  }
+
   test("r13 readVectors: whole-vector rows, absent chunk -> NULL, guards") {
     val root = java.nio.file.Files.createTempDirectory("zarr_vec_").toFile
     // 2-D <f8 store, shape [5,3], chunks [2,3]; chunk 1 (rows 2..3) ABSENT
