@@ -69,9 +69,20 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, exactGrid: Boolean = false): DataFrame = {
-    val sim = if (exactGrid) cosineQuantized _ else cosine _
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", sim(col(corpusVec), col(queryVec)))
+    // exactGrid: every pair needs its cosine (ranking), so no prefilter —
+    // but the quantized SELF-dots ride each side's rows from before the
+    // join, leaving one interpreted dot per pair instead of three
+    val joined =
+      if (exactGrid)
+        corpus.withColumn("__cq", dotQuantized(col(corpusVec), col(corpusVec)))
+          .crossJoin(broadcast(
+            queries.withColumn("__qq", dotQuantized(col(queryVec), col(queryVec)))))
+          .withColumn("cosine",
+            when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
+              .otherwise(dotQuantized(col(corpusVec), col(queryVec)).cast("double") /
+                sqrt(col("__cq").cast("double") * col("__qq").cast("double"))))
+      else corpus.crossJoin(broadcast(queries))
+        .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cosine").desc, col(corpusId))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -193,18 +204,35 @@ object Similarity {
         (if ((mask & (1 << i)) != 0) c + 1 else c).as(s"c$i")
       }: _*)
     }
-    val bucketed = normed.withColumn("cell", explode(array(replicas: _*)))
-    val a = bucketed.select(col("cell"), col("id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = bucketed.select(col("cell"), col("id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val pairCos =
-      if (exactGrid) cosineQuantized(col("va"), col("vb"))
-      else floatDot(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), pairCos.as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val withNq = if (exactGrid)
+      normed.withColumn("nq", dotQuantized(col("v"), col("v"))) else normed
+    val bucketed = withNq.withColumn("cell", explode(array(replicas: _*)))
+    val nqa = if (exactGrid) Seq(col("nq").as("nqa")) else Nil
+    val nqb = if (exactGrid) Seq(col("nq").as("nqb")) else Nil
+    val a = bucketed.select(Seq(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na")) ++ nqa: _*)
+    val b = bucketed.select(Seq(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb")) ++ nqb: _*)
+    val floatCos = floatDot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val joined = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val scored =
+      if (!exactGrid)
+        joined.select(col("id_a"), col("id_b"), floatCos.as("cosine"))
+      else
+        // r13 perf lesson: the interpreted grid kernel (3 higher-order
+        // dots) per CANDIDATE pair was ~100× slower than the codegen'd
+        // float path at sf0.1. So: (1) the codegen'd float kernel
+        // prefilters at a RECALL-SAFE loosened threshold (the grid
+        // cosine differs from the float one by ≪ 1e-6, planted margins
+        // are ~1e-2), (2) quantized self-dots ride each row from before
+        // the join (nqa/nqb), (3) the one remaining interpreted dot runs
+        // only on survivors, and the exact grid value decides membership
+        joined.filter(floatCos >= threshold - 1e-6)
+          .select(col("id_a"), col("id_b"),
+            (dotQuantized(col("va"), col("vb")).cast("double") /
+              sqrt(col("nqa").cast("double") * col("nqb").cast("double")))
+              .as("cosine"))
+    scored.filter(col("cosine") >= threshold)
       .distinct() // a pair may co-occur in up to 2^nProj cells
   }
 
@@ -267,10 +295,17 @@ object Similarity {
     // (TakeOrderedAndProject: partition-local heaps + driver merge of k),
     // never a global single-partition Window. The rank window below runs
     // AFTER the limit, over exactly k rows.
-    val sim = if (exactGrid) cosineQuantized _ else cosine _
-    val topk = assigned.join(broadcast(probed), "label")
-      .crossJoin(broadcast(queryVec))
-      .withColumn("cosine", sim(col(vecCol), col("qvec")))
+    val base = assigned.join(broadcast(probed), "label")
+    val topk = (if (exactGrid)
+      base.withColumn("__cq", dotQuantized(col(vecCol), col(vecCol)))
+        .crossJoin(broadcast(
+          queryVec.withColumn("__qq", dotQuantized(col("qvec"), col("qvec")))))
+        .withColumn("cosine",
+          when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
+            .otherwise(dotQuantized(col(vecCol), col("qvec")).cast("double") /
+              sqrt(col("__cq").cast("double") * col("__qq").cast("double"))))
+    else base.crossJoin(broadcast(queryVec))
+      .withColumn("cosine", cosine(col(vecCol), col("qvec"))))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
     val wRank = Window.orderBy(col("cosine").desc, col(idCol))
@@ -595,13 +630,29 @@ object Similarity {
       .withColumn("cn", sqrt(floatDot(col("cv"), col("cv"))))
     val b = bench.select(col(benchId).as("bench_id"), col(benchVec).as("bv"))
       .withColumn("bn", sqrt(floatDot(col("bv"), col("bv"))))
-    val pairCos =
-      if (exactGrid) cosineQuantized(col("cv"), col("bv")) // bit-exact, no round
-      else round(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6)
-    c.crossJoin(broadcast(b))
-      .filter(col("cn") > 0 && col("bn") > 0)
-      .withColumn("cosine", pairCos)
-      .filter(col("cosine") >= threshold)
-      .select(col("corpus_id"), col("bench_id"), col("cosine"))
+    if (!exactGrid)
+      c.crossJoin(broadcast(b))
+        .filter(col("cn") > 0 && col("bn") > 0)
+        .withColumn("cosine",
+          round(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("corpus_id"), col("bench_id"), col("cosine"))
+    else {
+      // same two-phase shape as gridPairs (r13 perf lesson): codegen'd
+      // float prefilter at a recall-safe loosened threshold, per-row
+      // quantized self-dots, ONE interpreted dot on survivors only —
+      // the exact grid value decides membership and is what's emitted
+      val c2 = c.withColumn("cq", dotQuantized(col("cv"), col("cv")))
+      val b2 = b.withColumn("bq", dotQuantized(col("bv"), col("bv")))
+      c2.crossJoin(broadcast(b2))
+        .filter(col("cn") > 0 && col("bn") > 0)
+        .filter(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")) >=
+          threshold - 1e-6)
+        .withColumn("cosine",
+          dotQuantized(col("cv"), col("bv")).cast("double") /
+            sqrt(col("cq").cast("double") * col("bq").cast("double")))
+        .filter(col("cosine") >= threshold)
+        .select(col("corpus_id"), col("bench_id"), col("cosine"))
+    }
   }
 }
