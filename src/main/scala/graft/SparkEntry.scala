@@ -104,6 +104,27 @@ object SparkEntry {
     * (plain string literals; keep the two spellings in sync). */
   private def qln(c: Column): Column = q6(log(c))
 
+  /** Build a fixture STORE directory once, ATOMICALLY: the Zarr writers
+    * emit metadata before chunk data, so a bare existence probe can see
+    * a half-written store from a concurrent bench/verify JVM. The build
+    * runs in a pid-suffixed staging dir renamed into place when complete
+    * (same-directory rename = atomic on POSIX); a concurrent loser just
+    * deletes its staging copy. `probe` is the file whose presence marks
+    * a finished store. */
+  private def buildStoreOnce(dir: java.io.File, probe: String)
+                            (build: java.io.File => Unit): Unit = {
+    if (new java.io.File(dir, probe).isFile) return
+    val staging = new java.io.File(dir.getParentFile,
+      dir.getName + "_build_" + ProcessHandle.current().pid())
+    build(staging)
+    if (!staging.renameTo(dir)) { // another process won the race
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(staging)
+    }
+  }
+
   /** DuckDB twin of [[graft.pipeline.Similarity.dotQuantized]] over
     * 64-dim lists: per-element products on the 1e-12 floor grid summed
     * as integers (fold-order-free), cast to double (exact below 2^53). */
@@ -6016,8 +6037,8 @@ object SparkEntry {
       // instants with the identical arithmetic.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_zarr_cftime_store_v1")
-      if (!new java.io.File(storeDir, "tstd/.zarray").isFile)
-        graft.sources.Zarr.plantedCfTimeStore(storeDir.getPath)
+      buildStoreOnce(storeDir, "tstd/.zarray")(d =>
+        graft.sources.Zarr.plantedCfTimeStore(d.getPath))
       val tstd = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tstd")
         .select(lit("tstd").as("src"), col("i").cast("long").as("idx"),
           col("time").as("v"))
@@ -6034,8 +6055,8 @@ object SparkEntry {
       // into earlier years, the 360_day epoch sits mid-year at noon.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_zarr_cftime_store_v1")
-      if (!new java.io.File(storeDir, "tstd/.zarray").isFile)
-        graft.sources.Zarr.plantedCfTimeStore(storeDir.getPath)
+      buildStoreOnce(storeDir, "tstd/.zarray")(d =>
+        graft.sources.Zarr.plantedCfTimeStore(d.getPath))
       val tnl = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tnl")
         .select(lit("tnl").as("src"), col("i").cast("long").as("idx"),
           col("year"), col("doy"), col("us_of_day"))
@@ -6055,7 +6076,7 @@ object SparkEntry {
       import s.implicits._
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_zarr_wtmp_store_v1")
-      if (!new java.io.File(storeDir, "ts/.zarray").isFile) {
+      buildStoreOnce(storeDir, "ts/.zarray") { d =>
         val base = java.time.Instant.parse("2010-06-01T00:00:00Z")
         val tsRows = (0 until 12).filter(t => t < 6 || t > 9).map { t =>
           (t, if (t == 3) null
@@ -6063,13 +6084,13 @@ object SparkEntry {
                 base.plusSeconds(t * 3661L).plusNanos(t * 1000L)))
         }
         graft.sources.Zarr.writeDatetimes(
-          tsRows.toDF("i", "value"), storeDir.getPath, "ts", targetChunkElems = 3)
+          tsRows.toDF("i", "value"), d.getPath, "ts", targetChunkElems = 3)
         val tdRows = (0 until 6).map { t =>
           (t, if (t == 2) null
               else java.time.Duration.ofMillis((t - 3) * 90061123L))
         }
         graft.sources.Zarr.writeTimedeltas(
-          tdRows.toDF("i", "value"), storeDir.getPath, "td", targetChunkElems = 6)
+          tdRows.toDF("i", "value"), d.getPath, "td", targetChunkElems = 6)
       }
       val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
       val ts = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "ts")
@@ -6092,11 +6113,11 @@ object SparkEntry {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_zarr_vec_store_${safe}_v1")
-      if (!new java.io.File(storeDir, "emb/.zarray").isFile) {
+      buildStoreOnce(storeDir, "emb/.zarray") { d =>
         val long = t(s, dir, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
           .select(col("vec_id"), col("pos"), col("value").cast("double").as("value"))
-        graft.sources.Zarr.writeArray(long, storeDir.getPath, "emb")
+        graft.sources.Zarr.writeArray(long, d.getPath, "emb")
       }
       val vecs = graft.sources.Zarr.readVectors(s, storeDir.getPath, "emb")
       val q = vecs.filter(col("vec_id") === 0).select(col("vec").as("qv"))
@@ -6117,8 +6138,8 @@ object SparkEntry {
       // clipping). The oracle states the instants closed-form.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_zarr_temporal_store_v1")
-      if (!new java.io.File(storeDir, "tf/.zarray").isFile)
-        graft.sources.Zarr.plantedTemporalStore(storeDir.getPath)
+      buildStoreOnce(storeDir, "tf/.zarray")(d =>
+        graft.sources.Zarr.plantedTemporalStore(d.getPath))
       val tf = graft.sources.Zarr.readDatetimes(s, storeDir.getPath, "tf")
         .select(lit("tf").as("src"), col("i").cast("long").as("idx"),
           col("value").as("v"))
@@ -6137,8 +6158,8 @@ object SparkEntry {
       // schema itself is asserted in ZarrSpec.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_zarr_temporal_store_v1")
-      if (!new java.io.File(storeDir, "tf/.zarray").isFile)
-        graft.sources.Zarr.plantedTemporalStore(storeDir.getPath)
+      buildStoreOnce(storeDir, "tf/.zarray")(d =>
+        graft.sources.Zarr.plantedTemporalStore(d.getPath))
       val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
       val td = graft.sources.Zarr.readTimedeltas(s, storeDir.getPath, "td")
         .select(lit("td").as("src"), col("i").cast("long").as("idx"),

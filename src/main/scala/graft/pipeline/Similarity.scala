@@ -54,14 +54,48 @@ object Similarity {
     * operators). Production defaults keep the codegen'd
     * [[graft.functions.FloatDotProduct]] with precomputed norms; this
     * form trades three interpreted dots per pair for cross-engine
-    * exactness. Null-safe: non-positive self-dots → null. */
+    * exactness. Null-safe: non-positive self-dots → null. Self-dots are
+    * range-guarded ([[guardSelfDot]]) so grid overflow fails loudly
+    * instead of silently wrapping. */
   def cosineQuantized(a: Column, b: Column): Column = {
     val d = dotQuantized(a, b).cast("double")
-    val na = dotQuantized(a, a)
-    val nb = dotQuantized(b, b)
+    val na = guardSelfDot(dotQuantized(a, a))
+    val nb = guardSelfDot(dotQuantized(b, b))
     when(na <= 0 || nb <= 0, lit(null).cast("double"))
       .otherwise(d / sqrt(na.cast("double") * nb.cast("double")))
   }
+
+  /** Grid self-dots above this bound risk int64 wrap in the CROSS dot
+    * (per-element |x·y| ≤ max self product by Cauchy-Schwarz, so in-range
+    * self-dots imply an in-range cross-dot): 64 × 300² × 1e12. Inputs
+    * with |element| ≳ 300 are out of the grid's contract — embeddings
+    * sit at O(1). */
+  private val maxSelfDotQ = 5760000000000000000L
+
+  /** Loud range guard on a quantized self-dot: a wrapped int64 sum lands
+    * negative or absurdly large, and either engine silently diverging is
+    * exactly what the grid kernel exists to prevent — fail instead.
+    * (A wrap landing back inside the window needs a ~2^64 coincidence;
+    * this is a sanity guard, not cryptography.) */
+  private def guardSelfDot(nq: Column): Column =
+    when(assert_true(nq >= lit(0L) && nq <= lit(maxSelfDotQ),
+      lit("quantized self-dot out of range — vector magnitudes exceed " +
+        "the 1e-12 grid's int64 headroom (|element| must stay ≲ 300)")).isNull, nq)
+
+  /** Recall-safe prefilter slack: an upper bound on |grid cosine − float
+    * cosine| for a pair with float norms `na`/`nb` and `n` dimensions.
+    * Each per-element product lands within 0.5e-12 of its true value, so
+    * the dot deviates by ≤ 0.5e-12·n absolute and each squared norm
+    * likewise; propagated through the quotient (|cos| ≤ 1) with every
+    * term doubled for safety, plus 1e-9 for the float kernel's own
+    * accumulation error. Collapses to ~1e-9 for unit-norm embeddings but
+    * grows correctly for small-magnitude vectors — a FIXED slack is not
+    * recall-safe there (r13 review finding: elements ~1e-4 push the
+    * grid-vs-float gap past 1e-5). */
+  private def gridSlack(n: Column, na: Column, nb: Column): Column =
+    lit(1e-12) * n.cast("double") *
+      (lit(1.0) / (na * nb) + lit(1.0) / (na * na) + lit(1.0) / (nb * nb)) +
+      lit(1e-9)
 
   /** Brute-force top-k: for each query row (small frame), the k most cosine-
     * similar corpus rows. Query side is broadcast; ties break on corpus id
@@ -74,9 +108,10 @@ object Similarity {
     // join, leaving one interpreted dot per pair instead of three
     val joined =
       if (exactGrid)
-        corpus.withColumn("__cq", dotQuantized(col(corpusVec), col(corpusVec)))
-          .crossJoin(broadcast(
-            queries.withColumn("__qq", dotQuantized(col(queryVec), col(queryVec)))))
+        corpus.withColumn("__cq",
+            guardSelfDot(dotQuantized(col(corpusVec), col(corpusVec))))
+          .crossJoin(broadcast(queries.withColumn("__qq",
+            guardSelfDot(dotQuantized(col(queryVec), col(queryVec))))))
           .withColumn("cosine",
             when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
               .otherwise(dotQuantized(col(corpusVec), col(queryVec)).cast("double") /
@@ -205,7 +240,8 @@ object Similarity {
       }: _*)
     }
     val withNq = if (exactGrid)
-      normed.withColumn("nq", dotQuantized(col("v"), col("v"))) else normed
+      normed.withColumn("nq", guardSelfDot(dotQuantized(col("v"), col("v"))))
+    else normed
     val bucketed = withNq.withColumn("cell", explode(array(replicas: _*)))
     val nqa = if (exactGrid) Seq(col("nq").as("nqa")) else Nil
     val nqb = if (exactGrid) Seq(col("nq").as("nqb")) else Nil
@@ -222,12 +258,13 @@ object Similarity {
         // r13 perf lesson: the interpreted grid kernel (3 higher-order
         // dots) per CANDIDATE pair was ~100× slower than the codegen'd
         // float path at sf0.1. So: (1) the codegen'd float kernel
-        // prefilters at a RECALL-SAFE loosened threshold (the grid
-        // cosine differs from the float one by ≪ 1e-6, planted margins
-        // are ~1e-2), (2) quantized self-dots ride each row from before
-        // the join (nqa/nqb), (3) the one remaining interpreted dot runs
-        // only on survivors, and the exact grid value decides membership
-        joined.filter(floatCos >= threshold - 1e-6)
+        // prefilters at a RECALL-SAFE loosened threshold (gridSlack — a
+        // magnitude-aware bound on the grid-vs-float gap), (2) quantized
+        // self-dots ride each row from before the join (nqa/nqb), (3)
+        // the one remaining interpreted dot runs only on survivors, and
+        // the exact grid value decides membership
+        joined.filter(floatCos >=
+            lit(threshold) - gridSlack(size(col("va")), col("na"), col("nb")))
           .select(col("id_a"), col("id_b"),
             (dotQuantized(col("va"), col("vb")).cast("double") /
               sqrt(col("nqa").cast("double") * col("nqb").cast("double")))
@@ -297,9 +334,9 @@ object Similarity {
     // AFTER the limit, over exactly k rows.
     val base = assigned.join(broadcast(probed), "label")
     val topk = (if (exactGrid)
-      base.withColumn("__cq", dotQuantized(col(vecCol), col(vecCol)))
-        .crossJoin(broadcast(
-          queryVec.withColumn("__qq", dotQuantized(col("qvec"), col("qvec")))))
+      base.withColumn("__cq", guardSelfDot(dotQuantized(col(vecCol), col(vecCol))))
+        .crossJoin(broadcast(queryVec.withColumn("__qq",
+          guardSelfDot(dotQuantized(col("qvec"), col("qvec"))))))
         .withColumn("cosine",
           when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
             .otherwise(dotQuantized(col(vecCol), col("qvec")).cast("double") /
@@ -642,12 +679,12 @@ object Similarity {
       // float prefilter at a recall-safe loosened threshold, per-row
       // quantized self-dots, ONE interpreted dot on survivors only —
       // the exact grid value decides membership and is what's emitted
-      val c2 = c.withColumn("cq", dotQuantized(col("cv"), col("cv")))
-      val b2 = b.withColumn("bq", dotQuantized(col("bv"), col("bv")))
+      val c2 = c.withColumn("cq", guardSelfDot(dotQuantized(col("cv"), col("cv"))))
+      val b2 = b.withColumn("bq", guardSelfDot(dotQuantized(col("bv"), col("bv"))))
       c2.crossJoin(broadcast(b2))
         .filter(col("cn") > 0 && col("bn") > 0)
         .filter(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")) >=
-          threshold - 1e-6)
+          lit(threshold) - gridSlack(size(col("cv")), col("cn"), col("bn")))
         .withColumn("cosine",
           dotQuantized(col("cv"), col("bv")).cast("double") /
             sqrt(col("cq").cast("double") * col("bq").cast("double")))

@@ -784,6 +784,17 @@ object Hdf5 {
             else {
               val raf = new RandomAccessFile(path, "r")
               try {
+                // structural prefix check per task (6 bytes): the driver
+                // no longer reads the block, so a dangling data-block
+                // address must still fail loudly HERE, not as a confusing
+                // EOF deep in chunk decode (whole-block checksum remains
+                // skipped by design — see the chunkRdd contract above)
+                raf.seek(dataBlock)
+                val pre = new Array[Byte](6)
+                raf.readFully(pre)
+                require(new String(pre, 0, 4, "ASCII") == "FADB" &&
+                    pre(4) == 0 && (pre(5) & 0xFF) == clientId,
+                  s"bad fixed-array data block at $dataBlock")
                 raf.seek(entriesAt + idxs.head * entrySize)
                 val buf = new Array[Byte](idxs.length * entrySize)
                 raf.readFully(buf)

@@ -578,7 +578,8 @@ object Zarr {
         case "group" => root.listFiles().filter { d =>
             val z = new File(d, "zarr.json")
             d.isDirectory && z.isFile &&
-              Json.parse(readText(z)).asInstanceOf[Map[String, Any]]("node_type") == "array"
+              Json.parse(readText(z)).asInstanceOf[Map[String, Any]]
+                .get("node_type").contains("array")
           }.map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
         case other => throw new IllegalArgumentException(s"unknown node_type '$other'")
       }
@@ -586,11 +587,12 @@ object Zarr {
     else root.listFiles().filter(_.isDirectory).flatMap { d =>
       // unconsolidated fallback: v2 children (.zarray) and v3 array
       // children (zarr.json) both count — mixed stores happen when a v3
-      // array is added to a v2-era directory
+      // array is added to a v2-era directory. A malformed child (no
+      // node_type) is SKIPPED like any other non-array dir, not a crash.
       if (new File(d, ".zarray").isFile) Some(readArrayMeta(store, d.getName))
       else if (new File(d, "zarr.json").isFile &&
           Json.parse(readText(new File(d, "zarr.json")))
-            .asInstanceOf[Map[String, Any]]("node_type") == "array")
+            .asInstanceOf[Map[String, Any]].get("node_type").contains("array"))
         Some(readArrayMeta(store, d.getName))
       else None
     }.sortBy(_.name).toSeq
@@ -1445,9 +1447,9 @@ object Zarr {
 
   /** Flat in-chunk element position → global indices (None = past the
     * array edge): C order unravels last-dim-fastest, F order
-    * first-dim-fastest — shared by the hand-rolled chunk walks
-    * (readBinary/readDatetimes; readVariable/readStrings go through
-    * their emit closures). */
+    * first-dim-fastest — used by [[readBinary]]'s hand-rolled chunk walk
+    * (readVariable/readStrings and the temporal readers' readEpochLongs
+    * carry their own emit closures). */
   private def flatChunkIdx(flat: Int, rank: Int, cdims: Array[Long],
                            cc: Array[Int], dims: Array[Long],
                            cOrder: Boolean): Option[Array[Long]] = {
@@ -1685,16 +1687,12 @@ object Zarr {
   def plantedStore(store: String): Unit = {
     val dir = new File(store, "tas")
     dir.mkdirs()
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    writeBytes(new File(dir, ".zarray"),
+    fxWrite(new File(dir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [6, 5, 4], "chunks": [2, 3, 3],
          | "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": -999.0, "filters": null, "order": "C"}""").stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    writeBytes(new File(dir, ".zattrs"),
+    fxWrite(new File(dir, ".zattrs"),
       ("""{"_ARRAY_DIMENSIONS": ["time", "y", "x"], "_FillValue": -999.0,
          | "scale_factor": 0.5, "add_offset": 10.0, "units": "K"}""").stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1712,27 +1710,27 @@ object Zarr {
       val out = new Array[Byte](bb.array().length + 64)
       val n = d.deflate(out)
       d.end()
-      writeBytes(new File(dir, s"$ct.$cy.$cx"), out.take(n))
+      fxWrite(new File(dir, s"$ct.$cy.$cx"), out.take(n))
     }
     // pr: the xarray-default codec shape — Blosc/lz4, byte-shuffle, split
     // streams — double[6,5,4] in ONE chunk, raw value (t + y + x) * 0.25
     // (exact binary quarters), no fill/scale
     val prDir = new File(store, "pr")
     prDir.mkdirs()
-    writeBytes(new File(prDir, ".zarray"),
+    fxWrite(new File(prDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [6, 5, 4], "chunks": [6, 5, 4],
          | "dtype": "<f8", "compressor": {"id": "blosc", "cname": "lz4",
          |   "clevel": 5, "shuffle": 1, "blocksize": 0},
          | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    writeBytes(new File(prDir, ".zattrs"),
+    fxWrite(new File(prDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["time", "y", "x"], "units": "mm"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val prBytes = java.nio.ByteBuffer.allocate(6 * 5 * 4 * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     for (t <- 0 until 6; y <- 0 until 5; x <- 0 until 4)
       prBytes.putDouble((t + y + x) * 0.25)
-    writeBytes(new File(prDir, "0.0.0"), Blosc.encode(prBytes.array(), typesize = 8))
+    fxWrite(new File(prDir, "0.0.0"), Blosc.encode(prBytes.array(), typesize = 8))
   }
 
   /** Closed-form STRING fixture store for [[readStrings]]: array `labels`
@@ -1742,26 +1740,15 @@ object Zarr {
     * `s<r>_<c>` NUL-padded; array `names` >U5 raw BIG-endian UCS-4,
     * shape [4] chunks [4], value `n<i>é` zero-padded. */
   def plantedStringStore(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(b); d.finish()
-      val out = new Array[Byte](b.length + 64)
-      val n = d.deflate(out)
-      d.end(); out.take(n)
-    }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     // labels: |O vlen-utf8, zlib
     val lDir = new File(store, "labels"); lDir.mkdirs()
-    writeBytes(new File(lDir, ".zarray"),
+    fxWrite(new File(lDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [6], "chunks": [3],
          | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": 0, "filters": [{"id": "vlen-utf8"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(lDir, ".zattrs"),
+    fxWrite(new File(lDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
     for (c <- 0 until 2) {
       val items = (0 until 3).map(j => s"doc_${c * 3 + j}_αβ".getBytes(utf8))
@@ -1770,11 +1757,11 @@ object Zarr {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.putInt(items.length)
       items.foreach { b => bb.putInt(b.length); bb.put(b) }
-      writeBytes(new File(lDir, s"$c"), deflate(bb.array()))
+      fxWrite(new File(lDir, s"$c"), fxDeflate(bb.array()))
     }
     // tags: |S8 fixed bytes, zlib, edge chunks + one absent chunk
     val tDir = new File(store, "tags"); tDir.mkdirs()
-    writeBytes(new File(tDir, ".zarray"),
+    fxWrite(new File(tDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [5, 3], "chunks": [2, 2],
          | "dtype": "|S8", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": "", "filters": null, "order": "C"}""").stripMargin
@@ -1786,11 +1773,11 @@ object Zarr {
         val s = (if (r < 5 && c < 3) s"s${r}_$c" else "xx").getBytes(utf8)
         bb.put(java.util.Arrays.copyOf(s, 8)) // NUL-padded to the width
       }
-      writeBytes(new File(tDir, s"$c0.$c1"), deflate(bb.array()))
+      fxWrite(new File(tDir, s"$c0.$c1"), fxDeflate(bb.array()))
     }
     // names: >U5 big-endian UCS-4, raw
     val nDir = new File(store, "names"); nDir.mkdirs()
-    writeBytes(new File(nDir, ".zarray"),
+    fxWrite(new File(nDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [4], "chunks": [4],
          | "dtype": ">U5", "compressor": null,
          | "fill_value": "", "filters": null, "order": "C"}""").stripMargin
@@ -1801,7 +1788,7 @@ object Zarr {
       val cps = s"n${i}é".codePoints().toArray
       for (j <- 0 until 5) nb.putInt(if (j < cps.length) cps(j) else 0)
     }
-    writeBytes(new File(nDir, "0"), nb.array())
+    fxWrite(new File(nDir, "0"), nb.array())
   }
 
   /** Fixture store for the r11 codecs: `payloads` — |O vlen-bytes, zlib,
@@ -1811,25 +1798,14 @@ object Zarr {
     * shuffle and DELTA filters set (flags 0x09), raw value
     * (7i² + 3i) mod 1000 − 137. */
   def plantedBytesStore(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(b); d.finish()
-      val out = new Array[Byte](b.length + 64)
-      val n = d.deflate(out)
-      d.end(); out.take(n)
-    }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val pDir = new File(store, "payloads"); pDir.mkdirs()
-    writeBytes(new File(pDir, ".zarray"),
+    fxWrite(new File(pDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
          | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": 0, "filters": [{"id": "vlen-bytes"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(pDir, ".zattrs"),
+    fxWrite(new File(pDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
     for (c <- 0 until 3 if c != 1) { // chunk 1 absent -> NULL payloads
       val items = (0 until 3).map { j =>
@@ -1841,21 +1817,21 @@ object Zarr {
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.putInt(items.length)
       items.foreach { b => bb.putInt(b.length); bb.put(b) }
-      writeBytes(new File(pDir, s"$c"), deflate(bb.array()))
+      fxWrite(new File(pDir, s"$c"), fxDeflate(bb.array()))
     }
     val cDir = new File(store, "counts"); cDir.mkdirs()
-    writeBytes(new File(cDir, ".zarray"),
+    fxWrite(new File(cDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [24], "chunks": [24],
          | "dtype": "<i8", "compressor": {"id": "blosc", "cname": "lz4",
          |   "clevel": 5, "shuffle": 1, "blocksize": 0},
          | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
         .getBytes(utf8))
-    writeBytes(new File(cDir, ".zattrs"),
+    fxWrite(new File(cDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
     val cb = java.nio.ByteBuffer.allocate(24 * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     (0 until 24).foreach(i => cb.putLong((7L * i * i + 3 * i) % 1000 - 137))
-    writeBytes(new File(cDir, "0"),
+    fxWrite(new File(cDir, "0"),
       Blosc.encode(cb.array(), typesize = 8, delta = true))
   }
 
@@ -1872,17 +1848,13 @@ object Zarr {
     * floorDiv-to-micros truncation); `ts` — `>M8[s]`, zlib, epoch and
     * epoch−1s (big-endian + negative-value path). */
   def plantedDatetimeStore(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val tDir = new File(store, "t"); tDir.mkdirs()
-    writeBytes(new File(tDir, ".zarray"),
+    fxWrite(new File(tDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
          | "dtype": "<M8[ns]", "compressor": null, "fill_value": null,
          | "filters": null, "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(tDir, ".zattrs"),
+    fxWrite(new File(tDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
     val baseSec = 981173106L // 2001-02-03T04:05:06Z
     for (c <- Seq(0, 2)) {
@@ -1895,15 +1867,15 @@ object Zarr {
           else if (g >= 7) 0L
           else (baseSec + g * 86400L) * 1000000000L + 123456789L)
       }
-      writeBytes(new File(tDir, s"$c"), bb.array())
+      fxWrite(new File(tDir, s"$c"), bb.array())
     }
     val sDir = new File(store, "ts"); sDir.mkdirs()
-    writeBytes(new File(sDir, ".zarray"),
+    fxWrite(new File(sDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [2], "chunks": [2],
          | "dtype": ">M8[s]", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
         .getBytes(utf8))
-    writeBytes(new File(sDir, ".zattrs"),
+    fxWrite(new File(sDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
     val sb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.BIG_ENDIAN)
     sb.putLong(0L); sb.putLong(-1L)
@@ -1911,7 +1883,7 @@ object Zarr {
     d.setInput(sb.array()); d.finish()
     val out = new Array[Byte](64)
     val n = d.deflate(out); d.end()
-    writeBytes(new File(sDir, "0"), out.take(n))
+    fxWrite(new File(sDir, "0"), out.take(n))
   }
 
   /** Fixture store for the r12 numcodecs object codecs, closed-form:
@@ -1929,17 +1901,6 @@ object Zarr {
     *   (not valid UTF-8, so a text-path misread cannot round-trip). */
   def plantedMsgpackStore(store: String): Unit = {
     import Msgpack._
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater()
-      d.setInput(b); d.finish()
-      val out = new Array[Byte](b.length + 64)
-      val n = d.deflate(out)
-      d.end(); out.take(n)
-    }
     def gzip(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -1948,12 +1909,12 @@ object Zarr {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     // mlabels: msgpack2 + zlib
     val mDir = new File(store, "mlabels"); mDir.mkdirs()
-    writeBytes(new File(mDir, ".zarray"),
+    fxWrite(new File(mDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [7], "chunks": [3],
          | "dtype": "|O", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": null, "filters": [{"id": "msgpack2"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(mDir, ".zattrs"),
+    fxWrite(new File(mDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
     for (c <- 0 until 3 if c != 1) { // chunk 1 absent → NULLs at 3..5
       val vals = (0 until 3).map { j =>
@@ -1961,17 +1922,17 @@ object Zarr {
         if (g == 2 || g >= 7) MNull else MStr(s"m${g}_π")
       }
       val items = MArr(vals.toVector ++ Vector(MStr("|O"), MArr(Vector(MLong(3)))))
-      writeBytes(new File(mDir, s"$c"), deflate(encode(items)))
+      fxWrite(new File(mDir, s"$c"), fxDeflate(encode(items)))
     }
     // jlabels: json2 + gzip; numcodecs JSON writes a plain JSON array of
     // the values + dtype + shape
     val jDir = new File(store, "jlabels"); jDir.mkdirs()
-    writeBytes(new File(jDir, ".zarray"),
+    fxWrite(new File(jDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [5], "chunks": [2],
          | "dtype": "|O", "compressor": {"id": "gzip", "level": 1},
          | "fill_value": null, "filters": [{"id": "json2"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(jDir, ".zattrs"),
+    fxWrite(new File(jDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
     for (c <- 0 until 3) {
       val vals = (0 until 2).map { j =>
@@ -1981,19 +1942,19 @@ object Zarr {
         else "\"j" + g + "_\\u00e9\"" // é as a \u escape (ensure_ascii)
       }
       val json = vals.mkString("[", ", ", ", \"|O\", [2]]")
-      writeBytes(new File(jDir, s"$c"), gzip(json.getBytes(utf8)))
+      fxWrite(new File(jDir, s"$c"), gzip(json.getBytes(utf8)))
     }
     // mblobs: msgpack2, uncompressed, bin payloads
     val bDir = new File(store, "mblobs"); bDir.mkdirs()
-    writeBytes(new File(bDir, ".zarray"),
+    fxWrite(new File(bDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [5], "chunks": [5],
          | "dtype": "|O", "compressor": null,
          | "fill_value": null, "filters": [{"id": "msgpack2"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(bDir, ".zattrs"),
+    fxWrite(new File(bDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["doc"]}""".getBytes(utf8))
     val blobs = (0 until 5).map(g => MBin(plantedPayload(g + 11)): MValue)
-    writeBytes(new File(bDir, "0"),
+    fxWrite(new File(bDir, "0"),
       encode(MArr(blobs.toVector ++ Vector(MStr("|O"), MArr(Vector(MLong(5)))))))
   }
 
@@ -2014,10 +1975,6 @@ object Zarr {
     *   valid UTF-8, so a text-path misread cannot round-trip).
     */
   def plantedStringStoreV3(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
     def gzip(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -2043,12 +2000,12 @@ object Zarr {
     }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     new File(store).mkdirs()
-    writeBytes(new File(store, "zarr.json"),
+    fxWrite(new File(store, "zarr.json"),
       """{"zarr_format": 3, "node_type": "group"}""".getBytes(utf8))
 
     // labels: plain v3 string, vlen-utf8 + gzip, chunk 1 absent
     val lDir = new File(store, "labels"); new File(lDir, "c").mkdirs()
-    writeBytes(new File(lDir, "zarr.json"),
+    fxWrite(new File(lDir, "zarr.json"),
       ("""{"zarr_format": 3, "node_type": "array", "shape": [7],
          | "data_type": "string",
          | "chunk_grid": {"name": "regular",
@@ -2061,12 +2018,12 @@ object Zarr {
          | "dimension_names": ["doc"]}""").stripMargin.getBytes(utf8))
     for (c <- Seq(0, 2)) { // chunk 1 absent → NULLs at 3..5
       val items = (0 until 3).map(j => s"v3_${c * 3 + j}_λ".getBytes(utf8))
-      writeBytes(new File(lDir, s"c/$c"), gzip(vlen(items)))
+      fxWrite(new File(lDir, s"c/$c"), gzip(vlen(items)))
     }
 
     // tags: sharded string array, inner [vlen-utf8, zstd], index crc32c
     val tDir = new File(store, "tags"); new File(tDir, "c").mkdirs()
-    writeBytes(new File(tDir, "zarr.json"),
+    fxWrite(new File(tDir, "zarr.json"),
       ("""{"zarr_format": 3, "node_type": "array", "shape": [8],
          | "data_type": "string",
          | "chunk_grid": {"name": "regular",
@@ -2099,12 +2056,12 @@ object Zarr {
     }
     def tagBody(lo: Int): Array[Byte] =
       zstd(vlen((lo until lo + 2).map(i => s"t${i}é".getBytes(utf8))))
-    writeBytes(new File(tDir, "c/0"), shard(Seq(Some(tagBody(0)), Some(tagBody(2)))))
-    writeBytes(new File(tDir, "c/1"), shard(Seq(Some(tagBody(4)), None)))
+    fxWrite(new File(tDir, "c/0"), shard(Seq(Some(tagBody(0)), Some(tagBody(2)))))
+    fxWrite(new File(tDir, "c/1"), shard(Seq(Some(tagBody(4)), None)))
 
     // blobs: v3 bytes data_type, vlen-bytes + zstd + crc32c
     val bDir = new File(store, "blobs"); new File(bDir, "c").mkdirs()
-    writeBytes(new File(bDir, "zarr.json"),
+    fxWrite(new File(bDir, "zarr.json"),
       ("""{"zarr_format": 3, "node_type": "array", "shape": [5],
          | "data_type": "bytes",
          | "chunk_grid": {"name": "regular",
@@ -2115,7 +2072,7 @@ object Zarr {
          | "codecs": [{"name": "vlen-bytes"}, {"name": "zstd",
          |   "configuration": {"level": 3}}, {"name": "crc32c"}],
          | "dimension_names": ["doc"]}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(bDir, "c/0"),
+    fxWrite(new File(bDir, "c/0"),
       crc32c(zstd(vlen((0 until 5).map(i => plantedPayload(i + 7))))))
   }
 
@@ -2141,17 +2098,6 @@ object Zarr {
     *   `tdm` — v2 `<m8[m]` raw, shape [3] chunks [2]: 90 min / NaT /
     *   −90 min (pins the minutes unit, reachable only for timedeltas). */
   def plantedTemporalStore(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(1)
-      d.setInput(b); d.finish()
-      val out = new Array[Byte](b.length + 64)
-      val n = d.deflate(out); d.end()
-      out.take(n)
-    }
     def gzip(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -2176,13 +2122,13 @@ object Zarr {
 
     // tf: Delta-filtered zlib'd <M8[s]
     val fDir = new File(store, "tf"); fDir.mkdirs()
-    writeBytes(new File(fDir, ".zarray"),
+    fxWrite(new File(fDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [10], "chunks": [4],
          | "dtype": "<M8[s]", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": null,
          | "filters": [{"id": "delta", "dtype": "<i8"}],
          | "order": "C"}""").stripMargin.getBytes(utf8))
-    writeBytes(new File(fDir, ".zattrs"),
+    fxWrite(new File(fDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
     val fBase = 1052294950L // 2003-05-07T08:09:10Z
     def tfVal(g: Int): Long =
@@ -2190,12 +2136,12 @@ object Zarr {
     for (c <- Seq(0, 1)) { // chunk 2 absent → NULL at 8..9
       val vs = (0 until 4).map(j => tfVal(c * 4 + j))
       val diffs = vs.head +: vs.sliding(2).map(p => p(1) - p(0)).toSeq
-      writeBytes(new File(fDir, s"$c"), deflate(longsLE(diffs)))
+      fxWrite(new File(fDir, s"$c"), fxDeflate(longsLE(diffs)))
     }
 
     // tsh: v3 sharded numpy.datetime64[us]
     val sDir = new File(store, "tsh"); new File(sDir, "c").mkdirs()
-    writeBytes(new File(sDir, "zarr.json"),
+    fxWrite(new File(sDir, "zarr.json"),
       ("""{"zarr_format": 3, "node_type": "array", "shape": [12],
          | "data_type": {"name": "numpy.datetime64",
          |   "configuration": {"unit": "us", "scale_factor": 1}},
@@ -2232,35 +2178,35 @@ object Zarr {
     def tshVal(i: Int): Long =
       if (i == 9) Long.MinValue else sBaseUs + i * 1000000L + i
     def inner(lo: Int): Array[Byte] = gzip(longsLE(Seq(tshVal(lo), tshVal(lo + 1))))
-    writeBytes(new File(sDir, "c/0"), // inner (2,3) missing → NULL
+    fxWrite(new File(sDir, "c/0"), // inner (2,3) missing → NULL
       shard(Seq(Some(inner(0)), None, Some(inner(4)), Some(inner(6)))))
-    writeBytes(new File(sDir, "c/1"), // inner chunks past the edge absent
+    fxWrite(new File(sDir, "c/1"), // inner chunks past the edge absent
       shard(Seq(Some(inner(8)), Some(inner(10)), None, None)))
 
     // td: zlib'd <m8[ms]
     val dDir = new File(store, "td"); dDir.mkdirs()
-    writeBytes(new File(dDir, ".zarray"),
+    fxWrite(new File(dDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [6], "chunks": [6],
          | "dtype": "<m8[ms]", "compressor": {"id": "zlib", "level": 1},
          | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
         .getBytes(utf8))
-    writeBytes(new File(dDir, ".zattrs"),
+    fxWrite(new File(dDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
     val dayMs = 90061123L // 1d 1h 1m 1.123s
-    writeBytes(new File(dDir, "0"),
-      deflate(longsLE(Seq(0L, 1L, -1L, dayMs, Long.MinValue, -dayMs))))
+    fxWrite(new File(dDir, "0"),
+      fxDeflate(longsLE(Seq(0L, 1L, -1L, dayMs, Long.MinValue, -dayMs))))
 
     // tdm: raw <m8[m] with an edge chunk (pad slot clipped)
     val mDir = new File(store, "tdm"); mDir.mkdirs()
-    writeBytes(new File(mDir, ".zarray"),
+    fxWrite(new File(mDir, ".zarray"),
       ("""{"zarr_format": 2, "shape": [3], "chunks": [2],
          | "dtype": "<m8[m]", "compressor": null,
          | "fill_value": null, "filters": null, "order": "C"}""").stripMargin
         .getBytes(utf8))
-    writeBytes(new File(mDir, ".zattrs"),
+    fxWrite(new File(mDir, ".zattrs"),
       """{"_ARRAY_DIMENSIONS": ["i"]}""".getBytes(utf8))
-    writeBytes(new File(mDir, "0"), longsLE(Seq(90L, Long.MinValue)))
-    writeBytes(new File(mDir, "1"), longsLE(Seq(-90L, 0L)))
+    fxWrite(new File(mDir, "0"), longsLE(Seq(90L, Long.MinValue)))
+    fxWrite(new File(mDir, "1"), longsLE(Seq(-90L, 0L)))
   }
 
   /** Fixture store for the r13 CF time tier, closed-form:
@@ -2278,27 +2224,16 @@ object Zarr {
     *   `t360` — <f8 raw, `days since 2000-02-05 12:00:00`, 360_day
     *   (mid-year noon epoch): 0 / 359.5 / 360 / −35. */
   def plantedCfTimeStore(store: String): Unit = {
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
-    def deflate(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(1)
-      d.setInput(b); d.finish()
-      val out = new Array[Byte](b.length + 64)
-      val n = d.deflate(out); d.end()
-      out.take(n)
-    }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     def arr(name: String, dtype: String, comp: String, n: Int,
             attrsJson: String, payload: Array[Byte]): Unit = {
       val dir = new File(store, name); dir.mkdirs()
-      writeBytes(new File(dir, ".zarray"),
+      fxWrite(new File(dir, ".zarray"),
         (s"""{"zarr_format": 2, "shape": [$n], "chunks": [$n], """ +
           s""""dtype": "$dtype", "compressor": $comp, """ +
           """"fill_value": null, "filters": null, "order": "C"}""").getBytes(utf8))
-      writeBytes(new File(dir, ".zattrs"), attrsJson.getBytes(utf8))
-      writeBytes(new File(dir, "0"), payload)
+      fxWrite(new File(dir, ".zattrs"), attrsJson.getBytes(utf8))
+      fxWrite(new File(dir, "0"), payload)
     }
     def longsLE(vs: Seq[Long]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
@@ -2322,7 +2257,7 @@ object Zarr {
       """{"_ARRAY_DIMENSIONS": ["i"],
         | "units": "hours since 2001-02-03 04:00:00Z",
         | "calendar": "proleptic_gregorian"}""".stripMargin,
-      deflate(dblsLE(Seq(0.5, 27.25))))
+      fxDeflate(dblsLE(Seq(0.5, 27.25))))
     arr("tnl", "<i4", "null", 5,
       """{"_ARRAY_DIMENSIONS": ["i"],
         | "units": "days since 2000-01-01", "calendar": "noleap"}""".stripMargin,
@@ -2393,12 +2328,8 @@ object Zarr {
     val chunkElems = chunkDims.product.toInt
     val dir = new File(store, name)
     dir.mkdirs()
-    def writeBytes(f: File, b: Array[Byte]): Unit = {
-      val out = new java.io.FileOutputStream(f)
-      try out.write(b) finally out.close()
-    }
     metaFiles(dims, chunkDims, dimCols).foreach { case (fname, content) =>
-      writeBytes(new File(dir, fname),
+      fxWrite(new File(dir, fname),
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     // (chunk id, in-chunk flat offset, value) — one shuffle keyed on the
@@ -2547,6 +2478,24 @@ object Zarr {
       setCell = (buf, off, r) => buf(off) = r.getLong(2),
       encodePlain = (buf, _) => longsLEBuf(buf),
       compress = deflateZlib)
+
+  // ---------------- fixture plumbing (planted stores) ----------------
+
+  /** Shared by every planted fixture: write one small file. */
+  private def fxWrite(f: File, b: Array[Byte]): Unit = {
+    val out = new java.io.FileOutputStream(f)
+    try out.write(b) finally out.close()
+  }
+
+  /** Shared by every planted fixture: one zlib stream (level 1 — the
+    * fixtures pin DECODE behavior, compression ratio is irrelevant). */
+  private def fxDeflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(1)
+    d.setInput(b); d.finish()
+    val out = new Array[Byte](b.length + 64)
+    val n = d.deflate(out); d.end()
+    out.take(n)
+  }
 
   /** Chunk buffer of int64s → little-endian bytes (the `<M8`/`<m8`
     * payload) — shared by the temporal writers. */
