@@ -6028,6 +6028,27 @@ object SparkEntry {
       t.unionByName(ts).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_cf_pipeline" -> ((s, dir) => {
+      // r13: the full reference-user path end to end — open a store,
+      // decode its CF time axis (readTimeCoordinate), align it with a
+      // data variable BY POSITION (the xarray coordinate model), and
+      // aggregate per calendar year (a tx-days-above indicator shape +
+      // an exact-quarter annual sum). 2000 is a leap year, so the two
+      // years split 366/364 — the decode must get the calendar right
+      // for the group counts to match.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_cfpipe_store_v1")
+      buildStoreOnce(storeDir, "time/.zarray")(d =>
+        graft.sources.Zarr.plantedCfPipeStore(d.getPath))
+      val time = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "time")
+      val tas = graft.sources.Zarr.readVariable(s, storeDir.getPath, "tas")
+      tas.join(time, "t")
+        .groupBy(year(col("time")).as("yr"))
+        .agg(coalesce(sum(when(col("value") > 2.5, 1L)), lit(0L)).as("n_hot"),
+          sum(col("value")).as("sum_tas"), count(lit(1)).as("n_days"))
+        .orderBy("yr")
+    }),
+
     "q_cf_time_standard" -> ((s, dir) => {
       // r13: CF-encoded time coordinates ("<step> since <epoch>" units —
       // the encoding xarray writes for every time axis) under the gate,
@@ -6643,6 +6664,16 @@ object SparkEntry {
         |      else timestamp '1969-12-31 23:59:59' end
         |  from range(0, 2) r(i)
         |) order by src, idx""".stripMargin,
+
+    // the store's closed form replayed: value ((3t mod 40) − 10)/4 on a
+    // 730-day axis from 2000-01-01; 2000 is a leap year → 366/364 split
+    "q_zarr_cf_pipeline" ->
+      """with g as (select t, ((t*3) % 40 - 10) * cast(0.25 as double) v
+        |  from range(0, 730) r(t))
+        |select year(timestamp '2000-01-01' + to_days(cast(t as int))) yr,
+        |  cast(coalesce(sum(case when v > 2.5 then 1 end), 0) as bigint) n_hot,
+        |  sum(v) sum_tas, cast(count(*) as bigint) n_days
+        |from g group by 1 order by 1""".stripMargin,
 
     // tstd: 1850 epoch + int days (incl. negative); thour: fractional
     // hours from an in-epoch 04:00 time of day — the same single

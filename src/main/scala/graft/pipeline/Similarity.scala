@@ -40,12 +40,15 @@ object Similarity {
     * multiply chain per element — float32→double casts are exact, and
     * multiply/floor are correctly rounded) and sums as int64, so the
     * FOLD ORDER cannot move an ulp. Any engine replaying the same
-    * expression produces the bit-identical integer. Grid headroom: 64
-    * products ≤ ~1e11 each keeps the sum < 2^53 ≪ Long range. */
+    * per-element expression produces the bit-identical integer. Grid
+    * headroom: 64 products ≤ ~1e11 each keeps the sum < 2^53 ≪ Long
+    * range. Backed by the native codegen'd
+    * [[graft.functions.QuantizedDotProduct]] (the interpreted
+    * `aggregate(zip_with(...))` formulation is semantically identical
+    * but its per-pass analysis + compile cost alone regressed the
+    * near-dup bench ~60%). */
   def dotQuantized(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(1e12) + lit(0.5))),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.QuantizedDotProduct.quantDot(a, b)
 
   /** Cosine over [[dotQuantized]] ints: the final sqrt/divide are single
     * IEEE correctly-rounded ops over exact integers, so the DOUBLE
@@ -82,20 +85,24 @@ object Similarity {
       lit("quantized self-dot out of range — vector magnitudes exceed " +
         "the 1e-12 grid's int64 headroom (|element| must stay ≲ 300)")).isNull, nq)
 
-  /** Recall-safe prefilter slack: an upper bound on |grid cosine − float
-    * cosine| for a pair with float norms `na`/`nb` and `n` dimensions.
-    * Each per-element product lands within 0.5e-12 of its true value, so
-    * the dot deviates by ≤ 0.5e-12·n absolute and each squared norm
-    * likewise; propagated through the quotient (|cos| ≤ 1) with every
-    * term doubled for safety, plus 1e-9 for the float kernel's own
-    * accumulation error. Collapses to ~1e-9 for unit-norm embeddings but
-    * grows correctly for small-magnitude vectors — a FIXED slack is not
-    * recall-safe there (r13 review finding: elements ~1e-4 push the
-    * grid-vs-float gap past 1e-5). */
-  private def gridSlack(n: Column, na: Column, nb: Column): Column =
-    lit(1e-12) * n.cast("double") *
-      (lit(1.0) / (na * nb) + lit(1.0) / (na * na) + lit(1.0) / (nb * nb)) +
-      lit(1e-9)
+  /** Per-ROW half of the recall-safe prefilter slack — an upper bound on
+    * |grid cosine − float cosine| for any pair the row participates in.
+    * Derivation: each per-element product lands within 0.5e-12 of its
+    * true value, so the pair dot deviates by ≤ 0.5e-12·n absolute and
+    * each squared norm likewise; propagated through the quotient
+    * (|cos| ≤ 1) the pair bound is
+    * 1e-12·n·(1/(na·nb) + 1/na² + 1/nb²), and AM-GM
+    * (1/(na·nb) ≤ (1/na² + 1/nb²)/2) loosens it to
+    * rowSlack(a) + rowSlack(b) with rowSlack = 1.5e-12·n/nrm² — so ALL
+    * the division work hoists to one column per row, leaving a single
+    * addition per CANDIDATE pair in the prefilter's hot loop (callers
+    * add a further 1e-9 for the float kernel's own accumulation error).
+    * Collapses to ~1e-10 for unit-norm embeddings but grows correctly
+    * for small-magnitude vectors — a FIXED slack is not recall-safe
+    * there (r13 review finding: elements ~1e-4 push the grid-vs-float
+    * gap past 1e-5). */
+  private def rowSlack(n: Column, nrm: Column): Column =
+    lit(1.5e-12) * n.cast("double") / (nrm * nrm)
 
   /** Brute-force top-k: for each query row (small frame), the k most cosine-
     * similar corpus rows. Query side is broadcast; ties break on corpus id
@@ -108,10 +115,11 @@ object Similarity {
     // join, leaving one interpreted dot per pair instead of three
     val joined =
       if (exactGrid)
-        corpus.withColumn("__cq",
-            guardSelfDot(dotQuantized(col(corpusVec), col(corpusVec))))
-          .crossJoin(broadcast(queries.withColumn("__qq",
-            guardSelfDot(dotQuantized(col(queryVec), col(queryVec))))))
+        corpus.withColumn("__cq0", dotQuantized(col(corpusVec), col(corpusVec)))
+          .withColumn("__cq", guardSelfDot(col("__cq0"))).drop("__cq0")
+          .crossJoin(broadcast(
+            queries.withColumn("__qq0", dotQuantized(col(queryVec), col(queryVec)))
+              .withColumn("__qq", guardSelfDot(col("__qq0"))).drop("__qq0")))
           .withColumn("cosine",
             when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
               .otherwise(dotQuantized(col(corpusVec), col(queryVec)).cast("double") /
@@ -239,12 +247,19 @@ object Similarity {
         (if ((mask & (1 << i)) != 0) c + 1 else c).as(s"c$i")
       }: _*)
     }
+    // the raw dot is STAGED into its own column before the guard wraps
+    // it: guardSelfDot references its input three times, and inlining a
+    // higher-order aggregate tree three times triples interpreted eval
+    // and bloats the plan (CollapseProject keeps non-cheap multi-
+    // referenced aliases staged, so this sticks)
     val withNq = if (exactGrid)
-      normed.withColumn("nq", guardSelfDot(dotQuantized(col("v"), col("v"))))
+      normed.withColumn("__nq0", dotQuantized(col("v"), col("v")))
+        .withColumn("nq", guardSelfDot(col("__nq0"))).drop("__nq0")
+        .withColumn("slk", rowSlack(size(col("v")), col("nrm")))
     else normed
     val bucketed = withNq.withColumn("cell", explode(array(replicas: _*)))
-    val nqa = if (exactGrid) Seq(col("nq").as("nqa")) else Nil
-    val nqb = if (exactGrid) Seq(col("nq").as("nqb")) else Nil
+    val nqa = if (exactGrid) Seq(col("nq").as("nqa"), col("slk").as("slka")) else Nil
+    val nqb = if (exactGrid) Seq(col("nq").as("nqb"), col("slk").as("slkb")) else Nil
     val a = bucketed.select(Seq(col("cell"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na")) ++ nqa: _*)
     val b = bucketed.select(Seq(col("cell"), col("id").as("id_b"),
@@ -258,13 +273,13 @@ object Similarity {
         // r13 perf lesson: the interpreted grid kernel (3 higher-order
         // dots) per CANDIDATE pair was ~100× slower than the codegen'd
         // float path at sf0.1. So: (1) the codegen'd float kernel
-        // prefilters at a RECALL-SAFE loosened threshold (gridSlack — a
+        // prefilters at a RECALL-SAFE loosened threshold (rowSlack — a
         // magnitude-aware bound on the grid-vs-float gap), (2) quantized
         // self-dots ride each row from before the join (nqa/nqb), (3)
         // the one remaining interpreted dot runs only on survivors, and
         // the exact grid value decides membership
         joined.filter(floatCos >=
-            lit(threshold) - gridSlack(size(col("va")), col("na"), col("nb")))
+            lit(threshold - 1e-9) - col("slka") - col("slkb"))
           .select(col("id_a"), col("id_b"),
             (dotQuantized(col("va"), col("vb")).cast("double") /
               sqrt(col("nqa").cast("double") * col("nqb").cast("double")))
@@ -334,9 +349,11 @@ object Similarity {
     // AFTER the limit, over exactly k rows.
     val base = assigned.join(broadcast(probed), "label")
     val topk = (if (exactGrid)
-      base.withColumn("__cq", guardSelfDot(dotQuantized(col(vecCol), col(vecCol))))
-        .crossJoin(broadcast(queryVec.withColumn("__qq",
-          guardSelfDot(dotQuantized(col("qvec"), col("qvec"))))))
+      base.withColumn("__cq0", dotQuantized(col(vecCol), col(vecCol)))
+        .withColumn("__cq", guardSelfDot(col("__cq0"))).drop("__cq0")
+        .crossJoin(broadcast(
+          queryVec.withColumn("__qq0", dotQuantized(col("qvec"), col("qvec")))
+            .withColumn("__qq", guardSelfDot(col("__qq0"))).drop("__qq0")))
         .withColumn("cosine",
           when(col("__cq") <= 0 || col("__qq") <= 0, lit(null).cast("double"))
             .otherwise(dotQuantized(col(vecCol), col("qvec")).cast("double") /
@@ -679,12 +696,16 @@ object Similarity {
       // float prefilter at a recall-safe loosened threshold, per-row
       // quantized self-dots, ONE interpreted dot on survivors only —
       // the exact grid value decides membership and is what's emitted
-      val c2 = c.withColumn("cq", guardSelfDot(dotQuantized(col("cv"), col("cv"))))
-      val b2 = b.withColumn("bq", guardSelfDot(dotQuantized(col("bv"), col("bv"))))
+      val c2 = c.withColumn("__cq0", dotQuantized(col("cv"), col("cv")))
+        .withColumn("cq", guardSelfDot(col("__cq0"))).drop("__cq0")
+        .withColumn("cslk", rowSlack(size(col("cv")), col("cn")))
+      val b2 = b.withColumn("__bq0", dotQuantized(col("bv"), col("bv")))
+        .withColumn("bq", guardSelfDot(col("__bq0"))).drop("__bq0")
+        .withColumn("bslk", rowSlack(size(col("bv")), col("bn")))
       c2.crossJoin(broadcast(b2))
         .filter(col("cn") > 0 && col("bn") > 0)
         .filter(floatDot(col("cv"), col("bv")) / (col("cn") * col("bn")) >=
-          lit(threshold) - gridSlack(size(col("cv")), col("cn"), col("bn")))
+          lit(threshold - 1e-9) - col("cslk") - col("bslk"))
         .withColumn("cosine",
           dotQuantized(col("cv"), col("bv")).cast("double") /
             sqrt(col("cq").cast("double") * col("bq").cast("double")))

@@ -2269,6 +2269,42 @@ object Zarr {
       dblsLE(Seq(0.0, 359.5, 360.0, -35.0)))
   }
 
+  /** Fixture store for the r13 CF pipeline query, closed-form: `time` —
+    * <i8 raw, `days since 2000-01-01` (leap year first: 366 + 364 days
+    * split the two calendar years asymmetrically), shape [730] chunks
+    * [365]; `tas` — <f8 raw, same grid, value ((3t mod 40) − 10)·0.25
+    * (exact quarters, so sums compare exactly). */
+  def plantedCfPipeStore(store: String): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def meta(name: String, dtype: String): Unit = {
+      val dir = new File(store, name); dir.mkdirs()
+      fxWrite(new File(dir, ".zarray"),
+        (s"""{"zarr_format": 2, "shape": [730], "chunks": [365], """ +
+          s""""dtype": "$dtype", "compressor": null, "fill_value": null, """ +
+          """"filters": null, "order": "C"}""").getBytes(utf8))
+    }
+    meta("time", "<i8")
+    fxWrite(new File(store, "time/.zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["t"], "units": "days since 2000-01-01",
+        | "calendar": "standard"}""".stripMargin.getBytes(utf8))
+    meta("tas", "<f8")
+    fxWrite(new File(store, "tas/.zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["t"]}""".getBytes(utf8))
+    for (c <- 0 until 2) {
+      val tb = java.nio.ByteBuffer.allocate(365 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val vb = java.nio.ByteBuffer.allocate(365 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 365).foreach { j =>
+        val t = c * 365 + j
+        tb.putLong(t.toLong)
+        vb.putDouble(((3 * t) % 40 - 10) * 0.25)
+      }
+      fxWrite(new File(store, s"time/$c"), tb.array())
+      fxWrite(new File(store, s"tas/$c"), vb.array())
+    }
+  }
+
   /** Convert every array in the store to a long-format parquet lake (the
     * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */
   def toParquetLake(spark: SparkSession, store: String, outDir: String): Seq[String] = {
