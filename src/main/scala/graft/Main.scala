@@ -61,7 +61,12 @@ object Main {
         result.write.mode("overwrite").parquet(out)
         println(s"$name @ $freq -> $out (${result.columns.mkString(", ")})")
         spark.stop()
-      case "convert-netcdf" :: nc :: outDir :: Nil =>
+      case "convert-netcdf" :: rest0
+          if rest0.filterNot(_ == "--decode-times").length == 2 &&
+             rest0.length <= 3 && !rest0.headOption.contains("--reverse") =>
+        val decodeTimes = rest0.contains("--decode-times")
+        val args2 = rest0.filterNot(_ == "--decode-times")
+        val (nc, outDir) = (args2(0), args2(1))
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -75,8 +80,14 @@ object Main {
         }
         val vars =
           if (magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F')
-            graft.sources.NetCDF.toParquetLake(spark, nc, outDir)
-          else graft.sources.Hdf5.toParquetLake(spark, nc, outDir)
+            graft.sources.NetCDF.toParquetLake(spark, nc, outDir, decodeTimes)
+          else {
+            // NetCDF-4 string attrs are vlen (global-heap) — not in the
+            // HDF5 attr model yet, so time decode is classic-format only
+            require(!decodeTimes,
+              "--decode-times is supported for classic (CDF-1/2/5) files only")
+            graft.sources.Hdf5.toParquetLake(spark, nc, outDir)
+          }
         println(s"$nc -> $outDir (${vars.mkString(", ")})")
         spark.stop()
       case "convert-netcdf" :: "--reverse" :: lakeDir :: nc :: rest =>
@@ -93,7 +104,12 @@ object Main {
         println(s"$lakeDir -> $nc (CDF-$version, ${h.vars.map(_.name).mkString(", ")}, " +
           s"${h.numRecs} records)")
         spark.stop()
-      case "convert-zarr" :: store :: outDir :: Nil =>
+      case "convert-zarr" :: rest0
+          if rest0.filterNot(_ == "--decode-times").length == 2 &&
+             rest0.length <= 3 && !rest0.headOption.contains("--reverse") =>
+        val decodeTimes = rest0.contains("--decode-times")
+        val args2 = rest0.filterNot(_ == "--decode-times")
+        val (store, outDir) = (args2(0), args2(1))
         // Zarr v2 directory store → long-format lake (the cloud-native
         // half of the reference's xr.open_dataset surface, cli.py:54-88)
         val spark = SparkSession.builder()
@@ -102,7 +118,7 @@ object Main {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir)
+        val vars = graft.sources.Zarr.toParquetLake(spark, store, outDir, decodeTimes)
         println(s"$store -> $outDir (${vars.mkString(", ")})")
         spark.stop()
       case "convert-zarr" :: "--reverse" :: rest0
@@ -162,8 +178,10 @@ object Main {
       case other =>
         System.err.println(
           s"usage: list | run <indicator> <in> <out> [freq] [module.yml] | " +
-            s"convert-netcdf <nc> <outDir> | convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
-            s"convert-zarr <store> <outDir> | convert-zarr --reverse [--v3] <lakeDir> <store> | " +
+            s"convert-netcdf <nc> <outDir> [--decode-times] | " +
+            s"convert-netcdf --reverse <lakeDir> <out.nc> [1|2] | " +
+            s"convert-zarr <store> <outDir> [--decode-times] | " +
+            s"convert-zarr --reverse [--v3] <lakeDir> <store> | " +
             s"lake-info <root> <table> | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)

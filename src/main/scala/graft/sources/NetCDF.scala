@@ -222,15 +222,34 @@ object NetCDF {
     * variable named after its dimension). The `time` coordinate stays
     * numeric + its `units` attr is stamped in column metadata — calendar
     * decode is `core.Calendars`' job, not the reader's. */
-  def toParquetLake(spark: SparkSession, ncPath: String, outDir: String): Seq[String] = {
+  def toParquetLake(spark: SparkSession, ncPath: String, outDir: String,
+                    decodeTimes: Boolean = false): Seq[String] = {
     val h = readHeader(ncPath)
     val coordNames = h.dims.map(_.name).toSet
     val dataVars = h.vars.filter(v => !coordNames.contains(v.name))
+    // a coordinate decodes as CF time iff asked to AND it carries the
+    // "<step> since <epoch>" units attr (xarray's decode_cf behavior)
+    def isCfTime(name: String): Boolean = decodeTimes &&
+      h.vars.find(_.name == name).exists(_.attrs.exists {
+        case NcAttr("units", s: String) => s.contains(" since ")
+        case _                          => false
+      })
     dataVars.map { v =>
       var df = readVariable(spark, ncPath, v.name)
       for (d <- v.dimIds.map(h.dims) if h.vars.exists(_.name == d.name)) {
-        val coord = readVariable(spark, ncPath, d.name)
-          .select(col(d.name).as(s"_${d.name}_idx"), col("value").as(s"${d.name}_coord"))
+        val coord =
+          if (isCfTime(d.name)) {
+            val t = readTimeCoordinate(spark, ncPath, d.name)
+            // standard calendars emit `time`; fixed-length calendars emit
+            // year/doy/us_of_day — suffix all of them as <dim>_coord*
+            val idxCol = if (t.columns.contains(s"${d.name}_idx"))
+              s"${d.name}_idx" else d.name
+            t.select(col(idxCol).as(s"_${d.name}_idx") +:
+              t.columns.filter(_ != idxCol).map(c =>
+                col(c).as(s"${d.name}_coord_$c")): _*)
+          } else readVariable(spark, ncPath, d.name)
+            .select(col(d.name).as(s"_${d.name}_idx"),
+              col("value").as(s"${d.name}_coord"))
         df = df.join(broadcast(coord), col(d.name) === col(s"_${d.name}_idx"))
           .drop(s"_${d.name}_idx")
       }

@@ -2306,8 +2306,14 @@ object Zarr {
   }
 
   /** Convert every array in the store to a long-format parquet lake (the
-    * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`). */
-  def toParquetLake(spark: SparkSession, store: String, outDir: String): Seq[String] = {
+    * Zarr twin of `NetCDF.toParquetLake` / `Hdf5.toParquetLake`).
+    * `decodeTimes` (xarray's `decode_cf` behavior, CLI `--decode-times`)
+    * additionally routes any array carrying CF time units
+    * ("<step> since <epoch>") through [[readTimeCoordinate]], so time
+    * axes land in the lake as TIMESTAMP (or year/doy companions for
+    * fixed-length calendars) instead of raw offsets. */
+  def toParquetLake(spark: SparkSession, store: String, outDir: String,
+                    decodeTimes: Boolean = false): Seq[String] = {
     readMeta(store).map { za =>
       // dispatch on dtype kind: vlen-bytes object arrays → readBinary,
       // other string/object dtypes → readStrings (msgpack2 defaults to
@@ -2319,6 +2325,9 @@ object Zarr {
         else if ("SUO".indexOf(za.dtKind) >= 0) readStrings(spark, store, za.name)
         else if (za.dtKind == 'M') readDatetimes(spark, store, za.name)
         else if (za.dtKind == 'm') readTimedeltas(spark, store, za.name)
+        else if (decodeTimes &&
+            za.strAttrs.get("units").exists(_.contains(" since ")))
+          readTimeCoordinate(spark, store, za.name)
         else readVariable(spark, store, za.name)
       df.write.mode("overwrite").parquet(s"$outDir/${za.name}")
       za.name

@@ -74,6 +74,40 @@ class CfTimeSpec extends AnyFunSuite {
       NetCDF.readTimeCoordinate(spark, f.getPath, "plain"))
   }
 
+  test("--decode-times lake conversion: CF axes land decoded (Zarr + NetCDF)") {
+    import spark.implicits._
+    // Zarr: the pipeline store's time axis becomes TIMESTAMP in the lake
+    val root = java.nio.file.Files.createTempDirectory("zarr_dt_lake_").toFile
+    Zarr.plantedCfPipeStore(root.getPath)
+    val lake = java.nio.file.Files.createTempDirectory("zarr_dt_lake_out_").toFile
+    Zarr.toParquetLake(spark, root.getPath, lake.getPath, decodeTimes = true)
+    val t = spark.read.parquet(new java.io.File(lake, "time").getPath)
+    assert(t.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(t.count() == 730)
+    // without the flag the raw offsets stay raw (xarray parity: decoding
+    // is opt-in here, default-on there — the CLI flag is the opt-in)
+    val lake2 = java.nio.file.Files.createTempDirectory("zarr_dt_lake_raw_").toFile
+    Zarr.toParquetLake(spark, root.getPath, lake2.getPath)
+    assert(spark.read.parquet(new java.io.File(lake2, "time").getPath)
+      .schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+    // NetCDF classic: the time dim-coordinate joins in decoded
+    val f = java.io.File.createTempFile("graft_cft_lake", ".nc"); f.deleteOnExit()
+    val times = Seq((0, 0.0), (1, 1.5), (2, 3.0)).toDF("time", "value")
+    val temp = Seq((0, 10.0), (1, 11.0), (2, 12.0)).toDF("time", "value")
+    NetCDF.writeClassic(spark, f.getPath, Seq("time" -> 3),
+      Seq(NetCDF.WriteVar("time", Seq("time"), times,
+        Seq(NetCDF.NcAttr("units", "hours since 2020-05-06"))),
+        NetCDF.WriteVar("temp", Seq("time"), temp)))
+    val ncLake = java.nio.file.Files.createTempDirectory("nc_dt_lake_").toFile
+    NetCDF.toParquetLake(spark, f.getPath, ncLake.getPath, decodeTimes = true)
+    val back = spark.read.parquet(new java.io.File(ncLake, "temp").getPath)
+    val r1 = back.filter(org.apache.spark.sql.functions.col("time") === 1).head()
+    assert(r1.getAs[java.sql.Timestamp]("time_coord_time").toInstant ==
+      java.time.Instant.parse("2020-05-06T01:30:00Z"))
+    assert(r1.getAs[Double]("value") == 11.0)
+  }
+
   test("Zarr readTimeCoordinate: planted store spot checks (oracle covers the rest)") {
     val root = java.nio.file.Files.createTempDirectory("zarr_cft_").toFile
     Zarr.plantedCfTimeStore(root.getPath)
