@@ -81,13 +81,7 @@ object Main {
         val vars =
           if (magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F')
             graft.sources.NetCDF.toParquetLake(spark, nc, outDir, decodeTimes)
-          else {
-            // NetCDF-4 string attrs are vlen (global-heap) — not in the
-            // HDF5 attr model yet, so time decode is classic-format only
-            require(!decodeTimes,
-              "--decode-times is supported for classic (CDF-1/2/5) files only")
-            graft.sources.Hdf5.toParquetLake(spark, nc, outDir)
-          }
+          else graft.sources.Hdf5.toParquetLake(spark, nc, outDir, decodeTimes)
         println(s"$nc -> $outDir (${vars.mkString(", ")})")
         spark.stop()
       case "convert-netcdf" :: "--reverse" :: lakeDir :: nc :: rest =>

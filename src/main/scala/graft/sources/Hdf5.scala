@@ -97,7 +97,8 @@ object Hdf5 {
                            vlenBase: Option[Member] = None,
                            szipCd: Option[Seq[Int]] = None,
                            nbitCd: Option[Seq[Int]] = None,
-                           soCd: Option[Seq[Int]] = None) {
+                           soCd: Option[Seq[Int]] = None,
+                           strAttrs: Map[String, String] = Map.empty) {
     /** Pipeline in WRITE order when parsed; empty for legacy callers that
       * built the case class directly — fall back to the boolean flags in
       * the canonical netCDF4 order (shuffle before deflate). */
@@ -546,6 +547,7 @@ object Hdf5 {
     var chunkIndexKind = 0    // 0 = v1 btree; see Dataset.chunkIndex
     var chunkDimsNeedElem = false // layout v4 dims exclude the element size
     val attrs = scala.collection.mutable.Map.empty[String, Double]
+    val strAttrs = scala.collection.mutable.Map.empty[String, String]
     def pad8(n: Int): Int = (n + 7) & ~7
     foreachMessage(r, ohAddr) { (t, sz, body) =>
       t match {
@@ -678,7 +680,7 @@ object Hdf5 {
             }
             val dtStart = r.pos
             val cv = r.u8(); val aCls = cv & 0x0F
-            val aLittle = (r.u8() & 1) == 0; r.skip(2)
+            val aBits0 = r.u8(); val aLittle = (aBits0 & 1) == 0; r.skip(2)
             val aSize = r.u32().toInt
             r.seek(dtStart + (if (v == 1) pad8(adtSize) else adtSize))
             val dsStart = r.pos
@@ -688,10 +690,30 @@ object Hdf5 {
             r.skip(if (dsVer == 1) 5 else 1) // v1 reserved / v2 type byte
             val aCount = (0 until aRank).map(_ => r.u64()).product max 1L
             r.seek(dsStart + (if (v == 1) pad8(adsSize) else adsSize))
-            // numeric scalar attributes only — strings/arrays are skipped
+            // scalar attributes: numeric (CF fill/scale/offset), fixed
+            // string, and VLEN string (the netCDF-4/h5py default text
+            // encoding — a 16-byte global-heap descriptor, r13 for the
+            // CF time units/calendar attrs); arrays are skipped
             if ((aCls == 0 || aCls == 1) && aCount == 1 &&
                 (aSize == 1 || aSize == 2 || aSize == 4 || aSize == 8))
               attrs(aName) = decode(r.bytes(aSize), aCls, aSize, aLittle, 1)(0)
+            else if (aCls == 3 && aCount == 1) {
+              val b = r.bytes(aSize)
+              val z = b.indexOf(0.toByte)
+              strAttrs(aName) =
+                new String(b, 0, if (z < 0) b.length else z, "UTF-8")
+            } else if (aCls == 9 && (aBits0 & 0x0F) == 1 && aCount == 1) {
+              val len = r.u32().toInt
+              val heapAddr = r.u64()
+              val idx = r.u32().toInt
+              if (heapAddr != -1L && len > 0) {
+                val save = r.pos
+                val obj = readGcol(r.raf, heapAddr)(idx)
+                strAttrs(aName) =
+                  new String(obj, 0, math.min(len, obj.length), "UTF-8")
+                r.seek(save)
+              }
+            }
           }
         case _ => ()
       }
@@ -703,7 +725,7 @@ object Hdf5 {
       Some(Dataset(name, dims, dtClass, dtSize, little, layoutClass,
         dataAddr, dataSize, cd, chunkBtree, gzip, attrs.toMap, chunkIndexKind,
         shuffled, members, vlenStr, filterIds.toSeq, vlenBase, szipCd,
-        nbitCd, soCd))
+        nbitCd, soCd, strAttrs.toMap))
     }
   }
 
@@ -1975,17 +1997,35 @@ object Hdf5 {
   /** Convert every dataset to a long-format parquet lake (the NetCDF-4
     * twin of `NetCDF.toParquetLake`; dimension identity is by dataset
     * name, as in netCDF-4's dimension-scale convention). */
-  def toParquetLake(spark: SparkSession, h5Path: String, outDir: String): Seq[String] = {
+  def toParquetLake(spark: SparkSession, h5Path: String, outDir: String,
+                    decodeTimes: Boolean = false): Seq[String] = {
     readMeta(h5Path).map { ds =>
       val df = ds.dtClass match {
         case 3            => readStrings(spark, h5Path, ds.name)
         case 9 if ds.vlenStr => readStrings(spark, h5Path, ds.name)
         case 9            => readVlen(spark, h5Path, ds.name)
         case 6            => readCompound(spark, h5Path, ds.name)
+        case _ if decodeTimes &&
+            ds.strAttrs.get("units").exists(_.contains(" since ")) =>
+          readTimeCoordinate(spark, h5Path, ds.name)
         case _            => readVariable(spark, h5Path, ds.name)
       }
       df.write.mode("overwrite").parquet(s"$outDir/${ds.name}")
       ds.name
     }
+  }
+
+  /** A CF-ENCODED time coordinate in an HDF5-backed (netCDF-4) file —
+    * `units`/`calendar` read from the dataset's STRING attributes, which
+    * netCDF-4 stores as vlen global-heap text (h5py's default) or fixed
+    * width; decode per [[CfTime.decode]]. Twin of
+    * [[NetCDF.readTimeCoordinate]] / [[Zarr.readTimeCoordinate]]. */
+  def readTimeCoordinate(spark: SparkSession, path: String, name: String): DataFrame = {
+    val ds = readMeta(path).find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no dataset '$name' in $path"))
+    val units = ds.strAttrs.getOrElse("units", throw new IllegalArgumentException(
+      s"$name: no 'units' string attribute — not a CF time coordinate"))
+    CfTime.decode(readVariable(spark, path, name), "value", units,
+      ds.strAttrs.getOrElse("calendar", "standard"))
   }
 }

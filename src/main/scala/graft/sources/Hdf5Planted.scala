@@ -98,6 +98,32 @@ object Hdf5Planted {
         .put(0.toByte).put(nm).put(dt).put(ds).putDouble(value)
       msg2(0x0C, b.array())
     }
+    def attrStr3(name: String, value: String): Array[Byte] = { // fixed-width
+      val nm = name.getBytes("ASCII") :+ 0.toByte
+      val vb = value.getBytes("UTF-8")
+      val dt = dtypeFixedStr(vb.length); val ds = dspace2()
+      val b = buf(9 + nm.length + dt.length + ds.length + vb.length)
+      b.put(3.toByte).put(0.toByte).putShort(nm.length.toShort)
+        .putShort(dt.length.toShort).putShort(ds.length.toShort)
+        .put(0.toByte).put(nm).put(dt).put(ds).put(vb)
+      msg2(0x0C, b.array())
+    }
+    def dtypeVlenStr: Array[Byte] = // class 9 v1, low nibble 1 = string
+      cat(buf(8).put(0x19.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte)
+        .putInt(16).array(), dtypeFixedStr(1))
+    // vlen STRING attr (the netCDF-4/h5py text default): the value is a
+    // 16-byte (len, gheap addr, index) descriptor into the global heap
+    def attrVlenStr(name: String, strLen: Int, gcolAddr: Long,
+                    idx: Int): Array[Byte] = {
+      val nm = name.getBytes("ASCII") :+ 0.toByte
+      val dt = dtypeVlenStr; val ds = dspace2()
+      val b = buf(9 + nm.length + dt.length + ds.length + 16)
+      b.put(3.toByte).put(0.toByte).putShort(nm.length.toShort)
+        .putShort(dt.length.toShort).putShort(ds.length.toShort)
+        .put(0.toByte).put(nm).put(dt).put(ds)
+        .putInt(strLen).putLong(gcolAddr).putInt(idx)
+      msg2(0x0C, b.array())
+    }
     def link(name: String, addr: Long): Array[Byte] = {
       val nm = name.getBytes("ASCII")
       msg2(0x06, buf(3 + nm.length + 8).put(1.toByte).put(0.toByte)
@@ -146,12 +172,18 @@ object Hdf5Planted {
     def dtypeVlenSeq(base: Array[Byte]): Array[Byte] = // class 9 v1, type=sequence
       cat(buf(8).put(0x19.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
         .putInt(16).array(), base)
-    val gcolData = { // heap object t (t=1..5): t doubles, t + 0.25k
+    val unitsStr = "days since 2001-09-09"
+    val gcolData = { // heap objects t=1..5: t doubles; object 6: CF units text
       val objs = cat((1 to 5).map { t =>
         val data = buf(8 * t)
         (0 until t).foreach(k => data.putDouble(t + 0.25 * k))
         buf(16 + 8 * t).putShort(t.toShort).putShort(1).putInt(0)
           .putLong(8L * t).put(data.array()).array() // 8t is 8-aligned: no pad
+      } :+ {
+        val sb = unitsStr.getBytes("UTF-8")
+        val padded = sb.length + ((8 - sb.length % 8) % 8)
+        buf(16 + padded).putShort(6).putShort(1).putInt(0)
+          .putLong(sb.length.toLong).put(sb).array()
       }: _*)
       cat(buf(16).put("GCOL".getBytes("ASCII")).put(1.toByte)
         .put(new Array[Byte](3)).putLong(16L + objs.length + 16).array(), objs,
@@ -163,10 +195,19 @@ object Hdf5Planted {
         else buf(16).putInt(t).putLong(gcolAddr).putInt(t).array()
       }: _*)
 
+    // time axis: CF-encoded day offsets (a half day pins the micros
+    // rounding); units arrives as a VLEN string attr (gcol object 6),
+    // calendar as a FIXED-width string attr — both netCDF-4 shapes
+    val timeData = {
+      val b = buf(6 * 8)
+      Seq(0.0, 1.0, 2.5, 3.0, 4.0, 5.0).foreach(b.putDouble)
+      b.array()
+    }
     def build(tempAddr: Long, labelAddr: Long, stnAddr: Long,
               gcolAddr: Long, sampAddr: Long, trackAddr: Long,
+              timeAddr: Long,
               tempOH: Long, labelOH: Long, stnOH: Long, sampOH: Long,
-              trackOH: Long, rootOH: Long): Seq[Array[Byte]] = {
+              trackOH: Long, timeOH: Long, rootOH: Long): Seq[Array[Byte]] = {
       val tempBytes = ohdr2(msg2(0x01, dspace2(6L, 5L)), msg2(0x03, dtypeDouble),
         layoutV4Implicit(Seq(4, 5), tempAddr),
         attr3("_FillValue", -999.0), attr3("scale_factor", 0.5),
@@ -179,8 +220,13 @@ object Hdf5Planted {
         msg2(0x03, dtypeVlenSeq(dtypeDouble)), layoutV4Contig(sampAddr, 96L))
       val trackBytes = ohdr2(msg2(0x01, dspace2(6L)),
         msg2(0x03, dtypeTrack), layoutV4Contig(trackAddr, 288L))
+      val timeBytes = ohdr2(msg2(0x01, dspace2(6L)),
+        msg2(0x03, dtypeDouble), layoutV4Contig(timeAddr, 48L),
+        attrVlenStr("units", unitsStr.getBytes("UTF-8").length, gcolAddr, 6),
+        attrStr3("calendar", "standard"))
       val rootBytes = ohdr2(link("label", labelOH), link("samples", sampOH),
-        link("station", stnOH), link("temp", tempOH), link("track", trackOH))
+        link("station", stnOH), link("temp", tempOH), link("time", timeOH),
+        link("track", trackOH))
       val sb = buf(48)
       Seq(0x89, 'H'.toInt, 'D'.toInt, 'F'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
         .foreach(v => sb.put(v.toByte))
@@ -188,14 +234,14 @@ object Hdf5Planted {
       sb.putLong(0L).putLong(-1L)
       sb.putLong(rootOH + rootBytes.length).putLong(rootOH).putInt(0)
       Seq(ck(sb.array()), tempData, labelData, stationData, gcolData,
-        samplesData(gcolAddr), trackData, tempBytes, labelBytes, stnBytes,
-        sampBytes, trackBytes, rootBytes)
+        samplesData(gcolAddr), trackData, timeData, tempBytes, labelBytes,
+        stnBytes, sampBytes, trackBytes, timeBytes, rootBytes)
     }
-    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
+    val sizes = build(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.length)
     val starts = sizes.scanLeft(0L)(_ + _)
     val parts = build(starts(1), starts(2), starts(3),
       starts(4), starts(5), starts(6), starts(7), starts(8), starts(9),
-      starts(10), starts(11), starts(12))
+      starts(10), starts(11), starts(12), starts(13), starts(14))
     val f = new FileOutputStream(path)
     try parts.foreach(f.write) finally f.close()
   }

@@ -108,6 +108,27 @@ class CfTimeSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("value") == 11.0)
   }
 
+  test("HDF5 readTimeCoordinate: vlen-string units attr (netCDF-4 shape) + fixed calendar") {
+    val f = java.io.File.createTempFile("graft_h5_cft", ".h5"); f.deleteOnExit()
+    graft.sources.Hdf5Planted.write(f.getPath)
+    // units = vlen global-heap text ("days since 2001-09-09", gcol obj 6),
+    // calendar = fixed-width string; 2.5 d pins the micros rounding
+    val got = graft.sources.Hdf5.readTimeCoordinate(spark, f.getPath, "time")
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(got(0) == java.time.Instant.parse("2001-09-09T00:00:00Z"))
+    assert(got(2) == java.time.Instant.parse("2001-09-11T12:00:00Z"))
+    assert(got(5) == java.time.Instant.parse("2001-09-14T00:00:00Z"))
+    // datasets without units reject loudly
+    intercept[IllegalArgumentException](
+      graft.sources.Hdf5.readTimeCoordinate(spark, f.getPath, "temp"))
+    // the lake conversion decodes the axis when asked
+    val lake = java.nio.file.Files.createTempDirectory("h5_dt_lake_").toFile
+    graft.sources.Hdf5.toParquetLake(spark, f.getPath, lake.getPath,
+      decodeTimes = true)
+    assert(spark.read.parquet(new java.io.File(lake, "time").getPath)
+      .schema("time").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("Zarr readTimeCoordinate: planted store spot checks (oracle covers the rest)") {
     val root = java.nio.file.Files.createTempDirectory("zarr_cft_").toFile
     Zarr.plantedCfTimeStore(root.getPath)
