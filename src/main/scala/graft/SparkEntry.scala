@@ -9245,6 +9245,46 @@ object SparkEntry {
 
   private def queries45: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_dd_quantiles" -> ((s, dir) => {
+      // DDSketch log-bucket quantiles (Sketches.ddHistogram/ddQuantiles,
+      // Masson et al. VLDB'19): per return flag, the price distribution
+      // collapses to ≤ ~600 integer-keyed buckets (map-side partial
+      // sums — the shuffle is sketch-sized at any corpus scale), then
+      // six quantile reads walk the cumulative counts. Bucket index is
+      // integer math over the qln micro-grid, counts exact int64, so
+      // the oracle replays the whole sketch bit-for-bit; the estimate
+      // is ONE micro-grid exp per output row.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("px"))
+      val hist = pipeline.Sketches.ddHistogram(li, "flag", "px")
+      pipeline.Sketches
+        .ddQuantiles(hist, Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .select(col("grp").as("flag"), col("q"), col("n"), col("sign"),
+          col("bucket"), col("cum"), col("est"))
+    }),
+
+    "q_dd_merged" -> ((s, dir) => {
+      // DDSketch merge algebra under the driver gate (the q_hll_merged
+      // pattern): Spark sketches the even-doc and odd-doc halves
+      // SEPARATELY and adds the counter tables (Sketches.ddMerge); the
+      // oracle sketches the whole corpus in one pass — a hash match
+      // proves merge(halves) == whole, the property that lets a lake
+      // sketch document-length distributions per partition at write
+      // time and answer corpus quantiles at query time without
+      // re-touching raw data.
+      def half(parity: Int) = pipeline.Sketches.ddHistogram(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(col("source"), length(col("text")).as("len")),
+        "source", "len")
+      pipeline.Sketches
+        .ddQuantiles(pipeline.Sketches.ddMerge(half(0), half(1)),
+          Seq(0.5, 0.9))
+        .select(col("grp").as("source"), col("q"), col("n"), col("sign"),
+          col("bucket"), col("cum"), col("est"))
+    }),
+
     "q_blocklist_filter" -> ((s, dir) => {
       // One automaton pass per document (functions/AhoCorasick.scala);
       // counts are overlapping-occurrence counts, so the oracle can
@@ -9618,6 +9658,69 @@ object SparkEntry {
   }
 
   private def oracle45: Map[String, String] = Map(
+
+    // the full DDSketch replayed in SQL: same qln micro-grid, same
+    // integer floor-division bucket, same cumulative-rank walk, same
+    // single micro-grid exp for the estimate (ln(1) guards the x=0
+    // branch — Spark's log returns NULL there, DuckDB's ln would -inf)
+    "q_dd_quantiles" ->
+      """with v as (select l_returnflag flag, cast(l_extendedprice as double) x
+        |  from lineitem
+        |  where l_extendedprice is not null and isfinite(l_extendedprice)),
+        |lv as (select flag, x,
+        |    cast(floor(ln(case when x = 0 then 1 else abs(x) end)
+        |         * 1e6 + 0.5) as bigint) l from v),
+        |b as (select flag,
+        |    case when x > 0 then 1 when x < 0 then -1 else 0 end sign,
+        |    case when x = 0 then 0
+        |      else cast((l - ((l % 19803 + 19803) % 19803)) / 19803 as bigint)
+        |    end bucket
+        |  from lv),
+        |h as (select flag, sign, bucket, cast(count(*) as bigint) cnt
+        |  from b group by 1, 2, 3),
+        |c as (select flag, sign, bucket, cnt,
+        |    cast(sum(cnt) over (partition by flag
+        |      order by sign, sign * bucket
+        |      rows between unbounded preceding and current row) as bigint) cum,
+        |    cast(sum(cnt) over (partition by flag) as bigint) n from h),
+        |qs as (select cast(q as double) q from (values (0.01), (0.25),
+        |   (0.5), (0.75), (0.9), (0.99)) qv(q))
+        |select flag, q, n, sign, bucket, cum,
+        |  case when sign = 0 then 0.0 else
+        |    sign * (floor(exp((bucket * 19803) / 1e6) * 1e6 + 0.5) / 1e6)
+        |  end est
+        |from c join qs on (cum - cnt) <= floor(q * (n - 1))
+        |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // whole-corpus sketch in one pass — hash-equality against Spark's
+    // merged-halves sketch proves merge == whole
+    "q_dd_merged" ->
+      """with v as (select source, cast(length(text) as double) x
+        |  from documents),
+        |lv as (select source, x,
+        |    cast(floor(ln(case when x = 0 then 1 else abs(x) end)
+        |         * 1e6 + 0.5) as bigint) l from v),
+        |b as (select source,
+        |    case when x > 0 then 1 when x < 0 then -1 else 0 end sign,
+        |    case when x = 0 then 0
+        |      else cast((l - ((l % 19803 + 19803) % 19803)) / 19803 as bigint)
+        |    end bucket
+        |  from lv),
+        |h as (select source, sign, bucket, cast(count(*) as bigint) cnt
+        |  from b group by 1, 2, 3),
+        |c as (select source, sign, bucket, cnt,
+        |    cast(sum(cnt) over (partition by source
+        |      order by sign, sign * bucket
+        |      rows between unbounded preceding and current row) as bigint) cum,
+        |    cast(sum(cnt) over (partition by source) as bigint) n from h),
+        |qs as (select cast(q as double) q
+        |  from (values (0.5), (0.9)) qv(q))
+        |select source, q, n, sign, bucket, cum,
+        |  case when sign = 0 then 0.0 else
+        |    sign * (floor(exp((bucket * 19803) / 1e6) * 1e6 + 0.5) / 1e6)
+        |  end est
+        |from c join qs on (cum - cnt) <= floor(q * (n - 1))
+        |  and floor(q * (n - 1)) < cum""".stripMargin,
 
     // overlapping-occurrence counts via an explicit position scan —
     // the semantically honest twin of the automaton

@@ -199,6 +199,103 @@ object Sketches {
       .select(col("grp"), col("hv"))
   }
 
+  // ---- DDSketch log-bucket quantile histogram (Masson, Lee & Rim,
+  // VLDB 2019 — the relative-error quantile sketch DataDog/OpenTelemetry
+  // standardized) ----------------------------------------------------
+  //
+  // The fourth order-free sketch, and the one that closes the quantile
+  // gap: HLL/KMV answer "how many distinct", CMS answers "how often",
+  // this answers "what value at rank q" with bounded RELATIVE error —
+  // the only quantile state that is (a) fixed-size (≤ a few hundred
+  // buckets across 300 orders of magnitude), (b) mergeable by plain
+  // counter addition (merge == whole, like CMS), and (c) engine-exact
+  // here because the bucket index is INTEGER math end to end:
+  //
+  //   L = floor(ln|x|·1e6 + 0.5)              (the qln micro-grid, int64)
+  //   bucket = (L - pmod(L, G)) / G           (floor division, exact)
+  //
+  // with G = floor(ln γ·1e6 + 0.5) pinned as an integer CONSTANT, so
+  // both engines derive identical buckets from identical input bits
+  // (the division is exact: the numerator is a multiple of G and both
+  // operands sit far inside 2^53). Counter sums are exact int64 —
+  // fold-order-free — so the merged table equals the whole-input table
+  // bit for bit, and a DuckDB oracle replays the entire sketch.
+  //
+  // 100 TB shape: map-side partial sum per (group, sign, bucket)
+  // collapses the shuffle to ≤ a few hundred rows per group regardless
+  // of input size — sketch each partition/day at write time, add
+  // counters at query time, never re-touch raw data. Contrast exact
+  // percentiles: a full sort or a full collect_list per group.
+
+  /** Default γ ≈ e^0.019803 ≈ 1.02 — ≤ 2% relative error, ~580 buckets
+    * from 1e-3 to 1e5. The constant is the INTEGER micro-grid ln so the
+    * oracle can spell the same literal. */
+  val ddDefaultG: Long = 19803L
+
+  /** DDSketch bucket table: one row per (group, sign, bucket) with the
+    * exact occurrence count. sign ∈ {-1, 0, 1} (zero values get their
+    * own counter, negatives bucket by |x| — the standard two-store +
+    * zero-counter layout); bucket b covers |x| ∈ [γ^b, γ^(b+1)). */
+  def ddHistogram(df: DataFrame, grpCol: String, valCol: String,
+                  g: Long = ddDefaultG): DataFrame = {
+    require(g >= 100L && g <= 1000000L, s"ln-gamma micro-units out of range: $g")
+    val x = col(valCol).cast("double")
+    val sign = when(x > 0, lit(1)).when(x < 0, lit(-1)).otherwise(lit(0))
+    val l = floor(log(abs(x)) * lit(1e6) + lit(0.5)).cast("long")
+    // exact floor division: numerator is a multiple of g, both < 2^53
+    val bucket = ((l - pmod(l, lit(g))) / lit(g)).cast("long")
+    // NULL/NaN/±Inf rows drop (they carry no rank; NaN/null would
+    // otherwise silently land in the zero counter via three-valued
+    // logic) — the oracle mirrors with `isfinite(x)`
+    df.filter(x.isNotNull && !isnan(x) && abs(x) < lit(Double.PositiveInfinity))
+      .select(col(grpCol).as("grp"), sign.as("sign"),
+        when(sign === 0, lit(0L)).otherwise(bucket).as("bucket"))
+      .groupBy(col("grp"), col("sign"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two bucket tables — counter sums are linear, so the merge is
+    * a plain re-aggregation and equals the sketch of the concatenated
+    * inputs (the lake-maintenance property, same as [[cmsMerge]]). */
+  def ddMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("grp"), col("sign"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile reads from a bucket table: for each group and each q in
+    * `qs`, the bucket holding rank floor(q·(n−1)) in value order
+    * (sign asc, sign·bucket asc — monotone in x across the negative
+    * store, the zero counter and the positive store) and its lower-edge
+    * estimate sign·γ^bucket, underestimating |x| by at most the γ−1
+    * relative width. All evidence columns (n, rank, sign, bucket,
+    * cum) are exact integers; the estimate is ONE micro-grid exp —
+    * engine-exact per the qln/q6 discipline. */
+  def ddQuantiles(hist: DataFrame, qs: Seq[Double],
+                  g: Long = ddDefaultG): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("sign"), (col("sign") * col("bucket")).as("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    // rank falls inside this bucket: cum−cnt ≤ floor(q(n−1)) < cum.
+    // q·(n−1): one IEEE multiply of exact ints — deterministic.
+    cum.join(broadcast(qs.toDF("q")),
+        (col("cum") - col("cnt")) <= floor(col("q") * (col("n") - 1)) &&
+          floor(col("q") * (col("n") - 1)) < col("cum"))
+      .select(col("grp"), col("q"), col("n"), col("sign"), col("bucket"),
+        col("cum"),
+        when(col("sign") === 0, lit(0.0)).otherwise(
+          col("sign") * (floor(
+            exp((col("bucket") * lit(g)) / lit(1e6)) * lit(1e6) + lit(0.5))
+            / lit(1e6))).as("est"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   /** Pairwise overlap estimates from bottom-k sketches: for each
     * (pa, pb) pair, merge the two sketches, keep the union's bottom k,
     * and read off Jaccard = |both| / |kept| plus the KMV cardinality

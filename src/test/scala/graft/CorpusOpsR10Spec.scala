@@ -549,4 +549,68 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(got === Seq((1L, "A", 11.0), (3L, "c", 30.0), (4L, "d", 40.0),
       (9L, "Z", 90.0)))
   }
+
+  // ---- DDSketch quantile histogram ---------------------------------
+
+  test("DDSketch quantile estimate is within gamma relative error of exact") {
+    import spark.implicits._
+    // lognormal-ish positive data: exp(z) over a deterministic z grid
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(20000)(math.exp(rnd.nextGaussian() * 1.5 + 3.0))
+    val df = xs.map(("g", _)).toDF("grp", "x")
+    val hist = pipeline.Sketches.ddHistogram(df, "grp", "x")
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99)
+    val got = pipeline.Sketches.ddQuantiles(hist, qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val sorted = xs.sorted
+    val gamma = math.exp(19803 / 1e6) // ≈ 1.02
+    qs.foreach { q =>
+      val exact = sorted(math.floor(q * (xs.size - 1)).toInt)
+      val est = got(q)
+      // lower-edge estimate: γ^b ≤ x < γ^(b+1) ⇒ est ∈ (exact/γ, exact]
+      assert(est <= exact * 1.0001 && est >= exact / gamma * 0.9999,
+        s"q=$q exact=$exact est=$est")
+    }
+  }
+
+  test("DDSketch merge(halves) == whole; sign/zero/null/NaN handling") {
+    import spark.implicits._
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](
+      -1500.0, -2.5, -0.004, 0.0, 0.0, 0.003, 0.8, 1.0, 42.0, 42.0,
+      9.9e7, null, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity) ++ (1 to 200).map(i =>
+      java.lang.Double.valueOf(i * 0.37))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("i", "grp", "x")
+    val whole = pipeline.Sketches.ddHistogram(df.select("grp", "x"), "grp", "x")
+    val merged = pipeline.Sketches.ddMerge(
+      pipeline.Sketches.ddHistogram(
+        df.filter($"i" % 2 === 0).select("grp", "x"), "grp", "x"),
+      pipeline.Sketches.ddHistogram(
+        df.filter($"i" % 2 === 1).select("grp", "x"), "grp", "x"))
+    val w = whole.orderBy("sign", "bucket")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val m = merged.orderBy("sign", "bucket")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(w === m, "merge must equal whole")
+    // null/NaN/±Inf dropped; two zeros in the zero counter
+    assert(w.map(_._4).sum === vals.count(v =>
+      v != null && !v.isNaN && !v.isInfinite))
+    assert(w.find(_._2 == 0).map(_._4) === Some(2L))
+    // negatives live in the sign=-1 store, ordered most-negative first
+    val q0 = pipeline.Sketches.ddQuantiles(whole, Seq(0.0))
+      .select("sign", "est").as[(Int, Double)].collect()(0)
+    assert(q0._1 === -1 && q0._2 < -1000,
+      s"q=0 must land on the most negative value, got $q0")
+  }
+
+  test("DDSketch histogram is order-free: identical under repartitioning") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("g" + (i % 3), i * 1.7)).toDF("grp", "x")
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      pipeline.Sketches.ddHistogram(d, "grp", "x")
+        .orderBy("grp", "sign", "bucket")
+        .as[(String, Int, Long, Long)].collect().toSeq
+    assert(sketch(df) === sketch(df.repartition(37)))
+  }
 }

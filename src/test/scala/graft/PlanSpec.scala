@@ -42,7 +42,9 @@ class PlanSpec extends AnyFunSuite {
     "q_token_budget", // one-row budget + water-level broadcasts
     "q_cms_tokens", // 5-row probe-list broadcast vs distinct groups
     "q_temperature_mixture", // one-row feasibility-min broadcast (mixture scaffold)
-    "q_zarr_vectors_topk") // one-row query-vector broadcast vs vector scan
+    "q_zarr_vectors_topk", // one-row query-vector broadcast vs vector scan
+    "q_dd_quantiles", // ≤6-row quantile-target broadcast vs sketch rows
+    "q_dd_merged") // 2-row quantile-target broadcast vs sketch rows
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
