@@ -9285,6 +9285,68 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_script_profile" -> ((s, dir) => {
+      // Unicode script routing (TextStats.scriptProfile): docs ≡0/1/2
+      // (mod 5) get deterministic Cyrillic/Han/Arabic bodies planted so
+      // every store exercises (the corpus text is Latin-only); the rest
+      // keep their real text. Counts are pure codegen'd regexp passes
+      // over the scan; dominant-script argmax ties break on the fixed
+      // Scripts order in BOTH engines. Evidence: per (lang, dominant)
+      // doc counts + exact per-script char sums + micro-unit share sum.
+      val docs = t(s, dir, "documents")
+      val m = pmod(col("doc_id"), lit(5))
+      val sample = when(m === 0,
+          concat(lit("Служба новостей сообщает о "), col("source")))
+        .when(m === 1, concat(lit("新闻服务发布了 "), col("source")))
+        .when(m === 2, concat(lit("خدمة الأخبار تنشر "), col("source")))
+        .otherwise(col("text"))
+      docs.select(col("lang"),
+          TextStats.scriptProfile(sample).as("p"))
+        .groupBy(col("lang"), col("p.dominant").as("dominant"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("p.n_latin")).as("latin_chars"),
+          sum(col("p.n_cyrillic")).as("cyrillic_chars"),
+          sum(col("p.n_han")).as("han_chars"),
+          sum(col("p.n_arabic")).as("arabic_chars"),
+          sum(col("p.n_letters")).as("letter_chars"),
+          sum(floor(col("p.dominant_share") * lit(1e6) + lit(0.5))
+            .cast("long")).as("share_u_sum"))
+    }),
+
+    "q_boilerplate" -> ((s, dir) => {
+      // jusText-style main-content extraction (TextStats
+      // .boilerplateBlocks/mainContent): each document is wrapped in a
+      // deterministic page — link-farm nav, h1, the real text, a short
+      // share stub, a link-heavy footer — split at block tags and
+      // classified by INTEGER length/link-density/stopword rules, then
+      // the good blocks reassemble in order. The oracle replays the
+      // same splits, regexes and integer rules; md5 agreement on every
+      // reassembled main text proves the whole chain, not row counts.
+      // (Synthetic corpus is stopword-light: stop rule 1/50, good ≥ 40.)
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/n\">News</a> <a href=\"/c\">Contact</a></div><h1>"),
+        col("source"), lit(" page</h1><p>"), col("text"),
+        lit("</p><p>Share this</p><div class=\"footer\">Copyright " +
+          "<a href=\"/t\">terms</a> and <a href=\"/p\">privacy</a>" +
+          "</div></body></html>"))
+      val blocks = TextStats.boilerplateBlocks(
+        docs.select(col("doc_id"), page.as("page")), "doc_id", "page",
+        minChars = 25, goodChars = 40, linkDensityPct = 40,
+        stopNum = 1, stopDen = 50)
+      TextStats.mainContent(blocks)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_blocks")).as("blocks"),
+          sum(col("n_good")).as("good"),
+          sum(col("n_boiler")).as("boiler"),
+          sum(conv(substring(md5(col("main_text")), 1, 8), 16, 10)
+            .cast("long")).as("text_sum"),
+          sum(length(col("main_text"))).as("sum_chars"))
+    }),
+
     "q_blocklist_filter" -> ((s, dir) => {
       // One automaton pass per document (functions/AhoCorasick.scala);
       // counts are overlapping-occurrence counts, so the oracle can
@@ -9721,6 +9783,112 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // per-char script counts via RE2 script classes (\p{Latin} — Java
+    // spells them \p{IsLatin}; the COUNTS are the contract); dominant
+    // argmax replays the same first-max-wins order
+    "q_script_profile" ->
+      """with d as (select lang,
+        |    case when doc_id % 5 = 0
+        |        then concat('Служба новостей сообщает о ', source)
+        |      when doc_id % 5 = 1 then concat('新闻服务发布了 ', source)
+        |      when doc_id % 5 = 2 then concat('خدمة الأخبار تنشر ', source)
+        |      else text end t
+        |  from documents),
+        |c as (select lang,
+        |    cast(len(regexp_extract_all(t, '[\p{Latin}]')) as bigint) nl,
+        |    cast(len(regexp_extract_all(t, '[\p{Cyrillic}]')) as bigint) ncy,
+        |    cast(len(regexp_extract_all(t, '[\p{Han}]')) as bigint) nh,
+        |    cast(len(regexp_extract_all(t, '[\p{Arabic}]')) as bigint) na,
+        |    cast(len(regexp_extract_all(t, '[\p{Greek}]')) as bigint) ng,
+        |    cast(len(regexp_extract_all(t, '[\p{Hangul}]')) as bigint) nha,
+        |    cast(len(regexp_extract_all(t, '[\p{Hebrew}]')) as bigint) nhe,
+        |    cast(len(regexp_extract_all(t, '[\p{Devanagari}]')) as bigint) nd,
+        |    cast(len(regexp_extract_all(t, '[\p{L}]')) as bigint) nlet
+        |  from d),
+        |p as (select lang, nl, ncy, nh, na, ng, nha, nhe, nd, nlet,
+        |    greatest(nl, ncy, nh, na, ng, nha, nhe, nd) top
+        |  from c),
+        |e as (select lang, nl, ncy, nh, na, nlet,
+        |    case when nlet = 0 then 'none' when top = 0 then 'other'
+        |      when nl = top then 'latin' when ncy = top then 'cyrillic'
+        |      when nh = top then 'han' when na = top then 'arabic'
+        |      when ng = top then 'greek' when nha = top then 'hangul'
+        |      when nhe = top then 'hebrew' when nd = top then 'devanagari'
+        |      else 'other' end dominant,
+        |    case when nlet = 0 then cast(0 as bigint)
+        |      else cast(floor((floor(cast(top as double) / nlet * 1e6
+        |        + 0.5) / 1e6) * 1e6 + 0.5) as bigint) end share_u
+        |  from p)
+        |select lang, dominant, count(*) n_docs,
+        |  cast(sum(nl) as bigint) latin_chars,
+        |  cast(sum(ncy) as bigint) cyrillic_chars,
+        |  cast(sum(nh) as bigint) han_chars,
+        |  cast(sum(na) as bigint) arabic_chars,
+        |  cast(sum(nlet) as bigint) letter_chars,
+        |  cast(sum(share_u) as bigint) share_u_sum
+        |from e group by 1, 2""".stripMargin,
+
+    // full block-classification replay: same split regex, same
+    // tag-strip chain (with 'g' — DuckDB replaces first-only by
+    // default), same integer rules, same in-order reassembly
+    "q_boilerplate" ->
+      ("""with pg as (select doc_id, lang,
+        |    concat('<html><body><div class="nav"><a href="/">Home</a> ',
+        |      '<a href="/n">News</a> <a href="/c">Contact</a></div><h1>',
+        |      source, ' page</h1><p>', text,
+        |      '</p><p>Share this</p><div class="footer">Copyright ',
+        |      '<a href="/t">terms</a> and <a href="/p">privacy</a>',
+        |      '</div></body></html>') page
+        |  from documents),
+        |sp as (select doc_id, lang,
+        |    regexp_split_to_array(page, '""" + TextStats.BlockTagRe + """') parts
+        |  from pg),
+        |bl as (select doc_id, lang, generate_subscripts(parts, 1) i,
+        |    parts[i] raw
+        |  from sp),
+        |tx as (select doc_id, lang, i - 1 pos,
+        |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) txt,
+        |    cast(coalesce(list_sum(list_transform(
+        |      regexp_extract_all(raw, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |      a -> length(trim(regexp_replace(
+        |        regexp_replace(a, '<[^>]*>', ' ', 'g'),
+        |        '\s+', ' ', 'g'))))), 0) as bigint) anchor_chars
+        |  from bl),
+        |ct as (select doc_id, lang, pos, txt, anchor_chars,
+        |    cast(length(txt) as bigint) n_chars,
+        |    case when length(txt) = 0 then 0
+        |      else cast(len(string_split_regex(lower(txt), '\s+')) as bigint)
+        |    end n_toks,
+        |    case when length(txt) = 0 then 0
+        |      else cast(len(list_filter(string_split_regex(lower(txt), '\s+'),
+        |        x -> x in ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'that')))
+        |        as bigint) end n_stops
+        |  from tx),
+        |cl as (select doc_id, lang, pos, txt, n_chars,
+        |    case when anchor_chars > 0 and anchor_chars * 100 > n_chars * 40
+        |        then 'boilerplate'
+        |      when n_chars < 25 then 'short'
+        |      when n_chars >= 40 and n_stops * 50 >= n_toks * 1 then 'good'
+        |      else 'boilerplate' end cls
+        |  from ct),
+        |mc as (select doc_id, lang,
+        |    cast(count(*) as bigint) n_blocks,
+        |    cast(sum(case when cls = 'good' then 1 else 0 end) as bigint) n_good,
+        |    cast(sum(case when cls = 'boilerplate' then 1 else 0 end)
+        |      as bigint) n_boiler,
+        |    coalesce(string_agg(case when cls = 'good' then txt end,
+        |      chr(10) order by pos), '') main_text
+        |  from cl group by 1, 2)
+        |select lang, count(*) n_docs,
+        |  cast(sum(n_blocks) as bigint) blocks,
+        |  cast(sum(n_good) as bigint) good,
+        |  cast(sum(n_boiler) as bigint) boiler,
+        |  cast(sum(cast(concat('0x', substr(md5(main_text), 1, 8)) as bigint))
+        |    as bigint) text_sum,
+        |  cast(sum(length(main_text)) as bigint) sum_chars
+        |from mc group by lang""").stripMargin,
 
     // overlapping-occurrence counts via an explicit position scan —
     // the semantically honest twin of the automaton

@@ -391,6 +391,151 @@ object TextStats {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  // ------- Unicode script profile (language/script routing) ----------
+  //
+  // Per-document character counts by Unicode SCRIPT property — the
+  // signal multilingual pipelines route on before any model-based
+  // langid (CJK vs Latin vs Cyrillic decides tokenizer, quality
+  // thresholds and dedup shingling). Pure codegen'd `regexp_count`
+  // passes over the scan — no shuffle, no UDF. The class names differ
+  // by dialect (Java spells scripts `\p{IsLatin}`, RE2 `\p{Latin}`);
+  // the COUNTS are engine-exact, which is what the oracle checks.
+
+  /** (key, Java regex class) pairs; keep in sync with [[ScriptsRe2]]. */
+  val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[\\p{IsLatin}]", "cyrillic" -> "[\\p{IsCyrillic}]",
+    "han" -> "[\\p{IsHan}]", "arabic" -> "[\\p{IsArabic}]",
+    "greek" -> "[\\p{IsGreek}]", "hangul" -> "[\\p{IsHangul}]",
+    "hebrew" -> "[\\p{IsHebrew}]", "devanagari" -> "[\\p{IsDevanagari}]")
+
+  /** RE2 spelling of the same classes, for oracle SQL authors. */
+  val ScriptsRe2: Seq[(String, String)] = Scripts.map { case (k, _) =>
+    k -> s"[\\p{${k.capitalize}}]" }
+
+  /** One column per script count, plus total letters (`\p{L}` — shared
+    * syntax), the dominant script (argmax, ties broken by the fixed
+    * [[Scripts]] order) and its share of letters. */
+  def scriptProfile(text: Column): Column = {
+    val counts = Scripts.map { case (k, re) =>
+      k -> regexp_count(text, lit(re)).cast("long") }
+    val letters = regexp_count(text, lit("[\\p{L}]")).cast("long")
+    val top = greatest(counts.map(_._2): _*)
+    // fold in declaration order so the FIRST max wins the tie
+    val dom = counts.reverse.foldLeft(lit("other"): Column) {
+      case (acc, (k, c)) => when(c === top && top > 0, lit(k)).otherwise(acc)
+    }
+    struct(
+      (counts.map { case (k, c) => c.as(s"n_$k") } :+
+        letters.as("n_letters") :+
+        when(letters === 0, lit("none")).otherwise(dom).as("dominant") :+
+        when(letters === 0, lit(0.0)).otherwise(
+          floor(top.cast("double") / letters.cast("double") * lit(1e6)
+            + lit(0.5)).cast("double") / lit(1e6)).as("dominant_share")): _*)
+  }
+
+  // ------- Boilerplate removal (jusText-style block classification) --
+  //
+  // Main-content extraction from raw HTML — the web-pipeline step
+  // between HTML fetch and quality scoring (jusText, Pomikálek 2011;
+  // trafilatura's fallback path): split the page into BLOCKS at
+  // block-level tags, score each block by length, link density and
+  // stopword density, keep the content-shaped ones. The heavy
+  // trafilatura DOM walk is out of scope; this is the density
+  // classifier those tools bottom out in, re-expressed as pure
+  // codegen'd Column work (split + regexp passes, no UDF, no shuffle
+  // until the caller aggregates).
+  //
+  // Engine-exactness: every classification rule is INTEGER arithmetic
+  // over character/token counts (`100·anchor > pct·chars`, never a
+  // float ratio), so an external engine replaying the same splits and
+  // regexes reproduces the class of every block bit-for-bit.
+
+  /** Block-level tag boundary (open or close, attrs included) — the
+    * split points. Inline tags (<a>, <b>, <span>, …) stay inside
+    * blocks and are stripped during text extraction. */
+  val BlockTagRe: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "blockquote|pre|section|article|main|header|footer|nav|aside|" +
+      "figure|figcaption|form|fieldset|hr|br)[^>]*>"
+
+  private val AnchorRe = "(?is)<a\\b[^>]*>(.*?)</a>"
+  private val TagRe = "<[^>]*>"
+
+  /** Collapse an HTML fragment to its visible text (tags → space,
+    * whitespace collapsed, trimmed). Entity decoding is HtmlText's job
+    * — block scoring only needs counts, and both engines agree on the
+    * raw form. */
+  private def blockText(html: Column): Column =
+    trim(regexp_replace(regexp_replace(html, TagRe, " "), "\\s+", " "))
+
+  /** One row per (document, block): exact integer evidence —
+    * `n_chars` (visible text), `anchor_chars` (visible text inside
+    * <a>…</a>), `n_toks`/`n_stops` (whitespace tokens / stopword hits)
+    * — plus the class. Rules, in order (all integer comparisons):
+    *
+    *   boilerplate  if 100·anchor_chars > linkDensityPct·n_chars (and
+    *                anchor_chars > 0) — link-farm blocks, however long
+    *   short        if n_chars < minChars
+    *   good         if n_chars ≥ goodChars and
+    *                stopDen·n_stops ≥ stopNum·n_toks
+    *   boilerplate  otherwise
+    *
+    * Defaults follow jusText's published thresholds (link density 0.2,
+    * stopword density 0.30, length 80); corpora with synthetic or
+    * stopword-light text should lower stopNum/stopDen (the
+    * q_boilerplate query uses 1/50). */
+  def boilerplateBlocks(df: DataFrame, idCol: String, htmlCol: String,
+                        minChars: Int = 25, goodChars: Int = 80,
+                        linkDensityPct: Int = 20,
+                        stopNum: Int = 3, stopDen: Int = 10,
+                        stopwords: Seq[String] = enStop): DataFrame = {
+    val blocks = df.select(col(idCol).as("id"),
+        posexplode(split(col(htmlCol), BlockTagRe)).as(Seq("pos", "raw")))
+      .select(col("id"), col("pos"), blockText(col("raw")).as("txt"),
+        coalesce(aggregate(
+          transform(regexp_extract_all(col("raw"), lit(AnchorRe), lit(1)),
+            a => length(trim(regexp_replace(
+              regexp_replace(a, TagRe, " "), "\\s+", " ")))),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("anchor_chars"))
+    val toks = split(lower(col("txt")), "\\s+")
+    val withCounts = blocks.select(col("id"), col("pos"), col("txt"),
+      length(col("txt")).cast("long").as("n_chars"), col("anchor_chars"),
+      when(length(col("txt")) === 0, lit(0L))
+        .otherwise(size(toks).cast("long")).as("n_toks"),
+      when(length(col("txt")) === 0, lit(0L))
+        .otherwise(size(filter(toks,
+          t => t.isin(stopwords.map(x => x: Any): _*))).cast("long"))
+        .as("n_stops"))
+    withCounts.select(col("id"), col("pos"), col("n_chars"),
+      col("anchor_chars"), col("n_toks"), col("n_stops"),
+      when(col("anchor_chars") > 0 &&
+          col("anchor_chars") * 100L > col("n_chars") * linkDensityPct,
+          lit("boilerplate"))
+        .when(col("n_chars") < minChars, lit("short"))
+        .when(col("n_chars") >= goodChars &&
+          col("n_stops") * stopDen >= col("n_toks") * stopNum, lit("good"))
+        .otherwise(lit("boilerplate")).as("cls"),
+      col("txt"))
+  }
+
+  /** Reassemble each document's main content from its good blocks (in
+    * block order) with per-class counts — the (id, text') frame the
+    * rest of the pipeline consumes in place of raw HTML. */
+  def mainContent(blocks: DataFrame): DataFrame =
+    blocks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("cls") === "good", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("cls") === "boilerplate", 1L).otherwise(0L))
+          .as("n_boiler"),
+        // collect_list drops the nulls the `when` leaves on non-good
+        // blocks; the struct sort restores block order after the
+        // unordered aggregation
+        array_join(transform(
+            array_sort(collect_list(when(col("cls") === "good",
+              struct(col("pos"), col("txt"))))),
+            s => s.getField("txt")),
+          "\n").as("main_text"))
+
   /** Pointwise-mutual-information bigram collocations — the corpus
     * statistic behind phrase mining and tokenizer-merge candidates:
     * PMI(a,b) = ln(n_ab · N / (n_a · n_b)) over adjacent token pairs,

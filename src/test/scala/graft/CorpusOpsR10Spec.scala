@@ -613,4 +613,72 @@ class CorpusOpsR10Spec extends AnyFunSuite {
         .as[(String, Int, Long, Long)].collect().toSeq
     assert(sketch(df) === sketch(df.repartition(37)))
   }
+
+  // ---- Unicode script profile / boilerplate removal -----------------
+
+  test("scriptProfile counts scripts and picks the dominant one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "hello world"),                    // latin
+      (2L, "Привет мир"),                     // cyrillic
+      (3L, "汉字 text mixed 汉字汉字汉字"),     // han > latin (9 > 9? see below)
+      (4L, "123 !!!"),                        // no letters
+      (5L, "abcde АБВГД")                     // 5 = 5 tie → latin (first)
+    ).toDF("id", "t")
+    val p = df.select(col("id"),
+        pipeline.TextStats.scriptProfile(col("t")).as("p"))
+      .select(col("id"), col("p.n_latin"), col("p.n_cyrillic"),
+        col("p.n_han"), col("p.n_letters"), col("p.dominant"))
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p(1L) === (1L, 10L, 0L, 0L, 10L, "latin"))
+    assert(p(2L) === (2L, 0L, 9L, 0L, 9L, "cyrillic"))
+    // "汉字 text mixed 汉字汉字汉字": 8 han, 9 latin → latin dominant
+    assert(p(3L)._4 === 8L)
+    assert(p(3L)._6 === (if (p(3L)._2 >= 8L) "latin" else "han"))
+    assert(p(4L) === (4L, 0L, 0L, 0L, 0L, "none"))
+    assert(p(5L)._6 === "latin", "ties break on Scripts declaration order")
+  }
+
+  test("boilerplate blocks classify by integer rules; main content reassembles in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good1 = "the quick brown fox of the meadow is happy to run " +
+      "and jump in the field that it loves"      // long + stopword-rich
+    val good2 = "a second paragraph of real content that is also long " +
+      "enough to pass the length and stopword bars"
+    val page =
+      s"""<html><body><div><a href="/">Home</a> <a href="/x">News now</a></div>
+         |<h1>Tiny</h1><p>$good1</p><p>short one</p><p>$good2</p>
+         |<div>Copyright <a>terms</a> <a>privacy policy pages</a></div>
+         |</body></html>""".stripMargin.replace("\n", " ")
+    val df = Seq((7L, page)).toDF("id", "html")
+    val blocks = pipeline.TextStats.boilerplateBlocks(df, "id", "html")
+    val byPos = blocks.orderBy("pos")
+      .select("pos", "n_chars", "anchor_chars", "cls", "txt")
+      .as[(Int, Long, Long, String, String)].collect()
+    val nav = byPos.find(_._5.startsWith("Home")).get
+    // anchor text is everything but the inter-anchor space
+    assert(nav._4 === "boilerplate" && nav._3 === nav._2 - 1,
+      s"nav is (all but one space) anchor text: $nav")
+    assert(byPos.find(_._5 === "Tiny").get._4 === "short")
+    assert(byPos.find(_._5 === good1).get._4 === "good")
+    assert(byPos.find(_._5 === "short one").get._4 === "short")
+    assert(byPos.find(_._5 === good2).get._4 === "good")
+    assert(byPos.find(_._5.startsWith("Copyright")).get._4 === "boilerplate")
+    val mc = pipeline.TextStats.mainContent(blocks)
+      .select("n_good", "main_text").as[(Long, String)].collect()(0)
+    assert(mc._1 === 2L)
+    assert(mc._2 === s"$good1\n$good2", "good blocks join in block order")
+  }
+
+  test("mainContent of a document with no good blocks is the empty string") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>tiny</p>")).toDF("id", "html")
+    val mc = pipeline.TextStats.mainContent(
+        pipeline.TextStats.boilerplateBlocks(df, "id", "html"))
+      .select("n_good", "main_text").as[(Long, String)].collect()(0)
+    assert(mc === ((0L, "")))
+  }
 }
