@@ -9285,6 +9285,32 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_bloom_membership" -> ((s, dir) => {
+      // Distributed Bloom sketch TABLE (Sketches.bloomBits/bloomMerge/
+      // bloomContains): per-source membership filters over 5-char
+      // shingles, built as the OR-merge of even/odd doc-parity halves
+      // while the oracle sketches the whole corpus in one pass — hash
+      // agreement proves merge == whole (OR idempotence included) AND
+      // the per-probe membership join, bit for bit. The table form is
+      // the 100 TB shape decontaminateBloom's driver-collected literal
+      // cannot reach: bits live in (grp, word) rows, probes meet them
+      // in a hash equi-join.
+      val m = 65536L
+      def half(parity: Int) = pipeline.Sketches.bloomBits(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(col("source"),
+            graft.functions.ShingleExplode.shingleExplode(
+              graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5)
+              .as("sh")),
+        "source", "sh", m)
+      pipeline.Sketches.bloomContains(
+          pipeline.Sketches.bloomMerge(half(0), half(1)),
+          Seq("data ", "s the", "zzzzz", "qwxyz"), m)
+        .select(col("grp").as("source"), col("probe"), col("present"),
+          col("n_words"))
+    }),
+
     "q_script_profile" -> ((s, dir) => {
       // Unicode script routing (TextStats.scriptProfile): docs ≡0/1/2
       // (mod 5) get deterministic Cyrillic/Han/Arabic bodies planted so
@@ -9783,6 +9809,40 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // whole-corpus bloom in one pass (merge == whole under OR) and the
+    // same 32-bit-word membership join, bit for bit
+    "q_bloom_membership" ->
+      """with nrm as (select source,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        | from documents),
+        |sh as (select distinct source, substr(t, cast(i as int), 5) g
+        | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+        |ds as (select * from (values (0), (1), (2), (3)) dv(d)),
+        |pos as (select source,
+        |   cast(concat('0x', substr(md5(g), 1 + 8 * d, 8)) as bigint)
+        |     % 65536 bp
+        | from sh cross join ds),
+        |blm as (select source, bp >> 5 word,
+        |   bit_or(1::bigint << cast(bp % 32 as int)) bits
+        | from pos group by 1, 2),
+        |pr as (select * from (values ('data '), ('s the'), ('zzzzz'),
+        |   ('qwxyz')) pv(probe)),
+        |np as (select s.source, probe,
+        |   cast(concat('0x', substr(md5(probe), 1 + 8 * d, 8)) as bigint)
+        |     % 65536 bp
+        | from (select distinct source from documents) s
+        | cross join pr cross join ds),
+        |nw as (select source, probe, bp >> 5 word,
+        |   bit_or(1::bigint << cast(bp % 32 as int)) need
+        | from np group by 1, 2, 3),
+        |j as (select nw.source, nw.probe,
+        |   (coalesce(blm.bits, 0) & nw.need) = nw.need hit
+        | from nw left join blm
+        |   on nw.source = blm.source and nw.word = blm.word)
+        |select source, probe, bool_and(hit) present,
+        |  cast(count(*) as bigint) n_words
+        |from j group by 1, 2""".stripMargin,
 
     // per-char script counts via RE2 script classes (\p{Latin} — Java
     // spells them \p{IsLatin}; the COUNTS are the contract); dominant

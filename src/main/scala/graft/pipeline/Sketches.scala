@@ -296,6 +296,101 @@ object Sketches {
 
   private val Window = org.apache.spark.sql.expressions.Window
 
+  // ---- Bloom filter as a DISTRIBUTED sketch table (Bloom 1970,
+  // CACM) --------------------------------------------------------------
+  //
+  // Set-membership completes the sketch algebra: HLL answers distinct
+  // counts, CMS frequencies, KMV overlaps, DDSketch quantiles — Bloom
+  // answers "have we seen this exact value" with zero false negatives.
+  // [[graft.pipeline.Dedup.decontaminateBloom]] already builds a
+  // DRIVER-collected bloom (a broadcast literal — right for filters up
+  // to a few MB). This is the TABLE form for the sizes that idiom
+  // cannot reach: (grp, word, bits) rows hold m past driver/broadcast
+  // limits (2^33 bits = 1 GB/group is just 2^28 rows), membership is a
+  // hash-partitioned equi-join instead of a literal scan, and the merge
+  // is bitwise OR per word — order-free, idempotent, merge == whole,
+  // the same lake-maintenance contract as the other four sketches.
+  //
+  // 32-bit words (bits value < 2^31, always positive) sidestep both
+  // engines' 1<<63 sign/overflow traps; hashes are the pinned md5
+  // family, so an external engine replays the full bit table.
+
+  /** Column-valued shift count (the functions API only takes Int
+    * literals). */
+  private def shl(e: Column, cnt: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      ColumnBridge.expression(e), ColumnBridge.expression(cnt)))
+  }
+
+  /** The k bit positions of a value: four 32-bit chunks per md5 (one
+    * md5 digest is 32 hex chars — 4× fewer digest computations than a
+    * salted md5 per position; the shingle hot path measured 4.2 s →
+    * see q_bloom_membership), blocks beyond the first salted `b<j>:`.
+    * External replay: `substr(md5(...), 1+8·d, 8)` hex-parsed, mod m. */
+  private def bloomPositions(v: Column, mBits: Long, k: Int): Seq[Column] =
+    (0 until k).map { d =>
+      val block = d / 4
+      val digest =
+        if (block == 0) md5(v) else md5(concat(lit(s"b$block:"), v))
+      pmod(conv(substring(digest, 1 + 8 * (d % 4), 8), 16, 10).cast("long"),
+        lit(mBits))
+    }
+
+  /** Bloom bit table: one row per (group, word) with the OR of all
+    * 32-bit masks that any of the k per-value hashes set. Absent words
+    * are all-zero (never materialized). Values dedupe per group BEFORE
+    * the k-way hash expansion — a bloom is a set, OR is idempotent, and
+    * the partial-aggregating dedup shuffle of (grp, value) rows is far
+    * cheaper than k digest computations per duplicate occurrence (the
+    * same reasoning as the oracle's `select distinct`). */
+  def bloomBits(df: DataFrame, grpCol: String, valCol: String,
+                mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+    require(mBits >= 64 && mBits % 32 == 0, s"mBits multiple of 32: $mBits")
+    require(k >= 1 && k <= 8, s"k hashes in [1,8], got $k")
+    df.select(col(grpCol).as("grp"), col(valCol).as("v")).distinct()
+      .select(col("grp"),
+        explode(array(bloomPositions(col("v"), mBits, k): _*)).as("bit"))
+      .select(col("grp"), shiftright(col("bit"), 5).as("word"),
+        shl(lit(1L), pmod(col("bit"), lit(32L)).cast("int")).as("mask"))
+      .groupBy(col("grp"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Merge two bit tables — OR per (grp, word); equals the sketch of
+    * the concatenated inputs (OR is associative, commutative,
+    * idempotent — re-adding a partition is harmless, unlike CMS). */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("grp"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Membership probes: for each (group, probe), true iff ALL k hash
+    * bits are set. Probes explode to their (word, needed-mask) rows
+    * (two hashes can share a word — OR them first), left-join the bit
+    * table on (grp, word), and AND the per-word checks; a missing word
+    * row is an unset bit. Zero false negatives by construction; false
+    * positives at the standard (1−e^{−kn/m})^k rate. */
+  def bloomContains(bloom: DataFrame, probes: Seq[String],
+                    mBits: Long = 1L << 20, k: Int = 4): DataFrame = {
+    val spark = bloom.sparkSession
+    import spark.implicits._
+    val need = bloom.select(col("grp")).distinct()
+      .crossJoin(broadcast(probes.toDF("probe")))
+      .select(col("grp"), col("probe"),
+        explode(array(bloomPositions(col("probe"), mBits, k): _*)).as("bit"))
+      .select(col("grp"), col("probe"), shiftright(col("bit"), 5).as("word"),
+        shl(lit(1L), pmod(col("bit"), lit(32L)).cast("int")).as("mask"))
+      .groupBy(col("grp"), col("probe"), col("word"))
+      .agg(expr("bit_or(mask)").as("need"))
+    need.join(bloom, Seq("grp", "word"), "left_outer")
+      .select(col("grp"), col("probe"),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("need"))
+          === col("need")).as("hit"))
+      .groupBy(col("grp"), col("probe"))
+      .agg(expr("bool_and(hit)").as("present"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Pairwise overlap estimates from bottom-k sketches: for each
     * (pa, pb) pair, merge the two sketches, keep the union's bottom k,
     * and read off Jaccard = |both| / |kept| plus the KMV cardinality

@@ -614,6 +614,34 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(sketch(df) === sketch(df.repartition(37)))
   }
 
+  // ---- Bloom sketch table --------------------------------------------
+
+  test("Bloom table: no false negatives; merge == whole incl. overlap; order-free") {
+    import spark.implicits._
+    val vals = (1 to 3000).map(i => ("g" + (i % 2), s"v$i"))
+    val df = vals.toDF("grp", "v")
+    val whole = pipeline.Sketches.bloomBits(df, "grp", "v", 4096, 3)
+    // overlapping halves — OR idempotence means re-added rows are free
+    val merged = pipeline.Sketches.bloomMerge(
+      pipeline.Sketches.bloomBits(df.limit(2000), "grp", "v", 4096, 3),
+      pipeline.Sketches.bloomBits(
+        df.exceptAll(df.limit(1000)), "grp", "v", 4096, 3))
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp", "word").as[(String, Long, Long)].collect().toSeq
+    assert(tbl(whole) === tbl(merged), "merge == whole under overlap")
+    assert(tbl(whole) === tbl(pipeline.Sketches.bloomBits(
+      df.repartition(23), "grp", "v", 4096, 3)), "order-free")
+    // every inserted value must be found (zero false negatives)
+    val probes = Seq("v1", "v2", "v1500", "v3000", "absent-x", "absent-y")
+    val got = pipeline.Sketches.bloomContains(whole, probes, 4096, 3)
+      .select("grp", "probe", "present")
+      .as[(String, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    Seq(("g1", "v1"), ("g0", "v2"), ("g0", "v1500"), ("g0", "v3000"))
+      .foreach { case (g, v) =>
+        assert(got((g, v)), s"inserted $v must probe present in $g") }
+  }
+
   // ---- Unicode script profile / boilerplate removal -----------------
 
   test("scriptProfile counts scripts and picks the dominant one") {
