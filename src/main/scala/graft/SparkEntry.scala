@@ -9285,6 +9285,31 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_zorder_layout" -> ((s, dir) => {
+      // Z-order clustering key (Lake.zOrderFrame / functions.Morton2 —
+      // Delta OPTIMIZE ZORDER BY semantics over plain parquet): every
+      // (partkey, suppkey) scales to the 2^16 grid by exact integer
+      // floor division off a one-row min/max broadcast, interleaves to
+      // a 32-bit Morton key, and the top 5 bits bucket the table into
+      // the 32 files a zOrderWrite would cut. Per-bucket bounding boxes
+      // are the DATA-SKIPPING evidence: compact boxes = a 2-D box
+      // predicate prunes to O(perimeter) files (LakeSpec pins ≤ 6/32
+      // touched vs ~all under row order). The oracle replays the scale
+      // and the 32-term interleave bit-for-bit.
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      graft.sources.Lake.zOrderFrame(li, "l_partkey", "l_suppkey")
+        .select(col("l_partkey"), col("l_suppkey"), col("zval"),
+          shiftright(col("zval"), 27).as("zbucket"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          ((max(col("l_partkey")) - min(col("l_partkey")) + 1).cast("long") *
+            (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).cast("long"))
+            .as("bbox_area"),
+          sum(col("zval")).as("zval_sum"))
+    }),
+
     "q_bloom_membership" -> ((s, dir) => {
       // Distributed Bloom sketch TABLE (Sketches.bloomBits/bloomMerge/
       // bloomContains): per-source membership filters over 5-char
@@ -9809,6 +9834,37 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // exact-integer grid scale + the 32-term Morton interleave replayed
+    // inline (functions.Morton2.sqlReplay), then the same top-5-bit
+    // bucketing and bounding-box rollup
+    "q_zorder_layout" ->
+      (s"""with bd as (select cast(min(l_partkey) as bigint) minx,
+         |   cast(max(l_partkey) as bigint) maxx,
+         |   cast(min(l_suppkey) as bigint) miny,
+         |   cast(max(l_suppkey) as bigint) maxy from lineitem),
+         |sc as (select l_partkey, l_suppkey,
+         |   case when maxx = minx then 0 else
+         |     cast((((cast(l_partkey as bigint) - minx) * 65535)
+         |       - (((cast(l_partkey as bigint) - minx) * 65535)
+         |          % (maxx - minx)))
+         |       / (maxx - minx) as bigint) end x,
+         |   case when maxy = miny then 0 else
+         |     cast((((cast(l_suppkey as bigint) - miny) * 65535)
+         |       - (((cast(l_suppkey as bigint) - miny) * 65535)
+         |          % (maxy - miny)))
+         |       / (maxy - miny) as bigint) end y
+         | from lineitem cross join bd),
+         |z as (select l_partkey, l_suppkey,
+         |   cast(${graft.functions.Morton2.sqlReplay("x", "y")} as bigint) zval
+         | from sc)
+         |select zval >> 27 zbucket, count(*) n_rows,
+         |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+         |  min(l_suppkey) min_sk, max(l_suppkey) max_sk,
+         |  cast((max(l_partkey) - min(l_partkey) + 1) as bigint)
+         |    * cast((max(l_suppkey) - min(l_suppkey) + 1) as bigint) bbox_area,
+         |  cast(sum(zval) as bigint) zval_sum
+         |from z group by 1""").stripMargin,
 
     // whole-corpus bloom in one pass (merge == whole under OR) and the
     // same 32-bit-word membership join, bit for bit

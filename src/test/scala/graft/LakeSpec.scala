@@ -84,4 +84,46 @@ class LakeSpec extends AnyFunSuite {
       assert(salted(k)._3 == direct(k)._3)
     }
   }
+
+  test("Morton2 interleaves bits (hand pins)") {
+    assert(graft.functions.Morton2.compute(0L, 0L) === 0L)
+    assert(graft.functions.Morton2.compute(5L, 3L) === 27L) // 101 ⋈ 011
+    assert(graft.functions.Morton2.compute(0xFFFFL, 0L) === 0x55555555L)
+    assert(graft.functions.Morton2.compute(0L, 0xFFFFL) === 0xAAAAAAAAL)
+    // bits beyond the low 16 are ignored
+    assert(graft.functions.Morton2.compute(0x1FFFFL, 0L) === 0x55555555L)
+  }
+
+  test("z-order layout: a 2-D box predicate touches few partitions; row order touches all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uniform 1000 x 100 grid, generated in x-major row order
+    val df = spark.range(100000L)
+      .select((col("id") % 1000).cast("long").as("x"),
+        (col("id") / 1000).cast("long").as("y"))
+    def touched(parts: org.apache.spark.sql.DataFrame): Long = parts
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      // box: x < 125, y < 12 — 1/8 x 1/8 of the domain
+      .filter(col("minx") < 125 && col("miny") < 12)
+      .count()
+    val z = sources.Lake.zOrderFrame(df, "x", "y")
+      .repartitionByRange(32, col("zval")).sortWithinPartitions("zval")
+    assert(touched(z) <= 6,
+      s"z-order should confine the box to O(perimeter) partitions, got ${touched(z)}")
+    // contrast: a single-column (y-only) layout keeps whole y-stripes,
+    // each spanning the FULL x range — x-pruning is impossible
+    val yOnly = df.repartitionByRange(32, col("y"))
+    assert(touched(yOnly) >= 3, "single-column layout keeps whole stripes")
+    val xStripePrune = yOnly
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("x").as("minx"), max("x").as("maxx"))
+      .filter(col("minx") < 125) // x-pruning impossible: stripes span all x
+      .count()
+    assert(xStripePrune >= 30,
+      s"y-sorted stripes cannot prune on x (got $xStripePrune of 32)")
+  }
 }
