@@ -9285,6 +9285,40 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_stream_dd_sketch" -> ((s, dir) => {
+      // Streaming DDSketch maintenance under the gate (Streams
+      // .ddSketchReplayVersioned + VersionedLake.applyAdditiveBatch):
+      // docs ≡3 (mod 4) seed the sketch lake, three micro-batches add
+      // their per-batch counter tables through the versioned pointer —
+      // counter ADDITION is non-idempotent, so exactly-once rides the
+      // batchId gate, rehearsed incl. replay in StreamingSpec — and the
+      // final pointer snapshot answers token-count quantiles. The
+      // oracle sketches the whole corpus in one pass: a hash match
+      // proves init + 3 additive commits == whole, plus the closed-form
+      // pointer evidence (3 non-empty batches → v3, lastBatch 2).
+      val base = t(s, dir, "documents")
+        .select(col("source"), pmod(col("doc_id"), lit(4)).as("m"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+            .as("ntok"))
+      val initial = base.filter(col("m") === 3).select("source", "ntok")
+      val batches = Seq(0, 1, 2).map(i =>
+        base.filter(col("m") === i).select("source", "ntok"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ddlake_q_").toString
+      val table = s"ddlake_q_${System.nanoTime()}"
+      val fin = graft.streaming.Streams.ddSketchReplayVersioned(
+        s, initial, batches, root, table, "source", "ntok", 4)
+      val p = graft.sources.VersionedLake.readPointer(root).get
+      val out = pipeline.Sketches.ddQuantiles(fin, Seq(0.5, 0.9))
+        .select(col("grp").as("source"), col("q"), col("n"), col("sign"),
+          col("bucket"), col("cum"), col("est"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // 40 rows, eager: the snapshots can go
+      graft.sources.VersionedLake.destroy(s, root, table)
+      out
+    }),
+
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order clustering key (Lake.zOrderFrame / functions.Morton2 —
       // Delta OPTIMIZE ZORDER BY semantics over plain parquet): every
@@ -9832,6 +9866,40 @@ object SparkEntry {
         |  case when sign = 0 then 0.0 else
         |    sign * (floor(exp((bucket * 19803) / 1e6) * 1e6 + 0.5) / 1e6)
         |  end est
+        |from c join qs on (cum - cnt) <= floor(q * (n - 1))
+        |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // whole-corpus token-count sketch in one pass — hash equality
+    // against init + 3 streamed additive commits proves the versioned
+    // counter pipeline end to end; pointer evidence in closed form
+    "q_stream_dd_sketch" ->
+      """with v as (select source,
+        |    cast(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      as double) x
+        |  from documents),
+        |lv as (select source, x,
+        |    cast(floor(ln(case when x = 0 then 1 else abs(x) end)
+        |         * 1e6 + 0.5) as bigint) l from v),
+        |b as (select source,
+        |    case when x > 0 then 1 when x < 0 then -1 else 0 end sign,
+        |    case when x = 0 then 0
+        |      else cast((l - ((l % 19803 + 19803) % 19803)) / 19803 as bigint)
+        |    end bucket
+        |  from lv),
+        |h as (select source, sign, bucket, cast(count(*) as bigint) cnt
+        |  from b group by 1, 2, 3),
+        |c as (select source, sign, bucket, cnt,
+        |    cast(sum(cnt) over (partition by source
+        |      order by sign, sign * bucket
+        |      rows between unbounded preceding and current row) as bigint) cum,
+        |    cast(sum(cnt) over (partition by source) as bigint) n from h),
+        |qs as (select cast(q as double) q
+        |  from (values (0.5), (0.9)) qv(q))
+        |select source, q, n, sign, bucket, cum,
+        |  case when sign = 0 then 0.0 else
+        |    sign * (floor(exp((bucket * 19803) / 1e6) * 1e6 + 0.5) / 1e6)
+        |  end est,
+        |  3 snap_version, cast(2 as bigint) last_batch
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
 

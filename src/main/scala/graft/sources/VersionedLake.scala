@@ -110,6 +110,38 @@ object VersionedLake {
     dropSnapshot(spark, table, next - 1 - retain)
   }
 
+  /** [[applyBatch]] for ADDITIVE counter tables (sketches: DDSketch /
+    * CMS buckets, word counts): the batch's counters ADD into the
+    * snapshot per key instead of keyed MERGE — `(keyCols) -> cnt + cnt`.
+    * Counter addition is NOT idempotent (unlike the keyed MERGE's
+    * last-write-wins or a bloom's OR), so the versioned batchId gate is
+    * load-bearing here: an at-least-once replay that re-added a batch
+    * would silently double-count, and the pointer's `lastBatch` is what
+    * makes the sink exactly-once. Same crash contract as applyBatch —
+    * die between snapshot write and pointer swap and the old version
+    * stays live; the replay re-derives the same v(n+1). */
+  def applyAdditiveBatch(batch: DataFrame, root: String, table: String,
+                         keyCols: Seq[String], cntCol: String,
+                         buckets: Int, batchId: Long,
+                         retain: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(keyCols.nonEmpty, "additive batch needs key columns")
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"versioned lake at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // at-least-once replay: already applied
+    val spark = batch.sparkSession
+    if (batch.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
+    val next = p.version + 1
+    val merged = spark.table(tableName(table, p.version))
+      .unionByName(batch)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol))
+    Lake.writeBucketed(merged, tableName(table, next), keyCols.head,
+      buckets, keyCols)
+    writePointer(root, Pointer(next, batchId))
+    dropSnapshot(spark, table, next - 1 - retain)
+  }
+
   /** Drop one versioned snapshot (table + warehouse location); no-op for
     * negative versions or absent tables. */
   def dropSnapshot(spark: SparkSession, table: String, version: Int): Unit =

@@ -147,6 +147,43 @@ object Streams {
     graft.sources.VersionedLake.current(s, root, table)
   }
 
+  /** Streaming SKETCH maintenance, versioned form: each micro-batch of
+    * raw rows reduces to its DDSketch counter table
+    * ([[graft.pipeline.Sketches.ddHistogram]] — a few hundred rows
+    * regardless of batch size) and ADDS into the current snapshot via
+    * [[graft.sources.VersionedLake.applyAdditiveBatch]]. This is the
+    * write-time half of the sketch-tier contract at 100 TB: the stream
+    * never re-touches history, the sketch table stays tiny, and any
+    * query-time reader gets corpus quantiles from the pointer's
+    * snapshot. Counter addition is non-idempotent, so the batchId gate
+    * (not per-batch idempotence) carries exactly-once. */
+  def ddSketchSinkVersioned(rows: DataFrame, root: String, table: String,
+                            grpCol: String, valCol: String, buckets: Int,
+                            retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.VersionedLake.applyAdditiveBatch(
+        graft.pipeline.Sketches.ddHistogram(b, grpCol, valCol),
+        root, table, Seq("grp", "sign", "bucket"), "cnt", buckets, id, retain)
+    }
+
+  /** [[mergeReplayVersioned]] for the sketch sink: init the lake with
+    * `initial`'s sketch, replay the raw-row batches one-per-trigger,
+    * return the final pinned counter table. */
+  def ddSketchReplayVersioned(s: SparkSession, initial: DataFrame,
+                              batches: Seq[DataFrame], root: String,
+                              table: String, grpCol: String, valCol: String,
+                              buckets: Int, retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "ddSketchReplayVersioned needs at least one batch")
+    graft.sources.VersionedLake.init(
+      graft.pipeline.Sketches.ddHistogram(initial, grpCol, valCol),
+      root, table, "grp", buckets)
+    replayThrough(s, batches) { stream =>
+      ddSketchSinkVersioned(stream, root, table, grpCol, valCol, buckets, retain)
+    }
+    graft.sources.VersionedLake.current(s, root, table)
+  }
+
   /** Stage `batches` as one parquet file each (strictly increasing mod
     * times, so the file source delivers them in order, one per
     * trigger), run them through `sink`, and clean up the staging +

@@ -700,4 +700,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(dirs.length == 2, s"warehouse dirs: ${dirs.mkString(",")}")
     VL.destroy(spark, root, table)
   }
+
+  test("versioned ADDITIVE sketch lake: streamed adds == whole; replay cannot double-count") {
+    import spark.implicits._
+    import graft.sources.{VersionedLake => VL}
+    import graft.pipeline.Sketches
+    val all = (1 to 400).map(i => ("g" + (i % 2), i * 1.3)).toDF("grp", "x")
+    def slice(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("g" + (i % 2), i * 1.3)).toDF("grp", "x")
+    val root = java.nio.file.Files.createTempDirectory("graft_ddlake_").toString
+    val table = s"ddlake_${System.nanoTime()}"
+    // streamed: init on [1,100), three batches add the rest
+    val fin = graft.streaming.Streams.ddSketchReplayVersioned(spark,
+      slice(1, 100), Seq(slice(100, 200), slice(200, 300), slice(300, 401)),
+      root, table, "grp", "x", 4)
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp", "sign", "bucket")
+        .as[(String, Int, Long, Long)].collect().toSeq
+    assert(tbl(fin) === tbl(Sketches.ddHistogram(all, "grp", "x")),
+      "init + streamed additive commits must equal the whole-input sketch")
+    val p = VL.readPointer(root).get
+    assert(p.version == 3 && p.lastBatch == 2L, s"pointer $p")
+    // counter addition is NOT idempotent — the batchId gate is what
+    // makes an at-least-once replay safe; re-apply batch 1 and pin that
+    // nothing doubled
+    VL.applyAdditiveBatch(Sketches.ddHistogram(slice(100, 200), "grp", "x"),
+      root, table, Seq("grp", "sign", "bucket"), "cnt", 4, batchId = 1L)
+    assert(VL.readPointer(root).get == p, "replay must not advance")
+    assert(tbl(VL.current(spark, root, table)) ===
+      tbl(Sketches.ddHistogram(all, "grp", "x")), "replay must not double-count")
+    // an empty batch advances the gate without a snapshot rewrite
+    VL.applyAdditiveBatch(
+      Sketches.ddHistogram(slice(1, 1), "grp", "x"),
+      root, table, Seq("grp", "sign", "bucket"), "cnt", 4, batchId = 7L)
+    val p2 = VL.readPointer(root).get
+    assert(p2.version == 3 && p2.lastBatch == 7L, s"pointer $p2")
+    VL.destroy(spark, root, table)
+  }
 }
