@@ -162,6 +162,35 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Compact a parquet directory's files into ~`targetBytes` outputs —
+    * the OPTIMIZE/bin-packing half of lake maintenance. Streaming sinks
+    * and per-batch writes proliferate small files; at scale that is a
+    * pure tax (NameNode/listing metadata, per-file open cost, starved
+    * vectorized readers), paid on EVERY subsequent scan. Compaction
+    * pays one read + one size-proportional shuffle: output count =
+    * ceil(input bytes / targetBytes), round-robin when unordered or a
+    * range shuffle on `sortCol` (keeps per-file min/max stats tight —
+    * compose with [[zOrderWrite]]'s zval for 2-D layouts). Returns the
+    * output file count. Writes to a NEW directory — swap-in is the
+    * caller's transaction (pointer swap or rename), never in-place. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long, sortCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    require(targetBytes >= (1L << 16), s"targetBytes too small: $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(in).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(n)
+    }
+    out.write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
   /** Count Exchange (shuffle) nodes in a frame's executed plan — the
     * assertion primitive for layout tests. */
   def countShuffles(df: DataFrame): Int = {

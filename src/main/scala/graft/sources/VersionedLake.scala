@@ -90,6 +90,25 @@ object VersionedLake {
     spark.table(tableName(table, p.version))
   }
 
+  /** TIME TRAVEL: read snapshot v(`version`) if it is still within the
+    * retention window. Versions are immutable once written, so an
+    * as-of read is just a table scan — the Delta `VERSION AS OF`
+    * semantics. Dropped (aged-out) or never-written versions reject
+    * loudly with the live range. */
+  def asOf(spark: SparkSession, root: String, table: String,
+           version: Int): DataFrame = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"versioned lake at $root not initialized — call init first"))
+    require(version >= 0 && version <= p.version,
+      s"version $version out of range [0, ${p.version}]")
+    val name = tableName(table, version)
+    if (!spark.catalog.tableExists(name))
+      throw new IllegalStateException(
+        s"snapshot v$version aged out of retention (current v${p.version}; " +
+          "raise `retain` on the write path to keep deeper history)")
+    spark.table(name)
+  }
+
   /** Apply one change batch: MERGE v(n) + batch → write v(n+1) → swap
     * the pointer → drop snapshots older than `retain` versions back.
     * Replayed batches (batchId ≤ pointer's lastBatch) are skipped —

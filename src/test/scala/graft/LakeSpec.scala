@@ -126,4 +126,60 @@ class LakeSpec extends AnyFunSuite {
     assert(xStripePrune >= 30,
       s"y-sorted stripes cannot prune on x (got $xStripePrune of 32)")
   }
+
+  test("compact bin-packs small files; sorted variant keeps disjoint ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val tiny = s"$dir/tiny"; val packed = s"$dir/packed"; val sorted = s"$dir/sorted"
+    (1 to 50000).map(i => (i.toLong, s"row$i")).toDF("k", "s")
+      .repartition(64).write.parquet(tiny)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files(tiny) == 64)
+    val bytes = new java.io.File(tiny).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val n = sources.Lake.compact(spark, tiny, packed, (bytes / 4).max(1L << 16))
+    assert(files(packed) == n && n <= 5, s"packed into $n files")
+    assert(spark.read.parquet(packed).count() == 50000)
+    // sorted compaction: per-file key ranges must not overlap
+    sources.Lake.compact(spark, tiny, sorted, (bytes / 4).max(1L << 16), Some("k"))
+    val ranges = spark.read.parquet(sorted)
+      .select(input_file_name().as("f"), col("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2, s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
+  test("versioned lake time travel: asOf reads immutable history, aged-out rejects") {
+    import spark.implicits._
+    import graft.sources.{VersionedLake => VL}
+    val root = java.nio.file.Files.createTempDirectory("graft_vlake_tt_").toString
+    val table = s"vlake_tt_${System.nanoTime()}"
+    VL.init((1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, table, "k", 2)
+    for (b <- 0 until 3) {
+      val ch = Seq((100L + b, "insert", 0.0)).toDF("k", "op", "v")
+      VL.applyBatch(ch, root, table, "k", 2, batchId = b.toLong, retain = 5)
+    }
+    assert(VL.asOf(spark, root, table, 0).count() == 10)
+    assert(VL.asOf(spark, root, table, 2).count() == 12)
+    assert(VL.asOf(spark, root, table, 3).count() == 13)
+    intercept[IllegalArgumentException](VL.asOf(spark, root, table, 9))
+    // tight retention ages v0 out -> loud reject, not a silent miss
+    val root2 = java.nio.file.Files.createTempDirectory("graft_vlake_tt2_").toString
+    val table2 = s"vlake_tt2_${System.nanoTime()}"
+    VL.init((1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root2, table2, "k", 2)
+    for (b <- 0 until 3) {
+      VL.applyBatch(Seq((200L + b, "insert", 0.0)).toDF("k", "op", "v"),
+        root2, table2, "k", 2, batchId = b.toLong, retain = 1)
+    }
+    intercept[IllegalStateException](VL.asOf(spark, root2, table2, 0))
+    assert(VL.asOf(spark, root2, table2, 3).count() == 8)
+    VL.destroy(spark, root, table); VL.destroy(spark, root2, table2)
+  }
 }
