@@ -9285,6 +9285,18 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_analyze_columns" -> ((s, dir) => {
+      // ANALYZE in one scan (Lake.analyzeColumns): rows/nulls/min/max/
+      // exact-distinct for four engine-string-stable lineitem columns
+      // out of a single aggregation (multi-distinct expands, still one
+      // table pass). The stats table is what a 100 TB planner consumes
+      // for join reorder and broadcast decisions; the oracle states
+      // each column's row in plain SQL.
+      graft.sources.Lake.analyzeColumns(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"))
+    }),
+
     "q_stream_dd_sketch" -> ((s, dir) => {
       // Streaming DDSketch maintenance under the gate (Streams
       // .ddSketchReplayVersioned + VersionedLake.applyAdditiveBatch):
@@ -9868,6 +9880,42 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // per-column stats stated in plain SQL, one UNION arm per column
+    "q_analyze_columns" ->
+      """with b as (select cast(count(*) as bigint) n from lineitem)
+        |select 'l_orderkey' col_name, n n_rows,
+        |  (select cast(sum(case when l_orderkey is null then 1 else 0 end)
+        |     as bigint) from lineitem) n_nulls,
+        |  (select cast(min(l_orderkey) as varchar) from lineitem) min_v,
+        |  (select cast(max(l_orderkey) as varchar) from lineitem) max_v,
+        |  (select cast(count(distinct l_orderkey) as bigint) from lineitem)
+        |    n_distinct
+        |from b
+        |union all
+        |select 'l_partkey', n,
+        |  (select cast(sum(case when l_partkey is null then 1 else 0 end)
+        |     as bigint) from lineitem),
+        |  (select cast(min(l_partkey) as varchar) from lineitem),
+        |  (select cast(max(l_partkey) as varchar) from lineitem),
+        |  (select cast(count(distinct l_partkey) as bigint) from lineitem)
+        |from b
+        |union all
+        |select 'l_returnflag', n,
+        |  (select cast(sum(case when l_returnflag is null then 1 else 0 end)
+        |     as bigint) from lineitem),
+        |  (select min(l_returnflag) from lineitem),
+        |  (select max(l_returnflag) from lineitem),
+        |  (select cast(count(distinct l_returnflag) as bigint) from lineitem)
+        |from b
+        |union all
+        |select 'l_shipdate', n,
+        |  (select cast(sum(case when l_shipdate is null then 1 else 0 end)
+        |     as bigint) from lineitem),
+        |  (select cast(min(l_shipdate) as varchar) from lineitem),
+        |  (select cast(max(l_shipdate) as varchar) from lineitem),
+        |  (select cast(count(distinct l_shipdate) as bigint) from lineitem)
+        |from b""".stripMargin,
 
     // whole-corpus token-count sketch in one pass — hash equality
     // against init + 3 streamed additive commits proves the versioned

@@ -162,6 +162,35 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** ANALYZE-style per-column statistics in ONE scan — the stats table
+    * a planner (join reorder, broadcast choice) and a data-skipping
+    * layer consume: rows, nulls, min/max and exact distinct count per
+    * requested column, long format (col_name, n_rows, n_nulls, min_v,
+    * max_v, n_distinct). All columns' aggregates ride a single
+    * aggregation (Spark expands multi-distinct into one pass with an
+    * Expand node — still one scan of the table); min/max surface as
+    * strings for the uniform schema, so call it on columns whose string
+    * form is engine-stable (integers, strings, dates — NOT raw
+    * doubles, whose scientific-notation thresholds differ by engine).
+    * At 100 TB swap the exact distinct for [[graft.pipeline.Sketches]]
+    * HLL registers; the shape is otherwise identical. */
+  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "analyzeColumns needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"),
+      countDistinct(col(c)).as(s"${c}__nd"))) :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"), col(s"${c}__nd").as("n_distinct")))
+        : _*)).as("s"))
+      .select(col("s.*"))
+  }
+
   /** Compact a parquet directory's files into ~`targetBytes` outputs —
     * the OPTIMIZE/bin-packing half of lake maintenance. Streaming sinks
     * and per-batch writes proliferate small files; at scale that is a
