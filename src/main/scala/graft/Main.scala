@@ -150,6 +150,48 @@ object Main {
           "the swap as a conditional PUT (If-Match) or a transaction-log " +
           "append instead; a plain S3 'rename' is copy+delete and can " +
           "expose a torn pointer")
+      case "zorder" :: in :: out :: xCol :: yCol :: files :: Nil =>
+        // layout maintenance: z-order-cluster a parquet directory on two
+        // integer dims (one range shuffle; per-file min/max stats then
+        // prune 2-D box predicates — Lake.zOrderWrite)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.sources.Lake.zOrderWrite(
+          spark.read.parquet(in), xCol, yCol, out, files.toInt)
+        println(s"$in -> $out (z-ordered on ($xCol, $yCol), ${files.toInt} files)")
+        spark.stop()
+      case "compact" :: in :: out :: target :: rest if rest.length <= 1 =>
+        // layout maintenance: bin-pack small files to ~target bytes per
+        // output (Lake.compact); optional sort column keeps per-file
+        // ranges disjoint. Writes to a NEW directory — swap-in is the
+        // operator's transaction.
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val n = graft.sources.Lake.compact(spark, in, out, target.toLong,
+          rest.headOption)
+        println(s"$in -> $out ($n files, target ${target.toLong} bytes" +
+          rest.headOption.map(c => s", sorted by $c").getOrElse("") + ")")
+        spark.stop()
+      case "analyze" :: in :: cols =>
+        // one-scan per-column stats (Lake.analyzeColumns)
+        require(cols.nonEmpty, "analyze needs at least one column")
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.sources.Lake.analyzeColumns(spark.read.parquet(in), cols)
+          .collect().foreach(r => println(r.mkString("\t")))
+        spark.stop()
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -177,6 +219,9 @@ object Main {
             s"convert-zarr <store> <outDir> [--decode-times] | " +
             s"convert-zarr --reverse [--v3] <lakeDir> <store> | " +
             s"lake-info <root> <table> | " +
+            s"zorder <in> <out> <xCol> <yCol> <files> | " +
+            s"compact <in> <out> <targetBytes> [sortCol] | " +
+            s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
     }
