@@ -220,6 +220,63 @@ object Lake {
     n
   }
 
+  // ---- File-skipping index (Delta/Iceberg stats pruning as a
+  // queryable artifact) -------------------------------------------------
+  //
+  // Per-FILE min/max plus a per-file Bloom word table over a point-
+  // lookup column: the two halves of data skipping. min/max prunes
+  // range predicates (tight after [[zOrderWrite]]/sorted [[compact]]);
+  // the bloom prunes point lookups that fall INSIDE a file's range but
+  // are absent from it — the case min/max can never catch. Both are
+  // one scan to build, tiny to store beside the table, and consulted
+  // BEFORE the read so a selective query opens O(matching files), not
+  // O(all files). At 100 TB this is the difference between a metadata
+  // lookup and a full-corpus scan for every needle query.
+
+  /** One row per (file, column): rows, min/max (string form — same
+    * caveat as [[analyzeColumns]]) for `statsCols`, plus a bloom word
+    * table over `bloomCol` (mBits/k as in
+    * [[graft.pipeline.Sketches.bloomBits]]). Returns (stats, bloom). */
+  def fileIndex(spark: SparkSession, path: String, statsCols: Seq[String],
+                bloomCol: String, mBits: Long = 1L << 17, k: Int = 4)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+      .withColumn("_file", input_file_name())
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))) :+
+      count(lit(1)).as("__n")
+    val stats = df.groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(statsCols.map(c => struct(
+        col("_file").as("file"), lit(c).as("col_name"),
+        col("__n").as("n_rows"), col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"))): _*)).as("s"))
+      .select(col("s.*"))
+    val bloom = graft.pipeline.Sketches.bloomBits(
+      df.select(col("_file"), col(bloomCol).cast("string").as("v")),
+      "_file", "v", mBits, k)
+    (stats, bloom)
+  }
+
+  /** Candidate files for a point lookup `bloomCol = value`: bloom
+    * membership against the index table only — the table data is never
+    * touched, and bloom's zero false negatives make the prune SAFE for
+    * any column type (the min/max stats are the range-predicate half,
+    * valid only for string-order-stable columns — deliberately not
+    * consulted here, where "9" > "10" would silently drop files).
+    * The collect is bounded by the file count — the same cardinality a
+    * catalog listing already materializes. */
+  def pruneFiles(bloom: DataFrame, value: String,
+                 mBits: Long = 1L << 17, k: Int = 4): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    graft.pipeline.Sketches.bloomContains(bloom, Seq(value), mBits, k)
+      .filter(col("present"))
+      .select(col("grp"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
   /** Count Exchange (shuffle) nodes in a frame's executed plan — the
     * assertion primitive for layout tests. */
   def countShuffles(df: DataFrame): Int = {

@@ -154,6 +154,35 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("file-skipping index: bloom prune opens few files, pruned read == full filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fidx_")
+      .toString + "/t"
+    // 16 files, ids range-partitioned so each file holds a contiguous slab
+    (1 to 160000).map(i => (i.toLong, s"u${i % 40000}", i * 1.5))
+      .toDF("k", "uid", "v")
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    val (stats, bloom) = sources.Lake.fileIndex(
+      spark, dir, Seq("k"), "uid")
+    val b = bloom.localCheckpoint(false)
+    assert(stats.filter(col("col_name") === "k").count() == 16)
+    // uid u123 appears in rows 123, 40123, 80123, 120123 -> exactly the
+    // 4 slab files hold it; bloom prune must return those (plus rare fps)
+    val cand = sources.Lake.pruneFiles(b, "u123")
+    assert(cand.size >= 4 && cand.size <= 6, s"pruned to ${cand.size} files")
+    val pruned = spark.read.parquet(cand: _*)
+      .filter(col("uid") === "u123").select("k")
+      .as[Long].collect().sorted.toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("uid") === "u123").select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(pruned === full && full === Seq(123L, 40123L, 80123L, 120123L))
+    // an absent value prunes everything (no file opened at all)
+    assert(sources.Lake.pruneFiles(b, "nobody-here").isEmpty)
+  }
+
   test("versioned lake time travel: asOf reads immutable history, aged-out rejects") {
     import spark.implicits._
     import graft.sources.{VersionedLake => VL}
