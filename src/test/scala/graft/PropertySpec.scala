@@ -1427,4 +1427,46 @@ class PropertySpec extends AnyFunSuite {
     val bigArr = MArr(Vector.fill(65537)(MLong(1)))
     assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
   }
+
+  test("DDSketch bucket kernel: monotone in |x|, covers x within gamma width") {
+    // JVM-side replay of the column math — same ops, same grid
+    val g = 19803L
+    def bucket(x: Double): Long = {
+      val l = math.floor(math.log(math.abs(x)) * 1e6 + 0.5).toLong
+      val pm = ((l % g) + g) % g
+      ((l - pm).toDouble / g).toLong
+    }
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(5000)(math.exp(rnd.nextGaussian() * 4.0)).sorted
+    // monotone: sorted inputs give non-decreasing buckets
+    val bs = xs.map(bucket)
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+    val gamma = math.exp(g / 1e6)
+    xs.foreach { x =>
+      val b = bucket(x)
+      // x ∈ [γ^b, γ^(b+1)) up to the 1e-6 ln-grid slack at the edges
+      val lo = math.pow(gamma, b.toDouble) * (1 - 2e-6)
+      val hi = math.pow(gamma, b.toDouble + 1) * (1 + 2e-6)
+      assert(x >= lo && x < hi, s"x=$x bucket=$b range=[$lo,$hi)")
+    }
+  }
+
+  test("Morton2: z-curve locality — same quadrant iff same key prefix") {
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).foreach { _ =>
+      val (x1, y1) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      val (x2, y2) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      val (z1, z2) = (graft.functions.Morton2.compute(x1, y1),
+        graft.functions.Morton2.compute(x2, y2))
+      // top 2 z-bits == the two coordinates' top bits: same key prefix
+      // exactly when both points share the 2x2 top-level quadrant
+      val sameQuadrant = (x1 >> 15) == (x2 >> 15) && (y1 >> 15) == (y2 >> 15)
+      assert(((z1 >> 30) == (z2 >> 30)) == sameQuadrant,
+        s"($x1,$y1) vs ($x2,$y2)")
+      // and the interleave is invertible: de-interleave recovers inputs
+      def even(z: Long): Long = (0 until 16)
+        .map(i => ((z >> (2 * i)) & 1L) << i).sum
+      assert(even(z1) == x1 && even(z1 >> 1) == y1)
+    }
+  }
 }
