@@ -9285,6 +9285,38 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_crawl_schedule" -> ((s, dir) => {
+      // Crawl-delay politeness scheduling (Robots.parseCrawlDelays/
+      // crawlDelays/schedule — the de-facto extension Bing/Yandex
+      // honor): per-host delays parse out of robots bodies (evilbot's
+      // 99 s group must NOT govern our agent; hosts whose numeric id
+      // ≡0 (mod 3) state no * delay and fall to the scheduler default),
+      // then every frontier URL gets its FIFO slot within its host and
+      // the earliest fetch time startMs + slot·delay. The oracle
+      // restates the delays in closed form and replays the slot window
+      // — all times exact integer math on the floor grid.
+      val docs = t(s, dir, "documents")
+      val srcNum = substring(col("source"), 4, 6).cast("int")
+      val host = concat(col("source"), lit(".example.org"))
+      val robots = docs.select(col("source"), srcNum.as("sn")).distinct()
+        .select(concat(col("source"), lit(".example.org")).as("host"),
+          concat(lit("User-agent: evilbot\nCrawl-delay: 99\n\n" +
+            "User-agent: *\nDisallow: /private/\n"),
+            when(pmod(col("sn"), lit(3)) === 0, lit(""))
+              .otherwise(concat(lit("Crawl-delay: "),
+                pmod(col("sn"), lit(5)) + 2))).as("body"))
+      val delays = graft.pipeline.Robots.crawlDelays(robots, "graftbot")
+      val sched = graft.pipeline.Robots.schedule(
+        docs.select(col("doc_id"), col("lang"), host.as("h")),
+        col("h"), col("doc_id"), delays,
+        startMs = 1700000000000L, defaultDelayS = 3.0)
+      sched.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("slot")).as("slot_sum"),
+          max(col("slot")).as("max_slot"),
+          sum(col("fetch_at_ms")).as("fetch_ms_sum"))
+    }),
+
     "q_analyze_columns" -> ((s, dir) => {
       // ANALYZE in one scan (Lake.analyzeColumns): rows/nulls/min/max/
       // exact-distinct for four engine-string-stable lineitem columns
@@ -9880,6 +9912,30 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // delays restated in closed form (the group selection and parse are
+    // what Spark must reproduce), slot window + floor-grid times replayed
+    "q_crawl_schedule" ->
+      """with d as (select doc_id, lang, source,
+        |    cast(substr(source, 4) as int) sn from documents),
+        |dl as (select source,
+        |    case when sn % 3 = 0 then cast(3.0 as double)
+        |      else cast((sn % 5) + 2 as double) end delay
+        |  from (select distinct source, sn from d)),
+        |s as (select d.doc_id, d.lang,
+        |    row_number() over (partition by d.source order by d.doc_id)
+        |      - 1 slot,
+        |    dl.delay
+        |  from d join dl on d.source = dl.source),
+        |f as (select lang, slot,
+        |    1700000000000 + cast(floor(slot * delay * 1000.0 + 0.5)
+        |      as bigint) ts
+        |  from s)
+        |select lang, count(*) n_urls,
+        |  cast(sum(slot) as bigint) slot_sum,
+        |  cast(max(slot) as bigint) max_slot,
+        |  cast(sum(ts) as bigint) fetch_ms_sum
+        |from f group by 1""".stripMargin,
 
     // per-column stats stated in plain SQL, one UNION arm per column
     "q_analyze_columns" ->

@@ -63,6 +63,89 @@ object Robots {
     out.toSeq
   }
 
+  /** One robots.txt body → (agent, crawl-delay seconds) pairs — the
+    * de-facto `Crawl-delay` extension (honored by Bing/Yandex; Google
+    * ignores it, so callers always pass their own default). Same group
+    * state machine and leniency as [[parseRules]]; unparseable values
+    * are ignored. */
+  def parseCrawlDelays(body: String): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var agents = List.empty[String]
+    var inGroup = false
+    body.linesIterator.foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case h  => raw.substring(0, h).trim
+      }
+      line.split(":", 2) match {
+        case Array(k, v) =>
+          val key = k.trim.toLowerCase
+          val value = v.trim
+          key match {
+            case "user-agent" =>
+              if (inGroup) { agents = Nil; inGroup = false }
+              if (value.nonEmpty) agents ::= value.toLowerCase
+            case "crawl-delay" =>
+              inGroup = true
+              value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+                .foreach(d => agents.foreach(a => out += ((a, d))))
+            case _ => inGroup = agents.nonEmpty
+          }
+        case _ =>
+      }
+    }
+    out.toSeq
+  }
+
+  /** (host, body) robots table → one (host, delay_s) row per host that
+    * states a delay for `agent` (exact-agent groups govern when any
+    * exist, else `*`; several applicable delays take the MAX — the
+    * conservative read). Hosts without a delay are absent — the
+    * scheduler's default covers them. */
+  def crawlDelays(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    val a = agent.toLowerCase
+    robots.select(col("host"), col("body")).as[(String, String)]
+      .flatMap { case (host, body) =>
+        parseCrawlDelays(Option(body).getOrElse(""))
+          .filter(r => r._1 == a || r._1 == "*")
+          .map { case (ag, d) => (host, ag == a, d) }
+      }.toDF("host", "exact", "delay_s")
+      .withColumn("_any_exact", max(when(col("exact"), 1).otherwise(0))
+        .over(Window.partitionBy(col("host"))))
+      .filter(col("exact") === (col("_any_exact") === 1))
+      .groupBy(col("host")).agg(max(col("delay_s")).as("delay_s"))
+  }
+
+  /** Politeness SCHEDULER: assign every frontier URL its per-host fetch
+    * slot (FIFO by `priorityCol` — ties must be impossible, use a
+    * unique id) and the earliest allowed fetch time
+    * `startMs + slot·delay·1000`. Emitting times instead of sleeping
+    * keeps the schedule a plain column a fetch executor consumes; the
+    * one shuffle is the frontier keyed by host, which ANY per-host
+    * politeness scheme pays. Hosts outside `delays` get
+    * `defaultDelayS`. */
+  def schedule(urls: DataFrame, hostCol: Column, priorityCol: Column,
+               delays: DataFrame, startMs: Long,
+               defaultDelayS: Double = 1.0): DataFrame = {
+    for (c <- Seq("_sched_host", "slot", "fetch_at_ms"))
+      require(!urls.columns.contains(c),
+        s"schedule reserves column name '$c'")
+    val w = Window.partitionBy(col("_sched_host")).orderBy(priorityCol)
+    urls.withColumn("_sched_host", hostCol)
+      .join(broadcast(delays.select(col("host").as("_sched_host"),
+        col("delay_s"))), Seq("_sched_host"), "left_outer")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      // floor(x+0.5), not a bare long cast: Spark's double→long
+      // truncates where DuckDB's rounds — the grid makes fractional
+      // delays engine-exact too (house rule, see SparkEntry.uq)
+      .withColumn("fetch_at_ms", lit(startMs) +
+        floor(col("slot") * coalesce(col("delay_s"), lit(defaultDelayS))
+          * 1000.0 + 0.5).cast("long"))
+      .drop("_sched_host", "delay_s")
+  }
+
   /** (host, body) robots table → (host, allow, pattern, plen) rules for
     * `agent`, applying the RFC group-selection rule per host: the
     * exact-agent groups when any exist, else the `*` groups. */

@@ -1428,6 +1428,45 @@ class PropertySpec extends AnyFunSuite {
     assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
   }
 
+  test("Robots crawl-delay: group selection, max-of-applicable, scheduler slots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val body =
+      """User-agent: evilbot
+        |Crawl-delay: 99
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 2
+        |Crawl-delay: 5
+        |
+        |User-agent: *
+        |Crawl-delay: 30
+        |Disallow: /x
+        |""".stripMargin
+    // exact group governs (both its delays, max wins); * is ignored
+    assert(graft.pipeline.Robots.parseCrawlDelays(body).toSet ===
+      Set(("evilbot", 99.0), ("graftbot", 2.0), ("graftbot", 5.0), ("*", 30.0)))
+    val robots = Seq(("h1", body),
+      ("h2", "User-agent: *\nDisallow: /p\n"), // no delay stated
+      ("h3", "User-agent: *\nCrawl-delay: not-a-number\nCrawl-delay: 1.5\n"))
+      .toDF("host", "body")
+    val delays = graft.pipeline.Robots.crawlDelays(robots, "graftbot")
+      .as[(String, Double)].collect().toMap
+    assert(delays === Map("h1" -> 5.0, "h3" -> 1.5))
+    // scheduler: FIFO slots per host, default covers h2
+    val urls = Seq(("h1", 1L), ("h1", 2L), ("h1", 3L), ("h2", 4L),
+      ("h2", 5L), ("h3", 6L), ("h3", 7L)).toDF("h", "id")
+    val sched = graft.pipeline.Robots.schedule(urls, col("h"), col("id"),
+        delays = graft.pipeline.Robots.crawlDelays(robots, "graftbot"),
+        startMs = 1000L, defaultDelayS = 2.0)
+      .select("h", "id", "slot", "fetch_at_ms")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(sched.toSeq === Seq(
+      ("h1", 1L, 0L, 1000L), ("h1", 2L, 1L, 6000L), ("h1", 3L, 2L, 11000L),
+      ("h2", 4L, 0L, 1000L), ("h2", 5L, 1L, 3000L),
+      ("h3", 6L, 0L, 1000L), ("h3", 7L, 1L, 2500L)))
+  }
+
   test("DDSketch bucket kernel: monotone in |x|, covers x within gamma width") {
     // JVM-side replay of the column math — same ops, same grid
     val g = 19803L
