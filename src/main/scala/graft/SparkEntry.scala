@@ -9285,6 +9285,41 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_stream_bloom" -> ((s, dir) => {
+      // Streaming Bloom maintenance under the gate (Streams
+      // .bloomReplayVersioned + VersionedLake.applyOrBatch): docs ≡3
+      // (mod 4) seed the membership lake, three micro-batches OR their
+      // word tables in through the versioned pointer, and the final
+      // snapshot answers probes. OR is idempotent — replay-safe even
+      // without the batchId gate (StreamingSpec forces a re-apply) —
+      // and the oracle's one-pass whole-corpus bloom must hash-match
+      // init + 3 streamed commits exactly.
+      val m = 65536L
+      val base = t(s, dir, "documents")
+        .select(col("source"), pmod(col("doc_id"), lit(4)).as("g"),
+          graft.functions.ShingleExplode.shingleExplode(
+            graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5)
+            .as("sh"))
+      val initial = base.filter(col("g") === 3).select("source", "sh")
+      val batches = Seq(0, 1, 2).map(i =>
+        base.filter(col("g") === i).select("source", "sh"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bloomlake_q_").toString
+      val table = s"bloomlake_q_${System.nanoTime()}"
+      val fin = graft.streaming.Streams.bloomReplayVersioned(
+        s, initial, batches, root, table, "source", "sh", m, 4, 4)
+      val p = graft.sources.VersionedLake.readPointer(root).get
+      val out = pipeline.Sketches.bloomContains(fin,
+          Seq("data ", "ation", "qwxyz"), m)
+        .select(col("grp").as("source"), col("probe"), col("present"),
+          col("n_words"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // 60 rows, eager: the snapshots can go
+      graft.sources.VersionedLake.destroy(s, root, table)
+      out
+    }),
+
     "q_crawl_schedule" -> ((s, dir) => {
       // Crawl-delay politeness scheduling (Robots.parseCrawlDelays/
       // crawlDelays/schedule — the de-facto extension Bing/Yandex
@@ -9912,6 +9947,41 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // whole-corpus bloom in one pass == init + 3 streamed OR-commits;
+    // same membership join; pointer evidence in closed form
+    "q_stream_bloom" ->
+      """with nrm as (select source,
+        |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+        | from documents),
+        |sh as (select distinct source, substr(t, cast(i as int), 5) g
+        | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+        |ds as (select * from (values (0), (1), (2), (3)) dv(d)),
+        |pos as (select source,
+        |   cast(concat('0x', substr(md5(g), 1 + 8 * d, 8)) as bigint)
+        |     % 65536 bp
+        | from sh cross join ds),
+        |blm as (select source, bp >> 5 word,
+        |   bit_or(1::bigint << cast(bp % 32 as int)) bits
+        | from pos group by 1, 2),
+        |pr as (select * from (values ('data '), ('ation'),
+        |   ('qwxyz')) pv(probe)),
+        |np as (select s.source, probe,
+        |   cast(concat('0x', substr(md5(probe), 1 + 8 * d, 8)) as bigint)
+        |     % 65536 bp
+        | from (select distinct source from documents) s
+        | cross join pr cross join ds),
+        |nw as (select source, probe, bp >> 5 word,
+        |   bit_or(1::bigint << cast(bp % 32 as int)) need
+        | from np group by 1, 2, 3),
+        |j as (select nw.source, nw.probe,
+        |   (coalesce(blm.bits, 0) & nw.need) = nw.need hit
+        | from nw left join blm
+        |   on nw.source = blm.source and nw.word = blm.word)
+        |select source, probe, bool_and(hit) present,
+        |  cast(count(*) as bigint) n_words,
+        |  3 snap_version, cast(2 as bigint) last_batch
+        |from j group by 1, 2""".stripMargin,
 
     // delays restated in closed form (the group selection and parse are
     // what Spark must reproduce), slot window + floor-grid times replayed

@@ -143,8 +143,31 @@ object VersionedLake {
                          keyCols: Seq[String], cntCol: String,
                          buckets: Int, batchId: Long,
                          retain: Int = 2): Unit = {
-    import org.apache.spark.sql.functions.{col, sum}
-    require(keyCols.nonEmpty, "additive batch needs key columns")
+    import org.apache.spark.sql.functions.sum
+    applyCombineBatch(batch, root, table, keyCols, cntCol, sum,
+      buckets, batchId, retain)
+  }
+
+  /** [[applyAdditiveBatch]] with bitwise-OR combine — the Bloom word
+    * table's merge. OR is IDEMPOTENT, so unlike the additive form a
+    * replayed batch could not corrupt contents even without the gate;
+    * the batchId check still skips the pointless snapshot rewrite. */
+  def applyOrBatch(batch: DataFrame, root: String, table: String,
+                   keyCols: Seq[String], bitsCol: String,
+                   buckets: Int, batchId: Long, retain: Int = 2): Unit =
+    applyCombineBatch(batch, root, table, keyCols, bitsCol,
+      c => org.apache.spark.sql.functions.expr(s"bit_or($bitsCol)"),
+      buckets, batchId, retain)
+
+  private def applyCombineBatch(batch: DataFrame, root: String,
+                                table: String, keyCols: Seq[String],
+                                valCol: String,
+                                combine: org.apache.spark.sql.Column =>
+                                  org.apache.spark.sql.Column,
+                                buckets: Int, batchId: Long,
+                                retain: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "combine batch needs key columns")
     val p = readPointer(root).getOrElse(throw new IllegalStateException(
       s"versioned lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: already applied
@@ -154,7 +177,7 @@ object VersionedLake {
     val merged = spark.table(tableName(table, p.version))
       .unionByName(batch)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col(cntCol)).as(cntCol))
+      .agg(combine(col(valCol)).as(valCol))
     Lake.writeBucketed(merged, tableName(table, next), keyCols.head,
       buckets, keyCols)
     writePointer(root, Pointer(next, batchId))

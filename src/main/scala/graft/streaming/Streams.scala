@@ -167,6 +167,41 @@ object Streams {
         root, table, Seq("grp", "sign", "bucket"), "cnt", buckets, id, retain)
     }
 
+  /** Streaming BLOOM maintenance, versioned form: each micro-batch's
+    * values OR into the current (grp, word, bits) snapshot
+    * ([[graft.pipeline.Sketches.bloomBits]] per batch,
+    * [[graft.sources.VersionedLake.applyOrBatch]] to commit). The
+    * membership filter a crawler/dedup stage consults thus stays
+    * freshly behind the stream without ever re-scanning history. OR is
+    * idempotent, so this sink is replay-safe even without the batchId
+    * gate — the gate just skips the pointless rewrite. */
+  def bloomSinkVersioned(rows: DataFrame, root: String, table: String,
+                         grpCol: String, valCol: String, mBits: Long,
+                         k: Int, buckets: Int, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.VersionedLake.applyOrBatch(
+        graft.pipeline.Sketches.bloomBits(b, grpCol, valCol, mBits, k),
+        root, table, Seq("grp", "word"), "bits", buckets, id, retain)
+    }
+
+  /** [[ddSketchReplayVersioned]]'s twin for the bloom sink. */
+  def bloomReplayVersioned(s: SparkSession, initial: DataFrame,
+                           batches: Seq[DataFrame], root: String,
+                           table: String, grpCol: String, valCol: String,
+                           mBits: Long, k: Int, buckets: Int,
+                           retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "bloomReplayVersioned needs at least one batch")
+    graft.sources.VersionedLake.init(
+      graft.pipeline.Sketches.bloomBits(initial, grpCol, valCol, mBits, k),
+      root, table, "grp", buckets)
+    replayThrough(s, batches) { stream =>
+      bloomSinkVersioned(stream, root, table, grpCol, valCol, mBits, k,
+        buckets, retain)
+    }
+    graft.sources.VersionedLake.current(s, root, table)
+  }
+
   /** [[mergeReplayVersioned]] for the sketch sink: init the lake with
     * `initial`'s sketch, replay the raw-row batches one-per-trigger,
     * return the final pinned counter table. */
