@@ -9297,9 +9297,8 @@ object SparkEntry {
       val m = 65536L
       val base = t(s, dir, "documents")
         .select(col("source"), pmod(col("doc_id"), lit(4)).as("g"),
-          graft.functions.ShingleExplode.shingleExplode(
-            graft.functions.WinnowNormalize.lowerCollapseWs(col("text")), 5)
-            .as("sh"))
+          explode(filter(split(lower(trim(col("text"))), "\\s+"),
+            x => length(x) > 0)).as("sh"))
       val initial = base.filter(col("g") === 3).select("source", "sh")
       val batches = Seq(0, 1, 2).map(i =>
         base.filter(col("g") === i).select("source", "sh"))
@@ -9310,7 +9309,7 @@ object SparkEntry {
         s, initial, batches, root, table, "source", "sh", m, 4, 4)
       val p = graft.sources.VersionedLake.readPointer(root).get
       val out = pipeline.Sketches.bloomContains(fin,
-          Seq("data ", "ation", "qwxyz"), m)
+          Seq("data", "the", "qwxyz"), m)
         .select(col("grp").as("source"), col("probe"), col("present"),
           col("n_words"))
         .withColumn("snap_version", lit(p.version))
@@ -9954,8 +9953,9 @@ object SparkEntry {
       """with nrm as (select source,
         |   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
         | from documents),
-        |sh as (select distinct source, substr(t, cast(i as int), 5) g
-        | from nrm, unnest(range(1, length(t) - 3)) u(i)),
+        |sh as (select distinct source, tok g
+        | from nrm, unnest(string_split_regex(t, ' ')) u(tok)
+        | where length(tok) > 0),
         |ds as (select * from (values (0), (1), (2), (3)) dv(d)),
         |pos as (select source,
         |   cast(concat('0x', substr(md5(g), 1 + 8 * d, 8)) as bigint)
@@ -9964,7 +9964,7 @@ object SparkEntry {
         |blm as (select source, bp >> 5 word,
         |   bit_or(1::bigint << cast(bp % 32 as int)) bits
         | from pos group by 1, 2),
-        |pr as (select * from (values ('data '), ('ation'),
+        |pr as (select * from (values ('data'), ('the'),
         |   ('qwxyz')) pv(probe)),
         |np as (select s.source, probe,
         |   cast(concat('0x', substr(md5(probe), 1 + 8 * d, 8)) as bigint)

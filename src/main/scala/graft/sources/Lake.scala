@@ -162,33 +162,52 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** ANALYZE-style per-column statistics in ONE scan — the stats table
-    * a planner (join reorder, broadcast choice) and a data-skipping
-    * layer consume: rows, nulls, min/max and exact distinct count per
+  /** ANALYZE-style per-column statistics — the stats table a planner
+    * (join reorder, broadcast choice) and a data-skipping layer
+    * consume: rows, nulls, min/max and exact distinct count per
     * requested column, long format (col_name, n_rows, n_nulls, min_v,
-    * max_v, n_distinct). All columns' aggregates ride a single
-    * aggregation (Spark expands multi-distinct into one pass with an
-    * Expand node — still one scan of the table); min/max surface as
-    * strings for the uniform schema, so call it on columns whose string
-    * form is engine-stable (integers, strings, dates — NOT raw
-    * doubles, whose scientific-notation thresholds differ by engine).
-    * At 100 TB swap the exact distinct for [[graft.pipeline.Sketches]]
-    * HLL registers; the shape is otherwise identical. */
+    * max_v, n_distinct). Min/max surface as strings for the uniform
+    * schema, so call it on columns whose string form is engine-stable
+    * (integers, strings, dates — NOT raw doubles, whose
+    * scientific-notation thresholds differ by engine).
+    *
+    * Plan shape — two narrow passes, NOT one multi-distinct
+    * aggregation: Spark plans k distinct aggregates as an Expand that
+    * multiplies every row (k+1)-fold through two shuffles — measured
+    * 8.1 s on four lineitem columns at sf0.1 where this form takes
+    * ~1 s. Pass 1 is a plain agg (rows/nulls/min/max, map-side
+    * partial, one 1-row result); pass 2 explodes (column, value)
+    * pairs and dedups them with map-side partial aggregation — the
+    * shuffle carries distinct pairs only. At 100 TB swap pass 2 for
+    * [[graft.pipeline.Sketches]] HLL registers; pass 1 is already the
+    * right shape. */
   def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "analyzeColumns needs at least one column")
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
       min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"),
-      countDistinct(col(c)).as(s"${c}__nd"))) :+ count(lit(1)).as("__n")
-    df.agg(aggs.head, aggs.tail: _*)
+      max(col(c)).cast("string").as(s"${c}__max"))) :+
+      count(lit(1)).as("__n")
+    val basic = df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"), col("__n").as("n_rows"),
         col(s"${c}__nulls").as("n_nulls"), col(s"${c}__min").as("min_v"),
-        col(s"${c}__max").as("max_v"), col(s"${c}__nd").as("n_distinct")))
-        : _*)).as("s"))
+        col(s"${c}__max").as("max_v"))): _*)).as("s"))
       .select(col("s.*"))
+    val distincts = df
+      .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
+        .as(Seq("_i", "_v")))
+      .filter(col("_v").isNotNull) // countDistinct ignores nulls
+      .distinct()
+      .groupBy(col("_i")).agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(
+        array(cols.map(lit): _*), col("_i") + 1).as("col_name"),
+        col("n_distinct"))
+    basic.join(distincts, Seq("col_name"), "left_outer")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("min_v"), col("max_v"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 
   /** Compact a parquet directory's files into ~`targetBytes` outputs —
