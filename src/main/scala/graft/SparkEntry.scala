@@ -9285,6 +9285,24 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_weighted_sample" -> ((s, dir) => {
+      // Weighted sampling without replacement (Sampling.weightedSample,
+      // Efraimidis-Spirakis): top-20 docs per lang under priority
+      // ln(u)/w with w = char length — longer docs proportionally
+      // likelier, membership a pure function of (doc_id, salt). The
+      // priority is the micro-grid ln over the strictly-positive md5
+      // fraction divided by the weight — one IEEE division, so the
+      // oracle replays every comparator bit-for-bit and the SELECTED
+      // SET must match exactly, not just its size.
+      val docs = t(s, dir, "documents")
+      pipeline.Sampling.weightedSample(docs, Seq("lang"), col("doc_id"),
+          length(col("text")), 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("weight_sum"))
+    }),
+
     "q_stream_bloom" -> ((s, dir) => {
       // Streaming Bloom maintenance under the gate (Streams
       // .bloomReplayVersioned + VersionedLake.applyOrBatch): docs ≡3
@@ -9946,6 +9964,23 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // the same ES priorities replayed: md5 fraction, micro-grid ln, one
+    // division, same tie-break — selected sets must agree exactly
+    "q_weighted_sample" ->
+      """with p as (select doc_id, lang, length(text) wt,
+        |    floor(ln((cast(concat('0x', substr(md5(concat(
+        |        cast(doc_id as varchar), 'graft')), 1, 13)) as bigint)
+        |        + 0.5) / 4503599627370496.0) * 1e6 + 0.5)
+        |      / cast(length(text) as double) pr
+        |  from documents),
+        |r as (select doc_id, lang, wt,
+        |    row_number() over (partition by lang order by pr desc, doc_id)
+        |      rn from p)
+        |select lang, count(*) n_rows,
+        |  cast(sum(doc_id) as bigint) id_sum,
+        |  cast(sum(wt) as bigint) weight_sum
+        |from r where rn <= 20 group by lang""".stripMargin,
 
     // whole-corpus bloom in one pass == init + 3 streamed OR-commits;
     // same membership join; pointer evidence in closed form

@@ -139,6 +139,38 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Weighted sampling WITHOUT replacement per stratum (Efraimidis &
+    * Spirakis 2006, IPL 97(5): keep the k rows with the largest
+    * u^(1/w), u ~ U(0,1)) — the quality-weighted corpus subsample: a
+    * document with twice the weight has twice the odds at every draw,
+    * and membership is a pure function of (id, salt) — stable under
+    * repartitioning and retries like every sampler here.
+    *
+    * Engine-exact ordering: ranking by u^(1/w) equals ranking by
+    * ln(u)/w, so each row's priority is ONE IEEE division L/w of the
+    * micro-grid ln (L = floor(ln(u)·1e6 + 0.5) — the qln discipline;
+    * no pow, no raw libm in the comparator, and an external engine
+    * replays every priority bit-for-bit). u is strictly positive by
+    * construction ((h + 0.5)/2^52 over the 52-bit md5 prefix), ties
+    * break on the id. Weights must be > 0 — asserted columnar, loud.
+    * One window per stratum — the shuffle any exact top-k pays. */
+  def weightedSample(df: DataFrame, strata: Seq[String], id: Column,
+                     weight: Column, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val wOk = when(assert_true(weight > lit(0.0),
+      lit("weightedSample needs strictly positive weights")).isNull,
+      weight.cast("double"))
+    val u = (conv(substring(md5(concat(id.cast("string"), lit(salt))),
+      1, 13), 16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val pr = (floor(log(u) * lit(1e6) + lit(0.5)) / wOk).as("_pr")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("_pr").desc, id)
+    df.withColumn("_pr", pr)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk", "_pr")
+  }
+
   /** Deterministic train/val/test split assignment: each row lands in the
     * split whose cumulative-fraction band contains its salted-md5 hash
     * fraction. Membership is a pure function of (id, salt) — stable

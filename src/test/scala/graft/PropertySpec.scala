@@ -1428,6 +1428,40 @@ class PropertySpec extends AnyFunSuite {
     assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
   }
 
+  test("weightedSample: matches JVM ES replay exactly; deterministic; rejects w<=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 500L).map(i => (i, "g" + (i % 2), (i % 9 + 1).toDouble))
+    val df = rows.toDF("id", "grp", "w")
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    // JVM replay of the exact column math
+    def pr(id: Long, w: Double): Double = {
+      val h = java.lang.Long.parseLong(md5hex(s"${id}graft").take(13), 16)
+      val u = (h + 0.5) / 4503599627370496.0
+      math.floor(math.log(u) * 1e6 + 0.5) / w
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(r => (-pr(r._1, r._3), r._1)).take(7)
+    }.map(_._1).toSet
+    val got = pipeline.Sampling.weightedSample(df, Seq("grp"), col("id"),
+      col("w"), 7).select("id").as[Long].collect().toSet
+    assert(got === expect)
+    val got2 = pipeline.Sampling.weightedSample(df.repartition(17),
+      Seq("grp"), col("id"), col("w"), 7)
+      .select("id").as[Long].collect().toSet
+    assert(got2 === expect, "membership stable under repartitioning")
+    // zero/negative weights fail loudly, never silently skew
+    intercept[Throwable] {
+      pipeline.Sampling.weightedSample(
+        Seq((1L, "g", 0.0)).toDF("id", "grp", "w"),
+        Seq("grp"), col("id"), col("w"), 1).collect()
+    }
+  }
+
   test("Robots crawl-delay: group selection, max-of-applicable, scheduler slots") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
