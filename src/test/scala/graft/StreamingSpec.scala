@@ -738,6 +738,26 @@ class StreamingSpec extends AnyFunSuite {
     VL.destroy(spark, root, table)
   }
 
+  test("applyAdditiveBatch is sketch-generic: CMS counters add == whole") {
+    import spark.implicits._
+    import graft.sources.{VersionedLake => VL}
+    import graft.pipeline.Sketches
+    def slice(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("g", s"tok${i % 37}")).toDF("grp", "v")
+    val root = java.nio.file.Files.createTempDirectory("graft_cmslake_").toString
+    val table = s"cmslake_${System.nanoTime()}"
+    VL.init(Sketches.cmsCounters(slice(0, 300), "grp", "v", 4, 64),
+      root, table, "grp", 2)
+    VL.applyAdditiveBatch(Sketches.cmsCounters(slice(300, 700), "grp", "v", 4, 64),
+      root, table, Seq("grp", "d", "idx"), "counter", 2, batchId = 0L)
+    def tbl(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp", "d", "idx").as[(String, Int, Long, Long)].collect().toSeq
+    assert(tbl(VL.current(spark, root, table)) ===
+      tbl(Sketches.cmsCounters(slice(0, 700), "grp", "v", 4, 64)),
+      "CMS counter addition through the versioned sink == whole-input sketch")
+    VL.destroy(spark, root, table)
+  }
+
   test("versioned BLOOM lake: streamed ORs == whole; OR idempotence survives a forced re-apply") {
     import spark.implicits._
     import graft.sources.{VersionedLake => VL}
