@@ -9285,6 +9285,25 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_triangle_count" -> ((s, dir) => {
+      // Exact triangle count (Graph.triangleCount): the link-farm
+      // cohesion signal over a deterministic 4-rule edge set (chain,
+      // skip and two affine maps over doc ids — dense enough to close
+      // thousands of triangles). Degree-ordered orientation makes the
+      // wedge join's fan-out O(sqrt E) on any graph — the hub-safe
+      // two-join — and the oracle replays orientation, wedges and
+      // closure exactly.
+      val docs = t(s, dir, "documents")
+      val nRow = docs.agg(count(lit(1)).as("nn"))
+      val base = docs.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("id"), col("nn"))
+      val edges = Seq((1L, 1L), (1L, 2L), (7L, 1L), (13L, 2L)).map {
+        case (m, c) => base.select(col("id").as("src"),
+          pmod(col("id") * m + c, col("nn")).as("dst"))
+      }.reduce(_ unionByName _)
+      graft.pipeline.Graph.triangleCount(edges, "src", "dst")
+    }),
+
     "q_weighted_sample" -> ((s, dir) => {
       // Weighted sampling without replacement (Sampling.weightedSample,
       // Efraimidis-Spirakis): top-20 docs per lang under priority
@@ -9964,6 +9983,38 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // orientation, wedges and closure replayed in plain SQL
+    "q_triangle_count" ->
+      """with n as (select count(*) nn from documents),
+        |e as (
+        |  select doc_id src, (doc_id + 1) % nn dst
+        |    from documents cross join n
+        |  union all select doc_id, (doc_id + 2) % nn
+        |    from documents cross join n
+        |  union all select doc_id, (doc_id * 7 + 1) % nn
+        |    from documents cross join n
+        |  union all select doc_id, (doc_id * 13 + 2) % nn
+        |    from documents cross join n),
+        |e0 as (select distinct least(src, dst) u, greatest(src, dst) v
+        |  from e where src <> dst),
+        |dg as (select x, cast(count(*) as bigint) d
+        |  from (select u x from e0 union all select v x from e0)
+        |  group by 1),
+        |o as (select
+        |    case when du < dv or (du = dv and u < v) then u else v end a,
+        |    case when du < dv or (du = dv and u < v) then v else u end b
+        |  from (select u, v, d1.d du, d2.d dv from e0
+        |    join dg d1 on e0.u = d1.x join dg d2 on e0.v = d2.x)),
+        |w as (select o1.a, o1.b w1, o2.b w2
+        |  from o o1 join o o2 on o1.a = o2.a where o1.b < o2.b),
+        |c as (select 1 x from w join o e3
+        |  on (w.w1 = e3.a and w.w2 = e3.b)
+        |    or (w.w2 = e3.a and w.w1 = e3.b))
+        |select (select cast(count(*) as bigint) from dg) n_vertices,
+        |  (select cast(count(*) as bigint) from e0) n_edges,
+        |  cast(count(*) as bigint) n_triangles
+        |from c""".stripMargin,
 
     // the same ES priorities replayed: md5 fraction, micro-grid ln, one
     // division, same tie-break — selected sets must agree exactly

@@ -78,4 +78,50 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact TRIANGLE COUNT over an undirected edge set — the web-graph
+    * cohesion/spam signal (link farms are triangle-dense; organic link
+    * neighborhoods are sparse). Degree-ordered orientation (Suri &
+    * Vassilvitskii, WWW'11 / Chiba-Nishizeki): every edge points from
+    * its lower-(degree, id) endpoint to the higher, which makes the
+    * orientation acyclic and counts each triangle EXACTLY once as
+    * a→b, a→c (wedge at a) closed by b→c. The wedge join's fan-out is
+    * bounded by out-degrees, which the orientation caps at O(√E) on
+    * any graph — the property that makes the two-join survive hubs at
+    * 100 TB (a raw u<v orientation would square the hub degree).
+    * Self-loops and duplicate/bidirectional edges collapse first.
+    * Returns one row: (n_vertices, n_edges, n_triangles). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): a -> b iff (d_a, a) < (d_b, b)
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint(false) // consumed three times below
+    val wedges = oriented.select(col("a"), col("b").as("w1"))
+      .join(oriented.select(col("a"), col("b").as("w2")), Seq("a"))
+      .filter(col("w1") < col("w2"))
+    val closed = wedges.join(
+      oriented.select(col("a").as("c1"), col("b").as("c2")),
+      (col("w1") === col("c1") && col("w2") === col("c2")) ||
+        (col("w2") === col("c1") && col("w1") === col("c2")),
+      "left_semi")
+    val nv = deg.agg(count(lit(1))).head().getLong(0)
+    val ne = und.count()
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nv).as("n_vertices"), lit(ne).as("n_edges"),
+        col("n_triangles"))
+  }
 }

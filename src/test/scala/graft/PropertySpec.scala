@@ -1428,6 +1428,34 @@ class PropertySpec extends AnyFunSuite {
     assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
   }
 
+  test("triangleCount: hand pins (K4, path, duplicates/loops) and random brute force") {
+    import spark.implicits._
+    def count(es: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = pipeline.Graph.triangleCount(
+        es.toDF("src", "dst"), "src", "dst").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: 4 triangles; duplicates, reversals and self-loops collapse
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) === ((4L, 6L, 4L)))
+    assert(count(k4 ++ k4.map(e => (e._2, e._1)) ++ Seq((2L, 2L))) ===
+      ((4L, 6L, 4L)))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((4L, 3L, 0L)))
+    // random graph vs brute force over vertex triples
+    val rnd = new scala.util.Random(3)
+    val es = Seq.fill(120)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2)
+    val set = es.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val verts = set.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      i <- verts.indices; j <- (i + 1) until verts.size
+      k <- (j + 1) until verts.size
+      if set((verts(i), verts(j))) && set((verts(j), verts(k))) &&
+        set((verts(i), verts(k)))
+    } yield 1).size.toLong
+    assert(count(es) === ((verts.size.toLong, set.size.toLong, brute)))
+  }
+
   test("weightedSample: matches JVM ES replay exactly; deterministic; rejects w<=0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
