@@ -9285,6 +9285,23 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_sentence_stats" -> ((s, dir) => {
+      // Sentence segmentation (TextStats.sentences/sentenceStats — the
+      // C4/Gopher-class heuristic): terminal [.!?] + whitespace ends a
+      // sentence, expressed WITHOUT lookbehind (RE2 has none) via a
+      // marker rewrite + plain split, so the oracle replays the exact
+      // boundaries (its replacement spells RE2's \1 where Java says
+      // $1). All evidence integer: counts, chars, longest.
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          TextStats.sentenceStats(col("text")).as("st"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_sentences")).as("sentences"),
+          sum(col("st.sentence_chars")).as("sentence_chars"),
+          max(col("st.max_sentence")).as("longest"))
+    }),
+
     "q_triangle_count" -> ((s, dir) => {
       // Exact triangle count (Graph.triangleCount): the link-farm
       // cohesion signal over a deterministic 4-rule edge set (chain,
@@ -9983,6 +10000,28 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // same marker rewrite (RE2 spells the backreference \1), same split,
+    // same trim/non-empty filter — integer evidence only
+    "q_sentence_stats" ->
+      """with sp as (select lang,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(text, '([.!?])\s+',
+        |        '\1' || chr(1), 'g'), chr(1)),
+        |      s -> trim(s)), s -> length(s) > 0) ss
+        |  from documents),
+        |d as (select lang,
+        |    cast(len(ss) as bigint) n_sentences,
+        |    cast(coalesce(list_sum(list_transform(ss, s -> length(s))), 0)
+        |      as bigint) sentence_chars,
+        |    cast(coalesce(list_max(list_transform(ss, s -> length(s))), 0)
+        |      as bigint) max_sentence
+        |  from sp)
+        |select lang, count(*) n_docs,
+        |  cast(sum(n_sentences) as bigint) sentences,
+        |  cast(sum(sentence_chars) as bigint) sentence_chars,
+        |  cast(max(max_sentence) as bigint) longest
+        |from d group by lang""".stripMargin,
 
     // orientation, wedges and closure replayed in plain SQL
     "q_triangle_count" ->

@@ -443,6 +443,38 @@ object TextStats {
             + lit(0.5)).cast("double") / lit(1e6)).as("dominant_share")): _*)
   }
 
+  // ------- Sentence segmentation (C4/Gopher-class heuristic) ---------
+  //
+  // Terminal punctuation [.!?]+ followed by whitespace ends a sentence.
+  // RE2 has no lookbehind, so instead of the usual `(?<=[.!?])\s+`
+  // split, a marker pass rewrites `([.!?])\s+` to the punctuation plus
+  // U+0001 and the split is a plain character split — both passes
+  // replay in any dialect (the replacement backreference SPELLING
+  // differs: Java `$1`, RE2 `\1` — the oracle writes its own). Known
+  // failure mode is the abbreviation problem ("Mr. Smith" splits);
+  // this is the heuristic the C4 terminal-punctuation filter and
+  // Gopher sentence counts use, not a parser.
+
+  private val SentenceMark = "\u0001"
+
+  /** Sentence array (non-empty, trimmed). */
+  def sentences(text: Column): Column =
+    filter(transform(
+      split(regexp_replace(text, "([.!?])\\s+", "$1" + SentenceMark),
+        SentenceMark),
+      s => trim(s)), s => length(s) > 0)
+
+  /** Exact integer sentence evidence per document: count, total chars
+    * across trimmed sentences, longest sentence. */
+  def sentenceStats(text: Column): Column = {
+    val ss = sentences(text)
+    struct(size(ss).cast("long").as("n_sentences"),
+      coalesce(aggregate(ss, lit(0L), (acc, s) => acc + length(s)), lit(0L))
+        .as("sentence_chars"),
+      coalesce(array_max(transform(ss, s => length(s))), lit(0))
+        .cast("long").as("max_sentence"))
+  }
+
   // ------- Boilerplate removal (jusText-style block classification) --
   //
   // Main-content extraction from raw HTML — the web-pipeline step

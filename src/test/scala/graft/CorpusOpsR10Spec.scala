@@ -701,6 +701,24 @@ class CorpusOpsR10Spec extends AnyFunSuite {
     assert(mc._2 === s"$good1\n$good2", "good blocks join in block order")
   }
 
+  test("sentence segmentation: boundaries, multi-punct, trailing text, empties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "One. Two!  Three? tail without end"),
+      (2L, "Shout!! Really?! yes."),
+      (3L, "no boundary here"),
+      (4L, "")).toDF("id", "t")
+    val got = df.select(col("id"),
+        pipeline.TextStats.sentences(col("t")).as("ss"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) === Seq("One.", "Two!", "Three?", "tail without end"))
+    // ([.!?])\s+ fires on the LAST punct char of a run
+    assert(got(2L) === Seq("Shout!!", "Really?!", "yes."))
+    assert(got(3L) === Seq("no boundary here"))
+    assert(got(4L) === Seq())
+  }
+
   test("mainContent of a document with no good blocks is the empty string") {
     import spark.implicits._
     val df = Seq((1L, "<p>tiny</p>")).toDF("id", "html")
