@@ -81,6 +81,25 @@ object ScaleRehearsalR13b {
     println(s"[rehearsal] 1/8 x 1/8 box touches $boxTouched of 64 z-ordered files")
     require(boxTouched <= 12, s"z-order pruning bound violated: $boxTouched")
 
+    // Triangles: 1M-vertex graph, 3M edges (chain + skip + affine map —
+    // plus a deliberate 50k-degree HUB, the case degree-ordered
+    // orientation exists for: a u<v orientation would square the hub)
+    val n = 1000000L
+    val tri = spark.range(n).select(col("id").as("src"),
+        pmod(col("id") + 1, lit(n)).as("dst"))
+      .unionByName(spark.range(n).select(col("id").as("src"),
+        pmod(col("id") + 2, lit(n)).as("dst")))
+      .unionByName(spark.range(n).select(col("id").as("src"),
+        pmod(col("id") * 7 + 1, lit(n)).as("dst")))
+      .unionByName(spark.range(50000L).select((col("id") * 20 + 3).as("src"),
+        lit(77L).as("dst"))) // the hub
+    time("triangle count: 1M vertices, ~3.05M edges incl. a 50k-degree hub") {
+      val r = pipeline.Graph.triangleCount(tri, "src", "dst").head()
+      println(s"[rehearsal] vertices=${r.getLong(0)} edges=${r.getLong(1)} " +
+        s"triangles=${r.getLong(2)}")
+      require(r.getLong(2) >= n, "chain+skip alone close >= n triangles")
+    }
+
     spark.stop()
   }
 }
