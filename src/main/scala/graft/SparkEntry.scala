@@ -9285,6 +9285,30 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_zorder3_layout" -> ((s, dir) => {
+      // Three-dim z-order (Lake.zOrderFrame3 / Morton3 — the
+      // time×lat×lon climate-lake layout): grid scale all three key
+      // columns off one min/max broadcast, interleave to a 48-bit key,
+      // bucket by the top 5 bits, roll up per-bucket 3-D bounding
+      // boxes — the data-skipping evidence. Oracle replays the scales
+      // and the 48-term interleave bit-for-bit.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+      graft.sources.Lake
+        .zOrderFrame3(li, "l_partkey", "l_suppkey", "l_orderkey")
+        .select(shiftright(col("zval"), 43).as("zbucket"),
+          col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+          col("zval"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          // 48-bit keys: a raw sum would overflow int64 at sf0.1 —
+          // modular checksum instead
+          sum(pmod(col("zval"), lit(1000000007L))).as("zmod_sum"))
+    }),
+
     "q_sentence_stats" -> ((s, dir) => {
       // Sentence segmentation (TextStats.sentences/sentenceStats — the
       // C4/Gopher-class heuristic): terminal [.!?] + whitespace ends a
@@ -10000,6 +10024,40 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // three grid scales + the 48-term interleave replayed inline
+    "q_zorder3_layout" ->
+      (s"""with bd as (select
+         |   cast(min(l_partkey) as bigint) minx,
+         |   cast(max(l_partkey) as bigint) maxx,
+         |   cast(min(l_suppkey) as bigint) miny,
+         |   cast(max(l_suppkey) as bigint) maxy,
+         |   cast(min(l_orderkey) as bigint) minz,
+         |   cast(max(l_orderkey) as bigint) maxz from lineitem),
+         |sc as (select l_partkey, l_suppkey, l_orderkey,
+         |   case when maxx = minx then 0 else
+         |     cast((((cast(l_partkey as bigint) - minx) * 65535)
+         |       - (((cast(l_partkey as bigint) - minx) * 65535)
+         |          % (maxx - minx))) / (maxx - minx) as bigint) end x,
+         |   case when maxy = miny then 0 else
+         |     cast((((cast(l_suppkey as bigint) - miny) * 65535)
+         |       - (((cast(l_suppkey as bigint) - miny) * 65535)
+         |          % (maxy - miny))) / (maxy - miny) as bigint) end y,
+         |   case when maxz = minz then 0 else
+         |     cast((((cast(l_orderkey as bigint) - minz) * 65535)
+         |       - (((cast(l_orderkey as bigint) - minz) * 65535)
+         |          % (maxz - minz))) / (maxz - minz) as bigint) end z
+         | from lineitem cross join bd),
+         |zz as (select l_partkey, l_suppkey, l_orderkey,
+         |   cast(${graft.functions.Morton3.sqlReplay("x", "y", "z")}
+         |     as bigint) zval
+         | from sc)
+         |select zval >> 43 zbucket, count(*) n_rows,
+         |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+         |  min(l_suppkey) min_sk, max(l_suppkey) max_sk,
+         |  min(l_orderkey) min_ok, max(l_orderkey) max_ok,
+         |  cast(sum(zval % 1000000007) as bigint) zmod_sum
+         |from zz group by 1""").stripMargin,
 
     // same marker rewrite (RE2 spells the backreference \1), same split,
     // same trim/non-empty filter — integer evidence only

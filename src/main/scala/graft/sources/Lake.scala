@@ -162,6 +162,36 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Three-dimensional [[zOrderFrame]] — the (time, lat, lon)
+    * clustering key a climate lake sorts by (48-bit Morton key). */
+  def zOrderFrame3(df: DataFrame, xCol: String, yCol: String,
+                   zCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bounds = df.agg(
+      min(col(xCol)).cast("long").as("_minx"),
+      max(col(xCol)).cast("long").as("_maxx"),
+      min(col(yCol)).cast("long").as("_miny"),
+      max(col(yCol)).cast("long").as("_maxy"),
+      min(col(zCol)).cast("long").as("_minz"),
+      max(col(zCol)).cast("long").as("_maxz"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zval", graft.functions.Morton3.morton3(
+        scaleToGrid(col(xCol).cast("long"), col("_minx"), col("_maxx")),
+        scaleToGrid(col(yCol).cast("long"), col("_miny"), col("_maxy")),
+        scaleToGrid(col(zCol).cast("long"), col("_minz"), col("_maxz"))))
+      .drop("_minx", "_maxx", "_miny", "_maxy", "_minz", "_maxz")
+  }
+
+  /** [[zOrderWrite]] over three dims. */
+  def zOrderWrite3(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                   path: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    zOrderFrame3(df, xCol, yCol, zCol)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** ANALYZE-style per-column statistics — the stats table a planner
     * (join reorder, broadcast choice) and a data-skipping layer
     * consume: rows, nulls, min/max and exact distinct count per

@@ -127,6 +127,33 @@ class LakeSpec extends AnyFunSuite {
       s"y-sorted stripes cannot prune on x (got $xStripePrune of 32)")
   }
 
+  test("Morton3 hand pins; 3-D z-order confines a box to few partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    assert(graft.functions.Morton3.compute(1L, 1L, 1L) === 7L)
+    assert(graft.functions.Morton3.compute(0xFFFFL, 0L, 0L) ===
+      0x249249249249L) // x bits land at positions 0,3,6,...
+    // de-interleave recovers all three
+    def lane(z: Long, off: Int): Long = (0 until 16)
+      .map(i => ((z >> (3 * i + off)) & 1L) << i).sum
+    val z = graft.functions.Morton3.compute(12345L, 54321L, 4097L)
+    assert(lane(z, 0) === 12345L && lane(z, 1) === 54321L &&
+      lane(z, 2) === 4097L)
+    // 100 x 20 x 20 time×lat×lon grid: an eighth-box in all three dims
+    val df = spark.range(40000L).select(
+      (col("id") % 100).as("t"),
+      ((col("id") / 100) % 20).as("la"),
+      (col("id") / 2000).as("lo"))
+    val zf = sources.Lake.zOrderFrame3(df, "t", "la", "lo")
+      .repartitionByRange(32, col("zval")).sortWithinPartitions("zval")
+    val touched = zf.withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(min("t").as("mt"), min("la").as("mla"), min("lo").as("mlo"))
+      .filter(col("mt") < 13 && col("mla") < 3 && col("mlo") < 3)
+      .count()
+    assert(touched <= 6, s"3-D box touched $touched of 32 partitions")
+  }
+
   test("compact bin-packs small files; sorted variant keeps disjoint ranges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -48,7 +48,8 @@ class PlanSpec extends AnyFunSuite {
     "q_bloom_membership", // 4-row probe-list broadcast vs distinct groups
     "q_zorder_layout", // one-row min/max-bounds broadcast vs the scan
     "q_stream_dd_sketch", // 2-row quantile-target broadcast vs sketch rows
-    "q_triangle_count") // one-row vertex-count broadcast (n for % n)
+    "q_triangle_count", // one-row vertex-count broadcast (n for % n)
+    "q_zorder3_layout") // one-row min/max-bounds broadcast vs the scan
 
   test("every query plans; no cartesian products; BNLJ only where intended") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
