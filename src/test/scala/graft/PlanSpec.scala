@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("triangle closure stays a hash join (only the 2 evidence broadcasts nest)") {
+    import spark.implicits._
+    val es = (1 to 200).map(i => (i.toLong, (i % 37 + 1).toLong))
+      .toDF("src", "dst")
+    val plan = pipeline.Graph.triangleCount(es, "src", "dst")
+      .queryExecution.executedPlan.toString
+    // the two 1-row evidence crossJoins are BNLJ by design; a THIRD
+    // would mean the wedge-closure join regressed to a disjunctive
+    // condition no hash join can serve (the 5.5 s form)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("robots filter plans as a broadcast hash join, not a plan literal") {
     val plan = SparkEntry.queries("q_robots_filter")(spark, dir)
       .queryExecution.executedPlan.toString
