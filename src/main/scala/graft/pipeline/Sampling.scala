@@ -158,6 +158,9 @@ object Sampling {
                      weight: Column, k: Int,
                      salt: String = "graft"): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
+    for (c <- Seq("_pr", "_rk"))
+      require(!df.columns.contains(c),
+        s"weightedSample reserves column name '$c'")
     val wOk = when(assert_true(weight > lit(0.0),
       lit("weightedSample needs strictly positive weights")).isNull,
       weight.cast("double"))
