@@ -9285,6 +9285,34 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // Banded interval-overlap join (core.Intervals.overlapJoin — the
+      // range join Spark lacks natively): each event becomes a
+      // [ts, ts + (1 + event_id%600) s) interval; even-id intervals
+      // overlap-join odd-id intervals WITHIN each user through 256 s
+      // bins — the only shuffle is the (user, bin) equi-join, the
+      // canonical-bin filter keeps each pair exactly once with no
+      // distinct, and the oracle states the same pairs via a direct
+      // inequality join (tiny at gate scale, impossible at 100 TB —
+      // which is the point of the banding).
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("s0"))
+        .withColumn("e0",
+          col("s0") + (pmod(col("event_id"), lit(600L)) + 1) * 1000000L)
+      val A = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("user_id"), col("event_id"), col("s0"), col("e0"))
+      val B = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id"), col("event_id"), col("s0"), col("e0"))
+      graft.core.Intervals
+        .overlapJoin(A, B, Seq("user_id"), "s0", "e0", 256L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_event_id")).as("a_id_sum"),
+          sum(col("b_event_id")).as("b_id_sum"),
+          sum(col("overlap_len")).as("overlap_us"))
+    }),
+
     "q_zorder3_layout" -> ((s, dir) => {
       // Three-dim z-order (Lake.zOrderFrame3 / Morton3 — the
       // time×lat×lon climate-lake layout): grid scale all three key
@@ -10024,6 +10052,23 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // the truth the banding must reproduce: a direct inequality join
+    "q_interval_overlap" ->
+      """with ev as (select event_id, user_id, epoch_us(ts) s0,
+        |    epoch_us(ts) + ((event_id % 600) + 1) * 1000000 e0
+        |  from events),
+        |a as (select * from ev where event_id % 2 = 0),
+        |b as (select * from ev where event_id % 2 = 1),
+        |p as (select a.user_id, a.event_id a_id, b.event_id b_id,
+        |    least(a.e0, b.e0) - greatest(a.s0, b.s0) ov
+        |  from a join b on a.user_id = b.user_id
+        |    and a.s0 < b.e0 and b.s0 < a.e0)
+        |select user_id, count(*) n_pairs,
+        |  cast(sum(a_id) as bigint) a_id_sum,
+        |  cast(sum(b_id) as bigint) b_id_sum,
+        |  cast(sum(ov) as bigint) overlap_us
+        |from p group by user_id""".stripMargin,
 
     // three grid scales + the 48-term interleave replayed inline
     "q_zorder3_layout" ->

@@ -1428,6 +1428,37 @@ class PropertySpec extends AnyFunSuite {
     assert(same(Msgpack.decode(Msgpack.encode(bigArr), "arr65537"), bigArr))
   }
 
+  test("overlapJoin: banded result equals brute force on random intervals; bad intervals reject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(19)
+    val as = (1 to 400).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, i.toLong % 5, s, s + 1 + rnd.nextInt(700)) }
+    val bs = (1 to 400).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, i.toLong % 7 % 5, s, s + 1 + rnd.nextInt(40)) }
+    val a = as.toDF("id", "k", "s", "e")
+    val b = bs.toDF("id", "k", "s", "e")
+    // brute force over the cross product
+    val brute = (for {
+      (ai, ak, as0, ae0) <- as; (bi, bk, bs0, be0) <- bs
+      if ak == bk && as0 < be0 && bs0 < ae0
+    } yield (ai, bi)).toSet
+    for (band <- Seq(16L, 100L, 1024L, 100000L)) {
+      val got = graft.core.Intervals
+        .overlapJoin(a, b, Seq("k"), "s", "e", band)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"band=$band emitted duplicates")
+      assert(got.toSet === brute, s"band=$band mismatch")
+    }
+    intercept[Throwable] {
+      graft.core.Intervals.overlapJoin(
+        Seq((1L, 0L, 10L, 10L)).toDF("id", "k", "s", "e"),
+        b, Seq("k"), "s", "e", 16L).collect()
+    }
+  }
+
   test("triangleCount: hand pins (K4, path, duplicates/loops) and random brute force") {
     import spark.implicits._
     def count(es: Seq[(Long, Long)]): (Long, Long, Long) = {
