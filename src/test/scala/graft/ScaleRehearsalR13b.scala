@@ -100,6 +100,24 @@ object ScaleRehearsalR13b {
       require(r.getLong(2) >= n, "chain+skip alone close >= n triangles")
     }
 
+    // Interval overlap: 4M x 4M intervals over 100k keys — the banding
+    // keeps this an equi-join; a theta-join would nested-loop per key
+    val ia = spark.range(4000000L).select(col("id"),
+      pmod(col("id"), lit(100000L)).as("k"),
+      (pmod(col("id") * 2654435761L, lit(10000000L))).as("s"))
+      .withColumn("e", col("s") + 1L + pmod(col("id"), lit(5000L)))
+    val ib = spark.range(4000000L).select((col("id") + 10000000L).as("id"),
+      pmod(col("id"), lit(100000L)).as("k"),
+      (pmod(col("id") * 40503L, lit(10000000L))).as("s"))
+      .withColumn("e", col("s") + 1L + pmod(col("id"), lit(300L)))
+    time("interval overlap join: 4M x 4M intervals, 100k keys, band 4096") {
+      val n = graft.core.Intervals
+        .overlapJoin(ia, ib, Seq("k"), "s", "e", 4096L)
+        .count()
+      println(s"[rehearsal] overlapping pairs: $n")
+      require(n > 0)
+    }
+
     spark.stop()
   }
 }
