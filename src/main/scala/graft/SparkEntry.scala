@@ -9285,6 +9285,36 @@ object SparkEntry {
           col("bucket"), col("cum"), col("est"))
     }),
 
+    "q_tfrecord_roundtrip" -> ((s, dir) => {
+      // TFRecord export + re-ingest (sources/TfRecord — the TensorFlow
+      // container's public framing: LE length + masked crc32c of
+      // header AND payload): every document rides one record through
+      // 8 shards (the ecosystem's file-level parallelism — the format
+      // is unsplittable by design) and back; both CRCs verify on read,
+      // and the checksum columns reconstruct source/lang/doc_id/text
+      // from the TFRecord surface alone, so green proves byte-faithful
+      // framing end to end.
+      val docs = t(s, dir, "documents")
+      val path = rtDir(dir, "tfrecord")
+      Option(new java.io.File(path).listFiles())
+        .foreach(_.foreach(_.delete())) // idempotent re-run
+      graft.sources.TfRecord.write(
+        docs.select(concat_ws("\u0002", col("source"), col("lang"),
+          col("doc_id"), col("text")).cast("binary").as("p"))
+          .repartition(8),
+        "p", path)
+      graft.sources.TfRecord.read(s, path + "/*.tfrecord")
+        .select(split(col("payload").cast("string"), "\u0002", 4).as("f"))
+        .select(col("f")(0).as("source"), col("f")(1).as("lang"),
+          col("f")(2).cast("long").as("doc_id"), col("f")(3).as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_recs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(conv(substring(md5(concat(col("source"), col("text"))), 1, 8),
+            16, 10).cast("long")).as("text_sum"),
+          sum(length(col("text"))).as("sum_chars"))
+    }),
+
     "q_interval_overlap" -> ((s, dir) => {
       // Banded interval-overlap join (core.Intervals.overlapJoin — the
       // range join Spark lacks natively): each event becomes a
@@ -10052,6 +10082,16 @@ object SparkEntry {
         |  end est
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // round-trip identity: the TFRecord surface must reconstruct the
+    // table exactly
+    "q_tfrecord_roundtrip" ->
+      """select lang, count(*) n_recs,
+        |  cast(sum(doc_id) as bigint) id_sum,
+        |  cast(sum(cast(concat('0x', substr(md5(concat(source, text)),
+        |    1, 8)) as bigint)) as bigint) text_sum,
+        |  cast(sum(length(text)) as bigint) sum_chars
+        |from documents group by lang""".stripMargin,
 
     // the truth the banding must reproduce: a direct inequality join
     "q_interval_overlap" ->

@@ -82,4 +82,42 @@ class FormatsSpec extends AnyFunSuite {
     assert(image(pruned) ==
       image(d.filter(col("lang").isin("en", "zh"))))
   }
+
+  test("TFRecord: masked crc pins to the public CRC-32C check vector; corruption loud") {
+    import graft.sources.TfRecord
+    // crc32c("123456789") = 0xE3069283 (the published CRC-32C check
+    // value) — masking per the TFRecord spec pins OUR crc+mask chain
+    // against an external vector, not a self-round-trip
+    val crc = 0xE3069283L
+    val expect = ((((crc >>> 15) | (crc << 17)) & 0xFFFFFFFFL) + 0xa282ead8L) & 0xFFFFFFFFL
+    assert(TfRecord.maskedCrc("123456789".getBytes("UTF-8"), 0, 9) === expect)
+    // frame round trip incl. empty payloads
+    val payloads = Seq("".getBytes, "abc".getBytes, ("x" * 5000).getBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    TfRecord.encode(payloads.iterator, bos)
+    val bytes = bos.toByteArray
+    assert(TfRecord.decode(bytes, "t").map(new String(_)) ===
+      payloads.map(new String(_)))
+    // one flipped payload byte -> loud, never truncated/garbage output
+    val bad = bytes.clone(); bad(12 + 0 + 4 + 12) = 'Z'.toByte
+    intercept[IllegalArgumentException](TfRecord.decode(bad, "t"))
+    // truncated tail -> loud
+    intercept[IllegalArgumentException](
+      TfRecord.decode(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 2), "t"))
+  }
+
+  test("TFRecord shards round-trip through executors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfr_").toString
+    val df = (1 to 5000).map(i => (i.toLong, s"payload-$i" * (i % 7 + 1)))
+      .toDF("id", "s")
+    graft.sources.TfRecord.write(
+      df.select(col("s").cast("binary").as("p")).repartition(6), "p", dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tfrecord")) == 6)
+    val back = graft.sources.TfRecord.read(spark, dir + "/*.tfrecord")
+      .select(col("payload").cast("string")).as[String].collect().sorted
+    assert(back.toSeq === df.select("s").as[String].collect().sorted.toSeq)
+  }
 }
