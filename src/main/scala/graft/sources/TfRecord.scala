@@ -82,28 +82,44 @@ object TfRecord {
     }
   }
 
+  /** Whole-file gunzip (TF's `compression_type="GZIP"` wraps the whole
+    * shard, not individual records). */
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16)
+    try in.readAllBytes() finally in.close()
+  }
+
   /** (file, rec_idx, payload BINARY) — one decoding task per shard via
-    * the binaryFile source. */
+    * the binaryFile source; `.gz` shards gunzip first (TFRecord's GZIP
+    * compression wraps the whole file). */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
-        decode(content, path).iterator.zipWithIndex.map {
+        val bytes = if (path.endsWith(".gz")) gunzip(content) else content
+        decode(bytes, path).iterator.zipWithIndex.map {
           case (p, i) => (path, i.toLong, p) }
       }.toDF("file", "rec_idx", "payload")
   }
 
   /** One .tfrecord shard per partition of `df` (the ecosystem's
-    * sharding convention); `payloadCol` must be BINARY. */
-  def write(df: DataFrame, payloadCol: String, dir: String): Unit = {
+    * sharding convention); `payloadCol` must be BINARY. `gzip = true`
+    * writes whole-file-gzipped `.tfrecord.gz` shards (TF's GZIP
+    * compression type). */
+  def write(df: DataFrame, payloadCol: String, dir: String,
+            gzip: Boolean = false): Unit = {
     new java.io.File(dir).mkdirs()
     df.select(payloadCol).foreachPartition { (rows: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       if (rows.hasNext) {
-        val f = new java.io.File(dir, f"part-$pid%05d.tfrecord")
-        val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 16)
+        val name = f"part-$pid%05d.tfrecord" + (if (gzip) ".gz" else "")
+        val raw = new BufferedOutputStream(
+          new FileOutputStream(new java.io.File(dir, name)), 1 << 16)
+        val out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+          else raw
         try encode(rows.map(_.getAs[Array[Byte]](0)), out)
         finally out.close()
       }

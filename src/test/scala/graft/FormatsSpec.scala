@@ -119,5 +119,15 @@ class FormatsSpec extends AnyFunSuite {
     val back = graft.sources.TfRecord.read(spark, dir + "/*.tfrecord")
       .select(col("payload").cast("string")).as[String].collect().sorted
     assert(back.toSeq === df.select("s").as[String].collect().sorted.toSeq)
+    // GZIP compression type: whole-file gzip, same records back
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_tfrgz_").toString
+    graft.sources.TfRecord.write(
+      df.select(col("s").cast("binary").as("p")).repartition(3), "p",
+      gzDir, gzip = true)
+    assert(new java.io.File(gzDir).listFiles()
+      .count(_.getName.endsWith(".tfrecord.gz")) == 3)
+    val backGz = graft.sources.TfRecord.read(spark, gzDir + "/*.tfrecord.gz")
+      .select(col("payload").cast("string")).as[String].collect().sorted
+    assert(backGz.toSeq === back.toSeq)
   }
 }
