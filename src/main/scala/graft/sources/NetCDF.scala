@@ -372,13 +372,22 @@ object NetCDF {
     * rows directly into the shared-filesystem file (`foreachPartition`,
     * non-overlapping ranges, no shuffle, no driver materialisation).
     * Dims with name == `recordDim` get length 0 (the unlimited dim);
-    * `dimLengths` fixes every other dim's extent. */
-  def writeClassic(spark: SparkSession, path: String, dimLengths: Seq[(String, Int)],
+    * `dimLengths` fixes every other dim's extent.
+    *
+    * The seek-write pattern is valid ONLY on a POSIX filesystem every
+    * executor mounts (local mode, NFS) — HDFS is append-only and object
+    * stores have no partial PUT, so a non-`file:` target is rejected
+    * loudly up front ([[FsIo.requireLocalPath]]) instead of silently
+    * scattering partial files; distributed stores should export Zarr
+    * (whole-chunk objects) instead. */
+  def writeClassic(spark: SparkSession, path0: String, dimLengths: Seq[(String, Int)],
                    vars: Seq[WriteVar], recordDim: Option[String] = None,
                    numRecs: Long = -1L, gattrs: Seq[NcAttr] = Nil,
                    version: Int = 1): NcHeader = {
     require(version == 1 || version == 2 || version == 5,
       s"unsupported NetCDF write variant $version (CDF-1/2/5)")
+    val path = FsIo.requireLocalPath(spark.sparkContext.hadoopConfiguration,
+      path0, "NetCDF classic write (a seek-write format)")
     // classic-format constraint: the unlimited dim may only be a record
     // var's OUTERMOST (first) dimension
     recordDim.foreach { rd =>
@@ -455,8 +464,8 @@ object NetCDF {
     * their own subdirectories. */
   def fromParquetLake(spark: SparkSession, lakeDir: String, ncPath: String,
                       recordDim: Option[String] = None, version: Int = 1): NcHeader = {
-    val varDirs = new java.io.File(lakeDir).listFiles().filter(_.isDirectory)
-      .map(_.getName).sorted
+    val varDirs =
+      FsIo.listDirNames(spark.sparkContext.hadoopConfiguration, lakeDir)
     require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
     val frames = varDirs.map { v =>
       val df = spark.read.parquet(s"$lakeDir/$v")

@@ -108,16 +108,19 @@ object TfRecord {
   /** One .tfrecord shard per partition of `df` (the ecosystem's
     * sharding convention); `payloadCol` must be BINARY. `gzip = true`
     * writes whole-file-gzipped `.tfrecord.gz` shards (TF's GZIP
-    * compression type). */
+    * compression type). Shards write through the Hadoop FileSystem
+    * resolved per task ([[FsIo]]) so `file://`, `hdfs://` and `s3a://`
+    * targets all work — never executor-local `java.io`. */
   def write(df: DataFrame, payloadCol: String, dir: String,
             gzip: Boolean = false): Unit = {
-    new java.io.File(dir).mkdirs()
+    val conf = FsIo.snapshot(df.sparkSession)
+    FsIo.mkdirs(conf.value, dir) // empty input still yields the directory
     df.select(payloadCol).foreachPartition { (rows: Iterator[Row]) =>
       val pid = TaskContext.getPartitionId()
       if (rows.hasNext) {
         val name = f"part-$pid%05d.tfrecord" + (if (gzip) ".gz" else "")
         val raw = new BufferedOutputStream(
-          new FileOutputStream(new java.io.File(dir, name)), 1 << 16)
+          FsIo.create(conf.value, s"$dir/$name"), 1 << 16)
         val out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
           else raw
         try encode(rows.map(_.getAs[Array[Byte]](0)), out)

@@ -2371,10 +2371,13 @@ object Zarr {
       targetChunkElems / math.max(1L, innerElems)))
     val chunkDims = lead +: dims.tail
     val chunkElems = chunkDims.product.toInt
-    val dir = new File(store, name)
-    dir.mkdirs()
+    // all store writes go through the Hadoop FileSystem (FsIo) so
+    // file://, hdfs:// and s3a:// stores work identically; the conf
+    // snapshot ships into the chunk-writing task closures below
+    val confSnap = FsIo.snapshot(df.sparkSession)
+    FsIo.mkdirs(confSnap.value, s"$store/$name")
     metaFiles(dims, chunkDims, dimCols).foreach { case (fname, content) =>
-      fxWrite(new File(dir, fname),
+      FsIo.writeBytes(confSnap.value, s"$store/$name/$fname",
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     // (chunk id, in-chunk flat offset, value) — one shuffle keyed on the
@@ -2387,7 +2390,7 @@ object Zarr {
     val keyed = df.select(
       floor(col(dimCols.head).cast("long") / lit(lead)).cast("long").as("_chunk"),
       inChunk.as("_off"), castValue.as("_v"))
-    val dirPath = dir.getPath
+    val dirPath = s"$store/$name"
     keyed.repartitionByRange(col("_chunk")).sortWithinPartitions(col("_chunk"), col("_off"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var cur = -1L
@@ -2395,10 +2398,8 @@ object Zarr {
         def flush(): Unit = if (cur >= 0) {
           val stored = compress(encodePlain(buf, cur))
           val coords = cur.toString +: Seq.fill(rank - 1)("0")
-          val target = new File(dirPath, chunkKey(coords))
-          Option(target.getParentFile).foreach(_.mkdirs()) // v3 c/<i>/... keys
-          val f = new java.io.FileOutputStream(target)
-          try f.write(stored) finally f.close()
+          // Hadoop create() makes parents (the v3 c/<i>/... keys) itself
+          FsIo.writeBytes(confSnap.value, s"$dirPath/${chunkKey(coords)}", stored)
         }
         it.foreach { r =>
           val c = r.getLong(0)
@@ -2661,8 +2662,8 @@ object Zarr {
                       targetChunkElems: Long = 1 << 20,
                       zarrFormat: Int = 2): Seq[String] = {
     require(zarrFormat == 2 || zarrFormat == 3, s"zarrFormat $zarrFormat")
-    val varDirs = new File(lakeDir).listFiles().filter(_.isDirectory)
-      .map(_.getName).sorted.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val varDirs = FsIo.listDirNames(hconf, lakeDir)
     require(varDirs.nonEmpty, s"no variable directories under $lakeDir")
     varDirs.foreach { v =>
       val df = spark.read.parquet(s"$lakeDir/$v")
@@ -2686,11 +2687,11 @@ object Zarr {
     }
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     if (zarrFormat == 2) {
-      java.nio.file.Files.write(new File(store, ".zgroup").toPath,
+      FsIo.writeBytes(hconf, s"$store/.zgroup",
         """{"zarr_format": 2}""".getBytes(utf8))
-      consolidate(store)
+      consolidate(store, hconf)
     } else
-      java.nio.file.Files.write(new File(store, "zarr.json").toPath,
+      FsIo.writeBytes(hconf, s"$store/zarr.json",
         """{"zarr_format": 3, "node_type": "group"}""".getBytes(utf8))
     varDirs
   }
@@ -2700,25 +2701,27 @@ object Zarr {
     * embedded verbatim under its store-relative key — the single-GET
     * discovery document object-store deployments rely on, and the same
     * shape [[readMeta]] consumes. */
-  def consolidate(store: String): Unit = {
-    val root = new File(store)
-    val arrays = root.listFiles()
-      .filter(d => d.isDirectory && new File(d, ".zarray").isFile)
-      .sortBy(_.getName)
+  def consolidate(store: String,
+                  conf: org.apache.hadoop.conf.Configuration =
+                    new org.apache.hadoop.conf.Configuration()): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def readKey(key: String): String =
+      new String(FsIo.readBytes(conf, s"$store/$key"), utf8)
+    val arrays = FsIo.listDirNames(conf, store)
+      .filter(d => FsIo.exists(conf, s"$store/$d/.zarray"))
     require(arrays.nonEmpty, s"no v2 arrays under $store to consolidate")
     val entries = Seq.newBuilder[(String, String)]
-    if (new File(root, ".zgroup").isFile)
-      entries += ".zgroup" -> readText(new File(root, ".zgroup"))
+    if (FsIo.exists(conf, s"$store/.zgroup"))
+      entries += ".zgroup" -> readKey(".zgroup")
     arrays.foreach { d =>
-      entries += s"${d.getName}/.zarray" -> readText(new File(d, ".zarray"))
-      val za = new File(d, ".zattrs")
-      if (za.isFile) entries += s"${d.getName}/.zattrs" -> readText(za)
+      entries += s"$d/.zarray" -> readKey(s"$d/.zarray")
+      if (FsIo.exists(conf, s"$store/$d/.zattrs"))
+        entries += s"$d/.zattrs" -> readKey(s"$d/.zattrs")
     }
     // values are verbatim JSON documents — embed them raw
     val json = entries.result()
       .map { case (k, v) => "\"" + k + "\": " + v.trim }
       .mkString("{\"zarr_consolidated_format\": 1, \"metadata\": {", ", ", "}}")
-    java.nio.file.Files.write(new File(store, ".zmetadata").toPath,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    FsIo.writeBytes(conf, s"$store/.zmetadata", json.getBytes(utf8))
   }
 }

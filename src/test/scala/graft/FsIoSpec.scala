@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Export sinks through the Hadoop FileSystem layer (FsIo): every sink
+  * must accept an explicit `file:///` URI (proving the write goes
+  * through `org.apache.hadoop.fs.FileSystem`, the layer that makes
+  * `hdfs://`/`s3a://` work on a real cluster), local writes must not
+  * leave `.crc` checksum sidecars inside self-describing store layouts,
+  * and the one seek-write format (NetCDF classic) must loud-reject a
+  * non-POSIX target instead of silently scattering partial files. */
+class FsIoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fsio_$tag").toString
+
+  test("TFRecord shards write through an explicit file:/// URI") {
+    import spark.implicits._
+    val local = tmp("tfr")
+    val df = (1 to 500).map(i => s"rec-$i").toDF("s")
+      .select(col("s").cast("binary").as("p")).repartition(3)
+    graft.sources.TfRecord.write(df, "p", s"file://$local")
+    val files = new java.io.File(local).listFiles().map(_.getName).toSeq
+    assert(files.count(_.endsWith(".tfrecord")) == 3, files.toString)
+    assert(!files.exists(_.endsWith(".crc")),
+      s"checksum sidecars polluted the shard directory: $files")
+    val back = graft.sources.TfRecord.read(spark, local + "/*.tfrecord")
+      .select(col("payload").cast("string")).as[String].collect().sorted
+    assert(back.toSeq === (1 to 500).map(i => s"rec-$i").sorted)
+  }
+
+  test("WARC shards write through an explicit file:/// URI") {
+    import spark.implicits._
+    val local = tmp("warc")
+    val df = (1 to 40).map(i => (s"https://ex.org/p$i", s"<html>$i</html>"))
+      .toDF("uri", "body0")
+      .select(col("uri"), col("body0").cast("binary").as("body"),
+        lit("text/html").as("http_content_type"))
+      .repartition(2)
+    graft.sources.Warc.write(df, s"file://$local")
+    val files = new java.io.File(local).listFiles().map(_.getName).toSeq
+    assert(files.count(_.endsWith(".warc.gz")) == 2, files.toString)
+    assert(!files.exists(_.endsWith(".crc")), files.toString)
+    val back = graft.sources.Warc.read(spark, local + "/*.warc.gz")
+    assert(back.count() == 40)
+  }
+
+  test("Zarr v2 + v3 array exports write through an explicit file:/// URI") {
+    import spark.implicits._
+    val local = tmp("zarr")
+    val df = (0 until 200).map(i => (i, i * 0.5)).toDF("t", "value")
+    graft.sources.Zarr.writeArray(df, s"file://$local", "tas",
+      targetChunkElems = 64)
+    // metadata + chunks landed as plain files, no checksum sidecars
+    val arrDir = new java.io.File(local, "tas")
+    val names = arrDir.listFiles().map(_.getName).toSeq
+    assert(names.contains(".zarray") && names.contains("0"), names.toString)
+    assert(!names.exists(_.endsWith(".crc")), names.toString)
+    // the java.io read side sees exactly what the Hadoop write side wrote
+    val back = graft.sources.Zarr.readVariable(spark, local, "tas")
+    assert(back.count() == 200)
+    assert(back.agg(sum("value")).head.getDouble(0) === (0 until 200).map(_ * 0.5).sum)
+    graft.sources.Zarr.writeArrayV3(df, s"file://$local", "tas3",
+      targetChunkElems = 64)
+    val v3names = new java.io.File(local, "tas3").listFiles().map(_.getName).toSeq
+    assert(v3names.contains("zarr.json") && v3names.contains("c"), v3names.toString)
+    val backV3 = graft.sources.Zarr.readVariable(spark, local, "tas3")
+    assert(backV3.agg(sum("value")).head.getDouble(0) ===
+      (0 until 200).map(_ * 0.5).sum)
+  }
+
+  test("NetCDF classic write accepts file:/// and loud-rejects hdfs://") {
+    import spark.implicits._
+    val dir = tmp("nc")
+    val df = (0 until 24).map(i => (i, 10.0 + i)).toDF("time", "value")
+    val h = graft.sources.NetCDF.writeClassic(spark, s"file://$dir/t.nc",
+      Seq(("time", 24)), Seq(graft.sources.NetCDF.WriteVar("tas", Seq("time"), df)))
+    assert(h.vars.exists(_.name == "tas"))
+    val back = graft.sources.NetCDF.readVariable(spark, s"$dir/t.nc", "tas")
+    assert(back.count() == 24)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NetCDF.writeClassic(spark, "hdfs://nn.invalid:8020/t.nc",
+        Seq(("time", 24)), Seq(graft.sources.NetCDF.WriteVar("tas", Seq("time"), df)))
+    }
+    assert(e.getMessage.contains("POSIX"), e.getMessage)
+  }
+
+  test("ConfSnapshot rebuilds a usable Configuration after serialization") {
+    val snap = graft.sources.FsIo.snapshot(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(snap); oos.close()
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = ois.readObject().asInstanceOf[graft.sources.FsIo.ConfSnapshot]
+    val p = tmp("conf") + "/x.bin"
+    graft.sources.FsIo.writeBytes(back.value, p, Array[Byte](1, 2, 3))
+    assert(graft.sources.FsIo.readBytes(back.value, p).toSeq == Seq[Byte](1, 2, 3))
+  }
+}
