@@ -9533,6 +9533,36 @@ object SparkEntry {
       out
     }),
 
+    "q_lake_range_prune" -> ((s, dir) => {
+      // Typed range-pruned read path (Lake.fileStats + Lake.readPruned
+      // — Delta/Iceberg data skipping wired into the scan): lineitem is
+      // range-sorted on l_orderkey into 16 disjoint-slab files once per
+      // sf, the per-file stats keep min/max in the column's NATIVE LONG
+      // type (no "9" > "10" string trap), and the range scan opens only
+      // the files whose [min,max] box intersects [1000, 3000] — at
+      // 100 TB the difference between a metadata lookup and a corpus
+      // scan. Pruning must be INVISIBLE to results: the oracle runs the
+      // same aggregate over the unpruned table (zero false negatives);
+      // LakeSpec pins the skipping half (files opened = O(matching)).
+      val li = t(s, dir, "lineitem")
+      val fixDir = new java.io.File("/tmp/graft_rangeprune_" +
+        dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      buildStoreOnce(fixDir, "_SUCCESS") { d =>
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(d.getPath)
+      }
+      val stats = graft.sources.Lake.fileStats(
+        s, fixDir.getPath, Seq("l_orderkey"))
+      graft.sources.Lake.readPruned(
+          s, fixDir.getPath, stats, "l_orderkey", 1000L, 3000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+
     "q_zorder_layout" -> ((s, dir) => {
       // Z-order clustering key (Lake.zOrderFrame / functions.Morton2 —
       // Delta OPTIMIZE ZORDER BY semantics over plain parquet): every
@@ -10344,6 +10374,16 @@ object SparkEntry {
         |  3 snap_version, cast(2 as bigint) last_batch
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // the pruned read must be row-identical to the full range filter —
+    // the oracle IS the unpruned scan
+    "q_lake_range_prune" ->
+      """select l_returnflag, cast(count(*) as bigint) n_rows,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) qty_sum,
+        |  min(l_orderkey) min_ok, max(l_orderkey) max_ok
+        |from lineitem
+        |where l_orderkey between 1000 and 3000
+        |group by 1""".stripMargin,
 
     // exact-integer grid scale + the 32-term Morton interleave replayed
     // inline (functions.Morton2.sqlReplay), then the same top-5-bit

@@ -36,6 +36,15 @@ object Intervals {
                   startCol: String, endCol: String,
                   band: Long): DataFrame = {
     require(band >= 1, s"band width must be >= 1, got $band")
+    // internal working names — a caller column with either name would
+    // be silently overwritten (same convention as Robots.schedule /
+    // Sampling.weightedSample)
+    Seq(a -> "a", b -> "b").foreach { case (df, side) =>
+      Seq("_bin", "overlap_len").foreach { c =>
+        require(!df.columns.contains(c),
+          s"overlapJoin reserves column name '$c' (present on input $side)")
+      }
+    }
     def floorDiv(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(band))) / lit(band)).cast("long")
     def prep(df: DataFrame, p: String): DataFrame = {

@@ -123,14 +123,21 @@ object Lake {
     * numerator is reduced to an exact multiple of the span first, so
     * the one double division is exact while the scaled numerator stays
     * under 2^53 (spans up to ~2^37 at 16 grid bits; wider id spaces
-    * should pre-shift). Degenerate min==max maps to 0. */
+    * should pre-shift). The 2^53 bound is ENFORCED columnar
+    * (assert_true, the loud-failure convention) — an over-wide span
+    * would silently produce inexact, engine-divergent grid ranks.
+    * Degenerate min==max maps to 0. */
   def scaleToGrid(v: Column, minV: Column, maxV: Column,
                   bits: Int = 16): Column = {
     import org.apache.spark.sql.functions._
     val span = maxV - minV
+    val spanLimit = (1L << 53) / ((1L << bits) - 1) // numerator < 2^53
+    val guarded = when(assert_true(span < lit(spanLimit),
+      lit(s"scaleToGrid: span exceeds 2^53/(2^$bits-1) — grid ranks " +
+        "would be inexact; pre-shift the id space")).isNull, span)
     val num = (v - minV) * lit((1L << bits) - 1)
-    when(span === 0, lit(0L))
-      .otherwise(((num - pmod(num, span)) / span).cast("long"))
+    when(guarded === 0, lit(0L))
+      .otherwise(((num - pmod(num, guarded)) / guarded).cast("long"))
   }
 
   /** Attach the z-value of two integer dims, scaled by the frame's own
@@ -208,10 +215,18 @@ object Lake {
     * ~1 s. Pass 1 is a plain agg (rows/nulls/min/max, map-side
     * partial, one 1-row result); pass 2 explodes (column, value)
     * pairs and dedups them with map-side partial aggregation — the
-    * shuffle carries distinct pairs only. At 100 TB swap pass 2 for
-    * [[graft.pipeline.Sketches]] HLL registers; pass 1 is already the
-    * right shape. */
-  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * shuffle carries distinct pairs only. At 100 TB pass `approxDistinct
+    * = true`: pass 2 then builds per-column HLL registers
+    * ([[graft.pipeline.Sketches.hllRegisters]]) instead — the shuffle
+    * carries at most cols × 2^b register rows (map-side max-combined)
+    * no matter the data size, where the exact mode's distinct-pair
+    * shuffle grows with the corpus. Exact stays the default (ANALYZE is
+    * maintenance, and planners want exact counts when they can afford
+    * them); the approximate n_distinct lands in the same column with
+    * the standard ±1.04/√2^b relative error. */
+  def analyzeColumns(df: DataFrame, cols: Seq[String],
+                     approxDistinct: Boolean = false, hllBits: Int = 12)
+      : DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "analyzeColumns needs at least one column")
     val aggs = cols.flatMap(c => Seq(
@@ -225,12 +240,19 @@ object Lake {
         col(s"${c}__nulls").as("n_nulls"), col(s"${c}__min").as("min_v"),
         col(s"${c}__max").as("max_v"))): _*)).as("s"))
       .select(col("s.*"))
-    val distincts = df
+    val pairs = df
       .select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
         .as(Seq("_i", "_v")))
       .filter(col("_v").isNotNull) // countDistinct ignores nulls
-      .distinct()
-      .groupBy(col("_i")).agg(count(lit(1)).as("n_distinct"))
+    val distincts = (if (approxDistinct)
+        graft.pipeline.Sketches.hllEstimate(
+            graft.pipeline.Sketches.hllRegisters(pairs, "_i", "_v", hllBits),
+            hllBits)
+          .select(col("grp").as("_i"),
+            round(col("est")).cast("long").as("n_distinct"))
+      else pairs
+        .distinct()
+        .groupBy(col("_i")).agg(count(lit(1)).as("n_distinct")))
       .select(element_at(
         array(cols.map(lit): _*), col("_i") + 1).as("col_name"),
         col("n_distinct"))
@@ -257,8 +279,19 @@ object Lake {
     require(targetBytes >= (1L << 16), s"targetBytes too small: $targetBytes")
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(in).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // RECURSIVE listing, no extension filter: partitioned layouts nest
+    // data files in subdirectories and not every writer suffixes
+    // .parquet — a non-recursive/filtered listing read bytes = 0 and
+    // silently packed everything into one file. Only metadata markers
+    // (_SUCCESS, .crc, ...) are excluded.
+    val it = fs.listFiles(in, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) bytes += f.getLen
+    }
+    require(bytes > 0L, s"no data files found under $inPath — nothing to compact")
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)
     val out = sortCol match {
@@ -285,7 +318,11 @@ object Lake {
   /** One row per (file, column): rows, min/max (string form — same
     * caveat as [[analyzeColumns]]) for `statsCols`, plus a bloom word
     * table over `bloomCol` (mBits/k as in
-    * [[graft.pipeline.Sketches.bloomBits]]). Returns (stats, bloom). */
+    * [[graft.pipeline.Sketches.bloomBits]]). Returns (stats, bloom).
+    * The bloom table carries its own `m_bits`/`k` columns — probing
+    * with different parameters than the build silently produces false
+    * negatives, so [[pruneFiles]] reads them from the table instead of
+    * trusting a caller to repeat the constants. */
   def fileIndex(spark: SparkSession, path: String, statsCols: Seq[String],
                 bloomCol: String, mBits: Long = 1L << 17, k: Int = 4)
       : (DataFrame, DataFrame) = {
@@ -304,26 +341,113 @@ object Lake {
         col(s"${c}__max").as("max_v"))): _*)).as("s"))
       .select(col("s.*"))
     val bloom = graft.pipeline.Sketches.bloomBits(
-      df.select(col("_file"), col(bloomCol).cast("string").as("v")),
-      "_file", "v", mBits, k)
+        df.select(col("_file"), col(bloomCol).cast("string").as("v")),
+        "_file", "v", mBits, k)
+      .withColumn("m_bits", lit(mBits))
+      .withColumn("k", lit(k))
     (stats, bloom)
   }
 
   /** Candidate files for a point lookup `bloomCol = value`: bloom
     * membership against the index table only — the table data is never
     * touched, and bloom's zero false negatives make the prune SAFE for
-    * any column type (the min/max stats are the range-predicate half,
-    * valid only for string-order-stable columns — deliberately not
-    * consulted here, where "9" > "10" would silently drop files).
+    * any column type (the min/max stats are the range-predicate half —
+    * see [[pruneFilesRange]] for the typed form; the STRING min/max here
+    * are deliberately not consulted, where "9" > "10" would silently
+    * drop files). mBits/k come from the table's own `m_bits`/`k`
+    * columns (written by [[fileIndex]]) — a caller-supplied mismatch
+    * was the one way to break the zero-false-negative guarantee.
     * The collect is bounded by the file count — the same cardinality a
     * catalog listing already materializes. */
-  def pruneFiles(bloom: DataFrame, value: String,
-                 mBits: Long = 1L << 17, k: Int = 4): Seq[String] = {
+  def pruneFiles(bloom: DataFrame, value: String): Seq[String] = {
     import org.apache.spark.sql.functions._
-    graft.pipeline.Sketches.bloomContains(bloom, Seq(value), mBits, k)
+    require(bloom.columns.contains("m_bits") && bloom.columns.contains("k"),
+      "bloom table lacks its m_bits/k parameter columns — build it with " +
+        "Lake.fileIndex (a bare Sketches.bloomBits table does not pin " +
+        "the probe parameters)")
+    val params = bloom.select(min(col("m_bits")), max(col("m_bits")),
+      min(col("k")), max(col("k"))).head()
+    if (params.isNullAt(0)) return Nil // empty index → nothing to open
+    require(params.getLong(0) == params.getLong(1) &&
+        params.getInt(2) == params.getInt(3),
+      s"bloom table mixes parameter sets: m_bits ${params.getLong(0)}/" +
+        s"${params.getLong(1)}, k ${params.getInt(2)}/${params.getInt(3)}")
+    graft.pipeline.Sketches.bloomContains(
+        bloom.drop("m_bits", "k"), Seq(value),
+        params.getLong(0), params.getInt(2))
       .filter(col("present"))
       .select(col("grp"))
       .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Wide per-file statistics in the columns' NATIVE types — the typed
+    * range half of data skipping (the Delta/Iceberg per-file stats
+    * shape). One row per file: `file`, `n_rows`, plus `<c>__min` /
+    * `<c>__max` carrying c's own type, so a range predicate compares
+    * LONG to LONG and TIMESTAMP to TIMESTAMP — none of the string-form
+    * "9" > "10" mis-ordering that keeps [[fileIndex]]'s stats table out
+    * of the prune path. One scan to build, file-count rows to store. */
+  def fileStats(spark: SparkSession, path: String,
+                statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(statsCols.nonEmpty, "fileStats needs at least one column")
+    val df = spark.read.parquet(path).withColumn("_file", input_file_name())
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(col("_file").as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] box can intersect `colName ∈ [lo, hi]` —
+    * the comparison runs in the column's native type, so the prune has
+    * ZERO false negatives (a file is dropped only when its entire value
+    * interval misses the query interval; an all-NULL file has null
+    * stats and is dropped too, which is safe — a range predicate never
+    * matches NULL). Bounded collect: file-count cardinality. */
+  def pruneFilesRange(stats: DataFrame, colName: String,
+                      lo: Any, hi: Any): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    require(stats.columns.contains(s"${colName}__min"),
+      s"stats table has no ${colName}__min — build with Lake.fileStats " +
+        s"over statsCols including '$colName'")
+    stats.filter(col(s"${colName}__max") >= lit(lo) &&
+        col(s"${colName}__min") <= lit(hi))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range scan that opens only the files the stats admit: prune via
+    * [[pruneFilesRange]] (optionally intersected with a bloom
+    * point-lookup candidate set — `bloomFilter` = (bloom table from
+    * [[fileIndex]], bloom column name, probe value)), then read JUST
+    * those files and apply the exact predicate. Result is row-identical
+    * to the full `spark.read.parquet(path).filter(...)` — pruning only
+    * changes which files open. Over a z-ordered or sorted-compacted
+    * table the candidate set is O(matching), so at 100 TB a selective
+    * time-range scan touches a handful of files instead of the corpus;
+    * the explicit schema keeps an empty/partial file list from
+    * re-inferring a narrower one. */
+  def readPruned(spark: SparkSession, path: String, stats: DataFrame,
+                 colName: String, lo: Any, hi: Any,
+                 bloomFilter: Option[(DataFrame, String, String)] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranged = pruneFilesRange(stats, colName, lo, hi)
+    val files = bloomFilter match {
+      case Some((bloom, _, value)) =>
+        val hit = pruneFiles(bloom, value).toSet
+        ranged.filter(hit.contains)
+      case None => ranged
+    }
+    val full = spark.read.parquet(path)
+    val pred = bloomFilter match {
+      case Some((_, bloomCol, value)) =>
+        col(colName) >= lit(lo) && col(colName) <= lit(hi) &&
+          col(bloomCol) === lit(value)
+      case None => col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    }
+    if (files.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema).parquet(files: _*).filter(pred)
   }
 
   /** Count Exchange (shuffle) nodes in a frame's executed plan — the

@@ -238,4 +238,132 @@ class LakeSpec extends AnyFunSuite {
     assert(VL.asOf(spark, root2, table2, 3).count() == 8)
     VL.destroy(spark, root, table); VL.destroy(spark, root2, table2)
   }
+
+  test("typed range prune: readPruned opens O(matching) files, rows == full filter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp_")
+      .toString + "/t"
+    // 16 disjoint slabs on k after the range sort — the layout sorted
+    // compaction / zOrderWrite produce
+    (1 to 160000).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    val stats = Lake.fileStats(spark, dir, Seq("k"))
+    assert(stats.count() == 16)
+    // native-typed stats: k__min/k__max come back LONG, not string
+    assert(stats.schema("k__min").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // [20001, 30000] spans exactly one 10k slab (+1 at a boundary)
+    val pruned = Lake.readPruned(spark, dir, stats, "k", 20001L, 30000L)
+    assert(pruned.inputFiles.length <= 2,
+      s"opened ${pruned.inputFiles.length} of 16 files")
+    val full = spark.read.parquet(dir)
+      .filter(col("k") >= 20001L && col("k") <= 30000L)
+    assert(pruned.agg(count(lit(1)), sum("k"), sum("v")).head() ==
+      full.agg(count(lit(1)), sum("k"), sum("v")).head())
+    // a range past the data prunes everything — zero files opened
+    val none = Lake.readPruned(spark, dir, stats, "k", 900000L, 950000L)
+    assert(none.count() == 0)
+    // bloom intersection: needle u123 in a k-range that spans 4 slabs
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_rp2_")
+      .toString + "/t"
+    (1 to 160000).map(i => (i.toLong, s"u${i % 40000}")).toDF("k", "uid")
+      .repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir2)
+    val st2 = Lake.fileStats(spark, dir2, Seq("k"))
+    val (_, bloom) = Lake.fileIndex(spark, dir2, Seq("k"), "uid")
+    val b = bloom.localCheckpoint(false)
+    // k in [1, 80000] spans 8 slabs; uid=u123 lives in 2 of them
+    val both = Lake.readPruned(spark, dir2, st2, "k", 1L, 80000L,
+      Some((b, "uid", "u123")))
+    assert(both.inputFiles.length <= 3,
+      s"opened ${both.inputFiles.length} files")
+    assert(both.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(123L, 40123L))
+  }
+
+  test("pruneFiles reads m_bits/k from the table and rejects a bare bloom") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pf_")
+      .toString + "/t"
+    (1 to 1000).map(i => (i.toLong, s"u$i")).toDF("k", "uid")
+      .repartitionByRange(4, col("k")).write.parquet(dir)
+    // non-default parameters: the old free-parameter API would probe
+    // with the defaults and silently produce false negatives
+    val (_, bloom) = Lake.fileIndex(spark, dir, Seq("k"), "uid",
+      mBits = 1L << 12, k = 3)
+    val hit = Lake.pruneFiles(bloom, "u500")
+    assert(hit.nonEmpty && hit.size <= 2, hit.toString)
+    val bare = graft.pipeline.Sketches.bloomBits(
+      spark.read.parquet(dir).select(lit("g").as("g"), col("uid")),
+      "g", "uid", 1L << 12, 3)
+    val e = intercept[IllegalArgumentException](Lake.pruneFiles(bare, "u500"))
+    assert(e.getMessage.contains("m_bits"), e.getMessage)
+  }
+
+  test("ANALYZE approximate distinct stays within the HLL error bound") {
+    import spark.implicits._
+    val df = (1 to 50000)
+      .map(i => (i.toLong % 20000, s"s${i % 700}")).toDF("a", "b")
+    val exact = Lake.analyzeColumns(df, Seq("a", "b"))
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    assert(exact("a") == 20000L && exact("b") == 700L)
+    val approx = Lake.analyzeColumns(df, Seq("a", "b"), approxDistinct = true)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    // b=12 → σ ≈ 1.04/64 ≈ 1.6%; assert 3σ
+    for ((c, ex) <- exact) {
+      val ap = approx(c).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05, s"$c: exact $ex approx $ap")
+    }
+    // rows/nulls/min/max identical between the modes
+    val ebasic = Lake.analyzeColumns(df, Seq("a", "b"))
+      .drop("n_distinct").collect().toSet
+    val abasic = Lake.analyzeColumns(df, Seq("a", "b"), approxDistinct = true)
+      .drop("n_distinct").collect().toSet
+    assert(ebasic == abasic)
+  }
+
+  test("compact sizes partitioned (nested) inputs and rejects empty dirs") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_cp_")
+      .toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("graft_cp_")
+      .toString + "/o"
+    (1 to 40000).map(i => (i % 4, i.toLong, ("x" * 64) + i)).toDF("p", "k", "s")
+      .repartition(24).write.partitionBy("p").parquet(in)
+    // bytes must come from the RECURSIVE listing (files live under p=*/)
+    val bytes = {
+      val fs = new org.apache.hadoop.fs.Path(in).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(in), true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) b += f.getLen
+      }
+      b
+    }
+    val n = Lake.compact(spark, in, out, (bytes / 4).max(1L << 16))
+    assert(n >= 2 && n <= 8, s"non-recursive sizing would give n=1; got $n")
+    assert(spark.read.parquet(out).count() == 40000)
+    val empty = java.nio.file.Files.createTempDirectory("graft_cpe_").toString
+    intercept[IllegalArgumentException](
+      Lake.compact(spark, empty, out + "2", 1L << 16))
+  }
+
+  test("scaleToGrid loud-rejects spans past the exactness bound") {
+    import spark.implicits._
+    val df = Seq(0L, 1L << 40).toDF("v")
+    val bad = df.select(Lake.scaleToGrid(col("v"), lit(0L),
+      lit(1L << 40)).as("g"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null && e.getMessage.contains("scaleToGrid") ||
+      Option(e.getCause).exists(_.getMessage.contains("scaleToGrid")),
+      s"expected the scaleToGrid span guard, got $e")
+    // in-range spans still produce the exact endpoints
+    val ok = Seq(0L, 1000L).toDF("v")
+      .select(Lake.scaleToGrid(col("v"), lit(0L), lit(1000L)).as("g"))
+      .as[Long].collect().sorted
+    assert(ok.toSeq == Seq(0L, 65535L))
+  }
 }
