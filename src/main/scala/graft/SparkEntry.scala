@@ -6057,7 +6057,7 @@ object SparkEntry {
       // via one deterministic floor-to-micros. The oracle restates the
       // instants with the identical arithmetic.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zarr_cftime_store_v1")
+        "graft_zarr_cftime_store_v2")
       buildStoreOnce(storeDir, "tstd/.zarray")(d =>
         graft.sources.Zarr.plantedCfTimeStore(d.getPath))
       val tstd = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tstd")
@@ -6075,7 +6075,7 @@ object SparkEntry {
       // date types can't carry these calendars); negative offsets carry
       // into earlier years, the 360_day epoch sits mid-year at noon.
       val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zarr_cftime_store_v1")
+        "graft_zarr_cftime_store_v2")
       buildStoreOnce(storeDir, "tstd/.zarray")(d =>
         graft.sources.Zarr.plantedCfTimeStore(d.getPath))
       val tnl = graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tnl")
@@ -6085,6 +6085,24 @@ object SparkEntry {
         .select(lit("t360").as("src"), col("i").cast("long").as("idx"),
           col("year"), col("doy"), col("us_of_day"))
       tnl.unionByName(t360).orderBy(col("src"), col("idx"))
+    }),
+
+    "q_cf_time_julian" -> ((s, dir) => {
+      // r14: the julian CF calendar (every 4th year leap, CENTURIES
+      // included — cftime's DatetimeJulian) decodes to the same
+      // (year, doy, us_of_day) companion form, closed-form over the
+      // fixed 1461-day 4-year cycle. The planted axis pins the century
+      // leap (1900-02-29 exists), midnight walk-back, and a 731-day
+      // carry across the 366-day 1900; the oracle replays the integer
+      // cycle split.
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_cftime_store_v2")
+      buildStoreOnce(storeDir, "tstd/.zarray")(d =>
+        graft.sources.Zarr.plantedCfTimeStore(d.getPath))
+      graft.sources.Zarr.readTimeCoordinate(s, storeDir.getPath, "tjul")
+        .select(col("i").cast("long").as("idx"),
+          col("year"), col("doy"), col("us_of_day"))
+        .orderBy(col("idx"))
     }),
 
     "q_zarr_temporal_roundtrip" -> ((s, dir) => {
@@ -6716,6 +6734,33 @@ object SparkEntry {
         |      from (values (0, 0.0), (1, 359.5), (2, 360.0), (3, -35.0))
         |        t(i, v)) q1) q2
         |) order by src, idx""".stripMargin,
+
+    // julian cycle split replayed in integers: epoch 1900-02-28 18:00 is
+    // absolute day 693667 (365·1899 + ⌊1899/4⌋ + 58) + 64800000000 µs;
+    // 4-year cycle 1461 days, leap year LAST in the cycle
+    "q_cf_time_julian" ->
+      """with raw as (
+        |  select idx, cast(floor(v*3600000000.0 + 0.5) as bigint)
+        |    + 64800000000 us
+        |  from (values (0, 0.0), (1, 6.0), (2, 30.0), (3, -18.75),
+        |    (4, 17544.0)) t(idx, v)),
+        |d as (
+        |  select idx,
+        |    (us - ((us % 86400000000) + 86400000000) % 86400000000)
+        |      / 86400000000 + 693667 dayn,
+        |    ((us % 86400000000) + 86400000000) % 86400000000 us_of_day
+        |  from raw),
+        |y as (
+        |  select idx, us_of_day, dayn % 1461 r,
+        |    (dayn - dayn % 1461) / 1461 cyc,
+        |    least(3, cast(((dayn % 1461) - (dayn % 1461) % 365) / 365
+        |      as bigint)) yi
+        |  from d)
+        |select cast(idx as bigint) idx,
+        |  cast(1 + 4*cyc + yi as int) "year",
+        |  cast(r - 365*yi + 1 as int) doy,
+        |  cast(us_of_day as bigint) us_of_day
+        |from y order by idx""".stripMargin,
 
     // ts: 2010-06-01 + t*3661s + t µs; NULL at 3 (NaT), 6..8 (unwritten
     // chunk), 9 (in-chunk absent → NaT); td: (t-3) * 90061123 ms anchored

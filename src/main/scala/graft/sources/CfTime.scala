@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   *     arithmetic from the epoch date interpreted IN that calendar
   *     (fixed year lengths make this closed-form — no table walk).
   *
-  * Out of scope, rejected loudly: `julian` (pre-Gregorian leap rules) and
-  * non-zero UTC offsets in the epoch string. */
+  *   - julian: every 4th year leap, CENTURIES INCLUDED (1900 is a leap
+  *     year here) — again not a Spark date calendar, so it decodes to
+  *     the same (`year`, `doy`, `us_of_day`) companion form. Year
+  *     lengths vary, but the 4-year cycle (1461 days) is fixed, so the
+  *     split stays closed-form exact integer arithmetic: no table walk.
+  *
+  * Out of scope, rejected loudly: non-zero UTC offsets in the epoch
+  * string, and julian dates before year 1 (no canonical CF meaning). */
 object CfTime {
 
   private val stepMicros: Map[String, Long] = Map(
@@ -69,9 +75,24 @@ object CfTime {
     case "noleap" | "365_day"  => "noleap"
     case "all_leap" | "366_day" => "all_leap"
     case "360_day" => "360_day"
+    case "julian" => "julian"
     case other => throw new IllegalArgumentException(
       s"CF calendar '$other' unsupported " +
-        "(standard/proleptic_gregorian/noleap/all_leap/360_day)")
+        "(standard/proleptic_gregorian/noleap/all_leap/360_day/julian)")
+  }
+
+  /** Absolute day number of a julian-calendar date, counted from julian
+    * 0001-01-01 = day 0. Leap years are exactly the multiples of 4
+    * (centuries included — the rule that separates julian from
+    * Gregorian; cftime's DatetimeJulian implements the same count). */
+  private def julianAbsDay(year: Int, month: Int, day: Int): Long = {
+    require(year >= 1, s"julian epoch year $year < 1 unsupported")
+    val feb = if (year % 4 == 0) 29 else 28
+    val lens = Array(31, feb, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    require(month >= 1 && month <= 12 && day >= 1 && day <= lens(month - 1),
+      s"invalid julian date $year-$month-$day")
+    365L * (year - 1) + (year - 1) / 4 +
+      lens.take(month - 1).map(_.toLong).sum + (day - 1)
   }
 
   private def yearDays(cal: String): Long =
@@ -109,6 +130,28 @@ object CfTime {
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L + u.usOfDay
         df.withColumn("time", timestamp_micros(relUs + lit(epochUs)))
           .drop(valueCol)
+      case "julian" =>
+        // absolute julian day = epoch's day + the offset's whole days;
+        // the 4-year cycle (3×365 + 366 = 1461 days, leap LAST) splits
+        // exactly: cycle index, then year-in-cycle by capped division
+        // (days 1095..1460 all belong to year index 3, the leap year)
+        val epochDay = julianAbsDay(u.year, u.month, u.day)
+        df.withColumn("__us", relUs + lit(u.usOfDay))
+          .withColumn("__day",
+            expr(s"(__us - pmod(__us, $usPerDay)) div $usPerDay") + lit(epochDay))
+          .withColumn("__day", // NULL values (masked fills) must pass
+            when(assert_true(coalesce(col("__day") >= 0, lit(true)),
+              lit("julian decode: date before year 1")).isNull, col("__day")))
+          .withColumn("__r", pmod(col("__day"), lit(1461L)))
+          .withColumn("__yi", least(lit(3L),
+            expr("(__r - pmod(__r, 365)) div 365")))
+          .withColumn("year", (lit(1L) +
+            lit(4L) * expr("(__day - pmod(__day, 1461)) div 1461") +
+            col("__yi")).cast("int"))
+          .withColumn("doy",
+            (col("__r") - lit(365L) * col("__yi") + 1).cast("int"))
+          .withColumn("us_of_day", pmod(col("__us"), lit(usPerDay)))
+          .drop(valueCol, "__us", "__day", "__r", "__yi")
       case cal =>
         val yl = yearDays(cal)
         // micros since (epochYear, doy 1, 00:00) in the fixed calendar;

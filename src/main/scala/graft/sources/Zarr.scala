@@ -2267,6 +2267,14 @@ object Zarr {
         | "units": "days since 2000-02-05 12:00:00",
         | "calendar": "360_day"}""".stripMargin,
       dblsLE(Seq(0.0, 359.5, 360.0, -35.0)))
+    // julian: 1900 IS leap (century rule), epoch carries a clock time,
+    // -18.75 h walks back across midnight, 17544 h = exactly 731 days
+    // crosses the 366-day 1900 into 1902
+    arr("tjul", "<f8", "null", 5,
+      """{"_ARRAY_DIMENSIONS": ["i"],
+        | "units": "hours since 1900-02-28 18:00:00",
+        | "calendar": "julian"}""".stripMargin,
+      dblsLE(Seq(0.0, 6.0, 30.0, -18.75, 17544.0)))
   }
 
   /** Fixture store for the r13 CF pipeline query, closed-form: `time` —

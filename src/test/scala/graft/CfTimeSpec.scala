@@ -49,7 +49,58 @@ class CfTimeSpec extends AnyFunSuite {
     assert(got(1).isEmpty, "masked fill must stay NULL")
     assert(got(2).contains((2001, 60, 0L)), got(2).toString)
     intercept[IllegalArgumentException](
-      CfTime.decode(df, "value", "days since 1850-01-01", "julian"))
+      CfTime.decode(df, "value", "days since 1850-01-01", "martian"))
+  }
+
+  test("decode: julian calendar — century leap years, cycle bounds, reform era") {
+    import spark.implicits._
+    def dec(units: String, vs: Seq[Option[Double]]): Map[Int, Option[(Int, Int, Long)]] =
+      CfTime.decode(
+          vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "value"),
+          "value", units, "julian")
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) None
+          else Some((r.getInt(1), r.getInt(2), r.getLong(3)))))
+        .toMap
+    // 1900 IS leap in julian (the rule that splits it from Gregorian):
+    // epoch Feb 28 + 1 day = Feb 29 (doy 60), + 2 = Mar 1 (doy 61)
+    val g1 = dec("days since 1900-02-28", Seq(Some(0.0), Some(1.0), Some(2.0)))
+    assert(g1(0).contains((1900, 59, 0L)))
+    assert(g1(1).contains((1900, 60, 0L)), "1900-02-29 must exist in julian")
+    assert(g1(2).contains((1900, 61, 0L)))
+    // 4-year cycle bounds from year 1: day 1460 = last day of leap year
+    // 4 (doy 366); 1461 = year 5 doy 1; NULL stays NULL
+    val g2 = dec("days since 1-01-01",
+      Seq(Some(1460.0), Some(1461.0), None, Some(1094.0), Some(1095.0)))
+    assert(g2(0).contains((4, 366, 0L)))
+    assert(g2(1).contains((5, 1, 0L)))
+    assert(g2(2).isEmpty)
+    assert(g2(3).contains((3, 365, 0L)))
+    assert(g2(4).contains((4, 1, 0L)))
+    // Gregorian-reform era: julian 1582-10-05 exists (Gregorian skipped
+    // it); Oct 5 of the non-leap 1582 is doy 278
+    val g3 = dec("days since 1582-01-01", Seq(Some(277.0)))
+    assert(g3(0).contains((1582, 278, 0L)))
+    // cross-calendar pin: julian counts 15 more leap days than proleptic
+    // Gregorian over years 1..1999 (centuries minus multiples of 400),
+    // so julian day 730134 since 1-01-01 labels 2000-01-01 while the
+    // same count in Gregorian labels 2000-01-16
+    val gDays = java.time.LocalDate.of(2000, 1, 1).toEpochDay -
+      java.time.LocalDate.of(1, 1, 1).toEpochDay
+    assert(gDays == 730119L)
+    val g4 = dec("days since 1-01-01", Seq(Some(730134.0)))
+    assert(g4(0).contains((2000, 1, 0L)))
+    // time-of-day carry: hours + epoch clock time land in us_of_day
+    val g5 = dec("hours since 1904-12-31 06:00:00",
+      Seq(Some(0.0), Some(20.0), Some(18.0)))
+    assert(g5(0).contains((1904, 366, 6L * 3600000000L)),
+      "1904 is julian leap: Dec 31 = doy 366")
+    assert(g5(1).contains((1905, 1, 2L * 3600000000L)))
+    assert(g5(2).contains((1905, 1, 0L)))
+    // pre-year-1 dates reject loudly, not wrap
+    val err = intercept[Exception](dec("days since 1-01-01", Seq(Some(-1.0))))
+    assert((err.getMessage != null && err.getMessage.contains("julian")) ||
+      Option(err.getCause).exists(_.getMessage.contains("julian")), err.toString)
   }
 
   test("NetCDF readTimeCoordinate: classic time var with units/calendar attrs") {
