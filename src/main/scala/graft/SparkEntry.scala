@@ -9578,6 +9578,42 @@ object SparkEntry {
       out
     }),
 
+    "q_zorder_incremental" -> ((s, dir) => {
+      // r14: INCREMENTAL z-order maintenance (ZOrderLake + the
+      // streaming sink): the lake inits z-ordered from the ≡3 (mod 4)
+      // quarter of lineitem — grid bounds PIN there — and three
+      // streamed batches (the other quarters) each rewrite only the
+      // slabs their z-range touches, through the manifest + pointer
+      // swap. Batch keys outside the pinned box clamp to the border
+      // cell (zval only; stored values stay raw). The oracle computes
+      // the SAME bucket/bbox evidence from scratch over all four
+      // quarters — agreement proves the incremental path lost nothing,
+      // duplicated nothing, and kept every zval on the pinned grid;
+      // StreamingSpec pins the incrementality itself (v0 slabs carried
+      // by reference, disjoint slab ranges, box scan opens few files).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val m = pmod(col("l_orderkey"), lit(4))
+      val init = li.filter(m === 3).drop("l_orderkey")
+      val batches = Seq(0, 1, 2).map(i => li.filter(m === i).drop("l_orderkey"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zolake_q_").toString + "/zo"
+      val fin = graft.streaming.Streams.zOrderReplayVersioned(
+        s, init, batches, root, "l_partkey", "l_suppkey", targetRows = 4096)
+      val p = graft.sources.ZOrderLake.readPointer(root).get
+      val out = fin
+        .groupBy(shiftright(col("zval"), 27).as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          sum(col("zval")).as("zval_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // ≤ 32 rows, eager: the lake can go
+      graft.sources.ZOrderLake.destroy(root)
+      out
+    }),
+
     "q_lake_range_prune" -> ((s, dir) => {
       // Typed range-pruned read path (Lake.fileStats + Lake.readPruned
       // — Delta/Iceberg data skipping wired into the scan): lineitem is
@@ -10419,6 +10455,42 @@ object SparkEntry {
         |  3 snap_version, cast(2 as bigint) last_batch
         |from c join qs on (cum - cnt) <= floor(q * (n - 1))
         |  and floor(q * (n - 1)) < cum""".stripMargin,
+
+    // the same bucket/bbox evidence computed from scratch: bounds pin
+    // on the ≡3 (mod 4) init quarter, every row clamps into that box
+    // for the zval (raw values in the bbox stats), Morton2 replayed
+    // bit-for-bit; pointer closed-form (3 non-empty batches → v3,
+    // lastBatch 2)
+    "q_zorder_incremental" ->
+      (s"""with bd as (select cast(min(l_partkey) as bigint) minx,
+         |   cast(max(l_partkey) as bigint) maxx,
+         |   cast(min(l_suppkey) as bigint) miny,
+         |   cast(max(l_suppkey) as bigint) maxy
+         | from lineitem where l_orderkey % 4 = 3),
+         |cl as (select l_partkey, l_suppkey,
+         |   least(greatest(cast(l_partkey as bigint), minx), maxx) cx,
+         |   least(greatest(cast(l_suppkey as bigint), miny), maxy) cy,
+         |   minx, maxx, miny, maxy
+         | from lineitem cross join bd),
+         |sc as (select l_partkey, l_suppkey,
+         |   case when maxx = minx then 0 else
+         |     cast((((cx - minx) * 65535)
+         |       - (((cx - minx) * 65535) % (maxx - minx)))
+         |       / (maxx - minx) as bigint) end x,
+         |   case when maxy = miny then 0 else
+         |     cast((((cy - miny) * 65535)
+         |       - (((cy - miny) * 65535) % (maxy - miny)))
+         |       / (maxy - miny) as bigint) end y
+         | from cl),
+         |z as (select l_partkey, l_suppkey,
+         |   cast(${graft.functions.Morton2.sqlReplay("x", "y")} as bigint) zval
+         | from sc)
+         |select zval >> 27 zbucket, cast(count(*) as bigint) n_rows,
+         |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+         |  min(l_suppkey) min_sk, max(l_suppkey) max_sk,
+         |  cast(sum(zval) as bigint) zval_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
+         |from z group by 1""").stripMargin,
 
     // the pruned read must be row-identical to the full range filter —
     // the oracle IS the unpruned scan

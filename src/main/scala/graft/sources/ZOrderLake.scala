@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained z-ordered parquet lake — OPTIMIZE ZORDER
+  * that survives continuous ingest. A one-shot [[Lake.zOrderWrite]]
+  * decays as a stream appends: new rows land wherever the sink puts
+  * them and every file's bounding box widens until data skipping is
+  * dead. Re-sorting the whole table per batch is O(corpus); this lake
+  * rewrites ONLY the files whose z-range a batch touches.
+  *
+  * Layout: immutable parquet slab files under `root/data/vNNNNN/`
+  * (each covering a narrow zval range), a per-version MANIFEST listing
+  * `(file, minZ, maxZ, rows)` — files carry over between versions by
+  * REFERENCE, untouched files are never rewritten — and a tiny
+  * `_current` pointer (`version lastBatch`), swapped atomically after
+  * the batch's slabs and manifest are durable. Crash between write and
+  * swap leaves orphans the next GC sweeps; the replayed batch re-derives
+  * the same version (the same crash contract as [[VersionedLake]], whose
+  * rename-vs-conditional-PUT caveat applies to the pointer here too).
+  *
+  * The grid bounds are PINNED at init (stored in `_bounds`): incremental
+  * maintenance is only possible when old zvals stay valid, so the scale
+  * can never follow the data like [[Lake.zOrderFrame]]'s per-frame
+  * min/max does. Batch values outside the pinned box CLAMP to the
+  * border cell for the zval only — stored column values stay raw, so
+  * per-file min/max stats (and thus any pruning) remain exact.
+  *
+  * Scale shape per batch: one scan of the batch (zval is a few integer
+  * ops), a cell-grid equi-join against the manifest to find touched
+  * files (never a nested loop; a z-sorted file covers ~1 cell), one
+  * read of the touched files, one range shuffle of
+  * (touched rows ∪ batch) and a write of O(touched + batch) rows.
+  * Untouched files — the overwhelming majority under any ingest with
+  * locality — cost nothing. Exactly-once: slab rewrite is NOT
+  * idempotent (a replayed batch would duplicate its rows), so the
+  * pointer's batchId gate is load-bearing, as in
+  * [[VersionedLake.applyAdditiveBatch]].
+  */
+object ZOrderLake {
+
+  final case class Pointer(version: Int, lastBatch: Long)
+  final case class Bounds(minX: Long, maxX: Long, minY: Long, maxY: Long)
+  final case class Entry(path: String, minZ: Long, maxZ: Long, rows: Long)
+
+  /** Morton cells = zval >> CellShift: the touched-file join key. 32-bit
+    * Morton2 keys → at most 2^12 cells, and a z-sorted slab covers ~1. */
+  private val CellShift = 20
+
+  private def pointerFile(root: String) = new File(root, "_current")
+
+  def readPointer(root: String): Option[Pointer] = {
+    val f = pointerFile(root)
+    if (!f.isFile) None
+    else {
+      val parts = new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      require(parts.length == 2, s"corrupt pointer file $f")
+      Some(Pointer(parts(0).toInt, parts(1).toLong))
+    }
+  }
+
+  private def writePointer(root: String, p: Pointer): Unit = {
+    val tmp = Files.createTempFile(Paths.get(root), "_current_", ".tmp")
+    Files.write(tmp, s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerFile(root).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def manifestFile(root: String, version: Int) =
+    new File(new File(root, "_manifests"), f"v$version%05d")
+
+  private def writeManifest(root: String, version: Int,
+                            entries: Seq[Entry]): Unit = {
+    val f = manifestFile(root, version)
+    f.getParentFile.mkdirs()
+    val body = entries.sortBy(_.minZ)
+      .map(e => s"${e.path}\t${e.minZ}\t${e.maxZ}\t${e.rows}")
+      .mkString("", "\n", "\n")
+    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readManifest(root: String, version: Int): Seq[Entry] = {
+    val f = manifestFile(root, version)
+    require(f.isFile, s"missing manifest v$version under $root")
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val p = line.split("\t")
+        Entry(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
+      }
+  }
+
+  def readBounds(root: String): Bounds = {
+    val f = new File(root, "_bounds")
+    require(f.isFile, s"missing _bounds under $root — call init first")
+    val p = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim.split("\\s+")
+    Bounds(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+  }
+
+  /** zval on the PINNED grid; out-of-box values clamp to the border
+    * cell (zval only — stored columns stay raw). */
+  private def zvalCol(xCol: String, yCol: String, b: Bounds) = {
+    def clamp(c: String, lo: Long, hi: Long) =
+      least(greatest(col(c).cast("long"), lit(lo)), lit(hi))
+    graft.functions.Morton2.morton2(
+      Lake.scaleToGrid(clamp(xCol, b.minX, b.maxX), lit(b.minX), lit(b.maxX)),
+      Lake.scaleToGrid(clamp(yCol, b.minY, b.maxY), lit(b.minY), lit(b.maxY)))
+  }
+
+  /** input_file_name yields a URI (`file:///...`); manifests store the
+    * plain filesystem path so gc can compare against listings. */
+  private def toFsPath(s: String): String =
+    if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+
+  /** Stat freshly-written slab files: per-file zval range + row count.
+    * One read of files just written — bounded by the rewrite size. */
+  private def statFiles(spark: SparkSession, dir: String): Seq[Entry] =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("mn"), max(col("zval")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => Entry(toFsPath(r.getString(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  private def writeSlabs(df: DataFrame, dir: String, targetRows: Long)
+      : Seq[Entry] = {
+    val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(n, col("zval")).sortWithinPartitions("zval")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    statFiles(df.sparkSession, dir)
+  }
+
+  /** [[writeSlabs]] for a frame carrying a `_grp` column: one range
+    * shuffle on (_grp, zval), but files SPLIT per group (partitionBy)
+    * so no slab spans a kept interval. Reading manifests by leaf-file
+    * path never re-infers the directory key, so `_grp` vanishes. */
+  private def writeSlabGroups(df: DataFrame, dir: String, targetRows: Long)
+      : Seq[Entry] = {
+    val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(n, col("_grp"), col("zval"))
+      .sortWithinPartitions("_grp", "zval")
+      .write.mode(SaveMode.Overwrite).partitionBy("_grp").parquet(dir)
+    statFiles(df.sparkSession, dir)
+  }
+
+  /** Initialize: pin the grid bounds from `df`'s own min/max (one 1-row
+    * aggregate), write the fully z-ordered v0 slabs, manifest, pointer. */
+  def init(df: DataFrame, root: String, xCol: String, yCol: String,
+           targetRows: Long): Unit = {
+    new File(root).mkdirs()
+    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    require(!r.isNullAt(0), "cannot init a z-order lake from an empty frame")
+    val b = Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    Files.write(new File(root, "_bounds").toPath,
+      s"${b.minX} ${b.maxX} ${b.minY} ${b.maxY}"
+        .getBytes(StandardCharsets.UTF_8))
+    val entries = writeSlabs(df.withColumn("zval", zvalCol(xCol, yCol, b)),
+      s"$root/data/v00000", targetRows)
+    writeManifest(root, 0, entries)
+    writePointer(root, Pointer(0, -1L))
+  }
+
+  /** The current table: every manifest file, by reference. Carries the
+    * `zval` column (callers drop it; rewrites reuse it). */
+  def current(spark: SparkSession, root: String): DataFrame = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    val entries = readManifest(root, p.version)
+    spark.read.parquet(entries.map(_.path): _*)
+  }
+
+  /** Apply one append batch: rewrite only the slabs whose z-range the
+    * batch touches, carry the rest by reference, swap the pointer. */
+  def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
+                 targetRows: Long, batchId: Long, retain: Int = 2): Unit = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // at-least-once replay: applied
+    val spark = batch.sparkSession
+    if (batch.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
+    val b = readBounds(root)
+    val manifest = readManifest(root, p.version)
+    val next = p.version + 1
+    val batchZ = batch.withColumn("zval", zvalCol(xCol, yCol, b))
+      .localCheckpoint(false) // consumed twice: cell probe + rewrite
+    // touched files via the cell grid — an EQUI-join, never a per-file
+    // range probe; entries explode to the (few) cells they cover
+    import spark.implicits._
+    val fileCells = manifest.toDF()
+      .select(col("path"), explode(sequence(
+        shiftright(col("minZ"), CellShift),
+        shiftright(col("maxZ"), CellShift))).as("cell"))
+    val batchCells = batchZ
+      .select(shiftright(col("zval"), CellShift).as("cell")).distinct()
+    val touched = fileCells.join(broadcast(batchCells), "cell")
+      .select("path").distinct()
+      .collect().map(_.getString(0)).toSet // bounded by file count
+    val (rewrite, keep) = manifest.partition(e => touched.contains(e.path))
+    val rewriteRows =
+      if (rewrite.isEmpty) batchZ
+      else spark.read.parquet(rewrite.map(_.path): _*).unionByName(batchZ)
+    // Slab cuts must not SPAN a kept file's z-interval: a rewrite slab
+    // sliced purely by row rank could cover the gap a kept file sits in
+    // and overlap its box, eroding disjointness (and with it skipping
+    // quality) version over version. Rows are therefore grouped by how
+    // many kept intervals lie below them — rewrite rows can never fall
+    // INSIDE a kept interval (its cells would have marked the file
+    // touched), so same-group rows never straddle one — and the write
+    // splits files per group (partitionBy), keeping the manifest a true
+    // partition of z-space. Cell-granular: one 4096-entry literal
+    // lookup per row, no per-file probing.
+    val keptMaxCells = keep.map(_.maxZ >> CellShift).sorted
+    val cells = 1 << (32 - CellShift)
+    val groupOfCell = { // one cumulative walk: O(cells + kept files)
+      val arr = new Array[Int](cells)
+      var n = 0
+      var c = 0
+      while (c < cells) {
+        while (n < keptMaxCells.length && keptMaxCells(n) < c) n += 1
+        arr(c) = n; c += 1
+      }
+      arr
+    }
+    val grouped = rewriteRows.withColumn("_grp", element_at(
+      typedLit(groupOfCell.toSeq),
+      (shiftright(col("zval"), CellShift) + 1).cast("int")))
+    val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d", targetRows)
+    writeManifest(root, next, keep ++ fresh)
+    writePointer(root, Pointer(next, batchId))
+    gc(root, next, retain)
+  }
+
+  /** Drop manifests older than the retention window and delete data
+    * files no retained manifest references. Driver-side, bounded by the
+    * file count — the same cardinality a catalog listing holds. */
+  private def gc(root: String, current: Int, retain: Int): Unit = {
+    val floor = current - retain
+    (0 until floor).foreach(v => manifestFile(root, v).delete())
+    val live = (math.max(0, floor) to current)
+      .filter(v => manifestFile(root, v).isFile)
+      .flatMap(v => readManifest(root, v).map(_.path)).toSet
+    val dataDir = new File(root, "data")
+    Option(dataDir.listFiles()).foreach(_.foreach { vdir =>
+      Option(vdir.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.endsWith(".parquet") && !live.contains(f.getPath))
+          f.delete()
+      })
+    })
+  }
+
+  /** Test cleanup. */
+  def destroy(root: String): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new File(root))
+  }
+}

@@ -202,6 +202,37 @@ object Streams {
     graft.sources.VersionedLake.current(s, root, table)
   }
 
+  /** Streaming Z-ORDER maintenance: each micro-batch appends through
+    * [[graft.sources.ZOrderLake.applyBatch]], which rewrites only the
+    * slab files whose z-range the batch touches and carries the rest by
+    * reference — layout quality (tight per-file bounding boxes, live
+    * data skipping) survives continuous ingest without ever re-sorting
+    * the corpus. Slab rewrite is NOT idempotent (a replayed batch would
+    * duplicate its rows), so the versioned batchId gate is load-bearing,
+    * exactly as for the additive sketch sink. */
+  def zOrderSinkVersioned(rows: DataFrame, root: String, xCol: String,
+                          yCol: String, targetRows: Long, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.ZOrderLake.applyBatch(b, root, xCol, yCol,
+        targetRows, id, retain)
+    }
+
+  /** [[ddSketchReplayVersioned]]'s twin for the z-order sink: init the
+    * lake z-ordered from `initial` (grid bounds pin there), stream the
+    * batches one-per-trigger, return the final pinned table. */
+  def zOrderReplayVersioned(s: SparkSession, initial: DataFrame,
+                            batches: Seq[DataFrame], root: String,
+                            xCol: String, yCol: String, targetRows: Long,
+                            retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "zOrderReplayVersioned needs at least one batch")
+    graft.sources.ZOrderLake.init(initial, root, xCol, yCol, targetRows)
+    replayThrough(s, batches) { stream =>
+      zOrderSinkVersioned(stream, root, xCol, yCol, targetRows, retain)
+    }
+    graft.sources.ZOrderLake.current(s, root)
+  }
+
   /** [[mergeReplayVersioned]] for the sketch sink: init the lake with
     * `initial`'s sketch, replay the raw-row batches one-per-trigger,
     * return the final pinned counter table. */

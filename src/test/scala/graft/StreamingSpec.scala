@@ -788,4 +788,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("g0", "v0")) && got(("g1", "v1499")))
     VL.destroy(spark, root, table)
   }
+
+  test("incremental z-order: 3 batches rewrite only touched slabs, layout stays skippable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.ZOrderLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zolake_").toString + "/zo"
+    // init: a full 400×400 grid sample (diagonal-ish coverage) — the
+    // bounds pin here
+    val init = (0 until 40000).map { i =>
+      val x = (i * 37) % 400; val y = (i * 101) % 400
+      (x.toLong, y.toLong, i.toLong)
+    }.toDF("x", "y", "pay")
+    // three LOCAL batches: each concentrated in a small x/y box — the
+    // ingest-with-locality case incremental maintenance exists for
+    def batch(b: Int) = (0 until 3000).map { i =>
+      (((b * 97) % 300 + i % 40).toLong, ((b * 53) % 300 + (i / 40) % 40).toLong,
+        (100000 + b * 10000 + i).toLong)
+    }.toDF("x", "y", "pay")
+    val fin = graft.streaming.Streams.zOrderReplayVersioned(
+      spark, init, Seq(batch(0), batch(1), batch(2)), root, "x", "y",
+      targetRows = 2500)
+    // contents: exactly init ∪ batches, no loss, no duplication
+    val expect = init.unionByName(batch(0)).unionByName(batch(1))
+      .unionByName(batch(2))
+    assert(fin.count() == expect.count())
+    assert(fin.agg(sum("pay"), sum("x"), sum("y")).head() ==
+      expect.agg(sum("pay"), sum("x"), sum("y")).head())
+    // incrementality: some v0 slabs survive to the final manifest by
+    // REFERENCE (untouched files are never rewritten)
+    val p = ZOrderLake.readPointer(root).get
+    assert(p.version == 3 && p.lastBatch == 2)
+    val finalManifest = ZOrderLake.readManifest(root, p.version)
+    assert(finalManifest.exists(_.path.contains("/data/v00000/")),
+      "no v0 slab carried by reference — every batch rewrote everything")
+    // each batch rewrote a strict subset of the table
+    val rewrittenRows = finalManifest
+      .filter(!_.path.contains("/data/v00000/")).map(_.rows).sum
+    assert(rewrittenRows < expect.count(),
+      s"rewrote $rewrittenRows rows — not incremental")
+    // layout quality: per-file z-ranges stay disjoint (the manifest is
+    // a partition of z-space), so box queries keep skipping files
+    val sorted = finalManifest.sortBy(_.minZ)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxZ < b.minZ,
+        s"overlapping slabs: ${a.path} [${a.minZ},${a.maxZ}] vs " +
+          s"${b.path} [${b.minZ},${b.maxZ}]")
+      case _ =>
+    }
+    // data skipping holds: a 1/10 × 1/10 box touches few files — the
+    // bound a FULL re-sort at the same slab size also achieves
+    val boxFiles = fin.filter(col("x").between(100, 140) &&
+        col("y").between(100, 140))
+      .select(input_file_name()).distinct().count()
+    assert(boxFiles <= 6, s"box touched $boxFiles of " +
+      s"${finalManifest.size} files — clustering decayed")
+    // replay gate: re-applying an old batchId is a no-op (slab rewrite
+    // is NOT idempotent — without the gate this would duplicate rows)
+    ZOrderLake.applyBatch(batch(1), root, "x", "y", 2500, batchId = 1L)
+    assert(ZOrderLake.readPointer(root).get.version == 3)
+    assert(ZOrderLake.current(spark, root).count() == expect.count())
+    // retention GC: dropped manifests' exclusive files are gone, the
+    // live manifest's files all exist
+    assert(!new java.io.File(root, "_manifests/v00000").isFile,
+      "manifest past retention must be dropped")
+    finalManifest.foreach(e =>
+      assert(new java.io.File(e.path).isFile, s"missing live slab ${e.path}"))
+    ZOrderLake.destroy(root)
+  }
 }
