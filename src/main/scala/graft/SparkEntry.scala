@@ -3726,7 +3726,12 @@ object SparkEntry {
           Seq("l_returnflag"), "d", "v", p = 0.9, op = ">", halfWindow = 2,
           baseYears = Seq(1995, 1996, 1997))
         .select(col("l_returnflag"), col("y"),
-          round(col("value"), 4).as("n_over_bootstrap"), col("n_replicas"))
+          // exact-integer evidence: value = avg over replicas of integer
+          // exceedance counts, so value·n_replicas is the total count —
+          // scale-0 round only absorbs a possible 1-ulp division residue
+          round(col("value") * col("n_replicas")).cast("long")
+            .as("n_over_sum"),
+          col("n_replicas"))
     })
   )
 
@@ -3763,7 +3768,7 @@ object SparkEntry {
          |  group by 1, 2, 3
          |)
          |select k l_returnflag, y,
-         |  cast(cast(avg(c) as decimal(38,4)) as double) n_over_bootstrap,
+         |  cast(sum(c) as bigint) n_over_sum,
          |  count(*) n_replicas
          |from cnt group by 1, 2""".stripMargin
   )
@@ -4808,8 +4813,8 @@ object SparkEntry {
          |  case when rl >= 3 then 1 end f_rep,
          |  case when rl >= 5 and rain = 0.0 then 1 end f_zrep,
          |  case when rain * 4.0 > 100.0 then 1 end f_q,
-         |  case when cast(cast(abs(airt - cm) as decimal(38,6)) as double)
-         |     > cast(cast(2.5*cs as decimal(38,6)) as double) then 1 end f_clim
+         |  case when cast(floor(abs(airt - cm)*1e6 + 0.5) as bigint)
+         |     > cast(floor(2.5*cs*1e6 + 0.5) as bigint) then 1 end f_clim
          | from j)
          |select user_id,
          |  cast(coalesce(sum(f_negacc), 0) as bigint) n_negative_accumulation,

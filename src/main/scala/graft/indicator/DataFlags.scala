@@ -69,10 +69,13 @@ object DataFlags {
     df.withColumn("_doy", when(dayofyear(time) > 365, 365).otherwise(dayofyear(time)))
       .join(broadcast(clim), keys.map(k => col(k) === col(s"_ck_$k"))
         .reduce(_ && _) && col("_doy") === col("_tdoy"), "left")
-      // both comparison operands quantized to 1e-6: the verdict must not
-      // depend on which engine's float-summation order computed the moments
+      // both comparison operands quantized to the 1e-6 integer grid
+      // (floor(x·1e6+0.5) — the house q6 discipline): the verdict must
+      // not depend on which engine's float-summation order computed the
+      // moments, and the integer compare is bit-identical everywhere
       .withColumn("_clim_flag",
-        round(abs(v - col("_cm")), 6) > round(lit(nSigma) * col("_cs"), 6))
+        floor(abs(v - col("_cm")) * lit(1e6) + lit(0.5)).cast("long") >
+          floor(lit(nSigma) * col("_cs") * lit(1e6) + lit(0.5)).cast("long"))
       .drop((keys.map(k => s"_ck_$k") ++ Seq("_tdoy", "_doy", "_cm", "_cs")): _*)
   }
 

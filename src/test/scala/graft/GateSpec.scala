@@ -59,7 +59,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct names on both sides. q_snowpack_flow_lag dropped its round
   * outright (exact-integer avg inputs).
   *
-  * What remains (10) is NOT the mechanical class above: (a)
+  * r14 shrink (10 → 7): q_tx90p_bootstrap emits the exact-integer
+  * replica-count SUM (value·n_replicas, scale-0 round only) instead of
+  * the rounded float average; q_data_flags_battery's climatology flag
+  * compares both operands on the 1e-6 INTEGER grid
+  * (DataFlags.outsideClimatology, floor(x·1e6+0.5) as long — the q6
+  * discipline, bit-identical across engines); q_fire_season turned out
+  * to carry no flagged round at all (stale entry from the r9 audit).
+  *
+  * What remains (7) is NOT the mechanical class above: (a)
   * builtin-vs-builtin comparisons where the two engines legitimately
   * evaluate DIFFERENT expression trees (quantile_cont/regr_slope/stddev
   * vs our window forms — round is what makes the comparison well-posed);
@@ -88,13 +96,10 @@ class GateSpec extends AnyFunSuite {
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
     "q_api_recursive", "q_chill_portions",
-    "q_data_flags_battery",
-    "q_fire_season",
     "q_fwi_codes", "q_griffiths_ffdi",
     "q_kbdi_recursive",
     "q_overwintering_dc",
-    "q_pet_thornthwaite",
-    "q_tx90p_bootstrap")
+    "q_pet_thornthwaite")
 
   test("no NEW query uses round(,s>0) over raw float math") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
