@@ -9619,6 +9619,32 @@ object SparkEntry {
       out
     }),
 
+    "q_zorder_box_read" -> ((s, dir) => {
+      // r14: box scan through the z-layout ALONE (Morton2.zRangesForBox
+      // — the Tropf–Herzog BIGMIN decomposition as a quadtree walk →
+      // ZOrderLake.readBox): the value box maps onto the pinned grid,
+      // decomposes into a few z-intervals, and only slabs intersecting
+      // one of them open — no per-file x/y stats. Pruning must be
+      // invisible: the oracle runs the same box aggregate over the
+      // whole table; LakeSpec pins the file-skipping half and the
+      // decomposition's exactness/safe-over-approximation.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zobox_q_").toString + "/zo"
+      graft.sources.ZOrderLake.init(li, root, "l_partkey", "l_suppkey",
+        targetRows = 4096)
+      val out = graft.sources.ZOrderLake.readBox(s, root,
+          "l_partkey", "l_suppkey", 100L, 600L, 20L, 60L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+        .localCheckpoint(true) // small, eager: the lake can go
+      graft.sources.ZOrderLake.destroy(root)
+      out
+    }),
+
     "q_lake_range_prune" -> ((s, dir) => {
       // Typed range-pruned read path (Lake.fileStats + Lake.readPruned
       // — Delta/Iceberg data skipping wired into the scan): lineitem is
@@ -10496,6 +10522,16 @@ object SparkEntry {
          |  cast(sum(zval) as bigint) zval_sum,
          |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
          |from z group by 1""").stripMargin,
+
+    // pruning by z-intervals must be row-identical to the plain box
+    // filter — the oracle IS the unpruned scan
+    "q_zorder_box_read" ->
+      """select l_suppkey, cast(count(*) as bigint) n_rows,
+        |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) qty_sum
+        |from lineitem
+        |where l_partkey between 100 and 600 and l_suppkey between 20 and 60
+        |group by 1""".stripMargin,
 
     // the pruned read must be row-identical to the full range filter —
     // the oracle IS the unpruned scan

@@ -56,6 +56,45 @@ object Morton2 {
       (0 until 16).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
 
+  /** Z-value intervals (inclusive) covering the grid box
+    * `[xlo, xhi] × [ylo, yhi]` — the Tropf–Herzog BIGMIN/LITMAX range
+    * decomposition done as a quadtree walk: a quadtree cell's z-values
+    * are one CONTIGUOUS interval, children visit in z order (y-bit
+    * before x-bit, matching [[compute]]'s interleave), fully-contained
+    * cells emit whole intervals, disjoint cells drop, and once the
+    * interval budget is spent a partially-overlapping cell emits its
+    * whole interval instead of splitting — an OVER-approximation, so
+    * pruning by these ranges keeps zero false negatives. Adjacent
+    * intervals coalesce; output is sorted and disjoint. This is what
+    * turns a 2-D box predicate into a pure zval range scan — no
+    * per-file x/y statistics needed, only the z-layout itself. */
+  def zRangesForBox(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                    bits: Int = 16, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 16, s"grid bits in [1,16]: $bits")
+    val side = 1L << bits
+    require(0 <= xlo && xlo <= xhi && xhi < side &&
+      0 <= ylo && ylo <= yhi && yhi < side,
+      s"box [$xlo,$xhi]×[$ylo,$yhi] outside the $bits-bit grid")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.size - 1) = (out.last._1, hi)
+      else out += ((lo, hi))
+    def go(cx: Long, cy: Long, s: Long, zbase: Long): Unit = {
+      if (cx > xhi || cx + s - 1 < xlo || cy > yhi || cy + s - 1 < ylo) return
+      val contained = cx >= xlo && cx + s - 1 <= xhi &&
+        cy >= ylo && cy + s - 1 <= yhi
+      if (contained || out.size >= maxRanges) { emit(zbase, zbase + s * s - 1); return }
+      val h = s / 2
+      go(cx, cy, h, zbase)                 // (x-low,  y-low)
+      go(cx + h, cy, h, zbase + h * h)     // (x-high, y-low)
+      go(cx, cy + h, h, zbase + 2 * h * h) // (x-low,  y-high)
+      go(cx + h, cy + h, h, zbase + 3 * h * h)
+    }
+    go(0L, 0L, side, 0L)
+    out.toSeq
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge
 
   def morton2(x: Column, y: Column): Column =
@@ -112,4 +151,47 @@ object Morton3 {
   def morton3(x: Column, y: Column, z: Column): Column =
     ColumnBridge.column(Morton3(ColumnBridge.expression(x),
       ColumnBridge.expression(y), ColumnBridge.expression(z)))
+
+  /** [[Morton2.zRangesForBox]]'s 3-D twin: key intervals covering the
+    * grid box `[xlo,xhi] × [ylo,yhi] × [zlo,zhi]` via an octree walk —
+    * an octree cell's keys are one contiguous interval, children visit
+    * in key order (x lowest bit, then y, then z, matching [[compute]]),
+    * contained cells emit whole intervals, and past the budget a
+    * partially-overlapping cell over-approximates (pruning stays
+    * zero-false-negative). The (time, lat, lon) box scan a climate lake
+    * runs becomes a pure key-range scan. */
+  def zRangesForBox3(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+                     zlo: Long, zhi: Long, bits: Int = 16,
+                     maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(bits >= 1 && bits <= 16, s"grid bits in [1,16]: $bits")
+    val side = 1L << bits
+    require(0 <= xlo && xlo <= xhi && xhi < side &&
+      0 <= ylo && ylo <= yhi && yhi < side &&
+      0 <= zlo && zlo <= zhi && zhi < side,
+      s"box outside the $bits-bit grid")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def emit(lo: Long, hi: Long): Unit =
+      if (out.nonEmpty && out.last._2 + 1 == lo)
+        out(out.size - 1) = (out.last._1, hi)
+      else out += ((lo, hi))
+    def go(cx: Long, cy: Long, cz: Long, s: Long, base: Long): Unit = {
+      if (cx > xhi || cx + s - 1 < xlo || cy > yhi || cy + s - 1 < ylo ||
+        cz > zhi || cz + s - 1 < zlo) return
+      val contained = cx >= xlo && cx + s - 1 <= xhi &&
+        cy >= ylo && cy + s - 1 <= yhi && cz >= zlo && cz + s - 1 <= zhi
+      if (contained || out.size >= maxRanges) {
+        emit(base, base + s * s * s - 1); return
+      }
+      val h = s / 2
+      val cube = h * h * h
+      var k = 0
+      while (k < 8) {
+        go(cx + (k & 1) * h, cy + ((k >> 1) & 1) * h, cz + ((k >> 2) & 1) * h,
+          h, base + k * cube)
+        k += 1
+      }
+    }
+    go(0L, 0L, 0L, side, 0L)
+    out.toSeq
+  }
 }

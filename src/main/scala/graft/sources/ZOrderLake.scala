@@ -177,6 +177,40 @@ object ZOrderLake {
     spark.read.parquet(entries.map(_.path): _*)
   }
 
+  /** Box scan through the z-layout alone: the value-space box maps onto
+    * the pinned grid (same exact floor scale as the write path, clamp
+    * included — monotone, so every row the box can match lands in the
+    * mapped cell box), [[graft.functions.Morton2.zRangesForBox]] turns
+    * the cell box into a few z-intervals, and only manifest slabs
+    * intersecting one of them open. No per-file x/y statistics are
+    * consulted — the z-layout IS the index; the exact predicate runs
+    * over the survivors, so the result is row-identical to the full
+    * filter. At 100 TB this is the one-metadata-pass form of the 2-D
+    * selective scan the lake is clustered for. */
+  def readBox(spark: SparkSession, root: String, xCol: String, yCol: String,
+              xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+              maxRanges: Int = 64): DataFrame = {
+    require(xLo <= xHi && yLo <= yHi, s"empty box [$xLo,$xHi]×[$yLo,$yHi]")
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    val b = readBounds(root)
+    // exact integer twin of scaleToGrid ((v−min)·65535 floor-div span)
+    def grid(v: Long, lo: Long, hi: Long): Long = {
+      val c = math.max(lo, math.min(hi, v))
+      if (hi == lo) 0L else (c - lo) * 65535L / (hi - lo)
+    }
+    val ranges = graft.functions.Morton2.zRangesForBox(
+      grid(xLo, b.minX, b.maxX), grid(xHi, b.minX, b.maxX),
+      grid(yLo, b.minY, b.maxY), grid(yHi, b.minY, b.maxY),
+      bits = 16, maxRanges = maxRanges)
+    val manifest = readManifest(root, p.version)
+    val files = manifest.filter(e =>
+      ranges.exists(r => r._1 <= e.maxZ && e.minZ <= r._2)).map(_.path)
+    val pred = col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi)
+    if (files.isEmpty) current(spark, root).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+
   /** Apply one append batch: rewrite only the slabs whose z-range the
     * batch touches, carry the rest by reference, swap the pointer. */
   def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
@@ -207,16 +241,27 @@ object ZOrderLake {
     val rewriteRows =
       if (rewrite.isEmpty) batchZ
       else spark.read.parquet(rewrite.map(_.path): _*).unionByName(batchZ)
-    // Slab cuts must not SPAN a kept file's z-interval: a rewrite slab
-    // sliced purely by row rank could cover the gap a kept file sits in
-    // and overlap its box, eroding disjointness (and with it skipping
-    // quality) version over version. Rows are therefore grouped by how
-    // many kept intervals lie below them — rewrite rows can never fall
-    // INSIDE a kept interval (its cells would have marked the file
-    // touched), so same-group rows never straddle one — and the write
-    // splits files per group (partitionBy), keeping the manifest a true
-    // partition of z-space. Cell-granular: one 4096-entry literal
-    // lookup per row, no per-file probing.
+    commitRewrite(spark, root, keep, rewriteRows, next,
+      Pointer(next, batchId), targetRows, retain)
+  }
+
+  /** Rewrite `rows` into fresh slabs respecting `keep`'s intervals,
+    * commit manifest v`next`, swap the pointer, GC.
+    *
+    * Slab cuts must not SPAN a kept file's z-interval: a rewrite slab
+    * sliced purely by row rank could cover the gap a kept file sits in
+    * and overlap its box, eroding disjointness (and with it skipping
+    * quality) version over version. Rows are therefore grouped by how
+    * many kept intervals lie below them — rewrite rows can never fall
+    * INSIDE a kept interval (its cells would have marked the file
+    * touched), so same-group rows never straddle one — and the write
+    * splits files per group (partitionBy), keeping the manifest a true
+    * partition of z-space. Cell-granular: one 4096-entry literal
+    * lookup per row, no per-file probing. */
+  private def commitRewrite(spark: SparkSession, root: String,
+                            keep: Seq[Entry], rows: DataFrame, next: Int,
+                            newPointer: Pointer, targetRows: Long,
+                            retain: Int): Unit = {
     val keptMaxCells = keep.map(_.maxZ >> CellShift).sorted
     val cells = 1 << (32 - CellShift)
     val groupOfCell = { // one cumulative walk: O(cells + kept files)
@@ -229,13 +274,48 @@ object ZOrderLake {
       }
       arr
     }
-    val grouped = rewriteRows.withColumn("_grp", element_at(
+    val grouped = rows.withColumn("_grp", element_at(
       typedLit(groupOfCell.toSeq),
       (shiftright(col("zval"), CellShift) + 1).cast("int")))
     val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d", targetRows)
     writeManifest(root, next, keep ++ fresh)
-    writePointer(root, Pointer(next, batchId))
+    writePointer(root, newPointer)
     gc(root, next, retain)
+  }
+
+  /** Slab compaction — the fragmentation half of maintenance: batches
+    * with narrow z-spans leave runs of under-filled slabs, a pure
+    * per-scan tax (file opens, starved vectorized readers). Merge every
+    * run of ≥2 ADJACENT slabs holding ≤ targetRows/2 rows into full
+    * slabs, through the same manifest + pointer swap (a maintenance
+    * version: `lastBatch` is unchanged — compaction consumes no batch).
+    * Full-sized slabs and isolated small ones (rewriting alone gains
+    * nothing) carry by reference. Returns the new slab count. */
+  def compact(spark: SparkSession, root: String, targetRows: Long,
+              retain: Int = 2): Int = {
+    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    val sorted = readManifest(root, p.version).sortBy(_.minZ)
+    val small = sorted.map(_.rows * 2 <= targetRows)
+    val rewriteIdx = scala.collection.mutable.BitSet.empty
+    var i = 0
+    while (i < sorted.length) {
+      if (small(i)) {
+        var j = i
+        while (j < sorted.length && small(j)) j += 1
+        if (j - i >= 2) (i until j).foreach(rewriteIdx += _)
+        i = j
+      } else i += 1
+    }
+    if (rewriteIdx.isEmpty) return sorted.length
+    val (rewrite, keep) = sorted.zipWithIndex.partition {
+      case (_, idx) => rewriteIdx.contains(idx)
+    }
+    val next = p.version + 1
+    commitRewrite(spark, root, keep.map(_._1),
+      spark.read.parquet(rewrite.map(_._1.path): _*), next,
+      Pointer(next, p.lastBatch), targetRows, retain)
+    readManifest(root, next).size
   }
 
   /** Drop manifests older than the retention window and delete data
