@@ -9619,6 +9619,39 @@ object SparkEntry {
       out
     }),
 
+    "q_zorder3_incremental" -> ((s, dir) => {
+      // r14: the 3-D incremental lake — the (time, lat, lon)-shaped
+      // clustering under continuous ingest. Same contract as
+      // q_zorder_incremental (bounds pin on the ≡3 quarter, clamp to
+      // the border cell, touched-slab rewrite through the pointer) but
+      // the key is the 48-bit Morton3 interleave and the touched-cell
+      // grid sits at zval >> 36. Oracle recomputes the bucket/bbox
+      // evidence from scratch; 48-bit sums checksum modularly.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val m = pmod(col("l_orderkey"), lit(4))
+      val init = li.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => li.filter(m === i))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zo3lake_q_").toString + "/zo"
+      val fin = graft.streaming.Streams.zOrderReplayVersioned(
+        s, init, batches, root,
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), 4096L, 2)
+      val p = graft.sources.ZOrderLake.readPointer(root).get
+      val out = fin
+        .groupBy(shiftright(col("zval"), 43).as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          sum(pmod(col("zval"), lit(1000000007L))).as("zmod_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // ≤ 32 rows, eager: the lake can go
+      graft.sources.ZOrderLake.destroy(root)
+      out
+    }),
+
     "q_zorder_box_read" -> ((s, dir) => {
       // r14: box scan through the z-layout ALONE (Morton2.zRangesForBox
       // — the Tropf–Herzog BIGMIN decomposition as a quadtree walk →
@@ -10522,6 +10555,50 @@ object SparkEntry {
          |  cast(sum(zval) as bigint) zval_sum,
          |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
          |from z group by 1""").stripMargin,
+
+    // 3-D twin of the q_zorder_incremental oracle: bounds off the ≡3
+    // quarter, three clamped grid scales, the 48-term Morton3 replay,
+    // modular zval checksum (48-bit raw sums overflow int64)
+    "q_zorder3_incremental" ->
+      (s"""with bd as (select
+         |   cast(min(l_partkey) as bigint) minx,
+         |   cast(max(l_partkey) as bigint) maxx,
+         |   cast(min(l_suppkey) as bigint) miny,
+         |   cast(max(l_suppkey) as bigint) maxy,
+         |   cast(min(l_orderkey) as bigint) minz,
+         |   cast(max(l_orderkey) as bigint) maxz
+         | from lineitem where l_orderkey % 4 = 3),
+         |cl as (select l_partkey, l_suppkey, l_orderkey,
+         |   least(greatest(cast(l_partkey as bigint), minx), maxx) cx,
+         |   least(greatest(cast(l_suppkey as bigint), miny), maxy) cy,
+         |   least(greatest(cast(l_orderkey as bigint), minz), maxz) cz,
+         |   minx, maxx, miny, maxy, minz, maxz
+         | from lineitem cross join bd),
+         |sc as (select l_partkey, l_suppkey, l_orderkey,
+         |   case when maxx = minx then 0 else
+         |     cast((((cx - minx) * 65535)
+         |       - (((cx - minx) * 65535) % (maxx - minx)))
+         |       / (maxx - minx) as bigint) end x,
+         |   case when maxy = miny then 0 else
+         |     cast((((cy - miny) * 65535)
+         |       - (((cy - miny) * 65535) % (maxy - miny)))
+         |       / (maxy - miny) as bigint) end y,
+         |   case when maxz = minz then 0 else
+         |     cast((((cz - minz) * 65535)
+         |       - (((cz - minz) * 65535) % (maxz - minz)))
+         |       / (maxz - minz) as bigint) end z
+         | from cl),
+         |zz as (select l_partkey, l_suppkey, l_orderkey,
+         |   cast(${graft.functions.Morton3.sqlReplay("x", "y", "z")}
+         |     as bigint) zval
+         | from sc)
+         |select zval >> 43 zbucket, cast(count(*) as bigint) n_rows,
+         |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+         |  min(l_suppkey) min_sk, max(l_suppkey) max_sk,
+         |  min(l_orderkey) min_ok, max(l_orderkey) max_ok,
+         |  cast(sum(zval % 1000000007) as bigint) zmod_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
+         |from zz group by 1""").stripMargin,
 
     // pruning by z-intervals must be row-identical to the plain box
     // filter — the oracle IS the unpruned scan

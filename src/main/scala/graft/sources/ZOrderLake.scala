@@ -4,15 +4,17 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained z-ordered parquet lake — OPTIMIZE ZORDER
-  * that survives continuous ingest. A one-shot [[Lake.zOrderWrite]]
-  * decays as a stream appends: new rows land wherever the sink puts
-  * them and every file's bounding box widens until data skipping is
-  * dead. Re-sorting the whole table per batch is O(corpus); this lake
-  * rewrites ONLY the files whose z-range a batch touches.
+  * that survives continuous ingest, in two or three dimensions (the
+  * 3-D form is the (time, lat, lon) clustering a climate lake wants).
+  * A one-shot [[Lake.zOrderWrite]] decays as a stream appends: new rows
+  * land wherever the sink puts them and every file's bounding box
+  * widens until data skipping is dead. Re-sorting the whole table per
+  * batch is O(corpus); this lake rewrites ONLY the files whose z-range
+  * a batch touches.
   *
   * Layout: immutable parquet slab files under `root/data/vNNNNN/`
   * (each covering a narrow zval range), a per-version MANIFEST listing
@@ -24,7 +26,8 @@ import org.apache.spark.sql.functions._
   * the same version (the same crash contract as [[VersionedLake]], whose
   * rename-vs-conditional-PUT caveat applies to the pointer here too).
   *
-  * The grid bounds are PINNED at init (stored in `_bounds`): incremental
+  * The clustering dimensions AND their grid bounds are PINNED at init
+  * (stored in `_bounds`, one `name lo hi` line per dim): incremental
   * maintenance is only possible when old zvals stay valid, so the scale
   * can never follow the data like [[Lake.zOrderFrame]]'s per-frame
   * min/max does. Batch values outside the pinned box CLAMP to the
@@ -33,8 +36,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per batch: one scan of the batch (zval is a few integer
   * ops), a cell-grid equi-join against the manifest to find touched
-  * files (never a nested loop; a z-sorted file covers ~1 cell), one
-  * read of the touched files, one range shuffle of
+  * files (never a nested loop; a z-sorted file covers ~1 of the 4096
+  * cells), one read of the touched files, one range shuffle of
   * (touched rows ∪ batch) and a write of O(touched + batch) rows.
   * Untouched files — the overwhelming majority under any ingest with
   * locality — cost nothing. Exactly-once: slab rewrite is NOT
@@ -45,12 +48,16 @@ import org.apache.spark.sql.functions._
 object ZOrderLake {
 
   final case class Pointer(version: Int, lastBatch: Long)
-  final case class Bounds(minX: Long, maxX: Long, minY: Long, maxY: Long)
+  final case class DimBound(name: String, lo: Long, hi: Long)
   final case class Entry(path: String, minZ: Long, maxZ: Long, rows: Long)
 
-  /** Morton cells = zval >> CellShift: the touched-file join key. 32-bit
-    * Morton2 keys → at most 2^12 cells, and a z-sorted slab covers ~1. */
-  private val CellShift = 20
+  /** Morton key width: 2×16 or 3×16 interleaved bits. */
+  private def keyBits(nDims: Int): Int = nDims * 16
+
+  /** Cells = zval >> cellShift — always 4096 cells, whatever the
+    * dimensionality: the touched-file join key and the kept-boundary
+    * group lookup both stay driver-array-sized. */
+  private def cellShift(nDims: Int): Int = keyBits(nDims) - 12
 
   private def pointerFile(root: String) = new File(root, "_current")
 
@@ -95,22 +102,29 @@ object ZOrderLake {
       }
   }
 
-  def readBounds(root: String): Bounds = {
+  /** The pinned clustering dims + grid bounds, as written by [[init]]. */
+  def readDims(root: String): Seq[DimBound] = {
     val f = new File(root, "_bounds")
     require(f.isFile, s"missing _bounds under $root — call init first")
-    val p = new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8).trim.split("\\s+")
-    Bounds(p(0).toLong, p(1).toLong, p(2).toLong, p(3).toLong)
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val p = line.split("\\s+")
+        DimBound(p(0), p(1).toLong, p(2).toLong)
+      }
   }
 
   /** zval on the PINNED grid; out-of-box values clamp to the border
     * cell (zval only — stored columns stay raw). */
-  private def zvalCol(xCol: String, yCol: String, b: Bounds) = {
-    def clamp(c: String, lo: Long, hi: Long) =
-      least(greatest(col(c).cast("long"), lit(lo)), lit(hi))
-    graft.functions.Morton2.morton2(
-      Lake.scaleToGrid(clamp(xCol, b.minX, b.maxX), lit(b.minX), lit(b.maxX)),
-      Lake.scaleToGrid(clamp(yCol, b.minY, b.maxY), lit(b.minY), lit(b.maxY)))
+  private def zvalCol(dims: Seq[DimBound]): Column = {
+    def g(d: DimBound) = Lake.scaleToGrid(
+      least(greatest(col(d.name).cast("long"), lit(d.lo)), lit(d.hi)),
+      lit(d.lo), lit(d.hi))
+    dims match {
+      case Seq(a, b)    => graft.functions.Morton2.morton2(g(a), g(b))
+      case Seq(a, b, c) => graft.functions.Morton3.morton3(g(a), g(b), g(c))
+      case other => throw new IllegalArgumentException(
+        s"z-order lake supports 2 or 3 dims, got ${other.map(_.name)}")
+    }
   }
 
   /** input_file_name yields a URI (`file:///...`); manifests store the
@@ -150,23 +164,34 @@ object ZOrderLake {
     statFiles(df.sparkSession, dir)
   }
 
-  /** Initialize: pin the grid bounds from `df`'s own min/max (one 1-row
-    * aggregate), write the fully z-ordered v0 slabs, manifest, pointer. */
-  def init(df: DataFrame, root: String, xCol: String, yCol: String,
+  /** Initialize over 2 or 3 clustering dims: pin each dim's grid bounds
+    * from `df`'s own min/max (one 1-row aggregate), write the fully
+    * z-ordered v0 slabs, manifest, pointer. */
+  def init(df: DataFrame, root: String, dimCols: Seq[String],
            targetRows: Long): Unit = {
+    require(dimCols.size == 2 || dimCols.size == 3,
+      s"z-order lake supports 2 or 3 dims, got $dimCols")
     new File(root).mkdirs()
-    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val aggs = dimCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     require(!r.isNullAt(0), "cannot init a z-order lake from an empty frame")
-    val b = Bounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val dims = dimCols.zipWithIndex.map { case (c, i) =>
+      DimBound(c, r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
     Files.write(new File(root, "_bounds").toPath,
-      s"${b.minX} ${b.maxX} ${b.minY} ${b.maxY}"
-        .getBytes(StandardCharsets.UTF_8))
-    val entries = writeSlabs(df.withColumn("zval", zvalCol(xCol, yCol, b)),
+      dims.map(d => s"${d.name} ${d.lo} ${d.hi}")
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
       s"$root/data/v00000", targetRows)
     writeManifest(root, 0, entries)
     writePointer(root, Pointer(0, -1L))
   }
+
+  /** 2-D convenience form. */
+  def init(df: DataFrame, root: String, xCol: String, yCol: String,
+           targetRows: Long): Unit =
+    init(df, root, Seq(xCol, yCol), targetRows)
 
   /** The current table: every manifest file, by reference. Carries the
     * `zval` column (callers drop it; rewrites reuse it). */
@@ -180,60 +205,81 @@ object ZOrderLake {
   /** Box scan through the z-layout alone: the value-space box maps onto
     * the pinned grid (same exact floor scale as the write path, clamp
     * included — monotone, so every row the box can match lands in the
-    * mapped cell box), [[graft.functions.Morton2.zRangesForBox]] turns
-    * the cell box into a few z-intervals, and only manifest slabs
-    * intersecting one of them open. No per-file x/y statistics are
-    * consulted — the z-layout IS the index; the exact predicate runs
-    * over the survivors, so the result is row-identical to the full
-    * filter. At 100 TB this is the one-metadata-pass form of the 2-D
-    * selective scan the lake is clustered for. */
-  def readBox(spark: SparkSession, root: String, xCol: String, yCol: String,
-              xLo: Long, xHi: Long, yLo: Long, yHi: Long,
-              maxRanges: Int = 64): DataFrame = {
-    require(xLo <= xHi && yLo <= yHi, s"empty box [$xLo,$xHi]×[$yLo,$yHi]")
+    * mapped cell box), the BIGMIN decomposition
+    * ([[graft.functions.Morton2.zRangesForBox]] /
+    * [[graft.functions.Morton3.zRangesForBox3]]) turns the cell box
+    * into a few z-intervals, and only manifest slabs intersecting one
+    * of them open. No per-file per-dim statistics are consulted — the
+    * z-layout IS the index; the exact predicate runs over the
+    * survivors, so the result is row-identical to the full filter. At
+    * 100 TB this is the one-metadata-pass form of the selective
+    * multi-dim scan the lake is clustered for. `los`/`his` are
+    * inclusive, in [[readDims]] order. */
+  def readBox(spark: SparkSession, root: String, los: Seq[Long],
+              his: Seq[Long], maxRanges: Int = 64): DataFrame = {
     val p = readPointer(root).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val b = readBounds(root)
-    // exact integer twin of scaleToGrid ((v−min)·65535 floor-div span)
-    def grid(v: Long, lo: Long, hi: Long): Long = {
-      val c = math.max(lo, math.min(hi, v))
-      if (hi == lo) 0L else (c - lo) * 65535L / (hi - lo)
+    val dims = readDims(root)
+    require(los.size == dims.size && his.size == dims.size,
+      s"box rank ${los.size}/${his.size} vs ${dims.size} lake dims")
+    require(los.zip(his).forall { case (l, h) => l <= h },
+      s"empty box $los..$his")
+    // exact integer twin of scaleToGrid ((v−lo)·65535 floor-div span)
+    def grid(v: Long, d: DimBound): Long = {
+      val c = math.max(d.lo, math.min(d.hi, v))
+      if (d.hi == d.lo) 0L else (c - d.lo) * 65535L / (d.hi - d.lo)
     }
-    val ranges = graft.functions.Morton2.zRangesForBox(
-      grid(xLo, b.minX, b.maxX), grid(xHi, b.minX, b.maxX),
-      grid(yLo, b.minY, b.maxY), grid(yHi, b.minY, b.maxY),
-      bits = 16, maxRanges = maxRanges)
+    val g = dims.indices.map(i =>
+      (grid(los(i), dims(i)), grid(his(i), dims(i))))
+    val ranges = dims.size match {
+      case 2 => graft.functions.Morton2.zRangesForBox(
+        g(0)._1, g(0)._2, g(1)._1, g(1)._2, 16, maxRanges)
+      case _ => graft.functions.Morton3.zRangesForBox3(
+        g(0)._1, g(0)._2, g(1)._1, g(1)._2, g(2)._1, g(2)._2, 16, maxRanges)
+    }
     val manifest = readManifest(root, p.version)
     val files = manifest.filter(e =>
       ranges.exists(r => r._1 <= e.maxZ && e.minZ <= r._2)).map(_.path)
-    val pred = col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi)
+    val pred = dims.indices.map(i =>
+      col(dims(i).name).between(los(i), his(i))).reduce(_ && _)
     if (files.isEmpty) current(spark, root).filter(lit(false))
     else spark.read.parquet(files: _*).filter(pred)
   }
 
+  /** 2-D convenience form. */
+  def readBox(spark: SparkSession, root: String, xCol: String, yCol: String,
+              xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val dims = readDims(root)
+    require(dims.map(_.name) == Seq(xCol, yCol),
+      s"lake is clustered on ${dims.map(_.name)}, not ($xCol, $yCol)")
+    readBox(spark, root, Seq(xLo, yLo), Seq(xHi, yHi))
+  }
+
   /** Apply one append batch: rewrite only the slabs whose z-range the
-    * batch touches, carry the rest by reference, swap the pointer. */
-  def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
-                 targetRows: Long, batchId: Long, retain: Int = 2): Unit = {
+    * batch touches, carry the rest by reference, swap the pointer. The
+    * clustering dims come from the lake's own `_bounds`. */
+  def applyBatch(batch: DataFrame, root: String, targetRows: Long,
+                 batchId: Long, retain: Int = 2): Unit = {
     val p = readPointer(root).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: applied
     val spark = batch.sparkSession
     if (batch.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
-    val b = readBounds(root)
+    val dims = readDims(root)
+    val shift = cellShift(dims.size)
     val manifest = readManifest(root, p.version)
     val next = p.version + 1
-    val batchZ = batch.withColumn("zval", zvalCol(xCol, yCol, b))
+    val batchZ = batch.withColumn("zval", zvalCol(dims))
       .localCheckpoint(false) // consumed twice: cell probe + rewrite
     // touched files via the cell grid — an EQUI-join, never a per-file
     // range probe; entries explode to the (few) cells they cover
     import spark.implicits._
     val fileCells = manifest.toDF()
       .select(col("path"), explode(sequence(
-        shiftright(col("minZ"), CellShift),
-        shiftright(col("maxZ"), CellShift))).as("cell"))
+        shiftright(col("minZ"), shift),
+        shiftright(col("maxZ"), shift))).as("cell"))
     val batchCells = batchZ
-      .select(shiftright(col("zval"), CellShift).as("cell")).distinct()
+      .select(shiftright(col("zval"), shift).as("cell")).distinct()
     val touched = fileCells.join(broadcast(batchCells), "cell")
       .select("path").distinct()
       .collect().map(_.getString(0)).toSet // bounded by file count
@@ -242,8 +288,21 @@ object ZOrderLake {
       if (rewrite.isEmpty) batchZ
       else spark.read.parquet(rewrite.map(_.path): _*).unionByName(batchZ)
     commitRewrite(spark, root, keep, rewriteRows, next,
-      Pointer(next, batchId), targetRows, retain)
+      Pointer(next, batchId), targetRows, retain, shift)
   }
+
+  /** 2-D convenience form (validates the dim names). */
+  def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
+                 targetRows: Long, batchId: Long, retain: Int): Unit = {
+    val dims = readDims(root)
+    require(dims.map(_.name) == Seq(xCol, yCol),
+      s"lake is clustered on ${dims.map(_.name)}, not ($xCol, $yCol)")
+    applyBatch(batch, root, targetRows, batchId, retain)
+  }
+
+  def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
+                 targetRows: Long, batchId: Long): Unit =
+    applyBatch(batch, root, xCol, yCol, targetRows, batchId, 2)
 
   /** Rewrite `rows` into fresh slabs respecting `keep`'s intervals,
     * commit manifest v`next`, swap the pointer, GC.
@@ -261,9 +320,9 @@ object ZOrderLake {
   private def commitRewrite(spark: SparkSession, root: String,
                             keep: Seq[Entry], rows: DataFrame, next: Int,
                             newPointer: Pointer, targetRows: Long,
-                            retain: Int): Unit = {
-    val keptMaxCells = keep.map(_.maxZ >> CellShift).sorted
-    val cells = 1 << (32 - CellShift)
+                            retain: Int, shift: Int): Unit = {
+    val keptMaxCells = keep.map(_.maxZ >> shift).sorted
+    val cells = 1 << 12
     val groupOfCell = { // one cumulative walk: O(cells + kept files)
       val arr = new Array[Int](cells)
       var n = 0
@@ -276,7 +335,7 @@ object ZOrderLake {
     }
     val grouped = rows.withColumn("_grp", element_at(
       typedLit(groupOfCell.toSeq),
-      (shiftright(col("zval"), CellShift) + 1).cast("int")))
+      (shiftright(col("zval"), shift) + 1).cast("int")))
     val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d", targetRows)
     writeManifest(root, next, keep ++ fresh)
     writePointer(root, newPointer)
@@ -295,6 +354,7 @@ object ZOrderLake {
               retain: Int = 2): Int = {
     val p = readPointer(root).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
+    val shift = cellShift(readDims(root).size)
     val sorted = readManifest(root, p.version).sortBy(_.minZ)
     val small = sorted.map(_.rows * 2 <= targetRows)
     val rewriteIdx = scala.collection.mutable.BitSet.empty
@@ -314,7 +374,7 @@ object ZOrderLake {
     val next = p.version + 1
     commitRewrite(spark, root, keep.map(_._1),
       spark.read.parquet(rewrite.map(_._1.path): _*), next,
-      Pointer(next, p.lastBatch), targetRows, retain)
+      Pointer(next, p.lastBatch), targetRows, retain, shift)
     readManifest(root, next).size
   }
 
@@ -327,13 +387,12 @@ object ZOrderLake {
     val live = (math.max(0, floor) to current)
       .filter(v => manifestFile(root, v).isFile)
       .flatMap(v => readManifest(root, v).map(_.path)).toSet
-    val dataDir = new File(root, "data")
-    Option(dataDir.listFiles()).foreach(_.foreach { vdir =>
-      Option(vdir.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.endsWith(".parquet") && !live.contains(f.getPath))
-          f.delete()
-      })
-    })
+    // recursive walk: grouped writes nest slabs under _grp=K/ dirs
+    def sweep(f: File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(sweep))
+      else if (f.getName.endsWith(".parquet") && !live.contains(f.getPath))
+        f.delete()
+    Option(new File(root, "data").listFiles()).foreach(_.foreach(sweep))
   }
 
   /** Test cleanup. */

@@ -218,6 +218,15 @@ object Streams {
         targetRows, id, retain)
     }
 
+  /** Dims-generic form (2-D or 3-D): the clustering dims come from the
+    * lake's own pinned `_bounds`. */
+  def zOrderSinkVersioned(rows: DataFrame, root: String, targetRows: Long,
+                          retain: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.ZOrderLake.applyBatch(b, root, targetRows, id, retain)
+    }
+
   /** [[ddSketchReplayVersioned]]'s twin for the z-order sink: init the
     * lake z-ordered from `initial` (grid bounds pin there), stream the
     * batches one-per-trigger, return the final pinned table. */
@@ -229,6 +238,20 @@ object Streams {
     graft.sources.ZOrderLake.init(initial, root, xCol, yCol, targetRows)
     replayThrough(s, batches) { stream =>
       zOrderSinkVersioned(stream, root, xCol, yCol, targetRows, retain)
+    }
+    graft.sources.ZOrderLake.current(s, root)
+  }
+
+  /** Dims-generic replay (2-D or 3-D — the (time, lat, lon) climate
+    * clustering runs through here). */
+  def zOrderReplayVersioned(s: SparkSession, initial: DataFrame,
+                            batches: Seq[DataFrame], root: String,
+                            dimCols: Seq[String], targetRows: Long,
+                            retain: Int): DataFrame = {
+    require(batches.nonEmpty, "zOrderReplayVersioned needs at least one batch")
+    graft.sources.ZOrderLake.init(initial, root, dimCols, targetRows)
+    replayThrough(s, batches) { stream =>
+      zOrderSinkVersioned(stream, root, targetRows, retain)
     }
     graft.sources.ZOrderLake.current(s, root)
   }

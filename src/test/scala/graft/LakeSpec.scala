@@ -481,6 +481,52 @@ class LakeSpec extends AnyFunSuite {
     ZOrderLake.destroy(root)
   }
 
+  test("3-D z-order lake: incremental batches, octree box read, invariants") {
+    import spark.implicits._
+    import graft.sources.ZOrderLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zo3_").toString + "/zo"
+    // 40×40×25 grid — a (time, lat, lon)-shaped cube
+    val init = (0 until 40000).map { i =>
+      ((i % 40).toLong, (i / 40 % 40).toLong, (i / 1600).toLong, i.toLong)
+    }.toDF("t", "lat", "lon", "pay")
+    ZOrderLake.init(init, root, Seq("t", "lat", "lon"), targetRows = 2500)
+    assert(ZOrderLake.readDims(root).map(_.name) == Seq("t", "lat", "lon"))
+    // one local batch (small t/lat/lon corner) rewrites few slabs
+    val batch = (0 until 2000).map { i =>
+      ((i % 10).toLong, (i / 10 % 10).toLong, (i / 100 % 5).toLong,
+        (90000 + i).toLong)
+    }.toDF("t", "lat", "lon", "pay")
+    ZOrderLake.applyBatch(batch, root, targetRows = 2500, batchId = 0L)
+    val p = ZOrderLake.readPointer(root).get
+    val manifest = ZOrderLake.readManifest(root, p.version)
+    assert(manifest.exists(_.path.contains("/data/v00000/")),
+      "no v0 slab carried by reference")
+    manifest.sortBy(_.minZ).sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxZ < b.minZ, s"$a overlaps $b")
+      case _ =>
+    }
+    // contents = init ∪ batch exactly
+    val expect = init.unionByName(batch)
+    assert(ZOrderLake.current(spark, root)
+      .agg(count(lit(1)), sum("pay")).head() ==
+      expect.agg(count(lit(1)), sum("pay")).head())
+    // 3-D box read: octree ranges alone prune; equals the full filter
+    val box = ZOrderLake.readBox(spark, root,
+      Seq(5L, 5L, 5L), Seq(14L, 14L, 9L))
+    val full = ZOrderLake.current(spark, root)
+      .filter(col("t").between(5, 14) && col("lat").between(5, 14) &&
+        col("lon").between(5, 9))
+    assert(box.agg(count(lit(1)), sum("pay")).head() ==
+      full.agg(count(lit(1)), sum("pay")).head())
+    assert(box.inputFiles.length < manifest.size,
+      s"box opened ${box.inputFiles.length} of ${manifest.size}")
+    // rank mismatch rejects loudly
+    intercept[IllegalArgumentException](
+      ZOrderLake.readBox(spark, root, Seq(0L, 0L), Seq(1L, 1L)))
+    ZOrderLake.destroy(root)
+  }
+
   test("scaleToGrid loud-rejects spans past the exactness bound") {
     import spark.implicits._
     val df = Seq(0L, 1L << 40).toDF("v")
