@@ -192,6 +192,59 @@ object Main {
         graft.sources.Lake.analyzeColumns(spark.read.parquet(in), cols)
           .collect().foreach(r => println(r.mkString("\t")))
         spark.stop()
+      case "zolake" :: "init" :: in :: root :: target :: dims if dims.nonEmpty =>
+        // incremental z-order lake bootstrap (ZOrderLake.init): dims +
+        // grid bounds pin here; subsequent appends rewrite only touched
+        // slabs
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.sources.ZOrderLake.init(
+          spark.read.parquet(in), root, dims, target.toLong)
+        println(s"$in -> z-order lake $root (dims ${dims.mkString(",")}, " +
+          s"~${target.toLong} rows/slab, " +
+          s"${graft.sources.ZOrderLake.readManifest(root, 0).size} slabs)")
+        spark.stop()
+      case "zolake" :: "append" :: in :: root :: target :: batchId :: Nil =>
+        // one incremental batch through the manifest + pointer swap;
+        // batchId carries the exactly-once gate (replays are no-ops)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.sources.ZOrderLake.applyBatch(
+          spark.read.parquet(in), root, target.toLong, batchId.toLong)
+        val p = graft.sources.ZOrderLake.readPointer(root).get
+        println(s"$in -> $root (now v${p.version}, lastBatch ${p.lastBatch}, " +
+          s"${graft.sources.ZOrderLake.readManifest(root, p.version).size} slabs)")
+        spark.stop()
+      case "zolake" :: "compact" :: root :: target :: Nil =>
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val n = graft.sources.ZOrderLake.compact(spark, root, target.toLong)
+        println(s"$root compacted to $n slabs (target ${target.toLong} rows)")
+        spark.stop()
+      case "zolake" :: "info" :: root :: Nil =>
+        // pointer + dims + manifest summary; no SparkSession (metadata
+        // files only — exactly what a 100 TB operator wants to poll)
+        graft.sources.ZOrderLake.readPointer(root) match {
+          case Some(p) =>
+            val dims = graft.sources.ZOrderLake.readDims(root)
+            val m = graft.sources.ZOrderLake.readManifest(root, p.version)
+            println(s"z-order lake $root: v${p.version}, lastBatch " +
+              s"${p.lastBatch}, ${m.size} slabs, ${m.map(_.rows).sum} rows")
+            dims.foreach(d => println(s"  dim ${d.name}: [${d.lo}, ${d.hi}]"))
+          case None => println(s"z-order lake at $root: uninitialized")
+        }
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -221,6 +274,9 @@ object Main {
             s"lake-info <root> <table> | " +
             s"zorder <in> <out> <xCol> <yCol> <files> | " +
             s"compact <in> <out> <targetBytes> [sortCol] | " +
+            s"zolake init <in> <root> <targetRows> <dim>... | " +
+            s"zolake append <in> <root> <targetRows> <batchId> | " +
+            s"zolake compact <root> <targetRows> | zolake info <root> | " +
             s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)

@@ -9596,15 +9596,22 @@ object SparkEntry {
       // duplicated nothing, and kept every zval on the pinned grid;
       // StreamingSpec pins the incrementality itself (v0 slabs carried
       // by reference, disjoint slab ranges, box scan opens few files).
+      // the ≡<4 (mod 16) sixteenth-quarters: the mod-sliced batches
+      // span the full z-range (every batch rewrites every slab — the
+      // worst case for the incremental path, deliberately), so the
+      // fixture subsets to a quarter of the table to keep 4 full
+      // rewrites bench-proportionate; locality (few slabs touched) is
+      // StreamingSpec's pin
       val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(16)) < 4)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      val m = pmod(col("l_orderkey"), lit(4))
+      val m = pmod(col("l_orderkey"), lit(16))
       val init = li.filter(m === 3).drop("l_orderkey")
       val batches = Seq(0, 1, 2).map(i => li.filter(m === i).drop("l_orderkey"))
       val root = java.nio.file.Files
         .createTempDirectory("graft_zolake_q_").toString + "/zo"
       val fin = graft.streaming.Streams.zOrderReplayVersioned(
-        s, init, batches, root, "l_partkey", "l_suppkey", targetRows = 4096)
+        s, init, batches, root, "l_partkey", "l_suppkey", targetRows = 16384)
       val p = graft.sources.ZOrderLake.readPointer(root).get
       val out = fin
         .groupBy(shiftright(col("zval"), 27).as("zbucket"))
@@ -9627,16 +9634,19 @@ object SparkEntry {
       // the key is the 48-bit Morton3 interleave and the touched-cell
       // grid sits at zval >> 36. Oracle recomputes the bucket/bbox
       // evidence from scratch; 48-bit sums checksum modularly.
+      // same sixteenth-quarter subsetting as q_zorder_incremental (the
+      // mod batches are full-z-span worst cases; see that query's note)
       val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(16)) < 4)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      val m = pmod(col("l_orderkey"), lit(4))
+      val m = pmod(col("l_orderkey"), lit(16))
       val init = li.filter(m === 3)
       val batches = Seq(0, 1, 2).map(i => li.filter(m === i))
       val root = java.nio.file.Files
         .createTempDirectory("graft_zo3lake_q_").toString + "/zo"
       val fin = graft.streaming.Streams.zOrderReplayVersioned(
         s, init, batches, root,
-        Seq("l_partkey", "l_suppkey", "l_orderkey"), 4096L, 2)
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), 16384L, 2)
       val p = graft.sources.ZOrderLake.readPointer(root).get
       val out = fin
         .groupBy(shiftright(col("zval"), 43).as("zbucket"))
@@ -10530,12 +10540,13 @@ object SparkEntry {
          |   cast(max(l_partkey) as bigint) maxx,
          |   cast(min(l_suppkey) as bigint) miny,
          |   cast(max(l_suppkey) as bigint) maxy
-         | from lineitem where l_orderkey % 4 = 3),
+         | from lineitem where l_orderkey % 16 = 3),
          |cl as (select l_partkey, l_suppkey,
          |   least(greatest(cast(l_partkey as bigint), minx), maxx) cx,
          |   least(greatest(cast(l_suppkey as bigint), miny), maxy) cy,
          |   minx, maxx, miny, maxy
-         | from lineitem cross join bd),
+         | from lineitem cross join bd
+         | where l_orderkey % 16 < 4),
          |sc as (select l_partkey, l_suppkey,
          |   case when maxx = minx then 0 else
          |     cast((((cx - minx) * 65535)
@@ -10567,13 +10578,14 @@ object SparkEntry {
          |   cast(max(l_suppkey) as bigint) maxy,
          |   cast(min(l_orderkey) as bigint) minz,
          |   cast(max(l_orderkey) as bigint) maxz
-         | from lineitem where l_orderkey % 4 = 3),
+         | from lineitem where l_orderkey % 16 = 3),
          |cl as (select l_partkey, l_suppkey, l_orderkey,
          |   least(greatest(cast(l_partkey as bigint), minx), maxx) cx,
          |   least(greatest(cast(l_suppkey as bigint), miny), maxy) cy,
          |   least(greatest(cast(l_orderkey as bigint), minz), maxz) cz,
          |   minx, maxx, miny, maxy, minz, maxz
-         | from lineitem cross join bd),
+         | from lineitem cross join bd
+         | where l_orderkey % 16 < 4),
          |sc as (select l_partkey, l_suppkey, l_orderkey,
          |   case when maxx = minx then 0 else
          |     cast((((cx - minx) * 65535)

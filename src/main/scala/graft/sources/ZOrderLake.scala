@@ -143,9 +143,11 @@ object ZOrderLake {
       .map(r => Entry(toFsPath(r.getString(0)),
         r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
 
-  private def writeSlabs(df: DataFrame, dir: String, targetRows: Long)
-      : Seq[Entry] = {
-    val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
+  private def writeSlabs(df: DataFrame, dir: String, targetRows: Long,
+                         totalRows: Long): Seq[Entry] = {
+    // totalRows comes from metadata the caller already holds (manifest
+    // row counts + batch count) — never a re-count of the rewrite set
+    val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
     df.repartitionByRange(n, col("zval")).sortWithinPartitions("zval")
       .write.mode(SaveMode.Overwrite).parquet(dir)
     statFiles(df.sparkSession, dir)
@@ -155,9 +157,9 @@ object ZOrderLake {
     * shuffle on (_grp, zval), but files SPLIT per group (partitionBy)
     * so no slab spans a kept interval. Reading manifests by leaf-file
     * path never re-infers the directory key, so `_grp` vanishes. */
-  private def writeSlabGroups(df: DataFrame, dir: String, targetRows: Long)
-      : Seq[Entry] = {
-    val n = math.max(1L, (df.count() + targetRows - 1) / targetRows).toInt
+  private def writeSlabGroups(df: DataFrame, dir: String, targetRows: Long,
+                              totalRows: Long): Seq[Entry] = {
+    val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
     df.repartitionByRange(n, col("_grp"), col("zval"))
       .sortWithinPartitions("_grp", "zval")
       .write.mode(SaveMode.Overwrite).partitionBy("_grp").parquet(dir)
@@ -173,17 +175,19 @@ object ZOrderLake {
       s"z-order lake supports 2 or 3 dims, got $dimCols")
     new File(root).mkdirs()
     val aggs = dimCols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) :+
+      count(lit(1)) // row count rides the same one-row aggregate
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     require(!r.isNullAt(0), "cannot init a z-order lake from an empty frame")
     val dims = dimCols.zipWithIndex.map { case (c, i) =>
       DimBound(c, r.getLong(2 * i), r.getLong(2 * i + 1))
     }
+    val totalRows = r.getLong(2 * dimCols.size)
     Files.write(new File(root, "_bounds").toPath,
       dims.map(d => s"${d.name} ${d.lo} ${d.hi}")
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
-      s"$root/data/v00000", targetRows)
+      s"$root/data/v00000", targetRows, totalRows)
     writeManifest(root, 0, entries)
     writePointer(root, Pointer(0, -1L))
   }
@@ -271,6 +275,7 @@ object ZOrderLake {
     val next = p.version + 1
     val batchZ = batch.withColumn("zval", zvalCol(dims))
       .localCheckpoint(false) // consumed twice: cell probe + rewrite
+    val batchRows = batchZ.count() // counts the materialized checkpoint
     // touched files via the cell grid — an EQUI-join, never a per-file
     // range probe; entries explode to the (few) cells they cover
     import spark.implicits._
@@ -287,7 +292,8 @@ object ZOrderLake {
     val rewriteRows =
       if (rewrite.isEmpty) batchZ
       else spark.read.parquet(rewrite.map(_.path): _*).unionByName(batchZ)
-    commitRewrite(spark, root, keep, rewriteRows, next,
+    commitRewrite(spark, root, keep, rewriteRows,
+      rewrite.map(_.rows).sum + batchRows, next,
       Pointer(next, batchId), targetRows, retain, shift)
   }
 
@@ -318,7 +324,8 @@ object ZOrderLake {
     * partition of z-space. Cell-granular: one 4096-entry literal
     * lookup per row, no per-file probing. */
   private def commitRewrite(spark: SparkSession, root: String,
-                            keep: Seq[Entry], rows: DataFrame, next: Int,
+                            keep: Seq[Entry], rows: DataFrame,
+                            totalRows: Long, next: Int,
                             newPointer: Pointer, targetRows: Long,
                             retain: Int, shift: Int): Unit = {
     val keptMaxCells = keep.map(_.maxZ >> shift).sorted
@@ -336,7 +343,8 @@ object ZOrderLake {
     val grouped = rows.withColumn("_grp", element_at(
       typedLit(groupOfCell.toSeq),
       (shiftright(col("zval"), shift) + 1).cast("int")))
-    val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d", targetRows)
+    val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d",
+      targetRows, totalRows)
     writeManifest(root, next, keep ++ fresh)
     writePointer(root, newPointer)
     gc(root, next, retain)
@@ -373,7 +381,8 @@ object ZOrderLake {
     }
     val next = p.version + 1
     commitRewrite(spark, root, keep.map(_._1),
-      spark.read.parquet(rewrite.map(_._1.path): _*), next,
+      spark.read.parquet(rewrite.map(_._1.path): _*),
+      rewrite.map(_._1.rows).sum, next,
       Pointer(next, p.lastBatch), targetRows, retain, shift)
     readManifest(root, next).size
   }
