@@ -99,6 +99,37 @@ object FsIo {
     fs(conf, path).listStatus(new Path(path))
       .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
 
+  /** Recursive file listing (paths as strings); empty for absent dirs. */
+  def listFilesRecursive(conf: Configuration, path: String): Seq[String] = {
+    val f = fs(conf, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else {
+      val out = Seq.newBuilder[String]
+      val it = f.listFiles(p, true)
+      while (it.hasNext) out += it.next().getPath.toString
+      out.result()
+    }
+  }
+
+  def delete(conf: Configuration, path: String): Unit = {
+    val f = fs(conf, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** Atomic replace of `dst` by `src` — the pointer-swap primitive.
+    * `FileContext.rename(OVERWRITE)` is atomic on POSIX and HDFS; on an
+    * object store it is copy+delete and deployments must swap through a
+    * conditional PUT / transaction-log append instead (the same caveat
+    * `lake-info` surfaces for the versioned lake). */
+  def atomicReplace(conf: Configuration, src: String, dst: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(dst).toUri, conf)
+    fc.rename(new Path(src), new Path(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Loud guard for seek-write formats (NetCDF classic): random-access
     * writes exist only on POSIX filesystems — HDFS is append-only and
     * object stores have no partial PUT — so a non-local target must be

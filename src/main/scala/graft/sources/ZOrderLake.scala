@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,57 +58,68 @@ object ZOrderLake {
     * group lookup both stay driver-array-sized. */
   private def cellShift(nDims: Int): Int = keyBits(nDims) - 12
 
-  private def pointerFile(root: String) = new File(root, "_current")
+  // ---- metadata plumbing: all through the Hadoop FileSystem (FsIo),
+  // so a lake root can be file://, hdfs:// or s3a:// — the pointer swap
+  // is FileContext.rename(OVERWRITE), atomic on POSIX and HDFS (object
+  // stores swap via conditional PUT instead; see FsIo.atomicReplace).
+  // The pure-metadata readers default to `new Configuration()` — which
+  // loads the deployment's core-site.xml, so plain local paths and
+  // cluster defaults both resolve; Spark-session entry points pass the
+  // session's Hadoop conf explicitly.
 
-  def readPointer(root: String): Option[Pointer] = {
-    val f = pointerFile(root)
-    if (!f.isFile) None
+  def readPointer(root: String,
+                  conf: Configuration = new Configuration()): Option[Pointer] = {
+    val p = s"$root/_current"
+    if (!FsIo.exists(conf, p)) None
     else {
-      val parts = new String(Files.readAllBytes(f.toPath),
+      val parts = new String(FsIo.readBytes(conf, p),
         StandardCharsets.UTF_8).trim.split("\\s+")
-      require(parts.length == 2, s"corrupt pointer file $f")
+      require(parts.length == 2, s"corrupt pointer file $p")
       Some(Pointer(parts(0).toInt, parts(1).toLong))
     }
   }
 
-  private def writePointer(root: String, p: Pointer): Unit = {
-    val tmp = Files.createTempFile(Paths.get(root), "_current_", ".tmp")
-    Files.write(tmp, s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerFile(root).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  private def writePointer(root: String, p: Pointer,
+                           conf: Configuration): Unit = {
+    val tmp = s"$root/_current_${ProcessHandle.current().pid()}.tmp"
+    FsIo.writeBytes(conf, tmp,
+      s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+    FsIo.atomicReplace(conf, tmp, s"$root/_current")
   }
 
-  private def manifestFile(root: String, version: Int) =
-    new File(new File(root, "_manifests"), f"v$version%05d")
+  private def manifestPath(root: String, version: Int) =
+    f"$root/_manifests/v$version%05d"
 
   private def writeManifest(root: String, version: Int,
-                            entries: Seq[Entry]): Unit = {
-    val f = manifestFile(root, version)
-    f.getParentFile.mkdirs()
+                            entries: Seq[Entry],
+                            conf: Configuration): Unit = {
     val body = entries.sortBy(_.minZ)
       .map(e => s"${e.path}\t${e.minZ}\t${e.maxZ}\t${e.rows}")
       .mkString("", "\n", "\n")
-    Files.write(f.toPath, body.getBytes(StandardCharsets.UTF_8))
+    FsIo.writeBytes(conf, manifestPath(root, version),
+      body.getBytes(StandardCharsets.UTF_8))
   }
 
-  def readManifest(root: String, version: Int): Seq[Entry] = {
-    val f = manifestFile(root, version)
-    require(f.isFile, s"missing manifest v$version under $root")
-    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+  def readManifest(root: String, version: Int,
+                   conf: Configuration = new Configuration()): Seq[Entry] = {
+    val p = manifestPath(root, version)
+    require(FsIo.exists(conf, p), s"missing manifest v$version under $root")
+    new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val p = line.split("\t")
-        Entry(p(0), p(1).toLong, p(2).toLong, p(3).toLong)
+        val f = line.split("\t")
+        Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong)
       }
   }
 
   /** The pinned clustering dims + grid bounds, as written by [[init]]. */
-  def readDims(root: String): Seq[DimBound] = {
-    val f = new File(root, "_bounds")
-    require(f.isFile, s"missing _bounds under $root — call init first")
-    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+  def readDims(root: String,
+               conf: Configuration = new Configuration()): Seq[DimBound] = {
+    val p = s"$root/_bounds"
+    require(FsIo.exists(conf, p), s"missing _bounds under $root — call init first")
+    new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val p = line.split("\\s+")
-        DimBound(p(0), p(1).toLong, p(2).toLong)
+        val f = line.split("\\s+")
+        DimBound(f(0), f(1).toLong, f(2).toLong)
       }
   }
 
@@ -127,10 +137,15 @@ object ZOrderLake {
     }
   }
 
-  /** input_file_name yields a URI (`file:///...`); manifests store the
-    * plain filesystem path so gc can compare against listings. */
-  private def toFsPath(s: String): String =
-    if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+  /** Canonical path form for manifest entries and gc comparisons:
+    * local URIs (`file:///...`) reduce to the plain path (java.io,
+    * spark.read and Hadoop listings all accept it); remote URIs keep
+    * their scheme+authority in Hadoop `Path` normal form. */
+  private def canonPath(s: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s)
+    val u = p.toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
+  }
 
   /** Stat freshly-written slab files: per-file zval range + row count.
     * One read of files just written — bounded by the rewrite size. */
@@ -140,7 +155,7 @@ object ZOrderLake {
       .agg(min(col("zval")).as("mn"), max(col("zval")).as("mx"),
         count(lit(1)).as("n"))
       .collect()
-      .map(r => Entry(toFsPath(r.getString(0)),
+      .map(r => Entry(canonPath(r.getString(0)),
         r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
 
   private def writeSlabs(df: DataFrame, dir: String, targetRows: Long,
@@ -173,7 +188,8 @@ object ZOrderLake {
            targetRows: Long): Unit = {
     require(dimCols.size == 2 || dimCols.size == 3,
       s"z-order lake supports 2 or 3 dims, got $dimCols")
-    new File(root).mkdirs()
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    FsIo.mkdirs(conf, root)
     val aggs = dimCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) :+
       count(lit(1)) // row count rides the same one-row aggregate
@@ -183,13 +199,13 @@ object ZOrderLake {
       DimBound(c, r.getLong(2 * i), r.getLong(2 * i + 1))
     }
     val totalRows = r.getLong(2 * dimCols.size)
-    Files.write(new File(root, "_bounds").toPath,
+    FsIo.writeBytes(conf, s"$root/_bounds",
       dims.map(d => s"${d.name} ${d.lo} ${d.hi}")
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
       s"$root/data/v00000", targetRows, totalRows)
-    writeManifest(root, 0, entries)
-    writePointer(root, Pointer(0, -1L))
+    writeManifest(root, 0, entries, conf)
+    writePointer(root, Pointer(0, -1L), conf)
   }
 
   /** 2-D convenience form. */
@@ -200,9 +216,10 @@ object ZOrderLake {
   /** The current table: every manifest file, by reference. Carries the
     * `zval` column (callers drop it; rewrites reuse it). */
   def current(spark: SparkSession, root: String): DataFrame = {
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val entries = readManifest(root, p.version)
+    val entries = readManifest(root, p.version, conf)
     spark.read.parquet(entries.map(_.path): _*)
   }
 
@@ -221,9 +238,10 @@ object ZOrderLake {
     * inclusive, in [[readDims]] order. */
   def readBox(spark: SparkSession, root: String, los: Seq[Long],
               his: Seq[Long], maxRanges: Int = 64): DataFrame = {
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val dims = readDims(root)
+    val dims = readDims(root, conf)
     require(los.size == dims.size && his.size == dims.size,
       s"box rank ${los.size}/${his.size} vs ${dims.size} lake dims")
     require(los.zip(his).forall { case (l, h) => l <= h },
@@ -241,7 +259,7 @@ object ZOrderLake {
       case _ => graft.functions.Morton3.zRangesForBox3(
         g(0)._1, g(0)._2, g(1)._1, g(1)._2, g(2)._1, g(2)._2, 16, maxRanges)
     }
-    val manifest = readManifest(root, p.version)
+    val manifest = readManifest(root, p.version, conf)
     val files = manifest.filter(e =>
       ranges.exists(r => r._1 <= e.maxZ && e.minZ <= r._2)).map(_.path)
     val pred = dims.indices.map(i =>
@@ -253,7 +271,7 @@ object ZOrderLake {
   /** 2-D convenience form. */
   def readBox(spark: SparkSession, root: String, xCol: String, yCol: String,
               xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
-    val dims = readDims(root)
+    val dims = readDims(root, spark.sparkContext.hadoopConfiguration)
     require(dims.map(_.name) == Seq(xCol, yCol),
       s"lake is clustered on ${dims.map(_.name)}, not ($xCol, $yCol)")
     readBox(spark, root, Seq(xLo, yLo), Seq(xHi, yHi))
@@ -264,14 +282,17 @@ object ZOrderLake {
     * clustering dims come from the lake's own `_bounds`. */
   def applyBatch(batch: DataFrame, root: String, targetRows: Long,
                  batchId: Long, retain: Int = 2): Unit = {
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: applied
-    val spark = batch.sparkSession
-    if (batch.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
-    val dims = readDims(root)
+    if (batch.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
+    val dims = readDims(root, conf)
     val shift = cellShift(dims.size)
-    val manifest = readManifest(root, p.version)
+    val manifest = readManifest(root, p.version, conf)
     val next = p.version + 1
     val batchZ = batch.withColumn("zval", zvalCol(dims))
       .localCheckpoint(false) // consumed twice: cell probe + rewrite
@@ -300,7 +321,7 @@ object ZOrderLake {
   /** 2-D convenience form (validates the dim names). */
   def applyBatch(batch: DataFrame, root: String, xCol: String, yCol: String,
                  targetRows: Long, batchId: Long, retain: Int): Unit = {
-    val dims = readDims(root)
+    val dims = readDims(root, batch.sparkSession.sparkContext.hadoopConfiguration)
     require(dims.map(_.name) == Seq(xCol, yCol),
       s"lake is clustered on ${dims.map(_.name)}, not ($xCol, $yCol)")
     applyBatch(batch, root, targetRows, batchId, retain)
@@ -345,9 +366,10 @@ object ZOrderLake {
       (shiftright(col("zval"), shift) + 1).cast("int")))
     val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d",
       targetRows, totalRows)
-    writeManifest(root, next, keep ++ fresh)
-    writePointer(root, newPointer)
-    gc(root, next, retain)
+    val conf = spark.sparkContext.hadoopConfiguration
+    writeManifest(root, next, keep ++ fresh, conf)
+    writePointer(root, newPointer, conf)
+    gc(root, next, retain, conf)
   }
 
   /** Slab compaction — the fragmentation half of maintenance: batches
@@ -360,10 +382,11 @@ object ZOrderLake {
     * nothing) carry by reference. Returns the new slab count. */
   def compact(spark: SparkSession, root: String, targetRows: Long,
               retain: Int = 2): Int = {
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val shift = cellShift(readDims(root).size)
-    val sorted = readManifest(root, p.version).sortBy(_.minZ)
+    val shift = cellShift(readDims(root, conf).size)
+    val sorted = readManifest(root, p.version, conf).sortBy(_.minZ)
     val small = sorted.map(_.rows * 2 <= targetRows)
     val rewriteIdx = scala.collection.mutable.BitSet.empty
     var i = 0
@@ -384,31 +407,28 @@ object ZOrderLake {
       spark.read.parquet(rewrite.map(_._1.path): _*),
       rewrite.map(_._1.rows).sum, next,
       Pointer(next, p.lastBatch), targetRows, retain, shift)
-    readManifest(root, next).size
+    readManifest(root, next, conf).size
   }
 
   /** Drop manifests older than the retention window and delete data
     * files no retained manifest references. Driver-side, bounded by the
     * file count — the same cardinality a catalog listing holds. */
-  private def gc(root: String, current: Int, retain: Int): Unit = {
+  private def gc(root: String, current: Int, retain: Int,
+                 conf: Configuration): Unit = {
     val floor = current - retain
-    (0 until floor).foreach(v => manifestFile(root, v).delete())
+    (0 until floor).foreach(v => FsIo.delete(conf, manifestPath(root, v)))
     val live = (math.max(0, floor) to current)
-      .filter(v => manifestFile(root, v).isFile)
-      .flatMap(v => readManifest(root, v).map(_.path)).toSet
-    // recursive walk: grouped writes nest slabs under _grp=K/ dirs
-    def sweep(f: File): Unit =
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(sweep))
-      else if (f.getName.endsWith(".parquet") && !live.contains(f.getPath))
-        f.delete()
-    Option(new File(root, "data").listFiles()).foreach(_.foreach(sweep))
+      .filter(v => FsIo.exists(conf, manifestPath(root, v)))
+      .flatMap(v => readManifest(root, v, conf).map(_.path)).toSet
+    // recursive listing: grouped writes nest slabs under _grp=K/ dirs
+    FsIo.listFilesRecursive(conf, s"$root/data").foreach { f =>
+      val c = canonPath(f)
+      if (c.endsWith(".parquet") && !live.contains(c)) FsIo.delete(conf, f)
+    }
   }
 
   /** Test cleanup. */
-  def destroy(root: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new File(root))
-  }
+  def destroy(root: String,
+              conf: Configuration = new Configuration()): Unit =
+    FsIo.delete(conf, root)
 }

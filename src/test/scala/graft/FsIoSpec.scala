@@ -94,6 +94,36 @@ class FsIoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("POSIX"), e.getMessage)
   }
 
+  test("z-order lake metadata round-trips through an explicit file:/// root") {
+    import spark.implicits._
+    import graft.sources.ZOrderLake
+    val local = tmp("zolake")
+    val root = s"file://$local/zo"
+    val df = (0 until 5000).map(i =>
+      ((i % 100).toLong, (i / 100).toLong, i.toLong)).toDF("x", "y", "pay")
+    ZOrderLake.init(df, root, Seq("x", "y"), targetRows = 1000)
+    // pointer/manifest/bounds landed as plain files through the Hadoop
+    // layer, no .crc sidecars
+    val zo = new java.io.File(local, "zo")
+    assert(new java.io.File(zo, "_current").isFile)
+    assert(new java.io.File(zo, "_bounds").isFile)
+    assert(!zo.listFiles().exists(_.getName.endsWith(".crc")),
+      zo.listFiles().map(_.getName).mkString(","))
+    // append + read back through the same URI root
+    ZOrderLake.applyBatch((0 until 500).map(i =>
+        ((i % 10).toLong, (i / 10).toLong, (9000 + i).toLong))
+        .toDF("x", "y", "pay"),
+      root, targetRows = 1000, batchId = 0L)
+    assert(ZOrderLake.readPointer(root).get.version == 1)
+    assert(ZOrderLake.current(spark, root).count() == 5500)
+    val box = ZOrderLake.readBox(spark, root, Seq(0L, 0L), Seq(9L, 9L))
+    assert(box.count() ==
+      ZOrderLake.current(spark, root)
+        .filter(col("x") <= 9 && col("y") <= 9).count())
+    ZOrderLake.destroy(root)
+    assert(!zo.exists())
+  }
+
   test("ConfSnapshot rebuilds a usable Configuration after serialization") {
     val snap = graft.sources.FsIo.snapshot(spark)
     val bos = new java.io.ByteArrayOutputStream()
