@@ -6740,6 +6740,20 @@ object SparkEntry {
         |        t(i, v)) q1) q2
         |) order by src, idx""".stripMargin,
 
+    // bottom-32 by the same md5-derived 60-bit hash over the whole
+    // corpus in one window — order-free merge makes streamed == whole;
+    // pointer closed-form (3 non-empty batches → v3, lastBatch 2)
+    "q_stream_sample" ->
+      """with hv as (select source,
+        |   cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15))
+        |     as bigint) hv,
+        |   doc_id from documents),
+        |rk as (select source, hv, doc_id,
+        |   row_number() over (partition by source order by hv) rk from hv)
+        |select source, hv, cast(doc_id as bigint) doc_id,
+        |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
+        |from rk where rk <= 32""".stripMargin,
+
     // julian cycle split replayed in integers: epoch 1900-02-28 18:00 is
     // absolute day 693667 (365·1899 + ⌊1899/4⌋ + 58) + 64800000000 µs;
     // 4-year cycle 1461 days, leap year LAST in the cycle
@@ -9579,6 +9593,38 @@ object SparkEntry {
         .withColumn("snap_version", lit(p.version))
         .withColumn("last_batch", lit(p.lastBatch))
         .localCheckpoint(true) // 40 rows, eager: the snapshots can go
+      graft.sources.VersionedLake.destroy(s, root, table)
+      out
+    }),
+
+    "q_stream_sample" -> ((s, dir) => {
+      // r14: streaming uniform-sample maintenance (Streams
+      // .sampleSinkVersioned + VersionedLake.applyBottomKBatch): docs
+      // ≡3 (mod 4) seed a per-source bottom-32-by-hash60 table, three
+      // micro-batches merge the other quarters through the versioned
+      // pointer. Hash-order is uniform ⇒ the kept set is an exact
+      // uniform 32-sample of everything streamed; bottom-k of a union
+      // is the union's bottom-k ⇒ the oracle takes bottom-32 of the
+      // WHOLE corpus in one window — row-set agreement proves the
+      // streamed maintenance exactly. Third merge-contract class:
+      // idempotent AND order-free (spec contrasts vs the additive
+      // gate with a forced re-apply).
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
+      val m = pmod(col("doc_id"), lit(4))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_smplake_q_").toString
+      val table = s"smplake_q_${System.nanoTime()}"
+      val fin = graft.streaming.Streams.sampleReplayVersioned(
+        s, docs.filter(m === 3),
+        Seq(0, 1, 2).map(i => docs.filter(m === i)),
+        root, table, "source", "doc_id", k = 32, buckets = 4)
+      val p = graft.sources.VersionedLake.readPointer(root).get
+      val out = fin
+        .select(col("grp").as("source"), col("hv"),
+          col("id").cast("long").as("doc_id"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .localCheckpoint(true) // 32×sources rows, eager: snapshots go
       graft.sources.VersionedLake.destroy(s, root, table)
       out
     }),

@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned-snapshot lake — the PRODUCTION form of the streaming MERGE
@@ -49,37 +48,44 @@ object VersionedLake {
 
   def tableName(table: String, version: Int): String = f"${table}_v$version%05d"
 
-  private def pointerFile(root: String) = new File(root, "_current")
-
-  /** Read the pointer; None when the lake is uninitialized. */
-  def readPointer(root: String): Option[Pointer] = {
-    val f = pointerFile(root)
-    if (!f.isFile) None
+  /** Read the pointer; None when the lake is uninitialized. Goes
+    * through the Hadoop FileSystem ([[FsIo]]) so `root` can be a
+    * file://, hdfs:// or s3a:// location like the snapshots'
+    * warehouse; defaults to a fresh Configuration (deployment
+    * core-site.xml) for pure-metadata callers. */
+  def readPointer(root: String,
+                  conf: Configuration = new Configuration()): Option[Pointer] = {
+    val p = s"$root/_current"
+    if (!FsIo.exists(conf, p)) None
     else {
-      val parts = new String(Files.readAllBytes(f.toPath),
+      val parts = new String(FsIo.readBytes(conf, p),
         StandardCharsets.UTF_8).trim.split("\\s+")
-      require(parts.length == 2, s"corrupt pointer file $f: '${parts.mkString(" ")}'")
+      require(parts.length == 2, s"corrupt pointer file $p: '${parts.mkString(" ")}'")
       Some(Pointer(parts(0).toInt, parts(1).toLong))
     }
   }
 
-  /** Swap the pointer atomically: write a temp file, then ATOMIC_MOVE
-    * over `_current` — readers see either the old or the new pointer,
-    * never a torn write. (Object-store deployments replace this with a
-    * conditional PUT or a transaction-log append.) */
-  private def writePointer(root: String, p: Pointer): Unit = {
-    val tmp = Files.createTempFile(Paths.get(root), "_current_", ".tmp")
-    Files.write(tmp, s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerFile(root).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  /** Swap the pointer atomically: write a temp file, then an atomic
+    * rename over `_current` ([[FsIo.atomicReplace]] —
+    * FileContext.rename(OVERWRITE), atomic on POSIX and HDFS) — readers
+    * see either the old or the new pointer, never a torn write.
+    * (Object-store deployments replace this with a conditional PUT or a
+    * transaction-log append; `lake-info` surfaces the caveat.) */
+  private def writePointer(root: String, p: Pointer,
+                           conf: Configuration): Unit = {
+    val tmp = s"$root/_current_${ProcessHandle.current().pid()}.tmp"
+    FsIo.writeBytes(conf, tmp,
+      s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+    FsIo.atomicReplace(conf, tmp, s"$root/_current")
   }
 
   /** Initialize the lake: snapshot v0 + pointer. */
   def init(initial: DataFrame, root: String, table: String, keyCol: String,
            buckets: Int): Unit = {
-    new File(root).mkdirs()
+    val conf = initial.sparkSession.sparkContext.hadoopConfiguration
+    FsIo.mkdirs(conf, root)
     Lake.writeBucketed(initial, tableName(table, 0), keyCol, buckets, Seq(keyCol))
-    writePointer(root, Pointer(0, -1L))
+    writePointer(root, Pointer(0, -1L), conf)
   }
 
   /** The current snapshot, pinned at read time (one pointer read; the
@@ -117,15 +123,18 @@ object VersionedLake {
   def applyBatch(changes: DataFrame, root: String, table: String,
                  keyCol: String, buckets: Int, batchId: Long,
                  retain: Int = 2): Unit = {
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val spark = changes.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"versioned lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: already applied
-    val spark = changes.sparkSession
-    if (changes.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
+    if (changes.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
     val next = p.version + 1
     val merged = Lake.merge(spark.table(tableName(table, p.version)), changes, keyCol)
     Lake.writeBucketed(merged, tableName(table, next), keyCol, buckets, Seq(keyCol))
-    writePointer(root, Pointer(next, batchId))
+    writePointer(root, Pointer(next, batchId), conf)
     dropSnapshot(spark, table, next - 1 - retain)
   }
 
@@ -159,6 +168,51 @@ object VersionedLake {
       c => org.apache.spark.sql.functions.expr(s"bit_or($bitsCol)"),
       buckets, batchId, retain)
 
+  /** [[applyBatch]] for BOTTOM-K tables — the deterministic uniform
+    * sample a stream maintains: each group keeps the k rows with the
+    * SMALLEST `rankCol` (an md5-derived hash of a stable id →
+    * hash-order is uniform, so the kept set is a uniform k-sample, and
+    * the maintained table is by construction the bottom-k of EVERYTHING
+    * ever streamed — the KMV/bottom-k sketch argument). This is the
+    * third merge-contract class beside additive (gate load-bearing) and
+    * OR (idempotent): bottom-k is idempotent AND order-free — re-adding
+    * any subset of already-kept rows changes nothing — so the batchId
+    * gate only skips pointless rewrites. `rankCol` must be
+    * collision-free per group (hash of a unique id); ties would make
+    * the kept set nondeterministic. */
+  def applyBottomKBatch(batch: DataFrame, root: String, table: String,
+                        grpCols: Seq[String], rankCol: String, k: Int,
+                        buckets: Int, batchId: Long,
+                        retain: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(grpCols.nonEmpty && k >= 1, s"bottom-k needs groups and k>=1: $k")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"versioned lake at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // replay: harmless either way
+    if (batch.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
+    val next = p.version + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpCols.map(col): _*).orderBy(col(rankCol))
+    // bottom-k is idempotent over a SET, not a bag: a replayed row that
+    // already sits in the snapshot would occupy TWO of the k slots and
+    // silently crowd a distinct member out — dedup the union first (the
+    // distinct is map-side-combinable and the union is only k·groups +
+    // batch rows). WindowGroupLimit then bounds per-group state at k.
+    val merged = spark.table(tableName(table, p.version))
+      .unionByName(batch)
+      .distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+    Lake.writeBucketed(merged, tableName(table, next), grpCols.head,
+      buckets, grpCols :+ rankCol)
+    writePointer(root, Pointer(next, batchId), conf)
+    dropSnapshot(spark, table, next - 1 - retain)
+  }
+
   private def applyCombineBatch(batch: DataFrame, root: String,
                                 table: String, keyCols: Seq[String],
                                 valCol: String,
@@ -168,11 +222,14 @@ object VersionedLake {
                                 retain: Int): Unit = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "combine batch needs key columns")
-    val p = readPointer(root).getOrElse(throw new IllegalStateException(
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"versioned lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: already applied
-    val spark = batch.sparkSession
-    if (batch.isEmpty) { writePointer(root, p.copy(lastBatch = batchId)); return }
+    if (batch.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
     val next = p.version + 1
     val merged = spark.table(tableName(table, p.version))
       .unionByName(batch)
@@ -180,7 +237,7 @@ object VersionedLake {
       .agg(combine(col(valCol)).as(valCol))
     Lake.writeBucketed(merged, tableName(table, next), keyCols.head,
       buckets, keyCols)
-    writePointer(root, Pointer(next, batchId))
+    writePointer(root, Pointer(next, batchId), conf)
     dropSnapshot(spark, table, next - 1 - retain)
   }
 
@@ -198,9 +255,10 @@ object VersionedLake {
 
   /** Drop every snapshot and the pointer — test cleanup. */
   def destroy(spark: SparkSession, root: String, table: String): Unit = {
-    readPointer(root).foreach { p =>
+    val conf = spark.sparkContext.hadoopConfiguration
+    readPointer(root, conf).foreach { p =>
       (0 to p.version).foreach(dropSnapshot(spark, table, _))
     }
-    pointerFile(root).delete()
+    FsIo.delete(conf, s"$root/_current")
   }
 }

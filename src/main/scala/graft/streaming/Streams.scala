@@ -202,6 +202,57 @@ object Streams {
     graft.sources.VersionedLake.current(s, root, table)
   }
 
+  /** Streaming UNIFORM-SAMPLE maintenance: each micro-batch's rows
+    * hash on `idCol` ([[graft.pipeline.Sketches.hash60]] — md5-derived,
+    * engine-replayable) and merge into a per-group bottom-k table
+    * ([[graft.sources.VersionedLake.applyBottomKBatch]]). Because
+    * hash-order is uniform and bottom-k of a union is the union's
+    * bottom-k, the maintained table is at every instant an exact
+    * uniform k-sample of EVERYTHING ever streamed — no decay, no
+    * reservoir randomness, and deterministic enough for a SQL oracle.
+    * Bottom-k is idempotent and order-free (the third contract class
+    * beside additive and OR), so replays are harmless by algebra; the
+    * batchId gate just skips the rewrite. */
+  def sampleSinkVersioned(rows: DataFrame, root: String, table: String,
+                          grpCol: String, idCol: String, k: Int,
+                          buckets: Int, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.sources.VersionedLake.applyBottomKBatch(
+        sampleRows(b, grpCol, idCol), root, table,
+        Seq("grp"), "hv", k, buckets, id, retain)
+    }
+
+  private def sampleRows(df: DataFrame, grpCol: String,
+                         idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(grpCol).as("grp"),
+      graft.pipeline.Sketches.hash60(col(idCol).cast("string")).as("hv"),
+      col(idCol).as("id"))
+  }
+
+  /** [[ddSketchReplayVersioned]]'s twin for the sample sink. */
+  def sampleReplayVersioned(s: SparkSession, initial: DataFrame,
+                            batches: Seq[DataFrame], root: String,
+                            table: String, grpCol: String, idCol: String,
+                            k: Int, buckets: Int,
+                            retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "sampleReplayVersioned needs at least one batch")
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("hv"))
+    graft.sources.VersionedLake.init(
+      sampleRows(initial, grpCol, idCol)
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k).drop("_rk"),
+      root, table, "grp", buckets)
+    replayThrough(s, batches) { stream =>
+      sampleSinkVersioned(stream, root, table, grpCol, idCol, k,
+        buckets, retain)
+    }
+    graft.sources.VersionedLake.current(s, root, table)
+  }
+
   /** Streaming Z-ORDER maintenance: each micro-batch appends through
     * [[graft.sources.ZOrderLake.applyBatch]], which rewrites only the
     * slab files whose z-range the batch touches and carries the rest by

@@ -789,6 +789,51 @@ class StreamingSpec extends AnyFunSuite {
     VL.destroy(spark, root, table)
   }
 
+  test("versioned BOTTOM-K sample lake: streamed == whole; replay harmless by algebra") {
+    import spark.implicits._
+    import graft.sources.{VersionedLake => VL}
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vlake_smp_").toString
+    val table = s"vlake_smp_${System.nanoTime()}"
+    val all = (0 until 4000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val m = pmod(col("id"), lit(4))
+    val fin = graft.streaming.Streams.sampleReplayVersioned(
+      spark, all.filter(m === 3),
+      Seq(0, 1, 2).map(i => all.filter(m === i)),
+      root, table, "g", "id", k = 16, buckets = 4)
+    // streamed bottom-k == bottom-k of the whole corpus (order-free)
+    val expect = all
+      .select(col("g").as("grp"),
+        graft.pipeline.Sketches.hash60(col("id").cast("string")).as("hv"),
+        col("id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy("hv")))
+      .filter(col("rk") <= 16).drop("rk")
+    assert(fin.count() == 48)
+    val finSet = fin.select("grp", "hv", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expSet = expect.select("grp", "hv", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    info(s"DIAG fin=${finSet.size} exp=${expSet.size} " +
+      s"missing=${(expSet -- finSet).take(3)} extra=${(finSet -- expSet).take(3)} " +
+      s"pointer=${VL.readPointer(root)}")
+    assert(finSet == expSet)
+    // FORCED re-apply of an already-applied batch (gate bypassed by a
+    // fresh batchId): bottom-k is idempotent — contents unchanged,
+    // unlike the additive sketch where this double-counts
+    VL.applyBottomKBatch(
+      fin.select(col("grp"), col("hv"), col("id")).filter(col("id") % 4 === 1),
+      root, table, Seq("grp"), "hv", 16, 4, batchId = 99L)
+    val after = VL.current(spark, root, table)
+      .select("grp", "hv", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == expSet,
+      s"re-apply changed the sample: missing ${(expSet -- after).take(3)}")
+    VL.destroy(spark, root, table)
+  }
+
   test("incremental z-order: 3 batches rewrite only touched slabs, layout stays skippable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
