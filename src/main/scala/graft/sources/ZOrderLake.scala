@@ -277,6 +277,42 @@ object ZOrderLake {
     readBox(spark, root, Seq(xLo, yLo), Seq(xHi, yHi))
   }
 
+  /** TIME TRAVEL: the table as of `version` — manifests are immutable
+    * once written and slabs are content-addressed by version directory,
+    * so an as-of read is just the old manifest's file list (Delta's
+    * `VERSION AS OF`). Aged-out manifests (past retention GC) reject
+    * loudly with the live range, mirroring [[VersionedLake.asOf]]. */
+  def asOf(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    require(version >= 0 && version <= p.version,
+      s"version $version out of range [0, ${p.version}]")
+    if (!FsIo.exists(conf, manifestPath(root, version)))
+      throw new IllegalStateException(
+        s"manifest v$version aged out of retention (current v${p.version}; " +
+          "raise `retain` on the write path to keep deeper history)")
+    spark.read.parquet(readManifest(root, version, conf).map(_.path): _*)
+  }
+
+  /** Manifest diff — which slabs a version range touched: one row per
+    * slab that is only in `from` (`removed`) or only in `to` (`added`);
+    * carried-by-reference slabs don't appear. The incremental-consumer
+    * primitive: a downstream reader at version `from` processes exactly
+    * the added slabs (plus retracts the removed ones) instead of
+    * rescanning the table — metadata-only, no file opens. */
+  def changedSlabs(root: String, from: Int, to: Int,
+                   conf: Configuration = new Configuration())
+      : Seq[(String, Entry)] = {
+    require(from <= to, s"bad version range $from..$to")
+    val a = readManifest(root, from, conf)
+    val b = readManifest(root, to, conf)
+    val aPaths = a.map(_.path).toSet
+    val bPaths = b.map(_.path).toSet
+    a.filterNot(e => bPaths.contains(e.path)).map(("removed", _)) ++
+      b.filterNot(e => aPaths.contains(e.path)).map(("added", _))
+  }
+
   /** Apply one append batch: rewrite only the slabs whose z-range the
     * batch touches, carry the rest by reference, swap the pointer. The
     * clustering dims come from the lake's own `_bounds`. */

@@ -481,6 +481,53 @@ class LakeSpec extends AnyFunSuite {
     ZOrderLake.destroy(root)
   }
 
+  test("z-order lake time travel, manifest diff, crash-before-swap heal") {
+    import spark.implicits._
+    import graft.sources.ZOrderLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zott_").toString + "/zo"
+    val init = (0 until 10000).map(i =>
+      ((i % 100).toLong, (i / 100).toLong, i.toLong)).toDF("x", "y", "pay")
+    ZOrderLake.init(init, root, Seq("x", "y"), targetRows = 1500)
+    def batch(b: Int) = (0 until 400).map(i =>
+      ((b * 30 + i % 20).toLong, (b * 30 + i / 20).toLong,
+        (50000 + b * 1000 + i).toLong)).toDF("x", "y", "pay")
+    ZOrderLake.applyBatch(batch(0), root, targetRows = 1500, batchId = 0L,
+      retain = 3)
+    ZOrderLake.applyBatch(batch(1), root, targetRows = 1500, batchId = 1L,
+      retain = 3)
+    // time travel: v0 is the init contents, v1 adds batch 0
+    assert(ZOrderLake.asOf(spark, root, 0).count() == 10000)
+    assert(ZOrderLake.asOf(spark, root, 1).count() == 10400)
+    assert(ZOrderLake.asOf(spark, root, 2).count() == 10800)
+    intercept[IllegalArgumentException](ZOrderLake.asOf(spark, root, 9))
+    // manifest diff: carried slabs absent; added ∪ kept == v2 manifest
+    val diff = ZOrderLake.changedSlabs(root, 1, 2)
+    assert(diff.nonEmpty)
+    val v1 = ZOrderLake.readManifest(root, 1).map(_.path).toSet
+    val v2 = ZOrderLake.readManifest(root, 2).map(_.path).toSet
+    assert(diff.collect { case ("added", e) => e.path }.toSet == v2 -- v1)
+    assert(diff.collect { case ("removed", e) => e.path }.toSet == v1 -- v2)
+    // incremental consumer: added-slab rows == the rows v2 gained/moved
+    val addedRows = diff.collect { case ("added", e) => e.rows }.sum
+    val removedRows = diff.collect { case ("removed", e) => e.rows }.sum
+    assert(addedRows - removedRows == 400L)
+    // crash heal: un-swap the pointer to (v1, batch 0) as if the v2
+    // commit died before the rename; the replay of batch 1 must
+    // re-derive v2 and land the same contents
+    val expect = ZOrderLake.current(spark, root)
+      .agg(count(lit(1)), sum("pay")).head()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_current"), "1 0".getBytes("UTF-8"))
+    ZOrderLake.applyBatch(batch(1), root, targetRows = 1500, batchId = 1L,
+      retain = 3)
+    val p = ZOrderLake.readPointer(root).get
+    assert(p == ZOrderLake.Pointer(2, 1L), p.toString)
+    assert(ZOrderLake.current(spark, root)
+      .agg(count(lit(1)), sum("pay")).head() == expect)
+    ZOrderLake.destroy(root)
+  }
+
   test("3-D z-order lake: incremental batches, octree box read, invariants") {
     import spark.implicits._
     import graft.sources.ZOrderLake
