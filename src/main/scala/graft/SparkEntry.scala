@@ -9722,7 +9722,7 @@ object SparkEntry {
       val root = java.nio.file.Files
         .createTempDirectory("graft_zobox_q_").toString + "/zo"
       graft.sources.ZOrderLake.init(li, root, "l_partkey", "l_suppkey",
-        targetRows = 4096)
+        targetRows = 16384)
       val out = graft.sources.ZOrderLake.readBox(s, root,
           "l_partkey", "l_suppkey", 100L, 600L, 20L, 60L)
         .groupBy(col("l_suppkey"))

@@ -147,16 +147,59 @@ object ZOrderLake {
     if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
   }
 
-  /** Stat freshly-written slab files: per-file zval range + row count.
-    * One read of files just written — bounded by the rewrite size. */
-  private def statFiles(spark: SparkSession, dir: String): Seq[Entry] =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("zval")).as("mn"), max(col("zval")).as("mx"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map(r => Entry(canonPath(r.getString(0)),
-        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+  /** Stat freshly-written slab files: per-file zval range + row count,
+    * read from the parquet FOOTERS — row-group metadata and INT64
+    * column statistics Spark always writes — so manifest construction
+    * never re-scans the data it just wrote (one small ranged read per
+    * file, bounded by the rewrite size). Missing statistics reject
+    * loudly: a silent fallback to a data scan would hide a writer
+    * regression as a slowdown. */
+  private def statFiles(spark: SparkSession, dir: String): Seq[Entry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = FsIo.listFilesRecursive(conf, dir)
+      .filter { f =>
+        val n = new org.apache.hadoop.fs.Path(f).getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    // footer reads are tiny but latency-bound (~10 ms of open cost
+    // each) — a driver loop would serialize them; one small Spark job
+    // fans the opens across executors. The conf snapshot broadcasts
+    // once (it is the whole Hadoop conf — per-task shipping of it
+    // dwarfed the footer reads themselves).
+    val snap = spark.sparkContext.broadcast(FsIo.snapshot(spark))
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(16, files.size)))
+      .map(f => statOne(f, snap.value.value))
+      .collect().toSeq
+  }
+
+  private def statOne(f: String, conf: Configuration): Entry = {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          require(!blocks.isEmpty, s"slab $f has no row groups")
+          var rows = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          blocks.forEach { b =>
+            rows += b.getRowCount
+            val zc = b.getColumns.stream()
+              .filter(c => c.getPath.toDotString == "zval")
+              .findFirst().orElseThrow(() => new IllegalStateException(
+                s"slab $f has no zval column"))
+            val st = zc.getStatistics
+            require(st != null && st.hasNonNullValue,
+              s"slab $f row group lacks zval statistics")
+            mn = math.min(mn,
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+            mx = math.max(mx,
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          Entry(canonPath(f), mn, mx, rows)
+        } finally reader.close()
+  }
 
   private def writeSlabs(df: DataFrame, dir: String, targetRows: Long,
                          totalRows: Long): Seq[Entry] = {
