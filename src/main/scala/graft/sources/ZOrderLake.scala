@@ -388,6 +388,16 @@ object ZOrderLake {
     val touched = fileCells.join(broadcast(batchCells), "cell")
       .select("path").distinct()
       .collect().map(_.getString(0)).toSet // bounded by file count
+    // batch schema must match the lake's slab schema exactly (names AND
+    // types): unionByName silently widens (long ∪ double → double), so a
+    // drifted batch would poison every later reader of the mixed layout
+    // with a type-mismatch — fail HERE, at the commit, with both schemas
+    val lakeSchema = spark.read.parquet(manifest.head.path).schema
+      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+    val batchSchema = batchZ.schema
+      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+    require(lakeSchema == batchSchema,
+      s"batch schema $batchSchema does not match lake schema $lakeSchema")
     val (rewrite, keep) = manifest.partition(e => touched.contains(e.path))
     val rewriteRows =
       if (rewrite.isEmpty) batchZ

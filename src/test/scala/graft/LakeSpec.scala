@@ -571,6 +571,14 @@ class LakeSpec extends AnyFunSuite {
     // rank mismatch rejects loudly
     intercept[IllegalArgumentException](
       ZOrderLake.readBox(spark, root, Seq(0L, 0L), Seq(1L, 1L)))
+    // schema drift rejects AT THE COMMIT: unionByName would silently
+    // widen long ∪ double and poison every later reader
+    val drifted = (0 until 10).map(i =>
+      (i.toLong, i.toDouble, i.toLong, (99000 + i).toLong))
+      .toDF("t", "lat", "lon", "pay")
+    val e = intercept[IllegalArgumentException](
+      ZOrderLake.applyBatch(drifted, root, targetRows = 2500, batchId = 7L))
+    assert(e.getMessage.contains("schema"), e.getMessage)
     ZOrderLake.destroy(root)
   }
 
