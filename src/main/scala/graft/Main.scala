@@ -233,6 +233,26 @@ object Main {
         val n = graft.sources.ZOrderLake.compact(spark, root, target.toLong)
         println(s"$root compacted to $n slabs (target ${target.toLong} rows)")
         spark.stop()
+      case "zolake" :: "box" :: root :: out :: bounds if bounds.nonEmpty =>
+        // selective box scan through the z-layout alone (BIGMIN
+        // z-intervals); bounds are lo:hi pairs in the lake's dim order
+        val parsed = bounds.map { b =>
+          val p = b.split(":")
+          require(p.length == 2, s"bound '$b' must be lo:hi")
+          (p(0).toLong, p(1).toLong)
+        }
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val box = graft.sources.ZOrderLake.readBox(spark, root,
+          parsed.map(_._1), parsed.map(_._2))
+        box.write.mode("overwrite").parquet(out)
+        println(s"$root box ${bounds.mkString(" ")} -> $out " +
+          s"(${box.inputFiles.length} slabs opened)")
+        spark.stop()
       case "zolake" :: "info" :: root :: Nil =>
         // pointer + dims + manifest summary; no SparkSession (metadata
         // files only — exactly what a 100 TB operator wants to poll)
@@ -277,6 +297,7 @@ object Main {
             s"zolake init <in> <root> <targetRows> <dim>... | " +
             s"zolake append <in> <root> <targetRows> <batchId> | " +
             s"zolake compact <root> <targetRows> | zolake info <root> | " +
+            s"zolake box <root> <out> <lo:hi>... | " +
             s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)

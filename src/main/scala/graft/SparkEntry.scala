@@ -9734,6 +9734,32 @@ object SparkEntry {
       out
     }),
 
+    "q_lake_multi_prune" -> ((s, dir) => {
+      // r14: conjunctive multi-column range pruning (Lake
+      // .readPrunedMulti): lineitem z-ordered on (partkey, suppkey)
+      // once per sf, both columns' native-typed per-file boxes prune
+      // independently and the candidate sets intersect — the
+      // multiplicative payoff a single-column sort cannot give. The
+      // oracle is the unpruned AND-filter; LakeSpec pins the file
+      // counts (both < x-only).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val fixDir = new java.io.File("/tmp/graft_multiprune_" +
+        dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      buildStoreOnce(fixDir, "_SUCCESS") { d =>
+        graft.sources.Lake.zOrderWrite(li, "l_partkey", "l_suppkey",
+          d.getPath, files = 32)
+      }
+      val stats = graft.sources.Lake.fileStats(
+        s, fixDir.getPath, Seq("l_partkey", "l_suppkey"))
+      graft.sources.Lake.readPrunedMulti(s, fixDir.getPath, stats,
+          Seq(("l_partkey", 200L, 800L), ("l_suppkey", 10L, 40L)))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+    }),
+
     "q_lake_range_prune" -> ((s, dir) => {
       // Typed range-pruned read path (Lake.fileStats + Lake.readPruned
       // — Delta/Iceberg data skipping wired into the scan): lineitem is
@@ -10666,6 +10692,16 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity as bigint)) as bigint) qty_sum
         |from lineitem
         |where l_partkey between 100 and 600 and l_suppkey between 20 and 60
+        |group by 1""".stripMargin,
+
+    // both-range AND filter over the whole table — intersected pruning
+    // must be invisible to results
+    "q_lake_multi_prune" ->
+      """select l_suppkey, cast(count(*) as bigint) n_rows,
+        |  min(l_partkey) min_pk, max(l_partkey) max_pk,
+        |  cast(sum(cast(l_quantity as bigint)) as bigint) qty_sum
+        |from lineitem
+        |where l_partkey between 200 and 800 and l_suppkey between 10 and 40
         |group by 1""".stripMargin,
 
     // the pruned read must be row-identical to the full range filter —

@@ -416,6 +416,31 @@ object Lake {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Conjunctive multi-column range scan: every (column, lo, hi)
+    * predicate prunes independently off the same [[fileStats]] table
+    * and the candidate sets INTERSECT (a file must admit all of them),
+    * then the exact AND-predicate runs over the survivors — still
+    * row-identical to the full filter, zero false negatives per column.
+    * This is the z-order payoff in stats form: after [[zOrderWrite]]
+    * both clustered columns have tight per-file boxes, so the
+    * intersection prunes multiplicatively where a single-column sort
+    * could prune only its own dimension. */
+  def readPrunedMulti(spark: SparkSession, path: String, stats: DataFrame,
+                      preds: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(preds.nonEmpty, "readPrunedMulti needs at least one predicate")
+    val candidate = preds
+      .map { case (c, lo, hi) => pruneFilesRange(stats, c, lo, hi).toSet }
+      .reduce(_ intersect _)
+    val full = spark.read.parquet(path)
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
+    if (candidate.isEmpty) full.filter(lit(false))
+    else spark.read.schema(full.schema).parquet(candidate.toSeq: _*)
+      .filter(pred)
+  }
+
   /** Range scan that opens only the files the stats admit: prune via
     * [[pruneFilesRange]] (optionally intersected with a bloom
     * point-lookup candidate set — `bloomFilter` = (bloom table from

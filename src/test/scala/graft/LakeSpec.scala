@@ -282,6 +282,32 @@ class LakeSpec extends AnyFunSuite {
       Seq(123L, 40123L))
   }
 
+  test("readPrunedMulti: per-column candidate sets intersect multiplicatively") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpm_")
+      .toString + "/t"
+    // z-ordered layout: both dims get tight per-file boxes
+    val df = (0 until 160000).map { i =>
+      ((i % 400).toLong, (i / 400).toLong, i.toLong)
+    }.toDF("x", "y", "pay")
+    Lake.zOrderWrite(df, "x", "y", dir, files = 32)
+    val stats = Lake.fileStats(spark, dir, Seq("x", "y"))
+    val both = Lake.readPrunedMulti(spark, dir, stats,
+      Seq(("x", 100L, 140L), ("y", 100L, 140L)))
+    val xOnly = Lake.readPruned(spark, dir, stats, "x", 100L, 140L)
+    // the intersection must open no more (and here strictly fewer)
+    // files than the single-column prune
+    assert(both.inputFiles.length < xOnly.inputFiles.length,
+      s"both=${both.inputFiles.length} xOnly=${xOnly.inputFiles.length}")
+    val full = spark.read.parquet(dir)
+      .filter(col("x").between(100, 140) && col("y").between(100, 140))
+    assert(both.agg(count(lit(1)), sum("pay")).head() ==
+      full.agg(count(lit(1)), sum("pay")).head())
+    // disjoint per-column ranges → empty candidate set, zero rows
+    assert(Lake.readPrunedMulti(spark, dir, stats,
+      Seq(("x", 0L, 10L), ("y", 390L, 399L), ("x", 350L, 399L))).count() == 0)
+  }
+
   test("pruneFiles reads m_bits/k from the table and rejects a bare bloom") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pf_")
