@@ -6092,6 +6092,35 @@ object SparkEntry {
       tnl.unionByName(t360).orderBy(col("src"), col("idx"))
     }),
 
+    "q_cf_time_encode" -> ((s, dir) => {
+      // r14: the CF time ENCODE half (CfTime.encodeStandard /
+      // encodeNonStandard — what the export converters write): every
+      // l_shipdate encodes as exact integer days since 1992-01-01
+      // (whole-steps discipline enforced columnar), and a planted
+      // julian companion frame encodes as hours since 1900-01-01
+      // through the closed-form julian day count. Integer `div`
+      // (IntegralDivide) keeps the micros sums exact past 2^53. The
+      // oracle replays both closed forms.
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val std = li.select(graft.sources.CfTime.encodeStandard(
+          col("l_shipdate"), "days since 1992-01-01").as("v"))
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+        .withColumn("src", lit("std"))
+      val planted = Seq((1900, 59, 0L), (1900, 60, 64800000000L),
+        (1904, 366, 0L), (2000, 1, 3600000000L)).toDF("y", "d", "u")
+      val jul = planted.select(graft.sources.CfTime.encodeNonStandard(
+          col("y"), col("d"), col("u"),
+          "hours since 1900-01-01", "julian").as("v"))
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+        .withColumn("src", lit("jul"))
+      std.unionByName(jul)
+        .select(col("src"), col("n_rows"), col("min_v"), col("max_v"),
+          col("sum_v"))
+    }),
+
     "q_cf_time_julian" -> ((s, dir) => {
       // r14: the julian CF calendar (every 4th year leap, CENTURIES
       // included — cftime's DatetimeJulian) decodes to the same
@@ -6753,6 +6782,28 @@ object SparkEntry {
         |select source, hv, cast(doc_id as bigint) doc_id,
         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
         |from rk where rk <= 32""".stripMargin,
+
+    // the encode closed forms replayed: standard = exact day diffs;
+    // julian = 365(y−1) + ⌊(y−1)/4⌋ days before the year (epoch
+    // 1900-01-01 = julian absolute day 693609), hours = days·24 + us/3.6e9
+    "q_cf_time_encode" ->
+      """select 'std' src, cast(count(*) as bigint) n_rows,
+        |  cast(min(date_diff('day', date '1992-01-01', l_shipdate))
+        |    as bigint) min_v,
+        |  cast(max(date_diff('day', date '1992-01-01', l_shipdate))
+        |    as bigint) max_v,
+        |  cast(sum(date_diff('day', date '1992-01-01', l_shipdate))
+        |    as bigint) sum_v
+        |from lineitem
+        |union all
+        |select 'jul', cast(count(*) as bigint),
+        |  cast(min(v) as bigint), cast(max(v) as bigint),
+        |  cast(sum(v) as bigint)
+        |from (
+        |  select ((365*(y-1) + (y-1 - (y-1)%4)/4 + d - 1) - 693609) * 24
+        |    + u / 3600000000 v
+        |  from (values (1900, 59, 0), (1900, 60, 64800000000),
+        |    (1904, 366, 0), (2000, 1, 3600000000)) t(y, d, u)) q""".stripMargin,
 
     // julian cycle split replayed in integers: epoch 1900-02-28 18:00 is
     // absolute day 693667 (365·1899 + ⌊1899/4⌋ + 58) + 64800000000 µs;

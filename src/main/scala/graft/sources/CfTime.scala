@@ -107,6 +107,70 @@ object CfTime {
       lens.take(month - 1).sum.toLong + day
   }
 
+  // ---------------- encode (the export half) ----------------
+
+  /** ENCODE a TIMESTAMP column as CF offsets under a standard calendar
+    * — the inverse of [[decode]]'s standard branch. Exact-integer
+    * discipline: the offset must be a whole number of steps
+    * (assert_true, loud) — a fractional encode would round and break
+    * the round trip; callers pick finer units instead. NULLs pass. */
+  def encodeStandard(time: Column, units: String): Column = {
+    val u = parseUnits(units)
+    val epochUs = java.time.LocalDateTime
+      .of(u.year, u.month, u.day, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L + u.usOfDay
+    // NTZ columns cast to TIMESTAMP first (identity under the engine's
+    // pinned UTC session zone; unix_micros only accepts TIMESTAMP)
+    val diff = unix_micros(time.cast("timestamp")) - lit(epochUs)
+    val exact = coalesce(pmod(diff, lit(u.step)) === 0, lit(true))
+    when(assert_true(exact, lit(s"CF encode: timestamp not a whole " +
+      s"number of '$units' steps — pick finer units")).isNull,
+      intDiv(diff, u.step))
+  }
+
+  /** Integral division (SQL `div`) — a double-routed `/` would lose
+    * exactness past 2^53 µs (~year 2255 territory for the micros sums
+    * the encoders produce). */
+  private def intDiv(c: Column, n: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  }
+
+  /** ENCODE companion columns (year, doy, us_of_day) as CF offsets
+    * under a fixed-length or julian calendar — the inverse of
+    * [[decode]]'s non-standard branches. Same whole-steps discipline. */
+  def encodeNonStandard(year: Column, doy: Column, usOfDay: Column,
+                        units: String, calendar: String): Column = {
+    val u = parseUnits(units)
+    val cal = canonCalendar(calendar)
+    require(cal != "standard",
+      "encodeNonStandard is for fixed-length/julian calendars — " +
+        "use encodeStandard for timestamps")
+    val absUs = cal match {
+      case "julian" =>
+        // days before a julian year, columnar: 365(y−1) + ⌊(y−1)/4⌋
+        val ym1 = year.cast("long") - 1L
+        val daysBefore = lit(365L) * ym1 +
+          (ym1 - pmod(ym1, lit(4L))) / lit(4L)
+        (daysBefore.cast("long") + doy.cast("long") - 1L) * lit(usPerDay) +
+          usOfDay.cast("long") -
+          lit(julianAbsDay(u.year, u.month, u.day) * usPerDay + u.usOfDay)
+      case c =>
+        val yl = yearDays(c)
+        val baseUs = (fixedDoy(c, u.month, u.day) - 1L) * usPerDay + u.usOfDay
+        (year.cast("long") - u.year) * lit(yl * usPerDay) +
+          (doy.cast("long") - 1L) * lit(usPerDay) +
+          usOfDay.cast("long") - lit(baseUs)
+    }
+    val exact = coalesce(pmod(absUs, lit(u.step)) === 0, lit(true))
+    when(assert_true(exact, lit(s"CF encode: instant not a whole " +
+      s"number of '$units' steps — pick finer units")).isNull,
+      intDiv(absUs, u.step))
+  }
+
   /** Decode `valueCol` (the CF-encoded number) of `df` in place:
     * standard calendars replace it with `time` TIMESTAMP; fixed-length
     * calendars replace it with (`year`, `doy`, `us_of_day`). NULL

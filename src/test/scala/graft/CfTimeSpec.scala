@@ -103,6 +103,46 @@ class CfTimeSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("julian")), err.toString)
   }
 
+  test("CF encode is the exact inverse of decode across calendars") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // standard: day- and second-grain instants round-trip exactly
+    val ts = Seq("1850-01-01 00:00:00", "1992-06-15 00:00:00",
+      "2001-02-03 04:05:06", "1849-12-30 00:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("t"))
+    val enc = ts.select(col("t"),
+      CfTime.encodeStandard(col("t"), "seconds since 1850-01-01").as("value"))
+    val back = CfTime.decode(enc, "value", "seconds since 1850-01-01",
+      "standard")
+    assert(back.filter(col("t") =!= col("time")).count() == 0)
+    // whole-steps discipline: 04:05:06 is not a whole day
+    intercept[Exception](ts.select(
+      CfTime.encodeStandard(col("t"), "days since 1850-01-01")).collect())
+    // non-standard calendars: companion columns round-trip through the
+    // encode → decode pair, julian included (1900-02-29 exists)
+    for (cal <- Seq("noleap", "all_leap", "360_day", "julian")) {
+      val maxDoy = cal match {
+        case "noleap" => 365; case "360_day" => 360; case _ => 366
+      }
+      val comp = Seq((1900, 59, 0L), (1900, math.min(60, maxDoy), 64800000000L),
+        (1904, maxDoy, 0L), (2000, 1, 3600000000L))
+        .toDF("y", "d", "u")
+      val e = comp.select(col("y").as("y0"), col("d").as("d0"),
+        col("u").as("u0"),
+        CfTime.encodeNonStandard(col("y"), col("d"), col("u"),
+          "hours since 1900-01-01", cal).as("value"))
+      val b = CfTime.decode(e, "value", "hours since 1900-01-01", cal)
+      assert(b.filter(col("y0") =!= col("year") ||
+        col("d0") =!= col("doy") || col("u0") =!= col("us_of_day"))
+        .count() == 0, s"calendar $cal")
+    }
+    // NULLs pass both encoders
+    val n = Seq[(Option[Int], Option[Int])]((None, None)).toDF("y", "d")
+      .select(CfTime.encodeNonStandard(col("y"), col("d"), lit(0L),
+        "days since 1900-01-01", "noleap").as("v"))
+    assert(n.head().isNullAt(0))
+  }
+
   test("NetCDF readTimeCoordinate: classic time var with units/calendar attrs") {
     import spark.implicits._
     val f = java.io.File.createTempFile("graft_cft", ".nc"); f.deleteOnExit()
