@@ -174,31 +174,31 @@ object ZOrderLake {
   }
 
   private def statOne(f: String, conf: Configuration): Entry = {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf))
-        try {
-          val blocks = reader.getFooter.getBlocks
-          require(!blocks.isEmpty, s"slab $f has no row groups")
-          var rows = 0L
-          var mn = Long.MaxValue
-          var mx = Long.MinValue
-          blocks.forEach { b =>
-            rows += b.getRowCount
-            val zc = b.getColumns.stream()
-              .filter(c => c.getPath.toDotString == "zval")
-              .findFirst().orElseThrow(() => new IllegalStateException(
-                s"slab $f has no zval column"))
-            val st = zc.getStatistics
-            require(st != null && st.hasNonNullValue,
-              s"slab $f row group lacks zval statistics")
-            mn = math.min(mn,
-              st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
-            mx = math.max(mx,
-              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-          }
-          Entry(canonPath(f), mn, mx, rows)
-        } finally reader.close()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      require(!blocks.isEmpty, s"slab $f has no row groups")
+      var rows = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        val zc = b.getColumns.stream()
+          .filter(c => c.getPath.toDotString == "zval")
+          .findFirst().orElseThrow(() => new IllegalStateException(
+            s"slab $f has no zval column"))
+        val st = zc.getStatistics
+        require(st != null && st.hasNonNullValue,
+          s"slab $f row group lacks zval statistics")
+        mn = math.min(mn,
+          st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+        mx = math.max(mx,
+          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+      }
+      Entry(canonPath(f), mn, mx, rows)
+    } finally reader.close()
   }
 
   private def writeSlabs(df: DataFrame, dir: String, targetRows: Long,
