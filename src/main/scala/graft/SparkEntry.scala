@@ -5991,6 +5991,46 @@ object SparkEntry {
       mlabels.unionByName(jlabels).unionByName(mblobs).orderBy(col("src"), col("idx"))
     }),
 
+    "q_zarr_cf_write" -> ((s, dir) => {
+      // r14: the CF time-axis EXPORT under the gate (Zarr.writeCfTime —
+      // an <i8 array with units+calendar attrs, the form xr.decode_cf
+      // consumes): a standard axis encodes TIMESTAMPs as whole hours
+      // since 2000-01-01 (whole-steps discipline columnar), a julian
+      // axis writes pre-encoded companion offsets; both read back
+      // through readTimeCoordinate's decode. The oracle restates both
+      // closed forms — instants for the standard leg, (year, doy,
+      // us_of_day) via the julian cycle split for the other.
+      import s.implicits._
+      val storeDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zarr_cfw_store_v1")
+      buildStoreOnce(storeDir, "tstd/.zarray") { d =>
+        val std = (0 until 6).map(i => (i, s"2000-01-01 0$i:00:00"))
+          .toDF("i", "ts")
+          .select(col("i"), to_timestamp(col("ts")).as("value"))
+        graft.sources.Zarr.writeCfTime(std, d.getPath, "tstd",
+          "hours since 2000-01-01", targetChunkElems = 4)
+        val jul = Seq((1900, 59, 0L), (1900, 60, 64800000000L),
+          (1904, 366, 0L), (2000, 1, 3600000000L)).zipWithIndex
+          .map { case ((y, doy, us), i) => (i, y, doy, us) }
+          .toDF("i", "y", "d", "u")
+          .select(col("i"), graft.sources.CfTime.encodeNonStandard(
+            col("y"), col("d"), col("u"),
+            "hours since 1900-01-01", "julian").as("value"))
+        graft.sources.Zarr.writeCfTime(jul, d.getPath, "tjul",
+          "hours since 1900-01-01", "julian", targetChunkElems = 4)
+      }
+      val std = graft.sources.Zarr
+        .readTimeCoordinate(s, storeDir.getPath, "tstd")
+        .select(lit("std").as("src"), col("i").cast("long").as("idx"),
+          year(col("time")).as("year"), dayofyear(col("time")).as("doy"),
+          (unix_micros(col("time")) % lit(86400000000L)).as("us_of_day"))
+      val jul = graft.sources.Zarr
+        .readTimeCoordinate(s, storeDir.getPath, "tjul")
+        .select(lit("jul").as("src"), col("i").cast("long").as("idx"),
+          col("year"), col("doy"), col("us_of_day"))
+      std.unionByName(jul).orderBy(col("src"), col("idx"))
+    }),
+
     "q_zarr_write_roundtrip" -> ((s, dir) => {
       // r12: the corpus EXPORT path under the gate — writeStrings emits a
       // |O + vlen-utf8 + zlib store from a closed-form frame (rows 12..15
@@ -6782,6 +6822,20 @@ object SparkEntry {
         |select source, hv, cast(doc_id as bigint) doc_id,
         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
         |from rk where rk <= 32""".stripMargin,
+
+    // both write→decode round trips restated closed-form: six hourly
+    // instants on 2000-01-01, and the four julian companions verbatim
+    "q_zarr_cf_write" ->
+      """select * from (
+        |  select 'std' src, cast(i as bigint) idx, cast(2000 as int) "year",
+        |    cast(1 as int) doy, cast(i*3600000000 as bigint) us_of_day
+        |  from (values (0),(1),(2),(3),(4),(5)) t(i)
+        |  union all
+        |  select 'jul', cast(i as bigint), cast(y as int), cast(d as int),
+        |    cast(u as bigint)
+        |  from (values (0,1900,59,0),(1,1900,60,64800000000),
+        |    (2,1904,366,0),(3,2000,1,3600000000)) t(i,y,d,u)
+        |) order by src, idx""".stripMargin,
 
     // the encode closed forms replayed: standard = exact day diffs;
     // julian = 365(y−1) + ⌊(y−1)/4⌋ days before the year (epoch

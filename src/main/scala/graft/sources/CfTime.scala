@@ -70,6 +70,9 @@ object CfTime {
         "; non-zero UTC offsets are unsupported)")
   }
 
+  /** True for the calendars whose instants are plain TIMESTAMPs. */
+  def isStandardCalendar(c: String): Boolean = canonCalendar(c) == "standard"
+
   private def canonCalendar(c: String): String = c.toLowerCase match {
     case "standard" | "gregorian" | "proleptic_gregorian" | "" => "standard"
     case "noleap" | "365_day"  => "noleap"

@@ -2508,6 +2508,56 @@ object Zarr {
       encodePlain = (buf, _) => longsLEBuf(buf),
       compress = deflateZlib)
 
+  /** Write a CF-ENCODED time axis — the form `xr.decode_cf` consumes
+    * (and [[readTimeCoordinate]] re-decodes): an `<i8` array whose
+    * `.zattrs` carry the `units` ("<step> since <epoch>") and
+    * `calendar` attributes. `value` TIMESTAMP encodes through
+    * [[CfTime.encodeStandard]] (standard calendars only — whole-steps
+    * discipline enforced columnar); `value` LONG writes as-is for
+    * offsets the caller pre-encoded (the
+    * [[CfTime.encodeNonStandard]] companion-column path for
+    * noleap/all_leap/360_day/julian). Time axes are coordinates and
+    * therefore DENSE — absent positions are a caller error and write
+    * the int fill silently, unlike the NaT-carrying data writers. */
+  def writeCfTime(df: org.apache.spark.sql.DataFrame, store: String,
+                  name: String, units: String,
+                  calendar: String = "standard",
+                  targetChunkElems: Long = 1 << 20): Unit = {
+    val vt = df.schema.fields.find(_.name == "value").map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(s"$name: no value column"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val encoded = vt match {
+      case TimestampType | TimestampNTZType =>
+        require(CfTime.isStandardCalendar(calendar),
+          s"TIMESTAMP values encode under standard calendars only — " +
+            s"pre-encode '$calendar' companions via CfTime.encodeNonStandard")
+        CfTime.encodeStandard(col("value"), units)
+      case LongType =>
+        CfTime.parseUnits(units) // validate the units string up front
+        col("value")
+      case other => throw new IllegalArgumentException(
+        s"$name: value must be TIMESTAMP (encode here) or LONG " +
+          s"(pre-encoded offsets), got $other")
+    }
+    writeChunked[Long](df, store, name, targetChunkElems,
+      maxInnerElems = 1L << 28,
+      metaFiles = (dims, chunkDims, dimCols) => Seq(
+        ".zarray" ->
+          (s"""{"zarr_format": 2, "shape": [${dims.mkString(", ")}], """ +
+            s""""chunks": [${chunkDims.mkString(", ")}], "dtype": "<i8", """ +
+            """"compressor": {"id": "zlib", "level": 6}, "fill_value": null, """ +
+            """"filters": null, "order": "C"}"""),
+        ".zattrs" ->
+          (s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}], """ +
+            s""""units": "$units", "calendar": "$calendar"}""")),
+      chunkKey = _.mkString("."),
+      castValue = encoded,
+      fillBuf = n => Array.fill(n)(0L),
+      setCell = (buf, off, r) => buf(off) = r.getLong(2),
+      encodePlain = (buf, _) => longsLEBuf(buf),
+      compress = deflateZlib)
+  }
+
   /** Write one long-format frame (dim columns + `value` INTERVAL DAY TO
     * SECOND) as a Zarr v2 `<m8[us]` array — the export twin of
     * [[readTimedeltas]]. The interval's exact micros are extracted by
