@@ -1,9 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.io.RandomAccessFile
 import java.util.zip.Inflater
 
 /** Minimal HDF5 reader for NetCDF-4 ingestion — the subset of the public
@@ -120,8 +120,11 @@ object Hdf5 {
 
   // ---------------- driver-side metadata parse ----------------
 
-  private class Reader(path: String) {
-    val raf = new RandomAccessFile(path, "r")
+  private class Reader(conf: Configuration, path: String) {
+    // Hadoop-FS random-access cursor (FsIo.SeekableData): file://, hdfs://
+    // and s3a:// HDF5 files parse identically, and byte-cursor reads serve
+    // from SeekableData's window instead of a syscall/GET per byte
+    val raf = FsIo.openSeekable(conf, path)
     def close(): Unit = raf.close()
     def seek(p: Long): Unit = raf.seek(p)
     def u8(): Int = raf.readUnsignedByte()
@@ -155,7 +158,7 @@ object Hdf5 {
     * symbol-table groups, and superblock v2/v3 ("latest") with v2 object
     * headers and compact link-message groups. */
   def readMeta(path: String): Seq[Dataset] = {
-    val r = new Reader(path)
+    val r = new Reader(FsIo.driverConf(), path)
     try {
       val sig = r.bytes(8)
       require(sig.map(_ & 0xFF).sameElements(Seq(0x89, 'H', 'D', 'F', 0x0D, 0x0A, 0x1A, 0x0A)),
@@ -733,7 +736,7 @@ object Hdf5 {
     * the layout message declared: v1 B-tree (classic), single chunk,
     * implicit grid, or fixed array ("latest"). */
   def chunkTable(path: String, ds: Dataset): Seq[Chunk] = {
-    val r = new Reader(path)
+    val r = new Reader(FsIo.driverConf(), path)
     try ds.chunkIndex match {
       case 0 => collectChunks(r, ds.chunkBtree, ds.chunkDims.length)
       case 1 => // single chunk: whole dataspace in one chunk at the address
@@ -791,7 +794,7 @@ object Hdf5 {
           Chunk(base + flat * chunkBytes, chunkBytes, gridOffsets(flat))
         }
       case 3 => // fixed array: executors range-read their FADB entry spans
-        val r = new Reader(path)
+        val r = new Reader(FsIo.driverConf(), path)
         val fa = try fixedArrayMeta(r, ds) finally r.close()
         require(fa.maxEntries == nChunks,
           s"fixed-array entries ${fa.maxEntries} != grid $nChunks")
@@ -799,12 +802,13 @@ object Hdf5 {
         val (clientId, entrySize, dataBlock) = (fa.clientId, fa.entrySize, fa.dataBlock)
         // FADB prefix: signature(4) + version(1) + client id(1) + header addr(8)
         val entriesAt = dataBlock + 14L
+        val snap = FsIo.snapshot(spark) // executor reads go through Hadoop FS
         spark.sparkContext.range(0L, nChunks, numSlices = slices)
           .mapPartitions { it =>
             val idxs = it.toArray // one range partition = contiguous span
             if (idxs.isEmpty) Iterator.empty
             else {
-              val raf = new RandomAccessFile(path, "r")
+              val raf = FsIo.openSeekable(snap.value, path)
               try {
                 // structural prefix check per task (6 bytes): the driver
                 // no longer reads the block, so a dangling data-block
@@ -1345,6 +1349,7 @@ object Hdf5 {
     * reuses the chunk table and the shuffle/deflate pipeline. */
   private def cellBytes(spark: SparkSession, path: String, ds: Dataset):
       org.apache.spark.rdd.RDD[(Array[Long], Array[Byte])] = {
+    val snap = FsIo.snapshot(spark) // executor reads go through Hadoop FS
     val dims = ds.dims.toArray
     val esz = ds.dtSize
     val total = dims.product
@@ -1358,7 +1363,7 @@ object Hdf5 {
             val idxs = it.toArray // one range partition = contiguous span
             if (idxs.isEmpty) Iterator.empty
             else {
-              val raf = new RandomAccessFile(path, "r")
+              val raf = FsIo.openSeekable(snap.value, path)
               try {
                 val lo = idxs.head
                 raf.seek(addr + lo * esz)
@@ -1377,7 +1382,7 @@ object Hdf5 {
         val chunkElems = cdims.product.toInt
         val filters = ds.pipeline
         chunkRdd(spark, path, ds).flatMap { c =>
-          val raf = new RandomAccessFile(path, "r")
+          val raf = FsIo.openSeekable(snap.value, path)
           try {
             raf.seek(c.address)
             val stored = new Array[Byte](c.storedSize.toInt)
@@ -1404,7 +1409,7 @@ object Hdf5 {
   }
 
   /** One global-heap collection (GCOL) as index → object bytes. */
-  private def readGcol(raf: RandomAccessFile, addr: Long): Map[Int, Array[Byte]] = {
+  private def readGcol(raf: FsIo.SeekableData, addr: Long): Map[Int, Array[Byte]] = {
     raf.seek(addr)
     val sig = new Array[Byte](4); raf.readFully(sig)
     require(new String(sig, "ASCII") == "GCOL", s"no GCOL at $addr")
@@ -1452,10 +1457,11 @@ object Hdf5 {
     val isVlen = ds.dtClass == 9
     val little = ds.littleEndian
     val rank = ds.dims.length
+    val snap = FsIo.snapshot(spark) // executor heap reads go through Hadoop FS
     val rdd = cellBytes(spark, path, ds).mapPartitions { it =>
       if (!isVlen) it.map { case (idx, b) => (idx, fixedStr(b)) }
       else {
-        val raf = new RandomAccessFile(path, "r")
+        val raf = FsIo.openSeekable(snap.value, path)
         val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
         val mapped = it.map { case (idx, b) =>
           val bb = java.nio.ByteBuffer.wrap(b).order(
@@ -1535,8 +1541,9 @@ object Hdf5 {
     val rank = ds.dims.length
     val isFloat = elemT.cls == 1; val isStr = elemT.cls == 3
     val bSize = elemT.size; val bLittle = elemT.little
+    val snap = FsIo.snapshot(spark) // executor heap reads go through Hadoop FS
     val rows = cellBytes(spark, path, ds).mapPartitions { it =>
-      val raf = new RandomAccessFile(path, "r")
+      val raf = FsIo.openSeekable(snap.value, path)
       val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
       def heapObj(addr: Long, gidx: Int): Array[Byte] = {
         val col = cache.getOrElseUpdate(addr, readGcol(raf, addr))
@@ -1914,6 +1921,7 @@ object Hdf5 {
     val dims = ds.dims
     val rank = dims.length
     val (dtClass, dtSize, little) = (ds.dtClass, ds.dtSize, ds.littleEndian)
+    val snap = FsIo.snapshot(spark) // executor reads go through Hadoop FS
 
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Double)] = ds.layoutClass match {
       case 1 | 0 => // contiguous / compact: pure offset math, like classic NetCDF
@@ -1921,7 +1929,7 @@ object Hdf5 {
         val total = dims.product
         val innerSizes = dims.toArray
         spark.range(0, total).mapPartitions { it =>
-          val raf = new RandomAccessFile(path, "r")
+          val raf = FsIo.openSeekable(snap.value, path)
           val iter = it.map { flatBoxed =>
             val flat: Long = flatBoxed
             raf.seek(addr + flat * dtSize)
@@ -1948,7 +1956,7 @@ object Hdf5 {
         val chunkElems = cdims.product.toInt
         chunkRdd(spark, path, ds)
           .flatMap { c =>
-            val raf = new RandomAccessFile(path, "r")
+            val raf = FsIo.openSeekable(snap.value, path)
             try {
               raf.seek(c.address)
               val stored = new Array[Byte](c.storedSize.toInt)

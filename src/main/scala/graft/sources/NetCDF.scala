@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.io.{DataInputStream, EOFException, FileInputStream, RandomAccessFile}
+import java.io.{DataInputStream, EOFException, RandomAccessFile}
 
 /** NetCDF classic-format (CDF-1 / CDF-2) reader + Parquet-lake converter —
   * the ingestion utility SURVEY §2.6 promises (the reference's I/O surface
@@ -52,7 +52,8 @@ object NetCDF {
 
   /** Parse the header (driver-side, reads only the header bytes). */
   def readHeader(path: String): NcHeader = {
-    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(path)))
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      FsIo.fs(FsIo.driverConf(), path).open(new org.apache.hadoop.fs.Path(path))))
     try {
       val magic = Array.fill(4)(in.readByte())
       require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
@@ -115,7 +116,7 @@ object NetCDF {
     } finally in.close()
   }
 
-  private def readValue(raf: RandomAccessFile, ncType: Int): Double = ncType match {
+  private def readValue(raf: FsIo.SeekableData, ncType: Int): Double = ncType match {
     case 1 => raf.readByte().toDouble
     case 2 => raf.readByte().toDouble // char read numerically
     case 3 => raf.readShort().toDouble
@@ -181,9 +182,10 @@ object NetCDF {
     }.getOrElse(0.0)
 
     import spark.implicits._
+    val snap = FsIo.snapshot(spark) // executor reads go through Hadoop FS
     val raw = spark.range(0, outerN)
       .mapPartitions { outers =>
-        val raf = new RandomAccessFile(path, "r")
+        val raf = FsIo.openSeekable(snap.value, path)
         val it = outers.flatMap { outerBoxed =>
           val outer: Long = outerBoxed
           raf.seek(begin + outer * strideBytes)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException,
-  FileOutputStream, InputStream}
+  InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPInputStream
 

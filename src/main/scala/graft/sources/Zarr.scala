@@ -1,9 +1,10 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.io.{File, RandomAccessFile}
+import java.io.File
 
 /** Zarr v2 AND v3 directory-store reader — the cloud-native half of the
   * reference's `xr.open_dataset` I/O surface (xclim opens NetCDF *and*
@@ -228,25 +229,36 @@ object Zarr {
     }
   }
 
-  private def readText(f: File): String = {
-    val raf = new RandomAccessFile(f, "r")
-    try {
-      val b = new Array[Byte](raf.length().toInt)
-      raf.readFully(b)
-      new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    } finally raf.close()
-  }
+  /** Driver-side Hadoop conf (active session's, so remote-store creds
+    * apply). Every metadata touch and chunk fetch in this reader goes
+    * through [[FsIo]]: a Zarr store addressed as `s3a://…` or `hdfs://…`
+    * reads exactly like `file://`, and — critically — an executor that
+    * cannot see the store FAILS LOUDLY instead of decoding absent chunks
+    * as fill_value (the absent-chunk contract makes a silently unmounted
+    * path indistinguishable from an all-fill array). */
+  private def dConf: Configuration = FsIo.driverConf()
+
+  /** `store`/`name` joined as a string path — uniform across schemes
+    * (`file://`, `hdfs://`, `s3a://`); Hadoop `Path` parses the result. */
+  private def childPath(store: String, name: String): String =
+    if (name.isEmpty) store.stripSuffix("/")
+    else store.stripSuffix("/") + "/" + name
+
+  private def readText(conf: Configuration, path: String): String =
+    new String(FsIo.readBytes(conf, path), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Parse one array's metadata under `store/name` (or `store` itself
     * when `name` is empty — a bare-array store): v2 `.zarray` (+ optional
     * `.zattrs`) when present, else v3 `zarr.json`. */
   def readArrayMeta(store: String, name: String): ZArray = {
-    val dir = if (name.isEmpty) new File(store) else new File(store, name)
-    val zarrayFile = new File(dir, ".zarray")
-    if (!zarrayFile.isFile && new File(dir, "zarr.json").isFile)
+    val conf = dConf
+    val dir = childPath(store, name)
+    val zarrayPath = dir + "/.zarray"
+    if (!FsIo.isFile(conf, zarrayPath) && FsIo.isFile(conf, dir + "/zarr.json"))
       return readArrayMetaV3(store, name)
-    require(zarrayFile.isFile, s"no .zarray or zarr.json under $dir — not a Zarr array")
-    val m = Json.parse(readText(zarrayFile)).asInstanceOf[Map[String, Any]]
+    require(FsIo.isFile(conf, zarrayPath),
+      s"no .zarray or zarr.json under $dir — not a Zarr array")
+    val m = Json.parse(readText(conf, zarrayPath)).asInstanceOf[Map[String, Any]]
     require(m("zarr_format").asInstanceOf[Double].toInt == 2,
       s"only Zarr v2 (got zarr_format=${m("zarr_format")})")
     val filters: Seq[ZFilter] = m.getOrElse("filters", null) match {
@@ -326,12 +338,12 @@ object Zarr {
     val sep = m.getOrElse("dimension_separator", ".") match {
       case null => "."; case s: String => s
     }
-    val attrsFile = new File(dir, ".zattrs")
+    val attrsPath = dir + "/.zattrs"
     var dimNames = Seq.empty[String]
     var strAttrs = Map.empty[String, String]
     val attrs: Map[String, Double] =
-      if (!attrsFile.isFile) Map.empty
-      else Json.parse(readText(attrsFile)).asInstanceOf[Map[String, Any]].flatMap {
+      if (!FsIo.isFile(conf, attrsPath)) Map.empty
+      else Json.parse(readText(conf, attrsPath)).asInstanceOf[Map[String, Any]].flatMap {
         case ("_ARRAY_DIMENSIONS", v: Vector[Any @unchecked]) =>
           dimNames = v.map(_.asInstanceOf[String]); None
         case (k, d: Double)  => Some(k -> d)
@@ -347,7 +359,8 @@ object Zarr {
       require(i > 0 && j > i, s"datetime64/timedelta64 dtype '$dt' lacks a [unit]")
       dt.substring(i + 1, j)
     } else ""
-    ZArray(if (name.isEmpty) dir.getName else name, asLongs(m("shape")),
+    ZArray(if (name.isEmpty) new org.apache.hadoop.fs.Path(store).getName else name,
+      asLongs(m("shape")),
       asLongs(m("chunks")), kind, size, little, comp, fill,
       order == "C", sep, attrs, dimNames, filters = filters, dtUnit = dtUnit,
       strAttrs = strAttrs)
@@ -361,8 +374,9 @@ object Zarr {
     * full reverse)/`gzip`/`zstd`/`blosc`/`crc32c`/`sharding_indexed`.
     * Nested sharding and unknown codecs are rejected loudly. */
   private def readArrayMetaV3(store: String, name: String): ZArray = {
-    val dir = if (name.isEmpty) new File(store) else new File(store, name)
-    val m = Json.parse(readText(new File(dir, "zarr.json"))).asInstanceOf[Map[String, Any]]
+    val conf = dConf
+    val dir = childPath(store, name)
+    val m = Json.parse(readText(conf, dir + "/zarr.json")).asInstanceOf[Map[String, Any]]
     require(m("zarr_format").asInstanceOf[Double].toInt == 3,
       s"unexpected zarr_format ${m("zarr_format")} in zarr.json")
     require(m("node_type") == "array", s"$dir zarr.json is a ${m("node_type")}, not an array")
@@ -481,7 +495,8 @@ object Zarr {
           s"vlen codec ${effVlen.get} is only valid for string/bytes data types")
         Nil
       }
-    ZArray(if (name.isEmpty) dir.getName else name, shape, chunks, kind, size,
+    ZArray(if (name.isEmpty) new org.apache.hadoop.fs.Path(store).getName else name,
+      shape, chunks, kind, size,
       little, comp, fill, cOrder, sep, attrs, dimNames, keyPrefix, crc,
       chain.sharding, filters, dtUnit, strAttrs)
   }
@@ -557,45 +572,46 @@ object Zarr {
     * files remain the source of truth either way (v2 stores always
     * carry them alongside the consolidated copy). */
   def readMeta(store: String): Seq[ZArray] = {
-    val root = new File(store)
-    require(root.isDirectory, s"$store is not a directory")
-    val zmeta = new File(root, ".zmetadata")
-    if (zmeta.isFile) {
-      val m = Json.parse(readText(zmeta)).asInstanceOf[Map[String, Any]]
+    val conf = dConf
+    require(FsIo.isDirectory(conf, store), s"$store is not a directory")
+    val root = store.stripSuffix("/")
+    val zmeta = root + "/.zmetadata"
+    if (FsIo.isFile(conf, zmeta)) {
+      val m = Json.parse(readText(conf, zmeta)).asInstanceOf[Map[String, Any]]
       require(m("zarr_consolidated_format").asInstanceOf[Double].toInt == 1,
         "only consolidated-metadata format 1")
       m("metadata").asInstanceOf[Map[String, Any]].keys
         .filter(k => k.endsWith("/.zarray"))
         .map(_.stripSuffix("/.zarray")).toSeq.sorted
         .map(readArrayMeta(store, _))
-    } else if (new File(root, ".zarray").isFile) Seq(readArrayMeta(store, ""))
-    else if (new File(root, "zarr.json").isFile) {
+    } else if (FsIo.isFile(conf, root + "/.zarray")) Seq(readArrayMeta(store, ""))
+    else if (FsIo.isFile(conf, root + "/zarr.json")) {
       // v3 store: one zarr.json per node; a group's arrays are its
       // immediate children whose zarr.json says node_type=array
-      val m = Json.parse(readText(new File(root, "zarr.json"))).asInstanceOf[Map[String, Any]]
+      val m = Json.parse(readText(conf, root + "/zarr.json")).asInstanceOf[Map[String, Any]]
       m("node_type") match {
         case "array" => Seq(readArrayMeta(store, ""))
-        case "group" => root.listFiles().filter { d =>
-            val z = new File(d, "zarr.json")
-            d.isDirectory && z.isFile &&
-              Json.parse(readText(z)).asInstanceOf[Map[String, Any]]
+        case "group" => FsIo.listDirNames(conf, root).filter { d =>
+            val z = root + "/" + d + "/zarr.json"
+            FsIo.isFile(conf, z) &&
+              Json.parse(readText(conf, z)).asInstanceOf[Map[String, Any]]
                 .get("node_type").contains("array")
-          }.map(d => readArrayMeta(store, d.getName)).sortBy(_.name).toSeq
+          }.map(readArrayMeta(store, _)).sortBy(_.name)
         case other => throw new IllegalArgumentException(s"unknown node_type '$other'")
       }
     }
-    else root.listFiles().filter(_.isDirectory).flatMap { d =>
+    else FsIo.listDirNames(conf, root).flatMap { d =>
       // unconsolidated fallback: v2 children (.zarray) and v3 array
       // children (zarr.json) both count — mixed stores happen when a v3
       // array is added to a v2-era directory. A malformed child (no
       // node_type) is SKIPPED like any other non-array dir, not a crash.
-      if (new File(d, ".zarray").isFile) Some(readArrayMeta(store, d.getName))
-      else if (new File(d, "zarr.json").isFile &&
-          Json.parse(readText(new File(d, "zarr.json")))
+      if (FsIo.isFile(conf, root + "/" + d + "/.zarray")) Some(readArrayMeta(store, d))
+      else if (FsIo.isFile(conf, root + "/" + d + "/zarr.json") &&
+          Json.parse(readText(conf, root + "/" + d + "/zarr.json"))
             .asInstanceOf[Map[String, Any]].get("node_type").contains("array"))
-        Some(readArrayMeta(store, d.getName))
+        Some(readArrayMeta(store, d))
       else None
-    }.sortBy(_.name).toSeq
+    }.sortBy(_.name)
   }
 
   // ---------------- executor-side chunk decode ----------------
@@ -809,7 +825,8 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val dir = childPath(store, name)
+    val fsSnap = FsIo.snapshot(spark) // chunk fetches go through Hadoop FS
     val (kind, size, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
     val (keyPrefix, crc) = (za.keyPrefix, za.crc32c)
@@ -859,27 +876,23 @@ object Zarr {
               else Some((idx, data.fold(fillForAbsent.get)(_(flat))))
             }
           }
-          val f = new File(dir, keyPrefix + cc.mkString(sep))
+          val key = keyPrefix + cc.mkString(sep)
+          val fPath = dir + "/" + key
           val zero = new Array[Long](rank)
           sharding match {
             case None =>
+              // absent chunk (None) = entirely fill_value
               val data: Option[Int => Double] =
-                if (!f.isFile) None // absent chunk = entirely fill_value
-                else {
-                  val raf = new RandomAccessFile(f, "r")
-                  try {
-                    val all = new Array[Byte](raf.length().toInt)
-                    raf.readFully(all)
-                    val stored = if (crc) stripCrc32c(all, f.getName) else all
-                    val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
-                    if (filters.nonEmpty) {
-                      val arr = unfilter(plain, filters, chunkElems, kind, size, little)
-                      Some(arr(_))
-                    } else {
-                      val bb = order(plain, little)
-                      Some(decodeAt(bb, kind, size, _))
-                    }
-                  } finally raf.close()
+                FsIo.readAllIfExists(fsSnap.value, fPath).map { all =>
+                  val stored = if (crc) stripCrc32c(all, key) else all
+                  val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
+                  if (filters.nonEmpty) {
+                    val arr = unfilter(plain, filters, chunkElems, kind, size, little)
+                    arr(_)
+                  } else {
+                    val bb = order(plain, little)
+                    decodeAt(bb, kind, size, _)
+                  }
                 }
               emit(data, cdims.map(_.toLong), zero, cOrder)
             case Some(sh) =>
@@ -897,14 +910,14 @@ object Zarr {
                   rem /= innerPerDim(i); i -= 1 }
                 icc
               }
-              if (!f.isFile) // absent shard = every inner chunk fill_value
+              if (!FsIo.isFile(fsSnap.value, fPath)) // absent shard = every inner chunk fill_value
                 (0 until nInner).iterator.flatMap(si =>
                   emit(None, ich, innerOrigin(si), sh.innerCOrder))
               else {
                 // I/O is EAGER (the file handle closes before the lazy
                 // element iterator is consumed); decode stays lazy, so
                 // peak memory is the compressed shard, not the elements
-                val bodies = readShardBodies(f, nInner, sh)
+                val bodies = readShardBodies(fsSnap.value, fPath, nInner, sh)
                 (0 until nInner).iterator.flatMap { si =>
                   emit(bodies(si).map { b =>
                       val bb = order(decompress(sh.innerComp, b,
@@ -979,7 +992,8 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val dir = childPath(store, name)
+    val fsSnap = FsIo.snapshot(spark)
     val (kind, width, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, cOrder) = (za.compressor, za.dimSeparator, za.cOrder)
     val keyPrefix = za.keyPrefix
@@ -988,7 +1002,8 @@ object Zarr {
     val allowDelta = allowUnverifiedDelta(spark)
     val raw: org.apache.spark.sql.Dataset[(Array[Long], String)] =
       chunkCoordRdd(spark, nChunksPerDim).flatMap { cc =>
-        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val key = keyPrefix + cc.mkString(sep)
+        val fPath = dir + "/" + key
         // one sub-block of elements: `sub` dims, `origin` offset within
         // the outer chunk, the block's own element order
         def emit(data: Option[Int => String], sub: Array[Long],
@@ -1016,24 +1031,20 @@ object Zarr {
         val zero = new Array[Long](rank)
         sharding match {
           case None =>
+            // absent chunk (None) → NULL values
             val data: Option[Int => String] =
-              if (!f.isFile) None // absent chunk → NULL values
-              else {
-                val raf = new RandomAccessFile(f, "r")
-                val all = try {
-                  val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-                } finally raf.close()
+              FsIo.readAllIfExists(fsSnap.value, fPath).map { all =>
                 if (isObj) {
-                  val stored = if (crc) stripCrc32c(all, f.getName) else all
-                  val plain = inflateObject(comp, stored, f.getName)
-                  val strs = decodeObjectStrings(objCodec, plain, chunkElems, f.getName)
-                  Some(strs(_))
+                  val stored = if (crc) stripCrc32c(all, key) else all
+                  val plain = inflateObject(comp, stored, key)
+                  val strs = decodeObjectStrings(objCodec, plain, chunkElems, key)
+                  strs(_)
                 } else {
                   val plain = decompress(comp, all, chunkElems * width, allowDelta)
                   val bb = java.nio.ByteBuffer.wrap(plain).order(
                     if (little) java.nio.ByteOrder.LITTLE_ENDIAN
                     else java.nio.ByteOrder.BIG_ENDIAN)
-                  Some { i =>
+                  val get: Int => String = { i =>
                     val off = i * width
                     if (kind == 'S') {
                       var end = off + width
@@ -1049,6 +1060,7 @@ object Zarr {
                       sb.toString
                     }
                   }
+                  get
                 }
               }
             emit(data, cdims.map(_.toLong), zero, cOrder)
@@ -1066,16 +1078,16 @@ object Zarr {
                 rem /= innerPerDim(i); i -= 1 }
               icc
             }
-            if (!f.isFile) // absent shard = every inner chunk NULL
+            if (!FsIo.isFile(fsSnap.value, fPath)) // absent shard = every inner chunk NULL
               (0 until nInner).iterator.flatMap(si =>
                 emit(None, ich, innerOrigin(si), sh.innerCOrder))
             else {
-              val bodies = readShardBodies(f, nInner, sh)
+              val bodies = readShardBodies(fsSnap.value, fPath, nInner, sh)
               (0 until nInner).iterator.flatMap { si =>
                 emit(bodies(si).map { b =>
-                    val plain = inflateObject(sh.innerComp, b, s"${f.getName}#$si")
+                    val plain = inflateObject(sh.innerComp, b, s"$key#$si")
                     val strs = decodeObjectStrings(objCodec, plain, innerElems,
-                      s"${f.getName}#$si")
+                      s"$key#$si")
                     strs(_)
                   }, ich, innerOrigin(si), sh.innerCOrder)
               }
@@ -1112,22 +1124,19 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val dir = childPath(store, name)
+    val fsSnap = FsIo.snapshot(spark)
     val (comp, sep, zCrc) = (za.compressor, za.dimSeparator, za.crc32c)
     val cOrder = za.cOrder
     val keyPrefix = za.keyPrefix
     val chunkElems = cdims.product.toInt
     val raw: org.apache.spark.sql.Dataset[(Array[Long], Array[Byte])] =
       chunkCoordRdd(spark, nChunksPerDim).flatMap { cc =>
-        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val key = keyPrefix + cc.mkString(sep)
+        // absent chunk (None) → NULL values
         val items: Option[Array[Array[Byte]]] =
-          if (!f.isFile) None // absent chunk → NULL values
-          else {
-            val raf = new RandomAccessFile(f, "r")
-            val all = try {
-              val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-            } finally raf.close()
-            val stored = if (zCrc) stripCrc32c(all, f.getName) else all
+          FsIo.readAllIfExists(fsSnap.value, dir + "/" + key).map { all =>
+            val stored = if (zCrc) stripCrc32c(all, key) else all
             val plain = comp match {
               case "raw"                    => stored
               case "zlib" | "gzip" | "zstd" => inflateUnknown(comp, stored)
@@ -1135,7 +1144,7 @@ object Zarr {
                 s"object chunks support raw/zlib/gzip/zstd, got '$other' " +
                   "(vlen payload length is unknown before decode)")
             }
-            Some(decodeObjectBytes(objCodec, plain, chunkElems, f.getName))
+            decodeObjectBytes(objCodec, plain, chunkElems, key)
           }
         (0 until chunkElems).iterator.flatMap { flat =>
           flatChunkIdx(flat, rank, cdims, cc, dims, cOrder)
@@ -1232,7 +1241,8 @@ object Zarr {
     val dims = za.shape.toArray
     val cdims = za.chunks.toArray
     val nChunksPerDim = Array.tabulate(rank)(d => ((dims(d) + cdims(d) - 1) / cdims(d)).toInt)
-    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val dir = childPath(store, name)
+    val fsSnap = FsIo.snapshot(spark)
     val (comp, sep, zCrc, little) =
       (za.compressor, za.dimSeparator, za.crc32c, za.littleEndian)
     val cOrder = za.cOrder
@@ -1275,18 +1285,15 @@ object Zarr {
       def toMicros(v: Long): Option[Long] =
         if (v == Long.MinValue) None // numpy NaT
         else Some(Math.floorDiv(Math.multiplyExact(v, mul), div))
-      val f = new File(dir, keyPrefix + cc.mkString(sep))
+      val key = keyPrefix + cc.mkString(sep)
+      val fPath = dir + "/" + key
       val zero = new Array[Long](rank)
       sharding match {
         case None =>
+          // absent chunk (None) → NULL values
           val vals: Option[Int => Option[Long]] =
-            if (!f.isFile) None // absent chunk → NULL values
-            else {
-              val raf = new RandomAccessFile(f, "r")
-              val all = try {
-                val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-              } finally raf.close()
-              val stored = if (zCrc) stripCrc32c(all, f.getName) else all
+            FsIo.readAllIfExists(fsSnap.value, fPath).map { all =>
+              val stored = if (zCrc) stripCrc32c(all, key) else all
               val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
               val get: Int => Long =
                 if (filters.nonEmpty) {
@@ -1296,7 +1303,7 @@ object Zarr {
                   val bb = order(plain, little)
                   i => bb.getLong(i * 8)
                 }
-              Some(i => toMicros(get(i)))
+              i => toMicros(get(i))
             }
           emit(vals, cdims.map(_.toLong), zero, cOrder)
         case Some(sh) =>
@@ -1311,11 +1318,11 @@ object Zarr {
               rem /= innerPerDim(i); i -= 1 }
             icc
           }
-          if (!f.isFile) // absent shard = every inner chunk NULL
+          if (!FsIo.isFile(fsSnap.value, fPath)) // absent shard = every inner chunk NULL
             (0 until nInner).iterator.flatMap(si =>
               emit(None, ich, innerOrigin(si), sh.innerCOrder))
           else {
-            val bodies = readShardBodies(f, nInner, sh)
+            val bodies = readShardBodies(fsSnap.value, fPath, nInner, sh)
             (0 until nInner).iterator.flatMap { si =>
               emit(bodies(si).map { b =>
                   val bb = order(decompress(sh.innerComp, b,
@@ -1378,7 +1385,8 @@ object Zarr {
     val dim = za.shape(1).toInt
     val lead = za.chunks.head
     val nLeadChunks = ((n + lead - 1) / lead).toInt
-    val dir = (if (name.isEmpty) new File(store) else new File(store, name)).getPath
+    val dir = childPath(store, name)
+    val fsSnap = FsIo.snapshot(spark)
     val (kind, size, little) = (za.dtKind, za.dtSize, za.littleEndian)
     val (comp, sep, crc) = (za.compressor, za.dimSeparator, za.crc32c)
     val keyPrefix = za.keyPrefix
@@ -1389,29 +1397,26 @@ object Zarr {
       .map(_.asSize).getOrElse(size)
     val raw: org.apache.spark.sql.Dataset[(Long, Array[Double])] =
       chunkCoordRdd(spark, Array(nLeadChunks, 1)).flatMap { cc =>
-        val f = new File(dir, keyPrefix + cc.mkString(sep))
+        val key = keyPrefix + cc.mkString(sep)
         val rowsHere = math.min(lead, n - cc(0).toLong * lead).toInt
-        if (!f.isFile) // absent chunk → NULL vectors
-          (0 until rowsHere).iterator.map(r =>
-            (cc(0).toLong * lead + r, null.asInstanceOf[Array[Double]]))
-        else {
-          val raf = new RandomAccessFile(f, "r")
-          val all = try {
-            val a = new Array[Byte](raf.length().toInt); raf.readFully(a); a
-          } finally raf.close()
-          val stored = if (crc) stripCrc32c(all, f.getName) else all
-          val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
-          val get: Int => Double =
-            if (filters.nonEmpty) {
-              val arr = unfilter(plain, filters, chunkElems, kind, size, little)
-              arr(_)
-            } else {
-              val bb = order(plain, little)
-              decodeAt(bb, kind, size, _)
+        FsIo.readAllIfExists(fsSnap.value, dir + "/" + key) match {
+          case None => // absent chunk → NULL vectors
+            (0 until rowsHere).iterator.map(r =>
+              (cc(0).toLong * lead + r, null.asInstanceOf[Array[Double]]))
+          case Some(all) =>
+            val stored = if (crc) stripCrc32c(all, key) else all
+            val plain = decompress(comp, stored, chunkElems * storedSize, allowDelta)
+            val get: Int => Double =
+              if (filters.nonEmpty) {
+                val arr = unfilter(plain, filters, chunkElems, kind, size, little)
+                arr(_)
+              } else {
+                val bb = order(plain, little)
+                decodeAt(bb, kind, size, _)
+              }
+            (0 until rowsHere).iterator.map { r =>
+              (cc(0).toLong * lead + r, Array.tabulate(dim)(c => get(r * dim + c)))
             }
-          (0 until rowsHere).iterator.map { r =>
-            (cc(0).toLong * lead + r, Array.tabulate(dim)(c => get(r * dim + c)))
-          }
         }
       }.toDS()
     val iName = if (za.dimNames.length == 2) za.dimNames.head else "i0"
@@ -1484,16 +1489,17 @@ object Zarr {
     * index — at the shard's start or end, optionally crc32c'd — then
     * each present inner chunk's bytes, inner crc stripped. Missing
     * inner chunks ((2^64−1, 2^64−1) entries) come back None. */
-  private[sources] def readShardBodies(f: File, nInner: Int,
+  private[sources] def readShardBodies(conf: Configuration, path: String, nInner: Int,
                                        sh: ShardMeta): IndexedSeq[Option[Array[Byte]]] = {
-    val raf = new RandomAccessFile(f, "r")
+    val fname = path.substring(path.lastIndexOf('/') + 1)
+    val raf = FsIo.openSeekable(conf, path)
     try {
       val idxLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
       val idxBytes = new Array[Byte](idxLen)
-      raf.seek(if (sh.indexAtEnd) raf.length() - idxLen else 0L)
+      raf.seek(if (sh.indexAtEnd) raf.length - idxLen else 0L)
       raf.readFully(idxBytes)
       val ib = order(
-        if (sh.indexCrc) stripCrc32c(idxBytes, s"${f.getName} index")
+        if (sh.indexCrc) stripCrc32c(idxBytes, s"$fname index")
         else idxBytes, sh.indexLittle)
       (0 until nInner).map { si =>
         val off = ib.getLong(si * 16)
@@ -1503,7 +1509,7 @@ object Zarr {
           val body = new Array[Byte](nb.toInt)
           raf.seek(off)
           raf.readFully(body)
-          Some(if (sh.innerCrc) stripCrc32c(body, s"${f.getName}@$off")
+          Some(if (sh.innerCrc) stripCrc32c(body, s"$fname@$off")
             else body)
         }
       }

@@ -4,13 +4,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Export sinks through the Hadoop FileSystem layer (FsIo): every sink
-  * must accept an explicit `file:///` URI (proving the write goes
-  * through `org.apache.hadoop.fs.FileSystem`, the layer that makes
-  * `hdfs://`/`s3a://` work on a real cluster), local writes must not
-  * leave `.crc` checksum sidecars inside self-describing store layouts,
-  * and the one seek-write format (NetCDF classic) must loud-reject a
-  * non-POSIX target instead of silently scattering partial files. */
+/** Export sinks AND ingest readers through the Hadoop FileSystem layer
+  * (FsIo): every sink and every scientific-format reader (Zarr, HDF5,
+  * NetCDF classic) must accept an explicit `file:///` URI (proving the
+  * I/O goes through `org.apache.hadoop.fs.FileSystem`, the layer that
+  * makes `hdfs://`/`s3a://` work on a real cluster), an unknown scheme
+  * must fail LOUDLY at metadata parse (Zarr's absent-chunk→fill_value
+  * contract makes a silently unreadable path indistinguishable from an
+  * all-fill array), local writes must not leave `.crc` checksum
+  * sidecars inside self-describing store layouts, and the one
+  * seek-WRITE format (NetCDF classic) must loud-reject a non-POSIX
+  * target instead of silently scattering partial files. */
 class FsIoSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -65,7 +69,7 @@ class FsIoSpec extends AnyFunSuite {
     val names = arrDir.listFiles().map(_.getName).toSeq
     assert(names.contains(".zarray") && names.contains("0"), names.toString)
     assert(!names.exists(_.endsWith(".crc")), names.toString)
-    // the java.io read side sees exactly what the Hadoop write side wrote
+    // the Hadoop-FS read side sees exactly what the Hadoop write side wrote
     val back = graft.sources.Zarr.readVariable(spark, local, "tas")
     assert(back.count() == 200)
     assert(back.agg(sum("value")).head.getDouble(0) === (0 until 200).map(_ * 0.5).sum)
@@ -122,6 +126,78 @@ class FsIoSpec extends AnyFunSuite {
         .filter(col("x") <= 9 && col("y") <= 9).count())
     ZOrderLake.destroy(root)
     assert(!zo.exists())
+  }
+
+  test("Zarr store READS through an explicit file:/// URI; unknown schemes loud-reject") {
+    val local = tmp("zread")
+    graft.sources.Zarr.plantedStore(local)
+    val plain = graft.sources.Zarr.readVariable(spark, local, "tas")
+      .collect().map(_.toSeq).toSet
+    val viaUri = graft.sources.Zarr.readVariable(spark, s"file://$local", "tas")
+      .collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty && viaUri == plain)
+    assert(graft.sources.Zarr.readMeta(s"file://$local").map(_.name) ==
+      graft.sources.Zarr.readMeta(local).map(_.name))
+    // a scheme no FileSystem serves fails LOUDLY at metadata parse —
+    // never the absent-chunk→fill_value path (silent all-fill data)
+    intercept[Exception] {
+      graft.sources.Zarr.readVariable(spark, s"bogus:/$local", "tas")
+    }
+  }
+
+  test("HDF5 READS through an explicit file:/// URI; unknown schemes loud-reject") {
+    val f = java.io.File.createTempFile("graft_fsio_h5_", ".h5"); f.deleteOnExit()
+    graft.sources.Hdf5PlantedNbit.write(f.getPath)
+    val uri = s"file://${f.getPath}"
+    assert(graft.sources.Hdf5.readMeta(uri).map(_.name) ==
+      graft.sources.Hdf5.readMeta(f.getPath).map(_.name))
+    val rows = graft.sources.Hdf5.readVariable(spark, uri, "sensor")
+      .orderBy("i0").collect()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      (0 until 48).map(t => (t, graft.sources.Hdf5PlantedNbit.value(t).toDouble)))
+    intercept[Exception] {
+      graft.sources.Hdf5.readMeta(s"bogus:/${f.getPath}")
+    }
+  }
+
+  test("NetCDF classic READS through an explicit file:/// URI") {
+    import spark.implicits._
+    val dir = tmp("ncread")
+    val df = (0 until 24).map(i => (i, 10.0 + i)).toDF("time", "value")
+    graft.sources.NetCDF.writeClassic(spark, s"$dir/t.nc",
+      Seq(("time", 24)), Seq(graft.sources.NetCDF.WriteVar("tas", Seq("time"), df)))
+    val back = graft.sources.NetCDF.readVariable(spark, s"file://$dir/t.nc", "tas")
+      .orderBy("time").collect()
+    assert(back.map(_.getDouble(1)).toSeq == (0 until 24).map(10.0 + _))
+  }
+
+  test("SeekableData: window-buffered positioned reads match the file bytes") {
+    import graft.sources.FsIo
+    val p = tmp("seek") + "/blob.bin"
+    val bytes = Array.tabulate(20000)(i => ((i * 31 + 7) % 251).toByte)
+    FsIo.writeBytes(FsIo.driverConf(), p, bytes)
+    val sd = FsIo.openSeekable(FsIo.driverConf(), p)
+    try {
+      assert(sd.length == 20000)
+      // byte cursor across a window boundary (window is 8 KiB)
+      sd.seek(8190)
+      assert((0 until 6).map(_ => sd.readUnsignedByte()) ==
+        (8190 until 8196).map(bytes(_) & 0xFF))
+      // bulk read larger than the window bypasses it
+      val big = new Array[Byte](10000)
+      sd.seek(123); sd.readFully(big)
+      assert(big.toSeq == bytes.slice(123, 10123).toSeq)
+      // seek-back inside the window re-serves without I/O; values agree
+      sd.seek(8191)
+      assert(sd.readUnsignedByte() == (bytes(8191) & 0xFF))
+      // big-endian DataInput semantics match RandomAccessFile's
+      sd.seek(100)
+      val bb = java.nio.ByteBuffer.wrap(bytes, 100, 12)
+      assert(sd.readInt() == bb.getInt && sd.readLong() == bb.getLong)
+      // reads past EOF throw instead of returning garbage
+      sd.seek(19998)
+      intercept[java.io.EOFException] { sd.readFully(new Array[Byte](3)) }
+    } finally sd.close()
   }
 
   test("ConfSnapshot rebuilds a usable Configuration after serialization") {
