@@ -235,11 +235,17 @@ object Main {
         spark.stop()
       case "zolake" :: "box" :: root :: out :: bounds if bounds.nonEmpty =>
         // selective box scan through the z-layout alone (BIGMIN
-        // z-intervals); bounds are lo:hi pairs in the lake's dim order
+        // z-intervals); bounds are lo:hi pairs in the lake's dim order.
+        // Half-open forms — `lo:` (everything from lo up, the
+        // newest-data scan over a growing time dim), `:hi`, and `:`
+        // (dim unconstrained) — substitute the Long extremes: readBox
+        // clamps them onto each epoch's grid, so they cost nothing.
         val parsed = bounds.map { b =>
-          val p = b.split(":")
-          require(p.length == 2, s"bound '$b' must be lo:hi")
-          (p(0).toLong, p(1).toLong)
+          val i = b.indexOf(':')
+          require(i >= 0, s"bound '$b' must be lo:hi, lo:, :hi or :")
+          val (l, h) = (b.substring(0, i), b.substring(i + 1))
+          (if (l.isEmpty) Long.MinValue else l.toLong,
+            if (h.isEmpty) Long.MaxValue else h.toLong)
         }
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -258,13 +264,51 @@ object Main {
         // files only — exactly what a 100 TB operator wants to poll)
         graft.sources.ZOrderLake.readPointer(root) match {
           case Some(p) =>
-            val dims = graft.sources.ZOrderLake.readDims(root)
+            val epochs = graft.sources.ZOrderLake.readEpochs(root)
             val m = graft.sources.ZOrderLake.readManifest(root, p.version)
             println(s"z-order lake $root: v${p.version}, lastBatch " +
-              s"${p.lastBatch}, ${m.size} slabs, ${m.map(_.rows).sum} rows")
-            dims.foreach(d => println(s"  dim ${d.name}: [${d.lo}, ${d.hi}]"))
+              s"${p.lastBatch}, ${m.size} slabs, ${m.map(_.rows).sum} rows, " +
+              s"${epochs.size} grid epoch(s)")
+            epochs.zipWithIndex.foreach { case (dims, e) =>
+              val n = m.count(_.epoch == e)
+              println(s"  epoch $e ($n slabs): " + dims.map(d =>
+                s"${d.name} [${d.lo}, ${d.hi}]").mkString(", "))
+            }
           case None => println(s"z-order lake at $root: uninitialized")
         }
+      case "lake-scan" :: in :: out :: preds if preds.nonEmpty =>
+        // typed range-pruned scan without Scala: per-file min/max stats
+        // build in one pass (Lake.fileStats), candidate files intersect
+        // across every col:lo:hi predicate (multiplicative, the z-order
+        // payoff), and only survivors open — the exact predicate then
+        // runs over them, so output == plain filter. Empty lo/hi sides
+        // are half-open (numeric columns only).
+        val parsed = preds.map { s =>
+          val p = s.split(":", -1)
+          require(p.length == 3, s"predicate '$s' must be col:lo:hi " +
+            "(empty lo or hi = half-open)")
+          def v(x: String, open: Double): Any =
+            if (x.isEmpty) open
+            else scala.util.Try(x.toLong: Any)
+              .orElse(scala.util.Try(x.toDouble: Any)).getOrElse(x: Any)
+          require(p(1).nonEmpty || p(2).nonEmpty,
+            s"predicate '$s' is unbounded on both sides")
+          (p(0), v(p(1), Double.NegativeInfinity),
+            v(p(2), Double.PositiveInfinity))
+        }
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val stats = graft.sources.Lake.fileStats(spark, in, parsed.map(_._1))
+        val total = stats.count()
+        val pruned = graft.sources.Lake.readPrunedMulti(spark, in, stats, parsed)
+        pruned.write.mode("overwrite").parquet(out)
+        println(s"$in -> $out (${pruned.inputFiles.length} of $total files " +
+          s"opened; ${preds.mkString(" ")})")
+        spark.stop()
       case "dataflags" :: in :: out :: rest =>
         // QC battery command (cli.py:231): every applicable flag for the
         // CF variable columns present, per-entity counts + ecad verdict;
@@ -297,7 +341,8 @@ object Main {
             s"zolake init <in> <root> <targetRows> <dim>... | " +
             s"zolake append <in> <root> <targetRows> <batchId> | " +
             s"zolake compact <root> <targetRows> | zolake info <root> | " +
-            s"zolake box <root> <out> <lo:hi>... | " +
+            s"zolake box <root> <out> <lo:hi|lo:|:hi|:>... | " +
+            s"lake-scan <in> <out> <col:lo:hi>... | " +
             s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)

@@ -1203,9 +1203,11 @@ object SparkEntry {
       // exactly 4-decimal so the round can't tie — then scale by a constant.
       val in = wx.select(col("user_id").as("key"), col("t"), col("rain"),
           (col("airt") + 5.0).as("tmax"),
-          (round(sum(col("rain")).over(Window.partitionBy("user_id")), 4) * 12.175).as("pa"))
+          ((sum(floor(col("rain") * 1e4 + 0.5).cast("long"))
+            .over(Window.partitionBy("user_id")).cast("double") / 1e4)
+            * 12.175).as("pa"))
       graft.indices.Fire.keetchByramDroughtIndex(in)
-        .select(col("key").as("user_id"), col("t"), round(col("kbdi"), 4).as("kbdi"))
+        .select(col("key").as("user_id"), col("t"), qk(col("kbdi"), 4).as("kbdi"))
     }),
 
     "q_ensemble_percentiles" -> ((s, dir) => {
@@ -1220,7 +1222,7 @@ object SparkEntry {
     "q_kbdi_recursive" ->
       s"""with recursive $wxSql, $kbSql
          |select user_id, t,
-         | cast(cast(kbdi as decimal(38,4)) as double) kbdi
+         | floor(kbdi*1e4 + 0.5)/1e4 kbdi
          |from kb where rn > 0""".stripMargin,
 
     "q_ensemble_percentiles" ->
@@ -2125,8 +2127,8 @@ object SparkEntry {
   private val kbSql =
     """wxk as (
       |  select user_id, t, rn, rain, airt + 5.0 tmax,
-      |    cast(cast(sum(rain) over (partition by user_id)
-      |      as decimal(38,4)) as double) * 12.175 pa
+      |    cast(sum(cast(floor(rain*1e4 + 0.5) as bigint))
+      |      over (partition by user_id) as double) / 1e4 * 12.175 pa
       |  from wx
       |),
       |kb as (
@@ -2244,7 +2246,9 @@ object SparkEntry {
       val wx = weatherDaily(s, dir)
       val kin = wx.select(col("user_id").as("key"), col("t"), col("rain"),
         (col("airt") + 5.0).as("tmax"),
-        (round(sum(col("rain")).over(Window.partitionBy("user_id")), 4) * 12.175).as("pa"))
+        ((sum(floor(col("rain") * 1e4 + 0.5).cast("long"))
+            .over(Window.partitionBy("user_id")).cast("double") / 1e4)
+            * 12.175).as("pa"))
       val kbdi = graft.indices.Fire.keetchByramDroughtIndex(kin)
       val rain = wx.select(col("user_id").as("rk"), col("t").as("rt"), col("rain"))
       val gin = kbdi.join(rain, kbdi("key") === rain("rk") && kbdi("t") === rain("rt"))
@@ -6161,6 +6165,43 @@ object SparkEntry {
           col("sum_v"))
     }),
 
+    "q_netcdf_cf_write" -> ((s, dir) => {
+      // r15: the NetCDF leg of the CF time export half — the reverse
+      // converter writes a DECODABLE time axis (encodeStandard offsets
+      // + "days since" units + calendar attrs riding the classic
+      // header, NetCDF.cfTimeVar), mirroring what Zarr.writeCfTime does
+      // for Zarr. The oracle is the round trip itself: write a daily
+      // axis + per-day counts, read back through --decode-times
+      // (readTimeCoordinate → CfTime.decode), and the (timestamp,
+      // count) rows must equal the counts computed straight off the
+      // table — identity through encode → header → seek-write → decode.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val axis = li.select(col("l_shipdate").cast("timestamp").as("ts"))
+        .distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("ts"))) - 1)
+      val counts = li.groupBy(col("l_shipdate").cast("timestamp").as("ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .join(axis, "ts")
+        .select(col("idx").as("time"), col("value"))
+      val n = axis.count().toInt
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nccf_q_")
+      val nc = tmp.toString + "/t.nc"
+      graft.sources.NetCDF.writeClassic(s, nc, Seq(("time", n)),
+        Seq(graft.sources.NetCDF.cfTimeVar("time", axis, "idx", "ts",
+            "days since 1992-01-01"),
+          graft.sources.NetCDF.WriteVar("n_ship", Seq("time"), counts)))
+      val lake = tmp.toString + "/lake"
+      graft.sources.NetCDF.toParquetLake(s, nc, lake, decodeTimes = true)
+      val out = s.read.parquet(s"$lake/n_ship")
+        .select(col("time_coord_time").as("ship_ts"),
+          col("value").cast("long").as("n_ship"))
+        .localCheckpoint(true) // one row per ship date; the files can go
+      graft.sources.FsIo.delete(
+        s.sparkContext.hadoopConfiguration, tmp.toString)
+      out
+    }),
+
     "q_cf_time_julian" -> ((s, dir) => {
       // r14: the julian CF calendar (every 4th year leap, CENTURIES
       // included — cftime's DatetimeJulian) decodes to the same
@@ -6840,6 +6881,14 @@ object SparkEntry {
     // the encode closed forms replayed: standard = exact day diffs;
     // julian = 365(y−1) + ⌊(y−1)/4⌋ days before the year (epoch
     // 1900-01-01 = julian absolute day 693609), hours = days·24 + us/3.6e9
+    // the NetCDF CF-axis round trip reduces to the plain per-day counts:
+    // write → decode-times read is an identity, so the oracle is the
+    // straight aggregate off the table
+    "q_netcdf_cf_write" ->
+      """select cast(l_shipdate as timestamp) ship_ts,
+        |  cast(count(*) as bigint) n_ship
+        |from lineitem group by 1""".stripMargin,
+
     "q_cf_time_encode" ->
       """select 'std' src, cast(count(*) as bigint) n_rows,
         |  cast(min(date_diff('day', date '1992-01-01', l_shipdate))
@@ -9777,6 +9826,56 @@ object SparkEntry {
       out
     }),
 
+    "q_zorder_epochs" -> ((s, dir) => {
+      // r15: GRID EPOCHS — the monotone-dimension survival mode. The
+      // lake inits on the lowest l_orderkey quartile (epoch-0 bounds
+      // pin there), then three strictly-ascending quartile batches
+      // march past the pinned hi; each opens (or lands inside) a fresh
+      // grid epoch with geometric headroom instead of piling onto the
+      // border cells, so existing slabs carry by reference and
+      // per-batch cost stays O(batch) (LakeSpec pins the slab counts).
+      // The oracle recomputes contents and a box-read twin from
+      // scratch: agreement proves the epoch rolls lost nothing,
+      // duplicated nothing, and that readBox's per-epoch BIGMIN union
+      // is row-identical to the plain filter.
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(16)) < 4)
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+      val bd = li.agg(max("okey"), max("sk")).head()
+      val mx = bd.getLong(0); val q = mx / 4; val skMax = bd.getLong(1)
+      val init = li.filter(col("okey") <= q)
+      val batches = Seq(1, 2, 3).map { i =>
+        val upper = if (i < 3) col("okey") <= (i + 1) * q else lit(true)
+        li.filter(col("okey") > i * q && upper)
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zoep_q_").toString + "/zo"
+      val fin = graft.streaming.Streams.zOrderReplayVersioned(
+        s, init, batches, root, "okey", "sk", targetRows = 16384)
+      // the mechanism must actually fire: monotone quartiles past the
+      // pinned hi must open at least one new epoch
+      require(graft.sources.ZOrderLake.readEpochs(root).size >= 2,
+        "monotone ingest opened no grid epoch")
+      val p = graft.sources.ZOrderLake.readPointer(root).get
+      // newest-quartile box read through the per-epoch z-decomposition
+      val box = graft.sources.ZOrderLake.readBox(s, root,
+        Seq(3 * q + 1, 1L), Seq(mx, skMax / 2))
+        .agg(count(lit(1)).cast("long").as("box_rows"),
+          coalesce(sum("pk"), lit(0L)).as("box_pk_sum"))
+      val out = fin.groupBy(pmod(col("pk"), lit(16)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("okey")).as("okey_sum"), sum(col("sk")).as("sk_sum"),
+          min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(box)
+        .localCheckpoint(true) // 16 rows, eager: the lake can go
+      graft.sources.ZOrderLake.destroy(root)
+      out
+    }),
+
     "q_zorder3_incremental" -> ((s, dir) => {
       // r14: the 3-D incremental lake — the (time, lat, lon)-shaped
       // clustering under continuous ingest. Same contract as
@@ -10743,6 +10842,29 @@ object SparkEntry {
          |  cast(sum(zval) as bigint) zval_sum,
          |  cast(3 as int) snap_version, cast(2 as bigint) last_batch
          |from z group by 1""").stripMargin,
+
+    // from-scratch twin of the epoch'd lake: contents (bucketed sums)
+    // over all four quartiles + the newest-quartile box as a plain
+    // filter; pointer closed-form (3 non-empty batches → v3, lastBatch
+    // 2). zvals are deliberately NOT replayed — each epoch has its own
+    // grid; the evidence is content fidelity through the rolls and the
+    // box-read == filter identity.
+    "q_zorder_epochs" ->
+      ("""with li as (select cast(l_orderkey as bigint) okey,
+         |   cast(l_partkey as bigint) pk, cast(l_suppkey as bigint) sk
+         | from lineitem where l_orderkey % 16 < 4),
+         |bd as (select max(okey)//4 q, max(okey) mx, max(sk) skmax from li),
+         |bx as (select cast(count(*) as bigint) box_rows,
+         |   cast(coalesce(sum(pk), 0) as bigint) box_pk_sum
+         | from li cross join bd
+         | where okey > 3*q and okey <= mx and sk between 1 and skmax//2)
+         |select pk % 16 bucket, cast(count(*) as bigint) n_rows,
+         |  cast(sum(okey) as bigint) okey_sum, cast(sum(sk) as bigint) sk_sum,
+         |  min(okey) min_okey, max(okey) max_okey,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  box_rows, box_pk_sum
+         |from li cross join bx
+         |group by 1, box_rows, box_pk_sum""").stripMargin,
 
     // 3-D twin of the q_zorder_incremental oracle: bounds off the ≡3
     // quarter, three clamped grid scales, the 48-term Morton3 replay,

@@ -73,6 +73,12 @@ object CfTime {
   /** True for the calendars whose instants are plain TIMESTAMPs. */
   def isStandardCalendar(c: String): Boolean = canonCalendar(c) == "standard"
 
+  /** Validate a calendar name (loud on unknown), returning its canonical
+    * form — the write-path guard: an exporter interpolating a typo'd
+    * calendar into store metadata would otherwise only fail at read
+    * time. */
+  def validateCalendar(c: String): String = canonCalendar(c)
+
   private def canonCalendar(c: String): String = c.toLowerCase match {
     case "standard" | "gregorian" | "proleptic_gregorian" | "" => "standard"
     case "noleap" | "365_day"  => "noleap"

@@ -132,7 +132,10 @@ object Lake {
     import org.apache.spark.sql.functions._
     val span = maxV - minV
     val spanLimit = (1L << 53) / ((1L << bits) - 1) // numerator < 2^53
-    val guarded = when(assert_true(span < lit(spanLimit),
+    // NULL span (all-NULL min/max input) passes the guard and flows to
+    // NULL output — the NULL-pass convention (CfTime's encoders do the
+    // same); only a PRESENT over-wide span is the loud failure
+    val guarded = when(assert_true(coalesce(span < lit(spanLimit), lit(true)),
       lit(s"scaleToGrid: span exceeds 2^53/(2^$bits-1) — grid ranks " +
         "would be inexact; pre-shift the id space")).isNull, span)
     val num = (v - minV) * lit((1L << bits) - 1)

@@ -272,6 +272,41 @@ object NetCDF {
   final case class WriteVar(name: String, dims: Seq[String], df: DataFrame,
                             attrs: Seq[NcAttr] = Nil)
 
+  /** A CF-ENCODED time coordinate [[WriteVar]] — the NetCDF leg of the
+    * CF time export half ([[Zarr.writeCfTime]] is the Zarr leg, reverse
+    * of [[readTimeCoordinate]]): TIMESTAMP values encode to
+    * `"<step> since <epoch>"` numerics via [[CfTime.encodeStandard]]
+    * (exact integer step arithmetic; non-whole steps reject loudly) and
+    * the `units` + `calendar` attributes ride the classic header, so
+    * `--decode-times` (and xarray's `decode_cf`) round-trips the axis.
+    * Fixed-length/julian calendars pre-encode through
+    * [[CfTime.encodeNonStandard]] and pass LONG offsets here. Both
+    * units and calendar validate up front — a typo'd calendar written
+    * into the header would otherwise only fail at read time. */
+  def cfTimeVar(dim: String, df: DataFrame, idxCol: String, valueCol: String,
+                units: String, calendar: String = "standard"): WriteVar = {
+    CfTime.parseUnits(units)
+    CfTime.validateCalendar(calendar)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val vt = df.schema.fields.find(_.name == valueCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(s"$dim: no column '$valueCol'"))
+    val encoded = vt match {
+      case TimestampType | TimestampNTZType =>
+        require(CfTime.isStandardCalendar(calendar),
+          s"TIMESTAMP values encode under standard calendars only — " +
+            s"pre-encode '$calendar' companions via CfTime.encodeNonStandard")
+        CfTime.encodeStandard(col(valueCol), units)
+      case LongType => col(valueCol) // pre-encoded offsets
+      case other => throw new IllegalArgumentException(
+        s"$dim: value must be TIMESTAMP (encode here) or LONG " +
+          s"(pre-encoded offsets), got $other")
+    }
+    WriteVar(dim, Seq(dim),
+      df.select(col(idxCol).cast("int").as(dim),
+        encoded.cast("double").as("value")),
+      attrs = Seq(NcAttr("units", units), NcAttr("calendar", calendar)))
+  }
+
   private def pad4(n: Long): Long = (n + 3) & ~3L
 
   /** Serialise a classic header (driver-side; CDF-1 when `version`=1,

@@ -25,13 +25,25 @@ import org.apache.spark.sql.functions._
   * the same version (the same crash contract as [[VersionedLake]], whose
   * rename-vs-conditional-PUT caveat applies to the pointer here too).
   *
-  * The clustering dimensions AND their grid bounds are PINNED at init
-  * (stored in `_bounds`, one `name lo hi` line per dim): incremental
-  * maintenance is only possible when old zvals stay valid, so the scale
-  * can never follow the data like [[Lake.zOrderFrame]]'s per-frame
-  * min/max does. Batch values outside the pinned box CLAMP to the
-  * border cell for the zval only — stored column values stay raw, so
-  * per-file min/max stats (and thus any pruning) remain exact.
+  * The clustering dimensions are pinned at init; their grid bounds are
+  * pinned PER EPOCH (stored in `_bounds` as `name lo hi` blocks
+  * separated by `#epoch N` markers): incremental maintenance is only
+  * possible when old zvals stay valid, so a written slab's grid can
+  * never move — but a MONOTONE dimension (time, under continuous
+  * ingest) would otherwise march past the pinned hi and pile every
+  * future batch onto the same border cells, growing those slabs until
+  * per-batch rewrite cost is O(corpus). When a batch's out-of-box
+  * fraction crosses `epochThreshold`, the lake opens a new EPOCH: fresh
+  * bounds covering the old box plus geometric headroom past the
+  * violated side (span doubles, so epochs per monotone dim are
+  * O(log ingest-span), amortized O(1) per batch), the batch's zvals
+  * compute on the new grid, and every existing slab — tagged with its
+  * own epoch in the manifest — carries by reference with its zvals
+  * untouched. Within one epoch, values in the residual out-of-box tail
+  * (below the threshold) still CLAMP to the border cell for the zval
+  * only — stored column values stay raw, so per-file min/max stats
+  * (and thus any pruning) remain exact. [[readBox]] decomposes the box
+  * per epoch and unions the matching file sets.
   *
   * Scale shape per batch: one scan of the batch (zval is a few integer
   * ops), a cell-grid equi-join against the manifest to find touched
@@ -48,7 +60,15 @@ object ZOrderLake {
 
   final case class Pointer(version: Int, lastBatch: Long)
   final case class DimBound(name: String, lo: Long, hi: Long)
-  final case class Entry(path: String, minZ: Long, maxZ: Long, rows: Long)
+  /** One manifest row; `epoch` names the `_bounds` block whose grid the
+    * slab's zvals live on (z-intervals are only comparable within an
+    * epoch). */
+  final case class Entry(path: String, minZ: Long, maxZ: Long, rows: Long,
+                         epoch: Int = 0)
+
+  /** Default out-of-box fraction past which a batch opens a new grid
+    * epoch instead of clamping to the border cells. */
+  val DefaultEpochThreshold: Double = 0.25
 
   /** Morton key width: 2×16 or 3×16 interleaved bits. */
   private def keyBits(nDims: Int): Int = nDims * 16
@@ -93,8 +113,8 @@ object ZOrderLake {
   private def writeManifest(root: String, version: Int,
                             entries: Seq[Entry],
                             conf: Configuration): Unit = {
-    val body = entries.sortBy(_.minZ)
-      .map(e => s"${e.path}\t${e.minZ}\t${e.maxZ}\t${e.rows}")
+    val body = entries.sortBy(e => (e.epoch, e.minZ))
+      .map(e => s"${e.path}\t${e.minZ}\t${e.maxZ}\t${e.rows}\t${e.epoch}")
       .mkString("", "\n", "\n")
     FsIo.writeBytes(conf, manifestPath(root, version),
       body.getBytes(StandardCharsets.UTF_8))
@@ -107,20 +127,61 @@ object ZOrderLake {
     new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq.map { line =>
         val f = line.split("\t")
-        Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong)
+        // 4-field lines predate grid epochs → epoch 0
+        Entry(f(0), f(1).toLong, f(2).toLong, f(3).toLong,
+          if (f.length >= 5) f(4).toInt else 0)
       }
   }
 
-  /** The pinned clustering dims + grid bounds, as written by [[init]]. */
-  def readDims(root: String,
-               conf: Configuration = new Configuration()): Seq[DimBound] = {
+  /** Every grid epoch's bounds, oldest first (`_bounds` blocks split on
+    * `#epoch N` markers; a marker-less file is the single epoch 0). */
+  def readEpochs(root: String,
+                 conf: Configuration = new Configuration()): Seq[Seq[DimBound]] = {
     val p = s"$root/_bounds"
     require(FsIo.exists(conf, p), s"missing _bounds under $root — call init first")
+    val blocks = Seq.newBuilder[Seq[DimBound]]
+    var cur = Seq.newBuilder[DimBound]
+    var any = false
     new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val f = line.split("\\s+")
-        DimBound(f(0), f(1).toLong, f(2).toLong)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("#epoch")) {
+          blocks += cur.result(); cur = Seq.newBuilder[DimBound]
+        } else {
+          val f = line.split("\\s+")
+          cur += DimBound(f(0), f(1).toLong, f(2).toLong)
+          any = true
+        }
       }
+    blocks += cur.result()
+    val out = blocks.result().filter(_.nonEmpty)
+    require(any && out.nonEmpty, s"empty _bounds under $root")
+    require(out.forall(_.map(_.name) == out.head.map(_.name)),
+      s"inconsistent dim names across epochs in $root/_bounds")
+    out
+  }
+
+  /** The CURRENT epoch's clustering dims + grid bounds (dim names are
+    * invariant across epochs). */
+  def readDims(root: String,
+               conf: Configuration = new Configuration()): Seq[DimBound] =
+    readEpochs(root, conf).last
+
+  private def boundsBody(dims: Seq[DimBound]): String =
+    dims.map(d => s"${d.name} ${d.lo} ${d.hi}").mkString("", "\n", "\n")
+
+  /** Append a new epoch block to `_bounds` (whole-file rewrite through a
+    * temp + atomic rename — a torn append would corrupt every epoch).
+    * Existing blocks are immutable: old slabs' zvals stay decodable
+    * forever. */
+  private def appendEpoch(root: String, epoch: Int, dims: Seq[DimBound],
+                          conf: Configuration): Unit = {
+    val old = new String(FsIo.readBytes(conf, s"$root/_bounds"),
+      StandardCharsets.UTF_8)
+    val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
+    FsIo.writeBytes(conf, tmp,
+      (old + s"#epoch $epoch\n" + boundsBody(dims))
+        .getBytes(StandardCharsets.UTF_8))
+    FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
   }
 
   /** zval on the PINNED grid; out-of-box values clamp to the border
@@ -243,8 +304,7 @@ object ZOrderLake {
     }
     val totalRows = r.getLong(2 * dimCols.size)
     FsIo.writeBytes(conf, s"$root/_bounds",
-      dims.map(d => s"${d.name} ${d.lo} ${d.hi}")
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      boundsBody(dims).getBytes(StandardCharsets.UTF_8))
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
       s"$root/data/v00000", targetRows, totalRows)
     writeManifest(root, 0, entries, conf)
@@ -278,15 +338,21 @@ object ZOrderLake {
     * survivors, so the result is row-identical to the full filter. At
     * 100 TB this is the one-metadata-pass form of the selective
     * multi-dim scan the lake is clustered for. `los`/`his` are
-    * inclusive, in [[readDims]] order. */
+    * inclusive, in [[readDims]] order. The box decomposes PER EPOCH —
+    * each epoch's grid maps and BIGMIN-decomposes independently, only
+    * that epoch's slabs intersect its z-intervals — and the file sets
+    * union; an epoch whose box lies wholly outside the query only
+    * matches its border-cell slabs (if any), so a recent-time query
+    * over a long-lived monotone lake opens O(matching) files. */
   def readBox(spark: SparkSession, root: String, los: Seq[Long],
               his: Seq[Long], maxRanges: Int = 64): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val dims = readDims(root, conf)
-    require(los.size == dims.size && his.size == dims.size,
-      s"box rank ${los.size}/${his.size} vs ${dims.size} lake dims")
+    val epochs = readEpochs(root, conf)
+    val nd = epochs.head.size
+    require(los.size == nd && his.size == nd,
+      s"box rank ${los.size}/${his.size} vs $nd lake dims")
     require(los.zip(his).forall { case (l, h) => l <= h },
       s"empty box $los..$his")
     // exact integer twin of scaleToGrid ((v−lo)·65535 floor-div span)
@@ -294,17 +360,20 @@ object ZOrderLake {
       val c = math.max(d.lo, math.min(d.hi, v))
       if (d.hi == d.lo) 0L else (c - d.lo) * 65535L / (d.hi - d.lo)
     }
-    val g = dims.indices.map(i =>
-      (grid(los(i), dims(i)), grid(his(i), dims(i))))
-    val ranges = dims.size match {
-      case 2 => graft.functions.Morton2.zRangesForBox(
-        g(0)._1, g(0)._2, g(1)._1, g(1)._2, 16, maxRanges)
-      case _ => graft.functions.Morton3.zRangesForBox3(
-        g(0)._1, g(0)._2, g(1)._1, g(1)._2, g(2)._1, g(2)._2, 16, maxRanges)
-    }
     val manifest = readManifest(root, p.version, conf)
-    val files = manifest.filter(e =>
-      ranges.exists(r => r._1 <= e.maxZ && e.minZ <= r._2)).map(_.path)
+    val files = epochs.zipWithIndex.flatMap { case (dims, e) =>
+      val g = dims.indices.map(i =>
+        (grid(los(i), dims(i)), grid(his(i), dims(i))))
+      val ranges = nd match {
+        case 2 => graft.functions.Morton2.zRangesForBox(
+          g(0)._1, g(0)._2, g(1)._1, g(1)._2, 16, maxRanges)
+        case _ => graft.functions.Morton3.zRangesForBox3(
+          g(0)._1, g(0)._2, g(1)._1, g(1)._2, g(2)._1, g(2)._2, 16, maxRanges)
+      }
+      manifest.filter(en => en.epoch == e &&
+        ranges.exists(r => r._1 <= en.maxZ && en.minZ <= r._2)).map(_.path)
+    }
+    val dims = epochs.last
     val pred = dims.indices.map(i =>
       col(dims(i).name).between(los(i), his(i))).reduce(_ && _)
     if (files.isEmpty) current(spark, root).filter(lit(false))
@@ -356,11 +425,20 @@ object ZOrderLake {
       b.filterNot(e => aPaths.contains(e.path)).map(("added", _))
   }
 
-  /** Apply one append batch: rewrite only the slabs whose z-range the
-    * batch touches, carry the rest by reference, swap the pointer. The
-    * clustering dims come from the lake's own `_bounds`. */
+  /** Apply one append batch: rewrite only the same-epoch slabs whose
+    * z-range the batch touches, carry the rest by reference, swap the
+    * pointer. The clustering dims come from the lake's own `_bounds`
+    * (current epoch). When more than `epochThreshold` of the batch
+    * falls outside the current grid box — the monotone-dimension
+    * signature — a new epoch opens instead of piling the batch onto
+    * the border cells: fresh bounds cover the old box plus headroom of
+    * one full span past each violated side (geometric, so a steadily
+    * advancing dim opens O(log span) epochs total), no existing slab
+    * is touched (per-batch cost stays O(batch)), and old zvals never
+    * recompute. */
   def applyBatch(batch: DataFrame, root: String, targetRows: Long,
-                 batchId: Long, retain: Int = 2): Unit = {
+                 batchId: Long, retain: Int = 2,
+                 epochThreshold: Double = DefaultEpochThreshold): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
@@ -369,17 +447,47 @@ object ZOrderLake {
     if (batch.isEmpty) {
       writePointer(root, p.copy(lastBatch = batchId), conf); return
     }
-    val dims = readDims(root, conf)
-    val shift = cellShift(dims.size)
+    val epochs = readEpochs(root, conf)
+    val curDims = epochs.last
     val manifest = readManifest(root, p.version, conf)
     val next = p.version + 1
-    val batchZ = batch.withColumn("zval", zvalCol(dims))
-      .localCheckpoint(false) // consumed twice: cell probe + rewrite
-    val batchRows = batchZ.count() // counts the materialized checkpoint
+    val b0 = batch.localCheckpoint(false) // consumed thrice: agg + probe + rewrite
+    // one 1-row aggregate: per-dim min/max, row count, out-of-box count
+    val oobPred = curDims.map(d =>
+      col(d.name).cast("long") < d.lo || col(d.name).cast("long") > d.hi)
+      .reduce(_ || _)
+    val aggs = curDims.flatMap(d =>
+      Seq(min(col(d.name)).cast("long"), max(col(d.name)).cast("long"))) ++
+      Seq(count(lit(1)), sum(when(oobPred, 1L).otherwise(0L)))
+    val r = b0.agg(aggs.head, aggs.tail: _*).head()
+    val batchRows = r.getLong(2 * curDims.size)
+    val oobRows = r.getLong(2 * curDims.size + 1)
+    val (epoch, dims) =
+      if (oobRows.toDouble / batchRows > epochThreshold) {
+        val fresh = curDims.zipWithIndex.map { case (d, i) =>
+          val blo = r.getLong(2 * i); val bhi = r.getLong(2 * i + 1)
+          if (blo >= d.lo && bhi <= d.hi) d // in-box dim keeps its grid
+          else {
+            // headroom = one full span past each violated side: the next
+            // overflow needs the dim to advance by ≥ the whole history,
+            // so epochs per monotone dim are O(log ingest-span)
+            val g = math.max(d.hi - d.lo, bhi - blo).max(1L)
+            DimBound(d.name,
+              if (blo < d.lo) math.min(blo, d.lo - g) else d.lo,
+              if (bhi > d.hi) math.max(bhi, d.hi + g) else d.hi)
+          }
+        }
+        appendEpoch(root, epochs.size, fresh, conf)
+        (epochs.size, fresh)
+      } else (epochs.size - 1, curDims)
+    val shift = cellShift(dims.size)
+    val batchZ = b0.withColumn("zval", zvalCol(dims))
     // touched files via the cell grid — an EQUI-join, never a per-file
-    // range probe; entries explode to the (few) cells they cover
+    // range probe; entries explode to the (few) cells they cover. Only
+    // SAME-epoch slabs are comparable (and thus touchable); a new epoch
+    // touches nothing by construction.
     import spark.implicits._
-    val fileCells = manifest.toDF()
+    val fileCells = manifest.filter(_.epoch == epoch).toDF()
       .select(col("path"), explode(sequence(
         shiftright(col("minZ"), shift),
         shiftright(col("maxZ"), shift))).as("cell"))
@@ -404,7 +512,7 @@ object ZOrderLake {
       else spark.read.parquet(rewrite.map(_.path): _*).unionByName(batchZ)
     commitRewrite(spark, root, keep, rewriteRows,
       rewrite.map(_.rows).sum + batchRows, next,
-      Pointer(next, batchId), targetRows, retain, shift)
+      Pointer(next, batchId), targetRows, retain, shift, epoch)
   }
 
   /** 2-D convenience form (validates the dim names). */
@@ -432,13 +540,16 @@ object ZOrderLake {
     * touched), so same-group rows never straddle one — and the write
     * splits files per group (partitionBy), keeping the manifest a true
     * partition of z-space. Cell-granular: one 4096-entry literal
-    * lookup per row, no per-file probing. */
+    * lookup per row, no per-file probing. All rewrite rows live in ONE
+    * epoch (`epoch`); kept slabs of OTHER epochs are in incomparable
+    * z-spaces and place no constraint on the cuts. */
   private def commitRewrite(spark: SparkSession, root: String,
                             keep: Seq[Entry], rows: DataFrame,
                             totalRows: Long, next: Int,
                             newPointer: Pointer, targetRows: Long,
-                            retain: Int, shift: Int): Unit = {
-    val keptMaxCells = keep.map(_.maxZ >> shift).sorted
+                            retain: Int, shift: Int, epoch: Int): Unit = {
+    val keptMaxCells = keep.filter(_.epoch == epoch)
+      .map(_.maxZ >> shift).sorted
     val cells = 1 << 12
     val groupOfCell = { // one cumulative walk: O(cells + kept files)
       val arr = new Array[Int](cells)
@@ -454,7 +565,7 @@ object ZOrderLake {
       typedLit(groupOfCell.toSeq),
       (shiftright(col("zval"), shift) + 1).cast("int")))
     val fresh = writeSlabGroups(grouped, f"$root/data/v$next%05d",
-      targetRows, totalRows)
+      targetRows, totalRows).map(_.copy(epoch = epoch))
     val conf = spark.sparkContext.hadoopConfiguration
     writeManifest(root, next, keep ++ fresh, conf)
     writePointer(root, newPointer, conf)
@@ -468,14 +579,28 @@ object ZOrderLake {
     * slabs, through the same manifest + pointer swap (a maintenance
     * version: `lastBatch` is unchanged — compaction consumes no batch).
     * Full-sized slabs and isolated small ones (rewriting alone gains
-    * nothing) carry by reference. Returns the new slab count. */
+    * nothing) carry by reference. One epoch per call (default: the
+    * current one — where ingest fragments; frozen epochs compact by
+    * explicit `epoch`). Returns the new slab count.
+    *
+    * Unlike [[applyBatch]]'s cell-granular touch join, a size-chosen
+    * rewrite set CAN share a boundary cell with a kept slab — which
+    * would break the kept-interval grouping invariant (a new slab could
+    * silently span the kept slab's z-interval, eroding manifest
+    * disjointness version over version). Kept slabs cell-overlapping
+    * the rewrite set are therefore pulled in until stable. */
   def compact(spark: SparkSession, root: String, targetRows: Long,
-              retain: Int = 2): Int = {
+              retain: Int = 2, epoch: Int = -1): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
-    val shift = cellShift(readDims(root, conf).size)
-    val sorted = readManifest(root, p.version, conf).sortBy(_.minZ)
+    val epochs = readEpochs(root, conf)
+    val e = if (epoch < 0) epochs.size - 1 else epoch
+    require(e < epochs.size, s"epoch $e out of range [0, ${epochs.size})")
+    val shift = cellShift(epochs.head.size)
+    val manifest = readManifest(root, p.version, conf)
+    val (here, other) = manifest.partition(_.epoch == e)
+    val sorted = here.sortBy(_.minZ)
     val small = sorted.map(_.rows * 2 <= targetRows)
     val rewriteIdx = scala.collection.mutable.BitSet.empty
     var i = 0
@@ -487,21 +612,42 @@ object ZOrderLake {
         i = j
       } else i += 1
     }
-    if (rewriteIdx.isEmpty) return sorted.length
+    if (rewriteIdx.isEmpty) return manifest.length
+    // pull in kept slabs that share a boundary CELL with the rewrite set
+    // (z-intervals are disjoint, so only sort-adjacent slabs can share a
+    // cell — sweep both directions until stable)
+    var changed = true
+    while (changed) {
+      changed = false
+      var k = 0
+      while (k < sorted.length - 1) {
+        val sameCell = (sorted(k).maxZ >> shift) == (sorted(k + 1).minZ >> shift)
+        if (sameCell && rewriteIdx.contains(k) != rewriteIdx.contains(k + 1)) {
+          rewriteIdx += (if (rewriteIdx.contains(k)) k + 1 else k)
+          changed = true
+        }
+        k += 1
+      }
+    }
     val (rewrite, keep) = sorted.zipWithIndex.partition {
       case (_, idx) => rewriteIdx.contains(idx)
     }
     val next = p.version + 1
-    commitRewrite(spark, root, keep.map(_._1),
+    commitRewrite(spark, root, keep.map(_._1) ++ other,
       spark.read.parquet(rewrite.map(_._1.path): _*),
       rewrite.map(_._1.rows).sum, next,
-      Pointer(next, p.lastBatch), targetRows, retain, shift)
+      Pointer(next, p.lastBatch), targetRows, retain, shift, e)
     readManifest(root, next, conf).size
   }
 
-  /** Drop manifests older than the retention window and delete data
-    * files no retained manifest references. Driver-side, bounded by the
-    * file count — the same cardinality a catalog listing holds. */
+  /** Drop manifests older than the retention window and delete data no
+    * retained manifest references. Driver-side, bounded by the file
+    * count — the same cardinality a catalog listing holds. A version
+    * directory with ZERO live slabs is deleted RECURSIVELY — per-file
+    * deletion of only `.parquet` names would strand `_SUCCESS` markers,
+    * `.crc` sidecars and emptied `_grp=K/` subdirectories forever on a
+    * long-lived lake; a directory with surviving slabs (files carry by
+    * reference across versions) sheds only its dead `.parquet` files. */
   private def gc(root: String, current: Int, retain: Int,
                  conf: Configuration): Unit = {
     val floor = current - retain
@@ -509,10 +655,16 @@ object ZOrderLake {
     val live = (math.max(0, floor) to current)
       .filter(v => FsIo.exists(conf, manifestPath(root, v)))
       .flatMap(v => readManifest(root, v, conf).map(_.path)).toSet
-    // recursive listing: grouped writes nest slabs under _grp=K/ dirs
-    FsIo.listFilesRecursive(conf, s"$root/data").foreach { f =>
-      val c = canonPath(f)
-      if (c.endsWith(".parquet") && !live.contains(c)) FsIo.delete(conf, f)
+    FsIo.listDirNames(conf, s"$root/data").foreach { d =>
+      val dir = s"$root/data/$d"
+      // recursive listing: grouped writes nest slabs under _grp=K/ dirs
+      val files = FsIo.listFilesRecursive(conf, dir)
+      if (!files.exists(f => live.contains(canonPath(f))))
+        FsIo.delete(conf, dir)
+      else files.foreach { f =>
+        val c = canonPath(f)
+        if (c.endsWith(".parquet") && !live.contains(c)) FsIo.delete(conf, f)
+      }
     }
   }
 

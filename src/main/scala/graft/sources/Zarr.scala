@@ -247,6 +247,20 @@ object Zarr {
   private def readText(conf: Configuration, path: String): String =
     new String(FsIo.readBytes(conf, path), java.nio.charset.StandardCharsets.UTF_8)
 
+  /** JSON string literal (quoted + escaped) — for WRITER-side metadata
+    * interpolation; a raw `$s` would let a quote-carrying attribute
+    * value corrupt the whole document. */
+  private[sources] def jsonStr(s: String): String = {
+    val b = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   /** Parse one array's metadata under `store/name` (or `store` itself
     * when `name` is empty — a bare-array store): v2 `.zarray` (+ optional
     * `.zattrs`) when present, else v3 `zarr.json`. */
@@ -2532,6 +2546,11 @@ object Zarr {
     val vt = df.schema.fields.find(_.name == "value").map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(s"$name: no value column"))
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // both branches validate units AND calendar up front — a typo'd
+    // calendar interpolated into .zattrs would otherwise write a store
+    // that only fails later, at decode time
+    CfTime.parseUnits(units)
+    CfTime.validateCalendar(calendar)
     val encoded = vt match {
       case TimestampType | TimestampNTZType =>
         require(CfTime.isStandardCalendar(calendar),
@@ -2539,8 +2558,7 @@ object Zarr {
             s"pre-encode '$calendar' companions via CfTime.encodeNonStandard")
         CfTime.encodeStandard(col("value"), units)
       case LongType =>
-        CfTime.parseUnits(units) // validate the units string up front
-        col("value")
+        col("value") // pre-encoded offsets, any validated calendar
       case other => throw new IllegalArgumentException(
         s"$name: value must be TIMESTAMP (encode here) or LONG " +
           s"(pre-encoded offsets), got $other")
@@ -2555,7 +2573,7 @@ object Zarr {
             """"filters": null, "order": "C"}"""),
         ".zattrs" ->
           (s"""{"_ARRAY_DIMENSIONS": [${dimCols.map("\"" + _ + "\"").mkString(", ")}], """ +
-            s""""units": "$units", "calendar": "$calendar"}""")),
+            s""""units": ${jsonStr(units)}, "calendar": ${jsonStr(calendar)}}""")),
       chunkKey = _.mkString("."),
       castValue = encoded,
       fillBuf = n => Array.fill(n)(0L),

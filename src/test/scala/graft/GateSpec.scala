@@ -59,6 +59,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct names on both sides. q_snowpack_flow_lag dropped its round
   * outright (exact-integer avg inputs).
   *
+  * r15 shrink (7 → 6): q_kbdi_recursive migrated to the floor grid on
+  * both sides — pa sums the exact 1e4-integer rain grid (order-free,
+  * no round), the kbdi FINAL quantizes floor-grid (qk / floor·1e4 —
+  * cross-engine deterministic on identical doubles, which the per-step
+  * 8-decimal state quantization guarantees). The per-step recursion
+  * itself is untouched (§81: state redesigns only, never bulk).
+  *
   * r14 shrink (10 → 7): q_tx90p_bootstrap emits the exact-integer
   * replica-count SUM (value·n_replicas, scale-0 round only) instead of
   * the rounded float average; q_data_flags_battery's climatology flag
@@ -97,7 +104,6 @@ class GateSpec extends AnyFunSuite {
   private val legacyRawRound: Set[String] = Set(
     "q_api_recursive", "q_chill_portions",
     "q_fwi_codes", "q_griffiths_ffdi",
-    "q_kbdi_recursive",
     "q_overwintering_dc",
     "q_pet_thornthwaite")
 

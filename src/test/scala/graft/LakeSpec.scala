@@ -507,6 +507,78 @@ class LakeSpec extends AnyFunSuite {
     // a box fully outside the data opens nothing
     assert(ZOrderLake.readBox(spark, root, "x", "y", 500L, 600L, 500L, 600L)
       .count() == 0)
+    // half-open bounds (the growing-lake time-range form): the Long
+    // extremes clamp onto the grid, so `x ≥ 150, y unconstrained` is
+    // just a box and still prunes on the constrained dim
+    val half = ZOrderLake.readBox(spark, root,
+      Seq(150L, Long.MinValue), Seq(Long.MaxValue, Long.MaxValue))
+    assert(half.count() ==
+      ZOrderLake.current(spark, root).filter(col("x") >= 150).count())
+    assert(half.inputFiles.length < nFiles,
+      s"half-open box opened all $nFiles files")
+    ZOrderLake.destroy(root)
+  }
+
+  test("grid epochs: monotone-dim ingest stays O(batch) per batch; readBox unions epochs") {
+    import spark.implicits._
+    import graft.sources.ZOrderLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zoep_").toString + "/zo"
+    // epoch 0 pins t ∈ [0, 999] — then ingest marches strictly past it,
+    // the monotone-time failure mode grid epochs exist for
+    val init = (0 until 10000).map(i =>
+      ((i % 1000).toLong, (i % 50).toLong, i.toLong)).toDF("t", "y", "pay")
+    ZOrderLake.init(init, root, Seq("t", "y"), targetRows = 1000)
+    var expectPay = (0 until 10000).map(_.toLong).sum
+    var expectCnt = 10000L
+    for (b <- 0 until 4) {
+      val lo = 1000 * (b + 1)
+      val before = ZOrderLake.readPointer(root).get.version
+      val pays = (0 until 2000).map(i => (100000 + b * 10000 + i).toLong)
+      val batch = (0 until 2000).map(i =>
+        ((lo + i / 2).toLong, (i % 50).toLong, pays(i))).toDF("t", "y", "pay")
+      ZOrderLake.applyBatch(batch, root, targetRows = 1000,
+        batchId = b.toLong, retain = 10)
+      expectPay += pays.sum; expectCnt += 2000
+      val diff = ZOrderLake.changedSlabs(root, before,
+        ZOrderLake.readPointer(root).get.version)
+      val removed = diff.count(_._1 == "removed")
+      // O(batch): a monotone batch rewrites at most the few slabs
+      // sharing its epoch's border cells — never the corpus (without
+      // epochs every batch here would clamp onto the SAME border cell
+      // and rewrite the ever-growing border slab)
+      assert(removed <= 3, s"batch $b rewrote $removed slabs")
+      assert(diff.count(_._1 == "added") <= removed + 4,
+        s"batch $b added ${diff.count(_._1 == "added")} slabs")
+    }
+    // epochs opened; epoch 0's block is immutable (byte-identical to init)
+    val epochs = ZOrderLake.readEpochs(root)
+    assert(epochs.size >= 2, s"no epoch opened: $epochs")
+    assert(epochs.head == Seq(ZOrderLake.DimBound("t", 0, 999),
+      ZOrderLake.DimBound("y", 0, 49)))
+    // geometric headroom: each new epoch's t-span at least doubles
+    epochs.map(e => e.head.hi - e.head.lo).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= 2 * a, s"epoch spans not geometric: $epochs")
+      case _ =>
+    }
+    // contents exact through every roll
+    val cur = ZOrderLake.current(spark, root)
+    assert(cur.count() == expectCnt)
+    assert(cur.agg(sum("pay")).head.getLong(0) == expectPay)
+    // box read on the NEWEST range: O(matching) files despite the old
+    // epochs (each older epoch contributes at most its clamped
+    // border-cell slabs; the exact predicate filters those rows out)
+    val p = ZOrderLake.readPointer(root).get
+    val total = ZOrderLake.readManifest(root, p.version).size
+    val box = ZOrderLake.readBox(spark, root, Seq(4600L, 10L), Seq(4999L, 20L))
+    val full = cur.filter(col("t").between(4600, 4999) && col("y").between(10, 20))
+    assert(box.agg(count(lit(1)), sum("pay")).head() ==
+      full.agg(count(lit(1)), sum("pay")).head())
+    assert(box.inputFiles.length <= math.max(8, total / 3),
+      s"newest-range box opened ${box.inputFiles.length} of $total files")
+    // a box spanning an epoch boundary unions the per-epoch file sets
+    val span = ZOrderLake.readBox(spark, root, Seq(900L, 0L), Seq(1600L, 49L))
+    assert(span.count() == cur.filter(col("t").between(900, 1600)).count())
     ZOrderLake.destroy(root)
   }
 
@@ -625,5 +697,12 @@ class LakeSpec extends AnyFunSuite {
       .select(Lake.scaleToGrid(col("v"), lit(0L), lit(1000L)).as("g"))
       .as[Long].collect().sorted
     assert(ok.toSeq == Seq(0L, 65535L))
+    // NULL span (all-NULL min/max input) flows to NULL output — the
+    // NULL-pass convention — instead of tripping the span guard
+    val nul = Seq(Some(1L), None).toDF("v")
+      .select(Lake.scaleToGrid(col("v"),
+        lit(null).cast("long"), lit(null).cast("long")).as("g"))
+      .collect()
+    assert(nul.forall(_.isNullAt(0)), s"NULL span produced ${nul.toSeq}")
   }
 }
