@@ -444,23 +444,24 @@ object ZOrderLake {
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"z-order lake at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: applied
-    if (batch.isEmpty) {
-      writePointer(root, p.copy(lastBatch = batchId), conf); return
-    }
     val epochs = readEpochs(root, conf)
     val curDims = epochs.last
     val manifest = readManifest(root, p.version, conf)
     val next = p.version + 1
-    val b0 = batch.localCheckpoint(false) // consumed thrice: agg + probe + rewrite
-    // one 1-row aggregate: per-dim min/max, row count, out-of-box count
+    // one 1-row aggregate over the batch: per-dim min/max, row count,
+    // out-of-box count — it also subsumes the isEmpty probe, so the
+    // per-batch job count stays at (agg, cell probe, rewrite)
     val oobPred = curDims.map(d =>
       col(d.name).cast("long") < d.lo || col(d.name).cast("long") > d.hi)
       .reduce(_ || _)
     val aggs = curDims.flatMap(d =>
       Seq(min(col(d.name)).cast("long"), max(col(d.name)).cast("long"))) ++
       Seq(count(lit(1)), sum(when(oobPred, 1L).otherwise(0L)))
-    val r = b0.agg(aggs.head, aggs.tail: _*).head()
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
     val batchRows = r.getLong(2 * curDims.size)
+    if (batchRows == 0L) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
     val oobRows = r.getLong(2 * curDims.size + 1)
     val (epoch, dims) =
       if (oobRows.toDouble / batchRows > epochThreshold) {
@@ -481,7 +482,11 @@ object ZOrderLake {
         (epochs.size, fresh)
       } else (epochs.size - 1, curDims)
     val shift = cellShift(dims.size)
-    val batchZ = b0.withColumn("zval", zvalCol(dims))
+    // checkpoint WITH zval (the epoch decision is already made), so the
+    // cell probe and the rewrite both reuse the stored key; the probe's
+    // first action materializes it
+    val batchZ = batch.withColumn("zval", zvalCol(dims))
+      .localCheckpoint(false)
     // touched files via the cell grid — an EQUI-join, never a per-file
     // range probe; entries explode to the (few) cells they cover. Only
     // SAME-epoch slabs are comparable (and thus touchable); a new epoch
