@@ -272,7 +272,21 @@ object Zarr {
       return readArrayMetaV3(store, name)
     require(FsIo.isFile(conf, zarrayPath),
       s"no .zarray or zarr.json under $dir — not a Zarr array")
-    val m = Json.parse(readText(conf, zarrayPath)).asInstanceOf[Map[String, Any]]
+    val attrsPath = dir + "/.zattrs"
+    arrayMetaV2(store, name,
+      Json.parse(readText(conf, zarrayPath)).asInstanceOf[Map[String, Any]],
+      if (!FsIo.isFile(conf, attrsPath)) None
+      else Some(Json.parse(readText(conf, attrsPath))
+        .asInstanceOf[Map[String, Any]]))
+  }
+
+  /** Build a [[ZArray]] from already-parsed v2 `.zarray` (+ optional
+    * `.zattrs`) documents — shared by the per-array file reads and the
+    * consolidated-metadata path, which carries the same documents
+    * verbatim inside `.zmetadata`. */
+  private def arrayMetaV2(store: String, name: String,
+                          m: Map[String, Any],
+                          attrsJson: Option[Map[String, Any]]): ZArray = {
     require(m("zarr_format").asInstanceOf[Double].toInt == 2,
       s"only Zarr v2 (got zarr_format=${m("zarr_format")})")
     val filters: Seq[ZFilter] = m.getOrElse("filters", null) match {
@@ -352,12 +366,10 @@ object Zarr {
     val sep = m.getOrElse("dimension_separator", ".") match {
       case null => "."; case s: String => s
     }
-    val attrsPath = dir + "/.zattrs"
     var dimNames = Seq.empty[String]
     var strAttrs = Map.empty[String, String]
     val attrs: Map[String, Double] =
-      if (!FsIo.isFile(conf, attrsPath)) Map.empty
-      else Json.parse(readText(conf, attrsPath)).asInstanceOf[Map[String, Any]].flatMap {
+      attrsJson.getOrElse(Map.empty[String, Any]).flatMap {
         case ("_ARRAY_DIMENSIONS", v: Vector[Any @unchecked]) =>
           dimNames = v.map(_.asInstanceOf[String]); None
         case (k, d: Double)  => Some(k -> d)
@@ -591,13 +603,22 @@ object Zarr {
     val root = store.stripSuffix("/")
     val zmeta = root + "/.zmetadata"
     if (FsIo.isFile(conf, zmeta)) {
+      // consolidated metadata: ONE document read resolves every array —
+      // the whole point of consolidation on an object store, where the
+      // per-array form costs 3 round trips (.zarray stat+read, .zattrs)
+      // per array. The embedded documents are verbatim copies, so the
+      // parse is shared with the per-file path (arrayMetaV2).
       val m = Json.parse(readText(conf, zmeta)).asInstanceOf[Map[String, Any]]
       require(m("zarr_consolidated_format").asInstanceOf[Double].toInt == 1,
         "only consolidated-metadata format 1")
-      m("metadata").asInstanceOf[Map[String, Any]].keys
-        .filter(k => k.endsWith("/.zarray"))
+      val md = m("metadata").asInstanceOf[Map[String, Any]]
+      md.keys.filter(k => k.endsWith("/.zarray"))
         .map(_.stripSuffix("/.zarray")).toSeq.sorted
-        .map(readArrayMeta(store, _))
+        .map { nm =>
+          arrayMetaV2(store, nm,
+            md(s"$nm/.zarray").asInstanceOf[Map[String, Any]],
+            md.get(s"$nm/.zattrs").map(_.asInstanceOf[Map[String, Any]]))
+        }
     } else if (FsIo.isFile(conf, root + "/.zarray")) Seq(readArrayMeta(store, ""))
     else if (FsIo.isFile(conf, root + "/zarr.json")) {
       // v3 store: one zarr.json per node; a group's arrays are its

@@ -196,12 +196,23 @@ class ZarrSpec extends AnyFunSuite {
         | "compressor": {"id": "zlib", "level": 1}, "fill_value": null,
         | "filters": null, "order": "C"}""".stripMargin)
     write(new File(pDir, "0"), zlib(doubles(Seq(1.0, 2.0))))
-    // consolidated index (keys are what matters; bodies are the originals)
-    writeText(new File(root, ".zmetadata"),
-      """{"zarr_consolidated_format": 1, "metadata": {
-        | "tas/.zarray": {}, "tas/.zattrs": {}, "aux/.zarray": {},
-        | ".zgroup": {}}}""".stripMargin)
+    // real consolidation embeds the per-array documents VERBATIM —
+    // readMeta parses the arrays from the one consolidated document
+    // (xarray's consolidated=True semantics), no per-array reads
+    Zarr.consolidate(root.getPath)
     assert(Zarr.readMeta(root.getPath).map(_.name) == Seq("aux", "tas"))
+    // the single-document property, pinned: with the per-array metadata
+    // files GONE (only .zmetadata + chunks left), readMeta still
+    // resolves every array — on an object store this is 1 GET total
+    // instead of 3 round trips per array
+    val spare = java.nio.file.Files.createTempDirectory("zarr_cm_").toFile
+    org.apache.commons.io.FileUtils.copyDirectory(root, spare)
+    val before = Zarr.readMeta(spare.getPath)
+    new File(new File(spare, "tas"), ".zarray").delete()
+    new File(new File(spare, "tas"), ".zattrs").delete()
+    new File(new File(spare, "aux"), ".zarray").delete()
+    val after = Zarr.readMeta(spare.getPath)
+    assert(after == before, "consolidated readMeta touched per-array files")
     // truncated zlib chunk -> clean IOException through the inflate guard
     val full = zlib(doubles(Seq(1.0, 2.0)))
     write(new File(pDir, "0"), full.take(full.length / 2))
