@@ -1338,6 +1338,54 @@ object SparkEntry {
         .select(col("rank"), col("vec_id"), col("label"), col("cosine"))
     }),
 
+    "q_ivf_incremental" -> ((s, dir) => {
+      // r15: INCREMENTAL IVF index maintenance (pipeline.IvfIndex + the
+      // streaming sink) — the ANN twin of q_zorder_incremental, the
+      // FAISS/Milvus LSM-segment design on Spark. Centroids PIN on the
+      // ≡3 (mod 4) quarter of embeddings (per-label dimension means,
+      // ivfTopK's clustering); segment 0 holds that quarter's
+      // assignments; three streamed batches (the other quarters) each
+      // land as one new immutable segment assigned against the PINNED
+      // centroids — existing segments never rewrite, so per-batch cost
+      // is O(batch). The oracle recomputes assignments and the probe
+      // from scratch: per-list posting stats prove no loss, no
+      // duplication and assignment identity through the segment rolls;
+      // the probe block proves the directory-pruned top-k (only
+      // seg/*/list=K dirs open) equals the full-candidate ranking on
+      // the integer-grid cosine.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent)
+      val p = graft.pipeline.IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = graft.pipeline.IvfIndex.probeTopK(s, root, q, k = 5, nprobe = 3)
+        .agg(count(lit(1)).as("probe_n"), max(col("cosine")).as("probe_max"),
+          min(col("cosine")).as("probe_min"),
+          sum(col("vec_id")).as("probe_ids"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      graft.pipeline.IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1356,6 +1404,44 @@ object SparkEntry {
   )
 
   private def oracle6: Map[String, String] = Map(
+    // from-scratch twin of the incremental IVF index: centroids off the
+    // ≡3 quarter (pinned), assignment replayed (argmin by d2 then list —
+    // off-boundary float like q_ivf_topk's), per-list posting stats over
+    // all four quarters, probe = 3 nearest lists → integer-grid-cosine
+    // top-5; pointer closed-form (3 non-empty batches → v3, lastBatch 2)
+    "q_ivf_incremental" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |cand as (select a.vec_id, e.embedding
+         |  from assign a join probe using (list)
+         |  join embeddings e using (vec_id)),
+         |scored as (select vec_id, ${cosQSql("embedding", "q.qv")} cosine
+         |  from cand, q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from scored) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n, max(cosine) probe_max,
+         |   min(cosine) probe_min, cast(sum(vec_id) as bigint) probe_ids
+         |  from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  min(a.vec_id) min_id, max(a.vec_id) max_id,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  probe_n, probe_max, probe_min, probe_ids
+         |from assign a cross join pb
+         |group by 1, probe_n, probe_max, probe_min, probe_ids""").stripMargin,
+
     "q_ivf_topk" ->
       s"""with cent as (
         |  select label, i, avg(cast(embedding[i+1] as double)) m

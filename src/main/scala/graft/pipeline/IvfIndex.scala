@@ -1,0 +1,263 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.FsIo
+
+/** INCREMENTALLY-maintained IVF (inverted-file) ANN index — the
+  * similarity-search twin of [[graft.sources.ZOrderLake]]: a one-shot
+  * [[Similarity.ivfTopK]] recomputes centroids and assignments per
+  * query, which decays the moment a stream appends; re-clustering the
+  * corpus per batch is O(corpus). This index keeps ingest O(batch) the
+  * way FAISS/Milvus-style systems do — LSM segments:
+  *
+  *   - CENTROIDS are PINNED at [[init]] (stored under `root/_centroids`):
+  *     an assignment is only stable if the centroid it was made against
+  *     never moves — the same reason the z-order lake pins its grid
+  *     bounds. Re-centering is a rebuild, not maintenance.
+  *   - each batch ASSIGNS against the pinned centroids — a broadcast
+  *     pure projection (arg-min over an array of (d2, list) structs; no
+  *     shuffle per row, no per-id window) — and lands as ONE new
+  *     immutable SEGMENT under `root/seg/sNNNNN/`, hash-repartitioned
+  *     and `partitionBy("list")` so every (segment, list) posting list
+  *     is its own directory. Existing segments are never touched:
+  *     per-batch cost is O(batch) however large the corpus grows.
+  *   - a manifest file per version lists the live segment dirs;
+  *     `_current` (atomic rename swap) carries `version lastBatch` —
+  *     the batchId gate makes replays no-ops (appends are not
+  *     idempotent), the same exactly-once contract as the z-order and
+  *     versioned lakes. Crash between write and swap leaves an orphan
+  *     segment the next GC sweeps.
+  *   - [[probeTopK]] reads ONLY `seg/sNNNNN/list=K` directories for the
+  *     nprobe nearest lists — directory pruning, no file stats needed;
+  *     probe cost ≈ (nprobe/nlists) × corpus, independent of how the
+  *     corpus arrived. Scoring rides the integer-grid cosine
+  *     ([[Similarity.cosineQuantized]]) so ranks are exact.
+  *   - [[compact]] merges every live segment into one (probe cost is
+  *     linear in segment count; compaction amortizes it), through the
+  *     same manifest + pointer swap — a maintenance version, lastBatch
+  *     unchanged.
+  *
+  * Reference anchor: the reference has no ANN surface; this is the
+  * LLM-pipeline tier's embedding index (SURVEY §2 pipeline ops), the
+  * public IVF design (Jégou et al., PAMI 2011) re-expressed as Spark
+  * segments. */
+object IvfIndex {
+
+  final case class Pointer(version: Int, lastBatch: Long)
+
+  // ---- metadata (all through FsIo: file://, hdfs://, s3a:// roots) ----
+
+  def readPointer(root: String,
+                  conf: Configuration = new Configuration()): Option[Pointer] = {
+    val p = s"$root/_current"
+    if (!FsIo.exists(conf, p)) None
+    else {
+      val parts = new String(FsIo.readBytes(conf, p),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      require(parts.length == 2, s"corrupt pointer file $p")
+      Some(Pointer(parts(0).toInt, parts(1).toLong))
+    }
+  }
+
+  private def writePointer(root: String, p: Pointer,
+                           conf: Configuration): Unit = {
+    val tmp = s"$root/_current_${ProcessHandle.current().pid()}.tmp"
+    FsIo.writeBytes(conf, tmp,
+      s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+    FsIo.atomicReplace(conf, tmp, s"$root/_current")
+  }
+
+  private def manifestPath(root: String, version: Int) =
+    f"$root/_manifests/v$version%05d"
+
+  private def writeManifest(root: String, version: Int, segs: Seq[String],
+                            conf: Configuration): Unit =
+    FsIo.writeBytes(conf, manifestPath(root, version),
+      segs.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Live segment directories of `version`, oldest first. */
+  def readManifest(root: String, version: Int,
+                   conf: Configuration = new Configuration()): Seq[String] = {
+    val p = manifestPath(root, version)
+    require(FsIo.exists(conf, p), s"missing manifest v$version under $root")
+    new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** The pinned centroid table (list INT, cvec ARRAY<DOUBLE>). */
+  def readCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/_centroids")
+
+  // ---- assignment (broadcast pure projection, shared with ivfTopK) ----
+
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+      (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, list, embedding) under the PINNED centroids: all centroids
+    * pack into one broadcast row; per-row arg-min over (d2, list)
+    * structs (ties break toward the smaller list id, matching the
+    * oracle's `order by d2, list`). */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame = {
+    val packed = centroids.agg(
+      collect_list(struct(col("list"), col("cvec"))).as("cents"))
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("list",
+        array_min(transform(col("cents"),
+          c => struct(dist2(col("embedding"), c.getField("cvec")).as("d2"),
+            c.getField("list").as("list")))).getField("list"))
+      .select(col("vec_id"), col("list"), col("embedding"))
+  }
+
+  private def segDir(root: String, version: Int) = f"$root/seg/s$version%05d"
+
+  /** One immutable segment: a batch-sized hash shuffle on `list`, then
+    * one directory per posting list. */
+  private def writeSegment(assigned: DataFrame, dir: String): Unit =
+    assigned.repartition(col("list"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list").parquet(dir)
+
+  /** Initialize: pin the centroids, write segment 0 from `emb`. The
+    * centroid table must be (list, cvec) with distinct int lists —
+    * callers bring their own clustering (label means, k-means, a
+    * sample); the index only promises it never moves. */
+  def init(emb: DataFrame, idCol: String, vecCol: String,
+           centroids: DataFrame, root: String): Unit = {
+    val spark = emb.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    FsIo.mkdirs(conf, root)
+    val cent = centroids
+      .select(col("list").cast("int").as("list"), col("cvec"))
+    cent.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/_centroids")
+    writeSegment(assign(emb, idCol, vecCol, readCentroids(spark, root)),
+      segDir(root, 0))
+    writeManifest(root, 0, Seq(segDir(root, 0)), conf)
+    writePointer(root, Pointer(0, -1L), conf)
+  }
+
+  /** Append one batch as a new segment; existing segments carry by
+    * reference (never read, never rewritten). Exactly-once via the
+    * pointer's batchId gate. */
+  def applyBatch(batch: DataFrame, idCol: String, vecCol: String,
+                 root: String, batchId: Long, retain: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // at-least-once replay: applied
+    if (batch.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
+    val next = p.version + 1
+    val dir = segDir(root, next)
+    writeSegment(assign(batch, idCol, vecCol, readCentroids(spark, root)), dir)
+    writeManifest(root, next,
+      readManifest(root, p.version, conf) :+ dir, conf)
+    writePointer(root, Pointer(next, batchId), conf)
+    gc(root, next, retain, conf)
+  }
+
+  /** Every posting across the live segments: (vec_id, list, embedding).
+    * Per-segment reads recover the `list` partition column. */
+  def currentAll(spark: SparkSession, root: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    readManifest(root, p.version, conf)
+      .map(d => spark.read.parquet(d))
+      .reduce(_ unionByName _)
+      .select(col("vec_id"), col("list").cast("int").as("list"),
+        col("embedding"))
+  }
+
+  /** Top-k by integer-grid cosine over the nprobe nearest lists: one
+    * tiny driver read picks the lists (nprobe ints — bounded), then ONLY
+    * the matching `seg/sNNNNN/list=K` directories open. The candidate
+    * scan is (nprobe/nlists) of the corpus; ranking is
+    * TakeOrderedAndProject (partition-local heaps + driver merge of k),
+    * never a single-partition window over the candidates. */
+  def probeTopK(spark: SparkSession, root: String, queryVec: DataFrame,
+                k: Int, nprobe: Int): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val probed = readCentroids(spark, root)
+      .crossJoin(broadcast(queryVec))
+      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("qd2"), col("list"))
+      .limit(nprobe)
+      .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+    val dirs = for {
+      seg <- readManifest(root, p.version, conf)
+      l <- probed
+      d = s"$seg/list=$l"
+      if FsIo.exists(conf, d) // a list can be empty in a segment
+    } yield (d, l)
+    val empty = currentAll(spark, root).filter(lit(false))
+      .select(col("vec_id"), col("list"), col("embedding"))
+    val cand =
+      if (dirs.isEmpty) empty
+      else dirs.map { case (d, l) =>
+        spark.read.parquet(d).withColumn("list", lit(l))
+          .select(col("vec_id"), col("list"), col("embedding"))
+      }.reduce(_ unionByName _)
+    val topk = cand.crossJoin(broadcast(queryVec))
+      .withColumn("cosine",
+        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+    import org.apache.spark.sql.expressions.Window
+    topk.withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("list"), col("cosine"))
+  }
+
+  /** Merge every live segment into ONE (probe cost is linear in segment
+    * count; this amortizes it) — a maintenance version: lastBatch
+    * unchanged, contents identical. Returns the new segment count (1). */
+  def compact(spark: SparkSession, root: String, retain: Int = 2): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val segs = readManifest(root, p.version, conf)
+    if (segs.size <= 1) return segs.size
+    val next = p.version + 1
+    val dir = segDir(root, next)
+    writeSegment(currentAll(spark, root), dir)
+    writeManifest(root, next, Seq(dir), conf)
+    writePointer(root, Pointer(next, p.lastBatch), conf)
+    gc(root, next, retain, conf)
+    1
+  }
+
+  /** Drop aged-out manifests; delete segment dirs no retained manifest
+    * references (segments carry by reference across versions, so
+    * liveness is the union over the retention window). Orphans from a
+    * crash-before-swap fall out here too. */
+  private def gc(root: String, current: Int, retain: Int,
+                 conf: Configuration): Unit = {
+    val floor = current - retain
+    (0 until floor).foreach(v => FsIo.delete(conf, manifestPath(root, v)))
+    val live = (math.max(0, floor) to current)
+      .filter(v => FsIo.exists(conf, manifestPath(root, v)))
+      .flatMap(v => readManifest(root, v, conf)).toSet
+    if (FsIo.exists(conf, s"$root/seg"))
+      FsIo.listDirNames(conf, s"$root/seg").foreach { d =>
+        if (!live.exists(_.endsWith(s"/seg/$d")))
+          FsIo.delete(conf, s"$root/seg/$d")
+      }
+  }
+
+  /** Test cleanup. */
+  def destroy(root: String,
+              conf: Configuration = new Configuration()): Unit =
+    FsIo.delete(conf, root)
+}

@@ -278,6 +278,33 @@ object Streams {
       graft.sources.ZOrderLake.applyBatch(b, root, targetRows, id, retain)
     }
 
+  /** Streaming IVF index maintenance (foreachBatch →
+    * [[graft.pipeline.IvfIndex.applyBatch]]): each micro-batch assigns
+    * against the PINNED centroids and lands as one immutable segment —
+    * existing segments never rewrite, so sink cost per trigger is
+    * O(batch); the batchId gate makes replays no-ops. */
+  def ivfSinkVersioned(rows: DataFrame, root: String, idCol: String,
+                       vecCol: String, retain: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      graft.pipeline.IvfIndex.applyBatch(b, idCol, vecCol, root, id, retain)
+    }
+
+  /** [[zOrderReplayVersioned]]'s twin for the IVF sink: pin centroids +
+    * segment 0 from `initial`, stream the batches one-per-trigger,
+    * return every posting across the final segments. */
+  def ivfReplayVersioned(s: SparkSession, initial: DataFrame,
+                         batches: Seq[DataFrame], root: String,
+                         idCol: String, vecCol: String,
+                         centroids: DataFrame, retain: Int = 2): DataFrame = {
+    require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
+    graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root)
+    replayThrough(s, batches) { stream =>
+      ivfSinkVersioned(stream, root, idCol, vecCol, retain)
+    }
+    graft.pipeline.IvfIndex.currentAll(s, root)
+  }
+
   /** [[ddSketchReplayVersioned]]'s twin for the z-order sink: init the
     * lake z-ordered from `initial` (grid bounds pin there), stream the
     * batches one-per-trigger, return the final pinned table. */

@@ -834,6 +834,83 @@ class StreamingSpec extends AnyFunSuite {
     VL.destroy(spark, root, table)
   }
 
+  test("incremental IVF: segments append-only, probes dir-pruned, replay no-op, compact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_").toString + "/ivf"
+    val dim = 8
+    // deterministic corpus: 4 well-separated clusters (base vector per
+    // cluster + small per-id jitter), 400 vectors
+    def vec(id: Int): Array[Float] = {
+      val c = id % 4
+      Array.tabulate(dim)(j =>
+        (if (j == c * 2) 10f else 0f) + ((id * 31 + j * 7) % 10) * 0.01f)
+    }
+    def frame(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, root)
+    // stream 3 batches; snapshot each existing segment's file list to
+    // prove append-only maintenance (no existing file ever changes)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def segFiles(): Map[String, Set[String]] =
+      IvfIndex.readManifest(root, IvfIndex.readPointer(root).get.version)
+        .map(d => d -> graft.sources.FsIo.listFilesRecursive(conf, d)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    var before = segFiles()
+    for (b <- 0 until 3) {
+      IvfIndex.applyBatch(frame(100 * (b + 1) until 100 * (b + 2)),
+        "vec_id", "embedding", root, batchId = b.toLong, retain = 10)
+      val after = segFiles()
+      before.foreach { case (d, files) =>
+        assert(after(d) == files, s"existing segment $d changed in batch $b")
+      }
+      assert(after.size == before.size + 1, "batch did not add exactly one segment")
+      before = after
+    }
+    val p = IvfIndex.readPointer(root).get
+    assert(p.version == 3 && p.lastBatch == 2)
+    // contents: every id exactly once, assigned to its construction cluster
+    val all = IvfIndex.currentAll(spark, root)
+    assert(all.count() == 400)
+    assert(all.filter(col("list") =!= pmod(col("vec_id"), lit(4))).count() == 0,
+      "assignment drifted from the pinned centroids")
+    // probe: only the probed lists' directories open; top-k == brute force
+    val q = Seq((0L, vec(0))).toDF("vec_id", "qvec").select(col("qvec"))
+    val top = IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 1)
+    assert(top.inputFiles.forall(_.contains("list=0")),
+      s"probe read outside list=0: ${top.inputFiles.toSeq.filterNot(_.contains("list=0"))}")
+    val brute = all.filter(col("list") === 0).crossJoin(q)
+      .withColumn("cosine",
+        graft.pipeline.Similarity.cosineQuantized(col("embedding"), col("qvec")))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(top.orderBy("rank").select("vec_id").as[Long].collect().toSeq == brute)
+    // replay of an applied batch: pointer and contents untouched
+    IvfIndex.applyBatch(frame(0 until 50), "vec_id", "embedding", root,
+      batchId = 1L, retain = 10)
+    assert(IvfIndex.readPointer(root).get == p)
+    assert(IvfIndex.currentAll(spark, root).count() == 400)
+    // compact: one segment, contents identical, probe unchanged
+    // (materialize the pre-compaction stats first — `all` is lazy and
+    // its segment files are GC'd by the compaction)
+    val allStats = all.agg(sum("vec_id"), sum("list")).head()
+    assert(IvfIndex.compact(spark, root, retain = 0) == 1)
+    val afterC = IvfIndex.currentAll(spark, root)
+    assert(afterC.count() == 400 &&
+      afterC.agg(sum("vec_id"), sum("list")).head() == allStats)
+    assert(IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq == brute)
+    // retention GC: with retain=0, only the compacted segment survives
+    assert(graft.sources.FsIo.listDirNames(conf, s"$root/seg").size == 1,
+      "aged-out segments not collected")
+    IvfIndex.destroy(root)
+  }
+
   test("incremental z-order: 3 batches rewrite only touched slabs, layout stays skippable") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
