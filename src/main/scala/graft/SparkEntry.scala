@@ -1386,6 +1386,54 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_delete" -> ((s, dir) => {
+      // r15: IVF tombstone deletes + LSM re-insert visibility. Same
+      // pinned centroids as q_ivf_incremental; inserts land the ≡0 and
+      // ≡1 quarters, a tombstone batch deletes every vec_id ≡0 (mod 8)
+      // WITHOUT touching any posting segment, then the ≡2 quarter plus
+      // a RE-INSERT of the ≡0 (mod 16) ids lands after it — sequence
+      // order makes exactly those live again. The oracle computes the
+      // closed-form live set (everything except ≡0 mod 8 ids that were
+      // not re-inserted) and the post-delete probe from scratch.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfdel_q_").toString + "/ivf"
+      import graft.pipeline.IvfIndex
+      IvfIndex.init(init, "vec_id", "embedding", cent, root)
+      IvfIndex.applyBatch(e.filter(m === 0), "vec_id", "embedding", root, 0L)
+      IvfIndex.applyBatch(e.filter(m === 1), "vec_id", "embedding", root, 1L)
+      IvfIndex.applyDeleteBatch(
+        e.filter(pmod(col("vec_id"), lit(8)) === 0).select(col("vec_id")),
+        "vec_id", root, 2L)
+      IvfIndex.applyBatch(
+        e.filter(m === 2).unionByName(
+          e.filter(pmod(col("vec_id"), lit(16)) === 0)),
+        "vec_id", "embedding", root, 3L)
+      val p = IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = IvfIndex.probeTopK(s, root, q, k = 5, nprobe = 3)
+        .agg(count(lit(1)).as("probe_n"), max(col("cosine")).as("probe_max"),
+          sum(col("vec_id")).as("probe_ids"))
+      val out = IvfIndex.currentAll(s, root).groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1441,6 +1489,43 @@ object SparkEntry {
          |  probe_n, probe_max, probe_min, probe_ids
          |from assign a cross join pb
          |group by 1, probe_n, probe_max, probe_min, probe_ids""").stripMargin,
+
+    // tombstone-delete twin: the live set is closed-form — every vector
+    // except the ≡0 (mod 8) ids that were NOT re-inserted (≡0 mod 16
+    // landed again AFTER the tombstone, so sequence order revives them);
+    // pointer v4 (2 inserts + 1 delete + 1 insert), lastBatch 3
+    "q_ivf_delete" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |live as (select * from assign
+         |  where not (vec_id % 8 = 0 and vec_id % 16 <> 0)),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |cand as (select a.vec_id, e.embedding
+         |  from live a join probe using (list)
+         |  join embeddings e using (vec_id)),
+         |scored as (select vec_id, ${cosQSql("embedding", "q.qv")} cosine
+         |  from cand, q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from scored) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n, max(cosine) probe_max,
+         |   cast(sum(vec_id) as bigint) probe_ids from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(4 as int) snap_version, cast(3 as bigint) last_batch,
+         |  probe_n, probe_max, probe_ids
+         |from live a cross join pb
+         |group by 1, probe_n, probe_max, probe_ids""").stripMargin,
 
     "q_ivf_topk" ->
       s"""with cent as (

@@ -37,10 +37,15 @@ import graft.sources.FsIo
   *     probe cost ≈ (nprobe/nlists) × corpus, independent of how the
   *     corpus arrived. Scoring rides the integer-grid cosine
   *     ([[Similarity.cosineQuantized]]) so ranks are exact.
+  *   - DELETES ([[applyDeleteBatch]] — decontamination, opt-out
+  *     removal) land as tiny TOMBSTONE segments; visibility follows
+  *     LSM sequence order (a tombstone kills only postings committed
+  *     before it, so later re-inserts are live), and no posting
+  *     segment is touched.
   *   - [[compact]] merges every live segment into one (probe cost is
-  *     linear in segment count; compaction amortizes it), through the
-  *     same manifest + pointer swap — a maintenance version, lastBatch
-  *     unchanged.
+  *     linear in segment count; compaction amortizes it) and applies
+  *     tombstones physically, through the same manifest + pointer
+  *     swap — a maintenance version, lastBatch unchanged.
   *
   * Reference anchor: the reference has no ANN surface; this is the
   * LLM-pipeline tier's embedding index (SURVEY §2 pipeline ops), the
@@ -75,18 +80,28 @@ object IvfIndex {
   private def manifestPath(root: String, version: Int) =
     f"$root/_manifests/v$version%05d"
 
-  private def writeManifest(root: String, version: Int, segs: Seq[String],
+  /** One live segment: `dir`, the version it was committed at (the LSM
+    * sequence number — a tombstone kills only postings committed
+    * BEFORE it), and whether it is a tombstone (vec_id-only delete)
+    * segment. */
+  final case class Seg(dir: String, version: Int, tombstone: Boolean)
+
+  private def writeManifest(root: String, version: Int, segs: Seq[Seg],
                             conf: Configuration): Unit =
     FsIo.writeBytes(conf, manifestPath(root, version),
-      segs.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      segs.map(e => s"${if (e.tombstone) "T" else "P"}\t${e.version}\t${e.dir}")
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
-  /** Live segment directories of `version`, oldest first. */
+  /** Live segments of `version`, oldest first. */
   def readManifest(root: String, version: Int,
-                   conf: Configuration = new Configuration()): Seq[String] = {
+                   conf: Configuration = new Configuration()): Seq[Seg] = {
     val p = manifestPath(root, version)
     require(FsIo.exists(conf, p), s"missing manifest v$version under $root")
     new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq
+      .split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val f = line.split("\t")
+        Seg(f(2), f(1).toInt, f(0) == "T")
+      }
   }
 
   /** The pinned centroid table (list INT, cvec ARRAY<DOUBLE>). */
@@ -117,6 +132,7 @@ object IvfIndex {
   }
 
   private def segDir(root: String, version: Int) = f"$root/seg/s$version%05d"
+  private def delDir(root: String, version: Int) = f"$root/del/d$version%05d"
 
   /** One immutable segment: a batch-sized hash shuffle on `list`, then
     * one directory per posting list. */
@@ -139,7 +155,7 @@ object IvfIndex {
       .parquet(s"$root/_centroids")
     writeSegment(assign(emb, idCol, vecCol, readCentroids(spark, root)),
       segDir(root, 0))
-    writeManifest(root, 0, Seq(segDir(root, 0)), conf)
+    writeManifest(root, 0, Seq(Seg(segDir(root, 0), 0, tombstone = false)), conf)
     writePointer(root, Pointer(0, -1L), conf)
   }
 
@@ -160,10 +176,63 @@ object IvfIndex {
     val dir = segDir(root, next)
     writeSegment(assign(batch, idCol, vecCol, readCentroids(spark, root)), dir)
     writeManifest(root, next,
-      readManifest(root, p.version, conf) :+ dir, conf)
+      readManifest(root, p.version, conf) :+ Seg(dir, next, tombstone = false),
+      conf)
     writePointer(root, Pointer(next, batchId), conf)
     gc(root, next, retain, conf)
   }
+
+  /** DELETE a batch of ids — the decontamination / opt-out removal
+    * path: the ids land as one tiny TOMBSTONE segment; no posting
+    * segment is touched (per-batch cost O(delete batch)). Visibility
+    * follows LSM sequence order: a tombstone at version v kills only
+    * postings committed at versions < v, so a LATER re-insert of the
+    * same id is live again. [[compact]] applies tombstones physically
+    * and drops them. Same batchId exactly-once gate as inserts. */
+  def applyDeleteBatch(ids: DataFrame, idCol: String, root: String,
+                       batchId: Long, retain: Int = 2): Unit = {
+    val spark = ids.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    if (batchId <= p.lastBatch) return // at-least-once replay: applied
+    if (ids.isEmpty) {
+      writePointer(root, p.copy(lastBatch = batchId), conf); return
+    }
+    val next = p.version + 1
+    val dir = delDir(root, next)
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    writeManifest(root, next,
+      readManifest(root, p.version, conf) :+ Seg(dir, next, tombstone = true),
+      conf)
+    writePointer(root, Pointer(next, batchId), conf)
+    gc(root, next, retain, conf)
+  }
+
+  /** All live tombstones as (vec_id, _del_v), or None when the index
+    * carries none (the common case skips the anti-join entirely). */
+  private def tombstones(spark: SparkSession,
+                         segs: Seq[Seg]): Option[DataFrame] = {
+    val t = segs.filter(_.tombstone)
+    if (t.isEmpty) None
+    else Some(t.map(e => spark.read.parquet(e.dir)
+        .select(col("vec_id"), lit(e.version).as("_del_v")))
+      .reduce(_ unionByName _))
+  }
+
+  /** LSM visibility: drop postings whose segment version precedes a
+    * matching tombstone. Equi-join on vec_id with the version
+    * inequality as a residual condition — never a cartesian. */
+  private def applyTombstones(postings: DataFrame,
+                              tombs: Option[DataFrame]): DataFrame =
+    tombs match {
+      case None => postings
+      case Some(t) =>
+        postings.join(t,
+          postings("vec_id") === t("vec_id") &&
+            postings("_seg_v") < t("_del_v"), "left_anti")
+    }
 
   /** Every posting across the live segments: (vec_id, list, embedding).
     * Per-segment reads recover the `list` partition column. */
@@ -171,11 +240,14 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    readManifest(root, p.version, conf)
-      .map(d => spark.read.parquet(d))
+    val segs = readManifest(root, p.version, conf)
+    val postings = segs.filterNot(_.tombstone)
+      .map(e => spark.read.parquet(e.dir)
+        .withColumn("_seg_v", lit(e.version)))
       .reduce(_ unionByName _)
       .select(col("vec_id"), col("list").cast("int").as("list"),
-        col("embedding"))
+        col("embedding"), col("_seg_v"))
+    applyTombstones(postings, tombstones(spark, segs)).drop("_seg_v")
   }
 
   /** Top-k by integer-grid cosine over the nprobe nearest lists: one
@@ -195,20 +267,23 @@ object IvfIndex {
       .orderBy(col("qd2"), col("list"))
       .limit(nprobe)
       .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+    val segs = readManifest(root, p.version, conf)
     val dirs = for {
-      seg <- readManifest(root, p.version, conf)
+      seg <- segs if !seg.tombstone
       l <- probed
-      d = s"$seg/list=$l"
+      d = s"${seg.dir}/list=$l"
       if FsIo.exists(conf, d) // a list can be empty in a segment
-    } yield (d, l)
+    } yield (d, l, seg.version)
     val empty = currentAll(spark, root).filter(lit(false))
       .select(col("vec_id"), col("list"), col("embedding"))
-    val cand =
-      if (dirs.isEmpty) empty
-      else dirs.map { case (d, l) =>
+    val cand0 =
+      if (dirs.isEmpty) empty.withColumn("_seg_v", lit(0))
+      else dirs.map { case (d, l, v) =>
         spark.read.parquet(d).withColumn("list", lit(l))
-          .select(col("vec_id"), col("list"), col("embedding"))
+          .withColumn("_seg_v", lit(v))
+          .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
+    val cand = applyTombstones(cand0, tombstones(spark, segs)).drop("_seg_v")
     val topk = cand.crossJoin(broadcast(queryVec))
       .withColumn("cosine",
         Similarity.cosineQuantized(col("embedding"), col("qvec")))
@@ -231,8 +306,11 @@ object IvfIndex {
     if (segs.size <= 1) return segs.size
     val next = p.version + 1
     val dir = segDir(root, next)
+    // currentAll already applies the tombstones; the rewrite makes the
+    // deletions physical, so the tombstone segments drop from the
+    // manifest (and GC collects them once out of retention)
     writeSegment(currentAll(spark, root), dir)
-    writeManifest(root, next, Seq(dir), conf)
+    writeManifest(root, next, Seq(Seg(dir, next, tombstone = false)), conf)
     writePointer(root, Pointer(next, p.lastBatch), conf)
     gc(root, next, retain, conf)
     1
@@ -248,12 +326,14 @@ object IvfIndex {
     (0 until floor).foreach(v => FsIo.delete(conf, manifestPath(root, v)))
     val live = (math.max(0, floor) to current)
       .filter(v => FsIo.exists(conf, manifestPath(root, v)))
-      .flatMap(v => readManifest(root, v, conf)).toSet
-    if (FsIo.exists(conf, s"$root/seg"))
-      FsIo.listDirNames(conf, s"$root/seg").foreach { d =>
-        if (!live.exists(_.endsWith(s"/seg/$d")))
-          FsIo.delete(conf, s"$root/seg/$d")
-      }
+      .flatMap(v => readManifest(root, v, conf).map(_.dir)).toSet
+    Seq("seg", "del").foreach { kind =>
+      if (FsIo.exists(conf, s"$root/$kind"))
+        FsIo.listDirNames(conf, s"$root/$kind").foreach { d =>
+          if (!live.exists(_.endsWith(s"/$kind/$d")))
+            FsIo.delete(conf, s"$root/$kind/$d")
+        }
+    }
   }
 
   /** Test cleanup. */

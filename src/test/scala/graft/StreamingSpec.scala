@@ -859,7 +859,7 @@ class StreamingSpec extends AnyFunSuite {
     val conf = spark.sparkContext.hadoopConfiguration
     def segFiles(): Map[String, Set[String]] =
       IvfIndex.readManifest(root, IvfIndex.readPointer(root).get.version)
-        .map(d => d -> graft.sources.FsIo.listFilesRecursive(conf, d)
+        .map(e => e.dir -> graft.sources.FsIo.listFilesRecursive(conf, e.dir)
           .filter(_.endsWith(".parquet")).toSet).toMap
     var before = segFiles()
     for (b <- 0 until 3) {
@@ -895,19 +895,44 @@ class StreamingSpec extends AnyFunSuite {
       batchId = 1L, retain = 10)
     assert(IvfIndex.readPointer(root).get == p)
     assert(IvfIndex.currentAll(spark, root).count() == 400)
-    // compact: one segment, contents identical, probe unchanged
-    // (materialize the pre-compaction stats first — `all` is lazy and
-    // its segment files are GC'd by the compaction)
-    val allStats = all.agg(sum("vec_id"), sum("list")).head()
+    // TOMBSTONE deletes: ids 0..39 go (one tiny tombstone segment — no
+    // posting segment touched); probes and reads stop seeing them
+    val preSegs = segFiles()
+    IvfIndex.applyDeleteBatch(
+      (0 until 40).map(_.toLong).toDF("vec_id"), "vec_id", root,
+      batchId = 3L, retain = 10)
+    preSegs.foreach { case (d, files) =>
+      assert(segFiles()(d) == files, s"delete batch rewrote posting segment $d")
+    }
+    assert(IvfIndex.currentAll(spark, root).count() == 360)
+    val topDel = IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(topDel.forall(_ >= 40), s"probe surfaced deleted ids: $topDel")
+    // LSM sequence order: RE-INSERTING a deleted id after the tombstone
+    // makes it live again (the tombstone only kills older postings)
+    IvfIndex.applyBatch(frame(Seq(0, 4)), "vec_id", "embedding", root,
+      batchId = 4L, retain = 10)
+    val live = IvfIndex.currentAll(spark, root)
+    assert(live.count() == 362)
+    assert(live.filter(col("vec_id") === 0).count() == 1 &&
+      live.filter(col("vec_id") === 8).count() == 0)
+    // compact: one segment, deletions applied PHYSICALLY (tombstones
+    // dropped), contents identical to the pre-compaction live view
+    // (materialized first — `live` is lazy and its segments get GC'd)
+    val liveStats = live.agg(count(lit(1)), sum("vec_id"), sum("list")).head()
     assert(IvfIndex.compact(spark, root, retain = 0) == 1)
     val afterC = IvfIndex.currentAll(spark, root)
-    assert(afterC.count() == 400 &&
-      afterC.agg(sum("vec_id"), sum("list")).head() == allStats)
-    assert(IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 1)
-      .orderBy("rank").select("vec_id").as[Long].collect().toSeq == brute)
+    assert(afterC.agg(count(lit(1)), sum("vec_id"), sum("list")).head()
+      == liveStats)
+    assert(IvfIndex.readManifest(root,
+      IvfIndex.readPointer(root).get.version).forall(!_.tombstone))
     // retention GC: with retain=0, only the compacted segment survives
+    // (tombstone dirs collected too)
     assert(graft.sources.FsIo.listDirNames(conf, s"$root/seg").size == 1,
       "aged-out segments not collected")
+    assert(!graft.sources.FsIo.exists(conf, s"$root/del") ||
+      graft.sources.FsIo.listDirNames(conf, s"$root/del").isEmpty,
+      "tombstone dirs not collected")
     IvfIndex.destroy(root)
   }
 
