@@ -276,6 +276,86 @@ object Main {
             }
           case None => println(s"z-order lake at $root: uninitialized")
         }
+      case "ivf" :: "init" :: emb :: cents :: root :: Nil =>
+        // incremental IVF index bootstrap: centroids PIN here (a parquet
+        // of (list, cvec)); segment 0 holds emb's assignments
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.pipeline.IvfIndex.init(spark.read.parquet(emb),
+          "vec_id", "embedding", spark.read.parquet(cents), root)
+        println(s"$emb -> IVF index $root (centroids pinned from $cents)")
+        spark.stop()
+      case "ivf" :: "append" :: in :: root :: batchId :: Nil =>
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.pipeline.IvfIndex.applyBatch(spark.read.parquet(in),
+          "vec_id", "embedding", root, batchId.toLong)
+        val p = graft.pipeline.IvfIndex.readPointer(root).get
+        println(s"$in -> $root (now v${p.version}, lastBatch ${p.lastBatch})")
+        spark.stop()
+      case "ivf" :: "delete" :: in :: root :: batchId :: Nil =>
+        // tombstone delete: `in` is a parquet with a vec_id column
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        graft.pipeline.IvfIndex.applyDeleteBatch(spark.read.parquet(in),
+          "vec_id", root, batchId.toLong)
+        val p = graft.pipeline.IvfIndex.readPointer(root).get
+        println(s"$in -> $root tombstone (now v${p.version}, lastBatch ${p.lastBatch})")
+        spark.stop()
+      case "ivf" :: "probe" :: root :: out :: qid :: k :: nprobe :: Nil =>
+        // top-k by integer-grid cosine for the indexed vector `qid`
+        // (self-query form; arbitrary query vectors go through the API)
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        import org.apache.spark.sql.functions.col
+        val q = graft.pipeline.IvfIndex.currentAll(spark, root)
+          .filter(col("vec_id") === qid.toLong)
+          .select(col("embedding").as("qvec"))
+        val top = graft.pipeline.IvfIndex.probeTopK(spark, root, q,
+          k.toInt, nprobe.toInt)
+        top.write.mode("overwrite").parquet(out)
+        println(s"$root probe vec_id=$qid top-$k (nprobe=$nprobe) -> $out " +
+          s"(${top.inputFiles.count(_.contains("list="))} posting files opened)")
+        spark.stop()
+      case "ivf" :: "compact" :: root :: Nil =>
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val n = graft.pipeline.IvfIndex.compact(spark, root)
+        println(s"$root compacted to $n segment(s), tombstones applied")
+        spark.stop()
+      case "ivf" :: "info" :: root :: Nil =>
+        // pointer + segment summary; metadata files only, no SparkSession
+        graft.pipeline.IvfIndex.readPointer(root) match {
+          case Some(p) =>
+            val segs = graft.pipeline.IvfIndex.readManifest(root, p.version)
+            val (tomb, post) = segs.partition(_.tombstone)
+            println(s"IVF index $root: v${p.version}, lastBatch " +
+              s"${p.lastBatch}, ${post.size} posting segment(s), " +
+              s"${tomb.size} tombstone segment(s)")
+            segs.foreach(e => println(
+              s"  ${if (e.tombstone) "T" else "P"} v${e.version} ${e.dir}"))
+          case None => println(s"IVF index at $root: uninitialized")
+        }
       case "lake-scan" :: in :: out :: preds if preds.nonEmpty =>
         // typed range-pruned scan without Scala: per-file min/max stats
         // build in one pass (Lake.fileStats), candidate files intersect
@@ -343,6 +423,10 @@ object Main {
             s"zolake compact <root> <targetRows> | zolake info <root> | " +
             s"zolake box <root> <out> <lo:hi|lo:|:hi|:>... | " +
             s"lake-scan <in> <out> <col:lo:hi>... | " +
+            s"ivf init <emb> <centroids> <root> | ivf append <in> <root> <batchId> | " +
+            s"ivf delete <ids> <root> <batchId> | " +
+            s"ivf probe <root> <out> <vec_id> <k> <nprobe> | " +
+            s"ivf compact <root> | ivf info <root> | " +
             s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")
         sys.exit(2)
