@@ -466,6 +466,11 @@ object ZOrderLake {
     val (epoch, dims) =
       if (oobRows.toDouble / batchRows > epochThreshold) {
         val fresh = curDims.zipWithIndex.map { case (d, i) =>
+          // an all-NULL dim column has no min/max — NULL values are
+          // in-box by convention (they z-encode to NULL), so the dim
+          // keeps its grid
+          if (r.isNullAt(2 * i)) d
+          else {
           val blo = r.getLong(2 * i); val bhi = r.getLong(2 * i + 1)
           if (blo >= d.lo && bhi <= d.hi) d // in-box dim keeps its grid
           else {
@@ -476,6 +481,7 @@ object ZOrderLake {
             DimBound(d.name,
               if (blo < d.lo) math.min(blo, d.lo - g) else d.lo,
               if (bhi > d.hi) math.max(bhi, d.hi + g) else d.hi)
+          }
           }
         }
         appendEpoch(root, epochs.size, fresh, conf)
