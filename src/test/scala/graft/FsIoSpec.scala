@@ -200,6 +200,44 @@ class FsIoSpec extends AnyFunSuite {
     } finally sd.close()
   }
 
+  test("IVF index metadata round-trips through an explicit file:/// root") {
+    import spark.implicits._
+    import graft.pipeline.IvfIndex
+    val local = tmp("ivf")
+    val root = s"file://$local/ivf"
+    val dim = 8
+    def vec(id: Int): Array[Float] =
+      Array.tabulate(dim)(j => (if (j == (id % 2) * 4) 10f else 0f) + id * 0.001f)
+    val centroids = (0 until 2).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 4) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    IvfIndex.init((0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, root)
+    IvfIndex.applyBatch(
+      (60 until 100).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 0L)
+    IvfIndex.applyDeleteBatch(Seq(2L, 4L).toDF("vec_id"), "vec_id", root, 1L)
+    // pointer + manifests landed as plain files through the Hadoop
+    // layer — no .crc sidecars among the FsIo-written METADATA (the
+    // parquet segment dirs are Spark's own writer; its sidecars there
+    // are stock behavior, same as the z-order lake's slab dirs)
+    val rootDir = new java.io.File(local, "ivf")
+    assert(new java.io.File(rootDir, "_current").isFile)
+    val metaFiles = rootDir.listFiles().filter(_.isFile).map(_.getName) ++
+      new java.io.File(rootDir, "_manifests").listFiles().map(_.getName)
+    assert(!metaFiles.exists(_.endsWith(".crc")),
+      s"checksum sidecars polluted the index metadata: ${metaFiles.toSeq}")
+    assert(IvfIndex.readPointer(root).get == IvfIndex.Pointer(2, 1L))
+    assert(IvfIndex.currentAll(spark, root).count() == 98)
+    val q = Seq(Tuple1(vec(1))).toDF("qvec")
+    val top = IvfIndex.probeTopK(spark, root, q, k = 3, nprobe = 1)
+    assert(top.count() == 3)
+    assert(IvfIndex.compact(spark, root) == 1)
+    assert(IvfIndex.currentAll(spark, root).count() == 98)
+    IvfIndex.destroy(root)
+    assert(!rootDir.exists())
+  }
+
   test("ConfSnapshot rebuilds a usable Configuration after serialization") {
     val snap = graft.sources.FsIo.snapshot(spark)
     val bos = new java.io.ByteArrayOutputStream()
