@@ -1434,6 +1434,34 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_batch_probe" -> ((s, dir) => {
+      // r15: the IVF SERVING shape — per-query top-k for a whole query
+      // batch in one pass (probeTopKBatch): each query's nprobe lists
+      // compute columnar, only the UNION of needed list directories
+      // opens, candidates join the broadcast queries on list
+      // membership, and ranking is a per-qid window. The oracle replays
+      // the full fan-out per query from scratch.
+      val e = t(s, dir, "embeddings")
+      val cent = e
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfb_q_").toString + "/ivf"
+      import graft.pipeline.IvfIndex
+      IvfIndex.init(e, "vec_id", "embedding", cent, root)
+      val queries = e.filter(col("vec_id").isin(0, 7, 13))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val out = IvfIndex.probeTopKBatch(s, root, queries, k = 5, nprobe = 3)
+        .localCheckpoint(true) // 15 rows, eager: the index can go
+      IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1526,6 +1554,38 @@ object SparkEntry {
          |  probe_n, probe_max, probe_ids
          |from live a cross join pb
          |group by 1, probe_n, probe_max, probe_ids""").stripMargin,
+
+    // batched-probe twin: the same centroid/assignment replay fanned out
+    // per query — probe lists per qid (top-3 by centroid d2), candidates
+    // from the probed lists, integer-grid-cosine top-5 per qid
+    "q_ivf_batch_probe" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |qs as (select vec_id qid, embedding qv from embeddings
+         |  where vec_id in (0, 7, 13)),
+         |qd as (select q.qid, c.list,
+         |   sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, qs q group by 1, 2),
+         |probe as (select qid, list from (select qid, list,
+         |  row_number() over (partition by qid order by d2, list) rn
+         |  from qd) x where rn <= 3),
+         |cand as (select p.qid, a.vec_id, a.list, e.embedding
+         |  from assign a join probe p using (list)
+         |  join embeddings e using (vec_id)),
+         |scored as (select c.qid, c.vec_id, c.list,
+         |  ${cosQSql("c.embedding", "q.qv")} cosine
+         |  from cand c join qs q using (qid)),
+         |ranked as (select *, row_number() over (partition by qid
+         |  order by cosine desc, vec_id) rank from scored)
+         |select qid, cast(rank as int) rank, vec_id, list, cosine
+         |from ranked where rank <= 5""").stripMargin,
 
     "q_ivf_topk" ->
       s"""with cent as (

@@ -295,6 +295,65 @@ object IvfIndex {
       .select(col("rank"), col("vec_id"), col("list"), col("cosine"))
   }
 
+  /** BATCHED probes — the serving shape: per-query top-k for a whole
+    * query frame (qid, qvec) in ONE pass, never a per-query driver
+    * loop. Each query's nprobe nearest lists compute COLUMNAR (sort the
+    * (d2, list) struct array, slice nprobe — same tie order as
+    * [[probeTopK]]); only the UNION of needed list directories opens
+    * (one driver collect bounded by nlists, not by query count);
+    * candidates join the broadcast queries on list membership and rank
+    * per qid through a PARTITIONED window — executor state is one
+    * query's candidate stream, however many queries ride the batch.
+    * Queries are broadcast, so the batch should be serving-sized
+    * (≲10^5); corpus-scale "queries" are a self-join, not a probe. */
+  def probeTopKBatch(spark: SparkSession, root: String, queries: DataFrame,
+                     k: Int, nprobe: Int): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val packed = readCentroids(spark, root).agg(
+      collect_list(struct(col("list"), col("cvec"))).as("cents"))
+    val qLists = queries.select(col("qid"), col("qvec"))
+      .crossJoin(broadcast(packed))
+      .withColumn("probe_lists",
+        transform(slice(array_sort(transform(col("cents"),
+          c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
+            c.getField("list").as("list")))), 1, nprobe),
+          s => s.getField("list")))
+      .select(col("qid"), col("qvec"), col("probe_lists"))
+      .localCheckpoint(false) // consumed twice: list union + join
+    val needed = qLists.select(explode(col("probe_lists")).as("list"))
+      .distinct().collect().map(_.getInt(0)).toSet // bounded by nlists
+    val segs = readManifest(root, p.version, conf)
+    val dirs = for {
+      seg <- segs if !seg.tombstone
+      l <- needed.toSeq.sorted
+      d = s"${seg.dir}/list=$l"
+      if FsIo.exists(conf, d)
+    } yield (d, l, seg.version)
+    val empty = currentAll(spark, root).filter(lit(false))
+      .withColumn("_seg_v", lit(0))
+    val cand0 =
+      if (dirs.isEmpty) empty
+      else dirs.map { case (d, l, v) =>
+        spark.read.parquet(d).withColumn("list", lit(l))
+          .withColumn("_seg_v", lit(v))
+          .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
+      }.reduce(_ unionByName _)
+    val cand = applyTombstones(cand0, tombstones(spark, segs)).drop("_seg_v")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(broadcast(qLists),
+        array_contains(qLists("probe_lists"), cand("list")))
+      .withColumn("cosine",
+        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("list"),
+        col("cosine"))
+  }
+
   /** Merge every live segment into ONE (probe cost is linear in segment
     * count; this amortizes it) — a maintenance version: lastBatch
     * unchanged, contents identical. Returns the new segment count (1). */

@@ -890,6 +890,18 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy(col("cosine").desc, col("vec_id")).limit(5)
       .select(col("vec_id")).as[Long].collect().toSeq
     assert(top.orderBy("rank").select("vec_id").as[Long].collect().toSeq == brute)
+    // batched probes: per-qid results equal the single-probe form, and
+    // the one pass opens only the union of the queries' probed lists
+    val qBatch = Seq((0L, vec(0)), (1L, vec(1))).toDF("qid", "qvec")
+    val batched = IvfIndex.probeTopKBatch(spark, root, qBatch, k = 5, nprobe = 1)
+    assert(batched.inputFiles.forall(f =>
+      f.contains("list=0") || f.contains("list=1")),
+      s"batched probe read outside the probed lists")
+    val single0 = IvfIndex.probeTopK(spark, root,
+        Seq(Tuple1(vec(0))).toDF("qvec"), k = 5, nprobe = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(batched.filter(col("qid") === 0).orderBy("rank")
+      .select("vec_id").as[Long].collect().toSeq == single0)
     // replay of an applied batch: pointer and contents untouched
     IvfIndex.applyBatch(frame(0 until 50), "vec_id", "embedding", root,
       batchId = 1L, retain = 10)
