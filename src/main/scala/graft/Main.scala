@@ -344,7 +344,8 @@ object Main {
         println(s"$root compacted to $n segment(s), tombstones applied")
         spark.stop()
       case "ivf" :: "info" :: root :: Nil =>
-        // pointer + segment summary; metadata files only, no SparkSession
+        // pointer + segment summary + index health (centroid-drift
+        // ratio, segment pile-up); metadata files only, no SparkSession
         graft.pipeline.IvfIndex.readPointer(root) match {
           case Some(p) =>
             val segs = graft.pipeline.IvfIndex.readManifest(root, p.version)
@@ -353,7 +354,25 @@ object Main {
               s"${p.lastBatch}, ${post.size} posting segment(s), " +
               s"${tomb.size} tombstone segment(s)")
             segs.foreach(e => println(
-              s"  ${if (e.tombstone) "T" else "P"} v${e.version} ${e.dir}"))
+              s"  ${if (e.tombstone) "T" else "P"} v${e.version} ${e.dir}" +
+                (if (e.n >= 0) s" (${e.n} rows" +
+                  (if (e.sumD2u >= 0 && e.n > 0)
+                    f", mean d2 ${e.sumD2u.toDouble / e.n / 1e6}%.6f" else "") +
+                  ")"
+                 else "")))
+            val h = graft.pipeline.IvfIndex.health(root)
+            (h.baselineMeanD2, h.lastBatchMeanD2, h.drift) match {
+              case (Some(b), Some(l), Some(d)) =>
+                println(f"health: baseline mean d2 $b%.6f, last batch " +
+                  f"$l%.6f, drift ratio $d%.3f" +
+                  (if (d > 2.0) "  ** WARNING: assignment distance has " +
+                    "drifted >2x off the pinned centroids — recall is " +
+                    "decaying; re-centering is a rebuild" else ""))
+              case _ => println("health: no drift data (pre-health manifest)")
+            }
+            if (h.postingSegs > 64)
+              println(s"** WARNING: ${h.postingSegs} live posting segments " +
+                "— probe cost is linear in segment count; run `ivf compact`")
           case None => println(s"IVF index at $root: uninitialized")
         }
       case "lake-scan" :: in :: out :: preds if preds.nonEmpty =>

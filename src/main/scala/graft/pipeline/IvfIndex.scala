@@ -82,14 +82,20 @@ object IvfIndex {
 
   /** One live segment: `dir`, the version it was committed at (the LSM
     * sequence number — a tombstone kills only postings committed
-    * BEFORE it), and whether it is a tombstone (vec_id-only delete)
-    * segment. */
-  final case class Seg(dir: String, version: Int, tombstone: Boolean)
+    * BEFORE it), whether it is a tombstone (vec_id-only delete)
+    * segment, and the index-health stats its commit observed:
+    * `sumD2u` = Σ floor(assignment-d2 · 1e6 + 0.5) over the segment's
+    * postings (order-free integer sum, so the recorded value is
+    * engine-exact) and `n` = posting count. `sumD2u` = -1 means
+    * unknown (tombstones, compacted merges, pre-r16 manifests). */
+  final case class Seg(dir: String, version: Int, tombstone: Boolean,
+                       sumD2u: Long = -1L, n: Long = -1L)
 
   private def writeManifest(root: String, version: Int, segs: Seq[Seg],
                             conf: Configuration): Unit =
     FsIo.writeBytes(conf, manifestPath(root, version),
-      segs.map(e => s"${if (e.tombstone) "T" else "P"}\t${e.version}\t${e.dir}")
+      segs.map(e => s"${if (e.tombstone) "T" else "P"}\t${e.version}\t${e.dir}" +
+          s"\t${e.sumD2u}\t${e.n}")
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
   /** Live segments of `version`, oldest first. */
@@ -100,7 +106,10 @@ object IvfIndex {
     new String(FsIo.readBytes(conf, p), StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty).toSeq.map { line =>
         val f = line.split("\t")
-        Seg(f(2), f(1).toInt, f(0) == "T")
+        // 3-field lines predate the health stats → unknown (-1)
+        Seg(f(2), f(1).toInt, f(0) == "T",
+          if (f.length >= 5) f(3).toLong else -1L,
+          if (f.length >= 5) f(4).toLong else -1L)
       }
   }
 
@@ -108,44 +117,220 @@ object IvfIndex {
   def readCentroids(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/_centroids")
 
+  // ---- product-quantized postings (the FAISS IVFADC layout) ----
+
+  private def codebookPath(root: String) = s"$root/_codebook"
+
+  /** The pinned PQ codebook as cw(s)(j) = the codeword's exact
+    * micro-unit subvector (m × k rows collected — bounded, e.g. 8 × 16;
+    * [[Similarity.pqEncodeAdc]]'s arithmetic with the codebook PINNED
+    * at init instead of re-derived per query — the same never-moves
+    * argument as the centroids: codes are only stable against codewords
+    * that never change). None for a raw-postings index. */
+  def readCodebook(spark: SparkSession, root: String,
+                   conf: Configuration): Option[Array[Array[Array[Long]]]] =
+    if (!FsIo.exists(conf, codebookPath(root))) None
+    else {
+      val rows = spark.read.parquet(codebookPath(root))
+        .select(col("s"), col("j"), col("cw")).collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val k = rows.map(_.getInt(1)).max + 1
+      val cb = Array.ofDim[Array[Long]](m, k)
+      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+        r.getSeq[Long](2).toArray)
+      Some(cb)
+    }
+
+  /** `pq_code` column: per subspace, the arg-min codeword index over
+    * the exact micro-unit grid (vq = floor(x·1e6 + 0.5), int64 d2,
+    * ties to the lowest j — [[Similarity.pqEncodeAdc]]'s encode rule),
+    * so an external engine replays every code bit-for-bit. INT codes:
+    * at k ≤ 256 these compress to bytes at rest via parquet dictionary +
+    * RLE encoding, so the stored size is code-sized, not int-sized. */
+  private def pqCodeCol(vecCol: Column,
+                        cb: Array[Array[Array[Long]]]): Column = {
+    val m = cb.length; val k = cb(0).length; val sub = cb(0)(0).length
+    val vq = transform(vecCol, x => floor(x.cast("double") * 1e6 + lit(0.5)))
+    val codes = (0 until m).map { s =>
+      val cands = (0 until k).map { j =>
+        struct(
+          aggregate(zip_with(slice(vq, s * sub + 1, sub),
+            typedLit(cb(s)(j).toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(j).as("j"))
+      }
+      array_min(array(cands: _*)).getField("j")
+    }
+    array(codes: _*)
+  }
+
+  /** Attach PQ codes when the index pins a codebook (no-op otherwise). */
+  private def withPqCode(assigned: DataFrame,
+                         cb: Option[Array[Array[Array[Long]]]]): DataFrame =
+    cb.map(c => assigned.withColumn("pq_code",
+      pqCodeCol(col("embedding"), c))).getOrElse(assigned)
+
   // ---- assignment (broadcast pure projection, shared with ivfTopK) ----
 
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
       (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
 
-  /** (vec_id, list, embedding) under the PINNED centroids: all centroids
-    * pack into one broadcast row; per-row arg-min over (d2, list)
-    * structs (ties break toward the smaller list id, matching the
-    * oracle's `order by d2, list`). */
-  def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame): DataFrame = {
-    val packed = centroids.agg(
-      collect_list(struct(col("list"), col("cvec"))).as("cents"))
-    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .crossJoin(broadcast(packed))
-      .withColumn("list",
-        array_min(transform(col("cents"),
-          c => struct(dist2(col("embedding"), c.getField("cvec")).as("d2"),
-            c.getField("list").as("list")))).getField("list"))
-      .select(col("vec_id"), col("list"), col("embedding"))
+  /** Centroids per packed broadcast row — the bound that keeps the
+    * coarse quantizer's row shape sane: one `collect_list` row of ALL
+    * centroids is O(nlists × dim) bytes (at nlists = 10^5, dim = 768
+    * that is ~600 MB, past safe single-row limits), so the quantizer
+    * CHUNKS past this size. 4096 × 768 × 8 B ≈ 25 MB per row — well
+    * inside broadcast-row comfort at any realistic dimensionality. */
+  val ChunkLists: Int = 4096
+
+  /** The pinned centroid table packed into ≤[[ChunkLists]]-entry
+    * broadcast rows, one per `pmod(list, nchunks)` residue (lists come
+    * from clustering labels and are dense 0..nlists-1, so residues
+    * balance). Returns (chunked frame with a single `cents` column,
+    * nchunks). One row when the table fits — the common case. */
+  private[graft] def packedChunks(centroids: DataFrame,
+                                  chunkLists: Int = ChunkLists)
+      : (DataFrame, Int) = {
+    val cent = centroids
+      .select(col("list").cast("int").as("list"), col("cvec"))
+    val n = cent.count() // footer-count on the tiny _centroids table
+    require(n > 0, "empty centroid table")
+    val nchunks = ((n + chunkLists - 1) / chunkLists).toInt
+    val packed = cent
+      .groupBy(pmod(col("list"), lit(nchunks)).as("_ck"))
+      .agg(collect_list(struct(col("list"), col("cvec"))).as("cents"))
+      .select(col("cents"))
+    (packed, nchunks)
   }
+
+  /** Per-row arg-min struct over one packed chunk (ties break toward
+    * the smaller list id, matching the oracle's `order by d2, list`). */
+  private def chunkBest(vec: Column): Column =
+    array_min(transform(col("cents"),
+      c => struct(dist2(vec, c.getField("cvec")).as("d2"),
+        c.getField("list").as("list"))))
+
+  /** (vec_id, list, embedding, _d2u) under the PINNED centroids, where
+    * `_d2u` = floor(d2 · 1e6 + 0.5) — the integer-grid assignment
+    * distance the health ledger sums (order-free, engine-exact).
+    *
+    * Single-chunk regime (nlists ≤ [[ChunkLists]]): a broadcast pure
+    * projection — no shuffle per row, no per-id window. Above it: each
+    * vector fans out to nchunks bounded rows against the broadcast
+    * chunk TABLE, per-chunk arg-mins reduce through a NARROW
+    * groupBy(vec_id) min (structs compare lexicographically — (d2,
+    * list) — so the global winner is exact; embeddings do NOT ride
+    * this shuffle), and the winner equi-joins back to the batch. Two
+    * O(batch) narrow shuffles buy an unbounded nlists — the
+    * constant-factor scale path; both regimes are bit-identical. */
+  private[graft] def assignWithDist(df: DataFrame, idCol: String,
+                                    vecCol: String, centroids: DataFrame,
+                                    chunkLists: Int = ChunkLists): DataFrame = {
+    val (packed, nchunks) = packedChunks(centroids, chunkLists)
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val withBest =
+      if (nchunks == 1)
+        base.crossJoin(broadcast(packed))
+          .withColumn("_best", chunkBest(col("embedding")))
+      else {
+        val mins = base.crossJoin(broadcast(packed))
+          .select(col("vec_id"), chunkBest(col("embedding")).as("_cand"))
+          .groupBy(col("vec_id")).agg(min(col("_cand")).as("_best"))
+        base.join(mins, "vec_id")
+      }
+    withBest.select(col("vec_id"), col("_best").getField("list").as("list"),
+      col("embedding"),
+      floor(col("_best").getField("d2") * 1e6 + lit(0.5))
+        .cast("long").as("_d2u"))
+  }
+
+  /** (vec_id, list, embedding) under the PINNED centroids — the public
+    * assignment surface ([[assignWithDist]] without the health column). */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame =
+    assignWithDist(df, idCol, vecCol, centroids).drop("_d2u")
 
   private def segDir(root: String, version: Int) = f"$root/seg/s$version%05d"
   private def delDir(root: String, version: Int) = f"$root/del/d$version%05d"
 
   /** One immutable segment: a batch-sized hash shuffle on `list`, then
-    * one directory per posting list. */
-  private def writeSegment(assigned: DataFrame, dir: String): Unit =
-    assigned.repartition(col("list"))
+    * one directory per posting list. Returns the segment's health stats
+    * (Σ `_d2u`, row count) collected as OBSERVED metrics riding the
+    * write job itself — zero extra jobs, and the integer sum is
+    * order-free so the recorded value is deterministic. A frame without
+    * `_d2u` (compaction merges) records (-1, n). */
+  private def writeSegment(assigned: DataFrame, dir: String): (Long, Long) = {
+    val hasD2 = assigned.columns.contains("_d2u")
+    val obs = org.apache.spark.sql.Observation()
+    val frame =
+      if (hasD2) assigned.observe(obs, sum(col("_d2u")).as("s"),
+        count(lit(1)).as("n")).drop("_d2u")
+      else assigned.observe(obs, count(lit(1)).as("n"))
+    frame.repartition(col("list"))
       .write.mode(SaveMode.Overwrite).partitionBy("list").parquet(dir)
+    val spark = assigned.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!FsIo.listFilesRecursive(conf, dir).exists(_.endsWith(".parquet"))) {
+      // zero-row segment (e.g. compacting a fully-tombstoned index): a
+      // zero-row partitionBy write leaves no part files (only _SUCCESS),
+      // so every later read would fail Parquet schema inference — AND
+      // AQE's empty-relation propagation pruned the metrics node, so
+      // there is nothing to await. Rewrite as ONE schema-bearing
+      // non-partitioned file (`list` becomes a plain data column;
+      // probes see no list= dirs, correctly nothing).
+      FsIo.delete(conf, dir)
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frame.schema)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      return (-1L, 0L)
+    }
+    val m = awaitMetrics(obs, dir)
+    val n = m("n").asInstanceOf[Long]
+    val s = if (hasD2) Option(m("s")).map(_.asInstanceOf[Long]).getOrElse(0L)
+            else -1L
+    (s, n)
+  }
+
+  /** Observed metrics arrive through an async listener bus; the write
+    * has already completed, so this is a latency wait, not a compute
+    * wait — bounded, loud on miss (a silent fallback would hide a
+    * listener regression as zeroed health stats). */
+  private def awaitMetrics(obs: org.apache.spark.sql.Observation,
+                           what: String): Map[String, Any] = {
+    @volatile var m: Map[String, Any] = Map.empty
+    val waiter = new Thread(() => { m = obs.get })
+    waiter.setDaemon(true)
+    waiter.start()
+    waiter.join(60000)
+    require(m.nonEmpty, s"observed metrics never fired for $what")
+    m
+  }
+
+  private def baselinePath(root: String) = s"$root/_health_baseline"
 
   /** Initialize: pin the centroids, write segment 0 from `emb`. The
     * centroid table must be (list, cvec) with distinct int lists —
     * callers bring their own clustering (label means, k-means, a
-    * sample); the index only promises it never moves. */
+    * sample); the index only promises it never moves. Segment 0's mean
+    * assignment distance is recorded as the index's health BASELINE:
+    * the pinned-centroid contract has no re-centering, so recall decay
+    * shows up as later batches' mean d2 drifting off this number.
+    *
+    * `pqM` > 0 pins a PRODUCT-QUANTIZATION codebook too (`pqM`
+    * subspaces × `pqK` codewords — the deterministic sampled codebook:
+    * the `pqK` lowest-id init vectors' micro-unit subvectors, exactly
+    * [[Similarity.pqEncodeAdc]]'s rule) and every segment then stores
+    * `pq_code: ARRAY<INT>` alongside the raw vector: [[probeTopKAdc]]
+    * scans ONLY the code column (parquet column pruning) and touches
+    * raw vectors for just the re-rank survivors — at 10^10 × 768-dim
+    * float64 postings that is the ~32× probe-I/O cut that makes the
+    * FAISS IVFADC layout the 100-TB shape. Keeping the raw column
+    * costs storage but buys exact re-rank; a code-only index is the
+    * same layout minus the refine pass. */
   def init(emb: DataFrame, idCol: String, vecCol: String,
-           centroids: DataFrame, root: String): Unit = {
+           centroids: DataFrame, root: String,
+           pqM: Int = 0, pqK: Int = 16): Unit = {
     val spark = emb.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     FsIo.mkdirs(conf, root)
@@ -153,15 +338,42 @@ object IvfIndex {
       .select(col("list").cast("int").as("list"), col("cvec"))
     cent.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/_centroids")
-    writeSegment(assign(emb, idCol, vecCol, readCentroids(spark, root)),
+    if (pqM > 0) {
+      val seeds = emb.select(col(idCol).as("vec_id"),
+          transform(col(vecCol),
+            x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
+        .orderBy(col("vec_id")).limit(pqK)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(seeds.length == pqK, s"init corpus smaller than codebook k=$pqK")
+      val dim = seeds.head.length
+      require(dim % pqM == 0, s"dim $dim not divisible by m=$pqM subspaces")
+      val sub = dim / pqM
+      import spark.implicits._
+      (for { s <- 0 until pqM; j <- 0 until pqK }
+        yield (s, j, seeds(j).slice(s * sub, (s + 1) * sub).toSeq))
+        .toDF("s", "j", "cw")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(codebookPath(root))
+    }
+    val (s0, n0) = writeSegment(
+      withPqCode(
+        assignWithDist(emb, idCol, vecCol, readCentroids(spark, root)),
+        readCodebook(spark, root, conf)),
       segDir(root, 0))
-    writeManifest(root, 0, Seq(Seg(segDir(root, 0), 0, tombstone = false)), conf)
+    FsIo.writeBytes(conf, baselinePath(root),
+      s"$s0 $n0".getBytes(StandardCharsets.UTF_8))
+    writeManifest(root, 0,
+      Seq(Seg(segDir(root, 0), 0, tombstone = false, s0, n0)), conf)
     writePointer(root, Pointer(0, -1L), conf)
   }
 
   /** Append one batch as a new segment; existing segments carry by
     * reference (never read, never rewritten). Exactly-once via the
-    * pointer's batchId gate. */
+    * pointer's batchId gate. The batch's (vec_id, embedding) schema
+    * must match the stored segments' exactly (names AND types):
+    * unionByName in reads/probes silently coerces (float ∪ double →
+    * double), so a drifted batch would poison every later reader with
+    * mixed precisions across segments — fail HERE, at the commit. */
   def applyBatch(batch: DataFrame, idCol: String, vecCol: String,
                  root: String, batchId: Long, retain: Int = 2): Unit = {
     val spark = batch.sparkSession
@@ -172,14 +384,58 @@ object IvfIndex {
     if (batch.isEmpty) {
       writePointer(root, p.copy(lastBatch = batchId), conf); return
     }
+    val manifest = readManifest(root, p.version, conf)
+    val assigned = withPqCode(
+      assignWithDist(batch, idCol, vecCol, readCentroids(spark, root)),
+      readCodebook(spark, root, conf))
+    val segSchema = spark.read
+      .parquet(manifest.filterNot(_.tombstone).head.dir).schema
+      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+    val batchSchema = assigned.drop("_d2u").schema
+      .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+    require(segSchema == batchSchema,
+      s"batch schema $batchSchema does not match index schema $segSchema")
     val next = p.version + 1
     val dir = segDir(root, next)
-    writeSegment(assign(batch, idCol, vecCol, readCentroids(spark, root)), dir)
+    val (s, n) = writeSegment(assigned, dir)
     writeManifest(root, next,
-      readManifest(root, p.version, conf) :+ Seg(dir, next, tombstone = false),
-      conf)
+      manifest :+ Seg(dir, next, tombstone = false, s, n), conf)
     writePointer(root, Pointer(next, batchId), conf)
     gc(root, next, retain, conf)
+  }
+
+  /** Index-health snapshot — the clamp-fraction lesson applied to the
+    * ANN tier: centroids are PINNED, so the one silent failure mode is
+    * the data distribution walking away from them (recall decays while
+    * every query still "works"). `drift` = (latest ingest batch's mean
+    * assignment d2) / (init-time baseline mean) — both integer-grid
+    * micro-unit means recorded at commit time, no recompute. `None`
+    * when unknown (pre-r16 manifests, no baseline file). Probe cost is
+    * linear in `postingSegs`; past ~64 live segments compaction is
+    * overdue ([[graft.streaming.Streams.ivfSinkVersioned]] auto-compacts). */
+  final case class Health(baselineMeanD2: Option[Double],
+                          lastBatchMeanD2: Option[Double],
+                          drift: Option[Double],
+                          postingSegs: Int, tombstoneSegs: Int)
+
+  def health(root: String,
+             conf: Configuration = new Configuration()): Health = {
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val segs = readManifest(root, p.version, conf)
+    val (tomb, post) = segs.partition(_.tombstone)
+    val base =
+      if (!FsIo.exists(conf, baselinePath(root))) None
+      else {
+        val f = new String(FsIo.readBytes(conf, baselinePath(root)),
+          StandardCharsets.UTF_8).trim.split("\\s+")
+        val (s, n) = (f(0).toLong, f(1).toLong)
+        if (s >= 0 && n > 0) Some(s.toDouble / n / 1e6) else None
+      }
+    val last = post.filter(e => e.sumD2u >= 0 && e.n > 0).lastOption
+      .map(e => e.sumD2u.toDouble / e.n / 1e6)
+    val drift = for (b <- base; l <- last; if b > 0) yield l / b
+    Health(base, last, drift, post.size, tomb.size)
   }
 
   /** DELETE a batch of ids — the decontamination / opt-out removal
@@ -221,6 +477,21 @@ object IvfIndex {
       .reduce(_ unionByName _))
   }
 
+  /** The (dir, list, version) triples the probe opens: ONE directory
+    * listing per live posting segment (a list can be empty in a
+    * segment), never a per-(segment × list) existence probe — on an
+    * object store each `exists` is a round-trip HEAD, and S segments ×
+    * nprobe lists of them would serialize before any work starts. */
+  private def probedDirs(conf: Configuration, segs: Seq[Seg],
+                         probed: Seq[Int]): Seq[(String, Int, Int)] =
+    for {
+      seg <- segs if !seg.tombstone
+      present = FsIo.listDirNames(conf, seg.dir)
+        .filter(_.startsWith("list="))
+        .map(_.stripPrefix("list=").toInt).toSet
+      l <- probed if present.contains(l)
+    } yield (s"${seg.dir}/list=$l", l, seg.version)
+
   /** LSM visibility: drop postings whose segment version precedes a
     * matching tombstone. Equi-join on vec_id with the version
     * inequality as a residual condition — never a cartesian. */
@@ -234,19 +505,23 @@ object IvfIndex {
             postings("_seg_v") < t("_del_v"), "left_anti")
     }
 
-  /** Every posting across the live segments: (vec_id, list, embedding).
-    * Per-segment reads recover the `list` partition column. */
+  /** Every posting across the live segments: (vec_id, list, embedding
+    * [, pq_code for a PQ index]). Per-segment reads recover the `list`
+    * partition column. */
   def currentAll(spark: SparkSession, root: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
     val segs = readManifest(root, p.version, conf)
-    val postings = segs.filterNot(_.tombstone)
+    val raw = segs.filterNot(_.tombstone)
       .map(e => spark.read.parquet(e.dir)
         .withColumn("_seg_v", lit(e.version)))
       .reduce(_ unionByName _)
-      .select(col("vec_id"), col("list").cast("int").as("list"),
-        col("embedding"), col("_seg_v"))
+    val cols = Seq(col("vec_id"), col("list").cast("int").as("list"),
+      col("embedding")) ++
+      (if (raw.columns.contains("pq_code")) Seq(col("pq_code")) else Nil) :+
+      col("_seg_v")
+    val postings = raw.select(cols: _*)
     applyTombstones(postings, tombstones(spark, segs)).drop("_seg_v")
   }
 
@@ -268,12 +543,7 @@ object IvfIndex {
       .limit(nprobe)
       .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
     val segs = readManifest(root, p.version, conf)
-    val dirs = for {
-      seg <- segs if !seg.tombstone
-      l <- probed
-      d = s"${seg.dir}/list=$l"
-      if FsIo.exists(conf, d) // a list can be empty in a segment
-    } yield (d, l, seg.version)
+    val dirs = probedDirs(conf, segs, probed)
     val empty = currentAll(spark, root).filter(lit(false))
       .select(col("vec_id"), col("list"), col("embedding"))
     val cand0 =
@@ -311,26 +581,27 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    val packed = readCentroids(spark, root).agg(
-      collect_list(struct(col("list"), col("cvec"))).as("cents"))
+    // per-(query × chunk) top-nprobe struct arrays (sorted slice — same
+    // (d2, list) tie order as probeTopK), merged per qid by flatten +
+    // re-sort + slice: with one chunk (the common case) the merge is a
+    // trivial ≤nprobe-row groupBy over the serving-sized query frame;
+    // with many it is what bounds the broadcast row (see ChunkLists)
+    val (packed, _) = packedChunks(readCentroids(spark, root))
     val qLists = queries.select(col("qid"), col("qvec"))
       .crossJoin(broadcast(packed))
-      .withColumn("probe_lists",
-        transform(slice(array_sort(transform(col("cents"),
+      .withColumn("_chunk_top",
+        slice(array_sort(transform(col("cents"),
           c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
-            c.getField("list").as("list")))), 1, nprobe),
-          s => s.getField("list")))
-      .select(col("qid"), col("qvec"), col("probe_lists"))
+            c.getField("list").as("list")))), 1, nprobe))
+      .groupBy(col("qid"))
+      .agg(first(col("qvec")).as("qvec"),
+        transform(slice(array_sort(flatten(collect_list(col("_chunk_top")))),
+          1, nprobe), s => s.getField("list")).as("probe_lists"))
       .localCheckpoint(false) // consumed twice: list union + join
     val needed = qLists.select(explode(col("probe_lists")).as("list"))
-      .distinct().collect().map(_.getInt(0)).toSet // bounded by nlists
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
     val segs = readManifest(root, p.version, conf)
-    val dirs = for {
-      seg <- segs if !seg.tombstone
-      l <- needed.toSeq.sorted
-      d = s"${seg.dir}/list=$l"
-      if FsIo.exists(conf, d)
-    } yield (d, l, seg.version)
+    val dirs = probedDirs(conf, segs, needed)
     val empty = currentAll(spark, root).filter(lit(false))
       .withColumn("_seg_v", lit(0))
     val cand0 =
@@ -368,8 +639,9 @@ object IvfIndex {
     // currentAll already applies the tombstones; the rewrite makes the
     // deletions physical, so the tombstone segments drop from the
     // manifest (and GC collects them once out of retention)
-    writeSegment(currentAll(spark, root), dir)
-    writeManifest(root, next, Seq(Seg(dir, next, tombstone = false)), conf)
+    val (_, n) = writeSegment(currentAll(spark, root), dir)
+    writeManifest(root, next,
+      Seq(Seg(dir, next, tombstone = false, -1L, n)), conf)
     writePointer(root, Pointer(next, p.lastBatch), conf)
     gc(root, next, retain, conf)
     1

@@ -296,7 +296,18 @@ object NetCDF {
           s"TIMESTAMP values encode under standard calendars only — " +
             s"pre-encode '$calendar' companions via CfTime.encodeNonStandard")
         CfTime.encodeStandard(col(valueCol), units)
-      case LongType => col(valueCol) // pre-encoded offsets
+      case LongType =>
+        // classic format has no int64 value type: offsets serialize as
+        // NC_DOUBLE, exact only below 2^53. Beyond that (sub-second
+        // units over long horizons) the cast would SILENTLY lose
+        // precision while the Zarr leg (writeCfTime, <i8) stays exact —
+        // fail loudly at write time instead (assert_true, the
+        // fail-at-commit convention).
+        when(assert_true(abs(col(valueCol)) < lit(1L << 53),
+            lit(s"$dim: pre-encoded offset exceeds 2^53 — not exactly " +
+              "representable as the classic format's NC_DOUBLE; " +
+              "re-encode with coarser units")).isNull,
+          col(valueCol))
       case other => throw new IllegalArgumentException(
         s"$dim: value must be TIMESTAMP (encode here) or LONG " +
           s"(pre-encoded offsets), got $other")

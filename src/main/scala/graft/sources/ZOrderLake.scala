@@ -658,14 +658,35 @@ object ZOrderLake {
     * deletion of only `.parquet` names would strand `_SUCCESS` markers,
     * `.crc` sidecars and emptied `_grp=K/` subdirectories forever on a
     * long-lived lake; a directory with surviving slabs (files carry by
-    * reference across versions) sheds only its dead `.parquet` files. */
+    * reference across versions) sheds only its dead `.parquet` files.
+    *
+    * TRAILING epochs no retained manifest references are trimmed from
+    * `_bounds` here too: [[applyBatch]] appends the epoch block BEFORE
+    * the manifest/pointer commit, so a crash (or failed Spark job)
+    * between the two leaves a permanent empty epoch — and repeated
+    * failed retries of differently-bounded batches would stack them,
+    * taxing every later readBox/compact forever. Only trailing blocks
+    * are droppable (epoch ids are positional); interior epochs with no
+    * live slabs stay, preserving every referenced id. */
   private def gc(root: String, current: Int, retain: Int,
                  conf: Configuration): Unit = {
     val floor = current - retain
     (0 until floor).foreach(v => FsIo.delete(conf, manifestPath(root, v)))
-    val live = (math.max(0, floor) to current)
+    val retained = (math.max(0, floor) to current)
       .filter(v => FsIo.exists(conf, manifestPath(root, v)))
-      .flatMap(v => readManifest(root, v, conf).map(_.path)).toSet
+      .map(v => readManifest(root, v, conf))
+    val live = retained.flatMap(_.map(_.path)).toSet
+    val epochs = readEpochs(root, conf)
+    val maxRef = retained.flatten.map(_.epoch).foldLeft(0)(math.max)
+    if (epochs.size > maxRef + 1) {
+      val keep = epochs.take(maxRef + 1)
+      val body = keep.zipWithIndex.map { case (dims, e) =>
+        (if (e == 0) "" else s"#epoch $e\n") + boundsBody(dims)
+      }.mkString
+      val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
+      FsIo.writeBytes(conf, tmp, body.getBytes(StandardCharsets.UTF_8))
+      FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
+    }
     FsIo.listDirNames(conf, s"$root/data").foreach { d =>
       val dir = s"$root/data/$d"
       // recursive listing: grouped writes nest slabs under _grp=K/ dirs

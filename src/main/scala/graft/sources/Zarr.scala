@@ -594,9 +594,13 @@ object Zarr {
     * the single-fetch index cloud producers write so object stores need
     * no LIST calls; array names are its `<name>/.zarray` keys), else by
     * listing subdirectories holding a `.zarray`, else the store root
-    * itself for a bare-array store. The per-array `.zarray`/`.zattrs`
-    * files remain the source of truth either way (v2 stores always
-    * carry them alongside the consolidated copy). */
+    * itself for a bare-array store. When `.zmetadata` is present it is
+    * AUTHORITATIVE and the per-array `.zarray`/`.zattrs` files are not
+    * consulted at all (xarray `consolidated=True` semantics — ZarrSpec
+    * pins that deleted per-array files still resolve). Caveat inherited
+    * from the format: a store whose per-array metadata was edited
+    * without re-consolidating serves the STALE consolidated copy, same
+    * as xarray/zarr-python. */
   def readMeta(store: String): Seq[ZArray] = {
     val conf = dConf
     require(FsIo.isDirectory(conf, store), s"$store is not a directory")

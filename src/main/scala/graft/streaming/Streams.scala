@@ -282,12 +282,30 @@ object Streams {
     * [[graft.pipeline.IvfIndex.applyBatch]]): each micro-batch assigns
     * against the PINNED centroids and lands as one immutable segment —
     * existing segments never rewrite, so sink cost per trigger is
-    * O(batch); the batchId gate makes replays no-ops. */
+    * O(batch); the batchId gate makes replays no-ops.
+    *
+    * Probe cost is linear in live segment count, and a streaming cadence
+    * piles segments up fast (a 1-minute trigger is 1,440/day) — so the
+    * sink AUTO-COMPACTS once the live posting-segment count reaches
+    * `autoCompactSegments` (a maintenance version: `lastBatch`
+    * unchanged, contents identical; amortized cost is one corpus
+    * rewrite per threshold-batch window). 0 disables. */
   def ivfSinkVersioned(rows: DataFrame, root: String, idCol: String,
-                       vecCol: String, retain: Int = 2)
+                       vecCol: String, retain: Int = 2,
+                       autoCompactSegments: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
-      graft.pipeline.IvfIndex.applyBatch(b, idCol, vecCol, root, id, retain)
+      import graft.pipeline.IvfIndex
+      IvfIndex.applyBatch(b, idCol, vecCol, root, id, retain)
+      if (autoCompactSegments > 0) {
+        val conf = b.sparkSession.sparkContext.hadoopConfiguration
+        val p = IvfIndex.readPointer(root, conf).get
+        if (IvfIndex.readManifest(root, p.version, conf)
+            .count(!_.tombstone) >= autoCompactSegments) {
+          IvfIndex.compact(b.sparkSession, root, retain)
+          ()
+        }
+      }
     }
 
   /** [[zOrderReplayVersioned]]'s twin for the IVF sink: pin centroids +

@@ -1016,4 +1016,128 @@ class StreamingSpec extends AnyFunSuite {
       assert(new java.io.File(e.path).isFile, s"missing live slab ${e.path}"))
     ZOrderLake.destroy(root)
   }
+
+  test("IVF health ledger: per-batch mean d2 recorded, drift ratio exposed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfh_").toString + "/ivf"
+    val dim = 4
+    // centroids at unit vectors scaled 10; init data ON the centroids
+    // (baseline d2 = per-id jitter only), drifted batch far off them
+    val centroids = (0 until 2).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    def frame(ids: Seq[Int], off: Double) =
+      ids.map { i =>
+        val c = i % 2
+        (i.toLong, Array.tabulate(dim)(j =>
+          (if (j == c * 2) 10f else 0f) + off.toFloat))
+      }.toDF("vec_id", "embedding")
+    IvfIndex.init(frame(0 until 50, 0.0), "vec_id", "embedding",
+      centroids, root)
+    val h0 = IvfIndex.health(root)
+    assert(h0.baselineMeanD2.contains(0.0) && h0.drift.contains(0.0) ||
+      h0.baselineMeanD2.exists(_ >= 0.0), "baseline must be recorded")
+    // init exactly on centroids → baseline mean d2 == 0; a drifted
+    // batch (offset 2 on every axis: d2 = dim*4 = 16) must show up
+    IvfIndex.applyBatch(frame(50 until 100, 2.0), "vec_id", "embedding",
+      root, batchId = 0L, retain = 10)
+    val h1 = IvfIndex.health(root)
+    assert(h1.baselineMeanD2.contains(0.0),
+      s"baseline should be exactly 0 (data on centroids): $h1")
+    assert(h1.lastBatchMeanD2.contains(16.0),
+      s"drifted batch mean d2 should be exactly 16: $h1")
+    // baseline 0 → ratio undefined (None), but the absolute mean flags it
+    assert(h1.drift.isEmpty && h1.postingSegs == 2)
+    // manifest lines carry (sumD2u, n) for ingest segments
+    val segs = IvfIndex.readManifest(root,
+      IvfIndex.readPointer(root).get.version)
+    assert(segs.head.sumD2u == 0L && segs.head.n == 50L)
+    assert(segs(1).sumD2u == 16L * 1000000L * 50 && segs(1).n == 50L)
+    IvfIndex.destroy(root)
+  }
+
+  test("IVF schema drift rejects at commit; fully-tombstoned compact survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfg_").toString + "/ivf"
+    val centroids = Seq((0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)))
+      .toDF("list", "cvec")
+    IvfIndex.init(
+      (0 until 20).map(i => (i.toLong, Array(10f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, root)
+    // a batch whose embedding type drifted (float → double) must fail
+    // loudly at commit — unionByName would otherwise silently coerce,
+    // mixing precisions across segments
+    val drifted = (20 until 30).map(i => (i.toLong, Array(10.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.applyBatch(drifted, "vec_id", "embedding", root, 0L)
+    }
+    assert(e.getMessage.contains("does not match index schema"))
+    assert(IvfIndex.readPointer(root).get.lastBatch == -1L,
+      "rejected batch must not advance the pointer")
+    // tombstone EVERYTHING, compact: the empty merge must stay readable
+    // (zero-row partitionBy writes no part files — the guard rewrites
+    // the empty segment with an explicit schema)
+    IvfIndex.applyDeleteBatch(
+      (0 until 20).map(_.toLong).toDF("vec_id"), "vec_id", root, 1L,
+      retain = 10)
+    assert(IvfIndex.compact(spark, root, retain = 10) == 1)
+    assert(IvfIndex.currentAll(spark, root).count() == 0)
+    val q = Seq(Tuple1(Array(10f, 0f))).toDF("qvec")
+    assert(IvfIndex.probeTopK(spark, root, q, k = 3, nprobe = 2).count() == 0)
+    // and the index still ACCEPTS new batches after the empty compact
+    IvfIndex.applyBatch(
+      (100 until 110).map(i => (i.toLong, Array(10f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, 2L, retain = 10)
+    assert(IvfIndex.currentAll(spark, root).count() == 10)
+    assert(IvfIndex.probeTopK(spark, root, q, k = 3, nprobe = 1).count() == 3)
+    IvfIndex.destroy(root)
+  }
+
+  test("IVF streaming sink auto-compacts past the segment-count threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    import graft.streaming.Streams
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfac_").toString + "/ivf"
+    val centroids = Seq((0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)))
+      .toDF("list", "cvec")
+    def frame(ids: Seq[Int]) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) Array(10f, 0f) else Array(0f, 10f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.init(frame(0 until 10), "vec_id", "embedding", centroids, root)
+    // 4 streamed batches with threshold 3: the sink must compact when
+    // the live posting-segment count reaches it, and contents survive
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val writer = Streams.ivfSinkVersioned(
+      stream.toDF.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
+      retain = 10, autoCompactSegments = 3)
+    val sq = writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    for (b <- 0 until 4) {
+      stream.addData((10 * (b + 1) until 10 * (b + 2))
+        .map(i => (i.toLong, if (i % 2 == 0) Array(10f, 0f)
+          else Array(0f, 10f))))
+    }
+    sq.awaitTermination()
+    val segs = IvfIndex.readManifest(root,
+      IvfIndex.readPointer(root).get.version)
+    assert(segs.count(!_.tombstone) < 3,
+      s"auto-compact never fired: ${segs.size} live segments")
+    assert(IvfIndex.currentAll(spark, root).count() == 50)
+    // the batchId gate survives compaction (maintenance versions keep
+    // lastBatch): replaying batch 0 is a no-op
+    val p = IvfIndex.readPointer(root).get
+    IvfIndex.applyBatch(frame(0 until 5), "vec_id", "embedding", root, 0L)
+    assert(IvfIndex.readPointer(root).get == p)
+    IvfIndex.destroy(root)
+  }
 }
