@@ -276,18 +276,45 @@ object Main {
             }
           case None => println(s"z-order lake at $root: uninitialized")
         }
-      case "ivf" :: "init" :: emb :: cents :: root :: Nil =>
+      case "ivf" :: "init" :: emb :: cents :: root :: rest
+          if rest.isEmpty || rest.size == 2 =>
         // incremental IVF index bootstrap: centroids PIN here (a parquet
-        // of (list, cvec)); segment 0 holds emb's assignments
+        // of (list, cvec)); segment 0 holds emb's assignments. Optional
+        // trailing `pqM pqK` pins a product-quantization codebook too —
+        // segments then carry pq_code and `ivf probe-adc` serves
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
+        val (pqM, pqK) = rest match {
+          case m :: k :: Nil => (m.toInt, k.toInt)
+          case _ => (0, 16)
+        }
         graft.pipeline.IvfIndex.init(spark.read.parquet(emb),
-          "vec_id", "embedding", spark.read.parquet(cents), root)
-        println(s"$emb -> IVF index $root (centroids pinned from $cents)")
+          "vec_id", "embedding", spark.read.parquet(cents), root, pqM, pqK)
+        println(s"$emb -> IVF index $root (centroids pinned from $cents" +
+          (if (pqM > 0) s"; PQ codebook m=$pqM k=$pqK pinned" else "") + ")")
+        spark.stop()
+      case "ivf" :: "probe-adc" :: root :: out :: qid :: k :: nprobe :: rerank :: Nil =>
+        // PQ serving probe: ADC over the code column only, exact
+        // integer-grid-cosine re-rank of the top-`rerank` survivors
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        import org.apache.spark.sql.functions.col
+        val q = graft.pipeline.IvfIndex.currentAll(spark, root)
+          .filter(col("vec_id") === qid.toLong)
+          .select(col("embedding").as("qvec"))
+        val top = graft.pipeline.IvfIndex.probeTopKAdc(spark, root, q,
+          k.toInt, nprobe.toInt, rerank.toInt)
+        top.write.mode("overwrite").parquet(out)
+        println(s"$root ADC probe vec_id=$qid top-$k (nprobe=$nprobe, " +
+          s"rerank=$rerank) -> $out")
         spark.stop()
       case "ivf" :: "append" :: in :: root :: batchId :: Nil =>
         val spark = SparkSession.builder()

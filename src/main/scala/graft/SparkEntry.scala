@@ -1462,6 +1462,52 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_pq_incremental" -> ((s, dir) => {
+      // r16: PQ-COMPRESSED postings in the incremental IVF index — the
+      // FAISS IVFADC layout (Jégou et al. PAMI 2011). The codebook PINS
+      // at init (the 16 lowest-id init vectors' micro-unit subvectors,
+      // m=8 subspaces over dim 64 — pqEncodeAdc's deterministic sampled
+      // rule), every streamed segment stores pq_code alongside the raw
+      // vector, and the ADC probe scans ONLY the code column before an
+      // exact integer-grid-cosine re-rank of the top-20 survivors. The
+      // oracle recomputes codes, per-list posting/code stats and the
+      // ADC-then-rerank probe from scratch — streamed == from-scratch
+      // through the segment rolls, down to every stored code.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent,
+        pqM = 8, pqK = 16)
+      val p = graft.pipeline.IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = graft.pipeline.IvfIndex
+        .probeTopKAdc(s, root, q, k = 5, nprobe = 3, rerank = 20)
+        .agg(count(lit(1)).as("probe_n"), sum(col("vec_id")).as("probe_ids"),
+          max(col("cosine")).as("probe_max"), sum(col("adc_u")).as("probe_adc"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          sum(aggregate(col("pq_code"), lit(0L),
+            (acc, v) => acc + v)).as("code_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      graft.pipeline.IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1586,6 +1632,68 @@ object SparkEntry {
          |  order by cosine desc, vec_id) rank from scored)
          |select qid, cast(rank as int) rank, vec_id, list, cosine
          |from ranked where rank <= 5""").stripMargin,
+
+    // PQ-postings twin: codebook = the 16 lowest-id init (≡3) vectors'
+    // micro-unit subvectors; codes = per-(vector, subspace) arg-min
+    // int64 d2, ties to the lowest codeword; ADC table for the query =
+    // the query's own subspace d2 rows; probe = ADC top-20 over the 3
+    // probed lists' candidates, then exact integer-grid-cosine top-5
+    "q_ivf_pq_incremental" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |cb as (select vec_id cbid, row_number() over (order by vec_id) - 1 j
+         |  from (select vec_id from embeddings where vec_id % 4 = 3
+         |        order by vec_id limit 16)),
+         |cwe as (select cb.j, t.i,
+         |   floor(cast(e.embedding[t.i+1] as double)*1e6 + 0.5) w
+         |  from cb join embeddings e on e.vec_id = cb.cbid,
+         |       (select unnest(range(0,64)) i) t),
+         |vqe as (select vec_id, t.i,
+         |   floor(cast(embedding[t.i+1] as double)*1e6 + 0.5) vqv
+         |  from embeddings, (select unnest(range(0,64)) i) t),
+         |subd as (select v.vec_id, c.j, (v.i // 8) s,
+         |   sum((v.vqv - c.w) * (v.vqv - c.w)) d2
+         |  from vqe v join cwe c on c.i = v.i group by 1, 2, 3),
+         |codes as (select vec_id, s, j code from (
+         |  select vec_id, s, j, row_number() over (partition by vec_id, s
+         |    order by d2, j) rn from subd) x where rn = 1),
+         |codesum as (select vec_id, cast(sum(code) as bigint) csum
+         |  from codes group by 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |qtab as (select s, j, d2 from subd where vec_id = 0),
+         |cand as (select a.vec_id from assign a join probe using (list)),
+         |adc as (select c.vec_id, cast(sum(qt.d2) as bigint) adc_u
+         |  from codes c join qtab qt on qt.s = c.s and qt.j = c.code
+         |  where c.vec_id in (select vec_id from cand)
+         |  group by 1),
+         |topr as (select vec_id, adc_u from adc
+         |  order by adc_u, vec_id limit 20),
+         |rr as (select t2.vec_id, t2.adc_u,
+         |   ${cosQSql("e.embedding", "q.qv")} cosine
+         |  from topr t2 join embeddings e using (vec_id), q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from rr) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n,
+         |   cast(sum(vec_id) as bigint) probe_ids, max(cosine) probe_max,
+         |   cast(sum(adc_u) as bigint) probe_adc from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(sum(cs.csum) as bigint) code_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  probe_n, probe_ids, probe_max, probe_adc
+         |from assign a join codesum cs using (vec_id) cross join pb
+         |group by 1, probe_n, probe_ids, probe_max, probe_adc""").stripMargin,
 
     "q_ivf_topk" ->
       s"""with cent as (

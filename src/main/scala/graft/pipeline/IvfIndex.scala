@@ -565,6 +565,104 @@ object IvfIndex {
       .select(col("rank"), col("vec_id"), col("list"), col("cosine"))
   }
 
+  /** ADC probe over PQ codes with exact top-`rerank` re-rank — the
+    * IVFADC + refine serving shape (Jégou et al. PAMI 2011; the
+    * layout FAISS ships as IndexIVFPQ + refine): PASS 1 scans ONLY
+    * (vec_id, pq_code) of the probed `list=K` directories — parquet
+    * column pruning keeps raw embeddings out of the ADC I/O, the ~32×
+    * posting-read cut that makes PQ the 100-TB layout — and ranks by
+    * the exact int64 micro-unit ADC table (driver-computed from the
+    * single query vector: m·k longs, one lookup-sum per candidate, no
+    * per-row float math). The top `rerank` (adc_u asc, vec_id asc)
+    * candidates collect driver-side (bounded by `rerank`); PASS 2
+    * re-opens the probed directories for JUST those postings' raw
+    * vectors (id IN-filter → footer/rowgroup pruning; matched on
+    * (vec_id, segment) so an id re-inserted across segments re-ranks
+    * the posting ADC chose) and ranks the final top-k by integer-grid
+    * cosine. Deterministic end to end — codes, table, both rankings
+    * are exact integer arithmetic, so an external engine replays the
+    * whole probe bit-for-bit; `rerank` bounds the recall/IO trade
+    * like FAISS's k_factor. */
+  def probeTopKAdc(spark: SparkSession, root: String, queryVec: DataFrame,
+                   k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val cb = readCodebook(spark, root, conf).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $root stores raw postings only — init with pqM > 0"))
+    val m = cb.length; val kCw = cb(0).length; val sub = cb(0)(0).length
+    val qRows = queryVec.select(col("qvec")).collect()
+    require(qRows.length == 1, s"queryVec must be exactly one row")
+    val vq = qRows(0).getSeq[Any](0).map {
+      case n: Number => math.floor(n.doubleValue() * 1e6 + 0.5).toLong
+    }.toArray
+    require(vq.length == m * sub,
+      s"query dim ${vq.length} != codebook dim ${m * sub}")
+    // exact micro-unit² ADC table: table(s)(j) = ||q_s - c_{j,s}||²
+    val table: Seq[Seq[Long]] = (0 until m).map { s =>
+      (0 until kCw).map { j =>
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = vq(s * sub + i) - cb(s)(j)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+    val probed = readCentroids(spark, root)
+      .crossJoin(broadcast(queryVec))
+      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("qd2"), col("list"))
+      .limit(nprobe)
+      .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+    val segs = readManifest(root, p.version, conf)
+    val dirs = probedDirs(conf, segs, probed)
+    import spark.implicits._
+    if (dirs.isEmpty)
+      return Seq.empty[(Int, Long, Int, Long, Long)]
+        .toDF("rank", "vec_id", "list", "adc_u", "cosine")
+        .select(col("rank"), col("vec_id"), col("list"), col("adc_u"),
+          col("cosine").cast("double"))
+    // PASS 1: codes only — the scan never touches the embedding column
+    val codeCand0 = dirs.map { case (d, l, v) =>
+      spark.read.parquet(d)
+        .select(col("vec_id"), lit(l).as("list"), col("pq_code"),
+          lit(v).as("_seg_v"))
+    }.reduce(_ unionByName _)
+    val codeCand = applyTombstones(codeCand0, tombstones(spark, segs))
+    val topR = codeCand
+      .withColumn("adc_u", aggregate(
+        zip_with(typedLit(table), col("pq_code"),
+          (row, c) => element_at(row, c + 1)),
+        lit(0L), (acc, v) => acc + v))
+      .orderBy(col("adc_u"), col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"), col("list"), col("_seg_v"), col("adc_u"))
+      .collect() // bounded by `rerank` — the refine candidate set
+    val picked = topR.toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toDF("vec_id", "list", "_seg_v", "adc_u")
+    val ids = topR.map(_.getLong(0)).distinct.toSeq
+    // PASS 2: raw vectors of just the survivors
+    val raw = dirs.map { case (d, _, v) =>
+      spark.read.parquet(d)
+        .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
+    }.reduce(_ unionByName _)
+      .filter(col("vec_id").isin(ids: _*)) // pushed to the scan
+      .join(broadcast(picked), Seq("vec_id", "_seg_v"))
+    import org.apache.spark.sql.expressions.Window
+    val topk = raw.crossJoin(broadcast(queryVec))
+      .withColumn("cosine",
+        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+    topk.withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), col("list"), col("adc_u"),
+        col("cosine"))
+  }
+
   /** BATCHED probes — the serving shape: per-query top-k for a whole
     * query frame (qid, qvec) in ONE pass, never a per-query driver
     * loop. Each query's nprobe nearest lists compute COLUMNAR (sort the

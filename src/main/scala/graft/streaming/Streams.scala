@@ -314,9 +314,11 @@ object Streams {
   def ivfReplayVersioned(s: SparkSession, initial: DataFrame,
                          batches: Seq[DataFrame], root: String,
                          idCol: String, vecCol: String,
-                         centroids: DataFrame, retain: Int = 2): DataFrame = {
+                         centroids: DataFrame, retain: Int = 2,
+                         pqM: Int = 0, pqK: Int = 16): DataFrame = {
     require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
-    graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root)
+    graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root,
+      pqM, pqK)
     replayThrough(s, batches) { stream =>
       ivfSinkVersioned(stream, root, idCol, vecCol, retain)
     }
