@@ -407,13 +407,18 @@ object SparkEntry {
 
     "q_api_recursive" -> ((s, dir) => {
       // antecedent_precipitation_index (_hydrology.py:673): sequential
-      // decay recursion (mapGroups)
+      // decay recursion (mapGroups). r16 floor-grid migration (§81
+      // playbook, the KBDI template): the gap decay is STEPWISE
+      // multiplication by the same parsed 0.9 (never pow(0.9, gap) —
+      // libm last-ulp territory), so the oracle replays every step
+      // bit-for-bit with a dense recursive CTE; the final lands on the
+      // qk 1e6 grid instead of a raw-float round.
       val daily = dailyTotals(s, dir)
         .select(col("user_id").as("key"),
           datediff(col("d"), to_date(lit("1970-01-01"))).as("t"),
           col("total").as("v"))
-      graft.plans.Recursive.decayAccumulate(daily, 0.9)
-        .select(col("key").as("user_id"), col("t"), round(col("out"), 3).as("api"))
+      graft.plans.Recursive.decayAccumulateStepwise(daily, 0.9)
+        .select(col("key").as("user_id"), col("t"), qk(col("out"), 6).as("api"))
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -822,13 +827,27 @@ object SparkEntry {
          |   else date_diff('day', s.season_start, l.ld) + 1 end as int) season_length
          |from starts s left join ends e using (user_id) join lastd l using (user_id)""".stripMargin,
 
+    // step-identical dense replay of the stepwise decay: one row per
+    // day from each user's first to last observation (v = 0 on missing
+    // days), state_d = state_{d-1} * 0.9 + v_d — only IEEE multiply and
+    // add with the same parsed constant, so the recursion is
+    // bit-identical to the Spark kernel; rows emit at observation days
     "q_api_recursive" ->
-      s"""with daily as ($dailySql),
-         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t, total from daily)
-         |select d1.user_id, cast(d1.t as int) t,
-         | cast(cast(sum(d2.total * pow(0.9, d1.t - d2.t)) as decimal(38,3)) as double) api
-         |from dd d1 join dd d2 on d1.user_id = d2.user_id and d2.t <= d1.t
-         |group by 1, 2""".stripMargin,
+      s"""with recursive daily as ($dailySql),
+         |dd as (select user_id, date_diff('day', date '1970-01-01', d) t, total from daily),
+         |bounds as (select user_id, min(t) t0, max(t) t1 from dd group by 1),
+         |r as (
+         |  select b.user_id, b.t0 as t, b.t1,
+         |    coalesce(d.total, 0) * 1.0 as api
+         |  from bounds b left join dd d on d.user_id = b.user_id and d.t = b.t0
+         |  union all
+         |  select r.user_id, r.t + 1, r.t1,
+         |    r.api * cast(0.9 as double) + coalesce(d.total, 0)
+         |  from r left join dd d on d.user_id = r.user_id and d.t = r.t + 1
+         |  where r.t < r.t1)
+         |select r.user_id, cast(r.t as int) t,
+         | floor(r.api*1e6 + 0.5)/1e6 api
+         |from r join dd on dd.user_id = r.user_id and dd.t = r.t""".stripMargin,
 
     "q_sessionize" ->
       """with e as (select user_id, ts,

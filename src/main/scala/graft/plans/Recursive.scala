@@ -96,6 +96,26 @@ object Recursive {
       .toDF("key", "t", "out")
   }
 
+  /** [[decayAccumulate]] in STEPWISE form — the engine-exact variant:
+    * the gap decay is `gap` repeated multiplications by the SAME parsed
+    * double `k` (never `pow(k, gap)`, whose last ulp is libm-dependent),
+    * so every step is one IEEE multiply + one IEEE add and an external
+    * engine replays the whole series bit-for-bit with a dense per-step
+    * recursion (`state_d = state_{d-1} * k + v_d`, v = 0 on missing
+    * days). This is the §81 recursion-migration playbook applied to the
+    * API kernel: make each per-step operation individually exact-
+    * replayable instead of rounding a float tail. */
+  def decayAccumulateStepwise(df: DataFrame, k: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    scanPerKey(df, 0.0) { (state, v, gap) =>
+      var acc = state
+      var i = 0
+      while (i < gap) { acc *= k; i += 1 }
+      acc + v
+    }.toDF("key", "t", "out")
+  }
+
   /** Keetch-Byram-flavoured bounded recursion demo kernel: drought index in
     * [0, cap] decaying towards cap by `dry` per step, reduced by the step's
     * value (rain): state = min(cap, max(0, state + dry*gap - v)). */

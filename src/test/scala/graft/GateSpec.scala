@@ -59,6 +59,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct names on both sides. q_snowpack_flow_lag dropped its round
   * outright (exact-integer avg inputs).
   *
+  * r16 shrink (6 → 5): q_api_recursive migrated per the same playbook —
+  * the gap decay became STEPWISE multiplication by the same parsed 0.9
+  * (never pow(0.9, gap), whose last ulp is libm-dependent), the oracle
+  * replays the dense per-day recursion step-identically (recursive CTE,
+  * one IEEE multiply + add per day), and the final lands on the qk 1e6
+  * grid instead of round(,3) over the raw float tail.
+  *
   * r15 shrink (7 → 6): q_kbdi_recursive migrated to the floor grid on
   * both sides — pa sums the exact 1e4-integer rain grid (order-free,
   * no round), the kbdi FINAL quantizes floor-grid (qk / floor·1e4 —
@@ -102,7 +109,7 @@ class GateSpec extends AnyFunSuite {
     * Frozen at the r9 audit (tools.RoundScan) — additions are a gate
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
-    "q_api_recursive", "q_chill_portions",
+    "q_chill_portions",
     "q_fwi_codes", "q_griffiths_ffdi",
     "q_overwintering_dc",
     "q_pet_thornthwaite")
