@@ -233,6 +233,23 @@ object Main {
         val n = graft.sources.ZOrderLake.compact(spark, root, target.toLong)
         println(s"$root compacted to $n slabs (target ${target.toLong} rows)")
         spark.stop()
+      case "zolake" :: "rebuild" :: root :: target :: Nil =>
+        // cross-epoch rebuild: re-zval everything onto ONE fresh epoch
+        // covering the full current domain (maintenance version —
+        // lastBatch unchanged, contents identical). O(corpus), run it
+        // like OPTIMIZE once epoch count taxes reads.
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val e = graft.sources.ZOrderLake.rebuild(spark, root, target.toLong)
+        val p = graft.sources.ZOrderLake.readPointer(root).get
+        println(s"$root rebuilt onto epoch $e " +
+          s"(${graft.sources.ZOrderLake.readManifest(root, p.version).size} " +
+          s"slabs, v${p.version})")
+        spark.stop()
       case "zolake" :: "box" :: root :: out :: bounds if bounds.nonEmpty =>
         // selective box scan through the z-layout alone (BIGMIN
         // z-intervals); bounds are lo:hi pairs in the lake's dim order.

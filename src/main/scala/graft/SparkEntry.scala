@@ -10234,6 +10234,59 @@ object SparkEntry {
       out
     }),
 
+    "q_zorder_rebuild" -> ((s, dir) => {
+      // r16: CROSS-EPOCH REBUILD — the maintenance half epochs need at
+      // lake age. Same monotone-quartile ingest as q_zorder_epochs
+      // (≥2 epochs open), then `rebuild` re-zvals everything onto ONE
+      // fresh epoch covering the full domain: a maintenance version
+      // (lastBatch unchanged, version +1 over the ingest tail), every
+      // live slab in the new epoch, contents and a box-read twin
+      // byte-identical to the from-scratch oracle — proof the O(corpus)
+      // rewrite lost nothing while collapsing the per-epoch read tax.
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(16)) < 4)
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+      val bd = li.agg(max("okey"), max("sk")).head()
+      val mx = bd.getLong(0); val q = mx / 4; val skMax = bd.getLong(1)
+      val init = li.filter(col("okey") <= q)
+      val batches = Seq(1, 2, 3).map { i =>
+        val upper = if (i < 3) col("okey") <= (i + 1) * q else lit(true)
+        li.filter(col("okey") > i * q && upper)
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zoreb_q_").toString + "/zo"
+      graft.streaming.Streams.zOrderReplayVersioned(
+        s, init, batches, root, "okey", "sk", targetRows = 16384)
+      import graft.sources.ZOrderLake
+      require(ZOrderLake.readEpochs(root).size >= 2,
+        "monotone ingest opened no grid epoch")
+      val pBefore = ZOrderLake.readPointer(root).get
+      val newEpoch = ZOrderLake.rebuild(s, root, targetRows = 16384)
+      val p = ZOrderLake.readPointer(root).get
+      require(p.lastBatch == pBefore.lastBatch &&
+        p.version == pBefore.version + 1,
+        "rebuild must be a maintenance version")
+      require(ZOrderLake.readManifest(root, p.version)
+        .forall(_.epoch == newEpoch), "slabs left outside the rebuild epoch")
+      val box = ZOrderLake.readBox(s, root,
+        Seq(3 * q + 1, 1L), Seq(mx, skMax / 2))
+        .agg(count(lit(1)).cast("long").as("box_rows"),
+          coalesce(sum("pk"), lit(0L)).as("box_pk_sum"))
+      val out = ZOrderLake.current(s, root)
+        .groupBy(pmod(col("pk"), lit(16)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("okey")).as("okey_sum"), sum(col("sk")).as("sk_sum"),
+          min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(box)
+        .localCheckpoint(true) // 16 rows, eager: the lake can go
+      ZOrderLake.destroy(root)
+      out
+    }),
+
     "q_zorder3_incremental" -> ((s, dir) => {
       // r14: the 3-D incremental lake — the (time, lat, lon)-shaped
       // clustering under continuous ingest. Same contract as
@@ -11220,6 +11273,26 @@ object SparkEntry {
          |  cast(sum(okey) as bigint) okey_sum, cast(sum(sk) as bigint) sk_sum,
          |  min(okey) min_okey, max(okey) max_okey,
          |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  box_rows, box_pk_sum
+         |from li cross join bx
+         |group by 1, box_rows, box_pk_sum""").stripMargin,
+
+    // rebuild twin: contents unchanged by the maintenance rewrite, so
+    // the oracle is q_zorder_epochs' from-scratch twin with the pointer
+    // advanced one maintenance version (v4) at the same lastBatch
+    "q_zorder_rebuild" ->
+      ("""with li as (select cast(l_orderkey as bigint) okey,
+         |   cast(l_partkey as bigint) pk, cast(l_suppkey as bigint) sk
+         | from lineitem where l_orderkey % 16 < 4),
+         |bd as (select max(okey)//4 q, max(okey) mx, max(sk) skmax from li),
+         |bx as (select cast(count(*) as bigint) box_rows,
+         |   cast(coalesce(sum(pk), 0) as bigint) box_pk_sum
+         | from li cross join bd
+         | where okey > 3*q and okey <= mx and sk between 1 and skmax//2)
+         |select pk % 16 bucket, cast(count(*) as bigint) n_rows,
+         |  cast(sum(okey) as bigint) okey_sum, cast(sum(sk) as bigint) sk_sum,
+         |  min(okey) min_okey, max(okey) max_okey,
+         |  cast(4 as int) snap_version, cast(2 as bigint) last_batch,
          |  box_rows, box_pk_sum
          |from li cross join bx
          |group by 1, box_rows, box_pk_sum""").stripMargin,

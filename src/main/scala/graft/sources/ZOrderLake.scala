@@ -651,6 +651,52 @@ object ZOrderLake {
     readManifest(root, next, conf).size
   }
 
+  /** CROSS-EPOCH REBUILD — the maintenance half grid epochs need at
+    * lake age: epochs accumulate for the life of the lake (O(log span)
+    * per monotone dim — [[readBox]] stays correct but decomposes and
+    * unions per-epoch file sets forever, and frozen epochs' border
+    * slabs keep matching). Re-zval EVERYTHING onto ONE fresh epoch
+    * whose grid covers the full current domain (per-dim min/max of the
+    * data itself — [[init]]'s rule; an all-NULL dim keeps its current
+    * grid, NULLs being in-box by convention), through the same manifest
+    * + pointer swap: a maintenance version, `lastBatch` unchanged,
+    * contents identical — the [[compact]] contract. O(corpus) by
+    * design (it IS the rebuild); run it like OPTIMIZE, amortized
+    * against the per-query epoch tax. Old epoch blocks stay in
+    * `_bounds` (bytes — time-travel readers within retention still
+    * decode old slabs); once their manifests age out they are inert.
+    * Returns the new epoch index. */
+  def rebuild(spark: SparkSession, root: String, targetRows: Long,
+              retain: Int = 2): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"z-order lake at $root not initialized — call init first"))
+    val epochs = readEpochs(root, conf)
+    val curDims = epochs.last
+    val manifest = readManifest(root, p.version, conf)
+    val df = spark.read.parquet(manifest.map(_.path): _*).drop("zval")
+    val aggs = curDims.flatMap(d =>
+      Seq(min(col(d.name)).cast("long"), max(col(d.name)).cast("long"))) :+
+      count(lit(1))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val totalRows = r.getLong(2 * curDims.size)
+    require(totalRows > 0, "cannot rebuild an empty lake")
+    val dims = curDims.zipWithIndex.map { case (d, i) =>
+      if (r.isNullAt(2 * i)) d
+      else DimBound(d.name, r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+    val epoch = epochs.size
+    appendEpoch(root, epoch, dims, conf)
+    val next = p.version + 1
+    val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
+        f"$root/data/v$next%05d", targetRows, totalRows)
+      .map(_.copy(epoch = epoch))
+    writeManifest(root, next, entries, conf)
+    writePointer(root, Pointer(next, p.lastBatch), conf)
+    gc(root, next, retain, conf)
+    epoch
+  }
+
   /** Drop manifests older than the retention window and delete data no
     * retained manifest references. Driver-side, bounded by the file
     * count — the same cardinality a catalog listing holds. A version

@@ -579,6 +579,54 @@ class LakeSpec extends AnyFunSuite {
     // a box spanning an epoch boundary unions the per-epoch file sets
     val span = ZOrderLake.readBox(spark, root, Seq(900L, 0L), Seq(1600L, 49L))
     assert(span.count() == cur.filter(col("t").between(900, 1600)).count())
+
+    // CROSS-EPOCH REBUILD: everything re-zvals onto ONE fresh epoch
+    // covering the full domain — a maintenance version (lastBatch
+    // unchanged), contents identical, and the boundary-spanning box
+    // opens the same or fewer files than the multi-epoch layout did
+    val spanFilesBefore = span.inputFiles.length
+    val pBefore = ZOrderLake.readPointer(root).get
+    val newEpoch = ZOrderLake.rebuild(spark, root, targetRows = 1000,
+      retain = 10)
+    assert(newEpoch == epochs.size, s"unexpected rebuild epoch $newEpoch")
+    val pAfter = ZOrderLake.readPointer(root).get
+    assert(pAfter.version == pBefore.version + 1 &&
+      pAfter.lastBatch == pBefore.lastBatch,
+      "rebuild must be a maintenance version")
+    // every live slab now lives in the rebuild epoch
+    val mAfter = ZOrderLake.readManifest(root, pAfter.version)
+    assert(mAfter.forall(_.epoch == newEpoch),
+      s"slabs left outside the rebuild epoch: ${mAfter.map(_.epoch).distinct}")
+    // contents identical
+    val curAfter = ZOrderLake.current(spark, root)
+    assert(curAfter.count() == expectCnt)
+    assert(curAfter.agg(sum("pay")).head.getLong(0) == expectPay)
+    // the epoch-boundary box now decomposes on ONE grid: same rows, and
+    // the layout is FRESH-INIT QUALITY — the rebuild contract is "what
+    // init would produce on today's data" (a strict fewer-files-than-
+    // before comparison is NOT an invariant: the rebuilt grid rescales
+    // each dim over the full domain, so per-box counts can shift either
+    // way; what rebuild buys is one decomposition instead of one per
+    // epoch and zero frozen border-slab matches)
+    val span2 = ZOrderLake.readBox(spark, root, Seq(900L, 0L), Seq(1600L, 49L))
+    assert(span2.count() == cur.filter(col("t").between(900, 1600)).count())
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_zoreb_twin_").toString + "/zo"
+    ZOrderLake.init(curAfter.drop("zval"), twin, Seq("t", "y"),
+      targetRows = 1000)
+    val twinSpan = ZOrderLake.readBox(spark, twin,
+      Seq(900L, 0L), Seq(1600L, 49L))
+    assert(span2.inputFiles.length <= twinSpan.inputFiles.length + 2,
+      s"rebuild lost selectivity vs a fresh init: " +
+        s"${span2.inputFiles.length} vs ${twinSpan.inputFiles.length} files " +
+        s"(pre-rebuild: $spanFilesBefore)")
+    ZOrderLake.destroy(twin)
+    // ingest continues on the rebuilt lake (next epoch opens past it)
+    ZOrderLake.applyBatch(
+      (0 until 1000).map(i => ((6000 + i).toLong, (i % 50).toLong,
+        (900000 + i).toLong)).toDF("t", "y", "pay"),
+      root, targetRows = 1000, batchId = 10L, retain = 10)
+    assert(ZOrderLake.current(spark, root).count() == expectCnt + 1000)
     ZOrderLake.destroy(root)
   }
 
