@@ -1481,6 +1481,50 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_health" -> ((s, dir) => {
+      // r16: the ANN index-health ledger, oracle-exact. Pinned
+      // centroids have one silent failure mode — the data distribution
+      // walking away from them (recall decays while every probe still
+      // "works") — so each ingest segment's commit records
+      // Σ floor(assignment-d2 · 1e6 + 0.5) and its row count as
+      // observed metrics riding the write job, and health() exposes
+      // (last batch mean / init baseline mean). This fixture makes
+      // every ledger number INTEGER-exact (embeddings rounded to the
+      // integer grid, centroids = rounded per-label means → d2 sums
+      // are order-free int64 arithmetic), so the oracle replays the
+      // manifest's exact health counters and the drift ratio.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10).cast("double")).as("emb"))
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(round(avg(col("x"))).cast("double").as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfhl_q_").toString + "/ivf"
+      graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "emb", cent)
+      import graft.pipeline.IvfIndex
+      val p = IvfIndex.readPointer(root).get
+      val segs = IvfIndex.readManifest(root, p.version)
+      val h = IvfIndex.health(root)
+      require(h.drift.nonEmpty, "health ledger recorded no drift ratio")
+      import s.implicits._
+      val out = segs.map(sg => (sg.version, sg.sumD2u, sg.n))
+        .toDF("seg_version", "sum_d2u", "n_vecs")
+        .withColumn("drift", lit(h.drift.get))
+      IvfIndex.destroy(root)
+      out
+    }),
+
     "q_ivf_pq_incremental" -> ((s, dir) => {
       // r16: PQ-COMPRESSED postings in the incremental IVF index — the
       // FAISS IVFADC layout (Jégou et al. PAMI 2011). The codebook PINS
@@ -1651,6 +1695,35 @@ object SparkEntry {
          |  order by cosine desc, vec_id) rank from scored)
          |select qid, cast(rank as int) rank, vec_id, list, cosine
          |from ranked where rank <= 5""").stripMargin,
+
+    // health-ledger twin: every counter is exact int64 (integer-grid
+    // embeddings, rounded-mean centroids), so the oracle recomputes the
+    // per-segment Σ floor(min-d2 · 1e6 + 0.5) / counts from scratch and
+    // the drift ratio with the same division order health() uses
+    "q_ivf_health" ->
+      ("""with e as (select vec_id,
+         |   list_transform(embedding,
+         |     x -> cast(round(cast(x as double) * 10) as double)) emb
+         | from embeddings),
+         |cent as (select label list, i,
+         |   cast(round(avg(e.emb[i+1])) as double) m
+         | from e join embeddings using (vec_id),
+         |      (select unnest(range(0,64)) i) t
+         | where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select v.vec_id, c.list,
+         |   sum((v.emb[c.i+1] - c.m) * (v.emb[c.i+1] - c.m)) d2
+         | from e v, cent c group by 1, 2),
+         |mind as (select vec_id, min(d2) d2 from ad group by 1),
+         |seg as (select case vec_id % 4 when 3 then 0 when 0 then 1
+         |    when 1 then 2 else 3 end sv,
+         |  cast(sum(floor(d2*1e6 + 0.5)) as bigint) sum_d2u,
+         |  cast(count(*) as bigint) n_vecs
+         | from mind group by 1),
+         |base as (select sum_d2u sb, n_vecs nb from seg where sv = 0),
+         |lastb as (select sum_d2u sl, n_vecs nl from seg where sv = 3)
+         |select sv seg_version, sum_d2u, n_vecs,
+         |  ((sl / nl / 1e6) / (sb / nb / 1e6)) drift
+         |from seg cross join base cross join lastb""").stripMargin,
 
     // PQ-postings twin: codebook = the 16 lowest-id init (≡3) vectors'
     // micro-unit subvectors; codes = per-(vector, subspace) arg-min
