@@ -171,7 +171,7 @@ object ZOrderLake {
 
   /** Append a new epoch block to `_bounds` (whole-file rewrite through a
     * temp + atomic rename — a torn append would corrupt every epoch).
-    * Existing blocks are immutable: old slabs' zvals stay decodable
+    * Blocks WITH slabs are immutable: old slabs' zvals stay decodable
     * forever. */
   private def appendEpoch(root: String, epoch: Int, dims: Seq[DimBound],
                           conf: Configuration): Unit = {
@@ -181,6 +181,25 @@ object ZOrderLake {
     FsIo.writeBytes(conf, tmp,
       (old + s"#epoch $epoch\n" + boundsBody(dims))
         .getBytes(StandardCharsets.UTF_8))
+    FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
+  }
+
+  /** REPLACE the trailing `_bounds` block in place — only legal when no
+    * manifest entry references it (a crash, or a failed Spark job,
+    * between [[appendEpoch]] and the manifest/pointer commit leaves a
+    * slab-less trailing epoch; no stored zval decodes against it, so
+    * its bounds are dead weight, not history). Without this, repeated
+    * failed retries of differently-bounded batches would STACK empty
+    * epochs that every later readBox/compact iterates forever. */
+  private def replaceTrailingEpoch(root: String, epoch: Int,
+                                   dims: Seq[DimBound],
+                                   conf: Configuration): Unit = {
+    val keep = readEpochs(root, conf).dropRight(1)
+    val body = keep.zipWithIndex.map { case (d, e) =>
+      (if (e == 0) "" else s"#epoch $e\n") + boundsBody(d)
+    }.mkString + s"#epoch $epoch\n" + boundsBody(dims)
+    val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
+    FsIo.writeBytes(conf, tmp, body.getBytes(StandardCharsets.UTF_8))
     FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
   }
 
@@ -484,8 +503,15 @@ object ZOrderLake {
           }
           }
         }
-        appendEpoch(root, epochs.size, fresh, conf)
-        (epochs.size, fresh)
+        // a slab-less trailing epoch is a crash residue (the write
+        // never committed): REPLACE it in place instead of stacking
+        // another block — at most one residue block can ever exist
+        val lastUsed = manifest.exists(_.epoch == epochs.size - 1) ||
+          epochs.size == 1
+        val idx = if (lastUsed) epochs.size else epochs.size - 1
+        if (lastUsed) appendEpoch(root, idx, fresh, conf)
+        else replaceTrailingEpoch(root, idx, fresh, conf)
+        (idx, fresh)
       } else (epochs.size - 1, curDims)
     val shift = cellShift(dims.size)
     // checkpoint WITH zval (the epoch decision is already made), so the
@@ -685,8 +711,13 @@ object ZOrderLake {
       if (r.isNullAt(2 * i)) d
       else DimBound(d.name, r.getLong(2 * i), r.getLong(2 * i + 1))
     }
-    val epoch = epochs.size
-    appendEpoch(root, epoch, dims, conf)
+    // reuse a slab-less trailing residue block if one exists (same
+    // crash-residue rule as applyBatch's epoch open)
+    val lastUsed = manifest.exists(_.epoch == epochs.size - 1) ||
+      epochs.size == 1
+    val epoch = if (lastUsed) epochs.size else epochs.size - 1
+    if (lastUsed) appendEpoch(root, epoch, dims, conf)
+    else replaceTrailingEpoch(root, epoch, dims, conf)
     val next = p.version + 1
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
         f"$root/data/v$next%05d", targetRows, totalRows)

@@ -630,6 +630,68 @@ class LakeSpec extends AnyFunSuite {
     ZOrderLake.destroy(root)
   }
 
+  test("crash-residue epochs: slab-less trailing block is adopted or replaced, never stacked") {
+    import spark.implicits._
+    import graft.sources.ZOrderLake
+    import graft.sources.FsIo
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zores_").toString + "/zo"
+    val init = (0 until 4000).map(i =>
+      ((i % 1000).toLong, (i % 50).toLong, i.toLong)).toDF("t", "y", "pay")
+    ZOrderLake.init(init, root, Seq("t", "y"), targetRows = 1000)
+    // simulate a crash between appendEpoch and the manifest commit: a
+    // trailing `_bounds` block exists but no manifest entry references it
+    val bounds = s"$root/_bounds"
+    val orig = new String(FsIo.readBytes(conf, bounds), "UTF-8")
+    FsIo.writeBytes(conf, bounds,
+      (orig + "#epoch 1\nt 0 3999\ny 0 49\n").getBytes("UTF-8"))
+    assert(ZOrderLake.readEpochs(root).size == 2)
+    // ADOPTION: a replayed batch that fits the residue bounds lands IN
+    // the residue epoch (single-crash self-heal — bounds were derived
+    // from this very batch)
+    val fitting = (0 until 1000).map(i =>
+      ((2000 + i).toLong, (i % 50).toLong, (10000 + i).toLong))
+      .toDF("t", "y", "pay")
+    ZOrderLake.applyBatch(fitting, root, targetRows = 1000, batchId = 0L,
+      retain = 10)
+    val m1 = ZOrderLake.readManifest(root,
+      ZOrderLake.readPointer(root).get.version)
+    assert(ZOrderLake.readEpochs(root).size == 2, "adoption must not stack")
+    assert(m1.exists(_.epoch == 1), "fitting batch must land in the residue")
+    // REPLACEMENT: plant another residue, then a differently-bounded
+    // batch (out past the residue) must REPLACE the trailing block
+    // instead of stacking a third
+    val orig2 = new String(FsIo.readBytes(conf, bounds), "UTF-8")
+    FsIo.writeBytes(conf, bounds,
+      (orig2 + "#epoch 2\nt 0 4100\ny 0 49\n").getBytes("UTF-8"))
+    assert(ZOrderLake.readEpochs(root).size == 3)
+    val far = (0 until 1000).map(i =>
+      ((50000 + i).toLong, (i % 50).toLong, (20000 + i).toLong))
+      .toDF("t", "y", "pay")
+    ZOrderLake.applyBatch(far, root, targetRows = 1000, batchId = 1L,
+      retain = 10)
+    val epochs = ZOrderLake.readEpochs(root)
+    assert(epochs.size == 3,
+      s"differently-bounded retry stacked an epoch: ${epochs.size} blocks")
+    assert(epochs.last.head.hi >= 50999,
+      s"replaced trailing block must cover the new batch: ${epochs.last}")
+    val m2 = ZOrderLake.readManifest(root,
+      ZOrderLake.readPointer(root).get.version)
+    assert(m2.exists(_.epoch == 2), "batch must land in the replaced epoch")
+    // contents exact through both paths
+    val cur = ZOrderLake.current(spark, root)
+    assert(cur.count() == 6000)
+    assert(cur.agg(sum("pay")).head.getLong(0) ==
+      (0 until 4000).map(_.toLong).sum +
+        (10000 until 11000).map(_.toLong).sum +
+        (20000 until 21000).map(_.toLong).sum)
+    // box read across all three epochs stays row-identical
+    val box = ZOrderLake.readBox(spark, root, Seq(0L, 0L), Seq(60000L, 49L))
+    assert(box.count() == 6000)
+    ZOrderLake.destroy(root)
+  }
+
   test("z-order lake time travel, manifest diff, crash-before-swap heal") {
     import spark.implicits._
     import graft.sources.ZOrderLake

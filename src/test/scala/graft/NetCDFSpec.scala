@@ -184,6 +184,33 @@ class NetCDFSpec extends AnyFunSuite {
     }
   }
 
+  test("cfTimeVar: pre-encoded LONG offsets beyond 2^53 reject loudly") {
+    import spark.implicits._
+    // classic format serializes NC_DOUBLE — an int64 offset past 2^53
+    // would silently lose precision (the Zarr leg stays exact), so the
+    // write must fail at commit, not corrupt the axis
+    val bad = Seq((0, (1L << 53) + 1), (1, 0L)).toDF("i", "off")
+    val v = NetCDF.cfTimeVar("time", bad, "i", "off",
+      "microseconds since 1970-01-01", "noleap")
+    val f = java.io.File.createTempFile("graft_cfg", ".nc"); f.deleteOnExit()
+    val e = intercept[Exception] {
+      NetCDF.writeClassic(spark, f.getPath, Seq("time" -> 2), Seq(v))
+    }
+    assert(e.getMessage.contains("2^53") ||
+      Option(e.getCause).exists(_.getMessage.contains("2^53")),
+      s"wrong failure: ${e.getMessage}")
+    // in-range offsets still write + decode
+    val ok = Seq((0, 86400000000L), (1, 172800000000L)).toDF("i", "off")
+    val v2 = NetCDF.cfTimeVar("time", ok, "i", "off",
+      "microseconds since 1970-01-01", "noleap")
+    val f2 = java.io.File.createTempFile("graft_cfo", ".nc"); f2.deleteOnExit()
+    NetCDF.writeClassic(spark, f2.getPath, Seq("time" -> 2), Seq(v2))
+    val back = NetCDF.readVariable(spark, f2.getPath, "time")
+      .orderBy("time").collect()
+    assert(back.map(_.getDouble(1)).toSeq ==
+      Seq(86400000000.0, 172800000000.0))
+  }
+
   test("writer: lake -> NetCDF reverses toParquetLake (values round-trip)") {
     val f = java.io.File.createTempFile("graft", ".nc"); f.deleteOnExit()
     writeSample(f.getPath)
