@@ -1571,6 +1571,36 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_pq_batch_probe" -> ((s, dir) => {
+      // r16: the PQ SERVING shape — batched ADC probes. Per-query ADC
+      // lookup tables compute COLUMNAR against the pinned-codebook
+      // literal (O(nq·m·k·sub) once, never per candidate), the
+      // code-only scan joins broadcast queries on probe-list
+      // membership, per-qid ADC top-20 survivors re-rank exactly in
+      // ONE raw pass over the probed dirs. Oracle replays codes,
+      // per-qid tables, ADC ranking and the cosine re-rank per query.
+      val e = t(s, dir, "embeddings")
+      val cent = e
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpqb_q_").toString + "/ivf"
+      import graft.pipeline.IvfIndex
+      IvfIndex.init(e, "vec_id", "embedding", cent, root, pqM = 8, pqK = 16)
+      val queries = e.filter(col("vec_id").isin(0, 7, 13))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val out = IvfIndex.probeTopKBatchAdc(s, root, queries,
+          k = 5, nprobe = 3, rerank = 20)
+        .localCheckpoint(true) // 15 rows, eager: the index can go
+      IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1663,6 +1693,62 @@ object SparkEntry {
          |  probe_n, probe_max, probe_ids
          |from live a cross join pb
          |group by 1, probe_n, probe_max, probe_ids""").stripMargin,
+
+    // batched PQ twin: whole-table codebook (16 lowest ids), per-qid
+    // ADC tables = the query vectors' own subspace-d2 rows, ADC top-20
+    // per qid over the probed lists' candidates, cosine re-rank top-5
+    "q_ivf_pq_batch_probe" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |cb as (select vec_id cbid, row_number() over (order by vec_id) - 1 j
+         |  from (select vec_id from embeddings order by vec_id limit 16)),
+         |cwe as (select cb.j, t.i,
+         |   floor(cast(e.embedding[t.i+1] as double)*1e6 + 0.5) w
+         |  from cb join embeddings e on e.vec_id = cb.cbid,
+         |       (select unnest(range(0,64)) i) t),
+         |vqe as (select vec_id, t.i,
+         |   floor(cast(embedding[t.i+1] as double)*1e6 + 0.5) vqv
+         |  from embeddings, (select unnest(range(0,64)) i) t),
+         |subd as (select v.vec_id, c.j, (v.i // 8) s,
+         |   sum((v.vqv - c.w) * (v.vqv - c.w)) d2
+         |  from vqe v join cwe c on c.i = v.i group by 1, 2, 3),
+         |codes as (select vec_id, s, j code from (
+         |  select vec_id, s, j, row_number() over (partition by vec_id, s
+         |    order by d2, j) rn from subd) x where rn = 1),
+         |qs as (select vec_id qid, embedding qv from embeddings
+         |  where vec_id in (0, 7, 13)),
+         |qd as (select q.qid, c.list,
+         |   sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, qs q group by 1, 2),
+         |probe as (select qid, list from (select qid, list,
+         |  row_number() over (partition by qid order by d2, list) rn
+         |  from qd) x where rn <= 3),
+         |cand as (select p.qid, a.vec_id, a.list
+         |  from assign a join probe p using (list)),
+         |adc as (select cd.qid, cd.vec_id, cd.list,
+         |   cast(sum(qt.d2) as bigint) adc_u
+         |  from cand cd
+         |  join codes c on c.vec_id = cd.vec_id
+         |  join subd qt on qt.vec_id = cd.qid and qt.s = c.s and qt.j = c.code
+         |  group by 1, 2, 3),
+         |topr as (select * from (select *, row_number() over
+         |  (partition by qid order by adc_u, vec_id) rn from adc) x
+         |  where rn <= 20),
+         |rr as (select t2.qid, t2.vec_id, t2.list, t2.adc_u,
+         |   ${cosQSql("e.embedding", "q.qv")} cosine
+         |  from topr t2 join embeddings e using (vec_id)
+         |  join qs q using (qid))
+         |select qid, cast(rank as int) rank, vec_id, list, adc_u, cosine
+         |from (select *, row_number() over (partition by qid
+         |  order by cosine desc, vec_id) rank from rr) z
+         |where rank <= 5""").stripMargin,
 
     // batched-probe twin: the same centroid/assignment replay fanned out
     // per query — probe lists per qid (top-3 by centroid d2), candidates

@@ -723,6 +723,104 @@ object IvfIndex {
         col("cosine"))
   }
 
+  /** BATCHED ADC probes — [[probeTopKBatch]]'s PQ twin and the serving
+    * shape at PQ scale: per-query ADC lookup TABLES compute COLUMNAR
+    * over the broadcast query frame (O(nq·m·k·sub) integer work ONCE,
+    * against the codebook literal — never per candidate), the
+    * code-only candidate scan joins the broadcast queries on
+    * probe-list membership and scores each (candidate, query) pair
+    * with m table lookups (no per-pair O(dim) float math), per-qid
+    * top-`rerank` ADC survivors select through a PARTITIONED window,
+    * and ONE raw-vector pass over the probed directories re-ranks
+    * every query's survivors exactly (equi-join on (vec_id, _seg_v) —
+    * no driver collect, so the refine set scales with nq × rerank
+    * where the single-query form's id IN-filter would not). The raw
+    * pass reads (vec_id, embedding) of the probed dirs once —
+    * ~nprobe/nlists of the corpus — amortized across the whole query
+    * batch; a single query wanting footer-level id pruning should use
+    * [[probeTopKAdc]]. Same exact integer arithmetic end to end. */
+  def probeTopKBatchAdc(spark: SparkSession, root: String,
+                        queries: DataFrame, k: Int, nprobe: Int,
+                        rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    val cb = readCodebook(spark, root, conf).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $root stores raw postings only — init with pqM > 0"))
+    val m = cb.length; val kCw = cb(0).length; val sub = cb(0)(0).length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val (packed, _) = packedChunks(readCentroids(spark, root))
+    val qLists = queries.select(col("qid"), col("qvec"))
+      .crossJoin(broadcast(packed))
+      .withColumn("_chunk_top",
+        slice(array_sort(transform(col("cents"),
+          c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
+            c.getField("list").as("list")))), 1, nprobe))
+      .groupBy(col("qid"))
+      .agg(first(col("qvec")).as("qvec"),
+        transform(slice(array_sort(flatten(collect_list(col("_chunk_top")))),
+          1, nprobe), s => s.getField("list")).as("probe_lists"))
+      .withColumn("_vq", transform(col("qvec"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5))))
+      .withColumn("adc_tab",
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(sequence(lit(0), lit(kCw - 1)), j =>
+            aggregate(zip_with(
+              slice(col("_vq"), s * sub + 1, lit(sub)),
+              element_at(element_at(cbLit, s + 1), j + 1),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))))
+      .drop("_vq")
+      .localCheckpoint(false) // consumed twice: list union + join
+    val needed = qLists.select(explode(col("probe_lists")).as("list"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
+    val segs = readManifest(root, p.version, conf)
+    val dirs = probedDirs(conf, segs, needed)
+    import spark.implicits._
+    if (dirs.isEmpty)
+      return Seq.empty[(Long, Int, Long, Int, Long, Long)]
+        .toDF("qid", "rank", "vec_id", "list", "adc_u", "cosine")
+        .select(col("qid"), col("rank"), col("vec_id"), col("list"),
+          col("adc_u"), col("cosine").cast("double"))
+    val tombs = tombstones(spark, segs)
+    // PASS 1: codes only
+    val codeCand = applyTombstones(
+      dirs.map { case (d, l, v) =>
+        spark.read.parquet(d)
+          .select(col("vec_id"), lit(l).as("list"), col("pq_code"),
+            lit(v).as("_seg_v"))
+      }.reduce(_ unionByName _), tombs)
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_u"), col("vec_id"))
+    val surv = codeCand
+      .join(broadcast(qLists),
+        array_contains(qLists("probe_lists"), codeCand("list")))
+      .withColumn("adc_u", aggregate(
+        zip_with(col("adc_tab"), col("pq_code"),
+          (row, c) => element_at(row, c + 1)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= rerank)
+      .select(col("qid"), col("qvec"), col("vec_id"), col("list"),
+        col("_seg_v"), col("adc_u"))
+    // PASS 2: one raw read of the probed dirs, survivors re-rank exactly
+    val raw = dirs.map { case (d, _, v) =>
+      spark.read.parquet(d)
+        .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    raw.join(surv, Seq("vec_id", "_seg_v"))
+      .withColumn("cosine",
+        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("list"),
+        col("adc_u"), col("cosine"))
+  }
+
   /** Merge every live segment into ONE (probe cost is linear in segment
     * count; this amortizes it) — a maintenance version: lastBatch
     * unchanged, contents identical. Returns the new segment count (1). */

@@ -1158,6 +1158,20 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id", "pq_code")
     assert(codeScan.queryExecution.executedPlan.toString
       .contains("pq_code"))
+    // batched ADC probes == single ADC probes per qid (columnar tables,
+    // one raw re-rank pass)
+    val qB = Seq((0L, vec(0)), (1L, vec(1))).toDF("qid", "qvec")
+    val batchedAdc = IvfIndex.probeTopKBatchAdc(spark, root, qB,
+      k = 5, nprobe = 1, rerank = 200)
+    for ((qid, qv) <- Seq((0L, vec(0)), (1L, vec(1)))) {
+      val single = IvfIndex.probeTopKAdc(spark, root,
+          Seq(Tuple1(qv)).toDF("qvec"), k = 5, nprobe = 1, rerank = 200)
+        .orderBy("rank").select("vec_id", "adc_u").as[(Long, Long)]
+        .collect().toSeq
+      val b = batchedAdc.filter(col("qid") === qid).orderBy("rank")
+        .select("vec_id", "adc_u").as[(Long, Long)].collect().toSeq
+      assert(b == single, s"qid=$qid: batched ADC $b != single $single")
+    }
     // compaction carries codes through (schema guard keeps accepting)
     assert(IvfIndex.compact(spark, root, retain = 10) == 1)
     assert(IvfIndex.currentAll(spark, root).columns.contains("pq_code"))
