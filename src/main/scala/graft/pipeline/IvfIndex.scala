@@ -147,8 +147,8 @@ object IvfIndex {
     * so an external engine replays every code bit-for-bit. INT codes:
     * at k ≤ 256 these compress to bytes at rest via parquet dictionary +
     * RLE encoding, so the stored size is code-sized, not int-sized. */
-  private def pqCodeCol(vecCol: Column,
-                        cb: Array[Array[Array[Long]]]): Column = {
+  private[graft] def pqCodeCol(vecCol: Column,
+                               cb: Array[Array[Array[Long]]]): Column = {
     val m = cb.length; val k = cb(0).length; val sub = cb(0)(0).length
     val vq = transform(vecCol, x => floor(x.cast("double") * 1e6 + lit(0.5)))
     val codes = (0 until m).map { s =>
@@ -164,11 +164,18 @@ object IvfIndex {
     array(codes: _*)
   }
 
-  /** Attach PQ codes when the index pins a codebook (no-op otherwise). */
+  /** Attach PQ codes when the index pins a codebook (no-op otherwise):
+    * the codegen'd [[graft.functions.IvfKernels.PqEncodeCodes]] loop —
+    * [[pqCodeCol]] is its interpreted bit-identity witness (the
+    * rehearsal compares them). */
   private def withPqCode(assigned: DataFrame,
                          cb: Option[Array[Array[Array[Long]]]]): DataFrame =
-    cb.map(c => assigned.withColumn("pq_code",
-      pqCodeCol(col("embedding"), c))).getOrElse(assigned)
+    cb.map { c =>
+      import org.apache.spark.sql.graft.ColumnBridge
+      assigned.withColumn("pq_code", ColumnBridge.column(
+        graft.functions.IvfKernels.PqEncodeCodes(
+          ColumnBridge.expression(col("embedding")), c)))
+    }.getOrElse(assigned)
 
   // ---- assignment (broadcast pure projection, shared with ivfTopK) ----
 
@@ -215,29 +222,54 @@ object IvfIndex {
     * `_d2u` = floor(d2 · 1e6 + 0.5) — the integer-grid assignment
     * distance the health ledger sums (order-free, engine-exact).
     *
-    * Single-chunk regime (nlists ≤ [[ChunkLists]]): a broadcast pure
-    * projection — no shuffle per row, no per-id window. Above it: each
-    * vector fans out to nchunks bounded rows against the broadcast
-    * chunk TABLE, per-chunk arg-mins reduce through a NARROW
-    * groupBy(vec_id) min (structs compare lexicographically — (d2,
-    * list) — so the global winner is exact; embeddings do NOT ride
-    * this shuffle), and the winner equi-joins back to the batch. Two
-    * O(batch) narrow shuffles buy an unbounded nlists — the
-    * constant-factor scale path; both regimes are bit-identical. */
+    * DEFAULT (kernel) path: the centroid matrix collects driver-side
+    * once (sorted by list), broadcasts as a Spark variable, and every
+    * row runs ONE JIT-compiled arg-min loop
+    * ([[graft.functions.IvfKernels.CentroidArgMin]]) inside whole-stage
+    * codegen — a pure projection at ANY nlists, no packed row, no
+    * shuffle. The interpreted HOF formulation it replaces cost
+    * ~280 µs/row at nlists 256 × dim 64 (ScaleRehearsalR16b) — the
+    * difference between a scan-speed ingest and a 10^6-core-hour one
+    * at 10^10 vectors. Matrix memory bound = nlists × dim × 8 B per
+    * executor (the coarse quantizer FAISS would hold in RAM anyway).
+    *
+    * HOF fallback (`useKernel = false`, and the bit-identity witness
+    * the rehearsal pins): single-chunk = broadcast packed-row
+    * projection; past [[ChunkLists]], bounded chunk rows + a NARROW
+    * groupBy(vec_id) struct-min (embeddings do NOT ride the shuffle) +
+    * equi-join back. All paths bit-identical — same fold order, same
+    * (d2, list) tie-break. */
   private[graft] def assignWithDist(df: DataFrame, idCol: String,
                                     vecCol: String, centroids: DataFrame,
-                                    chunkLists: Int = ChunkLists): DataFrame = {
-    val (packed, nchunks) = packedChunks(centroids, chunkLists)
+                                    chunkLists: Int = ChunkLists,
+                                    useKernel: Boolean = true): DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val withBest =
-      if (nchunks == 1)
-        base.crossJoin(broadcast(packed))
-          .withColumn("_best", chunkBest(col("embedding")))
-      else {
-        val mins = base.crossJoin(broadcast(packed))
-          .select(col("vec_id"), chunkBest(col("embedding")).as("_cand"))
-          .groupBy(col("vec_id")).agg(min(col("_cand")).as("_best"))
-        base.join(mins, "vec_id")
+      if (useKernel) {
+        val rows = centroids
+          .select(col("list").cast("int").as("list"), col("cvec"))
+          .collect().sortBy(_.getInt(0))
+        require(rows.nonEmpty, "empty centroid table")
+        val lists = rows.map(_.getInt(0))
+        val mat = rows.map(_.getSeq[Any](1).map {
+          case n: Number => n.doubleValue()
+        }.toArray)
+        val bc = base.sparkSession.sparkContext.broadcast(mat)
+        import org.apache.spark.sql.graft.ColumnBridge
+        base.withColumn("_best", ColumnBridge.column(
+          graft.functions.IvfKernels.CentroidArgMin(
+            ColumnBridge.expression(col("embedding")), lists, bc)))
+      } else {
+        val (packed, nchunks) = packedChunks(centroids, chunkLists)
+        if (nchunks == 1)
+          base.crossJoin(broadcast(packed))
+            .withColumn("_best", chunkBest(col("embedding")))
+        else {
+          val mins = base.crossJoin(broadcast(packed))
+            .select(col("vec_id"), chunkBest(col("embedding")).as("_cand"))
+            .groupBy(col("vec_id")).agg(min(col("_cand")).as("_best"))
+          base.join(mins, "vec_id")
+        }
       }
     withBest.select(col("vec_id"), col("_best").getField("list").as("list"),
       col("embedding"),
@@ -582,7 +614,16 @@ object IvfIndex {
     * cosine. Deterministic end to end — codes, table, both rankings
     * are exact integer arithmetic, so an external engine replays the
     * whole probe bit-for-bit; `rerank` bounds the recall/IO trade
-    * like FAISS's k_factor. */
+    * like FAISS's k_factor.
+    *
+    * Metric note: the ADC pool is L2-ranked (codes quantize raw
+    * coordinates) while the refine pass ranks by cosine — the standard
+    * IVFADC pairing, which converges to the exact cosine probe as
+    * `rerank` grows and is a faithful shortcut when vectors are
+    * near-constant-norm (normalized embeddings, the common case; L2
+    * order ≡ cosine order there). For wildly varying norms, size
+    * `rerank` generously or probe raw ([[probeTopK]]) —
+    * ScaleRehearsalR16b measures the recall-vs-rerank curve. */
   def probeTopKAdc(spark: SparkSession, root: String, queryVec: DataFrame,
                    k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")

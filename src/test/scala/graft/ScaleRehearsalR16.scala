@@ -54,24 +54,59 @@ object ScaleRehearsalR16 {
         s"j -> cast(((id % $nlists) * 37 + j * 11) % 100 as double) / 10.0" +
         " + cast((id * 31 + j * 7) % 10 as double) / 1000.0)").as("embedding"))
 
-    // 1) bit-identity: chunked (2 chunks) vs single-row (forced) regime
-    val single = time("assign single-row regime (forced, 20k x 4500)") {
-      IvfIndex.assignWithDist(vecs, "vec_id", "embedding", centroids,
-          chunkLists = nlists + 1)
-        .select("vec_id", "list", "_d2u").as[(Long, Int, Long)]
-        .collect().sortBy(_._1)
-    }
-    val chunked = time("assign chunked regime (2 chunks, 20k x 4500)") {
-      IvfIndex.assignWithDist(vecs, "vec_id", "embedding", centroids)
-        .select("vec_id", "list", "_d2u").as[(Long, Int, Long)]
-        .collect().sortBy(_._1)
-    }
-    require(single.length == nvecs && chunked.length == nvecs,
-      s"row loss: ${single.length} vs ${chunked.length}")
+    // 1) THREE-WAY bit-identity: the codegen'd broadcast kernel
+    // (default), the HOF single-row regime (forced), and the HOF
+    // chunked regime (2 chunks) must agree on every
+    // (vec_id, list, _d2u) triple — d2 ties included
+    def run(label: String, chunk: Int, kernel: Boolean) =
+      time(s"assign $label (20k x 4500)") {
+        IvfIndex.assignWithDist(vecs, "vec_id", "embedding", centroids,
+            chunkLists = chunk, useKernel = kernel)
+          .select("vec_id", "list", "_d2u").as[(Long, Int, Long)]
+          .collect().sortBy(_._1)
+      }
+    val kern    = run("codegen kernel", IvfIndex.ChunkLists, kernel = true)
+    val single  = run("HOF single-row (forced)", nlists + 1, kernel = false)
+    val chunked = run("HOF chunked (2 chunks)", IvfIndex.ChunkLists,
+      kernel = false)
+    require(kern.length == nvecs && single.length == nvecs &&
+      chunked.length == nvecs, "row loss across regimes")
     require(java.util.Arrays.equals(
         single.asInstanceOf[Array[AnyRef]], chunked.asInstanceOf[Array[AnyRef]]),
       "chunked assignment diverged from the single-row regime")
-    println(s"[rehearsal] chunked == single-row on all $nvecs assignments")
+    require(java.util.Arrays.equals(
+        kern.asInstanceOf[Array[AnyRef]], single.asInstanceOf[Array[AnyRef]]),
+      "kernel assignment diverged from the HOF regimes")
+    println(s"[rehearsal] kernel == HOF-single == HOF-chunked on all " +
+      s"$nvecs assignments")
+
+    // 1b) PQ encode bit-identity: codegen kernel vs the interpreted
+    // Column form, same deterministic sampled codebook
+    val cb: Array[Array[Array[Long]]] = {
+      val seeds = vecs.orderBy("vec_id").limit(16)
+        .select(expr("transform(embedding, x -> " +
+          "cast(floor(x * 1e6 + 0.5) as long))"))
+        .collect().map(_.getSeq[Long](0).toArray)
+      Array.tabulate(8, 16)((s, j) => seeds(j).slice(s * 4, (s + 1) * 4))
+    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    val pqKern = time("pq encode kernel (20k)") {
+      vecs.select(col("vec_id"), ColumnBridge.column(
+          graft.functions.IvfKernels.PqEncodeCodes(
+            ColumnBridge.expression(col("embedding")), cb)).as("c"))
+        .select(col("vec_id"), col("c").cast("string"))
+        .as[(Long, String)].collect().sortBy(_._1)
+    }
+    val pqHof = time("pq encode HOF (20k)") {
+      vecs.select(col("vec_id"),
+          IvfIndex.pqCodeCol(col("embedding"), cb).as("c"))
+        .select(col("vec_id"), col("c").cast("string"))
+        .as[(Long, String)].collect().sortBy(_._1)
+    }
+    require(java.util.Arrays.equals(
+        pqKern.asInstanceOf[Array[AnyRef]], pqHof.asInstanceOf[Array[AnyRef]]),
+      "PQ kernel codes diverged from the Column form")
+    println(s"[rehearsal] PQ kernel == HOF codes on all $nvecs vectors")
 
     // 2) the full index path at nlists=4500: init + one batch + probes
     val root = java.nio.file.Files
