@@ -377,6 +377,32 @@ object Main {
         println(s"$root probe vec_id=$qid top-$k (nprobe=$nprobe) -> $out " +
           s"(${top.inputFiles.count(_.contains("list="))} posting files opened)")
         spark.stop()
+      case "ivf" :: "probe-batch" :: root :: out :: qids :: k :: nprobe :: rest
+          if rest.size <= 1 =>
+        // batched serving probes for comma-separated indexed vec_ids;
+        // with a trailing `rerank` arg the PQ ADC path serves instead
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        import org.apache.spark.sql.functions.col
+        val ids = qids.split(",").map(_.trim.toLong)
+        val queries = graft.pipeline.IvfIndex.currentAll(spark, root)
+          .filter(col("vec_id").isin(ids.map(x => x: Any): _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val top = rest match {
+          case rerank :: Nil => graft.pipeline.IvfIndex.probeTopKBatchAdc(
+            spark, root, queries, k.toInt, nprobe.toInt, rerank.toInt)
+          case _ => graft.pipeline.IvfIndex.probeTopKBatch(
+            spark, root, queries, k.toInt, nprobe.toInt)
+        }
+        top.write.mode("overwrite").parquet(out)
+        println(s"$root batched probe qids=$qids top-$k (nprobe=$nprobe" +
+          rest.headOption.map(r => s", ADC rerank=$r").getOrElse("") +
+          s") -> $out")
+        spark.stop()
       case "ivf" :: "compact" :: root :: Nil =>
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
