@@ -334,7 +334,7 @@ object IvfIndex {
     val waiter = new Thread(() => { m = obs.get })
     waiter.setDaemon(true)
     waiter.start()
-    waiter.join(60000)
+    waiter.join(120000) // listener-bus latency headroom, not compute
     require(m.nonEmpty, s"observed metrics never fired for $what")
     m
   }
@@ -686,11 +686,16 @@ object IvfIndex {
       .toDF("vec_id", "list", "_seg_v", "adc_u")
     val ids = topR.map(_.getLong(0)).distinct.toSeq
     // PASS 2: raw vectors of just the survivors
-    val raw = dirs.map { case (d, _, v) =>
+    val raw0 = dirs.map { case (d, _, v) =>
       spark.read.parquet(d)
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
-      .filter(col("vec_id").isin(ids: _*)) // pushed to the scan
+    // a literal IN list pushes to the scan (footer/rowgroup pruning) —
+    // but only while it is list-sized; past that the predicate itself
+    // bloats the plan, and the broadcast join already confines the work
+    val raw = (if (ids.size <= 1024)
+                 raw0.filter(col("vec_id").isin(ids: _*))
+               else raw0)
       .join(broadcast(picked), Seq("vec_id", "_seg_v"))
     import org.apache.spark.sql.expressions.Window
     val topk = raw.crossJoin(broadcast(queryVec))
