@@ -1172,11 +1172,26 @@ class StreamingSpec extends AnyFunSuite {
         .select("vec_id", "adc_u").as[(Long, Long)].collect().toSeq
       assert(b == single, s"qid=$qid: batched ADC $b != single $single")
     }
+    // tombstones apply to BOTH ADC passes: delete the current top hit,
+    // probe again — gone from ADC + rerank; re-insert revives it
+    val top1 = top.orderBy("rank").select("vec_id").as[Long].head()
+    IvfIndex.applyDeleteBatch(Seq(top1).toDF("vec_id"), "vec_id", root,
+      1L, retain = 10)
+    val afterDel = IvfIndex.probeTopKAdc(spark, root, q, k = 5,
+        nprobe = 1, rerank = 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(!afterDel.contains(top1), s"tombstoned $top1 still probed")
+    IvfIndex.applyBatch(frame(Seq(top1.toInt)), "vec_id", "embedding",
+      root, 2L, retain = 10)
+    val afterRe = IvfIndex.probeTopKAdc(spark, root, q, k = 5,
+        nprobe = 1, rerank = 200)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(afterRe.contains(top1), "re-inserted id absent from ADC probe")
     // compaction carries codes through (schema guard keeps accepting)
     assert(IvfIndex.compact(spark, root, retain = 10) == 1)
     assert(IvfIndex.currentAll(spark, root).columns.contains("pq_code"))
     IvfIndex.applyBatch(frame(200 until 220), "vec_id", "embedding",
-      root, 1L, retain = 10)
+      root, 3L, retain = 10)
     assert(IvfIndex.currentAll(spark, root).count() == 220)
     IvfIndex.destroy(root)
   }
