@@ -65,12 +65,17 @@ object IvfKernels {
       val cents = bc.value
       val isD = elemIsDouble
       val n = vec.numElements()
+      // a wrong-dimension batch must FAIL, not assign by a prefix:
+      // silently truncated distances would poison segments and the
+      // health ledger while the schema guard (name/type only) passes
+      require(n == cents(0).length,
+        s"vector dim $n != centroid dim ${cents(0).length}")
       var bestD2 = Double.MaxValue
       var bestList = lists(0)
       var j = 0
       while (j < cents.length) {
         val c = cents(j)
-        val m = if (n < c.length) n else c.length
+        val m = c.length
         var acc = 0.0
         var i = 0
         while (i < m) {
@@ -134,6 +139,8 @@ object IvfKernels {
       // transform (floor is deterministic, so once vs per-candidate is
       // value-identical)
       val n = vec.numElements()
+      require(n == m * sub,
+        s"vector dim $n != codebook dim ${m * sub} (m=$m x sub=$sub)")
       val vq = new Array[Long](n)
       var i = 0
       while (i < n) {

@@ -709,6 +709,32 @@ object IvfIndex {
         col("cosine"))
   }
 
+  /** Per-query probe lists over the PINNED centroids — the ONE
+    * implementation both batch probes (raw and ADC) share, so their
+    * oracle-pinned tie and merge semantics cannot drift apart:
+    * per-(query × chunk) top-nprobe struct arrays (sorted slice — the
+    * same (d2, list) tie order as [[probeTopK]]) merge per qid by
+    * flatten + re-sort + slice. With one chunk (the common case) the
+    * merge is a trivial ≤nprobe-row groupBy over the serving-sized
+    * query frame; with many it is what bounds the broadcast row (see
+    * [[ChunkLists]]). Returns (qid, qvec, probe_lists), checkpointed —
+    * every caller consumes it twice (list union + candidate join). */
+  private def probeLists(queries: DataFrame, centroids: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val (packed, _) = packedChunks(centroids)
+    queries.select(col("qid"), col("qvec"))
+      .crossJoin(broadcast(packed))
+      .withColumn("_chunk_top",
+        slice(array_sort(transform(col("cents"),
+          c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
+            c.getField("list").as("list")))), 1, nprobe))
+      .groupBy(col("qid"))
+      .agg(first(col("qvec")).as("qvec"),
+        transform(slice(array_sort(flatten(collect_list(col("_chunk_top")))),
+          1, nprobe), s => s.getField("list")).as("probe_lists"))
+      .localCheckpoint(false)
+  }
+
   /** BATCHED probes — the serving shape: per-query top-k for a whole
     * query frame (qid, qvec) in ONE pass, never a per-query driver
     * loop. Each query's nprobe nearest lists compute COLUMNAR (sort the
@@ -725,23 +751,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    // per-(query × chunk) top-nprobe struct arrays (sorted slice — same
-    // (d2, list) tie order as probeTopK), merged per qid by flatten +
-    // re-sort + slice: with one chunk (the common case) the merge is a
-    // trivial ≤nprobe-row groupBy over the serving-sized query frame;
-    // with many it is what bounds the broadcast row (see ChunkLists)
-    val (packed, _) = packedChunks(readCentroids(spark, root))
-    val qLists = queries.select(col("qid"), col("qvec"))
-      .crossJoin(broadcast(packed))
-      .withColumn("_chunk_top",
-        slice(array_sort(transform(col("cents"),
-          c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
-            c.getField("list").as("list")))), 1, nprobe))
-      .groupBy(col("qid"))
-      .agg(first(col("qvec")).as("qvec"),
-        transform(slice(array_sort(flatten(collect_list(col("_chunk_top")))),
-          1, nprobe), s => s.getField("list")).as("probe_lists"))
-      .localCheckpoint(false) // consumed twice: list union + join
+    val qLists = probeLists(queries, readCentroids(spark, root), nprobe)
     val needed = qLists.select(explode(col("probe_lists")).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
     val segs = readManifest(root, p.version, conf)
@@ -797,17 +807,10 @@ object IvfIndex {
         s"IVF index at $root stores raw postings only — init with pqM > 0"))
     val m = cb.length; val kCw = cb(0).length; val sub = cb(0)(0).length
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
-    val (packed, _) = packedChunks(readCentroids(spark, root))
-    val qLists = queries.select(col("qid"), col("qvec"))
-      .crossJoin(broadcast(packed))
-      .withColumn("_chunk_top",
-        slice(array_sort(transform(col("cents"),
-          c => struct(dist2(col("qvec"), c.getField("cvec")).as("d2"),
-            c.getField("list").as("list")))), 1, nprobe))
-      .groupBy(col("qid"))
-      .agg(first(col("qvec")).as("qvec"),
-        transform(slice(array_sort(flatten(collect_list(col("_chunk_top")))),
-          1, nprobe), s => s.getField("list")).as("probe_lists"))
+    // adc_tab stacks on the shared checkpointed probe-list frame: the
+    // list-union consumer prunes it away; the candidate join computes
+    // it once per qid (nq × m × k ints)
+    val qLists = probeLists(queries, readCentroids(spark, root), nprobe)
       .withColumn("_vq", transform(col("qvec"),
         x => floor(x.cast("double") * 1e6 + lit(0.5))))
       .withColumn("adc_tab",
@@ -818,7 +821,6 @@ object IvfIndex {
               element_at(element_at(cbLit, s + 1), j + 1),
               (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))))
       .drop("_vq")
-      .localCheckpoint(false) // consumed twice: list union + join
     val needed = qLists.select(explode(col("probe_lists")).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
     val segs = readManifest(root, p.version, conf)

@@ -302,8 +302,13 @@ object NetCDF {
         // units over long horizons) the cast would SILENTLY lose
         // precision while the Zarr leg (writeCfTime, <i8) stays exact —
         // fail loudly at write time instead (assert_true, the
-        // fail-at-commit convention).
-        when(assert_true(abs(col(valueCol)) < lit(1L << 53),
+        // fail-at-commit convention). Explicit two-sided bound, never
+        // abs() (abs(Long.MinValue) wraps negative and would slip the
+        // guard); NULL offsets pass per the coalesce-to-true convention
+        // (Lake/CfTime guards) and serialize as the fill path does.
+        when(assert_true(coalesce(
+            col(valueCol) > lit(-(1L << 53)) &&
+              col(valueCol) < lit(1L << 53), lit(true)),
             lit(s"$dim: pre-encoded offset exceeds 2^53 — not exactly " +
               "representable as the classic format's NC_DOUBLE; " +
               "re-encode with coarser units")).isNull,

@@ -169,38 +169,45 @@ object ZOrderLake {
   private def boundsBody(dims: Seq[DimBound]): String =
     dims.map(d => s"${d.name} ${d.lo} ${d.hi}").mkString("", "\n", "\n")
 
-  /** Append a new epoch block to `_bounds` (whole-file rewrite through a
-    * temp + atomic rename — a torn append would corrupt every epoch).
-    * Blocks WITH slabs are immutable: old slabs' zvals stay decodable
-    * forever. */
-  private def appendEpoch(root: String, epoch: Int, dims: Seq[DimBound],
+  /** Serialise the full epoch-block sequence to `_bounds` through a
+    * temp + atomic rename (a torn write would corrupt every epoch) —
+    * the ONE serialization site: epoch-open, residue replacement and
+    * the gc trim all go through here, so the block format cannot
+    * drift between writers. Blocks WITH slabs are immutable content —
+    * callers only ever append a block or swap/drop a slab-less
+    * trailing one. */
+  private def writeEpochs(root: String, blocks: Seq[Seq[DimBound]],
                           conf: Configuration): Unit = {
-    val old = new String(FsIo.readBytes(conf, s"$root/_bounds"),
-      StandardCharsets.UTF_8)
-    val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
-    FsIo.writeBytes(conf, tmp,
-      (old + s"#epoch $epoch\n" + boundsBody(dims))
-        .getBytes(StandardCharsets.UTF_8))
-    FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
-  }
-
-  /** REPLACE the trailing `_bounds` block in place — only legal when no
-    * manifest entry references it (a crash, or a failed Spark job,
-    * between [[appendEpoch]] and the manifest/pointer commit leaves a
-    * slab-less trailing epoch; no stored zval decodes against it, so
-    * its bounds are dead weight, not history). Without this, repeated
-    * failed retries of differently-bounded batches would STACK empty
-    * epochs that every later readBox/compact iterates forever. */
-  private def replaceTrailingEpoch(root: String, epoch: Int,
-                                   dims: Seq[DimBound],
-                                   conf: Configuration): Unit = {
-    val keep = readEpochs(root, conf).dropRight(1)
-    val body = keep.zipWithIndex.map { case (d, e) =>
+    val body = blocks.zipWithIndex.map { case (d, e) =>
       (if (e == 0) "" else s"#epoch $e\n") + boundsBody(d)
-    }.mkString + s"#epoch $epoch\n" + boundsBody(dims)
+    }.mkString
     val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
     FsIo.writeBytes(conf, tmp, body.getBytes(StandardCharsets.UTF_8))
     FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
+  }
+
+  /** Open the grid-epoch slot for `fresh` bounds and return the epoch
+    * index the caller's slabs must carry. A slab-less trailing block is
+    * a CRASH RESIDUE (its batch never committed — no stored zval
+    * decodes against it, so its bounds are dead weight, not history)
+    * and is REPLACED in place: at most one residue block can ever
+    * exist, however many differently-bounded retries crash. Blocks
+    * with slabs are immutable — a used trailing block appends. The
+    * reference check is against the CURRENT manifest, which is a safe
+    * proxy for all retained ones: slabs never leave their epoch
+    * (rewrites and compaction keep the tag; rebuild moves them to a
+    * NEW trailing epoch), so an epoch referenced by any retained
+    * manifest is referenced by the current one. */
+  private def openEpoch(root: String, manifest: Seq[Entry],
+                        epochs: Seq[Seq[DimBound]], fresh: Seq[DimBound],
+                        conf: Configuration): Int = {
+    val lastUsed = manifest.exists(_.epoch == epochs.size - 1) ||
+      epochs.size == 1
+    if (lastUsed) {
+      writeEpochs(root, epochs :+ fresh, conf); epochs.size
+    } else {
+      writeEpochs(root, epochs.dropRight(1) :+ fresh, conf); epochs.size - 1
+    }
   }
 
   /** zval on the PINNED grid; out-of-box values clamp to the border
@@ -322,8 +329,7 @@ object ZOrderLake {
       DimBound(c, r.getLong(2 * i), r.getLong(2 * i + 1))
     }
     val totalRows = r.getLong(2 * dimCols.size)
-    FsIo.writeBytes(conf, s"$root/_bounds",
-      boundsBody(dims).getBytes(StandardCharsets.UTF_8))
+    writeEpochs(root, Seq(dims), conf)
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
       s"$root/data/v00000", targetRows, totalRows)
     writeManifest(root, 0, entries, conf)
@@ -503,15 +509,7 @@ object ZOrderLake {
           }
           }
         }
-        // a slab-less trailing epoch is a crash residue (the write
-        // never committed): REPLACE it in place instead of stacking
-        // another block — at most one residue block can ever exist
-        val lastUsed = manifest.exists(_.epoch == epochs.size - 1) ||
-          epochs.size == 1
-        val idx = if (lastUsed) epochs.size else epochs.size - 1
-        if (lastUsed) appendEpoch(root, idx, fresh, conf)
-        else replaceTrailingEpoch(root, idx, fresh, conf)
-        (idx, fresh)
+        (openEpoch(root, manifest, epochs, fresh, conf), fresh)
       } else (epochs.size - 1, curDims)
     val shift = cellShift(dims.size)
     // checkpoint WITH zval (the epoch decision is already made), so the
@@ -711,13 +709,7 @@ object ZOrderLake {
       if (r.isNullAt(2 * i)) d
       else DimBound(d.name, r.getLong(2 * i), r.getLong(2 * i + 1))
     }
-    // reuse a slab-less trailing residue block if one exists (same
-    // crash-residue rule as applyBatch's epoch open)
-    val lastUsed = manifest.exists(_.epoch == epochs.size - 1) ||
-      epochs.size == 1
-    val epoch = if (lastUsed) epochs.size else epochs.size - 1
-    if (lastUsed) appendEpoch(root, epoch, dims, conf)
-    else replaceTrailingEpoch(root, epoch, dims, conf)
+    val epoch = openEpoch(root, manifest, epochs, dims, conf)
     val next = p.version + 1
     val entries = writeSlabs(df.withColumn("zval", zvalCol(dims)),
         f"$root/data/v$next%05d", targetRows, totalRows)
@@ -755,15 +747,8 @@ object ZOrderLake {
     val live = retained.flatMap(_.map(_.path)).toSet
     val epochs = readEpochs(root, conf)
     val maxRef = retained.flatten.map(_.epoch).foldLeft(0)(math.max)
-    if (epochs.size > maxRef + 1) {
-      val keep = epochs.take(maxRef + 1)
-      val body = keep.zipWithIndex.map { case (dims, e) =>
-        (if (e == 0) "" else s"#epoch $e\n") + boundsBody(dims)
-      }.mkString
-      val tmp = s"$root/_bounds_${ProcessHandle.current().pid()}.tmp"
-      FsIo.writeBytes(conf, tmp, body.getBytes(StandardCharsets.UTF_8))
-      FsIo.atomicReplace(conf, tmp, s"$root/_bounds")
-    }
+    if (epochs.size > maxRef + 1)
+      writeEpochs(root, epochs.take(maxRef + 1), conf)
     FsIo.listDirNames(conf, s"$root/data").foreach { d =>
       val dir = s"$root/data/$d"
       // recursive listing: grouped writes nest slabs under _grp=K/ dirs

@@ -1216,14 +1216,17 @@ class StreamingSpec extends AnyFunSuite {
     val writer = Streams.ivfSinkVersioned(
       stream.toDF.toDF("vec_id", "embedding"), root, "vec_id", "embedding",
       retain = 10, autoCompactSegments = 3)
-    val sq = writer.trigger(
-      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // one addData + drain per micro-batch: AvailableNow would race the
+    // addData loop and can deliver every block as ONE batch, letting
+    // the threshold assertion pass without auto-compact ever firing
+    val sq = writer.start()
     for (b <- 0 until 4) {
       stream.addData((10 * (b + 1) until 10 * (b + 2))
         .map(i => (i.toLong, if (i % 2 == 0) Array(10f, 0f)
           else Array(0f, 10f))))
+      sq.processAllAvailable()
     }
-    sq.awaitTermination()
+    sq.stop()
     val segs = IvfIndex.readManifest(root,
       IvfIndex.readPointer(root).get.version)
     assert(segs.count(!_.tombstone) < 3,
