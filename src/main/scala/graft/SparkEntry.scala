@@ -1571,6 +1571,51 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_pq_trained" -> ((s, dir) => {
+      // r16: TRAINED PQ codebooks — FAISS's trained-IVFADC mode. Same
+      // streamed layout as q_ivf_pq_incremental, but the codebook
+      // Lloyd-refines for 2 per-subspace integer-grid rounds on the
+      // init quarter before pinning (encode with the codegen kernel,
+      // update = exact int64 ties-away-from-zero rounding of the
+      // assigned subvectors' means, empty codewords RETAIN their
+      // previous value). The oracle unrolls both training rounds, then
+      // replays codes, per-list stats and the ADC-then-rerank probe
+      // against the trained codebook — bit-for-bit.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpqt_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent,
+        pqM = 8, pqK = 16, pqTrainIters = 2)
+      val p = graft.pipeline.IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = graft.pipeline.IvfIndex
+        .probeTopKAdc(s, root, q, k = 5, nprobe = 3, rerank = 20)
+        .agg(count(lit(1)).as("probe_n"), sum(col("vec_id")).as("probe_ids"),
+          max(col("cosine")).as("probe_max"), sum(col("adc_u")).as("probe_adc"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          sum(aggregate(col("pq_code"), lit(0L),
+            (acc, v) => acc + v)).as("code_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      graft.pipeline.IvfIndex.destroy(root)
+      out
+    }),
+
     "q_ivf_pq_batch_probe" -> ((s, dir) => {
       // r16: the PQ SERVING shape — batched ADC probes. Per-query ADC
       // lookup tables compute COLUMNAR against the pinned-codebook
@@ -1693,6 +1738,90 @@ object SparkEntry {
          |  probe_n, probe_max, probe_ids
          |from live a cross join pb
          |group by 1, probe_n, probe_max, probe_ids""").stripMargin,
+
+    // trained-codebook twin: the sampled seeds Lloyd-refine for two
+    // unrolled rounds (assign by int64 subspace d2 ties-low-j; update =
+    // exact ties-away-from-zero integer rounding of assigned means,
+    // retained on empty), then codes/stats/ADC probe replay against the
+    // trained codebook
+    "q_ivf_pq_trained" ->
+      (s"""with vqe as (select vec_id, t.i, (t.i // 8) s, (t.i % 8) p,
+         |   floor(cast(embedding[t.i+1] as double)*1e6 + 0.5) q
+         |  from embeddings, (select unnest(range(0,64)) i) t),
+         |cbseed as (select vec_id cbid, row_number() over (order by vec_id) - 1 j
+         |  from (select vec_id from embeddings where vec_id % 4 = 3
+         |        order by vec_id limit 16)),
+         |cb0 as (select v.s, c.j, v.p, v.q w
+         |  from cbseed c join vqe v on v.vec_id = c.cbid),
+         |d1 as (select v.vec_id, c.s, c.j, sum((v.q - c.w)*(v.q - c.w)) d2
+         |  from vqe v join cb0 c on c.s = v.s and c.p = v.p
+         |  where v.vec_id % 4 = 3 group by 1, 2, 3),
+         |a1 as (select vec_id, s, j from (select vec_id, s, j,
+         |  row_number() over (partition by vec_id, s order by d2, j) rn
+         |  from d1) x where rn = 1),
+         |u1 as (select v.s, a.j, v.p, cast(sum(v.q) as bigint) sq, count(*) n
+         |  from vqe v join a1 a on a.vec_id = v.vec_id and a.s = v.s
+         |  group by 1, 2, 3),
+         |cb1 as (select c.s, c.j, c.p,
+         |  coalesce(case when u.sq >= 0 then (2*u.sq + u.n) // (2*u.n)
+         |                else -((-2*u.sq + u.n) // (2*u.n)) end * 1.0, c.w) w
+         |  from cb0 c left join u1 u on u.s = c.s and u.j = c.j and u.p = c.p),
+         |d2r as (select v.vec_id, c.s, c.j, sum((v.q - c.w)*(v.q - c.w)) d2
+         |  from vqe v join cb1 c on c.s = v.s and c.p = v.p
+         |  where v.vec_id % 4 = 3 group by 1, 2, 3),
+         |a2 as (select vec_id, s, j from (select vec_id, s, j,
+         |  row_number() over (partition by vec_id, s order by d2, j) rn
+         |  from d2r) x where rn = 1),
+         |u2 as (select v.s, a.j, v.p, cast(sum(v.q) as bigint) sq, count(*) n
+         |  from vqe v join a2 a on a.vec_id = v.vec_id and a.s = v.s
+         |  group by 1, 2, 3),
+         |cb2 as (select c.s, c.j, c.p,
+         |  coalesce(case when u.sq >= 0 then (2*u.sq + u.n) // (2*u.n)
+         |                else -((-2*u.sq + u.n) // (2*u.n)) end * 1.0, c.w) w
+         |  from cb1 c left join u2 u on u.s = c.s and u.j = c.j and u.p = c.p),
+         |df as (select v.vec_id, c.s, c.j, sum((v.q - c.w)*(v.q - c.w)) d2
+         |  from vqe v join cb2 c on c.s = v.s and c.p = v.p group by 1, 2, 3),
+         |codes as (select vec_id, s, j code from (select vec_id, s, j,
+         |  row_number() over (partition by vec_id, s order by d2, j) rn
+         |  from df) x where rn = 1),
+         |codesum as (select vec_id, cast(sum(code) as bigint) csum
+         |  from codes group by 1),
+         |cent as (select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |qtab as (select s, j, d2 from df where vec_id = 0),
+         |cand as (select a.vec_id from assign a join probe using (list)),
+         |adc as (select c.vec_id, cast(sum(qt.d2) as bigint) adc_u
+         |  from codes c join qtab qt on qt.s = c.s and qt.j = c.code
+         |  where c.vec_id in (select vec_id from cand)
+         |  group by 1),
+         |topr as (select vec_id, adc_u from adc
+         |  order by adc_u, vec_id limit 20),
+         |rr as (select t2.vec_id, t2.adc_u,
+         |   ${cosQSql("e.embedding", "q.qv")} cosine
+         |  from topr t2 join embeddings e using (vec_id), q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from rr) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n,
+         |   cast(sum(vec_id) as bigint) probe_ids, max(cosine) probe_max,
+         |   cast(sum(adc_u) as bigint) probe_adc from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(sum(cs.csum) as bigint) code_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  probe_n, probe_ids, probe_max, probe_adc
+         |from assign a join codesum cs using (vec_id) cross join pb
+         |group by 1, probe_n, probe_ids, probe_max, probe_adc""").stripMargin,
 
     // batched PQ twin: whole-table codebook (16 lowest ids), per-qid
     // ADC tables = the query vectors' own subspace-d2 rows, ADC top-20

@@ -141,6 +141,78 @@ object IvfIndex {
       Some(cb)
     }
 
+  /** The deterministic SAMPLED codebook: the `pqK` lowest-id vectors'
+    * exact micro-unit subvectors ([[Similarity.pqEncodeAdc]]'s rule) —
+    * the zero-training default, and the seeds [[trainCodebook]]
+    * refines. */
+  private def sampledCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                              pqM: Int, pqK: Int): Array[Array[Array[Long]]] = {
+    val seeds = emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
+      .orderBy(col("vec_id")).limit(pqK)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == pqK, s"init corpus smaller than codebook k=$pqK")
+    val dim = seeds.head.length
+    require(dim % pqM == 0, s"dim $dim not divisible by m=$pqM subspaces")
+    val sub = dim / pqM
+    Array.tabulate(pqM, pqK)((s, j) => seeds(j).slice(s * sub, (s + 1) * sub))
+  }
+
+  /** Integer rounding of s/n with ties AWAY FROM ZERO in pure int64 —
+    * the cross-engine-exact centroid-update rule (double division would
+    * lose exactness past 2^53 and HALF_UP vs floor(x+0.5) disagree at
+    * negative ties). Headroom: |2·s| needs int64, i.e. cluster sums of
+    * micro-unit components < 4.6e18 — |element| ≲ 300 at up to ~10^10
+    * rows per cluster. */
+  private def roundDiv(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+
+  /** Lloyd-train the PQ codebook per subspace on the init corpus —
+    * FAISS's trained IVFADC codebooks, integer-grid exact: each
+    * iteration encodes every vector against the current codebook (the
+    * codegen [[graft.functions.IvfKernels.PqEncodeCodes]] kernel —
+    * training cost is one encode + one (s, j, p) hash-agg per round,
+    * all map-side-combinable), then every codeword component updates to
+    * [[roundDiv]](Σ q, n) of its assigned subvectors' micro-units; a
+    * codeword with NO assignments RETAINS its previous value (never
+    * drops — the codebook stays rectangular, unlike
+    * [[Similarity.kmeansLloyd]]'s drop-on-empty whole-vector
+    * clustering). Deterministic end to end — sampled seeds, exact
+    * int64 distances with ties to the lowest j, exact integer update —
+    * so an external engine unrolls the same rounds bit-for-bit. */
+  private[graft] def trainCodebook(emb: DataFrame, vecCol: String,
+                                   seed: Array[Array[Array[Long]]],
+                                   iters: Int): Array[Array[Array[Long]]] = {
+    val m = seed.length; val k = seed(0).length; val sub = seed(0)(0).length
+    var cb = seed
+    val base = emb.select(col(vecCol).as("_e"))
+      .localCheckpoint(false) // scanned once per round; stops re-derivation
+    import org.apache.spark.sql.graft.ColumnBridge
+    for (_ <- 1 to iters) {
+      val rows = base
+        .withColumn("_codes", ColumnBridge.column(
+          graft.functions.IvfKernels.PqEncodeCodes(
+            ColumnBridge.expression(col("_e")), cb)))
+        .select(col("_codes"), posexplode(transform(col("_e"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)))).as(Seq("i", "q")))
+        .select((col("i") / lit(sub)).cast("int").as("s"),
+          pmod(col("i"), lit(sub)).cast("int").as("p"), col("q"),
+          element_at(col("_codes"),
+            (col("i") / lit(sub)).cast("int") + 1).as("j"))
+        .groupBy(col("s"), col("j"), col("p"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .collect() // m × k × sub rows — bounded (the codebook itself)
+      val next = Array.tabulate(m, k)((s, j) => cb(s)(j).clone())
+      rows.foreach { r => // (s, j, p, sq, n)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          roundDiv(r.getLong(3), r.getLong(4))
+      }
+      cb = next
+    }
+    cb
+  }
+
   /** `pq_code` column: per subspace, the arg-min codeword index over
     * the exact micro-unit grid (vq = floor(x·1e6 + 0.5), int64 d2,
     * ties to the lowest j — [[Similarity.pqEncodeAdc]]'s encode rule),
@@ -352,7 +424,11 @@ object IvfIndex {
     * `pqM` > 0 pins a PRODUCT-QUANTIZATION codebook too (`pqM`
     * subspaces × `pqK` codewords — the deterministic sampled codebook:
     * the `pqK` lowest-id init vectors' micro-unit subvectors, exactly
-    * [[Similarity.pqEncodeAdc]]'s rule) and every segment then stores
+    * [[Similarity.pqEncodeAdc]]'s rule; `pqTrainIters` > 0 refines it
+    * with [[trainCodebook]]'s per-subspace integer-grid Lloyd rounds —
+    * the FAISS trained-codebook mode, worth its one-encode-per-round
+    * cost when the sampled seeds sit far off the data) and every
+    * segment then stores
     * `pq_code: ARRAY<INT>` alongside the raw vector: [[probeTopKAdc]]
     * scans ONLY the code column (parquet column pruning) and touches
     * raw vectors for just the re-rank survivors — at 10^10 × 768-dim
@@ -362,7 +438,7 @@ object IvfIndex {
     * same layout minus the refine pass. */
   def init(emb: DataFrame, idCol: String, vecCol: String,
            centroids: DataFrame, root: String,
-           pqM: Int = 0, pqK: Int = 16): Unit = {
+           pqM: Int = 0, pqK: Int = 16, pqTrainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     FsIo.mkdirs(conf, root)
@@ -371,18 +447,12 @@ object IvfIndex {
     cent.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/_centroids")
     if (pqM > 0) {
-      val seeds = emb.select(col(idCol).as("vec_id"),
-          transform(col(vecCol),
-            x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
-        .orderBy(col("vec_id")).limit(pqK)
-        .collect().map(_.getSeq[Long](1).toArray)
-      require(seeds.length == pqK, s"init corpus smaller than codebook k=$pqK")
-      val dim = seeds.head.length
-      require(dim % pqM == 0, s"dim $dim not divisible by m=$pqM subspaces")
-      val sub = dim / pqM
+      val cb0 = sampledCodebook(emb, idCol, vecCol, pqM, pqK)
+      val cb = if (pqTrainIters > 0)
+        trainCodebook(emb, vecCol, cb0, pqTrainIters) else cb0
       import spark.implicits._
       (for { s <- 0 until pqM; j <- 0 until pqK }
-        yield (s, j, seeds(j).slice(s * sub, (s + 1) * sub).toSeq))
+        yield (s, j, cb(s)(j).toSeq))
         .toDF("s", "j", "cw")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(codebookPath(root))

@@ -315,10 +315,11 @@ object Streams {
                          batches: Seq[DataFrame], root: String,
                          idCol: String, vecCol: String,
                          centroids: DataFrame, retain: Int = 2,
-                         pqM: Int = 0, pqK: Int = 16): DataFrame = {
+                         pqM: Int = 0, pqK: Int = 16,
+                         pqTrainIters: Int = 0): DataFrame = {
     require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
     graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root,
-      pqM, pqK)
+      pqM, pqK, pqTrainIters)
     replayThrough(s, batches) { stream =>
       ivfSinkVersioned(stream, root, idCol, vecCol, retain)
     }

@@ -1196,6 +1196,60 @@ class StreamingSpec extends AnyFunSuite {
     IvfIndex.destroy(root)
   }
 
+  test("trained PQ codebook: deterministic, rectangular, and better than the sampled seeds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    import org.apache.spark.sql.graft.ColumnBridge
+    // adversarial seeds: the 16 lowest ids all sit in ONE cluster, the
+    // rest of the corpus in another — sampled codewords cover only the
+    // first cluster, so Lloyd training must strictly cut the total
+    // quantization error
+    val dim = 8
+    def vec(id: Int): Array[Float] =
+      if (id < 16) Array.tabulate(dim)(j => 1f + ((id * 7 + j) % 5) * 0.01f)
+      else Array.tabulate(dim)(j => 50f + ((id * 13 + j) % 7) * 0.01f)
+    val corpus = (0 until 400).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    def seed = {
+      val seeds = corpus.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))
+        .orderBy("vec_id").limit(16).collect().map(_.getSeq[Long](1).toArray)
+      Array.tabulate(4, 16)((s, j) => seeds(j).slice(s * 2, (s + 1) * 2))
+    }
+    val sampled = seed
+    val trained = IvfIndex.trainCodebook(corpus, "embedding", seed, 2)
+    val trained2 = IvfIndex.trainCodebook(corpus, "embedding", seed, 2)
+    // deterministic across runs, rectangular (retained-on-empty: no
+    // codeword drops even though most get zero assignments round 1)
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(trained.forall(_.length == 16) &&
+      trained.forall(_.forall(_.length == 2)))
+    // total quantization error: sum over vectors of their codeword d2
+    def err(cb: Array[Array[Array[Long]]]): Long = {
+      val codes = ColumnBridge.column(
+        graft.functions.IvfKernels.PqEncodeCodes(
+          ColumnBridge.expression(col("embedding")), cb))
+      val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      corpus.withColumn("_c", codes)
+        .withColumn("vq", transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5))))
+        .withColumn("e", aggregate(
+          transform(sequence(lit(0), lit(3)), s =>
+            aggregate(zip_with(slice(col("vq"), s * 2 + 1, lit(2)),
+              element_at(element_at(cbLit, s + 1),
+                element_at(col("_c"), s + 1) + 1),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)),
+          lit(0L), (acc, v) => acc + v))
+        .agg(sum("e")).head().getLong(0)
+    }
+    val eS = err(sampled); val eT = err(trained)
+    assert(eT < eS / 10,
+      s"training did not materially cut quantization error: $eT vs $eS")
+  }
+
   test("IVF streaming sink auto-compacts past the segment-count threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
