@@ -294,25 +294,30 @@ object Main {
           case None => println(s"z-order lake at $root: uninitialized")
         }
       case "ivf" :: "init" :: emb :: cents :: root :: rest
-          if rest.isEmpty || rest.size == 2 =>
+          if rest.isEmpty || rest.size == 2 || rest.size == 3 =>
         // incremental IVF index bootstrap: centroids PIN here (a parquet
         // of (list, cvec)); segment 0 holds emb's assignments. Optional
-        // trailing `pqM pqK` pins a product-quantization codebook too —
-        // segments then carry pq_code and `ivf probe-adc` serves
+        // trailing `pqM pqK [trainIters]` pins a product-quantization
+        // codebook too (Lloyd-trained per subspace when trainIters > 0)
+        // — segments then carry pq_code and `ivf probe-adc` serves
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val (pqM, pqK) = rest match {
-          case m :: k :: Nil => (m.toInt, k.toInt)
-          case _ => (0, 16)
+        val (pqM, pqK, pqIters) = rest match {
+          case m :: k :: Nil => (m.toInt, k.toInt, 0)
+          case m :: k :: it :: Nil => (m.toInt, k.toInt, it.toInt)
+          case _ => (0, 16, 0)
         }
         graft.pipeline.IvfIndex.init(spark.read.parquet(emb),
-          "vec_id", "embedding", spark.read.parquet(cents), root, pqM, pqK)
+          "vec_id", "embedding", spark.read.parquet(cents), root,
+          pqM, pqK, pqIters)
         println(s"$emb -> IVF index $root (centroids pinned from $cents" +
-          (if (pqM > 0) s"; PQ codebook m=$pqM k=$pqK pinned" else "") + ")")
+          (if (pqM > 0) s"; PQ codebook m=$pqM k=$pqK" +
+            (if (pqIters > 0) s" trained $pqIters round(s)" else "") +
+            " pinned" else "") + ")")
         spark.stop()
       case "ivf" :: "probe-adc" :: root :: out :: qid :: k :: nprobe :: rerank :: Nil =>
         // PQ serving probe: ADC over the code column only, exact
