@@ -1481,6 +1481,51 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_autocompact" -> ((s, dir) => {
+      // r16: the AUTO-COMPACTING streaming sink — probe cost is linear
+      // in live segments and a streaming cadence piles them up (1-min
+      // triggers = 1,440/day), so ivfSinkVersioned compacts once the
+      // live count reaches the threshold. Threshold 3 over init + 3
+      // streamed quarters fires exactly once (after batch 1: 3 segs →
+      // 1), so the pointer lands closed-form at v4/lastBatch 2 with 2
+      // live segments — while contents and the probe must stay
+      // IDENTICAL to the never-compacted q_ivf_incremental oracle
+      // (compaction is a maintenance rewrite, not a semantic change).
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfac_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent,
+        autoCompactSegments = 3)
+      import graft.pipeline.IvfIndex
+      val p = IvfIndex.readPointer(root).get
+      val nSegs = IvfIndex.readManifest(root, p.version).count(!_.tombstone)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = IvfIndex.probeTopK(s, root, q, k = 5, nprobe = 3)
+        .agg(count(lit(1)).as("probe_n"), max(col("cosine")).as("probe_max"),
+          sum(col("vec_id")).as("probe_ids"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .withColumn("live_segs", lit(nSegs))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      IvfIndex.destroy(root)
+      out
+    }),
+
     "q_ivf_health" -> ((s, dir) => {
       // r16: the ANN index-health ledger, oracle-exact. Pinned
       // centroids have one silent failure mode — the data distribution
@@ -1910,6 +1955,43 @@ object SparkEntry {
          |  order by cosine desc, vec_id) rank from scored)
          |select qid, cast(rank as int) rank, vec_id, list, cosine
          |from ranked where rank <= 5""").stripMargin,
+
+    // auto-compact twin: contents/probe identical to the
+    // never-compacted replay (compaction is a maintenance rewrite);
+    // pointer closed-form — threshold 3 fires once after batch 1
+    // (3 segs -> 1), so init + 3 batches + 1 compaction = v4 at
+    // lastBatch 2 with 2 live segments
+    "q_ivf_autocompact" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |cand as (select a.vec_id, e.embedding
+         |  from assign a join probe using (list)
+         |  join embeddings e using (vec_id)),
+         |scored as (select vec_id, ${cosQSql("embedding", "q.qv")} cosine
+         |  from cand, q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from scored) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n, max(cosine) probe_max,
+         |   cast(sum(vec_id) as bigint) probe_ids from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(4 as int) snap_version, cast(2 as bigint) last_batch,
+         |  cast(2 as int) live_segs,
+         |  probe_n, probe_max, probe_ids
+         |from assign a cross join pb
+         |group by 1, probe_n, probe_max, probe_ids""").stripMargin,
 
     // health-ledger twin: every counter is exact int64 (integer-grid
     // embeddings, rounded-mean centroids), so the oracle recomputes the

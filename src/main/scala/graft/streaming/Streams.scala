@@ -316,12 +316,14 @@ object Streams {
                          idCol: String, vecCol: String,
                          centroids: DataFrame, retain: Int = 2,
                          pqM: Int = 0, pqK: Int = 16,
-                         pqTrainIters: Int = 0): DataFrame = {
+                         pqTrainIters: Int = 0,
+                         autoCompactSegments: Int = 64): DataFrame = {
     require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
     graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root,
       pqM, pqK, pqTrainIters)
     replayThrough(s, batches) { stream =>
-      ivfSinkVersioned(stream, root, idCol, vecCol, retain)
+      ivfSinkVersioned(stream, root, idCol, vecCol, retain,
+        autoCompactSegments)
     }
     graft.pipeline.IvfIndex.currentAll(s, root)
   }
