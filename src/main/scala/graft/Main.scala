@@ -294,30 +294,65 @@ object Main {
           case None => println(s"z-order lake at $root: uninitialized")
         }
       case "ivf" :: "init" :: emb :: cents :: root :: rest
-          if rest.isEmpty || rest.size == 2 || rest.size == 3 =>
+          if rest.count(_ != "codeonly") <= 3 =>
         // incremental IVF index bootstrap: centroids PIN here (a parquet
         // of (list, cvec)); segment 0 holds emb's assignments. Optional
         // trailing `pqM pqK [trainIters]` pins a product-quantization
         // codebook too (Lloyd-trained per subspace when trainIters > 0)
-        // — segments then carry pq_code and `ivf probe-adc` serves
+        // — segments then carry pq_code and `ivf probe-adc` serves; a
+        // final `codeonly` drops the raw column (ADC-only serving,
+        // ~storage/32 at 768-dim float64)
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
-        val (pqM, pqK, pqIters) = rest match {
+        val storeRaw = !rest.contains("codeonly")
+        val (pqM, pqK, pqIters) = rest.filter(_ != "codeonly") match {
           case m :: k :: Nil => (m.toInt, k.toInt, 0)
           case m :: k :: it :: Nil => (m.toInt, k.toInt, it.toInt)
           case _ => (0, 16, 0)
         }
         graft.pipeline.IvfIndex.init(spark.read.parquet(emb),
           "vec_id", "embedding", spark.read.parquet(cents), root,
-          pqM, pqK, pqIters)
+          pqM, pqK, pqIters, storeRaw)
         println(s"$emb -> IVF index $root (centroids pinned from $cents" +
           (if (pqM > 0) s"; PQ codebook m=$pqM k=$pqK" +
             (if (pqIters > 0) s" trained $pqIters round(s)" else "") +
-            " pinned" else "") + ")")
+            " pinned" else "") +
+          (if (!storeRaw) "; CODE-ONLY postings" else "") + ")")
+        spark.stop()
+      case "ivf" :: "rebuild" :: root :: rest if rest.size <= 3 =>
+        // RE-CENTER the index — the remedy `ivf info`'s drift warning
+        // calls for: `ivf rebuild <root> <cents> [pqTrainIters]`
+        // re-pins caller-supplied centroids; `ivf rebuild <root> kmeans
+        // <iters> [pqTrainIters]` re-clusters the live corpus. A
+        // maintenance version: lastBatch unchanged, drift resets to ~1.
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        rest match {
+          case "kmeans" :: iters :: more if more.size <= 1 =>
+            graft.pipeline.IvfIndex.rebuildKmeans(spark, root, iters.toInt,
+              more.headOption.map(_.toInt).getOrElse(0))
+            println(s"$root rebuilt (k-means re-clustered, " +
+              s"${iters.toInt} round(s))")
+          case cents :: more if more.size <= 1 =>
+            graft.pipeline.IvfIndex.rebuild(spark, root,
+              spark.read.parquet(cents),
+              more.headOption.map(_.toInt).getOrElse(0))
+            println(s"$root rebuilt (centroids re-pinned from $cents)")
+          case _ =>
+            println("usage: ivf rebuild <root> (<cents> | kmeans <iters>) " +
+              "[pqTrainIters]")
+        }
+        val rp = graft.pipeline.IvfIndex.readPointer(root).get
+        println(s"  now v${rp.version}, lastBatch ${rp.lastBatch}, " +
+          s"centroid generation ${rp.gen}")
         spark.stop()
       case "ivf" :: "probe-adc" :: root :: out :: qid :: k :: nprobe :: rerank :: Nil =>
         // PQ serving probe: ADC over the code column only, exact
@@ -426,7 +461,8 @@ object Main {
             val segs = graft.pipeline.IvfIndex.readManifest(root, p.version)
             val (tomb, post) = segs.partition(_.tombstone)
             println(s"IVF index $root: v${p.version}, lastBatch " +
-              s"${p.lastBatch}, ${post.size} posting segment(s), " +
+              s"${p.lastBatch}, centroid generation ${p.gen}, " +
+              s"${post.size} posting segment(s), " +
               s"${tomb.size} tombstone segment(s)")
             segs.foreach(e => println(
               s"  ${if (e.tombstone) "T" else "P"} v${e.version} ${e.dir}" +
@@ -442,7 +478,7 @@ object Main {
                   f"$l%.6f, drift ratio $d%.3f" +
                   (if (d > 2.0) "  ** WARNING: assignment distance has " +
                     "drifted >2x off the pinned centroids — recall is " +
-                    "decaying; re-centering is a rebuild" else ""))
+                    "decaying; run `ivf rebuild`" else ""))
               case _ => println("health: no drift data (pre-health manifest)")
             }
             if (h.postingSegs > 64)
@@ -517,9 +553,11 @@ object Main {
             s"zolake compact <root> <targetRows> | zolake info <root> | " +
             s"zolake box <root> <out> <lo:hi|lo:|:hi|:>... | " +
             s"lake-scan <in> <out> <col:lo:hi>... | " +
-            s"ivf init <emb> <centroids> <root> | ivf append <in> <root> <batchId> | " +
+            s"ivf init <emb> <centroids> <root> [pqM pqK [iters] [codeonly]] | " +
+            s"ivf append <in> <root> <batchId> | " +
             s"ivf delete <ids> <root> <batchId> | " +
             s"ivf probe <root> <out> <vec_id> <k> <nprobe> | " +
+            s"ivf rebuild <root> (<cents> | kmeans <iters>) [pqTrainIters] | " +
             s"ivf compact <root> | ivf info <root> | " +
             s"analyze <in> <col>... | " +
             s"dataflags <in> <out> [--raise-flags]; got: $other")

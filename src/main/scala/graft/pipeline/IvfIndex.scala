@@ -53,7 +53,13 @@ import graft.sources.FsIo
   * segments. */
 object IvfIndex {
 
-  final case class Pointer(version: Int, lastBatch: Long)
+  /** `gen` is the CENTROID GENERATION: 0 at [[init]], bumped by every
+    * [[rebuild]] (re-centering re-pins `_centroids` / `_codebook` /
+    * `_health_baseline` under generation-suffixed paths, and the
+    * pointer swap is the one atomic commit that flips segments AND
+    * metadata together — a crash mid-rebuild leaves the old generation
+    * fully intact). Pre-r17 pointer files carry two fields → gen 0. */
+  final case class Pointer(version: Int, lastBatch: Long, gen: Int = 0)
 
   // ---- metadata (all through FsIo: file://, hdfs://, s3a:// roots) ----
 
@@ -64,8 +70,10 @@ object IvfIndex {
     else {
       val parts = new String(FsIo.readBytes(conf, p),
         StandardCharsets.UTF_8).trim.split("\\s+")
-      require(parts.length == 2, s"corrupt pointer file $p")
-      Some(Pointer(parts(0).toInt, parts(1).toLong))
+      require(parts.length == 2 || parts.length == 3,
+        s"corrupt pointer file $p")
+      Some(Pointer(parts(0).toInt, parts(1).toLong,
+        if (parts.length == 3) parts(2).toInt else 0))
     }
   }
 
@@ -73,7 +81,7 @@ object IvfIndex {
                            conf: Configuration): Unit = {
     val tmp = s"$root/_current_${ProcessHandle.current().pid()}.tmp"
     FsIo.writeBytes(conf, tmp,
-      s"${p.version} ${p.lastBatch}".getBytes(StandardCharsets.UTF_8))
+      s"${p.version} ${p.lastBatch} ${p.gen}".getBytes(StandardCharsets.UTF_8))
     FsIo.atomicReplace(conf, tmp, s"$root/_current")
   }
 
@@ -113,13 +121,30 @@ object IvfIndex {
       }
   }
 
-  /** The pinned centroid table (list INT, cvec ARRAY<DOUBLE>). */
-  def readCentroids(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/_centroids")
+  /** Generation-suffixed metadata paths: gen 0 keeps the legacy names
+    * (pre-r17 indexes read unchanged); gen g > 0 appends `_g<g>` so a
+    * [[rebuild]] can stage its whole generation before the one atomic
+    * pointer swap commits it. */
+  private def genSuffix(gen: Int) = if (gen == 0) "" else s"_g$gen"
+  private[graft] def centroidsPath(root: String, gen: Int) =
+    s"$root/_centroids${genSuffix(gen)}"
+  private def codebookPath(root: String, gen: Int) =
+    s"$root/_codebook${genSuffix(gen)}"
+  private def baselinePath(root: String, gen: Int) =
+    s"$root/_health_baseline${genSuffix(gen)}"
+
+  private def currentGen(root: String, conf: Configuration): Int =
+    readPointer(root, conf).map(_.gen).getOrElse(0)
+
+  /** The pinned centroid table (list INT, cvec ARRAY<DOUBLE>) of the
+    * CURRENT generation (the pointer resolves which — a rebuild re-pins
+    * it atomically with its re-assigned segments). */
+  def readCentroids(spark: SparkSession, root: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.read.parquet(centroidsPath(root, currentGen(root, conf)))
+  }
 
   // ---- product-quantized postings (the FAISS IVFADC layout) ----
-
-  private def codebookPath(root: String) = s"$root/_codebook"
 
   /** The pinned PQ codebook as cw(s)(j) = the codeword's exact
     * micro-unit subvector (m × k rows collected — bounded, e.g. 8 × 16;
@@ -128,10 +153,11 @@ object IvfIndex {
     * argument as the centroids: codes are only stable against codewords
     * that never change). None for a raw-postings index. */
   def readCodebook(spark: SparkSession, root: String,
-                   conf: Configuration): Option[Array[Array[Array[Long]]]] =
-    if (!FsIo.exists(conf, codebookPath(root))) None
+                   conf: Configuration): Option[Array[Array[Array[Long]]]] = {
+    val p = codebookPath(root, currentGen(root, conf))
+    if (!FsIo.exists(conf, p)) None
     else {
-      val rows = spark.read.parquet(codebookPath(root))
+      val rows = spark.read.parquet(p)
         .select(col("s"), col("j"), col("cw")).collect()
       val m = rows.map(_.getInt(0)).max + 1
       val k = rows.map(_.getInt(1)).max + 1
@@ -140,6 +166,18 @@ object IvfIndex {
         r.getSeq[Long](2).toArray)
       Some(cb)
     }
+  }
+
+  /** Pin a codebook at a generation path (m × k tiny rows). */
+  private def writeCodebook(spark: SparkSession, root: String, gen: Int,
+                            cb: Array[Array[Array[Long]]]): Unit = {
+    import spark.implicits._
+    (for { s <- cb.indices; j <- cb(s).indices }
+      yield (s, j, cb(s)(j).toSeq))
+      .toDF("s", "j", "cw")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(codebookPath(root, gen))
+  }
 
   /** The deterministic SAMPLED codebook: the `pqK` lowest-id vectors'
     * exact micro-unit subvectors ([[Similarity.pqEncodeAdc]]'s rule) —
@@ -290,12 +328,73 @@ object IvfIndex {
       c => struct(dist2(vec, c.getField("cvec")).as("d2"),
         c.getField("list").as("list"))))
 
+  /** The collected coarse quantizer: list ids + the broadcast centroid
+    * matrix the [[graft.functions.IvfKernels.CentroidArgMin]] kernel
+    * scans. */
+  private type Quantizer =
+    (Array[Int], org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+
+  /** ONE quantizer broadcast per pinned centroid table — NOT one per
+    * call: the streaming sink assigns every micro-batch, and a fresh
+    * nlists × dim × 8 B broadcast per trigger (~600 MB at 10^5 × 768)
+    * would accumulate until the context cleaner got around to them,
+    * besides re-collecting the table each time. Centroids are pinned
+    * (never move), so caching by their generation path is sound;
+    * [[init]]/[[rebuild]]/[[destroy]] invalidate their root's entries. */
+  private val quantCache =
+    scala.collection.concurrent.TrieMap.empty[String, Quantizer]
+
+  /** Collect + broadcast the centroid matrix, guarding the kernel's
+    * memory contract LOUDLY at build time: the matrix lives whole on
+    * the driver and every executor, so a table past the configured
+    * bound must fail here — not OOM executors mid-ingest. Past the
+    * bound the chunked HOF path (`useKernel = false`) or an IMI-style
+    * two-level quantizer is the right regime. */
+  private def buildQuantizer(spark: SparkSession,
+                             centroids: DataFrame): Quantizer = {
+    val rows = centroids
+      .select(col("list").cast("int").as("list"), col("cvec"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "empty centroid table")
+    val lists = rows.map(_.getInt(0))
+    val mat = rows.map(_.getSeq[Any](1).map {
+      case n: Number => n.doubleValue()
+    }.toArray)
+    val bytes = mat.length.toLong * mat.head.length * 8
+    val maxBytes = spark.conf
+      .getOption("spark.graft.ivf.maxCentroidMatrixBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    require(bytes <= maxBytes,
+      s"centroid matrix ${mat.length} lists x ${mat.head.length} dims = " +
+        s"$bytes B exceeds spark.graft.ivf.maxCentroidMatrixBytes=" +
+        s"$maxBytes — every executor holds the full matrix; raise the " +
+        "bound only with the headroom, or assign via the chunked HOF " +
+        "path (useKernel = false)")
+    (lists, spark.sparkContext.broadcast(mat))
+  }
+
+  private def pinnedQuantizer(spark: SparkSession, root: String,
+                              gen: Int): Quantizer = {
+    val path = centroidsPath(root, gen)
+    quantCache.getOrElseUpdate(path,
+      buildQuantizer(spark, spark.read.parquet(path)))
+  }
+
+  /** Drop (and destroy) every cached quantizer under `root` — called on
+    * re-init / rebuild / destroy, after the new generation committed. */
+  private def invalidateQuantizers(root: String): Unit =
+    quantCache.keys.filter(_.startsWith(s"$root/")).foreach { k =>
+      quantCache.remove(k).foreach(_._2.destroy())
+    }
+
   /** (vec_id, list, embedding, _d2u) under the PINNED centroids, where
     * `_d2u` = floor(d2 · 1e6 + 0.5) — the integer-grid assignment
     * distance the health ledger sums (order-free, engine-exact).
     *
     * DEFAULT (kernel) path: the centroid matrix collects driver-side
-    * once (sorted by list), broadcasts as a Spark variable, and every
+    * once (sorted by list), broadcasts as a Spark variable (or arrives
+    * pre-built via `quant` — the per-root cache, so streaming ingest
+    * reuses ONE broadcast across micro-batches), and every
     * row runs ONE JIT-compiled arg-min loop
     * ([[graft.functions.IvfKernels.CentroidArgMin]]) inside whole-stage
     * codegen — a pure projection at ANY nlists, no packed row, no
@@ -303,30 +402,28 @@ object IvfIndex {
     * ~280 µs/row at nlists 256 × dim 64 (ScaleRehearsalR16b) — the
     * difference between a scan-speed ingest and a 10^6-core-hour one
     * at 10^10 vectors. Matrix memory bound = nlists × dim × 8 B per
-    * executor (the coarse quantizer FAISS would hold in RAM anyway).
+    * executor (the coarse quantizer FAISS would hold in RAM anyway),
+    * guarded loudly in [[buildQuantizer]].
     *
     * HOF fallback (`useKernel = false`, and the bit-identity witness
     * the rehearsal pins): single-chunk = broadcast packed-row
     * projection; past [[ChunkLists]], bounded chunk rows + a NARROW
-    * groupBy(vec_id) struct-min (embeddings do NOT ride the shuffle) +
-    * equi-join back. All paths bit-identical — same fold order, same
-    * (d2, list) tie-break. */
+    * per-row-id struct-min (embeddings do NOT ride the shuffle) +
+    * equi-join back — keyed on a materialized per-row id, NOT vec_id,
+    * so duplicate vec_ids within a batch keep per-row assignment
+    * exactly as the kernel and single-chunk regimes do. All paths
+    * bit-identical — same fold order, same (d2, list) tie-break. */
   private[graft] def assignWithDist(df: DataFrame, idCol: String,
                                     vecCol: String, centroids: DataFrame,
                                     chunkLists: Int = ChunkLists,
-                                    useKernel: Boolean = true): DataFrame = {
+                                    useKernel: Boolean = true,
+                                    quant: Option[Quantizer] = None)
+      : DataFrame = {
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val withBest =
       if (useKernel) {
-        val rows = centroids
-          .select(col("list").cast("int").as("list"), col("cvec"))
-          .collect().sortBy(_.getInt(0))
-        require(rows.nonEmpty, "empty centroid table")
-        val lists = rows.map(_.getInt(0))
-        val mat = rows.map(_.getSeq[Any](1).map {
-          case n: Number => n.doubleValue()
-        }.toArray)
-        val bc = base.sparkSession.sparkContext.broadcast(mat)
+        val (lists, bc) = quant.getOrElse(
+          buildQuantizer(base.sparkSession, centroids))
         import org.apache.spark.sql.graft.ColumnBridge
         base.withColumn("_best", ColumnBridge.column(
           graft.functions.IvfKernels.CentroidArgMin(
@@ -337,10 +434,16 @@ object IvfIndex {
           base.crossJoin(broadcast(packed))
             .withColumn("_best", chunkBest(col("embedding")))
         else {
-          val mins = base.crossJoin(broadcast(packed))
-            .select(col("vec_id"), chunkBest(col("embedding")).as("_cand"))
-            .groupBy(col("vec_id")).agg(min(col("_cand")).as("_best"))
-          base.join(mins, "vec_id")
+          // localCheckpoint pins the per-row ids: monotonically
+          // _increasing_id is only stable within one materialization,
+          // and this frame is consumed twice (min side + join-back)
+          val withId = base
+            .withColumn("_rid", monotonically_increasing_id())
+            .localCheckpoint(false)
+          val mins = withId.crossJoin(broadcast(packed))
+            .select(col("_rid"), chunkBest(col("embedding")).as("_cand"))
+            .groupBy(col("_rid")).agg(min(col("_cand")).as("_best"))
+          withId.join(mins, "_rid").drop("_rid")
         }
       }
     withBest.select(col("vec_id"), col("_best").getField("list").as("list"),
@@ -411,8 +514,6 @@ object IvfIndex {
     m
   }
 
-  private def baselinePath(root: String) = s"$root/_health_baseline"
-
   /** Initialize: pin the centroids, write segment 0 from `emb`. The
     * centroid table must be (list, cvec) with distinct int lists —
     * callers bring their own clustering (label means, k-means, a
@@ -434,39 +535,49 @@ object IvfIndex {
     * raw vectors for just the re-rank survivors — at 10^10 × 768-dim
     * float64 postings that is the ~32× probe-I/O cut that makes the
     * FAISS IVFADC layout the 100-TB shape. Keeping the raw column
-    * costs storage but buys exact re-rank; a code-only index is the
-    * same layout minus the refine pass. */
+    * costs storage but buys exact re-rank; `storeRaw = false` drops it
+    * — the CODE-ONLY tier (requires `pqM > 0`): segments hold only
+    * (vec_id, list, pq_code), ~storage/32 at 768-dim float64, served
+    * ADC-only ([[probeTopKAdc]]/[[probeTopKBatchAdc]] with
+    * `rerank = 0`; exact on the codes' L2 order only — no refine pass
+    * exists, and [[rebuild]] needs the source corpus again). */
   def init(emb: DataFrame, idCol: String, vecCol: String,
            centroids: DataFrame, root: String,
-           pqM: Int = 0, pqK: Int = 16, pqTrainIters: Int = 0): Unit = {
+           pqM: Int = 0, pqK: Int = 16, pqTrainIters: Int = 0,
+           storeRaw: Boolean = true): Unit = {
+    require(storeRaw || pqM > 0,
+      "code-only postings (storeRaw = false) need a PQ codebook — init with pqM > 0")
     val spark = emb.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     FsIo.mkdirs(conf, root)
+    // re-init semantics: a stale pointer (possibly at gen > 0) must not
+    // resolve metadata while generation-0 files are being rewritten
+    FsIo.delete(conf, s"$root/_current")
+    invalidateQuantizers(root)
     val cent = centroids
       .select(col("list").cast("int").as("list"), col("cvec"))
     cent.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/_centroids")
-    if (pqM > 0) {
-      val cb0 = sampledCodebook(emb, idCol, vecCol, pqM, pqK)
-      val cb = if (pqTrainIters > 0)
-        trainCodebook(emb, vecCol, cb0, pqTrainIters) else cb0
-      import spark.implicits._
-      (for { s <- 0 until pqM; j <- 0 until pqK }
-        yield (s, j, cb(s)(j).toSeq))
-        .toDF("s", "j", "cw")
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(codebookPath(root))
-    }
+      .parquet(centroidsPath(root, 0))
+    val cb: Option[Array[Array[Array[Long]]]] =
+      if (pqM == 0) None
+      else {
+        val cb0 = sampledCodebook(emb, idCol, vecCol, pqM, pqK)
+        val cbT = if (pqTrainIters > 0)
+          trainCodebook(emb, vecCol, cb0, pqTrainIters) else cb0
+        writeCodebook(spark, root, 0, cbT)
+        Some(cbT)
+      }
+    val assigned = withPqCode(
+      assignWithDist(emb, idCol, vecCol, cent,
+        quant = Some(pinnedQuantizer(spark, root, 0))), cb)
     val (s0, n0) = writeSegment(
-      withPqCode(
-        assignWithDist(emb, idCol, vecCol, readCentroids(spark, root)),
-        readCodebook(spark, root, conf)),
+      if (storeRaw) assigned else assigned.drop("embedding"),
       segDir(root, 0))
-    FsIo.writeBytes(conf, baselinePath(root),
+    FsIo.writeBytes(conf, baselinePath(root, 0),
       s"$s0 $n0".getBytes(StandardCharsets.UTF_8))
     writeManifest(root, 0,
       Seq(Seg(segDir(root, 0), 0, tombstone = false, s0, n0)), conf)
-    writePointer(root, Pointer(0, -1L), conf)
+    writePointer(root, Pointer(0, -1L, 0), conf)
   }
 
   /** Append one batch as a new segment; existing segments carry by
@@ -487,11 +598,18 @@ object IvfIndex {
       writePointer(root, p.copy(lastBatch = batchId), conf); return
     }
     val manifest = readManifest(root, p.version, conf)
-    val assigned = withPqCode(
-      assignWithDist(batch, idCol, vecCol, readCentroids(spark, root)),
-      readCodebook(spark, root, conf))
-    val segSchema = spark.read
+    val segFields = spark.read
       .parquet(manifest.filterNot(_.tombstone).head.dir).schema
+    val assigned0 = withPqCode(
+      assignWithDist(batch, idCol, vecCol, readCentroids(spark, root),
+        quant = Some(pinnedQuantizer(spark, root, p.gen))),
+      readCodebook(spark, root, conf))
+    // code-only index: the batch brings raw vectors for assignment +
+    // encoding, but only (vec_id, list, pq_code) lands
+    val assigned =
+      if (segFields.fieldNames.contains("embedding")) assigned0
+      else assigned0.drop("embedding")
+    val segSchema = segFields
       .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
     val batchSchema = assigned.drop("_d2u").schema
       .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
@@ -502,7 +620,7 @@ object IvfIndex {
     val (s, n) = writeSegment(assigned, dir)
     writeManifest(root, next,
       manifest :+ Seg(dir, next, tombstone = false, s, n), conf)
-    writePointer(root, Pointer(next, batchId), conf)
+    writePointer(root, Pointer(next, batchId, p.gen), conf)
     gc(root, next, retain, conf)
   }
 
@@ -526,10 +644,11 @@ object IvfIndex {
       s"IVF index at $root not initialized — call init first"))
     val segs = readManifest(root, p.version, conf)
     val (tomb, post) = segs.partition(_.tombstone)
+    val bp = baselinePath(root, p.gen)
     val base =
-      if (!FsIo.exists(conf, baselinePath(root))) None
+      if (!FsIo.exists(conf, bp)) None
       else {
-        val f = new String(FsIo.readBytes(conf, baselinePath(root)),
+        val f = new String(FsIo.readBytes(conf, bp),
           StandardCharsets.UTF_8).trim.split("\\s+")
         val (s, n) = (f(0).toLong, f(1).toLong)
         if (s >= 0 && n > 0) Some(s.toDouble / n / 1e6) else None
@@ -564,7 +683,7 @@ object IvfIndex {
     writeManifest(root, next,
       readManifest(root, p.version, conf) :+ Seg(dir, next, tombstone = true),
       conf)
-    writePointer(root, Pointer(next, batchId), conf)
+    writePointer(root, Pointer(next, batchId, p.gen), conf)
     gc(root, next, retain, conf)
   }
 
@@ -607,9 +726,9 @@ object IvfIndex {
             postings("_seg_v") < t("_del_v"), "left_anti")
     }
 
-  /** Every posting across the live segments: (vec_id, list, embedding
-    * [, pq_code for a PQ index]). Per-segment reads recover the `list`
-    * partition column. */
+  /** Every posting across the live segments: (vec_id, list
+    * [, embedding unless code-only][, pq_code for a PQ index]).
+    * Per-segment reads recover the `list` partition column. */
   def currentAll(spark: SparkSession, root: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
@@ -619,8 +738,8 @@ object IvfIndex {
       .map(e => spark.read.parquet(e.dir)
         .withColumn("_seg_v", lit(e.version)))
       .reduce(_ unionByName _)
-    val cols = Seq(col("vec_id"), col("list").cast("int").as("list"),
-      col("embedding")) ++
+    val cols = Seq(col("vec_id"), col("list").cast("int").as("list")) ++
+      (if (raw.columns.contains("embedding")) Seq(col("embedding")) else Nil) ++
       (if (raw.columns.contains("pq_code")) Seq(col("pq_code")) else Nil) :+
       col("_seg_v")
     val postings = raw.select(cols: _*)
@@ -638,6 +757,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
+    requireRawPostings(spark, root, p, conf, "probeTopK")
     val probed = readCentroids(spark, root)
       .crossJoin(broadcast(queryVec))
       .withColumn("qd2", dist2(col("cvec"), col("qvec")))
@@ -655,16 +775,33 @@ object IvfIndex {
           .withColumn("_seg_v", lit(v))
           .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
-    val cand = applyTombstones(cand0, tombstones(spark, segs)).drop("_seg_v")
+    // _seg_v rides as the FINAL tie-break: an id live in two segments
+    // (re-insert without delete) has identical (cosine, vec_id) twice,
+    // and which posting survives the limit boundary must be
+    // deterministic for the replays-bit-for-bit contract
+    val cand = applyTombstones(cand0, tombstones(spark, segs))
     val topk = cand.crossJoin(broadcast(queryVec))
       .withColumn("cosine",
         Similarity.cosineQuantized(col("embedding"), col("qvec")))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
       .limit(k)
     import org.apache.spark.sql.expressions.Window
     topk.withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
+        Window.orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))))
       .select(col("rank"), col("vec_id"), col("list"), col("cosine"))
+  }
+
+  /** Loud reject for operations that need raw vectors on a CODE-ONLY
+    * index (segments store (vec_id, list, pq_code) only). */
+  private def requireRawPostings(spark: SparkSession, root: String,
+                                 p: Pointer, conf: Configuration,
+                                 op: String): Unit = {
+    val head = readManifest(root, p.version, conf)
+      .filterNot(_.tombstone).head.dir
+    require(spark.read.parquet(head).schema.fieldNames.contains("embedding"),
+      s"IVF index at $root is code-only (no raw vectors stored) — $op " +
+        "needs them; serve with probeTopKAdc/probeTopKBatchAdc(rerank = 0)" +
+        " (ADC-only), or re-init from the source corpus with storeRaw = true")
   }
 
   /** ADC probe over PQ codes with exact top-`rerank` re-rank — the
@@ -693,10 +830,16 @@ object IvfIndex {
     * near-constant-norm (normalized embeddings, the common case; L2
     * order ≡ cosine order there). For wildly varying norms, size
     * `rerank` generously or probe raw ([[probeTopK]]) —
-    * ScaleRehearsalR16b measures the recall-vs-rerank curve. */
+    * ScaleRehearsalR16b measures the recall-vs-rerank curve.
+    *
+    * `rerank = 0` serves ADC-ONLY — no refine pass, output
+    * (rank, vec_id, list, adc_u) ranked by the exact code-table L2
+    * order — the serving mode of a CODE-ONLY index (storeRaw = false),
+    * and valid on a raw index too when refine I/O isn't worth it. */
   def probeTopKAdc(spark: SparkSession, root: String, queryVec: DataFrame,
                    k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank=$rerank must be >= k=$k, or 0 for ADC-only serving")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
@@ -730,24 +873,43 @@ object IvfIndex {
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, probed)
     import spark.implicits._
-    if (dirs.isEmpty)
+    if (dirs.isEmpty) {
+      if (rerank == 0)
+        return Seq.empty[(Int, Long, Int, Long)]
+          .toDF("rank", "vec_id", "list", "adc_u")
       return Seq.empty[(Int, Long, Int, Long, Long)]
         .toDF("rank", "vec_id", "list", "adc_u", "cosine")
         .select(col("rank"), col("vec_id"), col("list"), col("adc_u"),
           col("cosine").cast("double"))
-    // PASS 1: codes only — the scan never touches the embedding column
+    }
+    if (rerank > 0) requireRawPostings(spark, root, p, conf,
+      s"the exact re-rank pass (rerank=$rerank)")
+    // PASS 1: codes only — the scan never touches the embedding column.
+    // _seg_v is the final tie-break everywhere a (adc_u, vec_id) tie
+    // could cross the rerank/k boundary (an id live in two segments).
     val codeCand0 = dirs.map { case (d, l, v) =>
       spark.read.parquet(d)
         .select(col("vec_id"), lit(l).as("list"), col("pq_code"),
           lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     val codeCand = applyTombstones(codeCand0, tombstones(spark, segs))
-    val topR = codeCand
+    val scored = codeCand
       .withColumn("adc_u", aggregate(
         zip_with(typedLit(table), col("pq_code"),
           (row, c) => element_at(row, c + 1)),
         lit(0L), (acc, v) => acc + v))
-      .orderBy(col("adc_u"), col("vec_id"))
+    if (rerank == 0) {
+      // ADC-only: rank the code order directly, no raw I/O at all
+      import org.apache.spark.sql.expressions.Window
+      return scored
+        .orderBy(col("adc_u"), col("vec_id"), col("_seg_v"))
+        .limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("adc_u"), col("vec_id"), col("_seg_v"))))
+        .select(col("rank"), col("vec_id"), col("list"), col("adc_u"))
+    }
+    val topR = scored
+      .orderBy(col("adc_u"), col("vec_id"), col("_seg_v"))
       .limit(rerank)
       .select(col("vec_id"), col("list"), col("_seg_v"), col("adc_u"))
       .collect() // bounded by `rerank` — the refine candidate set
@@ -771,10 +933,10 @@ object IvfIndex {
     val topk = raw.crossJoin(broadcast(queryVec))
       .withColumn("cosine",
         Similarity.cosineQuantized(col("embedding"), col("qvec")))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
       .limit(k)
     topk.withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
+        Window.orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))))
       .select(col("rank"), col("vec_id"), col("list"), col("adc_u"),
         col("cosine"))
   }
@@ -821,6 +983,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
+    requireRawPostings(spark, root, p, conf, "probeTopKBatch")
     val qLists = probeLists(queries, readCentroids(spark, root), nprobe)
     val needed = qLists.select(explode(col("probe_lists")).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
@@ -835,10 +998,10 @@ object IvfIndex {
           .withColumn("_seg_v", lit(v))
           .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
-    val cand = applyTombstones(cand0, tombstones(spark, segs)).drop("_seg_v")
+    val cand = applyTombstones(cand0, tombstones(spark, segs))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
     cand.join(broadcast(qLists),
         array_contains(qLists("probe_lists"), cand("list")))
       .withColumn("cosine",
@@ -864,11 +1027,15 @@ object IvfIndex {
     * pass reads (vec_id, embedding) of the probed dirs once —
     * ~nprobe/nlists of the corpus — amortized across the whole query
     * batch; a single query wanting footer-level id pruning should use
-    * [[probeTopKAdc]]. Same exact integer arithmetic end to end. */
+    * [[probeTopKAdc]]. Same exact integer arithmetic end to end.
+    * `rerank = 0` serves ADC-ONLY (no refine pass, no raw I/O; output
+    * (qid, rank, vec_id, list, adc_u)) — the code-only index's batch
+    * serving mode. */
   def probeTopKBatchAdc(spark: SparkSession, root: String,
                         queries: DataFrame, k: Int, nprobe: Int,
                         rerank: Int): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank=$rerank must be >= k=$k, or 0 for ADC-only serving")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
@@ -896,13 +1063,19 @@ object IvfIndex {
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, needed)
     import spark.implicits._
-    if (dirs.isEmpty)
+    if (dirs.isEmpty) {
+      if (rerank == 0)
+        return Seq.empty[(Long, Int, Long, Int, Long)]
+          .toDF("qid", "rank", "vec_id", "list", "adc_u")
       return Seq.empty[(Long, Int, Long, Int, Long, Long)]
         .toDF("qid", "rank", "vec_id", "list", "adc_u", "cosine")
         .select(col("qid"), col("rank"), col("vec_id"), col("list"),
           col("adc_u"), col("cosine").cast("double"))
+    }
+    if (rerank > 0) requireRawPostings(spark, root, p, conf,
+      s"the exact re-rank pass (rerank=$rerank)")
     val tombs = tombstones(spark, segs)
-    // PASS 1: codes only
+    // PASS 1: codes only (_seg_v final tie-break — see probeTopKAdc)
     val codeCand = applyTombstones(
       dirs.map { case (d, l, v) =>
         spark.read.parquet(d)
@@ -911,8 +1084,8 @@ object IvfIndex {
       }.reduce(_ unionByName _), tombs)
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_u"), col("vec_id"))
-    val surv = codeCand
+      .orderBy(col("adc_u"), col("vec_id"), col("_seg_v"))
+    val adcScored = codeCand
       .join(broadcast(qLists),
         array_contains(qLists("probe_lists"), codeCand("list")))
       .withColumn("adc_u", aggregate(
@@ -920,6 +1093,12 @@ object IvfIndex {
           (row, c) => element_at(row, c + 1)),
         lit(0L), (acc, v) => acc + v))
       .withColumn("_r", row_number().over(wAdc))
+    if (rerank == 0)
+      // ADC-only: the window rank IS the final rank, no raw pass
+      return adcScored.filter(col("_r") <= k)
+        .select(col("qid"), col("_r").as("rank"), col("vec_id"),
+          col("list"), col("adc_u"))
+    val surv = adcScored
       .filter(col("_r") <= rerank)
       .select(col("qid"), col("qvec"), col("vec_id"), col("list"),
         col("_seg_v"), col("adc_u"))
@@ -929,7 +1108,7 @@ object IvfIndex {
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
     raw.join(surv, Seq("vec_id", "_seg_v"))
       .withColumn("cosine",
         Similarity.cosineQuantized(col("embedding"), col("qvec")))
@@ -941,24 +1120,150 @@ object IvfIndex {
 
   /** Merge every live segment into ONE (probe cost is linear in segment
     * count; this amortizes it) — a maintenance version: lastBatch
-    * unchanged, contents identical. Returns the new segment count (1). */
+    * unchanged, contents identical. Returns the new segment count (1).
+    *
+    * HEALTH CONTINUITY: the merged segment CARRIES the weighted
+    * (Σ sumD2u, Σ n) of the posting segments it absorbed (both
+    * order-free int64 sums — exact), so [[health]]'s drift signal stays
+    * populated straight through an auto-compacting streaming cadence
+    * instead of going dark until the next ingest. Caveat: the carried
+    * sums include tombstoned postings the rewrite just dropped (their
+    * assignment distances were observed at ingest), so post-delete the
+    * carried mean is approximate — fine for a drift signal, and the
+    * manifest `n` then reads as the merged INGEST count, not the live
+    * row count. */
   def compact(spark: SparkSession, root: String, retain: Int = 2): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
     val segs = readManifest(root, p.version, conf)
     if (segs.size <= 1) return segs.size
+    val stats = segs.filter(e => !e.tombstone && e.sumD2u >= 0 && e.n > 0)
     val next = p.version + 1
     val dir = segDir(root, next)
     // currentAll already applies the tombstones; the rewrite makes the
     // deletions physical, so the tombstone segments drop from the
     // manifest (and GC collects them once out of retention)
     val (_, n) = writeSegment(currentAll(spark, root), dir)
+    val (hs, hn) =
+      if (stats.isEmpty) (-1L, n)
+      else (stats.map(_.sumD2u).sum, stats.map(_.n).sum)
     writeManifest(root, next,
-      Seq(Seg(dir, next, tombstone = false, -1L, n)), conf)
-    writePointer(root, Pointer(next, p.lastBatch), conf)
+      Seq(Seg(dir, next, tombstone = false, hs, hn)), conf)
+    writePointer(root, Pointer(next, p.lastBatch, p.gen), conf)
     gc(root, next, retain, conf)
     1
+  }
+
+  /** RE-CENTER the index — the remedy [[health]]'s drift warning calls
+    * for, closing the detect → repair loop the z-order lake closed with
+    * [[graft.sources.ZOrderLake.rebuild]]: centroids are PINNED by
+    * contract, so when the data distribution walks away from them
+    * (drift ratio climbing in `ivf info`) the fix is a REBUILD — a new
+    * centroid table, every live posting re-assigned (and re-encoded)
+    * against it, ONE new segment, through the same manifest + pointer
+    * swap. A MAINTENANCE version: `lastBatch` unchanged (ingest
+    * resumes exactly where it left off), same live vector set; the
+    * centroid GENERATION bumps, staging `_centroids`/`_codebook`/
+    * `_health_baseline` under generation-suffixed paths so the pointer
+    * swap commits segments AND metadata atomically — a crash
+    * mid-rebuild leaves the old generation fully intact, its residue
+    * swept by the next GC. O(corpus) BY CONTRACT (it IS the rebuild;
+    * run like OPTIMIZE, amortized against decayed recall).
+    *
+    * The caller brings the new clustering (`centroids`: (list, cvec)),
+    * exactly as [[init]] does — or uses the k-means overload. The PQ
+    * codebook CARRIES unchanged by default (codes are
+    * centroid-independent — re-encoding against the same codebook is
+    * bit-identical); `pqTrainIters > 0` Lloyd-retrains it on the live
+    * corpus (seeds = the current codebook), after which every posting's
+    * code re-derives against the retrained book. The health baseline
+    * re-pins to the rebuild's own assignment stats — drift reads ~1
+    * again until the distribution moves anew.
+    *
+    * A CODE-ONLY index cannot rebuild (no raw vectors to re-assign):
+    * loud reject — re-init from the source corpus instead. */
+  def rebuild(spark: SparkSession, root: String, centroids: DataFrame,
+              pqTrainIters: Int = 0, retain: Int = 2): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    requireRawPostings(spark, root, p, conf, "rebuild (re-assignment)")
+    val live = currentAll(spark, root).drop("pq_code")
+    val g = p.gen + 1
+    val cent = centroids
+      .select(col("list").cast("int").as("list"), col("cvec"))
+    cent.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(centroidsPath(root, g))
+    val cb = readCodebook(spark, root, conf).map { old =>
+      val cbNew = if (pqTrainIters > 0)
+        trainCodebook(live, "embedding", old, pqTrainIters) else old
+      writeCodebook(spark, root, g, cbNew)
+      cbNew
+    }
+    val assigned = withPqCode(
+      assignWithDist(live, "vec_id", "embedding", cent,
+        quant = Some(pinnedQuantizer(spark, root, g))), cb)
+    val next = p.version + 1
+    val dir = segDir(root, next)
+    val (s0, n0) = writeSegment(assigned, dir)
+    FsIo.writeBytes(conf, baselinePath(root, g),
+      s"$s0 $n0".getBytes(StandardCharsets.UTF_8))
+    writeManifest(root, next,
+      Seq(Seg(dir, next, tombstone = false, s0, n0)), conf)
+    writePointer(root, Pointer(next, p.lastBatch, g), conf)
+    // the old generation's cached quantizer broadcast is dead weight now
+    quantCache.remove(centroidsPath(root, p.gen)).foreach(_._2.destroy())
+    gc(root, next, retain, conf)
+    gcGenFiles(root, g, conf)
+  }
+
+  /** [[rebuild]] with the clustering DERIVED from the live corpus —
+    * [[Similarity.kmeansLloyd]] over the current postings at the
+    * current nlists, final centroids = per-label micro-unit means of
+    * the converged assignment (deterministic end to end: sampled seeds,
+    * exact integer-grid distances, half-up rounding). */
+  def rebuildKmeans(spark: SparkSession, root: String, kmeansIters: Int,
+                    pqTrainIters: Int = 0, retain: Int = 2): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
+      s"IVF index at $root not initialized — call init first"))
+    requireRawPostings(spark, root, p, conf, "rebuild (re-clustering)")
+    // duplicate vec_ids (re-insert without delete) count ONCE toward
+    // the clustering — rebuild() itself still re-assigns every posting
+    val live = currentAll(spark, root).dropDuplicates("vec_id")
+    val k = spark.read.parquet(centroidsPath(root, p.gen)).count().toInt
+    val asg = Similarity.kmeansLloyd(live, "vec_id", "embedding",
+      k, kmeansIters)
+    val cent = live
+      .join(asg.select(col("id").as("vec_id"), col("label")), "vec_id")
+      .select(col("label").cast("int").as("list"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + lit(0.5)))).as(Seq("pos", "q")))
+      .groupBy(col("list"), col("pos"))
+      .agg((round(avg(col("q"))) / 1e6).as("m"))
+      .groupBy(col("list"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        st => st.getField("m")).as("cvec"))
+    rebuild(spark, root, cent, pqTrainIters, retain)
+  }
+
+  /** Delete stale generation metadata: everything but the current and
+    * previous generation (the previous stays within the manifest
+    * retention window; orphans from a crashed LATER rebuild — gen >
+    * current — are residue too, single-writer as everywhere here). */
+  private def gcGenFiles(root: String, currentGen: Int,
+                         conf: Configuration): Unit = {
+    val pat = "^_(?:centroids|codebook|health_baseline)_g(\\d+)$".r
+    val names = FsIo.fs(conf, root).listStatus(
+      new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName)
+    names.foreach {
+      case n @ pat(g) =>
+        val gen = g.toInt
+        if (gen < currentGen - 1 || gen > currentGen)
+          FsIo.delete(conf, s"$root/$n")
+      case _ =>
+    }
   }
 
   /** Drop aged-out manifests; delete segment dirs no retained manifest
@@ -983,6 +1288,8 @@ object IvfIndex {
 
   /** Test cleanup. */
   def destroy(root: String,
-              conf: Configuration = new Configuration()): Unit =
+              conf: Configuration = new Configuration()): Unit = {
+    invalidateQuantizers(root)
     FsIo.delete(conf, root)
+  }
 }

@@ -317,10 +317,11 @@ object Streams {
                          centroids: DataFrame, retain: Int = 2,
                          pqM: Int = 0, pqK: Int = 16,
                          pqTrainIters: Int = 0,
-                         autoCompactSegments: Int = 64): DataFrame = {
+                         autoCompactSegments: Int = 64,
+                         storeRaw: Boolean = true): DataFrame = {
     require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
     graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root,
-      pqM, pqK, pqTrainIters)
+      pqM, pqK, pqTrainIters, storeRaw)
     replayThrough(s, batches) { stream =>
       ivfSinkVersioned(stream, root, idCol, vecCol, retain,
         autoCompactSegments)
