@@ -183,8 +183,9 @@ object IvfIndex {
     * exact micro-unit subvectors ([[Similarity.pqEncodeAdc]]'s rule) —
     * the zero-training default, and the seeds [[trainCodebook]]
     * refines. */
-  private def sampledCodebook(emb: DataFrame, idCol: String, vecCol: String,
-                              pqM: Int, pqK: Int): Array[Array[Array[Long]]] = {
+  private[graft] def sampledCodebook(emb: DataFrame, idCol: String,
+                                     vecCol: String, pqM: Int,
+                                     pqK: Int): Array[Array[Array[Long]]] = {
     val seeds = emb.select(col(idCol).as("vec_id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * 1e6 + lit(0.5))).as("vq"))

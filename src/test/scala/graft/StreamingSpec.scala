@@ -1293,4 +1293,246 @@ class StreamingSpec extends AnyFunSuite {
     assert(IvfIndex.readPointer(root).get == p)
     IvfIndex.destroy(root)
   }
+
+  test("IVF rebuild re-centers a drifted index: init-twin parity, lastBatch kept, drift resets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val dim = 8
+    // distribution A (ids < 200): spike 10 at dim 2c; distribution B
+    // (ids >= 200): the same spike PLUS a uniform +3 shift — the data
+    // walks away from the pinned centroids while cluster identity holds
+    def vec(id: Int): Array[Float] = {
+      val c = id % 4
+      val shift = if (id >= 200) 3f else 0f
+      Array.tabulate(dim)(j =>
+        (if (j == c * 2) 10f else 0f) + shift + ((id * 31 + j * 7) % 10) * 0.01f)
+    }
+    def frame(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfrb_").toString + "/ivf"
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, root,
+      pqM = 4, pqK = 16)
+    IvfIndex.applyBatch(frame(100 until 200), "vec_id", "embedding", root, 0L,
+      retain = 10)
+    IvfIndex.applyBatch(frame(200 until 300), "vec_id", "embedding", root, 1L,
+      retain = 10)
+    IvfIndex.applyBatch(frame(300 until 400), "vec_id", "embedding", root, 2L,
+      retain = 10)
+    val driftBefore = IvfIndex.health(root).drift.get
+    assert(driftBefore > 2.0,
+      s"fixture should be in the warning zone, drift=$driftBefore")
+    // re-center on the live corpus: per-list means (supplied, like init)
+    val live = IvfIndex.currentAll(spark, root)
+    val cent2 = live
+      .select(col("list"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("list"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        st => st.getField("m")).as("cvec"))
+      .localCheckpoint(true)
+    IvfIndex.rebuild(spark, root, cent2, retain = 10)
+    val p = IvfIndex.readPointer(root).get
+    assert(p.version == 4 && p.lastBatch == 2 && p.gen == 1,
+      s"rebuild must be a maintenance version at a new generation: $p")
+    // readCentroids resolves the new generation
+    val gotCent = IvfIndex.readCentroids(spark, root)
+      .orderBy("list").collect().map(_.getSeq[Double](1))
+    val wantCent = cent2.orderBy("list").collect().map(_.getSeq[Double](1))
+    assert(gotCent.toSeq == wantCent.toSeq, "readCentroids must see gen 1")
+    // rebuild == init-from-scratch twin on the same contents: same
+    // assignments AND same PQ codes (the codebook carries; the twin's
+    // sampled seeds are the same 16 lowest ids)
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_ivfrb_twin_").toString + "/ivf"
+    IvfIndex.init(frame(0 until 400), "vec_id", "embedding", cent2, twin,
+      pqM = 4, pqK = 16)
+    def snap(r: String) = IvfIndex.currentAll(spark, r)
+      .select(col("vec_id"), col("list"),
+        col("pq_code").cast("array<int>").as("pq"))
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1),
+        r0.getSeq[Int](2).toList)).toSet
+    assert(snap(root) == snap(twin), "rebuild != init-from-scratch twin")
+    val q = frame(Seq(0)).select(col("embedding").as("qvec"))
+    val pr = IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 2)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1))).toSeq
+    val pt = IvfIndex.probeTopK(spark, twin, q, k = 5, nprobe = 2)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1))).toSeq
+    assert(pr == pt, "probe after rebuild != twin probe")
+    // ingest CONTINUES where it left off: the gate still holds (replay
+    // of batch 2 is a no-op) and batch 3 lands against gen-1 centroids
+    val pBefore = IvfIndex.readPointer(root).get
+    IvfIndex.applyBatch(frame(0 until 5), "vec_id", "embedding", root, 2L)
+    assert(IvfIndex.readPointer(root).get == pBefore, "replay must no-op")
+    IvfIndex.applyBatch(frame(400 until 500), "vec_id", "embedding", root, 3L,
+      retain = 10)
+    val h = IvfIndex.health(root)
+    assert(h.drift.get < driftBefore / 2,
+      s"drift should reset after re-centering: ${h.drift.get} vs $driftBefore")
+    IvfIndex.destroy(root); IvfIndex.destroy(twin)
+  }
+
+  test("IVF health ledger stays populated through compaction (carried sums)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfhc_").toString + "/ivf"
+    // integer-grid fixture: exact d2 sums (same trick as q_ivf_health)
+    val centroids = Seq((0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)))
+      .toDF("list", "cvec")
+    def frame(ids: Seq[Int], off: Float) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) Array(10f + off, 0f) else Array(0f, 10f + off)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.init(frame(0 until 10, 1f), "vec_id", "embedding",
+      centroids, root) // baseline mean d2 = 1 (nonzero so drift defines)
+    IvfIndex.applyBatch(frame(10 until 20, 2f), "vec_id", "embedding", root,
+      0L, retain = 10)
+    IvfIndex.applyBatch(frame(20 until 30, 3f), "vec_id", "embedding", root,
+      1L, retain = 10)
+    val before = IvfIndex.health(root)
+    assert(before.lastBatchMeanD2.contains(9.0)) // off=3 -> d2 = 9
+    IvfIndex.compact(spark, root, retain = 10)
+    val after = IvfIndex.health(root)
+    assert(after.baselineMeanD2 == before.baselineMeanD2)
+    // carried (sum, n) over the three ingest segments: 1*10 + 4*10 + 9*10
+    // over 30 -> mean 14/3; drift vs baseline stays POPULATED (the whole
+    // point — the auto-compacting sink otherwise goes dark every window)
+    assert(after.lastBatchMeanD2.isDefined && after.drift.isDefined,
+      s"health went dark after compaction: $after")
+    assert(math.abs(after.lastBatchMeanD2.get - 140.0 / 30) < 1e-9,
+      s"carried mean wrong: ${after.lastBatchMeanD2}")
+    assert(math.abs(after.drift.get - 140.0 / 30) < 1e-9)
+    // and the NEXT ingest supersedes the carried value as usual
+    IvfIndex.applyBatch(frame(30 until 40, 4f), "vec_id", "embedding", root,
+      2L, retain = 10)
+    assert(IvfIndex.health(root).lastBatchMeanD2.contains(16.0))
+    IvfIndex.destroy(root)
+  }
+
+  test("code-only IVF: no raw column, ADC-only serving, raw ops reject loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val dim = 8
+    def vec(id: Int): Array[Float] = {
+      val c = id % 4
+      Array.tabulate(dim)(j =>
+        (if (j == c * 2) 10f else 0f) + ((id * 31 + j * 7) % 10) * 0.01f)
+    }
+    def frame(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    val co = java.nio.file.Files
+      .createTempDirectory("graft_ivfco_").toString + "/ivf"
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft_ivfco_raw_").toString + "/ivf"
+    // storeRaw=false without a codebook is meaningless -> loud
+    intercept[IllegalArgumentException] {
+      IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids,
+        co, storeRaw = false)
+    }
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, co,
+      pqM = 4, pqK = 16, storeRaw = false)
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, raw,
+      pqM = 4, pqK = 16)
+    IvfIndex.applyBatch(frame(100 until 200), "vec_id", "embedding", co, 0L,
+      retain = 10)
+    IvfIndex.applyBatch(frame(100 until 200), "vec_id", "embedding", raw, 0L,
+      retain = 10)
+    // the stored postings carry NO raw vectors
+    val all = IvfIndex.currentAll(spark, co)
+    assert(!all.columns.contains("embedding"), all.columns.mkString(","))
+    assert(all.count() == 200)
+    // ADC-only serving == the raw twin's ADC pass (same codes, same
+    // table, same (adc_u, vec_id) order)
+    val q = frame(Seq(0)).select(col("embedding").as("qvec"))
+    val adcCo = IvfIndex.probeTopKAdc(spark, co, q, k = 5, nprobe = 2,
+      rerank = 0).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val adcRaw = IvfIndex.probeTopKAdc(spark, raw, q, k = 5, nprobe = 2,
+      rerank = 0).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(adcCo.toSeq == adcRaw.toSeq)
+    assert(adcCo.length == 5)
+    val qs = frame(Seq(0, 7)).select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val b = IvfIndex.probeTopKBatchAdc(spark, co, qs, k = 3, nprobe = 2,
+      rerank = 0)
+    assert(b.columns.toSeq == Seq("qid", "rank", "vec_id", "list", "adc_u"))
+    assert(b.count() == 6)
+    // every raw-needing op rejects loudly, naming the remedy
+    def loud(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("code-only"), e.getMessage)
+    }
+    loud(IvfIndex.probeTopK(spark, co, q, k = 5, nprobe = 2))
+    loud(IvfIndex.probeTopKBatch(spark, co, qs, k = 5, nprobe = 2))
+    loud(IvfIndex.probeTopKAdc(spark, co, q, k = 5, nprobe = 2, rerank = 10))
+    loud(IvfIndex.probeTopKBatchAdc(spark, co, qs, k = 3, nprobe = 2,
+      rerank = 10))
+    loud(IvfIndex.rebuild(spark, co, centroids))
+    // compaction works on code-only segments (schema-driven merge)
+    assert(IvfIndex.compact(spark, co, retain = 10) == 1)
+    assert(IvfIndex.currentAll(spark, co).count() == 200)
+    IvfIndex.destroy(co); IvfIndex.destroy(raw)
+  }
+
+  test("IVF kernel memory guard: an over-bound centroid matrix fails at build, loudly") {
+    import spark.implicits._
+    import graft.pipeline.IvfIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfmg_").toString + "/ivf"
+    val centroids = Seq((0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)))
+      .toDF("list", "cvec")
+    val emb = Seq((0L, Array(10f, 0f)), (1L, Array(0f, 10f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.ivf.maxCentroidMatrixBytes", "16")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.init(emb, "vec_id", "embedding", centroids, root)
+      }
+      assert(e.getMessage.contains("maxCentroidMatrixBytes"), e.getMessage)
+      assert(e.getMessage.contains("useKernel"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.ivf.maxCentroidMatrixBytes")
+    // and with the default bound the same init sails through
+    IvfIndex.init(emb, "vec_id", "embedding", centroids, root)
+    assert(IvfIndex.currentAll(spark, root).count() == 2)
+    IvfIndex.destroy(root)
+  }
+
+  test("PQ k=256 (byte codewords): kernel == interpreted Column, training runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    // FAISS's default codeword count: 8-bit codes. 300 vectors, dim 16,
+    // m=2 subspaces x k=256 codewords — the interpreted pqCodeCol builds
+    // 256 candidate structs per subspace, the kernel one JIT loop; both
+    // must agree bit-for-bit (same encode rule, ties to the lowest j).
+    val dim = 16
+    def vec(id: Int): Array[Float] =
+      Array.tabulate(dim)(j => ((id * 131 + j * 37) % 997) * 0.01f)
+    val emb = (0 until 300).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val seeds = IvfIndex.sampledCodebook(emb, "vec_id", "embedding",
+      pqM = 2, pqK = 256)
+    val trained = IvfIndex.trainCodebook(emb, "embedding", seeds, iters = 1)
+    assert(trained.length == 2 && trained(0).length == 256,
+      "training must keep the codebook rectangular at k=256")
+    for (cb <- Seq(seeds, trained)) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val both = emb
+        .withColumn("k", ColumnBridge.column(
+          graft.functions.IvfKernels.PqEncodeCodes(
+            ColumnBridge.expression(col("embedding")), cb)))
+        .withColumn("h", IvfIndex.pqCodeCol(col("embedding"), cb))
+      assert(both.filter(not(col("k") === col("h"))).count() == 0,
+        "kernel and interpreted codes diverge at k=256")
+    }
+  }
 }
