@@ -1691,6 +1691,130 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_rebuild" -> ((s, dir) => {
+      // r17: the drift-detect → REMEDY loop closed. Integer-grid
+      // fixture (q_ivf_health's trick — every ledger number exact
+      // int64): init pins the ≡3 quarter's rounded label-mean
+      // centroids; the ≡0 quarter ingests on-distribution, the ≡1
+      // quarter ingests SHIFTED +15 along its own label's dimension
+      // (the data walks away per cluster — the ledger crosses the 2×
+      // warning, required below, without collapsing the noise-driven
+      // list balance a uniform shift would); rebuild()
+      // re-pins centroids to the LIVE corpus's rounded label means
+      // through ONE maintenance version (lastBatch unchanged, centroid
+      // generation 1) — proven equal to an init-from-scratch twin on
+      // the same contents — and the ≡2 quarter then ingests against
+      // the new generation. The oracle recomputes the rebuilt
+      // centroids, every assignment, both health means, the drift
+      // ratio and the probe from scratch.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10).cast("double")).as("emb"))
+      val m = pmod(col("vec_id"), lit(4))
+      def cents(src: DataFrame) = src
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(round(avg(col("x"))).cast("double").as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val init = e.filter(m === 3)
+      val shifted = e.filter(m === 1)
+        .withColumn("emb", transform(col("emb"), (x, i) =>
+          x + when(i === col("label").cast("int"), lit(15.0))
+            .otherwise(lit(0.0))))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfrb_q_").toString + "/ivf"
+      import graft.pipeline.IvfIndex
+      IvfIndex.init(init, "vec_id", "emb", cents(init), root)
+      IvfIndex.applyBatch(e.filter(m === 0), "vec_id", "emb", root, 0L)
+      IvfIndex.applyBatch(shifted, "vec_id", "emb", root, 1L)
+      val driftBefore = IvfIndex.health(root).drift.get
+      require(driftBefore > 2.0,
+        s"fixture must cross the drift warning, got $driftBefore")
+      val live = init.unionByName(e.filter(m === 0)).unionByName(shifted)
+      val centFull = cents(live).localCheckpoint(true)
+      IvfIndex.rebuild(s, root, centFull)
+      // rebuild == init-from-scratch twin on the same live contents
+      val twin = java.nio.file.Files
+        .createTempDirectory("graft_ivfrb_tw_").toString + "/ivf"
+      IvfIndex.init(live, "vec_id", "emb", centFull, twin)
+      val got = IvfIndex.currentAll(s, root).select("vec_id", "list")
+      val want = IvfIndex.currentAll(s, twin).select("vec_id", "list")
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "rebuild diverged from the init-from-scratch twin")
+      IvfIndex.destroy(twin)
+      IvfIndex.applyBatch(e.filter(m === 2), "vec_id", "emb", root, 2L)
+      val p = IvfIndex.readPointer(root).get
+      val h = IvfIndex.health(root)
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qvec"))
+      val probe = IvfIndex.probeTopK(s, root, q, k = 5, nprobe = 3)
+        .agg(count(lit(1)).as("probe_n"), max(col("cosine")).as("probe_max"),
+          sum(col("vec_id")).as("probe_ids"))
+      val out = IvfIndex.currentAll(s, root).groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .withColumn("cent_gen", lit(p.gen))
+        .withColumn("baseline_mean", lit(h.baselineMeanD2.get))
+        .withColumn("last_mean", lit(h.lastBatchMeanD2.get))
+        .withColumn("drift", lit(h.drift.get))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      IvfIndex.destroy(root)
+      out
+    }),
+
+    "q_ivf_pq_codeonly" -> ((s, dir) => {
+      // r17: the CODE-ONLY storage tier — the FAISS layout when exact
+      // re-rank isn't worth 32× the bytes: init(storeRaw = false)
+      // drops the raw embedding column entirely (segments hold only
+      // (vec_id, list, pq_code)) and serving is ADC-ONLY
+      // (rerank = 0 — ranked by the exact int64 code-table L2 order;
+      // no refine pass exists). Same streamed layout as
+      // q_ivf_pq_incremental; the oracle replays codes, per-list
+      // code stats and the ADC-only top-5 from scratch. The absence
+      // of the raw column is asserted in-query.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfpqc_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent,
+        pqM = 8, pqK = 16, storeRaw = false)
+      require(!fin.columns.contains("embedding"),
+        s"code-only index stored raw vectors: ${fin.columns.mkString(",")}")
+      val p = graft.pipeline.IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = graft.pipeline.IvfIndex
+        .probeTopKAdc(s, root, q, k = 5, nprobe = 3, rerank = 0)
+        .agg(count(lit(1)).as("probe_n"), sum(col("vec_id")).as("probe_ids"),
+          min(col("adc_u")).as("probe_adc_min"),
+          sum(col("adc_u")).as("probe_adc"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          sum(aggregate(col("pq_code"), lit(0L),
+            (acc, v) => acc + v)).as("code_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      graft.pipeline.IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -1923,6 +2047,119 @@ object SparkEntry {
          |from (select *, row_number() over (partition by qid
          |  order by cosine desc, vec_id) rank from rr) z
          |where rank <= 5""").stripMargin,
+
+    // rebuild twin: the re-pinned centroids are the LIVE corpus's
+    // (≡3 + ≡0 + shifted ≡1) rounded label means; every assignment —
+    // including the post-rebuild ≡2 ingest — replays against them;
+    // baseline = the rebuild's own Σ floor(d2·1e6+0.5)/n over the live
+    // three quarters, last = the ≡2 batch, drift with health()'s exact
+    // division order; probe replays over all four quarters; pointer
+    // closed-form (init + 2 batches + rebuild + 1 batch → v4,
+    // lastBatch 2, generation 1)
+    "q_ivf_rebuild" ->
+      (s"""with e as (select vec_id, label,
+         |   list_transform(range(0, 64), i ->
+         |     cast(round(cast(embedding[i+1] as double)*10) as double) +
+         |     (case when vec_id % 4 = 1 and i = label
+         |      then 15.0 else 0.0 end)) emb
+         | from embeddings),
+         |cent as (select label list, i, cast(round(avg(e.emb[i+1])) as double) m
+         |  from e, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 <> 2 group by 1, 2),
+         |ad as (select v.vec_id, c.list,
+         |   sum((v.emb[c.i+1] - c.m) * (v.emb[c.i+1] - c.m)) d2
+         |  from e v, cent c group by 1, 2),
+         |assign as (select vec_id, list, d2 from (
+         |  select vec_id, list, d2, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |base as (select cast(sum(cast(floor(d2*1e6 + 0.5) as bigint))
+         |     as bigint) sb,
+         |   cast(count(*) as bigint) nb from assign where vec_id % 4 <> 2),
+         |lastb as (select cast(sum(cast(floor(d2*1e6 + 0.5) as bigint))
+         |     as bigint) sl,
+         |   cast(count(*) as bigint) nl from assign where vec_id % 4 = 2),
+         |q as (select emb qv from e where vec_id = 0),
+         |qd as (select c.list,
+         |   sum((q.qv[c.i+1] - c.m) * (q.qv[c.i+1] - c.m)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |cand as (select a.vec_id, v.emb
+         |  from assign a join probe using (list)
+         |  join e v using (vec_id)),
+         |scored as (select vec_id, ${cosQSql("emb", "q.qv")} cosine
+         |  from cand, q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from scored) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n, max(cosine) probe_max,
+         |   cast(sum(vec_id) as bigint) probe_ids from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(4 as int) snap_version, cast(2 as bigint) last_batch,
+         |  cast(1 as int) cent_gen,
+         |  (sb / nb / 1e6) baseline_mean, (sl / nl / 1e6) last_mean,
+         |  ((sl / nl / 1e6) / (sb / nb / 1e6)) drift,
+         |  probe_n, probe_max, probe_ids
+         |from assign a cross join base cross join lastb cross join pb
+         |group by 1, sb, nb, sl, nl, probe_n, probe_max, probe_ids""")
+        .stripMargin,
+
+    // code-only twin: same codebook/code replay as q_ivf_pq_incremental
+    // (the stored layout differs — no raw column — but codes are
+    // storage-independent), ADC-ONLY probe: top-5 by (adc_u, vec_id)
+    // over the probed lists' candidates, no refine pass
+    "q_ivf_pq_codeonly" ->
+      ("""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |cb as (select vec_id cbid, row_number() over (order by vec_id) - 1 j
+         |  from (select vec_id from embeddings where vec_id % 4 = 3
+         |        order by vec_id limit 16)),
+         |cwe as (select cb.j, t.i,
+         |   floor(cast(e.embedding[t.i+1] as double)*1e6 + 0.5) w
+         |  from cb join embeddings e on e.vec_id = cb.cbid,
+         |       (select unnest(range(0,64)) i) t),
+         |vqe as (select vec_id, t.i,
+         |   floor(cast(embedding[t.i+1] as double)*1e6 + 0.5) vqv
+         |  from embeddings, (select unnest(range(0,64)) i) t),
+         |subd as (select v.vec_id, c.j, (v.i // 8) s,
+         |   sum((v.vqv - c.w) * (v.vqv - c.w)) d2
+         |  from vqe v join cwe c on c.i = v.i group by 1, 2, 3),
+         |codes as (select vec_id, s, j code from (
+         |  select vec_id, s, j, row_number() over (partition by vec_id, s
+         |    order by d2, j) rn from subd) x where rn = 1),
+         |codesum as (select vec_id, cast(sum(code) as bigint) csum
+         |  from codes group by 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |qtab as (select s, j, d2 from subd where vec_id = 0),
+         |cand as (select a.vec_id from assign a join probe using (list)),
+         |adc as (select c.vec_id, cast(sum(qt.d2) as bigint) adc_u
+         |  from codes c join qtab qt on qt.s = c.s and qt.j = c.code
+         |  where c.vec_id in (select vec_id from cand)
+         |  group by 1),
+         |top5 as (select vec_id, adc_u from adc
+         |  order by adc_u, vec_id limit 5),
+         |pb as (select cast(count(*) as bigint) probe_n,
+         |   cast(sum(vec_id) as bigint) probe_ids,
+         |   cast(min(adc_u) as bigint) probe_adc_min,
+         |   cast(sum(adc_u) as bigint) probe_adc from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(sum(cs.csum) as bigint) code_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  probe_n, probe_ids, probe_adc_min, probe_adc
+         |from assign a join codesum cs using (vec_id) cross join pb
+         |group by 1, probe_n, probe_ids, probe_adc_min, probe_adc""")
+        .stripMargin,
 
     // batched-probe twin: the same centroid/assignment replay fanned out
     // per query — probe lists per qid (top-3 by centroid d2), candidates
