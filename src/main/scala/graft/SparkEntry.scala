@@ -3206,7 +3206,12 @@ object SparkEntry {
       // McArthur Mark 5 chain (fire/_ffdi.py): real KBDI -> Griffiths
       // drought factor (20-day rainfall-event window) -> FFDI. The two
       // kernels share the per-entity partitioning; FFDI is a codegen'd
-      // scalar over the drought factor.
+      // scalar over the drought factor. r17: off the GateSpec legacy
+      // list — event rain sums ride the exact 1e-4 grid, every
+      // transcendental (pow(n,1.3), the smd exponential, FFDI's
+      // pow/exp) quantizes q6 before further arithmetic, KBDI state
+      // was already exact (r15), so df (8-dec HALF_UP state) and ffdi
+      // (one IEEE multiply of grid doubles) emit UNROUNDED.
       import graft.indices.Fire
       val wx = weatherDaily(s, dir)
       val kin = wx.select(col("user_id").as("key"), col("t"), col("rain"),
@@ -3222,9 +3227,9 @@ object SparkEntry {
       val met = wx.select(col("user_id").as("mk"), col("t").as("mt"),
         (col("airt") + 5.0).as("tmax"), col("hum"), col("wind"))
       df.join(met, df("key") === met("mk") && df("t") === met("mt"))
-        .select(col("key").as("user_id"), col("t"),
-          round(col("df"), 4).as("df"),
-          round(Fire.mcarthurFfdi(col("df"), col("tmax"), col("hum"), col("wind")), 4).as("ffdi"))
+        .select(col("key").as("user_id"), col("t"), col("df"),
+          Fire.mcarthurFfdi(col("df"), col("tmax"), col("hum"), col("wind"))
+            .as("ffdi"))
     }),
 
     "q_overwintering_dc" -> ((s, dir) => {
@@ -3401,7 +3406,10 @@ object SparkEntry {
          |  from win where rain > 2.0
          |),
          |evg as (
-         |  select user_id, drn, grp, sum(rain) psum, max(rain) pmax
+         |  select user_id, drn, grp,
+         |    cast(sum(cast(floor(rain*1e4 + 0.5) as bigint)) as double)/1e4
+         |      psum,
+         |    max(rain) pmax
          |  from ev group by 1,2,3
          |),
          |evn as (
@@ -3412,7 +3420,8 @@ object SparkEntry {
          |),
          |xev as (
          |  select user_id, drn,
-         |    min(pow(nn, 1.3)/(pow(nn, 1.3) + psum - 2.0)) xraw
+         |    min(floor(pow(nn, 1.3)*1e6 + 0.5)/1e6
+         |      /(floor(pow(nn, 1.3)*1e6 + 0.5)/1e6 + psum - 2.0)) xraw
          |  from evn group by 1,2
          |),
          |dfd as (
@@ -3429,14 +3438,14 @@ object SparkEntry {
          |),
          |dfr as (
          |  select user_id, t, rn,
-         |    cast(cast(least(10.5*(1.0 - exp(-(smd + 30.0)/40.0))
+         |    cast(cast(least(10.5*(1.0 - floor(exp(-(smd + 30.0)/40.0)*1e6 + 0.5)/1e6)
          |      *(41.0*x*x + x)/(40.0*x*x + x + 1.0), 10.0) as decimal(38,8)) as double) df
          |  from dfx
          |)
-         |select f.user_id, f.t,
-         |  cast(cast(f.df as decimal(38,4)) as double) df,
-         |  cast(cast(pow(f.df, 0.987)*exp(0.0338*(w.airt+5.0) - 0.0345*w.hum + 0.0234*w.wind + 0.243147)
-         |    as decimal(38,4)) as double) ffdi
+         |select f.user_id, f.t, f.df df,
+         |  (floor(pow(f.df, 0.987)*1e6 + 0.5)/1e6)
+         |    * (floor(exp(0.0338*(w.airt+5.0) - 0.0345*w.hum + 0.0234*w.wind + 0.243147)*1e6 + 0.5)/1e6)
+         |    ffdi
          |from dfr f join wx w on w.user_id = f.user_id and w.rn = f.rn""".stripMargin,
 
     "q_overwintering_dc" ->

@@ -71,6 +71,13 @@ object Fire {
   private[graft] def round8(x: Double): Double =
     BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Floor-grid at 6 decimals — the post-transcendental quantizer (the
+    * GateSpec qk discipline): libm exp/pow differ across builds by an
+    * ulp, so every transcendental output lands on the 1e-6 grid before
+    * further arithmetic; the remaining ops are single correctly-rounded
+    * IEEE steps on identical doubles, bit-identical across engines. */
+  private[graft] def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   /** Fine fuel moisture code, one step (`_cffwis.py:246`, eqs 1-10). */
   def ffmcStep(t: Double, p: Double, w: Double, h: Double, ffmc0: Double): Double = {
     var mo = (147.2 * (101.0 - ffmc0)) / (59.5 + ffmc0) // Eq.1
@@ -284,6 +291,14 @@ object Fire {
     * Input: key LONG, t INT, rain, smd (soil moisture deficit, e.g. KBDI).
     * Output: (key, t, df) with the first 19 days of each entity dropped
     * (the reference NaNs them; we omit the rows).
+    *
+    * Cross-engine determinism (r17, the GateSpec migration): event
+    * rainfall sums accumulate on the EXACT 1e-4 integer grid (a float
+    * fold's order would move an ulp between engines), and the two
+    * transcendentals — pow(n, 1.3) and the smd exponential — quantize
+    * through [[q6]] before entering the df arithmetic, after which
+    * every op is a single correctly-rounded IEEE step an external
+    * engine replays bit-for-bit.
     */
   def griffithsDroughtFactor(df: DataFrame, lim: Int = 0): DataFrame = {
     val s = df.sparkSession
@@ -299,7 +314,7 @@ object Fire {
         (wl - 1 until rows.length).iterator.map { d =>
           val pw = p.slice(d - wl + 1, d + 1)
           // x from significant rainfall events (runs of >2 mm) in the window
-          var conseq = 0; var pmax = 0.0; var psum = 0.0; var x = 1.0; var nDays = 0
+          var conseq = 0; var pmax = 0.0; var psumU = 0L; var x = 1.0; var nDays = 0
           var iw = 0
           while (iw < wl) {
             val event = pw(iw) > 2.0
@@ -307,13 +322,14 @@ object Fire {
             val finalEvent = event && iw == wl - 1
             if (event) {
               conseq += 1
-              psum += pw(iw)
+              psumU += math.floor(pw(iw) * 1e4 + 0.5).toLong
               if (pw(iw) >= pmax) { nDays = wl - iw; pmax = pw(iw) }
             }
             if (eventEnd || finalEvent) {
-              val xx = math.pow(nDays, 1.3) / (math.pow(nDays, 1.3) + psum - 2.0)
+              val p13 = q6(math.pow(nDays, 1.3))
+              val xx = p13 / (p13 + psumU / 1e4 - 2.0)
               x = math.min(xx, x)
-              conseq = 0; psum = 0.0; pmax = 0.0
+              conseq = 0; psumU = 0L; pmax = 0.0
             }
             iw += 1
           }
@@ -322,7 +338,7 @@ object Fire {
             val xlim = if (smd < 20) 1.0 / (1.0 + 0.1135 * smd) else 75.0 / (270.525 - 1.267 * smd)
             x = math.min(x, xlim)
           }
-          var dfw = 10.5 * (1.0 - math.exp(-(smd + 30.0) / 40.0)) *
+          var dfw = 10.5 * (1.0 - q6(math.exp(-(smd + 30.0) / 40.0))) *
             (41.0 * x * x + x) / (40.0 * x * x + x + 1.0)
           if (lim == 1) {
             val dflim =
@@ -341,8 +357,15 @@ object Fire {
 
   /** McArthur forest fire danger index Mark 5 (`_ffdi.py:354`,
     * Noble 1980): pure scalar over drought factor, tmax [degC], RH [%],
-    * wind [km/h]. */
-  def mcarthurFfdi(droughtFactor: Column, tasmax: Column, hurs: Column, sfcWind: Column): Column =
-    pow(droughtFactor, 0.987) *
-      exp(lit(0.0338) * tasmax - lit(0.0345) * hurs + lit(0.0234) * sfcWind + lit(0.243147))
+    * wind [km/h]. Both transcendental factors land on the 1e-6 floor
+    * grid (the [[q6]] discipline — libm pow/exp are build-dependent by
+    * an ulp), so the emitted product is ONE IEEE multiply of two
+    * grid-aligned doubles — bit-identical across engines, no final
+    * round needed. */
+  def mcarthurFfdi(droughtFactor: Column, tasmax: Column, hurs: Column, sfcWind: Column): Column = {
+    val p = floor(pow(droughtFactor, 0.987) * 1e6 + lit(0.5)) / 1e6
+    val e = floor(exp(lit(0.0338) * tasmax - lit(0.0345) * hurs +
+      lit(0.0234) * sfcWind + lit(0.243147)) * 1e6 + lit(0.5)) / 1e6
+    p * e
+  }
 }

@@ -125,7 +125,9 @@ class FireSpec extends AnyFunSuite {
     assert(out.length == 6) // first 19 days dropped
     // x=1 (no events) -> xlim for smd=100: 75/(270.525-126.7)=0.5215...
     val x = 75.0 / (270.525 - 1.267 * 100.0)
-    val expect = math.min(10.5 * (1 - math.exp(-130.0 / 40)) * (41 * x * x + x) / (40 * x * x + x + 1), 10.0)
-    assert(math.abs(out.head.getDouble(2) - expect) < 1e-6)
+    // the exponential rides the q6 floor grid (r17 GateSpec migration)
+    val expect = math.min(10.5 * (1 - Fire.q6(math.exp(-130.0 / 40))) *
+      (41 * x * x + x) / (40 * x * x + x + 1), 10.0)
+    assert(math.abs(out.head.getDouble(2) - expect) < 1e-9)
   }
 }

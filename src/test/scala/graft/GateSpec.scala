@@ -59,6 +59,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct names on both sides. q_snowpack_flow_lag dropped its round
   * outright (exact-integer avg inputs).
   *
+  * r17 shrink (5 → 4): q_griffiths_ffdi migrated — the recursion it
+  * rides (KBDI) was already exact-state since r15, so the remaining
+  * ulp surfaces were the drought factor's float event-rain fold (now
+  * the exact 1e-4 integer grid) and four libm transcendentals
+  * (pow(n,1.3), the smd exponential, FFDI's pow and exp — each now q6
+  * floor-grid before further arithmetic); df emits its 8-decimal
+  * HALF_UP state unrounded and ffdi is ONE IEEE multiply of two grid
+  * doubles, so both finals dropped round(,4) entirely.
+  *
   * r16 shrink (6 → 5): q_api_recursive migrated per the same playbook —
   * the gap decay became STEPWISE multiplication by the same parsed 0.9
   * (never pow(0.9, gap), whose last ulp is libm-dependent), the oracle
@@ -110,7 +119,7 @@ class GateSpec extends AnyFunSuite {
     * failure by design. */
   private val legacyRawRound: Set[String] = Set(
     "q_chill_portions",
-    "q_fwi_codes", "q_griffiths_ffdi",
+    "q_fwi_codes",
     "q_overwintering_dc",
     "q_pet_thornthwaite")
 
