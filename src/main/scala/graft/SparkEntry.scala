@@ -3588,11 +3588,15 @@ object SparkEntry {
 
     "q_pet_thornthwaite" -> ((s, dir) => {
       // Thornthwaite 1948 monthly PET (converters.py:2082): monthly rollup
-      // -> yearly heat-index broadcast join -> projection.
+      // -> yearly heat-index broadcast join -> projection. r17: off the
+      // GateSpec legacy list — quantize=6 already grids every interior
+      // transcendental and mean, so pet_mm = 16·dl_m·powq is two IEEE
+      // multiplies of grid doubles (bit-identical across engines) and
+      // the final lands on the qk floor grid instead of round(,4).
       graft.indices.Evapotranspiration
         .petThornthwaite48(climateDaily(s, dir), Seq("k"), "d", "tas", "lat", quantize = 6)
         .select(col("k").as("l_returnflag"), col("m").as("period"),
-          round(col("pet_mm"), 4).as("pet_mm"))
+          qk(col("pet_mm"), 4).as("pet_mm"))
     }),
 
     "q_spei" -> ((s, dir) => {
@@ -6092,10 +6096,9 @@ object SparkEntry {
          |  from yr
          |)
          |select mon.k l_returnflag, mon.m period,
-         |  cast(cast(case when ya.hi > 0
+         |  floor((case when ya.hi > 0
          |    then 16.0*mon.dl_m*(floor((pow(10.0*mon.tas_m/ya.hi, ya.a))
-         |      *1e7 + 0.5)/1e7) else 0.0 end
-         |    as decimal(38,4)) as double) pet_mm
+         |      *1e7 + 0.5)/1e7) else 0.0 end)*1e4 + 0.5)/1e4 pet_mm
          |from mon join ya on ya.k = mon.k and ya.y = year(mon.m)""".stripMargin,
 
     "q_spei" ->

@@ -59,6 +59,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * distinct names on both sides. q_snowpack_flow_lag dropped its round
   * outright (exact-integer avg inputs).
   *
+  * r17 shrink #2 (4 → 3): q_pet_thornthwaite — quantize=6 had already
+  * gridded every interior transcendental and mean since its r-early
+  * build, making pet_mm = 16·dl_m·powq two IEEE multiplies of grid
+  * doubles; the final round(,4) was pure vestige and moved to the qk
+  * floor grid on both sides. What remains (3) is the sequential
+  * recursions: chill portions and FWI (plus overwintering-DC, which
+  * consumes FWI's dc) — per-step libm transcendentals inside
+  * round8-quantized state, where §81 demands an integer-grid redesign
+  * of the recursion itself, not a bulk rewrite.
+  *
   * r17 shrink (5 → 4): q_griffiths_ffdi migrated — the recursion it
   * rides (KBDI) was already exact-state since r15, so the remaining
   * ulp surfaces were the drought factor's float event-rain fold (now
@@ -120,8 +130,7 @@ class GateSpec extends AnyFunSuite {
   private val legacyRawRound: Set[String] = Set(
     "q_chill_portions",
     "q_fwi_codes",
-    "q_overwintering_dc",
-    "q_pet_thornthwaite")
+    "q_overwintering_dc")
 
   test("no NEW query uses round(,s>0) over raw float math") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
