@@ -294,14 +294,15 @@ object Main {
           case None => println(s"z-order lake at $root: uninitialized")
         }
       case "ivf" :: "init" :: emb :: cents :: root :: rest
-          if rest.count(_ != "codeonly") <= 3 =>
+          if rest.count(r => r != "codeonly" && r != "sq8") <= 3 =>
         // incremental IVF index bootstrap: centroids PIN here (a parquet
         // of (list, cvec)); segment 0 holds emb's assignments. Optional
         // trailing `pqM pqK [trainIters]` pins a product-quantization
         // codebook too (Lloyd-trained per subspace when trainIters > 0)
         // — segments then carry pq_code and `ivf probe-adc` serves; a
         // final `codeonly` drops the raw column (ADC-only serving,
-        // ~storage/32 at 768-dim float64)
+        // ~storage/32 at 768-dim float64); `sq8` replaces it with 8-bit
+        // scalar-quantized codes (~storage/8, approximate re-rank)
         val spark = SparkSession.builder()
           .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
           .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -309,19 +310,22 @@ object Main {
           .getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val storeRaw = !rest.contains("codeonly")
-        val (pqM, pqK, pqIters) = rest.filter(_ != "codeonly") match {
-          case m :: k :: Nil => (m.toInt, k.toInt, 0)
-          case m :: k :: it :: Nil => (m.toInt, k.toInt, it.toInt)
-          case _ => (0, 16, 0)
-        }
+        val sq8 = rest.contains("sq8")
+        val (pqM, pqK, pqIters) =
+          rest.filter(r => r != "codeonly" && r != "sq8") match {
+            case m :: k :: Nil => (m.toInt, k.toInt, 0)
+            case m :: k :: it :: Nil => (m.toInt, k.toInt, it.toInt)
+            case _ => (0, 16, 0)
+          }
         graft.pipeline.IvfIndex.init(spark.read.parquet(emb),
           "vec_id", "embedding", spark.read.parquet(cents), root,
-          pqM, pqK, pqIters, storeRaw)
+          pqM, pqK, pqIters, storeRaw, sq8)
         println(s"$emb -> IVF index $root (centroids pinned from $cents" +
           (if (pqM > 0) s"; PQ codebook m=$pqM k=$pqK" +
             (if (pqIters > 0) s" trained $pqIters round(s)" else "") +
             " pinned" else "") +
-          (if (!storeRaw) "; CODE-ONLY postings" else "") + ")")
+          (if (!storeRaw) "; CODE-ONLY postings" else "") +
+          (if (sq8) "; SQ8 postings (bounds pinned)" else "") + ")")
         spark.stop()
       case "ivf" :: "rebuild" :: root :: rest if rest.size <= 3 =>
         // RE-CENTER the index — the remedy `ivf info`'s drift warning

@@ -185,4 +185,74 @@ object IvfKernels {
     override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
       copy(child = newChild)
   }
+
+  /** SQ8 scalar-quantization codes per row against PINNED per-dimension
+    * bounds (micro-units): code_i = clamp(roundDiv((vq_i − lo_i)·255,
+    * hi_i − lo_i), 0, 255) — FAISS's ScalarQuantizer QT_8bit trained on
+    * the init corpus's per-dim min/max, on the exact integer grid
+    * (roundDiv = int64 rounding with ties away from zero, the
+    * [[graft.pipeline.IvfIndex]] centroid-update rule) so an external
+    * engine replays every code. A constant dimension (hi == lo) encodes
+    * 0. Out-of-bounds later batches CLAMP — the quantizer is pinned
+    * like the centroids; distribution drift shows in the health ledger,
+    * and the remedy is a rebuild. Returns ARRAY<INT> of dim codes
+    * (dictionary/bit-packed at rest — ~1 B/dim). */
+  case class SqEncodeCodes(child: Expression,
+                           lo: Array[Long],
+                           hi: Array[Long])
+      extends UnaryExpression {
+    require(lo.nonEmpty && lo.length == hi.length, "bad SQ8 bounds")
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_encode needs ARRAY<FLOAT> or ARRAY<DOUBLE>, got $other")
+    }
+
+    private def elemIsDouble: Boolean = child.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+
+    def compute(vec: ArrayData): ArrayData = {
+      val isD = elemIsDouble
+      val n = vec.numElements()
+      require(n == lo.length,
+        s"vector dim $n != SQ8 bounds dim ${lo.length}")
+      val codes = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val x = if (isD) vec.getDouble(i) else vec.getFloat(i).toDouble
+        val vq = Math.floor(x * 1e6 + 0.5).toLong
+        val span = hi(i) - lo(i)
+        codes(i) =
+          if (span == 0L) 0
+          else {
+            val s = (vq - lo(i)) * 255L
+            val r = if (s >= 0) (2 * s + span) / (2 * span)
+                    else -((2 * -s + span) / (2 * span))
+            math.min(math.max(r, 0L), 255L).toInt
+          }
+        i += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sqKernel", this,
+        classOf[SqEncodeCodes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"$ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SqEncodeCodes =
+      copy(child = newChild)
+  }
 }

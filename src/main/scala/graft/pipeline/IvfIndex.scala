@@ -168,6 +168,72 @@ object IvfIndex {
     }
   }
 
+  // ---- SQ8 scalar-quantized postings (FAISS ScalarQuantizer QT_8bit) ----
+
+  private def sqBoundsPath(root: String, gen: Int) =
+    s"$root/_sq_bounds${genSuffix(gen)}"
+
+  /** The pinned per-dimension SQ8 bounds (micro-units) as (lo, hi)
+    * arrays — dim rows collected, bounded. None for a non-SQ8 index. */
+  def readSqBounds(spark: SparkSession, root: String,
+                   conf: Configuration): Option[(Array[Long], Array[Long])] = {
+    val p = sqBoundsPath(root, currentGen(root, conf))
+    if (!FsIo.exists(conf, p)) None
+    else {
+      val rows = spark.read.parquet(p)
+        .select(col("pos"), col("lo"), col("hi"))
+        .collect().sortBy(_.getInt(0))
+      Some((rows.map(_.getLong(1)), rows.map(_.getLong(2))))
+    }
+  }
+
+  private def writeSqBounds(spark: SparkSession, root: String, gen: Int,
+                            lo: Array[Long], hi: Array[Long]): Unit = {
+    import spark.implicits._
+    lo.indices.map(i => (i, lo(i), hi(i))).toDF("pos", "lo", "hi")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(sqBoundsPath(root, gen))
+  }
+
+  /** Interpreted witness of [[graft.functions.IvfKernels.SqEncodeCodes]]
+    * (same grid, same roundDiv-with-clamp, bit-identical — spec-pinned). */
+  private[graft] def sqCodeCol(vecCol: Column, lo: Array[Long],
+                               hi: Array[Long]): Column = {
+    val span = lo.indices.map(i => hi(i) - lo(i))
+    val loLit = typedLit(lo.toSeq)
+    val spanLit = typedLit(span)
+    transform(sequence(lit(0), lit(lo.length - 1)), i => {
+      val vq = floor(element_at(vecCol, i + 1).cast("double") * 1e6 + lit(0.5))
+        .cast("long")
+      val sp = element_at(spanLit, i + 1)
+      val s = (vq - element_at(loLit, i + 1)) * lit(255L)
+      val r = when(s >= 0, floor((lit(2) * s + sp) / (lit(2) * sp)))
+        .otherwise(-floor((lit(2) * -s + sp) / (lit(2) * sp))).cast("long")
+      when(sp === 0, lit(0))
+        .otherwise(least(greatest(r, lit(0L)), lit(255L))).cast("int")
+    })
+  }
+
+  /** Decode SQ8 codes back to micro-unit-grid DOUBLE vectors:
+    * x̂_i = (lo_i + roundDiv(code_i · span_i, 255)) / 1e6 — exact int64
+    * arithmetic then ONE IEEE division, so decoded vectors (and every
+    * cosine over them) replay bit-for-bit in an external engine. The
+    * reconstruction error is ≤ span/510 per dimension — the re-rank is
+    * approximate BY DESIGN (the tier trades 8× storage for it). */
+  private[graft] def sqDecodeCol(sqCol: Column, lo: Array[Long],
+                                 hi: Array[Long]): Column = {
+    val span = lo.indices.map(i => hi(i) - lo(i))
+    val loLit = typedLit(lo.toSeq)
+    val spanLit = typedLit(span)
+    transform(sequence(lit(0), lit(lo.length - 1)), i => {
+      val c = element_at(sqCol, i + 1).cast("long")
+      val sp = element_at(spanLit, i + 1)
+      // code·span ≥ 0 — positive-branch roundDiv only
+      val rd = floor((lit(2) * c * sp + lit(255)) / lit(510)).cast("long")
+      ((element_at(loLit, i + 1) + rd).cast("double") / 1e6)
+    })
+  }
+
   /** Pin a codebook at a generation path (m × k tiny rows). */
   private def writeCodebook(spark: SparkSession, root: String, gen: Int,
                             cb: Array[Array[Array[Long]]]): Unit = {
@@ -288,6 +354,18 @@ object IvfIndex {
           ColumnBridge.expression(col("embedding")), c)))
     }.getOrElse(assigned)
 
+  /** Attach SQ8 codes when the index pins bounds (no-op otherwise):
+    * the codegen'd [[graft.functions.IvfKernels.SqEncodeCodes]] loop —
+    * [[sqCodeCol]] is its interpreted bit-identity witness. */
+  private def withSqCode(assigned: DataFrame,
+                         b: Option[(Array[Long], Array[Long])]): DataFrame =
+    b.map { case (lo, hi) =>
+      import org.apache.spark.sql.graft.ColumnBridge
+      assigned.withColumn("sq_code", ColumnBridge.column(
+        graft.functions.IvfKernels.SqEncodeCodes(
+          ColumnBridge.expression(col("embedding")), lo, hi)))
+    }.getOrElse(assigned)
+
   // ---- assignment (broadcast pure projection, shared with ivfTopK) ----
 
   private def dist2(a: Column, b: Column): Column =
@@ -388,6 +466,15 @@ object IvfIndex {
       quantCache.remove(k).foreach(_._2.destroy())
     }
 
+  /** The JIT arg-min struct(d2, list) column over a built quantizer —
+    * the kernel projection both [[assignWithDist]] and the SQ8 rebuild
+    * (which must CARRY extra columns through assignment) share. */
+  private def argminCol(quant: Quantizer, vec: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.IvfKernels.CentroidArgMin(
+      ColumnBridge.expression(vec), quant._1, quant._2))
+  }
+
   /** (vec_id, list, embedding, _d2u) under the PINNED centroids, where
     * `_d2u` = floor(d2 · 1e6 + 0.5) — the integer-grid assignment
     * distance the health ledger sums (order-free, engine-exact).
@@ -423,12 +510,8 @@ object IvfIndex {
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val withBest =
       if (useKernel) {
-        val (lists, bc) = quant.getOrElse(
-          buildQuantizer(base.sparkSession, centroids))
-        import org.apache.spark.sql.graft.ColumnBridge
-        base.withColumn("_best", ColumnBridge.column(
-          graft.functions.IvfKernels.CentroidArgMin(
-            ColumnBridge.expression(col("embedding")), lists, bc)))
+        val q = quant.getOrElse(buildQuantizer(base.sparkSession, centroids))
+        base.withColumn("_best", argminCol(q, col("embedding")))
       } else {
         val (packed, nchunks) = packedChunks(centroids, chunkLists)
         if (nchunks == 1)
@@ -541,13 +624,26 @@ object IvfIndex {
     * (vec_id, list, pq_code), ~storage/32 at 768-dim float64, served
     * ADC-only ([[probeTopKAdc]]/[[probeTopKBatchAdc]] with
     * `rerank = 0`; exact on the codes' L2 order only — no refine pass
-    * exists, and [[rebuild]] needs the source corpus again). */
+    * exists, and [[rebuild]] needs the source corpus again).
+    *
+    * `sq8 = true` is the MIDDLE storage tier (FAISS ScalarQuantizer
+    * QT_8bit): the raw column is replaced by `sq_code: ARRAY<INT>` —
+    * per-dimension 8-bit codes against bounds PINNED at init from the
+    * init corpus's per-dim min/max (`_sq_bounds`; out-of-bounds later
+    * batches CLAMP — the pinned-quantizer contract, drift shows in
+    * [[health]] and the remedy is [[rebuild]]). ~8× at-rest cut at
+    * float64 with re-rank RETAINED: probes decode the int64 grid
+    * reconstruction (error ≤ span/510 per dim) and rank its cosine —
+    * approximate by design, deterministic end to end. [[rebuild]]
+    * re-assigns the decoded vectors and carries all codes. */
   def init(emb: DataFrame, idCol: String, vecCol: String,
            centroids: DataFrame, root: String,
            pqM: Int = 0, pqK: Int = 16, pqTrainIters: Int = 0,
-           storeRaw: Boolean = true): Unit = {
+           storeRaw: Boolean = true, sq8: Boolean = false): Unit = {
     require(storeRaw || pqM > 0,
       "code-only postings (storeRaw = false) need a PQ codebook — init with pqM > 0")
+    require(!sq8 || storeRaw,
+      "sq8 REPLACES the raw column — it cannot combine with storeRaw = false")
     val spark = emb.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     FsIo.mkdirs(conf, root)
@@ -568,11 +664,25 @@ object IvfIndex {
         writeCodebook(spark, root, 0, cbT)
         Some(cbT)
       }
-    val assigned = withPqCode(
+    val sqB: Option[(Array[Long], Array[Long])] =
+      if (!sq8) None
+      else {
+        val vq = emb.select(posexplode(transform(col(vecCol),
+            x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")))
+          .as(Seq("pos", "q")))
+          .groupBy(col("pos"))
+          .agg(min(col("q")).as("lo"), max(col("q")).as("hi"))
+          .collect().sortBy(_.getInt(0)) // dim rows — bounded
+        require(vq.nonEmpty, "empty init corpus for SQ8 bounds")
+        val b = (vq.map(_.getLong(1)), vq.map(_.getLong(2)))
+        writeSqBounds(spark, root, 0, b._1, b._2)
+        Some(b)
+      }
+    val assigned = withSqCode(withPqCode(
       assignWithDist(emb, idCol, vecCol, cent,
-        quant = Some(pinnedQuantizer(spark, root, 0))), cb)
+        quant = Some(pinnedQuantizer(spark, root, 0))), cb), sqB)
     val (s0, n0) = writeSegment(
-      if (storeRaw) assigned else assigned.drop("embedding"),
+      if (storeRaw && !sq8) assigned else assigned.drop("embedding"),
       segDir(root, 0))
     FsIo.writeBytes(conf, baselinePath(root, 0),
       s"$s0 $n0".getBytes(StandardCharsets.UTF_8))
@@ -601,12 +711,14 @@ object IvfIndex {
     val manifest = readManifest(root, p.version, conf)
     val segFields = spark.read
       .parquet(manifest.filterNot(_.tombstone).head.dir).schema
-    val assigned0 = withPqCode(
+    val assigned0 = withSqCode(withPqCode(
       assignWithDist(batch, idCol, vecCol, readCentroids(spark, root),
         quant = Some(pinnedQuantizer(spark, root, p.gen))),
-      readCodebook(spark, root, conf))
-    // code-only index: the batch brings raw vectors for assignment +
-    // encoding, but only (vec_id, list, pq_code) lands
+      readCodebook(spark, root, conf)),
+      if (segFields.fieldNames.contains("sq_code"))
+        readSqBounds(spark, root, conf) else None)
+    // code-only / SQ8 index: the batch brings raw vectors for
+    // assignment + encoding, but the raw column never lands
     val assigned =
       if (segFields.fieldNames.contains("embedding")) assigned0
       else assigned0.drop("embedding")
@@ -728,8 +840,9 @@ object IvfIndex {
     }
 
   /** Every posting across the live segments: (vec_id, list
-    * [, embedding unless code-only][, pq_code for a PQ index]).
-    * Per-segment reads recover the `list` partition column. */
+    * [, embedding unless code-only/SQ8][, sq_code for an SQ8 index]
+    * [, pq_code for a PQ index]). Per-segment reads recover the `list`
+    * partition column. */
   def currentAll(spark: SparkSession, root: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
@@ -741,6 +854,7 @@ object IvfIndex {
       .reduce(_ unionByName _)
     val cols = Seq(col("vec_id"), col("list").cast("int").as("list")) ++
       (if (raw.columns.contains("embedding")) Seq(col("embedding")) else Nil) ++
+      (if (raw.columns.contains("sq_code")) Seq(col("sq_code")) else Nil) ++
       (if (raw.columns.contains("pq_code")) Seq(col("pq_code")) else Nil) :+
       col("_seg_v")
     val postings = raw.select(cols: _*)
@@ -758,7 +872,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    requireRawPostings(spark, root, p, conf, "probeTopK")
+    requireRerankable(spark, root, p, conf, "probeTopK")
     val probed = readCentroids(spark, root)
       .crossJoin(broadcast(queryVec))
       .withColumn("qd2", dist2(col("cvec"), col("qvec")))
@@ -767,12 +881,13 @@ object IvfIndex {
       .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, probed)
-    val empty = currentAll(spark, root).filter(lit(false))
+    val emb = embedded(spark, root, conf)
+    val empty = emb(currentAll(spark, root).filter(lit(false)))
       .select(col("vec_id"), col("list"), col("embedding"))
     val cand0 =
       if (dirs.isEmpty) empty.withColumn("_seg_v", lit(0))
       else dirs.map { case (d, l, v) =>
-        spark.read.parquet(d).withColumn("list", lit(l))
+        emb(spark.read.parquet(d)).withColumn("list", lit(l))
           .withColumn("_seg_v", lit(v))
           .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
@@ -781,9 +896,13 @@ object IvfIndex {
     // and which posting survives the limit boundary must be
     // deterministic for the replays-bit-for-bit contract
     val cand = applyTombstones(cand0, tombstones(spark, segs))
+    // both operands normalize to double: SQ8 decodes to ARRAY<DOUBLE>
+    // while queries may arrive float, and the quantized dot requires
+    // matching element types (float→double is exact — grid unchanged)
     val topk = cand.crossJoin(broadcast(queryVec))
       .withColumn("cosine",
-        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+        Similarity.cosineQuantized(col("embedding").cast("array<double>"),
+          col("qvec").cast("array<double>")))
       .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
       .limit(k)
     import org.apache.spark.sql.expressions.Window
@@ -792,17 +911,37 @@ object IvfIndex {
       .select(col("rank"), col("vec_id"), col("list"), col("cosine"))
   }
 
-  /** Loud reject for operations that need raw vectors on a CODE-ONLY
-    * index (segments store (vec_id, list, pq_code) only). */
-  private def requireRawPostings(spark: SparkSession, root: String,
-                                 p: Pointer, conf: Configuration,
-                                 op: String): Unit = {
+  /** Loud reject for operations that need (a reconstruction of) the
+    * vectors on a CODE-ONLY index: raw and SQ8 indexes both qualify
+    * (SQ8 serves the decoded int64-grid reconstruction); PQ codes alone
+    * do not — there is nothing to re-rank or re-assign against. */
+  private def requireRerankable(spark: SparkSession, root: String,
+                                p: Pointer, conf: Configuration,
+                                op: String): Unit = {
     val head = readManifest(root, p.version, conf)
       .filterNot(_.tombstone).head.dir
-    require(spark.read.parquet(head).schema.fieldNames.contains("embedding"),
-      s"IVF index at $root is code-only (no raw vectors stored) — $op " +
-        "needs them; serve with probeTopKAdc/probeTopKBatchAdc(rerank = 0)" +
-        " (ADC-only), or re-init from the source corpus with storeRaw = true")
+    val fields = spark.read.parquet(head).schema.fieldNames
+    require(fields.contains("embedding") || fields.contains("sq_code"),
+      s"IVF index at $root is code-only (no raw or SQ8 vectors stored) — " +
+        s"$op needs them; serve with probeTopKAdc/probeTopKBatchAdc" +
+        "(rerank = 0) (ADC-only), or re-init from the source corpus with " +
+        "storeRaw = true or sq8 = true")
+  }
+
+  /** df → df with an `embedding` column: the raw one when stored, else
+    * the SQ8 reconstruction decoded on the fly (exact int64 grid — see
+    * [[sqDecodeCol]]). Code-only frames pass through (callers guard
+    * with [[requireRerankable]] first). */
+  private def embedded(spark: SparkSession, root: String,
+                       conf: Configuration): DataFrame => DataFrame = {
+    lazy val b = readSqBounds(spark, root, conf)
+    df =>
+      if (df.columns.contains("embedding")) df
+      else b match {
+        case Some((lo, hi)) if df.columns.contains("sq_code") =>
+          df.withColumn("embedding", sqDecodeCol(col("sq_code"), lo, hi))
+        case _ => df
+      }
   }
 
   /** ADC probe over PQ codes with exact top-`rerank` re-rank — the
@@ -883,7 +1022,7 @@ object IvfIndex {
         .select(col("rank"), col("vec_id"), col("list"), col("adc_u"),
           col("cosine").cast("double"))
     }
-    if (rerank > 0) requireRawPostings(spark, root, p, conf,
+    if (rerank > 0) requireRerankable(spark, root, p, conf,
       s"the exact re-rank pass (rerank=$rerank)")
     // PASS 1: codes only — the scan never touches the embedding column.
     // _seg_v is the final tie-break everywhere a (adc_u, vec_id) tie
@@ -918,9 +1057,10 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
       .toDF("vec_id", "list", "_seg_v", "adc_u")
     val ids = topR.map(_.getLong(0)).distinct.toSeq
-    // PASS 2: raw vectors of just the survivors
+    // PASS 2: raw (or SQ8-decoded) vectors of just the survivors
+    val emb = embedded(spark, root, conf)
     val raw0 = dirs.map { case (d, _, v) =>
-      spark.read.parquet(d)
+      emb(spark.read.parquet(d))
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     // a literal IN list pushes to the scan (footer/rowgroup pruning) —
@@ -933,7 +1073,8 @@ object IvfIndex {
     import org.apache.spark.sql.expressions.Window
     val topk = raw.crossJoin(broadcast(queryVec))
       .withColumn("cosine",
-        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+        Similarity.cosineQuantized(col("embedding").cast("array<double>"),
+          col("qvec").cast("array<double>")))
       .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
       .limit(k)
     topk.withColumn("rank", row_number().over(
@@ -984,18 +1125,19 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    requireRawPostings(spark, root, p, conf, "probeTopKBatch")
+    requireRerankable(spark, root, p, conf, "probeTopKBatch")
     val qLists = probeLists(queries, readCentroids(spark, root), nprobe)
     val needed = qLists.select(explode(col("probe_lists")).as("list"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded by nlists
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, needed)
-    val empty = currentAll(spark, root).filter(lit(false))
+    val emb = embedded(spark, root, conf)
+    val empty = emb(currentAll(spark, root).filter(lit(false)))
       .withColumn("_seg_v", lit(0))
     val cand0 =
       if (dirs.isEmpty) empty
       else dirs.map { case (d, l, v) =>
-        spark.read.parquet(d).withColumn("list", lit(l))
+        emb(spark.read.parquet(d)).withColumn("list", lit(l))
           .withColumn("_seg_v", lit(v))
           .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
@@ -1006,7 +1148,8 @@ object IvfIndex {
     cand.join(broadcast(qLists),
         array_contains(qLists("probe_lists"), cand("list")))
       .withColumn("cosine",
-        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+        Similarity.cosineQuantized(col("embedding").cast("array<double>"),
+          col("qvec").cast("array<double>")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("list"),
@@ -1073,7 +1216,7 @@ object IvfIndex {
         .select(col("qid"), col("rank"), col("vec_id"), col("list"),
           col("adc_u"), col("cosine").cast("double"))
     }
-    if (rerank > 0) requireRawPostings(spark, root, p, conf,
+    if (rerank > 0) requireRerankable(spark, root, p, conf,
       s"the exact re-rank pass (rerank=$rerank)")
     val tombs = tombstones(spark, segs)
     // PASS 1: codes only (_seg_v final tie-break — see probeTopKAdc)
@@ -1103,16 +1246,19 @@ object IvfIndex {
       .filter(col("_r") <= rerank)
       .select(col("qid"), col("qvec"), col("vec_id"), col("list"),
         col("_seg_v"), col("adc_u"))
-    // PASS 2: one raw read of the probed dirs, survivors re-rank exactly
+    // PASS 2: one raw (or SQ8-decoded) read of the probed dirs,
+    // survivors re-rank against the stored tier's best reconstruction
+    val emb = embedded(spark, root, conf)
     val raw = dirs.map { case (d, _, v) =>
-      spark.read.parquet(d)
+      emb(spark.read.parquet(d))
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"), col("_seg_v"))
     raw.join(surv, Seq("vec_id", "_seg_v"))
       .withColumn("cosine",
-        Similarity.cosineQuantized(col("embedding"), col("qvec")))
+        Similarity.cosineQuantized(col("embedding").cast("array<double>"),
+          col("qvec").cast("array<double>")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("list"),
@@ -1182,6 +1328,14 @@ object IvfIndex {
     * re-pins to the rebuild's own assignment stats — drift reads ~1
     * again until the distribution moves anew.
     *
+    * An SQ8 index rebuilds from its DECODED reconstruction (the tier's
+    * best notion of the vectors — FAISS reconstructs the same way):
+    * assignment is a pure projection CARRYING the stored sq/pq codes
+    * (codes are centroid-independent, and re-encoding the decoded
+    * reconstruction would not round-trip bit-for-bit); `_sq_bounds`
+    * carries to the new generation unchanged; codebook retraining
+    * (`pqTrainIters > 0`) is rejected — it needs raw vectors.
+    *
     * A CODE-ONLY index cannot rebuild (no raw vectors to re-assign):
     * loud reject — re-init from the source corpus instead. */
   def rebuild(spark: SparkSession, root: String, centroids: DataFrame,
@@ -1189,22 +1343,42 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    requireRawPostings(spark, root, p, conf, "rebuild (re-assignment)")
-    val live = currentAll(spark, root).drop("pq_code")
+    requireRerankable(spark, root, p, conf, "rebuild (re-assignment)")
+    val liveAll = currentAll(spark, root)
+    val sq8 = liveAll.columns.contains("sq_code")
+    require(!sq8 || pqTrainIters == 0,
+      "codebook retraining needs raw embeddings — an SQ8 index carries " +
+        "its codebook through rebuild (pqTrainIters must be 0)")
     val g = p.gen + 1
     val cent = centroids
       .select(col("list").cast("int").as("list"), col("cvec"))
     cent.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(centroidsPath(root, g))
+    // SQ bounds are data-scale, centroid-independent: carry to gen g
+    val sqB = readSqBounds(spark, root, conf)
+    sqB.foreach { case (lo, hi) => writeSqBounds(spark, root, g, lo, hi) }
     val cb = readCodebook(spark, root, conf).map { old =>
       val cbNew = if (pqTrainIters > 0)
-        trainCodebook(live, "embedding", old, pqTrainIters) else old
+        trainCodebook(liveAll, "embedding", old, pqTrainIters) else old
       writeCodebook(spark, root, g, cbNew)
       cbNew
     }
-    val assigned = withPqCode(
-      assignWithDist(live, "vec_id", "embedding", cent,
-        quant = Some(pinnedQuantizer(spark, root, g))), cb)
+    val quant = pinnedQuantizer(spark, root, g)
+    val assigned =
+      if (!sq8)
+        withPqCode(
+          assignWithDist(liveAll.drop("pq_code"), "vec_id", "embedding",
+            cent, quant = Some(quant)), cb)
+      else {
+        val (lo, hi) = sqB.get
+        liveAll
+          .withColumn("_emb", sqDecodeCol(col("sq_code"), lo, hi))
+          .withColumn("_best", argminCol(quant, col("_emb")))
+          .withColumn("list", col("_best").getField("list"))
+          .withColumn("_d2u", floor(col("_best").getField("d2") * 1e6 +
+            lit(0.5)).cast("long"))
+          .drop("_emb", "_best")
+      }
     val next = p.version + 1
     val dir = segDir(root, next)
     val (s0, n0) = writeSegment(assigned, dir)
@@ -1229,10 +1403,13 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
-    requireRawPostings(spark, root, p, conf, "rebuild (re-clustering)")
+    requireRerankable(spark, root, p, conf, "rebuild (re-clustering)")
     // duplicate vec_ids (re-insert without delete) count ONCE toward
-    // the clustering — rebuild() itself still re-assigns every posting
-    val live = currentAll(spark, root).dropDuplicates("vec_id")
+    // the clustering — rebuild() itself still re-assigns every posting.
+    // On an SQ8 index the clustering runs over the decoded
+    // reconstruction (the tier's vectors).
+    val live = embedded(spark, root, conf)(currentAll(spark, root))
+      .dropDuplicates("vec_id")
     val k = spark.read.parquet(centroidsPath(root, p.gen)).count().toInt
     val asg = Similarity.kmeansLloyd(live, "vec_id", "embedding",
       k, kmeansIters)
@@ -1255,7 +1432,7 @@ object IvfIndex {
     * current — are residue too, single-writer as everywhere here). */
   private def gcGenFiles(root: String, currentGen: Int,
                          conf: Configuration): Unit = {
-    val pat = "^_(?:centroids|codebook|health_baseline)_g(\\d+)$".r
+    val pat = "^_(?:centroids|codebook|health_baseline|sq_bounds)_g(\\d+)$".r
     val names = FsIo.fs(conf, root).listStatus(
       new org.apache.hadoop.fs.Path(root)).map(_.getPath.getName)
     names.foreach {

@@ -318,10 +318,11 @@ object Streams {
                          pqM: Int = 0, pqK: Int = 16,
                          pqTrainIters: Int = 0,
                          autoCompactSegments: Int = 64,
-                         storeRaw: Boolean = true): DataFrame = {
+                         storeRaw: Boolean = true,
+                         sq8: Boolean = false): DataFrame = {
     require(batches.nonEmpty, "ivfReplayVersioned needs at least one batch")
     graft.pipeline.IvfIndex.init(initial, idCol, vecCol, centroids, root,
-      pqM, pqK, pqTrainIters, storeRaw)
+      pqM, pqK, pqTrainIters, storeRaw, sq8)
     replayThrough(s, batches) { stream =>
       ivfSinkVersioned(stream, root, idCol, vecCol, retain,
         autoCompactSegments)

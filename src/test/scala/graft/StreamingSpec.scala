@@ -1535,4 +1535,122 @@ class StreamingSpec extends AnyFunSuite {
         "kernel and interpreted codes diverge at k=256")
     }
   }
+
+  test("SQ8 tier: codes replace raw, decoded re-rank, clamp, rebuild carries codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val dim = 8
+    def vec(id: Int): Array[Float] = {
+      val c = id % 4
+      Array.tabulate(dim)(j =>
+        (if (j == c * 2) 10f else 0f) + ((id * 31 + j * 7) % 10) * 0.01f)
+    }
+    def frame(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 4).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    val sq = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_").toString + "/ivf"
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_raw_").toString + "/ivf"
+    intercept[IllegalArgumentException] { // sq8 excludes code-only
+      IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids,
+        sq, pqM = 4, storeRaw = false, sq8 = true)
+    }
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, sq,
+      pqM = 4, pqK = 16, sq8 = true)
+    IvfIndex.init(frame(0 until 100), "vec_id", "embedding", centroids, raw,
+      pqM = 4, pqK = 16)
+    IvfIndex.applyBatch(frame(100 until 200), "vec_id", "embedding", sq, 0L,
+      retain = 10)
+    IvfIndex.applyBatch(frame(100 until 200), "vec_id", "embedding", raw, 0L,
+      retain = 10)
+    val all = IvfIndex.currentAll(spark, sq)
+    assert(!all.columns.contains("embedding") && all.columns.contains("sq_code"),
+      all.columns.mkString(","))
+    assert(all.count() == 200)
+    // kernel == interpreted witness on the stored grid
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (lo, hi) = IvfIndex.readSqBounds(spark, sq, conf).get
+    assert(lo.length == dim)
+    val wit = frame(0 until 200)
+      .withColumn("h", IvfIndex.sqCodeCol(col("embedding"), lo, hi))
+      .select(col("vec_id"), col("h"))
+    assert(all.join(wit, "vec_id").filter(not(col("sq_code") === col("h")))
+      .count() == 0, "SQ8 kernel and interpreted witness diverge")
+    // reconstruction error bounded by span/510 per dimension (micro-units)
+    val maxSpan = lo.indices.map(i => hi(i) - lo(i)).max
+    val dec = all.withColumn("demb", IvfIndex.sqDecodeCol(col("sq_code"), lo, hi))
+      .join(frame(0 until 200), "vec_id")
+      .select(aggregate(zip_with(col("demb"), col("embedding"),
+        (a, b) => abs(a - b.cast("double"))), lit(0.0),
+        (acc, v) => greatest(acc, v)).as("emax"))
+      .agg(max(col("emax"))).head().getDouble(0)
+    // + ~1.5 micro-units of grid rounding (vq floor + decode floor)
+    assert(dec <= maxSpan / 510.0 / 1e6 + 2e-6,
+      s"reconstruction error $dec exceeds span/510 bound")
+    // out-of-bounds batch CLAMPS (codes pinned at init)
+    val far = Seq((9000L, Array.fill(dim)(99f)), (9001L, Array.fill(dim)(-99f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.applyBatch(far, "vec_id", "embedding", sq, 1L, retain = 10)
+    val clamped = IvfIndex.currentAll(spark, sq)
+      .filter(col("vec_id") >= 9000L)
+      .select(explode(col("sq_code")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(clamped.getInt(0) == 0 && clamped.getInt(1) == 255)
+    // ADC pass identical to the raw twin (PQ codes encode from RAW at
+    // ingest on both tiers)
+    val q = frame(Seq(0)).select(col("embedding").as("qvec"))
+    val a1 = IvfIndex.probeTopKAdc(spark, sq, q, k = 5, nprobe = 2,
+      rerank = 0).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val a2 = IvfIndex.probeTopKAdc(spark, raw, q, k = 5, nprobe = 2,
+      rerank = 0).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(a1.toSeq == a2.toSeq, "SQ8 ADC pass diverged from raw twin")
+    // decoded re-rank == a manual decode + integer-grid cosine top-5
+    val got = IvfIndex.probeTopKAdc(spark, sq, q, k = 5, nprobe = 2,
+      rerank = 50).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val pr = IvfIndex.probeTopK(spark, sq, q, k = 5, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val manual = IvfIndex.currentAll(spark, sq)
+      .withColumn("demb", IvfIndex.sqDecodeCol(col("sq_code"), lo, hi))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", graft.pipeline.Similarity
+        .cosineQuantized(col("demb"), col("qvec").cast("array<double>")))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pr.map(_._2) == manual,
+      s"decoded probeTopK != manual decode+cosine: $pr vs $manual")
+    assert(got.map(_._2).toSet.subsetOf(
+      IvfIndex.currentAll(spark, sq).select("vec_id").as[Long]
+        .collect().toSet), "rerank produced unknown ids")
+    // rebuild: decoded re-assignment CARRIES the codes; maintenance
+    // version; retraining rejects
+    val codesBefore = IvfIndex.currentAll(spark, sq)
+      .select(col("vec_id"), col("sq_code"), col("pq_code"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList,
+        r.getSeq[Int](2).toList)).toSet
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, sq, centroids, pqTrainIters = 1)
+    }
+    assert(e.getMessage.contains("retraining"), e.getMessage)
+    val pBefore = IvfIndex.readPointer(sq).get
+    IvfIndex.rebuild(spark, sq, centroids, retain = 10)
+    val p = IvfIndex.readPointer(sq).get
+    assert(p.version == pBefore.version + 1 &&
+      p.lastBatch == pBefore.lastBatch && p.gen == 1, s"$p")
+    val codesAfter = IvfIndex.currentAll(spark, sq)
+      .select(col("vec_id"), col("sq_code"), col("pq_code"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList,
+        r.getSeq[Int](2).toList)).toSet
+    assert(codesAfter == codesBefore, "rebuild changed stored codes")
+    // bounds carried to gen 1; ingest continues
+    val (lo2, hi2) = IvfIndex.readSqBounds(spark, sq, conf).get
+    assert(lo2.toSeq == lo.toSeq && hi2.toSeq == hi.toSeq)
+    IvfIndex.applyBatch(frame(200 until 210), "vec_id", "embedding", sq, 2L,
+      retain = 10)
+    assert(IvfIndex.currentAll(spark, sq).count() == 212)
+    IvfIndex.destroy(sq); IvfIndex.destroy(raw)
+  }
 }
