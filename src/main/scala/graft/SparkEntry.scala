@@ -1815,6 +1815,59 @@ object SparkEntry {
       out
     }),
 
+    "q_ivf_sq8" -> ((s, dir) => {
+      // r17: the SQ8 MIDDLE storage tier (FAISS ScalarQuantizer
+      // QT_8bit) — between raw (32× bytes, exact re-rank) and
+      // code-only (no re-rank): per-dimension 8-bit codes replace the
+      // raw column against bounds PINNED at init from the ≡3 quarter's
+      // per-dim min/max, later quarters CLAMP where they fall outside
+      // (the pinned-quantizer contract), and the ADC probe's refine
+      // pass re-ranks the DECODED int64-grid reconstruction
+      // (error ≤ span/510/dim — approximate by design, deterministic
+      // end to end). The oracle replays bounds, every sq code incl.
+      // the clamps, the PQ codes/ADC table, and the decoded-cosine
+      // re-rank from scratch. The absence of the raw column is
+      // asserted in-query.
+      val e = t(s, dir, "embeddings")
+      val m = pmod(col("vec_id"), lit(4))
+      val init = e.filter(m === 3)
+      val batches = Seq(0, 1, 2).map(i => e.filter(m === i))
+      val cent = init
+        .select(col("label").cast("int").as("list"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mm"))
+        .groupBy(col("list"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mm")))),
+          st => st.getField("mm")).as("cvec"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq_q_").toString + "/ivf"
+      val fin = graft.streaming.Streams.ivfReplayVersioned(
+        s, init, batches, root, "vec_id", "embedding", cent,
+        pqM = 8, pqK = 16, sq8 = true)
+      require(!fin.columns.contains("embedding") &&
+          fin.columns.contains("sq_code"),
+        s"SQ8 index stored the wrong layout: ${fin.columns.mkString(",")}")
+      val p = graft.pipeline.IvfIndex.readPointer(root).get
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probe = graft.pipeline.IvfIndex
+        .probeTopKAdc(s, root, q, k = 5, nprobe = 3, rerank = 20)
+        .agg(count(lit(1)).as("probe_n"), sum(col("vec_id")).as("probe_ids"),
+          max(col("cosine")).as("probe_max"), sum(col("adc_u")).as("probe_adc"))
+      val out = fin.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          sum(aggregate(col("sq_code"), lit(0L),
+            (acc, v) => acc + v)).as("sq_sum"),
+          sum(aggregate(col("pq_code"), lit(0L),
+            (acc, v) => acc + v)).as("code_sum"))
+        .withColumn("snap_version", lit(p.version))
+        .withColumn("last_batch", lit(p.lastBatch))
+        .crossJoin(probe)
+        .localCheckpoint(true) // ≤ nlists rows, eager: the index can go
+      graft.pipeline.IvfIndex.destroy(root)
+      out
+    }),
+
     "q_standardized_index" -> ((s, dir) => {
       // standardized_index / `standardize` machinery (stats.py:770-1035), z-score form:
       // 3-day rolling totals standardized against the entity's own
@@ -2159,6 +2212,89 @@ object SparkEntry {
          |  probe_n, probe_ids, probe_adc_min, probe_adc
          |from assign a join codesum cs using (vec_id) cross join pb
          |group by 1, probe_n, probe_ids, probe_adc_min, probe_adc""")
+        .stripMargin,
+
+    // SQ8 twin: bounds = the ≡3 quarter's per-dim micro-unit min/max;
+    // sq codes via the exact roundDiv-with-clamp (ties away from zero,
+    // negative branch for below-bounds later quarters); decode = the
+    // int64-grid reconstruction; ADC top-20 over the probed lists, then
+    // the decoded-cosine top-5 — every integer replayed from scratch
+    "q_ivf_sq8" ->
+      (s"""with cent as (
+         |  select label list, i, avg(cast(embedding[i+1] as double)) m
+         |  from embeddings, (select unnest(range(0,64)) i) t
+         |  where vec_id % 4 = 3 group by 1, 2),
+         |ad as (select e.vec_id, c.list,
+         |   sum(pow(cast(e.embedding[c.i+1] as double) - c.m, 2)) d2
+         |  from embeddings e, cent c group by 1, 2),
+         |assign as (select vec_id, list from (
+         |  select vec_id, list, row_number() over (partition by vec_id
+         |    order by d2, list) rn from ad) x where rn = 1),
+         |cb as (select vec_id cbid, row_number() over (order by vec_id) - 1 j
+         |  from (select vec_id from embeddings where vec_id % 4 = 3
+         |        order by vec_id limit 16)),
+         |cwe as (select cb.j, t.i,
+         |   floor(cast(e.embedding[t.i+1] as double)*1e6 + 0.5) w
+         |  from cb join embeddings e on e.vec_id = cb.cbid,
+         |       (select unnest(range(0,64)) i) t),
+         |vqe as (select vec_id, t.i,
+         |   cast(floor(cast(embedding[t.i+1] as double)*1e6 + 0.5) as bigint)
+         |     vqv
+         |  from embeddings, (select unnest(range(0,64)) i) t),
+         |subd as (select v.vec_id, c.j, (v.i // 8) s,
+         |   sum((v.vqv - c.w) * (v.vqv - c.w)) d2
+         |  from vqe v join cwe c on c.i = v.i group by 1, 2, 3),
+         |codes as (select vec_id, s, j code from (
+         |  select vec_id, s, j, row_number() over (partition by vec_id, s
+         |    order by d2, j) rn from subd) x where rn = 1),
+         |codesum as (select vec_id, cast(sum(code) as bigint) csum
+         |  from codes group by 1),
+         |bounds as (select i, min(vqv) lo, max(vqv) hi
+         |  from vqe where vec_id % 4 = 3 group by 1),
+         |sqc as (select v.vec_id, v.i,
+         |  case when b.hi = b.lo then cast(0 as bigint) else
+         |    least(greatest(case when v.vqv >= b.lo
+         |      then (2*(v.vqv - b.lo)*255 + (b.hi - b.lo))
+         |             // (2*(b.hi - b.lo))
+         |      else -((2*(b.lo - v.vqv)*255 + (b.hi - b.lo))
+         |             // (2*(b.hi - b.lo))) end,
+         |      cast(0 as bigint)), cast(255 as bigint)) end code
+         |  from vqe v join bounds b using (i)),
+         |sqsum as (select vec_id, cast(sum(code) as bigint) ssum
+         |  from sqc group by 1),
+         |dec as (select s.vec_id,
+         |   list(cast(b.lo + ((2*s.code*(b.hi - b.lo) + 255) // 510)
+         |     as double)/1e6 order by s.i) demb
+         |  from sqc s join bounds b using (i) group by 1),
+         |q as (select embedding qv from embeddings where vec_id = 0),
+         |qd as (select c.list, sum(pow(cast(q.qv[c.i+1] as double) - c.m, 2)) d2
+         |  from cent c, q group by c.list),
+         |probe as (select list from qd order by d2, list limit 3),
+         |qtab as (select s, j, d2 from subd where vec_id = 0),
+         |cand as (select a.vec_id from assign a join probe using (list)),
+         |adc as (select c.vec_id, cast(sum(qt.d2) as bigint) adc_u
+         |  from codes c join qtab qt on qt.s = c.s and qt.j = c.code
+         |  where c.vec_id in (select vec_id from cand)
+         |  group by 1),
+         |topr as (select vec_id, adc_u from adc
+         |  order by adc_u, vec_id limit 20),
+         |rr as (select t2.vec_id, t2.adc_u,
+         |   ${cosQSql("d.demb", "q.qv")} cosine
+         |  from topr t2 join dec d on d.vec_id = t2.vec_id, q),
+         |top5 as (select * from (select *, row_number()
+         |  over (order by cosine desc, vec_id) rk from rr) z where rk <= 5),
+         |pb as (select cast(count(*) as bigint) probe_n,
+         |   cast(sum(vec_id) as bigint) probe_ids, max(cosine) probe_max,
+         |   cast(sum(adc_u) as bigint) probe_adc from top5)
+         |select a.list, cast(count(*) as bigint) n_vecs,
+         |  cast(sum(a.vec_id) as bigint) id_sum,
+         |  cast(sum(sq.ssum) as bigint) sq_sum,
+         |  cast(sum(cs.csum) as bigint) code_sum,
+         |  cast(3 as int) snap_version, cast(2 as bigint) last_batch,
+         |  probe_n, probe_ids, probe_max, probe_adc
+         |from assign a join codesum cs using (vec_id)
+         |  join sqsum sq using (vec_id) cross join pb
+         |group by 1, probe_n, probe_ids, probe_max, probe_adc""")
         .stripMargin,
 
     // batched-probe twin: the same centroid/assignment replay fanned out
