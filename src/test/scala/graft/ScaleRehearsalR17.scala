@@ -107,14 +107,21 @@ object ScaleRehearsalR17 {
     require(embB > 8 * codeB,
       s"k=256 codes not code-sized at rest: $codeB vs embedding $embB")
 
-    // code-only tier: same 200k slice, raw+codes vs codes-only layout
+    // storage-tier ladder on the same 200k slice: raw+codes vs SQ8 vs
+    // codes-only
     val rawRoot = java.nio.file.Files
       .createTempDirectory("graft_r17_raw_").toString + "/ivf"
+    val sqRoot = java.nio.file.Files
+      .createTempDirectory("graft_r17_sq_").toString + "/ivf"
     val coRoot = java.nio.file.Files
       .createTempDirectory("graft_r17_co_").toString + "/ivf"
     time("init raw+codes (200k)") {
       IvfIndex.init(vecs(0, 200000), "vec_id", "embedding", centroids,
         rawRoot, pqM = 8, pqK = 256)
+    }
+    time("init SQ8 (200k)") {
+      IvfIndex.init(vecs(0, 200000), "vec_id", "embedding", centroids,
+        sqRoot, pqM = 8, pqK = 256, sq8 = true)
     }
     time("init code-only (200k)") {
       IvfIndex.init(vecs(0, 200000), "vec_id", "embedding", centroids,
@@ -129,21 +136,38 @@ object ScaleRehearsalR17 {
           .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     }
     val rawBytes = segTotal(rawRoot); val coBytes = segTotal(coRoot)
+    val sqBytes = segTotal(sqRoot)
     println(f"[rehearsal] at-rest 200k: raw+codes ${rawBytes / 1048576.0}%.1f MiB, " +
+      f"SQ8 ${sqBytes / 1048576.0}%.1f MiB " +
+      f"(${rawBytes * 1.0 / sqBytes}%.1fx cut, re-rank retained), " +
       f"code-only ${coBytes / 1048576.0}%.1f MiB " +
       f"(${rawBytes * 1.0 / coBytes}%.1fx cut)")
     require(coBytes * 4 < rawBytes,
       s"code-only layout not materially smaller: $coBytes vs $rawBytes")
-    // and the code-only twin serves the identical ADC-only ranking
+    require(sqBytes * 2 < rawBytes && coBytes < sqBytes,
+      s"SQ8 must sit between raw ($rawBytes) and code-only ($coBytes): $sqBytes")
+    // the code-only and SQ8 twins serve the identical ADC-only ranking
     val q0 = vecs(3, 4).select(col("embedding").as("qvec"))
       .localCheckpoint(true)
     val a1 = IvfIndex.probeTopKAdc(spark, rawRoot, q0, k = 10, nprobe = 8,
       rerank = 0).select("vec_id").as[Long].collect().toSeq
     val a2 = IvfIndex.probeTopKAdc(spark, coRoot, q0, k = 10, nprobe = 8,
       rerank = 0).select("vec_id").as[Long].collect().toSeq
-    require(a1 == a2 && a1.size == 10,
-      "code-only ADC ranking diverged from the raw index's ADC pass")
+    val a3 = IvfIndex.probeTopKAdc(spark, sqRoot, q0, k = 10, nprobe = 8,
+      rerank = 0).select("vec_id").as[Long].collect().toSeq
+    require(a1 == a2 && a1 == a3 && a1.size == 10,
+      "tiered ADC rankings diverged from the raw index's ADC pass")
+    // SQ8 decoded re-rank recall vs the raw index's exact re-rank
+    val rr1 = IvfIndex.probeTopKAdc(spark, rawRoot, q0, k = 10, nprobe = 8,
+      rerank = 256).select("vec_id").as[Long].collect().toSeq
+    val rr2 = time("probeTopKAdc SQ8 decoded rerank=256") {
+      IvfIndex.probeTopKAdc(spark, sqRoot, q0, k = 10, nprobe = 8,
+        rerank = 256).select("vec_id").as[Long].collect().toSeq
+    }
+    println(s"[rehearsal] SQ8 decoded-rerank recall@10 vs exact: " +
+      s"${rr1.count(rr2.toSet.contains) / 10.0}")
     IvfIndex.destroy(rawRoot); IvfIndex.destroy(coRoot)
+    IvfIndex.destroy(sqRoot)
 
     // serving at k=256: ADC table is 8 x 256 int64 — still one
     // lookup-sum per candidate
