@@ -467,7 +467,8 @@ object Main {
             println(s"IVF index $root: v${p.version}, lastBatch " +
               s"${p.lastBatch}, centroid generation ${p.gen}, " +
               s"${post.size} posting segment(s), " +
-              s"${tomb.size} tombstone segment(s)")
+              s"${tomb.size} tombstone segment(s), " +
+              graft.pipeline.IvfIndex.tierInfo(root))
             segs.foreach(e => println(
               s"  ${if (e.tombstone) "T" else "P"} v${e.version} ${e.dir}" +
                 (if (e.n >= 0) s" (${e.n} rows" +

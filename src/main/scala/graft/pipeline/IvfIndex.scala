@@ -1464,6 +1464,23 @@ object IvfIndex {
     }
   }
 
+  /** Metadata-only storage-tier summary for `ivf info` (no
+    * SparkSession): which quantization artifacts the current
+    * generation pins. Raw-vs-code-only postings are indistinguishable
+    * without opening a segment, so the PQ line names both. */
+  def tierInfo(root: String,
+               conf: Configuration = new Configuration()): String = {
+    val g = currentGen(root, conf)
+    val pq = FsIo.exists(conf, codebookPath(root, g))
+    val sq = FsIo.exists(conf, sqBoundsPath(root, g))
+    (pq, sq) match {
+      case (true, true)  => "SQ8 postings + PQ codebook (ADC + decoded re-rank)"
+      case (true, false) => "PQ codebook pinned (raw or code-only postings)"
+      case (false, true) => "SQ8 postings (decoded probes)"
+      case _             => "raw postings"
+    }
+  }
+
   /** Test cleanup. */
   def destroy(root: String,
               conf: Configuration = new Configuration()): Unit = {
