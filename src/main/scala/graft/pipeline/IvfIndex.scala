@@ -138,10 +138,15 @@ object IvfIndex {
 
   /** The pinned centroid table (list INT, cvec ARRAY<DOUBLE>) of the
     * CURRENT generation (the pointer resolves which — a rebuild re-pins
-    * it atomically with its re-assigned segments). */
+    * it atomically with its re-assigned segments). The DataFrame (with
+    * its already-listed file index) is cached per pinned path — the
+    * table never changes under a generation, so re-listing it per
+    * ingest batch / probe is pure driver latency (r17 optimization:
+    * guide §1.2 "don't compute things you throw away"). */
   def readCentroids(spark: SparkSession, root: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    spark.read.parquet(centroidsPath(root, currentGen(root, conf)))
+    val p = centroidsPath(root, currentGen(root, conf))
+    centroidsDfCache.getOrElseUpdate(p, spark.read.parquet(p))
   }
 
   // ---- product-quantized postings (the FAISS IVFADC layout) ----
@@ -155,17 +160,22 @@ object IvfIndex {
   def readCodebook(spark: SparkSession, root: String,
                    conf: Configuration): Option[Array[Array[Array[Long]]]] = {
     val p = codebookPath(root, currentGen(root, conf))
-    if (!FsIo.exists(conf, p)) None
-    else {
-      val rows = spark.read.parquet(p)
-        .select(col("s"), col("j"), col("cw")).collect()
-      val m = rows.map(_.getInt(0)).max + 1
-      val k = rows.map(_.getInt(1)).max + 1
-      val cb = Array.ofDim[Array[Long]](m, k)
-      rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
-        r.getSeq[Long](2).toArray)
-      Some(cb)
-    }
+    // codebooks are PINNED per generation — cache the collected m × k
+    // rows (bounded) instead of re-running a collect job per ingest
+    // batch / ADC probe (r17: was one Spark job per applyBatch + one
+    // per probe, pure re-read of immutable metadata)
+    codebookCache.getOrElseUpdate(p,
+      if (!FsIo.exists(conf, p)) None
+      else {
+        val rows = spark.read.parquet(p)
+          .select(col("s"), col("j"), col("cw")).collect()
+        val m = rows.map(_.getInt(0)).max + 1
+        val k = rows.map(_.getInt(1)).max + 1
+        val cb = Array.ofDim[Array[Long]](m, k)
+        rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Long](2).toArray)
+        Some(cb)
+      })
   }
 
   // ---- SQ8 scalar-quantized postings (FAISS ScalarQuantizer QT_8bit) ----
@@ -178,13 +188,15 @@ object IvfIndex {
   def readSqBounds(spark: SparkSession, root: String,
                    conf: Configuration): Option[(Array[Long], Array[Long])] = {
     val p = sqBoundsPath(root, currentGen(root, conf))
-    if (!FsIo.exists(conf, p)) None
-    else {
-      val rows = spark.read.parquet(p)
-        .select(col("pos"), col("lo"), col("hi"))
-        .collect().sortBy(_.getInt(0))
-      Some((rows.map(_.getLong(1)), rows.map(_.getLong(2))))
-    }
+    // pinned per generation — cached like the codebook (r17)
+    sqBoundsCache.getOrElseUpdate(p,
+      if (!FsIo.exists(conf, p)) None
+      else {
+        val rows = spark.read.parquet(p)
+          .select(col("pos"), col("lo"), col("hi"))
+          .collect().sortBy(_.getInt(0))
+        Some((rows.map(_.getLong(1)), rows.map(_.getLong(2))))
+      })
   }
 
   private def writeSqBounds(spark: SparkSession, root: String, gen: Int,
@@ -423,6 +435,26 @@ object IvfIndex {
   private val quantCache =
     scala.collection.concurrent.TrieMap.empty[String, Quantizer]
 
+  /** r17 optimization — pinned-metadata caches, same soundness argument
+    * as [[quantCache]]: everything here is keyed on a generation-
+    * suffixed path whose CONTENT NEVER CHANGES once written ([[init]] /
+    * [[rebuild]] stage a fresh generation and [[invalidateQuantizers]]
+    * clears the root's entries on re-init/destroy). Re-reading them per
+    * ingest batch / probe was one or two Spark jobs each of pure
+    * immutable-metadata latency (guide §1.2: fix the algorithm's wasted
+    * passes before per-task work). */
+  private val codebookCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[Array[Array[Array[Long]]]]]
+  private val sqBoundsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(Array[Long], Array[Long])]]
+  private val centroidsDfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Segment schema per root (`root/#segschema`): pinned at [[init]] —
+    * appends schema-check against it, compaction/rebuild preserve the
+    * column set — so the per-append footer read is redundant. */
+  private val segSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   /** Collect + broadcast the centroid matrix, guarding the kernel's
     * memory contract LOUDLY at build time: the matrix lives whole on
     * the driver and every executor, so a table past the configured
@@ -459,12 +491,17 @@ object IvfIndex {
       buildQuantizer(spark, spark.read.parquet(path)))
   }
 
-  /** Drop (and destroy) every cached quantizer under `root` — called on
-    * re-init / rebuild / destroy, after the new generation committed. */
-  private def invalidateQuantizers(root: String): Unit =
-    quantCache.keys.filter(_.startsWith(s"$root/")).foreach { k =>
+  /** Drop (and destroy) every cached quantizer — and every pinned-
+    * metadata cache entry — under `root`; called on re-init / rebuild /
+    * destroy, after the new generation committed. */
+  private def invalidateQuantizers(root: String): Unit = {
+    val pre = s"$root/"
+    quantCache.keys.filter(_.startsWith(pre)).foreach { k =>
       quantCache.remove(k).foreach(_._2.destroy())
     }
+    Seq(codebookCache, sqBoundsCache, centroidsDfCache, segSchemaCache)
+      .foreach(c => c.keys.filter(_.startsWith(pre)).foreach(c.remove))
+  }
 
   /** The JIT arg-min struct(d2, list) column over a built quantizer —
     * the kernel projection both [[assignWithDist]] and the SQ8 rebuild
@@ -709,8 +746,11 @@ object IvfIndex {
       writePointer(root, p.copy(lastBatch = batchId), conf); return
     }
     val manifest = readManifest(root, p.version, conf)
-    val segFields = spark.read
-      .parquet(manifest.filterNot(_.tombstone).head.dir).schema
+    // segment schema is pinned at init (appends are checked against it;
+    // compaction/rebuild preserve the column set) — cache the footer
+    // read instead of re-listing a segment per append (r17)
+    val segFields = segSchemaCache.getOrElseUpdate(s"$root/#segschema",
+      spark.read.parquet(manifest.filterNot(_.tombstone).head.dir).schema)
     val assigned0 = withSqCode(withPqCode(
       assignWithDist(batch, idCol, vecCol, readCentroids(spark, root),
         quant = Some(pinnedQuantizer(spark, root, p.gen))),
@@ -806,9 +846,25 @@ object IvfIndex {
                          segs: Seq[Seg]): Option[DataFrame] = {
     val t = segs.filter(_.tombstone)
     if (t.isEmpty) None
-    else Some(t.map(e => spark.read.parquet(e.dir)
+    else Some(t.map(e => spark.read.schema("vec_id BIGINT").parquet(e.dir)
         .select(col("vec_id"), lit(e.version).as("_del_v")))
       .reduce(_ unionByName _))
+  }
+
+  /** Cached segment read schemas (`full` = with the `list` partition
+    * column, `file` = the leaf files under a `list=K` dir, without it):
+    * segment layout is pinned at [[init]] (commits schema-check against
+    * it; compaction/rebuild preserve the column set), yet every probe
+    * pass re-inferred it from parquet footers per (segment × list)
+    * directory — pure driver latency on immutable metadata (r17). */
+  private def segSchemas(spark: SparkSession, root: String,
+                         segs: Seq[Seg])
+      : (org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructType) = {
+    val full = segSchemaCache.getOrElseUpdate(s"$root/#segschema",
+      spark.read.parquet(segs.filterNot(_.tombstone).head.dir).schema)
+    (full, org.apache.spark.sql.types.StructType(
+      full.filterNot(_.name == "list")))
   }
 
   /** The (dir, list, version) triples the probe opens: ONE directory
@@ -848,8 +904,11 @@ object IvfIndex {
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
     val segs = readManifest(root, p.version, conf)
+    // supplied (cached) schema: skips one footer-inference listing per
+    // segment relation — the layout is pinned, see segSchemas (r17)
+    val fullSchema = segSchemas(spark, root, segs)._1
     val raw = segs.filterNot(_.tombstone)
-      .map(e => spark.read.parquet(e.dir)
+      .map(e => spark.read.schema(fullSchema).parquet(e.dir)
         .withColumn("_seg_v", lit(e.version)))
       .reduce(_ unionByName _)
     val cols = Seq(col("vec_id"), col("list").cast("int").as("list")) ++
@@ -861,33 +920,105 @@ object IvfIndex {
     applyTombstones(postings, tombstones(spark, segs)).drop("_seg_v")
   }
 
+  /** The distributed probe-list selection — one tiny Spark job over the
+    * pinned centroid table (works at ANY nlists; the probe never needs
+    * the matrix in driver memory). */
+  private def probedListsDistributed(spark: SparkSession, root: String,
+                                     queryVec: DataFrame,
+                                     nprobe: Int): Seq[Int] =
+    readCentroids(spark, root)
+      .crossJoin(broadcast(queryVec))
+      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
+      .orderBy(col("qd2"), col("list"))
+      .limit(nprobe)
+      .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+
+  /** Driver-side twin of [[probedListsDistributed]] over the CACHED
+    * quantizer matrix — bit-identical arithmetic (same left-to-right
+    * IEEE fold as [[dist2]], exact float→double widening, same
+    * (qd2 asc, list asc) tie order via java.lang.Double.compare =
+    * Spark's double sort) with zero Spark jobs. Only taken when this
+    * JVM already holds the pinned matrix (ingest built it) — a
+    * probe-only process never pays the matrix collect, and nlists past
+    * the kernel's memory bound keep the distributed form. */
+  private def probedListsLocal(quant: Quantizer, q: Array[Double],
+                               nprobe: Int): Seq[Int] = {
+    val lists = quant._1; val mat = quant._2.value
+    val scored = Array.tabulate(lists.length) { i =>
+      val c = mat(i); var d = 0.0; var j = 0
+      while (j < c.length) { val diff = c(j) - q(j); d += diff * diff; j += 1 }
+      (d, lists(i))
+    }
+    scored.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    }.take(nprobe).map(_._2).toSeq
+  }
+
+  /** One collected query row rebuilt as a LOCAL single-row relation: the
+    * scoring pass broadcasts the query, and broadcasting the caller's
+    * frame re-executes its plan (a scan + filter in the common serve
+    * path) once more per probe. Values ride unchanged, so every
+    * downstream comparison is bit-identical. */
+  private def localQueryDf(spark: SparkSession,
+                           rows: Array[org.apache.spark.sql.Row],
+                           schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  /** (probe lists, query frame for the scoring broadcast): driver-side
+    * off the cached quantizer when possible, distributed otherwise —
+    * see [[probedListsLocal]] for the equivalence argument. */
+  private def probedAndQuery(spark: SparkSession, root: String, gen: Int,
+                             queryVec: DataFrame, nprobe: Int)
+      : (Seq[Int], DataFrame) =
+    quantCache.get(centroidsPath(root, gen)) match {
+      case Some(qt) =>
+        val proj = queryVec.select(col("qvec"))
+        val rows = proj.collect()
+        val dim = qt._2.value.headOption.map(_.length).getOrElse(-1)
+        if (rows.length == 1 && !rows(0).isNullAt(0) &&
+            rows(0).getSeq[Any](0).length == dim) {
+          val q = rows(0).getSeq[Any](0)
+            .map { case n: Number => n.doubleValue() }.toArray
+          (probedListsLocal(qt, q, nprobe),
+            localQueryDf(spark, rows, proj.schema))
+        } else
+          (probedListsDistributed(spark, root, queryVec, nprobe), queryVec)
+      case None =>
+        (probedListsDistributed(spark, root, queryVec, nprobe), queryVec)
+    }
+
   /** Top-k by integer-grid cosine over the nprobe nearest lists: one
     * tiny driver read picks the lists (nprobe ints — bounded), then ONLY
     * the matching `seg/sNNNNN/list=K` directories open. The candidate
     * scan is (nprobe/nlists) of the corpus; ranking is
     * TakeOrderedAndProject (partition-local heaps + driver merge of k),
     * never a single-partition window over the candidates. */
-  def probeTopK(spark: SparkSession, root: String, queryVec: DataFrame,
+  def probeTopK(spark: SparkSession, root: String, queryVec0: DataFrame,
                 k: Int, nprobe: Int): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
     requireRerankable(spark, root, p, conf, "probeTopK")
-    val probed = readCentroids(spark, root)
-      .crossJoin(broadcast(queryVec))
-      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
-      .orderBy(col("qd2"), col("list"))
-      .limit(nprobe)
-      .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+    val (probed, queryVec) =
+      probedAndQuery(spark, root, p.gen, queryVec0, nprobe)
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, probed)
     val emb = embedded(spark, root, conf)
-    val empty = emb(currentAll(spark, root).filter(lit(false)))
-      .select(col("vec_id"), col("list"), col("embedding"))
+    val fileSchema = segSchemas(spark, root, segs)._2
     val cand0 =
-      if (dirs.isEmpty) empty.withColumn("_seg_v", lit(0))
+      if (dirs.isEmpty)
+        // built only on the empty path — currentAll opens every live
+        // segment relation just to donate a schema (r17: was eager)
+        emb(currentAll(spark, root).filter(lit(false)))
+          .select(col("vec_id"), col("list"), col("embedding"))
+          .withColumn("_seg_v", lit(0))
       else dirs.map { case (d, l, v) =>
-        emb(spark.read.parquet(d)).withColumn("list", lit(l))
+        emb(spark.read.schema(fileSchema).parquet(d))
+          .withColumn("list", lit(l))
           .withColumn("_seg_v", lit(v))
           .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
       }.reduce(_ unionByName _)
@@ -918,9 +1049,11 @@ object IvfIndex {
   private def requireRerankable(spark: SparkSession, root: String,
                                 p: Pointer, conf: Configuration,
                                 op: String): Unit = {
-    val head = readManifest(root, p.version, conf)
-      .filterNot(_.tombstone).head.dir
-    val fields = spark.read.parquet(head).schema.fieldNames
+    val fields = segSchemaCache.getOrElseUpdate(s"$root/#segschema", {
+      val head = readManifest(root, p.version, conf)
+        .filterNot(_.tombstone).head.dir
+      spark.read.parquet(head).schema
+    }).fieldNames
     require(fields.contains("embedding") || fields.contains("sq_code"),
       s"IVF index at $root is code-only (no raw or SQ8 vectors stored) — " +
         s"$op needs them; serve with probeTopKAdc/probeTopKBatchAdc" +
@@ -976,7 +1109,7 @@ object IvfIndex {
     * (rank, vec_id, list, adc_u) ranked by the exact code-table L2
     * order — the serving mode of a CODE-ONLY index (storeRaw = false),
     * and valid on a raw index too when refine I/O isn't worth it. */
-  def probeTopKAdc(spark: SparkSession, root: String, queryVec: DataFrame,
+  def probeTopKAdc(spark: SparkSession, root: String, queryVec0: DataFrame,
                    k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank == 0 || rerank >= k,
       s"rerank=$rerank must be >= k=$k, or 0 for ADC-only serving")
@@ -987,11 +1120,17 @@ object IvfIndex {
       throw new IllegalStateException(
         s"IVF index at $root stores raw postings only — init with pqM > 0"))
     val m = cb.length; val kCw = cb(0).length; val sub = cb(0)(0).length
-    val qRows = queryVec.select(col("qvec")).collect()
+    val qProj = queryVec0.select(col("qvec"))
+    val qRows = qProj.collect()
     require(qRows.length == 1, s"queryVec must be exactly one row")
-    val vq = qRows(0).getSeq[Any](0).map {
-      case n: Number => math.floor(n.doubleValue() * 1e6 + 0.5).toLong
+    // the collected row doubles as the re-rank pass's broadcast side —
+    // a LOCAL single-row relation instead of re-executing the caller's
+    // query plan once more (r17; values ride unchanged)
+    val queryVec = localQueryDf(spark, qRows, qProj.schema)
+    val qd = qRows(0).getSeq[Any](0).map {
+      case n: Number => n.doubleValue()
     }.toArray
+    val vq = qd.map(x => math.floor(x * 1e6 + 0.5).toLong)
     require(vq.length == m * sub,
       s"query dim ${vq.length} != codebook dim ${m * sub}")
     // exact micro-unit² ADC table: table(s)(j) = ||q_s - c_{j,s}||²
@@ -1004,12 +1143,15 @@ object IvfIndex {
         d
       }
     }
-    val probed = readCentroids(spark, root)
-      .crossJoin(broadcast(queryVec))
-      .withColumn("qd2", dist2(col("cvec"), col("qvec")))
-      .orderBy(col("qd2"), col("list"))
-      .limit(nprobe)
-      .select(col("list")).collect().map(_.getInt(0)).toSeq // nprobe ints
+    // probe lists off the cached quantizer when this JVM holds it (the
+    // query row is ALREADY collected here, so the driver-side form costs
+    // zero extra jobs); distributed otherwise — see probedListsLocal
+    val probed = quantCache.get(centroidsPath(root, p.gen)) match {
+      case Some(qt)
+          if qt._2.value.headOption.exists(_.length == qd.length) =>
+        probedListsLocal(qt, qd, nprobe)
+      case _ => probedListsDistributed(spark, root, queryVec, nprobe)
+    }
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, probed)
     import spark.implicits._
@@ -1027,8 +1169,9 @@ object IvfIndex {
     // PASS 1: codes only — the scan never touches the embedding column.
     // _seg_v is the final tie-break everywhere a (adc_u, vec_id) tie
     // could cross the rerank/k boundary (an id live in two segments).
+    val fileSchema = segSchemas(spark, root, segs)._2
     val codeCand0 = dirs.map { case (d, l, v) =>
-      spark.read.parquet(d)
+      spark.read.schema(fileSchema).parquet(d)
         .select(col("vec_id"), lit(l).as("list"), col("pq_code"),
           lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
@@ -1060,7 +1203,7 @@ object IvfIndex {
     // PASS 2: raw (or SQ8-decoded) vectors of just the survivors
     val emb = embedded(spark, root, conf)
     val raw0 = dirs.map { case (d, _, v) =>
-      emb(spark.read.parquet(d))
+      emb(spark.read.schema(fileSchema).parquet(d))
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     // a literal IN list pushes to the scan (footer/rowgroup pruning) —
@@ -1132,15 +1275,22 @@ object IvfIndex {
     val segs = readManifest(root, p.version, conf)
     val dirs = probedDirs(conf, segs, needed)
     val emb = embedded(spark, root, conf)
-    val empty = emb(currentAll(spark, root).filter(lit(false)))
-      .withColumn("_seg_v", lit(0))
     val cand0 =
-      if (dirs.isEmpty) empty
-      else dirs.map { case (d, l, v) =>
-        emb(spark.read.parquet(d)).withColumn("list", lit(l))
-          .withColumn("_seg_v", lit(v))
-          .select(col("vec_id"), col("list"), col("embedding"), col("_seg_v"))
-      }.reduce(_ unionByName _)
+      if (dirs.isEmpty)
+        // built only on the empty path — currentAll opens every live
+        // segment relation just to donate a schema (r17: was eager)
+        emb(currentAll(spark, root).filter(lit(false)))
+          .withColumn("_seg_v", lit(0))
+      else {
+        val fileSchema = segSchemas(spark, root, segs)._2
+        dirs.map { case (d, l, v) =>
+          emb(spark.read.schema(fileSchema).parquet(d))
+            .withColumn("list", lit(l))
+            .withColumn("_seg_v", lit(v))
+            .select(col("vec_id"), col("list"), col("embedding"),
+              col("_seg_v"))
+        }.reduce(_ unionByName _)
+      }
     val cand = applyTombstones(cand0, tombstones(spark, segs))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid"))
@@ -1219,10 +1369,11 @@ object IvfIndex {
     if (rerank > 0) requireRerankable(spark, root, p, conf,
       s"the exact re-rank pass (rerank=$rerank)")
     val tombs = tombstones(spark, segs)
+    val fileSchema = segSchemas(spark, root, segs)._2
     // PASS 1: codes only (_seg_v final tie-break — see probeTopKAdc)
     val codeCand = applyTombstones(
       dirs.map { case (d, l, v) =>
-        spark.read.parquet(d)
+        spark.read.schema(fileSchema).parquet(d)
           .select(col("vec_id"), lit(l).as("list"), col("pq_code"),
             lit(v).as("_seg_v"))
       }.reduce(_ unionByName _), tombs)
@@ -1250,7 +1401,7 @@ object IvfIndex {
     // survivors re-rank against the stored tier's best reconstruction
     val emb = embedded(spark, root, conf)
     val raw = dirs.map { case (d, _, v) =>
-      emb(spark.read.parquet(d))
+      emb(spark.read.schema(fileSchema).parquet(d))
         .select(col("vec_id"), col("embedding"), lit(v).as("_seg_v"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("qid"))

@@ -70,6 +70,14 @@ object ZOrderLake {
     * epoch instead of clamping to the border cells. */
   val DefaultEpochThreshold: Double = 0.25
 
+  /** r17 optimization: the slab schema per lake root is PINNED at
+    * [[init]] (every append schema-checks against it; rewrites carry
+    * the same columns), so the per-batch footer-inference read of
+    * `manifest.head.path` is redundant driver latency — cache it.
+    * [[init]] and [[destroy]] invalidate. */
+  private val slabSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   /** Morton key width: 2×16 or 3×16 interleaved bits. */
   private def keyBits(nDims: Int): Int = nDims * 16
 
@@ -319,6 +327,7 @@ object ZOrderLake {
     require(dimCols.size == 2 || dimCols.size == 3,
       s"z-order lake supports 2 or 3 dims, got $dimCols")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    slabSchemaCache.remove(root) // re-init may change the column set
     FsIo.mkdirs(conf, root)
     val aggs = dimCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) :+
@@ -535,7 +544,8 @@ object ZOrderLake {
     // types): unionByName silently widens (long ∪ double → double), so a
     // drifted batch would poison every later reader of the mixed layout
     // with a type-mismatch — fail HERE, at the commit, with both schemas
-    val lakeSchema = spark.read.parquet(manifest.head.path).schema
+    val lakeSchema = slabSchemaCache.getOrElseUpdate(root,
+        spark.read.parquet(manifest.head.path).schema)
       .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
     val batchSchema = batchZ.schema
       .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
@@ -764,6 +774,8 @@ object ZOrderLake {
 
   /** Test cleanup. */
   def destroy(root: String,
-              conf: Configuration = new Configuration()): Unit =
+              conf: Configuration = new Configuration()): Unit = {
+    slabSchemaCache.remove(root)
     FsIo.delete(conf, root)
+  }
 }

@@ -386,9 +386,25 @@ object Streams {
     try {
       val streamDir = root.resolve("stream")
       java.nio.file.Files.createDirectory(streamDir)
-      batches.zipWithIndex.foreach { case (b, i) =>
+      // the staging writes are INDEPENDENT jobs (separate temp dirs,
+      // file contents untouched — coalesce(1) order is partition-index
+      // order whatever thread submits it), so overlap them instead of
+      // paying each tiny job's scheduling latency serially (r17;
+      // optimization-guide §2.6 "overlap independent jobs")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, batches.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = batches.zipWithIndex.map { case (b, i) =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit =
+              b.coalesce(1).write.parquet(root.resolve(s"stage_$i").toString)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrow
+      } finally pool.shutdown()
+      batches.indices.foreach { i =>
         val stage = root.resolve(s"stage_$i")
-        b.coalesce(1).write.parquet(stage.toString)
         val part = new java.io.File(stage.toString).listFiles()
           .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
