@@ -742,9 +742,12 @@ object IvfIndex {
     val p = readPointer(root, conf).getOrElse(throw new IllegalStateException(
       s"IVF index at $root not initialized — call init first"))
     if (batchId <= p.lastBatch) return // at-least-once replay: applied
-    if (batch.isEmpty) {
-      writePointer(root, p.copy(lastBatch = batchId), conf); return
-    }
+    // empty batches still commit pointer-only (no segment, no version) —
+    // but emptiness is discovered from the segment write's OBSERVED row
+    // count below instead of a dedicated `batch.isEmpty` pre-scan: that
+    // probe was one whole Spark job per streaming trigger spent
+    // re-deriving the batch plan, paid on every commit to serve the rare
+    // empty case (r17; guide §1.2 — same manifests/pointer either way)
     val manifest = readManifest(root, p.version, conf)
     // segment schema is pinned at init (appends are checked against it;
     // compaction/rebuild preserve the column set) — cache the footer
@@ -771,6 +774,15 @@ object IvfIndex {
     val next = p.version + 1
     val dir = segDir(root, next)
     val (s, n) = writeSegment(assigned, dir)
+    if (n == 0L) {
+      // empty batch: the exact pre-r17 outcome — no manifest version, a
+      // pointer-only lastBatch bump; the just-written empty segment dir
+      // is residue (a crash here leaves it for GC, as crash-before-swap
+      // always has)
+      FsIo.delete(conf, dir)
+      writePointer(root, p.copy(lastBatch = batchId), conf)
+      return
+    }
     writeManifest(root, next,
       manifest :+ Seg(dir, next, tombstone = false, s, n), conf)
     writePointer(root, Pointer(next, batchId, p.gen), conf)
@@ -1631,6 +1643,13 @@ object IvfIndex {
       case _             => "raw postings"
     }
   }
+
+  /** Test hook: drop every cached artifact under `root` WITHOUT touching
+    * files — simulates a fresh (probe-only) JVM, so specs can pin the
+    * cold distributed probe path bit-identical to the warm driver-side
+    * one (see [[probedListsLocal]]). */
+  private[graft] def dropCachesForTest(root: String): Unit =
+    invalidateQuantizers(root)
 
   /** Test cleanup. */
   def destroy(root: String,

@@ -815,4 +815,36 @@ class LakeSpec extends AnyFunSuite {
       .collect()
     assert(nul.forall(_.isNullAt(0)), s"NULL span produced ${nul.toSeq}")
   }
+
+  test("z-order slab-schema cache: re-init at the same root sees the new columns") {
+    // r17 optimization caches the pinned slab schema per root (the
+    // per-batch footer read was redundant); destroy + re-init with a
+    // DIFFERENT column set must not leak the stale schema into the
+    // append-time check — the drift guard has to accept the new lake's
+    // own batches and still reject actually-drifted ones.
+    import graft.sources.ZOrderLake
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zocache_").toString + "/zo"
+    def rows(n: Int) = (0 until n).map(i => (i.toLong, (i * 7 % 50).toLong))
+      .toDF("x", "y")
+    ZOrderLake.init(rows(100), root, "x", "y", targetRows = 1000)
+    ZOrderLake.applyBatch(rows(100).withColumn("x", col("x") + 100),
+      root, "x", "y", 1000L, 0L, 10)
+    assert(ZOrderLake.current(spark, root).count() == 200)
+    ZOrderLake.destroy(root)
+    // same root, WIDER schema: appends must validate against the new lake
+    val wide = rows(50).withColumn("w", col("x") * 2)
+    ZOrderLake.init(wide, root, "x", "y", targetRows = 1000)
+    ZOrderLake.applyBatch(wide.withColumn("x", col("x") + 50),
+      root, 1000L, 0L, 10)
+    assert(ZOrderLake.current(spark, root).columns.contains("w"))
+    assert(ZOrderLake.current(spark, root).count() == 100)
+    // and a genuinely drifted batch still rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      ZOrderLake.applyBatch(rows(10), root, 1000L, 1L, 10)
+    }
+    assert(e.getMessage.contains("does not match lake schema"), e.getMessage)
+    ZOrderLake.destroy(root)
+  }
 }

@@ -1653,4 +1653,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(IvfIndex.currentAll(spark, sq).count() == 212)
     IvfIndex.destroy(sq); IvfIndex.destroy(raw)
   }
+
+  test("IVF pinned-metadata caches: cold == warm probes, re-init invalidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    // r17 optimization pins: (1) the warm probe path (driver-side list
+    // selection off the cached quantizer + local query relation) is
+    // bit-identical to the cold path (fresh JVM: every artifact re-read,
+    // probe lists via the distributed job); (2) re-init on the same root
+    // invalidates every cache, so probes/commits see the NEW generation.
+    val dim = 8
+    def vec(id: Int): Array[Float] = {
+      val c = id % 3
+      Array.tabulate(dim)(j =>
+        (if (j == c * 2) 10f else 0f) + ((id * 17 + j * 5) % 13) * 0.01f)
+    }
+    def frame(ids: Seq[Int]) =
+      ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 3).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == c * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfcache_").toString + "/ivf"
+    IvfIndex.init(frame(0 until 60), "vec_id", "embedding", centroids, root,
+      pqM = 4, pqK = 8)
+    IvfIndex.applyBatch(frame(60 until 120), "vec_id", "embedding", root, 0L,
+      retain = 10)
+    val q = frame(Seq(7)).select(col("embedding").as("qvec"))
+    def runAll(): (Seq[String], Seq[String], Seq[String]) = (
+      IvfIndex.probeTopK(spark, root, q, k = 5, nprobe = 2)
+        .collect().map(_.toString).toSeq,
+      IvfIndex.probeTopKAdc(spark, root, q, k = 5, nprobe = 2, rerank = 10)
+        .collect().map(_.toString).toSeq,
+      IvfIndex.probeTopKBatch(spark, root,
+          frame(Seq(7, 11)).select(col("vec_id").as("qid"),
+            col("embedding").as("qvec")), k = 3, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq)
+    val warm = runAll() // quantizer + codebook + schemas resident (ingest built them)
+    IvfIndex.dropCachesForTest(root) // a fresh serving JVM
+    val cold = runAll()
+    assert(warm == cold, s"cold probe path diverged from warm:\n$warm\n$cold")
+    // re-init with SHIFTED centroids on the SAME root: caches must not
+    // leak the old generation into assignments or probes
+    val shifted = (0 until 3).map(c =>
+      (c, Array.tabulate(dim)(j => if (j == ((c + 1) % 3) * 2) 10.0 else 0.0)))
+      .toDF("list", "cvec")
+    IvfIndex.init(frame(0 until 60), "vec_id", "embedding", shifted, root,
+      pqM = 4, pqK = 8)
+    IvfIndex.applyBatch(frame(60 until 120), "vec_id", "embedding", root, 0L,
+      retain = 10)
+    // under the shifted centroids, cluster c's vectors assign to c-1
+    val lists = IvfIndex.currentAll(spark, root)
+      .select(col("vec_id"), col("list")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(lists.length == 120 && lists.forall { case (id, l) =>
+      l == (((id % 3) + 2) % 3).toInt },
+      "stale cached centroids leaked through a re-init")
+    val twin = java.nio.file.Files
+      .createTempDirectory("graft_ivfcache_tw_").toString + "/ivf"
+    IvfIndex.init(frame(0 until 60), "vec_id", "embedding", shifted, twin,
+      pqM = 4, pqK = 8)
+    IvfIndex.applyBatch(frame(60 until 120), "vec_id", "embedding", twin, 0L,
+      retain = 10)
+    val pr = IvfIndex.probeTopKAdc(spark, root, q, k = 5, nprobe = 2,
+      rerank = 10).collect().map(_.toString).toSeq
+    val pt = IvfIndex.probeTopKAdc(spark, twin, q, k = 5, nprobe = 2,
+      rerank = 10).collect().map(_.toString).toSeq
+    assert(pr == pt, "re-init'd index diverged from a fresh-root twin")
+    // empty batch: pointer-only bump, NO new manifest version — the r17
+    // removal of the per-commit isEmpty pre-scan (emptiness now detected
+    // from the write's observed count) must preserve the contract
+    val pEmptyBefore = IvfIndex.readPointer(root).get
+    IvfIndex.applyBatch(frame(Seq.empty[Int]), "vec_id", "embedding", root,
+      9L, retain = 10)
+    val pEmptyAfter = IvfIndex.readPointer(root).get
+    assert(pEmptyAfter.version == pEmptyBefore.version &&
+      pEmptyAfter.lastBatch == 9L, s"$pEmptyBefore -> $pEmptyAfter")
+    assert(IvfIndex.currentAll(spark, root).count() == 120)
+    IvfIndex.destroy(root); IvfIndex.destroy(twin)
+  }
 }
