@@ -989,7 +989,10 @@ object IvfIndex {
     quantCache.get(centroidsPath(root, gen)) match {
       case Some(qt) =>
         val proj = queryVec.select(col("qvec"))
-        val rows = proj.collect()
+        // bounded driver collect: 2 rows suffice to decide single-row-ness
+        // (the driver-side path only serves one-row query frames; more
+        // rows fall back to the distributed form untouched)
+        val rows = proj.limit(2).collect()
         val dim = qt._2.value.headOption.map(_.length).getOrElse(-1)
         if (rows.length == 1 && !rows(0).isNullAt(0) &&
             rows(0).getSeq[Any](0).length == dim) {
