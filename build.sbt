@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console BARE: the default
+// LoggedOutput strategy wraps every line in sbt's "[info] " decoration,
+// which breaks line-oriented JSON consumers of the Bench/Verify mains
+// (the final compact summary line must parse as-is from a stdout tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
