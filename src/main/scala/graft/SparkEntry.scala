@@ -1734,15 +1734,25 @@ object SparkEntry {
       val driftBefore = IvfIndex.health(root).drift.get
       require(driftBefore > 2.0,
         s"fixture must cross the drift warning, got $driftBefore")
+      // r18: the live union feeds THREE separate actions (the rebuilt
+      // centroid aggregate, then the twin init's assignment + segment
+      // write) — cross-action reuse, so checkpoint it once instead of
+      // re-running the scan+transform+union per action (the house
+      // pattern; AQE stage reuse only covers intra-action subtrees)
       val live = init.unionByName(e.filter(m === 0)).unionByName(shifted)
+        .localCheckpoint(true)
       val centFull = cents(live).localCheckpoint(true)
       IvfIndex.rebuild(s, root, centFull)
       // rebuild == init-from-scratch twin on the same live contents
       val twin = java.nio.file.Files
         .createTempDirectory("graft_ivfrb_tw_").toString + "/ivf"
       IvfIndex.init(live, "vec_id", "emb", centFull, twin)
+      // each side is consumed by BOTH exceptAll actions: checkpoint so
+      // the second require pass replays blocks, not segment scans (r18)
       val got = IvfIndex.currentAll(s, root).select("vec_id", "list")
+        .localCheckpoint(true)
       val want = IvfIndex.currentAll(s, twin).select("vec_id", "list")
+        .localCheckpoint(true)
       require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
         "rebuild diverged from the init-from-scratch twin")
       IvfIndex.destroy(twin)

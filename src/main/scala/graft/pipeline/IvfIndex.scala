@@ -146,7 +146,18 @@ object IvfIndex {
   def readCentroids(spark: SparkSession, root: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = centroidsPath(root, currentGen(root, conf))
-    centroidsDfCache.getOrElseUpdate(p, spark.read.parquet(p))
+    // a cached DataFrame is bound to the session that created it — if
+    // that session was stopped and a new one started in this JVM, the
+    // cached relation would fail every read until process restart
+    // (advisor find, r18): reuse only same-session entries, rebuild and
+    // replace otherwise
+    centroidsDfCache.get(p) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case _ =>
+        val df = spark.read.parquet(p)
+        centroidsDfCache.update(p, df)
+        df
+    }
   }
 
   // ---- product-quantized postings (the FAISS IVFADC layout) ----
@@ -492,8 +503,10 @@ object IvfIndex {
   }
 
   /** Drop (and destroy) every cached quantizer — and every pinned-
-    * metadata cache entry — under `root`; called on re-init / rebuild /
-    * destroy, after the new generation committed. */
+    * metadata cache entry — under `root`; called on re-[[init]] and
+    * [[destroy]] ([[rebuild]] instead evicts just the superseded
+    * generation's entries via [[evictGenCaches]] — the new generation's
+    * caches are already warm and stay valid). */
   private def invalidateQuantizers(root: String): Unit = {
     val pre = s"$root/"
     quantCache.keys.filter(_.startsWith(pre)).foreach { k =>
@@ -501,6 +514,20 @@ object IvfIndex {
     }
     Seq(codebookCache, sqBoundsCache, centroidsDfCache, segSchemaCache)
       .foreach(c => c.keys.filter(_.startsWith(pre)).foreach(c.remove))
+  }
+
+  /** Evict ONE superseded generation's cache entries after a
+    * [[rebuild]]'s pointer swap (r18, advisor find: only the quantizer
+    * broadcast was evicted before, so a service rebuilding periodically
+    * leaked one codebook/bounds/centroid-DF entry set per generation —
+    * entries whose files [[gcGenFiles]] eventually deletes). The
+    * `#segschema` entry is root-keyed, not generation-keyed; rebuild
+    * and compact drop it explicitly beside the segment they rewrite. */
+  private def evictGenCaches(root: String, gen: Int): Unit = {
+    quantCache.remove(centroidsPath(root, gen)).foreach(_._2.destroy())
+    codebookCache.remove(codebookPath(root, gen))
+    sqBoundsCache.remove(sqBoundsPath(root, gen))
+    centroidsDfCache.remove(centroidsPath(root, gen))
   }
 
   /** The JIT arg-min struct(d2, list) column over a built quantizer —
@@ -747,7 +774,11 @@ object IvfIndex {
     // count below instead of a dedicated `batch.isEmpty` pre-scan: that
     // probe was one whole Spark job per streaming trigger spent
     // re-deriving the batch plan, paid on every commit to serve the rare
-    // empty case (r17; guide §1.2 — same manifests/pointer either way)
+    // empty case (r17; guide §1.2 — same manifests/pointer either way).
+    // DELIBERATELY stricter than pre-r17 in one corner: an empty batch
+    // whose FRAME SCHEMA drifted now fails the require below (it used to
+    // commit pointer-only unvalidated) — failing fast on a drifted
+    // producer is the safer contract even when the batch carries no rows
     val manifest = readManifest(root, p.version, conf)
     // segment schema is pinned at init (appends are checked against it;
     // compaction/rebuild preserve the column set) — cache the footer
@@ -1464,6 +1495,10 @@ object IvfIndex {
     writeManifest(root, next,
       Seq(Seg(dir, next, tombstone = false, hs, hn)), conf)
     writePointer(root, Pointer(next, p.lastBatch, p.gen), conf)
+    // compaction preserves the column set, but the drift guard should
+    // re-infer from the segment it will actually read, not trust a
+    // comment-level invariant across the rewrite (advisor find, r18)
+    segSchemaCache.remove(s"$root/#segschema")
     gc(root, next, retain, conf)
     1
   }
@@ -1553,8 +1588,11 @@ object IvfIndex {
     writeManifest(root, next,
       Seq(Seg(dir, next, tombstone = false, s0, n0)), conf)
     writePointer(root, Pointer(next, p.lastBatch, g), conf)
-    // the old generation's cached quantizer broadcast is dead weight now
-    quantCache.remove(centroidsPath(root, p.gen)).foreach(_._2.destroy())
+    // the old generation's cached metadata is dead weight now; the
+    // segment schema entry must re-infer from the rewritten segment
+    // rather than be trusted across the rewrite (advisor find, r18)
+    evictGenCaches(root, p.gen)
+    segSchemaCache.remove(s"$root/#segschema")
     gc(root, next, retain, conf)
     gcGenFiles(root, g, conf)
   }

@@ -19,8 +19,24 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Tables {
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Base-table relations memoized per (session, path) — r18: a bare
+    * `spark.read.parquet` re-lists the directory and re-reads a footer
+    * for schema inference on EVERY call, pure driver latency paid once
+    * or twice by every query (and by every bench pass) for metadata that
+    * never changes under a scale-factor directory. Catalog tables get a
+    * session file-index cache (`filesourcePartitionFileCacheSize`,
+    * optimization-guide §6); bare-path reads do not — this is that cache
+    * for the lake's fixed table layout. The entry holds the RELATION
+    * (file index + schema) only: no data is persisted, every execution
+    * still scans the parquet inputs. Keyed on the session object so a
+    * restarted session can never be served a dead relation. */
+  private val relationCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    relationCache.getOrElseUpdate((s, p), s.read.parquet(p))
+  }
 
   /** Spark 4 refuses TIMESTAMP(NANOS) parquet at schema inference unless
     * this legacy conf is on (there is no per-read option); with it, NANOS
@@ -44,9 +60,13 @@ object Tables {
         s"events.$tsCol: unsupported parquet type $other (expected long ns, TIMESTAMP or TIMESTAMP_NTZ)")
     }
 
-  /** events with `ts` normalised to a microsecond TIMESTAMP. */
+  /** events with `ts` normalised to a microsecond TIMESTAMP. The nanos
+    * conf must be set before the RELATION is created (schema inference
+    * is what rejects TIMESTAMP(NANOS)); the cached relation was created
+    * under it, so reuse is sound and the normalisation — a pure
+    * projection — is re-applied per call on top. */
   def events(s: SparkSession, dir: String): DataFrame = {
     enableNanosAsLong(s)
-    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+    normalizeTs(table(s, dir, "events"))
   }
 }

@@ -301,7 +301,18 @@ object ZOrderLake {
     // totalRows comes from metadata the caller already holds (manifest
     // row counts + batch count) — never a re-count of the rewrite set
     val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    df.repartitionByRange(n, col("zval")).sortWithinPartitions("zval")
+    // r18: repartitionByRange executes its child TWICE — the range-bound
+    // sampling pass is a separate Spark JOB ahead of the shuffle write,
+    // so AQE stage reuse cannot cover it (intra-action only) and the
+    // rewrite set — a parquet read of the touched slabs — was scanned
+    // once to pick bounds and again to move rows. localCheckpoint the
+    // input (lazily: the sampling job is what materializes it) so both
+    // passes read the same blocks; the sampled bounds now also derive
+    // from exactly the rows being written. Blocks are freed by the
+    // context cleaner when the checkpoint RDD goes out of scope — the
+    // same lifecycle as applyBatch's checkpointed batch frame.
+    val mat = df.localCheckpoint(false)
+    mat.repartitionByRange(n, col("zval")).sortWithinPartitions("zval")
       .write.mode(SaveMode.Overwrite).parquet(dir)
     statFiles(df.sparkSession, dir)
   }
@@ -313,7 +324,9 @@ object ZOrderLake {
   private def writeSlabGroups(df: DataFrame, dir: String, targetRows: Long,
                               totalRows: Long): Seq[Entry] = {
     val n = math.max(1L, (totalRows + targetRows - 1) / targetRows).toInt
-    df.repartitionByRange(n, col("_grp"), col("zval"))
+    // same double-scan argument as writeSlabs (r18)
+    val mat = df.localCheckpoint(false)
+    mat.repartitionByRange(n, col("_grp"), col("zval"))
       .sortWithinPartitions("_grp", "zval")
       .write.mode(SaveMode.Overwrite).partitionBy("_grp").parquet(dir)
     statFiles(df.sparkSession, dir)

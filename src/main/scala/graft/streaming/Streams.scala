@@ -22,7 +22,8 @@ object Streams {
   def tumblingAgg(s: SparkSession, dir: String, windowLen: String,
                   queryName: String): DataFrame = {
     graft.sources.Tables.enableNanosAsLong(s)
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // session-cached relation (Tables.table): no fresh footer read here
+    val schema = graft.sources.Tables.table(s, dir, "events").schema
     // the file stream source wants a DIRECTORY; stage a symlink to the table
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
     java.nio.file.Files.createSymbolicLink(
@@ -382,6 +383,7 @@ object Streams {
     * checkpoint directories. */
   private def replayThrough(s: SparkSession, batches: Seq[DataFrame])(
       sink: DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    if (batches.isEmpty) return // no-op, like the pre-pool serial loop
     val root = java.nio.file.Files.createTempDirectory("graft_stream_merge_")
     try {
       val streamDir = root.resolve("stream")
@@ -401,7 +403,12 @@ object Streams {
               b.coalesce(1).write.parquet(root.resolve(s"stage_$i").toString)
           }
         }
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()) // rethrow
+        pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+          // rethrow the ORIGINAL failure, not the pool's wrapper
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause }
+        }
       } finally pool.shutdown()
       batches.indices.foreach { i =>
         val stage = root.resolve(s"stage_$i")

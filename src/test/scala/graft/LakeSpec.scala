@@ -816,6 +816,27 @@ class LakeSpec extends AnyFunSuite {
     assert(nul.forall(_.isNullAt(0)), s"NULL span produced ${nul.toSeq}")
   }
 
+  test("Tables.table memoizes the relation per (session, path) without caching data") {
+    // r18 optimization: a bare spark.read.parquet re-lists + re-infers
+    // the footer schema per call; Tables.table now memoizes the RELATION
+    // per session. Reference equality proves the reuse; the relation
+    // must still read live bytes from disk (no data persisted).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tblcache_").toString
+    (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mini.parquet")
+    val a = graft.sources.Tables.table(spark, dir, "mini")
+    val b = graft.sources.Tables.table(spark, dir, "mini")
+    assert(a eq b, "second call must return the memoized relation")
+    assert(a.count() == 10)
+    assert(a.schema.fieldNames.toSeq == Seq("id", "s"))
+    // executions still scan parquet: the plan keeps a FileScan, the
+    // relation is not a persisted/InMemory one
+    val phys = a.queryExecution.executedPlan.toString
+    assert(!phys.contains("InMemoryTableScan"), phys)
+  }
+
   test("z-order slab-schema cache: re-init at the same root sees the new columns") {
     // r17 optimization caches the pinned slab schema per root (the
     // per-batch footer read was redundant); destroy + re-init with a
